@@ -1,0 +1,152 @@
+package graft.keys
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/**
+ * Typeclass mapping a key type to a byte-array encoding usable by an
+ * ordered byte-keyed index (radix tree / sorted runs).
+ *
+ * Contract (two laws, property-tested in `KeySerializerSpec`):
+ *
+ *  1. '''Round-trip''': `fromBytes(toBytes(k)) == k`.
+ *  2. '''Prefix-freedom''': for distinct keys `a != b`,
+ *     `toBytes(a)` is never a proper prefix of `toBytes(b)`. Radix
+ *     trees cannot store a key at an internal edge of another key, so
+ *     variable-length encodings carry explicit length prefixes.
+ *     (Semantics mirror the reference contract, reference
+ *     KeySerializer.scala:25-31.)
+ *
+ * Beyond the reference we additionally make fixed-width numeric
+ * encodings '''order-preserving''' (unsigned lexicographic byte order
+ * == numeric order, via sign-bit flip) so a future range-scan over the
+ * byte-sorted index iterates keys in numeric order.
+ */
+trait KeySerializer[K] extends Serializable {
+  def toBytes(k: K): Array[Byte]
+  def fromBytes(b: Array[Byte]): K
+}
+
+object KeySerializer {
+  def apply[K](implicit ks: KeySerializer[K]): KeySerializer[K] = ks
+
+  private def putLongBE(out: Array[Byte], off: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out(off + i) = ((v >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+  }
+  private def getLongBE(in: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (in(off + i) & 0xffL); i += 1 }
+    v
+  }
+  private def putIntBE(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+    out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+  }
+  private def getIntBE(in: Array[Byte], off: Int): Int =
+    ((in(off) & 0xff) << 24) | ((in(off + 1) & 0xff) << 16) |
+      ((in(off + 2) & 0xff) << 8) | (in(off + 3) & 0xff)
+
+  /** 8 bytes big-endian, sign bit flipped: byte order == numeric order. */
+  implicit object LongSerializer extends KeySerializer[Long] {
+    def toBytes(k: Long): Array[Byte] = {
+      val out = new Array[Byte](8); putLongBE(out, 0, k ^ Long.MinValue); out
+    }
+    def fromBytes(b: Array[Byte]): Long = getLongBE(b, 0) ^ Long.MinValue
+  }
+
+  /** 4 bytes big-endian, sign bit flipped. */
+  implicit object IntSerializer extends KeySerializer[Int] {
+    def toBytes(k: Int): Array[Byte] = {
+      val out = new Array[Byte](4); putIntBE(out, 0, k ^ Int.MinValue); out
+    }
+    def fromBytes(b: Array[Byte]): Int = getIntBE(b, 0) ^ Int.MinValue
+  }
+
+  /** 2 bytes big-endian, sign bit flipped. */
+  implicit object ShortSerializer extends KeySerializer[Short] {
+    def toBytes(k: Short): Array[Byte] = {
+      val v = k ^ Short.MinValue
+      Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }
+    def fromBytes(b: Array[Byte]): Short =
+      ((((b(0) & 0xff) << 8) | (b(1) & 0xff)) ^ Short.MinValue).toShort
+  }
+
+  /** 2 bytes big-endian (chars are unsigned; no flip needed). */
+  implicit object CharSerializer extends KeySerializer[Char] {
+    def toBytes(k: Char): Array[Byte] =
+      Array(((k >>> 8) & 0xff).toByte, (k & 0xff).toByte)
+    def fromBytes(b: Array[Byte]): Char =
+      (((b(0) & 0xff) << 8) | (b(1) & 0xff)).toChar
+  }
+
+  /** 4-byte big-endian byte-length prefix + UTF-8 payload (prefix-free). */
+  implicit object StringSerializer extends KeySerializer[String] {
+    def toBytes(k: String): Array[Byte] = {
+      val payload = k.getBytes(StandardCharsets.UTF_8)
+      val out = new Array[Byte](4 + payload.length)
+      putIntBE(out, 0, payload.length)
+      System.arraycopy(payload, 0, out, 4, payload.length)
+      out
+    }
+    def fromBytes(b: Array[Byte]): String = {
+      val len = getIntBE(b, 0)
+      new String(b, 4, len, StandardCharsets.UTF_8)
+    }
+  }
+
+  /** 4-byte length prefix + two's-complement magnitude (prefix-free). */
+  implicit object BigIntSerializer extends KeySerializer[BigInt] {
+    def toBytes(k: BigInt): Array[Byte] = {
+      val payload = k.toByteArray
+      val out = new Array[Byte](4 + payload.length)
+      putIntBE(out, 0, payload.length)
+      System.arraycopy(payload, 0, out, 4, payload.length)
+      out
+    }
+    def fromBytes(b: Array[Byte]): BigInt = {
+      val len = getIntBE(b, 0)
+      BigInt(java.util.Arrays.copyOfRange(b, 4, 4 + len))
+    }
+  }
+
+  /** 16 bytes: msb ‖ lsb, each sign-flipped big-endian. */
+  implicit object UUIDSerializer extends KeySerializer[UUID] {
+    def toBytes(k: UUID): Array[Byte] = {
+      val out = new Array[Byte](16)
+      putLongBE(out, 0, k.getMostSignificantBits ^ Long.MinValue)
+      putLongBE(out, 8, k.getLeastSignificantBits ^ Long.MinValue)
+      out
+    }
+    def fromBytes(b: Array[Byte]): UUID =
+      new UUID(getLongBE(b, 0) ^ Long.MinValue, getLongBE(b, 8) ^ Long.MinValue)
+  }
+
+  /** 4-byte first-component length prefix + a ‖ b. Prefix-free as long as
+    * both component encodings are (the prefix pins a's extent; b inherits
+    * its own prefix-freedom). */
+  implicit def tuple2Serializer[A, B](
+      implicit aSer: KeySerializer[A], bSer: KeySerializer[B]): KeySerializer[(A, B)] =
+    new Tuple2Serializer[A, B](aSer, bSer)
+
+  class Tuple2Serializer[A, B](aSer: KeySerializer[A], bSer: KeySerializer[B])
+      extends KeySerializer[(A, B)] {
+    def toBytes(k: (A, B)): Array[Byte] = {
+      val a = aSer.toBytes(k._1)
+      val b = bSer.toBytes(k._2)
+      val out = new Array[Byte](4 + a.length + b.length)
+      putIntBE(out, 0, a.length)
+      System.arraycopy(a, 0, out, 4, a.length)
+      System.arraycopy(b, 0, out, 4 + a.length, b.length)
+      out
+    }
+    def fromBytes(b: Array[Byte]): (A, B) = {
+      val aLen = getIntBE(b, 0)
+      val aBytes = java.util.Arrays.copyOfRange(b, 4, 4 + aLen)
+      val bBytes = java.util.Arrays.copyOfRange(b, 4 + aLen, b.length)
+      (aSer.fromBytes(aBytes), bSer.fromBytes(bBytes))
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.keys
+
+import java.util.UUID
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+class KeySerializerSpec extends AnyFunSuite {
+
+  private val genUuid: Gen[UUID] =
+    for { a <- Gen.long; b <- Gen.long } yield new UUID(a, b)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def roundTrips[K](gen: Gen[K])(implicit ser: KeySerializer[K]): Prop =
+    Prop.forAll(gen) { k => ser.fromBytes(ser.toBytes(k)) == k }
+
+  private def isProperPrefix(a: Array[Byte], b: Array[Byte]): Boolean =
+    a.length < b.length && java.util.Arrays.equals(a, java.util.Arrays.copyOf(b, a.length))
+
+  private def prefixFree[K](gen: Gen[K])(implicit ser: KeySerializer[K]): Prop =
+    Prop.forAll(gen, gen) { (a, b) =>
+      a == b || {
+        val (ab, bb) = (ser.toBytes(a), ser.toBytes(b))
+        !isProperPrefix(ab, bb) && !isProperPrefix(bb, ab)
+      }
+    }
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def orderPreserving[K](gen: Gen[K], cmp: (K, K) => Int)(
+      implicit ser: KeySerializer[K]): Prop =
+    Prop.forAll(gen, gen) { (a, b) =>
+      math.signum(unsignedCompare(ser.toBytes(a), ser.toBytes(b))) ==
+        math.signum(cmp(a, b))
+    }
+
+  test("Long: round-trip, order preservation") {
+    check(roundTrips(Gen.long))
+    check(orderPreserving[Long](Gen.long, java.lang.Long.compare))
+    val ser = KeySerializer[Long]
+    Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue).foreach { k =>
+      assert(ser.fromBytes(ser.toBytes(k)) === k)
+    }
+  }
+
+  test("Int: round-trip, order preservation") {
+    check(roundTrips(Gen.choose(Int.MinValue, Int.MaxValue)))
+    check(orderPreserving[Int](Gen.choose(Int.MinValue, Int.MaxValue), Integer.compare))
+  }
+
+  test("Short: round-trip, order preservation") {
+    val g = Gen.choose(Short.MinValue, Short.MaxValue)
+    check(roundTrips(g))
+    check(orderPreserving[Short](g, (a, b) => Integer.compare(a, b)))
+  }
+
+  test("Char: round-trip") {
+    check(roundTrips(Gen.choose(Char.MinValue, Char.MaxValue)))
+  }
+
+  test("String: round-trip, prefix-freedom") {
+    // include unicode beyond the BMP and empty strings
+    val g = Gen.oneOf(Gen.asciiPrintableStr, Gen.identifier, Gen.const(""),
+      Gen.const("héllo 世界 😀"))
+    check(roundTrips(g))
+    check(prefixFree(g))
+    val ser = KeySerializer[String]
+    assert(!isProperPrefix(ser.toBytes("a"), ser.toBytes("ab")))
+    assert(!isProperPrefix(ser.toBytes(""), ser.toBytes("x")))
+  }
+
+  test("BigInt: round-trip, prefix-freedom") {
+    val g = Gen.chooseNum(-1000000L, 1000000L).map(BigInt(_))
+      .flatMap(b => Gen.oneOf(b, b * BigInt("123456789012345678901234567890")))
+    check(roundTrips(g))
+    check(prefixFree(g))
+  }
+
+  test("UUID: round-trip") { check(roundTrips(genUuid)) }
+
+  test("Tuple2: round-trip + prefix-freedom, including nesting") {
+    val gSL = Gen.zip(Gen.asciiPrintableStr, Gen.long)
+    check(roundTrips[(String, Long)](gSL))
+    check(prefixFree[(String, Long)](gSL))
+    val gLS = Gen.zip(Gen.long, Gen.asciiPrintableStr)
+    check(roundTrips[(Long, String)](gLS))
+    val gNested = Gen.zip(Gen.zip(Gen.choose(-100, 100), Gen.identifier), Gen.long)
+    check(roundTrips[((Int, String), Long)](gNested))
+  }
+}
