@@ -1,0 +1,332 @@
+package graft
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.{HashPartitioner, OneToOneDependency, Partition, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+
+import graft.keys.KeySerializer
+import graft.partition.{HashIndexedPartition, IndexedPartition, LazyIndexedPartition}
+
+/**
+ * An updatable, point-queryable, key-unique distributed map `K -> V`,
+ * exposed as an `RDD[(K, V)]`.
+ *
+ * Capability parity with the reference engine (reference
+ * IndexedRDD.scala:37-498), re-expressed on the Spark 4 RDD API with
+ * an in-repo persistent per-partition index:
+ *
+ *  - entries are hash-partitioned by key and key-unique;
+ *  - each Spark partition holds ONE [[graft.partition.IndexedPartition]]
+ *    (this is an RDD whose elements are whole indexed partitions,
+ *    connected by a [[OneToOneDependency]]);
+ *  - point reads run a partition-pruned job over only the owning
+ *    partitions;
+ *  - updates/deletes are copy-on-write: every mutation returns a new
+ *    IndexedRDD, and the previous version remains queryable;
+ *  - joins against co-partitioned IndexedRDDs are narrow (zero
+ *    shuffle); joins against arbitrary pair RDDs shuffle ONLY the
+ *    other side, never the indexed base.
+ *
+ * Scale notes (designed for many-executor clusters, tested locally):
+ * point-read key sets ship via a broadcast (one copy per executor,
+ * destroyed after the job) rather than in every task closure — the
+ * reference ships all keys in each closure (reference
+ * IndexedRDD.scala:82 TODO); partition count is inherited from the
+ * input, so a 100 TB build keeps whatever parallelism the source scan
+ * chose.
+ */
+class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
+    private[graft] val partitionsRDD: RDD[IndexedPartition[K, V]])
+    extends RDD[(K, V)](partitionsRDD.context,
+      List(new OneToOneDependency(partitionsRDD))) {
+
+  require(partitionsRDD.partitioner.isDefined,
+    "IndexedRDD requires a partitioner on its partitions RDD")
+
+  override val partitioner: Option[org.apache.spark.Partitioner] =
+    partitionsRDD.partitioner
+
+  override protected def getPartitions: Array[Partition] = partitionsRDD.partitions
+
+  override protected def getPreferredLocations(s: Partition): Seq[String] =
+    partitionsRDD.preferredLocations(s)
+
+  override def compute(part: Partition, context: TaskContext): Iterator[(K, V)] = {
+    val it = firstParent[IndexedPartition[K, V]].iterator(part, context)
+    if (it.hasNext) it.next().iterator else Iterator.empty
+  }
+
+  /** Persists the INDEXED representation (the partitions RDD), so cached
+    * probes hit the built index, not re-built tuples. */
+  override def persist(newLevel: StorageLevel): this.type = {
+    partitionsRDD.persist(newLevel); this
+  }
+  override def unpersist(blocking: Boolean = false): this.type = {
+    partitionsRDD.unpersist(blocking); this
+  }
+  override def setName(name: String): this.type = {
+    partitionsRDD.setName(name); this
+  }
+  def cached: this.type = persist(StorageLevel.MEMORY_ONLY)
+
+  /** O(partitions): sums per-partition index sizes, no tuple scan. */
+  override def count(): Long =
+    partitionsRDD.map(_.size).fold(0L)(_ + _)
+
+  // ---------------------------------------------------------------------
+  // Point reads
+  // ---------------------------------------------------------------------
+
+  /** Point lookup of one key: a single-partition Spark job probing one
+    * index. */
+  def get(k: K): Option[V] = multiget(Array(k)).get(k)
+
+  /**
+   * Batch point lookup. Groups keys by owning partition on the driver
+   * and runs a job over ONLY those partitions (partition pruning for
+   * cached data — Catalyst cannot do this on an InMemoryRelation).
+   * Keys travel via broadcast: one copy per executor, not per task.
+   */
+  def multiget(ks: Array[K]): Map[K, V] = {
+    if (ks.isEmpty) return Map.empty
+    val part = partitioner.get
+    val ksByPartition = ks.groupBy(k => part.getPartition(k))
+    val pids = ksByPartition.keys.toArray.sorted
+    val bc = context.broadcast(ksByPartition)
+    try {
+      val results = context.runJob(
+        partitionsRDD,
+        (ctx: TaskContext, iter: Iterator[IndexedPartition[K, V]]) =>
+          if (iter.hasNext) {
+            bc.value.get(ctx.partitionId())
+              .map(keys => iter.next().multiget(keys).toArray)
+              .getOrElse(Array.empty[(K, V)])
+          } else Array.empty[(K, V)],
+        pids.toIndexedSeq)
+      results.iterator.flatten.toMap
+    } finally {
+      bc.destroy()
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Point mutations (copy-on-write)
+  // ---------------------------------------------------------------------
+
+  /** Upsert one pair, last-write-wins. */
+  def put(k: K, v: V): IndexedRDD[K, V] = multiput(Map(k -> v))
+
+  /** Upsert a driver-side map, last-write-wins. */
+  def multiput(kvs: Map[K, V]): IndexedRDD[K, V] =
+    multiput[V](kvs, (_, v) => v, (_, _, v) => v)
+
+  /** Upsert a driver-side map with a merge function for existing keys. */
+  def multiput(kvs: Map[K, V], merge: (K, V, V) => V): IndexedRDD[K, V] =
+    multiput[V](kvs, (_, v) => v, merge)
+
+  /** General upsert: `project` builds values for new keys, `merge`
+    * combines with existing values. */
+  def multiput[U: ClassTag](kvs: Map[K, U], project: (K, U) => V,
+      merge: (K, V, U) => V): IndexedRDD[K, V] =
+    multiputRDD(context.parallelize(kvs.toSeq), project, merge)
+
+  /** Upsert a distributed update set, last-write-wins. */
+  def multiputRDD(updates: RDD[(K, V)]): IndexedRDD[K, V] =
+    multiputRDD[V](updates, (_, v) => v, (_, _, v) => v)
+
+  /** Distributed upsert: shuffles ONLY the update set to the index's
+    * partitioning, then copy-on-write inserts per partition. */
+  def multiputRDD[U: ClassTag](updates: RDD[(K, U)], project: (K, U) => V,
+      merge: (K, V, U) => V): IndexedRDD[K, V] =
+    zipWithOther(updates) { (part, iter) => part.multiput(iter, project, merge) }
+
+  /** Remove keys (shipped via a one-sided shuffle of the key set). */
+  def delete(ks: Array[K]): IndexedRDD[K, V] = {
+    val keyRDD = context.parallelize(ks.toSeq.map(k => (k, ())))
+    zipWithOther(keyRDD) { (part, iter) => part.delete(iter.map(_._1)) }
+  }
+
+  // ---------------------------------------------------------------------
+  // Projections / filters
+  // ---------------------------------------------------------------------
+
+  /** Predicate over entries; result stays indexed and co-partitioned. */
+  override def filter(pred: ((K, V)) => Boolean): IndexedRDD[K, V] =
+    mapIndexedPartitions(_.filter((k, v) => pred((k, v))))
+
+  /** Map values, preserving index and partitioning. */
+  def mapValues[V2: ClassTag](f: V => V2): IndexedRDD[K, V2] =
+    mapIndexedPartitions(_.mapValues((_, v) => f(v)))
+
+  /** Map values with the key in scope, preserving index and
+    * partitioning. */
+  def mapValues[V2: ClassTag](f: (K, V) => V2): IndexedRDD[K, V2] =
+    mapIndexedPartitions(_.mapValues(f))
+
+  // ---------------------------------------------------------------------
+  // Joins — narrow when co-partitioned, one-sided shuffle otherwise
+  // ---------------------------------------------------------------------
+
+  /** Inner equi-join on the key. */
+  def innerJoin[U: ClassTag, V2: ClassTag](other: RDD[(K, U)])(
+      f: (K, V, U) => V2): IndexedRDD[K, V2] =
+    other match {
+      case o: IndexedRDD[K, U] if o.partitioner == partitioner =>
+        zipIndexed(o)((a, b) => a.innerJoin(b)(f))
+      case _ =>
+        zipWithOther(other) { (part, iter) =>
+          part.innerJoin(HashIndexedPartition(iter))(f)
+        }
+    }
+
+  /** Left outer equi-join with free result type. */
+  def leftJoin[V2: ClassTag, V3: ClassTag](other: RDD[(K, V2)])(
+      f: (K, V, Option[V2]) => V3): IndexedRDD[K, V3] =
+    other match {
+      case o: IndexedRDD[K, V2] if o.partitioner == partitioner =>
+        zipIndexed(o)((a, b) => a.leftJoin(b)(f))
+      case _ =>
+        zipWithOther(other) { (part, iter) =>
+          part.leftJoin(HashIndexedPartition(iter))(f)
+        }
+    }
+
+  /** Left outer join that updates matched values IN PLACE (value type
+    * preserved; unmatched keys keep their current value). */
+  def join[U: ClassTag](other: RDD[(K, U)])(f: (K, V, U) => V): IndexedRDD[K, V] =
+    other match {
+      case o: IndexedRDD[K, U] if o.partitioner == partitioner =>
+        zipIndexed(o)((a, b) => a.join(b.iterator)(f))
+      case _ =>
+        zipWithOther(other) { (part, iter) => part.join(iter)(f) }
+    }
+
+  /** Full outer equi-join (eager). */
+  def fullOuterJoin[V2: ClassTag, W: ClassTag](other: RDD[(K, V2)])(
+      f: (K, Option[V], Option[V2]) => W): IndexedRDD[K, W] =
+    other match {
+      case o: IndexedRDD[K, V2] if o.partitioner == partitioner =>
+        zipIndexed(o)((a, b) => a.fullOuterJoin(b)(f))
+      case _ =>
+        zipWithOther(other) { (part, iter) =>
+          part.fullOuterJoin(HashIndexedPartition(iter))(f)
+        }
+    }
+
+  /**
+   * LAZY keyed union under a reducer: returns a view whose partitions
+   * accumulate delta lists instead of merging indexes eagerly
+   * (reference `fullOuterJoin(maybeLazy = true)`,
+   * IndexedRDD.scala:360-378 / LazyPartition.scala — here as a typed
+   * overload instead of the reference's runtime-ClassTag dispatch).
+   * Point reads probe each delta and reduce; the first full-scan
+   * operator forces a one-time merge. Chained unions flatten.
+   */
+  def unionWith(other: RDD[(K, V)], reduce: (V, V) => V): IndexedRDD[K, V] =
+    other match {
+      case o: IndexedRDD[K, V] if o.partitioner == partitioner =>
+        zipIndexed(o)((a, b) => LazyIndexedPartition.union(a, b, reduce))
+      case _ =>
+        zipWithOther(other) { (part, iter) =>
+          LazyIndexedPartition.union(part, HashIndexedPartition(iter), reduce)
+        }
+    }
+
+  /** Keys present in BOTH sides whose values differ, keeping THIS
+    * side's value (changeset between two versions). */
+  def diff(other: RDD[(K, V)]): IndexedRDD[K, V] =
+    other match {
+      case o: IndexedRDD[K, V] if o.partitioner == partitioner =>
+        zipIndexed(o)((a, b) => a.diff(b))
+      case _ =>
+        zipWithOther(other) { (part, iter) => part.diff(HashIndexedPartition(iter)) }
+    }
+
+  // ---------------------------------------------------------------------
+  // Index-reusing aggregation / rebuild
+  // ---------------------------------------------------------------------
+
+  /** Reduce-by-key `elems` into this index's partitioning (keys absent
+    * from the index are kept). A partial+final hash aggregation whose
+    * final layout reuses the index. */
+  def aggregateUsingIndex[V2: ClassTag](elems: RDD[(K, V2)],
+      reduce: (V2, V2) => V2): IndexedRDD[K, V2] =
+    zipWithOther(elems) { (part, iter) => part.aggregateUsingIndex(iter, reduce) }
+
+  /** Rebuild a same-partitioned IndexedRDD from new elements
+    * (duplicate keys: last write wins). */
+  def createUsingIndex[V2: ClassTag](elems: RDD[(K, V2)]): IndexedRDD[K, V2] =
+    zipWithOther(elems) { (part, iter) => part.createUsingIndex(iter) }
+
+  /** Collapse lazy delta chains into materialized indexes. */
+  def reindex(): IndexedRDD[K, V] = mapIndexedPartitions(_.reindex)
+
+  // ---------------------------------------------------------------------
+  // Plumbing
+  // ---------------------------------------------------------------------
+
+  private def mapIndexedPartitions[K2: ClassTag, V2: ClassTag](
+      f: IndexedPartition[K, V] => IndexedPartition[K2, V2]): IndexedRDD[K2, V2] =
+    new IndexedRDD(partitionsRDD.mapPartitions(
+      iter => if (iter.hasNext) Iterator(f(iter.next())) else Iterator.empty,
+      preservesPartitioning = true))
+
+  /** Narrow zip of two co-partitioned IndexedRDDs — zero shuffle
+    * (reference zipIndexedRDDPartitions, IndexedRDD.scala:185-190). */
+  private def zipIndexed[V2: ClassTag, V3: ClassTag](other: IndexedRDD[K, V2])(
+      f: (IndexedPartition[K, V], IndexedPartition[K, V2]) => IndexedPartition[K, V3]): IndexedRDD[K, V3] = {
+    require(partitioner == other.partitioner, "mismatched partitioners")
+    new IndexedRDD(partitionsRDD.zipPartitions(other.partitionsRDD,
+      preservesPartitioning = true) { (thisIter, otherIter) =>
+      if (thisIter.hasNext && otherIter.hasNext)
+        Iterator(f(thisIter.next(), otherIter.next()))
+      else Iterator.empty
+    })
+  }
+
+  /** Zip with an arbitrary pair RDD: shuffles ONLY `other` into this
+    * index's partitioning, never the indexed base (reference
+    * zipPartitionsWithOther, IndexedRDD.scala:193-198). */
+  private def zipWithOther[U: ClassTag, V3: ClassTag](other: RDD[(K, U)])(
+      f: (IndexedPartition[K, V], Iterator[(K, U)]) => IndexedPartition[K, V3]): IndexedRDD[K, V3] = {
+    val partitioned =
+      if (other.partitioner == partitioner) other
+      else other.partitionBy(partitioner.get)
+    new IndexedRDD(partitionsRDD.zipPartitions(partitioned,
+      preservesPartitioning = true) { (thisIter, otherIter) =>
+      if (thisIter.hasNext) Iterator(f(thisIter.next(), otherIter)) else Iterator.empty
+    })
+  }
+}
+
+object IndexedRDD {
+
+  /** Build from a pair RDD; on duplicate keys the last write wins.
+    * Hash-partitions the input unless it already has a partitioner
+    * (reference IndexedRDD.scala:461-486). */
+  def apply[K: ClassTag: KeySerializer, V: ClassTag](
+      elems: RDD[(K, V)]): IndexedRDD[K, V] =
+    updatable[K, V, V](elems, (_, v) => v, (_, _, v) => v)
+
+  /** Build with explicit duplicate-key resolution: `z` projects the
+    * first occurrence, `f` folds collisions. */
+  def updatable[K: ClassTag: KeySerializer, U: ClassTag, V: ClassTag](
+      elems: RDD[(K, U)], z: (K, U) => V, f: (K, V, U) => V): IndexedRDD[K, V] = {
+    val partitioned = elems.partitioner match {
+      case Some(_) => elems
+      case None => elems.partitionBy(new HashPartitioner(elems.partitions.length))
+    }
+    val parts = partitioned.mapPartitions(
+      iter => Iterator(HashIndexedPartition(iter, z, f): IndexedPartition[K, V]),
+      preservesPartitioning = true)
+    new IndexedRDD(parts)
+  }
+
+  /** Build with an explicit target partition count (use at scale to
+    * decouple index parallelism from source-scan parallelism). */
+  def build[K: ClassTag: KeySerializer, V: ClassTag](
+      elems: RDD[(K, V)], numPartitions: Int): IndexedRDD[K, V] =
+    apply(elems.partitionBy(new HashPartitioner(numPartitions)))
+}

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.HashPartitioner
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator laws vs Scala-collection oracles, mirroring the coverage of
+  * the reference suite (reference IndexedRDDSuite.scala) including the
+  * partitioner-mismatch shuffle paths. */
+class IndexedRDDSpec extends AnyFunSuite {
+
+  private lazy val sc = SparkSessionFixture.spark.sparkContext
+
+  private def pairs(n: Int = 100): IndexedRDD[Long, Int] =
+    IndexedRDD(sc.parallelize((1 to n).map(i => (i.toLong, i * 10)), 4))
+
+  test("build enforces key uniqueness (last write wins) and partitioning") {
+    val dup = sc.parallelize(Seq((1L, 1), (1L, 2), (2L, 5)), 3)
+    val r = IndexedRDD(dup)
+    assert(r.partitioner.isDefined)
+    assert(r.count() === 2)
+    assert(r.get(2L) === Some(5))
+    assert(Set(1, 2).contains(r.get(1L).get)) // one of the duplicates survives
+  }
+
+  test("updatable folds duplicates with z/f") {
+    val dup = sc.parallelize(Seq((1L, 1), (1L, 2), (1L, 4), (2L, 7)), 2)
+    val r = IndexedRDD.updatable[Long, Int, Int](dup, (_, u) => u, (_, acc, u) => acc + u)
+    assert(r.multiget(Array(1L, 2L)) === Map(1L -> 7, 2L -> 7))
+  }
+
+  test("get / multiget hit and miss") {
+    val r = pairs()
+    assert(r.get(5L) === Some(50))
+    assert(r.get(0L) === None)
+    assert(r.multiget(Array(1L, 50L, 1000L)) === Map(1L -> 10, 50L -> 500))
+    assert(r.multiget(Array.empty[Long]) === Map.empty)
+  }
+
+  test("collect as plain RDD matches oracle") {
+    assert(pairs(50).collect().toMap === (1 to 50).map(i => (i.toLong, i * 10)).toMap)
+  }
+
+  test("count is size sum, no scan") {
+    assert(pairs(1000).count() === 1000)
+  }
+
+  test("put / multiput upsert; old version still queryable (COW)") {
+    val v0 = pairs(10).cached
+    val v1 = v0.put(11L, 110)
+    val v2 = v1.multiput(Map(1L -> -1, 12L -> 120))
+    assert(v2.get(11L) === Some(110))
+    assert(v2.get(1L) === Some(-1))
+    assert(v2.count() === 12)
+    // versioned snapshots: v0 unchanged
+    assert(v0.get(1L) === Some(10) && v0.count() === 10 && v0.get(11L) === None)
+  }
+
+  test("multiput with merge function") {
+    val r = pairs(5).multiput(Map(1L -> 7, 9L -> 9), (_, old, nw) => old + nw)
+    assert(r.get(1L) === Some(17)) // merged
+    assert(r.get(9L) === Some(9))  // inserted
+  }
+
+  test("multiputRDD with project/merge over a mismatched-partitioner update set") {
+    val updates = sc.parallelize(Seq((1L, 100L), (200L, 300L)), 7) // 7 != 4 partitions
+    val r = pairs(10).multiputRDD[Long](updates,
+      (_, u) => u.toInt, (_, old, u) => old + u.toInt)
+    assert(r.get(1L) === Some(110))
+    assert(r.get(200L) === Some(300))
+  }
+
+  test("delete removes keys; old version persists") {
+    val v0 = pairs(10).cached
+    val v1 = v0.delete(Array(1L, 2L, 99L))
+    assert(v1.count() === 8 && v1.get(1L) === None)
+    assert(v0.count() === 10 && v0.get(1L) === Some(10))
+  }
+
+  test("filter keeps index and partitioning") {
+    val r = pairs(100).filter { case (k, v) => k % 2 == 0 && v > 100 }
+    assert(r.partitioner.isDefined)
+    assert(r.collect().toMap ===
+      (1 to 100).filter(i => i % 2 == 0 && i * 10 > 100).map(i => (i.toLong, i * 10)).toMap)
+    assert(r.get(50L) === Some(500) && r.get(51L) === None && r.get(10L) === None)
+  }
+
+  test("mapValues (with and without key)") {
+    val r = pairs(10)
+    assert(r.mapValues((v: Int) => v + 1).get(3L) === Some(31))
+    assert(r.mapValues((k: Long, v: Int) => v + k.toInt).get(3L) === Some(33))
+  }
+
+  test("innerJoin: co-partitioned narrow path") {
+    val a = pairs(10)
+    val b = a.filter { case (k, _) => k >= 5 }.mapValues((v: Int) => v * 2)
+    assert(a.partitioner === b.partitioner)
+    val j = a.innerJoin(b)((_, x, y) => x + y)
+    assert(j.collect().toMap === (5 to 10).map(i => (i.toLong, i * 30)).toMap)
+  }
+
+  test("innerJoin: arbitrary RDD path (different partition count)") {
+    val a = pairs(10)
+    val other = sc.parallelize((5 to 15).map(i => (i.toLong, i)), 9)
+    val j = a.innerJoin(other)((_, x, y) => x + y)
+    assert(j.collect().toMap === (5 to 10).map(i => (i.toLong, i * 10 + i)).toMap)
+  }
+
+  test("leftJoin both paths") {
+    val a = pairs(6)
+    val co = a.filter { case (k, _) => k > 3 }
+    val expect = (1 to 6).map(i =>
+      (i.toLong, if (i > 3) i * 20 else i * 10 + 1)).toMap
+    val j1 = a.leftJoin(co)((_, v, o) => o.map(_ + v).getOrElse(v + 1))
+    assert(j1.collect().toMap === expect)
+    val other = sc.parallelize((4 to 6).map(i => (i.toLong, i * 10)), 5)
+    val j2 = a.leftJoin(other)((_, v, o) => o.map(_ + v).getOrElse(v + 1))
+    assert(j2.collect().toMap === expect)
+  }
+
+  test("join updates matches in place, keeps type and non-matches") {
+    val a = pairs(6)
+    val other = sc.parallelize(Seq((2L, 3), (99L, 9)), 2)
+    val j = a.join(other)((_, v, u) => v * u)
+    assert(j.collect().toMap ===
+      ((1 to 6).map(i => (i.toLong, i * 10)).toMap + (2L -> 60)))
+    assert(j.get(99L) === None) // join never inserts
+  }
+
+  test("fullOuterJoin covers all three regions, both paths") {
+    val a = IndexedRDD(sc.parallelize((1 to 6).map(i => (i.toLong, i)), 4))
+    val expect = ((1 to 3).map(i => (i.toLong, i)) ++
+      (4 to 6).map(i => (i.toLong, i + i * 100)) ++
+      (7 to 9).map(i => (i.toLong, i * 100))).toMap
+    // co-partitioned
+    val b = IndexedRDD(sc.parallelize((4 to 9).map(i => (i.toLong, i * 100)), 4)
+      .partitionBy(a.partitioner.get))
+    val j1 = a.fullOuterJoin(b)((_, l, r) => l.getOrElse(0) + r.getOrElse(0))
+    assert(j1.collect().toMap === expect)
+    // mismatched partitions
+    val c = sc.parallelize((4 to 9).map(i => (i.toLong, i * 100)), 7)
+    val j2 = a.fullOuterJoin(c)((_, l, r) => l.getOrElse(0) + r.getOrElse(0))
+    assert(j2.collect().toMap === expect)
+  }
+
+  test("unionWith is a lazy keyed union: point reads work, scan forces merge") {
+    val a = IndexedRDD(sc.parallelize((1 to 6).map(i => (i.toLong, i)), 4))
+    val b = sc.parallelize((4 to 9).map(i => (i.toLong, i * 100)), 4)
+    val u = a.unionWith(b, _ + _)
+    assert(u.get(2L) === Some(2))
+    assert(u.get(5L) === Some(505))
+    assert(u.get(8L) === Some(800))
+    val expect = ((1 to 3).map(i => (i.toLong, i)) ++
+      (4 to 6).map(i => (i.toLong, i + i * 100)) ++
+      (7 to 9).map(i => (i.toLong, i * 100))).toMap
+    assert(u.collect().toMap === expect)
+    assert(u.count() === 9)
+    // chain another delta lazily, then reindex
+    val w = u.unionWith(sc.parallelize(Seq((1L, 1000)), 2), _ + _).reindex()
+    assert(w.get(1L) === Some(1001))
+  }
+
+  test("diff keeps this side's values for keys whose values differ") {
+    val a = IndexedRDD(sc.parallelize((1 to 10).map(i => (i.toLong, i)), 4))
+    val b = a.mapValues((k: Long, v: Int) => if (k <= 5) v else -v)
+    val d = a.diff(b)
+    assert(d.collect().toMap === (6 to 10).map(i => (i.toLong, i)).toMap)
+    // mismatched-partitioner path
+    val c = sc.parallelize((1 to 10).map(i => (i.toLong, if (i <= 5) i else -i)), 3)
+    assert(a.diff(c).collect().toMap === (6 to 10).map(i => (i.toLong, i)).toMap)
+  }
+
+  test("aggregateUsingIndex reduces by key and KEEPS keys absent from index") {
+    val a = pairs(10)
+    val elems = sc.parallelize(Seq((1L, 1), (1L, 2), (3L, 5), (-1L, 7), (-1L, 8)), 5)
+    val agg = a.aggregateUsingIndex(elems, (x: Int, y: Int) => x + y)
+    assert(agg.collect().toMap === Map(1L -> 3, 3L -> 5, -1L -> 15))
+  }
+
+  test("createUsingIndex rebuilds with last-write-wins") {
+    val a = pairs(10)
+    val elems = sc.parallelize(Seq((1L, 9), (1L, 11), (2L, 4)), 3)
+    val r = a.createUsingIndex(elems)
+    assert(r.collect().toMap === Map(1L -> 11, 2L -> 4))
+  }
+
+  test("explicit partition count build") {
+    val r = IndexedRDD.build(sc.parallelize((1 to 100).map(i => (i.toLong, i)), 4), 16)
+    assert(r.partitionsRDD.partitions.length === 16)
+    assert(r.partitioner.get === new HashPartitioner(16))
+    assert(r.count() === 100)
+  }
+
+  test("String and composite keys work end-to-end") {
+    import graft.keys.KeySerializer._
+    val s = IndexedRDD(sc.parallelize(Seq(("a", 1), ("b", 2), ("aa", 3)), 2))
+    assert(s.multiget(Array("a", "aa", "zz")) === Map("a" -> 1, "aa" -> 3))
+    val t = IndexedRDD(sc.parallelize(Seq((("x", 1L), 1), (("x", 2L), 2)), 2))
+    assert(t.get(("x", 2L)) === Some(2))
+  }
+}

@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession for the whole test JVM. */
+object SparkSessionFixture {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
