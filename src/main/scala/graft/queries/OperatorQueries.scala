@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.IndexedRDD
+import graft.sql.Bridge
+
+/**
+ * One driver-checkable query per core IndexedRDD operator (SURVEY §2),
+ * each paired with an ANSI-SQL oracle in [[OperatorQueries.oracleSql]].
+ * All run against the fixture parquet at the given sf dir; doubles are
+ * rounded to 2 decimals on output so Spark/DuckDB summation-order ulps
+ * can't flip the hash compare.
+ */
+object OperatorQueries {
+
+  /** customer keyed by c_custkey -> c_acctbal. */
+  private def custBal(s: SparkSession, dir: String): IndexedRDD[Long, Double] = {
+    import s.implicits._
+    Bridge.fromDataset(Tables.customer(s, dir)
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)])
+  }
+
+  /** orders per-customer totalprice sums, reduced into the customer
+    * index's partitioning (aggregateUsingIndex = map-side-combinable
+    * reduce whose final layout reuses the index). */
+  private def orderTotals(s: SparkSession, dir: String,
+      idx: IndexedRDD[Long, Double]): IndexedRDD[Long, Double] = {
+    import s.implicits._
+    idx.aggregateUsingIndex(
+      Tables.orders(s, dir).select($"o_custkey", $"o_totalprice").as[(Long, Double)].rdd,
+      _ + _)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ir_build_count" -> { (s, dir) =>
+      import s.implicits._
+      Seq(custBal(s, dir).count()).toDF("cnt")
+    },
+
+    "ir_multiget" -> { (s, dir) =>
+      import s.implicits._
+      custBal(s, dir).multiget(Array(1L, 5L, 42L, 999999L))
+        .toSeq.toDF("c_custkey", "c_acctbal")
+    },
+
+    "ir_multiput" -> { (s, dir) =>
+      import s.implicits._
+      custBal(s, dir)
+        .multiput(Map(-1L -> 111.11, 1L -> 0.0))
+        .multiget(Array(-1L, 1L, 2L))
+        .toSeq.toDF("c_custkey", "c_acctbal")
+    },
+
+    "ir_delete" -> { (s, dir) =>
+      import s.implicits._
+      Seq(custBal(s, dir).delete((1L to 10L).toArray).count()).toDF("cnt")
+    },
+
+    "ir_filter" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = Bridge.fromDataset(Tables.customer(s, dir)
+        .select($"c_custkey".as("_1"),
+          struct($"c_acctbal".as("_1"), $"c_mktsegment".as("_2")).as("_2"))
+        .as[(Long, (Double, String))])
+      Bridge.RichIndexedRDD(
+        idx.filter { case (_, (bal, seg)) => bal > 5000.0 && seg == "BUILDING" })
+        .toDS
+        .select($"_1".as("c_custkey"), $"_2._1".as("c_acctbal"), $"_2._2".as("c_mktsegment"))
+    },
+
+    "ir_mapvalues" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // bal*2 keeps 2-decimal inputs exact, so no round-boundary
+      // divergence between Spark HALF_UP and DuckDB rounding
+      Bridge.RichIndexedRDD(custBal(s, dir).mapValues((bal: Double) => bal * 2.0 + 1.0))
+        .toDS
+        .select($"_1".as("c_custkey"), round($"_2", 2).as("interest"))
+    },
+
+    "ir_innerjoin" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = custBal(s, dir)
+      val joined = idx.innerJoin(orderTotals(s, dir, idx))((_, bal, tot) => (bal, tot))
+      Bridge.RichIndexedRDD(joined).toDS
+        .select($"_1".as("c_custkey"), $"_2._1".as("c_acctbal"),
+          round($"_2._2", 2).as("total"))
+    },
+
+    "ir_leftjoin" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = custBal(s, dir)
+      // join against high-value order totals only, so the None branch is hit
+      val big = orderTotals(s, dir, idx).filter { case (_, t) => t > 1500000.0 }
+      val joined = idx.leftJoin(big)((_, bal, t) => (bal, t.getOrElse(0.0)))
+      Bridge.RichIndexedRDD(joined).toDS
+        .select($"_1".as("c_custkey"), $"_2._1".as("c_acctbal"),
+          round($"_2._2", 2).as("big_total"))
+    },
+
+    "ir_join_update" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = custBal(s, dir)
+      // in-place value update for matched keys, type preserved
+      val bumped = idx.join(orderTotals(s, dir, idx))((_, bal, tot) => bal + tot / 1000.0)
+      Bridge.RichIndexedRDD(bumped).toDS
+        .select($"_1".as("c_custkey"), round($"_2", 2).as("adj_bal"))
+    },
+
+    "ir_fulljoin" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = custBal(s, dir)
+      // add a synthetic right-only key so all three join regions appear
+      val withPhantom = orderTotals(s, dir, idx).put(-7L, 77.0)
+      val joined = idx.fullOuterJoin(withPhantom) { (_, bal, tot) =>
+        (bal.getOrElse(-1.0), tot.getOrElse(-1.0))
+      }
+      Bridge.RichIndexedRDD(joined).toDS
+        .select($"_1".as("c_custkey"), $"_2._1".as("c_acctbal"),
+          round($"_2._2", 2).as("total"))
+    },
+
+    "ir_unionwith" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = custBal(s, dir)
+      // lazy keyed union: balance + order totals merged under (+)
+      val u = idx.unionWith(orderTotals(s, dir, idx), _ + _)
+      Bridge.RichIndexedRDD(u).toDS
+        .select($"_1".as("c_custkey"), round($"_2", 2).as("combined"))
+    },
+
+    "ir_diff" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = Bridge.fromDataset(Tables.customer(s, dir)
+        .select($"c_custkey".as("_1"),
+          struct($"c_acctbal".as("_1"), $"c_mktsegment".as("_2")).as("_2"))
+        .as[(Long, (Double, String))])
+      val bal = idx.mapValues((v: (Double, String)) => v._1)
+      val adjusted = idx.mapValues { (v: (Double, String)) =>
+        if (v._2 == "BUILDING") v._1 + 1.0 else v._1
+      }
+      Bridge.RichIndexedRDD(adjusted.diff(bal)).toDS
+        .select($"_1".as("c_custkey"), round($"_2", 2).as("c_acctbal"))
+    },
+
+    "ir_aggregate" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = custBal(s, dir)
+      Bridge.RichIndexedRDD(orderTotals(s, dir, idx)).toDS
+        .select($"_1".as("o_custkey"), round($"_2", 2).as("total"))
+    },
+
+    "ir_create_using_index" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = custBal(s, dir)
+      // rebuild the index with per-customer max order price (unique keys
+      // upstream, so last-write-wins is deterministic)
+      val maxPrice = idx.aggregateUsingIndex(
+        Tables.orders(s, dir).select($"o_custkey", $"o_totalprice").as[(Long, Double)].rdd,
+        (a: Double, b: Double) => math.max(a, b))
+      val rebuilt = idx.createUsingIndex(maxPrice: org.apache.spark.rdd.RDD[(Long, Double)])
+      Bridge.RichIndexedRDD(rebuilt).toDS
+        .select($"_1".as("o_custkey"), round($"_2", 2).as("max_price"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ir_build_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer",
+
+    "ir_multiget" ->
+      "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey IN (1, 5, 42, 999999)",
+
+    "ir_multiput" ->
+      """SELECT c_custkey, c_acctbal FROM (
+        |  SELECT c_custkey, CASE WHEN c_custkey = 1 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey IN (1, 2)
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), 111.11
+        |) t""".stripMargin,
+
+    "ir_delete" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer WHERE c_custkey NOT BETWEEN 1 AND 10",
+
+    "ir_filter" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "ir_mapvalues" ->
+      "SELECT c_custkey, round(c_acctbal * 2.0 + 1.0, 2) AS interest FROM customer",
+
+    "ir_innerjoin" ->
+      """SELECT c.c_custkey, c.c_acctbal, round(o.total, 2) AS total
+        |FROM customer c
+        |JOIN (SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |      FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "ir_leftjoin" ->
+      """SELECT c.c_custkey, c.c_acctbal,
+        |       round(COALESCE(o.total, 0.0), 2) AS big_total
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |           FROM orders GROUP BY o_custkey
+        |           HAVING CAST(sum(o_totalprice) AS DOUBLE) > 1500000.0) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "ir_join_update" ->
+      """SELECT c.c_custkey,
+        |       round(c.c_acctbal + COALESCE(o.total, 0.0) / 1000.0, 2) AS adj_bal
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |           FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "ir_fulljoin" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+        |       COALESCE(c.c_acctbal, -1.0) AS c_acctbal,
+        |       round(COALESCE(o.total, -1.0), 2) AS total
+        |FROM customer c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey
+        |  UNION ALL SELECT CAST(-7 AS BIGINT), 77.0
+        |) o ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "ir_unionwith" ->
+      """SELECT c.c_custkey,
+        |       round(c.c_acctbal + COALESCE(o.total, 0.0), 2) AS combined
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |           FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "ir_diff" ->
+      """SELECT c_custkey, round(c_acctbal + 1.0, 2) AS c_acctbal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "ir_aggregate" ->
+      """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "ir_create_using_index" ->
+      """SELECT o_custkey, round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price
+        |FROM orders GROUP BY o_custkey""".stripMargin
+  )
+}

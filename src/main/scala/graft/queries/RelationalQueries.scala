@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The relational surface the reference engine lacks entirely (SURVEY
+ * §2.7) — aggregation, multi-way joins, windows, sorts/top-k, set ops,
+ * scalar/JSON functions, time-bucketed aggregation — expressed as
+ * declarative DataFrame plans so Catalyst supplies pushdown, column
+ * pruning, join strategy (small dims broadcast), AQE, and whole-stage
+ * codegen.
+ */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: wide scan, hash aggregate with partial agg
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // TPC-H Q3 shape: 3-way join + agg + deterministic top-k
+    "q3_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape: 6-way join, small dims broadcast
+    "q5_join" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .join(Tables.supplier(s, dir),
+          $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+    },
+
+    // ranking window: top-3 orders per customer
+    "q_window" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+    },
+
+    // analytic window: running revenue share per customer's order history
+    "q_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_total", round(sum($"o_totalprice").over(w), 2))
+        .select($"o_custkey", $"o_orderkey", $"running_total")
+    },
+
+    // global sort + limit (TakeOrderedAndProject)
+    "q_sort_limit" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+
+    // set ops
+    "q_intersect" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+        .intersect(Tables.orders(s, dir)
+          .filter($"o_totalprice" > 350000.0).select($"o_custkey".as("c_custkey")))
+    },
+    "q_except" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+        .except(Tables.orders(s, dir)
+          .filter($"o_totalprice" > 350000.0).select($"o_custkey".as("c_custkey")))
+    },
+
+    // semi / anti joins
+    "q_semijoin" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter($"o_totalprice" > 180000.0),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_acctbal")
+    },
+    "q_antijoin" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter($"o_totalprice" > 180000.0),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_acctbal")
+    },
+
+    // time-bucketed aggregation over the events stream table
+    "q_events_window" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("ws"),
+          $"event_type", $"n", $"total")
+    },
+
+    // scalar/JSON function surface
+    "q_json" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"),
+          upper($"event_type").as("etype"),
+          round(abs($"value") + sqrt(abs($"value")), 2).as("vmix"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+        |  round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000.0""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000.0""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 180000.0)""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 180000.0)""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(value) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_id,
+        |  CAST(props ->> '$.k' AS BIGINT) AS k,
+        |  upper(event_type) AS etype,
+        |  round(abs(value) + sqrt(abs(value)), 2) AS vmix
+        |FROM events""".stripMargin
+  )
+}
