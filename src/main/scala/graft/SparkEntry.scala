@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{OperatorQueries, RelationalQueries}
+import graft.queries.{OperatorQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,8 +16,8 @@ object SparkEntry {
     RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    OperatorQueries.queries ++ RelationalQueries.queries
+    OperatorQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    OperatorQueries.oracleSql ++ RelationalQueries.oracleSql
+    OperatorQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
 }

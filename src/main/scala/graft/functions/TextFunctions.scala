@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines,
+ * built from `org.apache.spark.sql.functions._` (codegen'd, no UDFs):
+ * tokenization, token counting, word shingling, rolling-hash
+ * fingerprinting, quality metrics, and a stopword-profile language
+ * identifier. Everything here stays inside whole-stage codegen.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: whitespace tokens plus extra
+    * splits at letter/digit/punct boundaries. */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "[\\s]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\\s])"))
+
+  /** Word n-gram shingles ("a b c" for n=3), the unit of near-dup
+    * comparison. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(array_join(t, " "))).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+  }
+
+  /** Distinct shingle hash set (64-bit) — input to minhash/jaccard. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))
+
+  /**
+   * Rolling polynomial fingerprint over the token stream (order
+   * sensitive, whitespace-normalization invariant). Two independent
+   * 31-bit polynomial lanes mod 2^31-1 combined into one 62-bit value —
+   * all intermediates fit in a long, so the fold is safe under Spark's
+   * default ANSI overflow checking.
+   */
+  def fingerprint(text: Column): Column = {
+    val p = lit((1L << 31) - 1)
+    def lane(seed: Long, mult: Long): Column =
+      aggregate(tokens(text), lit(seed),
+        (acc, t) => pmod(acc * lit(mult) + pmod(xxhash64(t), p), p))
+    lane(17L, 1000003L) * lit(1L << 31) + lane(31L, 999983L)
+  }
+
+  /** Character count. */
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of non-space characters that are letters, 0..1. */
+  def alphaRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", ""))
+    when(nonSpace === 0, lit(0.0)).otherwise(alpha.cast("double") / nonSpace)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(trim(text), "\\s", "")).cast("double") / n)
+  }
+
+  /** Stopword hit ratio against a given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t, w => w.isInCollection(stopwords)))
+    when(size(t) === 0, lit(0.0)).otherwise(hits.cast("double") / size(t))
+  }
+
+  /**
+   * Heuristic quality score in [0,1] combining length, token-length
+   * sanity, and stopword presence — the standard cheap pre-filter for
+   * training-data curation.
+   */
+  def qualityScore(text: Column, stopwords: Seq[String] = LangProfiles.en): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val tl = meanTokenLen(text)
+    val tokLenScore = lit(1.0) / (lit(1.0) + abs(tl - lit(4.5)))
+    val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + tokLenScore * 0.3 + swScore * 0.3, 4)
+  }
+
+  /** Tiny per-language stopword/function-word profiles (public common
+    * words), for the n-gram/stopword language-ID heuristic. */
+  object LangProfiles {
+    val en = Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+    val es = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los")
+    val de = Seq("der", "die", "das", "und", "von", "zu", "mit", "ist", "auf", "ein")
+    val fr = Seq("le", "la", "de", "et", "un", "est", "pour", "dans", "que", "les")
+    val zh = Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
+    val all: Map[String, Seq[String]] =
+      Map("en" -> en, "es" -> es, "de" -> de, "fr" -> fr, "zh" -> zh)
+  }
+
+  /**
+   * Language-ID heuristic: CJK-codepoint share decides zh; otherwise
+   * the language whose stopword profile hits the most tokens wins
+   * (ties broken by fixed language order, 'und' when nothing hits).
+   * Returns struct(lang, confidence).
+   */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", ""))
+    val langs = Seq("en", "es", "de", "fr")
+    val scores = langs.map(l => stopwordRatio(text, LangProfiles.all(l)))
+    val best = langs.zip(scores).foldLeft((lit("und"), lit(0.0))) {
+      case ((bl, bs), (l, sc)) =>
+        (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    val zhConf = when(length(text) === 0, lit(0.0))
+      .otherwise(least(cjk.cast("double") * 3.0 / greatest(length(text), lit(1)), lit(1.0)))
+    struct(
+      when(zhConf > 0.15, lit("zh")).otherwise(best._1).as("lang"),
+      round(when(zhConf > 0.15, zhConf).otherwise(least(best._2 * 5.0, lit(1.0))), 4)
+        .as("confidence"))
+  }
+}

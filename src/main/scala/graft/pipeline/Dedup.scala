@@ -1,0 +1,259 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.SimHash64.{hamming64, simhash64}
+import graft.functions.TextFunctions._
+
+/**
+ * Deduplication operators for training-data curation, each designed as
+ * a declarative Spark plan so the same code scales from local tests to
+ * a 1000-executor cluster:
+ *
+ *  - '''exact''': hash-groupBy on content — one shuffle of (hash, id),
+ *    never the full payload.
+ *  - '''minhash LSH''': shingle → k-permutation minhash signature →
+ *    banded bucket join. Only the candidate pairs that share a bucket
+ *    are compared; bucket sizes are capped so a degenerate bucket
+ *    cannot quadratically blow up a task.
+ *  - '''simhash''': 64-bit signature via a native codegen expression,
+ *    banded into 4×16-bit sub-keys (pigeonhole: any pair within
+ *    hamming distance 3 shares at least one of 4 bands).
+ *  - '''n-gram Jaccard''': exact verification on LSH candidates only.
+ *  - '''embedding cosine''': brute-force O(n²) baseline (oracle), and
+ *    a random-hyperplane-LSH bucketed variant as the scale path.
+ */
+object Dedup {
+
+  // ----------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by content: one row per distinct content
+    * with the keeper id (min id) and copy count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Remove exact duplicates, keeping the smallest id per content.
+    * Shuffles only (content-hash, id), then semi-joins keepers back —
+    * the payload never moves twice. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = df.select(col(idCol), xxhash64(col(textCol)).as("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  // --------------------------------------------------------------- minhash
+
+  /** Mersenne prime 2^31-1: permutation arithmetic stays below 2^62,
+    * so it is safe under Spark's default ANSI overflow checking. */
+  private val P31 = (1L << 31) - 1
+
+  /** Deterministic affine permutation constants (31-bit) for k minhashes. */
+  private def perms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed5eedL)
+    Seq.fill(k)((rnd.nextLong().abs % (P31 - 1) + 1, rnd.nextLong().abs % P31))
+  }
+
+  /** k-component minhash signature from an already-materialized column
+    * of 31-bit shingle hashes. IMPORTANT: `hashes31` must be a bound
+    * column reference (stage it through its own projection), not an
+    * inline subtree — each of the k components references it, and
+    * re-inlining the shingle pipeline k times is a ~60× slowdown. */
+  def minhashFromHashes(hashes31: Column, numHashes: Int = 64): Column =
+    array(perms(numHashes).map { case (a, b) =>
+      array_min(transform(hashes31, h => pmod(h * lit(a) + lit(b), lit(P31))))
+    }: _*)
+
+  /** 31-bit shingle hash set of a text column (minhash input). */
+  def shingleHashes31(text: Column, shingleN: Int): Column =
+    transform(shingleHashes(text, shingleN), h => pmod(h, lit(P31)))
+
+  /** One-expression minhash signature (convenience; prefer the staged
+    * [[shingleHashes31]] -> [[minhashFromHashes]] form in plans). */
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64): Column =
+    minhashFromHashes(shingleHashes31(text, shingleN), numHashes)
+
+  /** Banded bucket keys from a signature: one 31-bit key per band
+    * (folded mod P31 — overflow-free). */
+  private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      aggregate(slice(sig, j * rows + 1, rows), lit(977L),
+        (acc, x) => pmod(acc * lit(31L) + x, lit(P31)))
+    }: _*)
+
+  /**
+   * Pin a signature table for multi-branch reuse. Signature DataFrames
+   * are consumed by three branches (band explode + both join sides);
+   * left unpinned, Catalyst's project-collapsing can re-inline the
+   * signature expression tree into every consumer — measured ~1000×
+   * slowdown (band keys × sig components × shingle pipeline). The
+   * table is small (id + k longs per row), so persisting it is also
+   * the right call on a cluster.
+   */
+  private def pin(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Shared bucket-join machinery: given (id, sig, bands array), emit
+    * candidate id pairs (a < b) that co-occur in some non-degenerate
+    * bucket. */
+  private def bucketCandidates(withBands: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val exploded = withBands
+      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bkey")))
+    // cap pathological buckets (stopword-like content at 100 TB) so one
+    // bucket cannot create O(n²) work in a single task
+    val sized = exploded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val l = sized.select(col("band"), col("bkey"), col(idCol).as("a"))
+    val r = sized.select(col("band"), col("bkey"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs with estimated Jaccard >=
+   * `threshold`. numHashes = bands * rowsPerBand.
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = pin(df
+      .select(col(idCol), shingleHashes31(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig"))
+      .withColumn("__bands", bandKeys(col("__sig"), bands, rowsPerBand)))
+    val cands = bucketCandidates(sigs, idCol, maxBucketSize)
+    val sl = sigs.select(col(idCol).as("a"), col("__sig").as("__siga"))
+    val sr = sigs.select(col(idCol).as("b"), col("__sig").as("__sigb"))
+    cands.join(sl, "a").join(sr, "b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__siga"), col("__sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / lit(k))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit simhash of the token set (native codegen expression). */
+  def simhashColumn(text: Column): Column =
+    simhash64(transform(tokens(text), t => xxhash64(t)))
+
+  /**
+   * SimHash near-duplicate pairs with hamming distance <= maxHamming
+   * (<= 3 guarantees no false negatives with 4 bands, by pigeonhole).
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = pin(df.select(col(idCol), simhashColumn(col(textCol)).as("__sh"))
+      .withColumn("__bands", array((0 until 4).map { j =>
+        shiftright(col("__sh"), j * 16).bitwiseAND(lit(0xffffL))
+          .bitwiseOR(lit(j.toLong << 32))
+      }: _*)))
+    val cands = bucketCandidates(sigs, idCol, maxBucketSize)
+    val sl = sigs.select(col(idCol).as("a"), col("__sh").as("__sha"))
+    val sr = sigs.select(col(idCol).as("b"), col("__sh").as("__shb"))
+    cands.join(sl, "a").join(sr, "b")
+      .withColumn("hamming", hamming64(col("__sha"), col("__shb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  // --------------------------------------------------- n-gram Jaccard exact
+
+  /**
+   * Exact n-gram Jaccard pairs >= threshold, using minhash LSH for
+   * candidate generation (loose internal threshold) and exact set
+   * Jaccard for the verdict.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.6,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = pin(df
+      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), col("__sh"),
+        minhashFromHashes(transform(col("__sh"), h => pmod(h, lit(P31))), 64).as("__sig"))
+      .withColumn("__bands", bandKeys(col("__sig"), 16, 4)))
+    val cands = bucketCandidates(sigs, idCol, maxBucketSize)
+    val sl = sigs.select(col(idCol).as("a"), col("__sh").as("__sha"))
+    val sr = sigs.select(col(idCol).as("b"), col("__sh").as("__shb"))
+    cands.join(sl, "a").join(sr, "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------ embedding cosine
+
+  /** Cosine similarity of two array<double> columns — left-fold dot and
+    * norms, computed identically to the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force embedding near-dup pairs (O(n²) — correctness baseline
+    * and DuckDB-oracle query; use [[embeddingPairsLsh]] at scale). */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("a"), asDouble(col(vecCol)).as("__va"))
+    val w = df.select(col(idCol).as("b"), asDouble(col(vecCol)).as("__vb"))
+    v.crossJoin(w).where(col("a") < col("b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") > threshold)
+      .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
+  }
+
+  /** Deterministic gaussian hyperplane pool for sign-LSH; `table`
+    * selects a disjoint slice so hash tables are independent. */
+  private[pipeline] def planesForTable(dim: Int, bits: Int, table: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(0x91a7e5L)
+    val all = Seq.fill(bits * (table + 1))(Seq.fill(dim)(rnd.nextGaussian()))
+    all.slice(bits * table, bits * (table + 1))
+  }
+
+  /** Sign-random-projection bucket key for one hash table: one bit per
+    * hyperplane. */
+  def srpKeyTable(vec: Column, dim: Int, bits: Int, table: Int): Column =
+    planesForTable(dim, bits, table).zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (plane, j)) =>
+        val d = aggregate(zip_with(vec, typedLit(plane), (x, p) => x * p),
+          lit(0.0), (a, v) => a + v)
+        acc.bitwiseOR(when(d > 0, lit(1L << j)).otherwise(lit(0L)))
+    }
+
+  /**
+   * LSH-bucketed embedding near-dup: L independent SRP hash tables;
+   * candidates share a bucket in any table; exact cosine verifies
+   * (zero false positives; recall grows with `tables`). Linear in n
+   * per table instead of O(n²).
+   */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bitsPerBucket: Int = 6, tables: Int = 8,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val v = pin(df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__bands", array((0 until tables).map { t =>
+        srpKeyTable(col("__v"), dim, bitsPerBucket, t)
+          .bitwiseOR(lit(t.toLong << 32))
+      }: _*)))
+    val cands = bucketCandidates(v, idCol, maxBucketSize)
+    val sl = v.select(col(idCol).as("a"), col("__v").as("__va"))
+    val sr = v.select(col(idCol).as("b"), col("__v").as("__vb"))
+    cands.join(sl, "a").join(sr, "b")
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") > threshold)
+      .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads as opaque
+ * `binary` columns with typed metadata, processed in partition-sized
+ * batches via `mapPartitions` (the JVM analogue of `mapInPandas`
+ * batch processing — whole-partition iterators, no per-row overhead).
+ *
+ * The Spark-side machinery (schema, batch shape, partitioning
+ * preservation, deterministic output) is real and tested. The codec
+ * itself is a STUB: this container has no image/audio libraries, so
+ * `decodePixels` parses our deterministic synthetic payload format
+ * instead of a real JPEG/WAV decode — swap that one function for a
+ * real codec in production.
+ */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaItem(media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, payload: Array[Byte])
+
+  /** Extracted fixed-width feature vector per item. */
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+
+  /** Sampled frame: one payload slice per selected frame. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  private val Magic = 0x47524654 // "GRFT"
+
+  /** Deterministic synthetic payload: header (magic, w, h, frames) +
+    * per-frame pseudo-pixels seeded from the id. Stands in for a real
+    * encoded image/video so the pipeline shape is exercised honestly. */
+  def synthesizePayload(id: Long, width: Int, height: Int, frames: Int): Array[Byte] = {
+    val px = width * height
+    val buf = ByteBuffer.allocate(16 + frames * px).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(Magic).putInt(width).putInt(height).putInt(frames)
+    var f = 0
+    while (f < frames) {
+      var i = 0
+      var state = id * 6364136223846793005L + f * 1442695040888963407L
+      while (i < px) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        buf.put((state >>> 56).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** STUB decode — parses the synthetic format. Production: replace
+    * with a real image/audio codec; everything around it stays. */
+  def decodePixels(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    require(buf.getInt() == Magic, "not a GRFT payload")
+    val (w, h, frames) = (buf.getInt(), buf.getInt(), buf.getInt())
+    val px = w * h
+    val out = Array.ofDim[Array[Byte]](frames)
+    var f = 0
+    while (f < frames) {
+      val frame = new Array[Byte](px)
+      buf.get(frame)
+      out(f) = frame
+      f += 1
+    }
+    (w, h, frames, out)
+  }
+
+  /** Build a deterministic media table from the documents fixture:
+    * doc_id drives payload content; docs rotate image/audio/video. */
+  def syntheticMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val frames = if (kind == "video") 4 else 1
+        val w = 8 + (nc % 8).toInt
+        val h = 8
+        MediaItem(id, kind, w, h, frames, synthesizePayload(id, w, h, frames))
+      }.toDF()
+  }
+
+  /**
+   * Feature extraction over whole-partition batches: per item, decode
+   * and mean-pool each of `dim` horizontal bands across frames. The
+   * `mapPartitions` shape is the point — a real model would be loaded
+   * once per partition (batch), not once per row.
+   */
+  def extractFeatures(media: Dataset[MediaItem], dim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      // per-partition init happens HERE (model load in production)
+      batch.map { item =>
+        val (w, h, frames, pixels) = decodePixels(item.payload)
+        val feats = new Array[Float](dim)
+        val rowsPerBand = math.max(1, h / dim)
+        var f = 0
+        while (f < frames) {
+          val frame = pixels(f)
+          var band = 0
+          while (band < dim) {
+            var acc = 0L
+            var n = 0
+            var r = band * rowsPerBand
+            while (r < math.min(h, (band + 1) * rowsPerBand)) {
+              var c = 0
+              while (c < w) { acc += (frame(r * w + c) & 0xff); n += 1; c += 1 }
+              r += 1
+            }
+            if (n > 0) feats(band) += acc.toFloat / n / frames
+            band += 1
+          }
+          f += 1
+        }
+        MediaFeatures(item.media_id, item.kind, feats)
+      }
+    }
+  }
+
+  /** Downsample every frame by an integer factor (stub "resize"):
+    * payload in, payload out — same format, smaller dims. */
+  def resize(media: Dataset[MediaItem], factor: Int): Dataset[MediaItem] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { item =>
+        val (w, h, frames, pixels) = decodePixels(item.payload)
+        val (nw, nh) = (math.max(1, w / factor), math.max(1, h / factor))
+        val out = ByteBuffer.allocate(16 + frames * nw * nh).order(ByteOrder.BIG_ENDIAN)
+        out.putInt(Magic).putInt(nw).putInt(nh).putInt(frames)
+        pixels.foreach { frame =>
+          var r = 0
+          while (r < nh) {
+            var c = 0
+            while (c < nw) {
+              out.put(frame(r * factor * w + c * factor))
+              c += 1
+            }
+            r += 1
+          }
+        }
+        item.copy(width = nw, height = nh, payload = out.array())
+      }
+    }
+  }
+
+  /** Sample every `stride`-th frame of video payloads into one row per
+    * frame (flatMap shape: one input row -> many output rows). */
+  def sampleFrames(media: Dataset[MediaItem], stride: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { item =>
+        val (_, _, frames, pixels) = decodePixels(item.payload)
+        (0 until frames by stride).map(f => MediaFrame(item.media_id, f, pixels(f)))
+      }
+    }
+  }
+}

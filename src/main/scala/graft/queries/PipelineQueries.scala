@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+
+/**
+ * Training-data pipeline operators as driver-checkable queries over the
+ * `documents` / `embeddings` fixtures. SQL-expressible ops carry DuckDB
+ * oracles; LSH/heuristic ops are rows-only here and are instead
+ * verified by planted-duplicate recall specs (PipelineSpec).
+ */
+object PipelineQueries {
+
+  /** documents ∪ perturbed copies (last ~10% of tokens dropped,
+    * id + 1e6) — a deterministic corpus where every original has
+    * exactly one planted near-duplicate, so near-dup queries have
+    * known-true answers. */
+  def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val toks = TextFunctions.tokens(col("text"))
+    val keep = greatest(floor((size(toks) * 9) / 10).cast("int"), lit(1))
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      array_join(slice(toks, lit(1), keep), " ").as("text"))
+    docs.unionByName(perturbed)
+  }
+
+  /** Query vector: embedding of vec_id 7 (driver-side lookup). */
+  private def queryVec(s: SparkSession, dir: String): Array[Double] =
+    Tables.embeddings(s, dir).where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------------- dedup
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(plantedCorpus(s, dir).unionByName(
+        // plant exact duplicates too: ids shifted by 2e6, text unchanged
+        Tables.documents(s, dir).select((col("doc_id") + 2000000L).as("doc_id"), col("text"))),
+        "doc_id", "text")
+    },
+
+    "dedup_exact_keep" -> { (s, dir) =>
+      val corpus = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .unionByName(Tables.documents(s, dir)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.exactDedup(corpus, "doc_id", "text").select("doc_id")
+    },
+
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashPairs(plantedCorpus(s, dir), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+
+    "dedup_ngram" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(plantedCorpus(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.6)
+    },
+
+    // ----------------------------------------------- embedding similarity
+    "embed_pairs" -> { (s, dir) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+    },
+
+    "embed_pairs_lsh" -> { (s, dir) =>
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4, dim = 64)
+    },
+
+    "ann_brute" -> { (s, dir) =>
+      Similarity.bruteAbove(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), 0.2)
+    },
+
+    "ann_lsh_topk" -> { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20, dim = 64)
+    },
+
+    // ---------------------------------------------------- text analysis
+    "text_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.charCount(col("text")).cast("long").as("n_chars"))
+    },
+
+    "text_quality" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        round(TextFunctions.stopwordRatio(col("text"),
+          Seq("the", "a", "and", "of", "to")), 4).as("stop_ratio"))
+    },
+
+    "text_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lid"))
+        .select(col("doc_id"), col("lid.lang").as("lang_pred"),
+          col("lid.confidence").as("confidence"))
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      // fingerprint is whitespace-normalization invariant: doubling
+      // every space must not change it (planted check inside the query)
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        (TextFunctions.fingerprint(regexp_replace(col("text"), " ", "  "))
+          === TextFunctions.fingerprint(col("text"))).as("ws_invariant"))
+    },
+
+    // -------------------------------------------------------- multimodal
+    "mm_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+        .as[Multimodal.MediaItem]
+      Multimodal.extractFeatures(media, dim = 8).toDF()
+        .select(col("media_id"), col("kind"),
+          round(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 2).as("feat_sum"))
+    },
+
+    "mm_resize_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+        .as[Multimodal.MediaItem]
+      val resized = Multimodal.resize(media, 2)
+      Multimodal.sampleFrames(resized.filter(col("kind") === "video")
+        .as[Multimodal.MediaItem], stride = 2).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(toks, 1,
+        |           greatest((len(toks) * 9) // 10, 1)), ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents) t
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents
+        |)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus GROUP BY text""".stripMargin,
+
+    "dedup_exact_keep" ->
+      "SELECT doc_id FROM documents",
+
+    "embed_pairs" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 2) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin,
+
+    "ann_brute" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 2) AS cos
+        |FROM embeddings e, q
+        |WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) > 0.2""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS mean_tok_len,
+        |  round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 4) AS stop_ratio
+        |FROM documents""".stripMargin
+  )
+}
