@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{IndexedRDD, SparkSessionFixture}
+import graft.streaming.Streaming.{Event, IndexedUpsertSink}
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedStats: streaming (append + watermark) matches batch on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = (0 until 120).map { i =>
+      Event(i.toLong, ts(i % 60), i % 5, if (i % 2 == 0) "click" else "view", i * 1.0)
+    }
+    val stream = Streaming.windowedStats(
+      input.toDF().withColumn("ts", col("ts").cast("timestamp")), "10 minutes", "20 minutes")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close all windows
+      input.addData(Event(999L, Timestamp.valueOf("2024-01-01 13:00:00"), 0L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .filter($"ws" < Timestamp.valueOf("2024-01-01 12:00:00"))
+        .select($"ws", $"event_type", $"n", $"total")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.windowedStats(events.toDF(), "10 minutes", "20 minutes")
+        .select($"ws", $"event_type", $"n", $"total")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions; totals correct") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: events at 10:00..10:05 (one session), then 10:30 (new session)
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(30), 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .as[Streaming.Session].collect().sortBy(_.start.getTime)
+      // the first session must be closed (gap exceeded by the 10:30 event)
+      assert(sessions.length === 1)
+      assert(sessions(0).n_events === 2 && sessions(0).total_value === 3.0)
+      assert(sessions(0).start === ts(0) && sessions(0).end === ts(5))
+    } finally q.stop()
+  }
+
+  test("IndexedUpsertSink: micro-batches upsert into a live point-queryable index") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val initial = IndexedRDD(spark.sparkContext.parallelize(
+      (1L to 10L).map(k => (k, 100.0)), 4))
+    val sink = new IndexedUpsertSink[Long, Double](initial,
+      merge = (_, old, nw) => old + nw)
+    val input = MemoryStream[(Long, Double)]
+    val q = Streaming.upsertStream(input.toDS(), sink, "upsert_test")
+    try {
+      input.addData((1L, 5.0), (11L, 7.0))
+      q.processAllAvailable()
+      assert(sink.current.get(1L) === Some(105.0)) // merged
+      assert(sink.current.get(11L) === Some(7.0))  // inserted
+      assert(sink.current.count() === 11)
+      input.addData((1L, 5.0), (12L, 1.0))
+      q.processAllAvailable()
+      assert(sink.current.get(1L) === Some(110.0))
+      assert(sink.current.count() === 12)
+      assert(sink.current.get(2L) === Some(100.0)) // untouched keys preserved
+    } finally q.stop()
+  }
+}
