@@ -67,12 +67,15 @@ object TextFunctions {
       length(regexp_replace(trim(text), "\\s", "")).cast("double") / n)
   }
 
-  /** Stopword hit ratio against a given stopword list. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val t = tokens(text)
-    val hits = size(filter(t, w => w.isInCollection(stopwords)))
-    when(size(t) === 0, lit(0.0)).otherwise(hits.cast("double") / size(t))
+  /** Stopword hit ratio over an already-tokenized column. */
+  def stopwordRatioTokens(toks: Column, stopwords: Seq[String]): Column = {
+    val hits = size(filter(toks, w => w.isInCollection(stopwords)))
+    when(size(toks) === 0, lit(0.0)).otherwise(hits.cast("double") / size(toks))
   }
+
+  /** Stopword hit ratio against a given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioTokens(tokens(text), stopwords)
 
   /**
    * Heuristic quality score in [0,1] combining length, token-length
@@ -105,10 +108,15 @@ object TextFunctions {
    * (ties broken by fixed language order, 'und' when nothing hits).
    * Returns struct(lang, confidence).
    */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromTokens(tokens(text), text)
+
+  /** Language ID over an already-tokenized column — stage the token
+    * array through its own projection so four per-language scores share
+    * one tokenization. */
+  def langIdFromTokens(toks: Column, text: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", ""))
     val langs = Seq("en", "es", "de", "fr")
-    val scores = langs.map(l => stopwordRatio(text, LangProfiles.all(l)))
+    val scores = langs.map(l => stopwordRatioTokens(toks, LangProfiles.all(l)))
     val best = langs.zip(scores).foldLeft((lit("und"), lit(0.0))) {
       case ((bl, bs), (l, sc)) =>
         (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))

@@ -58,15 +58,16 @@ object Dedup {
     Seq.fill(k)((rnd.nextLong().abs % (P31 - 1) + 1, rnd.nextLong().abs % P31))
   }
 
-  /** k-component minhash signature from an already-materialized column
-    * of 31-bit shingle hashes. IMPORTANT: `hashes31` must be a bound
-    * column reference (stage it through its own projection), not an
-    * inline subtree — each of the k components references it, and
-    * re-inlining the shingle pipeline k times is a ~60× slowdown. */
-  def minhashFromHashes(hashes31: Column, numHashes: Int = 64): Column =
-    array(perms(numHashes).map { case (a, b) =>
-      array_min(transform(hashes31, h => pmod(h * lit(a) + lit(b), lit(P31))))
-    }: _*)
+  /** k-component minhash signature from a feature-hash column — a
+    * single-pass native expression (graft.functions.MinHashSignature).
+    * Keep the input a bound column reference (staged projection), not
+    * an inline subtree, so project-collapsing can't duplicate the
+    * shingle pipeline into consumers. */
+  def minhashFromHashes(hashes: Column, numHashes: Int = 64): Column = {
+    val ps = perms(numHashes)
+    graft.functions.MinHashSignature.minhashSignature(hashes,
+      ps.map(_._1).toArray, ps.map(_._2).toArray)
+  }
 
   /** 31-bit shingle hash set of a text column (minhash input). */
   def shingleHashes31(text: Column, shingleN: Int): Column =
@@ -194,24 +195,35 @@ object Dedup {
 
   // ------------------------------------------------------ embedding cosine
 
-  /** Cosine similarity of two array<double> columns — left-fold dot and
-    * norms, computed identically to the DuckDB oracle. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Left-fold dot product of two array<double> columns. */
+  def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dotCols(a, b) / (sqrt(dotCols(a, a)) * sqrt(dotCols(b, b)))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Unit-normalized vectors, staged and pinned: norms are computed once
+    * per ROW here so pairwise similarity later is a single dot product —
+    * 3× less work than cosine-per-pair, and the multi-use table can't be
+    * re-inlined by project collapsing. */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String): DataFrame = pin(
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__raw"))
+      .select(col(idAs), col("__raw"),
+        sqrt(dotCols(col("__raw"), col("__raw"))).as("__n"))
+      .select(col(idAs), transform(col("__raw"), x => x / col("__n")).as(vecAs)))
 
   /** Brute-force embedding near-dup pairs (O(n²) — correctness baseline
     * and DuckDB-oracle query; use [[embeddingPairsLsh]] at scale). */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("a"), asDouble(col(vecCol)).as("__va"))
-    val w = df.select(col(idCol).as("b"), asDouble(col(vecCol)).as("__vb"))
-    v.crossJoin(w).where(col("a") < col("b"))
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+    val va = normalized(df, idCol, vecCol, "a", "__va")
+    val vb = normalized(df, idCol, vecCol, "b", "__vb")
+    va.crossJoin(vb).where(col("a") < col("b"))
+      .withColumn("cos", dotCols(col("__va"), col("__vb")))
       .filter(col("cos") > threshold)
       .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
   }
@@ -243,16 +255,18 @@ object Dedup {
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bitsPerBucket: Int = 6, tables: Int = 8,
       maxBucketSize: Int = 2000): DataFrame = {
-    val v = pin(df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__bands", array((0 until tables).map { t =>
-        srpKeyTable(col("__v"), dim, bitsPerBucket, t)
-          .bitwiseOR(lit(t.toLong << 32))
-      }: _*)))
+    // SRP sign bits are norm-invariant, so bucketing the normalized
+    // vectors is equivalent and the verify step becomes a plain dot
+    val base = normalized(df, idCol, vecCol, idCol, "__v")
+    val v = pin(base.withColumn("__bands", array((0 until tables).map { t =>
+      srpKeyTable(col("__v"), dim, bitsPerBucket, t)
+        .bitwiseOR(lit(t.toLong << 32))
+    }: _*)))
     val cands = bucketCandidates(v, idCol, maxBucketSize)
     val sl = v.select(col(idCol).as("a"), col("__v").as("__va"))
     val sr = v.select(col(idCol).as("b"), col("__v").as("__vb"))
     cands.join(sl, "a").join(sr, "b")
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .withColumn("cos", dotCols(col("__va"), col("__vb")))
       .filter(col("cos") > threshold)
       .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
   }

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import Dedup.cosine
+import Dedup.dotCols
 
 /**
  * Approximate-nearest-neighbor search over an embedding column.
@@ -20,13 +20,25 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def queryLit(q: Array[Double]): Column = typedLit(q.toSeq)
+  /** Normalized query literal: dividing by the query norm up front
+    * turns per-row cosine into dot/row-norm. */
+  private def queryLit(q: Array[Double]): Column = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    typedLit(q.map(_ / n).toSeq)
+  }
+
+  /** Per-row cosine against a pre-normalized query: one dot product and
+    * one row-norm, staged so the norm subtree isn't duplicated. */
+  private def cosTo(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double]): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol), (dotCols(col("__v"), queryLit(query)) /
+        sqrt(dotCols(col("__v"), col("__v")))).as("cos"))
 
   /** Exact top-k by cosine (ties broken by id for determinism). */
   def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int): DataFrame =
-    df.select(col(idCol),
-        cosine(asDouble(col(vecCol)), queryLit(query)).as("cos"))
+    cosTo(df, idCol, vecCol, query)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("cos"), 2).as("cos"))
@@ -34,8 +46,7 @@ object Similarity {
   /** All rows with cosine above a threshold (order-free, oracle-friendly). */
   def bruteAbove(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], threshold: Double): DataFrame =
-    df.select(col(idCol),
-        cosine(asDouble(col(vecCol)), queryLit(query)).as("cos"))
+    cosTo(df, idCol, vecCol, query)
       .filter(col("cos") > threshold)
       .select(col(idCol), round(col("cos"), 2).as("cos"))
 
@@ -58,7 +69,8 @@ object Similarity {
       rowKey.isin(probes: _*)
     }.reduce(_ || _)
     v.filter(isCandidate)
-      .withColumn("cos", cosine(col("__v"), queryLit(query)))
+      .withColumn("cos", dotCols(col("__v"), queryLit(query)) /
+        sqrt(dotCols(col("__v"), col("__v"))))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("cos"), 2).as("cos"))

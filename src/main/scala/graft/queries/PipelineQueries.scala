@@ -106,7 +106,10 @@ object PipelineQueries {
 
     "text_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lid"))
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("__t"))
+        .select(col("doc_id"),
+          TextFunctions.langIdFromTokens(col("__t"), col("text")).as("lid"))
         .select(col("doc_id"), col("lid.lang").as("lang_pred"),
           col("lid.confidence").as("confidence"))
     },
