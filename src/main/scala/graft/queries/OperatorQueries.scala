@@ -160,6 +160,15 @@ object OperatorQueries {
         .select($"_1".as("o_custkey"), round($"_2", 2).as("total"))
     },
 
+    "ir_sql_pointget" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL-visible index: pushed key predicates route into multiget
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.filter($"c_custkey".isin(2L, 17L, 123L, 999999L))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
     "ir_create_using_index" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -249,6 +258,10 @@ object OperatorQueries {
     "ir_aggregate" ->
       """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "ir_sql_pointget" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (2, 17, 123, 999999)""".stripMargin,
 
     "ir_create_using_index" ->
       """SELECT o_custkey, round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price

@@ -1,0 +1,63 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+class IndexedFrameSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+  private implicit def sp: org.apache.spark.sql.SparkSession = spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cust = spark.read.parquet(s"$dir/customer.parquet")
+
+  test("key-equality SQL filters route into multiget point lookups") {
+    val h = IndexedFrame.index(cust, "c_custkey")
+    val out = h.toDF.filter($"c_custkey".isin(3L, 7L, 999999L))
+      .select($"c_custkey", $"c_acctbal")
+      .as[(Long, Double)].collect().toMap
+    val expect = cust.filter($"c_custkey".isin(3L, 7L, 999999L))
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    assert(out === expect && out.size === 2)
+    assert(h.lastPointLookupKeys === 3) // served by the index, not a scan
+  }
+
+  test("single EqualTo routes through the index; residual filters still apply") {
+    val h = IndexedFrame.index(cust, "c_custkey")
+    val one = h.toDF.filter($"c_custkey" === 5L && $"c_acctbal" > -99999.0)
+    assert(one.count() === 1)
+    assert(h.lastPointLookupKeys === 1)
+    // residual predicate can reject the fetched row
+    val none = h.toDF.filter($"c_custkey" === 5L && $"c_acctbal" > 1e12)
+    assert(none.count() === 0)
+    assert(h.lastPointLookupKeys === 1)
+  }
+
+  test("non-key predicates fall back to the indexed full scan") {
+    val h = IndexedFrame.index(cust, "c_custkey")
+    val n = h.toDF.filter($"c_mktsegment" === "BUILDING").count()
+    val expect = cust.filter($"c_mktsegment" === "BUILDING").count()
+    assert(n === expect && n > 0)
+    assert(h.lastPointLookupKeys === -1)
+  }
+
+  test("upsert produces a new queryable version; old handle unchanged") {
+    val h = IndexedFrame.index(cust, "c_custkey")
+    val template = cust.head()
+    val newRow = org.apache.spark.sql.Row.fromSeq(
+      Seq(999999L) ++ template.toSeq.drop(1))
+    val h2 = h.upsert(Seq(newRow))
+    assert(h2.toDF.filter($"c_custkey" === 999999L).count() === 1)
+    assert(h.toDF.filter($"c_custkey" === 999999L).count() === 0)
+  }
+
+  test("column pruning: only requested columns are materialized") {
+    val h = IndexedFrame.index(cust, "c_custkey")
+    val df = h.toDF.select($"c_name").limit(3)
+    assert(df.schema.fieldNames.toSeq === Seq("c_name"))
+    assert(df.collect().forall(_.getString(0).nonEmpty))
+  }
+}
