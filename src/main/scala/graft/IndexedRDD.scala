@@ -263,6 +263,27 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   /** Collapse lazy delta chains into materialized indexes. */
   def reindex(): IndexedRDD[K, V] = mapIndexedPartitions(_.reindex)
 
+  /**
+   * Range scan `from <= k < to` (order defined by the serializer's byte
+   * encoding — numeric order for the fixed-width numeric serializers).
+   * Ordered (radix) partitions answer with a pruned trie descent; other
+   * layouts fall back to a filtered scan. Hash partitioning spreads any
+   * range across all partitions, so this runs everywhere but does NO
+   * shuffle and streams only matching entries.
+   */
+  def range(from: K, to: K)(implicit ser: KeySerializer[K]): RDD[(K, V)] = {
+    val fromB = ser.toBytes(from)
+    val toB = ser.toBytes(to)
+    partitionsRDD.mapPartitions(_.flatMap {
+      case r: graft.partition.RadixIndexedPartition[K, V] => r.range(from, to)
+      case p => p.iterator.filter { case (k, _) =>
+        val kb = ser.toBytes(k)
+        java.util.Arrays.compareUnsigned(kb, fromB) >= 0 &&
+          java.util.Arrays.compareUnsigned(kb, toB) < 0
+      }
+    }, preservesPartitioning = true)
+  }
+
   // ---------------------------------------------------------------------
   // Plumbing
   // ---------------------------------------------------------------------
@@ -329,4 +350,19 @@ object IndexedRDD {
   def build[K: ClassTag: KeySerializer, V: ClassTag](
       elems: RDD[(K, V)], numPartitions: Int): IndexedRDD[K, V] =
     apply(elems.partitionBy(new HashPartitioner(numPartitions)))
+
+  /** Build with ORDERED per-partition indexes (persistent radix tree
+    * over serialized keys): same operator surface plus pruned
+    * [[IndexedRDD.range]] scans; point probes cost O(key length). */
+  def ordered[K: ClassTag: KeySerializer, V: ClassTag](
+      elems: RDD[(K, V)]): IndexedRDD[K, V] = {
+    val partitioned = elems.partitioner match {
+      case Some(_) => elems
+      case None => elems.partitionBy(new HashPartitioner(elems.partitions.length))
+    }
+    val parts = partitioned.mapPartitions(
+      iter => Iterator(graft.partition.RadixIndexedPartition(iter): IndexedPartition[K, V]),
+      preservesPartitioning = true)
+    new IndexedRDD(parts)
+  }
 }

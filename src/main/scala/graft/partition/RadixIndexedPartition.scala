@@ -1,0 +1,282 @@
+package graft.partition
+
+import java.util.Arrays
+
+import graft.keys.KeySerializer
+
+/**
+ * Persistent path-compressed radix tree over serialized key bytes — the
+ * in-repo analogue of the reference's per-partition ART index
+ * (reference PARTPartition.scala:26-31; the external ART library is
+ * unavailable offline, SURVEY §7.1). Simplifications vs a full ART:
+ * children live in a sorted sparse array at every fanout (no
+ * Node4/16/48/256 specialization), which keeps the structure persistent
+ * (copy-on-write along the modified path only — the snapshot analogue
+ * of `ArtTree.snapshot()`) and keeps iteration in unsigned byte order.
+ *
+ * Because [[KeySerializer]] encodings are prefix-free, every stored key
+ * terminates in a leaf (never on an internal edge), and because the
+ * fixed-width encodings are order-preserving, byte-ordered iteration ==
+ * numeric key order — which is what makes [[range]] scans meaningful.
+ */
+object RadixTree {
+
+  sealed trait TNode[+V]
+  case object TEmpty extends TNode[Nothing]
+  /** Full key bytes kept in the leaf; suffix comparison happens against
+    * these (path bytes are implicit in the branch structure). */
+  final case class TLeaf[V](key: Array[Byte], value: V) extends TNode[V]
+  /** `prefix` = compressed shared bytes below the parent edge;
+    * `bytes(i)` = first byte of child i's edge (sorted unsigned). */
+  final case class TBranch[V](prefix: Array[Byte], bytes: Array[Int],
+      kids: Array[TNode[V]]) extends TNode[V]
+
+  private def commonLen(a: Array[Byte], ao: Int, b: Array[Byte], bo: Int): Int = {
+    var i = 0
+    while (ao + i < a.length && bo + i < b.length && a(ao + i) == b(bo + i)) i += 1
+    i
+  }
+
+  /** Insert/update; `merge(old, new)` resolves existing keys. */
+  def insert[V](node: TNode[V], key: Array[Byte], depth: Int, value: V,
+      merge: (V, V) => V): TNode[V] = node match {
+    case TEmpty => TLeaf(key, value)
+    case leaf @ TLeaf(k2, v2) =>
+      if (Arrays.equals(k2, key)) TLeaf(key, merge(v2, value))
+      else {
+        val cl = commonLen(key, depth, k2, depth)
+        val prefix = Arrays.copyOfRange(key, depth, depth + cl)
+        val bNew = key(depth + cl) & 0xff
+        val bOld = k2(depth + cl) & 0xff
+        val (bs, ks) =
+          if (bNew < bOld) (Array(bNew, bOld), Array[TNode[V]](TLeaf(key, value), leaf))
+          else (Array(bOld, bNew), Array[TNode[V]](leaf, TLeaf(key, value)))
+        TBranch(prefix, bs, ks)
+      }
+    case br: TBranch[V @unchecked] =>
+      val prefix = br.prefix; val bytes = br.bytes; val kids = br.kids
+      val cl = commonLen(key, depth, prefix, 0)
+      if (cl < prefix.length) {
+        // split the compressed edge
+        val subBranch = TBranch(Arrays.copyOfRange(prefix, cl + 1, prefix.length),
+          bytes, kids)
+        val bOld = prefix(cl) & 0xff
+        val bNew = key(depth + cl) & 0xff
+        val newLeaf = TLeaf(key, value)
+        val (bs, ks) =
+          if (bNew < bOld) (Array(bNew, bOld), Array[TNode[V]](newLeaf, subBranch))
+          else (Array(bOld, bNew), Array[TNode[V]](subBranch, newLeaf))
+        TBranch(Arrays.copyOfRange(prefix, 0, cl), bs, ks)
+      } else {
+        val d = depth + prefix.length
+        val b = key(d) & 0xff
+        val i = Arrays.binarySearch(bytes, b)
+        if (i >= 0) {
+          val nk = kids.clone()
+          nk(i) = insert(kids(i), key, d + 1, value, merge)
+          br.copy(kids = nk)
+        } else {
+          val ins = -i - 1
+          val nb = new Array[Int](bytes.length + 1)
+          val nk = new Array[TNode[V]](kids.length + 1)
+          System.arraycopy(bytes, 0, nb, 0, ins)
+          System.arraycopy(kids, 0, nk, 0, ins)
+          nb(ins) = b
+          nk(ins) = TLeaf(key, value)
+          System.arraycopy(bytes, ins, nb, ins + 1, bytes.length - ins)
+          System.arraycopy(kids, ins, nk, ins + 1, kids.length - ins)
+          TBranch(prefix, nb, nk)
+        }
+      }
+  }
+
+  def search[V](node: TNode[V], key: Array[Byte], depth: Int): Option[V] = node match {
+    case TEmpty => None
+    case TLeaf(k2, v) => if (Arrays.equals(k2, key)) Some(v) else None
+    case TBranch(prefix, bytes, kids) =>
+      val cl = commonLen(key, depth, prefix, 0)
+      if (cl < prefix.length) None
+      else {
+        val d = depth + prefix.length
+        if (d >= key.length) None
+        else {
+          val i = Arrays.binarySearch(bytes, key(d) & 0xff)
+          if (i < 0) None else search(kids(i), key, d + 1)
+        }
+      }
+  }
+
+  /** Delete; collapses single-child branches back into their parent edge. */
+  def delete[V](node: TNode[V], key: Array[Byte], depth: Int): TNode[V] = node match {
+    case TEmpty => TEmpty
+    case l @ TLeaf(k2, _) => if (Arrays.equals(k2, key)) TEmpty else l
+    case br @ TBranch(prefix, bytes, kids) =>
+      val cl = commonLen(key, depth, prefix, 0)
+      if (cl < prefix.length) br
+      else {
+        val d = depth + prefix.length
+        if (d >= key.length) br
+        else {
+          val i = Arrays.binarySearch(bytes, key(d) & 0xff)
+          if (i < 0) br
+          else delete(kids(i), key, d + 1) match {
+            case TEmpty =>
+              if (bytes.length == 2) {
+                // collapse: splice the surviving child onto this edge
+                val j = 1 - i
+                kids(j) match {
+                  case TLeaf(k2, v) => TLeaf(k2, v)
+                  case TBranch(p2, b2, k2s) =>
+                    val np = new Array[Byte](prefix.length + 1 + p2.length)
+                    System.arraycopy(prefix, 0, np, 0, prefix.length)
+                    np(prefix.length) = bytes(j).toByte
+                    System.arraycopy(p2, 0, np, prefix.length + 1, p2.length)
+                    TBranch(np, b2, k2s)
+                  case TEmpty => TEmpty
+                }
+              } else {
+                val nb = new Array[Int](bytes.length - 1)
+                val nk = new Array[TNode[V]](kids.length - 1)
+                System.arraycopy(bytes, 0, nb, 0, i)
+                System.arraycopy(kids, 0, nk, 0, i)
+                System.arraycopy(bytes, i + 1, nb, i, bytes.length - i - 1)
+                System.arraycopy(kids, i + 1, nk, i, kids.length - i - 1)
+                TBranch(prefix, nb, nk)
+              }
+            case child =>
+              val nk = kids.clone()
+              nk(i) = child
+              br.copy(kids = nk)
+          }
+        }
+      }
+  }
+
+  /** DFS in unsigned byte order → keys in serialized-byte order. */
+  def iterate[V](node: TNode[V]): Iterator[(Array[Byte], V)] = node match {
+    case TEmpty => Iterator.empty
+    case TLeaf(k, v) => Iterator((k, v))
+    case TBranch(_, _, kids) => kids.iterator.flatMap(iterate)
+  }
+
+  /** Unsigned lexicographic compare of a[0,aLen) vs b[0,bLen). */
+  private def cmpBytes(a: Array[Byte], aLen: Int, b: Array[Byte], bLen: Int): Int = {
+    val n = math.min(aLen, bLen)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    aLen - bLen
+  }
+
+  /** Keys in [from, to) in byte order, pruning whole subtrees whose path
+    * prefix falls outside the bounds. */
+  def range[V](node: TNode[V], from: Array[Byte], to: Array[Byte]): Iterator[(Array[Byte], V)] = {
+    def inRange(k: Array[Byte]): Boolean =
+      cmpBytes(k, k.length, from, from.length) >= 0 &&
+        cmpBytes(k, k.length, to, to.length) < 0
+    def go(n: TNode[V], path: Array[Byte]): Iterator[(Array[Byte], V)] = n match {
+      case TEmpty => Iterator.empty
+      case TLeaf(k, v) => if (inRange(k)) Iterator((k, v)) else Iterator.empty
+      case TBranch(prefix, bytes, kids) =>
+        val p = new Array[Byte](path.length + prefix.length)
+        System.arraycopy(path, 0, p, 0, path.length)
+        System.arraycopy(prefix, 0, p, path.length, prefix.length)
+        kids.iterator.zip(bytes.iterator).flatMap { case (kid, b) =>
+          val cp = new Array[Byte](p.length + 1)
+          System.arraycopy(p, 0, cp, 0, p.length)
+          cp(p.length) = b.toByte
+          // subtree keys all start with cp: prune if cp-prefixed space
+          // cannot intersect [from, to)
+          val n2 = cp.length
+          val geFrom = cmpBytes(cp, n2, from, math.min(from.length, n2)) >= 0
+          val ltTo = cmpBytes(cp, n2, to, math.min(to.length, n2)) <= 0
+          if (geFrom && ltTo) go(kid, cp) else Iterator.empty
+        }
+    }
+    go(node, Array.emptyByteArray)
+  }
+}
+
+/**
+ * [[IndexedPartition]] backed by the persistent radix tree: ordered
+ * byte-wise index with O(key-length) probes, copy-on-write updates, and
+ * pruned [[range]] scans. Join kernels come from the contract defaults
+ * (scan-and-probe over this index).
+ */
+class RadixIndexedPartition[K, V](
+    private[partition] val root: RadixTree.TNode[V],
+    override val size: Long,
+    ser: KeySerializer[K]) extends IndexedPartition[K, V] {
+
+  import RadixTree._
+
+  override def apply(k: K): Option[V] = search(root, ser.toBytes(k), 0)
+
+  override def iterator: Iterator[(K, V)] =
+    iterate(root).map { case (kb, v) => (ser.fromBytes(kb), v) }
+
+  /** Entries with serialized(from) <= key < serialized(to), in key-byte
+    * order (== numeric order for the fixed-width numeric serializers). */
+  def range(from: K, to: K): Iterator[(K, V)] =
+    RadixTree.range(root, ser.toBytes(from), ser.toBytes(to))
+      .map { case (kb, v) => (ser.fromBytes(kb), v) }
+
+  override def multiput[U](kvs: Iterator[(K, U)], z: (K, U) => V,
+      f: (K, V, U) => V): IndexedPartition[K, V] = {
+    var r = root
+    var n = size
+    kvs.foreach { case (k, u) =>
+      val kb = ser.toBytes(k)
+      val existing = search(r, kb, 0)
+      val v = existing match {
+        case Some(old) => f(k, old, u)
+        case None      => n += 1; z(k, u)
+      }
+      r = insert(r, kb, 0, v, (_: V, nw: V) => nw)
+    }
+    new RadixIndexedPartition(r, n, ser)
+  }
+
+  override def delete(ks: Iterator[K]): IndexedPartition[K, V] = {
+    var r = root
+    var n = size
+    ks.foreach { k =>
+      val kb = ser.toBytes(k)
+      if (search(r, kb, 0).isDefined) { n -= 1; r = RadixTree.delete(r, kb, 0) }
+    }
+    new RadixIndexedPartition(r, n, ser)
+  }
+
+  override def filter(pred: (K, V) => Boolean): IndexedPartition[K, V] =
+    RadixIndexedPartition(iterator.filter { case (k, v) => pred(k, v) })(ser)
+
+  override def mapValues[V2](f: (K, V) => V2): IndexedPartition[K, V2] = {
+    def go(n: TNode[V]): TNode[V2] = n match {
+      case TEmpty => TEmpty
+      case TLeaf(kb, v) => TLeaf(kb, f(ser.fromBytes(kb), v))
+      case TBranch(p, bs, kids) => TBranch(p, bs, kids.map(go))
+    }
+    new RadixIndexedPartition(go(root), size, ser)
+  }
+
+  override def createUsingIndex[V2](elems: Iterator[(K, V2)]): IndexedPartition[K, V2] =
+    RadixIndexedPartition(elems)(ser)
+}
+
+object RadixIndexedPartition {
+  def empty[K, V](implicit ser: KeySerializer[K]): RadixIndexedPartition[K, V] =
+    new RadixIndexedPartition(RadixTree.TEmpty, 0L, ser)
+
+  /** Build with last-write-wins duplicate handling. */
+  def apply[K, V](iter: Iterator[(K, V)])(implicit ser: KeySerializer[K]): RadixIndexedPartition[K, V] =
+    empty[K, V].multiput[V](iter, (_, v) => v, (_, _, v) => v)
+      .asInstanceOf[RadixIndexedPartition[K, V]]
+
+  /** Build resolving duplicates with z/f. */
+  def apply[K, U, V](iter: Iterator[(K, U)], z: (K, U) => V, f: (K, V, U) => V)(
+      implicit ser: KeySerializer[K]): RadixIndexedPartition[K, V] =
+    empty[K, V].multiput(iter, z, f).asInstanceOf[RadixIndexedPartition[K, V]]
+}

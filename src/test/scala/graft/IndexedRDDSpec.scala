@@ -190,6 +190,21 @@ class IndexedRDDSpec extends AnyFunSuite {
     assert(r.count() === 100)
   }
 
+  test("ordered build: full operator surface + distributed range scan") {
+    val r = IndexedRDD.ordered(sc.parallelize((-50L to 50L).map(k => (k, k.toInt * 2)), 4))
+    assert(r.count() === 101)
+    assert(r.get(-7L) === Some(-14))
+    assert(r.multiget(Array(-50L, 0L, 50L, 99L)).size === 3)
+    // range runs on every partition without shuffle, pruned trie descent
+    val got = r.range(-10L, 10L).collect().toMap
+    assert(got === (-10L to 9L).map(k => (k, k.toInt * 2)).toMap)
+    // operators still work through the contract defaults
+    val j = r.innerJoin(r.filter { case (k, _) => k >= 0 })((_, a, b) => a + b)
+    assert(j.count() === 51)
+    val v1 = r.put(1000L, 1)
+    assert(v1.get(1000L) === Some(1) && r.get(1000L) === None)
+  }
+
   test("String and composite keys work end-to-end") {
     import graft.keys.KeySerializer._
     val s = IndexedRDD(sc.parallelize(Seq(("a", 1), ("b", 2), ("aa", 3)), 2))
