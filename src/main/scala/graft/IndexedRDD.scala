@@ -136,6 +136,11 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   def multiputRDD(updates: RDD[(K, V)]): IndexedRDD[K, V] =
     multiputRDD[V](updates, (_, v) => v, (_, _, v) => v)
 
+  /** Upsert a distributed update set with a merge function for existing
+    * keys. */
+  def multiputRDD(updates: RDD[(K, V)], merge: (K, V, V) => V): IndexedRDD[K, V] =
+    multiputRDD[V](updates, (_, v) => v, merge)
+
   /** Distributed upsert: shuffles ONLY the update set to the index's
     * partitioning, then copy-on-write inserts per partition. */
   def multiputRDD[U: ClassTag](updates: RDD[(K, U)], project: (K, U) => V,

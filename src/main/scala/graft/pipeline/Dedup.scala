@@ -195,9 +195,9 @@ object Dedup {
 
   // ------------------------------------------------------ embedding cosine
 
-  /** Left-fold dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns (native fused expression). */
   def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorDot.vectorDot(a, b)
 
   /** Cosine similarity of two array<double> columns. */
   def cosine(a: Column, b: Column): Column =
@@ -241,8 +241,7 @@ object Dedup {
   def srpKeyTable(vec: Column, dim: Int, bits: Int, table: Int): Column =
     planesForTable(dim, bits, table).zipWithIndex.foldLeft(lit(0L)) {
       case (acc, (plane, j)) =>
-        val d = aggregate(zip_with(vec, typedLit(plane), (x, p) => x * p),
-          lit(0.0), (a, v) => a + v)
+        val d = dotCols(vec, typedLit(plane))
         acc.bitwiseOR(when(d > 0, lit(1L << j)).otherwise(lit(0L)))
     }
 

@@ -160,6 +160,15 @@ object OperatorQueries {
         .select($"_1".as("o_custkey"), round($"_2", 2).as("total"))
     },
 
+    "ir_range" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val idx = IndexedRDD.ordered(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd)
+      s.createDataset(idx.range(100L, 300L))
+        .select($"_1".as("c_custkey"), $"_2".as("c_acctbal"))
+    },
+
     "ir_sql_pointget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -258,6 +267,10 @@ object OperatorQueries {
     "ir_aggregate" ->
       """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "ir_range" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey >= 100 AND c_custkey < 300""".stripMargin,
 
     "ir_sql_pointget" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
