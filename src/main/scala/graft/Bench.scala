@@ -33,11 +33,32 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
       name -> sec
-    }
+    } ++ microBench(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** BASELINE.md engine micro-benchmarks: indexed point lookups vs the
+    * equivalent full scan, on a cached index (10 batches of 100 keys). */
+  private def microBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import spark.implicits._
+    val custDF = spark.read.parquet(s"$sfDir/customer.parquet")
+    val cust = custDF.select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd
+    val idx = IndexedRDD(cust).cached
+    idx.count() // build + pin before timing
+    val keyBatches = (0 until 10).map(b => (1L + b * 97L until 1500L by 137L).take(100).toArray)
+    val t0 = System.nanoTime()
+    keyBatches.foreach(ks => idx.multiget(ks))
+    val tMultiget = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    keyBatches.foreach { ks =>
+      custDF.filter($"c_custkey".isin(ks.map(Long.box): _*)).collect()
+    }
+    val tScan = (System.nanoTime() - t1) / 1e9
+    idx.unpersist()
+    Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan)
   }
 }

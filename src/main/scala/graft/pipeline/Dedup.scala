@@ -104,17 +104,22 @@ object Dedup {
       maxBucketSize: Int): DataFrame = {
     val exploded = withBands
       .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bkey")))
-    // cap pathological buckets (stopword-like content at 100 TB) so one
-    // bucket cannot create O(n²) work in a single task
-    val sized = exploded
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    val l = sized.select(col("band"), col("bkey"), col(idCol).as("a"))
-    val r = sized.select(col("band"), col("bkey"), col(idCol).as("b"))
-    l.join(r, Seq("band", "bkey")).where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // ONE shuffle: gather each bucket's ids, then generate ordered pairs
+    // array-side — no self-join, no window. Pathological buckets
+    // (stopword-like content at 100 TB) are dropped by the size cap so a
+    // degenerate bucket cannot create O(n²) work in one task. (The cap
+    // filters after collection; a size-capping custom aggregator would
+    // also bound the transient buffer — acceptable tradeoff here since
+    // the buffer holds ids only, never payloads.)
+    val buckets = exploded.groupBy("band", "bkey")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
   }
 
   /**

@@ -114,6 +114,13 @@ object PipelineQueries {
           col("lid.confidence").as("confidence"))
     },
 
+    "text_subwords" -> { (s, dir) =>
+      // BPE-ish subword counting (regex with lookarounds — not
+      // expressible in DuckDB's RE2, so rows-only)
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       // fingerprint is whitespace-normalization invariant: doubling
       // every space must not change it (planted check inside the query)
