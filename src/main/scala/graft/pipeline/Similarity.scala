@@ -76,6 +76,74 @@ object Similarity {
       .select(col(idCol), round(col("cos"), 2).as("cos"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+   * (trained driver-side on a deterministic sample — at cluster scale,
+   * fit on `df.sample`) assigns every row to its nearest centroid; the
+   * query scans only the `nprobe` nearest inverted lists. Centroid
+   * assignment is a pure Column expression (squared distance via the
+   * fused dot kernel), so at scale the assignment can be written once
+   * as a partition/bucket column and reused by every query.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      sampleSize: Int = 512, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // --- train coarse quantizer on a deterministic sample
+    val sample = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleSize).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = kmeans(sample, nlist, iters)
+    // --- assignment expression: argmin ||v - c||^2 = v.v - 2 v.c + c.c
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val dists = array(centroids.map { c =>
+      val cc = c.map(x => x * x).sum
+      dotCols(col("__v"), col("__v")) - lit(2.0) * dotCols(col("__v"), typedLit(c.toSeq)) + lit(cc)
+    }: _*)
+    val staged = v.withColumn("__dists", dists)
+      .withColumn("__list", expr("array_position(__dists, array_min(__dists))"))
+      .drop("__dists")
+    // --- probe: the query's nprobe nearest centroids
+    val qd = centroids.map(c => c.zip(query).map { case (a, b) =>
+      (a - b) * (a - b) }.sum)
+    val probeLists = qd.zipWithIndex.sortBy(_._1).take(nprobe)
+      .map { case (_, i) => (i + 1).toLong } // array_position is 1-based
+    staged.filter(col("__list").isin(probeLists: _*))
+      .withColumn("cos", dotCols(col("__v"), queryLit(query)) /
+        sqrt(dotCols(col("__v"), col("__v"))))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 2).as("cos"))
+  }
+
+  /** Tiny deterministic Lloyd's k-means (driver-side, sample-sized). */
+  private def kmeans(points: Array[Array[Double]], kk: Int, iters: Int): Array[Array[Double]] = {
+    val dim = points.head.length
+    var cents = points.take(kk).map(_.clone) // deterministic init
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
   /** Driver-side SRP key of a query vector (same planes as the row-side
     * [[Dedup.srpKeyTable]]). */
   private def signKeyTable(q: Array[Double], dim: Int, bits: Int, table: Int): Long = {

@@ -85,6 +85,11 @@ object PipelineQueries {
         queryVec(s, dir), k = 20, dim = 64)
     },
 
+    "ann_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20, nlist = 16, nprobe = 6)
+    },
+
     // ---------------------------------------------------- text analysis
     "text_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -129,6 +134,17 @@ object PipelineQueries {
         TextFunctions.fingerprint(col("text")).as("fp"),
         (TextFunctions.fingerprint(regexp_replace(col("text"), " ", "  "))
           === TextFunctions.fingerprint(col("text"))).as("ws_invariant"))
+    },
+
+    // ----------------------------------------------------- skew handling
+    "q_skew_salted_agg" -> { (s, dir) =>
+      // events has only 5 event_type keys -> worst-case reducer skew for
+      // a plain groupBy at scale; salted two-phase spreads each key over
+      // 16 reducers and recombines
+      graft.pipeline.Skew.saltedSumCount(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value", saltBuckets = 16)
+        .select(col("event_type"), round(col("sum_value"), 2).as("sum_value"), col("cnt"))
     },
 
     // -------------------------------------------------------- multimodal
@@ -189,6 +205,11 @@ object PipelineQueries {
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 2) AS cos
         |FROM embeddings e, q
         |WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) > 0.2""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT event_type, round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -112,6 +112,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.9, s"planted near-dup recall $recall")
   }
 
+  test("ANN IVF top-k recalls most of brute-force top-k and finds the query itself") {
+    val em = Tables.embeddings(spark, dir)
+    val q = em.where($"vec_id" === 7).select($"embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val brute = Similarity.bruteTopK(em, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(em, "vec_id", "embedding", q, k = 20,
+      nlist = 16, nprobe = 6)
+    val got = ivf.select("vec_id").as[Long].collect().toSet
+    assert(got.contains(7L))
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.25, s"IVF recall $recall")
+  }
+
   test("ANN LSH top-k recalls most of brute-force top-k") {
     val em = Tables.embeddings(spark, dir)
     val q = em.where($"vec_id" === 7).select($"embedding").head()
