@@ -58,7 +58,36 @@ object Bench {
       custDF.filter($"c_custkey".isin(ks.map(Long.box): _*)).collect()
     }
     val tScan = (System.nanoTime() - t1) / 1e9
+
+    // multiput throughput vs full index rebuild (BASELINE.md)
+    val updates = spark.sparkContext.parallelize(
+      (1L to 2000L).map(k => (k * 3, k.toDouble)), 8)
+    val t2 = System.nanoTime()
+    idx.multiputRDD(updates).count()
+    val tMultiput = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    IndexedRDD(cust.union(updates)).count() // rebuild from scratch
+    val tRebuild = (System.nanoTime() - t3) / 1e9
+
+    // co-partitioned indexed innerJoin vs Catalyst join at the same keys
+    val ordersDF = spark.read.parquet(s"$sfDir/orders.parquet")
+    val totals = idx.aggregateUsingIndex(
+      ordersDF.select($"o_custkey", $"o_totalprice").as[(Long, Double)].rdd, (a: Double, b: Double) => a + b)
+      .cached
+    totals.count()
+    val t4 = System.nanoTime()
+    idx.innerJoin(totals)((_, a, b) => a + b).count()
+    val tIdxJoin = (System.nanoTime() - t4) / 1e9
+    val custBal = custDF.select($"c_custkey", $"c_acctbal")
+    val agg = ordersDF.groupBy($"o_custkey").agg(org.apache.spark.sql.functions.sum($"o_totalprice").as("t"))
+    val t5 = System.nanoTime()
+    custBal.join(agg, $"c_custkey" === $"o_custkey").count()
+    val tSqlJoin = (System.nanoTime() - t5) / 1e9
+
+    totals.unpersist()
     idx.unpersist()
-    Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan)
+    Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
+      "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
+      "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin)
   }
 }

@@ -107,10 +107,12 @@ object OperatorQueries {
       import s.implicits._
       implicit val sp: SparkSession = s
       val idx = custBal(s, dir)
-      // in-place value update for matched keys, type preserved
+      // in-place value update for matched keys, type preserved.
+      // floor-truncate instead of round: total/1000 lands on decimal
+      // round-ties where Spark and DuckDB round() diverge
       val bumped = idx.join(orderTotals(s, dir, idx))((_, bal, tot) => bal + tot / 1000.0)
       Bridge.RichIndexedRDD(bumped).toDS
-        .select($"_1".as("c_custkey"), round($"_2", 2).as("adj_bal"))
+        .select($"_1".as("c_custkey"), (floor($"_2" * 100) / 100).as("adj_bal"))
     },
 
     "ir_fulljoin" -> { (s, dir) =>
@@ -235,7 +237,7 @@ object OperatorQueries {
 
     "ir_join_update" ->
       """SELECT c.c_custkey,
-        |       round(c.c_acctbal + COALESCE(o.total, 0.0) / 1000.0, 2) AS adj_bal
+        |       floor((c.c_acctbal + COALESCE(o.total, 0.0) / 1000.0) * 100) / 100 AS adj_bal
         |FROM customer c
         |LEFT JOIN (SELECT o_custkey, CAST(sum(o_totalprice) AS DOUBLE) AS total
         |           FROM orders GROUP BY o_custkey) o

@@ -188,7 +188,9 @@ object PipelineQueries {
         |FROM corpus GROUP BY text""".stripMargin,
 
     "dedup_exact_keep" ->
-      "SELECT doc_id FROM documents",
+      // min id per text group (the fixture has a few intra-table
+      // duplicate texts at larger scale factors)
+      "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text",
 
     "embed_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
