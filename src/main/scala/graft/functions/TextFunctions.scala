@@ -31,9 +31,10 @@ object TextFunctions {
         i => array_join(slice(t, i + lit(1), lit(n)), " ")))
   }
 
-  /** Distinct shingle hash set (64-bit) — input to minhash/jaccard. */
+  /** Distinct shingle hash set (64-bit) — input to minhash/jaccard.
+    * One-pass native expression; shingle strings are never built. */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))
+    array_distinct(TokenShingleHashes.tokenShingleHashes(tokens(text), n))
 
   /**
    * Rolling polynomial fingerprint over the token stream (order

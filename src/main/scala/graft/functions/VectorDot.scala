@@ -6,29 +6,39 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
- * Native dot product of two array<double> columns.
+ * Native dot product of two array<double|float> columns (floats widen
+ * to double per element, matching an explicit cast).
  *
  * The composed form `aggregate(zip_with(a, b, _*_), 0d, _+_)` allocates
  * a zipped array and runs two generated lambdas per element (~75 ns per
  * element measured); this expression is a single fused multiply-add
  * loop over the two `ArrayData` buffers — the hot kernel of every
- * cosine-similarity pair check and ANN probe.
+ * cosine-similarity pair check and ANN probe. Accepting float input
+ * directly also removes the `transform(_.cast)` lambda from scoring
+ * paths over raw embedding columns.
  */
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (DoubleType | FloatType), _) => Some(t)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"vector_dot requires (array<double>, array<double>), got " +
-          s"(${l.catalogString}, ${r.catalogString})")
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot requires array<double|float> inputs, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
     }
+
+  private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  private lazy val rightIsFloat = elemType(right).contains(FloatType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -37,7 +47,9 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getDouble(i) * b.getDouble(i)
+      val x: Double = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y: Double = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
       i += 1
     }
     java.lang.Double.valueOf(acc)
@@ -48,11 +60,13 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getA = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  $acc += $getA * $getB;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -18,8 +18,6 @@ import Dedup.dotCols
  */
 object Similarity {
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
   /** Normalized query literal: dividing by the query norm up front
     * turns per-row cosine into dot/row-norm. */
   private def queryLit(q: Array[Double]): Column = {
@@ -28,10 +26,11 @@ object Similarity {
   }
 
   /** Per-row cosine against a pre-normalized query: one dot product and
-    * one row-norm, staged so the norm subtree isn't duplicated. */
+    * one row-norm, both fused native kernels directly over the raw
+    * (float) embedding column — no cast lambda. */
   private def cosTo(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double]): DataFrame =
-    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    df.select(col(idCol), col(vecCol).as("__v"))
       .select(col(idCol), (dotCols(col("__v"), queryLit(query)) /
         sqrt(dotCols(col("__v"), col("__v")))).as("cos"))
 
@@ -61,7 +60,7 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, dim: Int, bits: Int = 6,
       tables: Int = 6): DataFrame = {
-    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val v = df.select(col(idCol), col(vecCol).as("__v"))
     val isCandidate = (0 until tables).map { t =>
       val rowKey = Dedup.srpKeyTable(col("__v"), dim, bits, t)
       val qKey = signKeyTable(query, dim, bits, t)
@@ -96,7 +95,7 @@ object Similarity {
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centroids = kmeans(sample, nlist, iters)
     // --- assignment expression: argmin ||v - c||^2 = v.v - 2 v.c + c.c
-    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val v = df.select(col(idCol), col(vecCol).as("__v"))
     val dists = array(centroids.map { c =>
       val cc = c.map(x => x * x).sum
       dotCols(col("__v"), col("__v")) - lit(2.0) * dotCols(col("__v"), typedLit(c.toSeq)) + lit(cc)
