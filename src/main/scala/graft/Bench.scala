@@ -37,7 +37,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // isolate queries: no cross-query cache reuse
+      // isolate queries: no cross-query cache reuse, RDD or SQL level
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> sec
     } ++ microBench(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

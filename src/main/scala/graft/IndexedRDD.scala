@@ -279,14 +279,24 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   def range(from: K, to: K)(implicit ser: KeySerializer[K]): RDD[(K, V)] = {
     val fromB = ser.toBytes(from)
     val toB = ser.toBytes(to)
-    partitionsRDD.mapPartitions(_.flatMap {
+    // under a RangePartitioner (see IndexedRDD.rangePartitioned) prune
+    // to the partitions whose key interval overlaps [from, to)
+    val base = partitioner match {
+      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _]) =>
+        val lo = rp.getPartition(from)
+        val hi = rp.getPartition(to)
+        org.apache.spark.rdd.PartitionPruningRDD.create(
+          partitionsRDD, pid => pid >= math.min(lo, hi) && pid <= math.max(lo, hi))
+      case _ => partitionsRDD
+    }
+    base.mapPartitions(_.flatMap {
       case r: graft.partition.RadixIndexedPartition[K, V] => r.range(from, to)
       case p => p.iterator.filter { case (k, _) =>
         val kb = ser.toBytes(k)
         java.util.Arrays.compareUnsigned(kb, fromB) >= 0 &&
           java.util.Arrays.compareUnsigned(kb, toB) < 0
       }
-    }, preservesPartitioning = true)
+    })
   }
 
   // ---------------------------------------------------------------------
@@ -355,6 +365,16 @@ object IndexedRDD {
   def build[K: ClassTag: KeySerializer, V: ClassTag](
       elems: RDD[(K, V)], numPartitions: Int): IndexedRDD[K, V] =
     apply(elems.partitionBy(new HashPartitioner(numPartitions)))
+
+  /** Build RANGE-partitioned ordered indexes: keys are globally sorted
+    * across partitions (sampling shuffle via [[RangePartitioner]]), so
+    * [[IndexedRDD.range]] prunes to only the partitions whose interval
+    * overlaps the query — O(range), not O(partitions). The layout of
+    * choice for range-heavy workloads at scale. */
+  def rangePartitioned[K: ClassTag: KeySerializer: Ordering, V: ClassTag](
+      elems: RDD[(K, V)], numPartitions: Int): IndexedRDD[K, V] =
+    ordered(elems.partitionBy(
+      new org.apache.spark.RangePartitioner(numPartitions, elems)))
 
   /** Build with ORDERED per-partition indexes (persistent radix tree
     * over serialized keys): same operator surface plus pruned

@@ -205,6 +205,19 @@ class IndexedRDDSpec extends AnyFunSuite {
     assert(v1.get(1000L) === Some(1) && r.get(1000L) === None)
   }
 
+  test("rangePartitioned: globally sorted layout prunes partitions for range scans") {
+    val r = IndexedRDD.rangePartitioned(
+      sc.parallelize((0L until 1000L).map(k => (k, k.toInt)), 8), 8)
+    assert(r.count() === 1000)
+    val scan = r.range(100L, 200L)
+    // partition pruning: the scan job must touch a strict subset
+    assert(scan.getNumPartitions < 8)
+    assert(scan.collect().toMap === (100L until 200L).map(k => (k, k.toInt)).toMap)
+    // point ops still work under the range partitioner
+    assert(r.get(555L) === Some(555))
+    assert(r.multiget(Array(0L, 999L, 5000L)).size === 2)
+  }
+
   test("String and composite keys work end-to-end") {
     import graft.keys.KeySerializer._
     val s = IndexedRDD(sc.parallelize(Seq(("a", 1), ("b", 2), ("aa", 3)), 2))

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/** Native-expression laws: codegen path (through a real query) must
+  * agree with the interpreted `eval` path, and with composed-functions
+  * reference formulations. */
+class ExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("VectorDot: codegen == interpreted == composed; float and double inputs") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val native = df.select(VectorDot.vectorDot($"a", $"b")).head().getDouble(0)
+    val composed = df.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)).head().getDouble(0)
+    assert(native === composed && native === 32.0)
+    val interp = VectorDot(
+      Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType)),
+      Literal.create(Seq(4.0, 5.0, 6.0), ArrayType(DoubleType))).eval(null)
+    assert(interp === 32.0)
+    // float side widens per element, matching an explicit cast
+    val fdf = Seq((Seq(1.5f, 2.5f), Seq(2.0, 4.0))).toDF("a", "b")
+    assert(fdf.select(VectorDot.vectorDot($"a", $"b")).head().getDouble(0) === 13.0)
+  }
+
+  test("MinHashSignature: codegen == interpreted; component independence; min law") {
+    val as = Array(3L, 5L, 7L)
+    val bs = Array(11L, 13L, 17L)
+    val df = Seq(Tuple1(Seq(100L, 200L, 300L))).toDF("hs")
+    val viaQuery = df.select(MinHashSignature.minhashSignature($"hs", as, bs))
+      .head().getSeq[Long](0)
+    val interp = MinHashSignature(
+      Literal.create(Seq(100L, 200L, 300L), ArrayType(LongType)), as, bs)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(viaQuery.toSeq === interp.toSeq)
+    // each component is the min of its permutation applied to all inputs
+    val P31 = (1L << 31) - 1
+    val expected = as.indices.map { j =>
+      Seq(100L, 200L, 300L).map(h => (as(j) * (((h % P31) + P31) % P31) + bs(j)) % P31).min
+    }
+    assert(viaQuery.toSeq === expected)
+    // signature of a superset is component-wise <= (min law)
+    val df2 = Seq(Tuple1(Seq(100L, 200L, 300L, 50L))).toDF("hs")
+    val sup = df2.select(MinHashSignature.minhashSignature($"hs", as, bs))
+      .head().getSeq[Long](0)
+    assert(sup.zip(viaQuery).forall { case (s, v) => s <= v })
+  }
+
+  test("TokenShingleHashes: codegen == interpreted; window semantics") {
+    val df = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("t")
+    val viaQuery = df.select(TokenShingleHashes.tokenShingleHashes($"t", 3))
+      .head().getSeq[Long](0)
+    assert(viaQuery.length === 2) // windows: abc, bcd
+    val interp = TokenShingleHashes(
+      Literal.create(Seq("a", "b", "c", "d"), ArrayType(StringType)), 3)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(viaQuery.toSeq === interp.toSeq)
+    // shorter than n -> one whole-text shingle
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("t")
+      .select(TokenShingleHashes.tokenShingleHashes($"t", 3)).head().getSeq[Long](0)
+    assert(short.length === 1)
+    // shifted window equality: shingle of (b,c,d) at pos 1 == shingle of
+    // (b,c,d) at pos 0 in a shifted array (position-independence)
+    val shifted = Seq(Tuple1(Seq("b", "c", "d"))).toDF("t")
+      .select(TokenShingleHashes.tokenShingleHashes($"t", 3)).head().getSeq[Long](0)
+    assert(viaQuery(1) === shifted.head)
+    // order sensitivity
+    val reversed = Seq(Tuple1(Seq("d", "c", "b"))).toDF("t")
+      .select(TokenShingleHashes.tokenShingleHashes($"t", 3)).head().getSeq[Long](0)
+    assert(reversed.head !== shifted.head)
+  }
+
+  test("Skew.saltedSumCount equals plain groupBy aggregation") {
+    val df = Seq(("a", 1.0), ("a", 2.5), ("b", 4.0), ("a", 0.5)).toDF("k", "v")
+    val salted = graft.pipeline.Skew.saltedSumCount(df, Seq("k"), "v", saltBuckets = 4)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq === Seq(("a", 4.0, 3L), ("b", 4.0, 1L)))
+    // salted-join helper: replicated dim joins a salted fact side losslessly
+    val dim = Seq(("a", 10), ("b", 20)).toDF("k", "w")
+    val rep = graft.pipeline.Skew.replicateForSalt(dim, 4)
+    assert(rep.count() === 8)
+    val fact = df.withColumn("__salt",
+      graft.pipeline.Skew.saltColumn(4, $"k", $"v"))
+    val joined = fact.join(rep, Seq("k", "__salt"))
+    assert(joined.count() === df.count()) // every fact row finds its dim
+  }
+}
