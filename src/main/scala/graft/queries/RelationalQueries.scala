@@ -131,6 +131,20 @@ object RelationalQueries {
           $"event_type", $"n", $"total")
     },
 
+    // as-of join: each event picks up the customer's latest order total
+    // at or before the event time (pre-aggregated per (cust, date) so
+    // timestamp ties are deterministic on both engines)
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      val ord = Tables.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_totalprice").as("otp"))
+      graft.operators.AsOf.asofJoinLast(
+        ev, "user_id", "ts", ord, "o_custkey", "o_orderdate", "otp", "last_total")
+        .select($"event_id", $"last_total")
+    },
+
     // scalar/JSON function surface
     "q_json" -> { (s, dir) =>
       import s.implicits._
@@ -216,6 +230,13 @@ object RelationalQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(value) AS DOUBLE), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_totalprice) AS otp
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, o.otp AS last_total
+        |FROM events e
+        |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "q_json" ->
       """SELECT event_id,
