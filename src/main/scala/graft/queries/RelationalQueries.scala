@@ -89,6 +89,19 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // exact percentiles (linear interpolation, matching quantile_cont)
+    // + exact distinct counts
+    "q_percentile" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .groupBy($"c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 2).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 2).as("p90_bal"),
+          countDistinct($"c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"))
+    },
+
     // set ops
     "q_intersect" -> { (s, dir) =>
       import s.implicits._
@@ -143,6 +156,21 @@ object RelationalQueries {
       graft.operators.AsOf.asofJoinLast(
         ev, "user_id", "ts", ord, "o_custkey", "o_orderdate", "otp", "last_total")
         .select($"event_id", $"last_total")
+    },
+
+    // band/range join: parts whose retail price falls within a band
+    // around each supplier's account balance (bucketized equi-join, not
+    // a nested-loop cartesian)
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_acctbal")
+      val part = Tables.part(s, dir).select($"p_partkey", $"p_retailprice")
+      graft.operators.RangeJoin.bandJoin(
+        sup, $"s_acctbal" - 50.0, $"s_acctbal" + 50.0,
+        part, "p_retailprice", bucketWidth = 100.0)
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum($"p_retailprice"), 2).as("sum_price"))
     },
 
     // scalar/JSON function surface
@@ -207,6 +235,14 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
+    "q_percentile" ->
+      """SELECT c_mktsegment,
+        |  round(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 2) AS median_bal,
+        |  round(CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE), 2) AS p90_bal,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+        |  CAST(count(*) AS BIGINT) AS n_cust
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
     "q_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT
@@ -230,6 +266,14 @@ object RelationalQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(value) AS DOUBLE), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT s.s_suppkey, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(CAST(sum(p.p_retailprice) AS DOUBLE), 2) AS sum_price
+        |FROM supplier s JOIN part p
+        |  ON p.p_retailprice >= s.s_acctbal - 50.0
+        | AND p.p_retailprice <= s.s_acctbal + 50.0
+        |GROUP BY s.s_suppkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_totalprice) AS otp
