@@ -89,6 +89,16 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // hierarchical aggregation: rollup emits per-group, per-flag, and
+    // grand-total rows with NULL markers
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
     // exact percentiles (linear interpolation, matching quantile_cont)
     // + exact distinct counts
     "q_percentile" -> { (s, dir) =>
@@ -234,6 +244,13 @@ object RelationalQueries {
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_percentile" ->
       """SELECT c_mktsegment,
