@@ -57,7 +57,9 @@ object Bench {
     val cust = custDF.select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd
     val idx = IndexedRDD(cust).cached
     idx.count() // build + pin before timing
-    val keyBatches = (0 until 10).map(b => (1L + b * 97L until 1500L by 137L).take(100).toArray)
+    val nCust = custDF.count()
+    val keyBatches = (0 until 10).map(b =>
+      Array.tabulate(100)(i => ((b * 131L + i * 7L) % nCust) + 1L))
     val t0 = System.nanoTime()
     keyBatches.foreach(ks => idx.multiget(ks))
     val tMultiget = (System.nanoTime() - t0) / 1e9

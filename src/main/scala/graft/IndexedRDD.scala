@@ -235,7 +235,11 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
         zipIndexed(o)((a, b) => LazyIndexedPartition.union(a, b, reduce))
       case _ =>
         zipWithOther(other) { (part, iter) =>
-          LazyIndexedPartition.union(part, HashIndexedPartition(iter), reduce)
+          // duplicate keys within `other` fold with the same reducer
+          // (matching the co-partitioned branch's semantics)
+          LazyIndexedPartition.union(part,
+            HashIndexedPartition[K, V, V](iter, (_, v) => v, (_, old, v) => reduce(old, v)),
+            reduce)
         }
     }
 
@@ -280,9 +284,14 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     val fromB = ser.toBytes(from)
     val toB = ser.toBytes(to)
     // under a RangePartitioner (see IndexedRDD.rangePartitioned) prune
-    // to the partitions whose key interval overlaps [from, to)
+    // to the partitions whose key interval overlaps [from, to) — ONLY
+    // when the serializer's byte order equals the key's natural order
+    // (RangePartitioner bounds are natural-order; the row filter below
+    // is byte-order; for length-prefixed encodings they disagree and
+    // pruning would drop matching rows)
     val base = partitioner match {
-      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _]) =>
+      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _])
+          if ser.isOrderPreserving =>
         val lo = rp.getPartition(from)
         val hi = rp.getPartition(to)
         org.apache.spark.rdd.PartitionPruningRDD.create(

@@ -25,6 +25,13 @@ import java.util.UUID
 trait KeySerializer[K] extends Serializable {
   def toBytes(k: K): Array[Byte]
   def fromBytes(b: Array[Byte]): K
+
+  /** True when unsigned byte order of encodings == the key type's
+    * natural order. Fixed-width numeric encodings are (sign-flip);
+    * length-prefixed ones (String/BigInt/Tuple2) are NOT — a short key
+    * sorts by its length prefix first. Range operations that mix byte
+    * order with natural order must check this. */
+  def isOrderPreserving: Boolean = false
 }
 
 object KeySerializer {
@@ -50,6 +57,7 @@ object KeySerializer {
 
   /** 8 bytes big-endian, sign bit flipped: byte order == numeric order. */
   implicit object LongSerializer extends KeySerializer[Long] {
+    override def isOrderPreserving: Boolean = true
     def toBytes(k: Long): Array[Byte] = {
       val out = new Array[Byte](8); putLongBE(out, 0, k ^ Long.MinValue); out
     }
@@ -58,6 +66,7 @@ object KeySerializer {
 
   /** 4 bytes big-endian, sign bit flipped. */
   implicit object IntSerializer extends KeySerializer[Int] {
+    override def isOrderPreserving: Boolean = true
     def toBytes(k: Int): Array[Byte] = {
       val out = new Array[Byte](4); putIntBE(out, 0, k ^ Int.MinValue); out
     }
@@ -66,6 +75,7 @@ object KeySerializer {
 
   /** 2 bytes big-endian, sign bit flipped. */
   implicit object ShortSerializer extends KeySerializer[Short] {
+    override def isOrderPreserving: Boolean = true
     def toBytes(k: Short): Array[Byte] = {
       val v = k ^ Short.MinValue
       Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -76,6 +86,7 @@ object KeySerializer {
 
   /** 2 bytes big-endian (chars are unsigned; no flip needed). */
   implicit object CharSerializer extends KeySerializer[Char] {
+    override def isOrderPreserving: Boolean = true
     def toBytes(k: Char): Array[Byte] =
       Array(((k >>> 8) & 0xff).toByte, (k & 0xff).toByte)
     def fromBytes(b: Array[Byte]): Char =
@@ -114,6 +125,7 @@ object KeySerializer {
 
   /** 16 bytes: msb ‖ lsb, each sign-flipped big-endian. */
   implicit object UUIDSerializer extends KeySerializer[UUID] {
+    override def isOrderPreserving: Boolean = true
     def toBytes(k: UUID): Array[Byte] = {
       val out = new Array[Byte](16)
       putLongBE(out, 0, k.getMostSignificantBits ^ Long.MinValue)

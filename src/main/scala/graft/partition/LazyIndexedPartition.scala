@@ -41,15 +41,6 @@ class LazyIndexedPartition[K, V](
   override def multiget(ks: Array[K]): Iterator[(K, V)] =
     ks.iterator.flatMap(k => apply(k).map(v => (k, v)))
 
-  /** Append another delta, flattening nested lazy views. The reducer of
-    * the appended view must be compatible (we keep ours). */
-  def orElse(other: IndexedPartition[K, V]): LazyIndexedPartition[K, V] =
-    other match {
-      case l: LazyIndexedPartition[K, V] =>
-        new LazyIndexedPartition(deltas ++ l.deltas, reduce)
-      case eager => new LazyIndexedPartition(deltas :+ eager, reduce)
-    }
-
   override def reindex: IndexedPartition[K, V] = forced
 
   // Structural operators force the merge first — correctness over

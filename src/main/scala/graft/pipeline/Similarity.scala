@@ -25,14 +25,17 @@ object Similarity {
     typedLit(q.map(_ / n).toSeq)
   }
 
-  /** Per-row cosine against a pre-normalized query: one dot product and
-    * one row-norm, both fused native kernels directly over the raw
-    * (float) embedding column — no cast lambda. */
+  /** Cosine of a vector column against a pre-normalized query: one dot
+    * and one row-norm, both fused native kernels over the raw (float)
+    * column — the single scoring definition shared by the brute, LSH,
+    * and IVF paths. */
+  private def cosineToQuery(vCol: Column, query: Array[Double]): Column =
+    dotCols(vCol, queryLit(query)) / sqrt(dotCols(vCol, vCol))
+
   private def cosTo(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double]): DataFrame =
     df.select(col(idCol), col(vecCol).as("__v"))
-      .select(col(idCol), (dotCols(col("__v"), queryLit(query)) /
-        sqrt(dotCols(col("__v"), col("__v")))).as("cos"))
+      .select(col(idCol), cosineToQuery(col("__v"), query).as("cos"))
 
   /** Exact top-k by cosine (ties broken by id for determinism). */
   def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -68,8 +71,7 @@ object Similarity {
       rowKey.isin(probes: _*)
     }.reduce(_ || _)
     v.filter(isCandidate)
-      .withColumn("cos", dotCols(col("__v"), queryLit(query)) /
-        sqrt(dotCols(col("__v"), col("__v"))))
+      .withColumn("cos", cosineToQuery(col("__v"), query))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("cos"), 2).as("cos"))
@@ -109,8 +111,7 @@ object Similarity {
     val probeLists = qd.zipWithIndex.sortBy(_._1).take(nprobe)
       .map { case (_, i) => (i + 1).toLong } // array_position is 1-based
     staged.filter(col("__list").isin(probeLists: _*))
-      .withColumn("cos", dotCols(col("__v"), queryLit(query)) /
-        sqrt(dotCols(col("__v"), col("__v"))))
+      .withColumn("cos", cosineToQuery(col("__v"), query))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("cos"), 2).as("cos"))

@@ -180,6 +180,16 @@ object OperatorQueries {
         .select($"c_custkey", $"c_name", $"c_acctbal")
     },
 
+    "ir_sql_scan" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // non-key predicate: exercises the relation's full-scan fallback
+      // with Spark applying the filter above the indexed scan
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.filter($"c_acctbal" > 9000.0 && $"c_mktsegment" =!= "BUILDING")
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+    },
+
     "ir_create_using_index" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -277,6 +287,10 @@ object OperatorQueries {
     "ir_sql_pointget" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey IN (2, 17, 123, 999999)""".stripMargin,
+
+    "ir_sql_scan" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_acctbal > 9000.0 AND c_mktsegment <> 'BUILDING'""".stripMargin,
 
     "ir_create_using_index" ->
       """SELECT o_custkey, round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price

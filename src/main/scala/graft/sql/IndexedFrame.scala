@@ -69,8 +69,10 @@ object IndexedFrame {
     override def needConversion: Boolean = true
 
     private def pointKeys(f: Filter): Option[Set[Long]] = f match {
+      case EqualTo(h.keyCol, null) => Some(Set.empty) // NULL never matches
       case EqualTo(h.keyCol, v) => Some(Set(toLongKey(v)))
-      case In(h.keyCol, vs) => Some(vs.map(toLongKey).toSet)
+      // NULL elements in an IN list never match — drop them
+      case In(h.keyCol, vs) => Some(vs.filter(_ != null).map(toLongKey).toSet)
       case _ => None
     }
 

@@ -65,7 +65,10 @@ object Streaming {
             val t = e.ts.getTime
             cur match {
               case Some(s) if t - s.endMs <= gapMs =>
-                cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+                // late (out-of-order) events may extend the session
+                // backwards as well as forwards
+                cur = Some(SessionState(math.min(s.startMs, t),
+                  math.max(s.endMs, t), s.n + 1, s.sum + e.value))
               case Some(s) =>
                 closed += Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.sum)
                 cur = Some(SessionState(t, t, 1L, e.value))

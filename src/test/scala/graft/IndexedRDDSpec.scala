@@ -157,6 +157,10 @@ class IndexedRDDSpec extends AnyFunSuite {
     // chain another delta lazily, then reindex
     val w = u.unionWith(sc.parallelize(Seq((1L, 1000)), 2), _ + _).reindex()
     assert(w.get(1L) === Some(1001))
+    // duplicate keys WITHIN the non-indexed other side fold with the
+    // reducer too (not last-write-wins)
+    val dup = a.unionWith(sc.parallelize(Seq((1L, 10), (1L, 20)), 3), _ + _)
+    assert(dup.get(1L) === Some(31))
   }
 
   test("diff keeps this side's values for keys whose values differ") {

@@ -52,10 +52,12 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("sess_out").start()
     try {
-      // user 1: events at 10:00..10:05 (one session), then 10:30 (new session)
+      // user 1: events at 10:02, then a LATE 10:00 event in the next
+      // batch (extends the session backwards), then 10:30 (new session)
+      input.addData(Event(1, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
       input.addData(
-        Event(1, ts(0), 1, "click", 1.0),
-        Event(2, ts(5), 1, "click", 2.0),
+        Event(2, ts(0), 1, "click", 2.0),
         Event(3, ts(30), 1, "click", 4.0))
       q.processAllAvailable()
       val sessions = spark.table("sess_out")
@@ -63,7 +65,7 @@ class StreamingSpec extends AnyFunSuite {
       // the first session must be closed (gap exceeded by the 10:30 event)
       assert(sessions.length === 1)
       assert(sessions(0).n_events === 2 && sessions(0).total_value === 3.0)
-      assert(sessions(0).start === ts(0) && sessions(0).end === ts(5))
+      assert(sessions(0).start === ts(0) && sessions(0).end === ts(2))
     } finally q.stop()
   }
 
