@@ -180,6 +180,16 @@ object OperatorQueries {
         .select($"c_custkey", $"c_name", $"c_acctbal")
     },
 
+    "ir_sql_range" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // pushed BETWEEN routes into the ordered index's trie range scan
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey",
+        ordered = true)
+      h.toDF.filter($"c_custkey".between(200L, 399L))
+        .select($"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_scan" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -287,6 +297,10 @@ object OperatorQueries {
     "ir_sql_pointget" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey IN (2, 17, 123, 999999)""".stripMargin,
+
+    "ir_sql_range" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey BETWEEN 200 AND 399""".stripMargin,
 
     "ir_sql_scan" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

@@ -2,33 +2,37 @@ package graft.sql
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, PrunedFilteredScan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, PrunedFilteredScan}
 import org.apache.spark.sql.types.StructType
 
 import graft.IndexedRDD
+import graft.keys.KeySerializer
 
 /**
  * SQL-visible face of an IndexedRDD: a DataSource relation whose
- * pushed-down key predicates route into partition-pruned `multiget`
- * point reads instead of a full scan.
+ * pushed-down key predicates route into index-backed access paths
+ * instead of full scans.
  *
  * Catalyst cannot prune cached in-memory partitions by key (SURVEY §4
  * — the core reason this engine exists); exposing the index through
- * `PrunedFilteredScan` closes that gap with public API only: the
- * optimizer hands us `EqualTo`/`In` filters on the key column and a
- * required-column list, and we answer `WHERE key IN (...)` queries
- * with a targeted job over only the owning partitions. All other
- * predicates fall back to the indexed full scan, with Spark
- * re-applying the residual filters above us.
+ * `PrunedFilteredScan` closes that gap with public API only:
+ *
+ *  - `EqualTo`/`In` on the key → partition-pruned `multiget` point read;
+ *  - `>`/`>=`/`<`/`<=` on the key (ordered handles) → radix-tree range
+ *    scan (`IndexedRDD.range`), bounds intersected across predicates;
+ *  - anything else → indexed full scan with Spark re-applying residual
+ *    predicates above us.
  */
 object IndexedFrame {
 
   /** An indexed table handle: the versioned index plus its SQL schema.
-    * `lastPointLookupKeys` records, for observability and tests, how
-    * many keys the most recent scan served via multiget (-1 = full
-    * scan). */
+    * `lastScanKind` records, for observability and tests, how the most
+    * recent scan was served: "point" / "range" / "full"; for point
+    * scans `lastPointLookupKeys` is the probed key count. */
   class Handle(val idx: IndexedRDD[Long, Row], val keyCol: String,
-      val schema: StructType) extends Serializable {
+      val schema: StructType, val ordered: Boolean) extends Serializable {
+    @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
     /** Copy-on-write upsert of full rows, returning a new handle that
@@ -36,7 +40,7 @@ object IndexedFrame {
     def upsert(rows: Seq[Row]): Handle = {
       val ki = schema.fieldIndex(keyCol)
       new Handle(idx.multiput(rows.map(r => (toLongKey(r.get(ki)), r)).toMap),
-        keyCol, schema)
+        keyCol, schema, ordered)
     }
 
     def toDF(implicit spark: SparkSession): DataFrame =
@@ -44,12 +48,14 @@ object IndexedFrame {
   }
 
   /** Index a DataFrame by a long-typed key column (key uniqueness
-    * enforced, last write wins) and pin the built index. */
-  def index(df: DataFrame, keyCol: String): Handle = {
+    * enforced, last write wins) and pin the built index. `ordered=true`
+    * builds radix-tree partitions, enabling pushed range predicates. */
+  def index(df: DataFrame, keyCol: String, ordered: Boolean = false): Handle = {
     val schema = df.schema
     val ki = schema.fieldIndex(keyCol)
     val pairs = df.rdd.map(r => (toLongKey(r.get(ki)), r))
-    new Handle(IndexedRDD(pairs).cached, keyCol, schema)
+    val idx = if (ordered) IndexedRDD.ordered(pairs) else IndexedRDD(pairs)
+    new Handle(idx.cached, keyCol, schema, ordered)
   }
 
   private def toLongKey(v: Any): Long = v match {
@@ -76,20 +82,42 @@ object IndexedFrame {
       case _ => None
     }
 
+    /** Key range [from, to) implied by one pushed filter, if any. */
+    private def rangeBounds(f: Filter): Option[(Long, Long)] = f match {
+      case GreaterThan(h.keyCol, v) if v != null => Some((toLongKey(v) + 1, Long.MaxValue))
+      case GreaterThanOrEqual(h.keyCol, v) if v != null => Some((toLongKey(v), Long.MaxValue))
+      case LessThan(h.keyCol, v) if v != null => Some((Long.MinValue, toLongKey(v)))
+      case LessThanOrEqual(h.keyCol, v) if v != null =>
+        Some((Long.MinValue, if (toLongKey(v) == Long.MaxValue) Long.MaxValue else toLongKey(v) + 1))
+      case _ => None
+    }
+
     override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-      filters.filter(f => pointKeys(f).isEmpty)
+      filters.filter(f => pointKeys(f).isEmpty &&
+        !(h.ordered && rangeBounds(f).isDefined))
 
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
-      // AND semantics across pushed filters: intersect every key set
       val keySets = filters.flatMap(pointKeys)
+      val bounds = if (h.ordered) filters.flatMap(rangeBounds) else Array.empty[(Long, Long)]
       val rows: RDD[Row] =
         if (keySets.nonEmpty) {
+          // AND semantics across pushed filters: intersect every key set
           val keys = keySets.reduce(_ intersect _).toArray
+          h.lastScanKind = "point"
           h.lastPointLookupKeys = keys.length
           val hit = h.idx.multiget(keys).values.toSeq
           sqlContext.sparkContext.parallelize(hit, 1)
+        } else if (bounds.nonEmpty) {
+          // intersect all pushed bounds into one [from, to)
+          val from = bounds.map(_._1).max
+          val to = bounds.map(_._2).min
+          h.lastScanKind = "range"
+          h.lastPointLookupKeys = -1
+          if (from >= to) sqlContext.sparkContext.emptyRDD[Row]
+          else h.idx.range(from, to).map(_._2)
         } else {
+          h.lastScanKind = "full"
           h.lastPointLookupKeys = -1
           h.idx.map(_._2)
         }

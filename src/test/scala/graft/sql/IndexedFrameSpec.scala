@@ -54,6 +54,27 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.toDF.filter($"c_custkey" === 999999L).count() === 0)
   }
 
+  test("ordered handle: pushed range predicates route into the radix range scan") {
+    val h = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    val out = h.toDF.filter($"c_custkey".between(10L, 20L))
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(out === (10L to 20L).toSet)
+    assert(h.lastScanKind === "range")
+    // one-sided bound
+    val hi = h.toDF.filter($"c_custkey" > 140L).count()
+    assert(hi === cust.filter($"c_custkey" > 140L).count())
+    assert(h.lastScanKind === "range")
+    // contradictory bounds -> empty, not an error
+    assert(h.toDF.filter($"c_custkey" > 100L && $"c_custkey" < 50L).count() === 0)
+    // point predicates still win over range ones
+    assert(h.toDF.filter($"c_custkey" === 5L).count() === 1)
+    assert(h.lastScanKind === "point")
+    // unordered handle: range predicates fall back to full scan
+    val hUnordered = IndexedFrame.index(cust, "c_custkey")
+    assert(hUnordered.toDF.filter($"c_custkey".between(10L, 20L)).count() === 11)
+    assert(hUnordered.lastScanKind === "full")
+  }
+
   test("column pruning: only requested columns are materialized") {
     val h = IndexedFrame.index(cust, "c_custkey")
     val df = h.toDF.select($"c_name").limit(3)
