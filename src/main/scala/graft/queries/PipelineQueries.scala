@@ -158,6 +158,20 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("double")), 2).as("feat_sum"))
     },
 
+    "mm_ann" -> { (s, dir) =>
+      import s.implicits._
+      // cross-modal composition: decode media -> feature vectors -> ANN
+      val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+        .as[Multimodal.MediaItem]
+      // cache: the decode+pool pipeline feeds both the query-vector
+      // lookup and the scoring scan
+      val feats = Multimodal.extractFeatures(media, dim = 8).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = feats.where(col("media_id") === 0)
+        .select(col("features")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.bruteTopK(feats, "media_id", "features", q, k = 10)
+    },
+
     "mm_resize_frames" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))

@@ -82,9 +82,14 @@ object IndexedFrame {
       case _ => None
     }
 
-    /** Key range [from, to) implied by one pushed filter, if any. */
+    /** Key range [from, to) implied by one pushed filter, if any.
+      * `k > Long.MaxValue` yields an empty range (overflow guard);
+      * upper bounds reaching Long.MaxValue are handled inclusively in
+      * the scan (see buildScan). */
     private def rangeBounds(f: Filter): Option[(Long, Long)] = f match {
-      case GreaterThan(h.keyCol, v) if v != null => Some((toLongKey(v) + 1, Long.MaxValue))
+      case GreaterThan(h.keyCol, v) if v != null =>
+        if (toLongKey(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue)) // empty
+        else Some((toLongKey(v) + 1, Long.MaxValue))
       case GreaterThanOrEqual(h.keyCol, v) if v != null => Some((toLongKey(v), Long.MaxValue))
       case LessThan(h.keyCol, v) if v != null => Some((Long.MinValue, toLongKey(v)))
       case LessThanOrEqual(h.keyCol, v) if v != null =>
@@ -92,9 +97,15 @@ object IndexedFrame {
       case _ => None
     }
 
-    override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    override def unhandledFilters(filters: Array[Filter]): Array[Filter] = {
+      // range filters are fully handled ONLY on ordered handles AND when
+      // no point filter is pushed alongside them — the point branch of
+      // buildScan ignores bounds, so mixed predicates must be re-applied
+      // by Spark above the scan
+      val anyPoint = filters.exists(f => pointKeys(f).isDefined)
       filters.filter(f => pointKeys(f).isEmpty &&
-        !(h.ordered && rangeBounds(f).isDefined))
+        !(h.ordered && !anyPoint && rangeBounds(f).isDefined))
+    }
 
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
@@ -114,8 +125,18 @@ object IndexedFrame {
           val to = bounds.map(_._2).min
           h.lastScanKind = "range"
           h.lastPointLookupKeys = -1
-          if (from >= to) sqlContext.sparkContext.emptyRDD[Row]
-          else h.idx.range(from, to).map(_._2)
+          if (from >= to && !(from == Long.MaxValue && to == Long.MaxValue)) {
+            sqlContext.sparkContext.emptyRDD[Row]
+          } else {
+            val body = h.idx.range(from, to).map(_._2)
+            // range() is half-open, so an upper bound of Long.MaxValue
+            // (i.e. unbounded above) must also admit a MaxValue key
+            if (to == Long.MaxValue) {
+              val maxHit = h.idx.multiget(Array(Long.MaxValue)).values.toSeq
+              if (maxHit.nonEmpty) body.union(sqlContext.sparkContext.parallelize(maxHit, 1))
+              else body
+            } else body
+          }
         } else {
           h.lastScanKind = "full"
           h.lastPointLookupKeys = -1

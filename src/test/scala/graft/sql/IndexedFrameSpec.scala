@@ -75,6 +75,24 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hUnordered.lastScanKind === "full")
   }
 
+  test("mixed point+range predicates and Long extremes stay correct") {
+    val h = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    // point wins; the range predicate must still be enforced (by Spark,
+    // since the point branch ignores bounds)
+    val mixed = h.toDF.filter($"c_custkey".isin(1L, 2L, 3L) && $"c_custkey" > 2L)
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(mixed === Set(3L))
+    assert(h.lastScanKind === "point")
+    // k > Long.MaxValue: empty, not a wrapped full scan
+    assert(h.toDF.filter($"c_custkey" > Long.MaxValue).count() === 0)
+    // a Long.MaxValue key is reachable through an unbounded-above range
+    val h2 = h.upsert(Seq(org.apache.spark.sql.Row.fromSeq(
+      Seq(Long.MaxValue) ++ cust.head().toSeq.drop(1))))
+    assert(h2.toDF.filter($"c_custkey" >= 100L).count() ===
+      cust.filter($"c_custkey" >= 100L).count() + 1)
+    assert(h2.toDF.filter($"c_custkey" >= Long.MaxValue).count() === 1)
+  }
+
   test("column pruning: only requested columns are materialized") {
     val h = IndexedFrame.index(cust, "c_custkey")
     val df = h.toDF.select($"c_name").limit(3)
