@@ -40,13 +40,24 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   private lazy val leftIsFloat = elemType(left).contains(FloatType)
   private lazy val rightIsFloat = elemType(right).contains(FloatType)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
+  // Mismatched lengths or a null element yield NULL, matching the
+  // composed `aggregate(zip_with(a, b, _*_), 0d, _+_)` form (zip_with
+  // pads with null; null poisons the sum).
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x: Double = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y: Double = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -63,12 +74,17 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       val getA = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $getA * $getB;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $getA * $getB;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

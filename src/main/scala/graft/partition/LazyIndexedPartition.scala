@@ -70,13 +70,20 @@ class LazyIndexedPartition[K, V](
 }
 
 object LazyIndexedPartition {
-  /** Lazy keyed union of two partitions under `reduce`, flattening any
-    * lazy operands into one delta list. */
+  /** Lazy keyed union of two partitions under `reduce`. A lazy operand's
+    * delta list is flattened into the new chain only when its reducer is
+    * reference-equal to `reduce` — flattening under a DIFFERENT reducer
+    * would re-merge its deltas with the wrong function (e.g.
+    * `a.unionWith(b, _+_).unionWith(c, math.max)` must not re-reduce the
+    * a/b deltas with max). Otherwise the lazy operand is kept NESTED as
+    * a single delta: point probes recurse into it with its own reducer,
+    * and a full-scan merge forces it first (reference
+    * IndexedRDD.scala:360-378 nests the same way). */
   def union[K, V](a: IndexedPartition[K, V], b: IndexedPartition[K, V],
       reduce: (V, V) => V): LazyIndexedPartition[K, V] = {
     def flat(p: IndexedPartition[K, V]): Vector[IndexedPartition[K, V]] = p match {
-      case l: LazyIndexedPartition[K, V] => l.deltas
-      case e                             => Vector(e)
+      case l: LazyIndexedPartition[K, V] if l.reduce eq reduce => l.deltas
+      case e => Vector(e) // plain partition, or lazy view with its own reducer
     }
     new LazyIndexedPartition(flat(a) ++ flat(b), reduce)
   }

@@ -91,10 +91,13 @@ object Similarity {
       sampleSize: Int = 512, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // --- train coarse quantizer on a deterministic sample
+    // --- train coarse quantizer on a deterministic sample (vector
+    // column cast to array<double> up front so float AND double
+    // embedding columns collect the same way)
     val sample = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .limit(sampleSize).select(col(vecCol))
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .limit(sampleSize)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
     val centroids = kmeans(sample, nlist, iters)
     // --- assignment expression: argmin ||v - c||^2 = v.v - 2 v.c + c.c
     val v = df.select(col(idCol), col(vecCol).as("__v"))

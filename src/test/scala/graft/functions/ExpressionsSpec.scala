@@ -30,6 +30,26 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(fdf.select(VectorDot.vectorDot($"a", $"b")).head().getDouble(0) === 13.0)
   }
 
+  test("VectorDot: null element and length mismatch yield NULL (= composed form)") {
+    // null element poisons the product-sum, like aggregate(zip_with(...))
+    val ndf = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val nativeRow = ndf.select(VectorDot.vectorDot($"a", $"b")).head()
+    val composedRow = ndf.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)).head()
+    assert(nativeRow.isNullAt(0) && composedRow.isNullAt(0))
+    // mismatched lengths: zip_with pads with null -> NULL; native matches
+    val mdf = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    assert(mdf.select(VectorDot.vectorDot($"a", $"b")).head().isNullAt(0))
+    assert(mdf.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)).head().isNullAt(0))
+    // interpreted path agrees
+    val interp = VectorDot(
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Seq(4.0), ArrayType(DoubleType))).eval(null)
+    assert(interp == null)
+  }
+
   test("MinHashSignature: codegen == interpreted; component independence; min law") {
     val as = Array(3L, 5L, 7L)
     val bs = Array(11L, 13L, 17L)

@@ -151,14 +151,29 @@ class LazySpecificSpec extends AnyFunSuite {
     assert(u(1L) === Some(1) && u(3L) === Some(30))
   }
 
-  test("chained unions flatten into one delta list") {
+  test("chained unions flatten into one delta list when the reducer is shared") {
+    val add = (a: Int, b: Int) => a + b
     val parts = (0 until 4).map(i => HashIndexedPartition(Iterator((i.toLong, 1), (99L, 1))))
     val u = parts.map(p => p: IndexedPartition[Long, Int]).reduce(
-      (x, y) => LazyIndexedPartition.union(x, y, (a: Int, b: Int) => a + b))
+      (x, y) => LazyIndexedPartition.union(x, y, add))
     assert(u.asInstanceOf[LazyIndexedPartition[Long, Int]].deltas.size === 4)
     assert(u(99L) === Some(4))
     assert(u.reindex.iterator.toMap ===
       Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1, 99L -> 4))
+  }
+
+  test("chained unions with DIFFERENT reducers nest, applying each reducer to its own deltas") {
+    val a = HashIndexedPartition(Iterator((1L, 2), (2L, 5)))
+    val b = HashIndexedPartition(Iterator((1L, 3), (3L, 7)))
+    val c = HashIndexedPartition(Iterator((1L, 4), (2L, 1)))
+    // (a ∪_+ b) ∪_max c : key 1 -> max(2+3, 4) = 5, NOT max(2,3,4) or 2+3+4
+    val inner = LazyIndexedPartition.union[Long, Int](a, b, _ + _)
+    val outer = LazyIndexedPartition.union[Long, Int](inner, c, math.max)
+    assert(outer.deltas.size === 2) // nested view + c, not flattened
+    assert(outer(1L) === Some(5))
+    assert(outer(2L) === Some(5)) // max(5, 1)
+    assert(outer(3L) === Some(7))
+    assert(outer.reindex.iterator.toMap === Map(1L -> 5, 2L -> 5, 3L -> 7))
   }
 
   test("serialization ships deltas; merge re-runs at destination") {
