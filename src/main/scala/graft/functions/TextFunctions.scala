@@ -17,10 +17,12 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count approximation: whitespace tokens plus extra
-    * splits at letter/digit/punct boundaries. */
+  /** BPE-ish subword count approximation: each maximal letter run and
+    * digit run is one subword, each other non-space character its own.
+    * The run pattern has identical RE2/Java semantics (no lookarounds),
+    * so the count is DuckDB-oracle-verifiable. */
   def subwordCount(text: Column): Column =
-    size(split(trim(text), "[\\s]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\\s])"))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles ("a b c" for n=3), the unit of near-dup
     * comparison. */
@@ -39,15 +41,16 @@ object TextFunctions {
   /**
    * Rolling polynomial fingerprint over the token stream (order
    * sensitive, whitespace-normalization invariant). Two independent
-   * 31-bit polynomial lanes mod 2^31-1 combined into one 62-bit value —
-   * all intermediates fit in a long, so the fold is safe under Spark's
-   * default ANSI overflow checking.
+   * 31-bit polynomial lanes mod 2^31-1 over per-token polynomial
+   * hashes, combined into one 62-bit value — all intermediates fit in
+   * a long (safe under ANSI overflow checking), and every step is
+   * replicable in DuckDB SQL for the oracle gate.
    */
   def fingerprint(text: Column): Column = {
     val p = lit((1L << 31) - 1)
+    val th = TokenShingleHashes.tokenShingleHashes(tokens(text), 1)
     def lane(seed: Long, mult: Long): Column =
-      aggregate(tokens(text), lit(seed),
-        (acc, t) => pmod(acc * lit(mult) + pmod(xxhash64(t), p), p))
+      aggregate(th, lit(seed), (acc, h) => pmod(acc * lit(mult) + h, p))
     lane(17L, 1000003L) * lit(1L << 31) + lane(31L, 999983L)
   }
 
@@ -81,14 +84,17 @@ object TextFunctions {
   /**
    * Heuristic quality score in [0,1] combining length, token-length
    * sanity, and stopword presence — the standard cheap pre-filter for
-   * training-data curation.
+   * training-data curation. Unrounded: the exact arithmetic is
+   * replicated by the DuckDB oracle, and rounding identical doubles is
+   * LESS safe than not rounding (engines disagree on doubles adjacent
+   * to a decimal half boundary).
    */
   def qualityScore(text: Column, stopwords: Seq[String] = LangProfiles.en): Column = {
     val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
     val tl = meanTokenLen(text)
     val tokLenScore = lit(1.0) / (lit(1.0) + abs(tl - lit(4.5)))
     val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
-    round(lenScore * 0.4 + tokLenScore * 0.3 + swScore * 0.3, 4)
+    lenScore * 0.4 + tokLenScore * 0.3 + swScore * 0.3
   }
 
   /** Tiny per-language stopword/function-word profiles (public common
@@ -124,9 +130,11 @@ object TextFunctions {
     }
     val zhConf = when(length(text) === 0, lit(0.0))
       .otherwise(least(cjk.cast("double") * 3.0 / greatest(length(text), lit(1)), lit(1.0)))
+    // confidence is unrounded: the oracle replicates the arithmetic
+    // exactly, and rounding is the only cross-engine hazard
     struct(
       when(zhConf > 0.15, lit("zh")).otherwise(best._1).as("lang"),
-      round(when(zhConf > 0.15, zhConf).otherwise(least(best._2 * 5.0, lit(1.0))), 4)
+      when(zhConf > 0.15, zhConf).otherwise(least(best._2 * 5.0, lit(1.0)))
         .as("confidence"))
   }
 }

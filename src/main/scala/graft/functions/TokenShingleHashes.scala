@@ -2,26 +2,34 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ExpressionBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /**
- * Word n-gram shingle hashes in one pass: xxhash64 each token, then
- * fold each window of `n` consecutive token hashes into one 64-bit
- * shingle hash (order-sensitive polynomial fold; texts shorter than
- * `n` tokens produce one whole-text shingle, mirroring
- * `TextFunctions.wordShingles`).
+ * Word n-gram shingle hashes in one pass. Each window of `n`
+ * consecutive tokens hashes to the polynomial codepoint hash of the
+ * space-joined shingle string:
  *
- * Replaces the composed `transform(sequence) + slice + array_join +
- * xxhash64 + array_distinct` pipeline, which materialized every shingle
- * STRING (O(text × n) bytes of allocation per row) before hashing.
- * Here only token hashes are materialized. Dedup semantics are
- * identical up to 64-bit hash collisions (the set-of-shingles identity
- * is what minhash/Jaccard consume). JVM arithmetic may wrap — this is
- * expression-internal, not subject to SQL ANSI overflow checks.
+ *   h = fold(codepoints of "tok_i tok_{i+1} ... ", acc0 = 7,
+ *            acc -> (acc * 31 + cp) mod (2^31 - 1))
+ *
+ * Texts shorter than `n` tokens produce one whole-text shingle,
+ * mirroring `TextFunctions.wordShingles`. Values lie in [0, 2^31-1),
+ * so downstream affine minhash permutations stay overflow-free under
+ * ANSI arithmetic.
+ *
+ * Why this hash and not xxhash64: the exact same fold is expressible
+ * in ANSI SQL over another engine's list/string functions, which makes
+ * every consumer (minhash LSH, n-gram Jaccard, simhash, fingerprint)
+ * end-to-end verifiable against the DuckDB oracle — and it is
+ * collision-adequate for near-dup candidate generation (the set-of-
+ * shingles identity is what minhash/Jaccard consume). Shingle strings
+ * are never materialized: per token we precompute (poly, 31^len) and
+ * fold windows in O(1) per token via the concatenation law
+ * poly(a ++ b) = poly(a)*31^len(b) + poly(b).
  */
 case class TokenShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
@@ -36,27 +44,58 @@ case class TokenShingleHashes(child: Expression, n: Int) extends UnaryExpression
         s"token_shingle_hashes requires array<string>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    TokenShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = TokenShingleHashes.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = $cls.compute($arr, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingleHashes =
+    copy(child = newChild)
+}
+
+object TokenShingleHashes {
+
+  val P31: Long = (1L << 31) - 1
+
+  /** Shared kernel for the interpreted and codegen paths (the loop body
+    * dominates; one static call per row keeps codegen tiny). */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
-    val th = new Array[Long](len)
+    // per token: polynomial hash from acc 0, and 31^numCodepoints mod P31
+    val poly = new Array[Long](len)
+    val mult = new Array[Long](len)
     var i = 0
     while (i < len) {
+      var p = 0L
+      var m = 1L
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val s = arr.getUTF8String(i).toString
+        var k = 0
+        while (k < s.length) {
+          val cp = s.codePointAt(k)
+          p = (p * 31 + cp) % P31
+          m = (m * 31) % P31
+          k += Character.charCount(cp)
+        }
       }
+      poly(i) = p
+      mult(i) = m
       i += 1
     }
     val win = math.min(n, math.max(len, 1))
-    val m = math.max(len - win + 1, if (len == 0) 0 else 1)
+    val m = if (len == 0) 0 else math.max(len - win + 1, 1)
     val out = new Array[Long](m)
     i = 0
     while (i < m) {
-      var h = -7046029254386353131L
+      var h = 7L
       var j = 0
       while (j < win && i + j < len) {
-        h = h * 1099511628211L + th(i + j)
+        if (j > 0) h = (h * 31 + 32) % P31 // joining space, codepoint 32
+        h = (h * mult(i + j) + poly(i + j)) % P31
         j += 1
       }
       out(i) = h
@@ -65,48 +104,6 @@ case class TokenShingleHashes(child: Expression, n: Int) extends UnaryExpression
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val gad = classOf[GenericArrayData].getName
-    val xxh = classOf[XXH64].getName
-    nullSafeCodeGen(ctx, ev, arr => {
-      val len = ctx.freshName("len")
-      val th = ctx.freshName("th")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
-      val win = ctx.freshName("win")
-      val m = ctx.freshName("m")
-      val out = ctx.freshName("out")
-      val h = ctx.freshName("h")
-      s"""
-         |int $len = $arr.numElements();
-         |long[] $th = new long[$len];
-         |for (int $i = 0; $i < $len; $i++) {
-         |  if (!$arr.isNullAt($i)) {
-         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
-         |    $th[$i] = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
-         |  }
-         |}
-         |int $win = java.lang.Math.min($n, java.lang.Math.max($len, 1));
-         |int $m = $len == 0 ? 0 : java.lang.Math.max($len - $win + 1, 1);
-         |long[] $out = new long[$m];
-         |for (int $i = 0; $i < $m; $i++) {
-         |  long $h = -7046029254386353131L;
-         |  for (int $j = 0; $j < $win && $i + $j < $len; $j++) {
-         |    $h = $h * 1099511628211L + $th[$i + $j];
-         |  }
-         |  $out[$i] = $h;
-         |}
-         |${ev.value} = new $gad($out);
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): TokenShingleHashes =
-    copy(child = newChild)
-}
-
-object TokenShingleHashes {
   /** One-pass shingle hashes of a token-array column. */
   def tokenShingleHashes(tokens: Column, n: Int): Column =
     ExpressionBridge.column(

@@ -52,8 +52,10 @@ object Dedup {
     * so it is safe under Spark's default ANSI overflow checking. */
   private val P31 = (1L << 31) - 1
 
-  /** Deterministic affine permutation constants (31-bit) for k minhashes. */
-  private def perms(k: Int): Seq[(Long, Long)] = {
+  /** Deterministic affine permutation constants (31-bit) for k minhashes
+    * (graft-visible so the DuckDB oracle builder can embed the same
+    * constants as SQL literals). */
+  private[graft] def perms(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(0x5eed5eedL)
     Seq.fill(k)((rnd.nextLong().abs % (P31 - 1) + 1, rnd.nextLong().abs % P31))
   }
@@ -69,9 +71,10 @@ object Dedup {
       ps.map(_._1).toArray, ps.map(_._2).toArray)
   }
 
-  /** 31-bit shingle hash set of a text column (minhash input). */
+  /** 31-bit shingle hash set of a text column (minhash input).
+    * `shingleHashes` already emits values in [0, 2^31-1). */
   def shingleHashes31(text: Column, shingleN: Int): Column =
-    transform(shingleHashes(text, shingleN), h => pmod(h, lit(P31)))
+    shingleHashes(text, shingleN)
 
   /** One-expression minhash signature (convenience; prefer the staged
     * [[shingleHashes31]] -> [[minhashFromHashes]] form in plans). */
@@ -148,9 +151,25 @@ object Dedup {
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit simhash of the token set (native codegen expression). */
-  def simhashColumn(text: Column): Column =
-    simhash64(transform(tokens(text), t => xxhash64(t)))
+  /** Two-lane bit spread of a 31-bit token hash into 62 usable bits:
+    * each lane is an affine transform mod 2^31-1 (classic LCG
+    * multipliers), concatenated. Replicable in DuckDB SQL, unlike
+    * xxhash64; bits 62-63 are always 0, which is hamming-invariant
+    * across documents. */
+  private[graft] val SimLaneA1 = 1566083941L
+  private[graft] val SimLaneB1 = 1L
+  private[graft] val SimLaneA2 = 1103515245L
+  private[graft] val SimLaneB2 = 12345L
+
+  /** 62-bit simhash of the token stream (native codegen expression over
+    * oracle-replicable polynomial token hashes). */
+  def simhashColumn(text: Column): Column = {
+    val th = graft.functions.TokenShingleHashes.tokenShingleHashes(tokens(text), 1)
+    val spread = transform(th, p =>
+      pmod(p * lit(SimLaneA1) + lit(SimLaneB1), lit(P31)) * lit(1L << 31) +
+        pmod(p * lit(SimLaneA2) + lit(SimLaneB2), lit(P31)))
+    simhash64(spread)
+  }
 
   /**
    * SimHash near-duplicate pairs with hamming distance <= maxHamming
@@ -185,7 +204,7 @@ object Dedup {
     val sigs = pin(df
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
       .select(col(idCol), col("__sh"),
-        minhashFromHashes(transform(col("__sh"), h => pmod(h, lit(P31))), 64).as("__sig"))
+        minhashFromHashes(col("__sh"), 64).as("__sig"))
       .withColumn("__bands", bandKeys(col("__sig"), 16, 4)))
     val cands = bucketCandidates(sigs, idCol, maxBucketSize)
     val sl = sigs.select(col(idCol).as("a"), col("__sh").as("__sha"))
@@ -195,7 +214,7 @@ object Dedup {
         size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
           size(array_union(col("__sha"), col("__shb"))))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   // ------------------------------------------------------ embedding cosine
@@ -233,13 +252,20 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
   }
 
-  /** Deterministic gaussian hyperplane pool for sign-LSH; `table`
-    * selects a disjoint slice so hash tables are independent. */
-  private[pipeline] def planesForTable(dim: Int, bits: Int, table: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(0x91a7e5L)
-    val all = Seq.fill(bits * (table + 1))(Seq.fill(dim)(rnd.nextGaussian()))
-    all.slice(bits * table, bits * (table + 1))
+  /** Deterministic Rademacher (±1) hyperplane pool for sign-LSH;
+    * `table` selects a disjoint slice so hash tables are independent.
+    * ±1 entries are as good as gaussian for sign-random-projection and
+    * — generated by pure integer arithmetic (squared-LCG parity mod
+    * 2^31-1) — the exact same planes are reproducible inside a DuckDB
+    * oracle query, making bucket membership cross-engine verifiable. */
+  private[graft] def planeSign(dim: Int, bits: Int, table: Int, bit: Int, d: Int): Double = {
+    val idx = (table.toLong * bits + bit) * dim + d
+    val q = (1103515245L * idx + 12345L) % P31
+    if ((q * q % P31) % 2 == 0) 1.0 else -1.0
   }
+
+  private[graft] def planesForTable(dim: Int, bits: Int, table: Int): Seq[Seq[Double]] =
+    Seq.tabulate(bits)(j => Seq.tabulate(dim)(d => planeSign(dim, bits, table, j, d)))
 
   /** Sign-random-projection bucket key for one hash table: one bit per
     * hyperplane. */

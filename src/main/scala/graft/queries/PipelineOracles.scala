@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.pipeline.Dedup
+
+/**
+ * DuckDB oracle SQL for the pipeline queries whose kernels were
+ * previously rows-only. Every hash in the Spark pipeline (polynomial
+ * codepoint hash mod 2^31-1, affine minhash permutations, two-lane
+ * simhash spread, squared-LCG ±1 SRP planes) is pure integer/IEEE
+ * arithmetic, so the oracle recomputes the IDENTICAL values in SQL —
+ * the driver's hash compare then verifies the whole pipeline
+ * end-to-end, not just row counts.
+ *
+ * Floating-point invariants relied on: both engines evaluate the
+ * replicated expressions left-to-right over the same doubles, and both
+ * round doubles half-away-from-zero on the shortest decimal
+ * representation, so `round(x, k)` of identically-computed values
+ * matches bit-for-bit.
+ */
+object PipelineOracles {
+
+  private val P = "2147483647" // 2^31 - 1
+
+  /** Polynomial codepoint hash of a string SQL expression, acc0 = 7 —
+    * mirrors TokenShingleHashes.compute for one token / one shingle
+    * string. unicode('') returns -1 in DuckDB (empty-string artifact of
+    * string_split), hence the >= 0 filter. */
+  private def poly(s: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |  list_filter(list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT)),
+       |              x -> x >= 0)),
+       |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
+
+  /** Whitespace tokens, mirroring TextFunctions.tokens. */
+  private def toks(textExpr: String): String =
+    s"string_split_regex(trim($textExpr), '\\s+')"
+
+  /** Word-3-gram strings with the shorter-than-n whole-text fallback,
+    * mirroring TextFunctions.wordShingles(n=3). */
+  private val grams3 =
+    """CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |     ELSE list_transform(range(1, len(toks) - 1),
+      |                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END""".stripMargin
+
+  /** The planted near-dup corpus: documents ∪ perturbed copies (last
+    * ~10% of tokens dropped, id + 1e6) — mirrors
+    * PipelineQueries.plantedCorpus. */
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(list_slice(toks, 1, greatest((len(toks) * 9) // 10, 1)), ' ')
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) t
+      |)""".stripMargin
+
+  /** Minhash permutation constants as a SQL list literal [[a,b],...] —
+    * the same constants Dedup.perms(64) feeds MinHashSignature. */
+  private val permsLit: String =
+    Dedup.perms(64).map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+
+  /** 64-component minhash signature over a 31-bit hash-set column `hs`. */
+  private def sigExpr: String =
+    s"""list_transform($permsLit, p ->
+       |  list_min(list_transform(hs, h -> (p[1] * h + p[2]) % $P)))""".stripMargin
+
+  /** Banded bucket keys (16 bands × 4 rows) tagged with the band index,
+    * mirroring Dedup.bandKeys + the (band, key) grouping. */
+  private val bandsExpr =
+    s"""list_transform(range(0, 16), j ->
+       |  j * 2147483648 + list_reduce(
+       |    list_prepend(CAST(977 AS BIGINT), list_slice(sig, j*4 + 1, j*4 + 4)),
+       |    (a, x) -> (a * 31 + x) % $P))""".stripMargin
+
+  /** Shared candidate-pair SQL: explode tagged bucket keys, cap bucket
+    * size, emit distinct ordered id pairs — mirrors
+    * Dedup.bucketCandidates. Expects a CTE `bd(doc_id, bk)`. */
+  private def candCte(maxBucket: Int): String =
+    s"""bc AS (SELECT bk, count(*) AS n FROM bd GROUP BY bk),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |  JOIN bc c ON c.bk = x.bk
+       |  WHERE c.n BETWEEN 2 AND $maxBucket)""".stripMargin
+
+  // ------------------------------------------------------------- dedup
+
+  val dedupMinhash: String =
+    s"""WITH $corpusCte,
+       |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
+       |gh AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams3, g -> ${poly("g")})) AS hs FROM tok),
+       |sg AS (SELECT doc_id, $sigExpr AS sig FROM gh),
+       |bd AS (SELECT doc_id, unnest($bandsExpr) AS bk FROM sg),
+       |${candCte(1000)}
+       |SELECT c.a, c.b,
+       |  round(CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64, 4)
+       |    AS est_jaccard
+       |FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b
+       |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32""".stripMargin
+
+  val dedupNgram: String =
+    s"""WITH $corpusCte,
+       |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
+       |gh AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams3, g -> ${poly("g")})) AS hs FROM tok),
+       |sg AS (SELECT doc_id, $sigExpr AS sig FROM gh),
+       |bd AS (SELECT doc_id, unnest($bandsExpr) AS bk FROM sg),
+       |${candCte(1000)}
+       |SELECT c.a, c.b,
+       |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+       |    / len(list_distinct(ha.hs || hb.hs)) AS jaccard
+       |FROM cand c JOIN gh ha ON ha.doc_id = c.a JOIN gh hb ON hb.doc_id = c.b
+       |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+       |      / len(list_distinct(ha.hs || hb.hs)) >= CAST(0.6 AS DOUBLE)""".stripMargin
+
+  /** Two-lane 62-bit spread of a 31-bit token hash (Dedup.simhashColumn
+    * constants), then SimHash64 semantics: bit b set iff strictly more
+    * than half of the token hashes have bit b set. */
+  val dedupSimhash: String =
+    s"""WITH $corpusCte,
+       |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
+       |th AS (SELECT doc_id, list_transform(toks, t ->
+       |  ((${poly("t")}) * ${Dedup.SimLaneA1} + ${Dedup.SimLaneB1}) % $P * 2147483648
+       |  + ((${poly("t")}) * ${Dedup.SimLaneA2} + ${Dedup.SimLaneB2}) % $P) AS th FROM tok),
+       |sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(0, 62), b ->
+       |    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th)
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, x) -> a | x) AS sh FROM th),
+       |bd AS (SELECT doc_id, unnest(list_transform(range(0, 4), j ->
+       |  ((sh >> (j * 16)) & 65535) | (j << 32))) AS bk FROM sh),
+       |${candCte(10000)}
+       |SELECT c.a, c.b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+       |FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+       |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3""".stripMargin
+
+  // ------------------------------------------------------------- text
+
+  val textFingerprint: String =
+    s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |th AS (SELECT doc_id, list_transform(toks, t -> ${poly("t")}) AS th FROM tok)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(17 AS BIGINT), th), (a, h) -> (a * 1000003 + h) % $P)
+       |    * 2147483648
+       |  + list_reduce(list_prepend(CAST(31 AS BIGINT), th), (a, h) -> (a * 999983 + h) % $P)
+       |    AS fp,
+       |  TRUE AS ws_invariant
+       |FROM th""".stripMargin
+
+  val textSubwords: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      |    AS n_subwords
+      |FROM documents""".stripMargin
+
+  private val enStop = "'the','a','and','of','to','in','is','that','it','for'"
+
+  val textQualityScore: String =
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(toks) AS DOUBLE) AS n,
+       |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE) / len(toks) END AS tl,
+       |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(len(list_filter(toks, w -> w IN ($enStop))) AS DOUBLE) / len(toks) END AS swr
+       |  FROM t)
+       |SELECT doc_id,
+       |  least(n / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |  + CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + abs(tl - CAST(4.5 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+       |  + least(swr * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) AS quality
+       |FROM m""".stripMargin
+
+  private def stopRatio(words: String): String =
+    s"""CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |     ELSE CAST(len(list_filter(toks, w -> w IN ($words))) AS DOUBLE) / len(toks) END""".stripMargin
+
+  val textLangid: String =
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  ${stopRatio("'the','a','and','of','to','in','is','that','it','for'")} AS s_en,
+       |  ${stopRatio("'el','la','de','que','y','en','un','por','con','los'")} AS s_es,
+       |  ${stopRatio("'der','die','das','und','von','zu','mit','ist','auf','ein'")} AS s_de,
+       |  ${stopRatio("'le','la','de','et','un','est','pour','dans','que','les'")} AS s_fr,
+       |  CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS DOUBLE) AS cjk,
+       |  length(text) AS n
+       |  FROM t),
+       |b AS (SELECT doc_id,
+       |  greatest(s_en, s_es, s_de, s_fr) AS best_s,
+       |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+       |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       |       ELSE 'fr' END AS lang0,
+       |  CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE least(cjk * CAST(3.0 AS DOUBLE) / greatest(n, 1), CAST(1.0 AS DOUBLE)) END AS zh_conf
+       |  FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN zh_conf > CAST(0.15 AS DOUBLE) THEN 'zh' ELSE lang0 END AS lang_pred,
+       |  CASE WHEN zh_conf > CAST(0.15 AS DOUBLE) THEN zh_conf
+       |       ELSE least(best_s * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS confidence
+       |FROM b""".stripMargin
+
+  // -------------------------------------------------------------- LSH
+
+  /** ±1 plane table (t, j, s[64]) from the squared-LCG parity —
+    * mirrors Dedup.planeSign for dim=64, bits=6. */
+  private def planesCte(tables: Int): String =
+    s"""planes AS (
+       |  SELECT r1.range AS t, r2.range AS j,
+       |    list_transform(range(0, 64), dd ->
+       |      CASE WHEN ((1103515245 * ((r1.range * 6 + r2.range) * 64 + dd) + 12345) % $P)
+       |              * ((1103515245 * ((r1.range * 6 + r2.range) * 64 + dd) + 12345) % $P)
+       |              % $P % 2 = 0
+       |           THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS s
+       |  FROM range(0, $tables) r1, range(0, 6) r2)""".stripMargin
+
+  /** Left-to-right dot product of two 64-element double lists —
+    * matches VectorDot's accumulation order. */
+  private def dot64(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, 65), d -> $a[d] * $b[d])), (x, y) -> x + y)""".stripMargin
+
+  /** SRP bucket keys per (vec, table) over a vector CTE `vecs(id, v)`. */
+  private val keysCte =
+    s"""bits AS (
+       |  SELECT vecs.id, p.t, p.j,
+       |    CASE WHEN ${dot64("vecs.v", "p.s")} > 0
+       |         THEN (CAST(1 AS BIGINT) << p.j) ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM vecs, planes p),
+       |keys AS (SELECT id, t, CAST(sum(bit) AS BIGINT) AS key FROM bits GROUP BY id, t)""".stripMargin
+
+  val embedPairsLsh: String =
+    s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv FROM embeddings),
+       |nrm AS (SELECT vec_id, rv, sqrt(${dot64("rv", "rv")}) AS nn FROM raw),
+       |vecs AS (SELECT vec_id AS id, list_transform(rv, x -> x / nn) AS v FROM nrm),
+       |${planesCte(8)},
+       |$keysCte,
+       |bd AS (SELECT id AS doc_id, key + t * 4294967296 AS bk FROM keys),
+       |${candCte(2000)}
+       |SELECT c.a, c.b, round(${dot64("va.v", "vb.v")}, 2) AS cos
+       |FROM cand c JOIN vecs va ON va.id = c.a JOIN vecs vb ON vb.id = c.b
+       |WHERE ${dot64("va.v", "vb.v")} > CAST(0.4 AS DOUBLE)""".stripMargin
+
+  val annLshTopk: String =
+    s"""WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${planesCte(6)},
+       |$keysCte,
+       |qk AS (SELECT t, key FROM keys WHERE id = 7),
+       |cand AS (
+       |  SELECT DISTINCT k.id FROM keys k JOIN qk ON k.t = qk.t
+       |  WHERE k.key = qk.key OR k.key = xor(qk.key, 1) OR k.key = xor(qk.key, 2)
+       |     OR k.key = xor(qk.key, 4) OR k.key = xor(qk.key, 8)
+       |     OR k.key = xor(qk.key, 16) OR k.key = xor(qk.key, 32)),
+       |qn AS (SELECT list_transform(v, x -> x / sqrt(${dot64("v", "v")})) AS q
+       |       FROM vecs WHERE id = 7),
+       |scored AS (
+       |  SELECT c.id AS vec_id,
+       |    ${dot64("vecs.v", "qn.q")} / sqrt(${dot64("vecs.v", "vecs.v")}) AS cos
+       |  FROM cand c JOIN vecs ON vecs.id = c.id, qn)
+       |SELECT vec_id, round(cos, 2) AS cos FROM (
+       |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+
+  // -------------------------------------------------------- multimodal
+
+  /** mm_resize_frames metadata path: videos are doc_id % 3 = 2 with 4
+    * frames; stride-2 sampling keeps frames 0 and 2; after factor-2
+    * resize a frame is ((8 + n_chars % 8) / 2) * (8 / 2) bytes. */
+  val mmResizeFrames: String =
+    """SELECT doc_id AS media_id, CAST(f.fi AS INTEGER) AS frame_idx,
+      |  CAST(((8 + (n_chars % 8)) // 2) * 4 AS BIGINT) AS frame_bytes
+      |FROM documents, (VALUES (0), (2)) f(fi)
+      |WHERE doc_id % 3 = 2""".stripMargin
+
+  /** All oracle entries contributed by this object. */
+  val sql: Map[String, String] = Map(
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_simhash" -> dedupSimhash,
+    "text_fingerprint" -> textFingerprint,
+    "text_subwords" -> textSubwords,
+    "text_quality_score" -> textQualityScore,
+    "text_langid" -> textLangid,
+    "embed_pairs_lsh" -> embedPairsLsh,
+    "ann_lsh_topk" -> annLshTopk,
+    "mm_resize_frames" -> mmResizeFrames,
+  )
+}

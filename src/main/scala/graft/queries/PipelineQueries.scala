@@ -120,8 +120,6 @@ object PipelineQueries {
     },
 
     "text_subwords" -> { (s, dir) =>
-      // BPE-ish subword counting (regex with lookarounds — not
-      // expressible in DuckDB's RE2, so rows-only)
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
     },
@@ -241,5 +239,5 @@ object PipelineQueries {
         |      w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
         |    / len(string_split_regex(trim(text), '\s+')), 4) AS stop_ratio
         |FROM documents""".stripMargin
-  )
+  ) ++ PipelineOracles.sql
 }
