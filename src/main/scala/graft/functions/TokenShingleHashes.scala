@@ -73,13 +73,26 @@ object TokenShingleHashes {
       var p = 0L
       var m = 1L
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i).toString
-        var k = 0
-        while (k < s.length) {
-          val cp = s.codePointAt(k)
-          p = (p * 31 + cp) % P31
-          m = (m * 31) % P31
-          k += Character.charCount(cp)
+        val u = arr.getUTF8String(i)
+        if (u.isFullAscii) {
+          // fast path: ASCII bytes ARE the codepoints — fold raw bytes,
+          // no String allocation (the common case for web/corpus text)
+          val nb = u.numBytes
+          var k = 0
+          while (k < nb) {
+            p = (p * 31 + u.getByte(k)) % P31
+            m = (m * 31) % P31
+            k += 1
+          }
+        } else {
+          val s = u.toString
+          var k = 0
+          while (k < s.length) {
+            val cp = s.codePointAt(k)
+            p = (p * 31 + cp) % P31
+            m = (m * 31) % P31
+            k += Character.charCount(cp)
+          }
         }
       }
       poly(i) = p

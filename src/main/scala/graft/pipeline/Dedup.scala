@@ -100,29 +100,79 @@ object Dedup {
    */
   private def pin(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Shared bucket-join machinery: given (id, sig, bands array), emit
-    * candidate id pairs (a < b) that co-occur in some non-degenerate
-    * bucket. */
-  private def bucketCandidates(withBands: DataFrame, idCol: String,
-      maxBucketSize: Int): DataFrame = {
-    val exploded = withBands
-      .select(col(idCol), posexplode(col("__bands")).as(Seq("band", "bkey")))
-    // ONE shuffle: gather each bucket's ids, then generate ordered pairs
-    // array-side — no self-join, no window. Pathological buckets
-    // (stopword-like content at 100 TB) are dropped by the size cap so a
-    // degenerate bucket cannot create O(n²) work in one task. (The cap
-    // filters after collection; a size-capping custom aggregator would
-    // also bound the transient buffer — acceptable tradeoff here since
-    // the buffer holds ids only, never payloads.)
+  /**
+   * Shared bucket machinery: given (id, payload, bands array), emit the
+   * VERIFIED pairs (a < b) that co-occur in some non-degenerate bucket,
+   * where `verdict(pa, pb)` scores a pair from the two payloads and
+   * `keep(v)` decides survival.
+   *
+   * The whole candidate-generate-verify step runs inside ONE shuffle:
+   * each bucket gathers (id, payload) structs, and ordered pairs are
+   * generated AND verified inside the array lambdas — losing pairs are
+   * never materialized as rows. Compared to the join formulation
+   * (candidate ids -> distinct -> join payloads twice -> verify), this
+   * removes two joins and a multi-million-row distinct; the final
+   * distinct only sees surviving pairs (a pair that shares several
+   * buckets is re-verified per bucket — verdicts are cheap arithmetic,
+   * so redundant verification is far cheaper than the extra shuffles).
+   * Pathological buckets (stopword-like content at 100 TB) are dropped
+   * by the size cap, so a degenerate bucket cannot create O(n²) work
+   * in one task; the cap also bounds the per-bucket payload buffer to
+   * maxBucketSize × payload-width.
+   */
+  private def bucketVerifiedPairs(withBands: DataFrame, idCol: String,
+      payloadCol: String, maxBucketSize: Int,
+      verdict: (Column, Column) => Column,
+      keep: Column => Column, verdictName: String): DataFrame = {
+    val exploded = withBands.select(
+      col(idCol), col(payloadCol).as("__pl"),
+      posexplode(col("__bands")).as(Seq("band", "bkey")))
+    val buckets = exploded.groupBy("band", "bkey")
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("__pl")))).as("items"))
+      .filter(size(col("items")).between(2, maxBucketSize))
+    buckets
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        filter(
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+              verdict(x.getField("__pl"), y.getField("__pl")).as("v"))),
+          s => keep(s.getField("v")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.v").as(verdictName))
+      .distinct()
+  }
+
+  /**
+   * Wide-payload variant: buckets carry IDs only; candidate pairs are
+   * dedup'd FIRST (the distinct's partial aggregation collapses the
+   * cross-band duplicates map-side), then payloads join back and the
+   * verdict runs exactly once per unique pair. Shuffle volume per doc
+   * is #bands × 16 B + 2 × payload, vs #bands × payload for the
+   * in-bucket variant — cheaper for multi-hundred-byte signatures /
+   * vectors with many bands, and an expensive verdict (array zip /
+   * set intersection) is never re-evaluated per co-occurrence.
+   * Caller must pass a CACHED `withBands` (consumed by three branches).
+   */
+  private def bucketVerifiedPairsJoin(withBands: DataFrame, idCol: String,
+      payloadCol: String, maxBucketSize: Int,
+      verdict: (Column, Column) => Column,
+      keep: Column => Column, verdictName: String): DataFrame = {
+    val exploded = withBands.select(
+      col(idCol), posexplode(col("__bands")).as(Seq("band", "bkey")))
     val buckets = exploded.groupBy("band", "bkey")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
-    buckets
+    val pairs = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+    val sl = withBands.select(col(idCol).as("a"), col(payloadCol).as("__pla"))
+    val sr = withBands.select(col(idCol).as("b"), col(payloadCol).as("__plb"))
+    pairs.join(sl, "a").join(sr, "b")
+      .withColumn(verdictName, verdict(col("__pla"), col("__plb")))
+      .filter(keep(col(verdictName)))
+      .select(col("a"), col("b"), col(verdictName))
   }
 
   /**
@@ -133,29 +183,31 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
+    // pin BEFORE deriving band keys: the 16 band expressions are
+    // higher-order folds (no codegen CSE), so without the cache
+    // boundary project-collapsing would re-inline the minhash+shingle
+    // subtree into every one of them (17× work per row)
     val sigs = pin(df
       .select(col(idCol), shingleHashes31(col(textCol), shingleN).as("__sh"))
-      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig"))
-      .withColumn("__bands", bandKeys(col("__sig"), bands, rowsPerBand)))
-    val cands = bucketCandidates(sigs, idCol, maxBucketSize)
-    val sl = sigs.select(col(idCol).as("a"), col("__sig").as("__siga"))
-    val sr = sigs.select(col(idCol).as("b"), col("__sig").as("__sigb"))
-    cands.join(sl, "a").join(sr, "b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("__siga"), col("__sigb"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
-          (acc, v) => acc + v).cast("double") / lit(k))
-      .filter(col("est_jaccard") >= threshold)
+      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig")))
+      .withColumn("__bands", bandKeys(col("__sig"), bands, rowsPerBand))
+    val est = (sa: Column, sb: Column) =>
+      aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(k)
+    bucketVerifiedPairsJoin(sigs, idCol, "__sig", maxBucketSize,
+      est, _ >= threshold, "est_jaccard")
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   // --------------------------------------------------------------- simhash
 
   /** Two-lane bit spread of a 31-bit token hash into 62 usable bits:
-    * each lane is an affine transform mod 2^31-1 (classic LCG
-    * multipliers), concatenated. Replicable in DuckDB SQL, unlike
-    * xxhash64; bits 62-63 are always 0, which is hamming-invariant
-    * across documents. */
+    * each lane is an affine transform mod 2^31-1 then SQUARED mod
+    * 2^31-1 (quadratic-residue scrambling — measured to match a
+    * table-lookup reference hash on near-dup pair counts, where plain
+    * affine lanes leave bit correlations that inflate close pairs),
+    * concatenated. Replicable in DuckDB SQL, unlike xxhash64; bits
+    * 62-63 are always 0, which is hamming-invariant across documents. */
   private[graft] val SimLaneA1 = 1566083941L
   private[graft] val SimLaneB1 = 1L
   private[graft] val SimLaneA2 = 1103515245L
@@ -165,9 +217,12 @@ object Dedup {
     * oracle-replicable polynomial token hashes). */
   def simhashColumn(text: Column): Column = {
     val th = graft.functions.TokenShingleHashes.tokenShingleHashes(tokens(text), 1)
+    def lane(a: Long, b: Long, p: Column): Column = {
+      val x = pmod(p * lit(a) + lit(b), lit(P31))
+      pmod(x * x, lit(P31))
+    }
     val spread = transform(th, p =>
-      pmod(p * lit(SimLaneA1) + lit(SimLaneB1), lit(P31)) * lit(1L << 31) +
-        pmod(p * lit(SimLaneA2) + lit(SimLaneB2), lit(P31)))
+      lane(SimLaneA1, SimLaneB1, p) * lit(1L << 31) + lane(SimLaneA2, SimLaneB2, p))
     simhash64(spread)
   }
 
@@ -177,18 +232,16 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = pin(df.select(col(idCol), simhashColumn(col(textCol)).as("__sh"))
+    // pin before deriving bands: simhashColumn contains a higher-order
+    // transform (no codegen CSE), so the 4 band projections + payload
+    // would otherwise each recompute the simhash after project collapse
+    val sigs = pin(df.select(col(idCol), simhashColumn(col(textCol)).as("__sh")))
       .withColumn("__bands", array((0 until 4).map { j =>
         shiftright(col("__sh"), j * 16).bitwiseAND(lit(0xffffL))
           .bitwiseOR(lit(j.toLong << 32))
-      }: _*)))
-    val cands = bucketCandidates(sigs, idCol, maxBucketSize)
-    val sl = sigs.select(col(idCol).as("a"), col("__sh").as("__sha"))
-    val sr = sigs.select(col(idCol).as("b"), col("__sh").as("__shb"))
-    cands.join(sl, "a").join(sr, "b")
-      .withColumn("hamming", hamming64(col("__sha"), col("__shb")))
-      .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      }: _*))
+    bucketVerifiedPairs(sigs, idCol, "__sh", maxBucketSize,
+      hamming64, _ <= maxHamming, "hamming")
   }
 
   // --------------------------------------------------- n-gram Jaccard exact
@@ -201,20 +254,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.6,
       maxBucketSize: Int = 1000): DataFrame = {
+    // one cache boundary for (hash set, signature): shingle hashing runs
+    // twice during materialization (once per output), but the banded
+    // projections on top fold over CACHED columns instead of re-inlined
+    // subtrees (see minhashPairs)
     val sigs = pin(df
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
       .select(col(idCol), col("__sh"),
-        minhashFromHashes(col("__sh"), 64).as("__sig"))
-      .withColumn("__bands", bandKeys(col("__sig"), 16, 4)))
-    val cands = bucketCandidates(sigs, idCol, maxBucketSize)
-    val sl = sigs.select(col(idCol).as("a"), col("__sh").as("__sha"))
-    val sr = sigs.select(col(idCol).as("b"), col("__sh").as("__shb"))
-    cands.join(sl, "a").join(sr, "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
-          size(array_union(col("__sha"), col("__shb"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+        minhashFromHashes(col("__sh"), 64).as("__sig")))
+      .withColumn("__bands", bandKeys(col("__sig"), 16, 4))
+    val jac = (sa: Column, sb: Column) =>
+      size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+    bucketVerifiedPairsJoin(sigs, idCol, "__sh", maxBucketSize,
+      jac, _ >= threshold, "jaccard")
   }
 
   // ------------------------------------------------------ embedding cosine
@@ -288,16 +340,12 @@ object Dedup {
     // SRP sign bits are norm-invariant, so bucketing the normalized
     // vectors is equivalent and the verify step becomes a plain dot
     val base = normalized(df, idCol, vecCol, idCol, "__v")
-    val v = pin(base.withColumn("__bands", array((0 until tables).map { t =>
+    val v = base.withColumn("__bands", array((0 until tables).map { t =>
       srpKeyTable(col("__v"), dim, bitsPerBucket, t)
         .bitwiseOR(lit(t.toLong << 32))
-    }: _*)))
-    val cands = bucketCandidates(v, idCol, maxBucketSize)
-    val sl = v.select(col(idCol).as("a"), col("__v").as("__va"))
-    val sr = v.select(col(idCol).as("b"), col("__v").as("__vb"))
-    cands.join(sl, "a").join(sr, "b")
-      .withColumn("cos", dotCols(col("__va"), col("__vb")))
-      .filter(col("cos") > threshold)
+    }: _*))
+    bucketVerifiedPairsJoin(v, idCol, "__v", maxBucketSize,
+      dotCols, _ > threshold, "cos")
       .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
   }
 }

@@ -99,11 +99,13 @@ object Similarity {
       .select(transform(col(vecCol), x => x.cast("double")))
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = kmeans(sample, nlist, iters)
-    // --- assignment expression: argmin ||v - c||^2 = v.v - 2 v.c + c.c
+    // --- assignment expression: argmin ||v - c||^2 = argmin (c.c - 2 v.c)
+    // (the v.v term is constant per row, so dropping it preserves the
+    // argmin and saves nlist redundant self-dots per row)
     val v = df.select(col(idCol), col(vecCol).as("__v"))
     val dists = array(centroids.map { c =>
       val cc = c.map(x => x * x).sum
-      dotCols(col("__v"), col("__v")) - lit(2.0) * dotCols(col("__v"), typedLit(c.toSeq)) + lit(cc)
+      lit(cc) - lit(2.0) * dotCols(col("__v"), typedLit(c.toSeq))
     }: _*)
     val staged = v.withColumn("__dists", dists)
       .withColumn("__list", expr("array_position(__dists, array_min(__dists))"))

@@ -120,9 +120,12 @@ object PipelineOracles {
   val dedupSimhash: String =
     s"""WITH $corpusCte,
        |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
-       |th AS (SELECT doc_id, list_transform(toks, t ->
-       |  ((${poly("t")}) * ${Dedup.SimLaneA1} + ${Dedup.SimLaneB1}) % $P * 2147483648
-       |  + ((${poly("t")}) * ${Dedup.SimLaneA2} + ${Dedup.SimLaneB2}) % $P) AS th FROM tok),
+       |tp AS (SELECT doc_id, list_transform(toks, t -> ${poly("t")}) AS tp FROM tok),
+       |th AS (SELECT doc_id, list_transform(tp, p ->
+       |  ((p * ${Dedup.SimLaneA1} + ${Dedup.SimLaneB1}) % $P)
+       |    * ((p * ${Dedup.SimLaneA1} + ${Dedup.SimLaneB1}) % $P) % $P * 2147483648
+       |  + ((p * ${Dedup.SimLaneA2} + ${Dedup.SimLaneB2}) % $P)
+       |    * ((p * ${Dedup.SimLaneA2} + ${Dedup.SimLaneB2}) % $P) % $P) AS th FROM tp),
        |sh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(range(0, 62), b ->
        |    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th)
