@@ -171,6 +171,18 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), $"_2".as("c_acctbal"))
     },
 
+    "ir_range_partitioned" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // globally range-partitioned layout: the range() call prunes to
+      // only the partitions whose key interval overlaps [500, 800) —
+      // O(range) tasks at scale instead of O(partitions)
+      val idx = IndexedRDD.rangePartitioned(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd, 8)
+      s.createDataset(idx.range(500L, 800L))
+        .select($"_1".as("c_custkey"), $"_2".as("c_acctbal"))
+    },
+
     "ir_sql_pointget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -293,6 +305,10 @@ object OperatorQueries {
     "ir_range" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey >= 100 AND c_custkey < 300""".stripMargin,
+
+    "ir_range_partitioned" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey >= 500 AND c_custkey < 800""".stripMargin,
 
     "ir_sql_pointget" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -191,6 +191,47 @@ object RelationalQueries {
           get_json_object($"props", "$.k").cast("long").as("k"),
           upper($"event_type").as("etype"),
           round(abs($"value") + sqrt(abs($"value")), 2).as("vmix"))
+    },
+
+    // CUBE: all grouping-set combinations in one pass (partial agg per
+    // set, single shuffle)
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // pivot via conditional aggregation (codegen-friendly, no separate
+    // pivot pass; DuckDB expresses the same with FILTER)
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      def forType(t: String) =
+        round(sum(when($"event_type" === t, $"value")), 2).as(s"v_$t")
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(forType("click"), forType("view"), forType("purchase"),
+          forType("signup"), forType("error"))
+    },
+
+    // salted JOIN: the 5-value event_type dim is a worst-case hot key —
+    // replicate the dim x16 and salt the fact side so each hot key
+    // spreads over 16 tasks; the recombined result equals the plain join
+    "q_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+        ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+      val fact = Tables.events(s, dir)
+        .select($"event_type", $"value")
+        .withColumn("__salt",
+          graft.pipeline.Skew.saltColumn(16, $"event_type", $"value",
+            monotonically_increasing_id()))
+      fact.join(broadcast(graft.pipeline.Skew.replicateForSalt(dim, 16)),
+          Seq("event_type", "__salt"))
+        .groupBy($"event_type")
+        .agg(round(sum($"value" * $"weight"), 2).as("weighted"),
+          count(lit(1)).as("n"))
     }
   )
 
@@ -304,6 +345,31 @@ object RelationalQueries {
         |  CAST(props ->> '$.k' AS BIGINT) AS k,
         |  upper(event_type) AS etype,
         |  round(abs(value) + sqrt(abs(value)), 2) AS vmix
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(CAST(sum(value) FILTER (event_type = 'click') AS DOUBLE), 2) AS v_click,
+        |  round(CAST(sum(value) FILTER (event_type = 'view') AS DOUBLE), 2) AS v_view,
+        |  round(CAST(sum(value) FILTER (event_type = 'purchase') AS DOUBLE), 2) AS v_purchase,
+        |  round(CAST(sum(value) FILTER (event_type = 'signup') AS DOUBLE), 2) AS v_signup,
+        |  round(CAST(sum(value) FILTER (event_type = 'error') AS DOUBLE), 2) AS v_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT e.event_type,
+        |  round(CAST(sum(e.value * d.weight) AS DOUBLE), 2) AS weighted,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events e
+        |JOIN (VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+        |             ('signup', 5.0), ('error', 0.0)) d(event_type, weight)
+        |  ON e.event_type = d.event_type
+        |GROUP BY e.event_type""".stripMargin
   )
 }
