@@ -12,17 +12,24 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
+  /** Explicit whitespace class, identical in Java regex and RE2: Java's
+    * `\s` includes U+000B (vertical tab) but RE2's does not, so any
+    * `\s` in an oracle-paired pattern is a latent cross-engine
+    * divergence. SQL form must spell `\x0b` (RE2 has no `\u` escape). */
+  private[graft] val WsJava = " \\t\\n\\u000B\\f\\r"
+  private[graft] val WsSql = " \\t\\n\\x0b\\f\\r"
+
   /** Whitespace tokens of trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), s"[$WsJava]+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count approximation: each maximal letter run and
     * digit run is one subword, each other non-space character its own.
-    * The run pattern has identical RE2/Java semantics (no lookarounds),
-    * so the count is DuckDB-oracle-verifiable. */
+    * No lookarounds and an explicit whitespace class, so the pattern
+    * means the same thing to Java regex and DuckDB's RE2. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$WsJava]"), lit(0)))
 
   /** Word n-gram shingles ("a b c" for n=3), the unit of near-dup
     * comparison. */
@@ -33,7 +40,9 @@ object TextFunctions {
         i => array_join(slice(t, i + lit(1), lit(n)), " ")))
   }
 
-  /** Distinct shingle hash set (64-bit) — input to minhash/jaccard.
+  /** Distinct shingle hash set — 31-bit values in [0, 2^31-1), which is
+    * LOAD-BEARING: minhash's affine permutations stay below 2^62 (ANSI
+    * overflow safety) and the DuckDB oracle replicates the arithmetic.
     * One-pass native expression; shingle strings are never built. */
   def shingleHashes(text: Column, n: Int): Column =
     array_distinct(TokenShingleHashes.tokenShingleHashes(tokens(text), n))
@@ -68,7 +77,7 @@ object TextFunctions {
   def meanTokenLen(text: Column): Column = {
     val n = tokenCount(text)
     when(n === 0, lit(0.0)).otherwise(
-      length(regexp_replace(trim(text), "\\s", "")).cast("double") / n)
+      length(regexp_replace(trim(text), s"[$WsJava]", "")).cast("double") / n)
   }
 
   /** Stopword hit ratio over an already-tokenized column. */

@@ -23,15 +23,13 @@ object Skew {
    */
   def saltedSumCount(df: DataFrame, keys: Seq[String], sumCol: String,
       saltBuckets: Int = 16): DataFrame = {
-    // Mix a per-row disambiguator into the salt: hashing only the row's
-    // columns would send fully IDENTICAL duplicate rows (a common skew
-    // shape in raw training data) to one bucket, defeating the salt.
+    // Salt from a per-row id, NOT a row-content hash: hashing columns
+    // would send fully IDENTICAL duplicate rows (a common skew shape in
+    // raw training data) to one bucket, defeating the salt.
     // monotonically_increasing_id is deterministic for a fixed partition
     // layout, which keeps the phase-1 plan re-executable; the final
     // per-key result is salt-independent either way.
-    val salt = pmod(
-      xxhash64(struct(df.columns.map(col): _*), monotonically_increasing_id()),
-      lit(saltBuckets))
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets))
     val phase1 = df
       .withColumn("__salt", salt)
       .groupBy((keys.map(col) :+ col("__salt")): _*)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFunctions
 import graft.pipeline.Dedup
 
 /**
@@ -31,9 +32,11 @@ object PipelineOracles {
        |              x -> x >= 0)),
        |  (a, c) -> (a * 31 + c) % $P)""".stripMargin
 
-  /** Whitespace tokens, mirroring TextFunctions.tokens. */
+  /** Whitespace tokens, mirroring TextFunctions.tokens — the explicit
+    * class (TextFunctions.WsSql) avoids the Java-vs-RE2 `\s` mismatch
+    * on U+000B. */
   private def toks(textExpr: String): String =
-    s"string_split_regex(trim($textExpr), '\\s+')"
+    s"string_split_regex(trim($textExpr), '[${TextFunctions.WsSql}]+')"
 
   /** Word-3-gram strings with the shorter-than-n whole-text fallback,
     * mirroring TextFunctions.wordShingles(n=3). */
@@ -46,13 +49,13 @@ object PipelineOracles {
     * ~10% of tokens dropped, id + 1e6) — mirrors
     * PipelineQueries.plantedCorpus. */
   private val corpusCte =
-    """corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000,
-      |         array_to_string(list_slice(toks, 1, greatest((len(toks) * 9) // 10, 1)), ' ')
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) t
-      |)""".stripMargin
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         array_to_string(list_slice(toks, 1, greatest((len(toks) * 9) // 10, 1)), ' ')
+       |  FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents) t
+       |)""".stripMargin
 
   /** Minhash permutation constants as a SQL list literal [[a,b],...] —
     * the same constants Dedup.perms(64) feeds MinHashSignature. */
@@ -73,8 +76,8 @@ object PipelineOracles {
        |    (a, x) -> (a * 31 + x) % $P))""".stripMargin
 
   /** Shared candidate-pair SQL: explode tagged bucket keys, cap bucket
-    * size, emit distinct ordered id pairs — mirrors
-    * Dedup.bucketCandidates. Expects a CTE `bd(doc_id, bk)`. */
+    * size, emit distinct ordered id pairs — mirrors the
+    * candidate stage inside Dedup.bucketVerifiedPairs*. Expects a CTE `bd(doc_id, bk)`. */
   private def candCte(maxBucket: Int): String =
     s"""bc AS (SELECT bk, count(*) AS n FROM bd GROUP BY bk),
        |cand AS (
@@ -153,18 +156,21 @@ object PipelineOracles {
 
   val textSubwords: String =
     """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS BIGINT)
       |    AS n_subwords
       |FROM documents""".stripMargin
 
-  private val enStop = "'the','a','and','of','to','in','is','that','it','for'"
+  private def stopList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(",")
+
+  private val enStop = stopList(TextFunctions.LangProfiles.en)
 
   val textQualityScore: String =
     s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS toks FROM documents),
        |m AS (SELECT doc_id,
        |  CAST(len(toks) AS DOUBLE) AS n,
        |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-       |       ELSE CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE) / len(toks) END AS tl,
+       |       ELSE CAST(length(regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE) / len(toks) END AS tl,
        |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
        |       ELSE CAST(len(list_filter(toks, w -> w IN ($enStop))) AS DOUBLE) / len(toks) END AS swr
        |  FROM t)
@@ -181,10 +187,10 @@ object PipelineOracles {
   val textLangid: String =
     s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS toks FROM documents),
        |s AS (SELECT doc_id,
-       |  ${stopRatio("'the','a','and','of','to','in','is','that','it','for'")} AS s_en,
-       |  ${stopRatio("'el','la','de','que','y','en','un','por','con','los'")} AS s_es,
-       |  ${stopRatio("'der','die','das','und','von','zu','mit','ist','auf','ein'")} AS s_de,
-       |  ${stopRatio("'le','la','de','et','un','est','pour','dans','que','les'")} AS s_fr,
+       |  ${stopRatio(stopList(TextFunctions.LangProfiles.en))} AS s_en,
+       |  ${stopRatio(stopList(TextFunctions.LangProfiles.es))} AS s_es,
+       |  ${stopRatio(stopList(TextFunctions.LangProfiles.de))} AS s_de,
+       |  ${stopRatio(stopList(TextFunctions.LangProfiles.fr))} AS s_fr,
        |  CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS DOUBLE) AS cjk,
        |  length(text) AS n
        |  FROM t),
