@@ -94,10 +94,23 @@ object Bench {
     custBal.join(agg, $"c_custkey" === $"o_custkey").count()
     val tSqlJoin = (System.nanoTime() - t5) / 1e9
 
+    // range scans: range-partitioned layout prunes to the overlapping
+    // partitions; the hash layout must visit every partition
+    val ranged = IndexedRDD.rangePartitioned(cust, 32).cached
+    ranged.count()
+    val t6 = System.nanoTime()
+    (0 until 10).foreach(i => ranged.range(i * 100L, i * 100L + 200L).count())
+    val tRangePruned = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime()
+    (0 until 10).foreach(i => idx.range(i * 100L, i * 100L + 200L).count())
+    val tRangeHash = (System.nanoTime() - t7) / 1e9
+    ranged.unpersist()
+
     totals.unpersist()
     idx.unpersist()
     Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
       "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
-      "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin)
+      "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
+      "micro_range_pruned_10" -> tRangePruned, "micro_range_allparts_10" -> tRangeHash)
   }
 }
