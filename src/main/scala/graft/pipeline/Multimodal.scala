@@ -25,12 +25,21 @@ object Multimodal {
       n_frames: Int, payload: Array[Byte])
 
   /** Extracted fixed-width feature vector per item. */
-  case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Double])
 
   /** Sampled frame: one payload slice per selected frame. */
   case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   private val Magic = 0x47524654 // "GRFT"
+
+  /** MINSTD pixel generator constants, mod 2^31-1: closed-form
+    * state_i = seed · 48271^i mod P, so the DuckDB oracle reproduces
+    * every pixel from a precomputed powers table (graft-visible for
+    * the oracle builder). */
+  private[graft] val PixP = 2147483647L
+  private[graft] val PixA = 48271L
+  private[graft] val PixSeedF = 16807L
+  private[graft] val PixSeedC = 12345L
 
   /** Deterministic synthetic payload: header (magic, w, h, frames) +
     * per-frame pseudo-pixels seeded from the id. Stands in for a real
@@ -42,10 +51,10 @@ object Multimodal {
     var f = 0
     while (f < frames) {
       var i = 0
-      var state = id * 6364136223846793005L + f * 1442695040888963407L
+      var state = ((id % PixP) * PixA + f * PixSeedF + PixSeedC) % PixP
       while (i < px) {
-        state = state * 6364136223846793005L + 1442695040888963407L
-        buf.put((state >>> 56).toByte)
+        state = state * PixA % PixP
+        buf.put(((state >> 8) & 0xff).toByte)
         i += 1
       }
       f += 1
@@ -101,7 +110,7 @@ object Multimodal {
       // per-partition init happens HERE (model load in production)
       batch.map { item =>
         val (w, h, frames, pixels) = decodePixels(item.payload)
-        val feats = new Array[Float](dim)
+        val feats = new Array[Double](dim)
         val rowsPerBand = math.max(1, h / dim)
         var f = 0
         while (f < frames) {
@@ -116,7 +125,7 @@ object Multimodal {
               while (c < w) { acc += (frame(r * w + c) & 0xff); n += 1; c += 1 }
               r += 1
             }
-            if (n > 0) feats(band) += acc.toFloat / n / frames
+            if (n > 0) feats(band) += acc.toDouble / n / frames
             band += 1
           }
           f += 1

@@ -270,7 +270,79 @@ object PipelineOracles {
        |SELECT vec_id, round(cos, 2) AS cos FROM (
        |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
 
+  /** Exact top-k by cosine (= IVF with nprobe = nlist): scoring folds
+    * replicate VectorDot's order; ORDER BY the UNROUNDED cosine. */
+  val annIvfFull: String =
+    s"""WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qn AS (SELECT list_transform(v, x -> x / sqrt(${dot64("v", "v")})) AS q
+       |       FROM vecs WHERE id = 7),
+       |scored AS (
+       |  SELECT vecs.id AS vec_id,
+       |    ${dot64("vecs.v", "qn.q")} / sqrt(${dot64("vecs.v", "vecs.v")}) AS cos
+       |  FROM vecs, qn)
+       |SELECT vec_id, round(cos, 2) AS cos FROM (
+       |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+
   // -------------------------------------------------------- multimodal
+
+  /** 48271^j mod 2^31-1 for j = 1..130 as a 1-based SQL list literal:
+    * the closed form of the stub codec's MINSTD pixel stream
+    * (state_i = seed · 48271^i), covering the max frame size
+    * (15 × 8 = 120 pixels). */
+  private val powLit: String = {
+    val ps = Iterator.iterate(1L)(p => p * graft.pipeline.Multimodal.PixA % 2147483647L)
+      .drop(1).take(130).toSeq
+    ps.mkString("[", ",", "]")
+  }
+
+  /** Left-to-right dot product of two 8-element double lists. */
+  private def dot8(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, 9), d -> $a[d] * $b[d])), (x, y) -> x + y)""".stripMargin
+
+  /** Media metadata + 8-band mean-pooled features, replicating
+    * Multimodal.syntheticMediaTable + extractFeatures: pixel(i) of
+    * frame fr is ((seed·48271^(i+1) mod P) >> 8) & 255 with
+    * seed = ((id mod P)·48271 + fr·16807 + 12345) mod P; band b pools
+    * row b (h=8, dim=8), and per-frame means accumulate in frame
+    * order (matching the Scala loop's double additions). */
+  private val mediaFeatCte: String =
+    s"""m AS (SELECT doc_id AS id,
+       |        CAST(8 + (n_chars % 8) AS BIGINT) AS w,
+       |        CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 1 END AS BIGINT) AS frames,
+       |        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |             ELSE 'video' END AS kind
+       |      FROM documents),
+       |feat AS (SELECT id, kind,
+       |  list_transform(range(0, 8), band ->
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, frames), fr ->
+       |        CAST(list_sum(list_transform(range(0, w), c ->
+       |          ((((((id % $P) * ${graft.pipeline.Multimodal.PixA}
+       |               + fr * ${graft.pipeline.Multimodal.PixSeedF}
+       |               + ${graft.pipeline.Multimodal.PixSeedC}) % $P)
+       |            * ($powLit)[band * w + c + 1]) % $P) >> 8) & 255)) AS DOUBLE)
+       |          / w / frames)),
+       |      (a, x) -> a + x)) AS f
+       |  FROM m)""".stripMargin
+
+  val mmFeatures: String =
+    s"""WITH $mediaFeatCte
+       |SELECT id AS media_id, kind,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x), 2)
+       |    AS feat_sum
+       |FROM feat""".stripMargin
+
+  val mmAnn: String =
+    s"""WITH $mediaFeatCte,
+       |qn AS (SELECT list_transform(f, x -> x / sqrt(${dot8("f", "f")})) AS q
+       |       FROM feat WHERE id = 0),
+       |scored AS (
+       |  SELECT feat.id AS media_id,
+       |    ${dot8("feat.f", "qn.q")} / sqrt(${dot8("feat.f", "feat.f")}) AS cos
+       |  FROM feat, qn)
+       |SELECT media_id, round(cos, 2) AS cos FROM (
+       |  SELECT media_id, cos FROM scored ORDER BY cos DESC, media_id LIMIT 10) top""".stripMargin
 
   /** mm_resize_frames metadata path: videos are doc_id % 3 = 2 with 4
     * frames; stride-2 sampling keeps frames 0 and 2; after factor-2
@@ -292,6 +364,9 @@ object PipelineOracles {
     "text_langid" -> textLangid,
     "embed_pairs_lsh" -> embedPairsLsh,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_ivf_full" -> annIvfFull,
     "mm_resize_frames" -> mmResizeFrames,
+    "mm_features" -> mmFeatures,
+    "mm_ann" -> mmAnn,
   )
 }

@@ -90,6 +90,15 @@ object PipelineQueries {
         queryVec(s, dir), k = 20, nlist = 16, nprobe = 6)
     },
 
+    "ann_ivf_full" -> { (s, dir) =>
+      // nprobe = nlist: every inverted list is scanned, so the result
+      // must EQUAL exact brute-force top-k — an oracle-checkable proof
+      // that the IVF assignment/probe machinery loses nothing (the
+      // nprobe<nlist variant above measures the approximate path)
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20, nlist = 16, nprobe = 16)
+    },
+
     // ---------------------------------------------------- text analysis
     "text_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -166,7 +175,7 @@ object PipelineQueries {
       val feats = Multimodal.extractFeatures(media, dim = 8).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = feats.where(col("media_id") === 0)
-        .select(col("features")).head().getSeq[Float](0).map(_.toDouble).toArray
+        .select(col("features")).head().getSeq[Double](0).toArray
       Similarity.bruteTopK(feats, "media_id", "features", q, k = 10)
     },
 
