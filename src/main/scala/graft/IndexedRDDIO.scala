@@ -1,0 +1,84 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, ObjectOutputStream}
+
+import scala.reflect.ClassTag
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.{Partition, Partitioner, SparkContext, TaskContext}
+import org.apache.spark.rdd.RDD
+
+import graft.keys.KeySerializer
+import graft.partition.IndexedPartition
+
+/**
+ * Persistence for the indexed representation itself: [[save]] writes one
+ * file per partition (whole [[IndexedPartition]] objects, Java
+ * serialization over the Hadoop FileSystem API — local FS, HDFS, or any
+ * object-store connector) plus the partitioner; [[load]] re-attaches the
+ * SAVED partitioner to a one-file-per-partition RDD, so the reloaded
+ * index answers point reads and joins immediately — no shuffle, no
+ * index rebuild, no scan. This is the engine's "sink": the reference
+ * has only `collect`/RDD actions (reference IndexedRDD.scala:40).
+ *
+ * At scale this is the difference between re-ingesting 100 TB to
+ * rebuild indexes and re-opening them: load cost is one read per
+ * partition, and co-partitioned joins against other indexes saved with
+ * the same partitioner stay narrow.
+ */
+object IndexedRDDIO {
+
+  /** Save the index: `path/part-NNNNN` per partition + `path/_partitioner`. */
+  def save[K, V](rdd: IndexedRDD[K, V], path: String): Unit = {
+    val p = rdd.partitioner.get
+    val n = rdd.partitionsRDD.getNumPartitions
+    rdd.partitionsRDD.mapPartitionsWithIndex { (pid, it) =>
+      val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+      val out = new ObjectOutputStream(new BufferedOutputStream(
+        fs.create(new Path(path, f"part-$pid%05d"), true)))
+      // empty partitions write null; load substitutes an empty index
+      try out.writeObject(if (it.hasNext) it.next() else null)
+      finally out.close()
+      Iterator.single(1)
+    }.count()
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val meta = new ObjectOutputStream(fs.create(new Path(path, "_partitioner"), true))
+    try { meta.writeInt(n); meta.writeObject(p) }
+    finally meta.close()
+  }
+
+  /** Reload a saved index. The saved partitioner (hash OR range) is
+    * re-attached, so key routing and narrow joins work immediately. */
+  def load[K: ClassTag: KeySerializer, V: ClassTag](
+      sc: SparkContext, path: String): IndexedRDD[K, V] = {
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val meta = new ObjectInputStream(fs.open(new Path(path, "_partitioner")))
+    val (n, p) =
+      try (meta.readInt(), meta.readObject().asInstanceOf[Partitioner])
+      finally meta.close()
+    new IndexedRDD(new LoadedPartitionsRDD[K, V](sc, path, n, p))
+  }
+
+  private class LoadedPartition(override val index: Int) extends Partition
+
+  /** One partition per saved file, exposing the saved partitioner. */
+  private class LoadedPartitionsRDD[K, V](sc: SparkContext, path: String,
+      n: Int, p: Partitioner) extends RDD[IndexedPartition[K, V]](sc, Nil) {
+
+    override protected def getPartitions: Array[Partition] =
+      Array.tabulate(n)(new LoadedPartition(_))
+
+    override val partitioner: Option[Partitioner] = Some(p)
+
+    override def compute(split: Partition, ctx: TaskContext): Iterator[IndexedPartition[K, V]] = {
+      val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+      val in = new ObjectInputStream(new BufferedInputStream(
+        fs.open(new Path(path, f"part-${split.index}%05d"))))
+      try Iterator.single(
+        Option(in.readObject().asInstanceOf[IndexedPartition[K, V]])
+          .getOrElse(graft.partition.HashIndexedPartition.empty[K, V]))
+      finally in.close()
+    }
+  }
+}

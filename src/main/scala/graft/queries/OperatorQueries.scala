@@ -183,6 +183,22 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), $"_2".as("c_acctbal"))
     },
 
+    "ir_save_load" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // index persistence sink/source: save the built index, reload it
+      // with its partitioner (no shuffle, no rebuild), then serve a
+      // point-batch read and a filtered scan from the reloaded copy
+      val path = java.nio.file.Files.createTempDirectory("graft_ir_io")
+        .resolve("idx").toString
+      val idx = IndexedRDD(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd)
+      graft.IndexedRDDIO.save(idx, path)
+      val loaded = graft.IndexedRDDIO.load[Long, Double](s.sparkContext, path)
+      s.createDataset(loaded.filter { case (k, _) => k % 100 == 7 })
+        .select($"_1".as("c_custkey"), $"_2".as("c_acctbal"))
+    },
+
     "ir_sql_pointget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -309,6 +325,10 @@ object OperatorQueries {
     "ir_range_partitioned" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey >= 500 AND c_custkey < 800""".stripMargin,
+
+    "ir_save_load" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 100 = 7""".stripMargin,
 
     "ir_sql_pointget" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
