@@ -328,6 +328,15 @@ object Dedup {
         acc.bitwiseOR(when(d > 0, lit(1L << j)).otherwise(lit(0L)))
     }
 
+  /** ALL tagged SRP keys (key | t<<32, one per table) in a single
+    * native one-pass expression — same dots, same sign decisions as
+    * `tables × bits` srpKeyTable calls, one vector traversal. */
+  def srpKeysTagged(vec: Column, dim: Int, bits: Int, tables: Int): Column = {
+    val planes = (0 until tables)
+      .flatMap(t => planesForTable(dim, bits, t)).map(_.toArray).toArray
+    graft.functions.SrpKeys.srpKeys(vec, planes, bits)
+  }
+
   /**
    * LSH-bucketed embedding near-dup: L independent SRP hash tables;
    * candidates share a bucket in any table; exact cosine verifies
@@ -340,10 +349,8 @@ object Dedup {
     // SRP sign bits are norm-invariant, so bucketing the normalized
     // vectors is equivalent and the verify step becomes a plain dot
     val base = normalized(df, idCol, vecCol, idCol, "__v")
-    val v = base.withColumn("__bands", array((0 until tables).map { t =>
-      srpKeyTable(col("__v"), dim, bitsPerBucket, t)
-        .bitwiseOR(lit(t.toLong << 32))
-    }: _*))
+    val v = base.withColumn("__bands",
+      srpKeysTagged(col("__v"), dim, bitsPerBucket, tables))
     bucketVerifiedPairsJoin(v, idCol, "__v", maxBucketSize,
       dotCols, _ > threshold, "cos")
       .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))

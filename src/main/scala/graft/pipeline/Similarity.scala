@@ -64,12 +64,16 @@ object Similarity {
       query: Array[Double], k: Int, dim: Int, bits: Int = 6,
       tables: Int = 6): DataFrame = {
     val v = df.select(col(idCol), col(vecCol).as("__v"))
-    val isCandidate = (0 until tables).map { t =>
-      val rowKey = Dedup.srpKeyTable(col("__v"), dim, bits, t)
+    // one-pass tagged row keys; the query's tagged probe set (own bucket
+    // + hamming-1 neighbors per table) is a literal array, so candidacy
+    // is a single arrays_overlap
+    val probes = (0 until tables).flatMap { t =>
       val qKey = signKeyTable(query, dim, bits, t)
-      val probes = qKey +: (0 until bits).map(j => qKey ^ (1L << j))
-      rowKey.isin(probes: _*)
-    }.reduce(_ || _)
+      (qKey +: (0 until bits).map(j => qKey ^ (1L << j)))
+        .map(_ | (t.toLong << 32))
+    }
+    val isCandidate = arrays_overlap(
+      Dedup.srpKeysTagged(col("__v"), dim, bits, tables), typedLit(probes))
     v.filter(isCandidate)
       .withColumn("cos", cosineToQuery(col("__v"), query))
       .orderBy(col("cos").desc, col(idCol))
