@@ -82,12 +82,23 @@ object Dedup {
     minhashFromHashes(shingleHashes31(text, shingleN), numHashes)
 
   /** Banded bucket keys from a signature: one 31-bit key per band
-    * (folded mod P31 — overflow-free). */
+    * (folded mod P31 — overflow-free). Composed higher-order form; the
+    * plans use [[bandKeysFromHashes]] (native, codegen) instead so no
+    * materialized signature column is needed. */
   private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { j =>
       aggregate(slice(sig, j * rows + 1, rows), lit(977L),
         (acc, x) => pmod(acc * lit(31L) + x, lit(P31)))
     }: _*)
+
+  /** Band keys straight from the 31-bit feature-hash column in one
+    * native pass (signature internal — no sig column, no cache
+    * boundary, whole projection stays codegen). */
+  private def bandKeysFromHashes(hashes: Column, bands: Int, rows: Int): Column = {
+    val ps = perms(bands * rows)
+    graft.functions.MinHashBandKeys.minhashBandKeys(hashes,
+      ps.map(_._1).toArray, ps.map(_._2).toArray, bands, rows)
+  }
 
   /**
    * Pin a signature table for multi-branch reuse. Signature DataFrames
@@ -150,7 +161,10 @@ object Dedup {
    * in-bucket variant — cheaper for multi-hundred-byte signatures /
    * vectors with many bands, and an expensive verdict (array zip /
    * set intersection) is never re-evaluated per co-occurrence.
-   * Caller must pass a CACHED `withBands` (consumed by three branches).
+   * `withBands` is consumed by three branches — each branch's pruned
+   * projection must be either cheap to recompute or cached by the
+   * caller (the minhash/ngram callers make every derived column a
+   * single native expression, so recompute is one codegen pass).
    */
   private def bucketVerifiedPairsJoin(withBands: DataFrame, idCol: String,
       payloadCol: String, maxBucketSize: Int,
@@ -183,14 +197,13 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    // pin BEFORE deriving band keys: the 16 band expressions are
-    // higher-order folds (no codegen CSE), so without the cache
-    // boundary project-collapsing would re-inline the minhash+shingle
-    // subtree into every one of them (17× work per row)
-    val sigs = pin(df
+    // no cache boundary needed: sig and bands are each ONE native
+    // codegen expression over the staged hash column, so every branch
+    // of the bucket machinery computes its projection exactly once
+    val sigs = df
       .select(col(idCol), shingleHashes31(col(textCol), shingleN).as("__sh"))
-      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig")))
-      .withColumn("__bands", bandKeys(col("__sig"), bands, rowsPerBand))
+      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig"),
+        bandKeysFromHashes(col("__sh"), bands, rowsPerBand).as("__bands"))
     val est = (sa: Column, sb: Column) =>
       aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / lit(k)
@@ -254,15 +267,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.6,
       maxBucketSize: Int = 1000): DataFrame = {
-    // one cache boundary for (hash set, signature): shingle hashing runs
-    // twice during materialization (once per output), but the banded
-    // projections on top fold over CACHED columns instead of re-inlined
-    // subtrees (see minhashPairs)
-    val sigs = pin(df
+    // no cache boundary: band keys are one native expression over the
+    // staged hash column (see minhashPairs); the payload is the hash
+    // set itself
+    val sigs = df
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
       .select(col(idCol), col("__sh"),
-        minhashFromHashes(col("__sh"), 64).as("__sig")))
-      .withColumn("__bands", bandKeys(col("__sig"), 16, 4))
+        bandKeysFromHashes(col("__sh"), 16, 4).as("__bands"))
     val jac = (sa: Column, sb: Column) =>
       size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
     bucketVerifiedPairsJoin(sigs, idCol, "__sh", maxBucketSize,
