@@ -122,9 +122,15 @@ object TextFunctions {
    * Language-ID heuristic: CJK-codepoint share decides zh; otherwise
    * the language whose stopword profile hits the most tokens wins
    * (ties broken by fixed language order, 'und' when nothing hits).
-   * Returns struct(lang, confidence).
+   * Returns struct(lang, confidence). Native one-pass expression —
+   * the composed [[langIdFromTokens]] references the token array from
+   * every score term, which re-inlines the tokenization ~12× per row.
    */
-  def langId(text: Column): Column = langIdFromTokens(tokens(text), text)
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "es", "de", "fr")
+    LangIdHeuristic.langId(text, langs.toArray,
+      langs.map(LangProfiles.all(_).toArray).toArray)
+  }
 
   /** Language ID over an already-tokenized column — stage the token
     * array through its own projection so four per-language scores share

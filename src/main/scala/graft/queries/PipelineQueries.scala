@@ -119,11 +119,11 @@ object PipelineQueries {
     },
 
     "text_langid" -> { (s, dir) =>
+      // one-pass native expression (tokenize + profile counts + Han
+      // share + decision); same formula as the composed form and the
+      // DuckDB oracle
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          TextFunctions.tokens(col("text")).as("__t"))
-        .select(col("doc_id"),
-          TextFunctions.langIdFromTokens(col("__t"), col("text")).as("lid"))
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lid"))
         .select(col("doc_id"), col("lid.lang").as("lang_pred"),
           col("lid.confidence").as("confidence"))
     },
