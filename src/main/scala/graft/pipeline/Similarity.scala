@@ -103,17 +103,11 @@ object Similarity {
       .select(transform(col(vecCol), x => x.cast("double")))
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = kmeans(sample, nlist, iters)
-    // --- assignment expression: argmin ||v - c||^2 = argmin (c.c - 2 v.c)
-    // (the v.v term is constant per row, so dropping it preserves the
-    // argmin and saves nlist redundant self-dots per row)
+    // --- assignment: one native pass computes argmin ||v - c||^2
+    // (= argmin (c.c - 2 v.c); the v.v term is row-constant)
     val v = df.select(col(idCol), col(vecCol).as("__v"))
-    val dists = array(centroids.map { c =>
-      val cc = c.map(x => x * x).sum
-      lit(cc) - lit(2.0) * dotCols(col("__v"), typedLit(c.toSeq))
-    }: _*)
-    val staged = v.withColumn("__dists", dists)
-      .withColumn("__list", expr("array_position(__dists, array_min(__dists))"))
-      .drop("__dists")
+    val staged = v.withColumn("__list",
+      graft.functions.NearestCentroid.nearestCentroid(col("__v"), centroids))
     // --- probe: the query's nprobe nearest centroids
     val qd = centroids.map(c => c.zip(query).map { case (a, b) =>
       (a - b) * (a - b) }.sum)
