@@ -112,3 +112,88 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(joined.count() === df.count()) // every fact row finds its dim
   }
 }
+
+class RoundTwoExpressionsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkSessionFixture.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{aggregate => sqlAggregate, _}
+
+  test("SrpKeys == composed per-table srpKeyTable fold (tagged), double and float") {
+    import graft.pipeline.Dedup
+    val vecs = Seq(
+      Tuple1(Seq.tabulate(64)(i => math.sin(i * 1.7) * (if (i % 3 == 0) -1 else 1))),
+      Tuple1(Seq.tabulate(64)(i => math.cos(i) * 0.01)))
+    val df = vecs.toDF("v")
+    val native = df.select(Dedup.srpKeysTagged($"v", 64, 6, 4)).collect()
+      .map(_.getSeq[Long](0))
+    val composed = df.select(array((0 until 4).map { t =>
+      Dedup.srpKeyTable($"v", 64, 6, t).bitwiseOR(lit(t.toLong << 32))
+    }: _*)).collect().map(_.getSeq[Long](0))
+    assert(native.toSeq.map(_.toSeq) === composed.toSeq.map(_.toSeq))
+    // float input widens identically
+    val fdf = Seq(Tuple1(Seq.tabulate(64)(i => (math.sin(i) * 3).toFloat))).toDF("v")
+    val nf = fdf.select(Dedup.srpKeysTagged($"v", 64, 6, 2)).head().getSeq[Long](0)
+    val cf = fdf.select(array((0 until 2).map { t =>
+      Dedup.srpKeyTable(transform($"v", x => x.cast("double")), 64, 6, t)
+        .bitwiseOR(lit(t.toLong << 32))
+    }: _*)).head().getSeq[Long](0)
+    assert(nf.toSeq === cf.toSeq)
+  }
+
+  test("MinHashBandKeys == bandKeys fold over MinHashSignature") {
+    val P31 = (1L << 31) - 1
+    val as = Array.tabulate(8)(i => 3L + 2 * i)
+    val bs = Array.tabulate(8)(i => 11L + i)
+    val df = Seq(Tuple1(Seq(100L, 200L, 300L, 12345L))).toDF("hs")
+    val native = df.select(MinHashBandKeys.minhashBandKeys($"hs", as, bs, 2, 4))
+      .head().getSeq[Long](0)
+    val composed = df.select({
+      val sig = MinHashSignature.minhashSignature($"hs", as, bs)
+      array((0 until 2).map { j =>
+        sqlAggregate(slice(sig, j * 4 + 1, 4), lit(977L),
+          (acc, x) => pmod(acc * lit(31L) + x, lit(P31)))
+      }: _*)
+    }).head().getSeq[Long](0)
+    assert(native.toSeq === composed.toSeq)
+  }
+
+  test("NearestCentroid == array_position(array_min) over composed distances") {
+    val cents = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.5, 0.5, 0.0))
+    val df = Seq(
+      Tuple1(Seq(0.9, 0.1, 0.0)), Tuple1(Seq(0.1, 0.9, 0.0)),
+      Tuple1(Seq(0.5, 0.5, 0.01))).toDF("v")
+    val native = df.select(NearestCentroid.nearestCentroid($"v", cents))
+      .collect().map(_.getLong(0))
+    // composed reference: staged distance array + array_position(array_min)
+    val staged = df.withColumn("__d", array(cents.map { c =>
+      val cc = c.map(x => x * x).sum
+      lit(cc) - lit(2.0) * VectorDot.vectorDot($"v", typedLit(c.toSeq))
+    }: _*)).selectExpr("array_position(__d, array_min(__d)) AS p")
+      .collect().map(_.getLong(0))
+    assert(native.toSeq === staged.toSeq)
+    assert(native.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LangIdHeuristic == composed langIdFromTokens on representative texts") {
+    val texts = Seq(
+      "the cat sat on the mat and it is that for a story",
+      "el perro y la casa de que en un por con los",
+      "der hund und die katze von zu mit ist auf ein",
+      "le chien est pour dans que les de et un",
+      "zzz qqq xxx www",
+      "",
+      "这是 一个 中文 句子 的 测试 这 人 有 我")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val native = df.select(TextFunctions.langId($"text").as("l"))
+      .select($"l.lang", $"l.confidence").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val composed = df
+      .select($"text", TextFunctions.tokens($"text").as("__t"))
+      .select(TextFunctions.langIdFromTokens($"__t", $"text").as("l"))
+      .select($"l.lang", $"l.confidence").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(native.toSeq === composed.toSeq)
+  }
+}
