@@ -95,16 +95,21 @@ object Bench {
     val tSqlJoin = (System.nanoTime() - t5) / 1e9
 
     // range scans: range-partitioned layout prunes to the overlapping
-    // partitions; the hash layout must visit every partition
+    // partitions; the hash layout must visit every partition. Both are
+    // built at 32 partitions so the comparison isolates layout, not
+    // parallelism.
+    val hashIdx = IndexedRDD.build(cust, 32).cached
+    hashIdx.count()
     val ranged = IndexedRDD.rangePartitioned(cust, 32).cached
     ranged.count()
     val t6 = System.nanoTime()
     (0 until 10).foreach(i => ranged.range(i * 100L, i * 100L + 200L).count())
     val tRangePruned = (System.nanoTime() - t6) / 1e9
     val t7 = System.nanoTime()
-    (0 until 10).foreach(i => idx.range(i * 100L, i * 100L + 200L).count())
+    (0 until 10).foreach(i => hashIdx.range(i * 100L, i * 100L + 200L).count())
     val tRangeHash = (System.nanoTime() - t7) / 1e9
     ranged.unpersist()
+    hashIdx.unpersist()
 
     totals.unpersist()
     idx.unpersist()

@@ -4,9 +4,9 @@ import java.io.{BufferedInputStream, BufferedOutputStream, ObjectInputStream, Ob
 
 import scala.reflect.ClassTag
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.{Partition, Partitioner, SparkContext, TaskContext}
+import org.apache.spark.graftbridge.{ConfBridge, HadoopConfBroadcast}
 import org.apache.spark.rdd.RDD
 
 import graft.keys.KeySerializer
@@ -29,12 +29,17 @@ import graft.partition.IndexedPartition
  */
 object IndexedRDDIO {
 
-  /** Save the index: `path/part-NNNNN` per partition + `path/_partitioner`. */
+  /** Save the index: `path/part-NNNNN` per partition + `path/_partitioner`.
+    * The session's Hadoop configuration is broadcast to the writer tasks
+    * so `spark.hadoop.*` settings (object-store credentials, defaultFS)
+    * apply on executors. */
   def save[K, V](rdd: IndexedRDD[K, V], path: String): Unit = {
     val p = rdd.partitioner.get
     val n = rdd.partitionsRDD.getNumPartitions
+    val sc = rdd.sparkContext
+    val confBc = ConfBridge.broadcast(sc)
     rdd.partitionsRDD.mapPartitionsWithIndex { (pid, it) =>
-      val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+      val fs = FileSystem.get(new Path(path).toUri, confBc.value)
       val out = new ObjectOutputStream(new BufferedOutputStream(
         fs.create(new Path(path, f"part-$pid%05d"), true)))
       // empty partitions write null; load substitutes an empty index
@@ -42,7 +47,7 @@ object IndexedRDDIO {
       finally out.close()
       Iterator.single(1)
     }.count()
-    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val fs = FileSystem.get(new Path(path).toUri, sc.hadoopConfiguration)
     val meta = new ObjectOutputStream(fs.create(new Path(path, "_partitioner"), true))
     try { meta.writeInt(n); meta.writeObject(p) }
     finally meta.close()
@@ -52,19 +57,21 @@ object IndexedRDDIO {
     * re-attached, so key routing and narrow joins work immediately. */
   def load[K: ClassTag: KeySerializer, V: ClassTag](
       sc: SparkContext, path: String): IndexedRDD[K, V] = {
-    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val fs = FileSystem.get(new Path(path).toUri, sc.hadoopConfiguration)
     val meta = new ObjectInputStream(fs.open(new Path(path, "_partitioner")))
     val (n, p) =
       try (meta.readInt(), meta.readObject().asInstanceOf[Partitioner])
       finally meta.close()
-    new IndexedRDD(new LoadedPartitionsRDD[K, V](sc, path, n, p))
+    new IndexedRDD(new LoadedPartitionsRDD[K, V](
+      sc, path, n, p, ConfBridge.broadcast(sc)))
   }
 
   private class LoadedPartition(override val index: Int) extends Partition
 
   /** One partition per saved file, exposing the saved partitioner. */
   private class LoadedPartitionsRDD[K, V](sc: SparkContext, path: String,
-      n: Int, p: Partitioner) extends RDD[IndexedPartition[K, V]](sc, Nil) {
+      n: Int, p: Partitioner, confBc: HadoopConfBroadcast)
+      extends RDD[IndexedPartition[K, V]](sc, Nil) {
 
     override protected def getPartitions: Array[Partition] =
       Array.tabulate(n)(new LoadedPartition(_))
@@ -72,7 +79,7 @@ object IndexedRDDIO {
     override val partitioner: Option[Partitioner] = Some(p)
 
     override def compute(split: Partition, ctx: TaskContext): Iterator[IndexedPartition[K, V]] = {
-      val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+      val fs = FileSystem.get(new Path(path).toUri, confBc.value)
       val in = new ObjectInputStream(new BufferedInputStream(
         fs.open(new Path(path, f"part-${split.index}%05d"))))
       try Iterator.single(

@@ -22,6 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * Tokenization matches `split(trim(text), "[ \t\n\f\r]+")` with
  * Java limit=-1 semantics (leading/trailing separator runs produce
  * empty tokens; trim strips spaces only). Lengths are codepoint counts.
+ * NULL text yields a NULL struct (standard expression null
+ * propagation; the composed form emits a struct of NULL fields — both
+ * mean "no prediction", and the fixtures contain no NULL text).
  */
 case class LangIdHeuristic(child: Expression, langs: Array[String],
     profiles: Array[Array[String]]) extends UnaryExpression {

@@ -26,8 +26,6 @@ case class MinHashBandKeys(child: Expression, as: Array[Long], bs: Array[Long],
 
   require(as.length == bands * rows, "as.length must equal bands*rows")
 
-  private val P31 = (1L << 31) - 1
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =

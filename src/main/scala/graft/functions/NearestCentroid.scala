@@ -37,15 +37,31 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   @transient private lazy val cc: Array[Double] =
     centroids.map(c => c.foldLeft(0.0)((a, x) => a + x * x))
 
-  override def nullSafeEval(input: Any): Any =
-    NearestCentroid.compute(input.asInstanceOf[ArrayData], centroids, cc, isFloat)
+  // dimension mismatch yields NULL (the composed form's VectorDot
+  // produced NULL distances, and array_position over nulls dropped the
+  // row from IVF results)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (centroids.nonEmpty && arr.numElements() != centroids(0).length) null
+    else java.lang.Long.valueOf(
+      NearestCentroid.compute(arr, centroids, cc, isFloat))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
     val ccRef = ctx.addReferenceObj("ivfCc", cc, "double[]")
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     val cls = NearestCentroid.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = $cls.compute($arr, $cRef, $ccRef, $isFloat);")
+      s"""
+         |if ($arr.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $cls.compute($arr, $cRef, $ccRef, $isFloat);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
@@ -72,7 +88,7 @@ object NearestCentroid {
       val plane = centroids(c)
       var dot = 0.0
       var i = 0
-      val m = math.min(n, plane.length)
+      val m = plane.length
       while (i < m) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         dot += x * plane(i)

@@ -49,6 +49,16 @@ case class SrpKeys(child: Expression, planes: Array[Array[Double]], bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SrpKeys =
     copy(child = newChild)
+
+  // Array-typed constructor params need value equality for plan matching
+  override def equals(o: Any): Boolean = o match {
+    case s: SrpKeys =>
+      s.child == child && s.bits == bits &&
+        s.planes.corresponds(planes)((a, b) => a.sameElements(b))
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(bits), Int.box(planes.length))
 }
 
 object SrpKeys {
@@ -59,15 +69,22 @@ object SrpKeys {
       isFloat: Boolean): ArrayData = {
     val nPlanes = planes.length
     val tables = nPlanes / bits
-    val dots = new Array[Double](nPlanes)
     val n = arr.numElements()
+    val out = new Array[Long](tables)
+    // length mismatch: the composed form's VectorDot yields NULL, and
+    // `when(null > 0, ...)` takes the 0-bit branch — every bit stays 0
+    if (nPlanes > 0 && n != planes(0).length) {
+      var t = 0
+      while (t < tables) { out(t) = t.toLong << 32; t += 1 }
+      return new GenericArrayData(out)
+    }
+    val dots = new Array[Double](nPlanes)
     var p = 0
     while (p < nPlanes) {
       val plane = planes(p)
       var acc = 0.0
       var i = 0
-      val m = math.min(n, plane.length)
-      while (i < m) {
+      while (i < n) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         acc += x * plane(i)
         i += 1
@@ -75,7 +92,6 @@ object SrpKeys {
       dots(p) = acc
       p += 1
     }
-    val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var key = t.toLong << 32

@@ -188,9 +188,11 @@ object OperatorQueries {
       implicit val sp: SparkSession = s
       // index persistence sink/source: save the built index, reload it
       // with its partitioner (no shuffle, no rebuild), then serve a
-      // point-batch read and a filtered scan from the reloaded copy
-      val path = java.nio.file.Files.createTempDirectory("graft_ir_io")
-        .resolve("idx").toString
+      // filtered scan from the reloaded copy. Fixed per-process path,
+      // overwritten on every run — repeated Verify/Bench invocations
+      // must not accumulate index copies on disk
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ir_save_load").toString
       val idx = IndexedRDD(Tables.customer(s, dir)
         .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd)
       graft.IndexedRDDIO.save(idx, path)
