@@ -329,8 +329,7 @@ object PipelineOracles {
   val mmFeatures: String =
     s"""WITH $mediaFeatCte
        |SELECT id AS media_id, kind,
-       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x), 2)
-       |    AS feat_sum
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum
        |FROM feat""".stripMargin
 
   val mmAnn: String =

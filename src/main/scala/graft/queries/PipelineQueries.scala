@@ -159,10 +159,14 @@ object PipelineQueries {
       import s.implicits._
       val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
         .as[Multimodal.MediaItem]
+      // unrounded: the oracle replicates the fold exactly, and rounding
+      // identically-computed doubles is the only cross-engine hazard
+      // (engines disagree on doubles adjacent to a decimal half
+      // boundary — observed at sf0.1)
       Multimodal.extractFeatures(media, dim = 8).toDF()
         .select(col("media_id"), col("kind"),
-          round(aggregate(col("features"), lit(0.0d),
-            (acc, x) => acc + x.cast("double")), 2).as("feat_sum"))
+          aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")).as("feat_sum"))
     },
 
     "mm_ann" -> { (s, dir) =>
