@@ -364,6 +364,5 @@ object Dedup {
       srpKeysTagged(col("__v"), dim, bitsPerBucket, tables))
     bucketVerifiedPairsJoin(v, idCol, "__v", maxBucketSize,
       dotCols, _ > threshold, "cos")
-      .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
   }
 }

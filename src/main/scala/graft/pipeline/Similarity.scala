@@ -37,13 +37,15 @@ object Similarity {
     df.select(col(idCol), col(vecCol).as("__v"))
       .select(col(idCol), cosineToQuery(col("__v"), query).as("cos"))
 
-  /** Exact top-k by cosine (ties broken by id for determinism). */
+  /** Exact top-k by cosine (ties broken by id for determinism).
+    * Unrounded: exact-replication oracles compare doubles bit-for-bit,
+    * and rounding is the only cross-engine hazard. */
   def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int): DataFrame =
     cosTo(df, idCol, vecCol, query)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("cos"), 2).as("cos"))
+      .select(col(idCol), col("cos"))
 
   /** All rows with cosine above a threshold (order-free, oracle-friendly). */
   def bruteAbove(df: DataFrame, idCol: String, vecCol: String,
@@ -78,7 +80,7 @@ object Similarity {
       .withColumn("cos", cosineToQuery(col("__v"), query))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("cos"), 2).as("cos"))
+      .select(col(idCol), col("cos"))
   }
 
   /**
@@ -117,7 +119,7 @@ object Similarity {
       .withColumn("cos", cosineToQuery(col("__v"), query))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("cos"), 2).as("cos"))
+      .select(col(idCol), col("cos"))
   }
 
   /** Tiny deterministic Lloyd's k-means (driver-side, sample-sized). */

@@ -247,7 +247,7 @@ object PipelineOracles {
        |$keysCte,
        |bd AS (SELECT id AS doc_id, key + t * 4294967296 AS bk FROM keys),
        |${candCte(2000)}
-       |SELECT c.a, c.b, round(${dot64("va.v", "vb.v")}, 2) AS cos
+       |SELECT c.a, c.b, ${dot64("va.v", "vb.v")} AS cos
        |FROM cand c JOIN vecs va ON va.id = c.a JOIN vecs vb ON vb.id = c.b
        |WHERE ${dot64("va.v", "vb.v")} > CAST(0.4 AS DOUBLE)""".stripMargin
 
@@ -267,7 +267,7 @@ object PipelineOracles {
        |  SELECT c.id AS vec_id,
        |    ${dot64("vecs.v", "qn.q")} / sqrt(${dot64("vecs.v", "vecs.v")}) AS cos
        |  FROM cand c JOIN vecs ON vecs.id = c.id, qn)
-       |SELECT vec_id, round(cos, 2) AS cos FROM (
+       |SELECT vec_id, cos FROM (
        |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
 
   /** Exact top-k by cosine (= IVF with nprobe = nlist): scoring folds
@@ -280,7 +280,7 @@ object PipelineOracles {
        |  SELECT vecs.id AS vec_id,
        |    ${dot64("vecs.v", "qn.q")} / sqrt(${dot64("vecs.v", "vecs.v")}) AS cos
        |  FROM vecs, qn)
-       |SELECT vec_id, round(cos, 2) AS cos FROM (
+       |SELECT vec_id, cos FROM (
        |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
 
   // -------------------------------------------------------- multimodal
@@ -340,7 +340,7 @@ object PipelineOracles {
        |  SELECT feat.id AS media_id,
        |    ${dot8("feat.f", "qn.q")} / sqrt(${dot8("feat.f", "feat.f")}) AS cos
        |  FROM feat, qn)
-       |SELECT media_id, round(cos, 2) AS cos FROM (
+       |SELECT media_id, cos FROM (
        |  SELECT media_id, cos FROM scored ORDER BY cos DESC, media_id LIMIT 10) top""".stripMargin
 
   /** mm_resize_frames metadata path: videos are doc_id % 3 = 2 with 4
