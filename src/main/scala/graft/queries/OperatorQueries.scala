@@ -201,6 +201,23 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), $"_2".as("c_acctbal"))
     },
 
+    "ir_sql_join_idx" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL-visible INDEXED JOIN: equi-join on the key columns of two
+      // co-partitioned handles plans as the zero-shuffle zip join via
+      // the injected planner strategy (graft.sql.IndexedJoin)
+      graft.sql.IndexedJoin.enable(s)
+      val totals = Tables.orders(s, dir)
+        .groupBy($"o_custkey").agg(round(sum($"o_totalprice"), 2).as("total"))
+      val hc = graft.sql.IndexedFrame.index(
+        Tables.customer(s, dir).select($"c_custkey", $"c_acctbal"),
+        "c_custkey", numPartitions = 16)
+      val ht = graft.sql.IndexedFrame.index(totals, "o_custkey", numPartitions = 16)
+      hc.toDF.join(ht.toDF, $"c_custkey" === $"o_custkey")
+        .select($"c_custkey", $"c_acctbal", $"total")
+    },
+
     "ir_sql_pointget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -331,6 +348,12 @@ object OperatorQueries {
     "ir_save_load" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 = 7""".stripMargin,
+
+    "ir_sql_join_idx" ->
+      """SELECT c.c_custkey, c.c_acctbal,
+        |  round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_acctbal""".stripMargin,
 
     "ir_sql_pointget" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

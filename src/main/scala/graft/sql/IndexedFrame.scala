@@ -49,11 +49,19 @@ object IndexedFrame {
 
   /** Index a DataFrame by a long-typed key column (key uniqueness
     * enforced, last write wins) and pin the built index. `ordered=true`
-    * builds radix-tree partitions, enabling pushed range predicates. */
-  def index(df: DataFrame, keyCol: String, ordered: Boolean = false): Handle = {
+    * builds radix-tree partitions, enabling pushed range predicates;
+    * `numPartitions` forces a partition count so that two handles built
+    * with the same count are co-partitioned (their SQL joins plan as
+    * narrow zip joins — see [[IndexedJoin]]). */
+  def index(df: DataFrame, keyCol: String, ordered: Boolean = false,
+      numPartitions: Int = 0): Handle = {
     val schema = df.schema
     val ki = schema.fieldIndex(keyCol)
-    val pairs = df.rdd.map(r => (toLongKey(r.get(ki)), r))
+    val raw = df.rdd.map(r => (toLongKey(r.get(ki)), r))
+    val pairs =
+      if (numPartitions > 0)
+        raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+      else raw
     val idx = if (ordered) IndexedRDD.ordered(pairs) else IndexedRDD(pairs)
     new Handle(idx.cached, keyCol, schema, ordered)
   }
@@ -66,7 +74,7 @@ object IndexedFrame {
       s"integral key required, got ${if (other == null) "null" else other.getClass}")
   }
 
-  private[sql] class IndexedRelation(h: Handle)(
+  private[sql] class IndexedRelation(private[sql] val h: Handle)(
       @transient override val sqlContext: SQLContext)
       extends BaseRelation with PrunedFilteredScan {
 

@@ -1,0 +1,76 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/** SQL-visible indexed joins: an inner equi-join on the key columns of
+  * two indexed handles plans as the engine's zip join — no Exchange,
+  * no hash build — and returns exactly what the default plan returns. */
+class IndexedJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def fixtures() = {
+    val cust = (1L to 500L).map(k => (k, s"name$k", k % 7)).toDF("k", "name", "grp")
+    val bal = (1L to 400L).map(k => (k, k * 1.5)).toDF("k2", "bal")
+    (cust, bal)
+  }
+
+  test("indexed equi-join plans as IndexedZipJoin with zero shuffle; results match default join") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val joined = h1.toDF.join(h2.toDF, $"k" === $"k2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected indexed join in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no shuffle in plan:\n$plan")
+    val expected = cust.join(bal, $"k" === $"k2").collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet === expected)
+    assert(joined.count() === 400)
+  }
+
+  test("pruned projections over the join select the right columns") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 4)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 4)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val joined = h1.toDF.join(h2.toDF, $"k" === $"k2")
+      .select($"name", $"bal")
+    val rows = joined.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(rows === (1L to 400L).map(k => (s"name$k", k * 1.5)).toSet)
+  }
+
+  test("aggregation on top of the indexed join matches the default plan") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val agg = h1.toDF.join(h2.toDF, $"k" === $"k2")
+      .groupBy($"grp").agg(org.apache.spark.sql.functions.sum($"bal").as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val expected = cust.join(bal, $"k" === $"k2")
+      .groupBy($"grp").agg(org.apache.spark.sql.functions.sum($"bal").as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(agg === expected)
+  }
+
+  test("non-key join conditions fall back to the default planner") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 4)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 4)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // join on a NON-key column: must not hit the indexed path
+    val joined = h1.toDF.join(h2.toDF, $"grp" === $"k2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("IndexedZipJoin"))
+    val expected = cust.join(bal, $"grp" === $"k2").count()
+    assert(joined.count() === expected)
+  }
+}
