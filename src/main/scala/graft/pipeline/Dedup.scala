@@ -197,13 +197,16 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
-    // no cache boundary needed: sig and bands are each ONE native
-    // codegen expression over the staged hash column, so every branch
-    // of the bucket machinery computes its projection exactly once
-    val sigs = df
+    // pinned: the bucket machinery consumes this table from THREE
+    // branches (band explode + both payload join sides); sig and bands
+    // are each one native codegen pass, but project-collapsing would
+    // still re-run the 64-permutation minhash over every shingle once
+    // per branch — the dominant cost of the whole query (measured 14%
+    // at sf0.1). The pinned table is narrow (id + 64+16 longs).
+    val sigs = pin(df
       .select(col(idCol), shingleHashes31(col(textCol), shingleN).as("__sh"))
       .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig"),
-        bandKeysFromHashes(col("__sh"), bands, rowsPerBand).as("__bands"))
+        bandKeysFromHashes(col("__sh"), bands, rowsPerBand).as("__bands")))
     val est = (sa: Column, sb: Column) =>
       aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / lit(k)
@@ -267,13 +270,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.6,
       maxBucketSize: Int = 1000): DataFrame = {
-    // no cache boundary: band keys are one native expression over the
-    // staged hash column (see minhashPairs); the payload is the hash
-    // set itself
-    val sigs = df
+    // pinned for the same three-branch reuse as minhashPairs: without
+    // the cache boundary each branch re-tokenizes and re-hashes the
+    // shingle sets (payload = the hash set itself, so both join sides
+    // recompute it)
+    val sigs = pin(df
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
       .select(col(idCol), col("__sh"),
-        bandKeysFromHashes(col("__sh"), 16, 4).as("__bands"))
+        bandKeysFromHashes(col("__sh"), 16, 4).as("__bands")))
     val jac = (sa: Column, sb: Column) =>
       size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
     bucketVerifiedPairsJoin(sigs, idCol, "__sh", maxBucketSize,

@@ -270,6 +270,79 @@ object PipelineOracles {
        |SELECT vec_id, cos FROM (
        |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
 
+  /** 64-element zero vector (fold seed for order-controlled list sums). */
+  private val zeros64 = "list_transform(range(0, 64), zz -> CAST(0.0 AS DOUBLE))"
+
+  /** Left-to-right squared distance of two 64-element double lists —
+    * matches the Scala kmeans loop `t = p(i) - c(i); d += t*t`. */
+  private def sq64(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, 65), d -> ($a[d] - $b[d]) * ($a[d] - $b[d]))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** One Lloyd iteration `prev -> cur` over the CTE `samp(id, v)`:
+    * assign each sample point to its nearest centroid (strict-less
+    * first-index tie-break = ORDER BY d, cid), then re-average each
+    * non-empty cluster IN SAMPLE ORDER (`list(v ORDER BY id)` + left
+    * fold) so the element sums accumulate exactly like the Scala
+    * `sums(best)(i) += p(i)` loop; empty clusters keep their centroid. */
+  private def lloydIter(prev: String, cur: String): String =
+    s"""a$cur AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT s.id, s.v, c.cid,
+       |      row_number() OVER (PARTITION BY s.id
+       |        ORDER BY ${sq64("s.v", "c.cent")}, c.cid) AS rn
+       |    FROM samp s, $prev c) t WHERE rn = 1),
+       |$cur AS (
+       |  SELECT p.cid,
+       |    CASE WHEN g.cnt IS NULL THEN p.cent
+       |         ELSE list_transform(range(1, 65), i -> g.total[i] / g.cnt) END AS cent
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, CAST(count(*) AS DOUBLE) AS cnt,
+       |      list_reduce(list_prepend($zeros64, list(v ORDER BY id)),
+       |        (acc, pt) -> list_transform(range(1, 65), i -> acc[i] + pt[i])) AS total
+       |    FROM a$cur GROUP BY cid) g ON g.cid = p.cid)""".stripMargin
+
+  /**
+   * Full SQL replication of Similarity.ivfTopK (nlist=16, nprobe=6,
+   * k=20, sample=512, iters=5): the quantizer is DETERMINISTIC — init
+   * centroids are the first 16 of the 512 lowest-id vectors and every
+   * float op replays in the same order — so 5 unrolled Lloyd
+   * iterations reproduce the centroids bit-for-bit, the assignment
+   * replicates NearestCentroid's argmin (c·c − 2 v·c) with first-index
+   * tie-break, and the probe list is the query's 6 nearest centroids
+   * by full squared distance (stable sort = ORDER BY d, cid).
+   */
+  val annIvfTopk: String = {
+    val iters = (0 until 5).map(t => lloydIter(s"c$t", s"c${t + 1}")).mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |samp AS (SELECT id, v FROM vecs ORDER BY id LIMIT 512),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
+       |       FROM (SELECT id, v FROM samp ORDER BY id LIMIT 16) init),
+       |$iters,
+       |cfin AS (SELECT cid, cent,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS cc
+       |  FROM c5),
+       |asg AS (SELECT id, v, cid FROM (
+       |  SELECT vecs.id, vecs.v, c.cid,
+       |    row_number() OVER (PARTITION BY vecs.id
+       |      ORDER BY c.cc - 2.0 * ${dot64("vecs.v", "c.cent")}, c.cid) AS rn
+       |  FROM vecs, cfin c) t WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM vecs WHERE id = 7),
+       |probe AS (SELECT cid FROM (
+       |  SELECT c.cid, ${sq64("c.cent", "q.qv")} AS d FROM c5 c, q) t
+       |  ORDER BY d, cid LIMIT 6),
+       |qn AS (SELECT list_transform(v, x -> x / sqrt(${dot64("v", "v")})) AS q
+       |       FROM vecs WHERE id = 7),
+       |scored AS (
+       |  SELECT a.id AS vec_id,
+       |    ${dot64("a.v", "qn.q")} / sqrt(${dot64("a.v", "a.v")}) AS cos
+       |  FROM asg a JOIN probe p ON a.cid = p.cid, qn)
+       |SELECT vec_id, cos FROM (
+       |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+  }
+
   /** Exact top-k by cosine (= IVF with nprobe = nlist): scoring folds
     * replicate VectorDot's order; ORDER BY the UNROUNDED cosine. */
   val annIvfFull: String =
@@ -364,6 +437,7 @@ object PipelineOracles {
     "embed_pairs_lsh" -> embedPairsLsh,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_full" -> annIvfFull,
+    "ann_ivf_topk" -> annIvfTopk,
     "mm_resize_frames" -> mmResizeFrames,
     "mm_features" -> mmFeatures,
     "mm_ann" -> mmAnn,
