@@ -113,9 +113,43 @@ object Bench {
 
     totals.unpersist()
     idx.unpersist()
+
+    // spill story: point reads from a DISK_ONLY index — partition
+    // pruning means only the owning partitions deserialize from disk
+    val diskIdx = IndexedRDD.build(cust, 32)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    diskIdx.count()
+    val t8 = System.nanoTime()
+    keyBatches.foreach(ks => diskIdx.multiget(ks))
+    val tMultigetDisk = (System.nanoTime() - t8) / 1e9
+    diskIdx.unpersist()
+
+    // SQL range pushdown: BETWEEN on a range-partitioned handle prunes
+    // partitions; the hash-layout ordered handle visits all of them
+    implicit val sp: SparkSession = spark
+    val hRp = graft.sql.IndexedFrame.indexRangePartitioned(custDF, "c_custkey", 32)
+    hRp.toDF.count()
+    val hHash = graft.sql.IndexedFrame.index(custDF, "c_custkey",
+      ordered = true, numPartitions = 32)
+    hHash.toDF.count()
+    import org.apache.spark.sql.functions.col
+    val t9 = System.nanoTime()
+    (0 until 10).foreach(i => hRp.toDF.filter(
+      col("c_custkey").between(i * 100L, i * 100L + 200L)).count())
+    val tSqlRangeRp = (System.nanoTime() - t9) / 1e9
+    val t10 = System.nanoTime()
+    (0 until 10).foreach(i => hHash.toDF.filter(
+      col("c_custkey").between(i * 100L, i * 100L + 200L)).count())
+    val tSqlRangeHash = (System.nanoTime() - t10) / 1e9
+    hRp.idx.unpersist()
+    hHash.idx.unpersist()
+
     Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
       "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
       "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
-      "micro_range_pruned_10" -> tRangePruned, "micro_range_allparts_10" -> tRangeHash)
+      "micro_range_pruned_10" -> tRangePruned, "micro_range_allparts_10" -> tRangeHash,
+      "micro_multiget_disk_10x100" -> tMultigetDisk,
+      "micro_sql_range_rangepart_10" -> tSqlRangeRp,
+      "micro_sql_range_hashpart_10" -> tSqlRangeHash)
   }
 }

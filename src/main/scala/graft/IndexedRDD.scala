@@ -59,7 +59,16 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
 
   /** Persists the INDEXED representation (the partitions RDD), so cached
-    * probes hit the built index, not re-built tuples. */
+    * probes hit the built index, not re-built tuples.
+    *
+    * Storage policy at scale: a partition is built in heap (size the
+    * partition COUNT with [[IndexedRDD.build]] so each one fits), but
+    * the total cached footprint may exceed executor memory —
+    * `MEMORY_AND_DISK(_SER)` spills cold partitions to disk and
+    * `DISK_ONLY` keeps the whole index out of heap; every operator
+    * (point read, COW update, join, range) streams partitions back on
+    * demand because the partition contract is serialization-clean
+    * (Java AND Kryo round-trips, spec-enforced). See SpillSpec. */
   override def persist(newLevel: StorageLevel): this.type = {
     partitionsRDD.persist(newLevel); this
   }
@@ -183,6 +192,72 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
       case _ =>
         zipWithOther(other) { (part, iter) =>
           part.innerJoin(HashIndexedPartition(iter))(f)
+        }
+    }
+
+  /**
+   * Inner equi-join that STREAMS results instead of building an index
+   * over them: per partition, scan this side and probe the other
+   * side's index, emitting `f` lazily. The right consumer shape for
+   * engines layered above (the SQL zip join): join output feeds
+   * straight into the parent operator without materializing a result
+   * partition. Narrow when co-partitioned; otherwise only `other`
+   * shuffles.
+   */
+  def innerJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
+      f: (K, V, U) => R): RDD[R] =
+    other match {
+      case o: IndexedRDD[K, U] if o.partitioner == partitioner =>
+        partitionsRDD.zipPartitions(o.partitionsRDD,
+          preservesPartitioning = true) { (ai, bi) =>
+          if (ai.hasNext && bi.hasNext) {
+            val a = ai.next(); val b = bi.next()
+            a.iterator.flatMap { case (k, v) =>
+              b(k) match { case Some(u) => Iterator.single(f(k, v, u)); case None => Iterator.empty }
+            }
+          } else Iterator.empty
+        }
+      case _ =>
+        val partitioned =
+          if (other.partitioner == partitioner) other
+          else other.partitionBy(partitioner.get)
+        partitionsRDD.zipPartitions(partitioned,
+          preservesPartitioning = true) { (ai, oi) =>
+          if (ai.hasNext) {
+            val a = ai.next(); val b = HashIndexedPartition(oi)
+            a.iterator.flatMap { case (k, v) =>
+              b(k) match { case Some(u) => Iterator.single(f(k, v, u)); case None => Iterator.empty }
+            }
+          } else Iterator.empty
+        }
+    }
+
+  /** Left-outer analogue of [[innerJoinStream]]: scan this side, probe
+    * the other, emit lazily — no result index is built. */
+  def leftJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
+      f: (K, V, Option[U]) => R): RDD[R] =
+    other match {
+      case o: IndexedRDD[K, U] if o.partitioner == partitioner =>
+        partitionsRDD.zipPartitions(o.partitionsRDD,
+          preservesPartitioning = true) { (ai, bi) =>
+          if (ai.hasNext && bi.hasNext) {
+            val a = ai.next(); val b = bi.next()
+            a.iterator.map { case (k, v) => f(k, v, b(k)) }
+          } else if (ai.hasNext) {
+            val a = ai.next()
+            a.iterator.map { case (k, v) => f(k, v, None) }
+          } else Iterator.empty
+        }
+      case _ =>
+        val partitioned =
+          if (other.partitioner == partitioner) other
+          else other.partitionBy(partitioner.get)
+        partitionsRDD.zipPartitions(partitioned,
+          preservesPartitioning = true) { (ai, oi) =>
+          if (ai.hasNext) {
+            val a = ai.next(); val b = HashIndexedPartition(oi)
+            a.iterator.map { case (k, v) => f(k, v, b(k)) }
+          } else Iterator.empty
         }
     }
 

@@ -237,6 +237,56 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_pointget_str" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // STRING-keyed SQL handle: pushed string equality/IN routes into
+      // the same partition-pruned multiget as integral keys (the RDD
+      // layer is generic over KeySerializer; reference
+      // KeySerializer.scala:28-31's generic-key contract through SQL)
+      val h = graft.sql.IndexedFrame.indexString(Tables.customer(s, dir), "c_name")
+      h.toDF.filter($"c_name".isin(
+          "Customer#000000002", "Customer#000000017",
+          "Customer#000000123", "Customer#999999999"))
+        .select($"c_name", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_range_partitioned" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // range-partitioned handle: the pushed BETWEEN prunes to only the
+      // partitions whose key interval overlaps [300, 499] — O(range)
+      // tasks, not O(partitions) (IndexedRDD.range PartitionPruningRDD)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.customer(s, dir), "c_custkey", numPartitions = 16)
+      h.toDF.filter($"c_custkey".between(300L, 499L))
+        .select($"c_custkey", $"c_acctbal")
+    },
+
+    "ir_tuple2_multiget" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // composite (o_custkey, o_orderdate) key through the Tuple2
+      // serializer end-to-end: index build, partition-pruned multiget,
+      // same-day duplicates folded at build (updatable z/f; max is
+      // fold-order-independent, so the oracle compares bit-exact)
+      val pairs = Tables.orders(s, dir)
+        .select($"o_custkey", unix_date(to_date($"o_orderdate")).as("d"), $"o_totalprice")
+        .as[(Long, Int, Double)].rdd
+        .map { case (c, d, p) => ((c, d), p) }
+      val idx = IndexedRDD.updatable[(Long, Int), Double, Double](
+        pairs, (_, v) => v, (_, a, b) => math.max(a, b))
+      // probe the 3 lowest composite keys (deterministic at every SF)
+      val keys = Tables.orders(s, dir)
+        .select($"o_custkey", unix_date(to_date($"o_orderdate")).as("d")).distinct()
+        .orderBy($"o_custkey", $"d").limit(3).as[(Long, Int)].collect()
+      idx.multiget(keys).toSeq
+        .map { case ((c, d), t) => (c, d, t) }
+        .toDF("o_custkey", "d", "max_price")
+        .select($"o_custkey", date_from_unix_date($"d").as("o_orderdate"),
+          $"max_price")
+    },
+
     "ir_sql_scan" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -362,6 +412,26 @@ object OperatorQueries {
     "ir_sql_range" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey BETWEEN 200 AND 399""".stripMargin,
+
+    "ir_sql_pointget_str" ->
+      """SELECT c_name, c_custkey, c_acctbal FROM customer
+        |WHERE c_name IN ('Customer#000000002', 'Customer#000000017',
+        |                 'Customer#000000123', 'Customer#999999999')""".stripMargin,
+
+    "ir_sql_range_partitioned" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey BETWEEN 300 AND 499""".stripMargin,
+
+    "ir_tuple2_multiget" ->
+      """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |                  o_totalprice FROM orders),
+        |k AS (SELECT o_custkey, o_orderdate FROM d
+        |      GROUP BY o_custkey, o_orderdate
+        |      ORDER BY o_custkey, o_orderdate LIMIT 3)
+        |SELECT o.o_custkey, o.o_orderdate,
+        |       CAST(max(o.o_totalprice) AS DOUBLE) AS max_price
+        |FROM d o JOIN k ON o.o_custkey = k.o_custkey AND o.o_orderdate = k.o_orderdate
+        |GROUP BY o.o_custkey, o.o_orderdate""".stripMargin,
 
     "ir_sql_scan" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

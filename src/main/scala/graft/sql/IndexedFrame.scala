@@ -1,10 +1,16 @@
 package graft.sql
 
+import scala.reflect.ClassTag
+
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, LessThan, LessThanOrEqual, PrunedFilteredScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType,
+  StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.IndexedRDD
 import graft.keys.KeySerializer
@@ -19,110 +25,219 @@ import graft.keys.KeySerializer
  * `PrunedFilteredScan` closes that gap with public API only:
  *
  *  - `EqualTo`/`In` on the key → partition-pruned `multiget` point read;
- *  - `>`/`>=`/`<`/`<=` on the key (ordered handles) → radix-tree range
- *    scan (`IndexedRDD.range`), bounds intersected across predicates;
+ *  - `>`/`>=`/`<`/`<=` on the key (ordered handles, integral keys) →
+ *    radix-tree range scan (`IndexedRDD.range`), bounds intersected
+ *    across predicates — on [[rangePartitioned]] handles the scan also
+ *    prunes PARTITIONS to the overlapping key intervals;
  *  - anything else → indexed full scan with Spark re-applying residual
  *    predicates above us.
+ *
+ * Values are stored as UnsafeRow (converted ONCE at build from the
+ * source plan's internal rows), and `needConversion = false`, so scans
+ * and the zip join ([[IndexedJoin]]) never round-trip through external
+ * Rows. Keys are generic over [[KeySerializer]] — integral and string
+ * key columns ship here; the RDD layer accepts any serializable key.
  */
 object IndexedFrame {
+
+  /** Extracts the key from a stored internal row / a pushed literal. */
+  private[sql] sealed trait KeyCodec[K] extends Serializable {
+    def fromRow(r: InternalRow, i: Int): K
+    def fromLiteral(v: Any): K
+    /** Range pushdown is sound only when the serializer's byte order is
+      * the key's natural order AND bounds can be made half-open. */
+    def integral: Boolean
+  }
+
+  private[sql] final class LongCodec(dt: DataType) extends KeyCodec[Long] {
+    override def fromRow(r: InternalRow, i: Int): Long = dt match {
+      case LongType => r.getLong(i)
+      case IntegerType => r.getInt(i).toLong
+      case ShortType => r.getShort(i).toLong
+    }
+    override def fromLiteral(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case other => throw new IllegalArgumentException(
+        s"integral key literal required, got ${if (other == null) "null" else other.getClass}")
+    }
+    override def integral: Boolean = true
+  }
+
+  private[sql] object StringCodec extends KeyCodec[String] {
+    override def fromRow(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+    override def fromLiteral(v: Any): String = v match {
+      case s: String => s
+      case u: UTF8String => u.toString
+      case other => throw new IllegalArgumentException(
+        s"string key literal required, got ${if (other == null) "null" else other.getClass}")
+    }
+    override def integral: Boolean = false
+  }
 
   /** An indexed table handle: the versioned index plus its SQL schema.
     * `lastScanKind` records, for observability and tests, how the most
     * recent scan was served: "point" / "range" / "full"; for point
     * scans `lastPointLookupKeys` is the probed key count. */
-  class Handle(val idx: IndexedRDD[Long, Row], val keyCol: String,
-      val schema: StructType, val ordered: Boolean) extends Serializable {
+  class Handle[K](val idx: IndexedRDD[K, InternalRow], val keyCol: String,
+      val schema: StructType, val ordered: Boolean,
+      private[sql] val codec: KeyCodec[K])(
+      implicit private[sql] val kTag: ClassTag[K],
+      private[sql] val kSer: KeySerializer[K]) extends Serializable {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
-    /** Copy-on-write upsert of full rows, returning a new handle that
-      * shares partition structure with this one. */
-    def upsert(rows: Seq[Row]): Handle = {
-      val ki = schema.fieldIndex(keyCol)
-      new Handle(idx.multiput(rows.map(r => (toLongKey(r.get(ki)), r)).toMap),
-        keyCol, schema, ordered)
+    private[sql] def keyIndex: Int = schema.fieldIndex(keyCol)
+
+    /** Copy-on-write upsert of full (external) rows, returning a new
+      * handle that shares partition structure with this one. */
+    def upsert(rows: Seq[Row]): Handle[K] = {
+      val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+      val proj = UnsafeProjection.create(schema)
+      val ki = keyIndex
+      val kvs = rows.map { r =>
+        val ir = proj(conv(r).asInstanceOf[InternalRow]).copy()
+        (codec.fromRow(ir, ki), ir: InternalRow)
+      }.toMap
+      new Handle(idx.multiput(kvs), keyCol, schema, ordered, codec)
     }
 
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new IndexedRelation(this)(spark.sqlContext))
   }
 
-  /** Index a DataFrame by a long-typed key column (key uniqueness
+  /** Internal rows of `df` keyed+copied once (no external conversion),
+    * ready for index build. Null keys are rejected — the index is a
+    * key-unique map and NULL never equals anything in SQL. */
+  private def pairs[K](df: DataFrame, keyCol: String,
+      codec: KeyCodec[K]): RDD[(K, InternalRow)] = {
+    val ki = df.schema.fieldIndex(keyCol)
+    df.queryExecution.toRdd.mapPartitions(_.map { r =>
+      if (r.isNullAt(ki))
+        throw new IllegalArgumentException(s"null key in column $keyCol")
+      (codec.fromRow(r, ki), r.copy(): InternalRow)
+    })
+  }
+
+  private def codecFor(schema: StructType, keyCol: String): KeyCodec[_] =
+    schema(keyCol).dataType match {
+      case dt @ (LongType | IntegerType | ShortType) => new LongCodec(dt)
+      case StringType => StringCodec
+      case other => throw new IllegalArgumentException(
+        s"unsupported key column type ${other.catalogString} (integral or string required)")
+    }
+
+  /** Index a DataFrame by an integral key column (key uniqueness
     * enforced, last write wins) and pin the built index. `ordered=true`
     * builds radix-tree partitions, enabling pushed range predicates;
     * `numPartitions` forces a partition count so that two handles built
     * with the same count are co-partitioned (their SQL joins plan as
     * narrow zip joins — see [[IndexedJoin]]). */
   def index(df: DataFrame, keyCol: String, ordered: Boolean = false,
-      numPartitions: Int = 0): Handle = {
-    val schema = df.schema
-    val ki = schema.fieldIndex(keyCol)
-    val raw = df.rdd.map(r => (toLongKey(r.get(ki)), r))
-    val pairs =
-      if (numPartitions > 0)
-        raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+      numPartitions: Int = 0): Handle[Long] = {
+    val codec = codecFor(df.schema, keyCol) match {
+      case lc: LongCodec => lc
+      case _ => throw new IllegalArgumentException(
+        s"index() requires an integral key column; use indexString for ${df.schema(keyCol).dataType.catalogString}")
+    }
+    val raw = pairs(df, keyCol, codec)
+    val p =
+      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
       else raw
-    val idx = if (ordered) IndexedRDD.ordered(pairs) else IndexedRDD(pairs)
-    new Handle(idx.cached, keyCol, schema, ordered)
+    val idx = if (ordered) IndexedRDD.ordered(p) else IndexedRDD(p)
+    new Handle(idx.cached, keyCol, df.schema, ordered, codec)
   }
 
-  private def toLongKey(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case s: Short => s.toLong
-    case other => throw new IllegalArgumentException(
-      s"integral key required, got ${if (other == null) "null" else other.getClass}")
+  /** Index by a STRING key column: pushed equality/IN predicates route
+    * into partition-pruned point reads exactly like integral keys (the
+    * RDD layer is generic over [[KeySerializer]]; range predicates are
+    * not pushed — the string serializer's byte order is not
+    * lexicographic). */
+  def indexString(df: DataFrame, keyCol: String,
+      numPartitions: Int = 0): Handle[String] = {
+    require(df.schema(keyCol).dataType == StringType,
+      s"string key column required, got ${df.schema(keyCol).dataType.catalogString}")
+    val raw = pairs(df, keyCol, StringCodec)
+    val p =
+      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+      else raw
+    new Handle(IndexedRDD(p).cached, keyCol, df.schema, ordered = false, StringCodec)
   }
 
-  private[sql] class IndexedRelation(private[sql] val h: Handle)(
+  /** RANGE-PARTITIONED ordered handle: keys are globally sorted across
+    * `numPartitions` partitions (RangePartitioner) with a radix tree
+    * inside each, so a pushed BETWEEN prunes to only the partitions
+    * whose key interval overlaps the bounds — O(range) tasks instead of
+    * O(partitions). The layout of choice for range-heavy SQL at scale. */
+  def indexRangePartitioned(df: DataFrame, keyCol: String,
+      numPartitions: Int): Handle[Long] = {
+    val codec = codecFor(df.schema, keyCol) match {
+      case lc: LongCodec => lc
+      case _ => throw new IllegalArgumentException("integral key column required")
+    }
+    val idx = IndexedRDD.rangePartitioned(pairs(df, keyCol, codec), numPartitions)
+    new Handle(idx.cached, keyCol, df.schema, ordered = true, codec)
+  }
+
+  private[sql] class IndexedRelation[K](private[sql] val h: Handle[K])(
       @transient override val sqlContext: SQLContext)
       extends BaseRelation with PrunedFilteredScan {
 
     override def schema: StructType = h.schema
 
-    override def needConversion: Boolean = true
+    /** Rows out of buildScan are already UnsafeRow — no external
+      * conversion layer. */
+    override def needConversion: Boolean = false
 
-    private def pointKeys(f: Filter): Option[Set[Long]] = f match {
+    private def pointKeys(f: Filter): Option[Set[K]] = f match {
       case EqualTo(h.keyCol, null) => Some(Set.empty) // NULL never matches
-      case EqualTo(h.keyCol, v) => Some(Set(toLongKey(v)))
+      case EqualTo(h.keyCol, v) => Some(Set(h.codec.fromLiteral(v)))
       // NULL elements in an IN list never match — drop them
-      case In(h.keyCol, vs) => Some(vs.filter(_ != null).map(toLongKey).toSet)
+      case In(h.keyCol, vs) =>
+        Some(vs.iterator.filter(_ != null).map(h.codec.fromLiteral).toSet)
       case _ => None
     }
 
-    /** Key range [from, to) implied by one pushed filter, if any.
-      * `k > Long.MaxValue` yields an empty range (overflow guard);
-      * upper bounds reaching Long.MaxValue are handled inclusively in
-      * the scan (see buildScan). */
-    private def rangeBounds(f: Filter): Option[(Long, Long)] = f match {
-      case GreaterThan(h.keyCol, v) if v != null =>
-        if (toLongKey(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue)) // empty
-        else Some((toLongKey(v) + 1, Long.MaxValue))
-      case GreaterThanOrEqual(h.keyCol, v) if v != null => Some((toLongKey(v), Long.MaxValue))
-      case LessThan(h.keyCol, v) if v != null => Some((Long.MinValue, toLongKey(v)))
-      case LessThanOrEqual(h.keyCol, v) if v != null =>
-        Some((Long.MinValue, if (toLongKey(v) == Long.MaxValue) Long.MaxValue else toLongKey(v) + 1))
-      case _ => None
+    /** Key range [from, to) implied by one pushed filter, if any —
+      * integral keys only. `k > Long.MaxValue` yields an empty range
+      * (overflow guard); upper bounds reaching Long.MaxValue are
+      * handled inclusively in the scan (see buildScan). */
+    private def rangeBounds(f: Filter): Option[(Long, Long)] = {
+      def lit(v: Any): Long = h.codec.fromLiteral(v).asInstanceOf[Long]
+      f match {
+        case GreaterThan(h.keyCol, v) if v != null =>
+          if (lit(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue)) // empty
+          else Some((lit(v) + 1, Long.MaxValue))
+        case GreaterThanOrEqual(h.keyCol, v) if v != null => Some((lit(v), Long.MaxValue))
+        case LessThan(h.keyCol, v) if v != null => Some((Long.MinValue, lit(v)))
+        case LessThanOrEqual(h.keyCol, v) if v != null =>
+          Some((Long.MinValue, if (lit(v) == Long.MaxValue) Long.MaxValue else lit(v) + 1))
+        case _ => None
+      }
     }
+
+    private def rangeCapable: Boolean = h.ordered && h.codec.integral
 
     override def unhandledFilters(filters: Array[Filter]): Array[Filter] = {
-      // range filters are fully handled ONLY on ordered handles AND when
-      // no point filter is pushed alongside them — the point branch of
-      // buildScan ignores bounds, so mixed predicates must be re-applied
-      // by Spark above the scan
+      // range filters are fully handled ONLY on ordered integral-key
+      // handles AND when no point filter is pushed alongside them — the
+      // point branch of buildScan ignores bounds, so mixed predicates
+      // must be re-applied by Spark above the scan
       val anyPoint = filters.exists(f => pointKeys(f).isDefined)
       filters.filter(f => pointKeys(f).isEmpty &&
-        !(h.ordered && !anyPoint && rangeBounds(f).isDefined))
+        !(rangeCapable && !anyPoint && rangeBounds(f).isDefined))
     }
 
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
       val keySets = filters.flatMap(pointKeys)
-      val bounds = if (h.ordered) filters.flatMap(rangeBounds) else Array.empty[(Long, Long)]
-      val rows: RDD[Row] =
+      val bounds =
+        if (rangeCapable) filters.flatMap(rangeBounds) else Array.empty[(Long, Long)]
+      val rows: RDD[InternalRow] =
         if (keySets.nonEmpty) {
           // AND semantics across pushed filters: intersect every key set
-          val keys = keySets.reduce(_ intersect _).toArray
+          val keys = keySets.reduce(_ intersect _).toArray(h.kTag)
           h.lastScanKind = "point"
           h.lastPointLookupKeys = keys.length
           val hit = h.idx.multiget(keys).values.toSeq
@@ -133,14 +248,15 @@ object IndexedFrame {
           val to = bounds.map(_._2).min
           h.lastScanKind = "range"
           h.lastPointLookupKeys = -1
+          val hl = h.asInstanceOf[Handle[Long]]
           if (from >= to && !(from == Long.MaxValue && to == Long.MaxValue)) {
-            sqlContext.sparkContext.emptyRDD[Row]
+            sqlContext.sparkContext.emptyRDD[InternalRow]
           } else {
-            val body = h.idx.range(from, to).map(_._2)
+            val body = hl.idx.range(from, to)(hl.kSer).map(_._2)
             // range() is half-open, so an upper bound of Long.MaxValue
             // (i.e. unbounded above) must also admit a MaxValue key
             if (to == Long.MaxValue) {
-              val maxHit = h.idx.multiget(Array(Long.MaxValue)).values.toSeq
+              val maxHit = hl.idx.multiget(Array(Long.MaxValue)).values.toSeq
               if (maxHit.nonEmpty) body.union(sqlContext.sparkContext.parallelize(maxHit, 1))
               else body
             } else body
@@ -150,8 +266,15 @@ object IndexedFrame {
           h.lastPointLookupKeys = -1
           h.idx.map(_._2)
         }
-      val idxs = requiredColumns.map(h.schema.fieldIndex)
-      rows.map(r => Row.fromSeq(idxs.toSeq.map(r.get)))
+      // prune columns with one reused per-partition projection; rows are
+      // consumed streaming by the scan node (which re-projects), so no
+      // per-row copy is needed
+      val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
+        BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable))
+      rows.mapPartitions { it =>
+        val proj = UnsafeProjection.create(fields.toIndexedSeq)
+        it.map(r => proj(r))
+      }.asInstanceOf[RDD[Row]]
     }
   }
 }

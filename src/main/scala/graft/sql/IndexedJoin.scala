@@ -1,14 +1,21 @@
 package graft.sql
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference,
+  AttributeSet, EqualTo, Expression, GenericInternalRow, IsNotNull, JoinedRow,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
-import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning, ShuffleSpec, UnknownPartitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{FilterExec, LeafExecNode, ProjectExec, SparkPlan,
+  SparkStrategy}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.IndexedRDD
 
 /**
  * SQL-visible INDEXED JOIN: a planner strategy that routes an inner
@@ -24,6 +31,13 @@ import org.apache.spark.sql.types.{StructField, StructType}
  * IndexedRDD.scala:277-283) surfaced through public planner API
  * (`ExperimentalMethods.extraStrategies` — no session-restart or
  * extensions config needed).
+ *
+ * Conjunctive conditions are supported: the key equality plans as the
+ * zip join and the remaining conjuncts run as a filter directly above
+ * it. LEFT OUTER joins on the bare key equality plan the same way
+ * (unmatched left rows null-extend in the stream). The exec node
+ * reports its key-clustered [[Partitioning]], so a parent aggregation
+ * on the join key runs WITHOUT another exchange.
  */
 object IndexedJoin {
 
@@ -36,70 +50,148 @@ object IndexedJoin {
 
   object IndexedJoinStrategy extends SparkStrategy {
 
-    /** Accept a bare indexed relation or an attribute-only Project of
-      * one (what column pruning leaves); bail on anything else. */
-    private def unwrap(p: LogicalPlan)
-        : Option[(Seq[Attribute], Seq[Attribute], IndexedFrame.Handle)] = p match {
+    /** Accept an indexed relation under any stack of attribute-only
+      * Projects and Filters (what column pruning and predicate pushdown
+      * leave below an inner join — including the optimizer's inferred
+      * `isnotnull(key)` filters). Collected filter conditions are
+      * re-applied ABOVE the zip join, which is equivalent for an inner
+      * join and lets the single-pass index scan serve the data. */
+    private def unwrap(p: LogicalPlan): Option[(Seq[Attribute], Seq[Attribute],
+        Seq[Expression], IndexedFrame.Handle[_])] = p match {
       case lr: LogicalRelation => lr.relation match {
-        case rel: IndexedFrame.IndexedRelation => Some((lr.output, lr.output, rel.h))
+        case rel: IndexedFrame.IndexedRelation[_] =>
+          Some((lr.output, lr.output, Nil, rel.h))
         case _ => None
       }
-      case Project(projs, lr: LogicalRelation)
-          if projs.forall(_.isInstanceOf[AttributeReference]) =>
-        lr.relation match {
-          case rel: IndexedFrame.IndexedRelation =>
-            Some((projs.map(_.asInstanceOf[AttributeReference]), lr.output, rel.h))
-          case _ => None
+      case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(child).map { case (_, all, conds, h) =>
+          (projs.map(_.asInstanceOf[AttributeReference]), all, conds, h)
         }
+      case logical.Filter(cond, child) =>
+        unwrap(child).map { case (out, all, conds, h) => (out, all, conds :+ cond, h) }
       case _ => None
     }
 
+    private def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case j: Join if j.joinType == Inner =>
-        (j.condition, unwrap(j.left), unwrap(j.right)) match {
-          case (Some(EqualTo(la: AttributeReference, ra: AttributeReference)),
-              Some((lOut, lAll, lh)), Some((rOut, rAll, rh))) =>
+      case j: Join if (j.joinType == Inner || j.joinType == LeftOuter)
+          && j.condition.isDefined =>
+        (unwrap(j.left), unwrap(j.right)) match {
+          case (Some((lOut, lAll, lConds, lh)), Some((rOut, rAll, rConds, rh)))
+              if lh.kTag == rh.kTag =>
+            val leftOuter = j.joinType == LeftOuter
             val lKey = lAll.find(_.name == lh.keyCol).map(_.exprId)
             val rKey = rAll.find(_.name == rh.keyCol).map(_.exprId)
-            val keysMatch =
-              (lKey.contains(la.exprId) && rKey.contains(ra.exprId)) ||
-                (lKey.contains(ra.exprId) && rKey.contains(la.exprId))
-            if (keysMatch)
-              Seq(IndexedZipJoinExec(lOut ++ rOut, lh, rh, lAll, rAll))
-            else Nil
+            val (keyEqs, residual) = conjuncts(j.condition.get).partition {
+              case EqualTo(a: AttributeReference, b: AttributeReference) =>
+                (lKey.contains(a.exprId) && rKey.contains(b.exprId)) ||
+                  (lKey.contains(b.exprId) && rKey.contains(a.exprId))
+              case _ => false
+            }
+            // LeftOuter: a lifted RIGHT-side filter or a non-key ON
+            // conjunct would change null-extension semantics — only the
+            // vacuous isnotnull(key) (keys are never null by index
+            // construction) may be dropped; anything else bails to the
+            // default planner. LEFT-side filters commute with the join.
+            val rCondsVacuous = rConds.forall {
+              case IsNotNull(a: AttributeReference) => rKey.contains(a.exprId)
+              case _ => false
+            }
+            if (keyEqs.isEmpty) Nil
+            else if (leftOuter && (residual.nonEmpty || !rCondsVacuous)) Nil
+            else {
+              val rAllAdj = if (leftOuter) rAll.map(_.withNullability(true)) else rAll
+              val rOutAdj = if (leftOuter) rOut.map(_.withNullability(true)) else rOut
+              val allConds =
+                if (leftOuter) lConds else residual ++ lConds ++ rConds
+              val wanted = lOut ++ rOutAdj
+              val needed = AttributeSet(allConds.flatMap(_.references))
+              // the join emits the projected columns plus whatever the
+              // lifted filters reference; a Project on top restores the
+              // exact expected output when they differ
+              val joinOut = (lAll ++ rAllAdj).filter(a =>
+                wanted.exists(_.exprId == a.exprId) || needed.contains(a))
+              val join = IndexedZipJoinExec(joinOut, lh, rh, lAll, rAllAdj, leftOuter)
+              val filtered =
+                if (allConds.isEmpty) join
+                else FilterExec(allConds.reduce(And), join)
+              Seq(
+                if (joinOut.map(_.exprId) == wanted.map(_.exprId)) filtered
+                else ProjectExec(wanted, filtered))
+            }
           case _ => Nil
         }
       case _ => Nil
     }
   }
 
+  /**
+   * Partitioning of a zip-join output: clustered by the join key under
+   * the engine's hash partitioner. Satisfies a parent's
+   * ClusteredDistribution on the key (equal keys ARE co-located), so
+   * aggregations above the join skip their exchange — but its shuffle
+   * spec is deliberately incompatible with everything: the layout is
+   * `key.hashCode % n`, NOT Catalyst murmur3 HashPartitioning, so it
+   * must never be treated as co-partitioned with a real exchange.
+   */
+  case class IndexedKeyPartitioning(key: Attribute, numPartitions: Int)
+      extends Partitioning {
+    override def satisfies0(required: Distribution): Boolean = required match {
+      case UnspecifiedDistribution => true
+      case ClusteredDistribution(clustering, requireAll, _) =>
+        if (requireAll) clustering.length == 1 && clustering.head.semanticEquals(key)
+        else clustering.exists(_.semanticEquals(key))
+      case _ => false
+    }
+    override def createShuffleSpec(distribution: ClusteredDistribution): ShuffleSpec =
+      IndexedKeyShuffleSpec(numPartitions)
+  }
+
+  case class IndexedKeyShuffleSpec(numPartitions: Int) extends ShuffleSpec {
+    override def isCompatibleWith(other: ShuffleSpec): Boolean = false
+    override def canCreatePartitioning: Boolean = false
+  }
+
   /** Physical zip join over two indexed handles (leaf: the data comes
-    * from the handles' cached indexes, not from child plans). */
+    * from the handles' cached indexes, not from child plans). Stored
+    * values are already UnsafeRow, so each output row is ONE reused
+    * unsafe projection over a JoinedRow — no per-row converters, no
+    * external rows, no copies. Inner and left-outer (unmatched left
+    * rows pair with an all-null right row). */
   case class IndexedZipJoinExec(output: Seq[Attribute],
-      lh: IndexedFrame.Handle, rh: IndexedFrame.Handle,
-      lAll: Seq[Attribute], rAll: Seq[Attribute]) extends LeafExecNode {
+      lh: IndexedFrame.Handle[_], rh: IndexedFrame.Handle[_],
+      lAll: Seq[Attribute], rAll: Seq[Attribute],
+      leftOuter: Boolean = false) extends LeafExecNode {
+
+    override def outputPartitioning: Partitioning = {
+      val n = lh.idx.partitions.length
+      val keyAttr = lAll.find(_.name == lh.keyCol).filter(output.contains)
+        .orElse(rAll.find(_.name == rh.keyCol).filter(output.contains))
+      keyAttr.map(IndexedKeyPartitioning(_, n)).getOrElse(UnknownPartitioning(n))
+    }
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val lMap = lAll.map(_.exprId).zipWithIndex.toMap
-      val rMap = rAll.map(_.exprId).zipWithIndex.toMap
-      // each output attribute reads from the left or the right row
-      val sources: Array[Either[Int, Int]] = output.map { a =>
-        lMap.get(a.exprId).map(Left(_): Either[Int, Int])
-          .getOrElse(Right(rMap(a.exprId)))
-      }.toArray
-      val schema = StructType(output.map(a =>
-        StructField(a.name, a.dataType, a.nullable)))
-      // narrow when co-partitioned; otherwise only the right side shuffles
-      val joined = lh.idx.innerJoin(rh.idx)((_, a, b) => (a, b))
-      joined.mapPartitions { it =>
-        val conv = CatalystTypeConverters.createToCatalystConverter(schema)
-        val proj = UnsafeProjection.create(schema)
-        it.map { case (_, (a, b)) =>
-          val vals = sources.map {
-            case Left(i) => a.get(i)
-            case Right(i) => b.get(i)
-          }
-          proj(conv(Row.fromSeq(vals.toIndexedSeq)).asInstanceOf[InternalRow]).copy()
+      val li = lh.idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
+      val ri = rh.idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
+      val out = output
+      val in = lAll ++ rAll
+      val nRight = rAll.size
+      if (leftOuter) {
+        li.leftJoinStream(ri)((_, a, b) => (a, b)).mapPartitions { it =>
+          val joined = new JoinedRow
+          val nullRight: InternalRow = new GenericInternalRow(nRight)
+          val proj = UnsafeProjection.create(out, in)
+          it.map { case (a, b) => proj(joined(a, b.getOrElse(nullRight))) }
+        }
+      } else {
+        li.innerJoinStream(ri)((_, a, b) => (a, b)).mapPartitions { it =>
+          val joined = new JoinedRow
+          val proj = UnsafeProjection.create(out, in)
+          it.map { case (a, b) => proj(joined(a, b)) }
         }
       }
     }

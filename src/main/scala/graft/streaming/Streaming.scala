@@ -47,37 +47,61 @@ object Streaming {
 
   /**
    * Gap-based sessionization: a user's session closes once an event
-   * arrives more than `gapMs` after the session's last event. Emits one
-   * row per closed session (trailing sessions stay open in state; a
-   * production variant would add an event-time timeout to flush them).
+   * arrives more than `gapMs` after the session's last event, OR — on a
+   * streaming input — once the event-time WATERMARK passes the gap
+   * after its last event (`GroupStateTimeout.EventTimeTimeout`), so
+   * trailing sessions flush and their state is dropped instead of
+   * pinning the state store forever. On a batch input (backfill)
+   * timeouts don't exist; every session closes at end-of-input
+   * semantics except the per-user trailing one, which stays open
+   * exactly as in a stream that has not yet crossed the watermark.
    */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.endMs <= gapMs =>
-                // late (out-of-order) events may extend the session
-                // backwards as well as forwards
-                cur = Some(SessionState(math.min(s.startMs, t),
-                  math.max(s.endMs, t), s.n + 1, s.sum + e.value))
-              case Some(s) =>
-                closed += Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.sum)
-                cur = Some(SessionState(t, t, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1L, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap with no new events:
+            // flush the open session and DROP its state
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.sum))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  // late (out-of-order) events may extend the session
+                  // backwards as well as forwards
+                  cur = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // arm the event-time alarm (never below the current
+              // watermark — a deeply late session closes next batch);
+              // batch runs have no watermark and no timeouts to arm
+              if (streaming) state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(s => state.update(s))
-          closed.result().iterator
       }
   }
 

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Spill tolerance (SURVEY §7.5 risk 6): the reference keeps every
+ * partition in heap forever (reference build.sbt:40 just raises test
+ * heap); our partition contract is serialization-clean, so the cached
+ * footprint may exceed executor memory — `MEMORY_AND_DISK(_SER)` /
+ * `DISK_ONLY` storage levels put cold partitions on disk and every
+ * operator (point read, COW update, join, range) streams them back on
+ * demand. These specs run the full operator surface against indexes
+ * whose blocks live OUTSIDE the heap of record.
+ */
+class SpillSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+
+  private def payload(k: Long): String = s"payload-$k-" + ("x" * 120)
+
+  test("DISK_ONLY index: every query shape correct with zero in-memory blocks") {
+    val sc = spark.sparkContext
+    val n = 100000L
+    val idx = IndexedRDD(sc.parallelize((1L to n).map(k => (k, payload(k))), 8))
+      .persist(StorageLevel.DISK_ONLY)
+    assert(idx.count() === n) // builds + writes all partitions to disk
+    // point reads: only the owning partitions deserialize from disk
+    val hits = idx.multiget(Array(1L, 50000L, n, n + 12345L))
+    assert(hits.keySet === Set(1L, 50000L, n))
+    assert(hits(50000L) === payload(50000L))
+    // copy-on-write update over a disk-resident base; old version intact
+    val upd = idx.multiput(Map(5L -> "updated", n + 1 -> "inserted"))
+    assert(upd.get(5L) === Some("updated"))
+    assert(upd.count() === n + 1)
+    assert(idx.get(5L) === Some(payload(5L)))
+    // index-probe join against the disk-resident base
+    val other = sc.parallelize((1L to 1000L).map(k => (k, k * 2)))
+    val joined = idx.innerJoin(other)((_, _, u) => u)
+    assert(joined.count() === 1000)
+    // full scan
+    assert(idx.filter { case (k, _) => k % 1000 == 0 }.count() === n / 1000)
+    idx.unpersist()
+  }
+
+  test("MEMORY_AND_DISK_SER ordered index: range + point paths through the serialized store") {
+    val sc = spark.sparkContext
+    val idx = IndexedRDD.ordered(sc.parallelize((1L to 50000L).map(k => (k, payload(k))), 8))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    assert(idx.count() === 50000L)
+    assert(idx.range(1000L, 1100L).count() === 100)
+    assert(idx.multiget(Array(7L, 42L)).size === 2)
+    val deleted = idx.delete(Array(7L))
+    assert(deleted.get(7L) === None && idx.get(7L).isDefined)
+    idx.unpersist()
+  }
+}

@@ -99,4 +99,44 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq === Seq("c_name"))
     assert(df.collect().forall(_.getString(0).nonEmpty))
   }
+
+  test("string-keyed handle: pushed equality and IN route into multiget") {
+    val h = IndexedFrame.indexString(cust, "c_name")
+    val one = h.toDF.filter($"c_name" === "Customer#000000007")
+      .select($"c_custkey").as[Long].collect()
+    assert(one.toSeq === Seq(7L))
+    assert(h.lastScanKind === "point" && h.lastPointLookupKeys === 1)
+    val in = h.toDF.filter($"c_name".isin("Customer#000000003",
+        "Customer#000000011", "no-such-customer"))
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(in === Set(3L, 11L))
+    assert(h.lastPointLookupKeys === 3)
+    // non-key predicates still work via full scan
+    assert(h.toDF.filter($"c_acctbal" > 0.0).count() ===
+      cust.filter($"c_acctbal" > 0.0).count())
+    assert(h.lastScanKind === "full")
+    // upsert through the string key
+    val template = cust.head()
+    val row = org.apache.spark.sql.Row.fromSeq(
+      template.toSeq.updated(cust.schema.fieldIndex("c_name"), "brand-new-name"))
+    val h2 = h.upsert(Seq(row))
+    assert(h2.toDF.filter($"c_name" === "brand-new-name").count() === 1)
+    assert(h.toDF.filter($"c_name" === "brand-new-name").count() === 0)
+  }
+
+  test("range-partitioned handle: pushed BETWEEN prunes partitions") {
+    val df = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+    val h = IndexedFrame.indexRangePartitioned(df, "k", numPartitions = 16)
+    val q = h.toDF.filter($"k".between(100L, 149L))
+    assert(q.select($"k").as[Long].collect().toSet === (100L to 149L).toSet)
+    assert(h.lastScanKind === "range")
+    // the scan visits only the partitions whose key interval overlaps
+    // [100, 150) — a 5% slice of 1000 sorted keys over 16 partitions
+    // must touch far fewer than all of them
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    assert(parts < 16, s"expected pruned partitions, scanned $parts/16")
+    // point reads and full scans still correct on the same handle
+    assert(h.toDF.filter($"k" === 500L).count() === 1)
+    assert(h.toDF.count() === 1000)
+  }
 }

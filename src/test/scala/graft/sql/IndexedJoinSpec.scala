@@ -60,6 +60,87 @@ class IndexedJoinSpec extends AnyFunSuite {
     assert(agg === expected)
   }
 
+  test("conjunctive condition: key equality plans indexed, residual filters above") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val joined = h1.toDF.join(h2.toDF, $"k" === $"k2" && $"bal" > 150.0 && $"grp" =!= 3L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected indexed join in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no shuffle in plan:\n$plan")
+    val expected = cust.join(bal, $"k" === $"k2" && $"bal" > 150.0 && $"grp" =!= 3L)
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet === expected)
+  }
+
+  test("groupBy on the join key runs with NO exchange above the indexed join") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val agg = h1.toDF.join(h2.toDF, $"k" === $"k2")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"bal").as("t"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected indexed join in plan:\n$plan")
+    // the join output reports key-clustered partitioning, so the
+    // aggregation's ClusteredDistribution(k) is already satisfied
+    assert(!plan.contains("Exchange"), s"expected no shuffle in plan:\n$plan")
+    val got = agg.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val expected = cust.join(bal, $"k" === $"k2")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"bal").as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got === expected)
+  }
+
+  test("string-keyed handles join through the indexed path") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val a = (1L to 300L).map(k => (s"key$k", k)).toDF("ka", "va")
+    val b = (100L to 400L).map(k => (s"key$k", k * 10)).toDF("kb", "vb")
+    val h1 = IndexedFrame.indexString(a, "ka", numPartitions = 4)
+    val h2 = IndexedFrame.indexString(b, "kb", numPartitions = 4)
+    val joined = h1.toDF.join(h2.toDF, $"ka" === $"kb")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected indexed join in plan:\n$plan")
+    val got = joined.select($"va", $"vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (100L to 300L).map(k => (k, k * 10)).toSet)
+  }
+
+  test("left outer join on the key plans indexed; unmatched left rows null-extend") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val joined = h1.toDF.join(h2.toDF, $"k" === $"k2", "left_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected indexed join in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no shuffle in plan:\n$plan")
+    val got = joined.collect().map(_.toSeq).toSet
+    val expected = cust.join(bal, $"k" === $"k2", "left_outer")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(joined.count() === 500)
+    assert(joined.filter($"bal".isNull).count() === 100)
+  }
+
+  test("mismatched partition counts: indexed plan still correct (right side shuffles)") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 3)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val joined = h1.toDF.join(h2.toDF, $"k" === $"k2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"))
+    val expected = cust.join(bal, $"k" === $"k2").collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet === expected)
+  }
+
   test("non-key join conditions fall back to the default planner") {
     IndexedJoin.enable(spark)
     val (cust, bal) = fixtures()

@@ -69,6 +69,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: trailing session closes via event-time timeout when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L,
+        watermark = "20 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_out").start()
+    try {
+      // user 7's only events: 10:00 and 10:05, then silence forever
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      // other users keep the stream moving; watermark after this batch =
+      // 11:00 - 20min = 10:40 > user 7's last event + gap (10:15)
+      input.addData(Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires against the advanced watermark
+      input.addData(Event(4, Timestamp.valueOf("2024-01-01 11:05:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_timeout_out").as[Streaming.Session]
+        .filter(_.user_id == 7L).collect()
+      // the trailing session flushed with NO further user-7 events
+      assert(flushed.length === 1)
+      assert(flushed(0).n_events === 2 && flushed(0).total_value === 3.0)
+      assert(flushed(0).start === ts(0) && flushed(0).end === ts(5))
+    } finally q.stop()
+  }
+
   test("IndexedUpsertSink: micro-batches upsert into a live point-queryable index") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
