@@ -251,6 +251,22 @@ object OperatorQueries {
         .select($"c_name", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_pointget_uuid" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // UUID-keyed SQL handle: customers get a synthetic canonical UUID
+      // derived from the key; pushed IN routes into the 16-byte-key
+      // multiget (reference UUIDSerializer, KeySerializer.scala:100-108)
+      val withUuid = Tables.customer(s, dir).withColumn("c_uuid",
+        format_string("00000000-0000-4000-8000-%012d", $"c_custkey"))
+      val h = graft.sql.IndexedFrame.indexUuid(withUuid, "c_uuid")
+      h.toDF.filter($"c_uuid".isin(
+          "00000000-0000-4000-8000-000000000002",
+          "00000000-0000-4000-8000-000000000017",
+          "00000000-0000-4000-8000-999999999999"))
+        .select($"c_uuid", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_range_partitioned" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -417,6 +433,11 @@ object OperatorQueries {
       """SELECT c_name, c_custkey, c_acctbal FROM customer
         |WHERE c_name IN ('Customer#000000002', 'Customer#000000017',
         |                 'Customer#000000123', 'Customer#999999999')""".stripMargin,
+
+    "ir_sql_pointget_uuid" ->
+      """SELECT printf('00000000-0000-4000-8000-%012d', c_custkey) AS c_uuid,
+        |       c_custkey, c_acctbal
+        |FROM customer WHERE c_custkey IN (2, 17)""".stripMargin,
 
     "ir_sql_range_partitioned" ->
       """SELECT c_custkey, c_acctbal FROM customer

@@ -76,6 +76,21 @@ object IndexedFrame {
     override def integral: Boolean = false
   }
 
+  /** UUID-string key columns probe through the 16-byte UUID serializer
+    * (half the key bytes of the 36-char string form). */
+  private[sql] object UuidCodec extends KeyCodec[java.util.UUID] {
+    override def fromRow(r: InternalRow, i: Int): java.util.UUID =
+      java.util.UUID.fromString(r.getUTF8String(i).toString)
+    override def fromLiteral(v: Any): java.util.UUID = v match {
+      case s: String => java.util.UUID.fromString(s)
+      case u: UTF8String => java.util.UUID.fromString(u.toString)
+      case u: java.util.UUID => u
+      case other => throw new IllegalArgumentException(
+        s"uuid key literal required, got ${if (other == null) "null" else other.getClass}")
+    }
+    override def integral: Boolean = false
+  }
+
   /** An indexed table handle: the versioned index plus its SQL schema.
     * `lastScanKind` records, for observability and tests, how the most
     * recent scan was served: "point" / "range" / "full"; for point
@@ -163,6 +178,20 @@ object IndexedFrame {
       if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
       else raw
     new Handle(IndexedRDD(p).cached, keyCol, df.schema, ordered = false, StringCodec)
+  }
+
+  /** Index by a STRING column holding canonical UUIDs: keys serialize
+    * as 16 bytes (msb‖lsb) instead of 36 chars; pushed equality/IN
+    * routes into partition-pruned point reads. */
+  def indexUuid(df: DataFrame, keyCol: String,
+      numPartitions: Int = 0): Handle[java.util.UUID] = {
+    require(df.schema(keyCol).dataType == StringType,
+      s"string (uuid) key column required, got ${df.schema(keyCol).dataType.catalogString}")
+    val raw = pairs(df, keyCol, UuidCodec)
+    val p =
+      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+      else raw
+    new Handle(IndexedRDD(p).cached, keyCol, df.schema, ordered = false, UuidCodec)
   }
 
   /** RANGE-PARTITIONED ordered handle: keys are globally sorted across

@@ -124,6 +124,22 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.toDF.filter($"c_name" === "brand-new-name").count() === 0)
   }
 
+  test("uuid-keyed handle: pushed equality routes through the 16-byte key") {
+    val df = (1L to 200L).map(k =>
+      (f"00000000-0000-4000-8000-$k%012d", k)).toDF("id", "v")
+    val h = IndexedFrame.indexUuid(df, "id")
+    val one = h.toDF.filter($"id" === "00000000-0000-4000-8000-000000000042")
+      .select($"v").as[Long].collect()
+    assert(one.toSeq === Seq(42L))
+    assert(h.lastScanKind === "point" && h.lastPointLookupKeys === 1)
+    val in = h.toDF.filter($"id".isin(
+        "00000000-0000-4000-8000-000000000001",
+        "00000000-0000-4000-8000-000000000999"))
+      .select($"v").as[Long].collect().toSet
+    assert(in === Set(1L))
+    assert(h.toDF.count() === 200)
+  }
+
   test("range-partitioned handle: pushed BETWEEN prunes partitions") {
     val df = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
     val h = IndexedFrame.indexRangePartitioned(df, "k", numPartitions = 16)
