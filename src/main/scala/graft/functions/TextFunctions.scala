@@ -66,6 +66,53 @@ object TextFunctions {
   /** Character count. */
   def charCount(text: Column): Column = length(text)
 
+  /** PII redaction patterns — deliberately lookaround-free so the SAME
+    * pattern strings run under Java regex (Spark) and RE2 (DuckDB
+    * oracle, other engines). */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val UrlRe = "https?://[^ \\t\\n]+"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Redact emails, URLs, then phone-like digit runs from a text
+    * column (training-data curation: strip PII before the corpus ships
+    * to a trainer). One codegen'd regexp pass per pattern, no UDF.
+    * URL redaction runs before phone so digits inside URLs don't
+    * half-match as phone numbers. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches redacted by [[redactPii]] (emails + URLs +
+    * phone runs), for curation stats. */
+  def piiCount(text: Column): Column = {
+    def n(c: Column, re: String): Column =
+      size(split(c, re, -1)) - 1
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlRe, "<URL>")
+    n(text, EmailRe) + n(afterEmail, UrlRe) + n(afterUrl, PhoneRe)
+  }
+
+  /** Overlapping fixed-size token windows (the standard
+    * pre-tokenization chunking step for long documents): chunk `i`
+    * covers tokens `[i·(chunk−overlap), i·(chunk−overlap)+chunk)`;
+    * a document shorter than one chunk yields itself. Returns an array
+    * of chunk strings — explode it for one row per chunk. Pure Column
+    * arithmetic (sequence + slice), no UDF, embarrassingly parallel. */
+  def tokenChunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // chunks = 1 if n <= chunk else ceil((n - chunk)/stride) + 1
+    val extra = greatest(n - lit(chunkTokens), lit(0))
+    val nChunks = ceil(extra.cast("double") / stride).cast("int") + lit(1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
+  }
+
   /** Ratio of non-space characters that are letters, 0..1. */
   def alphaRatio(text: Column): Column = {
     val nonSpace = length(regexp_replace(text, "\\s", ""))

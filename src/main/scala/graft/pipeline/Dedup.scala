@@ -81,10 +81,13 @@ object Dedup {
   def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64): Column =
     minhashFromHashes(shingleHashes31(text, shingleN), numHashes)
 
-  /** Banded bucket keys from a signature: one 31-bit key per band
-    * (folded mod P31 — overflow-free). Composed higher-order form; the
-    * plans use [[bandKeysFromHashes]] (native, codegen) instead so no
-    * materialized signature column is needed. */
+  /** Banded bucket keys from a SIGNATURE column: one 31-bit key per
+    * band (folded mod P31 — overflow-free). The fold input is the
+    * 64-long signature, not the shingle set, so this costs ~nothing
+    * next to the permutation pass — when the signature is already
+    * materialized (minhashPairs pins it), deriving bands from it beats
+    * [[bandKeysFromHashes]]'s second 64-permutation sweep over every
+    * shingle. */
   private def bandKeys(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { j =>
       aggregate(slice(sig, j * rows + 1, rows), lit(977L),
@@ -198,21 +201,75 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
     // pinned: the bucket machinery consumes this table from THREE
-    // branches (band explode + both payload join sides); sig and bands
-    // are each one native codegen pass, but project-collapsing would
-    // still re-run the 64-permutation minhash over every shingle once
-    // per branch — the dominant cost of the whole query (measured 14%
-    // at sf0.1). The pinned table is narrow (id + 64+16 longs).
+    // branches (band explode + both payload join sides); without the
+    // cache boundary project-collapsing re-runs the 64-permutation
+    // minhash over every shingle once per branch — the dominant cost of
+    // the whole query (measured 14% at sf0.1). The pinned table is
+    // narrow (id + 64+16 longs). Bands derive from the SIGNATURE (a
+    // 64-element fold), so the shingle set is traversed by exactly ONE
+    // permutation sweep.
     val sigs = pin(df
       .select(col(idCol), shingleHashes31(col(textCol), shingleN).as("__sh"))
-      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig"),
-        bandKeysFromHashes(col("__sh"), bands, rowsPerBand).as("__bands")))
+      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig"))
+      .select(col(idCol), col("__sig"),
+        bandKeys(col("__sig"), bands, rowsPerBand).as("__bands")))
     val est = (sa: Column, sb: Column) =>
       aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / lit(k)
     bucketVerifiedPairsJoin(sigs, idCol, "__sig", maxBucketSize,
       est, _ >= threshold, "est_jaccard")
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /**
+   * Resolve near-duplicate PAIRS into clusters, electing one keeper per
+   * connected component (the minimum id): iterative min-label
+   * propagation over the pair graph. Each round is one distributed
+   * join+aggregate; the driver only checks a converged count. LSH dup
+   * clusters are near-cliques, so rounds ≈ 2-3 regardless of data size;
+   * a pathological chain of length L needs L rounds, bounded by
+   * `maxIters`. At 100 TB the edge set (near-dup pairs) is a small
+   * fraction of the corpus and every round shuffles edges + labels
+   * only — never documents.
+   *
+   * Returns (id, keep_id) for every id that appears in some pair;
+   * `keep_id = id` marks the cluster keeper. Unpaired documents are
+   * their own trivial cluster and are not emitted.
+   */
+  def resolveClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct())
+    // every round TRUNCATES LINEAGE (eager localCheckpoint): without
+    // it the round-N plan nests round-(N-1) twice and grows
+    // exponentially — the chain spec OOMed on plan stringification
+    // alone. On a cluster, an iterative driver loop must checkpoint
+    // each round for the same reason.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // min label among self and neighbors
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("keep_id"))
   }
 
   // --------------------------------------------------------------- simhash

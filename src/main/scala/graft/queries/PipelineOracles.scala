@@ -102,6 +102,49 @@ object PipelineOracles {
        |FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b
        |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32""".stripMargin
 
+  /** Connected components over the minhash pair graph (transitive
+    * closure by recursive CTE — dup clusters are tiny, so the closure
+    * is cheap at oracle scale), keeper = min reachable id. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $corpusCte,
+       |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
+       |gh AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams3, g -> ${poly("g")})) AS hs FROM tok),
+       |sg AS (SELECT doc_id, $sigExpr AS sig FROM gh),
+       |bd AS (SELECT doc_id, unnest($bandsExpr) AS bk FROM sg),
+       |${candCte(1000)},
+       |pairs AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b
+       |  WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |          UNION SELECT b AS src, a AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS keep_id FROM reach GROUP BY id""".stripMargin
+
+  import graft.functions.TextFunctions.{EmailRe, PhoneRe, UrlRe}
+
+  /** PII injection + redaction, replaying TextFunctions.redactPii /
+    * piiCount with the identical pattern strings (lookaround-free, so
+    * Java regex and RE2 agree). */
+  val textRedact: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  text || ' Contact user' || doc_id || '@example.com or https://ex.org/u/' || doc_id
+       |       || ' or call +1 (555) 010-' || doc_id || '.' AS t
+       |  FROM documents),
+       |e AS (SELECT doc_id, t, regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM t),
+       |u AS (SELECT doc_id, t, t1, regexp_replace(t1, '$UrlRe', '<URL>', 'g') AS t2 FROM e)
+       |SELECT doc_id,
+       |  regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_split_to_array(t, '$EmailRe')) - 1
+       |     + len(regexp_split_to_array(t1, '$UrlRe')) - 1
+       |     + len(regexp_split_to_array(t2, '$PhoneRe')) - 1 AS BIGINT) AS n_pii
+       |FROM u""".stripMargin
+
   val dedupNgram: String =
     s"""WITH $corpusCte,
        |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
@@ -153,6 +196,29 @@ object PipelineOracles {
        |    AS fp,
        |  TRUE AS ws_invariant
        |FROM th""".stripMargin
+
+  /** Overlapping 32-token windows, stride 24 — replays
+    * TextFunctions.tokenChunks(32, 8): nChunks = ceil(max(n-32,0)/24)+1,
+    * chunk i = tokens[i·24+1 .. i·24+32] (list_slice is inclusive,
+    * matching Spark's slice(start, length=32)). */
+  val textChunks: String =
+    s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |  CAST(ceil(CAST(greatest(len(toks) - 32, 0) AS DOUBLE) / 24) AS INT) + 1 AS nc
+       |  FROM tok),
+       |x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS r FROM c),
+       |ch AS (SELECT doc_id, CAST(r AS BIGINT) AS chunk_idx,
+       |  array_to_string(list_slice(toks, r*24 + 1, r*24 + 32), ' ') AS chunk FROM x)
+       |SELECT doc_id, chunk_idx, chunk,
+       |  CAST(len(${toks("chunk")}) AS BIGINT) AS n_tokens
+       |FROM ch""".stripMargin
+
+  val textVocab: String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+       |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t
+       |WHERE token <> ''
+       |GROUP BY token
+       |ORDER BY freq DESC, token LIMIT 100""".stripMargin
 
   val textSubwords: String =
     """SELECT doc_id,
@@ -429,6 +495,10 @@ object PipelineOracles {
   val sql: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram" -> dedupNgram,
+    "dedup_clusters" -> dedupClusters,
+    "text_redact" -> textRedact,
+    "text_chunks" -> textChunks,
+    "text_vocab" -> textVocab,
     "dedup_simhash" -> dedupSimhash,
     "text_fingerprint" -> textFingerprint,
     "text_subwords" -> textSubwords,

@@ -65,6 +65,29 @@ object PipelineQueries {
         shingleN = 3, threshold = 0.6)
     },
 
+    "dedup_clusters" -> { (s, dir) =>
+      // pairs -> connected components -> keeper per cluster: the final
+      // step that turns near-dup PAIRS into a deduplicated corpus
+      val pairs = Dedup.minhashPairs(plantedCorpus(s, dir), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      Dedup.resolveClusters(pairs)
+        .select(col("id").as("doc_id"), col("keep_id"))
+    },
+
+    "text_redact" -> { (s, dir) =>
+      // inject deterministic PII (the synthetic corpus has none), then
+      // redact emails/URLs/phone runs; the oracle replays the same
+      // injection + the same lookaround-free regex passes
+      val withPii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id"),
+          lit("@example.com or https://ex.org/u/"), col("doc_id"),
+          lit(" or call +1 (555) 010-"), col("doc_id"), lit(".")).as("t"))
+      withPii.select(col("doc_id"),
+        TextFunctions.redactPii(col("t")).as("redacted"),
+        TextFunctions.piiCount(col("t")).cast("long").as("n_pii"))
+    },
+
     // ----------------------------------------------- embedding similarity
     "embed_pairs" -> { (s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
@@ -131,6 +154,32 @@ object PipelineQueries {
     "text_subwords" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
+    },
+
+    "text_chunks" -> { (s, dir) =>
+      // overlapping 32-token windows (8-token overlap): one row per
+      // chunk with its index and token count — the pre-tokenization
+      // fan-out step of a training pipeline
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokenChunks(col("text"), 32, 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"),
+          TextFunctions.tokenCount(col("chunk")).cast("long").as("n_tokens"))
+    },
+
+    "text_vocab" -> { (s, dir) =>
+      // corpus vocabulary: top 100 tokens by frequency (count desc, then
+      // token — fully deterministic). Explode + partial-agg: the
+      // classic map-side-combinable wordcount; the top-k is
+      // TakeOrderedAndProject, never a global sort
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)
     },
 
     "text_fingerprint" -> { (s, dir) =>

@@ -184,4 +184,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
     assert(scores(0) > scores(1))
   }
+
+  test("resolveClusters: connected components elect the min-id keeper") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("resolveClusters: a chain converges across multiple propagation rounds") {
+    val pairs = (1L until 9L).map(k => (k, k + 1)).toDF("a", "b")
+    val out = Dedup.resolveClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out.size === 9 && out.values.forall(_ === 1L))
+  }
+
+  test("tokenChunks: overlapping windows cover every token; short docs yield themselves") {
+    val text = (1 to 80).map(i => s"t$i").mkString(" ")
+    val chunks = Seq(text).toDF("text")
+      .select(TextFunctions.tokenChunks($"text", 32, 8)).as[Seq[String]].head()
+    // 80 tokens, stride 24: ceil((80-32)/24)+1 = 3 chunks
+    assert(chunks.length === 3)
+    assert(chunks(0).split(" ").length === 32)
+    assert(chunks(0).startsWith("t1 ") && chunks(1).startsWith("t25 ")
+      && chunks(2).startsWith("t49 "))
+    // overlap: chunk 0 ends with the 8 tokens chunk 1 starts near
+    assert(chunks(0).split(" ").drop(24).toSeq === chunks(1).split(" ").take(8).toSeq)
+    // every token appears in some chunk
+    assert(chunks.flatMap(_.split(" ")).toSet === (1 to 80).map(i => s"t$i").toSet)
+    val short = Seq("a b c").toDF("text")
+      .select(TextFunctions.tokenChunks($"text", 32, 8)).as[Seq[String]].head()
+    assert(short === Seq("a b c"))
+  }
+
+  test("redactPii strips emails, urls, and phone runs; piiCount counts them") {
+    val df = Seq(
+      "write bob.smith+x@corp.example.co or visit https://a.b/c?d=1 then call +1 (555) 123-4567 ok",
+      "no pii here at all").toDF("t")
+    val red = df.select(TextFunctions.redactPii($"t")).as[String].collect()
+    assert(red(0) === "write <EMAIL> or visit <URL> then call <PHONE> ok")
+    assert(red(1) === "no pii here at all")
+    val n = df.select(TextFunctions.piiCount($"t")).as[Int].collect()
+    assert(n.toSeq === Seq(3, 0))
+  }
 }
