@@ -238,37 +238,70 @@ object Dedup {
    */
   def resolveClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIters: Int = 20): DataFrame = {
-    val edges = pin(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // bidirectional edges PLUS self-loops, all from ONE scan of `pairs`
+    // (a union of selects would run the upstream pair pipeline once per
+    // branch into the pin). Self-loops make "min over neighbors"
+    // include the node's own label, so a propagation round is a SINGLE
+    // join + min — no second join against the previous labels.
+    val edges = pin(pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")),
+        struct(col(aCol).as("src"), col(aCol).as("dst")),
+        struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct())
-    // every round TRUNCATES LINEAGE (eager localCheckpoint): without
-    // it the round-N plan nests round-(N-1) twice and grows
-    // exponentially — the chain spec OOMed on plan stringification
-    // alone. On a cluster, an iterative driver loop must checkpoint
-    // each round for the same reason.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+
+    // localCheckpoint blocks are RDD-level persists — Dataset.unpersist
+    // does NOT release them (it only uncaches CacheManager entries), so
+    // free each round's blocks through the underlying LogicalRDD
+    def ckRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    // labels only DECREASE, so an unchanged (exact, overflow-free)
+    // label sum == fixpoint — one cheap scan of the checkpointed
+    // output instead of an old-vs-new join
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+
+    // every round TRUNCATES LINEAGE (eager localCheckpoint): without it
+    // the round-N plan nests round-(N-1) and grows exponentially — the
+    // chain spec OOMed on plan stringification alone. An iterative
+    // driver loop on a cluster must checkpoint each round the same way.
+    // Round 0 falls straight out of the self-looped edges:
+    // label = min(self, neighbors).
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // min label among self and neighbors
-      val nbrMin = edges
+      val next = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
-      val next = labels
-        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .groupBy(col("src")).agg(min(col("nl")).as("label"))
+        .select(col("src").as("id"), col("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      val s = labelSum(next)
+      ckRdd(labels).foreach(_.unpersist(false))
       labels = next
-      converged = changed == 0
+      converged = (s, prevSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0 // scale-insensitive
+        case (None, None) => true // empty pair set
+        case _ => false
+      }
+      prevSum = s
       i += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // inconsistent labels would silently keep/drop the wrong
+      // documents downstream — refuse instead
+      ckRdd(labels).foreach(_.unpersist(false))
+      throw new IllegalStateException(
+        s"resolveClusters did not converge within $maxIters rounds " +
+          "(a component's diameter exceeds maxIters); raise maxIters")
+    }
     labels.select(col("id"), col("label").as("keep_id"))
   }
 

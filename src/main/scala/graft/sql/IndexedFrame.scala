@@ -47,6 +47,11 @@ object IndexedFrame {
     /** Range pushdown is sound only when the serializer's byte order is
       * the key's natural order AND bounds can be made half-open. */
     def integral: Boolean
+    /** true when `fromLiteral` is an exact inverse of the column's
+      * string form — if the codec NORMALIZES (e.g. UUID hex case), the
+      * relation must keep the filter "unhandled" so Spark re-applies the
+      * original predicate above the probe. */
+    def exactLiterals: Boolean = true
   }
 
   private[sql] final class LongCodec(dt: DataType) extends KeyCodec[Long] {
@@ -77,7 +82,10 @@ object IndexedFrame {
   }
 
   /** UUID-string key columns probe through the 16-byte UUID serializer
-    * (half the key bytes of the 36-char string form). */
+    * (half the key bytes of the 36-char string form). UUID.fromString
+    * NORMALIZES hex case, so literal semantics are not exact: the
+    * relation keeps the original predicate for Spark to re-apply, and a
+    * malformed literal is simply a non-match, never an error. */
   private[sql] object UuidCodec extends KeyCodec[java.util.UUID] {
     override def fromRow(r: InternalRow, i: Int): java.util.UUID =
       java.util.UUID.fromString(r.getUTF8String(i).toString)
@@ -89,6 +97,7 @@ object IndexedFrame {
         s"uuid key literal required, got ${if (other == null) "null" else other.getClass}")
     }
     override def integral: Boolean = false
+    override def exactLiterals: Boolean = false
   }
 
   /** An indexed table handle: the versioned index plus its SQL schema.
@@ -143,6 +152,23 @@ object IndexedFrame {
         s"unsupported key column type ${other.catalogString} (integral or string required)")
     }
 
+  /** Shared build path: key+copy the internal rows, optionally force a
+    * partition count (co-partitioned handles zip-join without a
+    * shuffle), build hash or radix partitions, pin. */
+  private def buildHandle[K: ClassTag: KeySerializer](df: DataFrame, keyCol: String,
+      codec: KeyCodec[K], ordered: Boolean, numPartitions: Int): Handle[K] = {
+    val raw = pairs(df, keyCol, codec)
+    val p =
+      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+      else raw
+    val idx = if (ordered) IndexedRDD.ordered(p) else IndexedRDD(p)
+    new Handle(idx.cached, keyCol, df.schema, ordered, codec)
+  }
+
+  private def requireString(df: DataFrame, keyCol: String): Unit =
+    require(df.schema(keyCol).dataType == StringType,
+      s"string key column required, got ${df.schema(keyCol).dataType.catalogString}")
+
   /** Index a DataFrame by an integral key column (key uniqueness
     * enforced, last write wins) and pin the built index. `ordered=true`
     * builds radix-tree partitions, enabling pushed range predicates;
@@ -156,12 +182,7 @@ object IndexedFrame {
       case _ => throw new IllegalArgumentException(
         s"index() requires an integral key column; use indexString for ${df.schema(keyCol).dataType.catalogString}")
     }
-    val raw = pairs(df, keyCol, codec)
-    val p =
-      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
-      else raw
-    val idx = if (ordered) IndexedRDD.ordered(p) else IndexedRDD(p)
-    new Handle(idx.cached, keyCol, df.schema, ordered, codec)
+    buildHandle(df, keyCol, codec, ordered, numPartitions)
   }
 
   /** Index by a STRING key column: pushed equality/IN predicates route
@@ -171,13 +192,8 @@ object IndexedFrame {
     * lexicographic). */
   def indexString(df: DataFrame, keyCol: String,
       numPartitions: Int = 0): Handle[String] = {
-    require(df.schema(keyCol).dataType == StringType,
-      s"string key column required, got ${df.schema(keyCol).dataType.catalogString}")
-    val raw = pairs(df, keyCol, StringCodec)
-    val p =
-      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
-      else raw
-    new Handle(IndexedRDD(p).cached, keyCol, df.schema, ordered = false, StringCodec)
+    requireString(df, keyCol)
+    buildHandle(df, keyCol, StringCodec, ordered = false, numPartitions)
   }
 
   /** Index by a STRING column holding canonical UUIDs: keys serialize
@@ -185,13 +201,8 @@ object IndexedFrame {
     * routes into partition-pruned point reads. */
   def indexUuid(df: DataFrame, keyCol: String,
       numPartitions: Int = 0): Handle[java.util.UUID] = {
-    require(df.schema(keyCol).dataType == StringType,
-      s"string (uuid) key column required, got ${df.schema(keyCol).dataType.catalogString}")
-    val raw = pairs(df, keyCol, UuidCodec)
-    val p =
-      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
-      else raw
-    new Handle(IndexedRDD(p).cached, keyCol, df.schema, ordered = false, UuidCodec)
+    requireString(df, keyCol)
+    buildHandle(df, keyCol, UuidCodec, ordered = false, numPartitions)
   }
 
   /** RANGE-PARTITIONED ordered handle: keys are globally sorted across
@@ -219,12 +230,17 @@ object IndexedFrame {
       * conversion layer. */
     override def needConversion: Boolean = false
 
+    /** A literal the codec cannot parse (e.g. a non-UUID string against
+      * a uuid handle) equals no stored key — a non-match, not an error. */
+    private def parsed(v: Any): Option[K] =
+      scala.util.Try(h.codec.fromLiteral(v)).toOption
+
     private def pointKeys(f: Filter): Option[Set[K]] = f match {
       case EqualTo(h.keyCol, null) => Some(Set.empty) // NULL never matches
-      case EqualTo(h.keyCol, v) => Some(Set(h.codec.fromLiteral(v)))
-      // NULL elements in an IN list never match — drop them
+      case EqualTo(h.keyCol, v) => Some(parsed(v).toSet)
+      // NULL/unparseable elements in an IN list never match — drop them
       case In(h.keyCol, vs) =>
-        Some(vs.iterator.filter(_ != null).map(h.codec.fromLiteral).toSet)
+        Some(vs.iterator.filter(_ != null).flatMap(parsed).toSet)
       case _ => None
     }
 
@@ -252,9 +268,12 @@ object IndexedFrame {
       // range filters are fully handled ONLY on ordered integral-key
       // handles AND when no point filter is pushed alongside them — the
       // point branch of buildScan ignores bounds, so mixed predicates
-      // must be re-applied by Spark above the scan
+      // must be re-applied by Spark above the scan. A NORMALIZING codec
+      // (uuid) never claims point filters: the probe may return a row
+      // whose string form differs from the literal, so Spark must
+      // re-check the original predicate.
       val anyPoint = filters.exists(f => pointKeys(f).isDefined)
-      filters.filter(f => pointKeys(f).isEmpty &&
+      filters.filter(f => !(h.codec.exactLiterals && pointKeys(f).isDefined) &&
         !(rangeCapable && !anyPoint && rangeBounds(f).isDefined))
     }
 

@@ -92,22 +92,32 @@ object IndexedJoin {
                   (lKey.contains(b.exprId) && rKey.contains(a.exprId))
               case _ => false
             }
-            // LeftOuter: a lifted RIGHT-side filter or a non-key ON
-            // conjunct would change null-extension semantics — only the
-            // vacuous isnotnull(key) (keys are never null by index
-            // construction) may be dropped; anything else bails to the
-            // default planner. LEFT-side filters commute with the join.
-            val rCondsVacuous = rConds.forall {
-              case IsNotNull(a: AttributeReference) => rKey.contains(a.exprId)
-              case _ => false
-            }
-            if (keyEqs.isEmpty) Nil
-            else if (leftOuter && (residual.nonEmpty || !rCondsVacuous)) Nil
+            // isnotnull(key) is vacuous for an index (null keys are
+            // rejected at build) — drop it from both sides
+            def dropVacuous(conds: Seq[Expression], key: Option[org.apache.spark.sql.catalyst.expressions.ExprId]) =
+              conds.filterNot {
+                case IsNotNull(a: AttributeReference) => key.contains(a.exprId)
+                case _ => false
+              }
+            val lConds2 = dropVacuous(lConds, lKey)
+            val rConds2 = dropVacuous(rConds, rKey)
+            // a remaining cond that CONSTRAINS a side's key column means
+            // the default planner would serve that side with a pruned
+            // point/range index scan — replacing it with a full zip join
+            // + lifted filter would be a colossal regression; bail
+            val keyConstrained =
+              lConds2.exists(_.references.exists(a => lKey.contains(a.exprId))) ||
+                rConds2.exists(_.references.exists(a => rKey.contains(a.exprId)))
+            if (keyEqs.isEmpty || keyConstrained) Nil
+            // LeftOuter: lifted RIGHT-side filters or non-key ON
+            // conjuncts would change null-extension semantics; LEFT-side
+            // filters commute with a left-outer join
+            else if (leftOuter && (residual.nonEmpty || rConds2.nonEmpty)) Nil
             else {
               val rAllAdj = if (leftOuter) rAll.map(_.withNullability(true)) else rAll
               val rOutAdj = if (leftOuter) rOut.map(_.withNullability(true)) else rOut
               val allConds =
-                if (leftOuter) lConds else residual ++ lConds ++ rConds
+                if (leftOuter) lConds2 else residual ++ lConds2 ++ rConds2
               val wanted = lOut ++ rOutAdj
               val needed = AttributeSet(allConds.flatMap(_.references))
               // the join emits the projected columns plus whatever the
@@ -169,8 +179,15 @@ object IndexedJoin {
 
     override def outputPartitioning: Partitioning = {
       val n = lh.idx.partitions.length
-      val keyAttr = lAll.find(_.name == lh.keyCol).filter(output.contains)
-        .orElse(rAll.find(_.name == rh.keyCol).filter(output.contains))
+      // left-outer: unmatched left rows carry a NULL right key wherever
+      // their left row lives, so clustering may only be claimed through
+      // the LEFT key — claiming the right key would let a parent
+      // aggregation elide its exchange and emit one NULL group per
+      // partition
+      val keyAttr =
+        if (leftOuter) lAll.find(_.name == lh.keyCol).filter(output.contains)
+        else lAll.find(_.name == lh.keyCol).filter(output.contains)
+          .orElse(rAll.find(_.name == rh.keyCol).filter(output.contains))
       keyAttr.map(IndexedKeyPartitioning(_, n)).getOrElse(UnknownPartitioning(n))
     }
 

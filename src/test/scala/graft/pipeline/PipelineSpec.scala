@@ -198,6 +198,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.size === 9 && out.values.forall(_ === 1L))
   }
 
+  test("resolveClusters: refuses to return inconsistent labels on non-convergence") {
+    val pairs = (1L until 30L).map(k => (k, k + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.resolveClusters(pairs, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("tokenChunks: overlapping windows cover every token; short docs yield themselves") {
     val text = (1 to 80).map(i => s"t$i").mkString(" ")
     val chunks = Seq(text).toDF("text")

@@ -125,8 +125,9 @@ class IndexedFrameSpec extends AnyFunSuite {
   }
 
   test("uuid-keyed handle: pushed equality routes through the 16-byte key") {
-    val df = (1L to 200L).map(k =>
-      (f"00000000-0000-4000-8000-$k%012d", k)).toDF("id", "v")
+    val df = ((1L to 200L).map(k =>
+      (f"00000000-0000-4000-8000-$k%012d", k)) :+
+      ("00000000-0000-4000-8000-0000000000ab" -> 999L)).toDF("id", "v")
     val h = IndexedFrame.indexUuid(df, "id")
     val one = h.toDF.filter($"id" === "00000000-0000-4000-8000-000000000042")
       .select($"v").as[Long].collect()
@@ -137,7 +138,15 @@ class IndexedFrameSpec extends AnyFunSuite {
         "00000000-0000-4000-8000-000000000999"))
       .select($"v").as[Long].collect().toSet
     assert(in === Set(1L))
-    assert(h.toDF.count() === 200)
+    assert(h.toDF.count() === 201)
+    // a malformed uuid literal equals no key: empty result, no error
+    assert(h.toDF.filter($"id" === "not-a-uuid").count() === 0)
+    // UUID.fromString normalizes hex case, but SQL string equality must
+    // not: the relation leaves the predicate for Spark to re-apply, so
+    // an uppercase literal matches nothing even though the probe finds
+    // the normalized row
+    assert(h.toDF.filter($"id" === "00000000-0000-4000-8000-0000000000AB").count() === 0)
+    assert(h.toDF.filter($"id" === "00000000-0000-4000-8000-0000000000ab").count() === 1)
   }
 
   test("range-partitioned handle: pushed BETWEEN prunes partitions") {

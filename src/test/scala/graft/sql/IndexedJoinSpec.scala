@@ -141,6 +141,40 @@ class IndexedJoinSpec extends AnyFunSuite {
     assert(joined.collect().map(_.toSeq).toSet === expected)
   }
 
+  test("a key-constraining filter under the join bails to the default planner (pruned point scan wins)") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // k = 5 makes the left side a 1-row point lookup — a full zip join
+    // would be a massive regression, so the strategy must not fire
+    val joined = h1.toDF.filter($"k" === 5L).join(h2.toDF, $"k" === $"k2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("IndexedZipJoin"), s"indexed join must bail:\n$plan")
+    val got = joined.collect().map(_.toSeq).toSet
+    val expected = cust.filter($"k" === 5L).join(bal, $"k" === $"k2")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected && got.size === 1)
+  }
+
+  test("left outer: groupBy on the RIGHT key yields one NULL group (no false partitioning claim)") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // unmatched left rows scatter k2=NULL across partitions; claiming
+    // right-key clustering would elide the aggregation exchange and
+    // emit one NULL group per partition
+    val agg = h1.toDF.join(h2.toDF, $"k" === $"k2", "left_outer")
+      .select($"k2", $"bal")
+      .groupBy($"k2").count()
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(agg(-1L) === 100L) // ONE null group holding all 100 unmatched rows
+    assert(agg.size === 401)
+  }
+
   test("non-key join conditions fall back to the default planner") {
     IndexedJoin.enable(spark)
     val (cust, bal) = fixtures()
