@@ -261,6 +261,40 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
         }
     }
 
+  /** Full-outer analogue of [[innerJoinStream]]: all left rows (with
+    * their match, if any), then the right side's anti half — emitted
+    * lazily, no result index. */
+  def fullOuterJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
+      f: (K, Option[V], Option[U]) => R): RDD[R] = {
+    def emit(a: IndexedPartition[K, V], b: IndexedPartition[K, U]): Iterator[R] =
+      a.iterator.map { case (k, v) => f(k, Some(v), b(k)) } ++
+        b.iterator.collect { case (k, u) if !a.isDefined(k) => f(k, None, Some(u)) }
+    other match {
+      case o: IndexedRDD[K, U] if o.partitioner == partitioner =>
+        partitionsRDD.zipPartitions(o.partitionsRDD,
+          preservesPartitioning = true) { (ai, bi) =>
+          (ai.hasNext, bi.hasNext) match {
+            case (true, true) => emit(ai.next(), bi.next())
+            case (true, false) =>
+              ai.next().iterator.map { case (k, v) => f(k, Some(v), None) }
+            case (false, true) =>
+              bi.next().iterator.map { case (k, u) => f(k, None, Some(u)) }
+            case _ => Iterator.empty
+          }
+        }
+      case _ =>
+        val partitioned =
+          if (other.partitioner == partitioner) other
+          else other.partitionBy(partitioner.get)
+        partitionsRDD.zipPartitions(partitioned,
+          preservesPartitioning = true) { (ai, oi) =>
+          if (ai.hasNext) emit(ai.next(), HashIndexedPartition(oi))
+          else HashIndexedPartition[K, U](oi).iterator
+            .map { case (k, u) => f(k, None, Some(u)) }
+        }
+    }
+  }
+
   /** Left outer equi-join with free result type. */
   def leftJoin[V2: ClassTag, V3: ClassTag](other: RDD[(K, V2)])(
       f: (K, V, Option[V2]) => V3): IndexedRDD[K, V3] =

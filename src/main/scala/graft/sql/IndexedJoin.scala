@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference,
   AttributeSet, EqualTo, Expression, GenericInternalRow, IsNotNull, JoinedRow,
   UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
@@ -34,10 +34,14 @@ import graft.IndexedRDD
  *
  * Conjunctive conditions are supported: the key equality plans as the
  * zip join and the remaining conjuncts run as a filter directly above
- * it. LEFT OUTER joins on the bare key equality plan the same way
- * (unmatched left rows null-extend in the stream). The exec node
- * reports its key-clustered [[Partitioning]], so a parent aggregation
- * on the join key runs WITHOUT another exchange.
+ * it. LEFT / RIGHT / FULL OUTER joins on the bare key equality plan
+ * the same way (unmatched kept rows null-extend in the stream; right
+ * outer scans the kept side with the handles swapped). The exec node
+ * reports its key-clustered [[Partitioning]] where a side is never
+ * null-extended, so a parent aggregation on the join key runs WITHOUT
+ * another exchange. If a lifted filter constrains a key column the
+ * strategy bails — the default planner's pruned point/range index
+ * scan beats any full zip join.
  */
 object IndexedJoin {
 
@@ -77,13 +81,32 @@ object IndexedJoin {
       case x => Seq(x)
     }
 
+    /** Assemble zip join + lifted filter + restoring project. `wanted`
+      * is the Join node's expected output (original left-then-right
+      * order); the physical join emits the projected columns plus
+      * whatever the lifted filters reference, in scan-then-probe
+      * order — a Project on top restores the exact expected output
+      * when they differ. */
+    private def build(kind: ZipJoinKind,
+        scanAll: Seq[Attribute], scanH: IndexedFrame.Handle[_],
+        probeAll: Seq[Attribute], probeH: IndexedFrame.Handle[_],
+        conds: Seq[Expression], wanted: Seq[Attribute]): SparkPlan = {
+      val needed = AttributeSet(conds.flatMap(_.references))
+      val joinOut = (scanAll ++ probeAll).filter(a =>
+        wanted.exists(_.exprId == a.exprId) || needed.contains(a))
+      val join = IndexedZipJoinExec(joinOut, scanH, probeH, scanAll, probeAll, kind)
+      val filtered =
+        if (conds.isEmpty) join else FilterExec(conds.reduce(And), join)
+      if (joinOut.map(_.exprId) == wanted.map(_.exprId)) filtered
+      else ProjectExec(wanted, filtered)
+    }
+
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case j: Join if (j.joinType == Inner || j.joinType == LeftOuter)
-          && j.condition.isDefined =>
+      case j: Join if j.condition.isDefined &&
+          Seq(Inner, LeftOuter, RightOuter, FullOuter).contains(j.joinType) =>
         (unwrap(j.left), unwrap(j.right)) match {
           case (Some((lOut, lAll, lConds, lh)), Some((rOut, rAll, rConds, rh)))
               if lh.kTag == rh.kTag =>
-            val leftOuter = j.joinType == LeftOuter
             val lKey = lAll.find(_.name == lh.keyCol).map(_.exprId)
             val rKey = rAll.find(_.name == rh.keyCol).map(_.exprId)
             val (keyEqs, residual) = conjuncts(j.condition.get).partition {
@@ -109,29 +132,27 @@ object IndexedJoin {
               lConds2.exists(_.references.exists(a => lKey.contains(a.exprId))) ||
                 rConds2.exists(_.references.exists(a => rKey.contains(a.exprId)))
             if (keyEqs.isEmpty || keyConstrained) Nil
-            // LeftOuter: lifted RIGHT-side filters or non-key ON
-            // conjuncts would change null-extension semantics; LEFT-side
-            // filters commute with a left-outer join
-            else if (leftOuter && (residual.nonEmpty || rConds2.nonEmpty)) Nil
             else {
-              val rAllAdj = if (leftOuter) rAll.map(_.withNullability(true)) else rAll
-              val rOutAdj = if (leftOuter) rOut.map(_.withNullability(true)) else rOut
-              val allConds =
-                if (leftOuter) lConds2 else residual ++ lConds2 ++ rConds2
-              val wanted = lOut ++ rOutAdj
-              val needed = AttributeSet(allConds.flatMap(_.references))
-              // the join emits the projected columns plus whatever the
-              // lifted filters reference; a Project on top restores the
-              // exact expected output when they differ
-              val joinOut = (lAll ++ rAllAdj).filter(a =>
-                wanted.exists(_.exprId == a.exprId) || needed.contains(a))
-              val join = IndexedZipJoinExec(joinOut, lh, rh, lAll, rAllAdj, leftOuter)
-              val filtered =
-                if (allConds.isEmpty) join
-                else FilterExec(allConds.reduce(And), join)
-              Seq(
-                if (joinOut.map(_.exprId) == wanted.map(_.exprId)) filtered
-                else ProjectExec(wanted, filtered))
+              val lAllN = lAll.map(_.withNullability(true))
+              val rAllN = rAll.map(_.withNullability(true))
+              val lOutN = lOut.map(_.withNullability(true))
+              val rOutN = rOut.map(_.withNullability(true))
+              j.joinType match {
+                case Inner =>
+                  Seq(build(InnerKind, lAll, lh, rAll, rh,
+                    residual ++ lConds2 ++ rConds2, lOut ++ rOut))
+                // outer joins: a lifted filter on a null-extended side
+                // or a non-key ON conjunct would change null-extension
+                // semantics — only kept-side filters commute
+                case LeftOuter if residual.isEmpty && rConds2.isEmpty =>
+                  Seq(build(LeftKept, lAll, lh, rAllN, rh, lConds2, lOut ++ rOutN))
+                case RightOuter if residual.isEmpty && lConds2.isEmpty =>
+                  // scan the kept (right) side, null-extend the left
+                  Seq(build(LeftKept, rAll, rh, lAllN, lh, rConds2, lOutN ++ rOut))
+                case FullOuter if residual.isEmpty && lConds2.isEmpty && rConds2.isEmpty =>
+                  Seq(build(FullKind, lAllN, lh, rAllN, rh, Nil, lOutN ++ rOutN))
+                case _ => Nil
+              }
             }
           case _ => Nil
         }
@@ -166,28 +187,38 @@ object IndexedJoin {
     override def canCreatePartitioning: Boolean = false
   }
 
+  /** How the zip join emits rows. RightOuter is planned as LeftKept
+    * with the handles swapped at strategy level. */
+  sealed trait ZipJoinKind extends Serializable
+  case object InnerKind extends ZipJoinKind
+  case object LeftKept extends ZipJoinKind // left rows kept; right null-extends
+  case object FullKind extends ZipJoinKind
+
   /** Physical zip join over two indexed handles (leaf: the data comes
     * from the handles' cached indexes, not from child plans). Stored
     * values are already UnsafeRow, so each output row is ONE reused
     * unsafe projection over a JoinedRow — no per-row converters, no
-    * external rows, no copies. Inner and left-outer (unmatched left
-    * rows pair with an all-null right row). */
+    * external rows, no copies. Inner, left/right outer (unmatched kept
+    * rows pair with an all-null other row), and full outer. */
   case class IndexedZipJoinExec(output: Seq[Attribute],
       lh: IndexedFrame.Handle[_], rh: IndexedFrame.Handle[_],
       lAll: Seq[Attribute], rAll: Seq[Attribute],
-      leftOuter: Boolean = false) extends LeafExecNode {
+      kind: ZipJoinKind = InnerKind) extends LeafExecNode {
 
     override def outputPartitioning: Partitioning = {
       val n = lh.idx.partitions.length
-      // left-outer: unmatched left rows carry a NULL right key wherever
-      // their left row lives, so clustering may only be claimed through
-      // the LEFT key — claiming the right key would let a parent
-      // aggregation elide its exchange and emit one NULL group per
-      // partition
-      val keyAttr =
-        if (leftOuter) lAll.find(_.name == lh.keyCol).filter(output.contains)
-        else lAll.find(_.name == lh.keyCol).filter(output.contains)
+      // an outer join's null-extended side carries NULL keys wherever
+      // the kept row lives, so clustering may only be claimed through a
+      // side that is never null-extended: the left (scan) key for
+      // inner/left-kept, NEITHER for full outer — a false claim would
+      // let a parent aggregation elide its exchange and emit one NULL
+      // group per partition
+      val keyAttr = kind match {
+        case FullKind => None
+        case LeftKept => lAll.find(_.name == lh.keyCol).filter(output.contains)
+        case InnerKind => lAll.find(_.name == lh.keyCol).filter(output.contains)
           .orElse(rAll.find(_.name == rh.keyCol).filter(output.contains))
+      }
       keyAttr.map(IndexedKeyPartitioning(_, n)).getOrElse(UnknownPartitioning(n))
     }
 
@@ -196,20 +227,32 @@ object IndexedJoin {
       val ri = rh.idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
       val out = output
       val in = lAll ++ rAll
+      val nLeft = lAll.size
       val nRight = rAll.size
-      if (leftOuter) {
-        li.leftJoinStream(ri)((_, a, b) => (a, b)).mapPartitions { it =>
-          val joined = new JoinedRow
-          val nullRight: InternalRow = new GenericInternalRow(nRight)
-          val proj = UnsafeProjection.create(out, in)
-          it.map { case (a, b) => proj(joined(a, b.getOrElse(nullRight))) }
-        }
-      } else {
-        li.innerJoinStream(ri)((_, a, b) => (a, b)).mapPartitions { it =>
-          val joined = new JoinedRow
-          val proj = UnsafeProjection.create(out, in)
-          it.map { case (a, b) => proj(joined(a, b)) }
-        }
+      kind match {
+        case LeftKept =>
+          li.leftJoinStream(ri)((_, a, b) => (a, b)).mapPartitions { it =>
+            val joined = new JoinedRow
+            val nullRight: InternalRow = new GenericInternalRow(nRight)
+            val proj = UnsafeProjection.create(out, in)
+            it.map { case (a, b) => proj(joined(a, b.getOrElse(nullRight))) }
+          }
+        case FullKind =>
+          li.fullOuterJoinStream(ri)((_, a, b) => (a, b)).mapPartitions { it =>
+            val joined = new JoinedRow
+            val nullLeft: InternalRow = new GenericInternalRow(nLeft)
+            val nullRight: InternalRow = new GenericInternalRow(nRight)
+            val proj = UnsafeProjection.create(out, in)
+            it.map { case (a, b) =>
+              proj(joined(a.getOrElse(nullLeft), b.getOrElse(nullRight)))
+            }
+          }
+        case InnerKind =>
+          li.innerJoinStream(ri)((_, a, b) => (a, b)).mapPartitions { it =>
+            val joined = new JoinedRow
+            val proj = UnsafeProjection.create(out, in)
+            it.map { case (a, b) => proj(joined(a, b)) }
+          }
       }
     }
   }

@@ -141,6 +141,44 @@ class IndexedJoinSpec extends AnyFunSuite {
     assert(joined.collect().map(_.toSeq).toSet === expected)
   }
 
+  test("full outer join on the key plans indexed; both sides null-extend") {
+    IndexedJoin.enable(spark)
+    val (cust, bal0) = fixtures()
+    val bal = bal0.filter($"k2" > 50L).unionByName(
+      Seq((601L, 601.5), (602L, 602.5)).toDF("k2", "bal")) // right-only keys
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val joined = h1.toDF.join(h2.toDF, $"k" === $"k2", "full_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected indexed join in plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no shuffle in plan:\n$plan")
+    val got = joined.collect().map(_.toSeq).toSet
+    val expected = cust.join(bal, $"k" === $"k2", "full_outer")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(joined.filter($"k".isNull).count() === 2)   // right-only
+    assert(joined.filter($"k2".isNull).count() === 150) // left-only (1-50, 401-500)
+  }
+
+  test("right outer join on the key plans indexed; unmatched right rows null-extend the left") {
+    IndexedJoin.enable(spark)
+    val (cust0, bal) = fixtures()
+    val cust = cust0.filter($"k" <= 350L)
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val joined = h1.toDF.join(h2.toDF, $"k" === $"k2", "right_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected indexed join in plan:\n$plan")
+    val got = joined.collect().map(_.toSeq).toSet
+    val expected = cust.join(bal, $"k" === $"k2", "right_outer")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(joined.count() === 400)
+    assert(joined.filter($"k".isNull).count() === 50) // k2 in 351..400
+  }
+
   test("a key-constraining filter under the join bails to the default planner (pruned point scan wins)") {
     IndexedJoin.enable(spark)
     val (cust, bal) = fixtures()
