@@ -106,6 +106,23 @@ object Streaming {
   }
 
   /**
+   * Streaming exact dedup for a training-data ingest path: drop rows
+   * whose CONTENT (hash) was already seen within the watermark window —
+   * the streaming twin of `Dedup.exactDedup`.
+   * `dropDuplicatesWithinWatermark` keeps state only until the
+   * watermark passes (bounded state, unlike `dropDuplicates`' forever
+   * state), which is the right trade for dedup-on-ingest: a duplicate
+   * arriving later than the watermark delay is let through and caught
+   * by the batch dedup pass downstream.
+   */
+  def dedupStream(df: DataFrame, contentCol: String, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .withColumn("__h", xxhash64(col(contentCol)))
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
+  /**
    * foreachBatch sink maintaining a live IndexedRDD: each micro-batch
    * is upserted copy-on-write, so point lookups (`current.get`) are
    * served from the indexed snapshot while the stream keeps appending.

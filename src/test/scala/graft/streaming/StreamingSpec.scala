@@ -96,6 +96,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate content within the watermark window is dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.dedupStream(input.toDF(), "event_type", watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "content-A", 1.0),
+        Event(2, ts(1), 2, "content-A", 2.0), // dup in same batch
+        Event(3, ts(2), 3, "content-B", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(5), 4, "content-A", 4.0)) // dup across batches
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[Event].collect()
+      assert(out.map(_.event_type).sorted.toSeq === Seq("content-A", "content-B"))
+      assert(out.map(_.event_id).toSet === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("IndexedUpsertSink: micro-batches upsert into a live point-queryable index") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
