@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/**
+ * Plan-quality invariants, asserted so a refactor cannot silently
+ * regress the physical plans the 100 TB design depends on: filters and
+ * column pruning must reach the parquet scans, small dims must
+ * broadcast, top-k must be TakeOrderedAndProject (never a global
+ * sort), and aggregations must keep partial (map-side) aggregation.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntryPlans.executedPlan(spark, dir, name)
+
+  test("q1_agg: shipdate filter and column pruning reach the parquet scan; partial agg present") {
+    val plan = planOf("q1_agg")
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    // 7 of 11 lineitem columns read — comment must never silently rot
+    assert(plan.contains("ReadSchema") && !plan.contains("l_shipmode"),
+      s"column pruning lost (l_shipmode read):\n$plan")
+    assert(plan.contains("HashAggregate"), s"hash aggregate missing:\n$plan")
+    // partial + final pair: two HashAggregate nodes
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"partial aggregation missing:\n$plan")
+  }
+
+  test("q3_topk: top-k is TakeOrderedAndProject, never a global Sort") {
+    val plan = planOf("q3_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the customer scan:\n$plan")
+  }
+
+  test("q5_join: nation and region dims broadcast") {
+    val plan = planOf("q5_join")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"expected broadcast exchanges:\n$plan")
+  }
+
+  test("q_window: single exchange for the window partition key") {
+    val plan = planOf("q_window")
+    assert(plan.contains("Window"), s"expected window operator:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"window missing:\n$plan")
+  }
+
+  test("text_langid: native expression runs inside whole-stage codegen") {
+    val plan = planOf("text_langid")
+    // `*(n)` prefixes mark operators fused into a whole-stage-codegen
+    // stage; the langid projection must carry one
+    assert(plan.contains("*(1) Project") && plan.contains("langidheuristic"),
+      s"expected codegen'd native projection:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython"),
+      s"python/udf in a hot path:\n$plan")
+  }
+}
+
+/** Plan-string access shared by the audit (kept out of the spec so the
+  * fixture session warms once). */
+private object SparkEntryPlans {
+  def executedPlan(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+}
