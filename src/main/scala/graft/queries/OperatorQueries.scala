@@ -251,6 +251,22 @@ object OperatorQueries {
         .select($"c_name", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_frame_load" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL-handle persistence: save an ordered handle, reload it
+      // (partitioner + orderedness + schema re-attached, no rebuild),
+      // and serve a pushed range from the RELOADED copy
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey",
+        ordered = true)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_sql_frame_load").toString
+      graft.sql.IndexedFrame.save(h, path)
+      val loaded = graft.sql.IndexedFrame.load(s, path)
+      loaded.toDF.filter($"c_custkey".between(100L, 149L))
+        .select($"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_pointget_uuid" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -433,6 +449,10 @@ object OperatorQueries {
       """SELECT c_name, c_custkey, c_acctbal FROM customer
         |WHERE c_name IN ('Customer#000000002', 'Customer#000000017',
         |                 'Customer#000000123', 'Customer#999999999')""".stripMargin,
+
+    "ir_sql_frame_load" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey BETWEEN 100 AND 149""".stripMargin,
 
     "ir_sql_pointget_uuid" ->
       """SELECT printf('00000000-0000-4000-8000-%012d', c_custkey) AS c_uuid,

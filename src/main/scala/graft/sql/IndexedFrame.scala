@@ -220,6 +220,60 @@ object IndexedFrame {
     new Handle(idx.cached, keyCol, df.schema, ordered = true, codec)
   }
 
+  /** Persist a handle: the index itself in [[graft.IndexedRDDIO]]'s
+    * one-file-per-partition layout (partitioner included) plus a
+    * `_frame` meta file (key column, orderedness, codec tag, schema).
+    * Reloading re-attaches everything — point reads, range pushdown,
+    * and narrow joins work immediately, with no shuffle or rebuild. */
+  def save(h: Handle[_], path: String): Unit = {
+    graft.IndexedRDDIO.save(
+      h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      org.apache.spark.graftbridge.ConfBridge.broadcast(
+        h.idx.sparkContext).value)
+    val out = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_frame"), true))
+    val tag = h.codec match {
+      case _: LongCodec => "long"
+      case StringCodec => "string"
+      case UuidCodec => "uuid"
+    }
+    try {
+      out.writeObject(h.keyCol); out.writeBoolean(h.ordered)
+      out.writeObject(tag); out.writeObject(h.schema.json)
+    } finally out.close()
+  }
+
+  /** Reload a saved handle (see [[save]]); the key type is restored
+    * from the saved codec tag. */
+  def load(spark: SparkSession, path: String): Handle[_] = {
+    val sc = spark.sparkContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri, sc.hadoopConfiguration)
+    val in = new java.io.ObjectInputStream(fs.open(
+      new org.apache.hadoop.fs.Path(path, "_frame")))
+    val (keyCol, ordered, tag, schemaJson) =
+      try (in.readObject().asInstanceOf[String], in.readBoolean(),
+        in.readObject().asInstanceOf[String], in.readObject().asInstanceOf[String])
+      finally in.close()
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    tag match {
+      case "long" =>
+        val codec = codecFor(schema, keyCol).asInstanceOf[LongCodec]
+        new Handle[Long](graft.IndexedRDDIO.load[Long, InternalRow](sc, path).cached,
+          keyCol, schema, ordered, codec)
+      case "string" =>
+        new Handle[String](graft.IndexedRDDIO.load[String, InternalRow](sc, path).cached,
+          keyCol, schema, ordered, StringCodec)
+      case "uuid" =>
+        new Handle[java.util.UUID](
+          graft.IndexedRDDIO.load[java.util.UUID, InternalRow](sc, path).cached,
+          keyCol, schema, ordered, UuidCodec)
+    }
+  }
+
   private[sql] class IndexedRelation[K](private[sql] val h: Handle[K])(
       @transient override val sqlContext: SQLContext)
       extends BaseRelation with PrunedFilteredScan {

@@ -149,6 +149,28 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.toDF.filter($"id" === "00000000-0000-4000-8000-0000000000ab").count() === 1)
   }
 
+  test("handle save/load: reloaded handle serves pushed reads; joins with live handles stay narrow") {
+    val h = IndexedFrame.index(cust, "c_custkey", ordered = true, numPartitions = 4)
+    val path = java.nio.file.Files.createTempDirectory("frame_io").toString
+    IndexedFrame.save(h, path)
+    val loaded = IndexedFrame.load(spark, path)
+    assert(loaded.keyCol === "c_custkey" && loaded.ordered)
+    assert(loaded.toDF.count() === cust.count())
+    assert(loaded.toDF.filter($"c_custkey" === 7L).count() === 1)
+    assert(loaded.lastScanKind === "point")
+    assert(loaded.toDF.filter($"c_custkey".between(10L, 20L)).count() === 11)
+    assert(loaded.lastScanKind === "range")
+    // the saved partitioner makes the reloaded handle co-partitioned
+    // with a freshly built one: their SQL join plans as the narrow zip
+    IndexedJoin.enable(spark)
+    val other = IndexedFrame.index(
+      cust.select($"c_custkey".as("k2"), $"c_name"), "k2", numPartitions = 4)
+    val joined = loaded.toDF.join(other.toDF, $"c_custkey" === $"k2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected narrow zip join:\n$plan")
+    assert(joined.count() === cust.count())
+  }
+
   test("range-partitioned handle: pushed BETWEEN prunes partitions") {
     val df = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
     val h = IndexedFrame.indexRangePartitioned(df, "k", numPartitions = 16)
