@@ -452,10 +452,13 @@ object Dedup {
       threshold: Double, dim: Int, bitsPerBucket: Int = 6, tables: Int = 8,
       maxBucketSize: Int = 2000): DataFrame = {
     // SRP sign bits are norm-invariant, so bucketing the normalized
-    // vectors is equivalent and the verify step becomes a plain dot
+    // vectors is equivalent and the verify step becomes a plain dot.
+    // The bands projection is pinned like the minhash signature table:
+    // the bucket machinery reads it from three branches, and each
+    // would otherwise recompute the tables×bits SRP pass per row
     val base = normalized(df, idCol, vecCol, idCol, "__v")
-    val v = base.withColumn("__bands",
-      srpKeysTagged(col("__v"), dim, bitsPerBucket, tables))
+    val v = pin(base.withColumn("__bands",
+      srpKeysTagged(col("__v"), dim, bitsPerBucket, tables)))
     bucketVerifiedPairsJoin(v, idCol, "__v", maxBucketSize,
       dotCols, _ > threshold, "cos")
   }
