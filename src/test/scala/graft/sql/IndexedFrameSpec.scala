@@ -100,6 +100,18 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(df.collect().forall(_.getString(0).nonEmpty))
   }
 
+  test("int- and short-typed key columns route through the Long codec") {
+    val intDf = cust.select($"c_custkey".cast("int").as("ck"), $"c_acctbal")
+    val hi = IndexedFrame.index(intDf, "ck")
+    assert(hi.toDF.filter($"ck" === 42).count() === 1)
+    assert(hi.lastScanKind === "point")
+    assert(hi.toDF.count() === cust.count())
+    val shortDf = cust.select($"c_custkey".cast("short").as("ck"), $"c_acctbal")
+    val hs = IndexedFrame.index(shortDf, "ck")
+    assert(hs.toDF.filter($"ck" === 42).count() === 1)
+    assert(hs.lastScanKind === "point")
+  }
+
   test("string-keyed handle: pushed equality and IN route into multiget") {
     val h = IndexedFrame.indexString(cust, "c_name")
     val one = h.toDF.filter($"c_name" === "Customer#000000007")
