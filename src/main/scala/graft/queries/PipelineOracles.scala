@@ -213,6 +213,34 @@ object PipelineOracles {
        |  CAST(len(${toks("chunk")}) AS BIGINT) AS n_tokens
        |FROM ch""".stripMargin
 
+  /** Two-lane rolling fingerprint over a token-hash list column `th` —
+    * the shared body of textFingerprint / curationContamination. */
+  private val fpExpr: String =
+    s"""list_reduce(list_prepend(CAST(17 AS BIGINT), th), (a, h) -> (a * 1000003 + h) % $P)
+       |  * 2147483648
+       |+ list_reduce(list_prepend(CAST(31 AS BIGINT), th), (a, h) -> (a * 999983 + h) % $P)""".stripMargin
+
+  /** Unit-interval point of Curation.assignSplits: ((id mod P)·a + b)
+    * mod P, divided by P — identical IEEE doubles in both engines. */
+  val curationSplits: String =
+    s"""WITH u AS (SELECT doc_id,
+       |  CAST(((doc_id % $P) * 1103515245 + 12345) % $P AS DOUBLE) / $P AS u
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+       |FROM u""".stripMargin
+
+  val curationContamination: String =
+    s"""WITH testset AS (
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, text || ' extra-token' FROM documents WHERE doc_id % 2 = 1),
+       |ttok AS (SELECT doc_id, list_transform(${toks("text")}, t -> ${poly("t")}) AS th FROM testset),
+       |tfp AS (SELECT doc_id, $fpExpr AS fp FROM ttok),
+       |rtok AS (SELECT list_transform(${toks("text")}, t -> ${poly("t")}) AS th FROM documents),
+       |rfp AS (SELECT DISTINCT $fpExpr AS fp FROM rtok)
+       |SELECT doc_id FROM tfp WHERE fp IN (SELECT fp FROM rfp)""".stripMargin
+
   val textVocab: String =
     s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
        |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t
@@ -499,6 +527,8 @@ object PipelineOracles {
     "text_redact" -> textRedact,
     "text_chunks" -> textChunks,
     "text_vocab" -> textVocab,
+    "curation_splits" -> curationSplits,
+    "curation_contamination" -> curationContamination,
     "dedup_simhash" -> dedupSimhash,
     "text_fingerprint" -> textFingerprint,
     "text_subwords" -> textSubwords,

@@ -156,6 +156,26 @@ object PipelineQueries {
         TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
     },
 
+    "curation_splits" -> { (s, dir) =>
+      // deterministic 80/10/10 split assignment by arithmetic id hash —
+      // same row, same split, on any engine/run/partitioning
+      graft.pipeline.Curation.assignSplits(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
+    "curation_contamination" -> { (s, dir) =>
+      // eval-leakage check: even-id docs are planted into the test set
+      // VERBATIM (contaminated); odd-id docs get an extra token (clean)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val test = docs.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" extra-token")).as("text")))
+      graft.pipeline.Curation.contamination(test, docs, "doc_id", "text")
+    },
+
     "text_chunks" -> { (s, dir) =>
       // overlapping 32-token windows (8-token overlap): one row per
       // chunk with its index and token count — the pre-tokenization

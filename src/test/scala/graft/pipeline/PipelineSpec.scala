@@ -224,6 +224,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(short === Seq("a b c"))
   }
 
+  test("assignSplits: deterministic, partition-independent, fractions roughly honored") {
+    val df = (1L to 2000L).toDF("id")
+    val s1 = Curation.assignSplits(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    // identical on a differently-partitioned input
+    val s2 = Curation.assignSplits(df.repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as[(Long, String)].collect().toMap
+    assert(s1 === s2)
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    assert(counts("val") > 100 && counts("test") > 100)
+    assert(counts.values.sum === 2000)
+  }
+
+  test("contamination flags verbatim leaks, not modified copies") {
+    val train = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma"),        // verbatim leak
+      (11L, "alpha  beta   gamma"),     // whitespace-only change: still a leak
+      (12L, "delta epsilon zeta eta"),  // extended: clean
+      (13L, "totally different")).toDF("id", "text")
+    val hits = Curation.contamination(test, train, "id", "text")
+      .as[Long].collect().toSet
+    assert(hits === Set(10L, 11L))
+  }
+
   test("redactPii strips emails, urls, and phone runs; piiCount counts them") {
     val df = Seq(
       "write bob.smith+x@corp.example.co or visit https://a.b/c?d=1 then call +1 (555) 123-4567 ok",
