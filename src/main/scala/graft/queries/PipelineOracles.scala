@@ -241,6 +241,24 @@ object PipelineOracles {
        |rfp AS (SELECT DISTINCT $fpExpr AS fp FROM rtok)
        |SELECT doc_id FROM tfp WHERE fp IN (SELECT fp FROM rfp)""".stripMargin
 
+  /** End-to-end curation pipeline: nests the PROVEN textLangid /
+    * textQualityScore oracles as CTEs, dedups by content (min id per
+    * text ≡ exactDedup's min id per content hash), assigns splits with
+    * the same arithmetic as curationSplits, and aggregates per split. */
+  lazy val pipelineCorpusBuild: String = // lazy: nests vals declared below
+    s"""WITH lang AS ($textLangid),
+       |qual AS ($textQualityScore),
+       |kept AS (SELECT d.doc_id, d.text FROM documents d
+       |         JOIN lang l ON l.doc_id = d.doc_id
+       |         JOIN qual q ON q.doc_id = d.doc_id
+       |         WHERE l.lang_pred = 'en' AND q.quality > CAST(0.5 AS DOUBLE)),
+       |dd AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM kept GROUP BY text),
+       |u AS (SELECT doc_id,
+       |  CAST(((doc_id % $P) * 1103515245 + 12345) % $P AS DOUBLE) / $P AS u FROM dd)
+       |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_id
+       |FROM u GROUP BY 1""".stripMargin
+
   val textVocab: String =
     s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
        |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t
@@ -529,6 +547,7 @@ object PipelineOracles {
     "text_vocab" -> textVocab,
     "curation_splits" -> curationSplits,
     "curation_contamination" -> curationContamination,
+    "pipeline_corpus_build" -> pipelineCorpusBuild,
     "dedup_simhash" -> dedupSimhash,
     "text_fingerprint" -> textFingerprint,
     "text_subwords" -> textSubwords,

@@ -156,6 +156,25 @@ object PipelineQueries {
         TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"))
     },
 
+    "pipeline_corpus_build" -> { (s, dir) =>
+      // the END-TO-END curation pipeline in one declarative plan:
+      // language gate + quality gate -> exact dedup (min id per
+      // content) -> deterministic split assignment -> per-split stats.
+      // Every stage is individually oracle-proven; this query verifies
+      // their COMPOSITION
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).getField("lang").as("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val kept = scored.filter(col("lang") === "en" && col("q") > 0.5)
+        .select(col("doc_id"), col("text"))
+      val deduped = Dedup.exactDedup(kept, "doc_id", "text").select("doc_id")
+      graft.pipeline.Curation.assignSplits(deduped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+    },
+
     "curation_splits" -> { (s, dir) =>
       // deterministic 80/10/10 split assignment by arithmetic id hash —
       // same row, same split, on any engine/run/partitioning
