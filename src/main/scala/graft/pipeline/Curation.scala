@@ -34,6 +34,16 @@ object Curation {
       a: Long = 1103515245L, b: Long = 12345L): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
+    // integral non-null ids only: a silent cast-to-null would drop every
+    // such row into the LAST split with no error
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"assignSplits requires an integral id column, got ${other.catalogString}" +
+          " (hash string ids to a long first, e.g. via xxhash64)")
+    }
     val u = pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b), lit(P31))
       .cast("double") / lit(P31.toDouble)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail

@@ -259,8 +259,11 @@ object OperatorQueries {
       // and serve a pushed range from the RELOADED copy
       val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey",
         ordered = true)
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_sql_frame_load").toString
+      // per-invocation temp dir: a fixed shared path would let two
+      // concurrent runs (different scale factors, same machine) read
+      // each other's half-written index files
+      val path = java.nio.file.Files.createTempDirectory("graft_sql_frame_load")
+        .toString
       graft.sql.IndexedFrame.save(h, path)
       val loaded = graft.sql.IndexedFrame.load(s, path)
       loaded.toDF.filter($"c_custkey".between(100L, 149L))

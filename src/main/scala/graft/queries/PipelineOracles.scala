@@ -186,14 +186,19 @@ object PipelineOracles {
 
   // ------------------------------------------------------------- text
 
+  /** Two-lane rolling fingerprint over a token-hash list column `th` —
+    * the ONE copy of the fingerprint arithmetic, shared by
+    * [[textFingerprint]] and [[curationContamination]]. */
+  private val fpExpr: String =
+    s"""list_reduce(list_prepend(CAST(17 AS BIGINT), th), (a, h) -> (a * 1000003 + h) % $P)
+       |  * 2147483648
+       |+ list_reduce(list_prepend(CAST(31 AS BIGINT), th), (a, h) -> (a * 999983 + h) % $P)""".stripMargin
+
   val textFingerprint: String =
     s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
        |th AS (SELECT doc_id, list_transform(toks, t -> ${poly("t")}) AS th FROM tok)
        |SELECT doc_id,
-       |  list_reduce(list_prepend(CAST(17 AS BIGINT), th), (a, h) -> (a * 1000003 + h) % $P)
-       |    * 2147483648
-       |  + list_reduce(list_prepend(CAST(31 AS BIGINT), th), (a, h) -> (a * 999983 + h) % $P)
-       |    AS fp,
+       |  $fpExpr AS fp,
        |  TRUE AS ws_invariant
        |FROM th""".stripMargin
 
@@ -212,13 +217,6 @@ object PipelineOracles {
        |SELECT doc_id, chunk_idx, chunk,
        |  CAST(len(${toks("chunk")}) AS BIGINT) AS n_tokens
        |FROM ch""".stripMargin
-
-  /** Two-lane rolling fingerprint over a token-hash list column `th` —
-    * the shared body of textFingerprint / curationContamination. */
-  private val fpExpr: String =
-    s"""list_reduce(list_prepend(CAST(17 AS BIGINT), th), (a, h) -> (a * 1000003 + h) % $P)
-       |  * 2147483648
-       |+ list_reduce(list_prepend(CAST(31 AS BIGINT), th), (a, h) -> (a * 999983 + h) % $P)""".stripMargin
 
   /** Unit-interval point of Curation.assignSplits: ((id mod P)·a + b)
     * mod P, divided by P — identical IEEE doubles in both engines. */

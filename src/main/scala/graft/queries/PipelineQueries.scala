@@ -166,8 +166,12 @@ object PipelineQueries {
       val scored = docs.select(col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).getField("lang").as("lang"),
         TextFunctions.qualityScore(col("text")).as("q"))
+      // pinned: exactDedup's keeper semi-join references `kept` twice,
+      // and project-collapsing would re-run the langid+quality gate —
+      // the pipeline's most expensive stage — once per branch
       val kept = scored.filter(col("lang") === "en" && col("q") > 0.5)
         .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deduped = Dedup.exactDedup(kept, "doc_id", "text").select("doc_id")
       graft.pipeline.Curation.assignSplits(deduped, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

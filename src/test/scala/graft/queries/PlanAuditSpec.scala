@@ -45,11 +45,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), s"expected broadcast exchanges:\n$plan")
   }
 
-  test("q_window: single exchange for the window partition key") {
+  test("q_window: exactly ONE exchange (the window partition key)") {
     val plan = planOf("q_window")
     assert(plan.contains("Window"), s"expected window operator:\n$plan")
-    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
-      s"window missing:\n$plan")
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges === 1, s"expected exactly one exchange, got $exchanges:\n$plan")
   }
 
   test("text_langid: native expression runs inside whole-stage codegen") {
