@@ -55,13 +55,10 @@ object TextFunctions {
    * a long (safe under ANSI overflow checking), and every step is
    * replicable in DuckDB SQL for the oracle gate.
    */
-  def fingerprint(text: Column): Column = {
-    val p = lit((1L << 31) - 1)
-    val th = TokenShingleHashes.tokenShingleHashes(tokens(text), 1)
-    def lane(seed: Long, mult: Long): Column =
-      aggregate(th, lit(seed), (acc, h) => pmod(acc * lit(mult) + h, p))
-    lane(17L, 1000003L) * lit(1L << 31) + lane(31L, 999983L)
-  }
+  def fingerprint(text: Column): Column =
+    TwoLanePolyFold.twoLanePolyFold(
+      TokenShingleHashes.tokenShingleHashes(tokens(text), 1),
+      17L, 1000003L, 31L, 999983L)
 
   /** Character count. */
   def charCount(text: Column): Column = length(text)

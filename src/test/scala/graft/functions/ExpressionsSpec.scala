@@ -196,4 +196,29 @@ class RoundTwoExpressionsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1)))
     assert(native.toSeq === composed.toSeq)
   }
+
+  test("TwoLanePolyFold: codegen == interpreted == composed aggregate lanes") {
+    val df = Seq(
+      Seq(5L, 1234567L, 99L, 2147483645L),
+      Seq.empty[Long],
+      Seq(42L)).toDF("th")
+    val native = df.select(
+      TwoLanePolyFold.twoLanePolyFold($"th", 17L, 1000003L, 31L, 999983L))
+      .as[Long].collect().toSeq
+    val p = lit((1L << 31) - 1)
+    def lane(seed: Long, mult: Long) =
+      aggregate($"th", lit(seed), (acc, h) => pmod(acc * lit(mult) + h, p))
+    val composed = df.select(lane(17L, 1000003L) * lit(1L << 31) + lane(31L, 999983L))
+      .as[Long].collect().toSeq
+    assert(native === composed)
+    // interpreted eval agrees with the codegen'd query path
+    val expr = TwoLanePolyFold(Literal.create(Seq(5L, 1234567L, 99L, 2147483645L),
+      ArrayType(LongType)), 17L, 1000003L, 31L, 999983L)
+    assert(expr.eval(null) === native.head)
+    // null element propagates NULL, like the composed aggregate
+    val ndf = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("th")
+    assert(ndf.select(
+      TwoLanePolyFold.twoLanePolyFold($"th", 17L, 1000003L, 31L, 999983L))
+      .head().isNullAt(0))
+  }
 }
