@@ -23,6 +23,17 @@ object Curation {
 
   private val P31 = (1L << 31) - 1
 
+  /** Cumulative upper split thresholds — the exact IEEE doubles
+    * [[assignSplits]] compares against (`0.8 + 0.1` is
+    * `0.9000000000000001`, not `0.9`). Oracle builders must derive
+    * their CASE branches from THESE values (e.g. via
+    * `java.lang.Double.toString`, whose shortest-round-trip output
+    * parses back to the identical double in any IEEE-754 engine), so a
+    * fraction change can never desynchronize Spark and oracle
+    * assignments. */
+  def cumThresholds(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.scanLeft(0.0)(_ + _._2).tail
+
   /**
    * Assign each row to a named split with the given fractions (must sum
    * to 1). The unit-interval point is `((id mod P)·a + b mod P) / P` —
@@ -46,7 +57,7 @@ object Curation {
     }
     val u = pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b), lit(P31))
       .cast("double") / lit(P31.toDouble)
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val cum = cumThresholds(splits)
     val assign = splits.zip(cum).dropRight(1)
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), c), els) => when(u < lit(c), lit(name)).otherwise(els)

@@ -111,8 +111,36 @@ object Dedup {
    * slowdown (band keys × sig components × shingle pipeline). The
    * table is small (id + k longs per row), so persisting it is also
    * the right call on a cluster.
+   *
+   * The pin is EAGER: the table is materialized here, once, on the
+   * scan's natural parallelism. Left lazy, the consuming branches (band
+   * explode + both payload join sides + AQE's broadcast-exchange
+   * futures, which all run concurrently) race to first-compute the same
+   * cache blocks and serialize on the per-block cache locks — measured
+   * at sf0.1 as 32 tasks blocked seconds each, and 3-10× run-to-run
+   * variance on the dedup queries.
+   *
+   * Every pin is registered; callers own the lifecycle and should
+   * [[releasePinned]] once the returned pairs DataFrame has been
+   * materialized (collected / written). The bench and verify drivers
+   * sweep persistent RDDs between queries, which is equivalent.
    */
-  private def pin(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  private def pin(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    pinned.add(() => p.unpersist(blocking = false))
+    p
+  }
+
+  /** Free every table pinned by the pair pipelines in this JVM. Call
+    * after materializing the DataFrames they returned; results already
+    * computed stay valid, but un-materialized plans will recompute. */
+  def releasePinned(): Unit = {
+    var f = pinned.poll()
+    while (f != null) { f(); f = pinned.poll() }
+  }
 
   /**
    * Shared bucket machinery: given (id, payload, bands array), emit the
@@ -259,37 +287,55 @@ object Dedup {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
     // labels only DECREASE, so an unchanged (exact, overflow-free)
-    // label sum == fixpoint — one cheap scan of the checkpointed
-    // output instead of an old-vs-new join
+    // label sum == fixpoint — one cheap scan of the new round's output
+    // instead of an old-vs-new join. The agg doubles as the action that
+    // fills the round's cache, so a round costs ONE job.
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
 
-    // every round TRUNCATES LINEAGE (eager localCheckpoint): without it
-    // the round-N plan nests round-(N-1) and grows exponentially — the
-    // chain spec OOMed on plan stringification alone. An iterative
-    // driver loop on a cluster must checkpoint each round the same way.
+    // Each round persists its labels (the sum scan materializes them),
+    // and every CKPT_EVERY-th round TRUNCATES LINEAGE with an eager
+    // localCheckpoint instead: a persisted round still nests the
+    // previous round's plan (read from cache at runtime, but the PLAN
+    // tree grows per round — a long chain OOMed on plan stringification
+    // alone), while checkpointing every round would cost a second job
+    // per round. LSH dup clusters are near-cliques (2-3 rounds), so the
+    // common case never checkpoints and pays exactly one job per round.
+    val CkptEvery = 8
+    def materialize(df: DataFrame, round: Int): (DataFrame, () => Unit) =
+      if (round % CkptEvery == CkptEvery - 1) {
+        val ck = df.localCheckpoint(true)
+        (ck, () => ckRdd(ck).foreach(_.unpersist(false)))
+      } else {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        (p, () => { p.unpersist(blocking = false); () })
+      }
+
     // Round 0 falls straight out of the self-looped edges:
     // label = min(self, neighbors).
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
-      .select(col("src").as("id"), col("label"))
-      .localCheckpoint(true)
+    var (labels, freeLabels) = materialize(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
+        .select(col("src").as("id"), col("label")), 0)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src")).agg(min(col("nl")).as("label"))
-        .select(col("src").as("id"), col("label"))
-        .localCheckpoint(true)
+      val (next, freeNext) = materialize(
+        edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+          .groupBy(col("src")).agg(min(col("nl")).as("label"))
+          .select(col("src").as("id"), col("label")), i + 1)
       val s = labelSum(next)
-      ckRdd(labels).foreach(_.unpersist(false))
-      labels = next
       converged = (s, prevSum) match {
         case (Some(a), Some(b)) => a.compareTo(b) == 0 // scale-insensitive
         case (None, None) => true // empty pair set
         case _ => false
       }
+      // a persisted round reads the PREVIOUS round's cache through its
+      // lineage — only free it once the next round is materialized
+      freeLabels()
+      labels = next
+      freeLabels = freeNext
       prevSum = s
       i += 1
     }
@@ -297,11 +343,14 @@ object Dedup {
     if (!converged) {
       // inconsistent labels would silently keep/drop the wrong
       // documents downstream — refuse instead
-      ckRdd(labels).foreach(_.unpersist(false))
+      freeLabels()
       throw new IllegalStateException(
         s"resolveClusters did not converge within $maxIters rounds " +
           "(a component's diameter exceeds maxIters); raise maxIters")
     }
+    // the returned plan reads the final round's blocks; the caller owns
+    // them through releasePinned() like every other pinned table
+    pinned.add(freeLabels)
     labels.select(col("id"), col("label").as("keep_id"))
   }
 

@@ -15,6 +15,29 @@ import graft.sql.Bridge
  */
 object OperatorQueries {
 
+  /** Temp dirs created by queries, removed recursively at JVM exit:
+    * repeated bench/verify runs in one process no longer accumulate
+    * saved-index copies on disk (File.deleteOnExit can't handle
+    * non-empty directories). */
+  private lazy val tempDirs = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      q.forEach { p =>
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }
+    }))
+    q
+  }
+
+  private def registerTempDirForCleanup(p: java.nio.file.Path): String = {
+    tempDirs.add(p)
+    p.toString
+  }
+
   /** customer keyed by c_custkey -> c_acctbal. */
   private def custBal(s: SparkSession, dir: String): IndexedRDD[Long, Double] = {
     import s.implicits._
@@ -261,9 +284,11 @@ object OperatorQueries {
         ordered = true)
       // per-invocation temp dir: a fixed shared path would let two
       // concurrent runs (different scale factors, same machine) read
-      // each other's half-written index files
-      val path = java.nio.file.Files.createTempDirectory("graft_sql_frame_load")
-        .toString
+      // each other's half-written index files. Registered for
+      // JVM-exit cleanup — the returned plan reads the saved files
+      // lazily, so deleting any earlier would race the query itself.
+      val path = registerTempDirForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_sql_frame_load"))
       graft.sql.IndexedFrame.save(h, path)
       val loaded = graft.sql.IndexedFrame.load(s, path)
       loaded.toDF.filter($"c_custkey".between(100L, 149L))

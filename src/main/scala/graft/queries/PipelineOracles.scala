@@ -218,6 +218,24 @@ object PipelineOracles {
        |  CAST(len(${toks("chunk")}) AS BIGINT) AS n_tokens
        |FROM ch""".stripMargin
 
+  /** The split CASE expression, generated from the SAME cumulative
+    * thresholds assignSplits compares against (Curation.cumThresholds —
+    * e.g. 0.8 + 0.1 is 0.9000000000000001, not 0.9).
+    * Double.toString emits the shortest decimal that round-trips, so
+    * DuckDB parses back the bit-identical double and no representable
+    * u can fall between the two engines' branch points. */
+  private def splitCase(splits: Seq[(String, Double)]): String = {
+    val cum = graft.pipeline.Curation.cumThresholds(splits)
+    val whens = splits.zip(cum).dropRight(1)
+      .map { case ((name, _), c) =>
+        s"WHEN u < ${java.lang.Double.toString(c)} THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${splits.last._1}' END"
+  }
+
+  private val split801010 =
+    splitCase(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   /** Unit-interval point of Curation.assignSplits: ((id mod P)·a + b)
     * mod P, divided by P — identical IEEE doubles in both engines. */
   val curationSplits: String =
@@ -225,7 +243,7 @@ object PipelineOracles {
        |  CAST(((doc_id % $P) * 1103515245 + 12345) % $P AS DOUBLE) / $P AS u
        |  FROM documents)
        |SELECT doc_id,
-       |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+       |  $split801010 AS split
        |FROM u""".stripMargin
 
   val curationContamination: String =
@@ -253,7 +271,7 @@ object PipelineOracles {
        |dd AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM kept GROUP BY text),
        |u AS (SELECT doc_id,
        |  CAST(((doc_id % $P) * 1103515245 + 12345) % $P AS DOUBLE) / $P AS u FROM dd)
-       |SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       |SELECT $split801010 AS split,
        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_id
        |FROM u GROUP BY 1""".stripMargin
 

@@ -107,20 +107,32 @@ object Streaming {
 
   /**
    * Streaming exact dedup for a training-data ingest path: drop rows
-   * whose CONTENT (hash) was already seen within the watermark window —
-   * the streaming twin of `Dedup.exactDedup`.
+   * whose CONTENT was already seen within the watermark window — the
+   * streaming twin of `Dedup.exactDedup`.
    * `dropDuplicatesWithinWatermark` keeps state only until the
    * watermark passes (bounded state, unlike `dropDuplicates`' forever
    * state), which is the right trade for dedup-on-ingest: a duplicate
    * arriving later than the watermark delay is let through and caught
    * by the batch dedup pass downstream.
+   *
+   * The dedup key is (64-bit content hash, content length), NOT the
+   * hash alone: dropping a distinct document on a bare hash collision
+   * is silent and unrecoverable downstream, and keying on the full
+   * content would put the whole payload in the state store. The
+   * composite key keeps state at 16 bytes/row while a false drop now
+   * needs an xxhash64 collision between two EQUAL-LENGTH documents in
+   * the same watermark window — at ~1 B rows/window the residual
+   * expected collisions are ~1/37 (birthday bound on 2^64·|len
+   * classes|), vs the certainty of the batch-path dedup catching true
+   * duplicates the window misses.
    */
   def dedupStream(df: DataFrame, contentCol: String, tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .withColumn("__h", xxhash64(col(contentCol)))
-      .dropDuplicatesWithinWatermark("__h")
-      .drop("__h")
+      .withColumn("__len", length(col(contentCol)))
+      .dropDuplicatesWithinWatermark("__h", "__len")
+      .drop("__h", "__len")
 
   /**
    * foreachBatch sink maintaining a live IndexedRDD: each micro-batch
