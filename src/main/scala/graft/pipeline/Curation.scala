@@ -66,6 +66,49 @@ object Curation {
   }
 
   /**
+   * Deterministic uniform sample without replacement: the `n` rows
+   * whose affine id hash is smallest (ties broken by id). Same row set
+   * on any engine, run, partitioning or cluster size — the property
+   * that makes a sampled eval slice reproducible — and the plan is
+   * TakeOrderedAndProject (per-partition top-n, then a driver merge of
+   * n·partitions candidates), never a global sort. The hash constants
+   * differ from [[assignSplits]]'s so the sample is independent of
+   * split assignment.
+   */
+  def deterministicSample(df: DataFrame, idCol: String, n: Int,
+      a: Long = 69069L, b: Long = 362437L): DataFrame =
+    df.withColumn("__u",
+        pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b), lit(P31)))
+      .orderBy(col("__u"), col(idCol)).limit(n)
+      .drop("__u")
+
+  /**
+   * Per-document mean inverse corpus frequency of its tokens — a
+   * rarity / informativeness signal (→1 when every token is unique in
+   * the corpus, →0 for boilerplate): score(d) = (Σ_t 1/freq(t)) / n_d.
+   * Frequencies are an exact map-side-combinable wordcount; the
+   * per-document sum is a POSITION-ORDERED left fold over the doc's
+   * tokens, so the resulting double is bit-reproducible across engines
+   * (IEEE division and addition in a deterministic order — never a
+   * partition-order-dependent SQL sum).
+   */
+  def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+    val freqs = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    tok.join(freqs, "__tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        array_sort(collect_list(struct(col("__pos"), col("__cnt")))).as("__l"))
+      .withColumn("rarity", round(
+        aggregate(col("__l"), lit(0.0d),
+          (acc, s) => acc + lit(1.0d) / s.getField("__cnt").cast("double"))
+          / col("n_scored").cast("double"), 6))
+      .select(col(idCol), col("n_scored"), col("rarity"))
+  }
+
+  /**
    * Ids of `test` rows whose content fingerprint (whitespace-invariant
    * rolling hash, [[TextFunctions.fingerprint]]) appears anywhere in
    * `train` — the eval-contamination check run before any benchmark

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sketch operators for corpus-scale statistics — the
+ * approximate plumbing a 100 TB pipeline needs where exact answers
+ * are unaffordable or unnecessary:
+ *
+ *  - '''count-min''': a depth×width counter matrix over a hashed key
+ *    stream; point-frequency estimates that only ever OVER-estimate.
+ *    The matrix is produced by one map-side-combinable aggregation
+ *    (the stream is never collected), and is d·w integers regardless
+ *    of input size.
+ *  - '''KMV distinct''' (k minimum values): per-group distinct-count
+ *    estimates from the k smallest hash values of the group — a
+ *    bounded per-group state (k longs) where exact `count(distinct)`
+ *    needs the full key set per group.
+ *  - '''Bloom-filter join pruning''': a compact bitset of the build
+ *    side's key hashes, broadcast to filter the probe side BEFORE the
+ *    join shuffle — the classic way to join a 100 TB fact stream
+ *    against a selective dimension without shuffling non-matching
+ *    rows. No false negatives; false-positive rate set by bits/key.
+ *
+ * Every hash is affine arithmetic mod the Mersenne prime 2^31-1
+ * (products stay below 2^62, safe under ANSI overflow checks), so a
+ * SQL oracle recomputes identical sketches cross-engine — estimates
+ * and all. The reference engine has no sketch surface (its only
+ * aggregate is a user reduce, reference IndexedRDD.scala:294-297);
+ * these follow Cormode & Muthukrishnan (count-min, J.Algorithms 2005),
+ * Bar-Yossef et al. (KMV, RANDOM 2002) and Bloom (CACM 1970).
+ */
+object Sketches {
+
+  private val P31 = (1L << 31) - 1
+
+  /** Affine row constants (a_j, b_j) for the sketch hash families —
+    * fixed public LCG multipliers, graft-visible so oracle builders
+    * embed the same literals in SQL. */
+  private[graft] val RowConsts: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L),
+    (1566083941L, 1L),
+    (69069L, 362437L),
+    (1664525L, 1013904223L))
+
+  private def affine(h: Column, a: Long, b: Long): Column =
+    pmod(h * lit(a) + lit(b), lit(P31))
+
+  // ------------------------------------------------------------ count-min
+
+  /**
+   * Count-min counter matrix of a (already 31-bit-hashed) key column:
+   * one row per (row j, bucket) with its collision count. ONE
+   * groupBy over the exploded d positions — partial aggregation
+   * combines map-side, so the shuffle carries at most d·width rows
+   * per map task no matter how many keys stream through.
+   */
+  def countMinCounters(df: DataFrame, hashCol: String,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    require(depth >= 1 && depth <= RowConsts.size, s"depth must be 1..${RowConsts.size}")
+    df.select(posexplode(array(RowConsts.take(depth).map { case (a, b) =>
+        pmod(affine(col(hashCol), a, b), lit(width.toLong))
+      }: _*)).as(Seq("j", "pos")))
+      .groupBy("j", "pos").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimate for each distinct key in `keys`
+    * (hashCol must carry the same 31-bit hash the counters were built
+    * from): est = min_j counters[j][pos_j(h)]. The d counter lookups
+    * are a broadcast join against the (tiny) counter matrix. */
+  def countMinEstimate(keys: DataFrame, hashCol: String, counters: DataFrame,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    val positions = keys.withColumn("__pos", array(RowConsts.take(depth).map {
+        case (a, b) => pmod(affine(col(hashCol), a, b), lit(width.toLong))
+      }: _*))
+      .select(col("*"), posexplode(col("__pos")).as(Seq("j", "pos")))
+      .drop("__pos")
+    positions.join(broadcast(counters), Seq("j", "pos"))
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(col("c")).as("cm_est"))
+  }
+
+  // ----------------------------------------------------------------- KMV
+
+  /**
+   * Per-group distinct-count estimate from the k minimum hash values:
+   * est = (k-1) · P / h_(k) when the group has ≥ k distinct hashes,
+   * the exact distinct count otherwise (all hashes are retained below
+   * k — the sketch IS the key set there). The k-smallest selection is
+   * a per-group window rank over DISTINCT hashes, so per-group state
+   * after the aggregate is k longs.
+   */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int = 64): DataFrame = {
+    val (a, b) = RowConsts.head
+    val g = groupCols.map(col)
+    val hashed = df.select(g :+
+        affine(pmod(col(keyCol).cast("long"), lit(P31)), a, b).as("__h"): _*)
+      .distinct()
+    val ranked = hashed.withColumn("__r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(g: _*).orderBy(col("__h"))))
+    ranked.groupBy(g: _*).agg(
+        count(lit(1)).as("n_distinct_true"),
+        max(when(col("__r") === k, col("__h"))).as("__kth"))
+      .withColumn("kmv_est",
+        when(col("__kth").isNull, col("n_distinct_true").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(P31.toDouble) / col("__kth"), 2)))
+      .drop("__kth")
+  }
+
+  // --------------------------------------------------------------- bloom
+
+  /** Bloom filter of a key column as a driver-side bitset: `mBits`
+    * bits, `depth` hash rows. The collect is bounded by the SKETCH
+    * size (mBits/8 bytes — 8 KB at the default), never by the build
+    * side's row count: only distinct SET POSITIONS come back to the
+    * driver, already deduplicated by the aggregation. */
+  def bloomFilterOf(build: DataFrame, keyCol: String,
+      mBits: Int = 65536, depth: Int = 3): Array[Long] = {
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val posRows = build
+      .select(pmod(col(keyCol).cast("long"), lit(P31)).as("__h")).distinct()
+      .select(explode(array(RowConsts.take(depth).zipWithIndex.map {
+        case ((a, b), j) =>
+          pmod(affine(col("__h"), a, b), lit(mBits.toLong)) + lit(j.toLong * mBits)
+      }: _*)).as("p"))
+      .distinct()
+      .collect()
+    val words = new Array[Long]((mBits.toLong * depth / 64).toInt)
+    posRows.foreach { r =>
+      val p = r.getLong(0)
+      words((p >>> 6).toInt) |= (1L << (p & 63))
+    }
+    words
+  }
+
+  /** Membership test column against [[bloomFilterOf]] bits: true iff
+    * every row's bit is set. The bitset ships as a plan literal
+    * (broadcast with the task binary); the test is pure codegen'd
+    * arithmetic — element_at + shiftright + mask per row, no UDF, no
+    * shuffle. */
+  def bloomMightContain(bits: Array[Long], key: Column,
+      mBits: Int = 65536, depth: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ExpressionBridge.{column => toCol, expression => toExpr}
+    val h = pmod(key.cast("long"), lit(P31))
+    val lt = typedLit(bits.toSeq)
+    RowConsts.take(depth).zipWithIndex.map { case ((a, b), j) =>
+      val p = pmod(affine(h, a, b), lit(mBits.toLong)) + lit(j.toLong * mBits)
+      // word >> (p % 64) & 1 — ShiftRight takes a column shift amount
+      // at the Catalyst layer (the functions._ wrapper only accepts a
+      // literal Int)
+      val word = element_at(lt, (p / 64).cast("int") + 1)
+      val shifted = toCol(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        toExpr(word), toExpr((p % 64).cast("int"))))
+      shifted.bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+  }
+
+  /** Prune `probe` to rows whose key might be in `build`'s key set —
+    * the pre-shuffle filter of a bloom join. Guarantees every true
+    * match survives; a fraction ~(fill)^depth of non-matches leak
+    * through and are eliminated by the exact join that follows. */
+  def bloomPrune(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      mBits: Int = 65536, depth: Int = 3): DataFrame = {
+    val bits = bloomFilterOf(build, buildKey, mBits, depth)
+    probe.filter(bloomMightContain(bits, col(probeKey), mBits, depth))
+  }
+}

@@ -275,6 +275,87 @@ object PipelineOracles {
        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_id
        |FROM u GROUP BY 1""".stripMargin
 
+  /** Sketches.RowConsts as a VALUES table — literals must equal the
+    * Scala constants or every sketch oracle desynchronizes. */
+  private def sketchConsts(depth: Int): String =
+    graft.pipeline.Sketches.RowConsts.take(depth).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS v(j, a, b)")
+
+  /** Count-min matrix + estimates for the top-30 tokens: identical
+    * d×w counters, identical min-over-rows estimates. */
+  val sketchHeavyHitters: String =
+    s"""WITH rawtok AS (SELECT unnest(${toks("text")}) AS token FROM documents),
+       |tok AS (SELECT token, ${poly("token")} AS h FROM rawtok WHERE token <> ''),
+       |consts AS (${sketchConsts(4)}),
+       |counters AS (
+       |  SELECT j, ((a * h + b) % $P) % 2048 AS pos, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok CROSS JOIN consts GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, h, CAST(count(*) AS BIGINT) AS freq
+       |  FROM tok GROUP BY 1, 2 ORDER BY freq DESC, token LIMIT 30)
+       |SELECT t.token, t.freq, min(c.c) AS cm_est
+       |FROM top t CROSS JOIN consts r
+       |JOIN counters c ON c.j = r.j AND c.pos = ((r.a * t.h + r.b) % $P) % 2048
+       |GROUP BY 1, 2""".stripMargin
+
+  /** KMV distinct-count estimates per event_type: same affine hash,
+    * same k-th minimum, same (k-1)·P/h_(k) arithmetic. */
+  val sketchDistinctKmv: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |  ((user_id % $P) * 1103515245 + 12345) % $P AS h FROM events),
+       |r AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_true,
+       |             max(CASE WHEN rn = 64 THEN h END) AS kth
+       |      FROM r GROUP BY 1)
+       |SELECT event_type, n_distinct_true,
+       |  CASE WHEN kth IS NULL THEN CAST(n_distinct_true AS DOUBLE)
+       |       ELSE round(CAST(63 AS DOUBLE) * CAST(2147483647 AS DOUBLE)
+       |                  / CAST(kth AS DOUBLE), 2) END AS kmv_est
+       |FROM a""".stripMargin
+
+  /** Bloom prune of customers by Q1-1995 buyer keys: identical bit
+    * positions, identical membership decisions — INCLUDING the
+    * deterministic false positives (is_member = false rows). */
+  val sketchBloomPrune: String =
+    s"""WITH consts AS (${sketchConsts(3)}),
+       |bh AS (SELECT DISTINCT o_custkey % $P AS h FROM orders
+       |       WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-03-31'),
+       |bits AS (SELECT DISTINCT j, ((a * h + b) % $P) % 4096 AS pos
+       |         FROM bh CROSS JOIN consts),
+       |cand AS (
+       |  SELECT c.c_custkey
+       |  FROM customer c CROSS JOIN consts r
+       |  JOIN bits ON bits.j = r.j
+       |           AND bits.pos = ((r.a * (c.c_custkey % $P) + r.b) % $P) % 4096
+       |  GROUP BY 1 HAVING count(*) = 3),
+       |mem AS (SELECT DISTINCT o_custkey FROM orders
+       |        WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-03-31')
+       |SELECT cand.c_custkey, (mem.o_custkey IS NOT NULL) AS is_member
+       |FROM cand LEFT JOIN mem ON mem.o_custkey = cand.c_custkey""".stripMargin
+
+  /** Smallest-k deterministic sample — same affine hash, same ties. */
+  val curationSample: String =
+    s"""SELECT doc_id, source FROM documents
+       |ORDER BY ((doc_id % $P) * 69069 + 362437) % $P, doc_id LIMIT 100""".stripMargin
+
+  /** Mean inverse token frequency per doc: exact corpus wordcount,
+    * then a position-ordered left fold of IEEE divisions — the same
+    * double bit-for-bit in both engines. */
+  val textRarity: String =
+    s"""WITH tokd AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM tokd),
+       |tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM x WHERE toks[pos] <> ''),
+       |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |             list(CAST(1 AS DOUBLE) / cnt ORDER BY pos) AS l
+       |      FROM tok JOIN f USING (tok) GROUP BY 1)
+       |SELECT doc_id, n_scored,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+       |                    (acc, x) -> acc + x) / n_scored, 6) AS rarity
+       |FROM d""".stripMargin
+
   val textVocab: String =
     s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
        |FROM (SELECT unnest(${toks("text")}) AS token FROM documents) t
@@ -563,6 +644,11 @@ object PipelineOracles {
     "text_vocab" -> textVocab,
     "curation_splits" -> curationSplits,
     "curation_contamination" -> curationContamination,
+    "curation_sample" -> curationSample,
+    "sketch_heavy_hitters" -> sketchHeavyHitters,
+    "sketch_distinct_kmv" -> sketchDistinctKmv,
+    "sketch_bloom_prune" -> sketchBloomPrune,
+    "text_rarity" -> textRarity,
     "pipeline_corpus_build" -> pipelineCorpusBuild,
     "dedup_simhash" -> dedupSimhash,
     "text_fingerprint" -> textFingerprint,

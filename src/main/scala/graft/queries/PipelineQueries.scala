@@ -212,6 +212,69 @@ object PipelineQueries {
           TextFunctions.tokenCount(col("chunk")).cast("long").as("n_tokens"))
     },
 
+    // ------------------------------------------------------------ sketches
+    "sketch_heavy_hitters" -> { (s, dir) =>
+      // count-min sketch over the corpus token stream: one map-side-
+      // combinable aggregation produces a d×w counter matrix (constant
+      // size at any corpus scale); estimates for the top-30 true-
+      // frequency tokens demonstrate the one-sided (over-)estimate
+      // guarantee, and the deterministic hash family lets the oracle
+      // rebuild the identical matrix in SQL
+      import graft.pipeline.Sketches
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .withColumn("h", element_at(
+          graft.functions.TokenShingleHashes.tokenShingleHashes(array(col("token")), 1), 1))
+      val counters = Sketches.countMinCounters(tok, "h", depth = 4, width = 2048)
+      val top = tok.groupBy("token", "h").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(30)
+      Sketches.countMinEstimate(top, "h", counters, depth = 4, width = 2048)
+        .select(col("token"), col("freq"), col("cm_est"))
+    },
+
+    "sketch_distinct_kmv" -> { (s, dir) =>
+      // per-group distinct-count estimation from the k minimum hash
+      // values: bounded per-group state (k longs) vs count(distinct)'s
+      // full key set; exact below k by construction
+      graft.pipeline.Sketches.kmvDistinct(
+        Tables.events(s, dir), Seq("event_type"), "user_id", k = 64)
+    },
+
+    "sketch_bloom_prune" -> { (s, dir) =>
+      // bloom-join pruning: an 1.5 KB bitset of Q1-1995 buyer keys
+      // filters the customer probe side BEFORE any join — no false
+      // negatives, deterministic false positives (is_member = false
+      // rows) that the oracle reproduces bit-for-bit
+      val build = Tables.orders(s, dir)
+        .filter(col("o_orderdate").between("1995-01-01", "1995-03-31"))
+        .select(col("o_custkey"))
+      val pruned = graft.pipeline.Sketches.bloomPrune(
+        Tables.customer(s, dir), "c_custkey", build, "o_custkey",
+        mBits = 4096, depth = 3)
+      pruned
+        .join(build.distinct().withColumnRenamed("o_custkey", "c_custkey")
+          .withColumn("__m", lit(true)), Seq("c_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("__m"), lit(false)).as("is_member"))
+    },
+
+    "curation_sample" -> { (s, dir) =>
+      // reproducible eval-slice sampling: smallest-k by arithmetic id
+      // hash — same 100 docs on any run/partitioning/engine, selected
+      // by a per-partition top-n (TakeOrderedAndProject), not a sort
+      graft.pipeline.Curation.deterministicSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", 100)
+    },
+
+    "text_rarity" -> { (s, dir) =>
+      // corpus-relative informativeness: mean inverse token frequency
+      // per doc, folded in position order so the double is
+      // bit-reproducible cross-engine
+      graft.pipeline.Curation.rarityScores(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
     "text_vocab" -> { (s, dir) =>
       // corpus vocabulary: top 100 tokens by frequency (count desc, then
       // token — fully deterministic). Explode + partial-agg: the
