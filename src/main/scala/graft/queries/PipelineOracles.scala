@@ -275,6 +275,95 @@ object PipelineOracles {
        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS min_id
        |FROM u GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- PQ (ann_pq_topk)
+
+  /** Dimension-generic twins of the 64-d helpers, for the per-subspace
+    * PQ codebooks. All folds left-to-right — the bit-exactness
+    * contract with the Scala loops. */
+  private def dotN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, ${n + 1}), d -> $a[d] * $b[d])), (x, y) -> x + y)""".stripMargin
+
+  private def sqN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, ${n + 1}), d -> ($a[d] - $b[d]) * ($a[d] - $b[d]))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  private def zerosN(n: Int): String =
+    s"list_transform(range(0, $n), zz -> CAST(0.0 AS DOUBLE))"
+
+  /** One Lloyd iteration `prev -> cur` over the CTE `$samp(id, v)` of
+    * n-dim points — the generic twin of lloydIter (same assignment
+    * tie-break, same sample-order element sums, empty clusters keep
+    * their centroid). */
+  private def lloydIterN(samp: String, prev: String, cur: String, n: Int): String =
+    s"""a$cur AS (
+       |  SELECT id, v, cid FROM (
+       |    SELECT s.id, s.v, c.cid,
+       |      row_number() OVER (PARTITION BY s.id
+       |        ORDER BY ${sqN("s.v", "c.cent", n)}, c.cid) AS rn
+       |    FROM $samp s, $prev c) t WHERE rn = 1),
+       |$cur AS (
+       |  SELECT p.cid,
+       |    CASE WHEN g.cnt IS NULL THEN p.cent
+       |         ELSE list_transform(range(1, ${n + 1}), i -> g.total[i] / g.cnt) END AS cent
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, CAST(count(*) AS DOUBLE) AS cnt,
+       |      list_reduce(list_prepend(${zerosN(n)}, list(v ORDER BY id)),
+       |        (acc, pt) -> list_transform(range(1, ${n + 1}), i -> acc[i] + pt[i])) AS total
+       |    FROM a$cur GROUP BY cid) g ON g.cid = p.cid)""".stripMargin
+
+  /**
+   * Full SQL replication of Similarity.pqTopK (m=8 subspaces × 8 dims,
+   * ks=16, sample=512, 3 Lloyd iterations, ADC shortlist 160, k=20):
+   * normalization, every per-subspace codebook, code assignment
+   * (cc − 2·dot argmin, first-index ties), the query LUT, the
+   * left-fold ADC scores, and the exact re-rank all replay
+   * bit-for-bit.
+   */
+  val annPqTopk: String = {
+    val M = 8; val sub = 8; val ks = 16; val iters = 3
+    val chains = (0 until M).map { mm =>
+      val lo = mm * sub + 1; val hi = (mm + 1) * sub
+      val it = (0 until iters)
+        .map(t => lloydIterN(s"s$mm", s"p${mm}c$t", s"p${mm}c${t + 1}", sub))
+        .mkString(",\n")
+      s"""s$mm AS (SELECT id, list_slice(vn, $lo, $hi) AS v FROM samp),
+         |p${mm}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
+         |  FROM (SELECT id, v FROM s$mm ORDER BY id LIMIT $ks) init),
+         |$it,
+         |b$mm AS (SELECT cid, cent,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, ${sub + 1}), i -> cent[i] * cent[i])), (x, y) -> x + y) AS cc
+         |  FROM p${mm}c$iters),
+         |asg$mm AS (SELECT id, cid FROM (
+         |  SELECT n.id, c.cid,
+         |    row_number() OVER (PARTITION BY n.id
+         |      ORDER BY c.cc - 2.0 * ${dotN(s"list_slice(n.vn, $lo, $hi)", "c.cent", sub)}, c.cid) AS rn
+         |  FROM vn n, b$mm c) t WHERE rn = 1),
+         |lut$mm AS (SELECT b.cid, ${dotN(s"list_slice(qn.q, $lo, $hi)", "b.cent", sub)} AS val
+         |  FROM b$mm b, qn)""".stripMargin
+    }.mkString(",\n")
+    val adcJoins = (0 until M).map(mm =>
+      s"JOIN asg$mm ON asg$mm.id = vn.id JOIN lut$mm ON lut$mm.cid = asg$mm.cid")
+      .mkString("\n  ")
+    val adcSum = (0 until M).map(mm => s"lut$mm.val").mkString(" + ")
+    s"""WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vn AS (SELECT id, list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS vn FROM vecs),
+       |samp AS (SELECT id, vn FROM vn ORDER BY id LIMIT 512),
+       |qn AS (SELECT list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS q
+       |       FROM vecs WHERE id = 7),
+       |$chains,
+       |adc AS (SELECT vn.id, $adcSum AS adc
+       |  FROM vn
+       |  $adcJoins),
+       |short AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT 160)
+       |SELECT vec_id, cos FROM (
+       |  SELECT s.id AS vec_id, ${dotN("vn.vn", "qn.q", 64)} AS cos
+       |  FROM short s JOIN vn ON vn.id = s.id, qn
+       |  ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+  }
+
   /** Sketches.RowConsts as a VALUES table — literals must equal the
     * Scala constants or every sketch oracle desynchronizes. */
   private def sketchConsts(depth: Int): String =
@@ -659,6 +748,7 @@ object PipelineOracles {
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_full" -> annIvfFull,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_pq_topk" -> annPqTopk,
     "mm_resize_frames" -> mmResizeFrames,
     "mm_features" -> mmFeatures,
     "mm_ann" -> mmAnn,

@@ -113,6 +113,14 @@ object PipelineQueries {
         queryVec(s, dir), k = 20, nlist = 16, nprobe = 6)
     },
 
+    "ann_pq_topk" -> { (s, dir) =>
+      // product quantization: rows scored from m=8 one-byte codes via
+      // an ADC lookup-table fold (32x less data scanned than raw
+      // vectors at scale), then the shortlist re-ranked exactly
+      Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20, dim = 64)
+    },
+
     "ann_ivf_full" -> { (s, dir) =>
       // nprobe = nlist: every inverted list is scanned, so the result
       // must EQUAL exact brute-force top-k — an oracle-checkable proof
