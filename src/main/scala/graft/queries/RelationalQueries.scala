@@ -171,6 +171,26 @@ object RelationalQueries {
     // band/range join: parts whose retail price falls within a band
     // around each supplier's account balance (bucketized equi-join, not
     // a nested-loop cartesian)
+    "q_zorder_box" -> { (s, dir) =>
+      import s.implicits._
+      // multi-dimensional data skipping: per-(user, day) activity
+      // rollup keyed by the Morton interleave of (user_id, day); the
+      // 2-D box query becomes a union of z-intervals (driver-side
+      // quadrant cover) + an exact residual — the layout that lets a
+      // z-sorted/range-partitioned 100 TB table answer box queries by
+      // pruning partitions instead of scanning. ZOrderSpec proves the
+      // pruning (PartitionPruningRDD drops partitions on a
+      // z-range-partitioned index); here the oracle proves semantics +
+      // bit-identical z values
+      val agg = Tables.events(s, dir)
+        .select($"user_id", unix_date(to_date($"ts")).cast("long").as("day"), $"value")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .withColumn("z", graft.operators.ZOrder.zValue($"user_id", $"day", 21))
+      agg.filter(graft.operators.ZOrder.boxFilter(
+        $"z", $"user_id", $"day", 2, 11, 19728, 19737))
+    },
+
     "q_range_join" -> { (s, dir) =>
       import s.implicits._
       val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_acctbal")
@@ -324,6 +344,20 @@ object RelationalQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(value) AS DOUBLE), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_zorder_box" ->
+      """WITH agg AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_events, sum_value,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 21),
+        |    i -> (((user_id >> i) & 1) << (2 * i)) + (((day >> i) & 1) << (2 * i + 1)))),
+        |    (a, x) -> a + x) AS z
+        |FROM agg
+        |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
 
     "q_range_join" ->
       """SELECT s.s_suppkey, CAST(count(*) AS BIGINT) AS n_parts,
