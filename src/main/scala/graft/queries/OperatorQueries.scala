@@ -357,6 +357,44 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
     },
 
+    "ir_sql_count" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL count(*) over an indexed handle plans as the O(partitions)
+      // index-size sum (IndexedAgg strategy) — no row scan, no
+      // partial/final aggregate exchange; the reference's no-scan
+      // count (reference IndexedRDD.scala:66-68) at the SQL surface
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.agg(count(lit(1)).as("cnt"))
+    },
+
+    "ir_incremental_agg" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // incremental view maintenance on the COW index: a maintained
+      // per-customer order-total must equal a from-scratch recompute
+      // after the delta batch lands. Base = orders with key % 3 != 0
+      // folded additively at build; delta = the remaining third,
+      // upserted with merge = + (one-sided shuffle of the delta only —
+      // the maintained view never rebuilds, the reference's README
+      // update loop as a VIEW-MAINTENANCE primitive). The oracle
+      // recomputes over the union, so the gate proves
+      // incremental == batch.
+      val all = Tables.orders(s, dir)
+        .select($"o_orderkey" % 3 =!= 0, $"o_custkey", $"o_totalprice")
+        .toDF("base", "o_custkey", "o_totalprice")
+      val base = all.filter($"base").select($"o_custkey", $"o_totalprice")
+        .as[(Long, Double)].rdd
+      val delta = all.filter(!$"base").select($"o_custkey", $"o_totalprice")
+        .as[(Long, Double)].rdd
+      val view = IndexedRDD.updatable[Long, Double, Double](
+        base, (_, v) => v, (_, a, b) => a + b)
+      val maintained = view.multiputRDD[Double](delta, (_, v) => v, (_, a, b) => a + b)
+      Bridge.RichIndexedRDD(maintained).toDS
+        .select($"_1".as("o_custkey"), round($"_2", 2).as("total"))
+    },
+
     "ir_create_using_index" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -446,6 +484,15 @@ object OperatorQueries {
     "ir_aggregate" ->
       """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "ir_incremental_agg" ->
+      // from-scratch recompute over base ∪ delta (= all orders): the
+      // gate certifies the incrementally maintained view equals it
+      """SELECT o_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "ir_sql_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer",
 
     "ir_range" ->
       """SELECT c_custkey, c_acctbal FROM customer

@@ -1,0 +1,68 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+class IndexedAggSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  private def customerHandle() = {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    IndexedFrame.index(
+      spark.read.parquet(s"$dir/customer.parquet"), "c_custkey")
+  }
+
+  test("count(*) on a handle plans as the no-scan index-size sum") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val h = customerHandle()
+    val q = h.toDF.agg(count(lit(1)).as("cnt"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedCount"), s"expected IndexedCountExec in:\n$plan")
+    val expected = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(q.as[Long].head() === expected)
+    assert(h.lastScanKind === "count") // served by the index, not a scan
+  }
+
+  test("count over a NEW version after upsert sees the new size") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val h = customerHandle()
+    val base = h.toDF.agg(count(lit(1))).as[Long].head()
+    val row = h.toDF.limit(1).collect()(0)
+    val added = org.apache.spark.sql.Row.fromSeq(
+      Seq(-12345L) ++ row.toSeq.tail) // fresh key, same shape
+    val h2 = h.upsert(Seq(added))
+    assert(h2.toDF.agg(count(lit(1))).as[Long].head() === base + 1)
+    // the OLD version still answers with the old size (COW)
+    assert(h.toDF.agg(count(lit(1))).as[Long].head() === base)
+  }
+
+  test("a filtered count falls through to the default planner") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val h = customerHandle()
+    val q = h.toDF.filter($"c_acctbal" > 0).agg(count(lit(1)).as("cnt"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("IndexedCount"), s"filtered count must scan:\n$plan")
+    val expected = spark.read.parquet(s"$dir/customer.parquet")
+      .filter($"c_acctbal" > 0).count()
+    assert(q.as[Long].head() === expected)
+  }
+
+  test("count distinct / grouped counts are untouched") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val h = customerHandle()
+    val grouped = h.toDF.groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("IndexedCount"))
+    val viaIdx = grouped.as[(String, Long)].collect().toMap
+    val direct = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(viaIdx === direct)
+  }
+}
