@@ -110,6 +110,53 @@ object Sketches {
       .drop("__kth")
   }
 
+  // ----------------------------------------------------- histogram quantiles
+
+  /**
+   * Approximate per-group quantiles from a fixed-width histogram: one
+   * bounds pass (exact min/max/count — order-independent aggregates),
+   * one binning pass (map-side-combinable count per bin), then linear
+   * interpolation inside the first bin whose cumulative count reaches
+   * q·n. Per-group state is `bins` counters — constant — where the
+   * exact `percentile` needs the group's full value set; the estimate
+   * shares a bin with the ceil(q·n)-th order statistic, so the value
+   * error is bounded by one bin width around that statistic. Every
+   * arithmetic step is plain IEEE ops in a fixed order, so a SQL
+   * oracle reproduces the estimates bit-for-bit (unlike t-digest/GK
+   * sketches, whose results depend on merge order).
+   */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      bins: Int = 64, qs: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val vals = df.filter(col(valueCol).isNotNull)
+    val bounds = vals.groupBy(g: _*).agg(
+      min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
+      count(lit(1)).as("__n"))
+    def width: Column = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val binned = vals.join(broadcast(bounds), groupCols)
+      .withColumn("__bin",
+        when(width === 0.0, lit(0L))
+          .otherwise(least(floor((col(valueCol) - col("__mn")) / width).cast("double"),
+            lit((bins - 1).toDouble)).cast("long")))
+    val hist = binned.groupBy((g :+ col("__bin")): _*).agg(count(lit(1)).as("__c"))
+      .join(broadcast(bounds), groupCols)
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(g: _*).orderBy(col("__bin"))))
+    val withQ = cum.select(g ++ Seq(col("__bin"), col("__c"), col("__cum"),
+      col("__mn"), col("__mx"), col("__n"), explode(typedLit(qs)).as("q")): _*)
+    val target = col("q") * col("__n").cast("double")
+    val first = withQ.filter(col("__cum").cast("double") >= target)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((g :+ col("q")): _*).orderBy(col("__bin"))))
+      .filter(col("__rn") === 1)
+    first.withColumn("est", round(
+        col("__mn") + width * col("__bin").cast("double") +
+          width * (target - (col("__cum") - col("__c")).cast("double"))
+            / col("__c").cast("double"), 4))
+      .select((g ++ Seq(col("q"), col("est"))): _*)
+  }
+
   // --------------------------------------------------------------- bloom
 
   /** Bloom filter of a key column as a driver-side bitset: `mBits`

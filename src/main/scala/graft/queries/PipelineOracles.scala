@@ -424,6 +424,34 @@ object PipelineOracles {
        |SELECT cand.c_custkey, (mem.o_custkey IS NOT NULL) AS is_member
        |FROM cand LEFT JOIN mem ON mem.o_custkey = cand.c_custkey""".stripMargin
 
+  /** Fixed-width histogram quantiles over events.value per event_type:
+    * identical bounds, identical bin ids, identical cumulative counts,
+    * identical in-bin interpolation — all plain IEEE ops in the same
+    * order as Sketches.histogramQuantiles(bins=64). */
+  val sketchQuantiles: String =
+    """WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+      |             CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |bin AS (SELECT e.event_type,
+      |  CAST(CASE WHEN (b.mx - b.mn) / 64.0 = 0 THEN 0
+      |            ELSE least(floor((e.value - b.mn) / ((b.mx - b.mn) / 64.0)), 63.0)
+      |       END AS BIGINT) AS bin
+      |  FROM v e JOIN b USING (event_type)),
+      |h AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+      |      FROM bin GROUP BY 1, 2),
+      |cum AS (SELECT h.*, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |        FROM h),
+      |qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS t(q)),
+      |wq AS (SELECT cum.*, b.mn, b.mx, b.n, qs.q
+      |       FROM cum JOIN b USING (event_type) CROSS JOIN qs),
+      |f AS (SELECT *, row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+      |      FROM wq WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+      |SELECT event_type, q,
+      |  round(mn + (mx - mn) / 64.0 * CAST(bin AS DOUBLE)
+      |      + (mx - mn) / 64.0 * (q * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+      |        / CAST(c AS DOUBLE), 4) AS est
+      |FROM f WHERE rn = 1""".stripMargin
+
   /** Smallest-k deterministic sample — same affine hash, same ties. */
   val curationSample: String =
     s"""SELECT doc_id, source FROM documents
@@ -737,6 +765,7 @@ object PipelineOracles {
     "sketch_heavy_hitters" -> sketchHeavyHitters,
     "sketch_distinct_kmv" -> sketchDistinctKmv,
     "sketch_bloom_prune" -> sketchBloomPrune,
+    "sketch_quantiles" -> sketchQuantiles,
     "text_rarity" -> textRarity,
     "pipeline_corpus_build" -> pipelineCorpusBuild,
     "dedup_simhash" -> dedupSimhash,

@@ -266,6 +266,14 @@ object PipelineQueries {
         .select(col("c_custkey"), coalesce(col("__m"), lit(false)).as("is_member"))
     },
 
+    "sketch_quantiles" -> { (s, dir) =>
+      // constant-state approximate quantiles (fixed-width histogram +
+      // in-bin interpolation) — the scale twin of exact q_percentile:
+      // per-group state is 64 counters instead of the full value set
+      graft.pipeline.Sketches.histogramQuantiles(
+        Tables.events(s, dir), Seq("event_type"), "value")
+    },
+
     "curation_sample" -> { (s, dir) =>
       // reproducible eval-slice sampling: smallest-k by arithmetic id
       // hash — same 100 docs on any run/partitioning/engine, selected

@@ -75,6 +75,33 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantile estimates land in the q-th order statistic's bin") {
+    val ev = Tables.events(spark, dir)
+    val est = Sketches.histogramQuantiles(ev, Seq("event_type"), "value")
+      .as[(String, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val values = ev.select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(values.nonEmpty)
+    values.foreach { case (g, v) =>
+      val binW = (v.last - v.head) / 64.0
+      Seq(0.25, 0.5, 0.9, 0.99).foreach { q =>
+        // the histogram guarantee: the estimate shares a bin with the
+        // ceil(q·n)-th order statistic — value error <= one bin width
+        // AROUND THAT STATISTIC (a sparse tail can put the interpolated
+        // percentile() definition several empty bins away; rank, not
+        // value, is what the sketch bounds)
+        val truth = v(math.ceil(q * v.length).toInt.min(v.length) - 1)
+        val e = est(g)(q)
+        assert(math.abs(e - truth) <= binW + 1e-9,
+          s"$g q=$q est $e vs order-stat $truth (bin width $binW)")
+      }
+      // estimates are monotone in q
+      val series = Seq(0.25, 0.5, 0.9, 0.99).map(est(g))
+      assert(series == series.sorted, s"$g estimates not monotone: $series")
+    }
+  }
+
   test("bloom prune has NO false negatives and bounded false positives") {
     val build = Tables.orders(spark, dir).select($"o_custkey")
       .filter($"o_custkey" % 3 === 0)
