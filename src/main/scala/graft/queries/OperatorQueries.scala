@@ -241,6 +241,39 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"total")
     },
 
+    "ir_sql_semijoin_idx" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL LEFT SEMI against an index: existence probe of the right
+      // handle's per-partition index — no right columns materialize,
+      // no shuffle for co-partitioned handles
+      graft.sql.IndexedJoin.enable(s)
+      val big = Tables.orders(s, dir).filter($"o_totalprice" > 450000.0)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      val hc = graft.sql.IndexedFrame.index(
+        Tables.customer(s, dir).select($"c_custkey", $"c_acctbal"),
+        "c_custkey", numPartitions = 16)
+      val hb = graft.sql.IndexedFrame.index(big, "o_custkey", numPartitions = 16)
+      hc.toDF.join(hb.toDF, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_antijoin_idx" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // the anti twin: customers with NO qualifying order, by the same
+      // existence probe with the polarity flipped
+      graft.sql.IndexedJoin.enable(s)
+      val big = Tables.orders(s, dir).filter($"o_totalprice" > 450000.0)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      val hc = graft.sql.IndexedFrame.index(
+        Tables.customer(s, dir).select($"c_custkey", $"c_acctbal"),
+        "c_custkey", numPartitions = 16)
+      val hb = graft.sql.IndexedFrame.index(big, "o_custkey", numPartitions = 16)
+      hc.toDF.join(hb.toDF, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_pointget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -505,6 +538,18 @@ object OperatorQueries {
     "ir_save_load" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 = 7""".stripMargin,
+
+    "ir_sql_semijoin_idx" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 450000)""".stripMargin,
+
+    "ir_sql_antijoin_idx" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 450000)""".stripMargin,
 
     "ir_sql_join_idx" ->
       """SELECT c.c_custkey, c.c_acctbal,

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference,
   AttributeSet, EqualTo, Expression, GenericInternalRow, IsNotNull, JoinedRow,
   UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter,
+  LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
@@ -103,7 +104,8 @@ object IndexedJoin {
 
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case j: Join if j.condition.isDefined &&
-          Seq(Inner, LeftOuter, RightOuter, FullOuter).contains(j.joinType) =>
+          Seq(Inner, LeftOuter, RightOuter, FullOuter, LeftSemi, LeftAnti)
+            .contains(j.joinType) =>
         (unwrap(j.left), unwrap(j.right)) match {
           case (Some((lOut, lAll, lConds, lh)), Some((rOut, rAll, rConds, rh)))
               if lh.kTag == rh.kTag =>
@@ -151,6 +153,15 @@ object IndexedJoin {
                   Seq(build(LeftKept, rAll, rh, lAllN, lh, rConds2, lOutN ++ rOut))
                 case FullOuter if residual.isEmpty && lConds2.isEmpty && rConds2.isEmpty =>
                   Seq(build(FullKind, lAllN, lh, rAllN, rh, Nil, lOutN ++ rOutN))
+                // semi/anti: existence probes against the right INDEX —
+                // no right columns in the output, so residual ON
+                // conjuncts or right-side filters (which change the
+                // probed set) cannot be lifted; only kept-side filters
+                // commute
+                case LeftSemi if residual.isEmpty && rConds2.isEmpty =>
+                  Seq(build(SemiKind, lAll, lh, rAll, rh, lConds2, lOut))
+                case LeftAnti if residual.isEmpty && rConds2.isEmpty =>
+                  Seq(build(AntiKind, lAll, lh, rAll, rh, lConds2, lOut))
                 case _ => Nil
               }
             }
@@ -193,6 +204,8 @@ object IndexedJoin {
   case object InnerKind extends ZipJoinKind
   case object LeftKept extends ZipJoinKind // left rows kept; right null-extends
   case object FullKind extends ZipJoinKind
+  case object SemiKind extends ZipJoinKind // left rows with a key match
+  case object AntiKind extends ZipJoinKind // left rows with NO key match
 
   /** Physical zip join over two indexed handles (leaf: the data comes
     * from the handles' cached indexes, not from child plans). Stored
@@ -215,7 +228,8 @@ object IndexedJoin {
       // group per partition
       val keyAttr = kind match {
         case FullKind => None
-        case LeftKept => lAll.find(_.name == lh.keyCol).filter(output.contains)
+        case LeftKept | SemiKind | AntiKind =>
+          lAll.find(_.name == lh.keyCol).filter(output.contains)
         case InnerKind => lAll.find(_.name == lh.keyCol).filter(output.contains)
           .orElse(rAll.find(_.name == rh.keyCol).filter(output.contains))
       }
@@ -252,6 +266,16 @@ object IndexedJoin {
             val joined = new JoinedRow
             val proj = UnsafeProjection.create(out, in)
             it.map { case (a, b) => proj(joined(a, b)) }
+          }
+        case SemiKind | AntiKind =>
+          // existence probe: the kept row streams through once, paired
+          // with a null filler (no right column ever reaches `out`)
+          val keepMatched = kind == SemiKind
+          li.leftJoinStream(ri)((_, a, b) => (a, b.isDefined)).mapPartitions { it =>
+            val joined = new JoinedRow
+            val nullRight: InternalRow = new GenericInternalRow(nRight)
+            val proj = UnsafeProjection.create(out, in)
+            it.collect { case (a, m) if m == keepMatched => proj(joined(a, nullRight)) }
           }
       }
     }

@@ -33,6 +33,45 @@ class IndexedJoinSpec extends AnyFunSuite {
     assert(joined.count() === 400)
   }
 
+  test("LEFT SEMI and LEFT ANTI plan as existence probes, no Exchange, results match") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Seq("left_semi", "left_anti").foreach { jt =>
+      val q = h1.toDF.join(h2.toDF, $"k" === $"k2", jt).select($"k", $"name")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("IndexedZipJoin"), s"$jt expected indexed join:\n$plan")
+      assert(!plan.contains("Exchange"), s"$jt expected no shuffle:\n$plan")
+      val expected = cust.join(bal, $"k" === $"k2", jt).select($"k", $"name")
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet === expected, jt)
+    }
+    // polarity sanity: semi ∪ anti = all left rows, disjoint
+    val semi = h1.toDF.join(h2.toDF, $"k" === $"k2", "left_semi")
+      .select($"k").as[Long].collect().toSet
+    val anti = h1.toDF.join(h2.toDF, $"k" === $"k2", "left_anti")
+      .select($"k").as[Long].collect().toSet
+    assert(semi.intersect(anti).isEmpty)
+    assert((semi ++ anti) === (1L to 500L).toSet)
+    assert(semi === (1L to 400L).toSet)
+  }
+
+  test("a group-by on the key above a SEMI join needs no exchange") {
+    IndexedJoin.enable(spark)
+    val (cust, bal) = fixtures()
+    val h1 = IndexedFrame.index(cust, "k", numPartitions = 8)
+    val h2 = IndexedFrame.index(bal, "k2", numPartitions = 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val agg = h1.toDF.join(h2.toDF, $"k" === $"k2", "left_semi")
+      .groupBy($"k").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"semi-join output is key-clustered:\n$plan")
+    assert(agg.count() === 400)
+  }
+
   test("pruned projections over the join select the right columns") {
     IndexedJoin.enable(spark)
     val (cust, bal) = fixtures()
