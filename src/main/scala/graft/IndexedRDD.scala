@@ -389,6 +389,37 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
    * range across all partitions, so this runs everywhere but does NO
    * shuffle and streams only matching entries.
    */
+  /** Smallest / largest key in SERIALIZED BYTE order (== natural order
+    * when the serializer is order-preserving — same contract as
+    * [[range]]): radix partitions answer with one O(depth) descent (no
+    * scan); hash-map partitions fall back to a per-partition key pass.
+    * One job, no shuffle, driver combines P candidates. */
+  def minKey()(implicit ser: KeySerializer[K]): Option[K] =
+    extremeKey(ser, min = true)
+
+  def maxKey()(implicit ser: KeySerializer[K]): Option[K] =
+    extremeKey(ser, min = false)
+
+  private def extremeKey(ser: KeySerializer[K], min: Boolean): Option[K] = {
+    def better(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val c = java.util.Arrays.compareUnsigned(a, b)
+      if (min) c < 0 else c > 0
+    }
+    val perPart = partitionsRDD.map {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        (if (min) r.firstKey else r.lastKey).map(ser.toBytes)
+      case p =>
+        var best: Array[Byte] = null
+        p.iterator.foreach { case (k, _) =>
+          val kb = ser.toBytes(k)
+          if (best == null || better(kb, best)) best = kb
+        }
+        Option(best)
+    }.collect()
+    perPart.flatten.reduceOption((a, b) => if (better(a, b)) a else b)
+      .map(ser.fromBytes)
+  }
+
   def range(from: K, to: K)(implicit ser: KeySerializer[K]): RDD[(K, V)] = {
     val fromB = ser.toBytes(from)
     val toB = ser.toBytes(to)

@@ -159,6 +159,23 @@ object RadixTree {
     case TBranch(_, _, kids) => kids.iterator.flatMap(iterate)
   }
 
+  /** Leftmost leaf = smallest key in byte order: one O(depth) descent
+    * (children are sorted unsigned), no scan. */
+  @annotation.tailrec
+  def firstLeaf[V](node: TNode[V]): Option[(Array[Byte], V)] = node match {
+    case TEmpty => None
+    case TLeaf(k, v) => Some((k, v))
+    case TBranch(_, _, kids) => firstLeaf(kids(0))
+  }
+
+  /** Rightmost leaf = largest key in byte order. */
+  @annotation.tailrec
+  def lastLeaf[V](node: TNode[V]): Option[(Array[Byte], V)] = node match {
+    case TEmpty => None
+    case TLeaf(k, v) => Some((k, v))
+    case TBranch(_, _, kids) => lastLeaf(kids(kids.length - 1))
+  }
+
   /** Unsigned lexicographic compare of a[0,aLen) vs b[0,bLen). */
   private def cmpBytes(a: Array[Byte], aLen: Int, b: Array[Byte], bLen: Int): Int = {
     val n = math.min(aLen, bLen)
@@ -217,6 +234,15 @@ class RadixIndexedPartition[K, V](
 
   override def iterator: Iterator[(K, V)] =
     iterate(root).map { case (kb, v) => (ser.fromBytes(kb), v) }
+
+  /** Smallest key in byte order — one O(depth) leftmost descent, no
+    * scan (== natural-order minimum for order-preserving serializers). */
+  def firstKey: Option[K] =
+    RadixTree.firstLeaf(root).map(kv => ser.fromBytes(kv._1))
+
+  /** Largest key in byte order — one O(depth) rightmost descent. */
+  def lastKey: Option[K] =
+    RadixTree.lastLeaf(root).map(kv => ser.fromBytes(kv._1))
 
   /** Entries with serialized(from) <= key < serialized(to), in key-byte
     * order (== numeric order for the fixed-width numeric serializers). */

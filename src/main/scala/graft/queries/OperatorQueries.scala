@@ -402,6 +402,19 @@ object OperatorQueries {
       h.toDF.agg(count(lit(1)).as("cnt"))
     },
 
+    "ir_sql_minmax" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // count + key extrema on an ORDERED handle: count = index-size
+      // sum, min/max = one O(depth) radix descent per partition — the
+      // whole row answered without scanning a single entry
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey",
+        ordered = true)
+      h.toDF.agg(count(lit(1)).as("cnt"),
+        min($"c_custkey").as("min_key"), max($"c_custkey").as("max_key"))
+    },
+
     "ir_incremental_agg" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -526,6 +539,11 @@ object OperatorQueries {
 
     "ir_sql_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer",
+
+    "ir_sql_minmax" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer""".stripMargin,
 
     "ir_range" ->
       """SELECT c_custkey, c_acctbal FROM customer

@@ -114,6 +114,13 @@ object IndexedFrame {
 
     private[sql] def keyIndex: Int = schema.fieldIndex(keyCol)
 
+    /** Index-answered key extrema (no scan on radix layouts) — natural
+      * order only when the serializer is order-preserving, which the
+      * stats pushdown checks via [[orderPreservingKey]]. */
+    private[sql] def minKeyAny(): Option[Any] = idx.minKey()(kSer)
+    private[sql] def maxKeyAny(): Option[Any] = idx.maxKey()(kSer)
+    private[sql] def orderPreservingKey: Boolean = kSer.isOrderPreserving
+
     /** Copy-on-write upsert of full (external) rows, returning a new
       * handle that shares partition structure with this one. */
     def upsert(rows: Seq[Row]): Handle[K] = {

@@ -194,6 +194,24 @@ class IndexedRDDSpec extends AnyFunSuite {
     assert(r.count() === 100)
   }
 
+  test("minKey/maxKey: O(depth) radix descents and hash-layout fallback agree") {
+    val data = (-50L to 50L).map(k => (k * 3, k.toInt))
+    val ordered = IndexedRDD.ordered(sc.parallelize(data, 4))
+    val hashed = IndexedRDD(sc.parallelize(data, 4))
+    assert(ordered.minKey() === Some(-150L))
+    assert(ordered.maxKey() === Some(150L))
+    assert(hashed.minKey() === Some(-150L))
+    assert(hashed.maxKey() === Some(150L))
+    // extrema track copy-on-write versions
+    val v2 = ordered.put(999L, 0)
+    assert(v2.maxKey() === Some(999L))
+    assert(ordered.maxKey() === Some(150L))
+    val v3 = ordered.delete(Array(-150L))
+    assert(v3.minKey() === Some(-147L))
+    // empty index
+    assert(IndexedRDD(sc.parallelize(Seq.empty[(Long, Int)], 2)).minKey() === None)
+  }
+
   test("ordered build: full operator surface + distributed range scan") {
     val r = IndexedRDD.ordered(sc.parallelize((-50L to 50L).map(k => (k, k.toInt * 2)), 4))
     assert(r.count() === 101)

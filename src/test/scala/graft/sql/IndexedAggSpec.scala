@@ -24,10 +24,10 @@ class IndexedAggSpec extends AnyFunSuite {
     val h = customerHandle()
     val q = h.toDF.agg(count(lit(1)).as("cnt"))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("IndexedCount"), s"expected IndexedCountExec in:\n$plan")
+    assert(plan.contains("IndexedStats"), s"expected IndexedStatsExec in:\n$plan")
     val expected = spark.read.parquet(s"$dir/customer.parquet").count()
     assert(q.as[Long].head() === expected)
-    assert(h.lastScanKind === "count") // served by the index, not a scan
+    assert(h.lastScanKind === "stats") // served by the index, not a scan
   }
 
   test("count over a NEW version after upsert sees the new size") {
@@ -43,12 +43,44 @@ class IndexedAggSpec extends AnyFunSuite {
     assert(h.toDF.agg(count(lit(1))).as[Long].head() === base)
   }
 
+  test("min/max of the KEY on an ordered handle are O(depth) descents, no scan") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val h = IndexedFrame.index(
+      spark.read.parquet(s"$dir/customer.parquet"), "c_custkey", ordered = true)
+    val q = h.toDF.agg(count(lit(1)).as("cnt"),
+      min($"c_custkey").as("mn"), max($"c_custkey").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedStats"), s"expected IndexedStatsExec in:\n$plan")
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+    val exp = src.agg(count(lit(1)), min($"c_custkey"), max($"c_custkey"))
+      .as[(Long, Long, Long)].head()
+    assert(q.as[(Long, Long, Long)].head() === exp)
+  }
+
+  test("min(key) on a NON-ordered handle and min of a non-key column fall back") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val hashH = IndexedFrame.index(
+      spark.read.parquet(s"$dir/customer.parquet"), "c_custkey")
+    val q1 = hashH.toDF.agg(min($"c_custkey").as("mn"))
+    assert(!q1.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    val ordH = IndexedFrame.index(
+      spark.read.parquet(s"$dir/customer.parquet"), "c_custkey", ordered = true)
+    val q2 = ordH.toDF.agg(min($"c_acctbal").as("mn")) // non-key column
+    assert(!q2.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    val exp = spark.read.parquet(s"$dir/customer.parquet")
+      .agg(min($"c_custkey"), min($"c_acctbal")).as[(Long, Double)].head()
+    assert(q1.as[Long].head() === exp._1)
+    assert(q2.as[Double].head() === exp._2)
+  }
+
   test("a filtered count falls through to the default planner") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val h = customerHandle()
     val q = h.toDF.filter($"c_acctbal" > 0).agg(count(lit(1)).as("cnt"))
     val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("IndexedCount"), s"filtered count must scan:\n$plan")
+    assert(!plan.contains("IndexedStats"), s"filtered count must scan:\n$plan")
     val expected = spark.read.parquet(s"$dir/customer.parquet")
       .filter($"c_acctbal" > 0).count()
     assert(q.as[Long].head() === expected)
