@@ -144,12 +144,37 @@ object Bench {
     hRp.idx.unpersist()
     hHash.idx.unpersist()
 
+    // no-scan SQL stats vs the equivalent cached-relation aggregate:
+    // count/min/max answered from index metadata vs a full pass over
+    // the cached rows (both repeated 100x — these are metadata-latency
+    // micros, not throughput runs)
+    val hStats = graft.sql.IndexedFrame.index(custDF, "c_custkey", ordered = true)
+    graft.sql.IndexedAgg.enable(spark)
+    hStats.toDF.count() // build + warm
+    val cachedCust = custDF.cache()
+    cachedCust.count()
+    import org.apache.spark.sql.functions.{count => fCount, lit => fLit, min => fMin, max => fMax}
+    val t11 = System.nanoTime()
+    (0 until 100).foreach { _ =>
+      hStats.toDF.agg(fCount(fLit(1)), fMin(col("c_custkey")), fMax(col("c_custkey"))).collect()
+    }
+    val tStatsIdx = (System.nanoTime() - t11) / 1e9
+    val t12 = System.nanoTime()
+    (0 until 100).foreach { _ =>
+      cachedCust.agg(fCount(fLit(1)), fMin(col("c_custkey")), fMax(col("c_custkey"))).collect()
+    }
+    val tStatsScan = (System.nanoTime() - t12) / 1e9
+    cachedCust.unpersist()
+    hStats.idx.unpersist()
+
     Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
       "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
       "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
       "micro_range_pruned_10" -> tRangePruned, "micro_range_allparts_10" -> tRangeHash,
       "micro_multiget_disk_10x100" -> tMultigetDisk,
       "micro_sql_range_rangepart_10" -> tSqlRangeRp,
-      "micro_sql_range_hashpart_10" -> tSqlRangeHash)
+      "micro_sql_range_hashpart_10" -> tSqlRangeHash,
+      "micro_sql_stats_idx_100" -> tStatsIdx,
+      "micro_sql_stats_scan_100" -> tStatsScan)
   }
 }

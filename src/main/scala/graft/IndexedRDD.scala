@@ -400,6 +400,34 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   def maxKey()(implicit ser: KeySerializer[K]): Option[K] =
     extremeKey(ser, min = false)
 
+  /** (count, minKey, maxKey) in ONE job: partition sizes are O(1) and
+    * the extrema are O(depth) descents on radix layouts, so the job
+    * touches no entries there. Same byte-order contract as
+    * [[minKey]]/[[maxKey]]. */
+  def keyStats()(implicit ser: KeySerializer[K]): (Long, Option[K], Option[K]) = {
+    val perPart = partitionsRDD.map {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        (r.size, r.firstKey.map(ser.toBytes), r.lastKey.map(ser.toBytes))
+      case p =>
+        var mn: Array[Byte] = null
+        var mx: Array[Byte] = null
+        var n = 0L
+        p.iterator.foreach { case (k, _) =>
+          val kb = ser.toBytes(k)
+          if (mn == null || java.util.Arrays.compareUnsigned(kb, mn) < 0) mn = kb
+          if (mx == null || java.util.Arrays.compareUnsigned(kb, mx) > 0) mx = kb
+          n += 1
+        }
+        (n, Option(mn), Option(mx))
+    }.collect()
+    val total = perPart.map(_._1).sum
+    val mn = perPart.flatMap(_._2).reduceOption((a, b) =>
+      if (java.util.Arrays.compareUnsigned(a, b) < 0) a else b)
+    val mx = perPart.flatMap(_._3).reduceOption((a, b) =>
+      if (java.util.Arrays.compareUnsigned(a, b) > 0) a else b)
+    (total, mn.map(ser.fromBytes), mx.map(ser.fromBytes))
+  }
+
   private def extremeKey(ser: KeySerializer[K], min: Boolean): Option[K] = {
     def better(a: Array[Byte], b: Array[Byte]): Boolean = {
       val c = java.util.Arrays.compareUnsigned(a, b)

@@ -119,6 +119,7 @@ object IndexedFrame {
       * stats pushdown checks via [[orderPreservingKey]]. */
     private[sql] def minKeyAny(): Option[Any] = idx.minKey()(kSer)
     private[sql] def maxKeyAny(): Option[Any] = idx.maxKey()(kSer)
+    private[sql] def keyStatsAny(): (Long, Option[Any], Option[Any]) = idx.keyStats()(kSer)
     private[sql] def orderPreservingKey: Boolean = kSer.isOrderPreserving
 
     /** Copy-on-write upsert of full (external) rows, returning a new

@@ -135,6 +135,32 @@ object Streaming {
       .drop("__h", "__len")
 
   /**
+   * Stream-stream INTERVAL JOIN: pair each left event with the right
+   * events of the same user arriving within `[left.ts, left.ts +
+   * window]` — the attribution/conversion join (click → purchase).
+   * Both sides carry watermarks and the join condition bounds the
+   * event-time skew, so Structured Streaming can expire buffered rows:
+   * state is O(events inside the watermark horizon), not O(stream).
+   * The transform is input-agnostic (batch backfill ≡ streaming —
+   * spec-tested both ways, same plan).
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String = "user_id", window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event"), col("value").as("r_value"))
+    l.join(r, col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .select(col("l_key").as(keyCol), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
+  /**
    * foreachBatch sink maintaining a live IndexedRDD: each micro-batch
    * is upserted copy-on-write, so point lookups (`current.get`) are
    * served from the indexed snapshot while the stream keeps appending.

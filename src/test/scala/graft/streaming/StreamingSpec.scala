@@ -45,6 +45,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream attribution join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    // left = clicks at minute 0/10/20 per user; right = purchases that
+    // land inside / outside the 30-minute attribution window
+    val clicks = (0 until 3).flatMap(u => Seq(0, 10, 20).map(m =>
+      Event((u * 100 + m).toLong, ts(m), u.toLong, "click", 0.0)))
+    val buys = Seq(
+      Event(1000L, ts(15), 0L, "purchase", 9.99),   // joins clicks at 0 and 10
+      Event(1001L, ts(55), 1L, "purchase", 5.0),    // outside every window
+      Event(1002L, ts(21), 2L, "purchase", 1.0))    // joins 0(no: 21>30? within 0+30 yes), 10, 20
+    val joined = Streaming.intervalJoin(lIn.toDF(), rIn.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      lIn.addData(clicks: _*)
+      rIn.addData(buys: _*)
+      q.processAllAvailable()
+      // push both watermarks forward so buffered state flushes
+      lIn.addData(Event(9998L, ts(300), 9L, "click", 0.0))
+      rIn.addData(Event(9999L, ts(300), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out")
+        .filter($"user_id" < 9)
+        .select($"user_id", $"l_event", $"r_event", $"r_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.intervalJoin(clicks.toDF(), buys.toDF())
+        .select($"user_id", $"l_event", $"r_event", $"r_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // the out-of-window purchase attributed to nothing
+      assert(!streamed.exists(_(2) == 1001L))
+      // purchase at minute 15 attributed to user 0's clicks at 0 AND 10
+      assert(streamed.count(r => r(0) == 0L && r(2) == 1000L) === 2)
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; totals correct") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
