@@ -83,6 +83,26 @@ object Curation {
       .drop("__u")
 
   /**
+   * Stratified deterministic sample: the `nPerGroup` smallest-hash
+   * rows WITHIN each group — balanced representation across strata
+   * (sources, languages, ...) regardless of how skewed the corpus is,
+   * with the same reproducibility contract as
+   * [[deterministicSample]]. One shuffle on the group columns; the
+   * per-group top-n is a window rank, never a global sort.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCols: Seq[String],
+      nPerGroup: Int, a: Long = 69069L, b: Long = 362437L): DataFrame = {
+    val u = pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b), lit(P31))
+    df.withColumn("__u", u)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__u"), col(idCol))))
+      .filter(col("__rn") <= nPerGroup)
+      .drop("__u", "__rn")
+  }
+
+  /**
    * Per-document mean inverse corpus frequency of its tokens — a
    * rarity / informativeness signal (→1 when every token is unique in
    * the corpus, →0 for boilerplate): score(d) = (Σ_t 1/freq(t)) / n_d.

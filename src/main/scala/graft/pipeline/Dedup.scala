@@ -423,6 +423,30 @@ object Dedup {
       jac, _ >= threshold, "jaccard")
   }
 
+  /**
+   * Near-CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) ≥ threshold over
+   * n-gram hash sets — catches quotes and near-subsets that symmetric
+   * Jaccard misses (a short document quoted verbatim inside a long one
+   * has low Jaccard but containment ≈ 1). Candidate generation is the
+   * same banded-minhash bucketing as [[ngramJaccardPairs]]; note
+   * minhash recall tracks SYMMETRIC similarity, so extremely
+   * asymmetric pairs (tiny quote in a huge doc) may not share a
+   * bucket — the operator targets near-dup-sized quoting, the
+   * dominant curation case.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = pin(df
+      .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), col("__sh"),
+        bandKeysFromHashes(col("__sh"), 16, 4).as("__bands")))
+    val cont = (sa: Column, sb: Column) =>
+      size(array_intersect(sa, sb)).cast("double") / least(size(sa), size(sb))
+    bucketVerifiedPairsJoin(sigs, idCol, "__sh", maxBucketSize,
+      cont, _ >= threshold, "containment")
+  }
+
   // ------------------------------------------------------ embedding cosine
 
   /** Dot product of two array<double> columns (native fused expression). */

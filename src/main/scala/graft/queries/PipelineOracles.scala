@@ -452,6 +452,32 @@ object PipelineOracles {
       |        / CAST(c AS DOUBLE), 4) AS est
       |FROM f WHERE rn = 1""".stripMargin
 
+  /** Containment over the same banded-minhash candidates as
+    * dedupNgram: |A∩B| / min(|A|,|B|), threshold 0.9. */
+  val dedupContainment: String =
+    s"""WITH $corpusCte,
+       |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
+       |gh AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams3, g -> ${poly("g")})) AS hs FROM tok),
+       |sg AS (SELECT doc_id, $sigExpr AS sig FROM gh),
+       |bd AS (SELECT doc_id, unnest($bandsExpr) AS bk FROM sg),
+       |${candCte(1000)}
+       |SELECT c.a, c.b,
+       |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+       |    / least(len(ha.hs), len(hb.hs)) AS containment
+       |FROM cand c JOIN gh ha ON ha.doc_id = c.a JOIN gh hb ON hb.doc_id = c.b
+       |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+       |    / least(len(ha.hs), len(hb.hs)) >= 0.9""".stripMargin
+
+  /** Stratified sample — the same per-group hash rank. */
+  val curationSampleStratified: String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ((doc_id % $P) * 69069 + 362437) % $P, doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= 20""".stripMargin
+
   /** Smallest-k deterministic sample — same affine hash, same ties. */
   val curationSample: String =
     s"""SELECT doc_id, source FROM documents
@@ -762,6 +788,8 @@ object PipelineOracles {
     "curation_splits" -> curationSplits,
     "curation_contamination" -> curationContamination,
     "curation_sample" -> curationSample,
+    "curation_sample_stratified" -> curationSampleStratified,
+    "dedup_containment" -> dedupContainment,
     "sketch_heavy_hitters" -> sketchHeavyHitters,
     "sketch_distinct_kmv" -> sketchDistinctKmv,
     "sketch_bloom_prune" -> sketchBloomPrune,

@@ -65,6 +65,15 @@ object PipelineQueries {
         shingleN = 3, threshold = 0.6)
     },
 
+    "dedup_containment" -> { (s, dir) =>
+      // asymmetric near-dup: the planted corpus drops the last ~10% of
+      // tokens, so perturbed shingle sets are near-SUBSETS of their
+      // originals — containment flags them at ~1.0 where Jaccard reads
+      // only ~0.8
+      Dedup.containmentPairs(plantedCorpus(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+    },
+
     "dedup_clusters" -> { (s, dir) =>
       // pairs -> connected components -> keeper per cluster: the final
       // step that turns near-dup PAIRS into a deduplicated corpus
@@ -272,6 +281,15 @@ object PipelineQueries {
       // per-group state is 64 counters instead of the full value set
       graft.pipeline.Sketches.histogramQuantiles(
         Tables.events(s, dir), Seq("event_type"), "value")
+    },
+
+    "curation_sample_stratified" -> { (s, dir) =>
+      // balanced eval sampling: 20 docs PER SOURCE by hash rank — a
+      // skewed corpus still yields equal strata representation,
+      // reproducibly
+      graft.pipeline.Curation.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id", Seq("source"), nPerGroup = 20)
     },
 
     "curation_sample" -> { (s, dir) =>

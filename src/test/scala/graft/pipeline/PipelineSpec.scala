@@ -126,6 +126,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"IVF recall $recall")
   }
 
+  test("containment catches near-subsets that Jaccard under-scores") {
+    val corpus = PipelineQueries.plantedCorpus(spark, dir)
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.nonEmpty)
+    // planted pairs: perturbed (id+1e6) is a ~90% token prefix of its
+    // original, so its shingle set is a near-subset -> containment ~1
+    val planted = cont.filter { case (a, b, _) => b - a == 1000000L }
+    assert(planted.nonEmpty)
+    planted.foreach { case (a, b, c) =>
+      assert(c >= 0.9 && c <= 1.0, s"($a,$b) containment $c")
+    }
+    // and containment >= jaccard on the same pairs, strictly higher
+    // for asymmetric sizes
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    planted.foreach { case (a, b, c) =>
+      jac.get((a, b)).foreach(j => assert(c >= j - 1e-9, s"($a,$b) $c < $j"))
+    }
+  }
+
+  test("stratified sample: per-group size, determinism under repartition") {
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val s1 = Curation.stratifiedSample(docs, "doc_id", Seq("source"), 5)
+      .as[(Long, String)].collect().toSet
+    val s2 = Curation.stratifiedSample(
+        docs.repartition(13), "doc_id", Seq("source"), 5)
+      .as[(Long, String)].collect().toSet
+    assert(s1 === s2)
+    val perGroup = s1.groupBy(_._2).view.mapValues(_.size)
+    val groupSizes = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    perGroup.foreach { case (g, n) =>
+      assert(n === math.min(5L, groupSizes(g)), s"group $g got $n")
+    }
+  }
+
   test("ANN PQ top-k: high recall vs brute force after exact re-rank") {
     val em = Tables.embeddings(spark, dir)
     val q = em.where($"vec_id" === 7).select($"embedding").head()
