@@ -517,8 +517,11 @@ object PipelineOracles {
 
   private val enStop = stopList(TextFunctions.LangProfiles.en)
 
-  val textQualityScore: String =
-    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS toks FROM documents),
+  /** Quality formula over an arbitrary (doc_id, text) relation —
+    * mirrors TextFunctions.qualityScore; parameterized so the keeper
+    * election can score the planted corpus, not just `documents`. */
+  private def qualitySql(src: String): String =
+    s"""WITH t AS (SELECT doc_id, text, ${toks("text")} AS toks FROM $src),
        |m AS (SELECT doc_id,
        |  CAST(len(toks) AS DOUBLE) AS n,
        |  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
@@ -531,6 +534,38 @@ object PipelineOracles {
        |  + CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + abs(tl - CAST(4.5 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
        |  + least(swr * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE) AS quality
        |FROM m""".stripMargin
+
+  val textQualityScore: String = qualitySql("documents")
+
+  /** Quality-aware keeper election: the dedupClusters closure +
+    * per-cluster argmax quality (ties -> min id) over the corpus. */
+  val dedupKeeperQuality: String =
+    s"""WITH RECURSIVE $corpusCte,
+       |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
+       |gh AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams3, g -> ${poly("g")})) AS hs FROM tok),
+       |sg AS (SELECT doc_id, $sigExpr AS sig FROM gh),
+       |bd AS (SELECT doc_id, unnest($bandsExpr) AS bk FROM sg),
+       |${candCte(1000)},
+       |prs AS (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b
+       |  WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32),
+       |edges AS (SELECT a AS src, b AS dst FROM prs
+       |          UNION SELECT b AS src, a AS dst FROM prs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+       |clusters AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY id),
+       |qual AS (${qualitySql("corpus")})
+       |SELECT cluster, id AS keeper_id, quality FROM (
+       |  SELECT c.cluster, c.id, q.quality,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY q.quality DESC, c.id) AS rn
+       |  FROM clusters c JOIN qual q ON q.doc_id = c.id) t
+       |WHERE rn = 1""".stripMargin
 
   private def stopRatio(words: String): String =
     s"""CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
@@ -790,6 +825,7 @@ object PipelineOracles {
     "curation_sample" -> curationSample,
     "curation_sample_stratified" -> curationSampleStratified,
     "dedup_containment" -> dedupContainment,
+    "dedup_keeper_quality" -> dedupKeeperQuality,
     "sketch_heavy_hitters" -> sketchHeavyHitters,
     "sketch_distinct_kmv" -> sketchDistinctKmv,
     "sketch_bloom_prune" -> sketchBloomPrune,

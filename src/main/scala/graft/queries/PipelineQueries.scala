@@ -74,6 +74,31 @@ object PipelineQueries {
         shingleN = 3, threshold = 0.9)
     },
 
+    "dedup_keeper_quality" -> { (s, dir) =>
+      // quality-aware keeper election: per near-dup cluster keep the
+      // HIGHEST-quality member, not the smallest id — the curation
+      // policy real pipelines use (drop the truncated/boilerplate copy,
+      // keep the clean one). Composes two independently proven
+      // pipelines: connected components over minhash pairs + the
+      // quality score
+      import org.apache.spark.sql.expressions.Window
+      val corpus = plantedCorpus(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val clusters = Dedup.resolveClusters(pairs)
+      val qual = corpus.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      clusters.join(qual, col("id") === col("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("keep_id")).orderBy(col("q").desc, col("id"))))
+        .filter(col("rn") === 1)
+        // unrounded: quality doubles are bit-identical cross-engine and
+        // rounding is the only hazard (half-boundary values round
+        // differently per engine — observed at sf0.1)
+        .select(col("keep_id").as("cluster"), col("id").as("keeper_id"),
+          col("q").as("quality"))
+    },
+
     "dedup_clusters" -> { (s, dir) =>
       // pairs -> connected components -> keeper per cluster: the final
       // step that turns near-dup PAIRS into a deduplicated corpus
