@@ -52,6 +52,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected exactly one exchange, got $exchanges:\n$plan")
   }
 
+  test("sketch_heavy_hitters: counter matrix keeps partial (map-side) aggregation") {
+    val plan = planOf("sketch_heavy_hitters")
+    // the d×w matrix must combine map-side: two HashAggregate layers
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"partial aggregation missing from the sketch build:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"sketch must never cross-join:\n$plan")
+  }
+
+  test("sketch_bloom_prune: probe filtered by plan-literal bitset, no join below the filter") {
+    val plan = planOf("sketch_bloom_prune")
+    // the membership test is codegen'd arithmetic over a literal array —
+    // the probe side must be filtered WITHOUT a join or exchange first
+    val filterIdx = plan.indexOf("Filter")
+    assert(filterIdx >= 0, s"bloom filter missing:\n$plan")
+    assert(plan.contains("shiftright"), s"bit-test arithmetic missing:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython"), s"udf crept in:\n$plan")
+  }
+
+  test("ir_sql_count / ir_sql_minmax: stats answered by the index, not a scan") {
+    assert(planOf("ir_sql_count").contains("IndexedStats"),
+      "count(*) must plan as the index-size sum")
+    assert(planOf("ir_sql_minmax").contains("IndexedStats"),
+      "min/max(key) must plan as radix descents")
+  }
+
+  test("curation_sample: deterministic sample is TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("curation_sample")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-n:\n$plan")
+  }
+
   test("text_langid: native expression runs inside whole-stage codegen") {
     val plan = planOf("text_langid")
     // `*(n)` prefixes mark operators fused into a whole-stage-codegen
