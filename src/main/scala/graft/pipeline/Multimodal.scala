@@ -135,6 +135,50 @@ object Multimodal {
     }
   }
 
+  /** Content fingerprint per item. */
+  case class MediaFp(media_id: Long, fp: Long)
+
+  /**
+   * Content fingerprint over the DECODED pixel stream (polynomial fold
+   * mod 2^31-1, frame order then pixel order): container-invariant —
+   * two payloads that decode to the same pixels fingerprint equal even
+   * if the encoded bytes differ — and deterministic arithmetic, so the
+   * oracle regenerates every pixel from the synthetic codec's closed
+   * form and folds to the identical value.
+   */
+  def contentFingerprints(media: Dataset[MediaItem]): Dataset[MediaFp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { item =>
+        val (_, _, _, pixels) = decodePixels(item.payload)
+        var acc = 17L
+        pixels.foreach { frame =>
+          var i = 0
+          while (i < frame.length) {
+            acc = (acc * 31 + (frame(i) & 0xff)) % PixP
+            i += 1
+          }
+        }
+        MediaFp(item.media_id, acc)
+      }
+    }
+  }
+
+  /** Media dedup by decoded content: one row per distinct content with
+    * the keeper (min media_id), copy count, and the fingerprint —
+    * `Dedup.exactGroups` for opaque media columns. Shuffles only
+    * (fingerprint, id) pairs, never payloads. */
+  def dedupByContent(media: Dataset[MediaItem]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    contentFingerprints(media).toDF()
+      .groupBy(col("fp"))
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keep_media_id"), col("n_copies"), col("fp"))
+  }
+
   /** Downsample every frame by an integer factor (stub "resize"):
     * payload in, payload out — same format, smaller dims. */
   def resize(media: Dataset[MediaItem], factor: Int): Dataset[MediaItem] = {

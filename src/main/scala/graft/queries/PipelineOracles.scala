@@ -786,6 +786,29 @@ object PipelineOracles {
        |      (a, x) -> a + x)) AS f
        |  FROM m)""".stripMargin
 
+  /** Media dedup: every pixel regenerated (seed_f · 48271^(i+1) mod P,
+    * byte = (state >> 8) & 255), folded frame-major with (a·31 + x)
+    * mod P — exactly Multimodal.contentFingerprints; planted copies
+    * (id + 1e6, same content) collapse, keeper = original id. */
+  val mmDedup: String =
+    s"""WITH m AS (SELECT doc_id AS id,
+       |        CAST(8 + (n_chars % 8) AS BIGINT) AS w,
+       |        CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 1 END AS BIGINT) AS frames
+       |      FROM documents),
+       |fp AS (SELECT id,
+       |  list_reduce(list_prepend(CAST(17 AS BIGINT),
+       |    flatten(list_transform(range(0, frames), fr ->
+       |      list_transform(range(0, w * 8), i ->
+       |        ((((((id % $P) * ${graft.pipeline.Multimodal.PixA}
+       |             + fr * ${graft.pipeline.Multimodal.PixSeedF}
+       |             + ${graft.pipeline.Multimodal.PixSeedC}) % $P)
+       |          * ($powLit)[i + 1]) % $P) >> 8) & 255)))),
+       |    (a, x) -> (a * 31 + x) % $P) AS fp
+       |  FROM m)
+       |SELECT CAST(min(id) AS BIGINT) AS keep_media_id,
+       |  CAST(2 * count(*) AS BIGINT) AS n_copies, fp
+       |FROM fp GROUP BY fp""".stripMargin
+
   val mmFeatures: String =
     s"""WITH $mediaFeatCte
        |SELECT id AS media_id, kind,
@@ -843,6 +866,7 @@ object PipelineOracles {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
     "mm_resize_frames" -> mmResizeFrames,
+    "mm_dedup" -> mmDedup,
     "mm_features" -> mmFeatures,
     "mm_ann" -> mmAnn,
   )

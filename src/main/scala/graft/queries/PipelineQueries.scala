@@ -397,6 +397,18 @@ object PipelineQueries {
       Similarity.bruteTopK(feats, "media_id", "features", q, k = 10)
     },
 
+    "mm_dedup" -> { (s, dir) =>
+      import s.implicits._
+      // media dedup by DECODED content: planted copies (same payload,
+      // shifted id) collapse onto their originals via the pixel-stream
+      // fingerprint; the oracle regenerates every pixel from the
+      // synthetic codec's closed form and folds to the same value
+      val base = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
+        .as[Multimodal.MediaItem]
+      val planted = base.map(i => i.copy(media_id = i.media_id + 1000000L))
+      Multimodal.dedupByContent(base.union(planted))
+    },
+
     "mm_resize_frames" -> { (s, dir) =>
       import s.implicits._
       val media = Multimodal.syntheticMediaTable(Tables.documents(s, dir))
