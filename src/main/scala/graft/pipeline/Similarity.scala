@@ -187,6 +187,62 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /**
+   * IVF-PQ: the FAISS-style production ANN layout — a coarse IVF
+   * quantizer prunes the search to `nprobe` of `nlist` inverted lists,
+   * and within the probed lists rows score by PQ ADC over m one-byte
+   * codes (flat-encoded, not residual-encoded — stated simplification)
+   * before an exact re-rank. At 100 TB: the list assignment is a
+   * write-once partition column, codes are a stored 8-byte column, so
+   * a query reads `nprobe/nlist` of the codes and none of the raw
+   * vectors until the shortlist. Fully deterministic — both quantizers
+   * and every score replay in the SQL oracle.
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, dim: Int, nlist: Int = 16,
+      nprobe: Int = 6, m: Int = 8, ks: Int = 16, sampleSize: Int = 512,
+      coarseIters: Int = 5, pqIters: Int = 3, shortlist: Int = 8): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val vn = df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__raw"))
+      .select(col(idCol), col("__raw"),
+        sqrt(dotCols(col("__raw"), col("__raw"))).as("__n"))
+      .select(col(idCol), transform(col("__raw"), x => x / col("__n")).as("__vn"))
+    val sample = vn.orderBy(col(idCol)).limit(sampleSize)
+      .select(col("__vn")).collect().map(_.getSeq[Double](0).toArray)
+    // both quantizers train on the SAME normalized sample
+    val coarse = kmeans(sample, nlist, coarseIters)
+    val books = Array.tabulate(m)(mm =>
+      kmeans(sample.map(_.slice(mm * sub, mm * sub + sub)), ks, pqIters))
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      query.map(_ / n)
+    }
+    // probe list: the query's nprobe nearest coarse centroids
+    val qd = coarse.map(c => c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probeLists = qd.zipWithIndex.sortBy(_._1).take(nprobe)
+      .map { case (_, i) => (i + 1).toLong }
+    val lut = (0 until m).flatMap { mm =>
+      val qs = qn.slice(mm * sub, mm * sub + sub)
+      (0 until ks).map(c => qs.zip(books(mm)(c)).map { case (a, b) => a * b }.sum)
+    }
+    val lutLit = typedLit(lut)
+    val codes = array((0 until m).map(mm =>
+      graft.functions.NearestCentroid.nearestCentroid(
+        slice(col("__vn"), mm * sub + 1, sub), books(mm))): _*)
+    val staged = vn
+      .withColumn("__list", graft.functions.NearestCentroid.nearestCentroid(col("__vn"), coarse))
+      .withColumn("__codes", codes)
+    val cand = staged.filter(col("__list").isin(probeLists: _*))
+    val adc = cand.withColumn("__adc", aggregate(
+      transform(col("__codes"), (c, i) => element_at(lutLit, (i * ks + c).cast("int"))),
+      lit(0.0d), (acc, x) => acc + x))
+    adc.orderBy(col("__adc").desc, col(idCol)).limit(shortlist * k)
+      .withColumn("cos", dotCols(col("__vn"), typedLit(qn.toSeq)))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   /** Tiny deterministic Lloyd's k-means (driver-side, sample-sized). */
   private def kmeans(points: Array[Array[Double]], kk: Int, iters: Int): Array[Array[Double]] = {
     val dim = points.head.length

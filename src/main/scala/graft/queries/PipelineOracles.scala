@@ -321,9 +321,11 @@ object PipelineOracles {
    * left-fold ADC scores, and the exact re-rank all replay
    * bit-for-bit.
    */
-  val annPqTopk: String = {
-    val M = 8; val sub = 8; val ks = 16; val iters = 3
-    val chains = (0 until M).map { mm =>
+  /** The per-subspace PQ codebook chains (training + assignment + query
+    * LUT), shared by the PQ and IVF-PQ oracles. Expects CTEs
+    * vn(id, vn), samp(id, vn), qn(q). */
+  private def pqChainsSql(M: Int, sub: Int, ks: Int, iters: Int): String =
+    (0 until M).map { mm =>
       val lo = mm * sub + 1; val hi = (mm + 1) * sub
       val it = (0 until iters)
         .map(t => lloydIterN(s"s$mm", s"p${mm}c$t", s"p${mm}c${t + 1}", sub))
@@ -344,19 +346,65 @@ object PipelineOracles {
          |lut$mm AS (SELECT b.cid, ${dotN(s"list_slice(qn.q, $lo, $hi)", "b.cent", sub)} AS val
          |  FROM b$mm b, qn)""".stripMargin
     }.mkString(",\n")
-    val adcJoins = (0 until M).map(mm =>
-      s"JOIN asg$mm ON asg$mm.id = vn.id JOIN lut$mm ON lut$mm.cid = asg$mm.cid")
-      .mkString("\n  ")
-    val adcSum = (0 until M).map(mm => s"lut$mm.val").mkString(" + ")
-    s"""WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+
+  private def pqAdcJoins(M: Int): String = (0 until M).map(mm =>
+    s"JOIN asg$mm ON asg$mm.id = vn.id JOIN lut$mm ON lut$mm.cid = asg$mm.cid")
+    .mkString("\n  ")
+
+  private def pqAdcSum(M: Int): String =
+    (0 until M).map(mm => s"lut$mm.val").mkString(" + ")
+
+  private val vnPrefix =
+    s"""vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |vn AS (SELECT id, list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS vn FROM vecs),
        |samp AS (SELECT id, vn FROM vn ORDER BY id LIMIT 512),
        |qn AS (SELECT list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS q
-       |       FROM vecs WHERE id = 7),
-       |$chains,
-       |adc AS (SELECT vn.id, $adcSum AS adc
+       |       FROM vecs WHERE id = 7)""".stripMargin
+
+  val annPqTopk: String =
+    s"""WITH $vnPrefix,
+       |${pqChainsSql(8, 8, 16, 3)},
+       |adc AS (SELECT vn.id, ${pqAdcSum(8)} AS adc
        |  FROM vn
-       |  $adcJoins),
+       |  ${pqAdcJoins(8)}),
+       |short AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT 160)
+       |SELECT vec_id, cos FROM (
+       |  SELECT s.id AS vec_id, ${dotN("vn.vn", "qn.q", 64)} AS cos
+       |  FROM short s JOIN vn ON vn.id = s.id, qn
+       |  ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+
+  /**
+   * IVF-PQ replication: the coarse quantizer (16 centroids, 5 Lloyd
+   * iterations over the NORMALIZED sample) prunes to the query's 6
+   * nearest lists; the shared PQ chains score the candidates by ADC;
+   * exact re-rank of the 160-shortlist. Every stage replays the Scala
+   * arithmetic bit-for-bit.
+   */
+  val annIvfPqTopk: String = {
+    val coarse = (0 until 5)
+      .map(t => lloydIterN("sampv", s"cc$t", s"cc${t + 1}", 64)).mkString(",\n")
+    s"""WITH $vnPrefix,
+       |sampv AS (SELECT id, vn AS v FROM samp),
+       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
+       |  FROM (SELECT id, v FROM sampv ORDER BY id LIMIT 16) init),
+       |$coarse,
+       |bcoarse AS (SELECT cid, cent,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS cc
+       |  FROM cc5),
+       |asgc AS (SELECT id, cid FROM (
+       |  SELECT n.id, c.cid,
+       |    row_number() OVER (PARTITION BY n.id
+       |      ORDER BY c.cc - 2.0 * ${dotN("n.vn", "c.cent", 64)}, c.cid) AS rn
+       |  FROM vn n, bcoarse c) t WHERE rn = 1),
+       |probe AS (SELECT cid FROM (
+       |  SELECT c.cid, ${sqN("c.cent", "qn.q", 64)} AS d FROM cc5 c, qn) t
+       |  ORDER BY d, cid LIMIT 6),
+       |${pqChainsSql(8, 8, 16, 3)},
+       |adc AS (SELECT vn.id, ${pqAdcSum(8)} AS adc
+       |  FROM vn
+       |  JOIN asgc ON asgc.id = vn.id JOIN probe ON probe.cid = asgc.cid
+       |  ${pqAdcJoins(8)}),
        |short AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT 160)
        |SELECT vec_id, cos FROM (
        |  SELECT s.id AS vec_id, ${dotN("vn.vn", "qn.q", 64)} AS cos
@@ -865,6 +913,7 @@ object PipelineOracles {
     "ann_ivf_full" -> annIvfFull,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
+    "ann_ivfpq_topk" -> annIvfPqTopk,
     "mm_resize_frames" -> mmResizeFrames,
     "mm_dedup" -> mmDedup,
     "mm_features" -> mmFeatures,

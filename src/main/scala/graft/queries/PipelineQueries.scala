@@ -155,6 +155,15 @@ object PipelineQueries {
         queryVec(s, dir), k = 20, dim = 64)
     },
 
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      // IVF-PQ: coarse lists prune the search, PQ codes score the
+      // probed candidates, exact re-rank finishes — the FAISS-style
+      // production layout, every stage deterministic and
+      // oracle-replicated
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), k = 20, dim = 64)
+    },
+
     "ann_ivf_full" -> { (s, dir) =>
       // nprobe = nlist: every inverted list is scanned, so the result
       // must EQUAL exact brute-force top-k — an oracle-checkable proof
