@@ -63,6 +63,10 @@ object ZOrder {
   def zCover(x1: Long, x2: Long, y1: Long, y2: Long, bits: Int = 21,
       splitLevels: Int = 6): Seq[(Long, Long)] = {
     require(x1 <= x2 && y1 <= y2 && x1 >= 0 && y1 >= 0)
+    // coordinates beyond 2^bits TRUNCATE in the interleave — an
+    // out-of-domain box would silently exclude in-box rows, so refuse
+    require(x2 < (1L << bits) && y2 < (1L << bits),
+      s"box exceeds the $bits-bit coordinate domain: ($x2, $y2)")
     val minSide = math.max(1L, math.min(x2 - x1 + 1, y2 - y1 + 1))
     val boxLevel = 63 - java.lang.Long.numberOfLeadingZeros(minSide) // floor log2
     def attempt(stopLevel: Int): Seq[(Long, Long)] = {
@@ -99,7 +103,13 @@ object ZOrder {
       }
       merged.toSeq
     }
-    var stop = math.max(0, boxLevel - splitLevels)
+    // first attempt bounded from BOTH sides: boundary quads at stop
+    // level s number ~2(w+h)/2^s, so seed s to keep that under ~256 —
+    // a 1 x 2^20 sliver must not descend to millions of unit cells
+    // before the cap loop reins it in
+    val perim = (x2 - x1 + 1) + (y2 - y1 + 1)
+    val sizeFloor = 63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, perim / 128))
+    var stop = math.max(math.max(0, boxLevel - splitLevels), sizeFloor)
     var cover = attempt(stop)
     while (cover.size > 256 && stop < bits) {
       stop += 1

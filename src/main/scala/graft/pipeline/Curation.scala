@@ -121,10 +121,13 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_scored"),
         array_sort(collect_list(struct(col("__pos"), col("__cnt")))).as("__l"))
-      .withColumn("rarity", round(
+      // unrounded: the position-ordered fold is bit-identical
+      // cross-engine; rounding a half-boundary double is the one
+      // observed divergence
+      .withColumn("rarity",
         aggregate(col("__l"), lit(0.0d),
           (acc, s) => acc + lit(1.0d) / s.getField("__cnt").cast("double"))
-          / col("n_scored").cast("double"), 6))
+          / col("n_scored").cast("double"))
       .select(col(idCol), col("n_scored"), col("rarity"))
   }
 

@@ -124,6 +124,10 @@ object Dedup {
    * [[releasePinned]] once the returned pairs DataFrame has been
    * materialized (collected / written). The bench and verify drivers
    * sweep persistent RDDs between queries, which is equivalent.
+   * The registry is PROCESS-WIDE: releasePinned() frees every pin in
+   * the JVM, so it belongs to single-pipeline drivers — a multi-tenant
+   * driver running concurrent pipelines should instead sweep Spark's
+   * persistent RDDs between its own jobs and not call it mid-flight.
    */
   private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 

@@ -122,6 +122,62 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /** Unit-normalized double vectors staged as (id, __vn) — the norm is
+    * computed once per row; shared by the PQ and IVF-PQ paths so the
+    * two stay bit-identical with each other and the SQL oracles. */
+  private def normalizedVectors(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__raw"))
+      .select(col(idCol), col("__raw"),
+        sqrt(dotCols(col("__raw"), col("__raw"))).as("__n"))
+      .select(col(idCol), transform(col("__raw"), x => x / col("__n")).as("__vn"))
+
+  /** Deterministic normalized sample (first `sampleSize` ids). */
+  private def normalizedSample(vn: DataFrame, idCol: String,
+      sampleSize: Int): Array[Array[Double]] =
+    vn.orderBy(col(idCol)).limit(sampleSize)
+      .select(col("__vn")).collect().map(_.getSeq[Double](0).toArray)
+
+  /** Per-subspace PQ codebooks from the sample. */
+  private def pqCodebooks(sample: Array[Array[Double]], m: Int, sub: Int,
+      ks: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(sample.length >= ks,
+      s"PQ needs at least ks=$ks sample vectors, got ${sample.length}")
+    Array.tabulate(m)(mm =>
+      kmeans(sample.map(_.slice(mm * sub, mm * sub + sub)), ks, iters))
+  }
+
+  /** Flattened m*ks ADC lookup table for a normalized query. */
+  private def pqLut(qn: Array[Double], books: Array[Array[Array[Double]]],
+      m: Int, sub: Int, ks: Int): Seq[Double] =
+    (0 until m).flatMap { mm =>
+      val qs = qn.slice(mm * sub, mm * sub + sub)
+      (0 until ks).map(c => qs.zip(books(mm)(c)).map { case (a, b) => a * b }.sum)
+    }
+
+  /** m single-pass argmin code expressions over the __vn subslices. */
+  private def pqCodesCol(books: Array[Array[Array[Double]]], m: Int, sub: Int): Column =
+    array((0 until m).map(mm =>
+      graft.functions.NearestCentroid.nearestCentroid(
+        slice(col("__vn"), mm * sub + 1, sub), books(mm))): _*)
+
+  private def unitQuery(query: Array[Double]): Array[Double] = {
+    val n = math.sqrt(query.map(x => x * x).sum)
+    query.map(_ / n)
+  }
+
+  /** ADC score + shortlist + exact re-rank, shared by PQ and IVF-PQ. */
+  private def adcRerank(candidates: DataFrame, idCol: String, lut: Seq[Double],
+      qn: Array[Double], ks: Int, k: Int, shortlist: Int): DataFrame = {
+    val lutLit = typedLit(lut)
+    candidates.withColumn("__adc", aggregate(
+        transform(col("__codes"), (c, i) => element_at(lutLit, (i * ks + c).cast("int"))),
+        lit(0.0d), (acc, x) => acc + x))
+      .orderBy(col("__adc").desc, col(idCol)).limit(shortlist * k)
+      .withColumn("cos", dotCols(col("__vn"), typedLit(qn.toSeq)))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   /**
    * Product-quantization (PQ) approximate top-k — the memory-bandwidth
    * scale path for ANN (Jégou et al., "Product Quantization for
@@ -148,43 +204,11 @@ object Similarity {
       sampleSize: Int = 512, iters: Int = 3, shortlist: Int = 8): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    // unit-normalized double vectors, staged so the norm is computed
-    // once per row (the transform references __n dim times — Catalyst
-    // keeps multi-referenced non-trivial aliases staged)
-    val vn = df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__raw"))
-      .select(col(idCol), col("__raw"),
-        sqrt(dotCols(col("__raw"), col("__raw"))).as("__n"))
-      .select(col(idCol), transform(col("__raw"), x => x / col("__n")).as("__vn"))
-    // --- per-subspace codebooks from a deterministic sample
-    val sample = vn.orderBy(col(idCol)).limit(sampleSize)
-      .select(col("__vn")).collect().map(_.getSeq[Double](0).toArray)
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m)(mm =>
-      kmeans(sample.map(_.slice(mm * sub, mm * sub + sub)), ks, iters))
-    // --- encode: m single-pass argmin expressions over the subslices
-    val codes = array((0 until m).map(mm =>
-      graft.functions.NearestCentroid.nearestCentroid(
-        slice(col("__vn"), mm * sub + 1, sub), books(mm))): _*)
-    // --- query LUT: per-subspace dot of the normalized query against
-    // every centroid, flattened to one m·ks literal (1-based: entry
-    // mm·ks + code)
-    val qn = {
-      val n = math.sqrt(query.map(x => x * x).sum)
-      query.map(_ / n)
-    }
-    val lut = (0 until m).flatMap { mm =>
-      val qs = qn.slice(mm * sub, mm * sub + sub)
-      (0 until ks).map(c => qs.zip(books(mm)(c)).map { case (a, b) => a * b }.sum)
-    }
-    val lutLit = typedLit(lut)
-    // --- ADC scan over codes only + exact re-rank of the shortlist
-    val adc = vn.withColumn("__codes", codes)
-      .withColumn("__adc", aggregate(
-        transform(col("__codes"), (c, i) => element_at(lutLit, (i * ks + c).cast("int"))),
-        lit(0.0d), (acc, x) => acc + x))
-    adc.orderBy(col("__adc").desc, col(idCol)).limit(shortlist * k)
-      .withColumn("cos", dotCols(col("__vn"), typedLit(qn.toSeq)))
-      .orderBy(col("cos").desc, col(idCol)).limit(k)
-      .select(col(idCol), col("cos"))
+    val vn = normalizedVectors(df, idCol, vecCol)
+    val books = pqCodebooks(normalizedSample(vn, idCol, sampleSize), m, sub, ks, iters)
+    val qn = unitQuery(query)
+    adcRerank(vn.withColumn("__codes", pqCodesCol(books, m, sub)),
+      idCol, pqLut(qn, books, m, sub, ks), qn, ks, k, shortlist)
   }
 
   /**
@@ -204,43 +228,23 @@ object Similarity {
       coarseIters: Int = 5, pqIters: Int = 3, shortlist: Int = 8): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    val vn = df.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("__raw"))
-      .select(col(idCol), col("__raw"),
-        sqrt(dotCols(col("__raw"), col("__raw"))).as("__n"))
-      .select(col(idCol), transform(col("__raw"), x => x / col("__n")).as("__vn"))
-    val sample = vn.orderBy(col(idCol)).limit(sampleSize)
-      .select(col("__vn")).collect().map(_.getSeq[Double](0).toArray)
+    val vn = normalizedVectors(df, idCol, vecCol)
+    val sample = normalizedSample(vn, idCol, sampleSize)
+    require(sample.length >= nlist,
+      s"IVF needs at least nlist=$nlist sample vectors, got ${sample.length}")
     // both quantizers train on the SAME normalized sample
     val coarse = kmeans(sample, nlist, coarseIters)
-    val books = Array.tabulate(m)(mm =>
-      kmeans(sample.map(_.slice(mm * sub, mm * sub + sub)), ks, pqIters))
-    val qn = {
-      val n = math.sqrt(query.map(x => x * x).sum)
-      query.map(_ / n)
-    }
+    val books = pqCodebooks(sample, m, sub, ks, pqIters)
+    val qn = unitQuery(query)
     // probe list: the query's nprobe nearest coarse centroids
     val qd = coarse.map(c => c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
     val probeLists = qd.zipWithIndex.sortBy(_._1).take(nprobe)
       .map { case (_, i) => (i + 1).toLong }
-    val lut = (0 until m).flatMap { mm =>
-      val qs = qn.slice(mm * sub, mm * sub + sub)
-      (0 until ks).map(c => qs.zip(books(mm)(c)).map { case (a, b) => a * b }.sum)
-    }
-    val lutLit = typedLit(lut)
-    val codes = array((0 until m).map(mm =>
-      graft.functions.NearestCentroid.nearestCentroid(
-        slice(col("__vn"), mm * sub + 1, sub), books(mm))): _*)
     val staged = vn
       .withColumn("__list", graft.functions.NearestCentroid.nearestCentroid(col("__vn"), coarse))
-      .withColumn("__codes", codes)
-    val cand = staged.filter(col("__list").isin(probeLists: _*))
-    val adc = cand.withColumn("__adc", aggregate(
-      transform(col("__codes"), (c, i) => element_at(lutLit, (i * ks + c).cast("int"))),
-      lit(0.0d), (acc, x) => acc + x))
-    adc.orderBy(col("__adc").desc, col(idCol)).limit(shortlist * k)
-      .withColumn("cos", dotCols(col("__vn"), typedLit(qn.toSeq)))
-      .orderBy(col("cos").desc, col(idCol)).limit(k)
-      .select(col(idCol), col("cos"))
+      .withColumn("__codes", pqCodesCol(books, m, sub))
+    adcRerank(staged.filter(col("__list").isin(probeLists: _*)),
+      idCol, pqLut(qn, books, m, sub, ks), qn, ks, k, shortlist)
   }
 
   /** Tiny deterministic Lloyd's k-means (driver-side, sample-sized). */

@@ -76,9 +76,12 @@ object Sketches {
       }: _*))
       .select(col("*"), posexplode(col("__pos")).as(Seq("j", "pos")))
       .drop("__pos")
-    positions.join(broadcast(counters), Seq("j", "pos"))
+    // LEFT join: a bucket the stream never touched has no counter row,
+    // and true count-min semantics treat it as ZERO (the min then
+    // reports 0 for never-seen keys instead of dropping them)
+    positions.join(broadcast(counters), Seq("j", "pos"), "left")
       .groupBy(keys.columns.map(col): _*)
-      .agg(min(col("c")).as("cm_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
   }
 
   // ----------------------------------------------------------------- KMV
@@ -90,6 +93,11 @@ object Sketches {
    * k — the sketch IS the key set there). The k-smallest selection is
    * a per-group window rank over DISTINCT hashes, so per-group state
    * after the aggregate is k longs.
+   *
+   * Key domain: NON-NEGATIVE keys below 2^31-1 hash injectively; keys
+   * congruent mod 2^31-1 collapse (both columns then count hash
+   * classes, not keys), and negative keys would diverge from a plain
+   * SQL `%` replication.
    */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
       k: Int = 64): DataFrame = {
@@ -104,9 +112,11 @@ object Sketches {
     ranked.groupBy(g: _*).agg(
         count(lit(1)).as("n_distinct_true"),
         max(when(col("__r") === k, col("__h"))).as("__kth"))
+      // unrounded: the estimate is bit-identical cross-engine; rounding
+      // a half-boundary double is the one observed divergence
       .withColumn("kmv_est",
         when(col("__kth").isNull, col("n_distinct_true").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) * lit(P31.toDouble) / col("__kth"), 2)))
+          .otherwise(lit((k - 1).toDouble) * lit(P31.toDouble) / col("__kth")))
       .drop("__kth")
   }
 
@@ -150,23 +160,26 @@ object Sketches {
       .withColumn("__rn", row_number().over(
         Window.partitionBy((g :+ col("q")): _*).orderBy(col("__bin"))))
       .filter(col("__rn") === 1)
-    first.withColumn("est", round(
+    // unrounded for the same half-boundary reason as kmvDistinct
+    first.withColumn("est",
         col("__mn") + width * col("__bin").cast("double") +
           width * (target - (col("__cum") - col("__c")).cast("double"))
-            / col("__c").cast("double"), 4))
+            / col("__c").cast("double"))
       .select((g ++ Seq(col("q"), col("est"))): _*)
   }
 
   // --------------------------------------------------------------- bloom
 
-  /** Bloom filter of a key column as a driver-side bitset: `mBits`
-    * bits, `depth` hash rows. The collect is bounded by the SKETCH
-    * size (mBits/8 bytes — 8 KB at the default), never by the build
-    * side's row count: only distinct SET POSITIONS come back to the
-    * driver, already deduplicated by the aggregation. */
+  /** Bloom filter of a key column as a driver-side bitset: `depth`
+    * partitioned blocks of `mBits` bits (depth·mBits/8 bytes — 24 KB
+    * at the defaults). The collect is bounded by the SKETCH size,
+    * never by the build side's row count: only distinct SET POSITIONS
+    * come back to the driver, already deduplicated by the
+    * aggregation. */
   def bloomFilterOf(build: DataFrame, keyCol: String,
       mBits: Int = 65536, depth: Int = 3): Array[Long] = {
-    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      "mBits must be a power of two >= 64")
     val posRows = build
       .select(pmod(col(keyCol).cast("long"), lit(P31)).as("__h")).distinct()
       .select(explode(array(RowConsts.take(depth).zipWithIndex.map {

@@ -448,8 +448,8 @@ object PipelineOracles {
        |      FROM r GROUP BY 1)
        |SELECT event_type, n_distinct_true,
        |  CASE WHEN kth IS NULL THEN CAST(n_distinct_true AS DOUBLE)
-       |       ELSE round(CAST(63 AS DOUBLE) * CAST(2147483647 AS DOUBLE)
-       |                  / CAST(kth AS DOUBLE), 2) END AS kmv_est
+       |       ELSE CAST(63 AS DOUBLE) * CAST(2147483647 AS DOUBLE)
+       |            / CAST(kth AS DOUBLE) END AS kmv_est
        |FROM a""".stripMargin
 
   /** Bloom prune of customers by Q1-1995 buyer keys: identical bit
@@ -495,9 +495,9 @@ object PipelineOracles {
       |f AS (SELECT *, row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
       |      FROM wq WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
       |SELECT event_type, q,
-      |  round(mn + (mx - mn) / 64.0 * CAST(bin AS DOUBLE)
-      |      + (mx - mn) / 64.0 * (q * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
-      |        / CAST(c AS DOUBLE), 4) AS est
+      |  mn + (mx - mn) / 64.0 * CAST(bin AS DOUBLE)
+      |     + (mx - mn) / 64.0 * (q * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+      |       / CAST(c AS DOUBLE) AS est
       |FROM f WHERE rn = 1""".stripMargin
 
   /** Containment over the same banded-minhash candidates as
@@ -543,8 +543,8 @@ object PipelineOracles {
        |             list(CAST(1 AS DOUBLE) / cnt ORDER BY pos) AS l
        |      FROM tok JOIN f USING (tok) GROUP BY 1)
        |SELECT doc_id, n_scored,
-       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
-       |                    (acc, x) -> acc + x) / n_scored, 6) AS rarity
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+       |              (acc, x) -> acc + x) / n_scored AS rarity
        |FROM d""".stripMargin
 
   val textVocab: String =

@@ -90,7 +90,7 @@ class IndexedAggSpec extends AnyFunSuite {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val h = customerHandle()
     val grouped = h.toDF.groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
-    assert(!grouped.queryExecution.executedPlan.toString.contains("IndexedCount"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("IndexedStats"))
     val viaIdx = grouped.as[(String, Long)].collect().toMap
     val direct = spark.read.parquet(s"$dir/customer.parquet")
       .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
