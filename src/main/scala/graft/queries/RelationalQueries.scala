@@ -223,6 +223,20 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     },
 
+    // explicit GROUPING SETS: exactly the requested grouping
+    // combinations in one pass (cube/rollup are the closed forms; this
+    // is the general surface — per-flag, per-status, and grand total,
+    // but NOT the flag×status cross)
+    "q_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+          $"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    },
+
     // pivot via conditional aggregation (codegen-friendly, no separate
     // pivot pass; DuckDB expresses the same with FILTER)
     "q_pivot" -> { (s, dir) =>
@@ -386,6 +400,13 @@ object RelationalQueries {
         |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
