@@ -143,10 +143,19 @@ object Streaming {
    * state is O(events inside the watermark horizon), not O(stream).
    * The transform is input-agnostic (batch backfill ≡ streaming —
    * spec-tested both ways, same plan).
+   *
+   * `joinType = "left_outer"` additionally emits every UNMATCHED left
+   * event (null right columns) — the "click with no conversion" shape.
+   * On a stream the unmatched left flushes exactly once, after the
+   * watermark passes `l_ts + window` (only then can the engine prove no
+   * matching right event can still arrive); on a batch input the nulls
+   * appear immediately. Same final row set either way.
    */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyCol: String = "user_id", window: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner / left_outer, got $joinType")
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
         col("event_id").as("l_event"))
@@ -155,7 +164,7 @@ object Streaming {
         col("event_id").as("r_event"), col("value").as("r_value"))
     l.join(r, col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"), joinType)
       .select(col("l_key").as(keyCol), col("l_event"), col("r_event"),
         col("l_ts"), col("r_ts"), col("r_value"))
   }

@@ -84,6 +84,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: unmatched clicks flush exactly once; matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    // user 0's click converts inside the 30-min window; user 1's click
+    // NEVER converts (its only purchase is 55 min later); user 2 has no
+    // purchase at all
+    val clicks = Seq(
+      Event(100L, ts(0), 0L, "click", 0.0),
+      Event(101L, ts(0), 1L, "click", 0.0),
+      Event(102L, ts(5), 2L, "click", 0.0))
+    val buys = Seq(
+      Event(1000L, ts(15), 0L, "purchase", 9.99),
+      Event(1001L, ts(55), 1L, "purchase", 5.0))
+    val joined = Streaming.intervalJoin(lIn.toDF(), rIn.toDF(),
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ijo_out").start()
+    try {
+      lIn.addData(clicks: _*)
+      rIn.addData(buys: _*)
+      q.processAllAvailable()
+      // watermark far past every click + window: unmatched lefts flush
+      lIn.addData(Event(9998L, ts(300), 9L, "click", 0.0))
+      rIn.addData(Event(9999L, ts(300), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      // one more pair of batches: a second flush of the same clicks
+      // would now DUPLICATE rows if the outer state were not dropped
+      lIn.addData(Event(9996L, ts(330), 9L, "click", 0.0))
+      rIn.addData(Event(9997L, ts(330), 9L, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ijo_out")
+        .filter($"user_id" < 9)
+        .select($"user_id", $"l_event", $"r_event", $"r_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.intervalJoin(clicks.toDF(), buys.toDF(),
+          joinType = "left_outer")
+        .select($"user_id", $"l_event", $"r_event", $"r_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // converted click joined; non-converting clicks emitted with nulls
+      assert(streamed.contains(Seq(0L, 100L, 1000L, 9.99)))
+      assert(streamed.contains(Seq(1L, 101L, null, null)))
+      assert(streamed.contains(Seq(2L, 102L, null, null)))
+      // exactly once: one row per non-converting click, not one per flush
+      val unmatchedRows = spark.table("ijo_out").filter($"user_id" < 9)
+        .filter($"r_event".isNull).collect()
+      assert(unmatchedRows.length === 2)
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; totals correct") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
