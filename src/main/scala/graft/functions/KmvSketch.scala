@@ -4,12 +4,13 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ExpressionBridge
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /**
  * Bounded-state k-minimum-values sketch aggregate: the k smallest
@@ -42,11 +43,18 @@ case class KmvSketchAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer]
-  with ExpectsInputTypes with UnaryLike[Expression] {
+  with UnaryLike[Expression] {
 
   require(k >= 1, s"kmv sketch size must be >= 1, got $k")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  // AbstractDataType is private[sql] in Spark 4's Scala signatures, so
+  // ExpectsInputTypes can't be used from this package; check directly.
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch requires bigint, got ${other.catalogString}")
+    }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "kmv_sketch"

@@ -90,9 +90,19 @@ object Sketches {
    * Per-group distinct-count estimate from the k minimum hash values:
    * est = (k-1) · P / h_(k) when the group has ≥ k distinct hashes,
    * the exact distinct count otherwise (all hashes are retained below
-   * k — the sketch IS the key set there). The k-smallest selection is
-   * a per-group window rank over DISTINCT hashes, so per-group state
-   * after the aggregate is k longs.
+   * k — the sketch IS the key set there).
+   *
+   * The k-smallest selection is [[graft.functions.KmvSketchAgg]] — a
+   * single map-side-combinable aggregate whose per-group state is AT
+   * MOST k longs at every moment (update, partial serialization,
+   * merge). No distinct pre-pass, no window, no per-group sort of the
+   * full hash stream: the shuffle carries one ≤k-long buffer per group
+   * per map task regardless of input size, and an empty-`groupCols`
+   * global call reduces tiny partial buffers instead of serializing
+   * one task that sorts every distinct hash.
+   *
+   * Output: `n_kept` = |sketch| = min(distinct, k) — the exact
+   * distinct count whenever it is below k — and `kmv_est`.
    *
    * Key domain: NON-NEGATIVE keys below 2^31-1 hash injectively; keys
    * congruent mod 2^31-1 collapse (both columns then count hash
@@ -105,19 +115,16 @@ object Sketches {
     val g = groupCols.map(col)
     val hashed = df.select(g :+
         affine(pmod(col(keyCol).cast("long"), lit(P31)), a, b).as("__h"): _*)
-      .distinct()
-    val ranked = hashed.withColumn("__r",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(g: _*).orderBy(col("__h"))))
-    ranked.groupBy(g: _*).agg(
-        count(lit(1)).as("n_distinct_true"),
-        max(when(col("__r") === k, col("__h"))).as("__kth"))
-      // unrounded: the estimate is bit-identical cross-engine; rounding
-      // a half-boundary double is the one observed divergence
-      .withColumn("kmv_est",
-        when(col("__kth").isNull, col("n_distinct_true").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(P31.toDouble) / col("__kth")))
-      .drop("__kth")
+    hashed.groupBy(g: _*)
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(col("__h"), k).as("__sk"))
+      .select(g ++ Seq(
+        size(col("__sk")).cast("long").as("n_kept"),
+        // unrounded: the estimate is bit-identical cross-engine; rounding
+        // a half-boundary double is the one observed divergence
+        when(size(col("__sk")) < k, size(col("__sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(P31.toDouble)
+            / element_at(col("__sk"), k).cast("double"))
+          .as("kmv_est")): _*)
   }
 
   // ----------------------------------------------------- histogram quantiles

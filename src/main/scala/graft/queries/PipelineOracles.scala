@@ -437,17 +437,21 @@ object PipelineOracles {
        |GROUP BY 1, 2""".stripMargin
 
   /** KMV distinct-count estimates per event_type: same affine hash,
-    * same k-th minimum, same (k-1)·P/h_(k) arithmetic. */
+    * same k-th minimum, same (k-1)·P/h_(k) arithmetic. The engine side
+    * keeps only a bounded k-long sketch per group; the oracle
+    * recomputes its observable outputs (n_kept = min(distinct, k),
+    * kth-smallest hash) exactly from the full key set. */
   val sketchDistinctKmv: String =
     s"""WITH h AS (SELECT DISTINCT event_type,
        |  ((user_id % $P) * 1103515245 + 12345) % $P AS h FROM events),
        |r AS (SELECT event_type, h,
        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
-       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_true,
+       |a AS (SELECT event_type,
+       |             CAST(LEAST(count(*), 64) AS BIGINT) AS n_kept,
        |             max(CASE WHEN rn = 64 THEN h END) AS kth
        |      FROM r GROUP BY 1)
-       |SELECT event_type, n_distinct_true,
-       |  CASE WHEN kth IS NULL THEN CAST(n_distinct_true AS DOUBLE)
+       |SELECT event_type, n_kept,
+       |  CASE WHEN kth IS NULL THEN CAST(n_kept AS DOUBLE)
        |       ELSE CAST(63 AS DOUBLE) * CAST(2147483647 AS DOUBLE)
        |            / CAST(kth AS DOUBLE) END AS kmv_est
        |FROM a""".stripMargin

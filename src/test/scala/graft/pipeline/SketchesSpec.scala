@@ -54,24 +54,29 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("KMV is exact below k and sane above k") {
+    val ev = Tables.events(spark, dir)
+    val truths = ev.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
     // events at sf0.001 has ~15 users per type; k=8 forces estimation.
     // At k=8 the estimator's relative std is ~1/sqrt(k-2) ≈ 40%, so
     // the spec only pins the right order of magnitude — the ORACLE
     // query pins the exact deterministic value
-    val est = Sketches.kmvDistinct(Tables.events(spark, dir),
-      Seq("event_type"), "user_id", k = 8)
+    val est = Sketches.kmvDistinct(ev, Seq("event_type"), "user_id", k = 8)
       .as[(String, Long, Double)].collect()
     assert(est.length === 5)
-    est.foreach { case (g, truth, kmv) =>
+    est.foreach { case (g, kept, kmv) =>
+      val truth = truths(g)
+      assert(kept === math.min(truth, 8L), s"$g: n_kept must be min(distinct, k)")
       assert(kmv >= truth / 4.0 && kmv <= truth * 4.0,
         s"$g: kmv $kmv implausible for true $truth")
     }
-    // k above every group's distinct count => exact
-    val exact = Sketches.kmvDistinct(Tables.events(spark, dir),
-      Seq("event_type"), "user_id", k = 100000)
+    // k above every group's distinct count => sketch IS the key set, exact
+    val exact = Sketches.kmvDistinct(ev, Seq("event_type"), "user_id", k = 100000)
       .as[(String, Long, Double)].collect()
-    exact.foreach { case (g, truth, kmv) =>
-      assert(kmv === truth.toDouble, s"$g: below-k must be exact")
+    exact.foreach { case (g, kept, kmv) =>
+      assert(kept === truths(g), s"$g: below-k n_kept must be the distinct count")
+      assert(kmv === truths(g).toDouble, s"$g: below-k must be exact")
     }
   }
 
