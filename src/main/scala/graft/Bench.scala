@@ -174,6 +174,20 @@ object Bench {
     cachedCust.unpersist()
     hStats.idx.unpersist()
 
+    // bloom lanes: the broadcast-backed bitset at production m (2^24
+    // bits x 3 rows = 6 MB) vs the plan-literal lane at the default m
+    // (24 KB) — same probe, same build side; the broadcast lane must
+    // not pay a per-row penalty for keeping the plan bitset-free
+    val ordKeys = ordersDF.select($"o_custkey")
+    val t13 = System.nanoTime()
+    graft.pipeline.Sketches.bloomPrune(custDF, "c_custkey", ordKeys, "o_custkey",
+      mBits = 65536, depth = 3).write.format("noop").mode("overwrite").save()
+    val tBloomLit = (System.nanoTime() - t13) / 1e9
+    val t14 = System.nanoTime()
+    graft.pipeline.Sketches.bloomPrune(custDF, "c_custkey", ordKeys, "o_custkey",
+      mBits = 1 << 24, depth = 3).write.format("noop").mode("overwrite").save()
+    val tBloomBcast = (System.nanoTime() - t14) / 1e9
+
     Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
       "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
       "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
@@ -182,6 +196,8 @@ object Bench {
       "micro_sql_range_rangepart_10" -> tSqlRangeRp,
       "micro_sql_range_hashpart_10" -> tSqlRangeHash,
       "micro_sql_stats_idx_100" -> tStatsIdx,
-      "micro_sql_stats_scan_100" -> tStatsScan)
+      "micro_sql_stats_scan_100" -> tStatsScan,
+      "micro_bloom_literal_m16" -> tBloomLit,
+      "micro_bloom_bcast_m24" -> tBloomBcast)
   }
 }

@@ -187,19 +187,20 @@ object Sketches {
       mBits: Int = 65536, depth: Int = 3): Array[Long] = {
     require(Integer.bitCount(mBits) == 1 && mBits >= 64,
       "mBits must be a power of two >= 64")
-    val posRows = build
+    // positions fold into 64-bit words BEFORE the collect (bit_or per
+    // word), so the driver receives at most mBits·depth/64 rows — the
+    // word count of the bitset itself — not one row per set position
+    val wordRows = build
       .select(pmod(col(keyCol).cast("long"), lit(P31)).as("__h")).distinct()
       .select(explode(array(RowConsts.take(depth).zipWithIndex.map {
         case ((a, b), j) =>
           pmod(affine(col("__h"), a, b), lit(mBits.toLong)) + lit(j.toLong * mBits)
       }: _*)).as("p"))
-      .distinct()
+      .selectExpr("p div 64 as w", "shiftleft(1L, cast(p % 64 as int)) as m")
+      .groupBy("w").agg(expr("bit_or(m)").as("m"))
       .collect()
     val words = new Array[Long]((mBits.toLong * depth / 64).toInt)
-    posRows.foreach { r =>
-      val p = r.getLong(0)
-      words((p >>> 6).toInt) |= (1L << (p & 63))
-    }
+    wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     words
   }
 
@@ -225,14 +226,41 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** Bitset size (bytes) above which [[bloomPrune]] ships the filter as
+    * a broadcast variable instead of a plan literal. Below it, the
+    * literal is smaller than the broadcast bookkeeping and keeps the
+    * whole pipeline replicable in a single SQL statement (the oracle
+    * lane); above it, embedding the bits in every serialized task is
+    * the classic plan-bloat failure at production m. */
+  val BroadcastThresholdBytes: Long = 1L << 18 // 256 KB
+
+  /** Membership test column whose bitset rides a broadcast variable —
+    * identical bits, identical verdicts to [[bloomMightContain]], but
+    * the plan carries only a broadcast handle. Use for production-size
+    * filters (m ≫ the default). */
+  def bloomMightContainBcast(
+      bits: org.apache.spark.broadcast.Broadcast[Array[Long]], key: Column,
+      mBits: Int = 65536, depth: Int = 3): Column =
+    graft.functions.BloomMightContainBcast.mightContain(
+      bits, key, mBits, depth, RowConsts)
+
   /** Prune `probe` to rows whose key might be in `build`'s key set —
     * the pre-shuffle filter of a bloom join. Guarantees every true
     * match survives; a fraction ~(fill)^depth of non-matches leak
-    * through and are eliminated by the exact join that follows. */
+    * through and are eliminated by the exact join that follows.
+    *
+    * Lane selection: small bitsets (≤ [[BroadcastThresholdBytes]])
+    * embed as a plan literal; larger ones ship as a broadcast variable
+    * so the plan and task binaries stay bitset-free. */
   def bloomPrune(probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String,
       mBits: Int = 65536, depth: Int = 3): DataFrame = {
     val bits = bloomFilterOf(build, buildKey, mBits, depth)
-    probe.filter(bloomMightContain(bits, col(probeKey), mBits, depth))
+    if (bits.length.toLong * 8 > BroadcastThresholdBytes) {
+      val bc = probe.sparkSession.sparkContext.broadcast(bits)
+      probe.filter(bloomMightContainBcast(bc, col(probeKey), mBits, depth))
+    } else {
+      probe.filter(bloomMightContain(bits, col(probeKey), mBits, depth))
+    }
   }
 }

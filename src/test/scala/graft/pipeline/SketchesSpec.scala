@@ -144,6 +144,52 @@ class SketchesSpec extends AnyFunSuite {
     keys.filter(_ <= 200).foreach(k => assert(sparkSide.contains(k)))
   }
 
+  test("broadcast bloom lane: identical verdicts to the literal lane, negatives included") {
+    val build = Seq(7L, 42L, 4096L, -13L, 2147483650L).toDF("k")
+    val bits = Sketches.bloomFilterOf(build, "k", mBits = 1024, depth = 3)
+    val probe = ((-50L to 150L) ++ Seq(2147483650L, 4096L)).toDF("k")
+    val literal = probe.filter(Sketches.bloomMightContain(bits, $"k", 1024, 3))
+      .as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(bits)
+    try {
+      val bcast = probe.filter(Sketches.bloomMightContainBcast(bc, $"k", 1024, 3))
+        .as[Long].collect().toSet
+      assert(bcast === literal, "broadcast lane diverged from the literal lane")
+      assert(bcast.contains(7L) && bcast.contains(-13L) && bcast.contains(2147483650L))
+    } finally bc.destroy()
+  }
+
+  test("bloomPrune at production m ships NO bitset in the plan (broadcast lane)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.ArrayType
+    val mBits = 1 << 24 // 6 MB of bits at depth 3 — far above the literal threshold
+    val build = Tables.orders(spark, dir).select($"o_custkey")
+    val pruned = Sketches.bloomPrune(
+      Tables.customer(spark, dir), "c_custkey", build, "o_custkey",
+      mBits = mBits, depth = 3)
+    val plan = pruned.queryExecution.optimizedPlan
+    // 1. the expression tree holds the broadcast-backed membership test
+    val bcastExprs = plan.expressions.flatMap(_.collect {
+      case b: graft.functions.BloomMightContainBcast => b
+    })
+    assert(bcastExprs.nonEmpty, "expected the broadcast membership expression")
+    // 2. no array literal anywhere near the bitset's size is embedded
+    val bigLiterals = plan.expressions.flatMap(_.collect {
+      case l: Literal if l.dataType.isInstanceOf[ArrayType] && l.value != null &&
+        l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .numElements() > 4096 => l
+    })
+    assert(bigLiterals.isEmpty, "bitset leaked into the plan as a literal")
+    // 3. the stringized physical plan stays bitset-free too
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.length < 100000, s"plan string is ${planStr.length} chars — literal leak")
+    // and the lane is still a correct bloom filter: no false negatives
+    val members = build.distinct().as[Long].collect().toSet
+    val survivors = pruned.select($"c_custkey").as[Long].collect().toSet
+    val probeKeys = Tables.customer(spark, dir).select($"c_custkey").as[Long].collect().toSet
+    assert((members & probeKeys).subsetOf(survivors), "broadcast bloom dropped a true member")
+  }
+
   test("deterministicSample is invariant to partitioning and ordering") {
     val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
     val a = Curation.deterministicSample(docs, "doc_id", 20)
