@@ -45,7 +45,10 @@ case class KmvSketchAgg(
   extends TypedImperativeAggregate[KmvBuffer]
   with UnaryLike[Expression] {
 
-  require(k >= 1, s"kmv sketch size must be >= 1, got $k")
+  // k = 1 would degenerate the (k-1)·P/h_(k) estimator to a zero
+  // numerator (every non-empty group reports 0.0), so it is outside the
+  // estimator's validity domain
+  require(k >= 2, s"kmv sketch size must be >= 2, got $k")
 
   // AbstractDataType is private[sql] in Spark 4's Scala signatures, so
   // ExpectsInputTypes can't be used from this package; check directly.

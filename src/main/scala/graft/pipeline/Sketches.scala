@@ -113,7 +113,11 @@ object Sketches {
       k: Int = 64): DataFrame = {
     val (a, b) = RowConsts.head
     val g = groupCols.map(col)
-    val hashed = df.select(g :+
+    // NULL keys are excluded from the distinct count on BOTH the engine
+    // and oracle sides (the aggregate would skip a null hash anyway;
+    // the explicit filter pins the semantics rather than leaving them
+    // to the update path)
+    val hashed = df.filter(col(keyCol).isNotNull).select(g :+
         affine(pmod(col(keyCol).cast("long"), lit(P31)), a, b).as("__h"): _*)
     hashed.groupBy(g: _*)
       .agg(graft.functions.KmvSketchAgg.kmvSketch(col("__h"), k).as("__sk"))

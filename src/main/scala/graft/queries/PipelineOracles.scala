@@ -443,7 +443,8 @@ object PipelineOracles {
     * kth-smallest hash) exactly from the full key set. */
   val sketchDistinctKmv: String =
     s"""WITH h AS (SELECT DISTINCT event_type,
-       |  ((user_id % $P) * 1103515245 + 12345) % $P AS h FROM events),
+       |  ((user_id % $P) * 1103515245 + 12345) % $P AS h FROM events
+       |  WHERE user_id IS NOT NULL),
        |r AS (SELECT event_type, h,
        |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
        |a AS (SELECT event_type,

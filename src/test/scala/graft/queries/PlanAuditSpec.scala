@@ -71,6 +71,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("batchevalpython"), s"udf crept in:\n$plan")
   }
 
+  test("sketch_distinct_kmv: ONE bounded-state aggregate, no window/sort over the hash stream") {
+    val plan = planOf("sketch_distinct_kmv")
+    assert(plan.contains("kmv_sketch"), s"kmv aggregate missing:\n$plan")
+    // exactly one logical aggregate, realized as a partial (map-side) +
+    // final ObjectHashAggregate pair — a regression back to the
+    // distinct + row_number() formulation would reintroduce Window/Sort
+    val aggs = plan.sliding("ObjectHashAggregate".length)
+      .count(_ == "ObjectHashAggregate")
+    assert(aggs === 2, s"expected partial+final kmv aggregate pair, got $aggs:\n$plan")
+    assert(plan.contains("partial_kmv_sketch"), s"map-side partial aggregation missing:\n$plan")
+    assert(!plan.contains("Window"), s"window crept back into the kmv plan:\n$plan")
+    assert(!plan.contains("Sort "), s"sort crept back into the kmv plan:\n$plan")
+  }
+
   test("ir_sql_count / ir_sql_minmax: stats answered by the index, not a scan") {
     assert(planOf("ir_sql_count").contains("IndexedStats"),
       "count(*) must plan as the index-size sum")
