@@ -168,6 +168,23 @@ object RelationalQueries {
         .select($"event_id", $"last_total")
     },
 
+    // the stream-stream interval join's batch lane (the transform is
+    // input-agnostic — same plan on readStream, StreamingSpec proves
+    // parity): click → purchase attribution within 30 minutes, both
+    // join types through the same operator, distinguished by `lane`.
+    // Batch planning is a keyed SMJ with the time band as residual —
+    // never a cartesian.
+    "q_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+      val buys = ev.filter($"event_type" === "purchase")
+      def lane(joinType: String) = graft.streaming.Streaming
+        .intervalJoin(clicks, buys, joinType = joinType)
+        .withColumn("lane", lit(joinType))
+      lane("inner").unionByName(lane("left_outer"))
+    },
+
     // band/range join: parts whose retail price falls within a band
     // around each supplier's account balance (bucketized equi-join, not
     // a nested-loop cartesian)
@@ -387,6 +404,22 @@ object RelationalQueries {
         |SELECT e.event_id, o.otp AS last_total
         |FROM events e
         |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH l AS (SELECT user_id AS l_key, ts AS l_ts, event_id AS l_event
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS r_key, ts AS r_ts, event_id AS r_event,
+        |             value AS r_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |ij AS (SELECT l_key AS user_id, l_event, r_event, l_ts, r_ts, r_value,
+        |              'inner' AS lane
+        |       FROM l JOIN r ON r_key = l_key AND r_ts >= l_ts
+        |                    AND r_ts <= l_ts + INTERVAL 30 MINUTE),
+        |lo AS (SELECT l_key AS user_id, l_event, r_event, l_ts, r_ts, r_value,
+        |              'left_outer' AS lane
+        |       FROM l LEFT JOIN r ON r_key = l_key AND r_ts >= l_ts
+        |                         AND r_ts <= l_ts + INTERVAL 30 MINUTE)
+        |SELECT * FROM ij UNION ALL SELECT * FROM lo""".stripMargin,
 
     "q_json" ->
       """SELECT event_id,

@@ -85,6 +85,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"sort crept back into the kmv plan:\n$plan")
   }
 
+  test("q_interval_join: keyed join with the time band as residual, never a cartesian") {
+    val plan = planOf("q_interval_join")
+    assert(!plan.toLowerCase.contains("cartesianproduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to an unkeyed join:\n$plan")
+    assert(plan.contains("l_key") && plan.contains("r_key"),
+      s"expected the user-key equi-condition in the join:\n$plan")
+  }
+
   test("ir_sql_count / ir_sql_minmax: stats answered by the index, not a scan") {
     assert(planOf("ir_sql_count").contains("IndexedStats"),
       "count(*) must plan as the index-size sum")
