@@ -293,6 +293,36 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_pointget_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // COMPOSITE (two-column) SQL handle over the Tuple2 serializer
+      // (reference KeySerializer.scala:145-176 as first-class SQL
+      // keys): pushed conjunctive equality/IN on both columns routes
+      // into the partition-pruned tuple multiget — 3 probes here, no
+      // scan
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexComposite(df, "c_bucket", "c_custkey")
+      h.toDF.filter($"c_bucket" === 17L && $"c_custkey".isin(17L, 117L, 999917L))
+        .select($"c_bucket", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_range_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // leading-column interval on an ORDERED composite handle: the
+      // fixed-width tuple encoding makes byte order == (a, b) order, so
+      // the pushed BETWEEN on the leading column is ONE contiguous trie
+      // range scan across every second-column value
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexComposite(df, "c_bucket", "c_custkey",
+        ordered = true)
+      h.toDF.filter($"c_bucket".between(10L, 12L))
+        .select($"c_bucket", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_pointget_str" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -582,6 +612,14 @@ object OperatorQueries {
     "ir_sql_range" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey BETWEEN 200 AND 399""".stripMargin,
+
+    "ir_sql_pointget_composite" ->
+      """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 100 = 17 AND c_custkey IN (17, 117, 999917)""".stripMargin,
+
+    "ir_sql_range_composite" ->
+      """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 100 BETWEEN 10 AND 12""".stripMargin,
 
     "ir_sql_pointget_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer

@@ -213,6 +213,171 @@ object IndexedFrame {
     buildHandle(df, keyCol, UuidCodec, ordered = false, numPartitions)
   }
 
+  /** COMPOSITE two-column key handle (reference treats Tuple2 keys as
+    * first-class — Tuple2Serializer, reference KeySerializer.scala:
+    * 145-176): rows are indexed by the (leading, second) integral pair
+    * through the Tuple2 serializer, and pushed predicates route as
+    *
+    *  - conjunctive equality/IN on BOTH columns → partition-pruned
+    *    `multiget` over the cross product of the pushed key sets;
+    *  - equality or range on the LEADING column alone (ordered
+    *    handles) → radix-trie range scan over the tuple byte space —
+    *    fixed-width components make the tuple encoding's byte order
+    *    the lexicographic (a, b) order, so a leading-column interval
+    *    is one contiguous byte range;
+    *  - anything else → indexed full scan, Spark re-applies residuals.
+    */
+  class CompositeHandle(val idx: graft.IndexedRDD[(Long, Long), InternalRow],
+      val keyColA: String, val keyColB: String, val schema: StructType,
+      val ordered: Boolean,
+      private[sql] val codecA: LongCodec, private[sql] val codecB: LongCodec)
+      extends Serializable {
+    @transient @volatile var lastScanKind: String = ""
+    @transient @volatile var lastPointLookupKeys: Int = -1
+
+    def toDF(implicit spark: SparkSession): DataFrame =
+      spark.baseRelationToDataFrame(new CompositeRelation(this)(spark.sqlContext))
+  }
+
+  /** Index a DataFrame by TWO integral key columns (composite key,
+    * uniqueness enforced over the pair, last write wins). `ordered=true`
+    * builds radix partitions so leading-column ranges push down. */
+  def indexComposite(df: DataFrame, keyColA: String, keyColB: String,
+      ordered: Boolean = false, numPartitions: Int = 0): CompositeHandle = {
+    def longCodec(c: String): LongCodec = codecFor(df.schema, c) match {
+      case lc: LongCodec => lc
+      case _ => throw new IllegalArgumentException(
+        s"composite key requires integral columns, got ${df.schema(c).dataType.catalogString} for $c")
+    }
+    val (ca, cb) = (longCodec(keyColA), longCodec(keyColB))
+    val (ia, ib) = (df.schema.fieldIndex(keyColA), df.schema.fieldIndex(keyColB))
+    val raw = df.queryExecution.toRdd.mapPartitions(_.map { r =>
+      if (r.isNullAt(ia) || r.isNullAt(ib))
+        throw new IllegalArgumentException(
+          s"null key in composite ($keyColA, $keyColB)")
+      ((ca.fromRow(r, ia), cb.fromRow(r, ib)), r.copy(): InternalRow)
+    })
+    val p =
+      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+      else raw
+    val idx = if (ordered) graft.IndexedRDD.ordered(p) else graft.IndexedRDD(p)
+    new CompositeHandle(idx.cached, keyColA, keyColB, df.schema, ordered, ca, cb)
+  }
+
+  private[sql] class CompositeRelation(private[sql] val h: CompositeHandle)(
+      @transient override val sqlContext: SQLContext)
+      extends BaseRelation with PrunedFilteredScan {
+
+    override def schema: StructType = h.schema
+    override def needConversion: Boolean = false
+
+    private def parsed(codec: LongCodec, v: Any): Option[Long] =
+      scala.util.Try(codec.fromLiteral(v)).toOption
+
+    /** Point key set pushed on ONE of the two key columns. */
+    private def pointKeysOn(col: String, codec: LongCodec,
+        f: Filter): Option[Set[Long]] = f match {
+      case EqualTo(`col`, null) => Some(Set.empty)
+      case EqualTo(`col`, v) => Some(parsed(codec, v).toSet)
+      case In(`col`, vs) =>
+        Some(vs.iterator.filter(_ != null).flatMap(parsed(codec, _)).toSet)
+      case _ => None
+    }
+
+    /** Leading-column interval [from, to) from one pushed filter —
+      * EqualTo included (a prefix scan). Empty marker mirrors the
+      * single-key relation's overflow guard. */
+    private def leadBounds(f: Filter): Option[(Long, Long)] = {
+      def lit(v: Any): Long = h.codecA.fromLiteral(v)
+      f match {
+        case EqualTo(h.keyColA, null) => Some((Long.MaxValue, Long.MinValue)) // empty
+        case EqualTo(h.keyColA, v) =>
+          val a = lit(v)
+          Some((a, if (a == Long.MaxValue) Long.MaxValue else a + 1))
+        case GreaterThan(h.keyColA, v) if v != null =>
+          if (lit(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue))
+          else Some((lit(v) + 1, Long.MaxValue))
+        case GreaterThanOrEqual(h.keyColA, v) if v != null => Some((lit(v), Long.MaxValue))
+        case LessThan(h.keyColA, v) if v != null => Some((Long.MinValue, lit(v)))
+        case LessThanOrEqual(h.keyColA, v) if v != null =>
+          Some((Long.MinValue, if (lit(v) == Long.MaxValue) Long.MaxValue else lit(v) + 1))
+        case _ => None
+      }
+    }
+
+    private def bothPoint(filters: Array[Filter]): Boolean =
+      filters.exists(f => pointKeysOn(h.keyColA, h.codecA, f).isDefined) &&
+        filters.exists(f => pointKeysOn(h.keyColB, h.codecB, f).isDefined)
+
+    override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+      if (bothPoint(filters))
+        // multiget enforces every pushed point filter exactly (AND
+        // semantics via set intersection + cross product); ranges
+        // pushed alongside are re-applied by Spark above the probe
+        filters.filter(f => pointKeysOn(h.keyColA, h.codecA, f).isEmpty &&
+          pointKeysOn(h.keyColB, h.codecB, f).isEmpty)
+      else if (h.ordered)
+        // leading-column intervals (equality included) are enforced
+        // exactly by the trie range scan; everything else re-applies
+        filters.filter(f => leadBounds(f).isEmpty)
+      else filters
+
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[Filter]): RDD[Row] = {
+      val aSets = filters.flatMap(pointKeysOn(h.keyColA, h.codecA, _))
+      val bSets = filters.flatMap(pointKeysOn(h.keyColB, h.codecB, _))
+      val bounds = if (h.ordered) filters.flatMap(leadBounds) else Array.empty[(Long, Long)]
+      implicit val tupSer: KeySerializer[(Long, Long)] =
+        KeySerializer.tuple2Serializer[Long, Long]
+      val rows: RDD[InternalRow] =
+        if (aSets.nonEmpty && bSets.nonEmpty) {
+          val as = aSets.reduce(_ intersect _)
+          val bs = bSets.reduce(_ intersect _)
+          val keys = (for (a <- as; b <- bs) yield (a, b)).toArray
+          h.lastScanKind = "point"
+          h.lastPointLookupKeys = keys.length
+          val hit = h.idx.multiget(keys).values.toSeq
+          sqlContext.sparkContext.parallelize(hit, 1)
+        } else if (bounds.nonEmpty) {
+          val from = bounds.map(_._1).max
+          val to = bounds.map(_._2).min
+          h.lastScanKind = "range"
+          h.lastPointLookupKeys = -1
+          if (from >= to && !(from == Long.MaxValue && to == Long.MaxValue)) {
+            sqlContext.sparkContext.emptyRDD[InternalRow]
+          } else {
+            // tuple byte range [(from, min), (to, min)) covers every
+            // second-column value for leading keys in [from, to)
+            val body = h.idx.range((from, Long.MinValue), (to, Long.MinValue))
+              .map(_._2)
+            if (to == Long.MaxValue) {
+              // unbounded above: a = MaxValue rows sit beyond the
+              // half-open scan — one bounded range + one exact probe
+              // complete the interval
+              val tail = h.idx.range(
+                (Long.MaxValue, Long.MinValue), (Long.MaxValue, Long.MaxValue))
+                .map(_._2)
+              val corner = h.idx.multiget(Array((Long.MaxValue, Long.MaxValue)))
+                .values.toSeq
+              val all = body.union(tail)
+              if (corner.nonEmpty) all.union(sqlContext.sparkContext.parallelize(corner, 1))
+              else all
+            } else body
+          }
+        } else {
+          h.lastScanKind = "full"
+          h.lastPointLookupKeys = -1
+          h.idx.map(_._2)
+        }
+      val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
+        BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable))
+      rows.mapPartitions { it =>
+        val proj = UnsafeProjection.create(fields.toIndexedSeq)
+        it.map(r => proj(r))
+      }.asInstanceOf[RDD[Row]]
+    }
+  }
+
   /** RANGE-PARTITIONED ordered handle: keys are globally sorted across
     * `numPartitions` partitions (RangePartitioner) with a radix tree
     * inside each, so a pushed BETWEEN prunes to only the partitions

@@ -161,6 +161,64 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.toDF.filter($"id" === "00000000-0000-4000-8000-0000000000ab").count() === 1)
   }
 
+  test("composite handle: conjunctive equality on both columns routes into multiget") {
+    val df = cust.withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+    val h = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey")
+    val out = h.toDF.filter($"c_bucket" === 17L && $"c_custkey".isin(17L, 117L, 999917L))
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    val expect = df.filter($"c_bucket" === 17L && $"c_custkey".isin(17L, 117L, 999917L))
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    assert(out === expect && out.nonEmpty)
+    assert(h.lastScanKind === "point")
+    assert(h.lastPointLookupKeys === 3) // 1 x 3 cross product, not a scan
+    // mismatched pair: pushed keys probe, nothing matches
+    val none = h.toDF.filter($"c_bucket" === 18L && $"c_custkey" === 17L)
+    assert(none.count() === 0)
+    // residual predicates still apply above the probe
+    val res = h.toDF.filter($"c_bucket" === 17L && $"c_custkey" === 17L &&
+      $"c_acctbal" > 1e12)
+    assert(res.count() === 0)
+  }
+
+  test("composite handle: leading-column equality and ranges route into trie range scans") {
+    val df = cust.withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+    val h = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey", ordered = true)
+    val out = h.toDF.filter($"c_bucket".between(10L, 12L))
+      .select($"c_custkey").as[Long].collect().toSet
+    val expect = df.filter($"c_bucket".between(10L, 12L))
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(out === expect && out.nonEmpty)
+    assert(h.lastScanKind === "range")
+    // leading equality alone = prefix scan over every second-column value
+    val eq = h.toDF.filter($"c_bucket" === 42L)
+      .select($"c_custkey").as[Long].collect().toSet
+    val eqExpect = df.filter($"c_bucket" === 42L)
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(eq === eqExpect && eq.nonEmpty)
+    assert(h.lastScanKind === "range")
+    // unordered handles never claim ranges: full scan + Spark residual
+    val hu = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey")
+    val u = hu.toDF.filter($"c_bucket".between(10L, 12L))
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(u === expect)
+    assert(hu.lastScanKind === "full")
+  }
+
+  test("composite handle: Long extreme bounds stay correct (MaxValue corner)") {
+    val df = Seq(
+      (1L, 5L, "a"), (2L, 6L, "b"),
+      (Long.MaxValue, 7L, "c"), (Long.MaxValue, Long.MaxValue, "d"))
+      .toDF("a", "b", "v")
+    val h = IndexedFrame.indexComposite(df, "a", "b", ordered = true)
+    val ge = h.toDF.filter($"a" >= 2L).select($"v").as[String].collect().toSet
+    assert(ge === Set("b", "c", "d"), "unbounded-above range lost the MaxValue corner")
+    assert(h.lastScanKind === "range")
+    val pt = h.toDF.filter($"a" === Long.MaxValue && $"b" === Long.MaxValue)
+      .select($"v").as[String].collect().toSet
+    assert(pt === Set("d"))
+    assert(h.lastScanKind === "point")
+  }
+
   test("handle save/load: reloaded handle serves pushed reads; joins with live handles stay narrow") {
     val h = IndexedFrame.index(cust, "c_custkey", ordered = true, numPartitions = 4)
     val path = java.nio.file.Files.createTempDirectory("frame_io").toString
