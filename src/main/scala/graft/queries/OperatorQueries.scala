@@ -392,17 +392,26 @@ object OperatorQueries {
       // composite (o_custkey, o_orderdate) key through the Tuple2
       // serializer end-to-end: index build, partition-pruned multiget,
       // same-day duplicates folded at build (updatable z/f; max is
-      // fold-order-independent, so the oracle compares bit-exact)
-      val pairs = Tables.orders(s, dir)
-        .select($"o_custkey", unix_date(to_date($"o_orderdate")).as("d"), $"o_totalprice")
-        .as[(Long, Int, Double)].rdd
-        .map { case (c, d, p) => ((c, d), p) }
+      // fold-order-independent, so the oracle compares bit-exact).
+      // Build lane: ONE parquet scan, keys pulled straight off the
+      // columnar internal rows (no encoder deserialization), the build
+      // shuffle fanned out to defaultParallelism partitions (a small
+      // parquet file scans as ONE partition — inheriting that would
+      // build the whole index single-threaded), and the probe keys
+      // derived from the CACHED index afterwards instead of a second
+      // scan + distinct + sort over the source
+      val proj = Tables.orders(s, dir)
+        .select($"o_custkey", unix_date(to_date($"o_orderdate")).as("d"),
+          $"o_totalprice")
+      val pairs = proj.queryExecution.toRdd.mapPartitions(_.map { r =>
+        ((r.getLong(0), r.getInt(1)), r.getDouble(2))
+      }).partitionBy(new org.apache.spark.HashPartitioner(
+        s.sparkContext.defaultParallelism))
       val idx = IndexedRDD.updatable[(Long, Int), Double, Double](
-        pairs, (_, v) => v, (_, a, b) => math.max(a, b))
-      // probe the 3 lowest composite keys (deterministic at every SF)
-      val keys = Tables.orders(s, dir)
-        .select($"o_custkey", unix_date(to_date($"o_orderdate")).as("d")).distinct()
-        .orderBy($"o_custkey", $"d").limit(3).as[(Long, Int)].collect()
+        pairs, (_, v) => v, (_, a, b) => math.max(a, b)).cached
+      // probe the 3 lowest composite keys (deterministic at every SF) —
+      // a key-only pass over the freshly cached index, no parquet reread
+      val keys = idx.map(_._1).takeOrdered(3)
       idx.multiget(keys).toSeq
         .map { case ((c, d), t) => (c, d, t) }
         .toDF("o_custkey", "d", "max_price")
