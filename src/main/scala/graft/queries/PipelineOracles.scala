@@ -324,13 +324,14 @@ object PipelineOracles {
   /** The per-subspace PQ codebook chains (training + assignment + query
     * LUT), shared by the PQ and IVF-PQ oracles. Expects CTEs
     * vn(id, vn), samp(id, vn), qn(q). */
-  private def pqChainsSql(M: Int, sub: Int, ks: Int, iters: Int): String =
+  private def pqChainsSql(M: Int, sub: Int, ks: Int, iters: Int,
+      sampTable: String = "samp", rowTable: String = "vn"): String =
     (0 until M).map { mm =>
       val lo = mm * sub + 1; val hi = (mm + 1) * sub
       val it = (0 until iters)
         .map(t => lloydIterN(s"s$mm", s"p${mm}c$t", s"p${mm}c${t + 1}", sub))
         .mkString(",\n")
-      s"""s$mm AS (SELECT id, list_slice(vn, $lo, $hi) AS v FROM samp),
+      s"""s$mm AS (SELECT id, list_slice(vn, $lo, $hi) AS v FROM $sampTable),
          |p${mm}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
          |  FROM (SELECT id, v FROM s$mm ORDER BY id LIMIT $ks) init),
          |$it,
@@ -342,7 +343,7 @@ object PipelineOracles {
          |  SELECT n.id, c.cid,
          |    row_number() OVER (PARTITION BY n.id
          |      ORDER BY c.cc - 2.0 * ${dotN(s"list_slice(n.vn, $lo, $hi)", "c.cent", sub)}, c.cid) AS rn
-         |  FROM vn n, b$mm c) t WHERE rn = 1),
+         |  FROM $rowTable n, b$mm c) t WHERE rn = 1),
          |lut$mm AS (SELECT b.cid, ${dotN(s"list_slice(qn.q, $lo, $hi)", "b.cent", sub)} AS val
          |  FROM b$mm b, qn)""".stripMargin
     }.mkString(",\n")
@@ -354,10 +355,14 @@ object PipelineOracles {
   private def pqAdcSum(M: Int): String =
     (0 until M).map(mm => s"lut$mm.val").mkString(" + ")
 
+  // vn/samp MATERIALIZED: the PQ/IVF oracles reference them from every
+  // per-subspace chain, and DuckDB's default CTE inlining would re-open
+  // the parquet file once per expansion (fd exhaustion at 8 chains x
+  // residual indirection) — materializing computes each once
   private val vnPrefix =
     s"""vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |vn AS (SELECT id, list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS vn FROM vecs),
-       |samp AS (SELECT id, vn FROM vn ORDER BY id LIMIT 512),
+       |vn AS MATERIALIZED (SELECT id, list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS vn FROM vecs),
+       |samp AS MATERIALIZED (SELECT id, vn FROM vn ORDER BY id LIMIT 512),
        |qn AS (SELECT list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS q
        |       FROM vecs WHERE id = 7)""".stripMargin
 
@@ -392,20 +397,26 @@ object PipelineOracles {
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS cc
        |  FROM cc5),
-       |asgc AS (SELECT id, cid FROM (
+       |asgc AS MATERIALIZED (SELECT id, cid FROM (
        |  SELECT n.id, c.cid,
        |    row_number() OVER (PARTITION BY n.id
        |      ORDER BY c.cc - 2.0 * ${dotN("n.vn", "c.cent", 64)}, c.cid) AS rn
        |  FROM vn n, bcoarse c) t WHERE rn = 1),
+       |rvn AS MATERIALIZED (
+       |  SELECT n.id, list_transform(range(1, 65), i -> n.vn[i] - c.cent[i]) AS vn
+       |  FROM vn n JOIN asgc ON asgc.id = n.id JOIN bcoarse c ON c.cid = asgc.cid),
+       |rsamp AS MATERIALIZED (SELECT r.id, r.vn FROM rvn r JOIN samp s ON s.id = r.id),
        |probe AS (SELECT cid FROM (
        |  SELECT c.cid, ${sqN("c.cent", "qn.q", 64)} AS d FROM cc5 c, qn) t
        |  ORDER BY d, cid LIMIT 6),
-       |${pqChainsSql(8, 8, 16, 3)},
-       |adc AS (SELECT vn.id, ${pqAdcSum(8)} AS adc
+       |qc AS (SELECT c.cid, ${dotN("c.cent", "qn.q", 64)} AS val FROM cc5 c, qn),
+       |${pqChainsSql(8, 8, 16, 3, sampTable = "rsamp", rowTable = "rvn")},
+       |adc AS (SELECT vn.id, qc.val + (${pqAdcSum(8)}) AS adc
        |  FROM vn
        |  JOIN asgc ON asgc.id = vn.id JOIN probe ON probe.cid = asgc.cid
+       |  JOIN qc ON qc.cid = asgc.cid
        |  ${pqAdcJoins(8)}),
-       |short AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT 160)
+       |short AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT 320)
        |SELECT vec_id, cos FROM (
        |  SELECT s.id AS vec_id, ${dotN("vn.vn", "qn.q", 64)} AS cos
        |  FROM short s JOIN vn ON vn.id = s.id, qn
