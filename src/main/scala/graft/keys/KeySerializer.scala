@@ -136,6 +136,24 @@ object KeySerializer {
       new UUID(getLongBE(b, 0) ^ Long.MinValue, getLongBE(b, 8) ^ Long.MinValue)
   }
 
+  /** 16 bytes msb ‖ lsb, RAW big-endian (no sign flip): unsigned byte
+    * order == the UUID's CANONICAL-STRING (RFC 4122 hex) order — the
+    * order a SQL `min/max` over a uuid string column uses. This
+    * intentionally differs from [[UUIDSerializer]], whose flipped
+    * encoding tracks `java.util.UUID.compareTo`'s signed-long order
+    * (JDK-7025832); pick by which order the surrounding layer compares
+    * in. NOT the implicit — SQL uuid handles request it explicitly. */
+  object UuidLexSerializer extends KeySerializer[UUID] {
+    override def isOrderPreserving: Boolean = true // canonical-string order
+    def toBytes(k: UUID): Array[Byte] = {
+      val out = new Array[Byte](16)
+      putLongBE(out, 0, k.getMostSignificantBits)
+      putLongBE(out, 8, k.getLeastSignificantBits)
+      out
+    }
+    def fromBytes(b: Array[Byte]): UUID = new UUID(getLongBE(b, 0), getLongBE(b, 8))
+  }
+
   /** 4-byte first-component length prefix + a ‖ b. Prefix-free as long as
     * both component encodings are (the prefix pins a's extent; b inherits
     * its own prefix-freedom). */

@@ -52,6 +52,10 @@ object IndexedFrame {
       * relation must keep the filter "unhandled" so Spark re-applies the
       * original predicate above the probe. */
     def exactLiterals: Boolean = true
+    /** Key value back in the COLUMN's external Scala form (the inverse
+      * of `fromRow`'s normalization) — what a SQL literal of the column
+      * type converts from. */
+    def toExternalSql(k: Any): Any = k
   }
 
   private[sql] final class LongCodec(dt: DataType) extends KeyCodec[Long] {
@@ -68,6 +72,11 @@ object IndexedFrame {
         s"integral key literal required, got ${if (other == null) "null" else other.getClass}")
     }
     override def integral: Boolean = true
+    override def toExternalSql(k: Any): Any = dt match {
+      case LongType => k
+      case IntegerType => k.asInstanceOf[Long].toInt
+      case ShortType => k.asInstanceOf[Long].toShort
+    }
   }
 
   private[sql] object StringCodec extends KeyCodec[String] {
@@ -98,6 +107,7 @@ object IndexedFrame {
     }
     override def integral: Boolean = false
     override def exactLiterals: Boolean = false
+    override def toExternalSql(k: Any): Any = k.toString
   }
 
   /** An indexed table handle: the versioned index plus its SQL schema.
@@ -206,11 +216,16 @@ object IndexedFrame {
 
   /** Index by a STRING column holding canonical UUIDs: keys serialize
     * as 16 bytes (msb‖lsb) instead of 36 chars; pushed equality/IN
-    * routes into partition-pruned point reads. */
-  def indexUuid(df: DataFrame, keyCol: String,
+    * routes into partition-pruned point reads. Keys ride
+    * [[KeySerializer.UuidLexSerializer]] (raw big-endian, byte order ==
+    * canonical-string order), so `ordered = true` handles answer SQL
+    * `min/max(keyCol)` from radix descents in the STRING column's own
+    * order. */
+  def indexUuid(df: DataFrame, keyCol: String, ordered: Boolean = false,
       numPartitions: Int = 0): Handle[java.util.UUID] = {
     requireString(df, keyCol)
-    buildHandle(df, keyCol, UuidCodec, ordered = false, numPartitions)
+    buildHandle(df, keyCol, UuidCodec, ordered, numPartitions)(
+      implicitly[ClassTag[java.util.UUID]], KeySerializer.UuidLexSerializer)
   }
 
   /** COMPOSITE two-column key handle (reference treats Tuple2 keys as
@@ -443,7 +458,8 @@ object IndexedFrame {
       case "uuid" =>
         new Handle[java.util.UUID](
           graft.IndexedRDDIO.load[java.util.UUID, InternalRow](sc, path).cached,
-          keyCol, schema, ordered, UuidCodec)
+          keyCol, schema, ordered, UuidCodec)(
+          implicitly[ClassTag[java.util.UUID]], KeySerializer.UuidLexSerializer)
     }
   }
 
