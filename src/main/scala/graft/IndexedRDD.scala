@@ -476,6 +476,41 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     })
   }
 
+  /** MANY half-open key intervals served in ONE pass over the partition
+    * set: each partition scans every interval of its local index
+    * (O(depth + hits) per interval on radix layouts), instead of k
+    * unioned [[range]] RDDs costing k passes. Intervals must be
+    * DISJOINT — overlapping intervals would emit a row once per
+    * covering interval. Under a RangePartitioner (order-preserving
+    * serializer) prunes to partitions overlapping any interval. */
+  def multiRange(intervals: Seq[(K, K)])(implicit ser: KeySerializer[K]): RDD[(K, V)] = {
+    val ivs = intervals.toArray
+    if (ivs.isEmpty) return sparkContext.emptyRDD[(K, V)]
+    val base = partitioner match {
+      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _])
+          if ser.isOrderPreserving =>
+        val wanted = ivs.iterator.flatMap { case (f, t) =>
+          val lo = rp.getPartition(f)
+          val hi = rp.getPartition(t)
+          math.min(lo, hi) to math.max(lo, hi)
+        }.toSet
+        org.apache.spark.rdd.PartitionPruningRDD.create(partitionsRDD, wanted.contains)
+      case _ => partitionsRDD
+    }
+    val bytePairs = ivs.map { case (f, t) => (ser.toBytes(f), ser.toBytes(t)) }
+    base.mapPartitions(_.flatMap {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        ivs.iterator.flatMap { case (f, t) => r.range(f, t) }
+      case p => p.iterator.filter { case (k, _) =>
+        val kb = ser.toBytes(k)
+        bytePairs.exists { case (fb, tb) =>
+          java.util.Arrays.compareUnsigned(kb, fb) >= 0 &&
+            java.util.Arrays.compareUnsigned(kb, tb) < 0
+        }
+      }
+    })
+  }
+
   // ---------------------------------------------------------------------
   // Plumbing
   // ---------------------------------------------------------------------

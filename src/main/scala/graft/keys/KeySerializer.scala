@@ -28,10 +28,18 @@ trait KeySerializer[K] extends Serializable {
 
   /** True when unsigned byte order of encodings == the key type's
     * natural order. Fixed-width numeric encodings are (sign-flip);
-    * length-prefixed ones (String/BigInt/Tuple2) are NOT — a short key
-    * sorts by its length prefix first. Range operations that mix byte
-    * order with natural order must check this. */
+    * length-prefixed ones (String/BigInt) are NOT — a short key sorts
+    * by its length prefix first. Tuple2 encodings ARE when both
+    * components are fixed-width and order-preserving (the length
+    * prefix is then a constant). Range operations that mix byte order
+    * with natural order must check this. */
   def isOrderPreserving: Boolean = false
+
+  /** Encoded byte length when CONSTANT for every key, else None.
+    * Fixed width is what lets a composite encoding inherit order
+    * preservation: with constant component extents the tuple's byte
+    * order is the lexicographic component order. */
+  def fixedWidth: Option[Int] = None
 }
 
 object KeySerializer {
@@ -58,6 +66,7 @@ object KeySerializer {
   /** 8 bytes big-endian, sign bit flipped: byte order == numeric order. */
   implicit object LongSerializer extends KeySerializer[Long] {
     override def isOrderPreserving: Boolean = true
+    override def fixedWidth: Option[Int] = Some(8)
     def toBytes(k: Long): Array[Byte] = {
       val out = new Array[Byte](8); putLongBE(out, 0, k ^ Long.MinValue); out
     }
@@ -67,6 +76,7 @@ object KeySerializer {
   /** 4 bytes big-endian, sign bit flipped. */
   implicit object IntSerializer extends KeySerializer[Int] {
     override def isOrderPreserving: Boolean = true
+    override def fixedWidth: Option[Int] = Some(4)
     def toBytes(k: Int): Array[Byte] = {
       val out = new Array[Byte](4); putIntBE(out, 0, k ^ Int.MinValue); out
     }
@@ -76,6 +86,7 @@ object KeySerializer {
   /** 2 bytes big-endian, sign bit flipped. */
   implicit object ShortSerializer extends KeySerializer[Short] {
     override def isOrderPreserving: Boolean = true
+    override def fixedWidth: Option[Int] = Some(2)
     def toBytes(k: Short): Array[Byte] = {
       val v = k ^ Short.MinValue
       Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -87,6 +98,7 @@ object KeySerializer {
   /** 2 bytes big-endian (chars are unsigned; no flip needed). */
   implicit object CharSerializer extends KeySerializer[Char] {
     override def isOrderPreserving: Boolean = true
+    override def fixedWidth: Option[Int] = Some(2)
     def toBytes(k: Char): Array[Byte] =
       Array(((k >>> 8) & 0xff).toByte, (k & 0xff).toByte)
     def fromBytes(b: Array[Byte]): Char =
@@ -126,6 +138,7 @@ object KeySerializer {
   /** 16 bytes: msb ‖ lsb, each sign-flipped big-endian. */
   implicit object UUIDSerializer extends KeySerializer[UUID] {
     override def isOrderPreserving: Boolean = true
+    override def fixedWidth: Option[Int] = Some(16)
     def toBytes(k: UUID): Array[Byte] = {
       val out = new Array[Byte](16)
       putLongBE(out, 0, k.getMostSignificantBits ^ Long.MinValue)
@@ -145,6 +158,7 @@ object KeySerializer {
     * in. NOT the implicit — SQL uuid handles request it explicitly. */
   object UuidLexSerializer extends KeySerializer[UUID] {
     override def isOrderPreserving: Boolean = true // canonical-string order
+    override def fixedWidth: Option[Int] = Some(16)
     def toBytes(k: UUID): Array[Byte] = {
       val out = new Array[Byte](16)
       putLongBE(out, 0, k.getMostSignificantBits)
@@ -163,6 +177,18 @@ object KeySerializer {
 
   class Tuple2Serializer[A, B](aSer: KeySerializer[A], bSer: KeySerializer[B])
       extends KeySerializer[(A, B)] {
+    /** With BOTH components fixed-width, the length prefix is a
+      * constant and every encoding aligns: unsigned byte order ==
+      * lexicographic (a, b) order whenever the components preserve
+      * their own orders. (With a variable-width first component the
+      * prefix sorts short `a`s first — NOT lexicographic — so this
+      * stays false.) Enables partition pruning for tuple ranges on
+      * RangePartitioner layouts (IndexedRDD.range/multiRange). */
+    override def isOrderPreserving: Boolean =
+      aSer.fixedWidth.isDefined && bSer.fixedWidth.isDefined &&
+        aSer.isOrderPreserving && bSer.isOrderPreserving
+    override def fixedWidth: Option[Int] =
+      for (a <- aSer.fixedWidth; b <- bSer.fixedWidth) yield 4 + a + b
     def toBytes(k: (A, B)): Array[Byte] = {
       val a = aSer.toBytes(k._1)
       val b = bSer.toBytes(k._2)

@@ -100,4 +100,28 @@ class KeySerializerSpec extends AnyFunSuite {
     val gNested = Gen.zip(Gen.zip(Gen.choose(-100, 100), Gen.identifier), Gen.long)
     check(roundTrips[((Int, String), Long)](gNested))
   }
+
+  test("Tuple2: fixed-width components make byte order lexicographic; variable-width do not claim it") {
+    // the law itself: byte order == lexicographic (a, b) order
+    check(orderPreserving[(Long, Long)](Gen.zip(Gen.long, Gen.long),
+      (x, y) => Ordering[(Long, Long)].compare(x, y)))
+    check(orderPreserving[(Int, Short)](
+      Gen.zip(Gen.choose(Int.MinValue, Int.MaxValue),
+        Gen.choose(Short.MinValue, Short.MaxValue).map(_.toShort)),
+      (x, y) => Ordering[(Int, Short)].compare(x, y)))
+    // flags: claimed exactly when both components are fixed-width
+    assert(KeySerializer[(Long, Long)].isOrderPreserving)
+    assert(KeySerializer[(Long, Long)].fixedWidth === Some(4 + 8 + 8))
+    assert(KeySerializer[(Int, Short)].isOrderPreserving)
+    // a variable-width FIRST component sorts by its length prefix
+    // first — not lexicographic, so the flag must stay off
+    assert(!KeySerializer[(String, Long)].isOrderPreserving)
+    assert(KeySerializer[(String, Long)].fixedWidth === None)
+    assert(!KeySerializer[(Long, String)].isOrderPreserving)
+    // nested fixed-width tuples inherit (constant inner prefix)
+    assert(KeySerializer[((Long, Long), Int)].isOrderPreserving)
+    check(orderPreserving[((Long, Long), Int)](
+      Gen.zip(Gen.zip(Gen.long, Gen.long), Gen.choose(Int.MinValue, Int.MaxValue)),
+      (x, y) => Ordering[((Long, Long), Int)].compare(x, y)))
+  }
 }
