@@ -358,6 +358,61 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_range_composite2" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // MIXED composite pushdown: leading-column IN + second-column
+      // range routes into one multiRange pass — one disjoint
+      // (a, [bFrom, bTo)) trie interval per leading value, NOT a full
+      // scan and NOT a driver-side cross product
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexComposite(df, "c_bucket", "c_custkey",
+        ordered = true)
+      // (scan kind is set at execution; IndexedFrameSpec asserts this
+      // exact shape takes the "range" lane, not point or full)
+      h.toDF.filter($"c_bucket".isin(10L, 11L) && $"c_custkey".between(40L, 130L))
+        .select($"c_bucket", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_frame_load_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // composite-handle persistence: save an ORDERED two-column
+      // handle, reload it (both key columns + orderedness + partitioner
+      // re-attached, no rebuild), then serve a pushed POINT and a
+      // pushed LEADING-RANGE from the reloaded copy
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexComposite(df, "c_bucket", "c_custkey",
+        ordered = true)
+      val path = registerTempDirForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_sql_frame_load_composite"))
+      graft.sql.IndexedFrame.save(h, path)
+      val loaded = graft.sql.IndexedFrame.loadComposite(s, path)
+      val range = loaded.toDF.filter($"c_bucket".between(10L, 12L))
+        .select($"c_bucket", $"c_custkey", $"c_acctbal")
+      val point = loaded.toDF
+        .filter($"c_bucket" === 17L && $"c_custkey".isin(17L, 117L, 999917L))
+        .select($"c_bucket", $"c_custkey", $"c_acctbal")
+      range.unionAll(point)
+    },
+
+    "ir_sql_minmax_uuid" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // key extrema on an ordered UUID handle: min/max(c_uuid) are
+      // O(depth) radix descents over the 16-byte lexicographic key,
+      // converted back to the canonical string — no scan (previously
+      // the one place the SQL layer silently fell back to a scan)
+      graft.sql.IndexedAgg.enable(s)
+      val withUuid = Tables.customer(s, dir).withColumn("c_uuid",
+        format_string("00000000-0000-4000-8000-%012d", $"c_custkey"))
+      val h = graft.sql.IndexedFrame.indexUuid(withUuid, "c_uuid", ordered = true)
+      h.toDF.agg(count(lit(1)).as("cnt"),
+        min($"c_uuid").as("min_uuid"), max($"c_uuid").as("max_uuid"))
+    },
+
     "ir_sql_pointget_uuid" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -643,6 +698,23 @@ object OperatorQueries {
       """SELECT printf('00000000-0000-4000-8000-%012d', c_custkey) AS c_uuid,
         |       c_custkey, c_acctbal
         |FROM customer WHERE c_custkey IN (2, 17)""".stripMargin,
+
+    "ir_sql_range_composite2" ->
+      """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 100 IN (10, 11) AND c_custkey BETWEEN 40 AND 130""".stripMargin,
+
+    "ir_sql_frame_load_composite" ->
+      """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 100 BETWEEN 10 AND 12
+        |UNION ALL
+        |SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 100 = 17 AND c_custkey IN (17, 117, 999917)""".stripMargin,
+
+    "ir_sql_minmax_uuid" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  min(printf('00000000-0000-4000-8000-%012d', c_custkey)) AS min_uuid,
+        |  max(printf('00000000-0000-4000-8000-%012d', c_custkey)) AS max_uuid
+        |FROM customer""".stripMargin,
 
     "ir_sql_range_partitioned" ->
       """SELECT c_custkey, c_acctbal FROM customer

@@ -11,7 +11,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
 
 /**
  * No-scan aggregate STATS through SQL: on an indexed handle,
@@ -43,11 +42,13 @@ object IndexedAgg {
 
   object IndexedCountStrategy extends SparkStrategy {
 
-    /** A bare indexed relation under attribute-only Projects — a
-      * Filter anywhere disqualifies (rows would need inspection). */
-    private def bareRelation(p: LogicalPlan): Option[IndexedFrame.Handle[_]] = p match {
+    /** A bare indexed relation (single-key OR composite) under
+      * attribute-only Projects — a Filter anywhere disqualifies (rows
+      * would need inspection). */
+    private def bareRelation(p: LogicalPlan): Option[IndexedFrame.StatsCapable] = p match {
       case lr: LogicalRelation => lr.relation match {
         case rel: IndexedFrame.IndexedRelation[_] => Some(rel.h)
+        case rel: IndexedFrame.CompositeRelation => Some(rel.h)
         case _ => None
       }
       case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>
@@ -55,24 +56,19 @@ object IndexedAgg {
       case _ => None
     }
 
-    /** Key types whose external value converts to a catalyst literal
-      * directly (UUID handles carry a non-catalyst driver type). */
-    private def keyTypeSupported(h: IndexedFrame.Handle[_]): Boolean =
-      h.schema(h.keyCol).dataType match {
-        case LongType | IntegerType | ShortType | StringType => true
-        case _ => false
-      }
-
-    private def statOf(a: Alias, h: IndexedFrame.Handle[_]): Option[Stat] = a.child match {
+    private def statOf(a: Alias, h: IndexedFrame.StatsCapable): Option[Stat] = a.child match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(1, _))) => Some(CountStat)
+          // min/max of exactly the column whose natural order the index
+          // serves (ordered single-key handles with an order-preserving
+          // serializer — UUID handles included, their extremum converts
+          // back to the canonical string; composite handles' LEADING
+          // column). Everything else scans via the default planner.
           case Min(k: AttributeReference)
-              if k.name == h.keyCol && h.ordered && h.orderPreservingKey &&
-                keyTypeSupported(h) => Some(MinStat)
+              if h.statsKeyCol.contains(k.name) => Some(MinStat)
           case Max(k: AttributeReference)
-              if k.name == h.keyCol && h.ordered && h.orderPreservingKey &&
-                keyTypeSupported(h) => Some(MaxStat)
+              if h.statsKeyCol.contains(k.name) => Some(MaxStat)
           case _ => None
         }
       case _ => None
@@ -96,23 +92,26 @@ object IndexedAgg {
 
   /** One row of index-answered stats: count = Σ partition sizes
     * (partition objects only, O(1) each); min/max key = one O(depth)
-    * radix descent per partition, combined on the driver. */
+    * radix descent per partition, combined on the driver. Extrema
+    * arrive in the column's EXTERNAL Scala form (the handle's codec
+    * already inverted any key normalization — UUID → canonical string,
+    * Int/Short keys narrowed back from Long) and convert to catalyst
+    * through the output attribute's own type. */
   case class IndexedStatsExec(output: Seq[Attribute],
-      h: IndexedFrame.Handle[_], stats: Seq[Stat]) extends LeafExecNode {
+      h: IndexedFrame.StatsCapable, stats: Seq[Stat]) extends LeafExecNode {
 
     override protected def doExecute(): RDD[InternalRow] = {
-      h.lastScanKind = "stats"
-      val keyType = h.schema(h.keyCol).dataType
-      val toCatalyst = CatalystTypeConverters.createToCatalystConverter(keyType)
+      h.markStats()
       // ONE job answers every requested stat (4 jobs/query measured 2x
       // the whole micro's latency when issued separately)
       val (count, mn, mx) =
-        if (stats.exists(s => s == MinStat || s == MaxStat)) h.keyStatsAny()
-        else (h.idx.count(), None, None)
-      val values: Seq[Any] = stats.map {
-        case CountStat => count
-        case MinStat => mn.map(toCatalyst).orNull
-        case MaxStat => mx.map(toCatalyst).orNull
+        h.statsAll(stats.exists(s => s == MinStat || s == MaxStat))
+      val values: Seq[Any] = stats.zip(output).map {
+        case (CountStat, _) => count
+        case (MinStat, a) =>
+          mn.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
+        case (MaxStat, a) =>
+          mx.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
       }
       val types = output.map(_.dataType)
       sparkContext.parallelize(Seq(values), 1).mapPartitions { it =>

@@ -110,6 +110,22 @@ object IndexedFrame {
     override def toExternalSql(k: Any): Any = k.toString
   }
 
+  /** The stats surface [[IndexedAgg]] plans against, implemented by
+    * single-key AND composite handles: `count(*)` from index sizes and
+    * — when the index can answer them in the column's natural order —
+    * `min/max` of ONE column from O(depth) radix descents, already
+    * converted to the column's external Scala form (a SQL literal of
+    * the column type converts from it directly; UUID handles hand back
+    * the canonical string, Int/Short keys narrow back from Long). */
+  private[sql] trait StatsCapable {
+    /** Column whose min/max the index answers in natural order, if any. */
+    private[sql] def statsKeyCol: Option[String]
+    /** (count, min, max) in ONE job; extrema only when requested AND
+      * [[statsKeyCol]] is defined, in external SQL form. */
+    private[sql] def statsAll(withExtrema: Boolean): (Long, Option[Any], Option[Any])
+    private[sql] def markStats(): Unit
+  }
+
   /** An indexed table handle: the versioned index plus its SQL schema.
     * `lastScanKind` records, for observability and tests, how the most
     * recent scan was served: "point" / "range" / "full"; for point
@@ -118,7 +134,7 @@ object IndexedFrame {
       val schema: StructType, val ordered: Boolean,
       private[sql] val codec: KeyCodec[K])(
       implicit private[sql] val kTag: ClassTag[K],
-      private[sql] val kSer: KeySerializer[K]) extends Serializable {
+      private[sql] val kSer: KeySerializer[K]) extends Serializable with StatsCapable {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
@@ -126,11 +142,21 @@ object IndexedFrame {
 
     /** Index-answered key extrema (no scan on radix layouts) — natural
       * order only when the serializer is order-preserving, which the
-      * stats pushdown checks via [[orderPreservingKey]]. */
+      * stats pushdown checks via [[statsKeyCol]]. */
     private[sql] def minKeyAny(): Option[Any] = idx.minKey()(kSer)
     private[sql] def maxKeyAny(): Option[Any] = idx.maxKey()(kSer)
     private[sql] def keyStatsAny(): (Long, Option[Any], Option[Any]) = idx.keyStats()(kSer)
     private[sql] def orderPreservingKey: Boolean = kSer.isOrderPreserving
+
+    override private[sql] def statsKeyCol: Option[String] =
+      if (ordered && kSer.isOrderPreserving) Some(keyCol) else None
+    override private[sql] def statsAll(
+        withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
+      if (withExtrema) {
+        val (c, mn, mx) = keyStatsAny()
+        (c, mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
+      } else (idx.count(), None, None)
+    override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
 
     /** Copy-on-write upsert of full (external) rows, returning a new
       * handle that shares partition structure with this one. */
@@ -246,19 +272,35 @@ object IndexedFrame {
       val keyColA: String, val keyColB: String, val schema: StructType,
       val ordered: Boolean,
       private[sql] val codecA: LongCodec, private[sql] val codecB: LongCodec)
-      extends Serializable {
+      extends Serializable with StatsCapable {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
+
+    private[sql] implicit val tupSer: KeySerializer[(Long, Long)] =
+      KeySerializer.tuple2Serializer[Long, Long]
+
+    /** Fixed-width components give the tuple encoding a CONSTANT length
+      * prefix, so unsigned byte order == lexicographic (a, b) order: the
+      * byte-extreme tuple's first component IS the leading column's
+      * natural extremum. min/max of the SECOND column alone are not
+      * index-answerable and fall through to the default planner. */
+    override private[sql] def statsKeyCol: Option[String] =
+      if (ordered) Some(keyColA) else None
+    override private[sql] def statsAll(
+        withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
+      if (withExtrema) {
+        val (c, mn, mx) = idx.keyStats()
+        (c, mn.map(t => codecA.toExternalSql(t._1)), mx.map(t => codecA.toExternalSql(t._1)))
+      } else (idx.count(), None, None)
+    override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
 
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeRelation(this)(spark.sqlContext))
   }
 
-  /** Index a DataFrame by TWO integral key columns (composite key,
-    * uniqueness enforced over the pair, last write wins). `ordered=true`
-    * builds radix partitions so leading-column ranges push down. */
-  def indexComposite(df: DataFrame, keyColA: String, keyColB: String,
-      ordered: Boolean = false, numPartitions: Int = 0): CompositeHandle = {
+  /** Shared composite build front: codecs + keyed internal-row pairs. */
+  private def compositePairs(df: DataFrame, keyColA: String, keyColB: String):
+      (LongCodec, LongCodec, RDD[((Long, Long), InternalRow)]) = {
     def longCodec(c: String): LongCodec = codecFor(df.schema, c) match {
       case lc: LongCodec => lc
       case _ => throw new IllegalArgumentException(
@@ -272,12 +314,49 @@ object IndexedFrame {
           s"null key in composite ($keyColA, $keyColB)")
       ((ca.fromRow(r, ia), cb.fromRow(r, ib)), r.copy(): InternalRow)
     })
+    (ca, cb, raw)
+  }
+
+  /** Index a DataFrame by TWO integral key columns (composite key,
+    * uniqueness enforced over the pair, last write wins). `ordered=true`
+    * builds radix partitions so leading-column ranges push down. */
+  def indexComposite(df: DataFrame, keyColA: String, keyColB: String,
+      ordered: Boolean = false, numPartitions: Int = 0): CompositeHandle = {
+    val (ca, cb, raw) = compositePairs(df, keyColA, keyColB)
     val p =
       if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
       else raw
     val idx = if (ordered) graft.IndexedRDD.ordered(p) else graft.IndexedRDD(p)
     new CompositeHandle(idx.cached, keyColA, keyColB, df.schema, ordered, ca, cb)
   }
+
+  /** RANGE-PARTITIONED composite handle: (a, b) pairs globally sorted
+    * in lexicographic order across `numPartitions` partitions with a
+    * radix tree inside each. The fixed-width tuple serializer is
+    * order-preserving, so pushed leading-column intervals AND the
+    * a-point × b-range mixed lane prune PARTITIONS
+    * (IndexedRDD.range/multiRange under a RangePartitioner) before
+    * descending the per-partition tries — O(range) tasks at 100 TB,
+    * the composite twin of [[indexRangePartitioned]]. */
+  def indexCompositeRangePartitioned(df: DataFrame, keyColA: String,
+      keyColB: String, numPartitions: Int): CompositeHandle = {
+    val (ca, cb, raw) = compositePairs(df, keyColA, keyColB)
+    implicit val tupSer: KeySerializer[(Long, Long)] =
+      KeySerializer.tuple2Serializer[Long, Long]
+    val idx = graft.IndexedRDD.rangePartitioned(raw, numPartitions)
+    new CompositeHandle(idx.cached, keyColA, keyColB, df.schema,
+      ordered = true, ca, cb)
+  }
+
+  /** Driver-side probe budgets for the composite relation: above
+    * [[PointKeyBudget]] cross-product keys the point lane bails (two
+    * 10k-element IN lists would otherwise ship 10^8 probe keys to the
+    * executors); above [[MixedLeadCap]] distinct leading values the
+    * mixed a-point × b-range lane bails. Bailing is always sound —
+    * the filters stay "unhandled" and Spark re-applies them above the
+    * wider lane that serves instead. */
+  private[sql] val PointKeyBudget = 10000L
+  private[sql] val MixedLeadCap = 64
 
   private[sql] class CompositeRelation(private[sql] val h: CompositeHandle)(
       @transient override val sqlContext: SQLContext)
@@ -320,45 +399,111 @@ object IndexedFrame {
       }
     }
 
-    private def bothPoint(filters: Array[Filter]): Boolean =
-      filters.exists(f => pointKeysOn(h.keyColA, h.codecA, f).isDefined) &&
-        filters.exists(f => pointKeysOn(h.keyColB, h.codecB, f).isDefined)
+    /** SECOND-column interval [from, to) from one pushed RANGE filter
+      * (equality on b rides the point lane, not this one). Same
+      * conventions as [[leadBounds]]: half-open, (MaxValue, MinValue)
+      * empty marker, to == MaxValue means unbounded above. */
+    private def bBounds(f: Filter): Option[(Long, Long)] = {
+      def lit(v: Any): Long = h.codecB.fromLiteral(v)
+      f match {
+        case GreaterThan(h.keyColB, v) if v != null =>
+          if (lit(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue))
+          else Some((lit(v) + 1, Long.MaxValue))
+        case GreaterThanOrEqual(h.keyColB, v) if v != null => Some((lit(v), Long.MaxValue))
+        case LessThan(h.keyColB, v) if v != null => Some((Long.MinValue, lit(v)))
+        case LessThanOrEqual(h.keyColB, v) if v != null =>
+          Some((Long.MinValue, if (lit(v) == Long.MaxValue) Long.MaxValue else lit(v) + 1))
+        case _ => None
+      }
+    }
+
+    /** The access path for one pushed filter set. `unhandledFilters`
+      * and `buildScan` both route through this, so the filters the
+      * relation CLAIMS are exactly the ones the chosen lane ENFORCES. */
+    private sealed trait Lane
+    private case class PointLane(as: Set[Long], bs: Set[Long]) extends Lane
+    /** a ∈ as (≤ [[MixedLeadCap]]) × b ∈ [bFrom, bTo): one disjoint
+      * trie interval per leading value, served in one multiRange pass. */
+    private case class MixedLane(as: Seq[Long], bFrom: Long, bTo: Long) extends Lane
+    private case class LeadLane(from: Long, to: Long) extends Lane
+    private case object FullLane extends Lane
+
+    private def chooseLane(filters: Array[Filter]): Lane = {
+      val aSets = filters.flatMap(pointKeysOn(h.keyColA, h.codecA, _))
+      val bSets = filters.flatMap(pointKeysOn(h.keyColB, h.codecB, _))
+      val bRanges = if (h.ordered) filters.flatMap(bBounds) else Array.empty[(Long, Long)]
+      val leads = if (h.ordered) filters.flatMap(leadBounds) else Array.empty[(Long, Long)]
+      lazy val as = aSets.reduce(_ intersect _)
+      if (aSets.nonEmpty && bSets.nonEmpty) {
+        val bs = bSets.reduce(_ intersect _)
+        if (as.size.toLong * bs.size <= PointKeyBudget) return PointLane(as, bs)
+      }
+      if (aSets.nonEmpty && bRanges.nonEmpty && as.size <= MixedLeadCap) {
+        val bFrom = bRanges.map(_._1).max
+        val bTo = bRanges.map(_._2).min
+        return MixedLane(as.toSeq.sorted, bFrom, bTo)
+      }
+      if (leads.nonEmpty) LeadLane(leads.map(_._1).max, leads.map(_._2).min)
+      else FullLane
+    }
 
     override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-      if (bothPoint(filters))
-        // multiget enforces every pushed point filter exactly (AND
-        // semantics via set intersection + cross product); ranges
-        // pushed alongside are re-applied by Spark above the probe
-        filters.filter(f => pointKeysOn(h.keyColA, h.codecA, f).isEmpty &&
-          pointKeysOn(h.keyColB, h.codecB, f).isEmpty)
-      else if (h.ordered)
-        // leading-column intervals (equality included) are enforced
-        // exactly by the trie range scan; everything else re-applies
-        filters.filter(f => leadBounds(f).isEmpty)
-      else filters
+      chooseLane(filters) match {
+        case _: PointLane =>
+          // multiget enforces every pushed point filter exactly (AND
+          // semantics via set intersection + cross product); ranges
+          // pushed alongside are re-applied by Spark above the probe
+          filters.filter(f => pointKeysOn(h.keyColA, h.codecA, f).isEmpty &&
+            pointKeysOn(h.keyColB, h.codecB, f).isEmpty)
+        case _: MixedLane =>
+          // a-point sets (intersected) and b-intervals (intersected)
+          // are enforced exactly by the per-leading-value trie scans
+          filters.filter(f => pointKeysOn(h.keyColA, h.codecA, f).isEmpty &&
+            bBounds(f).isEmpty)
+        case _: LeadLane =>
+          // leading-column intervals (equality included) are enforced
+          // exactly by the trie range scan; everything else re-applies
+          filters.filter(f => leadBounds(f).isEmpty)
+        case FullLane => filters
+      }
+
+    /** Rows of one leading-column tuple interval, corner-completed:
+      * range() is half-open, so an unbounded-above second component
+      * (bTo == MaxValue) needs the exact (a, MaxValue) probes too. */
+    private def emptyInterval(from: Long, to: Long): Boolean =
+      from >= to && !(from == Long.MaxValue && to == Long.MaxValue)
 
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
-      val aSets = filters.flatMap(pointKeysOn(h.keyColA, h.codecA, _))
-      val bSets = filters.flatMap(pointKeysOn(h.keyColB, h.codecB, _))
-      val bounds = if (h.ordered) filters.flatMap(leadBounds) else Array.empty[(Long, Long)]
-      implicit val tupSer: KeySerializer[(Long, Long)] =
-        KeySerializer.tuple2Serializer[Long, Long]
-      val rows: RDD[InternalRow] =
-        if (aSets.nonEmpty && bSets.nonEmpty) {
-          val as = aSets.reduce(_ intersect _)
-          val bs = bSets.reduce(_ intersect _)
+      import h.tupSer
+      val rows: RDD[InternalRow] = chooseLane(filters) match {
+        case PointLane(as, bs) =>
           val keys = (for (a <- as; b <- bs) yield (a, b)).toArray
           h.lastScanKind = "point"
           h.lastPointLookupKeys = keys.length
           val hit = h.idx.multiget(keys).values.toSeq
           sqlContext.sparkContext.parallelize(hit, 1)
-        } else if (bounds.nonEmpty) {
-          val from = bounds.map(_._1).max
-          val to = bounds.map(_._2).min
+        case MixedLane(as, bFrom, bTo) =>
           h.lastScanKind = "range"
           h.lastPointLookupKeys = -1
-          if (from >= to && !(from == Long.MaxValue && to == Long.MaxValue)) {
+          if (emptyInterval(bFrom, bTo) || as.isEmpty) {
+            sqlContext.sparkContext.emptyRDD[InternalRow]
+          } else {
+            // one disjoint tuple interval per leading value — a single
+            // multiRange pass, each interval one O(depth) trie descent
+            val body = h.idx.multiRange(as.map(a => ((a, bFrom), (a, bTo)))).map(_._2)
+            if (bTo == Long.MaxValue) {
+              val corner = h.idx.multiget(as.map(a => (a, Long.MaxValue)).toArray)
+                .values.toSeq
+              if (corner.nonEmpty)
+                body.union(sqlContext.sparkContext.parallelize(corner, 1))
+              else body
+            } else body
+          }
+        case LeadLane(from, to) =>
+          h.lastScanKind = "range"
+          h.lastPointLookupKeys = -1
+          if (emptyInterval(from, to)) {
             sqlContext.sparkContext.emptyRDD[InternalRow]
           } else {
             // tuple byte range [(from, min), (to, min)) covers every
@@ -379,11 +524,11 @@ object IndexedFrame {
               else all
             } else body
           }
-        } else {
+        case FullLane =>
           h.lastScanKind = "full"
           h.lastPointLookupKeys = -1
           h.idx.map(_._2)
-        }
+      }
       val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
         BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable))
       rows.mapPartitions { it =>
@@ -433,6 +578,50 @@ object IndexedFrame {
     } finally out.close()
   }
 
+  /** Persist a COMPOSITE handle: same one-file-per-partition index
+    * layout as the single-key [[save]], with a `_frame` meta tagged
+    * "composite" carrying BOTH key columns + orderedness. Reload with
+    * [[loadComposite]] — point, leading-range, and mixed pushdown all
+    * work immediately from the reloaded copy, no rebuild. */
+  def save(h: CompositeHandle, path: String): Unit = {
+    graft.IndexedRDDIO.save(
+      h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      org.apache.spark.graftbridge.ConfBridge.broadcast(
+        h.idx.sparkContext).value)
+    val out = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_frame"), true))
+    try {
+      out.writeObject(h.keyColA); out.writeBoolean(h.ordered)
+      out.writeObject("composite"); out.writeObject(h.schema.json)
+      out.writeObject(h.keyColB)
+    } finally out.close()
+  }
+
+  /** Reload a composite handle saved by [[save(h:CompositeHandle*]]. */
+  def loadComposite(spark: SparkSession, path: String): CompositeHandle = {
+    val sc = spark.sparkContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri, sc.hadoopConfiguration)
+    val in = new java.io.ObjectInputStream(fs.open(
+      new org.apache.hadoop.fs.Path(path, "_frame")))
+    val (keyColA, ordered, tag, schemaJson, keyColB) =
+      try (in.readObject().asInstanceOf[String], in.readBoolean(),
+        in.readObject().asInstanceOf[String], in.readObject().asInstanceOf[String],
+        in.readObject().asInstanceOf[String])
+      finally in.close()
+    require(tag == "composite", s"not a composite handle at $path (tag '$tag'); use load")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    def longCodec(c: String): LongCodec = codecFor(schema, c).asInstanceOf[LongCodec]
+    implicit val tupSer: KeySerializer[(Long, Long)] =
+      KeySerializer.tuple2Serializer[Long, Long]
+    new CompositeHandle(
+      graft.IndexedRDDIO.load[(Long, Long), InternalRow](sc, path).cached,
+      keyColA, keyColB, schema, ordered, longCodec(keyColA), longCodec(keyColB))
+  }
+
   /** Reload a saved handle (see [[save]]); the key type is restored
     * from the saved codec tag. */
   def load(spark: SparkSession, path: String): Handle[_] = {
@@ -460,6 +649,8 @@ object IndexedFrame {
           graft.IndexedRDDIO.load[java.util.UUID, InternalRow](sc, path).cached,
           keyCol, schema, ordered, UuidCodec)(
           implicitly[ClassTag[java.util.UUID]], KeySerializer.UuidLexSerializer)
+      case "composite" => throw new IllegalArgumentException(
+        s"composite handle at $path: use loadComposite")
     }
   }
 

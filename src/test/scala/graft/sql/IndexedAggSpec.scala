@@ -75,6 +75,66 @@ class IndexedAggSpec extends AnyFunSuite {
     assert(q2.as[Double].head() === exp._2)
   }
 
+  test("min/max of a UUID key on an ordered handle are index descents, no scan") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val withUuid = spark.read.parquet(s"$dir/customer.parquet").withColumn("c_uuid",
+      format_string("00000000-0000-4000-8000-%012d", $"c_custkey"))
+    val h = IndexedFrame.indexUuid(withUuid, "c_uuid", ordered = true)
+    val q = h.toDF.agg(count(lit(1)).as("cnt"),
+      min($"c_uuid").as("mn"), max($"c_uuid").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedStats"), s"expected IndexedStatsExec in:\n$plan")
+    val exp = withUuid.agg(count(lit(1)), min($"c_uuid"), max($"c_uuid"))
+      .as[(Long, String, String)].head()
+    assert(q.as[(Long, String, String)].head() === exp)
+    assert(h.lastScanKind === "stats")
+    // non-ordered uuid handles fall back to the scanning planner
+    val hu = IndexedFrame.indexUuid(withUuid, "c_uuid")
+    val q2 = hu.toDF.agg(min($"c_uuid").as("mn"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(q2.as[String].head() === exp._2)
+  }
+
+  test("min/max of the LEADING composite key column are index descents; second column falls back") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val df = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+    val h = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey", ordered = true)
+    val q = h.toDF.agg(count(lit(1)).as("cnt"),
+      min($"c_bucket").as("mn"), max($"c_bucket").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedStats"), s"expected IndexedStatsExec in:\n$plan")
+    val exp = df.agg(count(lit(1)), min($"c_bucket"), max($"c_bucket"))
+      .as[(Long, Long, Long)].head()
+    assert(q.as[(Long, Long, Long)].head() === exp)
+    assert(h.lastScanKind === "stats")
+    // only the LEADING column's order matches the tuple byte order:
+    // min/max of the second column must scan
+    val q2 = h.toDF.agg(min($"c_custkey").as("mn"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(q2.as[Long].head() === df.agg(min($"c_custkey")).as[Long].head())
+    // count alone on a NON-ordered composite handle still plans no-scan
+    val hu = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey")
+    val qc = hu.toDF.agg(count(lit(1)).as("cnt"))
+    assert(qc.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qc.as[Long].head() === df.count())
+  }
+
+  test("min/max of an Int-typed key narrows back through the codec") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val df = spark.read.parquet(s"$dir/customer.parquet")
+      .withColumn("c_key32", $"c_custkey".cast("int"))
+    val h = IndexedFrame.index(df, "c_key32", ordered = true)
+    val q = h.toDF.agg(min($"c_key32").as("mn"), max($"c_key32").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedStats"), s"expected IndexedStatsExec in:\n$plan")
+    val exp = df.agg(min($"c_key32"), max($"c_key32")).as[(Int, Int)].head()
+    assert(q.as[(Int, Int)].head() === exp)
+  }
+
   test("a filtered count falls through to the default planner") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val h = customerHandle()

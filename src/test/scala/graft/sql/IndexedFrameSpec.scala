@@ -256,4 +256,110 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.toDF.filter($"k" === 500L).count() === 1)
     assert(h.toDF.count() === 1000)
   }
+
+  test("composite handle: a-equality + b-range routes into per-leading trie scans") {
+    val df = cust.withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+    val h = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey", ordered = true)
+    // single leading value + second-column interval: ONE contiguous
+    // (a, [bFrom, bTo)) trie range, not a prefix scan over all of a=17
+    val out = h.toDF.filter($"c_bucket" === 17L && $"c_custkey".between(100L, 600L))
+      .select($"c_custkey").as[Long].collect().toSet
+    val expect = df.filter($"c_bucket" === 17L && $"c_custkey".between(100L, 600L))
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(out === expect && out.nonEmpty)
+    assert(h.lastScanKind === "range")
+    // IN on the leading column × b-range: one disjoint interval per
+    // leading value, served in one multiRange pass
+    val multi = h.toDF.filter($"c_bucket".isin(10L, 11L, 12L) && $"c_custkey" >= 50L)
+      .select($"c_bucket", $"c_custkey").as[(Long, Long)].collect().toSet
+    val multiExpect = df.filter($"c_bucket".isin(10L, 11L, 12L) && $"c_custkey" >= 50L)
+      .select($"c_bucket", $"c_custkey").as[(Long, Long)].collect().toSet
+    assert(multi === multiExpect && multi.nonEmpty)
+    assert(h.lastScanKind === "range")
+    // unbounded-above b-range keeps the (a, MaxValue) corner
+    val corner = Seq((1L, 5L, "a"), (1L, Long.MaxValue, "b"), (2L, 9L, "c"))
+      .toDF("a", "b", "v")
+    val hc = IndexedFrame.indexComposite(corner, "a", "b", ordered = true)
+    val got = hc.toDF.filter($"a" === 1L && $"b" >= 5L)
+      .select($"v").as[String].collect().toSet
+    assert(got === Set("a", "b"), "mixed lane lost the (a, MaxValue) corner")
+    assert(hc.lastScanKind === "range")
+    // empty b-interval short-circuits to zero rows
+    assert(hc.toDF.filter($"a" === 1L && $"b" > 10L && $"b" < 5L).count() === 0)
+  }
+
+  test("composite handle: oversized IN cross products bail out of the point lane") {
+    val df = cust.withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+    val h = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey", ordered = true)
+    // 200 x 200 = 40k pushed pairs > the 10k probe budget: the relation
+    // must NOT build the cross product on the driver — it declares the
+    // filters unhandled and serves a wider lane with Spark re-applying
+    val as = (0L until 200L).map(Long.box)
+    val bs = (1L to 200L).map(Long.box)
+    val q = h.toDF.filter($"c_bucket".isin(as: _*) && $"c_custkey".isin(bs: _*))
+      .select($"c_bucket", $"c_custkey").as[(Long, Long)].collect().toSet
+    assert(h.lastScanKind !== "point")
+    val expect = df.filter($"c_bucket".isin(as: _*) && $"c_custkey".isin(bs: _*))
+      .select($"c_bucket", $"c_custkey").as[(Long, Long)].collect().toSet
+    assert(q === expect && q.nonEmpty)
+    // a small cross product still probes: (17,17) and (17,117) hit
+    val small = h.toDF.filter($"c_bucket".isin(17L, 18L) && $"c_custkey".isin(17L, 117L))
+    assert(small.count() === 2)
+    assert(h.lastScanKind === "point" && h.lastPointLookupKeys === 4)
+  }
+
+  test("range-partitioned composite handle: leading-column BETWEEN prunes partitions") {
+    val df = (1L to 1000L).map(k => (k % 50, k, k * 2.0)).toDF("a", "b", "v")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", numPartitions = 16)
+    val q = h.toDF.filter($"a".between(10L, 12L))
+    val got = q.select($"b").as[Long].collect().toSet
+    val expect = df.filter($"a".between(10L, 12L)).select($"b").as[Long].collect().toSet
+    assert(got === expect && got.nonEmpty)
+    assert(h.lastScanKind === "range")
+    // (a, b) tuples are globally sorted lexicographically and the tuple
+    // serializer is order-preserving, so the lead-interval scan visits
+    // only the partitions overlapping [10, 13) — a 6% slice over 16
+    // partitions must touch far fewer than all of them
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    assert(parts < 16, s"expected pruned partitions, scanned $parts/16")
+    // the mixed a-point x b-range lane prunes through multiRange too
+    val qm = h.toDF.filter($"a" === 20L && $"b".between(100L, 600L))
+    val gotM = qm.select($"b").as[Long].collect().toSet
+    val expectM = df.filter($"a" === 20L && $"b".between(100L, 600L))
+      .select($"b").as[Long].collect().toSet
+    assert(gotM === expectM && gotM.nonEmpty)
+    assert(h.lastScanKind === "range")
+    assert(qm.queryExecution.executedPlan.execute().getNumPartitions < 16)
+    // point probes and full scans still correct on the same layout
+    assert(h.toDF.filter($"a" === 7L && $"b" === 107L).count() === 1)
+    assert(h.toDF.count() === 1000)
+  }
+
+  test("composite handle save/load: reloaded handle serves point, lead-range and mixed pushdown") {
+    val df = cust.withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+    val h = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey", ordered = true)
+    val path = java.nio.file.Files.createTempDirectory("frame_io_composite").toString
+    IndexedFrame.save(h, path)
+    val loaded = IndexedFrame.loadComposite(spark, path)
+    assert(loaded.keyColA === "c_bucket" && loaded.keyColB === "c_custkey" && loaded.ordered)
+    assert(loaded.toDF.count() === df.count())
+    val pt = loaded.toDF.filter($"c_bucket" === 17L && $"c_custkey" === 117L)
+    assert(pt.count() === 1)
+    assert(loaded.lastScanKind === "point")
+    val rangeOut = loaded.toDF.filter($"c_bucket".between(10L, 12L))
+      .select($"c_custkey").as[Long].collect().toSet
+    val rangeExpect = df.filter($"c_bucket".between(10L, 12L))
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(rangeOut === rangeExpect && rangeOut.nonEmpty)
+    assert(loaded.lastScanKind === "range")
+    val mixed = loaded.toDF.filter($"c_bucket" === 17L && $"c_custkey" >= 50L)
+      .select($"c_custkey").as[Long].collect().toSet
+    val mixedExpect = df.filter($"c_bucket" === 17L && $"c_custkey" >= 50L)
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(mixed === mixedExpect && mixed.nonEmpty)
+    assert(loaded.lastScanKind === "range")
+    // single-key load refuses a composite path with a pointer to loadComposite
+    val err = intercept[IllegalArgumentException](IndexedFrame.load(spark, path))
+    assert(err.getMessage.contains("loadComposite"))
+  }
 }
