@@ -120,31 +120,48 @@ object Dedup {
    * at sf0.1 as 32 tasks blocked seconds each, and 3-10× run-to-run
    * variance on the dedup queries.
    *
-   * Every pin is registered; callers own the lifecycle and should
-   * [[releasePinned]] once the returned pairs DataFrame has been
-   * materialized (collected / written). The bench and verify drivers
-   * sweep persistent RDDs between queries, which is equivalent.
-   * The registry is PROCESS-WIDE: releasePinned() frees every pin in
-   * the JVM, so it belongs to single-pipeline drivers — a multi-tenant
-   * driver running concurrent pipelines should instead sweep Spark's
-   * persistent RDDs between its own jobs and not call it mid-flight.
+   * Every pin is registered in a [[PinScope]]; callers own the
+   * lifecycle. Single-pipeline drivers can ignore scopes entirely: pins
+   * land in [[defaultPins]] and [[releasePinned]] frees them (the bench
+   * and verify drivers sweep persistent RDDs between queries, which is
+   * equivalent). A MULTI-TENANT driver running concurrent pipelines
+   * passes each pipeline its own scope — releasing one pipeline's
+   * tables leaves every other pipeline's cached tables intact:
+   *
+   * {{{
+   * implicit val myPins: Dedup.PinScope = new Dedup.PinScope
+   * val pairs = Dedup.minhashPairs(docs, "id", "text")
+   * pairs.write.parquet(...)   // materialize first
+   * myPins.release()           // frees ONLY this pipeline's pins
+   * }}}
    */
-  private val pinned = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  final class PinScope extends AutoCloseable {
+    private val pins = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+    private[pipeline] def add(f: () => Unit): Unit = pins.add(f)
+    /** Free every table pinned in THIS scope. Results already
+      * materialized stay valid; un-materialized plans will recompute. */
+    def release(): Unit = {
+      var f = pins.poll()
+      while (f != null) { f(); f = pins.poll() }
+    }
+    override def close(): Unit = release()
+  }
 
-  private def pin(df: DataFrame): DataFrame = {
+  /** Where pins land when the caller supplies no scope of its own. */
+  val defaultPins: PinScope = new PinScope
+
+  private def pin(df: DataFrame)(implicit scope: PinScope): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
-    pinned.add(() => p.unpersist(blocking = false))
+    scope.add(() => p.unpersist(blocking = false))
     p
   }
 
-  /** Free every table pinned by the pair pipelines in this JVM. Call
-    * after materializing the DataFrames they returned; results already
-    * computed stay valid, but un-materialized plans will recompute. */
-  def releasePinned(): Unit = {
-    var f = pinned.poll()
-    while (f != null) { f(); f = pinned.poll() }
-  }
+  /** Free every table pinned in the DEFAULT scope. Call after
+    * materializing the DataFrames the pipelines returned. Pipelines
+    * run under an explicit [[PinScope]] are NOT touched — release
+    * those through their own scope. */
+  def releasePinned(): Unit = defaultPins.release()
 
   /**
    * Shared bucket machinery: given (id, payload, bands array), emit the
@@ -230,7 +247,8 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000)(
+      implicit scope: PinScope = defaultPins): DataFrame = {
     val k = bands * rowsPerBand
     // pinned: the bucket machinery consumes this table from THREE
     // branches (band explode + both payload join sides); without the
@@ -269,7 +287,7 @@ object Dedup {
    * their own trivial cluster and are not emitted.
    */
   def resolveClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20)(implicit scope: PinScope = defaultPins): DataFrame = {
     // bidirectional edges PLUS self-loops, all from ONE scan of `pairs`
     // (a union of selects would run the upstream pair pipeline once per
     // branch into the pin). Self-loops make "min over neighbors"
@@ -353,8 +371,8 @@ object Dedup {
           "(a component's diameter exceeds maxIters); raise maxIters")
     }
     // the returned plan reads the final round's blocks; the caller owns
-    // them through releasePinned() like every other pinned table
-    pinned.add(freeLabels)
+    // them through its PinScope like every other pinned table
+    scope.add(freeLabels)
     labels.select(col("id"), col("label").as("keep_id"))
   }
 
@@ -390,7 +408,8 @@ object Dedup {
    * (<= 3 guarantees no false negatives with 4 bands, by pigeonhole).
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000)(
+      implicit scope: PinScope = defaultPins): DataFrame = {
     // pin before deriving bands: simhashColumn contains a higher-order
     // transform (no codegen CSE), so the 4 band projections + payload
     // would otherwise each recompute the simhash after project collapse
@@ -412,7 +431,7 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.6,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000)(implicit scope: PinScope = defaultPins): DataFrame = {
     // pinned for the same three-branch reuse as minhashPairs: without
     // the cache boundary each branch re-tokenizes and re-hashes the
     // shingle sets (payload = the hash set itself, so both join sides
@@ -440,7 +459,7 @@ object Dedup {
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.9,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000)(implicit scope: PinScope = defaultPins): DataFrame = {
     val sigs = pin(df
       .select(col(idCol), shingleHashes(col(textCol), shingleN).as("__sh"))
       .select(col(idCol), col("__sh"),
@@ -468,7 +487,7 @@ object Dedup {
     * 3× less work than cosine-per-pair, and the multi-use table can't be
     * re-inlined by project collapsing. */
   private def normalized(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String): DataFrame = pin(
+      idAs: String, vecAs: String)(implicit scope: PinScope): DataFrame = pin(
     df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__raw"))
       .select(col(idAs), col("__raw"),
         sqrt(dotCols(col("__raw"), col("__raw"))).as("__n"))
@@ -477,7 +496,7 @@ object Dedup {
   /** Brute-force embedding near-dup pairs (O(n²) — correctness baseline
     * and DuckDB-oracle query; use [[embeddingPairsLsh]] at scale). */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double)(implicit scope: PinScope = defaultPins): DataFrame = {
     val va = normalized(df, idCol, vecCol, "a", "__va")
     val vb = normalized(df, idCol, vecCol, "b", "__vb")
     va.crossJoin(vb).where(col("a") < col("b"))
@@ -527,7 +546,7 @@ object Dedup {
    */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, bitsPerBucket: Int = 6, tables: Int = 8,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000)(implicit scope: PinScope = defaultPins): DataFrame = {
     // SRP sign bits are norm-invariant, so bucketing the normalized
     // vectors is equivalent and the verify step becomes a plain dot.
     // The bands projection is pinned like the minhash signature table:

@@ -33,6 +33,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(interp === out(1L))
   }
 
+  test("PinScope: releasing one pipeline's pins leaves another pipeline's cached tables intact") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"the quick brown fox ${i % 7} jumps over the lazy dog ${i % 5} again and again"))
+      .toDF("id", "text")
+    val s1 = new Dedup.PinScope
+    val s2 = new Dedup.PinScope
+    val base = spark.sparkContext.getPersistentRDDs.keySet
+    val p1 = Dedup.minhashPairs(docs, "id", "text")(s1)
+    val pins1 = spark.sparkContext.getPersistentRDDs.keySet -- base
+    val p2 = Dedup.simhashPairs(docs, "id", "text")(s2)
+    val pins2 = spark.sparkContext.getPersistentRDDs.keySet -- base -- pins1
+    assert(pins1.nonEmpty && pins2.nonEmpty) // both pipelines pinned eagerly
+    p1.count(); p2.count()
+    s1.release()
+    val now = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pins1.forall(!now.contains(_)), "scope-1 pins survived their release")
+    assert(pins2.forall(now.contains), "scope-1 release freed scope-2's cached tables")
+    // pipeline 2 still runs off its intact pins
+    assert(p2.count() === p2.count())
+    s2.release()
+    val end = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pins2.forall(!end.contains(_)), "scope-2 pins survived their release")
+  }
+
   test("minhash LSH finds planted near-duplicates with high recall") {
     val corpus = PipelineQueries.plantedCorpus(spark, dir)
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
