@@ -185,6 +185,31 @@ object RelationalQueries {
       lane("inner").unionByName(lane("left_outer"))
     },
 
+    // gap sessionization's batch lane: the SAME flatMapGroupsWithState
+    // state machine the stream runs (Streaming.sessionize), driven to
+    // completion by one sentinel event per user two gaps past the
+    // global max timestamp — batch runs have no watermark timeouts, so
+    // the sentinel plays the watermark's role and every real trailing
+    // session closes through the ordinary gap-split path. Sentinel-only
+    // sessions (start == the sentinel instant, past every real event)
+    // are dropped on output.
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val gapMs = 4 * 3600 * 1000L
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[graft.streaming.Streaming.Event]
+      val maxTs = ev.select(max($"ts")).as[java.sql.Timestamp].head()
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2 * gapMs)
+      val sentinels = ev.select($"user_id").distinct().as[Long]
+        .map(u => graft.streaming.Streaming.Event(-1L, sentinelTs, u, "sentinel", 0.0))
+      graft.streaming.Streaming.sessionize(ev.union(sentinels), gapMs)
+        .filter($"start" =!= lit(sentinelTs))
+        .select($"user_id", unix_millis($"start").as("start_ms"),
+          unix_millis($"end").as("end_ms"), $"n_events",
+          round($"total_value", 2).as("total_value"))
+    },
+
     // band/range join: parts whose retail price falls within a band
     // around each supplier's account balance (bucketized equi-join, not
     // a nested-loop cartesian)
@@ -206,6 +231,38 @@ object RelationalQueries {
         .withColumn("z", graft.operators.ZOrder.zValue($"user_id", $"day", 21))
       agg.filter(graft.operators.ZOrder.boxFilter(
         $"z", $"user_id", $"day", 2, 11, 19728, 19737))
+    },
+
+    // the 100-TB-shape z-order lane: the SAME box semantics as
+    // q_zorder_box, but the rollup is materialized as a z-RANGE-
+    // PARTITIONED index and the box is answered by ONE multiRange pass
+    // over the quadrant cover — PartitionPruningRDD drops every
+    // partition whose key interval misses all cover intervals, the
+    // exact residual filter restores box semantics. At scale this
+    // reads O(box) partitions instead of scanning the table; the
+    // unpruned lane above times the no-layout fallback.
+    "q_zorder_box_pruned" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val agg = Tables.events(s, dir)
+        .select($"user_id", unix_date(to_date($"ts")).cast("long").as("day"), $"value")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .withColumn("z", graft.operators.ZOrder.zValue($"user_id", $"day", 21))
+      // key by z — the interleave is injective, so (user, day) → z is
+      // unique and the index build needs no merge function
+      val pairs = agg
+        .select($"z", struct($"user_id", $"day", $"n_events", $"sum_value").as("v"))
+        .as[(Long, (Long, Long, Long, Double))].rdd
+      val idx = graft.IndexedRDD.rangePartitioned(pairs, 16).cached
+      val cover = graft.operators.ZOrder.zCover(2, 11, 19728, 19737)
+      // zCover intervals are inclusive and disjoint-with-gaps, so the
+      // half-open [lo, hi+1) translation stays disjoint — one pass
+      val hits = s.createDataset(
+        idx.multiRange(cover.map { case (lo, hi) => (lo, hi + 1) }))
+      hits.select($"_2._1".as("user_id"), $"_2._2".as("day"),
+          $"_2._3".as("n_events"), $"_2._4".as("sum_value"), $"_1".as("z"))
+        .filter($"user_id".between(2, 11) && $"day".between(19728, 19737))
     },
 
     "q_range_join" -> { (s, dir) =>
@@ -389,6 +446,44 @@ object RelationalQueries {
         |    (a, x) -> a + x) AS z
         |FROM agg
         |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
+
+    // identical semantics to q_zorder_box — the engine lane differs only
+    // in HOW it reads (z-range-partitioned index + pruned multiRange)
+    "q_zorder_box_pruned" ->
+      """WITH agg AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_events, sum_value,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 21),
+        |    i -> (((user_id >> i) & 1) << (2 * i)) + (((day >> i) & 1) << (2 * i + 1)))),
+        |    (a, x) -> a + x) AS z
+        |FROM agg
+        |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
+
+    // gap sessionization: a session breaks where the per-user ordered
+    // gap exceeds 4 h; session id = running sum of break markers
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 14400000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q_range_join" ->
       """SELECT s.s_suppkey, CAST(count(*) AS BIGINT) AS n_parts,
