@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen loads fresh generated classes per query
+  // execution; a 300+-execution Verify/Bench run churns the JIT code
+  // cache (default 240 MB), and a full cache disables compilation —
+  // late queries then run interpreted at 10-60x. Reserved (not
+  // committed) memory, so the headroom is free insurance.
+  "-XX:ReservedCodeCacheSize=1g",
 )
