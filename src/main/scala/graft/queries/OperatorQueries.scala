@@ -398,6 +398,22 @@ object OperatorQueries {
       range.unionAll(point)
     },
 
+    "ir_sql_minmax_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // key extrema on an ordered COMPOSITE handle: the fixed-width
+      // tuple encoding's byte order is lexicographic (a, b), so the
+      // byte-extreme tuples' first components answer min/max of the
+      // LEADING column from radix descents — no scan
+      graft.sql.IndexedAgg.enable(s)
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexComposite(df, "c_bucket", "c_custkey",
+        ordered = true)
+      h.toDF.agg(count(lit(1)).as("cnt"),
+        min($"c_bucket").as("min_bucket"), max($"c_bucket").as("max_bucket"))
+    },
+
     "ir_sql_minmax_uuid" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -709,6 +725,11 @@ object OperatorQueries {
         |UNION ALL
         |SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 = 17 AND c_custkey IN (17, 117, 999917)""".stripMargin,
+
+    "ir_sql_minmax_composite" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  min(c_custkey % 100) AS min_bucket, max(c_custkey % 100) AS max_bucket
+        |FROM customer""".stripMargin,
 
     "ir_sql_minmax_uuid" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,

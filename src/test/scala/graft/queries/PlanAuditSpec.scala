@@ -94,11 +94,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the user-key equi-condition in the join:\n$plan")
   }
 
-  test("ir_sql_count / ir_sql_minmax: stats answered by the index, not a scan") {
+  test("ir_sql_count / ir_sql_minmax (+uuid, composite): stats answered by the index, not a scan") {
     assert(planOf("ir_sql_count").contains("IndexedStats"),
       "count(*) must plan as the index-size sum")
     assert(planOf("ir_sql_minmax").contains("IndexedStats"),
       "min/max(key) must plan as radix descents")
+    assert(planOf("ir_sql_minmax_uuid").contains("IndexedStats"),
+      "min/max of a UUID key must plan as radix descents, not a scan")
+    assert(planOf("ir_sql_minmax_composite").contains("IndexedStats"),
+      "min/max of the leading composite column must plan as radix descents")
+  }
+
+  test("q_sessionize: one stateful operator over one keyed exchange, no cartesian") {
+    val plan = planOf("q_sessionize")
+    // on a BATCH input Spark lowers flatMapGroupsWithState to MapGroups
+    // (same user state machine, no state store); a stream plans the
+    // FlatMapGroupsWithStateExec form
+    assert(plan.contains("MapGroups") || plan.contains("FlatMapGroupsWithState"),
+      s"expected the stateful session operator:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"),
+      s"sessionization must stay keyed:\n$plan")
+  }
+
+  test("q_zorder_box_pruned: the box scan visits a pruned partition subset") {
+    val q = graft.SparkEntry.queries("q_zorder_box_pruned")(spark, dir)
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    // the z-range-partitioned index has 16 partitions; the cover's
+    // multiRange pass must drop those outside every z interval
+    assert(parts < 16, s"expected pruned partitions, scanned $parts/16")
   }
 
   test("curation_sample: deterministic sample is TakeOrderedAndProject, not a global sort") {
