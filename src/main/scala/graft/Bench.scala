@@ -134,6 +134,30 @@ object Bench {
     val tMultigetDisk = (System.nanoTime() - t8) / 1e9
     diskIdx.unpersist()
 
+    // range scans where pruning BITES: on memory-resident partitions a
+    // non-overlapping partition costs only a task launch, so the
+    // in-memory micro above mostly measures scheduling. On DISK_ONLY
+    // (the cold-partition shape of a 100 TB table) every visited
+    // partition DESERIALIZES — the range-partitioned layout reads the
+    // 1-2 overlapping partitions, the hash layout re-reads all 32 per
+    // query. Built on orders (10x customer) so the partitions carry
+    // real weight.
+    val ords = ordersDF.select($"o_orderkey", $"o_totalprice").as[(Long, Double)].rdd
+    val rangedDisk = IndexedRDD.rangePartitioned(ords, 32)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    rangedDisk.count()
+    val hashDiskIdx = IndexedRDD.build(ords, 32)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    hashDiskIdx.count()
+    val t8b = System.nanoTime()
+    (0 until 10).foreach(i => rangedDisk.range(i * 1000L, i * 1000L + 2000L).count())
+    val tRangePrunedDisk = (System.nanoTime() - t8b) / 1e9
+    val t8c = System.nanoTime()
+    (0 until 10).foreach(i => hashDiskIdx.range(i * 1000L, i * 1000L + 2000L).count())
+    val tRangeHashDisk = (System.nanoTime() - t8c) / 1e9
+    rangedDisk.unpersist()
+    hashDiskIdx.unpersist()
+
     // SQL range pushdown: BETWEEN on a range-partitioned handle prunes
     // partitions; the hash-layout ordered handle visits all of them
     implicit val sp: SparkSession = spark
@@ -196,6 +220,8 @@ object Bench {
       "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
       "micro_range_pruned_10" -> tRangePruned, "micro_range_allparts_10" -> tRangeHash,
       "micro_multiget_disk_10x100" -> tMultigetDisk,
+      "micro_range_pruned_disk_10" -> tRangePrunedDisk,
+      "micro_range_allparts_disk_10" -> tRangeHashDisk,
       "micro_sql_range_rangepart_10" -> tSqlRangeRp,
       "micro_sql_range_hashpart_10" -> tSqlRangeHash,
       "micro_sql_stats_idx_100" -> tStatsIdx,

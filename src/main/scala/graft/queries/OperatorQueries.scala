@@ -398,6 +398,22 @@ object OperatorQueries {
       range.unionAll(point)
     },
 
+    "ir_sql_range_composite_rp" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // RANGE-PARTITIONED composite handle: (bucket, custkey) tuples
+      // globally sorted lexicographically, so the pushed leading-column
+      // BETWEEN prunes PARTITIONS (the fixed-width tuple serializer is
+      // order-preserving) before the per-partition trie scans — the
+      // O(range)-tasks layout for composite range workloads at scale
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        df, "c_bucket", "c_custkey", numPartitions = 16)
+      h.toDF.filter($"c_bucket".between(20L, 24L))
+        .select($"c_bucket", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_minmax_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -725,6 +741,10 @@ object OperatorQueries {
         |UNION ALL
         |SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 = 17 AND c_custkey IN (17, 117, 999917)""".stripMargin,
+
+    "ir_sql_range_composite_rp" ->
+      """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 100 BETWEEN 20 AND 24""".stripMargin,
 
     "ir_sql_minmax_composite" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,

@@ -186,6 +186,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: batch lane with sentinel flush equals the streaming output") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 10 * 60 * 1000L
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(5), 1, "a", 2.0), // u1 session 1
+      Event(3, ts(40), 1, "a", 3.0), // u1 session 2 (gap > 10 min)
+      Event(4, ts(2), 2, "a", 4.0), Event(5, ts(9), 2, "a", 5.0)) // u2 session 1
+    // STREAM: watermark passes every session's end + gap, flushing all
+    val input = MemoryStream[Event]
+    val q = Streaming.sessionize(input.toDS(), gapMs, watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_parity_out").start()
+    val streamed = try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(Event(98, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(99, Timestamp.valueOf("2024-01-01 13:05:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      spark.table("sess_parity_out").as[Streaming.Session]
+        .filter(_.user_id <= 2L).collect().toSet
+    } finally q.stop()
+    // BATCH: the q_sessionize shape — one sentinel per user two gaps
+    // past the global max closes every real trailing session
+    val sentinelTs = new Timestamp(events.map(_.ts.getTime).max + 2 * gapMs)
+    val sentinels = events.map(_.user_id).distinct
+      .map(u => Event(-1L, sentinelTs, u, "sentinel", 0.0))
+    val batch = Streaming.sessionize((events ++ sentinels).toDS(), gapMs)
+      .filter($"start" =!= lit(sentinelTs))
+      .as[Streaming.Session].collect().toSet
+    assert(batch === streamed)
+    assert(batch.size === 3) // two u1 sessions + one u2 session
+  }
+
   test("dedupStream: duplicate content within the watermark window is dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
