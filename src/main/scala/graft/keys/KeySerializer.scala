@@ -120,6 +120,51 @@ object KeySerializer {
     }
   }
 
+  /** ORDER-PRESERVING string encoding: UTF-8 body with 0x00 escaped as
+    * 0x00 0xFF, terminated by 0x00 0x00. Unsigned byte order == UTF-8
+    * binary order — exactly how Spark's UTF8String (UTF8_BINARY
+    * collation) and DuckDB VARCHAR compare — so a radix trie over these
+    * bytes iterates strings in SQL order and serves pushed string
+    * ranges and min/max(key). Prefix-free: inside a body a 0x00 is
+    * always followed by 0xFF, so the byte pair 0x00 0x00 occurs exactly
+    * once, at the end; a shorter encoding therefore always DIFFERS at
+    * the terminator position rather than being a prefix. NOT the
+    * implicit — ordered SQL string handles request it explicitly; the
+    * length-prefixed [[StringSerializer]] (one byte shorter per escape,
+    * cheaper to decode) stays the default for hash layouts. Note the
+    * immediate successor of `s` in this order is `s + NUL (U+0000)` — what
+    * half-open bound arithmetic uses for inclusive upper bounds. */
+  object StringLexSerializer extends KeySerializer[String] {
+    override def isOrderPreserving: Boolean = true
+    def toBytes(k: String): Array[Byte] = {
+      val body = k.getBytes(StandardCharsets.UTF_8)
+      var zeros = 0
+      var i = 0
+      while (i < body.length) { if (body(i) == 0) zeros += 1; i += 1 }
+      val out = new Array[Byte](body.length + zeros + 2)
+      var j = 0
+      i = 0
+      while (i < body.length) {
+        out(j) = body(i); j += 1
+        if (body(i) == 0) { out(j) = 0xFF.toByte; j += 1 }
+        i += 1
+      }
+      out // the final two bytes stay 0x00 0x00 (zero-initialized)
+    }
+    def fromBytes(b: Array[Byte]): String = {
+      val buf = new java.io.ByteArrayOutputStream(b.length)
+      var i = 0
+      var done = false
+      while (!done) {
+        if (b(i) == 0) {
+          if (b(i + 1) == 0) done = true
+          else { buf.write(0); i += 2 } // 0x00 0xFF escape
+        } else { buf.write(b(i)); i += 1 }
+      }
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    }
+  }
+
   /** 4-byte length prefix + two's-complement magnitude (prefix-free). */
   implicit object BigIntSerializer extends KeySerializer[BigInt] {
     def toBytes(k: BigInt): Array[Byte] = {

@@ -337,6 +337,31 @@ object OperatorQueries {
         .select($"c_name", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_range_str" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // ordered STRING handle: keys ride the lex serializer (byte order
+      // == UTF8-binary string order), so the pushed BETWEEN on c_name
+      // is one trie range scan — string ranges no longer fall back
+      val h = graft.sql.IndexedFrame.indexString(Tables.customer(s, dir), "c_name",
+        ordered = true)
+      h.toDF.filter($"c_name".between("Customer#000000050", "Customer#000000120"))
+        .select($"c_name", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_minmax_str" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // count + string-key extrema with no scan: min/max(c_name) are
+      // O(depth) radix descents over the lex-keyed tries, in exactly
+      // the UTF8-binary order SQL min/max uses
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.indexString(Tables.customer(s, dir), "c_name",
+        ordered = true)
+      h.toDF.agg(count(lit(1)).as("cnt"),
+        min($"c_name").as("min_name"), max($"c_name").as("max_name"))
+    },
+
     "ir_sql_frame_load" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -725,6 +750,15 @@ object OperatorQueries {
     "ir_sql_frame_load" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey BETWEEN 100 AND 149""".stripMargin,
+
+    "ir_sql_range_str" ->
+      """SELECT c_name, c_custkey, c_acctbal FROM customer
+        |WHERE c_name BETWEEN 'Customer#000000050' AND 'Customer#000000120'""".stripMargin,
+
+    "ir_sql_minmax_str" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  min(c_name) AS min_name, max(c_name) AS max_name
+        |FROM customer""".stripMargin,
 
     "ir_sql_pointget_uuid" ->
       """SELECT printf('00000000-0000-4000-8000-%012d', c_custkey) AS c_uuid,

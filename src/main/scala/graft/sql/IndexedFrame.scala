@@ -231,13 +231,19 @@ object IndexedFrame {
 
   /** Index by a STRING key column: pushed equality/IN predicates route
     * into partition-pruned point reads exactly like integral keys (the
-    * RDD layer is generic over [[KeySerializer]]; range predicates are
-    * not pushed — the string serializer's byte order is not
-    * lexicographic). */
-  def indexString(df: DataFrame, keyCol: String,
+    * RDD layer is generic over [[KeySerializer]]). `ordered = true`
+    * keys the radix tries through
+    * [[KeySerializer.StringLexSerializer]], whose byte order IS the
+    * UTF8-binary string order Spark and DuckDB compare in — pushed
+    * string ranges (`BETWEEN`, `<`, `>=`, ...) become trie range scans
+    * and SQL `min/max(keyCol)` becomes O(depth) radix descents. */
+  def indexString(df: DataFrame, keyCol: String, ordered: Boolean = false,
       numPartitions: Int = 0): Handle[String] = {
     requireString(df, keyCol)
-    buildHandle(df, keyCol, StringCodec, ordered = false, numPartitions)
+    if (ordered)
+      buildHandle(df, keyCol, StringCodec, ordered = true, numPartitions)(
+        implicitly[ClassTag[String]], KeySerializer.StringLexSerializer)
+    else buildHandle(df, keyCol, StringCodec, ordered = false, numPartitions)
   }
 
   /** Index by a STRING column holding canonical UUIDs: keys serialize
@@ -641,6 +647,14 @@ object IndexedFrame {
         val codec = codecFor(schema, keyCol).asInstanceOf[LongCodec]
         new Handle[Long](graft.IndexedRDDIO.load[Long, InternalRow](sc, path).cached,
           keyCol, schema, ordered, codec)
+      case "string" if ordered =>
+        // ordered string handles are keyed by the LEX serializer; the
+        // reloaded handle must probe and range with the same encoding
+        new Handle[String](graft.IndexedRDDIO.load[String, InternalRow](
+          sc, path)(implicitly[ClassTag[String]],
+          KeySerializer.StringLexSerializer, implicitly[ClassTag[InternalRow]]).cached,
+          keyCol, schema, ordered, StringCodec)(
+          implicitly[ClassTag[String]], KeySerializer.StringLexSerializer)
       case "string" =>
         new Handle[String](graft.IndexedRDDIO.load[String, InternalRow](sc, path).cached,
           keyCol, schema, ordered, StringCodec)
@@ -698,17 +712,46 @@ object IndexedFrame {
 
     private def rangeCapable: Boolean = h.ordered && h.codec.integral
 
+    /** Ordered STRING handles (lex serializer: byte order == UTF8
+      * binary order) serve pushed string ranges from the trie. The
+      * normalizing uuid codec is excluded by `exactLiterals`. */
+    private def stringRangeCapable: Boolean =
+      h.ordered && !h.codec.integral && h.codec.exactLiterals && h.kSer.isOrderPreserving
+
+    /** String interval (from, toExclusive) from one pushed filter —
+      * either side None = unbounded. Inclusive bounds convert to
+      * half-open via the immediate string successor `s + NUL`. */
+    private def strBounds(f: Filter): Option[(Option[String], Option[String])] = {
+      def s(v: Any): Option[String] = v match {
+        case x: String => Some(x)
+        case u: UTF8String => Some(u.toString)
+        case _ => None
+      }
+      f match {
+        case GreaterThan(h.keyCol, v) if v != null =>
+          s(v).map(x => (Some(x + 0.toChar), None))
+        case GreaterThanOrEqual(h.keyCol, v) if v != null =>
+          s(v).map(x => (Some(x), None))
+        case LessThan(h.keyCol, v) if v != null => s(v).map(x => (None, Some(x)))
+        case LessThanOrEqual(h.keyCol, v) if v != null =>
+          s(v).map(x => (None, Some(x + 0.toChar)))
+        case _ => None
+      }
+    }
+
     override def unhandledFilters(filters: Array[Filter]): Array[Filter] = {
-      // range filters are fully handled ONLY on ordered integral-key
-      // handles AND when no point filter is pushed alongside them — the
-      // point branch of buildScan ignores bounds, so mixed predicates
-      // must be re-applied by Spark above the scan. A NORMALIZING codec
-      // (uuid) never claims point filters: the probe may return a row
-      // whose string form differs from the literal, so Spark must
-      // re-check the original predicate.
+      // range filters are fully handled ONLY on ordered handles whose
+      // byte order is the column's comparison order (integral keys, or
+      // lex-keyed strings) AND when no point filter is pushed alongside
+      // them — the point branch of buildScan ignores bounds, so mixed
+      // predicates must be re-applied by Spark above the scan. A
+      // NORMALIZING codec (uuid) never claims point filters: the probe
+      // may return a row whose string form differs from the literal, so
+      // Spark must re-check the original predicate.
       val anyPoint = filters.exists(f => pointKeys(f).isDefined)
       filters.filter(f => !(h.codec.exactLiterals && pointKeys(f).isDefined) &&
-        !(rangeCapable && !anyPoint && rangeBounds(f).isDefined))
+        !(rangeCapable && !anyPoint && rangeBounds(f).isDefined) &&
+        !(stringRangeCapable && !anyPoint && strBounds(f).isDefined))
     }
 
     override def buildScan(requiredColumns: Array[String],
@@ -716,6 +759,9 @@ object IndexedFrame {
       val keySets = filters.flatMap(pointKeys)
       val bounds =
         if (rangeCapable) filters.flatMap(rangeBounds) else Array.empty[(Long, Long)]
+      val sBounds =
+        if (stringRangeCapable) filters.flatMap(strBounds)
+        else Array.empty[(Option[String], Option[String])]
       val rows: RDD[InternalRow] =
         if (keySets.nonEmpty) {
           // AND semantics across pushed filters: intersect every key set
@@ -742,6 +788,29 @@ object IndexedFrame {
               if (maxHit.nonEmpty) body.union(sqlContext.sparkContext.parallelize(maxHit, 1))
               else body
             } else body
+          }
+        } else if (sBounds.nonEmpty) {
+          // string interval over the lex-keyed trie: intersect pushed
+          // bounds in ENCODED byte order (string order == byte order
+          // for the lex serializer; Java String.compareTo is UTF-16
+          // order and disagrees beyond the BMP)
+          val hs = h.asInstanceOf[Handle[String]]
+          def enc(x: String): Array[Byte] = hs.kSer.toBytes(x)
+          val from = sBounds.flatMap(_._1).reduceOption { (a, b) =>
+            if (java.util.Arrays.compareUnsigned(enc(a), enc(b)) >= 0) a else b
+          }.getOrElse("") // the empty string is the global minimum
+          // unbounded above closes at succ(maxKey) — one O(depth)
+          // descent; an empty index answers with no rows
+          val toOpt = sBounds.flatMap(_._2).reduceOption { (a, b) =>
+            if (java.util.Arrays.compareUnsigned(enc(a), enc(b)) <= 0) a else b
+          }.orElse(hs.idx.maxKey()(hs.kSer).map(_ + 0.toChar))
+          h.lastScanKind = "range"
+          h.lastPointLookupKeys = -1
+          toOpt match {
+            case Some(to)
+                if java.util.Arrays.compareUnsigned(enc(from), enc(to)) < 0 =>
+              hs.idx.range(from, to)(hs.kSer).map(_._2)
+            case _ => sqlContext.sparkContext.emptyRDD[InternalRow]
           }
         } else {
           h.lastScanKind = "full"

@@ -101,6 +101,31 @@ class KeySerializerSpec extends AnyFunSuite {
     check(roundTrips[((Int, String), Long)](gNested))
   }
 
+  test("StringLex: round-trip, prefix-freedom, byte order == UTF-8 binary order") {
+    implicit val ser: KeySerializer[String] = KeySerializer.StringLexSerializer
+    // strings over the full BMP including embedded NULs (the escape
+    // path) — surrogates excluded: Java encodes unpaired surrogates as
+    // '?', a lossy path shared with the default StringSerializer
+    val genChar = Gen.frequency(
+      5 -> Gen.choose(0.toChar, 127.toChar),
+      1 -> Gen.const(0.toChar), // force NUL coverage
+      2 -> Gen.choose(128.toChar, 0xD7FF.toChar))
+    val genStr = Gen.listOf(genChar).map(_.mkString)
+    check(roundTrips(genStr))
+    check(prefixFree(genStr))
+    // the whole point: unsigned encoded-byte order == raw UTF-8 binary
+    // order (how Spark's UTF8String and DuckDB VARCHAR compare)
+    check(orderPreserving[String](genStr, (a, b) =>
+      unsignedCompare(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    assert(ser.isOrderPreserving)
+    // successor law the SQL half-open bounds rely on: s < s+NUL and
+    // nothing sorts between them among generated neighbors
+    val s = "ab"
+    assert(unsignedCompare(ser.toBytes(s), ser.toBytes(s + 0.toChar)) < 0)
+    assert(unsignedCompare(ser.toBytes(s + 0.toChar), ser.toBytes(s + 1.toChar)) < 0)
+  }
+
   test("Tuple2: fixed-width components make byte order lexicographic; variable-width do not claim it") {
     // the law itself: byte order == lexicographic (a, b) order
     check(orderPreserving[(Long, Long)](Gen.zip(Gen.long, Gen.long),

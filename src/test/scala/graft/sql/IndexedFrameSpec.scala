@@ -136,6 +136,50 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.toDF.filter($"c_name" === "brand-new-name").count() === 0)
   }
 
+  test("ordered string handle: pushed string ranges route into the lex trie scan") {
+    val h = IndexedFrame.indexString(cust, "c_name", ordered = true)
+    val lo = "Customer#000000100"; val hi = "Customer#000000119"
+    val out = h.toDF.filter($"c_name".between(lo, hi))
+      .select($"c_name").as[String].collect().toSet
+    val expect = cust.filter($"c_name".between(lo, hi))
+      .select($"c_name").as[String].collect().toSet
+    assert(out === expect && out.nonEmpty)
+    assert(h.lastScanKind === "range")
+    // strict lower bound + unbounded above (closes at succ(maxKey))
+    val ge = h.toDF.filter($"c_name" > "Customer#000000140")
+      .select($"c_name").as[String].collect().toSet
+    val geExpect = cust.filter($"c_name" > "Customer#000000140")
+      .select($"c_name").as[String].collect().toSet
+    assert(ge === geExpect && ge.nonEmpty)
+    assert(h.lastScanKind === "range")
+    // empty interval short-circuits
+    assert(h.toDF.filter($"c_name" > "Customer#000000149" &&
+      $"c_name" < "Customer#000000100").count() === 0)
+    // point reads still probe through the lex encoding
+    assert(h.toDF.filter($"c_name" === "Customer#000000017").count() === 1)
+    assert(h.lastScanKind === "point")
+    // min/max(string key) plan as no-scan radix descents
+    IndexedAgg.enable(spark)
+    val q = h.toDF.agg(min($"c_name").as("mn"), max($"c_name").as("mx"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(q.as[(String, String)].head() ===
+      cust.agg(min($"c_name"), max($"c_name")).as[(String, String)].head())
+    // non-ordered string handles keep the full-scan fallback for ranges
+    val hu = IndexedFrame.indexString(cust, "c_name")
+    val u = hu.toDF.filter($"c_name".between(lo, hi))
+      .select($"c_name").as[String].collect().toSet
+    assert(u === expect)
+    assert(hu.lastScanKind === "full")
+    // save/load keeps the lex keying: the reloaded handle serves ranges
+    val path = java.nio.file.Files.createTempDirectory("frame_io_strlex").toString
+    IndexedFrame.save(h, path)
+    val loaded = IndexedFrame.load(spark, path).asInstanceOf[IndexedFrame.Handle[String]]
+    val reOut = loaded.toDF.filter($"c_name".between(lo, hi))
+      .select($"c_name").as[String].collect().toSet
+    assert(reOut === expect)
+    assert(loaded.lastScanKind === "range")
+  }
+
   test("uuid-keyed handle: pushed equality routes through the 16-byte key") {
     val df = ((1L to 200L).map(k =>
       (f"00000000-0000-4000-8000-$k%012d", k)) :+
