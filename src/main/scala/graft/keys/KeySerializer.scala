@@ -165,6 +165,20 @@ object KeySerializer {
     }
   }
 
+  /** UTF-8 binary string order — the order [[StringLexSerializer]]
+    * encodings sort in, and the order SQL (UTF8String / DuckDB VARCHAR)
+    * compares in. Java's natural `Ordering[String]` is UTF-16
+    * code-unit order, which DISAGREES beyond the BMP (surrogate units
+    * sort below U+E000..U+FFFF); a RangePartitioner built with the
+    * natural ordering over lex-serialized keys would prune partitions
+    * inconsistently with the tries' byte order. Range-partitioned
+    * string layouts must use THIS ordering. */
+  object Utf8StringOrdering extends Ordering[String] {
+    def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** 4-byte length prefix + two's-complement magnitude (prefix-free). */
   implicit object BigIntSerializer extends KeySerializer[BigInt] {
     def toBytes(k: BigInt): Array[Byte] = {

@@ -349,6 +349,19 @@ object OperatorQueries {
         .select($"c_name", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_range_str_rp" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // RANGE-PARTITIONED string handle: keys globally sorted in UTF-8
+      // binary order (Utf8StringOrdering, matching the lex tries' byte
+      // order), so the pushed BETWEEN prunes to only the overlapping
+      // partitions — O(range) tasks for string-range workloads
+      val h = graft.sql.IndexedFrame.indexStringRangePartitioned(
+        Tables.customer(s, dir), "c_name", numPartitions = 16)
+      h.toDF.filter($"c_name".between("Customer#000000020", "Customer#000000080"))
+        .select($"c_name", $"c_acctbal")
+    },
+
     "ir_sql_minmax_str" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -754,6 +767,10 @@ object OperatorQueries {
     "ir_sql_range_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer
         |WHERE c_name BETWEEN 'Customer#000000050' AND 'Customer#000000120'""".stripMargin,
+
+    "ir_sql_range_str_rp" ->
+      """SELECT c_name, c_acctbal FROM customer
+        |WHERE c_name BETWEEN 'Customer#000000020' AND 'Customer#000000080'""".stripMargin,
 
     "ir_sql_minmax_str" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,

@@ -246,6 +246,23 @@ object IndexedFrame {
     else buildHandle(df, keyCol, StringCodec, ordered = false, numPartitions)
   }
 
+  /** RANGE-PARTITIONED string handle: keys globally sorted in UTF-8
+    * binary order (RangePartitioner under
+    * [[KeySerializer.Utf8StringOrdering]] — NOT Java's UTF-16 natural
+    * order, which diverges beyond the BMP) with lex-keyed radix tries
+    * inside each partition, so a pushed string BETWEEN prunes to only
+    * the partitions whose key interval overlaps — the string twin of
+    * [[indexRangePartitioned]]. */
+  def indexStringRangePartitioned(df: DataFrame, keyCol: String,
+      numPartitions: Int): Handle[String] = {
+    requireString(df, keyCol)
+    implicit val ord: Ordering[String] = KeySerializer.Utf8StringOrdering
+    implicit val ser: KeySerializer[String] = KeySerializer.StringLexSerializer
+    val idx = IndexedRDD.rangePartitioned(
+      pairs(df, keyCol, StringCodec), numPartitions)
+    new Handle(idx.cached, keyCol, df.schema, ordered = true, StringCodec)
+  }
+
   /** Index by a STRING column holding canonical UUIDs: keys serialize
     * as 16 bytes (msb‖lsb) instead of 36 chars; pushed equality/IN
     * routes into partition-pruned point reads. Keys ride

@@ -180,6 +180,24 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(loaded.lastScanKind === "range")
   }
 
+  test("range-partitioned string handle: pushed string BETWEEN prunes partitions") {
+    val df = (0 until 1000).map(i => (f"key$i%04d", i.toLong)).toDF("k", "v")
+    val h = IndexedFrame.indexStringRangePartitioned(df, "k", numPartitions = 16)
+    val q = h.toDF.filter($"k".between("key0100", "key0149"))
+    assert(q.select($"v").as[Long].collect().toSet === (100L to 149L).toSet)
+    assert(h.lastScanKind === "range")
+    // a 5% slice of 1000 UTF8-sorted keys over 16 partitions must
+    // touch far fewer than all of them
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    assert(parts < 16, s"expected pruned partitions, scanned $parts/16")
+    // point probes and stats still served on the same layout
+    assert(h.toDF.filter($"k" === "key0500").count() === 1)
+    graft.sql.IndexedAgg.enable(spark)
+    val mm = h.toDF.agg(min($"k").as("mn"), max($"k").as("mx"))
+    assert(mm.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(mm.as[(String, String)].head() === ("key0000", "key0999"))
+  }
+
   test("uuid-keyed handle: pushed equality routes through the 16-byte key") {
     val df = ((1L to 200L).map(k =>
       (f"00000000-0000-4000-8000-$k%012d", k)) :+
