@@ -539,6 +539,34 @@ object Dedup {
   }
 
   /**
+   * SEMANTIC dedup (SemDeDup shape): k-means cluster the NORMALIZED
+   * embeddings with the same deterministic quantizer the IVF index
+   * trains (sample = first `sampleSize` ids, Lloyd with first-index
+   * ties, empty clusters keep their centroid), then verify exact
+   * cosine ONLY within a cluster. Candidate work is Σ per-cluster
+   * |c|² (capped by `maxBucketSize`), never n² — the scale shape of
+   * embedding-level dedup over a corpus. Cross-cluster near-dups are
+   * out of reach by construction (the method's documented trade);
+   * identical vectors always share a cluster, so exact copies are
+   * never missed. Returns (a, b, cos) with cos > threshold, a < b.
+   */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, sampleSize: Int = 512,
+      iters: Int = 5, maxBucketSize: Int = 2000)(
+      implicit scope: PinScope = defaultPins): DataFrame = {
+    val base = normalized(df, idCol, vecCol, idCol, "__v")
+    val sample = base.orderBy(col(idCol)).limit(sampleSize)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    val cents = Similarity.kmeans(sample, nlist, iters)
+    // one band per row: the 1-based cluster id (same cc − 2·dot argmin
+    // expression as IVF list assignment — bit-identical to the oracle)
+    val v = pin(base.withColumn("__bands", array(
+      graft.functions.NearestCentroid.nearestCentroid(col("__v"), cents))))
+    bucketVerifiedPairsJoin(v, idCol, "__v", maxBucketSize,
+      dotCols, _ > threshold, "cos")
+  }
+
+  /**
    * LSH-bucketed embedding near-dup: L independent SRP hash tables;
    * candidates share a bucket in any table; exact cosine verifies
    * (zero false positives; recall grows with `tables`). Linear in n

@@ -287,8 +287,10 @@ object Similarity {
       base = Some(element_at(qcLit, col("__list").cast("int"))))
   }
 
-  /** Tiny deterministic Lloyd's k-means (driver-side, sample-sized). */
-  private def kmeans(points: Array[Array[Double]], kk: Int, iters: Int): Array[Array[Double]] = {
+  /** Tiny deterministic Lloyd's k-means (driver-side, sample-sized).
+    * Shared with [[Dedup.semanticPairs]] so the semantic-dedup clusters
+    * replay the same arithmetic as the IVF coarse quantizer. */
+  private[pipeline] def kmeans(points: Array[Array[Double]], kk: Int, iters: Int): Array[Array[Double]] = {
     val dim = points.head.length
     var cents = points.take(kk).map(_.clone) // deterministic init
     for (_ <- 0 until iters) {

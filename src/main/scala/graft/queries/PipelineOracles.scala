@@ -423,6 +423,37 @@ object PipelineOracles {
        |  ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
   }
 
+  /**
+   * Semantic-dedup replication: the coarse quantizer chain is the
+   * IVF one verbatim (16 centroids, 5 Lloyd iterations over the
+   * normalized sample, cc − 2·dot assignment with first-cid ties);
+   * pairs join WITHIN a cluster only and verify by exact dot — the
+   * same candidates, the same verdicts, bit-for-bit.
+   */
+  val dedupSemantic: String = {
+    val coarse = (0 until 5)
+      .map(t => lloydIterN("sampv", s"cc$t", s"cc${t + 1}", 64)).mkString(",\n")
+    s"""WITH $vnPrefix,
+       |sampv AS (SELECT id, vn AS v FROM samp),
+       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
+       |  FROM (SELECT id, v FROM sampv ORDER BY id LIMIT 16) init),
+       |$coarse,
+       |bcoarse AS (SELECT cid, cent,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS cc
+       |  FROM cc5),
+       |asgc AS MATERIALIZED (SELECT id, cid FROM (
+       |  SELECT n.id, c.cid,
+       |    row_number() OVER (PARTITION BY n.id
+       |      ORDER BY c.cc - 2.0 * ${dotN("n.vn", "c.cent", 64)}, c.cid) AS rn
+       |  FROM vn n, bcoarse c) t WHERE rn = 1)
+       |SELECT a, b, round(cos, 2) AS cos FROM (
+       |  SELECT x.id AS a, y.id AS b, ${dotN("va.vn", "vb.vn", 64)} AS cos
+       |  FROM asgc x JOIN asgc y ON x.cid = y.cid AND x.id < y.id
+       |  JOIN vn va ON va.id = x.id JOIN vn vb ON vb.id = y.id) p
+       |WHERE cos > 0.4""".stripMargin
+  }
+
   /** Sketches.RowConsts as a VALUES table — literals must equal the
     * Scala constants or every sketch oracle desynchronizes. */
   private def sketchConsts(depth: Int): String =
@@ -925,6 +956,7 @@ object PipelineOracles {
     "text_quality_score" -> textQualityScore,
     "text_langid" -> textLangid,
     "embed_pairs_lsh" -> embedPairsLsh,
+    "dedup_semantic" -> dedupSemantic,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_full" -> annIvfFull,
     "ann_ivf_topk" -> annIvfTopk,

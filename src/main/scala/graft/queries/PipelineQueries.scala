@@ -132,6 +132,16 @@ object PipelineQueries {
         threshold = 0.4, dim = 64)
     },
 
+    // SemDeDup shape: IVF-style k-means clusters bound the candidate
+    // set, exact cosine verifies within clusters only — the oracle
+    // replays the whole chain (Lloyd training, cc − 2·dot assignment,
+    // in-cluster pairing, dot verdicts) bit-for-bit
+    "dedup_semantic" -> { (s, dir) =>
+      Dedup.semanticPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
+    },
+
     "ann_brute" -> { (s, dir) =>
       Similarity.bruteAbove(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 0.2)

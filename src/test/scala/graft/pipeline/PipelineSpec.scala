@@ -57,6 +57,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pins2.forall(!end.contains(_)), "scope-2 pins survived their release")
   }
 
+  test("semantic dedup: zero false positives; planted exact copies always share a cluster") {
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    // plant exact copies under fresh ids: identical vectors assign to
+    // identical clusters (deterministic argmin), so exact duplicates
+    // can never be split across clusters
+    val copies = emb.limit(20).withColumn("vec_id", $"vec_id" + 1000000L)
+    val corpus = emb.unionByName(copies)
+    val sem = Dedup.semanticPairs(corpus, "vec_id", "embedding", threshold = 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val planted = emb.limit(20).select($"vec_id").as[Long].collect()
+      .map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(sem),
+      s"missed exact copies: ${(planted -- sem).take(5)}")
+    // exact verification ⇒ every emitted pair really clears the
+    // threshold (no false positives vs the brute pair set)
+    val brute = Dedup.embeddingPairs(corpus, "vec_id", "embedding", 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute), s"false positives: ${(sem -- brute).take(5)}")
+    Dedup.releasePinned()
+  }
+
   test("minhash LSH finds planted near-duplicates with high recall") {
     val corpus = PipelineQueries.plantedCorpus(spark, dir)
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
