@@ -146,4 +146,43 @@ object Curation {
       .distinct()
     tf.join(rf, Seq("__fp"), "left_semi").select(col(idCol))
   }
+
+  /**
+   * Greedy SEQUENCE PACKING for training batches: documents hash into
+   * `shards` (the same affine arithmetic as [[assignSplits]] —
+   * partition/order/run-invariant), and within each shard the docs are
+   * scanned in id order, opening a new bin whenever the next document's
+   * token count exceeds the bin's remaining capacity; an oversize
+   * document (tokens > capTokens) occupies a bin of its own. Returns
+   * (id, shard, bin, n_tokens) — bin ids are 1-based per shard.
+   *
+   * Deterministic on any cluster: the shard hash and in-shard order fix
+   * the scan, so the DuckDB oracle replays the greedy fold exactly
+   * (recursive CTE). At scale the shard count sizes the per-task
+   * working set — one shard's documents are packed by one task, so
+   * pick `shards` ≈ corpus size / what one executor comfortably holds;
+   * the payload itself never moves, only (id, shard, tokens) shuffle.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capTokens: Long = 2048, shards: Int = 16,
+      a: Long = 1103515245L, b: Long = 12345L): DataFrame = {
+    require(capTokens > 0 && shards > 0, "capTokens and shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val staged = df.select(col(idCol).cast("long"),
+        pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b), lit(P31))
+          .mod(lit(shards.toLong)),
+        TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .as[(Long, Long, Long)]
+    staged.groupByKey(_._2).flatMapGroups { (shard, it) =>
+      val docs = it.toArray.sortBy(_._1)
+      var bin = 0L
+      var remaining = -1L
+      docs.iterator.map { case (id, _, t) =>
+        if (bin == 0L || t > remaining) { bin += 1; remaining = capTokens }
+        remaining -= t
+        (id, shard, bin, t)
+      }
+    }.toDF(idCol, "shard", "bin", "n_tokens")
+  }
 }

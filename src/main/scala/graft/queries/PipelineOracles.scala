@@ -246,6 +246,34 @@ object PipelineOracles {
        |  $split801010 AS split
        |FROM u""".stripMargin
 
+  /**
+   * Sequence-packing replication: the same shard hash, the same
+   * id-order scan, the same greedy fold — one recursive-CTE step per
+   * in-shard position (every shard advances one document per
+   * iteration, so depth = the largest shard's document count).
+   */
+  val curationPack: String =
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id,
+       |    ((doc_id % $P) * 1103515245 + 12345) % $P % 16 AS shard,
+       |    CAST(len(${toks("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |docs AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS pos
+       |  FROM d0),
+       |pack AS (
+       |  SELECT doc_id, shard, n_tokens, pos,
+       |    CAST(1 AS BIGINT) AS bin, CAST(512 AS BIGINT) - n_tokens AS remaining
+       |  FROM docs WHERE pos = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.shard, d.n_tokens, d.pos,
+       |    CASE WHEN d.n_tokens <= p.remaining THEN p.bin ELSE p.bin + 1 END,
+       |    CASE WHEN d.n_tokens <= p.remaining THEN p.remaining - d.n_tokens
+       |         ELSE CAST(512 AS BIGINT) - d.n_tokens END
+       |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.pos = p.pos + 1)
+       |SELECT doc_id, shard, bin, n_tokens FROM pack""".stripMargin
+
   val curationContamination: String =
     s"""WITH testset AS (
        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0
@@ -939,6 +967,7 @@ object PipelineOracles {
     "text_chunks" -> textChunks,
     "text_vocab" -> textVocab,
     "curation_splits" -> curationSplits,
+    "curation_pack" -> curationPack,
     "curation_contamination" -> curationContamination,
     "curation_sample" -> curationSample,
     "curation_sample_stratified" -> curationSampleStratified,

@@ -240,6 +240,16 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
     },
 
+    // greedy token packing into fixed-capacity bins (sample packing for
+    // training batches): per-shard scan in id order, new bin when the
+    // doc overflows the remainder — the oracle replays the greedy fold
+    // with a recursive CTE
+    "curation_pack" -> { (s, dir) =>
+      graft.pipeline.Curation.packSequences(
+        Tables.documents(s, dir), "doc_id", "text",
+        capTokens = 512, shards = 16)
+    },
+
     "curation_splits" -> { (s, dir) =>
       // deterministic 80/10/10 split assignment by arithmetic id hash —
       // same row, same split, on any engine/run/partitioning

@@ -57,6 +57,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(pins2.forall(!end.contains(_)), "scope-2 pins survived their release")
   }
 
+  test("packSequences: every doc packed once, bins never overflow, partitioning-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val packed = Curation.packSequences(docs, "doc_id", "text",
+      capTokens = 512, shards = 8)
+    val rows = packed.as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length.toLong === docs.count())
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((shard, bin), ds) =>
+      val tot = ds.map(_._4).sum
+      assert(tot <= 512 || ds.length == 1,
+        s"bin ($shard, $bin) holds $tot tokens across ${ds.length} docs")
+    }
+    // greedy is tight: within a shard, the first doc of bin k+1 did
+    // NOT fit what bin k had left
+    rows.groupBy(_._2).foreach { case (_, ds) =>
+      val inOrder = ds.sortBy(_._1)
+      var bin = 0L; var remaining = 0L
+      inOrder.foreach { case (_, _, b, t) =>
+        if (b != bin) {
+          assert(b === bin + 1)
+          if (bin > 0) assert(t > remaining, s"doc of $t tokens fit the $remaining left")
+          bin = b; remaining = 512L
+        }
+        remaining -= t
+      }
+    }
+    // partitioning of the input must not change a single assignment
+    val packed2 = Curation.packSequences(docs.repartition(7), "doc_id", "text",
+      capTokens = 512, shards = 8)
+    assert(packed2.as[(Long, Long, Long, Long)].collect().toSet === rows.toSet)
+  }
+
   test("semantic dedup: zero false positives; planted exact copies always share a cluster") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     // plant exact copies under fresh ids: identical vectors assign to
