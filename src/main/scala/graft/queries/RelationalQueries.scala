@@ -185,6 +185,19 @@ object RelationalQueries {
       lane("inner").unionByName(lane("left_outer"))
     },
 
+    // the BUILT-IN sessionization: Catalyst's session_window gap-merge
+    // aggregation — the Spark-first lane next to the custom-state
+    // q_sessionize (same 4 h gap; session end = last event + gap per
+    // session_window semantics, which the oracle replays)
+    "q_session_window" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "4 hours"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+        .select($"user_id", unix_millis($"session_window.start").as("start_ms"),
+          unix_millis($"session_window.end").as("end_ms"), $"n_events", $"total_value")
+    },
+
     // gap sessionization's batch lane: the SAME flatMapGroupsWithState
     // state machine the stream runs (Streaming.sessionize), driven to
     // completion by one sentinel event per user two gaps past the
@@ -462,6 +475,31 @@ object RelationalQueries {
         |    (a, x) -> a + x) AS z
         |FROM agg
         |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
+
+    // built-in session_window: same gap split as q_sessionize, but in
+    // MICROSECOND space with half-open windows (a gap of exactly 4 h
+    // starts a NEW session) and the window END one gap past the last
+    // event
+    "q_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        |  epoch_ms(max(ts)) + 14400000 AS end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // gap sessionization: a session breaks where the per-user ordered
     // gap exceeds 4 h; session id = running sum of break markers
