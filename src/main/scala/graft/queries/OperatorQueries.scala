@@ -241,6 +241,30 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"total")
     },
 
+    "ir_sql_join_composite_idx" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // COMPOSITE zip join: two handles keyed by the same (bucket,
+      // custkey) pair and partition count — the SQL equi-join on BOTH
+      // key columns plans as the zero-shuffle zip join (every pair
+      // hashes to the same partition on both sides)
+      graft.sql.IndexedJoin.enable(s)
+      val c = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+        .select($"c_bucket", $"c_custkey", $"c_acctbal")
+      val totals = Tables.orders(s, dir).groupBy($"o_custkey")
+        .agg(round(sum($"o_totalprice"), 2).as("total"))
+        .withColumn("o_bucket", ($"o_custkey" % 100).cast("long"))
+        .select($"o_bucket", $"o_custkey", $"total")
+      val h1 = graft.sql.IndexedFrame.indexComposite(c, "c_bucket", "c_custkey",
+        numPartitions = 16)
+      val h2 = graft.sql.IndexedFrame.indexComposite(totals, "o_bucket", "o_custkey",
+        numPartitions = 16)
+      h1.toDF.join(h2.toDF,
+          $"c_bucket" === $"o_bucket" && $"c_custkey" === $"o_custkey")
+        .select($"c_custkey", $"c_acctbal", $"total")
+    },
+
     "ir_sql_semijoin_idx" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -734,6 +758,14 @@ object OperatorQueries {
         |                    AND o.o_totalprice > 450000)""".stripMargin,
 
     "ir_sql_join_idx" ->
+      """SELECT c.c_custkey, c.c_acctbal,
+        |  round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_acctbal""".stripMargin,
+
+    // bucket equality is implied by custkey equality, so the SQL twin
+    // is the single-key join
+    "ir_sql_join_composite_idx" ->
       """SELECT c.c_custkey, c.c_acctbal,
         |  round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey

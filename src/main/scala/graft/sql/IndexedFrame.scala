@@ -110,6 +110,18 @@ object IndexedFrame {
     override def toExternalSql(k: Any): Any = k.toString
   }
 
+  /** The join surface [[IndexedJoin]] plans against, implemented by
+    * single-key AND composite handles: the type-erased index, the key
+    * column list (one or two — a zip join must equate EVERY component
+    * in order), and a tag two handles must share for their erased key
+    * types to zip safely. */
+  private[sql] trait JoinableHandle {
+    private[sql] def idxAny: IndexedRDD[Any, InternalRow]
+    private[sql] def joinKeyCols: Seq[String]
+    /** Equal tags ⇒ equal runtime key types (zip/partitioner safe). */
+    private[sql] def keyTypeTag: String
+  }
+
   /** The stats surface [[IndexedAgg]] plans against, implemented by
     * single-key AND composite handles: `count(*)` from index sizes and
     * — when the index can answer them in the column's natural order —
@@ -134,11 +146,17 @@ object IndexedFrame {
       val schema: StructType, val ordered: Boolean,
       private[sql] val codec: KeyCodec[K])(
       implicit private[sql] val kTag: ClassTag[K],
-      private[sql] val kSer: KeySerializer[K]) extends Serializable with StatsCapable {
+      private[sql] val kSer: KeySerializer[K]) extends Serializable
+      with StatsCapable with JoinableHandle {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
     private[sql] def keyIndex: Int = schema.fieldIndex(keyCol)
+
+    override private[sql] def idxAny: IndexedRDD[Any, InternalRow] =
+      idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
+    override private[sql] def joinKeyCols: Seq[String] = Seq(keyCol)
+    override private[sql] def keyTypeTag: String = kTag.runtimeClass.getName
 
     /** Index-answered key extrema (no scan on radix layouts) — natural
       * order only when the serializer is order-preserving, which the
@@ -295,12 +313,17 @@ object IndexedFrame {
       val keyColA: String, val keyColB: String, val schema: StructType,
       val ordered: Boolean,
       private[sql] val codecA: LongCodec, private[sql] val codecB: LongCodec)
-      extends Serializable with StatsCapable {
+      extends Serializable with StatsCapable with JoinableHandle {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
     private[sql] implicit val tupSer: KeySerializer[(Long, Long)] =
       KeySerializer.tuple2Serializer[Long, Long]
+
+    override private[sql] def idxAny: IndexedRDD[Any, InternalRow] =
+      idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
+    override private[sql] def joinKeyCols: Seq[String] = Seq(keyColA, keyColB)
+    override private[sql] def keyTypeTag: String = "composite:long,long"
 
     /** Fixed-width components give the tuple encoding a CONSTANT length
       * prefix, so unsigned byte order == lexicographic (a, b) order: the

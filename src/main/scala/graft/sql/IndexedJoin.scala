@@ -62,9 +62,11 @@ object IndexedJoin {
       * re-applied ABOVE the zip join, which is equivalent for an inner
       * join and lets the single-pass index scan serve the data. */
     private def unwrap(p: LogicalPlan): Option[(Seq[Attribute], Seq[Attribute],
-        Seq[Expression], IndexedFrame.Handle[_])] = p match {
+        Seq[Expression], IndexedFrame.JoinableHandle)] = p match {
       case lr: LogicalRelation => lr.relation match {
         case rel: IndexedFrame.IndexedRelation[_] =>
+          Some((lr.output, lr.output, Nil, rel.h))
+        case rel: IndexedFrame.CompositeRelation =>
           Some((lr.output, lr.output, Nil, rel.h))
         case _ => None
       }
@@ -89,8 +91,8 @@ object IndexedJoin {
       * order — a Project on top restores the exact expected output
       * when they differ. */
     private def build(kind: ZipJoinKind,
-        scanAll: Seq[Attribute], scanH: IndexedFrame.Handle[_],
-        probeAll: Seq[Attribute], probeH: IndexedFrame.Handle[_],
+        scanAll: Seq[Attribute], scanH: IndexedFrame.JoinableHandle,
+        probeAll: Seq[Attribute], probeH: IndexedFrame.JoinableHandle,
         conds: Seq[Expression], wanted: Seq[Attribute]): SparkPlan = {
       val needed = AttributeSet(conds.flatMap(_.references))
       val joinOut = (scanAll ++ probeAll).filter(a =>
@@ -108,32 +110,50 @@ object IndexedJoin {
             .contains(j.joinType) =>
         (unwrap(j.left), unwrap(j.right)) match {
           case (Some((lOut, lAll, lConds, lh)), Some((rOut, rAll, rConds, rh)))
-              if lh.kTag == rh.kTag =>
-            val lKey = lAll.find(_.name == lh.keyCol).map(_.exprId)
-            val rKey = rAll.find(_.name == rh.keyCol).map(_.exprId)
+              if lh.keyTypeTag == rh.keyTypeTag =>
+            // i-th left key column must equate the i-th right key column
+            // (composite keys are ORDERED (a, b) tuples — a cross-pair
+            // equality like lA = rB is a residual, not a zip key)
+            val lKeys = lh.joinKeyCols.map(c => lAll.find(_.name == c).map(_.exprId))
+            val rKeys = rh.joinKeyCols.map(c => rAll.find(_.name == c).map(_.exprId))
+            def pairIndex(a: AttributeReference, b: AttributeReference): Option[Int] =
+              lKeys.indices.find { i =>
+                (lKeys(i).contains(a.exprId) && rKeys(i).contains(b.exprId)) ||
+                  (lKeys(i).contains(b.exprId) && rKeys(i).contains(a.exprId))
+              }
             val (keyEqs, residual) = conjuncts(j.condition.get).partition {
               case EqualTo(a: AttributeReference, b: AttributeReference) =>
-                (lKey.contains(a.exprId) && rKey.contains(b.exprId)) ||
-                  (lKey.contains(b.exprId) && rKey.contains(a.exprId))
+                pairIndex(a, b).isDefined
               case _ => false
             }
+            // the zip equates WHOLE keys: every component pair must be
+            // covered by some conjunct, else this is a prefix join the
+            // zip cannot serve
+            val covered = keyEqs.flatMap {
+              case EqualTo(a: AttributeReference, b: AttributeReference) => pairIndex(a, b)
+              case _ => None
+            }.toSet
+            val allCovered = covered == lKeys.indices.toSet
             // isnotnull(key) is vacuous for an index (null keys are
             // rejected at build) — drop it from both sides
-            def dropVacuous(conds: Seq[Expression], key: Option[org.apache.spark.sql.catalyst.expressions.ExprId]) =
+            val lKeySet = lKeys.flatten.toSet
+            val rKeySet = rKeys.flatten.toSet
+            def dropVacuous(conds: Seq[Expression],
+                keys: Set[org.apache.spark.sql.catalyst.expressions.ExprId]) =
               conds.filterNot {
-                case IsNotNull(a: AttributeReference) => key.contains(a.exprId)
+                case IsNotNull(a: AttributeReference) => keys.contains(a.exprId)
                 case _ => false
               }
-            val lConds2 = dropVacuous(lConds, lKey)
-            val rConds2 = dropVacuous(rConds, rKey)
+            val lConds2 = dropVacuous(lConds, lKeySet)
+            val rConds2 = dropVacuous(rConds, rKeySet)
             // a remaining cond that CONSTRAINS a side's key column means
             // the default planner would serve that side with a pruned
             // point/range index scan — replacing it with a full zip join
             // + lifted filter would be a colossal regression; bail
             val keyConstrained =
-              lConds2.exists(_.references.exists(a => lKey.contains(a.exprId))) ||
-                rConds2.exists(_.references.exists(a => rKey.contains(a.exprId)))
-            if (keyEqs.isEmpty || keyConstrained) Nil
+              lConds2.exists(_.references.exists(a => lKeySet.contains(a.exprId))) ||
+                rConds2.exists(_.references.exists(a => rKeySet.contains(a.exprId)))
+            if (!allCovered || keyConstrained) Nil
             else {
               val lAllN = lAll.map(_.withNullability(true))
               val rAllN = rAll.map(_.withNullability(true))
@@ -214,31 +234,36 @@ object IndexedJoin {
     * external rows, no copies. Inner, left/right outer (unmatched kept
     * rows pair with an all-null other row), and full outer. */
   case class IndexedZipJoinExec(output: Seq[Attribute],
-      lh: IndexedFrame.Handle[_], rh: IndexedFrame.Handle[_],
+      lh: IndexedFrame.JoinableHandle, rh: IndexedFrame.JoinableHandle,
       lAll: Seq[Attribute], rAll: Seq[Attribute],
       kind: ZipJoinKind = InnerKind) extends LeafExecNode {
 
     override def outputPartitioning: Partitioning = {
-      val n = lh.idx.partitions.length
+      val n = lh.idxAny.partitions.length
       // an outer join's null-extended side carries NULL keys wherever
       // the kept row lives, so clustering may only be claimed through a
       // side that is never null-extended: the left (scan) key for
       // inner/left-kept, NEITHER for full outer — a false claim would
       // let a parent aggregation elide its exchange and emit one NULL
-      // group per partition
+      // group per partition. Composite handles claim nothing:
+      // IndexedKeyPartitioning speaks single-attribute clustering only,
+      // and rows are hashed by the (a, b) PAIR, not either column.
+      def single(h: IndexedFrame.JoinableHandle, all: Seq[Attribute]): Option[Attribute] =
+        h.joinKeyCols match {
+          case Seq(one) => all.find(_.name == one).filter(output.contains)
+          case _ => None
+        }
       val keyAttr = kind match {
         case FullKind => None
-        case LeftKept | SemiKind | AntiKind =>
-          lAll.find(_.name == lh.keyCol).filter(output.contains)
-        case InnerKind => lAll.find(_.name == lh.keyCol).filter(output.contains)
-          .orElse(rAll.find(_.name == rh.keyCol).filter(output.contains))
+        case LeftKept | SemiKind | AntiKind => single(lh, lAll)
+        case InnerKind => single(lh, lAll).orElse(single(rh, rAll))
       }
       keyAttr.map(IndexedKeyPartitioning(_, n)).getOrElse(UnknownPartitioning(n))
     }
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val li = lh.idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
-      val ri = rh.idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
+      val li = lh.idxAny
+      val ri = rh.idxAny
       val out = output
       val in = lAll ++ rAll
       val nLeft = lAll.size

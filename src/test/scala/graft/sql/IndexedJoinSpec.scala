@@ -265,4 +265,37 @@ class IndexedJoinSpec extends AnyFunSuite {
     val expected = cust.join(bal, $"grp" === $"k2").count()
     assert(joined.count() === expected)
   }
+
+  test("composite handles zip-join on BOTH key columns; prefix or cross-pair equalities bail") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val left = (1L to 300L).map(k => (k % 10, k, s"L$k")).toDF("a", "b", "lv")
+    val right = (1L to 240L).map(k => (k % 10, k, k * 2.0)).toDF("a2", "b2", "rv")
+    val h1 = IndexedFrame.indexComposite(left, "a", "b", numPartitions = 8)
+    val h2 = IndexedFrame.indexComposite(right, "a2", "b2", numPartitions = 8)
+    val joined = h1.toDF.join(h2.toDF, $"a" === $"a2" && $"b" === $"b2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected composite zip join:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+    val expected = left.join(right, $"a" === $"a2" && $"b" === $"b2")
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet === expected)
+    assert(joined.count() === 240)
+    // a PREFIX equality (leading column only) cannot be served by the
+    // whole-key zip — default planner, results still right
+    val prefix = h1.toDF.join(h2.toDF, $"a" === $"a2")
+    assert(!prefix.queryExecution.executedPlan.toString.contains("IndexedZipJoin"))
+    assert(prefix.count() === left.join(right, $"a" === $"a2").count())
+    // CROSS-pair equalities (a = b2, b = a2) are not the tuple key
+    val crossed = h1.toDF.join(h2.toDF, $"a" === $"b2" && $"b" === $"a2")
+    assert(!crossed.queryExecution.executedPlan.toString.contains("IndexedZipJoin"))
+    assert(crossed.count() ===
+      left.join(right, $"a" === $"b2" && $"b" === $"a2").count())
+    // composite never zip-joins a single-key handle (key types differ)
+    val single = IndexedFrame.index(
+      (1L to 100L).map(k => (k, k)).toDF("b3", "x"), "b3", numPartitions = 8)
+    val mixed = h1.toDF.join(single.toDF, $"b" === $"b3")
+    assert(!mixed.queryExecution.executedPlan.toString.contains("IndexedZipJoin"))
+    assert(mixed.count() === 100)
+  }
 }
