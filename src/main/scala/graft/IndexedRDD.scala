@@ -482,8 +482,15 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     * unioned [[range]] RDDs costing k passes. Intervals must be
     * DISJOINT — overlapping intervals would emit a row once per
     * covering interval. Under a RangePartitioner (order-preserving
-    * serializer) prunes to partitions overlapping any interval. */
+    * serializer) prunes to partitions overlapping any interval.
+    * Requires an ORDER-PRESERVING serializer: interval membership is
+    * decided in encoded-byte order (trie descents and the fallback
+    * filter alike), so a length-prefixed encoding would silently remap
+    * the caller's natural-order interval to a different key set. */
   def multiRange(intervals: Seq[(K, K)])(implicit ser: KeySerializer[K]): RDD[(K, V)] = {
+    require(ser.isOrderPreserving,
+      s"multiRange needs an order-preserving serializer (byte order == key " +
+        s"order); ${ser.getClass.getSimpleName} is not")
     val ivs = intervals.toArray
     if (ivs.isEmpty) return sparkContext.emptyRDD[(K, V)]
     val base = partitioner match {

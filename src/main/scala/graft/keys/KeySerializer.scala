@@ -40,6 +40,16 @@ trait KeySerializer[K] extends Serializable {
     * preservation: with constant component extents the tuple's byte
     * order is the lexicographic component order. */
   def fixedWidth: Option[Int] = None
+
+  /** Byte length of ONE encoding that starts at `off` inside a larger
+    * buffer — what lets [[KeySerializer.ConcatTuple2Serializer]]
+    * split a composite encoding without a length prefix. Fixed-width
+    * encodings know it statically; variable-width serializers that
+    * participate in composites override (the lex string encoding scans
+    * to its terminator, length-prefixed ones read their own prefix). */
+  def encodedLength(b: Array[Byte], off: Int): Int =
+    fixedWidth.getOrElse(throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} cannot delimit itself inside a composite encoding"))
 }
 
 object KeySerializer {
@@ -118,6 +128,7 @@ object KeySerializer {
       val len = getIntBE(b, 0)
       new String(b, 4, len, StandardCharsets.UTF_8)
     }
+    override def encodedLength(b: Array[Byte], off: Int): Int = 4 + getIntBE(b, off)
   }
 
   /** ORDER-PRESERVING string encoding: UTF-8 body with 0x00 escaped as
@@ -163,6 +174,17 @@ object KeySerializer {
       }
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     }
+    /** Scan for the unique unescaped 0x00 0x00 terminator. */
+    override def encodedLength(b: Array[Byte], off: Int): Int = {
+      var i = off
+      while (true) {
+        if (b(i) == 0) {
+          if (b(i + 1) == 0) return i + 2 - off
+          i += 2 // 0x00 0xFF escape
+        } else i += 1
+      }
+      -1 // unreachable
+    }
   }
 
   /** UTF-8 binary string order — the order [[StringLexSerializer]]
@@ -179,6 +201,23 @@ object KeySerializer {
         a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Canonical-string (RFC 4122 hex) UUID order — the order
+    * [[UuidLexSerializer]] encodings sort in: unsigned msb, then
+    * unsigned lsb. `java.util.UUID.compareTo` is SIGNED-long order
+    * (JDK-7025832) and disagrees for UUIDs whose top bit differs; a
+    * RangePartitioner built with the natural ordering over lex-encoded
+    * UUID keys would prune partitions inconsistently with the tries'
+    * byte order. Range-partitioned UUID layouts must use THIS. */
+  object UuidLexOrdering extends Ordering[UUID] {
+    def compare(a: UUID, b: UUID): Int = {
+      val c = java.lang.Long.compareUnsigned(
+        a.getMostSignificantBits, b.getMostSignificantBits)
+      if (c != 0) c
+      else java.lang.Long.compareUnsigned(
+        a.getLeastSignificantBits, b.getLeastSignificantBits)
+    }
+  }
+
   /** 4-byte length prefix + two's-complement magnitude (prefix-free). */
   implicit object BigIntSerializer extends KeySerializer[BigInt] {
     def toBytes(k: BigInt): Array[Byte] = {
@@ -192,6 +231,7 @@ object KeySerializer {
       val len = getIntBE(b, 0)
       BigInt(java.util.Arrays.copyOfRange(b, 4, 4 + len))
     }
+    override def encodedLength(b: Array[Byte], off: Int): Int = 4 + getIntBE(b, off)
   }
 
   /** 16 bytes: msb ‖ lsb, each sign-flipped big-endian. */
@@ -262,6 +302,44 @@ object KeySerializer {
       val aBytes = java.util.Arrays.copyOfRange(b, 4, 4 + aLen)
       val bBytes = java.util.Arrays.copyOfRange(b, 4 + aLen, b.length)
       (aSer.fromBytes(aBytes), bSer.fromBytes(bBytes))
+    }
+  }
+
+  /** a ‖ b with NO length prefix. Component prefix-freedom (law 2)
+    * makes the concatenation prefix-free, and — whenever each
+    * component preserves its own order — ORDER-PRESERVING in
+    * lexicographic (a, b) order, VARIABLE-width first components
+    * included: two distinct `a` encodings always differ at a byte
+    * index inside both (neither can be the other's prefix), so the
+    * tuple comparison is decided exactly where the standalone `a`
+    * comparison is. The 4-byte-prefixed [[Tuple2Serializer]] loses
+    * this for variable-width `a` (short encodings sort by length
+    * first). Decoding splits at the first component's self-delimited
+    * extent ([[KeySerializer.encodedLength]]) — the first component's
+    * serializer must support it. The encoding of choice for SQL
+    * composite handles (ordered string/uuid/integral key pairs). */
+  class ConcatTuple2Serializer[A, B](aSer: KeySerializer[A], bSer: KeySerializer[B])
+      extends KeySerializer[(A, B)] {
+    override def isOrderPreserving: Boolean =
+      aSer.isOrderPreserving && bSer.isOrderPreserving
+    override def fixedWidth: Option[Int] =
+      for (a <- aSer.fixedWidth; b <- bSer.fixedWidth) yield a + b
+    def toBytes(k: (A, B)): Array[Byte] = {
+      val a = aSer.toBytes(k._1)
+      val b = bSer.toBytes(k._2)
+      val out = new Array[Byte](a.length + b.length)
+      System.arraycopy(a, 0, out, 0, a.length)
+      System.arraycopy(b, 0, out, a.length, b.length)
+      out
+    }
+    def fromBytes(b: Array[Byte]): (A, B) = {
+      val aLen = aSer.encodedLength(b, 0)
+      (aSer.fromBytes(java.util.Arrays.copyOfRange(b, 0, aLen)),
+        bSer.fromBytes(java.util.Arrays.copyOfRange(b, aLen, b.length)))
+    }
+    override def encodedLength(b: Array[Byte], off: Int): Int = {
+      val aLen = aSer.encodedLength(b, off)
+      aLen + bSer.encodedLength(b, off + aLen)
     }
   }
 }

@@ -557,6 +557,15 @@ object Dedup {
     val base = normalized(df, idCol, vecCol, idCol, "__v")
     val sample = base.orderBy(col(idCol)).limit(sampleSize)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty)
+      // no rows survive normalization → no centroids to seed (kmeans
+      // needs a non-empty sample); an empty pair set is the right
+      // answer, matching embeddingPairs on the same input
+      return df.sparkSession.emptyDataFrame
+        .select(lit(null).cast(df.schema(idCol).dataType).as("a"),
+          lit(null).cast(df.schema(idCol).dataType).as("b"),
+          lit(null).cast("double").as("cos"))
+        .limit(0)
     val cents = Similarity.kmeans(sample, nlist, iters)
     // one band per row: the 1-based cluster id (same cc − 2·dot argmin
     // expression as IVF list assignment — bit-identical to the oracle)

@@ -1,6 +1,7 @@
 package graft.sql
 
 import scala.reflect.ClassTag
+import scala.util.Try
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
@@ -8,8 +9,8 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, LessThan, LessThanOrEqual, PrunedFilteredScan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType,
-  StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, IntegerType, LongType,
+  ShortType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.IndexedRDD
@@ -25,28 +26,34 @@ import graft.keys.KeySerializer
  * `PrunedFilteredScan` closes that gap with public API only:
  *
  *  - `EqualTo`/`In` on the key → partition-pruned `multiget` point read;
- *  - `>`/`>=`/`<`/`<=` on the key (ordered handles, integral keys) →
- *    radix-tree range scan (`IndexedRDD.range`), bounds intersected
- *    across predicates — on [[rangePartitioned]] handles the scan also
- *    prunes PARTITIONS to the overlapping key intervals;
+ *  - `>`/`>=`/`<`/`<=` on the key (ordered handles whose serializer
+ *    byte order IS the column's comparison order: integral, lex-keyed
+ *    string, canonical uuid, and composite pairs of those) →
+ *    radix-tree range scan (`IndexedRDD.range`/`multiRange`), bounds
+ *    intersected across predicates as half-open intervals with
+ *    `Option` endpoints (None = unbounded — a strict `< MAX` bound is
+ *    therefore DISTINCT from unbounded-above, never conflated) — on
+ *    range-partitioned handles the scan also prunes PARTITIONS to the
+ *    overlapping key intervals;
  *  - anything else → indexed full scan with Spark re-applying residual
  *    predicates above us.
  *
  * Values are stored as UnsafeRow (converted ONCE at build from the
  * source plan's internal rows), and `needConversion = false`, so scans
  * and the zip join ([[IndexedJoin]]) never round-trip through external
- * Rows. Keys are generic over [[KeySerializer]] — integral and string
- * key columns ship here; the RDD layer accepts any serializable key.
+ * Rows. Keys are generic over [[KeySerializer]] — integral, string,
+ * uuid-string, decimal(p,0)/BigInt, and any composite PAIR of them
+ * ship here; the RDD layer accepts any serializable key.
  */
 object IndexedFrame {
 
-  /** Extracts the key from a stored internal row / a pushed literal. */
+  /** Extracts the key from a stored internal row / a pushed literal,
+    * and carries the key domain's ORDER ALGEBRA (comparison, immediate
+    * successor, domain minimum) that turns pushed inclusive/strict
+    * bounds into the half-open intervals the tries scan. */
   private[sql] sealed trait KeyCodec[K] extends Serializable {
     def fromRow(r: InternalRow, i: Int): K
     def fromLiteral(v: Any): K
-    /** Range pushdown is sound only when the serializer's byte order is
-      * the key's natural order AND bounds can be made half-open. */
-    def integral: Boolean
     /** true when `fromLiteral` is an exact inverse of the column's
       * string form — if the codec NORMALIZES (e.g. UUID hex case), the
       * relation must keep the filter "unhandled" so Spark re-applies the
@@ -56,6 +63,23 @@ object IndexedFrame {
       * of `fromRow`'s normalization) — what a SQL literal of the column
       * type converts from. */
     def toExternalSql(k: Any): Any = k
+    /** Natural-order comparison — the order the serializer's bytes
+      * preserve on range-capable codecs, and the order pushed bounds
+      * intersect in. */
+    def ord: Ordering[K]
+    /** Immediate successor in that order, None at the domain maximum —
+      * what converts inclusive bounds to half-open ones. */
+    def succ(k: K): Option[K]
+    /** Domain minimum — the lower key of an unbounded-below scan. Only
+      * called on range-capable codecs (the range lanes are gated on
+      * the serializer's order preservation). */
+    def minKey: K
+    /** Parse a pushed RANGE literal; None when the literal cannot take
+      * part in range semantics on the COLUMN faithfully (wrong runtime
+      * type, or — for normalizing codecs — a non-canonical form whose
+      * raw string order differs from the key order). A None keeps that
+      * filter unhandled, so Spark re-applies it above a wider lane. */
+    def rangeLiteral(v: Any): Option[K]
   }
 
   private[sql] final class LongCodec(dt: DataType) extends KeyCodec[Long] {
@@ -71,12 +95,16 @@ object IndexedFrame {
       case other => throw new IllegalArgumentException(
         s"integral key literal required, got ${if (other == null) "null" else other.getClass}")
     }
-    override def integral: Boolean = true
     override def toExternalSql(k: Any): Any = dt match {
       case LongType => k
       case IntegerType => k.asInstanceOf[Long].toInt
       case ShortType => k.asInstanceOf[Long].toShort
     }
+    override def ord: Ordering[Long] = Ordering.Long
+    override def succ(k: Long): Option[Long] =
+      if (k == Long.MaxValue) None else Some(k + 1)
+    override def minKey: Long = Long.MinValue
+    override def rangeLiteral(v: Any): Option[Long] = Try(fromLiteral(v)).toOption
   }
 
   private[sql] object StringCodec extends KeyCodec[String] {
@@ -87,17 +115,36 @@ object IndexedFrame {
       case other => throw new IllegalArgumentException(
         s"string key literal required, got ${if (other == null) "null" else other.getClass}")
     }
-    override def integral: Boolean = false
+    /** UTF-8 binary order — how UTF8String and the lex trie compare. */
+    override def ord: Ordering[String] = KeySerializer.Utf8StringOrdering
+    /** The immediate successor in UTF-8 binary order is `s + NUL`. */
+    override def succ(k: String): Option[String] = Some(k + 0.toChar)
+    override def minKey: String = ""
+    override def rangeLiteral(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
   }
 
   /** UUID-string key columns probe through the 16-byte UUID serializer
-    * (half the key bytes of the 36-char string form). UUID.fromString
-    * NORMALIZES hex case, so literal semantics are not exact: the
-    * relation keeps the original predicate for Spark to re-apply, and a
-    * malformed literal is simply a non-match, never an error. */
+    * (half the key bytes of the 36-char string form). The build REJECTS
+    * non-canonical stored values (anything where `UUID.fromString(s)
+    * .toString != s`) — with stored keys canonical, the uuid byte order
+    * IS the raw string order, so pushed ranges with CANONICAL literals
+    * are claimed exactly ([[rangeLiteral]] gates on canonicality).
+    * Point literals still normalize hex case (`fromLiteral`), so point
+    * semantics are not exact: the relation keeps the original equality
+    * predicate for Spark to re-apply, and a malformed literal is simply
+    * a non-match, never an error. */
   private[sql] object UuidCodec extends KeyCodec[java.util.UUID] {
-    override def fromRow(r: InternalRow, i: Int): java.util.UUID =
-      java.util.UUID.fromString(r.getUTF8String(i).toString)
+    override def fromRow(r: InternalRow, i: Int): java.util.UUID = {
+      val s = r.getUTF8String(i).toString
+      val u = java.util.UUID.fromString(s)
+      if (u.toString != s) throw new IllegalArgumentException(
+        s"non-canonical UUID key '$s' (indexUuid requires the canonical lower-case form)")
+      u
+    }
     override def fromLiteral(v: Any): java.util.UUID = v match {
       case s: String => java.util.UUID.fromString(s)
       case u: UTF8String => java.util.UUID.fromString(u.toString)
@@ -105,9 +152,113 @@ object IndexedFrame {
       case other => throw new IllegalArgumentException(
         s"uuid key literal required, got ${if (other == null) "null" else other.getClass}")
     }
-    override def integral: Boolean = false
     override def exactLiterals: Boolean = false
     override def toExternalSql(k: Any): Any = k.toString
+    override def ord: Ordering[java.util.UUID] = KeySerializer.UuidLexOrdering
+    override def succ(k: java.util.UUID): Option[java.util.UUID] = {
+      val (msb, lsb) = (k.getMostSignificantBits, k.getLeastSignificantBits)
+      if (lsb != -1L) Some(new java.util.UUID(msb, lsb + 1))
+      else if (msb != -1L) Some(new java.util.UUID(msb + 1, 0L))
+      else None
+    }
+    override def minKey: java.util.UUID = new java.util.UUID(0L, 0L)
+    override def rangeLiteral(v: Any): Option[java.util.UUID] = {
+      val s = v match {
+        case x: String => x
+        case u: UTF8String => u.toString
+        case _ => return None
+      }
+      Try(java.util.UUID.fromString(s)).toOption.filter(_.toString == s)
+    }
+  }
+
+  /** decimal(p, 0) key columns as BigInt keys (SURVEY §2.8's stated
+    * mapping of the reference's first-class BigInt keys, reference
+    * KeySerializer.scala:69-80). The length-prefixed BigInt encoding is
+    * NOT order-preserving, so these handles serve points and full scans
+    * only — range filters stay with Spark (the gates check the
+    * serializer, never this codec's order algebra). */
+  private[sql] final class BigIntCodec(precision: Int) extends KeyCodec[BigInt] {
+    override def fromRow(r: InternalRow, i: Int): BigInt =
+      r.getDecimal(i, precision, 0).toBigDecimal.toBigInt
+    override def fromLiteral(v: Any): BigInt = v match {
+      case d: java.math.BigDecimal => BigInt(d.toBigIntegerExact)
+      case d: BigDecimal => d.toBigIntExact.getOrElse(
+        throw new IllegalArgumentException(s"non-integral decimal literal $d"))
+      case b: BigInt => b
+      case l: Long => BigInt(l)
+      case i: Int => BigInt(i)
+      case other => throw new IllegalArgumentException(
+        s"decimal key literal required, got ${if (other == null) "null" else other.getClass}")
+    }
+    override def toExternalSql(k: Any): Any =
+      new java.math.BigDecimal(k.asInstanceOf[BigInt].bigInteger)
+    override def ord: Ordering[BigInt] = Ordering.BigInt
+    override def succ(k: BigInt): Option[BigInt] = Some(k + 1)
+    override def minKey: BigInt = throw new UnsupportedOperationException(
+      "BigInt keys have no domain minimum (range lanes are gated off: " +
+        "the length-prefixed encoding is not order-preserving)")
+    override def rangeLiteral(v: Any): Option[BigInt] = None
+  }
+
+  /** Tag a codec for `_frame` persistence. */
+  private def codecTag(c: KeyCodec[_]): String = c match {
+    case _: LongCodec => "long"
+    case StringCodec => "string"
+    case UuidCodec => "uuid"
+    case _: BigIntCodec => "bigint"
+  }
+
+  /** Half-open interval in one key domain's natural order; a `None`
+    * endpoint is unbounded on that side (NEVER encoded as a sentinel
+    * key value — `< domainMax` strict and "unbounded above" stay
+    * distinct). `empty` short-circuits contradictions (`k > MAX`,
+    * crossed bounds) to a zero-row scan. */
+  private[sql] final case class Iv[T](from: Option[T], to: Option[T],
+      empty: Boolean = false)
+
+  /** Intersect pushed intervals: max of lower bounds, min of upper
+    * bounds, emptiness when they cross. */
+  private[sql] def meet[T](ivs: Seq[Iv[T]], ord: Ordering[T]): Iv[T] =
+    if (ivs.exists(_.empty)) Iv(None, None, empty = true)
+    else {
+      val from = ivs.flatMap(_.from).reduceOption((a, b) => ord.max(a, b))
+      val to = ivs.flatMap(_.to).reduceOption((a, b) => ord.min(a, b))
+      val empty = (from, to) match {
+        case (Some(f), Some(t)) => ord.gteq(f, t)
+        case _ => false
+      }
+      Iv(from, to, empty)
+    }
+
+  /** Half-open interval implied by ONE pushed range filter on `col`,
+    * via the codec's order algebra. `eqAsPrefix` additionally maps
+    * equality to the one-key interval [k, succ k) — what a composite
+    * LEADING column wants (a prefix scan); second columns leave
+    * equality to the point lane. Literals the codec cannot take part
+    * in range semantics ([[KeyCodec.rangeLiteral]]) yield None for
+    * inequalities (filter stays with Spark) and an EMPTY interval for
+    * equality (an unmatchable literal equals no stored key). */
+  private[sql] def boundsOn[T](col: String, codec: KeyCodec[T],
+      eqAsPrefix: Boolean, f: Filter): Option[Iv[T]] = f match {
+    case EqualTo(`col`, null) if eqAsPrefix => Some(Iv[T](None, None, empty = true))
+    case EqualTo(`col`, v) if eqAsPrefix =>
+      Some(codec.rangeLiteral(v) match {
+        case Some(k) => Iv(Some(k), codec.succ(k))
+        case None => Iv[T](None, None, empty = true)
+      })
+    case GreaterThan(`col`, v) if v != null =>
+      codec.rangeLiteral(v).map(k => codec.succ(k) match {
+        case Some(s) => Iv(Some(s), None)
+        case None => Iv[T](None, None, empty = true) // k > domain max
+      })
+    case GreaterThanOrEqual(`col`, v) if v != null =>
+      codec.rangeLiteral(v).map(k => Iv(Some(k), None))
+    case LessThan(`col`, v) if v != null =>
+      codec.rangeLiteral(v).map(k => Iv(None, Some(k)))
+    case LessThanOrEqual(`col`, v) if v != null =>
+      codec.rangeLiteral(v).map(k => Iv(None, codec.succ(k)))
+    case _ => None
   }
 
   /** The join surface [[IndexedJoin]] plans against, implemented by
@@ -210,8 +361,10 @@ object IndexedFrame {
     schema(keyCol).dataType match {
       case dt @ (LongType | IntegerType | ShortType) => new LongCodec(dt)
       case StringType => StringCodec
+      case dt: DecimalType if dt.scale == 0 => new BigIntCodec(dt.precision)
       case other => throw new IllegalArgumentException(
-        s"unsupported key column type ${other.catalogString} (integral or string required)")
+        s"unsupported key column type ${other.catalogString} " +
+          "(integral, string, or decimal(p,0) required)")
     }
 
   /** Shared build path: key+copy the internal rows, optionally force a
@@ -242,7 +395,7 @@ object IndexedFrame {
     val codec = codecFor(df.schema, keyCol) match {
       case lc: LongCodec => lc
       case _ => throw new IllegalArgumentException(
-        s"index() requires an integral key column; use indexString for ${df.schema(keyCol).dataType.catalogString}")
+        s"index() requires an integral key column; use indexString/indexBigInt for ${df.schema(keyCol).dataType.catalogString}")
     }
     buildHandle(df, keyCol, codec, ordered, numPartitions)
   }
@@ -285,9 +438,10 @@ object IndexedFrame {
     * as 16 bytes (msb‖lsb) instead of 36 chars; pushed equality/IN
     * routes into partition-pruned point reads. Keys ride
     * [[KeySerializer.UuidLexSerializer]] (raw big-endian, byte order ==
-    * canonical-string order), so `ordered = true` handles answer SQL
-    * `min/max(keyCol)` from radix descents in the STRING column's own
-    * order. */
+    * canonical-string order) and the build REJECTS non-canonical
+    * values, so `ordered = true` handles answer SQL `min/max(keyCol)`
+    * from radix descents AND claim pushed ranges with canonical
+    * literals — both in the STRING column's own order. */
   def indexUuid(df: DataFrame, keyCol: String, ordered: Boolean = false,
       numPartitions: Int = 0): Handle[java.util.UUID] = {
     requireString(df, keyCol)
@@ -295,43 +449,121 @@ object IndexedFrame {
       implicitly[ClassTag[java.util.UUID]], KeySerializer.UuidLexSerializer)
   }
 
+  /** RANGE-PARTITIONED uuid handle: canonical-UUID string keys globally
+    * sorted in canonical-string order ([[KeySerializer.UuidLexOrdering]]
+    * — NOT `UUID.compareTo`'s signed order, which disagrees on the top
+    * bit) with 16-byte-keyed radix tries inside each partition: a
+    * pushed BETWEEN with canonical literals prunes to the overlapping
+    * partitions — the uuid twin of [[indexStringRangePartitioned]]. */
+  def indexUuidRangePartitioned(df: DataFrame, keyCol: String,
+      numPartitions: Int): Handle[java.util.UUID] = {
+    requireString(df, keyCol)
+    implicit val ord: Ordering[java.util.UUID] = KeySerializer.UuidLexOrdering
+    implicit val ser: KeySerializer[java.util.UUID] = KeySerializer.UuidLexSerializer
+    val idx = IndexedRDD.rangePartitioned(
+      pairs(df, keyCol, UuidCodec), numPartitions)
+    new Handle(idx.cached, keyCol, df.schema, ordered = true, UuidCodec)
+  }
+
+  /** Index by a decimal(p, 0) key column as BigInt keys (the
+    * reference's first-class BigInt keys — reference
+    * KeySerializer.scala:69-80 — at the SQL surface): pushed
+    * equality/IN routes into partition-pruned point reads. Range
+    * predicates stay with Spark (the BigInt encoding is
+    * length-prefixed, not order-preserving). */
+  def indexBigInt(df: DataFrame, keyCol: String,
+      numPartitions: Int = 0): Handle[BigInt] = {
+    val codec = codecFor(df.schema, keyCol) match {
+      case bc: BigIntCodec => bc
+      case _ => throw new IllegalArgumentException(
+        s"decimal(p,0) key column required, got ${df.schema(keyCol).dataType.catalogString}")
+    }
+    buildHandle(df, keyCol, codec, ordered = false, numPartitions)(
+      implicitly[ClassTag[BigInt]], KeySerializer.BigIntSerializer)
+  }
+
+  // ------------------------------------------------------------ composite
+
+  /** Per-column key machinery for composite builds: codec + serializer
+    * + class tag, matched by column TYPE (uuid strings on request).
+    * String components always ride the lex serializer so an ordered
+    * composite's byte order is lexicographic (a, b). */
+  private[sql] final case class KeySpec[T](codec: KeyCodec[T],
+      ser: KeySerializer[T], tag: ClassTag[T])
+
+  private def specFor(schema: StructType, col: String, uuid: Boolean): KeySpec[_] =
+    schema(col).dataType match {
+      case dt @ (LongType | IntegerType | ShortType) =>
+        KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
+          implicitly[ClassTag[Long]])
+      case StringType if uuid =>
+        KeySpec[java.util.UUID](UuidCodec, KeySerializer.UuidLexSerializer,
+          implicitly[ClassTag[java.util.UUID]])
+      case StringType =>
+        KeySpec[String](StringCodec, KeySerializer.StringLexSerializer,
+          implicitly[ClassTag[String]])
+      case dt: DecimalType if dt.scale == 0 =>
+        KeySpec[BigInt](new BigIntCodec(dt.precision),
+          KeySerializer.BigIntSerializer, implicitly[ClassTag[BigInt]])
+      case other => throw new IllegalArgumentException(
+        s"unsupported composite key column type ${other.catalogString} for $col")
+    }
+
+  private def specForTag(schema: StructType, col: String, tag: String): KeySpec[_] =
+    tag match {
+      case "uuid" => specFor(schema, col, uuid = true)
+      case _ => specFor(schema, col, uuid = false)
+    }
+
   /** COMPOSITE two-column key handle (reference treats Tuple2 keys as
     * first-class — Tuple2Serializer, reference KeySerializer.scala:
-    * 145-176): rows are indexed by the (leading, second) integral pair
-    * through the Tuple2 serializer, and pushed predicates route as
+    * 145-176): rows are indexed by the (leading, second) key pair
+    * through [[KeySerializer.ConcatTuple2Serializer]] (component
+    * prefix-freedom makes the unprefixed concatenation both prefix-free
+    * and, for order-preserving components, lexicographically
+    * order-preserving — variable-width string leads included), and
+    * pushed predicates route as
     *
     *  - conjunctive equality/IN on BOTH columns → partition-pruned
     *    `multiget` over the cross product of the pushed key sets;
     *  - equality or range on the LEADING column alone (ordered
     *    handles) → radix-trie range scan over the tuple byte space —
-    *    fixed-width components make the tuple encoding's byte order
-    *    the lexicographic (a, b) order, so a leading-column interval
-    *    is one contiguous byte range;
+    *    a leading-column interval is one contiguous byte range;
+    *  - leading equality/IN × second-column range (ordered handles) →
+    *    one disjoint trie interval per leading value in a single
+    *    multiRange pass;
     *  - anything else → indexed full scan, Spark re-applies residuals.
     */
-  class CompositeHandle(val idx: graft.IndexedRDD[(Long, Long), InternalRow],
+  class CompositeHandle[A, B](val idx: IndexedRDD[(A, B), InternalRow],
       val keyColA: String, val keyColB: String, val schema: StructType,
       val ordered: Boolean,
-      private[sql] val codecA: LongCodec, private[sql] val codecB: LongCodec)
+      private[sql] val codecA: KeyCodec[A], private[sql] val codecB: KeyCodec[B])(
+      implicit private[sql] val ctA: ClassTag[A],
+      private[sql] val ctB: ClassTag[B],
+      private[sql] val serA: KeySerializer[A],
+      private[sql] val serB: KeySerializer[B])
       extends Serializable with StatsCapable with JoinableHandle {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
-    private[sql] implicit val tupSer: KeySerializer[(Long, Long)] =
-      KeySerializer.tuple2Serializer[Long, Long]
+    private[sql] implicit val tupSer: KeySerializer[(A, B)] =
+      new KeySerializer.ConcatTuple2Serializer[A, B](serA, serB)
+    private[sql] val tupleOrd: Ordering[(A, B)] =
+      Ordering.Tuple2(codecA.ord, codecB.ord)
 
     override private[sql] def idxAny: IndexedRDD[Any, InternalRow] =
       idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
     override private[sql] def joinKeyCols: Seq[String] = Seq(keyColA, keyColB)
-    override private[sql] def keyTypeTag: String = "composite:long,long"
+    override private[sql] def keyTypeTag: String =
+      s"composite:${codecTag(codecA)},${codecTag(codecB)}"
 
-    /** Fixed-width components give the tuple encoding a CONSTANT length
-      * prefix, so unsigned byte order == lexicographic (a, b) order: the
-      * byte-extreme tuple's first component IS the leading column's
-      * natural extremum. min/max of the SECOND column alone are not
-      * index-answerable and fall through to the default planner. */
+    /** The tuple encoding's byte order is lexicographic (a, b) when
+      * order-preserving, so the byte-extreme tuple's first component IS
+      * the leading column's natural extremum. min/max of the SECOND
+      * column alone are not index-answerable and fall through to the
+      * default planner. */
     override private[sql] def statsKeyCol: Option[String] =
-      if (ordered) Some(keyColA) else None
+      if (ordered && tupSer.isOrderPreserving) Some(keyColA) else None
     override private[sql] def statsAll(
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
       if (withExtrema) {
@@ -344,55 +576,108 @@ object IndexedFrame {
       spark.baseRelationToDataFrame(new CompositeRelation(this)(spark.sqlContext))
   }
 
-  /** Shared composite build front: codecs + keyed internal-row pairs. */
-  private def compositePairs(df: DataFrame, keyColA: String, keyColB: String):
-      (LongCodec, LongCodec, RDD[((Long, Long), InternalRow)]) = {
-    def longCodec(c: String): LongCodec = codecFor(df.schema, c) match {
-      case lc: LongCodec => lc
-      case _ => throw new IllegalArgumentException(
-        s"composite key requires integral columns, got ${df.schema(c).dataType.catalogString} for $c")
-    }
-    val (ca, cb) = (longCodec(keyColA), longCodec(keyColB))
+  /** Keyed internal-row pairs for a composite build. */
+  private def compositePairs[A, B](df: DataFrame, keyColA: String, keyColB: String,
+      ca: KeyCodec[A], cb: KeyCodec[B]): RDD[((A, B), InternalRow)] = {
     val (ia, ib) = (df.schema.fieldIndex(keyColA), df.schema.fieldIndex(keyColB))
-    val raw = df.queryExecution.toRdd.mapPartitions(_.map { r =>
+    df.queryExecution.toRdd.mapPartitions(_.map { r =>
       if (r.isNullAt(ia) || r.isNullAt(ib))
         throw new IllegalArgumentException(
           s"null key in composite ($keyColA, $keyColB)")
       ((ca.fromRow(r, ia), cb.fromRow(r, ib)), r.copy(): InternalRow)
     })
-    (ca, cb, raw)
   }
+
+  /** Shared composite build: hash-partitioned (optionally at a forced
+    * count for co-partitioned zip joins), ordered, or — with
+    * `rangeParts > 0` — globally range-partitioned in lexicographic
+    * (a, b) order. */
+  private def buildComposite[A, B](df: DataFrame, keyColA: String, keyColB: String,
+      sa: KeySpec[A], sb: KeySpec[B], ordered: Boolean, numPartitions: Int,
+      rangeParts: Int): CompositeHandle[A, B] = {
+    implicit val cta: ClassTag[A] = sa.tag
+    implicit val ctb: ClassTag[B] = sb.tag
+    implicit val serA: KeySerializer[A] = sa.ser
+    implicit val serB: KeySerializer[B] = sb.ser
+    implicit val tupSer: KeySerializer[(A, B)] =
+      new KeySerializer.ConcatTuple2Serializer[A, B](serA, serB)
+    val raw = compositePairs(df, keyColA, keyColB, sa.codec, sb.codec)
+    val idx =
+      if (rangeParts > 0) {
+        implicit val ord: Ordering[(A, B)] = Ordering.Tuple2(sa.codec.ord, sb.codec.ord)
+        IndexedRDD.rangePartitioned(raw, rangeParts)
+      } else {
+        val p =
+          if (numPartitions > 0)
+            raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+          else raw
+        if (ordered) IndexedRDD.ordered(p) else IndexedRDD(p)
+      }
+    new CompositeHandle[A, B](idx.cached, keyColA, keyColB, df.schema,
+      ordered || rangeParts > 0, sa.codec, sb.codec)
+  }
+
+  private def integralSpec(df: DataFrame, c: String, caller: String): KeySpec[Long] =
+    df.schema(c).dataType match {
+      case dt @ (LongType | IntegerType | ShortType) =>
+        KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
+          implicitly[ClassTag[Long]])
+      case other => throw new IllegalArgumentException(
+        s"$caller requires integral columns, got ${other.catalogString} for $c; " +
+          "use indexCompositeAny for string/uuid components")
+    }
 
   /** Index a DataFrame by TWO integral key columns (composite key,
     * uniqueness enforced over the pair, last write wins). `ordered=true`
     * builds radix partitions so leading-column ranges push down. */
   def indexComposite(df: DataFrame, keyColA: String, keyColB: String,
-      ordered: Boolean = false, numPartitions: Int = 0): CompositeHandle = {
-    val (ca, cb, raw) = compositePairs(df, keyColA, keyColB)
-    val p =
-      if (numPartitions > 0) raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
-      else raw
-    val idx = if (ordered) graft.IndexedRDD.ordered(p) else graft.IndexedRDD(p)
-    new CompositeHandle(idx.cached, keyColA, keyColB, df.schema, ordered, ca, cb)
-  }
+      ordered: Boolean = false, numPartitions: Int = 0): CompositeHandle[Long, Long] =
+    buildComposite(df, keyColA, keyColB,
+      integralSpec(df, keyColA, "indexComposite"),
+      integralSpec(df, keyColB, "indexComposite"), ordered, numPartitions, 0)
+
+  /** Composite handle over ANY supported key-column pair — integral,
+    * string (lex-keyed), uuid-string (name the column in `uuidCols`),
+    * decimal(p,0)/BigInt. The reference's generic `Tuple2Serializer`
+    * contract (ref KeySerializer.scala:145-176, any two serializable
+    * key types) at the SQL surface: (string, long), (uuid, long),
+    * (string, string), ... all index, push down point/lead/mixed
+    * lanes (where the component orders allow), and zip-join. */
+  def indexCompositeAny(df: DataFrame, keyColA: String, keyColB: String,
+      ordered: Boolean = false, numPartitions: Int = 0,
+      uuidCols: Set[String] = Set.empty): CompositeHandle[_, _] =
+    (specFor(df.schema, keyColA, uuidCols(keyColA)),
+      specFor(df.schema, keyColB, uuidCols(keyColB))) match {
+      case (sa: KeySpec[a], sb: KeySpec[b]) =>
+        buildComposite[a, b](df, keyColA, keyColB, sa, sb, ordered, numPartitions, 0)
+    }
 
   /** RANGE-PARTITIONED composite handle: (a, b) pairs globally sorted
     * in lexicographic order across `numPartitions` partitions with a
-    * radix tree inside each. The fixed-width tuple serializer is
+    * radix tree inside each. The concatenated tuple serializer is
     * order-preserving, so pushed leading-column intervals AND the
     * a-point × b-range mixed lane prune PARTITIONS
     * (IndexedRDD.range/multiRange under a RangePartitioner) before
     * descending the per-partition tries — O(range) tasks at 100 TB,
     * the composite twin of [[indexRangePartitioned]]. */
   def indexCompositeRangePartitioned(df: DataFrame, keyColA: String,
-      keyColB: String, numPartitions: Int): CompositeHandle = {
-    val (ca, cb, raw) = compositePairs(df, keyColA, keyColB)
-    implicit val tupSer: KeySerializer[(Long, Long)] =
-      KeySerializer.tuple2Serializer[Long, Long]
-    val idx = graft.IndexedRDD.rangePartitioned(raw, numPartitions)
-    new CompositeHandle(idx.cached, keyColA, keyColB, df.schema,
-      ordered = true, ca, cb)
-  }
+      keyColB: String, numPartitions: Int): CompositeHandle[Long, Long] =
+    buildComposite(df, keyColA, keyColB,
+      integralSpec(df, keyColA, "indexCompositeRangePartitioned"),
+      integralSpec(df, keyColB, "indexCompositeRangePartitioned"),
+      ordered = true, 0, numPartitions)
+
+  /** [[indexCompositeAny]] × [[indexCompositeRangePartitioned]]: a
+    * range-partitioned composite over any supported key pair. */
+  def indexCompositeAnyRangePartitioned(df: DataFrame, keyColA: String,
+      keyColB: String, numPartitions: Int,
+      uuidCols: Set[String] = Set.empty): CompositeHandle[_, _] =
+    (specFor(df.schema, keyColA, uuidCols(keyColA)),
+      specFor(df.schema, keyColB, uuidCols(keyColB))) match {
+      case (sa: KeySpec[a], sb: KeySpec[b]) =>
+        buildComposite[a, b](df, keyColA, keyColB, sa, sb,
+          ordered = true, 0, numPartitions)
+    }
 
   /** Driver-side probe budgets for the composite relation: above
     * [[PointKeyBudget]] cross-product keys the point lane bails (two
@@ -404,92 +689,61 @@ object IndexedFrame {
   private[sql] val PointKeyBudget = 10000L
   private[sql] val MixedLeadCap = 64
 
-  private[sql] class CompositeRelation(private[sql] val h: CompositeHandle)(
+  private[sql] class CompositeRelation[A, B](
+      private[sql] val h: CompositeHandle[A, B])(
       @transient override val sqlContext: SQLContext)
       extends BaseRelation with PrunedFilteredScan {
 
     override def schema: StructType = h.schema
     override def needConversion: Boolean = false
 
-    private def parsed(codec: LongCodec, v: Any): Option[Long] =
-      scala.util.Try(codec.fromLiteral(v)).toOption
+    import h.{codecA, codecB, tupSer, tupleOrd}
 
     /** Point key set pushed on ONE of the two key columns. */
-    private def pointKeysOn(col: String, codec: LongCodec,
-        f: Filter): Option[Set[Long]] = f match {
+    private def pointKeysOn[T](col: String, codec: KeyCodec[T],
+        f: Filter): Option[Set[T]] = f match {
       case EqualTo(`col`, null) => Some(Set.empty)
-      case EqualTo(`col`, v) => Some(parsed(codec, v).toSet)
+      case EqualTo(`col`, v) => Some(Try(codec.fromLiteral(v)).toOption.toSet)
       case In(`col`, vs) =>
-        Some(vs.iterator.filter(_ != null).flatMap(parsed(codec, _)).toSet)
+        Some(vs.iterator.filter(_ != null)
+          .flatMap(v => Try(codec.fromLiteral(v)).toOption).toSet)
       case _ => None
-    }
-
-    /** Leading-column interval [from, to) from one pushed filter —
-      * EqualTo included (a prefix scan). Empty marker mirrors the
-      * single-key relation's overflow guard. */
-    private def leadBounds(f: Filter): Option[(Long, Long)] = {
-      def lit(v: Any): Long = h.codecA.fromLiteral(v)
-      f match {
-        case EqualTo(h.keyColA, null) => Some((Long.MaxValue, Long.MinValue)) // empty
-        case EqualTo(h.keyColA, v) =>
-          val a = lit(v)
-          Some((a, if (a == Long.MaxValue) Long.MaxValue else a + 1))
-        case GreaterThan(h.keyColA, v) if v != null =>
-          if (lit(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue))
-          else Some((lit(v) + 1, Long.MaxValue))
-        case GreaterThanOrEqual(h.keyColA, v) if v != null => Some((lit(v), Long.MaxValue))
-        case LessThan(h.keyColA, v) if v != null => Some((Long.MinValue, lit(v)))
-        case LessThanOrEqual(h.keyColA, v) if v != null =>
-          Some((Long.MinValue, if (lit(v) == Long.MaxValue) Long.MaxValue else lit(v) + 1))
-        case _ => None
-      }
-    }
-
-    /** SECOND-column interval [from, to) from one pushed RANGE filter
-      * (equality on b rides the point lane, not this one). Same
-      * conventions as [[leadBounds]]: half-open, (MaxValue, MinValue)
-      * empty marker, to == MaxValue means unbounded above. */
-    private def bBounds(f: Filter): Option[(Long, Long)] = {
-      def lit(v: Any): Long = h.codecB.fromLiteral(v)
-      f match {
-        case GreaterThan(h.keyColB, v) if v != null =>
-          if (lit(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue))
-          else Some((lit(v) + 1, Long.MaxValue))
-        case GreaterThanOrEqual(h.keyColB, v) if v != null => Some((lit(v), Long.MaxValue))
-        case LessThan(h.keyColB, v) if v != null => Some((Long.MinValue, lit(v)))
-        case LessThanOrEqual(h.keyColB, v) if v != null =>
-          Some((Long.MinValue, if (lit(v) == Long.MaxValue) Long.MaxValue else lit(v) + 1))
-        case _ => None
-      }
     }
 
     /** The access path for one pushed filter set. `unhandledFilters`
       * and `buildScan` both route through this, so the filters the
       * relation CLAIMS are exactly the ones the chosen lane ENFORCES. */
     private sealed trait Lane
-    private case class PointLane(as: Set[Long], bs: Set[Long]) extends Lane
-    /** a ∈ as (≤ [[MixedLeadCap]]) × b ∈ [bFrom, bTo): one disjoint
-      * trie interval per leading value, served in one multiRange pass. */
-    private case class MixedLane(as: Seq[Long], bFrom: Long, bTo: Long) extends Lane
-    private case class LeadLane(from: Long, to: Long) extends Lane
+    private case class PointLane(as: Set[A], bs: Set[B]) extends Lane
+    /** a ∈ as (≤ [[MixedLeadCap]]) × one b-interval: one disjoint trie
+      * interval per leading value, served in one multiRange pass. */
+    private case class MixedLane(as: Seq[A], bIv: Iv[B]) extends Lane
+    private case class LeadLane(iv: Iv[A]) extends Lane
     private case object FullLane extends Lane
 
+    /** Trie ranges need the TUPLE byte order to be the lexicographic
+      * (a, b) order — true for every ordered build of order-preserving
+      * components, checked rather than assumed. */
+    private def rangeReady: Boolean = h.ordered && tupSer.isOrderPreserving
+
+    private def aBounds(f: Filter): Option[Iv[A]] =
+      boundsOn(h.keyColA, codecA, eqAsPrefix = true, f)
+    private def bBounds(f: Filter): Option[Iv[B]] =
+      boundsOn(h.keyColB, codecB, eqAsPrefix = false, f)
+
     private def chooseLane(filters: Array[Filter]): Lane = {
-      val aSets = filters.flatMap(pointKeysOn(h.keyColA, h.codecA, _))
-      val bSets = filters.flatMap(pointKeysOn(h.keyColB, h.codecB, _))
-      val bRanges = if (h.ordered) filters.flatMap(bBounds) else Array.empty[(Long, Long)]
-      val leads = if (h.ordered) filters.flatMap(leadBounds) else Array.empty[(Long, Long)]
+      val aSets = filters.flatMap(pointKeysOn(h.keyColA, codecA, _))
+      val bSets = filters.flatMap(pointKeysOn(h.keyColB, codecB, _))
+      val bIvs = if (rangeReady) filters.flatMap(bBounds) else Array.empty[Iv[B]]
+      val leadIvs = if (rangeReady) filters.flatMap(aBounds) else Array.empty[Iv[A]]
       lazy val as = aSets.reduce(_ intersect _)
       if (aSets.nonEmpty && bSets.nonEmpty) {
         val bs = bSets.reduce(_ intersect _)
         if (as.size.toLong * bs.size <= PointKeyBudget) return PointLane(as, bs)
       }
-      if (aSets.nonEmpty && bRanges.nonEmpty && as.size <= MixedLeadCap) {
-        val bFrom = bRanges.map(_._1).max
-        val bTo = bRanges.map(_._2).min
-        return MixedLane(as.toSeq.sorted, bFrom, bTo)
-      }
-      if (leads.nonEmpty) LeadLane(leads.map(_._1).max, leads.map(_._2).min)
+      if (aSets.nonEmpty && bIvs.nonEmpty && as.size <= MixedLeadCap)
+        return MixedLane(as.toSeq.sorted(codecA.ord), meet(bIvs.toSeq, codecB.ord))
+      if (leadIvs.nonEmpty) LeadLane(meet(leadIvs.toSeq, codecA.ord))
       else FullLane
     }
 
@@ -497,31 +751,65 @@ object IndexedFrame {
       chooseLane(filters) match {
         case _: PointLane =>
           // multiget enforces every pushed point filter exactly (AND
-          // semantics via set intersection + cross product); ranges
-          // pushed alongside are re-applied by Spark above the probe
-          filters.filter(f => pointKeysOn(h.keyColA, h.codecA, f).isEmpty &&
-            pointKeysOn(h.keyColB, h.codecB, f).isEmpty)
+          // semantics via set intersection + cross product) — but only
+          // codecs with exact literal semantics may CLAIM them (a
+          // normalizing codec's probe can return a row whose raw string
+          // differs from the literal); ranges pushed alongside are
+          // re-applied by Spark above the probe either way
+          filters.filter(f =>
+            !(codecA.exactLiterals && pointKeysOn(h.keyColA, codecA, f).isDefined) &&
+              !(codecB.exactLiterals && pointKeysOn(h.keyColB, codecB, f).isDefined))
         case _: MixedLane =>
-          // a-point sets (intersected) and b-intervals (intersected)
-          // are enforced exactly by the per-leading-value trie scans
-          filters.filter(f => pointKeysOn(h.keyColA, h.codecA, f).isEmpty &&
-            bBounds(f).isEmpty)
+          // a-point sets (intersected, exact-literal codecs only) and
+          // b-intervals (intersected; rangeLiteral already gated
+          // faithfulness) are enforced exactly by the per-leading-value
+          // trie scans
+          filters.filter(f =>
+            !(codecA.exactLiterals && pointKeysOn(h.keyColA, codecA, f).isDefined) &&
+              bBounds(f).isEmpty)
         case _: LeadLane =>
           // leading-column intervals (equality included) are enforced
           // exactly by the trie range scan; everything else re-applies
-          filters.filter(f => leadBounds(f).isEmpty)
+          filters.filter(f => aBounds(f).isEmpty)
         case FullLane => filters
       }
 
-    /** Rows of one leading-column tuple interval, corner-completed:
-      * range() is half-open, so an unbounded-above second component
-      * (bTo == MaxValue) needs the exact (a, MaxValue) probes too. */
-    private def emptyInterval(from: Long, to: Long): Boolean =
-      from >= to && !(from == Long.MaxValue && to == Long.MaxValue)
+    /** Tuple intervals + exact corner probes closing an unbounded-above
+      * scan that starts at `from`: scan to succ(maxKey) when defined,
+      * else to maxKey with maxKey probed exactly (only the
+      * all-domain-max tuple lacks a successor). One O(depth) maxKey
+      * descent, only on unbounded-above scans. */
+    private def closeAbove(from: (A, B)): (Seq[((A, B), (A, B))], Seq[(A, B)]) =
+      h.idx.maxKey() match {
+        case None => (Nil, Nil) // empty index
+        case Some(mk) if tupleOrd.lt(mk, from) => (Nil, Nil)
+        case Some(mk) =>
+          codecB.succ(mk._2).map(b2 => (mk._1, b2))
+            .orElse(codecA.succ(mk._1).map(a2 => (a2, codecB.minKey))) match {
+            case Some(end) => (Seq((from, end)), Nil)
+            case None => (Seq((from, mk)), Seq(mk))
+          }
+      }
+
+    /** One multiRange pass over the live intervals + one multiget for
+      * corner keys (each corner is an interval's own inclusive
+      * endpoint, so corner rows never duplicate interval rows). */
+    private def serve(ivs: Seq[((A, B), (A, B))],
+        corners: Seq[(A, B)]): RDD[InternalRow] = {
+      val live = ivs.filter { case (f, t) => tupleOrd.lt(f, t) }
+      val body: RDD[InternalRow] =
+        if (live.isEmpty) sqlContext.sparkContext.emptyRDD[InternalRow]
+        else h.idx.multiRange(live).map(_._2)
+      if (corners.isEmpty) body
+      else {
+        val hit = h.idx.multiget(corners.toArray).values.toSeq
+        if (hit.nonEmpty) body.union(sqlContext.sparkContext.parallelize(hit, 1))
+        else body
+      }
+    }
 
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
-      import h.tupSer
       val rows: RDD[InternalRow] = chooseLane(filters) match {
         case PointLane(as, bs) =>
           val keys = (for (a <- as; b <- bs) yield (a, b)).toArray
@@ -529,46 +817,41 @@ object IndexedFrame {
           h.lastPointLookupKeys = keys.length
           val hit = h.idx.multiget(keys).values.toSeq
           sqlContext.sparkContext.parallelize(hit, 1)
-        case MixedLane(as, bFrom, bTo) =>
+        case MixedLane(as, bIv) =>
           h.lastScanKind = "range"
           h.lastPointLookupKeys = -1
-          if (emptyInterval(bFrom, bTo) || as.isEmpty) {
+          if (bIv.empty || as.isEmpty) {
             sqlContext.sparkContext.emptyRDD[InternalRow]
           } else {
+            val bFrom = bIv.from.getOrElse(codecB.minKey)
             // one disjoint tuple interval per leading value — a single
             // multiRange pass, each interval one O(depth) trie descent
-            val body = h.idx.multiRange(as.map(a => ((a, bFrom), (a, bTo)))).map(_._2)
-            if (bTo == Long.MaxValue) {
-              val corner = h.idx.multiget(as.map(a => (a, Long.MaxValue)).toArray)
-                .values.toSeq
-              if (corner.nonEmpty)
-                body.union(sqlContext.sparkContext.parallelize(corner, 1))
-              else body
-            } else body
+            val parts = as.map { a =>
+              bIv.to match {
+                case Some(bt) => (Seq(((a, bFrom), (a, bt))), Nil)
+                case None => codecA.succ(a) match {
+                  // unbounded-above b: close at the next leading value
+                  case Some(a2) => (Seq(((a, bFrom), (a2, codecB.minKey))), Nil)
+                  case None => closeAbove((a, bFrom)) // a == domain max
+                }
+              }
+            }
+            serve(parts.flatMap(_._1), parts.flatMap(_._2))
           }
-        case LeadLane(from, to) =>
+        case LeadLane(iv) =>
           h.lastScanKind = "range"
           h.lastPointLookupKeys = -1
-          if (emptyInterval(from, to)) {
+          if (iv.empty) {
             sqlContext.sparkContext.emptyRDD[InternalRow]
           } else {
-            // tuple byte range [(from, min), (to, min)) covers every
+            // tuple range [(from, minB), (to, minB)) covers every
             // second-column value for leading keys in [from, to)
-            val body = h.idx.range((from, Long.MinValue), (to, Long.MinValue))
-              .map(_._2)
-            if (to == Long.MaxValue) {
-              // unbounded above: a = MaxValue rows sit beyond the
-              // half-open scan — one bounded range + one exact probe
-              // complete the interval
-              val tail = h.idx.range(
-                (Long.MaxValue, Long.MinValue), (Long.MaxValue, Long.MaxValue))
-                .map(_._2)
-              val corner = h.idx.multiget(Array((Long.MaxValue, Long.MaxValue)))
-                .values.toSeq
-              val all = body.union(tail)
-              if (corner.nonEmpty) all.union(sqlContext.sparkContext.parallelize(corner, 1))
-              else all
-            } else body
+            val from = (iv.from.getOrElse(codecA.minKey), codecB.minKey)
+            val (ivs, corners) = iv.to match {
+              case Some(at) => (Seq((from, (at, codecB.minKey))), Nil)
+              case None => closeAbove(from)
+            }
+            serve(ivs, corners)
           }
         case FullLane =>
           h.lastScanKind = "full"
@@ -613,23 +896,19 @@ object IndexedFrame {
         h.idx.sparkContext).value)
     val out = new java.io.ObjectOutputStream(fs.create(
       new org.apache.hadoop.fs.Path(path, "_frame"), true))
-    val tag = h.codec match {
-      case _: LongCodec => "long"
-      case StringCodec => "string"
-      case UuidCodec => "uuid"
-    }
     try {
       out.writeObject(h.keyCol); out.writeBoolean(h.ordered)
-      out.writeObject(tag); out.writeObject(h.schema.json)
+      out.writeObject(codecTag(h.codec)); out.writeObject(h.schema.json)
     } finally out.close()
   }
 
   /** Persist a COMPOSITE handle: same one-file-per-partition index
     * layout as the single-key [[save]], with a `_frame` meta tagged
-    * "composite" carrying BOTH key columns + orderedness. Reload with
-    * [[loadComposite]] — point, leading-range, and mixed pushdown all
-    * work immediately from the reloaded copy, no rebuild. */
-  def save(h: CompositeHandle, path: String): Unit = {
+    * "composite" carrying BOTH key columns + per-component codec tags
+    * + orderedness. Reload with [[loadComposite]] — point,
+    * leading-range, and mixed pushdown all work immediately from the
+    * reloaded copy, no rebuild. */
+  def save(h: CompositeHandle[_, _], path: String): Unit = {
     graft.IndexedRDDIO.save(
       h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -642,30 +921,46 @@ object IndexedFrame {
       out.writeObject(h.keyColA); out.writeBoolean(h.ordered)
       out.writeObject("composite"); out.writeObject(h.schema.json)
       out.writeObject(h.keyColB)
+      out.writeObject(codecTag(h.codecA)); out.writeObject(codecTag(h.codecB))
     } finally out.close()
   }
 
-  /** Reload a composite handle saved by [[save(h:CompositeHandle*]]. */
-  def loadComposite(spark: SparkSession, path: String): CompositeHandle = {
+  /** Reload a composite handle saved by [[save(h:CompositeHandle*]].
+    * The single-key header (four fields) is read and the tag CHECKED
+    * before any composite-only field, so pointing this at a single-key
+    * save fails with the clean "not a composite handle" message rather
+    * than a raw stream error. */
+  def loadComposite(spark: SparkSession, path: String): CompositeHandle[_, _] = {
     val sc = spark.sparkContext
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri, sc.hadoopConfiguration)
     val in = new java.io.ObjectInputStream(fs.open(
       new org.apache.hadoop.fs.Path(path, "_frame")))
-    val (keyColA, ordered, tag, schemaJson, keyColB) =
-      try (in.readObject().asInstanceOf[String], in.readBoolean(),
-        in.readObject().asInstanceOf[String], in.readObject().asInstanceOf[String],
-        in.readObject().asInstanceOf[String])
-      finally in.close()
-    require(tag == "composite", s"not a composite handle at $path (tag '$tag'); use load")
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-      .asInstanceOf[StructType]
-    def longCodec(c: String): LongCodec = codecFor(schema, c).asInstanceOf[LongCodec]
-    implicit val tupSer: KeySerializer[(Long, Long)] =
-      KeySerializer.tuple2Serializer[Long, Long]
-    new CompositeHandle(
-      graft.IndexedRDDIO.load[(Long, Long), InternalRow](sc, path).cached,
-      keyColA, keyColB, schema, ordered, longCodec(keyColA), longCodec(keyColB))
+    try {
+      val keyColA = in.readObject().asInstanceOf[String]
+      val ordered = in.readBoolean()
+      val tag = in.readObject().asInstanceOf[String]
+      val schemaJson = in.readObject().asInstanceOf[String]
+      require(tag == "composite",
+        s"not a composite handle at $path (tag '$tag'); use load")
+      val keyColB = in.readObject().asInstanceOf[String]
+      val tagA = in.readObject().asInstanceOf[String]
+      val tagB = in.readObject().asInstanceOf[String]
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType]
+      (specForTag(schema, keyColA, tagA), specForTag(schema, keyColB, tagB)) match {
+        case (sa: KeySpec[a], sb: KeySpec[b]) =>
+          implicit val cta: ClassTag[a] = sa.tag
+          implicit val ctb: ClassTag[b] = sb.tag
+          implicit val serA: KeySerializer[a] = sa.ser
+          implicit val serB: KeySerializer[b] = sb.ser
+          implicit val tupSer: KeySerializer[(a, b)] =
+            new KeySerializer.ConcatTuple2Serializer[a, b](serA, serB)
+          new CompositeHandle[a, b](
+            graft.IndexedRDDIO.load[(a, b), InternalRow](sc, path).cached,
+            keyColA, keyColB, schema, ordered, sa.codec, sb.codec)
+      }
+    } finally in.close()
   }
 
   /** Reload a saved handle (see [[save]]); the key type is restored
@@ -703,6 +998,12 @@ object IndexedFrame {
           graft.IndexedRDDIO.load[java.util.UUID, InternalRow](sc, path).cached,
           keyCol, schema, ordered, UuidCodec)(
           implicitly[ClassTag[java.util.UUID]], KeySerializer.UuidLexSerializer)
+      case "bigint" =>
+        val codec = codecFor(schema, keyCol).asInstanceOf[BigIntCodec]
+        new Handle[BigInt](
+          graft.IndexedRDDIO.load[BigInt, InternalRow](sc, path).cached,
+          keyCol, schema, ordered, codec)(
+          implicitly[ClassTag[BigInt]], KeySerializer.BigIntSerializer)
       case "composite" => throw new IllegalArgumentException(
         s"composite handle at $path: use loadComposite")
     }
@@ -732,76 +1033,34 @@ object IndexedFrame {
       case _ => None
     }
 
-    /** Key range [from, to) implied by one pushed filter, if any —
-      * integral keys only. `k > Long.MaxValue` yields an empty range
-      * (overflow guard); upper bounds reaching Long.MaxValue are
-      * handled inclusively in the scan (see buildScan). */
-    private def rangeBounds(f: Filter): Option[(Long, Long)] = {
-      def lit(v: Any): Long = h.codec.fromLiteral(v).asInstanceOf[Long]
-      f match {
-        case GreaterThan(h.keyCol, v) if v != null =>
-          if (lit(v) == Long.MaxValue) Some((Long.MaxValue, Long.MinValue)) // empty
-          else Some((lit(v) + 1, Long.MaxValue))
-        case GreaterThanOrEqual(h.keyCol, v) if v != null => Some((lit(v), Long.MaxValue))
-        case LessThan(h.keyCol, v) if v != null => Some((Long.MinValue, lit(v)))
-        case LessThanOrEqual(h.keyCol, v) if v != null =>
-          Some((Long.MinValue, if (lit(v) == Long.MaxValue) Long.MaxValue else lit(v) + 1))
-        case _ => None
-      }
-    }
+    /** Range pushdown is sound exactly when the trie's byte order is
+      * the column's comparison order: ordered handles whose serializer
+      * is order-preserving (integral sign-flip, lex strings, canonical
+      * uuids — never the hash-layout length-prefixed encodings). */
+    private def rangeCapable: Boolean = h.ordered && h.kSer.isOrderPreserving
 
-    private def rangeCapable: Boolean = h.ordered && h.codec.integral
-
-    /** Ordered STRING handles (lex serializer: byte order == UTF8
-      * binary order) serve pushed string ranges from the trie. The
-      * normalizing uuid codec is excluded by `exactLiterals`. */
-    private def stringRangeCapable: Boolean =
-      h.ordered && !h.codec.integral && h.codec.exactLiterals && h.kSer.isOrderPreserving
-
-    /** String interval (from, toExclusive) from one pushed filter —
-      * either side None = unbounded. Inclusive bounds convert to
-      * half-open via the immediate string successor `s + NUL`. */
-    private def strBounds(f: Filter): Option[(Option[String], Option[String])] = {
-      def s(v: Any): Option[String] = v match {
-        case x: String => Some(x)
-        case u: UTF8String => Some(u.toString)
-        case _ => None
-      }
-      f match {
-        case GreaterThan(h.keyCol, v) if v != null =>
-          s(v).map(x => (Some(x + 0.toChar), None))
-        case GreaterThanOrEqual(h.keyCol, v) if v != null =>
-          s(v).map(x => (Some(x), None))
-        case LessThan(h.keyCol, v) if v != null => s(v).map(x => (None, Some(x)))
-        case LessThanOrEqual(h.keyCol, v) if v != null =>
-          s(v).map(x => (None, Some(x + 0.toChar)))
-        case _ => None
-      }
-    }
+    private def kBounds(f: Filter): Option[Iv[K]] =
+      boundsOn(h.keyCol, h.codec, eqAsPrefix = false, f)
 
     override def unhandledFilters(filters: Array[Filter]): Array[Filter] = {
-      // range filters are fully handled ONLY on ordered handles whose
-      // byte order is the column's comparison order (integral keys, or
-      // lex-keyed strings) AND when no point filter is pushed alongside
-      // them — the point branch of buildScan ignores bounds, so mixed
-      // predicates must be re-applied by Spark above the scan. A
-      // NORMALIZING codec (uuid) never claims point filters: the probe
-      // may return a row whose string form differs from the literal, so
-      // Spark must re-check the original predicate.
+      // range filters are fully handled ONLY on range-capable handles
+      // AND when no point filter is pushed alongside them — the point
+      // branch of buildScan ignores bounds, so mixed predicates must be
+      // re-applied by Spark above the scan. A NORMALIZING codec (uuid)
+      // never claims point filters: the probe may return a row whose
+      // string form differs from the literal, so Spark must re-check
+      // the original predicate; its RANGE claims are already gated to
+      // faithful (canonical) literals by KeyCodec.rangeLiteral.
       val anyPoint = filters.exists(f => pointKeys(f).isDefined)
       filters.filter(f => !(h.codec.exactLiterals && pointKeys(f).isDefined) &&
-        !(rangeCapable && !anyPoint && rangeBounds(f).isDefined) &&
-        !(stringRangeCapable && !anyPoint && strBounds(f).isDefined))
+        !(rangeCapable && !anyPoint && kBounds(f).isDefined))
     }
 
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
       val keySets = filters.flatMap(pointKeys)
-      val bounds =
-        if (rangeCapable) filters.flatMap(rangeBounds) else Array.empty[(Long, Long)]
-      val sBounds =
-        if (stringRangeCapable) filters.flatMap(strBounds)
-        else Array.empty[(Option[String], Option[String])]
+      val ivs =
+        if (rangeCapable) filters.flatMap(kBounds) else Array.empty[Iv[K]]
       val rows: RDD[InternalRow] =
         if (keySets.nonEmpty) {
           // AND semantics across pushed filters: intersect every key set
@@ -810,47 +1069,40 @@ object IndexedFrame {
           h.lastPointLookupKeys = keys.length
           val hit = h.idx.multiget(keys).values.toSeq
           sqlContext.sparkContext.parallelize(hit, 1)
-        } else if (bounds.nonEmpty) {
-          // intersect all pushed bounds into one [from, to)
-          val from = bounds.map(_._1).max
-          val to = bounds.map(_._2).min
+        } else if (ivs.nonEmpty) {
+          // intersect all pushed bounds into one half-open interval
+          val iv = meet(ivs.toSeq, h.codec.ord)
           h.lastScanKind = "range"
           h.lastPointLookupKeys = -1
-          val hl = h.asInstanceOf[Handle[Long]]
-          if (from >= to && !(from == Long.MaxValue && to == Long.MaxValue)) {
+          if (iv.empty) {
             sqlContext.sparkContext.emptyRDD[InternalRow]
           } else {
-            val body = hl.idx.range(from, to)(hl.kSer).map(_._2)
-            // range() is half-open, so an upper bound of Long.MaxValue
-            // (i.e. unbounded above) must also admit a MaxValue key
-            if (to == Long.MaxValue) {
-              val maxHit = hl.idx.multiget(Array(Long.MaxValue)).values.toSeq
-              if (maxHit.nonEmpty) body.union(sqlContext.sparkContext.parallelize(maxHit, 1))
+            val from = iv.from.getOrElse(h.codec.minKey)
+            // unbounded above closes at succ(maxKey) — one O(depth)
+            // descent; only a domain-max key lacks a successor and is
+            // probed exactly instead (corner rows never duplicate the
+            // scan: the corner IS the scan's own inclusive endpoint)
+            val (ranges, corners) = iv.to match {
+              case Some(t) => (Seq((from, t)), Nil)
+              case None => h.idx.maxKey()(h.kSer) match {
+                case None => (Nil, Nil) // empty index
+                case Some(mk) if h.codec.ord.lt(mk, from) => (Nil, Nil)
+                case Some(mk) => h.codec.succ(mk) match {
+                  case Some(end) => (Seq((from, end)), Nil)
+                  case None => (Seq((from, mk)), Seq(mk))
+                }
+              }
+            }
+            val live = ranges.filter { case (f, t) => h.codec.ord.lt(f, t) }
+            val body: RDD[InternalRow] =
+              if (live.isEmpty) sqlContext.sparkContext.emptyRDD[InternalRow]
+              else h.idx.range(live.head._1, live.head._2)(h.kSer).map(_._2)
+            if (corners.isEmpty) body
+            else {
+              val hit = h.idx.multiget(corners.toArray(h.kTag)).values.toSeq
+              if (hit.nonEmpty) body.union(sqlContext.sparkContext.parallelize(hit, 1))
               else body
-            } else body
-          }
-        } else if (sBounds.nonEmpty) {
-          // string interval over the lex-keyed trie: intersect pushed
-          // bounds in ENCODED byte order (string order == byte order
-          // for the lex serializer; Java String.compareTo is UTF-16
-          // order and disagrees beyond the BMP)
-          val hs = h.asInstanceOf[Handle[String]]
-          def enc(x: String): Array[Byte] = hs.kSer.toBytes(x)
-          val from = sBounds.flatMap(_._1).reduceOption { (a, b) =>
-            if (java.util.Arrays.compareUnsigned(enc(a), enc(b)) >= 0) a else b
-          }.getOrElse("") // the empty string is the global minimum
-          // unbounded above closes at succ(maxKey) — one O(depth)
-          // descent; an empty index answers with no rows
-          val toOpt = sBounds.flatMap(_._2).reduceOption { (a, b) =>
-            if (java.util.Arrays.compareUnsigned(enc(a), enc(b)) <= 0) a else b
-          }.orElse(hs.idx.maxKey()(hs.kSer).map(_ + 0.toChar))
-          h.lastScanKind = "range"
-          h.lastPointLookupKeys = -1
-          toOpt match {
-            case Some(to)
-                if java.util.Arrays.compareUnsigned(enc(from), enc(to)) < 0 =>
-              hs.idx.range(from, to)(hs.kSer).map(_._2)
-            case _ => sqlContext.sparkContext.emptyRDD[InternalRow]
+            }
           }
         } else {
           h.lastScanKind = "full"

@@ -66,7 +66,7 @@ object IndexedJoin {
       case lr: LogicalRelation => lr.relation match {
         case rel: IndexedFrame.IndexedRelation[_] =>
           Some((lr.output, lr.output, Nil, rel.h))
-        case rel: IndexedFrame.CompositeRelation =>
+        case rel: IndexedFrame.CompositeRelation[_, _] =>
           Some((lr.output, lr.output, Nil, rel.h))
         case _ => None
       }
@@ -218,6 +218,31 @@ object IndexedJoin {
     override def canCreatePartitioning: Boolean = false
   }
 
+  /**
+   * The COMPOSITE twin of [[IndexedKeyPartitioning]]: a composite zip
+   * join's rows are hashed by the (a, b) key PAIR, so equal pairs are
+   * co-located and any required clustering that CONTAINS both key
+   * attributes is satisfied — a parent `groupBy(a, b)` (or `(a, b, c)`)
+   * above the join skips its exchange, matching the single-key
+   * behavior. A clustering on only ONE of the columns is NOT satisfied
+   * (equal `a` values spread across partitions under the pair hash).
+   * Like the single-key claim, the shuffle spec is deliberately
+   * incompatible with real exchanges (`pair.hashCode % n`, not
+   * Catalyst murmur3).
+   */
+  case class IndexedPairPartitioning(keys: Seq[Attribute], numPartitions: Int)
+      extends Partitioning {
+    override def satisfies0(required: Distribution): Boolean = required match {
+      case UnspecifiedDistribution => true
+      case ClusteredDistribution(clustering, requireAll, _) =>
+        val covered = keys.forall(k => clustering.exists(_.semanticEquals(k)))
+        if (requireAll) covered && clustering.length == keys.length else covered
+      case _ => false
+    }
+    override def createShuffleSpec(distribution: ClusteredDistribution): ShuffleSpec =
+      IndexedKeyShuffleSpec(numPartitions)
+  }
+
   /** How the zip join emits rows. RightOuter is planned as LeftKept
     * with the handles swapped at strategy level. */
   sealed trait ZipJoinKind extends Serializable
@@ -245,20 +270,30 @@ object IndexedJoin {
       // side that is never null-extended: the left (scan) key for
       // inner/left-kept, NEITHER for full outer — a false claim would
       // let a parent aggregation elide its exchange and emit one NULL
-      // group per partition. Composite handles claim nothing:
-      // IndexedKeyPartitioning speaks single-attribute clustering only,
-      // and rows are hashed by the (a, b) PAIR, not either column.
-      def single(h: IndexedFrame.JoinableHandle, all: Seq[Attribute]): Option[Attribute] =
+      // group per partition. Single-key handles claim one-attribute
+      // clustering (IndexedKeyPartitioning); composite handles claim
+      // PAIR clustering (IndexedPairPartitioning) — rows are hashed by
+      // the (a, b) pair, so a parent groupBy that contains BOTH key
+      // attributes skips its exchange, and one that names only one of
+      // them does not (equal single-column values spread under the
+      // pair hash).
+      def claim(h: IndexedFrame.JoinableHandle, all: Seq[Attribute]): Option[Partitioning] =
         h.joinKeyCols match {
-          case Seq(one) => all.find(_.name == one).filter(output.contains)
-          case _ => None
+          case Seq(one) =>
+            all.find(_.name == one).filter(output.contains)
+              .map(IndexedKeyPartitioning(_, n))
+          case pair =>
+            val attrs = pair.flatMap(c => all.find(_.name == c))
+            if (attrs.length == pair.length && attrs.forall(output.contains))
+              Some(IndexedPairPartitioning(attrs, n))
+            else None
         }
-      val keyAttr = kind match {
+      val part = kind match {
         case FullKind => None
-        case LeftKept | SemiKind | AntiKind => single(lh, lAll)
-        case InnerKind => single(lh, lAll).orElse(single(rh, rAll))
+        case LeftKept | SemiKind | AntiKind => claim(lh, lAll)
+        case InnerKind => claim(lh, lAll).orElse(claim(rh, rAll))
       }
-      keyAttr.map(IndexedKeyPartitioning(_, n)).getOrElse(UnknownPartitioning(n))
+      part.getOrElse(UnknownPartitioning(n))
     }
 
     override protected def doExecute(): RDD[InternalRow] = {

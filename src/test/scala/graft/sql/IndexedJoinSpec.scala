@@ -298,4 +298,50 @@ class IndexedJoinSpec extends AnyFunSuite {
     assert(!mixed.queryExecution.executedPlan.toString.contains("IndexedZipJoin"))
     assert(mixed.count() === 100)
   }
+
+  test("groupBy on BOTH composite keys above the composite zip join needs no exchange") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val left = (1L to 300L).map(k => (k % 10, k, k * 1.5)).toDF("a", "b", "lv")
+    val right = (1L to 240L).map(k => (k % 10, k, k * 2.0)).toDF("a2", "b2", "rv")
+    val h1 = IndexedFrame.indexComposite(left, "a", "b", numPartitions = 8)
+    val h2 = IndexedFrame.indexComposite(right, "a2", "b2", numPartitions = 8)
+    val agg = h1.toDF.join(h2.toDF, $"a" === $"a2" && $"b" === $"b2")
+      .groupBy($"a", $"b")
+      .agg(org.apache.spark.sql.functions.sum($"rv").as("t"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected composite zip join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"pair-clustered output should satisfy a both-keys groupBy:\n$plan")
+    val expected = left.join(right, $"a" === $"a2" && $"b" === $"b2")
+      .groupBy($"a", $"b")
+      .agg(org.apache.spark.sql.functions.sum($"rv").as("t"))
+      .collect().map(_.toSeq).toSet
+    assert(agg.collect().map(_.toSeq).toSet === expected)
+    // a SUPERSET clustering (a, b, extra) is also satisfied — equal
+    // (a, b, lv) triples agree on (a, b), hence co-located
+    val wider = h1.toDF.join(h2.toDF, $"a" === $"a2" && $"b" === $"b2")
+      .groupBy($"a", $"b", $"lv").count()
+    assert(!wider.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("groupBy on ONE composite key still exchanges (pair hash is not a-clustered)") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val left = (1L to 300L).map(k => (k % 10, k, k * 1.5)).toDF("a", "b", "lv")
+    val right = (1L to 240L).map(k => (k % 10, k, k * 2.0)).toDF("a2", "b2", "rv")
+    val h1 = IndexedFrame.indexComposite(left, "a", "b", numPartitions = 8)
+    val h2 = IndexedFrame.indexComposite(right, "a2", "b2", numPartitions = 8)
+    val agg = h1.toDF.join(h2.toDF, $"a" === $"a2" && $"b" === $"b2")
+      .groupBy($"a")
+      .agg(org.apache.spark.sql.functions.sum($"rv").as("t"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      s"single-column clustering must NOT be claimed by the pair hash:\n$plan")
+    val expected = left.join(right, $"a" === $"a2" && $"b" === $"b2")
+      .groupBy($"a")
+      .agg(org.apache.spark.sql.functions.sum($"rv").as("t"))
+      .collect().map(_.toSeq).toSet
+    assert(agg.collect().map(_.toSeq).toSet === expected)
+  }
 }
