@@ -641,6 +641,110 @@ object OperatorQueries {
       val rebuilt = idx.createUsingIndex(maxPrice: org.apache.spark.rdd.RDD[(Long, Double)])
       Bridge.RichIndexedRDD(rebuilt).toDS
         .select($"_1".as("o_custkey"), round($"_2", 2).as("max_price"))
+    },
+
+    "ir_sql_pointget_composite_str" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // GENERIC composite handle with a STRING leading component: the
+      // (c_name, c_custkey) pair rides the unprefixed concatenating
+      // tuple serializer (lex string component self-delimits), and the
+      // pushed two-column IN × IN routes into the tuple multiget —
+      // 12 cross-product probes, 3 hits, no scan
+      val h = graft.sql.IndexedFrame.indexCompositeAny(
+        Tables.customer(s, dir), "c_name", "c_custkey")
+      h.toDF.filter(
+          $"c_name".isin("Customer#000000002", "Customer#000000017",
+            "Customer#000000123") &&
+            $"c_custkey".isin(2L, 17L, 123L, 999999L))
+        .select($"c_name", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_range_composite_str" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // string-lead composite MIXED pushdown: segment IN × custkey
+      // range — one disjoint trie interval per leading segment value
+      // in a single multiRange pass (the lex-encoded string lead keeps
+      // the concatenated tuple byte order lexicographic, so per-lead
+      // second-column intervals are contiguous byte ranges)
+      val h = graft.sql.IndexedFrame.indexCompositeAny(
+        Tables.customer(s, dir), "c_mktsegment", "c_custkey", ordered = true)
+      h.toDF.filter(
+          $"c_mktsegment".isin("BUILDING", "AUTOMOBILE") &&
+            $"c_custkey".between(1L, 500L))
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_range_uuid_rp" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // RANGE-PARTITIONED UUID handle: keys globally sorted in unsigned
+      // (msb, lsb) order — the same order the 16-byte sign-flipped lex
+      // encoding sorts in — so the pushed BETWEEN prunes to only the
+      // overlapping partitions before the per-partition trie scans
+      val withUuid = Tables.customer(s, dir).withColumn("c_uuid",
+        format_string("00000000-0000-4000-8000-%012d", $"c_custkey"))
+      val h = graft.sql.IndexedFrame.indexUuidRangePartitioned(
+        withUuid, "c_uuid", numPartitions = 16)
+      h.toDF.filter($"c_uuid".between(
+          "00000000-0000-4000-8000-000000000100",
+          "00000000-0000-4000-8000-000000000299"))
+        .select($"c_uuid", $"c_acctbal")
+    },
+
+    "ir_sql_pointget_bigint" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // decimal(38,0) keys through the BigInt serializer (the
+      // reference ships BigInt as a first-class key type, reference
+      // KeySerializer.scala:69-80): pushed IN routes into the
+      // arbitrary-precision-key multiget, no scan
+      val withDec = Tables.customer(s, dir)
+        .withColumn("c_dec", $"c_custkey".cast("decimal(38,0)"))
+      val h = graft.sql.IndexedFrame.indexBigInt(withDec, "c_dec")
+      // output key cast back to BIGINT: the decimal KEY path (codec,
+      // serializer, multiget probe) is what this lane gates; DuckDB's
+      // pandas bridge renders DECIMAL(38,0) as float, which would fail
+      // the textual compare on representation alone
+      h.toDF.filter($"c_dec".isin(
+          new java.math.BigDecimal(2), new java.math.BigDecimal(17),
+          new java.math.BigDecimal(123), new java.math.BigDecimal(999999)))
+        .select($"c_dec".cast("long").as("c_key"), $"c_acctbal")
+    },
+
+    "ir_stream_sink" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // the foreachBatch COW sink, driven end-to-end: a MemoryStream of
+      // per-year (custkey, max order price) upsert batches flows
+      // through upsertStream -> multiputRDD; each micro-batch lands
+      // copy-on-write on the live index (old snapshot stays queryable
+      // until the new one is materialized). Batches are applied in
+      // order, so the final state is last-write-wins across batch ids —
+      // which the oracle replays with a window over the same per-year
+      // aggregates. max() keeps both sides bit-exact (order-free fold).
+      val init = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd
+        .partitionBy(new org.apache.spark.HashPartitioner(16))
+      val sink = new graft.streaming.Streaming.IndexedUpsertSink[Long, Double](
+        IndexedRDD(init))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val q = graft.streaming.Streaming.upsertStream(
+        input.toDS(), sink, s"ir_stream_sink_${System.nanoTime()}")
+      try {
+        Seq(1995, 1996, 1997).foreach { y =>
+          val batch = Tables.orders(s, dir)
+            .filter(year($"o_orderdate") === y)
+            .groupBy($"o_custkey").agg(max($"o_totalprice").as("v"))
+            .as[(Long, Double)].collect().toSeq
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      Bridge.RichIndexedRDD(sink.current).toDS
+        .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     }
   )
 
@@ -861,6 +965,46 @@ object OperatorQueries {
 
     "ir_create_using_index" ->
       """SELECT o_custkey, round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price
-        |FROM orders GROUP BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "ir_sql_pointget_composite_str" ->
+      """SELECT c_name, c_custkey, c_acctbal FROM customer
+        |WHERE c_name IN ('Customer#000000002', 'Customer#000000017',
+        |                 'Customer#000000123')
+        |  AND c_custkey IN (2, 17, 123, 999999)""".stripMargin,
+
+    "ir_sql_range_composite_str" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |  AND c_custkey BETWEEN 1 AND 500""".stripMargin,
+
+    "ir_sql_range_uuid_rp" ->
+      """SELECT printf('00000000-0000-4000-8000-%012d', c_custkey) AS c_uuid,
+        |       c_acctbal
+        |FROM customer WHERE c_custkey BETWEEN 100 AND 299""".stripMargin,
+
+    "ir_sql_pointget_bigint" ->
+      """SELECT c_custkey AS c_key, c_acctbal FROM customer
+        |WHERE c_custkey IN (2, 17, 123, 999999)""".stripMargin,
+
+    // last-write-wins replay of the three ordered upsert batches the
+    // sink applied (per-year per-customer max order price, batch id =
+    // year), over the initial customer-balance state
+    "ir_stream_sink" ->
+      """WITH ups AS (
+        |  SELECT o_custkey AS k, max(o_totalprice) AS v,
+        |         year(CAST(o_orderdate AS DATE)) AS b
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        |  GROUP BY o_custkey, year(CAST(o_orderdate AS DATE))
+        |), last AS (
+        |  SELECT k, v FROM (
+        |    SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY b DESC) AS rn
+        |    FROM ups) t
+        |  WHERE rn = 1
+        |)
+        |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+        |       round(coalesce(l.v, c.c_acctbal), 2) AS val
+        |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin
   )
 }

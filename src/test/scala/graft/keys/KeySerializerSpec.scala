@@ -149,4 +149,54 @@ class KeySerializerSpec extends AnyFunSuite {
       Gen.zip(Gen.zip(Gen.long, Gen.long), Gen.choose(Int.MinValue, Int.MaxValue)),
       (x, y) => Ordering[((Long, Long), Int)].compare(x, y)))
   }
+
+  test("ConcatTuple2: round-trip, prefix-freedom, lexicographic byte order with variable-width leads") {
+    import KeySerializer._
+    val genChar = Gen.frequency(
+      5 -> Gen.choose(0.toChar, 127.toChar),
+      1 -> Gen.const(0.toChar), // force the lex escape path
+      2 -> Gen.choose(128.toChar, 0xD7FF.toChar))
+    val genStr = Gen.listOf(genChar).map(_.mkString)
+    def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    // (string, long): the composite SQL handles' workhorse pair — the
+    // unprefixed concatenation must stay order-preserving even though
+    // the lead is variable-width (where the length-prefixed
+    // Tuple2Serializer loses the order; see the test above)
+    implicit val serSL: KeySerializer[(String, Long)] =
+      new ConcatTuple2Serializer(StringLexSerializer, LongSerializer)
+    val genSL = Gen.zip(genStr, Gen.long)
+    check(roundTrips(genSL))
+    check(prefixFree(genSL))
+    assert(serSL.isOrderPreserving)
+    check(orderPreserving[(String, Long)](genSL, { (x, y) =>
+      val c = unsignedCompare(utf8(x._1), utf8(y._1))
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }))
+
+    // (uuid, long): unsigned (msb, lsb) component order
+    implicit val serUL: KeySerializer[(UUID, Long)] =
+      new ConcatTuple2Serializer(UuidLexSerializer, LongSerializer)
+    val genUL = Gen.zip(genUuid, Gen.long)
+    check(roundTrips(genUL))
+    assert(serUL.isOrderPreserving)
+    check(orderPreserving[(UUID, Long)](genUL, { (x, y) =>
+      val c = UuidLexOrdering.compare(x._1, y._1)
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }))
+
+    // (string, string), and a nested concat whose LEAD is itself a
+    // concat — encodedLength must self-delimit recursively
+    implicit val serSS: KeySerializer[(String, String)] =
+      new ConcatTuple2Serializer(StringLexSerializer, StringLexSerializer)
+    check(roundTrips(Gen.zip(genStr, genStr)))
+    check(prefixFree(Gen.zip(genStr, genStr)))
+    val nested = new ConcatTuple2Serializer[(String, Long), String](
+      serSL, StringLexSerializer)
+    check(roundTrips(Gen.zip(genSL, genStr))(nested))
+
+    // fixed-width components compose to a fixed-width concat
+    assert(new ConcatTuple2Serializer(LongSerializer, LongSerializer)
+      .fixedWidth === Some(16))
+  }
 }

@@ -424,4 +424,90 @@ class IndexedFrameSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](IndexedFrame.load(spark, path))
     assert(err.getMessage.contains("loadComposite"))
   }
+
+  test("generic composite (string, long): point, mixed, lead, and full lanes") {
+    val df = (1L to 600L).map(k => (s"seg${k % 6}", k, k * 1.5)).toDF("seg", "k", "v")
+    val h = IndexedFrame.indexCompositeAny(df, "seg", "k", ordered = true)
+    // IN x IN -> cross-product multiget (2 x 4 = 8 probes, 3 hits)
+    val pt = h.toDF.filter($"seg".isin("seg1", "seg3") && $"k".isin(1L, 3L, 7L, 599L))
+    assert(pt.select($"k").as[Long].collect().toSet === Set(1L, 3L, 7L))
+    assert(h.lastScanKind === "point" && h.lastPointLookupKeys === 8)
+    // string-lead equality x long range -> one trie interval per lead
+    val mx = h.toDF.filter($"seg" === "seg2" && $"k".between(100L, 300L))
+    assert(mx.select($"k").as[Long].collect().toSet ===
+      (100L to 300L).filter(_ % 6 == 2).toSet)
+    assert(h.lastScanKind === "range")
+    // string-lead BETWEEN alone -> contiguous tuple range scan
+    val ld = h.toDF.filter($"seg".between("seg1", "seg2"))
+    assert(ld.select($"k").as[Long].collect().toSet ===
+      (1L to 600L).filter(k => k % 6 == 1 || k % 6 == 2).toSet)
+    assert(h.lastScanKind === "range")
+    // UNORDERED string-lead handle: ranges fall back to the full lane,
+    // Spark re-applies the predicate above it
+    val hu = IndexedFrame.indexCompositeAny(df, "seg", "k")
+    assert(hu.toDF.filter($"seg" >= "seg4").count() ===
+      df.filter($"seg" >= "seg4").count())
+    assert(hu.lastScanKind === "full")
+  }
+
+  test("generic composite: (uuid, long) and (string, string) pairs index and probe") {
+    val df = (1L to 200L).map(k =>
+      (f"00000000-0000-4000-8000-$k%012d", k, k * 2.0)).toDF("u", "k", "v")
+    val h = IndexedFrame.indexCompositeAny(df, "u", "k", uuidCols = Set("u"))
+    val pt = h.toDF.filter(
+      $"u" === "00000000-0000-4000-8000-000000000042" && $"k" === 42L)
+    assert(pt.count() === 1)
+    assert(h.lastScanKind === "point")
+    // (string, string): mixed lane with a string second column
+    val df2 = (1L to 300L).map(k => (s"g${k % 3}", f"n$k%04d", k)).toDF("g", "n", "k")
+    val h2 = IndexedFrame.indexCompositeAny(df2, "g", "n", ordered = true)
+    val mixed = h2.toDF.filter($"g" === "g1" && $"n".between("n0100", "n0200"))
+    val expect = df2.filter($"g" === "g1" && $"n".between("n0100", "n0200"))
+      .select($"k").as[Long].collect().toSet
+    assert(mixed.select($"k").as[Long].collect().toSet === expect && expect.nonEmpty)
+    assert(h2.lastScanKind === "range")
+  }
+
+  test("range-partitioned uuid handle: pushed BETWEEN prunes partitions") {
+    val df = (0 until 1000).map(i =>
+      (f"00000000-0000-4000-8000-$i%012d", i.toLong)).toDF("u", "v")
+    val h = IndexedFrame.indexUuidRangePartitioned(df, "u", numPartitions = 16)
+    val q = h.toDF.filter($"u".between(
+      "00000000-0000-4000-8000-000000000100",
+      "00000000-0000-4000-8000-000000000149"))
+    assert(q.select($"v").as[Long].collect().toSet === (100L to 149L).toSet)
+    assert(h.lastScanKind === "range")
+    // a 5% slice of 1000 uuid-sorted keys over 16 partitions must
+    // touch far fewer than all of them
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    assert(parts < 16, s"expected pruned partitions, scanned $parts/16")
+    // point probes still served on the same layout
+    assert(h.toDF.filter(
+      $"u" === "00000000-0000-4000-8000-000000000500").count() === 1)
+  }
+
+  test("bigint (decimal(38,0)) handle: pushed IN probes; ranges fall back; beyond-long keys") {
+    val df = (1L to 300L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .withColumn("d", $"k".cast("decimal(38,0)")).select($"d", $"v")
+    val h = IndexedFrame.indexBigInt(df, "d")
+    val pt = h.toDF.filter($"d".isin(
+      new java.math.BigDecimal(42), new java.math.BigDecimal(7)))
+    assert(pt.select($"v").as[Double].collect().toSet === Set(84.0, 14.0))
+    assert(h.lastScanKind === "point")
+    // ranges are NOT claimed (length-prefixed encoding is not
+    // order-preserving): indexed full scan with Spark's filter above
+    assert(h.toDF.filter($"d" > new java.math.BigDecimal(295)).count() === 5)
+    assert(h.lastScanKind === "full")
+    // keys beyond Long range round-trip through the BigInt serializer
+    val big = Seq(
+      ("99999999999999999999999999999999999999", 1L),
+      ("-99999999999999999999999999999999999999", 2L))
+      .toDF("s", "k").withColumn("d", $"s".cast("decimal(38,0)"))
+      .select($"d", $"k")
+    val hb = IndexedFrame.indexBigInt(big, "d")
+    assert(hb.toDF.filter($"d" === new java.math.BigDecimal(
+      "99999999999999999999999999999999999999"))
+      .select($"k").as[Long].head() === 1L)
+    assert(hb.lastScanKind === "point")
+  }
 }
