@@ -55,7 +55,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the line to a file: the driver keeps only the tail of
+    // sbt output, which truncated r8's artifact mid-JSON — the file is
+    // the always-complete copy of the same line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 

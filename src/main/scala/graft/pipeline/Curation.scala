@@ -147,9 +147,18 @@ object Curation {
     tf.join(rf, Seq("__fp"), "left_semi").select(col(idCol))
   }
 
+  /** One reduce task per shard: the greedy fold is sequential within a
+    * shard, so shard identity IS the partition. */
+  private final class ShardPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int =
+      key.asInstanceOf[(Long, Long)]._1.toInt
+  }
+
   /**
    * Greedy SEQUENCE PACKING for training batches: documents hash into
-   * `shards` (the same affine arithmetic as [[assignSplits]] —
+   * shards (the same affine arithmetic as [[assignSplits]] —
    * partition/order/run-invariant), and within each shard the docs are
    * scanned in id order, opening a new bin whenever the next document's
    * token count exceeds the bin's remaining capacity; an oversize
@@ -158,31 +167,47 @@ object Curation {
    *
    * Deterministic on any cluster: the shard hash and in-shard order fix
    * the scan, so the DuckDB oracle replays the greedy fold exactly
-   * (recursive CTE). At scale the shard count sizes the per-task
-   * working set — one shard's documents are packed by one task, so
-   * pick `shards` ≈ corpus size / what one executor comfortably holds;
-   * the payload itself never moves, only (id, shard, tokens) shuffle.
+   * (recursive CTE).
+   *
+   * Scale shape: the shuffle carries only (id, shard, tokens) triples —
+   * never the payload — into a SECONDARY SORT
+   * (`repartitionAndSortWithinPartitions` on (shard, id), one reduce
+   * partition per shard), and the greedy fold STREAMS over each
+   * partition's sort-merged iterator. No shard is ever materialized on
+   * a task's heap (the sorter spills), so a skewed or huge shard costs
+   * disk, not OOM. Parallelism equals the shard count; `shards = 0`
+   * (the default) derives one shard per ~1M documents (min 16) so the
+   * task count scales with the corpus instead of pinning at a
+   * constant.
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      capTokens: Long = 2048, shards: Int = 16,
+      capTokens: Long = 2048, shards: Int = 0,
       a: Long = 1103515245L, b: Long = 12345L): DataFrame = {
-    require(capTokens > 0 && shards > 0, "capTokens and shards must be positive")
+    require(capTokens > 0 && shards >= 0,
+      "capTokens must be positive; shards must be >= 0 (0 = derive from size)")
     val spark = df.sparkSession
     import spark.implicits._
-    val staged = df.select(col(idCol).cast("long"),
+    val nShards =
+      if (shards > 0) shards
+      else math.max(16L, math.min(1L << 18, df.count() / 1000000L + 1L)).toInt
+    val keyed = df.select(col(idCol).cast("long"),
         pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b), lit(P31))
-          .mod(lit(shards.toLong)),
+          .mod(lit(nShards.toLong)),
         TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .as[(Long, Long, Long)]
-    staged.groupByKey(_._2).flatMapGroups { (shard, it) =>
-      val docs = it.toArray.sortBy(_._1)
+      .as[(Long, Long, Long)].rdd
+      .map { case (id, shard, t) => ((shard, id), t) }
+    implicit val pairOrd: Ordering[(Long, Long)] =
+      Ordering.Tuple2(Ordering.Long, Ordering.Long)
+    val sorted = keyed.repartitionAndSortWithinPartitions(new ShardPartitioner(nShards))
+    spark.createDataset(sorted.mapPartitions { it =>
+      // streaming greedy fold: one pass, O(1) state, no buffering
       var bin = 0L
       var remaining = -1L
-      docs.iterator.map { case (id, _, t) =>
+      it.map { case ((shard, id), t) =>
         if (bin == 0L || t > remaining) { bin += 1; remaining = capTokens }
         remaining -= t
         (id, shard, bin, t)
       }
-    }.toDF(idCol, "shard", "bin", "n_tokens")
+    }).toDF(idCol, "shard", "bin", "n_tokens")
   }
 }

@@ -273,14 +273,25 @@ object Dedup {
 
   /**
    * Resolve near-duplicate PAIRS into clusters, electing one keeper per
-   * connected component (the minimum id): iterative min-label
-   * propagation over the pair graph. Each round is one distributed
-   * join+aggregate; the driver only checks a converged count. LSH dup
-   * clusters are near-cliques, so rounds ≈ 2-3 regardless of data size;
-   * a pathological chain of length L needs L rounds, bounded by
-   * `maxIters`. At 100 TB the edge set (near-dup pairs) is a small
-   * fraction of the corpus and every round shuffles edges + labels
-   * only — never documents.
+   * connected component (the minimum id), in two phases:
+   *
+   *  1. ONE round of min-label propagation over the self-looped pair
+   *     graph — a single shuffle that fully resolves near-cliques, the
+   *     common LSH shape. The graph is then CONTRACTED by those
+   *     labels; for clique-shaped inputs the contraction is empty and
+   *     the algorithm stops here.
+   *  2. Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+   *     "Connected Components in MapReduce and Beyond") on the
+   *     contracted edges: large-star hangs every bigger neighbor under
+   *     the neighborhood min, small-star re-hangs the smaller ones.
+   *     Deep chains collapse in O(log) alternations where plain
+   *     min-propagation needs one round per hop of diameter.
+   *
+   * Convergence is checked on the per-node minimum parent (exact
+   * decimal sums — labels only decrease, so an unchanged signature is
+   * the fixpoint), bounded by `maxIters` star alternations. At 100 TB
+   * the edge set (near-dup pairs) is a small fraction of the corpus
+   * and every round shuffles contracted edges only — never documents.
    *
    * Returns (id, keep_id) for every id that appears in some pair;
    * `keep_id = id` marks the cluster keeper. Unpaired documents are
@@ -308,14 +319,7 @@ object Dedup {
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    // labels only DECREASE, so an unchanged (exact, overflow-free)
-    // label sum == fixpoint — one cheap scan of the new round's output
-    // instead of an old-vs-new join. The agg doubles as the action that
-    // fills the round's cache, so a round costs ONE job.
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
-
-    // Each round persists its labels (the sum scan materializes them),
+    // Each round persists its edges (the signature scan materializes them),
     // and every CKPT_EVERY-th round TRUNCATES LINEAGE with an eager
     // localCheckpoint instead: a persisted round still nests the
     // previous round's plan (read from cache at runtime, but the PLAN
@@ -335,46 +339,110 @@ object Dedup {
 
     // Round 0 falls straight out of the self-looped edges:
     // label = min(self, neighbors).
-    var (labels, freeLabels) = materialize(
+    val (labels0, freeLabels0) = materialize(
       edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
         .select(col("src").as("id"), col("label")), 0)
-    var prevSum = labelSum(labels)
-    var converged = false
+
+    // CONTRACT by round-0 labels: an edge survives only if its
+    // endpoints resolved to different labels. Near-clique inputs
+    // contract to NOTHING — the loop below never runs for them.
+    val lSrc = labels0.select(col("id").as("src"), col("label").as("ls"))
+    val lDst = labels0.select(col("id").as("dst"), col("label").as("ld"))
+    val contracted = edges.filter(col("src") < col("dst"))
+      .join(lSrc, "src").join(lDst, "dst")
+      .select(greatest(col("ls"), col("ld")).as("x"),
+        least(col("ls"), col("ld")).as("p"))
+      .filter(col("x") =!= col("p"))
+      .distinct()
+
+    // large-star: every neighbor BIGGER than s hangs under
+    // min(Γ(s) ∪ {s}); small-star re-hangs each node's smaller
+    // parents (and itself) under its minimum parent. Window mins, not
+    // joins — one shuffle each plus the dedup.
+    val w = org.apache.spark.sql.expressions.Window
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("x").as("s"), col("p").as("d"))
+        .union(e.select(col("p").as("s"), col("x").as("d")))
+      bidir.withColumn("m", least(min(col("d")).over(w.partitionBy("s")), col("s")))
+        .filter(col("d") > col("s"))
+        .select(col("d").as("x"), col("m").as("p"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame =
+      e.withColumn("m", min(col("p")).over(w.partitionBy("x")))
+        .select(explode(array(
+          struct(col("p").as("n"), col("m")),
+          struct(col("x").as("n"), col("m")))).as("e2"))
+        .select(col("e2.n").as("x"), col("e2.m").as("p"))
+        .filter(col("x") =!= col("p"))
+        .distinct()
+
+    // fixpoint signature: per-node minimum parent, summed exactly.
+    // Parents only DECREASE round over round (each star op hangs nodes
+    // under neighborhood minima), so an unchanged (count, Σx, Σp)
+    // triple means no node's label moved — and a label fixpoint is
+    // componentwise-correct (any edge between differently-labeled
+    // nodes would drop the bigger label in the next large-star). The
+    // agg doubles as the action that fills the round's cache.
+    def sig(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.groupBy(col("x")).agg(min(col("p")).as("mp"))
+        .agg(count(lit(1)), sum(col("x").cast("decimal(38,0)")),
+          sum(col("mp").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+
+    var (cur, freeCur) = materialize(contracted, 1)
+    var prevSig = sig(cur)
+    var converged = prevSig._1 == 0L
     var i = 0
     while (!converged && i < maxIters) {
-      val (next, freeNext) = materialize(
-        edges
-          .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-          .groupBy(col("src")).agg(min(col("nl")).as("label"))
-          .select(col("src").as("id"), col("label")), i + 1)
-      val s = labelSum(next)
-      converged = (s, prevSum) match {
-        case (Some(a), Some(b)) => a.compareTo(b) == 0 // scale-insensitive
-        case (None, None) => true // empty pair set
-        case _ => false
-      }
-      // a persisted round reads the PREVIOUS round's cache through its
-      // lineage — only free it once the next round is materialized
-      freeLabels()
-      labels = next
-      freeLabels = freeNext
-      prevSum = s
+      // EAGER localCheckpoint every star round: each round's plan
+      // would otherwise nest the previous round's (window + union +
+      // explode + distinct) tree and Catalyst re-analysis grows
+      // superlinearly — a 13-round chain spent seconds per round on
+      // the DRIVER before this. Star rounds only run for chain-shaped
+      // residues (the clique fast path never gets here), so the extra
+      // checkpoint job per round is paid exactly where lineage
+      // truncation is worth it.
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val freeNext = () => { ckRdd(next).foreach(_.unpersist(false)); () }
+      val s = sig(next)
+      converged = s == prevSig
+      // the checkpointed round no longer reads the previous round —
+      // free it as soon as the new one is materialized
+      freeCur()
+      cur = next
+      freeCur = freeNext
+      prevSig = s
       i += 1
     }
-    edges.unpersist()
+    lastResolveRounds = i
     if (!converged) {
       // inconsistent labels would silently keep/drop the wrong
       // documents downstream — refuse instead
-      freeLabels()
+      freeCur(); freeLabels0(); edges.unpersist()
       throw new IllegalStateException(
-        s"resolveClusters did not converge within $maxIters rounds " +
-          "(a component's diameter exceeds maxIters); raise maxIters")
+        s"resolveClusters did not converge within $maxIters star rounds; " +
+          "raise maxIters")
     }
+    // compose: id --round-0--> label --star-roots--> component min
+    val roots = cur.groupBy(col("x")).agg(min(col("p")).as("root"))
+      .select(col("x").as("label"), col("root"))
+    val (labels, freeLabels) = materialize(
+      labels0.join(roots, Seq("label"), "left")
+        .select(col("id"), coalesce(col("root"), col("label")).as("keep_id")), 0)
+    labels.count() // fill the final cache before freeing its inputs
+    freeCur(); freeLabels0(); edges.unpersist()
     // the returned plan reads the final round's blocks; the caller owns
     // them through its PinScope like every other pinned table
     scope.add(freeLabels)
-    labels.select(col("id"), col("label").as("keep_id"))
+    labels.select(col("id"), col("keep_id"))
   }
+
+  /** Star alternations the last [[resolveClusters]] call needed after
+    * contraction (0 = the round-0 contraction already emptied the
+    * graph). Observability for tests and round-count audits. */
+  @volatile var lastResolveRounds: Int = -1
 
   // --------------------------------------------------------------- simhash
 

@@ -88,6 +88,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(packed2.as[(Long, Long, Long, Long)].collect().toSet === rows.toSet)
   }
 
+  test("packSequences: streaming secondary-sort shape — per-shard tasks, no group buffering") {
+    val docs = Tables.documents(spark, dir)
+    val packed = Curation.packSequences(docs, "doc_id", "text",
+      capTokens = 512, shards = 8)
+    // one reduce partition per shard; the fold runs on the shuffle
+    // sorter's merged iterator, not a collected group
+    assert(packed.rdd.getNumPartitions === 8)
+    assert(!packed.queryExecution.executedPlan.toString.contains("FlatMapGroups"),
+      "packSequences must not materialize per-shard groups")
+    // worst-case skew: EVERY doc lands in one shard; the single sorted
+    // stream still packs correctly (heap holds O(1) fold state — the
+    // sorter spills, the fold never buffers)
+    val one = Curation.packSequences(docs, "doc_id", "text",
+      capTokens = 512, shards = 1)
+    val got = one.as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val expect = {
+      val toks = docs.select(col("doc_id").cast("long"),
+          TextFunctions.tokenCount(col("text")).cast("long"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      var bin = 0L; var remaining = -1L
+      toks.map { case (id, t) =>
+        if (bin == 0L || t > remaining) { bin += 1; remaining = 512L }
+        remaining -= t
+        (id, 0L, bin, t)
+      }
+    }
+    assert(got.toSeq === expect.toSeq)
+    // shards = 0 derives the count from corpus size (small corpus -> 16)
+    val auto = Curation.packSequences(docs, "doc_id", "text", capTokens = 512)
+    assert(auto.rdd.getNumPartitions === 16)
+  }
+
   test("semantic dedup: zero false positives; planted exact copies always share a cluster") {
     val emb = graft.queries.Tables.embeddings(spark, dir)
     // plant exact copies under fresh ids: identical vectors assign to
@@ -363,10 +395,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.size === 9 && out.values.forall(_ === 1L))
   }
 
+  test("resolveClusters: a DEEP chain converges in logarithmic star rounds") {
+    // diameter 255: plain min-propagation needs ~one round per hop
+    // (it would blow the default round budget); the alternating
+    // large-star/small-star phase collapses it in O(log) alternations
+    val pairs = (1L until 256L).map(k => (k, k + 1)).toDF("a", "b")
+    val out = Dedup.resolveClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out.size === 256 && out.values.forall(_ === 1L))
+    assert(Dedup.lastResolveRounds <= 10,
+      s"256-chain took ${Dedup.lastResolveRounds} star rounds")
+    // near-clique inputs never enter the star phase at all: the
+    // round-0 contraction already empties the graph
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L), (9L, 8L)).toDF("a", "b")
+    val cOut = Dedup.resolveClusters(clique).as[(Long, Long)].collect().toMap
+    assert(cOut === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    assert(Dedup.lastResolveRounds === 0,
+      s"clique took ${Dedup.lastResolveRounds} star rounds, expected 0")
+  }
+
   test("resolveClusters: refuses to return inconsistent labels on non-convergence") {
+    // maxIters = 0 forbids any star round; the contracted chain is
+    // non-empty, so labels would be inconsistent — must refuse
     val pairs = (1L until 30L).map(k => (k, k + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Dedup.resolveClusters(pairs, maxIters = 3).collect()
+      Dedup.resolveClusters(pairs, maxIters = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
