@@ -272,6 +272,51 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL minhash dedup: near-dup pairs (a = corpus id, b =
+   * delta id, est_jaccard) between an EXISTING corpus and a NEW
+   * batch — the corpus-growth path. Both sides compute signatures and
+   * banded bucket keys, but only CROSS-SET bucket collisions verify:
+   * growing a 100 TB corpus by a batch costs O(delta + collisions)
+   * and never re-pairs corpus × corpus. The per-bucket cap applies to
+   * the CORPUS side (a boilerplate-heavy bucket would otherwise fan
+   * every delta doc out maxBucket-wide); capped buckets drop, the
+   * standard LSH recall trade.
+   */
+  def minhashPairsIncremental(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000)(
+      implicit scope: PinScope = defaultPins): DataFrame = {
+    val k = bands * rowsPerBand
+    def sigsOf(df: DataFrame): DataFrame = pin(df
+      .select(col(idCol), shingleHashes31(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol), minhashFromHashes(col("__sh"), k).as("__sig"))
+      .select(col(idCol), col("__sig"),
+        bandKeys(col("__sig"), bands, rowsPerBand).as("__bands")))
+    val cs = sigsOf(corpus)
+    val ds = sigsOf(delta)
+    def bandRows(s: DataFrame): DataFrame = s.select(
+      col(idCol), posexplode(col("__bands")).as(Seq("band", "bkey")))
+    // corpus buckets once (sorted id lists for determinism), then one
+    // shuffle join of the delta's band rows against them
+    val cb = bandRows(cs).groupBy("band", "bkey")
+      .agg(array_sort(collect_list(col(idCol))).as("cids"))
+      .filter(size(col("cids")) <= maxBucketSize)
+    val cand = bandRows(ds).join(cb, Seq("band", "bkey"))
+      .select(explode(col("cids")).as("a"), col(idCol).as("b"))
+      .distinct()
+    val est = (sa: Column, sb: Column) =>
+      aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / lit(k)
+    cand
+      .join(cs.select(col(idCol).as("a"), col("__sig").as("__sa")), "a")
+      .join(ds.select(col(idCol).as("b"), col("__sig").as("__sb")), "b")
+      .withColumn("est_jaccard", est(col("__sa"), col("__sb")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /**
    * Resolve near-duplicate PAIRS into clusters, electing one keeper per
    * connected component (the minimum id), in two phases:
    *
@@ -304,13 +349,15 @@ object Dedup {
     // branch into the pin). Self-loops make "min over neighbors"
     // include the node's own label, so a propagation round is a SINGLE
     // join + min — no second join against the previous labels.
+    // bidirectional edges from ONE scan of `pairs` (a union of selects
+    // would run the upstream pair pipeline once per branch into the
+    // pin). NOT deduplicated: every consumer below is a min/grouping,
+    // so duplicates cost a little shuffle volume where a distinct
+    // would cost a whole extra shuffle of the edge set.
     val edges = pin(pairs.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")),
-        struct(col(aCol).as("src"), col(aCol).as("dst")),
-        struct(col(bCol).as("src"), col(bCol).as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct())
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
 
     // localCheckpoint blocks are RDD-level persists — Dataset.unpersist
     // does NOT release them (it only uncaches CacheManager entries), so
@@ -338,14 +385,17 @@ object Dedup {
       }
 
     // Round 0 falls straight out of the self-looped edges:
-    // label = min(self, neighbors).
+    // label = min(self, neighbors) — `least` with the group key plays
+    // the self-loop's role without doubling the exploded edge rows.
     val (labels0, freeLabels0) = materialize(
-      edges.groupBy(col("src")).agg(min(col("dst")).as("label"))
-        .select(col("src").as("id"), col("label")), 0)
+      edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("id"), least(col("src"), col("m")).as("label")), 0)
 
     // CONTRACT by round-0 labels: an edge survives only if its
     // endpoints resolved to different labels. Near-clique inputs
     // contract to NOTHING — the loop below never runs for them.
+    // Duplicates are harmless (every consumer is a min/grouping), so
+    // no distinct here either.
     val lSrc = labels0.select(col("id").as("src"), col("label").as("ls"))
     val lDst = labels0.select(col("id").as("dst"), col("label").as("ld"))
     val contracted = edges.filter(col("src") < col("dst"))
@@ -353,7 +403,6 @@ object Dedup {
       .select(greatest(col("ls"), col("ld")).as("x"),
         least(col("ls"), col("ld")).as("p"))
       .filter(col("x") =!= col("p"))
-      .distinct()
 
     // large-star: every neighbor BIGGER than s hangs under
     // min(Γ(s) ∪ {s}); small-star re-hangs each node's smaller
@@ -425,18 +474,27 @@ object Dedup {
         s"resolveClusters did not converge within $maxIters star rounds; " +
           "raise maxIters")
     }
-    // compose: id --round-0--> label --star-roots--> component min
-    val roots = cur.groupBy(col("x")).agg(min(col("p")).as("root"))
-      .select(col("x").as("label"), col("root"))
-    val (labels, freeLabels) = materialize(
-      labels0.join(roots, Seq("label"), "left")
-        .select(col("id"), coalesce(col("root"), col("label")).as("keep_id")), 0)
-    labels.count() // fill the final cache before freeing its inputs
-    freeCur(); freeLabels0(); edges.unpersist()
-    // the returned plan reads the final round's blocks; the caller owns
-    // them through its PinScope like every other pinned table
-    scope.add(freeLabels)
-    labels.select(col("id"), col("keep_id"))
+    if (prevSig._1 == 0L && i == 0) {
+      // clique fast path: the contraction emptied the graph, so the
+      // round-0 labels ARE the components — no compose join, the
+      // common LSH case returns after ONE grouping + one join-sig pass
+      freeCur(); edges.unpersist()
+      scope.add(freeLabels0)
+      labels0.select(col("id"), col("label").as("keep_id"))
+    } else {
+      // compose: id --round-0--> label --star-roots--> component min
+      val roots = cur.groupBy(col("x")).agg(min(col("p")).as("root"))
+        .select(col("x").as("label"), col("root"))
+      val (labels, freeLabels) = materialize(
+        labels0.join(roots, Seq("label"), "left")
+          .select(col("id"), coalesce(col("root"), col("label")).as("keep_id")), 0)
+      labels.count() // fill the final cache before freeing its inputs
+      freeCur(); freeLabels0(); edges.unpersist()
+      // the returned plan reads the final round's blocks; the caller
+      // owns them through its PinScope like every other pinned table
+      scope.add(freeLabels)
+      labels.select(col("id"), col("keep_id"))
+    }
   }
 
   /** Star alternations the last [[resolveClusters]] call needed after

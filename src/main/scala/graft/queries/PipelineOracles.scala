@@ -102,6 +102,38 @@ object PipelineOracles {
        |FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b
        |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32""".stripMargin
 
+  /** Incremental dedup: cross-set minhash candidates between the base
+    * documents (corpus) and their perturbed copies (the delta batch),
+    * verified on signature agreement — mirrors
+    * Dedup.minhashPairsIncremental (corpus-side bucket cap, cross-set
+    * collisions only). */
+  val dedupIncremental: String =
+    s"""WITH delta AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(list_slice(toks, 1, greatest((len(toks) * 9) // 10, 1)), ' ') AS text
+       |  FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents) t),
+       |tokc AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |tokd AS (SELECT doc_id, ${toks("text")} AS toks FROM delta),
+       |ghc AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams3, g -> ${poly("g")})) AS hs FROM tokc),
+       |ghd AS (SELECT doc_id,
+       |  list_distinct(list_transform($grams3, g -> ${poly("g")})) AS hs FROM tokd),
+       |sgc AS (SELECT doc_id, $sigExpr AS sig FROM ghc),
+       |sgd AS (SELECT doc_id, $sigExpr AS sig FROM ghd),
+       |bdc AS (SELECT doc_id, unnest($bandsExpr) AS bk FROM sgc),
+       |bdd AS (SELECT doc_id, unnest($bandsExpr) AS bk FROM sgd),
+       |bc AS (SELECT bk, count(*) AS n FROM bdc GROUP BY bk),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id AS a, d.doc_id AS b
+       |  FROM bdc c JOIN bdd d ON c.bk = d.bk
+       |  JOIN bc ON bc.bk = c.bk
+       |  WHERE bc.n <= 1000)
+       |SELECT c.a, c.b,
+       |  round(CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64, 4)
+       |    AS est_jaccard
+       |FROM cand c JOIN sgc sa ON sa.doc_id = c.a JOIN sgd sb ON sb.doc_id = c.b
+       |WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32""".stripMargin
+
   /** Connected components over the minhash pair graph (transitive
     * closure by recursive CTE — dup clusters are tiny, so the closure
     * is cheap at oracle scale), keeper = min reachable id. */
@@ -961,6 +993,7 @@ object PipelineOracles {
   /** All oracle entries contributed by this object. */
   val sql: Map[String, String] = Map(
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_ngram" -> dedupNgram,
     "dedup_clusters" -> dedupClusters,
     "text_redact" -> textRedact,

@@ -18,15 +18,22 @@ object PipelineQueries {
     * id + 1e6) — a deterministic corpus where every original has
     * exactly one planted near-duplicate, so near-dup queries have
     * known-true answers. */
-  def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+  /** Perturbed near-dup copies of every document (last ~10% of tokens
+    * dropped, id + 1e6) — the planted "delta batch" half of
+    * [[plantedCorpus]], also used on its own as the incremental-dedup
+    * new-batch fixture. */
+  def plantedDelta(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val toks = TextFunctions.tokens(col("text"))
     val keep = greatest(floor((size(toks) * 9) / 10).cast("int"), lit(1))
-    val perturbed = docs.select(
+    docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       array_join(slice(toks, lit(1), keep), " ").as("text"))
-    docs.unionByName(perturbed)
   }
+
+  def plantedCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .unionByName(plantedDelta(s, dir))
 
   /** Query vector: embedding of vec_id 7 (driver-side lookup). */
   private def queryVec(s: SparkSession, dir: String): Array[Double] =
@@ -58,6 +65,16 @@ object PipelineQueries {
 
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(plantedCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+
+    "dedup_incremental" -> { (s, dir) =>
+      // corpus-growth path: the NEW batch (perturbed copies) checks in
+      // against the EXISTING corpus — cross-set bucket collisions only,
+      // no corpus x corpus pair work
+      Dedup.minhashPairsIncremental(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        plantedDelta(s, dir), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     },
 
     "dedup_ngram" -> { (s, dir) =>

@@ -319,12 +319,19 @@ object IndexedFrame {
 
     override private[sql] def statsKeyCol: Option[String] =
       if (ordered && kSer.isOrderPreserving) Some(keyCol) else None
+    // the index is IMMUTABLE (updates return a new handle), so its
+    // stats are memoizable: the first stats query pays the one
+    // O(partitions) job, every later one answers from the driver with
+    // NO job at all — repeated count()/min()/max() dashboards poll for
+    // free. @transient: executors never need the memo.
+    @transient private lazy val statsFull: (Long, Option[Any], Option[Any]) = {
+      val (c, mn, mx) = keyStatsAny()
+      (c, mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
+    }
+    @transient private lazy val statsCount: Long = idx.count()
     override private[sql] def statsAll(
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
-      if (withExtrema) {
-        val (c, mn, mx) = keyStatsAny()
-        (c, mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
-      } else (idx.count(), None, None)
+      if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
 
     /** Copy-on-write upsert of full (external) rows, returning a new
@@ -564,12 +571,17 @@ object IndexedFrame {
       * default planner. */
     override private[sql] def statsKeyCol: Option[String] =
       if (ordered && tupSer.isOrderPreserving) Some(keyColA) else None
+    // memoized like the single-key handle: the index never mutates, so
+    // the first stats job answers every later stats query driver-side
+    @transient private lazy val statsFull: (Long, Option[Any], Option[Any]) = {
+      val (c, mn, mx) = idx.keyStats()
+      (c, mn.map(t => codecA.toExternalSql(t._1)),
+        mx.map(t => codecA.toExternalSql(t._1)))
+    }
+    @transient private lazy val statsCount: Long = idx.count()
     override private[sql] def statsAll(
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
-      if (withExtrema) {
-        val (c, mn, mx) = idx.keyStats()
-        (c, mn.map(t => codecA.toExternalSql(t._1)), mx.map(t => codecA.toExternalSql(t._1)))
-      } else (idx.count(), None, None)
+      if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
 
     def toDF(implicit spark: SparkSession): DataFrame =

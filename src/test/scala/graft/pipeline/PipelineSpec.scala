@@ -155,6 +155,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("incremental minhash: finds planted cross-set dups, emits no intra-set pairs") {
+    val corpus = graft.queries.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val delta = PipelineQueries.plantedDelta(spark, dir)
+    val pairs = Dedup.minhashPairsIncremental(corpus, delta, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    val nDocs = corpus.count()
+    val planted = (0L until nDocs).map(i => (i, i + 1000000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall > 0.9, s"incremental recall $recall")
+    // a is always a corpus id, b always a delta id — the cross-set
+    // contract: corpus x corpus work never happens
+    assert(pairs.forall(p => p._1 < 1000000L && p._2 >= 1000000L))
+    Dedup.releasePinned()
+  }
+
   test("simhash finds planted near-duplicates") {
     val corpus = PipelineQueries.plantedCorpus(spark, dir)
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
