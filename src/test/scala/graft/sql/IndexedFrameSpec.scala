@@ -450,6 +450,24 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hu.lastScanKind === "full")
   }
 
+  test("generic composite save/load: a (string, long) handle round-trips with pushdown intact") {
+    val df = (1L to 400L).map(k => (s"seg${k % 5}", k, k * 1.5)).toDF("seg", "k", "v")
+    val h = IndexedFrame.indexCompositeAny(df, "seg", "k", ordered = true)
+    val path = java.nio.file.Files.createTempDirectory("frame_io_composite_str").toString
+    IndexedFrame.save(h, path)
+    val loaded = IndexedFrame.loadComposite(spark, path)
+    assert(loaded.keyColA === "seg" && loaded.keyColB === "k" && loaded.ordered)
+    assert(loaded.toDF.count() === 400)
+    // point probe on the reloaded handle
+    assert(loaded.toDF.filter($"seg" === "seg2" && $"k" === 42L).count() === 1)
+    assert(loaded.lastScanKind === "point")
+    // mixed string-lead x long-range pushdown on the reloaded handle
+    val mixed = loaded.toDF.filter($"seg" === "seg1" && $"k".between(100L, 200L))
+      .select($"k").as[Long].collect().toSet
+    assert(mixed === (100L to 200L).filter(_ % 5 == 1).toSet)
+    assert(loaded.lastScanKind === "range")
+  }
+
   test("generic composite: (uuid, long) and (string, string) pairs index and probe") {
     val df = (1L to 200L).map(k =>
       (f"00000000-0000-4000-8000-$k%012d", k, k * 2.0)).toDF("u", "k", "v")

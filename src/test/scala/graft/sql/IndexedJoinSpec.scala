@@ -325,6 +325,30 @@ class IndexedJoinSpec extends AnyFunSuite {
     assert(!wider.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("string-lead composite handles zip-join on both key columns") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val left = (1L to 300L).map(k => (s"g${k % 7}", k, s"L$k")).toDF("g", "b", "lv")
+    val right = (1L to 250L).map(k => (s"g${k % 7}", k, k * 2.0)).toDF("g2", "b2", "rv")
+    val h1 = IndexedFrame.indexCompositeAny(left, "g", "b", numPartitions = 8)
+    val h2 = IndexedFrame.indexCompositeAny(right, "g2", "b2", numPartitions = 8)
+    val joined = h1.toDF.join(h2.toDF, $"g" === $"g2" && $"b" === $"b2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedZipJoin"), s"expected string-lead composite zip join:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+    val expected = left.join(right, $"g" === $"g2" && $"b" === $"b2")
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet === expected)
+    assert(joined.count() === 250)
+    // a string-lead composite never zip-joins an integral-lead one
+    // (key type tags differ even at equal arity)
+    val intLead = IndexedFrame.indexComposite(
+      (1L to 100L).map(k => (k % 7, k, k * 1.0)).toDF("a3", "b3", "v3"),
+      "a3", "b3", numPartitions = 8)
+    val mixed = h1.toDF.join(intLead.toDF, $"b" === $"b3" && $"g" === $"a3".cast("string"))
+    assert(!mixed.queryExecution.executedPlan.toString.contains("IndexedZipJoin"))
+  }
+
   test("groupBy on ONE composite key still exchanges (pair hash is not a-clustered)") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
