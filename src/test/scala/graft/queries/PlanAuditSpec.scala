@@ -124,6 +124,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(parts < 16, s"expected pruned partitions, scanned $parts/16")
   }
 
+  test("new r9 lanes: registered scans take their intended lanes") {
+    // string-lead composite point get: the registered lane must probe,
+    // not scan — run the lane, then read the handle's recorded lane
+    // via a fresh build mirroring it (the registry builds handles
+    // internally, so assert on the OUTPUT + the absence of a parquet
+    // scan of every row: a point lane's plan has no Exchange and the
+    // row count is exactly the planted hits)
+    val pt = graft.SparkEntry.queries("ir_sql_pointget_composite_str")(spark, dir)
+    assert(pt.count() === 3)
+    assert(!pt.queryExecution.executedPlan.toString.contains("Exchange"))
+    // uuid range-partitioned lane: pruned partition subset, like the
+    // z-order audit above
+    val q = graft.SparkEntry.queries("ir_sql_range_uuid_rp")(spark, dir)
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    assert(parts < 16, s"expected pruned uuid partitions, scanned $parts/16")
+    // stream sink: final state must carry exactly one row per key
+    // (copy-on-write upserts, last write wins)
+    val sink = graft.SparkEntry.queries("ir_stream_sink")(spark, dir)
+    assert(sink.groupBy("c_custkey").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
+  }
+
+  test("dedup_incremental: cross-set only — no corpus x corpus or delta x delta pairs") {
+    val out = graft.SparkEntry.queries("dedup_incremental")(spark, dir)
+    import spark.implicits._
+    val rows = out.select($"a", $"b").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b) => a < 1000000L && b >= 1000000L })
+  }
+
   test("curation_sample: deterministic sample is TakeOrderedAndProject, not a global sort") {
     val plan = planOf("curation_sample")
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-n:\n$plan")
