@@ -122,6 +122,59 @@ object Similarity {
       .select(col(idCol), col("cos"))
   }
 
+  /**
+   * BUILD a persistent IVF index: the coarse quantizer trains exactly
+   * like [[ivfTopK]] (deterministic sample, same k-means), rows are
+   * assigned to their nearest-centroid list, and the assignments land
+   * as parquet PARTITIONED BY list id, with the centroids alongside.
+   * At 100 TB this is the production shape: build once, then every
+   * query's file listing is pruned to its nprobe list directories —
+   * the corpus is never re-scanned, re-sampled, or re-clustered per
+   * query.
+   */
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String, path: String,
+      nlist: Int = 16, sampleSize: Int = 512, iters: Int = 5): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleSize)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, nlist, iters)
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__list",
+        graft.functions.NearestCentroid.nearestCentroid(col("__v"), centroids))
+      .write.mode("overwrite").partitionBy("__list").parquet(s"$path/lists")
+    centroids.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** SEARCH a saved IVF index: load centroids (driver-side, nlist
+    * rows), pick the query's nprobe nearest lists, and read ONLY those
+    * list partitions (parquet partition pruning — the plan's
+    * PartitionFilters carry the list predicate). Exact cosine + top-k
+    * over the probed rows, bit-identical to the in-memory [[ivfTopK]]
+    * on the same build parameters. */
+  def ivfSearchSaved(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: Array[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("list")).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val qd = centroids.map(c => c.zip(query).map { case (a, b) =>
+      (a - b) * (a - b) }.sum)
+    val probeLists = qd.zipWithIndex.sortBy(_._1).take(nprobe)
+      .map { case (_, i) => (i + 1).toLong }
+    spark.read.parquet(s"$path/lists")
+      .filter(col("__list").isin(probeLists: _*))
+      .withColumn("cos", cosineToQuery(col("__v"), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cos"))
+  }
+
   /** Unit-normalized double vectors staged as (id, __vn) — the norm is
     * computed once per row; shared by the PQ and IVF-PQ paths so the
     * two stay bit-identical with each other and the SQL oracles. */

@@ -33,7 +33,7 @@ object OperatorQueries {
     q
   }
 
-  private def registerTempDirForCleanup(p: java.nio.file.Path): String = {
+  private[queries] def registerTempDirForCleanup(p: java.nio.file.Path): String = {
     tempDirs.add(p)
     p.toString
   }

@@ -1022,6 +1022,9 @@ object PipelineOracles {
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_full" -> annIvfFull,
     "ann_ivf_topk" -> annIvfTopk,
+    // the saved-index search replays the identical quantizer + probe,
+    // so its oracle IS the in-memory IVF oracle
+    "ann_ivf_saved" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "mm_resize_frames" -> mmResizeFrames,

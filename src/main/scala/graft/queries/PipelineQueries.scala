@@ -174,6 +174,20 @@ object PipelineQueries {
         queryVec(s, dir), k = 20, nlist = 16, nprobe = 6)
     },
 
+    "ann_ivf_saved" -> { (s, dir) =>
+      // the PRODUCTION ANN shape: build the IVF index ONCE on disk
+      // (assignments parquet partitioned by coarse list, centroids
+      // alongside), then answer the query by reading only the probed
+      // list partitions — same build parameters as ann_ivf_topk, so
+      // the saved-index search must reproduce it bit-for-bit
+      val path = OperatorQueries.registerTempDirForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_ivf_saved"))
+      Similarity.ivfBuild(Tables.embeddings(s, dir), "vec_id", "embedding",
+        path, nlist = 16)
+      Similarity.ivfSearchSaved(s, path, "vec_id", queryVec(s, dir),
+        k = 20, nprobe = 6)
+    },
+
     "ann_pq_topk" -> { (s, dir) =>
       // product quantization: rows scored from m=8 one-byte codes via
       // an ADC lookup-table fold (32x less data scanned than raw

@@ -146,6 +146,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
   }
 
+  test("ann_ivf_saved: the probe reads only the probed list PARTITIONS of the saved index") {
+    val q = graft.SparkEntry.queries("ann_ivf_saved")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // parquet partitionBy(__list) + the isin probe = partition-pruned
+    // file listing; the predicate must land in PartitionFilters, not a
+    // post-scan filter over all lists
+    assert(plan.contains("PartitionFilters") && plan.contains("__list"),
+      s"expected list-partition pruning in the saved-index scan:\n$plan")
+    // and the result matches the in-memory IVF lane bit-for-bit
+    val mem = graft.SparkEntry.queries("ann_ivf_topk")(spark, dir)
+    assert(q.collect().toSeq === mem.collect().toSeq)
+  }
+
   test("dedup_incremental: cross-set only — no corpus x corpus or delta x delta pairs") {
     val out = graft.SparkEntry.queries("dedup_incremental")(spark, dir)
     import spark.implicits._
