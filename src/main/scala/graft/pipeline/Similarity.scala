@@ -151,6 +151,26 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** APPEND new vectors to a saved IVF index without retraining: the
+    * saved centroids assign the delta rows to their lists and the
+    * assignments append into the existing list partitions — the
+    * corpus-growth path (pairs with Dedup.minhashPairsIncremental):
+    * the existing 100 TB of assignments is never read, re-clustered,
+    * or rewritten; only the delta shuffles. Queries on the grown
+    * index see old + new rows through the same pruned probe. (Like
+    * every IVF without retraining, heavy drift in the delta's
+    * distribution degrades list balance — retrain when it does.) */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("list")).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__list",
+        graft.functions.NearestCentroid.nearestCentroid(col("__v"), centroids))
+      .write.mode("append").partitionBy("__list").parquet(s"$path/lists")
+  }
+
   /** SEARCH a saved IVF index: load centroids (driver-side, nlist
     * rows), pick the query's nprobe nearest lists, and read ONLY those
     * list partitions (parquet partition pruning — the plan's

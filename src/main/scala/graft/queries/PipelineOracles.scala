@@ -1023,8 +1023,10 @@ object PipelineOracles {
     "ann_ivf_full" -> annIvfFull,
     "ann_ivf_topk" -> annIvfTopk,
     // the saved-index search replays the identical quantizer + probe,
-    // so its oracle IS the in-memory IVF oracle
+    // so its oracle IS the in-memory IVF oracle; the appended build
+    // trains on the same first-512-ids sample, so it shares it too
     "ann_ivf_saved" -> annIvfTopk,
+    "ann_ivf_appended" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "mm_resize_frames" -> mmResizeFrames,

@@ -188,6 +188,24 @@ object PipelineQueries {
         k = 20, nprobe = 6)
     },
 
+    "ann_ivf_appended" -> { (s, dir) =>
+      // ANN corpus growth: build the saved index on the first 512 ids
+      // (exactly the quantizer's training sample, so centroids match
+      // the one-shot build), APPEND the remaining vectors without
+      // retraining — the existing assignments are never read or
+      // rewritten — and search the grown index. Bit-identical to
+      // ann_ivf_topk, which is the lane's oracle.
+      val emb = Tables.embeddings(s, dir)
+      val path = OperatorQueries.registerTempDirForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_ivf_appended"))
+      Similarity.ivfBuild(emb.filter(col("vec_id") < 512),
+        "vec_id", "embedding", path, nlist = 16)
+      Similarity.ivfAppend(s, path, emb.filter(col("vec_id") >= 512),
+        "vec_id", "embedding")
+      Similarity.ivfSearchSaved(s, path, "vec_id", queryVec(s, dir),
+        k = 20, nprobe = 6)
+    },
+
     "ann_pq_topk" -> { (s, dir) =>
       // product quantization: rows scored from m=8 one-byte codes via
       // an ADC lookup-table fold (32x less data scanned than raw

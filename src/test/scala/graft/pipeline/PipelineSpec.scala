@@ -155,6 +155,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("ivfAppend: growing a saved index without retraining matches the one-shot build") {
+    val emb = graft.queries.Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    // build on the first 250 ids with sampleSize=250: the training
+    // sample equals the full corpus's first-250 sample, so centroids
+    // match the one-shot build and only the assignment set grows
+    val p1 = java.nio.file.Files.createTempDirectory("ivf_app1").toString
+    Similarity.ivfBuild(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      p1, nlist = 16, sampleSize = 250)
+    Similarity.ivfAppend(spark, p1, emb.filter(col("vec_id") >= 250),
+      "vec_id", "embedding")
+    val p2 = java.nio.file.Files.createTempDirectory("ivf_app2").toString
+    Similarity.ivfBuild(emb, "vec_id", "embedding", p2, nlist = 16, sampleSize = 250)
+    val grown = Similarity.ivfSearchSaved(spark, p1, "vec_id", q, k = 20, nprobe = 6)
+      .collect().toSeq
+    val oneShot = Similarity.ivfSearchSaved(spark, p2, "vec_id", q, k = 20, nprobe = 6)
+      .collect().toSeq
+    assert(grown === oneShot && grown.size === 20)
+  }
+
   test("incremental minhash: finds planted cross-set dups, emits no intra-set pairs") {
     val corpus = graft.queries.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
