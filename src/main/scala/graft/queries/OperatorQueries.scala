@@ -713,6 +713,52 @@ object OperatorQueries {
         .select($"c_dec".cast("long").as("c_key"), $"c_acctbal")
     },
 
+    "ir_sql_frame_load_uuid" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // UUID-handle persistence: save an ORDERED uuid handle, reload
+      // it (lex serializer + orderedness re-attached), and serve a
+      // pushed point probe AND a pushed uuid range from the RELOADED
+      // copy — closes the persistence matrix (long / string /
+      // composite / uuid all save-load-gated)
+      val withUuid = Tables.customer(s, dir).withColumn("c_uuid",
+        format_string("00000000-0000-4000-8000-%012d", $"c_custkey"))
+      val h = graft.sql.IndexedFrame.indexUuid(withUuid, "c_uuid", ordered = true)
+      val path = registerTempDirForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_sql_frame_load_uuid"))
+      graft.sql.IndexedFrame.save(h, path)
+      val loaded = graft.sql.IndexedFrame.load(s, path)
+      val range = loaded.toDF.filter($"c_uuid".between(
+          "00000000-0000-4000-8000-000000000200",
+          "00000000-0000-4000-8000-000000000399"))
+        .select($"c_uuid", $"c_acctbal")
+      val point = loaded.toDF.filter($"c_uuid".isin(
+          "00000000-0000-4000-8000-000000000002",
+          "00000000-0000-4000-8000-000000000017"))
+        .select($"c_uuid", $"c_acctbal")
+      range.unionAll(point)
+    },
+
+    "ir_sql_join_composite_str_idx" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // STRING-LEAD composite zip join: two handles keyed by the same
+      // (c_mktsegment, c_custkey) pair — the generic tuple serializer
+      // co-locates equal pairs, so the two-column equi-join plans as
+      // the zero-shuffle zip join, string lead included
+      graft.sql.IndexedJoin.enable(s)
+      val base = Tables.customer(s, dir)
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      val names = Tables.customer(s, dir)
+        .select($"c_mktsegment".as("m2"), $"c_custkey".as("k2"), $"c_name")
+      val h1 = graft.sql.IndexedFrame.indexCompositeAny(
+        base, "c_mktsegment", "c_custkey", numPartitions = 16)
+      val h2 = graft.sql.IndexedFrame.indexCompositeAny(
+        names, "m2", "k2", numPartitions = 16)
+      h1.toDF.join(h2.toDF, $"c_mktsegment" === $"m2" && $"c_custkey" === $"k2")
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"c_name")
+    },
+
     "ir_stream_sink" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -986,6 +1032,19 @@ object OperatorQueries {
     "ir_sql_pointget_bigint" ->
       """SELECT c_custkey AS c_key, c_acctbal FROM customer
         |WHERE c_custkey IN (2, 17, 123, 999999)""".stripMargin,
+
+    "ir_sql_frame_load_uuid" ->
+      """SELECT printf('00000000-0000-4000-8000-%012d', c_custkey) AS c_uuid,
+        |       c_acctbal
+        |FROM customer WHERE c_custkey BETWEEN 200 AND 399
+        |UNION ALL
+        |SELECT printf('00000000-0000-4000-8000-%012d', c_custkey) AS c_uuid,
+        |       c_acctbal
+        |FROM customer WHERE c_custkey IN (2, 17)""".stripMargin,
+
+    "ir_sql_join_composite_str_idx" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, c_name
+        |FROM customer""".stripMargin,
 
     // last-write-wins replay of the three ordered upsert batches the
     // sink applied (per-year per-customer max order price, batch id =

@@ -596,7 +596,8 @@ object PipelineOracles {
       |      FROM bin GROUP BY 1, 2),
       |cum AS (SELECT h.*, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
       |        FROM h),
-      |qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS t(q)),
+      |qs AS (SELECT CAST(q AS DOUBLE) AS q
+      |       FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS t(q)),
       |wq AS (SELECT cum.*, b.mn, b.mx, b.n, qs.q
       |       FROM cum JOIN b USING (event_type) CROSS JOIN qs),
       |f AS (SELECT *, row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn

@@ -75,7 +75,15 @@ object IndexedJoin {
           (projs.map(_.asInstanceOf[AttributeReference]), all, conds, h)
         }
       case logical.Filter(cond, child) =>
-        unwrap(child).map { case (out, all, conds, h) => (out, all, conds :+ cond, h) }
+        // SPLIT into conjuncts here: the optimizer emits composite-key
+        // null guards as ONE `isnotnull(a) AND isnotnull(b)` filter,
+        // and the vacuous-IsNotNull drop below matches per-conjunct —
+        // an unsplit And used to read as a key-constraining residual
+        // and silently bailed every composite zip join over nullable
+        // (e.g. parquet-backed) sources to a shuffle join
+        unwrap(child).map { case (out, all, conds, h) =>
+          (out, all, conds ++ conjuncts(cond), h)
+        }
       case _ => None
     }
 

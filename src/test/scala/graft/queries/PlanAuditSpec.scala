@@ -159,6 +159,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q.collect().toSeq === mem.collect().toSeq)
   }
 
+  test("composite zip joins over PARQUET sources plan zero-shuffle (nullable-key guards split)") {
+    // the optimizer's `isnotnull(a) AND isnotnull(b)` guard over
+    // nullable sources must not read as a key-constraining residual —
+    // this silently demoted every parquet-backed composite zip join to
+    // a SortMergeJoin before r9
+    for (lane <- Seq("ir_sql_join_composite_idx", "ir_sql_join_composite_str_idx")) {
+      val q = graft.SparkEntry.queries(lane)(spark, dir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("IndexedZipJoin"), s"$lane: expected zip join:\n$plan")
+      assert(!plan.contains("Exchange"), s"$lane: expected no shuffle:\n$plan")
+    }
+  }
+
   test("dedup_incremental: cross-set only — no corpus x corpus or delta x delta pairs") {
     val out = graft.SparkEntry.queries("dedup_incremental")(spark, dir)
     import spark.implicits._
