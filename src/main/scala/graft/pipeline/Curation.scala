@@ -132,6 +132,43 @@ object Curation {
   }
 
   /**
+   * Within-document repetition signals (the MassiveText/Gopher-style
+   * quality filters): per document, the fraction of its word-2-gram
+   * occurrences claimed by the single most frequent 2-gram
+   * (`top2_frac`) and the fraction of word-3-gram occurrences whose
+   * gram occurs more than once in the document (`dup3_frac`). High
+   * values flag looping/boilerplate text that near-dup passes miss
+   * because the repetition is INSIDE one document, not across two.
+   *
+   * Shape for scale: explode + two-level aggregate. The per-(doc, gram)
+   * count is map-side combinable, so a pathologically repetitive 1 GB
+   * document combines to its distinct grams before the wire — the very
+   * pathology being measured de-skews its own shuffle. No per-document
+   * in-memory frequency map is ever built. N-grams follow
+   * [[TextFunctions.wordShingles]] (shorter-than-n docs contribute the
+   * whole text as one gram, making `top2_frac` 1.0 — a degenerate doc
+   * IS all one gram).
+   */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fracs(n: Int) = df
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__top"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).as("__dup"),
+        sum(col("__c")).as("__tot"))
+    val two = fracs(2).select(col(idCol),
+      (col("__top").cast("double") / col("__tot").cast("double"))
+        .as("top2_frac"))
+    val three = fracs(3).select(col(idCol),
+      (col("__dup").cast("double") / col("__tot").cast("double"))
+        .as("dup3_frac"))
+    two.join(three, Seq(idCol))
+  }
+
+  /**
    * Ids of `test` rows whose content fingerprint (whitespace-invariant
    * rolling hash, [[TextFunctions.fingerprint]]) appears anywhere in
    * `train` — the eval-contamination check run before any benchmark

@@ -578,6 +578,24 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
     },
 
+    "ir_sql_upsert_frame" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // DISTRIBUTED copy-on-write upsert at the SQL surface: only the
+      // delta DataFrame shuffles (to the index's partitioning); the
+      // indexed corpus never moves — multiputRDD's bulk-update shape.
+      // Delta = doubled balances for keys ≡ 3 (mod 10), plus brand-new
+      // keys shifted by 1e6 for keys ≡ 7 (mod 100)
+      val base = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+      val h = graft.sql.IndexedFrame.index(base, "c_custkey")
+      val updates = base.filter($"c_custkey" % 10 === 3)
+        .select($"c_custkey", ($"c_acctbal" * 2).as("c_acctbal"))
+        .unionAll(base.filter($"c_custkey" % 100 === 7)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            lit(0.0).as("c_acctbal")))
+      h.upsertFrame(updates).toDF
+    },
+
     "ir_sql_count" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1004,6 +1022,19 @@ object OperatorQueries {
         |       CAST(max(o.o_totalprice) AS DOUBLE) AS max_price
         |FROM d o JOIN k ON o.o_custkey = k.o_custkey AND o.o_orderdate = k.o_orderdate
         |GROUP BY o.o_custkey, o.o_orderdate""".stripMargin,
+
+    "ir_sql_upsert_frame" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal * 2 AS c_acctbal FROM base
+        |  WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE) FROM base
+        |  WHERE c_custkey % 100 = 7)
+        |SELECT c_custkey, c_acctbal FROM upd
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal FROM base
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)""".stripMargin,
 
     "ir_sql_scan" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

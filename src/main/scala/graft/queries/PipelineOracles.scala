@@ -608,6 +608,32 @@ object PipelineOracles {
       |       / CAST(c AS DOUBLE) AS est
       |FROM f WHERE rn = 1""".stripMargin
 
+  /** Within-document repetition — mirrors
+    * Curation.repetitionSignals: word n-grams with the shorter-than-n
+    * whole-text fallback, exact integer counts, IEEE double division
+    * (bit-identical cross-engine on exact integer operands). */
+  val textRepetition: String =
+    s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |g2 AS (SELECT doc_id, unnest(
+       |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(range(1, len(toks)),
+       |                           i -> toks[i] || ' ' || toks[i+1]) END) AS g
+       |  FROM tok),
+       |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+       |       FROM g2 GROUP BY 1, 2),
+       |s2 AS (SELECT doc_id,
+       |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2_frac
+       |       FROM c2 GROUP BY 1),
+       |g3 AS (SELECT doc_id, unnest($grams3) AS g FROM tok),
+       |c3 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+       |       FROM g3 GROUP BY 1, 2),
+       |s3 AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |           / CAST(sum(c) AS DOUBLE) AS dup3_frac
+       |       FROM c3 GROUP BY 1)
+       |SELECT doc_id, top2_frac, dup3_frac
+       |FROM s2 JOIN s3 USING (doc_id)""".stripMargin
+
   /** Containment over the same banded-minhash candidates as
     * dedupNgram: |A∩B| / min(|A|,|B|), threshold 0.9. */
   val dedupContainment: String =
@@ -1000,6 +1026,7 @@ object PipelineOracles {
     "text_redact" -> textRedact,
     "text_chunks" -> textChunks,
     "text_vocab" -> textVocab,
+    "text_repetition" -> textRepetition,
     "curation_splits" -> curationSplits,
     "curation_pack" -> curationPack,
     "curation_contamination" -> curationContamination,

@@ -412,6 +412,14 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text")
     },
 
+    "text_repetition" -> { (s, dir) =>
+      // Gopher-style WITHIN-document repetition: top-2-gram occupancy
+      // and duplicated-3-gram fraction — the quality filters that catch
+      // looping/boilerplate text near-dup passes can't see
+      graft.pipeline.Curation.repetitionSignals(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
     "text_vocab" -> { (s, dir) =>
       // corpus vocabulary: top 100 tokens by frequency (count desc, then
       // token — fully deterministic). Explode + partial-agg: the

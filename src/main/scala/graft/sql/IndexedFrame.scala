@@ -334,6 +334,25 @@ object IndexedFrame {
       if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
 
+    /** DISTRIBUTED copy-on-write upsert: key `updates`' internal rows
+      * and ship ONLY them to this index's partitioning (one one-sided
+      * shuffle of the update set — the existing corpus never moves),
+      * then insert per partition. The SQL twin of
+      * [[graft.IndexedRDD.multiputRDD]], and the bulk-update shape that
+      * holds at 100 TB: cost scales with the delta, not the corpus.
+      * Columns must match this handle's schema by name and type (the
+      * rows splice into the same layout); duplicate keys WITHIN the
+      * update set resolve by partition iteration order — pre-aggregate
+      * the delta if it can carry dups. */
+    def upsertFrame(updates: DataFrame): Handle[K] = {
+      val got = updates.schema.map(f => (f.name, f.dataType))
+      val want = schema.map(f => (f.name, f.dataType))
+      require(got == want,
+        s"update schema $got must match handle schema $want")
+      new Handle(idx.multiputRDD(pairs(updates, keyCol, codec)),
+        keyCol, schema, ordered, codec)
+    }
+
     /** Copy-on-write upsert of full (external) rows, returning a new
       * handle that shares partition structure with this one. */
     def upsert(rows: Seq[Row]): Handle[K] = {

@@ -461,6 +461,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("repetitionSignals: hand-computed fractions; degenerate short docs defined") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // 2-grams {ab:3, ba:2} → 3/5; 3-grams all dup → 1.0
+      (2L, "x y z w"),     // all grams unique → 1/3 and 0.0
+      (3L, "solo")         // shorter-than-n fallback: one whole-text gram
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((3.0 / 5.0, 1.0)))
+    assert(out(2L) === ((1.0 / 3.0, 0.0)))
+    assert(out(3L) === ((1.0, 0.0)))
+    // repartitioning never changes a per-document signal
+    val re = Curation.repetitionSignals(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(re === out.map { case (k, (a, b)) => (k, a, b) }.toSet)
+  }
+
   test("tokenChunks: overlapping windows cover every token; short docs yield themselves") {
     val text = (1 to 80).map(i => s"t$i").mkString(" ")
     val chunks = Seq(text).toDF("text")

@@ -44,6 +44,27 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastPointLookupKeys === -1)
   }
 
+  test("upsertFrame: distributed delta updates + inserts; corpus rows untouched") {
+    val base = cust.select($"c_custkey", $"c_acctbal")
+    val h = IndexedFrame.index(base, "c_custkey")
+    val updates = base.filter($"c_custkey" <= 3L)
+      .select($"c_custkey", ($"c_acctbal" * 2).as("c_acctbal"))
+      .unionAll(Seq((999999L, 0.0)).toDF("c_custkey", "c_acctbal"))
+    val h2 = h.upsertFrame(updates)
+    val out = h2.toDF.as[(Long, Double)].collect().toMap
+    val orig = base.as[(Long, Double)].collect().toMap
+    assert(out.size === orig.size + 1)
+    assert(out(999999L) === 0.0)
+    for ((k, v) <- orig)
+      assert(out(k) === (if (k <= 3L) v * 2 else v))
+    // copy-on-write: the source handle still serves the old values
+    assert(h.toDF.filter($"c_custkey" === 999999L).count() === 0)
+    // schema mismatches are rejected up front, not at execution
+    intercept[IllegalArgumentException] {
+      h.upsertFrame(updates.withColumnRenamed("c_acctbal", "balance"))
+    }
+  }
+
   test("upsert produces a new queryable version; old handle unchanged") {
     val h = IndexedFrame.index(cust, "c_custkey")
     val template = cust.head()
