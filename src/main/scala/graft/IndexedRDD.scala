@@ -157,10 +157,17 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     zipWithOther(updates) { (part, iter) => part.multiput(iter, project, merge) }
 
   /** Remove keys (shipped via a one-sided shuffle of the key set). */
-  def delete(ks: Array[K]): IndexedRDD[K, V] = {
-    val keyRDD = context.parallelize(ks.toSeq.map(k => (k, ())))
-    zipWithOther(keyRDD) { (part, iter) => part.delete(iter.map(_._1)) }
-  }
+  def delete(ks: Array[K]): IndexedRDD[K, V] =
+    deleteRDD(context.parallelize(ks.toSeq))
+
+  /** Remove a DISTRIBUTED key set: only the keys shuffle (to this
+    * index's partitioning), then copy-on-write removal per partition —
+    * the bulk-retraction twin of [[multiputRDD]], costing the delta,
+    * never the corpus. */
+  def deleteRDD(keys: RDD[K]): IndexedRDD[K, V] =
+    zipWithOther(keys.map(k => (k, ()))) { (part, iter) =>
+      part.delete(iter.map(_._1))
+    }
 
   // ---------------------------------------------------------------------
   // Projections / filters

@@ -184,6 +184,32 @@ object Curation {
     tf.join(rf, Seq("__fp"), "left_semi").select(col(idCol))
   }
 
+  /**
+   * Train-side decontamination by n-gram collision (the GPT-3-style
+   * eval-leakage rule): ids of `train` rows sharing ANY word n-gram
+   * (default n=13) with any `test` row — looser than
+   * [[contamination]]'s exact-fingerprint match, catching partial
+   * quotes and truncated copies.
+   *
+   * Scale shape: the test side reduces to DISTINCT n-gram hashes and is
+   * broadcast (eval sets are tiny next to a 100 TB train corpus); the
+   * train side streams (id, hash) through a broadcast semi-join — the
+   * corpus never shuffles. Hashes ride
+   * [[TextFunctions.shingleHashes]] (31-bit rolling polynomial,
+   * oracle-replicable; shingle strings never materialize).
+   */
+  def contaminationNgram(test: DataFrame, train: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val tg = test
+      .select(explode(TextFunctions.shingleHashes(col(textCol), n)).as("__h"))
+      .distinct()
+    train
+      .select(col(idCol),
+        explode(TextFunctions.shingleHashes(col(textCol), n)).as("__h"))
+      .join(broadcast(tg), Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** One reduce task per shard: the greedy fold is sequential within a
     * shard, so shard identity IS the partition. */
   private final class ShardPartitioner(n: Int)

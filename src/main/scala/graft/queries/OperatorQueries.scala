@@ -596,6 +596,19 @@ object OperatorQueries {
       h.upsertFrame(updates).toDF
     },
 
+    "ir_sql_delete_frame" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // DISTRIBUTED copy-on-write delete: only the key column shuffles
+      // to the index's partitioning; the surviving corpus never moves
+      val base = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+      val h = graft.sql.IndexedFrame.index(base, "c_custkey")
+      val dels = base.filter($"c_custkey" % 7 === 0).select($"c_custkey")
+        // unknown keys are ignored, matching SQL DELETE
+        .unionAll(Seq(99999999L).toDF("c_custkey"))
+      h.deleteFrame(dels).toDF
+    },
+
     "ir_sql_count" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1035,6 +1048,10 @@ object OperatorQueries {
         |UNION ALL
         |SELECT c_custkey, c_acctbal FROM base
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)""".stripMargin,
+
+    "ir_sql_delete_frame" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 7 <> 0""".stripMargin,
 
     "ir_sql_scan" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

@@ -608,6 +608,26 @@ object PipelineOracles {
       |       / CAST(c AS DOUBLE) AS est
       |FROM f WHERE rn = 1""".stripMargin
 
+  /** 13-gram strings with the shorter-than-n whole-text fallback over a
+    * `toks` list column — mirrors TextFunctions.shingleHashes(n=13)'s
+    * windowing. */
+  private val grams13 =
+    """CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+      |     ELSE list_transform(range(1, len(toks) - 11),
+      |                         i -> array_to_string(list_slice(toks, i, i + 12), ' ')) END""".stripMargin
+
+  /** GPT-3-style 13-gram decontamination — mirrors
+    * Curation.contaminationNgram over the truncated-eval-set lane. */
+  val curationDecontaminateNgram: String =
+    s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |tt AS (SELECT list_slice(toks, 1, 30) AS toks FROM tok
+       |       WHERE doc_id % 100 = 0),
+       |tg AS (SELECT DISTINCT unnest(list_transform($grams13,
+       |         g -> ${poly("g")})) AS h FROM tt),
+       |rg AS (SELECT doc_id, unnest(list_transform($grams13,
+       |         g -> ${poly("g")})) AS h FROM tok)
+       |SELECT DISTINCT doc_id FROM rg JOIN tg USING (h)""".stripMargin
+
   /** Within-document repetition — mirrors
     * Curation.repetitionSignals: word n-grams with the shorter-than-n
     * whole-text fallback, exact integer counts, IEEE double division
@@ -1027,6 +1047,7 @@ object PipelineOracles {
     "text_chunks" -> textChunks,
     "text_vocab" -> textVocab,
     "text_repetition" -> textRepetition,
+    "curation_decontaminate_ngram" -> curationDecontaminateNgram,
     "curation_splits" -> curationSplits,
     "curation_pack" -> curationPack,
     "curation_contamination" -> curationContamination,

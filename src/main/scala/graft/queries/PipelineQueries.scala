@@ -319,6 +319,19 @@ object PipelineQueries {
       graft.pipeline.Curation.contamination(test, docs, "doc_id", "text")
     },
 
+    "curation_decontaminate_ngram" -> { (s, dir) =>
+      // GPT-3-style 13-gram decontamination: eval set = every 100th
+      // doc TRUNCATED to its first 30 tokens — no longer a verbatim
+      // copy (fingerprint contamination misses it), but it still
+      // shares 13-grams with its source, which must be flagged
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val test = docs.where(col("doc_id") % 100 === 0)
+        .select(array_join(
+          slice(TextFunctions.tokens(col("text")), 1, 30), " ").as("text"))
+      graft.pipeline.Curation.contaminationNgram(
+        test, docs, "doc_id", "text", n = 13)
+    },
+
     "text_chunks" -> { (s, dir) =>
       // overlapping 32-token windows (8-token overlap): one row per
       // chunk with its index and token count — the pre-tokenization

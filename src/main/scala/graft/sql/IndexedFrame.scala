@@ -353,6 +353,25 @@ object IndexedFrame {
         keyCol, schema, ordered, codec)
     }
 
+    /** DISTRIBUTED copy-on-write delete: `keys` must be a single-column
+      * DataFrame of this handle's key type; only that column shuffles
+      * (to the index's partitioning) and matching rows are removed per
+      * partition — [[upsertFrame]]'s retraction twin. Unknown keys are
+      * ignored, matching SQL DELETE semantics. */
+    def deleteFrame(keys: DataFrame): Handle[K] = {
+      require(keys.schema.length == 1 &&
+          keys.schema.head.dataType == schema(keyCol).dataType,
+        s"single ${schema(keyCol).dataType.catalogString} key column " +
+          s"required, got ${keys.schema.map(_.dataType.catalogString)}")
+      val c = codec
+      val kRdd = keys.queryExecution.toRdd.map { r =>
+        if (r.isNullAt(0))
+          throw new IllegalArgumentException("null delete key")
+        c.fromRow(r, 0)
+      }
+      new Handle(idx.deleteRDD(kRdd), keyCol, schema, ordered, codec)
+    }
+
     /** Copy-on-write upsert of full (external) rows, returning a new
       * handle that shares partition structure with this one. */
     def upsert(rows: Seq[Row]): Handle[K] = {

@@ -461,6 +461,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("contaminationNgram flags partial overlap that exact fingerprints miss") {
+    val t13 = (1 to 20).map(i => s"w$i").mkString(" ")  // 20 tokens
+    val train = Seq(
+      (1L, t13 + " tail tail2"),             // shares 13-grams with test
+      (2L, (50 to 80).map(i => s"v$i").mkString(" ")), // disjoint
+      (3L, (5 to 20).map(i => s"w$i").mkString(" "))   // suffix overlap >= 13 tokens
+    ).toDF("doc_id", "text")
+    val test = Seq(Tuple1(t13)).toDF("text") // truncated copy, not verbatim
+    val flagged = Curation.contaminationNgram(test, train, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(flagged === Set(1L, 3L))
+    // the exact-fingerprint check misses both (no verbatim copy)
+    val exact = Curation.contamination(
+      test.withColumn("doc_id", lit(9L)), train, "doc_id", "text")
+    assert(exact.count() === 0)
+  }
+
   test("repetitionSignals: hand-computed fractions; degenerate short docs defined") {
     val docs = Seq(
       (1L, "a b a b a b"), // 2-grams {ab:3, ba:2} → 3/5; 3-grams all dup → 1.0

@@ -65,6 +65,24 @@ class IndexedFrameSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteFrame: distributed key-set removal; unknown keys ignored; COW") {
+    val base = cust.select($"c_custkey", $"c_acctbal")
+    val h = IndexedFrame.index(base, "c_custkey")
+    val dels = base.filter($"c_custkey" % 3 === 0).select($"c_custkey")
+      .unionAll(Seq(424242L).toDF("k")) // absent key: a no-op
+    val h2 = h.deleteFrame(dels)
+    val out = h2.toDF.select($"c_custkey").as[Long].collect().toSet
+    val expect = base.filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(out === expect)
+    // copy-on-write: source handle still serves the deleted keys
+    assert(h.toDF.count() === base.count())
+    // a wrong-typed or multi-column key frame is rejected up front
+    intercept[IllegalArgumentException] {
+      h.deleteFrame(dels.withColumn("extra", lit(1)))
+    }
+  }
+
   test("upsert produces a new queryable version; old handle unchanged") {
     val h = IndexedFrame.index(cust, "c_custkey")
     val template = cust.head()
