@@ -206,6 +206,41 @@ object RelationalQueries {
     // session closes through the ordinary gap-split path. Sentinel-only
     // sessions (start == the sentinel instant, past every real event)
     // are dropped on output.
+    "q_stream_dedup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING exact dedup driven end-to-end: five ts-ordered weekly
+      // micro-batches flow through dedupStream (state = 16-byte
+      // hash+length per distinct content, not the payload). The
+      // watermark delay exceeds the stream's span so no state evicts,
+      // making the emitted content set equal the batch DISTINCT — the
+      // input-agnostic equivalence the oracle checks (eviction +
+      // reappearance semantics are spec-covered). Content folds value
+      // through a LONG so both engines stringify identically.
+      val ev = Tables.events(s, dir)
+        .withColumn("content", concat($"event_type", lit(":"),
+          ($"value" * 100).cast("long").cast("string")))
+        .select($"ts", $"content")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      val out = graft.streaming.Streaming.dedupStream(
+        input.toDF().toDF("ts", "content"), "content", "ts", "60 days")
+      val qname = s"q_stream_dedup_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        (0 to 4).foreach { w =>
+          val batch = ev
+            .filter(dayofmonth($"ts") >= w * 7 + 1 &&
+              dayofmonth($"ts") <= (w + 1) * 7)
+            .as[(java.sql.Timestamp, String)].collect().toSeq
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qname).select($"content")
+    },
+
     "q_sessionize" -> { (s, dir) =>
       import s.implicits._
       val gapMs = 4 * 3600 * 1000L
@@ -500,6 +535,14 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  round(CAST(sum(value) AS DOUBLE), 2) AS total_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // streaming dedup with an un-evicting watermark emits exactly the
+    // batch DISTINCT of the content key (trunc mirrors Spark's
+    // toward-zero double->long cast; DuckDB CAST alone rounds)
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_type || ':' ||
+        |  CAST(CAST(trunc(value * 100) AS BIGINT) AS VARCHAR) AS content
+        |FROM events""".stripMargin,
 
     // gap sessionization: a session breaks where the per-user ordered
     // gap exceeds 4 h; session id = running sum of break markers

@@ -39,6 +39,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"segment filter not pushed to the customer scan:\n$plan")
   }
 
+  test("curation_decontaminate_ngram: eval grams broadcast; train side never shuffles pre-join") {
+    val plan = planOf("curation_decontaminate_ngram")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi join against the eval gram set:\n$plan")
+    // exactly two hash exchanges: the tiny eval side's distinct and the
+    // final output distinct — the exploded train corpus itself never
+    // shuffles (it streams through the broadcast semi join)
+    val hashEx = "Exchange hashpartitioning"
+    val n = plan.sliding(hashEx.length).count(_ == hashEx)
+    assert(n === 2, s"expected 2 hash exchanges (eval distinct + output " +
+      s"distinct), got $n — train corpus may be shuffling:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"eval gram set not broadcast:\n$plan")
+  }
+
   test("q5_join: nation and region dims broadcast") {
     val plan = planOf("q5_join")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")

@@ -240,6 +240,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream: content reappears once its state evicts past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streaming.dedupStream(input.toDF(), "event_type", watermark = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_evict_out").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "content-A", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past content-A's expiry
+      input.addData(Event(2, ts(120), 2, "content-X", 2.0))
+      q.processAllAvailable()
+      // same content arrives again: its state is gone, so it re-emits —
+      // the documented residual the batch-path dedup mops up
+      input.addData(Event(3, ts(130), 3, "content-A", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_evict_out").as[Event].collect()
+      assert(out.map(_.event_id).toSet === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("IndexedUpsertSink: micro-batches upsert into a live point-queryable index") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
