@@ -185,6 +185,49 @@ object Curation {
   }
 
   /**
+   * Deterministic TOKEN-BUDGET sampling: keep documents in affine-hash
+   * priority order (ties by id) until the cumulative whitespace-token
+   * count reaches `budget` — "give me ~10 B tokens of this corpus,
+   * reproducibly". A document is kept iff the running token total
+   * THROUGH it stays <= budget.
+   *
+   * Scale shape — never a global sort or single-partition window: the
+   * hash space splits into `buckets` ORDERED ranges; a tiny aggregate
+   * (`buckets` rows) prefix-sums on the driver, and each bucket
+   * independently window-scans only its own rows with its bucket's
+   * offset added. Cross-bucket concatenation equals global (hash, id)
+   * order because bucket boundaries are hash ranges; buckets whose
+   * offset already exceeds the budget are pruned before the window
+   * runs. Driver-side state is `buckets` longs — the same bounded
+   * shape as the IVF centroid collect.
+   */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int = 64,
+      a: Long = 69069L, b: Long = 362437L): DataFrame = {
+    val width = (P31 + buckets - 1) / buckets
+    val u = pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b),
+      lit(P31))
+    val t = df.select(col(idCol), u.as("__u"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__t"))
+      .withColumn("__b", floor(col("__u") / lit(width)).cast("long"))
+    val sums = t.groupBy(col("__b")).agg(sum(col("__t")).as("__s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = sums.keys.toSeq.sorted.map { bid =>
+      val o = (bid, acc); acc += sums(bid); o
+    }.filter(_._2 < budget) // a bucket starting past the budget keeps nothing
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__u"), col(idCol))
+    t.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__run", sum(col("__t")).over(w))
+      .filter(col("__off") + col("__run") <= budget)
+      .select(col(idCol), col("__t").as("n_tokens"))
+  }
+
+  /**
    * Train-side decontamination by n-gram collision (the GPT-3-style
    * eval-leakage rule): ids of `train` rows sharing ANY word n-gram
    * (default n=13) with any `test` row — looser than

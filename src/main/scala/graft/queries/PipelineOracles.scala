@@ -616,6 +616,16 @@ object PipelineOracles {
       |     ELSE list_transform(range(1, len(toks) - 11),
       |                         i -> array_to_string(list_slice(toks, i, i + 12), ' ')) END""".stripMargin
 
+  /** Token-budget slice — mirrors Curation.tokenBudgetSample's
+    * semantics directly: the bucketed two-phase prefix in Spark equals
+    * this single running sum in global (hash, id) order. */
+  val curationTokenBudget: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+       |  ((doc_id % $P) * 69069 + 362437) % $P AS u FROM documents)
+       |SELECT doc_id, n_tokens FROM t
+       |QUALIFY sum(n_tokens) OVER (ORDER BY u, doc_id) <= 20000""".stripMargin
+
   /** GPT-3-style 13-gram decontamination — mirrors
     * Curation.contaminationNgram over the truncated-eval-set lane. */
   val curationDecontaminateNgram: String =
@@ -1048,6 +1058,7 @@ object PipelineOracles {
     "text_vocab" -> textVocab,
     "text_repetition" -> textRepetition,
     "curation_decontaminate_ngram" -> curationDecontaminateNgram,
+    "curation_token_budget" -> curationTokenBudget,
     "curation_splits" -> curationSplits,
     "curation_pack" -> curationPack,
     "curation_contamination" -> curationContamination,

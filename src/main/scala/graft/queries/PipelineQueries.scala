@@ -319,6 +319,14 @@ object PipelineQueries {
       graft.pipeline.Curation.contamination(test, docs, "doc_id", "text")
     },
 
+    "curation_token_budget" -> { (s, dir) =>
+      // reproducible "~N tokens of this corpus" slice: affine-hash
+      // priority order, kept while the running token total fits the
+      // budget — two-phase bucket prefix sums, never a global sort
+      graft.pipeline.Curation.tokenBudgetSample(
+        Tables.documents(s, dir), "doc_id", "text", budget = 20000L)
+    },
+
     "curation_decontaminate_ngram" -> { (s, dir) =>
       // GPT-3-style 13-gram decontamination: eval set = every 100th
       // doc TRUNCATED to its first 30 tokens — no longer a verbatim

@@ -461,6 +461,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("tokenBudgetSample: budget respected, maximal, bucket-count and partition invariant") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val out = Curation.tokenBudgetSample(docs, "doc_id", "text", budget = 5000L)
+      .as[(Long, Long)].collect()
+    val total = out.map(_._2).sum
+    assert(total <= 5000L && total > 0L)
+    // maximality: the highest-priority EXCLUDED doc would not have fit
+    val kept = out.map(_._1).toSet
+    val nextTokens = Curation.deterministicSample(docs, "doc_id", kept.size + 1)
+      .select(col("doc_id")).join(docs, "doc_id")
+      .filter(!col("doc_id").isin(kept.toSeq: _*))
+      .select(TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[Long].collect()
+    assert(nextTokens.isEmpty || total + nextTokens.head > 5000L)
+    // same slice with a different bucket count and input partitioning
+    val alt = Curation.tokenBudgetSample(
+      docs.repartition(13), "doc_id", "text", budget = 5000L, buckets = 7)
+      .as[(Long, Long)].collect()
+    assert(alt.toSet === out.toSet)
+  }
+
   test("contaminationNgram flags partial overlap that exact fingerprints miss") {
     val t13 = (1 to 20).map(i => s"w$i").mkString(" ")  // 20 tokens
     val train = Seq(
