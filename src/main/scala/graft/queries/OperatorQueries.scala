@@ -596,6 +596,26 @@ object OperatorQueries {
       h.upsertFrame(updates).toDF
     },
 
+    "ir_sql_mutate_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // composite-key bulk mutation: an upsert delta (modified rows +
+      // one brand-new (segment, key) pair) then a delete key-pair set,
+      // both shuffling only the delta to the pair partitioning
+      val base = Tables.customer(s, dir)
+        .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      val h = graft.sql.IndexedFrame.indexCompositeAny(
+        base, "c_mktsegment", "c_custkey")
+      val ups = base.filter($"c_custkey" % 10 === 4)
+        .select($"c_mktsegment", $"c_custkey",
+          ($"c_acctbal" + 100).as("c_acctbal"))
+        .unionAll(Seq(("NEWSEG", 42424242L, 1.5))
+          .toDF("c_mktsegment", "c_custkey", "c_acctbal"))
+      val dels = base.filter($"c_custkey" % 10 === 9)
+        .select($"c_mktsegment", $"c_custkey")
+      h.upsertFrame(ups).deleteFrame(dels).toDF
+    },
+
     "ir_sql_delete_frame" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1052,6 +1072,14 @@ object OperatorQueries {
     "ir_sql_delete_frame" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 7 <> 0""".stripMargin,
+
+    "ir_sql_mutate_composite" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CASE WHEN c_custkey % 10 = 4 THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey % 10 <> 9
+        |UNION ALL
+        |SELECT 'NEWSEG', 42424242, CAST(1.5 AS DOUBLE)""".stripMargin,
 
     "ir_sql_scan" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

@@ -622,6 +622,40 @@ object IndexedFrame {
       if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
 
+    /** DISTRIBUTED copy-on-write upsert — the composite twin of
+      * [[Handle.upsertFrame]]: only the delta shuffles to the index's
+      * pair partitioning; the corpus never moves. Columns must match
+      * this handle's schema by name and type. */
+    def upsertFrame(updates: DataFrame): CompositeHandle[A, B] = {
+      val got = updates.schema.map(f => (f.name, f.dataType))
+      val want = schema.map(f => (f.name, f.dataType))
+      require(got == want,
+        s"update schema $got must match handle schema $want")
+      new CompositeHandle[A, B](
+        idx.multiputRDD(compositePairs(updates, keyColA, keyColB, codecA, codecB)),
+        keyColA, keyColB, schema, ordered, codecA, codecB)
+    }
+
+    /** DISTRIBUTED copy-on-write delete by (a, b) key pairs: `keys`
+      * must be a two-column DataFrame typed like (keyColA, keyColB), in
+      * that order. Unknown pairs are ignored, matching SQL DELETE. */
+    def deleteFrame(keys: DataFrame): CompositeHandle[A, B] = {
+      require(keys.schema.length == 2 &&
+          keys.schema(0).dataType == schema(keyColA).dataType &&
+          keys.schema(1).dataType == schema(keyColB).dataType,
+        s"(${schema(keyColA).dataType.catalogString}, " +
+          s"${schema(keyColB).dataType.catalogString}) key columns " +
+          s"required, got ${keys.schema.map(_.dataType.catalogString)}")
+      val (ca, cb) = (codecA, codecB)
+      val kRdd = keys.queryExecution.toRdd.map { r =>
+        if (r.isNullAt(0) || r.isNullAt(1))
+          throw new IllegalArgumentException("null delete key component")
+        (ca.fromRow(r, 0), cb.fromRow(r, 1))
+      }
+      new CompositeHandle[A, B](idx.deleteRDD(kRdd),
+        keyColA, keyColB, schema, ordered, codecA, codecB)
+    }
+
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeRelation(this)(spark.sqlContext))
   }

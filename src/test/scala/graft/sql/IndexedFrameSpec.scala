@@ -83,6 +83,23 @@ class IndexedFrameSpec extends AnyFunSuite {
     }
   }
 
+  test("composite upsertFrame/deleteFrame: string-lead pair mutations, COW") {
+    val base = cust.select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+    val h = IndexedFrame.indexCompositeAny(base, "c_mktsegment", "c_custkey")
+    val ups = Seq(("ZZTOP", 777L, 9.5)).toDF("c_mktsegment", "c_custkey", "c_acctbal")
+    val dels = base.filter($"c_custkey" <= 5L)
+      .select($"c_mktsegment", $"c_custkey")
+    val h2 = h.upsertFrame(ups).deleteFrame(dels)
+    val n0 = base.count()
+    assert(h2.toDF.count() === n0 + 1 - dels.count())
+    assert(h2.toDF.filter($"c_mktsegment" === "ZZTOP" && $"c_custkey" === 777L)
+      .count() === 1)
+    // COW: source handle unchanged
+    assert(h.toDF.count() === n0)
+    // key-pair frame with wrong arity is rejected
+    intercept[IllegalArgumentException] { h.deleteFrame(ups) }
+  }
+
   test("upsert produces a new queryable version; old handle unchanged") {
     val h = IndexedFrame.index(cust, "c_custkey")
     val template = cust.head()
