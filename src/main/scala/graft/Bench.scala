@@ -214,6 +214,16 @@ object Bench {
     val tStatsScan = bestOf2((0 until 100).foreach { _ =>
       cachedCust.agg(fCount(fLit(1)), fMin(col("c_custkey")), fMax(col("c_custkey"))).collect()
     })
+    // count(*) under a pushed key interval: pruned radix descents
+    // (values never read) vs the cached scan's filter + aggregate
+    val tCntRangeIdx = bestOf2((0 until 100).foreach { _ =>
+      hStats.toDF.filter(col("c_custkey").between(100L, 5000L))
+        .agg(fCount(fLit(1))).collect()
+    })
+    val tCntRangeScan = bestOf2((0 until 100).foreach { _ =>
+      cachedCust.filter(col("c_custkey").between(100L, 5000L))
+        .agg(fCount(fLit(1))).collect()
+    })
     cachedCust.unpersist()
     hStats.idx.unpersist()
 
@@ -242,6 +252,8 @@ object Bench {
       "micro_sql_range_hashpart_10" -> tSqlRangeHash,
       "micro_sql_stats_idx_100" -> tStatsIdx,
       "micro_sql_stats_scan_100" -> tStatsScan,
+      "micro_sql_count_range_idx_100" -> tCntRangeIdx,
+      "micro_sql_count_range_scan_100" -> tCntRangeScan,
       "micro_bloom_literal_m16" -> tBloomLit,
       "micro_bloom_bcast_m24" -> tBloomBcast)
   }

@@ -483,6 +483,44 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     })
   }
 
+  /** COUNT of keys in the half-open interval [from, to) without
+    * materializing a single value: the same partition pruning and
+    * radix range descents as [[range]], but each partition contributes
+    * ONE long — no row ships, no value deserializes. The aggregate
+    * pushdown ([[graft.sql.IndexedAgg]]) rides this for
+    * `SELECT count(*) WHERE key BETWEEN ...`. */
+  def rangeCount(from: K, to: K)(implicit ser: KeySerializer[K]): Long = {
+    require(ser.isOrderPreserving,
+      s"rangeCount decides membership in encoded-byte order; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    val fromB = ser.toBytes(from)
+    val toB = ser.toBytes(to)
+    val base = partitioner match {
+      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _])
+          if ser.isOrderPreserving =>
+        val lo = rp.getPartition(from)
+        val hi = rp.getPartition(to)
+        org.apache.spark.rdd.PartitionPruningRDD.create(
+          partitionsRDD, pid => pid >= math.min(lo, hi) && pid <= math.max(lo, hi))
+      case _ => partitionsRDD
+    }
+    base.mapPartitions(_.map {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        val it = r.range(from, to)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      case p =>
+        var n = 0L
+        p.iterator.foreach { case (k, _) =>
+          val kb = ser.toBytes(k)
+          if (java.util.Arrays.compareUnsigned(kb, fromB) >= 0 &&
+              java.util.Arrays.compareUnsigned(kb, toB) < 0) n += 1
+        }
+        n
+    }).fold(0L)(_ + _)
+  }
+
   /** MANY half-open key intervals served in ONE pass over the partition
     * set: each partition scans every interval of its local index
     * (O(depth + hits) per interval on radix layouts), instead of k

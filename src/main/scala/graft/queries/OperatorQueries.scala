@@ -596,6 +596,25 @@ object OperatorQueries {
       h.upsertFrame(updates).toDF
     },
 
+    "ir_sql_count_range" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // aggregate pushdown UNDER a filter: count(*) over a pushed key
+      // interval answers from pruned radix range descents — values are
+      // never read, rows never ship. Mixed bounds exercise the
+      // strict/inclusive interval algebra end to end
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(
+        Tables.orders(s, dir), "o_orderkey", ordered = true)
+      val between = h.toDF.filter($"o_orderkey".between(1000L, 5000L))
+        .agg(count(lit(1)).as("cnt"))
+      val strict = h.toDF.filter($"o_orderkey" > 2000L && $"o_orderkey" < 2500L)
+        .agg(count(lit(1)).as("cnt"))
+      val empty = h.toDF.filter($"o_orderkey" > 10L && $"o_orderkey" < 5L)
+        .agg(count(lit(1)).as("cnt"))
+      between.unionAll(strict).unionAll(empty)
+    },
+
     "ir_sql_mutate_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1072,6 +1091,16 @@ object OperatorQueries {
     "ir_sql_delete_frame" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 7 <> 0""".stripMargin,
+
+    "ir_sql_count_range" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT) FROM orders
+        |WHERE o_orderkey > 2000 AND o_orderkey < 2500
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT) FROM orders
+        |WHERE o_orderkey > 10 AND o_orderkey < 5""".stripMargin,
 
     "ir_sql_mutate_composite" ->
       """SELECT c_mktsegment, c_custkey,

@@ -8,9 +8,13 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeRef
   GenericInternalRow, Literal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count,
   Max, Min}
+import org.apache.spark.sql.catalyst.expressions.And
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.ExpressionBridge
+import org.apache.spark.sql.sources
 
 /**
  * No-scan aggregate STATS through SQL: on an indexed handle,
@@ -74,6 +78,31 @@ object IndexedAgg {
       case _ => None
     }
 
+    /** A key-filtered indexed relation under attribute-only Projects:
+      * the Filter's conjuncts, each translated to a datasource filter
+      * (so the interval algebra is EXACTLY the scan path's), plus the
+      * handle. Untranslatable conjuncts disqualify. */
+    private def filteredRelation(
+        p: LogicalPlan): Option[(Seq[sources.Filter], IndexedFrame.StatsCapable)] =
+      p match {
+        case logical.Filter(cond, child) =>
+          bareRelation(child).flatMap { h =>
+            def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+                : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+              e match {
+                case And(l, r) => conjuncts(l) ++ conjuncts(r)
+                case other => Seq(other)
+              }
+            val translated = conjuncts(cond).map(ExpressionBridge.translateFilter)
+            if (translated.forall(_.isDefined))
+              Some((translated.map(_.get), h))
+            else None
+          }
+        case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>
+          filteredRelation(child)
+        case _ => None
+      }
+
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case Aggregate(Nil, aggs, child, _) if aggs.nonEmpty &&
           aggs.forall(_.isInstanceOf[Alias]) =>
@@ -84,7 +113,21 @@ object IndexedAgg {
               IndexedStatsExec(aggs.map(_.toAttribute), h,
                 stats.map(_.get)) :: Nil
             else Nil
-          case None => Nil
+          case None =>
+            // count(*) over a KEY-RANGE filter: answered from pruned
+            // radix descents, values never read. Only pure counts — an
+            // extremum under a filter would need a bounded descent the
+            // index doesn't do yet.
+            filteredRelation(child) match {
+              case Some((fs, h)) if aggs.forall(a =>
+                  statOf(a.asInstanceOf[Alias], h).contains(CountStat)) =>
+                h.rangeCountFor(fs) match {
+                  case Some(thunk) =>
+                    IndexedRangeCountExec(aggs.map(_.toAttribute), h, thunk) :: Nil
+                  case None => Nil
+                }
+              case _ => Nil
+            }
         }
       case _ => Nil
     }
@@ -122,5 +165,25 @@ object IndexedAgg {
 
     override def simpleString(maxFields: Int): String =
       s"IndexedStats ${stats.mkString("[", ", ", "]")} [no-scan: index sizes + O(depth) key descents]"
+  }
+
+  /** `count(*)` over a pushed key interval: one job of per-partition
+    * radix range descents (partition-pruned under a range partitioner)
+    * counting keys — no value is ever read or shipped. */
+  case class IndexedRangeCountExec(output: Seq[Attribute],
+      h: IndexedFrame.StatsCapable, thunk: () => Long) extends LeafExecNode {
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      h.markStats()
+      val n = thunk()
+      val types = output.map(_.dataType)
+      sparkContext.parallelize(Seq(output.map(_ => n: Any)), 1).mapPartitions { it =>
+        val proj = UnsafeProjection.create(types.toArray)
+        it.map(vs => proj(new GenericInternalRow(vs.toArray)): InternalRow)
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      "IndexedRangeCount [no-value-scan: pruned radix range descents]"
   }
 }

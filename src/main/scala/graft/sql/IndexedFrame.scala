@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, PrunedFilteredScan}
+  GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, PrunedFilteredScan}
 import org.apache.spark.sql.types.{DataType, DecimalType, IntegerType, LongType,
   ShortType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -287,6 +287,12 @@ object IndexedFrame {
       * [[statsKeyCol]] is defined, in external SQL form. */
     private[sql] def statsAll(withExtrema: Boolean): (Long, Option[Any], Option[Any])
     private[sql] def markStats(): Unit
+    /** A thunk counting the rows matching `filters` WITHOUT reading
+      * values, when every filter is a range/equality conjunct on a key
+      * column this index orders — `SELECT count(*) WHERE key BETWEEN`
+      * from pruned radix descents. None when any conjunct needs row
+      * inspection. The thunk defers the job to execution time. */
+    private[sql] def rangeCountFor(filters: Seq[Filter]): Option[() => Long] = None
   }
 
   /** An indexed table handle: the versioned index plus its SQL schema.
@@ -333,6 +339,27 @@ object IndexedFrame {
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
       if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
+
+    /** Bounded-interval count from pruned radix descents: claims only
+      * when ORDERED with an order-preserving serializer, every filter
+      * is a key-column range/equality conjunct (IsNotNull on the key is
+      * vacuous — the index stores no null keys), and the met interval
+      * is bounded on both sides. Anything else needs row inspection and
+      * falls back to the scan path. */
+    override private[sql] def rangeCountFor(fs: Seq[Filter]): Option[() => Long] = {
+      if (!ordered || !kSer.isOrderPreserving || fs.isEmpty) return None
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyCol => Some(Iv[K](None, None))
+        case f => boundsOn(keyCol, codec, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codec.ord)
+      if (iv.empty) Some(() => 0L)
+      else (iv.from, iv.to) match {
+        case (Some(lo), Some(hi)) => Some(() => idx.rangeCount(lo, hi)(kSer))
+        case _ => None // unbounded side: leave it to the scan path
+      }
+    }
 
     /** DISTRIBUTED copy-on-write upsert: key `updates`' internal rows
       * and ship ONLY them to this index's partitioning (one one-sided

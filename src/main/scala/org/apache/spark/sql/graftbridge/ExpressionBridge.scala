@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Catalyst predicate → datasource filter, for planning aggregate
+    * pushdown with EXACTLY the translation the scan path uses
+    * (DataSourceStrategy.translateFilter is protected[sql]). */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }

@@ -30,6 +30,49 @@ class IndexedAggSpec extends AnyFunSuite {
     assert(h.lastScanKind === "stats") // served by the index, not a scan
   }
 
+  test("count(*) under a key-range filter plans as a no-value range count") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    for ((lo, hi) <- Seq((10L, 60L), (0L, 5L), (120L, 999L))) {
+      val q = h.toDF.filter($"c_custkey".between(lo, hi))
+        .agg(count(lit(1)).as("cnt"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("IndexedRangeCount"),
+        s"expected range-count pushdown in:\n$plan")
+      assert(q.as[Long].head() ===
+        cust.filter($"c_custkey".between(lo, hi)).count())
+    }
+    // contradiction folds to a constant zero without a scan
+    val zero = h.toDF.filter($"c_custkey" > 50L && $"c_custkey" < 10L)
+      .agg(count(lit(1)).as("cnt"))
+    assert(zero.queryExecution.executedPlan.toString.contains("IndexedRangeCount"))
+    assert(zero.as[Long].head() === 0L)
+    // STRING keys: inclusive upper rides the succ (+NUL) bound
+    val hs = IndexedFrame.indexString(
+      cust.withColumn("c_k", concat(lit("k"), $"c_custkey")), "c_k",
+      ordered = true)
+    val qs = hs.toDF.filter($"c_k" >= "k10" && $"c_k" <= "k3")
+      .agg(count(lit(1)).as("cnt"))
+    assert(qs.queryExecution.executedPlan.toString.contains("IndexedRangeCount"))
+    assert(qs.as[Long].head() ===
+      cust.filter(concat(lit("k"), $"c_custkey") >= "k10" &&
+        concat(lit("k"), $"c_custkey") <= "k3").count())
+    // a non-key conjunct needs row inspection: NOT claimed
+    val fallback = h.toDF
+      .filter($"c_custkey".between(10L, 60L) && $"c_acctbal" > 0.0)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains("IndexedRangeCount"))
+    // an UNORDERED handle cannot serve intervals: NOT claimed
+    val hu = IndexedFrame.index(cust, "c_custkey")
+    val unord = hu.toDF.filter($"c_custkey".between(10L, 60L))
+      .agg(count(lit(1)).as("cnt"))
+    assert(!unord.queryExecution.executedPlan.toString
+      .contains("IndexedRangeCount"))
+  }
+
   test("count over a NEW version after upsert sees the new size") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val h = customerHandle()
