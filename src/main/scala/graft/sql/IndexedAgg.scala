@@ -174,7 +174,7 @@ object IndexedAgg {
       h: IndexedFrame.StatsCapable, thunk: () => Long) extends LeafExecNode {
 
     override protected def doExecute(): RDD[InternalRow] = {
-      h.markStats()
+      h.markRangeCount()
       val n = thunk()
       val types = output.map(_.dataType)
       sparkContext.parallelize(Seq(output.map(_ => n: Any)), 1).mapPartitions { it =>

@@ -287,6 +287,8 @@ object IndexedFrame {
       * [[statsKeyCol]] is defined, in external SQL form. */
     private[sql] def statsAll(withExtrema: Boolean): (Long, Option[Any], Option[Any])
     private[sql] def markStats(): Unit
+    /** Observability marker for the filtered-count pushdown. */
+    private[sql] def markRangeCount(): Unit = markStats()
     /** A thunk counting the rows matching `filters` WITHOUT reading
       * values, when every filter is a range/equality conjunct on a key
       * column this index orders — `SELECT count(*) WHERE key BETWEEN`
@@ -339,6 +341,7 @@ object IndexedFrame {
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
       if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
+    override private[sql] def markRangeCount(): Unit = { lastScanKind = "range_count" }
 
     /** Bounded-interval count from pruned radix descents: claims only
       * when ORDERED with an order-preserving serializer, every filter

@@ -122,8 +122,10 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastScanKind === "range")
     // contradictory bounds -> empty, not an error
     assert(h.toDF.filter($"c_custkey" > 100L && $"c_custkey" < 50L).count() === 0)
-    // point predicates still win over range ones
-    assert(h.toDF.filter($"c_custkey" === 5L).count() === 1)
+    // point predicates still win over range ones (row fetch: a bare
+    // count would route into the range-count pushdown instead)
+    assert(h.toDF.filter($"c_custkey" === 5L)
+      .select($"c_acctbal").collect().length === 1)
     assert(h.lastScanKind === "point")
     // unordered handle: range predicates fall back to full scan
     val hUnordered = IndexedFrame.index(cust, "c_custkey")
@@ -211,8 +213,10 @@ class IndexedFrameSpec extends AnyFunSuite {
     // empty interval short-circuits
     assert(h.toDF.filter($"c_name" > "Customer#000000149" &&
       $"c_name" < "Customer#000000100").count() === 0)
-    // point reads still probe through the lex encoding
-    assert(h.toDF.filter($"c_name" === "Customer#000000017").count() === 1)
+    // point reads still probe through the lex encoding (row fetch: a
+    // bare count would route into the range-count pushdown instead)
+    assert(h.toDF.filter($"c_name" === "Customer#000000017")
+      .select($"c_acctbal").collect().length === 1)
     assert(h.lastScanKind === "point")
     // min/max(string key) plan as no-scan radix descents
     IndexedAgg.enable(spark)
@@ -344,10 +348,18 @@ class IndexedFrameSpec extends AnyFunSuite {
     val loaded = IndexedFrame.load(spark, path)
     assert(loaded.keyCol === "c_custkey" && loaded.ordered)
     assert(loaded.toDF.count() === cust.count())
-    assert(loaded.toDF.filter($"c_custkey" === 7L).count() === 1)
+    // row-fetching reads exercise the point/range SCAN paths (a bare
+    // count over a key filter now short-circuits into the no-value
+    // range-count pushdown, asserted after)
+    assert(loaded.toDF.filter($"c_custkey" === 7L)
+      .select($"c_acctbal").collect().length === 1)
     assert(loaded.lastScanKind === "point")
-    assert(loaded.toDF.filter($"c_custkey".between(10L, 20L)).count() === 11)
+    assert(loaded.toDF.filter($"c_custkey".between(10L, 20L))
+      .select($"c_acctbal").collect().length === 11)
     assert(loaded.lastScanKind === "range")
+    IndexedAgg.enable(spark)
+    assert(loaded.toDF.filter($"c_custkey".between(10L, 20L)).count() === 11)
+    assert(loaded.lastScanKind === "range_count") // pushed, values unread
     // the saved partitioner makes the reloaded handle co-partitioned
     // with a freshly built one: their SQL join plans as the narrow zip
     IndexedJoin.enable(spark)
