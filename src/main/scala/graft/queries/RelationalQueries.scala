@@ -217,7 +217,11 @@ object RelationalQueries {
       // input-agnostic equivalence the oracle checks (eviction +
       // reappearance semantics are spec-covered). Content folds value
       // through a LONG so both engines stringify identically.
+      // every 4th user: the MemoryStream harness collects batches to
+      // the driver, so the lane bounds ITS OWN volume — the dedup
+      // semantics are per-content and unaffected by the slice
       val ev = Tables.events(s, dir)
+        .filter($"user_id" % 4 === 0)
         .withColumn("content", concat($"event_type", lit(":"),
           ($"value" * 100).cast("long").cast("string")))
         .select($"ts", $"content")
@@ -542,7 +546,7 @@ object RelationalQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT event_type || ':' ||
         |  CAST(CAST(trunc(value * 100) AS BIGINT) AS VARCHAR) AS content
-        |FROM events""".stripMargin,
+        |FROM events WHERE user_id % 4 = 0""".stripMargin,
 
     // gap sessionization: a session breaks where the per-user ordered
     // gap exceeds 4 h; session id = running sum of break markers
