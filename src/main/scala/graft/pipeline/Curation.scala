@@ -140,32 +140,32 @@ object Curation {
    * values flag looping/boilerplate text that near-dup passes miss
    * because the repetition is INSIDE one document, not across two.
    *
-   * Shape for scale: explode + two-level aggregate. The per-(doc, gram)
-   * count is map-side combinable, so a pathologically repetitive 1 GB
-   * document combines to its distinct grams before the wire — the very
-   * pathology being measured de-skews its own shuffle. No per-document
-   * in-memory frequency map is ever built. N-grams follow
+   * Shape for scale: a ZERO-SHUFFLE narrow map. Every gram of a
+   * document lives in that document's own row, so the per-gram counts
+   * never need a cluster-wide groupBy: one native expression
+   * ([[graft.functions.RepetitionStats]]) tokenizes once and counts
+   * both gram sizes in a per-row map bounded by the document's own
+   * size. An explode + groupBy(doc, gram) shape would shuffle ~2
+   * copies of every corpus token; this shape shuffles nothing,
+   * parallelism is the scan's, and skew is bounded by the max document
+   * size (which a curation pipeline already bounds) rather than by
+   * gram distribution. N-grams follow
    * [[TextFunctions.wordShingles]] (shorter-than-n docs contribute the
    * whole text as one gram, making `top2_frac` 1.0 — a degenerate doc
    * IS all one gram).
    */
   def repetitionSignals(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def fracs(n: Int) = df
+    // one native pass: tokenize once, count both gram sizes in-row
+    df.select(col(idCol),
+        graft.functions.RepetitionStats.repetitionStats(
+          TextFunctions.tokens(col(textCol))).as("__st"))
+      .filter(col("__st").isNotNull)
       .select(col(idCol),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(max(col("__c")).as("__top"),
-        sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))).as("__dup"),
-        sum(col("__c")).as("__tot"))
-    val two = fracs(2).select(col(idCol),
-      (col("__top").cast("double") / col("__tot").cast("double"))
-        .as("top2_frac"))
-    val three = fracs(3).select(col(idCol),
-      (col("__dup").cast("double") / col("__tot").cast("double"))
-        .as("dup3_frac"))
-    two.join(three, Seq(idCol))
+        (col("__st.top2").cast("double") / col("__st.tot2").cast("double"))
+          .as("top2_frac"),
+        (col("__st.dup3").cast("double") / col("__st.tot3").cast("double"))
+          .as("dup3_frac"))
   }
 
   /**

@@ -200,6 +200,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-n:\n$plan")
   }
 
+  test("text_repetition: per-doc signals are a zero-shuffle narrow map") {
+    val plan = planOf("text_repetition")
+    assert(!plan.contains("Exchange"),
+      s"per-document repetition signals must never shuffle:\n$plan")
+    // the native counting expression is in the plan, fused into a
+    // whole-stage-codegen projection
+    assert(plan.contains("repetitionstats") && plan.contains("*(1)"),
+      s"expected codegen'd native repetition projection:\n$plan")
+  }
+
   test("text_langid: native expression runs inside whole-stage codegen") {
     val plan = planOf("text_langid")
     // `*(n)` prefixes mark operators fused into a whole-stage-codegen
