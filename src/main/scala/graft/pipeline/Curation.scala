@@ -228,6 +228,57 @@ object Curation {
   }
 
   /**
+   * Deterministic DATA-MIXTURE sampling: per-source token budgets —
+   * "30% web, 30% code, 40% books" realized as absolute token targets —
+   * kept reproducibly. Within EACH source, documents are taken in
+   * affine-hash priority order (ties by id) until that source's running
+   * token total reaches its budget; sources absent from `budgets`
+   * contribute nothing. The keep rule matches [[tokenBudgetSample]]
+   * exactly, applied per source: a document is kept iff the running
+   * total THROUGH it stays <= the source's budget.
+   *
+   * Scale shape — the same bucketed two-phase prefix as
+   * [[tokenBudgetSample]], keyed by (source, bucket): a tiny aggregate
+   * (sources x buckets rows) prefix-sums per source on the driver, and
+   * each (source, bucket) cell independently window-scans only its own
+   * rows with its cell's offset added. Never a global sort; never a
+   * per-source single-partition window — a 100 TB source spreads over
+   * `buckets` cells. Cells whose offset already exceeds their source's
+   * budget are pruned before the window runs.
+   */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: Map[String, Long], buckets: Int = 64,
+      a: Long = 69069L, b: Long = 362437L): DataFrame = {
+    require(budgets.nonEmpty, "mixtureSample needs at least one source budget")
+    val width = (P31 + buckets - 1) / buckets
+    val u = pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(b),
+      lit(P31))
+    val t = df
+      .filter(col(sourceCol).isInCollection(budgets.keys.toSeq))
+      .select(col(idCol), col(sourceCol), u.as("__u"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__t"))
+      .withColumn("__b", floor(col("__u") / lit(width)).cast("long"))
+    val sums = t.groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col("__t")).as("__s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val offsets = sums.keys.groupBy(_._1).toSeq.flatMap { case (src, cells) =>
+      var acc = 0L
+      cells.toSeq.map(_._2).sorted.map { bid =>
+        val o = (src, bid, acc, budgets(src)); acc += sums((src, bid)); o
+      }
+    }.filter { case (_, _, off, budget) => off < budget }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF(sourceCol, "__b", "__off", "__budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("__b")).orderBy(col("__u"), col(idCol))
+    t.join(broadcast(offDf), Seq(sourceCol, "__b"))
+      .withColumn("__run", sum(col("__t")).over(w))
+      .filter(col("__off") + col("__run") <= col("__budget"))
+      .select(col(idCol), col(sourceCol), col("__t").as("n_tokens"))
+  }
+
+  /**
    * Train-side decontamination by n-gram collision (the GPT-3-style
    * eval-leakage rule): ids of `train` rows sharing ANY word n-gram
    * (default n=13) with any `test` row — looser than

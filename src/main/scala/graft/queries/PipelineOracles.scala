@@ -626,6 +626,19 @@ object PipelineOracles {
        |SELECT doc_id, n_tokens FROM t
        |QUALIFY sum(n_tokens) OVER (ORDER BY u, doc_id) <= 20000""".stripMargin
 
+  /** Data-mixture slice — mirrors Curation.mixtureSample: the same
+    * running-sum keep rule as [[curationTokenBudget]], partitioned by
+    * source against a per-source budget. */
+  val curationMixture: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+       |  ((doc_id % $P) * 69069 + 362437) % $P AS u FROM documents),
+       |b AS (SELECT * FROM (VALUES ('src3', 700), ('src8', 300),
+       |                            ('src12', 1000000)) v(source, budget))
+       |SELECT doc_id, source, n_tokens FROM t JOIN b USING (source)
+       |QUALIFY sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id)
+       |  <= budget""".stripMargin
+
   /** GPT-3-style 13-gram decontamination — mirrors
     * Curation.contaminationNgram over the truncated-eval-set lane. */
   val curationDecontaminateNgram: String =
@@ -1059,6 +1072,7 @@ object PipelineOracles {
     "text_repetition" -> textRepetition,
     "curation_decontaminate_ngram" -> curationDecontaminateNgram,
     "curation_token_budget" -> curationTokenBudget,
+    "curation_mixture" -> curationMixture,
     "curation_splits" -> curationSplits,
     "curation_pack" -> curationPack,
     "curation_contamination" -> curationContamination,

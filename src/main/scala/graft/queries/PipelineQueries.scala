@@ -327,6 +327,16 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text", budget = 20000L)
     },
 
+    "curation_mixture" -> { (s, dir) =>
+      // data-mixture realization: per-source token budgets (a small
+      // source kept whole, larger ones cut at their target), the same
+      // hash-priority keep rule as curation_token_budget applied per
+      // source — sources x buckets driver state, never a global sort
+      graft.pipeline.Curation.mixtureSample(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        Map("src3" -> 700L, "src8" -> 300L, "src12" -> 1000000L))
+    },
+
     "curation_decontaminate_ngram" -> { (s, dir) =>
       // GPT-3-style 13-gram decontamination: eval set = every 100th
       // doc TRUNCATED to its first 30 tokens — no longer a verbatim

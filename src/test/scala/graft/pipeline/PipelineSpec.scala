@@ -482,6 +482,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(alt.toSet === out.toSet)
   }
 
+  test("mixtureSample: per-source budgets respected and maximal; unbudgeted sources excluded") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val budgets = Map("src1" -> 400L, "src5" -> 250L, "src9" -> 1000000L)
+    val out = Curation.mixtureSample(docs, "doc_id", "text", "source", budgets)
+      .as[(Long, String, Long)].collect()
+    // only budgeted sources appear
+    assert(out.map(_._2).toSet.subsetOf(budgets.keySet))
+    val bySrc = out.groupBy(_._2)
+    budgets.foreach { case (src, budget) =>
+      val total = bySrc.get(src).map(_.map(_._3).sum).getOrElse(0L)
+      assert(total <= budget, s"$src over budget: $total > $budget")
+    }
+    // the huge budget keeps its source whole
+    val src9All = docs.filter(col("source") === "src9").count()
+    assert(bySrc("src9").length === src9All)
+    // per-source maximality: equals tokenBudgetSample restricted to
+    // that source with that source's budget
+    budgets.foreach { case (src, budget) =>
+      val solo = Curation.tokenBudgetSample(
+        docs.filter(col("source") === src), "doc_id", "text", budget)
+        .as[(Long, Long)].collect().map(_._1).toSet
+      assert(bySrc.get(src).map(_.map(_._1).toSet).getOrElse(Set.empty) === solo,
+        s"$src mixture slice != per-source token budget slice")
+    }
+    // bucket-count and input-partitioning invariance
+    val alt = Curation.mixtureSample(
+      docs.repartition(13), "doc_id", "text", "source", budgets, buckets = 7)
+      .as[(Long, String, Long)].collect()
+    assert(alt.toSet === out.toSet)
+  }
+
   test("contaminationNgram flags partial overlap that exact fingerprints miss") {
     val t13 = (1 to 20).map(i => s"w$i").mkString(" ")  // 20 tokens
     val train = Seq(
