@@ -209,7 +209,7 @@ object RelationalQueries {
     "q_stream_dedup" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // STREAMING exact dedup driven end-to-end: five ts-ordered weekly
+      // STREAMING exact dedup driven end-to-end: three ts-ordered ~11-day
       // micro-batches flow through dedupStream (state = 16-byte
       // hash+length per distinct content, not the payload). The
       // watermark delay exceeds the stream's span so no state evicts,
@@ -230,14 +230,28 @@ object RelationalQueries {
       val out = graft.streaming.Streaming.dedupStream(
         input.toDF().toDF("ts", "content"), "content", "ts", "60 days")
       val qname = s"q_stream_dedup_${System.nanoTime()}"
-      val q = out.writeStream.format("memory").queryName(qname)
-        .outputMode("append").start()
+      // the lane's cost is state-store overhead, not data: every
+      // micro-batch touches ALL state partitions (open + snapshot +
+      // commit per partition per batch), so 32 shuffle partitions x 5
+      // batches is 160 stateful tasks for kilobytes of state. Scope
+      // the STREAM's state partitioning down for the query's lifetime
+      // (fixed at stream start from the session conf); batch queries
+      // around it are untouched once the conf is restored.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try out.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
-        (0 to 4).foreach { w =>
-          val batch = ev
-            .filter(dayofmonth($"ts") >= w * 7 + 1 &&
-              dayofmonth($"ts") <= (w + 1) * 7)
-            .as[(java.sql.Timestamp, String)].collect().toSeq
+        // one scan; the weekly windows slice driver-side (UTC
+        // day-of-month, matching the session timezone)
+        val all = ev.as[(java.sql.Timestamp, String)].collect()
+        def dom(t: java.sql.Timestamp): Int = t.toInstant
+          .atZone(java.time.ZoneOffset.UTC).getDayOfMonth
+        (0 to 2).foreach { w =>
+          val batch = all.filter { case (t, _) =>
+            dom(t) >= w * 11 + 1 && dom(t) <= (w + 1) * 11 }.toSeq
           input.addData(batch)
           q.processAllAvailable()
         }
