@@ -228,6 +228,52 @@ object Curation {
   }
 
   /**
+   * Gopher/MassiveText-style RULE-BASED quality filter — the document
+   * keep/drop decision every corpus build runs BEFORE dedup: token
+   * count in [minTokens, maxTokens], mean token length in
+   * [minMeanTokLen, maxMeanTokLen] (garbage/binary text skews long,
+   * char-soup skews short), stopword ratio >= minStopRatio (real prose
+   * contains function words), and within-document repetition below the
+   * Gopher thresholds (top-2-gram occupancy <= maxTop2Frac,
+   * duplicated-3-gram fraction <= maxDup3Frac). Emits one row per
+   * document with the per-rule verdicts and the combined `keep` —
+   * keeping the rule booleans observable is deliberate (corpus builds
+   * audit WHY documents drop; a bare filter would hide the histogram).
+   *
+   * Shape for scale: a ZERO-SHUFFLE narrow map — every signal
+   * (including both repetition fractions, via the native
+   * [[graft.functions.RepetitionStats]] pass) derives from the
+   * document's own row. At 100 TB this is a single scan with no
+   * exchange; compose with `.filter($"keep")` ahead of the dedup
+   * stages so their shuffles only carry surviving documents.
+   */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      minStopRatio: Double = 0.02,
+      maxTop2Frac: Double = 0.20, maxDup3Frac: Double = 0.18): DataFrame = {
+    val st = graft.functions.RepetitionStats.repetitionStats(
+      TextFunctions.tokens(col(textCol)))
+    df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__n"),
+        TextFunctions.meanTokenLen(col(textCol)).as("__mtl"),
+        TextFunctions.stopwordRatio(col(textCol), stopwords).as("__stop"),
+        st.as("__st"))
+      .select(col(idCol),
+        (col("__n") >= minTokens && col("__n") <= maxTokens).as("ok_len"),
+        (col("__mtl") >= minMeanTokLen && col("__mtl") <= maxMeanTokLen)
+          .as("ok_wordlen"),
+        (col("__stop") >= minStopRatio).as("ok_stop"),
+        (col("__st.top2").cast("double") / col("__st.tot2").cast("double")
+          <= maxTop2Frac
+          && col("__st.dup3").cast("double") / col("__st.tot3").cast("double")
+          <= maxDup3Frac).as("ok_rep"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_wordlen") && col("ok_stop") && col("ok_rep"))
+  }
+
+  /**
    * Deterministic DATA-MIXTURE sampling: per-source token budgets —
    * "30% web, 30% code, 40% books" realized as absolute token targets —
    * kept reproducibly. Within EACH source, documents are taken in

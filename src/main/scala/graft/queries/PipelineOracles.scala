@@ -626,6 +626,47 @@ object PipelineOracles {
        |SELECT doc_id, n_tokens FROM t
        |QUALIFY sum(n_tokens) OVER (ORDER BY u, doc_id) <= 20000""".stripMargin
 
+  /** Gopher-rule quality filter — mirrors Curation.qualityFilter at
+    * the registered lane's thresholds. Every signal is the bit-exact
+    * twin of an already-gated lane (text_quality's mean token length /
+    * stopword ratio, text_repetition's fractions), so the threshold
+    * comparisons agree exactly across engines. */
+  val curationQualityFilter: String =
+    s"""WITH tok AS (SELECT doc_id, trim(text) AS tx, ${toks("text")} AS toks
+       |             FROM documents),
+       |g2 AS (SELECT doc_id, unnest(
+       |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(range(1, len(toks)),
+       |                           i -> toks[i] || ' ' || toks[i+1]) END) AS g
+       |  FROM tok),
+       |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+       |       FROM g2 GROUP BY 1, 2),
+       |s2 AS (SELECT doc_id,
+       |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2
+       |       FROM c2 GROUP BY 1),
+       |g3 AS (SELECT doc_id, unnest($grams3) AS g FROM tok),
+       |c3 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+       |       FROM g3 GROUP BY 1, 2),
+       |s3 AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |           / CAST(sum(c) AS DOUBLE) AS dup3
+       |       FROM c3 GROUP BY 1),
+       |q AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n,
+       |  CAST(length(replace(tx, ' ', '')) AS DOUBLE) / len(toks) AS mtl,
+       |  CAST(len(list_filter(toks,
+       |      w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+       |    / len(toks) AS stop
+       |  FROM tok)
+       |SELECT q.doc_id,
+       |  n >= 25 AND n <= 100000 AS ok_len,
+       |  mtl >= 3.0 AND mtl <= 10.0 AS ok_wordlen,
+       |  stop >= 0.02 AS ok_stop,
+       |  top2 <= 0.11 AND dup3 <= 0.18 AS ok_rep,
+       |  (n >= 25 AND n <= 100000) AND (mtl >= 3.0 AND mtl <= 10.0)
+       |    AND stop >= 0.02 AND (top2 <= 0.11 AND dup3 <= 0.18) AS keep
+       |FROM q JOIN s2 ON s2.doc_id = q.doc_id JOIN s3 ON s3.doc_id = q.doc_id""".stripMargin
+
   /** Data-mixture slice — mirrors Curation.mixtureSample: the same
     * running-sum keep rule as [[curationTokenBudget]], partitioned by
     * source against a per-source budget. */
@@ -1073,6 +1114,7 @@ object PipelineOracles {
     "curation_decontaminate_ngram" -> curationDecontaminateNgram,
     "curation_token_budget" -> curationTokenBudget,
     "curation_mixture" -> curationMixture,
+    "curation_quality_filter" -> curationQualityFilter,
     "curation_splits" -> curationSplits,
     "curation_pack" -> curationPack,
     "curation_contamination" -> curationContamination,

@@ -327,6 +327,15 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text", budget = 20000L)
     },
 
+    "curation_quality_filter" -> { (s, dir) =>
+      // Gopher-rule keep/drop with per-rule verdicts: min length and
+      // stopword presence bite on this corpus; word-length and
+      // repetition rules ride along at their published thresholds
+      graft.pipeline.Curation.qualityFilter(
+        Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 25L, minStopRatio = 0.02, maxTop2Frac = 0.11)
+    },
+
     "curation_mixture" -> { (s, dir) =>
       // data-mixture realization: per-source token budgets (a small
       // source kept whole, larger ones cut at their target), the same

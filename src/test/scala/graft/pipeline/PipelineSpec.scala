@@ -482,6 +482,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(alt.toSet === out.toSet)
   }
 
+  test("qualityFilter: each rule drops its crafted offender; clean prose keeps") {
+    val good = "the quick brown fox jumps over a lazy dog and then runs " +
+      "off to the woods where it finds a stream of cool water to drink"
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short"),                            // fails min length
+      (3L, ("lorem ipsum dolor sit amet " * 6).trim), // no stopwords + repetitive
+      (4L, good + " " + ("yes no " * 40).trim),     // top-2-gram dominated
+      (5L, good.split(" ").map(w => w.take(1)).mkString(" ") + " " + good) // short-word soup
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityFilter(docs, "doc_id", "text",
+        minTokens = 20L, minStopRatio = 0.02,
+        maxTop2Frac = 0.2, maxDup3Frac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) === ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)              // length rule
+    assert(!out(3L)._3 && !out(3L)._5)              // stopword rule
+    assert(!out(4L)._4 && !out(4L)._5)              // repetition rule
+    assert(!out(5L)._2 && !out(5L)._5)              // mean-word-length rule
+  }
+
   test("mixtureSample: per-source budgets respected and maximal; unbudgeted sources excluded") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
