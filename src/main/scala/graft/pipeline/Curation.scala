@@ -228,6 +228,52 @@ object Curation {
   }
 
   /**
+   * Deterministic TRAINING ORDER (epoch shuffle): every document gets
+   * a global 0-based position under a seed-keyed hash permutation —
+   * "shuffle the corpus for epoch `seed`, reproducibly, on any
+   * cluster". Order is (u, id) with u = ((id mod P)·a + 362437) mod P
+   * and a = (1103515245 + seed·2654435761) mod P: the multiplier is
+   * LARGE so the product wraps mod P even for small contiguous ids (a
+   * small multiplier like 69069 leaves any id range below ~31k
+   * monotone — no shuffle at all), and the seed rescales it by a big
+   * odd constant so epochs get genuinely different multipliers (a
+   * seed added directly shifts u by only ±id, which almost never
+   * swaps ranks). Each epoch is a different pseudo-random order;
+   * re-runs are bit-stable.
+   *
+   * Scale shape — never a global sort: hash-range buckets count on the
+   * driver (`buckets` longs), prefix-sum to per-bucket position
+   * offsets, and each bucket independently ranks only its own rows.
+   * Cross-bucket concatenation equals global (u, id) order because
+   * bucket boundaries are hash ranges — the same two-phase prefix as
+   * [[tokenBudgetSample]], ranking instead of token-summing.
+   */
+  def trainingOrder(df: DataFrame, idCol: String, seed: Long = 0L,
+      buckets: Int = 64): DataFrame = {
+    val width = (P31 + buckets - 1) / buckets
+    val a = java.lang.Math.floorMod(1103515245L + seed * 2654435761L, P31)
+    require(a != 0, s"degenerate seed $seed (multiplier 0 mod 2^31-1)")
+    val u = pmod(pmod(col(idCol).cast("long"), lit(P31)) * lit(a) + lit(362437L),
+      lit(P31))
+    val t = df.select(col(idCol), u.as("__u"))
+      .withColumn("__b", floor(col("__u") / lit(width)).cast("long"))
+    val sums = t.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = sums.keys.toSeq.sorted.map { bid =>
+      val o = (bid, acc); acc += sums(bid); o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__u"), col(idCol))
+    t.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), (col("__off") + col("__rn") - 1L).as("pos"))
+  }
+
+  /**
    * Gopher/MassiveText-style RULE-BASED quality filter — the document
    * keep/drop decision every corpus build runs BEFORE dedup: token
    * count in [minTokens, maxTokens], mean token length in

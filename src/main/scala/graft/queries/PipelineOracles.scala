@@ -626,6 +626,15 @@ object PipelineOracles {
        |SELECT doc_id, n_tokens FROM t
        |QUALIFY sum(n_tokens) OVER (ORDER BY u, doc_id) <= 20000""".stripMargin
 
+  /** Epoch training order — mirrors Curation.trainingOrder(seed = 1):
+    * the bucketed two-phase rank equals one global row_number in
+    * (u, id) order; 1610467359 = (1103515245 + 1*2654435761) mod P. */
+  val curationOrder: String =
+    s"""SELECT doc_id,
+       |  row_number() OVER (
+       |    ORDER BY ((doc_id % $P) * 1610467359 + 362437) % $P, doc_id) - 1 AS pos
+       |FROM documents""".stripMargin
+
   /** Gopher-rule quality filter — mirrors Curation.qualityFilter at
     * the registered lane's thresholds. Every signal is the bit-exact
     * twin of an already-gated lane (text_quality's mean token length /
@@ -1115,6 +1124,7 @@ object PipelineOracles {
     "curation_token_budget" -> curationTokenBudget,
     "curation_mixture" -> curationMixture,
     "curation_quality_filter" -> curationQualityFilter,
+    "curation_order" -> curationOrder,
     "curation_splits" -> curationSplits,
     "curation_pack" -> curationPack,
     "curation_contamination" -> curationContamination,

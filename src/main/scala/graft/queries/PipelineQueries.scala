@@ -327,6 +327,13 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text", budget = 20000L)
     },
 
+    "curation_order" -> { (s, dir) =>
+      // epoch-1 training order: a seeded hash permutation ranked by the
+      // bucketed two-phase prefix — never a global sort
+      graft.pipeline.Curation.trainingOrder(
+        Tables.documents(s, dir), "doc_id", seed = 1L)
+    },
+
     "curation_quality_filter" -> { (s, dir) =>
       // Gopher-rule keep/drop with per-rule verdicts: min length and
       // stopword presence bite on this corpus; word-length and

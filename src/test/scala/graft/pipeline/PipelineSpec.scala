@@ -482,6 +482,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(alt.toSet === out.toSet)
   }
 
+  test("trainingOrder: a bijective 0..n-1 permutation, seed-sensitive, bucket-invariant") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.count()
+    val e1 = Curation.trainingOrder(docs, "doc_id", seed = 1L)
+      .as[(Long, Long)].collect()
+    assert(e1.map(_._2).sorted.toSeq === (0L until n))
+    // a different epoch is a different permutation
+    val e2 = Curation.trainingOrder(docs, "doc_id", seed = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(e1.exists { case (id, p) => e2(id) != p })
+    // bucket count and input partitioning never change the order
+    val alt = Curation.trainingOrder(docs.repartition(13), "doc_id",
+      seed = 1L, buckets = 7).as[(Long, Long)].collect()
+    assert(alt.toSet === e1.toSet)
+  }
+
   test("qualityFilter: each rule drops its crafted offender; clean prose keeps") {
     val good = "the quick brown fox jumps over a lazy dog and then runs " +
       "off to the woods where it finds a stream of cool water to drink"
