@@ -14,22 +14,29 @@ import org.apache.spark.sql.functions._
  * KeySerializer.scala:28-31); z-ordering composes two dimensions into
  * that same machinery.
  *
- * The interleave is plain shift/mask Column arithmetic (codegen'd, no
- * UDF) and therefore replicable in a SQL oracle bit-for-bit; the box
- * cover is computed driver-side by quadrant decomposition — a bounded
- * number of z-intervals whose union is a superset of the box, with an
- * exact residual filter on the coordinates restoring exact semantics.
+ * The interleave is a native codegen'd expression (one static call —
+ * integer shift/mask arithmetic, replicable in a SQL oracle
+ * bit-for-bit); the box cover is computed driver-side by quadrant
+ * decomposition — a bounded number of z-intervals whose union is a
+ * superset of the box, with an exact residual filter on the
+ * coordinates restoring exact semantics.
  */
 object ZOrder {
 
-  /** Morton interleave of two non-negative int columns (x gets the
-    * even bits, y the odd): 2·bits result bits. Pure shift/mask
-    * arithmetic — one codegen'd projection, replicable in SQL. */
-  def zValue(x: Column, y: Column, bits: Int = 21): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+  /** Morton interleave of two non-negative long columns (x gets the
+    * even bits, y the odd): 2·bits result bits. A native expression
+    * whose codegen is ONE static call into [[interleave]] — the
+    * equivalent shift/mask Column chain (2·bits terms) inflates a
+    * fused hashAgg+project stage past janino's 64 KB method limit and
+    * silently drops the whole stage to interpreted eval. SQL oracles
+    * replay the same arithmetic independently, bit-for-bit (integer
+    * ops, nothing to round). */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column = {
+    import org.apache.spark.sql.graftbridge.ExpressionBridge
+    ExpressionBridge.column(MortonInterleave(
+      ExpressionBridge.expression(x.cast("long")),
+      ExpressionBridge.expression(y.cast("long")), bits))
+  }
 
   /** Driver-side twin of [[zValue]] (used by the cover computation and
     * property tests). */
@@ -129,4 +136,41 @@ object ZOrder {
     val inCover = cover.map { case (lo, hi) => z.between(lo, hi) }.reduce(_ || _)
     inCover && x.between(x1, x2) && y.between(y1, y2)
   }
+}
+
+/** Native Morton interleave — see [[ZOrder.zValue]] for why this is an
+  * expression and not a shift/mask Column chain. */
+case class MortonInterleave(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"morton_interleave requires (bigint, bigint), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    ZOrder.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.operators.ZOrder.interleave($x, $y, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonInterleave =
+    copy(left = newLeft, right = newRight)
 }
