@@ -246,6 +246,30 @@ object Bench {
       mBits = 1 << 24, depth = 3).write.format("noop").mode("overwrite").save()
     val tBloomBcast = (System.nanoTime() - t14) / 1e9
 
+    // zone maps: 20 repeated 3-day time-range scans over an id-keyed
+    // events handle — the analyzed handle prunes to the overlapping
+    // partitions; the unanalyzed twin reads all of them. Build + the
+    // one-off analyze stats job are excluded (they amortize across the
+    // repeated queries, the shape zone maps exist for).
+    val evDF = graft.queries.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val hz = graft.sql.IndexedFrame.indexRangePartitioned(evDF, "event_id", 16)
+    hz.idx.cached; hz.idx.count()
+    hz.analyzeZones("ts")
+    val hzPlain = graft.sql.IndexedFrame.indexRangePartitioned(evDF, "event_id", 16)
+    hzPlain.idx.cached; hzPlain.idx.count()
+    val zlo = fLit("2024-01-20 00:00:00").cast("timestamp")
+    val zhi = fLit("2024-01-23 00:00:00").cast("timestamp")
+    val tZonePruned = bestOf2((0 until 20).foreach { _ =>
+      hz.toDF.filter(col("ts") >= zlo && col("ts") < zhi)
+        .agg(fCount(fLit(1))).collect()
+    })
+    val tZoneFull = bestOf2((0 until 20).foreach { _ =>
+      hzPlain.toDF.filter(col("ts") >= zlo && col("ts") < zhi)
+        .agg(fCount(fLit(1))).collect()
+    })
+    hz.idx.unpersist(); hzPlain.idx.unpersist()
+
     Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
       "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
       "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
@@ -259,6 +283,8 @@ object Bench {
       "micro_sql_stats_scan_100" -> tStatsScan,
       "micro_sql_count_range_idx_100" -> tCntRangeIdx,
       "micro_sql_count_range_scan_100" -> tCntRangeScan,
+      "micro_sql_zone_pruned_20" -> tZonePruned,
+      "micro_sql_zone_full_20" -> tZoneFull,
       "micro_bloom_literal_m16" -> tBloomLit,
       "micro_bloom_bcast_m24" -> tBloomBcast)
   }

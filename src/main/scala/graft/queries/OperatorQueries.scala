@@ -535,6 +535,25 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_zone_prune" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // zone maps: events are keyed/range-partitioned by event_id,
+      // which the generator assigns in time order, so each partition
+      // covers a narrow ts interval — after analyzeZones("ts"), a
+      // pushed VALUE predicate on ts keeps only the overlapping
+      // partitions (asserted in IndexedFrameSpec/PlanAudit; here the
+      // oracle gates the semantics). The 100 TB shape: time-range
+      // queries over an id-keyed corpus read O(days), not O(corpus).
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"value")
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        ev, "event_id", numPartitions = 16).analyzeZones("ts")
+      h.toDF.filter($"ts" >= lit("2024-01-20 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-23 00:00:00").cast("timestamp"))
+        .select($"event_id", $"user_id", round($"value", 2).as("value"))
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1063,6 +1082,11 @@ object OperatorQueries {
     "ir_sql_range_partitioned" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey BETWEEN 300 AND 499""".stripMargin,
+
+    "ir_sql_zone_prune" ->
+      """SELECT event_id, user_id, round(value, 2) AS value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-23 00:00:00'""".stripMargin,
 
     "ir_tuple2_multiget" ->
       """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,

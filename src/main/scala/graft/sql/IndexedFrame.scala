@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, PrunedFilteredScan}
-import org.apache.spark.sql.types.{DataType, DecimalType, IntegerType, LongType,
-  ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StringType, StructType,
+  TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.IndexedRDD
@@ -209,6 +210,64 @@ object IndexedFrame {
     case _: BigIntCodec => "bigint"
   }
 
+  // ------------------------------------------------------------ zone maps
+
+  /** Per-partition min/max summary of one VALUE column — the SMA /
+    * parquet-row-group-stats analog at index-partition granularity.
+    * `ZoneEmpty` marks a partition with no non-null values in the
+    * column (no comparison predicate can match there). Integral and
+    * timestamp columns summarize as longs, fractional as doubles —
+    * never cross-widened, so pruning comparisons are exact. */
+  private[sql] sealed trait Zone extends Serializable
+  private[sql] case object ZoneEmpty extends Zone
+  private[sql] final case class ZoneLong(min: Long, max: Long) extends Zone
+  private[sql] final case class ZoneDouble(min: Double, max: Double) extends Zone
+
+  /** Literal of a zone-prunable filter in the column's summary domain.
+    * Conservative: an unconvertible literal disables pruning for its
+    * conjunct (never wrongly drops a partition). Long literals against
+    * fractional columns are refused — longValue→double can round, and
+    * a rounded bound could prune a partition holding true matches. */
+  private[sql] def zoneLiteral(dt: DataType, v: Any): Option[Either[Long, Double]] =
+    (dt, v) match {
+      case (TimestampType, t: java.sql.Timestamp) => Some(Left(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+      case (TimestampType, i: java.time.Instant) => Some(Left(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+      case (LongType | IntegerType | ShortType | ByteType, n: java.lang.Number)
+          if n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer] ||
+            n.isInstanceOf[java.lang.Short] || n.isInstanceOf[java.lang.Byte] =>
+        Some(Left(n.longValue()))
+      case (DoubleType | FloatType, n: java.lang.Number)
+          if n.isInstanceOf[java.lang.Double] || n.isInstanceOf[java.lang.Float] ||
+            n.isInstanceOf[java.lang.Integer] || n.isInstanceOf[java.lang.Short] ||
+            n.isInstanceOf[java.lang.Byte] =>
+        Some(Right(n.doubleValue()))
+      case _ => None
+    }
+
+  /** Whether a partition with summary `z` can hold a row satisfying
+    * `cmp` against literal `lit` (-2 <, -1 <=, 0 =, 1 >=, 2 >). */
+  private[sql] def zoneMayMatch(z: Zone, cmp: Int, lit: Either[Long, Double]): Boolean =
+    (z, lit) match {
+      case (ZoneEmpty, _) => false // comparisons never match null
+      case (ZoneLong(mn, mx), Left(v)) => cmp match {
+        case -2 => mn < v
+        case -1 => mn <= v
+        case 0 => mn <= v && v <= mx
+        case 1 => mx >= v
+        case 2 => mx > v
+      }
+      case (ZoneDouble(mn, mx), Right(v)) => cmp match {
+        case -2 => mn < v
+        case -1 => mn <= v
+        case 0 => mn <= v && v <= mx
+        case 1 => mx >= v
+        case 2 => mx > v
+      }
+      case _ => true // summary/literal domain mismatch: never prune
+    }
+
   /** Half-open interval in one key domain's natural order; a `None`
     * endpoint is unbounded on that side (NEVER encoded as a sentinel
     * key value — `< domainMax` strict and "unbounded above" stay
@@ -361,6 +420,124 @@ object IndexedFrame {
       else (iv.from, iv.to) match {
         case (Some(lo), Some(hi)) => Some(() => idx.rangeCount(lo, hi)(kSer))
         case _ => None // unbounded side: leave it to the scan path
+      }
+    }
+
+    // ------------------------------------------------------- zone maps
+    // Per-partition min/max of VALUE columns — EXPLICITLY analyzed
+    // (ANALYZE semantics): [[analyzeZones]] pays one O(data) stats job
+    // per column up front, then every full-lane scan with a pushed
+    // comparison on an analyzed column prunes partitions for free
+    // (the index is immutable, so the memo never staleness-checks).
+    // The win case is a value column CLUSTERED by the key layout
+    // (time-ordered ids, monotone sequence numbers): each partition
+    // then covers a narrow value interval and a selective predicate
+    // keeps O(matching) partitions. Uncorrelated columns degrade to
+    // keeping everything — never to wrong answers, because the
+    // relation claims nothing for these filters and Spark re-applies
+    // them above the scan. Opt-in keeps one-shot scans from paying a
+    // stats pass they will never amortize.
+    @transient private lazy val zoneMemo =
+      new scala.collection.concurrent.TrieMap[String, Array[Zone]]()
+    @transient @volatile private var zoneEnabled: Set[String] = Set.empty
+    @transient @volatile var lastZoneKept: Int = -1
+
+    /** Build zone maps for `cols` now (one stats job per column) and
+      * enable zone pruning on them. Columns must be non-key numeric or
+      * timestamp fields. Returns this handle for chaining. */
+    def analyzeZones(cols: String*): this.type = {
+      cols.foreach { c =>
+        require(zoneType(c).isDefined,
+          s"column '$c' is not zone-mappable (need a non-key numeric or " +
+            "timestamp field)")
+        zoneStats(c)
+      }
+      zoneEnabled ++= cols
+      this
+    }
+
+    private def zoneType(c: String): Option[DataType] =
+      if (c == keyCol || !schema.fieldNames.contains(c)) None
+      else schema(schema.fieldIndex(c)).dataType match {
+        case t @ (LongType | IntegerType | ShortType | ByteType |
+                  TimestampType | DoubleType | FloatType) => Some(t)
+        case _ => None
+      }
+
+    private def zoneStats(c: String): Array[Zone] =
+      zoneMemo.getOrElseUpdate(c, {
+        val fi = schema.fieldIndex(c)
+        val dt = schema.fields(fi).dataType
+        val n = idx.getNumPartitions
+        val computed = idx.map(_._2).mapPartitionsWithIndex { (pid, it) =>
+          val z = dt match {
+            case DoubleType | FloatType =>
+              var any = false
+              var mn = Double.MaxValue; var mx = Double.MinValue
+              it.foreach { r =>
+                if (!r.isNullAt(fi)) {
+                  val v = if (dt == DoubleType) r.getDouble(fi)
+                          else r.getFloat(fi).toDouble
+                  any = true
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                }
+              }
+              if (any) ZoneDouble(mn, mx) else ZoneEmpty
+            case _ =>
+              var any = false
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              it.foreach { r =>
+                if (!r.isNullAt(fi)) {
+                  val v = dt match {
+                    case LongType | TimestampType => r.getLong(fi)
+                    case IntegerType => r.getInt(fi).toLong
+                    case ShortType => r.getShort(fi).toLong
+                    case _ => r.getByte(fi).toLong
+                  }
+                  any = true
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                }
+              }
+              if (any) ZoneLong(mn, mx) else ZoneEmpty
+          }
+          Iterator.single((pid, z))
+        }.collect()
+        val arr = Array.fill[Zone](n)(ZoneEmpty)
+        computed.foreach { case (pid, z) => arr(pid) = z }
+        arr
+      })
+
+    /** Partition keep-mask from zone-prunable conjuncts in `filters`,
+      * or None when no filter is zone-prunable. Conjunctive: a
+      * partition survives only if EVERY prunable conjunct may match. */
+    private[sql] def zoneKeeps(filters: Array[Filter]): Option[Array[Boolean]] = {
+      def on(c: String): Option[DataType] =
+        if (zoneEnabled.contains(c)) zoneType(c) else None
+      def pred(f: Filter): Option[(String, Int, Either[Long, Double])] = f match {
+        case EqualTo(c, v) if v != null =>
+          on(c).flatMap(dt => zoneLiteral(dt, v).map((c, 0, _)))
+        case GreaterThan(c, v) if v != null =>
+          on(c).flatMap(dt => zoneLiteral(dt, v).map((c, 2, _)))
+        case GreaterThanOrEqual(c, v) if v != null =>
+          on(c).flatMap(dt => zoneLiteral(dt, v).map((c, 1, _)))
+        case LessThan(c, v) if v != null =>
+          on(c).flatMap(dt => zoneLiteral(dt, v).map((c, -2, _)))
+        case LessThanOrEqual(c, v) if v != null =>
+          on(c).flatMap(dt => zoneLiteral(dt, v).map((c, -1, _)))
+        case _ => None
+      }
+      val preds = filters.flatMap(pred)
+      if (preds.isEmpty) None
+      else Some {
+        val statsByCol = preds.map(_._1).distinct
+          .map(c => c -> zoneStats(c)).toMap
+        Array.tabulate(idx.getNumPartitions) { pid =>
+          preds.forall { case (c, cmp, lit) =>
+            zoneMayMatch(statsByCol(c)(pid), cmp, lit)
+          }
+        }
       }
     }
 
@@ -1219,9 +1396,20 @@ object IndexedFrame {
             }
           }
         } else {
-          h.lastScanKind = "full"
           h.lastPointLookupKeys = -1
-          h.idx.map(_._2)
+          // no key predicate: zone maps may still skip partitions on a
+          // pushed VALUE comparison (Spark re-applies the filter above,
+          // so the kept set only needs to be a superset of matches)
+          h.zoneKeeps(filters) match {
+            case Some(keep) =>
+              h.lastScanKind = "full_zone"
+              h.lastZoneKept = keep.count(identity)
+              org.apache.spark.rdd.PartitionPruningRDD.create(
+                h.idx.map(_._2), keep(_))
+            case None =>
+              h.lastScanKind = "full"
+              h.idx.map(_._2)
+          }
         }
       // prune columns with one reused per-partition projection; rows are
       // consumed streaming by the scan node (which re-projects), so no

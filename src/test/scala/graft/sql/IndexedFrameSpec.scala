@@ -44,6 +44,42 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastPointLookupKeys === -1)
   }
 
+  test("zone maps: analyzed value columns prune partitions on clustered predicates") {
+    // key-clustered value: v = k, so a range-partitioned layout gives
+    // each partition a narrow v interval
+    val df = (0L until 1000L).map(k => (k, k, k.toDouble / 10.0, s"s$k"))
+      .toDF("k", "v", "d", "s")
+    val h = IndexedFrame.indexRangePartitioned(df, "k", 8).analyzeZones("v", "d")
+    val total = h.idx.getNumPartitions
+    // narrow long predicate: a handful of partitions survive
+    val out = h.toDF.filter($"v" >= 300L && $"v" < 350L)
+      .select($"k").as[Long].collect().toSet
+    assert(out === (300L until 350L).toSet)
+    assert(h.lastScanKind === "full_zone")
+    assert(h.lastZoneKept < total && h.lastZoneKept >= 1,
+      s"expected pruning: kept ${h.lastZoneKept} of $total")
+    // double column prunes too
+    val d = h.toDF.filter($"d" < 5.0).select($"k").as[Long].collect().toSet
+    assert(d === (0L until 50L).toSet)
+    assert(h.lastScanKind === "full_zone" && h.lastZoneKept < total)
+    // un-analyzed / non-numeric predicates stay on the plain full lane
+    assert(h.toDF.filter($"s" === "s5").count() === 1)
+    assert(h.lastScanKind === "full")
+    // an impossible predicate keeps zero partitions
+    assert(h.toDF.filter($"v" > 5000L).count() === 0)
+    assert(h.lastScanKind === "full_zone" && h.lastZoneKept === 0)
+    // analyzing the key column or a string column is refused
+    intercept[IllegalArgumentException](h.analyzeZones("k"))
+    intercept[IllegalArgumentException](h.analyzeZones("s"))
+    // zone pruning never wrongly drops on an UNCORRELATED layout: the
+    // hash-partitioned twin keeps everything but stays correct
+    val hh = IndexedFrame.index(df, "k").analyzeZones("v")
+    val hout = hh.toDF.filter($"v" >= 300L && $"v" < 350L)
+      .select($"k").as[Long].collect().toSet
+    assert(hout === out)
+    assert(hh.lastScanKind === "full_zone")
+  }
+
   test("upsertFrame: distributed delta updates + inserts; corpus rows untouched") {
     val base = cust.select($"c_custkey", $"c_acctbal")
     val h = IndexedFrame.index(base, "c_custkey")
