@@ -204,7 +204,7 @@ object Bench {
     hStats.toDF.count() // build + warm
     val cachedCust = custDF.cache()
     cachedCust.count()
-    import org.apache.spark.sql.functions.{count => fCount, lit => fLit, min => fMin, max => fMax}
+    import org.apache.spark.sql.functions.{count => fCount, lit => fLit, min => fMin, max => fMax, sum => fSum}
     // best-of-2 loops: these are driver-job-latency micros (100
     // sequential collects) and the single-shot numbers swung ±2x
     // between otherwise-identical runs — the min of two loops keeps a
@@ -270,6 +270,26 @@ object Bench {
     })
     hz.idx.unpersist(); hzPlain.idx.unpersist()
 
+    // secondary index: 50 repeated equality reads on a non-key column —
+    // the inverted index probes + point-reads O(matches); the plain
+    // handle scans the corpus each time. Build/invert cost excluded
+    // (amortizes across repeated queries).
+    val custSecDF = graft.queries.Tables.customer(spark, sfDir)
+    val hs = graft.sql.IndexedFrame.index(custSecDF, "c_custkey")
+      .addSecondaryIndex("c_nationkey")
+    hs.idx.cached; hs.idx.count()
+    val hsPlain = graft.sql.IndexedFrame.index(custSecDF, "c_custkey")
+    hsPlain.idx.cached; hsPlain.idx.count()
+    val tSecIdx = bestOf2((0 until 50).foreach { i =>
+      hs.toDF.filter(col("c_nationkey") === (i % 25))
+        .agg(fSum(col("c_acctbal"))).collect()
+    })
+    val tSecScan = bestOf2((0 until 50).foreach { i =>
+      hsPlain.toDF.filter(col("c_nationkey") === (i % 25))
+        .agg(fSum(col("c_acctbal"))).collect()
+    })
+    hs.idx.unpersist(); hsPlain.idx.unpersist()
+
     Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
       "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
       "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
@@ -284,6 +304,8 @@ object Bench {
       "micro_sql_count_range_idx_100" -> tCntRangeIdx,
       "micro_sql_count_range_scan_100" -> tCntRangeScan,
       "micro_sql_zone_pruned_20" -> tZonePruned,
+      "micro_sql_secondary_idx_50" -> tSecIdx,
+      "micro_sql_secondary_scan_50" -> tSecScan,
       "micro_sql_zone_full_20" -> tZoneFull,
       "micro_bloom_literal_m16" -> tBloomLit,
       "micro_bloom_bcast_m24" -> tBloomBcast)

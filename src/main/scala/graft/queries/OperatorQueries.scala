@@ -554,6 +554,33 @@ object OperatorQueries {
         .select($"event_id", $"user_id", round($"value", 2).as("value"))
     },
 
+    "ir_sql_secondary_eq" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // secondary index: customers keyed by c_custkey with an inverted
+      // index on c_nationkey — the pushed equality probes the inverted
+      // index for the primary key set and point-reads it (two pruned
+      // jobs), never scanning the corpus. 100 TB shape: selective
+      // equality on a non-key column reads O(matches), not O(rows).
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey")
+      h.toDF.filter($"c_nationkey" === 5)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
+    "ir_sql_secondary_in" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // two secondary indexes ANDed: probe each inverted index (IN on
+      // the integral one, equality on the string one), intersect the
+      // key sets driver-side, point-read the intersection only.
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey").addSecondaryIndex("c_mktsegment")
+      h.toDF.filter($"c_nationkey".isin(3, 9, 14) &&
+          $"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1087,6 +1114,14 @@ object OperatorQueries {
       """SELECT event_id, user_id, round(value, 2) AS value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-23 00:00:00'""".stripMargin,
+
+    "ir_sql_secondary_eq" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_nationkey = 5""".stripMargin,
+
+    "ir_sql_secondary_in" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE c_nationkey IN (3, 9, 14) AND c_mktsegment = 'BUILDING'""".stripMargin,
 
     "ir_tuple2_multiget" ->
       """WITH d AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,

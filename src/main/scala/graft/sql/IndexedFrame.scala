@@ -541,6 +541,84 @@ object IndexedFrame {
       }
     }
 
+    // ------------------------------------------------- secondary indexes
+    // VALUE-column → primary-key inverted index: [[addSecondaryIndex]]
+    // pays one shuffle of (value, key) pairs — never the rows — and
+    // builds an [[IndexedRDD]] keyed by the value column, holding the
+    // primary keys per value. A pushed equality/IN on that column then
+    // serves as TWO partition-pruned point reads (probe the secondary
+    // for the key set, multiget the primary) instead of a corpus scan —
+    // the 100 TB shape for selective equality on a non-key column.
+    // The probe is driver-mediated (key set returned, then shipped via
+    // the primary multiget's broadcast), so a budget caps the routed
+    // key count: hotter values fall back to the scan lanes (zone maps
+    // included) rather than materializing a huge key set on the driver.
+    // The handle is immutable, so the secondary never staleness-checks;
+    // derived handles (upsertFrame/deleteFrame) do NOT inherit it —
+    // re-add after bulk updates.
+    @transient private lazy val secondaries =
+      new scala.collection.concurrent.TrieMap[
+        String, (KeySpec[Any], IndexedRDD[Any, Array[K]])]()
+
+    /** Max primary keys a secondary probe may route into the point
+      * lane; beyond it the scan lanes serve (sound: the relation never
+      * claims secondary filters, Spark re-applies them above). Mutable
+      * for tests and for tuning to the driver's memory headroom. */
+    @transient private[sql] var SecondaryRouteBudget = 100000
+
+    /** Build an inverted index on a non-key column now (one shuffle of
+      * (value, key) pairs) and route future pushed equality/IN
+      * predicates on it through point probes. Integral, string, and
+      * decimal(p,0) columns are supported; rows with NULL in the column
+      * are absent from the inverted index (SQL equality never matches
+      * NULL). Returns this handle for chaining. */
+    def addSecondaryIndex(col: String): this.type = {
+      require(col != keyCol, s"'$col' is the primary key column")
+      require(schema.fieldNames.contains(col), s"no column '$col'")
+      secondaries.getOrElseUpdate(col, {
+        val spec = specFor(schema, col, uuid = false).asInstanceOf[KeySpec[Any]]
+        implicit val st: ClassTag[Any] = spec.tag
+        implicit val ss: KeySerializer[Any] = spec.ser
+        val fi = schema.fieldIndex(col)
+        val sCodec = spec.codec
+        val kt = kTag
+        val pairs = idx.mapPartitions(_.flatMap { case (k, row) =>
+          if (row.isNullAt(fi)) Iterator.empty
+          else Iterator.single((sCodec.fromRow(row, fi), k))
+        })
+        val grouped = pairs.aggregateByKey(
+          scala.collection.mutable.ArrayBuffer.empty[K])(_ += _, _ ++= _)
+          .mapValues(_.toArray(kt))
+        (spec, IndexedRDD(grouped).cached)
+      })
+      this
+    }
+
+    private[sql] def hasSecondary(col: String): Boolean =
+      secondaries.contains(col)
+
+    /** Primary keys matching `col ∈ values` via the inverted index;
+      * None when over budget (caller falls back to the scan lanes).
+      * Unparseable literals match nothing, like the point lane. */
+    private[sql] def secondaryProbe(col: String,
+        values: Iterable[Any]): Option[Array[K]] = {
+      val (spec, sidx) = secondaries(col)
+      // boxed Array[Any] throughout — spec.tag's runtime class may be a
+      // primitive, and a primitive array cannot pose as Array[Any]
+      val keys: Array[Any] = values.iterator
+        .flatMap(v => Try(spec.codec.fromLiteral(v)).toOption)
+        .toArray(scala.reflect.ClassTag.Any)
+      val hits = sidx.multiget(keys)
+      var total = 0L
+      hits.valuesIterator.foreach(total += _.length)
+      if (total > SecondaryRouteBudget) None
+      else {
+        val buf = new scala.collection.mutable.ArrayBuffer[K](total.toInt)
+        hits.valuesIterator.foreach(a => buf ++= a)
+        Some(buf.toArray(kTag))
+      }
+    }
+
     /** DISTRIBUTED copy-on-write upsert: key `updates`' internal rows
       * and ship ONLY them to this index's partitioning (one one-sided
       * shuffle of the update set — the existing corpus never moves),
@@ -1347,11 +1425,33 @@ object IndexedFrame {
         !(rangeCapable && !anyPoint && kBounds(f).isDefined))
     }
 
+    /** (col, literal values) of one pushed equality/IN on a
+      * secondary-indexed column; NULLs match nothing and drop out. */
+    private def secondaryValuesOn(f: Filter): Option[(String, Seq[Any])] = f match {
+      case EqualTo(c, v) if h.hasSecondary(c) =>
+        Some((c, if (v == null) Nil else Seq(v)))
+      case In(c, vs) if h.hasSecondary(c) =>
+        Some((c, vs.toSeq.filter(_ != null)))
+      case _ => None
+    }
+
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
       val keySets = filters.flatMap(pointKeys)
       val ivs =
         if (rangeCapable) filters.flatMap(kBounds) else Array.empty[Iv[K]]
+      // primary keys routed through secondary-index probes, when every
+      // probed filter stays under budget (AND semantics: intersect
+      // across filters). Lazy: earlier lanes shortcut the probe jobs.
+      lazy val secondaryKeys: Option[Array[K]] = {
+        val preds = filters.flatMap(secondaryValuesOn)
+        if (preds.isEmpty) None
+        else {
+          val sets = preds.map { case (c, vs) => h.secondaryProbe(c, vs) }
+          if (sets.exists(_.isEmpty)) None // over budget: scan lanes serve
+          else Some(sets.map(_.get.toSet).reduce(_ intersect _).toArray(h.kTag))
+        }
+      }
       val rows: RDD[InternalRow] =
         if (keySets.nonEmpty) {
           // AND semantics across pushed filters: intersect every key set
@@ -1395,6 +1495,17 @@ object IndexedFrame {
               else body
             }
           }
+        } else if (secondaryKeys.isDefined) {
+          // equality/IN on a secondary-indexed VALUE column: probe the
+          // inverted index for the primary key set, then point-read.
+          // Never claimed in unhandledFilters — Spark re-applies the
+          // predicates above the (small) probe result, which also keeps
+          // the budget fallback sound.
+          val keys = secondaryKeys.get
+          h.lastScanKind = "secondary_point"
+          h.lastPointLookupKeys = keys.length
+          val hit = h.idx.multiget(keys).values.toSeq
+          sqlContext.sparkContext.parallelize(hit, 1)
         } else {
           h.lastPointLookupKeys = -1
           // no key predicate: zone maps may still skip partitions on a

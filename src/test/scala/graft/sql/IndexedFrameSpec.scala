@@ -80,6 +80,45 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hh.lastScanKind === "full_zone")
   }
 
+  test("secondary indexes: equality/IN on an inverted value column point-reads") {
+    val df = (0L until 1000L).map(k =>
+      (k, k % 7, if (k % 5 == 0) null else s"g${k % 3}", s"row$k"))
+      .toDF("k", "grp", "cat", "v")
+    val h = IndexedFrame.index(df, "k")
+      .addSecondaryIndex("grp").addSecondaryIndex("cat")
+    // long equality: only keys with grp == 2
+    val out = h.toDF.filter($"grp" === 2L).select($"k").as[Long].collect().toSet
+    assert(out === (0L until 1000L).filter(_ % 7 == 2).toSet)
+    assert(h.lastScanKind === "secondary_point")
+    assert(h.lastPointLookupKeys === out.size)
+    // string IN incl. an unknown value; null-category rows never match
+    val cats = h.toDF.filter($"cat".isin("g1", "zzz"))
+      .select($"k").as[Long].collect().toSet
+    assert(cats === (0L until 1000L).filter(k => k % 5 != 0 && k % 3 == 1).toSet)
+    assert(h.lastScanKind === "secondary_point")
+    // AND of two secondary filters intersects the key sets
+    val both = h.toDF.filter($"grp" === 2L && $"cat" === "g1")
+      .select($"k").as[Long].collect().toSet
+    assert(both === (0L until 1000L)
+      .filter(k => k % 7 == 2 && k % 5 != 0 && k % 3 == 1).toSet)
+    assert(h.lastScanKind === "secondary_point")
+    // unknown value matches nothing, still via the probe
+    assert(h.toDF.filter($"grp" === 123L).count() === 0)
+    assert(h.lastScanKind === "secondary_point")
+    // equality on the PRIMARY key wins over the secondary route
+    assert(h.toDF.filter($"k" === 5L && $"grp" === 5L).count() === 1)
+    assert(h.lastScanKind === "point")
+    // over-budget probes fall back to the full scan, same answers
+    h.SecondaryRouteBudget = 10
+    val fb = h.toDF.filter($"grp" === 2L).select($"k").as[Long].collect().toSet
+    assert(fb === out)
+    assert(h.lastScanKind === "full")
+    h.SecondaryRouteBudget = 100000
+    // the key column itself and absent columns are refused
+    intercept[IllegalArgumentException](h.addSecondaryIndex("k"))
+    intercept[IllegalArgumentException](h.addSecondaryIndex("nope"))
+  }
+
   test("upsertFrame: distributed delta updates + inserts; corpus rows untouched") {
     val base = cust.select($"c_custkey", $"c_acctbal")
     val h = IndexedFrame.index(base, "c_custkey")
