@@ -290,6 +290,25 @@ object Bench {
     })
     hs.idx.unpersist(); hsPlain.idx.unpersist()
 
+    // ordered top-k: 20 repeated ORDER BY key LIMIT 100 — IndexedTopK
+    // reads the covering partition prefix (O(n) rows); Catalyst's
+    // TakeOrderedAndProject heap-scans every partition of the cached
+    // table each time.
+    graft.sql.IndexedTopK.enable(spark)
+    val ordersTopkDF = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val hTopk = graft.sql.IndexedFrame.indexRangePartitioned(
+      ordersTopkDF, "o_orderkey", 32)
+    hTopk.idx.cached; hTopk.idx.count()
+    val cachedOrd = ordersTopkDF.cache(); cachedOrd.count()
+    val tTopkIdx = bestOf2((0 until 20).foreach { _ =>
+      hTopk.toDF.orderBy(col("o_orderkey")).limit(100).collect()
+    })
+    val tTopkScan = bestOf2((0 until 20).foreach { _ =>
+      cachedOrd.orderBy(col("o_orderkey")).limit(100).collect()
+    })
+    cachedOrd.unpersist(); hTopk.idx.unpersist()
+
     Seq("micro_multiget_10x100" -> tMultiget, "micro_isin_scan_10x100" -> tScan,
       "micro_multiput_2k" -> tMultiput, "micro_rebuild" -> tRebuild,
       "micro_idx_innerjoin" -> tIdxJoin, "micro_sql_join" -> tSqlJoin,
@@ -306,6 +325,8 @@ object Bench {
       "micro_sql_zone_pruned_20" -> tZonePruned,
       "micro_sql_secondary_idx_50" -> tSecIdx,
       "micro_sql_secondary_scan_50" -> tSecScan,
+      "micro_sql_topk_idx_20" -> tTopkIdx,
+      "micro_sql_topk_scan_20" -> tTopkScan,
       "micro_sql_zone_full_20" -> tZoneFull,
       "micro_bloom_literal_m16" -> tBloomLit,
       "micro_bloom_bcast_m24" -> tBloomBcast)

@@ -521,6 +521,68 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     }).fold(0L)(_ + _)
   }
 
+  /** FIRST (asc) or LAST (desc) `n` pairs in natural key order from a
+    * RANGE-PARTITIONED index, visiting only the head (or tail)
+    * partitions that can hold them: one O(partitions) sizes job picks
+    * the minimal partition prefix whose cumulative size covers `n`,
+    * then ONE job over just those partitions streams each radix trie in
+    * key order (`take(n)` ascending; a ring buffer of the last `n`
+    * descending) — O(n + visited partitions) work, never a corpus scan
+    * or sort. The 100 TB shape of `ORDER BY key LIMIT n`: read O(n)
+    * rows, not the table. Requires an order-preserving serializer (the
+    * trie's byte order must BE the key order) and a RangePartitioner
+    * (global partition order = key order, so visited partitions
+    * concatenate — no merge). */
+  def takeOrderedByKey(n: Int, asc: Boolean = true)(
+      implicit ser: KeySerializer[K]): Array[(K, V)] = {
+    require(ser.isOrderPreserving,
+      s"takeOrderedByKey streams tries in encoded-byte order; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    require(partitioner.exists(_.isInstanceOf[org.apache.spark.RangePartitioner[_, _]]),
+      "takeOrderedByKey requires a range-partitioned index " +
+        "(IndexedRDD.rangePartitioned)")
+    if (n <= 0) return Array.empty
+    val sizes = partitionsRDD.map(_.size).collect()
+    val visitOrder = if (asc) sizes.indices else sizes.indices.reverse
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var acc = 0L
+    visitOrder.foreach { pid =>
+      if (acc < n && sizes(pid) > 0) { picked += pid; acc += sizes(pid) }
+    }
+    if (picked.isEmpty) return Array.empty
+    val byteOrd: Ordering[(K, V)] = Ordering.fromLessThan((x, y) =>
+      java.util.Arrays.compareUnsigned(ser.toBytes(x._1), ser.toBytes(y._1)) < 0)
+    val perPart = context.runJob(
+      partitionsRDD,
+      (it: Iterator[IndexedPartition[K, V]]) =>
+        if (!it.hasNext) Array.empty[(K, V)]
+        else {
+          // radix partitions iterate in key-byte order already; any
+          // other layout (possible after hash-path mutations) sorts —
+          // bounded by the partition, and only on visited partitions
+          val entries = it.next() match {
+            case r: graft.partition.RadixIndexedPartition[K, V] => r.iterator
+            case p => p.iterator.toArray.sorted(byteOrd).iterator
+          }
+          if (asc) entries.take(n).toArray
+          else {
+            val ring = new Array[(K, V)](n)
+            var seen = 0L
+            entries.foreach { kv => ring((seen % n).toInt) = kv; seen += 1 }
+            val m = math.min(seen, n.toLong).toInt
+            val start = if (seen <= n) 0 else (seen % n).toInt
+            Array.tabulate(m)(j => ring((start + j) % n))
+          }
+        },
+      picked.toIndexedSeq)
+    // visited partitions hold disjoint ordered key ranges in pid order:
+    // ascending concatenates as-is; descending reverses within and
+    // across (perPart already arrived in descending-pid visit order)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(K, V)]
+    perPart.foreach { arr => out ++= (if (asc) arr else arr.reverse) }
+    out.take(n).toArray
+  }
+
   /** MANY half-open key intervals served in ONE pass over the partition
     * set: each partition scans every interval of its local index
     * (O(depth + hits) per interval on radix layouts), instead of k

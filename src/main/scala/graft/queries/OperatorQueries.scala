@@ -581,6 +581,32 @@ object OperatorQueries {
         .select($"c_custkey", $"c_nationkey", $"c_acctbal")
     },
 
+    "ir_sql_topk" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // ORDER BY key LIMIT n on a range-partitioned handle plans as
+      // IndexedTopK: one sizes job picks the covering partition
+      // prefix, one job streams those tries in key order — O(n) rows
+      // read, no scan, no sort (vs Catalyst's every-partition heaps).
+      graft.sql.IndexedTopK.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.orders(s, dir), "o_orderkey", numPartitions = 16)
+      h.toDF.orderBy($"o_orderkey").limit(50)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    "ir_sql_topk_desc" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // the descending twin reads the partition SUFFIX (ring-buffered
+      // last-n per trie) — same O(n) bound from the other end
+      graft.sql.IndexedTopK.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.orders(s, dir), "o_orderkey", numPartitions = 16)
+      h.toDF.orderBy($"o_orderkey".desc).limit(50)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1118,6 +1144,14 @@ object OperatorQueries {
     "ir_sql_secondary_eq" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_nationkey = 5""".stripMargin,
+
+    "ir_sql_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin,
+
+    "ir_sql_topk_desc" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
 
     "ir_sql_secondary_in" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer

@@ -541,6 +541,22 @@ object IndexedFrame {
       }
     }
 
+    // ---------------------------------------------------- ordered top-k
+    /** `ORDER BY key LIMIT n` is index-answerable when the partition
+      * layout is globally ordered: range-partitioned + order-preserving
+      * serializer (see [[graft.IndexedRDD.takeOrderedByKey]]). */
+    private[sql] def topKCapable: Boolean =
+      ordered && kSer.isOrderPreserving &&
+        idx.partitioner.exists(_.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+
+    /** First/last `n` rows in key order — O(n) rows read from the head
+      * (or tail) partitions only. Planned by [[IndexedTopK]]. */
+    private[sql] def takeOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] = {
+      lastScanKind = "topk"
+      lastPointLookupKeys = -1
+      idx.takeOrderedByKey(n, asc)(kSer).toSeq.map(_._2)
+    }
+
     // ------------------------------------------------- secondary indexes
     // VALUE-column → primary-key inverted index: [[addSecondaryIndex]]
     // pays one shuffle of (value, key) pairs — never the rows — and

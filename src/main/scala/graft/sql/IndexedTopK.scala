@@ -1,0 +1,105 @@
+package graft.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, BoundReference, IntegerLiteral, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, ReturnAnswer}
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, SinglePartition}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/**
+ * Index-answered `ORDER BY key LIMIT n`: on a RANGE-PARTITIONED handle
+ * the global partition order IS the key order, so the first (or last)
+ * `n` rows live in a known partition prefix (suffix) — one cheap sizes
+ * job finds it, one job streams those tries in key order, and the
+ * query reads O(n) rows. Catalyst's own `TakeOrderedAndProject` scans
+ * EVERY partition into per-partition bounded heaps — O(corpus) work
+ * that the layout already did at build time.
+ *
+ * Claims exactly `Limit(n, Sort(key asc|desc, global))` over a bare
+ * indexed relation (attribute-only Projects allowed), `n` under
+ * [[IndexedTopK.TopKBudget]], on a topK-capable handle. Anything else
+ * — extra sort columns, filters, non-key sorts, hash layouts — falls
+ * through to the default planner.
+ */
+object IndexedTopK {
+
+  /** Register the strategy on a session (idempotent). */
+  def enable(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(IndexedTopKStrategy))
+      spark.experimental.extraStrategies = cur :+ IndexedTopKStrategy
+  }
+
+  /** Driver-side row budget: `n` beyond this plans as Catalyst's
+    * bounded-heap scan instead (the rows land on the driver here). */
+  val TopKBudget = 100000
+
+  object IndexedTopKStrategy extends SparkStrategy {
+
+    private def bare(p: LogicalPlan): Option[IndexedFrame.Handle[_]] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case rel: IndexedFrame.IndexedRelation[_] => Some(rel.h)
+        case _ => None
+      }
+      case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>
+        bare(child)
+      case _ => None
+    }
+
+    private def planTopK(limit: Int, s: logical.Sort): Seq[SparkPlan] =
+      s.order match {
+        case Seq(so) => so.child match {
+          case k: AttributeReference =>
+            bare(s.child) match {
+              case Some(h) if h.topKCapable && h.keyCol == k.name =>
+                IndexedTopKExec(s.child.output, h, limit,
+                  so.direction == Ascending, s.order) :: Nil
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      // ReturnAnswer wraps root plans of collect-like actions; claim it
+      // here or the built-in SpecialLimits takes the whole subtree
+      case ReturnAnswer(root) => apply(root)
+      case logical.Limit(IntegerLiteral(n), s: logical.Sort)
+          if s.global && n <= TopKBudget && n >= 0 =>
+        planTopK(n, s)
+      case _ => Nil
+    }
+  }
+
+  /** `n` rows in key order, fetched from only the covering partition
+    * prefix/suffix and emitted as ONE ordered partition. */
+  case class IndexedTopKExec(output: Seq[Attribute],
+      h: IndexedFrame.Handle[_], n: Int, asc: Boolean,
+      sortOrder: Seq[SortOrder]) extends LeafExecNode {
+
+    override def outputPartitioning: Partitioning = SinglePartition
+    override def outputOrdering: Seq[SortOrder] = sortOrder
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val rows = h.takeOrderedRows(n, asc)
+      val fields = output.map { a =>
+        val i = h.schema.fieldIndex(a.name)
+        BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable)
+      }
+      sparkContext.parallelize(rows, 1).mapPartitions { it =>
+        val proj = UnsafeProjection.create(fields.toIndexedSeq)
+        it.map(r => proj(r): InternalRow)
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      s"IndexedTopK n=$n ${if (asc) "asc" else "desc"} " +
+        "[O(n): covering partition prefix only, no scan, no sort]"
+  }
+}

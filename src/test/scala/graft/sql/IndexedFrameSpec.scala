@@ -119,6 +119,56 @@ class IndexedFrameSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](h.addSecondaryIndex("nope"))
   }
 
+  test("ORDER BY key LIMIT plans as IndexedTopK on range-partitioned handles") {
+    IndexedTopK.enable(spark)
+    val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
+    val h = IndexedFrame.indexRangePartitioned(df, "k", 8)
+    // ascending head
+    val asc = h.toDF.orderBy($"k").limit(7).select($"k").as[Long].collect()
+    assert(asc.toSeq === (0L until 7L))
+    assert(h.lastScanKind === "topk")
+    // descending tail
+    val desc = h.toDF.orderBy($"k".desc).limit(5).select($"k").as[Long].collect()
+    assert(desc.toSeq === Seq(1999L, 1998L, 1997L, 1996L, 1995L))
+    assert(h.lastScanKind === "topk")
+    // the physical plan carries the custom node
+    val plan = h.toDF.orderBy($"k").limit(3).queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedTopK"))
+    // a filter in between disqualifies (falls back, stays correct)
+    val f = h.toDF.filter($"v" =!= "v0").orderBy($"k").limit(2)
+      .select($"k").as[Long].collect()
+    assert(f.toSeq === Seq(1L, 2L))
+    // non-key sort disqualifies
+    val nk = h.toDF.orderBy($"v").limit(1).select($"v").as[String].collect()
+    assert(nk.toSeq === Seq("v0"))
+    // hash-layout handles fall through to Catalyst, same answers
+    val hh = IndexedFrame.index(df, "k", ordered = true)
+    val hAsc = hh.toDF.orderBy($"k").limit(4).select($"k").as[Long].collect()
+    assert(hAsc.toSeq === (0L until 4L))
+    assert(hh.lastScanKind !== "topk")
+  }
+
+  test("takeOrderedByKey visits only the covering partition prefix") {
+    val sc = spark.sparkContext
+    val data = sc.parallelize((0L until 1000L).map(k => (k, k * 2)), 8)
+    val idx = graft.IndexedRDD.rangePartitioned(data, 8).cached
+    idx.count()
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val head = idx.takeOrderedByKey(10)
+    assert(head.map(_._1).toSeq === (0L until 10L))
+    assert(head.map(_._2).toSeq === (0L until 10L).map(_ * 2))
+    val tail = idx.takeOrderedByKey(3, asc = false)
+    assert(tail.map(_._1).toSeq === Seq(999L, 998L, 997L))
+    // n spanning several partitions still concatenates in order
+    val many = idx.takeOrderedByKey(400)
+    assert(many.map(_._1).toSeq === (0L until 400L))
+    assert(idx.takeOrderedByKey(0).isEmpty)
+    // hash layouts are refused (partition order is not key order)
+    val hashIdx = graft.IndexedRDD(data)
+    intercept[IllegalArgumentException](hashIdx.takeOrderedByKey(5))
+    idx.unpersist()
+  }
+
   test("upsertFrame: distributed delta updates + inserts; corpus rows untouched") {
     val base = cust.select($"c_custkey", $"c_acctbal")
     val h = IndexedFrame.index(base, "c_custkey")
