@@ -521,6 +521,52 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     }).fold(0L)(_ + _)
   }
 
+  /** (min, max) key inside the half-open interval [from, to) without
+    * reading a single value: the same partition pruning as [[range]],
+    * then per visited partition one BOUNDED leftmost descent
+    * (`firstInRange`) and one bounded rightmost descent
+    * (`lastInRange`) — O(depth) each on radix layouts, a keys-only
+    * pass elsewhere. The aggregate pushdown rides this for
+    * `SELECT min(key), max(key) WHERE key BETWEEN ...`. */
+  def rangeExtrema(from: K, to: K)(
+      implicit ser: KeySerializer[K]): (Option[K], Option[K]) = {
+    require(ser.isOrderPreserving,
+      s"rangeExtrema decides membership in encoded-byte order; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    val fromB = ser.toBytes(from)
+    val toB = ser.toBytes(to)
+    val base = partitioner match {
+      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _]) =>
+        val lo = rp.getPartition(from)
+        val hi = rp.getPartition(to)
+        org.apache.spark.rdd.PartitionPruningRDD.create(
+          partitionsRDD, pid => pid >= math.min(lo, hi) && pid <= math.max(lo, hi))
+      case _ => partitionsRDD
+    }
+    val perPart = base.map {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        (r.firstInRange(from, to).map(ser.toBytes),
+          r.lastInRange(from, to).map(ser.toBytes))
+      case p =>
+        var mn: Array[Byte] = null
+        var mx: Array[Byte] = null
+        p.iterator.foreach { case (k, _) =>
+          val kb = ser.toBytes(k)
+          if (java.util.Arrays.compareUnsigned(kb, fromB) >= 0 &&
+              java.util.Arrays.compareUnsigned(kb, toB) < 0) {
+            if (mn == null || java.util.Arrays.compareUnsigned(kb, mn) < 0) mn = kb
+            if (mx == null || java.util.Arrays.compareUnsigned(kb, mx) > 0) mx = kb
+          }
+        }
+        (Option(mn), Option(mx))
+    }.collect()
+    val mn = perPart.flatMap(_._1).reduceOption((a, b) =>
+      if (java.util.Arrays.compareUnsigned(a, b) < 0) a else b)
+    val mx = perPart.flatMap(_._2).reduceOption((a, b) =>
+      if (java.util.Arrays.compareUnsigned(a, b) > 0) a else b)
+    (mn.map(ser.fromBytes), mx.map(ser.fromBytes))
+  }
+
   /** FIRST (asc) or LAST (desc) `n` pairs in natural key order from a
     * RANGE-PARTITIONED index, visiting only the head (or tail)
     * partitions that can hold them: one O(partitions) sizes job picks

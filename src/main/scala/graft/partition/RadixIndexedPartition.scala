@@ -215,6 +215,42 @@ object RadixTree {
     }
     go(node, Array.emptyByteArray)
   }
+
+  /** LARGEST key in [from, to), or None: the mirror of
+    * `range(...).take(1)` — descend children RIGHT to left with the
+    * same subtree pruning, return the first in-range leaf found. One
+    * O(depth) descent on the common path (plus backtracking only over
+    * pruned-empty siblings). */
+  def lastInRange[V](node: TNode[V], from: Array[Byte],
+      to: Array[Byte]): Option[(Array[Byte], V)] = {
+    def inRange(k: Array[Byte]): Boolean =
+      cmpBytes(k, k.length, from, from.length) >= 0 &&
+        cmpBytes(k, k.length, to, to.length) < 0
+    def go(n: TNode[V], path: Array[Byte]): Option[(Array[Byte], V)] = n match {
+      case TEmpty => None
+      case TLeaf(k, v) => if (inRange(k)) Some((k, v)) else None
+      case TBranch(prefix, bytes, kids) =>
+        val p = new Array[Byte](path.length + prefix.length)
+        System.arraycopy(path, 0, p, 0, path.length)
+        System.arraycopy(prefix, 0, p, path.length, prefix.length)
+        var i = kids.length - 1
+        while (i >= 0) {
+          val cp = new Array[Byte](p.length + 1)
+          System.arraycopy(p, 0, cp, 0, p.length)
+          cp(p.length) = bytes(i).toByte
+          val n2 = cp.length
+          val geFrom = cmpBytes(cp, n2, from, math.min(from.length, n2)) >= 0
+          val ltTo = cmpBytes(cp, n2, to, math.min(to.length, n2)) <= 0
+          if (geFrom && ltTo) {
+            val r = go(kids(i), cp)
+            if (r.isDefined) return r
+          }
+          i -= 1
+        }
+        None
+    }
+    go(node, Array.emptyByteArray)
+  }
 }
 
 /**
@@ -249,6 +285,17 @@ class RadixIndexedPartition[K, V](
   def range(from: K, to: K): Iterator[(K, V)] =
     RadixTree.range(root, ser.toBytes(from), ser.toBytes(to))
       .map { case (kb, v) => (ser.fromBytes(kb), v) }
+
+  /** Smallest key in [from, to): the range iterator is lazy with
+    * subtree pruning, so its head is one bounded O(depth) descent. */
+  def firstInRange(from: K, to: K): Option[K] =
+    RadixTree.range(root, ser.toBytes(from), ser.toBytes(to))
+      .buffered.headOption.map(kv => ser.fromBytes(kv._1))
+
+  /** Largest key in [from, to) — the mirrored bounded descent. */
+  def lastInRange(from: K, to: K): Option[K] =
+    RadixTree.lastInRange(root, ser.toBytes(from), ser.toBytes(to))
+      .map(kv => ser.fromBytes(kv._1))
 
   override def multiput[U](kvs: Iterator[(K, U)], z: (K, U) => V,
       f: (K, V, U) => V): IndexedPartition[K, V] = {

@@ -581,6 +581,38 @@ object OperatorQueries {
         .select($"c_custkey", $"c_nationkey", $"c_acctbal")
     },
 
+    "ir_sql_range_stats" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // min/max/count under a key BETWEEN: count from pruned radix
+      // range descents, extrema from BOUNDED first/last-in-range
+      // descents (IndexedRangeStats) — no value read, partitions
+      // outside the interval never visited. 100 TB shape: interval
+      // stats cost O(depth × overlapping partitions), not a scan.
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.orders(s, dir), "o_orderkey", numPartitions = 16)
+      h.toDF.filter($"o_orderkey".between(100L, 1200L))
+        .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"),
+          count(lit(1)).as("cnt"))
+    },
+
+    "ir_sql_zone_prune_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // composite twin of ir_sql_zone_prune: (event_id, user_id)
+      // range-partitioned pairs with ts clustered by the leading
+      // event_id order — the analyzed ts zone keeps only overlapping
+      // partitions on the composite FULL lane
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "event_id", "user_id", numPartitions = 16).analyzeZones("ts")
+      h.toDF.filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-14 00:00:00").cast("timestamp"))
+        .select($"event_id", $"user_id", round($"value", 2).as("value"))
+    },
+
     "ir_sql_topk" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1144,6 +1176,16 @@ object OperatorQueries {
     "ir_sql_secondary_eq" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_nationkey = 5""".stripMargin,
+
+    "ir_sql_range_stats" ->
+      """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |       count(*) AS cnt FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 1200""".stripMargin,
+
+    "ir_sql_zone_prune_composite" ->
+      """SELECT event_id, user_id, round(value, 2) AS value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-14 00:00:00'""".stripMargin,
 
     "ir_sql_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -114,18 +114,28 @@ object IndexedAgg {
                 stats.map(_.get)) :: Nil
             else Nil
           case None =>
-            // count(*) over a KEY-RANGE filter: answered from pruned
-            // radix descents, values never read. Only pure counts — an
-            // extremum under a filter would need a bounded descent the
-            // index doesn't do yet.
+            // count(*)/min(key)/max(key) over a KEY-RANGE filter:
+            // count from pruned radix range descents, extrema from
+            // BOUNDED first/last-in-range descents — values never read
             filteredRelation(child) match {
-              case Some((fs, h)) if aggs.forall(a =>
-                  statOf(a.asInstanceOf[Alias], h).contains(CountStat)) =>
-                h.rangeCountFor(fs) match {
-                  case Some(thunk) =>
-                    IndexedRangeCountExec(aggs.map(_.toAttribute), h, thunk) :: Nil
-                  case None => Nil
-                }
+              case Some((fs, h)) =>
+                val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
+                if (stats.forall(_.isDefined)) {
+                  val ss = stats.map(_.get)
+                  val countThunk =
+                    if (ss.contains(CountStat)) h.rangeCountFor(fs)
+                    else Some(() => 0L)
+                  val extremaThunk =
+                    if (ss.exists(s => s == MinStat || s == MaxStat))
+                      h.rangeExtremaFor(fs)
+                    else Some(() => (None, None): (Option[Any], Option[Any]))
+                  (countThunk, extremaThunk) match {
+                    case (Some(ct), Some(et)) =>
+                      IndexedRangeStatsExec(aggs.map(_.toAttribute), h,
+                        ss, ct, et) :: Nil
+                    case _ => Nil
+                  }
+                } else Nil
               case _ => Nil
             }
         }
@@ -167,23 +177,35 @@ object IndexedAgg {
       s"IndexedStats ${stats.mkString("[", ", ", "]")} [no-scan: index sizes + O(depth) key descents]"
   }
 
-  /** `count(*)` over a pushed key interval: one job of per-partition
-    * radix range descents (partition-pruned under a range partitioner)
-    * counting keys — no value is ever read or shipped. */
-  case class IndexedRangeCountExec(output: Seq[Attribute],
-      h: IndexedFrame.StatsCapable, thunk: () => Long) extends LeafExecNode {
+  /** `count(*)` / `min(key)` / `max(key)` over a pushed key interval:
+    * counts from per-partition radix range descents, extrema from
+    * BOUNDED first/last-in-range descents (both partition-pruned under
+    * a range partitioner) — no value is ever read or shipped. */
+  case class IndexedRangeStatsExec(output: Seq[Attribute],
+      h: IndexedFrame.StatsCapable, stats: Seq[Stat],
+      countThunk: () => Long,
+      extremaThunk: () => (Option[Any], Option[Any])) extends LeafExecNode {
 
     override protected def doExecute(): RDD[InternalRow] = {
       h.markRangeCount()
-      val n = thunk()
+      lazy val n = countThunk()
+      lazy val (mn, mx) = extremaThunk()
+      val values: Seq[Any] = stats.zip(output).map {
+        case (CountStat, _) => n
+        case (MinStat, a) =>
+          mn.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
+        case (MaxStat, a) =>
+          mx.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
+      }
       val types = output.map(_.dataType)
-      sparkContext.parallelize(Seq(output.map(_ => n: Any)), 1).mapPartitions { it =>
+      sparkContext.parallelize(Seq(values), 1).mapPartitions { it =>
         val proj = UnsafeProjection.create(types.toArray)
         it.map(vs => proj(new GenericInternalRow(vs.toArray)): InternalRow)
       }
     }
 
     override def simpleString(maxFields: Int): String =
-      "IndexedRangeCount [no-value-scan: pruned radix range descents]"
+      s"IndexedRangeStats ${stats.mkString("[", ", ", "]")} " +
+        "[no-value-scan: pruned + bounded radix descents]"
   }
 }

@@ -354,93 +354,38 @@ object IndexedFrame {
       * from pruned radix descents. None when any conjunct needs row
       * inspection. The thunk defers the job to execution time. */
     private[sql] def rangeCountFor(filters: Seq[Filter]): Option[() => Long] = None
+    /** A thunk answering (min, max) of [[statsKeyCol]] inside the met
+      * filter interval — external SQL form, bounded O(depth) radix
+      * descents, no value read. Same gating as [[rangeCountFor]]. */
+    private[sql] def rangeExtremaFor(
+        filters: Seq[Filter]): Option[() => (Option[Any], Option[Any])] = None
   }
 
-  /** An indexed table handle: the versioned index plus its SQL schema.
-    * `lastScanKind` records, for observability and tests, how the most
-    * recent scan was served: "point" / "range" / "full"; for point
-    * scans `lastPointLookupKeys` is the probed key count. */
-  class Handle[K](val idx: IndexedRDD[K, InternalRow], val keyCol: String,
-      val schema: StructType, val ordered: Boolean,
-      private[sql] val codec: KeyCodec[K])(
-      implicit private[sql] val kTag: ClassTag[K],
-      private[sql] val kSer: KeySerializer[K]) extends Serializable
-      with StatsCapable with JoinableHandle {
-    @transient @volatile var lastScanKind: String = ""
-    @transient @volatile var lastPointLookupKeys: Int = -1
+  /** Per-partition min/max zone maps of VALUE columns — EXPLICITLY
+    * analyzed (ANALYZE semantics): [[analyzeZones]] pays one O(data)
+    * stats job per column up front, then every full-lane scan with a
+    * pushed comparison on an analyzed column prunes partitions for free
+    * (the index is immutable, so the memo never staleness-checks).
+    * The win case is a value column CLUSTERED by the key layout
+    * (time-ordered ids, monotone sequence numbers): each partition then
+    * covers a narrow value interval and a selective predicate keeps
+    * O(matching) partitions. Uncorrelated columns degrade to keeping
+    * everything — never to wrong answers, because the relation claims
+    * nothing for these filters and Spark re-applies them above the
+    * scan. Opt-in keeps one-shot scans from paying a stats pass they
+    * will never amortize. Shared by single-key AND composite handles
+    * (which exclude BOTH key columns). */
+  private[sql] trait ZoneMapped { self: JoinableHandle =>
+    def schema: StructType
+    /** Key columns — never zone-mapped (the key lanes already serve
+      * them exactly). */
+    private[sql] def zoneKeyCols: Set[String]
 
-    private[sql] def keyIndex: Int = schema.fieldIndex(keyCol)
-
-    override private[sql] def idxAny: IndexedRDD[Any, InternalRow] =
-      idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
-    override private[sql] def joinKeyCols: Seq[String] = Seq(keyCol)
-    override private[sql] def keyTypeTag: String = kTag.runtimeClass.getName
-
-    /** Index-answered key extrema (no scan on radix layouts) — natural
-      * order only when the serializer is order-preserving, which the
-      * stats pushdown checks via [[statsKeyCol]]. */
-    private[sql] def minKeyAny(): Option[Any] = idx.minKey()(kSer)
-    private[sql] def maxKeyAny(): Option[Any] = idx.maxKey()(kSer)
-    private[sql] def keyStatsAny(): (Long, Option[Any], Option[Any]) = idx.keyStats()(kSer)
-    private[sql] def orderPreservingKey: Boolean = kSer.isOrderPreserving
-
-    override private[sql] def statsKeyCol: Option[String] =
-      if (ordered && kSer.isOrderPreserving) Some(keyCol) else None
-    // the index is IMMUTABLE (updates return a new handle), so its
-    // stats are memoizable: the first stats query pays the one
-    // O(partitions) job, every later one answers from the driver with
-    // NO job at all — repeated count()/min()/max() dashboards poll for
-    // free. @transient: executors never need the memo.
-    @transient private lazy val statsFull: (Long, Option[Any], Option[Any]) = {
-      val (c, mn, mx) = keyStatsAny()
-      (c, mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
-    }
-    @transient private lazy val statsCount: Long = idx.count()
-    override private[sql] def statsAll(
-        withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
-      if (withExtrema) statsFull else (statsCount, None, None)
-    override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
-    override private[sql] def markRangeCount(): Unit = { lastScanKind = "range_count" }
-
-    /** Bounded-interval count from pruned radix descents: claims only
-      * when ORDERED with an order-preserving serializer, every filter
-      * is a key-column range/equality conjunct (IsNotNull on the key is
-      * vacuous — the index stores no null keys), and the met interval
-      * is bounded on both sides. Anything else needs row inspection and
-      * falls back to the scan path. */
-    override private[sql] def rangeCountFor(fs: Seq[Filter]): Option[() => Long] = {
-      if (!ordered || !kSer.isOrderPreserving || fs.isEmpty) return None
-      val ivs = fs.map {
-        case IsNotNull(c) if c == keyCol => Some(Iv[K](None, None))
-        case f => boundsOn(keyCol, codec, eqAsPrefix = true, f)
-      }
-      if (ivs.exists(_.isEmpty)) return None
-      val iv = meet(ivs.map(_.get), codec.ord)
-      if (iv.empty) Some(() => 0L)
-      else (iv.from, iv.to) match {
-        case (Some(lo), Some(hi)) => Some(() => idx.rangeCount(lo, hi)(kSer))
-        case _ => None // unbounded side: leave it to the scan path
-      }
-    }
-
-    // ------------------------------------------------------- zone maps
-    // Per-partition min/max of VALUE columns — EXPLICITLY analyzed
-    // (ANALYZE semantics): [[analyzeZones]] pays one O(data) stats job
-    // per column up front, then every full-lane scan with a pushed
-    // comparison on an analyzed column prunes partitions for free
-    // (the index is immutable, so the memo never staleness-checks).
-    // The win case is a value column CLUSTERED by the key layout
-    // (time-ordered ids, monotone sequence numbers): each partition
-    // then covers a narrow value interval and a selective predicate
-    // keeps O(matching) partitions. Uncorrelated columns degrade to
-    // keeping everything — never to wrong answers, because the
-    // relation claims nothing for these filters and Spark re-applies
-    // them above the scan. Opt-in keeps one-shot scans from paying a
-    // stats pass they will never amortize.
     @transient private lazy val zoneMemo =
       new scala.collection.concurrent.TrieMap[String, Array[Zone]]()
     @transient @volatile private var zoneEnabled: Set[String] = Set.empty
     @transient @volatile var lastZoneKept: Int = -1
+    private[sql] def setZoneKept(n: Int): Unit = { lastZoneKept = n }
 
     /** Build zone maps for `cols` now (one stats job per column) and
       * enable zone pruning on them. Columns must be non-key numeric or
@@ -457,7 +402,7 @@ object IndexedFrame {
     }
 
     private def zoneType(c: String): Option[DataType] =
-      if (c == keyCol || !schema.fieldNames.contains(c)) None
+      if (zoneKeyCols.contains(c) || !schema.fieldNames.contains(c)) None
       else schema(schema.fieldIndex(c)).dataType match {
         case t @ (LongType | IntegerType | ShortType | ByteType |
                   TimestampType | DoubleType | FloatType) => Some(t)
@@ -468,8 +413,8 @@ object IndexedFrame {
       zoneMemo.getOrElseUpdate(c, {
         val fi = schema.fieldIndex(c)
         val dt = schema.fields(fi).dataType
-        val n = idx.getNumPartitions
-        val computed = idx.map(_._2).mapPartitionsWithIndex { (pid, it) =>
+        val n = idxAny.getNumPartitions
+        val computed = idxAny.map(_._2).mapPartitionsWithIndex { (pid, it) =>
           val z = dt match {
             case DoubleType | FloatType =>
               var any = false
@@ -533,13 +478,101 @@ object IndexedFrame {
       else Some {
         val statsByCol = preds.map(_._1).distinct
           .map(c => c -> zoneStats(c)).toMap
-        Array.tabulate(idx.getNumPartitions) { pid =>
+        Array.tabulate(idxAny.getNumPartitions) { pid =>
           preds.forall { case (c, cmp, lit) =>
             zoneMayMatch(statsByCol(c)(pid), cmp, lit)
           }
         }
       }
     }
+  }
+
+  /** An indexed table handle: the versioned index plus its SQL schema.
+    * `lastScanKind` records, for observability and tests, how the most
+    * recent scan was served: "point" / "range" / "full"; for point
+    * scans `lastPointLookupKeys` is the probed key count. */
+  class Handle[K](val idx: IndexedRDD[K, InternalRow], val keyCol: String,
+      val schema: StructType, val ordered: Boolean,
+      private[sql] val codec: KeyCodec[K])(
+      implicit private[sql] val kTag: ClassTag[K],
+      private[sql] val kSer: KeySerializer[K]) extends Serializable
+      with StatsCapable with JoinableHandle with ZoneMapped {
+    @transient @volatile var lastScanKind: String = ""
+    @transient @volatile var lastPointLookupKeys: Int = -1
+
+    private[sql] def keyIndex: Int = schema.fieldIndex(keyCol)
+
+    override private[sql] def idxAny: IndexedRDD[Any, InternalRow] =
+      idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
+    override private[sql] def joinKeyCols: Seq[String] = Seq(keyCol)
+    override private[sql] def keyTypeTag: String = kTag.runtimeClass.getName
+    override private[sql] def zoneKeyCols: Set[String] = Set(keyCol)
+
+    /** Index-answered key extrema (no scan on radix layouts) — natural
+      * order only when the serializer is order-preserving, which the
+      * stats pushdown checks via [[statsKeyCol]]. */
+    private[sql] def minKeyAny(): Option[Any] = idx.minKey()(kSer)
+    private[sql] def maxKeyAny(): Option[Any] = idx.maxKey()(kSer)
+    private[sql] def keyStatsAny(): (Long, Option[Any], Option[Any]) = idx.keyStats()(kSer)
+    private[sql] def orderPreservingKey: Boolean = kSer.isOrderPreserving
+
+    override private[sql] def statsKeyCol: Option[String] =
+      if (ordered && kSer.isOrderPreserving) Some(keyCol) else None
+    // the index is IMMUTABLE (updates return a new handle), so its
+    // stats are memoizable: the first stats query pays the one
+    // O(partitions) job, every later one answers from the driver with
+    // NO job at all — repeated count()/min()/max() dashboards poll for
+    // free. @transient: executors never need the memo.
+    @transient private lazy val statsFull: (Long, Option[Any], Option[Any]) = {
+      val (c, mn, mx) = keyStatsAny()
+      (c, mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
+    }
+    @transient private lazy val statsCount: Long = idx.count()
+    override private[sql] def statsAll(
+        withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
+      if (withExtrema) statsFull else (statsCount, None, None)
+    override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
+    override private[sql] def markRangeCount(): Unit = { lastScanKind = "range_count" }
+
+    /** Bounded-interval count from pruned radix descents: claims only
+      * when ORDERED with an order-preserving serializer, every filter
+      * is a key-column range/equality conjunct (IsNotNull on the key is
+      * vacuous — the index stores no null keys), and the met interval
+      * is bounded on both sides. Anything else needs row inspection and
+      * falls back to the scan path. */
+    /** The bounded key interval `fs` pins down, when EVERY conjunct is
+      * a key range/equality (IsNotNull on the key is vacuous). Outer
+      * None: not claimable; inner None: provably-empty interval. */
+    private def boundedIntervalOf(fs: Seq[Filter]): Option[Option[(K, K)]] = {
+      if (!ordered || !kSer.isOrderPreserving || fs.isEmpty) return None
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyCol => Some(Iv[K](None, None))
+        case f => boundsOn(keyCol, codec, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codec.ord)
+      if (iv.empty) Some(None)
+      else (iv.from, iv.to) match {
+        case (Some(lo), Some(hi)) => Some(Some((lo, hi)))
+        case _ => None // unbounded side: leave it to the scan path
+      }
+    }
+
+    override private[sql] def rangeCountFor(fs: Seq[Filter]): Option[() => Long] =
+      boundedIntervalOf(fs).map {
+        case None => () => 0L
+        case Some((lo, hi)) => () => idx.rangeCount(lo, hi)(kSer)
+      }
+
+    override private[sql] def rangeExtremaFor(
+        fs: Seq[Filter]): Option[() => (Option[Any], Option[Any])] =
+      boundedIntervalOf(fs).map {
+        case None => () => (None, None)
+        case Some((lo, hi)) => () => {
+          val (mn, mx) = idx.rangeExtrema(lo, hi)(kSer)
+          (mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
+        }
+      }
 
     // ---------------------------------------------------- ordered top-k
     /** `ORDER BY key LIMIT n` is index-answerable when the partition
@@ -888,7 +921,8 @@ object IndexedFrame {
       private[sql] val ctB: ClassTag[B],
       private[sql] val serA: KeySerializer[A],
       private[sql] val serB: KeySerializer[B])
-      extends Serializable with StatsCapable with JoinableHandle {
+      extends Serializable with StatsCapable with JoinableHandle
+      with ZoneMapped {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
@@ -902,6 +936,7 @@ object IndexedFrame {
     override private[sql] def joinKeyCols: Seq[String] = Seq(keyColA, keyColB)
     override private[sql] def keyTypeTag: String =
       s"composite:${codecTag(codecA)},${codecTag(codecB)}"
+    override private[sql] def zoneKeyCols: Set[String] = Set(keyColA, keyColB)
 
     /** The tuple encoding's byte order is lexicographic (a, b) when
       * order-preserving, so the byte-extreme tuple's first component IS
@@ -1239,9 +1274,19 @@ object IndexedFrame {
             serve(ivs, corners)
           }
         case FullLane =>
-          h.lastScanKind = "full"
           h.lastPointLookupKeys = -1
-          h.idx.map(_._2)
+          // zone maps prune the composite full lane exactly like the
+          // single-key one (Spark re-applies the filters above)
+          h.zoneKeeps(filters) match {
+            case Some(keep) =>
+              h.lastScanKind = "full_zone"
+              h.setZoneKept(keep.count(identity))
+              org.apache.spark.rdd.PartitionPruningRDD.create(
+                h.idx.map(_._2), keep(_))
+            case None =>
+              h.lastScanKind = "full"
+              h.idx.map(_._2)
+          }
       }
       val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
         BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable))

@@ -39,7 +39,7 @@ class IndexedAggSpec extends AnyFunSuite {
       val q = h.toDF.filter($"c_custkey".between(lo, hi))
         .agg(count(lit(1)).as("cnt"))
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("IndexedRangeCount"),
+      assert(plan.contains("IndexedRangeStats"),
         s"expected range-count pushdown in:\n$plan")
       assert(q.as[Long].head() ===
         cust.filter($"c_custkey".between(lo, hi)).count())
@@ -47,7 +47,7 @@ class IndexedAggSpec extends AnyFunSuite {
     // contradiction folds to a constant zero without a scan
     val zero = h.toDF.filter($"c_custkey" > 50L && $"c_custkey" < 10L)
       .agg(count(lit(1)).as("cnt"))
-    assert(zero.queryExecution.executedPlan.toString.contains("IndexedRangeCount"))
+    assert(zero.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
     assert(zero.as[Long].head() === 0L)
     // STRING keys: inclusive upper rides the succ (+NUL) bound
     val hs = IndexedFrame.indexString(
@@ -55,7 +55,7 @@ class IndexedAggSpec extends AnyFunSuite {
       ordered = true)
     val qs = hs.toDF.filter($"c_k" >= "k10" && $"c_k" <= "k3")
       .agg(count(lit(1)).as("cnt"))
-    assert(qs.queryExecution.executedPlan.toString.contains("IndexedRangeCount"))
+    assert(qs.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
     assert(qs.as[Long].head() ===
       cust.filter(concat(lit("k"), $"c_custkey") >= "k10" &&
         concat(lit("k"), $"c_custkey") <= "k3").count())
@@ -64,13 +64,51 @@ class IndexedAggSpec extends AnyFunSuite {
       .filter($"c_custkey".between(10L, 60L) && $"c_acctbal" > 0.0)
       .agg(count(lit(1)).as("cnt"))
     assert(!fallback.queryExecution.executedPlan.toString
-      .contains("IndexedRangeCount"))
+      .contains("IndexedRangeStats"))
     // an UNORDERED handle cannot serve intervals: NOT claimed
     val hu = IndexedFrame.index(cust, "c_custkey")
     val unord = hu.toDF.filter($"c_custkey".between(10L, 60L))
       .agg(count(lit(1)).as("cnt"))
     assert(!unord.queryExecution.executedPlan.toString
-      .contains("IndexedRangeCount"))
+      .contains("IndexedRangeStats"))
+  }
+
+  test("min/max(key) under a key-range filter use bounded descents, no scan") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    val q = h.toDF.filter($"c_custkey".between(10L, 60L))
+      .agg(min($"c_custkey").as("mn"), max($"c_custkey").as("mx"),
+        count(lit(1)).as("cnt"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedRangeStats"),
+      s"expected bounded-extrema pushdown in:\n$plan")
+    val r = q.as[(Long, Long, Long)].head()
+    assert(r === ((10L, 60L, 51L)))
+    // interval interior: extrema are real keys, not the bounds
+    val sparse = h.toDF.filter($"c_custkey" > 57L && $"c_custkey" < 61L)
+      .agg(min($"c_custkey").as("mn"), max($"c_custkey").as("mx"))
+    assert(sparse.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    assert(sparse.as[(Long, Long)].head() === ((58L, 60L)))
+    // empty interval yields SQL NULL extrema (and zero count)
+    val empty = h.toDF.filter($"c_custkey" > 50L && $"c_custkey" < 10L)
+      .agg(min($"c_custkey").as("mn"), count(lit(1)).as("cnt"))
+    assert(empty.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    val er = empty.collect()(0)
+    assert(er.isNullAt(0) && er.getLong(1) === 0L)
+    // min of a NON-key column under the filter: not claimed
+    val nk = h.toDF.filter($"c_custkey".between(10L, 60L))
+      .agg(min($"c_acctbal").as("mn"))
+    assert(!nk.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    // range-partitioned handles prune partitions before descending;
+    // an upper bound past the corpus max clamps to the real extremum
+    // (sf0.001 customer keys are 0..149)
+    val hrp = IndexedFrame.indexRangePartitioned(cust, "c_custkey", 8)
+    val rp = hrp.toDF.filter($"c_custkey".between(100L, 200L))
+      .agg(min($"c_custkey").as("mn"), max($"c_custkey").as("mx"))
+    assert(rp.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    assert(rp.as[(Long, Long)].head() === ((100L, 149L)))
   }
 
   test("count over a NEW version after upsert sees the new size") {

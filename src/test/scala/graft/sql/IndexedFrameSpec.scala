@@ -80,6 +80,27 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hh.lastScanKind === "full_zone")
   }
 
+  test("zone maps prune composite full-lane scans too") {
+    // (a, b) range-partitioned; value v clustered by the pair order
+    val df = (0L until 1000L).map(k => (k / 100, k % 100, k, s"s$k"))
+      .toDF("a", "b", "v", "s")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+      .analyzeZones("v")
+    val total = h.idx.getNumPartitions
+    val out = h.toDF.filter($"v" >= 300L && $"v" < 350L)
+      .select($"v").as[Long].collect().toSet
+    assert(out === (300L until 350L).toSet)
+    assert(h.lastScanKind === "full_zone")
+    assert(h.lastZoneKept < total && h.lastZoneKept >= 1)
+    // key-lane predicates still win over the zone lane
+    val lead = h.toDF.filter($"a" === 3L).select($"v").as[Long].collect().toSet
+    assert(lead === (300L until 400L).toSet)
+    assert(h.lastScanKind === "range")
+    // key columns are not zone-mappable
+    intercept[IllegalArgumentException](h.analyzeZones("a"))
+    intercept[IllegalArgumentException](h.analyzeZones("b"))
+  }
+
   test("secondary indexes: equality/IN on an inverted value column point-reads") {
     val df = (0L until 1000L).map(k =>
       (k, k % 7, if (k % 5 == 0) null else s"g${k % 3}", s"row$k"))
