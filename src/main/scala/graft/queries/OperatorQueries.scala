@@ -581,6 +581,20 @@ object OperatorQueries {
         .select($"c_custkey", $"c_nationkey", $"c_acctbal")
     },
 
+    "ir_sql_secondary_range" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // ORDERED secondary index: o_custkey is decorrelated from the
+      // o_orderkey layout (zone maps would keep everything), but the
+      // ordered inverted index serves the pushed BETWEEN as one trie
+      // range scan collecting the matching key sets + one primary
+      // multiget — the B-tree-secondary shape at 100 TB.
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+        .addSecondaryIndex("o_custkey", ordered = true)
+      h.toDF.filter($"o_custkey".between(100L, 110L))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
     "ir_sql_range_stats" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1176,6 +1190,10 @@ object OperatorQueries {
     "ir_sql_secondary_eq" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_nationkey = 5""".stripMargin,
+
+    "ir_sql_secondary_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 110""".stripMargin,
 
     "ir_sql_range_stats" ->
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,

@@ -607,7 +607,7 @@ object IndexedFrame {
     // re-add after bulk updates.
     @transient private lazy val secondaries =
       new scala.collection.concurrent.TrieMap[
-        String, (KeySpec[Any], IndexedRDD[Any, Array[K]])]()
+        String, (KeySpec[Any], IndexedRDD[Any, Array[K]], Boolean)]()
 
     /** Max primary keys a secondary probe may route into the point
       * lane; beyond it the scan lanes serve (sound: the relation never
@@ -617,11 +617,18 @@ object IndexedFrame {
 
     /** Build an inverted index on a non-key column now (one shuffle of
       * (value, key) pairs) and route future pushed equality/IN
-      * predicates on it through point probes. Integral, string, and
-      * decimal(p,0) columns are supported; rows with NULL in the column
-      * are absent from the inverted index (SQL equality never matches
+      * predicates on it through point probes. With `ordered = true` the
+      * inverted index is radix-keyed in the column's natural order, so
+      * pushed RANGE predicates (`BETWEEN`, `<`, `>=`) route too — a
+      * trie range scan collects the matching key sets (budget-capped),
+      * then one primary multiget — the B-tree-secondary shape for
+      * selective ranges on columns the key layout does NOT cluster
+      * (zone maps cover the clustered case). Integral, string, and
+      * decimal(p,0) columns are supported (decimal is points-only: its
+      * encoding is not order-preserving); rows with NULL in the column
+      * are absent from the inverted index (SQL predicates never match
       * NULL). Returns this handle for chaining. */
-    def addSecondaryIndex(col: String): this.type = {
+    def addSecondaryIndex(col: String, ordered: Boolean = false): this.type = {
       require(col != keyCol, s"'$col' is the primary key column")
       require(schema.fieldNames.contains(col), s"no column '$col'")
       secondaries.getOrElseUpdate(col, {
@@ -638,20 +645,86 @@ object IndexedFrame {
         val grouped = pairs.aggregateByKey(
           scala.collection.mutable.ArrayBuffer.empty[K])(_ += _, _ ++= _)
           .mapValues(_.toArray(kt))
-        (spec, IndexedRDD(grouped).cached)
+        val rangeable = ordered && spec.ser.isOrderPreserving
+        val s2 = if (rangeable) IndexedRDD.ordered(grouped) else IndexedRDD(grouped)
+        (spec, s2.cached, rangeable)
       })
       this
     }
 
     private[sql] def hasSecondary(col: String): Boolean =
       secondaries.contains(col)
+    private[sql] def hasOrderedSecondary(col: String): Boolean =
+      secondaries.get(col).exists(_._3)
+    private[sql] def secondaryCodec(col: String): KeyCodec[Any] =
+      secondaries(col)._1.codec
+
+    /** Primary keys with `col` inside the half-open secondary-domain
+      * interval, via a trie range scan of the ordered inverted index;
+      * None when over budget. Superset semantics are NOT needed — the
+      * interval algebra is the same boundsOn/meet the key lanes use —
+      * but Spark re-applies the predicates above regardless. */
+    private[sql] def secondaryRangeProbe(col: String,
+        iv: Iv[Any]): Option[Array[K]] = {
+      val (spec, sidx, rangeable) = secondaries(col)
+      require(rangeable, s"secondary index on '$col' is not ordered")
+      if (iv.empty) return Some(Array.empty[K](kTag))
+      implicit val ss: KeySerializer[Any] = spec.ser
+      val from = iv.from.getOrElse(spec.codec.minKey)
+      // close an unbounded-above interval at succ(maxKey); a domain-max
+      // key lacks a successor and is probed exactly (mirrors the
+      // primary range lane)
+      val (ranges, corners) = iv.to match {
+        case Some(t) => (Seq((from, t)), Nil)
+        case None => sidx.maxKey() match {
+          case None => (Nil, Nil)
+          case Some(mk) if spec.codec.ord.lt(mk, from) => (Nil, Nil)
+          case Some(mk) => spec.codec.succ(mk) match {
+            case Some(end) => (Seq((from, end)), Nil)
+            case None => (Seq((from, mk)), Seq(mk))
+          }
+        }
+      }
+      val budget = SecondaryRouteBudget
+      val live = ranges.filter { case (f, t) => spec.codec.ord.lt(f, t) }
+      // one job: each partition returns its in-range key arrays, or an
+      // over-budget marker the moment its local total crosses the cap —
+      // bounded driver traffic even under a hot range
+      val perPart: Array[Either[Unit, Array[K]]] =
+        if (live.isEmpty) Array.empty
+        else {
+          val kt = kTag
+          sidx.range(live.head._1, live.head._2).mapPartitions { it =>
+            val buf = new scala.collection.mutable.ArrayBuffer[K]()
+            var over = false
+            while (!over && it.hasNext) {
+              buf ++= it.next()._2
+              if (buf.length > budget) over = true
+            }
+            Iterator.single(
+              if (over) Left(()): Either[Unit, Array[K]]
+              else Right(buf.toArray(kt)))
+          }.collect()
+        }
+      if (perPart.exists(_.isLeft)) return None
+      val corner: Array[K] =
+        if (corners.isEmpty) Array.empty[K](kTag)
+        else sidx.multiget(corners.map(x => x: Any).toArray(
+          scala.reflect.ClassTag.Any)).valuesIterator
+          .foldLeft(new scala.collection.mutable.ArrayBuffer[K]())(_ ++= _)
+          .toArray(kTag)
+      val buf = new scala.collection.mutable.ArrayBuffer[K]()
+      perPart.foreach { case Right(a) => buf ++= a; case _ => }
+      buf ++= corner
+      if (buf.length > SecondaryRouteBudget) None else Some(buf.toArray(kTag))
+    }
 
     /** Primary keys matching `col ∈ values` via the inverted index;
       * None when over budget (caller falls back to the scan lanes).
       * Unparseable literals match nothing, like the point lane. */
     private[sql] def secondaryProbe(col: String,
         values: Iterable[Any]): Option[Array[K]] = {
-      val (spec, sidx) = secondaries(col)
+      val (spec, sidx, _) = secondaries(col)
       // boxed Array[Any] throughout — spec.tag's runtime class may be a
       // primitive, and a primitive array cannot pose as Array[Any]
       val keys: Array[Any] = values.iterator
@@ -1501,16 +1574,38 @@ object IndexedFrame {
       val keySets = filters.flatMap(pointKeys)
       val ivs =
         if (rangeCapable) filters.flatMap(kBounds) else Array.empty[Iv[K]]
-      // primary keys routed through secondary-index probes, when every
+      // primary keys routed through secondary-index probes — equality/IN
+      // on any secondary, ranges on ORDERED secondaries — when every
       // probed filter stays under budget (AND semantics: intersect
       // across filters). Lazy: earlier lanes shortcut the probe jobs.
-      lazy val secondaryKeys: Option[Array[K]] = {
-        val preds = filters.flatMap(secondaryValuesOn)
-        if (preds.isEmpty) None
+      lazy val secondaryKeys: Option[(Array[K], Boolean)] = {
+        val eqPreds = filters.flatMap(secondaryValuesOn)
+        // per ordered-secondary column: the met interval of its pushed
+        // range conjuncts (the same boundsOn/meet algebra as key lanes)
+        def rangeColOf(f: Filter): Option[String] = f match {
+          case GreaterThan(c, _) => Some(c)
+          case GreaterThanOrEqual(c, _) => Some(c)
+          case LessThan(c, _) => Some(c)
+          case LessThanOrEqual(c, _) => Some(c)
+          case _ => None
+        }
+        val rangePreds = filters
+          .flatMap { f =>
+            rangeColOf(f).filter(h.hasOrderedSecondary).flatMap(c =>
+              boundsOn(c, h.secondaryCodec(c), eqAsPrefix = false, f)
+                .map(iv => (c, iv)))
+          }
+          .groupBy(_._1).view
+          .mapValues(ivs =>
+            meet(ivs.map(_._2).toSeq, h.secondaryCodec(ivs.head._1).ord))
+          .toSeq
+        if (eqPreds.isEmpty && rangePreds.isEmpty) None
         else {
-          val sets = preds.map { case (c, vs) => h.secondaryProbe(c, vs) }
+          val sets = eqPreds.map { case (c, vs) => h.secondaryProbe(c, vs) } ++
+            rangePreds.map { case (c, iv) => h.secondaryRangeProbe(c, iv) }
           if (sets.exists(_.isEmpty)) None // over budget: scan lanes serve
-          else Some(sets.map(_.get.toSet).reduce(_ intersect _).toArray(h.kTag))
+          else Some((sets.map(_.get.toSet).reduce(_ intersect _).toArray(h.kTag),
+            rangePreds.nonEmpty))
         }
       }
       val rows: RDD[InternalRow] =
@@ -1557,13 +1652,15 @@ object IndexedFrame {
             }
           }
         } else if (secondaryKeys.isDefined) {
-          // equality/IN on a secondary-indexed VALUE column: probe the
-          // inverted index for the primary key set, then point-read.
-          // Never claimed in unhandledFilters — Spark re-applies the
-          // predicates above the (small) probe result, which also keeps
-          // the budget fallback sound.
-          val keys = secondaryKeys.get
-          h.lastScanKind = "secondary_point"
+          // equality/IN (and, on ordered secondaries, ranges) on a
+          // secondary-indexed VALUE column: probe the inverted index
+          // for the primary key set, then point-read. Never claimed in
+          // unhandledFilters — Spark re-applies the predicates above
+          // the (small) probe result, which also keeps the budget
+          // fallback sound.
+          val (keys, usedRange) = secondaryKeys.get
+          h.lastScanKind =
+            if (usedRange) "secondary_range" else "secondary_point"
           h.lastPointLookupKeys = keys.length
           val hit = h.idx.multiget(keys).values.toSeq
           sqlContext.sparkContext.parallelize(hit, 1)

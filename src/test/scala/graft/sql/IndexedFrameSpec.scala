@@ -140,6 +140,49 @@ class IndexedFrameSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](h.addSecondaryIndex("nope"))
   }
 
+  test("ordered secondary indexes route range predicates through trie scans") {
+    // bal is decorrelated from the key layout (zone maps would keep
+    // everything); the ordered inverted index still serves ranges
+    val df = (0L until 1000L).map(k =>
+      (k, (k * 37) % 1000, f"t${(k * 13) % 100}%02d", s"row$k"))
+      .toDF("k", "bal", "tag", "v")
+    val h = IndexedFrame.index(df, "k")
+      .addSecondaryIndex("bal", ordered = true)
+      .addSecondaryIndex("tag", ordered = true)
+    def expectBal(lo: Long, hi: Long) =
+      (0L until 1000L).filter(k => { val b = (k * 37) % 1000; b >= lo && b <= hi }).toSet
+    val out = h.toDF.filter($"bal".between(100L, 120L))
+      .select($"k").as[Long].collect().toSet
+    assert(out === expectBal(100L, 120L) && out.nonEmpty)
+    assert(h.lastScanKind === "secondary_range")
+    // unbounded above closes at the domain max
+    val top = h.toDF.filter($"bal" >= 990L).select($"k").as[Long].collect().toSet
+    assert(top === expectBal(990L, 999L) && top.nonEmpty)
+    assert(h.lastScanKind === "secondary_range")
+    // string-typed ordered secondary serves ranges in UTF-8 order
+    val st = h.toDF.filter($"tag" >= "t90").select($"k").as[Long].collect().toSet
+    assert(st === (0L until 1000L).filter(k => f"t${(k * 13) % 100}%02d" >= "t90").toSet)
+    assert(st.nonEmpty && h.lastScanKind === "secondary_range")
+    // range AND equality secondaries intersect
+    val both = h.toDF.filter($"bal" < 500L && $"tag" === "t00")
+      .select($"k").as[Long].collect().toSet
+    assert(both === (0L until 1000L)
+      .filter(k => (k * 37) % 1000 < 500 && (k * 13) % 100 == 0).toSet)
+    assert(h.lastScanKind === "secondary_range")
+    // over-budget ranges fall back to the full scan, same answers
+    h.SecondaryRouteBudget = 5
+    val fb = h.toDF.filter($"bal".between(100L, 120L))
+      .select($"k").as[Long].collect().toSet
+    assert(fb === out)
+    assert(h.lastScanKind === "full")
+    h.SecondaryRouteBudget = 100000
+    // an UNORDERED secondary never claims ranges (equality still does)
+    val h2 = IndexedFrame.index(df, "k").addSecondaryIndex("bal")
+    val u = h2.toDF.filter($"bal" < 10L).select($"k").as[Long].collect().toSet
+    assert(u === expectBal(0L, 9L))
+    assert(h2.lastScanKind === "full")
+  }
+
   test("ORDER BY key LIMIT plans as IndexedTopK on range-partitioned handles") {
     IndexedTopK.enable(spark)
     val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
