@@ -239,6 +239,35 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
         }
     }
 
+  /** PROBE-side join for batch/stream enrichment — the dual of
+    * [[innerJoinStream]]: scan `other` (shipped one-sided to this
+    * index's partitioning), probe THIS index per row, emit `f`
+    * lazily. Per-call cost is O(|other|) probes — the index is never
+    * scanned, rebuilt, or re-hashed — so enriching a small micro-batch
+    * against a huge indexed dimension costs the batch, not the corpus.
+    * The output claims NO partitioner: `f` may re-key, and a stale
+    * partitioner claim on re-keyed pairs would silently mis-place
+    * downstream copy-on-write inserts. */
+  def lookupJoin[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
+      f: (K, V, U) => R): RDD[R] = {
+    val partitioned =
+      if (other.partitioner == partitioner) other
+      else other.partitionBy(partitioner.get)
+    partitionsRDD.zipPartitions(partitioned,
+      preservesPartitioning = false) { (ai, oi) =>
+      if (!ai.hasNext) Iterator.empty
+      else {
+        val a = ai.next()
+        oi.flatMap { case (k, u) =>
+          a(k) match {
+            case Some(v) => Iterator.single(f(k, v, u))
+            case None => Iterator.empty
+          }
+        }
+      }
+    }
+  }
+
   /** Left-outer analogue of [[innerJoinStream]]: scan this side, probe
     * the other, emit lazily — no result index is built. */
   def leftJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(

@@ -979,6 +979,44 @@ object OperatorQueries {
       } finally q.stop()
       Bridge.RichIndexedRDD(sink.current).toDS
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
+    },
+
+    "ir_stream_lookup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // streaming lookup join: per-year order batches stream through a
+      // foreachBatch that probes the STATIC indexed customer dimension
+      // (innerJoinStream: one one-sided shuffle of the batch; the
+      // dimension never moves) and lands the enriched rows
+      // copy-on-write in an output index keyed by order. Catalyst's
+      // stream-static join would re-scan the static side per batch.
+      val dim = graft.IndexedRDD(
+        Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+          .as[(Long, Double)].rdd
+          .partitionBy(new org.apache.spark.HashPartitioner(16)))
+      val out = new graft.streaming.Streaming.IndexedUpsertSink[Long, Double](
+        graft.IndexedRDD(s.sparkContext
+          .emptyRDD[(Long, Double)]
+          .partitionBy(new org.apache.spark.HashPartitioner(16))))
+      val sink = new graft.streaming.Streaming.IndexedLookupSink[
+        Long, Double, (Long, Double), Long, Double](dim, out,
+        (custkey, acctbal, o) => (o._1, o._2 + acctbal))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, (Long, Double))]
+      val q = graft.streaming.Streaming.lookupStream(
+        input.toDS(), sink, s"ir_stream_lookup_${System.nanoTime()}")
+      try {
+        Seq(1995, 1996, 1997).foreach { y =>
+          val batch = Tables.orders(s, dir)
+            .filter(year($"o_orderdate") === y)
+            .select($"o_custkey", struct($"o_orderkey", $"o_totalprice"))
+            .as[(Long, (Long, Double))].collect().toSeq
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      Bridge.RichIndexedRDD(sink.current).toDS
+        .select($"_1".as("o_orderkey"), round($"_2", 2).as("val"))
     }
   )
 
@@ -1322,6 +1360,14 @@ object OperatorQueries {
         |)
         |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
         |       round(coalesce(l.v, c.c_acctbal), 2) AS val
-        |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin
+        |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // every order lands once (o_orderkey is unique, so last-write-wins
+    // across batches is just the union), enriched with its customer's
+    // balance via the indexed dimension probe
+    "ir_stream_lookup" ->
+      """SELECT o.o_orderkey, round(o.o_totalprice + c.c_acctbal, 2) AS val
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE year(CAST(o.o_orderdate AS DATE)) IN (1995, 1996, 1997)""".stripMargin
   )
 }

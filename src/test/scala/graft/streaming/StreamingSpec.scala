@@ -283,4 +283,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(sink.current.get(2L) === Some(100.0)) // untouched keys preserved
     } finally q.stop()
   }
+
+  test("IndexedLookupSink: batches enrich against a static indexed dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    // dimension: id -> multiplier; stream: (dimKey, (outKey, amount))
+    val dim = IndexedRDD(spark.sparkContext.parallelize(
+      (1L to 5L).map(k => (k, k * 10.0)), 4))
+    val out = new IndexedUpsertSink[Long, Double](IndexedRDD(
+      spark.sparkContext.emptyRDD[(Long, Double)]
+        .partitionBy(new org.apache.spark.HashPartitioner(4))))
+    val sink = new Streaming.IndexedLookupSink[
+      Long, Double, (Long, Double), Long, Double](dim, out,
+      (_, mult, u) => (u._1, u._2 * mult))
+    val input = MemoryStream[(Long, (Long, Double))]
+    val q = Streaming.lookupStream(input.toDS(), sink, "lookup_test")
+    try {
+      input.addData((1L, (100L, 2.0)), (3L, (101L, 1.0)), (99L, (102L, 4.0)))
+      q.processAllAvailable()
+      assert(sink.current.get(100L) === Some(20.0)) // 2.0 * 10
+      assert(sink.current.get(101L) === Some(30.0)) // 1.0 * 30
+      assert(sink.current.get(102L) === None) // dim key 99 absent: dropped
+      input.addData((5L, (103L, 0.5)))
+      q.processAllAvailable()
+      assert(sink.current.get(103L) === Some(25.0))
+      assert(sink.current.count() === 3)
+    } finally q.stop()
+  }
 }
