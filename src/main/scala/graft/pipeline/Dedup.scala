@@ -721,4 +721,66 @@ object Dedup {
     bucketVerifiedPairsJoin(v, idCol, "__v", maxBucketSize,
       dotCols, _ > threshold, "cos")
   }
+
+  // ------------------------------------------------- duplicated spans
+
+  /**
+   * Cross-document duplicated-SPAN detection — the substring-level
+   * complement of the doc-level near-dup family (cf. Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better", ACL
+   * 2022, which removes verbatim repeated substrings rather than whole
+   * documents). A token position is duplicated when the k-token window
+   * starting there occurs in ≥ 2 DISTINCT documents (within-doc
+   * repetition is deliberately excluded — [[graft.functions.RepetitionStats]]
+   * covers that); overlapping duplicated windows merge into maximal
+   * spans, one output row per span:
+   * `(idCol, span_start, span_end, n_dup_tokens)` with `[start, end)`
+   * half-open 0-based token offsets.
+   *
+   * Scale shape (the reference paper's suffix-array build is a
+   * single-machine design; this is the distributed re-expression):
+   *  - grams ship as their 64-bit xxhash, never the k-token text —
+   *    the wide shuffle moves 8-byte keys (a hash collision could
+   *    mark a non-duplicated window, with probability ~n²/2⁶⁴ —
+   *    vanishing at any real corpus size and acceptable for a dedup
+   *    SIGNAL; the merge step needs no gram payload at all);
+   *  - one aggregation shuffle on gram hash finds hashes spanning ≥ 2
+   *    docs, one more co-partitioned join marks duplicated starts
+   *    (both sides already hash-clustered, AQE plans the second as a
+   *    local zip when partitioning matches);
+   *  - the interval merge is one window pass per document — a single
+   *    shuffle on doc id, streaming within each partition (running
+   *    cummax + running group sum; no per-doc materialization).
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8)(implicit scope: PinScope = defaultPins): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // (id, pos, gram-hash) for every k-token window start; pinned
+    // because the dup-hash aggregate and the mark join both scan it
+    val grams = pin(df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - k),
+        i => xxhash64(array_join(slice(col("__t"), i + 1, lit(k)), " ")))))
+      .select(col("__id"), col("pos").cast("long").as("__pos"),
+        col("col").as("__gh")))
+    val dup = grams.groupBy(col("__gh"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2).select("__gh")
+    // duplicated starts → equal-length intervals [pos, pos+k), merged
+    // per doc by the classic cummax sweep: a new group starts where
+    // the interval opens past everything seen so far
+    val marked = grams.join(dup, "__gh")
+      .select(col("__id"), col("__pos").as("__s"), (col("__pos") + k).as("__e"))
+      .withColumn("__pm", max(col("__e")).over(w.partitionBy("__id")
+        .orderBy("__s").rowsBetween(w.unboundedPreceding, -1)))
+      .withColumn("__ng",
+        when(col("__pm").isNull || col("__s") > col("__pm"), 1).otherwise(0))
+      .withColumn("__g", sum(col("__ng")).over(w.partitionBy("__id").orderBy("__s")))
+    marked.groupBy(col("__id"), col("__g"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_dup_tokens"))
+  }
 }

@@ -177,6 +177,32 @@ object PipelineOracles {
        |     + len(regexp_split_to_array(t2, '$PhoneRe')) - 1 AS BIGINT) AS n_pii
        |FROM u""".stripMargin
 
+  /** Maximal cross-doc duplicated 8-token spans over the planted
+    * corpus, mirroring Dedup.duplicatedSpans(k = 8): a window start is
+    * duplicated when its 8-gram occurs in ≥ 2 distinct docs (the Spark
+    * side groups on xxhash64 of the gram — an internal equality key
+    * only, so both engines mark the same starts absent a 2⁻⁶⁴
+    * collision); overlapping starts merge by the running-cummax sweep. */
+  val dedupSpans: String =
+    s"""WITH $corpusCte,
+       |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
+       |ge0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+       |          i -> struct_pack(pos := CAST(i AS BIGINT),
+       |                           gram := array_to_string(list_slice(toks, i + 1, i + 8), ' ')))) AS u
+       |        FROM tok WHERE len(toks) >= 8),
+       |ge AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM ge0),
+       |dup AS (SELECT gram FROM ge GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       |ds AS (SELECT doc_id, pos FROM ge JOIN dup USING (gram)),
+       |m AS (SELECT doc_id, pos AS s, pos + 8 AS e,
+       |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM ds),
+       |mg AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ng FROM m),
+       |gr AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mg)
+       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+       |       max(e) - min(s) AS n_dup_tokens
+       |FROM gr GROUP BY doc_id, grp""".stripMargin
+
   val dedupNgram: String =
     s"""WITH $corpusCte,
        |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
@@ -1115,6 +1141,7 @@ object PipelineOracles {
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_ngram" -> dedupNgram,
+    "dedup_spans" -> dedupSpans,
     "dedup_clusters" -> dedupClusters,
     "text_redact" -> textRedact,
     "text_chunks" -> textChunks,

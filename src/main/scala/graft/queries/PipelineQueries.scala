@@ -159,6 +159,13 @@ object PipelineQueries {
         .select(col("a"), col("b"), round(col("cos"), 2).as("cos"))
     },
 
+    // substring-level dedup: maximal ≥8-token spans shared verbatim
+    // across documents — each planted near-dup shares its 90% prefix
+    // with the original, so every doc carries exactly one known span
+    "dedup_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(plantedCorpus(s, dir), "doc_id", "text", k = 8)
+    },
+
     "ann_brute" -> { (s, dir) =>
       Similarity.bruteAbove(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 0.2)

@@ -141,6 +141,26 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releasePinned()
   }
 
+  test("duplicatedSpans: maximal cross-doc spans; within-doc repeats excluded; gaps split") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val blockA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " x1 x2 x3"), // shared prefix, 3 dup starts -> one span
+      (2L, "y0 " + shared), // same block at offset 1
+      (3L, rep + " zz " + rep), // repeats only WITHIN the doc: no span
+      (4L, blockA + " u1 " + blockB), // two shared blocks, gap of 1 token
+      (5L, blockA + " v1 v2 v3 " + blockB)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 0L, 10L, 10L), (2L, 1L, 11L, 10L),
+      (4L, 0L, 8L, 8L), (4L, 9L, 17L, 8L),
+      (5L, 0L, 8L, 8L), (5L, 11L, 19L, 8L)))
+  }
+
   test("minhash LSH finds planted near-duplicates with high recall") {
     val corpus = PipelineQueries.plantedCorpus(spark, dir)
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
