@@ -391,12 +391,39 @@ object Dedup {
       edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
         .select(col("src").as("id"), least(col("src"), col("m")).as("label")), 0)
 
-    // CONTRACT by round-0 labels: an edge survives only if its
-    // endpoints resolved to different labels. Near-clique inputs
-    // contract to NOTHING — the loop below never runs for them.
-    // Duplicates are harmless (every consumer is a min/grouping), so
-    // no distinct here either.
+    // ONE-JOIN convergence check for the common (near-clique) case:
+    // one more propagation round — labels of in-neighbors via a single
+    // src join, unioned with the node's own label (the self-loop), min
+    // per node. Labels only DECREASE, so Σlabels1 == Σlabels0 (exact
+    // decimal sums) ⟺ labels1 == labels0 pointwise ⟺ every edge's
+    // endpoints already share a label ⟺ the contraction is empty.
+    // This replaces the former path that built the two-join contracted
+    // edge set just to verify its emptiness; the contraction is now
+    // built only when this check finds actual chain residue.
     val lSrc = labels0.select(col("id").as("src"), col("label").as("ls"))
+    // both sums in ONE job: own labels ride the union with a tag, so
+    // Σlabels0 falls out of the same grouped pass as Σlabels1
+    val sums = edges.join(lSrc, "src")
+      .select(col("dst").as("id"), col("ls").as("label"), lit(false).as("own"))
+      .union(labels0.select(col("id"), col("label"), lit(true).as("own")))
+      .groupBy(col("id"))
+      .agg(min(col("label")).as("l1"),
+        min(when(col("own"), col("label"))).as("l0"))
+      .agg(sum(col("l1").cast("decimal(38,0)")),
+        sum(col("l0").cast("decimal(38,0)"))).head()
+    if (java.util.Objects.equals(sums.getDecimal(0), sums.getDecimal(1))) {
+      // clique fast path: round-0 labels ARE the components — ONE
+      // grouping + one join-check pass, no contraction ever built
+      lastResolveRounds = 0
+      edges.unpersist()
+      scope.add(freeLabels0)
+      return labels0.select(col("id"), col("label").as("keep_id"))
+    }
+
+    // CONTRACT by round-0 labels: an edge survives only if its
+    // endpoints resolved to different labels (the check above proved
+    // some do). Duplicates are harmless (every consumer is a
+    // min/grouping), so no distinct here either.
     val lDst = labels0.select(col("id").as("dst"), col("label").as("ld"))
     val contracted = edges.filter(col("src") < col("dst"))
       .join(lSrc, "src").join(lDst, "dst")
@@ -474,27 +501,20 @@ object Dedup {
         s"resolveClusters did not converge within $maxIters star rounds; " +
           "raise maxIters")
     }
-    if (prevSig._1 == 0L && i == 0) {
-      // clique fast path: the contraction emptied the graph, so the
-      // round-0 labels ARE the components — no compose join, the
-      // common LSH case returns after ONE grouping + one join-sig pass
-      freeCur(); edges.unpersist()
-      scope.add(freeLabels0)
-      labels0.select(col("id"), col("label").as("keep_id"))
-    } else {
-      // compose: id --round-0--> label --star-roots--> component min
-      val roots = cur.groupBy(col("x")).agg(min(col("p")).as("root"))
-        .select(col("x").as("label"), col("root"))
-      val (labels, freeLabels) = materialize(
-        labels0.join(roots, Seq("label"), "left")
-          .select(col("id"), coalesce(col("root"), col("label")).as("keep_id")), 0)
-      labels.count() // fill the final cache before freeing its inputs
-      freeCur(); freeLabels0(); edges.unpersist()
-      // the returned plan reads the final round's blocks; the caller
-      // owns them through its PinScope like every other pinned table
-      scope.add(freeLabels)
-      labels.select(col("id"), col("keep_id"))
-    }
+    // compose: id --round-0--> label --star-roots--> component min
+    // (the one-join check above already returned for clique-resolved
+    // graphs, so the star loop ran and `cur` holds real residue roots)
+    val roots = cur.groupBy(col("x")).agg(min(col("p")).as("root"))
+      .select(col("x").as("label"), col("root"))
+    val (labels, freeLabels) = materialize(
+      labels0.join(roots, Seq("label"), "left")
+        .select(col("id"), coalesce(col("root"), col("label")).as("keep_id")), 0)
+    labels.count() // fill the final cache before freeing its inputs
+    freeCur(); freeLabels0(); edges.unpersist()
+    // the returned plan reads the final round's blocks; the caller
+    // owns them through its PinScope like every other pinned table
+    scope.add(freeLabels)
+    labels.select(col("id"), col("keep_id"))
   }
 
   /** Star alternations the last [[resolveClusters]] call needed after
@@ -754,31 +774,59 @@ object Dedup {
    */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8)(implicit scope: PinScope = defaultPins): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     // (id, pos, gram-hash) for every k-token window start; pinned
     // because the dup-hash aggregate and the mark join both scan it
-    val grams = pin(df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    val grams = pin(gramStarts(df, idCol, textCol, k))
+    val dup = grams.groupBy(col("__gh"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= 2).select("__gh")
+    mergeSpans(grams.join(dup, "__gh"), idCol, k)
+  }
+
+  /**
+   * INCREMENTAL duplicated spans: mark the spans of `delta` documents
+   * whose k-token windows already occur ANYWHERE in `corpus` —
+   * cross-set only, the span-level twin of [[incrementalPairs]] (a new
+   * crawl batch checked against the standing corpus before admission).
+   * No distinct-doc count is needed: the sets are disjoint by
+   * contract, so any hit is cross-set. The corpus side reduces to a
+   * DISTINCT gram-hash set — in a standing pipeline that set (or a
+   * bloom filter over it, for a one-sided no-shuffle check that
+   * tolerates the filter's false-positive rate) is built once and
+   * probed per batch; per-batch cost scales with the delta.
+   */
+  def duplicatedSpansAgainst(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val cg = gramStarts(corpus, idCol, textCol, k).select("__gh").distinct()
+    mergeSpans(gramStarts(delta, idCol, textCol, k).join(cg, "__gh"), idCol, k)
+  }
+
+  /** (id, pos, gram-hash) rows, one per k-token window start — grams
+    * leave the row as 64-bit hashes, never as text. */
+  private def gramStarts(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= k)
       .select(col("__id"), posexplode(transform(
         sequence(lit(0), size(col("__t")) - k),
         i => xxhash64(array_join(slice(col("__t"), i + 1, lit(k)), " ")))))
       .select(col("__id"), col("pos").cast("long").as("__pos"),
-        col("col").as("__gh")))
-    val dup = grams.groupBy(col("__gh"))
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= 2).select("__gh")
-    // duplicated starts → equal-length intervals [pos, pos+k), merged
-    // per doc by the classic cummax sweep: a new group starts where
-    // the interval opens past everything seen so far
-    val marked = grams.join(dup, "__gh")
+        col("col").as("__gh"))
+
+  /** Duplicated starts → equal-length intervals [pos, pos+k), merged
+    * per doc by the classic cummax sweep (a new group opens where the
+    * interval starts past everything seen so far) — one window pass,
+    * streaming within each doc's partition. */
+  private def mergeSpans(starts: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    starts
       .select(col("__id"), col("__pos").as("__s"), (col("__pos") + k).as("__e"))
       .withColumn("__pm", max(col("__e")).over(w.partitionBy("__id")
         .orderBy("__s").rowsBetween(w.unboundedPreceding, -1)))
       .withColumn("__ng",
         when(col("__pm").isNull || col("__s") > col("__pm"), 1).otherwise(0))
       .withColumn("__g", sum(col("__ng")).over(w.partitionBy("__id").orderBy("__s")))
-    marked.groupBy(col("__id"), col("__g"))
+      .groupBy(col("__id"), col("__g"))
       .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
       .select(col("__id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_dup_tokens"))

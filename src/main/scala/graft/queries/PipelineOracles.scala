@@ -203,6 +203,35 @@ object PipelineOracles {
        |       max(e) - min(s) AS n_dup_tokens
        |FROM gr GROUP BY doc_id, grp""".stripMargin
 
+  /** Delta-vs-corpus spans, mirroring Dedup.duplicatedSpansAgainst:
+    * corpus grams reduce to a distinct set, any delta window hitting
+    * it is duplicated, same cummax merge. */
+  val dedupSpansIncremental: String =
+    s"""WITH tokc AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |delta AS (SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(list_slice(toks, 1, greatest((len(toks) * 9) // 10, 1)), ' ') AS text
+       |  FROM tokc),
+       |tokd AS (SELECT doc_id, ${toks("text")} AS toks FROM delta),
+       |cg0 AS (SELECT unnest(list_transform(range(0, len(toks) - 7),
+       |          i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))) AS gram
+       |        FROM tokc WHERE len(toks) >= 8),
+       |cg AS (SELECT DISTINCT gram FROM cg0),
+       |dg0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+       |          i -> struct_pack(pos := CAST(i AS BIGINT),
+       |                           gram := array_to_string(list_slice(toks, i + 1, i + 8), ' ')))) AS u
+       |        FROM tokd WHERE len(toks) >= 8),
+       |dg AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM dg0),
+       |ds AS (SELECT doc_id, pos FROM dg JOIN cg USING (gram)),
+       |m AS (SELECT doc_id, pos AS s, pos + 8 AS e,
+       |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM ds),
+       |mg AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ng FROM m),
+       |gr AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mg)
+       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+       |       max(e) - min(s) AS n_dup_tokens
+       |FROM gr GROUP BY doc_id, grp""".stripMargin
+
   val dedupNgram: String =
     s"""WITH $corpusCte,
        |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
@@ -1142,6 +1171,7 @@ object PipelineOracles {
     "dedup_incremental" -> dedupIncremental,
     "dedup_ngram" -> dedupNgram,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_incremental" -> dedupSpansIncremental,
     "dedup_clusters" -> dedupClusters,
     "text_redact" -> textRedact,
     "text_chunks" -> textChunks,

@@ -166,6 +166,16 @@ object PipelineQueries {
       Dedup.duplicatedSpans(plantedCorpus(s, dir), "doc_id", "text", k = 8)
     },
 
+    // span-level admission check for a new batch: the planted delta's
+    // windows all exist in the standing corpus (each delta doc is a
+    // 90% prefix of an original), so every delta doc surfaces its
+    // full window range as one span
+    "dedup_spans_incremental" -> { (s, dir) =>
+      Dedup.duplicatedSpansAgainst(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        plantedDelta(s, dir), "doc_id", "text", k = 8)
+    },
+
     "ann_brute" -> { (s, dir) =>
       Similarity.bruteAbove(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 0.2)

@@ -161,6 +161,20 @@ class PipelineSpec extends AnyFunSuite {
       (5L, 0L, 8L, 8L), (5L, 11L, 19L, 8L)))
   }
 
+  test("duplicatedSpansAgainst: cross-set hits only; delta-internal dups don't count") {
+    val blockC = (1 to 8).map(i => s"c$i").mkString(" ")
+    val blockD = (1 to 8).map(i => s"d$i").mkString(" ")
+    val corpus = Seq((1L, blockC + " t1 t2")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "z0 " + blockC + " z1"), // corpus block at offset 1
+      (11L, blockD + " " + blockD), // repeated within delta only
+      (12L, blockD + " q1")).toDF("doc_id", "text") // shared across delta docs only
+    val out = Dedup.duplicatedSpansAgainst(corpus, delta, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set((10L, 1L, 9L, 8L)))
+  }
+
   test("minhash LSH finds planted near-duplicates with high recall") {
     val corpus = PipelineQueries.plantedCorpus(spark, dir)
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",

@@ -210,6 +210,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected codegen'd native repetition projection:\n$plan")
   }
 
+  test("dedup_spans: grams shuffle as hashes, no cartesian, one window pass per doc") {
+    val plan = planOf("dedup_spans")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span detection must stay keyed on the gram hash:\n$plan")
+    // the shuffled gram rows carry (id, pos, xxhash64) — never the
+    // k-token gram text (the hash IS computed pre-shuffle)
+    assert(plan.contains("xxhash64"), s"gram hashing missing:\n$plan")
+    assert(plan.contains("Window"), s"cummax merge window missing:\n$plan")
+  }
+
+  test("dedup_spans_incremental: corpus reduces to a distinct hash set before the probe join") {
+    val plan = planOf("dedup_spans_incremental")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental span check must stay keyed:\n$plan")
+    // corpus side: distinct gram hashes (partial + final HashAggregate)
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"distinct corpus gram set missing:\n$plan")
+  }
+
   test("text_langid: native expression runs inside whole-stage codegen") {
     val plan = planOf("text_langid")
     // `*(n)` prefixes mark operators fused into a whole-stage-codegen
