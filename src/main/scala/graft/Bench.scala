@@ -273,7 +273,9 @@ object Bench {
     // secondary index: 50 repeated equality reads on a non-key column —
     // the inverted index probes + point-reads O(matches); the plain
     // handle scans the corpus each time. Build/invert cost excluded
-    // (amortizes across repeated queries).
+    // (amortizes across repeated queries). The 25 distinct values cycle
+    // twice, so the second half ALSO exercises the snapshot probe memo
+    // (repeat probes answer with zero jobs — sound on immutable handles).
     val custSecDF = graft.queries.Tables.customer(spark, sfDir)
     val hs = graft.sql.IndexedFrame.index(custSecDF, "c_custkey")
       .addSecondaryIndex("c_nationkey")

@@ -391,39 +391,17 @@ object Dedup {
       edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
         .select(col("src").as("id"), least(col("src"), col("m")).as("label")), 0)
 
-    // ONE-JOIN convergence check for the common (near-clique) case:
-    // one more propagation round — labels of in-neighbors via a single
-    // src join, unioned with the node's own label (the self-loop), min
-    // per node. Labels only DECREASE, so Σlabels1 == Σlabels0 (exact
-    // decimal sums) ⟺ labels1 == labels0 pointwise ⟺ every edge's
-    // endpoints already share a label ⟺ the contraction is empty.
-    // This replaces the former path that built the two-join contracted
-    // edge set just to verify its emptiness; the contraction is now
-    // built only when this check finds actual chain residue.
-    val lSrc = labels0.select(col("id").as("src"), col("label").as("ls"))
-    // both sums in ONE job: own labels ride the union with a tag, so
-    // Σlabels0 falls out of the same grouped pass as Σlabels1
-    val sums = edges.join(lSrc, "src")
-      .select(col("dst").as("id"), col("ls").as("label"), lit(false).as("own"))
-      .union(labels0.select(col("id"), col("label"), lit(true).as("own")))
-      .groupBy(col("id"))
-      .agg(min(col("label")).as("l1"),
-        min(when(col("own"), col("label"))).as("l0"))
-      .agg(sum(col("l1").cast("decimal(38,0)")),
-        sum(col("l0").cast("decimal(38,0)"))).head()
-    if (java.util.Objects.equals(sums.getDecimal(0), sums.getDecimal(1))) {
-      // clique fast path: round-0 labels ARE the components — ONE
-      // grouping + one join-check pass, no contraction ever built
-      lastResolveRounds = 0
-      edges.unpersist()
-      scope.add(freeLabels0)
-      return labels0.select(col("id"), col("label").as("keep_id"))
-    }
-
     // CONTRACT by round-0 labels: an edge survives only if its
-    // endpoints resolved to different labels (the check above proved
-    // some do). Duplicates are harmless (every consumer is a
-    // min/grouping), so no distinct here either.
+    // endpoints resolved to different labels. Near-clique inputs
+    // contract to NOTHING — the loop below never runs for them.
+    // Duplicates are harmless (every consumer is a min/grouping), so
+    // no distinct here either. (A one-join "propagate once and compare
+    // label sums" check was tried instead of building the contraction —
+    // it BENCHED SLOWER: these label joins broadcast under AQE at test
+    // scale and sort-merge at cluster scale either way, while the sum
+    // check's groupBy genuinely shuffles every propagation row, where
+    // the sig() below aggregates the near-EMPTY contracted set.)
+    val lSrc = labels0.select(col("id").as("src"), col("label").as("ls"))
     val lDst = labels0.select(col("id").as("dst"), col("label").as("ld"))
     val contracted = edges.filter(col("src") < col("dst"))
       .join(lSrc, "src").join(lDst, "dst")
@@ -501,20 +479,27 @@ object Dedup {
         s"resolveClusters did not converge within $maxIters star rounds; " +
           "raise maxIters")
     }
-    // compose: id --round-0--> label --star-roots--> component min
-    // (the one-join check above already returned for clique-resolved
-    // graphs, so the star loop ran and `cur` holds real residue roots)
-    val roots = cur.groupBy(col("x")).agg(min(col("p")).as("root"))
-      .select(col("x").as("label"), col("root"))
-    val (labels, freeLabels) = materialize(
-      labels0.join(roots, Seq("label"), "left")
-        .select(col("id"), coalesce(col("root"), col("label")).as("keep_id")), 0)
-    labels.count() // fill the final cache before freeing its inputs
-    freeCur(); freeLabels0(); edges.unpersist()
-    // the returned plan reads the final round's blocks; the caller
-    // owns them through its PinScope like every other pinned table
-    scope.add(freeLabels)
-    labels.select(col("id"), col("keep_id"))
+    if (prevSig._1 == 0L && i == 0) {
+      // clique fast path: the contraction emptied the graph, so the
+      // round-0 labels ARE the components — no compose join, the
+      // common LSH case returns after ONE grouping + one join-sig pass
+      freeCur(); edges.unpersist()
+      scope.add(freeLabels0)
+      labels0.select(col("id"), col("label").as("keep_id"))
+    } else {
+      // compose: id --round-0--> label --star-roots--> component min
+      val roots = cur.groupBy(col("x")).agg(min(col("p")).as("root"))
+        .select(col("x").as("label"), col("root"))
+      val (labels, freeLabels) = materialize(
+        labels0.join(roots, Seq("label"), "left")
+          .select(col("id"), coalesce(col("root"), col("label")).as("keep_id")), 0)
+      labels.count() // fill the final cache before freeing its inputs
+      freeCur(); freeLabels0(); edges.unpersist()
+      // the returned plan reads the final round's blocks; the caller
+      // owns them through its PinScope like every other pinned table
+      scope.add(freeLabels)
+      labels.select(col("id"), col("keep_id"))
+    }
   }
 
   /** Star alternations the last [[resolveClusters]] call needed after

@@ -499,6 +499,37 @@ object IndexedFrame {
       with StatsCapable with JoinableHandle with ZoneMapped {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
+    @transient @volatile private[sql] var lastProbeMemoHit: Boolean = false
+
+    /** Bounded driver-side memo of secondary-probe results: canonical
+      * predicate signature → (primary keys, point-read rows, range?).
+      * Sound for the same reason as the stats memo below — a Handle is
+      * an IMMUTABLE snapshot (COW mutations return a NEW handle), so
+      * entries never invalidate. A repeated predicate skips BOTH probe
+      * jobs (the postings lookup and the primary point reads): the
+      * warehouse-style result cache for dashboard workloads, free here
+      * precisely because snapshots are immutable. LRU-capped at 32
+      * entries × ≤2048 rows; larger results are served but never
+      * memoized. @transient: executors never need the memo. */
+    @transient private lazy val probeMemo =
+      new java.util.LinkedHashMap[String, (Array[K], Array[InternalRow], Boolean)](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Array[K], Array[InternalRow], Boolean)])
+          : Boolean = size > 32
+      }
+    private[sql] def probeMemoGet(
+        sig: String): Option[(Array[K], Array[InternalRow], Boolean)] =
+      probeMemo.synchronized {
+        // re-check the budget: a memoized result wider than the
+        // CURRENT routing budget must fall back like a live probe
+        Option(probeMemo.get(sig)).filter(_._1.length <= SecondaryRouteBudget)
+      }
+    private[sql] def probeMemoPut(sig: String, keys: Array[K],
+        rows: Array[InternalRow], usedRange: Boolean): Unit =
+      if (rows.length <= 2048) probeMemo.synchronized {
+        probeMemo.put(sig, (keys, rows, usedRange)); ()
+      }
 
     private[sql] def keyIndex: Int = schema.fieldIndex(keyCol)
 
@@ -1571,6 +1602,7 @@ object IndexedFrame {
 
     override def buildScan(requiredColumns: Array[String],
         filters: Array[Filter]): RDD[Row] = {
+      h.lastProbeMemoHit = false
       val keySets = filters.flatMap(pointKeys)
       val ivs =
         if (rangeCapable) filters.flatMap(kBounds) else Array.empty[Iv[K]]
@@ -1578,7 +1610,7 @@ object IndexedFrame {
       // on any secondary, ranges on ORDERED secondaries — when every
       // probed filter stays under budget (AND semantics: intersect
       // across filters). Lazy: earlier lanes shortcut the probe jobs.
-      lazy val secondaryKeys: Option[(Array[K], Boolean)] = {
+      lazy val secondaryPreds: (Array[(String, Seq[Any])], Seq[(String, Iv[Any])]) = {
         val eqPreds = filters.flatMap(secondaryValuesOn)
         // per ordered-secondary column: the met interval of its pushed
         // range conjuncts (the same boundsOn/meet algebra as key lanes)
@@ -1599,6 +1631,20 @@ object IndexedFrame {
           .mapValues(ivs =>
             meet(ivs.map(_._2).toSeq, h.secondaryCodec(ivs.head._1).ord))
           .toSeq
+        (eqPreds, rangePreds)
+      }
+      // canonical predicate signature — the probe-memo key (order- and
+      // duplicate-insensitive, like the AND semantics it caches)
+      lazy val secondarySig: String = {
+        val (eqPreds, rangePreds) = secondaryPreds
+        (eqPreds.map { case (c, vs) =>
+            s"$c=${vs.map(String.valueOf(_: Any)).sorted.mkString(",")}" }.sorted ++
+          rangePreds.map { case (c, iv) =>
+            s"$c~${iv.from}..${iv.to}${if (iv.empty) "!" else ""}" }.sorted)
+          .mkString("|")
+      }
+      lazy val secondaryKeys: Option[(Array[K], Boolean)] = {
+        val (eqPreds, rangePreds) = secondaryPreds
         if (eqPreds.isEmpty && rangePreds.isEmpty) None
         else {
           val sets = eqPreds.map { case (c, vs) => h.secondaryProbe(c, vs) } ++
@@ -1607,6 +1653,11 @@ object IndexedFrame {
           else Some((sets.map(_.get.toSet).reduce(_ intersect _).toArray(h.kTag),
             rangePreds.nonEmpty))
         }
+      }
+      lazy val secondaryMemo: Option[(Array[K], Array[InternalRow], Boolean)] = {
+        val (eqPreds, rangePreds) = secondaryPreds
+        if (eqPreds.isEmpty && rangePreds.isEmpty) None
+        else h.probeMemoGet(secondarySig)
       }
       val rows: RDD[InternalRow] =
         if (keySets.nonEmpty) {
@@ -1651,6 +1702,15 @@ object IndexedFrame {
               else body
             }
           }
+        } else if (secondaryMemo.isDefined) {
+          // repeated probe on this immutable snapshot: both probe jobs
+          // (postings + point reads) answered from the driver memo
+          val (keys, rows, usedRange) = secondaryMemo.get
+          h.lastScanKind =
+            if (usedRange) "secondary_range" else "secondary_point"
+          h.lastPointLookupKeys = keys.length
+          h.lastProbeMemoHit = true
+          sqlContext.sparkContext.parallelize(rows.toIndexedSeq, 1)
         } else if (secondaryKeys.isDefined) {
           // equality/IN (and, on ordered secondaries, ranges) on a
           // secondary-indexed VALUE column: probe the inverted index
@@ -1662,8 +1722,10 @@ object IndexedFrame {
           h.lastScanKind =
             if (usedRange) "secondary_range" else "secondary_point"
           h.lastPointLookupKeys = keys.length
-          val hit = h.idx.multiget(keys).values.toSeq
-          sqlContext.sparkContext.parallelize(hit, 1)
+          h.lastProbeMemoHit = false
+          val hit = h.idx.multiget(keys).values.toArray
+          h.probeMemoPut(secondarySig, keys, hit, usedRange)
+          sqlContext.sparkContext.parallelize(hit.toIndexedSeq, 1)
         } else {
           h.lastPointLookupKeys = -1
           // no key predicate: zone maps may still skip partitions on a

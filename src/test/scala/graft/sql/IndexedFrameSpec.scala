@@ -140,6 +140,37 @@ class IndexedFrameSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](h.addSecondaryIndex("nope"))
   }
 
+  test("secondary probe memo: repeated predicates answer from the snapshot memo") {
+    val df = (0L until 1000L).map(k => (k, k % 7, s"row$k")).toDF("k", "grp", "v")
+    val h = IndexedFrame.index(df, "k").addSecondaryIndex("grp")
+    val first = h.toDF.filter($"grp" === 3L).select($"k").as[Long].collect().toSet
+    assert(!h.lastProbeMemoHit && h.lastScanKind === "secondary_point")
+    // identical predicate: both probe jobs answered from the memo
+    val second = h.toDF.filter($"grp" === 3L).select($"k").as[Long].collect().toSet
+    assert(h.lastProbeMemoHit && second === first)
+    assert(h.lastScanKind === "secondary_point")
+    // the signature canonicalizes IN-value order
+    h.toDF.filter($"grp".isin(1L, 2L)).count()
+    h.toDF.filter($"grp".isin(2L, 1L)).count()
+    assert(h.lastProbeMemoHit)
+    // a shrunken budget bypasses wide memo entries like live probes
+    h.SecondaryRouteBudget = 10
+    val fb = h.toDF.filter($"grp" === 3L).select($"k").as[Long].collect().toSet
+    assert(fb === first && h.lastScanKind === "full" && !h.lastProbeMemoHit)
+    h.SecondaryRouteBudget = 100000
+    // memo entries belong to the snapshot: an upsert returns a NEW
+    // handle (cold memo, no inherited secondaries) that sees the new
+    // row, so a stale cached answer can never leak across versions
+    val h2 = h.upsertFrame(Seq((2000L, 3L, "rowX")).toDF("k", "grp", "v"))
+      .addSecondaryIndex("grp")
+    val upd = h2.toDF.filter($"grp" === 3L).select($"k").as[Long].collect().toSet
+    assert(!h2.lastProbeMemoHit && upd === first + 2000L)
+    assert(h2.lastScanKind === "secondary_point")
+    // ...while the old snapshot still serves its memoized answer
+    val again = h.toDF.filter($"grp" === 3L).select($"k").as[Long].collect().toSet
+    assert(h.lastProbeMemoHit && again === first)
+  }
+
   test("ordered secondary indexes route range predicates through trie scans") {
     // bal is decorrelated from the key layout (zone maps would keep
     // everything); the ordered inverted index still serves ranges
