@@ -786,6 +786,36 @@ object Dedup {
     mergeSpans(gramStarts(delta, idCol, textCol, k).join(cg, "__gh"), idCol, k)
   }
 
+  /**
+   * ZERO-SHUFFLE span admission check: the corpus's k-token gram
+   * hashes fold into a BLOOM filter (one aggregation down to the
+   * bitset's own words — at most m·depth/64 rows reach the driver;
+   * above [[Sketches.BroadcastThresholdBytes]] the bits ride a
+   * broadcast variable, not the plan), and each delta window is kept
+   * by pure codegen'd membership arithmetic — the delta side never
+   * shuffles before the per-doc merge window. The price is the
+   * filter's false-positive rate: output spans are a SUPERSET of
+   * [[duplicatedSpansAgainst]]'s (every truly duplicated window
+   * survives; ~fill^depth of clean windows leak in) — the right trade
+   * for a pre-filter in front of an exact check. Grams hash with the
+   * 31-bit polynomial shingle hash (not xxhash64) so the verdicts —
+   * false positives included — are bit-replicable in the SQL oracle.
+   */
+  def duplicatedSpansAgainstBloom(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      mBits: Int = 1 << 23, depth: Int = 3): DataFrame = {
+    def starts31(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col("__id"), posexplode(
+        graft.functions.TokenShingleHashes.tokenShingleHashes(col("__t"), k)))
+      .select(col("__id"), col("pos").cast("long").as("__pos"),
+        col("col").as("__gh"))
+    val kept = Sketches.bloomPrune(starts31(delta), "__gh",
+      starts31(corpus).select("__gh"), "__gh", mBits, depth)
+    mergeSpans(kept.select(col("__id"), col("__pos")), idCol, k)
+  }
+
   /** (id, pos, gram-hash) rows, one per k-token window start — grams
     * leave the row as 64-bit hashes, never as text. */
   private def gramStarts(df: DataFrame, idCol: String, textCol: String,

@@ -232,6 +232,46 @@ object PipelineOracles {
        |       max(e) - min(s) AS n_dup_tokens
        |FROM gr GROUP BY doc_id, grp""".stripMargin
 
+  /** Bloom-gated delta-vs-corpus spans, mirroring
+    * Dedup.duplicatedSpansAgainstBloom(k=8, mBits=2^23, depth=3):
+    * corpus gram POLY hashes set 3 affine positions each; a delta
+    * window survives iff all 3 of its positions are set (the
+    * join-per-lane formulation of bit membership, as in
+    * [[sketchBloomPrune]]); same cummax merge. False positives are
+    * deterministic arithmetic, so both engines emit identical spans. */
+  val dedupSpansBloom: String =
+    s"""WITH consts AS (${sketchConsts(3)}),
+       |tokc AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |delta AS (SELECT doc_id + 1000000 AS doc_id,
+       |         array_to_string(list_slice(toks, 1, greatest((len(toks) * 9) // 10, 1)), ' ') AS text
+       |  FROM tokc),
+       |tokd AS (SELECT doc_id, ${toks("text")} AS toks FROM delta),
+       |cg0 AS (SELECT unnest(list_transform(range(0, len(toks) - 7),
+       |          i -> array_to_string(list_slice(toks, i + 1, i + 8), ' '))) AS gram
+       |        FROM tokc WHERE len(toks) >= 8),
+       |cgh AS (SELECT DISTINCT ${poly("gram")} AS h FROM cg0),
+       |bits AS (SELECT DISTINCT j, ((a * h + b) % $P) % 8388608 AS pos
+       |         FROM cgh CROSS JOIN consts),
+       |dg0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+       |          i -> struct_pack(pos := CAST(i AS BIGINT),
+       |                           gram := array_to_string(list_slice(toks, i + 1, i + 8), ' ')))) AS u
+       |        FROM tokd WHERE len(toks) >= 8),
+       |dgh AS (SELECT doc_id, u.pos AS pos, ${poly("u.gram")} AS h FROM dg0),
+       |kept AS (SELECT dgh.doc_id, dgh.pos
+       |         FROM dgh CROSS JOIN consts r
+       |         JOIN bits ON bits.j = r.j
+       |                  AND bits.pos = ((r.a * dgh.h + r.b) % $P) % 8388608
+       |         GROUP BY 1, 2 HAVING count(*) = 3),
+       |m AS (SELECT doc_id, pos AS s, pos + 8 AS e,
+       |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM kept),
+       |mg AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ng FROM m),
+       |gr AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mg)
+       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+       |       max(e) - min(s) AS n_dup_tokens
+       |FROM gr GROUP BY doc_id, grp""".stripMargin
+
   val dedupNgram: String =
     s"""WITH $corpusCte,
        |tok AS (SELECT doc_id, ${toks("text")} AS toks FROM corpus),
@@ -1172,6 +1212,7 @@ object PipelineOracles {
     "dedup_ngram" -> dedupNgram,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_incremental" -> dedupSpansIncremental,
+    "dedup_spans_bloom" -> dedupSpansBloom,
     "dedup_clusters" -> dedupClusters,
     "text_redact" -> textRedact,
     "text_chunks" -> textChunks,

@@ -176,6 +176,16 @@ object PipelineQueries {
         plantedDelta(s, dir), "doc_id", "text", k = 8)
     },
 
+    // the zero-shuffle bloom variant of the same admission check: the
+    // corpus reduces to a broadcast bitset, the delta never shuffles;
+    // the oracle replays the bloom arithmetic bit-for-bit, so false
+    // positives (if the fill produces any) match exactly too
+    "dedup_spans_bloom" -> { (s, dir) =>
+      Dedup.duplicatedSpansAgainstBloom(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        plantedDelta(s, dir), "doc_id", "text", k = 8)
+    },
+
     "ann_brute" -> { (s, dir) =>
       Similarity.bruteAbove(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVec(s, dir), 0.2)

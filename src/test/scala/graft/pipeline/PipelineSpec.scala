@@ -175,6 +175,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Set((10L, 1L, 9L, 8L)))
   }
 
+  test("duplicatedSpansAgainstBloom: no false negatives; matches the exact check at low fill") {
+    val blockC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val corpus = Seq((1L, blockC + " t1 t2")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "z0 " + blockC + " z1"),
+      (11L, (1 to 12).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Dedup.duplicatedSpansAgainst(corpus, delta, "doc_id", "text", k = 8))
+    val bloom = rows(Dedup.duplicatedSpansAgainstBloom(corpus, delta, "doc_id", "text", k = 8))
+    // every exact span survives the bloom gate; at this fill (a handful
+    // of grams in 2^23 bits) the deterministic filter admits no extras
+    assert(bloom === exact)
+    assert(exact.exists(_._1 == 10L) && !exact.exists(_._1 == 11L))
+  }
+
   test("minhash LSH finds planted near-duplicates with high recall") {
     val corpus = PipelineQueries.plantedCorpus(spark, dir)
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
