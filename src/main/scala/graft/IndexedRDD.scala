@@ -268,6 +268,25 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     }
   }
 
+  /** Left-outer twin of [[lookupJoin]]: every `other` row is emitted,
+    * with `None` where this index has no entry for its key. The CDC /
+    * changelog probe shape — "what was the old value, if any, for each
+    * key this batch touches" costs O(batch) point probes. */
+  def lookupJoinLeft[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
+      f: (K, Option[V], U) => R): RDD[R] = {
+    val partitioned =
+      if (other.partitioner == partitioner) other
+      else other.partitionBy(partitioner.get)
+    partitionsRDD.zipPartitions(partitioned,
+      preservesPartitioning = false) { (ai, oi) =>
+      if (!ai.hasNext) oi.map { case (k, u) => f(k, None, u) }
+      else {
+        val a = ai.next()
+        oi.map { case (k, u) => f(k, a(k), u) }
+      }
+    }
+  }
+
   /** Left-outer analogue of [[innerJoinStream]]: scan this side, probe
     * the other, emit lazily — no result index is built. */
   def leftJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(

@@ -981,6 +981,39 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_stream_changelog" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // CDC: the same per-year upsert batches as ir_stream_sink flow
+      // through a changelog sink; the output is the full change
+      // HISTORY — (key, batch) -> (old, new) — probed from the live
+      // state with O(batch) point reads per batch, never a state scan.
+      // The oracle replays it as a lag window over the batch sequence
+      // seeded with the initial balances.
+      val init = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd
+        .partitionBy(new org.apache.spark.HashPartitioner(16))
+      val sink = new graft.streaming.Streaming.IndexedChangelogSink[Long, Double](
+        IndexedRDD(init))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val q = graft.streaming.Streaming.changelogStream(
+        input.toDS(), sink, s"ir_stream_changelog_${System.nanoTime()}")
+      try {
+        Seq(1995, 1996, 1997).foreach { y =>
+          val batch = Tables.orders(s, dir)
+            .filter(year($"o_orderdate") === y)
+            .groupBy($"o_custkey").agg(max($"o_totalprice").as("v"))
+            .as[(Long, Double)].collect().toSeq
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      Bridge.RichIndexedRDD(sink.changelog).toDS
+        .select($"_1._1".as("c_custkey"), $"_1._2".as("batch_id"),
+          round($"_2._1", 2).as("old_val"), round($"_2._2", 2).as("new_val"))
+    },
+
     "ir_stream_lookup" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1361,6 +1394,23 @@ object OperatorQueries {
         |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
         |       round(coalesce(l.v, c.c_acctbal), 2) AS val
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // the change history replayed as a lag window over the per-year
+    // batch sequence, seeded with the initial balances at batch -1
+    "ir_stream_changelog" ->
+      """WITH yr AS (SELECT o_custkey AS k,
+        |             CAST(year(CAST(o_orderdate AS DATE)) - 1995 AS BIGINT) AS b,
+        |             max(o_totalprice) AS v
+        |           FROM orders
+        |           WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1995 AND 1997
+        |           GROUP BY 1, 2),
+        |seed AS (SELECT c_custkey AS k, CAST(-1 AS BIGINT) AS b, c_acctbal AS v
+        |         FROM customer),
+        |u AS (SELECT * FROM seed UNION ALL SELECT * FROM yr),
+        |w AS (SELECT k, b, v, lag(v) OVER (PARTITION BY k ORDER BY b) AS old FROM u)
+        |SELECT k AS c_custkey, b AS batch_id,
+        |       round(old, 2) AS old_val, round(v, 2) AS new_val
+        |FROM w WHERE b >= 0""".stripMargin,
 
     // every order lands once (o_orderkey is unique, so last-write-wins
     // across batches is just the union), enriched with its customer's

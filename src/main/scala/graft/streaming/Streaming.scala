@@ -203,6 +203,58 @@ object Streaming {
   }
 
   /**
+   * CDC sink: [[IndexedUpsertSink]] plus a CHANGELOG — before each
+   * batch upserts, the old values of exactly the touched keys are
+   * probed via [[IndexedRDD.lookupJoinLeft]] (O(batch) point reads;
+   * the state is never scanned), and (key, batchId) → (old, new) rows
+   * land copy-on-write in a SECOND live index keyed by the
+   * (key, batch) pair. Both the current state and the full change
+   * history stay point-queryable while the stream runs — the
+   * downstream-consumer shape (cache invalidation, audit, incremental
+   * view maintenance) where each batch's cost is the batch, never the
+   * history.
+   */
+  class IndexedChangelogSink[K: scala.reflect.ClassTag, V: scala.reflect.ClassTag](
+      initial: IndexedRDD[K, V], logPartitions: Int = 16)(
+      implicit kSer: KeySerializer[K], pairSer: KeySerializer[(K, Long)])
+      extends Serializable {
+
+    private val out = new IndexedUpsertSink[K, V](initial)
+    @volatile private var log: IndexedRDD[(K, Long), (Option[V], V)] =
+      IndexedRDD(initial.sparkContext
+        .emptyRDD[((K, Long), (Option[V], V))]
+        .partitionBy(new org.apache.spark.HashPartitioner(logPartitions)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def current: IndexedRDD[K, V] = out.current
+    def changelog: IndexedRDD[(K, Long), (Option[V], V)] = log
+
+    /** The function to pass to `writeStream.foreachBatch`. */
+    def upsertBatch(batch: Dataset[(K, V)], batchId: Long): Unit = {
+      val delta = out.current.lookupJoinLeft(batch.rdd) { (k, old, v) =>
+        ((k, batchId), (old, v))
+      }
+      val prevLog = log
+      val nextLog = prevLog.multiputRDD(delta)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextLog.count() // materialize before exposing / before state moves
+      log = nextLog
+      prevLog.unpersist(blocking = false)
+      out.upsertRdd(batch.rdd, batchId)
+    }
+  }
+
+  /** Convenience: start a stream of (K, V) upserts into a changelog sink. */
+  def changelogStream[K, V](pairs: Dataset[(K, V)],
+      sink: IndexedChangelogSink[K, V], queryName: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .foreachBatch((b: Dataset[(K, V)], id: Long) => sink.upsertBatch(b, id))
+      .start()
+
+  /**
    * Per-micro-batch stream ENRICHMENT against a static indexed
    * dimension: each batch keys its rows by the dimension key and
    * probes the index via [[IndexedRDD.lookupJoin]] — ONE one-sided

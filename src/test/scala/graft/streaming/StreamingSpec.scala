@@ -284,6 +284,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IndexedChangelogSink: per-batch old/new history; state and log stay queryable") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val init = IndexedRDD(spark.sparkContext.parallelize(
+      Seq((1L, 10.0), (2L, 20.0)), 4))
+    val sink = new Streaming.IndexedChangelogSink[Long, Double](init, logPartitions = 4)
+    val input = MemoryStream[(Long, Double)]
+    val q = Streaming.changelogStream(input.toDS(), sink, "changelog_test")
+    try {
+      input.addData((1L, 11.0), (3L, 30.0)) // update + brand-new key
+      q.processAllAvailable()
+      input.addData((1L, 12.0)) // second update sees batch-0's value
+      q.processAllAvailable()
+      assert(sink.current.get(1L) === Some(12.0))
+      assert(sink.current.get(2L) === Some(20.0)) // untouched
+      assert(sink.current.get(3L) === Some(30.0))
+      assert(sink.changelog.get((1L, 0L)) === Some((Some(10.0), 11.0)))
+      assert(sink.changelog.get((3L, 0L)) === Some((None, 30.0))) // insert: no old
+      assert(sink.changelog.get((1L, 1L)) === Some((Some(11.0), 12.0)))
+      assert(sink.changelog.get((2L, 0L)) === None) // untouched keys never log
+      assert(sink.changelog.count() === 3)
+    } finally q.stop()
+  }
+
   test("IndexedLookupSink: batches enrich against a static indexed dimension") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
