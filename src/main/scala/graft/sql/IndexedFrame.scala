@@ -589,20 +589,55 @@ object IndexedFrame {
       }
     }
 
+    // range-count twin of the probe memo: counts on an immutable
+    // snapshot never go stale, so a repeated bounded interval answers
+    // with no job at all (LRU-capped; a count is 8 bytes, the cap just
+    // bounds the key strings)
+    @transient private lazy val rangeCountMemo =
+      new java.util.LinkedHashMap[(K, K), java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(K, K), java.lang.Long]): Boolean = size > 64
+      }
     override private[sql] def rangeCountFor(fs: Seq[Filter]): Option[() => Long] =
       boundedIntervalOf(fs).map {
         case None => () => 0L
-        case Some((lo, hi)) => () => idx.rangeCount(lo, hi)(kSer)
+        case Some((lo, hi)) => () =>
+          rangeCountMemo.synchronized {
+            Option(rangeCountMemo.get((lo, hi)))
+          } match {
+            case Some(c) => c.longValue()
+            case None =>
+              val c = idx.rangeCount(lo, hi)(kSer)
+              rangeCountMemo.synchronized {
+                rangeCountMemo.put((lo, hi), java.lang.Long.valueOf(c)); ()
+              }
+              c
+          }
       }
 
+    @transient private lazy val rangeExtremaMemo =
+      new java.util.LinkedHashMap[(K, K), (Option[Any], Option[Any])](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(K, K), (Option[Any], Option[Any])]): Boolean =
+          size > 64
+      }
     override private[sql] def rangeExtremaFor(
         fs: Seq[Filter]): Option[() => (Option[Any], Option[Any])] =
       boundedIntervalOf(fs).map {
         case None => () => (None, None)
-        case Some((lo, hi)) => () => {
-          val (mn, mx) = idx.rangeExtrema(lo, hi)(kSer)
-          (mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
-        }
+        case Some((lo, hi)) => () =>
+          rangeExtremaMemo.synchronized {
+            Option(rangeExtremaMemo.get((lo, hi)))
+          } match {
+            case Some(r) => r
+            case None =>
+              val (mn, mx) = idx.rangeExtrema(lo, hi)(kSer)
+              val r = (mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
+              rangeExtremaMemo.synchronized {
+                rangeExtremaMemo.put((lo, hi), r); ()
+              }
+              r
+          }
       }
 
     // ---------------------------------------------------- ordered top-k

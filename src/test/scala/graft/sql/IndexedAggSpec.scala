@@ -73,6 +73,25 @@ class IndexedAggSpec extends AnyFunSuite {
       .contains("IndexedRangeStats"))
   }
 
+  test("range-count/extrema memos: repeats stay exact; new versions never reuse") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    def cnt(hh: IndexedFrame.Handle[_]) = hh.toDF
+      .filter($"c_custkey".between(10L, 60L)).agg(count(lit(1))).as[Long].head()
+    val expect = cust.filter($"c_custkey".between(10L, 60L)).count()
+    assert(cnt(h) === expect)
+    assert(cnt(h) === expect) // second read: memoized, same answer
+    // a COW delete returns a new handle whose count drops — the old
+    // snapshot's memo cannot leak across versions (fresh memo per
+    // handle), and the old version still answers from its own
+    val h2 = h.deleteFrame(Seq(15L).toDF("c_custkey"))
+    assert(cnt(h2) === expect - 1)
+    assert(cnt(h2) === expect - 1) // memoized repeat on the new version
+    assert(cnt(h) === expect) // old snapshot unchanged
+  }
+
   test("min/max(key) under a key-range filter use bounded descents, no scan") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
