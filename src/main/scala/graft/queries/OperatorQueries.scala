@@ -420,6 +420,29 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_frame_load_secondary" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // secondary indexes PERSIST with the handle: save a handle with
+      // an inverted index on c_nationkey, reload, and serve the pushed
+      // equality from the RELOADED secondary (point probes, no
+      // rebuild — the lane fails loudly if the route degrades to a
+      // scan, which would still be correct but not the shape saved)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey")
+      val path = registerTempDirForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_sql_frame_load_sec"))
+      graft.sql.IndexedFrame.save(h, path)
+      val loaded = graft.sql.IndexedFrame.load(s, path)
+      val out = loaded.toDF.filter($"c_nationkey" === 7L)
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      val n = out.count()
+      require(loaded.lastScanKind == "secondary_point",
+        s"expected the reloaded secondary to serve, got '${loaded.lastScanKind}'")
+      require(n > 0, "empty probe result")
+      out
+    },
+
     "ir_sql_range_composite2" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1204,6 +1227,10 @@ object OperatorQueries {
     "ir_sql_frame_load" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey BETWEEN 100 AND 149""".stripMargin,
+
+    "ir_sql_frame_load_secondary" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE c_nationkey = 7""".stripMargin,
 
     "ir_sql_range_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer

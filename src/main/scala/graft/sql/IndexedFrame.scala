@@ -387,6 +387,19 @@ object IndexedFrame {
     @transient @volatile var lastZoneKept: Int = -1
     private[sql] def setZoneKept(n: Int): Unit = { lastZoneKept = n }
 
+    /** (enabled columns, their zone arrays) — the persistence snapshot
+      * (zones are driver-side min/max pairs, a few bytes/partition). */
+    private[sql] def zoneSnapshot: (Set[String], Map[String, Array[Zone]]) =
+      (zoneEnabled,
+        zoneEnabled.iterator.flatMap(c => zoneMemo.get(c).map(c -> _)).toMap)
+
+    /** Re-attach persisted zones (the load path) — no re-analyze job. */
+    private[sql] def restoreZones(enabled: Set[String],
+        stats: Map[String, Array[Zone]]): Unit = {
+      stats.foreach { case (c, z) => zoneMemo.put(c, z) }
+      zoneEnabled ++= enabled
+    }
+
     /** Build zone maps for `cols` now (one stats job per column) and
       * enable zone pruning on them. Columns must be non-key numeric or
       * timestamp fields. Returns this handle for chaining. */
@@ -680,6 +693,27 @@ object IndexedFrame {
       * claims secondary filters, Spark re-applies them above). Mutable
       * for tests and for tuning to the driver's memory headroom. */
     @transient private[sql] var SecondaryRouteBudget = 100000
+
+    /** (col, rangeable, inverted index) entries — the persistence
+      * snapshot [[IndexedFrame.save]] writes alongside the primary. */
+    private[sql] def secondaryEntries: Seq[(String, Boolean, IndexedRDD[Any, Array[K]])] =
+      secondaries.toSeq.map { case (c, (_, s, r)) => (c, r, s) }.sortBy(_._1)
+
+    /** Re-attach a persisted inverted index (the load path): the spec
+      * re-derives from the schema — the same derivation that built it —
+      * and the saved partition layout (hash or radix) comes back with
+      * the index files themselves. */
+    private[sql] def restoreSecondaryFrom(colName: String, rangeable: Boolean,
+        path: String): Unit = {
+      val spec = specFor(schema, colName, uuid = false).asInstanceOf[KeySpec[Any]]
+      implicit val st: ClassTag[Any] = spec.tag
+      implicit val ss: KeySerializer[Any] = spec.ser
+      implicit val vt: ClassTag[Array[K]] = kTag.wrap
+      secondaries.put(colName,
+        (spec, graft.IndexedRDDIO.load[Any, Array[K]](
+          idx.sparkContext, path).cached, rangeable))
+      ()
+    }
 
     /** Build an inverted index on a non-key column now (one shuffle of
       * (value, key) pairs) and route future pushed equality/IN
@@ -1469,6 +1503,28 @@ object IndexedFrame {
       out.writeObject(h.keyCol); out.writeBoolean(h.ordered)
       out.writeObject(codecTag(h.codec)); out.writeObject(h.schema.json)
     } finally out.close()
+    // secondary indexes and zone maps ride along: each inverted index
+    // saves under sec_<i>/ with the same one-file-per-partition layout
+    // (its radix/hash partition structure and partitioner come back
+    // with it), zones are a few driver-side bytes per partition — a
+    // reloaded handle serves secondary probes and zone-pruned scans
+    // immediately, no O(corpus) rebuild. `_indexes` is optional on
+    // read, so pre-existing saves still load.
+    val secs = h.secondaryEntries
+    secs.zipWithIndex.foreach { case ((_, _, s), i) =>
+      graft.IndexedRDDIO.save(s, s"$path/sec_$i")
+    }
+    val (zoneCols, zoneStats) = h.zoneSnapshot
+    val out2 = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_indexes"), true))
+    try {
+      out2.writeInt(secs.size)
+      secs.zipWithIndex.foreach { case ((c, rangeable, _), i) =>
+        out2.writeObject(c); out2.writeBoolean(rangeable)
+        out2.writeObject(s"sec_$i")
+      }
+      out2.writeObject(zoneCols); out2.writeObject(zoneStats)
+    } finally out2.close()
   }
 
   /** Persist a COMPOSITE handle: same one-file-per-partition index
@@ -1546,7 +1602,7 @@ object IndexedFrame {
       finally in.close()
     val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
-    tag match {
+    val handle: Handle[_] = tag match {
       case "long" =>
         val codec = codecFor(schema, keyCol).asInstanceOf[LongCodec]
         new Handle[Long](graft.IndexedRDDIO.load[Long, InternalRow](sc, path).cached,
@@ -1576,6 +1632,25 @@ object IndexedFrame {
       case "composite" => throw new IllegalArgumentException(
         s"composite handle at $path: use loadComposite")
     }
+    // re-attach persisted secondary indexes + zone maps, if the save
+    // carried them (`_indexes` is optional: older saves load cleanly)
+    val ixPath = new org.apache.hadoop.fs.Path(path, "_indexes")
+    if (fs.exists(ixPath)) {
+      val in2 = new java.io.ObjectInputStream(fs.open(ixPath))
+      try {
+        val n = in2.readInt()
+        (0 until n).foreach { _ =>
+          val c = in2.readObject().asInstanceOf[String]
+          val rangeable = in2.readBoolean()
+          val sub = in2.readObject().asInstanceOf[String]
+          handle.restoreSecondaryFrom(c, rangeable, s"$path/$sub")
+        }
+        val zoneCols = in2.readObject().asInstanceOf[Set[String]]
+        val zoneStats = in2.readObject().asInstanceOf[Map[String, Array[Zone]]]
+        handle.restoreZones(zoneCols, zoneStats)
+      } finally in2.close()
+    }
+    handle
   }
 
   private[sql] class IndexedRelation[K](private[sql] val h: Handle[K])(

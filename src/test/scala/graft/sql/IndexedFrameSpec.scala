@@ -561,6 +561,43 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastScanKind === "point")
   }
 
+  test("save/load carries secondary indexes and zone maps; older saves still load") {
+    val df = (0L until 1000L).map(k =>
+      (k, k % 7, (k * 37) % 1000, s"row$k")).toDF("k", "grp", "bal", "v")
+    val h = IndexedFrame.index(df, "k")
+      .addSecondaryIndex("grp")
+      .addSecondaryIndex("bal", ordered = true)
+      .analyzeZones("bal")
+    val path = java.nio.file.Files.createTempDirectory("frame_sec_io").toString
+    IndexedFrame.save(h, path)
+    val loaded = IndexedFrame.load(spark, path)
+    // secondary equality serves via point probes, no rebuild job ran
+    val eq = loaded.toDF.filter($"grp" === 2L).select($"k").as[Long].collect().toSet
+    assert(eq === (0L until 1000L).filter(_ % 7 == 2).toSet)
+    assert(loaded.lastScanKind === "secondary_point")
+    // ordered secondary serves ranges from the reloaded radix layout
+    val rg = loaded.toDF.filter($"bal".between(100L, 120L))
+      .select($"k").as[Long].collect().toSet
+    assert(rg === (0L until 1000L)
+      .filter(k => { val b = (k * 37) % 1000; b >= 100 && b <= 120 }).toSet)
+    assert(loaded.lastScanKind === "secondary_range")
+    // zones came back too: an impossible bal range keeps zero partitions
+    // via zone pruning when no secondary claims it... (bal HAS an
+    // ordered secondary, so push a non-prunable filter shape instead:
+    // a >= bound alone is served by the secondary; assert zone state
+    // directly through the snapshot)
+    val (zcols, zstats) = loaded.zoneSnapshot
+    assert(zcols === Set("bal") && zstats("bal").nonEmpty)
+    // a save WITHOUT the sidecar still loads (pre-existing layouts)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_indexes"), false)
+    val bare = IndexedFrame.load(spark, path)
+    assert(bare.toDF.filter($"grp" === 2L).count() === eq.size)
+    assert(bare.lastScanKind === "full") // no secondary: scan serves
+  }
+
   test("handle save/load: reloaded handle serves pushed reads; joins with live handles stay narrow") {
     val h = IndexedFrame.index(cust, "c_custkey", ordered = true, numPartitions = 4)
     val path = java.nio.file.Files.createTempDirectory("frame_io").toString
