@@ -1548,6 +1548,15 @@ object IndexedFrame {
       out.writeObject(h.keyColB)
       out.writeObject(codecTag(h.codecA)); out.writeObject(codecTag(h.codecB))
     } finally out.close()
+    // zones ride along exactly as for single-key saves (composites
+    // share the ZoneMapped machinery; they carry no secondaries)
+    val (zoneCols, zoneStats) = h.zoneSnapshot
+    val out2 = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_indexes"), true))
+    try {
+      out2.writeInt(0)
+      out2.writeObject(zoneCols); out2.writeObject(zoneStats)
+    } finally out2.close()
   }
 
   /** Reload a composite handle saved by [[save(h:CompositeHandle*]].
@@ -1573,7 +1582,8 @@ object IndexedFrame {
       val tagB = in.readObject().asInstanceOf[String]
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[StructType]
-      (specForTag(schema, keyColA, tagA), specForTag(schema, keyColB, tagB)) match {
+      val handle = (specForTag(schema, keyColA, tagA),
+          specForTag(schema, keyColB, tagB)) match {
         case (sa: KeySpec[a], sb: KeySpec[b]) =>
           implicit val cta: ClassTag[a] = sa.tag
           implicit val ctb: ClassTag[b] = sb.tag
@@ -1585,6 +1595,18 @@ object IndexedFrame {
             graft.IndexedRDDIO.load[(a, b), InternalRow](sc, path).cached,
             keyColA, keyColB, schema, ordered, sa.codec, sb.codec)
       }
+      // optional sidecar: zones re-attach with no re-analyze job
+      val ixPath = new org.apache.hadoop.fs.Path(path, "_indexes")
+      if (fs.exists(ixPath)) {
+        val in2 = new java.io.ObjectInputStream(fs.open(ixPath))
+        try {
+          in2.readInt() // composites carry no secondaries
+          val zoneCols = in2.readObject().asInstanceOf[Set[String]]
+          val zoneStats = in2.readObject().asInstanceOf[Map[String, Array[Zone]]]
+          handle.restoreZones(zoneCols, zoneStats)
+        } finally in2.close()
+      }
+      handle
     } finally in.close()
   }
 

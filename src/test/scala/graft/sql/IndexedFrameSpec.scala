@@ -725,10 +725,14 @@ class IndexedFrameSpec extends AnyFunSuite {
   test("composite handle save/load: reloaded handle serves point, lead-range and mixed pushdown") {
     val df = cust.withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
     val h = IndexedFrame.indexComposite(df, "c_bucket", "c_custkey", ordered = true)
+      .analyzeZones("c_acctbal")
     val path = java.nio.file.Files.createTempDirectory("frame_io_composite").toString
     IndexedFrame.save(h, path)
     val loaded = IndexedFrame.loadComposite(spark, path)
     assert(loaded.keyColA === "c_bucket" && loaded.keyColB === "c_custkey" && loaded.ordered)
+    // zones persisted with the composite too — re-attached, no re-analyze
+    val (zc, zs) = loaded.zoneSnapshot
+    assert(zc === Set("c_acctbal") && zs("c_acctbal").nonEmpty)
     assert(loaded.toDF.count() === df.count())
     val pt = loaded.toDF.filter($"c_bucket" === 17L && $"c_custkey" === 117L)
     assert(pt.count() === 1)
