@@ -1004,6 +1004,36 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_stream_time_travel" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // time travel on the COW version chain: after all three yearly
+      // batches land, query the state AS OF batch 1 (init + 1995 +
+      // 1996) — batch 2's writes must be invisible. The oracle rebuilds
+      // that exact snapshot with last-write-wins over batches <= 1.
+      val init = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd
+        .partitionBy(new org.apache.spark.HashPartitioner(16))
+      val sink = new graft.streaming.Streaming.VersionedUpsertSink[Long, Double](
+        IndexedRDD(init), keep = 8)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val q = graft.streaming.Streaming.versionedStream(
+        input.toDS(), sink, s"ir_stream_time_travel_${System.nanoTime()}")
+      try {
+        Seq(1995, 1996, 1997).foreach { y =>
+          val batch = Tables.orders(s, dir)
+            .filter(year($"o_orderdate") === y)
+            .groupBy($"o_custkey").agg(max($"o_totalprice").as("v"))
+            .as[(Long, Double)].collect().toSeq
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      Bridge.RichIndexedRDD(sink.asOf(1L)).toDS
+        .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
+    },
+
     "ir_stream_changelog" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1421,6 +1451,19 @@ object OperatorQueries {
         |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
         |       round(coalesce(l.v, c.c_acctbal), 2) AS val
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // the as-of-batch-1 snapshot: last write among {init, 1995, 1996}
+    // per key — 1997 never applied to this version
+    "ir_stream_time_travel" ->
+      """WITH b0 AS (SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+        |            WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+        |b1 AS (SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+        |       WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1)
+        |SELECT c.c_custkey,
+        |       round(coalesce(b1.v, b0.v, c.c_acctbal), 2) AS val
+        |FROM customer c
+        |LEFT JOIN b0 ON b0.k = c.c_custkey
+        |LEFT JOIN b1 ON b1.k = c.c_custkey""".stripMargin,
 
     // the change history replayed as a lag window over the per-year
     // batch sequence, seeded with the initial balances at batch -1

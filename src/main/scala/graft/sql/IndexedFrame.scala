@@ -661,12 +661,30 @@ object IndexedFrame {
       ordered && kSer.isOrderPreserving &&
         idx.partitioner.exists(_.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
 
+    // top-k twin of the range-count memo: the first/last n rows of an
+    // immutable snapshot never change, so a repeated ORDER BY key
+    // LIMIT n answers with no job (small cap — entries are row seqs)
+    @transient private lazy val topKMemo =
+      new java.util.LinkedHashMap[(Int, Boolean), Seq[InternalRow]](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Boolean), Seq[InternalRow]]): Boolean =
+          size > 8
+      }
+
     /** First/last `n` rows in key order — O(n) rows read from the head
       * (or tail) partitions only. Planned by [[IndexedTopK]]. */
     private[sql] def takeOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] = {
       lastScanKind = "topk"
       lastPointLookupKeys = -1
-      idx.takeOrderedByKey(n, asc)(kSer).toSeq.map(_._2)
+      topKMemo.synchronized { Option(topKMemo.get((n, asc))) } match {
+        case Some(rows) => rows
+        case None =>
+          val rows = idx.takeOrderedByKey(n, asc)(kSer).toSeq.map(_._2)
+          if (n <= 65536) topKMemo.synchronized {
+            topKMemo.put((n, asc), rows); ()
+          }
+          rows
+      }
     }
 
     // ------------------------------------------------- secondary indexes

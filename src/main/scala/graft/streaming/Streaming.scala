@@ -203,6 +203,60 @@ object Streaming {
   }
 
   /**
+   * TIME TRAVEL: copy-on-write versions ARE the history. Each
+   * micro-batch's `multiputRDD` returns a NEW index sharing structure
+   * with the previous one, so retaining the last `keep` versions costs
+   * ~delta memory per version — not a copy — and every retained
+   * snapshot stays fully point-queryable. `asOf(b)` answers "the state
+   * after the latest applied batch ≤ b": the reproducibility primitive
+   * (pin the exact corpus snapshot a training run read; audit what a
+   * dashboard showed at batch N). Older versions unpersist as the
+   * window slides; asking for an evicted version fails loudly rather
+   * than answering from the wrong snapshot.
+   */
+  class VersionedUpsertSink[K: scala.reflect.ClassTag: KeySerializer,
+      V: scala.reflect.ClassTag](initial: IndexedRDD[K, V], keep: Int = 8)
+      extends Serializable {
+    require(keep >= 2, s"keep=$keep: need at least the current + one prior")
+
+    // (batchId, state AFTER that batch); -1 = the initial snapshot
+    private val hist = scala.collection.mutable.ArrayBuffer[(Long, IndexedRDD[K, V])](
+      (-1L, initial.persist(StorageLevel.MEMORY_AND_DISK)))
+
+    def current: IndexedRDD[K, V] = hist.synchronized { hist.last._2 }
+    def versions: Seq[Long] = hist.synchronized { hist.map(_._1).toSeq }
+
+    /** State after the latest applied batch ≤ `batchId`. */
+    def asOf(batchId: Long): IndexedRDD[K, V] = hist.synchronized {
+      hist.reverseIterator.find(_._1 <= batchId).map(_._2).getOrElse(
+        throw new NoSuchElementException(
+          s"no retained version <= batch $batchId (window keep=$keep slid past it)"))
+    }
+
+    /** The function to pass to `writeStream.foreachBatch`. */
+    def upsertBatch(batch: Dataset[(K, V)], batchId: Long): Unit = {
+      val next = current.multiputRDD(batch.rdd)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before exposing
+      hist.synchronized {
+        hist += ((batchId, next))
+        while (hist.length > keep) hist.remove(0)._2.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** Convenience: start a stream of (K, V) upserts into a versioned sink. */
+  def versionedStream[K: scala.reflect.ClassTag: KeySerializer,
+      V: scala.reflect.ClassTag](pairs: Dataset[(K, V)],
+      sink: VersionedUpsertSink[K, V], queryName: String)(
+      implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .foreachBatch((b: Dataset[(K, V)], id: Long) => sink.upsertBatch(b, id))
+      .start()
+
+  /**
    * CDC sink: [[IndexedUpsertSink]] plus a CHANGELOG — before each
    * batch upserts, the old values of exactly the touched keys are
    * probed via [[IndexedRDD.lookupJoinLeft]] (O(batch) point reads;

@@ -284,6 +284,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("VersionedUpsertSink: asOf pins past versions; the window evicts loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val init = IndexedRDD(spark.sparkContext.parallelize(
+      Seq((1L, 10.0), (2L, 20.0)), 4))
+    val sink = new Streaming.VersionedUpsertSink[Long, Double](init, keep = 3)
+    val input = MemoryStream[(Long, Double)]
+    val q = Streaming.versionedStream(input.toDS(), sink, "versions_test")
+    try {
+      input.addData((1L, 11.0)); q.processAllAvailable() // batch 0
+      input.addData((2L, 22.0)); q.processAllAvailable() // batch 1
+      assert(sink.asOf(0L).get(1L) === Some(11.0))
+      assert(sink.asOf(0L).get(2L) === Some(20.0)) // batch 1 invisible at 0
+      assert(sink.asOf(1L).get(2L) === Some(22.0))
+      assert(sink.asOf(99L).get(1L) === Some(11.0)) // latest ≤ 99 = batch 1
+      assert(sink.versions === Seq(-1L, 0L, 1L))
+      input.addData((1L, 13.0)); q.processAllAvailable() // batch 2: evicts init
+      assert(sink.versions === Seq(0L, 1L, 2L))
+      assert(sink.current.get(1L) === Some(13.0))
+      assert(sink.asOf(1L).get(1L) === Some(11.0)) // retained version intact
+      intercept[NoSuchElementException](sink.asOf(-1L)) // evicted: loud
+    } finally q.stop()
+  }
+
   test("IndexedChangelogSink: per-batch old/new history; state and log stay queryable") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
