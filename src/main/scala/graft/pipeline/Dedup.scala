@@ -804,13 +804,8 @@ object Dedup {
   def duplicatedSpansAgainstBloom(corpus: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, k: Int = 8,
       mBits: Int = 1 << 23, depth: Int = 3): DataFrame = {
-    def starts31(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= k)
-      .select(col("__id"), posexplode(
-        graft.functions.TokenShingleHashes.tokenShingleHashes(col("__t"), k)))
-      .select(col("__id"), col("pos").cast("long").as("__pos"),
-        col("col").as("__gh"))
+    def starts31(df: DataFrame): DataFrame = gramStartsBy(df, idCol, k,
+      t => graft.functions.TokenShingleHashes.tokenShingleHashes(t, k))(textCol)
     val kept = Sketches.bloomPrune(starts31(delta), "__gh",
       starts31(corpus).select("__gh"), "__gh", mBits, depth)
     mergeSpans(kept.select(col("__id"), col("__pos")), idCol, k)
@@ -820,11 +815,20 @@ object Dedup {
     * leave the row as 64-bit hashes, never as text. */
   private def gramStarts(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
+    gramStartsBy(df, idCol, k, t => transform(
+      sequence(lit(0), size(t) - k),
+      i => xxhash64(array_join(slice(t, i + 1, lit(k)), " "))))(textCol)
+
+  /** Shared window-start enumeration for the span family: tokenize,
+    * drop sub-window docs, posexplode the per-start hash array built by
+    * `hashes` (xxhash64 windows for the exact lanes, the SQL-replicable
+    * 31-bit polynomial for the bloom lane). ONE shape to fix if the
+    * window arithmetic ever changes. */
+  private def gramStartsBy(df: DataFrame, idCol: String, k: Int,
+      hashes: Column => Column)(textCol: String): DataFrame =
     df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= k)
-      .select(col("__id"), posexplode(transform(
-        sequence(lit(0), size(col("__t")) - k),
-        i => xxhash64(array_join(slice(col("__t"), i + 1, lit(k)), " ")))))
+      .select(col("__id"), posexplode(hashes(col("__t"))))
       .select(col("__id"), col("pos").cast("long").as("__pos"),
         col("col").as("__gh"))
 

@@ -177,6 +177,21 @@ object PipelineOracles {
        |     + len(regexp_split_to_array(t2, '$PhoneRe')) - 1 AS BIGINT) AS n_pii
        |FROM u""".stripMargin
 
+  /** The cummax interval-merge tail shared by every span oracle:
+    * duplicated starts in `src`(doc_id, pos) → maximal merged spans of
+    * 8-token windows — ONE copy, mirroring the single Spark-side
+    * Dedup.mergeSpans the three lanes share. */
+  private def spanMergeSql(src: String): String =
+    s"""m AS (SELECT doc_id, pos AS s, pos + 8 AS e,
+       |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |      FROM $src),
+       |mg AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ng FROM m),
+       |gr AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mg)
+       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+       |       max(e) - min(s) AS n_dup_tokens
+       |FROM gr GROUP BY doc_id, grp""".stripMargin
+
   /** Maximal cross-doc duplicated 8-token spans over the planted
     * corpus, mirroring Dedup.duplicatedSpans(k = 8): a window start is
     * duplicated when its 8-gram occurs in ≥ 2 distinct docs (the Spark
@@ -193,15 +208,7 @@ object PipelineOracles {
        |ge AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM ge0),
        |dup AS (SELECT gram FROM ge GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
        |ds AS (SELECT doc_id, pos FROM ge JOIN dup USING (gram)),
-       |m AS (SELECT doc_id, pos AS s, pos + 8 AS e,
-       |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-       |      FROM ds),
-       |mg AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ng FROM m),
-       |gr AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mg)
-       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-       |       max(e) - min(s) AS n_dup_tokens
-       |FROM gr GROUP BY doc_id, grp""".stripMargin
+       |${spanMergeSql("ds")}""".stripMargin
 
   /** Delta-vs-corpus spans, mirroring Dedup.duplicatedSpansAgainst:
     * corpus grams reduce to a distinct set, any delta window hitting
@@ -222,15 +229,7 @@ object PipelineOracles {
        |        FROM tokd WHERE len(toks) >= 8),
        |dg AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM dg0),
        |ds AS (SELECT doc_id, pos FROM dg JOIN cg USING (gram)),
-       |m AS (SELECT doc_id, pos AS s, pos + 8 AS e,
-       |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-       |      FROM ds),
-       |mg AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ng FROM m),
-       |gr AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mg)
-       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-       |       max(e) - min(s) AS n_dup_tokens
-       |FROM gr GROUP BY doc_id, grp""".stripMargin
+       |${spanMergeSql("ds")}""".stripMargin
 
   /** Bloom-gated delta-vs-corpus spans, mirroring
     * Dedup.duplicatedSpansAgainstBloom(k=8, mBits=2^23, depth=3):
@@ -262,15 +261,7 @@ object PipelineOracles {
        |         JOIN bits ON bits.j = r.j
        |                  AND bits.pos = ((r.a * dgh.h + r.b) % $P) % 8388608
        |         GROUP BY 1, 2 HAVING count(*) = 3),
-       |m AS (SELECT doc_id, pos AS s, pos + 8 AS e,
-       |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-       |      FROM kept),
-       |mg AS (SELECT doc_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ng FROM m),
-       |gr AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mg)
-       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-       |       max(e) - min(s) AS n_dup_tokens
-       |FROM gr GROUP BY doc_id, grp""".stripMargin
+       |${spanMergeSql("kept")}""".stripMargin
 
   val dedupNgram: String =
     s"""WITH $corpusCte,

@@ -663,7 +663,9 @@ object IndexedFrame {
 
     // top-k twin of the range-count memo: the first/last n rows of an
     // immutable snapshot never change, so a repeated ORDER BY key
-    // LIMIT n answers with no job (small cap — entries are row seqs)
+    // LIMIT n answers with no job. Entries hold collected rows, so the
+    // same ≤2048-row driver-memory cap as the probe memo applies —
+    // larger limits are served but never memoized.
     @transient private lazy val topKMemo =
       new java.util.LinkedHashMap[(Int, Boolean), Seq[InternalRow]](8, 0.75f, true) {
         override def removeEldestEntry(
@@ -680,7 +682,7 @@ object IndexedFrame {
         case Some(rows) => rows
         case None =>
           val rows = idx.takeOrderedByKey(n, asc)(kSer).toSeq.map(_._2)
-          if (n <= 65536) topKMemo.synchronized {
+          if (n <= 2048) topKMemo.synchronized {
             topKMemo.put((n, asc), rows); ()
           }
           rows
@@ -1784,13 +1786,19 @@ object IndexedFrame {
         (eqPreds, rangePreds)
       }
       // canonical predicate signature — the probe-memo key (order- and
-      // duplicate-insensitive, like the AND semantics it caches)
+      // duplicate-insensitive, like the AND semantics it caches). Every
+      // token is length-prefixed, so no value can fake a separator: a
+      // string IN ('a,b') and IN ('a','b') MUST get distinct keys — a
+      // collision would serve the wrong key set, and Spark's re-applied
+      // predicate above the scan can only drop rows, never restore them
       lazy val secondarySig: String = {
+        def tok(s: String): String = s"${s.length}:$s"
         val (eqPreds, rangePreds) = secondaryPreds
         (eqPreds.map { case (c, vs) =>
-            s"$c=${vs.map(String.valueOf(_: Any)).sorted.mkString(",")}" }.sorted ++
+            tok(c) + "=" + vs.map(v => tok(String.valueOf(v))).sorted.mkString }.sorted ++
           rangePreds.map { case (c, iv) =>
-            s"$c~${iv.from}..${iv.to}${if (iv.empty) "!" else ""}" }.sorted)
+            tok(c) + "~" + tok(iv.from.toString) + tok(iv.to.toString) +
+              (if (iv.empty) "!" else "") }.sorted)
           .mkString("|")
       }
       lazy val secondaryKeys: Option[(Array[K], Boolean)] = {

@@ -188,9 +188,15 @@ object Streaming {
     def upsertBatch(batch: Dataset[(K, V)], batchId: Long): Unit =
       upsertRdd(batch.rdd, batchId)
 
+    @volatile private var lastBatchId: Long = Long.MinValue
+
     /** RDD-shaped twin (composes with [[IndexedLookupSink]], whose
-      * per-batch enrichment is already an RDD). */
+      * per-batch enrichment is already an RDD). foreachBatch is
+      * at-least-once: a batch id at or below the last applied one is a
+      * REPLAY and is skipped — re-applying would be harmless for plain
+      * last-write-wins but double-counts under a `merge` function. */
     def upsertRdd(batch: org.apache.spark.rdd.RDD[(K, V)], batchId: Long): Unit = {
+      if (batchId <= lastBatchId) return
       val prev = state
       val next =
         (if (merge == null) prev.multiputRDD(batch)
@@ -198,6 +204,7 @@ object Streaming {
           .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize the new version before exposing it
       state = next
+      lastBatchId = batchId
       prev.unpersist(blocking = false)
     }
   }
@@ -233,8 +240,12 @@ object Streaming {
           s"no retained version <= batch $batchId (window keep=$keep slid past it)"))
     }
 
-    /** The function to pass to `writeStream.foreachBatch`. */
+    /** The function to pass to `writeStream.foreachBatch`. foreachBatch
+      * is at-least-once: a replayed batch id is skipped — appending it
+      * again would burn a retention slot on a duplicate version and
+      * evict a real one early. */
     def upsertBatch(batch: Dataset[(K, V)], batchId: Long): Unit = {
+      if (hist.synchronized { batchId <= hist.last._1 }) return
       val next = current.multiputRDD(batch.rdd)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before exposing
@@ -283,9 +294,22 @@ object Streaming {
     def current: IndexedRDD[K, V] = out.current
     def changelog: IndexedRDD[(K, Long), (Option[V], V)] = log
 
-    /** The function to pass to `writeStream.foreachBatch`. */
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The function to pass to `writeStream.foreachBatch`. foreachBatch
+      * is at-least-once: a REPLAYED batch is skipped outright — probing
+      * state that already contains the batch's own writes would record
+      * (new, new) and permanently lose the true old values. */
     def upsertBatch(batch: Dataset[(K, V)], batchId: Long): Unit = {
-      val delta = out.current.lookupJoinLeft(batch.rdd) { (k, old, v) =>
+      if (batchId <= lastBatchId) return
+      // dedupe in-batch key collisions ONCE and feed BOTH the changelog
+      // and the state from the same pinned winner set: two independent
+      // last-write-wins shuffles could otherwise pick different winners,
+      // and the changelog would no longer replay to the state
+      val rows = batch.rdd.reduceByKey((_, b) => b)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rows.count() // pin the winners before either consumer runs
+      val delta = out.current.lookupJoinLeft(rows) { (k, old, v) =>
         ((k, batchId), (old, v))
       }
       val prevLog = log
@@ -294,7 +318,9 @@ object Streaming {
       nextLog.count() // materialize before exposing / before state moves
       log = nextLog
       prevLog.unpersist(blocking = false)
-      out.upsertRdd(batch.rdd, batchId)
+      out.upsertRdd(rows, batchId)
+      lastBatchId = batchId
+      rows.unpersist(blocking = false)
     }
   }
 

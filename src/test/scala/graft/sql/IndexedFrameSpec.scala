@@ -171,6 +171,25 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastProbeMemoHit && again === first)
   }
 
+  test("probe memo signatures never collide across distinct string predicates") {
+    // IN ('a','b') and = 'a,b' would collide under naive comma-joined
+    // signatures; a false memo hit serves the wrong key set and the
+    // re-applied predicate above can only DROP rows — silent data loss
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "a,b"), (4L, "2:a"))
+      .toDF("k", "name")
+    val h = IndexedFrame.index(df, "k").addSecondaryIndex("name")
+    assert(h.toDF.filter($"name" === "a,b").select($"k").as[Long].collect().toSet
+      === Set(3L))
+    assert(h.toDF.filter($"name".isin("a", "b")).select($"k").as[Long].collect().toSet
+      === Set(1L, 2L))
+    assert(!h.lastProbeMemoHit) // distinct signature: a live probe, not the memo
+    // length prefixes themselves can't be forged by value content
+    assert(h.toDF.filter($"name" === "2:a").select($"k").as[Long].collect().toSet
+      === Set(4L))
+    assert(h.toDF.filter($"name" === "a").select($"k").as[Long].collect().toSet
+      === Set(1L))
+  }
+
   test("ordered secondary indexes route range predicates through trie scans") {
     // bal is decorrelated from the key layout (zone maps would keep
     // everything); the ordered inverted index still serves ranges

@@ -305,6 +305,11 @@ class StreamingSpec extends AnyFunSuite {
       assert(sink.current.get(1L) === Some(13.0))
       assert(sink.asOf(1L).get(1L) === Some(11.0)) // retained version intact
       intercept[NoSuchElementException](sink.asOf(-1L)) // evicted: loud
+      // at-least-once replay: a duplicate batch id must not burn a
+      // retention slot or fork the version list
+      sink.upsertBatch(Seq((1L, 77.0)).toDS(), 2L)
+      assert(sink.versions === Seq(0L, 1L, 2L))
+      assert(sink.current.get(1L) === Some(13.0))
     } finally q.stop()
   }
 
@@ -329,6 +334,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(sink.changelog.get((1L, 1L)) === Some((Some(11.0), 12.0)))
       assert(sink.changelog.get((2L, 0L)) === None) // untouched keys never log
       assert(sink.changelog.count() === 3)
+      // at-least-once replay: re-delivering batch 1 must NOT rewrite
+      // history (a naive re-probe would record (new, new) and lose the
+      // true old value forever)
+      sink.upsertBatch(Seq((1L, 99.0)).toDS(), 1L)
+      assert(sink.current.get(1L) === Some(12.0))
+      assert(sink.changelog.get((1L, 1L)) === Some((Some(11.0), 12.0)))
+      // in-batch duplicate keys: ONE winner feeds both the changelog
+      // and the state, so the history always replays to the state
+      sink.upsertBatch(Seq((9L, 1.0), (9L, 2.0)).toDS(), 7L)
+      val logged = sink.changelog.get((9L, 7L)).get._2
+      assert(sink.current.get(9L) === Some(logged))
     } finally q.stop()
   }
 
