@@ -88,11 +88,13 @@ object IndexedFrame {
       case LongType => r.getLong(i)
       case IntegerType => r.getInt(i).toLong
       case ShortType => r.getShort(i).toLong
+      case ByteType => r.getByte(i).toLong
     }
     override def fromLiteral(v: Any): Long = v match {
       case l: Long => l
       case i: Int => i.toLong
       case s: Short => s.toLong
+      case b: Byte => b.toLong
       case other => throw new IllegalArgumentException(
         s"integral key literal required, got ${if (other == null) "null" else other.getClass}")
     }
@@ -100,6 +102,7 @@ object IndexedFrame {
       case LongType => k
       case IntegerType => k.asInstanceOf[Long].toInt
       case ShortType => k.asInstanceOf[Long].toShort
+      case ByteType => k.asInstanceOf[Long].toByte
     }
     override def ord: Ordering[Long] = Ordering.Long
     override def succ(k: Long): Option[Long] =
@@ -931,7 +934,7 @@ object IndexedFrame {
 
   private def codecFor(schema: StructType, keyCol: String): KeyCodec[_] =
     schema(keyCol).dataType match {
-      case dt @ (LongType | IntegerType | ShortType) => new LongCodec(dt)
+      case dt @ (LongType | IntegerType | ShortType | ByteType) => new LongCodec(dt)
       case StringType => StringCodec
       case dt: DecimalType if dt.scale == 0 => new BigIntCodec(dt.precision)
       case other => throw new IllegalArgumentException(
@@ -1065,7 +1068,7 @@ object IndexedFrame {
 
   private def specFor(schema: StructType, col: String, uuid: Boolean): KeySpec[_] =
     schema(col).dataType match {
-      case dt @ (LongType | IntegerType | ShortType) =>
+      case dt @ (LongType | IntegerType | ShortType | ByteType) =>
         KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
           implicitly[ClassTag[Long]])
       case StringType if uuid =>
@@ -1232,7 +1235,7 @@ object IndexedFrame {
 
   private def integralSpec(df: DataFrame, c: String, caller: String): KeySpec[Long] =
     df.schema(c).dataType match {
-      case dt @ (LongType | IntegerType | ShortType) =>
+      case dt @ (LongType | IntegerType | ShortType | ByteType) =>
         KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
           implicitly[ClassTag[Long]])
       case other => throw new IllegalArgumentException(

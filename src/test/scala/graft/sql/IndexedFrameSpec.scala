@@ -171,6 +171,20 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastProbeMemoHit && again === first)
   }
 
+  test("ByteType keys index, push down points and ranges, and round-trip externally") {
+    val df = (0 until 120).map(i => (i.toByte, s"v$i")).toDF("k", "v")
+    assert(df.schema("k").dataType === org.apache.spark.sql.types.ByteType)
+    val h = IndexedFrame.index(df, "k", ordered = true)
+    assert(h.toDF.filter($"k" === 7).select($"v").as[String].collect().toSeq
+      === Seq("v7"))
+    assert(h.lastScanKind === "point")
+    assert(h.toDF.filter($"k".between(10, 13)).count() === 4)
+    assert(h.lastScanKind === "range")
+    // the external form narrows back to Byte (schema-faithful output)
+    val row = h.toDF.filter($"k" === 7).select($"k").head()
+    assert(row.get(0).isInstanceOf[Byte])
+  }
+
   test("probe memo signatures never collide across distinct string predicates") {
     // IN ('a','b') and = 'a,b' would collide under naive comma-joined
     // signatures; a false memo hit serves the wrong key set and the
