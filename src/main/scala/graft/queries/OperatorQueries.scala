@@ -664,6 +664,21 @@ object OperatorQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
+    "ir_sql_topk_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // ORDER BY (a, b) LIMIT n on a range-partitioned COMPOSITE: the
+      // layout is globally sorted in lexicographic pair order, so the
+      // same O(n) covering-prefix read serves two-column sorts
+      graft.sql.IndexedTopK.enable(s)
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        Tables.orders(s, dir)
+          .withColumn("o_bucket", (col("o_orderkey") % 97).cast("long")),
+        "o_bucket", "o_orderkey", numPartitions = 16)
+      h.toDF.orderBy($"o_bucket", $"o_orderkey").limit(50)
+        .select($"o_bucket", $"o_orderkey", $"o_totalprice")
+    },
+
     "ir_sql_topk_desc" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1336,6 +1351,13 @@ object OperatorQueries {
     "ir_sql_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 50""".stripMargin,
+
+    // (o_bucket, o_orderkey) is unique, so the pair sort is total and
+    // both engines pick the identical 50 rows
+    "ir_sql_topk_composite" ->
+      """SELECT CAST(o_orderkey % 97 AS BIGINT) AS o_bucket, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_bucket, o_orderkey LIMIT 50""".stripMargin,
 
     "ir_sql_topk_desc" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

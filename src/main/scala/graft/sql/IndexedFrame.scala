@@ -342,6 +342,45 @@ object IndexedFrame {
     * converted to the column's external Scala form (a SQL literal of
     * the column type converts from it directly; UUID handles hand back
     * the canonical string, Int/Short keys narrow back from Long). */
+  /** `ORDER BY <layout-order prefix> LIMIT n` surface, implemented by
+    * single-key AND composite handles: on a range-partitioned ordered
+    * layout the first/last n rows live in a known partition prefix
+    * (suffix), so the query reads O(n) rows. The memoized entry point
+    * lives here (first/last n of an immutable snapshot never change —
+    * same ≤2048-row driver cap as the probe memo); each handle supplies
+    * the raw ordered fetch. */
+  private[sql] trait TopKServable {
+    private[sql] def topKCapable: Boolean
+    /** Columns the layout globally orders by, outermost first — a sort
+      * on any non-empty PREFIX (uniform direction) is index-served. */
+    private[sql] def topKCols: Seq[String]
+    private[sql] def schema: StructType
+    protected def fetchOrderedRows(n: Int, asc: Boolean): Seq[InternalRow]
+    protected def markTopK(): Unit
+
+    @transient private lazy val topKMemo =
+      new java.util.LinkedHashMap[(Int, Boolean), Seq[InternalRow]](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Boolean), Seq[InternalRow]]): Boolean =
+          size > 8
+      }
+
+    /** First/last `n` rows in layout order — O(n) rows read from the
+      * covering partitions only. Planned by [[IndexedTopK]]. */
+    private[sql] final def takeOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] = {
+      markTopK()
+      topKMemo.synchronized { Option(topKMemo.get((n, asc))) } match {
+        case Some(rows) => rows
+        case None =>
+          val rows = fetchOrderedRows(n, asc)
+          if (n <= 2048) topKMemo.synchronized {
+            topKMemo.put((n, asc), rows); ()
+          }
+          rows
+      }
+    }
+  }
+
   private[sql] trait StatsCapable {
     /** Column whose min/max the index answers in natural order, if any. */
     private[sql] def statsKeyCol: Option[String]
@@ -512,7 +551,7 @@ object IndexedFrame {
       private[sql] val codec: KeyCodec[K])(
       implicit private[sql] val kTag: ClassTag[K],
       private[sql] val kSer: KeySerializer[K]) extends Serializable
-      with StatsCapable with JoinableHandle with ZoneMapped {
+      with StatsCapable with JoinableHandle with ZoneMapped with TopKServable {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
     @transient @volatile private[sql] var lastProbeMemoHit: Boolean = false
@@ -660,36 +699,15 @@ object IndexedFrame {
     /** `ORDER BY key LIMIT n` is index-answerable when the partition
       * layout is globally ordered: range-partitioned + order-preserving
       * serializer (see [[graft.IndexedRDD.takeOrderedByKey]]). */
-    private[sql] def topKCapable: Boolean =
+    override private[sql] def topKCapable: Boolean =
       ordered && kSer.isOrderPreserving &&
         idx.partitioner.exists(_.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
-
-    // top-k twin of the range-count memo: the first/last n rows of an
-    // immutable snapshot never change, so a repeated ORDER BY key
-    // LIMIT n answers with no job. Entries hold collected rows, so the
-    // same ≤2048-row driver-memory cap as the probe memo applies —
-    // larger limits are served but never memoized.
-    @transient private lazy val topKMemo =
-      new java.util.LinkedHashMap[(Int, Boolean), Seq[InternalRow]](8, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(Int, Boolean), Seq[InternalRow]]): Boolean =
-          size > 8
-      }
-
-    /** First/last `n` rows in key order — O(n) rows read from the head
-      * (or tail) partitions only. Planned by [[IndexedTopK]]. */
-    private[sql] def takeOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] = {
+    override private[sql] def topKCols: Seq[String] = Seq(keyCol)
+    override protected def fetchOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] =
+      idx.takeOrderedByKey(n, asc)(kSer).toSeq.map(_._2)
+    override protected def markTopK(): Unit = {
       lastScanKind = "topk"
       lastPointLookupKeys = -1
-      topKMemo.synchronized { Option(topKMemo.get((n, asc))) } match {
-        case Some(rows) => rows
-        case None =>
-          val rows = idx.takeOrderedByKey(n, asc)(kSer).toSeq.map(_._2)
-          if (n <= 2048) topKMemo.synchronized {
-            topKMemo.put((n, asc), rows); ()
-          }
-          rows
-      }
     }
 
     // ------------------------------------------------- secondary indexes
@@ -1118,7 +1136,7 @@ object IndexedFrame {
       private[sql] val serA: KeySerializer[A],
       private[sql] val serB: KeySerializer[B])
       extends Serializable with StatsCapable with JoinableHandle
-      with ZoneMapped {
+      with ZoneMapped with TopKServable {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
@@ -1153,6 +1171,22 @@ object IndexedFrame {
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
       if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
+
+    /** `ORDER BY a[, b] LIMIT n`: a range-partitioned composite layout
+      * is globally sorted in lexicographic (a, b) order, so a uniform-
+      * direction sort on the pair — or on the leading column alone
+      * (ties broken deterministically by b) — reads the covering
+      * partition prefix/suffix only. */
+    override private[sql] def topKCapable: Boolean =
+      ordered && tupSer.isOrderPreserving &&
+        idx.partitioner.exists(_.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+    override private[sql] def topKCols: Seq[String] = Seq(keyColA, keyColB)
+    override protected def fetchOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] =
+      idx.takeOrderedByKey(n, asc)(tupSer).toSeq.map(_._2)
+    override protected def markTopK(): Unit = {
+      lastScanKind = "topk"
+      lastPointLookupKeys = -1
+    }
 
     /** DISTRIBUTED copy-on-write upsert — the composite twin of
       * [[Handle.upsertFrame]]: only the delta shuffles to the index's

@@ -41,9 +41,10 @@ object IndexedTopK {
 
   object IndexedTopKStrategy extends SparkStrategy {
 
-    private def bare(p: LogicalPlan): Option[IndexedFrame.Handle[_]] = p match {
+    private def bare(p: LogicalPlan): Option[IndexedFrame.TopKServable] = p match {
       case lr: LogicalRelation => lr.relation match {
         case rel: IndexedFrame.IndexedRelation[_] => Some(rel.h)
+        case rel: IndexedFrame.CompositeRelation[_, _] => Some(rel.h)
         case _ => None
       }
       case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>
@@ -51,20 +52,23 @@ object IndexedTopK {
       case _ => None
     }
 
-    private def planTopK(limit: Int, s: logical.Sort): Seq[SparkPlan] =
-      s.order match {
-        case Seq(so) => so.child match {
-          case k: AttributeReference =>
-            bare(s.child) match {
-              case Some(h) if h.topKCapable && h.keyCol == k.name =>
-                IndexedTopKExec(s.child.output, h, limit,
-                  so.direction == Ascending, s.order) :: Nil
-              case _ => Nil
-            }
-          case _ => Nil
-        }
+    /** Claims a uniform-direction sort on a non-empty PREFIX of the
+      * layout's order columns: `key` for single-key handles; `(a)` or
+      * `(a, b)` for composites — a leading-column sort is served by the
+      * full tuple order (ties broken deterministically by b, a legal
+      * answer where SQL leaves ties unspecified). Mixed directions or
+      * non-layout sort columns fall through. */
+    private def planTopK(limit: Int, s: logical.Sort): Seq[SparkPlan] = {
+      val cols = s.order.map(_.child).collect { case a: AttributeReference => a.name }
+      val dirs = s.order.map(_.direction).distinct
+      if (cols.isEmpty || cols.length != s.order.length || dirs.length != 1) Nil
+      else bare(s.child) match {
+        case Some(h) if h.topKCapable && h.topKCols.take(cols.length) == cols =>
+          IndexedTopKExec(s.child.output, h, limit,
+            dirs.head == Ascending, s.order) :: Nil
         case _ => Nil
       }
+    }
 
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       // ReturnAnswer wraps root plans of collect-like actions; claim it
@@ -80,7 +84,7 @@ object IndexedTopK {
   /** `n` rows in key order, fetched from only the covering partition
     * prefix/suffix and emitted as ONE ordered partition. */
   case class IndexedTopKExec(output: Seq[Attribute],
-      h: IndexedFrame.Handle[_], n: Int, asc: Boolean,
+      h: IndexedFrame.TopKServable, n: Int, asc: Boolean,
       sortOrder: Seq[SortOrder]) extends LeafExecNode {
 
     override def outputPartitioning: Partitioning = SinglePartition

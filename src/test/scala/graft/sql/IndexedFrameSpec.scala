@@ -276,6 +276,37 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hh.lastScanKind !== "topk")
   }
 
+  test("ORDER BY (a, b) and ORDER BY a LIMIT plan as IndexedTopK on RP composites") {
+    IndexedTopK.enable(spark)
+    val df = (0L until 2000L).map(k => (k % 40, k / 40, s"v$k"))
+      .toDF("a", "b", "v")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+    // full-pair ascending: lexicographic head
+    val both = h.toDF.orderBy($"a", $"b").limit(5)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(both.toSeq === (0L until 5L).map((0L, _)))
+    assert(h.lastScanKind === "topk")
+    // leading-column only: served by the tuple order (legal tie-break)
+    val lead = h.toDF.orderBy($"a").limit(3).select($"a").as[Long].collect()
+    assert(lead.toSeq === Seq(0L, 0L, 0L))
+    assert(h.lastScanKind === "topk")
+    // descending pair reads the suffix
+    val desc = h.toDF.orderBy($"a".desc, $"b".desc).limit(2)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(desc.toSeq === Seq((39L, 49L), (39L, 48L)))
+    assert(h.lastScanKind === "topk")
+    // mixed directions disqualify (fall back, stay correct)
+    val mixed = h.toDF.orderBy($"a", $"b".desc).limit(1)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(mixed.toSeq === Seq((0L, 49L)))
+    // sort on b alone is NOT the layout order: falls through
+    val bOnly = h.toDF.orderBy($"b").limit(1).select($"b").as[Long].collect()
+    assert(bOnly.toSeq === Seq(0L))
+    val plan = h.toDF.orderBy($"a", $"b").limit(3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedTopK"))
+  }
+
   test("takeOrderedByKey visits only the covering partition prefix") {
     val sc = spark.sparkContext
     val data = sc.parallelize((0L until 1000L).map(k => (k, k * 2)), 8)
