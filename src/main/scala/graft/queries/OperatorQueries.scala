@@ -618,6 +618,25 @@ object OperatorQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
+    "ir_sql_secondary_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // secondary indexes on a COMPOSITE-keyed table: the pair key
+      // (c_mktsegment, c_custkey) clusters neither c_nationkey nor its
+      // probes, but the shared inverted-index machinery routes the
+      // pushed equality into point probes of PAIR keys all the same
+      val h = graft.sql.IndexedFrame.indexCompositeAny(
+        Tables.customer(s, dir), "c_mktsegment", "c_custkey")
+        .addSecondaryIndex("c_nationkey")
+      val out = h.toDF.filter($"c_nationkey" === 7L)
+        .select($"c_mktsegment", $"c_custkey", $"c_nationkey", $"c_acctbal")
+      val n = out.count()
+      require(h.lastScanKind == "secondary_point",
+        s"expected the composite secondary to serve, got '${h.lastScanKind}'")
+      require(n > 0, "empty probe result")
+      out
+    },
+
     "ir_sql_range_stats" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1337,6 +1356,10 @@ object OperatorQueries {
     "ir_sql_secondary_range" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey BETWEEN 100 AND 110""".stripMargin,
+
+    "ir_sql_secondary_composite" ->
+      """SELECT c_mktsegment, c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE c_nationkey = 7""".stripMargin,
 
     "ir_sql_range_stats" ->
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,

@@ -342,6 +342,185 @@ object IndexedFrame {
     * converted to the column's external Scala form (a SQL literal of
     * the column type converts from it directly; UUID handles hand back
     * the canonical string, Int/Short keys narrow back from Long). */
+  /** VALUE-column → primary-key inverted indexes, shared by single-key
+    * AND composite handles (K is the primary key type — a scalar or a
+    * pair): [[addSecondaryIndex]] pays one shuffle of (value, key)
+    * pairs — never the rows — and builds an [[graft.IndexedRDD]] keyed
+    * by the value column, holding the primary keys per value. A pushed
+    * equality/IN on that column then serves as TWO partition-pruned
+    * point reads (probe the secondary for the key set, multiget the
+    * primary) instead of a corpus scan; `ordered = true` secondaries
+    * serve pushed RANGES through trie scans. Probes are driver-mediated
+    * and budget-capped: hotter values fall back to the scan lanes.
+    * Secondary filters are never claimed in unhandledFilters, so Spark
+    * re-applies them above and the budget fallback stays sound. */
+  private[sql] trait SecondaryCapable[K] extends Serializable {
+    private[sql] def idx: graft.IndexedRDD[K, InternalRow]
+    def schema: StructType
+    protected def secTag: ClassTag[K]
+    /** Primary key columns — a secondary may not target them. */
+    protected def secondaryForbiddenCols: Set[String]
+
+    @transient private lazy val secondaries =
+      new scala.collection.concurrent.TrieMap[
+        String, (KeySpec[Any], IndexedRDD[Any, Array[K]], Boolean)]()
+
+    /** Max primary keys a secondary probe may route into the point
+      * lane; beyond it the scan lanes serve (sound: the relation never
+      * claims secondary filters, Spark re-applies them above). Mutable
+      * for tests and for tuning to the driver's memory headroom. */
+    @transient private[sql] var SecondaryRouteBudget = 100000
+
+    /** (col, rangeable, inverted index) entries — the persistence
+      * snapshot [[IndexedFrame.save]] writes alongside the primary. */
+    private[sql] def secondaryEntries: Seq[(String, Boolean, IndexedRDD[Any, Array[K]])] =
+      secondaries.toSeq.map { case (c, (_, s, r)) => (c, r, s) }.sortBy(_._1)
+
+    /** Re-attach a persisted inverted index (the load path): the spec
+      * re-derives from the schema — the same derivation that built it —
+      * and the saved partition layout (hash or radix) comes back with
+      * the index files themselves. */
+    private[sql] def restoreSecondaryFrom(colName: String, rangeable: Boolean,
+        path: String): Unit = {
+      val spec = specFor(schema, colName, uuid = false).asInstanceOf[KeySpec[Any]]
+      implicit val st: ClassTag[Any] = spec.tag
+      implicit val ss: KeySerializer[Any] = spec.ser
+      implicit val vt: ClassTag[Array[K]] = secTag.wrap
+      secondaries.put(colName,
+        (spec, graft.IndexedRDDIO.load[Any, Array[K]](
+          idx.sparkContext, path).cached, rangeable))
+      ()
+    }
+
+    /** Build an inverted index on a non-key column now (one shuffle of
+      * (value, key) pairs) and route future pushed equality/IN
+      * predicates on it through point probes. With `ordered = true` the
+      * inverted index is radix-keyed in the column's natural order, so
+      * pushed RANGE predicates (`BETWEEN`, `<`, `>=`) route too — a
+      * trie range scan collects the matching key sets (budget-capped),
+      * then one primary multiget — the B-tree-secondary shape for
+      * selective ranges on columns the key layout does NOT cluster
+      * (zone maps cover the clustered case). Integral, string, and
+      * decimal(p,0) columns are supported (decimal is points-only: its
+      * encoding is not order-preserving); rows with NULL in the column
+      * are absent from the inverted index (SQL predicates never match
+      * NULL). Returns this handle for chaining. */
+    def addSecondaryIndex(col: String, ordered: Boolean = false): this.type = {
+      require(!secondaryForbiddenCols.contains(col),
+        s"'$col' is a primary key column")
+      require(schema.fieldNames.contains(col), s"no column '$col'")
+      secondaries.getOrElseUpdate(col, {
+        val spec = specFor(schema, col, uuid = false).asInstanceOf[KeySpec[Any]]
+        implicit val st: ClassTag[Any] = spec.tag
+        implicit val ss: KeySerializer[Any] = spec.ser
+        val fi = schema.fieldIndex(col)
+        val sCodec = spec.codec
+        implicit val kt: ClassTag[K] = secTag
+        val pairs = idx.mapPartitions(_.flatMap { case (k, row) =>
+          if (row.isNullAt(fi)) Iterator.empty
+          else Iterator.single((sCodec.fromRow(row, fi), k))
+        })
+        val grouped = pairs.aggregateByKey(
+          scala.collection.mutable.ArrayBuffer.empty[K])(_ += _, _ ++= _)
+          .mapValues(_.toArray(kt))
+        val rangeable = ordered && spec.ser.isOrderPreserving
+        val s2 = if (rangeable) IndexedRDD.ordered(grouped) else IndexedRDD(grouped)
+        (spec, s2.cached, rangeable)
+      })
+      this
+    }
+
+    private[sql] def hasSecondary(col: String): Boolean =
+      secondaries.contains(col)
+    private[sql] def hasOrderedSecondary(col: String): Boolean =
+      secondaries.get(col).exists(_._3)
+    private[sql] def secondaryCodec(col: String): KeyCodec[Any] =
+      secondaries(col)._1.codec
+
+    /** Primary keys with `col` inside the half-open secondary-domain
+      * interval, via a trie range scan of the ordered inverted index;
+      * None when over budget. Superset semantics are NOT needed — the
+      * interval algebra is the same boundsOn/meet the key lanes use —
+      * but Spark re-applies the predicates above regardless. */
+    private[sql] def secondaryRangeProbe(col: String,
+        iv: Iv[Any]): Option[Array[K]] = {
+      val (spec, sidx, rangeable) = secondaries(col)
+      require(rangeable, s"secondary index on '$col' is not ordered")
+      if (iv.empty) return Some(Array.empty[K](secTag))
+      implicit val ss: KeySerializer[Any] = spec.ser
+      val from = iv.from.getOrElse(spec.codec.minKey)
+      // close an unbounded-above interval at succ(maxKey); a domain-max
+      // key lacks a successor and is probed exactly (mirrors the
+      // primary range lane)
+      val (ranges, corners) = iv.to match {
+        case Some(t) => (Seq((from, t)), Nil)
+        case None => sidx.maxKey() match {
+          case None => (Nil, Nil)
+          case Some(mk) if spec.codec.ord.lt(mk, from) => (Nil, Nil)
+          case Some(mk) => spec.codec.succ(mk) match {
+            case Some(end) => (Seq((from, end)), Nil)
+            case None => (Seq((from, mk)), Seq(mk))
+          }
+        }
+      }
+      val budget = SecondaryRouteBudget
+      val live = ranges.filter { case (f, t) => spec.codec.ord.lt(f, t) }
+      // one job: each partition returns its in-range key arrays, or an
+      // over-budget marker the moment its local total crosses the cap —
+      // bounded driver traffic even under a hot range
+      val perPart: Array[Either[Unit, Array[K]]] =
+        if (live.isEmpty) Array.empty
+        else {
+          val kt = secTag
+          sidx.range(live.head._1, live.head._2).mapPartitions { it =>
+            val buf = new scala.collection.mutable.ArrayBuffer[K]()
+            var over = false
+            while (!over && it.hasNext) {
+              buf ++= it.next()._2
+              if (buf.length > budget) over = true
+            }
+            Iterator.single(
+              if (over) Left(()): Either[Unit, Array[K]]
+              else Right(buf.toArray(kt)))
+          }.collect()
+        }
+      if (perPart.exists(_.isLeft)) return None
+      val corner: Array[K] =
+        if (corners.isEmpty) Array.empty[K](secTag)
+        else sidx.multiget(corners.map(x => x: Any).toArray(
+          scala.reflect.ClassTag.Any)).valuesIterator
+          .foldLeft(new scala.collection.mutable.ArrayBuffer[K]())(_ ++= _)
+          .toArray(secTag)
+      val buf = new scala.collection.mutable.ArrayBuffer[K]()
+      perPart.foreach { case Right(a) => buf ++= a; case _ => }
+      buf ++= corner
+      if (buf.length > SecondaryRouteBudget) None else Some(buf.toArray(secTag))
+    }
+
+    /** Primary keys matching `col ∈ values` via the inverted index;
+      * None when over budget (caller falls back to the scan lanes).
+      * Unparseable literals match nothing, like the point lane. */
+    private[sql] def secondaryProbe(col: String,
+        values: Iterable[Any]): Option[Array[K]] = {
+      val (spec, sidx, _) = secondaries(col)
+      // boxed Array[Any] throughout — spec.tag's runtime class may be a
+      // primitive, and a primitive array cannot pose as Array[Any]
+      val keys: Array[Any] = values.iterator
+        .flatMap(v => Try(spec.codec.fromLiteral(v)).toOption)
+        .toArray(scala.reflect.ClassTag.Any)
+      val hits = sidx.multiget(keys)
+      var total = 0L
+      hits.valuesIterator.foreach(total += _.length)
+      if (total > SecondaryRouteBudget) None
+      else {
+        val buf = new scala.collection.mutable.ArrayBuffer[K](total.toInt)
+        hits.valuesIterator.foreach(a => buf ++= a)
+        Some(buf.toArray(secTag))
+      }
+    }
+
+  }
+
   /** `ORDER BY <layout-order prefix> LIMIT n` surface, implemented by
     * single-key AND composite handles: on a range-partitioned ordered
     * layout the first/last n rows live in a known partition prefix
@@ -551,7 +730,10 @@ object IndexedFrame {
       private[sql] val codec: KeyCodec[K])(
       implicit private[sql] val kTag: ClassTag[K],
       private[sql] val kSer: KeySerializer[K]) extends Serializable
-      with StatsCapable with JoinableHandle with ZoneMapped with TopKServable {
+      with StatsCapable with JoinableHandle with ZoneMapped with TopKServable
+      with SecondaryCapable[K] {
+    override protected def secTag: ClassTag[K] = kTag
+    override protected def secondaryForbiddenCols: Set[String] = Set(keyCol)
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
     @transient @volatile private[sql] var lastProbeMemoHit: Boolean = false
@@ -710,177 +892,8 @@ object IndexedFrame {
       lastPointLookupKeys = -1
     }
 
-    // ------------------------------------------------- secondary indexes
-    // VALUE-column → primary-key inverted index: [[addSecondaryIndex]]
-    // pays one shuffle of (value, key) pairs — never the rows — and
-    // builds an [[IndexedRDD]] keyed by the value column, holding the
-    // primary keys per value. A pushed equality/IN on that column then
-    // serves as TWO partition-pruned point reads (probe the secondary
-    // for the key set, multiget the primary) instead of a corpus scan —
-    // the 100 TB shape for selective equality on a non-key column.
-    // The probe is driver-mediated (key set returned, then shipped via
-    // the primary multiget's broadcast), so a budget caps the routed
-    // key count: hotter values fall back to the scan lanes (zone maps
-    // included) rather than materializing a huge key set on the driver.
-    // The handle is immutable, so the secondary never staleness-checks;
-    // derived handles (upsertFrame/deleteFrame) do NOT inherit it —
-    // re-add after bulk updates.
-    @transient private lazy val secondaries =
-      new scala.collection.concurrent.TrieMap[
-        String, (KeySpec[Any], IndexedRDD[Any, Array[K]], Boolean)]()
-
-    /** Max primary keys a secondary probe may route into the point
-      * lane; beyond it the scan lanes serve (sound: the relation never
-      * claims secondary filters, Spark re-applies them above). Mutable
-      * for tests and for tuning to the driver's memory headroom. */
-    @transient private[sql] var SecondaryRouteBudget = 100000
-
-    /** (col, rangeable, inverted index) entries — the persistence
-      * snapshot [[IndexedFrame.save]] writes alongside the primary. */
-    private[sql] def secondaryEntries: Seq[(String, Boolean, IndexedRDD[Any, Array[K]])] =
-      secondaries.toSeq.map { case (c, (_, s, r)) => (c, r, s) }.sortBy(_._1)
-
-    /** Re-attach a persisted inverted index (the load path): the spec
-      * re-derives from the schema — the same derivation that built it —
-      * and the saved partition layout (hash or radix) comes back with
-      * the index files themselves. */
-    private[sql] def restoreSecondaryFrom(colName: String, rangeable: Boolean,
-        path: String): Unit = {
-      val spec = specFor(schema, colName, uuid = false).asInstanceOf[KeySpec[Any]]
-      implicit val st: ClassTag[Any] = spec.tag
-      implicit val ss: KeySerializer[Any] = spec.ser
-      implicit val vt: ClassTag[Array[K]] = kTag.wrap
-      secondaries.put(colName,
-        (spec, graft.IndexedRDDIO.load[Any, Array[K]](
-          idx.sparkContext, path).cached, rangeable))
-      ()
-    }
-
-    /** Build an inverted index on a non-key column now (one shuffle of
-      * (value, key) pairs) and route future pushed equality/IN
-      * predicates on it through point probes. With `ordered = true` the
-      * inverted index is radix-keyed in the column's natural order, so
-      * pushed RANGE predicates (`BETWEEN`, `<`, `>=`) route too — a
-      * trie range scan collects the matching key sets (budget-capped),
-      * then one primary multiget — the B-tree-secondary shape for
-      * selective ranges on columns the key layout does NOT cluster
-      * (zone maps cover the clustered case). Integral, string, and
-      * decimal(p,0) columns are supported (decimal is points-only: its
-      * encoding is not order-preserving); rows with NULL in the column
-      * are absent from the inverted index (SQL predicates never match
-      * NULL). Returns this handle for chaining. */
-    def addSecondaryIndex(col: String, ordered: Boolean = false): this.type = {
-      require(col != keyCol, s"'$col' is the primary key column")
-      require(schema.fieldNames.contains(col), s"no column '$col'")
-      secondaries.getOrElseUpdate(col, {
-        val spec = specFor(schema, col, uuid = false).asInstanceOf[KeySpec[Any]]
-        implicit val st: ClassTag[Any] = spec.tag
-        implicit val ss: KeySerializer[Any] = spec.ser
-        val fi = schema.fieldIndex(col)
-        val sCodec = spec.codec
-        val kt = kTag
-        val pairs = idx.mapPartitions(_.flatMap { case (k, row) =>
-          if (row.isNullAt(fi)) Iterator.empty
-          else Iterator.single((sCodec.fromRow(row, fi), k))
-        })
-        val grouped = pairs.aggregateByKey(
-          scala.collection.mutable.ArrayBuffer.empty[K])(_ += _, _ ++= _)
-          .mapValues(_.toArray(kt))
-        val rangeable = ordered && spec.ser.isOrderPreserving
-        val s2 = if (rangeable) IndexedRDD.ordered(grouped) else IndexedRDD(grouped)
-        (spec, s2.cached, rangeable)
-      })
-      this
-    }
-
-    private[sql] def hasSecondary(col: String): Boolean =
-      secondaries.contains(col)
-    private[sql] def hasOrderedSecondary(col: String): Boolean =
-      secondaries.get(col).exists(_._3)
-    private[sql] def secondaryCodec(col: String): KeyCodec[Any] =
-      secondaries(col)._1.codec
-
-    /** Primary keys with `col` inside the half-open secondary-domain
-      * interval, via a trie range scan of the ordered inverted index;
-      * None when over budget. Superset semantics are NOT needed — the
-      * interval algebra is the same boundsOn/meet the key lanes use —
-      * but Spark re-applies the predicates above regardless. */
-    private[sql] def secondaryRangeProbe(col: String,
-        iv: Iv[Any]): Option[Array[K]] = {
-      val (spec, sidx, rangeable) = secondaries(col)
-      require(rangeable, s"secondary index on '$col' is not ordered")
-      if (iv.empty) return Some(Array.empty[K](kTag))
-      implicit val ss: KeySerializer[Any] = spec.ser
-      val from = iv.from.getOrElse(spec.codec.minKey)
-      // close an unbounded-above interval at succ(maxKey); a domain-max
-      // key lacks a successor and is probed exactly (mirrors the
-      // primary range lane)
-      val (ranges, corners) = iv.to match {
-        case Some(t) => (Seq((from, t)), Nil)
-        case None => sidx.maxKey() match {
-          case None => (Nil, Nil)
-          case Some(mk) if spec.codec.ord.lt(mk, from) => (Nil, Nil)
-          case Some(mk) => spec.codec.succ(mk) match {
-            case Some(end) => (Seq((from, end)), Nil)
-            case None => (Seq((from, mk)), Seq(mk))
-          }
-        }
-      }
-      val budget = SecondaryRouteBudget
-      val live = ranges.filter { case (f, t) => spec.codec.ord.lt(f, t) }
-      // one job: each partition returns its in-range key arrays, or an
-      // over-budget marker the moment its local total crosses the cap —
-      // bounded driver traffic even under a hot range
-      val perPart: Array[Either[Unit, Array[K]]] =
-        if (live.isEmpty) Array.empty
-        else {
-          val kt = kTag
-          sidx.range(live.head._1, live.head._2).mapPartitions { it =>
-            val buf = new scala.collection.mutable.ArrayBuffer[K]()
-            var over = false
-            while (!over && it.hasNext) {
-              buf ++= it.next()._2
-              if (buf.length > budget) over = true
-            }
-            Iterator.single(
-              if (over) Left(()): Either[Unit, Array[K]]
-              else Right(buf.toArray(kt)))
-          }.collect()
-        }
-      if (perPart.exists(_.isLeft)) return None
-      val corner: Array[K] =
-        if (corners.isEmpty) Array.empty[K](kTag)
-        else sidx.multiget(corners.map(x => x: Any).toArray(
-          scala.reflect.ClassTag.Any)).valuesIterator
-          .foldLeft(new scala.collection.mutable.ArrayBuffer[K]())(_ ++= _)
-          .toArray(kTag)
-      val buf = new scala.collection.mutable.ArrayBuffer[K]()
-      perPart.foreach { case Right(a) => buf ++= a; case _ => }
-      buf ++= corner
-      if (buf.length > SecondaryRouteBudget) None else Some(buf.toArray(kTag))
-    }
-
-    /** Primary keys matching `col ∈ values` via the inverted index;
-      * None when over budget (caller falls back to the scan lanes).
-      * Unparseable literals match nothing, like the point lane. */
-    private[sql] def secondaryProbe(col: String,
-        values: Iterable[Any]): Option[Array[K]] = {
-      val (spec, sidx, _) = secondaries(col)
-      // boxed Array[Any] throughout — spec.tag's runtime class may be a
-      // primitive, and a primitive array cannot pose as Array[Any]
-      val keys: Array[Any] = values.iterator
-        .flatMap(v => Try(spec.codec.fromLiteral(v)).toOption)
-        .toArray(scala.reflect.ClassTag.Any)
-      val hits = sidx.multiget(keys)
-      var total = 0L
-      hits.valuesIterator.foreach(total += _.length)
-      if (total > SecondaryRouteBudget) None
-      else {
-        val buf = new scala.collection.mutable.ArrayBuffer[K](total.toInt)
-        hits.valuesIterator.foreach(a => buf ++= a)
-        Some(buf.toArray(kTag))
-      }
-    }
+    // secondary indexes: provided by [[SecondaryCapable]] (shared
+    // with composite handles).
 
     /** DISTRIBUTED copy-on-write upsert: key `updates`' internal rows
       * and ship ONLY them to this index's partitioning (one one-sided
@@ -1136,9 +1149,12 @@ object IndexedFrame {
       private[sql] val serA: KeySerializer[A],
       private[sql] val serB: KeySerializer[B])
       extends Serializable with StatsCapable with JoinableHandle
-      with ZoneMapped with TopKServable {
+      with ZoneMapped with TopKServable with SecondaryCapable[(A, B)] {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
+    override protected def secTag: ClassTag[(A, B)] = implicitly
+    override protected def secondaryForbiddenCols: Set[String] =
+      Set(keyColA, keyColB)
 
     private[sql] implicit val tupSer: KeySerializer[(A, B)] =
       new KeySerializer.ConcatTuple2Serializer[A, B](serA, serB)
@@ -1505,17 +1521,63 @@ object IndexedFrame {
           }
         case FullLane =>
           h.lastPointLookupKeys = -1
-          // zone maps prune the composite full lane exactly like the
-          // single-key one (Spark re-applies the filters above)
-          h.zoneKeeps(filters) match {
-            case Some(keep) =>
-              h.lastScanKind = "full_zone"
-              h.setZoneKept(keep.count(identity))
-              org.apache.spark.rdd.PartitionPruningRDD.create(
-                h.idx.map(_._2), keep(_))
+          // no KEY lane applies: secondary-indexed VALUE columns route
+          // equality/IN (and ranges on ordered secondaries) through
+          // point probes, exactly like the single-key relation — never
+          // claimed in unhandledFilters, so Spark re-applies the
+          // predicates above and the budget fallback stays sound
+          val eqPreds = filters.flatMap {
+            case EqualTo(c, v) if h.hasSecondary(c) =>
+              Some((c, if (v == null) Nil else Seq(v)))
+            case In(c, vs) if h.hasSecondary(c) =>
+              Some((c, vs.toSeq.filter(_ != null)))
+            case _ => None
+          }
+          val rangePreds = filters
+            .flatMap { f =>
+              (f match {
+                case GreaterThan(c, _) => Some(c)
+                case GreaterThanOrEqual(c, _) => Some(c)
+                case LessThan(c, _) => Some(c)
+                case LessThanOrEqual(c, _) => Some(c)
+                case _ => None
+              }).filter(h.hasOrderedSecondary).flatMap(c =>
+                boundsOn(c, h.secondaryCodec(c), eqAsPrefix = false, f)
+                  .map(iv => (c, iv)))
+            }
+            .groupBy(_._1).view
+            .mapValues(ivs =>
+              meet(ivs.map(_._2).toSeq, h.secondaryCodec(ivs.head._1).ord))
+            .toSeq
+          val secondaryKeys: Option[Array[(A, B)]] =
+            if (eqPreds.isEmpty && rangePreds.isEmpty) None
+            else {
+              val sets = eqPreds.map { case (c, vs) => h.secondaryProbe(c, vs) } ++
+                rangePreds.map { case (c, iv) => h.secondaryRangeProbe(c, iv) }
+              if (sets.exists(_.isEmpty)) None // over budget: scan serves
+              else Some(sets.map(_.get.toSet).reduce(_ intersect _)
+                .toArray(implicitly[ClassTag[(A, B)]]))
+            }
+          secondaryKeys match {
+            case Some(keys) =>
+              h.lastScanKind =
+                if (rangePreds.nonEmpty) "secondary_range" else "secondary_point"
+              h.lastPointLookupKeys = keys.length
+              val hit = h.idx.multiget(keys).values.toSeq
+              sqlContext.sparkContext.parallelize(hit, 1)
             case None =>
-              h.lastScanKind = "full"
-              h.idx.map(_._2)
+              // zone maps prune the composite full lane exactly like
+              // the single-key one (Spark re-applies the filters above)
+              h.zoneKeeps(filters) match {
+                case Some(keep) =>
+                  h.lastScanKind = "full_zone"
+                  h.setZoneKept(keep.count(identity))
+                  org.apache.spark.rdd.PartitionPruningRDD.create(
+                    h.idx.map(_._2), keep(_))
+                case None =>
+                  h.lastScanKind = "full"
+                  h.idx.map(_._2)
+              }
           }
       }
       val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
@@ -1605,13 +1667,21 @@ object IndexedFrame {
       out.writeObject(h.keyColB)
       out.writeObject(codecTag(h.codecA)); out.writeObject(codecTag(h.codecB))
     } finally out.close()
-    // zones ride along exactly as for single-key saves (composites
-    // share the ZoneMapped machinery; they carry no secondaries)
+    // secondaries and zones ride along exactly as for single-key saves
+    // (both handle kinds share the SecondaryCapable/ZoneMapped traits)
+    val secs = h.secondaryEntries
+    secs.zipWithIndex.foreach { case ((_, _, s), i) =>
+      graft.IndexedRDDIO.save(s, s"$path/sec_$i")
+    }
     val (zoneCols, zoneStats) = h.zoneSnapshot
     val out2 = new java.io.ObjectOutputStream(fs.create(
       new org.apache.hadoop.fs.Path(path, "_indexes"), true))
     try {
-      out2.writeInt(0)
+      out2.writeInt(secs.size)
+      secs.zipWithIndex.foreach { case ((c, rangeable, _), i) =>
+        out2.writeObject(c); out2.writeBoolean(rangeable)
+        out2.writeObject(s"sec_$i")
+      }
       out2.writeObject(zoneCols); out2.writeObject(zoneStats)
     } finally out2.close()
   }
@@ -1652,12 +1722,18 @@ object IndexedFrame {
             graft.IndexedRDDIO.load[(a, b), InternalRow](sc, path).cached,
             keyColA, keyColB, schema, ordered, sa.codec, sb.codec)
       }
-      // optional sidecar: zones re-attach with no re-analyze job
+      // optional sidecar: secondaries + zones re-attach, no rebuild
       val ixPath = new org.apache.hadoop.fs.Path(path, "_indexes")
       if (fs.exists(ixPath)) {
         val in2 = new java.io.ObjectInputStream(fs.open(ixPath))
         try {
-          in2.readInt() // composites carry no secondaries
+          val n = in2.readInt()
+          (0 until n).foreach { _ =>
+            val c = in2.readObject().asInstanceOf[String]
+            val rangeable = in2.readBoolean()
+            val sub = in2.readObject().asInstanceOf[String]
+            handle.restoreSecondaryFrom(c, rangeable, s"$path/$sub")
+          }
           val zoneCols = in2.readObject().asInstanceOf[Set[String]]
           val zoneStats = in2.readObject().asInstanceOf[Map[String, Array[Zone]]]
           handle.restoreZones(zoneCols, zoneStats)

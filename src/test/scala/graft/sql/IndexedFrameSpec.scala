@@ -276,6 +276,40 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hh.lastScanKind !== "topk")
   }
 
+  test("composite handles route secondary equality/ranges and persist them") {
+    val df = (0L until 1000L).map(k =>
+      (k % 40, k / 40, (k * 37) % 1000, s"g${k % 3}", s"row$k"))
+      .toDF("a", "b", "bal", "cat", "v")
+    val h = IndexedFrame.indexCompositeAny(df, "a", "b")
+      .addSecondaryIndex("cat")
+      .addSecondaryIndex("bal", ordered = true)
+    // equality on a non-key column probes via the inverted index
+    val eq = h.toDF.filter($"cat" === "g1").select($"v").as[String].collect().toSet
+    assert(eq === (0L until 1000L).filter(_ % 3 == 1).map(k => s"row$k").toSet)
+    assert(h.lastScanKind === "secondary_point")
+    // range on the ordered secondary routes through trie scans
+    val rg = h.toDF.filter($"bal".between(100L, 120L))
+      .select($"v").as[String].collect().toSet
+    assert(rg === (0L until 1000L)
+      .filter(k => { val x = (k * 37) % 1000; x >= 100 && x <= 120 })
+      .map(k => s"row$k").toSet)
+    assert(h.lastScanKind === "secondary_range")
+    // key columns themselves are refused
+    intercept[IllegalArgumentException](h.addSecondaryIndex("a"))
+    // over-budget probes fall back to the scan, same answers
+    h.SecondaryRouteBudget = 10
+    val fb = h.toDF.filter($"cat" === "g1").select($"v").as[String].collect().toSet
+    assert(fb === eq && h.lastScanKind === "full")
+    h.SecondaryRouteBudget = 100000
+    // save/load carries the composite's secondaries too
+    val path = java.nio.file.Files.createTempDirectory("comp_sec_io").toString
+    IndexedFrame.save(h, path)
+    val loaded = IndexedFrame.loadComposite(spark, path)
+    val leq = loaded.toDF.filter($"cat" === "g1").select($"v").as[String].collect().toSet
+    assert(leq === eq)
+    assert(loaded.lastScanKind === "secondary_point")
+  }
+
   test("ORDER BY (a, b) and ORDER BY a LIMIT plan as IndexedTopK on RP composites") {
     IndexedTopK.enable(spark)
     val df = (0L until 2000L).map(k => (k % 40, k / 40, s"v$k"))
