@@ -20,6 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += ((name, String.valueOf(e.getMessage)))
       }
       // drop per-query pinned tables/indexes so 40+ queries in one
       // session don't accumulate cached blocks
@@ -48,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // erroring lanes are DATA, not just stderr noise: round 9's driver
+    // artifact silently dropped them, which hid a 16-lane breakage —
+    // this file makes "absent from CORRECTNESS" distinguishable from
+    // "never ran" for anyone reading the dump
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

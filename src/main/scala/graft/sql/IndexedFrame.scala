@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, PrunedFilteredScan}
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
   FloatType, IntegerType, LongType, ShortType, StringType, StructType,
-  TimestampType}
+  TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.IndexedRDD
@@ -237,6 +237,8 @@ object IndexedFrame {
         org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
       case (TimestampType, i: java.time.Instant) => Some(Left(
         org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+      case (TimestampNTZType, l: java.time.LocalDateTime) => Some(Left(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)))
       case (LongType | IntegerType | ShortType | ByteType, n: java.lang.Number)
           if n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer] ||
             n.isInstanceOf[java.lang.Short] || n.isInstanceOf[java.lang.Byte] =>
@@ -639,7 +641,7 @@ object IndexedFrame {
       if (zoneKeyCols.contains(c) || !schema.fieldNames.contains(c)) None
       else schema(schema.fieldIndex(c)).dataType match {
         case t @ (LongType | IntegerType | ShortType | ByteType |
-                  TimestampType | DoubleType | FloatType) => Some(t)
+                  TimestampType | TimestampNTZType | DoubleType | FloatType) => Some(t)
         case _ => None
       }
 
@@ -669,7 +671,7 @@ object IndexedFrame {
               it.foreach { r =>
                 if (!r.isNullAt(fi)) {
                   val v = dt match {
-                    case LongType | TimestampType => r.getLong(fi)
+                    case LongType | TimestampType | TimestampNTZType => r.getLong(fi)
                     case IntegerType => r.getInt(fi).toLong
                     case ShortType => r.getShort(fi).toLong
                     case _ => r.getByte(fi).toLong

@@ -77,6 +77,22 @@ object IndexedTopK {
       case logical.Limit(IntegerLiteral(n), s: logical.Sort)
           if s.global && n <= TopKBudget && n >= 0 =>
         planTopK(n, s)
+      // attribute-only Project ABOVE the limit (`SELECT k ... ORDER BY k
+      // LIMIT n`): claim the whole fragment so a collect() still roots in
+      // IndexedTopKExec (driver-side executeCollect, zero jobs on memo
+      // hits) instead of a ProjectExec that forces the RDD path. Only
+      // when the sort columns survive the projection — outputOrdering
+      // must reference output attributes.
+      case Project(projs, logical.Limit(IntegerLiteral(n), s: logical.Sort))
+          if projs.forall(_.isInstanceOf[Attribute]) && s.global &&
+            n <= TopKBudget && n >= 0 &&
+            s.order.map(_.child).forall {
+              case a: AttributeReference => projs.exists(_.exprId == a.exprId)
+              case _ => false
+            } =>
+        planTopK(n, s).map { case e: IndexedTopKExec =>
+          e.copy(output = projs.map(_.asInstanceOf[Attribute]))
+        }
       case _ => Nil
     }
   }
@@ -90,12 +106,28 @@ object IndexedTopK {
     override def outputPartitioning: Partitioning = SinglePartition
     override def outputOrdering: Seq[SortOrder] = sortOrder
 
+    private def boundFields: Seq[BoundReference] = output.map { a =>
+      val i = h.schema.fieldIndex(a.name)
+      BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable)
+    }
+
+    /** collect()-rooted top-k never touches the cluster after the first
+      * fetch: the rows are already on the driver (memoized on the
+      * immutable handle), so answer from them directly — zero Spark
+      * jobs on repeat queries. Same driver-side shortcut Catalyst's
+      * `TakeOrderedAndProjectExec` takes via `executeCollect`. */
+    override def executeCollect(): Array[InternalRow] = {
+      val rows = h.takeOrderedRows(n, asc)
+      val proj = UnsafeProjection.create(boundFields.toIndexedSeq)
+      rows.iterator.map(r => proj(r).copy(): InternalRow).toArray
+    }
+
+    override def executeTake(limit: Int): Array[InternalRow] =
+      executeCollect().take(limit)
+
     override protected def doExecute(): RDD[InternalRow] = {
       val rows = h.takeOrderedRows(n, asc)
-      val fields = output.map { a =>
-        val i = h.schema.fieldIndex(a.name)
-        BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable)
-      }
+      val fields = boundFields
       sparkContext.parallelize(rows, 1).mapPartitions { it =>
         val proj = UnsafeProjection.create(fields.toIndexedSeq)
         it.map(r => proj(r): InternalRow)

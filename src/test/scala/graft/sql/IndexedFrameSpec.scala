@@ -276,6 +276,35 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hh.lastScanKind !== "topk")
   }
 
+  test("repeated top-k collect on an immutable handle runs ZERO Spark jobs") {
+    IndexedTopK.enable(spark)
+    val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
+    val h = IndexedFrame.indexRangePartitioned(df, "k", 8)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // first query pays the fetch jobs and fills the handle memo — and
+      // validates the listener wiring (job events are async: poll)
+      val first = h.toDF.orderBy($"k").limit(9).select($"k").as[Long].collect()
+      assert(first.toSeq === (0L until 9L))
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs > 0, "listener never saw the first query's fetch jobs")
+      jobs = 0
+      // repeat: collect() roots in IndexedTopKExec.executeCollect, which
+      // answers from the driver-side memo — no job may start. The event
+      // bus is async, so give any stray job time to surface.
+      val again = h.toDF.orderBy($"k").limit(9).select($"k").as[Long].collect()
+      assert(again.toSeq === (0L until 9L))
+      Thread.sleep(500)
+      assert(jobs === 0, s"memo-hit top-k repeat scheduled $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("composite handles route secondary equality/ranges and persist them") {
     val df = (0L until 1000L).map(k =>
       (k % 40, k / 40, (k * 37) % 1000, s"g${k % 3}", s"row$k"))
