@@ -90,6 +90,7 @@ object Bench {
       family("stats")(microStats(spark, sfDir)) ++
       family("bloom")(microBloom(spark, sfDir)) ++
       family("zone")(microZone(spark, sfDir)) ++
+      family("tskey")(microTsKey(spark, sfDir)) ++
       family("secondary")(microSecondary(spark, sfDir)) ++
       family("secondaryDisk")(microSecondaryDisk(spark, sfDir)) ++
       family("topk")(microTopk(spark, sfDir))
@@ -329,6 +330,31 @@ object Bench {
     hz.idx.unpersist(); hzPlain.idx.unpersist()
     Seq("micro_sql_zone_pruned_20" -> tZonePruned,
       "micro_sql_zone_full_20" -> tZoneFull)
+  }
+
+  /** Timestamp-leading composite key vs zone maps, same 20 repeated
+    * 3-day time-range counts as the zone micro: the (ts, event_id)
+    * layout prunes EXACTLY (the interval is one contiguous tuple-space
+    * range), where zone maps only keep partitions whose value summary
+    * overlaps. The zone micro's pruned/full pair plus this lane order
+    * the three plans a 100 TB time-range query could get. */
+  private def microTsKey(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    import org.apache.spark.sql.functions.{col, count => fCount, lit => fLit}
+    val evDF = graft.queries.Tables.events(spark, sfDir)
+      .select($"ts", $"event_id", $"user_id", $"value")
+    val ht = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+      evDF, "ts", "event_id", 16)
+    ht.idx.count()
+    val zlo = fLit("2024-01-20 00:00:00").cast("timestamp")
+    val zhi = fLit("2024-01-23 00:00:00").cast("timestamp")
+    val tTsPruned = bestOf2((0 until 20).foreach { _ =>
+      ht.toDF.filter(col("ts") >= zlo && col("ts") < zhi)
+        .agg(fCount(fLit(1))).collect()
+    })
+    ht.idx.unpersist()
+    Seq("micro_sql_tskey_pruned_20" -> tTsPruned)
   }
 
   /** Secondary index: 50 repeated equality reads on a non-key column —

@@ -577,6 +577,45 @@ object OperatorQueries {
         .select($"event_id", $"user_id", round($"value", 2).as("value"))
     },
 
+    "ir_sql_range_ts" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // TIMESTAMP-keyed index: the classic time-series layout keys the
+      // corpus by (ts, id) — the unique pair makes the key total while
+      // the leading ts column gives EXACT time-range partition pruning
+      // (a pushed ts interval is ONE contiguous range of the tuple byte
+      // space; contrast ir_sql_zone_prune, where ts is only a value
+      // summary and pruning is approximate). Timestamps ride the long
+      // codec as epoch micros, so the radix layout and range algebra
+      // are identical to integral keys. 100 TB shape: "last 3 days over
+      // a month of events" reads O(days) partitions, not O(corpus).
+      val ev = Tables.events(s, dir)
+        .select($"ts", $"event_id", $"user_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "ts", "event_id", numPartitions = 16)
+      h.toDF.filter($"ts" >= lit("2024-01-20 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-23 00:00:00").cast("timestamp"))
+        .select(unix_millis($"ts").as("ts_ms"), $"event_id", $"user_id",
+          round($"value", 2).as("value"))
+    },
+
+    "ir_sql_topk_ts" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // earliest-n over the same time-leading composite: ORDER BY
+      // (ts, event_id) LIMIT n is served by IndexedTopK from the
+      // covering partition prefix — O(n) rows read, no corpus heap-scan
+      // (the unique pair makes both engines' pick deterministic)
+      graft.sql.IndexedTopK.enable(s)
+      val ev = Tables.events(s, dir)
+        .select($"ts", $"event_id", $"user_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "ts", "event_id", numPartitions = 16)
+      h.toDF.orderBy($"ts", $"event_id").limit(50)
+        .select(unix_millis($"ts").as("ts_ms"), $"event_id",
+          round($"value", 2).as("value"))
+    },
+
     "ir_sql_secondary_eq" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1348,6 +1387,16 @@ object OperatorQueries {
       """SELECT event_id, user_id, round(value, 2) AS value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-23 00:00:00'""".stripMargin,
+
+    "ir_sql_range_ts" ->
+      """SELECT epoch_ms(ts) AS ts_ms, event_id, user_id,
+        |  round(value, 2) AS value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-23 00:00:00'""".stripMargin,
+
+    "ir_sql_topk_ts" ->
+      """SELECT epoch_ms(ts) AS ts_ms, event_id, round(value, 2) AS value
+        |FROM events ORDER BY ts, event_id LIMIT 50""".stripMargin,
 
     "ir_sql_secondary_eq" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -83,9 +83,17 @@ object IndexedFrame {
     def rangeLiteral(v: Any): Option[K]
   }
 
+  /** Integral AND timestamp key columns: timestamps are long
+    * microseconds internally, so the sign-flip order-preserving long
+    * serializer, radix layout, and range algebra all carry over — a
+    * `(ts, id)`-keyed handle is the classic time-series layout with
+    * EXACT leading-column time-range pruning (strictly stronger than
+    * zone maps, which only summarize). Filter literals arrive as
+    * `java.sql.Timestamp`/`Instant` (TIMESTAMP) or `LocalDateTime`
+    * (TIMESTAMP_NTZ) and normalize to micros. */
   private[sql] final class LongCodec(dt: DataType) extends KeyCodec[Long] {
     override def fromRow(r: InternalRow, i: Int): Long = dt match {
-      case LongType => r.getLong(i)
+      case LongType | TimestampType | TimestampNTZType => r.getLong(i)
       case IntegerType => r.getInt(i).toLong
       case ShortType => r.getShort(i).toLong
       case ByteType => r.getByte(i).toLong
@@ -95,6 +103,12 @@ object IndexedFrame {
       case i: Int => i.toLong
       case s: Short => s.toLong
       case b: Byte => b.toLong
+      case t: java.sql.Timestamp =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case i: java.time.Instant =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+      case l: java.time.LocalDateTime =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)
       case other => throw new IllegalArgumentException(
         s"integral key literal required, got ${if (other == null) "null" else other.getClass}")
     }
@@ -103,6 +117,10 @@ object IndexedFrame {
       case IntegerType => k.asInstanceOf[Long].toInt
       case ShortType => k.asInstanceOf[Long].toShort
       case ByteType => k.asInstanceOf[Long].toByte
+      case TimestampType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(k.asInstanceOf[Long])
+      case TimestampNTZType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToLocalDateTime(k.asInstanceOf[Long])
     }
     override def ord: Ordering[Long] = Ordering.Long
     override def succ(k: Long): Option[Long] =
@@ -281,6 +299,23 @@ object IndexedFrame {
   private[sql] final case class Iv[T](from: Option[T], to: Option[T],
       empty: Boolean = false)
 
+  /** Canonical predicate signature — the probe-memo key (order- and
+    * duplicate-insensitive, like the AND semantics it caches). Every
+    * token is length-prefixed, so no value can fake a separator: a
+    * string IN ('a,b') and IN ('a','b') MUST get distinct keys — a
+    * collision would serve the wrong key set, and Spark's re-applied
+    * predicate above the scan can only drop rows, never restore them. */
+  private[sql] def secondaryProbeSig(eqPreds: Seq[(String, Seq[Any])],
+      rangePreds: Seq[(String, Iv[_])]): String = {
+    def tok(s: String): String = s"${s.length}:$s"
+    (eqPreds.map { case (c, vs) =>
+        tok(c) + "=" + vs.map(v => tok(String.valueOf(v))).sorted.mkString }.sorted ++
+      rangePreds.map { case (c, iv) =>
+        tok(c) + "~" + tok(iv.from.toString) + tok(iv.to.toString) +
+          (if (iv.empty) "!" else "") }.sorted)
+      .mkString("|")
+  }
+
   /** Intersect pushed intervals: max of lower bounds, min of upper
     * bounds, emptiness when they cross. */
   private[sql] def meet[T](ivs: Seq[Iv[T]], ord: Ordering[T]): Iv[T] =
@@ -372,6 +407,38 @@ object IndexedFrame {
       * claims secondary filters, Spark re-applies them above). Mutable
       * for tests and for tuning to the driver's memory headroom. */
     @transient private[sql] var SecondaryRouteBudget = 100000
+
+    @transient @volatile private[sql] var lastProbeMemoHit: Boolean = false
+
+    /** Bounded driver-side memo of secondary-probe results: canonical
+      * predicate signature → (primary keys, point-read rows, range?).
+      * Sound because a handle is an IMMUTABLE snapshot (COW mutations
+      * return a NEW handle), so entries never invalidate. A repeated
+      * predicate skips BOTH probe jobs (the postings lookup and the
+      * primary point reads): the warehouse-style result cache for
+      * dashboard workloads, free here precisely because snapshots are
+      * immutable. LRU-capped at 32 entries × ≤2048 rows; larger results
+      * are served but never memoized. Shared by single-key AND
+      * composite handles. @transient: executors never need the memo. */
+    @transient private lazy val probeMemo =
+      new java.util.LinkedHashMap[String, (Array[K], Array[InternalRow], Boolean)](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Array[K], Array[InternalRow], Boolean)])
+          : Boolean = size > 32
+      }
+    private[sql] def probeMemoGet(
+        sig: String): Option[(Array[K], Array[InternalRow], Boolean)] =
+      probeMemo.synchronized {
+        // re-check the budget: a memoized result wider than the
+        // CURRENT routing budget must fall back like a live probe
+        Option(probeMemo.get(sig)).filter(_._1.length <= SecondaryRouteBudget)
+      }
+    private[sql] def probeMemoPut(sig: String, keys: Array[K],
+        rows: Array[InternalRow], usedRange: Boolean): Unit =
+      if (rows.length <= 2048) probeMemo.synchronized {
+        probeMemo.put(sig, (keys, rows, usedRange)); ()
+      }
 
     /** (col, rangeable, inverted index) entries — the persistence
       * snapshot [[IndexedFrame.save]] writes alongside the primary. */
@@ -738,37 +805,6 @@ object IndexedFrame {
     override protected def secondaryForbiddenCols: Set[String] = Set(keyCol)
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
-    @transient @volatile private[sql] var lastProbeMemoHit: Boolean = false
-
-    /** Bounded driver-side memo of secondary-probe results: canonical
-      * predicate signature → (primary keys, point-read rows, range?).
-      * Sound for the same reason as the stats memo below — a Handle is
-      * an IMMUTABLE snapshot (COW mutations return a NEW handle), so
-      * entries never invalidate. A repeated predicate skips BOTH probe
-      * jobs (the postings lookup and the primary point reads): the
-      * warehouse-style result cache for dashboard workloads, free here
-      * precisely because snapshots are immutable. LRU-capped at 32
-      * entries × ≤2048 rows; larger results are served but never
-      * memoized. @transient: executors never need the memo. */
-    @transient private lazy val probeMemo =
-      new java.util.LinkedHashMap[String, (Array[K], Array[InternalRow], Boolean)](
-        16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (Array[K], Array[InternalRow], Boolean)])
-          : Boolean = size > 32
-      }
-    private[sql] def probeMemoGet(
-        sig: String): Option[(Array[K], Array[InternalRow], Boolean)] =
-      probeMemo.synchronized {
-        // re-check the budget: a memoized result wider than the
-        // CURRENT routing budget must fall back like a live probe
-        Option(probeMemo.get(sig)).filter(_._1.length <= SecondaryRouteBudget)
-      }
-    private[sql] def probeMemoPut(sig: String, keys: Array[K],
-        rows: Array[InternalRow], usedRange: Boolean): Unit =
-      if (rows.length <= 2048) probeMemo.synchronized {
-        probeMemo.put(sig, (keys, rows, usedRange)); ()
-      }
 
     private[sql] def keyIndex: Int = schema.fieldIndex(keyCol)
 
@@ -967,12 +1003,13 @@ object IndexedFrame {
 
   private def codecFor(schema: StructType, keyCol: String): KeyCodec[_] =
     schema(keyCol).dataType match {
-      case dt @ (LongType | IntegerType | ShortType | ByteType) => new LongCodec(dt)
+      case dt @ (LongType | IntegerType | ShortType | ByteType |
+                 TimestampType | TimestampNTZType) => new LongCodec(dt)
       case StringType => StringCodec
       case dt: DecimalType if dt.scale == 0 => new BigIntCodec(dt.precision)
       case other => throw new IllegalArgumentException(
         s"unsupported key column type ${other.catalogString} " +
-          "(integral, string, or decimal(p,0) required)")
+          "(integral, timestamp, string, or decimal(p,0) required)")
     }
 
   /** Shared build path: key+copy the internal rows, optionally force a
@@ -1101,7 +1138,8 @@ object IndexedFrame {
 
   private def specFor(schema: StructType, col: String, uuid: Boolean): KeySpec[_] =
     schema(col).dataType match {
-      case dt @ (LongType | IntegerType | ShortType | ByteType) =>
+      case dt @ (LongType | IntegerType | ShortType | ByteType |
+                 TimestampType | TimestampNTZType) =>
         KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
           implicitly[ClassTag[Long]])
       case StringType if uuid =>
@@ -1287,11 +1325,12 @@ object IndexedFrame {
 
   private def integralSpec(df: DataFrame, c: String, caller: String): KeySpec[Long] =
     df.schema(c).dataType match {
-      case dt @ (LongType | IntegerType | ShortType | ByteType) =>
+      case dt @ (LongType | IntegerType | ShortType | ByteType |
+                 TimestampType | TimestampNTZType) =>
         KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
           implicitly[ClassTag[Long]])
       case other => throw new IllegalArgumentException(
-        s"$caller requires integral columns, got ${other.catalogString} for $c; " +
+        s"$caller requires integral or timestamp columns, got ${other.catalogString} for $c; " +
           "use indexCompositeAny for string/uuid components")
     }
 
@@ -1551,7 +1590,8 @@ object IndexedFrame {
             .mapValues(ivs =>
               meet(ivs.map(_._2).toSeq, h.secondaryCodec(ivs.head._1).ord))
             .toSeq
-          val secondaryKeys: Option[Array[(A, B)]] =
+          // lazy: a probe-memo hit must not pay the live probe jobs
+          lazy val secondaryKeys: Option[Array[(A, B)]] =
             if (eqPreds.isEmpty && rangePreds.isEmpty) None
             else {
               val sets = eqPreds.map { case (c, vs) => h.secondaryProbe(c, vs) } ++
@@ -1560,13 +1600,29 @@ object IndexedFrame {
               else Some(sets.map(_.get.toSet).reduce(_ intersect _)
                 .toArray(implicitly[ClassTag[(A, B)]]))
             }
-          secondaryKeys match {
+          lazy val sig = secondaryProbeSig(eqPreds, rangePreds)
+          val memoHit: Option[(Array[(A, B)], Array[InternalRow], Boolean)] =
+            if (eqPreds.isEmpty && rangePreds.isEmpty) None
+            else h.probeMemoGet(sig)
+          memoHit match {
+            // repeated probe on this immutable snapshot: both probe jobs
+            // (postings + point reads) answered from the driver memo —
+            // the single-key relation's result cache, shared here
+            case Some((mKeys, mRows, usedRange)) =>
+              h.lastScanKind =
+                if (usedRange) "secondary_range" else "secondary_point"
+              h.lastPointLookupKeys = mKeys.length
+              h.lastProbeMemoHit = true
+              sqlContext.sparkContext.parallelize(mRows.toIndexedSeq, 1)
+            case None => secondaryKeys match {
             case Some(keys) =>
               h.lastScanKind =
                 if (rangePreds.nonEmpty) "secondary_range" else "secondary_point"
               h.lastPointLookupKeys = keys.length
-              val hit = h.idx.multiget(keys).values.toSeq
-              sqlContext.sparkContext.parallelize(hit, 1)
+              h.lastProbeMemoHit = false
+              val hit = h.idx.multiget(keys).values.toArray
+              h.probeMemoPut(sig, keys, hit, rangePreds.nonEmpty)
+              sqlContext.sparkContext.parallelize(hit.toIndexedSeq, 1)
             case None =>
               // zone maps prune the composite full lane exactly like
               // the single-key one (Spark re-applies the filters above)
@@ -1580,6 +1636,7 @@ object IndexedFrame {
                   h.lastScanKind = "full"
                   h.idx.map(_._2)
               }
+          }
           }
       }
       val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
@@ -1900,21 +1957,9 @@ object IndexedFrame {
           .toSeq
         (eqPreds, rangePreds)
       }
-      // canonical predicate signature — the probe-memo key (order- and
-      // duplicate-insensitive, like the AND semantics it caches). Every
-      // token is length-prefixed, so no value can fake a separator: a
-      // string IN ('a,b') and IN ('a','b') MUST get distinct keys — a
-      // collision would serve the wrong key set, and Spark's re-applied
-      // predicate above the scan can only drop rows, never restore them
       lazy val secondarySig: String = {
-        def tok(s: String): String = s"${s.length}:$s"
         val (eqPreds, rangePreds) = secondaryPreds
-        (eqPreds.map { case (c, vs) =>
-            tok(c) + "=" + vs.map(v => tok(String.valueOf(v))).sorted.mkString }.sorted ++
-          rangePreds.map { case (c, iv) =>
-            tok(c) + "~" + tok(iv.from.toString) + tok(iv.to.toString) +
-              (if (iv.empty) "!" else "") }.sorted)
-          .mkString("|")
+        secondaryProbeSig(eqPreds, rangePreds)
       }
       lazy val secondaryKeys: Option[(Array[K], Boolean)] = {
         val (eqPreds, rangePreds) = secondaryPreds

@@ -77,21 +77,31 @@ object IndexedTopK {
       case logical.Limit(IntegerLiteral(n), s: logical.Sort)
           if s.global && n <= TopKBudget && n >= 0 =>
         planTopK(n, s)
-      // attribute-only Project ABOVE the limit (`SELECT k ... ORDER BY k
-      // LIMIT n`): claim the whole fragment so a collect() still roots in
-      // IndexedTopKExec (driver-side executeCollect, zero jobs on memo
-      // hits) instead of a ProjectExec that forces the RDD path. Only
-      // when the sort columns survive the projection — outputOrdering
-      // must reference output attributes.
-      case Project(projs, logical.Limit(IntegerLiteral(n), s: logical.Sort))
-          if projs.forall(_.isInstanceOf[Attribute]) && s.global &&
-            n <= TopKBudget && n >= 0 &&
-            s.order.map(_.child).forall {
-              case a: AttributeReference => projs.exists(_.exprId == a.exprId)
+      // Project BETWEEN limit and sort — the shape the optimizer's
+      // ColumnPruning leaves when the projection DROPS a sort column
+      // (`SELECT v ... ORDER BY ts LIMIT n`): a projection that keeps
+      // the sort columns is instead pushed below the Sort, where bare()
+      // already accepts it. This is exactly Catalyst's own
+      // TakeOrderedAndProject claim, index-served.
+      case logical.Limit(IntegerLiteral(n), Project(projs, s: logical.Sort))
+          if s.global && n <= TopKBudget && n >= 0 =>
+        if (projs.forall(_.isInstanceOf[Attribute])) {
+          // attribute-only: serve the projected columns straight from
+          // the handle rows (collect() stays driver-side, zero jobs on
+          // memo hits). outputOrdering keeps only the sort prefix that
+          // survives the projection — claiming less is always sound.
+          val attrs = projs.map(_.asInstanceOf[Attribute])
+          planTopK(n, s).map { case e: IndexedTopKExec =>
+            e.copy(output = attrs, sortOrder = e.sortOrder.takeWhile(_.child match {
+              case a: AttributeReference => attrs.exists(_.exprId == a.exprId)
               case _ => false
-            } =>
-        planTopK(n, s).map { case e: IndexedTopKExec =>
-          e.copy(output = projs.map(_.asInstanceOf[Attribute]))
+            }))
+          }
+        } else {
+          // computed projections (casts, functions): evaluate them in a
+          // ProjectExec over the O(n) index-served rows
+          planTopK(n, s).map(e =>
+            org.apache.spark.sql.execution.ProjectExec(projs, e))
         }
       case _ => Nil
     }

@@ -305,6 +305,47 @@ class IndexedFrameSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("timestamp keys: (ts, id) composite serves exact time-range pruning and top-k") {
+    IndexedTopK.enable(spark)
+    // 10-day span at 1-hour steps, two ids per instant — duplicate ts
+    // values exercise the tuple key's totality
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = (0L until 240L).flatMap(h => Seq(0L, 1L).map(id =>
+        (new java.sql.Timestamp(base + h * 3600000L), h * 2 + id, s"r$h-$id")))
+      .toDF("ts", "id", "v")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "ts", "id", 8)
+    // leading-ts interval routes as a pushed range (one contiguous
+    // tuple-space interval), not a full scan
+    val day2 = h.toDF.filter(
+        $"ts" >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .select($"id").as[Long].collect().toSet
+    assert(day2 === (24L until 48L).flatMap(x => Seq(x * 2, x * 2 + 1)).toSet)
+    assert(h.lastScanKind === "range")
+    // equality on the pair point-probes
+    val pt = h.toDF.filter(
+        $"ts" === lit("2024-01-01 05:00:00").cast("timestamp") && $"id" === 10L)
+      .select($"v").as[String].collect()
+    assert(pt.toSeq === Seq("r5-0"))
+    assert(h.lastScanKind === "point")
+    // earliest-3 by (ts, id) is index-served
+    val first3 = h.toDF.orderBy($"ts", $"id").limit(3)
+      .select($"v").as[String].collect()
+    assert(first3.toSeq === Seq("r0-0", "r0-1", "r1-0"))
+    assert(h.lastScanKind === "topk")
+    // single-key timestamp handles work too (ordered radix layout)
+    val uniq = (0L until 100L).map(m =>
+        (new java.sql.Timestamp(base + m * 60000L), s"m$m"))
+      .toDF("ts", "v")
+    val hs = IndexedFrame.index(uniq, "ts", ordered = true)
+    val win = hs.toDF.filter(
+        $"ts".between(lit("2024-01-01 00:10:00").cast("timestamp"),
+          lit("2024-01-01 00:20:00").cast("timestamp")))
+      .select($"v").as[String].collect().toSet
+    assert(win === (10L to 20L).map(m => s"m$m").toSet)
+    assert(hs.lastScanKind === "range")
+  }
+
   test("composite handles route secondary equality/ranges and persist them") {
     val df = (0L until 1000L).map(k =>
       (k % 40, k / 40, (k * 37) % 1000, s"g${k % 3}", s"row$k"))
@@ -315,7 +356,11 @@ class IndexedFrameSpec extends AnyFunSuite {
     // equality on a non-key column probes via the inverted index
     val eq = h.toDF.filter($"cat" === "g1").select($"v").as[String].collect().toSet
     assert(eq === (0L until 1000L).filter(_ % 3 == 1).map(k => s"row$k").toSet)
-    assert(h.lastScanKind === "secondary_point")
+    assert(h.lastScanKind === "secondary_point" && !h.lastProbeMemoHit)
+    // the repeat answers from the shared probe memo (no probe jobs) —
+    // composite handles get the same result cache as single-key ones
+    val eqAgain = h.toDF.filter($"cat" === "g1").select($"v").as[String].collect().toSet
+    assert(eqAgain === eq && h.lastProbeMemoHit)
     // range on the ordered secondary routes through trie scans
     val rg = h.toDF.filter($"bal".between(100L, 120L))
       .select($"v").as[String].collect().toSet
