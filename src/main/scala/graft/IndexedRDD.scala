@@ -615,6 +615,43 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     (mn.map(ser.fromBytes), mx.map(ser.fromBytes))
   }
 
+  /** Largest key STRICTLY BELOW `before` (floor of the half-open
+    * interval): on radix layouts one bounded rightmost descent per
+    * visited partition, and under a RangePartitioner only the partition
+    * prefix that can hold keys < `before` is visited — the time-series
+    * "as of" key lookup (callers wanting an inclusive floor pass
+    * `succ(t)`). One job, no values read, driver combines candidates. */
+  def floorKey(before: K)(implicit ser: KeySerializer[K]): Option[K] = {
+    require(ser.isOrderPreserving,
+      s"floorKey decides order in encoded bytes; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    val beforeB = ser.toBytes(before)
+    val base = partitioner match {
+      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _]) =>
+        val hi = rp.getPartition(before)
+        org.apache.spark.rdd.PartitionPruningRDD.create(partitionsRDD, _ <= hi)
+      case _ => partitionsRDD
+    }
+    val perPart = base.map {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        // lastInRange is half-open [from, to): anchor at the partition's
+        // own first key (≤ every key it holds)
+        r.firstKey.flatMap(fk => r.lastInRange(fk, before)).map(ser.toBytes)
+      case p =>
+        var best: Array[Byte] = null
+        p.iterator.foreach { case (k, _) =>
+          val kb = ser.toBytes(k)
+          if (java.util.Arrays.compareUnsigned(kb, beforeB) < 0 &&
+              (best == null || java.util.Arrays.compareUnsigned(kb, best) > 0))
+            best = kb
+        }
+        Option(best)
+    }.collect()
+    perPart.flatten.reduceOption((a, b) =>
+      if (java.util.Arrays.compareUnsigned(a, b) > 0) a else b)
+      .map(ser.fromBytes)
+  }
+
   /** FIRST (asc) or LAST (desc) `n` pairs in natural key order from a
     * RANGE-PARTITIONED index, visiting only the head (or tail)
     * partitions that can hold them: one O(partitions) sizes job picks

@@ -599,6 +599,40 @@ object OperatorQueries {
           round($"value", 2).as("value"))
     },
 
+    "ir_sql_asof_ts" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // point-in-time read on a timestamp-keyed handle: asOf(T) finds
+      // the LARGEST key <= T with one pruned pass of bounded rightmost
+      // radix descents (no scan, no sort), then point-probes that key.
+      // Keys are the distinct event timestamps (count/max aggregates
+      // are order-insensitive, so both engines group identically); T
+      // falls mid-corpus so the floor is a genuine interior lookup.
+      val g = Tables.events(s, dir).groupBy($"ts")
+        .agg(count(lit(1)).as("n"), round(max($"value"), 2).as("mv"))
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(g, "ts", 16)
+      h.asOf(java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
+        .select(unix_millis($"ts").as("ts_ms"), $"n", $"mv")
+    },
+
+    "ir_sql_range_date" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // DATE-keyed composite (int days ride the long codec like
+      // timestamps do micros): (order date, order key) leading-date
+      // interval is one contiguous tuple range — a quarter's orders
+      // read O(quarter), not O(history)
+      val df = Tables.orders(s, dir)
+        .withColumn("od", $"o_orderdate".cast("date"))
+        .select($"od", $"o_orderkey", $"o_totalprice")
+      val h = graft.sql.IndexedFrame.indexComposite(df, "od", "o_orderkey",
+        ordered = true)
+      h.toDF.filter($"od" >= lit("1996-01-01").cast("date") &&
+          $"od" < lit("1996-04-01").cast("date"))
+        .select(date_format($"od", "yyyy-MM-dd").as("od"), $"o_orderkey",
+          $"o_totalprice")
+    },
+
     "ir_sql_topk_ts" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1397,6 +1431,20 @@ object OperatorQueries {
     "ir_sql_topk_ts" ->
       """SELECT epoch_ms(ts) AS ts_ms, event_id, round(value, 2) AS value
         |FROM events ORDER BY ts, event_id LIMIT 50""".stripMargin,
+
+    "ir_sql_asof_ts" ->
+      """WITH g AS (SELECT ts, CAST(count(*) AS BIGINT) AS n,
+        |                  round(max(value), 2) AS mv
+        |           FROM events GROUP BY ts)
+        |SELECT epoch_ms(ts) AS ts_ms, n, mv FROM g
+        |WHERE ts = (SELECT max(ts) FROM g
+        |            WHERE ts <= TIMESTAMP '2024-01-15 12:00:00')""".stripMargin,
+
+    "ir_sql_range_date" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+        |  o_orderkey, o_totalprice FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'""".stripMargin,
 
     "ir_sql_secondary_eq" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

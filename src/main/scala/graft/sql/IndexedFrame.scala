@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, PrunedFilteredScan}
-import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType,
   FloatType, IntegerType, LongType, ShortType, StringType, StructType,
   TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -83,18 +83,19 @@ object IndexedFrame {
     def rangeLiteral(v: Any): Option[K]
   }
 
-  /** Integral AND timestamp key columns: timestamps are long
-    * microseconds internally, so the sign-flip order-preserving long
-    * serializer, radix layout, and range algebra all carry over — a
-    * `(ts, id)`-keyed handle is the classic time-series layout with
-    * EXACT leading-column time-range pruning (strictly stronger than
-    * zone maps, which only summarize). Filter literals arrive as
-    * `java.sql.Timestamp`/`Instant` (TIMESTAMP) or `LocalDateTime`
-    * (TIMESTAMP_NTZ) and normalize to micros. */
+  /** Integral AND temporal key columns: timestamps are long
+    * microseconds and dates int days internally, so the sign-flip
+    * order-preserving long serializer, radix layout, and range algebra
+    * all carry over — a `(ts, id)`-keyed handle is the classic
+    * time-series layout with EXACT leading-column time-range pruning
+    * (strictly stronger than zone maps, which only summarize). Filter
+    * literals arrive as `java.sql.Timestamp`/`Instant` (TIMESTAMP),
+    * `LocalDateTime` (TIMESTAMP_NTZ), or `java.sql.Date`/`LocalDate`
+    * (DATE) and normalize to the internal long domain. */
   private[sql] final class LongCodec(dt: DataType) extends KeyCodec[Long] {
     override def fromRow(r: InternalRow, i: Int): Long = dt match {
       case LongType | TimestampType | TimestampNTZType => r.getLong(i)
-      case IntegerType => r.getInt(i).toLong
+      case IntegerType | DateType => r.getInt(i).toLong
       case ShortType => r.getShort(i).toLong
       case ByteType => r.getByte(i).toLong
     }
@@ -109,6 +110,10 @@ object IndexedFrame {
         org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
       case l: java.time.LocalDateTime =>
         org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)
+      case d: java.sql.Date =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+      case d: java.time.LocalDate =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong
       case other => throw new IllegalArgumentException(
         s"integral key literal required, got ${if (other == null) "null" else other.getClass}")
     }
@@ -121,6 +126,8 @@ object IndexedFrame {
         .toJavaTimestamp(k.asInstanceOf[Long])
       case TimestampNTZType => org.apache.spark.sql.catalyst.util.DateTimeUtils
         .microsToLocalDateTime(k.asInstanceOf[Long])
+      case DateType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaDate(k.asInstanceOf[Long].toInt)
     }
     override def ord: Ordering[Long] = Ordering.Long
     override def succ(k: Long): Option[Long] =
@@ -257,6 +264,10 @@ object IndexedFrame {
         org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
       case (TimestampNTZType, l: java.time.LocalDateTime) => Some(Left(
         org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)))
+      case (DateType, d: java.sql.Date) => Some(Left(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+      case (DateType, d: java.time.LocalDate) => Some(Left(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong))
       case (LongType | IntegerType | ShortType | ByteType, n: java.lang.Number)
           if n.isInstanceOf[java.lang.Long] || n.isInstanceOf[java.lang.Integer] ||
             n.isInstanceOf[java.lang.Short] || n.isInstanceOf[java.lang.Byte] =>
@@ -708,7 +719,8 @@ object IndexedFrame {
       if (zoneKeyCols.contains(c) || !schema.fieldNames.contains(c)) None
       else schema(schema.fieldIndex(c)).dataType match {
         case t @ (LongType | IntegerType | ShortType | ByteType |
-                  TimestampType | TimestampNTZType | DoubleType | FloatType) => Some(t)
+                  TimestampType | TimestampNTZType | DateType |
+                  DoubleType | FloatType) => Some(t)
         case _ => None
       }
 
@@ -739,7 +751,7 @@ object IndexedFrame {
                 if (!r.isNullAt(fi)) {
                   val v = dt match {
                     case LongType | TimestampType | TimestampNTZType => r.getLong(fi)
-                    case IntegerType => r.getInt(fi).toLong
+                    case IntegerType | DateType => r.getInt(fi).toLong
                     case ShortType => r.getShort(fi).toLong
                     case _ => r.getByte(fi).toLong
                   }
@@ -986,6 +998,32 @@ object IndexedFrame {
 
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new IndexedRelation(this)(spark.sqlContext))
+
+    /** Point-in-time read: the row whose key is the LARGEST key ≤ `t`
+      * (the time-series "as of" lookup on timestamp/date-keyed handles;
+      * works for any order-served key type). Two bounded jobs: one
+      * [[graft.IndexedRDD.floorKey]] pass of O(depth) rightmost
+      * descents over the partition prefix holding keys ≤ t, then the
+      * found key point-probes through the ordinary pushed-equality
+      * lane. Empty DataFrame when every key exceeds `t`. Requires an
+      * ordered handle. */
+    def asOf(t: Any)(implicit spark: SparkSession): DataFrame = {
+      require(ordered && kSer.isOrderPreserving,
+        "asOf needs an ordered handle with an order-preserving key")
+      val k = codec.fromLiteral(t)
+      // inclusive floor = strict floor of succ(t); a key with no
+      // successor is the domain max, whose floor is the global max key
+      val fk = codec.succ(k) match {
+        case Some(ub) => idx.floorKey(ub)(kSer)
+        case None => idx.maxKey()(kSer)
+      }
+      fk match {
+        case Some(key) => toDF.filter(org.apache.spark.sql.functions
+          .col(keyCol) === org.apache.spark.sql.functions
+          .lit(codec.toExternalSql(key)))
+        case None => toDF.limit(0)
+      }
+    }
   }
 
   /** Internal rows of `df` keyed+copied once (no external conversion),
@@ -1004,7 +1042,7 @@ object IndexedFrame {
   private def codecFor(schema: StructType, keyCol: String): KeyCodec[_] =
     schema(keyCol).dataType match {
       case dt @ (LongType | IntegerType | ShortType | ByteType |
-                 TimestampType | TimestampNTZType) => new LongCodec(dt)
+                 TimestampType | TimestampNTZType | DateType) => new LongCodec(dt)
       case StringType => StringCodec
       case dt: DecimalType if dt.scale == 0 => new BigIntCodec(dt.precision)
       case other => throw new IllegalArgumentException(
@@ -1029,7 +1067,8 @@ object IndexedFrame {
     require(df.schema(keyCol).dataType == StringType,
       s"string key column required, got ${df.schema(keyCol).dataType.catalogString}")
 
-  /** Index a DataFrame by an integral key column (key uniqueness
+  /** Index a DataFrame by an integral or temporal (timestamp/date) key
+    * column (key uniqueness
     * enforced, last write wins) and pin the built index. `ordered=true`
     * builds radix-tree partitions, enabling pushed range predicates;
     * `numPartitions` forces a partition count so that two handles built
@@ -1139,7 +1178,7 @@ object IndexedFrame {
   private def specFor(schema: StructType, col: String, uuid: Boolean): KeySpec[_] =
     schema(col).dataType match {
       case dt @ (LongType | IntegerType | ShortType | ByteType |
-                 TimestampType | TimestampNTZType) =>
+                 TimestampType | TimestampNTZType | DateType) =>
         KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
           implicitly[ClassTag[Long]])
       case StringType if uuid =>
@@ -1326,11 +1365,11 @@ object IndexedFrame {
   private def integralSpec(df: DataFrame, c: String, caller: String): KeySpec[Long] =
     df.schema(c).dataType match {
       case dt @ (LongType | IntegerType | ShortType | ByteType |
-                 TimestampType | TimestampNTZType) =>
+                 TimestampType | TimestampNTZType | DateType) =>
         KeySpec[Long](new LongCodec(dt), KeySerializer.LongSerializer,
           implicitly[ClassTag[Long]])
       case other => throw new IllegalArgumentException(
-        s"$caller requires integral or timestamp columns, got ${other.catalogString} for $c; " +
+        s"$caller requires integral or temporal columns, got ${other.catalogString} for $c; " +
           "use indexCompositeAny for string/uuid components")
     }
 

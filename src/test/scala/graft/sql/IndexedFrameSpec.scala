@@ -344,6 +344,35 @@ class IndexedFrameSpec extends AnyFunSuite {
       .select($"v").as[String].collect().toSet
     assert(win === (10L to 20L).map(m => s"m$m").toSet)
     assert(hs.lastScanKind === "range")
+    // asOf: floor lookup + point probe — interior, exact-hit, edges
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    assert(hs.asOf(at("2024-01-01 00:30:30")).select($"v").as[String].collect()
+      .toSeq === Seq("m30")) // between keys: floor is the previous minute
+    assert(hs.lastScanKind === "point")
+    assert(hs.asOf(at("2024-01-01 00:40:00")).select($"v").as[String].collect()
+      .toSeq === Seq("m40")) // exact hit is inclusive
+    assert(hs.asOf(at("2023-12-31 23:59:59")).count() === 0L) // before first
+    assert(hs.asOf(at("2025-06-01 00:00:00")).select($"v").as[String].collect()
+      .toSeq === Seq("m99")) // after last: global max
+    // same on a range-partitioned layout (floor visits only the
+    // partition prefix)
+    val hrp = IndexedFrame.indexRangePartitioned(uniq, "ts", 8)
+    assert(hrp.asOf(at("2024-01-01 00:30:30")).select($"v").as[String].collect()
+      .toSeq === Seq("m30"))
+    hrp.idx.unpersist()
+    // DATE keys (int days on the same long codec): equality point-probes
+    val dDf = (0 until 60).map(d =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)), d.toLong))
+      .toDF("d", "n")
+    val hd = IndexedFrame.index(dDf, "d", ordered = true)
+    val feb = hd.toDF.filter($"d" >= lit("2024-02-01").cast("date"))
+      .select($"n").as[Long].collect().toSet
+    assert(feb === (31L until 60L).toSet)
+    assert(hd.lastScanKind === "range")
+    val one = hd.toDF.filter($"d" === lit("2024-01-15").cast("date"))
+      .select($"n").as[Long].collect()
+    assert(one.toSeq === Seq(14L))
+    assert(hd.lastScanKind === "point")
   }
 
   test("composite handles route secondary equality/ranges and persist them") {
