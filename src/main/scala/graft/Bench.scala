@@ -91,6 +91,7 @@ object Bench {
       family("bloom")(microBloom(spark, sfDir)) ++
       family("zone")(microZone(spark, sfDir)) ++
       family("tskey")(microTsKey(spark, sfDir)) ++
+      family("asof")(microAsOf(spark, sfDir)) ++
       family("secondary")(microSecondary(spark, sfDir)) ++
       family("secondaryDisk")(microSecondaryDisk(spark, sfDir)) ++
       family("topk")(microTopk(spark, sfDir))
@@ -355,6 +356,35 @@ object Bench {
     })
     ht.idx.unpersist()
     Seq("micro_sql_tskey_pruned_20" -> tTsPruned)
+  }
+
+  /** Per-key point-in-time reads: 50 asOf(user, T) lookups on a
+    * (user_id, ts) composite — each is one bounded tuple-space floor
+    * descent plus a point probe — vs the same answer computed by
+    * filter + TakeOrdered over the cached versions table. */
+  private def microAsOf(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    import org.apache.spark.sql.functions.{col, max => fMax, round => fRound}
+    val g = graft.queries.Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"ts").agg(fRound(fMax($"value"), 2).as("mv"))
+    val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+      g, "user_id", "ts", 16)
+    h.idx.count()
+    val cg = g.cache(); cg.count()
+    def cutoff(i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${5 + i % 20}%02d 12:00:00")
+    val tAsOfIdx = bestOf2((0 until 50).foreach { i =>
+      h.asOf((i % 25 + 1).toLong, cutoff(i)).collect()
+    })
+    val tAsOfScan = bestOf2((0 until 50).foreach { i =>
+      cg.filter(col("user_id") === (i % 25 + 1).toLong &&
+          col("ts") <= org.apache.spark.sql.functions.lit(cutoff(i)))
+        .orderBy(col("ts").desc).limit(1).collect()
+    })
+    cg.unpersist(); h.idx.unpersist()
+    Seq("micro_sql_asof_idx_50" -> tAsOfIdx,
+      "micro_sql_asof_scan_50" -> tAsOfScan)
   }
 
   /** Secondary index: 50 repeated equality reads on a non-key column —

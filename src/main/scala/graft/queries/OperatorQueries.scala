@@ -615,6 +615,22 @@ object OperatorQueries {
         .select(unix_millis($"ts").as("ts_ms"), $"n", $"mv")
     },
 
+    "ir_sql_asof_user" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // per-key point-in-time (versioned-dimension / SCD lookup): on a
+      // (user_id, ts) composite, asOf(u, T) reads u's latest version
+      // at-or-before T — one bounded floor descent over the tuple byte
+      // space plus a point probe, never a scan. Keys are the distinct
+      // (user, ts) pairs (max-aggregate is order-insensitive).
+      val g = Tables.events(s, dir).groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 2).as("mv"))
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        g, "user_id", "ts", 16)
+      h.asOf(5L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .select($"user_id", unix_millis($"ts").as("ts_ms"), $"mv")
+    },
+
     "ir_sql_range_date" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1439,6 +1455,14 @@ object OperatorQueries {
         |SELECT epoch_ms(ts) AS ts_ms, n, mv FROM g
         |WHERE ts = (SELECT max(ts) FROM g
         |            WHERE ts <= TIMESTAMP '2024-01-15 12:00:00')""".stripMargin,
+
+    "ir_sql_asof_user" ->
+      """WITH g AS (SELECT user_id, ts, round(max(value), 2) AS mv
+        |           FROM events GROUP BY user_id, ts)
+        |SELECT user_id, epoch_ms(ts) AS ts_ms, mv FROM g
+        |WHERE user_id = 5
+        |  AND ts = (SELECT max(ts) FROM g WHERE user_id = 5
+        |            AND ts <= TIMESTAMP '2024-01-20 00:00:00')""".stripMargin,
 
     "ir_sql_range_date" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,

@@ -1319,6 +1319,39 @@ object IndexedFrame {
 
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeRelation(this)(spark.sqlContext))
+
+    /** Per-key point-in-time read — the versioned-dimension ("SCD")
+      * lookup on an `(id, ts)` layout: the row for leading key `a`
+      * whose second key is the LARGEST value ≤ `t`, or empty if `a`
+      * has no version at-or-before `t`. One bounded
+      * [[graft.IndexedRDD.floorKey]] pass over the tuple byte space
+      * (the floor of `(a, succ t)` is either `a`'s latest version ≤ t
+      * or some earlier leading key — one driver-side check tells them
+      * apart), then the found pair point-probes through the ordinary
+      * pushed-equality lane. Requires an ordered handle. */
+    def asOf(a: Any, t: Any)(implicit spark: SparkSession): DataFrame = {
+      require(ordered && tupSer.isOrderPreserving,
+        "asOf needs an ordered composite handle with order-preserving keys")
+      val ka = codecA.fromLiteral(a)
+      val kb = codecB.fromLiteral(t)
+      // strict upper bound in tuple order: (a, succ t); when t is the
+      // b-domain max, everything of leading key a qualifies — bound at
+      // (succ a, minB) instead, falling back to the global max key
+      val floor: Option[(A, B)] = codecB.succ(kb) match {
+        case Some(ub) => idx.floorKey((ka, ub))(tupSer)
+        case None => codecA.succ(ka) match {
+          case Some(ua) => idx.floorKey((ua, codecB.minKey))(tupSer)
+          case None => idx.maxKey()(tupSer)
+        }
+      }
+      floor.filter { case (fa, _) => codecA.ord.equiv(fa, ka) } match {
+        case Some((fa, fb)) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          toDF.filter(col(keyColA) === lit(codecA.toExternalSql(fa)) &&
+            col(keyColB) === lit(codecB.toExternalSql(fb)))
+        case None => toDF.limit(0)
+      }
+    }
   }
 
   /** Keyed internal-row pairs for a composite build. */

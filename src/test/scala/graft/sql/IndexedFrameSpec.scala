@@ -333,6 +333,20 @@ class IndexedFrameSpec extends AnyFunSuite {
       .select($"v").as[String].collect()
     assert(first3.toSeq === Seq("r0-0", "r0-1", "r1-0"))
     assert(h.lastScanKind === "topk")
+    // per-key as-of on the composite (the SCD lookup): id 10 exists at
+    // hour 5 only; its floor at a later instant must stay ON id 10's
+    // own versions, never bleed into an earlier id's
+    def tsAt(s: String) = java.sql.Timestamp.valueOf(s)
+    val hIdTs = IndexedFrame.indexCompositeRangePartitioned(
+      df.select($"id", $"ts", $"v"), "id", "ts", 8)
+    assert(hIdTs.asOf(10L, tsAt("2024-01-09 00:00:00")).select($"v")
+      .as[String].collect().toSeq === Seq("r5-0"))
+    assert(hIdTs.asOf(10L, tsAt("2024-01-01 05:00:00")).select($"v")
+      .as[String].collect().toSeq === Seq("r5-0")) // exact hit inclusive
+    assert(hIdTs.asOf(10L, tsAt("2024-01-01 04:59:59")).count() === 0L,
+      "floor before id 10's only version must not serve id 9's rows")
+    assert(hIdTs.asOf(9999L, tsAt("2024-01-09 00:00:00")).count() === 0L)
+    hIdTs.idx.unpersist()
     // single-key timestamp handles work too (ordered radix layout)
     val uniq = (0L until 100L).map(m =>
         (new java.sql.Timestamp(base + m * 60000L), s"m$m"))
