@@ -386,6 +386,43 @@ object OperatorQueries {
         .select($"c_name", $"c_acctbal")
     },
 
+    "ir_sql_prefix_scan" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // LIKE 'p%' on a lex string key: Catalyst simplifies the LIKE to
+      // StartsWith, the relation maps it to the EXACT half-open key
+      // interval [p, p-with-last-codepoint-incremented), and the trie
+      // serves one pruned range scan — claimed fully, no re-check above
+      val h = graft.sql.IndexedFrame.indexString(Tables.customer(s, dir), "c_name",
+        ordered = true)
+      h.toDF.filter($"c_name".like("Customer#00000007%"))
+        .select($"c_name", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_prefix_rp" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // range-partitioned twin: the prefix interval also prunes
+      // PARTITIONS — only those whose key range overlaps [p, upper)
+      // run tasks, the prefix-scan shape a 100 TB id-keyed table wants
+      val h = graft.sql.IndexedFrame.indexStringRangePartitioned(
+        Tables.customer(s, dir), "c_name", numPartitions = 16)
+      h.toDF.filter($"c_name".startsWith("Customer#0000001"))
+        .select($"c_name", $"c_acctbal")
+    },
+
+    "ir_sql_prefix_secondary" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // prefix on an ORDERED SECONDARY index: the inverted trie is
+      // range-probed over the prefix interval for the key set, then one
+      // primary multiget point-reads the rows — never a corpus scan
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_name", ordered = true)
+      h.toDF.filter($"c_name".like("Customer#00000012%"))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
     "ir_sql_minmax_str" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1392,6 +1429,18 @@ object OperatorQueries {
     "ir_sql_range_str_rp" ->
       """SELECT c_name, c_acctbal FROM customer
         |WHERE c_name BETWEEN 'Customer#000000020' AND 'Customer#000000080'""".stripMargin,
+
+    "ir_sql_prefix_scan" ->
+      """SELECT c_name, c_custkey, c_acctbal FROM customer
+        |WHERE c_name LIKE 'Customer#00000007%'""".stripMargin,
+
+    "ir_sql_prefix_rp" ->
+      """SELECT c_name, c_acctbal FROM customer
+        |WHERE c_name LIKE 'Customer#0000001%'""".stripMargin,
+
+    "ir_sql_prefix_secondary" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_name LIKE 'Customer#00000012%'""".stripMargin,
 
     "ir_sql_minmax_str" ->
       """SELECT CAST(count(*) AS BIGINT) AS cnt,

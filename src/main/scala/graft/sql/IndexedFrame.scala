@@ -8,7 +8,8 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, PrunedFilteredScan}
+  GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, PrunedFilteredScan,
+  StringStartsWith}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType,
   FloatType, IntegerType, LongType, ShortType, StringType, StructType,
   TimestampNTZType, TimestampType}
@@ -81,6 +82,11 @@ object IndexedFrame {
       * raw string order differs from the key order). A None keeps that
       * filter unhandled, so Spark re-applies it above a wider lane. */
     def rangeLiteral(v: Any): Option[K]
+    /** Half-open interval exactly equal to `LIKE 'p%'` prefix matching
+      * in this domain's order, when that is expressible — lex string
+      * keys only (the uuid codec normalizes and integral domains have
+      * no string-prefix semantics). None keeps the filter with Spark. */
+    def prefixInterval(v: Any): Option[Iv[K]] = None
   }
 
   /** Integral AND temporal key columns: timestamps are long
@@ -153,6 +159,28 @@ object IndexedFrame {
       case s: String => Some(s)
       case u: UTF8String => Some(u.toString)
       case _ => None
+    }
+    /** `s startsWith p` ⟺ `p <= s < upper(p)` in UTF-8 binary order:
+      * UTF-8 bytes preserve code-point order, so `upper` increments the
+      * prefix's LAST code point (skipping the unassignable surrogate
+      * gap D800-DFFF); trailing U+10FFFF code points have no successor
+      * and drop off first. An empty (or all-U+10FFFF) prefix leaves
+      * that side unbounded. The interval is EXACT — the relation may
+      * claim the filter fully, no re-check above the scan needed. */
+    override def prefixInterval(v: Any): Option[Iv[String]] = rangeLiteral(v).map { p =>
+      var q = p
+      while (q.nonEmpty && q.codePointBefore(q.length) == Character.MAX_CODE_POINT)
+        q = q.substring(0, q.length - Character.charCount(Character.MAX_CODE_POINT))
+      val to =
+        if (q.isEmpty) None
+        else {
+          val cp = q.codePointBefore(q.length)
+          val next =
+            if (cp + 1 == Character.MIN_SURROGATE) 0xE000 else cp + 1
+          Some(q.substring(0, q.length - Character.charCount(cp)) +
+            new String(Character.toChars(next)))
+        }
+      Iv(if (p.isEmpty) None else Some(p), to)
     }
   }
 
@@ -368,6 +396,9 @@ object IndexedFrame {
       codec.rangeLiteral(v).map(k => Iv(None, Some(k)))
     case LessThanOrEqual(`col`, v) if v != null =>
       codec.rangeLiteral(v).map(k => Iv(None, codec.succ(k)))
+    // LIKE 'p%' pushes down as StringStartsWith; on a lex string domain
+    // the match set IS one half-open interval (see prefixInterval)
+    case StringStartsWith(`col`, v) if v != null => codec.prefixInterval(v)
     case _ => None
   }
 
@@ -2015,6 +2046,7 @@ object IndexedFrame {
           case GreaterThanOrEqual(c, _) => Some(c)
           case LessThan(c, _) => Some(c)
           case LessThanOrEqual(c, _) => Some(c)
+          case StringStartsWith(c, _) => Some(c)
           case _ => None
         }
         val rangePreds = filters

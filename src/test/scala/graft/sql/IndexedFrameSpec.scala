@@ -1072,4 +1072,77 @@ class IndexedFrameSpec extends AnyFunSuite {
       .select($"k").as[Long].head() === 1L)
     assert(hb.lastScanKind === "point")
   }
+
+  test("LIKE 'p%' / startsWith on a lex string key routes into one trie range scan") {
+    val df = (1L to 500L).map(k => (f"id$k%04d", k)).toDF("id", "v")
+    val h = IndexedFrame.indexString(df, "id", ordered = true)
+    // like() is simplified to StartsWith by Catalyst; both forms route
+    val out = h.toDF.filter($"id".like("id01%")).select($"v").as[Long].collect().toSet
+    assert(out === (100L to 199L).toSet)
+    assert(h.lastScanKind === "range")
+    val out2 = h.toDF.filter($"id".startsWith("id02")).select($"v").as[Long].collect().toSet
+    assert(out2 === (200L to 299L).toSet)
+    assert(h.lastScanKind === "range")
+    // the claim is exact: conjunction with another range intersects
+    val both = h.toDF.filter($"id".startsWith("id01") && $"id" >= "id0150")
+      .select($"v").as[Long].collect().toSet
+    assert(both === (150L to 199L).toSet)
+    assert(h.lastScanKind === "range")
+    // a prefix matching nothing returns empty, still via the range lane
+    // (collect, not count — IndexedAgg may claim counts as range_count)
+    assert(h.toDF.filter($"id".startsWith("zz")).collect().isEmpty)
+    assert(h.lastScanKind === "range")
+    // empty-prefix LIKE '%' matches everything
+    assert(h.toDF.filter($"id".like("%")).count() === 500)
+  }
+
+  test("prefix upper-bound algebra: code-point increment, surrogate gap, domain max") {
+    def iv(p: String) = IndexedFrame.StringCodec.prefixInterval(p).get
+    assert(iv("ab") === IndexedFrame.Iv(Some("ab"), Some("ac")))
+    // last code point U+D7FF: successor skips the surrogate gap to U+E000
+    assert(iv("x\ud7ff") === IndexedFrame.Iv(Some("x\ud7ff"), Some("x\ue000")))
+    // supplementary (surrogate-pair) last code point increments as ONE
+    // code point: U+10400 'DESERET CAPITAL LONG I' -> U+10401
+    val p = "a" + new String(Character.toChars(0x10400))
+    assert(iv(p) === IndexedFrame.Iv(Some(p),
+      Some("a" + new String(Character.toChars(0x10401)))))
+    // trailing U+10FFFF has no successor: it drops and the previous
+    // code point increments; an all-U+10FFFF prefix is unbounded above
+    val top = new String(Character.toChars(Character.MAX_CODE_POINT))
+    assert(iv("b" + top) === IndexedFrame.Iv(Some("b" + top), Some("c")))
+    assert(iv(top + top) === IndexedFrame.Iv(Some(top + top), None))
+    assert(iv("") === IndexedFrame.Iv(None, None))
+    // exactness at the boundary: strings at/just under the upper bound
+    val df = Seq("ab", "ab ", "abz", "ac", "ab" + top).zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("id", "v")
+    val h = IndexedFrame.indexString(df, "id", ordered = true)
+    val hit = h.toDF.filter($"id".startsWith("ab")).select($"id").as[String].collect().toSet
+    assert(hit === Set("ab", "ab ", "abz", "ab" + top))
+    assert(h.lastScanKind === "range")
+  }
+
+  test("prefix pushdown: range-partitioned pruning, no-scan count, ordered secondary") {
+    val df = (1L to 1000L).map(k => (f"k$k%05d", k, f"g${k % 100}%03d")).toDF("id", "v", "grp")
+    val h = IndexedFrame.indexStringRangePartitioned(df, "id", numPartitions = 16)
+    val q = h.toDF.filter($"id".startsWith("k001"))
+    assert(q.select($"v").as[Long].collect().toSet === (100L to 199L).toSet)
+    assert(h.lastScanKind === "range")
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    assert(parts < 16, s"expected pruned partitions, scanned $parts/16")
+    // count(*) under LIKE answers from pruned radix descents — no rows read
+    graft.sql.IndexedAgg.enable(spark)
+    val cnt = h.toDF.filter($"id".like("k002%"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).as[Long].head()
+    assert(cnt === 100L)
+    assert(h.lastScanKind === "range_count")
+    // ordered string secondary: prefix probes the inverted trie, then
+    // point-reads — and the repeat answers from the probe memo
+    val hs = IndexedFrame.indexString(df, "id").addSecondaryIndex("grp", ordered = true)
+    val sec = hs.toDF.filter($"grp".like("g00%")).select($"v").as[Long].collect().toSet
+    assert(sec === (1L to 1000L).filter(_ % 100 < 10).toSet)
+    assert(hs.lastScanKind === "secondary_range")
+    val sec2 = hs.toDF.filter($"grp".like("g00%")).select($"v").as[Long].collect().toSet
+    assert(sec2 === sec && hs.lastProbeMemoHit)
+  }
 }
