@@ -469,8 +469,32 @@ object Bench {
     val tTopkScan = bestOf2((0 until 20).foreach { _ =>
       cachedOrd.orderBy(col("o_orderkey")).limit(100).collect()
     })
+    // keyset pagination: walk 10 pages of 100 deep into the table —
+    // indexed pages narrow the covering-partition pick by the cursor
+    // interval (O(page) rows each); the scan twin re-heaps the whole
+    // cached table for every page
+    val tPageIdx = bestOf2 {
+      var c = -1L
+      (0 until 10).foreach { _ =>
+        val rows = hTopk.toDF.filter(col("o_orderkey") > c)
+          .orderBy(col("o_orderkey")).limit(100)
+          .select(col("o_orderkey")).collect()
+        if (rows.nonEmpty) c = rows.last.getLong(0)
+      }
+    }
+    val tPageScan = bestOf2 {
+      var c = -1L
+      (0 until 10).foreach { _ =>
+        val rows = cachedOrd.filter(col("o_orderkey") > c)
+          .orderBy(col("o_orderkey")).limit(100)
+          .select(col("o_orderkey")).collect()
+        if (rows.nonEmpty) c = rows.last.getLong(0)
+      }
+    }
     cachedOrd.unpersist(); hTopk.idx.unpersist()
     Seq("micro_sql_topk_idx_20" -> tTopkIdx,
-      "micro_sql_topk_scan_20" -> tTopkScan)
+      "micro_sql_topk_scan_20" -> tTopkScan,
+      "micro_sql_page_idx_10x100" -> tPageIdx,
+      "micro_sql_page_scan_10x100" -> tPageScan)
   }
 }

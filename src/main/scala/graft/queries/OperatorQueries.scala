@@ -836,6 +836,48 @@ object OperatorQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
+    "ir_sql_topk_page" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // KEYSET PAGINATION: WHERE key > cursor ORDER BY key LIMIT n —
+      // the filter's exact interval narrows the covering-partition
+      // pick, so page depth never costs more than the page itself
+      // (OFFSET-style pagination re-reads everything before the page;
+      // this is the only ORDER-BY shape that stays O(page) at 100 TB)
+      graft.sql.IndexedTopK.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.orders(s, dir), "o_orderkey", numPartitions = 16)
+      h.toDF.filter($"o_orderkey" > 1000L).orderBy($"o_orderkey").limit(50)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    "ir_sql_topk_page_desc" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // bounded-window descending page: BETWEEN narrows both ends, the
+      // suffix of the covering partitions serves the last rows first
+      graft.sql.IndexedTopK.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.orders(s, dir), "o_orderkey", numPartitions = 16)
+      h.toDF.filter($"o_orderkey".between(500L, 1400L))
+        .orderBy($"o_orderkey".desc).limit(40)
+        .select($"o_orderkey", $"o_totalprice")
+    },
+
+    "ir_sql_topk_page_prefix" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // LIKE-prefix + cursor pagination over a STRING id space — the
+      // two conjuncts meet into one interval [cursor-succ, prefix-upper)
+      graft.sql.IndexedTopK.enable(s)
+      val h = graft.sql.IndexedFrame.indexStringRangePartitioned(
+        Tables.customer(s, dir), "c_name", numPartitions = 16)
+      h.toDF.filter($"c_name".like("Customer#000000%") &&
+          $"c_name" > "Customer#000000050")
+        .orderBy($"c_name").limit(20)
+        .select($"c_name", $"c_acctbal")
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1555,6 +1597,21 @@ object OperatorQueries {
     "ir_sql_topk_desc" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey DESC LIMIT 50""".stripMargin,
+
+    "ir_sql_topk_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > 1000
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin,
+
+    "ir_sql_topk_page_desc" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 500 AND 1400
+        |ORDER BY o_orderkey DESC LIMIT 40""".stripMargin,
+
+    "ir_sql_topk_page_prefix" ->
+      """SELECT c_name, c_acctbal FROM customer
+        |WHERE c_name LIKE 'Customer#000000%' AND c_name > 'Customer#000000050'
+        |ORDER BY c_name LIMIT 20""".stripMargin,
 
     "ir_sql_secondary_in" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer

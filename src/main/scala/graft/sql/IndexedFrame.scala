@@ -648,23 +648,39 @@ object IndexedFrame {
     protected def fetchOrderedRows(n: Int, asc: Boolean): Seq[InternalRow]
     protected def markTopK(): Unit
 
+    /** Whether a FILTERED top-k (`WHERE <fs> ORDER BY key LIMIT n` —
+      * keyset pagination) is index-served: every conjunct must be a
+      * key-interval bound this layout enforces exactly. Base handles
+      * claim only the unfiltered shape. */
+    private[sql] def topKFilterClaimable(fs: Seq[Filter]): Boolean = fs.isEmpty
+    protected def fetchOrderedRowsInRange(fs: Seq[Filter], n: Int,
+        asc: Boolean): Seq[InternalRow] =
+      throw new UnsupportedOperationException("unfiltered top-k only")
+
     @transient private lazy val topKMemo =
-      new java.util.LinkedHashMap[(Int, Boolean), Seq[InternalRow]](8, 0.75f, true) {
+      new java.util.LinkedHashMap[(String, Int, Boolean), Seq[InternalRow]](8, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(Int, Boolean), Seq[InternalRow]]): Boolean =
+            e: java.util.Map.Entry[(String, Int, Boolean), Seq[InternalRow]]): Boolean =
           size > 8
       }
 
-    /** First/last `n` rows in layout order — O(n) rows read from the
-      * covering partitions only. Planned by [[IndexedTopK]]. */
-    private[sql] final def takeOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] = {
+    /** First/last `n` rows in layout order (within the met interval of
+      * `fs`, when given) — O(n) rows read from the covering partitions
+      * only. Planned by [[IndexedTopK]]. */
+    private[sql] final def takeOrderedRows(n: Int, asc: Boolean,
+        fs: Seq[Filter] = Nil): Seq[InternalRow] = {
       markTopK()
-      topKMemo.synchronized { Option(topKMemo.get((n, asc))) } match {
+      // filters on one immutable handle target one key column of one
+      // type, so their rendered forms are collision-free memo tokens
+      val sig = fs.map(_.toString).sorted.mkString("&")
+      topKMemo.synchronized { Option(topKMemo.get((sig, n, asc))) } match {
         case Some(rows) => rows
         case None =>
-          val rows = fetchOrderedRows(n, asc)
+          val rows =
+            if (fs.isEmpty) fetchOrderedRows(n, asc)
+            else fetchOrderedRowsInRange(fs, n, asc)
           if (n <= 2048) topKMemo.synchronized {
-            topKMemo.put((n, asc), rows); ()
+            topKMemo.put((sig, n, asc), rows); ()
           }
           rows
       }
@@ -971,6 +987,50 @@ object IndexedFrame {
     override protected def markTopK(): Unit = {
       lastScanKind = "topk"
       lastPointLookupKeys = -1
+    }
+
+    /** Keyset pagination (`WHERE key > cursor ORDER BY key LIMIT n`):
+      * claimable when every conjunct is a key-interval bound (IsNotNull
+      * on the key is vacuous — the index stores no null keys). The
+      * intervals are EXACT (same boundsOn algebra as the range lane),
+      * so the planner may omit the filter above the fetch. */
+    override private[sql] def topKFilterClaimable(fs: Seq[Filter]): Boolean =
+      topKCapable && fs.forall {
+        case IsNotNull(c) => c == keyCol
+        case f => boundsOn(keyCol, codec, eqAsPrefix = true, f).isDefined
+      }
+    override protected def fetchOrderedRowsInRange(fs: Seq[Filter], n: Int,
+        asc: Boolean): Seq[InternalRow] = {
+      val ivs = fs.flatMap(f => boundsOn(keyCol, codec, eqAsPrefix = true, f))
+      val iv = meet(ivs, codec.ord)
+      if (iv.empty) return Nil
+      val from = iv.from.getOrElse(codec.minKey)
+      // close an unbounded-above page at succ(maxKey); a domain-max key
+      // has no successor and merges in as an exact corner probe (it is
+      // the greatest key, so it appends ascending / prepends descending)
+      val (toOpt, corner) = iv.to match {
+        case Some(t) => (Some(t), None)
+        case None => idx.maxKey()(kSer) match {
+          case None => (None, None)
+          case Some(mk) if codec.ord.lt(mk, from) => (None, None)
+          case Some(mk) => codec.succ(mk) match {
+            case Some(end) => (Some(end), None)
+            case None => (Some(mk), Some(mk))
+          }
+        }
+      }
+      toOpt match {
+        case None => Nil
+        case Some(to) =>
+          val body =
+            idx.takeOrderedByKeyInRange(from, to, n, asc)(kSer).toSeq.map(_._2)
+          corner match {
+            case None => body
+            case Some(ck) =>
+              val cRow = idx.multiget(Array(ck)(kTag)).values.toSeq
+              (if (asc) body ++ cRow else cRow ++ body).take(n)
+          }
+      }
     }
 
     // secondary indexes: provided by [[SecondaryCapable]] (shared

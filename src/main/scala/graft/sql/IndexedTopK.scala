@@ -39,16 +39,28 @@ object IndexedTopK {
     * bounded-heap scan instead (the rows land on the driver here). */
   val TopKBudget = 100000
 
-  object IndexedTopKStrategy extends SparkStrategy {
+  object IndexedTopKStrategy extends SparkStrategy
+      with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
-    private def bare(p: LogicalPlan): Option[IndexedFrame.TopKServable] = p match {
+    /** The handle under attribute-only Projects and Filters, plus the
+      * conjuncts of every Filter passed through. A Filter makes the
+      * claim KEYSET PAGINATION (`WHERE key > cursor ORDER BY key LIMIT
+      * n`) — served iff every conjunct translates to a key-interval
+      * bound the handle enforces exactly (checked in planTopK). */
+    private def bare(p: LogicalPlan)
+        : Option[(IndexedFrame.TopKServable,
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression])] = p match {
       case lr: LogicalRelation => lr.relation match {
-        case rel: IndexedFrame.IndexedRelation[_] => Some(rel.h)
-        case rel: IndexedFrame.CompositeRelation[_, _] => Some(rel.h)
+        case rel: IndexedFrame.IndexedRelation[_] => Some((rel.h, Nil))
+        case rel: IndexedFrame.CompositeRelation[_, _] => Some((rel.h, Nil))
         case _ => None
       }
       case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>
         bare(child)
+      case logical.Filter(cond, child) =>
+        bare(child).map { case (h, fs) =>
+          (h, fs ++ splitConjunctivePredicates(cond))
+        }
       case _ => None
     }
 
@@ -58,14 +70,69 @@ object IndexedTopK {
       * full tuple order (ties broken deterministically by b, a legal
       * answer where SQL leaves ties unspecified). Mixed directions or
       * non-layout sort columns fall through. */
+    /** Catalyst conjunct → DSv1 source filter, for exactly the shapes
+      * keyset pagination can serve (comparisons / equality / IN /
+      * IsNotNull / StartsWith between a bare column and literals).
+      * Literals convert to external Scala form — what the handle
+      * codecs parse. A None falls the whole claim through. */
+    private def toSourceFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[org.apache.spark.sql.sources.Filter] = {
+      import org.apache.spark.sql.catalyst.{expressions => ce}
+      import org.apache.spark.sql.{sources => sf}
+      def ext(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt)
+      e match {
+        case ce.EqualTo(a: AttributeReference, ce.Literal(v, dt)) =>
+          Some(sf.EqualTo(a.name, ext(v, dt)))
+        case ce.EqualTo(ce.Literal(v, dt), a: AttributeReference) =>
+          Some(sf.EqualTo(a.name, ext(v, dt)))
+        case ce.GreaterThan(a: AttributeReference, ce.Literal(v, dt)) =>
+          Some(sf.GreaterThan(a.name, ext(v, dt)))
+        case ce.GreaterThan(ce.Literal(v, dt), a: AttributeReference) =>
+          Some(sf.LessThan(a.name, ext(v, dt)))
+        case ce.GreaterThanOrEqual(a: AttributeReference, ce.Literal(v, dt)) =>
+          Some(sf.GreaterThanOrEqual(a.name, ext(v, dt)))
+        case ce.GreaterThanOrEqual(ce.Literal(v, dt), a: AttributeReference) =>
+          Some(sf.LessThanOrEqual(a.name, ext(v, dt)))
+        case ce.LessThan(a: AttributeReference, ce.Literal(v, dt)) =>
+          Some(sf.LessThan(a.name, ext(v, dt)))
+        case ce.LessThan(ce.Literal(v, dt), a: AttributeReference) =>
+          Some(sf.GreaterThan(a.name, ext(v, dt)))
+        case ce.LessThanOrEqual(a: AttributeReference, ce.Literal(v, dt)) =>
+          Some(sf.LessThanOrEqual(a.name, ext(v, dt)))
+        case ce.LessThanOrEqual(ce.Literal(v, dt), a: AttributeReference) =>
+          Some(sf.GreaterThanOrEqual(a.name, ext(v, dt)))
+        case ce.In(a: AttributeReference, list)
+            if list.forall(_.isInstanceOf[ce.Literal]) =>
+          Some(sf.In(a.name,
+            list.map { case ce.Literal(v, dt) => ext(v, dt) }.toArray))
+        case ce.InSet(a: AttributeReference, hset) =>
+          Some(sf.In(a.name, hset.map(v => ext(v, a.dataType)).toArray))
+        case ce.IsNotNull(a: AttributeReference) => Some(sf.IsNotNull(a.name))
+        case ce.StartsWith(a: AttributeReference, ce.Literal(v, _)) if v != null =>
+          Some(sf.StringStartsWith(a.name, v.toString))
+        case _ => None
+      }
+    }
+
     private def planTopK(limit: Int, s: logical.Sort): Seq[SparkPlan] = {
       val cols = s.order.map(_.child).collect { case a: AttributeReference => a.name }
       val dirs = s.order.map(_.direction).distinct
       if (cols.isEmpty || cols.length != s.order.length || dirs.length != 1) Nil
       else bare(s.child) match {
-        case Some(h) if h.topKCapable && h.topKCols.take(cols.length) == cols =>
-          IndexedTopKExec(s.child.output, h, limit,
-            dirs.head == Ascending, s.order) :: Nil
+        case Some((h, conds)) if h.topKCapable && h.topKCols.take(cols.length) == cols =>
+          // every conjunct must translate to a source Filter AND be a
+          // key-interval bound the handle serves exactly; otherwise the
+          // whole shape falls through (claiming a subset would silently
+          // drop the residual predicate — this node is the final plan)
+          val translated = conds.map(toSourceFilter)
+          if (translated.exists(_.isEmpty)) Nil
+          else {
+            val fs = translated.map(_.get)
+            if (!h.topKFilterClaimable(fs)) Nil
+            else IndexedTopKExec(s.child.output, h, limit,
+              dirs.head == Ascending, s.order, fs) :: Nil
+          }
         case _ => Nil
       }
     }
@@ -107,11 +174,13 @@ object IndexedTopK {
     }
   }
 
-  /** `n` rows in key order, fetched from only the covering partition
-    * prefix/suffix and emitted as ONE ordered partition. */
+  /** `n` rows in key order (within the pushed key interval `fs`, when
+    * present), fetched from only the covering partition prefix/suffix
+    * and emitted as ONE ordered partition. */
   case class IndexedTopKExec(output: Seq[Attribute],
       h: IndexedFrame.TopKServable, n: Int, asc: Boolean,
-      sortOrder: Seq[SortOrder]) extends LeafExecNode {
+      sortOrder: Seq[SortOrder],
+      fs: Seq[org.apache.spark.sql.sources.Filter] = Nil) extends LeafExecNode {
 
     override def outputPartitioning: Partitioning = SinglePartition
     override def outputOrdering: Seq[SortOrder] = sortOrder
@@ -127,7 +196,7 @@ object IndexedTopK {
       * jobs on repeat queries. Same driver-side shortcut Catalyst's
       * `TakeOrderedAndProjectExec` takes via `executeCollect`. */
     override def executeCollect(): Array[InternalRow] = {
-      val rows = h.takeOrderedRows(n, asc)
+      val rows = h.takeOrderedRows(n, asc, fs)
       val proj = UnsafeProjection.create(boundFields.toIndexedSeq)
       rows.iterator.map(r => proj(r).copy(): InternalRow).toArray
     }
@@ -136,7 +205,7 @@ object IndexedTopK {
       executeCollect().take(limit)
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val rows = h.takeOrderedRows(n, asc)
+      val rows = h.takeOrderedRows(n, asc, fs)
       val fields = boundFields
       sparkContext.parallelize(rows, 1).mapPartitions { it =>
         val proj = UnsafeProjection.create(fields.toIndexedSeq)
@@ -145,7 +214,8 @@ object IndexedTopK {
     }
 
     override def simpleString(maxFields: Int): String =
-      s"IndexedTopK n=$n ${if (asc) "asc" else "desc"} " +
+      s"IndexedTopK n=$n ${if (asc) "asc" else "desc"}" +
+        (if (fs.isEmpty) " " else s" filters=${fs.mkString(",")} ") +
         "[O(n): covering partition prefix only, no scan, no sort]"
   }
 }

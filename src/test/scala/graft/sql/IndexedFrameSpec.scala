@@ -276,6 +276,66 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(hh.lastScanKind !== "topk")
   }
 
+  test("keyset pagination: WHERE key > cursor ORDER BY key LIMIT n is index-served") {
+    IndexedTopK.enable(spark)
+    val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
+    val h = IndexedFrame.indexRangePartitioned(df, "k", 8)
+    // page after cursor 499 (exclusive)
+    val p1 = h.toDF.filter($"k" > 499L).orderBy($"k").limit(5)
+      .select($"k").as[Long].collect()
+    assert(p1.toSeq === (500L to 504L))
+    assert(h.lastScanKind === "topk")
+    val plan = h.toDF.filter($"k" > 499L).orderBy($"k").limit(5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedTopK"))
+    // last page of a bounded window, descending
+    val pd = h.toDF.filter($"k".between(100L, 200L)).orderBy($"k".desc).limit(3)
+      .select($"k").as[Long].collect()
+    assert(pd.toSeq === Seq(200L, 199L, 198L))
+    assert(h.lastScanKind === "topk")
+    // provably-empty interval pages to nothing
+    assert(h.toDF.filter($"k" > 100L && $"k" < 50L).orderBy($"k").limit(3)
+      .collect().isEmpty)
+    // a non-key conjunct disqualifies the claim (falls back, stays correct)
+    val nf = h.toDF.filter($"v" === "v123" && $"k" > 0L).orderBy($"k").limit(2)
+      .select($"k").as[Long].collect()
+    assert(nf.toSeq === Seq(123L))
+    // paging the whole table 100 at a time reconstructs the sorted corpus
+    var cursor = -1L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var done = false
+    while (!done) {
+      val page = h.toDF.filter($"k" > cursor).orderBy($"k").limit(100)
+        .select($"k").as[Long].collect()
+      if (page.isEmpty) done = true
+      else { seen ++= page; cursor = page.last }
+    }
+    assert(seen.toSeq === (0L until 2000L))
+  }
+
+  test("keyset pagination: string prefix pages and the domain-max corner merge exactly") {
+    IndexedTopK.enable(spark)
+    // LIKE-prefix + cursor — pagination over a string id space
+    val sdf = (1L to 500L).map(k => (f"id$k%04d", k)).toDF("id", "v")
+    val hs = IndexedFrame.indexStringRangePartitioned(sdf, "id", 8)
+    val sp1 = hs.toDF.filter($"id".startsWith("id01") && $"id" > "id0149")
+      .orderBy($"id").limit(4).select($"v").as[Long].collect()
+    assert(sp1.toSeq === (150L to 153L))
+    assert(hs.lastScanKind === "topk")
+    // Long.MaxValue has no successor: the unbounded-above page must
+    // still include it, via the exact corner probe
+    val df = Seq(1L, 5L, Long.MaxValue).map(k => (k, s"v$k")).toDF("k", "v")
+    val h = IndexedFrame.indexRangePartitioned(df, "k", 2)
+    val asc = h.toDF.filter($"k" > 1L).orderBy($"k").limit(5)
+      .select($"k").as[Long].collect()
+    assert(asc.toSeq === Seq(5L, Long.MaxValue))
+    assert(h.lastScanKind === "topk")
+    val desc = h.toDF.filter($"k" >= 1L).orderBy($"k".desc).limit(2)
+      .select($"k").as[Long].collect()
+    assert(desc.toSeq === Seq(Long.MaxValue, 5L))
+    assert(h.lastScanKind === "topk")
+  }
+
   test("repeated top-k collect on an immutable handle runs ZERO Spark jobs") {
     IndexedTopK.enable(spark)
     val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
