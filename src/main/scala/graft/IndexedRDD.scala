@@ -718,12 +718,15 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     * `[from, to)` — the KEYSET-PAGINATION primitive (`WHERE key >
     * cursor ORDER BY key LIMIT n`, the only ORDER-BY shape that stays
     * O(page) on a 100 TB table no matter how deep the pagination
-    * goes). Partition pruning first narrows to the partitions whose
-    * key interval overlaps `[from, to)`; one cheap job of per-partition
-    * radix range counts over those picks the minimal prefix (suffix
-    * for `desc`) covering `n`; one final job reads the O(n) in-range
-    * rows from only the picked partitions, each trie streaming its
-    * range in key order — never a scan, never a sort. */
+    * goes). Partition pruning narrows to the partitions whose key
+    * interval overlaps `[from, to)`; those are then visited
+    * INCREMENTALLY from the `from` end (the `to` end for `desc`) in
+    * doubling batches — each visited partition streams at most `n`
+    * in-range rows from one pruned radix range descent, and visited
+    * partitions' disjoint ordered ranges concatenate. A page that fits
+    * in the first overlapping partition (the common pagination case)
+    * costs ONE job touching ONE partition; the worst case is
+    * O(log visited) jobs — never a scan, never a sort. */
   def takeOrderedByKeyInRange(from: K, to: K, n: Int, asc: Boolean = true)(
       implicit ser: KeySerializer[K]): Array[(K, V)] = {
     require(ser.isOrderPreserving,
@@ -744,59 +747,40 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
         java.util.Arrays.compareUnsigned(kb, toB) < 0
     val lo = rp.getPartition(from)
     val hi = rp.getPartition(to)
-    val pids = (math.min(lo, hi) to math.max(lo, hi)).toIndexedSeq
-    // job 1: in-range counts, only over the overlapping partitions
-    val counts = context.runJob(
-      partitionsRDD,
-      (it: Iterator[IndexedPartition[K, V]]) =>
-        if (!it.hasNext) 0L
-        else it.next() match {
-          case r: graft.partition.RadixIndexedPartition[K, V] =>
-            val rit = r.range(from, to)
-            var c = 0L
-            while (rit.hasNext) { rit.next(); c += 1 }
-            c
-          case p =>
-            var c = 0L
-            p.iterator.foreach { case (k, _) =>
-              if (inRange(ser.toBytes(k))) c += 1
-            }
-            c
-        },
-      pids)
-    val visit = if (asc) counts.indices else counts.indices.reverse
-    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var acc = 0L
-    visit.foreach { i =>
-      if (acc < n && counts(i) > 0) { picked += pids(i); acc += counts(i) }
+    val visit = {
+      val asc0 = (math.min(lo, hi) to math.max(lo, hi)).toIndexedSeq
+      if (asc) asc0 else asc0.reverse
     }
-    if (picked.isEmpty) return Array.empty
     val byteOrd: Ordering[(K, V)] = Ordering.fromLessThan((x, y) =>
       java.util.Arrays.compareUnsigned(ser.toBytes(x._1), ser.toBytes(y._1)) < 0)
-    // job 2: O(n) in-range rows from only the covering partitions
-    val perPart = context.runJob(
-      partitionsRDD,
-      (it: Iterator[IndexedPartition[K, V]]) =>
-        if (!it.hasNext) Array.empty[(K, V)]
+    def fetch(limit: Int) = (it: Iterator[IndexedPartition[K, V]]) =>
+      if (!it.hasNext) Array.empty[(K, V)]
+      else {
+        val entries = it.next() match {
+          case r: graft.partition.RadixIndexedPartition[K, V] => r.range(from, to)
+          case p => p.iterator.filter { case (k, _) => inRange(ser.toBytes(k)) }
+            .toArray.sorted(byteOrd).iterator
+        }
+        if (asc) entries.take(limit).toArray
         else {
-          val entries = it.next() match {
-            case r: graft.partition.RadixIndexedPartition[K, V] => r.range(from, to)
-            case p => p.iterator.filter { case (k, _) => inRange(ser.toBytes(k)) }
-              .toArray.sorted(byteOrd).iterator
-          }
-          if (asc) entries.take(n).toArray
-          else {
-            val ring = new Array[(K, V)](n)
-            var seen = 0L
-            entries.foreach { kv => ring((seen % n).toInt) = kv; seen += 1 }
-            val m = math.min(seen, n.toLong).toInt
-            val start = if (seen <= n) 0 else (seen % n).toInt
-            Array.tabulate(m)(j => ring((start + j) % n))
-          }
-        },
-      picked.toIndexedSeq)
+          val ring = new Array[(K, V)](limit)
+          var seen = 0L
+          entries.foreach { kv => ring((seen % limit).toInt) = kv; seen += 1 }
+          val m = math.min(seen, limit.toLong).toInt
+          val start = if (seen <= limit) 0 else (seen % limit).toInt
+          Array.tabulate(m)(j => ring((start + j) % limit))
+        }
+      }
     val out = scala.collection.mutable.ArrayBuffer.empty[(K, V)]
-    perPart.foreach { arr => out ++= (if (asc) arr else arr.reverse) }
+    var i = 0
+    var batch = 1
+    while (out.length < n && i < visit.length) {
+      val batchPids = visit.slice(i, math.min(i + batch, visit.length))
+      val perPart = context.runJob(partitionsRDD, fetch(n - out.length), batchPids)
+      perPart.foreach { arr => out ++= (if (asc) arr else arr.reverse) }
+      i += batch
+      batch *= 4
+    }
     out.take(n).toArray
   }
 

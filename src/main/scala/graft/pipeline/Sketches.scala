@@ -131,6 +131,66 @@ object Sketches {
           .as("kmv_est")): _*)
   }
 
+  // ----------------------------------------------------------------- HLL
+
+  /**
+   * Per-group HyperLogLog register summary with m = 2^p registers over
+   * the 31-bit affine key hash: register = top p hash bits, rho =
+   * leading-zero count of the remaining W = 31-p bits, plus one.
+   * Per-group state is ≤ m small rows at every stage — the
+   * (group, register) max-rho aggregate combines map-side, so the
+   * shuffle carries at most m rows per group per map task no matter
+   * how many keys stream through — vs `count(distinct)`'s full key
+   * set: the 100 TB cardinality shape, and (unlike KMV) registers
+   * MERGE by pointwise max, so shards/days union for free.
+   *
+   * Output per group: `hll_used` (registers hit), `hll_sum_inv`
+   * (Σ_j 2^-M_j over ALL m registers — an empty register contributes
+   * 1), and `hll_raw` = α_m·m²/Σ, the raw HLL estimator. Every step
+   * is integer shifts/masks, a comparison cascade for the
+   * leading-zero rank (NO transcendental log), and exact powers of
+   * two: each 2^-M_j is a multiple of 2^-W and the sum stays well
+   * inside a double's 53 bits, so it is EXACT and order-independent;
+   * α_m·m²/Σ is one fixed-order IEEE expression — a SQL oracle
+   * reproduces all three columns bit-for-bit. The standard
+   * small/large-range corrections need ln(), whose last-ulp rounding
+   * is engine-specific; callers apply them on top of
+   * (hll_used, hll_raw) — the sketch itself stays bit-checkable.
+   *
+   * Key domain: as [[kmvDistinct]] — non-negative keys; values
+   * congruent mod 2^31-1 collapse into one hash class.
+   */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be 4..16, got $p")
+    val m = 1 << p
+    val w = 31 - p
+    val (a, b) = RowConsts.head
+    val g = groupCols.map(col)
+    val h = affine(pmod(col(keyCol).cast("long"), lit(P31)), a, b)
+    val reg = shiftright(h, w)
+    val rest = h.bitwiseAND(lit((1L << w) - 1))
+    // rho = W - floor(log2(rest)) for rest > 0, W+1 for rest = 0 —
+    // outermost branch tests the largest threshold (rho = 1)
+    val rho = (w to 1 by -1).foldLeft(lit((w + 1).toLong): Column) { (acc, j) =>
+      when(rest >= lit(1L << (w - j)), lit(j.toLong)).otherwise(acc)
+    }
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val perReg = df.filter(col(keyCol).isNotNull)
+      .select(g ++ Seq(reg.as("__reg"), rho.as("__rho")): _*)
+      .groupBy(groupCols.map(col) :+ col("__reg"): _*)
+      .agg(max(col("__rho")).as("__m"))
+    val sumInv = col("__ss") + (lit(m.toDouble) - col("hll_used").cast("double"))
+    perReg.groupBy(g: _*)
+      .agg(count(lit(1)).as("hll_used"),
+        sum(expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(__m AS INT)) AS DOUBLE)"))
+          .as("__ss"))
+      .select(g ++ Seq(
+        col("hll_used"),
+        sumInv.as("hll_sum_inv"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) / sumInv).as("hll_raw")): _*)
+  }
+
   // ----------------------------------------------------- histogram quantiles
 
   /**

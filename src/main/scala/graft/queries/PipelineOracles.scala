@@ -645,6 +645,32 @@ object PipelineOracles {
        |            / CAST(kth AS DOUBLE) END AS kmv_est
        |FROM a""".stripMargin
 
+  /** HLL register summary per event_type: same affine hash, same
+    * top-8-bit register split, same leading-zero rank (a comparison
+    * cascade, no transcendental log), same exact Σ 2^-M and fixed-order
+    * α·m²/Σ — all three output columns bit-identical. */
+  val sketchDistinctHll: String = {
+    val p = 8; val m = 1 << p; val w = 31 - p
+    val rhoCase = (1 to w).map(j =>
+      s"WHEN rest >= ${1L << (w - j)} THEN $j").mkString(" ")
+    s"""WITH h AS (SELECT event_type,
+       |  ((user_id % $P) * 1103515245 + 12345) % $P AS hh FROM events
+       |  WHERE user_id IS NOT NULL),
+       |s AS (SELECT event_type, hh >> $w AS reg,
+       |             hh & ${(1L << w) - 1} AS rest FROM h),
+       |rr AS (SELECT event_type, reg,
+       |  CASE $rhoCase ELSE ${w + 1} END AS rho FROM s),
+       |mr AS (SELECT event_type, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+       |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS hll_used,
+       |  sum(1.0 / CAST((CAST(1 AS BIGINT) << mrho) AS DOUBLE)) AS ss
+       |  FROM mr GROUP BY 1)
+       |SELECT event_type, hll_used,
+       |  ss + ($m.0 - CAST(hll_used AS DOUBLE)) AS hll_sum_inv,
+       |  (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0
+       |    / (ss + ($m.0 - CAST(hll_used AS DOUBLE))) AS hll_raw
+       |FROM agg""".stripMargin
+  }
+
   /** Bloom prune of customers by Q1-1995 buyer keys: identical bit
     * positions, identical membership decisions — INCLUDING the
     * deterministic false positives (is_member = false rows). */
@@ -1223,6 +1249,7 @@ object PipelineOracles {
     "dedup_keeper_quality" -> dedupKeeperQuality,
     "sketch_heavy_hitters" -> sketchHeavyHitters,
     "sketch_distinct_kmv" -> sketchDistinctKmv,
+    "sketch_distinct_hll" -> sketchDistinctHll,
     "sketch_bloom_prune" -> sketchBloomPrune,
     "sketch_quantiles" -> sketchQuantiles,
     "text_rarity" -> textRarity,

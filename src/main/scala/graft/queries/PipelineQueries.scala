@@ -435,6 +435,16 @@ object PipelineQueries {
         Tables.events(s, dir), Seq("event_type"), "user_id", k = 64)
     },
 
+    "sketch_distinct_hll" -> { (s, dir) =>
+      // HyperLogLog register summary: constant 2^8-register per-group
+      // state, registers merge by pointwise max (shards/days union for
+      // free — KMV sketches don't); the raw estimator and register
+      // stats are pure shift/mask/compare + exact powers of two, so the
+      // oracle matches bit-for-bit
+      graft.pipeline.Sketches.hllDistinct(
+        Tables.events(s, dir), Seq("event_type"), "user_id", p = 8)
+    },
+
     "sketch_bloom_prune" -> { (s, dir) =>
       // bloom-join pruning: an 1.5 KB bitset of Q1-1995 buyer keys
       // filters the customer probe side BEFORE any join — no false

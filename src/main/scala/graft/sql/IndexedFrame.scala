@@ -661,7 +661,7 @@ object IndexedFrame {
       new java.util.LinkedHashMap[(String, Int, Boolean), Seq[InternalRow]](8, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(String, Int, Boolean), Seq[InternalRow]]): Boolean =
-          size > 8
+          size > 32 // a paging session walks tens of distinct cursors
       }
 
     /** First/last `n` rows in layout order (within the met interval of
@@ -989,6 +989,11 @@ object IndexedFrame {
       lastPointLookupKeys = -1
     }
 
+    /** The greatest stored key, computed once per immutable handle —
+      * every unbounded-above page needs it and the O(depth) descents
+      * job would otherwise repeat per page. */
+    @transient private lazy val maxKeyMemo: Option[K] = idx.maxKey()(kSer)
+
     /** Keyset pagination (`WHERE key > cursor ORDER BY key LIMIT n`):
       * claimable when every conjunct is a key-interval bound (IsNotNull
       * on the key is vacuous — the index stores no null keys). The
@@ -1010,7 +1015,7 @@ object IndexedFrame {
       // the greatest key, so it appends ascending / prepends descending)
       val (toOpt, corner) = iv.to match {
         case Some(t) => (Some(t), None)
-        case None => idx.maxKey()(kSer) match {
+        case None => maxKeyMemo match {
           case None => (None, None)
           case Some(mk) if codec.ord.lt(mk, from) => (None, None)
           case Some(mk) => codec.succ(mk) match {
