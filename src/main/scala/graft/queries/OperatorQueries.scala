@@ -779,6 +779,24 @@ object OperatorQueries {
           count(lit(1)).as("cnt"))
     },
 
+    "ir_sql_range_stats_ts" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // the composite twin on the (ts, id) TIME-SERIES layout: a
+      // leading-ts interval is one contiguous tuple range, so the
+      // time-bounded count comes from pruned radix descents and
+      // min/max(ts) from two bounded first/last-in-range descents —
+      // the "how many events in this window" query every 100 TB events
+      // table gets asked, with no row read and no value shipped
+      graft.sql.IndexedAgg.enable(s)
+      val ev = Tables.events(s, dir).select($"ts", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "ts", "event_id", 16)
+      h.toDF.filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("cnt"), min($"ts").as("mn"), max($"ts").as("mx"))
+    },
+
     "ir_sql_zone_prune_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1577,6 +1595,11 @@ object OperatorQueries {
       """SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx,
         |       count(*) AS cnt FROM orders
         |WHERE o_orderkey BETWEEN 100 AND 1200""".stripMargin,
+
+    "ir_sql_range_stats_ts" ->
+      """SELECT count(*) AS cnt, min(ts) AS mn, max(ts) AS mx FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
 
     "ir_sql_zone_prune_composite" ->
       """SELECT event_id, user_id, round(value, 2) AS value FROM events

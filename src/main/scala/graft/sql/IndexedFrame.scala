@@ -1363,6 +1363,90 @@ object IndexedFrame {
       if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
 
+    /** The bounded LEADING-column interval `fs` pins down, when every
+      * conjunct is an A-range/equality (IsNotNull on either key column
+      * is vacuous — no null key components are stored). Tuple-space
+      * form `[(aLo, minB), (aHi, minB))` — exact because the tuple
+      * order is lexicographic. Needs B's domain minimum (BigInt
+      * components have none and fall through to the scan path). Any B
+      * predicate needs row inspection and falls through too. */
+    private def boundedLeadIntervalOf(
+        fs: Seq[Filter]): Option[Option[((A, B), (A, B))]] = {
+      if (!ordered || !tupSer.isOrderPreserving || fs.isEmpty) return None
+      val minBOpt = Try(codecB.minKey).toOption
+      if (minBOpt.isEmpty) return None
+      val minB = minBOpt.get
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyColA || c == keyColB => Some(Iv[A](None, None))
+        case f => boundsOn(keyColA, codecA, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codecA.ord)
+      if (iv.empty) Some(None)
+      else (iv.from, iv.to) match {
+        case (Some(lo), Some(hi)) => Some(Some(((lo, minB), (hi, minB))))
+        case _ => None // unbounded side: leave it to the scan path
+      }
+    }
+
+    // memoized like the single-key handle: counts/extrema on an
+    // immutable snapshot never go stale (LRU-capped driver state)
+    @transient private lazy val rangeCountMemo =
+      new java.util.LinkedHashMap[((A, B), (A, B)), java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[((A, B), (A, B)), java.lang.Long]): Boolean =
+          size > 64
+      }
+    /** `SELECT count(*) WHERE a BETWEEN ...` on a (ts, id)-style layout:
+      * pruned radix descents over the leading-interval tuple range —
+      * values never read, rows never ship. The time-bounded count every
+      * 100 TB events table gets asked for. */
+    override private[sql] def rangeCountFor(fs: Seq[Filter]): Option[() => Long] =
+      boundedLeadIntervalOf(fs).map {
+        case None => () => 0L
+        case Some((lo, hi)) => () =>
+          rangeCountMemo.synchronized {
+            Option(rangeCountMemo.get((lo, hi)))
+          } match {
+            case Some(c) => c.longValue()
+            case None =>
+              val c = idx.rangeCount(lo, hi)(tupSer)
+              rangeCountMemo.synchronized {
+                rangeCountMemo.put((lo, hi), java.lang.Long.valueOf(c)); ()
+              }
+              c
+          }
+      }
+    @transient private lazy val rangeExtremaMemo =
+      new java.util.LinkedHashMap[((A, B), (A, B)), (Option[Any], Option[Any])](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[((A, B), (A, B)), (Option[Any], Option[Any])])
+            : Boolean = size > 64
+      }
+    /** min/max of the LEADING column under its own pushed interval: the
+      * byte-extreme tuples' first components, from two bounded O(depth)
+      * descents. */
+    override private[sql] def rangeExtremaFor(
+        fs: Seq[Filter]): Option[() => (Option[Any], Option[Any])] =
+      boundedLeadIntervalOf(fs).map {
+        case None => () => (None, None)
+        case Some((lo, hi)) => () =>
+          rangeExtremaMemo.synchronized {
+            Option(rangeExtremaMemo.get((lo, hi)))
+          } match {
+            case Some(r) => r
+            case None =>
+              val (mn, mx) = idx.rangeExtrema(lo, hi)(tupSer)
+              val r = (mn.map(t => codecA.toExternalSql(t._1)),
+                mx.map(t => codecA.toExternalSql(t._1)))
+              rangeExtremaMemo.synchronized {
+                rangeExtremaMemo.put((lo, hi), r); ()
+              }
+              r
+          }
+      }
+
     /** `ORDER BY a[, b] LIMIT n`: a range-partitioned composite layout
       * is globally sorted in lexicographic (a, b) order, so a uniform-
       * direction sort on the pair — or on the leading column alone

@@ -70,62 +70,19 @@ object IndexedTopK {
       * full tuple order (ties broken deterministically by b, a legal
       * answer where SQL leaves ties unspecified). Mixed directions or
       * non-layout sort columns fall through. */
-    /** Catalyst conjunct → DSv1 source filter, for exactly the shapes
-      * keyset pagination can serve (comparisons / equality / IN /
-      * IsNotNull / StartsWith between a bare column and literals).
-      * Literals convert to external Scala form — what the handle
-      * codecs parse. A None falls the whole claim through. */
-    private def toSourceFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Option[org.apache.spark.sql.sources.Filter] = {
-      import org.apache.spark.sql.catalyst.{expressions => ce}
-      import org.apache.spark.sql.{sources => sf}
-      def ext(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
-        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(v, dt)
-      e match {
-        case ce.EqualTo(a: AttributeReference, ce.Literal(v, dt)) =>
-          Some(sf.EqualTo(a.name, ext(v, dt)))
-        case ce.EqualTo(ce.Literal(v, dt), a: AttributeReference) =>
-          Some(sf.EqualTo(a.name, ext(v, dt)))
-        case ce.GreaterThan(a: AttributeReference, ce.Literal(v, dt)) =>
-          Some(sf.GreaterThan(a.name, ext(v, dt)))
-        case ce.GreaterThan(ce.Literal(v, dt), a: AttributeReference) =>
-          Some(sf.LessThan(a.name, ext(v, dt)))
-        case ce.GreaterThanOrEqual(a: AttributeReference, ce.Literal(v, dt)) =>
-          Some(sf.GreaterThanOrEqual(a.name, ext(v, dt)))
-        case ce.GreaterThanOrEqual(ce.Literal(v, dt), a: AttributeReference) =>
-          Some(sf.LessThanOrEqual(a.name, ext(v, dt)))
-        case ce.LessThan(a: AttributeReference, ce.Literal(v, dt)) =>
-          Some(sf.LessThan(a.name, ext(v, dt)))
-        case ce.LessThan(ce.Literal(v, dt), a: AttributeReference) =>
-          Some(sf.GreaterThan(a.name, ext(v, dt)))
-        case ce.LessThanOrEqual(a: AttributeReference, ce.Literal(v, dt)) =>
-          Some(sf.LessThanOrEqual(a.name, ext(v, dt)))
-        case ce.LessThanOrEqual(ce.Literal(v, dt), a: AttributeReference) =>
-          Some(sf.GreaterThanOrEqual(a.name, ext(v, dt)))
-        case ce.In(a: AttributeReference, list)
-            if list.forall(_.isInstanceOf[ce.Literal]) =>
-          Some(sf.In(a.name,
-            list.map { case ce.Literal(v, dt) => ext(v, dt) }.toArray))
-        case ce.InSet(a: AttributeReference, hset) =>
-          Some(sf.In(a.name, hset.map(v => ext(v, a.dataType)).toArray))
-        case ce.IsNotNull(a: AttributeReference) => Some(sf.IsNotNull(a.name))
-        case ce.StartsWith(a: AttributeReference, ce.Literal(v, _)) if v != null =>
-          Some(sf.StringStartsWith(a.name, v.toString))
-        case _ => None
-      }
-    }
-
     private def planTopK(limit: Int, s: logical.Sort): Seq[SparkPlan] = {
       val cols = s.order.map(_.child).collect { case a: AttributeReference => a.name }
       val dirs = s.order.map(_.direction).distinct
       if (cols.isEmpty || cols.length != s.order.length || dirs.length != 1) Nil
       else bare(s.child) match {
         case Some((h, conds)) if h.topKCapable && h.topKCols.take(cols.length) == cols =>
-          // every conjunct must translate to a source Filter AND be a
+          // every conjunct must translate to a source Filter (the scan
+          // path's own translation, via the bridge) AND be a
           // key-interval bound the handle serves exactly; otherwise the
           // whole shape falls through (claiming a subset would silently
           // drop the residual predicate — this node is the final plan)
-          val translated = conds.map(toSourceFilter)
+          val translated = conds.map(
+            org.apache.spark.sql.graftbridge.ExpressionBridge.translateFilter)
           if (translated.exists(_.isEmpty)) Nil
           else {
             val fs = translated.map(_.get)

@@ -235,6 +235,48 @@ class IndexedAggSpec extends AnyFunSuite {
     assert(q.as[(Int, Int)].head() === exp)
   }
 
+  test("composite leading-column range stats: no-value counts and bounded extrema") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    // (a, b) pairs with duplicate leading values — the tuple interval
+    // [(aLo, minB), (aHi, minB)) must cover every b under each a
+    val df = (0L until 1000L).map(k => (k / 10, k % 10, k.toDouble))
+      .toDF("a", "b", "v")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+    for ((lo, hi) <- Seq((5L, 30L), (0L, 3L), (90L, 500L))) {
+      val q = h.toDF.filter($"a".between(lo, hi))
+        .agg(count(lit(1)).as("cnt"), min($"a").as("mn"), max($"a").as("mx"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("IndexedRangeStats"),
+        s"expected composite range-stats pushdown in:\n$plan")
+      val (cnt, mn, mx) = q.as[(Long, Long, Long)].head()
+      val expect = df.filter($"a".between(lo, hi))
+      assert(cnt === expect.count())
+      assert(mn === lo && mx === math.min(hi, 99L))
+    }
+    // leading equality counts the whole prefix group
+    val eq = h.toDF.filter($"a" === 7L).agg(count(lit(1)).as("cnt"))
+    assert(eq.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    assert(eq.as[Long].head() === 10L)
+    // a SECOND-column conjunct needs row inspection: NOT claimed
+    val fb = h.toDF.filter($"a".between(5L, 30L) && $"b" === 3L)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!fb.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    assert(fb.as[Long].head() === 26L)
+    // contradiction folds to constant zero without a job
+    val zero = h.toDF.filter($"a" > 50L && $"a" < 10L)
+      .agg(count(lit(1)).as("cnt"))
+    assert(zero.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    assert(zero.as[Long].head() === 0L)
+    // a (long, BigInt-decimal) pair has no B domain minimum: NOT claimed
+    val dfd = (0L until 50L).map(k => (k, new java.math.BigDecimal(k)))
+      .toDF("a", "d").withColumn("d", $"d".cast("decimal(38,0)"))
+    val hd = IndexedFrame.indexCompositeAny(dfd, "a", "d", ordered = true)
+    val qd = hd.toDF.filter($"a".between(5L, 10L)).agg(count(lit(1)).as("cnt"))
+    assert(!qd.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    assert(qd.as[Long].head() === 6L)
+  }
+
   test("a filtered count falls through to the default planner") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val h = customerHandle()
