@@ -896,6 +896,22 @@ object OperatorQueries {
         .select($"c_name", $"c_acctbal")
     },
 
+    "ir_sql_topk_page_ts" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // composite keyset page on the (ts, id) time-series layout:
+      // WHERE ts >= cursor ORDER BY ts, id LIMIT n — the incremental
+      // time-ordered export shape; the leading interval narrows the
+      // covering-partition pick, O(page) at any depth
+      graft.sql.IndexedTopK.enable(s)
+      val ev = Tables.events(s, dir).select($"ts", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "ts", "event_id", 16)
+      h.toDF.filter($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .orderBy($"ts", $"event_id").limit(50)
+        .select($"ts", $"event_id", round($"value", 2).as("value"))
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1635,6 +1651,11 @@ object OperatorQueries {
       """SELECT c_name, c_acctbal FROM customer
         |WHERE c_name LIKE 'Customer#000000%' AND c_name > 'Customer#000000050'
         |ORDER BY c_name LIMIT 20""".stripMargin,
+
+    "ir_sql_topk_page_ts" ->
+      """SELECT ts, event_id, round(value, 2) AS value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY ts, event_id LIMIT 50""".stripMargin,
 
     "ir_sql_secondary_in" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer

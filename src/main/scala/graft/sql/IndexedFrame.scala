@@ -1463,6 +1463,57 @@ object IndexedFrame {
       lastPointLookupKeys = -1
     }
 
+    @transient private lazy val maxKeyMemo: Option[(A, B)] = idx.maxKey()
+
+    /** Composite keyset pagination: `WHERE a >= cursor ORDER BY a[, b]
+      * LIMIT n` — the time-series export page on a (ts, id) layout.
+      * Claimable when every conjunct is a LEADING-column interval bound
+      * (IsNotNull on either key column is vacuous); any B predicate
+      * needs row inspection and falls through. topKCapable already
+      * implies order-preserving components, so both codecs have domain
+      * minima. */
+    override private[sql] def topKFilterClaimable(fs: Seq[Filter]): Boolean =
+      topKCapable && fs.forall {
+        case IsNotNull(c) => c == keyColA || c == keyColB
+        case f => boundsOn(keyColA, codecA, eqAsPrefix = true, f).isDefined
+      }
+    override protected def fetchOrderedRowsInRange(fs: Seq[Filter], n: Int,
+        asc: Boolean): Seq[InternalRow] = {
+      val ivs = fs.flatMap(f => boundsOn(keyColA, codecA, eqAsPrefix = true, f))
+      val iv = meet(ivs, codecA.ord)
+      if (iv.empty) return Nil
+      val minB = codecB.minKey
+      val from = (iv.from.getOrElse(codecA.minKey), minB)
+      // close an unbounded-above page at succ of the max tuple (by B,
+      // else carry into A); the all-domain-max tuple has no successor
+      // and merges in as an exact corner probe
+      val (toOpt, corner) = iv.to match {
+        case Some(t) => (Some((t, minB)), None)
+        case None => maxKeyMemo match {
+          case None => (None, None)
+          case Some(mk) if tupleOrd.lt(mk, from) => (None, None)
+          case Some(mk) =>
+            codecB.succ(mk._2).map(b2 => (mk._1, b2))
+              .orElse(codecA.succ(mk._1).map(a2 => (a2, minB))) match {
+              case Some(end) => (Some(end), None)
+              case None => (Some(mk), Some(mk))
+            }
+        }
+      }
+      toOpt match {
+        case None => Nil
+        case Some(to) =>
+          val body =
+            idx.takeOrderedByKeyInRange(from, to, n, asc)(tupSer).toSeq.map(_._2)
+          corner match {
+            case None => body
+            case Some(ck) =>
+              val cRow = idx.multiget(Array(ck)).values.toSeq
+              (if (asc) body ++ cRow else cRow ++ body).take(n)
+          }
+      }
+    }
+
     /** DISTRIBUTED copy-on-write upsert — the composite twin of
       * [[Handle.upsertFrame]]: only the delta shuffles to the index's
       * pair partitioning; the corpus never moves. Columns must match

@@ -336,6 +336,42 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastScanKind === "topk")
   }
 
+  test("composite keyset pagination: leading-column cursor pages in (a, b) order") {
+    IndexedTopK.enable(spark)
+    // duplicate leading values: pages must stay in full (a, b) order
+    val df = (0L until 900L).map(k => (k / 3, k % 3, s"v$k")).toDF("a", "b", "v")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+    val p1 = h.toDF.filter($"a" >= 100L).orderBy($"a", $"b").limit(5)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(p1.toSeq === Seq((100L, 0L), (100L, 1L), (100L, 2L), (101L, 0L), (101L, 1L)))
+    assert(h.lastScanKind === "topk")
+    // leading-column-only sort claims too (ties broken by b)
+    val p2 = h.toDF.filter($"a".between(50L, 60L)).orderBy($"a".desc).limit(4)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(p2.toSeq === Seq((60L, 2L), (60L, 1L), (60L, 0L), (59L, 2L)))
+    assert(h.lastScanKind === "topk")
+    // a SECOND-column conjunct disqualifies (falls back, stays correct)
+    val fb = h.toDF.filter($"a" >= 100L && $"b" === 1L).orderBy($"a", $"b").limit(2)
+      .select($"a").as[Long].collect()
+    assert(fb.toSeq === Seq(100L, 101L))
+    // cursor walk over a bounded window reconstructs it exactly
+    var cur = (119L, 2L)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var done = false
+    while (!done) {
+      // (a, b) > cursor expressed as a > aCur OR (a = aCur AND b > bCur)
+      // — only the conjunct-free leading bound is claimable, so page
+      // with a >= aCur and drop the already-seen prefix driver-side
+      val page = h.toDF.filter($"a" >= cur._1 && $"a" <= 150L)
+        .orderBy($"a", $"b").limit(10)
+        .select($"a", $"b").as[(Long, Long)].collect()
+        .dropWhile(t => t._1 < cur._1 || (t._1 == cur._1 && t._2 <= cur._2))
+      if (page.isEmpty) done = true
+      else { seen ++= page; cur = page.last }
+    }
+    assert(seen.toSeq === (360L until 453L).map(k => (k / 3, k % 3)))
+  }
+
   test("repeated top-k collect on an immutable handle runs ZERO Spark jobs") {
     IndexedTopK.enable(spark)
     val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
