@@ -912,6 +912,26 @@ object OperatorQueries {
         .select($"ts", $"event_id", round($"value", 2).as("value"))
     },
 
+    "ir_sql_topk_page_entity" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // PER-ENTITY TIMELINE page: WHERE user = X AND ts > cursor
+      // ORDER BY ts LIMIT n on a (user_id, ts) layout — the pinned
+      // leading equality plus the ts cursor meet into ONE contiguous
+      // tuple range under that user, so the page reads O(page) rows no
+      // matter how long the user's history or the corpus is (the
+      // activity-feed / version-history shape)
+      graft.sql.IndexedTopK.enable(s)
+      val g = Tables.events(s, dir).groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 2).as("mv"))
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        g, "user_id", "ts", 16)
+      h.toDF.filter($"user_id" === 7L &&
+          $"ts" > lit("2024-01-05 00:00:00").cast("timestamp"))
+        .orderBy($"ts").limit(20)
+        .select($"user_id", $"ts", $"mv")
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1656,6 +1676,13 @@ object OperatorQueries {
       """SELECT ts, event_id, round(value, 2) AS value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY ts, event_id LIMIT 50""".stripMargin,
+
+    "ir_sql_topk_page_entity" ->
+      """WITH g AS (SELECT user_id, ts, round(max(value), 2) AS mv
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, ts, mv FROM g
+        |WHERE user_id = 7 AND ts > TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY ts LIMIT 20""".stripMargin,
 
     "ir_sql_secondary_in" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer

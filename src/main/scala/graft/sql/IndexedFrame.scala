@@ -653,6 +653,15 @@ object IndexedFrame {
       * key-interval bound this layout enforces exactly. Base handles
       * claim only the unfiltered shape. */
     private[sql] def topKFilterClaimable(fs: Seq[Filter]): Boolean = fs.isEmpty
+
+    /** Full claim check for a (sortCols, filters) pair: by default a
+      * uniform-direction sort on a non-empty topKCols prefix plus
+      * claimable filters. Composite handles additionally serve a
+      * SECOND-column sort when the filters pin the leading column by
+      * equality (per-entity timeline pages). */
+    private[sql] def topKClaimable(sortCols: Seq[String], fs: Seq[Filter]): Boolean =
+      topKCapable && sortCols.nonEmpty &&
+        topKCols.take(sortCols.length) == sortCols && topKFilterClaimable(fs)
     protected def fetchOrderedRowsInRange(fs: Seq[Filter], n: Int,
         asc: Boolean): Seq[InternalRow] =
       throw new UnsupportedOperationException("unfiltered top-k only")
@@ -1466,9 +1475,11 @@ object IndexedFrame {
     @transient private lazy val maxKeyMemo: Option[(A, B)] = idx.maxKey()
 
     /** Composite keyset pagination: `WHERE a >= cursor ORDER BY a[, b]
-      * LIMIT n` — the time-series export page on a (ts, id) layout.
-      * Claimable when every conjunct is a LEADING-column interval bound
-      * (IsNotNull on either key column is vacuous); any B predicate
+      * LIMIT n` (time-series export pages) and `WHERE a = X AND b >
+      * cursor ORDER BY b LIMIT n` (PER-ENTITY TIMELINE pages — a
+      * user's activity feed, a document's version history). Claimable
+      * when the conjuncts are leading-column interval bounds, or one
+      * exact leading equality plus second-column bounds; anything else
       * needs row inspection and falls through. topKCapable already
       * implies order-preserving components, so both codecs have domain
       * minima. */
@@ -1477,29 +1488,58 @@ object IndexedFrame {
         case IsNotNull(c) => c == keyColA || c == keyColB
         case f => boundsOn(keyColA, codecA, eqAsPrefix = true, f).isDefined
       }
-    override protected def fetchOrderedRowsInRange(fs: Seq[Filter], n: Int,
-        asc: Boolean): Seq[InternalRow] = {
-      val ivs = fs.flatMap(f => boundsOn(keyColA, codecA, eqAsPrefix = true, f))
-      val iv = meet(ivs, codecA.ord)
-      if (iv.empty) return Nil
-      val minB = codecB.minKey
-      val from = (iv.from.getOrElse(codecA.minKey), minB)
-      // close an unbounded-above page at succ of the max tuple (by B,
-      // else carry into A); the all-domain-max tuple has no successor
-      // and merges in as an exact corner probe
-      val (toOpt, corner) = iv.to match {
-        case Some(t) => (Some((t, minB)), None)
-        case None => maxKeyMemo match {
-          case None => (None, None)
-          case Some(mk) if tupleOrd.lt(mk, from) => (None, None)
-          case Some(mk) =>
-            codecB.succ(mk._2).map(b2 => (mk._1, b2))
-              .orElse(codecA.succ(mk._1).map(a2 => (a2, minB))) match {
-              case Some(end) => (Some(end), None)
-              case None => (Some(mk), Some(mk))
-            }
+
+    /** (pinned A value, met B interval) when `fs` is exactly one exact
+      * leading-column equality plus optional second-column bounds —
+      * the per-entity timeline claim. A normalizing leading codec
+      * (uuid) never claims: the probe could return rows whose raw
+      * string differs from the literal, and no residual filter runs
+      * above this node. */
+    private def pinnedLeadOf(fs: Seq[Filter]): Option[(A, Iv[B])] = {
+      if (!codecA.exactLiterals) return None
+      var aEq: Option[A] = None
+      var ok = true
+      val bIvs = scala.collection.mutable.ArrayBuffer.empty[Iv[B]]
+      fs.foreach {
+        case IsNotNull(c) if c == keyColA || c == keyColB => ()
+        case EqualTo(c, v) if c == keyColA && v != null =>
+          Try(codecA.fromLiteral(v)).toOption match {
+            case Some(k) if aEq.forall(codecA.ord.equiv(_, k)) => aEq = Some(k)
+            case _ => ok = false
+          }
+        case f => boundsOn(keyColB, codecB, eqAsPrefix = false, f) match {
+          case Some(iv) => bIvs += iv
+          case None => ok = false
         }
       }
+      if (!ok) None else aEq.map(a => (a, meet(bIvs.toSeq, codecB.ord)))
+    }
+
+    override private[sql] def topKClaimable(sortCols: Seq[String],
+        fs: Seq[Filter]): Boolean =
+      topKCapable && sortCols.nonEmpty && (
+        (topKCols.take(sortCols.length) == sortCols && topKFilterClaimable(fs)) ||
+          ((sortCols == Seq(keyColB) ||
+            topKCols.take(sortCols.length) == sortCols) &&
+            pinnedLeadOf(fs).isDefined))
+
+    /** Close an unbounded-above scan that starts at `from` at succ of
+      * the max tuple (by B, else carry into A); the all-domain-max
+      * tuple has no successor and merges in as an exact corner probe. */
+    private def closeAtMax(from: (A, B)): (Option[(A, B)], Option[(A, B)]) =
+      maxKeyMemo match {
+        case None => (None, None)
+        case Some(mk) if tupleOrd.lt(mk, from) => (None, None)
+        case Some(mk) =>
+          codecB.succ(mk._2).map(b2 => (mk._1, b2))
+            .orElse(codecA.succ(mk._1).map(a2 => (a2, codecB.minKey))) match {
+            case Some(end) => (Some(end), None)
+            case None => (Some(mk), Some(mk))
+          }
+      }
+
+    private def serveTupleRange(from: (A, B), toOpt: Option[(A, B)],
+        corner: Option[(A, B)], n: Int, asc: Boolean): Seq[InternalRow] =
       toOpt match {
         case None => Nil
         case Some(to) =>
@@ -1512,6 +1552,33 @@ object IndexedFrame {
               (if (asc) body ++ cRow else cRow ++ body).take(n)
           }
       }
+
+    override protected def fetchOrderedRowsInRange(fs: Seq[Filter], n: Int,
+        asc: Boolean): Seq[InternalRow] = pinnedLeadOf(fs) match {
+      case Some((a, bIv)) =>
+        // per-entity page: one contiguous tuple range under the pinned A
+        if (bIv.empty) return Nil
+        val from = (a, bIv.from.getOrElse(codecB.minKey))
+        val (toOpt, corner) = bIv.to match {
+          case Some(t) => (Some((a, t)), None)
+          case None => codecA.succ(a) match {
+            case Some(a2) => (Some((a2, codecB.minKey)), None)
+            // a IS the domain max: the global close cannot overshoot
+            case None => closeAtMax(from)
+          }
+        }
+        serveTupleRange(from, toOpt, corner, n, asc)
+      case None =>
+        val ivs = fs.flatMap(f => boundsOn(keyColA, codecA, eqAsPrefix = true, f))
+        val iv = meet(ivs, codecA.ord)
+        if (iv.empty) return Nil
+        val minB = codecB.minKey
+        val from = (iv.from.getOrElse(codecA.minKey), minB)
+        val (toOpt, corner) = iv.to match {
+          case Some(t) => (Some((t, minB)), None)
+          case None => closeAtMax(from)
+        }
+        serveTupleRange(from, toOpt, corner, n, asc)
     }
 
     /** DISTRIBUTED copy-on-write upsert — the composite twin of

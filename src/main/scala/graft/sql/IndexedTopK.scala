@@ -75,18 +75,18 @@ object IndexedTopK {
       val dirs = s.order.map(_.direction).distinct
       if (cols.isEmpty || cols.length != s.order.length || dirs.length != 1) Nil
       else bare(s.child) match {
-        case Some((h, conds)) if h.topKCapable && h.topKCols.take(cols.length) == cols =>
+        case Some((h, conds)) =>
           // every conjunct must translate to a source Filter (the scan
-          // path's own translation, via the bridge) AND be a
-          // key-interval bound the handle serves exactly; otherwise the
-          // whole shape falls through (claiming a subset would silently
+          // path's own translation, via the bridge) AND the handle must
+          // claim the (sortCols, filters) pair as a whole; otherwise
+          // the shape falls through (claiming a subset would silently
           // drop the residual predicate — this node is the final plan)
           val translated = conds.map(
             org.apache.spark.sql.graftbridge.ExpressionBridge.translateFilter)
           if (translated.exists(_.isEmpty)) Nil
           else {
             val fs = translated.map(_.get)
-            if (!h.topKFilterClaimable(fs)) Nil
+            if (!h.topKClaimable(cols, fs)) Nil
             else IndexedTopKExec(s.child.output, h, limit,
               dirs.head == Ascending, s.order, fs) :: Nil
           }

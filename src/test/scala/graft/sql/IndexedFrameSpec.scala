@@ -372,6 +372,40 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(seen.toSeq === (360L until 453L).map(k => (k / 3, k % 3)))
   }
 
+  test("per-entity timeline pages: pinned leading equality + second-column cursor") {
+    IndexedTopK.enable(spark)
+    val df = (0L until 900L).map(k => (k % 30, k / 30, s"v$k")).toDF("u", "t", "v")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "u", "t", 8)
+    // WHERE u = X AND t > cursor ORDER BY t LIMIT n claims as topk
+    val p1 = h.toDF.filter($"u" === 7L && $"t" > 10L).orderBy($"t").limit(4)
+      .select($"t").as[Long].collect()
+    assert(p1.toSeq === (11L to 14L))
+    assert(h.lastScanKind === "topk")
+    // latest-first feed: descending under the pin
+    val p2 = h.toDF.filter($"u" === 7L).orderBy($"t".desc).limit(3)
+      .select($"t").as[Long].collect()
+    assert(p2.toSeq === Seq(29L, 28L, 27L))
+    assert(h.lastScanKind === "topk")
+    // bounded window under the pin; (u, t) sort order claims too
+    val p3 = h.toDF.filter($"u" === 7L && $"t".between(5L, 8L))
+      .orderBy($"u", $"t").limit(10).select($"t").as[Long].collect()
+    assert(p3.toSeq === (5L to 8L))
+    assert(h.lastScanKind === "topk")
+    // the pin never bleeds into neighboring users: u=7 has t 0..29 only
+    val all = h.toDF.filter($"u" === 7L && $"t" > 28L).orderBy($"t").limit(10)
+      .select($"t").as[Long].collect()
+    assert(all.toSeq === Seq(29L))
+    assert(h.lastScanKind === "topk")
+    // two DIFFERENT pins fall through (unclaimed, still correct)
+    val fb = h.toDF.filter($"u" === 7L && $"u" === 8L).orderBy($"t").limit(3)
+    assert(fb.collect().isEmpty)
+    // a sort on t WITHOUT a pin is not index-served (falls back)
+    val nf = h.toDF.filter($"t" > 27L).orderBy($"t").limit(3)
+      .select($"u", $"t").as[(Long, Long)].collect()
+    assert(nf.length === 3 && nf.forall(_._2 > 27L))
+    assert(h.lastScanKind !== "topk")
+  }
+
   test("repeated top-k collect on an immutable handle runs ZERO Spark jobs") {
     IndexedTopK.enable(spark)
     val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
