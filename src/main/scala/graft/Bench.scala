@@ -382,9 +382,34 @@ object Bench {
           col("ts") <= org.apache.spark.sql.functions.lit(cutoff(i)))
         .orderBy(col("ts").desc).limit(1).collect()
     })
+    // per-entity timeline pages: 10 pages of 100 down one user's
+    // history — the indexed page is one contiguous tuple range under
+    // the pinned user (O(page) from the covering partitions); the scan
+    // twin re-filters and re-heaps the cached table every page
+    graft.sql.IndexedTopK.enable(spark)
+    import org.apache.spark.sql.functions.lit
+    val t0page = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val tPageEntIdx = bestOf2 {
+      var cur = t0page
+      (0 until 10).foreach { _ =>
+        val rows = h.toDF.filter(col("user_id") === 7L && col("ts") > lit(cur))
+          .orderBy(col("ts")).limit(100).select(col("ts")).collect()
+        if (rows.nonEmpty) cur = rows.last.getTimestamp(0)
+      }
+    }
+    val tPageEntScan = bestOf2 {
+      var cur = t0page
+      (0 until 10).foreach { _ =>
+        val rows = cg.filter(col("user_id") === 7L && col("ts") > lit(cur))
+          .orderBy(col("ts")).limit(100).select(col("ts")).collect()
+        if (rows.nonEmpty) cur = rows.last.getTimestamp(0)
+      }
+    }
     cg.unpersist(); h.idx.unpersist()
     Seq("micro_sql_asof_idx_50" -> tAsOfIdx,
-      "micro_sql_asof_scan_50" -> tAsOfScan)
+      "micro_sql_asof_scan_50" -> tAsOfScan,
+      "micro_sql_page_entity_idx_10x100" -> tPageEntIdx,
+      "micro_sql_page_entity_scan_10x100" -> tPageEntScan)
   }
 
   /** Secondary index: 50 repeated equality reads on a non-key column —
