@@ -932,6 +932,23 @@ object OperatorQueries {
         .select($"user_id", $"ts", $"mv")
     },
 
+    "ir_sql_topk_page_secondary" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // ORDER BY a NON-KEY column, index-served: the ordered secondary
+      // streams its in-range postings in value order (each inverted
+      // partition ships at most the page), then one multiget — sorting
+      // by any ordered-secondary attribute without a corpus scan. The
+      // bound excludes NULLs exactly as the inverted index does, so
+      // the claim is exact
+      graft.sql.IndexedTopK.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_name", ordered = true)
+      h.toDF.filter($"c_name" > "Customer#000000100")
+        .orderBy($"c_name").limit(30)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1683,6 +1700,11 @@ object OperatorQueries {
         |SELECT user_id, ts, mv FROM g
         |WHERE user_id = 7 AND ts > TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY ts LIMIT 20""".stripMargin,
+
+    "ir_sql_topk_page_secondary" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_name > 'Customer#000000100'
+        |ORDER BY c_name LIMIT 30""".stripMargin,
 
     "ir_sql_secondary_in" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer

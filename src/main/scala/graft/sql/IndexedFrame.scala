@@ -402,6 +402,16 @@ object IndexedFrame {
     case _ => None
   }
 
+  /** The column one pushed range-ish filter constrains, if any. */
+  private[sql] def rangeColOfFilter(f: Filter): Option[String] = f match {
+    case GreaterThan(c, _) => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _) => Some(c)
+    case LessThanOrEqual(c, _) => Some(c)
+    case StringStartsWith(c, _) => Some(c)
+    case _ => None
+  }
+
   /** The join surface [[IndexedJoin]] plans against, implemented by
     * single-key AND composite handles: the type-erased index, the key
     * column list (one or two — a zip join must equate EVERY component
@@ -628,6 +638,113 @@ object IndexedFrame {
         hits.valuesIterator.foreach(a => buf ++= a)
         Some(buf.toArray(secTag))
       }
+    }
+
+    /** First/last `n` primary ROWS ordered by an ordered-secondary
+      * column inside the half-open value interval `iv` — `WHERE sec >
+      * cursor ORDER BY sec LIMIT n` with NO corpus scan: each inverted
+      * partition streams its in-range postings in value order and
+      * ships at most the page's worth of primary keys (the crossing
+      * posting is truncated — SQL leaves ties within a value
+      * unspecified), the driver merges the per-partition streams by
+      * value order (values are unique per partition, so streams never
+      * interleave within a value), and one partition-pruned multiget
+      * fetches the rows. Driver traffic is O(n × inverted partitions)
+      * keys worst case — the same rows-on-the-driver budget shape as
+      * the unfiltered top-k. */
+    private[sql] def secondaryOrderedTopK(col: String, iv: Iv[Any], n: Int,
+        asc: Boolean): Seq[InternalRow] = {
+      val (spec, sidx, rangeable) = secondaries(col)
+      require(rangeable, s"secondary index on '$col' is not ordered")
+      if (iv.empty || n <= 0) return Nil
+      implicit val ss: KeySerializer[Any] = spec.ser
+      val from = iv.from.getOrElse(spec.codec.minKey)
+      // close an unbounded-above interval at succ(maxValue); a
+      // domain-max value has no successor and merges in as an exact
+      // posting probe at the extreme end (mirrors the key lanes)
+      val (ranges, corners) = iv.to match {
+        case Some(t) => (Seq((from, t)), Nil)
+        case None => sidx.maxKey() match {
+          case None => (Nil, Nil)
+          case Some(mk) if spec.codec.ord.lt(mk, from) => (Nil, Nil)
+          case Some(mk) => spec.codec.succ(mk) match {
+            case Some(end) => (Seq((from, end)), Nil)
+            case None => (Seq((from, mk)), Seq(mk))
+          }
+        }
+      }
+      val serL = spec.ser
+      val byteLt = (x: Array[Byte], y: Array[Byte]) =>
+        java.util.Arrays.compareUnsigned(x, y) < 0
+      val live = ranges.filter { case (f, t) => spec.codec.ord.lt(f, t) }
+      val perPart: Array[Array[(Array[Byte], Array[K])]] =
+        if (live.isEmpty) Array.empty
+        else {
+          val (f, t) = live.head
+          sidx.context.runJob(
+            sidx.partitionsRDD,
+            (it: Iterator[graft.partition.IndexedPartition[Any, Array[K]]]) =>
+              if (!it.hasNext) Array.empty[(Array[Byte], Array[K])]
+              else {
+                val entries: Iterator[(Any, Array[K])] = it.next() match {
+                  case r: graft.partition.RadixIndexedPartition[Any, Array[K]] =>
+                    r.range(f, t)
+                  case p =>
+                    val fb = serL.toBytes(f); val tb = serL.toBytes(t)
+                    p.iterator.filter { case (v, _) =>
+                      val vb = serL.toBytes(v)
+                      java.util.Arrays.compareUnsigned(vb, fb) >= 0 &&
+                        java.util.Arrays.compareUnsigned(vb, tb) < 0
+                    }.toArray.sortBy(e => serL.toBytes(e._1))(
+                      Ordering.fromLessThan(byteLt)).iterator
+                }
+                if (asc) {
+                  val buf = scala.collection.mutable.ArrayBuffer
+                    .empty[(Array[Byte], Array[K])]
+                  var cnt = 0
+                  while (cnt < n && entries.hasNext) {
+                    val (v, ks) = entries.next()
+                    val keep = if (cnt + ks.length <= n) ks else ks.take(n - cnt)
+                    buf += ((serL.toBytes(v), keep))
+                    cnt += keep.length
+                  }
+                  buf.toArray
+                } else {
+                  // LAST n keys' postings: running-count deque, then
+                  // truncate the front posting to the remainder
+                  val dq = new scala.collection.mutable
+                    .ArrayDeque[(Array[Byte], Array[K])]()
+                  var cnt = 0
+                  entries.foreach { case (v, ks) =>
+                    dq.append((serL.toBytes(v), ks)); cnt += ks.length
+                    while (dq.nonEmpty && cnt - dq.head._2.length >= n)
+                      cnt -= dq.removeHead()._2.length
+                  }
+                  if (cnt > n && dq.nonEmpty) {
+                    val (v0, ks0) = dq.removeHead()
+                    dq.prepend((v0, ks0.drop(cnt - n)))
+                  }
+                  dq.toArray
+                }
+              })
+        }
+      val merged0 = perPart.flatten.sortBy(_._1)(Ordering.fromLessThan(byteLt))
+      val merged = if (asc) merged0 else merged0.reverse
+      val cornerPostings: Array[(Array[Byte], Array[K])] =
+        if (corners.isEmpty) Array.empty
+        else sidx.multiget(corners.map(x => x: Any).toArray(
+            scala.reflect.ClassTag.Any))
+          .toArray.map { case (v, ks) => (serL.toBytes(v), ks) }
+      // the corner is the GREATEST value: last ascending, first descending
+      val all = if (asc) merged ++ cornerPostings else cornerPostings ++ merged
+      val keysOrdered = new scala.collection.mutable.ArrayBuffer[K](n)
+      val it2 = all.iterator
+      while (keysOrdered.length < n && it2.hasNext) {
+        val ks = it2.next()._2
+        keysOrdered ++= ks.take(n - keysOrdered.length)
+      }
+      val hit = idx.multiget(keysOrdered.toArray(secTag))
+      keysOrdered.iterator.flatMap(k => hit.get(k)).toSeq
     }
 
   }
@@ -1013,8 +1130,43 @@ object IndexedFrame {
         case IsNotNull(c) => c == keyCol
         case f => boundsOn(keyCol, codec, eqAsPrefix = true, f).isDefined
       }
+
+    /** Ordered-secondary sort claim: sort on ONE non-key column with
+      * an ordered secondary index, every filter a bound on that SAME
+      * column. Any such bound (IsNotNull included) excludes NULLs,
+      * which the inverted index also excludes — so the served rows are
+      * exact. An UNfiltered sort on the column never claims: SQL would
+      * order the NULL rows first/last and the index cannot see them. */
+    private def secondarySortOf(sortCols: Seq[String],
+        fs: Seq[Filter]): Option[String] = sortCols match {
+      case Seq(c) if c != keyCol && hasOrderedSecondary(c) && fs.nonEmpty &&
+          fs.forall {
+            case IsNotNull(cc) => cc == c
+            case f => boundsOn(c, secondaryCodec(c), eqAsPrefix = false, f).isDefined
+          } => Some(c)
+      case _ => None
+    }
+
+    override private[sql] def topKClaimable(sortCols: Seq[String],
+        fs: Seq[Filter]): Boolean =
+      super.topKClaimable(sortCols, fs) || secondarySortOf(sortCols, fs).isDefined
+
     override protected def fetchOrderedRowsInRange(fs: Seq[Filter], n: Int,
         asc: Boolean): Seq[InternalRow] = {
+      // the claim shapes are disjoint by filter column: all-key-bounds
+      // is the keyset page; otherwise the filters name the one ordered
+      // secondary column whose sort was claimed
+      if (!topKFilterClaimable(fs)) {
+        val c = fs.collectFirst {
+          case IsNotNull(cc) if cc != keyCol && hasOrderedSecondary(cc) => cc
+          case f if rangeColOfFilter(f).exists(hasOrderedSecondary) =>
+            rangeColOfFilter(f).get
+        }.getOrElse(throw new IllegalStateException(
+          s"unserveable filtered top-k claim: $fs"))
+        val codecC = secondaryCodec(c)
+        val ivs = fs.flatMap(f => boundsOn(c, codecC, eqAsPrefix = false, f))
+        return secondaryOrderedTopK(c, meet(ivs, codecC.ord), n, asc)
+      }
       val ivs = fs.flatMap(f => boundsOn(keyCol, codec, eqAsPrefix = true, f))
       val iv = meet(ivs, codec.ord)
       if (iv.empty) return Nil

@@ -406,6 +406,59 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(h.lastScanKind !== "topk")
   }
 
+  test("ordered-secondary sort pages: WHERE sec > cursor ORDER BY sec LIMIT n") {
+    IndexedTopK.enable(spark)
+    // scores are a permutation (7919 coprime to 1000): unique values
+    val df = (0L until 1000L).map(k => (k, (k * 7919) % 1000, s"v$k"))
+      .toDF("k", "score", "v")
+    val h = IndexedFrame.index(df, "k").addSecondaryIndex("score", ordered = true)
+    val p1 = h.toDF.filter($"score" > 500L).orderBy($"score").limit(5)
+      .select($"score").as[Long].collect()
+    assert(p1.toSeq === (501L to 505L))
+    assert(h.lastScanKind === "topk")
+    val plan = h.toDF.filter($"score" > 500L).orderBy($"score").limit(5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedTopK"), s"expected secondary sort claim in:\n$plan")
+    // descending with an unbounded-above interval
+    val p2 = h.toDF.filter($"score" >= 0L).orderBy($"score".desc).limit(3)
+      .select($"score").as[Long].collect()
+    assert(p2.toSeq === Seq(999L, 998L, 997L))
+    assert(h.lastScanKind === "topk")
+    // a cursor walk over a bounded window reconstructs it
+    var cur = 249L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var done = false
+    while (!done) {
+      val page = h.toDF.filter($"score" > cur && $"score" <= 400L)
+        .orderBy($"score").limit(37).select($"score").as[Long].collect()
+      if (page.isEmpty) done = true
+      else { seen ++= page; cur = page.last }
+    }
+    assert(seen.toSeq === (250L to 400L))
+    // an UNfiltered secondary sort never claims (NULL rows would sort
+    // first and the inverted index cannot see them)
+    val nf = h.toDF.orderBy($"score").limit(3)
+    assert(!nf.queryExecution.executedPlan.toString.contains("IndexedTopK"))
+    assert(nf.select($"score").as[Long].collect().toSeq === Seq(0L, 1L, 2L))
+    // DUPLICATE values: page boundaries may split a value class — the
+    // served multiset of values must still be exact
+    val dd = (0L until 300L).map(k => (k, k % 10)).toDF("k", "g")
+    val hd = IndexedFrame.index(dd, "k").addSecondaryIndex("g", ordered = true)
+    val pg = hd.toDF.filter($"g" >= 3L).orderBy($"g").limit(45)
+      .select($"g").as[Long].collect()
+    assert(pg.toSeq === (Seq.fill(30)(3L) ++ Seq.fill(15)(4L)))
+    assert(hd.lastScanKind === "topk")
+    // rows with NULL in the secondary are excluded by the bound, and
+    // the claim stays exact
+    val dn = (0L until 100L).map(k =>
+      (k, if (k % 3 == 0) null else s"s${100 + k}")).toDF("k", "s")
+    val hn = IndexedFrame.index(dn, "k").addSecondaryIndex("s", ordered = true)
+    val pn = hn.toDF.filter($"s" > "s").orderBy($"s").limit(4)
+      .select($"s").as[String].collect()
+    assert(pn.toSeq === Seq("s101", "s102", "s104", "s105"))
+    assert(hn.lastScanKind === "topk")
+  }
+
   test("repeated top-k collect on an immutable handle runs ZERO Spark jobs") {
     IndexedTopK.enable(spark)
     val df = (0L until 2000L).map(k => (k, s"v$k")).toDF("k", "v")
