@@ -516,10 +516,37 @@ object Bench {
         if (rows.nonEmpty) c = rows.last.getLong(0)
       }
     }
+    // sort by a NON-key column via its ordered secondary: 10 cursor
+    // pages of 100 by o_custkey — postings stream in value order from
+    // the inverted tries; the scan twin re-heaps the cached table
+    val hSec = graft.sql.IndexedFrame.index(ordersTopkDF, "o_orderkey")
+      .addSecondaryIndex("o_custkey", ordered = true)
+    hSec.idx.cached; hSec.idx.count()
+    val tSecSortIdx = bestOf2 {
+      var cur = 0L
+      (0 until 10).foreach { _ =>
+        val rows = hSec.toDF.filter(col("o_custkey") > cur)
+          .orderBy(col("o_custkey")).limit(100)
+          .select(col("o_custkey")).collect()
+        if (rows.nonEmpty) cur = rows.last.getLong(0)
+      }
+    }
+    val tSecSortScan = bestOf2 {
+      var cur = 0L
+      (0 until 10).foreach { _ =>
+        val rows = cachedOrd.filter(col("o_custkey") > cur)
+          .orderBy(col("o_custkey")).limit(100)
+          .select(col("o_custkey")).collect()
+        if (rows.nonEmpty) cur = rows.last.getLong(0)
+      }
+    }
+    hSec.idx.unpersist()
     cachedOrd.unpersist(); hTopk.idx.unpersist()
     Seq("micro_sql_topk_idx_20" -> tTopkIdx,
       "micro_sql_topk_scan_20" -> tTopkScan,
       "micro_sql_page_idx_10x100" -> tPageIdx,
-      "micro_sql_page_scan_10x100" -> tPageScan)
+      "micro_sql_page_scan_10x100" -> tPageScan,
+      "micro_sql_secsort_idx_10x100" -> tSecSortIdx,
+      "micro_sql_secsort_scan_10x100" -> tSecSortScan)
   }
 }

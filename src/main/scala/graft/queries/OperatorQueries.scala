@@ -949,6 +949,42 @@ object OperatorQueries {
         .select($"c_custkey", $"c_name", $"c_acctbal")
     },
 
+    "ir_sql_group_count_user" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // GROUP BY the LEADING key column, answered from index structure:
+      // per-partition key-run counts (values never examined) + a reduce
+      // of the tiny (group, count) pairs — "events per user" with no
+      // data-row exchange; the windowed twin shows leading-interval
+      // conjuncts restricting the groups
+      graft.sql.IndexedAgg.enable(s)
+      val g = Tables.events(s, dir).groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 2).as("mv"))
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        g, "user_id", "ts", 16)
+      val all = h.toDF.groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("scope", lit("all"))
+      val windowed = h.toDF.filter($"user_id".between(5L, 15L))
+        .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        .withColumn("scope", lit("window"))
+      all.unionAll(windowed)
+    },
+
+    "ir_sql_group_count_segment" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // GROUP BY a secondary-indexed VALUE column: the inverted index
+      // already holds each value's row count (posting lengths), so the
+      // aggregate maps over (value, postings) pairs — zero primary rows
+      // read. The IS NOT NULL bound makes the claim exact (the index
+      // drops nulls, and so does the filter)
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_mktsegment")
+      h.toDF.filter($"c_mktsegment".isNotNull)
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("cnt"))
+    },
+
     "ir_tuple2_multiget" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -1705,6 +1741,18 @@ object OperatorQueries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_name > 'Customer#000000100'
         |ORDER BY c_name LIMIT 30""".stripMargin,
+
+    "ir_sql_group_count_user" ->
+      """WITH g AS (SELECT user_id, ts FROM events GROUP BY user_id, ts)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, 'all' AS scope
+        |FROM g GROUP BY 1
+        |UNION ALL
+        |SELECT user_id, CAST(count(*) AS BIGINT), 'window'
+        |FROM g WHERE user_id BETWEEN 5 AND 15 GROUP BY 1""".stripMargin,
+
+    "ir_sql_group_count_segment" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE c_mktsegment IS NOT NULL GROUP BY 1""".stripMargin,
 
     "ir_sql_secondary_in" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer

@@ -103,7 +103,41 @@ object IndexedAgg {
         case _ => None
       }
 
+    /** Whether one aggregate-list entry is the grouping column itself
+      * (Left) or a plain `count(1)` (Right); None disqualifies. */
+    private def groupedKind(e: org.apache.spark.sql.catalyst.expressions.NamedExpression,
+        ga: AttributeReference): Option[Boolean] = e match {
+      case a: AttributeReference if a.exprId == ga.exprId => Some(true)
+      case al: Alias => al.child match {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(1, _))) => Some(false)
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      // GROUP BY one column, result exprs drawn from {that column,
+      // count(1)}: answered from index structure when the handle can —
+      // composite leading-column key runs, or secondary posting lengths
+      // under a null-excluding bound (see groupCountsFor)
+      case Aggregate(Seq(ga: AttributeReference), aggs, child, _)
+          if aggs.nonEmpty && aggs.length <= 2 =>
+        val kinds = aggs.map(groupedKind(_, ga))
+        if (kinds.exists(_.isEmpty)) Nil
+        else {
+          val relOpt: Option[(Seq[sources.Filter], IndexedFrame.StatsCapable)] =
+            bareRelation(child).map(h => (Nil: Seq[sources.Filter], h))
+              .orElse(filteredRelation(child))
+          relOpt.flatMap { case (fs, h) =>
+            h.groupCountsFor(ga.name, fs).map(thunk =>
+              IndexedGroupCountExec(aggs.map(_.toAttribute),
+                kinds.map(_.get), h, thunk) :: Nil)
+          }.getOrElse(Nil)
+        }
       case Aggregate(Nil, aggs, child, _) if aggs.nonEmpty &&
           aggs.forall(_.isInstanceOf[Alias]) =>
         bareRelation(child) match {
@@ -207,5 +241,39 @@ object IndexedAgg {
     override def simpleString(maxFields: Int): String =
       s"IndexedRangeStats ${stats.mkString("[", ", ", "]")} " +
         "[no-value-scan: pruned + bounded radix descents]"
+  }
+
+  /** `GROUP BY col COUNT(*)` answered from index structure: the
+    * handle's (group, count) RDD — composite leading-column key runs,
+    * or secondary posting lengths — projected into the aggregate's
+    * output shape. DISTRIBUTED output (one row per group, spread over
+    * the upstream partitions): nothing collects to the driver, and no
+    * data-row exchange happens anywhere — only (group, count) pairs
+    * ever move. */
+  case class IndexedGroupCountExec(output: Seq[Attribute],
+      isGroupCol: Seq[Boolean], h: IndexedFrame.StatsCapable,
+      thunk: () => RDD[(Any, Long)]) extends LeafExecNode {
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      h.markStats()
+      val flags = isGroupCol.toArray
+      val types = output.map(_.dataType).toArray
+      thunk().mapPartitions { it =>
+        val proj = UnsafeProjection.create(types)
+        val row = new GenericInternalRow(flags.length)
+        it.map { case (g, c) =>
+          var i = 0
+          while (i < flags.length) {
+            row.update(i, if (flags(i)) g else c)
+            i += 1
+          }
+          proj(row): InternalRow
+        }
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      "IndexedGroupCount [index-structure counts: key runs / posting " +
+        "lengths — no data-row exchange]"
   }
 }

@@ -402,6 +402,24 @@ object IndexedFrame {
     case _ => None
   }
 
+  /** A stored key value (the codecs' storage domain: Long for every
+    * integral/temporal column, String, UUID, BigInt) converted to the
+    * column's CATALYST-internal form, for emitting index-derived
+    * values straight into InternalRows. */
+  private[sql] def toCatalystKey(dt: DataType, v: Any): Any = dt match {
+    case StringType => v match {
+      case s: String => UTF8String.fromString(s)
+      case u: java.util.UUID => UTF8String.fromString(u.toString)
+      case other => UTF8String.fromString(String.valueOf(other))
+    }
+    case IntegerType | DateType => v.asInstanceOf[Long].toInt
+    case ShortType => v.asInstanceOf[Long].toShort
+    case ByteType => v.asInstanceOf[Long].toByte
+    case _: DecimalType => org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(v.asInstanceOf[BigInt].bigInteger))
+    case _ => v // LongType / TimestampType / TimestampNTZType: long
+  }
+
   /** The column one pushed range-ish filter constrains, if any. */
   private[sql] def rangeColOfFilter(f: Filter): Option[String] = f match {
     case GreaterThan(c, _) => Some(c)
@@ -747,6 +765,39 @@ object IndexedFrame {
       keysOrdered.iterator.flatMap(k => hit.get(k)).toSeq
     }
 
+    /** `GROUP BY col COUNT(*)` from posting lengths: the inverted
+      * index already holds each value's row count, so the aggregate is
+      * a map over (value, postings) pairs — zero primary rows read, no
+      * exchange of data rows. Claimable only under a null-excluding
+      * pushed bound on the SAME column (every bound excludes NULLs,
+      * which the inverted index also drops — an unfiltered GROUP BY
+      * would owe SQL a NULL group the index cannot see). */
+    private[sql] def secondaryGroupCountsFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
+      if (!secondaries.contains(col) || fs.isEmpty) return None
+      val (spec, sidx, _) = secondaries(col)
+      val codecC = spec.codec
+      val allOnCol = fs.forall {
+        case IsNotNull(c) => c == col
+        case f => boundsOn(col, codecC, eqAsPrefix = true, f).isDefined
+      }
+      if (!allOnCol) return None
+      val ivs = fs.flatMap(f => boundsOn(col, codecC, eqAsPrefix = true, f))
+      val iv = meet(ivs, codecC.ord)
+      val dt = schema(col).dataType
+      val ordC = codecC.ord
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      Some(() =>
+        if (isEmpty) idx.context.emptyRDD[(Any, Long)]
+        else sidx.mapPartitions(_.collect {
+          case (v, ks) if lo.forall(l => ordC.gteq(v, l)) &&
+              hi.forall(h => ordC.lt(v, h)) =>
+            (toCatalystKey(dt, v), ks.length.toLong)
+        }))
+    }
+
   }
 
   /** `ORDER BY <layout-order prefix> LIMIT n` surface, implemented by
@@ -833,6 +884,13 @@ object IndexedFrame {
       * descents, no value read. Same gating as [[rangeCountFor]]. */
     private[sql] def rangeExtremaFor(
         filters: Seq[Filter]): Option[() => (Option[Any], Option[Any])] = None
+    /** Distributed (group, count) pairs answering `GROUP BY col
+      * COUNT(*)` from index structure alone — composite LEADING-column
+      * key runs (values untouched) or secondary posting lengths under
+      * a null-excluding bound. Group values arrive in CATALYST
+      * internal form. None when not index-answerable. */
+    private[sql] def groupCountsFor(col: String,
+        filters: Seq[Filter]): Option[() => RDD[(Any, Long)]] = None
   }
 
   /** Per-partition min/max zone maps of VALUE columns — EXPLICITLY
@@ -1198,6 +1256,13 @@ object IndexedFrame {
           }
       }
     }
+
+    /** `GROUP BY col COUNT(*)`: secondary posting lengths (a key-column
+      * group is all size-1 groups — Catalyst's plain aggregate is
+      * already right-shaped there). */
+    override private[sql] def groupCountsFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] =
+      if (col == keyCol) None else secondaryGroupCountsFor(col, fs)
 
     // secondary indexes: provided by [[SecondaryCapable]] (shared
     // with composite handles).
@@ -1585,6 +1650,50 @@ object IndexedFrame {
             e: java.util.Map.Entry[((A, B), (A, B)), (Option[Any], Option[Any])])
             : Boolean = size > 64
       }
+    /** `GROUP BY a COUNT(*)` on the LEADING key column: per-partition
+      * key-run counting (values never examined) + a reduce of the tiny
+      * (group, count) pairs — the "events per user/day" aggregate with
+      * no data-row exchange. Optional leading-interval conjuncts
+      * restrict the groups; non-leading predicates fall through.
+      * Secondary-indexed columns route to posting lengths. */
+    override private[sql] def groupCountsFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
+      if (col != keyColA) return secondaryGroupCountsFor(col, fs)
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyColA || c == keyColB => Some(Iv[A](None, None))
+        case f => boundsOn(keyColA, codecA, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codecA.ord)
+      val ordA = codecA.ord
+      val dt = schema(keyColA).dataType
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      Some(() =>
+        if (isEmpty) idx.context.emptyRDD[(Any, Long)]
+        else {
+          val partial = idx.partitionsRDD.mapPartitions { pit =>
+            if (!pit.hasNext) Iterator.empty
+            else {
+              val m = new java.util.HashMap[Any, java.lang.Long]()
+              pit.next().iterator.foreach { case (k, _) =>
+                val a = k._1
+                if (lo.forall(l => ordA.gteq(a, l)) &&
+                    hi.forall(h => ordA.lt(a, h))) {
+                  val prev = m.get(a)
+                  m.put(a, if (prev == null) 1L else prev.longValue() + 1L)
+                }
+              }
+              import scala.jdk.CollectionConverters._
+              m.entrySet().iterator().asScala
+                .map(e => (e.getKey: Any, e.getValue.longValue()))
+            }
+          }
+          partial.reduceByKey(_ + _).map { case (a, c) => (toCatalystKey(dt, a), c) }
+        })
+    }
+
     /** min/max of the LEADING column under its own pushed interval: the
       * byte-extreme tuples' first components, from two bounded O(depth)
       * descents. */

@@ -277,6 +277,62 @@ class IndexedAggSpec extends AnyFunSuite {
     assert(qd.as[Long].head() === 6L)
   }
 
+  test("GROUP BY count pushdown: leading-column key runs and secondary posting lengths") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    // composite (a, b): per-a counts from key runs, values untouched
+    val df = (0L until 1000L).map(k => (k / 40, k % 40, s"v$k")).toDF("a", "b", "v")
+    val h = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+    val q = h.toDF.groupBy($"a").agg(count(lit(1)).as("cnt"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedGroupCount"),
+      s"expected group-count pushdown in:\n${q.queryExecution.executedPlan}")
+    assert(q.as[(Long, Long)].collect().toMap ===
+      (0L until 25L).map(a => a -> 40L).toMap)
+    // leading-interval filter restricts the groups
+    val qf = h.toDF.filter($"a".between(5L, 9L)).groupBy($"a")
+      .agg(count(lit(1)).as("cnt"))
+    assert(qf.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qf.as[(Long, Long)].collect().toMap ===
+      (5L to 9L).map(a => a -> 40L).toMap)
+    // count-only result list (group column projected away)
+    val qc = h.toDF.filter($"a" === 3L).groupBy($"a").agg(count(lit(1)).as("cnt"))
+      .select($"cnt")
+    assert(qc.as[Long].collect().toSeq === Seq(40L))
+    // second-column grouping is NOT index-answerable: falls through
+    val qb = h.toDF.groupBy($"b").agg(count(lit(1)).as("cnt"))
+    assert(!qb.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qb.as[(Long, Long)].collect().toMap ===
+      (0L until 40L).map(b => b -> 25L).toMap)
+
+    // secondary posting lengths, gated on a null-excluding bound
+    val dn = (0L until 300L).map(k =>
+      (k, if (k % 5 == 0) null else s"g${k % 3}")).toDF("k", "g")
+    val hs = IndexedFrame.index(dn, "k").addSecondaryIndex("g")
+    val qs = hs.toDF.filter($"g".isNotNull).groupBy($"g").agg(count(lit(1)).as("cnt"))
+    assert(qs.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    val expect = dn.filter($"g".isNotNull).groupBy($"g").agg(count(lit(1)))
+      .as[(String, Long)].collect().toMap
+    assert(qs.as[(String, Long)].collect().toMap === expect)
+    // UNfiltered grouped count on a nullable secondary must NOT claim
+    // (SQL owes a NULL group the inverted index cannot see)
+    val qu = hs.toDF.groupBy($"g").agg(count(lit(1)).as("cnt"))
+    assert(!qu.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qu.filter($"g".isNull).as[(String, Long)].collect().toSeq
+      === Seq((null, 60L)))
+    // ordered secondary: a range bound both excludes nulls and
+    // restricts the groups
+    val ho = IndexedFrame.index(dn, "k").addSecondaryIndex("g", ordered = true)
+    val qr = ho.toDF.filter($"g" >= "g1").groupBy($"g").agg(count(lit(1)).as("cnt"))
+    assert(qr.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qr.as[(String, Long)].collect().toMap ===
+      expect.view.filterKeys(_ >= "g1").toMap)
+    // count(distinct) / avg never claim
+    val qd = h.toDF.groupBy($"a").agg(count_distinct($"b").as("d"))
+    assert(!qd.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qd.as[(Long, Long)].collect().toMap ===
+      (0L until 25L).map(a => a -> 40L).toMap)
+  }
+
   test("a filtered count falls through to the default planner") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val h = customerHandle()
