@@ -1412,6 +1412,119 @@ object OperatorQueries {
       } finally q.stop()
       Bridge.RichIndexedRDD(sink.current).toDS
         .select($"_1".as("o_orderkey"), round($"_2", 2).as("val"))
+    },
+
+    "ir_sql_distinct_key" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SELECT DISTINCT key: primary keys are unique by construction,
+      // so the distinct set is a plain per-partition key enumeration —
+      // NO aggregate operator and NO exchange anywhere in the plan
+      // (Catalyst's default is scan → partial hash agg → shuffle →
+      // final hash agg). At 100 TB: zero data rows deserialized, zero
+      // bytes shuffled.
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      h.toDF.select($"o_orderkey").distinct()
+    },
+
+    "ir_sql_count_distinct" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // count(DISTINCT sec) IS the inverted index's size — exact even
+      // with NULLs, since count(DISTINCT) excludes them just as the
+      // inverted index does; count(*) rides the same claim from the
+      // primary index's size. No scan, no expand, no shuffle, and both
+      // sizes memoize on the immutable snapshot (repeats = zero jobs).
+      // ONE distinct group only: two distinct aggregates on different
+      // columns are rewritten (Expand) before strategies run and fall
+      // through to the default planner — by design, not claimable.
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey")
+      h.toDF.agg(count(lit(1)).as("cnt"),
+        count_distinct($"c_nationkey").as("nn"))
+    },
+
+    "ir_sql_count_distinct_key" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // count(DISTINCT key) == count(*) (keys unique, never null): the
+      // O(partitions) index-size sum — no distinct machinery at all
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      h.toDF.agg(count_distinct($"o_orderkey").as("n"))
+    },
+
+    "ir_sql_distinct_leading" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // DISTINCT leading column of a range-partitioned composite:
+      // partitions hold disjoint contiguous (user, event) ranges and
+      // tries stream in key order, so each partition emits its run
+      // heads and only partition-BOUNDARY runs need dedup (one
+      // O(partitions) driver pass) — zero shuffle, zero rows read.
+      // The "which entities exist" query at corpus scale.
+      graft.sql.IndexedAgg.enable(s)
+      val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "user_id", "event_id", numPartitions = 16)
+      h.toDF.select($"user_id").distinct()
+    },
+
+    "ir_sql_group_stats" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // per-entity timeline summary — GROUP BY user → count(*),
+      // min/max(event_id) — answered from the composite key tuples
+      // alone: per-partition (count, min, max) partials over the key
+      // stream (values NEVER deserialized), one reduce of O(groups)
+      // triples. Catalyst's default reads and exchanges every row.
+      graft.sql.IndexedAgg.enable(s)
+      val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "user_id", "event_id", numPartitions = 16)
+      h.toDF.groupBy($"user_id").agg(count(lit(1)).as("n"),
+        min($"event_id").as("mn"), max($"event_id").as("mx"))
+    },
+
+    "ir_sql_group_stats_secondary" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // GROUP BY a secondary-indexed column → count/min/max of the
+      // PRIMARY key, straight from posting arrays: zero primary rows
+      // read, zero shuffle (each distinct value lives in exactly one
+      // inverted partition). Gated on a null-excluding bound — the
+      // inverted index drops NULLs, so an unfiltered GROUP BY (which
+      // owes SQL a NULL group) never claims.
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey")
+      h.toDF.filter($"c_nationkey".isNotNull).groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), min($"c_custkey").as("mn"),
+          max($"c_custkey").as("mx"))
+    },
+
+    "ir_sql_window_topn" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // grouped top-n via window pushdown: row_number() OVER
+      // (PARTITION BY user ORDER BY event) <= 5 — the layout already
+      // IS the window's work product (each user a contiguous run,
+      // sorted by event), so the plan is one streaming pass per trie
+      // plus an O(partitions) boundary pass: NO exchange, NO sort, NO
+      // window state, at most n rows per user materialized. The
+      // "first/latest n events per user, all users at once" query —
+      // Catalyst's default exchanges and sorts every row.
+      graft.sql.IndexedWindow.enable(s)
+      val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "user_id", "event_id", numPartitions = 16)
+      h.toDF.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"user_id").orderBy($"event_id")))
+        .filter($"rn" <= 5)
+        .select($"user_id", $"event_id", round($"value", 2).as("value"), $"rn")
     }
   )
 
@@ -1901,6 +2014,38 @@ object OperatorQueries {
     "ir_stream_lookup" ->
       """SELECT o.o_orderkey, round(o.o_totalprice + c.c_acctbal, 2) AS val
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE year(CAST(o.o_orderdate AS DATE)) IN (1995, 1996, 1997)""".stripMargin
+        |WHERE year(CAST(o.o_orderdate AS DATE)) IN (1995, 1996, 1997)""".stripMargin,
+
+    "ir_sql_distinct_key" ->
+      "SELECT DISTINCT o_orderkey FROM orders",
+
+    "ir_sql_count_distinct" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nn
+        |FROM customer""".stripMargin,
+
+    "ir_sql_count_distinct_key" ->
+      "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n FROM orders",
+
+    "ir_sql_distinct_leading" ->
+      "SELECT DISTINCT user_id FROM events",
+
+    "ir_sql_group_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       min(event_id) AS mn, max(event_id) AS mx
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "ir_sql_group_stats_secondary" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |       min(c_custkey) AS mn, max(c_custkey) AS mx
+        |FROM customer WHERE c_nationkey IS NOT NULL
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "ir_sql_window_topn" ->
+      """SELECT user_id, event_id, round(value, 2) AS value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id) AS INT) AS rn
+        |  FROM events) WHERE rn <= 5""".stripMargin
   )
 }

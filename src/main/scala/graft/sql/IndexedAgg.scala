@@ -43,6 +43,17 @@ object IndexedAgg {
   case object CountStat extends Stat
   case object MinStat extends Stat
   case object MaxStat extends Stat
+  /** `count(DISTINCT col)` answered from index sizes (primary key →
+    * the index itself; secondary → the inverted index; composite
+    * leading → boundary-adjusted run counts). */
+  final case class CountDistinctStat(col: String) extends Stat
+
+  /** One entry of an index-answerable `GROUP BY g` aggregate list. */
+  private[sql] sealed trait GKind extends Serializable
+  private[sql] case object GGroup extends GKind // the grouping column itself
+  private[sql] case object GCount extends GKind // count(1)
+  private[sql] case object GMin extends GKind // min(groupStatCol)
+  private[sql] case object GMax extends GKind // max(groupStatCol)
 
   object IndexedCountStrategy extends SparkStrategy {
 
@@ -75,6 +86,19 @@ object IndexedAgg {
               if h.statsKeyCol.contains(k.name) => Some(MaxStat)
           case _ => None
         }
+      // count(DISTINCT <full primary key>) == count(*) (keys unique,
+      // never null); a single other column defers to countDistinctFor
+      // (validated at claim time — secondary/leading structure only)
+      case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(children)
+              if children.forall(_.isInstanceOf[AttributeReference]) =>
+            val cols = children.map(_.asInstanceOf[AttributeReference].name)
+            if (h.colsAreFullKey(cols)) Some(CountStat)
+            else if (cols.length == 1) Some(CountDistinctStat(cols.head))
+            else None
+          case _ => None
+        }
       case _ => None
     }
 
@@ -103,15 +127,21 @@ object IndexedAgg {
         case _ => None
       }
 
-    /** Whether one aggregate-list entry is the grouping column itself
-      * (Left) or a plain `count(1)` (Right); None disqualifies. */
+    /** Classify one aggregate-list entry: the grouping column itself,
+      * `count(1)`, or min/max of the one column whose per-group extrema
+      * the handle's structure answers ([[IndexedFrame.StatsCapable
+      * .groupStatCol]]); None disqualifies. */
     private def groupedKind(e: org.apache.spark.sql.catalyst.expressions.NamedExpression,
-        ga: AttributeReference): Option[Boolean] = e match {
-      case a: AttributeReference if a.exprId == ga.exprId => Some(true)
+        ga: AttributeReference, h: IndexedFrame.StatsCapable): Option[GKind] = e match {
+      case a: AttributeReference if a.exprId == ga.exprId => Some(GGroup)
       case al: Alias => al.child match {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case Count(Seq(Literal(1, _))) => Some(false)
+            case Count(Seq(Literal(1, _))) => Some(GCount)
+            case Min(c: AttributeReference)
+                if h.groupStatCol(ga.name).contains(c.name) => Some(GMin)
+            case Max(c: AttributeReference)
+                if h.groupStatCol(ga.name).contains(c.name) => Some(GMax)
             case _ => None
           }
         case _ => None
@@ -125,28 +155,52 @@ object IndexedAgg {
       // composite leading-column key runs, or secondary posting lengths
       // under a null-excluding bound (see groupCountsFor)
       case Aggregate(Seq(ga: AttributeReference), aggs, child, _)
-          if aggs.nonEmpty && aggs.length <= 2 =>
-        val kinds = aggs.map(groupedKind(_, ga))
-        if (kinds.exists(_.isEmpty)) Nil
-        else {
-          val relOpt: Option[(Seq[sources.Filter], IndexedFrame.StatsCapable)] =
-            bareRelation(child).map(h => (Nil: Seq[sources.Filter], h))
-              .orElse(filteredRelation(child))
-          relOpt.flatMap { case (fs, h) =>
-            h.groupCountsFor(ga.name, fs).map(thunk =>
-              IndexedGroupCountExec(aggs.map(_.toAttribute),
-                kinds.map(_.get), h, thunk) :: Nil)
-          }.getOrElse(Nil)
-        }
+          if aggs.nonEmpty && aggs.length <= 4 =>
+        val relOpt: Option[(Seq[sources.Filter], IndexedFrame.StatsCapable)] =
+          bareRelation(child).map(h => (Nil: Seq[sources.Filter], h))
+            .orElse(filteredRelation(child))
+        relOpt.flatMap { case (fs, h) =>
+          val kinds = aggs.map(groupedKind(_, ga, h))
+          if (kinds.exists(_.isEmpty)) None
+          else {
+            val ks = kinds.map(_.get)
+            val out = aggs.map(_.toAttribute)
+            if (ks == Seq(GGroup))
+              // pure DISTINCT: unique-by-structure enumeration first
+              // (no aggregate, no exchange), grouped counts as the
+              // fallback shape (secondary postings under a
+              // null-excluding bound)
+              h.distinctValuesFor(ga.name, fs)
+                .map(t => IndexedDistinctExec(out, h, t): SparkPlan)
+                .orElse(h.groupCountsFor(ga.name, fs).map(t =>
+                  IndexedGroupCountExec(out, ks.map(_ == GGroup), h, t)))
+            else if (ks.exists(k => k == GMin || k == GMax))
+              h.groupStatsFor(ga.name, fs).map(t =>
+                IndexedGroupStatsExec(out, ks, h, t): SparkPlan)
+            else
+              h.groupCountsFor(ga.name, fs).map(t =>
+                IndexedGroupCountExec(out, ks.map(_ == GGroup), h, t): SparkPlan)
+          }
+        }.map(_ :: Nil).getOrElse(Nil)
       case Aggregate(Nil, aggs, child, _) if aggs.nonEmpty &&
           aggs.forall(_.isInstanceOf[Alias]) =>
         bareRelation(child) match {
           case Some(h) =>
             val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
-            if (stats.forall(_.isDefined))
-              IndexedStatsExec(aggs.map(_.toAttribute), h,
-                stats.map(_.get)) :: Nil
-            else Nil
+            if (stats.forall(_.isDefined)) {
+              val ss = stats.map(_.get)
+              // each count-distinct stat must resolve to an
+              // index-structure thunk; a column with no distinct
+              // structure (plain value column) falls through whole
+              val cd = ss.map {
+                case CountDistinctStat(c) => h.countDistinctFor(c)
+                case _ => Some(() => 0L) // unused placeholder
+              }
+              if (cd.forall(_.isDefined))
+                IndexedStatsExec(aggs.map(_.toAttribute), h, ss,
+                  cd.map(_.get)) :: Nil
+              else Nil
+            } else Nil
           case None =>
             // count(*)/min(key)/max(key) over a KEY-RANGE filter:
             // count from pruned radix range descents, extrema from
@@ -154,7 +208,9 @@ object IndexedAgg {
             filteredRelation(child) match {
               case Some((fs, h)) =>
                 val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
-                if (stats.forall(_.isDefined)) {
+                if (stats.forall(_.isDefined) &&
+                    // filtered count(DISTINCT …) needs row inspection
+                    !stats.exists(_.get.isInstanceOf[CountDistinctStat])) {
                   val ss = stats.map(_.get)
                   val countThunk =
                     if (ss.contains(CountStat)) h.rangeCountFor(fs)
@@ -185,20 +241,26 @@ object IndexedAgg {
     * Int/Short keys narrowed back from Long) and convert to catalyst
     * through the output attribute's own type. */
   case class IndexedStatsExec(output: Seq[Attribute],
-      h: IndexedFrame.StatsCapable, stats: Seq[Stat]) extends LeafExecNode {
+      h: IndexedFrame.StatsCapable, stats: Seq[Stat],
+      cdThunks: Seq[() => Long] = Nil) extends LeafExecNode {
 
     override protected def doExecute(): RDD[InternalRow] = {
       h.markStats()
       // ONE job answers every requested stat (4 jobs/query measured 2x
-      // the whole micro's latency when issued separately)
-      val (count, mn, mx) =
+      // the whole micro's latency when issued separately); the base
+      // (count, extrema) job is skipped entirely when only
+      // count-distinct stats were requested
+      lazy val baseStats =
         h.statsAll(stats.exists(s => s == MinStat || s == MaxStat))
-      val values: Seq[Any] = stats.zip(output).map {
-        case (CountStat, _) => count
-        case (MinStat, a) =>
-          mn.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
-        case (MaxStat, a) =>
-          mx.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
+      val values: Seq[Any] = stats.zipWithIndex.map {
+        case (CountStat, _) => baseStats._1
+        case (MinStat, i) =>
+          baseStats._2.map(CatalystTypeConverters
+            .createToCatalystConverter(output(i).dataType)).orNull
+        case (MaxStat, i) =>
+          baseStats._3.map(CatalystTypeConverters
+            .createToCatalystConverter(output(i).dataType)).orNull
+        case (CountDistinctStat(_), i) => cdThunks(i)()
       }
       val types = output.map(_.dataType)
       sparkContext.parallelize(Seq(values), 1).mapPartitions { it =>
@@ -230,6 +292,8 @@ object IndexedAgg {
           mn.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
         case (MaxStat, a) =>
           mx.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
+        case (CountDistinctStat(_), _) => // never planned filtered
+          throw new IllegalStateException("count-distinct under a filter")
       }
       val types = output.map(_.dataType)
       sparkContext.parallelize(Seq(values), 1).mapPartitions { it =>
@@ -275,5 +339,67 @@ object IndexedAgg {
     override def simpleString(maxFields: Int): String =
       "IndexedGroupCount [index-structure counts: key runs / posting " +
         "lengths — no data-row exchange]"
+  }
+
+  /** `SELECT DISTINCT col` answered by structural uniqueness: primary
+    * keys (and range-partitioned leading columns after boundary
+    * dedup) are emitted straight off the index — NO aggregate operator
+    * and NO exchange anywhere in the plan, values never deserialized. */
+  case class IndexedDistinctExec(output: Seq[Attribute],
+      h: IndexedFrame.StatsCapable,
+      thunk: () => RDD[Any]) extends LeafExecNode {
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      h.markStats()
+      val types = output.map(_.dataType).toArray
+      thunk().mapPartitions { it =>
+        val proj = UnsafeProjection.create(types)
+        val row = new GenericInternalRow(1)
+        it.map { v =>
+          row.update(0, v)
+          proj(row): InternalRow
+        }
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      "IndexedDistinct [structurally-unique key enumeration — no " +
+        "aggregate, no exchange]"
+  }
+
+  /** `GROUP BY g → count(*), min(s), max(s)` from index structure:
+    * composite key runs (s = the second key column) or secondary
+    * posting arrays (s = the primary key). Data rows are never read —
+    * only (group, count, min, max) tuples move. */
+  case class IndexedGroupStatsExec(output: Seq[Attribute],
+      kinds: Seq[GKind], h: IndexedFrame.StatsCapable,
+      thunk: () => RDD[(Any, Long, Any, Any)]) extends LeafExecNode {
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      h.markStats()
+      val ks = kinds.toArray
+      val types = output.map(_.dataType).toArray
+      thunk().mapPartitions { it =>
+        val proj = UnsafeProjection.create(types)
+        val row = new GenericInternalRow(ks.length)
+        it.map { case (g, c, mn, mx) =>
+          var i = 0
+          while (i < ks.length) {
+            row.update(i, ks(i) match {
+              case GGroup => g
+              case GCount => c
+              case GMin => mn
+              case GMax => mx
+            })
+            i += 1
+          }
+          proj(row): InternalRow
+        }
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      "IndexedGroupStats [per-group count/min/max from key runs / " +
+        "posting arrays — no data rows read]"
   }
 }

@@ -798,6 +798,61 @@ object IndexedFrame {
         }))
     }
 
+    /** The inverted index's O(partitions) size IS the exact
+      * `count(DISTINCT col)`: one entry per distinct non-null value,
+      * and SQL's count(DISTINCT) excludes nulls by definition — so
+      * unlike the grouped/DISTINCT lanes, no null-excluding bound is
+      * needed. Memoized like the primary count (the snapshot is
+      * immutable): repeats answer driver-side with zero jobs. */
+    @transient private lazy val secCountMemo =
+      new scala.collection.concurrent.TrieMap[String, Long]()
+    private[sql] def secondaryCountDistinct(col: String): Option[() => Long] =
+      secondaries.get(col).map { case (_, sidx, _) =>
+        () => secCountMemo.getOrElseUpdate(col, sidx.count())
+      }
+
+    /** Grouped (group, count, min-primary, max-primary) straight from
+      * posting arrays — `GROUP BY col → count(*), min(key), max(key)`
+      * with ZERO primary rows read and ZERO shuffle (each distinct
+      * value lives in exactly one inverted partition). Same
+      * null-excluding gating as [[secondaryGroupCountsFor]]; extrema
+      * compare in the primary codec's storage order and emit catalyst
+      * values via `kOut`. */
+    private[sql] def secondaryGroupStatsFor(col: String, fs: Seq[Filter],
+        kOrd: Ordering[K], kOut: K => Any)
+        : Option[() => RDD[(Any, Long, Any, Any)]] = {
+      if (!secondaries.contains(col) || fs.isEmpty) return None
+      val (spec, sidx, _) = secondaries(col)
+      val codecC = spec.codec
+      val allOnCol = fs.forall {
+        case IsNotNull(c) => c == col
+        case f => boundsOn(col, codecC, eqAsPrefix = true, f).isDefined
+      }
+      if (!allOnCol) return None
+      val ivs = fs.flatMap(f => boundsOn(col, codecC, eqAsPrefix = true, f))
+      val iv = meet(ivs, codecC.ord)
+      val dt = schema(col).dataType
+      val ordC = codecC.ord
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      Some(() =>
+        if (isEmpty) idx.context.emptyRDD[(Any, Long, Any, Any)]
+        else sidx.mapPartitions(_.collect {
+          case (v, ks) if lo.forall(l => ordC.gteq(v, l)) &&
+              hi.forall(h => ordC.lt(v, h)) =>
+            var mn = ks(0)
+            var mx = ks(0)
+            var i = 1
+            while (i < ks.length) {
+              if (kOrd.lt(ks(i), mn)) mn = ks(i)
+              if (kOrd.gt(ks(i), mx)) mx = ks(i)
+              i += 1
+            }
+            (toCatalystKey(dt, v), ks.length.toLong, kOut(mn), kOut(mx))
+        }))
+    }
+
   }
 
   /** `ORDER BY <layout-order prefix> LIMIT n` surface, implemented by
@@ -891,6 +946,33 @@ object IndexedFrame {
       * internal form. None when not index-answerable. */
     private[sql] def groupCountsFor(col: String,
         filters: Seq[Filter]): Option[() => RDD[(Any, Long)]] = None
+    /** Distributed stream of the DISTINCT values of `col` (catalyst
+      * internal form) from index structure alone — primary keys are
+      * unique by construction, so `SELECT DISTINCT key` is a plain key
+      * enumeration with NO aggregate and NO exchange anywhere. None
+      * when any filter needs row inspection or uniqueness cannot be
+      * guaranteed structurally. */
+    private[sql] def distinctValuesFor(col: String,
+        filters: Seq[Filter]): Option[() => RDD[Any]] = None
+    /** Exact distinct-value count of `col` from index sizes alone
+      * (primary key → index size; secondary → inverted-index size;
+      * composite leading → boundary-adjusted per-partition run
+      * counts). O(partitions) driver state, zero rows read. */
+    private[sql] def countDistinctFor(col: String): Option[() => Long] = None
+    /** Whether `cols` is exactly the full primary key column set —
+      * `count(DISTINCT <full key>)` is then `count(*)`, the index
+      * size. */
+    private[sql] def colsAreFullKey(cols: Seq[String]): Boolean = false
+    /** The column whose PER-GROUP min/max this index answers when
+      * grouping by `col` (composite leading → the second key column;
+      * secondary-indexed column → the primary key), if any. */
+    private[sql] def groupStatCol(col: String): Option[String] = None
+    /** Grouped (group, count, min, max) rows in catalyst form — the
+      * per-entity summary `GROUP BY g → count(*), min(s), max(s)`
+      * answered from key runs / posting arrays without reading data
+      * rows. Same gating shape as [[groupCountsFor]]. */
+    private[sql] def groupStatsFor(col: String,
+        filters: Seq[Filter]): Option[() => RDD[(Any, Long, Any, Any)]] = None
   }
 
   /** Per-partition min/max zone maps of VALUE columns — EXPLICITLY
@@ -1263,6 +1345,56 @@ object IndexedFrame {
     override private[sql] def groupCountsFor(col: String,
         fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] =
       if (col == keyCol) None else secondaryGroupCountsFor(col, fs)
+
+    override private[sql] def colsAreFullKey(cols: Seq[String]): Boolean =
+      cols == Seq(keyCol)
+
+    /** `count(DISTINCT key)` is the index size (keys unique by
+      * construction, never null); `count(DISTINCT sec)` the inverted
+      * index's size. Both O(partitions), zero rows read. */
+    override private[sql] def countDistinctFor(col: String): Option[() => Long] =
+      if (col == keyCol) Some(() => statsAll(withExtrema = false)._1)
+      else secondaryCountDistinct(col)
+
+    /** `SELECT DISTINCT key [WHERE key-bounds]`: keys are unique and
+      * partition-disjoint, so the distinct set is a plain per-partition
+      * key enumeration — no aggregate, no exchange, values never
+      * deserialized. Claims only when every conjunct is a key bound
+      * (IsNotNull on the key is vacuous — no null keys are stored). */
+    override private[sql] def distinctValuesFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[Any]] = {
+      if (col != keyCol) return None
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyCol => Some(Iv[K](None, None))
+        case f => boundsOn(keyCol, codec, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codec.ord)
+      val dt = schema(keyCol).dataType
+      val ordK = codec.ord
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      Some(() =>
+        if (isEmpty) idx.context.emptyRDD[Any]
+        else idx.mapPartitions(_.collect {
+          case (k, _) if lo.forall(l => ordK.gteq(k, l)) &&
+              hi.forall(h => ordK.lt(k, h)) =>
+            toCatalystKey(dt, k)
+        }))
+    }
+
+    override private[sql] def groupStatCol(col: String): Option[String] =
+      if (col != keyCol && hasSecondary(col)) Some(keyCol) else None
+
+    override private[sql] def groupStatsFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long, Any, Any)]] =
+      if (col == keyCol) None
+      else {
+        val dt = schema(keyCol).dataType
+        secondaryGroupStatsFor(col, fs, codec.ord,
+          (k: K) => toCatalystKey(dt, k))
+      }
 
     // secondary indexes: provided by [[SecondaryCapable]] (shared
     // with composite handles).
@@ -1691,6 +1823,295 @@ object IndexedFrame {
             }
           }
           partial.reduceByKey(_ + _).map { case (a, c) => (toCatalystKey(dt, a), c) }
+        })
+    }
+
+    override private[sql] def colsAreFullKey(cols: Seq[String]): Boolean =
+      cols.length == 2 && cols.toSet == Set(keyColA, keyColB)
+
+    /** Ordered range-partitioned layout: partitions hold DISJOINT
+      * CONTIGUOUS tuple ranges and tries stream in key order, so each
+      * partition's distinct-leading-value runs are locally countable
+      * and a leading value spans only ADJACENT partitions. */
+    private def leadRunsServable: Boolean =
+      ordered && tupSer.isOrderPreserving &&
+        idx.partitioner.exists(_.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+
+    /** `count(DISTINCT leading)`: ONE job collects per-partition
+      * (run count, first, last) — O(partitions) driver state, zero
+      * rows read, zero shuffle — then subtracts the runs that continue
+      * across a partition boundary (a value spanning p partitions is
+      * counted p times and joined p−1 times). Memoized on the
+      * immutable snapshot: repeats cost zero jobs. */
+    @transient private lazy val leadDistinctMemo: Long = {
+      val ordA = codecA.ord
+      val bounds = idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+        if (!pit.hasNext) Iterator.empty
+        else {
+          val it = pit.next().iterator
+          if (!it.hasNext) Iterator.empty
+          else {
+            var runs = 0L
+            var first: A = null.asInstanceOf[A]
+            var last: A = null.asInstanceOf[A]
+            var any = false
+            it.foreach { case (k, _) =>
+              val a = k._1
+              if (!any) { first = a; any = true; runs = 1L }
+              else if (!ordA.equiv(last, a)) runs += 1
+              last = a
+            }
+            Iterator.single((pid, runs, first, last))
+          }
+        }
+      }.collect().sortBy(_._1)
+      val joins = bounds.iterator.sliding(2).withPartial(false).count {
+        case Seq((_, _, _, lastPrev), (_, _, firstCur, _)) =>
+          ordA.equiv(lastPrev, firstCur)
+        case _ => false
+      }
+      bounds.iterator.map(_._2).sum - joins
+    }
+    override private[sql] def countDistinctFor(col: String): Option[() => Long] = {
+      if (col != keyColA)
+        return if (col == keyColB) None else secondaryCountDistinct(col)
+      if (!leadRunsServable) return None
+      Some(() => leadDistinctMemo)
+    }
+
+    /** `SELECT DISTINCT leading [WHERE leading-bounds]` with ZERO
+      * shuffle: job 1 collects per-partition boundary values
+      * (O(partitions) driver state), job 2 streams each trie's run
+      * heads in key order, dropping a partition's first head when it
+      * continues the previous partition's last run. The met interval
+      * filters identically on both sides of a boundary (same value ⇒
+      * same verdict), so the drop set stays valid under filters. */
+    override private[sql] def distinctValuesFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[Any]] = {
+      if (col != keyColA || !leadRunsServable) return None
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyColA || c == keyColB => Some(Iv[A](None, None))
+        case f => boundsOn(keyColA, codecA, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codecA.ord)
+      val ordA = codecA.ord
+      val dtA = schema(keyColA).dataType
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      Some { () =>
+        if (isEmpty) idx.context.emptyRDD[Any]
+        else {
+          val bounds = idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+            if (!pit.hasNext) Iterator.empty
+            else {
+              val it = pit.next().iterator
+              if (!it.hasNext) Iterator.empty
+              else {
+                var first: A = null.asInstanceOf[A]
+                var last: A = null.asInstanceOf[A]
+                var any = false
+                it.foreach { case (k, _) =>
+                  if (!any) { first = k._1; any = true }
+                  last = k._1
+                }
+                Iterator.single((pid, first, last))
+              }
+            }
+          }.collect().sortBy(_._1)
+          val drop: Set[Int] = bounds.iterator.sliding(2).withPartial(false)
+            .collect {
+              case Seq((_, _, lastPrev), (pid, firstCur, _))
+                  if ordA.equiv(lastPrev, firstCur) => pid
+            }.toSet
+          val dropB = idx.context.broadcast(drop)
+          idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+            if (!pit.hasNext) Iterator.empty
+            else {
+              var prevSet = false
+              var prev: A = null.asInstanceOf[A]
+              val heads = pit.next().iterator.map(_._1._1).filter { a =>
+                val isNew = !prevSet || !ordA.equiv(prev, a)
+                prev = a
+                prevSet = true
+                isNew
+              }
+              val kept = if (dropB.value.contains(pid)) heads.drop(1) else heads
+              kept.filter(a => lo.forall(l => ordA.gteq(a, l)) &&
+                  hi.forall(h => ordA.lt(a, h)))
+                .map(a => toCatalystKey(dtA, a))
+            }
+          }
+        }
+      }
+    }
+
+    override private[sql] def groupStatCol(col: String): Option[String] =
+      if (col == keyColA) Some(keyColB) else None
+
+    private[sql] def groupTopNServable: Boolean = leadRunsServable
+
+    /** Per-group top-n — `row_number() OVER (PARTITION BY a ORDER BY
+      * b) <= n` for EVERY group at once, served straight off the
+      * layout: the tuple order clusters each a-run contiguously and
+      * already sorted by b, so job 2 streams each trie once and emits
+      * the first n rows per run with their ranks — NO shuffle, NO
+      * sort, NO per-group window state, at most n rows per group ever
+      * materialized. Job 1 is the boundary pass: O(partitions) driver
+      * state assigns each partition's FIRST run its rank offset (rows
+      * of the same leading value in earlier partitions — a run spans
+      * only ADJACENT partitions under range partitioning). The
+      * "latest/first n events per user across all users" query, at any
+      * corpus size: Catalyst's default exchanges and sorts EVERY row. */
+    private[sql] def groupTopN(n: Int): RDD[(InternalRow, Int)] = {
+      val ordA = codecA.ord
+      val bounds = idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+        if (!pit.hasNext) Iterator.empty
+        else {
+          val it = pit.next().iterator
+          if (!it.hasNext) Iterator.empty
+          else {
+            var first: A = null.asInstanceOf[A]
+            var last: A = null.asInstanceOf[A]
+            var cntLast = 0L
+            var any = false
+            it.foreach { case (k, _) =>
+              val a = k._1
+              if (!any) { first = a; last = a; cntLast = 1L; any = true }
+              else if (ordA.equiv(a, last)) cntLast += 1
+              else { last = a; cntLast = 1L }
+            }
+            Iterator.single((pid, first, last, cntLast))
+          }
+        }
+      }.collect().sortBy(_._1)
+      // rank offset of each partition's first run: rows of that value
+      // carried in from preceding partitions
+      val offsets = Map.newBuilder[Int, Long]
+      var carry = 0L
+      var prevLast: Option[A] = None
+      bounds.foreach { case (pid, first, last, cntLast) =>
+        val off = if (prevLast.exists(ordA.equiv(_, first))) carry else 0L
+        if (off > 0) offsets += pid -> off
+        // rows of lastA seen so far: a single-run partition extends the
+        // carried prefix; otherwise lastA began inside this partition
+        carry = (if (ordA.equiv(first, last)) off else 0L) + cntLast
+        prevLast = Some(last)
+      }
+      val offB = idx.context.broadcast(offsets.result())
+      val nn = n
+      idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+        if (!pit.hasNext) Iterator.empty
+        else {
+          val off0 = offB.value.getOrElse(pid, 0L)
+          var cur: A = null.asInstanceOf[A]
+          var curSet = false
+          var firstRun = true
+          var pos = 0L
+          pit.next().iterator.flatMap { case (k, row) =>
+            val a = k._1
+            if (!curSet || !ordA.equiv(cur, a)) {
+              if (curSet) firstRun = false
+              cur = a
+              curSet = true
+              pos = if (firstRun) off0 else 0L
+            }
+            pos += 1
+            if (pos <= nn) Iterator.single((row, pos.toInt))
+            else Iterator.empty
+          }
+        }
+      }
+    }
+
+    /** `GROUP BY leading → count(*), min(second), max(second)` — the
+      * per-entity timeline summary ("per user: event count, first and
+      * last seen") answered from key tuples alone: per-partition
+      * (count, minB, maxB) partials over the key stream (values NEVER
+      * deserialized), then one reduceByKey of O(groups) triples — the
+      * same partial-aggregate exchange shape Catalyst would emit, minus
+      * every data row. Same leading-interval gating as
+      * [[groupCountsFor]]. */
+    override private[sql] def groupStatsFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long, Any, Any)]] = {
+      if (col != keyColA) return None
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyColA || c == keyColB => Some(Iv[A](None, None))
+        case f => boundsOn(keyColA, codecA, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codecA.ord)
+      val ordA = codecA.ord
+      val ordB = codecB.ord
+      val dtA = schema(keyColA).dataType
+      val dtB = schema(keyColB).dataType
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      val streamRuns = leadRunsServable
+      Some(() =>
+        if (isEmpty) idx.context.emptyRDD[(Any, Long, Any, Any)]
+        else {
+          val partial = idx.partitionsRDD.mapPartitions { pit =>
+            if (!pit.hasNext) Iterator.empty
+            else if (streamRuns) {
+              // ordered layout: runs are contiguous and b-sorted, so
+              // each run folds streaming — min = first b, max = last
+              // b, no hashing, no per-key map state; the reduce below
+              // only ever merges partition-BOUNDARY runs
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(A, (Long, B, B))]
+              var cur: A = null.asInstanceOf[A]
+              var curSet = false
+              var cnt = 0L
+              var mnB: B = null.asInstanceOf[B]
+              var mxB: B = null.asInstanceOf[B]
+              def flush(): Unit =
+                if (curSet && cnt > 0) out += ((cur, (cnt, mnB, mxB)))
+              pit.next().iterator.foreach { case (k, _) =>
+                val a = k._1
+                if (!curSet || !ordA.equiv(cur, a)) {
+                  flush()
+                  cur = a
+                  curSet = true
+                  cnt = 0L
+                }
+                if (lo.forall(l => ordA.gteq(a, l)) &&
+                    hi.forall(h => ordA.lt(a, h))) {
+                  if (cnt == 0L) mnB = k._2
+                  mxB = k._2
+                  cnt += 1
+                }
+              }
+              flush()
+              out.iterator
+            } else {
+              val m = new java.util.HashMap[A, (Long, B, B)]()
+              pit.next().iterator.foreach { case (k, _) =>
+                val a = k._1
+                if (lo.forall(l => ordA.gteq(a, l)) &&
+                    hi.forall(h => ordA.lt(a, h))) {
+                  val prev = m.get(a)
+                  if (prev == null) m.put(a, (1L, k._2, k._2))
+                  else m.put(a, (prev._1 + 1L,
+                    if (ordB.lt(k._2, prev._2)) k._2 else prev._2,
+                    if (ordB.gt(k._2, prev._3)) k._2 else prev._3))
+                }
+              }
+              import scala.jdk.CollectionConverters._
+              m.entrySet().iterator().asScala
+                .map(e => (e.getKey, e.getValue))
+            }
+          }
+          partial.reduceByKey { (x, y) =>
+            (x._1 + y._1,
+              if (ordB.lt(x._2, y._2)) x._2 else y._2,
+              if (ordB.gt(x._3, y._3)) x._3 else y._3)
+          }.map { case (a, (c, mnB, mxB)) =>
+            (toCatalystKey(dtA, a), c, toCatalystKey(dtB, mnB),
+              toCatalystKey(dtB, mxB))
+          }
         })
     }
 

@@ -355,4 +355,167 @@ class IndexedAggSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(viaIdx === direct)
   }
+
+  test("DISTINCT key enumerates the index: no aggregate, no exchange") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val h = customerHandle()
+    val q = h.toDF.select($"c_custkey").distinct()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedDistinct"), s"expected distinct pushdown:\n$plan")
+    assert(!plan.contains("Exchange"), s"distinct key must not shuffle:\n$plan")
+    val expect = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey").distinct().as[Long].collect().sorted
+    assert(q.as[Long].collect().sorted === expect)
+    // filtered by a key bound: still an enumeration, restricted
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val ho = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    val qf = ho.toDF.filter($"c_custkey".between(10L, 60L))
+      .select($"c_custkey").distinct()
+    assert(qf.queryExecution.executedPlan.toString.contains("IndexedDistinct"))
+    assert(qf.as[Long].collect().sorted ===
+      expect.filter(k => k >= 10L && k <= 60L))
+    // a VALUE-column filter needs row inspection: falls through
+    val qv = ho.toDF.filter($"c_acctbal" > 0).select($"c_custkey").distinct()
+    assert(!qv.queryExecution.executedPlan.toString.contains("IndexedDistinct"))
+    // DISTINCT on a plain value column falls through
+    val qn = ho.toDF.select($"c_nationkey").distinct()
+    assert(!qn.queryExecution.executedPlan.toString.contains("IndexedDistinct"))
+    assert(qn.as[Int].collect().sorted ===
+      cust.select($"c_nationkey").distinct().as[Int].collect().sorted)
+  }
+
+  test("count(DISTINCT …) from index sizes: key, secondary, full composite key") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val h = customerHandle()
+    // count(DISTINCT key) == count(*): the O(partitions) size sum
+    val q = h.toDF.agg(count_distinct($"c_custkey").as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    val total = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(q.as[Long].head() === total)
+    // count(DISTINCT key) under a key bound rides the range count
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val ho = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    val qr = ho.toDF.filter($"c_custkey".between(10L, 60L))
+      .agg(count_distinct($"c_custkey").as("n"))
+    assert(qr.queryExecution.executedPlan.toString.contains("IndexedRangeStats"))
+    assert(qr.as[Long].head() === 51L)
+    // count(DISTINCT sec) = the inverted index's size — exact with
+    // NULLS present (SQL count(DISTINCT) excludes them, and so does
+    // the inverted index)
+    import spark.implicits._
+    val dn = (0L until 300L).map(k =>
+      (k, if (k % 5 == 0) null else s"g${k % 7}")).toDF("k", "g")
+    val hs = IndexedFrame.index(dn, "k").addSecondaryIndex("g")
+    val qs = hs.toDF.agg(count_distinct($"g").as("n"))
+    assert(qs.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qs.as[Long].head() === 7L)
+    // count(*) + ONE distinct group still claims (no Expand rewrite)
+    val qm = hs.toDF.agg(count(lit(1)).as("cnt"), count_distinct($"g").as("n"))
+    assert(qm.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qm.as[(Long, Long)].head() === ((300L, 7L)))
+    // TWO distinct groups are Expand-rewritten before strategies run:
+    // falls through whole (and stays correct)
+    val q2 = hs.toDF.agg(count_distinct($"k").as("a"), count_distinct($"g").as("b"))
+    assert(!q2.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(q2.as[(Long, Long)].head() === ((300L, 7L)))
+    // no secondary on the column: falls through, stays correct
+    val qp = hs.toDF.agg(count_distinct($"k", $"g").as("n"))
+    assert(!qp.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    // composite: count(DISTINCT a, b) is the index size
+    val df = (0L until 1000L).map(k => (k / 40, k % 40, s"v$k")).toDF("a", "b", "v")
+    val hc = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+    val qc = hc.toDF.agg(count_distinct($"a", $"b").as("n"))
+    assert(qc.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qc.as[Long].head() === 1000L)
+    // composite: count(DISTINCT leading) from boundary-adjusted run
+    // counts — leading runs of 40 straddle the 8 range partitions
+    val qa = hc.toDF.agg(count_distinct($"a").as("n"))
+    assert(qa.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qa.as[Long].head() === 25L)
+    // count(DISTINCT second) is not index-answerable
+    val qb = hc.toDF.agg(count_distinct($"b").as("n"))
+    assert(!qb.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qb.as[Long].head() === 40L)
+  }
+
+  test("DISTINCT leading column: zero-shuffle run heads with boundary dedup") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    // 125 tuples per partition with runs of 40: every partition
+    // boundary splits a run — the dedup path is fully exercised
+    val df = (0L until 1000L).map(k => (k / 40, k % 40, s"v$k")).toDF("a", "b", "v")
+    val hc = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+    val q = hc.toDF.select($"a").distinct()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedDistinct"), s"expected distinct pushdown:\n$plan")
+    assert(!plan.contains("Exchange"), s"distinct leading must not shuffle:\n$plan")
+    assert(q.as[Long].collect().sorted === (0L until 25L).toArray)
+    // leading-interval filter restricts the set
+    val qf = hc.toDF.filter($"a".between(5L, 9L)).select($"a").distinct()
+    assert(qf.queryExecution.executedPlan.toString.contains("IndexedDistinct"))
+    assert(qf.as[Long].collect().sorted === (5L to 9L).toArray)
+    // hash-layout composite: no range structure — served by the
+    // grouped-count fallback instead (still index-structural)
+    val hh = IndexedFrame.indexCompositeAny(df, "a", "b")
+    val qh = hh.toDF.select($"a").distinct()
+    assert(!qh.queryExecution.executedPlan.toString.contains("IndexedDistinct"))
+    assert(qh.as[Long].collect().sorted === (0L until 25L).toArray)
+  }
+
+  test("GROUP BY leading → count/min/max(second) from key runs") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val df = (0L until 1000L).map(k => (k / 40, (k * 7) % 40, s"v$k"))
+      .toDF("a", "b", "v").distinct()
+    val hc = IndexedFrame.indexCompositeRangePartitioned(df, "a", "b", 8)
+    val q = hc.toDF.groupBy($"a").agg(count(lit(1)).as("n"),
+      min($"b").as("mn"), max($"b").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedGroupStats"), s"expected grouped stats:\n$plan")
+    val expect = df.groupBy($"a").agg(count(lit(1)).as("n"),
+      min($"b").as("mn"), max($"b").as("mx"))
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(q.as[(Long, Long, Long, Long)].collect().toMap2 === expect)
+    // leading-interval filter restricts the groups
+    val qf = hc.toDF.filter($"a".between(3L, 6L)).groupBy($"a")
+      .agg(count(lit(1)).as("n"), min($"b").as("mn"), max($"b").as("mx"))
+    assert(qf.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
+    assert(qf.as[(Long, Long, Long, Long)].collect().toMap2 ===
+      expect.view.filterKeys(a => a >= 3L && a <= 6L).toMap)
+    // min/max of a NON-second column needs rows: falls through
+    val qv = hc.toDF.groupBy($"a").agg(min($"v").as("mn"))
+    assert(!qv.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
+  }
+
+  test("GROUP BY secondary → count/min/max(primary key) from posting arrays") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val dn = (0L until 300L).map(k =>
+      (k, if (k % 5 == 0) null else s"g${k % 3}", k * 2)).toDF("k", "g", "w")
+    val hs = IndexedFrame.index(dn, "k").addSecondaryIndex("g")
+    val q = hs.toDF.filter($"g".isNotNull).groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedGroupStats"), s"expected grouped stats:\n$plan")
+    val expect = dn.filter($"g".isNotNull).groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(q.as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap === expect)
+    // UNfiltered on a nullable secondary must NOT claim (NULL group owed)
+    val qu = hs.toDF.groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"))
+    assert(!qu.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
+    // min/max of a non-key column needs rows: falls through
+    val qw = hs.toDF.filter($"g".isNotNull).groupBy($"g").agg(min($"w").as("mn"))
+    assert(!qw.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
+  }
+
+  private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long)] =
+      rows.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+  }
 }
