@@ -244,7 +244,7 @@ object IndexedAgg {
       h: IndexedFrame.StatsCapable, stats: Seq[Stat],
       cdThunks: Seq[() => Long] = Nil) extends LeafExecNode {
 
-    override protected def doExecute(): RDD[InternalRow] = {
+    private def rowValues(): Seq[Any] = {
       h.markStats()
       // ONE job answers every requested stat (4 jobs/query measured 2x
       // the whole micro's latency when issued separately); the base
@@ -252,7 +252,7 @@ object IndexedAgg {
       // count-distinct stats were requested
       lazy val baseStats =
         h.statsAll(stats.exists(s => s == MinStat || s == MaxStat))
-      val values: Seq[Any] = stats.zipWithIndex.map {
+      stats.zipWithIndex.map {
         case (CountStat, _) => baseStats._1
         case (MinStat, i) =>
           baseStats._2.map(CatalystTypeConverters
@@ -262,6 +262,21 @@ object IndexedAgg {
             .createToCatalystConverter(output(i).dataType)).orNull
         case (CountDistinctStat(_), i) => cdThunks(i)()
       }
+    }
+
+    /** The stats come from driver-side memos (warm after the first
+      * query on the snapshot), so `.collect()`/`.show()` skip the
+      * one-row job entirely — repeated dashboard polls never launch a
+      * Spark job at all. */
+    override def executeCollect(): Array[InternalRow] = {
+      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      Array(proj(new GenericInternalRow(rowValues().toArray)).copy())
+    }
+    override def executeTake(n: Int): Array[InternalRow] =
+      if (n <= 0) Array.empty else executeCollect()
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val values = rowValues()
       val types = output.map(_.dataType)
       sparkContext.parallelize(Seq(values), 1).mapPartitions { it =>
         val proj = UnsafeProjection.create(types.toArray)
@@ -282,11 +297,11 @@ object IndexedAgg {
       countThunk: () => Long,
       extremaThunk: () => (Option[Any], Option[Any])) extends LeafExecNode {
 
-    override protected def doExecute(): RDD[InternalRow] = {
+    private def rowValues(): Seq[Any] = {
       h.markRangeCount()
       lazy val n = countThunk()
       lazy val (mn, mx) = extremaThunk()
-      val values: Seq[Any] = stats.zip(output).map {
+      stats.zip(output).map {
         case (CountStat, _) => n
         case (MinStat, a) =>
           mn.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
@@ -295,6 +310,19 @@ object IndexedAgg {
         case (CountDistinctStat(_), _) => // never planned filtered
           throw new IllegalStateException("count-distinct under a filter")
       }
+    }
+
+    /** Range counts memoize on the immutable snapshot, so repeated
+      * `.collect()`s answer driver-side with no job. */
+    override def executeCollect(): Array[InternalRow] = {
+      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      Array(proj(new GenericInternalRow(rowValues().toArray)).copy())
+    }
+    override def executeTake(n: Int): Array[InternalRow] =
+      if (n <= 0) Array.empty else executeCollect()
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val values = rowValues()
       val types = output.map(_.dataType)
       sparkContext.parallelize(Seq(values), 1).mapPartitions { it =>
         val proj = UnsafeProjection.create(types.toArray)
