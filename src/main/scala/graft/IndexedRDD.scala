@@ -784,6 +784,70 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     out.take(n).toArray
   }
 
+  /** The keys at the given 0-based GLOBAL ranks of the key order —
+    * the order-statistic primitive behind exact index-served
+    * percentile/median. Under a RangePartitioner with an
+    * order-preserving serializer the global key order is (partition
+    * order, in-partition trie order), so rank selection needs NO sort
+    * and NO shuffle: one O(partitions) sizes job locates each rank's
+    * owning partition, then ONE pruned job walks only the owning
+    * partitions' tries in order up to the deepest local rank. The
+    * 100 TB shape of `median(key)`: read one partition's index, not
+    * the table — Catalyst's exact-percentile plan ships EVERY value
+    * into a single aggregator. Ranks outside `[0, count)` error. */
+  def selectKthByKey(ranks: Array[Long])(
+      implicit ser: KeySerializer[K]): Array[K] = {
+    require(ser.isOrderPreserving,
+      s"selectKthByKey walks tries in encoded-byte order; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    require(partitioner.exists(_.isInstanceOf[org.apache.spark.RangePartitioner[_, _]]),
+      "selectKthByKey requires a range-partitioned index " +
+        "(IndexedRDD.rangePartitioned)")
+    if (ranks.isEmpty) return Array.empty[K]
+    val sizes = partitionsRDD.map(_.size).collect()
+    val total = sizes.sum
+    require(ranks.forall(r => r >= 0 && r < total),
+      s"ranks must lie in [0, $total)")
+    // rank -> (owning pid, local rank) via the running prefix sum
+    val sorted = ranks.distinct.sorted
+    val byPid = scala.collection.mutable.LinkedHashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    var pid = 0
+    var prefix = 0L
+    sorted.foreach { r =>
+      while (prefix + sizes(pid) <= r) { prefix += sizes(pid); pid += 1 }
+      byPid.getOrElseUpdate(pid, scala.collection.mutable.ArrayBuffer.empty) += ((r, r - prefix))
+    }
+    val pids = byPid.keys.toIndexedSeq
+    val wantByPid: Map[Int, Array[Long]] =
+      pids.map(p => p -> byPid(p).map(_._2).toArray).toMap
+    val perPart = context.runJob(
+      partitionsRDD,
+      (tc: TaskContext, it: Iterator[IndexedPartition[K, V]]) => {
+        val want = wantByPid(tc.partitionId())
+        val entries = it.next() match {
+          case r: graft.partition.RadixIndexedPartition[K, V] => r.iterator
+          case p => p.iterator.toArray.sortBy(kv => ser.toBytes(kv._1))(
+            Ordering.fromLessThan((a: Array[Byte], b: Array[Byte]) =>
+              java.util.Arrays.compareUnsigned(a, b) < 0)).iterator
+        }
+        // one ordered pass to the deepest requested local rank
+        val out = new Array[K](want.length)
+        var idx = 0L
+        var wi = 0
+        while (wi < want.length && entries.hasNext) {
+          val (k, _) = entries.next()
+          while (wi < want.length && want(wi) == idx) { out(wi) = k; wi += 1 }
+          idx += 1
+        }
+        out
+      },
+      pids)
+    val got: Map[Long, K] = pids.zipWithIndex.flatMap { case (p, i) =>
+      byPid(p).map(_._1).zip(perPart(i))
+    }.toMap
+    ranks.map(got)
+  }
+
   /** MANY half-open key intervals served in ONE pass over the partition
     * set: each partition scans every interval of its local index
     * (O(depth + hits) per interval on radix layouts), instead of k

@@ -1456,6 +1456,27 @@ object OperatorQueries {
       h.toDF.agg(count_distinct($"o_orderkey").as("n"))
     },
 
+    "ir_sql_percentile_key" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // EXACT median/percentile OF THE KEY by rank selection on the
+      // range-partitioned layout: one O(partitions) sizes job locates
+      // each rank's owning partition, one pruned job walks only those
+      // partitions' tries in key order — no global sort, no shuffle,
+      // and (unlike Catalyst's exact-percentile plan) no shipping of
+      // every value into a single aggregator. Dyadic fractions keep
+      // the interpolation arithmetic exactly representable in double,
+      // so DuckDB's quantile_cont is bit-identical.
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.orders(s, dir), "o_orderkey", numPartitions = 16)
+      h.toDF.agg(
+        expr("percentile(o_orderkey, 0.5D)").as("med"),
+        expr("percentile(o_orderkey, 0.25D)").as("p25"),
+        expr("percentile(o_orderkey, 0.75D)").as("p75"),
+        count(lit(1)).as("n"))
+    },
+
     "ir_sql_distinct_leading" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2026,6 +2047,13 @@ object OperatorQueries {
 
     "ir_sql_count_distinct_key" ->
       "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n FROM orders",
+
+    "ir_sql_percentile_key" ->
+      """SELECT quantile_cont(o_orderkey, 0.5) AS med,
+        |       quantile_cont(o_orderkey, 0.25) AS p25,
+        |       quantile_cont(o_orderkey, 0.75) AS p75,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders""".stripMargin,
 
     "ir_sql_distinct_leading" ->
       "SELECT DISTINCT user_id FROM events",

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
   GenericInternalRow, Literal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count,
-  Max, Min}
+  Max, Min, Percentile}
 import org.apache.spark.sql.catalyst.expressions.And
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
@@ -47,6 +47,12 @@ object IndexedAgg {
     * the index itself; secondary → the inverted index; composite
     * leading → boundary-adjusted run counts). */
   final case class CountDistinctStat(col: String) extends Stat
+  /** EXACT `percentile(key, p)` / `median(key)` answered by rank
+    * selection on the ordered layout (no sort, no shuffle, no
+    * all-values-to-one-aggregator). `fracs` is the requested fraction
+    * list (scalar form = 1 element, array form = several); `specIdx`
+    * indexes into the combined percentile thunk's result. */
+  final case class PercentileStat(fracs: Seq[Double], specIdx: Int = -1) extends Stat
 
   /** One entry of an index-answerable `GROUP BY g` aggregate list. */
   private[sql] sealed trait GKind extends Serializable
@@ -84,6 +90,26 @@ object IndexedAgg {
               if h.statsKeyCol.contains(k.name) => Some(MinStat)
           case Max(k: AttributeReference)
               if h.statsKeyCol.contains(k.name) => Some(MaxStat)
+          // exact percentile/median OF THE KEY: `median(k)` reaches
+          // the planner as Percentile(k, 0.5) (RuntimeReplaceable).
+          // Foldable percentage only (scalar or array literal after
+          // constant folding), unit frequency, natural order.
+          case p: Percentile
+              if p.child.isInstanceOf[AttributeReference] &&
+                h.statsKeyCol.contains(
+                  p.child.asInstanceOf[AttributeReference].name) &&
+                !p.reverse && p.frequencyExpression.foldable &&
+                p.percentageExpression.foldable &&
+                (p.frequencyExpression.eval() match {
+                  case 1L | 1 => true; case _ => false
+                }) =>
+            p.percentageExpression.eval() match {
+              case d: Double => Some(PercentileStat(Seq(d)))
+              case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+                scala.util.Try(ad.toDoubleArray.toSeq).toOption
+                  .map(PercentileStat(_))
+              case _ => None
+            }
           case _ => None
         }
       // count(DISTINCT <full primary key>) == count(*) (keys unique,
@@ -188,7 +214,14 @@ object IndexedAgg {
           case Some(h) =>
             val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
             if (stats.forall(_.isDefined)) {
-              val ss = stats.map(_.get)
+              // number the percentile stats into the combined thunk's
+              // result positions (one handle call serves them all)
+              var pi = -1
+              val ss = stats.map(_.get).map {
+                case PercentileStat(fr, _) => pi += 1; PercentileStat(fr, pi)
+                case s => s
+              }
+              val specs = ss.collect { case PercentileStat(fr, _) => fr }
               // each count-distinct stat must resolve to an
               // index-structure thunk; a column with no distinct
               // structure (plain value column) falls through whole
@@ -196,10 +229,18 @@ object IndexedAgg {
                 case CountDistinctStat(c) => h.countDistinctFor(c)
                 case _ => Some(() => 0L) // unused placeholder
               }
-              if (cd.forall(_.isDefined))
-                IndexedStatsExec(aggs.map(_.toAttribute), h, ss,
-                  cd.map(_.get)) :: Nil
-              else Nil
+              // percentile stats need the handle to claim the whole
+              // spec list (ordered + integral key); otherwise the
+              // query falls through whole
+              val pct: Option[Option[() => Option[Seq[Seq[Double]]]]] =
+                if (specs.isEmpty) Some(None)
+                else h.percentilesFor(specs).map(Some(_))
+              pct match {
+                case Some(pt) if cd.forall(_.isDefined) =>
+                  IndexedStatsExec(aggs.map(_.toAttribute), h, ss,
+                    cd.map(_.get), pt) :: Nil
+                case _ => Nil
+              }
             } else Nil
           case None =>
             // count(*)/min(key)/max(key) over a KEY-RANGE filter:
@@ -209,8 +250,10 @@ object IndexedAgg {
               case Some((fs, h)) =>
                 val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
                 if (stats.forall(_.isDefined) &&
-                    // filtered count(DISTINCT …) needs row inspection
-                    !stats.exists(_.get.isInstanceOf[CountDistinctStat])) {
+                    // filtered count(DISTINCT …) / percentile need
+                    // row/rank inspection inside the interval
+                    !stats.exists(s => s.get.isInstanceOf[CountDistinctStat] ||
+                      s.get.isInstanceOf[PercentileStat])) {
                   val ss = stats.map(_.get)
                   val countThunk =
                     if (ss.contains(CountStat)) h.rangeCountFor(fs)
@@ -242,7 +285,9 @@ object IndexedAgg {
     * through the output attribute's own type. */
   case class IndexedStatsExec(output: Seq[Attribute],
       h: IndexedFrame.StatsCapable, stats: Seq[Stat],
-      cdThunks: Seq[() => Long] = Nil) extends LeafExecNode {
+      cdThunks: Seq[() => Long] = Nil,
+      pctThunk: Option[() => Option[Seq[Seq[Double]]]] = None)
+      extends LeafExecNode {
 
     private def rowValues(): Seq[Any] = {
       h.markStats()
@@ -252,6 +297,9 @@ object IndexedAgg {
       // count-distinct stats were requested
       lazy val baseStats =
         h.statsAll(stats.exists(s => s == MinStat || s == MaxStat))
+      // all percentile stats share ONE rank-selection call (and its
+      // memo); None = empty index = SQL NULL for every percentile
+      lazy val pctVals: Option[Seq[Seq[Double]]] = pctThunk.flatMap(_())
       stats.zipWithIndex.map {
         case (CountStat, _) => baseStats._1
         case (MinStat, i) =>
@@ -261,6 +309,15 @@ object IndexedAgg {
           baseStats._3.map(CatalystTypeConverters
             .createToCatalystConverter(output(i).dataType)).orNull
         case (CountDistinctStat(_), i) => cdThunks(i)()
+        case (PercentileStat(_, j), i) =>
+          pctVals.map { vs =>
+            output(i).dataType match {
+              case org.apache.spark.sql.types.DoubleType =>
+                java.lang.Double.valueOf(vs(j).head): Any
+              case at =>
+                CatalystTypeConverters.createToCatalystConverter(at)(vs(j))
+            }
+          }.orNull
       }
     }
 
@@ -307,8 +364,8 @@ object IndexedAgg {
           mn.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
         case (MaxStat, a) =>
           mx.map(CatalystTypeConverters.createToCatalystConverter(a.dataType)).orNull
-        case (CountDistinctStat(_), _) => // never planned filtered
-          throw new IllegalStateException("count-distinct under a filter")
+        case (s, _) => // CountDistinct/Percentile never plan filtered
+          throw new IllegalStateException(s"$s under a filter")
       }
     }
 

@@ -973,6 +973,19 @@ object IndexedFrame {
       * rows. Same gating shape as [[groupCountsFor]]. */
     private[sql] def groupStatsFor(col: String,
         filters: Seq[Filter]): Option[() => RDD[(Any, Long, Any, Any)]] = None
+    /** EXACT interpolated percentiles of the NUMERIC key column (the
+      * semantics of Spark's `percentile(key, p)` / `median(key)`),
+      * answered by rank selection on the ordered layout: O(partitions)
+      * sizes + one pruned walk of the rank-owning partitions — no
+      * global sort, no shuffle, and (unlike Catalyst's exact plan) no
+      * shipping of every value into one aggregator. One spec per
+      * aggregate (scalar form = 1 fraction; array form = several); the
+      * thunk yields the per-spec fraction values, or None when the
+      * index is empty (SQL: percentile of no rows is NULL). Claimable
+      * only when the layout serves order statistics and the key is
+      * integral. */
+    private[sql] def percentilesFor(
+        specs: Seq[Seq[Double]]): Option[() => Option[Seq[Seq[Double]]]] = None
   }
 
   /** Per-partition min/max zone maps of VALUE columns — EXPLICITLY
@@ -1164,6 +1177,50 @@ object IndexedFrame {
       if (withExtrema) statsFull else (statsCount, None, None)
     override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
     override private[sql] def markRangeCount(): Unit = { lastScanKind = "range_count" }
+
+    // rank → key-as-double memo for the percentile service: the
+    // snapshot is immutable, so a selected rank never goes stale —
+    // repeated median/percentile queries answer driver-side with only
+    // the (also-memoized) count lookup, zero jobs
+    @transient private lazy val rankKeyMemo =
+      new scala.collection.concurrent.TrieMap[Long, Double]()
+    override private[sql] def percentilesFor(
+        specs: Seq[Seq[Double]]): Option[() => Option[Seq[Seq[Double]]]] = {
+      val integral = schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!ordered || !kSer.isOrderPreserving || !integral ||
+          !idx.partitioner.exists(
+            _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]]) ||
+          specs.exists(_.exists(p => p < 0.0 || p > 1.0 || p.isNaN)))
+        return None
+      Some { () =>
+        val n = statsCount
+        if (n == 0) None
+        else {
+          val missing = specs.flatten.flatMap { p =>
+            val r = p * (n - 1)
+            Seq(math.floor(r).toLong, math.ceil(r).toLong)
+          }.distinct.filterNot(rankKeyMemo.contains)
+          if (missing.nonEmpty) {
+            val ks = idx.selectKthByKey(missing.toArray)(kSer)
+            missing.zip(ks).foreach { case (r, k) =>
+              rankKeyMemo.put(r,
+                codec.toExternalSql(k).asInstanceOf[Number].doubleValue())
+            }
+          }
+          def at(p: Double): Double = {
+            val r = p * (n - 1)
+            val lo = math.floor(r).toLong
+            val hi = math.ceil(r).toLong
+            val vLo = rankKeyMemo(lo)
+            if (lo == hi) vLo else vLo + (rankKeyMemo(hi) - vLo) * (r - lo)
+          }
+          Some(specs.map(_.map(at)))
+        }
+      }
+    }
 
     /** Bounded-interval count from pruned radix descents: claims only
       * when ORDERED with an order-preserving serializer, every filter

@@ -240,6 +240,25 @@ class IndexedRDDSpec extends AnyFunSuite {
     assert(r.multiget(Array(0L, 999L, 5000L)).size === 2)
   }
 
+  test("selectKthByKey: global rank selection without sort or shuffle") {
+    // non-contiguous keys so rank != key
+    val keys = (0L until 500L).map(k => k * 3 + 7)
+    val r = IndexedRDD.rangePartitioned(
+      sc.parallelize(scala.util.Random.shuffle(keys).map(k => (k, ())), 8), 8)
+    val sorted = keys.sorted
+    val ranks = Array(0L, 1L, 249L, 250L, 498L, 499L)
+    assert(r.selectKthByKey(ranks).toSeq === ranks.toSeq.map(i => sorted(i.toInt)))
+    // duplicate + unsorted rank requests come back position-aligned
+    val dup = Array(499L, 0L, 499L, 42L)
+    assert(r.selectKthByKey(dup).toSeq === dup.toSeq.map(i => sorted(i.toInt)))
+    assert(r.selectKthByKey(Array.empty[Long]).isEmpty)
+    intercept[IllegalArgumentException] { r.selectKthByKey(Array(500L)) }
+    intercept[IllegalArgumentException] { r.selectKthByKey(Array(-1L)) }
+    // hash-partitioned layouts cannot serve global ranks
+    val h = IndexedRDD(sc.parallelize(keys.map(k => (k, ())), 8))
+    intercept[IllegalArgumentException] { h.selectKthByKey(Array(0L)) }
+  }
+
   test("String and composite keys work end-to-end") {
     import graft.keys.KeySerializer._
     val s = IndexedRDD(sc.parallelize(Seq(("a", 1), ("b", 2), ("aa", 3)), 2))

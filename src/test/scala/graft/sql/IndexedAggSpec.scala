@@ -514,6 +514,62 @@ class IndexedAggSpec extends AnyFunSuite {
     assert(!qw.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
   }
 
+  test("percentile/median of the key: rank selection, no sort, no shuffle") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.indexRangePartitioned(cust, "c_custkey", 8)
+    h.toDF.count()
+    val q = h.toDF.agg(
+      expr("percentile(c_custkey, 0.5)").as("med"),
+      expr("percentile(c_custkey, 0.25)").as("q1"),
+      count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedStats"), s"expected stats pushdown in:\n$plan")
+    val expect = cust.agg(
+      expr("percentile(c_custkey, 0.5)").as("med"),
+      expr("percentile(c_custkey, 0.25)").as("q1"),
+      count(lit(1)).as("n")).as[(Double, Double, Long)].head()
+    assert(q.as[(Double, Double, Long)].head() === expect)
+    // median() is RuntimeReplaceable into Percentile(k, 0.5)
+    val qm = h.toDF.agg(median($"c_custkey").as("m"))
+    assert(qm.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qm.as[Double].head() ===
+      cust.agg(median($"c_custkey")).as[Double].head())
+    // the array form folds to one literal and one combined selection
+    val qa = h.toDF.agg(
+      expr("percentile(c_custkey, array(0.0, 0.1, 0.5, 0.9, 1.0))").as("ps"))
+    assert(qa.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qa.as[Seq[Double]].head() === cust.agg(
+      expr("percentile(c_custkey, array(0.0, 0.1, 0.5, 0.9, 1.0))"))
+      .as[Seq[Double]].head())
+    // repeats answer from the rank memo driver-side: still exact
+    assert(qm.as[Double].head() ===
+      cust.agg(median($"c_custkey")).as[Double].head())
+    // NOT claimed: hash layout (no global rank order)
+    val hh = IndexedFrame.index(cust, "c_custkey")
+    assert(!hh.toDF.agg(median($"c_custkey"))
+      .queryExecution.executedPlan.toString.contains("IndexedStats"))
+    // NOT claimed: non-key column / filtered shape — falls through whole
+    assert(!h.toDF.agg(median($"c_nationkey"))
+      .queryExecution.executedPlan.toString.contains("IndexedStats"))
+    val qf = h.toDF.filter($"c_custkey" > 10L).agg(median($"c_custkey"))
+    assert(!qf.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qf.as[Double].head() === cust.filter($"c_custkey" > 10L)
+      .agg(median($"c_custkey")).as[Double].head())
+  }
+
+  test("percentile of an empty index is NULL, matching SQL semantics") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.indexRangePartitioned(cust, "c_custkey", 4)
+    val empty = h.deleteFrame(cust.select($"c_custkey"))
+    val q = empty.toDF.agg(median($"c_custkey").as("m"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(q.collect().head.isNullAt(0))
+  }
+
   private implicit class Tup4Ops(rows: Array[(Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
