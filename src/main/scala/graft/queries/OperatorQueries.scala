@@ -1456,6 +1456,39 @@ object OperatorQueries {
       h.toDF.agg(count_distinct($"o_orderkey").as("n"))
     },
 
+    "ir_sql_time_rollup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // daily event counts inside a time window on the (ts, id)
+      // time-series layout: `GROUP BY date_trunc('day', ts)` is
+      // answered from the tuple-key stream — data rows are never read
+      // and never exchanged; only (day, count) pairs shuffle. The
+      // bucket fn is CATALYST'S OWN date_trunc bound to the key slot,
+      // so timezone semantics match the scan plan exactly. The
+      // leading-ts window prunes per key before bucketing.
+      graft.sql.IndexedAgg.enable(s)
+      val ev = Tables.events(s, dir).select($"ts", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "ts", "event_id", 16)
+      h.toDF.filter($"ts" >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy(date_trunc("day", $"ts").as("d"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    "ir_sql_expr_group" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // GROUP BY f(key) for an arbitrary deterministic key expression
+      // (here a modulo histogram): bucket counts off the key stream,
+      // zero data rows read — correctness doesn't depend on f's
+      // monotonicity, an ordered layout just folds runs
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      h.toDF.groupBy(expr("o_orderkey % 97").as("b"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     "ir_sql_percentile_key" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2047,6 +2080,17 @@ object OperatorQueries {
 
     "ir_sql_count_distinct_key" ->
       "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n FROM orders",
+
+    "ir_sql_time_rollup" ->
+      """SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "ir_sql_expr_group" ->
+      """SELECT o_orderkey % 97 AS b, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "ir_sql_percentile_key" ->
       """SELECT quantile_cont(o_orderkey, 0.5) AS med,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference,
-  GenericInternalRow, Literal, UnsafeProjection}
+  BoundReference, Expression, GenericInternalRow, Literal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count,
   Max, Min, Percentile}
 import org.apache.spark.sql.catalyst.expressions.And
@@ -153,6 +153,26 @@ object IndexedAgg {
         case _ => None
       }
 
+    /** The shape `PullOutGroupingExpressions` leaves for a COMPLEX
+      * grouping expression — `Aggregate [_groupingexpression], …,
+      * Project [f(col) AS _groupingexpression]` — when `f` is a
+      * deterministic non-aggregate expression of exactly ONE column:
+      * yields (f, the plan under the Project). Attribute passthroughs
+      * beside the alias are fine; anything else disqualifies. */
+    private def pulledGrouping(p: LogicalPlan, ga: AttributeReference)
+        : Option[(Expression, LogicalPlan)] = p match {
+      case Project(projs, inner) =>
+        projs.filter(!_.isInstanceOf[Attribute]) match {
+          case Seq(al: Alias) if al.exprId == ga.exprId &&
+              !al.child.isInstanceOf[Attribute] && al.child.deterministic &&
+              al.child.references.size == 1 &&
+              !al.child.exists(_.isInstanceOf[AggregateExpression]) =>
+            Some((al.child, inner))
+          case _ => None
+        }
+      case _ => None
+    }
+
     /** Classify one aggregate-list entry: the grouping column itself,
       * `count(1)`, or min/max of the one column whose per-group extrema
       * the handle's structure answers ([[IndexedFrame.StatsCapable
@@ -180,6 +200,53 @@ object IndexedAgg {
       // count(1)}: answered from index structure when the handle can —
       // composite leading-column key runs, or secondary posting lengths
       // under a null-excluding bound (see groupCountsFor)
+      case Aggregate(Seq(ga: AttributeReference), aggs, child, _)
+          if aggs.nonEmpty && aggs.length <= 4 && pulledGrouping(child, ga).isDefined =>
+        // GROUP BY f(key) for an arbitrary deterministic expression of
+        // the key alone (`date_trunc('day', ts)`, `key % n`, casts):
+        // bucket counts off the KEY stream — data rows never read,
+        // only (bucket, count) pairs exchange. Correctness never
+        // depends on f's monotonicity; an ordered layout just makes
+        // the per-partition fold O(runs). f is evaluated by CATALYST'S
+        // OWN interpreter bound to the key slot, so semantics
+        // (timezones, overflow, null-in null-out) match the scan plan
+        // exactly.
+        val (g, inner) = pulledGrouping(child, ga).get
+        val relOpt0: Option[(Seq[sources.Filter], IndexedFrame.StatsCapable)] =
+          bareRelation(inner).map(h => (Nil: Seq[sources.Filter], h))
+            .orElse(filteredRelation(inner))
+        relOpt0.flatMap { case (fs, h) =>
+          val kinds: Seq[Option[GKind]] = aggs.map {
+            case a: AttributeReference if a.exprId == ga.exprId => Some(GGroup)
+            case al: Alias => al.child match {
+              case a: AttributeReference if a.exprId == ga.exprId => Some(GGroup)
+              case ae: AggregateExpression
+                  if !ae.isDistinct && ae.filter.isEmpty =>
+                ae.aggregateFunction match {
+                  case Count(Seq(Literal(1, _))) => Some(GCount)
+                  case _ => None
+                }
+              case _ => None
+            }
+            case _ => None
+          }
+          if (kinds.exists(_.isEmpty)) None
+          else {
+            val keyAttr = g.references.head
+            val bound = g.transform {
+              case _: AttributeReference =>
+                BoundReference(0, keyAttr.dataType, nullable = false)
+            }
+            val factory: () => Any => Any = () => {
+              val row = new GenericInternalRow(1)
+              (k: Any) => { row.update(0, k); bound.eval(row) }
+            }
+            h.exprGroupCountsFor(keyAttr.name, factory, fs).map { t =>
+              IndexedGroupCountExec(aggs.map(_.toAttribute),
+                kinds.map(_.get == GGroup), h, t): SparkPlan
+            }
+          }
+        }.map(_ :: Nil).getOrElse(Nil)
       case Aggregate(Seq(ga: AttributeReference), aggs, child, _)
           if aggs.nonEmpty && aggs.length <= 4 =>
         val relOpt: Option[(Seq[sources.Filter], IndexedFrame.StatsCapable)] =

@@ -973,6 +973,19 @@ object IndexedFrame {
       * rows. Same gating shape as [[groupCountsFor]]. */
     private[sql] def groupStatsFor(col: String,
         filters: Seq[Filter]): Option[() => RDD[(Any, Long, Any, Any)]] = None
+    /** `GROUP BY f(key) → count(*)` for an arbitrary DETERMINISTIC
+      * expression of the key column alone (`date_trunc('day', ts)`,
+      * `key % 100`, `CAST(ts AS DATE)`, …): per-partition bucket
+      * counts off the KEY stream — values are never read — merged by
+      * one exchange of (bucket, count) pairs. The time-rollup shape
+      * at 100 TB: the only thing that ever shuffles is the rollup
+      * itself. `bucketFactory` is invoked once per partition and
+      * returns catalyst-key → catalyst-bucket. Filters must all be
+      * key bounds (IsNotNull on the key is vacuous). */
+    private[sql] def exprGroupCountsFor(col: String,
+        bucketFactory: () => Any => Any,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = None
+
     /** EXACT interpolated percentiles of the NUMERIC key column (the
       * semantics of Spark's `percentile(key, p)` / `median(key)`),
       * answered by rank selection on the ordered layout: O(partitions)
@@ -1439,6 +1452,53 @@ object IndexedFrame {
               hi.forall(h => ordK.lt(k, h)) =>
             toCatalystKey(dt, k)
         }))
+    }
+
+    override private[sql] def exprGroupCountsFor(col: String,
+        bucketFactory: () => Any => Any,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
+      if (col != keyCol) return None
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyCol => Some(Iv[K](None, None))
+        case f => boundsOn(keyCol, codec, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codec.ord)
+      val dt = schema(keyCol).dataType
+      val ordK = codec.ord
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      val parts = math.min(idx.getNumPartitions, 32)
+      Some(() =>
+        if (isEmpty) idx.context.emptyRDD[(Any, Long)]
+        else idx.mapPartitions { it =>
+          val bucket = bucketFactory()
+          // fold runs first: under an ordered layout a monotonic f
+          // (date_trunc of a ts key) sees each bucket as ONE run, so
+          // the map stays O(local buckets) and lookups are rare
+          val m = new java.util.HashMap[Any, java.lang.Long]()
+          var lastB: Any = null
+          var has = false
+          var run = 0L
+          def flush(): Unit = if (run > 0) {
+            val prev = m.get(lastB)
+            m.put(lastB, if (prev == null) run else prev + run)
+            run = 0L
+          }
+          it.foreach { case (k, _) =>
+            if (lo.forall(l => ordK.gteq(k, l)) &&
+                hi.forall(h => ordK.lt(k, h))) {
+              val b = bucket(toCatalystKey(dt, k))
+              if (!has || b != lastB) { flush(); lastB = b; has = true }
+              run += 1
+            }
+          }
+          flush()
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala
+            .map(e => (e.getKey, e.getValue.longValue()))
+        }.reduceByKey(_ + _, parts))
     }
 
     override private[sql] def groupStatCol(col: String): Option[String] =
@@ -1934,6 +1994,55 @@ object IndexedFrame {
         return if (col == keyColB) None else secondaryCountDistinct(col)
       if (!leadRunsServable) return None
       Some(() => leadDistinctMemo)
+    }
+
+    /** `GROUP BY f(leading) → count(*)` on the composite layout —
+      * `date_trunc('day', ts)` rollups on the (ts, id) time-series
+      * index: bucket counts off the TUPLE-KEY stream (values never
+      * read), one (bucket, count)-pair exchange. Filters must all be
+      * leading-column bounds. */
+    override private[sql] def exprGroupCountsFor(col: String,
+        bucketFactory: () => Any => Any,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
+      if (col != keyColA) return None
+      val ivs = fs.map {
+        case IsNotNull(c) if c == keyColA => Some(Iv[A](None, None))
+        case f => boundsOn(keyColA, codecA, eqAsPrefix = true, f)
+      }
+      if (ivs.exists(_.isEmpty)) return None
+      val iv = meet(ivs.map(_.get), codecA.ord)
+      val dtA = schema(keyColA).dataType
+      val ordA = codecA.ord
+      val lo = iv.from
+      val hi = iv.to
+      val isEmpty = iv.empty
+      val parts = math.min(idx.getNumPartitions, 32)
+      Some(() =>
+        if (isEmpty) idx.context.emptyRDD[(Any, Long)]
+        else idx.mapPartitions { it =>
+          val bucket = bucketFactory()
+          val m = new java.util.HashMap[Any, java.lang.Long]()
+          var lastB: Any = null
+          var has = false
+          var run = 0L
+          def flush(): Unit = if (run > 0) {
+            val prev = m.get(lastB)
+            m.put(lastB, if (prev == null) run else prev + run)
+            run = 0L
+          }
+          it.foreach { case ((a, _), _) =>
+            if (lo.forall(l => ordA.gteq(a, l)) &&
+                hi.forall(h => ordA.lt(a, h))) {
+              val b = bucket(toCatalystKey(dtA, a))
+              if (!has || b != lastB) { flush(); lastB = b; has = true }
+              run += 1
+            }
+          }
+          flush()
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala
+            .map(e => (e.getKey, e.getValue.longValue()))
+        }.reduceByKey(_ + _, parts))
     }
 
     /** `SELECT DISTINCT leading [WHERE leading-bounds]` with ZERO

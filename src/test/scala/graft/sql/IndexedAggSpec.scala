@@ -514,6 +514,53 @@ class IndexedAggSpec extends AnyFunSuite {
     assert(!qw.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
   }
 
+  test("GROUP BY f(key) → count(*): bucket counts off the key stream") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.index(cust, "c_custkey", ordered = true)
+    // modulo histogram (non-monotonic): claimed, exact
+    val q = h.toDF.groupBy(expr("c_custkey % 7").as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedGroupCount"),
+      s"expected expr-group pushdown in:\n${q.queryExecution.executedPlan}")
+    assert(q.as[(Long, Long)].collect().toMap ===
+      cust.groupBy(expr("c_custkey % 7").as("b")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap)
+    // count-only output (grouping expr projected away): still claimed
+    val qc = h.toDF.groupBy(expr("c_custkey % 7")).agg(count(lit(1)).as("n"))
+      .select($"n")
+    assert(qc.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qc.as[Long].collect().sorted.toSeq ===
+      cust.groupBy(expr("c_custkey % 7")).agg(count(lit(1)).as("n"))
+        .select($"n").as[Long].collect().sorted.toSeq)
+    // key-bounded filter rides the claim
+    val qf = h.toDF.filter($"c_custkey".between(10L, 90L))
+      .groupBy(expr("c_custkey % 7").as("b")).agg(count(lit(1)).as("n"))
+    assert(qf.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qf.as[(Long, Long)].collect().toMap ===
+      cust.filter($"c_custkey".between(10L, 90L))
+        .groupBy(expr("c_custkey % 7").as("b")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap)
+    // NOT claimed: expression of a NON-key column / extra aggregates
+    val qn = h.toDF.groupBy(expr("c_nationkey % 7").as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(!qn.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    val qm = h.toDF.groupBy(expr("c_custkey % 7").as("b"))
+      .agg(count(lit(1)).as("n"), min($"c_acctbal").as("mn"))
+    assert(!qm.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    // composite handles serve the LEADING column's expression groups
+    val evh = IndexedFrame.indexCompositeRangePartitioned(
+      cust.select($"c_custkey", $"c_nationkey", $"c_acctbal"),
+      "c_custkey", "c_nationkey", 4)
+    val qe = evh.toDF.groupBy(expr("c_custkey % 11").as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(qe.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(qe.as[(Long, Long)].collect().toMap ===
+      cust.groupBy(expr("c_custkey % 11").as("b")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap)
+  }
+
   test("percentile/median of the key: rank selection, no sort, no shuffle") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
