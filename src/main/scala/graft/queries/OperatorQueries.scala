@@ -1476,6 +1476,21 @@ object OperatorQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    "ir_sql_time_rollup_stats" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // daily count + first/last event time: the per-bucket KEY
+      // extrema ride the same key-stream fold as the counts — still
+      // zero data rows read, one (day, stats)-pair exchange
+      graft.sql.IndexedAgg.enable(s)
+      val ev = Tables.events(s, dir).select($"ts", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "ts", "event_id", 16)
+      h.toDF.groupBy(date_trunc("day", $"ts").as("d"))
+        .agg(count(lit(1)).as("n"), min($"ts").as("first_ts"),
+          max($"ts").as("last_ts"))
+    },
+
     "ir_sql_expr_group" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2087,6 +2102,11 @@ object OperatorQueries {
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    "ir_sql_time_rollup_stats" ->
+      """SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n,
+        |       min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
 
     "ir_sql_expr_group" ->
       """SELECT o_orderkey % 97 AS b, CAST(count(*) AS BIGINT) AS n

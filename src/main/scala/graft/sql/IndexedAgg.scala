@@ -216,6 +216,10 @@ object IndexedAgg {
           bareRelation(inner).map(h => (Nil: Seq[sources.Filter], h))
             .orElse(filteredRelation(inner))
         relOpt0.flatMap { case (fs, h) =>
+          val keyAttr = g.references.head
+          // min/max must be of THE KEY COLUMN f groups over — the
+          // per-bucket key extrema ride the same stream for free
+          // (daily first/last-event summaries)
           val kinds: Seq[Option[GKind]] = aggs.map {
             case a: AttributeReference if a.exprId == ga.exprId => Some(GGroup)
             case al: Alias => al.child match {
@@ -224,6 +228,10 @@ object IndexedAgg {
                   if !ae.isDistinct && ae.filter.isEmpty =>
                 ae.aggregateFunction match {
                   case Count(Seq(Literal(1, _))) => Some(GCount)
+                  case Min(c: AttributeReference)
+                      if c.exprId == keyAttr.exprId => Some(GMin)
+                  case Max(c: AttributeReference)
+                      if c.exprId == keyAttr.exprId => Some(GMax)
                   case _ => None
                 }
               case _ => None
@@ -232,7 +240,7 @@ object IndexedAgg {
           }
           if (kinds.exists(_.isEmpty)) None
           else {
-            val keyAttr = g.references.head
+            val ks = kinds.map(_.get)
             val bound = g.transform {
               case _: AttributeReference =>
                 BoundReference(0, keyAttr.dataType, nullable = false)
@@ -241,10 +249,17 @@ object IndexedAgg {
               val row = new GenericInternalRow(1)
               (k: Any) => { row.update(0, k); bound.eval(row) }
             }
-            h.exprGroupCountsFor(keyAttr.name, factory, fs).map { t =>
-              IndexedGroupCountExec(aggs.map(_.toAttribute),
-                kinds.map(_.get == GGroup), h, t): SparkPlan
-            }
+            val wantExtrema = ks.exists(k => k == GMin || k == GMax)
+            h.exprGroupStatsFor(keyAttr.name, factory, fs, wantExtrema)
+              .map { t =>
+                if (wantExtrema)
+                  IndexedGroupStatsExec(aggs.map(_.toAttribute), ks, h, t)
+                    : SparkPlan
+                else
+                  IndexedGroupCountExec(aggs.map(_.toAttribute),
+                    ks.map(_ == GGroup), h,
+                    () => t().map { case (b, c, _, _) => (b, c) }): SparkPlan
+              }
           }
         }.map(_ :: Nil).getOrElse(Nil)
       case Aggregate(Seq(ga: AttributeReference), aggs, child, _)

@@ -981,10 +981,13 @@ object IndexedFrame {
       * at 100 TB: the only thing that ever shuffles is the rollup
       * itself. `bucketFactory` is invoked once per partition and
       * returns catalyst-key → catalyst-bucket. Filters must all be
-      * key bounds (IsNotNull on the key is vacuous). */
-    private[sql] def exprGroupCountsFor(col: String,
-        bucketFactory: () => Any => Any,
-        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = None
+      * key bounds (IsNotNull on the key is vacuous). With
+      * `withExtrema`, also the per-bucket min/max OF THE KEY off the
+      * same stream (daily first/last-event summaries); without, the
+      * extrema slots are null and no comparisons are paid. */
+    private[sql] def exprGroupStatsFor(col: String,
+        bucketFactory: () => Any => Any, fs: Seq[Filter],
+        withExtrema: Boolean): Option[() => RDD[(Any, Long, Any, Any)]] = None
 
     /** EXACT interpolated percentiles of the NUMERIC key column (the
       * semantics of Spark's `percentile(key, p)` / `median(key)`),
@@ -1454,9 +1457,9 @@ object IndexedFrame {
         }))
     }
 
-    override private[sql] def exprGroupCountsFor(col: String,
-        bucketFactory: () => Any => Any,
-        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
+    override private[sql] def exprGroupStatsFor(col: String,
+        bucketFactory: () => Any => Any, fs: Seq[Filter],
+        withExtrema: Boolean): Option[() => RDD[(Any, Long, Any, Any)]] = {
       if (col != keyCol) return None
       val ivs = fs.map {
         case IsNotNull(c) if c == keyCol => Some(Iv[K](None, None))
@@ -1465,40 +1468,11 @@ object IndexedFrame {
       if (ivs.exists(_.isEmpty)) return None
       val iv = meet(ivs.map(_.get), codec.ord)
       val dt = schema(keyCol).dataType
-      val ordK = codec.ord
       val lo = iv.from
       val hi = iv.to
       val isEmpty = iv.empty
-      val parts = math.min(idx.getNumPartitions, 32)
-      Some(() =>
-        if (isEmpty) idx.context.emptyRDD[(Any, Long)]
-        else idx.mapPartitions { it =>
-          val bucket = bucketFactory()
-          // fold runs first: under an ordered layout a monotonic f
-          // (date_trunc of a ts key) sees each bucket as ONE run, so
-          // the map stays O(local buckets) and lookups are rare
-          val m = new java.util.HashMap[Any, java.lang.Long]()
-          var lastB: Any = null
-          var has = false
-          var run = 0L
-          def flush(): Unit = if (run > 0) {
-            val prev = m.get(lastB)
-            m.put(lastB, if (prev == null) run else prev + run)
-            run = 0L
-          }
-          it.foreach { case (k, _) =>
-            if (lo.forall(l => ordK.gteq(k, l)) &&
-                hi.forall(h => ordK.lt(k, h))) {
-              val b = bucket(toCatalystKey(dt, k))
-              if (!has || b != lastB) { flush(); lastB = b; has = true }
-              run += 1
-            }
-          }
-          flush()
-          import scala.jdk.CollectionConverters._
-          m.entrySet().iterator().asScala
-            .map(e => (e.getKey, e.getValue.longValue()))
-        }.reduceByKey(_ + _, parts))
+      Some(exprGroupStatsThunk[K, K](idx, codec.ord, k => toCatalystKey(dt, k),
+        identity[K], bucketFactory, lo, hi, isEmpty, withExtrema))
     }
 
     override private[sql] def groupStatCol(col: String): Option[String] =
@@ -1609,6 +1583,73 @@ object IndexedFrame {
       (codec.fromRow(r, ki), r.copy(): InternalRow)
     })
   }
+
+  /** Shared executor-side fold for [[StatsCapable.exprGroupStatsFor]]:
+    * stream each partition's keys (values untouched), fold consecutive
+    * same-bucket runs — under an ordered layout a monotonic f
+    * (date_trunc of a ts key) sees each bucket as ONE run, so the map
+    * stays O(local buckets) — merge into a per-partition map, then ONE
+    * (bucket, stats)-pair exchange. Extrema compare in the component's
+    * natural order and convert to catalyst at the very end. */
+  private def exprGroupStatsThunk[KK, C](
+      idx: IndexedRDD[KK, InternalRow], ordC: Ordering[C],
+      toCat: C => Any, extract: KK => C,
+      bucketFactory: () => Any => Any,
+      lo: Option[C], hi: Option[C], isEmpty: Boolean,
+      withExtrema: Boolean): () => RDD[(Any, Long, Any, Any)] = () =>
+    if (isEmpty) idx.context.emptyRDD[(Any, Long, Any, Any)]
+    else {
+      val parts = math.min(idx.getNumPartitions, 32)
+      idx.mapPartitions { it =>
+        val bucket = bucketFactory()
+        val m = new java.util.HashMap[Any, Array[Any]]()
+        var lastB: Any = null
+        var has = false
+        var run = 0L
+        var runMin: C = null.asInstanceOf[C]
+        var runMax: C = null.asInstanceOf[C]
+        def flush(): Unit = if (run > 0) {
+          val prev = m.get(lastB)
+          if (prev == null) m.put(lastB, Array[Any](run, runMin, runMax))
+          else {
+            prev(0) = prev(0).asInstanceOf[Long] + run
+            if (withExtrema) {
+              if (ordC.lt(runMin, prev(1).asInstanceOf[C])) prev(1) = runMin
+              if (ordC.gt(runMax, prev(2).asInstanceOf[C])) prev(2) = runMax
+            }
+          }
+          run = 0L
+        }
+        it.foreach { case (kk, _) =>
+          val c = extract(kk)
+          if (lo.forall(l => ordC.gteq(c, l)) &&
+              hi.forall(h => ordC.lt(c, h))) {
+            val b = bucket(toCat(c))
+            if (!has || b != lastB) {
+              flush(); lastB = b; has = true; runMin = c; runMax = c
+            } else if (withExtrema) {
+              if (ordC.lt(c, runMin)) runMin = c
+              if (ordC.gt(c, runMax)) runMax = c
+            }
+            run += 1
+          }
+        }
+        flush()
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+      }.reduceByKey({ (x, y) =>
+        x(0) = x(0).asInstanceOf[Long] + y(0).asInstanceOf[Long]
+        if (withExtrema) {
+          if (ordC.lt(y(1).asInstanceOf[C], x(1).asInstanceOf[C])) x(1) = y(1)
+          if (ordC.gt(y(2).asInstanceOf[C], x(2).asInstanceOf[C])) x(2) = y(2)
+        }
+        x
+      }, parts).map { case (b, arr) =>
+        (b, arr(0).asInstanceOf[Long],
+          if (withExtrema) toCat(arr(1).asInstanceOf[C]) else null,
+          if (withExtrema) toCat(arr(2).asInstanceOf[C]) else null)
+      }
+    }
 
   private def codecFor(schema: StructType, keyCol: String): KeyCodec[_] =
     schema(keyCol).dataType match {
@@ -1996,14 +2037,14 @@ object IndexedFrame {
       Some(() => leadDistinctMemo)
     }
 
-    /** `GROUP BY f(leading) → count(*)` on the composite layout —
-      * `date_trunc('day', ts)` rollups on the (ts, id) time-series
-      * index: bucket counts off the TUPLE-KEY stream (values never
-      * read), one (bucket, count)-pair exchange. Filters must all be
-      * leading-column bounds. */
-    override private[sql] def exprGroupCountsFor(col: String,
-        bucketFactory: () => Any => Any,
-        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
+    /** `GROUP BY f(leading) → count(*)[, min/max(leading)]` on the
+      * composite layout — `date_trunc('day', ts)` rollups on the
+      * (ts, id) time-series index: bucket stats off the TUPLE-KEY
+      * stream (values never read), one (bucket, stats)-pair exchange.
+      * Filters must all be leading-column bounds. */
+    override private[sql] def exprGroupStatsFor(col: String,
+        bucketFactory: () => Any => Any, fs: Seq[Filter],
+        withExtrema: Boolean): Option[() => RDD[(Any, Long, Any, Any)]] = {
       if (col != keyColA) return None
       val ivs = fs.map {
         case IsNotNull(c) if c == keyColA => Some(Iv[A](None, None))
@@ -2012,37 +2053,9 @@ object IndexedFrame {
       if (ivs.exists(_.isEmpty)) return None
       val iv = meet(ivs.map(_.get), codecA.ord)
       val dtA = schema(keyColA).dataType
-      val ordA = codecA.ord
-      val lo = iv.from
-      val hi = iv.to
-      val isEmpty = iv.empty
-      val parts = math.min(idx.getNumPartitions, 32)
-      Some(() =>
-        if (isEmpty) idx.context.emptyRDD[(Any, Long)]
-        else idx.mapPartitions { it =>
-          val bucket = bucketFactory()
-          val m = new java.util.HashMap[Any, java.lang.Long]()
-          var lastB: Any = null
-          var has = false
-          var run = 0L
-          def flush(): Unit = if (run > 0) {
-            val prev = m.get(lastB)
-            m.put(lastB, if (prev == null) run else prev + run)
-            run = 0L
-          }
-          it.foreach { case ((a, _), _) =>
-            if (lo.forall(l => ordA.gteq(a, l)) &&
-                hi.forall(h => ordA.lt(a, h))) {
-              val b = bucket(toCatalystKey(dtA, a))
-              if (!has || b != lastB) { flush(); lastB = b; has = true }
-              run += 1
-            }
-          }
-          flush()
-          import scala.jdk.CollectionConverters._
-          m.entrySet().iterator().asScala
-            .map(e => (e.getKey, e.getValue.longValue()))
-        }.reduceByKey(_ + _, parts))
+      Some(exprGroupStatsThunk[(A, B), A](idx, codecA.ord,
+        a => toCatalystKey(dtA, a), (kk: (A, B)) => kk._1,
+        bucketFactory, iv.from, iv.to, iv.empty, withExtrema))
     }
 
     /** `SELECT DISTINCT leading [WHERE leading-bounds]` with ZERO

@@ -542,13 +542,24 @@ class IndexedAggSpec extends AnyFunSuite {
       cust.filter($"c_custkey".between(10L, 90L))
         .groupBy(expr("c_custkey % 7").as("b")).agg(count(lit(1)).as("n"))
         .as[(Long, Long)].collect().toMap)
-    // NOT claimed: expression of a NON-key column / extra aggregates
+    // per-bucket KEY extrema ride the same stream
+    val qs = h.toDF.groupBy(expr("c_custkey % 7").as("b"))
+      .agg(count(lit(1)).as("n"), min($"c_custkey").as("mn"),
+        max($"c_custkey").as("mx"))
+    assert(qs.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
+    assert(qs.as[(Long, Long, Long, Long)].collect().toMap2 ===
+      cust.groupBy(expr("c_custkey % 7").as("b"))
+        .agg(count(lit(1)).as("n"), min($"c_custkey").as("mn"),
+          max($"c_custkey").as("mx"))
+        .as[(Long, Long, Long, Long)].collect().toMap2)
+    // NOT claimed: expression of a NON-key column / non-key aggregates
     val qn = h.toDF.groupBy(expr("c_nationkey % 7").as("b"))
       .agg(count(lit(1)).as("n"))
     assert(!qn.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
     val qm = h.toDF.groupBy(expr("c_custkey % 7").as("b"))
       .agg(count(lit(1)).as("n"), min($"c_acctbal").as("mn"))
-    assert(!qm.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(!qm.queryExecution.executedPlan.toString.contains("IndexedGroupCount") &&
+      !qm.queryExecution.executedPlan.toString.contains("IndexedGroupStats"))
     // composite handles serve the LEADING column's expression groups
     val evh = IndexedFrame.indexCompositeRangePartitioned(
       cust.select($"c_custkey", $"c_nationkey", $"c_acctbal"),
