@@ -276,10 +276,31 @@ object Bench {
     })
     cachedCust.unpersist()
     hStats.idx.unpersist()
+    // exact median/percentile: rank selection on the range-partitioned
+    // layout (memoized after the first query — repeats are zero-job)
+    // vs Catalyst's exact plan shipping every value to one aggregator
+    import org.apache.spark.sql.functions.expr
+    val ordDF = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val hPct = graft.sql.IndexedFrame.indexRangePartitioned(ordDF, "o_orderkey", 16)
+    hPct.toDF.count()
+    val cachedOrd2 = ordDF.cache(); cachedOrd2.count()
+    val pctAgg = Seq(expr("percentile(o_orderkey, 0.5)"),
+      expr("percentile(o_orderkey, 0.25)"), expr("percentile(o_orderkey, 0.75)"))
+    val tPctIdx = bestOf2((0 until 20).foreach { _ =>
+      hPct.toDF.agg(pctAgg.head, pctAgg.tail: _*).collect()
+    })
+    val tPctScan = bestOf2((0 until 20).foreach { _ =>
+      cachedOrd2.agg(pctAgg.head, pctAgg.tail: _*).collect()
+    })
+    cachedOrd2.unpersist()
+    hPct.idx.unpersist()
     Seq("micro_sql_stats_idx_100" -> tStatsIdx,
       "micro_sql_stats_scan_100" -> tStatsScan,
       "micro_sql_count_range_idx_100" -> tCntRangeIdx,
-      "micro_sql_count_range_scan_100" -> tCntRangeScan)
+      "micro_sql_count_range_scan_100" -> tCntRangeScan,
+      "micro_sql_percentile_idx_20" -> tPctIdx,
+      "micro_sql_percentile_scan_20" -> tPctScan)
   }
 
   /** Distinct-cardinality pushdowns vs their cached-scan twins:
@@ -436,8 +457,25 @@ object Bench {
       ht.toDF.filter(col("ts") >= zlo && col("ts") < zhi)
         .agg(fCount(fLit(1))).collect()
     })
+    // daily rollup + first/last event time: key-stream fold (values
+    // never read, only (day, stats) tuples exchange) vs the cached
+    // scan's full-row partial aggregate + exchange
+    graft.sql.IndexedAgg.enable(spark)
+    import org.apache.spark.sql.functions.{date_trunc, min => fMin, max => fMax}
+    val cachedEv = evDF.cache(); cachedEv.count()
+    val tRollIdx = bestOf2((0 until 20).foreach { _ =>
+      ht.toDF.groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(fCount(fLit(1)), fMin(col("ts")), fMax(col("ts"))).collect()
+    })
+    val tRollScan = bestOf2((0 until 20).foreach { _ =>
+      cachedEv.groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(fCount(fLit(1)), fMin(col("ts")), fMax(col("ts"))).collect()
+    })
+    cachedEv.unpersist()
     ht.idx.unpersist()
-    Seq("micro_sql_tskey_pruned_20" -> tTsPruned)
+    Seq("micro_sql_tskey_pruned_20" -> tTsPruned,
+      "micro_sql_rollup_idx_20" -> tRollIdx,
+      "micro_sql_rollup_scan_20" -> tRollScan)
   }
 
   /** Per-key point-in-time reads: 50 asOf(user, T) lookups on a

@@ -1525,6 +1525,28 @@ object OperatorQueries {
         count(lit(1)).as("n"))
     },
 
+    "ir_sql_percentile_secondary" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // EXACT percentile of a NON-key column from its ordered
+      // inverted index: the (value, posting-length) pairs ARE the
+      // column's full histogram — O(distinct) driver state under the
+      // same cardinality budget as probe routing, memoized on the
+      // snapshot — so exact weighted selection never reads a data row.
+      // The categorical-column shape: a country/language/segment
+      // histogram is tiny no matter how many rows the corpus has.
+      // Rides one claim with the KEY percentile (rank selection).
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.customer(s, dir), "c_custkey", numPartitions = 16)
+        .addSecondaryIndex("c_nationkey", ordered = true)
+      h.toDF.agg(
+        expr("percentile(c_nationkey, 0.5D)").as("med_nat"),
+        expr("percentile(c_nationkey, 0.25D)").as("p25_nat"),
+        expr("percentile(c_custkey, 0.5D)").as("med_key"),
+        count(lit(1)).as("n"))
+    },
+
     "ir_sql_distinct_leading" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2111,6 +2133,13 @@ object OperatorQueries {
     "ir_sql_expr_group" ->
       """SELECT o_orderkey % 97 AS b, CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "ir_sql_percentile_secondary" ->
+      """SELECT quantile_cont(c_nationkey, 0.5) AS med_nat,
+        |       quantile_cont(c_nationkey, 0.25) AS p25_nat,
+        |       quantile_cont(c_custkey, 0.5) AS med_key,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer""".stripMargin,
 
     "ir_sql_percentile_key" ->
       """SELECT quantile_cont(o_orderkey, 0.5) AS med,

@@ -52,7 +52,8 @@ object IndexedAgg {
     * all-values-to-one-aggregator). `fracs` is the requested fraction
     * list (scalar form = 1 element, array form = several); `specIdx`
     * indexes into the combined percentile thunk's result. */
-  final case class PercentileStat(fracs: Seq[Double], specIdx: Int = -1) extends Stat
+  final case class PercentileStat(col: String, fracs: Seq[Double],
+      specIdx: Int = -1) extends Stat
 
   /** One entry of an index-answerable `GROUP BY g` aggregate list. */
   private[sql] sealed trait GKind extends Serializable
@@ -90,24 +91,25 @@ object IndexedAgg {
               if h.statsKeyCol.contains(k.name) => Some(MinStat)
           case Max(k: AttributeReference)
               if h.statsKeyCol.contains(k.name) => Some(MaxStat)
-          // exact percentile/median OF THE KEY: `median(k)` reaches
-          // the planner as Percentile(k, 0.5) (RuntimeReplaceable).
-          // Foldable percentage only (scalar or array literal after
-          // constant folding), unit frequency, natural order.
+          // exact percentile/median: `median(c)` reaches the planner
+          // as Percentile(c, 0.5) (RuntimeReplaceable). Foldable
+          // percentage only (scalar or array literal after constant
+          // folding), unit frequency, natural order. Column
+          // servability (key rank selection / ordered-secondary
+          // histogram) is validated at claim time by percentilesFor.
           case p: Percentile
               if p.child.isInstanceOf[AttributeReference] &&
-                h.statsKeyCol.contains(
-                  p.child.asInstanceOf[AttributeReference].name) &&
                 !p.reverse && p.frequencyExpression.foldable &&
                 p.percentageExpression.foldable &&
                 (p.frequencyExpression.eval() match {
                   case 1L | 1 => true; case _ => false
                 }) =>
+            val col = p.child.asInstanceOf[AttributeReference].name
             p.percentageExpression.eval() match {
-              case d: Double => Some(PercentileStat(Seq(d)))
+              case d: Double => Some(PercentileStat(col, Seq(d)))
               case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
                 scala.util.Try(ad.toDoubleArray.toSeq).toOption
-                  .map(PercentileStat(_))
+                  .map(PercentileStat(col, _))
               case _ => None
             }
           case _ => None
@@ -300,10 +302,11 @@ object IndexedAgg {
               // result positions (one handle call serves them all)
               var pi = -1
               val ss = stats.map(_.get).map {
-                case PercentileStat(fr, _) => pi += 1; PercentileStat(fr, pi)
+                case PercentileStat(c, fr, _) =>
+                  pi += 1; PercentileStat(c, fr, pi)
                 case s => s
               }
-              val specs = ss.collect { case PercentileStat(fr, _) => fr }
+              val specs = ss.collect { case PercentileStat(c, fr, _) => (c, fr) }
               // each count-distinct stat must resolve to an
               // index-structure thunk; a column with no distinct
               // structure (plain value column) falls through whole
@@ -314,7 +317,7 @@ object IndexedAgg {
               // percentile stats need the handle to claim the whole
               // spec list (ordered + integral key); otherwise the
               // query falls through whole
-              val pct: Option[Option[() => Option[Seq[Seq[Double]]]]] =
+              val pct: Option[Option[() => Seq[Option[Seq[Double]]]]] =
                 if (specs.isEmpty) Some(None)
                 else h.percentilesFor(specs).map(Some(_))
               pct match {
@@ -368,7 +371,7 @@ object IndexedAgg {
   case class IndexedStatsExec(output: Seq[Attribute],
       h: IndexedFrame.StatsCapable, stats: Seq[Stat],
       cdThunks: Seq[() => Long] = Nil,
-      pctThunk: Option[() => Option[Seq[Seq[Double]]]] = None)
+      pctThunk: Option[() => Seq[Option[Seq[Double]]]] = None)
       extends LeafExecNode {
 
     private def rowValues(): Seq[Any] = {
@@ -379,9 +382,10 @@ object IndexedAgg {
       // count-distinct stats were requested
       lazy val baseStats =
         h.statsAll(stats.exists(s => s == MinStat || s == MaxStat))
-      // all percentile stats share ONE rank-selection call (and its
-      // memo); None = empty index = SQL NULL for every percentile
-      lazy val pctVals: Option[Seq[Seq[Double]]] = pctThunk.flatMap(_())
+      // all percentile stats share ONE thunk call (and its memos);
+      // a per-spec None = no rows for that column = SQL NULL
+      lazy val pctVals: Seq[Option[Seq[Double]]] =
+        pctThunk.map(_()).getOrElse(Nil)
       stats.zipWithIndex.map {
         case (CountStat, _) => baseStats._1
         case (MinStat, i) =>
@@ -391,13 +395,13 @@ object IndexedAgg {
           baseStats._3.map(CatalystTypeConverters
             .createToCatalystConverter(output(i).dataType)).orNull
         case (CountDistinctStat(_), i) => cdThunks(i)()
-        case (PercentileStat(_, j), i) =>
-          pctVals.map { vs =>
+        case (PercentileStat(_, _, j), i) =>
+          pctVals(j).map { vs =>
             output(i).dataType match {
               case org.apache.spark.sql.types.DoubleType =>
-                java.lang.Double.valueOf(vs(j).head): Any
+                java.lang.Double.valueOf(vs.head): Any
               case at =>
-                CatalystTypeConverters.createToCatalystConverter(at)(vs(j))
+                CatalystTypeConverters.createToCatalystConverter(at)(vs)
             }
           }.orNull
       }

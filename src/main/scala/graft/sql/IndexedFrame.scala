@@ -811,6 +811,36 @@ object IndexedFrame {
         () => secCountMemo.getOrElseUpdate(col, sidx.count())
       }
 
+    /** Sorted (value-as-double, row-weight) distribution of an
+      * integral ORDERED-secondary column — the full value histogram,
+      * O(distinct) driver state collected once and memoized on the
+      * immutable snapshot. Gated on the distinct count (the memoized
+      * O(partitions) job count(DISTINCT) already pays) staying under
+      * [[SecondaryRouteBudget]]: a categorical column's histogram is
+      * tiny no matter how many rows the corpus has; a high-cardinality
+      * column disqualifies and the query falls through to the scan
+      * plan. Inner None = column has no non-null rows. */
+    @transient private lazy val secDistMemo =
+      new scala.collection.concurrent.TrieMap[String, Array[(Double, Long)]]()
+    private[sql] def secondaryDistributionFor(
+        col: String): Option[() => Option[Array[(Double, Long)]]] = {
+      val integral = schema(col).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!integral || !hasOrderedSecondary(col)) return None
+      val (_, sidx, _) = secondaries(col)
+      if (secCountMemo.getOrElseUpdate(col, sidx.count()) > SecondaryRouteBudget)
+        return None
+      Some { () =>
+        val dist = secDistMemo.getOrElseUpdate(col,
+          sidx.mapPartitions(_.map { case (v, ks) =>
+            (v.asInstanceOf[Number].doubleValue(), ks.length.toLong)
+          }).collect().sortBy(_._1))
+        if (dist.isEmpty) None else Some(dist)
+      }
+    }
+
     /** Grouped (group, count, min-primary, max-primary) straight from
       * posting arrays — `GROUP BY col → count(*), min(key), max(key)`
       * with ZERO primary rows read and ZERO shuffle (each distinct
@@ -989,19 +1019,23 @@ object IndexedFrame {
         bucketFactory: () => Any => Any, fs: Seq[Filter],
         withExtrema: Boolean): Option[() => RDD[(Any, Long, Any, Any)]] = None
 
-    /** EXACT interpolated percentiles of the NUMERIC key column (the
-      * semantics of Spark's `percentile(key, p)` / `median(key)`),
-      * answered by rank selection on the ordered layout: O(partitions)
-      * sizes + one pruned walk of the rank-owning partitions — no
-      * global sort, no shuffle, and (unlike Catalyst's exact plan) no
-      * shipping of every value into one aggregator. One spec per
-      * aggregate (scalar form = 1 fraction; array form = several); the
-      * thunk yields the per-spec fraction values, or None when the
-      * index is empty (SQL: percentile of no rows is NULL). Claimable
-      * only when the layout serves order statistics and the key is
-      * integral. */
+    /** EXACT interpolated percentiles (the semantics of Spark's
+      * `percentile(col, p)` / `median(col)`) answered from index
+      * structure. One spec per aggregate: (column, fractions) — scalar
+      * form = 1 fraction, array form = several. The thunk yields the
+      * per-spec values, None per spec when that column has no rows
+      * (SQL: percentile of no rows is NULL). Servable columns:
+      *  - the integral KEY of a range-partitioned ordered layout, by
+      *    global rank selection — no sort, no shuffle, one pruned walk
+      *    of the rank-owning partitions;
+      *  - an integral ORDERED-SECONDARY column, by weighted selection
+      *    over the inverted index's (value, posting-length) pairs — a
+      *    bounded O(distinct) driver collect under the same cardinality
+      *    budget as probe routing, regardless of corpus row count.
+      * Any other column disqualifies the whole claim. */
     private[sql] def percentilesFor(
-        specs: Seq[Seq[Double]]): Option[() => Option[Seq[Seq[Double]]]] = None
+        specs: Seq[(String, Seq[Double])])
+        : Option[() => Seq[Option[Seq[Double]]]] = None
   }
 
   /** Per-partition min/max zone maps of VALUE columns — EXPLICITLY
@@ -1201,21 +1235,34 @@ object IndexedFrame {
     @transient private lazy val rankKeyMemo =
       new scala.collection.concurrent.TrieMap[Long, Double]()
     override private[sql] def percentilesFor(
-        specs: Seq[Seq[Double]]): Option[() => Option[Seq[Seq[Double]]]] = {
-      val integral = schema(keyCol).dataType match {
+        specs: Seq[(String, Seq[Double])])
+        : Option[() => Seq[Option[Seq[Double]]]] = {
+      if (specs.exists(_._2.exists(p => p < 0.0 || p > 1.0 || p.isNaN)))
+        return None
+      def integral(c: String) = schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
-      if (!ordered || !kSer.isOrderPreserving || !integral ||
-          !idx.partitioner.exists(
-            _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]]) ||
-          specs.exists(_.exists(p => p < 0.0 || p > 1.0 || p.isNaN)))
-        return None
+      val keyOk = ordered && kSer.isOrderPreserving && integral(keyCol) &&
+        idx.partitioner.exists(
+          _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+      // resolve every spec up front; one unservable column disqualifies
+      // the whole claim and the query falls through intact
+      val srcs: Seq[Option[Either[Unit, () => Option[Array[(Double, Long)]]]]] =
+        specs.map { case (c, _) =>
+          if (c == keyCol) (if (keyOk) Some(Left(())) else None)
+          else secondaryDistributionFor(c).map(Right(_))
+        }
+      if (srcs.exists(_.isEmpty)) return None
       Some { () =>
-        val n = statsCount
-        if (n == 0) None
-        else {
-          val missing = specs.flatten.flatMap { p =>
+        lazy val n = statsCount
+        // ONE rank-selection job prefetches every key rank still
+        // missing from the memo, across all key-column specs
+        val keyFracs = specs.zip(srcs).collect {
+          case ((_, ps), Some(Left(_))) => ps
+        }.flatten
+        if (keyFracs.nonEmpty && n > 0) {
+          val missing = keyFracs.flatMap { p =>
             val r = p * (n - 1)
             Seq(math.floor(r).toLong, math.ceil(r).toLong)
           }.distinct.filterNot(rankKeyMemo.contains)
@@ -1226,14 +1273,41 @@ object IndexedFrame {
                 codec.toExternalSql(k).asInstanceOf[Number].doubleValue())
             }
           }
-          def at(p: Double): Double = {
-            val r = p * (n - 1)
-            val lo = math.floor(r).toLong
-            val hi = math.ceil(r).toLong
-            val vLo = rankKeyMemo(lo)
-            if (lo == hi) vLo else vLo + (rankKeyMemo(hi) - vLo) * (r - lo)
+        }
+        def atKey(p: Double): Double = {
+          val r = p * (n - 1)
+          val lo = math.floor(r).toLong
+          val hi = math.ceil(r).toLong
+          val vLo = rankKeyMemo(lo)
+          if (lo == hi) vLo else vLo + (rankKeyMemo(hi) - vLo) * (r - lo)
+        }
+        def atWeighted(dist: Array[(Double, Long)], total: Long,
+            p: Double): Double = {
+          val r = p * (total - 1)
+          def valueAt(j: Long): Double = {
+            var cum = 0L
+            var i = 0
+            while (i < dist.length) {
+              cum += dist(i)._2
+              if (cum > j) return dist(i)._1
+              i += 1
+            }
+            dist.last._1
           }
-          Some(specs.map(_.map(at)))
+          val lo = math.floor(r).toLong
+          val hi = math.ceil(r).toLong
+          val vLo = valueAt(lo)
+          if (lo == hi) vLo else vLo + (valueAt(hi) - vLo) * (r - lo)
+        }
+        specs.zip(srcs).map {
+          case ((_, ps), Some(Left(_))) =>
+            if (n == 0) None else Some(ps.map(atKey))
+          case ((_, ps), Some(Right(distThunk))) =>
+            distThunk().map { dist =>
+              val total = dist.iterator.map(_._2).sum
+              ps.map(p => atWeighted(dist, total, p))
+            }
+          case _ => None // unreachable: srcs pre-validated
         }
       }
     }

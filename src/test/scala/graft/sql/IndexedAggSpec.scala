@@ -617,6 +617,40 @@ class IndexedAggSpec extends AnyFunSuite {
       .agg(median($"c_custkey")).as[Double].head())
   }
 
+  test("percentile of an ordered-secondary column via its weighted histogram") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.indexRangePartitioned(cust, "c_custkey", 8)
+      .addSecondaryIndex("c_nationkey", ordered = true)
+    h.toDF.count()
+    val q = h.toDF.agg(median($"c_nationkey").as("m"),
+      expr("percentile(c_nationkey, array(0.25, 0.75))").as("ps"),
+      median($"c_custkey").as("mk"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedStats"),
+      s"expected stats pushdown:\n${q.queryExecution.executedPlan}")
+    val expect = cust.agg(median($"c_nationkey").as("m"),
+      expr("percentile(c_nationkey, array(0.25, 0.75))").as("ps"),
+      median($"c_custkey").as("mk"))
+      .as[(Double, Seq[Double], Double)].head()
+    assert(q.as[(Double, Seq[Double], Double)].head() === expect)
+    // repeats serve from the histogram memo: still exact
+    assert(q.as[(Double, Seq[Double], Double)].head() === expect)
+    // an UNORDERED secondary can't enumerate in value order: no claim
+    val hu = IndexedFrame.index(cust, "c_custkey").addSecondaryIndex("c_nationkey")
+    assert(!hu.toDF.agg(median($"c_nationkey"))
+      .queryExecution.executedPlan.toString.contains("IndexedStats"))
+    // over the cardinality budget: falls through whole, still correct
+    val hb = IndexedFrame.index(cust, "c_custkey")
+      .addSecondaryIndex("c_nationkey", ordered = true)
+    hb.SecondaryRouteBudget = 3
+    val qb = hb.toDF.agg(median($"c_nationkey").as("m"))
+    assert(!qb.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qb.as[Double].head() ===
+      cust.agg(median($"c_nationkey")).as[Double].head())
+    hb.SecondaryRouteBudget = 100000
+  }
+
   test("percentile of an empty index is NULL, matching SQL semantics") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
