@@ -1525,6 +1525,23 @@ object OperatorQueries {
         count(lit(1)).as("n"))
     },
 
+    "ir_sql_sum_avg" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // sum/avg from index structure: the key's one memoized
+      // key-stream job (values never read), the ordered secondary's
+      // Σ value·weight over its histogram (zero jobs once warm) —
+      // checked arithmetic, so ANSI overflow errors like Spark's own
+      // plan. The whole dashboard row costs no data-row scan.
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey", ordered = true)
+      h.toDF.agg(
+        sum($"c_custkey").as("sum_key"), avg($"c_custkey").as("avg_key"),
+        sum($"c_nationkey").as("sum_nat"), avg($"c_nationkey").as("avg_nat"),
+        count(lit(1)).as("n"))
+    },
+
     "ir_sql_percentile_secondary" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2133,6 +2150,14 @@ object OperatorQueries {
     "ir_sql_expr_group" ->
       """SELECT o_orderkey % 97 AS b, CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "ir_sql_sum_avg" ->
+      """SELECT CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |       avg(c_custkey) AS avg_key,
+        |       CAST(sum(c_nationkey) AS BIGINT) AS sum_nat,
+        |       avg(c_nationkey) AS avg_nat,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer""".stripMargin,
 
     "ir_sql_percentile_secondary" ->
       """SELECT quantile_cont(c_nationkey, 0.5) AS med_nat,

@@ -54,6 +54,13 @@ object IndexedAgg {
     * indexes into the combined percentile thunk's result. */
   final case class PercentileStat(col: String, fracs: Seq[Double],
       specIdx: Int = -1) extends Stat
+  /** `sum(col)` / `avg(col)` answered from index structure: the key's
+    * memoized key-stream sum, or an ordered secondary's Σ value·weight
+    * over the histogram. Integral columns; ANSI (checked arithmetic,
+    * overflow errors like Spark's) and TRY (overflow → NULL) modes —
+    * LEGACY's silent wraparound is not reproduced and falls through. */
+  final case class SumStat(col: String, tryMode: Boolean) extends Stat
+  final case class AvgStat(col: String, tryMode: Boolean) extends Stat
 
   /** One entry of an index-answerable `GROUP BY g` aggregate list. */
   private[sql] sealed trait GKind extends Serializable
@@ -78,6 +85,15 @@ object IndexedAgg {
       case _ => None
     }
 
+    private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+
     private def statOf(a: Alias, h: IndexedFrame.StatsCapable): Option[Stat] = a.child match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -97,6 +113,23 @@ object IndexedAgg {
           // folding), unit frequency, natural order. Column
           // servability (key rank selection / ordered-secondary
           // histogram) is validated at claim time by percentilesFor.
+          // sum/avg of an integral column under ANSI (the structure
+          // path uses checked Long arithmetic, so overflow errors just
+          // like Spark's) or TRY (overflow → NULL). LEGACY's silent
+          // wraparound is not reproduced: falls through to the scan.
+          // Column servability is validated at claim time.
+          case su: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+              if su.child.isInstanceOf[AttributeReference] &&
+                su.evalContext.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY &&
+                integralType(su.child.dataType) =>
+            Some(SumStat(su.child.asInstanceOf[AttributeReference].name,
+              su.evalContext.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+          case av: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+              if av.child.isInstanceOf[AttributeReference] &&
+                av.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY &&
+                integralType(av.child.dataType) =>
+            Some(AvgStat(av.child.asInstanceOf[AttributeReference].name,
+              av.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
           case p: Percentile
               if p.child.isInstanceOf[AttributeReference] &&
                 !p.reverse && p.frequencyExpression.foldable &&
@@ -314,6 +347,13 @@ object IndexedAgg {
                 case CountDistinctStat(c) => h.countDistinctFor(c)
                 case _ => Some(() => 0L) // unused placeholder
               }
+              // sum/avg thunks resolve against the key or an ordered
+              // secondary's histogram; unservable columns fall through
+              val sa: Seq[Option[() => Option[(Long, Long)]]] = ss.map {
+                case SumStat(c, _) => h.sumCountFor(c)
+                case AvgStat(c, _) => h.sumCountFor(c)
+                case _ => Some(() => None) // unused placeholder
+              }
               // percentile stats need the handle to claim the whole
               // spec list (ordered + integral key); otherwise the
               // query falls through whole
@@ -321,9 +361,9 @@ object IndexedAgg {
                 if (specs.isEmpty) Some(None)
                 else h.percentilesFor(specs).map(Some(_))
               pct match {
-                case Some(pt) if cd.forall(_.isDefined) =>
+                case Some(pt) if cd.forall(_.isDefined) && sa.forall(_.isDefined) =>
                   IndexedStatsExec(aggs.map(_.toAttribute), h, ss,
-                    cd.map(_.get), pt) :: Nil
+                    cd.map(_.get), pt, sa.map(_.get)) :: Nil
                 case _ => Nil
               }
             } else Nil
@@ -338,7 +378,9 @@ object IndexedAgg {
                     // filtered count(DISTINCT …) / percentile need
                     // row/rank inspection inside the interval
                     !stats.exists(s => s.get.isInstanceOf[CountDistinctStat] ||
-                      s.get.isInstanceOf[PercentileStat])) {
+                      s.get.isInstanceOf[PercentileStat] ||
+                      s.get.isInstanceOf[SumStat] ||
+                      s.get.isInstanceOf[AvgStat])) {
                   val ss = stats.map(_.get)
                   val countThunk =
                     if (ss.contains(CountStat)) h.rangeCountFor(fs)
@@ -371,7 +413,8 @@ object IndexedAgg {
   case class IndexedStatsExec(output: Seq[Attribute],
       h: IndexedFrame.StatsCapable, stats: Seq[Stat],
       cdThunks: Seq[() => Long] = Nil,
-      pctThunk: Option[() => Seq[Option[Seq[Double]]]] = None)
+      pctThunk: Option[() => Seq[Option[Seq[Double]]]] = None,
+      saThunks: Seq[() => Option[(Long, Long)]] = Nil)
       extends LeafExecNode {
 
     private def rowValues(): Seq[Any] = {
@@ -395,6 +438,16 @@ object IndexedAgg {
           baseStats._3.map(CatalystTypeConverters
             .createToCatalystConverter(output(i).dataType)).orNull
         case (CountDistinctStat(_), i) => cdThunks(i)()
+        // TRY mode: overflow in the checked structure arithmetic
+        // surfaces as NULL, matching try_sum/try_avg; ANSI lets the
+        // ArithmeticException fail the query like Spark's own plan
+        case (SumStat(_, tryM), i) =>
+          try saThunks(i)().map(t => t._1: Any).orNull
+          catch { case _: ArithmeticException if tryM => null }
+        case (AvgStat(_, tryM), i) =>
+          try saThunks(i)()
+            .map(t => java.lang.Double.valueOf(t._1.toDouble / t._2): Any).orNull
+          catch { case _: ArithmeticException if tryM => null }
         case (PercentileStat(_, _, j), i) =>
           pctVals(j).map { vs =>
             output(i).dataType match {

@@ -1019,6 +1019,18 @@ object IndexedFrame {
         bucketFactory: () => Any => Any, fs: Seq[Filter],
         withExtrema: Boolean): Option[() => RDD[(Any, Long, Any, Any)]] = None
 
+    /** `sum(col)` / `avg(col)` answered from index structure: the
+      * thunk yields (sum, non-null row count), or None when the column
+      * has no non-null rows (SQL: sum/avg of no rows is NULL). Served
+      * for the integral KEY (one memoized key-stream job — values
+      * never read) and for integral ORDERED-SECONDARY columns (Σ v·w
+      * over the memoized histogram, zero jobs once warm). CHECKED
+      * arithmetic: overflow raises ArithmeticException, which the
+      * ANSI claim propagates (like Spark's own error) and the TRY
+      * claim turns into NULL. */
+    private[sql] def sumCountFor(col: String): Option[() => Option[(Long, Long)]] =
+      None
+
     /** EXACT interpolated percentiles (the semantics of Spark's
       * `percentile(col, p)` / `median(col)`) answered from index
       * structure. One spec per aggregate: (column, fractions) — scalar
@@ -1232,6 +1244,42 @@ object IndexedFrame {
     // snapshot is immutable, so a selected rank never goes stale —
     // repeated median/percentile queries answer driver-side with only
     // the (also-memoized) count lookup, zero jobs
+    // one key-stream job (values untouched), memoized on the snapshot;
+    // CHECKED arithmetic throughout — overflow surfaces as an
+    // ArithmeticException exactly where Spark's ANSI sum would error
+    @transient private lazy val keySumMemo: Long = {
+      val toL: K => Long = codec.toExternalSql(_).asInstanceOf[Number].longValue()
+      idx.partitionsRDD.map { p =>
+        var s = 0L
+        p.iterator.foreach { case (k, _) => s = Math.addExact(s, toL(k)) }
+        s
+      }.collect().foldLeft(0L)(Math.addExact)
+    }
+    override private[sql] def sumCountFor(
+        col: String): Option[() => Option[(Long, Long)]] = {
+      def integral(c: String) = schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (col == keyCol) {
+        if (!integral(keyCol)) None
+        else Some(() => {
+          val n = statsCount
+          if (n == 0) None else Some((keySumMemo, n))
+        })
+      } else secondaryDistributionFor(col).map { distThunk =>
+        () => distThunk().map { dist =>
+          var s = 0L
+          var n = 0L
+          dist.foreach { case (v, w) =>
+            s = Math.addExact(s, Math.multiplyExact(v.toLong, w))
+            n += w
+          }
+          (s, n)
+        }
+      }
+    }
+
     @transient private lazy val rankKeyMemo =
       new scala.collection.concurrent.TrieMap[Long, Double]()
     override private[sql] def percentilesFor(

@@ -651,6 +651,32 @@ class IndexedAggSpec extends AnyFunSuite {
     hb.SecondaryRouteBudget = 100000
   }
 
+  test("sum/avg from index structure: key stream + secondary histogram") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.index(cust, "c_custkey")
+      .addSecondaryIndex("c_nationkey", ordered = true)
+    h.toDF.count()
+    val q = h.toDF.agg(sum($"c_custkey").as("sk"), avg($"c_custkey").as("ak"),
+      sum($"c_nationkey").as("sn"), avg($"c_nationkey").as("an"),
+      count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedStats"),
+      s"expected stats pushdown:\n${q.queryExecution.executedPlan}")
+    val expect = cust.agg(sum($"c_custkey").as("sk"), avg($"c_custkey").as("ak"),
+      sum($"c_nationkey").as("sn"), avg($"c_nationkey").as("an"),
+      count(lit(1)).as("n")).as[(Long, Double, Long, Double, Long)].head()
+    assert(q.as[(Long, Double, Long, Double, Long)].head() === expect)
+    // repeats answer from the memos: still exact
+    assert(q.as[(Long, Double, Long, Double, Long)].head() === expect)
+    // NOT claimed: non-integral column / unindexed secondary
+    assert(!h.toDF.agg(sum($"c_acctbal"))
+      .queryExecution.executedPlan.toString.contains("IndexedStats"))
+    val h2 = IndexedFrame.index(cust, "c_custkey")
+    assert(!h2.toDF.agg(sum($"c_nationkey"))
+      .queryExecution.executedPlan.toString.contains("IndexedStats"))
+  }
+
   test("percentile of an empty index is NULL, matching SQL semantics") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
