@@ -93,6 +93,7 @@ object Bench {
       family("zone")(microZone(spark, sfDir)) ++
       family("tskey")(microTsKey(spark, sfDir)) ++
       family("asof")(microAsOf(spark, sfDir)) ++
+      family("lookupJoin")(microLookupJoin(spark, sfDir)) ++
       family("secondary")(microSecondary(spark, sfDir)) ++
       family("secondaryDisk")(microSecondaryDisk(spark, sfDir)) ++
       family("topk")(microTopk(spark, sfDir))
@@ -538,6 +539,36 @@ object Bench {
     * across repeated queries). The 25 distinct values cycle twice, so the
     * second half ALSO exercises the snapshot probe memo (repeat probes
     * answer with zero jobs — sound on immutable handles). */
+  /** Lookup join (batch point-probes the corpus, corpus never scanned)
+    * vs Catalyst's broadcast hash join over the same CACHED corpus —
+    * the enrich-a-delta shape. The indexed lane pays one probe-side
+    * shuffle + O(probe) trie lookups; the default scans the corpus
+    * every query even with the probe broadcast. */
+  private def microLookupJoin(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    implicit val sp: SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    graft.sql.IndexedJoin.enable(spark)
+    val ordersDF = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val h = graft.sql.IndexedFrame.index(ordersDF, "o_orderkey")
+    h.idx.count()
+    val cached = ordersDF.cache(); cached.count()
+    def probe() = spark.range(0, 1000)
+      .select((col("id") * 11).as("k"), (col("id") % 7).as("tag"))
+    val hd = h.toDF
+    val tIdx = bestOf2((0 until 10).foreach { _ =>
+      val p = probe()
+      hd.join(p, hd("o_orderkey") === p("k")).collect()
+    })
+    val tScan = bestOf2((0 until 10).foreach { _ =>
+      val p = probe()
+      cached.join(p, cached("o_orderkey") === p("k")).collect()
+    })
+    cached.unpersist(); h.idx.unpersist()
+    Seq("micro_sql_lookup_join_idx_10" -> tIdx,
+      "micro_sql_lookup_join_scan_10" -> tScan)
+  }
+
   private def microSecondary(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     implicit val sp: SparkSession = spark
     import org.apache.spark.sql.functions.{col, sum => fSum}

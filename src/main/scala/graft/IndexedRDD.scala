@@ -211,6 +211,71 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
    * partition. Narrow when co-partitioned; otherwise only `other`
    * shuffles.
    */
+  /**
+   * Inner equi-join that PROBES this index with `other`'s rows instead
+   * of scanning either side: `other` alone shuffles (to this index's
+   * partitioning); each probe row costs one O(depth) point lookup in
+   * the owning partition's trie, emitting `f` on hit and nothing on
+   * miss — pass `missing` to null-extend misses instead (the LEFT
+   * OUTER enrichment shape). The 100 TB lookup-join primitive: join a
+   * keyed corpus with a batch and the cost scales with the BATCH —
+   * the corpus is never scanned and never moves. Duplicate probe keys
+   * emit once per probe row (SQL multiplicity; this side is
+   * key-unique).
+   */
+  def lookupJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
+      f: (K, V, U) => R, missing: Option[(K, U) => R] = None): RDD[R] = {
+    val partitioned =
+      if (other.partitioner == partitioner) other
+      else other.partitionBy(partitioner.get)
+    partitionsRDD.zipPartitions(partitioned,
+      preservesPartitioning = false) { (pit, oit) =>
+      if (!pit.hasNext) {
+        missing match {
+          case Some(m) => oit.map { case (k, u) => m(k, u) }
+          case None => Iterator.empty
+        }
+      } else {
+        val p = pit.next()
+        oit.flatMap { case (k, u) =>
+          p(k) match {
+            case Some(v) => Iterator.single(f(k, v, u))
+            case None => missing match {
+              case Some(m) => Iterator.single(m(k, u))
+              case None => Iterator.empty
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /**
+   * Semi/anti twin of [[lookupJoinStream]] KEEPING THIS SIDE's rows:
+   * `keys` shuffle to their owning partitions (one small one-sided
+   * shuffle), then semi emits each locally-present key's entry via one
+   * O(depth) probe per DISTINCT key — the corpus is never scanned —
+   * while anti streams the partition's trie once filtering against the
+   * local key set (a local scan, but the corpus still never shuffles).
+   */
+  def lookupSemiStream(keys: RDD[K], anti: Boolean = false): RDD[(K, V)] = {
+    val pairs = keys.map((_, ())).partitionBy(partitioner.get)
+    partitionsRDD.zipPartitions(pairs,
+      preservesPartitioning = false) { (pit, kit) =>
+      if (!pit.hasNext) Iterator.empty
+      else {
+        val p = pit.next()
+        val set = new java.util.HashSet[K]()
+        kit.foreach { case (k, _) => set.add(k) }
+        if (anti) p.iterator.filter { case (k, _) => !set.contains(k) }
+        else {
+          import scala.jdk.CollectionConverters._
+          set.iterator().asScala.flatMap(k => p(k).map(v => (k, v)))
+        }
+      }
+    }
+  }
+
   def innerJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
       f: (K, V, U) => R): RDD[R] =
     other match {

@@ -1525,6 +1525,64 @@ object OperatorQueries {
         count(lit(1)).as("n"))
     },
 
+    "ir_sql_lookup_join" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // LOOKUP JOIN: equi-join the keyed corpus with an arbitrary
+      // derived batch — the batch alone shuffles (to the index's
+      // partitioning) and each row costs one O(depth) point probe;
+      // the corpus is never scanned and never moves. THE 100 TB
+      // "enrich a delta against the corpus" shape: Catalyst's default
+      // is a full corpus scan into a broadcast/shuffle hash join.
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      val hd = h.toDF
+      val p = s.range(0, 300).select(($"id" * 7).as("k"), ($"id" % 5).as("tag"))
+      hd.join(p, hd("o_orderkey") === p("k"))
+        .select($"o_orderkey", $"o_totalprice".as("price"), $"tag")
+    },
+
+    "ir_sql_lookup_outer" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // LEFT-OUTER enrichment: every batch row kept, corpus columns
+      // null-extend on miss — same probe-side-only cost. Claimed only
+      // for non-nullable probe keys (null-keyed rows are dropped at
+      // the probe but SQL keeps them; nullable keys fall through).
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      val hd = h.toDF
+      val p = s.range(0, 300).select(($"id" * 7).as("k"), ($"id" % 5).as("tag"))
+      p.join(hd, p("k") === hd("o_orderkey"), "left")
+        .select($"k", $"tag", $"o_totalprice".as("price"))
+    },
+
+    "ir_sql_lookup_semi" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // corpus-kept SEMI: keys shuffle to their owners, each DISTINCT
+      // key probes once — "which corpus rows does this batch touch"
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      val hd = h.toDF
+      val p = s.range(0, 300).select(($"id" * 7).as("k"))
+      hd.join(p, hd("o_orderkey") === p("k"), "left_semi")
+        .select($"o_orderkey", $"o_custkey")
+    },
+
+    "ir_sql_lookup_anti" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // corpus-kept ANTI: the local trie streams once against the
+      // locally-delivered key set — the corpus never shuffles
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      val hd = h.toDF
+      val p = s.range(0, 300).select(($"id" * 7).as("k"))
+      hd.join(p, hd("o_orderkey") === p("k"), "left_anti")
+        .select($"o_orderkey", $"o_custkey")
+    },
+
     "ir_sql_sum_avg" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2150,6 +2208,27 @@ object OperatorQueries {
     "ir_sql_expr_group" ->
       """SELECT o_orderkey % 97 AS b, CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "ir_sql_lookup_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice AS price, p.tag
+        |FROM orders o
+        |JOIN (SELECT range*7 AS k, range%5 AS tag FROM range(0, 300)) p
+        |  ON o.o_orderkey = p.k""".stripMargin,
+
+    "ir_sql_lookup_outer" ->
+      """SELECT p.k, p.tag, o.o_totalprice AS price
+        |FROM (SELECT range*7 AS k, range%5 AS tag FROM range(0, 300)) p
+        |LEFT JOIN orders o ON p.k = o.o_orderkey""".stripMargin,
+
+    "ir_sql_lookup_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |SEMI JOIN (SELECT range*7 AS k FROM range(0, 300)) p
+        |  ON o.o_orderkey = p.k""".stripMargin,
+
+    "ir_sql_lookup_anti" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |ANTI JOIN (SELECT range*7 AS k FROM range(0, 300)) p
+        |  ON o.o_orderkey = p.k""".stripMargin,
 
     "ir_sql_sum_avg" ->
       """SELECT CAST(sum(c_custkey) AS BIGINT) AS sum_key,

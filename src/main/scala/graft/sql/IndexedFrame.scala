@@ -440,6 +440,29 @@ object IndexedFrame {
     private[sql] def joinKeyCols: Seq[String]
     /** Equal tags ⇒ equal runtime key types (zip/partitioner safe). */
     private[sql] def keyTypeTag: String
+
+    /** SQL lookup join against an ARBITRARY probe plan: `keyIdxs`
+      * locate the key component(s) in each probe row; null probe keys
+      * never match (SQL equi-join) and are dropped. Only the probe
+      * side shuffles (to this index's partitioning); each probe row
+      * costs one O(depth) point lookup — the corpus is never scanned
+      * and never moves. Yields (corpus row, probe row) per hit; with
+      * `keepMisses` also (null, probe row) per miss (the LEFT-OUTER
+      * enrichment shape — the claim requires non-nullable probe keys,
+      * since null-keyed probe rows are dropped here). */
+    private[sql] def lookupJoinRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], keepMisses: Boolean): RDD[(InternalRow, InternalRow)]
+    /** This side's rows whose key IS (semi) / is NOT (anti) in the
+      * probe key set: the keys shuffle to their owners, semi probes
+      * each distinct key O(depth), anti streams the local trie once
+      * against the local key set — the corpus never shuffles. */
+    private[sql] def lookupSemiRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow]
+    /** PROBE rows kept by corpus-key existence (semi) / absence
+      * (anti): one O(depth) probe per row. Null-keyed probe rows drop
+      * — exact for semi; the anti claim requires non-nullable keys. */
+    private[sql] def lookupProbeFilter(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow]
   }
 
   /** The stats surface [[IndexedAgg]] plans against, implemented by
@@ -1214,6 +1237,38 @@ object IndexedFrame {
     override private[sql] def keyTypeTag: String = kTag.runtimeClass.getName
     override private[sql] def zoneKeyCols: Set[String] = Set(keyCol)
 
+    private def keyedProbe(probe: RDD[InternalRow],
+        i0: Int): RDD[(K, InternalRow)] = {
+      val c = codec
+      probe.mapPartitions(_.flatMap { r =>
+        if (r.isNullAt(i0)) Iterator.empty
+        else Iterator.single((c.fromRow(r, i0), r.copy()))
+      })
+    }
+    override private[sql] def lookupJoinRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], keepMisses: Boolean): RDD[(InternalRow, InternalRow)] =
+      idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0)))(
+        (_, v, u) => (v, u),
+        if (keepMisses)
+          Some((_: K, u: InternalRow) => (null.asInstanceOf[InternalRow], u))
+        else None)
+    override private[sql] def lookupSemiRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] = {
+      val c = codec
+      val i0 = keyIdxs(0)
+      val keys = probe.mapPartitions(_.flatMap { r =>
+        if (r.isNullAt(i0)) Iterator.empty
+        else Iterator.single(c.fromRow(r, i0))
+      })
+      idx.lookupSemiStream(keys, anti).map(_._2)
+    }
+    override private[sql] def lookupProbeFilter(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] =
+      if (!anti) idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0)))((_, _, u) => u)
+      else idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0)))(
+        (_, _, _) => null.asInstanceOf[InternalRow],
+        Some((_: K, u: InternalRow) => u)).filter(_ != null)
+
     /** Index-answered key extrema (no scan on radix layouts) — natural
       * order only when the serializer is order-preserving, which the
       * stats pushdown checks via [[statsKeyCol]]. */
@@ -1980,6 +2035,42 @@ object IndexedFrame {
     override private[sql] def keyTypeTag: String =
       s"composite:${codecTag(codecA)},${codecTag(codecB)}"
     override private[sql] def zoneKeyCols: Set[String] = Set(keyColA, keyColB)
+
+    private def keyedProbe(probe: RDD[InternalRow], iA: Int,
+        iB: Int): RDD[((A, B), InternalRow)] = {
+      val cA = codecA
+      val cB = codecB
+      probe.mapPartitions(_.flatMap { r =>
+        if (r.isNullAt(iA) || r.isNullAt(iB)) Iterator.empty
+        else Iterator.single(((cA.fromRow(r, iA), cB.fromRow(r, iB)), r.copy()))
+      })
+    }
+    override private[sql] def lookupJoinRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], keepMisses: Boolean): RDD[(InternalRow, InternalRow)] =
+      idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0), keyIdxs(1)))(
+        (_, v, u) => (v, u),
+        if (keepMisses)
+          Some((_: (A, B), u: InternalRow) => (null.asInstanceOf[InternalRow], u))
+        else None)
+    override private[sql] def lookupSemiRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] = {
+      val cA = codecA
+      val cB = codecB
+      val iA = keyIdxs(0)
+      val iB = keyIdxs(1)
+      val keys = probe.mapPartitions(_.flatMap { r =>
+        if (r.isNullAt(iA) || r.isNullAt(iB)) Iterator.empty
+        else Iterator.single((cA.fromRow(r, iA), cB.fromRow(r, iB)))
+      })
+      idx.lookupSemiStream(keys, anti).map(_._2)
+    }
+    override private[sql] def lookupProbeFilter(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] =
+      if (!anti)
+        idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0), keyIdxs(1)))((_, _, u) => u)
+      else idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0), keyIdxs(1)))(
+        (_, _, _) => null.asInstanceOf[InternalRow],
+        Some((_: (A, B), u: InternalRow) => u)).filter(_ != null)
 
     /** The tuple encoding's byte order is lexicographic (a, b) when
       * order-preserving, so the byte-extreme tuple's first component IS

@@ -193,10 +193,170 @@ object IndexedJoin {
                 case _ => Nil
               }
             }
+          // ONE side indexed (or two with incompatible key types): the
+          // LOOKUP join — the probe side plans normally and shuffles to
+          // the index's partitioning; the corpus is point-probed per
+          // row, never scanned, never moved
+          case (Some((_, lAll, lConds, lh)), _) =>
+            planLookup(j, lAll, lConds, lh, j.right, corpusOnLeft = true)
+          case (_, Some((_, rAll, rConds, rh))) =>
+            planLookup(j, rAll, rConds, rh, j.left, corpusOnLeft = false)
           case _ => Nil
         }
       case _ => Nil
     }
+
+    /** The LOOKUP-join claim: equi-join of an indexed corpus with an
+      * ARBITRARY probe plan on the corpus's full key. Cost scales with
+      * the PROBE side (one small one-sided shuffle + one O(depth)
+      * point probe per row); the corpus is never scanned (except
+      * corpus-kept anti, which scans locally but never shuffles) and
+      * never moves — the 100 TB "join the corpus with a batch" shape.
+      * Corpus-side filters lift above where they commute (inner,
+      * corpus-kept semi/anti); shapes that would need them inside the
+      * match set bail. Probe-kept outer/anti additionally require
+      * non-nullable probe keys (null-keyed probe rows are dropped at
+      * the probe, but SQL keeps them). */
+    private def planLookup(j: Join,
+        corpusAll: Seq[Attribute], corpusConds: Seq[Expression],
+        h: IndexedFrame.JoinableHandle, probePlan: LogicalPlan,
+        corpusOnLeft: Boolean): Seq[SparkPlan] = {
+      val keyCols = h.joinKeyCols
+      val corpusKeys = keyCols.map(c => corpusAll.find(_.name == c).map(_.exprId))
+      if (corpusKeys.exists(_.isEmpty)) return Nil
+      val probeOut = probePlan.output
+      val probeSet = AttributeSet(probeOut)
+      val probeFor = Array.fill[Option[Attribute]](keyCols.length)(None)
+      val (_, residual) = conjuncts(j.condition.get).partition {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          val pair =
+            if (corpusKeys.exists(_.contains(a.exprId)) && probeSet.contains(b))
+              Some((a, b))
+            else if (corpusKeys.exists(_.contains(b.exprId)) && probeSet.contains(a))
+              Some((b, a))
+            else None
+          pair match {
+            case Some((ca, pa)) =>
+              val i = corpusKeys.indexWhere(_.contains(ca.exprId))
+              if (probeFor(i).isEmpty) { probeFor(i) = Some(pa); true }
+              else false
+            case None => false
+          }
+        case _ => false
+      }
+      if (probeFor.exists(_.isEmpty)) return Nil
+      val probeAttrs = probeFor.map(_.get).toSeq
+      val keyIdxs = probeAttrs.map(a =>
+        probeOut.indexWhere(_.exprId == a.exprId)).toArray
+      if (keyIdxs.exists(_ < 0)) return Nil
+      // isnotnull on corpus keys is vacuous (the index stores no null
+      // keys); other corpus-side conds lift above only where they
+      // commute with the join kind
+      val cKeySet = corpusKeys.flatten.toSet
+      val cConds = corpusConds.filterNot {
+        case IsNotNull(a: AttributeReference) => cKeySet.contains(a.exprId)
+        case _ => false
+      }
+      val probeKeyNullable = probeAttrs.exists(_.nullable)
+      val corpusAllN = corpusAll.map(_.withNullability(true))
+
+      def assemble(kind: LookupKind, rawOut: Seq[Attribute],
+          lifted: Seq[Expression], wanted: Seq[Attribute]): Seq[SparkPlan] = {
+        val needed = AttributeSet(lifted.flatMap(_.references))
+        val joinOut = rawOut.filter(a =>
+          wanted.exists(_.exprId == a.exprId) || needed.contains(a))
+        val join = IndexedLookupJoinExec(joinOut, h,
+          if (kind == LkProbeOuter) corpusAllN else corpusAll,
+          keyIdxs, corpusOnLeft, kind, planLater(probePlan))
+        val filtered =
+          if (lifted.isEmpty) join else FilterExec(lifted.reduce(And), join)
+        Seq(if (joinOut.map(_.exprId) == wanted.map(_.exprId)) filtered
+        else ProjectExec(wanted, filtered))
+      }
+
+      j.joinType match {
+        case Inner =>
+          val raw = if (corpusOnLeft) corpusAll ++ probeOut else probeOut ++ corpusAll
+          assemble(LkInner, raw, residual ++ cConds, j.output)
+        case LeftSemi if corpusOnLeft && residual.isEmpty =>
+          assemble(LkCorpusSemi, corpusAll, cConds, j.output)
+        case LeftAnti if corpusOnLeft && residual.isEmpty =>
+          assemble(LkCorpusAnti, corpusAll, cConds, j.output)
+        case LeftSemi if !corpusOnLeft && residual.isEmpty && cConds.isEmpty =>
+          assemble(LkProbeSemi, probeOut, Nil, j.output)
+        case LeftAnti if !corpusOnLeft && residual.isEmpty && cConds.isEmpty &&
+            !probeKeyNullable =>
+          assemble(LkProbeAnti, probeOut, Nil, j.output)
+        case LeftOuter if !corpusOnLeft && residual.isEmpty && cConds.isEmpty &&
+            !probeKeyNullable =>
+          assemble(LkProbeOuter, probeOut ++ corpusAllN, Nil, j.output)
+        case _ => Nil
+      }
+    }
+  }
+
+  /** How the lookup join emits rows. */
+  sealed trait LookupKind extends Serializable
+  case object LkInner extends LookupKind
+  case object LkProbeOuter extends LookupKind // probe kept, corpus null-extends
+  case object LkCorpusSemi extends LookupKind // corpus rows with a probe match
+  case object LkCorpusAnti extends LookupKind // corpus rows with NO probe match
+  case object LkProbeSemi extends LookupKind // probe rows with a corpus match
+  case object LkProbeAnti extends LookupKind // probe rows with NO corpus match
+
+  /** Physical lookup join: the probe child executes normally, its rows
+    * shuffle ONCE to the index's partitioning, and each row costs one
+    * O(depth) point probe in the owning partition's trie. The corpus
+    * side has no child plan — it is the handle's cached index — and is
+    * never scanned (LkCorpusAnti streams it locally, still without
+    * moving it). */
+  case class IndexedLookupJoinExec(output: Seq[Attribute],
+      h: IndexedFrame.JoinableHandle, corpusAll: Seq[Attribute],
+      keyIdxs: Array[Int], corpusOnLeft: Boolean, kind: LookupKind,
+      child: SparkPlan)
+      extends org.apache.spark.sql.execution.UnaryExecNode {
+
+    override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+      copy(child = newChild)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val probe = child.execute()
+      val out = output
+      val probeOut = child.output
+      val cAll = corpusAll
+      val onLeft = corpusOnLeft
+      kind match {
+        case LkInner | LkProbeOuter =>
+          val pairs = h.lookupJoinRows(probe, keyIdxs, kind == LkProbeOuter)
+          val nCorpus = cAll.size
+          val in = if (onLeft) cAll ++ probeOut else probeOut ++ cAll
+          pairs.mapPartitions { it =>
+            val joined = new JoinedRow
+            val nullCorpus: InternalRow = new GenericInternalRow(nCorpus)
+            val proj = UnsafeProjection.create(out, in)
+            it.map { case (c0, p) =>
+              val c = if (c0 == null) nullCorpus else c0
+              proj(if (onLeft) joined(c, p) else joined(p, c))
+            }
+          }
+        case LkCorpusSemi | LkCorpusAnti =>
+          h.lookupSemiRows(probe, keyIdxs, kind == LkCorpusAnti)
+            .mapPartitions { it =>
+              val proj = UnsafeProjection.create(out, cAll)
+              it.map(proj)
+            }
+        case LkProbeSemi | LkProbeAnti =>
+          h.lookupProbeFilter(probe, keyIdxs, kind == LkProbeAnti)
+            .mapPartitions { it =>
+              val proj = UnsafeProjection.create(out, probeOut)
+              it.map(proj)
+            }
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      s"IndexedLookupJoin $kind keyIdxs=${keyIdxs.mkString(",")} " +
+        "[probe-side shuffle only; corpus point-probed, never scanned]"
   }
 
   /**

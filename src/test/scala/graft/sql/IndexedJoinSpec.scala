@@ -368,4 +368,83 @@ class IndexedJoinSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(agg.collect().map(_.toSeq).toSet === expected)
   }
+
+  test("lookup join: arbitrary probe plan point-probes the corpus, all shapes") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val corpus = (1L to 1000L).map(k => (k, s"v$k", k % 9)).toDF("k", "v", "g")
+    val h = IndexedFrame.index(corpus, "k", numPartitions = 8)
+    // probe: derived, NOT indexed; dup keys + misses + a null key
+    def probe() = spark.createDataFrame(
+      Seq[(java.lang.Long, String)]((3L, "a"), (3L, "b"), (5000L, "c"),
+        (null, "d"), (7L, "e"))).toDF("pk", "tag")
+    def run(q: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame, claim: Boolean = true): Unit = {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("IndexedLookupJoin") == claim,
+        s"claim=$claim mismatch in:\n$plan")
+      assert(q.collect().map(_.toString).sorted.toSeq ===
+        e.collect().map(_.toString).sorted.toSeq)
+    }
+    val hd = h.toDF
+    // inner both orientations; dup probe keys emit per probe row,
+    // null probe keys never match
+    run({ val p = probe(); hd.join(p, hd("k") === p("pk")) },
+      { val p = probe(); corpus.join(p, corpus("k") === p("pk")) })
+    run({ val p = probe(); p.join(hd, p("pk") === hd("k")) },
+      { val p = probe(); p.join(corpus, p("pk") === corpus("k")) })
+    // corpus-kept semi/anti
+    run({ val p = probe(); hd.join(p, hd("k") === p("pk"), "left_semi") },
+      { val p = probe(); corpus.join(p, corpus("k") === p("pk"), "left_semi") })
+    run({ val p = probe(); hd.join(p, hd("k") === p("pk"), "left_anti") },
+      { val p = probe(); corpus.join(p, corpus("k") === p("pk"), "left_anti") })
+    // probe-kept semi claims with nullable keys (null never matches);
+    // probe-kept anti and outer must NOT claim (SQL keeps null-keyed
+    // rows, the probe drops them) — results still exact via fallback
+    run({ val p = probe(); p.join(hd, p("pk") === hd("k"), "left_semi") },
+      { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left_semi") })
+    run({ val p = probe(); p.join(hd, p("pk") === hd("k"), "left_anti") },
+      { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left_anti") },
+      claim = false)
+    run({ val p = probe(); p.join(hd, p("pk") === hd("k"), "left") },
+      { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left") },
+      claim = false)
+    // non-nullable probe keys: outer and anti claim
+    def probeNN() = spark.range(1, 40).select(($"id" * 30).as("pk"),
+      ($"id" + 1000).as("tag"))
+    run({ val p = probeNN(); p.join(hd, p("pk") === hd("k"), "left") },
+      { val p = probeNN(); p.join(corpus, p("pk") === corpus("k"), "left") })
+    run({ val p = probeNN(); p.join(hd, p("pk") === hd("k"), "left_anti") },
+      { val p = probeNN(); p.join(corpus, p("pk") === corpus("k"), "left_anti") })
+    // corpus-side filter + residual conjunct lift above an inner claim
+    run({ val p = probeNN()
+      hd.filter(hd("g") === 3).join(p, hd("k") === p("pk") && p("tag") > 1005) },
+      { val p = probeNN()
+        corpus.filter(corpus("g") === 3)
+          .join(p, corpus("k") === p("pk") && p("tag") > 1005) })
+  }
+
+  test("lookup join on a composite corpus probes full (a, b) keys") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val corpus = (for (a <- 1L to 40L; b <- 1L to 25L)
+      yield (a, b, a * 100 + b)).toDF("a", "b", "v")
+    val h = IndexedFrame.indexComposite(corpus, "a", "b", numPartitions = 8)
+    val hd = h.toDF
+    def probe() = spark.range(0, 60).select(($"id" % 45 + 1).as("pa"),
+      ($"id" % 30 + 1).as("pb"), $"id".as("tag"))
+    val q = { val p = probe()
+      hd.join(p, hd("a") === p("pa") && hd("b") === p("pb")) }
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedLookupJoin"))
+    val e = { val p = probe()
+      corpus.join(p, corpus("a") === p("pa") && corpus("b") === p("pb")) }
+    assert(q.collect().map(_.toString).sorted.toSeq ===
+      e.collect().map(_.toString).sorted.toSeq)
+    // a PREFIX equality (only `a`) cannot claim the full-key probe
+    val qp = { val p = probe(); hd.join(p, hd("a") === p("pa")) }
+    assert(!qp.queryExecution.executedPlan.toString.contains("IndexedLookupJoin"))
+    val ep = { val p = probe(); corpus.join(p, corpus("a") === p("pa")) }
+    assert(qp.collect().map(_.toString).sorted.toSeq ===
+      ep.collect().map(_.toString).sorted.toSeq)
+  }
 }
