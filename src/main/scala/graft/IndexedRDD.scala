@@ -251,6 +251,36 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
 
   /**
+   * [[lookupJoinStream]] accepting NULL probe keys — the LEFT-OUTER /
+   * ANTI enrichment shapes over nullable key columns, where SQL keeps
+   * the null-keyed probe rows as guaranteed misses. Null keys route
+   * to partition 0 (they never probe) and emit `missing`.
+   */
+  def lookupJoinStreamNullable[U: ClassTag, R: ClassTag](other: RDD[(Any, U)])(
+      f: (K, V, U) => R, missing: U => R): RDD[R] = {
+    val base = partitioner.get
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = base.numPartitions
+      override def getPartition(key: Any): Int =
+        if (key == null) 0 else base.getPartition(key)
+    }
+    partitionsRDD.zipPartitions(other.partitionBy(part),
+      preservesPartitioning = false) { (pit, oit) =>
+      if (!pit.hasNext) oit.map { case (_, u) => missing(u) }
+      else {
+        val p = pit.next()
+        oit.map { case (k, u) =>
+          if (k == null) missing(u)
+          else p(k.asInstanceOf[K]) match {
+            case Some(v) => f(k.asInstanceOf[K], v, u)
+            case None => missing(u)
+          }
+        }
+      }
+    }
+  }
+
+  /**
    * Semi/anti twin of [[lookupJoinStream]] KEEPING THIS SIDE's rows:
    * `keys` shuffle to their owning partitions (one small one-sided
    * shuffle), then semi emits each locally-present key's entry via one

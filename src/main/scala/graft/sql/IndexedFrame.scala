@@ -1245,13 +1245,22 @@ object IndexedFrame {
         else Iterator.single((c.fromRow(r, i0), r.copy()))
       })
     }
+    private def keyedProbeNullable(probe: RDD[InternalRow],
+        i0: Int): RDD[(Any, InternalRow)] = {
+      val c = codec
+      probe.mapPartitions(_.map { r =>
+        (if (r.isNullAt(i0)) null else (c.fromRow(r, i0): Any), r.copy())
+      })
+    }
     override private[sql] def lookupJoinRows(probe: RDD[InternalRow],
         keyIdxs: Array[Int], keepMisses: Boolean): RDD[(InternalRow, InternalRow)] =
-      idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0)))(
-        (_, v, u) => (v, u),
-        if (keepMisses)
-          Some((_: K, u: InternalRow) => (null.asInstanceOf[InternalRow], u))
-        else None)
+      if (!keepMisses)
+        idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0)))((_, v, u) => (v, u))
+      else
+        // null probe keys ride along as guaranteed misses (SQL LEFT
+        // OUTER keeps them null-extended)
+        idx.lookupJoinStreamNullable(keyedProbeNullable(probe, keyIdxs(0)))(
+          (_, v, u) => (v, u), u => (null.asInstanceOf[InternalRow], u))
     override private[sql] def lookupSemiRows(probe: RDD[InternalRow],
         keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] = {
       val c = codec
@@ -1265,9 +1274,11 @@ object IndexedFrame {
     override private[sql] def lookupProbeFilter(probe: RDD[InternalRow],
         keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] =
       if (!anti) idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0)))((_, _, u) => u)
-      else idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0)))(
-        (_, _, _) => null.asInstanceOf[InternalRow],
-        Some((_: K, u: InternalRow) => u)).filter(_ != null)
+      else
+        // anti KEEPS null-keyed probe rows (the condition is never
+        // true for them)
+        idx.lookupJoinStreamNullable(keyedProbeNullable(probe, keyIdxs(0)))(
+          (_, _, _) => null.asInstanceOf[InternalRow], u => u).filter(_ != null)
 
     /** Index-answered key extrema (no scan on radix layouts) — natural
       * order only when the serializer is order-preserving, which the
@@ -2045,13 +2056,24 @@ object IndexedFrame {
         else Iterator.single(((cA.fromRow(r, iA), cB.fromRow(r, iB)), r.copy()))
       })
     }
+    private def keyedProbeNullable(probe: RDD[InternalRow], iA: Int,
+        iB: Int): RDD[(Any, InternalRow)] = {
+      val cA = codecA
+      val cB = codecB
+      probe.mapPartitions(_.map { r =>
+        (if (r.isNullAt(iA) || r.isNullAt(iB)) null
+         else ((cA.fromRow(r, iA), cB.fromRow(r, iB)): Any), r.copy())
+      })
+    }
     override private[sql] def lookupJoinRows(probe: RDD[InternalRow],
         keyIdxs: Array[Int], keepMisses: Boolean): RDD[(InternalRow, InternalRow)] =
-      idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0), keyIdxs(1)))(
-        (_, v, u) => (v, u),
-        if (keepMisses)
-          Some((_: (A, B), u: InternalRow) => (null.asInstanceOf[InternalRow], u))
-        else None)
+      if (!keepMisses)
+        idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0), keyIdxs(1)))(
+          (_, v, u) => (v, u))
+      else
+        idx.lookupJoinStreamNullable(
+          keyedProbeNullable(probe, keyIdxs(0), keyIdxs(1)))(
+          (_, v, u) => (v, u), u => (null.asInstanceOf[InternalRow], u))
     override private[sql] def lookupSemiRows(probe: RDD[InternalRow],
         keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] = {
       val cA = codecA
@@ -2068,9 +2090,10 @@ object IndexedFrame {
         keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] =
       if (!anti)
         idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0), keyIdxs(1)))((_, _, u) => u)
-      else idx.lookupJoinStream(keyedProbe(probe, keyIdxs(0), keyIdxs(1)))(
-        (_, _, _) => null.asInstanceOf[InternalRow],
-        Some((_: (A, B), u: InternalRow) => u)).filter(_ != null)
+      else
+        idx.lookupJoinStreamNullable(
+          keyedProbeNullable(probe, keyIdxs(0), keyIdxs(1)))(
+          (_, _, _) => null.asInstanceOf[InternalRow], u => u).filter(_ != null)
 
     /** The tuple encoding's byte order is lexicographic (a, b) when
       * order-preserving, so the byte-extreme tuple's first component IS

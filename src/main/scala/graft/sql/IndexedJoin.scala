@@ -214,9 +214,9 @@ object IndexedJoin {
       * never moves — the 100 TB "join the corpus with a batch" shape.
       * Corpus-side filters lift above where they commute (inner,
       * corpus-kept semi/anti); shapes that would need them inside the
-      * match set bail. Probe-kept outer/anti additionally require
-      * non-nullable probe keys (null-keyed probe rows are dropped at
-      * the probe, but SQL keeps them). */
+      * match set bail. Null probe keys never match: inner/semi drop
+      * them at the probe; outer/anti keep them as guaranteed misses
+      * (routed without probing). */
     private def planLookup(j: Join,
         corpusAll: Seq[Attribute], corpusConds: Seq[Expression],
         h: IndexedFrame.JoinableHandle, probePlan: LogicalPlan,
@@ -257,7 +257,6 @@ object IndexedJoin {
         case IsNotNull(a: AttributeReference) => cKeySet.contains(a.exprId)
         case _ => false
       }
-      val probeKeyNullable = probeAttrs.exists(_.nullable)
       val corpusAllN = corpusAll.map(_.withNullability(true))
 
       def assemble(kind: LookupKind, rawOut: Seq[Attribute],
@@ -284,11 +283,9 @@ object IndexedJoin {
           assemble(LkCorpusAnti, corpusAll, cConds, j.output)
         case LeftSemi if !corpusOnLeft && residual.isEmpty && cConds.isEmpty =>
           assemble(LkProbeSemi, probeOut, Nil, j.output)
-        case LeftAnti if !corpusOnLeft && residual.isEmpty && cConds.isEmpty &&
-            !probeKeyNullable =>
+        case LeftAnti if !corpusOnLeft && residual.isEmpty && cConds.isEmpty =>
           assemble(LkProbeAnti, probeOut, Nil, j.output)
-        case LeftOuter if !corpusOnLeft && residual.isEmpty && cConds.isEmpty &&
-            !probeKeyNullable =>
+        case LeftOuter if !corpusOnLeft && residual.isEmpty && cConds.isEmpty =>
           assemble(LkProbeOuter, probeOut ++ corpusAllN, Nil, j.output)
         case _ => Nil
       }

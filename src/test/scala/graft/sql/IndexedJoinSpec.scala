@@ -398,18 +398,16 @@ class IndexedJoinSpec extends AnyFunSuite {
       { val p = probe(); corpus.join(p, corpus("k") === p("pk"), "left_semi") })
     run({ val p = probe(); hd.join(p, hd("k") === p("pk"), "left_anti") },
       { val p = probe(); corpus.join(p, corpus("k") === p("pk"), "left_anti") })
-    // probe-kept semi claims with nullable keys (null never matches);
-    // probe-kept anti and outer must NOT claim (SQL keeps null-keyed
-    // rows, the probe drops them) — results still exact via fallback
+    // probe-kept shapes claim with NULLABLE keys too: null-keyed probe
+    // rows never match — semi drops them, anti and outer keep them as
+    // guaranteed misses (SQL semantics)
     run({ val p = probe(); p.join(hd, p("pk") === hd("k"), "left_semi") },
       { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left_semi") })
     run({ val p = probe(); p.join(hd, p("pk") === hd("k"), "left_anti") },
-      { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left_anti") },
-      claim = false)
+      { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left_anti") })
     run({ val p = probe(); p.join(hd, p("pk") === hd("k"), "left") },
-      { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left") },
-      claim = false)
-    // non-nullable probe keys: outer and anti claim
+      { val p = probe(); p.join(corpus, p("pk") === corpus("k"), "left") })
+    // non-nullable probe keys
     def probeNN() = spark.range(1, 40).select(($"id" * 30).as("pk"),
       ($"id" + 1000).as("tag"))
     run({ val p = probeNN(); p.join(hd, p("pk") === hd("k"), "left") },
