@@ -565,8 +565,34 @@ object Bench {
       cached.join(p, cached("o_orderkey") === p("k")).collect()
     })
     cached.unpersist(); h.idx.unpersist()
+    // the 100 TB-honest twin: the corpus does NOT fit in memory and
+    // the delta is key-CLUSTERED (today's keys are recent). On a
+    // DISK_ONLY range-partitioned corpus the lookup deserializes only
+    // the probe-owning partitions; the scan lane re-reads the parquet
+    // corpus per query (what a real cluster does when the fact table
+    // can't be cached)
+    val hDisk = graft.sql.IndexedFrame.indexRangePartitioned(ordersDF, "o_orderkey", 32)
+    hDisk.idx.unpersist()
+    hDisk.idx.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    hDisk.idx.count()
+    val hdd = hDisk.toDF
+    def probeClustered() = spark.range(0, 500)
+      .select((col("id") + 1000L).as("k"), (col("id") % 7).as("tag"))
+    val tIdxDisk = bestOf2((0 until 10).foreach { _ =>
+      val p = probeClustered()
+      hdd.join(p, hdd("o_orderkey") === p("k")).collect()
+    })
+    val tScanParquet = bestOf2((0 until 10).foreach { _ =>
+      val p = probeClustered()
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o.join(p, o("o_orderkey") === p("k")).collect()
+    })
+    hDisk.idx.unpersist()
     Seq("micro_sql_lookup_join_idx_10" -> tIdx,
-      "micro_sql_lookup_join_scan_10" -> tScan)
+      "micro_sql_lookup_join_scan_10" -> tScan,
+      "micro_sql_lookup_join_idx_disk_10" -> tIdxDisk,
+      "micro_sql_lookup_join_scan_parquet_10" -> tScanParquet)
   }
 
   private def microSecondary(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
