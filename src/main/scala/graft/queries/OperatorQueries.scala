@@ -1583,6 +1583,23 @@ object OperatorQueries {
         .select($"o_orderkey", $"o_custkey")
     },
 
+    "ir_sql_lookup_secondary" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SECONDARY lookup join: equi-join on a NON-key corpus column —
+      // the dimension values expand through the inverted index's
+      // posting arrays into primary keys, which point-fetch corpus
+      // rows. Two one-sided shuffles of dimension-derived data, zero
+      // corpus scans, no driver round-trip and no routing budget.
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey")
+      val hd = h.toDF
+      val nation = Tables.nation(s, dir)
+      hd.join(nation, hd("c_nationkey") === nation("n_nationkey"))
+        .select($"c_custkey", $"c_acctbal", $"n_name")
+    },
+
     "ir_sql_sum_avg" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2229,6 +2246,10 @@ object OperatorQueries {
       """SELECT o_orderkey, o_custkey FROM orders o
         |ANTI JOIN (SELECT range*7 AS k FROM range(0, 300)) p
         |  ON o.o_orderkey = p.k""".stripMargin,
+
+    "ir_sql_lookup_secondary" ->
+      """SELECT c.c_custkey, c.c_acctbal, n.n_name
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
 
     "ir_sql_sum_avg" ->
       """SELECT CAST(sum(c_custkey) AS BIGINT) AS sum_key,

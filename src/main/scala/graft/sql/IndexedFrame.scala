@@ -463,6 +463,13 @@ object IndexedFrame {
       * — exact for semi; the anti claim requires non-nullable keys. */
     private[sql] def lookupProbeFilter(probe: RDD[InternalRow],
         keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow]
+    /** Columns with an inverted index — the secondary lookup-join
+      * claim surface. */
+    private[sql] def lookupSecondaryCols: Set[String]
+    /** [[SecondaryCapable.secLookupJoinRows]] through the type-erased
+      * join surface; the strategy validates `col` at claim time. */
+    private[sql] def lookupJoinRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)]
   }
 
   /** The stats surface [[IndexedAgg]] plans against, implemented by
@@ -532,6 +539,33 @@ object IndexedFrame {
       if (rows.length <= 2048) probeMemo.synchronized {
         probeMemo.put(sig, (keys, rows, usedRange)); ()
       }
+
+    /** Distributed SECONDARY lookup join: probe rows keyed by the
+      * value of `col` shuffle to the inverted index's partitioning,
+      * expand through posting arrays into (primary key, probe row)
+      * pairs, and those shuffle to the primary index for O(depth)
+      * point fetches — (corpus row, probe row) per match. TWO
+      * one-sided shuffles of probe-derived data, ZERO corpus scans,
+      * no driver round-trip and no routing budget (unlike the
+      * driver-mediated filter probes, nothing ever collects). Null
+      * probe values never match. */
+    private[sql] def secLookupJoinRows(col: String, probe: RDD[InternalRow],
+        keyIdx: Int): Option[RDD[(InternalRow, InternalRow)]] = {
+      implicit val kt: ClassTag[K] = secTag
+      secondaries.get(col).map { case (spec, sidx, _) =>
+        val sCodec = spec.codec
+        val bySec: RDD[(Any, InternalRow)] = probe.mapPartitions(_.flatMap { r =>
+          if (r.isNullAt(keyIdx)) Iterator.empty
+          else Iterator.single((sCodec.fromRow(r, keyIdx), r.copy()))
+        })
+        val expanded: RDD[(K, InternalRow)] =
+          sidx.lookupJoinStream(bySec)((_, ks, u) => (ks, u))
+            .flatMap { case (ks, u) => ks.iterator.map(k => (k, u)) }
+        idx.lookupJoinStream(expanded)((_, v, u) => (v, u))
+      }
+    }
+
+    private[sql] def secondaryColSet: Set[String] = secondaries.keySet.toSet
 
     /** (col, rangeable, inverted index) entries — the persistence
       * snapshot [[IndexedFrame.save]] writes alongside the primary. */
@@ -1279,6 +1313,12 @@ object IndexedFrame {
         // true for them)
         idx.lookupJoinStreamNullable(keyedProbeNullable(probe, keyIdxs(0)))(
           (_, _, _) => null.asInstanceOf[InternalRow], u => u).filter(_ != null)
+
+    override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
+    override private[sql] def lookupJoinRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
+      secLookupJoinRows(col, probe, keyIdx).get
+
 
     /** Index-answered key extrema (no scan on radix layouts) — natural
       * order only when the serializer is order-preserving, which the
@@ -2094,6 +2134,12 @@ object IndexedFrame {
         idx.lookupJoinStreamNullable(
           keyedProbeNullable(probe, keyIdxs(0), keyIdxs(1)))(
           (_, _, _) => null.asInstanceOf[InternalRow], u => u).filter(_ != null)
+
+    override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
+    override private[sql] def lookupJoinRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
+      secLookupJoinRows(col, probe, keyIdx).get
+
 
     /** The tuple encoding's byte order is lexicographic (a, b) when
       * order-preserving, so the byte-extreme tuple's first component IS

@@ -244,7 +244,56 @@ object IndexedJoin {
           }
         case _ => false
       }
-      if (probeFor.exists(_.isEmpty)) return Nil
+      if (probeFor.exists(_.isEmpty)) {
+        // SECONDARY lookup join: an inner equi-join on ONE
+        // secondary-indexed corpus column — probe values expand
+        // through the inverted index's postings into primary keys,
+        // then point-fetch corpus rows. Two one-sided shuffles of
+        // probe-derived data, zero corpus scans, no routing budget.
+        if (j.joinType != Inner) return Nil
+        val secCols = h.lookupSecondaryCols
+        var secPair: Option[(Attribute, Attribute)] = None
+        val (secEqs, secResidual) = conjuncts(j.condition.get).partition {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if secPair.isEmpty =>
+            val hit =
+              if (corpusAll.exists(c => c.exprId == a.exprId &&
+                  secCols.contains(c.name)) && probeSet.contains(b))
+                Some((a, b))
+              else if (corpusAll.exists(c => c.exprId == b.exprId &&
+                  secCols.contains(c.name)) && probeSet.contains(a))
+                Some((b, a))
+              else None
+            hit.foreach(p => secPair = Some(p))
+            hit.isDefined
+          case _ => false
+        }
+        secPair match {
+          case Some((cAttr, pAttr)) =>
+            val keyIdx = probeOut.indexWhere(_.exprId == pAttr.exprId)
+            if (keyIdx < 0) return Nil
+            val cConds0 = corpusConds.filterNot {
+              case IsNotNull(a: AttributeReference) => a.exprId == cAttr.exprId
+              case _ => false
+            }
+            val raw =
+              if (corpusOnLeft) corpusAll ++ probeOut else probeOut ++ corpusAll
+            val lifted = secResidual ++ cConds0
+            val needed = AttributeSet(lifted.flatMap(_.references))
+            val joinOut = raw.filter(a =>
+              j.output.exists(_.exprId == a.exprId) || needed.contains(a))
+            val join = IndexedLookupJoinExec(joinOut, h, corpusAll,
+              Array(keyIdx), corpusOnLeft,
+              LkSecInner(corpusAll.find(_.exprId == cAttr.exprId).get.name),
+              planLater(probePlan))
+            val filtered =
+              if (lifted.isEmpty) join else FilterExec(lifted.reduce(And), join)
+            return Seq(
+              if (joinOut.map(_.exprId) == j.output.map(_.exprId)) filtered
+              else ProjectExec(j.output, filtered))
+          case None => return Nil
+        }
+      }
       val probeAttrs = probeFor.map(_.get).toSeq
       val keyIdxs = probeAttrs.map(a =>
         probeOut.indexWhere(_.exprId == a.exprId)).toArray
@@ -300,6 +349,9 @@ object IndexedJoin {
   case object LkCorpusAnti extends LookupKind // corpus rows with NO probe match
   case object LkProbeSemi extends LookupKind // probe rows with a corpus match
   case object LkProbeAnti extends LookupKind // probe rows with NO corpus match
+  /** Inner join on a SECONDARY-indexed corpus column: probe values →
+    * inverted-index postings → primary point fetches. */
+  final case class LkSecInner(col: String) extends LookupKind
 
   /** Physical lookup join: the probe child executes normally, its rows
     * shuffle ONCE to the index's partitioning, and each row costs one
@@ -323,6 +375,16 @@ object IndexedJoin {
       val cAll = corpusAll
       val onLeft = corpusOnLeft
       kind match {
+        case LkSecInner(col) =>
+          val pairs = h.lookupJoinRowsBySecondary(col, probe, keyIdxs(0))
+          val in = if (onLeft) cAll ++ probeOut else probeOut ++ cAll
+          pairs.mapPartitions { it =>
+            val joined = new JoinedRow
+            val proj = UnsafeProjection.create(out, in)
+            it.map { case (c, p) =>
+              proj(if (onLeft) joined(c, p) else joined(p, c))
+            }
+          }
         case LkInner | LkProbeOuter =>
           val pairs = h.lookupJoinRows(probe, keyIdxs, kind == LkProbeOuter)
           val nCorpus = cAll.size

@@ -422,6 +422,48 @@ class IndexedJoinSpec extends AnyFunSuite {
           .join(p, corpus("k") === p("pk") && p("tag") > 1005) })
   }
 
+  test("secondary lookup join: probe values expand through postings to point fetches") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // corpus with NULLs in the secondary column
+    val corpus = (1L to 800L).map(k =>
+      (k, if (k % 50 == 0) null else s"g${k % 13}", k * 2)).toDF("k", "grp", "v")
+    val h = IndexedFrame.index(corpus, "k", numPartitions = 8)
+      .addSecondaryIndex("grp")
+    val hd = h.toDF
+    // probe with dup values, misses, and a null
+    def probe() = spark.createDataFrame(Seq[(String, java.lang.Long)](
+      ("g3", 1L), ("g3", 2L), ("g7", 3L), ("zz", 4L), (null, 5L)))
+      .toDF("pg", "tag")
+    def run(q: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame, claim: Boolean = true): Unit = {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("LkSecInner") == claim, s"claim=$claim:\n$plan")
+      assert(q.collect().map(_.toString).sorted.toSeq ===
+        e.collect().map(_.toString).sorted.toSeq)
+    }
+    run({ val p = probe(); hd.join(p, hd("grp") === p("pg")) },
+      { val p = probe(); corpus.join(p, corpus("grp") === p("pg")) })
+    run({ val p = probe(); p.join(hd, p("pg") === hd("grp")) },
+      { val p = probe(); p.join(corpus, p("pg") === corpus("grp")) })
+    // corpus filter + residual lift above
+    run({ val p = probe()
+      hd.filter(hd("v") > 100).join(p, hd("grp") === p("pg") && p("tag") =!= 2L) },
+      { val p = probe()
+        corpus.filter(corpus("v") > 100)
+          .join(p, corpus("grp") === p("pg") && p("tag") =!= 2L) })
+    // non-inner shapes fall through on the secondary column
+    run({ val p = probe(); hd.join(p, hd("grp") === p("pg"), "left_semi") },
+      { val p = probe(); corpus.join(p, corpus("grp") === p("pg"), "left_semi") },
+      claim = false)
+    // unindexed column falls through
+    val h2 = IndexedFrame.index(corpus, "k", numPartitions = 8)
+    val hd2 = h2.toDF
+    run({ val p = probe(); hd2.join(p, hd2("grp") === p("pg")) },
+      { val p = probe(); corpus.join(p, corpus("grp") === p("pg")) },
+      claim = false)
+  }
+
   test("lookup join on a composite corpus probes full (a, b) keys") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
