@@ -1600,6 +1600,21 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"n_name")
     },
 
+    "ir_sql_in_subquery" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL-text `WHERE key IN (SELECT …)`: Catalyst rewrites it to a
+      // LEFT SEMI join, which the lookup-join claim serves — the
+      // subquery's keys shuffle to their owners and probe O(depth)
+      // each; the corpus is never scanned. EXISTS compiles the same.
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
+      h.toDF.createOrReplaceTempView("orders_idx")
+      s.range(0, 300).selectExpr("id * 7 AS k")
+        .createOrReplaceTempView("probe_keys")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders_idx
+              |WHERE o_orderkey IN (SELECT k FROM probe_keys)""".stripMargin)
+    },
+
     "ir_sql_sum_avg" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2250,6 +2265,10 @@ object OperatorQueries {
     "ir_sql_lookup_secondary" ->
       """SELECT c.c_custkey, c.c_acctbal, n.n_name
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "ir_sql_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey IN (SELECT range*7 FROM range(0, 300))""".stripMargin,
 
     "ir_sql_sum_avg" ->
       """SELECT CAST(sum(c_custkey) AS BIGINT) AS sum_key,

@@ -464,6 +464,33 @@ class IndexedJoinSpec extends AnyFunSuite {
       claim = false)
   }
 
+  test("IN/EXISTS subqueries rewrite to semi joins that ride the lookup path") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val corpus = (1L to 600L).map(k => (k, k % 11, s"v$k")).toDF("k", "m", "v")
+    val h = IndexedFrame.index(corpus, "k", numPartitions = 8)
+    h.toDF.createOrReplaceTempView("corpus_idx")
+    corpus.createOrReplaceTempView("corpus_plain")
+    spark.range(0, 50).selectExpr("id * 9 AS pk")
+      .createOrReplaceTempView("probe_v")
+    for (pred <- Seq(
+        "k IN (SELECT pk FROM probe_v)",
+        "EXISTS (SELECT 1 FROM probe_v WHERE probe_v.pk = corpus_idx.k)",
+        "k NOT IN (SELECT pk FROM probe_v)")) {
+      val predPlain = pred.replace("corpus_idx", "corpus_plain")
+      val q = spark.sql(s"SELECT k, v FROM corpus_idx WHERE $pred")
+      val e = spark.sql(s"SELECT k, v FROM corpus_plain WHERE $predPlain")
+      val plan = q.queryExecution.executedPlan.toString
+      // NOT IN compiles to null-aware anti (a non-equi condition):
+      // falls through; IN and EXISTS ride the corpus-kept lookup
+      val expectClaim = !pred.startsWith("k NOT IN")
+      assert(plan.contains("IndexedLookupJoin") == expectClaim,
+        s"claim=$expectClaim for `$pred`:\n$plan")
+      assert(q.collect().map(_.toString).sorted.toSeq ===
+        e.collect().map(_.toString).sorted.toSeq, pred)
+    }
+  }
+
   test("lookup join on a composite corpus probes full (a, b) keys") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
