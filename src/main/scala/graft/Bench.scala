@@ -589,10 +589,32 @@ object Bench {
       o.join(p, o("o_orderkey") === p("k")).collect()
     })
     hDisk.idx.unpersist()
+    // band (range) lookup join vs the default broadcast NESTED LOOP:
+    // interval-routed pruned trie scans read O(matches); the default
+    // evaluates every (corpus row, probe row) pair per query
+    val hBand = graft.sql.IndexedFrame.indexRangePartitioned(ordersDF, "o_orderkey", 32)
+    hBand.idx.count()
+    val cached2 = ordersDF.cache(); cached2.count()
+    val hbd = hBand.toDF
+    def bandProbe() = spark.range(0, 100).select((col("id") * 140L).as("lo"),
+      (col("id") * 140L + 30L).as("hi"))
+    val tBandIdx = bestOf2((0 until 5).foreach { _ =>
+      val p = bandProbe()
+      hbd.join(p, hbd("o_orderkey") >= p("lo") && hbd("o_orderkey") <= p("hi"))
+        .collect()
+    })
+    val tBandScan = bestOf2((0 until 5).foreach { _ =>
+      val p = bandProbe()
+      cached2.join(p, cached2("o_orderkey") >= p("lo") && cached2("o_orderkey") <= p("hi"))
+        .collect()
+    })
+    cached2.unpersist(); hBand.idx.unpersist()
     Seq("micro_sql_lookup_join_idx_10" -> tIdx,
       "micro_sql_lookup_join_scan_10" -> tScan,
       "micro_sql_lookup_join_idx_disk_10" -> tIdxDisk,
-      "micro_sql_lookup_join_scan_parquet_10" -> tScanParquet)
+      "micro_sql_lookup_join_scan_parquet_10" -> tScanParquet,
+      "micro_sql_band_join_idx_5" -> tBandIdx,
+      "micro_sql_band_join_nestedloop_5" -> tBandScan)
   }
 
   private def microSecondary(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {

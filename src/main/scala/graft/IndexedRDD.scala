@@ -281,6 +281,62 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
 
   /**
+   * INTERVAL probes against the globally ordered layout — the
+   * BAND-JOIN primitive. Each probe row carries a half-open key
+   * interval `[lo, hi)` (`hi = None` = unbounded above, the
+   * domain-max edge); the row is routed to every partition whose key
+   * range overlaps it — tiny for narrow bands under a
+   * RangePartitioner — and each delivery runs ONE pruned trie range
+   * scan, emitting `f` per (corpus entry, probe row) match. Spark's
+   * default for a non-equi join is a nested loop over the whole
+   * corpus per probe partition; here cost is O(deliveries + matches)
+   * and the corpus never moves.
+   */
+  def lookupRangeJoinStream[U: ClassTag, R: ClassTag](
+      other: RDD[((K, Option[K]), U)])(f: (K, V, U) => R)(
+      implicit ser: KeySerializer[K]): RDD[R] = {
+    require(ser.isOrderPreserving,
+      s"lookupRangeJoinStream scans tries in encoded-byte order; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    val rp = partitioner match {
+      case Some(p: org.apache.spark.RangePartitioner[K @unchecked, _]) => p
+      case _ => throw new IllegalArgumentException(
+        "lookupRangeJoinStream requires a range-partitioned index")
+    }
+    val n = rp.numPartitions
+    val routed = other.flatMap { case ((lo, hi), u) =>
+      val a = rp.getPartition(lo)
+      val b = hi.map(rp.getPartition).getOrElse(n - 1)
+      (math.min(a, b) to math.max(a, b)).iterator
+        .map(pid => (pid, ((lo, hi), u)))
+    }.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+    partitionsRDD.zipPartitions(routed,
+      preservesPartitioning = false) { (pit, oit) =>
+      if (!pit.hasNext) Iterator.empty
+      else {
+        val p = pit.next()
+        val ordK = Ordering.fromLessThan[K]((x, y) =>
+          java.util.Arrays.compareUnsigned(ser.toBytes(x), ser.toBytes(y)) < 0)
+        oit.flatMap { case (_, ((lo, hi), u)) =>
+          val hits = (p, hi) match {
+            case (r: graft.partition.RadixIndexedPartition[K, V], Some(h)) =>
+              r.range(lo, h)
+            case (r: graft.partition.RadixIndexedPartition[K, V], None) =>
+              r.iterator.filter { case (k, _) => ordK.gteq(k, lo) }
+            case (p2, h) => p2.iterator.filter { case (k, _) =>
+              ordK.gteq(k, lo) && h.forall(t => ordK.lt(k, t))
+            }
+          }
+          hits.map { case (k, v) => f(k, v, u) }
+        }
+      }
+    }
+  }
+
+  /**
    * Semi/anti twin of [[lookupJoinStream]] KEEPING THIS SIDE's rows:
    * `keys` shuffle to their owning partitions (one small one-sided
    * shuffle), then semi emits each locally-present key's entry via one

@@ -1600,6 +1600,24 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"n_name")
     },
 
+    "ir_sql_range_lookup_join" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // RANGE (band) lookup join: each probe row's interval routes to
+      // only the partitions it overlaps and runs one pruned trie range
+      // scan there — O(deliveries + matches), the corpus never scans
+      // and never moves. Spark's default for this non-equi shape is a
+      // broadcast NESTED LOOP over the whole corpus per probe.
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(
+        Tables.orders(s, dir), "o_orderkey", 16)
+      val hd = h.toDF
+      val p = s.range(0, 100).select(($"id" * 140).as("lo"),
+        ($"id" * 140 + 30).as("hi"), $"id".as("tag"))
+      hd.join(p, hd("o_orderkey") >= p("lo") && hd("o_orderkey") <= p("hi"))
+        .select($"o_orderkey", $"o_custkey", $"tag")
+    },
+
     "ir_sql_in_subquery" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // SQL-text `WHERE key IN (SELECT …)`: Catalyst rewrites it to a
@@ -2265,6 +2283,13 @@ object OperatorQueries {
     "ir_sql_lookup_secondary" ->
       """SELECT c.c_custkey, c.c_acctbal, n.n_name
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "ir_sql_range_lookup_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, p.tag
+        |FROM orders o
+        |JOIN (SELECT range*140 AS lo, range*140+30 AS hi, range AS tag
+        |      FROM range(0, 100)) p
+        |  ON o.o_orderkey >= p.lo AND o.o_orderkey <= p.hi""".stripMargin,
 
     "ir_sql_in_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders

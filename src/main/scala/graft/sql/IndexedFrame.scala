@@ -6,7 +6,8 @@ import scala.util.Try
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow,
+  UnsafeProjection}
 import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, PrunedFilteredScan,
   StringStartsWith}
@@ -466,6 +467,19 @@ object IndexedFrame {
     /** Columns with an inverted index — the secondary lookup-join
       * claim surface. */
     private[sql] def lookupSecondaryCols: Set[String]
+    /** Whether interval probes can route through this layout (ordered
+      * + order-preserving + range-partitioned single key). */
+    private[sql] def rangeLookupCapable: Boolean = false
+    /** BAND-join rows: per probe row, evaluate the two bound values
+      * (catalyst form, same dtype as the key; null bound = no match),
+      * convert inclusivity to a half-open key interval, route to the
+      * overlapping partitions and run one pruned trie range scan each.
+      * Yields (corpus row, probe row) per match. Only valid when
+      * [[rangeLookupCapable]]. */
+    private[sql] def lookupRangeJoinRows(probe: RDD[InternalRow],
+        loEval: InternalRow => Any, hiEval: InternalRow => Any,
+        loInc: Boolean, hiInc: Boolean): RDD[(InternalRow, InternalRow)] =
+      throw new UnsupportedOperationException("not range-lookup capable")
     /** [[SecondaryCapable.secLookupJoinRows]] through the type-erased
       * join surface; the strategy validates `col` at claim time. */
     private[sql] def lookupJoinRowsBySecondary(col: String,
@@ -1318,6 +1332,43 @@ object IndexedFrame {
     override private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
       secLookupJoinRows(col, probe, keyIdx).get
+
+    override private[sql] def rangeLookupCapable: Boolean =
+      ordered && kSer.isOrderPreserving &&
+        idx.partitioner.exists(
+          _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+    override private[sql] def lookupRangeJoinRows(probe: RDD[InternalRow],
+        loEval: InternalRow => Any, hiEval: InternalRow => Any,
+        loInc: Boolean, hiInc: Boolean): RDD[(InternalRow, InternalRow)] = {
+      val c = codec
+      val keyed: RDD[((K, Option[K]), InternalRow)] =
+        probe.mapPartitions { it =>
+          val row1 = new GenericInternalRow(1)
+          it.flatMap { r =>
+            val loV = loEval(r)
+            val hiV = hiEval(r)
+            if (loV == null || hiV == null) Iterator.empty
+            else {
+              row1.update(0, loV)
+              val lo0 = c.fromRow(row1, 0)
+              row1.update(0, hiV)
+              val hi0 = c.fromRow(row1, 0)
+              // normalize to half-open [lo, hi); a strict lower bound
+              // at the domain max, or an empty interval, never matches
+              val loK = if (loInc) Some(lo0) else c.succ(lo0)
+              val hiK = if (hiInc) c.succ(hi0).map(Some(_)).getOrElse(None)
+                else Some(hi0)
+              (loK, hiK) match {
+                case (Some(l), Some(h)) if c.ord.gteq(l, h) => Iterator.empty
+                case (Some(l), h) => Iterator.single(((l, h), r.copy()))
+                case (None, _) => Iterator.empty
+              }
+            }
+          }
+        }
+      idx.lookupRangeJoinStream(keyed)((_, v, u) => (v, u))(
+        implicitly, implicitly, kSer)
+    }
 
 
     /** Index-answered key extrema (no scan on radix layouts) — natural

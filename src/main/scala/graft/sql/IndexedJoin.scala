@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference,
-  AttributeSet, EqualTo, Expression, GenericInternalRow, IsNotNull, JoinedRow,
-  UnsafeProjection}
+  AttributeSet, BindReferences, EqualTo, Expression, GenericInternalRow,
+  GreaterThan, GreaterThanOrEqual, IsNotNull, JoinedRow, LessThan,
+  LessThanOrEqual, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftAnti, LeftOuter,
   LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical
@@ -244,6 +245,14 @@ object IndexedJoin {
           }
         case _ => false
       }
+      // isnotnull on corpus keys is vacuous (the index stores no null
+      // keys); other corpus-side conds lift above only where they
+      // commute with the join kind
+      val cKeySet = corpusKeys.flatten.toSet
+      val cConds = corpusConds.filterNot {
+        case IsNotNull(a: AttributeReference) => cKeySet.contains(a.exprId)
+        case _ => false
+      }
       if (probeFor.exists(_.isEmpty)) {
         // SECONDARY lookup join: an inner equi-join on ONE
         // secondary-indexed corpus column — probe values expand
@@ -291,21 +300,70 @@ object IndexedJoin {
             return Seq(
               if (joinOut.map(_.exprId) == j.output.map(_.exprId)) filtered
               else ProjectExec(j.output, filtered))
-          case None => return Nil
+          case None => ()
+        }
+        // RANGE (band) lookup join: corpusKey bounded on BOTH sides by
+        // deterministic probe-side expressions — each probe row routes
+        // to the partitions overlapping its interval and runs one
+        // pruned trie range scan. Spark's default for this non-equi
+        // shape is a nested loop over the whole corpus.
+        if (corpusKeys.length != 1 || !h.rangeLookupCapable) return Nil
+        val keyId = corpusKeys.head.get
+        val keyDt = corpusAll.find(_.exprId == keyId).get.dataType
+        def probeExpr(e: Expression): Boolean =
+          e.deterministic && e.references.nonEmpty &&
+            e.references.subsetOf(probeSet) && e.dataType == keyDt
+        var lo: Option[(Expression, Boolean)] = None
+        var hi: Option[(Expression, Boolean)] = None
+        val (_, bandResidual) = conjuncts(j.condition.get).partition {
+          case GreaterThanOrEqual(a: AttributeReference, e)
+              if a.exprId == keyId && probeExpr(e) && lo.isEmpty =>
+            lo = Some((e, true)); true
+          case GreaterThan(a: AttributeReference, e)
+              if a.exprId == keyId && probeExpr(e) && lo.isEmpty =>
+            lo = Some((e, false)); true
+          case LessThanOrEqual(a: AttributeReference, e)
+              if a.exprId == keyId && probeExpr(e) && hi.isEmpty =>
+            hi = Some((e, true)); true
+          case LessThan(a: AttributeReference, e)
+              if a.exprId == keyId && probeExpr(e) && hi.isEmpty =>
+            hi = Some((e, false)); true
+          case LessThanOrEqual(e, a: AttributeReference)
+              if a.exprId == keyId && probeExpr(e) && lo.isEmpty =>
+            lo = Some((e, true)); true
+          case LessThan(e, a: AttributeReference)
+              if a.exprId == keyId && probeExpr(e) && lo.isEmpty =>
+            lo = Some((e, false)); true
+          case GreaterThanOrEqual(e, a: AttributeReference)
+              if a.exprId == keyId && probeExpr(e) && hi.isEmpty =>
+            hi = Some((e, true)); true
+          case GreaterThan(e, a: AttributeReference)
+              if a.exprId == keyId && probeExpr(e) && hi.isEmpty =>
+            hi = Some((e, false)); true
+          case _ => false
+        }
+        (lo, hi) match {
+          case (Some((loE, loInc)), Some((hiE, hiInc))) =>
+            val raw =
+              if (corpusOnLeft) corpusAll ++ probeOut else probeOut ++ corpusAll
+            val lifted = bandResidual ++ cConds
+            val needed = AttributeSet(lifted.flatMap(_.references))
+            val joinOut = raw.filter(a =>
+              j.output.exists(_.exprId == a.exprId) || needed.contains(a))
+            val join = IndexedRangeLookupJoinExec(joinOut, h, corpusAll,
+              loE, hiE, loInc, hiInc, corpusOnLeft, planLater(probePlan))
+            val filtered =
+              if (lifted.isEmpty) join else FilterExec(lifted.reduce(And), join)
+            return Seq(
+              if (joinOut.map(_.exprId) == j.output.map(_.exprId)) filtered
+              else ProjectExec(j.output, filtered))
+          case _ => return Nil
         }
       }
       val probeAttrs = probeFor.map(_.get).toSeq
       val keyIdxs = probeAttrs.map(a =>
         probeOut.indexWhere(_.exprId == a.exprId)).toArray
       if (keyIdxs.exists(_ < 0)) return Nil
-      // isnotnull on corpus keys is vacuous (the index stores no null
-      // keys); other corpus-side conds lift above only where they
-      // commute with the join kind
-      val cKeySet = corpusKeys.flatten.toSet
-      val cConds = corpusConds.filterNot {
-        case IsNotNull(a: AttributeReference) => cKeySet.contains(a.exprId)
-        case _ => false
-      }
       val corpusAllN = corpusAll.map(_.withNullability(true))
 
       def assemble(kind: LookupKind, rawOut: Seq[Attribute],
@@ -416,6 +474,47 @@ object IndexedJoin {
     override def simpleString(maxFields: Int): String =
       s"IndexedLookupJoin $kind keyIdxs=${keyIdxs.mkString(",")} " +
         "[probe-side shuffle only; corpus point-probed, never scanned]"
+  }
+
+  /** Physical BAND (range) lookup join: per probe row the two bound
+    * expressions evaluate against the probe row, the row routes to
+    * the partitions whose key range overlaps `[lo, hi]`, and each
+    * delivery runs one pruned trie range scan. Inner only; output is
+    * (corpus row, probe row) pairs in the requested side order. */
+  case class IndexedRangeLookupJoinExec(output: Seq[Attribute],
+      h: IndexedFrame.JoinableHandle, corpusAll: Seq[Attribute],
+      loExpr: Expression, hiExpr: Expression,
+      loInc: Boolean, hiInc: Boolean, corpusOnLeft: Boolean,
+      child: SparkPlan)
+      extends org.apache.spark.sql.execution.UnaryExecNode {
+
+    override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+      copy(child = newChild)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val probe = child.execute()
+      val loB = BindReferences.bindReference(loExpr, child.output)
+      val hiB = BindReferences.bindReference(hiExpr, child.output)
+      val pairs = h.lookupRangeJoinRows(probe,
+        r => loB.eval(r), r => hiB.eval(r), loInc, hiInc)
+      val out = output
+      val probeOut = child.output
+      val cAll = corpusAll
+      val onLeft = corpusOnLeft
+      val in = if (onLeft) cAll ++ probeOut else probeOut ++ cAll
+      pairs.mapPartitions { it =>
+        val joined = new JoinedRow
+        val proj = UnsafeProjection.create(out, in)
+        it.map { case (c, p) =>
+          proj(if (onLeft) joined(c, p) else joined(p, c))
+        }
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      s"IndexedRangeLookupJoin ${if (loInc) ">=" else ">"}lo " +
+        s"${if (hiInc) "<=" else "<"}hi " +
+        "[interval-routed pruned trie range scans; corpus never scanned]"
   }
 
   /**

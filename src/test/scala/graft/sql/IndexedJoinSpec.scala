@@ -491,6 +491,51 @@ class IndexedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("range (band) lookup join: interval-routed pruned trie scans") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val corpus = (1L to 2000L).map(k => (k, k * 3)).toDF("k", "v")
+    val h = IndexedFrame.indexRangePartitioned(corpus, "k", 8)
+    val hd = h.toDF
+    def probe() = spark.range(0, 40)
+      .select(($"id" * 37).as("c"), $"id".as("tag"))
+    def run(q: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame, claim: Boolean = true): Unit = {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("IndexedRangeLookupJoin") == claim,
+        s"claim=$claim:\n$plan")
+      assert(q.collect().map(_.toString).sorted.toSeq ===
+        e.collect().map(_.toString).sorted.toSeq)
+    }
+    // BETWEEN over expression bounds (the band-join shape)
+    run({ val p = probe()
+      hd.join(p, hd("k") >= p("c") - 5L && hd("k") <= p("c") + 5L) },
+      { val p = probe()
+        corpus.join(p, corpus("k") >= p("c") - 5L && corpus("k") <= p("c") + 5L) })
+    // strict bounds + probe on the left + residual conjunct
+    run({ val p = probe()
+      p.join(hd, hd("k") > p("c") && hd("k") < p("c") + 50L && p("tag") =!= 3L) },
+      { val p = probe()
+        p.join(corpus, corpus("k") > p("c") && corpus("k") < p("c") + 50L && p("tag") =!= 3L) })
+    // flipped operand order (`lo <= k`)
+    run({ val p = probe()
+      hd.join(p, p("c") - 5L <= hd("k") && p("c") + 5L >= hd("k")) },
+      { val p = probe()
+        corpus.join(p, p("c") - 5L <= corpus("k") && p("c") + 5L >= corpus("k")) })
+    // one-sided interval: falls through (would scan per probe row)
+    run({ val p = probe(); hd.join(p, hd("k") >= p("c")) },
+      { val p = probe(); corpus.join(p, corpus("k") >= p("c")) },
+      claim = false)
+    // hash layout cannot route intervals: falls through
+    val hh = IndexedFrame.index(corpus, "k")
+    val hhd = hh.toDF
+    run({ val p = probe()
+      hhd.join(p, hhd("k") >= p("c") - 5L && hhd("k") <= p("c") + 5L) },
+      { val p = probe()
+        corpus.join(p, corpus("k") >= p("c") - 5L && corpus("k") <= p("c") + 5L) },
+      claim = false)
+  }
+
   test("lookup join on a composite corpus probes full (a, b) keys") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
