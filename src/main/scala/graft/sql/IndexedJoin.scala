@@ -426,6 +426,37 @@ object IndexedJoin {
     override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
       copy(child = newChild)
 
+    /** Every output row is produced in its key's OWNING index
+      * partition, so equal key values are co-located — a parent
+      * groupBy on the join key (either side's attr, they are equal)
+      * skips its exchange. The null-extended corpus side of
+      * LkProbeOuter may not claim (its nulls appear in many
+      * partitions); the probe side may (null probe keys all route to
+      * partition 0). LkSecInner clusters by the PRIMARY key — the
+      * final point-fetch hop — not by the joined secondary value. */
+    override def outputPartitioning: Partitioning = {
+      val n = h.idxAny.partitions.length
+      def claim(attrs: Seq[Attribute]): Option[Partitioning] = attrs match {
+        case Seq(one) if output.exists(_.exprId == one.exprId) =>
+          Some(IndexedKeyPartitioning(one, n))
+        case pair if pair.length == 2 &&
+            pair.forall(a => output.exists(_.exprId == a.exprId)) =>
+          Some(IndexedPairPartitioning(pair, n))
+        case _ => None
+      }
+      lazy val corpusKeyAttrs =
+        h.joinKeyCols.flatMap(c => corpusAll.find(_.name == c))
+      lazy val probeKeyAttrs = keyIdxs.toSeq.map(child.output)
+      val p = kind match {
+        case LkSecInner(_) => claim(corpusKeyAttrs)
+        case LkProbeOuter => claim(probeKeyAttrs)
+        case LkCorpusSemi | LkCorpusAnti => claim(corpusKeyAttrs)
+        case LkProbeSemi | LkProbeAnti => claim(probeKeyAttrs)
+        case LkInner => claim(corpusKeyAttrs).orElse(claim(probeKeyAttrs))
+      }
+      p.getOrElse(UnknownPartitioning(n))
+    }
+
     override protected def doExecute(): RDD[InternalRow] = {
       val probe = child.execute()
       val out = output
@@ -490,6 +521,18 @@ object IndexedJoin {
 
     override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
       copy(child = newChild)
+
+    /** Every match is emitted in the corpus key's owning partition, so
+      * equal corpus keys are co-located — a parent groupBy on the
+      * corpus key skips its exchange. */
+    override def outputPartitioning: Partitioning = {
+      val n = h.idxAny.partitions.length
+      h.joinKeyCols.flatMap(c => corpusAll.find(_.name == c)) match {
+        case Seq(one) if output.exists(_.exprId == one.exprId) =>
+          IndexedKeyPartitioning(one, n)
+        case _ => UnknownPartitioning(n)
+      }
+    }
 
     override protected def doExecute(): RDD[InternalRow] = {
       val probe = child.execute()

@@ -464,6 +464,45 @@ class IndexedJoinSpec extends AnyFunSuite {
       claim = false)
   }
 
+  test("groupBy on the join key above a lookup join needs no exchange") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val corpus = (1L to 900L).map(k => (k, k % 7, k * 1.0)).toDF("k", "g", "v")
+    val h = IndexedFrame.index(corpus, "k", numPartitions = 8)
+    val hd = h.toDF
+    def probe() = spark.range(0, 300).select(($"id" * 3).as("pk"), $"id".as("tag"))
+    // inner enrichment then aggregate per key: the lookup output is
+    // key-clustered, so the aggregation runs exchange-free
+    val q = { val p = probe()
+      hd.join(p, hd("k") === p("pk"))
+        .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sv")) }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedLookupJoin"), plan)
+    assert(!plan.contains("Exchange"), s"expected exchange-free agg:\n$plan")
+    val e = { val p = probe()
+      corpus.join(p, corpus("k") === p("pk"))
+        .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("sv")) }
+    assert(q.collect().map(_.toString).sorted.toSeq ===
+      e.collect().map(_.toString).sorted.toSeq)
+    // secondary lookup clusters by the PRIMARY key
+    val hs = IndexedFrame.index(corpus, "k", numPartitions = 8)
+      .addSecondaryIndex("g")
+    val hsd = hs.toDF
+    def probeG() = spark.range(0, 7).select($"id".as("pg"))
+    val q2 = { val p = probeG()
+      hsd.join(p, hsd("g") === p("pg"))
+        .groupBy($"k").agg(count(lit(1)).as("n")) }
+    val plan2 = q2.queryExecution.executedPlan.toString
+    assert(plan2.contains("LkSecInner"), plan2)
+    assert(!plan2.contains("Exchange"), s"expected exchange-free agg:\n$plan2")
+    val e2 = { val p = probeG()
+      corpus.join(p, corpus("g") === p("pg"))
+        .groupBy($"k").agg(count(lit(1)).as("n")) }
+    assert(q2.collect().map(_.toString).sorted.toSeq ===
+      e2.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("IN/EXISTS subqueries rewrite to semi joins that ride the lookup path") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
