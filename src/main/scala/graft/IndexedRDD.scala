@@ -337,6 +337,75 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
 
   /**
+   * Per-probe FLOOR lookups — the BATCH point-in-time (as-of) join
+   * primitive. Each probe row carries a half-open key interval
+   * `[lo, ub)` (`ub = None` = unbounded above) and yields the
+   * GREATEST entry whose key falls in it, or None. Probe rows route
+   * only to the overlapping partitions (one, for an entity whose
+   * versions don't straddle a boundary); each delivery is one O(depth)
+   * bounded floor descent, and a tiny (probeId, best) reduce picks the
+   * global floor when an interval spans partitions. The corpus never
+   * moves and is never scanned.
+   */
+  def lookupFloorStream[U: ClassTag](other: RDD[((K, Option[K]), U)])(
+      implicit ser: KeySerializer[K]): RDD[(Option[(K, V)], U)] = {
+    require(ser.isOrderPreserving,
+      s"lookupFloorStream descends tries in encoded-byte order; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    val rp = partitioner match {
+      case Some(p: org.apache.spark.RangePartitioner[K @unchecked, _]) => p
+      case _ => throw new IllegalArgumentException(
+        "lookupFloorStream requires a range-partitioned index")
+    }
+    val n = rp.numPartitions
+    val routed = other.zipWithUniqueId().flatMap {
+      case (((lo, ub), u), id) =>
+        val a = rp.getPartition(lo)
+        val b = ub.map(rp.getPartition).getOrElse(n - 1)
+        (math.min(a, b) to math.max(a, b)).iterator
+          .map(pid => (pid, (id, lo, ub, u)))
+    }.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+    val cmp: (K, K) => Int = (x, y) =>
+      java.util.Arrays.compareUnsigned(ser.toBytes(x), ser.toBytes(y))
+    val local: RDD[(Long, (Option[(K, V)], U))] =
+      partitionsRDD.zipPartitions(routed,
+        preservesPartitioning = false) { (pit, oit) =>
+        if (!pit.hasNext)
+          oit.map { case (_, (id, _, _, u)) =>
+            (id, (None: Option[(K, V)], u))
+          }
+        else {
+          val p = pit.next()
+          oit.map { case (_, (id, lo, ub, u)) =>
+            val fk: Option[K] = (p, ub) match {
+              case (r: graft.partition.RadixIndexedPartition[K, V], Some(t)) =>
+                r.lastInRange(lo, t)
+              case (r: graft.partition.RadixIndexedPartition[K, V], None) =>
+                r.lastKey.filter(k => cmp(k, lo) >= 0)
+              case (p2, t) =>
+                val inRange = p2.iterator.map(_._1).filter(k =>
+                  cmp(k, lo) >= 0 && t.forall(tt => cmp(k, tt) < 0))
+                if (inRange.isEmpty) None
+                else Some(inRange.maxBy(identity)(
+                  Ordering.fromLessThan((x: K, y: K) => cmp(x, y) < 0)))
+            }
+            (id, (fk.map(k => (k, p(k).get)), u))
+          }
+        }
+      }
+    local.reduceByKey { (x, y) =>
+      (x._1, y._1) match {
+        case (Some((kx, _)), Some((ky, _))) => if (cmp(kx, ky) >= 0) x else y
+        case (Some(_), None) => x
+        case _ => y
+      }
+    }.map(_._2)
+  }
+
+  /**
    * Semi/anti twin of [[lookupJoinStream]] KEEPING THIS SIDE's rows:
    * `keys` shuffle to their owning partitions (one small one-sided
    * shuffle), then semi emits each locally-present key's entry via one

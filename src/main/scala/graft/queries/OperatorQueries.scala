@@ -1600,6 +1600,26 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"n_name")
     },
 
+    "ir_sql_asof_lookup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // BATCH point-in-time join (the feature-store primitive): for
+      // each probe (entity, t), the latest version row with ts <= t.
+      // Each probe routes to the partitions overlapping its entity's
+      // tuple interval — one, unless the entity's versions straddle a
+      // boundary — and runs one O(depth) bounded floor descent; the
+      // versions corpus never moves and is never scanned. Catalyst's
+      // equivalent shuffles the corpus into an entity join plus a
+      // per-entity window max.
+      val versions = Tables.events(s, dir).groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 2).as("mv"))
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        versions, "user_id", "ts", 16)
+      val p = s.range(0, 200).select(($"id" % 25 + 1).as("pu"),
+        expr("timestamp_micros((1704153600 + id * 9137) * 1000000)").as("pt"))
+      h.asOfJoinFrame(p, "pu", "pt")
+    },
+
     "ir_sql_range_lookup_join" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2283,6 +2303,20 @@ object OperatorQueries {
     "ir_sql_lookup_secondary" ->
       """SELECT c.c_custkey, c.c_acctbal, n.n_name
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "ir_sql_asof_lookup" ->
+      """WITH versions AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT range % 25 + 1 AS pu,
+        |         make_timestamp((1704153600 + range * 9137) * 1000000) AS pt
+        |  FROM range(0, 200))
+        |SELECT p.pu, p.pt, v.user_id, v.ts, v.mv
+        |FROM probe p JOIN versions v
+        |  ON v.user_id = p.pu AND v.ts = (
+        |    SELECT max(v2.ts) FROM versions v2
+        |    WHERE v2.user_id = p.pu AND v2.ts <= p.pt)""".stripMargin,
 
     "ir_sql_range_lookup_join" ->
       """SELECT o.o_orderkey, o.o_custkey, p.tag

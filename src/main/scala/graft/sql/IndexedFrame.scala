@@ -2844,6 +2844,71 @@ object IndexedFrame {
         case None => toDF.limit(0)
       }
     }
+
+    /** BATCH point-in-time join — the feature-store primitive: for
+      * every probe row (entity, t), the LATEST version row of that
+      * entity with time <= t, emitted as probe columns ++ version
+      * columns (inner semantics: probes with no version, or with a
+      * null entity/time, emit nothing — SQL's as-of condition is never
+      * true on null). Each probe row routes to the partitions
+      * overlapping its entity's `[(a, minB), (a, succ t))` tuple
+      * interval — ONE partition unless the entity's versions straddle
+      * a boundary — and runs one O(depth) bounded floor descent; a
+      * tiny per-probe reduce picks the boundary-spanning winner. The
+      * versions corpus never moves and is never scanned: cost scales
+      * with the probe batch. Catalyst's equivalent is a join on entity
+      * (corpus shuffle!) plus a per-entity window max. Probe column
+      * dtypes must match the key columns'; output column names must
+      * not collide (rename probe columns first). */
+    def asOfJoinFrame(probe: DataFrame, entityCol: String, timeCol: String)(
+        implicit spark: SparkSession): DataFrame = {
+      require(ordered && tupSer.isOrderPreserving &&
+        idx.partitioner.exists(
+          _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]]),
+        "asOfJoinFrame needs a range-partitioned ordered composite handle")
+      require(probe.schema(entityCol).dataType == schema(keyColA).dataType &&
+        probe.schema(timeCol).dataType == schema(keyColB).dataType,
+        s"probe ($entityCol, $timeCol) must match the key dtypes " +
+          s"(${schema(keyColA).dataType.catalogString}, " +
+          s"${schema(keyColB).dataType.catalogString})")
+      require(probe.schema.fieldNames.toSet
+        .intersect(schema.fieldNames.toSet).isEmpty,
+        "probe and version column names must not collide")
+      val ia = probe.schema.fieldIndex(entityCol)
+      val ib = probe.schema.fieldIndex(timeCol)
+      val cA = codecA
+      val cB = codecB
+      val keyed: RDD[(((A, B), Option[(A, B)]), InternalRow)] =
+        probe.queryExecution.toRdd.mapPartitions(_.flatMap { r =>
+          if (r.isNullAt(ia) || r.isNullAt(ib)) Iterator.empty
+          else {
+            val a = cA.fromRow(r, ia)
+            val t = cB.fromRow(r, ib)
+            val lo = (a, cB.minKey)
+            // strict tuple upper bound (a, succ t); t at the b-domain
+            // max bounds at (succ a, minB); a also at the max =>
+            // unbounded above
+            val ub: Option[(A, B)] = cB.succ(t) match {
+              case Some(s2) => Some((a, s2))
+              case None => cA.succ(a).map(ua => (ua, cB.minKey))
+            }
+            Iterator.single(((lo, ub), r.copy()))
+          }
+        })
+      val outSchema = org.apache.spark.sql.types.StructType(
+        probe.schema.fields ++ schema.fields.map(_.copy(nullable = true)))
+      val types = outSchema.fields.map(_.dataType)
+      val rows = idx.lookupFloorStream(keyed)(implicitly, tupSer)
+        .mapPartitions { it =>
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          val proj = UnsafeProjection.create(types)
+          it.collect { case (Some((_, v)), u) =>
+            proj(joined(u, v)): InternalRow
+          }
+        }
+      org.apache.spark.sql.graftbridge.ExpressionBridge
+        .internalDF(spark, rows, outSchema)
+    }
   }
 
   /** Keyed internal-row pairs for a composite build. */

@@ -18,4 +18,13 @@ object ExpressionBridge {
   def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
+
+  /** DataFrame over already-catalyst rows (`internalCreateDataFrame`
+    * is private[sql]) — for operators that assemble InternalRow output
+    * directly, e.g. the batch as-of join. */
+  def internalDF(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

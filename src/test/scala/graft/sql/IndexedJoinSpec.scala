@@ -503,6 +503,31 @@ class IndexedJoinSpec extends AnyFunSuite {
       e2.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("asOfJoinFrame: batch point-in-time join via bounded floor descents") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val versions = (for (u <- 1L to 30L; v <- 1L to 20L)
+      yield (u, v * 10L, u * 1000 + v)).toDF("vu", "vts", "value")
+    val h = IndexedFrame.indexCompositeRangePartitioned(versions, "vu", "vts", 8)
+    // probes: exact hits, between versions, before-first (no match),
+    // after-last (latest), unknown entity, dup probes, null entity
+    val probe = spark.createDataFrame(Seq[(java.lang.Long, java.lang.Long, Long)](
+      (1L, 100L, 1), (1L, 105L, 2), (2L, 5L, 3), (3L, 9999L, 4),
+      (999L, 50L, 5), (1L, 105L, 6), (null, 50L, 7), (4L, 10L, 8)))
+      .toDF("pu", "pt", "tag")
+    val got = h.asOfJoinFrame(probe, "pu", "pt")
+    assert(got.columns.toSeq === Seq("pu", "pt", "tag", "vu", "vts", "value"))
+    val w = Window.partitionBy($"tag").orderBy($"vts".desc)
+    val expect = probe.join(versions, $"pu" === $"vu" && $"vts" <= $"pt")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+      .select($"pu", $"pt", $"tag", $"vu", $"vts", $"value")
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      expect.collect().map(_.toString).sorted.toSeq)
+    // probes with no floor (before-first, unknown entity, null) drop
+    assert(got.count() === 5)
+  }
+
   test("IN/EXISTS subqueries rewrite to semi joins that ride the lookup path") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
