@@ -1600,6 +1600,23 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"n_name")
     },
 
+    "ir_sql_prefix_lookup_join" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // PREFIX (entity) lookup join: equality on only the LEADING
+      // composite column fetches each probed user's whole event run —
+      // one interval-routed pruned trie range scan per delivery. The
+      // "timelines for this user batch" query; the corpus never scans.
+      graft.sql.IndexedJoin.enable(s)
+      val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"value")
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        ev, "user_id", "event_id", 16)
+      val hd = h.toDF
+      val p = s.range(0, 40).select(($"id" % 30 + 1).as("pu"), $"id".as("tag"))
+      hd.join(p, hd("user_id") === p("pu"))
+        .select($"user_id", $"event_id", $"value", $"tag")
+    },
+
     "ir_sql_asof_lookup" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2303,6 +2320,12 @@ object OperatorQueries {
     "ir_sql_lookup_secondary" ->
       """SELECT c.c_custkey, c.c_acctbal, n.n_name
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "ir_sql_prefix_lookup_join" ->
+      """SELECT e.user_id, e.event_id, e.value, p.tag
+        |FROM events e
+        |JOIN (SELECT range % 30 + 1 AS pu, range AS tag FROM range(0, 40)) p
+        |  ON e.user_id = p.pu""".stripMargin,
 
     "ir_sql_asof_lookup" ->
       """WITH versions AS (

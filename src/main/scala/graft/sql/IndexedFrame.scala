@@ -470,6 +470,17 @@ object IndexedFrame {
     /** Whether interval probes can route through this layout (ordered
       * + order-preserving + range-partitioned single key). */
     private[sql] def rangeLookupCapable: Boolean = false
+    /** Whether LEADING-column equality probes can route (ordered +
+      * order-preserving + range-partitioned composite). */
+    private[sql] def prefixLookupCapable: Boolean = false
+    /** PREFIX join rows: per probe row, EVERY corpus row whose leading
+      * key equals the probed value — the "fetch each probed entity's
+      * whole timeline" shape, served as one interval-routed pruned trie
+      * range scan per delivery. Only valid when
+      * [[prefixLookupCapable]]. */
+    private[sql] def lookupJoinRowsByPrefix(probe: RDD[InternalRow],
+        keyIdx: Int): RDD[(InternalRow, InternalRow)] =
+      throw new UnsupportedOperationException("not prefix-lookup capable")
     /** BAND-join rows: per probe row, evaluate the two bound values
       * (catalyst form, same dtype as the key; null bound = no match),
       * convert inclusivity to a half-open key interval, route to the
@@ -2190,6 +2201,28 @@ object IndexedFrame {
     override private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
       secLookupJoinRows(col, probe, keyIdx).get
+
+    override private[sql] def prefixLookupCapable: Boolean =
+      ordered && tupSer.isOrderPreserving &&
+        idx.partitioner.exists(
+          _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+    override private[sql] def lookupJoinRowsByPrefix(probe: RDD[InternalRow],
+        keyIdx: Int): RDD[(InternalRow, InternalRow)] = {
+      val cA = codecA
+      val bMin = codecB.minKey
+      val keyed: RDD[(((A, B), Option[(A, B)]), InternalRow)] =
+        probe.mapPartitions(_.flatMap { r =>
+          if (r.isNullAt(keyIdx)) Iterator.empty
+          else {
+            val a = cA.fromRow(r, keyIdx)
+            // the entity's whole tuple run: [(a, minB), (succ a, minB))
+            Iterator.single((((a, bMin), cA.succ(a).map(ua => (ua, bMin))),
+              r.copy()))
+          }
+        })
+      idx.lookupRangeJoinStream(keyed)((_, v, u) => (v, u))(
+        implicitly, implicitly, tupSer)
+    }
 
 
     /** The tuple encoding's byte order is lexicographic (a, b) when

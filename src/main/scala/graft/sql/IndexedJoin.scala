@@ -254,6 +254,32 @@ object IndexedJoin {
         case _ => false
       }
       if (probeFor.exists(_.isEmpty)) {
+        // PREFIX (leading-entity) lookup join: equality on ONLY the
+        // leading composite column fetches each probed entity's WHOLE
+        // tuple run — one interval-routed pruned trie range scan per
+        // delivery ("each probed user's full timeline"). Inner only;
+        // unclaimed conjuncts and corpus filters lift above.
+        if (j.joinType == Inner && h.prefixLookupCapable &&
+            probeFor.length == 2 && probeFor(0).isDefined &&
+            probeFor(1).isEmpty) {
+          val pAttr = probeFor(0).get
+          val keyIdx = probeOut.indexWhere(_.exprId == pAttr.exprId)
+          if (keyIdx >= 0) {
+            val raw =
+              if (corpusOnLeft) corpusAll ++ probeOut else probeOut ++ corpusAll
+            val lifted = residual ++ cConds
+            val needed = AttributeSet(lifted.flatMap(_.references))
+            val joinOut = raw.filter(a =>
+              j.output.exists(_.exprId == a.exprId) || needed.contains(a))
+            val join = IndexedLookupJoinExec(joinOut, h, corpusAll,
+              Array(keyIdx), corpusOnLeft, LkPrefixInner, planLater(probePlan))
+            val filtered =
+              if (lifted.isEmpty) join else FilterExec(lifted.reduce(And), join)
+            return Seq(
+              if (joinOut.map(_.exprId) == j.output.map(_.exprId)) filtered
+              else ProjectExec(j.output, filtered))
+          }
+        }
         // SECONDARY lookup join: an inner equi-join on ONE
         // secondary-indexed corpus column — probe values expand
         // through the inverted index's postings into primary keys,
@@ -410,6 +436,10 @@ object IndexedJoin {
   /** Inner join on a SECONDARY-indexed corpus column: probe values →
     * inverted-index postings → primary point fetches. */
   final case class LkSecInner(col: String) extends LookupKind
+  /** Inner join on a composite corpus's LEADING column only: each
+    * probe fetches the entity's whole tuple run via one
+    * interval-routed pruned range scan. */
+  case object LkPrefixInner extends LookupKind
 
   /** Physical lookup join: the probe child executes normally, its rows
     * shuffle ONCE to the index's partitioning, and each row costs one
@@ -448,6 +478,10 @@ object IndexedJoin {
         h.joinKeyCols.flatMap(c => corpusAll.find(_.name == c))
       lazy val probeKeyAttrs = keyIdxs.toSeq.map(child.output)
       val p = kind match {
+        // prefix outputs cluster by the full TUPLE (an entity's run
+        // may straddle a partition boundary, so the leading column
+        // alone may not claim); claim(pair) handles exactly that
+        case LkPrefixInner => claim(corpusKeyAttrs)
         case LkSecInner(_) => claim(corpusKeyAttrs)
         case LkProbeOuter => claim(probeKeyAttrs)
         case LkCorpusSemi | LkCorpusAnti => claim(corpusKeyAttrs)
@@ -464,8 +498,12 @@ object IndexedJoin {
       val cAll = corpusAll
       val onLeft = corpusOnLeft
       kind match {
-        case LkSecInner(col) =>
-          val pairs = h.lookupJoinRowsBySecondary(col, probe, keyIdxs(0))
+        case LkSecInner(_) | LkPrefixInner =>
+          val pairs = kind match {
+            case LkSecInner(col) =>
+              h.lookupJoinRowsBySecondary(col, probe, keyIdxs(0))
+            case _ => h.lookupJoinRowsByPrefix(probe, keyIdxs(0))
+          }
           val in = if (onLeft) cAll ++ probeOut else probeOut ++ cAll
           pairs.mapPartitions { it =>
             val joined = new JoinedRow

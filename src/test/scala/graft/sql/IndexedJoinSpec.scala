@@ -616,11 +616,33 @@ class IndexedJoinSpec extends AnyFunSuite {
       corpus.join(p, corpus("a") === p("pa") && corpus("b") === p("pb")) }
     assert(q.collect().map(_.toString).sorted.toSeq ===
       e.collect().map(_.toString).sorted.toSeq)
-    // a PREFIX equality (only `a`) cannot claim the full-key probe
+    // a PREFIX equality (only `a`) on a HASH layout cannot route
     val qp = { val p = probe(); hd.join(p, hd("a") === p("pa")) }
     assert(!qp.queryExecution.executedPlan.toString.contains("IndexedLookupJoin"))
     val ep = { val p = probe(); corpus.join(p, corpus("a") === p("pa")) }
     assert(qp.collect().map(_.toString).sorted.toSeq ===
       ep.collect().map(_.toString).sorted.toSeq)
+    // on a RANGE-partitioned composite the prefix join claims: each
+    // probe fetches the entity's whole tuple run
+    val hr = IndexedFrame.indexCompositeRangePartitioned(corpus, "a", "b", 8)
+    val hrd = hr.toDF
+    val qr = { val p = probe(); hrd.join(p, hrd("a") === p("pa")) }
+    assert(qr.queryExecution.executedPlan.toString.contains("LkPrefixInner"),
+      qr.queryExecution.executedPlan.toString)
+    val er = { val p = probe(); corpus.join(p, corpus("a") === p("pa")) }
+    assert(qr.collect().map(_.toString).sorted.toSeq ===
+      er.collect().map(_.toString).sorted.toSeq)
+    // residual conjunct + groupBy on the full pair above: exchange-free
+    import org.apache.spark.sql.functions.{count, lit}
+    val qa = { val p = probe()
+      hrd.join(p, hrd("a") === p("pa") && p("tag") =!= 5L)
+        .groupBy(hrd("a"), hrd("b")).agg(count(lit(1)).as("n")) }
+    val planA = qa.queryExecution.executedPlan.toString
+    assert(planA.contains("LkPrefixInner") && !planA.contains("Exchange"), planA)
+    val ea = { val p = probe()
+      corpus.join(p, corpus("a") === p("pa") && p("tag") =!= 5L)
+        .groupBy(corpus("a"), corpus("b")).agg(count(lit(1)).as("n")) }
+    assert(qa.collect().map(_.toString).sorted.toSeq ===
+      ea.collect().map(_.toString).sorted.toSeq)
   }
 }
