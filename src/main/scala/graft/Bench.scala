@@ -526,9 +526,34 @@ object Bench {
         if (rows.nonEmpty) cur = rows.last.getTimestamp(0)
       }
     }
+    // BATCH as-of join (200 probes at once): interval-routed floor
+    // descents vs Catalyst's entity join + per-probe window max over
+    // the cached versions table
+    val hB = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+      g, "user_id", "ts", 16)
+    hB.idx.count()
+    def asOfProbe() = spark.range(0, 200).select(
+      (col("id") % 25 + 1).as("pu"),
+      org.apache.spark.sql.functions.expr(
+        "timestamp_micros((1704153600 + id * 9137) * 1000000)").as("pt"))
+    val tBatchIdx = bestOf2((0 until 5).foreach { _ =>
+      hB.asOfJoinFrame(asOfProbe(), "pu", "pt").collect()
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pu"), col("pt")).orderBy(col("ts").desc)
+    import org.apache.spark.sql.functions.row_number
+    val tBatchScan = bestOf2((0 until 5).foreach { _ =>
+      val p = asOfProbe()
+      p.join(cg, p("pu") === cg("user_id") && cg("ts") <= p("pt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn").collect()
+    })
+    hB.idx.unpersist()
     cg.unpersist(); h.idx.unpersist()
     Seq("micro_sql_asof_idx_50" -> tAsOfIdx,
       "micro_sql_asof_scan_50" -> tAsOfScan,
+      "micro_sql_asof_batch_idx_5" -> tBatchIdx,
+      "micro_sql_asof_batch_scan_5" -> tBatchScan,
       "micro_sql_page_entity_idx_10x100" -> tPageEntIdx,
       "micro_sql_page_entity_scan_10x100" -> tPageEntScan)
   }
