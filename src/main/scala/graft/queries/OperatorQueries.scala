@@ -1617,6 +1617,48 @@ object OperatorQueries {
         .select($"user_id", $"event_id", $"value", $"tag")
     },
 
+    "ir_stream_asof" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // STREAMING point-in-time enrichment: probe micro-batches flow
+      // through foreachBatch, each running the BATCH as-of join
+      // against the STATIC versions index — per batch only the batch
+      // shuffles (interval-routed floor descents); the versions corpus
+      // is never rescanned. The online feature-join shape.
+      val versions = Tables.events(s, dir).groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 2).as("mv"))
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        versions, "user_id", "ts", 16)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = input.toDS().writeStream
+        .queryName(s"ir_stream_asof_${System.nanoTime()}")
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+          val p = batch.toDF("pu0", "ptm")
+            .select($"pu0".as("pu"), expr("timestamp_micros(ptm)").as("pt"))
+          val res = h.asOfJoinFrame(p, "pu", "pt")
+          acc.synchronized { acc ++= res.collect() }
+          ()
+        }.start()
+      try {
+        // the 200 probes of the batch lane, streamed in 3 micro-batches
+        val probes = (0L until 200L).map(id =>
+          (id % 25 + 1, (1704153600L + id * 9137L) * 1000000L))
+        probes.grouped(70).foreach { g =>
+          input.addData(g); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val schema = h.asOfJoinFrame(
+        s.range(0).select(lit(1L).as("pu"),
+          expr("timestamp_micros(0)").as("pt")), "pu", "pt").schema
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .BufferHasAsJava(acc).asJava), schema)
+    },
+
     "ir_sql_asof_lookup" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2326,6 +2368,20 @@ object OperatorQueries {
         |FROM events e
         |JOIN (SELECT range % 30 + 1 AS pu, range AS tag FROM range(0, 40)) p
         |  ON e.user_id = p.pu""".stripMargin,
+
+    "ir_stream_asof" ->
+      """WITH versions AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT range % 25 + 1 AS pu,
+        |         make_timestamp((1704153600 + range * 9137) * 1000000) AS pt
+        |  FROM range(0, 200))
+        |SELECT p.pu, p.pt, v.user_id, v.ts, v.mv
+        |FROM probe p JOIN versions v
+        |  ON v.user_id = p.pu AND v.ts = (
+        |    SELECT max(v2.ts) FROM versions v2
+        |    WHERE v2.user_id = p.pu AND v2.ts <= p.pt)""".stripMargin,
 
     "ir_sql_asof_lookup" ->
       """WITH versions AS (
