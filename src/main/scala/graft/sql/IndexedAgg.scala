@@ -325,6 +325,49 @@ object IndexedAgg {
                 IndexedGroupCountExec(out, ks.map(_ == GGroup), h, t): SparkPlan)
           }
         }.map(_ :: Nil).getOrElse(Nil)
+      // `.distinct().count()` arrives as count(*) OVER a
+      // single-column distinct aggregate: when that column's distinct
+      // cardinality is index-answerable (primary key / secondary /
+      // composite leading), the whole tree is one memoized number —
+      // zero jobs on repeats, instead of enumerate + two-phase count
+      case Aggregate(Nil, Seq(al: Alias),
+          Aggregate(Seq(ga: AttributeReference), innerAggs, child, _), _)
+          if (innerAggs.isEmpty || (innerAggs.length == 1 &&
+            innerAggs.head.toAttribute.exprId == ga.exprId)) &&
+            (al.child match {
+              case ae: AggregateExpression
+                  if !ae.isDistinct && ae.filter.isEmpty =>
+                ae.aggregateFunction match {
+                  case Count(Seq(Literal(1, _))) => true
+                  case Count(Seq(a: AttributeReference)) =>
+                    // count(col) over the distinct col: the distinct
+                    // set has no null iff the structure excludes nulls
+                    // (keys never null; inverted indexes drop nulls) —
+                    // BUT a secondary's distinct set from the DEFAULT
+                    // planner may contain a NULL row that count(col)
+                    // would skip while count(*) counts. Only claim
+                    // count(*): reject count(col) here.
+                    false
+                  case _ => false
+                }
+              case _ => false
+            }) =>
+        bareRelation(child) match {
+          case Some(h) =>
+            // count(*) over DISTINCT col == count(DISTINCT col) only
+            // when col can hold no NULL row in the distinct set — true
+            // for the structures countDistinctFor serves EXCEPT
+            // nullable secondaries (their distinct set owes a NULL
+            // row that the inverted index drops). Gate on either the
+            // full key or a non-nullable column.
+            val colOk = h.colsAreFullKey(Seq(ga.name)) || !ga.nullable
+            if (!colOk) Nil
+            else h.countDistinctFor(ga.name).map { thunk =>
+              IndexedStatsExec(Seq(al.toAttribute), h,
+                Seq(CountDistinctStat(ga.name)), Seq(thunk)) :: Nil
+            }.getOrElse(Nil)
+          case None => Nil
+        }
       case Aggregate(Nil, aggs, child, _) if aggs.nonEmpty &&
           aggs.forall(_.isInstanceOf[Alias]) =>
         bareRelation(child) match {

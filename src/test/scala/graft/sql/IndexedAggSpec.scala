@@ -572,6 +572,27 @@ class IndexedAggSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap)
   }
 
+  test(".distinct().count() on the key collapses to the memoized index size") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val h = IndexedFrame.index(orders, "o_orderkey")
+    val q = h.toDF.select($"o_orderkey").distinct()
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("IndexedStats"), s"expected collapse in:\n$plan")
+    assert(q.as[Long].head() === orders.select($"o_orderkey").distinct().count())
+    // a NULLABLE secondary could owe a NULL distinct row: not claimed,
+    // still exact via the default plan
+    val hn = IndexedFrame.index(
+      spark.read.parquet(s"$dir/customer.parquet"), "c_custkey")
+      .addSecondaryIndex("c_nationkey")
+    val qn = hn.toDF.select($"c_nationkey").distinct().agg(count(lit(1)).as("n"))
+    assert(!qn.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qn.as[Long].head() === spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_nationkey").distinct().count())
+  }
+
   test("percentile/median of the key: rank selection, no sort, no shuffle") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
