@@ -305,8 +305,10 @@ object Bench {
   }
 
   /** Distinct-cardinality pushdowns vs their cached-scan twins:
-    * DISTINCT key (structural enumeration, no aggregate/exchange) vs
-    * two-level hash distinct; count(DISTINCT key)+count(DISTINCT sec)
+    * `.distinct().count()` on the key (collapsed to the memoized index
+    * size — zero jobs after the first — while the scan twin pays a
+    * two-level hash distinct plus a count every time);
+    * count(DISTINCT key)+count(DISTINCT sec)
     * (index sizes, no job after the memo warms) vs the scan's expand +
     * double aggregate; GROUP BY leading → count/min/max(second) (key
     * runs, values untouched) vs the full row exchange. */
