@@ -1712,6 +1712,21 @@ object OperatorQueries {
               |WHERE o_orderkey IN (SELECT k FROM probe_keys)""".stripMargin)
     },
 
+    "ir_sql_col_stats" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // count(col) = Σ posting lengths (the non-null row count, exact
+      // with NULLs), min/max(col) = one O(depth) descent each on the
+      // ordered inverted index — the full column-profile row with zero
+      // data rows read, memoized on the snapshot
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey", ordered = true)
+      h.toDF.agg(count($"c_nationkey").as("nn"),
+        min($"c_nationkey").as("mn"), max($"c_nationkey").as("mx"),
+        count(lit(1)).as("cnt"))
+    },
+
     "ir_sql_sum_avg" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2407,6 +2422,12 @@ object OperatorQueries {
     "ir_sql_in_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_orderkey IN (SELECT range*7 FROM range(0, 300))""".stripMargin,
+
+    "ir_sql_col_stats" ->
+      """SELECT CAST(count(c_nationkey) AS BIGINT) AS nn,
+        |       min(c_nationkey) AS mn, max(c_nationkey) AS mx,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer""".stripMargin,
 
     "ir_sql_sum_avg" ->
       """SELECT CAST(sum(c_custkey) AS BIGINT) AS sum_key,

@@ -61,6 +61,12 @@ object IndexedAgg {
     * LEGACY's silent wraparound is not reproduced and falls through. */
   final case class SumStat(col: String, tryMode: Boolean) extends Stat
   final case class AvgStat(col: String, tryMode: Boolean) extends Stat
+  /** `count(col)` (non-null rows) from Σ posting lengths / the index
+    * size; `min/max(col)` of an ORDERED secondary from one O(depth)
+    * inverted-index descent each. */
+  final case class CountColStat(col: String) extends Stat
+  final case class SecMinStat(col: String) extends Stat
+  final case class SecMaxStat(col: String) extends Stat
 
   /** One entry of an index-answerable `GROUP BY g` aggregate list. */
   private[sql] sealed trait GKind extends Serializable
@@ -98,15 +104,23 @@ object IndexedAgg {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(1, _))) => Some(CountStat)
+          // count(col) = the non-null row count: index size for the
+          // key (never null), Σ posting lengths for a secondary —
+          // servability validated at claim time
+          case Count(Seq(a: AttributeReference)) =>
+            Some(CountColStat(a.name))
           // min/max of exactly the column whose natural order the index
           // serves (ordered single-key handles with an order-preserving
           // serializer — UUID handles included, their extremum converts
           // back to the canonical string; composite handles' LEADING
-          // column). Everything else scans via the default planner.
+          // column). An ORDERED SECONDARY column answers from the
+          // inverted index instead. Everything else scans.
           case Min(k: AttributeReference)
               if h.statsKeyCol.contains(k.name) => Some(MinStat)
           case Max(k: AttributeReference)
               if h.statsKeyCol.contains(k.name) => Some(MaxStat)
+          case Min(k: AttributeReference) => Some(SecMinStat(k.name))
+          case Max(k: AttributeReference) => Some(SecMaxStat(k.name))
           // exact percentile/median: `median(c)` reaches the planner
           // as Percentile(c, 0.5) (RuntimeReplaceable). Foldable
           // percentage only (scalar or array literal after constant
@@ -397,6 +411,15 @@ object IndexedAgg {
                 case AvgStat(c, _) => h.sumCountFor(c)
                 case _ => Some(() => None) // unused placeholder
               }
+              val nn: Seq[Option[() => Long]] = ss.map {
+                case CountColStat(c) => h.nonNullCountFor(c)
+                case _ => Some(() => 0L) // unused placeholder
+              }
+              val se: Seq[Option[() => (Option[Any], Option[Any])]] = ss.map {
+                case SecMinStat(c) => h.secondaryExtremaFor(c)
+                case SecMaxStat(c) => h.secondaryExtremaFor(c)
+                case _ => Some(() => (None, None)) // unused placeholder
+              }
               // percentile stats need the handle to claim the whole
               // spec list (ordered + integral key); otherwise the
               // query falls through whole
@@ -404,9 +427,12 @@ object IndexedAgg {
                 if (specs.isEmpty) Some(None)
                 else h.percentilesFor(specs).map(Some(_))
               pct match {
-                case Some(pt) if cd.forall(_.isDefined) && sa.forall(_.isDefined) =>
+                case Some(pt) if cd.forall(_.isDefined) &&
+                    sa.forall(_.isDefined) && nn.forall(_.isDefined) &&
+                    se.forall(_.isDefined) =>
                   IndexedStatsExec(aggs.map(_.toAttribute), h, ss,
-                    cd.map(_.get), pt, sa.map(_.get)) :: Nil
+                    cd.map(_.get), pt, sa.map(_.get), nn.map(_.get),
+                    se.map(_.get)) :: Nil
                 case _ => Nil
               }
             } else Nil
@@ -423,7 +449,10 @@ object IndexedAgg {
                     !stats.exists(s => s.get.isInstanceOf[CountDistinctStat] ||
                       s.get.isInstanceOf[PercentileStat] ||
                       s.get.isInstanceOf[SumStat] ||
-                      s.get.isInstanceOf[AvgStat])) {
+                      s.get.isInstanceOf[AvgStat] ||
+                      s.get.isInstanceOf[CountColStat] ||
+                      s.get.isInstanceOf[SecMinStat] ||
+                      s.get.isInstanceOf[SecMaxStat])) {
                   val ss = stats.map(_.get)
                   val countThunk =
                     if (ss.contains(CountStat)) h.rangeCountFor(fs)
@@ -457,7 +486,9 @@ object IndexedAgg {
       h: IndexedFrame.StatsCapable, stats: Seq[Stat],
       cdThunks: Seq[() => Long] = Nil,
       pctThunk: Option[() => Seq[Option[Seq[Double]]]] = None,
-      saThunks: Seq[() => Option[(Long, Long)]] = Nil)
+      saThunks: Seq[() => Option[(Long, Long)]] = Nil,
+      nnThunks: Seq[() => Long] = Nil,
+      seThunks: Seq[() => (Option[Any], Option[Any])] = Nil)
       extends LeafExecNode {
 
     private def rowValues(): Seq[Any] = {
@@ -481,6 +512,13 @@ object IndexedAgg {
           baseStats._3.map(CatalystTypeConverters
             .createToCatalystConverter(output(i).dataType)).orNull
         case (CountDistinctStat(_), i) => cdThunks(i)()
+        case (CountColStat(_), i) => nnThunks(i)()
+        case (SecMinStat(_), i) =>
+          seThunks(i)()._1.map(CatalystTypeConverters
+            .createToCatalystConverter(output(i).dataType)).orNull
+        case (SecMaxStat(_), i) =>
+          seThunks(i)()._2.map(CatalystTypeConverters
+            .createToCatalystConverter(output(i).dataType)).orNull
         // TRY mode: overflow in the checked structure arithmetic
         // surfaces as NULL, matching try_sum/try_avg; ANSI lets the
         // ArithmeticException fail the query like Spark's own plan

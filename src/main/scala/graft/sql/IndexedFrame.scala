@@ -893,6 +893,35 @@ object IndexedFrame {
         () => secCountMemo.getOrElseUpdate(col, sidx.count())
       }
 
+    // Σ posting lengths = the column's non-null row count; memoized
+    // on the immutable snapshot like the distinct count
+    @transient private lazy val secNonNullMemo =
+      new scala.collection.concurrent.TrieMap[String, Long]()
+    private[sql] def secondaryNonNullCount(col: String): Option[() => Long] =
+      secondaries.get(col).map { case (_, sidx, _) =>
+        () => secNonNullMemo.getOrElseUpdate(col,
+          sidx.mapPartitions { it =>
+            var n = 0L
+            it.foreach { case (_, ks) => n += ks.length }
+            Iterator.single(n)
+          }.collect().sum)
+      }
+
+    /** Extrema of an ordered secondary: the inverted index's first and
+      * last keys, one O(depth) descent each (memoized driver-side). */
+    @transient private lazy val secExtremaMemo =
+      new scala.collection.concurrent.TrieMap[String, (Option[Any], Option[Any])]()
+    private[sql] def secondaryExtrema(
+        col: String): Option[() => (Option[Any], Option[Any])] =
+      secondaries.get(col).collect { case (spec, sidx, true) =>
+        implicit val ss: KeySerializer[Any] = spec.ser
+        // stored key form → the COLUMN's external form (Int narrows
+        // back from Long, timestamps re-wrap) before catalyst converts
+        () => secExtremaMemo.getOrElseUpdate(col,
+          (sidx.minKey().map(spec.codec.toExternalSql),
+            sidx.maxKey().map(spec.codec.toExternalSql)))
+      }
+
     /** Sorted (value-as-double, row-weight) distribution of an
       * integral ORDERED-secondary column — the full value histogram,
       * O(distinct) driver state collected once and memoized on the
@@ -1100,6 +1129,18 @@ object IndexedFrame {
     private[sql] def exprGroupStatsFor(col: String,
         bucketFactory: () => Any => Any, fs: Seq[Filter],
         withExtrema: Boolean): Option[() => RDD[(Any, Long, Any, Any)]] = None
+
+    /** `count(col)` — the NON-NULL row count — from index structure:
+      * the key never stores nulls (= count(*)); a secondary column's
+      * non-null count is the Σ of posting lengths, one memoized
+      * O(partitions) job over the inverted index. */
+    private[sql] def nonNullCountFor(col: String): Option[() => Long] = None
+    /** `min(col)` / `max(col)` of an ORDERED-secondary column: one
+      * O(depth) leftmost/rightmost descent on the inverted index —
+      * values in the column's external form, (None, None) when the
+      * column has no non-null rows. */
+    private[sql] def secondaryExtremaFor(
+        col: String): Option[() => (Option[Any], Option[Any])] = None
 
     /** `sum(col)` / `avg(col)` answered from index structure: the
       * thunk yields (sum, non-null row count), or None when the column
@@ -1423,6 +1464,14 @@ object IndexedFrame {
         s
       }.collect().foldLeft(0L)(Math.addExact)
     }
+    override private[sql] def nonNullCountFor(col: String): Option[() => Long] =
+      if (col == keyCol) Some(() => statsCount)
+      else secondaryNonNullCount(col)
+
+    override private[sql] def secondaryExtremaFor(
+        col: String): Option[() => (Option[Any], Option[Any])] =
+      if (col == keyCol) None else secondaryExtrema(col)
+
     override private[sql] def sumCountFor(
         col: String): Option[() => Option[(Long, Long)]] = {
       def integral(c: String) = schema(c).dataType match {

@@ -698,6 +698,47 @@ class IndexedAggSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("IndexedStats"))
   }
 
+  test("count(col) and secondary min/max from inverted-index structure") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val h = IndexedFrame.index(cust, "c_custkey")
+      .addSecondaryIndex("c_nationkey", ordered = true)
+    h.toDF.count()
+    val q = h.toDF.agg(count($"c_nationkey").as("nn"),
+      min($"c_nationkey").as("mn"), max($"c_nationkey").as("mx"),
+      count($"c_custkey").as("nk"), count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedStats"),
+      s"expected stats pushdown:\n${q.queryExecution.executedPlan}")
+    val expect = cust.agg(count($"c_nationkey").as("nn"),
+      min($"c_nationkey").as("mn"), max($"c_nationkey").as("mx"),
+      count($"c_custkey").as("nk"), count(lit(1)).as("n"))
+      .as[(Long, Int, Int, Long, Long)].head()
+    assert(q.as[(Long, Int, Int, Long, Long)].head() === expect)
+    // repeats answer from the memos: still exact
+    assert(q.as[(Long, Int, Int, Long, Long)].head() === expect)
+    // UNORDERED secondary: count(col) still claims (postings exist),
+    // min/max need the value order and fall through
+    val hu = IndexedFrame.index(cust, "c_custkey").addSecondaryIndex("c_nationkey")
+    val qc = hu.toDF.agg(count($"c_nationkey").as("nn"))
+    assert(qc.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qc.as[Long].head() ===
+      cust.agg(count($"c_nationkey")).as[Long].head())
+    assert(!hu.toDF.agg(min($"c_nationkey"))
+      .queryExecution.executedPlan.toString.contains("IndexedStats"))
+    // unindexed column: falls through whole
+    assert(!h.toDF.agg(count($"c_acctbal"))
+      .queryExecution.executedPlan.toString.contains("IndexedStats"))
+    // NULLs: count(col) excludes them (postings do too); min/max skip
+    val dn = (0L until 100L).map(k =>
+      (k, if (k % 4 == 0) null else java.lang.Long.valueOf(k % 9))).toDF("k", "g")
+    val hn = IndexedFrame.index(dn, "k").addSecondaryIndex("g", ordered = true)
+    val qn = hn.toDF.agg(count($"g").as("nn"), min($"g").as("mn"),
+      max($"g").as("mx"), count(lit(1)).as("n"))
+    assert(qn.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(qn.as[(Long, Long, Long, Long)].head() === ((75L, 0L, 8L, 100L)))
+  }
+
   test("percentile of an empty index is NULL, matching SQL semantics") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
