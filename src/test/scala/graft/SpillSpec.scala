@@ -54,4 +54,39 @@ class SpillSpec extends AnyFunSuite {
     assert(deleted.get(7L) === None && idx.get(7L).isDefined)
     idx.unpersist()
   }
+
+  test("DISK_ONLY index: lookup join family probes cold partitions correctly") {
+    import graft.keys.KeySerializer._
+    val sc = spark.sparkContext
+    val idx = IndexedRDD.rangePartitioned(
+      sc.parallelize((0L until 20000L).map(k => (k, k * 2)), 8), 8)
+    idx.persist(StorageLevel.DISK_ONLY)
+    idx.count()
+    // point lookup join: hits, misses, dup probes
+    val probe = sc.parallelize(Seq(5L, 5L, 19999L, 90000L).map(k => (k, s"p$k")), 2)
+    val joined = idx.lookupJoinStream(probe)((k, v, u) => (k, v, u))
+      .collect().sorted.toSeq
+    assert(joined === Seq((5L, 10L, "p5"), (5L, 10L, "p5"),
+      (19999L, 39998L, "p19999")))
+    // semi/anti
+    val keys = sc.parallelize(Seq(1L, 2L, 90000L), 2)
+    assert(idx.lookupSemiStream(keys).collect().sorted.toSeq ===
+      Seq((1L, 2L), (2L, 4L)))
+    assert(idx.lookupSemiStream(keys, anti = true).count() === 19998L)
+    // band: pruned range scans from disk
+    val bands = sc.parallelize(Seq(((100L, Some(105L)), "a"),
+      ((19998L, None), "b")), 2)
+    assert(idx.lookupRangeJoinStream(bands)((k, _, u) => (k, u))
+      .collect().sorted.toSeq ===
+      Seq((100L, "a"), (101L, "a"), (102L, "a"), (103L, "a"), (104L, "a"),
+        (19998L, "b"), (19999L, "b")))
+    // floor: exact, between, before-first
+    val floors = sc.parallelize(Seq[((Long, Option[Long]), String)](
+      ((0L, Some(8L)), "x"), ((0L, Some(1L)), "y"),
+      ((500L, Some(500L)), "z")), 2)
+    assert(idx.lookupFloorStream(floors).collect()
+      .map { case (f, u) => (u, f.map(_._1)) }.sortBy(_._1).toSeq ===
+      Seq(("x", Some(7L)), ("y", Some(0L)), ("z", None)))
+    idx.unpersist()
+  }
 }
