@@ -1712,6 +1712,22 @@ object OperatorQueries {
               |WHERE o_orderkey IN (SELECT k FROM probe_keys)""".stripMargin)
     },
 
+    "ir_sql_lookup_secondary_outer" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // probe-kept LEFT OUTER on a secondary column: every probe row
+      // kept, matches expand through posting arrays into point
+      // fetches, misses (unknown or null values) null-extend — same
+      // two probe-derived shuffles, zero corpus scans
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_nationkey")
+      val hd = h.toDF
+      val p = s.range(0, 40).select(($"id" - 5).cast("int").as("pn"), $"id".as("tag"))
+      p.join(hd, p("pn") === hd("c_nationkey"), "left")
+        .select($"pn", $"tag", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_col_stats" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2422,6 +2438,12 @@ object OperatorQueries {
     "ir_sql_in_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_orderkey IN (SELECT range*7 FROM range(0, 300))""".stripMargin,
+
+    "ir_sql_lookup_secondary_outer" ->
+      """SELECT p.pn, p.tag, c.c_custkey, c.c_acctbal
+        |FROM (SELECT CAST(range - 5 AS INT) AS pn, range AS tag
+        |      FROM range(0, 40)) p
+        |LEFT JOIN customer c ON p.pn = c.c_nationkey""".stripMargin,
 
     "ir_sql_col_stats" ->
       """SELECT CAST(count(c_nationkey) AS BIGINT) AS nn,

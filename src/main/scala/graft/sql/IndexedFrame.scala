@@ -495,6 +495,9 @@ object IndexedFrame {
       * join surface; the strategy validates `col` at claim time. */
     private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)]
+    /** LEFT-OUTER twin keeping the probe rows (misses null-extend). */
+    private[sql] def lookupOuterRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)]
   }
 
   /** The stats surface [[IndexedAgg]] plans against, implemented by
@@ -587,6 +590,34 @@ object IndexedFrame {
           sidx.lookupJoinStream(bySec)((_, ks, u) => (ks, u))
             .flatMap { case (ks, u) => ks.iterator.map(k => (k, u)) }
         idx.lookupJoinStream(expanded)((_, v, u) => (v, u))
+      }
+    }
+
+    /** LEFT-OUTER twin of [[secLookupJoinRows]] KEEPING the probe
+      * rows: probes whose value has no postings (or a null value)
+      * emit (null, probe row) — SQL's null-extended kept row. Matched
+      * values expand through postings and point-fetch as in the inner
+      * form. */
+    private[sql] def secLookupOuterRows(col: String, probe: RDD[InternalRow],
+        keyIdx: Int): Option[RDD[(InternalRow, InternalRow)]] = {
+      implicit val kt: ClassTag[K] = secTag
+      secondaries.get(col).map { case (spec, sidx, _) =>
+        val sCodec = spec.codec
+        val bySec: RDD[(Any, InternalRow)] = probe.mapPartitions(_.map { r =>
+          (if (r.isNullAt(keyIdx)) null else (sCodec.fromRow(r, keyIdx): Any),
+            r.copy())
+        })
+        // stage 1: postings per probe value, misses kept as None
+        val expanded: RDD[(Any, InternalRow)] =
+          sidx.lookupJoinStreamNullable(bySec)(
+            (_, ks, u) => (Option(ks), u), u => (None, u))
+            .flatMap {
+              case (Some(ks), u) => ks.iterator.map(k => (k: Any, u))
+              case (None, u) => Iterator.single((null: Any, u))
+            }
+        // stage 2: point-fetch hits; misses ride through null-keyed
+        idx.lookupJoinStreamNullable(expanded)(
+          (_, v, u) => (v, u), u => (null.asInstanceOf[InternalRow], u))
       }
     }
 
@@ -1384,6 +1415,9 @@ object IndexedFrame {
     override private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
       secLookupJoinRows(col, probe, keyIdx).get
+    override private[sql] def lookupOuterRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
+      secLookupOuterRows(col, probe, keyIdx).get
 
     override private[sql] def rangeLookupCapable: Boolean =
       ordered && kSer.isOrderPreserving &&
@@ -2250,6 +2284,9 @@ object IndexedFrame {
     override private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
       secLookupJoinRows(col, probe, keyIdx).get
+    override private[sql] def lookupOuterRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
+      secLookupOuterRows(col, probe, keyIdx).get
 
     override private[sql] def prefixLookupCapable: Boolean =
       ordered && tupSer.isOrderPreserving &&

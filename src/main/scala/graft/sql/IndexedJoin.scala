@@ -280,12 +280,14 @@ object IndexedJoin {
               else ProjectExec(j.output, filtered))
           }
         }
-        // SECONDARY lookup join: an inner equi-join on ONE
-        // secondary-indexed corpus column — probe values expand
-        // through the inverted index's postings into primary keys,
-        // then point-fetch corpus rows. Two one-sided shuffles of
-        // probe-derived data, zero corpus scans, no routing budget.
-        if (j.joinType != Inner) return Nil
+        // SECONDARY lookup join: an equi-join on ONE secondary-indexed
+        // corpus column — probe values expand through the inverted
+        // index's postings into primary keys, then point-fetch corpus
+        // rows. Two one-sided shuffles of probe-derived data, zero
+        // corpus scans, no routing budget. Inner either orientation;
+        // LEFT OUTER when the probe side is kept (misses null-extend).
+        val secOuter = j.joinType == LeftOuter && !corpusOnLeft
+        if (j.joinType != Inner && !secOuter) return Nil
         val secCols = h.lookupSecondaryCols
         var secPair: Option[(Attribute, Attribute)] = None
         val (secEqs, secResidual) = conjuncts(j.condition.get).partition {
@@ -311,15 +313,23 @@ object IndexedJoin {
               case IsNotNull(a: AttributeReference) => a.exprId == cAttr.exprId
               case _ => false
             }
+            // outer: corpus filters/residuals would change the match
+            // set or the null-extension — only the bare shape claims
+            if (secOuter && (secResidual.nonEmpty || cConds0.nonEmpty))
+              return Nil
+            val cAllForKind =
+              if (secOuter) corpusAll.map(_.withNullability(true)) else corpusAll
             val raw =
-              if (corpusOnLeft) corpusAll ++ probeOut else probeOut ++ corpusAll
+              if (corpusOnLeft) corpusAll ++ probeOut
+              else probeOut ++ cAllForKind
             val lifted = secResidual ++ cConds0
             val needed = AttributeSet(lifted.flatMap(_.references))
             val joinOut = raw.filter(a =>
               j.output.exists(_.exprId == a.exprId) || needed.contains(a))
-            val join = IndexedLookupJoinExec(joinOut, h, corpusAll,
+            val colName = corpusAll.find(_.exprId == cAttr.exprId).get.name
+            val join = IndexedLookupJoinExec(joinOut, h, cAllForKind,
               Array(keyIdx), corpusOnLeft,
-              LkSecInner(corpusAll.find(_.exprId == cAttr.exprId).get.name),
+              if (secOuter) LkSecOuter(colName) else LkSecInner(colName),
               planLater(probePlan))
             val filtered =
               if (lifted.isEmpty) join else FilterExec(lifted.reduce(And), join)
@@ -328,12 +338,16 @@ object IndexedJoin {
               else ProjectExec(j.output, filtered))
           case None => ()
         }
+        if (secOuter) return Nil
         // RANGE (band) lookup join: corpusKey bounded on BOTH sides by
         // deterministic probe-side expressions — each probe row routes
         // to the partitions overlapping its interval and runs one
         // pruned trie range scan. Spark's default for this non-equi
         // shape is a nested loop over the whole corpus.
-        if (corpusKeys.length != 1 || !h.rangeLookupCapable) return Nil
+        // inner only (the secondary gate above already filtered, but
+        // keep the invariant local and explicit)
+        if (j.joinType != Inner || corpusKeys.length != 1 ||
+          !h.rangeLookupCapable) return Nil
         val keyId = corpusKeys.head.get
         val keyDt = corpusAll.find(_.exprId == keyId).get.dataType
         def probeExpr(e: Expression): Boolean =
@@ -436,6 +450,8 @@ object IndexedJoin {
   /** Inner join on a SECONDARY-indexed corpus column: probe values →
     * inverted-index postings → primary point fetches. */
   final case class LkSecInner(col: String) extends LookupKind
+  /** LEFT-OUTER twin keeping the probe rows (misses null-extend). */
+  final case class LkSecOuter(col: String) extends LookupKind
   /** Inner join on a composite corpus's LEADING column only: each
     * probe fetches the entity's whole tuple run via one
     * interval-routed pruned range scan. */
@@ -482,7 +498,7 @@ object IndexedJoin {
         // may straddle a partition boundary, so the leading column
         // alone may not claim); claim(pair) handles exactly that
         case LkPrefixInner => claim(corpusKeyAttrs)
-        case LkSecInner(_) => claim(corpusKeyAttrs)
+        case LkSecInner(_) | LkSecOuter(_) => claim(corpusKeyAttrs)
         case LkProbeOuter => claim(probeKeyAttrs)
         case LkCorpusSemi | LkCorpusAnti => claim(corpusKeyAttrs)
         case LkProbeSemi | LkProbeAnti => claim(probeKeyAttrs)
@@ -498,17 +514,22 @@ object IndexedJoin {
       val cAll = corpusAll
       val onLeft = corpusOnLeft
       kind match {
-        case LkSecInner(_) | LkPrefixInner =>
+        case LkSecInner(_) | LkSecOuter(_) | LkPrefixInner =>
           val pairs = kind match {
             case LkSecInner(col) =>
               h.lookupJoinRowsBySecondary(col, probe, keyIdxs(0))
+            case LkSecOuter(col) =>
+              h.lookupOuterRowsBySecondary(col, probe, keyIdxs(0))
             case _ => h.lookupJoinRowsByPrefix(probe, keyIdxs(0))
           }
+          val nCorpus = cAll.size
           val in = if (onLeft) cAll ++ probeOut else probeOut ++ cAll
           pairs.mapPartitions { it =>
             val joined = new JoinedRow
+            val nullCorpus: InternalRow = new GenericInternalRow(nCorpus)
             val proj = UnsafeProjection.create(out, in)
-            it.map { case (c, p) =>
+            it.map { case (c0, p) =>
+              val c = if (c0 == null) nullCorpus else c0
               proj(if (onLeft) joined(c, p) else joined(p, c))
             }
           }

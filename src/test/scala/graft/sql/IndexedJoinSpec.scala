@@ -452,7 +452,15 @@ class IndexedJoinSpec extends AnyFunSuite {
       { val p = probe()
         corpus.filter(corpus("v") > 100)
           .join(p, corpus("grp") === p("pg") && p("tag") =!= 2L) })
-    // non-inner shapes fall through on the secondary column
+    // probe-kept LEFT OUTER claims: misses (incl. null probe values)
+    // null-extend, matches expand through postings
+    val qo = { val p = probe(); p.join(hd, p("pg") === hd("grp"), "left") }
+    assert(qo.queryExecution.executedPlan.toString.contains("LkSecOuter"),
+      qo.queryExecution.executedPlan.toString)
+    val eo = { val p = probe(); p.join(corpus, p("pg") === corpus("grp"), "left") }
+    assert(qo.collect().map(_.toString).sorted.toSeq ===
+      eo.collect().map(_.toString).sorted.toSeq)
+    // corpus-kept outer / semi still fall through on the secondary
     run({ val p = probe(); hd.join(p, hd("grp") === p("pg"), "left_semi") },
       { val p = probe(); corpus.join(p, corpus("grp") === p("pg"), "left_semi") },
       claim = false)
