@@ -1659,6 +1659,21 @@ object OperatorQueries {
           .BufferHasAsJava(acc).asJava), schema)
     },
 
+    "ir_sql_asof_lookup_outer" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // LEFT-OUTER point-in-time join: every probe kept, version
+      // columns null-extend for probes before their entity's first
+      // version or for unknown entities — the feature-store default
+      val versions = Tables.events(s, dir).groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 2).as("mv"))
+      val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
+        versions, "user_id", "ts", 16)
+      val p = s.range(0, 200).select(($"id" % 40 + 1).as("pu"),
+        expr("timestamp_micros((1704153600 + id * 9137) * 1000000)").as("pt"))
+      h.asOfJoinFrame(p, "pu", "pt", keepMisses = true)
+    },
+
     "ir_sql_asof_lookup" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2410,6 +2425,20 @@ object OperatorQueries {
         |  FROM range(0, 200))
         |SELECT p.pu, p.pt, v.user_id, v.ts, v.mv
         |FROM probe p JOIN versions v
+        |  ON v.user_id = p.pu AND v.ts = (
+        |    SELECT max(v2.ts) FROM versions v2
+        |    WHERE v2.user_id = p.pu AND v2.ts <= p.pt)""".stripMargin,
+
+    "ir_sql_asof_lookup_outer" ->
+      """WITH versions AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS mv
+        |  FROM events GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT range % 40 + 1 AS pu,
+        |         make_timestamp((1704153600 + range * 9137) * 1000000) AS pt
+        |  FROM range(0, 200))
+        |SELECT p.pu, p.pt, v.user_id, v.ts, v.mv
+        |FROM probe p LEFT JOIN versions v
         |  ON v.user_id = p.pu AND v.ts = (
         |    SELECT max(v2.ts) FROM versions v2
         |    WHERE v2.user_id = p.pu AND v2.ts <= p.pt)""".stripMargin,

@@ -2967,9 +2967,10 @@ object IndexedFrame {
     /** BATCH point-in-time join — the feature-store primitive: for
       * every probe row (entity, t), the LATEST version row of that
       * entity with time <= t, emitted as probe columns ++ version
-      * columns (inner semantics: probes with no version, or with a
-      * null entity/time, emit nothing — SQL's as-of condition is never
-      * true on null). Each probe row routes to the partitions
+      * columns. Inner semantics by default (probes with no version, or
+      * with a null entity/time, emit nothing — SQL's as-of condition
+      * is never true on null); `keepMisses` gives LEFT-OUTER semantics
+      * instead: every probe row kept, version columns null-extended. Each probe row routes to the partitions
       * overlapping its entity's `[(a, minB), (a, succ t))` tuple
       * interval — ONE partition unless the entity's versions straddle
       * a boundary — and runs one O(depth) bounded floor descent; a
@@ -2979,7 +2980,8 @@ object IndexedFrame {
       * (corpus shuffle!) plus a per-entity window max. Probe column
       * dtypes must match the key columns'; output column names must
       * not collide (rename probe columns first). */
-    def asOfJoinFrame(probe: DataFrame, entityCol: String, timeCol: String)(
+    def asOfJoinFrame(probe: DataFrame, entityCol: String, timeCol: String,
+        keepMisses: Boolean = false)(
         implicit spark: SparkSession): DataFrame = {
       require(ordered && tupSer.isOrderPreserving &&
         idx.partitioner.exists(
@@ -2999,8 +3001,14 @@ object IndexedFrame {
       val cB = codecB
       val keyed: RDD[(((A, B), Option[(A, B)]), InternalRow)] =
         probe.queryExecution.toRdd.mapPartitions(_.flatMap { r =>
-          if (r.isNullAt(ia) || r.isNullAt(ib)) Iterator.empty
-          else {
+          if (r.isNullAt(ia) || r.isNullAt(ib)) {
+            // LEFT-OUTER keeps null-keyed probes as guaranteed misses:
+            // an EMPTY interval routes once and floors to None
+            if (keepMisses)
+              Iterator.single((((cA.minKey, cB.minKey),
+                Some((cA.minKey, cB.minKey)): Option[(A, B)]), r.copy()))
+            else Iterator.empty
+          } else {
             val a = cA.fromRow(r, ia)
             val t = cB.fromRow(r, ib)
             val lo = (a, cB.minKey)
@@ -3017,12 +3025,21 @@ object IndexedFrame {
       val outSchema = org.apache.spark.sql.types.StructType(
         probe.schema.fields ++ schema.fields.map(_.copy(nullable = true)))
       val types = outSchema.fields.map(_.dataType)
+      val nVersion = schema.length
       val rows = idx.lookupFloorStream(keyed)(implicitly, tupSer)
         .mapPartitions { it =>
           val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          val nullVersion: InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(nVersion)
           val proj = UnsafeProjection.create(types)
-          it.collect { case (Some((_, v)), u) =>
-            proj(joined(u, v)): InternalRow
+          it.flatMap {
+            case (Some((_, v)), u) =>
+              Iterator.single(proj(joined(u, v)): InternalRow)
+            case (None, u) =>
+              if (keepMisses)
+                Iterator.single(proj(joined(u, nullVersion)): InternalRow)
+              else Iterator.empty
           }
         }
       org.apache.spark.sql.graftbridge.ExpressionBridge

@@ -534,6 +534,15 @@ class IndexedJoinSpec extends AnyFunSuite {
       expect.collect().map(_.toString).sorted.toSeq)
     // probes with no floor (before-first, unknown entity, null) drop
     assert(got.count() === 5)
+    // keepMisses = LEFT-OUTER: every probe kept, versions null-extend
+    val outer = h.asOfJoinFrame(probe, "pu", "pt", keepMisses = true)
+    assert(outer.count() === 8)
+    val wE = Window.partitionBy($"tag").orderBy($"vts".desc_nulls_last)
+    val expectOuter = probe.join(versions, $"pu" === $"vu" && $"vts" <= $"pt", "left")
+      .withColumn("rn", row_number().over(wE)).filter($"rn" === 1).drop("rn")
+      .select($"pu", $"pt", $"tag", $"vu", $"vts", $"value")
+    assert(outer.collect().map(_.toString).sorted.toSeq ===
+      expectOuter.collect().map(_.toString).sorted.toSeq)
   }
 
   test("IN/EXISTS subqueries rewrite to semi joins that ride the lookup path") {
