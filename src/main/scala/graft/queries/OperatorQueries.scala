@@ -1546,9 +1546,10 @@ object OperatorQueries {
       import s.implicits._
       implicit val sp: SparkSession = s
       // LEFT-OUTER enrichment: every batch row kept, corpus columns
-      // null-extend on miss — same probe-side-only cost. Claimed only
-      // for non-nullable probe keys (null-keyed rows are dropped at
-      // the probe but SQL keeps them; nullable keys fall through).
+      // null-extend on miss — same probe-side-only cost. Null probe
+      // keys are kept too, as guaranteed misses routed through the
+      // nullable stream (IndexedJoinSpec covers nullable keys); no
+      // nullability restriction exists.
       graft.sql.IndexedJoin.enable(s)
       val h = graft.sql.IndexedFrame.index(Tables.orders(s, dir), "o_orderkey")
       val hd = h.toDF

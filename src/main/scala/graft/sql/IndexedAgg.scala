@@ -215,7 +215,13 @@ object IndexedAgg {
           case Seq(al: Alias) if al.exprId == ga.exprId &&
               !al.child.isInstanceOf[Attribute] && al.child.deterministic &&
               al.child.references.size == 1 &&
-              !al.child.exists(_.isInstanceOf[AggregateExpression]) =>
+              !al.child.exists(_.isInstanceOf[AggregateExpression]) &&
+              // plan expressions (scalar subqueries etc.) pass the
+              // three gates above but the LOGICAL form cannot eval in
+              // the interpreted bucketFactory — reject so the default
+              // planner (which rewrites them) keeps the query
+              !al.child.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) =>
             Some((al.child, inner))
           case _ => None
         }

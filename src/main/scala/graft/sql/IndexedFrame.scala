@@ -449,8 +449,10 @@ object IndexedFrame {
       * costs one O(depth) point lookup — the corpus is never scanned
       * and never moves. Yields (corpus row, probe row) per hit; with
       * `keepMisses` also (null, probe row) per miss (the LEFT-OUTER
-      * enrichment shape — the claim requires non-nullable probe keys,
-      * since null-keyed probe rows are dropped here). */
+      * enrichment shape). Null probe keys: dropped in the inner form
+      * (SQL equi-join never matches null); under `keepMisses` they
+      * route through the nullable stream and are KEPT as guaranteed
+      * misses (null-extended) — no nullability restriction exists. */
     private[sql] def lookupJoinRows(probe: RDD[InternalRow],
         keyIdxs: Array[Int], keepMisses: Boolean): RDD[(InternalRow, InternalRow)]
     /** This side's rows whose key IS (semi) / is NOT (anti) in the
@@ -638,9 +640,12 @@ object IndexedFrame {
       implicit val st: ClassTag[Any] = spec.tag
       implicit val ss: KeySerializer[Any] = spec.ser
       implicit val vt: ClassTag[Array[K]] = secTag.wrap
-      secondaries.put(colName,
-        (spec, graft.IndexedRDDIO.load[Any, Array[K]](
-          idx.sparkContext, path).cached, rangeable))
+      val loaded = graft.IndexedRDDIO.load[Any, Array[K]](
+        idx.sparkContext, path).cached
+      secondaries.put(colName, (spec, loaded, rangeable))
+      // warm the distinct-count memo in this user-invoked load call —
+      // same planning-side-effect rule as addSecondaryIndex
+      secCountMemo.put(colName, loaded.count())
       ()
     }
 
@@ -677,7 +682,13 @@ object IndexedFrame {
           .mapValues(_.toArray(kt))
         val rangeable = ordered && spec.ser.isOrderPreserving
         val s2 = if (rangeable) IndexedRDD.ordered(grouped) else IndexedRDD(grouped)
-        (spec, s2.cached, rangeable)
+        val built = (spec, s2.cached, rangeable)
+        // warm the distinct-count memo NOW (one O(partitions) job on
+        // the just-built index, inside this user-invoked build call)
+        // so query PLANNING can gate histogram claims on the memo
+        // alone and never launches a job as a planning side effect
+        secCountMemo.put(col, built._2.count())
+        built
       })
       this
     }
@@ -953,31 +964,39 @@ object IndexedFrame {
             sidx.maxKey().map(spec.codec.toExternalSql)))
       }
 
-    /** Sorted (value-as-double, row-weight) distribution of an
+    /** Sorted (value-as-Long, row-weight) distribution of an
       * integral ORDERED-secondary column — the full value histogram,
       * O(distinct) driver state collected once and memoized on the
-      * immutable snapshot. Gated on the distinct count (the memoized
-      * O(partitions) job count(DISTINCT) already pays) staying under
+      * immutable snapshot. Values stay LONG so the sum/avg lane does
+      * exact checked arithmetic (a Double round-trip silently loses
+      * precision past 2^53); percentile interpolation converts at the
+      * last step. Gated on the distinct count staying under
       * [[SecondaryRouteBudget]]: a categorical column's histogram is
       * tiny no matter how many rows the corpus has; a high-cardinality
       * column disqualifies and the query falls through to the scan
-      * plan. Inner None = column has no non-null rows. */
+      * plan. The gate reads only the MEMOIZED count — claim time is
+      * query PLANNING, and planning must never launch a Spark job as a
+      * side effect (the count memo warms when the secondary is built
+      * or restored, so in-session handles always have it). Inner None
+      * = column has no non-null rows. */
     @transient private lazy val secDistMemo =
-      new scala.collection.concurrent.TrieMap[String, Array[(Double, Long)]]()
+      new scala.collection.concurrent.TrieMap[String, Array[(Long, Long)]]()
     private[sql] def secondaryDistributionFor(
-        col: String): Option[() => Option[Array[(Double, Long)]]] = {
+        col: String): Option[() => Option[Array[(Long, Long)]]] = {
       val integral = schema(col).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
       if (!integral || !hasOrderedSecondary(col)) return None
       val (_, sidx, _) = secondaries(col)
-      if (secCountMemo.getOrElseUpdate(col, sidx.count()) > SecondaryRouteBudget)
-        return None
+      secCountMemo.get(col) match {
+        case Some(n) if n <= SecondaryRouteBudget => // claimable
+        case _ => return None // cold or over budget: fall through
+      }
       Some { () =>
         val dist = secDistMemo.getOrElseUpdate(col,
           sidx.mapPartitions(_.map { case (v, ks) =>
-            (v.asInstanceOf[Number].doubleValue(), ks.length.toLong)
+            (v.asInstanceOf[Number].longValue(), ks.length.toLong)
           }).collect().sortBy(_._1))
         if (dist.isEmpty) None else Some(dist)
       }
@@ -1523,7 +1542,9 @@ object IndexedFrame {
           var s = 0L
           var n = 0L
           dist.foreach { case (v, w) =>
-            s = Math.addExact(s, Math.multiplyExact(v.toLong, w))
+            // v is the stored Long — exact at any magnitude, where a
+            // Double round-trip would silently lose bits past 2^53
+            s = Math.addExact(s, Math.multiplyExact(v, w))
             n += w
           }
           (s, n)
@@ -1547,7 +1568,7 @@ object IndexedFrame {
           _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
       // resolve every spec up front; one unservable column disqualifies
       // the whole claim and the query falls through intact
-      val srcs: Seq[Option[Either[Unit, () => Option[Array[(Double, Long)]]]]] =
+      val srcs: Seq[Option[Either[Unit, () => Option[Array[(Long, Long)]]]]] =
         specs.map { case (c, _) =>
           if (c == keyCol) (if (keyOk) Some(Left(())) else None)
           else secondaryDistributionFor(c).map(Right(_))
@@ -1580,18 +1601,20 @@ object IndexedFrame {
           val vLo = rankKeyMemo(lo)
           if (lo == hi) vLo else vLo + (rankKeyMemo(hi) - vLo) * (r - lo)
         }
-        def atWeighted(dist: Array[(Double, Long)], total: Long,
+        def atWeighted(dist: Array[(Long, Long)], total: Long,
             p: Double): Double = {
           val r = p * (total - 1)
+          // Double conversion happens HERE, at interpolation — the
+          // same place Spark's own Percentile converts
           def valueAt(j: Long): Double = {
             var cum = 0L
             var i = 0
             while (i < dist.length) {
               cum += dist(i)._2
-              if (cum > j) return dist(i)._1
+              if (cum > j) return dist(i)._1.toDouble
               i += 1
             }
-            dist.last._1
+            dist.last._1.toDouble
           }
           val lo = math.floor(r).toLong
           val hi = math.ceil(r).toLong

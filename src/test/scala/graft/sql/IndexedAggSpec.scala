@@ -698,6 +698,22 @@ class IndexedAggSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("IndexedStats"))
   }
 
+  test("histogram-served sum stays exact past 2^53 (no Double round-trip)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    import spark.implicits._
+    // 2^53 + 1 is the first Long a Double cannot represent: a
+    // Double-valued histogram would silently return 2^53 here
+    val big = (1L << 53) + 1L
+    val df = Seq((1L, big), (2L, big), (3L, 5L)).toDF("k", "v")
+    val h = IndexedFrame.index(df, "k").addSecondaryIndex("v", ordered = true)
+    h.toDF.count()
+    val q = h.toDF.agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedStats"),
+      s"expected stats pushdown:\n${q.queryExecution.executedPlan}")
+    assert(q.as[(Long, Long)].head() === ((big + big + 5L, 3L)))
+  }
+
   test("count(col) and secondary min/max from inverted-index structure") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
