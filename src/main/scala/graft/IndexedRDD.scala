@@ -281,6 +281,73 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
 
   /**
+   * Broadcast-probe lookup join for DRIVER-RESIDENT batches — the
+   * small-side twin of [[lookupJoinStream]]. The probes group by
+   * owning partition on the driver, ship ONCE via broadcast (one copy
+   * per executor), and a NARROW single-stage job probes the owning
+   * partitions' tries: no shuffle stage at all, and a task whose
+   * partition owns no probe is a no-op that never deserializes its
+   * partition (cold/disk partitions the batch skips stay cold). The
+   * enrich-a-small-delta shape at cluster scale: with today's keys
+   * clustered in recent partitions, cost is O(partitions) no-op task
+   * launches + O(probes) O(depth) descents — Catalyst's broadcast
+   * hash join scans the ENTIRE corpus per query even with the delta
+   * broadcast. `nullKeyed` rows (SQL null join keys) never probe;
+   * with `missing` set they are emitted as guaranteed misses from
+   * their housing partition.
+   */
+  def lookupJoinLocal[U: ClassTag, R: ClassTag](
+      probes: Seq[(K, U)], nullKeyed: Seq[U] = Nil)(
+      f: (K, V, U) => R, missing: Option[U => R] = None): RDD[R] = {
+    val part = partitioner.get
+    val grouped = probes.groupBy { case (k, _) => part.getPartition(k) }
+      .map { case (pid, ps) => (pid, ps.toArray) }
+    val nullRows =
+      if (missing.isDefined) nullKeyed.toArray else Array.empty[U]
+    // null-keyed misses need SOME task to emit them; house them with
+    // the lowest owner (partition 0 when nothing probes at all)
+    val nullHome = if (grouped.isEmpty) 0 else grouped.keysIterator.min
+    val bc = context.broadcast((grouped, nullRows))
+    // full fan-out, NOT PartitionPruningRDD: partition count and
+    // numbering are preserved, so every output row still sits in its
+    // key's owning partition under THIS index's partitioner and
+    // key-clustered partitioning claims stay valid upstairs. Tasks on
+    // partitions owning no probe return empty WITHOUT touching their
+    // iterator — the one-object-per-partition block never
+    // deserializes, so a cold (disk) partition the batch skips stays
+    // skipped; only the task launch is paid.
+    partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+      val (byPid, nulls) = bc.value
+      val mine = byPid.getOrElse(pid, null)
+      val nullMisses: Iterator[R] =
+        if (pid == nullHome && nulls.nonEmpty)
+          nulls.iterator.map(missing.get)
+        else Iterator.empty
+      if (mine == null) nullMisses
+      else {
+        val hits: Iterator[R] =
+          if (!pit.hasNext) missing match {
+            case Some(m) => mine.iterator.map { case (_, u) => m(u) }
+            case None => Iterator.empty
+          }
+          else {
+            val p = pit.next()
+            mine.iterator.flatMap { case (k, u) =>
+              p(k) match {
+                case Some(v) => Iterator.single(f(k, v, u))
+                case None => missing match {
+                  case Some(m) => Iterator.single(m(u))
+                  case None => Iterator.empty
+                }
+              }
+            }
+          }
+        hits ++ nullMisses
+      }
+    }
+  }
+
+  /**
    * INTERVAL probes against the globally ordered layout — the
    * BAND-JOIN primitive. Each probe row carries a half-open key
    * interval `[lo, hi)` (`hi = None` = unbounded above, the

@@ -466,6 +466,19 @@ object IndexedFrame {
       * — exact for semi; the anti claim requires non-nullable keys. */
     private[sql] def lookupProbeFilter(probe: RDD[InternalRow],
         keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow]
+    /** Driver-mediated twin of [[lookupJoinRows]] for SMALL probe
+      * batches (the broadcast shape): the probe rows are already on
+      * the driver, so the join is ZERO-shuffle — keys group by owning
+      * partition locally, ship once via broadcast, and a
+      * partition-PRUNED narrow job probes only the owners. None =
+      * this handle cannot serve the shape (exec falls back to the
+      * shuffled path). Same null-key semantics as the RDD form. */
+    private[sql] def lookupJoinRowsLocal(probeRows: Array[InternalRow],
+        keyIdxs: Array[Int], keepMisses: Boolean)
+        : Option[RDD[(InternalRow, InternalRow)]] = None
+    /** Driver-mediated twin of [[lookupProbeFilter]]. */
+    private[sql] def lookupProbeFilterLocal(probeRows: Array[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): Option[RDD[InternalRow]] = None
     /** Columns with an inverted index — the secondary lookup-join
       * claim surface. */
     private[sql] def lookupSecondaryCols: Set[String]
@@ -1430,6 +1443,33 @@ object IndexedFrame {
         idx.lookupJoinStreamNullable(keyedProbeNullable(probe, keyIdxs(0)))(
           (_, _, _) => null.asInstanceOf[InternalRow], u => u).filter(_ != null)
 
+    override private[sql] def lookupJoinRowsLocal(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        keepMisses: Boolean): Option[RDD[(InternalRow, InternalRow)]] = {
+      val c = codec
+      val i0 = keyIdxs(0)
+      val (nulls, keyed) = probeRows.partition(_.isNullAt(i0))
+      val probes = keyed.toSeq.map(r => (c.fromRow(r, i0), r))
+      Some(
+        if (!keepMisses) idx.lookupJoinLocal(probes)((_, v, u) => (v, u))
+        else idx.lookupJoinLocal(probes, scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))(
+          (_, v, u) => (v, u),
+          Some((u: InternalRow) => (null.asInstanceOf[InternalRow], u))))
+    }
+    override private[sql] def lookupProbeFilterLocal(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        anti: Boolean): Option[RDD[InternalRow]] = {
+      val c = codec
+      val i0 = keyIdxs(0)
+      val (nulls, keyed) = probeRows.partition(_.isNullAt(i0))
+      val probes = keyed.toSeq.map(r => (c.fromRow(r, i0), r))
+      Some(
+        if (!anti) idx.lookupJoinLocal(probes)((_, _, u) => u)
+        else idx.lookupJoinLocal(probes, scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))(
+          (_, _, _) => null.asInstanceOf[InternalRow],
+          Some((u: InternalRow) => u)).filter(_ != null))
+    }
+
     override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
     override private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
@@ -2303,6 +2343,38 @@ object IndexedFrame {
           keyedProbeNullable(probe, keyIdxs(0), keyIdxs(1)))(
           (_, _, _) => null.asInstanceOf[InternalRow], u => u).filter(_ != null)
 
+    private def localPairProbes(probeRows: Array[InternalRow],
+        keyIdxs: Array[Int]): (Seq[((A, B), InternalRow)], Seq[InternalRow]) = {
+      val cA = codecA
+      val cB = codecB
+      val iA = keyIdxs(0)
+      val iB = keyIdxs(1)
+      val (nulls, keyed) =
+        probeRows.partition(r => r.isNullAt(iA) || r.isNullAt(iB))
+      (keyed.toSeq.map(r => ((cA.fromRow(r, iA), cB.fromRow(r, iB)), r)),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))
+    }
+    override private[sql] def lookupJoinRowsLocal(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        keepMisses: Boolean): Option[RDD[(InternalRow, InternalRow)]] = {
+      val (probes, nulls) = localPairProbes(probeRows, keyIdxs)
+      Some(
+        if (!keepMisses) idx.lookupJoinLocal(probes)((_, v, u) => (v, u))
+        else idx.lookupJoinLocal(probes, nulls)(
+          (_, v, u) => (v, u),
+          Some((u: InternalRow) => (null.asInstanceOf[InternalRow], u))))
+    }
+    override private[sql] def lookupProbeFilterLocal(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        anti: Boolean): Option[RDD[InternalRow]] = {
+      val (probes, nulls) = localPairProbes(probeRows, keyIdxs)
+      Some(
+        if (!anti) idx.lookupJoinLocal(probes)((_, _, u) => u)
+        else idx.lookupJoinLocal(probes, nulls)(
+          (_, _, _) => null.asInstanceOf[InternalRow],
+          Some((u: InternalRow) => u)).filter(_ != null))
+    }
+
     override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
     override private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
@@ -2421,6 +2493,39 @@ object IndexedFrame {
       * no data-row exchange. Optional leading-interval conjuncts
       * restrict the groups; non-leading predicates fall through.
       * Secondary-indexed columns route to posting lengths. */
+    /** Bounded memo of CACHED grouped-pushdown result RDDs on this
+      * IMMUTABLE snapshot: a repeated identical grouped query reuses
+      * the cached O(groups) result instead of re-walking the key
+      * stream — the dashboard-repeat shape, the same snapshot-memo
+      * soundness argument as the probe/top-k memos (COW mutations
+      * return a NEW handle, so entries never invalidate). LRU-capped
+      * at 8 lanes; evicted entries unpersist. */
+    @transient private lazy val groupedResultMemo =
+      new java.util.LinkedHashMap[String, RDD[_]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, RDD[_]]): Boolean = {
+          val evict = size() > 8
+          if (evict) e.getValue.unpersist(blocking = false)
+          evict
+        }
+      }
+    private def memoGrouped[T](sig: String)(compute: => RDD[T]): RDD[T] =
+      groupedResultMemo.synchronized {
+        groupedResultMemo.get(sig) match {
+          case null =>
+            // O(groups) rows spread over the full shuffle fan-out:
+            // narrow-merge to a handful of partitions so every REPEAT
+            // collect pays a few task launches, not one per shuffle
+            // partition
+            val r0 = compute
+            val r = r0.coalesce(math.min(8, math.max(1, r0.getNumPartitions)))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+            groupedResultMemo.put(sig, r)
+            r
+          case r => r.asInstanceOf[RDD[T]]
+        }
+      }
+
     override private[sql] def groupCountsFor(col: String,
         fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
       if (col != keyColA) return secondaryGroupCountsFor(col, fs)
@@ -2437,15 +2542,16 @@ object IndexedFrame {
       val isEmpty = iv.empty
       Some(() =>
         if (isEmpty) idx.context.emptyRDD[(Any, Long)]
-        else {
+        else memoGrouped(s"gc|${lo.map(_.toString)}|${hi.map(_.toString)}") {
+          val unbounded = lo.isEmpty && hi.isEmpty
           val partial = idx.partitionsRDD.mapPartitions { pit =>
             if (!pit.hasNext) Iterator.empty
             else {
               val m = new java.util.HashMap[Any, java.lang.Long]()
               pit.next().iterator.foreach { case (k, _) =>
                 val a = k._1
-                if (lo.forall(l => ordA.gteq(a, l)) &&
-                    hi.forall(h => ordA.lt(a, h))) {
+                if (unbounded || (lo.forall(l => ordA.gteq(a, l)) &&
+                    hi.forall(h => ordA.lt(a, h)))) {
                   val prev = m.get(a)
                   m.put(a, if (prev == null) 1L else prev.longValue() + 1L)
                 }
@@ -2706,7 +2812,8 @@ object IndexedFrame {
       val streamRuns = leadRunsServable
       Some(() =>
         if (isEmpty) idx.context.emptyRDD[(Any, Long, Any, Any)]
-        else {
+        else memoGrouped(s"gs|${lo.map(_.toString)}|${hi.map(_.toString)}") {
+          val unbounded = lo.isEmpty && hi.isEmpty
           val partial = idx.partitionsRDD.mapPartitions { pit =>
             if (!pit.hasNext) Iterator.empty
             else if (streamRuns) {
@@ -2731,8 +2838,8 @@ object IndexedFrame {
                   curSet = true
                   cnt = 0L
                 }
-                if (lo.forall(l => ordA.gteq(a, l)) &&
-                    hi.forall(h => ordA.lt(a, h))) {
+                if (unbounded || (lo.forall(l => ordA.gteq(a, l)) &&
+                    hi.forall(h => ordA.lt(a, h)))) {
                   if (cnt == 0L) mnB = k._2
                   mxB = k._2
                   cnt += 1
@@ -2744,8 +2851,8 @@ object IndexedFrame {
               val m = new java.util.HashMap[A, (Long, B, B)]()
               pit.next().iterator.foreach { case (k, _) =>
                 val a = k._1
-                if (lo.forall(l => ordA.gteq(a, l)) &&
-                    hi.forall(h => ordA.lt(a, h))) {
+                if (unbounded || (lo.forall(l => ordA.gteq(a, l)) &&
+                    hi.forall(h => ordA.lt(a, h)))) {
                   val prev = m.get(a)
                   if (prev == null) m.put(a, (1L, k._2, k._2))
                   else m.put(a, (prev._1 + 1L,

@@ -411,9 +411,19 @@ object IndexedJoin {
         val needed = AttributeSet(lifted.flatMap(_.references))
         val joinOut = rawOut.filter(a =>
           wanted.exists(_.exprId == a.exprId) || needed.contains(a))
+        // probe side small by ITS OWN stats (the signal Catalyst's
+        // broadcast decision uses) → driver-mediated zero-shuffle
+        // probing for the point-probe kinds
+        val small = kind match {
+          case LkInner | LkProbeOuter | LkProbeSemi | LkProbeAnti =>
+            val thr = org.apache.spark.sql.internal.SQLConf.get
+              .autoBroadcastJoinThreshold
+            thr > 0 && probePlan.stats.sizeInBytes <= thr
+          case _ => false
+        }
         val join = IndexedLookupJoinExec(joinOut, h,
           if (kind == LkProbeOuter) corpusAllN else corpusAll,
-          keyIdxs, corpusOnLeft, kind, planLater(probePlan))
+          keyIdxs, corpusOnLeft, kind, planLater(probePlan), small)
         val filtered =
           if (lifted.isEmpty) join else FilterExec(lifted.reduce(And), join)
         Seq(if (joinOut.map(_.exprId) == wanted.map(_.exprId)) filtered
@@ -462,12 +472,27 @@ object IndexedJoin {
     * O(depth) point probe in the owning partition's trie. The corpus
     * side has no child plan — it is the handle's cached index — and is
     * never scanned (LkCorpusAnti streams it locally, still without
-    * moving it). */
+    * moving it).
+    *
+    * `smallProbe` (set at plan time from the probe side's stats, the
+    * same signal Catalyst's own broadcast decision uses) switches the
+    * point-probe kinds to the DRIVER-MEDIATED path: the probe side is
+    * collected (capped — over the cap it falls back to the shuffled
+    * path), grouped by owning partition on the driver, broadcast
+    * once, and a partition-PRUNED narrow job probes only the owning
+    * partitions. That removes the probe-side shuffle stage entirely
+    * and — when the batch's keys cluster, the 100 TB delta shape —
+    * skips every partition the batch does not touch. */
   case class IndexedLookupJoinExec(output: Seq[Attribute],
       h: IndexedFrame.JoinableHandle, corpusAll: Seq[Attribute],
       keyIdxs: Array[Int], corpusOnLeft: Boolean, kind: LookupKind,
-      child: SparkPlan)
+      child: SparkPlan, smallProbe: Boolean = false)
       extends org.apache.spark.sql.execution.UnaryExecNode {
+
+    /** Row cap for the driver-mediated collect — insurance against
+      * lying stats; beyond it the shuffled path serves (the probe
+      * child re-executes, cheap for a plan whose stats said "tiny"). */
+    private val LocalProbeRowCap = 1 << 20
 
     override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
       copy(child = newChild)
@@ -481,6 +506,9 @@ object IndexedJoin {
       * partition 0). LkSecInner clusters by the PRIMARY key — the
       * final point-fetch hop — not by the joined secondary value. */
     override def outputPartitioning: Partitioning = {
+      // valid for BOTH probe paths: the driver-mediated RDD fans out
+      // over the same partitions (no pruning/renumbering), so every
+      // output row still sits in its key's owning partition
       val n = h.idxAny.partitions.length
       def claim(attrs: Seq[Attribute]): Option[Partitioning] = attrs match {
         case Seq(one) if output.exists(_.exprId == one.exprId) =>
@@ -534,7 +562,10 @@ object IndexedJoin {
             }
           }
         case LkInner | LkProbeOuter =>
-          val pairs = h.lookupJoinRows(probe, keyIdxs, kind == LkProbeOuter)
+          val keepM = kind == LkProbeOuter
+          val pairs = localProbeRows()
+            .flatMap(rows => h.lookupJoinRowsLocal(rows, keyIdxs, keepM))
+            .getOrElse(h.lookupJoinRows(probe, keyIdxs, keepM))
           val nCorpus = cAll.size
           val in = if (onLeft) cAll ++ probeOut else probeOut ++ cAll
           pairs.mapPartitions { it =>
@@ -553,12 +584,33 @@ object IndexedJoin {
               it.map(proj)
             }
         case LkProbeSemi | LkProbeAnti =>
-          h.lookupProbeFilter(probe, keyIdxs, kind == LkProbeAnti)
-            .mapPartitions { it =>
-              val proj = UnsafeProjection.create(out, probeOut)
-              it.map(proj)
-            }
+          val anti = kind == LkProbeAnti
+          val kept = localProbeRows()
+            .flatMap(rows => h.lookupProbeFilterLocal(rows, keyIdxs, anti))
+            .getOrElse(h.lookupProbeFilter(probe, keyIdxs, anti))
+          kept.mapPartitions { it =>
+            val proj = UnsafeProjection.create(out, probeOut)
+            it.map(proj)
+          }
       }
+    }
+
+    /** Collect the probe side for the driver-mediated path: None when
+      * the plan-time stats gate is off or the runtime cap trips (the
+      * shuffled path then serves, re-executing the probe child). ONE
+      * collect job — executeTake's incremental scale-up rounds would
+      * pay several jobs for a multi-partition probe; the memory risk
+      * profile is exactly BroadcastExchange's (stats said "tiny"). */
+    private def localProbeRows(): Option[Array[InternalRow]] = {
+      if (!smallProbe) return None
+      val probe = child.execute().mapPartitions(
+        _.map(_.copy()), preservesPartitioning = true)
+      // narrow-merge the (stats-tiny) probe before collecting: 8 task
+      // launches instead of one per probe partition
+      val merged =
+        if (probe.getNumPartitions > 8) probe.coalesce(8) else probe
+      val rows = merged.collect()
+      if (rows.length <= LocalProbeRowCap) Some(rows) else None
     }
 
     override def simpleString(maxFields: Int): String =

@@ -422,6 +422,35 @@ class IndexedJoinSpec extends AnyFunSuite {
           .join(p, corpus("k") === p("pk") && p("tag") > 1005) })
   }
 
+  test("lookup join: driver-mediated and shuffled probe paths agree") {
+    // autoBroadcastJoinThreshold gates the driver-mediated small-probe
+    // path (the same signal as Catalyst's broadcast decision): -1
+    // forces the shuffled path; both must produce identical rows for
+    // every probe-kept shape, null keys included
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val corpus = (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v")
+    val h = IndexedFrame.index(corpus, "k", numPartitions = 8)
+    val hd = h.toDF
+    def probe() = spark.createDataFrame(
+      Seq[(java.lang.Long, String)]((2L, "a"), (2L, "b"), (9999L, "c"),
+        (null, "d"), (11L, "e"))).toDF("pk", "tag")
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thrKey)
+    def shapes(): Seq[Seq[String]] = Seq(
+      { val p = probe(); hd.join(p, hd("k") === p("pk")) },
+      { val p = probe(); p.join(hd, p("pk") === hd("k"), "left") },
+      { val p = probe(); p.join(hd, p("pk") === hd("k"), "left_semi") },
+      { val p = probe(); p.join(hd, p("pk") === hd("k"), "left_anti") },
+    ).map(_.collect().map(_.toString).sorted.toSeq)
+    try {
+      val viaLocal = shapes() // tiny stats: small-probe path
+      spark.conf.set(thrKey, "-1")
+      val viaShuffle = shapes()
+      assert(viaLocal === viaShuffle)
+    } finally spark.conf.set(thrKey, saved)
+  }
+
   test("secondary lookup join: probe values expand through postings to point fetches") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
