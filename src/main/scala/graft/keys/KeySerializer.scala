@@ -305,6 +305,79 @@ object KeySerializer {
     }
   }
 
+  /** N-ary generalization of [[ConcatTuple2Serializer]]: the
+    * components of a `Seq[Any]` key concatenate with NO length
+    * prefixes. Component prefix-freedom (law 2) makes the
+    * concatenation prefix-free for FIXED arity — distinct keys first
+    * differ at some component i, whose encodings can't prefix each
+    * other, so the concatenations differ at a byte inside both — and
+    * order-preserving in lexicographic component order whenever every
+    * component serializer preserves its own order (same argument as
+    * the 2-ary proof, applied left to right). Decoding splits at each
+    * component's self-delimited extent. The `(tenant, entity, ts)`
+    * three-part key — and any wider — without manual `((a,b),c)`
+    * nesting. All keys MUST have exactly `sers.length` components. */
+  class ConcatNSerializer(sers: IndexedSeq[KeySerializer[Any]])
+      extends KeySerializer[Seq[Any]] {
+    require(sers.nonEmpty, "ConcatNSerializer needs at least one component")
+    override def isOrderPreserving: Boolean = sers.forall(_.isOrderPreserving)
+    override def fixedWidth: Option[Int] = {
+      val ws = sers.map(_.fixedWidth)
+      if (ws.forall(_.isDefined)) Some(ws.map(_.get).sum) else None
+    }
+    def toBytes(k: Seq[Any]): Array[Byte] = {
+      require(k.length == sers.length,
+        s"expected ${sers.length} key components, got ${k.length}")
+      val parts = new Array[Array[Byte]](sers.length)
+      var total = 0
+      var i = 0
+      while (i < sers.length) {
+        parts(i) = sers(i).toBytes(k(i)); total += parts(i).length; i += 1
+      }
+      val out = new Array[Byte](total)
+      var off = 0
+      i = 0
+      while (i < sers.length) {
+        System.arraycopy(parts(i), 0, out, off, parts(i).length)
+        off += parts(i).length
+        i += 1
+      }
+      out
+    }
+    def fromBytes(b: Array[Byte]): Seq[Any] = {
+      val out = new Array[Any](sers.length)
+      var off = 0
+      var i = 0
+      while (i < sers.length) {
+        val len = sers(i).encodedLength(b, off)
+        out(i) = sers(i).fromBytes(java.util.Arrays.copyOfRange(b, off, off + len))
+        off += len
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    override def encodedLength(b: Array[Byte], off: Int): Int = {
+      var o = off
+      var i = 0
+      while (i < sers.length) { o += sers(i).encodedLength(b, o); i += 1 }
+      o - off
+    }
+  }
+
+  /** Lexicographic component order for [[ConcatNSerializer]] keys —
+    * the order its bytes preserve when every component does. */
+  class SeqLexOrdering(ords: IndexedSeq[Ordering[Any]]) extends Ordering[Seq[Any]] {
+    def compare(x: Seq[Any], y: Seq[Any]): Int = {
+      var i = 0
+      while (i < ords.length) {
+        val c = ords(i).compare(x(i), y(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
   /** a ‖ b with NO length prefix. Component prefix-freedom (law 2)
     * makes the concatenation prefix-free, and — whenever each
     * component preserves its own order — ORDER-PRESERVING in

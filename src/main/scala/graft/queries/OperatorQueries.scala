@@ -347,6 +347,40 @@ object OperatorQueries {
         .select($"c_bucket", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_pointget_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // THREE-column composite key through the N-ary concat serializer
+      // (the reference Tuple2Serializer contract, reference
+      // KeySerializer.scala:145-176, generalized to arity N): pushed
+      // conjunctive equality/IN on ALL key columns routes into one
+      // partition-pruned tuple multiget — 3 probes, no scan
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeN(
+        df, Seq("b1", "b2", "c_custkey"))
+      h.toDF.filter($"b1" === 3L && $"b2" === 53L &&
+          $"c_custkey".isin(53L, 153L, 999953L))
+        .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
+    },
+
+    "ir_sql_prefix_range_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // pinned leading prefix + range on the NEXT key column of a
+      // RANGE-PARTITIONED 3-column composite: one contiguous tuple
+      // interval, partition-pruned, then trie range scans — the
+      // "tenant pinned, entity range" multi-tenant read at any arity
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeNRangePartitioned(
+        df, Seq("b1", "b2", "c_custkey"), numPartitions = 8)
+      h.toDF.filter($"b1" === 3L && $"b2".between(20L, 40L))
+        .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_pointget_str" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2012,6 +2046,17 @@ object OperatorQueries {
     "ir_sql_range_composite" ->
       """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 BETWEEN 10 AND 12""".stripMargin,
+
+    "ir_sql_pointget_composite3" ->
+      """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 10 = 3 AND c_custkey % 100 = 53
+        |  AND c_custkey IN (53, 153, 999953)""".stripMargin,
+
+    "ir_sql_prefix_range_composite3" ->
+      """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 10 = 3 AND c_custkey % 100 BETWEEN 20 AND 40""".stripMargin,
 
     "ir_sql_pointget_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer

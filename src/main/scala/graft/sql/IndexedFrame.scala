@@ -3543,6 +3543,272 @@ object IndexedFrame {
     }
   }
 
+  // =====================================================================
+  // N-ary composite keys (arity >= 3): `(tenant, entity, ts)` and wider
+  // =====================================================================
+
+  /** Handle over an N-COLUMN composite key: rows are key-unique over
+    * the column tuple, stored under the prefix-free
+    * [[graft.keys.KeySerializer.ConcatNSerializer]] encoding — which
+    * is order-preserving in lexicographic column order whenever every
+    * component serializer preserves its own (the 2-ary proof applied
+    * left to right) — so point gets and leading-PREFIX interval scans
+    * route exactly like the two-column handle's lanes at ANY arity:
+    *
+    *  - conjunctive equality/IN on EVERY key column → partition-pruned
+    *    `multiget` over the (budget-capped) cross product;
+    *  - equality on the first m columns + optional range on column
+    *    m+1 (ordered handles) → one contiguous tuple-space interval
+    *    per pinned prefix, served in a single multiRange pass —
+    *    partition-pruned under range partitioning;
+    *  - anything else → indexed full scan.
+    *
+    * The relation claims NOTHING in `unhandledFilters`: Spark
+    * re-applies every predicate above the routed read, so each lane is
+    * sound by construction (the per-lane exactness claims the 2-column
+    * handle makes are a pure optimization, addable per-lane later). */
+  class CompositeNHandle private[sql] (
+      val idx: IndexedRDD[Seq[Any], InternalRow],
+      val keyCols: Seq[String], val schema: StructType, val ordered: Boolean,
+      private[sql] val specs: IndexedSeq[KeySpec[Any]])(
+      implicit private[sql] val tupSer: KeySerializer[Seq[Any]])
+      extends Serializable {
+    @transient @volatile var lastScanKind: String = ""
+    @transient @volatile var lastPointLookupKeys: Int = -1
+    private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)
+    private[sql] val tupleOrd: Ordering[Seq[Any]] =
+      new graft.keys.KeySerializer.SeqLexOrdering(specs.map(_.codec.ord))
+    def toDF(implicit spark: SparkSession): DataFrame =
+      spark.baseRelationToDataFrame(new CompositeNRelation(this)(spark.sqlContext))
+  }
+
+  private[sql] class CompositeNRelation(private[sql] val h: CompositeNHandle)(
+      @transient override val sqlContext: SQLContext)
+      extends BaseRelation with PrunedFilteredScan {
+    override def schema: StructType = h.schema
+    override def needConversion: Boolean = false
+
+    private val n = h.keyCols.length
+    /** Trie/partition interval routing needs lexicographic byte order
+      * AND a domain minimum per component (BigInt has none). */
+    private lazy val rangeReady: Boolean =
+      h.ordered && h.tupSer.isOrderPreserving &&
+        h.specs.forall(s => Try(s.codec.minKey).isSuccess)
+
+    /** Per-column pushed point sets, intersected across conjuncts:
+      * None = no equality/IN on that column. */
+    private def pointSetsFor(filters: Array[Filter]): Array[Option[Set[Any]]] =
+      Array.tabulate(n) { i =>
+        val col = h.keyCols(i)
+        val codec = h.specs(i).codec
+        val sets = filters.flatMap {
+          case EqualTo(`col`, null) => Some(Set.empty[Any])
+          case EqualTo(`col`, v) =>
+            Some(Try(codec.fromLiteral(v)).toOption.toSet[Any])
+          case In(`col`, vs) => Some(vs.iterator.filter(_ != null)
+            .flatMap(v => Try(codec.fromLiteral(v)).toOption).toSet[Any])
+          case _ => None
+        }
+        if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+      }
+
+    private def cross(sets: Seq[Seq[Any]]): Seq[Seq[Any]] =
+      sets.foldLeft(Seq(Vector.empty[Any]): Seq[Seq[Any]])((acc, s) =>
+        acc.flatMap(p => s.map(v => p :+ v)))
+
+    private sealed trait Lane
+    private case class PointLane(keys: Array[Seq[Any]]) extends Lane
+    /** First `m` columns pinned to each prefix; optional interval on
+      * column m (None = each prefix's whole tuple run). */
+    private case class PrefixLane(prefixes: Seq[Seq[Any]],
+        iv: Option[Iv[Any]]) extends Lane
+    private case object EmptyLane extends Lane
+    private case object FullLane extends Lane
+
+    private def chooseLane(filters: Array[Filter]): Lane = {
+      val pts = pointSetsFor(filters)
+      if (pts.exists(s => s.exists(_.isEmpty))) return EmptyLane
+      if (pts.forall(_.isDefined) &&
+          pts.map(_.get.size.toLong).product <= PointKeyBudget)
+        return PointLane(cross(pts.toSeq.map(_.get.toSeq)).toArray)
+      if (!rangeReady) return FullLane
+      // longest pinned prefix; column m (the first unpinned) may carry
+      // an interval
+      val m = pts.indexWhere(_.isEmpty) match { case -1 => n case i => i }
+      if (m == n) return FullLane // all pinned but over the point budget
+      val ivNext: Option[Iv[Any]] = {
+        val col = h.keyCols(m)
+        val codec = h.specs(m).codec
+        val ivs = filters.toSeq.flatMap(f =>
+          boundsOn(col, codec, eqAsPrefix = false, f))
+        if (ivs.isEmpty) None else Some(meet(ivs, codec.ord))
+      }
+      if (ivNext.exists(_.empty)) return EmptyLane
+      if (m == 0)
+        ivNext match {
+          case Some(iv) => PrefixLane(Seq(Vector.empty), Some(iv))
+          case None => FullLane
+        }
+      else if (pts.take(m).map(_.get.size.toLong).product > MixedLeadCap)
+        FullLane
+      else PrefixLane(
+        cross((0 until m).map(i =>
+          pts(i).get.toSeq.sorted(h.specs(i).codec.ord))), ivNext)
+    }
+
+    /** Conservative by design: every filter stays with Spark. */
+    override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+      filters
+
+    private def minsFrom(i: Int): Seq[Any] =
+      (i until n).map(j => h.specs(j).codec.minKey)
+
+    /** Smallest full key strictly ABOVE every key sharing prefix `p`:
+      * bump the rightmost prefix component with a successor, pad with
+      * domain minimums. None = p is all-domain-max (nothing above). */
+    private def succPrefix(p: Seq[Any]): Option[Seq[Any]] = {
+      var i = p.length - 1
+      while (i >= 0) {
+        h.specs(i).codec.succ(p(i)) match {
+          case Some(s) => return Some((p.take(i) :+ s) ++ minsFrom(i + 1))
+          case None => i -= 1
+        }
+      }
+      None
+    }
+
+    /** Close an unbounded-above scan starting at `from`: one O(depth)
+      * maxKey descent, corner-probing the max tuple only when it has
+      * no successor (mirrors the 2-column relation's closeAbove). */
+    private def closeAbove(from: Seq[Any])
+        : (Seq[(Seq[Any], Seq[Any])], Seq[Seq[Any]]) =
+      h.idx.maxKey()(h.tupSer) match {
+        case None => (Nil, Nil)
+        case Some(mk) if h.tupleOrd.lt(mk, from) => (Nil, Nil)
+        case Some(mk) => succPrefix(mk) match {
+          case Some(end) => (Seq((from, end)), Nil)
+          case None => (Seq((from, mk)), Seq(mk))
+        }
+      }
+
+    /** Tuple interval(s) for one pinned prefix + optional interval on
+      * the next column. */
+    private def intervalFor(p: Seq[Any], iv: Option[Iv[Any]])
+        : (Seq[(Seq[Any], Seq[Any])], Seq[Seq[Any]]) = {
+      val m = p.length
+      val loVal = iv.flatMap(_.from).getOrElse(h.specs(m).codec.minKey)
+      val from: Seq[Any] = (p :+ loVal) ++ minsFrom(m + 1)
+      iv.flatMap(_.to) match {
+        case Some(hiExcl) => (Seq((from, (p :+ hiExcl) ++ minsFrom(m + 1))), Nil)
+        case None => succPrefix(p) match {
+          case Some(end) => (Seq((from, end)), Nil)
+          case None => closeAbove(from) // prefix at domain max (or empty)
+        }
+      }
+    }
+
+    private def serve(ivs: Seq[(Seq[Any], Seq[Any])],
+        corners: Seq[Seq[Any]]): RDD[InternalRow] = {
+      val live = ivs.filter { case (f, t) => h.tupleOrd.lt(f, t) }
+      val body: RDD[InternalRow] =
+        if (live.isEmpty) sqlContext.sparkContext.emptyRDD[InternalRow]
+        else h.idx.multiRange(live)(h.tupSer).map(_._2)
+      if (corners.isEmpty) body
+      else {
+        val hit = h.idx.multiget(corners.toArray).values.toSeq
+        if (hit.nonEmpty) body.union(sqlContext.sparkContext.parallelize(hit, 1))
+        else body
+      }
+    }
+
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[Filter]): RDD[Row] = {
+      val rows: RDD[InternalRow] = chooseLane(filters) match {
+        case EmptyLane =>
+          h.lastScanKind = "point"
+          h.lastPointLookupKeys = 0
+          sqlContext.sparkContext.emptyRDD[InternalRow]
+        case PointLane(keys) =>
+          h.lastScanKind = "point"
+          h.lastPointLookupKeys = keys.length
+          val hit = h.idx.multiget(keys).values.toSeq
+          sqlContext.sparkContext.parallelize(hit, 1)
+        case PrefixLane(prefixes, iv) =>
+          h.lastScanKind = "range"
+          h.lastPointLookupKeys = -1
+          val parts = prefixes.map(p => intervalFor(p, iv))
+          serve(parts.flatMap(_._1), parts.flatMap(_._2))
+        case FullLane =>
+          h.lastScanKind = "full"
+          h.lastPointLookupKeys = -1
+          h.idx.map(_._2)
+      }
+      val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
+        BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable))
+      rows.mapPartitions { it =>
+        val proj = UnsafeProjection.create(fields.toIndexedSeq)
+        it.map(r => proj(r))
+      }.asInstanceOf[RDD[Row]]
+    }
+  }
+
+  /** Index by N >= 2 key columns of any supported type (integral/
+    * temporal, string, uuid-string via `uuidCols`, decimal(p,0)).
+    * `ordered = true` builds radix partitions so pinned-prefix +
+    * next-column-range predicates route into trie interval scans. */
+  def indexCompositeN(df: DataFrame, keyCols: Seq[String],
+      ordered: Boolean = false, numPartitions: Int = 0,
+      uuidCols: Set[String] = Set.empty): CompositeNHandle =
+    buildCompositeN(df, keyCols, ordered, numPartitions, 0, uuidCols)
+
+  /** RANGE-PARTITIONED N-column composite: tuples globally sorted in
+    * lexicographic column order, so pinned-prefix intervals prune
+    * PARTITIONS before descending the per-partition tries — the N-ary
+    * twin of [[indexCompositeRangePartitioned]]. */
+  def indexCompositeNRangePartitioned(df: DataFrame, keyCols: Seq[String],
+      numPartitions: Int, uuidCols: Set[String] = Set.empty): CompositeNHandle =
+    buildCompositeN(df, keyCols, ordered = true, 0, numPartitions, uuidCols)
+
+  private def buildCompositeN(df: DataFrame, keyCols: Seq[String],
+      ordered: Boolean, numPartitions: Int, rangeParts: Int,
+      uuidCols: Set[String]): CompositeNHandle = {
+    require(keyCols.length >= 2, "composite key needs at least two columns")
+    val specs = keyCols.toIndexedSeq.map(c =>
+      specFor(df.schema, c, uuidCols(c)).asInstanceOf[KeySpec[Any]])
+    implicit val tupSer: KeySerializer[Seq[Any]] =
+      new graft.keys.KeySerializer.ConcatNSerializer(specs.map(_.ser))
+    val idxs = keyCols.map(df.schema.fieldIndex).toArray
+    val codecs = specs.map(_.codec)
+    val colsDesc = keyCols.mkString(", ")
+    val raw: RDD[(Seq[Any], InternalRow)] =
+      df.queryExecution.toRdd.mapPartitions(_.map { r =>
+        val parts = new Array[Any](idxs.length)
+        var i = 0
+        while (i < idxs.length) {
+          if (r.isNullAt(idxs(i)))
+            throw new IllegalArgumentException(s"null key in composite ($colsDesc)")
+          parts(i) = codecs(i).fromRow(r, idxs(i))
+          i += 1
+        }
+        (scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): Seq[Any],
+          r.copy(): InternalRow)
+      })
+    val idx =
+      if (rangeParts > 0) {
+        implicit val ord: Ordering[Seq[Any]] =
+          new graft.keys.KeySerializer.SeqLexOrdering(codecs.map(_.ord))
+        IndexedRDD.rangePartitioned(raw, rangeParts)
+      } else {
+        val p =
+          if (numPartitions > 0)
+            raw.partitionBy(new org.apache.spark.HashPartitioner(numPartitions))
+          else raw
+        if (ordered) IndexedRDD.ordered(p) else IndexedRDD(p)
+      }
+    new CompositeNHandle(idx.cached, keyCols, df.schema,
+      ordered || rangeParts > 0, specs)
+  }
+
   /** RANGE-PARTITIONED ordered handle: keys are globally sorted across
     * `numPartitions` partitions (RangePartitioner) with a radix tree
     * inside each, so a pushed BETWEEN prunes to only the partitions

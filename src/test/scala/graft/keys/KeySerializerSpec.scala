@@ -199,4 +199,68 @@ class KeySerializerSpec extends AnyFunSuite {
     assert(new ConcatTuple2Serializer(LongSerializer, LongSerializer)
       .fixedWidth === Some(16))
   }
+
+  test("ConcatN: round-trip, prefix-freedom, lexicographic byte order at arity 3+") {
+    import KeySerializer._
+    val genChar = Gen.frequency(
+      5 -> Gen.choose(0.toChar, 127.toChar),
+      1 -> Gen.const(0.toChar),
+      2 -> Gen.choose(128.toChar, 0xD7FF.toChar))
+    val genStr = Gen.listOf(genChar).map(_.mkString)
+    def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def anySer(s: KeySerializer[_]): KeySerializer[Any] =
+      s.asInstanceOf[KeySerializer[Any]]
+
+    // (tenant string, entity long, ts long): the three-part key the
+    // 2-ary laws (reference KeySerializerSuite's prefix-freedom
+    // pattern) extend to — same laws, arity 3
+    implicit val ser3: KeySerializer[Seq[Any]] = new ConcatNSerializer(
+      Vector(anySer(StringLexSerializer), anySer(LongSerializer),
+        anySer(LongSerializer)))
+    val gen3: Gen[Seq[Any]] = for {
+      s <- genStr; a <- Gen.long; b <- Gen.long
+    } yield Vector[Any](s, a, b)
+    check(roundTrips(gen3))
+    check(prefixFree(gen3))
+    assert(ser3.isOrderPreserving)
+    check(orderPreserving[Seq[Any]](gen3, { (x, y) =>
+      val c = unsignedCompare(utf8(x(0).asInstanceOf[String]),
+        utf8(y(0).asInstanceOf[String]))
+      if (c != 0) c
+      else {
+        val c2 = java.lang.Long.compare(
+          x(1).asInstanceOf[Long], y(1).asInstanceOf[Long])
+        if (c2 != 0) c2
+        else java.lang.Long.compare(
+          x(2).asInstanceOf[Long], y(2).asInstanceOf[Long])
+      }
+    }))
+
+    // arity 4 with two variable-width components interleaved
+    val ser4 = new ConcatNSerializer(
+      Vector(anySer(LongSerializer), anySer(StringLexSerializer),
+        anySer(UuidLexSerializer), anySer(StringLexSerializer)))
+    val gen4: Gen[Seq[Any]] = for {
+      a <- Gen.long; s <- genStr; u <- genUuid; t <- genStr
+    } yield Vector[Any](a, s, u, t)
+    check(roundTrips(gen4)(ser4))
+    check(prefixFree(gen4)(ser4))
+    assert(ser4.isOrderPreserving)
+
+    // all-fixed-width components give a fixed-width concat; the
+    // SeqLexOrdering agrees with the byte order
+    val serFix = new ConcatNSerializer(
+      Vector(anySer(LongSerializer), anySer(IntSerializer),
+        anySer(LongSerializer)))
+    assert(serFix.fixedWidth === Some(20))
+    val genFix: Gen[Seq[Any]] = for {
+      a <- Gen.long; i <- Gen.choose(Int.MinValue, Int.MaxValue); b <- Gen.long
+    } yield Vector[Any](a, i, b)
+    val lexOrd = new SeqLexOrdering(Vector(
+      implicitly[Ordering[Long]].asInstanceOf[Ordering[Any]],
+      implicitly[Ordering[Int]].asInstanceOf[Ordering[Any]],
+      implicitly[Ordering[Long]].asInstanceOf[Ordering[Any]]))
+    check(orderPreserving[Seq[Any]](genFix,
+      (x, y) => lexOrd.compare(x, y))(serFix))
+  }
 }

@@ -1330,4 +1330,75 @@ class IndexedFrameSpec extends AnyFunSuite {
     val sec2 = hs.toDF.filter($"grp".like("g00%")).select($"v").as[Long].collect().toSet
     assert(sec2 === sec && hs.lastProbeMemoHit)
   }
+
+  test("N-ary composite: (tenant, entity, ts) point gets and prefix ranges route") {
+    // 3 tenants x 20 entities x 15 ts — the multi-tenant time-series
+    // key the 2-column handle could only express as manual nesting
+    val df = (for (t <- Seq("acme", "beta", "gamma"); e <- 1L to 20L; ts <- 1L to 15L)
+      yield (t, e, ts * 10, s"$t-$e-$ts")).toDF("tenant", "entity", "ts", "payload")
+    val oracle = df.collect().map(_.toString).toSet
+
+    for (h <- Seq(
+        IndexedFrame.indexCompositeN(df, Seq("tenant", "entity", "ts"), ordered = true),
+        IndexedFrame.indexCompositeNRangePartitioned(
+          df, Seq("tenant", "entity", "ts"), numPartitions = 8))) {
+      implicit val sp: org.apache.spark.sql.SparkSession = spark
+      val hd = h.toDF
+      // full scan equals the source
+      assert(hd.collect().map(_.toString).toSet === oracle)
+      assert(h.lastScanKind === "full")
+      // point get on all three columns
+      val p = hd.filter($"tenant" === "beta" && $"entity" === 7L && $"ts" === 30L)
+        .select($"payload").as[String].collect().toSeq
+      assert(p === Seq("beta-7-3"))
+      assert(h.lastScanKind === "point" && h.lastPointLookupKeys === 1)
+      // IN x IN x IN cross product stays a point lane
+      val p2 = hd.filter($"tenant".isin("acme", "gamma") && $"entity".isin(1L, 2L)
+          && $"ts" === 10L).select($"payload").as[String].collect().toSet
+      assert(p2 === Set("acme-1-1", "acme-2-1", "gamma-1-1", "gamma-2-1"))
+      assert(h.lastScanKind === "point" && h.lastPointLookupKeys === 4)
+      // pinned 2-prefix + range on ts: one contiguous tuple interval
+      val r = hd.filter($"tenant" === "acme" && $"entity" === 3L &&
+          $"ts".between(40L, 80L)).select($"ts").as[Long].collect().sorted.toSeq
+      assert(r === Seq(40L, 50L, 60L, 70L, 80L))
+      assert(h.lastScanKind === "range")
+      // pinned 1-prefix: the tenant's whole run
+      val r2 = hd.filter($"tenant" === "beta").count()
+      assert(r2 === 300L)
+      assert(h.lastScanKind === "range")
+      // pinned 1-prefix + range on entity (next column)
+      val r3 = hd.filter($"tenant" === "beta" && $"entity" > 18L)
+        .select($"payload").as[String].collect().toSet
+      assert(r3 === (for (e <- 19L to 20L; ts <- 1L to 15L)
+        yield s"beta-$e-$ts").toSet)
+      assert(h.lastScanKind === "range")
+      // leading range alone
+      val r4 = hd.filter($"tenant" >= "beta").count()
+      assert(r4 === 600L)
+      assert(h.lastScanKind === "range")
+      // range on a NON-leading column without the prefix pinned: full
+      // scan serves, Spark re-applies (claims nothing)
+      val r5 = hd.filter($"ts" === 10L).count()
+      assert(r5 === 60L)
+      assert(h.lastScanKind === "full")
+      // empty point intersection short-circuits
+      assert(hd.filter($"tenant" === "acme" && $"tenant" === "beta" &&
+        $"entity" === 1L && $"ts" === 10L).count() === 0L)
+      h.idx.unpersist()
+    }
+  }
+
+  test("N-ary composite: range-partitioned prefix scans prune partitions") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val df = (for (t <- 1L to 40L; e <- 1L to 25L) yield (t, e, t * 100 + e))
+      .toDF("tenant", "entity", "v")
+    val h = IndexedFrame.indexCompositeNRangePartitioned(
+      df, Seq("tenant", "entity"), numPartitions = 8)
+    val q = h.toDF.filter($"tenant" === 17L)
+    assert(q.select($"v").as[Long].collect().toSet ===
+      (1L to 25L).map(17L * 100 + _).toSet)
+    val parts = q.queryExecution.executedPlan.execute().getNumPartitions
+    assert(parts < 8, s"expected pruned partitions, scanned $parts/8")
+    h.idx.unpersist()
+  }
 }
