@@ -24,6 +24,32 @@ import graft.functions.TextFunctions._
  *  - '''n-gram Jaccard''': exact verification on LSH candidates only.
  *  - '''embedding cosine''': brute-force O(n²) baseline (oracle), and
  *    a random-hyperplane-LSH bucketed variant as the scale path.
+ *
+ * ==Choosing knobs at corpus scale==
+ *
+ * The defaults (`maxBucketSize = 1000`, 16×4 banding) are tuned for
+ * the sf0.01-sf0.1 fixtures; at a 100 TB corpus pick them from the
+ * workload, not the defaults:
+ *
+ *  - '''maxBucketSize''' bounds per-task work AND recall: a bucket of
+ *    size s verifies s·(s−1)/2 pairs inside one task, so the cap is
+ *    the per-task quadratic budget (1000 → ≤ ~500k cheap verdicts,
+ *    fine; 100k → 5·10^9, not fine). Oversized buckets are DROPPED,
+ *    which silently skips their pairs — at web scale boilerplate
+ *    buckets (empty strings, cookie banners) routinely exceed any
+ *    cap, and dropping them is usually the desired behavior (they are
+ *    near-identical junk best handled by exact dedup first). Run
+ *    `exactDedup` before LSH so degenerate content never reaches the
+ *    banded join, then set the cap to the largest s whose s²/2
+ *    verdicts fit your task-time budget (10^3-10^4 in practice).
+ *  - '''bands × rows''' (16 bands × 4 rows here) set the match curve:
+ *    P(candidate) = 1 − (1 − j^r)^b for Jaccard j. More bands = more
+ *    recall and more shuffle volume (one exploded row per band). At
+ *    fixed signature width k = b·r, raise r to cut false candidates
+ *    on huge corpora (tighter curve), raise b to catch lower-j pairs.
+ *  - Bucket join skew: band keys hash-distribute; the size cap is
+ *    also the skew guard, so AQE skew-join handling is optional, not
+ *    load-bearing.
  */
 object Dedup {
 

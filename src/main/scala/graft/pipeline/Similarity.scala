@@ -15,6 +15,30 @@ import Dedup.dotCols
  *    only its own bucket plus all buckets within hamming distance 1
  *    (multiprobe), turning a full scan into a >100× partition-pruned
  *    probe at scale.
+ *
+ * ==Choosing knobs at corpus scale==
+ *
+ * The defaults (`nlist = 16`, `nprobe = 4`, `sampleSize = 512`) are
+ * tuned for the sf0.01-sf0.1 fixtures; at a 100 TB embedding corpus:
+ *
+ *  - '''nlist''' (IVF inverted lists): each probe reads ~n/nlist rows
+ *    per probed list, so per-query work ≈ nprobe·n/nlist. The
+ *    standard setting is nlist ≈ √n (10^9 vectors → nlist ~ 32k),
+ *    which keeps both the centroid table (nlist × dim doubles,
+ *    driver/broadcast-resident — 32k × 1k dims ≈ 256 MB, still fine)
+ *    and the per-list scan bounded. The saved-index layout is
+ *    list-partitioned parquet, so nlist also sets the partition
+ *    count: keep lists in the 100 MB-1 GB file range.
+ *  - '''nprobe''' trades recall for reads linearly (nprobe/nlist of
+ *    the corpus per query); 1-5% of nlist is the usual recall knee.
+ *  - '''sampleSize''' (k-means training sample): needs ≥ ~40×nlist
+ *    points for stable centroids; it is a driver-side collect, so cap
+ *    it in the 10^5-10^6 range and train on a uniform sample, never
+ *    the corpus.
+ *  - '''LSH planes''' (16-bit sign-random-projection here): buckets ≈
+ *    2^planes; size planes so n/2^planes rows per bucket keeps the
+ *    probed set in task-sized chunks, and use multiprobe (hamming ≤ 1
+ *    neighbors) rather than more planes when recall dips.
  */
 object Similarity {
 
