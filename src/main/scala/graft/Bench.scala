@@ -158,48 +158,66 @@ object Bench {
 
   /** SCALE VALIDATION: the same point-read and top-k micros at 1x and
     * 10x rows, converting the "index lanes stay flat while scans grow
-    * with the corpus" design argument into a measurement. The 10x
-    * corpus derives from the driver's own orders fixture (10 disjoint
-    * key-shifted copies — no synthetic distribution, just more of the
-    * same rows); both corpora are CACHED, so the scan twin measures
-    * pure O(corpus) work while the indexed twin measures O(probes)
-    * descents. Expected shape: scan ~10x between scale1 and scale10,
-    * idx ~flat — the 100 TB separation argument at benchable size. */
+    * with the corpus" design argument into a measurement — in the
+    * 100 TB-honest shape. At a real cluster scale the corpus is COLD
+    * and per-partition size is held constant while the PARTITION COUNT
+    * grows with the data (32 at 1x → 320 at 10x here), so both
+    * corpora persist DISK_ONLY: every scan-twin query re-deserializes
+    * EVERY partition (O(corpus), grows 10x), while the indexed query
+    * touches only the probe-owning / prefix-covering partitions —
+    * whose individual size did not change — and stays flat. (An
+    * in-memory variant at this SF is scheduling-bound on 32 cores:
+    * codegen scans 1.5M cached rows in single-digit ms, so both twins
+    * measure the same task-launch floor and the comparison says
+    * nothing; disk is where the asymptotics are visible at benchable
+    * size.) The 10x corpus derives from the driver's own orders
+    * fixture — 10 disjoint key-shifted copies, no synthetic
+    * distribution. Probe keys are CLUSTERED (consecutive — the
+    * "today's delta" shape), so the range-partitioned index reads 1-2
+    * partitions per query at either scale. */
   private def microScale(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     implicit val sp: SparkSession = spark
     import org.apache.spark.sql.functions.{col, lit}
     graft.sql.IndexedTopK.enable(spark)
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val base = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val shift = 10000000L // beyond any fixture key; copies stay disjoint
     val big = (0 until 10).map(i =>
       base.select((col("o_orderkey") + lit(i * shift)).as("o_orderkey"),
         col("o_custkey"), col("o_totalprice"))).reduce(_ union _)
-    def lanes(tag: String, df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] = {
-      val h = graft.sql.IndexedFrame.indexRangePartitioned(df, "o_orderkey", 32)
-      h.idx.count()
-      val cached = df.cache(); cached.count()
+    def lanes(tag: String, df: org.apache.spark.sql.DataFrame,
+        parts: Int): Seq[(String, Double)] = {
+      val h = graft.sql.IndexedFrame.indexRangePartitioned(df, "o_orderkey", parts)
+      h.idx.unpersist(); h.idx.persist(disk); h.idx.count()
+      val cold = df.repartition(parts).persist(disk)
+      cold.count()
       val hd = h.toDF
-      def keys(q: Int) = (0 until 50).map(i => (i * 997L + q * 131L) % 150000L + 1L)
-      val tPointIdx = bestOf2((0 until 20).foreach { q =>
+      // 50 consecutive keys per query, base varying per q — clustered
+      // probes land in 1-2 range partitions
+      def keys(q: Int) = {
+        val base0 = (q * 2971L) % 140000L + 1L
+        (0 until 50).map(base0 + _)
+      }
+      val tPointIdx = bestOf2((0 until 10).foreach { q =>
         hd.filter(col("o_orderkey").isin(keys(q).map(Long.box): _*)).collect()
       })
-      val tPointScan = bestOf2((0 until 20).foreach { q =>
-        cached.filter(col("o_orderkey").isin(keys(q).map(Long.box): _*)).collect()
+      val tPointScan = bestOf2((0 until 10).foreach { q =>
+        cold.filter(col("o_orderkey").isin(keys(q).map(Long.box): _*)).collect()
       })
-      val tTopkIdx = bestOf2((0 until 20).foreach { _ =>
+      val tTopkIdx = bestOf2((0 until 10).foreach { _ =>
         hd.orderBy(col("o_orderkey")).limit(100).collect()
       })
-      val tTopkScan = bestOf2((0 until 20).foreach { _ =>
-        cached.orderBy(col("o_orderkey")).limit(100).collect()
+      val tTopkScan = bestOf2((0 until 10).foreach { _ =>
+        cold.orderBy(col("o_orderkey")).limit(100).collect()
       })
-      cached.unpersist(); h.idx.unpersist()
-      Seq(s"micro_scale${tag}_pointget_idx_20" -> tPointIdx,
-        s"micro_scale${tag}_pointget_scan_20" -> tPointScan,
-        s"micro_scale${tag}_topk_idx_20" -> tTopkIdx,
-        s"micro_scale${tag}_topk_scan_20" -> tTopkScan)
+      cold.unpersist(); h.idx.unpersist()
+      Seq(s"micro_scale${tag}_pointget_idx_10" -> tPointIdx,
+        s"micro_scale${tag}_pointget_scan_10" -> tPointScan,
+        s"micro_scale${tag}_topk_idx_10" -> tTopkIdx,
+        s"micro_scale${tag}_topk_scan_10" -> tTopkScan)
     }
-    lanes("1", base) ++ lanes("10", big)
+    lanes("1", base, 32) ++ lanes("10", big, 320)
   }
 
   /** Point reads, updates, joins, range pruning (memory + DISK_ONLY). */

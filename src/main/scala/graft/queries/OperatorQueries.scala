@@ -347,6 +347,57 @@ object OperatorQueries {
         .select($"c_bucket", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_merge" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      // MERGE INTO customer t USING src s ON t.c_custkey = s.k
+      //   WHEN MATCHED AND s.delta = 0 THEN DELETE
+      //   WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta
+      //   WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+      // — delta-cost MERGE: the source enriches through the lookup
+      // join (corpus never scanned), then one COW delete pass + one
+      // COW upsert pass apply the change sets
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      val src = s.range(1, 41)
+        .select(($"id" * 3).as("k"), ($"id" % 7).cast("double").as("delta"))
+        .union(s.range(1, 11)
+          .select(($"id" + 10000000L).as("k"), ($"id" % 7).cast("double").as("delta")))
+      val merged = h.mergeFrame(src, "k",
+        deleteWhen = Some(col("s.delta") === 0.0),
+        updateSet = Map("c_acctbal" -> (col("t.c_acctbal") + col("s.delta"))),
+        insertValues = Map(
+          "c_custkey" -> col("s.k"),
+          "c_name" -> concat(lit("Merged#"), col("s.k").cast("string")),
+          "c_acctbal" -> col("s.delta")))
+      merged.toDF.select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
+    "ir_sql_merge_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.functions.{col, lit}
+      // MERGE on the COMPOSITE key (both columns in the ON clause):
+      // same delete/update/insert clause semantics, delta cost
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexComposite(df, "c_bucket", "c_custkey")
+      val src = s.range(1, 31)
+        .select(($"id" % 100).as("sb"), $"id".as("sk"),
+          ($"id" % 5).cast("double").as("delta"))
+        .union(s.range(1, 6)
+          .select(lit(77L).as("sb"), ($"id" + 20000000L).as("sk"),
+            ($"id" % 5).cast("double").as("delta")))
+      val merged = h.mergeFrame(src, "sb", "sk",
+        deleteWhen = Some(col("s.delta") === 0.0),
+        updateSet = Map("c_acctbal" -> (col("t.c_acctbal") + col("s.delta"))),
+        insertValues = Map(
+          "c_bucket" -> col("s.sb"),
+          "c_custkey" -> col("s.sk"),
+          "c_acctbal" -> col("s.delta")))
+      merged.toDF.select($"c_bucket", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_pointget_composite3" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2046,6 +2097,45 @@ object OperatorQueries {
     "ir_sql_range_composite" ->
       """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 BETWEEN 10 AND 12""".stripMargin,
+
+    "ir_sql_merge" ->
+      """WITH src AS (
+        |  SELECT id*3 AS k, CAST(id % 7 AS DOUBLE) AS delta FROM range(1, 41) t(id)
+        |  UNION ALL
+        |  SELECT id + 10000000 AS k, CAST(id % 7 AS DOUBLE) AS delta FROM range(1, 11) t(id)
+        |)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+        |WHERE s.k IS NULL
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal + s.delta
+        |FROM customer c JOIN src s ON c.c_custkey = s.k
+        |WHERE s.delta <> 0
+        |UNION ALL
+        |SELECT s.k, 'Merged#' || CAST(s.k AS VARCHAR), s.delta
+        |FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+        |WHERE c.c_custkey IS NULL""".stripMargin,
+
+    "ir_sql_merge_composite" ->
+      """WITH t AS (
+        |  SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+        |), src AS (
+        |  SELECT id % 100 AS sb, id AS sk, CAST(id % 5 AS DOUBLE) AS delta
+        |  FROM range(1, 31) r(id)
+        |  UNION ALL
+        |  SELECT 77, id + 20000000, CAST(id % 5 AS DOUBLE) FROM range(1, 6) r(id)
+        |)
+        |SELECT t.c_bucket, t.c_custkey, t.c_acctbal
+        |FROM t LEFT JOIN src s ON t.c_bucket = s.sb AND t.c_custkey = s.sk
+        |WHERE s.sk IS NULL
+        |UNION ALL
+        |SELECT t.c_bucket, t.c_custkey, t.c_acctbal + s.delta
+        |FROM t JOIN src s ON t.c_bucket = s.sb AND t.c_custkey = s.sk
+        |WHERE s.delta <> 0
+        |UNION ALL
+        |SELECT s.sb, s.sk, s.delta
+        |FROM src s LEFT JOIN t ON t.c_bucket = s.sb AND t.c_custkey = s.sk
+        |WHERE t.c_custkey IS NULL""".stripMargin,
 
     "ir_sql_pointget_composite3" ->
       """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal

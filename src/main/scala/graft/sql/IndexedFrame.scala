@@ -4,7 +4,7 @@ import scala.reflect.ClassTag
 import scala.util.Try
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow,
   UnsafeProjection}
@@ -1945,6 +1945,85 @@ object IndexedFrame {
         keyCol, schema, ordered, codec)
     }
 
+    /** SQL `MERGE INTO` semantics against this handle, at DELTA cost:
+      *
+      * {{{
+      * MERGE INTO handle t USING source s ON t.<keyCol> = s.<sourceKey>
+      *   WHEN MATCHED [AND <deleteWhen>]  THEN DELETE          -- clause 1
+      *   WHEN MATCHED [AND <updateWhen>]  THEN UPDATE SET <updateSet>
+      *   WHEN NOT MATCHED [AND <insertWhen>] THEN INSERT <insertValues>
+      * }}}
+      *
+      * Clause PRESENCE follows the arguments: a DELETE clause exists
+      * iff `deleteWhen` is Some (use `Some(lit(true))` for an
+      * unconditional one), an UPDATE clause iff `updateSet` is
+      * non-empty, an INSERT clause iff `insertAll` or `insertValues`
+      * is non-empty. Clauses evaluate in SQL's textual order above:
+      * a matched row that satisfies the delete condition deletes even
+      * if it also satisfies the update condition. Conditions and
+      * expressions are Columns over the joined view — TARGET columns
+      * as `col("t.<name>")`, SOURCE columns as `col("s.<name>")`.
+      * `insertValues` maps target columns to source-side expressions
+      * (unnamed columns insert NULL); `insertAll = true` inserts the
+      * source row positionally by target column name instead.
+      *
+      * Execution is the 100 TB shape: the source LEFT-joins the handle
+      * through the lookup-join strategy when enabled (probe-side-only
+      * cost — the corpus is never scanned), then ONE delete pass and
+      * ONE upsert pass apply the delta copy-on-write. All three change
+      * sets are computed against the ORIGINAL snapshot and are
+      * key-disjoint by the clause conditions, so the sequential
+      * application equals SQL's atomic semantics; the pre-merge handle
+      * stays queryable. Duplicate SOURCE keys resolve last-write-wins
+      * (SQL MERGE raises instead — dedupe the source to match it
+      * exactly). */
+    def mergeFrame(source: DataFrame, sourceKey: String,
+        deleteWhen: Option[Column] = None,
+        updateWhen: Option[Column] = None,
+        updateSet: Map[String, Column] = Map.empty,
+        insertWhen: Option[Column] = None,
+        insertValues: Map[String, Column] = Map.empty,
+        insertAll: Boolean = false)(
+        implicit spark: SparkSession): Handle[K] = {
+      import org.apache.spark.sql.functions.{col => fCol, lit => fLit}
+      val hasDelete = deleteWhen.isDefined
+      val hasUpdate = updateSet.nonEmpty
+      val hasInsert = insertAll || insertValues.nonEmpty
+      require(hasDelete || hasUpdate || hasInsert,
+        "MERGE needs at least one WHEN clause")
+      require(!updateSet.contains(keyCol), "MERGE may not update the key")
+      require(updateSet.keySet.subsetOf(schema.fieldNames.toSet),
+        s"unknown update columns ${updateSet.keySet -- schema.fieldNames}")
+      require(insertValues.keySet.subsetOf(schema.fieldNames.toSet),
+        s"unknown insert columns ${insertValues.keySet -- schema.fieldNames}")
+      val joined = source.alias("s")
+        .join(toDF.alias("t"), fCol(s"s.$sourceKey") === fCol(s"t.$keyCol"), "left")
+      val matched = fCol(s"t.$keyCol").isNotNull
+      val delC =
+        if (hasDelete) matched && deleteWhen.get else fLit(false)
+      val updC =
+        if (hasUpdate) matched && !delC && updateWhen.getOrElse(fLit(true))
+        else fLit(false)
+      val insC =
+        if (hasInsert) !matched && insertWhen.getOrElse(fLit(true))
+        else fLit(false)
+      val updRows = joined.filter(updC).select(schema.fieldNames.toSeq.map { f =>
+        updateSet.getOrElse(f, fCol(s"t.$f")).as(f) }: _*)
+      val insRows = joined.filter(insC).select(schema.fieldNames.toSeq.map { f =>
+        (if (insertAll) fCol(s"s.$f")
+         else insertValues.getOrElse(f, fLit(null).cast(schema(f).dataType)))
+          .as(f) }: _*)
+      val afterDel =
+        if (hasDelete) deleteFrame(joined.filter(delC).select(fCol(s"t.$keyCol")))
+        else this
+      (hasUpdate, hasInsert) match {
+        case (false, false) => afterDel
+        case (true, false) => afterDel.upsertFrame(updRows)
+        case (false, true) => afterDel.upsertFrame(insRows)
+        case (true, true) => afterDel.upsertFrame(updRows.unionByName(insRows))
+      }
+    }
+
     /** DISTRIBUTED copy-on-write delete: `keys` must be a single-column
       * DataFrame of this handle's key type; only that column shuffles
       * (to the index's partitioning) and matching rows are removed per
@@ -3060,6 +3139,64 @@ object IndexedFrame {
 
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeRelation(this)(spark.sqlContext))
+
+    /** SQL `MERGE INTO` on the COMPOSITE key — the two-column twin of
+      * the single-key [[Handle.mergeFrame]], matched on BOTH key
+      * columns (`ON t.a = s.<srcA> AND t.b = s.<srcB>`). Same clause
+      * presence/order rules, same Column addressing (`col("t.x")` /
+      * `col("s.x")`), same delta-cost execution: one left lookup join,
+      * one COW delete pass, one COW upsert pass, all computed against
+      * the original snapshot with key-disjoint change sets. */
+    def mergeFrame(source: DataFrame, sourceKeyA: String, sourceKeyB: String,
+        deleteWhen: Option[Column] = None,
+        updateWhen: Option[Column] = None,
+        updateSet: Map[String, Column] = Map.empty,
+        insertWhen: Option[Column] = None,
+        insertValues: Map[String, Column] = Map.empty,
+        insertAll: Boolean = false)(
+        implicit spark: SparkSession): CompositeHandle[A, B] = {
+      import org.apache.spark.sql.functions.{col => fCol, lit => fLit}
+      val hasDelete = deleteWhen.isDefined
+      val hasUpdate = updateSet.nonEmpty
+      val hasInsert = insertAll || insertValues.nonEmpty
+      require(hasDelete || hasUpdate || hasInsert,
+        "MERGE needs at least one WHEN clause")
+      require(!updateSet.contains(keyColA) && !updateSet.contains(keyColB),
+        "MERGE may not update a key column")
+      require(updateSet.keySet.subsetOf(schema.fieldNames.toSet),
+        s"unknown update columns ${updateSet.keySet -- schema.fieldNames}")
+      require(insertValues.keySet.subsetOf(schema.fieldNames.toSet),
+        s"unknown insert columns ${insertValues.keySet -- schema.fieldNames}")
+      val joined = source.alias("s").join(toDF.alias("t"),
+        fCol(s"s.$sourceKeyA") === fCol(s"t.$keyColA") &&
+          fCol(s"s.$sourceKeyB") === fCol(s"t.$keyColB"), "left")
+      val matched = fCol(s"t.$keyColA").isNotNull
+      val delC =
+        if (hasDelete) matched && deleteWhen.get else fLit(false)
+      val updC =
+        if (hasUpdate) matched && !delC && updateWhen.getOrElse(fLit(true))
+        else fLit(false)
+      val insC =
+        if (hasInsert) !matched && insertWhen.getOrElse(fLit(true))
+        else fLit(false)
+      val updRows = joined.filter(updC).select(schema.fieldNames.toSeq.map { f =>
+        updateSet.getOrElse(f, fCol(s"t.$f")).as(f) }: _*)
+      val insRows = joined.filter(insC).select(schema.fieldNames.toSeq.map { f =>
+        (if (insertAll) fCol(s"s.$f")
+         else insertValues.getOrElse(f, fLit(null).cast(schema(f).dataType)))
+          .as(f) }: _*)
+      val afterDel =
+        if (hasDelete)
+          deleteFrame(joined.filter(delC)
+            .select(fCol(s"t.$keyColA"), fCol(s"t.$keyColB")))
+        else this
+      (hasUpdate, hasInsert) match {
+        case (false, false) => afterDel
+        case (true, false) => afterDel.upsertFrame(updRows)
+        case (false, true) => afterDel.upsertFrame(insRows)
+        case (true, true) => afterDel.upsertFrame(updRows.unionByName(insRows))
+      }
+    }
 
     /** Per-key point-in-time read — the versioned-dimension ("SCD")
       * lookup on an `(id, ts)` layout: the row for leading key `a`

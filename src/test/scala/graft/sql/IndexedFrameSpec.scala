@@ -1331,6 +1331,50 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(sec2 === sec && hs.lastProbeMemoHit)
   }
 
+  test("mergeFrame: MERGE INTO semantics — delete, update, insert, clause order") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = (1L to 100L).map(k => (k, s"v$k", k * 1.0)).toDF("k", "name", "bal")
+    val h = IndexedFrame.index(target, "k", numPartitions = 4)
+    val src = Seq(
+      (10L, 0.0),   // matched, delta=0 -> DELETE (even though update also matches)
+      (20L, 5.0),   // matched -> UPDATE bal += 5
+      (30L, 2.0),   // matched -> UPDATE
+      (500L, 7.0),  // unmatched -> INSERT
+      (600L, 0.0)   // unmatched -> INSERT (delete clause never applies)
+    ).toDF("sk", "delta")
+    val merged = h.mergeFrame(src, "sk",
+      deleteWhen = Some(col("s.delta") === 0.0),
+      updateSet = Map("bal" -> (col("t.bal") + col("s.delta"))),
+      insertValues = Map("k" -> col("s.sk"), "bal" -> col("s.delta")))
+    val out = merged.toDF.select($"k", $"name", $"bal")
+      .as[(Long, String, Double)].collect().toSet
+    val expect = (1L to 100L).filter(_ != 10L).map { k =>
+      val bal = k * 1.0 + (if (k == 20L) 5.0 else if (k == 30L) 2.0 else 0.0)
+      (k, s"v$k", bal)
+    }.toSet ++ Set((500L, null: String, 7.0), (600L, null: String, 0.0))
+    assert(out === expect)
+    // the pre-merge snapshot is untouched (COW)
+    assert(h.toDF.count() === 100L)
+    assert(h.toDF.filter($"k" === 10L).count() === 1L)
+
+    // insertAll + conditional insert + update-only merge shapes
+    val srcFull = Seq((200L, "new200", 9.0), (1L, "ignored", 9.9))
+      .toDF("k", "name", "bal")
+    val m2 = h.mergeFrame(srcFull, "k",
+      insertWhen = Some(col("s.bal") > lit(0.0)), insertAll = true)
+    assert(m2.toDF.count() === 101L) // 1L matched -> no clause applies
+    assert(m2.toDF.filter($"k" === 200L).select($"name").as[String].head() === "new200")
+    assert(m2.toDF.filter($"k" === 1L).select($"name").as[String].head() === "v1")
+    // conditional update only
+    val m3 = h.mergeFrame(src, "sk",
+      updateWhen = Some(col("s.delta") > 1.0),
+      updateSet = Map("bal" -> (col("t.bal") + col("s.delta"))))
+    assert(m3.toDF.count() === 100L) // no deletes, no inserts
+    assert(m3.toDF.filter($"k" === 10L).select($"bal").as[Double].head() === 10.0)
+    assert(m3.toDF.filter($"k" === 20L).select($"bal").as[Double].head() === 25.0)
+  }
+
   test("N-ary composite: (tenant, entity, ts) point gets and prefix ranges route") {
     // 3 tenants x 20 entities x 15 ts — the multi-tenant time-series
     // key the 2-column handle could only express as manual nesting
