@@ -404,6 +404,64 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
 
   /**
+   * Broadcast-probe twin of [[lookupRangeJoinStream]] for
+   * DRIVER-RESIDENT interval batches (the small-side band join): each
+   * interval routes to its overlapping partitions ON THE DRIVER (the
+   * RangePartitioner's bounds are driver-resident), ships once via
+   * broadcast, and a narrow single-stage job runs one pruned trie
+   * range scan per delivery — no shuffle stage, and a task whose
+   * partition no interval overlaps never deserializes it. Same
+   * partition count/numbering as the index, so key-clustered
+   * partitioning claims stay valid upstairs.
+   */
+  def lookupRangeJoinLocal[U: ClassTag, R: ClassTag](
+      probes: Seq[((K, Option[K]), U)])(f: (K, V, U) => R)(
+      implicit ser: KeySerializer[K]): RDD[R] = {
+    require(ser.isOrderPreserving,
+      s"lookupRangeJoinLocal scans tries in encoded-byte order; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    val rp = partitioner match {
+      case Some(p: org.apache.spark.RangePartitioner[K @unchecked, _]) => p
+      case _ => throw new IllegalArgumentException(
+        "lookupRangeJoinLocal requires a range-partitioned index")
+    }
+    val n = rp.numPartitions
+    val byPid: Map[Int, Array[((K, Option[K]), U)]] = probes
+      .flatMap { case (iv @ (lo, hi), u) =>
+        val a = rp.getPartition(lo)
+        val b = hi.map(rp.getPartition).getOrElse(n - 1)
+        (math.min(a, b) to math.max(a, b)).map(pid => (pid, (iv, u)))
+      }
+      .groupBy(_._1).map { case (pid, xs) => (pid, xs.map(_._2).toArray) }
+    if (byPid.isEmpty) return context.emptyRDD[R]
+    val bc = context.broadcast(byPid)
+    partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+      bc.value.get(pid) match {
+        case None => Iterator.empty // never touches (or deserializes) pit
+        case Some(mine) =>
+          if (!pit.hasNext) Iterator.empty
+          else {
+            val p = pit.next()
+            val ordK = Ordering.fromLessThan[K]((x, y) =>
+              java.util.Arrays.compareUnsigned(ser.toBytes(x), ser.toBytes(y)) < 0)
+            mine.iterator.flatMap { case ((lo, hi), u) =>
+              val hits = (p, hi) match {
+                case (r: graft.partition.RadixIndexedPartition[K, V], Some(h)) =>
+                  r.range(lo, h)
+                case (r: graft.partition.RadixIndexedPartition[K, V], None) =>
+                  r.iterator.filter { case (k, _) => ordK.gteq(k, lo) }
+                case (p2, h) => p2.iterator.filter { case (k, _) =>
+                  ordK.gteq(k, lo) && h.forall(t => ordK.lt(k, t))
+                }
+              }
+              hits.map { case (k, v) => f(k, v, u) }
+            }
+          }
+      }
+    }
+  }
+
+  /**
    * Per-probe FLOOR lookups — the BATCH point-in-time (as-of) join
    * primitive. Each probe row carries a half-open key interval
    * `[lo, ub)` (`ub = None` = unbounded above) and yields the

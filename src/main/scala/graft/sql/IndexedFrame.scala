@@ -506,6 +506,15 @@ object IndexedFrame {
         loEval: InternalRow => Any, hiEval: InternalRow => Any,
         loInc: Boolean, hiInc: Boolean): RDD[(InternalRow, InternalRow)] =
       throw new UnsupportedOperationException("not range-lookup capable")
+    /** Driver-mediated twin of [[lookupRangeJoinRows]] for SMALL probe
+      * batches: intervals route to their overlapping partitions on the
+      * driver and ship once via broadcast — no shuffle, and partitions
+      * no interval overlaps are never deserialized. None = this handle
+      * cannot serve it (exec falls back to the shuffled path). */
+    private[sql] def lookupRangeJoinRowsLocal(probeRows: Array[InternalRow],
+        loEval: InternalRow => Any, hiEval: InternalRow => Any,
+        loInc: Boolean, hiInc: Boolean): Option[RDD[(InternalRow, InternalRow)]] =
+      None
     /** [[SecondaryCapable.secLookupJoinRows]] through the type-erased
       * join surface; the strategy validates `col` at claim time. */
     private[sql] def lookupJoinRowsBySecondary(col: String,
@@ -1513,6 +1522,41 @@ object IndexedFrame {
         }
       idx.lookupRangeJoinStream(keyed)((_, v, u) => (v, u))(
         implicitly, implicitly, kSer)
+    }
+
+    /** Normalize one probe row's band bounds to a half-open key
+      * interval — the driver-side twin of the per-partition
+      * normalization in [[lookupRangeJoinRows]]. */
+    private def bandIntervalOf(r: InternalRow, loEval: InternalRow => Any,
+        hiEval: InternalRow => Any, loInc: Boolean,
+        hiInc: Boolean): Option[(K, Option[K])] = {
+      val c = codec
+      val loV = loEval(r)
+      val hiV = hiEval(r)
+      if (loV == null || hiV == null) return None
+      val row1 = new GenericInternalRow(1)
+      row1.update(0, loV)
+      val lo0 = c.fromRow(row1, 0)
+      row1.update(0, hiV)
+      val hi0 = c.fromRow(row1, 0)
+      val loK = if (loInc) Some(lo0) else c.succ(lo0)
+      val hiK = if (hiInc) c.succ(hi0).map(Some(_)).getOrElse(None)
+        else Some(hi0)
+      (loK, hiK) match {
+        case (Some(l), Some(h)) if c.ord.gteq(l, h) => None
+        case (Some(l), h) => Some((l, h))
+        case (None, _) => None
+      }
+    }
+    override private[sql] def lookupRangeJoinRowsLocal(
+        probeRows: Array[InternalRow], loEval: InternalRow => Any,
+        hiEval: InternalRow => Any, loInc: Boolean,
+        hiInc: Boolean): Option[RDD[(InternalRow, InternalRow)]] = {
+      val probes: Seq[((K, Option[K]), InternalRow)] =
+        probeRows.toSeq.flatMap(r =>
+          bandIntervalOf(r, loEval, hiEval, loInc, hiInc).map(iv => (iv, r)))
+      Some(idx.lookupRangeJoinLocal(probes)((_, v, u) => (v, u))(
+        implicitly, implicitly, kSer))
     }
 
 

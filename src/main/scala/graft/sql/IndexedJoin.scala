@@ -390,8 +390,14 @@ object IndexedJoin {
             val needed = AttributeSet(lifted.flatMap(_.references))
             val joinOut = raw.filter(a =>
               j.output.exists(_.exprId == a.exprId) || needed.contains(a))
+            val smallBand = {
+              val thr = org.apache.spark.sql.internal.SQLConf.get
+                .autoBroadcastJoinThreshold
+              thr > 0 && probePlan.stats.sizeInBytes <= thr
+            }
             val join = IndexedRangeLookupJoinExec(joinOut, h, corpusAll,
-              loE, hiE, loInc, hiInc, corpusOnLeft, planLater(probePlan))
+              loE, hiE, loInc, hiInc, corpusOnLeft, planLater(probePlan),
+              smallBand)
             val filtered =
               if (lifted.isEmpty) join else FilterExec(lifted.reduce(And), join)
             return Seq(
@@ -627,8 +633,10 @@ object IndexedJoin {
       h: IndexedFrame.JoinableHandle, corpusAll: Seq[Attribute],
       loExpr: Expression, hiExpr: Expression,
       loInc: Boolean, hiInc: Boolean, corpusOnLeft: Boolean,
-      child: SparkPlan)
+      child: SparkPlan, smallProbe: Boolean = false)
       extends org.apache.spark.sql.execution.UnaryExecNode {
+
+    private val LocalProbeRowCap = 1 << 20
 
     override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
       copy(child = newChild)
@@ -646,11 +654,26 @@ object IndexedJoin {
     }
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val probe = child.execute()
       val loB = BindReferences.bindReference(loExpr, child.output)
       val hiB = BindReferences.bindReference(hiExpr, child.output)
-      val pairs = h.lookupRangeJoinRows(probe,
-        r => loB.eval(r), r => hiB.eval(r), loInc, hiInc)
+      // driver-mediated path for stats-small probes (same gate as the
+      // point lookup join): intervals route on the driver, no shuffle
+      val localPairs: Option[RDD[(InternalRow, InternalRow)]] =
+        if (!smallProbe) None
+        else {
+          val probeRows = child.execute().mapPartitions(
+            _.map(_.copy()), preservesPartitioning = true)
+          val merged = if (probeRows.getNumPartitions > 8)
+            probeRows.coalesce(8) else probeRows
+          val rows = merged.collect()
+          if (rows.length <= LocalProbeRowCap)
+            h.lookupRangeJoinRowsLocal(rows,
+              r => loB.eval(r), r => hiB.eval(r), loInc, hiInc)
+          else None
+        }
+      val pairs = localPairs.getOrElse(
+        h.lookupRangeJoinRows(child.execute(),
+          r => loB.eval(r), r => hiB.eval(r), loInc, hiInc))
       val out = output
       val probeOut = child.output
       val cAll = corpusAll

@@ -437,11 +437,18 @@ class IndexedJoinSpec extends AnyFunSuite {
         (null, "d"), (11L, "e"))).toDF("pk", "tag")
     val thrKey = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(thrKey)
+    val hBand = IndexedFrame.indexRangePartitioned(
+      (1L to 600L).map(k => (k, s"v$k")).toDF("k", "v"), "k", 8)
+    val hbd = hBand.toDF
+    def bandProbe() = spark.range(0, 30)
+      .select(($"id" * 17).as("lo"), ($"id" * 17 + 5).as("hi"))
     def shapes(): Seq[Seq[String]] = Seq(
       { val p = probe(); hd.join(p, hd("k") === p("pk")) },
       { val p = probe(); p.join(hd, p("pk") === hd("k"), "left") },
       { val p = probe(); p.join(hd, p("pk") === hd("k"), "left_semi") },
       { val p = probe(); p.join(hd, p("pk") === hd("k"), "left_anti") },
+      { val p = bandProbe() // band join: interval-routed local path
+        hbd.join(p, hbd("k") >= p("lo") && hbd("k") <= p("hi")) },
     ).map(_.collect().map(_.toString).sorted.toSeq)
     try {
       val viaLocal = shapes() // tiny stats: small-probe path
