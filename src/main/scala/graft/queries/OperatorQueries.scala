@@ -1398,6 +1398,45 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_stream_merge" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.functions.col
+      // streaming CDC MERGE: each micro-batch of (custkey, that-year
+      // max price) changes MERGEs into the live handle — matched
+      // low-value keys DELETE, the rest UPDATE in place — the
+      // "apply the changelog, deletes included" warehouse sink at
+      // delta cost per batch (each merge is one lookup join + COW
+      // delete/upsert passes; the corpus never rescans). Batches are
+      // applied in order; the oracle replays the same three merges as
+      // nested CTE states.
+      val init = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      @volatile var cur = graft.sql.IndexedFrame.index(init, "c_custkey")
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val q = input.toDS().toDF("k", "v").writeStream
+        .queryName(s"ir_stream_merge_${System.nanoTime()}")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          cur = cur.mergeFrame(b, "k",
+            deleteWhen = Some(col("s.v") < 2000.0),
+            updateSet = Map("c_acctbal" -> col("s.v")))
+          ()
+        }
+        .start()
+      try {
+        Seq(1995, 1996, 1997).foreach { y =>
+          val batch = Tables.orders(s, dir)
+            .filter(year($"o_orderdate") === y)
+            .groupBy($"o_custkey").agg(max($"o_totalprice").as("v"))
+            .as[(Long, Double)].collect().toSeq
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      cur.toDF.select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
     "ir_stream_time_travel" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2438,6 +2477,37 @@ object OperatorQueries {
     // last-write-wins replay of the three ordered upsert batches the
     // sink applied (per-year per-customer max order price, batch id =
     // year), over the initial customer-balance state
+    "ir_stream_merge" ->
+      """WITH src95 AS (
+        |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1
+        |), s1 AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |  FROM customer c LEFT JOIN src95 s ON c.c_custkey = s.k WHERE s.k IS NULL
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_name, s.v
+        |  FROM customer c JOIN src95 s ON c.c_custkey = s.k WHERE s.v >= 2000
+        |), src96 AS (
+        |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1
+        |), s2 AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |  FROM s1 c LEFT JOIN src96 s ON c.c_custkey = s.k WHERE s.k IS NULL
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_name, s.v
+        |  FROM s1 c JOIN src96 s ON c.c_custkey = s.k WHERE s.v >= 2000
+        |), src97 AS (
+        |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1997 GROUP BY 1
+        |), s3 AS (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |  FROM s2 c LEFT JOIN src97 s ON c.c_custkey = s.k WHERE s.k IS NULL
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_name, s.v
+        |  FROM s2 c JOIN src97 s ON c.c_custkey = s.k WHERE s.v >= 2000
+        |)
+        |SELECT c_custkey, c_name, c_acctbal FROM s3""".stripMargin,
+
     "ir_stream_sink" ->
       """WITH ups AS (
         |  SELECT o_custkey AS k, max(o_totalprice) AS v,
