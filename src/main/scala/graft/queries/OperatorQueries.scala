@@ -432,6 +432,23 @@ object OperatorQueries {
         .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_topk_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // ORDER BY the full 3-column key prefix LIMIT n on the
+      // range-partitioned N-ary layout: globally sorted in
+      // lexicographic column order, so the first n rows live in the
+      // covering partition prefix — O(n) rows read at any arity
+      graft.sql.IndexedTopK.enable(s)
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeNRangePartitioned(
+        df, Seq("b1", "b2", "c_custkey"), numPartitions = 8)
+      h.toDF.orderBy($"b1", $"b2", $"c_custkey").limit(50)
+        .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_pointget_str" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2186,6 +2203,11 @@ object OperatorQueries {
       """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
         |FROM customer
         |WHERE c_custkey % 10 = 3 AND c_custkey % 100 BETWEEN 20 AND 40""".stripMargin,
+
+    "ir_sql_topk_composite3" ->
+      """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
+        |FROM customer
+        |ORDER BY 1, 2, 3 LIMIT 50""".stripMargin,
 
     "ir_sql_pointget_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer

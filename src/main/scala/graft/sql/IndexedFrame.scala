@@ -3753,7 +3753,7 @@ object IndexedFrame {
       val keyCols: Seq[String], val schema: StructType, val ordered: Boolean,
       private[sql] val specs: IndexedSeq[KeySpec[Any]])(
       implicit private[sql] val tupSer: KeySerializer[Seq[Any]])
-      extends Serializable {
+      extends Serializable with TopKServable {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
     private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)
@@ -3761,6 +3761,23 @@ object IndexedFrame {
       new graft.keys.KeySerializer.SeqLexOrdering(specs.map(_.codec.ord))
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeNRelation(this)(spark.sqlContext))
+
+    /** `ORDER BY <key-column prefix> LIMIT n`: the range-partitioned
+      * N-ary layout is globally sorted in lexicographic column order,
+      * so a uniform-direction sort on any non-empty keyCols prefix
+      * reads only the covering partition prefix/suffix — same claim
+      * as the 2-column handle, at any arity. */
+    override private[sql] def topKCapable: Boolean =
+      ordered && tupSer.isOrderPreserving &&
+        idx.partitioner.exists(
+          _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+    override private[sql] def topKCols: Seq[String] = keyCols
+    override protected def fetchOrderedRows(n: Int, asc: Boolean): Seq[InternalRow] =
+      idx.takeOrderedByKey(n, asc)(tupSer).toSeq.map(_._2)
+    override protected def markTopK(): Unit = {
+      lastScanKind = "topk"
+      lastPointLookupKeys = -1
+    }
   }
 
   private[sql] class CompositeNRelation(private[sql] val h: CompositeNHandle)(

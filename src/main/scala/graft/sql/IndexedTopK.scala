@@ -53,6 +53,7 @@ object IndexedTopK {
       case lr: LogicalRelation => lr.relation match {
         case rel: IndexedFrame.IndexedRelation[_] => Some((rel.h, Nil))
         case rel: IndexedFrame.CompositeRelation[_, _] => Some((rel.h, Nil))
+        case rel: IndexedFrame.CompositeNRelation => Some((rel.h, Nil))
         case _ => None
       }
       case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>

@@ -1445,4 +1445,26 @@ class IndexedFrameSpec extends AnyFunSuite {
     assert(parts < 8, s"expected pruned partitions, scanned $parts/8")
     h.idx.unpersist()
   }
+
+  test("N-ary composite: ORDER BY key prefix LIMIT plans as IndexedTopK") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    graft.sql.IndexedTopK.enable(spark)
+    val df = (for (t <- Seq("a", "b", "c"); e <- 1L to 30L; x <- 1L to 3L)
+      yield (t, e, x, s"$t-$e-$x")).toDF("tenant", "entity", "seq", "p")
+    val h = IndexedFrame.indexCompositeNRangePartitioned(
+      df, Seq("tenant", "entity", "seq"), numPartitions = 8)
+    val q = h.toDF.orderBy($"tenant", $"entity", $"seq").limit(7)
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedTopK"),
+      s"expected IndexedTopK:\n${q.queryExecution.executedPlan}")
+    assert(q.select($"p").as[String].collect().toSeq ===
+      (for (e <- 1L to 3L; x <- 1L to 3L) yield s"a-$e-$x").take(7))
+    assert(h.lastScanKind === "topk")
+    // leading-prefix sort (shorter than the full key) claims too;
+    // descending reads the suffix
+    val q2 = h.toDF.orderBy($"tenant".desc, $"entity".desc, $"seq".desc).limit(3)
+    assert(q2.queryExecution.executedPlan.toString.contains("IndexedTopK"))
+    assert(q2.select($"p").as[String].collect().toSeq ===
+      Seq("c-30-3", "c-30-2", "c-30-1"))
+    h.idx.unpersist()
+  }
 }
