@@ -599,6 +599,31 @@ object OperatorQueries {
         .select($"c_bucket", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_frame_load_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // N-ARY handle persistence: save a RANGE-PARTITIONED 3-column
+      // handle, reload it (key column list + per-component codecs +
+      // partitioner re-attached, no rebuild), then serve a pushed
+      // 3-column POINT and a pinned-prefix RANGE from the reloaded copy
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeNRangePartitioned(
+        df, Seq("b1", "b2", "c_custkey"), numPartitions = 8)
+      val path = registerTempDirForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_sql_frame_load_c3"))
+      graft.sql.IndexedFrame.save(h, path)
+      val loaded = graft.sql.IndexedFrame.loadCompositeN(s, path)
+      val point = loaded.toDF
+        .filter($"b1" === 3L && $"b2" === 53L &&
+          $"c_custkey".isin(53L, 153L, 999953L))
+        .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
+      val range = loaded.toDF.filter($"b1" === 3L && $"b2".between(20L, 40L))
+        .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
+      range.unionAll(point)
+    },
+
     "ir_sql_frame_load_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2262,6 +2287,16 @@ object OperatorQueries {
         |UNION ALL
         |SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 = 17 AND c_custkey IN (17, 117, 999917)""".stripMargin,
+
+    "ir_sql_frame_load_composite3" ->
+      """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 10 = 3 AND c_custkey % 100 BETWEEN 20 AND 40
+        |UNION ALL
+        |SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 10 = 3 AND c_custkey % 100 = 53
+        |  AND c_custkey IN (53, 153, 999953)""".stripMargin,
 
     "ir_sql_range_composite_rp" ->
       """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer

@@ -4104,6 +4104,60 @@ object IndexedFrame {
     } finally out2.close()
   }
 
+  /** Persist an N-ARY composite handle: same one-file-per-partition
+    * index layout, `_frame` meta tagged "compositeN" carrying the key
+    * column LIST + per-component codec tags + orderedness. Reload
+    * with [[loadCompositeN]] — point, prefix-range, and top-k claims
+    * all work immediately from the reloaded copy, no rebuild. */
+  def save(h: CompositeNHandle, path: String): Unit = {
+    graft.IndexedRDDIO.save(
+      h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      org.apache.spark.graftbridge.ConfBridge.broadcast(
+        h.idx.sparkContext).value)
+    val out = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_frame"), true))
+    try {
+      // same four-field header as every handle kind, tag third — a
+      // mismatched loader fails with the clean tag message
+      out.writeObject(h.keyCols.head); out.writeBoolean(h.ordered)
+      out.writeObject("compositeN"); out.writeObject(h.schema.json)
+      out.writeObject(h.keyCols.toList)
+      out.writeObject(h.codecs.map(codecTag).toList)
+    } finally out.close()
+  }
+
+  /** Reload an N-ary composite handle saved by
+    * [[save(h:CompositeNHandle*]]. */
+  def loadCompositeN(spark: SparkSession, path: String): CompositeNHandle = {
+    val sc = spark.sparkContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri, sc.hadoopConfiguration)
+    val in = new java.io.ObjectInputStream(fs.open(
+      new org.apache.hadoop.fs.Path(path, "_frame")))
+    try {
+      in.readObject() // leading key column (also first of the list)
+      val ordered = in.readBoolean()
+      val tag = in.readObject().asInstanceOf[String]
+      val schemaJson = in.readObject().asInstanceOf[String]
+      require(tag == "compositeN",
+        s"not an N-ary composite handle at $path (tag '$tag')")
+      val keyCols = in.readObject().asInstanceOf[List[String]]
+      val tags = in.readObject().asInstanceOf[List[String]]
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType]
+      val specs = keyCols.zip(tags).map { case (c, t) =>
+        specForTag(schema, c, t).asInstanceOf[KeySpec[Any]]
+      }.toIndexedSeq
+      implicit val tupSer: KeySerializer[Seq[Any]] =
+        new graft.keys.KeySerializer.ConcatNSerializer(specs.map(_.ser))
+      new CompositeNHandle(
+        graft.IndexedRDDIO.load[Seq[Any], InternalRow](sc, path).cached,
+        keyCols, schema, ordered, specs)
+    } finally in.close()
+  }
+
   /** Reload a composite handle saved by [[save(h:CompositeHandle*]].
     * The single-key header (four fields) is read and the tag CHECKED
     * before any composite-only field, so pointing this at a single-key

@@ -1446,6 +1446,40 @@ class IndexedFrameSpec extends AnyFunSuite {
     h.idx.unpersist()
   }
 
+  test("N-ary composite: save/load round-trips layout, codecs, and claims") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    graft.sql.IndexedTopK.enable(spark)
+    val df = (for (t <- Seq("x", "y"); e <- 1L to 20L; v <- 1L to 3L)
+      yield (t, e, v, s"$t/$e/$v")).toDF("tenant", "entity", "ver", "p")
+    val h = IndexedFrame.indexCompositeNRangePartitioned(
+      df, Seq("tenant", "entity", "ver"), numPartitions = 4)
+    val ioDir: String =
+      java.nio.file.Files.createTempDirectory("graft_c3_io").toString
+    IndexedFrame.save(h, ioDir)
+      val loaded = IndexedFrame.loadCompositeN(spark, ioDir)
+      assert(loaded.keyCols === Seq("tenant", "entity", "ver"))
+      // point get
+      val p = loaded.toDF.filter($"tenant" === "y" && $"entity" === 7L &&
+        $"ver" === 2L).select($"p").as[String].collect().toSeq
+      assert(p === Seq("y/7/2"))
+      assert(loaded.lastScanKind === "point")
+      // pinned prefix + range
+      val r = loaded.toDF.filter($"tenant" === "x" && $"entity".between(18L, 19L))
+        .select($"p").as[String].collect().toSet
+      assert(r === (for (e <- 18L to 19L; v <- 1L to 3L) yield s"x/$e/$v").toSet)
+      assert(loaded.lastScanKind === "range")
+      // top-k from the reloaded layout
+      val t = loaded.toDF.orderBy($"tenant", $"entity", $"ver").limit(3)
+        .select($"p").as[String].collect().toSeq
+      assert(t === Seq("x/1/1", "x/1/2", "x/1/3"))
+      // single-key loader refuses the N-ary save with a clean message
+      val e = intercept[IllegalArgumentException](
+        IndexedFrame.loadComposite(spark, ioDir))
+      assert(e.getMessage.contains("not a composite handle"))
+      loaded.idx.unpersist()
+    h.idx.unpersist()
+  }
+
   test("N-ary composite: ORDER BY key prefix LIMIT plans as IndexedTopK") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     graft.sql.IndexedTopK.enable(spark)
