@@ -795,6 +795,23 @@ object OperatorQueries {
         .select($"user_id", unix_millis($"ts").as("ts_ms"), $"mv")
     },
 
+    "ir_sql_asof_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // N-ARY point-in-time: on a (tenant, user_id, ts) three-part
+      // key, asOf(Seq(tenant, user), T) reads that entity's latest
+      // version at-or-before T — one bounded floor descent over the
+      // N-ary tuple byte space plus a point probe; the multi-tenant
+      // SCD lookup the 2-column asOf could not express
+      val g = Tables.events(s, dir).groupBy($"user_id", $"ts")
+        .agg(round(max($"value"), 2).as("mv"))
+        .withColumn("tenant", ($"user_id" % 5).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeNRangePartitioned(
+        g, Seq("tenant", "user_id", "ts"), numPartitions = 16)
+      h.asOf(Seq(2L, 7L), java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+        .select($"tenant", $"user_id", unix_millis($"ts").as("ts_ms"), $"mv")
+    },
+
     "ir_sql_range_date" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2346,6 +2363,15 @@ object OperatorQueries {
         |SELECT user_id, epoch_ms(ts) AS ts_ms, mv FROM g
         |WHERE user_id = 5
         |  AND ts = (SELECT max(ts) FROM g WHERE user_id = 5
+        |            AND ts <= TIMESTAMP '2024-01-20 00:00:00')""".stripMargin,
+
+    "ir_sql_asof_composite3" ->
+      """WITH g AS (SELECT user_id % 5 AS tenant, user_id, ts,
+        |                  round(max(value), 2) AS mv
+        |           FROM events GROUP BY user_id, ts)
+        |SELECT tenant, user_id, epoch_ms(ts) AS ts_ms, mv FROM g
+        |WHERE tenant = 2 AND user_id = 7
+        |  AND ts = (SELECT max(ts) FROM g WHERE tenant = 2 AND user_id = 7
         |            AND ts <= TIMESTAMP '2024-01-20 00:00:00')""".stripMargin,
 
     "ir_sql_range_date" ->

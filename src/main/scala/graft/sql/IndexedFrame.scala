@@ -3762,6 +3762,61 @@ object IndexedFrame {
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeNRelation(this)(spark.sqlContext))
 
+    /** Smallest full key strictly above every key sharing prefix `p`
+      * (bump rightmost bumpable component, pad with minimums); None =
+      * all-domain-max. */
+    private def succPrefixBound(p: Seq[Any]): Option[Seq[Any]] = {
+      var i = p.length - 1
+      while (i >= 0) {
+        specs(i).codec.succ(p(i)) match {
+          case Some(s2) => return Some((p.take(i) :+ s2) ++
+            ((i + 1) until keyCols.length).map(j => specs(j).codec.minKey))
+          case None => i -= 1
+        }
+      }
+      None
+    }
+
+    /** Per-entity point-in-time read at ARBITRARY arity — the
+      * multi-tenant versioned lookup on a `(tenant, …, ts)` layout:
+      * the row whose first n−1 key columns equal `prefix` and whose
+      * LAST key column is the largest value ≤ `t`, or empty when the
+      * entity has no version at-or-before `t`. One bounded
+      * [[graft.IndexedRDD.floorKey]] pass over the tuple byte space
+      * (the floor of `prefix :+ succ t` is either the entity's latest
+      * version ≤ t or some earlier tuple — one driver-side prefix
+      * check tells them apart) plus one point probe through the
+      * ordinary pushed-equality lane. Requires an ordered handle —
+      * the 2-column [[CompositeHandle.asOf]] generalized. */
+    def asOf(prefix: Seq[Any], t: Any)(implicit spark: SparkSession): DataFrame = {
+      require(ordered && tupSer.isOrderPreserving,
+        "asOf needs an ordered N-ary handle with order-preserving keys")
+      require(prefix.length == keyCols.length - 1,
+        s"asOf pins the first ${keyCols.length - 1} key columns, " +
+          s"got ${prefix.length}")
+      val kp: Seq[Any] = prefix.zipWithIndex.map { case (v, i) =>
+        specs(i).codec.fromLiteral(v) }
+      val kt = specs.last.codec.fromLiteral(t)
+      val floor: Option[Seq[Any]] = specs.last.codec.succ(kt) match {
+        case Some(ub) => idx.floorKey(kp :+ ub)(tupSer)
+        case None => succPrefixBound(kp) match {
+          case Some(b) => idx.floorKey(b)(tupSer)
+          case None => idx.maxKey()(tupSer)
+        }
+      }
+      floor.filter(fk => kp.indices.forall(i =>
+        specs(i).codec.ord.equiv(fk(i), kp(i)))) match {
+        case Some(fk) =>
+          import org.apache.spark.sql.functions.{col, lit}
+          keyCols.zipWithIndex.map { case (c, i) =>
+            col(c) === lit(specs(i).codec.toExternalSql(fk(i)))
+          }.reduce(_ && _) match {
+            case cond => toDF.filter(cond)
+          }
+        case None => toDF.limit(0)
+      }
+    }
+
     /** `ORDER BY <key-column prefix> LIMIT n`: the range-partitioned
       * N-ary layout is globally sorted in lexicographic column order,
       * so a uniform-direction sort on any non-empty keyCols prefix

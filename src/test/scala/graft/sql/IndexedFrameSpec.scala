@@ -1480,6 +1480,27 @@ class IndexedFrameSpec extends AnyFunSuite {
     h.idx.unpersist()
   }
 
+  test("N-ary composite: asOf reads the pinned entity's latest version <= t") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // versions: (tenant, entity, ts) -> payload, ts in {10, 20, 30}
+    val df = (for (t <- Seq("acme", "beta"); e <- 1L to 10L; ts <- Seq(10L, 20L, 30L))
+      yield (t, e, ts, s"$t/$e@$ts")).toDF("tenant", "entity", "ts", "p")
+    val h = IndexedFrame.indexCompositeNRangePartitioned(
+      df, Seq("tenant", "entity", "ts"), numPartitions = 4)
+    def at(tenant: String, e: Long, t: Long): Seq[String] =
+      h.asOf(Seq(tenant, e), t).select($"p").as[String].collect().toSeq
+    assert(at("beta", 4L, 25L) === Seq("beta/4@20")) // between versions
+    assert(at("beta", 4L, 30L) === Seq("beta/4@30")) // exact hit
+    assert(at("beta", 4L, 99L) === Seq("beta/4@30")) // after the last
+    assert(at("beta", 4L, 9L) === Seq.empty)         // before the first
+    assert(at("nope", 4L, 25L) === Seq.empty)        // unknown prefix
+    // floor must NOT leak across the entity boundary: entity 5's
+    // queries never see entity 4's versions
+    assert(at("beta", 5L, 9L) === Seq.empty)
+    assert(at("acme", 10L, 15L) === Seq("acme/10@10"))
+    h.idx.unpersist()
+  }
+
   test("N-ary composite: ORDER BY key prefix LIMIT plans as IndexedTopK") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     graft.sql.IndexedTopK.enable(spark)
