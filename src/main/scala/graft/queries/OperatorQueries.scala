@@ -265,6 +265,31 @@ object OperatorQueries {
         .select($"c_custkey", $"c_acctbal", $"total")
     },
 
+    "ir_sql_join_composite3_idx" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // N-ARY zip join: two handles keyed by the same THREE columns
+      // and partition count — the SQL equi-join equating all three
+      // plans as the zero-shuffle zip join, at any arity
+      graft.sql.IndexedJoin.enable(s)
+      val c = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+        .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
+      val totals = Tables.orders(s, dir).groupBy($"o_custkey")
+        .agg(round(sum($"o_totalprice"), 2).as("total"))
+        .withColumn("ob1", ($"o_custkey" % 10).cast("long"))
+        .withColumn("ob2", ($"o_custkey" % 100).cast("long"))
+        .select($"ob1", $"ob2", $"o_custkey", $"total")
+      val h1 = graft.sql.IndexedFrame.indexCompositeN(
+        c, Seq("b1", "b2", "c_custkey"), numPartitions = 16)
+      val h2 = graft.sql.IndexedFrame.indexCompositeN(
+        totals, Seq("ob1", "ob2", "o_custkey"), numPartitions = 16)
+      h1.toDF.join(h2.toDF, $"b1" === $"ob1" && $"b2" === $"ob2" &&
+          $"c_custkey" === $"o_custkey")
+        .select($"c_custkey", $"c_acctbal", $"total")
+    },
+
     "ir_sql_semijoin_idx" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2175,6 +2200,12 @@ object OperatorQueries {
     // bucket equality is implied by custkey equality, so the SQL twin
     // is the single-key join
     "ir_sql_join_composite_idx" ->
+      """SELECT c.c_custkey, c.c_acctbal,
+        |  round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_acctbal""".stripMargin,
+
+    "ir_sql_join_composite3_idx" ->
       """SELECT c.c_custkey, c.c_acctbal,
         |  round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey

@@ -3753,7 +3753,7 @@ object IndexedFrame {
       val keyCols: Seq[String], val schema: StructType, val ordered: Boolean,
       private[sql] val specs: IndexedSeq[KeySpec[Any]])(
       implicit private[sql] val tupSer: KeySerializer[Seq[Any]])
-      extends Serializable with TopKServable {
+      extends Serializable with TopKServable with JoinableHandle {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
     private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)
@@ -3761,6 +3761,92 @@ object IndexedFrame {
       new graft.keys.KeySerializer.SeqLexOrdering(specs.map(_.codec.ord))
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeNRelation(this)(spark.sqlContext))
+
+    // ----- JoinableHandle: lookup/zip joins on the full N-column key.
+    // keyIdxs arrives with one probe column per key column, in key
+    // order — the strategy's probeFor machinery is arity-generic.
+    override private[sql] def idxAny: IndexedRDD[Any, InternalRow] =
+      idx.asInstanceOf[IndexedRDD[Any, InternalRow]]
+    override private[sql] def joinKeyCols: Seq[String] = keyCols
+    override private[sql] def keyTypeTag: String =
+      s"compositeN:${specs.map(s => codecTag(s.codec)).mkString(",")}"
+
+    private def keyOf(r: InternalRow, idxs: Array[Int]): Seq[Any] = {
+      val parts = new Array[Any](idxs.length)
+      var i = 0
+      while (i < idxs.length) { parts(i) = specs(i).codec.fromRow(r, idxs(i)); i += 1 }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(parts)
+    }
+    private def keyedProbeN(probe: RDD[InternalRow],
+        idxs: Array[Int]): RDD[(Seq[Any], InternalRow)] = {
+      val self = this
+      probe.mapPartitions(_.flatMap { r =>
+        if (idxs.exists(r.isNullAt)) Iterator.empty
+        else Iterator.single((self.keyOf(r, idxs), r.copy()))
+      })
+    }
+    private def keyedProbeNullableN(probe: RDD[InternalRow],
+        idxs: Array[Int]): RDD[(Any, InternalRow)] = {
+      val self = this
+      probe.mapPartitions(_.map { r =>
+        (if (idxs.exists(r.isNullAt)) null else (self.keyOf(r, idxs): Any),
+          r.copy())
+      })
+    }
+    override private[sql] def lookupJoinRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], keepMisses: Boolean): RDD[(InternalRow, InternalRow)] =
+      if (!keepMisses)
+        idx.lookupJoinStream(keyedProbeN(probe, keyIdxs))((_, v, u) => (v, u))
+      else
+        idx.lookupJoinStreamNullable(keyedProbeNullableN(probe, keyIdxs))(
+          (_, v, u) => (v, u), u => (null.asInstanceOf[InternalRow], u))
+    override private[sql] def lookupSemiRows(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] = {
+      val self = this
+      val keys = probe.mapPartitions(_.flatMap { r =>
+        if (keyIdxs.exists(r.isNullAt)) Iterator.empty
+        else Iterator.single(self.keyOf(r, keyIdxs))
+      })
+      idx.lookupSemiStream(keys, anti).map(_._2)
+    }
+    override private[sql] def lookupProbeFilter(probe: RDD[InternalRow],
+        keyIdxs: Array[Int], anti: Boolean): RDD[InternalRow] =
+      if (!anti)
+        idx.lookupJoinStream(keyedProbeN(probe, keyIdxs))((_, _, u) => u)
+      else
+        idx.lookupJoinStreamNullable(keyedProbeNullableN(probe, keyIdxs))(
+          (_, _, _) => null.asInstanceOf[InternalRow], u => u).filter(_ != null)
+    override private[sql] def lookupJoinRowsLocal(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        keepMisses: Boolean): Option[RDD[(InternalRow, InternalRow)]] = {
+      val (nulls, keyed) = probeRows.partition(r => keyIdxs.exists(r.isNullAt))
+      val probes = keyed.toSeq.map(r => (keyOf(r, keyIdxs), r))
+      Some(
+        if (!keepMisses) idx.lookupJoinLocal(probes)((_, v, u) => (v, u))
+        else idx.lookupJoinLocal(probes,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))(
+          (_, v, u) => (v, u),
+          Some((u: InternalRow) => (null.asInstanceOf[InternalRow], u))))
+    }
+    override private[sql] def lookupProbeFilterLocal(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        anti: Boolean): Option[RDD[InternalRow]] = {
+      val (nulls, keyed) = probeRows.partition(r => keyIdxs.exists(r.isNullAt))
+      val probes = keyed.toSeq.map(r => (keyOf(r, keyIdxs), r))
+      Some(
+        if (!anti) idx.lookupJoinLocal(probes)((_, _, u) => u)
+        else idx.lookupJoinLocal(probes,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))(
+          (_, _, _) => null.asInstanceOf[InternalRow],
+          Some((u: InternalRow) => u)).filter(_ != null))
+    }
+    override private[sql] def lookupSecondaryCols: Set[String] = Set.empty
+    override private[sql] def lookupJoinRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
+      throw new UnsupportedOperationException("no secondaries on N-ary handles")
+    override private[sql] def lookupOuterRowsBySecondary(col: String,
+        probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
+      throw new UnsupportedOperationException("no secondaries on N-ary handles")
 
     /** Smallest full key strictly above every key sharing prefix `p`
       * (bump rightmost bumpable component, pad with minimums); None =

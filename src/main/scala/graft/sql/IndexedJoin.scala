@@ -69,6 +69,8 @@ object IndexedJoin {
           Some((lr.output, lr.output, Nil, rel.h))
         case rel: IndexedFrame.CompositeRelation[_, _] =>
           Some((lr.output, lr.output, Nil, rel.h))
+        case rel: IndexedFrame.CompositeNRelation =>
+          Some((lr.output, lr.output, Nil, rel.h))
         case _ => None
       }
       case Project(projs, child) if projs.forall(_.isInstanceOf[AttributeReference]) =>

@@ -458,6 +458,57 @@ class IndexedJoinSpec extends AnyFunSuite {
     } finally spark.conf.set(thrKey, saved)
   }
 
+  test("N-ary composite handles join: 3-column lookup and zip joins") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val corpus = (for (t <- 1L to 5L; e <- 1L to 20L; v <- 1L to 3L)
+      yield (t, e, v, t * 10000 + e * 10 + v)).toDF("a", "b", "c", "pay")
+    val h = IndexedFrame.indexCompositeN(corpus, Seq("a", "b", "c"),
+      numPartitions = 8)
+    val hd = h.toDF
+    // lookup join: probe equates ALL THREE key columns; dups, misses,
+    // and a null component behave like SQL
+    def probe() = spark.createDataFrame(Seq[(java.lang.Long, java.lang.Long,
+        java.lang.Long, String)](
+      (2L, 3L, 1L, "x"), (2L, 3L, 1L, "y"), (5L, 20L, 3L, "z"),
+      (9L, 9L, 9L, "miss"), (null, 1L, 1L, "null"))).toDF("pa", "pb", "pc", "tag")
+    val q = { val p = probe()
+      p.join(hd, p("pa") === hd("a") && p("pb") === hd("b") && p("pc") === hd("c")) }
+    assert(q.queryExecution.executedPlan.toString.contains("IndexedLookupJoin"),
+      q.queryExecution.executedPlan.toString)
+    val e = { val p = probe()
+      p.join(corpus, p("pa") === corpus("a") && p("pb") === corpus("b") &&
+        p("pc") === corpus("c")) }
+    assert(q.collect().map(_.toString).sorted.toSeq ===
+      e.collect().map(_.toString).sorted.toSeq)
+    // probe-kept outer/semi/anti parity (null components kept/dropped
+    // per SQL)
+    for (jt <- Seq("left", "left_semi", "left_anti")) {
+      val qi = { val p = probe()
+        p.join(hd, p("pa") === hd("a") && p("pb") === hd("b") &&
+          p("pc") === hd("c"), jt) }
+      val ei = { val p = probe()
+        p.join(corpus, p("pa") === corpus("a") && p("pb") === corpus("b") &&
+          p("pc") === corpus("c"), jt) }
+      assert(qi.collect().map(_.toString).sorted.toSeq ===
+        ei.collect().map(_.toString).sorted.toSeq, s"join type $jt")
+    }
+    // zip join: two co-partitioned N-ary handles equate whole keys
+    // with no exchange
+    val other = (for (t <- 1L to 5L; e <- 1L to 20L; v <- 1L to 3L)
+      yield (t, e, v, s"o-$t-$e-$v")).toDF("a2", "b2", "c2", "tag2")
+    val h2 = IndexedFrame.indexCompositeN(other, Seq("a2", "b2", "c2"),
+      numPartitions = 8)
+    val h2d = h2.toDF
+    val zq = hd.join(h2d, hd("a") === h2d("a2") &&
+      hd("b") === h2d("b2") && hd("c") === h2d("c2"))
+    val zplan = zq.queryExecution.executedPlan.toString
+    assert(zplan.contains("IndexedZipJoin"), zplan)
+    assert(!zplan.contains("Exchange"), s"expected exchange-free zip:\n$zplan")
+    assert(zq.count() === corpus.count())
+    h.idx.unpersist(); h2.idx.unpersist()
+  }
+
   test("secondary lookup join: probe values expand through postings to point fetches") {
     IndexedJoin.enable(spark)
     implicit val s: org.apache.spark.sql.SparkSession = spark
