@@ -457,6 +457,23 @@ object OperatorQueries {
         .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_agg_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // no-scan aggregates at arity N: GROUP BY the leading key column
+      // -> count(*) answered from key runs (values never read), plus
+      // count(DISTINCT leading) = boundary-adjusted run counts and
+      // count(*)/min/max(leading) from index structure — all claimed
+      // by IndexedAgg on the N-ary handle exactly like the 2-ary one
+      graft.sql.IndexedAgg.enable(s)
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeNRangePartitioned(
+        df, Seq("b1", "b2", "c_custkey"), numPartitions = 8)
+      h.toDF.groupBy($"b1").agg(count(lit(1)).as("n"))
+    },
+
     "ir_sql_topk_composite3" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2281,6 +2298,10 @@ object OperatorQueries {
       """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
         |FROM customer
         |ORDER BY 1, 2, 3 LIMIT 50""".stripMargin,
+
+    "ir_sql_agg_composite3" ->
+      """SELECT c_custkey % 10 AS b1, count(*) AS n FROM customer
+        |GROUP BY 1""".stripMargin,
 
     "ir_sql_pointget_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer

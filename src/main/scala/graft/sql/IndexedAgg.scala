@@ -84,6 +84,7 @@ object IndexedAgg {
       case lr: LogicalRelation => lr.relation match {
         case rel: IndexedFrame.IndexedRelation[_] => Some(rel.h)
         case rel: IndexedFrame.CompositeRelation[_, _] => Some(rel.h)
+        case rel: IndexedFrame.CompositeNRelation => Some(rel.h)
         case _ => None
       }
       case Project(projs, child) if projs.forall(_.isInstanceOf[Attribute]) =>

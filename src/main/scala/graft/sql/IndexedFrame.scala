@@ -3753,7 +3753,8 @@ object IndexedFrame {
       val keyCols: Seq[String], val schema: StructType, val ordered: Boolean,
       private[sql] val specs: IndexedSeq[KeySpec[Any]])(
       implicit private[sql] val tupSer: KeySerializer[Seq[Any]])
-      extends Serializable with TopKServable with JoinableHandle {
+      extends Serializable with TopKServable with JoinableHandle
+      with StatsCapable {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
     private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)
@@ -3847,6 +3848,100 @@ object IndexedFrame {
     override private[sql] def lookupOuterRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
       throw new UnsupportedOperationException("no secondaries on N-ary handles")
+
+    // ----- StatsCapable: no-scan aggregates at arity N. count(*) =
+    // the index size; min/max of the LEADING column = the byte-extreme
+    // tuples' heads (lexicographic order); GROUP BY leading count(*)
+    // and count(DISTINCT leading) from key runs — values never read.
+    override private[sql] def statsKeyCol: Option[String] =
+      if (ordered && tupSer.isOrderPreserving) Some(keyCols.head) else None
+    @transient private lazy val statsCountN: Long = idx.count()
+    @transient private lazy val statsFullN: (Long, Option[Any], Option[Any]) = {
+      val (c, mn, mx) = idx.keyStats()(tupSer)
+      (c, mn.map(t => specs(0).codec.toExternalSql(t.head)),
+        mx.map(t => specs(0).codec.toExternalSql(t.head)))
+    }
+    override private[sql] def statsAll(
+        withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
+      if (withExtrema) statsFullN else (statsCountN, None, None)
+    override private[sql] def markStats(): Unit = { lastScanKind = "stats" }
+
+    private def leadRunsServableN: Boolean =
+      ordered && tupSer.isOrderPreserving &&
+        idx.partitioner.exists(
+          _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+
+    /** `count(DISTINCT leading)`: per-partition (run count, first,
+      * last) minus boundary-continuing runs — the 2-ary algorithm with
+      * the tuple head as the run key. Memoized on the snapshot. */
+    @transient private lazy val leadDistinctMemoN: Long = {
+      val ordA = specs(0).codec.ord
+      val bounds = idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+        if (!pit.hasNext) Iterator.empty
+        else {
+          val it = pit.next().iterator
+          if (!it.hasNext) Iterator.empty
+          else {
+            var runs = 0L
+            var first: Any = null
+            var last: Any = null
+            var any = false
+            it.foreach { case (k, _) =>
+              val a = k.head
+              if (!any) { first = a; any = true; runs = 1L }
+              else if (!ordA.equiv(last, a)) runs += 1
+              last = a
+            }
+            Iterator.single((pid, runs, first, last))
+          }
+        }
+      }.collect().sortBy(_._1)
+      val joins = bounds.iterator.sliding(2).withPartial(false).count {
+        case Seq((_, _, _, lastPrev), (_, _, firstCur, _)) =>
+          ordA.equiv(lastPrev, firstCur)
+        case _ => false
+      }
+      bounds.iterator.map(_._2).sum - joins
+    }
+    override private[sql] def countDistinctFor(col: String): Option[() => Long] =
+      if (col == keyCols.head && leadRunsServableN) Some(() => leadDistinctMemoN)
+      else None
+
+    override private[sql] def colsAreFullKey(cols: Seq[String]): Boolean =
+      cols.length == keyCols.length && cols.toSet == keyCols.toSet
+
+    /** `GROUP BY leading → count(*)` from the key stream (values never
+      * deserialized). v1 gating: only vacuous IsNotNull conjuncts on
+      * key columns (no null key components are stored); any real
+      * predicate falls through to the scan plans. */
+    override private[sql] def groupCountsFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long)]] = {
+      if (col != keyCols.head) return None
+      val keySet = keyCols.toSet
+      val vacuous = fs.forall {
+        case IsNotNull(c) => keySet.contains(c)
+        case _ => false
+      }
+      if (!vacuous) return None
+      val dt = schema(keyCols.head).dataType
+      Some(() => {
+        val partial = idx.partitionsRDD.mapPartitions { pit =>
+          if (!pit.hasNext) Iterator.empty
+          else {
+            val m = new java.util.HashMap[Any, java.lang.Long]()
+            pit.next().iterator.foreach { case (k, _) =>
+              val a = k.head
+              val prev = m.get(a)
+              m.put(a, if (prev == null) 1L else prev.longValue() + 1L)
+            }
+            import scala.jdk.CollectionConverters._
+            m.entrySet().iterator().asScala
+              .map(e => (e.getKey: Any, e.getValue.longValue()))
+          }
+        }
+        partial.reduceByKey(_ + _).map { case (a, c) => (toCatalystKey(dt, a), c) }
+      })
+    }
 
     /** Smallest full key strictly above every key sharing prefix `p`
       * (bump rightmost bumpable component, pad with minimums); None =

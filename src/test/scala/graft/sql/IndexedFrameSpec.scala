@@ -1480,6 +1480,37 @@ class IndexedFrameSpec extends AnyFunSuite {
     h.idx.unpersist()
   }
 
+  test("N-ary composite: no-scan aggregates claim and match") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.{count, count_distinct, lit, max, min}
+    graft.sql.IndexedAgg.enable(spark)
+    val df = (for (t <- 1L to 6L; e <- 1L to 15L; v <- 1L to 2L)
+      yield (t, e, v, t * 1000 + e)).toDF("a", "b", "c", "pay")
+    val h = IndexedFrame.indexCompositeNRangePartitioned(
+      df, Seq("a", "b", "c"), numPartitions = 4)
+    val hd = h.toDF
+    // count(*) + min/max(leading) from index structure
+    val q1 = hd.agg(count(lit(1)).as("n"), min($"a").as("mn"), max($"a").as("mx"))
+    assert(q1.queryExecution.executedPlan.toString.contains("IndexedStats"),
+      q1.queryExecution.executedPlan.toString)
+    assert(q1.as[(Long, Long, Long)].head() === ((180L, 1L, 6L)))
+    // GROUP BY leading -> count from key runs
+    val q2 = hd.groupBy($"a").agg(count(lit(1)).as("n"))
+    assert(q2.queryExecution.executedPlan.toString.contains("IndexedGroupCount"),
+      q2.queryExecution.executedPlan.toString)
+    assert(q2.as[(Long, Long)].collect().toSet === (1L to 6L).map((_, 30L)).toSet)
+    // count(DISTINCT leading) from boundary-adjusted run counts;
+    // count(DISTINCT full key) == count(*)
+    val q3 = hd.agg(count(lit(1)).as("n"), count_distinct($"a").as("d"))
+    assert(q3.queryExecution.executedPlan.toString.contains("IndexedStats"))
+    assert(q3.as[(Long, Long)].head() === ((180L, 6L)))
+    // grouping by a NON-leading key column falls through to the scan
+    val q4 = hd.groupBy($"b").agg(count(lit(1)).as("n"))
+    assert(!q4.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
+    assert(q4.as[(Long, Long)].collect().toSet === (1L to 15L).map((_, 12L)).toSet)
+    h.idx.unpersist()
+  }
+
   test("N-ary composite: asOf reads the pinned entity's latest version <= t") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     // versions: (tenant, entity, ts) -> payload, ts in {10, 20, 30}
