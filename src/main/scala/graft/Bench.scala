@@ -75,9 +75,17 @@ object Bench {
     // repo): bench_out.json = the full one-line artifact,
     // bench_diag.json = per-lane raw best-of-3 runs + GC-time deltas
     // for diagnosing in-sweep environment drift
-    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_out.json"), fullLine + "\n")
-    writeFile("/root/repo/bench_diag.json", diagJson())
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
+    writeFile(outPath, fullLine + "\n")
+    // diagnostics land BESIDE the main artifact, honoring the same
+    // override (a redirected run must not silently drop its GC data)
+    val diagPath = {
+      val p = java.nio.file.Paths.get(outPath).toAbsolutePath
+      val parent = Option(p.getParent).map(_.toString).getOrElse(".")
+      s"$parent/bench_diag.json"
+    }
+    writeFile(diagPath, diagJson())
     // stdout gets ONLY a COMPACT line, printed LAST: the driver keeps
     // just the tail of sbt output and parses the bench JSON from it —
     // r10's full 8 KB line was beheaded by the tail buffer and

@@ -304,9 +304,11 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
       .map { case (pid, ps) => (pid, ps.toArray) }
     val nullRows =
       if (missing.isDefined) nullKeyed.toArray else Array.empty[U]
-    // null-keyed misses need SOME task to emit them; house them with
-    // the lowest owner (partition 0 when nothing probes at all)
-    val nullHome = if (grouped.isEmpty) 0 else grouped.keysIterator.min
+    // null-keyed misses emit from partition 0 — the SAME placement the
+    // shuffled path uses (lookupJoinStreamNullable routes nulls to
+    // partition 0), so both probe paths satisfy the documented
+    // null-group layout identically
+    val nullHome = 0
     val bc = context.broadcast((grouped, nullRows))
     // full fan-out, NOT PartitionPruningRDD: partition count and
     // numbering are preserved, so every output row still sits in its

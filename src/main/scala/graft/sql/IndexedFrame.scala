@@ -1989,7 +1989,10 @@ object IndexedFrame {
         keyCol, schema, ordered, codec)
     }
 
-    /** SQL `MERGE INTO` semantics against this handle, at DELTA cost:
+    /** See [[IndexedFrame.mergeClauses]] for the shared clause
+      * machinery (conditions, three-valued logic, change-set rows).
+      *
+      * SQL `MERGE INTO` semantics against this handle, at DELTA cost:
       *
       * {{{
       * MERGE INTO handle t USING source s ON t.<keyCol> = s.<sourceKey>
@@ -2009,7 +2012,12 @@ object IndexedFrame {
       * as `col("t.<name>")`, SOURCE columns as `col("s.<name>")`.
       * `insertValues` maps target columns to source-side expressions
       * (unnamed columns insert NULL); `insertAll = true` inserts the
-      * source row positionally by target column name instead.
+      * source row positionally by target column name instead. Rows
+      * keep the handle schema's NULLABILITY: an update/insert
+      * expression that evaluates to NULL for a non-nullable target
+      * column reads back as that type's default (Spark stores the
+      * null bit but the schema says never-null) — make the column
+      * nullable in the source frame if NULLs are possible.
       *
       * Execution is the 100 TB shape: the source LEFT-joins the handle
       * through the lookup-join strategy when enabled (probe-side-only
@@ -2029,42 +2037,20 @@ object IndexedFrame {
         insertValues: Map[String, Column] = Map.empty,
         insertAll: Boolean = false)(
         implicit spark: SparkSession): Handle[K] = {
-      import org.apache.spark.sql.functions.{col => fCol, lit => fLit}
-      val hasDelete = deleteWhen.isDefined
-      val hasUpdate = updateSet.nonEmpty
-      val hasInsert = insertAll || insertValues.nonEmpty
-      require(hasDelete || hasUpdate || hasInsert,
-        "MERGE needs at least one WHEN clause")
+      import org.apache.spark.sql.functions.{col => fCol}
       require(!updateSet.contains(keyCol), "MERGE may not update the key")
-      require(updateSet.keySet.subsetOf(schema.fieldNames.toSet),
-        s"unknown update columns ${updateSet.keySet -- schema.fieldNames}")
-      require(insertValues.keySet.subsetOf(schema.fieldNames.toSet),
-        s"unknown insert columns ${insertValues.keySet -- schema.fieldNames}")
       val joined = source.alias("s")
         .join(toDF.alias("t"), fCol(s"s.$sourceKey") === fCol(s"t.$keyCol"), "left")
       val matched = fCol(s"t.$keyCol").isNotNull
-      val delC =
-        if (hasDelete) matched && deleteWhen.get else fLit(false)
-      val updC =
-        if (hasUpdate) matched && !delC && updateWhen.getOrElse(fLit(true))
-        else fLit(false)
-      val insC =
-        if (hasInsert) !matched && insertWhen.getOrElse(fLit(true))
-        else fLit(false)
-      val updRows = joined.filter(updC).select(schema.fieldNames.toSeq.map { f =>
-        updateSet.getOrElse(f, fCol(s"t.$f")).as(f) }: _*)
-      val insRows = joined.filter(insC).select(schema.fieldNames.toSeq.map { f =>
-        (if (insertAll) fCol(s"s.$f")
-         else insertValues.getOrElse(f, fLit(null).cast(schema(f).dataType)))
-          .as(f) }: _*)
+      val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
+        updateSet, insertWhen, insertValues, insertAll)
       val afterDel =
-        if (hasDelete) deleteFrame(joined.filter(delC).select(fCol(s"t.$keyCol")))
+        if (cs.hasDelete)
+          deleteFrame(joined.filter(cs.delC).select(fCol(s"t.$keyCol")))
         else this
-      (hasUpdate, hasInsert) match {
-        case (false, false) => afterDel
-        case (true, false) => afterDel.upsertFrame(updRows)
-        case (false, true) => afterDel.upsertFrame(insRows)
-        case (true, true) => afterDel.upsertFrame(updRows.unionByName(insRows))
+      cs.upserts match {
+        case Some(ups) => afterDel.upsertFrame(ups)
+        case None => afterDel
       }
     }
 
@@ -2624,15 +2610,20 @@ object IndexedFrame {
       * return a NEW handle, so entries never invalidate). LRU-capped
       * at 8 lanes; evicted entries unpersist. */
     @transient private lazy val groupedResultMemo =
-      new java.util.LinkedHashMap[String, RDD[_]](16, 0.75f, true) {
+      new java.util.LinkedHashMap[(String, Option[Any], Option[Any]), RDD[_]](
+        16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, RDD[_]]): Boolean = {
+            e: java.util.Map.Entry[(String, Option[Any], Option[Any]), RDD[_]])
+            : Boolean = {
           val evict = size() > 8
           if (evict) e.getValue.unpersist(blocking = false)
           evict
         }
       }
-    private def memoGrouped[T](sig: String)(compute: => RDD[T]): RDD[T] =
+    /** Structural (lane, lo, hi) keys — interpolated-string signatures
+      * could collide for string-keyed bounds containing the separator. */
+    private def memoGrouped[T](sig: (String, Option[Any], Option[Any]))(
+        compute: => RDD[T]): RDD[T] =
       groupedResultMemo.synchronized {
         groupedResultMemo.get(sig) match {
           case null =>
@@ -2665,7 +2656,7 @@ object IndexedFrame {
       val isEmpty = iv.empty
       Some(() =>
         if (isEmpty) idx.context.emptyRDD[(Any, Long)]
-        else memoGrouped(s"gc|${lo.map(_.toString)}|${hi.map(_.toString)}") {
+        else memoGrouped(("gc", lo.map(x => x: Any), hi.map(x => x: Any))) {
           val unbounded = lo.isEmpty && hi.isEmpty
           val partial = idx.partitionsRDD.mapPartitions { pit =>
             if (!pit.hasNext) Iterator.empty
@@ -2935,7 +2926,7 @@ object IndexedFrame {
       val streamRuns = leadRunsServable
       Some(() =>
         if (isEmpty) idx.context.emptyRDD[(Any, Long, Any, Any)]
-        else memoGrouped(s"gs|${lo.map(_.toString)}|${hi.map(_.toString)}") {
+        else memoGrouped(("gs", lo.map(x => x: Any), hi.map(x => x: Any))) {
           val unbounded = lo.isEmpty && hi.isEmpty
           val partial = idx.partitionsRDD.mapPartitions { pit =>
             if (!pit.hasNext) Iterator.empty
@@ -3199,46 +3190,23 @@ object IndexedFrame {
         insertValues: Map[String, Column] = Map.empty,
         insertAll: Boolean = false)(
         implicit spark: SparkSession): CompositeHandle[A, B] = {
-      import org.apache.spark.sql.functions.{col => fCol, lit => fLit}
-      val hasDelete = deleteWhen.isDefined
-      val hasUpdate = updateSet.nonEmpty
-      val hasInsert = insertAll || insertValues.nonEmpty
-      require(hasDelete || hasUpdate || hasInsert,
-        "MERGE needs at least one WHEN clause")
+      import org.apache.spark.sql.functions.{col => fCol}
       require(!updateSet.contains(keyColA) && !updateSet.contains(keyColB),
         "MERGE may not update a key column")
-      require(updateSet.keySet.subsetOf(schema.fieldNames.toSet),
-        s"unknown update columns ${updateSet.keySet -- schema.fieldNames}")
-      require(insertValues.keySet.subsetOf(schema.fieldNames.toSet),
-        s"unknown insert columns ${insertValues.keySet -- schema.fieldNames}")
       val joined = source.alias("s").join(toDF.alias("t"),
         fCol(s"s.$sourceKeyA") === fCol(s"t.$keyColA") &&
           fCol(s"s.$sourceKeyB") === fCol(s"t.$keyColB"), "left")
       val matched = fCol(s"t.$keyColA").isNotNull
-      val delC =
-        if (hasDelete) matched && deleteWhen.get else fLit(false)
-      val updC =
-        if (hasUpdate) matched && !delC && updateWhen.getOrElse(fLit(true))
-        else fLit(false)
-      val insC =
-        if (hasInsert) !matched && insertWhen.getOrElse(fLit(true))
-        else fLit(false)
-      val updRows = joined.filter(updC).select(schema.fieldNames.toSeq.map { f =>
-        updateSet.getOrElse(f, fCol(s"t.$f")).as(f) }: _*)
-      val insRows = joined.filter(insC).select(schema.fieldNames.toSeq.map { f =>
-        (if (insertAll) fCol(s"s.$f")
-         else insertValues.getOrElse(f, fLit(null).cast(schema(f).dataType)))
-          .as(f) }: _*)
+      val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
+        updateSet, insertWhen, insertValues, insertAll)
       val afterDel =
-        if (hasDelete)
-          deleteFrame(joined.filter(delC)
+        if (cs.hasDelete)
+          deleteFrame(joined.filter(cs.delC)
             .select(fCol(s"t.$keyColA"), fCol(s"t.$keyColB")))
         else this
-      (hasUpdate, hasInsert) match {
-        case (false, false) => afterDel
-        case (true, false) => afterDel.upsertFrame(updRows)
-        case (false, true) => afterDel.upsertFrame(insRows)
-        case (true, true) => afterDel.upsertFrame(updRows.unionByName(insRows))
+      cs.upserts match {
+        case Some(ups) => afterDel.upsertFrame(ups)
+        case None => afterDel
       }
     }
 
@@ -3461,6 +3429,55 @@ object IndexedFrame {
         buildComposite[a, b](df, keyColA, keyColB, sa, sb,
           ordered = true, 0, numPartitions)
     }
+
+  /** MERGE clause machinery shared by the single-key and composite
+    * [[Handle.mergeFrame]]/[[CompositeHandle.mergeFrame]]: clause
+    * presence, conditions, and change-set rows. SQL THREE-VALUED
+    * semantics for clause conditions — a clause whose condition is
+    * not TRUE is SKIPPED and the row falls through to the next clause
+    * (a NULL delete condition must not swallow the row from the
+    * update clause; `coalesce(cond, false)` pins that down). */
+  private[sql] final case class MergeChangeSets(delC: Column,
+      hasDelete: Boolean, upserts: Option[DataFrame])
+  private[sql] def mergeClauses(joined: DataFrame, matched: Column,
+      schema: StructType, deleteWhen: Option[Column],
+      updateWhen: Option[Column], updateSet: Map[String, Column],
+      insertWhen: Option[Column], insertValues: Map[String, Column],
+      insertAll: Boolean): MergeChangeSets = {
+    import org.apache.spark.sql.functions.{coalesce, col => fCol, lit => fLit}
+    val hasDelete = deleteWhen.isDefined
+    val hasUpdate = updateSet.nonEmpty
+    val hasInsert = insertAll || insertValues.nonEmpty
+    require(hasDelete || hasUpdate || hasInsert,
+      "MERGE needs at least one WHEN clause")
+    require(updateSet.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown update columns ${updateSet.keySet -- schema.fieldNames}")
+    require(insertValues.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown insert columns ${insertValues.keySet -- schema.fieldNames}")
+    def isTrue(c: Column): Column = coalesce(c, fLit(false))
+    val delC =
+      if (hasDelete) matched && isTrue(deleteWhen.get) else fLit(false)
+    val updC =
+      if (hasUpdate)
+        matched && !delC && isTrue(updateWhen.getOrElse(fLit(true)))
+      else fLit(false)
+    val insC =
+      if (hasInsert) !matched && isTrue(insertWhen.getOrElse(fLit(true)))
+      else fLit(false)
+    val updRows = joined.filter(updC).select(schema.fieldNames.toSeq.map { f =>
+      updateSet.getOrElse(f, fCol(s"t.$f")).as(f) }: _*)
+    val insRows = joined.filter(insC).select(schema.fieldNames.toSeq.map { f =>
+      (if (insertAll) fCol(s"s.$f")
+       else insertValues.getOrElse(f, fLit(null).cast(schema(f).dataType)))
+        .as(f) }: _*)
+    val upserts = (hasUpdate, hasInsert) match {
+      case (false, false) => None
+      case (true, false) => Some(updRows)
+      case (false, true) => Some(insRows)
+      case (true, true) => Some(updRows.unionByName(insRows))
+    }
+    MergeChangeSets(delC, hasDelete, upserts)
+  }
 
   /** Driver-side probe budgets for the composite relation: above
     * [[PointKeyBudget]] cross-product keys the point lane bails (two
@@ -3945,8 +3962,10 @@ object IndexedFrame {
 
     /** Smallest full key strictly above every key sharing prefix `p`
       * (bump rightmost bumpable component, pad with minimums); None =
-      * all-domain-max. */
-    private def succPrefixBound(p: Seq[Any]): Option[Seq[Any]] = {
+      * all-domain-max. Shared with [[CompositeNRelation]]'s interval
+      * construction — ONE successor definition for asOf and
+      * prefix-range scans. */
+    private[sql] def succPrefixBound(p: Seq[Any]): Option[Seq[Any]] = {
       var i = p.length - 1
       while (i >= 0) {
         specs(i).codec.succ(p(i)) match {
@@ -4097,29 +4116,17 @@ object IndexedFrame {
     private def minsFrom(i: Int): Seq[Any] =
       (i until n).map(j => h.specs(j).codec.minKey)
 
-    /** Smallest full key strictly ABOVE every key sharing prefix `p`:
-      * bump the rightmost prefix component with a successor, pad with
-      * domain minimums. None = p is all-domain-max (nothing above). */
-    private def succPrefix(p: Seq[Any]): Option[Seq[Any]] = {
-      var i = p.length - 1
-      while (i >= 0) {
-        h.specs(i).codec.succ(p(i)) match {
-          case Some(s) => return Some((p.take(i) :+ s) ++ minsFrom(i + 1))
-          case None => i -= 1
-        }
-      }
-      None
-    }
-
     /** Close an unbounded-above scan starting at `from`: one O(depth)
       * maxKey descent, corner-probing the max tuple only when it has
-      * no successor (mirrors the 2-column relation's closeAbove). */
+      * no successor (mirrors the 2-column relation's closeAbove).
+      * Successor arithmetic is the handle's [[CompositeNHandle
+      * .succPrefixBound]] — the same definition asOf uses. */
     private def closeAbove(from: Seq[Any])
         : (Seq[(Seq[Any], Seq[Any])], Seq[Seq[Any]]) =
       h.idx.maxKey()(h.tupSer) match {
         case None => (Nil, Nil)
         case Some(mk) if h.tupleOrd.lt(mk, from) => (Nil, Nil)
-        case Some(mk) => succPrefix(mk) match {
+        case Some(mk) => h.succPrefixBound(mk) match {
           case Some(end) => (Seq((from, end)), Nil)
           case None => (Seq((from, mk)), Seq(mk))
         }
@@ -4134,7 +4141,7 @@ object IndexedFrame {
       val from: Seq[Any] = (p :+ loVal) ++ minsFrom(m + 1)
       iv.flatMap(_.to) match {
         case Some(hiExcl) => (Seq((from, (p :+ hiExcl) ++ minsFrom(m + 1))), Nil)
-        case None => succPrefix(p) match {
+        case None => h.succPrefixBound(p) match {
           case Some(end) => (Seq((from, end)), Nil)
           case None => closeAbove(from) // prefix at domain max (or empty)
         }

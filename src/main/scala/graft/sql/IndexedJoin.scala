@@ -457,6 +457,27 @@ object IndexedJoin {
     }
   }
 
+  /** Row cap for the driver-mediated probe collects — insurance
+    * against lying stats; beyond it the shuffled paths serve (the
+    * probe child re-executes, cheap for a plan whose stats said
+    * "tiny"). */
+  private[sql] val LocalProbeRowCap = 1 << 20
+
+  /** Collect a stats-small probe child in ONE job for the
+    * driver-mediated join paths: per-row copies (UnsafeRows are
+    * buffer-backed), narrow-merged to a few task launches. None when
+    * the runtime cap trips. Memory risk profile is exactly
+    * BroadcastExchange's. Shared by the point and band lookup execs. */
+  private[sql] def collectSmallProbe(
+      child: SparkPlan): Option[Array[InternalRow]] = {
+    val probe = child.execute().mapPartitions(
+      _.map(_.copy()), preservesPartitioning = true)
+    val merged =
+      if (probe.getNumPartitions > 8) probe.coalesce(8) else probe
+    val rows = merged.collect()
+    if (rows.length <= LocalProbeRowCap) Some(rows) else None
+  }
+
   /** How the lookup join emits rows. */
   sealed trait LookupKind extends Serializable
   case object LkInner extends LookupKind
@@ -496,11 +517,6 @@ object IndexedJoin {
       keyIdxs: Array[Int], corpusOnLeft: Boolean, kind: LookupKind,
       child: SparkPlan, smallProbe: Boolean = false)
       extends org.apache.spark.sql.execution.UnaryExecNode {
-
-    /** Row cap for the driver-mediated collect — insurance against
-      * lying stats; beyond it the shuffled path serves (the probe
-      * child re-executes, cheap for a plan whose stats said "tiny"). */
-    private val LocalProbeRowCap = 1 << 20
 
     override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
       copy(child = newChild)
@@ -603,23 +619,11 @@ object IndexedJoin {
       }
     }
 
-    /** Collect the probe side for the driver-mediated path: None when
-      * the plan-time stats gate is off or the runtime cap trips (the
-      * shuffled path then serves, re-executing the probe child). ONE
-      * collect job — executeTake's incremental scale-up rounds would
-      * pay several jobs for a multi-partition probe; the memory risk
-      * profile is exactly BroadcastExchange's (stats said "tiny"). */
-    private def localProbeRows(): Option[Array[InternalRow]] = {
-      if (!smallProbe) return None
-      val probe = child.execute().mapPartitions(
-        _.map(_.copy()), preservesPartitioning = true)
-      // narrow-merge the (stats-tiny) probe before collecting: 8 task
-      // launches instead of one per probe partition
-      val merged =
-        if (probe.getNumPartitions > 8) probe.coalesce(8) else probe
-      val rows = merged.collect()
-      if (rows.length <= LocalProbeRowCap) Some(rows) else None
-    }
+    /** Probe rows for the driver-mediated path: None when the
+      * plan-time stats gate is off or the runtime cap trips (the
+      * shuffled path then serves, re-executing the probe child). */
+    private def localProbeRows(): Option[Array[InternalRow]] =
+      if (!smallProbe) None else collectSmallProbe(child)
 
     override def simpleString(maxFields: Int): String =
       s"IndexedLookupJoin $kind keyIdxs=${keyIdxs.mkString(",")} " +
@@ -637,8 +641,6 @@ object IndexedJoin {
       loInc: Boolean, hiInc: Boolean, corpusOnLeft: Boolean,
       child: SparkPlan, smallProbe: Boolean = false)
       extends org.apache.spark.sql.execution.UnaryExecNode {
-
-    private val LocalProbeRowCap = 1 << 20
 
     override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
       copy(child = newChild)
@@ -662,17 +664,9 @@ object IndexedJoin {
       // point lookup join): intervals route on the driver, no shuffle
       val localPairs: Option[RDD[(InternalRow, InternalRow)]] =
         if (!smallProbe) None
-        else {
-          val probeRows = child.execute().mapPartitions(
-            _.map(_.copy()), preservesPartitioning = true)
-          val merged = if (probeRows.getNumPartitions > 8)
-            probeRows.coalesce(8) else probeRows
-          val rows = merged.collect()
-          if (rows.length <= LocalProbeRowCap)
-            h.lookupRangeJoinRowsLocal(rows,
-              r => loB.eval(r), r => hiB.eval(r), loInc, hiInc)
-          else None
-        }
+        else collectSmallProbe(child).flatMap(rows =>
+          h.lookupRangeJoinRowsLocal(rows,
+            r => loB.eval(r), r => hiB.eval(r), loInc, hiInc))
       val pairs = localPairs.getOrElse(
         h.lookupRangeJoinRows(child.execute(),
           r => loB.eval(r), r => hiB.eval(r), loInc, hiInc))

@@ -1480,6 +1480,39 @@ class IndexedFrameSpec extends AnyFunSuite {
     h.idx.unpersist()
   }
 
+  test("mergeFrame: NULL clause conditions skip the clause, SQL-style") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    // SQL MERGE three-valued logic: a clause whose condition is NULL
+    // is NOT taken and the row falls through to the next clause — a
+    // NULL delete condition must not swallow the row from the update
+    // bal NULLABLE (boxed) — the t.bal + NULL update writes NULL
+    val target = (1L to 10L)
+      .map(k => (k, java.lang.Double.valueOf(k * 1.0))).toDF("k", "bal")
+    val h = IndexedFrame.index(target, "k", numPartitions = 2)
+    val src = Seq[(java.lang.Long, java.lang.Double)](
+      (3L, null),  // deleteWhen is NULL -> falls through to UPDATE (bal + NULL = NULL)
+      (5L, 0.0),   // deleteWhen true -> DELETE
+      (7L, 2.0)    // deleteWhen false -> UPDATE bal += 2
+    ).toDF("sk", "delta")
+    val merged = h.mergeFrame(src, "sk",
+      deleteWhen = Some(col("s.delta") === 0.0),
+      updateSet = Map("bal" -> (col("t.bal") + col("s.delta"))))
+    val out = merged.toDF.as[(Long, Option[Double])].collect().toMap
+    assert(!out.contains(5L))              // deleted
+    assert(out(3L) === None)               // updated to NULL, NOT skipped
+    assert(out(7L) === Some(9.0))          // updated
+    assert(out(1L) === Some(1.0))          // untouched
+    assert(out.size === 9)
+    // NULL update condition: clause skipped, row unchanged
+    val m2 = h.mergeFrame(src, "sk",
+      updateWhen = Some(col("s.delta") > 1.0),
+      updateSet = Map("bal" -> (col("t.bal") + col("s.delta"))))
+    val out2 = m2.toDF.as[(Long, Option[Double])].collect().toMap
+    assert(out2(3L) === Some(3.0) && out2(5L) === Some(5.0) &&
+      out2(7L) === Some(9.0) && out2.size === 10)
+  }
+
   test("N-ary composite: no-scan aggregates claim and match") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     import org.apache.spark.sql.functions.{count, count_distinct, lit, max, min}
