@@ -457,6 +457,23 @@ object OperatorQueries {
         .select($"b1", $"b2", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_secondary_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // inverted VALUE-column index on an N-ARY handle: pushed
+      // equality on c_nationkey probes the postings then point-reads
+      // the matching tuples — no corpus scan, same routing as the
+      // single-key and 2-column handles
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeNRangePartitioned(
+        df, Seq("b1", "b2", "c_custkey"), numPartitions = 8)
+        .addSecondaryIndex("c_nationkey")
+      h.toDF.filter($"c_nationkey" === 7)
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    },
+
     "ir_sql_agg_composite3" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2302,6 +2319,10 @@ object OperatorQueries {
     "ir_sql_agg_composite3" ->
       """SELECT c_custkey % 10 AS b1, count(*) AS n FROM customer
         |GROUP BY 1""".stripMargin,
+
+    "ir_sql_secondary_composite3" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE c_nationkey = 7""".stripMargin,
 
     "ir_sql_pointget_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer

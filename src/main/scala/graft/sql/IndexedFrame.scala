@@ -3771,9 +3771,12 @@ object IndexedFrame {
       private[sql] val specs: IndexedSeq[KeySpec[Any]])(
       implicit private[sql] val tupSer: KeySerializer[Seq[Any]])
       extends Serializable with TopKServable with JoinableHandle
-      with StatsCapable {
+      with StatsCapable with SecondaryCapable[Seq[Any]] with ZoneMapped {
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
+    override protected def secTag: ClassTag[Seq[Any]] = implicitly
+    override protected def secondaryForbiddenCols: Set[String] = keyCols.toSet
+    override private[sql] def zoneKeyCols: Set[String] = keyCols.toSet
     private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)
     private[sql] val tupleOrd: Ordering[Seq[Any]] =
       new graft.keys.KeySerializer.SeqLexOrdering(specs.map(_.codec.ord))
@@ -3858,13 +3861,13 @@ object IndexedFrame {
           (_, _, _) => null.asInstanceOf[InternalRow],
           Some((u: InternalRow) => u)).filter(_ != null))
     }
-    override private[sql] def lookupSecondaryCols: Set[String] = Set.empty
+    override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
     override private[sql] def lookupJoinRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
-      throw new UnsupportedOperationException("no secondaries on N-ary handles")
+      secLookupJoinRows(col, probe, keyIdx).get
     override private[sql] def lookupOuterRowsBySecondary(col: String,
         probe: RDD[InternalRow], keyIdx: Int): RDD[(InternalRow, InternalRow)] =
-      throw new UnsupportedOperationException("no secondaries on N-ary handles")
+      secLookupOuterRows(col, probe, keyIdx).get
 
     // ----- StatsCapable: no-scan aggregates at arity N. count(*) =
     // the index size; min/max of the LEADING column = the byte-extreme
@@ -4180,9 +4183,75 @@ object IndexedFrame {
           val parts = prefixes.map(p => intervalFor(p, iv))
           serve(parts.flatMap(_._1), parts.flatMap(_._2))
         case FullLane =>
-          h.lastScanKind = "full"
           h.lastPointLookupKeys = -1
-          h.idx.map(_._2)
+          // no KEY lane applies: secondary-indexed VALUE columns and
+          // zone maps route exactly like the 2-column relation's full
+          // lane (never claimed; Spark re-applies the predicates)
+          val eqPreds = filters.flatMap {
+            case EqualTo(c, v) if h.hasSecondary(c) =>
+              Some((c, if (v == null) Nil else Seq(v)))
+            case In(c, vs) if h.hasSecondary(c) =>
+              Some((c, vs.toSeq.filter(_ != null)))
+            case _ => None
+          }
+          val rangePreds = filters
+            .flatMap { f =>
+              (f match {
+                case GreaterThan(c, _) => Some(c)
+                case GreaterThanOrEqual(c, _) => Some(c)
+                case LessThan(c, _) => Some(c)
+                case LessThanOrEqual(c, _) => Some(c)
+                case _ => None
+              }).filter(h.hasOrderedSecondary).flatMap(c =>
+                boundsOn(c, h.secondaryCodec(c), eqAsPrefix = false, f)
+                  .map(iv => (c, iv)))
+            }
+            .groupBy(_._1).view
+            .mapValues(ivs =>
+              meet(ivs.map(_._2).toSeq, h.secondaryCodec(ivs.head._1).ord))
+            .toSeq
+          lazy val secondaryKeys: Option[Array[Seq[Any]]] =
+            if (eqPreds.isEmpty && rangePreds.isEmpty) None
+            else {
+              val sets = eqPreds.map { case (c, vs) => h.secondaryProbe(c, vs) } ++
+                rangePreds.map { case (c, iv) => h.secondaryRangeProbe(c, iv) }
+              if (sets.exists(_.isEmpty)) None // over budget: scan serves
+              else Some(sets.map(_.get.toSet).reduce(_ intersect _)
+                .toArray(implicitly[ClassTag[Seq[Any]]]))
+            }
+          lazy val sig = secondaryProbeSig(eqPreds, rangePreds)
+          val memoHit: Option[(Array[Seq[Any]], Array[InternalRow], Boolean)] =
+            if (eqPreds.isEmpty && rangePreds.isEmpty) None
+            else h.probeMemoGet(sig)
+          memoHit match {
+            case Some((mKeys, mRows, usedRange)) =>
+              h.lastScanKind =
+                if (usedRange) "secondary_range" else "secondary_point"
+              h.lastPointLookupKeys = mKeys.length
+              h.lastProbeMemoHit = true
+              sqlContext.sparkContext.parallelize(mRows.toIndexedSeq, 1)
+            case None => secondaryKeys match {
+              case Some(keys) =>
+                h.lastScanKind =
+                  if (rangePreds.nonEmpty) "secondary_range" else "secondary_point"
+                h.lastPointLookupKeys = keys.length
+                h.lastProbeMemoHit = false
+                val hit = h.idx.multiget(keys).values.toArray
+                h.probeMemoPut(sig, keys, hit, rangePreds.nonEmpty)
+                sqlContext.sparkContext.parallelize(hit.toIndexedSeq, 1)
+              case None =>
+                h.zoneKeeps(filters) match {
+                  case Some(keep) =>
+                    h.lastScanKind = "full_zone"
+                    h.setZoneKept(keep.count(identity))
+                    org.apache.spark.rdd.PartitionPruningRDD.create(
+                      h.idx.map(_._2), keep(_))
+                  case None =>
+                    h.lastScanKind = "full"
+                    h.idx.map(_._2)
+                }
+            }
+          }
       }
       val fields = requiredColumns.map(h.schema.fieldIndex).map(i =>
         BoundReference(i, h.schema.fields(i).dataType, h.schema.fields(i).nullable))
@@ -4369,6 +4438,23 @@ object IndexedFrame {
       out.writeObject(h.keyCols.toList)
       out.writeObject(h.codecs.map(codecTag).toList)
     } finally out.close()
+    // secondaries and zones ride along exactly as for the other handle
+    // kinds (SecondaryCapable/ZoneMapped are shared traits)
+    val secs = h.secondaryEntries
+    secs.zipWithIndex.foreach { case ((_, _, s), i) =>
+      graft.IndexedRDDIO.save(s, s"$path/sec_$i")
+    }
+    val (zoneCols, zoneStats) = h.zoneSnapshot
+    val out2 = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_indexes"), true))
+    try {
+      out2.writeInt(secs.size)
+      secs.zipWithIndex.foreach { case ((c, rangeable, _), i) =>
+        out2.writeObject(c); out2.writeBoolean(rangeable)
+        out2.writeObject(s"sec_$i")
+      }
+      out2.writeObject(zoneCols); out2.writeObject(zoneStats)
+    } finally out2.close()
   }
 
   /** Reload an N-ary composite handle saved by
@@ -4395,9 +4481,27 @@ object IndexedFrame {
       }.toIndexedSeq
       implicit val tupSer: KeySerializer[Seq[Any]] =
         new graft.keys.KeySerializer.ConcatNSerializer(specs.map(_.ser))
-      new CompositeNHandle(
+      val handle = new CompositeNHandle(
         graft.IndexedRDDIO.load[Seq[Any], InternalRow](sc, path).cached,
         keyCols, schema, ordered, specs)
+      // optional sidecar: secondaries + zones re-attach, no rebuild
+      val ixPath = new org.apache.hadoop.fs.Path(path, "_indexes")
+      if (fs.exists(ixPath)) {
+        val in2 = new java.io.ObjectInputStream(fs.open(ixPath))
+        try {
+          val n = in2.readInt()
+          (0 until n).foreach { _ =>
+            val c = in2.readObject().asInstanceOf[String]
+            val rangeable = in2.readBoolean()
+            val sub = in2.readObject().asInstanceOf[String]
+            handle.restoreSecondaryFrom(c, rangeable, s"$path/$sub")
+          }
+          val zoneCols = in2.readObject().asInstanceOf[Set[String]]
+          val zoneStats = in2.readObject().asInstanceOf[Map[String, Array[Zone]]]
+          handle.restoreZones(zoneCols, zoneStats)
+        } finally in2.close()
+      }
+      handle
     } finally in.close()
   }
 

@@ -1477,6 +1477,20 @@ class IndexedFrameSpec extends AnyFunSuite {
         IndexedFrame.loadComposite(spark, ioDir))
       assert(e.getMessage.contains("not a composite handle"))
       loaded.idx.unpersist()
+      // secondaries ride along: save a handle WITH an inverted index,
+      // reload, and probe it without a rebuild
+      val h2 = IndexedFrame.indexCompositeNRangePartitioned(
+        df, Seq("tenant", "entity", "ver"), numPartitions = 4)
+        .addSecondaryIndex("p")
+      val ioDir2: String =
+        java.nio.file.Files.createTempDirectory("graft_c3_io2").toString
+      IndexedFrame.save(h2, ioDir2)
+      val loaded2 = IndexedFrame.loadCompositeN(spark, ioDir2)
+      val sp2 = loaded2.toDF.filter($"p" === "y/3/2")
+        .select($"entity").as[Long].collect().toSeq
+      assert(sp2 === Seq(3L))
+      assert(loaded2.lastScanKind === "secondary_point")
+      loaded2.idx.unpersist(); h2.idx.unpersist()
     h.idx.unpersist()
   }
 
@@ -1511,6 +1525,33 @@ class IndexedFrameSpec extends AnyFunSuite {
     val out2 = m2.toDF.as[(Long, Option[Double])].collect().toMap
     assert(out2(3L) === Some(3.0) && out2(5L) === Some(5.0) &&
       out2(7L) === Some(9.0) && out2.size === 10)
+  }
+
+  test("N-ary composite: secondary indexes and zone maps route the full lane") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val df = (for (t <- 1L to 4L; e <- 1L to 25L)
+      yield (t, e, (t * 25 + e) % 7, t * 1000 + e)).toDF("a", "b", "grp", "seqv")
+    val h = IndexedFrame.indexCompositeNRangePartitioned(
+      df, Seq("a", "b"), numPartitions = 4)
+      .addSecondaryIndex("grp", ordered = true)
+    // equality on the inverted column -> point probes, not a scan
+    val q1 = h.toDF.filter($"grp" === 3L).select($"seqv").as[Long].collect().toSet
+    assert(q1 === df.filter($"grp" === 3L).select($"seqv").as[Long].collect().toSet)
+    assert(h.lastScanKind === "secondary_point" && !h.lastProbeMemoHit)
+    // repeat hits the probe memo
+    val q1b = h.toDF.filter($"grp" === 3L).select($"seqv").as[Long].collect().toSet
+    assert(q1b === q1 && h.lastProbeMemoHit)
+    // range on the ORDERED secondary -> trie range scan of postings
+    val q2 = h.toDF.filter($"grp".between(2L, 4L)).select($"seqv").as[Long].collect().toSet
+    assert(q2 === df.filter($"grp".between(2L, 4L)).select($"seqv").as[Long].collect().toSet)
+    assert(h.lastScanKind === "secondary_range")
+    // zone maps on an ANALYZED value column prune the full lane
+    // (seqv is clustered by the (a, b) layout)
+    h.analyzeZones("seqv")
+    val q3 = h.toDF.filter($"seqv" >= 4000L).count()
+    assert(q3 === 25L)
+    assert(h.lastScanKind === "full_zone" && h.lastZoneKept < 4)
+    h.idx.unpersist()
   }
 
   test("N-ary composite: no-scan aggregates claim and match") {
