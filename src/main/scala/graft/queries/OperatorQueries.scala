@@ -474,6 +474,22 @@ object OperatorQueries {
         .select($"c_custkey", $"c_nationkey", $"c_acctbal")
     },
 
+    "ir_sql_group_stats_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // per-entity summary at arity N: GROUP BY leading -> count(*),
+      // min/max(second key column) folded from contiguous key runs —
+      // data rows never read, only (group, stats) tuples exchange
+      graft.sql.IndexedAgg.enable(s)
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeNRangePartitioned(
+        df, Seq("b1", "b2", "c_custkey"), numPartitions = 8)
+      h.toDF.groupBy($"b1").agg(count(lit(1)).as("n"),
+        min($"b2").as("mn"), max($"b2").as("mx"))
+    },
+
     "ir_sql_agg_composite3" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2323,6 +2339,11 @@ object OperatorQueries {
     "ir_sql_secondary_composite3" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |WHERE c_nationkey = 7""".stripMargin,
+
+    "ir_sql_group_stats_composite3" ->
+      """SELECT c_custkey % 10 AS b1, count(*) AS n,
+        |  min(c_custkey % 100) AS mn, max(c_custkey % 100) AS mx
+        |FROM customer GROUP BY 1""".stripMargin,
 
     "ir_sql_pointget_str" ->
       """SELECT c_name, c_custkey, c_acctbal FROM customer

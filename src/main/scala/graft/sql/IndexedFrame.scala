@@ -3930,6 +3930,139 @@ object IndexedFrame {
     override private[sql] def colsAreFullKey(cols: Seq[String]): Boolean =
       cols.length == keyCols.length && cols.toSet == keyCols.toSet
 
+    override private[sql] def groupStatCol(col: String): Option[String] =
+      if (col == keyCols.head && keyCols.length >= 2) Some(keyCols(1)) else None
+
+    /** `GROUP BY leading → count(*), min(second), max(second)` from
+      * key tuples alone — the per-entity summary at arity N: on the
+      * ordered range-partitioned layout runs are contiguous and
+      * second-column-sorted, so each run folds streaming; otherwise a
+      * per-partition hash partial. Same v1 gating as
+      * [[groupCountsFor]] (vacuous IsNotNull only). */
+    override private[sql] def groupStatsFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[(Any, Long, Any, Any)]] = {
+      if (col != keyCols.head || keyCols.length < 2) return None
+      val keySet = keyCols.toSet
+      val vacuous = fs.forall {
+        case IsNotNull(c) => keySet.contains(c)
+        case _ => false
+      }
+      if (!vacuous) return None
+      val ordA = specs(0).codec.ord
+      val ordB = specs(1).codec.ord
+      val dtA = schema(keyCols.head).dataType
+      val dtB = schema(keyCols(1)).dataType
+      val streamRuns = leadRunsServableN
+      Some(() => {
+        val partial = idx.partitionsRDD.mapPartitions { pit =>
+          if (!pit.hasNext) Iterator.empty
+          else if (streamRuns) {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Any, (Long, Any, Any))]
+            var cur: Any = null
+            var curSet = false
+            var cnt = 0L
+            var mnB: Any = null
+            var mxB: Any = null
+            def flush(): Unit =
+              if (curSet && cnt > 0) out += ((cur, (cnt, mnB, mxB)))
+            pit.next().iterator.foreach { case (k, _) =>
+              val a = k.head
+              if (!curSet || !ordA.equiv(cur, a)) {
+                flush()
+                cur = a
+                curSet = true
+                cnt = 0L
+              }
+              if (cnt == 0L) mnB = k(1)
+              mxB = k(1)
+              cnt += 1
+            }
+            flush()
+            out.iterator
+          } else {
+            val m = new java.util.HashMap[Any, (Long, Any, Any)]()
+            pit.next().iterator.foreach { case (k, _) =>
+              val a = k.head
+              val b = k(1)
+              val prev = m.get(a)
+              if (prev == null) m.put(a, (1L, b, b))
+              else m.put(a, (prev._1 + 1L,
+                if (ordB.lt(b, prev._2)) b else prev._2,
+                if (ordB.gt(b, prev._3)) b else prev._3))
+            }
+            import scala.jdk.CollectionConverters._
+            m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+          }
+        }
+        partial.reduceByKey { (x, y) =>
+          (x._1 + y._1,
+            if (ordB.lt(x._2, y._2)) x._2 else y._2,
+            if (ordB.gt(x._3, y._3)) x._3 else y._3)
+        }.map { case (a, (c, mnB, mxB)) =>
+          (toCatalystKey(dtA, a), c, toCatalystKey(dtB, mnB),
+            toCatalystKey(dtB, mxB))
+        }
+      })
+    }
+
+    /** `SELECT DISTINCT leading` with zero shuffle: job 1 collects
+      * per-partition boundary values, job 2 streams run heads dropping
+      * boundary continuations — the 2-ary algorithm at arity N
+      * (unfiltered; predicates fall through to the scan plans). */
+    override private[sql] def distinctValuesFor(col: String,
+        fs: Seq[Filter]): Option[() => RDD[Any]] = {
+      if (col != keyCols.head || !leadRunsServableN) return None
+      val keySet = keyCols.toSet
+      val vacuous = fs.forall {
+        case IsNotNull(c) => keySet.contains(c)
+        case _ => false
+      }
+      if (!vacuous) return None
+      val ordA = specs(0).codec.ord
+      val dtA = schema(keyCols.head).dataType
+      Some { () =>
+        val bounds = idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+          if (!pit.hasNext) Iterator.empty
+          else {
+            val it = pit.next().iterator
+            if (!it.hasNext) Iterator.empty
+            else {
+              var first: Any = null
+              var last: Any = null
+              var any = false
+              it.foreach { case (k, _) =>
+                if (!any) { first = k.head; any = true }
+                last = k.head
+              }
+              Iterator.single((pid, first, last))
+            }
+          }
+        }.collect().sortBy(_._1)
+        val drop: Set[Int] = bounds.iterator.sliding(2).withPartial(false)
+          .collect {
+            case Seq((_, _, lastPrev), (pid, firstCur, _))
+                if ordA.equiv(lastPrev, firstCur) => pid
+          }.toSet
+        val dropB = idx.context.broadcast(drop)
+        idx.partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
+          if (!pit.hasNext) Iterator.empty
+          else {
+            var prevSet = false
+            var prev: Any = null
+            val heads = pit.next().iterator.map(_._1.head).filter { a =>
+              val isNew = !prevSet || !ordA.equiv(prev, a)
+              prev = a
+              prevSet = true
+              isNew
+            }
+            val kept = if (dropB.value.contains(pid)) heads.drop(1) else heads
+            kept.map(a => toCatalystKey(dtA, a))
+          }
+        }
+      }
+    }
+
     /** `GROUP BY leading → count(*)` from the key stream (values never
       * deserialized). v1 gating: only vacuous IsNotNull conjuncts on
       * key columns (no null key components are stored); any real

@@ -1582,6 +1582,18 @@ class IndexedFrameSpec extends AnyFunSuite {
     val q4 = hd.groupBy($"b").agg(count(lit(1)).as("n"))
     assert(!q4.queryExecution.executedPlan.toString.contains("IndexedGroupCount"))
     assert(q4.as[(Long, Long)].collect().toSet === (1L to 15L).map((_, 12L)).toSet)
+    // GROUP BY leading -> count/min/max(second) from key runs
+    val q5 = hd.groupBy($"a").agg(count(lit(1)).as("n"),
+      min($"b").as("mn"), max($"b").as("mx"))
+    assert(q5.queryExecution.executedPlan.toString.contains("IndexedGroupStats"),
+      q5.queryExecution.executedPlan.toString)
+    assert(q5.as[(Long, Long, Long, Long)].collect().toSet ===
+      (1L to 6L).map((_, 30L, 1L, 15L)).toSet)
+    // SELECT DISTINCT leading: zero-shuffle run heads
+    val q6 = hd.select($"a").distinct()
+    assert(q6.queryExecution.executedPlan.toString.contains("IndexedDistinct"),
+      q6.queryExecution.executedPlan.toString)
+    assert(q6.as[Long].collect().toSet === (1L to 6L).toSet)
     h.idx.unpersist()
   }
 
