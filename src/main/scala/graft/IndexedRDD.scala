@@ -435,7 +435,10 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
         (math.min(a, b) to math.max(a, b)).map(pid => (pid, (iv, u)))
       }
       .groupBy(_._1).map { case (pid, xs) => (pid, xs.map(_._2).toArray) }
-    if (byPid.isEmpty) return context.emptyRDD[R]
+    // An empty routing map still fans out over every partition (each
+    // task no-ops) so the physical partition count/numbering always
+    // matches the index's declared partitioning — a 0-partition
+    // emptyRDD would contradict upstream partitioning claims.
     val bc = context.broadcast(byPid)
     partitionsRDD.mapPartitionsWithIndex { (pid, pit) =>
       bc.value.get(pid) match {

@@ -4214,11 +4214,19 @@ object IndexedFrame {
     private case object EmptyLane extends Lane
     private case object FullLane extends Lane
 
+    /** Product of IN-set sizes, saturated at Long.MaxValue so wide
+      * N-ary keys with huge per-column lists can never overflow to a
+      * negative value and sneak past the point/prefix budgets. */
+    private def satProduct(sizes: Seq[Long]): Long =
+      sizes.foldLeft(1L)((acc, s) =>
+        if (acc > Long.MaxValue / math.max(s, 1L)) Long.MaxValue
+        else acc * s)
+
     private def chooseLane(filters: Array[Filter]): Lane = {
       val pts = pointSetsFor(filters)
       if (pts.exists(s => s.exists(_.isEmpty))) return EmptyLane
       if (pts.forall(_.isDefined) &&
-          pts.map(_.get.size.toLong).product <= PointKeyBudget)
+          satProduct(pts.map(_.get.size.toLong).toSeq) <= PointKeyBudget)
         return PointLane(cross(pts.toSeq.map(_.get.toSeq)).toArray)
       if (!rangeReady) return FullLane
       // longest pinned prefix; column m (the first unpinned) may carry
@@ -4238,7 +4246,7 @@ object IndexedFrame {
           case Some(iv) => PrefixLane(Seq(Vector.empty), Some(iv))
           case None => FullLane
         }
-      else if (pts.take(m).map(_.get.size.toLong).product > MixedLeadCap)
+      else if (satProduct(pts.take(m).map(_.get.size.toLong).toSeq) > MixedLeadCap)
         FullLane
       else PrefixLane(
         cross((0 until m).map(i =>

@@ -463,19 +463,38 @@ object IndexedJoin {
     * "tiny"). */
   private[sql] val LocalProbeRowCap = 1 << 20
 
-  /** Collect a stats-small probe child in ONE job for the
-    * driver-mediated join paths: per-row copies (UnsafeRows are
-    * buffer-backed), narrow-merged to a few task launches. None when
-    * the runtime cap trips. Memory risk profile is exactly
-    * BroadcastExchange's. Shared by the point and band lookup execs. */
+  /** Collect a stats-small probe child for the driver-mediated join
+    * paths: per-row copies (UnsafeRows are buffer-backed),
+    * narrow-merged to a few task launches, collected in partition
+    * BATCHES so a badly-lying stats estimate aborts after one batch
+    * instead of OOMing the driver on a full collect. None when the
+    * runtime cap trips mid-way. Memory risk profile is bounded by
+    * LocalProbeRowCap + one batch. Shared by the point and band
+    * lookup execs. */
   private[sql] def collectSmallProbe(
       child: SparkPlan): Option[Array[InternalRow]] = {
     val probe = child.execute().mapPartitions(
       _.map(_.copy()), preservesPartitioning = true)
     val merged =
       if (probe.getNumPartitions > 8) probe.coalesce(8) else probe
-    val rows = merged.collect()
-    if (rows.length <= LocalProbeRowCap) Some(rows) else None
+    val sc = merged.sparkContext
+    val nParts = merged.partitions.length
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Array[InternalRow]]
+    var total = 0L
+    var i = 0
+    while (i < nParts && total <= LocalProbeRowCap) {
+      val batch = i until math.min(i + 4, nParts)
+      val res = sc.runJob(merged,
+        (it: Iterator[InternalRow]) => it.toArray, batch)
+      res.foreach { a => buf += a; total += a.length }
+      i += 4
+    }
+    if (total <= LocalProbeRowCap) {
+      val out = new Array[InternalRow](total.toInt)
+      var off = 0
+      buf.foreach { a => System.arraycopy(a, 0, out, off, a.length); off += a.length }
+      Some(out)
+    } else None
   }
 
   /** How the lookup join emits rows. */
