@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtension")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -423,6 +423,97 @@ object OperatorQueries {
       merged.toDF.select($"c_bucket", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_merge_sqltext" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // the SAME merge scenario as ir_sql_merge, but issued as LITERAL
+      // SQL text: the handle registers as an ordinary temp view and
+      // graft.sql.GraftSqlExtension rewrites the resolved
+      // MergeIntoTable into the delta-cost mergeFrame path (source
+      // lookup-joins the index, corpus never scanned)
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("dml_mrg_corpus")
+      s.range(1, 41)
+        .select(($"id" * 3).as("k"), ($"id" % 7).cast("double").as("delta"))
+        .union(s.range(1, 11)
+          .select(($"id" + 10000000L).as("k"), ($"id" % 7).cast("double").as("delta")))
+        .createOrReplaceTempView("dml_mrg_src")
+      s.sql(
+        """MERGE INTO dml_mrg_corpus t USING dml_mrg_src s ON t.c_custkey = s.k
+          |WHEN MATCHED AND s.delta = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+          |  VALUES (s.k, concat('Merged#', CAST(s.k AS STRING)), s.delta)""".stripMargin)
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_mrg_corpus")
+    },
+
+    "ir_sql_merge_sqltext_composite" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL-text MERGE on a COMPOSITE key: the ON clause carries one
+      // equality per key column and routes into the composite
+      // mergeFrame — same clause semantics, delta cost
+      graft.sql.IndexedJoin.enable(s)
+      val df = Tables.customer(s, dir)
+        .withColumn("c_bucket", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexComposite(df, "c_bucket", "c_custkey")
+      h.toDF.createOrReplaceTempView("dml_mrgc_corpus")
+      s.range(1, 31)
+        .select(($"id" % 100).as("sb"), $"id".as("sk"),
+          ($"id" % 5).cast("double").as("delta"))
+        .union(s.range(1, 6)
+          .select(org.apache.spark.sql.functions.lit(77L).as("sb"),
+            ($"id" + 20000000L).as("sk"), ($"id" % 5).cast("double").as("delta")))
+        .createOrReplaceTempView("dml_mrgc_src")
+      s.sql(
+        """MERGE INTO dml_mrgc_corpus t USING dml_mrgc_src s
+          |ON t.c_bucket = s.sb AND t.c_custkey = s.sk
+          |WHEN MATCHED AND s.delta = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta
+          |WHEN NOT MATCHED THEN INSERT (c_bucket, c_custkey, c_acctbal)
+          |  VALUES (s.sb, s.sk, s.delta)""".stripMargin)
+      s.sql("SELECT c_bucket, c_custkey, c_acctbal FROM dml_mrgc_corpus")
+    },
+
+    "ir_sql_delete_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL-text DELETE: the predicate filters THROUGH the handle's
+      // pushed-filter lanes (a key predicate prunes partitions), then
+      // only the matching keys shuffle into the COW delete
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("dml_del_corpus")
+      s.sql("DELETE FROM dml_del_corpus WHERE c_acctbal < 0 AND c_custkey % 10 = 3")
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_del_corpus")
+    },
+
+    "ir_sql_update_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL-text UPDATE: read-modify-write of only the affected rows
+      // (filter → recompute assigned columns → COW upsert); unmatched
+      // rows never move
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("dml_upd_corpus")
+      s.sql("UPDATE dml_upd_corpus SET c_acctbal = c_acctbal * 2 WHERE c_custkey % 7 = 3")
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_upd_corpus")
+    },
+
+    "ir_sql_insert_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL-text INSERT with a column list: positions align to the
+      // named target columns, unnamed columns fill NULL, and the rows
+      // land through the COW upsert (keyed-store semantics: an
+      // existing key would be replaced, the reference's put contract)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("dml_ins_corpus")
+      s.sql(
+        """INSERT INTO dml_ins_corpus (c_custkey, c_name, c_acctbal)
+          |SELECT id + 50000000, concat('New#', CAST(id AS STRING)),
+          |       CAST(id % 9 AS DOUBLE) + 0.5
+          |FROM range(1, 21)""".stripMargin)
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_ins_corpus")
+    },
+
     "ir_sql_pointget_composite3" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2128,7 +2219,68 @@ object OperatorQueries {
     }
   )
 
+  /** Shared by the programmatic (`ir_sql_merge*`) and SQL-text
+    * (`ir_sql_merge_sqltext*`) lanes — identical merge scenarios, so
+    * one DuckDB replication serves both. */
+  private val mergeOracleSql =
+    """WITH src AS (
+      |  SELECT id*3 AS k, CAST(id % 7 AS DOUBLE) AS delta FROM range(1, 41) t(id)
+      |  UNION ALL
+      |  SELECT id + 10000000 AS k, CAST(id % 7 AS DOUBLE) AS delta FROM range(1, 11) t(id)
+      |)
+      |SELECT c.c_custkey, c.c_name, c.c_acctbal
+      |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+      |WHERE s.k IS NULL
+      |UNION ALL
+      |SELECT c.c_custkey, c.c_name, c.c_acctbal + s.delta
+      |FROM customer c JOIN src s ON c.c_custkey = s.k
+      |WHERE s.delta <> 0
+      |UNION ALL
+      |SELECT s.k, 'Merged#' || CAST(s.k AS VARCHAR), s.delta
+      |FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+      |WHERE c.c_custkey IS NULL""".stripMargin
+
+  private val mergeCompositeOracleSql =
+    """WITH t AS (
+      |  SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
+      |), src AS (
+      |  SELECT id % 100 AS sb, id AS sk, CAST(id % 5 AS DOUBLE) AS delta
+      |  FROM range(1, 31) r(id)
+      |  UNION ALL
+      |  SELECT 77, id + 20000000, CAST(id % 5 AS DOUBLE) FROM range(1, 6) r(id)
+      |)
+      |SELECT t.c_bucket, t.c_custkey, t.c_acctbal
+      |FROM t LEFT JOIN src s ON t.c_bucket = s.sb AND t.c_custkey = s.sk
+      |WHERE s.sk IS NULL
+      |UNION ALL
+      |SELECT t.c_bucket, t.c_custkey, t.c_acctbal + s.delta
+      |FROM t JOIN src s ON t.c_bucket = s.sb AND t.c_custkey = s.sk
+      |WHERE s.delta <> 0
+      |UNION ALL
+      |SELECT s.sb, s.sk, s.delta
+      |FROM src s LEFT JOIN t ON t.c_bucket = s.sb AND t.c_custkey = s.sk
+      |WHERE t.c_custkey IS NULL""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ir_sql_merge_sqltext" -> mergeOracleSql,
+    "ir_sql_merge_sqltext_composite" -> mergeCompositeOracleSql,
+
+    "ir_sql_delete_sqltext" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT (c_acctbal < 0 AND c_custkey % 10 = 3)""".stripMargin,
+
+    "ir_sql_update_sqltext" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 3 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin,
+
+    "ir_sql_insert_sqltext" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |UNION ALL
+        |SELECT id + 50000000, 'New#' || CAST(id AS VARCHAR),
+        |       CAST(id % 9 AS DOUBLE) + 0.5
+        |FROM range(1, 21) t(id)""".stripMargin,
+
     "ir_build_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer",
 
@@ -2277,44 +2429,9 @@ object OperatorQueries {
       """SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 100 BETWEEN 10 AND 12""".stripMargin,
 
-    "ir_sql_merge" ->
-      """WITH src AS (
-        |  SELECT id*3 AS k, CAST(id % 7 AS DOUBLE) AS delta FROM range(1, 41) t(id)
-        |  UNION ALL
-        |  SELECT id + 10000000 AS k, CAST(id % 7 AS DOUBLE) AS delta FROM range(1, 11) t(id)
-        |)
-        |SELECT c.c_custkey, c.c_name, c.c_acctbal
-        |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
-        |WHERE s.k IS NULL
-        |UNION ALL
-        |SELECT c.c_custkey, c.c_name, c.c_acctbal + s.delta
-        |FROM customer c JOIN src s ON c.c_custkey = s.k
-        |WHERE s.delta <> 0
-        |UNION ALL
-        |SELECT s.k, 'Merged#' || CAST(s.k AS VARCHAR), s.delta
-        |FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
-        |WHERE c.c_custkey IS NULL""".stripMargin,
+    "ir_sql_merge" -> mergeOracleSql,
 
-    "ir_sql_merge_composite" ->
-      """WITH t AS (
-        |  SELECT c_custkey % 100 AS c_bucket, c_custkey, c_acctbal FROM customer
-        |), src AS (
-        |  SELECT id % 100 AS sb, id AS sk, CAST(id % 5 AS DOUBLE) AS delta
-        |  FROM range(1, 31) r(id)
-        |  UNION ALL
-        |  SELECT 77, id + 20000000, CAST(id % 5 AS DOUBLE) FROM range(1, 6) r(id)
-        |)
-        |SELECT t.c_bucket, t.c_custkey, t.c_acctbal
-        |FROM t LEFT JOIN src s ON t.c_bucket = s.sb AND t.c_custkey = s.sk
-        |WHERE s.sk IS NULL
-        |UNION ALL
-        |SELECT t.c_bucket, t.c_custkey, t.c_acctbal + s.delta
-        |FROM t JOIN src s ON t.c_bucket = s.sb AND t.c_custkey = s.sk
-        |WHERE s.delta <> 0
-        |UNION ALL
-        |SELECT s.sb, s.sk, s.delta
-        |FROM src s LEFT JOIN t ON t.c_bucket = s.sb AND t.c_custkey = s.sk
-        |WHERE t.c_custkey IS NULL""".stripMargin,
+    "ir_sql_merge_composite" -> mergeCompositeOracleSql,
 
     "ir_sql_pointget_composite3" ->
       """SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal

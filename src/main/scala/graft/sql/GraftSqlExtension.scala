@@ -1,0 +1,452 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.graftbridge.ExpressionBridge
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.types.StructType
+
+/**
+ * SQL-text DML over graft-indexed temp views.
+ *
+ * Register a handle as an ordinary temp view
+ * (`h.toDF.createOrReplaceTempView("corpus")`) in a session built with
+ * `spark.sql.extensions = graft.sql.GraftSqlExtension`, and the
+ * standard DML statements route into the handle's delta-cost frame
+ * methods instead of erroring out as they would for any other v1
+ * relation:
+ *
+ *  - `MERGE INTO corpus t USING src s ON t.k = s.k WHEN MATCHED ...`
+ *    → [[IndexedFrame.Handle.mergeFrame]] (source lookup-joins the
+ *    index — the corpus is never scanned; one delete pass + one
+ *    upsert pass apply the delta copy-on-write)
+ *  - `DELETE FROM corpus WHERE <cond>` → keys =
+ *    `toDF.filter(cond).select(key)` (key predicates prune through the
+ *    pushed-filter lanes) then [[IndexedFrame.Handle.deleteFrame]]
+ *  - `UPDATE corpus SET c = e WHERE <cond>` → read-modify-write of the
+ *    affected rows through [[IndexedFrame.Handle.upsertFrame]]
+ *  - `INSERT INTO corpus ...` → positional/by-name column alignment,
+ *    then [[IndexedFrame.Handle.upsertFrame]] (keyed-store semantics:
+ *    an existing key is replaced, matching the reference's `put`
+ *    contract — reference IndexedRDD.scala:93-121)
+ *
+ * After each statement the view name is REBOUND to the new
+ * copy-on-write handle, so consecutive SQL statements observe each
+ * other's writes while any captured pre-DML DataFrame still reads its
+ * original snapshot.
+ *
+ * The mechanics follow the publicly-established extension pattern for
+ * bolting row-level SQL onto a non-v2 source (an injected post-hoc
+ * resolution rule that rewrites the resolved `MergeIntoTable` /
+ * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` nodes into
+ * `RunnableCommand`s BEFORE the analyzer's v2-only checks fire).
+ * Statements this rule does not understand — writes to non-graft
+ * tables, `WHEN NOT MATCHED BY SOURCE`, subqueries in DML predicates,
+ * multiple UPDATE/DELETE clauses, key-column updates — are left
+ * untouched for Spark to raise its ordinary errors.
+ */
+class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
+  // Resolution batch (not post-hoc): the rewrite must preempt the
+  // built-in post-hoc insertion rules, which raise
+  // UNSUPPORTED_INSERT.NOT_ALLOWED for a non-InsertableRelation v1
+  // target before an appended post-hoc rule would ever run. Extension
+  // resolution rules run at the end of each fixed-point iteration, so
+  // the rule fires in the first iteration where the node is resolved.
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectResolutionRule(s => new GraftDmlRule(s))
+}
+
+/** The post-hoc DML rewrite. One instance per session. */
+class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import IndexedFrame.{CompositeHandle, CompositeRelation, Handle, IndexedRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if m.resolved => rewriteMerge(m).getOrElse(m)
+    case d: DeleteFromTable if d.resolved => rewriteDelete(d).getOrElse(d)
+    case u: UpdateTable if u.resolved => rewriteUpdate(u).getOrElse(u)
+    case i: InsertIntoStatement if i.table.resolved && i.query.resolved =>
+      rewriteInsert(i).getOrElse(i)
+    case _ => plan
+  }
+
+  // ---------------------------------------------------------------- target
+
+  /** Uniform DML surface over the concrete handle classes. Each method
+    * returns the NEW handle's DataFrame, which the command rebinds to
+    * the view name. */
+  private trait Adapter {
+    def keyCols: Seq[String]
+    def schema: StructType
+    def df(sp: SparkSession): DataFrame
+    def upsert(sp: SparkSession, rows: DataFrame): DataFrame
+    def delete(sp: SparkSession, keys: DataFrame): DataFrame
+    def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+        spec: MergeSpec): DataFrame
+  }
+
+  private def adapt(rel: BaseRelation): Option[Adapter] = rel match {
+    case r: IndexedRelation[_] =>
+      val h: Handle[_] = r.h
+      Some(new Adapter {
+        def keyCols: Seq[String] = Seq(h.keyCol)
+        def schema: StructType = h.schema
+        def df(sp: SparkSession): DataFrame = h.toDF(sp)
+        def upsert(sp: SparkSession, rows: DataFrame): DataFrame =
+          h.upsertFrame(rows).toDF(sp)
+        def delete(sp: SparkSession, keys: DataFrame): DataFrame =
+          h.deleteFrame(keys).toDF(sp)
+        def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+            spec: MergeSpec): DataFrame =
+          h.mergeFrame(src, srcKeys.head, spec.deleteWhen, spec.updateWhen,
+            spec.updateSet, spec.insertWhen, spec.insertValues)(sp).toDF(sp)
+      })
+    case r: CompositeRelation[_, _] =>
+      val h: CompositeHandle[_, _] = r.h
+      Some(new Adapter {
+        def keyCols: Seq[String] = Seq(h.keyColA, h.keyColB)
+        def schema: StructType = h.schema
+        def df(sp: SparkSession): DataFrame = h.toDF(sp)
+        def upsert(sp: SparkSession, rows: DataFrame): DataFrame =
+          h.upsertFrame(rows).toDF(sp)
+        def delete(sp: SparkSession, keys: DataFrame): DataFrame =
+          h.deleteFrame(keys).toDF(sp)
+        def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+            spec: MergeSpec): DataFrame =
+          h.mergeFrame(src, srcKeys.head, srcKeys(1), spec.deleteWhen,
+            spec.updateWhen, spec.updateSet, spec.insertWhen,
+            spec.insertValues)(sp).toDF(sp)
+      })
+    case _ => None
+  }
+
+  /** Resolve a DML target subtree to (deepest view/alias name, graft
+    * adapter). The innermost naming node wins — for `MERGE INTO v t`
+    * the target reads SubqueryAlias(t) > SubqueryAlias(v) > View(v) >
+    * Relation, and the view identity `v` is what the command rebinds.
+    * INSERT targets lose the View wrapper entirely during relation
+    * resolution, so a bare graft relation falls back to a reverse
+    * lookup over the session's temp views (same relation INSTANCE —
+    * a handle registered under two names rebinds the one referenced). */
+  private def dest(p: LogicalPlan): Option[(String, Adapter)] = {
+    var name: Option[String] = None
+    var cur = p
+    while (true) {
+      cur match {
+        case SubqueryAlias(id, c) => name = Some(id.name); cur = c
+        case v: View => name = Some(v.desc.identifier.table); cur = v.child
+        case lr: LogicalRelation =>
+          return for {
+            n <- name.orElse(viewNameOf(lr.relation))
+            a <- adapt(lr.relation)
+          } yield (n, a)
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  private def viewNameOf(rel: BaseRelation): Option[String] = {
+    val cat = session.sessionState.catalog
+    cat.getTempViewNames().find { n =>
+      cat.getTempView(n).exists(_.exists {
+        case lr: LogicalRelation => lr.relation eq rel
+        case _ => false
+      })
+    }
+  }
+
+  // ----------------------------------------------------------- expressions
+
+  /** Remap a resolved DML expression to an unresolved Column over the
+    * s/t-aliased join view `mergeFrame` builds internally: target
+    * attrs → `t.<name>`, source attrs → `s.<name>`. None when the
+    * expression carries a subquery or an attribute from neither side
+    * (both mean "not a shape we route"). */
+  private def remapJoined(e: Expression, tgt: AttributeSet,
+      src: AttributeSet): Option[Column] = remapWith(e) {
+    case a: AttributeReference if tgt.contains(a) =>
+      UnresolvedAttribute(Seq("t", a.name))
+    case a: AttributeReference if src.contains(a) =>
+      UnresolvedAttribute(Seq("s", a.name))
+  }
+
+  /** Single-frame twin of [[remapJoined]]: every attribute of `allowed`
+    * becomes an unqualified name over that frame. */
+  private def remapPlain(e: Expression, allowed: AttributeSet): Option[Column] =
+    remapWith(e) {
+      case a: AttributeReference if allowed.contains(a) =>
+        UnresolvedAttribute(Seq(a.name))
+    }
+
+  private def remapWith(e: Expression)(
+      pf: PartialFunction[Expression, Expression]): Option[Column] = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    val t = e.transform(pf)
+    if (t.exists(_.isInstanceOf[AttributeReference])) None
+    else Some(ExpressionBridge.column(t))
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
+  /** The ON condition must be exactly one equality per key column
+    * (`t.<key> = <source expr>`, either side), nothing else. Returns
+    * key column → source-side expression. */
+  private def keyEqs(cond: Expression, keyCols: Seq[String],
+      tgt: AttributeSet, src: AttributeSet): Option[Map[String, Expression]] = {
+    val m = scala.collection.mutable.Map.empty[String, Expression]
+    splitConj(cond).foreach {
+      case EqualTo(a: AttributeReference, rhs) if tgt.contains(a) &&
+          keyCols.contains(a.name) && !m.contains(a.name) &&
+          rhs.references.subsetOf(src) => m(a.name) = rhs
+      case EqualTo(lhs, a: AttributeReference) if tgt.contains(a) &&
+          keyCols.contains(a.name) && !m.contains(a.name) &&
+          lhs.references.subsetOf(src) => m(a.name) = lhs
+      case _ => return None
+    }
+    if (keyCols.forall(m.contains)) Some(m.toMap) else None
+  }
+
+  // ----------------------------------------------------------------- MERGE
+
+  private[sql] case class MergeSpec(deleteWhen: Option[Column],
+      updateWhen: Option[Column], updateSet: Map[String, Column],
+      insertWhen: Option[Column], insertValues: Map[String, Column])
+
+  /** Fold the action lists into `mergeFrame`'s one-clause-per-kind
+    * shape. SQL's textual-order precedence is preserved by pinning each
+    * later clause's effective condition with the negation of every
+    * earlier (NULL-pinned) condition, which also makes the delete and
+    * update sets disjoint — so `mergeFrame`'s delete-then-upsert
+    * application order matches SQL regardless of clause order. An
+    * unconditional clause makes later MATCHED clauses dead; they are
+    * dropped. Shapes outside one UPDATE + one DELETE + one INSERT
+    * return None (not intercepted). */
+  private def clauseSpecs(m: MergeIntoTable, keyCols: Seq[String],
+      schema: StructType, tgt: AttributeSet, src: AttributeSet)
+      : Option[MergeSpec] = {
+    var delW: Option[Column] = None
+    var updW: Option[Column] = None
+    var updSet = Map.empty[String, Column]
+    var priorNeg: Option[Column] = None
+    var matchedDone = false
+    for (a <- m.matchedActions if !matchedDone) {
+      val ownC = a.condition match {
+        case Some(e) => remapJoined(e, tgt, src) match {
+          case Some(c) => coalesce(c, lit(false))
+          case None => return None
+        }
+        case None => lit(true)
+      }
+      val effC = priorNeg.map(_ && ownC).getOrElse(ownC)
+      a match {
+        case DeleteAction(_) =>
+          if (delW.nonEmpty) return None
+          delW = Some(effC)
+        case UpdateAction(_, assigns, _) =>
+          if (updW.nonEmpty) return None
+          val pairs = assigns.map {
+            case Assignment(k: AttributeReference, v) if tgt.contains(k) &&
+                !keyCols.contains(k.name) =>
+              // assignment values are NOT type-aligned by the analyzer
+              // for a v1 target — cast to the column's type here
+              remapJoined(v, tgt, src)
+                .map(c => k.name -> c.cast(schema(k.name).dataType))
+            case _ => None
+          }
+          if (pairs.exists(_.isEmpty)) return None
+          updW = Some(effC)
+          updSet = pairs.flatten.toMap
+        case _ => return None // star action the analyzer did not expand
+      }
+      if (a.condition.isEmpty) matchedDone = true
+      else priorNeg = Some(priorNeg.map(_ && !ownC).getOrElse(!ownC))
+    }
+    var insW: Option[Column] = None
+    var insVals = Map.empty[String, Column]
+    m.notMatchedActions match {
+      case Seq() =>
+      case Seq(InsertAction(cond, assigns)) =>
+        val pairs = assigns.map {
+          case Assignment(k: AttributeReference, v) if tgt.contains(k) =>
+            remapJoined(v, tgt, src)
+              .map(c => k.name -> c.cast(schema(k.name).dataType))
+          case _ => None
+        }
+        if (pairs.exists(_.isEmpty)) return None
+        insVals = pairs.flatten.toMap
+        insW = cond match {
+          case Some(e) => remapJoined(e, tgt, src) match {
+            case s @ Some(_) => s
+            case None => return None
+          }
+          case None => Some(lit(true))
+        }
+      case _ => return None // >1 NOT MATCHED clause
+    }
+    if (delW.isEmpty && updSet.isEmpty && insVals.isEmpty) return None
+    Some(MergeSpec(delW, updW, updSet, insW, insVals))
+  }
+
+  private def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    val tgt = AttributeSet(m.targetTable.output)
+    val src = AttributeSet(m.sourceTable.output)
+    for {
+      (view, ad) <- dest(m.targetTable)
+      eqs <- keyEqs(m.mergeCondition, ad.keyCols, tgt, src)
+      spec <- clauseSpecs(m, ad.keyCols, ad.schema, tgt, src)
+      srcKeyCols <- sourceKeyPlan(ad.keyCols, eqs, src)
+    } yield {
+      val srcPlan = m.sourceTable
+      GraftDmlCommand("MERGE", view) { sp =>
+        val srcDF0 = ExpressionBridge.ofRows(sp, srcPlan)
+        val (srcDF, names) = srcKeyCols(srcDF0)
+        ad.merge(sp, srcDF, names, spec).createOrReplaceTempView(view)
+      }
+    }
+  }
+
+  /** `mergeFrame` wants source KEY COLUMN NAMES. A bare attribute uses
+    * its own column; any other source-side expression (e.g. a coercion
+    * cast) is projected onto the source frame first. */
+  private def sourceKeyPlan(keyCols: Seq[String],
+      eqs: Map[String, Expression], src: AttributeSet)
+      : Option[DataFrame => (DataFrame, Seq[String])] = {
+    val steps = keyCols.zipWithIndex.map { case (kc, i) =>
+      eqs(kc) match {
+        case a: AttributeReference => Some((None: Option[Column], a.name))
+        case e =>
+          val nm = s"__graft_mkey_$i"
+          remapPlain(e, src).map(c => (Some(c): Option[Column], nm))
+      }
+    }
+    if (steps.exists(_.isEmpty)) return None
+    val got = steps.flatten
+    Some { df0 =>
+      val df = got.foldLeft(df0) {
+        case (d, (Some(c), nm)) => d.withColumn(nm, c)
+        case (d, (None, _)) => d
+      }
+      (df, got.map(_._2))
+    }
+  }
+
+  // ---------------------------------------------------------------- DELETE
+
+  private def rewriteDelete(d: DeleteFromTable): Option[LogicalPlan] =
+    for {
+      (view, ad) <- dest(d.table)
+      condC <- remapPlain(d.condition, AttributeSet(d.table.output))
+    } yield GraftDmlCommand("DELETE", view) { sp =>
+      val keys = ad.df(sp).filter(condC)
+        .select(ad.keyCols.map(col): _*)
+      ad.delete(sp, keys).createOrReplaceTempView(view)
+    }
+
+  // ---------------------------------------------------------------- UPDATE
+
+  private def rewriteUpdate(u: UpdateTable): Option[LogicalPlan] = {
+    val tgt = AttributeSet(u.table.output)
+    for {
+      (view, ad) <- dest(u.table)
+      condC <- u.condition match {
+        case Some(e) => remapPlain(e, tgt)
+        case None => Some(lit(true))
+      }
+      assigns <- {
+        val pairs = u.assignments.map {
+          case Assignment(k: AttributeReference, v) if tgt.contains(k) &&
+              !ad.keyCols.contains(k.name) =>
+            remapPlain(v, tgt).map(k.name -> _)
+          case _ => None
+        }
+        if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
+      }
+    } yield GraftDmlCommand("UPDATE", view) { sp =>
+      val outCols = ad.schema.fields.map { f =>
+        assigns.get(f.name) match {
+          case Some(c) => c.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      val ups = ad.df(sp).filter(condC).select(outCols.toIndexedSeq: _*)
+      ad.upsert(sp, ups).createOrReplaceTempView(view)
+    }
+  }
+
+  // ---------------------------------------------------------------- INSERT
+
+  private def rewriteInsert(i: InsertIntoStatement): Option[LogicalPlan] = {
+    if (i.overwrite || i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
+      return None
+    for {
+      (view, ad) <- dest(i.table)
+      pick <- insertAlignment(i, ad.schema)
+    } yield {
+      val qPlan = i.query
+      GraftDmlCommand("INSERT", view) { sp =>
+        val q0 = ExpressionBridge.ofRows(sp, qPlan)
+        // positional rename first: VALUES/SELECT output names are
+        // synthetic (and can contain dots), so never resolve by them
+        val q = q0.toDF(q0.columns.indices.map(i => s"__graft_ins_$i"): _*)
+        val aligned = q.select(ad.schema.fields.map { f =>
+          pick(f.name) match {
+            case Some(srcIdx) => col(s"__graft_ins_$srcIdx").cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toIndexedSeq: _*)
+        ad.upsert(sp, aligned).createOrReplaceTempView(view)
+      }
+    }
+  }
+
+  /** target column name → source POSITION (stable across re-wrapping
+    * the query plan; names in a VALUES list are synthetic). None for
+    * shapes we refuse: arity mismatch, unknown or duplicate column in
+    * the user column list, a missing KEY column. */
+  private def insertAlignment(i: InsertIntoStatement,
+      schema: StructType): Option[String => Option[Int]] = {
+    val out = i.query.output
+    val fields = schema.fieldNames
+    val map: Map[String, Int] =
+      if (i.userSpecifiedCols.nonEmpty) {
+        if (i.userSpecifiedCols.size != out.size) return None
+        if (i.userSpecifiedCols.exists(c => !fields.contains(c))) return None
+        if (i.userSpecifiedCols.distinct.size != i.userSpecifiedCols.size)
+          return None
+        i.userSpecifiedCols.zipWithIndex.toMap
+      } else if (i.byName) {
+        if (out.map(_.name).exists(n => !fields.contains(n))) return None
+        out.map(_.name).zipWithIndex.toMap
+      } else {
+        if (out.size != schema.size) return None
+        fields.zipWithIndex.toMap
+      }
+    Some(map.get _)
+  }
+}
+
+/** Eagerly-executed DML command: runs the captured body (frame-level
+  * delta DML + view rebind) on the driver; the statement itself
+  * returns no rows. The body lives in a second parameter list so plan
+  * equality/canonicalization sees only (kind, view). */
+case class GraftDmlCommand(kind: String, view: String)(
+    body: SparkSession => Unit) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override protected def otherCopyArgs: Seq[AnyRef] = body :: Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    body(sparkSession)
+    Nil
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDmlCommand $kind $view"
+}

@@ -50,6 +50,13 @@ import graft.keys.KeySerializer
  */
 object IndexedFrame {
 
+  /** Test-only audit: when set, the next `mergeFrame` stores the
+    * physical plan of its internal source↔corpus join here, letting
+    * specs assert a SQL-text MERGE routes through the lookup join
+    * without paying plan stringification on the production path. */
+  @volatile private[sql] var auditMergePlans = false
+  @volatile private[sql] var lastMergePlan: String = ""
+
   /** Extracts the key from a stored internal row / a pushed literal,
     * and carries the key domain's ORDER ALGEBRA (comparison, immediate
     * successor, domain minimum) that turns pushed inclusive/strict
@@ -2041,6 +2048,8 @@ object IndexedFrame {
       require(!updateSet.contains(keyCol), "MERGE may not update the key")
       val joined = source.alias("s")
         .join(toDF.alias("t"), fCol(s"s.$sourceKey") === fCol(s"t.$keyCol"), "left")
+      if (auditMergePlans)
+        lastMergePlan = joined.queryExecution.executedPlan.toString
       val matched = fCol(s"t.$keyCol").isNotNull
       val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
         updateSet, insertWhen, insertValues, insertAll)
@@ -3196,6 +3205,8 @@ object IndexedFrame {
       val joined = source.alias("s").join(toDF.alias("t"),
         fCol(s"s.$sourceKeyA") === fCol(s"t.$keyColA") &&
           fCol(s"s.$sourceKeyB") === fCol(s"t.$keyColB"), "left")
+      if (auditMergePlans)
+        lastMergePlan = joined.queryExecution.executedPlan.toString
       val matched = fCol(s"t.$keyColA").isNotNull
       val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
         updateSet, insertWhen, insertValues, insertAll)

@@ -19,6 +19,16 @@ object ExpressionBridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = false)
 
+  /** DataFrame over an analyzed logical plan (`Dataset.ofRows` is
+    * private[sql]) — for the SQL-text DML rewrite, which re-wraps the
+    * MERGE/INSERT source subtree as a DataFrame to feed the frame-level
+    * DML methods. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** DataFrame over already-catalyst rows (`internalCreateDataFrame`
     * is private[sql]) — for operators that assemble InternalRow output
     * directly, e.g. the batch as-of join. */

@@ -1,0 +1,177 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/**
+ * SQL-text DML over graft temp views (the [[GraftSqlExtension]]
+ * analyzer rewrite): MERGE / DELETE / UPDATE / INSERT issued as
+ * literal `spark.sql(...)` must match the frame-level DML semantics,
+ * rebind the view, keep pre-DML snapshots intact, and route the MERGE
+ * through the lookup join (not a corpus scan).
+ */
+class GraftSqlExtensionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def freshCorpus(view: String): IndexedFrame.Handle[Long] = {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val df = (1L to 100L).map(k => (k, s"v$k", k * 1.0)).toDF("k", "name", "bal")
+    val h = IndexedFrame.index(df, "k", numPartitions = 4)
+    h.toDF.createOrReplaceTempView(view)
+    h
+  }
+
+  test("MERGE INTO as SQL text: delete, update, insert clauses match mergeFrame semantics") {
+    val h = freshCorpus("gsx_merge")
+    Seq((10L, 0.0), (20L, 5.0), (30L, 2.0), (500L, 7.0), (600L, 0.0))
+      .toDF("sk", "delta").createOrReplaceTempView("gsx_merge_src")
+    spark.sql(
+      """MERGE INTO gsx_merge t USING gsx_merge_src s ON t.k = s.sk
+        |WHEN MATCHED AND s.delta = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta
+        |WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.sk, s.delta)""".stripMargin)
+    val out = spark.sql("SELECT * FROM gsx_merge")
+      .as[(Long, String, Double)].collect().toSet
+    val expect = (1L to 100L).filter(_ != 10L).map { k =>
+      val bal = k * 1.0 + (if (k == 20L) 5.0 else if (k == 30L) 2.0 else 0.0)
+      (k, s"v$k", bal)
+    }.toSet ++ Set((500L, null: String, 7.0), (600L, null: String, 0.0))
+    assert(out === expect)
+    // snapshot isolation: the pre-merge handle still reads its own data
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    assert(h.toDF.count() === 100L)
+  }
+
+  test("MERGE textual clause order: an earlier UPDATE wins over a later DELETE") {
+    freshCorpus("gsx_order")
+    Seq((10L, 9.0), (20L, 1.0)).toDF("sk", "delta")
+      .createOrReplaceTempView("gsx_order_src")
+    // both rows match both clauses' key; update listed FIRST takes
+    // delta>5 rows, delete only gets what the update declined
+    spark.sql(
+      """MERGE INTO gsx_order t USING gsx_order_src s ON t.k = s.sk
+        |WHEN MATCHED AND s.delta > 5 THEN UPDATE SET bal = -1
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val out = spark.sql("SELECT k, bal FROM gsx_order WHERE k IN (10, 20)")
+      .as[(Long, Double)].collect().toSet
+    assert(out === Set((10L, -1.0))) // 20 deleted, 10 updated
+  }
+
+  test("MERGE with NULL-valued clause condition skips the clause, SQL-style") {
+    freshCorpus("gsx_null")
+    Seq((10L, Some(0.0)), (20L, None)).toDF("sk", "delta")
+      .createOrReplaceTempView("gsx_null_src")
+    spark.sql(
+      """MERGE INTO gsx_null t USING gsx_null_src s ON t.k = s.sk
+        |WHEN MATCHED AND s.delta = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = 99""".stripMargin)
+    val out = spark.sql("SELECT k, bal FROM gsx_null WHERE k IN (10, 20)")
+      .as[(Long, Double)].collect().toSet
+    // 10: delta=0 -> deleted; 20: NULL condition -> delete skipped,
+    // update's effective condition NOT(NULL)=NULL also skipped? No:
+    // update has no own condition, its effective condition is
+    // NOT(coalesce(NULL,false)) = true -> updated
+    assert(out === Set((20L, 99.0)))
+  }
+
+  test("SQL-text MERGE routes the source through the lookup join, not a corpus scan") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedJoin.enable(spark)
+    freshCorpus("gsx_plan")
+    Seq((10L, 1.0), (20L, 2.0)).toDF("sk", "delta")
+      .createOrReplaceTempView("gsx_plan_src")
+    IndexedFrame.auditMergePlans = true
+    try {
+      spark.sql(
+        """MERGE INTO gsx_plan t USING gsx_plan_src s ON t.k = s.sk
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta
+          |WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.sk, s.delta)""".stripMargin)
+      assert(IndexedFrame.lastMergePlan.contains("IndexedLookupJoin"),
+        s"merge join did not route through the lookup join:\n${IndexedFrame.lastMergePlan}")
+    } finally IndexedFrame.auditMergePlans = false
+  }
+
+  test("DELETE FROM as SQL text, key and non-key predicates") {
+    freshCorpus("gsx_del")
+    spark.sql("DELETE FROM gsx_del WHERE k = 7")
+    spark.sql("DELETE FROM gsx_del WHERE bal > 98.5") // rows 99, 100
+    val left = spark.sql("SELECT k FROM gsx_del").as[Long].collect().toSet
+    assert(left === (1L to 100L).toSet -- Set(7L, 99L, 100L))
+  }
+
+  test("UPDATE as SQL text: only affected rows change; key update is refused") {
+    freshCorpus("gsx_upd")
+    spark.sql("UPDATE gsx_upd SET bal = bal * 2, name = concat(name, '!') WHERE k <= 3")
+    val out = spark.sql("SELECT k, name, bal FROM gsx_upd WHERE k <= 4")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "v1!", 2.0), (2L, "v2!", 4.0), (3L, "v3!", 6.0),
+      (4L, "v4", 4.0)))
+    // assigning the key column is not intercepted -> Spark's own error
+    val e = intercept[Exception](spark.sql("UPDATE gsx_upd SET k = k + 1"))
+    assert(e.getMessage != null)
+  }
+
+  test("INSERT INTO as SQL text: positional, column list, upsert-on-conflict") {
+    freshCorpus("gsx_ins")
+    spark.sql("INSERT INTO gsx_ins VALUES (101, 'v101', 101.0)")
+    spark.sql("INSERT INTO gsx_ins (k, bal) VALUES (102, 102.0)") // name -> NULL
+    spark.sql("INSERT INTO gsx_ins VALUES (1, 'replaced', 0.0)") // keyed upsert
+    val out = spark.sql("SELECT k, name, bal FROM gsx_ins WHERE k IN (1, 101, 102)")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "replaced", 0.0), (101L, "v101", 101.0),
+      (102L, null: String, 102.0)))
+    assert(spark.sql("SELECT count(*) FROM gsx_ins").as[Long].head() === 102L)
+  }
+
+  test("composite-key MERGE as SQL text with a two-equality ON clause") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val df = (for (a <- 1L to 5L; b <- 1L to 10L)
+      yield (a, b, a * 100.0 + b)).toDF("ka", "kb", "bal")
+    IndexedFrame.indexComposite(df, "ka", "kb")
+      .toDF.createOrReplaceTempView("gsx_cmp")
+    Seq((2L, 3L, 0.0), (4L, 5L, 7.0), (9L, 9L, 1.0)).toDF("sa", "sb", "delta")
+      .createOrReplaceTempView("gsx_cmp_src")
+    spark.sql(
+      """MERGE INTO gsx_cmp t USING gsx_cmp_src s
+        |ON t.ka = s.sa AND t.kb = s.sb
+        |WHEN MATCHED AND s.delta = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta
+        |WHEN NOT MATCHED THEN INSERT (ka, kb, bal) VALUES (s.sa, s.sb, s.delta)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gsx_cmp").as[Long].head() === 50L) // -1 +1
+    assert(spark.sql("SELECT bal FROM gsx_cmp WHERE ka=4 AND kb=5")
+      .as[Double].head() === 412.0)
+    assert(spark.sql("SELECT count(*) FROM gsx_cmp WHERE ka=2 AND kb=3")
+      .as[Long].head() === 0L)
+    assert(spark.sql("SELECT bal FROM gsx_cmp WHERE ka=9 AND kb=9")
+      .as[Double].head() === 1.0)
+  }
+
+  test("consecutive statements observe each other; non-graft views are untouched") {
+    freshCorpus("gsx_seq")
+    spark.sql("INSERT INTO gsx_seq VALUES (200, 'x', 1.0)")
+    spark.sql("UPDATE gsx_seq SET bal = bal + 1 WHERE k = 200")
+    spark.sql("DELETE FROM gsx_seq WHERE k = 200")
+    assert(spark.sql("SELECT count(*) FROM gsx_seq WHERE k = 200")
+      .as[Long].head() === 0L)
+    // a plain (non-graft) temp view still gets Spark's standard errors
+    Seq((1, "a")).toDF("id", "s").createOrReplaceTempView("gsx_plain")
+    intercept[Exception](spark.sql("DELETE FROM gsx_plain WHERE id = 1"))
+  }
+
+  test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
+    freshCorpus("gsx_unsup")
+    Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
+    // NOT MATCHED BY SOURCE is outside mergeFrame's clause surface
+    intercept[Exception](spark.sql(
+      """MERGE INTO gsx_unsup t USING gsx_unsup_src s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET bal = 0
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    // non-equi ON condition cannot route through the keyed merge
+    intercept[Exception](spark.sql(
+      """MERGE INTO gsx_unsup t USING gsx_unsup_src s ON t.k > s.sk
+        |WHEN MATCHED THEN UPDATE SET bal = 0""".stripMargin))
+  }
+}
