@@ -83,6 +83,28 @@ object KeySerializer {
     def fromBytes(b: Array[Byte]): Long = getLongBE(b, 0) ^ Long.MinValue
   }
 
+  /** 8 bytes big-endian over IEEE-754 "sortable bits": byte order ==
+    * `java.lang.Double.compare` total order (-Inf < finite < +Inf <
+    * NaN; NaN canonicalized). Callers that need SQL's -0.0 == 0.0
+    * must canonicalize -0.0 BEFORE keying — the two have distinct
+    * encodings here, exactly as they are distinct in Double.compare. */
+  implicit object DoubleSerializer extends KeySerializer[Double] {
+    override def isOrderPreserving: Boolean = true
+    override def fixedWidth: Option[Int] = Some(8)
+    def toBytes(k: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(k)
+      val sortable = if (bits >= 0) bits else bits ^ Long.MaxValue
+      val out = new Array[Byte](8)
+      putLongBE(out, 0, sortable ^ Long.MinValue)
+      out
+    }
+    def fromBytes(b: Array[Byte]): Double = {
+      val sortable = getLongBE(b, 0) ^ Long.MinValue
+      val bits = if (sortable >= 0) sortable else sortable ^ Long.MaxValue
+      java.lang.Double.longBitsToDouble(bits)
+    }
+  }
+
   /** 4 bytes big-endian, sign bit flipped. */
   implicit object IntSerializer extends KeySerializer[Int] {
     override def isOrderPreserving: Boolean = true

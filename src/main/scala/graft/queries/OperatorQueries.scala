@@ -423,6 +423,28 @@ object OperatorQueries {
       merged.toDF.select($"c_bucket", $"c_custkey", $"c_acctbal")
     },
 
+    "ir_sql_sum_avg_double" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.functions.{avg, count, expr, round, sum}
+      // sum/avg/median/count of a DOUBLE column served from the ordered
+      // secondary's histogram (values stored as IEEE sortable bits):
+      // zero scans once the distribution memo is warm, and the sum is
+      // the EXACT weighted BigDecimal fold, not an accumulation-order
+      // artifact. round() sits in a Project ABOVE the aggregate so the
+      // no-scan claim still fires.
+      graft.sql.IndexedAgg.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+        .addSecondaryIndex("c_acctbal", ordered = true)
+      h.toDF.agg(
+          sum($"c_acctbal").as("s0"),
+          avg($"c_acctbal").as("a0"),
+          expr("percentile(c_acctbal, 0.5)").as("m0"),
+          count($"c_acctbal").as("cnt_bal"))
+        .select(round($"s0", 2).as("sum_bal"), round($"a0", 4).as("avg_bal"),
+          round($"m0", 4).as("med_bal"), $"cnt_bal")
+    },
+
     "ir_sql_merge_sqltext" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2264,6 +2286,13 @@ object OperatorQueries {
   val oracleSql: Map[String, String] = Map(
     "ir_sql_merge_sqltext" -> mergeOracleSql,
     "ir_sql_merge_sqltext_composite" -> mergeCompositeOracleSql,
+
+    "ir_sql_sum_avg_double" ->
+      """SELECT round(sum(c_acctbal), 2) AS sum_bal,
+        |  round(avg(c_acctbal), 4) AS avg_bal,
+        |  round(median(c_acctbal), 4) AS med_bal,
+        |  CAST(count(c_acctbal) AS BIGINT) AS cnt_bal
+        |FROM customer""".stripMargin,
 
     "ir_sql_delete_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -101,6 +101,13 @@ object IndexedAgg {
         case _ => false
       }
 
+    private def fpType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+
     private def statOf(a: Alias, h: IndexedFrame.StatsCapable): Option[Stat] = a.child match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -133,16 +140,20 @@ object IndexedAgg {
           // like Spark's) or TRY (overflow → NULL). LEGACY's silent
           // wraparound is not reproduced: falls through to the scan.
           // Column servability is validated at claim time.
+          // fp columns claim in ANY eval mode — double/float sums have
+          // no overflow semantics for the modes to differ on
           case su: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
               if su.child.isInstanceOf[AttributeReference] &&
-                su.evalContext.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY &&
-                integralType(su.child.dataType) =>
+                (fpType(su.child.dataType) ||
+                  (integralType(su.child.dataType) &&
+                    su.evalContext.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)) =>
             Some(SumStat(su.child.asInstanceOf[AttributeReference].name,
               su.evalContext.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
           case av: org.apache.spark.sql.catalyst.expressions.aggregate.Average
               if av.child.isInstanceOf[AttributeReference] &&
-                av.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY &&
-                integralType(av.child.dataType) =>
+                (fpType(av.child.dataType) ||
+                  (integralType(av.child.dataType) &&
+                    av.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)) =>
             Some(AvgStat(av.child.asInstanceOf[AttributeReference].name,
               av.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
           case p: Percentile
@@ -249,6 +260,46 @@ object IndexedAgg {
         case _ => None
       }
       case _ => None
+    }
+
+    /** Claim `WHERE secCol = v [AND secCol IS NOT NULL]` + a stats list
+      * drawn from {sum/avg/count(aggCol), count(*)} over ONE aggCol:
+      * plans [[IndexedFilteredAggExec]] against the handle's grouped
+      * filtered-agg memo, or None to fall through. */
+    private def filteredAggClaim(fs: Seq[sources.Filter],
+        h: IndexedFrame.StatsCapable,
+        aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : Option[SparkPlan] = {
+      val eqs = fs.collect { case sources.EqualTo(c, v) => (c, v) }
+      val secEq = eqs match {
+        case Seq((c, v)) if fs.forall {
+            case sources.EqualTo(_, _) => true
+            case sources.IsNotNull(cc) => cc == c
+            case _ => false
+          } => Some((c, v))
+        case _ => None
+      }
+      secEq.flatMap { case (sc, v) =>
+        val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
+        if (stats.exists(_.isEmpty)) None
+        else {
+          val ss = stats.map(_.get)
+          val aggCols = ss.collect {
+            case SumStat(c, _) => c
+            case AvgStat(c, _) => c
+            case CountColStat(c) => c
+          }.distinct
+          val shapeOk = ss.forall {
+            case SumStat(_, _) | AvgStat(_, _) | CountColStat(_) | CountStat => true
+            case _ => false
+          }
+          if (!shapeOk || aggCols.length != 1 || aggCols.head == sc) None
+          else h.filteredAggFor(sc, aggCols.head).map { lookup =>
+            IndexedFilteredAggExec(aggs.map(_.toAttribute), h, ss,
+              () => lookup(v))
+          }
+        }
+      }
     }
 
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -413,7 +464,7 @@ object IndexedAgg {
               }
               // sum/avg thunks resolve against the key or an ordered
               // secondary's histogram; unservable columns fall through
-              val sa: Seq[Option[() => Option[(Long, Long)]]] = ss.map {
+              val sa: Seq[Option[() => Option[(Any, Long)]]] = ss.map {
                 case SumStat(c, _) => h.sumCountFor(c)
                 case AvgStat(c, _) => h.sumCountFor(c)
                 case _ => Some(() => None) // unused placeholder
@@ -449,6 +500,15 @@ object IndexedAgg {
             // BOUNDED first/last-in-range descents — values never read
             filteredRelation(child) match {
               case Some((fs, h)) =>
+                // FIRST: `WHERE secCol = v` + sum/avg/count(aggCol)
+                // from the grouped filtered-agg memo — one fold job per
+                // (secCol, aggCol) snapshot pair, then every probe for
+                // ANY value answers driver-side with zero jobs (the
+                // repeated-dashboard shape)
+                filteredAggClaim(fs, h, aggs) match {
+                  case Some(p) => return p :: Nil
+                  case None =>
+                }
                 val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
                 if (stats.forall(_.isDefined) &&
                     // filtered count(DISTINCT …) / percentile need
@@ -493,7 +553,7 @@ object IndexedAgg {
       h: IndexedFrame.StatsCapable, stats: Seq[Stat],
       cdThunks: Seq[() => Long] = Nil,
       pctThunk: Option[() => Seq[Option[Seq[Double]]]] = None,
-      saThunks: Seq[() => Option[(Long, Long)]] = Nil,
+      saThunks: Seq[() => Option[(Any, Long)]] = Nil,
       nnThunks: Seq[() => Long] = Nil,
       seThunks: Seq[() => (Option[Any], Option[Any])] = Nil)
       extends LeafExecNode {
@@ -533,8 +593,14 @@ object IndexedAgg {
           try saThunks(i)().map(t => t._1: Any).orNull
           catch { case _: ArithmeticException if tryM => null }
         case (AvgStat(_, tryM), i) =>
-          try saThunks(i)()
-            .map(t => java.lang.Double.valueOf(t._1.toDouble / t._2): Any).orNull
+          try saThunks(i)().map { t =>
+            val s = t._1 match {
+              case l: java.lang.Long => l.toDouble
+              case d: java.lang.Double => d.doubleValue
+              case other => other.asInstanceOf[Number].doubleValue
+            }
+            java.lang.Double.valueOf(s / t._2): Any
+          }.orNull
           catch { case _: ArithmeticException if tryM => null }
         case (PercentileStat(_, _, j), i) =>
           pctVals(j).map { vs =>
@@ -617,6 +683,68 @@ object IndexedAgg {
     override def simpleString(maxFields: Int): String =
       s"IndexedRangeStats ${stats.mkString("[", ", ", "]")} " +
         "[no-value-scan: pruned + bounded radix descents]"
+  }
+
+  /** `WHERE secCol = v` + sum/avg/count aggregates answered from the
+    * handle's grouped filtered-agg memo: the first probe of a
+    * (secCol, aggCol) pair pays one fold job over the primary rows,
+    * every probe after that (for ANY value of secCol) is a driver-side
+    * map lookup — zero jobs, zero scans. Missing value = SQL over an
+    * empty set: sums/avgs NULL, counts 0. Integral overflow surfaces
+    * as ANSI's ArithmeticException or TRY's NULL via the fold's sticky
+    * marker. */
+  case class IndexedFilteredAggExec(output: Seq[Attribute],
+      h: IndexedFrame.StatsCapable, stats: Seq[Stat],
+      lookup: () => Option[(Any, Long, Long)]) extends LeafExecNode {
+
+    private def rowValues(): Seq[Any] = {
+      h.markStats()
+      val res = lookup()
+      def sumOf(tryM: Boolean): Option[Any] = res.flatMap { case (s, nn, _) =>
+        if (nn == 0) None
+        else s match {
+          case IndexedFrame.GroupFoldOverflow =>
+            if (tryM) None else throw new ArithmeticException("long overflow")
+          case other => Some(other)
+        }
+      }
+      stats.map {
+        case CountStat => res.map(_._3).getOrElse(0L)
+        case CountColStat(_) => res.map(_._2).getOrElse(0L)
+        case SumStat(_, tryM) => sumOf(tryM).orNull
+        case AvgStat(_, tryM) =>
+          sumOf(tryM).map { s =>
+            val d = s match {
+              case l: java.lang.Long => l.toDouble
+              case d0: java.lang.Double => d0.doubleValue
+              case other => other.asInstanceOf[Number].doubleValue
+            }
+            java.lang.Double.valueOf(d / res.get._2)
+          }.orNull
+        case s => throw new IllegalStateException(s"$s in filtered agg")
+      }
+    }
+
+    /** Driver-memoized: repeated probes never launch a job. */
+    override def executeCollect(): Array[InternalRow] = {
+      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      Array(proj(new GenericInternalRow(rowValues().toArray)).copy())
+    }
+    override def executeTake(n: Int): Array[InternalRow] =
+      if (n <= 0) Array.empty else executeCollect()
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val values = rowValues()
+      val types = output.map(_.dataType)
+      sparkContext.parallelize(Seq(values), 1).mapPartitions { it =>
+        val proj = UnsafeProjection.create(types.toArray)
+        it.map(vs => proj(new GenericInternalRow(vs.toArray)): InternalRow)
+      }
+    }
+
+    override def simpleString(maxFields: Int): String =
+      s"IndexedFilteredAgg ${stats.mkString("[", ", ", "]")} " +
+        "[grouped memo: one fold job per snapshot, then zero jobs]"
   }
 
   /** `GROUP BY col COUNT(*)` answered from index structure: the

@@ -150,6 +150,45 @@ object IndexedFrame {
     override def rangeLiteral(v: Any): Option[Long] = Try(fromLiteral(v)).toOption
   }
 
+  /** DOUBLE / FLOAT key columns (ordered secondaries and composite
+    * components): values canonicalize -0.0 → 0.0 (SQL equality) and
+    * compare in IEEE total order (-Inf < finite < +Inf < NaN — Spark's
+    * own double ordering), which [[KeySerializer.DoubleSerializer]]'s
+    * byte order preserves, so range predicates and the ordered
+    * histogram carry over unchanged. FLOAT columns widen losslessly to
+    * double; their order algebra (successor, extrema) steps in FLOAT
+    * precision so half-open interval conversion stays exact on the
+    * column's actual domain. */
+  private[sql] final class DoubleCodec(dt: DataType) extends KeyCodec[Double] {
+    private def canon(d: Double): Double =
+      if (d == 0.0) 0.0 else d // +0.0 for both zeros; NaN falls through
+    override def fromRow(r: InternalRow, i: Int): Double = canon(dt match {
+      case DoubleType => r.getDouble(i)
+      case FloatType => r.getFloat(i).toDouble
+    })
+    override def fromLiteral(v: Any): Double = canon(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"numeric key literal required, got ${if (other == null) "null" else other.getClass}")
+    })
+    override def toExternalSql(k: Any): Any = dt match {
+      case FloatType => k.asInstanceOf[Double].toFloat
+      case _ => k
+    }
+    override def ord: Ordering[Double] = Ordering.Double.TotalOrdering
+    override def succ(k: Double): Option[Double] =
+      if (k.isNaN) None // NaN is the total-order maximum
+      else if (k == Double.PositiveInfinity) Some(Double.NaN)
+      else dt match {
+        case FloatType => Some(canon(Math.nextUp(k.toFloat).toDouble))
+        case _ => Some(canon(Math.nextUp(k)))
+      }
+    override def minKey: Double = Double.NegativeInfinity
+    override def rangeLiteral(v: Any): Option[Double] = Try(fromLiteral(v)).toOption
+  }
+
   private[sql] object StringCodec extends KeyCodec[String] {
     override def fromRow(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
     override def fromLiteral(v: Any): String = v match {
@@ -414,6 +453,72 @@ object IndexedFrame {
     * integral/temporal column, String, UUID, BigInt) converted to the
     * column's CATALYST-internal form, for emitting index-derived
     * values straight into InternalRows. */
+  /** Marker for an integral [[GroupFold]] sum that overflowed Long:
+    * the exec converts it to ANSI-error / TRY-NULL. */
+  private[sql] case object GroupFoldOverflow
+
+  /** Mutable per-group fold state for
+    * [[SecondaryCapable.secondaryFilteredAggFor]]. fp sums fold
+    * exactly in BigDecimal while finite (plus a plain IEEE shadow that
+    * takes over when a NaN/Inf appears); integral sums fold in checked
+    * Long arithmetic with a sticky overflow flag the exec converts to
+    * ANSI-error / TRY-NULL semantics. Top-level (not trait-nested) so
+    * executor closures never capture a handle. */
+  private[sql] final class GroupFold extends Serializable {
+    var bd: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    var plain: Double = 0.0
+    var nonFinite = false
+    var lsum = 0L
+    var overflow = false
+    var nonNull = 0L
+    var rows = 0L
+    def addFp(d: Double): Unit = {
+      plain += d
+      if (!nonFinite) {
+        if (java.lang.Double.isFinite(d)) bd = bd.add(new java.math.BigDecimal(d))
+        else nonFinite = true
+      }
+      nonNull += 1
+    }
+    def addLong(l: Long): Unit = {
+      if (!overflow) {
+        try lsum = Math.addExact(lsum, l)
+        catch { case _: ArithmeticException => overflow = true }
+      }
+      nonNull += 1
+    }
+    def merge(o: GroupFold): GroupFold = {
+      plain += o.plain
+      nonFinite ||= o.nonFinite
+      if (!nonFinite) bd = bd.add(o.bd)
+      if (!overflow && !o.overflow) {
+        try lsum = Math.addExact(lsum, o.lsum)
+        catch { case _: ArithmeticException => overflow = true }
+      } else overflow = true
+      nonNull += o.nonNull
+      rows += o.rows
+      this
+    }
+    /** (sum or overflow marker, non-null count, row count); fp chooses
+      * the exact fold unless a special took over. */
+    def result(fp: Boolean): (Any, Long, Long) = {
+      val s: Any =
+        if (fp) java.lang.Double.valueOf(if (nonFinite) plain else bd.doubleValue)
+        else if (overflow) GroupFoldOverflow
+        else java.lang.Long.valueOf(lsum)
+      (s, nonNull, rows)
+    }
+  }
+
+  /** value ↔ sortable-Long transforms for fp histogram entries: signed
+    * Long order over the encoding == `Double.compare` total order. */
+  private[sql] def sortableBits(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    if (bits >= 0) bits else bits ^ Long.MaxValue
+  }
+  private[sql] def fromSortableBits(l: Long): Double =
+    java.lang.Double.longBitsToDouble(if (l >= 0) l else l ^ Long.MaxValue)
+
   private[sql] def toCatalystKey(dt: DataType, v: Any): Any = dt match {
     case StringType => v match {
       case s: String => UTF8String.fromString(s)
@@ -423,9 +528,10 @@ object IndexedFrame {
     case IntegerType | DateType => v.asInstanceOf[Long].toInt
     case ShortType => v.asInstanceOf[Long].toShort
     case ByteType => v.asInstanceOf[Long].toByte
+    case FloatType => v.asInstanceOf[Double].toFloat
     case _: DecimalType => org.apache.spark.sql.types.Decimal(
       new java.math.BigDecimal(v.asInstanceOf[BigInt].bigInteger))
-    case _ => v // LongType / TimestampType / TimestampNTZType: long
+    case _ => v // LongType / Timestamp(NTZ)Type: long; DoubleType: double
   }
 
   /** The column one pushed range-ish filter constrains, if any. */
@@ -1012,11 +1118,13 @@ object IndexedFrame {
       new scala.collection.concurrent.TrieMap[String, Array[(Long, Long)]]()
     private[sql] def secondaryDistributionFor(
         col: String): Option[() => Option[Array[(Long, Long)]]] = {
-      val integral = schema(col).dataType match {
+      val servable = schema(col).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
+        case DoubleType | FloatType => true // stored as sortable bits
         case _ => false
       }
-      if (!integral || !hasOrderedSecondary(col)) return None
+      if (!servable || !hasOrderedSecondary(col)) return None
+      val fp = distIsFp(col)
       val (_, sidx, _) = secondaries(col)
       secCountMemo.get(col) match {
         case Some(n) if n <= SecondaryRouteBudget => // claimable
@@ -1025,9 +1133,105 @@ object IndexedFrame {
       Some { () =>
         val dist = secDistMemo.getOrElseUpdate(col,
           sidx.mapPartitions(_.map { case (v, ks) =>
-            (v.asInstanceOf[Number].longValue(), ks.length.toLong)
+            val enc =
+              if (fp) sortableBits(v.asInstanceOf[Double])
+              else v.asInstanceOf[Number].longValue()
+            (enc, ks.length.toLong)
           }).collect().sortBy(_._1))
         if (dist.isEmpty) None else Some(dist)
+      }
+    }
+
+    /** Whether `col`'s histogram entries are fp sortable bits (decode
+      * with [[fromSortableBits]]) rather than exact integral values. */
+    private[sql] def distIsFp(col: String): Boolean =
+      schema(col).dataType match {
+        case DoubleType | FloatType => true
+        case _ => false
+      }
+
+    /** Driver-state cap for the grouped filtered-agg memo — tighter
+      * than [[SecondaryRouteBudget]] because the per-partition fold
+      * maps ship whole to the driver. */
+    @transient private[sql] var FilteredAggDistinctCap = 1 << 16
+
+    @transient private lazy val secGroupAggMemo =
+      new scala.collection.concurrent.TrieMap[(String, String),
+        Map[Any, (Any, Long, Long)]]()
+
+    /** `WHERE secCol = v` + `sum/avg/count(aggCol)` answered from a
+      * per-secondary-value grouped fold: ONE job over the primary rows
+      * per (secCol, aggCol) pair, memoized on the immutable snapshot —
+      * every later probe for ANY value of secCol is a driver-side map
+      * lookup, zero jobs (the repeated-dashboard shape the probe memo
+      * serves for row fetches, extended to aggregates). Returns a
+      * lookup: pushed literal → (sum, non-null aggCol count, row
+      * count), None when secCol has no such value (SQL: sum NULL,
+      * counts 0). Gated on the memoized distinct count staying under
+      * [[FilteredAggDistinctCap]] so the driver state stays bounded;
+      * claim time is planning, and the gate reads only memos. */
+    private[sql] def secondaryFilteredAggFor(secCol: String, aggCol: String)
+        : Option[Any => Option[(Any, Long, Long)]] = {
+      if (!secondaries.contains(secCol) || secCol == aggCol) return None
+      if (!schema.fieldNames.contains(aggCol)) return None
+      val aggDt = schema(aggCol).dataType
+      val fp = aggDt match {
+        case DoubleType | FloatType => true
+        case _ => false
+      }
+      val integral = aggDt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!fp && !integral) return None
+      secCountMemo.get(secCol) match {
+        case Some(n) if n <= math.min(SecondaryRouteBudget, FilteredAggDistinctCap) =>
+        case _ => return None // cold or over budget: fall through
+      }
+      val sCodec = secondaries(secCol)._1.codec
+      Some { v =>
+        val m = secGroupAggMemo.getOrElseUpdate((secCol, aggCol), {
+          val fiS = schema.fieldIndex(secCol)
+          val fiA = schema.fieldIndex(aggCol)
+          val dtA = aggDt
+          val isFp = fp
+          val codec = sCodec
+          val partMaps = idx.mapPartitions(it => {
+            val acc = new java.util.HashMap[Any, GroupFold]()
+            it.foreach { case (_, row) =>
+              if (!row.isNullAt(fiS)) {
+                val sv = codec.fromRow(row, fiS)
+                var st = acc.get(sv)
+                if (st == null) { st = new GroupFold; acc.put(sv, st) }
+                st.rows += 1
+                if (!row.isNullAt(fiA)) {
+                  if (isFp) st.addFp(dtA match {
+                    case DoubleType => row.getDouble(fiA)
+                    case _ => row.getFloat(fiA).toDouble
+                  })
+                  else st.addLong(dtA match {
+                    case LongType => row.getLong(fiA)
+                    case IntegerType => row.getInt(fiA).toLong
+                    case ShortType => row.getShort(fiA).toLong
+                    case _ => row.getByte(fiA).toLong
+                  })
+                }
+              }
+            }
+            Iterator.single(acc)
+          }).collect()
+          val merged = new java.util.HashMap[Any, GroupFold]()
+          partMaps.foreach { pm =>
+            pm.forEach { (k, f) =>
+              val cur = merged.get(k)
+              if (cur == null) merged.put(k, f) else cur.merge(f)
+            }
+          }
+          val out = Map.newBuilder[Any, (Any, Long, Long)]
+          merged.forEach { (k, f) => out += (k -> f.result(isFp)) }
+          out.result()
+        })
+        Try(sCodec.fromLiteral(v)).toOption.flatMap(m.get)
       }
     }
 
@@ -1225,13 +1429,25 @@ object IndexedFrame {
       * thunk yields (sum, non-null row count), or None when the column
       * has no non-null rows (SQL: sum/avg of no rows is NULL). Served
       * for the integral KEY (one memoized key-stream job — values
-      * never read) and for integral ORDERED-SECONDARY columns (Σ v·w
-      * over the memoized histogram, zero jobs once warm). CHECKED
+      * never read) and for integral or FP ORDERED-SECONDARY columns
+      * (Σ v·w over the memoized histogram, zero jobs once warm). The
+      * sum is `java.lang.Long` for integral columns — CHECKED
       * arithmetic: overflow raises ArithmeticException, which the
       * ANSI claim propagates (like Spark's own error) and the TRY
-      * claim turns into NULL. */
-    private[sql] def sumCountFor(col: String): Option[() => Option[(Long, Long)]] =
+      * claim turns into NULL — and `java.lang.Double` for fp columns,
+      * where the weighted fold runs EXACTLY in BigDecimal (every
+      * double is a finite binary rational) and converts once at the
+      * end, so the structural sum is the correctly-rounded true sum
+      * rather than an accumulation-order artifact. */
+    private[sql] def sumCountFor(col: String): Option[() => Option[(Any, Long)]] =
       None
+
+    /** `WHERE secCol = v` + sum/avg/count aggregates from the grouped
+      * filtered-agg memo ([[SecondaryCapable.secondaryFilteredAggFor]]
+      * on handles that index secondaries); lookup: pushed literal →
+      * (sum | [[GroupFoldOverflow]], non-null count, row count). */
+    private[sql] def filteredAggFor(secCol: String, aggCol: String)
+        : Option[Any => Option[(Any, Long, Long)]] = None
 
     /** EXACT interpolated percentiles (the semantics of Spark's
       * `percentile(col, p)` / `median(col)`) answered from index
@@ -1405,6 +1621,9 @@ object IndexedFrame {
       with SecondaryCapable[K] {
     override protected def secTag: ClassTag[K] = kTag
     override protected def secondaryForbiddenCols: Set[String] = Set(keyCol)
+    override private[sql] def filteredAggFor(secCol: String, aggCol: String)
+        : Option[Any => Option[(Any, Long, Long)]] =
+      secondaryFilteredAggFor(secCol, aggCol)
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
 
@@ -1617,7 +1836,7 @@ object IndexedFrame {
       if (col == keyCol) None else secondaryExtrema(col)
 
     override private[sql] def sumCountFor(
-        col: String): Option[() => Option[(Long, Long)]] = {
+        col: String): Option[() => Option[(Any, Long)]] = {
       def integral(c: String) = schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
@@ -1629,16 +1848,45 @@ object IndexedFrame {
           if (n == 0) None else Some((keySumMemo, n))
         })
       } else secondaryDistributionFor(col).map { distThunk =>
+        val fp = distIsFp(col)
         () => distThunk().map { dist =>
-          var s = 0L
-          var n = 0L
-          dist.foreach { case (v, w) =>
-            // v is the stored Long — exact at any magnitude, where a
-            // Double round-trip would silently lose bits past 2^53
-            s = Math.addExact(s, Math.multiplyExact(v, w))
-            n += w
+          if (fp) {
+            // exact: each FINITE double is a binary rational, so the
+            // weighted BigDecimal fold is the TRUE sum, converted once
+            // at the end (no accumulation-order drift); any NaN/Inf
+            // entry switches to plain IEEE accumulation, whose result
+            // the specials determine regardless of order
+            var s = java.math.BigDecimal.ZERO
+            var n = 0L
+            var nonFinite = false
+            dist.foreach { case (v, w) =>
+              val d = fromSortableBits(v)
+              if (!nonFinite) {
+                if (java.lang.Double.isFinite(d))
+                  s = s.add(new java.math.BigDecimal(d)
+                    .multiply(java.math.BigDecimal.valueOf(w)))
+                else nonFinite = true
+              }
+              n += w
+            }
+            val sum =
+              if (nonFinite) {
+                var a = 0.0
+                dist.foreach { case (v, w) => a += fromSortableBits(v) * w }
+                a
+              } else s.doubleValue
+            (java.lang.Double.valueOf(sum), n)
+          } else {
+            var s = 0L
+            var n = 0L
+            dist.foreach { case (v, w) =>
+              // v is the stored Long — exact at any magnitude, where a
+              // Double round-trip would silently lose bits past 2^53
+              s = Math.addExact(s, Math.multiplyExact(v, w))
+              n += w
+            }
+            (java.lang.Long.valueOf(s), n)
           }
-          (s, n)
         }
       }
     }
@@ -1659,10 +1907,10 @@ object IndexedFrame {
           _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
       // resolve every spec up front; one unservable column disqualifies
       // the whole claim and the query falls through intact
-      val srcs: Seq[Option[Either[Unit, () => Option[Array[(Long, Long)]]]]] =
+      val srcs: Seq[Option[Either[Unit, (() => Option[Array[(Long, Long)]], Boolean)]]] =
         specs.map { case (c, _) =>
           if (c == keyCol) (if (keyOk) Some(Left(())) else None)
-          else secondaryDistributionFor(c).map(Right(_))
+          else secondaryDistributionFor(c).map(t => Right((t, distIsFp(c))))
         }
       if (srcs.exists(_.isEmpty)) return None
       Some { () =>
@@ -1693,19 +1941,20 @@ object IndexedFrame {
           if (lo == hi) vLo else vLo + (rankKeyMemo(hi) - vLo) * (r - lo)
         }
         def atWeighted(dist: Array[(Long, Long)], total: Long,
-            p: Double): Double = {
+            p: Double, decode: Long => Double): Double = {
           val r = p * (total - 1)
           // Double conversion happens HERE, at interpolation — the
-          // same place Spark's own Percentile converts
+          // same place Spark's own Percentile converts (fp histograms
+          // decode their sortable bits back to the stored double)
           def valueAt(j: Long): Double = {
             var cum = 0L
             var i = 0
             while (i < dist.length) {
               cum += dist(i)._2
-              if (cum > j) return dist(i)._1.toDouble
+              if (cum > j) return decode(dist(i)._1)
               i += 1
             }
-            dist.last._1.toDouble
+            decode(dist.last._1)
           }
           val lo = math.floor(r).toLong
           val hi = math.ceil(r).toLong
@@ -1715,10 +1964,12 @@ object IndexedFrame {
         specs.zip(srcs).map {
           case ((_, ps), Some(Left(_))) =>
             if (n == 0) None else Some(ps.map(atKey))
-          case ((_, ps), Some(Right(distThunk))) =>
+          case ((_, ps), Some(Right((distThunk, fp)))) =>
             distThunk().map { dist =>
               val total = dist.iterator.map(_._2).sum
-              ps.map(p => atWeighted(dist, total, p))
+              val decode: Long => Double =
+                if (fp) fromSortableBits else (_.toDouble)
+              ps.map(p => atWeighted(dist, total, p, decode))
             }
           case _ => None // unreachable: srcs pre-validated
         }
@@ -2356,6 +2607,9 @@ object IndexedFrame {
       case dt: DecimalType if dt.scale == 0 =>
         KeySpec[BigInt](new BigIntCodec(dt.precision),
           KeySerializer.BigIntSerializer, implicitly[ClassTag[BigInt]])
+      case dt @ (DoubleType | FloatType) =>
+        KeySpec[Double](new DoubleCodec(dt), KeySerializer.DoubleSerializer,
+          implicitly[ClassTag[Double]])
       case other => throw new IllegalArgumentException(
         s"unsupported composite key column type ${other.catalogString} for $col")
     }
@@ -2400,6 +2654,9 @@ object IndexedFrame {
     override protected def secTag: ClassTag[(A, B)] = implicitly
     override protected def secondaryForbiddenCols: Set[String] =
       Set(keyColA, keyColB)
+    override private[sql] def filteredAggFor(secCol: String, aggCol: String)
+        : Option[Any => Option[(Any, Long, Long)]] =
+      secondaryFilteredAggFor(secCol, aggCol)
 
     private[sql] implicit val tupSer: KeySerializer[(A, B)] =
       new KeySerializer.ConcatTuple2Serializer[A, B](serA, serB)
@@ -3787,6 +4044,9 @@ object IndexedFrame {
     @transient @volatile var lastPointLookupKeys: Int = -1
     override protected def secTag: ClassTag[Seq[Any]] = implicitly
     override protected def secondaryForbiddenCols: Set[String] = keyCols.toSet
+    override private[sql] def filteredAggFor(secCol: String, aggCol: String)
+        : Option[Any => Option[(Any, Long, Long)]] =
+      secondaryFilteredAggFor(secCol, aggCol)
     override private[sql] def zoneKeyCols: Set[String] = keyCols.toSet
     private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)
     private[sql] val tupleOrd: Ordering[Seq[Any]] =
