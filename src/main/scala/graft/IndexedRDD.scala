@@ -1002,6 +1002,69 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
       .map(ser.fromBytes)
   }
 
+  /** [[floorKey]] FUSED with the value fetch: the descent that finds
+    * each partition's floor candidate already sits on its entry, so
+    * ONE bounded job returns the (key, value) pair — a point-in-time
+    * (as-of) read costs a single job instead of floorKey plus a
+    * second point probe. Same pruning and byte-order contract as
+    * [[floorKey]]. */
+  def floorEntry(before: K)(implicit ser: KeySerializer[K]): Option[(K, V)] = {
+    require(ser.isOrderPreserving,
+      s"floorEntry decides order in encoded bytes; " +
+        s"${ser.getClass.getSimpleName} is not order-preserving")
+    val beforeB = ser.toBytes(before)
+    val base = partitioner match {
+      case Some(rp: org.apache.spark.RangePartitioner[K @unchecked, _]) =>
+        val hi = rp.getPartition(before)
+        org.apache.spark.rdd.PartitionPruningRDD.create(partitionsRDD, _ <= hi)
+      case _ => partitionsRDD
+    }
+    val perPart = base.map {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        r.firstKey.flatMap(fk => r.lastInRange(fk, before))
+          .flatMap(k => r(k).map(v => (ser.toBytes(k), v)))
+      case p =>
+        var bestK: Array[Byte] = null
+        var bestV: V = null.asInstanceOf[V]
+        p.iterator.foreach { case (k, v) =>
+          val kb = ser.toBytes(k)
+          if (java.util.Arrays.compareUnsigned(kb, beforeB) < 0 &&
+              (bestK == null || java.util.Arrays.compareUnsigned(kb, bestK) > 0)) {
+            bestK = kb
+            bestV = v
+          }
+        }
+        if (bestK == null) None else Some((bestK, bestV))
+    }.collect()
+    perPart.flatten.reduceOption((a, b) =>
+      if (java.util.Arrays.compareUnsigned(a._1, b._1) > 0) a else b)
+      .map { case (kb, v) => (ser.fromBytes(kb), v) }
+  }
+
+  /** [[maxKey]]'s entry twin — one O(depth) rightmost descent per
+    * partition, value included. The as-of fallback for a probe at the
+    * key domain's maximum. */
+  def maxEntry()(implicit ser: KeySerializer[K]): Option[(K, V)] = {
+    val perPart = partitionsRDD.map {
+      case r: graft.partition.RadixIndexedPartition[K, V] =>
+        r.lastKey.flatMap(k => r(k).map(v => (ser.toBytes(k), v)))
+      case p =>
+        var bestK: Array[Byte] = null
+        var bestV: V = null.asInstanceOf[V]
+        p.iterator.foreach { case (k, v) =>
+          val kb = ser.toBytes(k)
+          if (bestK == null || java.util.Arrays.compareUnsigned(kb, bestK) > 0) {
+            bestK = kb
+            bestV = v
+          }
+        }
+        if (bestK == null) None else Some((bestK, bestV))
+    }.collect()
+    perPart.flatten.reduceOption((a, b) =>
+      if (java.util.Arrays.compareUnsigned(a._1, b._1) > 0) a else b)
+      .map { case (kb, v) => (ser.fromBytes(kb), v) }
+  }
+
   /** FIRST (asc) or LAST (desc) `n` pairs in natural key order from a
     * RANGE-PARTITIONED index, visiting only the head (or tail)
     * partitions that can hold them: one O(partitions) sizes job picks

@@ -457,6 +457,16 @@ object IndexedFrame {
     * the exec converts it to ANSI-error / TRY-NULL. */
   private[sql] case object GroupFoldOverflow
 
+  /** One-row (or empty) DataFrame over an already-materialized internal
+    * row — the FUSED as-of read's result surface (the floor descent
+    * already fetched the row, so no second probe job ever runs). */
+  private def rowDF(row: Option[InternalRow], schema: StructType)(
+      implicit spark: SparkSession): DataFrame = {
+    val rdd = spark.sparkContext.parallelize(row.toSeq, 1)
+    org.apache.spark.sql.graftbridge.ExpressionBridge
+      .internalDF(spark, rdd, schema)
+  }
+
   /** Mutable per-group fold state for
     * [[SecondaryCapable.secondaryFilteredAggFor]]. fp sums fold
     * exactly in BigDecimal while finite (plus a plain IEEE shadow that
@@ -2351,28 +2361,24 @@ object IndexedFrame {
 
     /** Point-in-time read: the row whose key is the LARGEST key ≤ `t`
       * (the time-series "as of" lookup on timestamp/date-keyed handles;
-      * works for any order-served key type). Two bounded jobs: one
-      * [[graft.IndexedRDD.floorKey]] pass of O(depth) rightmost
-      * descents over the partition prefix holding keys ≤ t, then the
-      * found key point-probes through the ordinary pushed-equality
-      * lane. Empty DataFrame when every key exceeds `t`. Requires an
-      * ordered handle. */
+      * works for any order-served key type). ONE bounded job: the
+      * [[graft.IndexedRDD.floorEntry]] pass of O(depth) rightmost
+      * descents over the partition prefix holding keys ≤ t returns the
+      * row together with its key — no second point-probe job. Empty
+      * DataFrame when every key exceeds `t`. Requires an ordered
+      * handle. */
     def asOf(t: Any)(implicit spark: SparkSession): DataFrame = {
       require(ordered && kSer.isOrderPreserving,
         "asOf needs an ordered handle with an order-preserving key")
       val k = codec.fromLiteral(t)
       // inclusive floor = strict floor of succ(t); a key with no
       // successor is the domain max, whose floor is the global max key
-      val fk = codec.succ(k) match {
-        case Some(ub) => idx.floorKey(ub)(kSer)
-        case None => idx.maxKey()(kSer)
+      val fe = codec.succ(k) match {
+        case Some(ub) => idx.floorEntry(ub)(kSer)
+        case None => idx.maxEntry()(kSer)
       }
-      fk match {
-        case Some(key) => toDF.filter(org.apache.spark.sql.functions
-          .col(keyCol) === org.apache.spark.sql.functions
-          .lit(codec.toExternalSql(key)))
-        case None => toDF.limit(0)
-      }
+      lastScanKind = "asof"
+      rowDF(fe.map(_._2), schema)
     }
   }
 
@@ -3481,12 +3487,12 @@ object IndexedFrame {
     /** Per-key point-in-time read — the versioned-dimension ("SCD")
       * lookup on an `(id, ts)` layout: the row for leading key `a`
       * whose second key is the LARGEST value ≤ `t`, or empty if `a`
-      * has no version at-or-before `t`. One bounded
-      * [[graft.IndexedRDD.floorKey]] pass over the tuple byte space
+      * has no version at-or-before `t`. ONE bounded
+      * [[graft.IndexedRDD.floorEntry]] pass over the tuple byte space
       * (the floor of `(a, succ t)` is either `a`'s latest version ≤ t
       * or some earlier leading key — one driver-side check tells them
-      * apart), then the found pair point-probes through the ordinary
-      * pushed-equality lane. Requires an ordered handle. */
+      * apart) returns the row with its key, so no second probe job
+      * runs. Requires an ordered handle. */
     def asOf(a: Any, t: Any)(implicit spark: SparkSession): DataFrame = {
       require(ordered && tupSer.isOrderPreserving,
         "asOf needs an ordered composite handle with order-preserving keys")
@@ -3494,21 +3500,17 @@ object IndexedFrame {
       val kb = codecB.fromLiteral(t)
       // strict upper bound in tuple order: (a, succ t); when t is the
       // b-domain max, everything of leading key a qualifies — bound at
-      // (succ a, minB) instead, falling back to the global max key
-      val floor: Option[(A, B)] = codecB.succ(kb) match {
-        case Some(ub) => idx.floorKey((ka, ub))(tupSer)
+      // (succ a, minB) instead, falling back to the global max entry
+      val floor: Option[((A, B), InternalRow)] = codecB.succ(kb) match {
+        case Some(ub) => idx.floorEntry((ka, ub))(tupSer)
         case None => codecA.succ(ka) match {
-          case Some(ua) => idx.floorKey((ua, codecB.minKey))(tupSer)
-          case None => idx.maxKey()(tupSer)
+          case Some(ua) => idx.floorEntry((ua, codecB.minKey))(tupSer)
+          case None => idx.maxEntry()(tupSer)
         }
       }
-      floor.filter { case (fa, _) => codecA.ord.equiv(fa, ka) } match {
-        case Some((fa, fb)) =>
-          import org.apache.spark.sql.functions.{col, lit}
-          toDF.filter(col(keyColA) === lit(codecA.toExternalSql(fa)) &&
-            col(keyColB) === lit(codecB.toExternalSql(fb)))
-        case None => toDF.limit(0)
-      }
+      val hit = floor.filter { case ((fa, _), _) => codecA.ord.equiv(fa, ka) }
+      lastScanKind = "asof"
+      rowDF(hit.map(_._2), schema)
     }
 
     /** BATCH point-in-time join — the feature-store primitive: for
@@ -4388,12 +4390,12 @@ object IndexedFrame {
       * multi-tenant versioned lookup on a `(tenant, …, ts)` layout:
       * the row whose first n−1 key columns equal `prefix` and whose
       * LAST key column is the largest value ≤ `t`, or empty when the
-      * entity has no version at-or-before `t`. One bounded
-      * [[graft.IndexedRDD.floorKey]] pass over the tuple byte space
+      * entity has no version at-or-before `t`. ONE bounded
+      * [[graft.IndexedRDD.floorEntry]] pass over the tuple byte space
       * (the floor of `prefix :+ succ t` is either the entity's latest
       * version ≤ t or some earlier tuple — one driver-side prefix
-      * check tells them apart) plus one point probe through the
-      * ordinary pushed-equality lane. Requires an ordered handle —
+      * check tells them apart) returns the row with its key — no
+      * second probe job. Requires an ordered handle —
       * the 2-column [[CompositeHandle.asOf]] generalized. */
     def asOf(prefix: Seq[Any], t: Any)(implicit spark: SparkSession): DataFrame = {
       require(ordered && tupSer.isOrderPreserving,
@@ -4404,24 +4406,17 @@ object IndexedFrame {
       val kp: Seq[Any] = prefix.zipWithIndex.map { case (v, i) =>
         specs(i).codec.fromLiteral(v) }
       val kt = specs.last.codec.fromLiteral(t)
-      val floor: Option[Seq[Any]] = specs.last.codec.succ(kt) match {
-        case Some(ub) => idx.floorKey(kp :+ ub)(tupSer)
+      val floor: Option[(Seq[Any], InternalRow)] = specs.last.codec.succ(kt) match {
+        case Some(ub) => idx.floorEntry(kp :+ ub)(tupSer)
         case None => succPrefixBound(kp) match {
-          case Some(b) => idx.floorKey(b)(tupSer)
-          case None => idx.maxKey()(tupSer)
+          case Some(b) => idx.floorEntry(b)(tupSer)
+          case None => idx.maxEntry()(tupSer)
         }
       }
-      floor.filter(fk => kp.indices.forall(i =>
-        specs(i).codec.ord.equiv(fk(i), kp(i)))) match {
-        case Some(fk) =>
-          import org.apache.spark.sql.functions.{col, lit}
-          keyCols.zipWithIndex.map { case (c, i) =>
-            col(c) === lit(specs(i).codec.toExternalSql(fk(i)))
-          }.reduce(_ && _) match {
-            case cond => toDF.filter(cond)
-          }
-        case None => toDF.limit(0)
-      }
+      val hit = floor.filter { case (fk, _) => kp.indices.forall(i =>
+        specs(i).codec.ord.equiv(fk(i), kp(i))) }
+      lastScanKind = "asof"
+      rowDF(hit.map(_._2), schema)
     }
 
     /** `ORDER BY <key-column prefix> LIMIT n`: the range-partitioned

@@ -543,11 +543,11 @@ class IndexedFrameSpec extends AnyFunSuite {
       .select($"v").as[String].collect().toSet
     assert(win === (10L to 20L).map(m => s"m$m").toSet)
     assert(hs.lastScanKind === "range")
-    // asOf: floor lookup + point probe — interior, exact-hit, edges
+    // asOf: ONE fused floor-entry job — interior, exact-hit, edges
     def at(s: String) = java.sql.Timestamp.valueOf(s)
     assert(hs.asOf(at("2024-01-01 00:30:30")).select($"v").as[String].collect()
       .toSeq === Seq("m30")) // between keys: floor is the previous minute
-    assert(hs.lastScanKind === "point")
+    assert(hs.lastScanKind === "asof")
     assert(hs.asOf(at("2024-01-01 00:40:00")).select($"v").as[String].collect()
       .toSeq === Seq("m40")) // exact hit is inclusive
     assert(hs.asOf(at("2023-12-31 23:59:59")).count() === 0L) // before first
