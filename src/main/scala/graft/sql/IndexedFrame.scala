@@ -2312,16 +2312,30 @@ object IndexedFrame {
       if (auditMergePlans)
         lastMergePlan = joined.queryExecution.executedPlan.toString
       val matched = fCol(s"t.$keyCol").isNotNull
+      // when more than one change set reads the joined view (delete
+      // keys, update rows, insert rows are three separate consumers),
+      // persist it and EAGERLY materialize the merged snapshot so the
+      // source plan — and its lookup join — executes exactly ONCE;
+      // single-clause merges stay fully lazy with no cache traffic
+      val reads = Seq(deleteWhen.isDefined, updateSet.nonEmpty,
+        insertAll || insertValues.nonEmpty).count(identity)
+      if (reads >= 2)
+        joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
         updateSet, insertWhen, insertValues, insertAll)
       val afterDel =
         if (cs.hasDelete)
           deleteFrame(joined.filter(cs.delC).select(fCol(s"t.$keyCol")))
         else this
-      cs.upserts match {
+      val result = cs.upserts match {
         case Some(ups) => afterDel.upsertFrame(ups)
         case None => afterDel
       }
+      if (reads >= 2) {
+        result.idx.cached.count() // one pass over the persisted join
+        joined.unpersist(blocking = false)
+      }
+      result
     }
 
     /** DISTRIBUTED copy-on-write delete: `keys` must be a single-column
@@ -3471,6 +3485,13 @@ object IndexedFrame {
       if (auditMergePlans)
         lastMergePlan = joined.queryExecution.executedPlan.toString
       val matched = fCol(s"t.$keyColA").isNotNull
+      // see the single-key mergeFrame: persist + eager snapshot when
+      // multiple change sets read the joined view, so the source plan
+      // executes once
+      val reads = Seq(deleteWhen.isDefined, updateSet.nonEmpty,
+        insertAll || insertValues.nonEmpty).count(identity)
+      if (reads >= 2)
+        joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
         updateSet, insertWhen, insertValues, insertAll)
       val afterDel =
@@ -3478,10 +3499,15 @@ object IndexedFrame {
           deleteFrame(joined.filter(cs.delC)
             .select(fCol(s"t.$keyColA"), fCol(s"t.$keyColB")))
         else this
-      cs.upserts match {
+      val result = cs.upserts match {
         case Some(ups) => afterDel.upsertFrame(ups)
         case None => afterDel
       }
+      if (reads >= 2) {
+        result.idx.cached.count() // one pass over the persisted join
+        joined.unpersist(blocking = false)
+      }
+      result
     }
 
     /** Per-key point-in-time read — the versioned-dimension ("SCD")

@@ -161,6 +161,25 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("DELETE FROM gsx_plain WHERE id = 1"))
   }
 
+  test("3-clause merge executes the source plan exactly once") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.{col, udf}
+    val h = freshCorpus("gsx_onepass")
+    val acc = spark.sparkContext.longAccumulator("src-passes")
+    val bump = udf((k: Long) => { acc.add(1); k })
+    val src = Seq((10L, 0.0), (20L, 5.0), (500L, 7.0)).toDF("sk", "delta")
+      .withColumn("sk", bump($"sk"))
+    val merged = h.mergeFrame(src, "sk",
+      deleteWhen = Some(col("s.delta") === 0.0),
+      updateSet = Map("bal" -> (col("t.bal") + col("s.delta"))),
+      insertValues = Map("k" -> col("s.sk"), "bal" -> col("s.delta")))
+    merged.toDF.count() // full materialization of the merged snapshot
+    assert(acc.value === 3L,
+      s"source rows evaluated ${acc.value} times, expected 3 (one pass)")
+    // and the result is still right
+    assert(merged.toDF.count() === 100L) // -1 deleted, +1 inserted
+  }
+
   test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
     freshCorpus("gsx_unsup")
     Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
