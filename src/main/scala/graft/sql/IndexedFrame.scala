@@ -4545,9 +4545,45 @@ object IndexedFrame {
           pts(i).get.toSeq.sorted(h.specs(i).codec.ord))), ivNext)
     }
 
-    /** Conservative by design: every filter stays with Spark. */
-    override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-      filters
+    /** Claims mirror the 2-column relation LANE-FOR-LANE: a filter is
+      * claimed exactly when the routed access path ENFORCES it — the
+      * pushed equality/IN conjuncts on point-pinned columns (exact-
+      * literal codecs only), the range conjuncts on the first unpinned
+      * column of a prefix lane, and IsNotNull on any KEY column
+      * (vacuous: the index never stores null keys). Residual filters —
+      * later-column predicates, anything on a full scan — stay with
+      * Spark, so at 100× scale a routed point read re-filters nothing
+      * above the probe. */
+    override def unhandledFilters(filters: Array[Filter]): Array[Filter] = {
+      def pointOn(i: Int, f: Filter): Boolean = {
+        val col = h.keyCols(i)
+        h.specs(i).codec.exactLiterals && (f match {
+          case EqualTo(`col`, _) => true
+          case In(`col`, _) => true
+          case _ => false
+        })
+      }
+      def keyNotNull(f: Filter): Boolean = f match {
+        case IsNotNull(c) => h.keyCols.contains(c)
+        case _ => false
+      }
+      chooseLane(filters) match {
+        case _: PointLane =>
+          filters.filter(f =>
+            !keyNotNull(f) && !(0 until n).exists(i => pointOn(i, f)))
+        case PrefixLane(_, _) =>
+          val pts = pointSetsFor(filters)
+          val m = pts.indexWhere(_.isEmpty) match { case -1 => n case i => i }
+          val colM = h.keyCols(m) // m < n: PrefixLane always has one
+          val codecM = h.specs(m).codec
+          filters.filter { f =>
+            !keyNotNull(f) &&
+              !(0 until m).exists(i => pointOn(i, f)) &&
+              boundsOn(colM, codecM, eqAsPrefix = false, f).isEmpty
+          }
+        case _ => filters // Empty/Full: conservative, Spark re-applies
+      }
+    }
 
     private def minsFrom(i: Int): Seq[Any] =
       (i until n).map(j => h.specs(j).codec.minKey)

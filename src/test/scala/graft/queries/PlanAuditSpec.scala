@@ -231,6 +231,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"distinct corpus gram set missing:\n$plan")
   }
 
+  test("composite3 point and prefix lanes claim their filters: no re-filter above the probe") {
+    // the N-ary relation's unhandledFilters claims pushed equality/IN
+    // on pinned columns and the range on the first unpinned column —
+    // at 100x scale a routed point read must not re-filter wide rows
+    val point = planOf("ir_sql_pointget_composite3")
+    assert(!point.contains("Filter "),
+      s"residual Filter above the composite3 point lane:\n$point")
+    val prefix = planOf("ir_sql_prefix_range_composite3")
+    assert(!prefix.contains("Filter "),
+      s"residual Filter above the composite3 prefix lane:\n$prefix")
+  }
+
   test("text_langid: native expression runs inside whole-stage codegen") {
     val plan = planOf("text_langid")
     // `*(n)` prefixes mark operators fused into a whole-stage-codegen
