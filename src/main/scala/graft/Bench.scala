@@ -55,6 +55,17 @@ object Bench {
         sec
       }
       diag(name) = (runs, gcMillis() - gc0)
+      // r11 diag showed dedup_containment/[dedup_]ngram GROWING across
+      // in-lane reps (1.6 -> 6.0 -> 4.9s, gc_ms 0). Investigated in
+      // r12: NOT reproducible — the lane in isolation IMPROVES
+      // monotonically across 6 reps (4.9 -> 1.1s, plain JIT warmup),
+      // and an exact sweep-prefix reproduction (all 19 alphabetical
+      // predecessors x3 reps with this very cleanup, then both lanes
+      // x3) holds max/min < 1.5 for both. No temp-view, pin, or
+      // shuffle accumulation exists in the lane; verdict: transient
+      // host contention during the r11 driver sweep (this box swings
+      // +-50% per run). The per-lane runs recorded here keep any
+      // recurrence attributable.
       // r10's driver sweep showed point lanes 2-15x slower in-sweep
       // than in isolation, while the same plans re-timed fast — the
       // accumulated garbage of ~250 lanes (broadcasts, cached
@@ -184,7 +195,7 @@ object Bench {
     * distribution. Probe keys are CLUSTERED (consecutive — the
     * "today's delta" shape), so the range-partitioned index reads 1-2
     * partitions per query at either scale. */
-  private def microScale(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  private[graft] def microScale(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     implicit val sp: SparkSession = spark
     import org.apache.spark.sql.functions.{col, lit}
     graft.sql.IndexedTopK.enable(spark)
@@ -220,11 +231,63 @@ object Bench {
       val tTopkScan = bestOf2((0 until 10).foreach { _ =>
         cold.orderBy(col("o_orderkey")).limit(100).collect()
       })
+      // lookup join at scale: 200 clustered probe keys per query — the
+      // probe shuffles ONCE to the index partitioning and each key is
+      // an O(depth) point fetch from the probe-owning cold partitions
+      // (flat across corpus scale); the scan twin broadcasts the probe
+      // and re-deserializes the WHOLE cold corpus per query (grows
+      // with the data)
+      graft.sql.IndexedJoin.enable(spark)
+      def probeDF(q: Int) = {
+        val b = (q * 3313L) % 140000L + 1L
+        spark.range(b, b + 200).select(col("id").as("k"))
+      }
+      // joins prebuilt OUTSIDE the timed body: the micro measures the
+      // per-query EXECUTION asymmetry (probe-owning partitions vs the
+      // whole corpus), not Catalyst's fixed per-join planning cost,
+      // which would otherwise swamp the scale-1 scan and flatten the
+      // growth curve
+      val idxJoins = (0 until 5).map { q =>
+        val p = probeDF(q); hd.join(p, hd("o_orderkey") === p("k"))
+      }
+      val scanJoins = (0 until 5).map { q =>
+        val p = probeDF(q); cold.join(p, cold("o_orderkey") === p("k"))
+      }
+      val tLkIdx = bestOf2(idxJoins.foreach(_.collect()))
+      val tLkScan = bestOf2(scanJoins.foreach(_.collect()))
+      // secondary filtered agg at scale: WHERE o_custkey = v +
+      // sum(o_totalprice) — the grouped filtered-agg memo pays ONE
+      // fold pass per snapshot, then every probe answers driver-side
+      // (flat; the warm-dashboard shape); the scan twin scans the
+      // whole cold corpus per query
+      graft.sql.IndexedAgg.enable(spark)
+      h.addSecondaryIndex("o_custkey")
+      import org.apache.spark.sql.functions.{sum => fSum}
+      // built fresh per query (NOT prebuilt like the joins): an
+      // aggregate re-collected from the same Dataset instance would
+      // reuse its materialized AQE shuffle stage and stop scanning —
+      // the scan twin must honestly re-scan per query
+      def custVal(q: Int): Long = (q * 37L) % 1000L + 1L
+      val tSecIdx = bestOf2((0 until 10).foreach { q =>
+        hd.filter(col("o_custkey") === custVal(q))
+          .agg(fSum(col("o_totalprice"))).collect()
+      })
+      val tSecScan = bestOf2((0 until 10).foreach { q =>
+        cold.filter(col("o_custkey") === custVal(q))
+          .agg(fSum(col("o_totalprice"))).collect()
+      })
       cold.unpersist(); h.idx.unpersist()
+      // the per-scale secondary inverted index (and any stragglers)
+      // must not survive into the next scale's timings
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       Seq(s"micro_scale${tag}_pointget_idx_10" -> tPointIdx,
         s"micro_scale${tag}_pointget_scan_10" -> tPointScan,
         s"micro_scale${tag}_topk_idx_10" -> tTopkIdx,
-        s"micro_scale${tag}_topk_scan_10" -> tTopkScan)
+        s"micro_scale${tag}_topk_scan_10" -> tTopkScan,
+        s"micro_scale${tag}_lookupjoin_idx_5" -> tLkIdx,
+        s"micro_scale${tag}_lookupjoin_scan_5" -> tLkScan,
+        s"micro_scale${tag}_secondary_idx_10" -> tSecIdx,
+        s"micro_scale${tag}_secondary_scan_10" -> tSecScan)
     }
     lanes("1", base, 32) ++ lanes("10", big, 320)
   }

@@ -350,6 +350,62 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
 
   /**
+   * Driver-COLLECTED twin of [[lookupJoinLocal]] for root-level
+   * consumers (a `.collect()` with no parent operator): ONE `runJob`
+   * on ONLY the probe-owning partitions — the no-op task launches on
+   * every other partition, the price [[lookupJoinLocal]] pays to keep
+   * its partition numbering claimable, disappear entirely. At 100 TB
+   * scale that is the difference between O(probes) task launches and
+   * O(partitions) of them per probe batch. Result size is O(matches),
+   * which a root-level collect materializes on the driver anyway.
+   */
+  def lookupJoinLocalCollect[U: ClassTag, R: ClassTag](
+      probes: Seq[(K, U)], nullKeyed: Seq[U] = Nil)(
+      f: (K, V, U) => R, missing: Option[U => R] = None): Array[R] = {
+    val part = partitioner.get
+    val grouped = probes.groupBy { case (k, _) => part.getPartition(k) }
+      .map { case (pid, ps) => (pid, ps.toArray) }
+    val nullRows =
+      if (missing.isDefined) nullKeyed.toArray else Array.empty[U]
+    val nullHome = 0
+    val kept = (grouped.keySet ++
+      (if (nullRows.nonEmpty) Set(nullHome) else Set.empty[Int])).toSeq.sorted
+    if (kept.isEmpty) return Array.empty[R]
+    val bc = context.broadcast((grouped, nullRows))
+    val perPart = context.runJob(partitionsRDD,
+      (tc: org.apache.spark.TaskContext,
+          pit: Iterator[IndexedPartition[K, V]]) => {
+        val pid = tc.partitionId()
+        val (byPid, nulls) = bc.value
+        val mine = byPid.getOrElse(pid, null)
+        val nullMisses: Iterator[R] =
+          if (pid == nullHome && nulls.nonEmpty)
+            nulls.iterator.map(missing.get)
+          else Iterator.empty
+        val hits: Iterator[R] =
+          if (mine == null) Iterator.empty
+          else if (!pit.hasNext) missing match {
+            case Some(m) => mine.iterator.map { case (_, u) => m(u) }
+            case None => Iterator.empty
+          }
+          else {
+            val p = pit.next()
+            mine.iterator.flatMap { case (k, u) =>
+              p(k) match {
+                case Some(v) => Iterator.single(f(k, v, u))
+                case None => missing match {
+                  case Some(m) => Iterator.single(m(u))
+                  case None => Iterator.empty
+                }
+              }
+            }
+          }
+        (hits ++ nullMisses).toArray
+      }, kept)
+    perPart.flatten.toArray
+  }
+
+  /**
    * INTERVAL probes against the globally ordered layout — the
    * BAND-JOIN primitive. Each probe row carries a half-open key
    * interval `[lo, hi)` (`hi = None` = unbounded above, the

@@ -599,6 +599,13 @@ object IndexedFrame {
     private[sql] def lookupJoinRowsLocal(probeRows: Array[InternalRow],
         keyIdxs: Array[Int], keepMisses: Boolean)
         : Option[RDD[(InternalRow, InternalRow)]] = None
+    /** Driver-COLLECTED twin of [[lookupJoinRowsLocal]] for ROOT-level
+      * collects (no parent operator): one pruned runJob over ONLY the
+      * probe-owning partitions — zero no-op task launches, O(matches)
+      * driver memory (a root collect holds that anyway). */
+    private[sql] def lookupJoinRowsLocalCollect(probeRows: Array[InternalRow],
+        keyIdxs: Array[Int], keepMisses: Boolean)
+        : Option[Array[(InternalRow, InternalRow)]] = None
     /** Driver-mediated twin of [[lookupProbeFilter]]. */
     private[sql] def lookupProbeFilterLocal(probeRows: Array[InternalRow],
         keyIdxs: Array[Int], anti: Boolean): Option[RDD[InternalRow]] = None
@@ -1714,6 +1721,20 @@ object IndexedFrame {
           (_, _, _) => null.asInstanceOf[InternalRow],
           Some((u: InternalRow) => u)).filter(_ != null))
     }
+    override private[sql] def lookupJoinRowsLocalCollect(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        keepMisses: Boolean): Option[Array[(InternalRow, InternalRow)]] = {
+      val c = codec
+      val i0 = keyIdxs(0)
+      val (nulls, keyed) = probeRows.partition(_.isNullAt(i0))
+      val probes = keyed.toSeq.map(r => (c.fromRow(r, i0), r))
+      Some(
+        if (!keepMisses) idx.lookupJoinLocalCollect(probes)((_, v, u) => (v, u))
+        else idx.lookupJoinLocalCollect(probes,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))(
+          (_, v, u) => (v, u),
+          Some((u: InternalRow) => (null.asInstanceOf[InternalRow], u))))
+    }
 
     override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
     override private[sql] def lookupJoinRowsBySecondary(col: String,
@@ -2768,6 +2789,16 @@ object IndexedFrame {
         else idx.lookupJoinLocal(probes, nulls)(
           (_, _, _) => null.asInstanceOf[InternalRow],
           Some((u: InternalRow) => u)).filter(_ != null))
+    }
+    override private[sql] def lookupJoinRowsLocalCollect(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        keepMisses: Boolean): Option[Array[(InternalRow, InternalRow)]] = {
+      val (probes, nulls) = localPairProbes(probeRows, keyIdxs)
+      Some(
+        if (!keepMisses) idx.lookupJoinLocalCollect(probes)((_, v, u) => (v, u))
+        else idx.lookupJoinLocalCollect(probes, nulls)(
+          (_, v, u) => (v, u),
+          Some((u: InternalRow) => (null.asInstanceOf[InternalRow], u))))
     }
 
     override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
@@ -4159,6 +4190,18 @@ object IndexedFrame {
           scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))(
           (_, _, _) => null.asInstanceOf[InternalRow],
           Some((u: InternalRow) => u)).filter(_ != null))
+    }
+    override private[sql] def lookupJoinRowsLocalCollect(
+        probeRows: Array[InternalRow], keyIdxs: Array[Int],
+        keepMisses: Boolean): Option[Array[(InternalRow, InternalRow)]] = {
+      val (nulls, keyed) = probeRows.partition(r => keyIdxs.exists(r.isNullAt))
+      val probes = keyed.toSeq.map(r => (keyOf(r, keyIdxs), r))
+      Some(
+        if (!keepMisses) idx.lookupJoinLocalCollect(probes)((_, v, u) => (v, u))
+        else idx.lookupJoinLocalCollect(probes,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(nulls))(
+          (_, v, u) => (v, u),
+          Some((u: InternalRow) => (null.asInstanceOf[InternalRow], u))))
     }
     override private[sql] def lookupSecondaryCols: Set[String] = secondaryColSet
     override private[sql] def lookupJoinRowsBySecondary(col: String,

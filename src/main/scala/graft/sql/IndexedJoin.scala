@@ -644,6 +644,37 @@ object IndexedJoin {
     private def localProbeRows(): Option[Array[InternalRow]] =
       if (!smallProbe) None else collectSmallProbe(child)
 
+    /** ROOT-level collects of a small-probe inner/outer lookup skip
+      * the per-partition fan-out entirely: one pruned runJob touches
+      * ONLY the probe-owning partitions (no no-op task launches on the
+      * other O(partitions) — the price `doExecute` pays to keep its
+      * key-clustered partitioning claimable for parent operators,
+      * which a root collect has none of). Same rows, same memory: a
+      * root collect materializes every match on the driver anyway. */
+    override def executeCollect(): Array[InternalRow] = kind match {
+      case LkInner | LkProbeOuter if smallProbe =>
+        val keepM = kind == LkProbeOuter
+        localProbeRows()
+          .flatMap(rows => h.lookupJoinRowsLocalCollect(rows, keyIdxs, keepM))
+          .map { pairs =>
+            val cAll = corpusAll
+            val probeOut = child.output
+            val nCorpus = cAll.size
+            val onLeft = corpusOnLeft
+            val in = if (onLeft) cAll ++ probeOut else probeOut ++ cAll
+            val joined = new JoinedRow
+            val nullCorpus: InternalRow = new GenericInternalRow(nCorpus)
+            val proj = UnsafeProjection.create(output, in)
+            pairs.map { case (c0, p) =>
+              val c = if (c0 == null) nullCorpus else c0
+              proj(if (onLeft) joined(c, p) else joined(p, c)).copy()
+                : InternalRow
+            }
+          }
+          .getOrElse(super.executeCollect())
+      case _ => super.executeCollect()
+    }
+
     override def simpleString(maxFields: Int): String =
       s"IndexedLookupJoin $kind keyIdxs=${keyIdxs.mkString(",")} " +
         "[probe-side shuffle only; corpus point-probed, never scanned]"
