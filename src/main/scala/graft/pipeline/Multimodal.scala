@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
  * batch processing — whole-partition iterators, no per-row overhead).
  *
  * The Spark-side machinery (schema, batch shape, partitioning
- * preservation, deterministic output) is real and tested. The codec
- * itself is a STUB: this container has no image/audio libraries, so
- * `decodePixels` parses our deterministic synthetic payload format
- * instead of a real JPEG/WAV decode — swap that one function for a
- * real codec in production.
+ * preservation, deterministic output) is real and tested, and so is
+ * the IMAGE codec: [[decodeImage]] decodes real PNG/JPEG/BMP/GIF
+ * bytes through the JDK's `javax.imageio` (no external libraries),
+ * and every batch operator dispatches on the payload signature via
+ * [[decode]]. The deterministic GRFT synthetic format remains as the
+ * audio/video stand-in (this container has no audio/video codecs) and
+ * as the cross-engine-verifiable fixture; [[encodePng]] bridges the
+ * two by writing the same closed-form pixel stream as a REAL grayscale
+ * PNG, so feature extraction over genuine image bytes is still
+ * DuckDB-oracle-checkable end to end.
  */
 object Multimodal {
 
@@ -62,8 +67,9 @@ object Multimodal {
     buf.array()
   }
 
-  /** STUB decode — parses the synthetic format. Production: replace
-    * with a real image/audio codec; everything around it stays. */
+  /** Synthetic-format decode — parses the deterministic GRFT payload.
+    * Real encoded images go through [[decodeImage]]; [[decode]]
+    * dispatches on the payload's signature. */
   def decodePixels(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
     require(buf.getInt() == Magic, "not a GRFT payload")
@@ -78,6 +84,79 @@ object Multimodal {
       f += 1
     }
     (w, h, frames, out)
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
+    * — no external libraries): one grayscale frame of luminance bytes.
+    * Single-band images read their raster directly (lossless for
+    * grayscale PNG); multi-band images reduce to ITU-R 601 luma. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val frame = new Array[Byte](w * h)
+    val raster = img.getRaster
+    if (raster.getNumBands == 1) {
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          frame(r * w + c) = raster.getSample(c, r, 0).toByte
+          c += 1
+        }
+        r += 1
+      }
+    } else {
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val rgb = img.getRGB(c, r)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff) + 500) / 1000
+          frame(r * w + c) = lum.toByte
+          c += 1
+        }
+        r += 1
+      }
+    }
+    (w, h, 1, Array(frame))
+  }
+
+  /** Unified decode: dispatch on the payload signature — GRFT magic →
+    * synthetic format, PNG/JPEG/GIF/BMP signatures → [[decodeImage]].
+    * Every batch operator below routes through this, so a media table
+    * can mix real encoded images with synthetic payloads row by row. */
+  def decode(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    def sig4 = ByteBuffer.wrap(payload, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt()
+    if (payload.length >= 16 && sig4 == Magic) decodePixels(payload)
+    else decodeImage(payload)
+  }
+
+  /** Deterministic REAL-PNG payload: the SAME MINSTD pixel stream as
+    * [[synthesizePayload]]'s frame 0, written as an 8-bit grayscale
+    * PNG through `javax.imageio`. Grayscale PNG is lossless, so the
+    * decode reproduces the closed-form pixels bit-exactly and the
+    * DuckDB oracle can verify features computed from REAL image bytes
+    * end to end. */
+  def encodePng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var state = ((id % PixP) * PixA + PixSeedC) % PixP
+    var r = 0
+    while (r < height) {
+      var c = 0
+      while (c < width) {
+        state = state * PixA % PixP
+        raster.setSample(c, r, 0, ((state >> 8) & 0xff).toInt)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Build a deterministic media table from the documents fixture:
@@ -97,6 +176,20 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Media table of REAL PNG payloads (one grayscale image per doc,
+    * encoded via `javax.imageio`): same id-driven dimensions as the
+    * synthetic table, frames = 1, kind = image. */
+  def realMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        val w = 8 + (nc % 8).toInt
+        val h = 8
+        MediaItem(id, "image", w, h, 1, encodePng(id, w, h))
+      }.toDF()
+  }
+
   /**
    * Feature extraction over whole-partition batches: per item, decode
    * and mean-pool each of `dim` horizontal bands across frames. The
@@ -109,7 +202,7 @@ object Multimodal {
     media.mapPartitions { batch =>
       // per-partition init happens HERE (model load in production)
       batch.map { item =>
-        val (w, h, frames, pixels) = decodePixels(item.payload)
+        val (w, h, frames, pixels) = decode(item.payload)
         val feats = new Array[Double](dim)
         val rowsPerBand = math.max(1, h / dim)
         var f = 0
@@ -151,7 +244,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { item =>
-        val (_, _, _, pixels) = decodePixels(item.payload)
+        val (_, _, _, pixels) = decode(item.payload)
         var acc = 17L
         pixels.foreach { frame =>
           var i = 0
@@ -186,7 +279,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.map { item =>
-        val (w, h, frames, pixels) = decodePixels(item.payload)
+        val (w, h, frames, pixels) = decode(item.payload)
         val (nw, nh) = (math.max(1, w / factor), math.max(1, h / factor))
         val out = ByteBuffer.allocate(16 + frames * nw * nh).order(ByteOrder.BIG_ENDIAN)
         out.putInt(Magic).putInt(nw).putInt(nh).putInt(frames)
@@ -213,7 +306,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { batch =>
       batch.flatMap { item =>
-        val (_, _, frames, pixels) = decodePixels(item.payload)
+        val (_, _, frames, pixels) = decode(item.payload)
         (0 until frames by stride).map(f => MediaFrame(item.media_id, f, pixels(f)))
       }
     }

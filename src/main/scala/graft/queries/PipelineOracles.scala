@@ -1153,14 +1153,11 @@ object PipelineOracles {
     * seed = ((id mod P)·48271 + fr·16807 + 12345) mod P; band b pools
     * row b (h=8, dim=8), and per-frame means accumulate in frame
     * order (matching the Scala loop's double additions). */
-  private val mediaFeatCte: String =
-    s"""m AS (SELECT doc_id AS id,
-       |        CAST(8 + (n_chars % 8) AS BIGINT) AS w,
-       |        CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 1 END AS BIGINT) AS frames,
-       |        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-       |             ELSE 'video' END AS kind
-       |      FROM documents),
-       |feat AS (SELECT id, kind,
+  /** The feat CTE alone (band-mean features from closed-form pixels) —
+    * composed under different `m` tables by the synthetic and
+    * real-PNG feature oracles. */
+  private val mediaFeatBody: String =
+    s"""feat AS (SELECT id, kind,
        |  list_transform(range(0, 8), band ->
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(0, frames), fr ->
@@ -1172,6 +1169,15 @@ object PipelineOracles {
        |          / w / frames)),
        |      (a, x) -> a + x)) AS f
        |  FROM m)""".stripMargin
+
+  private val mediaFeatCte: String =
+    s"""m AS (SELECT doc_id AS id,
+       |        CAST(8 + (n_chars % 8) AS BIGINT) AS w,
+       |        CAST(CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 1 END AS BIGINT) AS frames,
+       |        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |             ELSE 'video' END AS kind
+       |      FROM documents),
+       |$mediaFeatBody""".stripMargin
 
   /** Media dedup: every pixel regenerated (seed_f · 48271^(i+1) mod P,
     * byte = (state >> 8) & 255), folded frame-major with (a·31 + x)
@@ -1198,6 +1204,22 @@ object PipelineOracles {
 
   val mmFeatures: String =
     s"""WITH $mediaFeatCte
+       |SELECT id AS media_id, kind,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum
+       |FROM feat""".stripMargin
+
+  /** mm_features_real: every payload is a REAL grayscale PNG whose
+    * pixels are the closed-form MINSTD frame-0 stream — so the feature
+    * oracle is [[mmFeatures]] with frames pinned to 1 and every doc an
+    * image. A real-decode deviation of even one pixel breaks the
+    * hash. */
+  val mmFeaturesReal: String =
+    s"""WITH m AS (SELECT doc_id AS id,
+       |        CAST(8 + (n_chars % 8) AS BIGINT) AS w,
+       |        CAST(1 AS BIGINT) AS frames,
+       |        'image' AS kind
+       |      FROM documents),
+       |$mediaFeatBody
        |SELECT id AS media_id, kind,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum
        |FROM feat""".stripMargin
@@ -1274,6 +1296,7 @@ object PipelineOracles {
     "mm_resize_frames" -> mmResizeFrames,
     "mm_dedup" -> mmDedup,
     "mm_features" -> mmFeatures,
+    "mm_features_real" -> mmFeaturesReal,
     "mm_ann" -> mmAnn,
   )
 }

@@ -553,6 +553,20 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("double")).as("feat_sum"))
     },
 
+    "mm_features_real" -> { (s, dir) =>
+      import s.implicits._
+      // REAL image bytes: every payload is a genuine grayscale PNG
+      // (encoded AND decoded through javax.imageio) carrying the
+      // closed-form MINSTD pixels — the oracle regenerates each pixel
+      // and must match the real decode bit for bit
+      val media = Multimodal.realMediaTable(Tables.documents(s, dir))
+        .as[Multimodal.MediaItem]
+      Multimodal.extractFeatures(media, dim = 8).toDF()
+        .select(col("media_id"), col("kind"),
+          aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")).as("feat_sum"))
+    },
+
     "mm_ann" -> { (s, dir) =>
       import s.implicits._
       // cross-modal composition: decode media -> feature vectors -> ANN

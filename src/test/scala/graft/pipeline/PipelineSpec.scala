@@ -461,6 +461,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.frame.nonEmpty))
   }
 
+  test("multimodal real codec: PNG round-trips the pixel stream; RGB reduces to luma; mixed tables decode") {
+    // grayscale PNG encode->decode is lossless: bytes equal the
+    // synthetic frame-0 stream bit for bit
+    for (id <- Seq(0L, 7L, 123L); w <- Seq(8, 13)) {
+      val png = Multimodal.encodePng(id, w, 8)
+      assert(png.take(4).toSeq ===
+        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val (dw, dh, df0, real) = Multimodal.decodeImage(png)
+      assert((dw, dh, df0) === ((w, 8, 1)))
+      val (_, _, _, synth) = Multimodal.decodePixels(
+        Multimodal.synthesizePayload(id, w, 8, 1))
+      assert(real(0).toSeq === synth(0).toSeq)
+      // signature dispatch picks the right decoder for both formats
+      assert(Multimodal.decode(png)._4(0).toSeq === synth(0).toSeq)
+      assert(Multimodal.decode(
+        Multimodal.synthesizePayload(id, w, 8, 1))._4(0).toSeq === synth(0).toSeq)
+    }
+    // a multi-band (RGB) image reduces to ITU-R 601 luma
+    val rgb = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xFF0000) // pure red -> 76
+    rgb.setRGB(1, 0, 0x00FF00) // pure green -> 150
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    val (_, _, _, luma) = Multimodal.decodeImage(bos.toByteArray)
+    assert((luma(0)(0) & 0xff) === 76 && (luma(0)(1) & 0xff) === 150)
+    // operators run over REAL image bytes end to end
+    val docs = Tables.documents(spark, dir).limit(20)
+    val real = Multimodal.realMediaTable(docs).as[Multimodal.MediaItem]
+    val synth = Multimodal.syntheticMediaTable(docs).as[Multimodal.MediaItem]
+    val fReal = Multimodal.extractFeatures(real, 8).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val fSynth = Multimodal.extractFeatures(
+      synth.filter($"kind" =!= "video"), 8).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    // same pixels -> same features for the single-frame kinds
+    fSynth.foreach { case (id, fs) => assert(fReal(id) === fs, s"id $id") }
+    // content dedup is container-invariant: a real PNG and the GRFT
+    // payload of the same pixels fingerprint identically
+    val mixed = real.filter($"media_id" % 3 =!= 2)
+      .union(synth.filter($"kind" =!= "video")
+        .map(m => m.copy(media_id = m.media_id + 1000000L)))
+    val groups = Multimodal.dedupByContent(mixed).collect()
+    assert(groups.forall(_.getLong(1) === 2L),
+      "each content should appear exactly twice across containers")
+  }
+
   test("quality score is bounded and favors longer stopword-bearing text") {
     val df = Seq(
       "the cat sat on the mat and it was a good day for all of the cats to sit",
