@@ -498,6 +498,38 @@ object OperatorQueries {
       s.sql("SELECT c_bucket, c_custkey, c_acctbal FROM dml_mrgc_corpus")
     },
 
+    "ir_sql_merge_sqltext_composite3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL-text MERGE at ARITY 3: the ON clause carries one equality
+      // per key column and routes into the N-ary mergeFrame — the
+      // multi-tenant (b1, b2, id) layout gets the same delta-cost DML
+      // surface as the 1- and 2-column handles
+      graft.sql.IndexedJoin.enable(s)
+      val df = Tables.customer(s, dir)
+        .withColumn("b1", ($"c_custkey" % 10).cast("long"))
+        .withColumn("b2", ($"c_custkey" % 100).cast("long"))
+      val h = graft.sql.IndexedFrame.indexCompositeN(
+        df, Seq("b1", "b2", "c_custkey"))
+      h.toDF.createOrReplaceTempView("dml_mrg3_corpus")
+      s.range(1, 31)
+        .select(($"id" % 10).as("s1"), ($"id" % 100).as("s2"), $"id".as("sk"),
+          ($"id" % 5).cast("double").as("delta"))
+        .union(s.range(1, 6)
+          .select(org.apache.spark.sql.functions.lit(7L).as("s1"),
+            org.apache.spark.sql.functions.lit(77L).as("s2"),
+            ($"id" + 30000000L).as("sk"), ($"id" % 5).cast("double").as("delta")))
+        .createOrReplaceTempView("dml_mrg3_src")
+      s.sql(
+        """MERGE INTO dml_mrg3_corpus t USING dml_mrg3_src s
+          |ON t.b1 = s.s1 AND t.b2 = s.s2 AND t.c_custkey = s.sk
+          |WHEN MATCHED AND s.delta = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.delta
+          |WHEN NOT MATCHED THEN INSERT (b1, b2, c_custkey, c_acctbal)
+          |  VALUES (s.s1, s.s2, s.sk, s.delta)""".stripMargin)
+      s.sql("SELECT b1, b2, c_custkey, c_acctbal FROM dml_mrg3_corpus")
+    },
+
     "ir_sql_delete_sqltext" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // SQL-text DELETE: the predicate filters THROUGH the handle's
@@ -2293,6 +2325,33 @@ object OperatorQueries {
         |  round(median(c_acctbal), 4) AS med_bal,
         |  CAST(count(c_acctbal) AS BIGINT) AS cnt_bal
         |FROM customer""".stripMargin,
+
+    "ir_sql_merge_sqltext_composite3" ->
+      """WITH t AS (
+        |  SELECT c_custkey % 10 AS b1, c_custkey % 100 AS b2, c_custkey, c_acctbal
+        |  FROM customer
+        |), src AS (
+        |  SELECT id % 10 AS s1, id % 100 AS s2, id AS sk,
+        |         CAST(id % 5 AS DOUBLE) AS delta
+        |  FROM range(1, 31) r(id)
+        |  UNION ALL
+        |  SELECT 7, 77, id + 30000000, CAST(id % 5 AS DOUBLE)
+        |  FROM range(1, 6) r(id)
+        |)
+        |SELECT t.b1, t.b2, t.c_custkey, t.c_acctbal
+        |FROM t LEFT JOIN src s
+        |  ON t.b1 = s.s1 AND t.b2 = s.s2 AND t.c_custkey = s.sk
+        |WHERE s.sk IS NULL
+        |UNION ALL
+        |SELECT t.b1, t.b2, t.c_custkey, t.c_acctbal + s.delta
+        |FROM t JOIN src s
+        |  ON t.b1 = s.s1 AND t.b2 = s.s2 AND t.c_custkey = s.sk
+        |WHERE s.delta <> 0
+        |UNION ALL
+        |SELECT s.s1, s.s2, s.sk, s.delta
+        |FROM src s LEFT JOIN t
+        |  ON t.b1 = s.s1 AND t.b2 = s.s2 AND t.c_custkey = s.sk
+        |WHERE t.c_custkey IS NULL""".stripMargin,
 
     "ir_sql_delete_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -64,7 +64,7 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
 
 /** The post-hoc DML rewrite. One instance per session. */
 class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
-  import IndexedFrame.{CompositeHandle, CompositeRelation, Handle, IndexedRelation}
+  import IndexedFrame.{CompositeHandle, CompositeNHandle, CompositeNRelation, CompositeRelation, Handle, IndexedRelation}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if m.resolved => rewriteMerge(m).getOrElse(m)
@@ -121,6 +121,21 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           h.mergeFrame(src, srcKeys.head, srcKeys(1), spec.deleteWhen,
             spec.updateWhen, spec.updateSet, spec.insertWhen,
             spec.insertValues)(sp).toDF(sp)
+      })
+    case r: CompositeNRelation =>
+      val h: CompositeNHandle = r.h
+      Some(new Adapter {
+        def keyCols: Seq[String] = h.keyCols
+        def schema: StructType = h.schema
+        def df(sp: SparkSession): DataFrame = h.toDF(sp)
+        def upsert(sp: SparkSession, rows: DataFrame): DataFrame =
+          h.upsertFrame(rows).toDF(sp)
+        def delete(sp: SparkSession, keys: DataFrame): DataFrame =
+          h.deleteFrame(keys).toDF(sp)
+        def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+            spec: MergeSpec): DataFrame =
+          h.mergeFrame(src, srcKeys, spec.deleteWhen, spec.updateWhen,
+            spec.updateSet, spec.insertWhen, spec.insertValues)(sp).toDF(sp)
       })
     case _ => None
   }

@@ -4113,6 +4113,110 @@ object IndexedFrame {
     def toDF(implicit spark: SparkSession): DataFrame =
       spark.baseRelationToDataFrame(new CompositeNRelation(this)(spark.sqlContext))
 
+    /** Internal rows of `df` keyed by the N-column tuple (layout must
+      * match this handle's schema) — the N-ary [[compositePairs]]. */
+    private def keyedRows(df: DataFrame): RDD[(Seq[Any], InternalRow)] = {
+      val idxs = keyCols.map(schema.fieldIndex).toArray
+      val cs = specs.map(_.codec)
+      val colsDesc = keyCols.mkString(", ")
+      df.queryExecution.toRdd.mapPartitions(_.map { r =>
+        val parts = new Array[Any](idxs.length)
+        var i = 0
+        while (i < idxs.length) {
+          if (r.isNullAt(idxs(i)))
+            throw new IllegalArgumentException(
+              s"null key in composite ($colsDesc)")
+          parts(i) = cs(i).fromRow(r, idxs(i))
+          i += 1
+        }
+        (scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): Seq[Any],
+          r.copy(): InternalRow)
+      })
+    }
+
+    /** DISTRIBUTED copy-on-write upsert at arity N — the
+      * [[CompositeHandle.upsertFrame]] contract on the N-column key:
+      * only the delta shuffles, the corpus never moves. */
+    def upsertFrame(updates: DataFrame): CompositeNHandle = {
+      val got = updates.schema.map(f => (f.name, f.dataType))
+      val want = schema.map(f => (f.name, f.dataType))
+      require(got == want,
+        s"update schema $got must match handle schema $want")
+      new CompositeNHandle(idx.multiputRDD(keyedRows(updates)),
+        keyCols, schema, ordered, specs)
+    }
+
+    /** DISTRIBUTED copy-on-write delete by full key tuples: `keys` is
+      * an N-column DataFrame typed like the key columns, in key order.
+      * Unknown tuples are ignored, matching SQL DELETE. */
+    def deleteFrame(keys: DataFrame): CompositeNHandle = {
+      require(keys.schema.length == keyCols.length &&
+          keyCols.indices.forall(i =>
+            keys.schema(i).dataType == schema(keyCols(i)).dataType),
+        s"${keyCols.map(c => schema(c).dataType.catalogString)} key columns " +
+          s"required, got ${keys.schema.map(_.dataType.catalogString)}")
+      val cs = specs.map(_.codec)
+      val kRdd = keys.queryExecution.toRdd.map { r =>
+        val parts = new Array[Any](cs.length)
+        var i = 0
+        while (i < cs.length) {
+          if (r.isNullAt(i))
+            throw new IllegalArgumentException("null delete key component")
+          parts(i) = cs(i).fromRow(r, i)
+          i += 1
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): Seq[Any]
+      }
+      new CompositeNHandle(idx.deleteRDD(kRdd), keyCols, schema, ordered, specs)
+    }
+
+    /** SQL `MERGE INTO` on the N-column key — [[Handle.mergeFrame]]'s
+      * contract matched on EVERY key column (`ON t.k1 = s.<src1> AND
+      * ... AND t.kn = s.<srcn>`). Same clause rules, same s/t Column
+      * addressing, same delta cost and single-pass source execution. */
+    def mergeFrame(source: DataFrame, sourceKeys: Seq[String],
+        deleteWhen: Option[Column] = None,
+        updateWhen: Option[Column] = None,
+        updateSet: Map[String, Column] = Map.empty,
+        insertWhen: Option[Column] = None,
+        insertValues: Map[String, Column] = Map.empty,
+        insertAll: Boolean = false)(
+        implicit spark: SparkSession): CompositeNHandle = {
+      import org.apache.spark.sql.functions.{col => fCol}
+      require(sourceKeys.length == keyCols.length,
+        s"one source key column per key column (${keyCols.length}), " +
+          s"got ${sourceKeys.length}")
+      require(keyCols.forall(k => !updateSet.contains(k)),
+        "MERGE may not update a key column")
+      val joined = source.alias("s").join(toDF.alias("t"),
+        keyCols.zip(sourceKeys).map { case (t, s0) =>
+          fCol(s"s.$s0") === fCol(s"t.$t")
+        }.reduce(_ && _), "left")
+      if (auditMergePlans)
+        lastMergePlan = joined.queryExecution.executedPlan.toString
+      val matched = fCol(s"t.${keyCols.head}").isNotNull
+      val reads = Seq(deleteWhen.isDefined, updateSet.nonEmpty,
+        insertAll || insertValues.nonEmpty).count(identity)
+      if (reads >= 2)
+        joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
+        updateSet, insertWhen, insertValues, insertAll)
+      val afterDel =
+        if (cs.hasDelete)
+          deleteFrame(joined.filter(cs.delC)
+            .select(keyCols.map(c => fCol(s"t.$c")): _*))
+        else this
+      val result = cs.upserts match {
+        case Some(ups) => afterDel.upsertFrame(ups)
+        case None => afterDel
+      }
+      if (reads >= 2) {
+        result.idx.cached.count() // one pass over the persisted join
+        joined.unpersist(blocking = false)
+      }
+      result
+    }
+
     // ----- JoinableHandle: lookup/zip joins on the full N-column key.
     // keyIdxs arrives with one probe column per key column, in key
     // order — the strategy's probeFor machinery is arity-generic.

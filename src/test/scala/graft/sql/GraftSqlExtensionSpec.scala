@@ -149,6 +149,58 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
       .as[Double].head() === 1.0)
   }
 
+  test("N-ary composite DML: programmatic and SQL-text upsert/delete/merge at arity 3") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    val df = (for (a <- 1L to 4L; b <- 1L to 5L; c <- 1L to 3L)
+      yield (a, b, c, a * 100.0 + b * 10 + c)).toDF("ka", "kb", "kc", "bal")
+    val h = IndexedFrame.indexCompositeN(df, Seq("ka", "kb", "kc"))
+    // programmatic: upsert replaces + inserts; delete removes tuples
+    val up = Seq((1L, 1L, 1L, -5.0), (9L, 9L, 9L, 999.0))
+      .toDF("ka", "kb", "kc", "bal")
+    val h2 = h.upsertFrame(up)
+    assert(h2.toDF.count() === 61L)
+    assert(h2.toDF.filter($"ka" === 1L && $"kb" === 1L && $"kc" === 1L)
+      .select($"bal").as[Double].head() === -5.0)
+    val h3 = h2.deleteFrame(Seq((9L, 9L, 9L), (4L, 5L, 3L), (8L, 8L, 8L))
+      .toDF("ka", "kb", "kc"))
+    assert(h3.toDF.count() === 59L) // unknown tuple ignored
+    // programmatic merge on all three key columns
+    val src = Seq((1L, 2L, 3L, 0.0), (2L, 3L, 1L, 7.0), (7L, 7L, 7L, 1.0))
+      .toDF("sa", "sb", "sc", "delta")
+    val m = h.mergeFrame(src, Seq("sa", "sb", "sc"),
+      deleteWhen = Some(col("s.delta") === 0.0),
+      updateSet = Map("bal" -> (col("t.bal") + col("s.delta"))),
+      insertValues = Map("ka" -> col("s.sa"), "kb" -> col("s.sb"),
+        "kc" -> col("s.sc"), "bal" -> col("s.delta")))
+    assert(m.toDF.count() === 60L) // -1 deleted, +1 inserted
+    assert(m.toDF.filter($"ka" === 2L && $"kb" === 3L && $"kc" === 1L)
+      .select($"bal").as[Double].head() === 238.0)
+    assert(m.toDF.filter($"ka" === 7L).count() === 1L)
+    // SQL text through the extension, three-equality ON clause
+    h.toDF.createOrReplaceTempView("gsx_n3")
+    src.createOrReplaceTempView("gsx_n3_src")
+    spark.sql(
+      """MERGE INTO gsx_n3 t USING gsx_n3_src s
+        |ON t.ka = s.sa AND t.kb = s.sb AND t.kc = s.sc
+        |WHEN MATCHED AND s.delta = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta
+        |WHEN NOT MATCHED THEN INSERT (ka, kb, kc, bal)
+        |  VALUES (s.sa, s.sb, s.sc, s.delta)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gsx_n3").as[Long].head() === 60L)
+    assert(spark.sql("SELECT bal FROM gsx_n3 WHERE ka=2 AND kb=3 AND kc=1")
+      .as[Double].head() === 238.0)
+    spark.sql("DELETE FROM gsx_n3 WHERE ka = 3")
+    assert(spark.sql("SELECT count(*) FROM gsx_n3 WHERE ka = 3")
+      .as[Long].head() === 0L)
+    spark.sql("UPDATE gsx_n3 SET bal = 0 WHERE ka = 4 AND kb = 1")
+    assert(spark.sql("SELECT sum(bal) FROM gsx_n3 WHERE ka = 4 AND kb = 1")
+      .as[Double].head() === 0.0)
+    spark.sql("INSERT INTO gsx_n3 VALUES (11, 1, 1, 1.0)")
+    assert(spark.sql("SELECT bal FROM gsx_n3 WHERE ka = 11")
+      .as[Double].head() === 1.0)
+  }
+
   test("consecutive statements observe each other; non-graft views are untouched") {
     freshCorpus("gsx_seq")
     spark.sql("INSERT INTO gsx_seq VALUES (200, 'x', 1.0)")
