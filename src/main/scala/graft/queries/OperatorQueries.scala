@@ -445,6 +445,26 @@ object OperatorQueries {
           round($"m0", 4).as("med_bal"), $"cnt_bal")
     },
 
+    "ir_sql_sum_decimal" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.functions.{count, expr, round, sum}
+      // sum/median/count of a SCALED DECIMAL column from the ordered
+      // secondary's histogram: values store as exact unscaled longs,
+      // the fold is checked Long arithmetic, and the sum re-wraps the
+      // column's scale — bit-exact, no fp round-trip anywhere
+      graft.sql.IndexedAgg.enable(s)
+      val df = Tables.customer(s, dir)
+        .withColumn("bal_dec", $"c_acctbal".cast("decimal(12,2)"))
+      val h = graft.sql.IndexedFrame.index(df, "c_custkey")
+        .addSecondaryIndex("bal_dec", ordered = true)
+      h.toDF.agg(
+          sum($"bal_dec").as("sum_bal"),
+          expr("percentile(bal_dec, 0.5)").as("m0"),
+          count($"bal_dec").as("cnt_bal"))
+        .select($"sum_bal", round($"m0", 4).as("med_bal"), $"cnt_bal")
+    },
+
     "ir_sql_merge_sqltext" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2316,6 +2336,12 @@ object OperatorQueries {
       |WHERE t.c_custkey IS NULL""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ir_sql_sum_decimal" ->
+      """SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal,
+        |  round(median(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)), 4) AS med_bal,
+        |  CAST(count(c_acctbal) AS BIGINT) AS cnt_bal
+        |FROM customer""".stripMargin,
+
     "ir_sql_merge_sqltext" -> mergeOracleSql,
     "ir_sql_merge_sqltext_composite" -> mergeCompositeOracleSql,
 

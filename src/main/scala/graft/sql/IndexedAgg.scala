@@ -108,6 +108,13 @@ object IndexedAgg {
         case _ => false
       }
 
+    private def scaledDecimalType(
+        dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        d.scale > 0 && d.precision <= 18
+      case _ => false
+    }
+
     private def statOf(a: Alias, h: IndexedFrame.StatsCapable): Option[Stat] = a.child match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
@@ -141,11 +148,14 @@ object IndexedAgg {
           // wraparound is not reproduced: falls through to the scan.
           // Column servability is validated at claim time.
           // fp columns claim in ANY eval mode — double/float sums have
-          // no overflow semantics for the modes to differ on
+          // no overflow semantics for the modes to differ on. SCALED
+          // decimals (p <= 18) claim like integrals: the histogram
+          // folds unscaled longs exactly and re-wraps the scale.
           case su: org.apache.spark.sql.catalyst.expressions.aggregate.Sum
               if su.child.isInstanceOf[AttributeReference] &&
                 (fpType(su.child.dataType) ||
-                  (integralType(su.child.dataType) &&
+                  ((integralType(su.child.dataType) ||
+                      scaledDecimalType(su.child.dataType)) &&
                     su.evalContext.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)) =>
             Some(SumStat(su.child.asInstanceOf[AttributeReference].name,
               su.evalContext.evalMode == org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))

@@ -189,6 +189,36 @@ object IndexedFrame {
     override def rangeLiteral(v: Any): Option[Double] = Try(fromLiteral(v)).toOption
   }
 
+  /** SCALED decimal key columns (scale > 0, precision ≤ 18): values
+    * are EXACT fixed-point longs — the unscaled representation — so
+    * the sign-flip long serializer, radix layout, range algebra, and
+    * the ordered-secondary histogram all carry over with zero loss
+    * (the 2^53 hazard of a double round-trip never applies). Pushed
+    * literals participate only when they are exactly representable at
+    * the column's scale; anything finer stays with Spark. */
+  private[sql] final class ScaledDecimalCodec(precision: Int, scale: Int)
+      extends KeyCodec[Long] {
+    override def fromRow(r: InternalRow, i: Int): Long =
+      r.getDecimal(i, precision, scale).toUnscaledLong
+    override def fromLiteral(v: Any): Long = v match {
+      case bd: java.math.BigDecimal =>
+        bd.setScale(scale).unscaledValue().longValueExact()
+      case bd: BigDecimal =>
+        bd.bigDecimal.setScale(scale).unscaledValue().longValueExact()
+      case d: org.apache.spark.sql.types.Decimal =>
+        d.toJavaBigDecimal.setScale(scale).unscaledValue().longValueExact()
+      case other => throw new IllegalArgumentException(
+        s"decimal key literal required, got ${if (other == null) "null" else other.getClass}")
+    }
+    override def toExternalSql(k: Any): Any =
+      java.math.BigDecimal.valueOf(k.asInstanceOf[Long], scale)
+    override def ord: Ordering[Long] = Ordering.Long
+    override def succ(k: Long): Option[Long] =
+      if (k == Long.MaxValue) None else Some(k + 1)
+    override def minKey: Long = Long.MinValue
+    override def rangeLiteral(v: Any): Option[Long] = Try(fromLiteral(v)).toOption
+  }
+
   private[sql] object StringCodec extends KeyCodec[String] {
     override def fromRow(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
     override def fromLiteral(v: Any): String = v match {
@@ -457,6 +487,12 @@ object IndexedFrame {
     * the exec converts it to ANSI-error / TRY-NULL. */
   private[sql] case object GroupFoldOverflow
 
+  /** Histogram entry encoding, per secondary column type. */
+  private[sql] sealed trait DistKind extends Serializable
+  private[sql] case object DistIntegral extends DistKind
+  private[sql] case object DistFp extends DistKind
+  private[sql] final case class DistScaled(scale: Int) extends DistKind
+
   /** One-row (or empty) DataFrame over an already-materialized internal
     * row — the FUSED as-of read's result surface (the floor descent
     * already fetched the row, so no second probe job ever runs). */
@@ -539,8 +575,15 @@ object IndexedFrame {
     case ShortType => v.asInstanceOf[Long].toShort
     case ByteType => v.asInstanceOf[Long].toByte
     case FloatType => v.asInstanceOf[Double].toFloat
-    case _: DecimalType => org.apache.spark.sql.types.Decimal(
-      new java.math.BigDecimal(v.asInstanceOf[BigInt].bigInteger))
+    case dt: DecimalType => v match {
+      case bi: BigInt => org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(bi.bigInteger))
+      case l: java.lang.Long => // ScaledDecimalCodec: unscaled long
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(l, dt.scale))
+      case other => org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(String.valueOf(other)))
+    }
     case _ => v // LongType / Timestamp(NTZ)Type: long; DoubleType: double
   }
 
@@ -1135,13 +1178,9 @@ object IndexedFrame {
       new scala.collection.concurrent.TrieMap[String, Array[(Long, Long)]]()
     private[sql] def secondaryDistributionFor(
         col: String): Option[() => Option[Array[(Long, Long)]]] = {
-      val servable = schema(col).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case DoubleType | FloatType => true // stored as sortable bits
-        case _ => false
-      }
-      if (!servable || !hasOrderedSecondary(col)) return None
-      val fp = distIsFp(col)
+      val kind = distKind(col)
+      if (kind.isEmpty || !hasOrderedSecondary(col)) return None
+      val fp = kind.contains(DistFp)
       val (_, sidx, _) = secondaries(col)
       secCountMemo.get(col) match {
         case Some(n) if n <= SecondaryRouteBudget => // claimable
@@ -1159,12 +1198,17 @@ object IndexedFrame {
       }
     }
 
-    /** Whether `col`'s histogram entries are fp sortable bits (decode
-      * with [[fromSortableBits]]) rather than exact integral values. */
-    private[sql] def distIsFp(col: String): Boolean =
+    /** How `col`'s histogram entries encode: exact integral values,
+      * fp sortable bits (decode with [[fromSortableBits]]), or exact
+      * unscaled decimal longs carrying the column's scale. None =
+      * the column type has no histogram service. */
+    private[sql] def distKind(col: String): Option[DistKind] =
       schema(col).dataType match {
-        case DoubleType | FloatType => true
-        case _ => false
+        case ByteType | ShortType | IntegerType | LongType => Some(DistIntegral)
+        case DoubleType | FloatType => Some(DistFp)
+        case dt: DecimalType if dt.scale > 0 && dt.precision <= 18 =>
+          Some(DistScaled(dt.scale))
+        case _ => None
       }
 
     /** Driver-state cap for the grouped filtered-agg memo — tighter
@@ -1879,7 +1923,8 @@ object IndexedFrame {
           if (n == 0) None else Some((keySumMemo, n))
         })
       } else secondaryDistributionFor(col).map { distThunk =>
-        val fp = distIsFp(col)
+        val kind = distKind(col).get // defined: the distribution claimed
+        val fp = kind == DistFp
         () => distThunk().map { dist =>
           if (fp) {
             // exact: each FINITE double is a binary rational, so the
@@ -1916,7 +1961,13 @@ object IndexedFrame {
               s = Math.addExact(s, Math.multiplyExact(v, w))
               n += w
             }
-            (java.lang.Long.valueOf(s), n)
+            kind match {
+              case DistScaled(sc) =>
+                // exact unscaled fold → the column's decimal domain
+                (org.apache.spark.sql.types.Decimal(
+                  java.math.BigDecimal.valueOf(s, sc)), n)
+              case _ => (java.lang.Long.valueOf(s), n)
+            }
           }
         }
       }
@@ -1938,10 +1989,10 @@ object IndexedFrame {
           _.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
       // resolve every spec up front; one unservable column disqualifies
       // the whole claim and the query falls through intact
-      val srcs: Seq[Option[Either[Unit, (() => Option[Array[(Long, Long)]], Boolean)]]] =
+      val srcs: Seq[Option[Either[Unit, (() => Option[Array[(Long, Long)]], DistKind)]]] =
         specs.map { case (c, _) =>
           if (c == keyCol) (if (keyOk) Some(Left(())) else None)
-          else secondaryDistributionFor(c).map(t => Right((t, distIsFp(c))))
+          else secondaryDistributionFor(c).map(t => Right((t, distKind(c).get)))
         }
       if (srcs.exists(_.isEmpty)) return None
       Some { () =>
@@ -1995,11 +2046,15 @@ object IndexedFrame {
         specs.zip(srcs).map {
           case ((_, ps), Some(Left(_))) =>
             if (n == 0) None else Some(ps.map(atKey))
-          case ((_, ps), Some(Right((distThunk, fp)))) =>
+          case ((_, ps), Some(Right((distThunk, kind)))) =>
             distThunk().map { dist =>
               val total = dist.iterator.map(_._2).sum
-              val decode: Long => Double =
-                if (fp) fromSortableBits else (_.toDouble)
+              val decode: Long => Double = kind match {
+                case DistFp => fromSortableBits
+                case DistScaled(sc) =>
+                  val div = math.pow(10, sc); l => l.toDouble / div
+                case DistIntegral => _.toDouble
+              }
               ps.map(p => atWeighted(dist, total, p, decode))
             }
           case _ => None // unreachable: srcs pre-validated
@@ -2648,6 +2703,9 @@ object IndexedFrame {
       case dt: DecimalType if dt.scale == 0 =>
         KeySpec[BigInt](new BigIntCodec(dt.precision),
           KeySerializer.BigIntSerializer, implicitly[ClassTag[BigInt]])
+      case dt: DecimalType if dt.scale > 0 && dt.precision <= 18 =>
+        KeySpec[Long](new ScaledDecimalCodec(dt.precision, dt.scale),
+          KeySerializer.LongSerializer, implicitly[ClassTag[Long]])
       case dt @ (DoubleType | FloatType) =>
         KeySpec[Double](new DoubleCodec(dt), KeySerializer.DoubleSerializer,
           implicitly[ClassTag[Double]])

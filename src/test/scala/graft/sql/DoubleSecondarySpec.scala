@@ -84,6 +84,41 @@ class DoubleSecondarySpec extends AnyFunSuite {
     assert(h.lastScanKind === "secondary_range")
   }
 
+  test("scaled decimal secondary: exact unscaled-long histogram serves sum/median/extrema and range probes") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    IndexedAgg.enable(spark)
+    import org.apache.spark.sql.functions.{count, expr, max, min, sum => fSum}
+    // decimal(12, 2): money-like column, values k * 0.25
+    val df = (1L to 800L).map(k => (k, BigDecimal(k * 25, 2))).toDF("k", "amt")
+      .select($"k", $"amt".cast("decimal(12,2)").as("amt"))
+    val h = IndexedFrame.index(df, "k", numPartitions = 4)
+      .addSecondaryIndex("amt", ordered = true)
+    val agg = h.toDF.agg(fSum($"amt").as("s"),
+      expr("percentile(amt, 0.5)").as("m"), count($"amt").as("c"))
+    assert(agg.queryExecution.executedPlan.toString.contains("IndexedStats"),
+      agg.queryExecution.executedPlan.toString)
+    val row = agg.collect().head
+    // exact: sum of k*0.25 for k=1..800 = 0.25 * 800*801/2 = 80100.00
+    assert(row.getDecimal(0) === new java.math.BigDecimal("80100.00"))
+    assert(row.getDouble(1) === 100.125) // median of 0.25..200: (100.0+100.25)/2
+    assert(row.getLong(2) === 800L)
+    val (mn, mx) = h.toDF.agg(min($"amt"), max($"amt"))
+      .collect().head match { case r => (r.getDecimal(0), r.getDecimal(1)) }
+    assert(mn === new java.math.BigDecimal("0.25") &&
+      mx === new java.math.BigDecimal("200.00"))
+    // equality and range probes route through the ordered secondary
+    val eq = h.toDF.filter($"amt" === new java.math.BigDecimal("50.00"))
+      .select($"k").as[Long].collect().toSeq
+    assert(eq === Seq(200L))
+    assert(h.lastScanKind === "secondary_point")
+    val rg = h.toDF
+      .filter($"amt" >= new java.math.BigDecimal("10.00") &&
+        $"amt" < new java.math.BigDecimal("11.00"))
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(rg === (40L to 43L))
+    assert(h.lastScanKind === "secondary_range")
+  }
+
   test("NULLs stay out of the secondary; sum/avg of all-null column is NULL") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     IndexedAgg.enable(spark)
