@@ -272,24 +272,29 @@ object IndexedAgg {
       case _ => None
     }
 
-    /** Claim `WHERE secCol = v [AND secCol IS NOT NULL]` + a stats list
-      * drawn from {sum/avg/count(aggCol), count(*)} over ONE aggCol:
-      * plans [[IndexedFilteredAggExec]] against the handle's grouped
-      * filtered-agg memo, or None to fall through. */
+    /** Claim `WHERE secCol = v [AND secCol IS NOT NULL]` — or `secCol
+      * IN (v1, ..)` — + a stats list drawn from {sum/avg/count/min/max
+      * (aggCol), count(*)} over ONE aggCol: plans
+      * [[IndexedFilteredAggExec]] against the handle's grouped
+      * filtered-agg memo, or None to fall through. IN-list probes
+      * look every value up and combine driver-side. */
     private def filteredAggClaim(fs: Seq[sources.Filter],
         h: IndexedFrame.StatsCapable,
         aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
         : Option[SparkPlan] = {
-      val eqs = fs.collect { case sources.EqualTo(c, v) => (c, v) }
-      val secEq = eqs match {
-        case Seq((c, v)) if fs.forall {
-            case sources.EqualTo(_, _) => true
+      val preds = fs.collect {
+        case sources.EqualTo(c, v) => (c, Seq(v))
+        case sources.In(c, vs) => (c, vs.toSeq.filter(_ != null))
+      }
+      val secIn = preds match {
+        case Seq((c, vs)) if fs.forall {
+            case sources.EqualTo(_, _) | sources.In(_, _) => true
             case sources.IsNotNull(cc) => cc == c
             case _ => false
-          } => Some((c, v))
+          } => Some((c, vs))
         case _ => None
       }
-      secEq.flatMap { case (sc, v) =>
+      secIn.flatMap { case (sc, vs) =>
         val stats = aggs.map(a => statOf(a.asInstanceOf[Alias], h))
         if (stats.exists(_.isEmpty)) None
         else {
@@ -298,15 +303,18 @@ object IndexedAgg {
             case SumStat(c, _) => c
             case AvgStat(c, _) => c
             case CountColStat(c) => c
+            case SecMinStat(c) => c
+            case SecMaxStat(c) => c
           }.distinct
           val shapeOk = ss.forall {
-            case SumStat(_, _) | AvgStat(_, _) | CountColStat(_) | CountStat => true
+            case SumStat(_, _) | AvgStat(_, _) | CountColStat(_) | CountStat |
+                 SecMinStat(_) | SecMaxStat(_) => true
             case _ => false
           }
           if (!shapeOk || aggCols.length != 1 || aggCols.head == sc) None
           else h.filteredAggFor(sc, aggCols.head).map { lookup =>
             IndexedFilteredAggExec(aggs.map(_.toAttribute), h, ss,
-              () => lookup(v))
+              () => IndexedFrame.combineGroupAggs(vs.flatMap(lookup)))
           }
         }
       }
@@ -705,33 +713,50 @@ object IndexedAgg {
     * marker. */
   case class IndexedFilteredAggExec(output: Seq[Attribute],
       h: IndexedFrame.StatsCapable, stats: Seq[Stat],
-      lookup: () => Option[(Any, Long, Long)]) extends LeafExecNode {
+      lookup: () => Option[IndexedFrame.GroupAgg]) extends LeafExecNode {
 
     private def rowValues(): Seq[Any] = {
       h.markStats()
       val res = lookup()
-      def sumOf(tryM: Boolean): Option[Any] = res.flatMap { case (s, nn, _) =>
-        if (nn == 0) None
-        else s match {
+      def sumOf(tryM: Boolean): Option[Any] = res.flatMap { r =>
+        if (r.nonNull == 0) None
+        else r.sum match {
           case IndexedFrame.GroupFoldOverflow =>
             if (tryM) None else throw new ArithmeticException("long overflow")
           case other => Some(other)
         }
       }
-      stats.map {
-        case CountStat => res.map(_._3).getOrElse(0L)
-        case CountColStat(_) => res.map(_._2).getOrElse(0L)
-        case SumStat(_, tryM) => sumOf(tryM).orNull
-        case AvgStat(_, tryM) =>
+      // raw fold extrema (Long/Double) back in the OUTPUT column's type
+      def emitVal(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+        (v, dt) match {
+          case (l: java.lang.Long, org.apache.spark.sql.types.LongType) => l
+          case (l: java.lang.Long, org.apache.spark.sql.types.IntegerType) => l.toInt
+          case (l: java.lang.Long, org.apache.spark.sql.types.ShortType) => l.toShort
+          case (l: java.lang.Long, org.apache.spark.sql.types.ByteType) => l.toByte
+          case (d: java.lang.Double, org.apache.spark.sql.types.DoubleType) => d
+          case (d: java.lang.Double, org.apache.spark.sql.types.FloatType) =>
+            java.lang.Float.valueOf(d.floatValue)
+          case (other, t) =>
+            throw new IllegalStateException(s"extremum $other as $t")
+        }
+      stats.zipWithIndex.map {
+        case (CountStat, _) => res.map(_.rows).getOrElse(0L)
+        case (CountColStat(_), _) => res.map(_.nonNull).getOrElse(0L)
+        case (SumStat(_, tryM), _) => sumOf(tryM).orNull
+        case (AvgStat(_, tryM), _) =>
           sumOf(tryM).map { s =>
             val d = s match {
               case l: java.lang.Long => l.toDouble
               case d0: java.lang.Double => d0.doubleValue
               case other => other.asInstanceOf[Number].doubleValue
             }
-            java.lang.Double.valueOf(d / res.get._2)
+            java.lang.Double.valueOf(d / res.get.nonNull)
           }.orNull
-        case s => throw new IllegalStateException(s"$s in filtered agg")
+        case (SecMinStat(_), i) =>
+          res.flatMap(_.min).map(emitVal(_, output(i).dataType)).orNull
+        case (SecMaxStat(_), i) =>
+          res.flatMap(_.max).map(emitVal(_, output(i).dataType)).orNull
+        case (s, _) => throw new IllegalStateException(s"$s in filtered agg")
       }
     }
 

@@ -518,11 +518,22 @@ object IndexedFrame {
     var overflow = false
     var nonNull = 0L
     var rows = 0L
+    // extrema in Double.compare total order (NaN greatest — Spark's
+    // own fp ordering) / plain Long order
+    var minD = Double.NaN
+    var maxD = Double.NaN
+    var minL = 0L
+    var maxL = 0L
     def addFp(d: Double): Unit = {
       plain += d
       if (!nonFinite) {
         if (java.lang.Double.isFinite(d)) bd = bd.add(new java.math.BigDecimal(d))
         else nonFinite = true
+      }
+      if (nonNull == 0) { minD = d; maxD = d }
+      else {
+        if (java.lang.Double.compare(d, minD) < 0) minD = d
+        if (java.lang.Double.compare(d, maxD) > 0) maxD = d
       }
       nonNull += 1
     }
@@ -530,6 +541,11 @@ object IndexedFrame {
       if (!overflow) {
         try lsum = Math.addExact(lsum, l)
         catch { case _: ArithmeticException => overflow = true }
+      }
+      if (nonNull == 0) { minL = l; maxL = l }
+      else {
+        if (l < minL) minL = l
+        if (l > maxL) maxL = l
       }
       nonNull += 1
     }
@@ -541,20 +557,76 @@ object IndexedFrame {
         try lsum = Math.addExact(lsum, o.lsum)
         catch { case _: ArithmeticException => overflow = true }
       } else overflow = true
+      if (o.nonNull > 0) {
+        if (nonNull == 0) { minD = o.minD; maxD = o.maxD; minL = o.minL; maxL = o.maxL }
+        else {
+          if (java.lang.Double.compare(o.minD, minD) < 0) minD = o.minD
+          if (java.lang.Double.compare(o.maxD, maxD) > 0) maxD = o.maxD
+          if (o.minL < minL) minL = o.minL
+          if (o.maxL > maxL) maxL = o.maxL
+        }
+      }
       nonNull += o.nonNull
       rows += o.rows
       this
     }
-    /** (sum or overflow marker, non-null count, row count); fp chooses
+    /** Sum (or overflow marker), counts, and raw extrema; fp chooses
       * the exact fold unless a special took over. */
-    def result(fp: Boolean): (Any, Long, Long) = {
+    def result(fp: Boolean): GroupAgg = {
       val s: Any =
         if (fp) java.lang.Double.valueOf(if (nonFinite) plain else bd.doubleValue)
         else if (overflow) GroupFoldOverflow
         else java.lang.Long.valueOf(lsum)
-      (s, nonNull, rows)
+      val (mn, mx): (Option[Any], Option[Any]) =
+        if (nonNull == 0) (None, None)
+        else if (fp) (Some(java.lang.Double.valueOf(minD)),
+          Some(java.lang.Double.valueOf(maxD)))
+        else (Some(java.lang.Long.valueOf(minL)),
+          Some(java.lang.Long.valueOf(maxL)))
+      GroupAgg(s, nonNull, rows, mn, mx)
     }
   }
+
+  /** One secondary value's grouped aggregate state: Σ aggCol (Long,
+    * Double, or [[GroupFoldOverflow]]), non-null count, row count, raw
+    * extrema (Long/Double, None when every aggCol value is null). */
+  private[sql] final case class GroupAgg(sum: Any, nonNull: Long,
+      rows: Long, min: Option[Any], max: Option[Any])
+
+  /** Combine the per-value results of an IN-list probe into one
+    * aggregate (groups are disjoint, so counts add; extrema combine in
+    * the same orders the fold used; an overflow marker is sticky).
+    * None = no probed value exists (SQL over the empty set). */
+  private[sql] def combineGroupAggs(gs: Seq[GroupAgg]): Option[GroupAgg] =
+    gs.reduceOption { (a, b) =>
+      val sum: Any = (a.sum, b.sum) match {
+        case (GroupFoldOverflow, _) | (_, GroupFoldOverflow) => GroupFoldOverflow
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          java.lang.Double.valueOf(x.doubleValue + y.doubleValue)
+        case (x: java.lang.Long, y: java.lang.Long) =>
+          try java.lang.Long.valueOf(Math.addExact(x.longValue, y.longValue))
+          catch { case _: ArithmeticException => GroupFoldOverflow }
+        case (x: org.apache.spark.sql.types.Decimal,
+            y: org.apache.spark.sql.types.Decimal) => x + y
+        case (x, y) => throw new IllegalStateException(s"mixed sums $x / $y")
+      }
+      def pick(x: Option[Any], y: Option[Any], wantMin: Boolean): Option[Any] =
+        (x, y) match {
+          case (None, o) => o
+          case (o, None) => o
+          case (Some(p), Some(q)) =>
+            val c = (p, q) match {
+              case (pd: java.lang.Double, qd: java.lang.Double) =>
+                java.lang.Double.compare(pd, qd)
+              case (pl: java.lang.Long, ql: java.lang.Long) =>
+                java.lang.Long.compare(pl, ql)
+              case _ => throw new IllegalStateException(s"mixed extrema $p / $q")
+            }
+            if ((c <= 0) == wantMin) Some(p) else Some(q)
+        }
+      GroupAgg(sum, a.nonNull + b.nonNull, a.rows + b.rows,
+        pick(a.min, b.min, wantMin = true), pick(a.max, b.max, wantMin = false))
+    }
 
   /** value ↔ sortable-Long transforms for fp histogram entries: signed
     * Long order over the encoding == `Double.compare` total order. */
@@ -1218,7 +1290,7 @@ object IndexedFrame {
 
     @transient private lazy val secGroupAggMemo =
       new scala.collection.concurrent.TrieMap[(String, String),
-        Map[Any, (Any, Long, Long)]]()
+        Map[Any, GroupAgg]]()
 
     /** `WHERE secCol = v` + `sum/avg/count(aggCol)` answered from a
       * per-secondary-value grouped fold: ONE job over the primary rows
@@ -1232,7 +1304,7 @@ object IndexedFrame {
       * [[FilteredAggDistinctCap]] so the driver state stays bounded;
       * claim time is planning, and the gate reads only memos. */
     private[sql] def secondaryFilteredAggFor(secCol: String, aggCol: String)
-        : Option[Any => Option[(Any, Long, Long)]] = {
+        : Option[Any => Option[GroupAgg]] = {
       if (!secondaries.contains(secCol) || secCol == aggCol) return None
       if (!schema.fieldNames.contains(aggCol)) return None
       val aggDt = schema(aggCol).dataType
@@ -1288,7 +1360,7 @@ object IndexedFrame {
               if (cur == null) merged.put(k, f) else cur.merge(f)
             }
           }
-          val out = Map.newBuilder[Any, (Any, Long, Long)]
+          val out = Map.newBuilder[Any, GroupAgg]
           merged.forEach { (k, f) => out += (k -> f.result(isFp)) }
           out.result()
         })
@@ -1508,7 +1580,7 @@ object IndexedFrame {
       * on handles that index secondaries); lookup: pushed literal →
       * (sum | [[GroupFoldOverflow]], non-null count, row count). */
     private[sql] def filteredAggFor(secCol: String, aggCol: String)
-        : Option[Any => Option[(Any, Long, Long)]] = None
+        : Option[Any => Option[GroupAgg]] = None
 
     /** EXACT interpolated percentiles (the semantics of Spark's
       * `percentile(col, p)` / `median(col)`) answered from index
@@ -1683,7 +1755,7 @@ object IndexedFrame {
     override protected def secTag: ClassTag[K] = kTag
     override protected def secondaryForbiddenCols: Set[String] = Set(keyCol)
     override private[sql] def filteredAggFor(secCol: String, aggCol: String)
-        : Option[Any => Option[(Any, Long, Long)]] =
+        : Option[Any => Option[GroupAgg]] =
       secondaryFilteredAggFor(secCol, aggCol)
     @transient @volatile var lastScanKind: String = ""
     @transient @volatile var lastPointLookupKeys: Int = -1
@@ -2754,7 +2826,7 @@ object IndexedFrame {
     override protected def secondaryForbiddenCols: Set[String] =
       Set(keyColA, keyColB)
     override private[sql] def filteredAggFor(secCol: String, aggCol: String)
-        : Option[Any => Option[(Any, Long, Long)]] =
+        : Option[Any => Option[GroupAgg]] =
       secondaryFilteredAggFor(secCol, aggCol)
 
     private[sql] implicit val tupSer: KeySerializer[(A, B)] =
@@ -4162,7 +4234,7 @@ object IndexedFrame {
     override protected def secTag: ClassTag[Seq[Any]] = implicitly
     override protected def secondaryForbiddenCols: Set[String] = keyCols.toSet
     override private[sql] def filteredAggFor(secCol: String, aggCol: String)
-        : Option[Any => Option[(Any, Long, Long)]] =
+        : Option[Any => Option[GroupAgg]] =
       secondaryFilteredAggFor(secCol, aggCol)
     override private[sql] def zoneKeyCols: Set[String] = keyCols.toSet
     private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)

@@ -179,6 +179,23 @@ class DoubleSecondarySpec extends AnyFunSuite {
       .agg(fSum($"w"), count($"w")).as[(Long, Long)].head()
     val grp2 = (1L to 100L).filter(k => k % 5 == 0 && k % 10 != 0)
     assert(s2 === grp2.sum && c2 === grp2.size)
+    // IN-list probes combine disjoint groups driver-side; min/max ride
+    // the same grouped fold
+    import org.apache.spark.sql.functions.{max, min}
+    val q2 = h.toDF.filter($"g".isin(1L, 4L, 99L))
+      .agg(fSum($"v").as("s"), min($"v").as("mn"), max($"v").as("mx"),
+        count(lit(1)).as("cr"))
+    assert(q2.queryExecution.executedPlan.toString.contains("IndexedFilteredAgg"),
+      q2.queryExecution.executedPlan.toString)
+    val (sIn, mnIn, mxIn, crIn) = q2.as[(Double, Double, Double, Long)].head()
+    val grpIn = rows.filter(r => r._2 == 1L || r._2 == 4L).map(_._3)
+    assert(math.abs(sIn - grpIn.sum) < 1e-9)
+    assert(mnIn === grpIn.min && mxIn === grpIn.max && crIn === grpIn.size)
+    // integral min/max narrow back to the column type
+    val (mn2, mx2) = h2.toDF.filter($"g" === 2L)
+      .agg(min($"w"), max($"w")).as[(Long, Long)].head()
+    val grpW = (1L to 100L).filter(k => k % 5 == 2 && k % 10 != 0)
+    assert(mn2 === grpW.min && mx2 === grpW.max)
   }
 
   test("float column: ordered secondary sum/extrema and a float composite component") {
