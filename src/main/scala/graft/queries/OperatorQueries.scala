@@ -1757,6 +1757,55 @@ object OperatorQueries {
       cur.toDF.select($"c_custkey", $"c_name", $"c_acctbal")
     },
 
+    "ir_stream_merge_sqltext" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // the SAME streaming CDC merge issued as LITERAL SQL inside
+      // foreachBatch: each micro-batch registers as a temp view and
+      // `spark.sql("MERGE INTO ...")` routes through the extension
+      // into the delta-cost mergeFrame; the statement rebinds the
+      // corpus view, so the NEXT batch's merge sees this batch's
+      // writes — exactly the Delta-style streaming upsert idiom,
+      // against an in-memory graft index
+      graft.sql.IndexedJoin.enable(s)
+      val init = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      graft.sql.IndexedFrame.index(init, "c_custkey")
+        .toDF.createOrReplaceTempView("stream_mrg_corpus")
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val q = input.toDS().toDF("k", "v").writeStream
+        .queryName(s"ir_stream_merge_sqltext_${System.nanoTime()}")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the batch df belongs to the micro-batch's CLONED session,
+          // whose temp-view catalog is a copy — materialize the (small,
+          // CDC-sized) batch into the OUTER session so the SQL-text
+          // merge and the corpus-view rebind happen where the final
+          // read resolves
+          val rows = b.collect().toIndexedSeq
+          s.createDataFrame(s.sparkContext.parallelize(rows, 1), b.schema)
+            .createOrReplaceTempView("stream_mrg_batch")
+          s.sql(
+            """MERGE INTO stream_mrg_corpus t USING stream_mrg_batch s
+              |ON t.c_custkey = s.k
+              |WHEN MATCHED AND s.v < 2000.0 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET c_acctbal = s.v""".stripMargin)
+          ()
+        }
+        .start()
+      try {
+        Seq(1995, 1996, 1997).foreach { y =>
+          val batch = Tables.orders(s, dir)
+            .filter(year($"o_orderdate") === y)
+            .groupBy($"o_custkey").agg(max($"o_totalprice").as("v"))
+            .as[(Long, Double)].collect().toSeq
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM stream_mrg_corpus")
+    },
+
     "ir_stream_time_travel" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2356,6 +2405,39 @@ object OperatorQueries {
       |FROM src s LEFT JOIN t ON t.c_bucket = s.sb AND t.c_custkey = s.sk
       |WHERE t.c_custkey IS NULL""".stripMargin
 
+  /** Shared by the programmatic and SQL-text streaming CDC merge
+    * lanes — identical three-batch replay. */
+  private val streamMergeOracleSql =
+    """WITH src95 AS (
+      |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1
+      |), s1 AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+      |  FROM customer c LEFT JOIN src95 s ON c.c_custkey = s.k WHERE s.k IS NULL
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_name, s.v
+      |  FROM customer c JOIN src95 s ON c.c_custkey = s.k WHERE s.v >= 2000
+      |), src96 AS (
+      |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1
+      |), s2 AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+      |  FROM s1 c LEFT JOIN src96 s ON c.c_custkey = s.k WHERE s.k IS NULL
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_name, s.v
+      |  FROM s1 c JOIN src96 s ON c.c_custkey = s.k WHERE s.v >= 2000
+      |), src97 AS (
+      |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) = 1997 GROUP BY 1
+      |), s3 AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+      |  FROM s2 c LEFT JOIN src97 s ON c.c_custkey = s.k WHERE s.k IS NULL
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_name, s.v
+      |  FROM s2 c JOIN src97 s ON c.c_custkey = s.k WHERE s.v >= 2000
+      |)
+      |SELECT c_custkey, c_name, c_acctbal FROM s3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ir_sql_secondary_filtered_agg" ->
       """SELECT round(sum(c_acctbal), 2) AS sum_bal,
@@ -2913,36 +2995,9 @@ object OperatorQueries {
     // last-write-wins replay of the three ordered upsert batches the
     // sink applied (per-year per-customer max order price, batch id =
     // year), over the initial customer-balance state
-    "ir_stream_merge" ->
-      """WITH src95 AS (
-        |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
-        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1
-        |), s1 AS (
-        |  SELECT c.c_custkey, c.c_name, c.c_acctbal
-        |  FROM customer c LEFT JOIN src95 s ON c.c_custkey = s.k WHERE s.k IS NULL
-        |  UNION ALL
-        |  SELECT c.c_custkey, c.c_name, s.v
-        |  FROM customer c JOIN src95 s ON c.c_custkey = s.k WHERE s.v >= 2000
-        |), src96 AS (
-        |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
-        |  WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1
-        |), s2 AS (
-        |  SELECT c.c_custkey, c.c_name, c.c_acctbal
-        |  FROM s1 c LEFT JOIN src96 s ON c.c_custkey = s.k WHERE s.k IS NULL
-        |  UNION ALL
-        |  SELECT c.c_custkey, c.c_name, s.v
-        |  FROM s1 c JOIN src96 s ON c.c_custkey = s.k WHERE s.v >= 2000
-        |), src97 AS (
-        |  SELECT o_custkey AS k, max(o_totalprice) AS v FROM orders
-        |  WHERE year(CAST(o_orderdate AS DATE)) = 1997 GROUP BY 1
-        |), s3 AS (
-        |  SELECT c.c_custkey, c.c_name, c.c_acctbal
-        |  FROM s2 c LEFT JOIN src97 s ON c.c_custkey = s.k WHERE s.k IS NULL
-        |  UNION ALL
-        |  SELECT c.c_custkey, c.c_name, s.v
-        |  FROM s2 c JOIN src97 s ON c.c_custkey = s.k WHERE s.v >= 2000
-        |)
-        |SELECT c_custkey, c_name, c_acctbal FROM s3""".stripMargin,
+    "ir_stream_merge" -> streamMergeOracleSql,
+
+    "ir_stream_merge_sqltext" -> streamMergeOracleSql,
 
     "ir_stream_sink" ->
       """WITH ups AS (

@@ -358,13 +358,36 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   // ---------------------------------------------------------------- DELETE
 
   private def rewriteDelete(d: DeleteFromTable): Option[LogicalPlan] =
-    for {
-      (view, ad) <- dest(d.table)
-      condC <- remapPlain(d.condition, AttributeSet(d.table.output))
-    } yield GraftDmlCommand("DELETE", view) { sp =>
-      val keys = ad.df(sp).filter(condC)
-        .select(ad.keyCols.map(col): _*)
-      ad.delete(sp, keys).createOrReplaceTempView(view)
+    dest(d.table).flatMap { case (view, ad) =>
+      val tgt = AttributeSet(d.table.output)
+      d.condition match {
+        // `DELETE FROM t WHERE <key cols> IN (SELECT ...)` — the CDC
+        // retraction shape: the subquery's keys feed deleteFrame
+        // directly (null keys match nothing in SQL and are dropped)
+        case org.apache.spark.sql.catalyst.expressions.InSubquery(values,
+            lq: org.apache.spark.sql.catalyst.expressions.ListQuery)
+            if values.forall(_.isInstanceOf[AttributeReference]) &&
+              values.map(_.asInstanceOf[AttributeReference]).forall(tgt.contains) &&
+              values.map(_.asInstanceOf[AttributeReference].name) == ad.keyCols =>
+          val subPlan = lq.plan
+          Some(GraftDmlCommand("DELETE", view) { sp =>
+            val sub0 = ExpressionBridge.ofRows(sp, subPlan)
+            val keyTypes = ad.keyCols.map(ad.schema(_).dataType)
+            val keys = sub0.na.drop().select(
+              sub0.columns.toSeq.zip(keyTypes).zipWithIndex.map {
+                case ((c, dt), i) => sub0.col(s"`$c`").cast(dt).as(ad.keyCols(i))
+              }: _*)
+            ad.delete(sp, keys).createOrReplaceTempView(view)
+          })
+        case cond =>
+          remapPlain(cond, tgt).map { condC =>
+            GraftDmlCommand("DELETE", view) { sp =>
+              val keys = ad.df(sp).filter(condC)
+                .select(ad.keyCols.map(col): _*)
+              ad.delete(sp, keys).createOrReplaceTempView(view)
+            }
+          }
+      }
     }
 
   // ---------------------------------------------------------------- UPDATE

@@ -102,6 +102,20 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     assert(left === (1L to 100L).toSet -- Set(7L, 99L, 100L))
   }
 
+  test("DELETE with a key IN-subquery routes the subquery keys into deleteFrame") {
+    freshCorpus("gsx_delsub")
+    Seq(Some(3L), Some(4L), None, Some(500L)).toDF("dk")
+      .createOrReplaceTempView("gsx_delsub_keys")
+    // NULL keys match nothing (SQL IN), unknown keys are ignored
+    spark.sql("DELETE FROM gsx_delsub WHERE k IN (SELECT dk FROM gsx_delsub_keys)")
+    val left = spark.sql("SELECT k FROM gsx_delsub").as[Long].collect().toSet
+    assert(left === (1L to 100L).toSet -- Set(3L, 4L))
+    // derived subquery with an expression output
+    spark.sql("DELETE FROM gsx_delsub WHERE k IN (SELECT dk + 7 FROM gsx_delsub_keys WHERE dk IS NOT NULL)")
+    val left2 = spark.sql("SELECT k FROM gsx_delsub").as[Long].collect().toSet
+    assert(left2 === (1L to 100L).toSet -- Set(3L, 4L, 10L, 11L))
+  }
+
   test("UPDATE as SQL text: only affected rows change; key update is refused") {
     freshCorpus("gsx_upd")
     spark.sql("UPDATE gsx_upd SET bal = bal * 2, name = concat(name, '!') WHERE k <= 3")
