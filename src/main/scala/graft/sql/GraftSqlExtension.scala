@@ -34,7 +34,11 @@ import org.apache.spark.sql.types.StructType
  *  - `INSERT INTO corpus ...` → positional/by-name column alignment,
  *    then [[IndexedFrame.Handle.upsertFrame]] (keyed-store semantics:
  *    an existing key is replaced, matching the reference's `put`
- *    contract — reference IndexedRDD.scala:93-121)
+ *    contract — reference IndexedRDD.scala:93-121); `INSERT
+ *    OVERWRITE` truncates-and-loads as two COW passes
+ *  - `DELETE`/`UPDATE ... WHERE <key cols> IN (SELECT ...)` — the CDC
+ *    retraction/correction shapes — feed the subquery's keys into
+ *    `deleteFrame` / a semi-join of the affected rows directly
  *
  * After each statement the view name is REBOUND to the new
  * copy-on-write handle, so consecutive SQL statements observe each
@@ -42,14 +46,15 @@ import org.apache.spark.sql.types.StructType
  * original snapshot.
  *
  * The mechanics follow the publicly-established extension pattern for
- * bolting row-level SQL onto a non-v2 source (an injected post-hoc
- * resolution rule that rewrites the resolved `MergeIntoTable` /
+ * bolting row-level SQL onto a non-v2 source (an injected analyzer
+ * rule that rewrites the resolved `MergeIntoTable` /
  * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` nodes into
  * `RunnableCommand`s BEFORE the analyzer's v2-only checks fire).
  * Statements this rule does not understand — writes to non-graft
- * tables, `WHEN NOT MATCHED BY SOURCE`, subqueries in DML predicates,
- * multiple UPDATE/DELETE clauses, key-column updates — are left
- * untouched for Spark to raise its ordinary errors.
+ * tables, `WHEN NOT MATCHED BY SOURCE`, non-equi ON conditions,
+ * general subqueries in DML predicates, multiple UPDATE/DELETE
+ * clauses, key-column updates — are left untouched for Spark to raise
+ * its ordinary errors.
  */
 class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
   // Resolution batch (not post-hoc): the rewrite must preempt the
@@ -88,6 +93,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     def delete(sp: SparkSession, keys: DataFrame): DataFrame
     def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
         spec: MergeSpec): DataFrame
+    /** INSERT OVERWRITE: truncate-and-load as two COW passes (delete
+      * every current key, then upsert the new rows) — the pre-statement
+      * snapshot stays queryable like every other frame DML. */
+    def overwrite(sp: SparkSession, rows: DataFrame): DataFrame
   }
 
   private def adapt(rel: BaseRelation): Option[Adapter] = rel match {
@@ -105,6 +114,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             spec: MergeSpec): DataFrame =
           h.mergeFrame(src, srcKeys.head, spec.deleteWhen, spec.updateWhen,
             spec.updateSet, spec.insertWhen, spec.insertValues)(sp).toDF(sp)
+        def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
+          implicit val s0: SparkSession = sp
+          h.deleteFrame(h.toDF.select(h.keyCol)).upsertFrame(rows).toDF(sp)
+        }
       })
     case r: CompositeRelation[_, _] =>
       val h: CompositeHandle[_, _] = r.h
@@ -121,6 +134,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           h.mergeFrame(src, srcKeys.head, srcKeys(1), spec.deleteWhen,
             spec.updateWhen, spec.updateSet, spec.insertWhen,
             spec.insertValues)(sp).toDF(sp)
+        def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
+          implicit val s0: SparkSession = sp
+          h.deleteFrame(h.toDF.select(h.keyColA, h.keyColB))
+            .upsertFrame(rows).toDF(sp)
+        }
       })
     case r: CompositeNRelation =>
       val h: CompositeNHandle = r.h
@@ -136,6 +154,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             spec: MergeSpec): DataFrame =
           h.mergeFrame(src, srcKeys, spec.deleteWhen, spec.updateWhen,
             spec.updateSet, spec.insertWhen, spec.insertValues)(sp).toDF(sp)
+        def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
+          implicit val s0: SparkSession = sp
+          h.deleteFrame(h.toDF.select(h.keyCols.head, h.keyCols.tail: _*))
+            .upsertFrame(rows).toDF(sp)
+        }
       })
     case _ => None
   }
@@ -396,10 +419,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     val tgt = AttributeSet(u.table.output)
     for {
       (view, ad) <- dest(u.table)
-      condC <- u.condition match {
-        case Some(e) => remapPlain(e, tgt)
-        case None => Some(lit(true))
-      }
+      affected <- affectedSelector(u.condition, tgt, ad)
       assigns <- {
         val pairs = u.assignments.map {
           case Assignment(k: AttributeReference, v) if tgt.contains(k) &&
@@ -416,22 +436,48 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case None => col(f.name)
         }
       }
-      val ups = ad.df(sp).filter(condC).select(outCols.toIndexedSeq: _*)
+      val ups = affected(sp).select(outCols.toIndexedSeq: _*)
       ad.upsert(sp, ups).createOrReplaceTempView(view)
     }
+  }
+
+  /** The rows an UPDATE's WHERE selects: a plain remappable predicate
+    * filters the frame directly; `<key cols> IN (SELECT ...)` —
+    * the CDC-correction shape — semi-joins the subquery's keys
+    * instead (null keys match nothing). Anything else falls through. */
+  private def affectedSelector(cond: Option[Expression], tgt: AttributeSet,
+      ad: Adapter): Option[SparkSession => DataFrame] = cond match {
+    case None => Some(sp => ad.df(sp))
+    case Some(org.apache.spark.sql.catalyst.expressions.InSubquery(values,
+        lq: org.apache.spark.sql.catalyst.expressions.ListQuery))
+        if values.forall(_.isInstanceOf[AttributeReference]) &&
+          values.map(_.asInstanceOf[AttributeReference]).forall(tgt.contains) &&
+          values.map(_.asInstanceOf[AttributeReference].name) == ad.keyCols =>
+      val subPlan = lq.plan
+      Some { sp =>
+        val sub0 = ExpressionBridge.ofRows(sp, subPlan)
+        val keyTypes = ad.keyCols.map(ad.schema(_).dataType)
+        val keys = sub0.na.drop().select(
+          sub0.columns.toSeq.zip(keyTypes).zipWithIndex.map {
+            case ((c, dt), i) => sub0.col(s"`$c`").cast(dt).as(ad.keyCols(i))
+          }: _*)
+        ad.df(sp).join(keys, ad.keyCols, "left_semi")
+      }
+    case Some(e) => remapPlain(e, tgt).map(c => (sp: SparkSession) =>
+      ad.df(sp).filter(c))
   }
 
   // ---------------------------------------------------------------- INSERT
 
   private def rewriteInsert(i: InsertIntoStatement): Option[LogicalPlan] = {
-    if (i.overwrite || i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
-      return None
+    if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists) return None
     for {
       (view, ad) <- dest(i.table)
       pick <- insertAlignment(i, ad.schema)
     } yield {
       val qPlan = i.query
-      GraftDmlCommand("INSERT", view) { sp =>
+      val kind = if (i.overwrite) "INSERT OVERWRITE" else "INSERT"
+      GraftDmlCommand(kind, view) { sp =>
         val q0 = ExpressionBridge.ofRows(sp, qPlan)
         // positional rename first: VALUES/SELECT output names are
         // synthetic (and can contain dots), so never resolve by them
@@ -442,7 +488,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }.toIndexedSeq: _*)
-        ad.upsert(sp, aligned).createOrReplaceTempView(view)
+        val next =
+          if (i.overwrite) ad.overwrite(sp, aligned)
+          else ad.upsert(sp, aligned)
+        next.createOrReplaceTempView(view)
       }
     }
   }

@@ -140,6 +140,31 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gsx_ins").as[Long].head() === 102L)
   }
 
+  test("INSERT OVERWRITE truncates and loads; UPDATE with key IN-subquery semi-joins") {
+    val h = freshCorpus("gsx_ovw")
+    spark.sql(
+      """INSERT OVERWRITE gsx_ovw
+        |SELECT id AS k, concat('n', CAST(id AS STRING)) AS name,
+        |       CAST(id AS DOUBLE) * 2 AS bal
+        |FROM range(200, 210)""".stripMargin)
+    val rows = spark.sql("SELECT k, name, bal FROM gsx_ovw ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(rows === (200L until 210L).map(i => (i, s"n$i", i * 2.0)))
+    // pre-statement snapshot untouched (COW)
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    assert(h.toDF.count() === 100L)
+    // UPDATE ... WHERE k IN (SELECT ...)
+    freshCorpus("gsx_updsub")
+    Seq(Some(5L), None, Some(6L), Some(9999L)).toDF("uk")
+      .createOrReplaceTempView("gsx_updsub_keys")
+    spark.sql(
+      "UPDATE gsx_updsub SET bal = -1 WHERE k IN (SELECT uk FROM gsx_updsub_keys)")
+    val neg = spark.sql("SELECT k FROM gsx_updsub WHERE bal = -1")
+      .as[Long].collect().toSet
+    assert(neg === Set(5L, 6L))
+    assert(spark.sql("SELECT count(*) FROM gsx_updsub").as[Long].head() === 100L)
+  }
+
   test("composite-key MERGE as SQL text with a two-equality ON clause") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val df = (for (a <- 1L to 5L; b <- 1L to 10L)
