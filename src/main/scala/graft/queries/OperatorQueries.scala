@@ -571,6 +571,28 @@ object OperatorQueries {
       s.sql("SELECT b1, b2, c_custkey, c_acctbal FROM dml_mrg3_corpus")
     },
 
+    "ir_sql_time_travel_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL time travel over the COW chain the SQL-text DML builds:
+      // version 0 = pre-DML, 1 = after the DELETE, 2 = after the
+      // UPDATE; `VERSION AS OF n` substitutes the immutable snapshot.
+      // Exact integer aggregates only — no fp drift in the gate.
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("dml_tt_corpus")
+      s.sql("DELETE FROM dml_tt_corpus WHERE c_custkey % 10 = 3")
+      s.sql("UPDATE dml_tt_corpus SET c_nationkey = 0 WHERE c_custkey % 10 = 4")
+      s.sql(
+        """SELECT 0 AS v, count(*) AS cnt, sum(c_custkey) AS key_sum,
+          |       sum(c_nationkey) AS nat_sum
+          |FROM dml_tt_corpus VERSION AS OF 0
+          |UNION ALL
+          |SELECT 1, count(*), sum(c_custkey), sum(c_nationkey)
+          |FROM dml_tt_corpus VERSION AS OF 1
+          |UNION ALL
+          |SELECT 2, count(*), sum(c_custkey), sum(c_nationkey)
+          |FROM dml_tt_corpus VERSION AS OF 2""".stripMargin)
+    },
+
     "ir_sql_delete_sqltext" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // SQL-text DELETE: the predicate filters THROUGH the handle's
@@ -2488,6 +2510,22 @@ object OperatorQueries {
         |FROM src s LEFT JOIN t
         |  ON t.b1 = s.s1 AND t.b2 = s.s2 AND t.c_custkey = s.sk
         |WHERE t.c_custkey IS NULL""".stripMargin,
+
+    "ir_sql_time_travel_sqltext" ->
+      """WITH v1 AS (SELECT * FROM customer WHERE c_custkey % 10 <> 3),
+        |v2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 4 THEN 0 ELSE c_nationkey END AS c_nationkey
+        |       FROM v1)
+        |SELECT CAST(0 AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(c_nationkey) AS BIGINT) AS nat_sum
+        |FROM customer
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(c_custkey) AS BIGINT),
+        |  CAST(sum(c_nationkey) AS BIGINT) FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(c_custkey) AS BIGINT),
+        |  CAST(sum(c_nationkey) AS BIGINT) FROM v2""".stripMargin,
 
     "ir_sql_delete_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -63,8 +63,33 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
   // target before an appended post-hoc rule would ever run. Extension
   // resolution rules run at the end of each fixed-point iteration, so
   // the rule fires in the first iteration where the node is resolved.
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(s => new GraftDmlRule(s))
+    // the hints batch runs BEFORE resolution, which is where the
+    // VERSION AS OF substitution must happen — the built-in
+    // ResolveRelations throws "time travel on temp view" the moment it
+    // sees the un-substituted node
+    e.injectHintResolutionRule(s => new GraftTimeTravelRule(s))
+  }
+}
+
+/** `SELECT ... FROM view VERSION AS OF n` over a view whose chain the
+  * SQL-text DML recorded: substitute version n's immutable snapshot
+  * plan. Runs in the pre-resolution hints batch; unknown
+  * views/versions stay for Spark's ordinary errors. */
+class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+          None, Some(ver)) =>
+        (u.multipartIdentifier match {
+          case Seq(name) => scala.util.Try(ver.toLong).toOption
+            .flatMap(GraftSqlExtension.versionAt(session, name, _))
+            .map(p => SubqueryAlias(name, p))
+          case _ => None
+        }).getOrElse(tt)
+    }
 }
 
 /** The post-hoc DML rewrite. One instance per session. */
@@ -77,7 +102,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable if u.resolved => rewriteUpdate(u).getOrElse(u)
     case i: InsertIntoStatement if i.table.resolved && i.query.resolved =>
       rewriteInsert(i).getOrElse(i)
-    case _ => plan
+    case p => p
   }
 
   // ---------------------------------------------------------------- target
@@ -348,7 +373,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       GraftDmlCommand("MERGE", view) { sp =>
         val srcDF0 = ExpressionBridge.ofRows(sp, srcPlan)
         val (srcDF, names) = srcKeyCols(srcDF0)
-        ad.merge(sp, srcDF, names, spec).createOrReplaceTempView(view)
+        ad.merge(sp, srcDF, names, spec)
       }
     }
   }
@@ -400,14 +425,14 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               sub0.columns.toSeq.zip(keyTypes).zipWithIndex.map {
                 case ((c, dt), i) => sub0.col(s"`$c`").cast(dt).as(ad.keyCols(i))
               }: _*)
-            ad.delete(sp, keys).createOrReplaceTempView(view)
+            ad.delete(sp, keys)
           })
         case cond =>
           remapPlain(cond, tgt).map { condC =>
             GraftDmlCommand("DELETE", view) { sp =>
               val keys = ad.df(sp).filter(condC)
                 .select(ad.keyCols.map(col): _*)
-              ad.delete(sp, keys).createOrReplaceTempView(view)
+              ad.delete(sp, keys)
             }
           }
       }
@@ -437,7 +462,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
       }
       val ups = affected(sp).select(outCols.toIndexedSeq: _*)
-      ad.upsert(sp, ups).createOrReplaceTempView(view)
+      ad.upsert(sp, ups)
     }
   }
 
@@ -488,10 +513,8 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }.toIndexedSeq: _*)
-        val next =
-          if (i.overwrite) ad.overwrite(sp, aligned)
-          else ad.upsert(sp, aligned)
-        next.createOrReplaceTempView(view)
+        if (i.overwrite) ad.overwrite(sp, aligned)
+        else ad.upsert(sp, aligned)
       }
     }
   }
@@ -527,13 +550,64 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   * returns no rows. The body lives in a second parameter list so plan
   * equality/canonicalization sees only (kind, view). */
 case class GraftDmlCommand(kind: String, view: String)(
-    body: SparkSession => Unit) extends LeafRunnableCommand {
+    body: SparkSession => DataFrame) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override protected def otherCopyArgs: Seq[AnyRef] = body :: Nil
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    body(sparkSession)
+    // the view's CURRENT plan is version max before this statement; the
+    // chain seeds with it on the first DML so `VERSION AS OF 0` is the
+    // pre-DML state
+    val before = sparkSession.sessionState.catalog.getTempView(view)
+      .map(_.child)
+    val next = body(sparkSession)
+    next.createOrReplaceTempView(view)
+    GraftSqlExtension.recordRebind(sparkSession, view, before,
+      next.queryExecution.analyzed)
     Nil
   }
   override def simpleString(maxFields: Int): String =
     s"GraftDmlCommand $kind $view"
+}
+
+object GraftSqlExtension {
+  /** Per-(session, view) COW version chains, appended by every SQL-text
+    * DML statement: index 0 is the state before the first statement,
+    * each statement adds its result — so `SELECT ... FROM view VERSION
+    * AS OF n` time-travels the chain for free (snapshots are immutable
+    * copy-on-write handles; keeping a plan alive pins its index, which
+    * IS the versioned-store contract). Weak-keyed on the session so
+    * chains die with it. */
+  private val chains =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Vector[LogicalPlan]]]()
+
+  private def chainOf(sp: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Vector[LogicalPlan]] =
+    chains.synchronized {
+      var m = chains.get(sp)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        chains.put(sp, m)
+      }
+      m
+    }
+
+  private[sql] def recordRebind(sp: SparkSession, view: String,
+      before: Option[LogicalPlan], after: LogicalPlan): Unit = {
+    val m = chainOf(sp)
+    val cur = m.getOrElse(view, Vector.empty)
+    val seeded = if (cur.isEmpty) before.toVector else cur
+    m.put(view, seeded :+ after)
+    ()
+  }
+
+  private[sql] def versionAt(sp: SparkSession, view: String,
+      v: Long): Option[LogicalPlan] =
+    chainOf(sp).get(view).flatMap { ch =>
+      if (v >= 0 && v < ch.length) Some(ch(v.toInt)) else None
+    }
+
+  /** Number of recorded versions for a view (0 = no SQL DML yet). */
+  def versionCount(sp: SparkSession, view: String): Int =
+    chainOf(sp).get(view).map(_.length).getOrElse(0)
 }

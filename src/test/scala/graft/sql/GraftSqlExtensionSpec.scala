@@ -271,6 +271,35 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     assert(merged.toDF.count() === 100L) // -1 deleted, +1 inserted
   }
 
+  test("VERSION AS OF time-travels the SQL-text DML chain") {
+    freshCorpus("gsx_tt")
+    spark.sql("DELETE FROM gsx_tt WHERE k <= 10")
+    spark.sql("UPDATE gsx_tt SET bal = 0 WHERE k > 90")
+    spark.sql("INSERT INTO gsx_tt VALUES (200, 'x', 1.0)")
+    assert(GraftSqlExtension.versionCount(spark, "gsx_tt") === 4)
+    val counts = (0 to 3).map(v =>
+      spark.sql(s"SELECT count(*) FROM gsx_tt VERSION AS OF $v").as[Long].head())
+    assert(counts === Seq(100L, 90L, 90L, 91L))
+    // version 1 still has bal intact for k > 90; version 2 zeroed it
+    assert(spark.sql(
+      "SELECT sum(bal) FROM gsx_tt VERSION AS OF 1 WHERE k > 90")
+      .as[Double].head() === (91L to 100L).map(_.toDouble).sum)
+    assert(spark.sql(
+      "SELECT sum(bal) FROM gsx_tt VERSION AS OF 2 WHERE k > 90")
+      .as[Double].head() === 0.0)
+    // current view == latest version
+    assert(spark.sql("SELECT count(*) FROM gsx_tt").as[Long].head() === 91L)
+    // joining two versions of the SAME view (the classic diff query)
+    val diff = spark.sql(
+      """SELECT a.k FROM gsx_tt VERSION AS OF 0 a
+        |LEFT ANTI JOIN gsx_tt VERSION AS OF 1 b ON a.k = b.k""".stripMargin)
+      .as[Long].collect().toSet
+    assert(diff === (1L to 10L).toSet)
+    // unknown version stays for Spark's error
+    intercept[Exception](
+      spark.sql("SELECT * FROM gsx_tt VERSION AS OF 99").collect())
+  }
+
   test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
     freshCorpus("gsx_unsup")
     Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
