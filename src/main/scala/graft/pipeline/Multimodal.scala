@@ -311,4 +311,128 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------ real audio
+
+  /** Audio-lane seed offset: distinct from [[PixSeedC]] so audio sample
+    * streams never collide with image pixel streams for the same id. */
+  private[graft] val AudSeedC = 69069L
+
+  /** Deterministic REAL-WAV payload: 16-bit mono PCM (RIFF/WAVE, the
+    * canonical 44-byte header) whose samples are the closed-form MINSTD
+    * stream state_i = seed · 48271^i mod P with
+    * seed = ((id mod P) · 48271 + [[AudSeedC]]) mod P, mapped to signed
+    * 16-bit as ((state >> 8) & 0xffff) - 32768. PCM is lossless, so the
+    * decode reproduces every sample bit-exactly and the DuckDB oracle
+    * regenerates them from the same closed form. */
+  def encodeWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var state = ((id % PixP) * PixA + AudSeedC) % PixP
+    var i = 0
+    while (i < nSamples) {
+      state = state * PixA % PixP
+      buf.putShort((((state >> 8) & 0xffff) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL WAV decode — a chunk-walking RIFF parser, not a fixed-offset
+    * reader: skips unknown chunks (LIST/INFO metadata, fact, cue) with
+    * RIFF's even-byte padding, requires PCM (format 1) 16-bit, and
+    * returns (sampleRate, channels, interleaved samples). Channels > 1
+    * return interleaved frames exactly as stored. */
+  def decodeWav(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF payload")
+    buf.getInt() // RIFF chunk size (trust the chunk walk, not this)
+    require(tag() == "WAVE", "not a WAVE payload")
+    var sampleRate = -1
+    var channels = -1
+    var bits = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val id = tag()
+      val size = buf.getInt()
+      id match {
+        case "fmt " =>
+          val start = buf.position()
+          val fmt = buf.getShort()
+          require(fmt == 1, s"not PCM (format $fmt)")
+          channels = buf.getShort().toInt
+          sampleRate = buf.getInt()
+          buf.getInt() // byte rate
+          buf.getShort() // block align
+          bits = buf.getShort().toInt
+          require(bits == 16, s"only 16-bit PCM supported (got $bits)")
+          buf.position(start + size + (size & 1))
+        case "data" =>
+          require(bits == 16, "data chunk before fmt chunk")
+          val n = size / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = buf.getShort(); i += 1 }
+          samples = out
+        case _ => // LIST, fact, cue, ... — skip with RIFF even padding
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    require(samples != null, "no data chunk")
+    (sampleRate, channels, samples)
+  }
+
+  /** Media table of REAL WAV payloads (one 16-bit PCM clip per doc):
+    * n = 64 + 8·(id % 8) samples (multiple of 8, so band pooling has
+    * equal-size bands), width carries the sample count, kind = audio. */
+  def realAudioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = 64 + 8 * (id % 8).toInt
+        MediaItem(id, "audio", n, 1, 1, encodeWav(id, n))
+      }.toDF()
+  }
+
+  /** Band-pooled audio features over whole-partition batches (same
+    * mapPartitions shape as [[extractFeatures]]): band b of `dim` is
+    * the mean amplitude of the samples in [b·n/dim, (b+1)·n/dim) —
+    * integer sample sums, one double division per band, so the oracle
+    * reproduces each feature bit-exactly. */
+  def extractAudioFeatures(media: Dataset[MediaItem], dim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { item =>
+        val (_, _, samples) = decodeWav(item.payload)
+        val n = samples.length
+        val feats = new Array[Double](dim)
+        var band = 0
+        while (band < dim) {
+          val from = band * n / dim
+          val until = (band + 1) * n / dim
+          var acc = 0L
+          var i = from
+          while (i < until) { acc += samples(i); i += 1 }
+          if (until > from) feats(band) = acc.toDouble / (until - from)
+          band += 1
+        }
+        MediaFeatures(item.media_id, item.kind, feats)
+      }
+    }
+  }
 }

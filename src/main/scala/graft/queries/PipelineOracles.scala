@@ -1224,6 +1224,32 @@ object PipelineOracles {
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum
        |FROM feat""".stripMargin
 
+  /** mm_audio_real: every payload is a REAL RIFF/WAVE 16-bit PCM clip
+    * whose signed samples are the closed-form MINSTD stream
+    * s_i = ((((seed · 48271^(i+1)) mod P) >> 8) & 0xffff) - 32768 with
+    * seed = ((id mod P) · 48271 + 69069) mod P; band b of 8 pools
+    * samples [b·n/8, (b+1)·n/8) (n = 64 + 8·(id mod 8), so bands are
+    * equal-size), and feat_wsum weights band means by (band+1) to keep
+    * the check sensitive to pooling. A one-sample decode deviation
+    * breaks the hash. */
+  val mmAudioReal: String =
+    s"""WITH m AS (SELECT doc_id AS id,
+       |        CAST(64 + 8 * (doc_id % 8) AS BIGINT) AS n FROM documents),
+       |feat AS (SELECT id,
+       |  list_transform(range(0, 8), band ->
+       |    CAST(list_sum(list_transform(range(band * (n // 8), (band + 1) * (n // 8)), i ->
+       |      ((((((id % $P) * ${graft.pipeline.Multimodal.PixA}
+       |           + ${graft.pipeline.Multimodal.AudSeedC}) % $P)
+       |        * ($powLit)[i + 1]) % $P >> 8) & 65535) - 32768))
+       |      AS DOUBLE) / (n // 8)) AS f
+       |  FROM m)
+       |SELECT id AS media_id, 'audio' AS kind,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, 8), b -> f[b + 1] * (b + 1))),
+       |    (a, x) -> a + x) AS feat_wsum
+       |FROM feat""".stripMargin
+
   val mmAnn: String =
     s"""WITH $mediaFeatCte,
        |qn AS (SELECT list_transform(f, x -> x / sqrt(${dot8("f", "f")})) AS q
@@ -1297,6 +1323,7 @@ object PipelineOracles {
     "mm_dedup" -> mmDedup,
     "mm_features" -> mmFeatures,
     "mm_features_real" -> mmFeaturesReal,
+    "mm_audio_real" -> mmAudioReal,
     "mm_ann" -> mmAnn,
   )
 }

@@ -567,6 +567,25 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("double")).as("feat_sum"))
     },
 
+    "mm_audio_real" -> { (s, dir) =>
+      import s.implicits._
+      // REAL audio bytes: every payload is a genuine RIFF/WAVE 16-bit
+      // PCM clip (chunk-walking decoder, not a fixed-offset reader)
+      // carrying the closed-form MINSTD sample stream — the oracle
+      // regenerates each signed sample and must match the real decode
+      // bit for bit. feat_wsum weights band means by (band+1), so the
+      // check is sensitive to band POOLING, not just the sample total
+      val media = Multimodal.realAudioTable(Tables.documents(s, dir))
+        .as[Multimodal.MediaItem]
+      Multimodal.extractAudioFeatures(media, dim = 8).toDF()
+        .select(col("media_id"), col("kind"),
+          aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")).as("feat_sum"),
+          aggregate(zip_with(col("features"),
+              sequence(lit(1), lit(8)), (f, i) => f * i.cast("double")),
+            lit(0.0d), (acc, x) => acc + x).as("feat_wsum"))
+    },
+
     "mm_ann" -> { (s, dir) =>
       import s.implicits._
       // cross-modal composition: decode media -> feature vectors -> ANN

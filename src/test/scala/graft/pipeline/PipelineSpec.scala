@@ -508,6 +508,52 @@ class PipelineSpec extends AnyFunSuite {
       "each content should appear exactly twice across containers")
   }
 
+  test("multimodal real audio: WAV PCM round-trips samples; chunk walk skips metadata; non-PCM rejected") {
+    // encode->decode is lossless: every signed 16-bit sample equals the
+    // closed-form MINSTD stream
+    for (id <- Seq(0L, 7L, 123L)) {
+      val n = 64 + 8 * (id % 8).toInt
+      val wav = Multimodal.encodeWav(id, n, sampleRate = 8000)
+      assert(wav.take(4).toSeq === "RIFF".getBytes("US-ASCII").toSeq)
+      val (rate, channels, samples) = Multimodal.decodeWav(wav)
+      assert((rate, channels, samples.length) === ((8000, 1, n)))
+      var state = ((id % Multimodal.PixP) * Multimodal.PixA +
+        Multimodal.AudSeedC) % Multimodal.PixP
+      (0 until n).foreach { i =>
+        state = state * Multimodal.PixA % Multimodal.PixP
+        assert(samples(i) === (((state >> 8) & 0xffff) - 32768).toShort, s"id $id sample $i")
+      }
+    }
+    // a real-world WAV carries metadata chunks before data: inject an
+    // odd-sized LIST chunk (RIFF pads to even) and verify the chunk
+    // walk still lands on fmt+data
+    val base = Multimodal.encodeWav(42L, 64)
+    val meta = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val withMeta = base.take(12) ++ meta ++ base.drop(12)
+    val bb = java.nio.ByteBuffer.wrap(withMeta).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withMeta.length - 8) // fix RIFF size
+    assert(Multimodal.decodeWav(withMeta)._3.toSeq ===
+      Multimodal.decodeWav(base)._3.toSeq)
+    // non-PCM (format 3 = IEEE float) is rejected, not misread
+    val nonPcm = base.clone()
+    java.nio.ByteBuffer.wrap(nonPcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3.toShort)
+    assertThrows[IllegalArgumentException](Multimodal.decodeWav(nonPcm))
+    // batch feature extraction over real WAV bytes: equal-size bands,
+    // means reproducible from the sample stream
+    val docs = Tables.documents(spark, dir).limit(20)
+    val audio = Multimodal.realAudioTable(docs).as[Multimodal.MediaItem]
+    val feats = Multimodal.extractAudioFeatures(audio, 8).collect()
+    assert(feats.nonEmpty && feats.forall(_.features.length === 8))
+    val byId = feats.map(f => f.media_id -> f.features).toMap
+    val (_, _, s0) = Multimodal.decodeWav(
+      audio.filter($"media_id" === 0L).head().payload)
+    val expected = s0.grouped(s0.length / 8)
+      .map(b => b.map(_.toLong).sum.toDouble / b.length).toArray
+    assert(byId(0L).toSeq === expected.toSeq)
+  }
+
   test("quality score is bounded and favors longer stopword-bearing text") {
     val df = Seq(
       "the cat sat on the mat and it was a good day for all of the cats to sit",
