@@ -593,6 +593,25 @@ object OperatorQueries {
           |FROM dml_tt_corpus VERSION AS OF 2""".stripMargin)
     },
 
+    "ir_sql_index_ddl_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL-text index DDL through Spark's own CREATE/DROP INDEX
+      // grammar: the hash secondary routes the equality into point
+      // probes, the ZONEMAP prunes the value predicate, and the DROPs
+      // make reruns in one session idempotent (they also exercise the
+      // drop path against a fresh handle: stale registry entries
+      // release without touching it)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("ddl_idx_corpus")
+      s.sql("DROP INDEX IF EXISTS nat_idx ON ddl_idx_corpus")
+      s.sql("DROP INDEX IF EXISTS bal_zone ON ddl_idx_corpus")
+      s.sql("CREATE INDEX nat_idx ON ddl_idx_corpus (c_nationkey)")
+      s.sql("CREATE INDEX bal_zone ON ddl_idx_corpus USING ZONEMAP (c_acctbal)")
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal FROM ddl_idx_corpus
+          |WHERE c_nationkey = 7 AND c_acctbal >= 0""".stripMargin)
+    },
+
     "ir_sql_delete_sqltext" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // SQL-text DELETE: the predicate filters THROUGH the handle's
@@ -2526,6 +2545,10 @@ object OperatorQueries {
         |UNION ALL
         |SELECT 2, count(*), CAST(sum(c_custkey) AS BIGINT),
         |  CAST(sum(c_nationkey) AS BIGINT) FROM v2""".stripMargin,
+
+    "ir_sql_index_ddl_sqltext" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_nationkey = 7 AND c_acctbal >= 0""".stripMargin,
 
     "ir_sql_delete_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -70,7 +70,77 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
     // ResolveRelations throws "time travel on temp view" the moment it
     // sees the un-substituted node
     e.injectHintResolutionRule(s => new GraftTimeTravelRule(s))
+    // same pre-resolution timing for index DDL: CREATE/DROP INDEX
+    // carry an UnresolvedTable child, and the built-in table resolution
+    // rejects temp views before a resolution-batch rule would run
+    e.injectHintResolutionRule(s => new GraftIndexDdlRule(s))
   }
+}
+
+/** SQL-text index DDL over graft-indexed temp views, reusing Spark's
+  * own `CREATE INDEX` / `DROP INDEX` grammar (shipped for DataSourceV2
+  * `SupportsIndex` sources):
+  *
+  *  - `CREATE INDEX name ON view (col)` → [[IndexedFrame.Handle.addSecondaryIndex]]
+  *    (hash inverted index: pushed equality/IN route into point probes)
+  *  - `CREATE INDEX name ON view USING BTREE (col)` → ordered secondary
+  *    (pushed ranges route too); `USING HASH` = the default
+  *  - `CREATE INDEX name ON view USING ZONEMAP (cols...)` →
+  *    [[IndexedFrame.ZoneMapped.analyzeZones]] (per-partition min/max
+  *    pruning on the named columns)
+  *  - `DROP INDEX name ON view` → `dropSecondaryIndex` / `dropZones`
+  *
+  * `IF NOT EXISTS` / `IF EXISTS` behave as in SQL. Names are tracked
+  * per (session, view) — only SQL-created indexes are droppable by
+  * name; indexes added through the Scala API are nameless and stay
+  * managed from Scala. Statements over non-graft tables (or multi-part
+  * names) are left untouched for Spark's ordinary errors. Note a DML
+  * rebind swaps the view to a NEW copy-on-write handle: like any
+  * snapshot store, indexes belong to the handle they were built on. */
+class GraftIndexDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+  import org.apache.spark.sql.catalyst.plans.logical.{CreateIndex, DropIndex}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case ci @ CreateIndex(u: UnresolvedTable, name, idxType, ignoreIfExists,
+        columns, _) =>
+      (u.multipartIdentifier match {
+        case Seq(view) =>
+          val cols = columns.map(_._1.name)
+          if (cols.exists(_.size != 1)) None
+          else GraftSqlExtension.handleFor(session, view).map { h =>
+            GraftIndexCommand("CREATE INDEX", view, name) { sp =>
+              GraftSqlExtension.createNamedIndex(sp, view, h, name,
+                idxType, cols.map(_.head), ignoreIfExists)
+            }
+          }
+        case _ => None
+      }).getOrElse(ci)
+    case di @ DropIndex(u: UnresolvedTable, name, ignoreIfNotExists) =>
+      (u.multipartIdentifier match {
+        case Seq(view) =>
+          GraftSqlExtension.handleFor(session, view).map { h =>
+            GraftIndexCommand("DROP INDEX", view, name) { sp =>
+              GraftSqlExtension.dropNamedIndex(sp, view, h, name,
+                ignoreIfNotExists)
+            }
+          }
+        case _ => None
+      }).getOrElse(di)
+    case p => p
+  }
+}
+
+/** Eagerly-executed index DDL: runs the captured body on the driver.
+  * The body lives in a second parameter list so plan equality sees
+  * only (kind, view, index name). */
+case class GraftIndexCommand(kind: String, view: String, indexName: String)(
+    body: SparkSession => Unit) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override protected def otherCopyArgs: Seq[AnyRef] = body :: Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = { body(sparkSession); Nil }
+  override def simpleString(maxFields: Int): String =
+    s"GraftIndexCommand $kind $indexName ON $view"
 }
 
 /** `SELECT ... FROM view VERSION AS OF n` over a view whose chain the
@@ -610,4 +680,89 @@ object GraftSqlExtension {
   /** Number of recorded versions for a view (0 = no SQL DML yet). */
   def versionCount(sp: SparkSession, view: String): Int =
     chainOf(sp).get(view).map(_.length).getOrElse(0)
+
+  // ---------------------------------------------------------- index DDL
+
+  private type DdlHandle =
+    IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped
+
+  /** Per-(session, view) registry of SQL-created indexes:
+    * (view, index name) → (normalized type, columns). Weak-keyed on the
+    * session like the version chains. */
+  private val indexRegs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), (String, Seq[String])]]()
+
+  private def indexRegOf(sp: SparkSession)
+      : scala.collection.concurrent.TrieMap[(String, String), (String, Seq[String])] =
+    indexRegs.synchronized {
+      var m = indexRegs.get(sp)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        indexRegs.put(sp, m)
+      }
+      m
+    }
+
+  /** SQL-created indexes on `view`: (name, type, columns), name-sorted. */
+  def indexesOn(sp: SparkSession, view: String): Seq[(String, String, Seq[String])] =
+    indexRegOf(sp).iterator.collect {
+      case ((v, n), (t, cs)) if v == view => (n, t, cs)
+    }.toSeq.sortBy(_._1)
+
+  /** The graft handle behind a temp view, when the view is a plain
+    * wrapper over one indexed relation (single-key, composite, or
+    * N-ary — all carry the secondary-index and zone-map surfaces). */
+  private[sql] def handleFor(sp: SparkSession, view: String): Option[DdlHandle] =
+    sp.sessionState.catalog.getTempView(view).flatMap(_.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if graftHandleOf(lr.relation).isDefined => graftHandleOf(lr.relation).get
+    })
+
+  private def graftHandleOf(rel: BaseRelation): Option[DdlHandle] = rel match {
+    case r: IndexedFrame.IndexedRelation[_] => Some(r.h)
+    case r: IndexedFrame.CompositeRelation[_, _] => Some(r.h)
+    case r: IndexedFrame.CompositeNRelation => Some(r.h)
+    case _ => None
+  }
+
+  private[sql] def createNamedIndex(sp: SparkSession, view: String,
+      h: DdlHandle, name: String, idxType: String, cols: Seq[String],
+      ignoreIfExists: Boolean): Unit = {
+    val reg = indexRegOf(sp)
+    if (reg.contains((view, name))) {
+      if (!ignoreIfExists)
+        throw new IllegalArgumentException(
+          s"index '$name' already exists on view '$view'")
+      return
+    }
+    val norm = idxType.toLowerCase match {
+      case "" | "hash" => "hash"
+      case "btree" | "ordered" => "btree"
+      case "zonemap" => "zonemap"
+      case other => throw new IllegalArgumentException(
+        s"unsupported index type '$other' (USE: HASH, BTREE, ZONEMAP)")
+    }
+    norm match {
+      case "zonemap" => h.analyzeZones(cols: _*)
+      case t =>
+        require(cols.size == 1,
+          s"a $t index takes exactly one column (got ${cols.size}); " +
+            "ZONEMAP indexes take several")
+        h.addSecondaryIndex(cols.head, ordered = t == "btree")
+    }
+    reg.put((view, name), (norm, cols))
+    ()
+  }
+
+  private[sql] def dropNamedIndex(sp: SparkSession, view: String,
+      h: DdlHandle, name: String, ignoreIfNotExists: Boolean): Unit =
+    indexRegOf(sp).remove((view, name)) match {
+      case Some(("zonemap", cols)) => h.dropZones(cols: _*); ()
+      case Some((_, cols)) => h.dropSecondaryIndex(cols.head); ()
+      case None =>
+        if (!ignoreIfNotExists)
+          throw new NoSuchElementException(
+            s"no index '$name' on view '$view'")
+    }
 }

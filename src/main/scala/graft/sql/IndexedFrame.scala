@@ -960,6 +960,22 @@ object IndexedFrame {
       this
     }
 
+    /** Unregister (and unpersist) the inverted index on `col`: pushed
+      * predicates on it fall back to the scan lanes from the next
+      * planning on — always sound, because secondary filters are never
+      * claimed in unhandledFilters. Count memos drop with it; stale
+      * probe-memo entries are unreachable (routing checks the registry
+      * first). Returns false when no such index exists. */
+    def dropSecondaryIndex(col: String): Boolean =
+      secondaries.remove(col) match {
+        case Some((_, sidx, _)) =>
+          sidx.unpersist(blocking = false)
+          secCountMemo.remove(col)
+          secNonNullMemo.remove(col)
+          true
+        case None => false
+      }
+
     private[sql] def hasSecondary(col: String): Boolean =
       secondaries.contains(col)
     private[sql] def hasOrderedSecondary(col: String): Boolean =
@@ -1651,6 +1667,15 @@ object IndexedFrame {
         zoneStats(c)
       }
       zoneEnabled ++= cols
+      this
+    }
+
+    /** Disable zone pruning on `cols` and drop their cached stats
+      * (driver-side min/max pairs — re-`analyzeZones` rebuilds). Columns
+      * without zones are ignored. Returns this handle for chaining. */
+    def dropZones(cols: String*): this.type = {
+      zoneEnabled --= cols
+      cols.foreach(zoneMemo.remove)
       this
     }
 

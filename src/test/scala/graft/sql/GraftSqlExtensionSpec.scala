@@ -300,6 +300,48 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM gsx_tt VERSION AS OF 99").collect())
   }
 
+  test("CREATE/DROP INDEX as SQL text: hash, btree, zonemap route and release") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val df = (1L to 200L).map(k => (k, s"n${k % 20}", k % 7, k * 1.0))
+      .toDF("k", "name", "grp", "bal")
+    val h = IndexedFrame.index(df, "k", numPartitions = 4)
+    h.toDF.createOrReplaceTempView("gsx_ddl")
+    // hash secondary on a string column
+    spark.sql("CREATE INDEX name_idx ON gsx_ddl (name)")
+    assert(h.hasSecondary("name") && !h.hasOrderedSecondary("name"))
+    assert(spark.sql("SELECT k FROM gsx_ddl WHERE name = 'n7'")
+      .as[Long].collect().toSet === (1L to 200L).filter(k => k % 20 == 7).toSet)
+    // ordered secondary: USING BTREE
+    spark.sql("CREATE INDEX grp_idx ON gsx_ddl USING BTREE (grp)")
+    assert(h.hasOrderedSecondary("grp"))
+    assert(spark.sql("SELECT k FROM gsx_ddl WHERE grp BETWEEN 5 AND 6")
+      .as[Long].collect().toSet === (1L to 200L).filter(k => k % 7 >= 5).toSet)
+    // zone maps: USING ZONEMAP
+    spark.sql("CREATE INDEX bal_zone ON gsx_ddl USING ZONEMAP (bal)")
+    assert(h.zoneSnapshot._1.contains("bal"))
+    assert(GraftSqlExtension.indexesOn(spark, "gsx_ddl").map(_._1) ===
+      Seq("bal_zone", "grp_idx", "name_idx"))
+    // duplicate name: IF NOT EXISTS no-ops, bare CREATE errors
+    spark.sql("CREATE INDEX IF NOT EXISTS name_idx ON gsx_ddl (name)")
+    intercept[Exception](spark.sql("CREATE INDEX name_idx ON gsx_ddl (name)"))
+    // unsupported index type errors with the graft message
+    val e = intercept[Exception](
+      spark.sql("CREATE INDEX x ON gsx_ddl USING RTREE (name)"))
+    assert(e.getMessage.contains("unsupported index type"))
+    // DROP releases each kind; unknown name needs IF EXISTS
+    spark.sql("DROP INDEX name_idx ON gsx_ddl")
+    assert(!h.hasSecondary("name"))
+    spark.sql("DROP INDEX bal_zone ON gsx_ddl")
+    assert(!h.zoneSnapshot._1.contains("bal"))
+    spark.sql("DROP INDEX IF EXISTS nosuch ON gsx_ddl")
+    intercept[Exception](spark.sql("DROP INDEX nosuch ON gsx_ddl"))
+    assert(GraftSqlExtension.indexesOn(spark, "gsx_ddl").map(_._1) === Seq("grp_idx"))
+    // a non-graft temp view is not intercepted: Spark raises its own
+    // CREATE INDEX error
+    df.createOrReplaceTempView("gsx_ddl_plain")
+    intercept[Exception](spark.sql("CREATE INDEX p ON gsx_ddl_plain (name)"))
+  }
+
   test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
     freshCorpus("gsx_unsup")
     Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
