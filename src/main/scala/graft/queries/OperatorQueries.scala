@@ -612,6 +612,26 @@ object OperatorQueries {
           |WHERE c_nationkey = 7 AND c_acctbal >= 0""".stripMargin)
     },
 
+    "ir_sql_table_changes_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // Delta-style CDC read as a TABLE FUNCTION over the COW chain:
+      // graft_changes('view', v1, v2) emits every column plus
+      // _change_type in {insert, delete, update_preimage,
+      // update_postimage}. The diff's three key equi-joins run over
+      // co-partitioned COW snapshots — the indexed zip-join strategy,
+      // no snapshot ever reshuffles
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("cdc_corpus")
+      s.sql("DELETE FROM cdc_corpus WHERE c_custkey % 10 = 3")
+      s.sql("UPDATE cdc_corpus SET c_acctbal = c_acctbal + 1 WHERE c_custkey % 10 = 4")
+      s.sql(
+        """INSERT INTO cdc_corpus (c_custkey, c_name)
+          |SELECT id + 60000000, 'cdc' FROM range(1, 6)""".stripMargin)
+      s.sql(
+        """SELECT _change_type, c_custkey, c_name, c_acctbal
+          |FROM graft_changes('cdc_corpus', 0, 3)""".stripMargin)
+    },
+
     "ir_sql_delete_sqltext" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // SQL-text DELETE: the predicate filters THROUGH the handle's
@@ -2549,6 +2569,21 @@ object OperatorQueries {
     "ir_sql_index_ddl_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_nationkey = 7 AND c_acctbal >= 0""".stripMargin,
+
+    // the UPDATE branches guard c_acctbal IS NOT NULL: a null balance
+    // updates to null (no value change), so the diff correctly omits it
+    "ir_sql_table_changes_sqltext" ->
+      """SELECT 'delete' AS _change_type, c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 10 = 3
+        |UNION ALL
+        |SELECT 'update_preimage', c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 10 = 4 AND c_acctbal IS NOT NULL
+        |UNION ALL
+        |SELECT 'update_postimage', c_custkey, c_name, c_acctbal + 1
+        |FROM customer WHERE c_custkey % 10 = 4 AND c_acctbal IS NOT NULL
+        |UNION ALL
+        |SELECT 'insert', id + 60000000, 'cdc', CAST(NULL AS DOUBLE)
+        |FROM range(1, 6) t(id)""".stripMargin,
 
     "ir_sql_delete_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

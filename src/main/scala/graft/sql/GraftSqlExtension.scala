@@ -74,6 +74,13 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
     // carry an UnresolvedTable child, and the built-in table resolution
     // rejects temp views before a resolution-batch rule would run
     e.injectHintResolutionRule(s => new GraftIndexDdlRule(s))
+    // table-valued CDC read over the recorded COW chain:
+    // SELECT * FROM graft_changes('view', v1[, v2])
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_changes"),
+      (args: Seq[Expression]) => GraftSqlExtension.changesPlan(args)))
   }
 }
 
@@ -666,7 +673,14 @@ object GraftSqlExtension {
       before: Option[LogicalPlan], after: LogicalPlan): Unit = {
     val m = chainOf(sp)
     val cur = m.getOrElse(view, Vector.empty)
-    val seeded = if (cur.isEmpty) before.toVector else cur
+    // the chain CONTINUES only if the view still points at its last
+    // recorded version; a name re-bound externally (a fresh
+    // createOrReplaceTempView over a new handle) starts a NEW chain —
+    // otherwise VERSION AS OF / graft_changes would read versions of a
+    // dead binding (observed: a second pipeline reusing a view name in
+    // one session diffed the FIRST pipeline's snapshots)
+    val continues = cur.nonEmpty && before.exists(b => cur.last == b)
+    val seeded = if (continues) cur else before.toVector
     m.put(view, seeded :+ after)
     ()
   }
@@ -765,4 +779,91 @@ object GraftSqlExtension {
           throw new NoSuchElementException(
             s"no index '$name' on view '$view'")
     }
+
+  // --------------------------------------------------- CDC changes TVF
+
+  /** Key columns of the graft relation inside a recorded version plan. */
+  private def keyColsOf(p: LogicalPlan): Option[Seq[String]] =
+    p.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if relKeyCols(lr.relation).isDefined => relKeyCols(lr.relation).get
+    }
+
+  private def relKeyCols(rel: BaseRelation): Option[Seq[String]] = rel match {
+    case r: IndexedFrame.IndexedRelation[_] => Some(Seq(r.h.keyCol))
+    case r: IndexedFrame.CompositeRelation[_, _] =>
+      Some(Seq(r.h.keyColA, r.h.keyColB))
+    case r: IndexedFrame.CompositeNRelation => Some(r.h.keyCols)
+    case _ => None
+  }
+
+  /** `SELECT * FROM graft_changes('view', v1[, v2])` — the Delta-style
+    * CDC read over the COW chain the SQL-text DML records: every
+    * column of the view plus `_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage, comparing version v1 to v2
+    * (default: the latest). Because consecutive versions are
+    * co-partitioned copy-on-write snapshots of indexed handles, the
+    * three key equi-joins underneath (two anti, one inner) route
+    * through the indexed zip-join strategy — the diff never shuffles
+    * either snapshot. Rows equal in every non-key column are not
+    * changes and do not appear. */
+  private[sql] def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    def evalArg(e: Expression): Any = {
+      require(e.foldable, "graft_changes arguments must be literals")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    require(args.size == 2 || args.size == 3,
+      "usage: graft_changes(view, fromVersion[, toVersion])")
+    val view = evalArg(args(0)) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_changes: view name must be a string literal (got $other)")
+    }
+    def ver(a: Any): Long = a match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"graft_changes: version must be an integer literal (got $other)")
+    }
+    val n = versionCount(sp, view)
+    if (n == 0) throw new IllegalArgumentException(
+      s"view '$view' has no recorded versions — graft_changes reads the " +
+        "chain SQL-text DML statements record")
+    val v1 = ver(evalArg(args(1)))
+    val v2 = if (args.size == 3) ver(evalArg(args(2))) else (n - 1).toLong
+    def at(v: Long): LogicalPlan = versionAt(sp, view, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version $v for view '$view' (have 0..${n - 1})"))
+    val (oldP, newP) = (at(v1), at(v2))
+    val keys = keyColsOf(oldP).orElse(keyColsOf(newP)).getOrElse(
+      throw new IllegalArgumentException(
+        s"view '$view' versions are not graft-indexed relations"))
+    val o = ExpressionBridge.ofRows(sp, oldP)
+    val nw = ExpressionBridge.ofRows(sp, newP)
+    val cols = o.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.select(cols.map(col) :+ lit(t).as("_change_type"): _*)
+    val inserted = tag(nw.join(o, keys, "left_anti"), "insert")
+    val deleted = tag(o.join(nw, keys, "left_anti"), "delete")
+    val all =
+      if (nonKeys.isEmpty) inserted.unionByName(deleted)
+      else {
+        // side-qualified refs (o(c) / nw(c)) stay unambiguous across
+        // the same-named columns: the versions are distinct relations
+        val diff = o.join(nw, keys.map(k => o(k) === nw(k)).reduce(And2),
+            "inner")
+          .where(nonKeys.map(c => !(o(c) <=> nw(c))).reduce(Or2))
+        val pre = diff.select(
+          cols.map(c => o(c).as(c)) :+ lit("update_preimage").as("_change_type"): _*)
+        val post = diff.select(
+          cols.map(c => nw(c).as(c)) :+ lit("update_postimage").as("_change_type"): _*)
+        inserted.unionByName(deleted).unionByName(pre).unionByName(post)
+      }
+    all.queryExecution.analyzed
+  }
+
+  private val And2 = (a: Column, b: Column) => a && b
+  private val Or2 = (a: Column, b: Column) => a || b
 }

@@ -342,6 +342,39 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("CREATE INDEX p ON gsx_ddl_plain (name)"))
   }
 
+  test("graft_changes TVF: insert/delete/update images between versions") {
+    freshCorpus("gsx_cdc")
+    spark.sql("DELETE FROM gsx_cdc WHERE k <= 3")                 // -> v1
+    spark.sql("UPDATE gsx_cdc SET bal = bal + 100 WHERE k = 50")  // -> v2
+    spark.sql("INSERT INTO gsx_cdc VALUES (999, 'new', 1.0)")     // -> v3
+    val ch = spark.sql(
+      "SELECT _change_type, k FROM graft_changes('gsx_cdc', 0, 3)")
+      .as[(String, Long)].collect().toSet
+    assert(ch === Set(("delete", 1L), ("delete", 2L), ("delete", 3L),
+      ("update_preimage", 50L), ("update_postimage", 50L), ("insert", 999L)))
+    // images carry the version's values
+    val bal = spark.sql(
+      """SELECT _change_type, bal FROM graft_changes('gsx_cdc', 1, 2)
+        |WHERE k = 50""".stripMargin).as[(String, Double)].collect().toSet
+    assert(bal === Set(("update_preimage", 50.0), ("update_postimage", 150.0)))
+    // omitted toVersion = latest; adjacent equal rows are not changes
+    assert(spark.sql("SELECT _change_type, k FROM graft_changes('gsx_cdc', 2)")
+      .as[(String, Long)].collect().toSet === Set(("insert", 999L)))
+    // unknown version / unrecorded view raise the graft errors
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_changes('gsx_cdc', 0, 99)").collect())
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_changes('gsx_nochain', 0)").collect())
+    // re-binding the name to a FRESH handle starts a NEW chain: the
+    // next statement's version 0 is the new corpus, not the dead
+    // binding's history
+    freshCorpus("gsx_cdc")
+    spark.sql("DELETE FROM gsx_cdc WHERE k = 1")
+    assert(GraftSqlExtension.versionCount(spark, "gsx_cdc") === 2)
+    assert(spark.sql("SELECT _change_type, k FROM graft_changes('gsx_cdc', 0)")
+      .as[(String, Long)].collect().toSet === Set(("delete", 1L)))
+  }
+
   test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
     freshCorpus("gsx_unsup")
     Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
