@@ -150,10 +150,12 @@ case class GraftIndexCommand(kind: String, view: String, indexName: String)(
     s"GraftIndexCommand $kind $indexName ON $view"
 }
 
-/** `SELECT ... FROM view VERSION AS OF n` over a view whose chain the
-  * SQL-text DML recorded: substitute version n's immutable snapshot
-  * plan. Runs in the pre-resolution hints batch; unknown
-  * views/versions stay for Spark's ordinary errors. */
+/** `SELECT ... FROM view VERSION AS OF n` and `... TIMESTAMP AS OF t`
+  * over a view whose chain the SQL-text DML recorded: substitute the
+  * immutable snapshot plan (exact version, or the floor over commit
+  * times — Delta's semantics). Runs in the pre-resolution hints batch;
+  * unknown views/versions/pre-chain timestamps stay for Spark's
+  * ordinary errors. */
 class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
@@ -166,7 +168,31 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
             .map(p => SubqueryAlias(name, p))
           case _ => None
         }).getOrElse(tt)
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+          Some(ts), None) =>
+        (u.multipartIdentifier match {
+          case Seq(name) => tsMillisOf(ts)
+            .flatMap(GraftSqlExtension.versionAtTime(session, name, _))
+            .map(p => SubqueryAlias(name, p))
+          case _ => None
+        }).getOrElse(tt)
     }
+
+  /** Epoch millis of a foldable TIMESTAMP AS OF argument: a timestamp
+    * literal (micros), or a string parsed as `java.sql.Timestamp`
+    * (the JVM-zone wall-clock form `versionTimes` round-trips).
+    * Non-foldable or unparseable expressions stay for Spark. */
+  private def tsMillisOf(e: Expression): Option[Long] = {
+    if (!e.foldable) return None
+    scala.util.Try(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+      .toOption.flatMap {
+        case micros: Long => Some(Math.floorDiv(micros, 1000L))
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          scala.util.Try(java.sql.Timestamp.valueOf(s.toString).getTime).toOption
+        case _ => None
+      }
+  }
 }
 
 /** The post-hoc DML rewrite. One instance per session. */
@@ -656,10 +682,10 @@ object GraftSqlExtension {
     * chains die with it. */
   private val chains =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Vector[LogicalPlan]]]()
+      scala.collection.concurrent.TrieMap[String, Vector[(LogicalPlan, Long)]]]()
 
   private def chainOf(sp: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, Vector[LogicalPlan]] =
+      : scala.collection.concurrent.TrieMap[String, Vector[(LogicalPlan, Long)]] =
     chains.synchronized {
       var m = chains.get(sp)
       if (m == null) {
@@ -679,21 +705,42 @@ object GraftSqlExtension {
     // otherwise VERSION AS OF / graft_changes would read versions of a
     // dead binding (observed: a second pipeline reusing a view name in
     // one session diffed the FIRST pipeline's snapshots)
-    val continues = cur.nonEmpty && before.exists(b => cur.last == b)
-    val seeded = if (continues) cur else before.toVector
-    m.put(view, seeded :+ after)
+    val continues = cur.nonEmpty && before.exists(b => cur.last._1 == b)
+    // the commit time: version n becomes current NOW; the seed entry
+    // (the pre-DML state) shares the first commit's stamp, so a
+    // TIMESTAMP AS OF earlier than every commit errors like Delta's
+    // "before the earliest version" instead of silently flooring
+    val now = System.currentTimeMillis()
+    val seeded = if (continues) cur else before.toVector.map(_ -> now)
+    m.put(view, seeded :+ (after -> now))
     ()
   }
 
   private[sql] def versionAt(sp: SparkSession, view: String,
       v: Long): Option[LogicalPlan] =
     chainOf(sp).get(view).flatMap { ch =>
-      if (v >= 0 && v < ch.length) Some(ch(v.toInt)) else None
+      if (v >= 0 && v < ch.length) Some(ch(v.toInt)._1) else None
+    }
+
+  /** The chain version current AT `tsMillis` — the largest version
+    * whose commit time is <= it (Delta's floor semantics); None when
+    * the timestamp predates the chain or no chain exists. */
+  private[sql] def versionAtTime(sp: SparkSession, view: String,
+      tsMillis: Long): Option[LogicalPlan] =
+    chainOf(sp).get(view).flatMap { ch =>
+      val i = ch.lastIndexWhere(_._2 <= tsMillis)
+      if (i < 0) None else Some(ch(i)._1)
     }
 
   /** Number of recorded versions for a view (0 = no SQL DML yet). */
   def versionCount(sp: SparkSession, view: String): Int =
     chainOf(sp).get(view).map(_.length).getOrElse(0)
+
+  /** Commit time (epoch millis) of each recorded version, for mapping
+    * wall clocks to `TIMESTAMP AS OF` reads (version 0, the pre-DML
+    * seed, shares version 1's stamp). */
+  def versionTimes(sp: SparkSession, view: String): Seq[Long] =
+    chainOf(sp).get(view).map(_.map(_._2)).getOrElse(Nil)
 
   // ---------------------------------------------------------- index DDL
 

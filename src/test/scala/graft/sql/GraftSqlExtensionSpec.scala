@@ -375,6 +375,27 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet === Set(("delete", 1L)))
   }
 
+  test("TIMESTAMP AS OF floors commit times to the version current then") {
+    freshCorpus("gsx_ts2")
+    spark.sql("DELETE FROM gsx_ts2 WHERE k <= 10") // -> v1
+    Thread.sleep(60) // distinct commit stamps for the floor assertions
+    spark.sql("DELETE FROM gsx_ts2 WHERE k <= 20") // -> v2
+    val times = GraftSqlExtension.versionTimes(spark, "gsx_ts2")
+    assert(times.length === 3 && times(0) === times(1) && times(2) > times(1))
+    def countAt(ms: Long): Long = {
+      val ts = new java.sql.Timestamp(ms).toString
+      spark.sql(s"SELECT count(*) AS c FROM gsx_ts2 TIMESTAMP AS OF '$ts'")
+        .as[Long].head()
+    }
+    assert(countAt(times(1)) === 90L)         // at commit 1 -> v1
+    assert(countAt(times(2) - 1) === 90L)     // between commits floors to v1
+    assert(countAt(times(2)) === 80L)         // at commit 2 -> v2
+    assert(countAt(times(2) + 60000) === 80L) // future -> latest
+    // a timestamp before the whole chain is not intercepted: Spark's
+    // ordinary time-travel error surfaces
+    intercept[Exception](countAt(times(0) - 60000))
+  }
+
   test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
     freshCorpus("gsx_unsup")
     Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
