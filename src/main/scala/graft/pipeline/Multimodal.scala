@@ -124,12 +124,17 @@ object Multimodal {
   }
 
   /** Unified decode: dispatch on the payload signature — GRFT magic →
-    * synthetic format, PNG/JPEG/GIF/BMP signatures → [[decodeImage]].
+    * synthetic format, RIFF/AVI → [[decodeAvi]], PNG/JPEG/GIF/BMP
+    * signatures → [[decodeImage]].
     * Every batch operator below routes through this, so a media table
-    * can mix real encoded images with synthetic payloads row by row. */
+    * can mix real encoded images/videos with synthetic payloads row by
+    * row. */
   def decode(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
     def sig4 = ByteBuffer.wrap(payload, 0, 4).order(ByteOrder.BIG_ENDIAN).getInt()
     if (payload.length >= 16 && sig4 == Magic) decodePixels(payload)
+    else if (payload.length >= 12 && sig4 == 0x52494646 /* RIFF */ &&
+        ByteBuffer.wrap(payload, 8, 4).order(ByteOrder.BIG_ENDIAN).getInt() ==
+          0x41564920 /* AVI  */ ) decodeAvi(payload)
     else decodeImage(payload)
   }
 
@@ -310,6 +315,160 @@ object Multimodal {
         (0 until frames by stride).map(f => MediaFrame(item.media_id, f, pixels(f)))
       }
     }
+  }
+
+  // ------------------------------------------------------------ real video
+
+  /** Deterministic REAL-AVI payload: an uncompressed RIFF/AVI
+    * (`strh` fccType 'vids' handler 'DIB ', `strf` BITMAPINFOHEADER
+    * BI_RGB 24-bit) whose '00db' frames carry the SAME closed-form
+    * MINSTD pixel stream as [[synthesizePayload]] — each gray pixel p
+    * stored as bottom-up BGR (p,p,p) with 4-byte row padding, the
+    * standard uncompressed-AVI layout. BI_RGB is lossless and the luma
+    * of (p,p,p) is exactly p, so the decode reproduces the synthetic
+    * pixels bit for bit and the existing closed-form oracle verifies
+    * features computed from REAL video bytes. */
+  def encodeAvi(id: Long, width: Int, height: Int, frames: Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val frameBytes = stride * height
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, 24-bit
+      .putInt(0)                // BI_RGB (uncompressed)
+      .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .put(fourcc("vids")).put(fourcc("DIB "))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25) // scale, rate: 25 fps
+      .putInt(0).putInt(frames).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40000) // usec/frame
+      .putInt(frameBytes * 25).putInt(0).putInt(0)
+      .putInt(frames).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + frames * (8 + frameBytes)
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(fourcc("RIFF")).putInt(total - 8).put(fourcc("AVI "))
+    buf.put(fourcc("LIST")).putInt(hdrlSize).put(fourcc("hdrl"))
+    buf.put(fourcc("avih")).putInt(56).put(avih.array())
+    buf.put(fourcc("LIST")).putInt(strlSize).put(fourcc("strl"))
+    buf.put(fourcc("strh")).putInt(56).put(strh.array())
+    buf.put(fourcc("strf")).putInt(40).put(strf.array())
+    buf.put(fourcc("LIST")).putInt(moviSize).put(fourcc("movi"))
+    var f = 0
+    while (f < frames) {
+      buf.put(fourcc("00db")).putInt(frameBytes)
+      // regenerate the frame's gray pixels (top-down), then write rows
+      // bottom-up as BGR with padding — the DIB layout
+      val px = width * height
+      val gray = new Array[Byte](px)
+      var state = ((id % PixP) * PixA + f * PixSeedF + PixSeedC) % PixP
+      var i = 0
+      while (i < px) {
+        state = state * PixA % PixP
+        gray(i) = ((state >> 8) & 0xff).toByte
+        i += 1
+      }
+      var r = height - 1
+      while (r >= 0) {
+        var c = 0
+        while (c < width) {
+          val p = gray(r * width + c)
+          buf.put(p).put(p).put(p)
+          c += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        r -= 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** REAL AVI decode — the same chunk-walking RIFF parser style as
+    * [[decodeWav]], nested-LIST aware: finds `strf` (requires BI_RGB
+    * 24-bit — compressed streams are rejected, not misread), walks
+    * `movi` collecting `00db`/`00dc` frames, skips JUNK/idx1/other
+    * chunks with RIFF even-byte padding, and converts each bottom-up
+    * BGR frame to top-down ITU-R 601 luma (exact for gray content). */
+  def decodeAvi(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF payload")
+    buf.getInt()
+    require(tag() == "AVI ", "not an AVI payload")
+    var w = -1; var h = -1; var bits = -1; var comp = -1
+    val framesBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = tag()
+        val size = buf.getInt()
+        val next = buf.position() + size + (size & 1)
+        id match {
+          case "LIST" =>
+            tag() // list type (hdrl/strl/movi/...) — recurse through all
+            walk(buf.position() + size - 4)
+          case "strf" =>
+            val start = buf.position()
+            buf.getInt() // biSize
+            w = buf.getInt(); h = buf.getInt()
+            buf.getShort() // planes
+            bits = buf.getShort().toInt
+            comp = buf.getInt()
+            require(comp == 0 && bits == 24,
+              s"only uncompressed 24-bit DIB AVI supported (comp $comp, $bits-bit)")
+            buf.position(start)
+          case fr if fr.endsWith("db") || fr.endsWith("dc") =>
+            require(w > 0, "frame chunk before strf header")
+            val raw = new Array[Byte](size)
+            buf.get(raw)
+            val stride = ((w * 3 + 3) / 4) * 4
+            val luma = new Array[Byte](w * h)
+            var r = 0
+            while (r < h) {
+              val srcRow = (h - 1 - r) * stride
+              var c = 0
+              while (c < w) {
+                val b0 = raw(srcRow + c * 3) & 0xff
+                val g = raw(srcRow + c * 3 + 1) & 0xff
+                val rr = raw(srcRow + c * 3 + 2) & 0xff
+                luma(r * w + c) = ((299 * rr + 587 * g + 114 * b0 + 500) / 1000).toByte
+                c += 1
+              }
+              r += 1
+            }
+            framesBuf += luma
+          case _ => // avih, strh, JUNK, idx1, ... — skip
+        }
+        buf.position(next min end)
+      }
+    }
+    walk(payload.length)
+    require(framesBuf.nonEmpty, "no frame chunks")
+    (w, h, framesBuf.length, framesBuf.toArray)
+  }
+
+  /** Media table of REAL AVI payloads (one uncompressed 4-frame clip
+    * per doc): same id-driven dimensions as the synthetic table's
+    * videos, kind = video. */
+  def realVideoTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nc) =>
+        val w = 8 + (nc % 8).toInt
+        val h = 8
+        MediaItem(id, "video", w, h, 4, encodeAvi(id, w, h, 4))
+      }.toDF()
   }
 
   // ------------------------------------------------------------ real audio

@@ -1224,6 +1224,22 @@ object PipelineOracles {
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum
        |FROM feat""".stripMargin
 
+  /** mm_video_real: every payload is a REAL uncompressed RIFF/AVI clip
+    * (4 BI_RGB DIB frames) whose gray pixels are the closed-form MINSTD
+    * stream — so the feature oracle is [[mmFeatures]] with frames
+    * pinned to 4 and every doc a video. A one-pixel decode deviation in
+    * any frame breaks the hash. */
+  val mmVideoReal: String =
+    s"""WITH m AS (SELECT doc_id AS id,
+       |        CAST(8 + (n_chars % 8) AS BIGINT) AS w,
+       |        CAST(4 AS BIGINT) AS frames,
+       |        'video' AS kind
+       |      FROM documents),
+       |$mediaFeatBody
+       |SELECT id AS media_id, kind,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum
+       |FROM feat""".stripMargin
+
   /** mm_audio_real: every payload is a REAL RIFF/WAVE 16-bit PCM clip
     * whose signed samples are the closed-form MINSTD stream
     * s_i = ((((seed · 48271^(i+1)) mod P) >> 8) & 0xffff) - 32768 with
@@ -1324,6 +1340,7 @@ object PipelineOracles {
     "mm_features" -> mmFeatures,
     "mm_features_real" -> mmFeaturesReal,
     "mm_audio_real" -> mmAudioReal,
+    "mm_video_real" -> mmVideoReal,
     "mm_ann" -> mmAnn,
   )
 }

@@ -567,6 +567,21 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("double")).as("feat_sum"))
     },
 
+    "mm_video_real" -> { (s, dir) =>
+      import s.implicits._
+      // REAL video bytes: every payload is a genuine uncompressed
+      // RIFF/AVI (BI_RGB 24-bit DIB frames, chunk-walking decoder)
+      // carrying the closed-form MINSTD pixels per frame — the oracle
+      // regenerates every pixel of every frame and must match the real
+      // decode bit for bit
+      val media = Multimodal.realVideoTable(Tables.documents(s, dir))
+        .as[Multimodal.MediaItem]
+      Multimodal.extractFeatures(media, dim = 8).toDF()
+        .select(col("media_id"), col("kind"),
+          aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")).as("feat_sum"))
+    },
+
     "mm_audio_real" -> { (s, dir) =>
       import s.implicits._
       // REAL audio bytes: every payload is a genuine RIFF/WAVE 16-bit

@@ -554,6 +554,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId(0L).toSeq === expected.toSeq)
   }
 
+  test("multimodal real video: AVI DIB round-trips frames; chunk walk skips JUNK; compressed rejected") {
+    // encode->decode is lossless for gray content: every frame's luma
+    // equals the synthetic codec's closed-form pixel stream
+    for (id <- Seq(0L, 7L, 123L); w <- Seq(8, 13)) {
+      val avi = Multimodal.encodeAvi(id, w, 8, 4)
+      assert(avi.take(4).toSeq === "RIFF".getBytes("US-ASCII").toSeq)
+      val (dw, dh, df0, real) = Multimodal.decodeAvi(avi)
+      assert((dw, dh, df0) === ((w, 8, 4)))
+      val (_, _, _, synth) = Multimodal.decodePixels(
+        Multimodal.synthesizePayload(id, w, 8, 4))
+      (0 until 4).foreach(f =>
+        assert(real(f).toSeq === synth(f).toSeq, s"id $id w $w frame $f"))
+      // signature dispatch routes RIFF/AVI to the video decoder
+      assert(Multimodal.decode(avi)._4(2).toSeq === synth(2).toSeq)
+    }
+    // a real-world AVI carries JUNK padding and an idx1 index: inject
+    // both and verify the chunk walk still collects every frame
+    val base = Multimodal.encodeAvi(42L, 8, 8, 4)
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++
+      new Array[Byte](6)
+    val idx1 = "idx1".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      new Array[Byte](4)
+    val patched = base.take(12) ++ junk ++ base.drop(12) ++ idx1
+    val bb = java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, patched.length - 8)
+    assert(Multimodal.decodeAvi(patched)._4.map(_.toSeq).toSeq ===
+      Multimodal.decodeAvi(base)._4.map(_.toSeq).toSeq)
+    // a compressed stream (non-BI_RGB fourcc in strf) is rejected
+    val compressed = base.clone()
+    // strf biCompression sits 16 bytes into the strf payload
+    val strfAt = {
+      def find(hay: Array[Byte], needle: Array[Byte]): Int =
+        hay.indices.indexWhere(i => i + needle.length <= hay.length &&
+          needle.indices.forall(j => hay(i + j) == needle(j)))
+      find(compressed, "strf".getBytes("US-ASCII"))
+    }
+    java.nio.ByteBuffer.wrap(compressed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfAt + 8 + 16, 0x47504A4D) // 'MJPG'
+    assertThrows[IllegalArgumentException](Multimodal.decodeAvi(compressed))
+    // operators over REAL video bytes end to end: features match the
+    // synthetic table's videos, frame sampling explodes real frames
+    val docs = Tables.documents(spark, dir).limit(20)
+    val real = Multimodal.realVideoTable(docs).as[Multimodal.MediaItem]
+    val fReal = Multimodal.extractFeatures(real, 8).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    val synthVids = Multimodal.syntheticMediaTable(docs)
+      .as[Multimodal.MediaItem].filter($"kind" === "video")
+    Multimodal.extractFeatures(synthVids, 8).collect().foreach { f =>
+      assert(fReal(f.media_id) === f.features.toSeq, s"id ${f.media_id}")
+    }
+    val frames = Multimodal.sampleFrames(real, 2).collect()
+    assert(frames.length === 2 * real.count() && frames.forall(_.frame.nonEmpty))
+  }
+
   test("quality score is bounded and favors longer stopword-bearing text") {
     val df = Seq(
       "the cat sat on the mat and it was a good day for all of the cats to sit",
