@@ -311,6 +311,9 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     assert(h.hasSecondary("name") && !h.hasOrderedSecondary("name"))
     assert(spark.sql("SELECT k FROM gsx_ddl WHERE name = 'n7'")
       .as[Long].collect().toSet === (1L to 200L).filter(k => k % 20 == 7).toSet)
+    // the SQL-created index actually ROUTES: the equality ran as a
+    // secondary point probe, not a corpus scan
+    assert(h.lastScanKind === "secondary_point")
     // ordered secondary: USING BTREE
     spark.sql("CREATE INDEX grp_idx ON gsx_ddl USING BTREE (grp)")
     assert(h.hasOrderedSecondary("grp"))
@@ -331,6 +334,9 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     // DROP releases each kind; unknown name needs IF EXISTS
     spark.sql("DROP INDEX name_idx ON gsx_ddl")
     assert(!h.hasSecondary("name"))
+    // and the same query falls back to the scan lane — sound, just slow
+    spark.sql("SELECT k FROM gsx_ddl WHERE name = 'n7'").collect()
+    assert(h.lastScanKind === "full")
     spark.sql("DROP INDEX bal_zone ON gsx_ddl")
     assert(!h.zoneSnapshot._1.contains("bal"))
     spark.sql("DROP INDEX IF EXISTS nosuch ON gsx_ddl")
