@@ -1224,6 +1224,43 @@ object PipelineOracles {
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f), (a, x) -> a + x) AS feat_sum
        |FROM feat""".stripMargin
 
+  /** text_sqlfn: the SQL-scalar-function surface — every function is
+    * the SAME kernel its Scala-API lane already oracles, so this
+    * composes those proven CTEs (quality, langid, subwords, token
+    * count, fingerprint, simhash, redaction length) over `documents`
+    * and joins on doc_id. */
+  val textSqlfn: String = {
+    import graft.functions.TextFunctions.{EmailRe, PhoneRe, UrlRe}
+    s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS toks FROM documents),
+       |tp AS (SELECT doc_id, list_transform(toks, t -> ${poly("t")}) AS tp FROM tok),
+       |th2 AS (SELECT doc_id, list_transform(tp, p ->
+       |  ((p * ${Dedup.SimLaneA1} + ${Dedup.SimLaneB1}) % $P)
+       |    * ((p * ${Dedup.SimLaneA1} + ${Dedup.SimLaneB1}) % $P) % $P * 2147483648
+       |  + ((p * ${Dedup.SimLaneA2} + ${Dedup.SimLaneB2}) % $P)
+       |    * ((p * ${Dedup.SimLaneA2} + ${Dedup.SimLaneB2}) % $P) % $P) AS th FROM tp),
+       |shq AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(0, 62), b ->
+       |    CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th)
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, x) -> a | x) AS sh FROM th2),
+       |fpq AS (SELECT doc_id, $fpExpr AS fp
+       |        FROM (SELECT doc_id, tp AS th FROM tp) _f),
+       |q AS ($textQualityScore),
+       |l AS ($textLangid),
+       |sw AS ($textSubwords),
+       |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+       |r AS (SELECT doc_id, CAST(length(
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+       |  FROM documents)
+       |SELECT tk.doc_id, tk.n_tokens, sw.n_subwords, l.lang_pred,
+       |  l.confidence, q.quality, fpq.fp, shq.sh, r.redacted_len
+       |FROM tk JOIN sw USING (doc_id) JOIN l USING (doc_id)
+       |  JOIN q USING (doc_id) JOIN fpq USING (doc_id)
+       |  JOIN shq USING (doc_id) JOIN r USING (doc_id)""".stripMargin
+  }
+
   /** mm_video_real: every payload is a REAL uncompressed RIFF/AVI clip
     * (4 BI_RGB DIB frames) whose gray pixels are the closed-form MINSTD
     * stream — so the feature oracle is [[mmFeatures]] with frames
@@ -1341,6 +1378,7 @@ object PipelineOracles {
     "mm_features_real" -> mmFeaturesReal,
     "mm_audio_real" -> mmAudioReal,
     "mm_video_real" -> mmVideoReal,
+    "text_sqlfn" -> textSqlfn,
     "mm_ann" -> mmAnn,
   )
 }

@@ -567,6 +567,24 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("double")).as("feat_sum"))
     },
 
+    "text_sqlfn" -> { (s, dir) =>
+      // the text kernels as SQL SCALAR FUNCTIONS (injectFunction):
+      // identical plans to the Column API — the oracle is the same
+      // arithmetic the Scala-API lanes already replicate, composed
+      Tables.documents(s, dir).createOrReplaceTempView("sqlfn_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
+          |  CAST(graft_subword_count(text) AS BIGINT) AS n_subwords,
+          |  graft_langid(text).lang AS lang_pred,
+          |  graft_langid(text).confidence AS confidence,
+          |  graft_quality(text) AS quality,
+          |  graft_fingerprint(text) AS fp,
+          |  graft_simhash(text) AS sh,
+          |  CAST(length(graft_redact(text)) AS BIGINT) AS redacted_len
+          |FROM sqlfn_docs""".stripMargin)
+    },
+
     "mm_video_real" -> { (s, dir) =>
       import s.implicits._
       // REAL video bytes: every payload is a genuine uncompressed

@@ -81,6 +81,12 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftSqlExtension].getName, "graft_changes"),
       (args: Seq[Expression]) => GraftSqlExtension.changesPlan(args)))
+    // the text-analysis kernels as SQL scalar functions: the SAME
+    // codegen'd Column pipelines the Scala API uses (native Catalyst
+    // expressions underneath — no UDF boundary), so `SELECT
+    // graft_quality(text) FROM docs` plans identically to
+    // `TextFunctions.qualityScore(col("text"))`
+    GraftSqlExtension.sqlFunctions.foreach(e.injectFunction)
   }
 }
 
@@ -913,4 +919,45 @@ object GraftSqlExtension {
 
   private val And2 = (a: Column, b: Column) => a && b
   private val Or2 = (a: Column, b: Column) => a || b
+
+  // ------------------------------------------------- SQL scalar functions
+
+  /** The text-analysis surface as SQL functions — each builder wraps
+    * the argument expression in a Column, applies the SAME combinator
+    * the Scala API exposes, and unwraps: zero new code paths, the
+    * codegen'd kernels plan identically from SQL text. */
+  private[sql] val sqlFunctions: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    import graft.functions.TextFunctions
+    def one(name: String, usage: String)(f: Column => Column) = (
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, null, name, usage, "", "", "",
+        "", "", "", "internal"),
+      (args: Seq[Expression]) => {
+        if (args.size != 1) throw new IllegalArgumentException(
+          s"$name takes exactly one argument (got ${args.size})")
+        // deep conversion: the combinators build node-backed Columns,
+        // and a function-builder expression never passes through the
+        // DataFrame plan-conversion path that substitutes them lazily
+        ExpressionBridge.expressionDeep(f(ExpressionBridge.column(args.head)))
+      })
+    Seq(
+      one("graft_quality", "graft_quality(text) - composite quality score in [0, 1]")(
+        TextFunctions.qualityScore(_)),
+      one("graft_langid", "graft_langid(text) - heuristic language id")(
+        TextFunctions.langId),
+      one("graft_token_count", "graft_token_count(text) - whitespace token count")(
+        TextFunctions.tokenCount),
+      one("graft_subword_count", "graft_subword_count(text) - letter/digit/punct run count")(
+        TextFunctions.subwordCount),
+      one("graft_fingerprint", "graft_fingerprint(text) - rolling token-stream fingerprint")(
+        TextFunctions.fingerprint),
+      one("graft_redact", "graft_redact(text) - emails/URLs/phones masked")(
+        TextFunctions.redactPii),
+      one("graft_simhash", "graft_simhash(text) - 62-bit near-dup simhash")(
+        graft.pipeline.Dedup.simhashColumn))
+  }
 }

@@ -12,6 +12,23 @@ object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DEEP Column → Expression: [[expression]] leaves node-backed
+    * subtrees as lazy `ColumnNodeExpression` placeholders, which the
+    * DataFrame plan-conversion path substitutes — but an expression
+    * embedded directly into an analyzer plan (a SQL function builder)
+    * never passes through that path, and a placeholder nested inside a
+    * custom expression fails its type check ("got void"). This variant
+    * converts the whole node tree eagerly, recursing through any
+    * placeholders custom-expression factories buried inside. */
+  def expressionDeep(c: Column): Expression = {
+    val conv = org.apache.spark.sql.classic.GraftColumnConverter
+    def deep(e: Expression): Expression = e.transformUp {
+      case cne if conv.unwrapPlaceholder(cne).isDefined =>
+        deep(conv.toExpression(conv.unwrapPlaceholder(cne).get))
+    }
+    deep(conv.toExpression(c.node))
+  }
+
   /** Catalyst predicate → datasource filter, for planning aggregate
     * pushdown with EXACTLY the translation the scan path uses
     * (DataSourceStrategy.translateFilter is protected[sql]). */

@@ -402,6 +402,36 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     intercept[Exception](countAt(times(0) - 60000))
   }
 
+  test("SQL scalar functions compute the same values as the Column API") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of them"),
+      (2L, "zzz qqq 123"),
+      (3L, "Contact me at a@b.com or https://x.org today")).toDF("id", "text")
+    df.createOrReplaceTempView("gsx_fn")
+    val viaSql = spark.sql(
+      """SELECT id, graft_quality(text) AS q, graft_token_count(text) AS tc,
+        |  graft_fingerprint(text) AS fp, graft_simhash(text) AS sh,
+        |  graft_langid(text).lang AS lang, graft_redact(text) AS red
+        |FROM gsx_fn""".stripMargin).collect().map(r => r.getLong(0) -> r).toMap
+    val viaApi = df.select($"id", TextFunctions.qualityScore($"text").as("q"),
+      TextFunctions.tokenCount($"text").as("tc"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      graft.pipeline.Dedup.simhashColumn($"text").as("sh"),
+      TextFunctions.langId($"text").getField("lang").as("lang"),
+      TextFunctions.redactPii($"text").as("red"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    viaApi.foreach { case (id, a) =>
+      val s = viaSql(id)
+      (1 until a.length).foreach(i => assert(s.get(i) === a.get(i), s"id $id col $i"))
+    }
+    assert(viaSql(3L).getString(6).contains("<EMAIL>"))
+    // wrong arity raises the graft message
+    val e = intercept[Exception](spark.sql("SELECT graft_quality(1, 2)"))
+    assert(e.getMessage.contains("exactly one argument") ||
+      e.getCause != null && e.getCause.getMessage.contains("exactly one argument"))
+  }
+
   test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
     freshCorpus("gsx_unsup")
     Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
