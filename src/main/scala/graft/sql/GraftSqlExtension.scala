@@ -87,6 +87,14 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
     // graft_quality(text) FROM docs` plans identically to
     // `TextFunctions.qualityScore(col("text"))`
     GraftSqlExtension.sqlFunctions.foreach(e.injectFunction)
+    // the indexed planner strategies ride along: an extension-configured
+    // session plans zero-shuffle zip joins and no-scan aggregates over
+    // handles without per-session `IndexedJoin.enable` calls — in
+    // particular, graft_changes' three diff joins zip over the
+    // co-partitioned COW snapshots out of the box (both enable() paths
+    // stay idempotent with this)
+    e.injectPlannerStrategy(_ => IndexedJoin.IndexedJoinStrategy)
+    e.injectPlannerStrategy(_ => IndexedAgg.IndexedCountStrategy)
   }
 }
 

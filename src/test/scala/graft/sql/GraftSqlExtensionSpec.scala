@@ -402,6 +402,22 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
     intercept[Exception](countAt(times(0) - 60000))
   }
 
+  test("graft_changes plans exchange-free zip joins over co-partitioned versions") {
+    freshCorpus("gsx_cdcplan")
+    spark.sql("DELETE FROM gsx_cdcplan WHERE k <= 3")
+    spark.sql("UPDATE gsx_cdcplan SET bal = 0 WHERE k = 50")
+    val df = spark.sql("SELECT * FROM graft_changes('gsx_cdcplan', 0, 2)")
+    // the three diff joins (two anti, one inner) zip the co-partitioned
+    // COW snapshots: no ShuffleExchange anywhere in the plan — the
+    // 100 TB CDC-read shape, by construction
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"expected exchange-free CDC diff:\n${df.queryExecution.executedPlan}")
+    assert(df.count() === 3 + 2) // 3 deletes + update pre/post
+  }
+
   test("SQL scalar functions compute the same values as the Column API") {
     import graft.functions.TextFunctions
     val df = Seq(
