@@ -80,6 +80,43 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
   }
   def cached: this.type = persist(StorageLevel.MEMORY_ONLY)
 
+  /** Content-identical copy with FRESHLY REBUILT partitions and CUT
+    * lineage — the engine under `OPTIMIZE`.
+    *
+    * Copy-on-write DML (`multiputRDD`/`deleteRDD`) stacks one
+    * zip-with-delta stage per statement: correctness never degrades,
+    * but an un-checkpointed N-statement chain re-plays N delta zips on
+    * every read, task closures grow with the lineage graph, and
+    * recovery of a lost block recomputes the whole chain. Compaction
+    * resets all three to O(1): each partition rebuilds into a fresh
+    * index sharing nothing with its ancestors, and the rebuilt RDD is
+    * checkpoint-materialized so its dependency graph terminates right
+    * here. In local mode that is `localCheckpoint` (block-backed); on
+    * a cluster the same call site is where a reliable checkpoint
+    * directory would slot in — either way the partitioner (and so
+    * every pruned-probe and zip-join route) is preserved.
+    *
+    * The source RDD is left untouched: older chain versions remain
+    * queryable until their references are dropped (see `VACUUM`). */
+  def compacted(): IndexedRDD[K, V] = {
+    val parts = partitionsRDD.mapPartitions(
+      it => it.map(_.compacted), preservesPartitioning = true)
+    parts.localCheckpoint()
+    // materialize NOW so the lineage truncates before anyone plans
+    // against the new snapshot (localCheckpoint truncates on first job)
+    parts.foreachPartition(_ => ())
+    new IndexedRDD(parts)
+  }
+
+  /** Longest dependency path under the index (diagnostic: the replay
+    * depth a cold read of this snapshot pays; `compacted()` resets it). */
+  def lineageDepth: Int = {
+    def depth(r: RDD[_]): Int =
+      1 + (if (r.dependencies.isEmpty) 0
+           else r.dependencies.map(d => depth(d.rdd)).max)
+    depth(partitionsRDD)
+  }
+
   /** O(partitions): sums per-partition index sizes, no tuple scan. */
   override def count(): Long =
     partitionsRDD.map(_.size).fold(0L)(_ + _)

@@ -48,6 +48,13 @@ trait IndexedPartition[K, V] extends Serializable {
   /** Rebuild from new elements (last write wins on duplicate keys). */
   def createUsingIndex[V2](elems: Iterator[(K, V2)]): IndexedPartition[K, V2]
 
+  /** Fresh, self-contained rebuild: same flavor and contents, but no
+    * structural sharing with ancestor copy-on-write versions and no
+    * deferred state (a lazy union compacts to its merged form). The
+    * building block of snapshot compaction — a compacted partition
+    * retains nothing from the version chain that produced it. */
+  def compacted: IndexedPartition[K, V] = createUsingIndex(iterator)
+
   // Scan-and-probe kernels below have generic default implementations in
   // terms of iterator/apply/multiput/createUsingIndex; implementations
   // may override with layout-specific versions.

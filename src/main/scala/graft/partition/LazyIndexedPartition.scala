@@ -64,6 +64,9 @@ class LazyIndexedPartition[K, V](
       f: (K, V, U) => V2): IndexedPartition[K, V2] = forced.innerJoin(other)(f)
   override def createUsingIndex[V2](elems: Iterator[(K, V2)]): IndexedPartition[K, V2] =
     forced.createUsingIndex(elems)
+  // the merged form IS a fresh single-delta rebuild — reuse it rather
+  // than re-iterating it into a second copy
+  override def compacted: IndexedPartition[K, V] = forced
   override def aggregateUsingIndex[V2](elems: Iterator[(K, V2)],
       reduce2: (V2, V2) => V2): IndexedPartition[K, V2] =
     forced.aggregateUsingIndex(elems, reduce2)

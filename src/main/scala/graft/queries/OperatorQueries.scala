@@ -632,6 +632,54 @@ object OperatorQueries {
           |FROM graft_changes('cdc_corpus', 0, 3)""".stripMargin)
     },
 
+    "ir_sql_optimize_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL OPTIMIZE mid-chain: v1 DELETE, v2 UPDATE, v3 = OPTIMIZE
+      // (compaction — freshly rebuilt partitions, checkpoint-cut
+      // lineage, CONTENT-EQUAL to v2), v4 DELETE applied on the
+      // compacted snapshot. The gate proves compaction changes nothing
+      // (v2 == v3 aggregates) and stays DML-able (v4 correct), while
+      // time travel still crosses the OPTIMIZE boundary.
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("opt_corpus")
+      s.sql("DELETE FROM opt_corpus WHERE c_custkey % 10 = 3")
+      s.sql("UPDATE opt_corpus SET c_nationkey = 9 WHERE c_custkey % 10 = 4")
+      s.sql("OPTIMIZE opt_corpus")
+      s.sql("DELETE FROM opt_corpus WHERE c_custkey % 10 = 5")
+      s.sql(
+        """SELECT 2 AS v, count(*) AS cnt, sum(c_custkey) AS key_sum,
+          |       sum(c_nationkey) AS nat_sum
+          |FROM opt_corpus VERSION AS OF 2
+          |UNION ALL
+          |SELECT 3, count(*), sum(c_custkey), sum(c_nationkey)
+          |FROM opt_corpus VERSION AS OF 3
+          |UNION ALL
+          |SELECT 4, count(*), sum(c_custkey), sum(c_nationkey)
+          |FROM opt_corpus""".stripMargin)
+    },
+
+    "ir_sql_vacuum_sqltext" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // SQL VACUUM: three DML versions, then RETAIN 2 keeps v2/v3
+      // under their ORIGINAL numbers (graft_history shows exactly the
+      // retained tail) while current reads and retained time travel
+      // stay intact. Sentinel rows: -1 = current content, -2 = a
+      // VERSION AS OF read of the oldest RETAINED version.
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("vac_corpus")
+      s.sql("DELETE FROM vac_corpus WHERE c_custkey % 10 = 3")
+      s.sql("DELETE FROM vac_corpus WHERE c_custkey % 10 = 6")
+      s.sql("UPDATE vac_corpus SET c_nationkey = 0 WHERE c_custkey % 10 = 4")
+      s.sql("VACUUM vac_corpus RETAIN 2 VERSIONS")
+      s.sql(
+        """SELECT version, is_current, CAST(NULL AS BIGINT) AS cnt
+          |FROM graft_history('vac_corpus')
+          |UNION ALL
+          |SELECT -1, true, count(*) FROM vac_corpus
+          |UNION ALL
+          |SELECT -2, false, count(*) FROM vac_corpus VERSION AS OF 2""".stripMargin)
+    },
+
     "ir_sql_delete_sqltext" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // SQL-text DELETE: the predicate filters THROUGH the handle's
@@ -2584,6 +2632,37 @@ object OperatorQueries {
         |UNION ALL
         |SELECT 'insert', id + 60000000, 'cdc', CAST(NULL AS DOUBLE)
         |FROM range(1, 6) t(id)""".stripMargin,
+
+    // v2 == v3: OPTIMIZE is content-neutral by construction, so both
+    // rows replicate the post-UPDATE state; v4 applies the second
+    // DELETE on top
+    "ir_sql_optimize_sqltext" ->
+      """WITH v2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 4 THEN 9 ELSE c_nationkey END AS c_nationkey
+        |       FROM customer WHERE c_custkey % 10 <> 3),
+        |v4 AS (SELECT * FROM v2 WHERE c_custkey % 10 <> 5)
+        |SELECT CAST(2 AS INT) AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(c_nationkey) AS BIGINT) AS nat_sum
+        |FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(c_custkey) AS BIGINT),
+        |  CAST(sum(c_nationkey) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 4, count(*), CAST(sum(c_custkey) AS BIGINT),
+        |  CAST(sum(c_nationkey) AS BIGINT) FROM v4""".stripMargin,
+
+    "ir_sql_vacuum_sqltext" ->
+      """WITH v3 AS (SELECT c_custkey FROM customer
+        |            WHERE c_custkey % 10 NOT IN (3, 6))
+        |SELECT CAST(2 AS BIGINT) AS version, false AS is_current,
+        |       CAST(NULL AS BIGINT) AS cnt
+        |UNION ALL
+        |SELECT 3, true, NULL
+        |UNION ALL
+        |SELECT -1, true, (SELECT count(*) FROM v3)
+        |UNION ALL
+        |SELECT -2, false, (SELECT count(*) FROM v3)""".stripMargin,
 
     "ir_sql_delete_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

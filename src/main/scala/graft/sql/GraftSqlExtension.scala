@@ -81,6 +81,17 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftSqlExtension].getName, "graft_changes"),
       (args: Seq[Expression]) => GraftSqlExtension.changesPlan(args)))
+    // chain inspection: SELECT * FROM graft_history('view') — one row
+    // per RETAINED version (Delta's DESCRIBE HISTORY, as a TVF)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_history"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_history"),
+      (args: Seq[Expression]) => GraftSqlExtension.historyPlan(args)))
+    // table-maintenance verbs Spark's grammar lacks: OPTIMIZE
+    // (compaction) and VACUUM (history retention); everything else
+    // passes through to the delegate parser untouched
+    e.injectParser((s, p) => new GraftSqlParser(s, p))
     // the text-analysis kernels as SQL scalar functions: the SAME
     // codegen'd Column pipelines the Scala API uses (native Catalyst
     // expressions underneath — no UDF boundary), so `SELECT
@@ -694,12 +705,19 @@ object GraftSqlExtension {
     * copy-on-write handles; keeping a plan alive pins its index, which
     * IS the versioned-store contract). Weak-keyed on the session so
     * chains die with it. */
+  private[sql] final case class Chain(first: Long,
+      entries: Vector[(LogicalPlan, Long)]) {
+    /** One past the newest version number (== total versions ever
+      * recorded; `first > 0` after a VACUUM dropped history). */
+    def next: Long = first + entries.length
+  }
+
   private val chains =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Vector[(LogicalPlan, Long)]]]()
+      scala.collection.concurrent.TrieMap[String, Chain]]()
 
   private def chainOf(sp: SparkSession)
-      : scala.collection.concurrent.TrieMap[String, Vector[(LogicalPlan, Long)]] =
+      : scala.collection.concurrent.TrieMap[String, Chain] =
     chains.synchronized {
       var m = chains.get(sp)
       if (m == null) {
@@ -712,49 +730,87 @@ object GraftSqlExtension {
   private[sql] def recordRebind(sp: SparkSession, view: String,
       before: Option[LogicalPlan], after: LogicalPlan): Unit = {
     val m = chainOf(sp)
-    val cur = m.getOrElse(view, Vector.empty)
+    val cur = m.getOrElse(view, Chain(0L, Vector.empty))
     // the chain CONTINUES only if the view still points at its last
     // recorded version; a name re-bound externally (a fresh
     // createOrReplaceTempView over a new handle) starts a NEW chain —
     // otherwise VERSION AS OF / graft_changes would read versions of a
     // dead binding (observed: a second pipeline reusing a view name in
     // one session diffed the FIRST pipeline's snapshots)
-    val continues = cur.nonEmpty && before.exists(b => cur.last._1 == b)
+    val continues = cur.entries.nonEmpty &&
+      before.exists(b => cur.entries.last._1 == b)
     // the commit time: version n becomes current NOW; the seed entry
     // (the pre-DML state) shares the first commit's stamp, so a
     // TIMESTAMP AS OF earlier than every commit errors like Delta's
     // "before the earliest version" instead of silently flooring
     val now = System.currentTimeMillis()
-    val seeded = if (continues) cur else before.toVector.map(_ -> now)
-    m.put(view, seeded :+ (after -> now))
+    val seeded =
+      if (continues) cur
+      else Chain(0L, before.toVector.map(_ -> now))
+    m.put(view, seeded.copy(entries = seeded.entries :+ (after -> now)))
     ()
   }
 
   private[sql] def versionAt(sp: SparkSession, view: String,
       v: Long): Option[LogicalPlan] =
     chainOf(sp).get(view).flatMap { ch =>
-      if (v >= 0 && v < ch.length) Some(ch(v.toInt)._1) else None
+      val i = v - ch.first
+      if (i >= 0 && i < ch.entries.length) Some(ch.entries(i.toInt)._1)
+      else None
     }
 
-  /** The chain version current AT `tsMillis` — the largest version
-    * whose commit time is <= it (Delta's floor semantics); None when
-    * the timestamp predates the chain or no chain exists. */
+  /** The chain version current AT `tsMillis` — the largest RETAINED
+    * version whose commit time is <= it (Delta's floor semantics);
+    * None when the timestamp predates the retained chain or no chain
+    * exists. */
   private[sql] def versionAtTime(sp: SparkSession, view: String,
       tsMillis: Long): Option[LogicalPlan] =
     chainOf(sp).get(view).flatMap { ch =>
-      val i = ch.lastIndexWhere(_._2 <= tsMillis)
-      if (i < 0) None else Some(ch(i)._1)
+      val i = ch.entries.lastIndexWhere(_._2 <= tsMillis)
+      if (i < 0) None else Some(ch.entries(i)._1)
     }
 
-  /** Number of recorded versions for a view (0 = no SQL DML yet). */
+  /** Number of versions ever recorded for a view (0 = no SQL DML yet;
+    * the current version is this minus one — stable across VACUUM). */
   def versionCount(sp: SparkSession, view: String): Int =
-    chainOf(sp).get(view).map(_.length).getOrElse(0)
+    chainOf(sp).get(view).map(_.next.toInt).getOrElse(0)
 
-  /** Commit time (epoch millis) of each recorded version, for mapping
-    * wall clocks to `TIMESTAMP AS OF` reads (version 0, the pre-DML
-    * seed, shares version 1's stamp). */
+  /** Oldest version still readable (> 0 after a VACUUM dropped
+    * history; version numbers never renumber, like Delta's). */
+  def firstVersion(sp: SparkSession, view: String): Long =
+    chainOf(sp).get(view).map(_.first).getOrElse(0L)
+
+  /** Commit time (epoch millis) of each RETAINED version, oldest
+    * first (index 0 is version [[firstVersion]]), for mapping wall
+    * clocks to `TIMESTAMP AS OF` reads (version 0, the pre-DML seed,
+    * shares version 1's stamp). */
   def versionTimes(sp: SparkSession, view: String): Seq[Long] =
-    chainOf(sp).get(view).map(_.map(_._2)).getOrElse(Nil)
+    chainOf(sp).get(view).map(_.entries.map(_._2)).getOrElse(Nil)
+
+  /** Drop all but the newest `retain` versions of `view`'s chain —
+    * the engine under SQL `VACUUM`. Version numbers are stable: the
+    * retained tail keeps its numbers, and `VERSION AS OF`/`TIMESTAMP
+    * AS OF` reads of dropped versions fail like Delta's "version no
+    * longer exists". Dropped snapshot plans become unreachable from
+    * the chain; their cached blocks are reclaimed by Spark's
+    * ContextCleaner once no user reference pins them (run `OPTIMIZE`
+    * first so the current version stops depending on ancestor
+    * lineage, then VACUUM actually frees the chain). Returns
+    * (versions dropped, new first version, current version) — zeros
+    * when the view has no recorded chain. */
+  private[sql] def vacuumChain(sp: SparkSession, view: String,
+      retain: Int): (Long, Long, Long) = {
+    require(retain >= 1, s"VACUUM must retain at least 1 version (got $retain)")
+    val m = chainOf(sp)
+    m.get(view) match {
+      case None => (0L, 0L, -1L)
+      case Some(ch) =>
+        val drop = math.max(0, ch.entries.length - retain)
+        val nw = Chain(ch.first + drop, ch.entries.drop(drop))
+        m.put(view, nw)
+        (drop.toLong, nw.first, nw.next - 1)
+    }
+  }
 
   // ---------------------------------------------------------- index DDL
 
@@ -895,7 +951,8 @@ object GraftSqlExtension {
     val v2 = if (args.size == 3) ver(evalArg(args(2))) else (n - 1).toLong
     def at(v: Long): LogicalPlan = versionAt(sp, view, v).getOrElse(
       throw new IllegalArgumentException(
-        s"no version $v for view '$view' (have 0..${n - 1})"))
+        s"no version $v for view '$view' " +
+          s"(have ${firstVersion(sp, view)}..${n - 1})"))
     val (oldP, newP) = (at(v1), at(v2))
     val keys = keyColsOf(oldP).orElse(keyColsOf(newP)).getOrElse(
       throw new IllegalArgumentException(
@@ -923,6 +980,40 @@ object GraftSqlExtension {
         inserted.unionByName(deleted).unionByName(pre).unionByName(post)
       }
     all.queryExecution.analyzed
+  }
+
+  /** `SELECT * FROM graft_history('view')`: one row per RETAINED
+    * chain version — (version, commit_time, is_current) — oldest
+    * first. Version numbers are stable across VACUUM (dropped
+    * versions simply stop appearing), commit times are the wall
+    * clocks `TIMESTAMP AS OF` floors against. */
+  private[sql] def historyPlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    require(args.size == 1, "usage: graft_history(view)")
+    require(args.head.foldable, "graft_history: view name must be a literal")
+    val view = args.head.eval(
+        org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_history: view name must be a string literal (got $other)")
+    }
+    val first = firstVersion(sp, view)
+    val times = versionTimes(sp, view)
+    if (times.isEmpty) throw new IllegalArgumentException(
+      s"view '$view' has no recorded versions — graft_history reads the " +
+        "chain SQL-text DML statements record")
+    val out = Seq(
+      AttributeReference("version", org.apache.spark.sql.types.LongType,
+        nullable = false)(),
+      AttributeReference("commit_time",
+        org.apache.spark.sql.types.TimestampType, nullable = false)(),
+      AttributeReference("is_current",
+        org.apache.spark.sql.types.BooleanType, nullable = false)())
+    val rows = times.zipWithIndex.map { case (millis, i) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        first + i, millis * 1000L, i == times.length - 1)
+    }
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out, rows)
   }
 
   private val And2 = (a: Column, b: Column) => a && b

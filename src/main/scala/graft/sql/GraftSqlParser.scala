@@ -1,0 +1,160 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.Row
+
+/**
+ * Table-maintenance statements Spark's grammar does not have, grafted
+ * on with the public parser-extension pattern (the same bolt-on Delta
+ * Lake uses for these exact two verbs): intercept the statement text,
+ * hand EVERYTHING else to the delegate parser verbatim.
+ *
+ *  - `OPTIMIZE <view>` — snapshot compaction: rebuild every partition
+ *    index fresh and checkpoint-cut the RDD lineage, so reads of the
+ *    current version stop re-playing the copy-on-write delta chain
+ *    the SQL-text DML statements stacked up
+ *    ([[IndexedFrame.Handle.compacted]]). Records a new chain version
+ *    whose content is identical (`graft_changes` across an OPTIMIZE
+ *    boundary is empty). Returns one metrics row.
+ *  - `VACUUM <view> [RETAIN <n> VERSIONS]` — drop all but the newest
+ *    n versions (default 1) from the view's time-travel chain.
+ *    Version numbers never renumber: retained versions keep working,
+ *    dropped ones fail exactly like Delta's "version no longer
+ *    exists". OPTIMIZE first, then VACUUM, is the memory-reclaim
+ *    path: compaction detaches the current version from ancestor
+ *    lineage, so vacuuming the chain makes the old snapshots (and
+ *    their cached blocks, via ContextCleaner) unreachable.
+ *
+ * Both operate on graft-indexed temp views registered the usual way
+ * (`handle.toDF.createOrReplaceTempView(name)`); OPTIMIZE of any
+ * other name raises a clean error, VACUUM of a never-DML'd view is a
+ * no-op like Delta's VACUUM of a fresh table.
+ */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(id) => GraftOptimizeCommand(unquote(id))
+    case VacuumRe(id, n) =>
+      val retain = if (n == null) 1 else n.toInt
+      require(retain >= 1, "VACUUM must retain at least 1 version")
+      GraftVacuumCommand(unquote(id), retain)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // one plain or backquoted identifier; statements are whole-text
+  // matches so anything more complex (qualified names, options we do
+  // not implement) falls through to Spark's parser and errors there
+  private val Ident = "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+  private val OptimizeRe = s"(?is)\\s*OPTIMIZE\\s+$Ident\\s*;?\\s*".r
+  private val VacuumRe =
+    s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*".r
+
+  private def unquote(id: String): String =
+    if (id.startsWith("`")) id.substring(1, id.length - 1) else id
+
+  private[sql] def graftViewRelation(sp: SparkSession, view: String,
+      verb: String): (LogicalPlan, AnyRef) = {
+    val plan = sp.sessionState.catalog.getTempView(view).map(_.child)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: no temporary view named '$view'"))
+    val rel = plan.collectFirst { case lr: LogicalRelation => lr.relation }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: view '$view' is not a graft-indexed relation"))
+    (plan, rel)
+  }
+}
+
+/** `OPTIMIZE <view>`: compact the view's current snapshot and rebind.
+  * Eager, driver-run; returns one metrics row. The compaction itself
+  * is one distributed rebuild job (see [[graft.IndexedRDD.compacted]]);
+  * `lineage_depth_*` is the replay depth a cold read pays before/after
+  * — the number OPTIMIZE exists to reset. */
+case class GraftOptimizeCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
+    AttributeReference("partitions", IntegerType, nullable = false)(),
+    AttributeReference("lineage_depth_before", IntegerType, nullable = false)(),
+    AttributeReference("lineage_depth_after", IntegerType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    import IndexedFrame.{CompositeNRelation, CompositeRelation, IndexedRelation}
+    val (before, rel) =
+      GraftSqlParser.graftViewRelation(sp, view, "OPTIMIZE")
+    val (df, rows, parts, dBefore, dAfter) = rel match {
+      case r: IndexedRelation[_] =>
+        val db = r.h.idx.lineageDepth
+        val c = r.h.compacted
+        (c.toDF(sp), c.idx.count(), c.idx.partitions.length, db,
+          c.idx.lineageDepth)
+      case r: CompositeRelation[_, _] =>
+        val db = r.h.idx.lineageDepth
+        val c = r.h.compacted
+        (c.toDF(sp), c.idx.count(), c.idx.partitions.length, db,
+          c.idx.lineageDepth)
+      case r: CompositeNRelation =>
+        val db = r.h.idx.lineageDepth
+        val c = r.h.compacted
+        (c.toDF(sp), c.idx.count(), c.idx.partitions.length, db,
+          c.idx.lineageDepth)
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE: view '$view' is not a graft-indexed relation " +
+          s"(${other.getClass.getSimpleName})")
+    }
+    df.createOrReplaceTempView(view)
+    GraftSqlExtension.recordRebind(sp, view, Some(before),
+      df.queryExecution.analyzed)
+    Seq(Row(view, rows, parts, dBefore, dAfter))
+  }
+  override def simpleString(maxFields: Int): String = s"GraftOptimize $view"
+}
+
+/** `VACUUM <view> [RETAIN n VERSIONS]`: truncate the time-travel
+  * chain to its newest n versions (default 1 — current only). */
+case class GraftVacuumCommand(view: String, retain: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("versions_dropped", LongType, nullable = false)(),
+    AttributeReference("first_retained_version", LongType, nullable = false)(),
+    AttributeReference("current_version", LongType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    // existence check up front — VACUUM of an unknown name is an
+    // error, VACUUM of a known view with no DML history a no-op
+    GraftSqlParser.graftViewRelation(sp, view, "VACUUM")
+    val (dropped, first, cur) =
+      GraftSqlExtension.vacuumChain(sp, view, retain)
+    Seq(Row(view, dropped, first, cur))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftVacuum $view retain=$retain"
+}

@@ -2430,6 +2430,15 @@ object IndexedFrame {
         keyCol, schema, ordered, codec)
     }
 
+    /** Snapshot compaction (the engine under SQL `OPTIMIZE`): a
+      * content-identical handle whose partitions are freshly rebuilt
+      * and whose RDD lineage is checkpoint-cut, so reads stop
+      * re-playing the copy-on-write delta chain that produced this
+      * version. Secondary indexes and zone maps rebuild lazily on the
+      * new handle at first use. See [[graft.IndexedRDD.compacted]]. */
+    def compacted: Handle[K] =
+      new Handle(idx.compacted(), keyCol, schema, ordered, codec)
+
     /** See [[IndexedFrame.mergeClauses]] for the shared clause
       * machinery (conditions, three-valued logic, change-set rows).
       *
@@ -3624,6 +3633,11 @@ object IndexedFrame {
         keyColA, keyColB, schema, ordered, codecA, codecB)
     }
 
+    /** Snapshot compaction — see [[Handle.compacted]]. */
+    def compacted: CompositeHandle[A, B] =
+      new CompositeHandle[A, B](idx.compacted(),
+        keyColA, keyColB, schema, ordered, codecA, codecB)
+
     /** DISTRIBUTED copy-on-write delete by (a, b) key pairs: `keys`
       * must be a two-column DataFrame typed like (keyColA, keyColB), in
       * that order. Unknown pairs are ignored, matching SQL DELETE. */
@@ -4300,6 +4314,10 @@ object IndexedFrame {
       new CompositeNHandle(idx.multiputRDD(keyedRows(updates)),
         keyCols, schema, ordered, specs)
     }
+
+    /** Snapshot compaction — see [[Handle.compacted]]. */
+    def compacted: CompositeNHandle =
+      new CompositeNHandle(idx.compacted(), keyCols, schema, ordered, specs)
 
     /** DISTRIBUTED copy-on-write delete by full key tuples: `keys` is
       * an N-column DataFrame typed like the key columns, in key order.
