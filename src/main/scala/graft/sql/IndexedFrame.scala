@@ -3975,6 +3975,16 @@ object IndexedFrame {
     MergeChangeSets(delC, hasDelete, upserts)
   }
 
+  /** Estimated bytes of a handle-backed relation for Catalyst's
+    * `sizeInBytes` stat: exact row count × the schema's default row
+    * width (Spark's own per-type estimates), floored at 1 and
+    * SATURATING on multiply — a 100 TB handle must report "huge",
+    * never wrap negative and read as broadcastable. */
+  private[sql] def relationSize(rowCount: Long, schema: StructType): Long =
+    try math.max(1L, Math.multiplyExact(rowCount,
+      schema.map(_.dataType.defaultSize).sum.toLong + 8L))
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   /** Driver-side probe budgets for the composite relation: above
     * [[PointKeyBudget]] cross-product keys the point lane bails (two
     * 10k-element IN lists would otherwise ship 10^8 probe keys to the
@@ -3992,6 +4002,11 @@ object IndexedFrame {
 
     override def schema: StructType = h.schema
     override def needConversion: Boolean = false
+
+    /** See [[IndexedRelation.sizeInBytes]]: exact memoized count ×
+      * default row width, so small handles broadcast unhinted. */
+    override def sizeInBytes: Long = IndexedFrame.relationSize(
+      h.statsAll(withExtrema = false)._1, schema)
 
     import h.{codecA, codecB, tupSer, tupleOrd}
 
@@ -4789,6 +4804,11 @@ object IndexedFrame {
     override def schema: StructType = h.schema
     override def needConversion: Boolean = false
 
+    /** See [[IndexedRelation.sizeInBytes]]: exact memoized count ×
+      * default row width, so small handles broadcast unhinted. */
+    override def sizeInBytes: Long = IndexedFrame.relationSize(
+      h.statsAll(withExtrema = false)._1, schema)
+
     private val n = h.keyCols.length
     /** Trie/partition interval routing needs lexicographic byte order
       * AND a domain minimum per component (BigInt has none). */
@@ -5425,6 +5445,16 @@ object IndexedFrame {
     /** Rows out of buildScan are already UnsafeRow — no external
       * conversion layer. */
     override def needConversion: Boolean = false
+
+    /** Handle-exact cardinality to Catalyst: memoized row count ×
+      * schema default row width. Without this, a v1 relation reports
+      * `defaultSizeInBytes` (effectively infinite) and a small handle
+      * in a mixed plan never gets broadcast without a hint; with it,
+      * JoinSelection's autoBroadcast threshold sees the true size. The
+      * count is the O(partitions) stats job on the immutable snapshot,
+      * memoized on the handle — first planning pays it once. */
+    override def sizeInBytes: Long = IndexedFrame.relationSize(
+      h.statsAll(withExtrema = false)._1, schema)
 
     /** A literal the codec cannot parse (e.g. a non-UUID string against
       * a uuid handle) equals no stored key — a non-match, not an error. */
