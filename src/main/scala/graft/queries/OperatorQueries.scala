@@ -511,6 +511,35 @@ object OperatorQueries {
       s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_mrg_corpus")
     },
 
+    "ir_sql_merge_sqltext_full" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // the full Delta-style MIRROR merge: make the target reflect the
+      // source exactly for low-key rows — matched rows update, missing
+      // rows insert, and rows the source no longer carries DELETE via
+      // WHEN NOT MATCHED BY SOURCE (plus a conditional NBS UPDATE
+      // branch to exercise clause order). The NBS clauses evaluate
+      // over the corpus-kept anti join: the source keys shuffle
+      // one-sided, the corpus streams locally and never shuffles.
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("dml_mrgf_corpus")
+      s.range(1, 26)
+        .select(($"id" * 4).as("k"), ($"id" * 100).cast("double").as("v"))
+        .union(s.range(1, 6)
+          .select(($"id" + 30000000L).as("k"), ($"id" * 11).cast("double").as("v")))
+        .createOrReplaceTempView("dml_mrgf_src")
+      s.sql(
+        """MERGE INTO dml_mrgf_corpus t USING dml_mrgf_src s ON t.c_custkey = s.k
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = s.v
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+          |  VALUES (s.k, concat('Mirror#', CAST(s.k AS STRING)), s.v)
+          |WHEN NOT MATCHED BY SOURCE AND t.c_custkey <= 150 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND t.c_custkey <= 300
+          |  THEN UPDATE SET c_acctbal = -1.0""".stripMargin)
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_mrgf_corpus")
+    },
+
     "ir_sql_merge_sqltext_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2562,6 +2591,31 @@ object OperatorQueries {
         |FROM customer""".stripMargin,
 
     "ir_sql_merge_sqltext" -> mergeOracleSql,
+
+    // the mirror merge with WHEN NOT MATCHED BY SOURCE: matched rows
+    // take the source value, missing source rows insert, unmatched
+    // target rows delete (<=150) or flag (-1, <=300) or survive
+    "ir_sql_merge_sqltext_full" ->
+      """WITH src AS (
+        |  SELECT id*4 AS k, CAST(id*100 AS DOUBLE) AS v FROM range(1, 26) t(id)
+        |  UNION ALL
+        |  SELECT id + 30000000 AS k, CAST(id*11 AS DOUBLE) AS v FROM range(1, 6) t(id)
+        |)
+        |SELECT c.c_custkey, c.c_name, s.v AS c_acctbal
+        |FROM customer c JOIN src s ON c.c_custkey = s.k
+        |UNION ALL
+        |SELECT s.k, 'Mirror#' || CAST(s.k AS VARCHAR), s.v
+        |FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+        |WHERE c.c_custkey IS NULL
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_name, -1.0
+        |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+        |WHERE s.k IS NULL AND c.c_custkey > 150 AND c.c_custkey <= 300
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+        |WHERE s.k IS NULL AND c.c_custkey > 300""".stripMargin,
+
     "ir_sql_merge_sqltext_composite" -> mergeCompositeOracleSql,
 
     "ir_sql_sum_avg_double" ->

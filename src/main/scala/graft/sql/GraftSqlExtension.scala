@@ -50,8 +50,11 @@ import org.apache.spark.sql.types.StructType
  * rule that rewrites the resolved `MergeIntoTable` /
  * `DeleteFromTable` / `UpdateTable` / `InsertIntoStatement` nodes into
  * `RunnableCommand`s BEFORE the analyzer's v2-only checks fire).
- * Statements this rule does not understand — writes to non-graft
- * tables, `WHEN NOT MATCHED BY SOURCE`, non-equi ON conditions,
+ * `WHEN NOT MATCHED BY SOURCE` (Delta's delete-unmatched mirroring)
+ * routes too: its clauses fold with the same textual-order pinning and
+ * evaluate over the corpus-kept anti join of the handle against the
+ * source keys — the corpus never shuffles. Statements this rule does
+ * not understand — writes to non-graft tables, non-equi ON conditions,
  * general subqueries in DML predicates, multiple UPDATE/DELETE
  * clauses, key-column updates — are left untouched for Spark to raise
  * its ordinary errors.
@@ -266,7 +269,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
             spec: MergeSpec): DataFrame =
           h.mergeFrame(src, srcKeys.head, spec.deleteWhen, spec.updateWhen,
-            spec.updateSet, spec.insertWhen, spec.insertValues)(sp).toDF(sp)
+            spec.updateSet, spec.insertWhen, spec.insertValues,
+            notBySourceDeleteWhen = spec.nbsDeleteWhen,
+            notBySourceUpdateWhen = spec.nbsUpdateWhen,
+            notBySourceUpdateSet = spec.nbsUpdateSet)(sp).toDF(sp)
         def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
           implicit val s0: SparkSession = sp
           h.deleteFrame(h.toDF.select(h.keyCol)).upsertFrame(rows).toDF(sp)
@@ -286,7 +292,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             spec: MergeSpec): DataFrame =
           h.mergeFrame(src, srcKeys.head, srcKeys(1), spec.deleteWhen,
             spec.updateWhen, spec.updateSet, spec.insertWhen,
-            spec.insertValues)(sp).toDF(sp)
+            spec.insertValues,
+            notBySourceDeleteWhen = spec.nbsDeleteWhen,
+            notBySourceUpdateWhen = spec.nbsUpdateWhen,
+            notBySourceUpdateSet = spec.nbsUpdateSet)(sp).toDF(sp)
         def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
           implicit val s0: SparkSession = sp
           h.deleteFrame(h.toDF.select(h.keyColA, h.keyColB))
@@ -306,7 +315,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
             spec: MergeSpec): DataFrame =
           h.mergeFrame(src, srcKeys, spec.deleteWhen, spec.updateWhen,
-            spec.updateSet, spec.insertWhen, spec.insertValues)(sp).toDF(sp)
+            spec.updateSet, spec.insertWhen, spec.insertValues,
+            notBySourceDeleteWhen = spec.nbsDeleteWhen,
+            notBySourceUpdateWhen = spec.nbsUpdateWhen,
+            notBySourceUpdateSet = spec.nbsUpdateSet)(sp).toDF(sp)
         def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
           implicit val s0: SparkSession = sp
           h.deleteFrame(h.toDF.select(h.keyCols.head, h.keyCols.tail: _*))
@@ -410,7 +422,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private[sql] case class MergeSpec(deleteWhen: Option[Column],
       updateWhen: Option[Column], updateSet: Map[String, Column],
-      insertWhen: Option[Column], insertValues: Map[String, Column])
+      insertWhen: Option[Column], insertValues: Map[String, Column],
+      nbsDeleteWhen: Option[Column] = None,
+      nbsUpdateWhen: Option[Column] = None,
+      nbsUpdateSet: Map[String, Column] = Map.empty)
 
   /** Fold the action lists into `mergeFrame`'s one-clause-per-kind
     * shape. SQL's textual-order precedence is preserved by pinning each
@@ -483,12 +498,53 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => return None // >1 NOT MATCHED clause
     }
-    if (delW.isEmpty && updSet.isEmpty && insVals.isEmpty) return None
-    Some(MergeSpec(delW, updW, updSet, insW, insVals))
+    // WHEN NOT MATCHED BY SOURCE: same textual-order folding as the
+    // MATCHED clauses, but conditions/values may reference ONLY target
+    // columns (remapPlain leaves a source attribute unmapped → None →
+    // not intercepted, matching the analyzer's own restriction) — they
+    // evaluate over the corpus-kept anti join's plain-named rows
+    var nbsDelW: Option[Column] = None
+    var nbsUpdW: Option[Column] = None
+    var nbsUpdSet = Map.empty[String, Column]
+    var nbsPriorNeg: Option[Column] = None
+    var nbsDone = false
+    for (a <- m.notMatchedBySourceActions if !nbsDone) {
+      val ownC = a.condition match {
+        case Some(e) => remapPlain(e, tgt) match {
+          case Some(c) => coalesce(c, lit(false))
+          case None => return None
+        }
+        case None => lit(true)
+      }
+      val effC = nbsPriorNeg.map(_ && ownC).getOrElse(ownC)
+      a match {
+        case DeleteAction(_) =>
+          if (nbsDelW.nonEmpty) return None
+          nbsDelW = Some(effC)
+        case UpdateAction(_, assigns, _) =>
+          if (nbsUpdW.nonEmpty) return None
+          val pairs = assigns.map {
+            case Assignment(k: AttributeReference, v) if tgt.contains(k) &&
+                !keyCols.contains(k.name) =>
+              remapPlain(v, tgt)
+                .map(c => k.name -> c.cast(schema(k.name).dataType))
+            case _ => None
+          }
+          if (pairs.exists(_.isEmpty)) return None
+          nbsUpdW = Some(effC)
+          nbsUpdSet = pairs.flatten.toMap
+        case _ => return None
+      }
+      if (a.condition.isEmpty) nbsDone = true
+      else nbsPriorNeg = Some(nbsPriorNeg.map(_ && !ownC).getOrElse(!ownC))
+    }
+    if (delW.isEmpty && updSet.isEmpty && insVals.isEmpty &&
+      nbsDelW.isEmpty && nbsUpdSet.isEmpty) return None
+    Some(MergeSpec(delW, updW, updSet, insW, insVals,
+      nbsDelW, nbsUpdW, nbsUpdSet))
   }
 
   private def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
-    if (m.notMatchedBySourceActions.nonEmpty) return None
     val tgt = AttributeSet(m.targetTable.output)
     val src = AttributeSet(m.sourceTable.output)
     for {

@@ -2478,14 +2478,30 @@ object IndexedFrame {
       * application equals SQL's atomic semantics; the pre-merge handle
       * stays queryable. Duplicate SOURCE keys resolve last-write-wins
       * (SQL MERGE raises instead — dedupe the source to match it
-      * exactly). */
+      * exactly).
+      *
+      * `WHEN NOT MATCHED BY SOURCE` clauses (Delta's delete-unmatched
+      * mirroring shape) ride the `notBySource*` arguments: conditions
+      * and update expressions are Columns over PLAIN target column
+      * names (SQL forbids source references here), a delete clause
+      * exists iff `notBySourceDeleteWhen` is Some, an update clause
+      * iff `notBySourceUpdateSet` is non-empty, delete evaluates
+      * first. These clauses select target rows whose key appears in
+      * NO source row — inherently one pass over the corpus — served
+      * by the corpus-kept anti join ([[graft.IndexedRDD
+      * .lookupSemiStream]] under the indexed strategy): the source
+      * keys shuffle one-sided, the corpus streams locally and never
+      * shuffles. */
     def mergeFrame(source: DataFrame, sourceKey: String,
         deleteWhen: Option[Column] = None,
         updateWhen: Option[Column] = None,
         updateSet: Map[String, Column] = Map.empty,
         insertWhen: Option[Column] = None,
         insertValues: Map[String, Column] = Map.empty,
-        insertAll: Boolean = false)(
+        insertAll: Boolean = false,
+        notBySourceDeleteWhen: Option[Column] = None,
+        notBySourceUpdateWhen: Option[Column] = None,
+        notBySourceUpdateSet: Map[String, Column] = Map.empty)(
         implicit spark: SparkSession): Handle[K] = {
       import org.apache.spark.sql.functions.{col => fCol}
       require(!updateSet.contains(keyCol), "MERGE may not update the key")
@@ -2503,13 +2519,34 @@ object IndexedFrame {
         insertAll || insertValues.nonEmpty).count(identity)
       if (reads >= 2)
         joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
-        updateSet, insertWhen, insertValues, insertAll)
-      val afterDel =
-        if (cs.hasDelete)
-          deleteFrame(joined.filter(cs.delC).select(fCol(s"t.$keyCol")))
-        else this
-      val result = cs.upserts match {
+      // a merge may carry ONLY NOT-MATCHED-BY-SOURCE clauses — the
+      // matched/insert machinery then contributes nothing
+      val hasMatchedSide = deleteWhen.isDefined || updateSet.nonEmpty ||
+        insertAll || insertValues.nonEmpty
+      require(hasMatchedSide || notBySourceDeleteWhen.isDefined ||
+        notBySourceUpdateSet.nonEmpty, "MERGE needs at least one WHEN clause")
+      val cs =
+        if (hasMatchedSide)
+          mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
+            updateSet, insertWhen, insertValues, insertAll)
+        else MergeChangeSets(org.apache.spark.sql.functions.lit(false),
+          hasDelete = false, None)
+      val nbs =
+        if (notBySourceDeleteWhen.isDefined || notBySourceUpdateSet.nonEmpty)
+          nbsClauses(
+            toDF.alias("t").join(source.select(fCol(sourceKey)).alias("s"),
+              fCol(s"t.$keyCol") === fCol(s"s.$sourceKey"), "left_anti"),
+            Seq(keyCol), schema, notBySourceDeleteWhen,
+            notBySourceUpdateWhen, notBySourceUpdateSet)
+        else NbsChangeSets(None, None)
+      val matchedDel =
+        if (cs.hasDelete) Some(joined.filter(cs.delC)
+          .select(fCol(s"t.$keyCol").as(keyCol)))
+        else None
+      val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
+      val afterDel = allDel.map(deleteFrame).getOrElse(this)
+      val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
+      val result = allUps match {
         case Some(ups) => afterDel.upsertFrame(ups)
         case None => afterDel
       }
@@ -3667,14 +3704,20 @@ object IndexedFrame {
       * presence/order rules, same Column addressing (`col("t.x")` /
       * `col("s.x")`), same delta-cost execution: one left lookup join,
       * one COW delete pass, one COW upsert pass, all computed against
-      * the original snapshot with key-disjoint change sets. */
+      * the original snapshot with key-disjoint change sets. `WHEN NOT
+      * MATCHED BY SOURCE` rides the `notBySource*` arguments exactly
+      * as on [[Handle.mergeFrame]] (plain target column names, served
+      * by the corpus-kept anti join — the corpus never shuffles). */
     def mergeFrame(source: DataFrame, sourceKeyA: String, sourceKeyB: String,
         deleteWhen: Option[Column] = None,
         updateWhen: Option[Column] = None,
         updateSet: Map[String, Column] = Map.empty,
         insertWhen: Option[Column] = None,
         insertValues: Map[String, Column] = Map.empty,
-        insertAll: Boolean = false)(
+        insertAll: Boolean = false,
+        notBySourceDeleteWhen: Option[Column] = None,
+        notBySourceUpdateWhen: Option[Column] = None,
+        notBySourceUpdateSet: Map[String, Column] = Map.empty)(
         implicit spark: SparkSession): CompositeHandle[A, B] = {
       import org.apache.spark.sql.functions.{col => fCol}
       require(!updateSet.contains(keyColA) && !updateSet.contains(keyColB),
@@ -3692,14 +3735,37 @@ object IndexedFrame {
         insertAll || insertValues.nonEmpty).count(identity)
       if (reads >= 2)
         joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
-        updateSet, insertWhen, insertValues, insertAll)
-      val afterDel =
-        if (cs.hasDelete)
-          deleteFrame(joined.filter(cs.delC)
-            .select(fCol(s"t.$keyColA"), fCol(s"t.$keyColB")))
-        else this
-      val result = cs.upserts match {
+      // a merge may carry ONLY NOT-MATCHED-BY-SOURCE clauses — the
+      // matched/insert machinery then contributes nothing
+      val hasMatchedSide = deleteWhen.isDefined || updateSet.nonEmpty ||
+        insertAll || insertValues.nonEmpty
+      require(hasMatchedSide || notBySourceDeleteWhen.isDefined ||
+        notBySourceUpdateSet.nonEmpty, "MERGE needs at least one WHEN clause")
+      val cs =
+        if (hasMatchedSide)
+          mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
+            updateSet, insertWhen, insertValues, insertAll)
+        else MergeChangeSets(org.apache.spark.sql.functions.lit(false),
+          hasDelete = false, None)
+      val nbs =
+        if (notBySourceDeleteWhen.isDefined || notBySourceUpdateSet.nonEmpty)
+          nbsClauses(
+            toDF.alias("t").join(
+              source.select(fCol(sourceKeyA), fCol(sourceKeyB)).alias("s"),
+              fCol(s"t.$keyColA") === fCol(s"s.$sourceKeyA") &&
+                fCol(s"t.$keyColB") === fCol(s"s.$sourceKeyB"), "left_anti"),
+            Seq(keyColA, keyColB), schema, notBySourceDeleteWhen,
+            notBySourceUpdateWhen, notBySourceUpdateSet)
+        else NbsChangeSets(None, None)
+      val matchedDel =
+        if (cs.hasDelete) Some(joined.filter(cs.delC)
+          .select(fCol(s"t.$keyColA").as(keyColA),
+            fCol(s"t.$keyColB").as(keyColB)))
+        else None
+      val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
+      val afterDel = allDel.map(deleteFrame).getOrElse(this)
+      val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
+      val result = allUps match {
         case Some(ups) => afterDel.upsertFrame(ups)
         case None => afterDel
       }
@@ -3973,6 +4039,46 @@ object IndexedFrame {
       case (true, true) => Some(updRows.unionByName(insRows))
     }
     MergeChangeSets(delC, hasDelete, upserts)
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE` change sets, shared by the three
+    * `mergeFrame`s: clauses over the target rows whose key appears in
+    * NO source row (`unmatched` — the corpus-kept anti join of the
+    * handle against the source keys, which never shuffles the corpus).
+    * Conditions and update expressions are Columns over PLAIN target
+    * column names (SQL forbids source references here). Same
+    * three-valued condition handling and delete-before-update clause
+    * order as the matched clauses; the SQL rewrite pins textual order
+    * into the conditions before calling in. Key-disjoint from every
+    * matched/insert change set by construction — unmatched keys are in
+    * the target and not in the source. */
+  private[sql] final case class NbsChangeSets(delKeys: Option[DataFrame],
+      updRows: Option[DataFrame])
+  private[sql] def nbsClauses(unmatched: DataFrame, keyCols: Seq[String],
+      schema: StructType, deleteWhen: Option[Column],
+      updateWhen: Option[Column], updateSet: Map[String, Column])
+      : NbsChangeSets = {
+    import org.apache.spark.sql.functions.{coalesce, col => fCol, lit => fLit}
+    require(keyCols.forall(k => !updateSet.contains(k)),
+      "MERGE may not update a key column")
+    require(updateSet.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown update columns ${updateSet.keySet -- schema.fieldNames}")
+    def isTrue(c: Column): Column = coalesce(c, fLit(false))
+    val hasDel = deleteWhen.isDefined
+    val hasUpd = updateSet.nonEmpty
+    val delC = if (hasDel) isTrue(deleteWhen.get) else fLit(false)
+    val updC =
+      if (hasUpd) !delC && isTrue(updateWhen.getOrElse(fLit(true)))
+      else fLit(false)
+    val delKeys =
+      if (hasDel) Some(unmatched.filter(delC).select(keyCols.map(fCol): _*))
+      else None
+    val updRows =
+      if (hasUpd) Some(unmatched.filter(updC).select(
+        schema.fieldNames.toSeq.map(f =>
+          updateSet.getOrElse(f, fCol(f)).as(f)): _*))
+      else None
+    NbsChangeSets(delKeys, updRows)
   }
 
   /** Estimated bytes of a handle-backed relation for Catalyst's
@@ -4368,7 +4474,10 @@ object IndexedFrame {
         updateSet: Map[String, Column] = Map.empty,
         insertWhen: Option[Column] = None,
         insertValues: Map[String, Column] = Map.empty,
-        insertAll: Boolean = false)(
+        insertAll: Boolean = false,
+        notBySourceDeleteWhen: Option[Column] = None,
+        notBySourceUpdateWhen: Option[Column] = None,
+        notBySourceUpdateSet: Map[String, Column] = Map.empty)(
         implicit spark: SparkSession): CompositeNHandle = {
       import org.apache.spark.sql.functions.{col => fCol}
       require(sourceKeys.length == keyCols.length,
@@ -4387,14 +4496,37 @@ object IndexedFrame {
         insertAll || insertValues.nonEmpty).count(identity)
       if (reads >= 2)
         joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cs = mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
-        updateSet, insertWhen, insertValues, insertAll)
-      val afterDel =
-        if (cs.hasDelete)
-          deleteFrame(joined.filter(cs.delC)
-            .select(keyCols.map(c => fCol(s"t.$c")): _*))
-        else this
-      val result = cs.upserts match {
+      // a merge may carry ONLY NOT-MATCHED-BY-SOURCE clauses — the
+      // matched/insert machinery then contributes nothing
+      val hasMatchedSide = deleteWhen.isDefined || updateSet.nonEmpty ||
+        insertAll || insertValues.nonEmpty
+      require(hasMatchedSide || notBySourceDeleteWhen.isDefined ||
+        notBySourceUpdateSet.nonEmpty, "MERGE needs at least one WHEN clause")
+      val cs =
+        if (hasMatchedSide)
+          mergeClauses(joined, matched, schema, deleteWhen, updateWhen,
+            updateSet, insertWhen, insertValues, insertAll)
+        else MergeChangeSets(org.apache.spark.sql.functions.lit(false),
+          hasDelete = false, None)
+      val nbs =
+        if (notBySourceDeleteWhen.isDefined || notBySourceUpdateSet.nonEmpty)
+          nbsClauses(
+            toDF.alias("t").join(
+              source.select(sourceKeys.map(fCol): _*).alias("s"),
+              keyCols.zip(sourceKeys).map { case (t, s0) =>
+                fCol(s"t.$t") === fCol(s"s.$s0")
+              }.reduce(_ && _), "left_anti"),
+            keyCols, schema, notBySourceDeleteWhen,
+            notBySourceUpdateWhen, notBySourceUpdateSet)
+        else NbsChangeSets(None, None)
+      val matchedDel =
+        if (cs.hasDelete) Some(joined.filter(cs.delC)
+          .select(keyCols.map(c => fCol(s"t.$c").as(c)): _*))
+        else None
+      val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
+      val afterDel = allDel.map(deleteFrame).getOrElse(this)
+      val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
+      val result = allUps match {
         case Some(ups) => afterDel.upsertFrame(ups)
         case None => afterDel
       }

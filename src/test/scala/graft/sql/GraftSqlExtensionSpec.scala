@@ -448,13 +448,52 @@ class GraftSqlExtensionSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("exactly one argument"))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: full mirror merge with all four clause kinds") {
+    freshCorpus("gsx_nbs")
+    Seq((10L, 100.0), (20L, 200.0), (500L, 5.0)).toDF("sk", "v")
+      .createOrReplaceTempView("gsx_nbs_src")
+    spark.sql(
+      """MERGE INTO gsx_nbs t USING gsx_nbs_src s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET bal = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.sk, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.k <= 30 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.k <= 60 THEN UPDATE SET bal = -1""".stripMargin)
+    val out = spark.sql("SELECT k, bal FROM gsx_nbs")
+      .as[(Long, Double)].collect().toMap
+    // matched rows take the source value
+    assert(out(10L) === 100.0 && out(20L) === 200.0)
+    // unmatched source key inserted
+    assert(out(500L) === 5.0)
+    // NBS delete: every target key <= 30 the source lacks is gone
+    assert((1L to 30L).filterNot(Set(10L, 20L)).forall(!out.contains(_)))
+    // NBS update only gets what the earlier delete clause declined
+    assert((31L to 60L).forall(out(_) === -1.0))
+    // beyond every NBS condition: untouched
+    assert((61L to 100L).forall(k => out(k) === k * 1.0))
+    assert(out.size === 100 - 28 + 1)
+  }
+
+  test("NOT MATCHED BY SOURCE textual order: an earlier UPDATE wins over a later DELETE") {
+    freshCorpus("gsx_nbs_ord")
+    Seq((999L, 1.0)).toDF("sk", "v").createOrReplaceTempView("gsx_nbs_ord_src")
+    spark.sql(
+      """MERGE INTO gsx_nbs_ord t USING gsx_nbs_ord_src s ON t.k = s.sk
+        |WHEN NOT MATCHED BY SOURCE AND t.k <= 50 THEN UPDATE SET bal = -2
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val out = spark.sql("SELECT k, bal FROM gsx_nbs_ord")
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet === (1L to 50L).toSet) // 51..100 deleted
+    assert((1L to 50L).forall(out(_) === -2.0))
+  }
+
   test("unsupported MERGE shapes are not intercepted and raise Spark's error") {
     freshCorpus("gsx_unsup")
     Seq((1L, 1.0)).toDF("sk", "delta").createOrReplaceTempView("gsx_unsup_src")
-    // NOT MATCHED BY SOURCE is outside mergeFrame's clause surface
+    // two NBS DELETE clauses are outside the folded clause surface
     intercept[Exception](spark.sql(
       """MERGE INTO gsx_unsup t USING gsx_unsup_src s ON t.k = s.sk
         |WHEN MATCHED THEN UPDATE SET bal = 0
+        |WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE
         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
     // non-equi ON condition cannot route through the keyed merge
     intercept[Exception](spark.sql(
