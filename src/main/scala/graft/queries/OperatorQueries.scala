@@ -540,6 +540,67 @@ object OperatorQueries {
       s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_mrgf_corpus")
     },
 
+    "ir_sql_catalog_table" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // PERSISTENT graft table: CREATE TABLE ... USING graft persists
+      // the built index (one-file-per-partition + sidecars), SQL-text
+      // DML commits change-set deltas to the table's on-disk log, and
+      // a NEW session replays base + deltas to the identical state —
+      // the final read happens in that reopened session, so the lane
+      // proves durability, not cache reuse
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_table").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_customer")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_ctas_src")
+      s.sql(s"""CREATE TABLE graft_cat_customer USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_ctas_src""".stripMargin)
+      s.sql("""UPDATE graft_cat_customer SET c_acctbal = c_acctbal + 100
+        |WHERE c_custkey <= 50""".stripMargin)
+      s.sql("""DELETE FROM graft_cat_customer
+        |WHERE c_custkey % 10 = 7 AND c_custkey <= 100""".stripMargin)
+      s.range(1, 21).select(($"id" * 5).as("k"), ($"id" % 3).cast("double").as("d"))
+        .union(s.range(1, 4)
+          .select(($"id" + 20000000L).as("k"), ($"id" % 3).cast("double").as("d")))
+        .createOrReplaceTempView("cat_merge_src")
+      s.sql(
+        """MERGE INTO graft_cat_customer t USING cat_merge_src s
+          |ON t.c_custkey = s.k
+          |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.d
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+          |  VALUES (s.k, 'Cat#' || CAST(s.k AS STRING), s.d)""".stripMargin)
+      val reopened = s.newSession()
+      reopened.sql(
+        "SELECT c_custkey, c_name, c_acctbal FROM graft_cat_customer")
+    },
+
+    "ir_sql_catalog_timetravel" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // VERSION AS OF over the table's on-disk delta log, read from a
+      // REOPENED session (no in-session chain exists there): version 1
+      // is the state after the UPDATE and before the DELETE
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_tt").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_tt")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_tt_src")
+      s.sql(s"""CREATE TABLE graft_cat_tt USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_tt_src""".stripMargin)
+      s.sql("""UPDATE graft_cat_tt SET c_acctbal = -5
+        |WHERE c_custkey <= 40""".stripMargin)
+      s.sql("DELETE FROM graft_cat_tt WHERE c_custkey <= 200")
+      val reopened = s.newSession()
+      reopened.sql(
+        """SELECT c_custkey, c_acctbal FROM graft_cat_tt VERSION AS OF 1
+          |WHERE c_custkey <= 300""".stripMargin)
+    },
+
     "ir_sql_merge_sqltext_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2591,6 +2652,37 @@ object OperatorQueries {
         |FROM customer""".stripMargin,
 
     "ir_sql_merge_sqltext" -> mergeOracleSql,
+
+    // the catalog-table lane: CTAS + UPDATE + DELETE + MERGE, final
+    // state read from a reopened session replaying the on-disk log
+    "ir_sql_catalog_table" ->
+      """WITH u1 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey <= 50 THEN c_acctbal + 100 ELSE c_acctbal END
+        |      AS c_acctbal
+        |  FROM customer
+        |), d1 AS (
+        |  SELECT * FROM u1 WHERE NOT (c_custkey % 10 = 7 AND c_custkey <= 100)
+        |), src AS (
+        |  SELECT id*5 AS k, CAST(id % 3 AS DOUBLE) AS d FROM range(1, 21) t(id)
+        |  UNION ALL
+        |  SELECT id + 20000000, CAST(id % 3 AS DOUBLE) FROM range(1, 4) t(id)
+        |)
+        |SELECT t.c_custkey, t.c_name, t.c_acctbal + s.d AS c_acctbal
+        |FROM d1 t JOIN src s ON t.c_custkey = s.k
+        |UNION ALL
+        |SELECT t.c_custkey, t.c_name, t.c_acctbal
+        |FROM d1 t LEFT JOIN src s ON t.c_custkey = s.k WHERE s.k IS NULL
+        |UNION ALL
+        |SELECT s.k, 'Cat#' || CAST(s.k AS VARCHAR), s.d
+        |FROM src s LEFT JOIN d1 t ON t.c_custkey = s.k
+        |WHERE t.c_custkey IS NULL""".stripMargin,
+
+    // version 1 of the log = after the UPDATE, before the DELETE
+    "ir_sql_catalog_timetravel" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey <= 40 THEN -5.0 ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey <= 300""".stripMargin,
 
     // the mirror merge with WHEN NOT MATCHED BY SOURCE: matched rows
     // take the source value, missing source rows insert, unmatched

@@ -192,7 +192,15 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
           None, Some(ver)) =>
         (u.multipartIdentifier match {
           case Seq(name) => scala.util.Try(ver.toLong).toOption
-            .flatMap(GraftSqlExtension.versionAt(session, name, _))
+            .flatMap { v =>
+              // in-session chain first; then the durable delta log of a
+              // graft catalog table — version reads survive a reopen
+              GraftSqlExtension.versionAt(session, name, v).orElse(
+                GraftTables.tableInfo(session, name).collect {
+                  case (path, dv) if v >= 0 && v <= dv =>
+                    GraftTables.versionPlanOf(session, path, v)
+                })
+            }
             .map(p => SubqueryAlias(name, p))
           case _ => None
         }).getOrElse(tt)
@@ -201,7 +209,15 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
           Some(ts), None) =>
         (u.multipartIdentifier match {
           case Seq(name) => tsMillisOf(ts)
-            .flatMap(GraftSqlExtension.versionAtTime(session, name, _))
+            .flatMap { ms =>
+              GraftSqlExtension.versionAtTime(session, name, ms).orElse(
+                GraftTables.tableInfo(session, name).flatMap { case (path, _) =>
+                  val times = GraftTables.historyTimes(session, path)
+                  val i = times.lastIndexWhere(_ <= ms)
+                  if (i < 0) None
+                  else Some(GraftTables.versionPlanOf(session, path, i.toLong))
+                })
+            }
             .map(p => SubqueryAlias(name, p))
           case _ => None
         }).getOrElse(tt)
@@ -249,6 +265,10 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     def delete(sp: SparkSession, keys: DataFrame): DataFrame
     def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
         spec: MergeSpec): DataFrame
+    /** [[merge]]'s change sets WITHOUT application — the catalog-table
+      * path persists them as the delta log before applying. */
+    def mergeSets(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+        spec: MergeSpec): IndexedFrame.MergeSets
     /** INSERT OVERWRITE: truncate-and-load as two COW passes (delete
       * every current key, then upsert the new rows) — the pre-statement
       * snapshot stays queryable like every other frame DML. */
@@ -273,6 +293,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             notBySourceDeleteWhen = spec.nbsDeleteWhen,
             notBySourceUpdateWhen = spec.nbsUpdateWhen,
             notBySourceUpdateSet = spec.nbsUpdateSet)(sp).toDF(sp)
+        def mergeSets(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+            spec: MergeSpec): IndexedFrame.MergeSets =
+          h.mergeChangeSets(src, srcKeys.head, spec.deleteWhen,
+            spec.updateWhen, spec.updateSet, spec.insertWhen,
+            spec.insertValues, insertAll = false, spec.nbsDeleteWhen,
+            spec.nbsUpdateWhen, spec.nbsUpdateSet)(sp)
         def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
           implicit val s0: SparkSession = sp
           h.deleteFrame(h.toDF.select(h.keyCol)).upsertFrame(rows).toDF(sp)
@@ -296,6 +322,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             notBySourceDeleteWhen = spec.nbsDeleteWhen,
             notBySourceUpdateWhen = spec.nbsUpdateWhen,
             notBySourceUpdateSet = spec.nbsUpdateSet)(sp).toDF(sp)
+        def mergeSets(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+            spec: MergeSpec): IndexedFrame.MergeSets =
+          h.mergeChangeSets(src, srcKeys.head, srcKeys(1), spec.deleteWhen,
+            spec.updateWhen, spec.updateSet, spec.insertWhen,
+            spec.insertValues, insertAll = false, spec.nbsDeleteWhen,
+            spec.nbsUpdateWhen, spec.nbsUpdateSet)(sp)
         def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
           implicit val s0: SparkSession = sp
           h.deleteFrame(h.toDF.select(h.keyColA, h.keyColB))
@@ -319,6 +351,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             notBySourceDeleteWhen = spec.nbsDeleteWhen,
             notBySourceUpdateWhen = spec.nbsUpdateWhen,
             notBySourceUpdateSet = spec.nbsUpdateSet)(sp).toDF(sp)
+        def mergeSets(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+            spec: MergeSpec): IndexedFrame.MergeSets =
+          h.mergeChangeSets(src, srcKeys, spec.deleteWhen,
+            spec.updateWhen, spec.updateSet, spec.insertWhen,
+            spec.insertValues, insertAll = false, spec.nbsDeleteWhen,
+            spec.nbsUpdateWhen, spec.nbsUpdateSet)(sp)
         def overwrite(sp: SparkSession, rows: DataFrame): DataFrame = {
           implicit val s0: SparkSession = sp
           h.deleteFrame(h.toDF.select(h.keyCols.head, h.keyCols.tail: _*))
@@ -328,15 +366,27 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Resolve a DML target subtree to (deepest view/alias name, graft
-    * adapter). The innermost naming node wins — for `MERGE INTO v t`
-    * the target reads SubqueryAlias(t) > SubqueryAlias(v) > View(v) >
-    * Relation, and the view identity `v` is what the command rebinds.
-    * INSERT targets lose the View wrapper entirely during relation
+  /** Where a DML statement's effect lands: a temp VIEW rebinds to the
+    * new copy-on-write handle in-session; a CATALOG table (`CREATE
+    * TABLE ... USING graft`) commits the change sets to the table's
+    * on-disk delta log so the statement survives the session. */
+  private sealed trait DmlTarget
+  private case class ViewTarget(name: String) extends DmlTarget
+  private case class TableTarget(
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      path: String) extends DmlTarget
+
+  /** Resolve a DML target subtree to (rebind target, graft adapter).
+    * A LogicalRelation carrying catalogTable metadata is a persistent
+    * graft table — its location is the delta-log root. Otherwise the
+    * innermost naming node wins — for `MERGE INTO v t` the target
+    * reads SubqueryAlias(t) > SubqueryAlias(v) > View(v) > Relation,
+    * and the view identity `v` is what the command rebinds. INSERT
+    * targets lose the View wrapper entirely during relation
     * resolution, so a bare graft relation falls back to a reverse
     * lookup over the session's temp views (same relation INSTANCE —
     * a handle registered under two names rebinds the one referenced). */
-  private def dest(p: LogicalPlan): Option[(String, Adapter)] = {
+  private def dest(p: LogicalPlan): Option[(DmlTarget, Adapter)] = {
     var name: Option[String] = None
     var cur = p
     while (true) {
@@ -344,10 +394,15 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case SubqueryAlias(id, c) => name = Some(id.name); cur = c
         case v: View => name = Some(v.desc.identifier.table); cur = v.child
         case lr: LogicalRelation =>
-          return for {
-            n <- name.orElse(viewNameOf(lr.relation))
-            a <- adapt(lr.relation)
-          } yield (n, a)
+          return adapt(lr.relation).flatMap { a =>
+            lr.catalogTable match {
+              case Some(ct) =>
+                Some((TableTarget(ct.identifier, ct.location.toString), a))
+              case None =>
+                name.orElse(viewNameOf(lr.relation))
+                  .map(n => (ViewTarget(n), a))
+            }
+          }
         case _ => return None
       }
     }
@@ -548,16 +603,28 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     val tgt = AttributeSet(m.targetTable.output)
     val src = AttributeSet(m.sourceTable.output)
     for {
-      (view, ad) <- dest(m.targetTable)
+      (target, ad) <- dest(m.targetTable)
       eqs <- keyEqs(m.mergeCondition, ad.keyCols, tgt, src)
       spec <- clauseSpecs(m, ad.keyCols, ad.schema, tgt, src)
       srcKeyCols <- sourceKeyPlan(ad.keyCols, eqs, src)
     } yield {
       val srcPlan = m.sourceTable
-      GraftDmlCommand("MERGE", view) { sp =>
-        val srcDF0 = ExpressionBridge.ofRows(sp, srcPlan)
-        val (srcDF, names) = srcKeyCols(srcDF0)
-        ad.merge(sp, srcDF, names, spec)
+      target match {
+        case ViewTarget(view) =>
+          GraftDmlCommand("MERGE", view) { sp =>
+            val srcDF0 = ExpressionBridge.ofRows(sp, srcPlan)
+            val (srcDF, names) = srcKeyCols(srcDF0)
+            ad.merge(sp, srcDF, names, spec)
+          }
+        case TableTarget(ident, path) =>
+          GraftTableDmlCommand("MERGE", ident, path) { sp =>
+            val srcDF0 = ExpressionBridge.ofRows(sp, srcPlan)
+            val (srcDF, names) = srcKeyCols(srcDF0)
+            val ms = ad.mergeSets(sp, srcDF, names, spec)
+            try GraftTables.commitChange(sp, path, truncate = false,
+              ms.del, ms.ups)
+            finally ms.release()
+          }
       }
     }
   }
@@ -590,8 +657,19 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   // ---------------------------------------------------------------- DELETE
 
   private def rewriteDelete(d: DeleteFromTable): Option[LogicalPlan] =
-    dest(d.table).flatMap { case (view, ad) =>
+    dest(d.table).flatMap { case (target, ad) =>
       val tgt = AttributeSet(d.table.output)
+      // the delete-key frame is the same for both target kinds; only
+      // where it lands differs (view rebind vs durable delta commit)
+      def command(keysOf: SparkSession => DataFrame): LogicalPlan =
+        target match {
+          case ViewTarget(view) =>
+            GraftDmlCommand("DELETE", view)(sp => ad.delete(sp, keysOf(sp)))
+          case TableTarget(ident, path) =>
+            GraftTableDmlCommand("DELETE", ident, path)(sp =>
+              GraftTables.commitChange(sp, path, truncate = false,
+                Some(keysOf(sp)), None))
+        }
       d.condition match {
         // `DELETE FROM t WHERE <key cols> IN (SELECT ...)` — the CDC
         // retraction shape: the subquery's keys feed deleteFrame
@@ -602,22 +680,18 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
               values.map(_.asInstanceOf[AttributeReference]).forall(tgt.contains) &&
               values.map(_.asInstanceOf[AttributeReference].name) == ad.keyCols =>
           val subPlan = lq.plan
-          Some(GraftDmlCommand("DELETE", view) { sp =>
+          Some(command { sp =>
             val sub0 = ExpressionBridge.ofRows(sp, subPlan)
             val keyTypes = ad.keyCols.map(ad.schema(_).dataType)
-            val keys = sub0.na.drop().select(
+            sub0.na.drop().select(
               sub0.columns.toSeq.zip(keyTypes).zipWithIndex.map {
                 case ((c, dt), i) => sub0.col(s"`$c`").cast(dt).as(ad.keyCols(i))
               }: _*)
-            ad.delete(sp, keys)
           })
         case cond =>
           remapPlain(cond, tgt).map { condC =>
-            GraftDmlCommand("DELETE", view) { sp =>
-              val keys = ad.df(sp).filter(condC)
-                .select(ad.keyCols.map(col): _*)
-              ad.delete(sp, keys)
-            }
+            command(sp => ad.df(sp).filter(condC)
+              .select(ad.keyCols.map(col): _*))
           }
       }
     }
@@ -627,7 +701,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteUpdate(u: UpdateTable): Option[LogicalPlan] = {
     val tgt = AttributeSet(u.table.output)
     for {
-      (view, ad) <- dest(u.table)
+      (target, ad) <- dest(u.table)
       affected <- affectedSelector(u.condition, tgt, ad)
       assigns <- {
         val pairs = u.assignments.map {
@@ -638,15 +712,24 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
         if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toMap)
       }
-    } yield GraftDmlCommand("UPDATE", view) { sp =>
-      val outCols = ad.schema.fields.map { f =>
-        assigns.get(f.name) match {
-          case Some(c) => c.cast(f.dataType).as(f.name)
-          case None => col(f.name)
+    } yield {
+      def upsOf(sp: SparkSession): DataFrame = {
+        val outCols = ad.schema.fields.map { f =>
+          assigns.get(f.name) match {
+            case Some(c) => c.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
         }
+        affected(sp).select(outCols.toIndexedSeq: _*)
       }
-      val ups = affected(sp).select(outCols.toIndexedSeq: _*)
-      ad.upsert(sp, ups)
+      target match {
+        case ViewTarget(view) =>
+          GraftDmlCommand("UPDATE", view)(sp => ad.upsert(sp, upsOf(sp)))
+        case TableTarget(ident, path) =>
+          GraftTableDmlCommand("UPDATE", ident, path)(sp =>
+            GraftTables.commitChange(sp, path, truncate = false,
+              None, Some(upsOf(sp))))
+      }
     }
   }
 
@@ -681,24 +764,33 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteInsert(i: InsertIntoStatement): Option[LogicalPlan] = {
     if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists) return None
     for {
-      (view, ad) <- dest(i.table)
+      (target, ad) <- dest(i.table)
       pick <- insertAlignment(i, ad.schema)
     } yield {
       val qPlan = i.query
       val kind = if (i.overwrite) "INSERT OVERWRITE" else "INSERT"
-      GraftDmlCommand(kind, view) { sp =>
+      def alignedOf(sp: SparkSession): DataFrame = {
         val q0 = ExpressionBridge.ofRows(sp, qPlan)
         // positional rename first: VALUES/SELECT output names are
         // synthetic (and can contain dots), so never resolve by them
         val q = q0.toDF(q0.columns.indices.map(i => s"__graft_ins_$i"): _*)
-        val aligned = q.select(ad.schema.fields.map { f =>
+        q.select(ad.schema.fields.map { f =>
           pick(f.name) match {
             case Some(srcIdx) => col(s"__graft_ins_$srcIdx").cast(f.dataType).as(f.name)
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }.toIndexedSeq: _*)
-        if (i.overwrite) ad.overwrite(sp, aligned)
-        else ad.upsert(sp, aligned)
+      }
+      target match {
+        case ViewTarget(view) =>
+          GraftDmlCommand(kind, view) { sp =>
+            if (i.overwrite) ad.overwrite(sp, alignedOf(sp))
+            else ad.upsert(sp, alignedOf(sp))
+          }
+        case TableTarget(ident, path) =>
+          GraftTableDmlCommand(kind, ident, path)(sp =>
+            GraftTables.commitChange(sp, path, truncate = i.overwrite,
+              None, Some(alignedOf(sp))))
       }
     }
   }
@@ -751,6 +843,26 @@ case class GraftDmlCommand(kind: String, view: String)(
   }
   override def simpleString(maxFields: Int): String =
     s"GraftDmlCommand $kind $view"
+}
+
+/** [[GraftDmlCommand]]'s catalog-table twin: the captured body commits
+  * the statement's change sets to the table's on-disk delta log (see
+  * [[GraftTables.commitChange]]) instead of rebinding a view, then the
+  * cached table relation is dropped so the next resolution reads the
+  * new version. Durable: a session reopened on the same location
+  * replays to the identical state. */
+case class GraftTableDmlCommand(kind: String,
+    ident: org.apache.spark.sql.catalyst.TableIdentifier, path: String)(
+    body: SparkSession => Unit) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override protected def otherCopyArgs: Seq[AnyRef] = body :: Nil
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    body(sparkSession)
+    sparkSession.sessionState.catalog.refreshTable(ident)
+    Nil
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftTableDmlCommand $kind ${ident.unquotedString}"
 }
 
 object GraftSqlExtension {
@@ -999,15 +1111,25 @@ object GraftSqlExtension {
       case other => throw new IllegalArgumentException(
         s"graft_changes: version must be an integer literal (got $other)")
     }
-    val n = versionCount(sp, view)
-    if (n == 0) throw new IllegalArgumentException(
-      s"view '$view' has no recorded versions — graft_changes reads the " +
-        "chain SQL-text DML statements record")
+    // in-session chain first; a graft CATALOG table's on-disk delta
+    // log serves when no chain exists — CDC reads survive a reopen
+    val tableLog = GraftTables.tableInfo(sp, view)
+    val n = versionCount(sp, view) match {
+      case 0 => tableLog.map(_._2.toInt + 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$view' has no recorded versions — graft_changes reads the " +
+            "chain SQL-text DML statements record (temp view or graft table)"))
+      case k => k
+    }
     val v1 = ver(evalArg(args(1)))
     val v2 = if (args.size == 3) ver(evalArg(args(2))) else (n - 1).toLong
-    def at(v: Long): LogicalPlan = versionAt(sp, view, v).getOrElse(
-      throw new IllegalArgumentException(
-        s"no version $v for view '$view' " +
+    def at(v: Long): LogicalPlan = versionAt(sp, view, v)
+      .orElse(tableLog.collect {
+        case (path, dv) if v >= 0 && v <= dv =>
+          GraftTables.versionPlanOf(sp, path, v)
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version $v for '$view' " +
           s"(have ${firstVersion(sp, view)}..${n - 1})"))
     val (oldP, newP) = (at(v1), at(v2))
     val keys = keyColsOf(oldP).orElse(keyColsOf(newP)).getOrElse(
@@ -1053,11 +1175,16 @@ object GraftSqlExtension {
       case other => throw new IllegalArgumentException(
         s"graft_history: view name must be a string literal (got $other)")
     }
-    val first = firstVersion(sp, view)
-    val times = versionTimes(sp, view)
-    if (times.isEmpty) throw new IllegalArgumentException(
-      s"view '$view' has no recorded versions — graft_history reads the " +
-        "chain SQL-text DML statements record")
+    val chainTimes = versionTimes(sp, view)
+    // catalog-table fallback: history survives a reopen via the log
+    val (first, times) =
+      if (chainTimes.nonEmpty) (firstVersion(sp, view), chainTimes)
+      else GraftTables.tableInfo(sp, view) match {
+        case Some((path, _)) => (0L, GraftTables.historyTimes(sp, path))
+        case None => throw new IllegalArgumentException(
+          s"'$view' has no recorded versions — graft_history reads the " +
+            "chain SQL-text DML statements record (temp view or graft table)")
+      }
     val out = Seq(
       AttributeReference("version", org.apache.spark.sql.types.LongType,
         nullable = false)(),

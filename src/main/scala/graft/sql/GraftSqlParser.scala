@@ -107,6 +107,17 @@ case class GraftOptimizeCommand(view: String) extends LeafRunnableCommand {
 
   override def run(sp: SparkSession): Seq[Row] = {
     import IndexedFrame.{CompositeNRelation, CompositeRelation, IndexedRelation}
+    // catalog tables compact their on-disk delta log: the current
+    // content becomes a fresh base save and replay cost resets to one
+    // load — the durable twin of the view-snapshot compaction below
+    if (sp.sessionState.catalog.getTempView(view).isEmpty) {
+      GraftTables.tableInfo(sp, view).foreach { case (path, _) =>
+        val (_, rows, parts, dBefore, dAfter) = GraftTables.compact(sp, path)
+        sp.sessionState.catalog.refreshTable(
+          org.apache.spark.sql.catalyst.TableIdentifier(view))
+        return Seq(Row(view, rows, parts, dBefore, dAfter))
+      }
+    }
     val (before, rel) =
       GraftSqlParser.graftViewRelation(sp, view, "OPTIMIZE")
     val (df, rows, parts, dBefore, dAfter) = rel match {

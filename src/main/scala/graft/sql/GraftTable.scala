@@ -1,0 +1,480 @@
+package graft.sql
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{DecimalType, StringType, StructType}
+
+/**
+ * PERSISTENT graft tables: `CREATE TABLE t USING graft OPTIONS (key
+ * 'c') LOCATION 'p' AS SELECT ...` (and `df.write.format("graft")`)
+ * persist the built index through [[IndexedFrame.save]]'s
+ * one-file-per-partition layout — partitioner, secondary-index and
+ * zone-map sidecars included — so the table, its point/range routing,
+ * its SQL-text DML, and its version history all SURVIVE the session.
+ *
+ * The registered v1 provider resolves the table back to the same
+ * [[IndexedFrame.IndexedRelation]] family the in-session API uses, so
+ * every pushdown lane, planner strategy, and the
+ * [[GraftSqlExtension]] DML rewrite work identically on catalog
+ * tables and temp views.
+ *
+ * DURABLE DML — the Delta-shaped part: a MERGE / UPDATE / DELETE /
+ * INSERT against a catalog table does NOT rewrite the saved corpus.
+ * The statement's change sets (delete-key frame + upsert-row frame,
+ * computed at delta cost against the indexed snapshot) are written as
+ * parquet under `_tdelta_<version>/` and THEN applied by reading them
+ * back — so the live state and a cold reopen replay the identical
+ * bytes. Reopening a session costs the base load plus one
+ * `deleteFrame`/`upsertFrame` pass per delta (each a one-sided
+ * shuffle of that delta only, never the corpus); `OPTIMIZE <table>`
+ * compacts the chain back into a fresh base save. At 100 TB this is
+ * the only shape that works: per-statement cost scales with the
+ * delta, the corpus files are immutable, and compaction is explicit.
+ *
+ * Version history rides the same log: version 0 is the base save,
+ * version n the state after delta n. `SELECT * FROM t VERSION AS OF
+ * n` replays the prefix — readable from ANY later session, which
+ * in-session chains (temp views) cannot offer.
+ */
+class GraftTableProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val sp = sqlContext.sparkSession
+    GraftTables.current(sp, GraftTables.pathOf(parameters))._2.relation(sp)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val sp = sqlContext.sparkSession
+    val path = GraftTables.pathOf(parameters)
+    val exists = GraftTables.exists(sp, path)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        // append IS an upsert delta (keyed-store put semantics), so a
+        // writer-API append leaves the same replayable log as SQL DML
+        val schema = GraftTables.current(sp, path)._2.schema
+        GraftTables.commitChange(sp, path, truncate = false, None,
+          Some(GraftTables.alignTo(data, schema)))
+      case SaveMode.Overwrite if exists =>
+        GraftTables.destroy(sp, path)
+        GraftTables.create(sp, path, parameters, data)
+      case _ =>
+        GraftTables.create(sp, path, parameters, data)
+    }
+    GraftTables.current(sp, path)._2.relation(sp)
+  }
+}
+
+/** The store behind [[GraftTableProvider]]: handle build/save/load
+  * dispatch over the three key arities, the per-statement delta log,
+  * and a per-SESSION live-handle cache (weak-keyed like the DML
+  * version chains) so repeated queries reuse the cached index and a
+  * genuinely new session reloads — and therefore honestly replays —
+  * from disk. */
+private[sql] object GraftTables {
+  import IndexedFrame.{CompositeHandle, CompositeNHandle, Handle}
+
+  // ----------------------------------------------------------- handles
+
+  /** Arity-erased view of a persisted handle: exactly the operations
+    * the table layer needs (read, COW delta application, persist). */
+  private[sql] sealed trait TableHandle {
+    def keyCols: Seq[String]
+    def schema: StructType
+    def toDF(sp: SparkSession): DataFrame
+    def relation(sp: SparkSession): BaseRelation
+    def delete(keys: DataFrame): TableHandle
+    def upsert(rows: DataFrame): TableHandle
+    def saveTo(path: String): Unit
+    def idxAny: graft.IndexedRDD[_, _]
+    /** The wrapped arity-specific handle (for audits/specs). */
+    def handleAny: AnyRef
+  }
+
+  private final case class H1(h: Handle[_]) extends TableHandle {
+    def keyCols: Seq[String] = Seq(h.keyCol)
+    def schema: StructType = h.schema
+    def toDF(sp: SparkSession): DataFrame = h.toDF(sp)
+    def relation(sp: SparkSession): BaseRelation =
+      new IndexedFrame.IndexedRelation(h)(sp.sqlContext)
+    def delete(keys: DataFrame): TableHandle = H1(h.deleteFrame(keys))
+    def upsert(rows: DataFrame): TableHandle = H1(h.upsertFrame(rows))
+    def saveTo(path: String): Unit = IndexedFrame.save(h, path)
+    def idxAny: graft.IndexedRDD[_, _] = h.idx
+    def handleAny: AnyRef = h
+  }
+
+  private final case class H2(h: CompositeHandle[_, _]) extends TableHandle {
+    def keyCols: Seq[String] = Seq(h.keyColA, h.keyColB)
+    def schema: StructType = h.schema
+    def toDF(sp: SparkSession): DataFrame = h.toDF(sp)
+    def relation(sp: SparkSession): BaseRelation =
+      new IndexedFrame.CompositeRelation(h)(sp.sqlContext)
+    def delete(keys: DataFrame): TableHandle = H2(h.deleteFrame(keys))
+    def upsert(rows: DataFrame): TableHandle = H2(h.upsertFrame(rows))
+    def saveTo(path: String): Unit = IndexedFrame.save(h, path)
+    def idxAny: graft.IndexedRDD[_, _] = h.idx
+    def handleAny: AnyRef = h
+  }
+
+  private final case class HN(h: CompositeNHandle) extends TableHandle {
+    def keyCols: Seq[String] = h.keyCols
+    def schema: StructType = h.schema
+    def toDF(sp: SparkSession): DataFrame = h.toDF(sp)
+    def relation(sp: SparkSession): BaseRelation =
+      new IndexedFrame.CompositeNRelation(h)(sp.sqlContext)
+    def delete(keys: DataFrame): TableHandle = HN(h.deleteFrame(keys))
+    def upsert(rows: DataFrame): TableHandle = HN(h.upsertFrame(rows))
+    def saveTo(path: String): Unit = IndexedFrame.save(h, path)
+    def idxAny: graft.IndexedRDD[_, _] = h.idx
+    def handleAny: AnyRef = h
+  }
+
+  // ------------------------------------------------------------- paths
+
+  private[sql] def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft tables need a path (LOCATION clause or option 'path')"))
+
+  private def fsOf(sp: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (FileSystem.get(p.toUri, sp.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def canonical(sp: SparkSession, path: String): String = {
+    val (fs, p) = fsOf(sp, path)
+    fs.makeQualified(p).toString
+  }
+
+  private[sql] def exists(sp: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(sp, path)
+    fs.exists(new Path(p, "_frame"))
+  }
+
+  private[sql] def destroy(sp: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    fs.delete(p, true)
+    cacheOf(sp).remove(canonical(sp, path))
+    dropVersionMemos(sp, path)
+    ()
+  }
+
+  // ------------------------------------------------------ session cache
+
+  private val caches =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (Long, TableHandle)]]()
+
+  private def cacheOf(sp: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, (Long, TableHandle)] =
+    caches.synchronized {
+      var m = caches.get(sp)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        caches.put(sp, m)
+      }
+      m
+    }
+
+  /** (version, live handle) of the table at `path`, current with the
+    * on-disk log: the cached handle serves as long as its version
+    * matches `_tver`; anything else (first touch in this session, a
+    * log advanced elsewhere) reloads base + replay. */
+  private[sql] def current(sp: SparkSession, path: String): (Long, TableHandle) = {
+    val key = canonical(sp, path)
+    val dv = diskVersion(sp, path)
+    cacheOf(sp).get(key) match {
+      case Some((v, h)) if v == dv => (v, h)
+      case _ =>
+        val h = loadVersion(sp, path, dv)
+        cacheOf(sp).put(key, (dv, h))
+        (dv, h)
+    }
+  }
+
+  // -------------------------------------------------------- create path
+
+  /** Build the index the options describe and persist it as version 0.
+    * `key` — comma-separated key column(s); `ordered` (default true) —
+    * radix layout claiming pushed ranges; `partitions` — hash
+    * partition count (0 = inherit the input's); `uuid` —
+    * comma-separated string columns holding canonical UUIDs. */
+  private[sql] def create(sp: SparkSession, path: String,
+      parameters: Map[String, String], data: DataFrame): Unit = {
+    val keys = parameters.getOrElse("key", throw new IllegalArgumentException(
+      "CREATE TABLE ... USING graft needs OPTIONS (key '<col>[,<col>...]')"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "empty key column list")
+    val ordered = parameters.get("ordered").forall(_.toBoolean)
+    val parts = parameters.get("partitions").map(_.toInt).getOrElse(0)
+    val uuidCols = parameters.get("uuid")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val h: TableHandle = keys match {
+      case Seq(k) => data.schema(k).dataType match {
+        case StringType if uuidCols(k) =>
+          H1(IndexedFrame.indexUuid(data, k, ordered, parts))
+        case StringType =>
+          H1(IndexedFrame.indexString(data, k, ordered, parts))
+        case _: DecimalType =>
+          H1(IndexedFrame.indexBigInt(data, k, parts))
+        case _ =>
+          H1(IndexedFrame.index(data, k, ordered, parts))
+      }
+      case Seq(a, b) =>
+        H2(IndexedFrame.indexCompositeAny(data, a, b, ordered, parts, uuidCols))
+      case ks =>
+        HN(IndexedFrame.indexCompositeN(data, ks, ordered, parts, uuidCols))
+    }
+    h.saveTo(path)
+    clearDeltas(sp, path)
+    writeVersion(sp, path, 0L)
+    cacheOf(sp).put(canonical(sp, path), (0L, h))
+    dropVersionMemos(sp, path)
+  }
+
+  // --------------------------------------------------------- delta log
+
+  private def deltaDir(path: String, v: Long): String =
+    f"$path%s/_tdelta_$v%06d"
+
+  private def diskVersion(sp: SparkSession, path: String): Long = {
+    val (fs, p) = fsOf(sp, path)
+    val vf = new Path(p, "_tver")
+    if (!fs.exists(vf)) 0L
+    else {
+      val in = fs.open(vf)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeVersion(sp: SparkSession, path: String, v: Long): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    val out = fs.create(new Path(p, "_tver"), true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def clearDeltas(sp: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      if (st.getPath.getName.startsWith("_tdelta_")) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Exact-name, exact-type projection — the write AND replay sides of
+    * the delta log both pass through it, so what applies live is what
+    * a reopened session reads. */
+  private[sql] def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  private def keySchemaOf(schema: StructType, keyCols: Seq[String]): StructType =
+    StructType(keyCols.map(k => schema(k)))
+
+  /** An empty-partition frame writes no parquet part files and cannot
+    * be read back — pin at least one partition. */
+  private def writable(df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions == 0) df.repartition(1) else df
+
+  /** Persist one statement's change sets as the next delta and advance
+    * the version, WITHOUT applying — [[commitChange]] wraps this. */
+  private def writeDelta(sp: SparkSession, path: String, v: Long,
+      truncate: Boolean, del: Option[DataFrame], up: Option[DataFrame],
+      schema: StructType, keyCols: Seq[String]): Unit = {
+    val dir = deltaDir(path, v)
+    del.foreach(d => writable(alignTo(d, keySchemaOf(schema, keyCols)))
+      .write.mode("overwrite").parquet(s"$dir/del"))
+    up.foreach(u => writable(alignTo(u, schema))
+      .write.mode("overwrite").parquet(s"$dir/up"))
+    val (fs, _) = fsOf(sp, path)
+    val out = new java.io.ObjectOutputStream(
+      fs.create(new Path(dir, "_meta"), true))
+    try {
+      out.writeBoolean(truncate)
+      out.writeBoolean(del.isDefined)
+      out.writeBoolean(up.isDefined)
+      out.writeLong(System.currentTimeMillis())
+    } finally out.close()
+    writeVersion(sp, path, v)
+  }
+
+  /** Apply delta `v` FROM DISK to `h` — the single replay code path
+    * shared by live commits and cold reopens. */
+  private def applyDelta(sp: SparkSession, h: TableHandle, path: String,
+      v: Long): TableHandle = {
+    val dir = deltaDir(path, v)
+    val (fs, _) = fsOf(sp, path)
+    val in = new java.io.ObjectInputStream(fs.open(new Path(dir, "_meta")))
+    val (truncate, hasDel, hasUp) =
+      try (in.readBoolean(), in.readBoolean(), in.readBoolean())
+      finally in.close()
+    var cur = h
+    if (truncate)
+      cur = cur.delete(cur.toDF(sp).select(cur.keyCols.map(col): _*))
+    if (hasDel)
+      cur = cur.delete(alignTo(sp.read.parquet(s"$dir/del"),
+        keySchemaOf(cur.schema, cur.keyCols)))
+    if (hasUp)
+      cur = cur.upsert(alignTo(sp.read.parquet(s"$dir/up"), cur.schema))
+    cur
+  }
+
+  /** The table as of version `v` (0 = the base save): base load —
+    * secondary/zone sidecars reattach — plus a replay of the first `v`
+    * deltas, each a one-sided shuffle of that delta only. Loaded
+    * snapshots memoize per (session, path, version): a version's
+    * content is immutable while the log only appends, and every
+    * operation that rewrites the base ([[create]], [[destroy]],
+    * [[compact]]) drops the memo. */
+  private[sql] def loadVersion(sp: SparkSession, path: String,
+      v: Long): TableHandle = {
+    val dv = diskVersion(sp, path)
+    require(v >= 0 && v <= dv,
+      s"no version $v for graft table at $path (have 0..$dv)")
+    vcacheOf(sp).getOrElseUpdate((canonical(sp, path), v), {
+      var h = loadBase(sp, path)
+      var i = 1L
+      while (i <= v) { h = applyDelta(sp, h, path, i); i += 1 }
+      h
+    })
+  }
+
+  private val vcaches =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Long), TableHandle]]()
+
+  private def vcacheOf(sp: SparkSession)
+      : scala.collection.concurrent.TrieMap[(String, Long), TableHandle] =
+    vcaches.synchronized {
+      var m = vcaches.get(sp)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        vcaches.put(sp, m)
+      }
+      m
+    }
+
+  private def dropVersionMemos(sp: SparkSession, path: String): Unit = {
+    val key = canonical(sp, path)
+    val m = vcacheOf(sp)
+    m.keys.filter(_._1 == key).foreach(m.remove)
+  }
+
+  /** (location, current version) of `name` when it is a graft catalog
+    * table — the durable fallback behind VERSION AS OF,
+    * graft_changes, and graft_history once no in-session chain exists
+    * (e.g. after a reopen). */
+  private[sql] def tableInfo(sp: SparkSession,
+      name: String): Option[(String, Long)] = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    scala.util.Try(sp.sessionState.catalog.getTableMetadata(ident)).toOption
+      .filter(_.provider.exists(_.equalsIgnoreCase("graft")))
+      .map(ct => (ct.location.toString, diskVersion(sp, ct.location.toString)))
+  }
+
+  /** The analyzed plan of version `v` — what the time-travel rule and
+    * the CDC TVF substitute. Consecutive versions come from the same
+    * base partitioner, so the TVF's diff joins zip without shuffles
+    * exactly as for in-session chains. */
+  private[sql] def versionPlanOf(sp: SparkSession, path: String, v: Long)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    loadVersion(sp, path, v).toDF(sp).queryExecution.analyzed
+
+  /** One commit stamp per version 0..current for graft_history:
+    * version 0 (the base) shares the first delta's stamp like the
+    * in-session chain seed, or carries the base save's file time when
+    * no DML has run yet. */
+  private[sql] def historyTimes(sp: SparkSession, path: String): Seq[Long] = {
+    val dts = deltaTimes(sp, path)
+    if (dts.isEmpty) {
+      val (fs, p) = fsOf(sp, path)
+      Seq(fs.getFileStatus(new Path(p, "_frame")).getModificationTime)
+    } else dts.head +: dts
+  }
+
+  /** Commit millis of each delta (version 1..current), from the delta
+    * metas; version 0 (the base) shares the first commit's stamp like
+    * the in-session chain seed. */
+  private[sql] def deltaTimes(sp: SparkSession, path: String): Seq[Long] = {
+    val (fs, _) = fsOf(sp, path)
+    (1L to diskVersion(sp, path)).map { v =>
+      val in = new java.io.ObjectInputStream(
+        fs.open(new Path(deltaDir(path, v), "_meta")))
+      try { in.readBoolean(); in.readBoolean(); in.readBoolean(); in.readLong() }
+      finally in.close()
+    }
+  }
+
+  private def loadBase(sp: SparkSession, path: String): TableHandle = {
+    val (fs, p) = fsOf(sp, path)
+    require(fs.exists(new Path(p, "_frame")),
+      s"no graft table at $path (missing _frame sidecar)")
+    // the third _frame header field is the kind tag — sniff it to pick
+    // the arity-specific loader (the header layout is shared)
+    val in = new java.io.ObjectInputStream(fs.open(new Path(p, "_frame")))
+    val tag =
+      try { in.readObject(); in.readBoolean(); in.readObject().asInstanceOf[String] }
+      finally in.close()
+    tag match {
+      case "composite" => H2(IndexedFrame.loadComposite(sp, path))
+      case "compositeN" => HN(IndexedFrame.loadCompositeN(sp, path))
+      case _ => H1(IndexedFrame.load(sp, path))
+    }
+  }
+
+  /** Durably apply one DML statement: write the change sets as delta
+    * version `current + 1`, then apply them BY READING THE WRITTEN
+    * PARQUET BACK, so the live handle is bit-identical to what any
+    * later session replays. Cost: the delta's rows, twice (one write,
+    * one one-sided shuffle) — never the corpus. */
+  private[sql] def commitChange(sp: SparkSession, path: String,
+      truncate: Boolean, del: Option[DataFrame],
+      up: Option[DataFrame]): Unit = {
+    val (v, h) = current(sp, path)
+    writeDelta(sp, path, v + 1, truncate, del, up, h.schema, h.keyCols)
+    val h2 = applyDelta(sp, h, path, v + 1)
+    cacheOf(sp).put(canonical(sp, path), (v + 1, h2))
+  }
+
+  /** `OPTIMIZE` for catalog tables: rewrite the base save as the
+    * CURRENT content and drop the replayed deltas — a reopened session
+    * then pays one load instead of base + n replays. Returns the
+    * number of compacted deltas. Version history resets to a fresh
+    * version 0 (the compaction IS the new base), matching the explicit
+    * maintenance contract. */
+  private[sql] def compact(sp: SparkSession, path: String)
+      : (Long, Long, Int, Int, Int) = {
+    val (v, h) = current(sp, path)
+    val depthBefore = h.idxAny.lineageDepth
+    if (v == 0L)
+      return (0L, h.idxAny.count(), h.idxAny.partitions.length,
+        depthBefore, depthBefore)
+    // save to a sibling temp dir first, then swap — the old base stays
+    // readable until the new one is complete
+    val (fs, p) = fsOf(sp, path)
+    val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
+    fs.delete(tmp, true)
+    h.saveTo(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+    writeVersion(sp, path, 0L)
+    dropVersionMemos(sp, path)
+    val reloaded = loadBase(sp, path)
+    cacheOf(sp).put(canonical(sp, path), (0L, reloaded))
+    (v, reloaded.idxAny.count(), reloaded.idxAny.partitions.length,
+      depthBefore, reloaded.idxAny.lineageDepth)
+  }
+}

@@ -2503,6 +2503,32 @@ object IndexedFrame {
         notBySourceUpdateWhen: Option[Column] = None,
         notBySourceUpdateSet: Map[String, Column] = Map.empty)(
         implicit spark: SparkSession): Handle[K] = {
+      val ms = mergeChangeSets(source, sourceKey, deleteWhen, updateWhen,
+        updateSet, insertWhen, insertValues, insertAll,
+        notBySourceDeleteWhen, notBySourceUpdateWhen, notBySourceUpdateSet)
+      val afterDel = ms.del.map(deleteFrame).getOrElse(this)
+      val result = ms.ups.map(afterDel.upsertFrame).getOrElse(afterDel)
+      if (ms.persisted) {
+        result.idx.cached.count() // one pass over the persisted join
+        ms.release()
+      }
+      result
+    }
+
+    /** [[mergeFrame]]'s change sets WITHOUT application — the durable
+      * catalog-table DML path writes both frames as the table's delta
+      * log first, then applies from disk so replay is bit-exact. */
+    private[sql] def mergeChangeSets(source: DataFrame, sourceKey: String,
+        deleteWhen: Option[Column],
+        updateWhen: Option[Column],
+        updateSet: Map[String, Column],
+        insertWhen: Option[Column],
+        insertValues: Map[String, Column],
+        insertAll: Boolean,
+        notBySourceDeleteWhen: Option[Column],
+        notBySourceUpdateWhen: Option[Column],
+        notBySourceUpdateSet: Map[String, Column])(
+        implicit spark: SparkSession): MergeSets = {
       import org.apache.spark.sql.functions.{col => fCol}
       require(!updateSet.contains(keyCol), "MERGE may not update the key")
       val joined = source.alias("s")
@@ -2544,17 +2570,9 @@ object IndexedFrame {
           .select(fCol(s"t.$keyCol").as(keyCol)))
         else None
       val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
-      val afterDel = allDel.map(deleteFrame).getOrElse(this)
       val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
-      val result = allUps match {
-        case Some(ups) => afterDel.upsertFrame(ups)
-        case None => afterDel
-      }
-      if (reads >= 2) {
-        result.idx.cached.count() // one pass over the persisted join
-        joined.unpersist(blocking = false)
-      }
-      result
+      MergeSets(allDel, allUps, reads >= 2,
+        () => if (reads >= 2) joined.unpersist(blocking = false))
     }
 
     /** DISTRIBUTED copy-on-write delete: `keys` must be a single-column
@@ -3719,6 +3737,32 @@ object IndexedFrame {
         notBySourceUpdateWhen: Option[Column] = None,
         notBySourceUpdateSet: Map[String, Column] = Map.empty)(
         implicit spark: SparkSession): CompositeHandle[A, B] = {
+      val ms = mergeChangeSets(source, sourceKeyA, sourceKeyB, deleteWhen, updateWhen,
+        updateSet, insertWhen, insertValues, insertAll,
+        notBySourceDeleteWhen, notBySourceUpdateWhen, notBySourceUpdateSet)
+      val afterDel = ms.del.map(deleteFrame).getOrElse(this)
+      val result = ms.ups.map(afterDel.upsertFrame).getOrElse(afterDel)
+      if (ms.persisted) {
+        result.idx.cached.count() // one pass over the persisted join
+        ms.release()
+      }
+      result
+    }
+
+    /** [[mergeFrame]]'s change sets WITHOUT application — the durable
+      * catalog-table DML path writes both frames as the table's delta
+      * log first, then applies from disk so replay is bit-exact. */
+    private[sql] def mergeChangeSets(source: DataFrame, sourceKeyA: String, sourceKeyB: String,
+        deleteWhen: Option[Column],
+        updateWhen: Option[Column],
+        updateSet: Map[String, Column],
+        insertWhen: Option[Column],
+        insertValues: Map[String, Column],
+        insertAll: Boolean,
+        notBySourceDeleteWhen: Option[Column],
+        notBySourceUpdateWhen: Option[Column],
+        notBySourceUpdateSet: Map[String, Column])(
+        implicit spark: SparkSession): MergeSets = {
       import org.apache.spark.sql.functions.{col => fCol}
       require(!updateSet.contains(keyColA) && !updateSet.contains(keyColB),
         "MERGE may not update a key column")
@@ -3763,17 +3807,9 @@ object IndexedFrame {
             fCol(s"t.$keyColB").as(keyColB)))
         else None
       val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
-      val afterDel = allDel.map(deleteFrame).getOrElse(this)
       val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
-      val result = allUps match {
-        case Some(ups) => afterDel.upsertFrame(ups)
-        case None => afterDel
-      }
-      if (reads >= 2) {
-        result.idx.cached.count() // one pass over the persisted join
-        joined.unpersist(blocking = false)
-      }
-      result
+      MergeSets(allDel, allUps, reads >= 2,
+        () => if (reads >= 2) joined.unpersist(blocking = false))
     }
 
     /** Per-key point-in-time read — the versioned-dimension ("SCD")
@@ -4052,6 +4088,18 @@ object IndexedFrame {
     * into the conditions before calling in. Key-disjoint from every
     * matched/insert change set by construction — unmatched keys are in
     * the target and not in the source. */
+  /** A MERGE reduced to its two physical passes: the delete-key frame
+    * and the upsert-row frame, both lazy and computed against the
+    * pre-merge snapshot. `persisted` says the joined view was cached
+    * (multi-clause merges) — the consumer must materialize every
+    * change set ONCE (apply + count, or write to disk) and then call
+    * `release`. Shared by `mergeFrame` (in-memory application) and the
+    * durable catalog-table DML path (which writes both frames as the
+    * table's delta log BEFORE applying, so a reopened session replays
+    * to the identical state). */
+  private[sql] final case class MergeSets(del: Option[DataFrame],
+      ups: Option[DataFrame], persisted: Boolean, release: () => Unit)
+
   private[sql] final case class NbsChangeSets(delKeys: Option[DataFrame],
       updRows: Option[DataFrame])
   private[sql] def nbsClauses(unmatched: DataFrame, keyCols: Seq[String],
@@ -4479,6 +4527,32 @@ object IndexedFrame {
         notBySourceUpdateWhen: Option[Column] = None,
         notBySourceUpdateSet: Map[String, Column] = Map.empty)(
         implicit spark: SparkSession): CompositeNHandle = {
+      val ms = mergeChangeSets(source, sourceKeys, deleteWhen, updateWhen,
+        updateSet, insertWhen, insertValues, insertAll,
+        notBySourceDeleteWhen, notBySourceUpdateWhen, notBySourceUpdateSet)
+      val afterDel = ms.del.map(deleteFrame).getOrElse(this)
+      val result = ms.ups.map(afterDel.upsertFrame).getOrElse(afterDel)
+      if (ms.persisted) {
+        result.idx.cached.count() // one pass over the persisted join
+        ms.release()
+      }
+      result
+    }
+
+    /** [[mergeFrame]]'s change sets WITHOUT application — the durable
+      * catalog-table DML path writes both frames as the table's delta
+      * log first, then applies from disk so replay is bit-exact. */
+    private[sql] def mergeChangeSets(source: DataFrame, sourceKeys: Seq[String],
+        deleteWhen: Option[Column],
+        updateWhen: Option[Column],
+        updateSet: Map[String, Column],
+        insertWhen: Option[Column],
+        insertValues: Map[String, Column],
+        insertAll: Boolean,
+        notBySourceDeleteWhen: Option[Column],
+        notBySourceUpdateWhen: Option[Column],
+        notBySourceUpdateSet: Map[String, Column])(
+        implicit spark: SparkSession): MergeSets = {
       import org.apache.spark.sql.functions.{col => fCol}
       require(sourceKeys.length == keyCols.length,
         s"one source key column per key column (${keyCols.length}), " +
@@ -4524,17 +4598,9 @@ object IndexedFrame {
           .select(keyCols.map(c => fCol(s"t.$c").as(c)): _*))
         else None
       val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
-      val afterDel = allDel.map(deleteFrame).getOrElse(this)
       val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
-      val result = allUps match {
-        case Some(ups) => afterDel.upsertFrame(ups)
-        case None => afterDel
-      }
-      if (reads >= 2) {
-        result.idx.cached.count() // one pass over the persisted join
-        joined.unpersist(blocking = false)
-      }
-      result
+      MergeSets(allDel, allUps, reads >= 2,
+        () => if (reads >= 2) joined.unpersist(blocking = false))
     }
 
     // ----- JoinableHandle: lookup/zip joins on the full N-column key.

@@ -1,0 +1,140 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/**
+ * Persistent graft tables ([[GraftTableProvider]] + [[GraftTables]]):
+ * `CREATE TABLE ... USING graft` persists the index, SQL-text DML
+ * commits change-set deltas to the on-disk log, and a NEW session —
+ * whose handle cache is empty, so nothing in-memory can answer —
+ * replays base + deltas to the identical state, with point/range/
+ * secondary routing intact from the reloaded sidecars.
+ */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_catspec_$name").toString
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    p
+  }
+
+  test("CTAS + DML survive a session reopen bit-for-bit") {
+    val path = freshPath("dml")
+    spark.sql("DROP TABLE IF EXISTS catspec_t")
+    (1L to 100L).map(k => (k, s"v$k", k * 1.0)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("catspec_src")
+    spark.sql(s"""CREATE TABLE catspec_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path' AS SELECT * FROM catspec_src""".stripMargin)
+    spark.sql("UPDATE catspec_t SET bal = bal + 1000 WHERE k <= 10")
+    spark.sql("DELETE FROM catspec_t WHERE k > 90")
+    Seq((5L, 0.5), (200L, 2.0)).toDF("sk", "v")
+      .createOrReplaceTempView("catspec_msrc")
+    spark.sql(
+      """MERGE INTO catspec_t t USING catspec_msrc s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET bal = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.sk, 'new', s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 77 THEN DELETE""".stripMargin)
+    spark.sql("INSERT INTO catspec_t VALUES (300, 'ins', 3.0)")
+    val live = spark.sql("SELECT * FROM catspec_t ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    // 100 - 10 (k>90) - 1 (NBS delete of 77) + 200 + 300
+    assert(live.length === 91)
+    val s2 = spark.newSession()
+    val re = s2.sql("SELECT * FROM catspec_t ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(re === live)
+    // delta log on disk: base + 4 statements
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_t')")
+      .collect()(0).getLong(0) === 5)
+    spark.sql("DROP TABLE IF EXISTS catspec_t")
+  }
+
+  test("reloaded table routes point, range, and secondary probes") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val path = freshPath("route")
+    // persist an ORDERED handle with a secondary index — the sidecars
+    // ride the save — then ATTACH it as a catalog table
+    val df = (1L to 500L).map(k => (k, k % 13, s"n${k % 20}")).toDF("k", "grp", "name")
+    val h0 = IndexedFrame.index(df, "k", ordered = true, numPartitions = 4)
+    h0.addSecondaryIndex("name")
+    IndexedFrame.save(h0, path)
+    val s2 = spark.newSession()
+    s2.sql("DROP TABLE IF EXISTS catspec_route")
+    s2.sql(s"CREATE TABLE catspec_route USING graft LOCATION '$path'")
+    val h = GraftTables.current(s2, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.Handle[_]]
+    assert(s2.sql("SELECT name FROM catspec_route WHERE k = 42")
+      .collect().map(_.getString(0)).toSeq === Seq("n2"))
+    assert(h.lastScanKind === "point")
+    assert(s2.sql("SELECT count(*) FROM catspec_route WHERE k BETWEEN 100 AND 199")
+      .collect()(0).getLong(0) === 100)
+    // counting a pushed range routes through the no-scan range-count
+    // service on the reloaded trie
+    assert(h.lastScanKind === "range_count")
+    assert(s2.sql("SELECT count(*) FROM catspec_route WHERE name = 'n7'")
+      .collect()(0).getLong(0) === 25)
+    assert(h.lastScanKind === "secondary_point")
+    s2.sql("DROP TABLE IF EXISTS catspec_route")
+  }
+
+  test("VERSION AS OF, graft_changes, and OPTIMIZE read the durable log") {
+    val path = freshPath("ver")
+    spark.sql("DROP TABLE IF EXISTS catspec_v")
+    (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_vsrc")
+    spark.sql(s"""CREATE TABLE catspec_v USING graft
+      |OPTIONS (key 'k') LOCATION '$path' AS SELECT * FROM catspec_vsrc""".stripMargin)
+    spark.sql("UPDATE catspec_v SET bal = 0 WHERE k <= 5") // v1
+    spark.sql("DELETE FROM catspec_v WHERE k > 45")        // v2
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT count(*) FROM catspec_v VERSION AS OF 0")
+      .collect()(0).getLong(0) === 50)
+    assert(s2.sql("SELECT count(*) FROM catspec_v VERSION AS OF 1 WHERE bal = 0")
+      .collect()(0).getLong(0) === 5)
+    assert(s2.sql("SELECT count(*) FROM catspec_v").collect()(0).getLong(0) === 45)
+    val ch = s2.sql(
+      """SELECT _change_type, count(*) AS n FROM graft_changes('catspec_v', 0, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(ch.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("delete", 5L), ("update_postimage", 5L), ("update_preimage", 5L)))
+    // the CDC diff zips co-partitioned replayed versions: no shuffle
+    val plan = s2.sql("SELECT * FROM graft_changes('catspec_v', 1, 2)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"CDC diff must not shuffle:\n$plan")
+    // OPTIMIZE compacts: content identical, replay depth resets
+    val m = s2.sql("OPTIMIZE catspec_v").collect()(0)
+    assert(m.getLong(1) === 45 && m.getInt(4) <= 2)
+    assert(s2.sql("SELECT count(*) FROM catspec_v").collect()(0).getLong(0) === 45)
+    // post-compaction the log restarts at the compacted content
+    assert(s2.sql("SELECT count(*) FROM catspec_v VERSION AS OF 0")
+      .collect()(0).getLong(0) === 45)
+    spark.sql("DROP TABLE IF EXISTS catspec_v")
+  }
+
+  test("writer API: save, load, append as an upsert delta") {
+    val path = freshPath("writer")
+    val df = (1L to 40L).map(k => (k, k * 2.0)).toDF("k", "v")
+    df.write.format("graft").option("key", "k").save(path)
+    assert(spark.read.format("graft").load(path).count() === 40)
+    // append upserts: 5 replaced keys + 5 new
+    (36L to 45L).map(k => (k, -1.0)).toDF("k", "v")
+      .write.format("graft").mode("append").save(path)
+    val s2 = spark.newSession()
+    val out = s2.read.format("graft").load(path)
+    assert(out.count() === 45)
+    assert(out.filter($"v" === -1.0).count() === 10)
+    // composite keys round-trip through the provider too
+    val path2 = freshPath("writer2")
+    val cdf = (1L to 60L).map(k => (k % 5, k, s"x$k")).toDF("a", "b", "s")
+    cdf.write.format("graft").option("key", "a,b").save(path2)
+    val back = s2.read.format("graft").load(path2)
+    assert(back.count() === 60)
+    assert(back.filter($"a" === 2L && $"b" === 7L).count() === 1)
+  }
+}
