@@ -1917,6 +1917,56 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_stream_restart" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // EXACTLY-ONCE RESTART: the same per-year upsert scenario as
+      // ir_stream_sink, but the query is KILLED after batch 1 and a
+      // brand-new sink instance restores from the sink checkpoint
+      // (base + committed deltas) before batch 2 streams in — the
+      // final state must equal the never-killed run, which is exactly
+      // what the shared oracle replays
+      val ckpt = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ir_stream_restart").toString
+      val engineCkpt = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ir_stream_restart_q").toString
+      new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(engineCkpt)).deleteRecursively()
+      val init = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_acctbal").as[(Long, Double)].rdd
+        .partitionBy(new org.apache.spark.HashPartitioner(16))
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      def start(sink: graft.streaming.Streaming.CheckpointedUpsertSink[Long, Double]) =
+        input.toDS().writeStream
+          .queryName(s"ir_stream_restart_${System.nanoTime()}")
+          .option("checkpointLocation", engineCkpt)
+          .outputMode("update")
+          .foreachBatch(
+            (b: org.apache.spark.sql.Dataset[(Long, Double)], id: Long) =>
+              sink.upsertBatch(b, id))
+          .start()
+      def batchFor(y: Int) = Tables.orders(s, dir)
+        .filter(year($"o_orderdate") === y)
+        .groupBy($"o_custkey").agg(max($"o_totalprice").as("v"))
+        .as[(Long, Double)].collect().toSeq
+      val sink1 = new graft.streaming.Streaming.CheckpointedUpsertSink[Long, Double](
+        s.sparkContext, graft.IndexedRDD(init), ckpt)
+      val q1 = start(sink1)
+      try {
+        Seq(1995, 1996).foreach { y => input.addData(batchFor(y)); q1.processAllAvailable() }
+      } finally q1.stop()
+      // the restart: nothing in-memory survives into the new sink
+      val sink2 = new graft.streaming.Streaming.CheckpointedUpsertSink[Long, Double](
+        s.sparkContext, sys.error("restore must not rebuild"), ckpt)
+      val q2 = start(sink2)
+      try {
+        input.addData(batchFor(1997)); q2.processAllAvailable()
+      } finally q2.stop()
+      Bridge.RichIndexedRDD(sink2.current).toDS
+        .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
+    },
+
     "ir_stream_merge" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -3321,6 +3371,25 @@ object OperatorQueries {
     "ir_stream_merge_sqltext" -> streamMergeOracleSql,
 
     "ir_stream_sink" ->
+      """WITH ups AS (
+        |  SELECT o_custkey AS k, max(o_totalprice) AS v,
+        |         year(CAST(o_orderdate AS DATE)) AS b
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        |  GROUP BY o_custkey, year(CAST(o_orderdate AS DATE))
+        |), last AS (
+        |  SELECT k, v FROM (
+        |    SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY b DESC) AS rn
+        |    FROM ups) t
+        |  WHERE rn = 1
+        |)
+        |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+        |       round(coalesce(l.v, c.c_acctbal), 2) AS val
+        |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // the killed-and-restarted run must land exactly where the
+    // never-killed ir_stream_sink run lands — same oracle
+    "ir_stream_restart" ->
       """WITH ups AS (
         |  SELECT o_custkey AS k, max(o_totalprice) AS v,
         |         year(CAST(o_orderdate AS DATE)) AS b

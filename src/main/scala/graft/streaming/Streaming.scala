@@ -256,6 +256,133 @@ object Streaming {
     }
   }
 
+  /**
+   * EXACTLY-ONCE RESTARTABLE upsert sink: [[IndexedUpsertSink]] whose
+   * state survives a killed query. Layout under `checkpointDir`:
+   *
+   *  - `base/` — the initial snapshot via [[graft.IndexedRDDIO]]
+   *    (partitioner included), written once at first construction
+   *  - `delta_<batchId>/` — each micro-batch's pairs, written BEFORE
+   *    application; the batch is then applied BY READING THE WRITTEN
+   *    FILES BACK, so the live state and any later restore replay
+   *    identical bytes
+   *  - `_latest` — the newest APPLIED batch id, written only after the
+   *    new snapshot is fully materialized: the commit point
+   *
+   * Crash anywhere: a delta without `_latest` advanced is garbage
+   * (overwritten on redelivery); `foreachBatch`'s at-least-once
+   * redelivery of batch ids at or below `_latest` is skipped — the
+   * same dedup that guards in-session replays guards restarts, which
+   * is exactly-once for the stored state. Restoring costs the base
+   * load plus one `multiputRDD` per committed delta (each a one-sided
+   * shuffle of that delta only — the corpus never reshuffles);
+   * [[compact]] folds committed deltas into a fresh base so long
+   * streams restart in one load.
+   *
+   * K and V must be java-serializable (the delta log rides object
+   * files; keys additionally need their [[KeySerializer]] for the
+   * base snapshot, as everywhere else).
+   */
+  class CheckpointedUpsertSink[K: scala.reflect.ClassTag: KeySerializer,
+      V: scala.reflect.ClassTag](sc: org.apache.spark.SparkContext,
+      initial: => IndexedRDD[K, V], checkpointDir: String,
+      merge: (K, V, V) => V = null) extends Serializable {
+
+    private def fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(checkpointDir).toUri,
+      sc.hadoopConfiguration)
+    private def latestPath = new org.apache.hadoop.fs.Path(checkpointDir, "_latest")
+    private def deltaDir(id: Long) = s"$checkpointDir/delta_$id"
+
+    private def readLatest(): Option[Long] = {
+      val f = fs
+      if (!f.exists(latestPath)) None
+      else {
+        val in = f.open(latestPath)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    }
+
+    private def writeLatest(id: Long): Unit = {
+      val out = fs.create(latestPath, true)
+      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private def committedDeltaIds(upTo: Long): Seq[Long] = {
+      val f = fs
+      val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("delta_")).map(_.stripPrefix("delta_").toLong)
+        .filter(_ <= upTo).toSeq.sorted
+    }
+
+    private def applyDelta(st: IndexedRDD[K, V], id: Long): IndexedRDD[K, V] = {
+      val pairs = sc.objectFile[(K, V)](deltaDir(id))
+      if (merge == null) st.multiputRDD(pairs)
+      else st.multiputRDD[V](pairs, (_, v) => v, merge)
+    }
+
+    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var state: IndexedRDD[K, V] = readLatest() match {
+      case None =>
+        // first construction: seed and persist the base BEFORE any
+        // delta can commit, so a restore always has its floor
+        val base = initial.persist(StorageLevel.MEMORY_AND_DISK)
+        graft.IndexedRDDIO.save(base, s"$checkpointDir/base")
+        base
+      case Some(latest) =>
+        lastBatchId = latest
+        var st = graft.IndexedRDDIO.load[K, V](sc, s"$checkpointDir/base")
+        committedDeltaIds(latest).foreach(id => st = applyDelta(st, id))
+        val restored = st.persist(StorageLevel.MEMORY_AND_DISK)
+        restored.count()
+        restored
+    }
+
+    def current: IndexedRDD[K, V] = state
+    def lastCommittedBatch: Long = lastBatchId
+
+    /** The function to pass to `writeStream.foreachBatch`. */
+    def upsertBatch(batch: Dataset[(K, V)], batchId: Long): Unit =
+      upsertRdd(batch.rdd, batchId)
+
+    def upsertRdd(batch: org.apache.spark.rdd.RDD[(K, V)],
+        batchId: Long): Unit = {
+      if (batchId <= lastBatchId) return // replay or restart redelivery
+      val dir = deltaDir(batchId)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // crash leftovers
+      batch.saveAsObjectFile(dir)
+      val prev = state
+      val next = applyDelta(prev, batchId)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize fully before the commit point
+      writeLatest(batchId)
+      state = next
+      lastBatchId = batchId
+      prev.unpersist(blocking = false)
+    }
+
+    /** Fold every committed delta into a fresh base save and drop the
+      * delta files — the next restore pays ONE load. Safe at any
+      * point between batches. */
+    def compact(): Unit = {
+      val f = fs
+      val tmp = new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_tmp")
+      f.delete(tmp, true)
+      graft.IndexedRDDIO.save(state, tmp.toString)
+      val basePath = new org.apache.hadoop.fs.Path(s"$checkpointDir/base")
+      f.delete(basePath, true)
+      require(f.rename(tmp, basePath), "checkpoint compaction rename failed")
+      committedDeltaIds(lastBatchId).foreach(id =>
+        f.delete(new org.apache.hadoop.fs.Path(deltaDir(id)), true))
+    }
+  }
+
   /** Convenience: start a stream of (K, V) upserts into a versioned sink. */
   def versionedStream[K: scala.reflect.ClassTag: KeySerializer,
       V: scala.reflect.ClassTag](pairs: Dataset[(K, V)],
