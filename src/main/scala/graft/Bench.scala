@@ -177,29 +177,34 @@ object Bench {
       family("maintenance")(microMaintenance(spark, sfDir))
   }
 
-  /** OPTIMIZE payoff measured: reads of a 20-statement copy-on-write
-    * DML chain before vs after compaction. Un-compacted, every read
-    * re-plays 20 delta-zip stages above the cached base (the
-    * streaming-CDC accumulation shape — correct, but the per-read tax
-    * grows with every statement); `compacted` rebuilds the partitions
-    * and checkpoint-cuts the lineage, so the same read touches one
-    * materialized snapshot. The one-off compaction cost is reported
-    * alongside — the break-even is (opt cost / per-read saving) reads,
-    * a handful here and far fewer at 100 TB where the un-compacted
-    * replay also re-shuffles every delta batch. */
-  private def microMaintenance(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  /** OPTIMIZE payoff measured: reads of a 150-statement copy-on-write
+    * DML chain before vs after compaction. The chain is NARROW (each
+    * statement zips against the previous snapshot — no shuffle
+    * boundary), so the un-compacted tax is the per-task iterator
+    * layering: every read walks 150 stacked copy-on-write merge
+    * layers per partition, and the tax grows with every further
+    * statement (the streaming-CDC accumulation shape). `compacted`
+    * rebuilds the partitions and checkpoint-cuts the lineage, so the
+    * same read touches one materialized snapshot. The one-off
+    * compaction cost is reported alongside — the break-even is
+    * (opt cost / per-read saving) reads — and the lineage depths
+    * before/after (plan-replay stages a cold read pays) are emitted
+    * as *_depth pseudo-lanes so the compaction's effect is visible in
+    * the JSON, not just argued. */
+  private[graft] def microMaintenance(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     implicit val sp: SparkSession = spark
     import org.apache.spark.sql.functions.{col, lit, sum => fSum}
     val custDF = spark.read.parquet(s"$sfDir/customer.parquet")
     var h = graft.sql.IndexedFrame.index(custDF, "c_custkey", numPartitions = 32)
     h.idx.cached; h.idx.count()
-    // the same 1%-of-keys correction batch applied 20 times — sized
+    // the same 1%-of-keys correction batch applied 150 times — sized
     // and shaped like a CDC micro-batch; the delta frame is cached so
     // every statement pays only its own zip, as the SQL-text path does
     val delta = custDF.filter(col("c_custkey") % 100 === 7)
       .withColumn("c_acctbal", col("c_acctbal") + lit(1.0)).cache()
     delta.count()
-    (0 until 20).foreach(_ => h = h.upsertFrame(delta))
+    (0 until 150).foreach(_ => h = h.upsertFrame(delta))
+    val depthRaw = h.idx.lineageDepth.toDouble
     val read = (hh: graft.sql.IndexedFrame.Handle[Long]) =>
       hh.toDF.agg(fSum(col("c_custkey"))).collect()
     val tRaw = bestOf2((0 until 10).foreach(_ => read(h)))
@@ -207,10 +212,13 @@ object Bench {
     val hc = h.compacted
     val tOptimize = (System.nanoTime() - t0) / 1e9
     val tOpt = bestOf2((0 until 10).foreach(_ => read(hc)))
+    val depthOpt = hc.idx.lineageDepth.toDouble
     h.idx.unpersist(); hc.idx.unpersist(); delta.unpersist()
     Seq("micro_sql_chain_read_raw_10" -> tRaw,
       "micro_sql_chain_read_opt_10" -> tOpt,
-      "micro_sql_optimize_once" -> tOptimize)
+      "micro_sql_optimize_once" -> tOptimize,
+      "micro_sql_chain_depth_raw" -> depthRaw, // lineage stages, not sec
+      "micro_sql_chain_depth_opt" -> depthOpt)
   }
 
   /** SCALE VALIDATION: the same point-read and top-k micros at 1x and
