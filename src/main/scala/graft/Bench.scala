@@ -174,7 +174,46 @@ object Bench {
       family("secondaryDisk")(microSecondaryDisk(spark, sfDir)) ++
       family("topk")(microTopk(spark, sfDir)) ++
       family("scale")(microScale(spark, sfDir)) ++
-      family("maintenance")(microMaintenance(spark, sfDir))
+      family("maintenance")(microMaintenance(spark, sfDir)) ++
+      family("skew")(microSkew(spark, sfDir))
+  }
+
+  /** SKEW GUARD measured: the same 200k-row probe batch through the
+    * lookup join, once with UNIFORM keys (200k distinct) and once
+    * ZIPF-shaped (every probe hits one of 20 hot keys — the worst
+    * case: all duplicates land in a handful of owning partitions).
+    * The bounded per-task probe memo makes each duplicate beyond the
+    * first cost a hash lookup instead of an O(depth) descent, so the
+    * hot tasks stay emit-bound and the zipfian batch must land within
+    * ~1.5x of the uniform one (historically it was the straggler
+    * shape). */
+  private[graft] def microSkew(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    implicit val sp: SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    graft.sql.IndexedJoin.enable(spark)
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val h = graft.sql.IndexedFrame.index(base, "o_orderkey", numPartitions = 32)
+    h.idx.cached; h.idx.count()
+    val hd = h.toDF
+    val n = 200000L
+    import spark.implicits._
+    // both probe sets materialize OUTSIDE the timed body — the micro
+    // measures the join, not probe generation
+    val uniform = spark.range(0, n)
+      .select((($"id" * 2971L) % 1400000L + 1L).as("k")).cache()
+    val zipf = spark.range(0, n)
+      .select((($"id" % 20L) * 131L + 1L).as("k")).cache()
+    uniform.count(); zipf.count()
+    val tUniform = bestOf2(
+      hd.join(uniform, hd("o_orderkey") === uniform("k")).write
+        .format("noop").mode("overwrite").save())
+    val tZipf = bestOf2(
+      hd.join(zipf, hd("o_orderkey") === zipf("k")).write
+        .format("noop").mode("overwrite").save())
+    uniform.unpersist(); zipf.unpersist(); h.idx.unpersist()
+    Seq("micro_skew_lookupjoin_uniform" -> tUniform,
+      "micro_skew_lookupjoin_zipf" -> tZipf)
   }
 
   /** OPTIMIZE payoff measured: reads of a 150-statement copy-on-write

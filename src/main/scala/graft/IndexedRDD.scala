@@ -260,6 +260,28 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
    * emit once per probe row (SQL multiplicity; this side is
    * key-unique).
    */
+  /** Bounded per-task probe memo — the SKEW guard for every lookup
+    * path: a zipfian probe batch repeats a few hot keys thousands of
+    * times, and probing the trie per duplicate makes the hot key's
+    * owning task the straggler. Each duplicate beyond the first now
+    * costs one hash lookup instead of an O(depth) descent (hits AND
+    * misses memoize). The memo is capped so a high-cardinality
+    * (uniform) probe cannot balloon task memory — once full, further
+    * DISTINCT keys probe directly and pay only the failed map lookup. */
+  private def memoizedProbe[V1](p: IndexedPartition[K, V1]): K => Option[V1] = {
+    val cap = 1 << 16
+    val memo = new java.util.HashMap[K, Option[V1]]()
+    k => {
+      val cached = memo.get(k)
+      if (cached != null) cached
+      else {
+        val r = p(k)
+        if (memo.size < cap) memo.put(k, r)
+        r
+      }
+    }
+  }
+
   def lookupJoinStream[U: ClassTag, R: ClassTag](other: RDD[(K, U)])(
       f: (K, V, U) => R, missing: Option[(K, U) => R] = None): RDD[R] = {
     val partitioned =
@@ -273,9 +295,9 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
           case None => Iterator.empty
         }
       } else {
-        val p = pit.next()
+        val probe = memoizedProbe(pit.next())
         oit.flatMap { case (k, u) =>
-          p(k) match {
+          probe(k) match {
             case Some(v) => Iterator.single(f(k, v, u))
             case None => missing match {
               case Some(m) => Iterator.single(m(k, u))
@@ -305,10 +327,10 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
       preservesPartitioning = false) { (pit, oit) =>
       if (!pit.hasNext) oit.map { case (_, u) => missing(u) }
       else {
-        val p = pit.next()
+        val probe = memoizedProbe(pit.next())
         oit.map { case (k, u) =>
           if (k == null) missing(u)
-          else p(k.asInstanceOf[K]) match {
+          else probe(k.asInstanceOf[K]) match {
             case Some(v) => f(k.asInstanceOf[K], v, u)
             case None => missing(u)
           }
@@ -370,9 +392,9 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
             case None => Iterator.empty
           }
           else {
-            val p = pit.next()
+            val probe = memoizedProbe(pit.next())
             mine.iterator.flatMap { case (k, u) =>
-              p(k) match {
+              probe(k) match {
                 case Some(v) => Iterator.single(f(k, v, u))
                 case None => missing match {
                   case Some(m) => Iterator.single(m(u))
@@ -426,9 +448,9 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
             case None => Iterator.empty
           }
           else {
-            val p = pit.next()
+            val probe = memoizedProbe(pit.next())
             mine.iterator.flatMap { case (k, u) =>
-              p(k) match {
+              probe(k) match {
                 case Some(v) => Iterator.single(f(k, v, u))
                 case None => missing match {
                   case Some(m) => Iterator.single(m(u))

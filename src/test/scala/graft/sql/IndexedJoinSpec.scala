@@ -33,6 +33,25 @@ class IndexedJoinSpec extends AnyFunSuite {
     assert(joined.count() === 400)
   }
 
+  test("zipfian probe: duplicate keys keep SQL multiplicity through the memoized probe") {
+    IndexedJoin.enable(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val cust = (1L to 500L).map(k => (k, s"name$k", k % 7)).toDF("k", "name", "grp")
+    val h = IndexedFrame.index(cust, "k", numPartitions = 8)
+    // 2000 probes over 3 hot keys + a hot MISS key: every duplicate
+    // must emit (or miss) independently — the per-task probe memo may
+    // only dedupe the trie descents, never the output rows
+    val probe = ((1 to 800).map(_ => 7L) ++ (1 to 700).map(_ => 13L) ++
+      (1 to 400).map(_ => 490L) ++ (1 to 100).map(_ => 99999L))
+      .toDF("pk")
+    val joined = h.toDF.join(probe, $"k" === $"pk")
+    assert(joined.count() === 800 + 700 + 400)
+    assert(joined.filter($"k" === 7L).count() === 800)
+    val outer = probe.join(h.toDF, $"pk" === $"k", "left")
+    assert(outer.count() === 2000)
+    assert(outer.filter($"k".isNull).count() === 100)
+  }
+
   test("LEFT SEMI and LEFT ANTI plan as existence probes, no Exchange, results match") {
     IndexedJoin.enable(spark)
     val (cust, bal) = fixtures()
