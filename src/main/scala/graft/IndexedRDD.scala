@@ -1495,6 +1495,64 @@ object IndexedRDD {
     ordered(elems.partitionBy(
       new org.apache.spark.RangePartitioner(numPartitions, elems)))
 
+  /** Two-level hash partitioner — the OVERSIZED-PARTITION guard
+    * (SURVEY §7.5 risk 6): base buckets that [[skewAware]]'s count
+    * pass found too large split into `splits(b)` sub-partitions by an
+    * independent second hash (byteswap32 — decorrelated from
+    * `hashCode % n`, which is what overloads a bucket when keys share
+    * a stride, e.g. ids that are all ≡ 0 mod the partition count).
+    * Routing stays a pure function of the key, so every downstream
+    * consumer — multiget pruning, one-sided COW shuffles, zip joins
+    * against `partitionBy(this)` sides, IO round-trips (the
+    * partitioner is serialized with the save) — works unchanged. */
+  class SplitPartitioner(val baseParts: Int, val splits: Array[Int])
+      extends org.apache.spark.Partitioner {
+    require(splits.length == baseParts)
+    private val offsets: Array[Int] = splits.scanLeft(0)(_ + _)
+    override def numPartitions: Int = offsets(baseParts)
+    private def mod(x: Int, m: Int): Int = { val r = x % m; if (r < 0) r + m else r }
+    override def getPartition(key: Any): Int = {
+      val b = mod(key.hashCode, baseParts)
+      val k = splits(b)
+      if (k == 1) offsets(b)
+      else offsets(b) + mod(scala.util.hashing.byteswap32(key.hashCode), k)
+    }
+    override def equals(other: Any): Boolean = other match {
+      case s: SplitPartitioner =>
+        s.baseParts == baseParts && java.util.Arrays.equals(s.splits, splits)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * baseParts + java.util.Arrays.hashCode(splits)
+  }
+
+  /** Hash build that CANNOT produce an executor-crushing partition: an
+    * O(buckets)-state key-counting pass sizes every base bucket first,
+    * and any bucket over `maxRowsPerPartition` splits into enough
+    * sub-partitions (via [[SplitPartitioner]]) to respect the cap in
+    * expectation. A skewed 100 TB key distribution — ids sharing a
+    * stride, a generator that clusters hash codes — then costs extra
+    * partitions instead of an OOM. The counting pass reads only keys
+    * (values never move) and shuffles O(buckets) longs; a build with
+    * no oversized bucket takes the ordinary single-level layout. */
+  def skewAware[K: ClassTag: KeySerializer, V: ClassTag](
+      elems: RDD[(K, V)], numPartitions: Int,
+      maxRowsPerPartition: Long): IndexedRDD[K, V] = {
+    require(numPartitions > 0 && maxRowsPerPartition > 0)
+    val base = new HashPartitioner(numPartitions)
+    val counts = elems.mapPartitions { it =>
+      val a = new Array[Long](numPartitions)
+      it.foreach { case (k, _) => a(base.getPartition(k)) += 1 }
+      Iterator.single(a)
+    }.fold(new Array[Long](numPartitions)) { (x, y) =>
+      var i = 0; while (i < numPartitions) { x(i) += y(i); i += 1 }; x
+    }
+    val splits = counts.map(c =>
+      math.max(1L, (c + maxRowsPerPartition - 1) / maxRowsPerPartition).toInt)
+    if (splits.forall(_ == 1)) apply(elems.partitionBy(base))
+    else apply(elems.partitionBy(new SplitPartitioner(numPartitions, splits)))
+  }
+
   /** Build with ORDERED per-partition indexes (persistent radix tree
     * over serialized keys): same operator surface plus pruned
     * [[IndexedRDD.range]] scans; point probes cost O(key length). */

@@ -540,6 +540,24 @@ object OperatorQueries {
       s.sql("SELECT c_custkey, c_name, c_acctbal FROM dml_mrgf_corpus")
     },
 
+    "ir_skew_build" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // OVERSIZED-PARTITION guard end-to-end: every key is a multiple
+      // of 32, so a vanilla 32-bucket hash build piles the whole
+      // corpus into partition 0 (hashCode % 32 == 0); the skew-aware
+      // build counts buckets first and splits the hot one by a
+      // decorrelated second hash, then serves the ordinary pushed
+      // point-IN probe surface through the two-level partitioner
+      val df = Tables.customer(s, dir)
+        .withColumn("skey", $"c_custkey" * 32)
+      val h = graft.sql.IndexedFrame.indexSkewAware(
+        df, "skey", numPartitions = 32, maxRowsPerPartition = 2000L)
+      val probes = (1L to 50L).map(_ * 7L * 32L)
+      h.toDF.filter($"skey".isin(probes.map(Long.box): _*))
+        .select($"skey", $"c_custkey", $"c_acctbal")
+    },
+
     "ir_sql_catalog_table" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2702,6 +2720,11 @@ object OperatorQueries {
         |FROM customer""".stripMargin,
 
     "ir_sql_merge_sqltext" -> mergeOracleSql,
+
+    "ir_skew_build" ->
+      """SELECT c_custkey * 32 AS skey, c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 7 = 0 AND c_custkey BETWEEN 7 AND 350""".stripMargin,
 
     // the catalog-table lane: CTAS + UPDATE + DELETE + MERGE, final
     // state read from a reopened session replaying the on-disk log

@@ -2758,6 +2758,27 @@ object IndexedFrame {
     buildHandle(df, keyCol, codec, ordered, numPartitions)
   }
 
+  /** [[index]] through [[graft.IndexedRDD.skewAware]]: a hash build
+    * whose partitions CANNOT exceed `maxRowsPerPartition` in
+    * expectation — oversized base buckets (keys sharing a stride that
+    * collides `hashCode % n`) split by a decorrelated second hash
+    * before the build, so a skewed key distribution costs extra
+    * partitions instead of an executor OOM. Same pushdown surface as
+    * any hash handle (point/IN probes, secondary indexes, COW DML,
+    * lookup joins); routing stays a pure key function, so saved
+    * copies reload with their two-level partitioner intact. */
+  def indexSkewAware(df: DataFrame, keyCol: String, numPartitions: Int,
+      maxRowsPerPartition: Long): Handle[Long] = {
+    val codec = codecFor(df.schema, keyCol) match {
+      case lc: LongCodec => lc
+      case _ => throw new IllegalArgumentException(
+        "indexSkewAware requires an integral key column")
+    }
+    new Handle(IndexedRDD.skewAware(pairs(df, keyCol, codec),
+      numPartitions, maxRowsPerPartition).cached,
+      keyCol, df.schema, ordered = false, codec)
+  }
+
   /** Index by a STRING key column: pushed equality/IN predicates route
     * into partition-pruned point reads exactly like integral keys (the
     * RDD layer is generic over [[KeySerializer]]). `ordered = true`

@@ -89,4 +89,53 @@ class SpillSpec extends AnyFunSuite {
       Seq(("x", Some(7L)), ("y", Some(0L)), ("z", None)))
     idx.unpersist()
   }
+
+  test("skewAware build: a stride-skewed key set cannot produce an oversized partition") {
+    val sc = spark.sparkContext
+    // every key is a multiple of 32 -> hashCode % 32 == 0 -> a vanilla
+    // 32-bucket hash build piles ALL 120k rows into partition 0
+    val n = 120000L
+    val pairs = sc.parallelize((1L to n).map(k => (k * 32L, payload(k))), 8)
+    val vanilla = IndexedRDD.build(pairs, 32)
+    val vSizes = vanilla.partitionsRDD.map(_.size.toLong).collect()
+    assert(vSizes.max === n) // the OOM shape this guards against
+    val idx = IndexedRDD.skewAware(pairs, 32, maxRowsPerPartition = 10000L)
+      .persist(StorageLevel.DISK_ONLY)
+    assert(idx.count() === n)
+    val sizes = idx.partitionsRDD.map(_.size.toLong).collect()
+    // the cap holds with hash slack: nothing near the old single-bucket
+    // pile-up, and the hot bucket's rows spread over its sub-splits
+    assert(sizes.max <= 2 * 10000L, s"max=${sizes.max}")
+    assert(sizes.count(_ > 0) >= 12)
+    // the full operator surface routes through the two-level partitioner
+    val hits = idx.multiget(Array(32L, 32000L, n * 32L, 7L))
+    assert(hits.keySet === Set(32L, 32000L, n * 32L))
+    assert(hits(32000L) === payload(1000L))
+    val upd = idx.multiput(Map(64L -> "updated", 1L -> "inserted"))
+    assert(upd.get(64L) === Some("updated"))
+    assert(upd.get(1L) === Some("inserted"))
+    assert(upd.count() === n + 1)
+    val probe = sc.parallelize((1L to 500L).map(k => (k * 32L, k)))
+    assert(idx.innerJoin(probe)((_, _, u) => u).count() === 500)
+    val deleted = idx.delete(Array(32L, 96L))
+    assert(deleted.count() === n - 2)
+    // IO round-trip: the SplitPartitioner serializes with the save and
+    // the reloaded copy keeps pruned point routing
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_skew_io").toString
+    graft.IndexedRDDIO.save(idx, path)
+    val back = graft.IndexedRDDIO.load[Long, String](sc, path)
+    assert(back.partitioner === idx.partitioner)
+    assert(back.get(32000L) === Some(payload(1000L)))
+    idx.unpersist()
+  }
+
+  test("skewAware build with no oversized bucket stays single-level") {
+    val sc = spark.sparkContext
+    val pairs = sc.parallelize((1L to 50000L).map(k => (k, k * 2.0)), 8)
+    val idx = IndexedRDD.skewAware(pairs, 16, maxRowsPerPartition = 10000L)
+    assert(idx.partitions.length === 16)
+    assert(idx.partitioner.exists(_.isInstanceOf[org.apache.spark.HashPartitioner]))
+    assert(idx.get(777L) === Some(1554.0))
+  }
 }
