@@ -234,18 +234,25 @@ object Bench {
     implicit val sp: SparkSession = spark
     import org.apache.spark.sql.functions.{col, lit, sum => fSum}
     val custDF = spark.read.parquet(s"$sfDir/customer.parquet")
-    var h = graft.sql.IndexedFrame.index(custDF, "c_custkey", numPartitions = 32)
+    // 8 partitions, not 32: the compacted read is the micro's floor,
+    // and at this SF a 32-way agg measures task launches, not the
+    // chain-replay asymmetry the micro exists to show
+    var h = graft.sql.IndexedFrame.index(custDF, "c_custkey", numPartitions = 8)
     h.idx.cached; h.idx.count()
-    // the same 1%-of-keys correction batch applied 150 times — sized
-    // and shaped like a CDC micro-batch; the delta frame is cached so
-    // every statement pays only its own zip, as the SQL-text path does
-    val delta = custDF.filter(col("c_custkey") % 100 === 7)
+    // the same 20%-of-keys correction batch applied 150 times — the
+    // bulk-backfill shape; the delta frame is cached so every
+    // statement pays only its own zip, as the SQL-text path does
+    val delta = custDF.filter(col("c_custkey") % 5 === 2)
       .withColumn("c_acctbal", col("c_acctbal") + lit(1.0)).cache()
     delta.count()
     (0 until 150).foreach(_ => h = h.upsertFrame(delta))
     val depthRaw = h.idx.lineageDepth.toDouble
+    // sum a VALUE column: the index stats services answer key-column
+    // aggregates from memoized descents (zero jobs on repeat — which
+    // is what this micro measured by accident in r13's first run), so
+    // only a value read honestly streams every row through the chain
     val read = (hh: graft.sql.IndexedFrame.Handle[Long]) =>
-      hh.toDF.agg(fSum(col("c_custkey"))).collect()
+      hh.toDF.agg(fSum(col("c_acctbal"))).collect()
     val tRaw = bestOf2((0 until 10).foreach(_ => read(h)))
     val t0 = System.nanoTime()
     val hc = h.compacted

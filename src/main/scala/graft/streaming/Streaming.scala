@@ -26,6 +26,10 @@ import graft.keys.KeySerializer
  *    [[IndexedRDD]] — every micro-batch produces a new queryable
  *    version via `multiputRDD` (one-sided shuffle of the batch only),
  *    the streaming analogue of the reference's COW update chain.
+ *  - [[CheckpointedUpsertSink]]: the exactly-once restartable twin —
+ *    base snapshot + per-batch delta log + commit marker under a
+ *    checkpoint dir, so a killed query restores and skips redelivered
+ *    batches.
  */
 object Streaming {
 
