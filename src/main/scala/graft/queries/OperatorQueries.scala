@@ -619,6 +619,29 @@ object OperatorQueries {
           |WHERE c_custkey <= 300""".stripMargin)
     },
 
+    "ir_sql_catalog_index_ddl" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SQL index DDL on a PERSISTENT table: CREATE INDEX persists the
+      // inverted-index sidecars (and the durable name manifest) beside
+      // the base save, so a REOPENED session routes the secondary
+      // probe with no rebuild — the read below happens in that session
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_ddl").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_ddl")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_ddl_src")
+      s.sql(s"""CREATE TABLE graft_cat_ddl USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_ddl_src""".stripMargin)
+      s.sql("CREATE INDEX nation_ix ON graft_cat_ddl (c_nationkey)")
+      val reopened = s.newSession()
+      reopened.sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal FROM graft_cat_ddl
+          |WHERE c_nationkey IN (3, 7, 11)""".stripMargin)
+    },
+
     "ir_sql_merge_sqltext_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2750,6 +2773,10 @@ object OperatorQueries {
         |SELECT s.k, 'Cat#' || CAST(s.k AS VARCHAR), s.d
         |FROM src s LEFT JOIN d1 t ON t.c_custkey = s.k
         |WHERE t.c_custkey IS NULL""".stripMargin,
+
+    "ir_sql_catalog_index_ddl" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE c_nationkey IN (3, 7, 11)""".stripMargin,
 
     // version 1 of the log = after the UPDATE, before the DELETE
     "ir_sql_catalog_timetravel" ->

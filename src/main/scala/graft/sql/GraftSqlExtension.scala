@@ -109,6 +109,12 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
     // stay idempotent with this)
     e.injectPlannerStrategy(_ => IndexedJoin.IndexedJoinStrategy)
     e.injectPlannerStrategy(_ => IndexedAgg.IndexedCountStrategy)
+    // ...and the remaining two, completing the SQL-first surface: an
+    // extension-configured session serves index-ordered ORDER BY key
+    // LIMIT n (incl. keyset pagination) and per-group top-n without
+    // per-session enable() calls
+    e.injectPlannerStrategy(_ => IndexedTopK.IndexedTopKStrategy)
+    e.injectPlannerStrategy(_ => IndexedWindow.IndexedGroupTopNStrategy)
   }
 }
 
@@ -143,22 +149,30 @@ class GraftIndexDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case Seq(view) =>
           val cols = columns.map(_._1.name)
           if (cols.exists(_.size != 1)) None
-          else GraftSqlExtension.handleFor(session, view).map { h =>
-            GraftIndexCommand("CREATE INDEX", view, name) { sp =>
-              GraftSqlExtension.createNamedIndex(sp, view, h, name,
-                idxType, cols.map(_.head), ignoreIfExists)
-            }
+          else GraftSqlExtension.ddlTargetFor(session, view).map {
+            case (h, pathOpt) =>
+              GraftIndexCommand("CREATE INDEX", view, name) { sp =>
+                GraftSqlExtension.createNamedIndex(sp, view, h, name,
+                  idxType, cols.map(_.head), ignoreIfExists)
+                // catalog tables persist the new sidecars in place —
+                // the reloaded table routes through them, no rebuild
+                pathOpt.foreach(
+                  GraftSqlExtension.persistSidecars(sp, view, h, _))
+              }
           }
         case _ => None
       }).getOrElse(ci)
     case di @ DropIndex(u: UnresolvedTable, name, ignoreIfNotExists) =>
       (u.multipartIdentifier match {
         case Seq(view) =>
-          GraftSqlExtension.handleFor(session, view).map { h =>
-            GraftIndexCommand("DROP INDEX", view, name) { sp =>
-              GraftSqlExtension.dropNamedIndex(sp, view, h, name,
-                ignoreIfNotExists)
-            }
+          GraftSqlExtension.ddlTargetFor(session, view).map {
+            case (h, pathOpt) =>
+              GraftIndexCommand("DROP INDEX", view, name) { sp =>
+                GraftSqlExtension.dropNamedIndex(sp, view, h, name,
+                  ignoreIfNotExists)
+                pathOpt.foreach(
+                  GraftSqlExtension.persistSidecars(sp, view, h, _))
+              }
           }
         case _ => None
       }).getOrElse(di)
@@ -1008,6 +1022,71 @@ object GraftSqlExtension {
     indexRegOf(sp).iterator.collect {
       case ((v, n), (t, cs)) if v == view => (n, t, cs)
     }.toSeq.sortBy(_._1)
+
+  /** The DDL target behind `view`: a temp-view handle (sidecars live
+    * in memory with the handle), or a persistent catalog table's live
+    * handle together with its location — index DDL against a table
+    * persists the sidecars so the routing survives a reopen, and the
+    * durable name manifest hydrates this session's registry so later
+    * sessions can DROP indexes created before them. */
+  private[sql] def ddlTargetFor(sp: SparkSession,
+      view: String): Option[(DdlHandle, Option[String])] =
+    handleFor(sp, view).map((_, None)).orElse(
+      GraftTables.tableInfo(sp, view).map { case (path, _) =>
+        hydrateIndexNames(sp, view, path)
+        (GraftTables.current(sp, path)._2.handleAny.asInstanceOf[DdlHandle],
+          Some(path))
+      })
+
+  /** Re-persist a catalog table's secondary/zone sidecars after SQL
+    * index DDL mutated them, plus the `_indexnames` manifest mapping
+    * SQL index names to (type, columns) — index names on catalog
+    * tables are durable, unlike the session-scoped view names. */
+  private[sql] def persistSidecars(sp: SparkSession, view: String,
+      h: DdlHandle, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      sp.sparkContext.hadoopConfiguration)
+    IndexedFrame.saveIndexSidecars(h, path, fs)
+    val entries = indexesOn(sp, view)
+    val out = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_indexnames"), true))
+    try {
+      out.writeInt(entries.size)
+      entries.foreach { case (n, t, cs) =>
+        out.writeObject(n); out.writeObject(t); out.writeObject(cs.toList)
+      }
+    } finally out.close()
+  }
+
+  /** Reconcile this session's registry with a catalog table's
+    * `_indexnames` manifest. Disk is the TRUTH for catalog tables —
+    * every in-session DDL rewrites the manifest immediately — so this
+    * handles a reopened session (names hydrate) AND a location that
+    * was dropped and recreated mid-session (stale names purge). */
+  private def hydrateIndexNames(sp: SparkSession, view: String,
+      path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      sp.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(path, "_indexnames")
+    val onDisk: Map[String, (String, List[String])] =
+      if (!fs.exists(f)) Map.empty
+      else {
+        val in = new java.io.ObjectInputStream(fs.open(f))
+        try (0 until in.readInt()).map { _ =>
+          val name = in.readObject().asInstanceOf[String]
+          val t = in.readObject().asInstanceOf[String]
+          val cs = in.readObject().asInstanceOf[List[String]]
+          name -> (t, cs)
+        }.toMap
+        finally in.close()
+      }
+    val reg = indexRegOf(sp)
+    reg.keys.filter(k => k._1 == view && !onDisk.contains(k._2))
+      .foreach(reg.remove)
+    onDisk.foreach { case (n, (t, cs)) => reg.put((view, n), (t, cs)) }
+  }
 
   /** The graft handle behind a temp view, when the view is a plain
     * wrapper over one indexed relation (single-key, composite, or

@@ -5367,6 +5367,32 @@ object IndexedFrame {
     * `_frame` meta file (key column, orderedness, codec tag, schema).
     * Reloading re-attaches everything — point reads, range pushdown,
     * and narrow joins work immediately, with no shuffle or rebuild. */
+  /** Persist JUST the secondary-index + zone-map sidecars of `h` under
+    * `path` (sec_<i>/ dirs + the `_indexes` manifest) — the shared
+    * tail of every [[save]] overload, also called directly when SQL
+    * `CREATE INDEX` / `DROP INDEX` runs against a persistent catalog
+    * table so the new routing survives a reopen without rewriting the
+    * base. Sidecar dirs write before the manifest references them. */
+  private[sql] def saveIndexSidecars(
+      h: SecondaryCapable[_] with ZoneMapped, path: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val secs = h.secondaryEntries
+    secs.zipWithIndex.foreach { case ((_, _, s), i) =>
+      graft.IndexedRDDIO.save(s, s"$path/sec_$i")
+    }
+    val (zoneCols, zoneStats) = h.zoneSnapshot
+    val out2 = new java.io.ObjectOutputStream(fs.create(
+      new org.apache.hadoop.fs.Path(path, "_indexes"), true))
+    try {
+      out2.writeInt(secs.size)
+      secs.zipWithIndex.foreach { case ((c, rangeable, _), i) =>
+        out2.writeObject(c); out2.writeBoolean(rangeable)
+        out2.writeObject(s"sec_$i")
+      }
+      out2.writeObject(zoneCols); out2.writeObject(zoneStats)
+    } finally out2.close()
+  }
+
   def save(h: Handle[_], path: String): Unit = {
     graft.IndexedRDDIO.save(
       h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
@@ -5387,21 +5413,7 @@ object IndexedFrame {
     // reloaded handle serves secondary probes and zone-pruned scans
     // immediately, no O(corpus) rebuild. `_indexes` is optional on
     // read, so pre-existing saves still load.
-    val secs = h.secondaryEntries
-    secs.zipWithIndex.foreach { case ((_, _, s), i) =>
-      graft.IndexedRDDIO.save(s, s"$path/sec_$i")
-    }
-    val (zoneCols, zoneStats) = h.zoneSnapshot
-    val out2 = new java.io.ObjectOutputStream(fs.create(
-      new org.apache.hadoop.fs.Path(path, "_indexes"), true))
-    try {
-      out2.writeInt(secs.size)
-      secs.zipWithIndex.foreach { case ((c, rangeable, _), i) =>
-        out2.writeObject(c); out2.writeBoolean(rangeable)
-        out2.writeObject(s"sec_$i")
-      }
-      out2.writeObject(zoneCols); out2.writeObject(zoneStats)
-    } finally out2.close()
+    saveIndexSidecars(h, path, fs)
   }
 
   /** Persist a COMPOSITE handle: same one-file-per-partition index
@@ -5427,21 +5439,7 @@ object IndexedFrame {
     } finally out.close()
     // secondaries and zones ride along exactly as for single-key saves
     // (both handle kinds share the SecondaryCapable/ZoneMapped traits)
-    val secs = h.secondaryEntries
-    secs.zipWithIndex.foreach { case ((_, _, s), i) =>
-      graft.IndexedRDDIO.save(s, s"$path/sec_$i")
-    }
-    val (zoneCols, zoneStats) = h.zoneSnapshot
-    val out2 = new java.io.ObjectOutputStream(fs.create(
-      new org.apache.hadoop.fs.Path(path, "_indexes"), true))
-    try {
-      out2.writeInt(secs.size)
-      secs.zipWithIndex.foreach { case ((c, rangeable, _), i) =>
-        out2.writeObject(c); out2.writeBoolean(rangeable)
-        out2.writeObject(s"sec_$i")
-      }
-      out2.writeObject(zoneCols); out2.writeObject(zoneStats)
-    } finally out2.close()
+    saveIndexSidecars(h, path, fs)
   }
 
   /** Persist an N-ARY composite handle: same one-file-per-partition
@@ -5468,21 +5466,7 @@ object IndexedFrame {
     } finally out.close()
     // secondaries and zones ride along exactly as for the other handle
     // kinds (SecondaryCapable/ZoneMapped are shared traits)
-    val secs = h.secondaryEntries
-    secs.zipWithIndex.foreach { case ((_, _, s), i) =>
-      graft.IndexedRDDIO.save(s, s"$path/sec_$i")
-    }
-    val (zoneCols, zoneStats) = h.zoneSnapshot
-    val out2 = new java.io.ObjectOutputStream(fs.create(
-      new org.apache.hadoop.fs.Path(path, "_indexes"), true))
-    try {
-      out2.writeInt(secs.size)
-      secs.zipWithIndex.foreach { case ((c, rangeable, _), i) =>
-        out2.writeObject(c); out2.writeBoolean(rangeable)
-        out2.writeObject(s"sec_$i")
-      }
-      out2.writeObject(zoneCols); out2.writeObject(zoneStats)
-    } finally out2.close()
+    saveIndexSidecars(h, path, fs)
   }
 
   /** Reload an N-ary composite handle saved by

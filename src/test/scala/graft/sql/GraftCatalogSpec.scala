@@ -117,6 +117,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_v")
   }
 
+  test("CREATE INDEX on a catalog table persists sidecars across a reopen") {
+    val path = freshPath("ddl")
+    spark.sql("DROP TABLE IF EXISTS catspec_ddl")
+    (1L to 400L).map(k => (k, k % 13, s"n${k % 20}")).toDF("k", "grp", "name")
+      .createOrReplaceTempView("catspec_ddl_src")
+    spark.sql(s"""CREATE TABLE catspec_ddl USING graft
+      |OPTIONS (key 'k') LOCATION '$path' AS SELECT * FROM catspec_ddl_src""".stripMargin)
+    spark.sql("CREATE INDEX name_ix ON catspec_ddl (name)")
+    // the sidecars landed beside the base save...
+    assert(new java.io.File(s"$path/sec_0").exists())
+    // ...so a REOPENED session routes secondary probes with no rebuild
+    val s2 = spark.newSession()
+    val h = GraftTables.current(s2, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.Handle[_]]
+    assert(s2.sql("SELECT count(*) FROM catspec_ddl WHERE name = 'n7'")
+      .collect()(0).getLong(0) === 20)
+    assert(h.lastScanKind === "secondary_point")
+    // DROP INDEX re-persists the (now empty) manifest: the next
+    // session scans instead of probing
+    s2.sql("DROP INDEX name_ix ON catspec_ddl")
+    val s3 = spark.newSession()
+    val h3 = GraftTables.current(s3, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.Handle[_]]
+    assert(s3.sql("SELECT count(*) FROM catspec_ddl WHERE name = 'n7'")
+      .collect()(0).getLong(0) === 20)
+    assert(h3.lastScanKind !== "secondary_point")
+    spark.sql("DROP TABLE IF EXISTS catspec_ddl")
+  }
+
   test("writer API: save, load, append as an upsert delta") {
     val path = freshPath("writer")
     val df = (1L to 40L).map(k => (k, k * 2.0)).toDF("k", "v")
