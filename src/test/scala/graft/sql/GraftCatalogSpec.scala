@@ -146,6 +146,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_ddl")
   }
 
+  test("composite-key catalog table: CTAS options, DML, reopen replay") {
+    val path = freshPath("comp")
+    spark.sql("DROP TABLE IF EXISTS catspec_comp")
+    (1L to 200L).map(k => (k % 10, k, k * 1.0)).toDF("a", "b", "v")
+      .createOrReplaceTempView("catspec_comp_src")
+    spark.sql(s"""CREATE TABLE catspec_comp USING graft
+      |OPTIONS (key 'a,b') LOCATION '$path' AS SELECT * FROM catspec_comp_src""".stripMargin)
+    spark.sql("UPDATE catspec_comp SET v = -1 WHERE b <= 20")
+    spark.sql("DELETE FROM catspec_comp WHERE a = 3 AND b > 100")
+    Seq((2L, 12L, 99.0), (9L, 999L, 9.0)).toDF("sa", "sb", "sv")
+      .createOrReplaceTempView("catspec_comp_msrc")
+    spark.sql(
+      """MERGE INTO catspec_comp t USING catspec_comp_msrc s
+        |ON t.a = s.sa AND t.b = s.sb
+        |WHEN MATCHED THEN UPDATE SET v = s.sv
+        |WHEN NOT MATCHED THEN INSERT (a, b, v) VALUES (s.sa, s.sb, s.sv)""".stripMargin)
+    val live = spark.sql("SELECT * FROM catspec_comp ORDER BY a, b")
+      .collect().map(_.toSeq).toSeq
+    val s2 = spark.newSession()
+    val re = s2.sql("SELECT * FROM catspec_comp ORDER BY a, b")
+      .collect().map(_.toSeq).toSeq
+    assert(re === live)
+    assert(s2.sql("SELECT v FROM catspec_comp WHERE a = 2 AND b = 12")
+      .collect()(0).getDouble(0) === 99.0)
+    assert(s2.sql("SELECT count(*) FROM catspec_comp WHERE a = 3 AND b > 100")
+      .collect()(0).getLong(0) === 0)
+    spark.sql("DROP TABLE IF EXISTS catspec_comp")
+  }
+
   test("writer API: save, load, append as an upsert delta") {
     val path = freshPath("writer")
     val df = (1L to 40L).map(k => (k, k * 2.0)).toDF("k", "v")
