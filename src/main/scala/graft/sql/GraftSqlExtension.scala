@@ -210,9 +210,11 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
               // in-session chain first; then the durable delta log of a
               // graft catalog table — version reads survive a reopen
               GraftSqlExtension.versionAt(session, name, v).orElse(
-                GraftTables.tableInfo(session, name).collect {
-                  case (path, dv) if v >= 0 && v <= dv =>
-                    GraftTables.versionPlanOf(session, path, v)
+                GraftTables.tableInfo(session, name).flatMap { case (path, _) =>
+                  // loadVersion enforces the retained window (VACUUM
+                  // may have compacted early versions away)
+                  scala.util.Try(
+                    GraftTables.versionPlanOf(session, path, v)).toOption
                 })
             }
             .map(p => SubqueryAlias(name, p))
@@ -227,9 +229,10 @@ class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
               GraftSqlExtension.versionAtTime(session, name, ms).orElse(
                 GraftTables.tableInfo(session, name).flatMap { case (path, _) =>
                   val times = GraftTables.historyTimes(session, path)
+                  val first = GraftTables.tableFirstVersion(session, path)
                   val i = times.lastIndexWhere(_ <= ms)
                   if (i < 0) None
-                  else Some(GraftTables.versionPlanOf(session, path, i.toLong))
+                  else Some(GraftTables.versionPlanOf(session, path, first + i))
                 })
             }
             .map(p => SubqueryAlias(name, p))
@@ -1203,9 +1206,8 @@ object GraftSqlExtension {
     val v1 = ver(evalArg(args(1)))
     val v2 = if (args.size == 3) ver(evalArg(args(2))) else (n - 1).toLong
     def at(v: Long): LogicalPlan = versionAt(sp, view, v)
-      .orElse(tableLog.collect {
-        case (path, dv) if v >= 0 && v <= dv =>
-          GraftTables.versionPlanOf(sp, path, v)
+      .orElse(tableLog.map { case (path, _) =>
+        GraftTables.versionPlanOf(sp, path, v) // enforces the retained window
       })
       .getOrElse(throw new IllegalArgumentException(
         s"no version $v for '$view' " +
@@ -1259,7 +1261,9 @@ object GraftSqlExtension {
     val (first, times) =
       if (chainTimes.nonEmpty) (firstVersion(sp, view), chainTimes)
       else GraftTables.tableInfo(sp, view) match {
-        case Some((path, _)) => (0L, GraftTables.historyTimes(sp, path))
+        case Some((path, _)) =>
+          (GraftTables.tableFirstVersion(sp, path),
+            GraftTables.historyTimes(sp, path))
         case None => throw new IllegalArgumentException(
           s"'$view' has no recorded versions — graft_history reads the " +
             "chain SQL-text DML statements record (temp view or graft table)")

@@ -159,6 +159,18 @@ case class GraftVacuumCommand(view: String, retain: Int)
     AttributeReference("current_version", LongType, nullable = false)())
 
   override def run(sp: SparkSession): Seq[Row] = {
+    // catalog tables vacuum their on-disk delta log: everything older
+    // than the newest `retain` versions folds into the base save;
+    // version numbers never renumber (dropped ones fail like Delta's
+    // "version no longer exists")
+    if (sp.sessionState.catalog.getTempView(view).isEmpty) {
+      GraftTables.tableInfo(sp, view).foreach { case (path, _) =>
+        val (dropped, first, cur) = GraftTables.vacuumTable(sp, path, retain)
+        sp.sessionState.catalog.refreshTable(
+          org.apache.spark.sql.catalyst.TableIdentifier(view))
+        return Seq(Row(view, dropped, first, cur))
+      }
+    }
     // existence check up front — VACUUM of an unknown name is an
     // error, VACUUM of a known view with no DML history a no-op
     GraftSqlParser.graftViewRelation(sp, view, "VACUUM")

@@ -238,6 +238,7 @@ private[sql] object GraftTables {
     h.saveTo(path)
     clearDeltas(sp, path)
     writeVersion(sp, path, 0L)
+    writeFirstVersion(sp, path, 0L)
     cacheOf(sp).put(canonical(sp, path), (0L, h))
     dropVersionMemos(sp, path)
   }
@@ -263,6 +264,31 @@ private[sql] object GraftTables {
   private def writeVersion(sp: SparkSession, path: String, v: Long): Unit = {
     val (fs, p) = fsOf(sp, path)
     val out = fs.create(new Path(p, "_tver"), true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Oldest READABLE version (Delta semantics: version numbers never
+    * renumber — OPTIMIZE/VACUUM rebase the base save onto a later
+    * version and earlier ones fail like "version no longer exists").
+    * Absent `_tfirst` = 0, the original base. */
+  private[sql] def tableFirstVersion(sp: SparkSession, path: String): Long = {
+    val (fs, p) = fsOf(sp, path)
+    val vf = new Path(p, "_tfirst")
+    if (!fs.exists(vf)) 0L
+    else {
+      val in = fs.open(vf)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeFirstVersion(sp: SparkSession, path: String,
+      v: Long): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    val out = fs.create(new Path(p, "_tfirst"), true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -342,11 +368,13 @@ private[sql] object GraftTables {
   private[sql] def loadVersion(sp: SparkSession, path: String,
       v: Long): TableHandle = {
     val dv = diskVersion(sp, path)
-    require(v >= 0 && v <= dv,
-      s"no version $v for graft table at $path (have 0..$dv)")
+    val first = tableFirstVersion(sp, path)
+    require(v >= first && v <= dv,
+      s"no version $v for graft table at $path (have $first..$dv" +
+        (if (first > 0) " — earlier versions were compacted away)" else ")"))
     vcacheOf(sp).getOrElseUpdate((canonical(sp, path), v), {
-      var h = loadBase(sp, path)
-      var i = 1L
+      var h = loadBase(sp, path) // the base save IS version `first`
+      var i = first + 1
       while (i <= v) { h = applyDelta(sp, h, path, i); i += 1 }
       h
     })
@@ -402,7 +430,7 @@ private[sql] object GraftTables {
     if (dts.isEmpty) {
       val (fs, p) = fsOf(sp, path)
       Seq(fs.getFileStatus(new Path(p, "_frame")).getModificationTime)
-    } else dts.head +: dts
+    } else dts.head +: dts // base version shares the first retained stamp
   }
 
   /** Commit millis of each delta (version 1..current), from the delta
@@ -410,7 +438,7 @@ private[sql] object GraftTables {
     * the in-session chain seed. */
   private[sql] def deltaTimes(sp: SparkSession, path: String): Seq[Long] = {
     val (fs, _) = fsOf(sp, path)
-    (1L to diskVersion(sp, path)).map { v =>
+    (tableFirstVersion(sp, path) + 1 to diskVersion(sp, path)).map { v =>
       val in = new java.io.ObjectInputStream(
         fs.open(new Path(deltaDir(path, v), "_meta")))
       try { in.readBoolean(); in.readBoolean(); in.readBoolean(); in.readLong() }
@@ -452,29 +480,68 @@ private[sql] object GraftTables {
   /** `OPTIMIZE` for catalog tables: rewrite the base save as the
     * CURRENT content and drop the replayed deltas — a reopened session
     * then pays one load instead of base + n replays. Returns the
-    * number of compacted deltas. Version history resets to a fresh
-    * version 0 (the compaction IS the new base), matching the explicit
-    * maintenance contract. */
+    * number of compacted deltas. Version NUMBERS stay stable (Delta
+    * semantics): the current version keeps its number and becomes the
+    * oldest readable one; folded versions fail like "no longer
+    * exists". */
   private[sql] def compact(sp: SparkSession, path: String)
       : (Long, Long, Int, Int, Int) = {
     val (v, h) = current(sp, path)
+    val firstBefore = tableFirstVersion(sp, path)
     val depthBefore = h.idxAny.lineageDepth
-    if (v == 0L)
+    if (v == firstBefore)
       return (0L, h.idxAny.count(), h.idxAny.partitions.length,
         depthBefore, depthBefore)
-    // save to a sibling temp dir first, then swap — the old base stays
-    // readable until the new one is complete
+    rebase(sp, path, v)
+    val reloaded = loadBase(sp, path)
+    cacheOf(sp).put(canonical(sp, path), (v, reloaded))
+    (v - firstBefore, reloaded.idxAny.count(),
+      reloaded.idxAny.partitions.length,
+      depthBefore, reloaded.idxAny.lineageDepth)
+  }
+
+  /** `VACUUM <table> RETAIN n VERSIONS`: fold everything older than
+    * the newest `retain` versions into the base save. Version numbers
+    * NEVER renumber (Delta semantics): the retained tail keeps its
+    * numbers, dropped versions fail with "compacted away". Returns
+    * (versions dropped, first retained version, current version). */
+  private[sql] def vacuumTable(sp: SparkSession, path: String,
+      retain: Int): (Long, Long, Long) = {
+    require(retain >= 1, s"VACUUM must retain at least 1 version (got $retain)")
+    val dv = diskVersion(sp, path)
+    val first = tableFirstVersion(sp, path)
+    val readable = dv - first + 1
+    if (readable <= retain) return (0L, first, dv)
+    val newFirst = dv - retain + 1
+    rebase(sp, path, newFirst)
+    (newFirst - first, newFirst, dv)
+  }
+
+  /** Rewrite the base save as the CONTENT OF version `target` and drop
+    * the folded deltas — numbering stays stable (`_tfirst` = target).
+    * Sibling-dir swap: the old base stays readable until the new one
+    * is complete. */
+  private def rebase(sp: SparkSession, path: String, target: Long): Unit = {
+    val dv = diskVersion(sp, path)
+    val h = loadVersion(sp, path, target)
     val (fs, p) = fsOf(sp, path)
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
     fs.delete(tmp, true)
     h.saveTo(tmp.toString)
+    // carry the RETAINED deltas (> target) into the new dir before the
+    // swap so no window exists where they are missing
+    (target + 1 to dv).foreach { v =>
+      val d = new Path(deltaDir(path, v))
+      if (fs.exists(d))
+        org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
+          new Path(tmp, d.getName), false, sp.sparkContext.hadoopConfiguration)
+    }
     fs.delete(p, true)
     require(fs.rename(tmp, p), s"compaction rename failed for $path")
-    writeVersion(sp, path, 0L)
+    writeVersion(sp, path, dv)
+    writeFirstVersion(sp, path, target)
     dropVersionMemos(sp, path)
-    val reloaded = loadBase(sp, path)
-    cacheOf(sp).put(canonical(sp, path), (0L, reloaded))
-    (v, reloaded.idxAny.count(), reloaded.idxAny.partitions.length,
-      depthBefore, reloaded.idxAny.lineageDepth)
+    cacheOf(sp).remove(canonical(sp, path))
+    ()
   }
 }

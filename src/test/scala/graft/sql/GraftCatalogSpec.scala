@@ -107,14 +107,51 @@ class GraftCatalogSpec extends AnyFunSuite {
     val plan = s2.sql("SELECT * FROM graft_changes('catspec_v', 1, 2)")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"CDC diff must not shuffle:\n$plan")
-    // OPTIMIZE compacts: content identical, replay depth resets
+    // OPTIMIZE compacts: content identical, replay depth resets, and
+    // version NUMBERS stay stable (Delta semantics) — the current
+    // version keeps its number, folded ones "no longer exist"
     val m = s2.sql("OPTIMIZE catspec_v").collect()(0)
     assert(m.getLong(1) === 45 && m.getInt(4) <= 2)
     assert(s2.sql("SELECT count(*) FROM catspec_v").collect()(0).getLong(0) === 45)
-    // post-compaction the log restarts at the compacted content
-    assert(s2.sql("SELECT count(*) FROM catspec_v VERSION AS OF 0")
+    assert(s2.sql("SELECT count(*) FROM catspec_v VERSION AS OF 2")
       .collect()(0).getLong(0) === 45)
+    intercept[Exception](s2.sql(
+      "SELECT count(*) FROM catspec_v VERSION AS OF 0").collect())
     spark.sql("DROP TABLE IF EXISTS catspec_v")
+  }
+
+  test("VACUUM on a catalog table folds old versions, keeps numbering stable") {
+    val path = freshPath("vac")
+    spark.sql("DROP TABLE IF EXISTS catspec_vac")
+    (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_vac_src")
+    spark.sql(s"""CREATE TABLE catspec_vac USING graft
+      |OPTIONS (key 'k') LOCATION '$path' AS SELECT * FROM catspec_vac_src""".stripMargin)
+    (1 to 4).foreach(i =>
+      spark.sql(s"UPDATE catspec_vac SET bal = ${-i} WHERE k = $i")) // v1..v4
+    val row = spark.sql("VACUUM catspec_vac RETAIN 2 VERSIONS").collect()(0)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) === ((3L, 3L, 4L)))
+    // a REOPENED session reads the retained window only
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT bal FROM catspec_vac VERSION AS OF 3 WHERE k = 4")
+      .collect()(0).getDouble(0) === 4.0) // v4's update not yet applied at v3
+    assert(s2.sql("SELECT bal FROM catspec_vac VERSION AS OF 4 WHERE k = 4")
+      .collect()(0).getDouble(0) === -4.0)
+    assert(s2.sql("SELECT bal FROM catspec_vac VERSION AS OF 3 WHERE k = 3")
+      .collect()(0).getDouble(0) === -3.0)
+    intercept[Exception](s2.sql(
+      "SELECT * FROM catspec_vac VERSION AS OF 1").collect())
+    // history lists versions 3..4, newest current
+    val hist = s2.sql("SELECT version, is_current FROM graft_history('catspec_vac') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(hist === Seq((3L, false), (4L, true)))
+    // and DML keeps appending AFTER the fold
+    s2.sql("UPDATE catspec_vac SET bal = -1 WHERE k = 10") // v5
+    assert(s2.sql("SELECT bal FROM catspec_vac WHERE k = 10")
+      .collect()(0).getDouble(0) === -1.0)
+    assert(s2.sql("SELECT bal FROM catspec_vac VERSION AS OF 4 WHERE k = 10")
+      .collect()(0).getDouble(0) === 10.0)
+    spark.sql("DROP TABLE IF EXISTS catspec_vac")
   }
 
   test("CREATE INDEX on a catalog table persists sidecars across a reopen") {
