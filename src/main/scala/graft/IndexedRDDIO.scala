@@ -33,24 +33,30 @@ object IndexedRDDIO {
     * The session's Hadoop configuration is broadcast to the writer tasks
     * so `spark.hadoop.*` settings (object-store credentials, defaultFS)
     * apply on executors. */
-  def save[K, V](rdd: IndexedRDD[K, V], path: String): Unit = {
+  def save[K, V](rdd: IndexedRDD[K, V], path: String): Long = {
     val p = rdd.partitioner.get
     val n = rdd.partitionsRDD.getNumPartitions
     val sc = rdd.sparkContext
     val confBc = ConfBridge.broadcast(sc)
-    rdd.partitionsRDD.mapPartitionsWithIndex { (pid, it) =>
+    // the write pass already touches every partition, so the exact row
+    // count rides back for free — callers persist it so reloaded
+    // handles can answer stats (and Catalyst sizeInBytes) with ZERO
+    // jobs instead of a full deserializing count at first planning
+    val total = rdd.partitionsRDD.mapPartitionsWithIndex { (pid, it) =>
       val fs = FileSystem.get(new Path(path).toUri, confBc.value)
       val out = new ObjectOutputStream(new BufferedOutputStream(
         fs.create(new Path(path, f"part-$pid%05d"), true)))
       // empty partitions write null; load substitutes an empty index
-      try out.writeObject(if (it.hasNext) it.next() else null)
+      val part = if (it.hasNext) it.next() else null
+      try out.writeObject(part)
       finally out.close()
-      Iterator.single(1)
-    }.count()
+      Iterator.single(if (part == null) 0L else part.size.toLong)
+    }.fold(0L)(_ + _)
     val fs = FileSystem.get(new Path(path).toUri, sc.hadoopConfiguration)
     val meta = new ObjectOutputStream(fs.create(new Path(path, "_partitioner"), true))
     try { meta.writeInt(n); meta.writeObject(p) }
     finally meta.close()
+    total
   }
 
   /** Reload a saved index. The saved partitioner (hash OR range) is

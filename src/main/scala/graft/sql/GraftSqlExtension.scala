@@ -1069,22 +1069,9 @@ object GraftSqlExtension {
     * was dropped and recreated mid-session (stale names purge). */
   private def hydrateIndexNames(sp: SparkSession, view: String,
       path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new org.apache.hadoop.fs.Path(path).toUri,
-      sp.sparkContext.hadoopConfiguration)
-    val f = new org.apache.hadoop.fs.Path(path, "_indexnames")
     val onDisk: Map[String, (String, List[String])] =
-      if (!fs.exists(f)) Map.empty
-      else {
-        val in = new java.io.ObjectInputStream(fs.open(f))
-        try (0 until in.readInt()).map { _ =>
-          val name = in.readObject().asInstanceOf[String]
-          val t = in.readObject().asInstanceOf[String]
-          val cs = in.readObject().asInstanceOf[List[String]]
-          name -> (t, cs)
-        }.toMap
-        finally in.close()
-      }
+      GraftTables.readIndexManifest(sp, path)
+        .map { case (n, t, cs) => n -> (t, cs) }.toMap
     val reg = indexRegOf(sp)
     reg.keys.filter(k => k._1 == view && !onDisk.contains(k._2))
       .foreach(reg.remove)

@@ -156,6 +156,7 @@ private[sql] object GraftTables {
   }
 
   private[sql] def exists(sp: SparkSession, path: String): Boolean = {
+    recoverIfNeeded(sp, path)
     val (fs, p) = fsOf(sp, path)
     fs.exists(new Path(p, "_frame"))
   }
@@ -163,8 +164,7 @@ private[sql] object GraftTables {
   private[sql] def destroy(sp: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(sp, path)
     fs.delete(p, true)
-    cacheOf(sp).remove(canonical(sp, path))
-    dropVersionMemos(sp, path)
+    purgeAllSessions(sp, path)
     ()
   }
 
@@ -190,6 +190,7 @@ private[sql] object GraftTables {
     * matches `_tver`; anything else (first touch in this session, a
     * log advanced elsewhere) reloads base + replay. */
   private[sql] def current(sp: SparkSession, path: String): (Long, TableHandle) = {
+    recoverIfNeeded(sp, path)
     val key = canonical(sp, path)
     val dv = diskVersion(sp, path)
     cacheOf(sp).get(key) match {
@@ -239,8 +240,8 @@ private[sql] object GraftTables {
     clearDeltas(sp, path)
     writeVersion(sp, path, 0L)
     writeFirstVersion(sp, path, 0L)
+    purgeAllSessions(sp, path)
     cacheOf(sp).put(canonical(sp, path), (0L, h))
-    dropVersionMemos(sp, path)
   }
 
   // --------------------------------------------------------- delta log
@@ -290,6 +291,32 @@ private[sql] object GraftTables {
     val (fs, p) = fsOf(sp, path)
     val out = fs.create(new Path(p, "_tfirst"), true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The REAL commit stamp of the oldest readable version, persisted
+    * by [[rebase]] so TIMESTAMP AS OF keeps resolving times that fall
+    * inside the folded-away history to the (still readable) rebased
+    * version, exactly as before the compaction. */
+  private def readFirstTime(sp: SparkSession, path: String): Option[Long] = {
+    val (fs, p) = fsOf(sp, path)
+    val f = new Path(p, "_tfirsttime")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeFirstTime(sp: SparkSession, path: String,
+      millis: Long): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    val out = fs.create(new Path(p, "_tfirsttime"), true)
+    try out.write(
+      millis.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -367,6 +394,7 @@ private[sql] object GraftTables {
     * [[compact]]) drops the memo. */
   private[sql] def loadVersion(sp: SparkSession, path: String,
       v: Long): TableHandle = {
+    recoverIfNeeded(sp, path)
     val dv = diskVersion(sp, path)
     val first = tableFirstVersion(sp, path)
     require(v >= first && v <= dv,
@@ -376,6 +404,10 @@ private[sql] object GraftTables {
       var h = loadBase(sp, path) // the base save IS version `first`
       var i = first + 1
       while (i <= v) { h = applyDelta(sp, h, path, i); i += 1 }
+      // replay strips the loaded sidecar state (fresh handles); the
+      // CURRENT version re-derives the manifest's indexes so reopened
+      // tables keep routing — historical versions read plain
+      if (v == dv && v > first) reapplyIndexes(sp, path, h)
       h
     })
   }
@@ -399,6 +431,64 @@ private[sql] object GraftTables {
     val key = canonical(sp, path)
     val m = vcacheOf(sp)
     m.keys.filter(_._1 == key).foreach(m.remove)
+  }
+
+  /** Purge `path` from EVERY session's live-handle and version-memo
+    * caches. Base-rewriting operations (create/destroy/rebase) must
+    * use this, not the per-session drop: a rebase keeps the version
+    * NUMBER stable, so another session's `(version, handle)` entry
+    * would still pass the freshness check while its lazy RDD reads
+    * point at deleted files. */
+  private def purgeAllSessions(sp: SparkSession, path: String): Unit = {
+    val key = canonical(sp, path)
+    caches.synchronized {
+      caches.values.forEach(m => { m.remove(key); () })
+    }
+    vcaches.synchronized {
+      vcaches.values.forEach { m =>
+        m.keys.filter(_._1 == key).foreach(m.remove)
+      }
+    }
+  }
+
+  /** The `_indexnames` manifest: SQL index name -> (type, columns),
+    * in insertion order. Empty when absent. Disk is the truth for
+    * catalog-table index names. */
+  private[sql] def readIndexManifest(sp: SparkSession,
+      path: String): Seq[(String, String, List[String])] = {
+    val (fs, p) = fsOf(sp, path)
+    val f = new Path(p, "_indexnames")
+    if (!fs.exists(f)) Nil
+    else {
+      val in = new java.io.ObjectInputStream(fs.open(f))
+      try (0 until in.readInt()).map { _ =>
+        (in.readObject().asInstanceOf[String],
+          in.readObject().asInstanceOf[String],
+          in.readObject().asInstanceOf[List[String]])
+      } finally in.close()
+    }
+  }
+
+  /** Re-derive the manifest's secondary indexes / zone maps on a
+    * handle that REPLAY produced (deleteFrame/upsertFrame return
+    * fresh handles whose index state starts empty — without this,
+    * CREATE INDEX on a catalog table would silently stop routing
+    * after the next DML, and a later sidecar write would clobber the
+    * persisted ones from the stripped handle). This is the ordinary
+    * cost of DML maintaining indexes: one rebuild per affected index
+    * per statement — heavy bulk loads should DROP INDEX first and
+    * re-CREATE after, exactly as on any RDBMS. */
+  private def reapplyIndexes(sp: SparkSession, path: String,
+      h: TableHandle): Unit = {
+    val entries = readIndexManifest(sp, path)
+    if (entries.isEmpty) return
+    val target = h.handleAny
+      .asInstanceOf[IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
+    entries.foreach {
+      case (_, "zonemap", cols) => target.analyzeZones(cols: _*)
+      case (_, t, cols) =>
+        target.addSecondaryIndex(cols.head, ordered = t == "btree")
+    }
   }
 
   /** (location, current version) of `name` when it is a graft catalog
@@ -427,10 +517,18 @@ private[sql] object GraftTables {
     * no DML has run yet. */
   private[sql] def historyTimes(sp: SparkSession, path: String): Seq[Long] = {
     val dts = deltaTimes(sp, path)
-    if (dts.isEmpty) {
-      val (fs, p) = fsOf(sp, path)
-      Seq(fs.getFileStatus(new Path(p, "_frame")).getModificationTime)
-    } else dts.head +: dts // base version shares the first retained stamp
+    // the oldest readable version's stamp: its real (persisted) commit
+    // time after a rebase; the first retained delta's stamp for a
+    // never-compacted log's seed; the base save's file time before any
+    // DML at all
+    val baseStamp = readFirstTime(sp, path).getOrElse {
+      if (dts.nonEmpty) dts.head
+      else {
+        val (fs, p) = fsOf(sp, path)
+        fs.getFileStatus(new Path(p, "_frame")).getModificationTime
+      }
+    }
+    baseStamp +: dts
   }
 
   /** Commit millis of each delta (version 1..current), from the delta
@@ -474,6 +572,7 @@ private[sql] object GraftTables {
     val (v, h) = current(sp, path)
     writeDelta(sp, path, v + 1, truncate, del, up, h.schema, h.keyCols)
     val h2 = applyDelta(sp, h, path, v + 1)
+    reapplyIndexes(sp, path, h2) // DML maintains the manifest's indexes
     cacheOf(sp).put(canonical(sp, path), (v + 1, h2))
   }
 
@@ -529,19 +628,42 @@ private[sql] object GraftTables {
     fs.delete(tmp, true)
     h.saveTo(tmp.toString)
     // carry the RETAINED deltas (> target) into the new dir before the
-    // swap so no window exists where they are missing
+    // swap so no window exists where they are missing, and write the
+    // version/first markers INTO the staged dir — the promoted dir is
+    // complete and self-describing whenever the swap lands (or is
+    // recovered after a crash mid-swap)
     (target + 1 to dv).foreach { v =>
       val d = new Path(deltaDir(path, v))
       if (fs.exists(d))
         org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
           new Path(tmp, d.getName), false, sp.sparkContext.hadoopConfiguration)
     }
+    writeVersion(sp, tmp.toString, dv)
+    writeFirstVersion(sp, tmp.toString, target)
+    // the rebased version keeps its ORIGINAL commit stamp, so
+    // TIMESTAMP AS OF times inside the folded history still floor to
+    // it (the stamp is read pre-swap from the about-to-fold log)
+    writeFirstTime(sp, tmp.toString,
+      historyTimes(sp, path)((target - tableFirstVersion(sp, path)).toInt))
     fs.delete(p, true)
     require(fs.rename(tmp, p), s"compaction rename failed for $path")
-    writeVersion(sp, path, dv)
-    writeFirstVersion(sp, path, target)
-    dropVersionMemos(sp, path)
-    cacheOf(sp).remove(canonical(sp, path))
+    purgeAllSessions(sp, path)
+    ()
+  }
+
+  /** Crash recovery for [[rebase]]'s swap: if the table dir is gone
+    * (or headless) but the staged sibling is complete, promote it.
+    * Called by every read-side entry point before trusting the dir. */
+  private def recoverIfNeeded(sp: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
+    if (!fs.exists(new Path(p, "_frame")) &&
+        fs.exists(new Path(tmp, "_frame")) &&
+        fs.exists(new Path(tmp, "_tver"))) {
+      fs.delete(p, true)
+      require(fs.rename(tmp, p), s"compaction recovery failed for $path")
+      purgeAllSessions(sp, path)
+    }
     ()
   }
 }

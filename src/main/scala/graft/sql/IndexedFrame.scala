@@ -1977,7 +1977,11 @@ object IndexedFrame {
       val (c, mn, mx) = keyStatsAny()
       (c, mn.map(codec.toExternalSql), mx.map(codec.toExternalSql))
     }
-    @transient private lazy val statsCount: Long = idx.count()
+    // reloaded handles carry the save-time exact count, so the first
+    // stats/planning touch launches NO job at all
+    @transient private[sql] var presetStatsCount: Option[Long] = None
+    @transient private lazy val statsCount: Long =
+      presetStatsCount.getOrElse(idx.count())
     override private[sql] def statsAll(
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
       if (withExtrema) statsFull else (statsCount, None, None)
@@ -2557,22 +2561,39 @@ object IndexedFrame {
             updateSet, insertWhen, insertValues, insertAll)
         else MergeChangeSets(org.apache.spark.sql.functions.lit(false),
           hasDelete = false, None)
-      val nbs =
+      val nbsBoth =
+        notBySourceDeleteWhen.isDefined && notBySourceUpdateSet.nonEmpty
+      // both NBS clause kinds read the anti join (delete keys and
+      // update rows are separate consumers) — persist it so the
+      // corpus-kept anti pass executes ONCE, mirroring the
+      // matched-side joined cache
+      val unmatched =
         if (notBySourceDeleteWhen.isDefined || notBySourceUpdateSet.nonEmpty)
-          nbsClauses(
+          Some {
+            val u =
             toDF.alias("t").join(source.select(fCol(sourceKey)).alias("s"),
-              fCol(s"t.$keyCol") === fCol(s"s.$sourceKey"), "left_anti"),
-            Seq(keyCol), schema, notBySourceDeleteWhen,
-            notBySourceUpdateWhen, notBySourceUpdateSet)
-        else NbsChangeSets(None, None)
+              fCol(s"t.$keyCol") === fCol(s"s.$sourceKey"), "left_anti")
+            if (nbsBoth)
+              u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else u
+          }
+        else None
+      val nbs = unmatched.map(u => nbsClauses(
+          u, Seq(keyCol), schema, notBySourceDeleteWhen,
+          notBySourceUpdateWhen, notBySourceUpdateSet))
+        .getOrElse(NbsChangeSets(None, None))
       val matchedDel =
         if (cs.hasDelete) Some(joined.filter(cs.delC)
           .select(fCol(s"t.$keyCol").as(keyCol)))
         else None
       val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
       val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
-      MergeSets(allDel, allUps, reads >= 2,
-        () => if (reads >= 2) joined.unpersist(blocking = false))
+      MergeSets(allDel, allUps, reads >= 2 || nbsBoth,
+        () => {
+          if (reads >= 2) joined.unpersist(blocking = false)
+          if (nbsBoth) unmatched.foreach(_.unpersist(blocking = false))
+          ()
+        })
     }
 
     /** DISTRIBUTED copy-on-write delete: `keys` must be a single-column
@@ -3086,7 +3107,11 @@ object IndexedFrame {
       (c, mn.map(t => codecA.toExternalSql(t._1)),
         mx.map(t => codecA.toExternalSql(t._1)))
     }
-    @transient private lazy val statsCount: Long = idx.count()
+    // reloaded handles carry the save-time exact count, so the first
+    // stats/planning touch launches NO job at all
+    @transient private[sql] var presetStatsCount: Option[Long] = None
+    @transient private lazy val statsCount: Long =
+      presetStatsCount.getOrElse(idx.count())
     override private[sql] def statsAll(
         withExtrema: Boolean): (Long, Option[Any], Option[Any]) =
       if (withExtrema) statsFull else (statsCount, None, None)
@@ -3812,16 +3837,29 @@ object IndexedFrame {
             updateSet, insertWhen, insertValues, insertAll)
         else MergeChangeSets(org.apache.spark.sql.functions.lit(false),
           hasDelete = false, None)
-      val nbs =
+      val nbsBoth =
+        notBySourceDeleteWhen.isDefined && notBySourceUpdateSet.nonEmpty
+      // both NBS clause kinds read the anti join (delete keys and
+      // update rows are separate consumers) — persist it so the
+      // corpus-kept anti pass executes ONCE, mirroring the
+      // matched-side joined cache
+      val unmatched =
         if (notBySourceDeleteWhen.isDefined || notBySourceUpdateSet.nonEmpty)
-          nbsClauses(
+          Some {
+            val u =
             toDF.alias("t").join(
               source.select(fCol(sourceKeyA), fCol(sourceKeyB)).alias("s"),
               fCol(s"t.$keyColA") === fCol(s"s.$sourceKeyA") &&
-                fCol(s"t.$keyColB") === fCol(s"s.$sourceKeyB"), "left_anti"),
-            Seq(keyColA, keyColB), schema, notBySourceDeleteWhen,
-            notBySourceUpdateWhen, notBySourceUpdateSet)
-        else NbsChangeSets(None, None)
+                fCol(s"t.$keyColB") === fCol(s"s.$sourceKeyB"), "left_anti")
+            if (nbsBoth)
+              u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else u
+          }
+        else None
+      val nbs = unmatched.map(u => nbsClauses(
+          u, Seq(keyColA, keyColB), schema, notBySourceDeleteWhen,
+          notBySourceUpdateWhen, notBySourceUpdateSet))
+        .getOrElse(NbsChangeSets(None, None))
       val matchedDel =
         if (cs.hasDelete) Some(joined.filter(cs.delC)
           .select(fCol(s"t.$keyColA").as(keyColA),
@@ -3829,8 +3867,12 @@ object IndexedFrame {
         else None
       val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
       val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
-      MergeSets(allDel, allUps, reads >= 2,
-        () => if (reads >= 2) joined.unpersist(blocking = false))
+      MergeSets(allDel, allUps, reads >= 2 || nbsBoth,
+        () => {
+          if (reads >= 2) joined.unpersist(blocking = false)
+          if (nbsBoth) unmatched.foreach(_.unpersist(blocking = false))
+          ()
+        })
     }
 
     /** Per-key point-in-time read — the versioned-dimension ("SCD")
@@ -4603,25 +4645,42 @@ object IndexedFrame {
             updateSet, insertWhen, insertValues, insertAll)
         else MergeChangeSets(org.apache.spark.sql.functions.lit(false),
           hasDelete = false, None)
-      val nbs =
+      val nbsBoth =
+        notBySourceDeleteWhen.isDefined && notBySourceUpdateSet.nonEmpty
+      // both NBS clause kinds read the anti join (delete keys and
+      // update rows are separate consumers) — persist it so the
+      // corpus-kept anti pass executes ONCE, mirroring the
+      // matched-side joined cache
+      val unmatched =
         if (notBySourceDeleteWhen.isDefined || notBySourceUpdateSet.nonEmpty)
-          nbsClauses(
+          Some {
+            val u =
             toDF.alias("t").join(
               source.select(sourceKeys.map(fCol): _*).alias("s"),
               keyCols.zip(sourceKeys).map { case (t, s0) =>
                 fCol(s"t.$t") === fCol(s"s.$s0")
-              }.reduce(_ && _), "left_anti"),
-            keyCols, schema, notBySourceDeleteWhen,
-            notBySourceUpdateWhen, notBySourceUpdateSet)
-        else NbsChangeSets(None, None)
+              }.reduce(_ && _), "left_anti")
+            if (nbsBoth)
+              u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else u
+          }
+        else None
+      val nbs = unmatched.map(u => nbsClauses(
+          u, keyCols, schema, notBySourceDeleteWhen,
+          notBySourceUpdateWhen, notBySourceUpdateSet))
+        .getOrElse(NbsChangeSets(None, None))
       val matchedDel =
         if (cs.hasDelete) Some(joined.filter(cs.delC)
           .select(keyCols.map(c => fCol(s"t.$c").as(c)): _*))
         else None
       val allDel = (matchedDel ++ nbs.delKeys).reduceOption(_ unionByName _)
       val allUps = (cs.upserts ++ nbs.updRows).reduceOption(_ unionByName _)
-      MergeSets(allDel, allUps, reads >= 2,
-        () => if (reads >= 2) joined.unpersist(blocking = false))
+      MergeSets(allDel, allUps, reads >= 2 || nbsBoth,
+        () => {
+          if (reads >= 2) joined.unpersist(blocking = false)
+          if (nbsBoth) unmatched.foreach(_.unpersist(blocking = false))
+          ()
+        })
     }
 
     // ----- JoinableHandle: lookup/zip joins on the full N-column key.
@@ -4728,7 +4787,10 @@ object IndexedFrame {
     // and count(DISTINCT leading) from key runs — values never read.
     override private[sql] def statsKeyCol: Option[String] =
       if (ordered && tupSer.isOrderPreserving) Some(keyCols.head) else None
-    @transient private lazy val statsCountN: Long = idx.count()
+    // see the single-key twin: save-time count -> zero-job stats
+    @transient private[sql] var presetStatsCount: Option[Long] = None
+    @transient private lazy val statsCountN: Long =
+      presetStatsCount.getOrElse(idx.count())
     @transient private lazy val statsFullN: (Long, Option[Any], Option[Any]) = {
       val (c, mn, mx) = idx.keyStats()(tupSer)
       (c, mn.map(t => specs(0).codec.toExternalSql(t.head)),
@@ -5367,6 +5429,30 @@ object IndexedFrame {
     * `_frame` meta file (key column, orderedness, codec tag, schema).
     * Reloading re-attaches everything — point reads, range pushdown,
     * and narrow joins work immediately, with no shuffle or rebuild. */
+  /** The exact row count a [[save]] observed, persisted as `_count` so
+    * a reloaded handle's stats (and Catalyst `sizeInBytes`) answer
+    * with zero jobs. Optional on read: older saves load cleanly and
+    * pay the one memoized count job as before. */
+  private def writeSavedCount(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, n: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_count"), true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSavedCount(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[Long] = {
+    val f = new org.apache.hadoop.fs.Path(path, "_count")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
   /** Persist JUST the secondary-index + zone-map sidecars of `h` under
     * `path` (sec_<i>/ dirs + the `_indexes` manifest) — the shared
     * tail of every [[save]] overload, also called directly when SQL
@@ -5394,7 +5480,7 @@ object IndexedFrame {
   }
 
   def save(h: Handle[_], path: String): Unit = {
-    graft.IndexedRDDIO.save(
+    val rows = graft.IndexedRDDIO.save(
       h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri,
@@ -5413,6 +5499,7 @@ object IndexedFrame {
     // reloaded handle serves secondary probes and zone-pruned scans
     // immediately, no O(corpus) rebuild. `_indexes` is optional on
     // read, so pre-existing saves still load.
+    writeSavedCount(fs, path, rows)
     saveIndexSidecars(h, path, fs)
   }
 
@@ -5423,7 +5510,7 @@ object IndexedFrame {
     * leading-range, and mixed pushdown all work immediately from the
     * reloaded copy, no rebuild. */
   def save(h: CompositeHandle[_, _], path: String): Unit = {
-    graft.IndexedRDDIO.save(
+    val rows = graft.IndexedRDDIO.save(
       h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri,
@@ -5439,6 +5526,7 @@ object IndexedFrame {
     } finally out.close()
     // secondaries and zones ride along exactly as for single-key saves
     // (both handle kinds share the SecondaryCapable/ZoneMapped traits)
+    writeSavedCount(fs, path, rows)
     saveIndexSidecars(h, path, fs)
   }
 
@@ -5448,7 +5536,7 @@ object IndexedFrame {
     * with [[loadCompositeN]] — point, prefix-range, and top-k claims
     * all work immediately from the reloaded copy, no rebuild. */
   def save(h: CompositeNHandle, path: String): Unit = {
-    graft.IndexedRDDIO.save(
+    val rows = graft.IndexedRDDIO.save(
       h.idx.asInstanceOf[graft.IndexedRDD[Any, InternalRow]], path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(path).toUri,
@@ -5466,6 +5554,7 @@ object IndexedFrame {
     } finally out.close()
     // secondaries and zones ride along exactly as for the other handle
     // kinds (SecondaryCapable/ZoneMapped are shared traits)
+    writeSavedCount(fs, path, rows)
     saveIndexSidecars(h, path, fs)
   }
 
@@ -5496,6 +5585,7 @@ object IndexedFrame {
       val handle = new CompositeNHandle(
         graft.IndexedRDDIO.load[Seq[Any], InternalRow](sc, path).cached,
         keyCols, schema, ordered, specs)
+      handle.presetStatsCount = readSavedCount(fs, path)
       // optional sidecar: secondaries + zones re-attach, no rebuild
       val ixPath = new org.apache.hadoop.fs.Path(path, "_indexes")
       if (fs.exists(ixPath)) {
@@ -5553,6 +5643,7 @@ object IndexedFrame {
             graft.IndexedRDDIO.load[(a, b), InternalRow](sc, path).cached,
             keyColA, keyColB, schema, ordered, sa.codec, sb.codec)
       }
+      handle.presetStatsCount = readSavedCount(fs, path)
       // optional sidecar: secondaries + zones re-attach, no rebuild
       val ixPath = new org.apache.hadoop.fs.Path(path, "_indexes")
       if (fs.exists(ixPath)) {
@@ -5618,6 +5709,7 @@ object IndexedFrame {
       case "composite" => throw new IllegalArgumentException(
         s"composite handle at $path: use loadComposite")
     }
+    handle.presetStatsCount = readSavedCount(fs, path)
     // re-attach persisted secondary indexes + zone maps, if the save
     // carried them (`_indexes` is optional: older saves load cleanly)
     val ixPath = new org.apache.hadoop.fs.Path(path, "_indexes")

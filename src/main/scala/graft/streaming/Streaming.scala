@@ -331,6 +331,41 @@ object Streaming {
       else st.multiputRDD[V](pairs, (_, v) => v, merge)
     }
 
+    /** Newest batch id the BASE SAVE already contains (written into
+      * the base dir by [[compact]] before the swap): restore replays
+      * only deltas beyond it, so a crash between the swap and the
+      * delta cleanup cannot double-apply a folded batch under a
+      * `merge` function. */
+    private def baseUpto(): Long = {
+      val f = fs
+      val uf = new org.apache.hadoop.fs.Path(s"$checkpointDir/base", "_upto")
+      if (!f.exists(uf)) Long.MinValue
+      else {
+        val in = f.open(uf)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    }
+
+    /** Crash recovery for [[compact]]'s swap: a complete `.base_next`
+      * with the base missing promotes into place; leftovers drop. */
+    private def recoverBase(): Unit = {
+      val f = fs
+      val basePath = new org.apache.hadoop.fs.Path(s"$checkpointDir/base")
+      val next = new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_next")
+      val marker = new org.apache.hadoop.fs.Path(basePath, "_partitioner")
+      if (!f.exists(marker) &&
+          f.exists(new org.apache.hadoop.fs.Path(next, "_partitioner"))) {
+        f.delete(basePath, true)
+        require(f.rename(next, basePath), "checkpoint base recovery failed")
+      }
+      f.delete(next, true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_old"), true)
+      ()
+    }
+
     @volatile private var lastBatchId: Long = Long.MinValue
     @volatile private var state: IndexedRDD[K, V] = readLatest() match {
       case None =>
@@ -341,8 +376,11 @@ object Streaming {
         base
       case Some(latest) =>
         lastBatchId = latest
+        recoverBase()
+        val upto = baseUpto()
         var st = graft.IndexedRDDIO.load[K, V](sc, s"$checkpointDir/base")
-        committedDeltaIds(latest).foreach(id => st = applyDelta(st, id))
+        committedDeltaIds(latest).filter(_ > upto)
+          .foreach(id => st = applyDelta(st, id))
         val restored = st.persist(StorageLevel.MEMORY_AND_DISK)
         restored.count()
         restored
@@ -373,17 +411,37 @@ object Streaming {
 
     /** Fold every committed delta into a fresh base save and drop the
       * delta files — the next restore pays ONE load. Safe at any
-      * point between batches. */
+      * point between batches, and crash-safe at any step: the new
+      * base writes complete into `.base_next` (carrying an `_upto`
+      * fence = the folded batch id) before a two-rename swap, restore
+      * promotes a stranded `.base_next`, and the fence stops a
+      * crash-between-swap-and-cleanup from double-applying folded
+      * deltas. The LIVE state rebinds to a load of the new base so
+      * its lineage stops referencing the deleted delta files —
+      * Spark's recompute-on-eviction contract stays intact. */
     def compact(): Unit = {
       val f = fs
-      val tmp = new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_tmp")
-      f.delete(tmp, true)
-      graft.IndexedRDDIO.save(state, tmp.toString)
+      val next = new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_next")
+      f.delete(next, true)
+      graft.IndexedRDDIO.save(state, next.toString)
+      val out = f.create(new org.apache.hadoop.fs.Path(next, "_upto"), true)
+      try out.write(lastBatchId.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       val basePath = new org.apache.hadoop.fs.Path(s"$checkpointDir/base")
-      f.delete(basePath, true)
-      require(f.rename(tmp, basePath), "checkpoint compaction rename failed")
+      val old = new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_old")
+      f.delete(old, true)
+      require(f.rename(basePath, old), "checkpoint compaction swap-out failed")
+      require(f.rename(next, basePath), "checkpoint compaction swap-in failed")
+      f.delete(old, true)
       committedDeltaIds(lastBatchId).foreach(id =>
         f.delete(new org.apache.hadoop.fs.Path(deltaDir(id)), true))
+      val prev = state
+      val reloaded = graft.IndexedRDDIO.load[K, V](sc, s"$checkpointDir/base")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      reloaded.count()
+      state = reloaded
+      prev.unpersist(blocking = false)
     }
   }
 

@@ -110,6 +110,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     // OPTIMIZE compacts: content identical, replay depth resets, and
     // version NUMBERS stay stable (Delta semantics) — the current
     // version keeps its number, folded ones "no longer exist"
+    val tsBeforeOptimize =
+      new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(50) // the compaction's file times must be strictly later
     val m = s2.sql("OPTIMIZE catspec_v").collect()(0)
     assert(m.getLong(1) === 45 && m.getInt(4) <= 2)
     assert(s2.sql("SELECT count(*) FROM catspec_v").collect()(0).getLong(0) === 45)
@@ -117,6 +120,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 45)
     intercept[Exception](s2.sql(
       "SELECT count(*) FROM catspec_v VERSION AS OF 0").collect())
+    // the rebased version keeps its ORIGINAL commit stamp: a wall
+    // clock between the last DML and the OPTIMIZE still resolves by
+    // timestamp (without the persisted stamp it would read the
+    // compaction's file time, later than this clock, and fail)
+    assert(s2.sql(
+      s"SELECT count(*) FROM catspec_v TIMESTAMP AS OF '$tsBeforeOptimize'")
+      .collect()(0).getLong(0) === 45)
     spark.sql("DROP TABLE IF EXISTS catspec_v")
   }
 
@@ -171,6 +181,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(s2.sql("SELECT count(*) FROM catspec_ddl WHERE name = 'n7'")
       .collect()(0).getLong(0) === 20)
     assert(h.lastScanKind === "secondary_point")
+    // DML maintains the index: the post-UPDATE handle (a fresh COW
+    // snapshot) re-derives the manifest's secondaries, so routing
+    // survives the statement in-session AND in yet another session
+    s2.sql("UPDATE catspec_ddl SET grp = -1 WHERE k = 5")
+    assert(s2.sql("SELECT count(*) FROM catspec_ddl WHERE name = 'n7'")
+      .collect()(0).getLong(0) === 20)
+    val h2b = GraftTables.current(s2, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.Handle[_]]
+    assert(h2b.lastScanKind === "secondary_point")
+    val s2b = spark.newSession()
+    assert(s2b.sql("SELECT count(*) FROM catspec_ddl WHERE name = 'n5'")
+      .collect()(0).getLong(0) === 20)
+    assert(GraftTables.current(s2b, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.Handle[_]].lastScanKind === "secondary_point")
     // DROP INDEX re-persists the (now empty) manifest: the next
     // session scans instead of probing
     s2.sql("DROP INDEX name_ix ON catspec_ddl")

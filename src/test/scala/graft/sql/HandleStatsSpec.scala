@@ -46,6 +46,21 @@ class HandleStatsSpec extends AnyFunSuite {
     assert(joined.count() === fact.join(dim, $"fgrp" === $"grp").count())
   }
 
+  test("reloaded handles answer stats from the persisted save-time count") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_statsspec_count").toString
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val df = (1L to 1234L).map(k => (k, s"v$k")).toDF("k", "v")
+    IndexedFrame.save(IndexedFrame.index(df, "k", numPartitions = 4), path)
+    val h = IndexedFrame.load(spark, path)
+    // the save-time count rode back in the _count sidecar: planning a
+    // reloaded 100 TB table must never launch a counting job
+    assert(h.presetStatsCount === Some(1234L))
+    val size = h.toDF.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size === BigInt(1234L * (h.schema.map(_.dataType.defaultSize).sum + 8L)))
+  }
+
   test("huge estimated handle does not broadcast under a tiny threshold") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
