@@ -619,6 +619,53 @@ object OperatorQueries {
           |WHERE c_custkey <= 300""".stripMargin)
     },
 
+    "ir_sql_restore_sqltext" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // RESTORE TABLE ... TO VERSION AS OF — Delta's rollback verb on
+      // the durable log: the restore commits the INVERSE DIFF as a new
+      // delta version (history intact), so a REOPENED session replaying
+      // base + deltas lands on the rolled-back content. Version 1 is
+      // the state after the UPDATE; the DELETE (version 2) is undone.
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_restore").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_restore")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_restore_src")
+      s.sql(s"""CREATE TABLE graft_cat_restore USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_restore_src""".stripMargin)
+      s.sql("""UPDATE graft_cat_restore SET c_acctbal = c_acctbal * 2
+        |WHERE c_custkey <= 60""".stripMargin)
+      s.sql("DELETE FROM graft_cat_restore WHERE c_custkey <= 150")
+      s.sql("RESTORE TABLE graft_cat_restore TO VERSION AS OF 1")
+      val reopened = s.newSession()
+      reopened.sql(
+        "SELECT c_custkey, c_name, c_acctbal FROM graft_cat_restore")
+    },
+
+    "ir_sql_restore_view" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // RESTORE on an in-session indexed VIEW: a pure pointer swap —
+      // the chain pins the target snapshot's index, so rolling back
+      // recomputes nothing; the restored state is the next version and
+      // later DML keeps working on it
+      graft.sql.IndexedJoin.enable(s)
+      val h = graft.sql.IndexedFrame.index(
+        Tables.customer(s, dir), "c_custkey")
+      h.toDF.createOrReplaceTempView("restore_view_corpus")
+      s.sql("""UPDATE restore_view_corpus SET c_acctbal = 0
+        |WHERE c_custkey <= 80""".stripMargin)
+      s.sql("DELETE FROM restore_view_corpus WHERE c_custkey % 2 = 0")
+      s.sql("RESTORE restore_view_corpus TO VERSION AS OF 1")
+      // post-restore DML proves the restored binding is live
+      s.sql("""UPDATE restore_view_corpus SET c_acctbal = c_acctbal + 7
+        |WHERE c_custkey <= 10""".stripMargin)
+      s.sql("SELECT c_custkey, c_name, c_acctbal FROM restore_view_corpus")
+    },
+
     "ir_sql_catalog_index_ddl" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2783,6 +2830,22 @@ object OperatorQueries {
       """SELECT c_custkey,
         |  CASE WHEN c_custkey <= 40 THEN -5.0 ELSE c_acctbal END AS c_acctbal
         |FROM customer WHERE c_custkey <= 300""".stripMargin,
+
+    // RESTORE TO VERSION AS OF 1 = the UPDATE applied, the DELETE undone
+    "ir_sql_restore_sqltext" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey <= 60 THEN c_acctbal * 2 ELSE c_acctbal END
+        |    AS c_acctbal
+        |FROM customer""".stripMargin,
+
+    // view restore to version 1 (zeroed balances <= 80, DELETE undone),
+    // then +7 on keys <= 10 applied on top of the restored state
+    "ir_sql_restore_view" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey <= 10 THEN 7.0
+        |       WHEN c_custkey <= 80 THEN 0.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin,
 
     // the mirror merge with WHEN NOT MATCHED BY SOURCE: matched rows
     // take the source value, missing source rows insert, unmatched

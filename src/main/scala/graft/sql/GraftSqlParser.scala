@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.ExpressionBridge
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.Row
 
@@ -47,6 +48,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val retain = if (n == null) 1 else n.toInt
       require(retain >= 1, "VACUUM must retain at least 1 version")
       GraftVacuumCommand(unquote(id), retain)
+    case RestoreVerRe(id, v) =>
+      GraftRestoreCommand(unquote(id), Left(v.toLong))
+    case RestoreTsRe(id, ts) =>
+      GraftRestoreCommand(unquote(id), Right(ts))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -76,6 +81,12 @@ object GraftSqlParser {
   private val OptimizeRe = s"(?is)\\s*OPTIMIZE\\s+$Ident\\s*;?\\s*".r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*".r
+  // Delta's RESTORE grammar: `RESTORE [TABLE] t TO VERSION AS OF n`
+  // and the wall-clock twin with a quoted timestamp literal
+  private val RestoreVerRe =
+    s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*".r
+  private val RestoreTsRe =
+    s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*".r
 
   private def unquote(id: String): String =
     if (id.startsWith("`")) id.substring(1, id.length - 1) else id
@@ -180,4 +191,93 @@ case class GraftVacuumCommand(view: String, retain: Int)
   }
   override def simpleString(maxFields: Int): String =
     s"GraftVacuum $view retain=$retain"
+}
+
+/** `RESTORE [TABLE] <name> TO VERSION|TIMESTAMP AS OF <x>` — Delta's
+  * rollback verb: commit a NEW version whose content is the target
+  * version's, leaving history intact (the restore itself shows in
+  * `graft_history`, is time-travelable, and can be restored back).
+  *
+  * Catalog tables pay the DIFF, never the corpus: delete keys present
+  * now but absent at the target, upsert target rows missing or changed
+  * now — both sets come from key equi-joins of two co-partitioned
+  * snapshots of the same base, so they plan as zero-Exchange zip joins,
+  * and only the diff rows hit the durable delta log. Temp views are a
+  * pure pointer swap (the chain already pins the target snapshot's
+  * index) — `deleted_rows`/`upserted_rows` are NULL there, nothing is
+  * recomputed. Restoring a view/table already AT the target version is
+  * a no-op (no new version). */
+case class GraftRestoreCommand(view: String, target: Either[Long, String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = true)(),
+    AttributeReference("upserted_rows", LongType, nullable = true)())
+
+  private def tsMillis(ts: String): Long =
+    try java.sql.Timestamp.valueOf(ts).getTime
+    catch {
+      case _: IllegalArgumentException => throw new IllegalArgumentException(
+        s"RESTORE: cannot parse timestamp '$ts' " +
+          "(expected yyyy-mm-dd hh:mm:ss[.f...])")
+    }
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    // catalog tables: resolve against the durable log, commit the diff
+    if (sp.sessionState.catalog.getTempView(view).isEmpty) {
+      GraftTables.tableInfo(sp, view).foreach { case (path, cur) =>
+        val first = GraftTables.tableFirstVersion(sp, path)
+        val tgt = target match {
+          case Left(v) => v
+          case Right(ts) =>
+            val ms = tsMillis(ts)
+            val i = GraftTables.historyTimes(sp, path).lastIndexWhere(_ <= ms)
+            require(i >= 0, s"RESTORE: timestamp '$ts' predates the " +
+              s"retained history of graft table '$view'")
+            first + i
+        }
+        require(tgt >= first && tgt <= cur,
+          s"RESTORE: no version $tgt for graft table '$view' " +
+            s"(have $first..$cur" +
+            (if (first > 0) " — earlier versions were compacted away)" else ")"))
+        if (tgt == cur) return Seq(Row(view, tgt, cur, 0L, 0L))
+        val (newV, nDel, nUp) = GraftTables.restoreTable(sp, path, tgt)
+        sp.sessionState.catalog.refreshTable(
+          org.apache.spark.sql.catalyst.TableIdentifier(view))
+        return Seq(Row(view, tgt, newV, nDel, nUp))
+      }
+    }
+    // temp views: the chain pins every retained snapshot — rebind the
+    // name to the target's plan and record it as the next version
+    val n = GraftSqlExtension.versionCount(sp, view)
+    require(n > 0, s"RESTORE: '$view' has no recorded versions — the " +
+      "chain SQL-text DML statements record (temp view or graft table)")
+    val firstV = GraftSqlExtension.firstVersion(sp, view)
+    val curV = firstV + GraftSqlExtension.versionTimes(sp, view).length - 1
+    val tgt = target match {
+      case Left(v) => v
+      case Right(ts) =>
+        val ms = tsMillis(ts)
+        val times = GraftSqlExtension.versionTimes(sp, view)
+        val i = times.lastIndexWhere(_ <= ms)
+        require(i >= 0, s"RESTORE: timestamp '$ts' predates the " +
+          s"retained history of '$view'")
+        firstV + i
+    }
+    val tgtPlan = GraftSqlExtension.versionAt(sp, view, tgt).getOrElse(
+      throw new IllegalArgumentException(
+        s"RESTORE: no version $tgt for '$view' (have $firstV..$curV" +
+          (if (firstV > 0) " — earlier versions were vacuumed away)" else ")")))
+    if (tgt == curV) return Seq(Row(view, tgt, curV, null, null))
+    val before = GraftSqlExtension.versionAt(sp, view, curV)
+    val df = ExpressionBridge.ofRows(sp, tgtPlan)
+    df.createOrReplaceTempView(view)
+    GraftSqlExtension.recordRebind(sp, view, before,
+      df.queryExecution.analyzed)
+    Seq(Row(view, tgt, curV + 1, null, null))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftRestore $view to=$target"
 }

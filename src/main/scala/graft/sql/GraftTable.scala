@@ -616,6 +616,55 @@ private[sql] object GraftTables {
     (newFirst - first, newFirst, dv)
   }
 
+  /** `RESTORE TABLE t TO VERSION AS OF target`: commit the DIFF that
+    * turns the current content back into version `target`'s — a new
+    * delta version, history intact (contrast [[rebase]], which folds
+    * history away). The two change sets are key equi-joins of two
+    * co-partitioned snapshots of the same base save, so with the graft
+    * strategies injected they plan as zero-Exchange zip joins; only
+    * the diff rows are written and replayed. Returns
+    * (new version, deleted rows, upserted rows). Caller validates the
+    * target window and handles the `target == current` no-op. */
+  private[sql] def restoreTable(sp: SparkSession, path: String,
+      target: Long): (Long, Long, Long) = {
+    val (cur, hCur) = current(sp, path)
+    val hT = loadVersion(sp, path, target)
+    val c = hCur.toDF(sp)
+    val t = hT.toDF(sp)
+    val keys = hCur.keyCols
+    val cols = c.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    // keys to delete: present now, absent at the target
+    val del = c.join(t, keys, "left_anti").select(keys.map(col): _*)
+    // rows to upsert: target rows absent now, plus target rows whose
+    // non-key columns differ from the current value
+    val ins = t.join(c, keys, "left_anti").select(cols.map(col): _*)
+    val up =
+      if (nonKeys.isEmpty) ins
+      else ins.unionByName(
+        t.join(c, keys.map(k => t(k) === c(k)).reduce(_ && _), "inner")
+          .where(nonKeys.map(cl => !(t(cl) <=> c(cl))).reduce(_ || _))
+          .select(cols.map(cl => t(cl).as(cl)): _*))
+    // both sets are read twice (count for metrics + the delta write) —
+    // pin the diff, not the corpus
+    val delP = del.persist()
+    val upP = up.persist()
+    try {
+      val nDel = delP.count()
+      val nUp = upP.count()
+      // identical content still commits an (empty) restore version —
+      // the verb's contract is "a new version AT the target content"
+      commitChange(sp, path, truncate = false,
+        if (nDel > 0) Some(delP) else None,
+        if (nUp > 0) Some(upP) else None)
+      (cur + 1, nDel, nUp)
+    } finally {
+      delP.unpersist(false)
+      upP.unpersist(false)
+      ()
+    }
+  }
+
   /** Rewrite the base save as the CONTENT OF version `target` and drop
     * the folded deltas — numbering stays stable (`_tfirst` = target).
     * Sibling-dir swap: the old base stays readable until the new one

@@ -497,6 +497,62 @@ object IndexedJoin {
     } else None
   }
 
+  /** Cross-query probe memo for the driver-mediated lookup joins:
+    * repeat probes of the SAME probe plan against the SAME snapshot —
+    * the warm-dashboard / re-run shape, where a root collect pays the
+    * probe-collect job again on every execution — skip that job and
+    * reuse the first run's driver-resident rows. Safe by construction:
+    * the key pairs the snapshot's RDD id (COW DML builds a NEW RDD, so
+    * a mutated table can never serve stale probe pairings) with the
+    * probe plan's canonicalized form, and only plans whose every leaf
+    * is a pure plan-defined source (Range / LocalTableScan — their
+    * rows are a function of the plan structure itself) are eligible; a
+    * probe that reads files or a re-definable view is collected fresh
+    * every time. Bounded: 32 LRU entries, each at most 2^18 rows. */
+  private[sql] object ProbeMemo {
+    private val MaxEntries = 32
+    private[sql] val MaxRowsPerEntry = 1 << 18
+    private val map =
+      new java.util.LinkedHashMap[(Int, SparkPlan), Array[InternalRow]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, SparkPlan), Array[InternalRow]])
+            : Boolean = size() > MaxEntries
+      }
+    private def stable(p: SparkPlan): Boolean = {
+      val leaves = p.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case _: org.apache.spark.sql.execution.RangeExec => true
+        case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        case _ => false
+      }
+    }
+    private[sql] def keyFor(h: IndexedFrame.JoinableHandle,
+        child: SparkPlan): Option[(Int, SparkPlan)] =
+      if (stable(child)) Some((h.idxAny.id, child.canonicalized)) else None
+    private[sql] def get(k: (Int, SparkPlan)): Option[Array[InternalRow]] =
+      map.synchronized(Option(map.get(k)))
+    private[sql] def put(k: (Int, SparkPlan),
+        rows: Array[InternalRow]): Unit =
+      if (rows.length <= MaxRowsPerEntry)
+        map.synchronized { map.put(k, rows); () }
+    private[sql] def clear(): Unit = map.synchronized(map.clear())
+  }
+
+  /** Memoizing wrapper around [[collectSmallProbe]] — shared by the
+    * point and band lookup execs. */
+  private[sql] def collectSmallProbeMemo(h: IndexedFrame.JoinableHandle,
+      child: SparkPlan): Option[Array[InternalRow]] =
+    ProbeMemo.keyFor(h, child) match {
+      case Some(k) =>
+        ProbeMemo.get(k).orElse {
+          val r = collectSmallProbe(child)
+          r.foreach(ProbeMemo.put(k, _))
+          r
+        }
+      case None => collectSmallProbe(child)
+    }
+
   /** How the lookup join emits rows. */
   sealed trait LookupKind extends Serializable
   case object LkInner extends LookupKind
@@ -642,7 +698,7 @@ object IndexedJoin {
       * plan-time stats gate is off or the runtime cap trips (the
       * shuffled path then serves, re-executing the probe child). */
     private def localProbeRows(): Option[Array[InternalRow]] =
-      if (!smallProbe) None else collectSmallProbe(child)
+      if (!smallProbe) None else collectSmallProbeMemo(h, child)
 
     /** ROOT-level collects of a small-probe inner/outer lookup skip
       * the per-partition fan-out entirely: one pruned runJob touches
@@ -714,7 +770,7 @@ object IndexedJoin {
       // point lookup join): intervals route on the driver, no shuffle
       val localPairs: Option[RDD[(InternalRow, InternalRow)]] =
         if (!smallProbe) None
-        else collectSmallProbe(child).flatMap(rows =>
+        else collectSmallProbeMemo(h, child).flatMap(rows =>
           h.lookupRangeJoinRowsLocal(rows,
             r => loB.eval(r), r => hiB.eval(r), loInc, hiInc))
       val pairs = localPairs.getOrElse(
