@@ -1512,10 +1512,14 @@ object IndexedRDD {
     override def numPartitions: Int = offsets(baseParts)
     private def mod(x: Int, m: Int): Int = { val r = x % m; if (r < 0) r + m else r }
     override def getPartition(key: Any): Int = {
-      val b = mod(key.hashCode, baseParts)
+      // null hashes as 0 — mirrors HashPartitioner (which this replaces
+      // transparently in the skew-aware build and must route the same
+      // records), whose nonNegativeMod(null) path lands in partition 0
+      val h = if (key == null) 0 else key.hashCode
+      val b = mod(h, baseParts)
       val k = splits(b)
       if (k == 1) offsets(b)
-      else offsets(b) + mod(scala.util.hashing.byteswap32(key.hashCode), k)
+      else offsets(b) + mod(scala.util.hashing.byteswap32(h), k)
     }
     override def equals(other: Any): Boolean = other match {
       case s: SplitPartitioner =>

@@ -689,6 +689,48 @@ object OperatorQueries {
           |WHERE c_nationkey IN (3, 7, 11)""".stripMargin)
     },
 
+    "ir_sql_catalog_concurrent" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // TWO WRITERS, ONE LOG: two sessions commit DML against the same
+      // graft table CONCURRENTLY. The optimistic claim (atomic
+      // create-if-absent of the next delta version — Delta's log
+      // protocol shape) serializes them: the loser waits for the
+      // winner's commit, replays it, and retries under the next
+      // version, so BOTH statements land in the durable log instead of
+      // one silently clobbering the other. Disjoint key ranges make
+      // the merged result order-independent; the read happens in a
+      // REOPENED session so it proves the log, not a cache.
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_conc").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_conc")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_conc_src")
+      s.sql(s"""CREATE TABLE graft_cat_conc USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_conc_src""".stripMargin)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(sql: String): Thread = {
+        val ss = s.newSession()
+        val t = new Thread(() => {
+          try { start.await(); ss.sql(sql); () }
+          catch { case e: Throwable => errs.add(e); () }
+        })
+        t.start(); t
+      }
+      val a = writer("""UPDATE graft_cat_conc SET c_acctbal = c_acctbal + 100
+        |WHERE c_custkey <= 60""".stripMargin)
+      val b = writer("""UPDATE graft_cat_conc SET c_acctbal = c_acctbal - 40
+        |WHERE c_custkey > 60 AND c_custkey <= 120""".stripMargin)
+      start.countDown()
+      a.join(120000); b.join(120000)
+      if (!errs.isEmpty) throw errs.peek()
+      val reopened = s.newSession()
+      reopened.sql(
+        "SELECT c_custkey, c_name, c_acctbal FROM graft_cat_conc")
+    },
+
     "ir_sql_merge_sqltext_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2824,6 +2866,15 @@ object OperatorQueries {
     "ir_sql_catalog_index_ddl" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |WHERE c_nationkey IN (3, 7, 11)""".stripMargin,
+
+    // two concurrent committers on disjoint key ranges — the merged
+    // final state is order-independent, and BOTH must have landed
+    "ir_sql_catalog_concurrent" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey <= 60 THEN c_acctbal + 100
+        |       WHEN c_custkey <= 120 THEN c_acctbal - 40
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin,
 
     // version 1 of the log = after the UPDATE, before the DELETE
     "ir_sql_catalog_timetravel" ->

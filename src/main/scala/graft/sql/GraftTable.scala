@@ -249,24 +249,30 @@ private[sql] object GraftTables {
   private def deltaDir(path: String, v: Long): String =
     f"$path%s/_tdelta_$v%06d"
 
+  /** Current version = the `_tver` HINT advanced past any committed
+    * delta the hint does not know about yet. The walk makes the marker
+    * advisory, not load-bearing: a torn/absent `_tver` (crashed
+    * writer), or one a rival committer briefly regressed, self-heals —
+    * the commit point of version v is its delta's `_meta`, exactly as
+    * in Delta's log, and the walk trusts only that. */
   private def diskVersion(sp: SparkSession, path: String): Long = {
     val (fs, p) = fsOf(sp, path)
-    val vf = new Path(p, "_tver")
-    if (!fs.exists(vf)) 0L
-    else {
-      val in = fs.open(vf)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
+    val first = tableFirstVersion(sp, path)
+    var v = math.max(
+      graft.MarkerFile.readLong(fs, new Path(p, "_tver")).getOrElse(first),
+      first)
+    while (fs.exists(new Path(deltaDir(path, v + 1), "_meta"))) v += 1
+    v
   }
 
+  /** Advance the `_tver` hint (atomic tmp+rename write; never moves it
+    * backwards — a slow rival finishing an EARLIER version after this
+    * one must not regress the pointer). */
   private def writeVersion(sp: SparkSession, path: String, v: Long): Unit = {
     val (fs, p) = fsOf(sp, path)
-    val out = fs.create(new Path(p, "_tver"), true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val vf = new Path(p, "_tver")
+    if (graft.MarkerFile.readLong(fs, vf).forall(_ < v))
+      graft.MarkerFile.writeLong(fs, vf, v)
   }
 
   /** Oldest READABLE version (Delta semantics: version numbers never
@@ -275,23 +281,13 @@ private[sql] object GraftTables {
     * Absent `_tfirst` = 0, the original base. */
   private[sql] def tableFirstVersion(sp: SparkSession, path: String): Long = {
     val (fs, p) = fsOf(sp, path)
-    val vf = new Path(p, "_tfirst")
-    if (!fs.exists(vf)) 0L
-    else {
-      val in = fs.open(vf)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
+    graft.MarkerFile.readLong(fs, new Path(p, "_tfirst")).getOrElse(0L)
   }
 
   private def writeFirstVersion(sp: SparkSession, path: String,
       v: Long): Unit = {
     val (fs, p) = fsOf(sp, path)
-    val out = fs.create(new Path(p, "_tfirst"), true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.MarkerFile.writeLong(fs, new Path(p, "_tfirst"), v)
   }
 
   /** The REAL commit stamp of the oldest readable version, persisted
@@ -300,24 +296,13 @@ private[sql] object GraftTables {
     * version, exactly as before the compaction. */
   private def readFirstTime(sp: SparkSession, path: String): Option[Long] = {
     val (fs, p) = fsOf(sp, path)
-    val f = new Path(p, "_tfirsttime")
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
+    graft.MarkerFile.readLong(fs, new Path(p, "_tfirsttime"))
   }
 
   private def writeFirstTime(sp: SparkSession, path: String,
       millis: Long): Unit = {
     val (fs, p) = fsOf(sp, path)
-    val out = fs.create(new Path(p, "_tfirsttime"), true)
-    try out.write(
-      millis.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.MarkerFile.writeLong(fs, new Path(p, "_tfirsttime"), millis)
   }
 
   private def clearDeltas(sp: SparkSession, path: String): Unit = {
@@ -344,7 +329,7 @@ private[sql] object GraftTables {
 
   /** Persist one statement's change sets as the next delta and advance
     * the version, WITHOUT applying — [[commitChange]] wraps this. */
-  private def writeDelta(sp: SparkSession, path: String, v: Long,
+  private[sql] def writeDelta(sp: SparkSession, path: String, v: Long,
       truncate: Boolean, del: Option[DataFrame], up: Option[DataFrame],
       schema: StructType, keyCols: Seq[String]): Unit = {
     val dir = deltaDir(path, v)
@@ -561,19 +546,78 @@ private[sql] object GraftTables {
     }
   }
 
+  /** Atomically CLAIM delta version `v` for this writer: mkdirs the
+    * delta dir (both rivals may succeed) and create-if-absent its
+    * `_claim` file (exactly one does — Hadoop `create(overwrite =
+    * false)` is the same put-if-absent primitive Delta's log protocol
+    * rides). False = a rival owns the version number. */
+  private[sql] def claimDelta(sp: SparkSession, path: String, v: Long): Boolean = {
+    val (fs, _) = fsOf(sp, path)
+    val dir = new Path(deltaDir(path, v))
+    fs.mkdirs(dir)
+    try { fs.create(new Path(dir, "_claim"), false).close(); true }
+    catch { case _: java.io.IOException => false }
+  }
+
+  /** After losing a claim race on version `v`: wait for the rival's
+    * commit (`_meta`) to land so the retry's snapshot includes it. A
+    * claim that never completes is a CRASHED writer — its claim dir is
+    * dropped after the timeout and the version number becomes
+    * claimable again (nothing ever read it: an uncommitted delta is
+    * invisible to [[diskVersion]]'s walk). */
+  /** How long a conflicting committer waits for a rival's claimed
+    * version to complete before treating the claim as abandoned
+    * (mutable for tests; production default 30 s). */
+  private[sql] var claimTimeoutMillis: Long = 30000L
+
+  private def awaitCommitted(sp: SparkSession, path: String, v: Long): Unit = {
+    val (fs, _) = fsOf(sp, path)
+    val meta = new Path(deltaDir(path, v), "_meta")
+    val deadline = System.currentTimeMillis() + claimTimeoutMillis
+    while (!fs.exists(meta)) {
+      if (System.currentTimeMillis() > deadline) {
+        fs.delete(new Path(deltaDir(path, v)), true)
+        return
+      }
+      Thread.sleep(50)
+    }
+  }
+
   /** Durably apply one DML statement: write the change sets as delta
     * version `current + 1`, then apply them BY READING THE WRITTEN
     * PARQUET BACK, so the live handle is bit-identical to what any
     * later session replays. Cost: the delta's rows, twice (one write,
-    * one one-sided shuffle) — never the corpus. */
+    * one one-sided shuffle) — never the corpus.
+    *
+    * MULTI-WRITER SAFE (optimistic concurrency, Delta-style): the
+    * version number is claimed by an atomic create-if-absent before
+    * anything is written, so two sessions — or two driver JVMs on
+    * shared storage — committing concurrently serialize instead of
+    * clobbering each other. The loser waits for the winner's commit,
+    * refreshes its snapshot (replaying the winner's delta), and
+    * retries under the next number. Change sets are key-level
+    * delete/upsert sets, so the rebased application is last-writer-
+    * wins per key — both statements survive in the log and in the
+    * replayed state. */
   private[sql] def commitChange(sp: SparkSession, path: String,
       truncate: Boolean, del: Option[DataFrame],
       up: Option[DataFrame]): Unit = {
-    val (v, h) = current(sp, path)
-    writeDelta(sp, path, v + 1, truncate, del, up, h.schema, h.keyCols)
-    val h2 = applyDelta(sp, h, path, v + 1)
-    reapplyIndexes(sp, path, h2) // DML maintains the manifest's indexes
-    cacheOf(sp).put(canonical(sp, path), (v + 1, h2))
+    var attempt = 0
+    while (true) {
+      val (v, h) = current(sp, path)
+      val next = v + 1
+      if (claimDelta(sp, path, next)) {
+        writeDelta(sp, path, next, truncate, del, up, h.schema, h.keyCols)
+        val h2 = applyDelta(sp, h, path, next)
+        reapplyIndexes(sp, path, h2) // DML maintains the manifest's indexes
+        cacheOf(sp).put(canonical(sp, path), (next, h2))
+        return
+      }
+      attempt += 1
+      require(attempt <= 1000,
+        s"graft table commit conflict retry budget exhausted at $path")
+      awaitCommitted(sp, path, next)
+    }
   }
 
   /** `OPTIMIZE` for catalog tables: rewrite the base save as the

@@ -298,23 +298,18 @@ object Streaming {
     private def latestPath = new org.apache.hadoop.fs.Path(checkpointDir, "_latest")
     private def deltaDir(id: Long) = s"$checkpointDir/delta_$id"
 
-    private def readLatest(): Option[Long] = {
-      val f = fs
-      if (!f.exists(latestPath)) None
-      else {
-        val in = f.open(latestPath)
-        try Some(new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
-      }
-    }
+    /** The commit pointer, read TOLERANTLY: a torn `_latest` (crash
+      * mid-rewrite) surfaces as None and the restore derives the
+      * pointer from the delta files themselves — never a
+      * NumberFormatException that bricks the sink. */
+    private def readLatest(): Option[Long] =
+      graft.MarkerFile.readLong(fs, latestPath)
 
-    private def writeLatest(id: Long): Unit = {
-      val out = fs.create(latestPath, true)
-      try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    /** Atomic tmp+rename advance of the commit pointer (a crash can
+      * leave the OLD value or — on rename-no-clobber stores — a brief
+      * absence, never a half-written file). */
+    private def writeLatest(id: Long): Unit =
+      graft.MarkerFile.writeLong(fs, latestPath, id)
 
     private def committedDeltaIds(upTo: Long): Seq[Long] = {
       val f = fs
@@ -323,6 +318,23 @@ object Streaming {
       else f.listStatus(dir).iterator.map(_.getPath.getName)
         .filter(_.startsWith("delta_")).map(_.stripPrefix("delta_").toLong)
         .filter(_ <= upTo).toSeq.sorted
+    }
+
+    /** Delta ids whose write COMPLETED (the Hadoop committer's
+      * `_SUCCESS` landed) — the fallback source of truth for the
+      * commit pointer when `_latest` is torn: a complete delta at id n
+      * means batch n was delivered in full, and replaying it equals
+      * the at-least-once redelivery that would otherwise rewrite and
+      * apply identical bytes. */
+    private def completeDeltaIds(): Seq[Long] = {
+      val f = fs
+      val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("delta_")).map(_.stripPrefix("delta_").toLong)
+        .filter(id => f.exists(new org.apache.hadoop.fs.Path(
+          deltaDir(id), "_SUCCESS")))
+        .toSeq.sorted
     }
 
     private def applyDelta(st: IndexedRDD[K, V], id: Long): IndexedRDD[K, V] = {
@@ -336,18 +348,9 @@ object Streaming {
       * only deltas beyond it, so a crash between the swap and the
       * delta cleanup cannot double-apply a folded batch under a
       * `merge` function. */
-    private def baseUpto(): Long = {
-      val f = fs
-      val uf = new org.apache.hadoop.fs.Path(s"$checkpointDir/base", "_upto")
-      if (!f.exists(uf)) Long.MinValue
-      else {
-        val in = f.open(uf)
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      }
-    }
+    private def baseUpto(): Long = graft.MarkerFile.readLong(fs,
+      new org.apache.hadoop.fs.Path(s"$checkpointDir/base", "_upto"))
+      .getOrElse(Long.MinValue)
 
     /** Crash recovery for [[compact]]'s swap: a complete `.base_next`
       * with the base missing promotes into place; leftovers drop. */
@@ -367,23 +370,32 @@ object Streaming {
     }
 
     @volatile private var lastBatchId: Long = Long.MinValue
-    @volatile private var state: IndexedRDD[K, V] = readLatest() match {
-      case None =>
-        // first construction: seed and persist the base BEFORE any
-        // delta can commit, so a restore always has its floor
+    @volatile private var state: IndexedRDD[K, V] = {
+      recoverBase()
+      val baseMarker = new org.apache.hadoop.fs.Path(
+        s"$checkpointDir/base", "_partitioner")
+      if (!fs.exists(baseMarker)) {
+        // TRUE first construction (no base on disk): seed and persist
+        // the base BEFORE any delta can commit, so a restore always
+        // has its floor. Keyed on the base's existence, NOT `_latest`:
+        // a restart with a base but a torn/unwritten pointer must
+        // restore, never re-seed over the durable state.
         val base = initial.persist(StorageLevel.MEMORY_AND_DISK)
         graft.IndexedRDDIO.save(base, s"$checkpointDir/base")
         base
-      case Some(latest) =>
+      } else {
+        val latest = readLatest()
+          .orElse(completeDeltaIds().lastOption).getOrElse(Long.MinValue)
         lastBatchId = latest
-        recoverBase()
         val upto = baseUpto()
         var st = graft.IndexedRDDIO.load[K, V](sc, s"$checkpointDir/base")
-        committedDeltaIds(latest).filter(_ > upto)
-          .foreach(id => st = applyDelta(st, id))
+        if (latest != Long.MinValue)
+          committedDeltaIds(latest).filter(_ > upto)
+            .foreach(id => st = applyDelta(st, id))
         val restored = st.persist(StorageLevel.MEMORY_AND_DISK)
         restored.count()
         restored
+      }
     }
 
     def current: IndexedRDD[K, V] = state
@@ -424,10 +436,8 @@ object Streaming {
       val next = new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_next")
       f.delete(next, true)
       graft.IndexedRDDIO.save(state, next.toString)
-      val out = f.create(new org.apache.hadoop.fs.Path(next, "_upto"), true)
-      try out.write(lastBatchId.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      graft.MarkerFile.writeLong(f,
+        new org.apache.hadoop.fs.Path(next, "_upto"), lastBatchId)
       val basePath = new org.apache.hadoop.fs.Path(s"$checkpointDir/base")
       val old = new org.apache.hadoop.fs.Path(s"$checkpointDir/.base_old")
       f.delete(old, true)

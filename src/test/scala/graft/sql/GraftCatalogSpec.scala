@@ -256,4 +256,127 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(back.count() === 60)
     assert(back.filter($"a" === 2L && $"b" === 7L).count() === 1)
   }
+
+  test("two concurrent committers: both statements land (optimistic claims)") {
+    val path = freshPath("conc")
+    spark.sql("DROP TABLE IF EXISTS catspec_conc")
+    (1L to 100L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_conc_src")
+    spark.sql(s"""CREATE TABLE catspec_conc USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_conc_src""".stripMargin)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(sql: String): Thread = {
+      val ss = spark.newSession()
+      val t = new Thread(() => {
+        try { start.await(); ss.sql(sql); () }
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    val a = writer("UPDATE catspec_conc SET bal = bal + 1000 WHERE k <= 50")
+    val b = writer("UPDATE catspec_conc SET bal = bal - 7 WHERE k > 50")
+    start.countDown()
+    a.join(120000); b.join(120000)
+    if (!errs.isEmpty) throw errs.peek()
+    val s2 = spark.newSession()
+    // BOTH updates present in the replayed state — neither clobbered
+    assert(s2.sql("SELECT sum(bal) FROM catspec_conc").collect()(0)
+      .getDouble(0) === (1 to 100).map(_.toDouble).sum + 50 * 1000 - 50 * 7)
+    // and in the durable log: base + exactly two delta versions
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_conc')")
+      .collect()(0).getLong(0) === 3)
+    spark.sql("DROP TABLE IF EXISTS catspec_conc")
+  }
+
+  test("claim conflict: the loser replays the rival's commit and retries") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val path = freshPath("claim")
+    spark.sql("DROP TABLE IF EXISTS catspec_claim")
+    (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_claim_src")
+    spark.sql(s"""CREATE TABLE catspec_claim USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_claim_src""".stripMargin)
+    // a "rival mid-commit": version 1 is claimed but not yet committed
+    assert(GraftTables.claimDelta(spark, path, 1L))
+    assert(!GraftTables.claimDelta(spark, path, 1L)) // second claim loses
+    // our UPDATE conflicts on version 1 and must wait, not clobber
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ss = spark.newSession()
+    new Thread(() => {
+      try ss.sql("UPDATE catspec_claim SET bal = 0 WHERE k <= 5")
+      catch { case e: Throwable => errs.add(e); () }
+      finally done.countDown()
+    }).start()
+    Thread.sleep(300)
+    assert(done.getCount === 1) // still waiting on the rival
+    // the rival completes its commit (an upsert of one row) under the
+    // claim it holds; the waiter must then retry as version 2
+    val h = GraftTables.current(spark, path)._2
+    GraftTables.writeDelta(spark, path, 1L, truncate = false, None,
+      Some(Seq((21L, 21.0)).toDF("k", "bal")), h.schema, h.keyCols)
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    if (!errs.isEmpty) throw errs.peek()
+    val s2 = spark.newSession()
+    val m = s2.sql("SELECT k, bal FROM catspec_claim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(21L) === 21.0) // the rival's commit survived
+    assert((1L to 5L).forall(m(_) === 0.0)) // and so did ours
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_claim')")
+      .collect()(0).getLong(0) === 3)
+    spark.sql("DROP TABLE IF EXISTS catspec_claim")
+  }
+
+  test("an abandoned claim (crashed writer) is stolen after the timeout") {
+    val path = freshPath("steal")
+    spark.sql("DROP TABLE IF EXISTS catspec_steal")
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_steal_src")
+    spark.sql(s"""CREATE TABLE catspec_steal USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_steal_src""".stripMargin)
+    assert(GraftTables.claimDelta(spark, path, 1L)) // never completes
+    val saved = GraftTables.claimTimeoutMillis
+    GraftTables.claimTimeoutMillis = 500L
+    try spark.sql("UPDATE catspec_steal SET bal = -1 WHERE k = 3")
+    finally GraftTables.claimTimeoutMillis = saved
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT bal FROM catspec_steal WHERE k = 3")
+      .collect()(0).getDouble(0) === -1.0)
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_steal')")
+      .collect()(0).getLong(0) === 2)
+    spark.sql("DROP TABLE IF EXISTS catspec_steal")
+  }
+
+  test("a torn _tver marker self-heals from the delta walk") {
+    val path = freshPath("torn")
+    spark.sql("DROP TABLE IF EXISTS catspec_torn")
+    (1L to 30L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_torn_src")
+    spark.sql(s"""CREATE TABLE catspec_torn USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_torn_src""".stripMargin)
+    spark.sql("UPDATE catspec_torn SET bal = 100 WHERE k <= 3")
+    spark.sql("DELETE FROM catspec_torn WHERE k = 30")
+    // a crash mid-rewrite leaves an EMPTY _tver; reads must derive the
+    // version from the committed deltas instead of throwing
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_tver"),
+      Array.empty[Byte])
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT count(*) FROM catspec_torn")
+      .collect()(0).getLong(0) === 29)
+    assert(s2.sql("SELECT bal FROM catspec_torn WHERE k = 2")
+      .collect()(0).getDouble(0) === 100.0)
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_torn')")
+      .collect()(0).getLong(0) === 3)
+    // and the next DML repairs the marker on its way through
+    s2.sql("UPDATE catspec_torn SET bal = 7 WHERE k = 9")
+    val s3 = spark.newSession()
+    assert(s3.sql("SELECT bal FROM catspec_torn WHERE k = 9")
+      .collect()(0).getDouble(0) === 7.0)
+    spark.sql("DROP TABLE IF EXISTS catspec_torn")
+  }
 }
