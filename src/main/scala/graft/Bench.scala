@@ -81,8 +81,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val gj = gauges.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
+      .mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        s""""gauges":$gj,"sf":"$sfDir"}"""
     // the COMPLETE per-lane record goes to files (committed to the
     // repo): bench_out.json = the full one-line artifact,
     // bench_diag.json = per-lane raw best-of-3 runs + GC-time deltas
@@ -113,7 +116,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,""" +
         f""""registry_lanes":${registry.length},"registry_sec":${registry.map(_._2).sum}%.3f,""" +
         f""""micro_lanes":${micros.length},"micro_sec":${micros.map(_._2).sum}%.3f,""" +
-        s""""full":"bench_out.json","sf":"$sfDir"}"""
+        s""""gauges":$gj,"full":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }
@@ -122,6 +125,13 @@ object Bench {
     * the lane). Written to bench_diag.json beside the artifact. */
   private val diag =
     scala.collection.mutable.LinkedHashMap[String, (Seq[Double], Long)]()
+
+  /** NON-TIME metrics (lineage depths, counts): emitted under their own
+    * `gauges` JSON field, NEVER into the summed `queries` map — r13's
+    * headline "total" summed two stage-count gauges as seconds and
+    * read 75% heavier than real wall time. */
+  private val gauges =
+    scala.collection.mutable.LinkedHashMap[String, Double]()
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -175,7 +185,48 @@ object Bench {
       family("topk")(microTopk(spark, sfDir)) ++
       family("scale")(microScale(spark, sfDir)) ++
       family("maintenance")(microMaintenance(spark, sfDir)) ++
-      family("skew")(microSkew(spark, sfDir))
+      family("skew")(microSkew(spark, sfDir)) ++
+      family("catalogDml")(microCatalogDml(spark, sfDir))
+  }
+
+  /** INCREMENTAL INDEX MAINTENANCE measured: the same fixed-size
+    * UPDATE against a SECONDARY-INDEXED durable catalog table at 1x
+    * and 10x corpus rows. DML maintenance applies the statement's own
+    * change sets to the previous snapshot's postings (one-sided
+    * shuffles of the delta — [[graft.sql.IndexedFrame]]'s
+    * maintainSecondariesFrom), so statement latency must stay ~FLAT
+    * while the corpus grows 10x; the pre-r14 shape (full
+    * reapplyIndexes rebuild per statement) grew linearly and turned a
+    * delta-cost MERGE into an O(corpus) statement on any indexed
+    * 100 TB table. Timed: the whole statement, delta write included. */
+  private[graft] def microCatalogDml(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val shift = 10000000L // beyond any fixture key; copies stay disjoint
+    def lane(tag: String, mult: Int): (String, Double) = {
+      val df = (0 until mult).map(i =>
+        base.select((col("o_orderkey") + lit(i * shift)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))).reduce(_ union _)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_bench_dml_$tag").toString
+      spark.sql(s"DROP TABLE IF EXISTS bench_dml_$tag")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      df.createOrReplaceTempView(s"bench_dml_src_$tag")
+      spark.sql(s"""CREATE TABLE bench_dml_$tag USING graft
+        |OPTIONS (key 'o_orderkey') LOCATION '$path'
+        |AS SELECT * FROM bench_dml_src_$tag""".stripMargin)
+      spark.sql(s"CREATE INDEX cust_ix_$tag ON bench_dml_$tag (o_custkey)")
+      // fixed 2000-key delta regardless of corpus size — the honest
+      // "does statement cost scale with the delta or the corpus" probe
+      val t = bestOf2(spark.sql(
+        s"""UPDATE bench_dml_$tag SET o_totalprice = o_totalprice + 1
+           |WHERE o_orderkey <= 2000""".stripMargin).collect())
+      spark.sql(s"DROP TABLE IF EXISTS bench_dml_$tag")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      (s"micro_catalog_dml_idx_${tag}", t)
+    }
+    Seq(lane("1x", 1), lane("10x", 10))
   }
 
   /** SKEW GUARD measured: the same 200k-row probe batch through the
@@ -260,11 +311,13 @@ object Bench {
     val tOpt = bestOf2((0 until 10).foreach(_ => read(hc)))
     val depthOpt = hc.idx.lineageDepth.toDouble
     h.idx.unpersist(); hc.idx.unpersist(); delta.unpersist()
+    // the depths are LINEAGE STAGE COUNTS, not seconds — they go to the
+    // non-summed gauges field so the "total" stays a wall-time sum
+    gauges("micro_sql_chain_depth_raw") = depthRaw
+    gauges("micro_sql_chain_depth_opt") = depthOpt
     Seq("micro_sql_chain_read_raw_10" -> tRaw,
       "micro_sql_chain_read_opt_10" -> tOpt,
-      "micro_sql_optimize_once" -> tOptimize,
-      "micro_sql_chain_depth_raw" -> depthRaw, // lineage stages, not sec
-      "micro_sql_chain_depth_opt" -> depthOpt)
+      "micro_sql_optimize_once" -> tOptimize)
   }
 
   /** SCALE VALIDATION: the same point-read and top-k micros at 1x and

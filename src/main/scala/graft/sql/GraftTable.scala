@@ -98,6 +98,10 @@ private[sql] object GraftTables {
     def idxAny: graft.IndexedRDD[_, _]
     /** The wrapped arity-specific handle (for audits/specs). */
     def handleAny: AnyRef
+    /** Delta-cost transplant of `old`'s secondary indexes and zone
+      * maps onto this (post-statement) handle. */
+    def maintainSidecarsFrom(old: TableHandle,
+        del: Option[DataFrame], up: Option[DataFrame]): Unit
   }
 
   private final case class H1(h: Handle[_]) extends TableHandle {
@@ -111,6 +115,9 @@ private[sql] object GraftTables {
     def saveTo(path: String): Unit = IndexedFrame.save(h, path)
     def idxAny: graft.IndexedRDD[_, _] = h.idx
     def handleAny: AnyRef = h
+    def maintainSidecarsFrom(old: TableHandle,
+        del: Option[DataFrame], up: Option[DataFrame]): Unit =
+      h.maintainSidecarsFrom(old.handleAny, del, up)
   }
 
   private final case class H2(h: CompositeHandle[_, _]) extends TableHandle {
@@ -124,6 +131,9 @@ private[sql] object GraftTables {
     def saveTo(path: String): Unit = IndexedFrame.save(h, path)
     def idxAny: graft.IndexedRDD[_, _] = h.idx
     def handleAny: AnyRef = h
+    def maintainSidecarsFrom(old: TableHandle,
+        del: Option[DataFrame], up: Option[DataFrame]): Unit =
+      h.maintainSidecarsFrom(old.handleAny, del, up)
   }
 
   private final case class HN(h: CompositeNHandle) extends TableHandle {
@@ -137,6 +147,9 @@ private[sql] object GraftTables {
     def saveTo(path: String): Unit = IndexedFrame.save(h, path)
     def idxAny: graft.IndexedRDD[_, _] = h.idx
     def handleAny: AnyRef = h
+    def maintainSidecarsFrom(old: TableHandle,
+        del: Option[DataFrame], up: Option[DataFrame]): Unit =
+      h.maintainSidecarsFrom(old.handleAny, del, up)
   }
 
   // ------------------------------------------------------------- paths
@@ -476,6 +489,41 @@ private[sql] object GraftTables {
     }
   }
 
+  /** Post-statement index/zone maintenance, the DELTA-COST way: carry
+    * the pre-statement handle's live sidecars onto the new one updated
+    * by the statement's own change sets (read back from the written
+    * delta, exactly as the data replay) — MERGE latency on an indexed
+    * table then scales with the delta, not the corpus. Falls back to
+    * the full re-derive only where incremental cannot be exact: a
+    * TRUNCATE-bearing statement, or a manifest entry the old handle
+    * had no live index for (e.g. CREATE INDEX committed by a rival
+    * session since our snapshot loaded). */
+  private def maintainIndexes(sp: SparkSession, path: String,
+      hOld: TableHandle, hNew: TableHandle, v: Long,
+      truncate: Boolean, hasDel: Boolean, hasUp: Boolean): Unit = {
+    val entries = readIndexManifest(sp, path)
+    if (entries.isEmpty) return
+    if (truncate) { reapplyIndexes(sp, path, hNew); return }
+    val dir = deltaDir(path, v)
+    val del = if (hasDel) Some(alignTo(sp.read.parquet(s"$dir/del"),
+      keySchemaOf(hNew.schema, hNew.keyCols))) else None
+    val up = if (hasUp) Some(alignTo(sp.read.parquet(s"$dir/up"),
+      hNew.schema)) else None
+    hNew.maintainSidecarsFrom(hOld, del, up)
+    // manifest entries the transplant could not carry re-derive fresh
+    val target = hNew.handleAny
+      .asInstanceOf[IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
+    val haveSec = target.secondaryColSet
+    val haveZone = target.zoneSnapshot._1
+    entries.foreach {
+      case (_, "zonemap", cols) if !cols.forall(haveZone.contains) =>
+        target.analyzeZones(cols: _*)
+      case (_, t, cols) if t != "zonemap" && !haveSec.contains(cols.head) =>
+        target.addSecondaryIndex(cols.head, ordered = t == "btree")
+      case _ => ()
+    }
+  }
+
   /** (location, current version) of `name` when it is a graft catalog
     * table — the durable fallback behind VERSION AS OF,
     * graft_changes, and graft_history once no in-session chain exists
@@ -609,7 +657,11 @@ private[sql] object GraftTables {
       if (claimDelta(sp, path, next)) {
         writeDelta(sp, path, next, truncate, del, up, h.schema, h.keyCols)
         val h2 = applyDelta(sp, h, path, next)
-        reapplyIndexes(sp, path, h2) // DML maintains the manifest's indexes
+        // DML maintains the manifest's indexes — incrementally: the
+        // statement's own change sets apply to the previous snapshot's
+        // postings/zones at delta cost, never an O(corpus) rebuild
+        maintainIndexes(sp, path, h, h2, next, truncate,
+          del.isDefined, up.isDefined)
         cacheOf(sp).put(canonical(sp, path), (next, h2))
         return
       }

@@ -387,6 +387,19 @@ object IndexedFrame {
 
   /** Whether a partition with summary `z` can hold a row satisfying
     * `cmp` against literal `lit` (-2 <, -1 <=, 0 =, 1 >=, 2 >). */
+  /** Union of two zones' bounds (the widen operation — a row covered
+    * by either input is covered by the result). */
+  private[sql] def mergeZones(a: Zone, b: Zone): Zone = (a, b) match {
+    case (ZoneEmpty, z) => z
+    case (z, ZoneEmpty) => z
+    case (ZoneLong(amn, amx), ZoneLong(bmn, bmx)) =>
+      ZoneLong(math.min(amn, bmn), math.max(amx, bmx))
+    case (ZoneDouble(amn, amx), ZoneDouble(bmn, bmx)) =>
+      ZoneDouble(math.min(amn, bmn), math.max(amx, bmx))
+    case _ => throw new IllegalStateException(
+      s"zone kind mismatch: $a vs $b")
+  }
+
   private[sql] def zoneMayMatch(z: Zone, cmp: Int, lit: Either[Long, Double]): Boolean =
     (z, lit) match {
       case (ZoneEmpty, _) => false // comparisons never match null
@@ -914,6 +927,80 @@ object IndexedFrame {
       // same planning-side-effect rule as addSecondaryIndex
       secCountMemo.put(colName, loaded.count())
       ()
+    }
+
+    /** DELTA-COST secondary-index maintenance across one DML
+      * statement: instead of re-deriving each inverted index from the
+      * post-statement corpus (O(corpus) per statement — the RDBMS
+      * "rebuild every index on every write" anti-shape), apply the
+      * statement's OWN change sets to the previous snapshot's
+      * postings. Per index: retract the OLD value's posting of every
+      * touched key that existed pre-statement (one one-sided key
+      * shuffle + O(delta) point probes of the old primary), add the
+      * NEW value's posting of every upserted key (same against this
+      * primary), then probe the OLD postings of exactly the touched
+      * values and copy-on-write replace them — a value whose postings
+      * empty out DELETES its entry, preserving the exact
+      * `count(DISTINCT)` contract (one entry per LIVE distinct
+      * value). Everything shuffled is delta-sized; the corpus and the
+      * untouched postings never move — MERGE latency on an indexed
+      * table stays flat in corpus size. Statement-level memos
+      * (extrema, histograms, group folds) start cold on this handle
+      * and recompute lazily, as after any COW mutation. */
+    private[sql] def maintainSecondariesFrom(old: SecondaryCapable[K],
+        delKeys: Option[RDD[K]], upKeys: Option[RDD[K]]): Unit = {
+      implicit val kt: ClassTag[K] = secTag
+      val oldEntries = old.secondaries.toSeq.sortBy(_._1)
+      if (oldEntries.isEmpty) return
+      val touched: Option[RDD[K]] = (delKeys, upKeys) match {
+        case (Some(d), Some(u)) => Some(d.union(u))
+        case (d, u) => d.orElse(u)
+      }
+      oldEntries.foreach { case (colName, (spec, oldSidx, rangeable)) =>
+        val sCodec = spec.codec
+        val fiOld = old.schema.fieldIndex(colName)
+        val fiNew = schema.fieldIndex(colName)
+        val rem: RDD[(Any, K)] = touched.map { t =>
+          old.idx.lookupJoinStream(t.map((_, ())))((k, row, _) =>
+            (if (row.isNullAt(fiOld)) null
+             else (sCodec.fromRow(row, fiOld): Any), k))
+            .filter(_._1 != null)
+        }.getOrElse(idx.context.emptyRDD)
+        val add: RDD[(Any, K)] = upKeys.map { u =>
+          idx.lookupJoinStream(u.map((_, ())))((k, row, _) =>
+            (if (row.isNullAt(fiNew)) null
+             else (sCodec.fromRow(row, fiNew): Any), k))
+            .filter(_._1 != null)
+        }.getOrElse(idx.context.emptyRDD)
+        val ops: RDD[(Any, (Array[K], Array[K]))] = rem
+          .map { case (v, k) => (v, (Array(k), Array.empty[K])) }
+          .union(add.map { case (v, k) => (v, (Array.empty[K], Array(k))) })
+          .aggregateByKey((scala.collection.mutable.ArrayBuffer.empty[K],
+            scala.collection.mutable.ArrayBuffer.empty[K]))(
+            { case (acc, (r, a)) => acc._1 ++= r; acc._2 ++= a; acc },
+            { case (x, y) => x._1 ++= y._1; x._2 ++= y._2; x })
+          .mapValues { case (r, a) => (r.toArray(kt), a.toArray(kt)) }
+        // exact post-statement postings of each touched value (one
+        // probe of the old postings; values absent there carry only
+        // their additions)
+        val newPostings: RDD[(Any, Array[K])] = oldSidx.lookupJoinStream(ops)(
+          (v, postings, d) => {
+            val rs = d._1.toSet
+            val base = if (rs.isEmpty) postings else postings.filterNot(rs)
+            val bs = base.toSet
+            (v, (base ++ d._2.filterNot(bs)).distinct)
+          }, missing = Some((v: Any, d: (Array[K], Array[K])) =>
+            (v, d._2.distinct)))
+        val updated = oldSidx
+          .multiputRDD(newPostings.filter(_._2.nonEmpty))
+          .deleteRDD(newPostings.filter(_._2.isEmpty).keys)
+          .cached
+        secondaries.put(colName, (spec, updated, rangeable))
+        // warm the distinct-count memo (O(partitions), and the pass
+        // that materializes the updated postings) — planning gates on
+        // the memo and must never launch a job itself
+        secCountMemo.put(colName, updated.count())
+      }
     }
 
     /** Build an inverted index on a non-key column now (one shuffle of
@@ -1654,6 +1741,62 @@ object IndexedFrame {
         stats: Map[String, Array[Zone]]): Unit = {
       stats.foreach { case (c, z) => zoneMemo.put(c, z) }
       zoneEnabled ++= enabled
+    }
+
+    /** Transplant the previous snapshot's zone maps across one DML
+      * statement at DELTA cost: one pass over the upserted rows
+      * (attributed to their owning partitions — COW preserves the
+      * partitioner) WIDENS the touched partitions' bounds; untouched
+      * partitions keep theirs. Deletes keep the old bounds untightened:
+      * a zone map is a may-contain filter, so stale-WIDE bounds stay
+      * sound (they only under-prune, never wrongly prune) — OPTIMIZE's
+      * fresh analyze re-tightens. Columns enabled but never analyzed
+      * stay lazy, recomputing at first pruned query as usual. */
+    private[sql] def widenZonesFrom(old: ZoneMapped,
+        deltaByPart: Option[RDD[(Int, InternalRow)]]): Unit = {
+      val (enabled, stats) = old.zoneSnapshot
+      if (enabled.isEmpty) return
+      val cols = stats.keys.toSeq.sorted
+      val widened: Map[String, Array[Zone]] = deltaByPart match {
+        case Some(delta) if cols.nonEmpty =>
+          val meta = cols.zipWithIndex.map { case (c, i) =>
+            (i, schema.fieldIndex(c), schema(c).dataType)
+          }
+          // one delta-sized job: per (column, partition) min/max zones
+          val deltaZones: Array[((Int, Int), Zone)] = delta.mapPartitions { it =>
+            val m = new java.util.HashMap[(Int, Int), Zone]()
+            it.foreach { case (pid, row) =>
+              meta.foreach { case (ci, fi, dt) =>
+                if (!row.isNullAt(fi)) {
+                  val z: Zone = dt match {
+                    case DoubleType => val v = row.getDouble(fi); ZoneDouble(v, v)
+                    case FloatType =>
+                      val v = row.getFloat(fi).toDouble; ZoneDouble(v, v)
+                    case LongType | TimestampType | TimestampNTZType =>
+                      val v = row.getLong(fi); ZoneLong(v, v)
+                    case IntegerType | DateType =>
+                      val v = row.getInt(fi).toLong; ZoneLong(v, v)
+                    case ShortType => val v = row.getShort(fi).toLong; ZoneLong(v, v)
+                    case _ => val v = row.getByte(fi).toLong; ZoneLong(v, v)
+                  }
+                  m.merge((ci, pid), z, (a, b) => mergeZones(a, b))
+                  ()
+                }
+              }
+            }
+            scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.iterator
+          }.collect()
+          cols.zipWithIndex.map { case (c, ci) =>
+            val base = stats(c).clone()
+            deltaZones.foreach { case ((i, pid), z) =>
+              if (i == ci && pid < base.length)
+                base(pid) = mergeZones(base(pid), z)
+            }
+            c -> base
+          }.toMap
+        case _ => stats
+      }
+      restoreZones(enabled, widened)
     }
 
     /** Build zone maps for `cols` now (one stats job per column) and
@@ -2442,6 +2585,26 @@ object IndexedFrame {
       * new handle at first use. See [[graft.IndexedRDD.compacted]]. */
     def compacted: Handle[K] =
       new Handle(idx.compacted(), keyCol, schema, ordered, codec)
+
+    /** Carry `old`'s secondary indexes and zone maps onto THIS
+      * (post-statement) handle at DELTA cost — the DML index
+      * maintenance path; see
+      * [[SecondaryCapable.maintainSecondariesFrom]] and
+      * [[ZoneMapped.widenZonesFrom]]. `old` must be the pre-statement
+      * snapshot of the same table (same key column and type); `del`/
+      * `up` are the statement's change sets as applied. */
+    private[sql] def maintainSidecarsFrom(oldAny: AnyRef,
+        del: Option[DataFrame], up: Option[DataFrame]): Unit = {
+      val old = oldAny.asInstanceOf[Handle[K]]
+      val c = codec
+      val delKeys = del.map(_.queryExecution.toRdd.map(r => c.fromRow(r, 0)))
+      val upKeys = up.map(u => pairs(u, keyCol, c).map(_._1))
+      maintainSecondariesFrom(old, delKeys, upKeys)
+      widenZonesFrom(old, upKeys.map { ks =>
+        idx.lookupJoinStream(ks.map((_, ())))((_, row, _) => row)
+          .mapPartitionsWithIndex((pid, it) => it.map(r => (pid, r)))
+      })
+    }
 
     /** See [[IndexedFrame.mergeClauses]] for the shared clause
       * machinery (conditions, three-valued logic, change-set rows).
@@ -3739,6 +3902,24 @@ object IndexedFrame {
       new CompositeHandle[A, B](idx.compacted(),
         keyColA, keyColB, schema, ordered, codecA, codecB)
 
+    /** Delta-cost sidecar transplant across one DML statement — the
+      * composite twin of [[Handle.maintainSidecarsFrom]]. */
+    private[sql] def maintainSidecarsFrom(oldAny: AnyRef,
+        del: Option[DataFrame], up: Option[DataFrame]): Unit = {
+      val old = oldAny.asInstanceOf[CompositeHandle[A, B]]
+      implicit val kt: ClassTag[(A, B)] = secTag
+      val (ca, cb) = (codecA, codecB)
+      val delKeys = del.map(_.queryExecution.toRdd.map(r =>
+        (ca.fromRow(r, 0), cb.fromRow(r, 1))))
+      val upKeys = up.map(u =>
+        compositePairs(u, keyColA, keyColB, ca, cb).map(_._1))
+      maintainSecondariesFrom(old, delKeys, upKeys)
+      widenZonesFrom(old, upKeys.map { ks =>
+        idx.lookupJoinStream(ks.map((_, ())))((_, row, _) => row)
+          .mapPartitionsWithIndex((pid, it) => it.map(r => (pid, r)))
+      })
+    }
+
     /** DISTRIBUTED copy-on-write delete by (a, b) key pairs: `keys`
       * must be a two-column DataFrame typed like (keyColA, keyColB), in
       * that order. Unknown pairs are ignored, matching SQL DELETE. */
@@ -4550,6 +4731,26 @@ object IndexedFrame {
     /** Snapshot compaction — see [[Handle.compacted]]. */
     def compacted: CompositeNHandle =
       new CompositeNHandle(idx.compacted(), keyCols, schema, ordered, specs)
+
+    /** Delta-cost sidecar transplant across one DML statement — the
+      * N-ary twin of [[Handle.maintainSidecarsFrom]]. */
+    private[sql] def maintainSidecarsFrom(oldAny: AnyRef,
+        del: Option[DataFrame], up: Option[DataFrame]): Unit = {
+      val old = oldAny.asInstanceOf[CompositeNHandle]
+      val cs = specs.map(_.codec)
+      val delKeys = del.map(_.queryExecution.toRdd.map { r =>
+        val parts = new Array[Any](cs.length)
+        var i = 0
+        while (i < cs.length) { parts(i) = cs(i).fromRow(r, i); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): Seq[Any]
+      })
+      val upKeys = up.map(u => keyedRows(u).map(_._1))
+      maintainSecondariesFrom(old, delKeys, upKeys)
+      widenZonesFrom(old, upKeys.map { ks =>
+        idx.lookupJoinStream(ks.map((_, ())))((_, row, _) => row)
+          .mapPartitionsWithIndex((pid, it) => it.map(r => (pid, r)))
+      })
+    }
 
     /** DISTRIBUTED copy-on-write delete by full key tuples: `keys` is
       * an N-column DataFrame typed like the key columns, in key order.

@@ -351,6 +351,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_steal")
   }
 
+  test("DML maintains indexes incrementally: postings, distinct counts, zones") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val path = freshPath("incr")
+    spark.sql("DROP TABLE IF EXISTS catspec_incr")
+    (1L to 200L).map(k => (k, k % 10, k * 1.0))
+      .toDF("k", "grp", "bal").createOrReplaceTempView("catspec_incr_src")
+    spark.sql(s"""CREATE TABLE catspec_incr USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_incr_src""".stripMargin)
+    spark.sql("CREATE INDEX grp_ix ON catspec_incr (grp)")
+    spark.sql("CREATE INDEX bal_zx ON catspec_incr USING ZONEMAP (bal)")
+    // UPDATE moves keys 1..20 from their old grp postings to grp 99
+    spark.sql("UPDATE catspec_incr SET grp = 99 WHERE k <= 20")
+    assert(spark.sql("SELECT count(*) FROM catspec_incr WHERE grp = 99")
+      .collect()(0).getLong(0) === 20)
+    assert(spark.sql("SELECT sum(k) FROM catspec_incr WHERE grp = 1")
+      .collect()(0).getLong(0) === (21L to 191L by 10).sum)
+    // DELETE empties grp 99 entirely: its postings entry must DROP so
+    // the inverted index's size stays the exact count(DISTINCT grp)
+    spark.sql("DELETE FROM catspec_incr WHERE grp = 99")
+    assert(spark.sql("SELECT count(DISTINCT grp) FROM catspec_incr")
+      .collect()(0).getLong(0) === 10) // residues 0..9 all survive k>20
+    assert(spark.sql("SELECT count(*) FROM catspec_incr WHERE grp = 99")
+      .collect()(0).getLong(0) === 0)
+    // MERGE inserts a NEW grp value (its entry must APPEAR) and
+    // re-points an existing key
+    Seq((300L, 55L, 3.0), (25L, 55L, -1.0)).toDF("sk", "sg", "sb")
+      .createOrReplaceTempView("catspec_incr_msrc")
+    spark.sql(
+      """MERGE INTO catspec_incr t USING catspec_incr_msrc s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET grp = s.sg, bal = s.sb
+        |WHEN NOT MATCHED THEN INSERT (k, grp, bal) VALUES (s.sk, s.sg, s.sb)
+        |""".stripMargin)
+    assert(spark.sql("SELECT k FROM catspec_incr WHERE grp = 55")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(25L, 300L))
+    assert(spark.sql("SELECT count(DISTINCT grp) FROM catspec_incr")
+      .collect()(0).getLong(0) === 11) // 0..9 plus the new 55
+    // the reopened session (full re-derive path) agrees on everything
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT count(DISTINCT grp) FROM catspec_incr")
+      .collect()(0).getLong(0) === 11)
+    assert(s2.sql("SELECT k FROM catspec_incr WHERE grp = 55")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(25L, 300L))
+    assert(s2.sql("SELECT sum(bal) FROM catspec_incr").collect()(0)
+      .getDouble(0) ===
+        spark.sql("SELECT sum(bal) FROM catspec_incr").collect()(0).getDouble(0))
+    spark.sql("DROP TABLE IF EXISTS catspec_incr")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
