@@ -731,6 +731,38 @@ object OperatorQueries {
         "SELECT c_custkey, c_name, c_acctbal FROM graft_cat_conc")
     },
 
+    "ir_sql_catalog_evolve" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // SCHEMA EVOLUTION on the durable log: ALTER TABLE ADD COLUMNS
+      // commits a schema delta (nothing rewrites — existing rows read
+      // NULL through one narrow widening layer), later DML writes the
+      // new columns, and a REOPENED session replays base + deltas —
+      // each under the schema current at ITS commit — to the evolved
+      // state
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_evolve").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_evolve")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .createOrReplaceTempView("cat_evolve_src")
+      s.sql(s"""CREATE TABLE graft_cat_evolve USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_evolve_src""".stripMargin)
+      s.sql(
+        "ALTER TABLE graft_cat_evolve ADD COLUMNS (c_tier STRING, c_bonus DOUBLE)")
+      s.sql("""UPDATE graft_cat_evolve SET c_tier = 'gold'
+        |WHERE c_custkey <= 30""".stripMargin)
+      s.sql("""INSERT INTO graft_cat_evolve
+        |VALUES (30000001, 'Evo#1', 10.0, 'new', 1.5)""".stripMargin)
+      val reopened = s.newSession()
+      reopened.sql(
+        """SELECT c_custkey, c_name, c_acctbal, c_tier, c_bonus
+          |FROM graft_cat_evolve""".stripMargin)
+    },
+
     "ir_sql_merge_sqltext_composite" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2866,6 +2898,16 @@ object OperatorQueries {
     "ir_sql_catalog_index_ddl" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |WHERE c_nationkey IN (3, 7, 11)""".stripMargin,
+
+    // additive schema evolution: pre-evolution rows read NULL in the
+    // appended columns, post-evolution DML fills them, plus one insert
+    "ir_sql_catalog_evolve" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  CASE WHEN c_custkey <= 30 THEN 'gold' END AS c_tier,
+        |  CAST(NULL AS DOUBLE) AS c_bonus
+        |FROM customer
+        |UNION ALL
+        |SELECT 30000001, 'Evo#1', 10.0, 'new', 1.5""".stripMargin,
 
     // two concurrent committers on disjoint key ranges — the merged
     // final state is order-independent, and BOTH must have landed

@@ -52,6 +52,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(unquote(id), Left(v.toLong))
     case RestoreTsRe(id, ts) =>
       GraftRestoreCommand(unquote(id), Right(ts))
+    case AlterAddRe(id, parenCols, bareCol) =>
+      val colsText = if (parenCols != null) parenCols else bareCol
+      val cols = splitTopLevel(colsText).map { entry =>
+        val trimmed = entry.trim
+        val (name, typeText) = trimmed.split("\\s+", 2) match {
+          case Array(n, t) => (unquote(n), t)
+          case _ => throw new IllegalArgumentException(
+            s"ALTER TABLE ADD COLUMNS: cannot parse column '$trimmed' " +
+              "(expected <name> <type>)")
+        }
+        (name, delegate.parseDataType(typeText))
+      }
+      // non-graft tables run Spark's own ALTER unchanged (parsed now,
+      // executed only if the target is not a graft table)
+      GraftAlterAddColumnsCommand(unquote(id), cols,
+        delegate.parsePlan(sqlText))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -87,6 +103,27 @@ object GraftSqlParser {
     s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*".r
   private val RestoreTsRe =
     s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*".r
+  // `ALTER TABLE t ADD COLUMN(S) (c1 T1, c2 T2)` or the bare
+  // single-column form without parens (both Delta-accepted shapes)
+  private val AlterAddRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?\\s*" +
+      "(?:\\((.+)\\)|([^(][^;]*?))\\s*;?\\s*").r
+
+  /** Split on commas NOT inside parentheses (types like
+    * `DECIMAL(10,2)` carry their own commas). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().filter(_.trim.nonEmpty)
+  }
 
   private def unquote(id: String): String =
     if (id.startsWith("`")) id.substring(1, id.length - 1) else id
@@ -280,4 +317,39 @@ case class GraftRestoreCommand(view: String, target: Either[Long, String])
   }
   override def simpleString(maxFields: Int): String =
     s"GraftRestore $view to=$target"
+}
+
+/** `ALTER TABLE t ADD COLUMN(S) ...` — additive schema evolution for
+  * graft catalog tables (Delta semantics: appended, nullable, existing
+  * rows read NULL; nothing rewrites — a SCHEMA delta joins the log and
+  * replay widens at that version, so time travel to pre-evolution
+  * versions keeps the OLD schema). Non-graft tables execute Spark's
+  * own parsed ALTER unchanged via the embedded fallback plan. */
+case class GraftAlterAddColumnsCommand(table: String,
+    cols: Seq[(String, DataType)], fallback: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("columns_added", IntegerType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    if (sp.sessionState.catalog.getTempView(table).isEmpty) {
+      GraftTables.tableInfo(sp, table).foreach { case (path, _) =>
+        val v = GraftTables.addColumns(sp, path, cols)
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+        // keep the session catalog's stored schema in step — the
+        // catalog schema is what resolution trusts on the next lookup
+        val newSchema = GraftTables.current(sp, path)._2.schema
+        sp.sessionState.catalog.alterTableDataSchema(ident, newSchema)
+        sp.sessionState.catalog.refreshTable(ident)
+        return Seq(Row(table, cols.length, v))
+      }
+    }
+    // not a graft table: run the delegate-parsed ALTER as Spark wrote it
+    ExpressionBridge.ofRows(sp, fallback).collect()
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftAlterAddColumns $table +${cols.map(_._1).mkString(",")}"
 }

@@ -102,6 +102,9 @@ private[sql] object GraftTables {
       * maps onto this (post-statement) handle. */
     def maintainSidecarsFrom(old: TableHandle,
         del: Option[DataFrame], up: Option[DataFrame]): Unit
+    /** Schema evolution: the same index with rows widened to
+      * `newSchema` (appended columns NULL). */
+    def widen(newSchema: StructType): TableHandle
   }
 
   private final case class H1(h: Handle[_]) extends TableHandle {
@@ -118,6 +121,8 @@ private[sql] object GraftTables {
     def maintainSidecarsFrom(old: TableHandle,
         del: Option[DataFrame], up: Option[DataFrame]): Unit =
       h.maintainSidecarsFrom(old.handleAny, del, up)
+    def widen(newSchema: StructType): TableHandle =
+      H1(h.withWidenedSchema(newSchema))
   }
 
   private final case class H2(h: CompositeHandle[_, _]) extends TableHandle {
@@ -134,6 +139,8 @@ private[sql] object GraftTables {
     def maintainSidecarsFrom(old: TableHandle,
         del: Option[DataFrame], up: Option[DataFrame]): Unit =
       h.maintainSidecarsFrom(old.handleAny, del, up)
+    def widen(newSchema: StructType): TableHandle =
+      H2(h.withWidenedSchema(newSchema))
   }
 
   private final case class HN(h: CompositeNHandle) extends TableHandle {
@@ -150,6 +157,8 @@ private[sql] object GraftTables {
     def maintainSidecarsFrom(old: TableHandle,
         del: Option[DataFrame], up: Option[DataFrame]): Unit =
       h.maintainSidecarsFrom(old.handleAny, del, up)
+    def widen(newSchema: StructType): TableHandle =
+      HN(h.withWidenedSchema(newSchema))
   }
 
   // ------------------------------------------------------------- paths
@@ -327,10 +336,21 @@ private[sql] object GraftTables {
 
   /** Exact-name, exact-type projection — the write AND replay sides of
     * the delta log both pass through it, so what applies live is what
-    * a reopened session reads. */
-  private[sql] def alignTo(df: DataFrame, schema: StructType): DataFrame =
-    df.select(schema.fields.toIndexedSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+    * a reopened session reads. Columns the frame lacks fill with NULL
+    * when the table schema allows it (Delta's additive-evolution
+    * semantics: a pre-evolution writer keeps working after ADD
+    * COLUMN); a missing NON-nullable column is still an error. */
+  private[sql] def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else {
+        require(f.nullable,
+          s"frame is missing non-nullable column '${f.name}'")
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
 
   private def keySchemaOf(schema: StructType, keyCols: Seq[String]): StructType =
     StructType(keyCols.map(k => schema(k)))
@@ -350,16 +370,45 @@ private[sql] object GraftTables {
       .write.mode("overwrite").parquet(s"$dir/del"))
     up.foreach(u => writable(alignTo(u, schema))
       .write.mode("overwrite").parquet(s"$dir/up"))
+    writeMeta(sp, dir, truncate, del.isDefined, up.isDefined,
+      hasSchema = false)
+    writeVersion(sp, path, v)
+  }
+
+  /** Persist an `ALTER TABLE ... ADD COLUMN` as a SCHEMA delta: no
+    * change-set rows, just `_schema` (the full post-evolution schema
+    * as StructType JSON) — replay widens the handle when it reaches
+    * this version, so every delta applies under the schema that was
+    * current when it committed. */
+  private def writeSchemaDelta(sp: SparkSession, path: String, v: Long,
+      newSchema: StructType): Unit = {
+    val dir = deltaDir(path, v)
     val (fs, _) = fsOf(sp, path)
+    val out = fs.create(new Path(dir, "_schema"), true)
+    try out.write(newSchema.json.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    writeMeta(sp, dir, truncate = false, hasDel = false, hasUp = false,
+      hasSchema = true)
+    writeVersion(sp, path, v)
+  }
+
+  /** The delta commit record. The trailing `hasSchema` boolean is a
+    * FORMAT EXTENSION (r14): pre-extension metas simply end after the
+    * stamp, and readers treat EOF as false — old logs replay
+    * unchanged. */
+  private def writeMeta(sp: SparkSession, dir: String, truncate: Boolean,
+      hasDel: Boolean, hasUp: Boolean, hasSchema: Boolean): Unit = {
+    val (fs, _) = fsOf(sp, dir)
     val out = new java.io.ObjectOutputStream(
       fs.create(new Path(dir, "_meta"), true))
     try {
       out.writeBoolean(truncate)
-      out.writeBoolean(del.isDefined)
-      out.writeBoolean(up.isDefined)
+      out.writeBoolean(hasDel)
+      out.writeBoolean(hasUp)
       out.writeLong(System.currentTimeMillis())
+      out.writeBoolean(hasSchema)
     } finally out.close()
-    writeVersion(sp, path, v)
   }
 
   /** Apply delta `v` FROM DISK to `h` — the single replay code path
@@ -369,10 +418,25 @@ private[sql] object GraftTables {
     val dir = deltaDir(path, v)
     val (fs, _) = fsOf(sp, path)
     val in = new java.io.ObjectInputStream(fs.open(new Path(dir, "_meta")))
-    val (truncate, hasDel, hasUp) =
-      try (in.readBoolean(), in.readBoolean(), in.readBoolean())
-      finally in.close()
+    val (truncate, hasDel, hasUp, hasSchema) =
+      try {
+        val t = in.readBoolean(); val d = in.readBoolean()
+        val u = in.readBoolean(); in.readLong()
+        // format extension (r14): pre-extension metas end here
+        val s = try in.readBoolean() catch { case _: java.io.EOFException => false }
+        (t, d, u, s)
+      } finally in.close()
     var cur = h
+    if (hasSchema) {
+      val sin = fs.open(new Path(dir, "_schema"))
+      val json =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(sin),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally sin.close()
+      cur = cur.widen(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType])
+    }
     if (truncate)
       cur = cur.delete(cur.toDF(sp).select(cur.keyCols.map(col): _*))
     if (hasDel)
@@ -670,6 +734,44 @@ private[sql] object GraftTables {
         s"graft table commit conflict retry budget exhausted at $path")
       awaitCommitted(sp, path, next)
     }
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN(S)`: commit a SCHEMA delta (additive,
+    * nullable — Delta's evolution semantics) under the same optimistic
+    * claim protocol as DML. Existing rows read NULL in the new columns
+    * via one narrow widening layer; nothing is rewritten, the log
+    * replays each delta under the schema current at ITS commit, and
+    * the version history (time travel to pre-evolution versions with
+    * the OLD schema included) stays intact. Returns the new version. */
+  private[sql] def addColumns(sp: SparkSession, path: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    var attempt = 0
+    while (true) {
+      val (v, h) = current(sp, path)
+      cols.foreach { case (n, _) =>
+        require(!h.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"column '$n' already exists") }
+      val next = v + 1
+      if (claimDelta(sp, path, next)) {
+        val newSchema = StructType(h.schema.fields ++ cols.map {
+          case (n, t) =>
+            org.apache.spark.sql.types.StructField(n, t, nullable = true)
+        })
+        writeSchemaDelta(sp, path, next, newSchema)
+        val h2 = h.widen(newSchema)
+        // sidecars carry over verbatim: postings and zones reference
+        // columns whose positions the append-only widening preserves
+        h2.maintainSidecarsFrom(h, None, None)
+        cacheOf(sp).put(canonical(sp, path), (next, h2))
+        return next
+      }
+      attempt += 1
+      require(attempt <= 1000,
+        s"graft table commit conflict retry budget exhausted at $path")
+      awaitCommitted(sp, path, next)
+    }
+    -1L // unreachable
   }
 
   /** `OPTIMIZE` for catalog tables: rewrite the base save as the

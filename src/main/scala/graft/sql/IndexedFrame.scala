@@ -343,6 +343,40 @@ object IndexedFrame {
     case _: BigIntCodec => "bigint"
   }
 
+  // ----------------------------------------------------- schema evolution
+
+  /** Serializable row widener for `ALTER TABLE ... ADD COLUMN`: old
+    * fields copy by position, appended fields read NULL. The unsafe
+    * projection and scratch row re-create lazily per deserialized
+    * task — never shipped. */
+  private final class WidenRow(oldTypes: Array[DataType],
+      newSchema: StructType) extends (InternalRow => InternalRow)
+      with Serializable {
+    @transient private lazy val proj = UnsafeProjection.create(newSchema)
+    @transient private lazy val buf = new GenericInternalRow(newSchema.length)
+    def apply(r: InternalRow): InternalRow = {
+      var i = 0
+      while (i < oldTypes.length) { buf.update(i, r.get(i, oldTypes(i))); i += 1 }
+      var j = oldTypes.length
+      while (j < newSchema.length) { buf.update(j, null); j += 1 }
+      proj(buf).copy()
+    }
+  }
+
+  /** Guard for schema evolution: strictly APPEND-ONLY (existing
+    * columns keep name, type, and position) and added columns must be
+    * nullable — the replayed log fills them with NULL. */
+  private[sql] def validateWiden(oldSchema: StructType,
+      newSchema: StructType): Unit = {
+    require(newSchema.length >= oldSchema.length &&
+      oldSchema.fields.zip(newSchema.fields).forall { case (a, b) =>
+        a.name == b.name && a.dataType == b.dataType },
+      s"schema evolution must append columns: " +
+        s"${oldSchema.simpleString} -> ${newSchema.simpleString}")
+    require(newSchema.fields.drop(oldSchema.length).forall(_.nullable),
+      "added columns must be nullable")
+  }
+
   // ------------------------------------------------------------ zone maps
 
   /** Per-partition min/max summary of one VALUE column — the SMA /
@@ -955,6 +989,15 @@ object IndexedFrame {
       val touched: Option[RDD[K]] = (delKeys, upKeys) match {
         case (Some(d), Some(u)) => Some(d.union(u))
         case (d, u) => d.orElse(u)
+      }
+      if (touched.isEmpty) {
+        // nothing changed (a pure schema-evolution version): the old
+        // postings carry over verbatim, memoized counts included
+        oldEntries.foreach { case (c, e) =>
+          secondaries.put(c, e)
+          old.secCountMemo.get(c).foreach(secCountMemo.put(c, _))
+        }
+        return
       }
       oldEntries.foreach { case (colName, (spec, oldSidx, rangeable)) =>
         val sCodec = spec.codec
@@ -2586,6 +2629,18 @@ object IndexedFrame {
     def compacted: Handle[K] =
       new Handle(idx.compacted(), keyCol, schema, ordered, codec)
 
+    /** Schema evolution (`ALTER TABLE ... ADD COLUMN`): a handle over
+      * the SAME index whose rows widen lazily to `newSchema` — old
+      * fields by position, appended fields NULL. One narrow
+      * index-preserving mapValues layer (no shuffle, keys untouched);
+      * OPTIMIZE folds it into the base like any other COW layer. */
+    private[sql] def withWidenedSchema(newSchema: StructType): Handle[K] = {
+      IndexedFrame.validateWiden(schema, newSchema)
+      if (newSchema.length == schema.length) return this
+      val f = new WidenRow(schema.fields.map(_.dataType), newSchema)
+      new Handle(idx.mapValues(f(_)), keyCol, newSchema, ordered, codec)
+    }
+
     /** Carry `old`'s secondary indexes and zone maps onto THIS
       * (post-statement) handle at DELTA cost — the DML index
       * maintenance path; see
@@ -3902,6 +3957,15 @@ object IndexedFrame {
       new CompositeHandle[A, B](idx.compacted(),
         keyColA, keyColB, schema, ordered, codecA, codecB)
 
+    /** Schema evolution — see [[Handle.withWidenedSchema]]. */
+    private[sql] def withWidenedSchema(newSchema: StructType): CompositeHandle[A, B] = {
+      IndexedFrame.validateWiden(schema, newSchema)
+      if (newSchema.length == schema.length) return this
+      val f = new WidenRow(schema.fields.map(_.dataType), newSchema)
+      new CompositeHandle[A, B](idx.mapValues(f(_)),
+        keyColA, keyColB, newSchema, ordered, codecA, codecB)
+    }
+
     /** Delta-cost sidecar transplant across one DML statement — the
       * composite twin of [[Handle.maintainSidecarsFrom]]. */
     private[sql] def maintainSidecarsFrom(oldAny: AnyRef,
@@ -4731,6 +4795,15 @@ object IndexedFrame {
     /** Snapshot compaction — see [[Handle.compacted]]. */
     def compacted: CompositeNHandle =
       new CompositeNHandle(idx.compacted(), keyCols, schema, ordered, specs)
+
+    /** Schema evolution — see [[Handle.withWidenedSchema]]. */
+    private[sql] def withWidenedSchema(newSchema: StructType): CompositeNHandle = {
+      IndexedFrame.validateWiden(schema, newSchema)
+      if (newSchema.length == schema.length) return this
+      val f = new WidenRow(schema.fields.map(_.dataType), newSchema)
+      new CompositeNHandle(idx.mapValues(f(_)),
+        keyCols, newSchema, ordered, specs)
+    }
 
     /** Delta-cost sidecar transplant across one DML statement — the
       * N-ary twin of [[Handle.maintainSidecarsFrom]]. */

@@ -400,6 +400,57 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_incr")
   }
 
+  test("ALTER TABLE ADD COLUMNS: additive evolution, DML, reopen, time travel") {
+    val path = freshPath("evolve")
+    spark.sql("DROP TABLE IF EXISTS catspec_ev")
+    (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_ev_src")
+    spark.sql(s"""CREATE TABLE catspec_ev USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_ev_src""".stripMargin)
+    spark.sql("UPDATE catspec_ev SET bal = 0 WHERE k = 1") // pre-evolve DML
+    val out = spark.sql(
+      "ALTER TABLE catspec_ev ADD COLUMNS (tier STRING, bonus DOUBLE)")
+      .collect()(0)
+    assert(out.getInt(1) === 2 && out.getLong(2) === 2L)
+    // existing rows read NULL in the appended columns
+    assert(spark.sql("SELECT count(*) FROM catspec_ev WHERE tier IS NULL")
+      .collect()(0).getLong(0) === 50)
+    // post-evolution DML writes the new columns
+    spark.sql("UPDATE catspec_ev SET tier = 'gold' WHERE k <= 10")
+    spark.sql("INSERT INTO catspec_ev VALUES (100, 5.0, 'new', 1.5)")
+    // a pre-evolution writer (old column set) keeps working: missing
+    // nullable columns fill with NULL on the way in
+    Seq((200L, 7.0)).toDF("k", "bal")
+      .write.format("graft").mode("append").save(path)
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT * FROM catspec_ev").columns.toSeq ===
+      Seq("k", "bal", "tier", "bonus"))
+    assert(s2.sql("SELECT count(*) FROM catspec_ev WHERE tier = 'gold'")
+      .collect()(0).getLong(0) === 10)
+    assert(s2.sql("SELECT bonus FROM catspec_ev WHERE k = 100")
+      .collect()(0).getDouble(0) === 1.5)
+    assert(s2.sql("SELECT tier FROM catspec_ev WHERE k = 200")
+      .collect()(0).isNullAt(0))
+    // time travel BEFORE the evolution keeps the OLD schema
+    assert(s2.sql("SELECT * FROM catspec_ev VERSION AS OF 1").columns.toSeq
+      === Seq("k", "bal"))
+    // OPTIMIZE folds the widening layer into the base; a fresh session
+    // then reads the evolved schema straight from the save
+    s2.sql("OPTIMIZE catspec_ev")
+    val s3 = spark.newSession()
+    assert(s3.sql("SELECT count(*) FROM catspec_ev WHERE tier = 'gold'")
+      .collect()(0).getLong(0) === 10)
+    assert(s3.sql("SELECT count(*) FROM catspec_ev")
+      .collect()(0).getLong(0) === 52)
+    // a NON-graft statement falls through to Spark's own ALTER
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE catspec_no_such ADD COLUMNS (x INT)"))
+    assert(e.getMessage.toLowerCase.contains("table") ||
+      e.getMessage.toLowerCase.contains("not found"))
+    spark.sql("DROP TABLE IF EXISTS catspec_ev")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
