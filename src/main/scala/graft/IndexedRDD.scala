@@ -108,6 +108,60 @@ class IndexedRDD[K: ClassTag, V: ClassTag] private[graft] (
     new IndexedRDD(parts)
   }
 
+  /** Per-partition index sizes, one O(partitions) header pass (no
+    * tuple scan) — the balance probe [[reskewed]] and maintenance
+    * tooling read. */
+  def partitionSizes(): Array[Long] = {
+    val pairs = partitionsRDD.mapPartitionsWithIndex((pid, it) =>
+      Iterator.single((pid, if (it.hasNext) it.next().size else 0L))).collect()
+    val out = new Array[Long](partitionsRDD.getNumPartitions)
+    pairs.foreach { case (pid, n) => out(pid) = n }
+    out
+  }
+
+  /** POST-BUILD re-skew (the [[IndexedRDD.skewAware]] guard re-run on
+    * a live index): if any partition outgrew `maxRowsPerPartition` —
+    * months of upserts concentrating on one bucket's key range — the
+    * entries rebuild under a fresh [[IndexedRDD.SplitPartitioner]]
+    * sized from the OBSERVED per-partition counts (for an existing
+    * split layout, sub-partition counts fold back onto their base
+    * buckets first, so splits re-size rather than stack). Balanced
+    * indexes return `this` after one O(partitions) size probe; the
+    * rebuild itself is a full shuffle — pair it with compaction
+    * (OPTIMIZE), which rewrites the base anyway. Non-hash layouts
+    * (range partitioning) return `this`: an order-breaking split would
+    * void their pruning contract — re-range-partition those
+    * explicitly. `ordered` selects the per-partition layout of the
+    * rebuilt index (radix vs hash), matching the original build. */
+  def reskewed(maxRowsPerPartition: Long, ordered: Boolean = false)(
+      implicit ser: KeySerializer[K]): IndexedRDD[K, V] = {
+    require(maxRowsPerPartition > 0)
+    val sizes = partitionSizes()
+    if (sizes.forall(_ <= maxRowsPerPartition)) return this
+    def resplit(counts: Array[Long]): Array[Int] = counts.map(c =>
+      math.max(1L, (c + maxRowsPerPartition - 1) / maxRowsPerPartition).toInt)
+    val newPart = partitioner.get match {
+      case hp: HashPartitioner =>
+        Some(new IndexedRDD.SplitPartitioner(hp.numPartitions, resplit(sizes)))
+      case sp0: IndexedRDD.SplitPartitioner =>
+        val baseCounts = new Array[Long](sp0.baseParts)
+        var b = 0; var p = 0
+        while (b < sp0.baseParts) {
+          var i = 0
+          while (i < sp0.splits(b)) { baseCounts(b) += sizes(p); p += 1; i += 1 }
+          b += 1
+        }
+        Some(new IndexedRDD.SplitPartitioner(sp0.baseParts, resplit(baseCounts)))
+      case _ => None
+    }
+    newPart match {
+      case None => this
+      case Some(np) =>
+        val moved = (this: RDD[(K, V)]).partitionBy(np)
+        if (ordered) IndexedRDD.ordered(moved) else IndexedRDD(moved)
+    }
+  }
+
   /** Longest dependency path under the index (diagnostic: the replay
     * depth a cold read of this snapshot pays; `compacted()` resets it). */
   def lineageDepth: Int = {

@@ -105,6 +105,8 @@ private[sql] object GraftTables {
     /** Schema evolution: the same index with rows widened to
       * `newSchema` (appended columns NULL). */
     def widen(newSchema: StructType): TableHandle
+    /** Post-build re-skew under the table's persisted cap. */
+    def reskew(maxRowsPerPartition: Long): TableHandle
   }
 
   private final case class H1(h: Handle[_]) extends TableHandle {
@@ -123,6 +125,8 @@ private[sql] object GraftTables {
       h.maintainSidecarsFrom(old.handleAny, del, up)
     def widen(newSchema: StructType): TableHandle =
       H1(h.withWidenedSchema(newSchema))
+    def reskew(maxRowsPerPartition: Long): TableHandle =
+      H1(h.reskewed(maxRowsPerPartition))
   }
 
   private final case class H2(h: CompositeHandle[_, _]) extends TableHandle {
@@ -141,6 +145,8 @@ private[sql] object GraftTables {
       h.maintainSidecarsFrom(old.handleAny, del, up)
     def widen(newSchema: StructType): TableHandle =
       H2(h.withWidenedSchema(newSchema))
+    def reskew(maxRowsPerPartition: Long): TableHandle =
+      H2(h.reskewed(maxRowsPerPartition))
   }
 
   private final case class HN(h: CompositeNHandle) extends TableHandle {
@@ -159,6 +165,8 @@ private[sql] object GraftTables {
       h.maintainSidecarsFrom(old.handleAny, del, up)
     def widen(newSchema: StructType): TableHandle =
       HN(h.withWidenedSchema(newSchema))
+    def reskew(maxRowsPerPartition: Long): TableHandle =
+      HN(h.reskewed(maxRowsPerPartition))
   }
 
   // ------------------------------------------------------------- paths
@@ -258,12 +266,28 @@ private[sql] object GraftTables {
       case ks =>
         HN(IndexedFrame.indexCompositeN(data, ks, ordered, parts, uuidCols))
     }
-    h.saveTo(path)
+    // OPTIONS (maxpart 'n'): the OVERSIZED-PARTITION guard, persisted —
+    // the build re-splits any bucket over the cap now, and every later
+    // OPTIMIZE re-runs the same check (upserts can regrow a hot bucket)
+    val skewCap = parameters.get("maxpart").map(_.toLong)
+    skewCap.foreach(c => require(c > 0, s"maxpart must be positive (got $c)"))
+    val hh = skewCap.map(h.reskew).getOrElse(h)
+    hh.saveTo(path)
     clearDeltas(sp, path)
     writeVersion(sp, path, 0L)
     writeFirstVersion(sp, path, 0L)
+    val (fs, p) = fsOf(sp, path)
+    skewCap.foreach(c =>
+      graft.MarkerFile.writeLong(fs, new Path(p, "_skewcap"), c))
     purgeAllSessions(sp, path)
-    cacheOf(sp).put(canonical(sp, path), (0L, h))
+    cacheOf(sp).put(canonical(sp, path), (0L, hh))
+  }
+
+  /** The persisted oversized-partition cap (`maxpart` CTAS option), if
+    * any — compaction re-checks balance against it. */
+  private def readSkewCap(sp: SparkSession, path: String): Option[Long] = {
+    val (fs, p) = fsOf(sp, path)
+    graft.MarkerFile.readLong(fs, new Path(p, "_skewcap"))
   }
 
   // --------------------------------------------------------- delta log
@@ -869,7 +893,11 @@ private[sql] object GraftTables {
     * is complete. */
   private def rebase(sp: SparkSession, path: String, target: Long): Unit = {
     val dv = diskVersion(sp, path)
-    val h = loadVersion(sp, path, target)
+    val h0 = loadVersion(sp, path, target)
+    // re-run the skew guard while the base is being rewritten anyway:
+    // a hot bucket that absorbed months of upserts re-splits here, so
+    // no partition outgrows the persisted cap indefinitely
+    val h = readSkewCap(sp, path).map(h0.reskew).getOrElse(h0)
     val (fs, p) = fsOf(sp, path)
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
     fs.delete(tmp, true)
@@ -892,6 +920,15 @@ private[sql] object GraftTables {
     // it (the stamp is read pre-swap from the about-to-fold log)
     writeFirstTime(sp, tmp.toString,
       historyTimes(sp, path)((target - tableFirstVersion(sp, path)).toInt))
+    // durable root-dir sidecars ride the swap too: the SQL index-name
+    // manifest (losing it would silently end index maintenance after
+    // an OPTIMIZE) and the skew cap
+    val nm = new Path(p, "_indexnames")
+    if (fs.exists(nm))
+      org.apache.hadoop.fs.FileUtil.copy(fs, nm, fs,
+        new Path(tmp, "_indexnames"), false, sp.sparkContext.hadoopConfiguration)
+    readSkewCap(sp, path).foreach(c =>
+      graft.MarkerFile.writeLong(fs, new Path(tmp, "_skewcap"), c))
     fs.delete(p, true)
     require(fs.rename(tmp, p), s"compaction rename failed for $path")
     purgeAllSessions(sp, path)

@@ -2629,6 +2629,13 @@ object IndexedFrame {
     def compacted: Handle[K] =
       new Handle(idx.compacted(), keyCol, schema, ordered, codec)
 
+    /** Post-build re-skew — [[graft.IndexedRDD.reskewed]] under this
+      * handle's layout; `this` when already balanced (or range-laid). */
+    private[sql] def reskewed(maxRowsPerPartition: Long): Handle[K] = {
+      val r = idx.reskewed(maxRowsPerPartition, ordered)
+      if (r eq idx) this else new Handle(r, keyCol, schema, ordered, codec)
+    }
+
     /** Schema evolution (`ALTER TABLE ... ADD COLUMN`): a handle over
       * the SAME index whose rows widen lazily to `newSchema` — old
       * fields by position, appended fields NULL. One narrow
@@ -3957,6 +3964,14 @@ object IndexedFrame {
       new CompositeHandle[A, B](idx.compacted(),
         keyColA, keyColB, schema, ordered, codecA, codecB)
 
+    /** Post-build re-skew — see [[Handle.reskewed]]. */
+    private[sql] def reskewed(maxRowsPerPartition: Long): CompositeHandle[A, B] = {
+      val r = idx.reskewed(maxRowsPerPartition, ordered)
+      if (r eq idx) this
+      else new CompositeHandle[A, B](r, keyColA, keyColB, schema, ordered,
+        codecA, codecB)
+    }
+
     /** Schema evolution — see [[Handle.withWidenedSchema]]. */
     private[sql] def withWidenedSchema(newSchema: StructType): CompositeHandle[A, B] = {
       IndexedFrame.validateWiden(schema, newSchema)
@@ -4795,6 +4810,13 @@ object IndexedFrame {
     /** Snapshot compaction — see [[Handle.compacted]]. */
     def compacted: CompositeNHandle =
       new CompositeNHandle(idx.compacted(), keyCols, schema, ordered, specs)
+
+    /** Post-build re-skew — see [[Handle.reskewed]]. */
+    private[sql] def reskewed(maxRowsPerPartition: Long): CompositeNHandle = {
+      val r = idx.reskewed(maxRowsPerPartition, ordered)
+      if (r eq idx) this
+      else new CompositeNHandle(r, keyCols, schema, ordered, specs)
+    }
 
     /** Schema evolution — see [[Handle.withWidenedSchema]]. */
     private[sql] def withWidenedSchema(newSchema: StructType): CompositeNHandle = {

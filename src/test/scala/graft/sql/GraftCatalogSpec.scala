@@ -451,6 +451,69 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_ev")
   }
 
+  test("OPTIMIZE re-splits partitions that outgrew the persisted skew cap") {
+    val path = freshPath("skew")
+    spark.sql("DROP TABLE IF EXISTS catspec_skew")
+    // every key a multiple of 8: a vanilla 8-bucket hash build piles
+    // the whole corpus into partition 0
+    (1L to 50L).map(i => (i * 8, i * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_skew_src")
+    spark.sql(s"""CREATE TABLE catspec_skew USING graft
+      |OPTIONS (key 'k', partitions '8', maxpart '100') LOCATION '$path'
+      |AS SELECT * FROM catspec_skew_src""".stripMargin)
+    def sizes(s: org.apache.spark.sql.SparkSession): Array[Long] =
+      GraftTables.current(s, path)._2.idxAny.partitionSizes()
+    // 50 hot-bucket rows are under the cap: single-level layout stands
+    assert(sizes(spark).length === 8 && sizes(spark).max === 50)
+    // 250 more hot-bucket keys regrow partition 0 far past the cap
+    (51L to 300L).map(i => (i * 8, -1.0)).toDF("k", "bal")
+      .write.format("graft").mode("append").save(path)
+    assert(sizes(spark).max === 300)
+    spark.sql("OPTIMIZE catspec_skew")
+    val after = sizes(spark)
+    assert(after.sum === 300)
+    // the hot bucket split three ways (ceil(300/cap)); the second hash
+    // is deterministic on this fixed key set, sub-partitions land near
+    // the 100-row expectation — and far under the 300-row pile
+    assert(after.length === 10)
+    assert(after.max <= 130, s"max ${after.max} of ${after.toSeq}")
+    // routing stays a pure key function through the two-level
+    // partitioner: point probes, IN probes, and a reopen all work
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT bal FROM catspec_skew WHERE k = 80")
+      .collect()(0).getDouble(0) === 10.0)
+    assert(s2.sql("SELECT count(*) FROM catspec_skew WHERE k IN (8, 800, 2400)")
+      .collect()(0).getLong(0) === 3)
+    assert(s2.sql("SELECT sum(bal) FROM catspec_skew").collect()(0)
+      .getDouble(0) === (1L to 50L).map(_.toDouble).sum - 250.0)
+    spark.sql("DROP TABLE IF EXISTS catspec_skew")
+  }
+
+  test("OPTIMIZE keeps the index-name manifest (maintenance survives)") {
+    val path = freshPath("optix")
+    spark.sql("DROP TABLE IF EXISTS catspec_optix")
+    (1L to 100L).map(k => (k, k % 7, k * 1.0)).toDF("k", "grp", "bal")
+      .createOrReplaceTempView("catspec_optix_src")
+    spark.sql(s"""CREATE TABLE catspec_optix USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_optix_src""".stripMargin)
+    spark.sql("CREATE INDEX g_ix ON catspec_optix (grp)")
+    spark.sql("UPDATE catspec_optix SET grp = 50 WHERE k <= 5")
+    spark.sql("OPTIMIZE catspec_optix")
+    // the manifest survived the base swap: post-OPTIMIZE DML still
+    // maintains the index, and the name still resolves for DROP
+    spark.sql("UPDATE catspec_optix SET grp = 60 WHERE k IN (1, 2)")
+    assert(spark.sql("SELECT count(*) FROM catspec_optix WHERE grp = 60")
+      .collect()(0).getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM catspec_optix WHERE grp = 50")
+      .collect()(0).getLong(0) === 3)
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT count(*) FROM catspec_optix WHERE grp = 60")
+      .collect()(0).getLong(0) === 2)
+    s2.sql("DROP INDEX g_ix ON catspec_optix") // name must still resolve
+    spark.sql("DROP TABLE IF EXISTS catspec_optix")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
