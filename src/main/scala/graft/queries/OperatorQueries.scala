@@ -932,6 +932,36 @@ object OperatorQueries {
           |SELECT -2, false, count(*) FROM vac_corpus VERSION AS OF 2""".stripMargin)
     },
 
+    "ir_sql_vacuum_hours" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // TIME-BASED retention (Delta's `RETAIN n HOURS`) on the durable
+      // log: three DML versions, then RETAIN 0 HOURS folds everything
+      // older than "now" — the current version alone survives, under
+      // its ORIGINAL number, and a reopened session pays ONE base load
+      // with zero replays. RETAIN 72 HOURS first proves the
+      // fresh-history no-op (all stamps are younger than the cutoff).
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_vh").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_vh")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_vh_src")
+      s.sql(s"""CREATE TABLE graft_cat_vh USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_vh_src""".stripMargin)
+      s.sql("DELETE FROM graft_cat_vh WHERE c_custkey % 10 = 3")
+      s.sql("""UPDATE graft_cat_vh SET c_nationkey = 0
+        |WHERE c_custkey % 10 = 4""".stripMargin)
+      s.sql("VACUUM graft_cat_vh RETAIN 72 HOURS") // no-op: history is fresh
+      s.sql("VACUUM graft_cat_vh RETAIN 0 HOURS") // folds all history
+      val reopened = s.newSession()
+      reopened.sql(
+        """SELECT h.version, h.is_current, t.cnt, t.nat_sum
+          |FROM graft_history('graft_cat_vh') h
+          |CROSS JOIN (SELECT count(*) AS cnt, sum(c_nationkey) AS nat_sum
+          |            FROM graft_cat_vh) t""".stripMargin)
+    },
+
     "ir_sql_delete_sqltext" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // SQL-text DELETE: the predicate filters THROUGH the handle's
@@ -3065,6 +3095,16 @@ object OperatorQueries {
         |SELECT -1, true, (SELECT count(*) FROM v3)
         |UNION ALL
         |SELECT -2, false, (SELECT count(*) FROM v3)""".stripMargin,
+
+    // RETAIN 0 HOURS folds all history: one retained version (the
+    // current, number intact = 2 after two DML statements)
+    "ir_sql_vacuum_hours" ->
+      """SELECT CAST(2 AS BIGINT) AS version, true AS is_current,
+        |       t.cnt, t.nat_sum
+        |FROM (SELECT count(*) AS cnt,
+        |        CAST(sum(CASE WHEN c_custkey % 10 = 4 THEN 0
+        |                      ELSE c_nationkey END) AS BIGINT) AS nat_sum
+        |      FROM customer WHERE c_custkey % 10 <> 3) t""".stripMargin,
 
     "ir_sql_delete_sqltext" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

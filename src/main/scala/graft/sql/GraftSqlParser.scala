@@ -44,10 +44,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(id) => GraftOptimizeCommand(unquote(id))
-    case VacuumRe(id, n) =>
+    case VacuumRe(id, n, unit) =>
+      val hours = unit != null && unit.toUpperCase.startsWith("HOUR")
       val retain = if (n == null) 1 else n.toInt
-      require(retain >= 1, "VACUUM must retain at least 1 version")
-      GraftVacuumCommand(unquote(id), retain)
+      require(hours || retain >= 1, "VACUUM must retain at least 1 version")
+      require(!hours || retain >= 0, "VACUUM retention hours must be >= 0")
+      GraftVacuumCommand(unquote(id), retain, hours)
     case RestoreVerRe(id, v) =>
       GraftRestoreCommand(unquote(id), Left(v.toLong))
     case RestoreTsRe(id, ts) =>
@@ -96,7 +98,7 @@ object GraftSqlParser {
   private val Ident = "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
   private val OptimizeRe = s"(?is)\\s*OPTIMIZE\\s+$Ident\\s*;?\\s*".r
   private val VacuumRe =
-    s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*".r
+    s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?))?\\s*;?\\s*".r
   // Delta's RESTORE grammar: `RESTORE [TABLE] t TO VERSION AS OF n`
   // and the wall-clock twin with a quoted timestamp literal
   private val RestoreVerRe =
@@ -196,24 +198,38 @@ case class GraftOptimizeCommand(view: String) extends LeafRunnableCommand {
   override def simpleString(maxFields: Int): String = s"GraftOptimize $view"
 }
 
-/** `VACUUM <view> [RETAIN n VERSIONS]`: truncate the time-travel
-  * chain to its newest n versions (default 1 — current only). */
-case class GraftVacuumCommand(view: String, retain: Int)
-    extends LeafRunnableCommand {
+/** `VACUUM <view> [RETAIN n VERSIONS | RETAIN n HOURS]`: truncate the
+  * time-travel chain to its newest n versions (default 1 — current
+  * only), or — the wall-clock form operators actually reason in — to
+  * every version committed within the last n hours (the current
+  * version is always retained, so `RETAIN 0 HOURS` folds all
+  * history). Version numbers never renumber either way. */
+case class GraftVacuumCommand(view: String, retain: Int,
+    hours: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("view", StringType, nullable = false)(),
     AttributeReference("versions_dropped", LongType, nullable = false)(),
     AttributeReference("first_retained_version", LongType, nullable = false)(),
     AttributeReference("current_version", LongType, nullable = false)())
 
+  /** Versions to keep for the HOURS form: those stamped at or after
+    * the cutoff, floor 1 (the current version never folds). */
+  private def keepByAge(times: Seq[Long]): Int = {
+    val cutoff = System.currentTimeMillis() - retain * 3600000L
+    math.max(1, times.count(_ >= cutoff))
+  }
+
   override def run(sp: SparkSession): Seq[Row] = {
     // catalog tables vacuum their on-disk delta log: everything older
-    // than the newest `retain` versions folds into the base save;
-    // version numbers never renumber (dropped ones fail like Delta's
-    // "version no longer exists")
+    // than the retention folds into the base save; version numbers
+    // never renumber (dropped ones fail like Delta's "version no
+    // longer exists")
     if (sp.sessionState.catalog.getTempView(view).isEmpty) {
       GraftTables.tableInfo(sp, view).foreach { case (path, _) =>
-        val (dropped, first, cur) = GraftTables.vacuumTable(sp, path, retain)
+        val keep =
+          if (hours) keepByAge(GraftTables.historyTimes(sp, path))
+          else retain
+        val (dropped, first, cur) = GraftTables.vacuumTable(sp, path, keep)
         sp.sessionState.catalog.refreshTable(
           org.apache.spark.sql.catalyst.TableIdentifier(view))
         return Seq(Row(view, dropped, first, cur))
@@ -222,12 +238,15 @@ case class GraftVacuumCommand(view: String, retain: Int)
     // existence check up front — VACUUM of an unknown name is an
     // error, VACUUM of a known view with no DML history a no-op
     GraftSqlParser.graftViewRelation(sp, view, "VACUUM")
+    val keep =
+      if (hours) keepByAge(GraftSqlExtension.versionTimes(sp, view))
+      else retain
     val (dropped, first, cur) =
-      GraftSqlExtension.vacuumChain(sp, view, retain)
+      GraftSqlExtension.vacuumChain(sp, view, keep)
     Seq(Row(view, dropped, first, cur))
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftVacuum $view retain=$retain"
+    s"GraftVacuum $view retain=$retain${if (hours) " hours" else ""}"
 }
 
 /** `RESTORE [TABLE] <name> TO VERSION|TIMESTAMP AS OF <x>` — Delta's

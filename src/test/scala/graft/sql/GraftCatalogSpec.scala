@@ -514,6 +514,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_optix")
   }
 
+  test("VACUUM RETAIN n HOURS: wall-clock retention, tables and views") {
+    val path = freshPath("vh")
+    spark.sql("DROP TABLE IF EXISTS catspec_vh")
+    (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_vh_src")
+    spark.sql(s"""CREATE TABLE catspec_vh USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_vh_src""".stripMargin)
+    spark.sql("UPDATE catspec_vh SET bal = 0 WHERE k <= 5")
+    spark.sql("DELETE FROM catspec_vh WHERE k > 35")
+    // fresh history is younger than a 72h cutoff: nothing folds
+    val noop = spark.sql("VACUUM catspec_vh RETAIN 72 HOURS").collect()(0)
+    assert(noop.getLong(1) === 0 && noop.getLong(2) === 0)
+    // cutoff "now": everything but the current version folds, the
+    // survivor keeps its number
+    val out = spark.sql("VACUUM catspec_vh RETAIN 0 HOURS").collect()(0)
+    assert(out.getLong(1) === 2 && out.getLong(2) === 2 && out.getLong(3) === 2)
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_vh')")
+      .collect()(0).getLong(0) === 1)
+    assert(s2.sql("SELECT count(*) FROM catspec_vh")
+      .collect()(0).getLong(0) === 35)
+    // the folded version is gone (matches the RETAIN n VERSIONS verb)
+    intercept[Exception](
+      s2.sql("SELECT * FROM catspec_vh VERSION AS OF 0").collect())
+    // the in-session VIEW chain takes the same verb
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val h = IndexedFrame.index(
+      (1L to 20L).map(k => (k, k * 2.0)).toDF("k", "v"), "k")
+    h.toDF.createOrReplaceTempView("catspec_vh_view")
+    spark.sql("UPDATE catspec_vh_view SET v = -1 WHERE k <= 3")
+    spark.sql("DELETE FROM catspec_vh_view WHERE k = 20")
+    val vout = spark.sql("VACUUM catspec_vh_view RETAIN 0 HOURS").collect()(0)
+    assert(vout.getLong(1) === 2)
+    assert(spark.sql("SELECT count(*) FROM catspec_vh_view")
+      .collect()(0).getLong(0) === 19)
+    spark.sql("DROP TABLE IF EXISTS catspec_vh")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
