@@ -6154,8 +6154,23 @@ object IndexedFrame {
           val keys = keySets.reduce(_ intersect _).toArray(h.kTag)
           h.lastScanKind = "point"
           h.lastPointLookupKeys = keys.length
-          val hit = h.idx.multiget(keys).values.toSeq
-          sqlContext.sparkContext.parallelize(hit, 1)
+          // PRIMARY point probes memoize like secondary probes (sound:
+          // the handle is an immutable snapshot) — a repeated key set,
+          // the dashboard shape, skips the broadcast + pruned job and
+          // answers driver-side with zero jobs
+          val sig = "pk:" + keys.sorted(h.codec.ord).iterator
+            .map(k => { val t = String.valueOf(k); s"${t.length}:$t" })
+            .mkString(",")
+          h.probeMemoGet(sig) match {
+            case Some((_, memoRows, _)) =>
+              h.lastProbeMemoHit = true
+              sqlContext.sparkContext.parallelize(memoRows.toIndexedSeq, 1)
+            case None =>
+              h.lastProbeMemoHit = false
+              val hit = h.idx.multiget(keys).values.toArray
+              h.probeMemoPut(sig, keys, hit, usedRange = false)
+              sqlContext.sparkContext.parallelize(hit.toIndexedSeq, 1)
+          }
         } else if (ivs.nonEmpty) {
           // intersect all pushed bounds into one half-open interval
           val iv = meet(ivs.toSeq, h.codec.ord)

@@ -110,4 +110,35 @@ class ProbeMemoSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(dir)
     assert(q() === Seq("v5", "v6"))
   }
+
+  test("PRIMARY point probes memoize: a repeated key set runs zero probe jobs") {
+    val corpus = (1L to 3000L).map(k => (k, s"v$k")).toDF("k", "v")
+    val h = IndexedFrame.index(corpus, "k", numPartitions = 8)
+    val hd = h.toDF
+    val keys = (10L to 40L).map(Long.box)
+    def q() = hd.filter($"k".isin(keys: _*))
+      .select($"v").as[String].collect().sorted.toSeq
+    val expect = (10L to 40L).map(k => s"v$k").sorted
+    val (first, _) = jobsDuring(q())
+    assert(first === expect)
+    assert(!h.lastProbeMemoHit && h.lastScanKind === "point")
+    val (again, jAgain) = jobsDuring(q())
+    assert(again === expect)
+    assert(h.lastProbeMemoHit, "repeat point probe must serve from the memo")
+    // the only job left is the 1-slice parallelize of the memo rows —
+    // the broadcast + pruned multiget job is gone
+    assert(jAgain <= 1, s"memoized point probe started $jAgain jobs")
+    // a different key set misses and probes live
+    val (other, _) = jobsDuring(
+      hd.filter($"k".isin((100L to 105L).map(Long.box): _*))
+        .select($"v").as[String].collect().sorted.toSeq)
+    assert(other === (100L to 105L).map(k => s"v$k").sorted)
+    assert(!h.lastProbeMemoHit)
+    // COW isolation: a mutated snapshot is a NEW handle with an empty
+    // memo — the old entry cannot leak into it
+    val h2 = h.upsertFrame(Seq((20L, "V20!")).toDF("k", "v"))
+    val out2 = h2.toDF.filter($"k".isin(keys: _*))
+      .select($"v").as[String].collect().sorted.toSeq
+    assert(out2.contains("V20!") && !out2.contains("v20"))
+  }
 }
