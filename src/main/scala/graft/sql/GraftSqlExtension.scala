@@ -1203,9 +1203,22 @@ object GraftSqlExtension {
     val keys = keyColsOf(oldP).orElse(keyColsOf(newP)).getOrElse(
       throw new IllegalArgumentException(
         s"view '$view' versions are not graft-indexed relations"))
-    val o = ExpressionBridge.ofRows(sp, oldP)
-    val nw = ExpressionBridge.ofRows(sp, newP)
-    val cols = o.columns.toSeq
+    val o0 = ExpressionBridge.ofRows(sp, oldP)
+    val nw0 = ExpressionBridge.ofRows(sp, newP)
+    // schema evolution is append-only: diff under the WIDER column set,
+    // NULL-filling the narrower side, so a change visible only in an
+    // added column still reports (and pre/post images carry the full
+    // current schema)
+    val wideSchema =
+      if (nw0.schema.length >= o0.schema.length) nw0.schema else o0.schema
+    def widen(df: DataFrame): DataFrame =
+      if (df.schema.length == wideSchema.length) df
+      else df.select(wideSchema.fields.toIndexedSeq.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    val o = widen(o0)
+    val nw = widen(nw0)
+    val cols = wideSchema.fieldNames.toSeq
     val nonKeys = cols.filterNot(keys.contains)
     def tag(df: DataFrame, t: String): DataFrame =
       df.select(cols.map(col) :+ lit(t).as("_change_type"): _*)

@@ -852,7 +852,10 @@ private[sql] object GraftTables {
     val (cur, hCur) = current(sp, path)
     val hT = loadVersion(sp, path, target)
     val c = hCur.toDF(sp)
-    val t = hT.toDF(sp)
+    // restoring to a PRE-EVOLUTION version rolls back the DATA under
+    // the CURRENT schema (added columns read NULL at the target) — the
+    // schema itself never narrows, matching the append-only contract
+    val t = alignTo(hT.toDF(sp), hCur.schema)
     val keys = hCur.keyCols
     val cols = c.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)

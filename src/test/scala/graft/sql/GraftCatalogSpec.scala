@@ -435,14 +435,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     // time travel BEFORE the evolution keeps the OLD schema
     assert(s2.sql("SELECT * FROM catspec_ev VERSION AS OF 1").columns.toSeq
       === Seq("k", "bal"))
-    // OPTIMIZE folds the widening layer into the base; a fresh session
-    // then reads the evolved schema straight from the save
+    // CDC across the evolution boundary diffs under the WIDER schema:
+    // version 1 (pre-evolution) vs current reports the tier updates
+    // with the appended columns NULL-filled on the pre side
+    val chg = s2.sql(
+      """SELECT _change_type, count(*) AS n
+        |FROM graft_changes('catspec_ev', 1)
+        |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 10 tier updates (pre+post) + 2 inserts (k=100 and k=200)
+    assert(chg === Seq(("insert", 2L), ("update_postimage", 10L),
+      ("update_preimage", 10L)))
+    // RESTORE to the pre-evolution version rolls back the DATA under
+    // the CURRENT schema (added columns null again, inserts gone)
+    s2.sql("RESTORE TABLE catspec_ev TO VERSION AS OF 1")
+    assert(s2.sql("SELECT count(*) FROM catspec_ev")
+      .collect()(0).getLong(0) === 50)
+    assert(s2.sql("SELECT count(*) FROM catspec_ev WHERE tier IS NOT NULL")
+      .collect()(0).getLong(0) === 0)
+    assert(s2.sql("SELECT * FROM catspec_ev").columns.toSeq ===
+      Seq("k", "bal", "tier", "bonus"))
+    // OPTIMIZE folds the widening + restore layers into the base; a
+    // fresh session then reads the evolved schema straight from the save
     s2.sql("OPTIMIZE catspec_ev")
     val s3 = spark.newSession()
-    assert(s3.sql("SELECT count(*) FROM catspec_ev WHERE tier = 'gold'")
-      .collect()(0).getLong(0) === 10)
     assert(s3.sql("SELECT count(*) FROM catspec_ev")
-      .collect()(0).getLong(0) === 52)
+      .collect()(0).getLong(0) === 50)
+    assert(s3.sql("SELECT count(*) FROM catspec_ev WHERE tier IS NOT NULL")
+      .collect()(0).getLong(0) === 0)
+    assert(s3.sql("SELECT bal FROM catspec_ev WHERE k = 1")
+      .collect()(0).getDouble(0) === 0.0) // the pre-evolve UPDATE held
     // a NON-graft statement falls through to Spark's own ALTER
     val e = intercept[Exception](
       spark.sql("ALTER TABLE catspec_no_such ADD COLUMNS (x INT)"))
