@@ -2159,6 +2159,68 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_stream_catalog" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // STREAMING INTO THE DURABLE CATALOG: foreachBatch commits each
+      // micro-batch as ONE delta version of a graft table
+      // (GraftCatalogSink) — the same log SQL DML writes, so the
+      // stream's output is time-travelable, CDC-readable, and
+      // OPTIMIZE-able. The query is KILLED between batches and
+      // restarted; a manual duplicate delivery of the last batch id
+      // proves the _txn marker's exactly-once skip; the final read
+      // happens in a REOPENED session replaying base + deltas.
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_stream").toString
+      val engineCkpt = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_stream_q").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_stream")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(engineCkpt)).deleteRecursively()
+      Tables.customer(s, dir).select($"c_custkey", $"c_acctbal".as("val"))
+        .createOrReplaceTempView("cat_stream_src")
+      s.sql(s"""CREATE TABLE graft_cat_stream USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_stream_src""".stripMargin)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+      val sinkFn = graft.sql.GraftCatalogSink.upsertBatch(path, "cat_lane_stream") _
+      def start() = input.toDS().writeStream
+        .queryName(s"ir_stream_catalog_${System.nanoTime()}")
+        .option("checkpointLocation", engineCkpt)
+        .outputMode("update")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[(Long, Double)], id: Long) =>
+          sinkFn(b.toDF("c_custkey", "val"), id))
+        .start()
+      def batchFor(y: Int) = Tables.orders(s, dir)
+        .filter(year($"o_orderdate") === y)
+        .groupBy($"o_custkey").agg(max($"o_totalprice").as("v"))
+        .as[(Long, Double)].collect().toSeq
+      val q1 = start()
+      try {
+        Seq(1995, 1996).foreach { y =>
+          input.addData(batchFor(y)); q1.processAllAvailable()
+        }
+      } finally q1.stop()
+      // kill/restart: the engine checkpoint resumes the stream; the
+      // table log already holds batches 0..1
+      val q2 = start()
+      try { input.addData(batchFor(1997)); q2.processAllAvailable() }
+      finally q2.stop()
+      // at-least-once redelivery of a committed batch id: the txn
+      // marker skips it (no extra version, same content)
+      val vBefore = s.sql("SELECT count(*) FROM graft_history('graft_cat_stream')")
+        .collect()(0).getLong(0)
+      sinkFn(batchFor(1997).toDF("c_custkey", "val"), 2L)
+      val vAfter = s.sql("SELECT count(*) FROM graft_history('graft_cat_stream')")
+        .collect()(0).getLong(0)
+      require(vAfter == vBefore, s"redelivered batch committed: $vBefore -> $vAfter")
+      val reopened = s.newSession()
+      reopened.sql(
+        "SELECT c_custkey, round(val, 2) AS val FROM graft_cat_stream")
+    },
+
     "ir_stream_merge" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -3636,6 +3698,25 @@ object OperatorQueries {
     // the killed-and-restarted run must land exactly where the
     // never-killed ir_stream_sink run lands — same oracle
     "ir_stream_restart" ->
+      """WITH ups AS (
+        |  SELECT o_custkey AS k, max(o_totalprice) AS v,
+        |         year(CAST(o_orderdate AS DATE)) AS b
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997)
+        |  GROUP BY o_custkey, year(CAST(o_orderdate AS DATE))
+        |), last AS (
+        |  SELECT k, v FROM (
+        |    SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY b DESC) AS rn
+        |    FROM ups) t
+        |  WHERE rn = 1
+        |)
+        |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
+        |       round(coalesce(l.v, c.c_acctbal), 2) AS val
+        |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // same replay as ir_stream_restart — the durable-catalog sink
+    // applies identical per-year upsert batches, last write wins
+    "ir_stream_catalog" ->
       """WITH ups AS (
         |  SELECT o_custkey AS k, max(o_totalprice) AS v,
         |         year(CAST(o_orderdate AS DATE)) AS b

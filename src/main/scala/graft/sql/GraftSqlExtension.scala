@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -462,7 +462,20 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def remapWith(e: Expression)(
       pf: PartialFunction[Expression, Expression]): Option[Column] = {
     if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
-    val t = e.transform(pf)
+    // BETWEEN resolves through a With(CommonExpressionDef) wrapper
+    // whose memoized refs break once we swap its attributes for
+    // unresolved names (With.withNewChildrenInternal calls dataType on
+    // the rewritten def) — desugar to the plain conjunction first;
+    // any other With-carrying expression declines the rewrite rather
+    // than failing analysis downstream
+    val pre = e.transform {
+      case b: org.apache.spark.sql.catalyst.expressions.Between =>
+        And(GreaterThanOrEqual(b.input, b.lower),
+          LessThanOrEqual(b.input, b.upper))
+    }
+    if (pre.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.With])) return None
+    val t = pre.transform(pf)
     if (t.exists(_.isInstanceOf[AttributeReference])) None
     else Some(ExpressionBridge.column(t))
   }

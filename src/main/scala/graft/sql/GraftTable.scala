@@ -435,21 +435,34 @@ private[sql] object GraftTables {
     } finally out.close()
   }
 
+  /** One delta's commit record, replay side. */
+  private case class DeltaMeta(truncate: Boolean, hasDel: Boolean,
+      hasUp: Boolean, hasSchema: Boolean) {
+    /** Plain data deltas batch into merged replays; truncate and
+      * schema-evolution deltas apply individually, in order. */
+    def plain: Boolean = !truncate && !hasSchema
+  }
+
+  private def readMeta(sp: SparkSession, path: String, v: Long): DeltaMeta = {
+    val (fs, _) = fsOf(sp, path)
+    val in = new java.io.ObjectInputStream(
+      fs.open(new Path(deltaDir(path, v), "_meta")))
+    try {
+      val t = in.readBoolean(); val d = in.readBoolean()
+      val u = in.readBoolean(); in.readLong()
+      // format extension (r14): pre-extension metas end here
+      val s = try in.readBoolean() catch { case _: java.io.EOFException => false }
+      DeltaMeta(t, d, u, s)
+    } finally in.close()
+  }
+
   /** Apply delta `v` FROM DISK to `h` — the single replay code path
     * shared by live commits and cold reopens. */
   private def applyDelta(sp: SparkSession, h: TableHandle, path: String,
       v: Long): TableHandle = {
     val dir = deltaDir(path, v)
     val (fs, _) = fsOf(sp, path)
-    val in = new java.io.ObjectInputStream(fs.open(new Path(dir, "_meta")))
-    val (truncate, hasDel, hasUp, hasSchema) =
-      try {
-        val t = in.readBoolean(); val d = in.readBoolean()
-        val u = in.readBoolean(); in.readLong()
-        // format extension (r14): pre-extension metas end here
-        val s = try in.readBoolean() catch { case _: java.io.EOFException => false }
-        (t, d, u, s)
-      } finally in.close()
+    val DeltaMeta(truncate, hasDel, hasUp, hasSchema) = readMeta(sp, path, v)
     var cur = h
     if (hasSchema) {
       val sin = fs.open(new Path(dir, "_schema"))
@@ -488,14 +501,73 @@ private[sql] object GraftTables {
         (if (first > 0) " — earlier versions were compacted away)" else ")"))
     vcacheOf(sp).getOrElseUpdate((canonical(sp, path), v), {
       var h = loadBase(sp, path) // the base save IS version `first`
-      var i = first + 1
-      while (i <= v) { h = applyDelta(sp, h, path, i); i += 1 }
+      // BATCHED replay: consecutive PLAIN deltas (no truncate, no
+      // schema change) merge into one last-op-per-key application —
+      // a k-delta reopen costs ~3 delta-sized shuffles instead of 2k.
+      // Truncate/schema deltas fence the runs and apply in order.
+      val versions = (first + 1) to v
+      val metas = versions.map(i => i -> readMeta(sp, path, i)).toMap
+      val run = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def flush(): Unit = {
+        h = applyPlainRun(sp, h, path, run.toSeq, metas)
+        run.clear()
+      }
+      versions.foreach { i =>
+        if (metas(i).plain) run += i
+        else { flush(); h = applyDelta(sp, h, path, i) }
+      }
+      flush()
       // replay strips the loaded sidecar state (fresh handles); the
       // CURRENT version re-derives the manifest's indexes so reopened
       // tables keep routing — historical versions read plain
       if (v == dv && v > first) reapplyIndexes(sp, path, h)
       h
     })
+  }
+
+  /** Apply a RUN of consecutive plain deltas as ONE merged
+    * application: union every delta's change sets tagged with their
+    * version, resolve the LAST operation per key (ties within a
+    * version prefer the upsert — sequential semantics apply a
+    * statement's deletes before its upserts; the DML contract makes
+    * them key-disjoint anyway), then one delete pass + one upsert
+    * pass. Replay equals the sequential fold because upserts are
+    * last-write-wins and deletes of absent keys are no-ops: only each
+    * key's final operation matters. */
+  private def applyPlainRun(sp: SparkSession, h0: TableHandle, path: String,
+      vs: Seq[Long], metas: Map[Long, DeltaMeta]): TableHandle = {
+    if (vs.isEmpty) return h0
+    if (vs.size == 1) return applyDelta(sp, h0, path, vs.head)
+    import org.apache.spark.sql.functions.{asc, desc, lit, row_number}
+    val keyCols = h0.keyCols
+    val keySchema = keySchemaOf(h0.schema, keyCols)
+    val nonKeys = h0.schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val parts: Seq[DataFrame] = vs.flatMap { v =>
+      val m = metas(v)
+      val dir = deltaDir(path, v)
+      val del =
+        if (!m.hasDel) None
+        else Some(alignTo(sp.read.parquet(s"$dir/del"), keySchema)
+          .select((keyCols.map(col) ++ nonKeys.map(c =>
+            lit(null).cast(h0.schema(c).dataType).as(c))) ++
+            Seq(lit(v).as("__v"), lit(true).as("__del")): _*))
+      val up =
+        if (!m.hasUp) None
+        else Some(alignTo(sp.read.parquet(s"$dir/up"), h0.schema)
+          .select(h0.schema.fieldNames.map(col).toSeq ++
+            Seq(lit(v).as("__v"), lit(false).as("__del")): _*))
+      del.toSeq ++ up.toSeq
+    }
+    if (parts.isEmpty) return h0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(desc("__v"), asc("__del"))
+    val last = parts.reduce(_ unionByName _)
+      .select(col("*") +: Seq(row_number().over(w).as("__rn")): _*)
+      .where(col("__rn") === 1)
+    val delKeys = last.where(col("__del")).select(keyCols.map(col): _*)
+    val upRows = last.where(!col("__del"))
+      .select(h0.schema.fieldNames.map(col).toIndexedSeq: _*)
+    h0.delete(delKeys).upsert(upRows)
   }
 
   private val vcaches =

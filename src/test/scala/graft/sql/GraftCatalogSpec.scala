@@ -575,6 +575,77 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_vh")
   }
 
+  test("batched replay equals sequential: interleaved ops, evolution fences") {
+    val path = freshPath("batch")
+    spark.sql("DROP TABLE IF EXISTS catspec_batch")
+    (1L to 30L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_batch_src")
+    spark.sql(s"""CREATE TABLE catspec_batch USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_batch_src""".stripMargin)
+    // a run of plain deltas with keys touched MULTIPLE times (delete
+    // then re-insert, update then update) — last-op-per-key must equal
+    // the sequential fold the live session applied
+    spark.sql("UPDATE catspec_batch SET bal = bal + 1 WHERE k <= 10")
+    spark.sql("DELETE FROM catspec_batch WHERE k BETWEEN 5 AND 8")
+    spark.sql("INSERT INTO catspec_batch VALUES (5, 555.0)")
+    spark.sql("UPDATE catspec_batch SET bal = bal * 2 WHERE k <= 3")
+    // a schema-evolution FENCE mid-chain, then more plain deltas
+    spark.sql("ALTER TABLE catspec_batch ADD COLUMNS (note STRING)")
+    spark.sql("UPDATE catspec_batch SET note = 'x' WHERE k <= 4")
+    spark.sql("DELETE FROM catspec_batch WHERE k = 1")
+    val live = spark.sql("SELECT * FROM catspec_batch ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    val re = spark.newSession().sql("SELECT * FROM catspec_batch ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(re === live)
+    assert(live.length === 26) // 30 - 4 deleted (6,7,8 and 1) ; 5 re-inserted
+    val m = live.map(r => r.head -> r(1)).toMap
+    assert(m(5L) === 555.0 && m(2L) === 6.0 && m(3L) === 8.0)
+    spark.sql("DROP TABLE IF EXISTS catspec_batch")
+  }
+
+  test("GraftCatalogSink: micro-batches become table versions, exactly-once") {
+    val path = freshPath("sink")
+    spark.sql("DROP TABLE IF EXISTS catspec_sink")
+    (1L to 20L).map(k => (k, 0.0)).toDF("k", "v")
+      .createOrReplaceTempView("catspec_sink_src")
+    spark.sql(s"""CREATE TABLE catspec_sink USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_sink_src""".stripMargin)
+    val sink = GraftCatalogSink.upsertBatch(path, "spec-stream") _
+    sink(Seq((1L, 1.0), (21L, 1.0)).toDF("k", "v"), 0L)
+    sink(Seq((2L, 2.0)).toDF("k", "v"), 1L)
+    assert(GraftCatalogSink.lastCommittedBatch(spark, path, "spec-stream") === 1L)
+    // redelivery (restart at-least-once) of a committed id: skipped —
+    // no new version, the stale payload never applies
+    sink(Seq((2L, 99.0)).toDF("k", "v"), 1L)
+    assert(spark.sql("SELECT v FROM catspec_sink WHERE k = 2")
+      .collect()(0).getDouble(0) === 2.0)
+    assert(spark.sql("SELECT count(*) FROM graft_history('catspec_sink')")
+      .collect()(0).getLong(0) === 3) // base + 2 committed batches
+    // each batch is an ordinary table version: time travel + CDC work
+    assert(spark.sql("SELECT count(*) FROM catspec_sink VERSION AS OF 1")
+      .collect()(0).getLong(0) === 21)
+    // a reopened session replays the streamed state bit-for-bit
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT sum(v) FROM catspec_sink").collect()(0)
+      .getDouble(0) === 4.0)
+    assert(s2.sql("SELECT count(*) FROM catspec_sink")
+      .collect()(0).getLong(0) === 21)
+    // crash between delta commit and marker advance: the re-apply of
+    // the same upsert batch is a content no-op (one extra version)
+    val (fs, _) = (org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration),
+      ())
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_txn_spec-stream"), false)
+    sink(Seq((2L, 2.0)).toDF("k", "v"), 1L) // "redelivered" after the crash
+    assert(spark.sql("SELECT sum(v) FROM catspec_sink").collect()(0)
+      .getDouble(0) === 4.0) // same content
+    spark.sql("DROP TABLE IF EXISTS catspec_sink")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
