@@ -2159,6 +2159,38 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_sql_catalog_constraint" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // CHECK CONSTRAINTS on the durable table: ADD validates the
+      // corpus, every later statement gates its upsert rows at delta
+      // cost and a violating statement aborts BEFORE committing (the
+      // rejected UPDATE below must leave no version and no change);
+      // the sidecar is durable, so the final read in a REOPENED
+      // session reflects exactly the statements that passed
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_check").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_check")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_check_src")
+      s.sql(s"""CREATE TABLE graft_cat_check USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_check_src""".stripMargin)
+      s.sql("""ALTER TABLE graft_cat_check
+        |ADD CONSTRAINT sane_bal CHECK (c_acctbal >= -100000)""".stripMargin)
+      s.sql("""UPDATE graft_cat_check SET c_acctbal = c_acctbal + 50
+        |WHERE c_custkey <= 40""".stripMargin)
+      val rejected =
+        try { s.sql(
+          "UPDATE graft_cat_check SET c_acctbal = -9999999 WHERE c_custkey <= 5")
+          false }
+        catch { case e: Exception => e.getMessage.contains("sane_bal") }
+      require(rejected, "violating UPDATE must abort with the constraint name")
+      val reopened = s.newSession()
+      reopened.sql(
+        "SELECT c_custkey, c_name, c_acctbal FROM graft_cat_check")
+    },
+
     "ir_stream_catalog" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -3713,6 +3745,13 @@ object OperatorQueries {
         |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
         |       round(coalesce(l.v, c.c_acctbal), 2) AS val
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // only the PASSING update applied; the rejected one left no trace
+    "ir_sql_catalog_constraint" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey <= 40 THEN c_acctbal + 50 ELSE c_acctbal END
+        |    AS c_acctbal
+        |FROM customer""".stripMargin,
 
     // same replay as ir_stream_restart — the durable-catalog sink
     // applies identical per-year upsert batches, last write wins

@@ -54,6 +54,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(unquote(id), Left(v.toLong))
     case RestoreTsRe(id, ts) =>
       GraftRestoreCommand(unquote(id), Right(ts))
+    case AlterAddConstraintRe(id, name, expr) =>
+      // validate the expression parses NOW (parse errors belong to the
+      // statement, not to the first write it would gate)
+      delegate.parseExpression(expr)
+      GraftConstraintCommand(unquote(id), unquote(name), Some(expr),
+        scala.util.Try(delegate.parsePlan(sqlText)).toOption)
+    case AlterDropConstraintRe(id, name) =>
+      GraftConstraintCommand(unquote(id), unquote(name), None,
+        scala.util.Try(delegate.parsePlan(sqlText)).toOption)
     case AlterAddRe(id, parenCols, bareCol) =>
       val colsText = if (parenCols != null) parenCols else bareCol
       val cols = splitTopLevel(colsText).map { entry =>
@@ -110,6 +119,13 @@ object GraftSqlParser {
   private val AlterAddRe =
     (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?\\s*" +
       "(?:\\((.+)\\)|([^(][^;]*?))\\s*;?\\s*").r
+  // Delta's CHECK-constraint verbs: every later write must satisfy the
+  // expression; adding one validates the existing corpus first
+  private val AlterAddConstraintRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+CONSTRAINT\\s+$Ident" +
+      "\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*").r
+  private val AlterDropConstraintRe =
+    s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+DROP\\s+CONSTRAINT\\s+$Ident\\s*;?\\s*".r
 
   /** Split on commas NOT inside parentheses (types like
     * `DECIMAL(10,2)` carry their own commas). */
@@ -371,4 +387,62 @@ case class GraftAlterAddColumnsCommand(table: String,
   }
   override def simpleString(maxFields: Int): String =
     s"GraftAlterAddColumns $table +${cols.map(_._1).mkString(",")}"
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` / `DROP CONSTRAINT
+  * name` — Delta's CHECK-constraint verbs on graft catalog tables.
+  * Adding validates the EXISTING corpus first (one scan, explicit user
+  * action — same as Delta); every later DML statement, writer-API
+  * append, and streaming batch then gates its upsert rows at delta
+  * cost, aborting BEFORE anything is claimed or written. SQL-standard
+  * semantics: a row violates only when the expression is FALSE
+  * (UNKNOWN passes). The constraints ride the `_constraints` sidecar —
+  * durable across reopen, OPTIMIZE, and VACUUM. Non-graft targets run
+  * Spark's own parsed statement when its grammar accepts it. */
+case class GraftConstraintCommand(table: String, name: String,
+    check: Option[String], fallback: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("action", StringType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    if (sp.sessionState.catalog.getTempView(table).isEmpty) {
+      GraftTables.tableInfo(sp, table).foreach { case (path, _) =>
+        val existing = GraftTables.readConstraints(sp, path)
+        check match {
+          case Some(text) =>
+            require(!existing.exists(_._1 == name),
+              s"constraint '$name' already exists on '$table'")
+            // the whole corpus must already satisfy the new CHECK
+            val df = GraftTables.current(sp, path)._2.toDF(sp)
+            val violated = df.filter(
+              !org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(text),
+                org.apache.spark.sql.functions.lit(true)))
+            require(violated.isEmpty,
+              s"cannot add CHECK constraint '$name' ($text): existing " +
+                s"rows of '$table' violate it")
+            GraftTables.writeConstraints(sp, path, existing :+ (name, text))
+            return Seq(Row(table, name, "added"))
+          case None =>
+            require(existing.exists(_._1 == name),
+              s"no constraint '$name' on '$table'")
+            GraftTables.writeConstraints(sp, path,
+              existing.filterNot(_._1 == name))
+            return Seq(Row(table, name, "dropped"))
+        }
+      }
+    }
+    fallback match {
+      case Some(p) => ExpressionBridge.ofRows(sp, p).collect(); Seq.empty
+      case None => throw new IllegalArgumentException(
+        s"ALTER TABLE ... ${if (check.isDefined) "ADD" else "DROP"} " +
+          s"CONSTRAINT: '$table' is not a graft table and Spark's own " +
+          "grammar rejected the statement")
+    }
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftConstraint $table $name ${if (check.isDefined) "add" else "drop"}"
 }

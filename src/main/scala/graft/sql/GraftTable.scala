@@ -609,6 +609,55 @@ private[sql] object GraftTables {
     }
   }
 
+  // --------------------------------------------------- CHECK constraints
+
+  /** The `_constraints` sidecar: CHECK name -> SQL expression text, in
+    * insertion order. Empty when absent. */
+  private[sql] def readConstraints(sp: SparkSession,
+      path: String): Seq[(String, String)] = {
+    val (fs, p) = fsOf(sp, path)
+    val f = new Path(p, "_constraints")
+    if (!fs.exists(f)) Nil
+    else {
+      val in = new java.io.ObjectInputStream(fs.open(f))
+      try (0 until in.readInt()).map { _ =>
+        (in.readObject().asInstanceOf[String],
+          in.readObject().asInstanceOf[String])
+      } finally in.close()
+    }
+  }
+
+  private[sql] def writeConstraints(sp: SparkSession, path: String,
+      cs: Seq[(String, String)]): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    val out = new java.io.ObjectOutputStream(
+      fs.create(new Path(p, "_constraints"), true))
+    try {
+      out.writeInt(cs.size)
+      cs.foreach { case (n, t) => out.writeObject(n); out.writeObject(t) }
+    } finally out.close()
+  }
+
+  /** SQL-standard CHECK semantics: a row violates only when the
+    * expression is FALSE (UNKNOWN/null passes — Delta agrees). One
+    * delta-sized filter per constraint per statement; the statement
+    * aborts BEFORE anything is claimed or written. */
+  private def enforceConstraints(sp: SparkSession, path: String,
+      up: DataFrame, schema: StructType): Unit = {
+    val cs = readConstraints(sp, path)
+    if (cs.isEmpty) return
+    val aligned = alignTo(up, schema)
+    cs.foreach { case (name, text) =>
+      val violated = aligned.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(text),
+        org.apache.spark.sql.functions.lit(true)))
+      if (!violated.isEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($text) violated by rows this " +
+            "statement would write — nothing was committed")
+    }
+  }
+
   /** The `_indexnames` manifest: SQL index name -> (type, columns),
     * in insertion order. Empty when absent. Disk is the truth for
     * catalog-table index names. */
@@ -810,6 +859,9 @@ private[sql] object GraftTables {
   private[sql] def commitChange(sp: SparkSession, path: String,
       truncate: Boolean, del: Option[DataFrame],
       up: Option[DataFrame]): Unit = {
+    // CHECK constraints gate the rows BEFORE anything claims or writes
+    up.foreach(u => enforceConstraints(sp, path, u,
+      current(sp, path)._2.schema))
     var attempt = 0
     while (true) {
       val (v, h) = current(sp, path)
@@ -997,11 +1049,13 @@ private[sql] object GraftTables {
       historyTimes(sp, path)((target - tableFirstVersion(sp, path)).toInt))
     // durable root-dir sidecars ride the swap too: the SQL index-name
     // manifest (losing it would silently end index maintenance after
-    // an OPTIMIZE) and the skew cap
-    val nm = new Path(p, "_indexnames")
-    if (fs.exists(nm))
-      org.apache.hadoop.fs.FileUtil.copy(fs, nm, fs,
-        new Path(tmp, "_indexnames"), false, sp.sparkContext.hadoopConfiguration)
+    // an OPTIMIZE), the CHECK constraints, and the skew cap
+    Seq("_indexnames", "_constraints").foreach { f =>
+      val src = new Path(p, f)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new Path(tmp, f), false, sp.sparkContext.hadoopConfiguration)
+    }
     readSkewCap(sp, path).foreach(c =>
       graft.MarkerFile.writeLong(fs, new Path(tmp, "_skewcap"), c))
     fs.delete(p, true)

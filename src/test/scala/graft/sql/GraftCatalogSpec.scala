@@ -646,6 +646,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_sink")
   }
 
+  test("CHECK constraints gate every writer; durable across reopen/OPTIMIZE") {
+    val path = freshPath("check")
+    spark.sql("DROP TABLE IF EXISTS catspec_check")
+    (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_check_src")
+    spark.sql(s"""CREATE TABLE catspec_check USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_check_src""".stripMargin)
+    assert(spark.sql(
+      "ALTER TABLE catspec_check ADD CONSTRAINT pos CHECK (bal >= 0)")
+      .collect()(0).getString(2) === "added")
+    // a violated ADD is rejected against the existing corpus
+    intercept[Exception](spark.sql(
+      "ALTER TABLE catspec_check ADD CONSTRAINT big CHECK (bal > 100)"))
+    // violating DML aborts BEFORE committing: no new version, no change
+    val vBefore = spark.sql(
+      "SELECT count(*) FROM graft_history('catspec_check')")
+      .collect()(0).getLong(0)
+    val e = intercept[Exception](spark.sql(
+      "UPDATE catspec_check SET bal = -5 WHERE k = 1"))
+    assert(e.getMessage.contains("pos"))
+    assert(spark.sql("SELECT count(*) FROM graft_history('catspec_check')")
+      .collect()(0).getLong(0) === vBefore)
+    assert(spark.sql("SELECT bal FROM catspec_check WHERE k = 1")
+      .collect()(0).getDouble(0) === 1.0)
+    // passing DML commits; the writer API gates too
+    spark.sql("UPDATE catspec_check SET bal = 5 WHERE k = 1")
+    intercept[Exception](Seq((60L, -1.0)).toDF("k", "bal")
+      .write.format("graft").mode("append").save(path))
+    Seq((60L, 60.0)).toDF("k", "bal")
+      .write.format("graft").mode("append").save(path)
+    // UNKNOWN passes (SQL CHECK semantics): a NULL-valued row commits
+    spark.sql("ALTER TABLE catspec_check ADD COLUMNS (note STRING)")
+    spark.sql(
+      "ALTER TABLE catspec_check ADD CONSTRAINT short CHECK (length(note) < 5)")
+    spark.sql("INSERT INTO catspec_check VALUES (61, 1.0, NULL)")
+    intercept[Exception](spark.sql(
+      "INSERT INTO catspec_check VALUES (62, 1.0, 'toolong')"))
+    // the sidecar is durable: a REOPENED session still enforces
+    val s2 = spark.newSession()
+    intercept[Exception](s2.sql(
+      "UPDATE catspec_check SET bal = -1 WHERE k = 2"))
+    // ... and survives OPTIMIZE's base swap
+    s2.sql("OPTIMIZE catspec_check")
+    intercept[Exception](s2.sql(
+      "UPDATE catspec_check SET bal = -1 WHERE k = 2"))
+    // DROP releases the gate
+    s2.sql("ALTER TABLE catspec_check DROP CONSTRAINT pos")
+    s2.sql("UPDATE catspec_check SET bal = -1 WHERE k = 2")
+    assert(s2.sql("SELECT bal FROM catspec_check WHERE k = 2")
+      .collect()(0).getDouble(0) === -1.0)
+    spark.sql("DROP TABLE IF EXISTS catspec_check")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
