@@ -2159,6 +2159,43 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_sql_catalog_clone" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // CLONE: version 1 of the source (UPDATE applied, DELETE not)
+      // materializes as an INDEPENDENT table with its own log; DML on
+      // the clone never touches the source (required in-lane), and the
+      // final read happens in a REOPENED session replaying the CLONE's
+      // base + its one delta
+      graft.sql.IndexedJoin.enable(s)
+      val srcPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_clone_src").toString
+      val dstPath = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_clone_dst").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_clone_src")
+      s.sql("DROP TABLE IF EXISTS graft_cat_clone_dst")
+      new scala.reflect.io.Directory(new java.io.File(srcPath)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(dstPath)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_clone_src_v")
+      s.sql(s"""CREATE TABLE graft_cat_clone_src USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$srcPath'
+        |AS SELECT * FROM cat_clone_src_v""".stripMargin)
+      s.sql("""UPDATE graft_cat_clone_src SET c_acctbal = c_acctbal * 3
+        |WHERE c_custkey <= 25""".stripMargin)
+      s.sql("DELETE FROM graft_cat_clone_src WHERE c_custkey <= 200")
+      s.sql(s"""CREATE TABLE graft_cat_clone_dst CLONE graft_cat_clone_src
+        |VERSION AS OF 1 LOCATION '$dstPath'""".stripMargin)
+      s.sql("""UPDATE graft_cat_clone_dst SET c_nationkey = -1
+        |WHERE c_custkey <= 10""".stripMargin)
+      // independence: the source must NOT see the clone's update
+      require(s.sql(
+        "SELECT count(*) FROM graft_cat_clone_src WHERE c_nationkey = -1")
+        .collect()(0).getLong(0) == 0, "clone DML leaked into the source")
+      val reopened = s.newSession()
+      reopened.sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal
+          |FROM graft_cat_clone_dst""".stripMargin)
+    },
+
     "ir_sql_catalog_constraint" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // CHECK CONSTRAINTS on the durable table: ADD validates the
@@ -3745,6 +3782,16 @@ object OperatorQueries {
         |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
         |       round(coalesce(l.v, c.c_acctbal), 2) AS val
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // the clone at v1: tripled balances <= 25 (the source's later
+    // DELETE never applied), plus the clone's own nationkey update
+    "ir_sql_catalog_clone" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey <= 10 THEN -1 ELSE c_nationkey END
+        |    AS c_nationkey,
+        |  CASE WHEN c_custkey <= 25 THEN c_acctbal * 3 ELSE c_acctbal END
+        |    AS c_acctbal
+        |FROM customer""".stripMargin,
 
     // only the PASSING update applied; the rejected one left no trace
     "ir_sql_catalog_constraint" ->

@@ -54,6 +54,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(unquote(id), Left(v.toLong))
     case RestoreTsRe(id, ts) =>
       GraftRestoreCommand(unquote(id), Right(ts))
+    case CloneRe(target, source, v, location) =>
+      GraftCloneCommand(unquote(target), unquote(source),
+        Option(v).map(_.toLong), location)
     case AlterAddConstraintRe(id, name, expr) =>
       // validate the expression parses NOW (parse errors belong to the
       // statement, not to the first write it would gate)
@@ -119,6 +122,15 @@ object GraftSqlParser {
   private val AlterAddRe =
     (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?\\s*" +
       "(?:\\((.+)\\)|([^(][^;]*?))\\s*;?\\s*").r
+  // Delta's CLONE verb: materialize a snapshot (current or VERSION AS
+  // OF) of one graft table as a NEW independent table. SHALLOW is
+  // accepted as an alias of DEEP — the clone always owns its files
+  // (our base layout rewrites per save; no cross-table file
+  // bookkeeping to dangle when the source VACUUMs)
+  private val CloneRe =
+    (s"(?is)\\s*CREATE\\s+TABLE\\s+$Ident\\s+(?:(?:SHALLOW|DEEP)\\s+)?CLONE\\s+" +
+      s"$Ident(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?" +
+      "\\s+LOCATION\\s+'([^']+)'\\s*;?\\s*").r
   // Delta's CHECK-constraint verbs: every later write must satisfy the
   // expression; adding one validates the existing corpus first
   private val AlterAddConstraintRe =
@@ -445,4 +457,32 @@ case class GraftConstraintCommand(table: String, name: String,
   }
   override def simpleString(maxFields: Int): String =
     s"GraftConstraint $table $name ${if (check.isDefined) "add" else "drop"}"
+}
+
+/** `CREATE TABLE c [SHALLOW|DEEP] CLONE s [VERSION AS OF n] LOCATION
+  * 'p'` — materialize one snapshot of a graft table as a NEW,
+  * INDEPENDENT table: the clone starts its own history at version 0
+  * with the source snapshot's content, carries the source's secondary
+  * indexes, zone maps, CHECK constraints, and skew cap, and later DML
+  * on either side never touches the other. SHALLOW aliases DEEP (the
+  * clone always owns its files — no dangling references when the
+  * source VACUUMs). */
+case class GraftCloneCommand(target: String, source: String,
+    version: Option[Long], location: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    val (srcPath, cur) = GraftTables.tableInfo(sp, source).getOrElse(
+      throw new IllegalArgumentException(
+        s"CLONE: '$source' is not a graft catalog table"))
+    val v = version.getOrElse(cur)
+    val rows = GraftTables.cloneTo(sp, srcPath, v, location)
+    sp.sql(s"CREATE TABLE `$target` USING graft LOCATION '$location'")
+    Seq(Row(target, v, rows))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftClone $target from=$source v=$version"
 }

@@ -290,6 +290,49 @@ private[sql] object GraftTables {
     graft.MarkerFile.readLong(fs, new Path(p, "_skewcap"))
   }
 
+  /** `CLONE` — save version `v` of the table at `srcPath` as a NEW
+    * independent table at `dstPath` (its own version 0), carrying the
+    * index manifest + sidecars, CHECK constraints, and skew cap.
+    * Returns the cloned row count. */
+  private[sql] def cloneTo(sp: SparkSession, srcPath: String, v: Long,
+      dstPath: String): Long = {
+    require(!exists(sp, dstPath),
+      s"CLONE target location already holds a graft table: $dstPath")
+    val h = loadVersion(sp, srcPath, v)
+    h.saveTo(dstPath)
+    clearDeltas(sp, dstPath)
+    writeVersion(sp, dstPath, 0L)
+    writeFirstVersion(sp, dstPath, 0L)
+    val (fs, srcP) = fsOf(sp, srcPath)
+    val dstP = new Path(dstPath)
+    Seq("_indexnames", "_constraints", "_skewcap").foreach { f =>
+      val s = new Path(srcP, f)
+      if (fs.exists(s))
+        org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, new Path(dstP, f),
+          false, sp.sparkContext.hadoopConfiguration)
+    }
+    purgeAllSessions(sp, dstPath)
+    // a HISTORICAL snapshot's handle carries no live sidecars (replay
+    // strips them; only the current version re-derives) — the clone's
+    // manifest then re-derives and persists them now, so the clone
+    // routes identically to its source from its first read
+    val (_, hc) = current(sp, dstPath)
+    val manifest = readIndexManifest(sp, dstPath)
+    if (manifest.nonEmpty) {
+      val target = hc.handleAny.asInstanceOf[
+        IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
+      val missing = manifest.exists {
+        case (_, "zonemap", cols) => !cols.forall(target.zoneSnapshot._1.contains)
+        case (_, _, cols) => !target.secondaryColSet.contains(cols.head)
+      }
+      if (missing) {
+        reapplyIndexes(sp, dstPath, hc)
+        IndexedFrame.saveIndexSidecars(target, dstPath, fs)
+      }
+    }
+    hc.idxAny.count()
+  }
+
   // --------------------------------------------------------- delta log
 
   private def deltaDir(path: String, v: Long): String =

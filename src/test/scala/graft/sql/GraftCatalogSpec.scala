@@ -700,6 +700,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_check")
   }
 
+  test("CLONE: independent snapshot table carrying indexes and constraints") {
+    val srcPath = freshPath("clone_src")
+    val dstPath = freshPath("clone_dst")
+    spark.sql("DROP TABLE IF EXISTS catspec_csrc")
+    spark.sql("DROP TABLE IF EXISTS catspec_cdst")
+    (1L to 100L).map(k => (k, k % 7, k * 1.0)).toDF("k", "grp", "bal")
+      .createOrReplaceTempView("catspec_clone_src")
+    spark.sql(s"""CREATE TABLE catspec_csrc USING graft
+      |OPTIONS (key 'k') LOCATION '$srcPath'
+      |AS SELECT * FROM catspec_clone_src""".stripMargin)
+    spark.sql("CREATE INDEX cg_ix ON catspec_csrc (grp)")
+    spark.sql("ALTER TABLE catspec_csrc ADD CONSTRAINT pos CHECK (bal >= 0)")
+    spark.sql("UPDATE catspec_csrc SET bal = bal + 10 WHERE k <= 20") // v1
+    spark.sql("DELETE FROM catspec_csrc WHERE k > 90")                // v2
+    val out = spark.sql(s"""CREATE TABLE catspec_cdst CLONE catspec_csrc
+      |VERSION AS OF 1 LOCATION '$dstPath'""".stripMargin).collect()(0)
+    assert(out.getLong(1) === 1L && out.getLong(2) === 100L)
+    // v1 content: the UPDATE applied, the DELETE not yet
+    assert(spark.sql("SELECT count(*) FROM catspec_cdst")
+      .collect()(0).getLong(0) === 100)
+    assert(spark.sql("SELECT bal FROM catspec_cdst WHERE k = 1")
+      .collect()(0).getDouble(0) === 11.0)
+    // the secondary index came along (derived for the historical
+    // snapshot) and routes
+    assert(spark.sql("SELECT count(*) FROM catspec_cdst WHERE grp = 3")
+      .collect()(0).getLong(0) === 14) // k ≡ 3 (mod 7), k ≤ 100
+    // the constraint came along: a violating write on the CLONE aborts
+    intercept[Exception](spark.sql(
+      "UPDATE catspec_cdst SET bal = -1 WHERE k = 5"))
+    // independence, both directions
+    spark.sql("UPDATE catspec_cdst SET bal = 999 WHERE k = 50")
+    assert(spark.sql("SELECT bal FROM catspec_csrc WHERE k = 50")
+      .collect()(0).getDouble(0) === 50.0)
+    spark.sql("DELETE FROM catspec_csrc WHERE k = 60")
+    assert(spark.sql("SELECT count(*) FROM catspec_cdst WHERE k = 60")
+      .collect()(0).getLong(0) === 1)
+    // the clone replays from ITS OWN log in a reopened session
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT bal FROM catspec_cdst WHERE k = 50")
+      .collect()(0).getDouble(0) === 999.0)
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_cdst')")
+      .collect()(0).getLong(0) === 2) // clone base + its one UPDATE
+    // SHALLOW syntax is accepted (aliases deep)
+    val dst2 = freshPath("clone_dst2")
+    spark.sql("DROP TABLE IF EXISTS catspec_cdst2")
+    spark.sql(s"""CREATE TABLE catspec_cdst2 SHALLOW CLONE catspec_csrc
+      |LOCATION '$dst2'""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM catspec_cdst2")
+      .collect()(0).getLong(0) === 89) // 90 retained - k=60 deleted
+    spark.sql("DROP TABLE IF EXISTS catspec_csrc")
+    spark.sql("DROP TABLE IF EXISTS catspec_cdst")
+    spark.sql("DROP TABLE IF EXISTS catspec_cdst2")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
