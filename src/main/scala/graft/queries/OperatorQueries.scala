@@ -2159,6 +2159,40 @@ object OperatorQueries {
         .select($"_1".as("c_custkey"), round($"_2", 2).as("val"))
     },
 
+    "ir_stream_table_feed" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // STREAMING READ of the durable log (the outbound twin of
+      // ir_stream_catalog): readStream.format("graft") tails the
+      // table's delta versions as a change feed — upsert rows straight
+      // from the written change sets, delete keys null-extended — so a
+      // downstream consumer materializes the table incrementally
+      // without ever scanning the corpus. startingVersion 0 replays
+      // the full retained log.
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_feed").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_feed")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+        .createOrReplaceTempView("cat_feed_src")
+      s.sql(s"""CREATE TABLE graft_cat_feed USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_feed_src""".stripMargin)
+      s.sql("""UPDATE graft_cat_feed SET c_acctbal = c_acctbal * 2
+        |WHERE c_custkey <= 30""".stripMargin)
+      s.sql("""DELETE FROM graft_cat_feed
+        |WHERE c_custkey % 10 = 1 AND c_custkey <= 100""".stripMargin)
+      val q = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0").load()
+        .writeStream.format("memory").queryName("cat_feed_mem")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("cat_feed_mem").select(
+        $"c_custkey", $"c_name", $"c_acctbal",
+        $"_change_type", $"_commit_version")
+    },
+
     "ir_sql_catalog_clone" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // CLONE: version 1 of the source (UPDATE applied, DELETE not)
@@ -3782,6 +3816,17 @@ object OperatorQueries {
         |SELECT coalesce(c.c_custkey, l.k) AS c_custkey,
         |       round(coalesce(l.v, c.c_acctbal), 2) AS val
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
+
+    // the change feed of the two statements: v1's upsert rows (the
+    // doubled balances), v2's delete keys (null value columns)
+    "ir_stream_table_feed" ->
+      """SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal,
+        |  'upsert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey <= 30
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+        |  'delete', 2
+        |FROM customer WHERE c_custkey % 10 = 1 AND c_custkey <= 100""".stripMargin,
 
     // the clone at v1: tripled balances <= 25 (the source's later
     // DELETE never applied), plus the clone's own nationkey update

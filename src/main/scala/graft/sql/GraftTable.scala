@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{DecimalType, StringType, StructType}
 
 /**
@@ -39,9 +39,28 @@ import org.apache.spark.sql.types.{DecimalType, StringType, StructType}
  * in-session chains (temp views) cannot offer.
  */
 class GraftTableProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming reads: the table's delta log as a change feed ----
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft", GraftTables.changeFeedSchema(sqlContext.sparkSession,
+      GraftTables.pathOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = GraftTables.pathOf(parameters)
+    val starting = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong
+    }.getOrElse(GraftTables.currentVersion(sqlContext.sparkSession, path))
+    new GraftTableSource(sqlContext, path, starting)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -288,6 +307,65 @@ private[sql] object GraftTables {
   private def readSkewCap(sp: SparkSession, path: String): Option[Long] = {
     val (fs, p) = fsOf(sp, path)
     graft.MarkerFile.readLong(fs, new Path(p, "_skewcap"))
+  }
+
+  // ------------------------------------------------------- change feed
+
+  /** The table's current committed version — the streaming source's
+    * offset domain. */
+  private[sql] def currentVersion(sp: SparkSession, path: String): Long =
+    diskVersion(sp, path)
+
+  /** The streaming change feed's schema: every table column (all
+    * nullable — delete rows carry only their keys) plus `_change_type`
+    * (`upsert` | `delete`) and `_commit_version`. */
+  private[sql] def changeFeedSchema(sp: SparkSession,
+      path: String): StructType = {
+    val base = current(sp, path)._2.schema
+    StructType(base.fields.map(_.copy(nullable = true)) ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Change rows of versions `(fromExcl, toIncl]` as one DataFrame in
+    * the feed schema, straight from the delta parquet (no diff joins:
+    * the per-statement change sets ARE the feed). Upserts carry full
+    * rows; deletes carry keys with NULL value columns; schema-evolution
+    * and truncate deltas contribute no rows (additive columns of
+    * pre-evolution deltas read NULL; a truncate's retraction set is
+    * implicit — consumers needing it should diff versions via
+    * graft_changes instead). */
+  private[sql] def changeFeedBatch(sp: SparkSession, path: String,
+      fromExcl: Long, toIncl: Long, feedSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dataCols = feedSchema.fields.dropRight(2)
+    val keyCols = current(sp, path)._2.keyCols.toSet
+    def shaped(df: DataFrame, keep: String => Boolean, kind: String,
+        v: Long): DataFrame = {
+      val have = df.columns.toSet
+      df.select(dataCols.toIndexedSeq.map { f =>
+        (if (keep(f.name) && have(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      } ++ Seq(lit(kind).as("_change_type"),
+        lit(v).as("_commit_version")): _*)
+    }
+    val frames = (fromExcl + 1 to toIncl).flatMap { v =>
+      val m = readMeta(sp, path, v)
+      val dir = deltaDir(path, v)
+      val up = if (m.hasUp)
+        Some(shaped(sp.read.parquet(s"$dir/up"), _ => true, "upsert", v))
+      else None
+      val del = if (m.hasDel)
+        Some(shaped(sp.read.parquet(s"$dir/del"), keyCols.contains,
+          "delete", v))
+      else None
+      up.toSeq ++ del.toSeq
+    }
+    frames.reduceOption(_ unionByName _).getOrElse(
+      sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema))
   }
 
   /** `CLONE` — save version `v` of the table at `srcPath` as a NEW

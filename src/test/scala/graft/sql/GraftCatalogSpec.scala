@@ -754,6 +754,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_cdst2")
   }
 
+  test("readStream from a graft table: the delta log streams as a change feed") {
+    val path = freshPath("feed")
+    spark.sql("DROP TABLE IF EXISTS catspec_feed_t")
+    (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("catspec_feed_src")
+    spark.sql(s"""CREATE TABLE catspec_feed_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_feed_src""".stripMargin)
+    val q = spark.readStream.format("graft").option("path", path)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("catspec_feed")
+      .outputMode("append").start()
+    try {
+      spark.sql("UPDATE catspec_feed_t SET v = 100 WHERE k <= 3")
+      q.processAllAvailable()
+      val r1 = spark.table("catspec_feed").collect()
+        .map(r => (r.getLong(0), r.get(1), r.getString(2), r.getLong(3)))
+      assert(r1.toSet === (1L to 3L).map(k => (k, 100.0, "upsert", 1L)).toSet)
+      spark.sql("DELETE FROM catspec_feed_t WHERE k >= 19")
+      q.processAllAvailable()
+      val r2 = spark.table("catspec_feed").collect()
+        .map(r => (r.getLong(0), r.get(1), r.getString(2), r.getLong(3)))
+      // delete rows carry keys with NULL value columns
+      assert(r2.toSet === (1L to 3L).map(k => (k, 100.0, "upsert", 1L)).toSet
+        ++ Seq((19L, null, "delete", 2L), (20L, null, "delete", 2L)))
+    } finally q.stop()
+    // default start: a late subscriber sees only commits AFTER it joins
+    val q2 = spark.readStream.format("graft").option("path", path).load()
+      .writeStream.format("memory").queryName("catspec_feed2")
+      .outputMode("append").start()
+    try {
+      spark.sql("UPDATE catspec_feed_t SET v = 7 WHERE k = 10")
+      q2.processAllAvailable()
+      val r3 = spark.table("catspec_feed2").collect()
+        .map(r => (r.getLong(0), r.get(1), r.getString(2), r.getLong(3)))
+      assert(r3.toSeq === Seq((10L, 7.0, "upsert", 3L)))
+    } finally q2.stop()
+    spark.sql("DROP TABLE IF EXISTS catspec_feed_t")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
