@@ -1064,6 +1064,13 @@ object GraftSqlExtension {
       new org.apache.hadoop.fs.Path(path).toUri,
       sp.sparkContext.hadoopConfiguration)
     IndexedFrame.saveIndexSidecars(h, path, fs)
+    // the persisted postings/zones reflect the CURRENT version, not
+    // necessarily the base save's — record which, so a reopened
+    // historical read never routes through future postings (false
+    // negatives); absent marker = the base version (every saveTo path)
+    graft.MarkerFile.writeLong(fs,
+      new org.apache.hadoop.fs.Path(path, "_sidecarver"),
+      GraftTables.currentVersion(sp, path))
     val entries = indexesOn(sp, view)
     val out = new java.io.ObjectOutputStream(fs.create(
       new org.apache.hadoop.fs.Path(path, "_indexnames"), true))

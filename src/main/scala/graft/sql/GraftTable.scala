@@ -622,6 +622,18 @@ private[sql] object GraftTables {
         (if (first > 0) " — earlier versions were compacted away)" else ")"))
     vcacheOf(sp).getOrElseUpdate((canonical(sp, path), v), {
       var h = loadBase(sp, path) // the base save IS version `first`
+      // persisted sidecars reflect the version they were WRITTEN at
+      // (_sidecarver; absent = the base version). Restored postings
+      // from any OTHER version would route FALSE NEGATIVES on a
+      // historical read (a key whose indexed value changed later is
+      // missing from the newer postings) — strip them; the read then
+      // serves plain, which is always sound
+      val sidecarVer = {
+        val (fs, p) = fsOf(sp, path)
+        graft.MarkerFile.readLong(fs, new Path(p, "_sidecarver"))
+          .getOrElse(first)
+      }
+      if (sidecarVer != v) stripSidecars(h)
       // BATCHED replay: consecutive PLAIN deltas (no truncate, no
       // schema change) merge into one last-op-per-key application —
       // a k-delta reopen costs ~3 delta-sized shuffles instead of 2k.
@@ -710,6 +722,16 @@ private[sql] object GraftTables {
     val key = canonical(sp, path)
     val m = vcacheOf(sp)
     m.keys.filter(_._1 == key).foreach(m.remove)
+  }
+
+  /** Drop every live secondary index and zone map from `h` (the
+    * stale-sidecar guard in [[loadVersion]]). */
+  private def stripSidecars(h: TableHandle): Unit = {
+    val t = h.handleAny
+      .asInstanceOf[IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
+    t.secondaryColSet.foreach(t.dropSecondaryIndex)
+    val zones = t.zoneSnapshot._1
+    if (zones.nonEmpty) { t.dropZones(zones.toSeq: _*); () }
   }
 
   /** Purge `path` from EVERY session's live-handle and version-memo

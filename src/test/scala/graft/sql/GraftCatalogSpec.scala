@@ -794,6 +794,36 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_feed_t")
   }
 
+  test("historical reads never route through newer-version sidecars") {
+    val path = freshPath("stale")
+    spark.sql("DROP TABLE IF EXISTS catspec_stale")
+    (1L to 100L).map(k => (k, k % 5, k * 1.0)).toDF("k", "grp", "bal")
+      .createOrReplaceTempView("catspec_stale_src")
+    spark.sql(s"""CREATE TABLE catspec_stale USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_stale_src""".stripMargin)
+    // v1 moves keys 1..10 into grp 9, THEN the index persists — its
+    // postings reflect v1, not the base version
+    spark.sql("UPDATE catspec_stale SET grp = 9 WHERE k <= 10")
+    spark.sql("CREATE INDEX sg_ix ON catspec_stale (grp)")
+    // a reopened HISTORICAL read at v0 must see v0's groups exactly —
+    // pre-fix, the restored v1 postings dropped k=5 and k=10 from
+    // grp 0 (false negatives)
+    val s2 = spark.newSession()
+    assert(s2.sql(
+      "SELECT count(*) FROM catspec_stale VERSION AS OF 0 WHERE grp = 0")
+      .collect()(0).getLong(0) === 20)
+    assert(s2.sql(
+      "SELECT count(*) FROM catspec_stale VERSION AS OF 0 WHERE grp = 9")
+      .collect()(0).getLong(0) === 0)
+    // the CURRENT version still routes (and is right) after the strip
+    assert(s2.sql("SELECT count(*) FROM catspec_stale WHERE grp = 9")
+      .collect()(0).getLong(0) === 10)
+    assert(s2.sql("SELECT count(*) FROM catspec_stale WHERE grp = 0")
+      .collect()(0).getLong(0) === 18)
+    spark.sql("DROP TABLE IF EXISTS catspec_stale")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
