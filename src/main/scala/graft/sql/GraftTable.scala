@@ -633,7 +633,15 @@ private[sql] object GraftTables {
         graft.MarkerFile.readLong(fs, new Path(p, "_sidecarver"))
           .getOrElse(first)
       }
-      if (sidecarVer != v) stripSidecars(h)
+      // INCREMENTAL sidecar replay: when the base restored sidecars
+      // valid for the base version and we are replaying to the CURRENT
+      // version, carry them forward with each run's own change sets —
+      // reopen cost for an indexed table becomes delta-sized instead
+      // of the O(corpus) reapplyIndexes rebuild. A truncate fence
+      // abandons the carry (full rebuild at the end, as before).
+      var incremental = v == dv && v > first && sidecarVer == first &&
+        sidecarsCover(h, readIndexManifest(sp, path))
+      if (sidecarVer != v && !incremental) stripSidecars(h)
       // BATCHED replay: consecutive PLAIN deltas (no truncate, no
       // schema change) merge into one last-op-per-key application —
       // a k-delta reopen costs ~3 delta-sized shuffles instead of 2k.
@@ -642,21 +650,44 @@ private[sql] object GraftTables {
       val metas = versions.map(i => i -> readMeta(sp, path, i)).toMap
       val run = scala.collection.mutable.ArrayBuffer.empty[Long]
       def flush(): Unit = {
-        h = applyPlainRun(sp, h, path, run.toSeq, metas)
+        h = applyPlainRun(sp, h, path, run.toSeq, metas,
+          maintain = incremental)
         run.clear()
       }
       versions.foreach { i =>
         if (metas(i).plain) run += i
-        else { flush(); h = applyDelta(sp, h, path, i) }
+        else {
+          flush()
+          val prev = h
+          h = applyDelta(sp, h, path, i)
+          if (incremental) {
+            if (metas(i).truncate) { incremental = false; stripSidecars(h) }
+            else h.maintainSidecarsFrom(prev, None, None) // schema delta
+          }
+        }
       }
       flush()
-      // replay strips the loaded sidecar state (fresh handles); the
-      // CURRENT version re-derives the manifest's indexes so reopened
-      // tables keep routing — historical versions read plain
-      if (v == dv && v > first) reapplyIndexes(sp, path, h)
+      // replay strips the loaded sidecar state (fresh handles) unless
+      // the incremental carry covered it; the CURRENT version
+      // re-derives the manifest's indexes so reopened tables keep
+      // routing — historical versions read plain
+      if (v == dv && v > first && !incremental) reapplyIndexes(sp, path, h)
       h
     })
   }
+
+  /** Does `h` hold a live sidecar for EVERY manifest entry? (The
+    * incremental carry can only transplant what the base restored.) */
+  private def sidecarsCover(h: TableHandle,
+      entries: Seq[(String, String, List[String])]): Boolean =
+    entries.nonEmpty && {
+      val t = h.handleAny.asInstanceOf[
+        IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
+      entries.forall {
+        case (_, "zonemap", cols) => cols.forall(t.zoneSnapshot._1.contains)
+        case (_, _, cols) => t.secondaryColSet.contains(cols.head)
+      }
+    }
 
   /** Apply a RUN of consecutive plain deltas as ONE merged
     * application: union every delta's change sets tagged with their
@@ -668,9 +699,22 @@ private[sql] object GraftTables {
     * last-write-wins and deletes of absent keys are no-ops: only each
     * key's final operation matters. */
   private def applyPlainRun(sp: SparkSession, h0: TableHandle, path: String,
-      vs: Seq[Long], metas: Map[Long, DeltaMeta]): TableHandle = {
+      vs: Seq[Long], metas: Map[Long, DeltaMeta],
+      maintain: Boolean = false): TableHandle = {
     if (vs.isEmpty) return h0
-    if (vs.size == 1) return applyDelta(sp, h0, path, vs.head)
+    if (vs.size == 1) {
+      val h2 = applyDelta(sp, h0, path, vs.head)
+      if (maintain) {
+        val m = metas(vs.head)
+        val dir = deltaDir(path, vs.head)
+        val del = if (m.hasDel) Some(alignTo(sp.read.parquet(s"$dir/del"),
+          keySchemaOf(h2.schema, h2.keyCols))) else None
+        val up = if (m.hasUp) Some(alignTo(sp.read.parquet(s"$dir/up"),
+          h2.schema)) else None
+        h2.maintainSidecarsFrom(h0, del, up)
+      }
+      return h2
+    }
     import org.apache.spark.sql.functions.{asc, desc, lit, row_number}
     val keyCols = h0.keyCols
     val keySchema = keySchemaOf(h0.schema, keyCols)
@@ -700,7 +744,11 @@ private[sql] object GraftTables {
     val delKeys = last.where(col("__del")).select(keyCols.map(col): _*)
     val upRows = last.where(!col("__del"))
       .select(h0.schema.fieldNames.map(col).toIndexedSeq: _*)
-    h0.delete(delKeys).upsert(upRows)
+    val h2 = h0.delete(delKeys).upsert(upRows)
+    // the merged last-op sets ARE the run's change sets — the sidecar
+    // carry applies exactly what the data replay applied
+    if (maintain) h2.maintainSidecarsFrom(h0, Some(delKeys), Some(upRows))
+    h2
   }
 
   private val vcaches =
