@@ -226,7 +226,38 @@ object Bench {
       new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
       (s"micro_catalog_dml_idx_${tag}", t)
     }
-    Seq(lane("1x", 1), lane("10x", 10))
+    Seq(lane("1x", 1), lane("10x", 10)) ++ microCatalogReopen(spark, sfDir)
+  }
+
+  /** BATCHED REPLAY measured: a reopened session rebuilding a
+    * 30-statement table pays ~3 delta-sized shuffles (one merged
+    * last-op-per-key application), not 60 — the cost that used to make
+    * "reopen after a week of DML" scale with statement count. The
+    * timed body is a FRESH session's first aggregate over the table
+    * (base load + replay + read). */
+  private[graft] def microCatalogReopen(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bench_reopen").toString
+    spark.sql("DROP TABLE IF EXISTS bench_reopen")
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView("bench_reopen_src")
+    spark.sql(s"""CREATE TABLE bench_reopen USING graft
+      |OPTIONS (key 'c_custkey') LOCATION '$path'
+      |AS SELECT * FROM bench_reopen_src""".stripMargin)
+    (1 to 30).foreach(i => spark.sql(
+      s"""UPDATE bench_reopen SET c_acctbal = c_acctbal + 1
+         |WHERE c_custkey % 30 = ${i % 30}""".stripMargin))
+    val t = bestOf2 {
+      val fresh = spark.newSession()
+      fresh.sql("SELECT sum(c_acctbal) FROM bench_reopen").collect()
+      ()
+    }
+    spark.sql("DROP TABLE IF EXISTS bench_reopen")
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    Seq("micro_catalog_reopen_30" -> t)
   }
 
   /** SKEW GUARD measured: the same 200k-row probe batch through the

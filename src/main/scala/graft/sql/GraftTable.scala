@@ -715,26 +715,30 @@ private[sql] object GraftTables {
       }
       return h2
     }
-    import org.apache.spark.sql.functions.{asc, desc, lit, row_number}
+    import org.apache.spark.sql.functions.{asc, desc, input_file_name,
+      lit, regexp_extract, row_number}
     val keyCols = h0.keyCols
     val keySchema = keySchemaOf(h0.schema, keyCols)
     val nonKeys = h0.schema.fieldNames.filterNot(keyCols.contains).toSeq
-    val parts: Seq[DataFrame] = vs.flatMap { v =>
-      val m = metas(v)
-      val dir = deltaDir(path, v)
-      val del =
-        if (!m.hasDel) None
-        else Some(alignTo(sp.read.parquet(s"$dir/del"), keySchema)
-          .select((keyCols.map(col) ++ nonKeys.map(c =>
-            lit(null).cast(h0.schema(c).dataType).as(c))) ++
-            Seq(lit(v).as("__v"), lit(true).as("__del")): _*))
-      val up =
-        if (!m.hasUp) None
-        else Some(alignTo(sp.read.parquet(s"$dir/up"), h0.schema)
-          .select(h0.schema.fieldNames.map(col).toSeq ++
-            Seq(lit(v).as("__v"), lit(false).as("__del")): _*))
-      del.toSeq ++ up.toSeq
-    }
+    // ONE multi-path read per side (a per-delta read would pay k
+    // planning/listing round-trips — the old per-statement reopen
+    // tax); the commit version rides the file path. Within a
+    // fence-free run every delta was written under the same table
+    // schema, so the shared-scan schema is exact.
+    val verCol = regexp_extract(input_file_name(),
+      "_tdelta_0*([0-9]+)", 1).cast("long").as("__v")
+    val upPaths = vs.filter(metas(_).hasUp).map(v => s"${deltaDir(path, v)}/up")
+    val delPaths = vs.filter(metas(_).hasDel).map(v => s"${deltaDir(path, v)}/del")
+    val parts: Seq[DataFrame] =
+      (if (delPaths.isEmpty) Nil
+       else Seq(alignTo(sp.read.parquet(delPaths: _*), keySchema)
+         .select((keyCols.map(col) ++ nonKeys.map(c =>
+           lit(null).cast(h0.schema(c).dataType).as(c))) ++
+           Seq(verCol, lit(true).as("__del")): _*))) ++
+      (if (upPaths.isEmpty) Nil
+       else Seq(alignTo(sp.read.parquet(upPaths: _*), h0.schema)
+         .select(h0.schema.fieldNames.map(col).toSeq ++
+           Seq(verCol, lit(false).as("__del")): _*)))
     if (parts.isEmpty) return h0
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(desc("__v"), asc("__del"))
