@@ -824,6 +824,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_stale")
   }
 
+  test("incremental index maintenance on a COMPOSITE-key table") {
+    val path = freshPath("incr2")
+    spark.sql("DROP TABLE IF EXISTS catspec_incr2")
+    (1L to 120L).map(k => (k % 4, k, k % 6, k * 1.0))
+      .toDF("a", "b", "grp", "bal").createOrReplaceTempView("catspec_incr2_src")
+    spark.sql(s"""CREATE TABLE catspec_incr2 USING graft
+      |OPTIONS (key 'a,b') LOCATION '$path'
+      |AS SELECT * FROM catspec_incr2_src""".stripMargin)
+    spark.sql("CREATE INDEX g2_ix ON catspec_incr2 (grp)")
+    // move every b<=12 into grp 50; the composite transplant must
+    // retract old postings and add new ones
+    spark.sql("UPDATE catspec_incr2 SET grp = 50 WHERE b <= 12")
+    assert(spark.sql("SELECT count(*) FROM catspec_incr2 WHERE grp = 50")
+      .collect()(0).getLong(0) === 12)
+    assert(spark.sql("SELECT sum(b) FROM catspec_incr2 WHERE grp = 1")
+      .collect()(0).getLong(0) === (13L to 115L by 6).sum)
+    // empty a grp entirely: exact distinct count must drop
+    spark.sql("DELETE FROM catspec_incr2 WHERE grp = 50")
+    assert(spark.sql("SELECT count(DISTINCT grp) FROM catspec_incr2")
+      .collect()(0).getLong(0) === 6) // residues 0..5 all survive b>12
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT count(DISTINCT grp) FROM catspec_incr2")
+      .collect()(0).getLong(0) === 6)
+    assert(s2.sql("SELECT count(*) FROM catspec_incr2")
+      .collect()(0).getLong(0) === 108)
+    spark.sql("DROP TABLE IF EXISTS catspec_incr2")
+  }
+
+  test("zone maps widen with upserts: out-of-bounds rows are never falsely pruned") {
+    val path = freshPath("zones")
+    spark.sql("DROP TABLE IF EXISTS catspec_zones")
+    (1L to 200L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_zones_src")
+    spark.sql(s"""CREATE TABLE catspec_zones USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_zones_src""".stripMargin)
+    spark.sql("CREATE INDEX bz ON catspec_zones USING ZONEMAP (bal)")
+    // every partition's bal bound is <= 200; upsert a value FAR above
+    // — the incremental widen must grow the owning partition's bounds,
+    // else the pruned scan would falsely drop the row
+    spark.sql("UPDATE catspec_zones SET bal = 100000 WHERE k = 7")
+    assert(spark.sql("SELECT k FROM catspec_zones WHERE bal > 50000")
+      .collect().map(_.getLong(0)).toSeq === Seq(7L))
+    spark.sql("INSERT INTO catspec_zones VALUES (500, -100000)")
+    assert(spark.sql("SELECT k FROM catspec_zones WHERE bal < -50000")
+      .collect().map(_.getLong(0)).toSeq === Seq(500L))
+    // deletes keep sound (wide) bounds; values still correct
+    spark.sql("DELETE FROM catspec_zones WHERE k = 7")
+    assert(spark.sql("SELECT count(*) FROM catspec_zones WHERE bal > 50000")
+      .collect()(0).getLong(0) === 0)
+    spark.sql("DROP TABLE IF EXISTS catspec_zones")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
