@@ -54,6 +54,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(unquote(id), Left(v.toLong))
     case RestoreTsRe(id, ts) =>
       GraftRestoreCommand(unquote(id), Right(ts))
+    case DescribeHistoryRe(id) =>
+      delegate.parsePlan(s"SELECT * FROM graft_history('${unquote(id)}')")
+    case DescribeDetailRe(id) =>
+      GraftDescribeDetailCommand(unquote(id))
     case CloneRe(target, source, v, location) =>
       GraftCloneCommand(unquote(target), unquote(source),
         Option(v).map(_.toLong), location)
@@ -122,6 +126,12 @@ object GraftSqlParser {
   private val AlterAddRe =
     (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?\\s*" +
       "(?:\\((.+)\\)|([^(][^;]*?))\\s*;?\\s*").r
+  // Delta's operator-facing DESCRIBE verbs: HISTORY (the graft_history
+  // TVF as a statement) and DETAIL (one metadata row)
+  private val DescribeHistoryRe =
+    s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ident\\s*;?\\s*".r
+  private val DescribeDetailRe =
+    s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ident\\s*;?\\s*".r
   // Delta's CLONE verb: materialize a snapshot (current or VERSION AS
   // OF) of one graft table as a NEW independent table. SHALLOW is
   // accepted as an alias of DEEP — the clone always owns its files
@@ -457,6 +467,46 @@ case class GraftConstraintCommand(table: String, name: String,
   }
   override def simpleString(maxFields: Int): String =
     s"GraftConstraint $table $name ${if (check.isDefined) "add" else "drop"}"
+}
+
+/** `DESCRIBE DETAIL <table>` — Delta's one-row table-metadata verb for
+  * graft catalog tables: location, key columns, live row/partition
+  * counts (O(partitions) off the index headers), the readable version
+  * window, and the durable sidecar inventory (indexes, constraints,
+  * skew cap). */
+case class GraftDescribeDetailCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("key_columns", StringType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("num_partitions", IntegerType, nullable = false)(),
+    AttributeReference("first_version", LongType, nullable = false)(),
+    AttributeReference("current_version", LongType, nullable = false)(),
+    AttributeReference("indexes", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("skew_cap", LongType, nullable = true)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    val (path, cur) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"DESCRIBE DETAIL: '$table' is not a graft catalog table " +
+          "(for in-session view chains use graft_history)"))
+    val h = GraftTables.current(sp, path)._2
+    val first = GraftTables.tableFirstVersion(sp, path)
+    val idxs = GraftTables.readIndexManifest(sp, path)
+      .map { case (n, t, cs) => s"$n:$t(${cs.mkString(",")})" }
+      .mkString("; ")
+    val cons = GraftTables.readConstraints(sp, path)
+      .map { case (n, t) => s"$n: CHECK ($t)" }.mkString("; ")
+    Seq(Row(table, "graft", path, h.keyCols.mkString(","),
+      h.idxAny.count(), h.idxAny.partitions.length, first, cur,
+      idxs, cons, GraftTables.readSkewCapPublic(sp, path).orNull))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDescribeDetail $table"
 }
 
 /** `CREATE TABLE c [SHALLOW|DEEP] CLONE s [VERSION AS OF n] LOCATION

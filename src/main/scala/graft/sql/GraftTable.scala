@@ -309,6 +309,11 @@ private[sql] object GraftTables {
     graft.MarkerFile.readLong(fs, new Path(p, "_skewcap"))
   }
 
+  /** Boxed skew cap for DESCRIBE DETAIL's nullable output column. */
+  private[sql] def readSkewCapPublic(sp: SparkSession,
+      path: String): Option[java.lang.Long] =
+    readSkewCap(sp, path).map(Long.box)
+
   // ------------------------------------------------------- change feed
 
   /** The table's current committed version — the streaming source's

@@ -877,6 +877,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_zones")
   }
 
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL: the operator-facing verbs") {
+    val path = freshPath("desc")
+    spark.sql("DROP TABLE IF EXISTS catspec_desc")
+    (1L to 60L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_desc_src")
+    spark.sql(s"""CREATE TABLE catspec_desc USING graft
+      |OPTIONS (key 'k', maxpart '1000') LOCATION '$path'
+      |AS SELECT * FROM catspec_desc_src""".stripMargin)
+    spark.sql("CREATE INDEX db_ix ON catspec_desc (bal)")
+    spark.sql("ALTER TABLE catspec_desc ADD CONSTRAINT pos CHECK (bal >= 0)")
+    spark.sql("UPDATE catspec_desc SET bal = 0 WHERE k = 1")
+    // HISTORY = the graft_history TVF as a statement
+    val hist = spark.sql("DESCRIBE HISTORY catspec_desc").collect()
+    assert(hist.length === 2 &&
+      hist.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    val d = spark.sql("DESC DETAIL catspec_desc").collect()(0)
+    assert(d.getString(0) === "catspec_desc" && d.getString(1) === "graft")
+    assert(d.getString(3) === "k")
+    assert(d.getLong(4) === 60 && d.getLong(6) === 0 && d.getLong(7) === 1)
+    assert(d.getString(8).contains("db_ix"))
+    assert(d.getString(9).contains("pos: CHECK"))
+    assert(d.getLong(10) === 1000L)
+    spark.sql("DROP TABLE IF EXISTS catspec_desc")
+  }
+
   test("a torn _tver marker self-heals from the delta walk") {
     val path = freshPath("torn")
     spark.sql("DROP TABLE IF EXISTS catspec_torn")
