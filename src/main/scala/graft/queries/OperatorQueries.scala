@@ -2193,6 +2193,29 @@ object OperatorQueries {
         $"_change_type", $"_commit_version")
     },
 
+    "ir_sql_describe_detail" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // DESCRIBE DETAIL (Delta's one-row metadata verb): the
+      // deterministic columns — key columns, live row count, version
+      // window, sidecar inventory — oracle against the fixture; the
+      // row count reads O(partitions) off the index headers
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_desc").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_desc")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).createOrReplaceTempView("cat_desc_src")
+      s.sql(s"""CREATE TABLE graft_cat_desc USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_desc_src""".stripMargin)
+      s.sql("ALTER TABLE graft_cat_desc ADD CONSTRAINT ck CHECK (c_custkey >= 0)")
+      s.sql("DELETE FROM graft_cat_desc WHERE c_custkey % 10 = 9")
+      s.sql("DESCRIBE DETAIL graft_cat_desc")
+        .select($"name", $"format", $"key_columns", $"num_rows",
+          $"first_version", $"current_version", $"constraints")
+    },
+
     "ir_sql_catalog_clone" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // CLONE: version 1 of the source (UPDATE applied, DELETE not)
@@ -3827,6 +3850,16 @@ object OperatorQueries {
         |SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
         |  'delete', 2
         |FROM customer WHERE c_custkey % 10 = 1 AND c_custkey <= 100""".stripMargin,
+
+    // the one-row metadata verb: deterministic columns only
+    "ir_sql_describe_detail" ->
+      """SELECT 'graft_cat_desc' AS name, 'graft' AS format,
+        |  'c_custkey' AS key_columns,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 10 <> 9)
+        |    AS num_rows,
+        |  CAST(0 AS BIGINT) AS first_version,
+        |  CAST(1 AS BIGINT) AS current_version,
+        |  'ck: CHECK (c_custkey >= 0)' AS constraints""".stripMargin,
 
     // the clone at v1: tripled balances <= 25 (the source's later
     // DELETE never applied), plus the clone's own nationkey update
