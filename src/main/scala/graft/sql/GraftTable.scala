@@ -344,30 +344,40 @@ private[sql] object GraftTables {
     * graft_changes instead). */
   private[sql] def changeFeedBatch(sp: SparkSession, path: String,
       fromExcl: Long, toIncl: Long, feedSchema: StructType): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{input_file_name, lit,
+      regexp_extract}
     val dataCols = feedSchema.fields.dropRight(2)
-    val keyCols = current(sp, path)._2.keyCols.toSet
-    def shaped(df: DataFrame, keep: String => Boolean, kind: String,
-        v: Long): DataFrame = {
-      val have = df.columns.toSet
+    val h = current(sp, path)._2
+    val keyCols = h.keyCols.toSet
+    // ONE multi-path read per side, commit version from the file path
+    // (a per-delta read would pay k planning round-trips on stream
+    // catch-up). The explicit schema makes additive evolution exact
+    // both ways: pre-evolution files read NULL in appended columns,
+    // post-evolution files' extra columns are ignored by a feed
+    // created earlier.
+    val verCol = regexp_extract(input_file_name(),
+      "_tdelta_0*([0-9]+)", 1).cast("long").as("_commit_version")
+    val metasR = (fromExcl + 1 to toIncl).map(v => (v, readMeta(sp, path, v)))
+    val upPaths = metasR.collect {
+      case (v, m) if m.hasUp => s"${deltaDir(path, v)}/up" }
+    val delPaths = metasR.collect {
+      case (v, m) if m.hasDel => s"${deltaDir(path, v)}/del" }
+    def shaped(df: DataFrame, keep: String => Boolean,
+        kind: String): DataFrame =
       df.select(dataCols.toIndexedSeq.map { f =>
-        (if (keep(f.name) && have(f.name)) col(f.name).cast(f.dataType)
+        (if (keep(f.name)) col(f.name).cast(f.dataType)
          else lit(null).cast(f.dataType)).as(f.name)
-      } ++ Seq(lit(kind).as("_change_type"),
-        lit(v).as("_commit_version")): _*)
-    }
-    val frames = (fromExcl + 1 to toIncl).flatMap { v =>
-      val m = readMeta(sp, path, v)
-      val dir = deltaDir(path, v)
-      val up = if (m.hasUp)
-        Some(shaped(sp.read.parquet(s"$dir/up"), _ => true, "upsert", v))
-      else None
-      val del = if (m.hasDel)
-        Some(shaped(sp.read.parquet(s"$dir/del"), keyCols.contains,
-          "delete", v))
-      else None
-      up.toSeq ++ del.toSeq
-    }
+      } ++ Seq(lit(kind).as("_change_type"), verCol): _*)
+    val dataSchema = StructType(dataCols.map(_.copy(nullable = true)))
+    val keySchema = StructType(
+      dataCols.filter(f => keyCols(f.name)).map(_.copy(nullable = true)))
+    val frames =
+      (if (upPaths.isEmpty) Nil
+       else Seq(shaped(sp.read.schema(dataSchema).parquet(upPaths: _*),
+         _ => true, "upsert"))) ++
+      (if (delPaths.isEmpty) Nil
+       else Seq(shaped(sp.read.schema(keySchema).parquet(delPaths: _*),
+         keyCols.contains, "delete")))
     frames.reduceOption(_ unionByName _).getOrElse(
       sp.createDataFrame(
         sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema))
