@@ -2193,6 +2193,43 @@ object OperatorQueries {
         $"_change_type", $"_commit_version")
     },
 
+    "ir_sql_catalog_reskew" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // POST-BUILD RE-SKEW end-to-end: every key is a multiple of 8,
+      // so the 8-bucket hash build piles the corpus into partition 0;
+      // appends regrow it far past the persisted maxpart cap, and
+      // OPTIMIZE re-runs the count pass and splits the hot bucket by
+      // the decorrelated second hash. Required in-lane: the max
+      // partition shrank under the pile. The read happens REOPENED —
+      // the SplitPartitioner round-trips through the save and keys
+      // still route.
+      graft.sql.IndexedJoin.enable(s)
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_reskew").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_reskew")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).filter($"c_custkey".between(1, 100))
+        .select(($"c_custkey" * 8).as("skey"), $"c_acctbal")
+        .createOrReplaceTempView("cat_reskew_src")
+      s.sql(s"""CREATE TABLE graft_cat_reskew USING graft
+        |OPTIONS (key 'skey', partitions '8', maxpart '150') LOCATION '$path'
+        |AS SELECT * FROM cat_reskew_src""".stripMargin)
+      s.range(101, 501).select(($"id" * 8).as("skey"),
+        ($"id" % 7).cast("double").as("c_acctbal"))
+        .write.format("graft").mode("append").save(path)
+      s.sql("OPTIMIZE graft_cat_reskew")
+      val sizes = s.table("graft_cat_reskew")
+        .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+        .count().collect().map(_.getLong(1))
+      require(sizes.sum == 500 && sizes.max < 300,
+        s"hot bucket not re-split: ${sizes.toSeq}")
+      val reopened = s.newSession()
+      reopened.sql(
+        """SELECT skey, c_acctbal FROM graft_cat_reskew
+          |WHERE skey IN (8, 80, 880, 2400, 3992)""".stripMargin)
+    },
+
     "ir_sql_describe_detail" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -3850,6 +3887,15 @@ object OperatorQueries {
         |SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
         |  'delete', 2
         |FROM customer WHERE c_custkey % 10 = 1 AND c_custkey <= 100""".stripMargin,
+
+    // keys 8/80 are original customer rows, 880/2400/3992 appended
+    // (ids 110/300/499); routing must survive the re-split partitioner
+    "ir_sql_catalog_reskew" ->
+      """SELECT c_custkey * 8 AS skey, c_acctbal FROM customer
+        |WHERE c_custkey IN (1, 10)
+        |UNION ALL
+        |SELECT id * 8, CAST(id % 7 AS DOUBLE) FROM range(101, 501) t(id)
+        |WHERE id IN (110, 300, 499)""".stripMargin,
 
     // the one-row metadata verb: deterministic columns only
     "ir_sql_describe_detail" ->
