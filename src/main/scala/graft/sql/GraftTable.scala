@@ -851,12 +851,13 @@ private[sql] object GraftTables {
   /** SQL-standard CHECK semantics: a row violates only when the
     * expression is FALSE (UNKNOWN/null passes — Delta agrees). One
     * delta-sized filter per constraint per statement; the statement
-    * aborts BEFORE anything is claimed or written. */
+    * aborts BEFORE anything is claimed or committed. */
   private def enforceConstraints(sp: SparkSession, path: String,
-      up: DataFrame, schema: StructType): Unit = {
-    val cs = readConstraints(sp, path)
-    if (cs.isEmpty) return
-    val aligned = alignTo(up, schema)
+      up: DataFrame, schema: StructType): Unit =
+    enforceConstraintList(readConstraints(sp, path), alignTo(up, schema))
+
+  private def enforceConstraintList(cs: Seq[(String, String)],
+      aligned: DataFrame): Unit =
     cs.foreach { case (name, text) =>
       val violated = aligned.filter(!org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.expr(text),
@@ -866,7 +867,6 @@ private[sql] object GraftTables {
           s"CHECK constraint '$name' ($text) violated by rows this " +
             "statement would write — nothing was committed")
     }
-  }
 
   /** The `_indexnames` manifest: SQL index name -> (type, columns),
     * in insertion order. Empty when absent. Disk is the truth for
@@ -1017,37 +1017,176 @@ private[sql] object GraftTables {
     * delta dir (both rivals may succeed) and create-if-absent its
     * `_claim` file (exactly one does — Hadoop `create(overwrite =
     * false)` is the same put-if-absent primitive Delta's log protocol
-    * rides). False = a rival owns the version number. */
-  private[sql] def claimDelta(sp: SparkSession, path: String, v: Long): Boolean = {
+    * rides). The claim carries the writer's id and a wall-clock stamp
+    * so rivals can tell a LIVE slow owner from a crashed one. False =
+    * a rival owns the version number. */
+  private[sql] def claimDelta(sp: SparkSession, path: String, v: Long,
+      writerId: String): Boolean = {
     val (fs, _) = fsOf(sp, path)
     val dir = new Path(deltaDir(path, v))
     fs.mkdirs(dir)
-    try { fs.create(new Path(dir, "_claim"), false).close(); true }
-    catch { case _: java.io.IOException => false }
+    try {
+      val out = fs.create(new Path(dir, "_claim"), false)
+      // content lands after the atomic create; a reader seeing the
+      // torn in-between state falls back to the file's mtime
+      try out.write(s"$writerId:${System.currentTimeMillis()}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
   }
 
-  /** After losing a claim race on version `v`: wait for the rival's
-    * commit (`_meta`) to land so the retry's snapshot includes it. A
-    * claim that never completes is a CRASHED writer — its claim dir is
-    * dropped after the timeout and the version number becomes
-    * claimable again (nothing ever read it: an uncommitted delta is
-    * invisible to [[diskVersion]]'s walk). */
-  /** How long a conflicting committer waits for a rival's claimed
-    * version to complete before treating the claim as abandoned
-    * (mutable for tests; production default 30 s). */
+  /** Spec convenience: claim under a fresh anonymous writer id. */
+  private[sql] def claimDelta(sp: SparkSession, path: String,
+      v: Long): Boolean =
+    claimDelta(sp, path, v, "test-" + java.util.UUID.randomUUID())
+
+  /** The claim's (writerId, stampMillis), tolerant of the torn write
+    * window (content absent/unparsable → the file's mtime, empty id). */
+  private def claimInfo(fs: FileSystem, dir: Path): Option[(String, Long)] = {
+    val cf = new Path(dir, "_claim")
+    val st = try Some(fs.getFileStatus(cf))
+      catch { case _: java.io.FileNotFoundException => None }
+    st.map { s =>
+      val text = try {
+        val in = fs.open(cf)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
+      text.split(":", 2) match {
+        case Array(id, stamp) if stamp.nonEmpty && stamp.forall(_.isDigit) =>
+          (id, stamp.toLong)
+        case _ => ("", s.getModificationTime)
+      }
+    }
+  }
+
+  /** The freshest sign of life on a claimed-but-uncommitted version:
+    * the claim stamp or the owner's `_claim_hb` heartbeat, whichever
+    * is newer. None = no claim file (dir without claim: a crashed
+    * mkdirs — use the dir's own mtime). */
+  private def lastAlive(fs: FileSystem, dir: Path): Long = {
+    val claim = claimInfo(fs, dir).map(_._2)
+    val hb = graft.MarkerFile.readLong(fs, new Path(dir, "_claim_hb"))
+    (claim.toSeq ++ hb.toSeq) match {
+      case Nil =>
+        try fs.getFileStatus(dir).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      case xs => xs.max
+    }
+  }
+
+  /** A daemon that keeps the owner's `_claim_hb` fresh while the
+    * (short, metadata-only) promote step runs — covers the one case a
+    * stamp alone cannot: a store whose renames are O(data) copies. */
+  private[sql] final class Heartbeat(fs: FileSystem, p: Path) {
+    graft.MarkerFile.writeLong(fs, p, System.currentTimeMillis())
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      while (running) {
+        val step = math.max(50L, claimTimeoutMillis / 4)
+        var slept = 0L
+        while (running && slept < step) { Thread.sleep(50); slept += 50 }
+        if (running) {
+          try graft.MarkerFile.writeLong(fs, p, System.currentTimeMillis())
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }, s"graft-claim-heartbeat-${p.getParent.getName}")
+    t.setDaemon(true)
+    t.start()
+    def stop(): Unit = { running = false }
+  }
+
+  /** Spec hook: a live heartbeat on version `v`'s claim dir. */
+  private[sql] def heartbeatForTest(sp: SparkSession, path: String,
+      v: Long): Heartbeat = {
+    val (fs, _) = fsOf(sp, path)
+    new Heartbeat(fs, new Path(deltaDir(path, v), "_claim_hb"))
+  }
+
+  /** How long a rival waits with NO sign of life (claim stamp or
+    * heartbeat) on a claimed version before treating the owner as
+    * crashed and reclaiming the slot (mutable for tests; production
+    * default 30 s). The window this gates holds only METADATA
+    * operations — the O(delta) parquet writes happen in a
+    * writer-private staging dir before the claim is taken — so a live
+    * writer being slow on its data job can never look dead here. */
   private[sql] var claimTimeoutMillis: Long = 30000L
 
+  /** After losing a claim race on version `v`: wait for the rival's
+    * commit (`_meta`) to land so the retry's snapshot includes it.
+    * Steals only PROVABLY-DEAD claims: ones whose owner has shown no
+    * sign of life (claim stamp, heartbeat) for the full timeout — a
+    * live owner's commit window is metadata-ops-only and heartbeated,
+    * so staleness means a writer that crashed between claim and
+    * `_meta`. Nothing ever read such a version: an uncommitted delta
+    * is invisible to [[diskVersion]]'s walk. */
   private def awaitCommitted(sp: SparkSession, path: String, v: Long): Unit = {
     val (fs, _) = fsOf(sp, path)
-    val meta = new Path(deltaDir(path, v), "_meta")
-    val deadline = System.currentTimeMillis() + claimTimeoutMillis
+    val dir = new Path(deltaDir(path, v))
+    val meta = new Path(dir, "_meta")
+    // a claim whose owner keeps heartbeating is honored indefinitely
+    // short of this hard cap — then fail LOUDLY instead of stealing
+    val hardDeadline = System.currentTimeMillis() + claimTimeoutMillis * 40
     while (!fs.exists(meta)) {
-      if (System.currentTimeMillis() > deadline) {
-        fs.delete(new Path(deltaDir(path, v)), true)
+      if (!fs.exists(dir)) return // another loser already reclaimed it
+      val now = System.currentTimeMillis()
+      if (now - lastAlive(fs, dir) > claimTimeoutMillis) {
+        // provably dead — re-check the commit point one last instant
+        // before the delete (paranoia: the window is metadata-only)
+        if (!fs.exists(meta)) { fs.delete(dir, true); () }
         return
       }
+      if (now > hardDeadline)
+        throw new IllegalStateException(
+          s"graft commit: version $v of $path has been claimed and " +
+            "heartbeated without committing for far beyond the claim " +
+            "timeout — refusing to steal a live writer's claim")
       Thread.sleep(50)
     }
+  }
+
+  private def stageDir(path: String, writerId: String): String =
+    s"$path/_tstage_$writerId"
+
+  /** PROMOTE the staged change sets into claimed version `v` — the
+    * commit step, kept metadata-ops-only (two renames + one small
+    * `_meta` write) and heartbeated so [[awaitCommitted]]'s staleness
+    * test can never fire on a live committer. Ownership is verified
+    * against the `_claim` content before AND after the `_meta` write:
+    * a steal that somehow raced the heartbeat surfaces as a loud
+    * integrity error here, never as a silently corrupted log. */
+  private def promoteStage(sp: SparkSession, path: String, writerId: String,
+      stage: String, v: Long, truncate: Boolean, hasDel: Boolean,
+      hasUp: Boolean): Unit = {
+    val (fs, _) = fsOf(sp, path)
+    val dir = deltaDir(path, v)
+    val dirP = new Path(dir)
+    val hb = new Heartbeat(fs, new Path(dirP, "_claim_hb"))
+    try {
+      def owned: Boolean = claimInfo(fs, dirP).exists(_._1 == writerId)
+      require(owned, s"graft commit integrity: claim on version $v of " +
+        s"$path no longer belongs to this writer — commit aborted")
+      if (hasDel)
+        require(fs.rename(new Path(s"$stage/del"), new Path(s"$dir/del")),
+          s"graft commit: staging rename failed for $dir/del")
+      if (hasUp)
+        require(fs.rename(new Path(s"$stage/up"), new Path(s"$dir/up")),
+          s"graft commit: staging rename failed for $dir/up")
+      require(owned, s"graft commit integrity: claim on version $v of " +
+        s"$path was stolen mid-promote — commit aborted")
+      writeMeta(sp, dir, truncate, hasDel, hasUp, hasSchema = false)
+      if (!owned) {
+        // last-microsecond steal: surface it, never leave a half dir
+        fs.delete(new Path(dirP, "_meta"), false)
+        throw new IllegalStateException(
+          s"graft commit integrity: claim on version $v of $path was " +
+            "stolen during the commit write — commit aborted")
+      }
+      writeVersion(sp, path, v)
+    } finally hb.stop()
   }
 
   /** Durably apply one DML statement: write the change sets as delta
@@ -1056,42 +1195,80 @@ private[sql] object GraftTables {
     * later session replays. Cost: the delta's rows, twice (one write,
     * one one-sided shuffle) — never the corpus.
     *
-    * MULTI-WRITER SAFE (optimistic concurrency, Delta-style): the
-    * version number is claimed by an atomic create-if-absent before
-    * anything is written, so two sessions — or two driver JVMs on
-    * shared storage — committing concurrently serialize instead of
-    * clobbering each other. The loser waits for the winner's commit,
-    * refreshes its snapshot (replaying the winner's delta), and
-    * retries under the next number. Change sets are key-level
-    * delete/upsert sets, so the rebased application is last-writer-
-    * wins per key — both statements survive in the log and in the
-    * replayed state. */
+    * MULTI-WRITER SAFE (optimistic concurrency, Delta-style), in two
+    * phases so a LIVE slow writer can never be mistaken for a crashed
+    * one:
+    *
+    *  1. STAGE — the O(delta) parquet writes land in a writer-private
+    *     `_tstage_<uuid>` dir, invisible to every reader and held
+    *     under NO claim: a delta that takes minutes to write (the
+    *     100 TB case) blocks nobody and risks nothing.
+    *  2. COMMIT — claim the next version number by atomic
+    *     create-if-absent, then promote the staged dirs by RENAME and
+    *     write `_meta` (the commit point). The claimed window holds
+    *     only metadata operations and is heartbeated, so
+    *     [[awaitCommitted]]'s crashed-writer reclaim can only fire on
+    *     a writer that actually died between claim and `_meta`.
+    *
+    * The loser of a claim race waits for the winner's commit,
+    * refreshes its snapshot (replaying the winner's delta), re-checks
+    * CHECK constraints against the then-current constraint set, and
+    * retries under the next number — its staged files are reused
+    * verbatim. Change sets are key-level delete/upsert sets, so the
+    * rebased application is last-writer-wins per key — both
+    * statements survive in the log and in the replayed state. */
   private[sql] def commitChange(sp: SparkSession, path: String,
       truncate: Boolean, del: Option[DataFrame],
       up: Option[DataFrame]): Unit = {
-    // CHECK constraints gate the rows BEFORE anything claims or writes
-    up.foreach(u => enforceConstraints(sp, path, u,
-      current(sp, path)._2.schema))
-    var attempt = 0
-    while (true) {
-      val (v, h) = current(sp, path)
-      val next = v + 1
-      if (claimDelta(sp, path, next)) {
-        writeDelta(sp, path, next, truncate, del, up, h.schema, h.keyCols)
-        val h2 = applyDelta(sp, h, path, next)
-        // DML maintains the manifest's indexes — incrementally: the
-        // statement's own change sets apply to the previous snapshot's
-        // postings/zones at delta cost, never an O(corpus) rebuild
-        maintainIndexes(sp, path, h, h2, next, truncate,
-          del.isDefined, up.isDefined)
-        cacheOf(sp).put(canonical(sp, path), (next, h2))
-        return
+    val writerId = java.util.UUID.randomUUID().toString
+    val (_, h0) = current(sp, path)
+    val stage = stageDir(path, writerId)
+    val (fs, _) = fsOf(sp, path)
+    try {
+      // phase 1: STAGE (slow part, no claim held). Alignment pins the
+      // snapshot schema; a rival's concurrent ADD COLUMN is handled by
+      // replay-side alignTo (missing nullable columns read NULL —
+      // exactly Delta's pre-evolution-writer contract).
+      del.foreach(d => writable(alignTo(d, keySchemaOf(h0.schema, h0.keyCols)))
+        .write.mode("overwrite").parquet(s"$stage/del"))
+      up.foreach(u => writable(alignTo(u, h0.schema))
+        .write.mode("overwrite").parquet(s"$stage/up"))
+      // phase 2: claim + promote. CHECK constraints are enforced
+      // INSIDE the retry loop against the staged rows (exactly the
+      // bytes that will commit) and re-checked whenever the constraint
+      // set changed since the last validation — a rival's concurrent
+      // ADD CONSTRAINT is honored, not check-then-acted past.
+      var checked: Seq[(String, String)] = null
+      var attempt = 0
+      while (true) {
+        val (v, h) = current(sp, path)
+        if (up.isDefined) {
+          val cs = readConstraints(sp, path)
+          if (cs.nonEmpty && cs != checked)
+            enforceConstraintList(cs,
+              alignTo(sp.read.parquet(s"$stage/up"), h.schema))
+          checked = cs
+        }
+        val next = v + 1
+        if (claimDelta(sp, path, next, writerId)) {
+          promoteStage(sp, path, writerId, stage, next, truncate,
+            del.isDefined, up.isDefined)
+          val h2 = applyDelta(sp, h, path, next)
+          // DML maintains the manifest's indexes — incrementally: the
+          // statement's own change sets apply to the previous
+          // snapshot's postings/zones at delta cost, never an
+          // O(corpus) rebuild
+          maintainIndexes(sp, path, h, h2, next, truncate,
+            del.isDefined, up.isDefined)
+          cacheOf(sp).put(canonical(sp, path), (next, h2))
+          return
+        }
+        attempt += 1
+        require(attempt <= 1000,
+          s"graft table commit conflict retry budget exhausted at $path")
+        awaitCommitted(sp, path, next)
       }
-      attempt += 1
-      require(attempt <= 1000,
-        s"graft table commit conflict retry budget exhausted at $path")
-      awaitCommitted(sp, path, next)
-    }
+    } finally { fs.delete(new Path(stage), true); () }
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)`: commit a SCHEMA delta (additive,
@@ -1104,6 +1281,7 @@ private[sql] object GraftTables {
   private[sql] def addColumns(sp: SparkSession, path: String,
       cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val writerId = java.util.UUID.randomUUID().toString
     var attempt = 0
     while (true) {
       val (v, h) = current(sp, path)
@@ -1111,12 +1289,16 @@ private[sql] object GraftTables {
         require(!h.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
           s"column '$n' already exists") }
       val next = v + 1
-      if (claimDelta(sp, path, next)) {
+      if (claimDelta(sp, path, next, writerId)) {
         val newSchema = StructType(h.schema.fields ++ cols.map {
           case (n, t) =>
             org.apache.spark.sql.types.StructField(n, t, nullable = true)
         })
-        writeSchemaDelta(sp, path, next, newSchema)
+        val hbFs = fsOf(sp, path)._1
+        val hb = new Heartbeat(hbFs,
+          new Path(deltaDir(path, next), "_claim_hb"))
+        try writeSchemaDelta(sp, path, next, newSchema)
+        finally hb.stop()
         val h2 = h.widen(newSchema)
         // sidecars carry over verbatim: postings and zones reference
         // columns whose positions the append-only widening preserves

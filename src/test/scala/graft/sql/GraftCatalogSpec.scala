@@ -351,6 +351,93 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_steal")
   }
 
+  test("a LIVE writer slower than the claim timeout is never stolen " +
+      "from — it commits under a later version, log uncorrupted") {
+    val path = freshPath("slow")
+    spark.sql("DROP TABLE IF EXISTS catspec_slow")
+    (1L to 50L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_slow_src")
+    spark.sql(s"""CREATE TABLE catspec_slow USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_slow_src""".stripMargin)
+    val saved = GraftTables.claimTimeoutMillis
+    GraftTables.claimTimeoutMillis = 400L
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      // writer A: its delta parquet write is artificially stalled far
+      // past the claim timeout (the scan sleeps inside the write job —
+      // the pre-fence protocol would have had A holding the claim
+      // through this, and B would steal and corrupt the log)
+      val ssA = spark.newSession()
+      val a = new Thread(() => {
+        try {
+          import ssA.implicits._
+          val slowUp = ssA.createDataset((1L to 10L).toSeq).repartition(1)
+            .mapPartitions { it => Thread.sleep(1500); it }
+            .map(k => (k, -5.0)).toDF("k", "bal")
+          GraftTables.commitChange(ssA, path, truncate = false, None,
+            Some(slowUp))
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+      a.start()
+      Thread.sleep(300) // A is mid-staging (its write sleeps 1.5 s)
+      // writer B commits quickly meanwhile
+      spark.newSession()
+        .sql("UPDATE catspec_slow SET bal = bal + 100 WHERE k > 40")
+      a.join(120000)
+      if (!errs.isEmpty) throw errs.peek()
+    } finally GraftTables.claimTimeoutMillis = saved
+    // BOTH statements landed, and a cold replay agrees bit-for-bit
+    val s2 = spark.newSession()
+    val m = s2.sql("SELECT k, bal FROM catspec_slow").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 10L).forall(m(_) === -5.0)) // A's slow upsert survived
+    assert((41L to 50L).forall(k => m(k) === k + 100.0)) // and B's update
+    assert((11L to 40L).forall(k => m(k) === k * 1.0))
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_slow')")
+      .collect()(0).getLong(0) === 3) // base + exactly two commits
+    spark.sql("DROP TABLE IF EXISTS catspec_slow")
+  }
+
+  test("a heartbeated claim is honored past the timeout; only a dead " +
+      "one is reclaimed") {
+    val path = freshPath("hb")
+    spark.sql("DROP TABLE IF EXISTS catspec_hb")
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("catspec_hb_src")
+    spark.sql(s"""CREATE TABLE catspec_hb USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_hb_src""".stripMargin)
+    assert(GraftTables.claimDelta(spark, path, 1L, "owner-alive"))
+    val hb = GraftTables.heartbeatForTest(spark, path, 1L)
+    val saved = GraftTables.claimTimeoutMillis
+    GraftTables.claimTimeoutMillis = 300L
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val ss = spark.newSession()
+      new Thread(() => {
+        try ss.sql("UPDATE catspec_hb SET bal = 7 WHERE k = 1")
+        catch { case e: Throwable => errs.add(e); () }
+        finally done.countDown()
+      }).start()
+      Thread.sleep(1500) // 5x the timeout — the owner is heartbeating
+      assert(done.getCount === 1) // the live claim was honored
+      hb.stop() // the owner "dies": heartbeat goes stale
+      assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      if (!errs.isEmpty) throw errs.peek()
+    } finally {
+      hb.stop()
+      GraftTables.claimTimeoutMillis = saved
+    }
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT bal FROM catspec_hb WHERE k = 1")
+      .collect()(0).getDouble(0) === 7.0)
+    assert(s2.sql("SELECT count(*) FROM graft_history('catspec_hb')")
+      .collect()(0).getLong(0) === 2)
+    spark.sql("DROP TABLE IF EXISTS catspec_hb")
+  }
+
   test("DML maintains indexes incrementally: postings, distinct counts, zones") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val path = freshPath("incr")
