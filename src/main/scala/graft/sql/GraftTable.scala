@@ -431,6 +431,207 @@ private[sql] object GraftTables {
   private def deltaDir(path: String, v: Long): String =
     f"$path%s/_tdelta_$v%06d"
 
+  // -------------------------------------------------------- fold tier
+  //
+  // AUTO-BOUNDED REOPEN: without help, a reopened session replays
+  // EVERY delta since the last manual OPTIMIZE — at 100 TB a table
+  // taking thousands of DML statements pays an unbounded replay at
+  // every cold open, or an O(corpus) base rewrite to avoid it. The
+  // log-structured fix is TIERED DELTA FOLDING (the LSM compaction
+  // idea at delta granularity): every [[foldEvery]] commits, a run of
+  // consecutive plain deltas is pre-merged — last operation per key —
+  // into ONE fold sidecar (`_tfold_<lo>_<hi>`), and K adjacent
+  // equal-span folds later merge into one K x wider fold. Reopen
+  // replay then covers the log with the widest committed folds and
+  // only the residual raw deltas: segment count (and meta-read count)
+  // is O(K log_K n) instead of O(n), with zero user OPTIMIZE calls.
+  //
+  // Folds are pure ACCELERATION, never truth: raw deltas stay on disk
+  // (time travel to mid-fold versions and the change feed read them
+  // verbatim), fold creation costs one delta-sized merge amortized
+  // over K commits, a torn fold (missing `_meta` after a crash) is
+  // simply ignored, and OPTIMIZE/VACUUM drop folds with the deltas
+  // they cover. Each delta's bytes appear in at most log_K(n) folds —
+  // the standard LSM write amplification, traded for bounded reopens.
+
+  /** Fold cadence K (0 disables). Mutable for tests. */
+  private[sql] var foldEvery: Int = 10
+
+  private def foldDir(path: String, lo: Long, hi: Long): String =
+    f"$path%s/_tfold_$lo%06d_$hi%06d"
+
+  /** A committed fold: the pre-merged change sets of deltas
+    * `lo..hi` (inclusive, all plain). */
+  private case class Fold(lo: Long, hi: Long, hasDel: Boolean,
+      hasUp: Boolean)
+
+  private def writeFoldMeta(fs: FileSystem, dir: Path, hasDel: Boolean,
+      hasUp: Boolean): Unit = {
+    val out = new java.io.ObjectOutputStream(
+      fs.create(new Path(dir, "_meta"), true))
+    try {
+      out.writeBoolean(hasDel)
+      out.writeBoolean(hasUp)
+      out.writeLong(System.currentTimeMillis())
+    } finally out.close()
+  }
+
+  private def readFoldMeta(fs: FileSystem,
+      dir: Path): Option[(Boolean, Boolean)] =
+    try {
+      val in = new java.io.ObjectInputStream(fs.open(new Path(dir, "_meta")))
+      try Some((in.readBoolean(), in.readBoolean())) finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Every COMMITTED fold at `path` (torn ones — no readable `_meta`
+    * — are invisible), sorted by `lo`. */
+  private def listFolds(sp: SparkSession, path: String): Seq[Fold] = {
+    val (fs, p) = fsOf(sp, path)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_tfold_")) None
+      else n.stripPrefix("_tfold_").split("_") match {
+        case Array(lo, hi) if lo.nonEmpty && hi.nonEmpty &&
+            lo.forall(_.isDigit) && hi.forall(_.isDigit) =>
+          readFoldMeta(fs, st.getPath).map { case (d, u) =>
+            Fold(lo.toLong, hi.toLong, d, u) }
+        case _ => None
+      }
+    }.sortBy(_.lo)
+  }
+
+  /** One replay segment: a raw delta (`ord` = its version) or a fold
+    * (`ord` = the LAST covered version — cross-segment last-op
+    * resolution orders by it). */
+  private case class Seg(ord: Long, dir: String, hasDel: Boolean,
+      hasUp: Boolean)
+
+  /** Cover `(first, v]` with the widest committed folds, raw deltas
+    * filling the gaps — the reopen replay plan. Metas are read ONLY
+    * for uncovered versions, so a folded log's reopen pays
+    * O(segments) small reads, not O(statements). */
+  private def coverVersions(sp: SparkSession, path: String, first: Long,
+      v: Long): Seq[Either[(Long, DeltaMeta), Fold]] = {
+    val foldsByLo = listFolds(sp, path)
+      .filter(f => f.lo > first && f.hi <= v)
+      .groupBy(_.lo).map { case (lo, fs) => lo -> fs.maxBy(_.hi) }
+    val items = scala.collection.mutable.ArrayBuffer
+      .empty[Either[(Long, DeltaMeta), Fold]]
+    var i = first + 1
+    while (i <= v) {
+      foldsByLo.get(i) match {
+        case Some(f) => items += Right(f); i = f.hi + 1
+        case None => items += Left((i, readMeta(sp, path, i))); i += 1
+      }
+    }
+    items.toSeq
+  }
+
+  /** Opportunistic fold maintenance, called after every
+    * [[foldEvery]]-th commit. Level 0: each run of >= K consecutive
+    * UNFOLDED raw plain deltas folds in K-sized chunks. Tiering: K
+    * adjacent equal-span folds merge into one. Only ranges AFTER the
+    * last fence (truncate / schema-evolution delta) fold — everything
+    * in a fold was written under the CURRENT table schema, so the
+    * merge's alignment is exact. Failures are swallowed: folds are
+    * advisory, and the statement that triggered this already
+    * committed. */
+  private def maybeFold(sp: SparkSession, path: String, v: Long): Unit = {
+    val k = foldEvery
+    if (k <= 1) return
+    val first = tableFirstVersion(sp, path)
+    val items = coverVersions(sp, path, first, v)
+    // the last fence among the items bounds every foldable range
+    val lastFence = items.collect {
+      case Left((i, m)) if !m.plain => i }.maxOption.getOrElse(first)
+    val (_, h) = current(sp, path)
+    // level 0: chunk maximal raw-plain runs after the fence
+    val run = scala.collection.mutable.ArrayBuffer.empty[(Long, DeltaMeta)]
+    def flushRun(): Unit = {
+      while (run.length >= k) {
+        val chunk = run.take(k).toSeq
+        createFold(sp, path, chunk.head._1, chunk.last._1,
+          chunk.map { case (i, m) =>
+            Seg(i, deltaDir(path, i), m.hasDel, m.hasUp) },
+          h.schema, h.keyCols)
+        run.remove(0, k)
+      }
+      run.clear()
+    }
+    items.foreach {
+      case Left((i, m)) if m.plain && i > lastFence => run += ((i, m))
+      case _ => flushRun()
+    }
+    flushRun()
+    // tiering: over the folds replay would ACTUALLY pick (the greedy
+    // widest-at-lo cover — never the sub-folds a wider one already
+    // shadows), merge K adjacent equal-span folds into one K x wider,
+    // repeating until a pass creates nothing new.
+    var merged = true
+    while (merged) {
+      merged = false
+      val byLo = listFolds(sp, path)
+        .filter(f => f.lo > lastFence && f.hi <= v)
+        .groupBy(_.lo).map { case (lo, fs) => lo -> fs.maxBy(_.hi) }
+      val cover = scala.collection.mutable.ArrayBuffer.empty[Fold]
+      var i = lastFence + 1
+      while (i <= v) byLo.get(i) match {
+        case Some(f) => cover += f; i = f.hi + 1
+        case None => i += 1
+      }
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Fold]
+      for (f <- cover if !merged) {
+        val span = f.hi - f.lo + 1
+        if (runs.nonEmpty && runs.last.hi + 1 == f.lo &&
+            runs.head.hi - runs.head.lo + 1 == span) runs += f
+        else { runs.clear(); runs += f }
+        if (runs.length == k) {
+          val members = runs.toSeq
+          merged = createFold(sp, path, members.head.lo, members.last.hi,
+            members.map(m =>
+              Seg(m.hi, foldDir(path, m.lo, m.hi), m.hasDel, m.hasUp)),
+            h.schema, h.keyCols)
+          runs.clear()
+        }
+      }
+    }
+  }
+
+  /** Write the pre-merged change sets of `segs` as fold `[lo, hi]`:
+    * staged under a `_tfoldtmp_` sibling (complete with `_meta`),
+    * then RENAMED into place — the fold appears atomically or not at
+    * all, and a rename that loses to a rival folder just discards the
+    * duplicate work (fold content is deterministic). */
+  private def createFold(sp: SparkSession, path: String, lo: Long, hi: Long,
+      segs: Seq[Seg], schema: StructType, keyCols: Seq[String]): Boolean = {
+    val (fs, p) = fsOf(sp, path)
+    val target = new Path(foldDir(path, lo, hi))
+    if (fs.exists(target)) return false
+    val anyDel = segs.exists(_.hasDel)
+    val anyUp = segs.exists(_.hasUp)
+    if (!anyDel && !anyUp) return false
+    lastOpFrame(sp, schema, keyCols, segs).exists { last =>
+      val tmp = new Path(p, s"_tfoldtmp_${java.util.UUID.randomUUID()}")
+      try {
+        if (anyDel)
+          writable(last.where(col("__del")).select(keyCols.map(col): _*))
+            .write.mode("overwrite").parquet(s"$tmp/del")
+        if (anyUp)
+          writable(last.where(!col("__del"))
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+            .write.mode("overwrite").parquet(s"$tmp/up")
+        writeFoldMeta(fs, tmp, anyDel, anyUp)
+        fs.rename(tmp, target) || { fs.delete(tmp, true); false }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try { fs.delete(tmp, true); () }
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+    }
+  }
+
   /** Current version = the `_tver` HINT advanced past any committed
     * delta the hint does not know about yet. The walk makes the marker
     * advisory, not load-bearing: a torn/absent `_tver` (crashed
@@ -490,7 +691,36 @@ private[sql] object GraftTables {
   private def clearDeltas(sp: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(sp, path)
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      if (st.getPath.getName.startsWith("_tdelta_")) fs.delete(st.getPath, true)
+      val n = st.getPath.getName
+      if (n.startsWith("_tdelta_") || n.startsWith("_tfold") ||
+          n.startsWith("_tstage_") || n.startsWith("_tgrave_"))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Age past which an abandoned writer-private dir — a crashed
+    * writer's `_tstage_` staging data, a torn `_tfoldtmp_` fold
+    * attempt, a steal's `_tgrave_` remains — is garbage-collected.
+    * Generous by default: a live 100 TB stage can legitimately take
+    * hours to write. Mutable for tests. */
+  private[sql] var orphanSweepAgeMillis: Long = 12L * 3600 * 1000
+
+  /** Sweep orphaned writer-private dirs older than
+    * [[orphanSweepAgeMillis]] — the cloud-committer-style GC of
+    * abandoned staging attempts. Runs inside OPTIMIZE and VACUUM (the
+    * maintenance verbs), never on the hot commit path. */
+  private[sql] def sweepOrphans(sp: SparkSession, path: String): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    if (!fs.exists(p)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val orphan = n.startsWith("_tstage_") || n.startsWith("_tfoldtmp_") ||
+        n.startsWith("_tgrave_")
+      if (orphan && now - st.getModificationTime > orphanSweepAgeMillis) {
+        try { fs.delete(st.getPath, true); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 
@@ -531,7 +761,7 @@ private[sql] object GraftTables {
     up.foreach(u => writable(alignTo(u, schema))
       .write.mode("overwrite").parquet(s"$dir/up"))
     writeMeta(sp, dir, truncate, del.isDefined, up.isDefined,
-      hasSchema = false)
+      hasSchema = false, writerId = "")
     writeVersion(sp, path, v)
   }
 
@@ -541,24 +771,42 @@ private[sql] object GraftTables {
     * this version, so every delta applies under the schema that was
     * current when it committed. */
   private def writeSchemaDelta(sp: SparkSession, path: String, v: Long,
-      newSchema: StructType): Unit = {
+      newSchema: StructType, writerId: String): Unit = {
     val dir = deltaDir(path, v)
+    val dirP = new Path(dir)
     val (fs, _) = fsOf(sp, path)
+    // schema commits get the SAME ownership fencing as DML promotes: a
+    // claim stolen after a stale heartbeat and reclaimed by a rival
+    // must surface as a loud abort, never as a `_schema`/`_meta`
+    // overwrite inside the rival's version dir
+    def owned: Boolean = claimInfo(fs, dirP).exists(_._1 == writerId)
+    require(owned, s"graft schema commit integrity: claim on version " +
+      s"$v of $path no longer belongs to this writer — commit aborted")
     val out = fs.create(new Path(dir, "_schema"), true)
     try out.write(newSchema.json.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(owned, s"graft schema commit integrity: claim on version " +
+      s"$v of $path was stolen mid-commit — commit aborted")
     writeMeta(sp, dir, truncate = false, hasDel = false, hasUp = false,
-      hasSchema = true)
+      hasSchema = true, writerId = writerId)
+    if (!owned)
+      throw new IllegalStateException(
+        s"graft schema commit integrity: claim on version $v of $path " +
+          "was stolen during the commit write — the statement is " +
+          "aborted (the commit record may or may not have survived " +
+          "the steal; re-read the table before retrying)")
     writeVersion(sp, path, v)
   }
 
-  /** The delta commit record. The trailing `hasSchema` boolean is a
-    * FORMAT EXTENSION (r14): pre-extension metas simply end after the
-    * stamp, and readers treat EOF as false — old logs replay
-    * unchanged. */
+  /** The delta commit record. The trailing `hasSchema` boolean (r14)
+    * and committer `writerId` (r16 — the audit trail that lets any
+    * later reader prove WHICH writer's commit a version holds) are
+    * FORMAT EXTENSIONS: pre-extension metas simply end earlier, and
+    * readers treat EOF as false/absent — old logs replay unchanged. */
   private def writeMeta(sp: SparkSession, dir: String, truncate: Boolean,
-      hasDel: Boolean, hasUp: Boolean, hasSchema: Boolean): Unit = {
+      hasDel: Boolean, hasUp: Boolean, hasSchema: Boolean,
+      writerId: String): Unit = {
     val (fs, _) = fsOf(sp, dir)
     val out = new java.io.ObjectOutputStream(
       fs.create(new Path(dir, "_meta"), true))
@@ -568,6 +816,7 @@ private[sql] object GraftTables {
       out.writeBoolean(hasUp)
       out.writeLong(System.currentTimeMillis())
       out.writeBoolean(hasSchema)
+      out.writeUTF(writerId)
     } finally out.close()
   }
 
@@ -657,29 +906,32 @@ private[sql] object GraftTables {
       var incremental = v == dv && v > first && sidecarVer == first &&
         sidecarsCover(h, readIndexManifest(sp, path))
       if (sidecarVer != v && !incremental) stripSidecars(h)
-      // BATCHED replay: consecutive PLAIN deltas (no truncate, no
-      // schema change) merge into one last-op-per-key application —
-      // a k-delta reopen costs ~3 delta-sized shuffles instead of 2k.
-      // Truncate/schema deltas fence the runs and apply in order.
-      val versions = (first + 1) to v
-      val metas = versions.map(i => i -> readMeta(sp, path, i)).toMap
-      val run = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // BATCHED + FOLDED replay: the log is covered with the widest
+      // committed fold sidecars (pre-merged runs — see the fold-tier
+      // section) plus residual raw deltas, and consecutive PLAIN
+      // segments merge into one last-op-per-key application — a
+      // k-delta reopen costs ~3 delta-sized shuffles and O(K log_K k)
+      // segment reads instead of 2k. Truncate/schema deltas fence the
+      // runs and apply in order.
+      val items = coverVersions(sp, path, first, v)
+      val run = scala.collection.mutable.ArrayBuffer.empty[Seg]
       def flush(): Unit = {
-        h = applyPlainRun(sp, h, path, run.toSeq, metas,
-          maintain = incremental)
+        h = applyPlainRun(sp, h, run.toSeq, maintain = incremental)
         run.clear()
       }
-      versions.foreach { i =>
-        if (metas(i).plain) run += i
-        else {
+      items.foreach {
+        case Right(f) =>
+          run += Seg(f.hi, foldDir(path, f.lo, f.hi), f.hasDel, f.hasUp)
+        case Left((i, m)) if m.plain =>
+          run += Seg(i, deltaDir(path, i), m.hasDel, m.hasUp)
+        case Left((i, m)) =>
           flush()
           val prev = h
           h = applyDelta(sp, h, path, i)
           if (incremental) {
-            if (metas(i).truncate) { incremental = false; stripSidecars(h) }
+            if (m.truncate) { incremental = false; stripSidecars(h) }
             else h.maintainSidecarsFrom(prev, None, None) // schema delta
           }
-        }
       }
       flush()
       // replay strips the loaded sidecar state (fresh handles) unless
@@ -704,70 +956,87 @@ private[sql] object GraftTables {
       }
     }
 
-  /** Apply a RUN of consecutive plain deltas as ONE merged
-    * application: union every delta's change sets tagged with their
-    * version, resolve the LAST operation per key (ties within a
-    * version prefer the upsert — sequential semantics apply a
-    * statement's deletes before its upserts; the DML contract makes
-    * them key-disjoint anyway), then one delete pass + one upsert
-    * pass. Replay equals the sequential fold because upserts are
-    * last-write-wins and deletes of absent keys are no-ops: only each
-    * key's final operation matters. */
-  private def applyPlainRun(sp: SparkSession, h0: TableHandle, path: String,
-      vs: Seq[Long], metas: Map[Long, DeltaMeta],
-      maintain: Boolean = false): TableHandle = {
-    if (vs.isEmpty) return h0
-    if (vs.size == 1) {
-      val h2 = applyDelta(sp, h0, path, vs.head)
-      if (maintain) {
-        val m = metas(vs.head)
-        val dir = deltaDir(path, vs.head)
-        val del = if (m.hasDel) Some(alignTo(sp.read.parquet(s"$dir/del"),
-          keySchemaOf(h2.schema, h2.keyCols))) else None
-        val up = if (m.hasUp) Some(alignTo(sp.read.parquet(s"$dir/up"),
-          h2.schema)) else None
-        h2.maintainSidecarsFrom(h0, del, up)
-      }
-      return h2
-    }
+  /** The last operation per key across a run of segments (raw deltas
+    * and/or folds): union every segment's change sets tagged with
+    * their ordering version, window to `row_number = 1` ordered by
+    * version DESC (ties within a segment prefer the upsert —
+    * sequential semantics apply a statement's deletes before its
+    * upserts; the DML contract makes them key-disjoint anyway).
+    * Columns: the table schema + `__v` + `__del`. None when no
+    * segment carries change rows.
+    *
+    * ONE multi-path read per side (a per-segment read would pay k
+    * planning/listing round-trips — the old per-statement reopen
+    * tax); the ordering version rides the file path: `_tdelta_v` dirs
+    * order by v, `_tfold_lo_hi` dirs by hi. Within a fence-free run
+    * every segment was written under the same table schema, so the
+    * shared-scan schema is exact. */
+  private def lastOpFrame(sp: SparkSession, schema: StructType,
+      keyCols: Seq[String], segs: Seq[Seg]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{asc, desc, input_file_name,
       lit, regexp_extract, row_number}
-    val keyCols = h0.keyCols
-    val keySchema = keySchemaOf(h0.schema, keyCols)
-    val nonKeys = h0.schema.fieldNames.filterNot(keyCols.contains).toSeq
-    // ONE multi-path read per side (a per-delta read would pay k
-    // planning/listing round-trips — the old per-statement reopen
-    // tax); the commit version rides the file path. Within a
-    // fence-free run every delta was written under the same table
-    // schema, so the shared-scan schema is exact.
+    val keySchema = keySchemaOf(schema, keyCols)
+    val nonKeys = schema.fieldNames.filterNot(keyCols.contains).toSeq
     val verCol = regexp_extract(input_file_name(),
-      "_tdelta_0*([0-9]+)", 1).cast("long").as("__v")
-    val upPaths = vs.filter(metas(_).hasUp).map(v => s"${deltaDir(path, v)}/up")
-    val delPaths = vs.filter(metas(_).hasDel).map(v => s"${deltaDir(path, v)}/del")
+      "_t(?:delta_|fold_[0-9]+_)0*([0-9]+)", 1).cast("long").as("__v")
+    val upPaths = segs.filter(_.hasUp).map(s => s"${s.dir}/up")
+    val delPaths = segs.filter(_.hasDel).map(s => s"${s.dir}/del")
     val parts: Seq[DataFrame] =
       (if (delPaths.isEmpty) Nil
        else Seq(alignTo(sp.read.parquet(delPaths: _*), keySchema)
          .select((keyCols.map(col) ++ nonKeys.map(c =>
-           lit(null).cast(h0.schema(c).dataType).as(c))) ++
+           lit(null).cast(schema(c).dataType).as(c))) ++
            Seq(verCol, lit(true).as("__del")): _*))) ++
       (if (upPaths.isEmpty) Nil
-       else Seq(alignTo(sp.read.parquet(upPaths: _*), h0.schema)
-         .select(h0.schema.fieldNames.map(col).toSeq ++
+       else Seq(alignTo(sp.read.parquet(upPaths: _*), schema)
+         .select(schema.fieldNames.map(col).toSeq ++
            Seq(verCol, lit(false).as("__del")): _*)))
-    if (parts.isEmpty) return h0
+    if (parts.isEmpty) return None
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(desc("__v"), asc("__del"))
-    val last = parts.reduce(_ unionByName _)
+    Some(parts.reduce(_ unionByName _)
       .select(col("*") +: Seq(row_number().over(w).as("__rn")): _*)
-      .where(col("__rn") === 1)
-    val delKeys = last.where(col("__del")).select(keyCols.map(col): _*)
-    val upRows = last.where(!col("__del"))
-      .select(h0.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val h2 = h0.delete(delKeys).upsert(upRows)
-    // the merged last-op sets ARE the run's change sets — the sidecar
-    // carry applies exactly what the data replay applied
-    if (maintain) h2.maintainSidecarsFrom(h0, Some(delKeys), Some(upRows))
-    h2
+      .where(col("__rn") === 1))
+  }
+
+  /** Apply a RUN of consecutive plain segments (raw deltas and/or
+    * pre-merged folds) as ONE merged application: resolve the last
+    * operation per key ([[lastOpFrame]]), then one delete pass + one
+    * upsert pass. Replay equals the sequential fold because upserts
+    * are last-write-wins and deletes of absent keys are no-ops: only
+    * each key's final operation matters — and a fold's content IS
+    * already its members' last-op merge, so mixing tiers is exact. */
+  private def applyPlainRun(sp: SparkSession, h0: TableHandle,
+      segs: Seq[Seg], maintain: Boolean = false): TableHandle = {
+    if (segs.isEmpty) return h0
+    if (segs.size == 1) {
+      // single segment: del-then-up directly (a fold's sides are
+      // key-disjoint by construction; a raw plain delta's by the DML
+      // contract) — no window needed
+      val s = segs.head
+      val del = if (s.hasDel) Some(alignTo(sp.read.parquet(s"${s.dir}/del"),
+        keySchemaOf(h0.schema, h0.keyCols))) else None
+      val up = if (s.hasUp) Some(alignTo(sp.read.parquet(s"${s.dir}/up"),
+        h0.schema)) else None
+      var h2 = h0
+      del.foreach(d => h2 = h2.delete(d))
+      up.foreach(u => h2 = h2.upsert(u))
+      if (maintain && (h2 ne h0)) h2.maintainSidecarsFrom(h0, del, up)
+      return h2
+    }
+    lastOpFrame(sp, h0.schema, h0.keyCols, segs) match {
+      case None => h0
+      case Some(last) =>
+        val keyCols = h0.keyCols
+        val delKeys = last.where(col("__del")).select(keyCols.map(col): _*)
+        val upRows = last.where(!col("__del"))
+          .select(h0.schema.fieldNames.map(col).toIndexedSeq: _*)
+        val h2 = h0.delete(delKeys).upsert(upRows)
+        // the merged last-op sets ARE the run's change sets — the
+        // sidecar carry applies exactly what the data replay applied
+        if (maintain) h2.maintainSidecarsFrom(h0, Some(delKeys), Some(upRows))
+        h2
+    }
   }
 
   private val vcaches =
@@ -1117,12 +1386,16 @@ private[sql] object GraftTables {
 
   /** After losing a claim race on version `v`: wait for the rival's
     * commit (`_meta`) to land so the retry's snapshot includes it.
-    * Steals only PROVABLY-DEAD claims: ones whose owner has shown no
-    * sign of life (claim stamp, heartbeat) for the full timeout — a
-    * live owner's commit window is metadata-ops-only and heartbeated,
-    * so staleness means a writer that crashed between claim and
-    * `_meta`. Nothing ever read such a version: an uncommitted delta
-    * is invisible to [[diskVersion]]'s walk. */
+    * Steals only PROVABLY-DEAD claims — and staleness is judged by
+    * CHANGE DETECTION ON THE LOSER'S OWN CLOCK: the owner's stamps are
+    * another machine's wall clock (skew could make a live writer look
+    * ancient, or a crashed one look fresh), so what this trusts is
+    * whether the freshest sign-of-life VALUE (claim stamp or
+    * heartbeat) has changed during `claimTimeoutMillis` of LOCAL time.
+    * A live owner's commit window is metadata-ops-only and
+    * heartbeated, so an unchanged stamp means a writer that died
+    * between claim and `_meta`. Nothing ever read such a version: an
+    * uncommitted delta is invisible to [[diskVersion]]'s walk. */
   private def awaitCommitted(sp: SparkSession, path: String, v: Long): Unit = {
     val (fs, _) = fsOf(sp, path)
     val dir = new Path(deltaDir(path, v))
@@ -1130,14 +1403,19 @@ private[sql] object GraftTables {
     // a claim whose owner keeps heartbeating is honored indefinitely
     // short of this hard cap — then fail LOUDLY instead of stealing
     val hardDeadline = System.currentTimeMillis() + claimTimeoutMillis * 40
+    var lastSeen = Long.MinValue
+    var seenAt = System.currentTimeMillis()
     while (!fs.exists(meta)) {
       if (!fs.exists(dir)) return // another loser already reclaimed it
       val now = System.currentTimeMillis()
-      if (now - lastAlive(fs, dir) > claimTimeoutMillis) {
-        // provably dead — re-check the commit point one last instant
-        // before the delete (paranoia: the window is metadata-only)
-        if (!fs.exists(meta)) { fs.delete(dir, true); () }
-        return
+      val alive = lastAlive(fs, dir)
+      if (alive != lastSeen) { lastSeen = alive; seenAt = now }
+      if (now - seenAt > claimTimeoutMillis) {
+        if (stealDead(fs, dir, meta)) return
+        // a rival stealer (or a recovered owner) holds the claim now —
+        // watch its liveness afresh
+        lastSeen = Long.MinValue
+        seenAt = System.currentTimeMillis()
       }
       if (now > hardDeadline)
         throw new IllegalStateException(
@@ -1146,6 +1424,41 @@ private[sql] object GraftTables {
             "timeout — refusing to steal a live writer's claim")
       Thread.sleep(50)
     }
+  }
+
+  /** Reclaim a provably-dead claim WITHOUT the check-then-delete race:
+    * first take OWNERSHIP of the claim (delete + atomic create-if-
+    * absent under a fresh stealer id — a still-live owner's next
+    * ownership check then aborts its commit loudly), re-check the
+    * commit point AFTER owning, and only then retire the dir — by
+    * RENAME to a `_tgrave_` sibling, so a commit racing the final
+    * window lands in the grave (orphaned data, swept by
+    * [[sweepOrphans]]) instead of producing a committed version whose
+    * data files were deleted. Returns true when the version slot was
+    * freed or found committed (caller re-examines the log); false when
+    * the claim could not be taken (a rival stealer or recovered owner
+    * holds it) — keep waiting. */
+  private def stealDead(fs: FileSystem, dir: Path, meta: Path): Boolean = {
+    val stealId = "steal-" + java.util.UUID.randomUUID()
+    try { fs.delete(new Path(dir, "_claim"), false); () }
+    catch { case _: java.io.IOException => () }
+    val took = try {
+      val out = fs.create(new Path(dir, "_claim"), false)
+      try out.write(s"$stealId:${System.currentTimeMillis()}".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+    if (!took || !claimInfo(fs, dir).exists(_._1 == stealId)) return false
+    // one grace beat for an in-flight `_meta` write that passed its
+    // pre-write ownership check before our claim takeover landed
+    Thread.sleep(100)
+    if (fs.exists(meta)) return true // it committed after all — honor it
+    val grave = new Path(dir.getParent,
+      s"_tgrave_${dir.getName}_${java.util.UUID.randomUUID()}")
+    if (fs.rename(dir, grave)) { try fs.delete(grave, true) catch {
+      case _: java.io.IOException => () }; () }
+    true
   }
 
   private def stageDir(path: String, writerId: String): String =
@@ -1177,13 +1490,21 @@ private[sql] object GraftTables {
           s"graft commit: staging rename failed for $dir/up")
       require(owned, s"graft commit integrity: claim on version $v of " +
         s"$path was stolen mid-promote — commit aborted")
-      writeMeta(sp, dir, truncate, hasDel, hasUp, hasSchema = false)
+      writeMeta(sp, dir, truncate, hasDel, hasUp, hasSchema = false,
+        writerId = writerId)
       if (!owned) {
-        // last-microsecond steal: surface it, never leave a half dir
-        fs.delete(new Path(dirP, "_meta"), false)
+        // last-microsecond steal: surface it LOUDLY — but never delete
+        // the `_meta`: after a steal-and-reclaim the record at this
+        // path could be the NEW owner's committed version, and even if
+        // it is ours the data renames above already completed, so the
+        // record describes a COMPLETE version (the stealer's honor
+        // check keeps it, or its grave rename orphans dir and record
+        // together — either way the log stays readable)
         throw new IllegalStateException(
           s"graft commit integrity: claim on version $v of $path was " +
-            "stolen during the commit write — commit aborted")
+            "stolen during the commit write — the statement is " +
+            "aborted (the commit may or may not have survived the " +
+            "steal; re-read the table before retrying)")
       }
       writeVersion(sp, path, v)
     } finally hb.stop()
@@ -1261,6 +1582,13 @@ private[sql] object GraftTables {
           maintainIndexes(sp, path, h, h2, next, truncate,
             del.isDefined, up.isDefined)
           cacheOf(sp).put(canonical(sp, path), (next, h2))
+          // opportunistic fold maintenance every K-th commit — the
+          // amortized cost that keeps every later reopen bounded.
+          // Best-effort: folds are advisory and this statement has
+          // already committed, so a fold failure must not fail it.
+          if (foldEvery > 1 && next % foldEvery == 0)
+            try maybeFold(sp, path, next)
+            catch { case scala.util.control.NonFatal(_) => () }
           return
         }
         attempt += 1
@@ -1297,7 +1625,7 @@ private[sql] object GraftTables {
         val hbFs = fsOf(sp, path)._1
         val hb = new Heartbeat(hbFs,
           new Path(deltaDir(path, next), "_claim_hb"))
-        try writeSchemaDelta(sp, path, next, newSchema)
+        try writeSchemaDelta(sp, path, next, newSchema, writerId)
         finally hb.stop()
         val h2 = h.widen(newSchema)
         // sidecars carry over verbatim: postings and zones reference
@@ -1323,6 +1651,7 @@ private[sql] object GraftTables {
     * exists". */
   private[sql] def compact(sp: SparkSession, path: String)
       : (Long, Long, Int, Int, Int) = {
+    sweepOrphans(sp, path)
     val (v, h) = current(sp, path)
     val firstBefore = tableFirstVersion(sp, path)
     val depthBefore = h.idxAny.lineageDepth
@@ -1345,6 +1674,7 @@ private[sql] object GraftTables {
   private[sql] def vacuumTable(sp: SparkSession, path: String,
       retain: Int): (Long, Long, Long) = {
     require(retain >= 1, s"VACUUM must retain at least 1 version (got $retain)")
+    sweepOrphans(sp, path)
     val dv = diskVersion(sp, path)
     val first = tableFirstVersion(sp, path)
     val readable = dv - first + 1
@@ -1428,6 +1758,15 @@ private[sql] object GraftTables {
     // recovered after a crash mid-swap)
     (target + 1 to dv).foreach { v =>
       val d = new Path(deltaDir(path, v))
+      if (fs.exists(d))
+        org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
+          new Path(tmp, d.getName), false, sp.sparkContext.hadoopConfiguration)
+    }
+    // committed fold sidecars covering only RETAINED versions ride the
+    // swap too; folds that reach into the folded-away history drop
+    // with it (replay over the retained tail re-creates them)
+    listFolds(sp, path).filter(f => f.lo > target && f.hi <= dv).foreach { f =>
+      val d = new Path(foldDir(path, f.lo, f.hi))
       if (fs.exists(d))
         org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
           new Path(tmp, d.getName), false, sp.sparkContext.hadoopConfiguration)
