@@ -2167,8 +2167,9 @@ object OperatorQueries {
       // table's delta versions as a change feed — upsert rows straight
       // from the written change sets, delete keys null-extended — so a
       // downstream consumer materializes the table incrementally
-      // without ever scanning the corpus. startingVersion 0 replays
-      // the full retained log.
+      // without ever scanning the corpus. startingVersion 0 is
+      // backfill-then-tail (Delta CDF's shape): the version-0 corpus
+      // arrives first as `insert` rows, then the retained deltas.
       graft.sql.IndexedJoin.enable(s)
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_cat_lane_feed").toString
@@ -2191,6 +2192,52 @@ object OperatorQueries {
       s.table("cat_feed_mem").select(
         $"c_custkey", $"c_name", $"c_acctbal",
         $"_change_type", $"_commit_version")
+    },
+
+    "ir_stream_table_feed_limit" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // RATE-LIMITED catch-up: a consumer attaching behind a
+      // long-lived table bounds how many versions one micro-batch
+      // advances (maxVersionsPerTrigger) instead of swallowing the
+      // whole pending log in one batch — with the startingVersion-0
+      // snapshot indivisible up front. The lane REQUIRES the batch
+      // boundaries (snapshot+2, then 2 versions per batch) and
+      // returns the accumulated feed, which must equal the unlimited
+      // replay bit-for-bit.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_feedlim").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_feedlim")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).filter($"c_custkey" <= 120)
+        .select($"c_custkey", $"c_acctbal")
+        .createOrReplaceTempView("cat_feedlim_src")
+      s.sql(s"""CREATE TABLE graft_cat_feedlim USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_feedlim_src""".stripMargin)
+      (1 to 6).foreach(i => s.sql(
+        s"UPDATE graft_cat_feedlim SET c_acctbal = ${1000 + i} WHERE c_custkey = $i"))
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Double, String, Long)]()
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            nBatches.incrementAndGet()
+            df.collect().foreach(r => rows.add((r.getLong(0),
+              r.getDouble(1), r.getString(2), r.getLong(3))))
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      // snapshot batch reaches version 2 (snapshot + 2 deltas), then
+      // (3,4] and (5,6]
+      require(nBatches.get() == 3,
+        s"expected 3 rate-limited batches, saw ${nBatches.get()}")
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq.toDF(
+        "c_custkey", "c_acctbal", "_change_type", "_commit_version")
     },
 
     "ir_sql_catalog_reskew" -> { (s, dir) =>
@@ -3877,16 +3924,31 @@ object OperatorQueries {
         |       round(coalesce(l.v, c.c_acctbal), 2) AS val
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.k""".stripMargin,
 
-    // the change feed of the two statements: v1's upsert rows (the
-    // doubled balances), v2's delete keys (null value columns)
+    // the backfill snapshot (version-0 corpus as inserts) plus the two
+    // statements: v1's upsert rows (the doubled balances), v2's delete
+    // keys (null value columns)
     "ir_stream_table_feed" ->
-      """SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal,
-        |  'upsert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal * 2, 'upsert', 1
         |FROM customer WHERE c_custkey <= 30
         |UNION ALL
         |SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
         |  'delete', 2
         |FROM customer WHERE c_custkey % 10 = 1 AND c_custkey <= 100""".stripMargin,
+
+    // rate-limited catch-up accumulates the identical feed: snapshot
+    // inserts + one upsert per single-key statement
+    "ir_stream_table_feed_limit" ->
+      """SELECT c_custkey, c_acctbal,
+        |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey <= 120
+        |UNION ALL
+        |SELECT c_custkey, CAST(1000 + c_custkey AS DOUBLE), 'upsert',
+        |  c_custkey
+        |FROM customer WHERE c_custkey <= 6""".stripMargin,
 
     // keys 8/80 are original customer rows, 880/2400/3992 appended
     // (ids 110/300/499); routing must survive the re-split partitioner

@@ -1,6 +1,5 @@
 package graft.sql
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -13,17 +12,21 @@ import org.apache.spark.sql.DataFrame
  * (`graft_changes`), compactable (`OPTIMIZE`), and replayable from any
  * later session like any other table version.
  *
- * Exactly-once across restarts rides a per-query transaction marker
- * (`_txn_<txnId>`, Delta's txn appId/version idea): the marker
- * advances to the batch id only AFTER the delta commit completes, and
- * `foreachBatch`'s at-least-once redelivery of ids at or below it is
- * skipped. A crash BETWEEN the commit and the marker advance
- * re-delivers a batch whose change sets are pure key upserts
- * (last-write-wins), so the re-apply is a content no-op — it costs one
- * duplicate history version, never wrong data. Concurrent batch
- * writers and SQL DML statements interleave safely: every commit
- * claims its version atomically and the loser retries on top of the
- * winner ([[GraftTables.commitChange]]).
+ * Exactly-once across restarts rides a per-query transaction tag
+ * (Delta's `txnAppId`/`txnVersion` idea): the (txnId, batchId) pair is
+ * written INTO the version dir BEFORE the commit record, so the dedup
+ * tag is ATOMIC WITH THE COMMIT — there is no crash window between
+ * "the data committed" and "the marker advanced" (the r15 design had
+ * exactly that window, costing a duplicate history version on
+ * restart). `foreachBatch`'s at-least-once redelivery of a batch id at
+ * or below the greatest committed tag is skipped, so a foreachBatch
+ * body writing SEVERAL graft tables (corpus + stats) under the same
+ * txnId is exactly-once into EACH: on restart, tables whose commit
+ * completed skip, tables the crash interrupted apply. The tags survive
+ * OPTIMIZE/VACUUM (folded history collapses into per-app floor
+ * markers) and concurrent writers (every commit claims its version
+ * atomically and the loser retries on top of the winner —
+ * [[GraftTables.commitChange]]).
  *
  * The batch frame may carry the table's full schema or any column
  * subset that includes the key columns — missing NULLABLE columns fill
@@ -31,38 +34,28 @@ import org.apache.spark.sql.DataFrame
  */
 object GraftCatalogSink {
 
-  private def txnMarker(path: String, txnId: String): Path = {
-    val safe = txnId.map(c =>
-      if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
-    new Path(path, s"_txn_$safe")
-  }
-
   /** Last batch id whose commit COMPLETED for `txnId` (Long.MinValue
-    * when the stream has never committed). */
+    * when the stream has never committed). Authoritative: resolved
+    * from the commit-atomic tags in the delta log, not from a marker
+    * that could lag a crash. */
   def lastCommittedBatch(sp: org.apache.spark.sql.SparkSession,
-      path: String, txnId: String): Long = {
-    val p = new Path(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      p.toUri, sp.sparkContext.hadoopConfiguration)
-    graft.MarkerFile.readLong(fs, txnMarker(path, txnId))
-      .getOrElse(Long.MinValue)
-  }
+      path: String, txnId: String): Long =
+    GraftTables.lastTxnVersion(sp, path, txnId)
 
   /** The `foreachBatch` body: upsert `batch` into the graft table at
     * `path` as one durable delta version, exactly-once under `txnId`
     * (use a stable name per logical stream — surviving restarts — not
-    * the run id). */
+    * the run id). Call once per target table inside a multi-table
+    * `foreachBatch` body, same `txnId`: each table dedups
+    * independently against its own log. */
   def upsertBatch(path: String, txnId: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val sp = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new Path(path).toUri, sp.sparkContext.hadoopConfiguration)
-    val marker = txnMarker(path, txnId)
-    if (graft.MarkerFile.readLong(fs, marker).exists(batchId <= _))
+    if (GraftTables.txnAlreadyCommitted(sp, path, txnId, batchId))
       return // restart redelivery of an already-committed batch
     val schema = GraftTables.current(sp, path)._2.schema
     GraftTables.commitChange(sp, path, truncate = false, None,
-      Some(GraftTables.alignTo(batch, schema)))
-    graft.MarkerFile.writeLong(fs, marker, batchId)
+      Some(GraftTables.alignTo(batch, schema)), txn = Some((txnId, batchId)))
   }
+
 }

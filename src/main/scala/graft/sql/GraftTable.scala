@@ -59,7 +59,12 @@ class GraftTableProvider extends RelationProvider
     val starting = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong
     }.getOrElse(GraftTables.currentVersion(sqlContext.sparkSession, path))
-    new GraftTableSource(sqlContext, path, starting)
+    val maxPerTrigger = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.toLong
+    }
+    maxPerTrigger.foreach(n => require(n > 0,
+      s"maxVersionsPerTrigger must be positive (got $n)"))
+    new GraftTableSource(sqlContext, path, starting, maxPerTrigger)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -323,7 +328,7 @@ private[sql] object GraftTables {
 
   /** The streaming change feed's schema: every table column (all
     * nullable — delete rows carry only their keys) plus `_change_type`
-    * (`upsert` | `delete`) and `_commit_version`. */
+    * (`insert` | `upsert` | `delete`) and `_commit_version`. */
   private[sql] def changeFeedSchema(sp: SparkSession,
       path: String): StructType = {
     val base = current(sp, path)._2.schema
@@ -381,6 +386,23 @@ private[sql] object GraftTables {
     frames.reduceOption(_ unionByName _).getOrElse(
       sp.createDataFrame(
         sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema))
+  }
+
+  /** The full content of version `v` shaped into the change-feed
+    * schema as `insert` rows — the initial-snapshot batch of a
+    * `startingVersion = 0` stream (Delta CDF's backfill shape): a
+    * consumer attaching to a long-lived, possibly compacted table
+    * starts from a complete snapshot instead of a partial delta
+    * replay. */
+  private[sql] def changeFeedSnapshot(sp: SparkSession, path: String,
+      v: Long, feedSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dataCols = feedSchema.fields.dropRight(2)
+    loadVersion(sp, path, v).toDF(sp).select(
+      dataCols.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)) ++
+        Seq(lit("insert").as("_change_type"),
+          lit(v).as("_commit_version")): _*)
   }
 
   /** `CLONE` — save version `v` of the table at `srcPath` as a NEW
@@ -1464,6 +1486,85 @@ private[sql] object GraftTables {
   private def stageDir(path: String, writerId: String): String =
     s"$path/_tstage_$writerId"
 
+  // ------------------------------------------------ idempotent writers
+  //
+  // Delta's txnAppId/txnVersion shape: a writer that must be
+  // exactly-once across restarts (a foreachBatch body writing this
+  // table — possibly one of SEVERAL tables per batch) tags its commit
+  // with (appId, txnVersion). The tag is written INTO the version dir
+  // BEFORE `_meta`, so it is ATOMIC WITH THE COMMIT — there is no
+  // window where the data committed but the dedup record did not
+  // (the root-marker-after-commit design had exactly that window).
+  // Reads resolve the greatest committed txnVersion for an app as
+  //   max(fold floor, legacy root marker, scan of delta-dir tags)
+  // where the scan is bounded below by a root HINT (the table version
+  // of the app's last known commit, advanced after commit — stale by
+  // at most the crash window) and OPTIMIZE/VACUUM preserve folded
+  // tags via the `_txnfold_<app>` floor marker.
+
+  private def safeApp(appId: String): String = appId.map(c =>
+    if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
+
+  private def writeTxnTag(fs: FileSystem, dir: Path, appId: String,
+      txnVer: Long): Unit = {
+    val out = fs.create(new Path(dir, "_txn"), true)
+    try out.write(s"$appId\n$txnVer".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The (appId, txnVersion) tag of a committed version dir, None when
+    * untagged or torn. */
+  private def readTxnTag(fs: FileSystem, dir: Path): Option[(String, Long)] =
+    try {
+      val f = new Path(dir, "_txn")
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val text = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        text.split("\n", 2) match {
+          case Array(a, v) if v.nonEmpty && v.trim.forall(_.isDigit) =>
+            Some((a, v.trim.toLong))
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Greatest txnVersion COMMITTED for `appId` at this table
+    * (Long.MinValue when none): the idempotent writer's dedup
+    * question. Scan cost is bounded by the hint — O(commits since the
+    * app's last acknowledged write), not O(log). */
+  private[sql] def lastTxnVersion(sp: SparkSession, path: String,
+      appId: String): Long = {
+    val (fs, p) = fsOf(sp, path)
+    val app = safeApp(appId)
+    val floor = graft.MarkerFile.readLong(fs, new Path(p, s"_txnfold_$app"))
+      .getOrElse(Long.MinValue)
+    // pre-r16 sinks advanced a root `_txn_<app>` marker after commit —
+    // honor it as a floor so existing tables keep deduping
+    val legacy = graft.MarkerFile.readLong(fs, new Path(p, s"_txn_$app"))
+      .getOrElse(Long.MinValue)
+    val first = tableFirstVersion(sp, path)
+    val from = math.max(first,
+      graft.MarkerFile.readLong(fs, new Path(p, s"_txnhint_$app"))
+        .getOrElse(first))
+    val cur = diskVersion(sp, path)
+    val scanned = (from to cur).iterator.flatMap { v =>
+      readTxnTag(fs, new Path(deltaDir(path, v)))
+        .collect { case (a, t) if a == appId => t }
+    }
+    (Iterator(floor, legacy) ++ scanned).max
+  }
+
+  /** True when `txnVersion` for `appId` already committed here — the
+    * idempotent caller must skip re-applying. */
+  private[sql] def txnAlreadyCommitted(sp: SparkSession, path: String,
+      appId: String, txnVersion: Long): Boolean =
+    lastTxnVersion(sp, path, appId) >= txnVersion
+
   /** PROMOTE the staged change sets into claimed version `v` — the
     * commit step, kept metadata-ops-only (two renames + one small
     * `_meta` write) and heartbeated so [[awaitCommitted]]'s staleness
@@ -1473,7 +1574,7 @@ private[sql] object GraftTables {
     * integrity error here, never as a silently corrupted log. */
   private def promoteStage(sp: SparkSession, path: String, writerId: String,
       stage: String, v: Long, truncate: Boolean, hasDel: Boolean,
-      hasUp: Boolean): Unit = {
+      hasUp: Boolean, txn: Option[(String, Long)]): Unit = {
     val (fs, _) = fsOf(sp, path)
     val dir = deltaDir(path, v)
     val dirP = new Path(dir)
@@ -1490,6 +1591,9 @@ private[sql] object GraftTables {
           s"graft commit: staging rename failed for $dir/up")
       require(owned, s"graft commit integrity: claim on version $v of " +
         s"$path was stolen mid-promote — commit aborted")
+      // the idempotence tag lands BEFORE the commit point, inside the
+      // version dir — atomic with the commit by construction
+      txn.foreach { case (app, tv) => writeTxnTag(fs, dirP, app, tv) }
       writeMeta(sp, dir, truncate, hasDel, hasUp, hasSchema = false,
         writerId = writerId)
       if (!owned) {
@@ -1540,7 +1644,7 @@ private[sql] object GraftTables {
     * statements survive in the log and in the replayed state. */
   private[sql] def commitChange(sp: SparkSession, path: String,
       truncate: Boolean, del: Option[DataFrame],
-      up: Option[DataFrame]): Unit = {
+      up: Option[DataFrame], txn: Option[(String, Long)] = None): Unit = {
     val writerId = java.util.UUID.randomUUID().toString
     val (_, h0) = current(sp, path)
     val stage = stageDir(path, writerId)
@@ -1573,7 +1677,13 @@ private[sql] object GraftTables {
         val next = v + 1
         if (claimDelta(sp, path, next, writerId)) {
           promoteStage(sp, path, writerId, stage, next, truncate,
-            del.isDefined, up.isDefined)
+            del.isDefined, up.isDefined, txn)
+          // advance the scan-bound hint (value = the TABLE version of
+          // this app's commit); a crash before this line only widens
+          // the next lastTxnVersion scan, never loses the tag
+          txn.foreach { case (app, _) =>
+            graft.MarkerFile.writeLong(fs,
+              new Path(path, s"_txnhint_${safeApp(app)}"), next) }
           val h2 = applyDelta(sp, h, path, next)
           // DML maintains the manifest's indexes — incrementally: the
           // statement's own change sets apply to the previous
@@ -1780,12 +1890,28 @@ private[sql] object GraftTables {
       historyTimes(sp, path)((target - tableFirstVersion(sp, path)).toInt))
     // durable root-dir sidecars ride the swap too: the SQL index-name
     // manifest (losing it would silently end index maintenance after
-    // an OPTIMIZE), the CHECK constraints, and the skew cap
-    Seq("_indexnames", "_constraints").foreach { f =>
+    // an OPTIMIZE), the CHECK constraints, the idempotent-writer
+    // markers, and the skew cap
+    val rootSidecars = (Seq("_indexnames", "_constraints") ++
+      fs.listStatus(p).map(_.getPath.getName).filter(n =>
+        n.startsWith("_txnhint_") || n.startsWith("_txnfold_") ||
+          n.startsWith("_txn_"))).distinct
+    rootSidecars.foreach { f =>
       val src = new Path(p, f)
       if (fs.exists(src))
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
           new Path(tmp, f), false, sp.sparkContext.hadoopConfiguration)
+    }
+    // idempotence tags of the versions being folded away collapse into
+    // per-app FLOOR markers — an idempotent writer's dedup question
+    // survives any amount of compaction
+    val foldedTags = (tableFirstVersion(sp, path) + 1 to target).flatMap(v =>
+      readTxnTag(fs, new Path(deltaDir(path, v))))
+    foldedTags.groupBy(_._1).foreach { case (app, tags) =>
+      val f = new Path(tmp, s"_txnfold_${safeApp(app)}")
+      val prev = graft.MarkerFile.readLong(fs, f).getOrElse(Long.MinValue)
+      graft.MarkerFile.writeLong(fs, f,
+        math.max(prev, tags.map(_._2).max))
     }
     readSkewCap(sp, path).foreach(c =>
       graft.MarkerFile.writeLong(fs, new Path(tmp, "_skewcap"), c))

@@ -14,14 +14,28 @@ import org.apache.spark.sql.types.StructType
  * newly committed versions, read STRAIGHT from the delta parquet (the
  * per-statement change sets are the feed — no diff joins, no corpus
  * scans; batch cost is the delta, never the table). Rows are the
- * table's columns plus `_change_type` (`upsert` | `delete`; deletes
- * carry keys with NULL value columns) and `_commit_version`.
+ * table's columns plus `_change_type` (`insert` | `upsert` |
+ * `delete`; deletes carry keys with NULL value columns) and
+ * `_commit_version`.
  *
- * Options: `startingVersion` — emit changes of versions STRICTLY
- * GREATER than it (0 = the full retained log; default = the table's
- * version when the stream starts, i.e. only new commits). The usual
- * retention contract applies: OPTIMIZE/VACUUM must not fold versions
- * an active stream has yet to read (exactly Delta's rule).
+ * Options:
+ *  - `startingVersion` — emit changes of versions STRICTLY GREATER
+ *    than it (default = the table's version when the stream starts,
+ *    i.e. only new commits). `startingVersion = 0` is the
+ *    BACKFILL-THEN-TAIL mode (Delta's CDF shape): the stream's FIRST
+ *    batch carries the oldest readable version's full content as
+ *    `insert` rows — so a consumer attaching to a long-lived (even
+ *    compacted) table starts from a complete snapshot — followed by
+ *    every retained delta. The usual retention contract applies to
+ *    any other start: OPTIMIZE/VACUUM must not fold versions an
+ *    active stream has yet to read (exactly Delta's rule; a violated
+ *    stream fails loudly rather than silently skipping history).
+ *  - `maxVersionsPerTrigger` — bound how many table versions one
+ *    micro-batch advances (default unbounded): a consumer attaching
+ *    behind a long-lived table catches up in rate-limited batches
+ *    instead of one giant one. The initial snapshot is indivisible —
+ *    its batch always reaches the snapshot version — and rate
+ *    limiting applies to every delta batch after it.
  *
  * Every producer lands in the same feed because every writer — SQL
  * DML, MERGE, writer-API appends, [[GraftCatalogSink]] batches,
@@ -29,16 +43,38 @@ import org.apache.spark.sql.types.StructType
  * source tails.
  */
 class GraftTableSource(sqlContext: SQLContext, path: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None)
+    extends Source {
 
   private val sp = sqlContext.sparkSession
   private val feedSchema: StructType = GraftTables.changeFeedSchema(sp, path)
 
+  /** Highest offset this source has handed out (resynced from the
+    * checkpoint by [[getBatch]] on restart) — the rate limiter's
+    * progress cursor. */
+  @volatile private var lastEnd: Long = Long.MinValue
+
   override def schema: StructType = feedSchema
 
   override def getOffset: Option[V1Offset] = {
-    val v = GraftTables.currentVersion(sp, path)
-    if (v <= startingVersion) None else Some(LongOffset(v))
+    val cur = GraftTables.currentVersion(sp, path)
+    val first = GraftTables.tableFirstVersion(sp, path)
+    // with a full-snapshot start, offset `first` is always available
+    // (the snapshot itself) — even on a table with no deltas yet
+    val avail = if (startingVersion == 0) math.max(cur, first) else cur
+    val prev = math.max(lastEnd, startingVersion)
+    val end = maxVersionsPerTrigger match {
+      case Some(n) =>
+        // the snapshot batch is indivisible: never offer an end below
+        // the snapshot version (after it, prev >= first and the floor
+        // is inert)
+        val floor = if (startingVersion == 0) first else Long.MinValue
+        math.min(avail, math.max(prev + n, floor))
+      case None => avail
+    }
+    if (end <= startingVersion && startingVersion != 0) None
+    else if (end < 0) None
+    else { lastEnd = math.max(lastEnd, end); Some(LongOffset(end)) }
   }
 
   private def ver(o: V1Offset): Long = o match {
@@ -48,8 +84,19 @@ class GraftTableSource(sqlContext: SQLContext, path: String,
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(startingVersion)
-    val df = GraftTables.changeFeedBatch(sp, path, from, ver(end), feedSchema)
+    val to = ver(end)
+    lastEnd = math.max(lastEnd, to) // restart resync for the rate limiter
+    // `start = None` is exactly the stream's first (possibly replayed
+    // but never yet committed) batch — where the snapshot belongs
+    val snapshot = startingVersion == 0 && start.isEmpty
+    val first = GraftTables.tableFirstVersion(sp, path)
+    val from = if (snapshot) first else start.map(ver).getOrElse(startingVersion)
+    val changes = GraftTables.changeFeedBatch(sp, path, from, to, feedSchema)
+    val df =
+      if (snapshot)
+        GraftTables.changeFeedSnapshot(sp, path, first, feedSchema)
+          .unionByName(changes)
+      else changes
     ExpressionBridge.internalStreamingDF(
       sp, df.queryExecution.toRdd, feedSchema)
   }
@@ -57,5 +104,7 @@ class GraftTableSource(sqlContext: SQLContext, path: String,
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"GraftTableSource[$path, startingVersion=$startingVersion]"
+    s"GraftTableSource[$path, startingVersion=$startingVersion" +
+      maxVersionsPerTrigger.map(n => s", maxVersionsPerTrigger=$n")
+        .getOrElse("") + "]"
 }

@@ -853,18 +853,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       .option("startingVersion", "0").load()
       .writeStream.format("memory").queryName("catspec_feed")
       .outputMode("append").start()
+    // startingVersion 0 = backfill-then-tail: the version-0 corpus
+    // arrives as `insert` rows ahead of the delta tail
+    val snap = (1L to 20L).map(k => (k, k * 1.0, "insert", 0L)).toSet
     try {
       spark.sql("UPDATE catspec_feed_t SET v = 100 WHERE k <= 3")
       q.processAllAvailable()
       val r1 = spark.table("catspec_feed").collect()
         .map(r => (r.getLong(0), r.get(1), r.getString(2), r.getLong(3)))
-      assert(r1.toSet === (1L to 3L).map(k => (k, 100.0, "upsert", 1L)).toSet)
+      assert(r1.toSet === snap ++ (1L to 3L).map(k => (k, 100.0, "upsert", 1L)))
       spark.sql("DELETE FROM catspec_feed_t WHERE k >= 19")
       q.processAllAvailable()
       val r2 = spark.table("catspec_feed").collect()
         .map(r => (r.getLong(0), r.get(1), r.getString(2), r.getLong(3)))
       // delete rows carry keys with NULL value columns
-      assert(r2.toSet === (1L to 3L).map(k => (k, 100.0, "upsert", 1L)).toSet
+      assert(r2.toSet === snap ++ (1L to 3L).map(k => (k, 100.0, "upsert", 1L))
         ++ Seq((19L, null, "delete", 2L), (20L, null, "delete", 2L)))
     } finally q.stop()
     // default start: a late subscriber sees only commits AFTER it joins
@@ -879,6 +882,54 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(r3.toSeq === Seq((10L, 7.0, "upsert", 3L)))
     } finally q2.stop()
     spark.sql("DROP TABLE IF EXISTS catspec_feed_t")
+  }
+
+  test("change feed: snapshot from a compacted table, rate-limited " +
+      "catch-up, and no re-snapshot across a checkpointed restart") {
+    val path = freshPath("feedlim")
+    spark.sql("DROP TABLE IF EXISTS catspec_fl_t")
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("catspec_fl_src")
+    spark.sql(s"""CREATE TABLE catspec_fl_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_fl_src""".stripMargin)
+    (1 to 3).foreach(i =>
+      spark.sql(s"UPDATE catspec_fl_t SET v = ${100 + i} WHERE k = $i"))
+    // fold versions 1..3 away: the oldest READABLE version is now 3 —
+    // a backfill consumer must get ITS content as the snapshot
+    spark.sql("VACUUM catspec_fl_t RETAIN 1 VERSIONS")
+    (4 to 9).foreach(i =>
+      spark.sql(s"UPDATE catspec_fl_t SET v = ${100 + i} WHERE k = $i"))
+    val ckpt = freshPath("feedlim_ckpt")
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    def start() = spark.readStream.format("graft").option("path", path)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add((id, df.select("_commit_version").collect()
+          .map(_.getLong(0)).toSeq.distinct.sorted))
+        ()
+      }.start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq.sortBy(_._1)
+    // batch 0 = the indivisible snapshot at version 3 (snapshot rows
+    // AND version <=3 deltas are all stamped 3); then versions two at
+    // a time: (4,5), (6,7), (8,9)
+    assert(got.map(_._2) === Seq(Seq(3L), Seq(4L, 5L), Seq(6L, 7L),
+      Seq(8L, 9L)), got)
+    // restart against the same checkpoint: nothing re-emits (no
+    // second snapshot), and a NEW commit flows as an ordinary delta
+    batches.clear()
+    spark.sql("UPDATE catspec_fl_t SET v = 42 WHERE k = 10")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = batches.asScala.toSeq.sortBy(_._1)
+    assert(got2.map(_._2) === Seq(Seq(10L)), got2)
+    spark.sql("DROP TABLE IF EXISTS catspec_fl_t")
   }
 
   test("historical reads never route through newer-version sidecars") {
