@@ -1559,6 +1559,49 @@ object IndexedRDD {
     * consumer — multiget pruning, one-sided COW shuffles, zip joins
     * against `partitionBy(this)` sides, IO round-trips (the
     * partitioner is serialized with the save) — works unchanged. */
+  /** Z-CURVE partitioner over a two-long composite key (the layout
+    * behind `OPTIMIZE ... ZORDER BY`): routes a key by binary-searching
+    * its Morton interleave against sampled z bounds, so partitions hold
+    * z-CONTIGUOUS key sets — each one covering a tight 2-D box of the
+    * key space, which is exactly what makes per-partition min/max zone
+    * maps on BOTH dimensions prune 2-D box queries. Routing is a pure
+    * deterministic function of the key (any key routes, clustered or
+    * not), so multiget pruning, one-sided COW shuffles, and IO
+    * round-trips work unchanged; it is NOT a RangePartitioner, so every
+    * natural-order interval-descent path correctly declines to claim
+    * pushed ranges and falls back to the zone-pruned scan. `swapped`
+    * says the SECOND key column leads the interleave (ZORDER BY named
+    * the columns in reverse key order). */
+  class MortonPartitioner(val bounds: Array[Long], val bits: Int,
+      val swapped: Boolean) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = bounds.length + 1
+    private[graft] def zOf(key: Any): Long = key match {
+      case (a: Long, b: Long) =>
+        if (swapped) graft.operators.ZOrder.interleave(b, a, bits)
+        else graft.operators.ZOrder.interleave(a, b, bits)
+      case other => throw new IllegalArgumentException(
+        s"MortonPartitioner routes (Long, Long) composite keys, got " +
+          s"${if (other == null) "null" else other.getClass.getName}")
+    }
+    override def getPartition(key: Any): Int = {
+      val z = zOf(key)
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (bounds(m) <= z) lo = m + 1 else hi = m
+      }
+      lo
+    }
+    override def equals(other: Any): Boolean = other match {
+      case m: MortonPartitioner => m.bits == bits && m.swapped == swapped &&
+        java.util.Arrays.equals(m.bounds, bounds)
+      case _ => false
+    }
+    override def hashCode: Int =
+      31 * java.util.Arrays.hashCode(bounds) + bits
+  }
+
   class SplitPartitioner(val baseParts: Int, val splits: Array[Int])
       extends org.apache.spark.Partitioner {
     require(splits.length == baseParts)

@@ -2240,6 +2240,47 @@ object OperatorQueries {
         "c_custkey", "c_acctbal", "_change_type", "_commit_version")
     },
 
+    "ir_sql_catalog_zorder" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // OPTIMIZE ... ZORDER BY on a durable table: the base rewrite
+      // re-clusters the (user_id, day) composite key along the Morton
+      // curve and analyzes zone maps on BOTH key columns, so the 2-D
+      // box query below prunes partitions through the zone path (the
+      // hash CTAS layout spans the whole plane in every partition and
+      // cannot prune). Required in-lane: the box scan was zone-pruned
+      // and kept FEWER than all partitions; the oracle proves the box
+      // semantics bit-for-bit.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_zorder").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_zorder")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.events(s, dir)
+        .select($"user_id", unix_date(to_date($"ts")).cast("long").as("day"),
+          $"value")
+        .groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("sum_value"))
+        .createOrReplaceTempView("cat_zorder_src")
+      s.sql(s"""CREATE TABLE graft_cat_zorder USING graft
+        |OPTIONS (key 'user_id,day', partitions '8') LOCATION '$path'
+        |AS SELECT * FROM cat_zorder_src""".stripMargin)
+      def box = s.sql(
+        """SELECT user_id, day, n_events, sum_value FROM graft_cat_zorder
+          |WHERE user_id BETWEEN 2 AND 11
+          |AND day BETWEEN 19728 AND 19737""".stripMargin)
+      // the hash layout's box scan visits every partition — the
+      // observable baseline (the zone-pruned scan is a
+      // PartitionPruningRDD, so the partition count IS the kept count)
+      val preParts = box.rdd.getNumPartitions
+      s.sql("OPTIMIZE graft_cat_zorder ZORDER BY (user_id, day)")
+      val out = box
+      val kept = out.rdd.getNumPartitions
+      require(kept < preParts,
+        s"z-order zones kept $kept of $preParts partitions — no pruning")
+      out
+    },
+
     "ir_sql_catalog_reskew" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -3939,6 +3980,19 @@ object OperatorQueries {
         |  'delete', 2
         |FROM customer WHERE c_custkey % 10 = 1 AND c_custkey <= 100""".stripMargin,
 
+    // the z-ordered catalog table's 2-D box — identical semantics to
+    // the unlayouted rollup box (the lane differs only in HOW it
+    // reads: zone-pruned partitions of the Morton-clustered base)
+    "ir_sql_catalog_zorder" ->
+      """WITH agg AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_events, sum_value FROM agg
+        |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
+
     // rate-limited catch-up accumulates the identical feed: snapshot
     // inserts + one upsert per single-key statement
     "ir_stream_table_feed_limit" ->
@@ -3948,7 +4002,7 @@ object OperatorQueries {
         |UNION ALL
         |SELECT c_custkey, CAST(1000 + c_custkey AS DOUBLE), 'upsert',
         |  c_custkey
-        |FROM customer WHERE c_custkey <= 6""".stripMargin,
+        |FROM customer WHERE c_custkey BETWEEN 1 AND 6""".stripMargin,
 
     // keys 8/80 are original customer rows, 880/2400/3992 appended
     // (ids 110/300/499); routing must survive the re-split partitioner

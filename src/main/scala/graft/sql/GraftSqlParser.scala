@@ -43,6 +43,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeZOrderRe(id, x, y) =>
+      GraftOptimizeCommand(unquote(id), Some((unquote(x), unquote(y))))
     case OptimizeRe(id) => GraftOptimizeCommand(unquote(id))
     case VacuumRe(id, n, unit) =>
       val hours = unit != null && unit.toUpperCase.startsWith("HOUR")
@@ -113,6 +115,11 @@ object GraftSqlParser {
   // not implement) falls through to Spark's parser and errors there
   private val Ident = "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
   private val OptimizeRe = s"(?is)\\s*OPTIMIZE\\s+$Ident\\s*;?\\s*".r
+  // Delta's `OPTIMIZE t ZORDER BY (a, b)` — two dimensions (the Morton
+  // interleave is pairwise; see operators/ZOrder.scala)
+  private val OptimizeZOrderRe =
+    (s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*" +
+      s"\\(\\s*$Ident\\s*,\\s*$Ident\\s*\\)\\s*;?\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?))?\\s*;?\\s*".r
   // Delta's RESTORE grammar: `RESTORE [TABLE] t TO VERSION AS OF n`
@@ -185,7 +192,8 @@ object GraftSqlParser {
   * is one distributed rebuild job (see [[graft.IndexedRDD.compacted]]);
   * `lineage_depth_*` is the replay depth a cold read pays before/after
   * — the number OPTIMIZE exists to reset. */
-case class GraftOptimizeCommand(view: String) extends LeafRunnableCommand {
+case class GraftOptimizeCommand(view: String,
+    zorder: Option[(String, String)] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("view", StringType, nullable = false)(),
     AttributeReference("rows", LongType, nullable = false)(),
@@ -200,12 +208,17 @@ case class GraftOptimizeCommand(view: String) extends LeafRunnableCommand {
     // load — the durable twin of the view-snapshot compaction below
     if (sp.sessionState.catalog.getTempView(view).isEmpty) {
       GraftTables.tableInfo(sp, view).foreach { case (path, _) =>
-        val (_, rows, parts, dBefore, dAfter) = GraftTables.compact(sp, path)
+        val (_, rows, parts, dBefore, dAfter) =
+          GraftTables.compact(sp, path, zorder)
         sp.sessionState.catalog.refreshTable(
           org.apache.spark.sql.catalyst.TableIdentifier(view))
         return Seq(Row(view, rows, parts, dBefore, dAfter))
       }
     }
+    require(zorder.isEmpty,
+      "OPTIMIZE ... ZORDER BY applies to durable graft CATALOG tables " +
+        "(a temp view's layout is rebuilt per session — re-index it " +
+        "z-keyed instead)")
     val (before, rel) =
       GraftSqlParser.graftViewRelation(sp, view, "OPTIMIZE")
     val (df, rows, parts, dBefore, dAfter) = rel match {

@@ -1759,21 +1759,75 @@ private[sql] object GraftTables {
     * semantics): the current version keeps its number and becomes the
     * oldest readable one; folded versions fail like "no longer
     * exists". */
-  private[sql] def compact(sp: SparkSession, path: String)
+  private[sql] def compact(sp: SparkSession, path: String,
+      zorder: Option[(String, String)] = None)
       : (Long, Long, Int, Int, Int) = {
     sweepOrphans(sp, path)
     val (v, h) = current(sp, path)
     val firstBefore = tableFirstVersion(sp, path)
     val depthBefore = h.idxAny.lineageDepth
-    if (v == firstBefore)
+    if (v == firstBefore && zorder.isEmpty)
       return (0L, h.idxAny.count(), h.idxAny.partitions.length,
         depthBefore, depthBefore)
-    rebase(sp, path, v)
+    rebase(sp, path, v, zorderTransform(zorder))
+    // record the z-order zones in the index manifest so DML keeps
+    // maintaining them and a reopened session re-derives on demand
+    zorder.foreach { case (x, y) =>
+      val entries = readIndexManifest(sp, path)
+      if (!entries.exists(_._2 == "zonemap"))
+        writeIndexManifest(sp, path,
+          entries :+ (("zorder_zones", "zonemap", List(x, y))))
+    }
     val reloaded = loadBase(sp, path)
     cacheOf(sp).put(canonical(sp, path), (v, reloaded))
     (v - firstBefore, reloaded.idxAny.count(),
       reloaded.idxAny.partitions.length,
       depthBefore, reloaded.idxAny.lineageDepth)
+  }
+
+  /** The base-rewrite transform behind `OPTIMIZE t ZORDER BY (x, y)`:
+    * re-cluster the rewritten base along the Morton curve of the
+    * table's TWO composite key columns and analyze zone maps on both
+    * (see [[IndexedFrame.CompositeHandle.zOrdered]] — under the Morton
+    * layout key columns zone-map like any clustered value column, and
+    * the zone path is what prunes 2-D box queries). Restricted to the
+    * key columns BY DESIGN: partition assignment must stay a pure key
+    * function or point routing and one-sided COW shuffles break — a
+    * keyed store cannot re-cluster by non-key columns; key the table
+    * by the dimensions instead. */
+  private def zorderTransform(
+      zorder: Option[(String, String)]): TableHandle => TableHandle =
+    zorder match {
+      case None => identity
+      case Some((x, y)) => {
+        case H2(ch) =>
+          require(Set(x, y) == Set(ch.keyColA, ch.keyColB),
+            s"ZORDER BY must name exactly the table's composite key " +
+              s"columns (${ch.keyColA}, ${ch.keyColB}); a keyed store " +
+              "cannot re-cluster by non-key columns without losing key " +
+              "routing — key the table by the z dimensions instead")
+          H2(ch.zOrdered(swapped = x == ch.keyColB).analyzeZones(x, y))
+        case other => throw new IllegalArgumentException(
+          "OPTIMIZE ... ZORDER BY needs a two-column composite-key " +
+            s"graft table (this table's key is ${other.keyCols.mkString(", ")})")
+      }
+    }
+
+  /** Write the SQL index-name manifest (the durable twin of the
+    * session registry — see [[GraftSqlExtension.persistSidecars]],
+    * which rewrites it on DDL after hydrating FROM disk, so entries
+    * appended here survive). */
+  private[sql] def writeIndexManifest(sp: SparkSession, path: String,
+      entries: Seq[(String, String, List[String])]): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    val out = new java.io.ObjectOutputStream(
+      fs.create(new Path(p, "_indexnames"), true))
+    try {
+      out.writeInt(entries.size)
+      entries.foreach { case (n, t, cs) =>
+        out.writeObject(n); out.writeObject(t); out.writeObject(cs)
+      }
+    } finally out.close()
   }
 
   /** `VACUUM <table> RETAIN n VERSIONS`: fold everything older than
@@ -1850,13 +1904,14 @@ private[sql] object GraftTables {
     * the folded deltas — numbering stays stable (`_tfirst` = target).
     * Sibling-dir swap: the old base stays readable until the new one
     * is complete. */
-  private def rebase(sp: SparkSession, path: String, target: Long): Unit = {
+  private def rebase(sp: SparkSession, path: String, target: Long,
+      transform: TableHandle => TableHandle = identity): Unit = {
     val dv = diskVersion(sp, path)
     val h0 = loadVersion(sp, path, target)
     // re-run the skew guard while the base is being rewritten anyway:
     // a hot bucket that absorbed months of upserts re-splits here, so
     // no partition outgrows the persisted cap indefinitely
-    val h = readSkewCap(sp, path).map(h0.reskew).getOrElse(h0)
+    val h = transform(readSkewCap(sp, path).map(h0.reskew).getOrElse(h0))
     val (fs, p) = fsOf(sp, path)
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
     fs.delete(tmp, true)

@@ -3195,7 +3195,58 @@ object IndexedFrame {
     override private[sql] def joinKeyCols: Seq[String] = Seq(keyColA, keyColB)
     override private[sql] def keyTypeTag: String =
       s"composite:${codecTag(codecA)},${codecTag(codecB)}"
-    override private[sql] def zoneKeyCols: Set[String] = Set(keyColA, keyColB)
+    override private[sql] def zoneKeyCols: Set[String] =
+      // under a Morton layout the key lanes do NOT serve interval
+      // filters (no natural-order descent), so the key columns are
+      // zone-mapped like any clustered value column — per-partition
+      // min/max of both dims are tight 2-D boxes there, and the zone
+      // path is what prunes box queries. COW ops preserve the
+      // partitioner, so the permission survives DML.
+      if (idx.partitioner.exists(_.isInstanceOf[graft.IndexedRDD.MortonPartitioner]))
+        Set.empty
+      else Set(keyColA, keyColB)
+
+    /** Z-ORDERED rebuild (the engine under `OPTIMIZE t ZORDER BY (a,
+      * b)`): redistribute this handle's rows so each partition holds a
+      * z-CONTIGUOUS (Morton-contiguous) slice of the (a, b) key space
+      * — equal-depth bounds sampled from the data — then re-index per
+      * partition. One corpus shuffle, same cost class as any base
+      * rewrite. Key routing stays exact (the partitioner is a pure key
+      * function); leading-range descents decline (not a
+      * RangePartitioner) and 2-D box queries prune through zone maps
+      * on the key columns instead — call `analyzeZones(a, b)` on the
+      * result (the catalog OPTIMIZE does). Both key components must be
+      * integral/temporal (Long-coded). `swapped` = the interleave
+      * leads with `keyColB`. */
+    def zOrdered(swapped: Boolean = false): CompositeHandle[A, B] = {
+      require(codecA.isInstanceOf[LongCodec] && codecB.isInstanceOf[LongCodec],
+        "ZORDER needs integral/temporal key components — " +
+          s"($keyColA, $keyColB) are ${codecTag(codecA)}/${codecTag(codecB)}")
+      val bits = 31
+      val parts = math.max(1, idx.partitions.length)
+      val pairs = idx.asInstanceOf[RDD[((Long, Long), InternalRow)]]
+      def z(k: (Long, Long)): Long =
+        if (swapped) graft.operators.ZOrder.interleave(k._2, k._1, bits)
+        else graft.operators.ZOrder.interleave(k._1, k._2, bits)
+      // equal-depth bounds from a bounded sample (what RangePartitioner
+      // does): O(parts) driver bytes regardless of corpus size
+      val sample = pairs.keys.map(z)
+        .takeSample(withReplacement = false, num = math.max(1024, parts * 64))
+        .sorted
+      val bounds =
+        if (sample.isEmpty) Array.empty[Long]
+        else {
+          val step = sample.length.toDouble / parts
+          (1 until parts).map(i =>
+            sample(math.min(sample.length - 1, (i * step).toInt)))
+            .distinct.toArray
+        }
+      val mp = new graft.IndexedRDD.MortonPartitioner(bounds, bits, swapped)
+      val redist = pairs.partitionBy(mp)
+        .asInstanceOf[RDD[((A, B), InternalRow)]]
+      new CompositeHandle[A, B](IndexedRDD(redist).cached,
+        keyColA, keyColB, schema, ordered = false, codecA, codecB)
+    }
 
     private def keyedProbe(probe: RDD[InternalRow], iA: Int,
         iB: Int): RDD[((A, B), InternalRow)] = {

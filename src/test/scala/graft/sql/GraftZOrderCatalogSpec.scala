@@ -1,0 +1,108 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/**
+ * `OPTIMIZE t ZORDER BY (a, b)` on durable catalog tables
+ * ([[GraftTables.compact]] + [[IndexedFrame.CompositeHandle.zOrdered]]):
+ * the rewritten base is re-clustered along the Morton curve of the
+ * two-column composite key, zone maps on BOTH key columns analyze and
+ * persist, and a 2-D box query then prunes partitions through the zone
+ * path — while point routing, DML, and reopen replay stay exact.
+ */
+class GraftZOrderCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_zocat_$name").toString
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    p
+  }
+
+  test("ZORDER rewrites the base: content exact, box queries zone-prune, " +
+      "DML and reopen keep working") {
+    val path = freshPath("box")
+    spark.sql("DROP TABLE IF EXISTS zocat_t")
+    // a 32x32 (u, d) grid — hash-partitioned at CTAS, so every
+    // partition spans the whole plane and no box can prune
+    val grid = for (u <- 0L until 32L; d <- 0L until 32L)
+      yield (u, d, u * 100.0 + d)
+    grid.toDF("u", "d", "v").createOrReplaceTempView("zocat_src")
+    spark.sql(s"""CREATE TABLE zocat_t USING graft
+      |OPTIONS (key 'u,d', partitions '8') LOCATION '$path'
+      |AS SELECT * FROM zocat_src""".stripMargin)
+    spark.sql("UPDATE zocat_t SET v = -1 WHERE u = 3 AND d = 3")
+    val expected = spark.sql("SELECT u, d, v FROM zocat_t ORDER BY u, d")
+      .collect().map(_.toSeq).toSeq
+    spark.sql("OPTIMIZE zocat_t ZORDER BY (u, d)")
+    // content bit-exact across the rewrite
+    val after = spark.sql("SELECT u, d, v FROM zocat_t ORDER BY u, d")
+      .collect().map(_.toSeq).toSeq
+    assert(after === expected)
+    // the 2-D box prunes: the 8x8 corner is ~1/16 of the z space, so
+    // of 8 z-contiguous partitions at most half may survive
+    val boxSum = spark.sql(
+      "SELECT sum(v) FROM zocat_t WHERE u BETWEEN 0 AND 7 AND d BETWEEN 0 AND 7")
+      .collect()(0).getDouble(0)
+    val expSum = grid.filter(r => r._1 <= 7 && r._2 <= 7 &&
+      !(r._1 == 3 && r._2 == 3)).map(_._3).sum - 1.0
+    assert(boxSum === expSum)
+    val h = GraftTables.current(spark, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.CompositeHandle[_, _]]
+    assert(h.lastScanKind === "full_zone", h.lastScanKind)
+    assert(h.lastZoneKept >= 1 && h.lastZoneKept <= 4,
+      s"box kept ${h.lastZoneKept} of 8 partitions")
+    // point routing through the Morton partitioner stays exact
+    assert(spark.sql("SELECT v FROM zocat_t WHERE u = 3 AND d = 3")
+      .collect()(0).getDouble(0) === -1.0)
+    // DML after ZORDER: zones maintain (widen), answers stay exact
+    spark.sql("UPDATE zocat_t SET v = 7777 WHERE u = 31 AND d = 31")
+    spark.sql("DELETE FROM zocat_t WHERE u = 0 AND d = 0")
+    // a FRESH session reloads the z-ordered base + replays the tail:
+    // same answers, and the persisted zones still prune
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT v FROM zocat_t WHERE u = 31 AND d = 31")
+      .collect()(0).getDouble(0) === 7777.0)
+    assert(s2.sql("SELECT count(*) FROM zocat_t").collect()(0).getLong(0)
+      === 32L * 32L - 1)
+    val reSum = s2.sql(
+      "SELECT sum(v) FROM zocat_t WHERE u BETWEEN 0 AND 7 AND d BETWEEN 0 AND 7")
+      .collect()(0).getDouble(0)
+    assert(reSum === expSum) // (0,0) carried v=0.0, so the sum is unchanged
+    val h2 = GraftTables.current(s2, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.CompositeHandle[_, _]]
+    assert(h2.lastZoneKept >= 1 && h2.lastZoneKept <= 4,
+      s"reopened box kept ${h2.lastZoneKept} of 8 partitions")
+    spark.sql("DROP TABLE IF EXISTS zocat_t")
+  }
+
+  test("ZORDER BY rejects non-key columns and non-composite keys") {
+    val path = freshPath("rej")
+    spark.sql("DROP TABLE IF EXISTS zocat_r")
+    (1L to 10L).map(k => (k, k * 2, k * 1.0)).toDF("k", "w", "v")
+      .createOrReplaceTempView("zocat_rsrc")
+    spark.sql(s"""CREATE TABLE zocat_r USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM zocat_rsrc""".stripMargin)
+    val e1 = intercept[Exception](
+      spark.sql("OPTIMIZE zocat_r ZORDER BY (k, w)"))
+    assert(e1.getMessage.contains("two-column composite-key"))
+    val path2 = freshPath("rej2")
+    spark.sql("DROP TABLE IF EXISTS zocat_r2")
+    (1L to 10L).map(k => (k, k * 2, k * 1.0)).toDF("a", "b", "v")
+      .createOrReplaceTempView("zocat_r2src")
+    spark.sql(s"""CREATE TABLE zocat_r2 USING graft
+      |OPTIONS (key 'a,b') LOCATION '$path2'
+      |AS SELECT * FROM zocat_r2src""".stripMargin)
+    val e2 = intercept[Exception](
+      spark.sql("OPTIMIZE zocat_r2 ZORDER BY (a, v)"))
+    assert(e2.getMessage.contains("composite key columns"))
+    spark.sql("DROP TABLE IF EXISTS zocat_r")
+    spark.sql("DROP TABLE IF EXISTS zocat_r2")
+  }
+}
