@@ -2281,6 +2281,49 @@ object OperatorQueries {
       out
     },
 
+    "ir_sql_catalog_evolve2" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // PHASE-2 SCHEMA EVOLUTION end-to-end: rename a column, widen
+      // int->bigint, drop a column — each a metadata-only schema delta
+      // with a field mapping — interleaved with DML that only the
+      // evolved shape can hold, then read from a REOPENED session (the
+      // replay applies every delta under the schema current at its
+      // commit). Required in-lane: time travel to a pre-evolution
+      // version still carries the OLD name and INT type.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_evolve2").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_evolve2")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).filter($"c_custkey".between(1, 200))
+        .select($"c_custkey", $"c_name",
+          $"c_nationkey".cast("int").as("nat"), $"c_acctbal")
+        .createOrReplaceTempView("cat_evolve2_src")
+      s.sql(s"""CREATE TABLE graft_cat_evolve2 USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_evolve2_src""".stripMargin)
+      s.sql("""UPDATE graft_cat_evolve2 SET c_acctbal = c_acctbal + 1
+        |WHERE c_custkey <= 10""".stripMargin) // v1
+      s.sql("ALTER TABLE graft_cat_evolve2 RENAME COLUMN c_acctbal TO balance")
+      s.sql("UPDATE graft_cat_evolve2 SET balance = 0 WHERE c_custkey = 5")
+      s.sql("ALTER TABLE graft_cat_evolve2 ALTER COLUMN nat TYPE bigint")
+      s.sql( // a value only the widened type can hold
+        "UPDATE graft_cat_evolve2 SET nat = 3000000000 WHERE c_custkey = 7")
+      s.sql("ALTER TABLE graft_cat_evolve2 DROP COLUMN c_name")
+      val reopened = s.newSession()
+      // pre-evolution time travel: OLD column name, INT type, v1 value
+      val old = reopened.sql(
+        """SELECT c_acctbal, nat FROM graft_cat_evolve2 VERSION AS OF 1
+          |WHERE c_custkey = 5""".stripMargin).collect()(0)
+      require(old.schema("nat").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        s"pre-evolution read must keep INT, got ${old.schema("nat").dataType}")
+      require(old.getDouble(0) != 0.0,
+        "pre-evolution read leaked a post-evolution value")
+      reopened.sql(
+        "SELECT c_custkey, nat, balance FROM graft_cat_evolve2")
+    },
+
     "ir_sql_catalog_reskew" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -3992,6 +4035,18 @@ object OperatorQueries {
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, day, n_events, sum_value FROM agg
         |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
+
+    // the post-evolution state: renamed balance carries v1's +1 then
+    // v3's zero, widened nat carries the bigint-only value, c_name is
+    // projected away
+    "ir_sql_catalog_evolve2" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey = 7 THEN 3000000000
+        |       ELSE CAST(CAST(c_nationkey AS INT) AS BIGINT) END AS nat,
+        |  CASE WHEN c_custkey = 5 THEN CAST(0.0 AS DOUBLE)
+        |       WHEN c_custkey <= 10 THEN c_acctbal + 1
+        |       ELSE c_acctbal END AS balance
+        |FROM customer WHERE c_custkey BETWEEN 1 AND 200""".stripMargin,
 
     // rate-limited catch-up accumulates the identical feed: snapshot
     // inserts + one upsert per single-key statement

@@ -72,6 +72,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case AlterDropConstraintRe(id, name) =>
       GraftConstraintCommand(unquote(id), unquote(name), None,
         scala.util.Try(delegate.parsePlan(sqlText)).toOption)
+    case AlterRenameColRe(id, o, n) =>
+      GraftAlterEvolveCommand(unquote(id),
+        GraftTables.SchemaChange.Rename(unquote(o), unquote(n)),
+        delegate.parsePlan(sqlText))
+    case AlterDropColRe(id, c) =>
+      GraftAlterEvolveCommand(unquote(id),
+        GraftTables.SchemaChange.Drop(unquote(c)),
+        delegate.parsePlan(sqlText))
+    case AlterColTypeRe(id, c, t) =>
+      GraftAlterEvolveCommand(unquote(id),
+        GraftTables.SchemaChange.Widen(unquote(c), delegate.parseDataType(t)),
+        delegate.parsePlan(sqlText))
     case AlterAddRe(id, parenCols, bareCol) =>
       val colsText = if (parenCols != null) parenCols else bareCol
       val cols = splitTopLevel(colsText).map { entry =>
@@ -133,6 +145,17 @@ object GraftSqlParser {
   private val AlterAddRe =
     (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ADD\\s+COLUMNS?\\s*" +
       "(?:\\((.+)\\)|([^(][^;]*?))\\s*;?\\s*").r
+  // phase-2 evolution verbs (Spark/Delta grammar shapes): RENAME
+  // COLUMN a TO b, DROP COLUMN c, ALTER COLUMN c TYPE t
+  private val AlterRenameColRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+RENAME\\s+COLUMN\\s+" +
+      s"$Ident\\s+TO\\s+$Ident\\s*;?\\s*").r
+  private val AlterDropColRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+DROP\\s+COLUMN\\s+" +
+      s"$Ident\\s*;?\\s*").r
+  private val AlterColTypeRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Ident\\s+ALTER\\s+COLUMN\\s+" +
+      s"$Ident\\s+TYPE\\s+([^;]+?)\\s*;?\\s*").r
   // Delta's operator-facing DESCRIBE verbs: HISTORY (the graft_history
   // TVF as a statement) and DETAIL (one metadata row)
   private val DescribeHistoryRe =
@@ -395,6 +418,39 @@ case class GraftRestoreCommand(view: String, target: Either[Long, String])
   * replay widens at that version, so time travel to pre-evolution
   * versions keeps the OLD schema). Non-graft tables execute Spark's
   * own parsed ALTER unchanged via the embedded fallback plan. */
+/** Phase-2 schema evolution verbs (`RENAME COLUMN`, `DROP COLUMN`,
+  * `ALTER COLUMN ... TYPE`) on graft catalog tables — metadata-only
+  * commits through [[GraftTables.evolveSchema]]; non-graft targets run
+  * Spark's own ALTER unchanged. */
+case class GraftAlterEvolveCommand(table: String,
+    change: GraftTables.SchemaChange, fallback: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    if (sp.sessionState.catalog.getTempView(table).isEmpty) {
+      GraftTables.tableInfo(sp, table).foreach { case (path, _) =>
+        val v = GraftTables.evolveSchema(sp, path, change)
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+        val newSchema = GraftTables.current(sp, path)._2.schema
+        // alterTableDataSchema refuses drops/renames by design — this
+        // evolution is versioned in the graft log, so replace the
+        // catalog schema wholesale
+        val ct = sp.sessionState.catalog.getTableMetadata(ident)
+        sp.sessionState.catalog.alterTable(ct.copy(schema = newSchema))
+        sp.sessionState.catalog.refreshTable(ident)
+        return Seq(Row(table, v))
+      }
+    }
+    ExpressionBridge.ofRows(sp, fallback).collect()
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftAlterEvolve $table $change"
+}
+
 case class GraftAlterAddColumnsCommand(table: String,
     cols: Seq[(String, DataType)], fallback: LogicalPlan)
     extends LeafRunnableCommand {

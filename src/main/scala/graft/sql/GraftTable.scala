@@ -129,6 +129,10 @@ private[sql] object GraftTables {
     /** Schema evolution: the same index with rows widened to
       * `newSchema` (appended columns NULL). */
     def widen(newSchema: StructType): TableHandle
+    /** General schema evolution (RENAME / DROP / widen / ADD):
+      * `positions(i)` = old field index of new field `i`, -1 = added
+      * NULL column. */
+    def remap(newSchema: StructType, positions: Array[Int]): TableHandle
     /** Post-build re-skew under the table's persisted cap. */
     def reskew(maxRowsPerPartition: Long): TableHandle
   }
@@ -149,6 +153,8 @@ private[sql] object GraftTables {
       h.maintainSidecarsFrom(old.handleAny, del, up)
     def widen(newSchema: StructType): TableHandle =
       H1(h.withWidenedSchema(newSchema))
+    def remap(newSchema: StructType, positions: Array[Int]): TableHandle =
+      H1(h.withRemappedSchema(newSchema, positions))
     def reskew(maxRowsPerPartition: Long): TableHandle =
       H1(h.reskewed(maxRowsPerPartition))
   }
@@ -169,6 +175,8 @@ private[sql] object GraftTables {
       h.maintainSidecarsFrom(old.handleAny, del, up)
     def widen(newSchema: StructType): TableHandle =
       H2(h.withWidenedSchema(newSchema))
+    def remap(newSchema: StructType, positions: Array[Int]): TableHandle =
+      H2(h.withRemappedSchema(newSchema, positions))
     def reskew(maxRowsPerPartition: Long): TableHandle =
       H2(h.reskewed(maxRowsPerPartition))
   }
@@ -189,6 +197,8 @@ private[sql] object GraftTables {
       h.maintainSidecarsFrom(old.handleAny, del, up)
     def widen(newSchema: StructType): TableHandle =
       HN(h.withWidenedSchema(newSchema))
+    def remap(newSchema: StructType, positions: Array[Int]): TableHandle =
+      HN(h.withRemappedSchema(newSchema, positions))
     def reskew(maxRowsPerPartition: Long): TableHandle =
       HN(h.reskewed(maxRowsPerPartition))
   }
@@ -793,7 +803,8 @@ private[sql] object GraftTables {
     * this version, so every delta applies under the schema that was
     * current when it committed. */
   private def writeSchemaDelta(sp: SparkSession, path: String, v: Long,
-      newSchema: StructType, writerId: String): Unit = {
+      newSchema: StructType, writerId: String,
+      positions: Option[Array[Int]] = None): Unit = {
     val dir = deltaDir(path, v)
     val dirP = new Path(dir)
     val (fs, _) = fsOf(sp, path)
@@ -808,6 +819,17 @@ private[sql] object GraftTables {
     try out.write(newSchema.json.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // general evolution (rename/drop/widen) persists the field mapping
+    // beside the schema; absent `_schemamap` = the r14 additive form
+    // (old logs and pure ADD COLUMNS replay unchanged)
+    positions.foreach { pos =>
+      val mout = new java.io.ObjectOutputStream(
+        fs.create(new Path(dir, "_schemamap"), true))
+      try {
+        mout.writeInt(pos.length)
+        pos.foreach(mout.writeInt)
+      } finally mout.close()
+    }
     require(owned, s"graft schema commit integrity: claim on version " +
       s"$v of $path was stolen mid-commit — commit aborted")
     writeMeta(sp, dir, truncate = false, hasDel = false, hasUp = false,
@@ -878,8 +900,18 @@ private[sql] object GraftTables {
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(sin),
           java.nio.charset.StandardCharsets.UTF_8)
         finally sin.close()
-      cur = cur.widen(org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[StructType])
+      val newSchema = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+      val mapFile = new Path(dir, "_schemamap")
+      cur =
+        if (!fs.exists(mapFile)) cur.widen(newSchema) // r14 additive form
+        else {
+          val min = new java.io.ObjectInputStream(fs.open(mapFile))
+          val pos =
+            try Array.fill(min.readInt())(min.readInt())
+            finally min.close()
+          cur.remap(newSchema, pos)
+        }
     }
     if (truncate)
       cur = cur.delete(cur.toDF(sp).select(cur.keyCols.map(col): _*))
@@ -1740,6 +1772,113 @@ private[sql] object GraftTables {
         val h2 = h.widen(newSchema)
         // sidecars carry over verbatim: postings and zones reference
         // columns whose positions the append-only widening preserves
+        h2.maintainSidecarsFrom(h, None, None)
+        cacheOf(sp).put(canonical(sp, path), (next, h2))
+        return next
+      }
+      attempt += 1
+      require(attempt <= 1000,
+        s"graft table commit conflict retry budget exhausted at $path")
+      awaitCommitted(sp, path, next)
+    }
+    -1L // unreachable
+  }
+
+  /** One `ALTER TABLE` evolution verb beyond additive ADD COLUMNS
+    * (phase-2 evolution: each is a METADATA commit — a schema delta
+    * with a field mapping — never a rewrite; old versions time-travel
+    * with their old names/types). */
+  private[sql] sealed trait SchemaChange
+  private[sql] object SchemaChange {
+    final case class Rename(oldName: String, newName: String)
+      extends SchemaChange
+    final case class Drop(col: String) extends SchemaChange
+    final case class Widen(col: String,
+        to: org.apache.spark.sql.types.DataType) extends SchemaChange
+  }
+
+  /** Refuse to evolve a column that durable sidecars reference:
+    * indexes/zones would silently stop routing (or route wrongly), and
+    * CHECK expressions would stop parsing. The RDBMS contract: drop
+    * the index/constraint first, evolve, re-create. */
+  private def guardColumnRefs(sp: SparkSession, path: String, col: String,
+      verb: String): Unit = {
+    val idx = readIndexManifest(sp, path)
+      .filter(_._3.exists(_.equalsIgnoreCase(col)))
+    require(idx.isEmpty,
+      s"$verb: column '$col' is referenced by index '${idx.headOption.map(_._1).getOrElse("")}' — DROP INDEX first")
+    val pat = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(col) + "(?![A-Za-z0-9_])").r
+    val cons = readConstraints(sp, path)
+      .filter { case (_, text) => pat.findFirstIn(text).isDefined }
+    require(cons.isEmpty,
+      s"$verb: column '$col' is referenced by CHECK constraint " +
+        s"'${cons.headOption.map(_._1).getOrElse("")}' — DROP CONSTRAINT first")
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN / DROP COLUMN / ALTER COLUMN TYPE`
+    * — phase-2 schema evolution, committed as a schema delta carrying
+    * the full post-evolution schema PLUS the per-field mapping
+    * (`_schemamap`), under the same optimistic claim protocol as DML.
+    * Nothing is rewritten: a rename is pure metadata, a drop is a
+    * logical projection, a widening (int->long, float->double) is a
+    * narrow cast layer — and replay applies each delta under the
+    * schema current at ITS commit, so time travel to pre-evolution
+    * versions keeps the old names and types. Returns the new
+    * version. */
+  private[sql] def evolveSchema(sp: SparkSession, path: String,
+      change: SchemaChange): Long = {
+    val writerId = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (true) {
+      val (v, h) = current(sp, path)
+      val schema = h.schema
+      def idxOf(c: String): Int = {
+        val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        require(i >= 0, s"no column '$c' in ${schema.fieldNames.mkString(", ")}")
+        i
+      }
+      val identity0 = Array.tabulate(schema.length)(i => i)
+      val (newSchema, positions) = change match {
+        case SchemaChange.Rename(o, n) =>
+          val i = idxOf(o)
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"column '$n' already exists")
+          guardColumnRefs(sp, path, schema.fields(i).name, "RENAME COLUMN")
+          (StructType(schema.fields.updated(i,
+            schema.fields(i).copy(name = n))), identity0)
+        case SchemaChange.Drop(c) =>
+          val i = idxOf(c)
+          require(!h.keyCols.contains(schema.fields(i).name),
+            s"cannot drop key column '${schema.fields(i).name}'")
+          guardColumnRefs(sp, path, schema.fields(i).name, "DROP COLUMN")
+          (StructType(schema.fields.patch(i, Nil, 1).toIndexedSeq),
+            identity0.patch(i, Nil, 1).toArray)
+        case SchemaChange.Widen(c, to) =>
+          val i = idxOf(c)
+          require(!h.keyCols.contains(schema.fields(i).name),
+            s"cannot change the type of key column '${schema.fields(i).name}'")
+          guardColumnRefs(sp, path, schema.fields(i).name, "ALTER COLUMN TYPE")
+          require(IndexedFrame.widensTo(schema.fields(i).dataType, to),
+            s"cannot evolve '${schema.fields(i).name}' from " +
+              s"${schema.fields(i).dataType.catalogString} to " +
+              s"${to.catalogString} in place — only lossless widenings " +
+              "(tinyint->smallint->int->bigint, float->double) evolve " +
+              "without a rewrite")
+          (StructType(schema.fields.updated(i,
+            schema.fields(i).copy(dataType = to))), identity0)
+      }
+      val next = v + 1
+      if (claimDelta(sp, path, next, writerId)) {
+        val hbFs = fsOf(sp, path)._1
+        val hb = new Heartbeat(hbFs,
+          new Path(deltaDir(path, next), "_claim_hb"))
+        try writeSchemaDelta(sp, path, next, newSchema, writerId,
+          Some(positions))
+        finally hb.stop()
+        val h2 = h.remap(newSchema, positions)
+        // name-keyed sidecars for UNTOUCHED columns carry over (the
+        // evolved column was guarded reference-free above)
         h2.maintainSidecarsFrom(h, None, None)
         cacheOf(sp).put(canonical(sp, path), (next, h2))
         return next

@@ -377,6 +377,100 @@ object IndexedFrame {
       "added columns must be nullable")
   }
 
+  /** Is `from -> to` a LOSSLESS widening this engine evolves in place
+    * (Delta's type-widening set: every old value reads back exactly
+    * under the new type, so the log needs no rewrite)? */
+  private[sql] def widensTo(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** Guard for the GENERAL schema remap (RENAME / DROP / type-widen /
+    * ADD): `positions(i)` = the old field index feeding new field `i`,
+    * or -1 for an added (nullable, NULL-filled) column. Checks: every
+    * referenced old index is in range and used at most once, type
+    * changes are lossless widenings, added columns are nullable. */
+  private[sql] def validateRemap(oldSchema: StructType,
+      newSchema: StructType, positions: Array[Int]): Unit = {
+    require(positions.length == newSchema.length,
+      s"remap positions (${positions.length}) must match the new " +
+        s"schema width (${newSchema.length})")
+    val used = positions.filter(_ >= 0)
+    require(used.forall(_ < oldSchema.length) && used.distinct.length == used.length,
+      "remap positions must reference distinct existing fields")
+    positions.zipWithIndex.foreach { case (p, i) =>
+      if (p < 0)
+        require(newSchema.fields(i).nullable,
+          s"added column '${newSchema.fields(i).name}' must be nullable")
+      else {
+        val from = oldSchema.fields(p).dataType
+        val to = newSchema.fields(i).dataType
+        require(from == to || widensTo(from, to),
+          s"cannot evolve '${oldSchema.fields(p).name}' from " +
+            s"${from.catalogString} to ${to.catalogString} in place — " +
+            "only lossless widenings (tinyint->smallint->int->bigint, " +
+            "float->double) evolve without a rewrite")
+      }
+    }
+  }
+
+  /** Per-row remap for the general evolution: project old fields into
+    * their new positions (widening-cast where the type changed), NULL
+    * for added fields. One narrow index-preserving mapValues layer —
+    * no shuffle, keys untouched; OPTIMIZE folds it into the base. */
+  private final class RemapRow(oldTypes: Array[DataType],
+      newSchema: StructType, positions: Array[Int])
+      extends (InternalRow => InternalRow) with Serializable {
+    @transient private lazy val proj = UnsafeProjection.create(newSchema)
+    @transient private lazy val buf = new GenericInternalRow(newSchema.length)
+    private val converters: Array[Any => Any] =
+      positions.zipWithIndex.map { case (p, i) =>
+        if (p < 0) null
+        else (oldTypes(p), newSchema.fields(i).dataType) match {
+          case (f, t) if f == t => identity[Any] _
+          case (ByteType, ShortType) => (v: Any) => v.asInstanceOf[Byte].toShort
+          case (ByteType, IntegerType) => (v: Any) => v.asInstanceOf[Byte].toInt
+          case (ByteType, LongType) => (v: Any) => v.asInstanceOf[Byte].toLong
+          case (ShortType, IntegerType) => (v: Any) => v.asInstanceOf[Short].toInt
+          case (ShortType, LongType) => (v: Any) => v.asInstanceOf[Short].toLong
+          case (IntegerType, LongType) => (v: Any) => v.asInstanceOf[Int].toLong
+          case (FloatType, DoubleType) => (v: Any) => v.asInstanceOf[Float].toDouble
+          case (f, t) => throw new IllegalStateException(
+            s"unreachable remap cast $f -> $t (validateRemap gates)")
+        }
+      }
+    def apply(r: InternalRow): InternalRow = {
+      var i = 0
+      while (i < positions.length) {
+        val p = positions(i)
+        if (p < 0) buf.update(i, null)
+        else {
+          val v = r.get(p, oldTypes(p))
+          buf.update(i, if (v == null) null else converters(i)(v))
+        }
+        i += 1
+      }
+      proj(buf).copy()
+    }
+  }
+
+  /** Identity-prefix positions for a pure ADD COLUMNS evolution. */
+  private[sql] def widenPositions(oldLen: Int, newLen: Int): Array[Int] =
+    Array.tabulate(newLen)(i => if (i < oldLen) i else -1)
+
+  /** True when the remap changes only NAMES (identity positions, every
+    * type unchanged) — the stored rows then need no projection at all. */
+  private[sql] def remapIsNameOnly(oldSchema: StructType,
+      newSchema: StructType, positions: Array[Int]): Boolean =
+    positions.length == oldSchema.length &&
+      positions.zipWithIndex.forall { case (p, i) => p == i } &&
+      newSchema.fields.zip(oldSchema.fields).forall { case (n, o) =>
+        n.dataType == o.dataType }
+
   // ------------------------------------------------------------ zone maps
 
   /** Per-partition min/max summary of one VALUE column — the SMA /
@@ -2648,6 +2742,28 @@ object IndexedFrame {
       new Handle(idx.mapValues(f(_)), keyCol, newSchema, ordered, codec)
     }
 
+    /** GENERAL schema evolution (RENAME COLUMN / DROP COLUMN / type
+      * widening / ADD) — [[IndexedFrame.validateRemap]] semantics. The
+      * key column may be RENAMED (pure metadata — the index is
+      * untouched) but never dropped or type-changed (its codec and
+      * serialized order are type-bound). A name-only change reuses the
+      * index as-is; anything structural is one narrow mapValues layer. */
+    private[sql] def withRemappedSchema(newSchema: StructType,
+        positions: Array[Int]): Handle[K] = {
+      IndexedFrame.validateRemap(schema, newSchema, positions)
+      val keyPos = positions.indexOf(schema.fieldIndex(keyCol))
+      require(keyPos >= 0, s"cannot drop key column '$keyCol'")
+      require(newSchema.fields(keyPos).dataType == schema(keyCol).dataType,
+        s"cannot change the type of key column '$keyCol'")
+      val newKey = newSchema.fields(keyPos).name
+      if (IndexedFrame.remapIsNameOnly(schema, newSchema, positions))
+        new Handle(idx, newKey, newSchema, ordered, codec)
+      else {
+        val f = new RemapRow(schema.fields.map(_.dataType), newSchema, positions)
+        new Handle(idx.mapValues(f(_)), newKey, newSchema, ordered, codec)
+      }
+    }
+
     /** Carry `old`'s secondary indexes and zone maps onto THIS
       * (post-statement) handle at DELTA cost — the DML index
       * maintenance path; see
@@ -4032,6 +4148,28 @@ object IndexedFrame {
         keyColA, keyColB, newSchema, ordered, codecA, codecB)
     }
 
+    /** General evolution — see [[Handle.withRemappedSchema]]; either
+      * key component may be renamed, never dropped or type-changed. */
+    private[sql] def withRemappedSchema(newSchema: StructType,
+        positions: Array[Int]): CompositeHandle[A, B] = {
+      IndexedFrame.validateRemap(schema, newSchema, positions)
+      val names = Seq(keyColA, keyColB).map { k =>
+        val pos = positions.indexOf(schema.fieldIndex(k))
+        require(pos >= 0, s"cannot drop key column '$k'")
+        require(newSchema.fields(pos).dataType == schema(k).dataType,
+          s"cannot change the type of key column '$k'")
+        newSchema.fields(pos).name
+      }
+      if (IndexedFrame.remapIsNameOnly(schema, newSchema, positions))
+        new CompositeHandle[A, B](idx, names.head, names(1), newSchema,
+          ordered, codecA, codecB)
+      else {
+        val f = new RemapRow(schema.fields.map(_.dataType), newSchema, positions)
+        new CompositeHandle[A, B](idx.mapValues(f(_)),
+          names.head, names(1), newSchema, ordered, codecA, codecB)
+      }
+    }
+
     /** Delta-cost sidecar transplant across one DML statement — the
       * composite twin of [[Handle.maintainSidecarsFrom]]. */
     private[sql] def maintainSidecarsFrom(oldAny: AnyRef,
@@ -4876,6 +5014,27 @@ object IndexedFrame {
       val f = new WidenRow(schema.fields.map(_.dataType), newSchema)
       new CompositeNHandle(idx.mapValues(f(_)),
         keyCols, newSchema, ordered, specs)
+    }
+
+    /** General evolution — see [[Handle.withRemappedSchema]]; key
+      * components may be renamed, never dropped or type-changed. */
+    private[sql] def withRemappedSchema(newSchema: StructType,
+        positions: Array[Int]): CompositeNHandle = {
+      IndexedFrame.validateRemap(schema, newSchema, positions)
+      val names = keyCols.map { k =>
+        val pos = positions.indexOf(schema.fieldIndex(k))
+        require(pos >= 0, s"cannot drop key column '$k'")
+        require(newSchema.fields(pos).dataType == schema(k).dataType,
+          s"cannot change the type of key column '$k'")
+        newSchema.fields(pos).name
+      }
+      if (IndexedFrame.remapIsNameOnly(schema, newSchema, positions))
+        new CompositeNHandle(idx, names, newSchema, ordered, specs)
+      else {
+        val f = new RemapRow(schema.fields.map(_.dataType), newSchema, positions)
+        new CompositeNHandle(idx.mapValues(f(_)),
+          names, newSchema, ordered, specs)
+      }
     }
 
     /** Delta-cost sidecar transplant across one DML statement — the

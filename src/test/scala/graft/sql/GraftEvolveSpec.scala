@@ -1,0 +1,126 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/**
+ * Phase-2 schema evolution ([[GraftTables.evolveSchema]]): RENAME
+ * COLUMN (pure metadata — key columns included), DROP COLUMN (logical
+ * projection), and ALTER COLUMN TYPE widening (int->long,
+ * float->double) commit as schema deltas carrying a per-field mapping
+ * — nothing rewrites, DML keeps flowing under the new shape, replay
+ * applies every delta under the schema current at ITS commit, and time
+ * travel to pre-evolution versions keeps the old names and types.
+ */
+class GraftEvolveSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_evolve_$name").toString
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    p
+  }
+
+  test("rename + widen + drop + DML replay bit-for-bit across a reopen") {
+    val path = freshPath("full")
+    spark.sql("DROP TABLE IF EXISTS evspec_t")
+    (1L to 50L).map(k => (k, k.toInt * 10, k.toFloat / 2, s"n$k"))
+      .toDF("k", "cnt", "ratio", "name")
+      .createOrReplaceTempView("evspec_src")
+    spark.sql(s"""CREATE TABLE evspec_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM evspec_src""".stripMargin)
+    spark.sql("UPDATE evspec_t SET cnt = cnt + 1 WHERE k <= 5") // v1
+    spark.sql("ALTER TABLE evspec_t RENAME COLUMN cnt TO hits") // v2
+    spark.sql("UPDATE evspec_t SET hits = hits + 100 WHERE k <= 2") // v3
+    spark.sql("ALTER TABLE evspec_t ALTER COLUMN hits TYPE bigint") // v4
+    spark.sql( // v5: a value only a bigint can hold
+      "UPDATE evspec_t SET hits = 4000000000 WHERE k = 1")
+    spark.sql("ALTER TABLE evspec_t DROP COLUMN name") // v6
+    spark.sql("UPDATE evspec_t SET ratio = 9.5 WHERE k = 3") // v7
+    assert(spark.table("evspec_t").columns.toSeq ===
+      Seq("k", "hits", "ratio"))
+    val live = spark.sql("SELECT k, hits, ratio FROM evspec_t ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(live(0) === Seq(1L, 4000000000L, 0.5f))
+    assert(live(1) === Seq(2L, 121L, 1.0f))
+    assert(live(2) === Seq(3L, 31L, 9.5f))
+    assert(live(9) === Seq(10L, 100L, 5.0f))
+    // a FRESH session replays base + 7 deltas through both fences
+    val s2 = spark.newSession()
+    val re = s2.sql("SELECT k, hits, ratio FROM evspec_t ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(re === live)
+    // time travel BEFORE the evolution keeps old names and types
+    val old = s2.sql("SELECT k, cnt, name FROM evspec_t VERSION AS OF 1 " +
+      "WHERE k = 1").collect()(0)
+    assert(old.getInt(1) === 11 && old.getString(2) === "n1")
+    // ... and the widened column reads back as INT there
+    assert(s2.table("evspec_t").schema("hits").dataType ===
+      org.apache.spark.sql.types.LongType)
+    spark.sql("DROP TABLE IF EXISTS evspec_t")
+  }
+
+  test("key column rename keeps routing, DML, and reopen exact") {
+    val path = freshPath("key")
+    spark.sql("DROP TABLE IF EXISTS evspec_k")
+    (1L to 30L).map(k => (k, k * 1.0)).toDF("id", "v")
+      .createOrReplaceTempView("evspec_ksrc")
+    spark.sql(s"""CREATE TABLE evspec_k USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM evspec_ksrc""".stripMargin)
+    spark.sql("ALTER TABLE evspec_k RENAME COLUMN id TO doc_id")
+    // point routing under the new key name (index untouched)
+    assert(spark.sql("SELECT v FROM evspec_k WHERE doc_id = 7")
+      .collect()(0).getDouble(0) === 7.0)
+    spark.sql("UPDATE evspec_k SET v = -1 WHERE doc_id = 7")
+    spark.sql("DELETE FROM evspec_k WHERE doc_id = 30")
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT v FROM evspec_k WHERE doc_id = 7")
+      .collect()(0).getDouble(0) === -1.0)
+    assert(s2.sql("SELECT count(*) FROM evspec_k")
+      .collect()(0).getLong(0) === 29)
+    spark.sql("DROP TABLE IF EXISTS evspec_k")
+  }
+
+  test("guards: referenced, keyed, and lossy evolutions are refused") {
+    val path = freshPath("guard")
+    spark.sql("DROP TABLE IF EXISTS evspec_g")
+    (1L to 10L).map(k => (k, k.toInt, k * 1.0)).toDF("k", "grp", "v")
+      .createOrReplaceTempView("evspec_gsrc")
+    spark.sql(s"""CREATE TABLE evspec_g USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM evspec_gsrc""".stripMargin)
+    spark.sql("CREATE INDEX g_ix ON evspec_g (grp)")
+    spark.sql("ALTER TABLE evspec_g ADD CONSTRAINT vp CHECK (v >= 0)")
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE evspec_g RENAME COLUMN grp TO grp2"))
+      .getMessage.contains("referenced by index"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE evspec_g DROP COLUMN v"))
+      .getMessage.contains("referenced by CHECK constraint"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE evspec_g DROP COLUMN k"))
+      .getMessage.contains("key column"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE evspec_g ALTER COLUMN k TYPE int"))
+      .getMessage.contains("key column"))
+    // lossy narrowing is refused (bigint -> int)
+    spark.sql("ALTER TABLE evspec_g ADD COLUMN big BIGINT")
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE evspec_g ALTER COLUMN big TYPE int"))
+      .getMessage.contains("lossless widenings"))
+    // after DROP INDEX the rename flows, and the index can re-create
+    // under the new name
+    spark.sql("DROP INDEX g_ix ON evspec_g")
+    spark.sql("ALTER TABLE evspec_g RENAME COLUMN grp TO grp2")
+    spark.sql("CREATE INDEX g_ix2 ON evspec_g (grp2)")
+    assert(spark.sql("SELECT count(*) FROM evspec_g WHERE grp2 = 3")
+      .collect()(0).getLong(0) === 1)
+    spark.sql("DROP TABLE IF EXISTS evspec_g")
+  }
+}
