@@ -163,7 +163,10 @@ object Bench {
         gcQuiesce() // each family starts from a quiesced heap
         val gc0 = gcMillis()
         val out = body
-        out.foreach { case (k, v) => diag(k) = (Seq(v), -1L) }
+        // lanes that recorded their own per-run diags (timed3) keep
+        // them; the rest record their single best-of value
+        out.foreach { case (k, v) =>
+          if (!diag.contains(k)) diag(k) = (Seq(v), -1L) }
         diag(s"family_$label") = (Seq.empty, gcMillis() - gc0)
         out
       } catch {
@@ -186,7 +189,47 @@ object Bench {
       family("scale")(microScale(spark, sfDir)) ++
       family("maintenance")(microMaintenance(spark, sfDir)) ++
       family("skew")(microSkew(spark, sfDir)) ++
+      family("zorder")(microZOrder(spark, sfDir)) ++
       family("catalogDml")(microCatalogDml(spark, sfDir))
+  }
+
+  /** OPTIMIZE ZORDER payoff measured: the same 2-D box count over a
+    * (user_id, day) composite handle, on the hash layout (every
+    * partition spans the whole plane — a box visits all of them) vs
+    * the Morton-clustered layout with zone maps on both key columns
+    * (each partition is a tight 2-D box — the zone path keeps only the
+    * overlapping ones). The kept-partition counts go to gauges; the
+    * one-off z rewrite cost is reported alongside, like
+    * micro_sql_optimize_once. */
+  private[graft] def microZOrder(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    implicit val sp: SparkSession = spark
+    import org.apache.spark.sql.functions.{col, count => fCount, lit => fLit,
+      round => fRound, sum => fSum, to_date, unix_date}
+    val agg = graft.queries.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(fCount(fLit(1)).as("n_events"),
+        fRound(fSum(col("value")), 2).as("sum_value"))
+    val hHash = graft.sql.IndexedFrame.indexComposite(
+      agg, "user_id", "day", ordered = false, numPartitions = 16)
+    hHash.idx.cached; hHash.idx.count()
+    val t0 = System.nanoTime()
+    val hZ = hHash.zOrdered().analyzeZones("user_id", "day")
+    hZ.idx.cached; hZ.idx.count()
+    val tRewrite = (System.nanoTime() - t0) / 1e9
+    def box(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("user_id").between(2, 11) &&
+          col("day").between(19728, 19737))
+        .agg(fCount(fLit(1))).collect()
+    val tHash = bestOf2((0 until 20).foreach(_ => box(hHash.toDF)))
+    val tZ = bestOf2((0 until 20).foreach(_ => box(hZ.toDF)))
+    gauges("micro_zorder_box_parts_all") = 16.0
+    gauges("micro_zorder_box_parts_kept") = hZ.lastZoneKept.toDouble
+    hHash.idx.unpersist(); hZ.idx.unpersist()
+    Seq("micro_zorder_box_hash_20" -> tHash,
+      "micro_zorder_box_z_20" -> tZ,
+      "micro_zorder_rewrite_once" -> tRewrite)
   }
 
   /** INCREMENTAL INDEX MAINTENANCE measured: the same fixed-size
@@ -237,27 +280,35 @@ object Bench {
     * (base load + replay + read). */
   private[graft] def microCatalogReopen(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions.col
-    val path = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_bench_reopen").toString
-    spark.sql("DROP TABLE IF EXISTS bench_reopen")
-    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
-    spark.read.parquet(s"$sfDir/customer.parquet")
-      .select(col("c_custkey"), col("c_acctbal"))
-      .createOrReplaceTempView("bench_reopen_src")
-    spark.sql(s"""CREATE TABLE bench_reopen USING graft
-      |OPTIONS (key 'c_custkey') LOCATION '$path'
-      |AS SELECT * FROM bench_reopen_src""".stripMargin)
-    (1 to 30).foreach(i => spark.sql(
-      s"""UPDATE bench_reopen SET c_acctbal = c_acctbal + 1
-         |WHERE c_custkey % 30 = ${i % 30}""".stripMargin))
-    val t = bestOf2 {
-      val fresh = spark.newSession()
-      fresh.sql("SELECT sum(c_acctbal) FROM bench_reopen").collect()
-      ()
+    def reopenLane(tag: String, statements: Int): (String, Double) = {
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_bench_reopen_$tag").toString
+      spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .createOrReplaceTempView(s"bench_reopen_src_$tag")
+      spark.sql(s"""CREATE TABLE bench_reopen_$tag USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM bench_reopen_src_$tag""".stripMargin)
+      (1 to statements).foreach(i => spark.sql(
+        s"""UPDATE bench_reopen_$tag SET c_acctbal = c_acctbal + 1
+           |WHERE c_custkey % $statements = ${i % statements}""".stripMargin))
+      val t = bestOf2 {
+        val fresh = spark.newSession()
+        fresh.sql(s"SELECT sum(c_acctbal) FROM bench_reopen_$tag").collect()
+        ()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      (s"micro_catalog_reopen_$tag", t)
     }
-    spark.sql("DROP TABLE IF EXISTS bench_reopen")
-    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
-    Seq("micro_catalog_reopen_30" -> t)
+    // the AUTO-BOUNDED-REOPEN claim in numbers: tiered delta folding
+    // (every 10 commits, zero user OPTIMIZE calls) covers the
+    // 200-statement log with ~2 tier-2 folds, so its reopen must stay
+    // ~FLAT vs the 30-statement one instead of paying 6.7x the delta
+    // scan — the "reopen after a week of DML" cost at 100 TB
+    Seq(reopenLane("30", 30), reopenLane("200", 200))
   }
 
   /** SKEW GUARD measured: the same 200k-row probe batch through the
@@ -394,16 +445,16 @@ object Bench {
         val base0 = (q * 2971L) % 140000L + 1L
         (0 until 50).map(base0 + _)
       }
-      val tPointIdx = bestOf2((0 until 10).foreach { q =>
+      val tPointIdx = timed3(s"micro_scale${tag}_pointget_idx_10")((0 until 10).foreach { q =>
         hd.filter(col("o_orderkey").isin(keys(q).map(Long.box): _*)).collect()
       })
-      val tPointScan = bestOf2((0 until 10).foreach { q =>
+      val tPointScan = timed3(s"micro_scale${tag}_pointget_scan_10")((0 until 10).foreach { q =>
         cold.filter(col("o_orderkey").isin(keys(q).map(Long.box): _*)).collect()
       })
-      val tTopkIdx = bestOf2((0 until 10).foreach { _ =>
+      val tTopkIdx = timed3(s"micro_scale${tag}_topk_idx_10")((0 until 10).foreach { _ =>
         hd.orderBy(col("o_orderkey")).limit(100).collect()
       })
-      val tTopkScan = bestOf2((0 until 10).foreach { _ =>
+      val tTopkScan = timed3(s"micro_scale${tag}_topk_scan_10")((0 until 10).foreach { _ =>
         cold.orderBy(col("o_orderkey")).limit(100).collect()
       })
       // lookup join at scale: 200 clustered probe keys per query — the
@@ -428,8 +479,8 @@ object Bench {
       val scanJoins = (0 until 5).map { q =>
         val p = probeDF(q); cold.join(p, cold("o_orderkey") === p("k"))
       }
-      val tLkIdx = bestOf2(idxJoins.foreach(_.collect()))
-      val tLkScan = bestOf2(scanJoins.foreach(_.collect()))
+      val tLkIdx = timed3(s"micro_scale${tag}_lookupjoin_idx_5")(idxJoins.foreach(_.collect()))
+      val tLkScan = timed3(s"micro_scale${tag}_lookupjoin_scan_5")(scanJoins.foreach(_.collect()))
       // secondary filtered agg at scale: WHERE o_custkey = v +
       // sum(o_totalprice) — the grouped filtered-agg memo pays ONE
       // fold pass per snapshot, then every probe answers driver-side
@@ -443,11 +494,11 @@ object Bench {
       // reuse its materialized AQE shuffle stage and stop scanning —
       // the scan twin must honestly re-scan per query
       def custVal(q: Int): Long = (q * 37L) % 1000L + 1L
-      val tSecIdx = bestOf2((0 until 10).foreach { q =>
+      val tSecIdx = timed3(s"micro_scale${tag}_secondary_idx_10")((0 until 10).foreach { q =>
         hd.filter(col("o_custkey") === custVal(q))
           .agg(fSum(col("o_totalprice"))).collect()
       })
-      val tSecScan = bestOf2((0 until 10).foreach { q =>
+      val tSecScan = timed3(s"micro_scale${tag}_secondary_scan_10")((0 until 10).foreach { q =>
         cold.filter(col("o_custkey") === custVal(q))
           .agg(fSum(col("o_totalprice"))).collect()
       })
@@ -613,6 +664,19 @@ object Bench {
     (0 until 2).map { _ =>
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }.min
+
+  /** Best-of-3 with the per-run seconds AND the lane's GC-time delta
+    * recorded in bench_diag.json — the scale micros carry full diags
+    * so a one-off GC/scheduler stall in the sweep is attributable
+    * instead of reading as a regression. */
+  private def timed3(name: String)(body: => Unit): Double = {
+    val gc0 = gcMillis()
+    val runs = (0 until 3).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    diag(name) = (runs, gcMillis() - gc0)
+    runs.min
+  }
 
   /** No-scan SQL stats vs the equivalent cached-relation aggregate:
     * count/min/max answered from index metadata vs a full pass over the

@@ -2324,6 +2324,55 @@ object OperatorQueries {
         "SELECT c_custkey, nat, balance FROM graft_cat_evolve2")
     },
 
+    "ir_sql_catalog_txn" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // ATOMIC MULTI-TABLE TRANSACTIONS end-to-end: two micro-batches
+      // each write a corpus table AND a stats table through ONE
+      // coordinator-marked commit (transactBatch), with a restart
+      // redelivery of batch 0 in between. Required in-lane: each table
+      // holds EXACTLY base + 2 versions (the redelivery skipped both
+      // atomically); the oracle replays the final joint state.
+      val pc = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_txn_c").toString
+      val ps = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_txn_s").toString
+      Seq("graft_cat_txn_c" -> pc, "graft_cat_txn_s" -> ps).foreach {
+        case (t, p) =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+      }
+      Tables.customer(s, dir).filter($"c_custkey".between(1, 150))
+        .select($"c_custkey", $"c_acctbal")
+        .createOrReplaceTempView("cat_txn_csrc")
+      s.sql(s"""CREATE TABLE graft_cat_txn_c USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$pc'
+        |AS SELECT * FROM cat_txn_csrc""".stripMargin)
+      Seq((-1L, 0.0)).toDF("batch", "rows_written")
+        .createOrReplaceTempView("cat_txn_ssrc")
+      s.sql(s"""CREATE TABLE graft_cat_txn_s USING graft
+        |OPTIONS (key 'batch') LOCATION '$ps'
+        |AS SELECT * FROM cat_txn_ssrc""".stripMargin)
+      def batch(id: Long, keys: Seq[Long], base: Double) =
+        graft.sql.GraftCatalogSink.transactBatch(s, Seq(
+          (pc, None, Some(keys.map(k => (k, base + k))
+            .toDF("c_custkey", "c_acctbal"))),
+          (ps, None, Some(Seq((id, keys.size.toDouble))
+            .toDF("batch", "rows_written")))), "cat_txn_lane", id)
+      batch(0L, Seq(1L, 2L, 3L, 4L, 5L), 100.0)
+      batch(0L, Seq(1L, 2L, 3L, 4L, 5L), 100.0) // restart redelivery
+      batch(1L, Seq(6L, 7L, 8L), 200.0)
+      Seq("graft_cat_txn_c", "graft_cat_txn_s").foreach { t =>
+        val n = s.sql(s"SELECT count(*) FROM graft_history('$t')")
+          .collect()(0).getLong(0)
+        require(n == 3,
+          s"$t should hold base + 2 atomic commits, has $n versions")
+      }
+      s.sql("""SELECT c_custkey AS id, c_acctbal AS val FROM graft_cat_txn_c
+        |UNION ALL
+        |SELECT batch + 1000, rows_written FROM graft_cat_txn_s""".stripMargin)
+    },
+
     "ir_sql_catalog_reskew" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -4047,6 +4096,19 @@ object OperatorQueries {
         |       WHEN c_custkey <= 10 THEN c_acctbal + 1
         |       ELSE c_acctbal END AS balance
         |FROM customer WHERE c_custkey BETWEEN 1 AND 200""".stripMargin,
+
+    // the joint post-transaction state: batch 0 (keys 1-5 at 100+k) +
+    // batch 1 (keys 6-8 at 200+k) over the corpus, the stats seed and
+    // one row per batch (redelivery contributed NOTHING)
+    "ir_sql_catalog_txn" ->
+      """SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey BETWEEN 1 AND 5 THEN 100.0 + c_custkey
+        |       WHEN c_custkey BETWEEN 6 AND 8 THEN 200.0 + c_custkey
+        |       ELSE c_acctbal END AS val
+        |FROM customer WHERE c_custkey BETWEEN 1 AND 150
+        |UNION ALL SELECT 999, 0.0
+        |UNION ALL SELECT 1000, 5.0
+        |UNION ALL SELECT 1001, 3.0""".stripMargin,
 
     // rate-limited catch-up accumulates the identical feed: snapshot
     // inserts + one upsert per single-key statement

@@ -58,4 +58,21 @@ object GraftCatalogSink {
       Some(GraftTables.alignTo(batch, schema)), txn = Some((txnId, batchId)))
   }
 
+  /** ATOMIC multi-table `foreachBatch` body: commit `writes` — one
+    * (table path, delete-key frame, upsert frame) per target — into
+    * SEVERAL graft tables ALL-OR-NOTHING (one coordinator marker is
+    * the single commit point; see [[GraftTables.commitTxnChange]]) and
+    * exactly-once under `txnId` across restarts. Because the commit is
+    * atomic, a redelivered batch either skips every table or applies
+    * to every table — the corpus-plus-stats pattern with no
+    * half-applied restart states at all. */
+  def transactBatch(sp: org.apache.spark.sql.SparkSession,
+      writes: Seq[(String, Option[DataFrame], Option[DataFrame])],
+      txnId: String, batchId: Long): Unit = {
+    require(writes.nonEmpty, "transactBatch needs at least one table")
+    // atomicity makes one table's tag authoritative for the whole set
+    if (GraftTables.txnAlreadyCommitted(sp, writes.head._1, txnId, batchId))
+      return
+    GraftTables.commitTxnChange(sp, writes, txn = Some((txnId, batchId)))
+  }
 }

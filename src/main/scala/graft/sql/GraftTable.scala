@@ -676,7 +676,7 @@ private[sql] object GraftTables {
     var v = math.max(
       graft.MarkerFile.readLong(fs, new Path(p, "_tver")).getOrElse(first),
       first)
-    while (fs.exists(new Path(deltaDir(path, v + 1), "_meta"))) v += 1
+    while (committedAt(fs, path, v + 1)) v += 1
     v
   }
 
@@ -843,26 +843,87 @@ private[sql] object GraftTables {
     writeVersion(sp, path, v)
   }
 
-  /** The delta commit record. The trailing `hasSchema` boolean (r14)
-    * and committer `writerId` (r16 — the audit trail that lets any
-    * later reader prove WHICH writer's commit a version holds) are
-    * FORMAT EXTENSIONS: pre-extension metas simply end earlier, and
-    * readers treat EOF as false/absent — old logs replay unchanged. */
+  /** The delta commit record. The trailing `hasSchema` boolean (r14),
+    * committer `writerId` (r16 — the audit trail that lets any later
+    * reader prove WHICH writer's commit a version holds), and the
+    * multi-table-transaction coordinator reference (r16) are FORMAT
+    * EXTENSIONS: pre-extension metas simply end earlier, and readers
+    * treat EOF as false/absent — old logs replay unchanged. A meta
+    * carrying a coordinator path is PENDING: it counts as committed
+    * only while the coordinator marker exists (see [[committedAt]]). */
   private def writeMeta(sp: SparkSession, dir: String, truncate: Boolean,
       hasDel: Boolean, hasUp: Boolean, hasSchema: Boolean,
-      writerId: String): Unit = {
+      writerId: String, pendingCoord: Option[String] = None): Unit = {
     val (fs, _) = fsOf(sp, dir)
+    writeMetaRec(fs, dir, MetaRec(truncate, hasDel, hasUp,
+      System.currentTimeMillis(), hasSchema, writerId, pendingCoord))
+  }
+
+  /** The full on-disk commit record (every format extension). */
+  private case class MetaRec(truncate: Boolean, hasDel: Boolean,
+      hasUp: Boolean, stamp: Long, hasSchema: Boolean, writerId: String,
+      pendingCoord: Option[String])
+
+  private def writeMetaRec(fs: FileSystem, dir: String, m: MetaRec,
+      name: String = "_meta"): Unit = {
     val out = new java.io.ObjectOutputStream(
-      fs.create(new Path(dir, "_meta"), true))
+      fs.create(new Path(dir, name), true))
     try {
-      out.writeBoolean(truncate)
-      out.writeBoolean(hasDel)
-      out.writeBoolean(hasUp)
-      out.writeLong(System.currentTimeMillis())
-      out.writeBoolean(hasSchema)
-      out.writeUTF(writerId)
+      out.writeBoolean(m.truncate)
+      out.writeBoolean(m.hasDel)
+      out.writeBoolean(m.hasUp)
+      out.writeLong(m.stamp)
+      out.writeBoolean(m.hasSchema)
+      out.writeUTF(m.writerId)
+      out.writeBoolean(m.pendingCoord.isDefined)
+      m.pendingCoord.foreach(out.writeUTF)
     } finally out.close()
   }
+
+  private def readMetaRec(fs: FileSystem, dir: String): MetaRec = {
+    val in = new java.io.ObjectInputStream(fs.open(new Path(dir, "_meta")))
+    try {
+      val t = in.readBoolean(); val d = in.readBoolean()
+      val u = in.readBoolean(); val stamp = in.readLong()
+      // format extensions: pre-extension metas end at any boundary
+      def safe[A](read: => A, dflt: A): A =
+        try read catch { case _: java.io.EOFException => dflt }
+      val s = safe(in.readBoolean(), false)
+      val w = safe(in.readUTF(), "")
+      val pend = if (safe(in.readBoolean(), false)) Some(in.readUTF()) else None
+      MetaRec(t, d, u, stamp, s, w, pend)
+    } finally in.close()
+  }
+
+  /** Is version `v` COMMITTED — `_meta` present and readable, and (for
+    * a multi-table-transaction member) its coordinator marker present?
+    * A pending meta whose coordinator exists finalizes on read
+    * (best-effort rewrite without the reference), so steady-state
+    * reads stop consulting the coordinator. A torn meta (crashed
+    * mid-write) reads as not-committed, never as an error. */
+  private def committedAt(fs: FileSystem, path: String, v: Long): Boolean = {
+    val dir = deltaDir(path, v)
+    if (!fs.exists(new Path(dir, "_meta"))) return false
+    val m = try readMetaRec(fs, dir)
+      catch { case scala.util.control.NonFatal(_) => return false }
+    m.pendingCoord match {
+      case None => true
+      case Some(coord) =>
+        if (!fs.exists(new Path(coord))) false
+        else { finalizeMeta(fs, dir, m); true }
+    }
+  }
+
+  /** Rewrite a pending meta as final (coordinator observed): staged as
+    * a sibling and RENAMED over `_meta` — if the store's rename will
+    * not clobber, the pending form simply stays (readers keep
+    * consulting the coordinator; never a window without a meta). */
+  private def finalizeMeta(fs: FileSystem, dir: String, m: MetaRec): Unit =
+    try {
+      writeMetaRec(fs, dir, m.copy(pendingCoord = None), "._meta_final")
+      val tmp = new Path(dir, "._meta_final")
+      if (!fs.rename(tmp, new Path(dir, "_meta"))) { fs.delete(tmp, false); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** One delta's commit record, replay side. */
   private case class DeltaMeta(truncate: Boolean, hasDel: Boolean,
@@ -874,15 +935,8 @@ private[sql] object GraftTables {
 
   private def readMeta(sp: SparkSession, path: String, v: Long): DeltaMeta = {
     val (fs, _) = fsOf(sp, path)
-    val in = new java.io.ObjectInputStream(
-      fs.open(new Path(deltaDir(path, v), "_meta")))
-    try {
-      val t = in.readBoolean(); val d = in.readBoolean()
-      val u = in.readBoolean(); in.readLong()
-      // format extension (r14): pre-extension metas end here
-      val s = try in.readBoolean() catch { case _: java.io.EOFException => false }
-      DeltaMeta(t, d, u, s)
-    } finally in.close()
+    val m = readMetaRec(fs, deltaDir(path, v))
+    DeltaMeta(m.truncate, m.hasDel, m.hasUp, m.hasSchema)
   }
 
   /** Apply delta `v` FROM DISK to `h` — the single replay code path
@@ -1453,19 +1507,18 @@ private[sql] object GraftTables {
   private def awaitCommitted(sp: SparkSession, path: String, v: Long): Unit = {
     val (fs, _) = fsOf(sp, path)
     val dir = new Path(deltaDir(path, v))
-    val meta = new Path(dir, "_meta")
     // a claim whose owner keeps heartbeating is honored indefinitely
     // short of this hard cap — then fail LOUDLY instead of stealing
     val hardDeadline = System.currentTimeMillis() + claimTimeoutMillis * 40
     var lastSeen = Long.MinValue
     var seenAt = System.currentTimeMillis()
-    while (!fs.exists(meta)) {
+    while (!committedAt(fs, path, v)) {
       if (!fs.exists(dir)) return // another loser already reclaimed it
       val now = System.currentTimeMillis()
       val alive = lastAlive(fs, dir)
       if (alive != lastSeen) { lastSeen = alive; seenAt = now }
       if (now - seenAt > claimTimeoutMillis) {
-        if (stealDead(fs, dir, meta)) return
+        if (stealDead(fs, path, v, dir)) return
         // a rival stealer (or a recovered owner) holds the claim now —
         // watch its liveness afresh
         lastSeen = Long.MinValue
@@ -1492,7 +1545,8 @@ private[sql] object GraftTables {
     * freed or found committed (caller re-examines the log); false when
     * the claim could not be taken (a rival stealer or recovered owner
     * holds it) — keep waiting. */
-  private def stealDead(fs: FileSystem, dir: Path, meta: Path): Boolean = {
+  private def stealDead(fs: FileSystem, path: String, v: Long,
+      dir: Path): Boolean = {
     val stealId = "steal-" + java.util.UUID.randomUUID()
     try { fs.delete(new Path(dir, "_claim"), false); () }
     catch { case _: java.io.IOException => () }
@@ -1507,7 +1561,10 @@ private[sql] object GraftTables {
     // one grace beat for an in-flight `_meta` write that passed its
     // pre-write ownership check before our claim takeover landed
     Thread.sleep(100)
-    if (fs.exists(meta)) return true // it committed after all — honor it
+    // a dead TRANSACTION member whose coordinator never landed is NOT
+    // committed — reclaiming it IS the transaction's abort (its
+    // sibling tables' pending members die the same way)
+    if (committedAt(fs, path, v)) return true // committed — honor it
     val grave = new Path(dir.getParent,
       s"_tgrave_${dir.getName}_${java.util.UUID.randomUUID()}")
     if (fs.rename(dir, grave)) { try fs.delete(grave, true) catch {
@@ -1606,7 +1663,8 @@ private[sql] object GraftTables {
     * integrity error here, never as a silently corrupted log. */
   private def promoteStage(sp: SparkSession, path: String, writerId: String,
       stage: String, v: Long, truncate: Boolean, hasDel: Boolean,
-      hasUp: Boolean, txn: Option[(String, Long)]): Unit = {
+      hasUp: Boolean, txn: Option[(String, Long)],
+      pendingCoord: Option[String] = None, advance: Boolean = true): Unit = {
     val (fs, _) = fsOf(sp, path)
     val dir = deltaDir(path, v)
     val dirP = new Path(dir)
@@ -1627,7 +1685,7 @@ private[sql] object GraftTables {
       // version dir — atomic with the commit by construction
       txn.foreach { case (app, tv) => writeTxnTag(fs, dirP, app, tv) }
       writeMeta(sp, dir, truncate, hasDel, hasUp, hasSchema = false,
-        writerId = writerId)
+        writerId = writerId, pendingCoord = pendingCoord)
       if (!owned) {
         // last-microsecond steal: surface it LOUDLY — but never delete
         // the `_meta`: after a steal-and-reclaim the record at this
@@ -1642,7 +1700,7 @@ private[sql] object GraftTables {
             "aborted (the commit may or may not have survived the " +
             "steal; re-read the table before retrying)")
       }
-      writeVersion(sp, path, v)
+      if (advance) writeVersion(sp, path, v)
     } finally hb.stop()
   }
 
@@ -1739,6 +1797,157 @@ private[sql] object GraftTables {
         awaitCommitted(sp, path, next)
       }
     } finally { fs.delete(new Path(stage), true); () }
+  }
+
+  /** Spec hook: called at each phase of a multi-table transaction
+    * ("claimed" / "promoted" / "committed") — tests install a throwing
+    * hook to simulate a crash at exactly that point. */
+  private[sql] var txnCrashHook: String => Unit = _ => ()
+
+  /** ATOMIC MULTI-TABLE WRITE — `BEGIN/COMMIT` across graft tables:
+    * every listed table gets one new version holding its change sets,
+    * and the versions become visible ALL OR NOTHING.
+    *
+    * Protocol (the delta-log analog of a 2-phase commit, with ONE
+    * atomic action as the commit point):
+    *
+    *  1. STAGE each table's change sets (writer-private, no claims).
+    *  2. CLAIM the next version on EVERY table, in canonical path
+    *     order (rival transactions claim in the same order, so there
+    *     is no deadlock); losing any claim releases the ones held and
+    *     retries on top of the winner.
+    *  3. PROMOTE each table's staged files under its claim, writing a
+    *     PENDING meta that references one shared COORDINATOR marker.
+    *     Pending metas are invisible: [[committedAt]] counts them only
+    *     while the coordinator exists.
+    *  4. Create the coordinator marker (atomic create) — THE commit
+    *     point. A crash anywhere BEFORE leaves every table at its
+    *     pre-transaction version (pending members look like any
+    *     crashed claim and are reclaimed by [[stealDead]], which IS
+    *     the abort); a crash anywhere AFTER commits every table (any
+    *     reader honors a pending meta whose coordinator exists and
+    *     finalizes it in place).
+    *  5. FINALIZE: advance each `_tver`, rewrite metas without the
+    *     coordinator reference, refresh the live handles, and delete
+    *     the marker once nothing references it.
+    *
+    * The coordinator lives in the FIRST (canonical-order) table's
+    * directory and rides its OPTIMIZE/VACUUM swaps like the other
+    * root sidecars. */
+  private[sql] def commitTxnChange(sp: SparkSession,
+      writes: Seq[(String, Option[DataFrame], Option[DataFrame])],
+      txn: Option[(String, Long)] = None): Unit = {
+    require(writes.nonEmpty, "empty transaction")
+    val ordered = writes.sortBy(w => canonical(sp, w._1))
+    require(ordered.map(w => canonical(sp, w._1)).distinct.size == ordered.size,
+      "a transaction writes each table at most once")
+    val writerId = java.util.UUID.randomUUID().toString
+    val coord = s"${ordered.head._1}/_txnc_$writerId"
+    val (coordFs, _) = fsOf(sp, ordered.head._1)
+    // phase 1: stage every table (slow part, nothing claimed)
+    val staged = ordered.map { case (path, del, up) =>
+      val h0 = current(sp, path)._2
+      val stage = stageDir(path, writerId)
+      del.foreach(d => writable(alignTo(d, keySchemaOf(h0.schema, h0.keyCols)))
+        .write.mode("overwrite").parquet(s"$stage/del"))
+      up.foreach(u => writable(alignTo(u, h0.schema))
+        .write.mode("overwrite").parquet(s"$stage/up"))
+      (path, stage, del.isDefined, up.isDefined)
+    }
+    try {
+      var attempt = 0
+      while (true) {
+        // CHECK constraints per table against the staged bytes
+        staged.foreach { case (path, stage, _, hasUp) =>
+          if (hasUp) {
+            val cs = readConstraints(sp, path)
+            if (cs.nonEmpty) enforceConstraintList(cs,
+              alignTo(sp.read.parquet(s"$stage/up"),
+                current(sp, path)._2.schema))
+          }
+        }
+        // phase 2: claim ALL, canonical order
+        val claimed = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, TableHandle, Heartbeat)]
+        var blocked: Option[(String, Long)] = None
+        staged.foreach { case (path, _, _, _) =>
+          if (blocked.isEmpty) {
+            val (v, h) = current(sp, path)
+            val next = v + 1
+            if (claimDelta(sp, path, next, writerId)) {
+              val (fs, _) = fsOf(sp, path)
+              claimed += ((path, next, h, new Heartbeat(fs,
+                new Path(deltaDir(path, next), "_claim_hb"))))
+            } else blocked = Some((path, next))
+          }
+        }
+        blocked match {
+          case Some((bPath, bV)) =>
+            // release what we hold (no metas yet — plain dirs) and
+            // wait for the winner before retrying on top of it
+            claimed.foreach { case (path, v, _, hb) =>
+              hb.stop()
+              val (fs, _) = fsOf(sp, path)
+              fs.delete(new Path(deltaDir(path, v)), true)
+              ()
+            }
+            attempt += 1
+            require(attempt <= 1000,
+              s"graft transaction conflict retry budget exhausted at $bPath")
+            awaitCommitted(sp, bPath, bV)
+          case None =>
+            try {
+              txnCrashHook("claimed")
+              // phase 3: promote every member PENDING on the coordinator
+              claimed.zip(staged).foreach {
+                case ((path, v, _, _), (_, stage, hasDel, hasUp)) =>
+                  promoteStage(sp, path, writerId, stage, v,
+                    truncate = false, hasDel, hasUp, txn = txn,
+                    pendingCoord = Some(coord), advance = false)
+              }
+              txnCrashHook("promoted")
+              // phase 4: THE commit point
+              val out = coordFs.create(new Path(coord), false)
+              try out.write(writerId.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              txnCrashHook("committed")
+              // phase 5: finalize — visible version pointers, final
+              // metas, live handles (incrementally: one delta apply +
+              // sidecar transplant per table, like single-table DML)
+              claimed.zip(staged).foreach {
+                case ((path, v, h, _), (_, _, hasDel, hasUp)) =>
+                  val (fs, _) = fsOf(sp, path)
+                  committedAt(fs, path, v) // finalizes the meta in place
+                  writeVersion(sp, path, v)
+                  val h2 = applyDelta(sp, h, path, v)
+                  maintainIndexes(sp, path, h, h2, v, truncate = false,
+                    hasDel, hasUp)
+                  cacheOf(sp).put(canonical(sp, path), (v, h2))
+                  txn.foreach { case (app, _) =>
+                    graft.MarkerFile.writeLong(fs,
+                      new Path(path, s"_txnhint_${safeApp(app)}"), v) }
+                  if (foldEvery > 1 && v % foldEvery == 0)
+                    try maybeFold(sp, path, v)
+                    catch { case scala.util.control.NonFatal(_) => () }
+              }
+              // nothing references the coordinator once every meta is
+              // final; if a finalize rename declined (no-clobber
+              // store), keep it — pending readers still need it
+              val anyPending = claimed.exists { case (path, v, _, _) =>
+                val (fs, _) = fsOf(sp, path)
+                readMetaRec(fs, deltaDir(path, v)).pendingCoord.isDefined
+              }
+              if (!anyPending) { coordFs.delete(new Path(coord), false); () }
+              return
+            } finally claimed.foreach(_._4.stop())
+        }
+      }
+    } finally staged.foreach { case (path, stage, _, _) =>
+      val (fs, _) = fsOf(sp, path)
+      fs.delete(new Path(stage), true)
+      ()
+    }
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)`: commit a SCHEMA delta (additive,
@@ -2089,7 +2298,7 @@ private[sql] object GraftTables {
     val rootSidecars = (Seq("_indexnames", "_constraints") ++
       fs.listStatus(p).map(_.getPath.getName).filter(n =>
         n.startsWith("_txnhint_") || n.startsWith("_txnfold_") ||
-          n.startsWith("_txn_"))).distinct
+          n.startsWith("_txn_") || n.startsWith("_txnc_"))).distinct
     rootSidecars.foreach { f =>
       val src = new Path(p, f)
       if (fs.exists(src))
