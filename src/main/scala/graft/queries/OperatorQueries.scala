@@ -2373,6 +2373,45 @@ object OperatorQueries {
         |SELECT batch + 1000, rows_written FROM graft_cat_txn_s""".stripMargin)
     },
 
+    "ir_sql_catalog_fold" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // TIERED DELTA FOLDING end-to-end: 12 DML statements at the
+      // default fold cadence (10) leave committed `_tfold_` sidecars
+      // on disk, and a REOPENED session's replay covers the log with
+      // the widest fold plus the residual raw deltas — bit-identical
+      // to the sequential chain, with zero user OPTIMIZE calls.
+      // Required in-lane: a fold actually exists (the reopen read the
+      // accelerated cover, not 12 raw deltas).
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_fold").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_fold")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).filter($"c_custkey".between(1, 300))
+        .select($"c_custkey", $"c_acctbal")
+        .createOrReplaceTempView("cat_fold_src")
+      s.sql(s"""CREATE TABLE graft_cat_fold USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_fold_src""".stripMargin)
+      // every statement touches a DIFFERENT key slice with a
+      // PER-KEY value, so the fold's last-op-per-key merge is proven
+      // key by key, not by one uniform overwrite
+      (1 to 12).foreach { i =>
+        if (i % 5 == 0)
+          s.sql(s"DELETE FROM graft_cat_fold WHERE c_custkey = ${200 + i}")
+        else s.sql(s"""UPDATE graft_cat_fold
+          |SET c_acctbal = ${1000 * i} + c_custkey
+          |WHERE c_custkey % 12 = ${i % 12} AND c_custkey <= 100""".stripMargin)
+      }
+      val folds = Option(new java.io.File(path).list()).toSeq.flatten
+        .filter(_.startsWith("_tfold_"))
+      require(folds.nonEmpty,
+        s"no fold sidecars after 12 commits at cadence 10: " +
+          new java.io.File(path).list().toSeq.sorted)
+      s.newSession().sql(
+        "SELECT c_custkey, c_acctbal FROM graft_cat_fold")
+    },
+
     "ir_sql_catalog_reskew" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -4096,6 +4135,20 @@ object OperatorQueries {
         |       WHEN c_custkey <= 10 THEN c_acctbal + 1
         |       ELSE c_acctbal END AS balance
         |FROM customer WHERE c_custkey BETWEEN 1 AND 200""".stripMargin,
+
+    // the folded log's replayed state: residues 5 and 10 lost their
+    // only writer to the delete statements, residue 0's writer is
+    // statement 12, every other residue r's is statement r; keys 205
+    // and 210 deleted where the fixture holds them
+    "ir_sql_catalog_fold" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey <= 100 AND c_custkey % 12 NOT IN (5, 10)
+        |    THEN 1000.0 * (CASE WHEN c_custkey % 12 = 0 THEN 12
+        |                        ELSE c_custkey % 12 END) + c_custkey
+        |  ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey BETWEEN 1 AND 300
+        |AND c_custkey NOT IN (205, 210)""".stripMargin,
 
     // the joint post-transaction state: batch 0 (keys 1-5 at 100+k) +
     // batch 1 (keys 6-8 at 200+k) over the corpus, the stats seed and

@@ -336,6 +336,16 @@ private[sql] object GraftTables {
   private[sql] def currentVersion(sp: SparkSession, path: String): Long =
     diskVersion(sp, path)
 
+  /** Where a `startingVersion = 0` stream's initial snapshot sits: the
+    * oldest readable version, pushed past the latest RENAME/DROP
+    * evolution (whose older deltas the feed cannot express — the
+    * snapshot covers them instead). */
+  private[sql] def snapshotVersion(sp: SparkSession, path: String): Long = {
+    val (fs, p) = fsOf(sp, path)
+    math.max(tableFirstVersion(sp, path),
+      graft.MarkerFile.readLong(fs, new Path(p, "_evolvever")).getOrElse(0L))
+  }
+
   /** The streaming change feed's schema: every table column (all
     * nullable — delete rows carry only their keys) plus `_change_type`
     * (`insert` | `upsert` | `delete`) and `_commit_version`. */
@@ -361,6 +371,23 @@ private[sql] object GraftTables {
       fromExcl: Long, toIncl: Long, feedSchema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{input_file_name, lit,
       regexp_extract}
+    // a PHASE-2 evolution (rename/drop — `_evolvever` records the
+    // latest) changes what the delta files' column names MEAN: a feed
+    // reading versions from before it would emit NULLs for renamed
+    // columns. Fail loudly instead (Delta blocks CDF across
+    // column-mapping changes identically); additive ADD COLUMNS stays
+    // exact both ways and sets no marker.
+    val (efs, ep) = fsOf(sp, path)
+    graft.MarkerFile.readLong(efs, new Path(ep, "_evolvever")).foreach { ev =>
+      require(fromExcl >= ev || toIncl <= fromExcl,
+        s"change feed cannot read across the RENAME/DROP COLUMN " +
+          s"evolution at version $ev of $path (requested versions " +
+          s"${fromExcl + 1}..$toIncl were written under the old " +
+          "column mapping) — restart the stream at or after version " +
+          s"$ev, or with startingVersion=0 (its snapshot sits at the " +
+          "evolution point and the tail reads only post-evolution " +
+          "deltas)")
+    }
     val dataCols = feedSchema.fields.dropRight(2)
     val h = current(sp, path)._2
     val keyCols = h.keyCols.toSet
@@ -2085,6 +2112,11 @@ private[sql] object GraftTables {
         try writeSchemaDelta(sp, path, next, newSchema, writerId,
           Some(positions))
         finally hb.stop()
+        // change feeds cannot read ACROSS a rename/drop (delta files
+        // before it carry the old names) — record the evolution
+        // version so the feed fails loudly instead of emitting NULLs
+        // (Delta blocks CDF across column-mapping changes the same way)
+        graft.MarkerFile.writeLong(hbFs, new Path(path, "_evolvever"), next)
         val h2 = h.remap(newSchema, positions)
         // name-keyed sidecars for UNTOUCHED columns carry over (the
         // evolved column was guarded reference-free above)

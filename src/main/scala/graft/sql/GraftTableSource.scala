@@ -58,7 +58,10 @@ class GraftTableSource(sqlContext: SQLContext, path: String,
 
   override def getOffset: Option[V1Offset] = {
     val cur = GraftTables.currentVersion(sp, path)
-    val first = GraftTables.tableFirstVersion(sp, path)
+    // the snapshot point: the oldest readable version, pushed past any
+    // RENAME/DROP evolution (the snapshot covers the versions the feed
+    // cannot express)
+    val first = GraftTables.snapshotVersion(sp, path)
     // with a full-snapshot start, offset `first` is always available
     // (the snapshot itself) — even on a table with no deltas yet
     val avail = if (startingVersion == 0) math.max(cur, first) else cur
@@ -89,7 +92,7 @@ class GraftTableSource(sqlContext: SQLContext, path: String,
     // `start = None` is exactly the stream's first (possibly replayed
     // but never yet committed) batch — where the snapshot belongs
     val snapshot = startingVersion == 0 && start.isEmpty
-    val first = GraftTables.tableFirstVersion(sp, path)
+    val first = GraftTables.snapshotVersion(sp, path)
     val from = if (snapshot) first else start.map(ver).getOrElse(startingVersion)
     val changes = GraftTables.changeFeedBatch(sp, path, from, to, feedSchema)
     val df =

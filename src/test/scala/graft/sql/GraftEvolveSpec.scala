@@ -87,6 +87,44 @@ class GraftEvolveSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS evspec_k")
   }
 
+  test("change feed across a rename fails loudly; startingVersion=0 " +
+      "snapshots AT the evolution point and tails cleanly") {
+    val path = freshPath("feed")
+    spark.sql("DROP TABLE IF EXISTS evspec_f")
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "val0")
+      .createOrReplaceTempView("evspec_fsrc")
+    spark.sql(s"""CREATE TABLE evspec_f USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM evspec_fsrc""".stripMargin)
+    spark.sql("UPDATE evspec_f SET val0 = 11 WHERE k = 1") // v1 (old name)
+    spark.sql("ALTER TABLE evspec_f RENAME COLUMN val0 TO v") // v2
+    spark.sql("UPDATE evspec_f SET v = 33 WHERE k = 3") // v3
+    // a feed asked to read across the rename must refuse, not NULL out
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").option("path", path)
+        .option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName("evspec_feed_bad")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("RENAME/DROP COLUMN") ||
+      Option(e.getCause).exists(_.getMessage.contains("RENAME/DROP COLUMN")),
+      e.getMessage)
+    // the documented remedy: a snapshot stream — its snapshot sits AT
+    // the evolution (v2, renamed schema) and the tail starts after it
+    val q2 = spark.readStream.format("graft").option("path", path)
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("evspec_feed_ok")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.table("evspec_feed_ok").collect()
+      .map(r => (r.getLong(0), r.get(1), r.getString(2), r.getLong(3)))
+    val snap = (1L to 10L).map(k =>
+      (k, if (k == 1) 11.0 else k * 1.0, "insert", 2L)).toSet
+    assert(rows.toSet === snap + ((3L, 33.0, "upsert", 3L)))
+    spark.sql("DROP TABLE IF EXISTS evspec_f")
+  }
+
   test("guards: referenced, keyed, and lossy evolutions are refused") {
     val path = freshPath("guard")
     spark.sql("DROP TABLE IF EXISTS evspec_g")
