@@ -2327,7 +2327,7 @@ private[sql] object GraftTables {
     // manifest (losing it would silently end index maintenance after
     // an OPTIMIZE), the CHECK constraints, the idempotent-writer
     // markers, and the skew cap
-    val rootSidecars = (Seq("_indexnames", "_constraints") ++
+    val rootSidecars = (Seq("_indexnames", "_constraints", "_evolvever") ++
       fs.listStatus(p).map(_.getPath.getName).filter(n =>
         n.startsWith("_txnhint_") || n.startsWith("_txnfold_") ||
           n.startsWith("_txn_") || n.startsWith("_txnc_"))).distinct
