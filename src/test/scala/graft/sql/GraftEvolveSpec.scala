@@ -87,6 +87,43 @@ class GraftEvolveSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS evspec_k")
   }
 
+  test("composite-key tables evolve too: rename a key component, widen " +
+      "and drop value columns, routing and reopen exact") {
+    val path = freshPath("comp")
+    spark.sql("DROP TABLE IF EXISTS evspec_c")
+    (for (a <- 1L to 10L; b <- 1L to 5L) yield (a, b, (a * 10 + b).toInt, "x"))
+      .toDF("a", "b", "cnt", "junk")
+      .createOrReplaceTempView("evspec_csrc")
+    spark.sql(s"""CREATE TABLE evspec_c USING graft
+      |OPTIONS (key 'a,b') LOCATION '$path'
+      |AS SELECT * FROM evspec_csrc""".stripMargin)
+    spark.sql("ALTER TABLE evspec_c RENAME COLUMN a TO user_id") // v1
+    spark.sql("UPDATE evspec_c SET cnt = 0 WHERE user_id = 3 AND b = 2")
+    spark.sql("ALTER TABLE evspec_c ALTER COLUMN cnt TYPE bigint") // v3
+    spark.sql( // v4: bigint-only value
+      "UPDATE evspec_c SET cnt = 5000000000 WHERE user_id = 1 AND b = 1")
+    spark.sql("ALTER TABLE evspec_c DROP COLUMN junk") // v5
+    assert(spark.table("evspec_c").columns.toSeq ===
+      Seq("user_id", "b", "cnt"))
+    // composite point routing under the renamed leading key
+    assert(spark.sql(
+      "SELECT cnt FROM evspec_c WHERE user_id = 3 AND b = 2")
+      .collect()(0).getLong(0) === 0L)
+    val s2 = spark.newSession()
+    val re = s2.sql("SELECT user_id, b, cnt FROM evspec_c ORDER BY user_id, b")
+      .collect().map(_.toSeq).toSeq
+    assert(re.length === 50)
+    assert(re.head === Seq(1L, 1L, 5000000000L))
+    assert(re(11) === Seq(3L, 2L, 0L))
+    assert(re(21) === Seq(5L, 2L, 52L))
+    // pre-evolution time travel: old key name, INT type, junk present
+    val old = s2.sql(
+      "SELECT a, cnt, junk FROM evspec_c VERSION AS OF 0 WHERE a = 3 AND b = 2")
+      .collect()(0)
+    assert(old.getInt(1) === 32 && old.getString(2) === "x")
+    spark.sql("DROP TABLE IF EXISTS evspec_c")
+  }
+
   test("change feed across a rename fails loudly; startingVersion=0 " +
       "snapshots AT the evolution point and tails cleanly") {
     val path = freshPath("feed")
