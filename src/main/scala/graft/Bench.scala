@@ -1057,12 +1057,15 @@ object Bench {
     val hbd = hBand.toDF
     def bandProbe() = spark.range(0, 100).select((col("id") * 140L).as("lo"),
       (col("id") * 140L + 30L).as("hi"))
-    val tBandIdx = bestOf2((0 until 5).foreach { _ =>
+    // full diags (best-of-3 + GC delta): this pair has flip-flopped
+    // across driver sweeps (r16: 2.2x swing with zero code diff on its
+    // path) — per-run records make the next swing attributable
+    val tBandIdx = timed3("micro_sql_band_join_idx_5")((0 until 5).foreach { _ =>
       val p = bandProbe()
       hbd.join(p, hbd("o_orderkey") >= p("lo") && hbd("o_orderkey") <= p("hi"))
         .collect()
     })
-    val tBandScan = bestOf2((0 until 5).foreach { _ =>
+    val tBandScan = timed3("micro_sql_band_join_nestedloop_5")((0 until 5).foreach { _ =>
       val p = bandProbe()
       cached2.join(p, cached2("o_orderkey") >= p("lo") && cached2("o_orderkey") <= p("hi"))
         .collect()
