@@ -156,6 +156,39 @@ class GraftFoldSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS foldspec_v")
   }
 
+  test("secondary indexes and zones survive a FOLDED reopen and keep routing") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val path = freshPath("sidecar")
+    spark.sql("DROP TABLE IF EXISTS foldspec_sc")
+    (1L to 200L).map(k => (k, k % 10, k * 1.0))
+      .toDF("k", "grp", "bal").createOrReplaceTempView("foldspec_scsrc")
+    withFoldEvery(3) {
+      spark.sql(s"""CREATE TABLE foldspec_sc USING graft
+        |OPTIONS (key 'k') LOCATION '$path'
+        |AS SELECT * FROM foldspec_scsrc""".stripMargin)
+      spark.sql("CREATE INDEX grp_ix ON foldspec_sc (grp)")
+      spark.sql("CREATE INDEX bal_zx ON foldspec_sc USING ZONEMAP (bal)")
+      (1 to 8).foreach(i => spark.sql(
+        s"UPDATE foldspec_sc SET grp = 99 WHERE k = ${i * 7}"))
+    }
+    assert(foldDirs(path).nonEmpty)
+    // the reopened session's replay runs THROUGH fold segments with
+    // the incremental sidecar carry — postings must route the moved
+    // keys exactly (no stale grp entries, no missing 99s)
+    val s2 = spark.newSession()
+    val moved = s2.sql("SELECT k FROM foldspec_sc WHERE grp = 99 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(moved === (1 to 8).map(_ * 7L))
+    val h = GraftTables.current(s2, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.Handle[_]]
+    assert(h.lastScanKind.startsWith("secondary"), h.lastScanKind)
+    // keys moved OUT of their old postings
+    assert(s2.sql("SELECT count(*) FROM foldspec_sc WHERE grp = 7")
+      .collect()(0).getLong(0) ===
+      (7L to 200L by 10).count(k => !(1 to 8).map(_ * 7L).contains(k)))
+    spark.sql("DROP TABLE IF EXISTS foldspec_sc")
+  }
+
   test("orphan sweep GCs abandoned stage/grave/foldtmp dirs by age") {
     val path = freshPath("sweep")
     spark.sql("DROP TABLE IF EXISTS foldspec_s")
