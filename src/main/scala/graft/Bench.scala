@@ -280,7 +280,7 @@ object Bench {
     * (base load + replay + read). */
   private[graft] def microCatalogReopen(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions.col
-    def reopenLane(tag: String, statements: Int): (String, Double) = {
+    def reopenLane(tag: String, statements: Int): Seq[(String, Double)] = {
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_bench_reopen_$tag").toString
       spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
@@ -294,21 +294,35 @@ object Bench {
       (1 to statements).foreach(i => spark.sql(
         s"""UPDATE bench_reopen_$tag SET c_acctbal = c_acctbal + 1
            |WHERE c_custkey % $statements = ${i % statements}""".stripMargin))
-      val t = bestOf2 {
+      def reopen(): Double = bestOf2 {
         val fresh = spark.newSession()
         fresh.sql(s"SELECT sum(c_acctbal) FROM bench_reopen_$tag").collect()
         ()
       }
+      val t = reopen()
+      // the A/B twin for the 200-statement log: strip the fold
+      // sidecars (replay falls back to every raw delta — exactly the
+      // pre-fold engine) and pay the same cold reopen again
+      val tNoFold = if (tag != "200") -1.0 else {
+        new java.io.File(path).listFiles().toSeq
+          .filter(_.getName.startsWith("_tfold_"))
+          .foreach(d => new scala.reflect.io.Directory(d).deleteRecursively())
+        reopen()
+      }
       spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
       new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
-      (s"micro_catalog_reopen_$tag", t)
+      Seq(s"micro_catalog_reopen_$tag" -> t) ++
+        (if (tNoFold >= 0) Seq(s"micro_catalog_reopen_${tag}_nofold" -> tNoFold)
+         else Nil)
     }
     // the AUTO-BOUNDED-REOPEN claim in numbers: tiered delta folding
     // (every 10 commits, zero user OPTIMIZE calls) covers the
     // 200-statement log with ~2 tier-2 folds, so its reopen must stay
     // ~FLAT vs the 30-statement one instead of paying 6.7x the delta
-    // scan — the "reopen after a week of DML" cost at 100 TB
-    Seq(reopenLane("30", 30), reopenLane("200", 200))
+    // scan — the "reopen after a week of DML" cost at 100 TB; the
+    // `_nofold` twin reopens the SAME table with the sidecars stripped
+    // (the pre-fold engine) so the win is one A/B inside one sweep
+    reopenLane("30", 30) ++ reopenLane("200", 200)
   }
 
   /** SKEW GUARD measured: the same 200k-row probe batch through the

@@ -1586,8 +1586,10 @@ private[sql] object GraftTables {
     } catch { case _: java.io.IOException => false }
     if (!took || !claimInfo(fs, dir).exists(_._1 == stealId)) return false
     // one grace beat for an in-flight `_meta` write that passed its
-    // pre-write ownership check before our claim takeover landed
-    Thread.sleep(100)
+    // pre-write ownership check before our claim takeover landed —
+    // scaled with the timeout so slow stores (an S3 PUT can take
+    // hundreds of ms) get a proportionally wider landing window
+    Thread.sleep(math.min(1000L, math.max(100L, claimTimeoutMillis / 10)))
     // a dead TRANSACTION member whose coordinator never landed is NOT
     // committed — reclaiming it IS the transaction's abort (its
     // sibling tables' pending members die the same way)
