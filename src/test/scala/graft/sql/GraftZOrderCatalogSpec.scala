@@ -81,6 +81,35 @@ class GraftZOrderCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS zocat_t")
   }
 
+  test("CLONE of a z-ordered table keeps the Morton layout and pruning") {
+    val path = freshPath("clonesrc")
+    val dst = freshPath("clonedst")
+    spark.sql("DROP TABLE IF EXISTS zocat_cs")
+    spark.sql("DROP TABLE IF EXISTS zocat_cd")
+    val grid = for (u <- 0L until 32L; d <- 0L until 32L)
+      yield (u, d, u * 100.0 + d)
+    grid.toDF("u", "d", "v").createOrReplaceTempView("zocat_clsrc")
+    spark.sql(s"""CREATE TABLE zocat_cs USING graft
+      |OPTIONS (key 'u,d', partitions '8') LOCATION '$path'
+      |AS SELECT * FROM zocat_clsrc""".stripMargin)
+    spark.sql("OPTIMIZE zocat_cs ZORDER BY (u, d)")
+    spark.sql(s"CREATE TABLE zocat_cd SHALLOW CLONE zocat_cs LOCATION '$dst'")
+    def box = spark.sql(
+      "SELECT sum(v) FROM zocat_cd WHERE u BETWEEN 0 AND 7 AND d BETWEEN 0 AND 7")
+    assert(box.collect()(0).getDouble(0) ===
+      grid.filter(r => r._1 <= 7 && r._2 <= 7).map(_._3).sum)
+    // the clone's scan is zone-pruned too (Morton partitioner +
+    // zonemap manifest entry rode the clone)
+    assert(box.rdd.getNumPartitions < 8,
+      s"clone box kept ${box.rdd.getNumPartitions} of 8")
+    // and point routing in the clone works through the cloned
+    // partitioner
+    assert(spark.sql("SELECT v FROM zocat_cd WHERE u = 9 AND d = 4")
+      .collect()(0).getDouble(0) === 904.0)
+    spark.sql("DROP TABLE IF EXISTS zocat_cs")
+    spark.sql("DROP TABLE IF EXISTS zocat_cd")
+  }
+
   test("ZORDER BY rejects non-key columns and non-composite keys") {
     val path = freshPath("rej")
     spark.sql("DROP TABLE IF EXISTS zocat_r")
