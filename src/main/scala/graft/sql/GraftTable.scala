@@ -1604,6 +1604,32 @@ private[sql] object GraftTables {
   private def stageDir(path: String, writerId: String): String =
     s"$path/_tstage_$writerId"
 
+  /** Abort a staged-but-unclaimed statement whose snapshot schema a
+    * rival RENAME/DROP COLUMN has since invalidated (every staged
+    * column must still exist by name in the current schema — additive
+    * ADDs and in-place widenings of still-present columns keep the
+    * staged bytes mappable and pass). */
+  private def checkStagedCompatible(stagedSchema: StructType,
+      currentSchema: StructType, path: String): Unit =
+    checkColumnsKnown(stagedSchema.fieldNames, currentSchema, path)
+
+  /** The same conflict one step earlier: change-set frames computed
+    * against a snapshot a rival RENAME/DROP has since evolved carry
+    * columns the current schema lacks — aligning them would either
+    * throw late (non-nullable rename target) or SILENTLY drop this
+    * statement's values into the renamed column's NULLs. Abort loudly
+    * before anything stages. */
+  private def checkColumnsKnown(cols: Seq[String],
+      currentSchema: StructType, path: String): Unit = {
+    val gone = cols.filterNot(currentSchema.fieldNames.contains).distinct
+    if (gone.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent schema evolution at $path removed or renamed " +
+          s"column(s) ${gone.mkString(", ")} while this statement was " +
+          "being prepared — nothing was committed; re-run the " +
+          "statement against the evolved schema")
+  }
+
   // ------------------------------------------------ idempotent writers
   //
   // Delta's txnAppId/txnVersion shape: a writer that must be
@@ -1772,7 +1798,11 @@ private[sql] object GraftTables {
       // phase 1: STAGE (slow part, no claim held). Alignment pins the
       // snapshot schema; a rival's concurrent ADD COLUMN is handled by
       // replay-side alignTo (missing nullable columns read NULL —
-      // exactly Delta's pre-evolution-writer contract).
+      // exactly Delta's pre-evolution-writer contract); a rival
+      // RENAME/DROP that already evolved the schema past this
+      // statement's change sets aborts loudly instead of staging.
+      (del.toSeq ++ up.toSeq).foreach(f =>
+        checkColumnsKnown(f.columns.toSeq, h0.schema, path))
       del.foreach(d => writable(alignTo(d, keySchemaOf(h0.schema, h0.keyCols)))
         .write.mode("overwrite").parquet(s"$stage/del"))
       up.foreach(u => writable(alignTo(u, h0.schema))
@@ -1786,6 +1816,15 @@ private[sql] object GraftTables {
       var attempt = 0
       while (true) {
         val (v, h) = current(sp, path)
+        // METADATA-CONFLICT guard (Delta's MetadataChangedException): a
+        // rival RENAME/DROP between our staging and this claim would
+        // make the staged columns unmappable — committing them would
+        // either brick replay (a later session's alignTo cannot fill a
+        // renamed non-nullable column) or silently discard this
+        // statement's values into a NULL-filled rename target. Abort
+        // LOUDLY before anything is claimed; additive ADD COLUMN and
+        // in-place type widenings stay compatible and flow through.
+        checkStagedCompatible(h0.schema, h.schema, path)
         if (up.isDefined) {
           val cs = readConstraints(sp, path)
           if (cs.nonEmpty && cs != checked)
@@ -1877,29 +1916,33 @@ private[sql] object GraftTables {
     val staged = ordered.map { case (path, del, up) =>
       val h0 = current(sp, path)._2
       val stage = stageDir(path, writerId)
+      (del.toSeq ++ up.toSeq).foreach(f =>
+        checkColumnsKnown(f.columns.toSeq, h0.schema, path))
       del.foreach(d => writable(alignTo(d, keySchemaOf(h0.schema, h0.keyCols)))
         .write.mode("overwrite").parquet(s"$stage/del"))
       up.foreach(u => writable(alignTo(u, h0.schema))
         .write.mode("overwrite").parquet(s"$stage/up"))
-      (path, stage, del.isDefined, up.isDefined)
+      (path, stage, del.isDefined, up.isDefined, h0.schema)
     }
     try {
       var attempt = 0
       while (true) {
-        // CHECK constraints per table against the staged bytes
-        staged.foreach { case (path, stage, _, hasUp) =>
+        // metadata-conflict guard + CHECK constraints per table
+        // against the staged bytes (see commitChange)
+        staged.foreach { case (path, stage, _, hasUp, stagedSchema) =>
+          val cur = current(sp, path)._2.schema
+          checkStagedCompatible(stagedSchema, cur, path)
           if (hasUp) {
             val cs = readConstraints(sp, path)
             if (cs.nonEmpty) enforceConstraintList(cs,
-              alignTo(sp.read.parquet(s"$stage/up"),
-                current(sp, path)._2.schema))
+              alignTo(sp.read.parquet(s"$stage/up"), cur))
           }
         }
         // phase 2: claim ALL, canonical order
         val claimed = scala.collection.mutable.ArrayBuffer
           .empty[(String, Long, TableHandle, Heartbeat)]
         var blocked: Option[(String, Long)] = None
-        staged.foreach { case (path, _, _, _) =>
+        staged.foreach { case (path, _, _, _, _) =>
           if (blocked.isEmpty) {
             val (v, h) = current(sp, path)
             val next = v + 1
@@ -1929,7 +1972,7 @@ private[sql] object GraftTables {
               txnCrashHook("claimed")
               // phase 3: promote every member PENDING on the coordinator
               claimed.zip(staged).foreach {
-                case ((path, v, _, _), (_, stage, hasDel, hasUp)) =>
+                case ((path, v, _, _), (_, stage, hasDel, hasUp, _)) =>
                   promoteStage(sp, path, writerId, stage, v,
                     truncate = false, hasDel, hasUp, txn = txn,
                     pendingCoord = Some(coord), advance = false)
@@ -1945,7 +1988,7 @@ private[sql] object GraftTables {
               // metas, live handles (incrementally: one delta apply +
               // sidecar transplant per table, like single-table DML)
               claimed.zip(staged).foreach {
-                case ((path, v, h, _), (_, _, hasDel, hasUp)) =>
+                case ((path, v, h, _), (_, _, hasDel, hasUp, _)) =>
                   val (fs, _) = fsOf(sp, path)
                   committedAt(fs, path, v) // finalizes the meta in place
                   writeVersion(sp, path, v)
@@ -1972,7 +2015,7 @@ private[sql] object GraftTables {
             } finally claimed.foreach(_._4.stop())
         }
       }
-    } finally staged.foreach { case (path, stage, _, _) =>
+    } finally staged.foreach { case (path, stage, _, _, _) =>
       val (fs, _) = fsOf(sp, path)
       fs.delete(new Path(stage), true)
       ()

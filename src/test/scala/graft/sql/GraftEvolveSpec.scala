@@ -162,6 +162,71 @@ class GraftEvolveSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS evspec_f")
   }
 
+  test("a RENAME racing concurrent DML: both commit under the claim " +
+      "protocol, cold replay exact in either serialization") {
+    val path = freshPath("race")
+    spark.sql("DROP TABLE IF EXISTS evspec_r")
+    (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "val0")
+      .createOrReplaceTempView("evspec_rsrc")
+    spark.sql(s"""CREATE TABLE evspec_r USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM evspec_rsrc""".stripMargin)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+    def causes(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    val dml = new Thread(() => {
+      try {
+        val ss = spark.newSession()
+        // a statement that staged under the pre-rename schema ABORTS
+        // LOUDLY at its claim (metadata conflict — nothing commits)
+        // and the caller re-runs it against the evolved schema: the
+        // Delta-style contract this spec pins down
+        (1 to 6).foreach { i =>
+          var done = false
+          var tries = 0
+          while (!done) {
+            try {
+              ss.sql(s"UPDATE evspec_r SET ${
+                if (ss.table("evspec_r").columns.contains("val0")) "val0"
+                else "v"
+              } = ${100 + i} WHERE k = $i")
+              done = true
+            } catch {
+              case e: Throwable
+                  if causes(e).exists(
+                    _.isInstanceOf[java.util.ConcurrentModificationException]) =>
+                aborted.incrementAndGet()
+                // "re-run against the evolved schema": refresh this
+                // session's catalog entry so the retry resolves the
+                // NEW column names
+                ss.catalog.refreshTable("evspec_r")
+                tries += 1
+                if (tries > 3) throw e
+            }
+          }
+        }
+      } catch { case e: Throwable => errs.add(e); () }
+    })
+    val ren = new Thread(() => {
+      try {
+        Thread.sleep(150)
+        spark.newSession().sql("ALTER TABLE evspec_r RENAME COLUMN val0 TO v")
+      } catch { case e: Throwable => errs.add(e); () }
+    })
+    dml.start(); ren.start()
+    dml.join(120000); ren.join(120000)
+    if (!errs.isEmpty) throw errs.peek()
+    val s2 = spark.newSession()
+    assert(s2.table("evspec_r").columns.toSeq === Seq("k", "v"))
+    val m = s2.sql("SELECT k, v FROM evspec_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 6L).foreach(k => assert(m(k) === 100.0 + k, s"k=$k"))
+    assert(s2.sql("SELECT count(*) FROM graft_history('evspec_r')")
+      .collect()(0).getLong(0) === 8) // base + 6 DML + 1 rename
+    spark.sql("DROP TABLE IF EXISTS evspec_r")
+  }
+
   test("guards: referenced, keyed, and lossy evolutions are refused") {
     val path = freshPath("guard")
     spark.sql("DROP TABLE IF EXISTS evspec_g")
