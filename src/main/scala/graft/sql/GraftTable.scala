@@ -2273,6 +2273,49 @@ private[sql] object GraftTables {
     (newFirst - first, newFirst, dv)
   }
 
+  /** Express a HISTORICAL version's full frame under the CURRENT
+    * column names: compose the persisted `_schemamap` chain of every
+    * schema delta in `(fromVersion, current]` — renames map
+    * positionally, drops project away (additive deltas carry no map
+    * and touch no existing name). The caller's alignTo then fills
+    * later-added columns with NULL and applies widening casts, so a
+    * RESTORE to a pre-evolution version rolls the DATA back under the
+    * evolved schema instead of failing on the old names. */
+  private def remapToCurrent(sp: SparkSession, path: String,
+      fromVersion: Long, df: DataFrame): DataFrame = {
+    val (fs, _) = fsOf(sp, path)
+    var tableNames = df.columns.toSeq // == full schema at fromVersion
+    var out = df
+    (fromVersion + 1 to diskVersion(sp, path)).foreach { v =>
+      val dir = deltaDir(path, v)
+      if (readMetaRec(fs, dir).hasSchema) {
+        val sin = fs.open(new Path(dir, "_schema"))
+        val newSchema =
+          try org.apache.spark.sql.types.DataType.fromJson(new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(sin),
+            java.nio.charset.StandardCharsets.UTF_8))
+            .asInstanceOf[StructType]
+          finally sin.close()
+        val mapFile = new Path(dir, "_schemamap")
+        if (fs.exists(mapFile)) {
+          val min = new java.io.ObjectInputStream(fs.open(mapFile))
+          val positions =
+            try Array.fill(min.readInt())(min.readInt())
+            finally min.close()
+          // old full-schema index -> new name; unreferenced = dropped
+          val newNameOf = positions.zipWithIndex.collect {
+            case (p, i) if p >= 0 => tableNames(p) -> newSchema.fields(i).name
+          }.toMap
+          out = out.select(out.columns.collect {
+            case c if newNameOf.contains(c) => col(c).as(newNameOf(c))
+          }.toIndexedSeq: _*)
+        }
+        tableNames = newSchema.fieldNames.toSeq
+      }
+    }
+    out
+  }
+
   /** `RESTORE TABLE t TO VERSION AS OF target`: commit the DIFF that
     * turns the current content back into version `target`'s — a new
     * delta version, history intact (contrast [[rebase]], which folds
@@ -2288,9 +2331,11 @@ private[sql] object GraftTables {
     val hT = loadVersion(sp, path, target)
     val c = hCur.toDF(sp)
     // restoring to a PRE-EVOLUTION version rolls back the DATA under
-    // the CURRENT schema (added columns read NULL at the target) — the
-    // schema itself never narrows, matching the append-only contract
-    val t = alignTo(hT.toDF(sp), hCur.schema)
+    // the CURRENT schema: renamed columns map positionally through the
+    // persisted _schemamap chain, dropped ones project away, added
+    // ones read NULL at the target — the schema itself never reverts
+    val t = alignTo(remapToCurrent(sp, path, target, hT.toDF(sp)),
+      hCur.schema)
     val keys = hCur.keyCols
     val cols = c.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
