@@ -1220,11 +1220,21 @@ object GraftSqlExtension {
         s"no version $v for '$view' " +
           s"(have ${firstVersion(sp, view)}..${n - 1})"))
     val (oldP, newP) = (at(v1), at(v2))
-    val keys = keyColsOf(oldP).orElse(keyColsOf(newP)).getOrElse(
+    val keys = keyColsOf(newP).orElse(keyColsOf(oldP)).getOrElse(
       throw new IllegalArgumentException(
         s"view '$view' versions are not graft-indexed relations"))
-    val o0 = ExpressionBridge.ofRows(sp, oldP)
+    val o0raw = ExpressionBridge.ofRows(sp, oldP)
     val nw0 = ExpressionBridge.ofRows(sp, newP)
+    // a RENAME/DROP evolution between the endpoints leaves the old
+    // side under old names — remap it positionally through the
+    // persisted schema chain (catalog tables; in-session chains have
+    // no evolution verbs) so the diff binds and emits under the NEW
+    // names
+    val o0 =
+      if (o0raw.columns.sameElements(nw0.columns.take(o0raw.columns.length)))
+        o0raw
+      else tableLog.map { case (path, _) =>
+        GraftTables.remapAcross(sp, path, v1, v2, o0raw) }.getOrElse(o0raw)
     // schema evolution is append-only: diff under the WIDER column set,
     // NULL-filling the narrower side, so a change visible only in an
     // added column still reports (and pre/post images carry the full

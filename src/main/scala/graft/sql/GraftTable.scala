@@ -2282,11 +2282,19 @@ private[sql] object GraftTables {
     * RESTORE to a pre-evolution version rolls the DATA back under the
     * evolved schema instead of failing on the old names. */
   private def remapToCurrent(sp: SparkSession, path: String,
-      fromVersion: Long, df: DataFrame): DataFrame = {
+      fromVersion: Long, df: DataFrame): DataFrame =
+    remapAcross(sp, path, fromVersion, diskVersion(sp, path), df)
+
+  /** The general form: express version `fromVersion`'s frame under
+    * version `toVersion`'s column names (used by RESTORE with
+    * `toVersion` = current and by the CDC TVF diffing two arbitrary
+    * endpoints across an evolution). */
+  private[sql] def remapAcross(sp: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long, df: DataFrame): DataFrame = {
     val (fs, _) = fsOf(sp, path)
     var tableNames = df.columns.toSeq // == full schema at fromVersion
     var out = df
-    (fromVersion + 1 to diskVersion(sp, path)).foreach { v =>
+    (fromVersion + 1 to toVersion).foreach { v =>
       val dir = deltaDir(path, v)
       if (readMetaRec(fs, dir).hasSchema) {
         val sin = fs.open(new Path(dir, "_schema"))

@@ -252,6 +252,15 @@ class GraftEvolveSpec extends AnyFunSuite {
     val re = spark.newSession().sql("SELECT k, v FROM evspec_rs").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(re === m)
+    // the CDC TVF diffs ACROSS the evolution too: the old endpoint
+    // remaps through the schema chain and the diff emits under the
+    // NEW names (v1 value 99 vs the restored... compare v1 -> v4)
+    val cdc = spark.sql("SELECT * FROM graft_changes('evspec_rs', 1, 4)")
+    assert(cdc.columns.toSeq === Seq("k", "v", "_change_type"))
+    val updated = cdc.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(updated === Set((2L, 2.0, "update_preimage"),
+      (2L, 77.0, "update_postimage")))
     spark.sql("DROP TABLE IF EXISTS evspec_rs")
   }
 
