@@ -134,6 +134,22 @@ class GraftMultiTxnSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS mtxn_tb")
   }
 
+  test("a CHECK violation on EITHER table aborts the whole transaction " +
+      "before anything claims") {
+    val (pa, pb) = (freshPath("ka"), freshPath("kb"))
+    mkTable("mtxn_ka", pa); mkTable("mtxn_kb", pb)
+    spark.sql("ALTER TABLE mtxn_kb ADD CONSTRAINT nonneg CHECK (v >= 0)")
+    val e = intercept[Exception](GraftTables.commitTxnChange(spark, Seq(
+      (pa, None, Some(Seq((1L, 5.0)).toDF("k", "v"))),
+      (pb, None, Some(Seq((1L, -5.0)).toDF("k", "v"))))))
+    assert(e.getMessage.contains("CHECK constraint 'nonneg'"), e.getMessage)
+    // NEITHER table advanced — not even the one whose rows were valid
+    assert(state("mtxn_ka")._1 === 1 && state("mtxn_kb")._1 === 1)
+    assert(state("mtxn_ka")._2(1L) === 1.0)
+    spark.sql("DROP TABLE IF EXISTS mtxn_ka")
+    spark.sql("DROP TABLE IF EXISTS mtxn_kb")
+  }
+
   test("rival single-table DML racing the transaction: both land, " +
       "no corruption") {
     val (pa, pb) = (freshPath("ra"), freshPath("rb"))
