@@ -1624,10 +1624,13 @@ private[sql] object GraftTables {
     val gone = cols.filterNot(currentSchema.fieldNames.contains).distinct
     if (gone.nonEmpty)
       throw new java.util.ConcurrentModificationException(
-        s"concurrent schema evolution at $path removed or renamed " +
-          s"column(s) ${gone.mkString(", ")} while this statement was " +
-          "being prepared — nothing was committed; re-run the " +
-          "statement against the evolved schema")
+        s"column(s) ${gone.mkString(", ")} are not in the current " +
+          s"schema of the graft table at $path (${
+            currentSchema.fieldNames.mkString(", ")}) — nothing was " +
+          "committed. Either a concurrent RENAME/DROP COLUMN evolved " +
+          "the table while this statement was being prepared (re-run " +
+          "it against the evolved schema), or the input frame carries " +
+          "columns the table never had")
   }
 
   // ------------------------------------------------ idempotent writers
