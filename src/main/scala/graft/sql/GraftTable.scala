@@ -55,16 +55,35 @@ class GraftTableProvider extends RelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val sp = sqlContext.sparkSession
     val path = GraftTables.pathOf(parameters)
-    val starting = parameters.collectFirst {
+    // the user's EXPLICIT startingVersion stays an Option all the way
+    // into the source: "user wrote 0" (backfill-then-tail) and "default
+    // happened to resolve to 0" (fresh table — tail only-new commits)
+    // must take different code paths, or every subscriber of a
+    // just-created table would replay its whole version-0 corpus
+    val startingV = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("startingVersion") => v.toLong
-    }.getOrElse(GraftTables.currentVersion(sqlContext.sparkSession, path))
+    }
+    val startingTs = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingTimestamp") =>
+        GraftTables.parseTimestampMillis(v)
+    }
+    require(startingV.isEmpty || startingTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val starting = startingV.orElse(
+      startingTs.map(GraftTables.versionBeforeTimestamp(sp, path, _)))
     val maxPerTrigger = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.toLong
     }
     maxPerTrigger.foreach(n => require(n > 0,
       s"maxVersionsPerTrigger must be positive (got $n)"))
-    new GraftTableSource(sqlContext, path, starting, maxPerTrigger)
+    val maxBytes = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxBytesPerTrigger") => v.toLong
+    }
+    maxBytes.foreach(n => require(n > 0,
+      s"maxBytesPerTrigger must be positive (got $n)"))
+    new GraftTableSource(sqlContext, path, starting, maxPerTrigger, maxBytes)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -336,14 +355,90 @@ private[sql] object GraftTables {
   private[sql] def currentVersion(sp: SparkSession, path: String): Long =
     diskVersion(sp, path)
 
+  /** Approximate on-disk byte size of delta version `v` — the change
+    * feed's `maxBytesPerTrigger` unit. Fold/schema/truncate versions
+    * without change files count 0; a missing dir (compacted away — the
+    * retention contract fails the read later, loudly) counts 0 too. */
+  private[sql] def deltaBytes(sp: SparkSession, path: String, v: Long): Long = {
+    val (fs, _) = fsOf(sp, path)
+    val dir = new Path(deltaDir(path, v))
+    try {
+      if (!fs.exists(dir)) 0L
+      else fs.getContentSummary(dir).getLength
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  /** Epoch millis of a `startingTimestamp` option value: a raw millis
+    * long, or a `java.sql.Timestamp` string (the same JVM-zone
+    * wall-clock form `TIMESTAMP AS OF` round-trips). */
+  private[sql] def parseTimestampMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(c => c.isDigit || c == '-')) s.toLong
+    else java.sql.Timestamp.valueOf(s).getTime
+
+  /** The change-feed start for `startingTimestamp = ms`: the version
+    * BEFORE the first one committed at-or-after `ms`, so the feed
+    * emits exactly the versions with stamp >= ms (Delta's CDF rule).
+    * Degrades to 0 (the backfill-then-tail snapshot) when even the
+    * oldest readable commit is at-or-after `ms` — the pre-history the
+    * caller asked for is only expressible as a snapshot — and to the
+    * current version (tail only-new) when every commit predates it. */
+  private[sql] def versionBeforeTimestamp(sp: SparkSession, path: String,
+      ms: Long): Long = {
+    val times = historyTimes(sp, path) // index 0 = the first version
+    val first = tableFirstVersion(sp, path)
+    val j = times.indexWhere(_ >= ms)
+    if (j < 0) diskVersion(sp, path)
+    else if (j == 0) 0L
+    else first + j - 1
+  }
+
   /** Where a `startingVersion = 0` stream's initial snapshot sits: the
     * oldest readable version, pushed past the latest RENAME/DROP
     * evolution (whose older deltas the feed cannot express — the
     * snapshot covers them instead). */
-  private[sql] def snapshotVersion(sp: SparkSession, path: String): Long = {
-    val (fs, p) = fsOf(sp, path)
+  private[sql] def snapshotVersion(sp: SparkSession, path: String): Long =
     math.max(tableFirstVersion(sp, path),
-      graft.MarkerFile.readLong(fs, new Path(p, "_evolvever")).getOrElse(0L))
+      latestFeedFence(sp, path).getOrElse(0L))
+
+  /** Per-process memo of the fence scan: canonical path ->
+    * (versions examined through, latest fence found). Monotone while
+    * the table lives; [[purgeAllSessions]] drops it on any base
+    * rewrite. */
+  private val fenceMemo =
+    new scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
+  /** Latest feed-fencing evolution (RENAME/DROP) version, derived from
+    * the COMMITTED LOG itself: the per-version `_feedfence` markers are
+    * written before `_meta` and so are atomic with their commits — a
+    * crash between a schema commit and the root `_evolvever` hint can
+    * never hide a fence from the feed. The root hint and a per-process
+    * memo bound the scan to the unexamined tail (O(new commits), not
+    * O(log)); when the scan finds a newer fence than the hint, the
+    * hint self-heals for other processes. Pre-fix tables carry only
+    * the root marker (possibly pointing at a Widen) — honored as a
+    * floor; over-fencing fails loudly, never silently. */
+  private[sql] def latestFeedFence(sp: SparkSession,
+      path: String): Option[Long] = {
+    val (fs, p) = fsOf(sp, path)
+    val key = canonical(sp, path)
+    val cur = diskVersion(sp, path)
+    val hint = graft.MarkerFile.readLong(fs, new Path(p, "_evolvever"))
+      .getOrElse(0L)
+    val (memoThrough, memoFence) = fenceMemo.get(key) match {
+      case Some((t, f)) if t <= cur => (t, f)
+      case _ => (0L, 0L) // unexamined, or the path was re-created
+    }
+    var latest = math.max(hint, memoFence)
+    val from = math.max(math.max(memoThrough, latest),
+      tableFirstVersion(sp, path)) + 1
+    (from to cur).foreach { v =>
+      if (fs.exists(new Path(deltaDir(path, v), "_feedfence"))) latest = v
+    }
+    fenceMemo.put(key, (cur, latest))
+    if (latest > hint)
+      try graft.MarkerFile.writeLong(fs, new Path(p, "_evolvever"), latest)
+      catch { case scala.util.control.NonFatal(_) => () }
+    if (latest > 0) Some(latest) else None
   }
 
   /** The streaming change feed's schema: every table column (all
@@ -371,14 +466,14 @@ private[sql] object GraftTables {
       fromExcl: Long, toIncl: Long, feedSchema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{input_file_name, lit,
       regexp_extract}
-    // a PHASE-2 evolution (rename/drop — `_evolvever` records the
-    // latest) changes what the delta files' column names MEAN: a feed
-    // reading versions from before it would emit NULLs for renamed
-    // columns. Fail loudly instead (Delta blocks CDF across
-    // column-mapping changes identically); additive ADD COLUMNS stays
-    // exact both ways and sets no marker.
-    val (efs, ep) = fsOf(sp, path)
-    graft.MarkerFile.readLong(efs, new Path(ep, "_evolvever")).foreach { ev =>
+    // a PHASE-2 evolution (rename/drop — the per-version `_feedfence`
+    // markers record them, atomic with the commit) changes what the
+    // delta files' column names MEAN: a feed reading versions from
+    // before it would emit NULLs for renamed columns. Fail loudly
+    // instead (Delta blocks CDF across column-mapping changes
+    // identically); additive ADD COLUMNS and pure type widenings stay
+    // exact both ways and set no fence.
+    latestFeedFence(sp, path).foreach { ev =>
       require(fromExcl >= ev || toIncl <= fromExcl,
         s"change feed cannot read across the RENAME/DROP COLUMN " +
           s"evolution at version $ev of $path (requested versions " +
@@ -604,7 +699,18 @@ private[sql] object GraftTables {
     // the last fence among the items bounds every foldable range
     val lastFence = items.collect {
       case Left((i, m)) if !m.plain => i }.maxOption.getOrElse(first)
-    val (_, h) = current(sp, path)
+    // the fold schema must be the schema AT `v`: a rival RENAME/DROP
+    // landing at a version > v before the `current` read below would
+    // hand us a NEWER schema, and createFold's alignTo would NULL-fill
+    // the renamed/dropped columns — a silently wrong fold that replay
+    // would then prefer over the (correct) raw deltas. If any schema
+    // delta committed past v, skip this pass entirely: it fences every
+    // range <= v, so no later pass would fold them either. A rival
+    // landing AFTER the `current` read is harmless — h.schema is then
+    // exactly the schema at v and the fold stays exact.
+    val (cv, h) = current(sp, path)
+    if (cv > v && (v + 1 to cv).exists(i => readMeta(sp, path, i).hasSchema))
+      return
     // level 0: chunk maximal raw-plain runs after the fence
     val run = scala.collection.mutable.ArrayBuffer.empty[(Long, DeltaMeta)]
     def flushRun(): Unit = {
@@ -831,7 +937,8 @@ private[sql] object GraftTables {
     * current when it committed. */
   private def writeSchemaDelta(sp: SparkSession, path: String, v: Long,
       newSchema: StructType, writerId: String,
-      positions: Option[Array[Int]] = None): Unit = {
+      positions: Option[Array[Int]] = None,
+      feedFence: Boolean = false): Unit = {
     val dir = deltaDir(path, v)
     val dirP = new Path(dir)
     val (fs, _) = fsOf(sp, path)
@@ -859,6 +966,18 @@ private[sql] object GraftTables {
     }
     require(owned, s"graft schema commit integrity: claim on version " +
       s"$v of $path was stolen mid-commit — commit aborted")
+    // a RENAME/DROP fences the change feed (delta files before it carry
+    // the old column mapping). The fence marker lands INSIDE the version
+    // dir BEFORE `_meta`, so it is ATOMIC WITH THE COMMIT: there is no
+    // crash window where the evolution committed but the fence did not
+    // (the old root-marker-after-commit design had exactly that window,
+    // and a feed reading across it would silently emit NULLs). Pure
+    // type widenings set no fence — changeFeedBatch's casts serve them
+    // exactly, both directions.
+    if (feedFence) {
+      val fout = fs.create(new Path(dir, "_feedfence"), true)
+      fout.close()
+    }
     writeMeta(sp, dir, truncate = false, hasDel = false, hasUp = false,
       hasSchema = true, writerId = writerId)
     if (!owned)
@@ -1221,6 +1340,8 @@ private[sql] object GraftTables {
         m.keys.filter(_._1 == key).foreach(m.remove)
       }
     }
+    fenceMemo.remove(key)
+    ()
   }
 
   // --------------------------------------------------- CHECK constraints
@@ -1981,7 +2102,28 @@ private[sql] object GraftTables {
                     pendingCoord = Some(coord), advance = false)
               }
               txnCrashHook("promoted")
-              // phase 4: THE commit point
+              // phase 4: THE commit point — but first re-verify that
+              // every member's claim STILL belongs to this writer: a
+              // stalled transaction whose pending member was reclaimed
+              // by a rival's stealDead (dir renamed to _tgrave_) between
+              // promote and here must abort LOUDLY with nothing
+              // committed (the coordinator never lands, so the
+              // surviving pending members stay invisible and die the
+              // same reclaim death), never land the coordinator and
+              // commit a half-applied "atomic" transaction. This
+              // narrows the residual race to the same post-check window
+              // the single-table protocol already accepts (and the
+              // stealer's grace beat covers).
+              claimed.foreach { case (path, v, _, _) =>
+                val (fs, _) = fsOf(sp, path)
+                require(claimInfo(fs, new Path(deltaDir(path, v)))
+                    .exists(_._1 == writerId),
+                  s"graft transaction integrity: the claim on version " +
+                    s"$v of $path no longer belongs to this " +
+                    "transaction (a rival reclaimed a stalled member) " +
+                    "— the transaction is aborted, nothing was " +
+                    "committed on any table")
+              }
               val out = coordFs.create(new Path(coord), false)
               try out.write(writerId.getBytes(
                 java.nio.charset.StandardCharsets.UTF_8))
@@ -2154,17 +2296,24 @@ private[sql] object GraftTables {
       }
       val next = v + 1
       if (claimDelta(sp, path, next, writerId)) {
+        // change feeds cannot read ACROSS a rename/drop (delta files
+        // before it carry the old names) — the fence ships INSIDE the
+        // schema delta, atomic with the commit; a pure widening needs
+        // no fence (the feed's casts serve it exactly)
+        val fence = change match {
+          case _: SchemaChange.Widen => false
+          case _ => true
+        }
         val hbFs = fsOf(sp, path)._1
         val hb = new Heartbeat(hbFs,
           new Path(deltaDir(path, next), "_claim_hb"))
         try writeSchemaDelta(sp, path, next, newSchema, writerId,
-          Some(positions))
+          Some(positions), feedFence = fence)
         finally hb.stop()
-        // change feeds cannot read ACROSS a rename/drop (delta files
-        // before it carry the old names) — record the evolution
-        // version so the feed fails loudly instead of emitting NULLs
-        // (Delta blocks CDF across column-mapping changes the same way)
-        graft.MarkerFile.writeLong(hbFs, new Path(path, "_evolvever"), next)
+        // the root marker is only a scan-floor HINT now (see
+        // latestFeedFence) — best-effort, self-healing on read
+        if (fence)
+          graft.MarkerFile.writeLong(hbFs, new Path(path, "_evolvever"), next)
         val h2 = h.remap(newSchema, positions)
         // name-keyed sidecars for UNTOUCHED columns carry over (the
         // evolved column was guarded reference-free above)
@@ -2388,6 +2537,11 @@ private[sql] object GraftTables {
   private def rebase(sp: SparkSession, path: String, target: Long,
       transform: TableHandle => TableHandle = identity): Unit = {
     val dv = diskVersion(sp, path)
+    // derive (and self-heal into `_evolvever`) the latest feed fence
+    // BEFORE the fold: the per-version `_feedfence` markers of the
+    // folded-away versions vanish with their dirs, and only the healed
+    // root hint carries the fence across the swap
+    latestFeedFence(sp, path)
     val h0 = loadVersion(sp, path, target)
     // re-run the skew guard while the base is being rewritten anyway:
     // a hot bucket that absorbed months of upserts re-splits here, so

@@ -932,6 +932,123 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_fl_t")
   }
 
+  test("default-start stream on a FRESH table (version 0) emits " +
+      "nothing until the first commit — no accidental backfill") {
+    val path = freshPath("fresh0")
+    spark.sql("DROP TABLE IF EXISTS catspec_fr_t")
+    (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("catspec_fr_src")
+    spark.sql(s"""CREATE TABLE catspec_fr_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_fr_src""".stripMargin)
+    // the table is still at version 0: the DEFAULT start (no
+    // startingVersion option) must tail only NEW commits — only an
+    // EXPLICIT startingVersion=0 asks for the corpus snapshot
+    val q = spark.readStream.format("graft").option("path", path).load()
+      .writeStream.format("memory").queryName("catspec_fr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("catspec_fr").isEmpty,
+        "a default-start subscriber of a fresh table got a backfill")
+      spark.sql("UPDATE catspec_fr_t SET v = 7 WHERE k = 3")
+      q.processAllAvailable()
+      val r = spark.table("catspec_fr").collect()
+        .map(x => (x.getLong(0), x.get(1), x.getString(2), x.getLong(3)))
+      assert(r.toSeq === Seq((3L, 7.0, "upsert", 1L)))
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS catspec_fr_t")
+  }
+
+  test("startingTimestamp resolves against commit stamps: at-or-after " +
+      "rule, pre-history degrades to the snapshot") {
+    val path = freshPath("feedts")
+    spark.sql("DROP TABLE IF EXISTS catspec_ts_t")
+    (1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("catspec_ts_src")
+    spark.sql(s"""CREATE TABLE catspec_ts_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_ts_src""".stripMargin)
+    spark.sql("UPDATE catspec_ts_t SET v = 101 WHERE k = 1") // v1
+    Thread.sleep(60) // separate the commit stamps
+    spark.sql("UPDATE catspec_ts_t SET v = 102 WHERE k = 2") // v2
+    val stamps = GraftTables.deltaTimes(spark, path)
+    // ts = v2's own stamp: "at or after" emits exactly v2
+    val q = spark.readStream.format("graft").option("path", path)
+      .option("startingTimestamp", stamps(1).toString).load()
+      .writeStream.format("memory").queryName("catspec_ts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("catspec_ts").collect()
+        .map(x => (x.getLong(0), x.get(1), x.getString(2), x.getLong(3)))
+      assert(r.toSeq === Seq((2L, 102.0, "upsert", 2L)))
+    } finally q.stop()
+    // ts before every commit = the backfill-then-tail snapshot
+    val q2 = spark.readStream.format("graft").option("path", path)
+      .option("startingTimestamp", (stamps.head - 10000).toString).load()
+      .writeStream.format("memory").queryName("catspec_ts2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val types = spark.table("catspec_ts2").collect()
+        .map(_.getString(2)).groupBy(identity).view.mapValues(_.length).toMap
+      assert(types("insert") === 5 && types("upsert") === 2)
+    } finally q2.stop()
+    // both start options at once is a loud error
+    intercept[Exception] {
+      spark.readStream.format("graft").option("path", path)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", "12345").load()
+        .writeStream.format("memory").queryName("catspec_ts3")
+        .outputMode("append").start().processAllAvailable()
+    }
+    spark.sql("DROP TABLE IF EXISTS catspec_ts_t")
+  }
+
+  test("maxBytesPerTrigger bounds catch-up batches by delta size and " +
+      "always advances; huge maxVersionsPerTrigger never overflows") {
+    val path = freshPath("feedbytes")
+    spark.sql("DROP TABLE IF EXISTS catspec_fb_t")
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("catspec_fb_src")
+    spark.sql(s"""CREATE TABLE catspec_fb_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_fb_src""".stripMargin)
+    (1 to 3).foreach(i =>
+      spark.sql(s"UPDATE catspec_fb_t SET v = ${100 + i} WHERE k = $i"))
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def run(options: Map[String, String]): Unit = {
+      batches.clear()
+      val q = options.foldLeft(
+        spark.readStream.format("graft").option("path", path)
+          .option("startingVersion", "0")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.add(df.select("_commit_version").collect()
+            .map(_.getLong(0)).toSeq.distinct.sorted)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    // a 1-byte budget still advances one version per batch (soft
+    // limit, Delta's rule) — the snapshot batch stays indivisible
+    run(Map("maxBytesPerTrigger" -> "1"))
+    assert(batches.asScala.toSeq === Seq(Seq(0L, 1L), Seq(2L), Seq(3L)),
+      batches.asScala.toSeq)
+    // a generous budget takes the whole log in one batch
+    run(Map("maxBytesPerTrigger" -> (64L * 1024 * 1024).toString))
+    assert(batches.asScala.toSeq === Seq(Seq(0L, 1L, 2L, 3L)))
+    // maxVersionsPerTrigger = Long.MaxValue means unbounded — the
+    // rate-limit add must saturate, not wrap negative and stall
+    run(Map("maxVersionsPerTrigger" -> Long.MaxValue.toString))
+    assert(batches.asScala.toSeq === Seq(Seq(0L, 1L, 2L, 3L)))
+    spark.sql("DROP TABLE IF EXISTS catspec_fb_t")
+  }
+
   test("historical reads never route through newer-version sidecars") {
     val path = freshPath("stale")
     spark.sql("DROP TABLE IF EXISTS catspec_stale")

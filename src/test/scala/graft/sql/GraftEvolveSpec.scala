@@ -162,6 +162,57 @@ class GraftEvolveSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS evspec_f")
   }
 
+  test("the feed fence derives from the committed log: it survives a " +
+      "lost root hint, and a pure type widening does NOT fence") {
+    val path = freshPath("fence")
+    spark.sql("DROP TABLE IF EXISTS evspec_fc")
+    (1L to 8L).map(k => (k, k.toInt)).toDF("k", "cnt")
+      .createOrReplaceTempView("evspec_fcsrc")
+    spark.sql(s"""CREATE TABLE evspec_fc USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM evspec_fcsrc""".stripMargin)
+    spark.sql("UPDATE evspec_fc SET cnt = 11 WHERE k = 1") // v1
+    // a WIDENING is served exactly by the feed's casts — no fence
+    spark.sql("ALTER TABLE evspec_fc ALTER COLUMN cnt TYPE bigint") // v2
+    spark.sql("UPDATE evspec_fc SET cnt = 5000000000 WHERE k = 3") // v3
+    assert(GraftTables.latestFeedFence(spark, path).isEmpty,
+      "a pure type widening must not fence the change feed")
+    val q = spark.readStream.format("graft").option("path", path)
+      .option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("evspec_fc_ok")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("evspec_fc_ok").collect()
+      .map(r => (r.getLong(0), r.get(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSet === Set((3L, 5000000000L, "upsert", 3L)))
+    // now a RENAME (v4) — and simulate the pre-fix crash window by
+    // deleting the root `_evolvever` hint after the commit: the fence
+    // must still hold, derived from the version dir's own marker
+    spark.sql("ALTER TABLE evspec_fc RENAME COLUMN cnt TO n") // v4
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_evolvever"), false)
+    // a reader (fresh session here; a fresh process would scan the
+    // whole tail the same way) must still see the fence
+    val s2 = SparkSessionFixture.spark.newSession()
+    assert(GraftTables.latestFeedFence(s2, path) === Some(4L),
+      "the fence must derive from the committed log, not the root hint")
+    // and the self-heal restored the hint
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_evolvever")))
+    val e = intercept[Exception] {
+      val qb = s2.readStream.format("graft").option("path", path)
+        .option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName("evspec_fc_bad")
+        .outputMode("append").start()
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    assert(e.getMessage.contains("RENAME/DROP COLUMN") ||
+      Option(e.getCause).exists(_.getMessage.contains("RENAME/DROP COLUMN")),
+      e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS evspec_fc")
+  }
+
   test("a RENAME racing concurrent DML: both commit under the claim " +
       "protocol, cold replay exact in either serialization") {
     val path = freshPath("race")

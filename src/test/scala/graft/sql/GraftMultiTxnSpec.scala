@@ -92,6 +92,44 @@ class GraftMultiTxnSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS mtxn_ab")
   }
 
+  test("a member claim stolen between promote and the commit point " +
+      "aborts the WHOLE transaction — never a half-applied commit") {
+    val (pa, pb) = (freshPath("sa"), freshPath("sb"))
+    mkTable("mtxn_sa", pa); mkTable("mtxn_sb", pb)
+    // a rival's stealDead reclaims table B's pending member (claim
+    // re-owned under a stealer id) while the coordinator has not
+    // landed — the pre-coordinator ownership re-check must abort with
+    // NOTHING committed on EITHER table, not land the coordinator and
+    // commit the surviving member
+    GraftTables.txnCrashHook = phase =>
+      if (phase == "promoted") {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new org.apache.hadoop.fs.Path(pb).toUri,
+          spark.sparkContext.hadoopConfiguration)
+        val claim = new org.apache.hadoop.fs.Path(
+          f"$pb%s/_tdelta_${1L}%06d/_claim")
+        fs.delete(claim, false)
+        val out = fs.create(claim, false)
+        try out.write(s"steal-rival:${System.currentTimeMillis()}".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    try {
+      val e = intercept[IllegalArgumentException](
+        GraftTables.commitTxnChange(spark, Seq(
+          (pa, None, Some(Seq((1L, 111.0)).toDF("k", "v"))),
+          (pb, None, Some(Seq((1L, 222.0)).toDF("k", "v"))))))
+      assert(e.getMessage.contains("transaction integrity"), e.getMessage)
+    } finally GraftTables.txnCrashHook = _ => ()
+    // nothing committed anywhere: both cold-read at their pre-txn state
+    val (va, ma) = state("mtxn_sa")
+    val (vb, mb) = state("mtxn_sb")
+    assert(va === 1 && vb === 1)
+    assert(ma(1L) === 1.0 && mb(1L) === 1.0)
+    spark.sql("DROP TABLE IF EXISTS mtxn_sa")
+    spark.sql("DROP TABLE IF EXISTS mtxn_sb")
+  }
+
   test("a crash AFTER the coordinator commits BOTH tables: cold readers " +
       "honor the pending members and finalize them") {
     val (pa, pb) = (freshPath("pa"), freshPath("pb"))
