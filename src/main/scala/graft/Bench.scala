@@ -214,16 +214,27 @@ object Bench {
     val hHash = graft.sql.IndexedFrame.indexComposite(
       agg, "user_id", "day", ordered = false, numPartitions = 16)
     hHash.idx.cached; hHash.idx.count()
-    val t0 = System.nanoTime()
-    val hZ = hHash.zOrdered().analyzeZones("user_id", "day")
-    hZ.idx.cached; hZ.idx.count()
-    val tRewrite = (System.nanoTime() - t0) / 1e9
+    // the "once" rewrite repeats 3x like every lane (full diag runs);
+    // each run rebuilds the clustered layout, the last stays for the
+    // read micros
+    val builds = scala.collection.mutable.ArrayBuffer
+      .empty[graft.sql.IndexedFrame.CompositeHandle[Long, Long]]
+    val tRewrite = timed3("micro_zorder_rewrite_once") {
+      builds.lastOption.foreach(_.idx.unpersist())
+      val h = hHash.zOrdered().analyzeZones("user_id", "day")
+      h.idx.cached; h.idx.count()
+      builds += h
+      ()
+    }
+    val hZ = builds.last
     def box(df: org.apache.spark.sql.DataFrame) =
       df.filter(col("user_id").between(2, 11) &&
           col("day").between(19728, 19737))
         .agg(fCount(fLit(1))).collect()
-    val tHash = bestOf2((0 until 20).foreach(_ => box(hHash.toDF)))
-    val tZ = bestOf2((0 until 20).foreach(_ => box(hZ.toDF)))
+    val tHash = timed3("micro_zorder_box_hash_20")(
+      (0 until 20).foreach(_ => box(hHash.toDF)))
+    val tZ = timed3("micro_zorder_box_z_20")(
+      (0 until 20).foreach(_ => box(hZ.toDF)))
     gauges("micro_zorder_box_parts_all") = 16.0
     gauges("micro_zorder_box_parts_kept") = hZ.lastZoneKept.toDouble
     hHash.idx.unpersist(); hZ.idx.unpersist()
@@ -262,7 +273,7 @@ object Bench {
       spark.sql(s"CREATE INDEX cust_ix_$tag ON bench_dml_$tag (o_custkey)")
       // fixed 2000-key delta regardless of corpus size — the honest
       // "does statement cost scale with the delta or the corpus" probe
-      val t = bestOf2(spark.sql(
+      val t = timed3(s"micro_catalog_dml_idx_${tag}")(spark.sql(
         s"""UPDATE bench_dml_$tag SET o_totalprice = o_totalprice + 1
            |WHERE o_orderkey <= 2000""".stripMargin).collect())
       spark.sql(s"DROP TABLE IF EXISTS bench_dml_$tag")
@@ -294,26 +305,81 @@ object Bench {
       (1 to statements).foreach(i => spark.sql(
         s"""UPDATE bench_reopen_$tag SET c_acctbal = c_acctbal + 1
            |WHERE c_custkey % $statements = ${i % statements}""".stripMargin))
-      def reopen(): Double = bestOf2 {
+      // the timed reopen measures the FOLDED log — drain the async
+      // fold worker so the cover is complete before timing
+      graft.sql.GraftBenchBridge.awaitFolds()
+      def reopen(name: String): Double = timed3(name) {
         val fresh = spark.newSession()
         fresh.sql(s"SELECT sum(c_acctbal) FROM bench_reopen_$tag").collect()
         ()
       }
-      val t = reopen()
+      val t = reopen(s"micro_catalog_reopen_$tag")
+      // the reopen-metadata-cost gauges (the checkpoint-manifest
+      // claim in numbers): per-version meta reads paid by the LAST
+      // timed reopen, and whether the manifest served it (1/0)
+      gauges(s"micro_catalog_reopen_${tag}_meta_reads") =
+        graft.sql.GraftBenchBridge.coverMetaReads.toDouble
+      gauges(s"micro_catalog_reopen_${tag}_manifest") =
+        if (graft.sql.GraftBenchBridge.coverUsedManifest) 1.0 else 0.0
       // the A/B twin for the 200-statement log: strip the fold
-      // sidecars (replay falls back to every raw delta — exactly the
-      // pre-fold engine) and pay the same cold reopen again
+      // sidecars AND the manifest (replay falls back to the listing
+      // walk over every raw delta — exactly the pre-fold engine) and
+      // pay the same cold reopen again
       val tNoFold = if (tag != "200") -1.0 else {
         new java.io.File(path).listFiles().toSeq
-          .filter(_.getName.startsWith("_tfold_"))
-          .foreach(d => new scala.reflect.io.Directory(d).deleteRecursively())
-        reopen()
+          .filter(f => f.getName.startsWith("_tfold_") ||
+            f.getName == "_tmanifest")
+          .foreach { f =>
+            if (f.isDirectory)
+              new scala.reflect.io.Directory(f).deleteRecursively()
+            else f.delete()
+            ()
+          }
+        reopen(s"micro_catalog_reopen_${tag}_nofold")
       }
       spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
       new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
       Seq(s"micro_catalog_reopen_$tag" -> t) ++
         (if (tNoFold >= 0) Seq(s"micro_catalog_reopen_${tag}_nofold" -> tNoFold)
          else Nil)
+    }
+    // a 1000-COMMIT log, built through the raw commit path (1000 SQL
+    // statements would dominate the sweep): the checkpoint-manifest +
+    // tiered-folding claim is that reopen cost and metadata reads stay
+    // ~FLAT from 200 to 1000 commits — O(K log_K n) segment reads off
+    // ONE manifest read, zero directory listings
+    def reopenLane1000(): Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val tag = "1000"
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_bench_reopen_$tag").toString
+      spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .createOrReplaceTempView(s"bench_reopen_src_$tag")
+      spark.sql(s"""CREATE TABLE bench_reopen_$tag USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM bench_reopen_src_$tag""".stripMargin)
+      (1 to 1000).foreach { i =>
+        graft.sql.GraftBenchBridge.commitUpsert(spark, path,
+          spark.range((i % 500) * 2L + 1L, (i % 500) * 2L + 3L)
+            .select(col("id").as("c_custkey"),
+              lit(i * 1.0).as("c_acctbal")))
+      }
+      graft.sql.GraftBenchBridge.awaitFolds()
+      val t = timed3(s"micro_catalog_reopen_$tag") {
+        val fresh = spark.newSession()
+        fresh.sql(s"SELECT sum(c_acctbal) FROM bench_reopen_$tag").collect()
+        ()
+      }
+      gauges(s"micro_catalog_reopen_${tag}_meta_reads") =
+        graft.sql.GraftBenchBridge.coverMetaReads.toDouble
+      gauges(s"micro_catalog_reopen_${tag}_manifest") =
+        if (graft.sql.GraftBenchBridge.coverUsedManifest) 1.0 else 0.0
+      spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Seq(s"micro_catalog_reopen_$tag" -> t)
     }
     // the AUTO-BOUNDED-REOPEN claim in numbers: tiered delta folding
     // (every 10 commits, zero user OPTIMIZE calls) covers the
@@ -322,7 +388,7 @@ object Bench {
     // scan — the "reopen after a week of DML" cost at 100 TB; the
     // `_nofold` twin reopens the SAME table with the sidecars stripped
     // (the pre-fold engine) so the win is one A/B inside one sweep
-    reopenLane("30", 30) ++ reopenLane("200", 200)
+    reopenLane("30", 30) ++ reopenLane("200", 200) ++ reopenLane1000()
   }
 
   /** SKEW GUARD measured: the same 200k-row probe batch through the
@@ -352,10 +418,10 @@ object Bench {
     val zipf = spark.range(0, n)
       .select((($"id" % 20L) * 131L + 1L).as("k")).cache()
     uniform.count(); zipf.count()
-    val tUniform = bestOf2(
+    val tUniform = timed3("micro_skew_lookupjoin_uniform")(
       hd.join(uniform, hd("o_orderkey") === uniform("k")).write
         .format("noop").mode("overwrite").save())
-    val tZipf = bestOf2(
+    val tZipf = timed3("micro_skew_lookupjoin_zipf")(
       hd.join(zipf, hd("o_orderkey") === zipf("k")).write
         .format("noop").mode("overwrite").save())
     uniform.unpersist(); zipf.unpersist(); h.idx.unpersist()
@@ -400,11 +466,21 @@ object Bench {
     // only a value read honestly streams every row through the chain
     val read = (hh: graft.sql.IndexedFrame.Handle[Long]) =>
       hh.toDF.agg(fSum(col("c_acctbal"))).collect()
-    val tRaw = bestOf2((0 until 10).foreach(_ => read(h)))
-    val t0 = System.nanoTime()
-    val hc = h.compacted
-    val tOptimize = (System.nanoTime() - t0) / 1e9
-    val tOpt = bestOf2((0 until 10).foreach(_ => read(hc)))
+    val tRaw = timed3("micro_sql_chain_read_raw_10")((0 until 10).foreach(_ => read(h)))
+    // the "once" compaction also runs 3x for a real diag — each run
+    // recompacts the same 150-layer chain; the last result stays for
+    // the read micro
+    val compacts = scala.collection.mutable.ArrayBuffer
+      .empty[graft.sql.IndexedFrame.Handle[Long]]
+    val tOptimize = timed3("micro_sql_optimize_once") {
+      compacts.lastOption.foreach(_.idx.unpersist())
+      val c = h.compacted
+      c.idx.count()
+      compacts += c
+      ()
+    }
+    val hc = compacts.last
+    val tOpt = timed3("micro_sql_chain_read_opt_10")((0 until 10).foreach(_ => read(hc)))
     val depthOpt = hc.idx.lineageDepth.toDouble
     h.idx.unpersist(); hc.idx.unpersist(); delta.unpersist()
     // the depths are LINEAGE STAGE COUNTS, not seconds — they go to the
@@ -447,7 +523,7 @@ object Bench {
       base.select((col("o_orderkey") + lit(i * shift)).as("o_orderkey"),
         col("o_custkey"), col("o_totalprice"))).reduce(_ union _)
     def lanes(tag: String, df: org.apache.spark.sql.DataFrame,
-        parts: Int): Seq[(String, Double)] = {
+        parts: Int, reps: Int = 10, lkReps: Int = 5): Seq[(String, Double)] = {
       val h = graft.sql.IndexedFrame.indexRangePartitioned(df, "o_orderkey", parts)
       h.idx.unpersist(); h.idx.persist(disk); h.idx.count()
       val cold = df.repartition(parts).persist(disk)
@@ -459,16 +535,16 @@ object Bench {
         val base0 = (q * 2971L) % 140000L + 1L
         (0 until 50).map(base0 + _)
       }
-      val tPointIdx = timed3(s"micro_scale${tag}_pointget_idx_10")((0 until 10).foreach { q =>
+      val tPointIdx = timed3(s"micro_scale${tag}_pointget_idx_$reps")((0 until reps).foreach { q =>
         hd.filter(col("o_orderkey").isin(keys(q).map(Long.box): _*)).collect()
       })
-      val tPointScan = timed3(s"micro_scale${tag}_pointget_scan_10")((0 until 10).foreach { q =>
+      val tPointScan = timed3(s"micro_scale${tag}_pointget_scan_$reps")((0 until reps).foreach { q =>
         cold.filter(col("o_orderkey").isin(keys(q).map(Long.box): _*)).collect()
       })
-      val tTopkIdx = timed3(s"micro_scale${tag}_topk_idx_10")((0 until 10).foreach { _ =>
+      val tTopkIdx = timed3(s"micro_scale${tag}_topk_idx_$reps")((0 until reps).foreach { _ =>
         hd.orderBy(col("o_orderkey")).limit(100).collect()
       })
-      val tTopkScan = timed3(s"micro_scale${tag}_topk_scan_10")((0 until 10).foreach { _ =>
+      val tTopkScan = timed3(s"micro_scale${tag}_topk_scan_$reps")((0 until reps).foreach { _ =>
         cold.orderBy(col("o_orderkey")).limit(100).collect()
       })
       // lookup join at scale: 200 clustered probe keys per query — the
@@ -487,14 +563,14 @@ object Bench {
       // whole corpus), not Catalyst's fixed per-join planning cost,
       // which would otherwise swamp the scale-1 scan and flatten the
       // growth curve
-      val idxJoins = (0 until 5).map { q =>
+      val idxJoins = (0 until lkReps).map { q =>
         val p = probeDF(q); hd.join(p, hd("o_orderkey") === p("k"))
       }
-      val scanJoins = (0 until 5).map { q =>
+      val scanJoins = (0 until lkReps).map { q =>
         val p = probeDF(q); cold.join(p, cold("o_orderkey") === p("k"))
       }
-      val tLkIdx = timed3(s"micro_scale${tag}_lookupjoin_idx_5")(idxJoins.foreach(_.collect()))
-      val tLkScan = timed3(s"micro_scale${tag}_lookupjoin_scan_5")(scanJoins.foreach(_.collect()))
+      val tLkIdx = timed3(s"micro_scale${tag}_lookupjoin_idx_$lkReps")(idxJoins.foreach(_.collect()))
+      val tLkScan = timed3(s"micro_scale${tag}_lookupjoin_scan_$lkReps")(scanJoins.foreach(_.collect()))
       // secondary filtered agg at scale: WHERE o_custkey = v +
       // sum(o_totalprice) — the grouped filtered-agg memo pays ONE
       // fold pass per snapshot, then every probe answers driver-side
@@ -508,11 +584,11 @@ object Bench {
       // reuse its materialized AQE shuffle stage and stop scanning —
       // the scan twin must honestly re-scan per query
       def custVal(q: Int): Long = (q * 37L) % 1000L + 1L
-      val tSecIdx = timed3(s"micro_scale${tag}_secondary_idx_10")((0 until 10).foreach { q =>
+      val tSecIdx = timed3(s"micro_scale${tag}_secondary_idx_$reps")((0 until reps).foreach { q =>
         hd.filter(col("o_custkey") === custVal(q))
           .agg(fSum(col("o_totalprice"))).collect()
       })
-      val tSecScan = timed3(s"micro_scale${tag}_secondary_scan_10")((0 until 10).foreach { q =>
+      val tSecScan = timed3(s"micro_scale${tag}_secondary_scan_$reps")((0 until reps).foreach { q =>
         cold.filter(col("o_custkey") === custVal(q))
           .agg(fSum(col("o_totalprice"))).collect()
       })
@@ -520,16 +596,27 @@ object Bench {
       // the per-scale secondary inverted index (and any stragglers)
       // must not survive into the next scale's timings
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      Seq(s"micro_scale${tag}_pointget_idx_10" -> tPointIdx,
-        s"micro_scale${tag}_pointget_scan_10" -> tPointScan,
-        s"micro_scale${tag}_topk_idx_10" -> tTopkIdx,
-        s"micro_scale${tag}_topk_scan_10" -> tTopkScan,
-        s"micro_scale${tag}_lookupjoin_idx_5" -> tLkIdx,
-        s"micro_scale${tag}_lookupjoin_scan_5" -> tLkScan,
-        s"micro_scale${tag}_secondary_idx_10" -> tSecIdx,
-        s"micro_scale${tag}_secondary_scan_10" -> tSecScan)
+      Seq(s"micro_scale${tag}_pointget_idx_$reps" -> tPointIdx,
+        s"micro_scale${tag}_pointget_scan_$reps" -> tPointScan,
+        s"micro_scale${tag}_topk_idx_$reps" -> tTopkIdx,
+        s"micro_scale${tag}_topk_scan_$reps" -> tTopkScan,
+        s"micro_scale${tag}_lookupjoin_idx_$lkReps" -> tLkIdx,
+        s"micro_scale${tag}_lookupjoin_scan_$lkReps" -> tLkScan,
+        s"micro_scale${tag}_secondary_idx_$reps" -> tSecIdx,
+        s"micro_scale${tag}_secondary_scan_$reps" -> tSecScan)
     }
-    lanes("1", base, 32) ++ lanes("10", big, 320)
+    // the 100x tier proves the flat-idx curves hold ANOTHER decade:
+    // 100 disjoint key-shifted copies of the fixture, DISK_ONLY, with
+    // rep counts trimmed (3 point/topk/secondary queries, 2 joins) so
+    // the O(corpus) scan twins do not dominate the whole sweep; the
+    // per-partition row count grows ~2.4x from the 10x tier (1280
+    // partitions, not 3200 — at local[32], 3200-task scans would
+    // measure scheduling, not data)
+    val huge = (0 until 100).map(i =>
+      base.select((col("o_orderkey") + lit(i * shift)).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))).reduce(_ union _)
+    lanes("1", base, 32) ++ lanes("10", big, 320) ++
+      lanes("100", huge, 1280, reps = 3, lkReps = 2)
   }
 
   /** Point reads, updates, joins, range pruning (memory + DISK_ONLY). */
@@ -542,24 +629,20 @@ object Bench {
     val nCust = custDF.count()
     val keyBatches = (0 until 10).map(b =>
       Array.tabulate(100)(i => ((b * 131L + i * 7L) % nCust) + 1L))
-    val t0 = System.nanoTime()
-    keyBatches.foreach(ks => idx.multiget(ks))
-    val tMultiget = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    keyBatches.foreach { ks =>
+    val tMultiget = timed3("micro_multiget_10x100")(
+      keyBatches.foreach(ks => idx.multiget(ks)))
+    val tScan = timed3("micro_isin_scan_10x100")(keyBatches.foreach { ks =>
       custDF.filter($"c_custkey".isin(ks.map(Long.box): _*)).collect()
-    }
-    val tScan = (System.nanoTime() - t1) / 1e9
+    })
 
-    // multiput throughput vs full index rebuild (BASELINE.md)
+    // multiput throughput vs full index rebuild (BASELINE.md); both
+    // rebuild fresh copies per run, so the 3 diag runs are honest
     val updates = spark.sparkContext.parallelize(
       (1L to 2000L).map(k => (k * 3, k.toDouble)), 8)
-    val t2 = System.nanoTime()
-    idx.multiputRDD(updates).count()
-    val tMultiput = (System.nanoTime() - t2) / 1e9
-    val t3 = System.nanoTime()
-    IndexedRDD(cust.union(updates)).count() // rebuild from scratch
-    val tRebuild = (System.nanoTime() - t3) / 1e9
+    val tMultiput = timed3("micro_multiput_2k")(
+      idx.multiputRDD(updates).count())
+    val tRebuild = timed3("micro_rebuild")(
+      IndexedRDD(cust.union(updates)).count()) // rebuild from scratch
 
     // co-partitioned indexed innerJoin vs Catalyst join at the same keys
     val ordersDF = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -567,14 +650,12 @@ object Bench {
       ordersDF.select($"o_custkey", $"o_totalprice").as[(Long, Double)].rdd, (a: Double, b: Double) => a + b)
       .cached
     totals.count()
-    val t4 = System.nanoTime()
-    idx.innerJoin(totals)((_, a, b) => a + b).count()
-    val tIdxJoin = (System.nanoTime() - t4) / 1e9
+    val tIdxJoin = timed3("micro_idx_innerjoin")(
+      idx.innerJoin(totals)((_, a, b) => a + b).count())
     val custBal = custDF.select($"c_custkey", $"c_acctbal")
     val agg = ordersDF.groupBy($"o_custkey").agg(org.apache.spark.sql.functions.sum($"o_totalprice").as("t"))
-    val t5 = System.nanoTime()
-    custBal.join(agg, $"c_custkey" === $"o_custkey").count()
-    val tSqlJoin = (System.nanoTime() - t5) / 1e9
+    val tSqlJoin = timed3("micro_sql_join")(
+      custBal.join(agg, $"c_custkey" === $"o_custkey").count())
 
     // range scans: range-partitioned layout prunes to the overlapping
     // partitions; the hash layout must visit every partition. Both are
@@ -584,12 +665,10 @@ object Bench {
     hashIdx.count()
     val ranged = IndexedRDD.rangePartitioned(cust, 32).cached
     ranged.count()
-    val t6 = System.nanoTime()
-    (0 until 10).foreach(i => ranged.range(i * 100L, i * 100L + 200L).count())
-    val tRangePruned = (System.nanoTime() - t6) / 1e9
-    val t7 = System.nanoTime()
-    (0 until 10).foreach(i => hashIdx.range(i * 100L, i * 100L + 200L).count())
-    val tRangeHash = (System.nanoTime() - t7) / 1e9
+    val tRangePruned = timed3("micro_range_pruned_10")(
+      (0 until 10).foreach(i => ranged.range(i * 100L, i * 100L + 200L).count()))
+    val tRangeHash = timed3("micro_range_allparts_10")(
+      (0 until 10).foreach(i => hashIdx.range(i * 100L, i * 100L + 200L).count()))
     ranged.unpersist()
     hashIdx.unpersist()
 
@@ -601,9 +680,8 @@ object Bench {
     val diskIdx = IndexedRDD.build(cust, 32)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     diskIdx.count()
-    val t8 = System.nanoTime()
-    keyBatches.foreach(ks => diskIdx.multiget(ks))
-    val tMultigetDisk = (System.nanoTime() - t8) / 1e9
+    val tMultigetDisk = timed3("micro_multiget_disk_10x100")(
+      keyBatches.foreach(ks => diskIdx.multiget(ks)))
     diskIdx.unpersist()
 
     // range scans where pruning BITES: on memory-resident partitions a
@@ -621,12 +699,12 @@ object Bench {
     val hashDiskIdx = IndexedRDD.build(ords, 32)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     hashDiskIdx.count()
-    val t8b = System.nanoTime()
-    (0 until 10).foreach(i => rangedDisk.range(i * 1000L, i * 1000L + 2000L).count())
-    val tRangePrunedDisk = (System.nanoTime() - t8b) / 1e9
-    val t8c = System.nanoTime()
-    (0 until 10).foreach(i => hashDiskIdx.range(i * 1000L, i * 1000L + 2000L).count())
-    val tRangeHashDisk = (System.nanoTime() - t8c) / 1e9
+    val tRangePrunedDisk = timed3("micro_range_pruned_disk_10")(
+      (0 until 10).foreach(i =>
+        rangedDisk.range(i * 1000L, i * 1000L + 2000L).count()))
+    val tRangeHashDisk = timed3("micro_range_allparts_disk_10")(
+      (0 until 10).foreach(i =>
+        hashDiskIdx.range(i * 1000L, i * 1000L + 2000L).count()))
     rangedDisk.unpersist()
     hashDiskIdx.unpersist()
 
@@ -654,35 +732,26 @@ object Bench {
     // select+collect, NOT count: a bare count over a pushed interval
     // now short-circuits into the no-value range-count pushdown, and
     // this micro exists to time the row-fetching range SCAN
-    val t9 = System.nanoTime()
-    (0 until 10).foreach(i => hRp.toDF.filter(
-      col("c_custkey").between(i * 100L, i * 100L + 200L))
-      .select(col("c_acctbal")).collect())
-    val tSqlRangeRp = (System.nanoTime() - t9) / 1e9
-    val t10 = System.nanoTime()
-    (0 until 10).foreach(i => hHash.toDF.filter(
-      col("c_custkey").between(i * 100L, i * 100L + 200L))
-      .select(col("c_acctbal")).collect())
-    val tSqlRangeHash = (System.nanoTime() - t10) / 1e9
+    val tSqlRangeRp = timed3("micro_sql_range_rangepart_10")(
+      (0 until 10).foreach(i => hRp.toDF.filter(
+        col("c_custkey").between(i * 100L, i * 100L + 200L))
+        .select(col("c_acctbal")).collect()))
+    val tSqlRangeHash = timed3("micro_sql_range_hashpart_10")(
+      (0 until 10).foreach(i => hHash.toDF.filter(
+        col("c_custkey").between(i * 100L, i * 100L + 200L))
+        .select(col("c_acctbal")).collect()))
     hRp.idx.unpersist()
     hHash.idx.unpersist()
     Seq("micro_sql_range_rangepart_10" -> tSqlRangeRp,
       "micro_sql_range_hashpart_10" -> tSqlRangeHash)
   }
 
-  /** Best-of-2 loops: these are driver-job-latency micros (repeated
-    * sequential collects) and single-shot numbers swung ±2x between
-    * otherwise-identical runs — the min of two loops keeps a one-off
-    * scheduler/GC stall from inverting the comparison. */
-  private def bestOf2(body: => Unit): Double =
-    (0 until 2).map { _ =>
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }.min
-
   /** Best-of-3 with the per-run seconds AND the lane's GC-time delta
-    * recorded in bench_diag.json — the scale micros carry full diags
-    * so a one-off GC/scheduler stall in the sweep is attributable
-    * instead of reading as a regression. */
+    * recorded in bench_diag.json — EVERY micro lane times through this
+    * (r16's diag had 84 single-run gc_ms:-1 lanes, exactly where the
+    * round's flatness claims lived), so a one-off GC/scheduler stall
+    * in the sweep is attributable instead of reading as a regression.
+    * Flatness comparisons quote per-lane minima. */
   private def timed3(name: String)(body: => Unit): Double = {
     val gc0 = gcMillis()
     val runs = (0 until 3).map { _ =>
@@ -705,19 +774,19 @@ object Bench {
     val cachedCust = custDF.cache()
     cachedCust.count()
     import org.apache.spark.sql.functions.{count => fCount, lit => fLit, min => fMin, max => fMax}
-    val tStatsIdx = bestOf2((0 until 100).foreach { _ =>
+    val tStatsIdx = timed3("micro_sql_stats_idx_100")((0 until 100).foreach { _ =>
       hStats.toDF.agg(fCount(fLit(1)), fMin(col("c_custkey")), fMax(col("c_custkey"))).collect()
     })
-    val tStatsScan = bestOf2((0 until 100).foreach { _ =>
+    val tStatsScan = timed3("micro_sql_stats_scan_100")((0 until 100).foreach { _ =>
       cachedCust.agg(fCount(fLit(1)), fMin(col("c_custkey")), fMax(col("c_custkey"))).collect()
     })
     // count(*) under a pushed key interval: pruned radix descents
     // (values never read) vs the cached scan's filter + aggregate
-    val tCntRangeIdx = bestOf2((0 until 100).foreach { _ =>
+    val tCntRangeIdx = timed3("micro_sql_count_range_idx_100")((0 until 100).foreach { _ =>
       hStats.toDF.filter(col("c_custkey").between(100L, 5000L))
         .agg(fCount(fLit(1))).collect()
     })
-    val tCntRangeScan = bestOf2((0 until 100).foreach { _ =>
+    val tCntRangeScan = timed3("micro_sql_count_range_scan_100")((0 until 100).foreach { _ =>
       cachedCust.filter(col("c_custkey").between(100L, 5000L))
         .agg(fCount(fLit(1))).collect()
     })
@@ -734,10 +803,10 @@ object Bench {
     val cachedOrd2 = ordDF.cache(); cachedOrd2.count()
     val pctAgg = Seq(expr("percentile(o_orderkey, 0.5)"),
       expr("percentile(o_orderkey, 0.25)"), expr("percentile(o_orderkey, 0.75)"))
-    val tPctIdx = bestOf2((0 until 20).foreach { _ =>
+    val tPctIdx = timed3("micro_sql_percentile_idx_20")((0 until 20).foreach { _ =>
       hPct.toDF.agg(pctAgg.head, pctAgg.tail: _*).collect()
     })
-    val tPctScan = bestOf2((0 until 20).foreach { _ =>
+    val tPctScan = timed3("micro_sql_percentile_scan_20")((0 until 20).foreach { _ =>
       cachedOrd2.agg(pctAgg.head, pctAgg.tail: _*).collect()
     })
     cachedOrd2.unpersist()
@@ -768,10 +837,10 @@ object Bench {
     val hOrd = graft.sql.IndexedFrame.index(ordersDF, "o_orderkey")
     hOrd.toDF.count() // build + warm
     val cachedOrd = ordersDF.cache(); cachedOrd.count()
-    val tDistIdx = bestOf2((0 until 20).foreach { _ =>
+    val tDistIdx = timed3("micro_sql_distinct_idx_20")((0 until 20).foreach { _ =>
       hOrd.toDF.select(col("o_orderkey")).distinct().count()
     })
-    val tDistScan = bestOf2((0 until 20).foreach { _ =>
+    val tDistScan = timed3("micro_sql_distinct_scan_20")((0 until 20).foreach { _ =>
       cachedOrd.select(col("o_orderkey")).distinct().count()
     })
 
@@ -783,11 +852,11 @@ object Bench {
     // ONE distinct group (count(*) + count(DISTINCT sec)): a second
     // distinct column triggers the Expand rewrite before strategies
     // run and both sides would fall back — not the claim under test
-    val tCdIdx = bestOf2((0 until 100).foreach { _ =>
+    val tCdIdx = timed3("micro_sql_count_distinct_idx_100")((0 until 100).foreach { _ =>
       hCd.toDF.agg(fCount(fLit(1)),
         fCountDistinct(col("c_nationkey"))).collect()
     })
-    val tCdScan = bestOf2((0 until 100).foreach { _ =>
+    val tCdScan = timed3("micro_sql_count_distinct_scan_100")((0 until 100).foreach { _ =>
       cachedCust.agg(fCount(fLit(1)),
         fCountDistinct(col("c_nationkey"))).collect()
     })
@@ -798,11 +867,11 @@ object Bench {
       evDF, "user_id", "event_id", 32)
     hEv.toDF.count()
     val cachedEv = evDF.cache(); cachedEv.count()
-    val tGsIdx = bestOf2((0 until 20).foreach { _ =>
+    val tGsIdx = timed3("micro_sql_group_stats_idx_20")((0 until 20).foreach { _ =>
       hEv.toDF.groupBy(col("user_id")).agg(fCount(fLit(1)),
         fMin(col("event_id")), fMax(col("event_id"))).collect()
     })
-    val tGsScan = bestOf2((0 until 20).foreach { _ =>
+    val tGsScan = timed3("micro_sql_group_stats_scan_20")((0 until 20).foreach { _ =>
       cachedEv.groupBy(col("user_id")).agg(fCount(fLit(1)),
         fMin(col("event_id")), fMax(col("event_id"))).collect()
     })
@@ -813,11 +882,11 @@ object Bench {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_id"))
     import org.apache.spark.sql.functions.row_number
-    val tWinIdx = bestOf2((0 until 10).foreach { _ =>
+    val tWinIdx = timed3("micro_sql_window_topn_idx_10")((0 until 10).foreach { _ =>
       hEv.toDF.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).collect()
     })
-    val tWinScan = bestOf2((0 until 10).foreach { _ =>
+    val tWinScan = timed3("micro_sql_window_topn_scan_10")((0 until 10).foreach { _ =>
       cachedEv.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).collect()
     })
@@ -842,14 +911,12 @@ object Bench {
     val custDF = spark.read.parquet(s"$sfDir/customer.parquet")
     val ordersDF = spark.read.parquet(s"$sfDir/orders.parquet")
     val ordKeys = ordersDF.select($"o_custkey")
-    val t13 = System.nanoTime()
-    graft.pipeline.Sketches.bloomPrune(custDF, "c_custkey", ordKeys, "o_custkey",
-      mBits = 65536, depth = 3).write.format("noop").mode("overwrite").save()
-    val tBloomLit = (System.nanoTime() - t13) / 1e9
-    val t14 = System.nanoTime()
-    graft.pipeline.Sketches.bloomPrune(custDF, "c_custkey", ordKeys, "o_custkey",
-      mBits = 1 << 24, depth = 3).write.format("noop").mode("overwrite").save()
-    val tBloomBcast = (System.nanoTime() - t14) / 1e9
+    val tBloomLit = timed3("micro_bloom_literal_m16")(
+      graft.pipeline.Sketches.bloomPrune(custDF, "c_custkey", ordKeys, "o_custkey",
+        mBits = 65536, depth = 3).write.format("noop").mode("overwrite").save())
+    val tBloomBcast = timed3("micro_bloom_bcast_m24")(
+      graft.pipeline.Sketches.bloomPrune(custDF, "c_custkey", ordKeys, "o_custkey",
+        mBits = 1 << 24, depth = 3).write.format("noop").mode("overwrite").save())
     Seq("micro_bloom_literal_m16" -> tBloomLit,
       "micro_bloom_bcast_m24" -> tBloomBcast)
   }
@@ -872,11 +939,11 @@ object Bench {
     hzPlain.idx.cached; hzPlain.idx.count()
     val zlo = fLit("2024-01-20 00:00:00").cast("timestamp")
     val zhi = fLit("2024-01-23 00:00:00").cast("timestamp")
-    val tZonePruned = bestOf2((0 until 20).foreach { _ =>
+    val tZonePruned = timed3("micro_sql_zone_pruned_20")((0 until 20).foreach { _ =>
       hz.toDF.filter(col("ts") >= zlo && col("ts") < zhi)
         .agg(fCount(fLit(1))).collect()
     })
-    val tZoneFull = bestOf2((0 until 20).foreach { _ =>
+    val tZoneFull = timed3("micro_sql_zone_full_20")((0 until 20).foreach { _ =>
       hzPlain.toDF.filter(col("ts") >= zlo && col("ts") < zhi)
         .agg(fCount(fLit(1))).collect()
     })
@@ -902,7 +969,7 @@ object Bench {
     ht.idx.count()
     val zlo = fLit("2024-01-20 00:00:00").cast("timestamp")
     val zhi = fLit("2024-01-23 00:00:00").cast("timestamp")
-    val tTsPruned = bestOf2((0 until 20).foreach { _ =>
+    val tTsPruned = timed3("micro_sql_tskey_pruned_20")((0 until 20).foreach { _ =>
       ht.toDF.filter(col("ts") >= zlo && col("ts") < zhi)
         .agg(fCount(fLit(1))).collect()
     })
@@ -912,11 +979,11 @@ object Bench {
     graft.sql.IndexedAgg.enable(spark)
     import org.apache.spark.sql.functions.{date_trunc, min => fMin, max => fMax}
     val cachedEv = evDF.cache(); cachedEv.count()
-    val tRollIdx = bestOf2((0 until 20).foreach { _ =>
+    val tRollIdx = timed3("micro_sql_rollup_idx_20")((0 until 20).foreach { _ =>
       ht.toDF.groupBy(date_trunc("day", col("ts")).as("d"))
         .agg(fCount(fLit(1)), fMin(col("ts")), fMax(col("ts"))).collect()
     })
-    val tRollScan = bestOf2((0 until 20).foreach { _ =>
+    val tRollScan = timed3("micro_sql_rollup_scan_20")((0 until 20).foreach { _ =>
       cachedEv.groupBy(date_trunc("day", col("ts")).as("d"))
         .agg(fCount(fLit(1)), fMin(col("ts")), fMax(col("ts"))).collect()
     })
@@ -943,10 +1010,10 @@ object Bench {
     val cg = g.cache(); cg.count()
     def cutoff(i: Int) = java.sql.Timestamp.valueOf(
       f"2024-01-${5 + i % 20}%02d 12:00:00")
-    val tAsOfIdx = bestOf2((0 until 50).foreach { i =>
+    val tAsOfIdx = timed3("micro_sql_asof_idx_50")((0 until 50).foreach { i =>
       h.asOf((i % 25 + 1).toLong, cutoff(i)).collect()
     })
-    val tAsOfScan = bestOf2((0 until 50).foreach { i =>
+    val tAsOfScan = timed3("micro_sql_asof_scan_50")((0 until 50).foreach { i =>
       cg.filter(col("user_id") === (i % 25 + 1).toLong &&
           col("ts") <= org.apache.spark.sql.functions.lit(cutoff(i)))
         .orderBy(col("ts").desc).limit(1).collect()
@@ -958,7 +1025,7 @@ object Bench {
     graft.sql.IndexedTopK.enable(spark)
     import org.apache.spark.sql.functions.lit
     val t0page = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val tPageEntIdx = bestOf2 {
+    val tPageEntIdx = timed3("micro_sql_page_entity_idx_10x100") {
       var cur = t0page
       (0 until 10).foreach { _ =>
         val rows = h.toDF.filter(col("user_id") === 7L && col("ts") > lit(cur))
@@ -966,7 +1033,7 @@ object Bench {
         if (rows.nonEmpty) cur = rows.last.getTimestamp(0)
       }
     }
-    val tPageEntScan = bestOf2 {
+    val tPageEntScan = timed3("micro_sql_page_entity_scan_10x100") {
       var cur = t0page
       (0 until 10).foreach { _ =>
         val rows = cg.filter(col("user_id") === 7L && col("ts") > lit(cur))
@@ -984,13 +1051,13 @@ object Bench {
       (col("id") % 25 + 1).as("pu"),
       org.apache.spark.sql.functions.expr(
         "timestamp_micros((1704153600 + id * 9137) * 1000000)").as("pt"))
-    val tBatchIdx = bestOf2((0 until 5).foreach { _ =>
+    val tBatchIdx = timed3("micro_sql_asof_batch_idx_5")((0 until 5).foreach { _ =>
       hB.asOfJoinFrame(asOfProbe(), "pu", "pt").collect()
     })
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pu"), col("pt")).orderBy(col("ts").desc)
     import org.apache.spark.sql.functions.row_number
-    val tBatchScan = bestOf2((0 until 5).foreach { _ =>
+    val tBatchScan = timed3("micro_sql_asof_batch_scan_5")((0 until 5).foreach { _ =>
       val p = asOfProbe()
       p.join(cg, p("pu") === cg("user_id") && cg("ts") <= p("pt"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -1029,11 +1096,11 @@ object Bench {
     def probe() = spark.range(0, 1000)
       .select((col("id") * 11).as("k"), (col("id") % 7).as("tag"))
     val hd = h.toDF
-    val tIdx = bestOf2((0 until 10).foreach { _ =>
+    val tIdx = timed3("micro_sql_lookup_join_idx_10")((0 until 10).foreach { _ =>
       val p = probe()
       hd.join(p, hd("o_orderkey") === p("k")).collect()
     })
-    val tScan = bestOf2((0 until 10).foreach { _ =>
+    val tScan = timed3("micro_sql_lookup_join_scan_10")((0 until 10).foreach { _ =>
       val p = probe()
       cached.join(p, cached("o_orderkey") === p("k")).collect()
     })
@@ -1051,11 +1118,11 @@ object Bench {
     val hdd = hDisk.toDF
     def probeClustered() = spark.range(0, 500)
       .select((col("id") + 1000L).as("k"), (col("id") % 7).as("tag"))
-    val tIdxDisk = bestOf2((0 until 10).foreach { _ =>
+    val tIdxDisk = timed3("micro_sql_lookup_join_idx_disk_10")((0 until 10).foreach { _ =>
       val p = probeClustered()
       hdd.join(p, hdd("o_orderkey") === p("k")).collect()
     })
-    val tScanParquet = bestOf2((0 until 10).foreach { _ =>
+    val tScanParquet = timed3("micro_sql_lookup_join_scan_parquet_10")((0 until 10).foreach { _ =>
       val p = probeClustered()
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1102,11 +1169,11 @@ object Bench {
     hs.idx.cached; hs.idx.count()
     val hsPlain = graft.sql.IndexedFrame.index(custSecDF, "c_custkey")
     hsPlain.idx.cached; hsPlain.idx.count()
-    val tSecIdx = bestOf2((0 until 50).foreach { i =>
+    val tSecIdx = timed3("micro_sql_secondary_idx_50")((0 until 50).foreach { i =>
       hs.toDF.filter(col("c_nationkey") === (i % 25))
         .agg(fSum(col("c_acctbal"))).collect()
     })
-    val tSecScan = bestOf2((0 until 50).foreach { i =>
+    val tSecScan = timed3("micro_sql_secondary_scan_50")((0 until 50).foreach { i =>
       hsPlain.toDF.filter(col("c_nationkey") === (i % 25))
         .agg(fSum(col("c_acctbal"))).collect()
     })
@@ -1136,11 +1203,11 @@ object Bench {
     hs.idx.unpersist(); hs.idx.persist(disk); hs.idx.count()
     val hsPlain = graft.sql.IndexedFrame.index(ordersDF, "o_orderkey")
     hsPlain.idx.unpersist(); hsPlain.idx.persist(disk); hsPlain.idx.count()
-    val tSecIdx = bestOf2((0 until 50).foreach { i =>
+    val tSecIdx = timed3("micro_sql_secondary_idx_disk_50")((0 until 50).foreach { i =>
       hs.toDF.filter(col("o_custkey") === (i % 25 + 1).toLong)
         .agg(fSum(col("o_totalprice"))).collect()
     })
-    val tSecScan = bestOf2((0 until 50).foreach { i =>
+    val tSecScan = timed3("micro_sql_secondary_scan_disk_50")((0 until 50).foreach { i =>
       hsPlain.toDF.filter(col("o_custkey") === (i % 25 + 1).toLong)
         .agg(fSum(col("o_totalprice"))).collect()
     })
@@ -1163,17 +1230,17 @@ object Bench {
       ordersTopkDF, "o_orderkey", 32)
     hTopk.idx.cached; hTopk.idx.count()
     val cachedOrd = ordersTopkDF.cache(); cachedOrd.count()
-    val tTopkIdx = bestOf2((0 until 20).foreach { _ =>
+    val tTopkIdx = timed3("micro_sql_topk_idx_20")((0 until 20).foreach { _ =>
       hTopk.toDF.orderBy(col("o_orderkey")).limit(100).collect()
     })
-    val tTopkScan = bestOf2((0 until 20).foreach { _ =>
+    val tTopkScan = timed3("micro_sql_topk_scan_20")((0 until 20).foreach { _ =>
       cachedOrd.orderBy(col("o_orderkey")).limit(100).collect()
     })
     // keyset pagination: walk 10 pages of 100 deep into the table —
     // indexed pages narrow the covering-partition pick by the cursor
     // interval (O(page) rows each); the scan twin re-heaps the whole
     // cached table for every page
-    val tPageIdx = bestOf2 {
+    val tPageIdx = timed3("micro_sql_page_idx_10x100") {
       var c = -1L
       (0 until 10).foreach { _ =>
         val rows = hTopk.toDF.filter(col("o_orderkey") > c)
@@ -1182,7 +1249,7 @@ object Bench {
         if (rows.nonEmpty) c = rows.last.getLong(0)
       }
     }
-    val tPageScan = bestOf2 {
+    val tPageScan = timed3("micro_sql_page_scan_10x100") {
       var c = -1L
       (0 until 10).foreach { _ =>
         val rows = cachedOrd.filter(col("o_orderkey") > c)
@@ -1197,7 +1264,7 @@ object Bench {
     val hSec = graft.sql.IndexedFrame.index(ordersTopkDF, "o_orderkey")
       .addSecondaryIndex("o_custkey", ordered = true)
     hSec.idx.cached; hSec.idx.count()
-    val tSecSortIdx = bestOf2 {
+    val tSecSortIdx = timed3("micro_sql_secsort_idx_10x100") {
       var cur = 0L
       (0 until 10).foreach { _ =>
         val rows = hSec.toDF.filter(col("o_custkey") > cur)
@@ -1206,7 +1273,7 @@ object Bench {
         if (rows.nonEmpty) cur = rows.last.getLong(0)
       }
     }
-    val tSecSortScan = bestOf2 {
+    val tSecSortScan = timed3("micro_sql_secsort_scan_10x100") {
       var cur = 0L
       (0 until 10).foreach { _ =>
         val rows = cachedOrd.filter(col("o_custkey") > cur)

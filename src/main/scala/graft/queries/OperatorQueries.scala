@@ -2240,6 +2240,55 @@ object OperatorQueries {
         "c_custkey", "c_acctbal", "_change_type", "_commit_version")
     },
 
+    "ir_stream_table_feed_ts" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // TIMESTAMP-ADDRESSED catch-up: startingTimestamp resolves
+      // against the persisted per-version commit stamps (the same
+      // floor rule as TIMESTAMP AS OF) and the feed emits exactly the
+      // versions committed AT OR AFTER it — here the stamp of v4, so
+      // versions 4..6 flow and 1..3 (and the corpus) do not. A
+      // byte-bounded rate limit (maxBytesPerTrigger) splits the
+      // catch-up one version per batch — required in-lane — and the
+      // accumulated feed must equal the unlimited replay bit-for-bit.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_feedts").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_feedts")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).filter($"c_custkey" <= 120)
+        .select($"c_custkey", $"c_acctbal")
+        .createOrReplaceTempView("cat_feedts_src")
+      s.sql(s"""CREATE TABLE graft_cat_feedts USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_feedts_src""".stripMargin)
+      (1 to 3).foreach(i => s.sql(
+        s"UPDATE graft_cat_feedts SET c_acctbal = ${1000 + i} WHERE c_custkey = $i"))
+      Thread.sleep(30) // separate v3's and v4's commit stamps
+      (4 to 6).foreach(i => s.sql(
+        s"UPDATE graft_cat_feedts SET c_acctbal = ${1000 + i} WHERE c_custkey = $i"))
+      val ts = graft.sql.GraftBenchBridge.commitStamp(s, path, 4L)
+      val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Double, String, Long)]()
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.format("graft").option("path", path)
+        .option("startingTimestamp", ts.toString)
+        .option("maxBytesPerTrigger", "1").load()
+        .writeStream.foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            nBatches.incrementAndGet()
+            df.collect().foreach(r => rows.add((r.getLong(0),
+              r.getDouble(1), r.getString(2), r.getLong(3))))
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      require(nBatches.get() == 3,
+        s"a 1-byte budget must advance one version per batch " +
+          s"(3 expected, saw ${nBatches.get()})")
+      import scala.jdk.CollectionConverters._
+      rows.asScala.toSeq.toDF(
+        "c_custkey", "c_acctbal", "_change_type", "_commit_version")
+    },
+
     "ir_sql_catalog_zorder" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2279,6 +2328,42 @@ object OperatorQueries {
       require(kept < preParts,
         s"z-order zones kept $kept of $preParts partitions — no pruning")
       out
+    },
+
+    "ir_sql_catalog_zorder_values" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // OPTIMIZE ... ZORDER BY on VALUE columns of a SINGLE-KEY table:
+      // the primary cannot re-cluster by non-key columns (partition
+      // assignment must stay a pure key function), so the rewrite
+      // materializes a z-order SORT PROJECTION — the rows re-written
+      // parquet-partitioned by the Morton cell of the two columns'
+      // equal-depth bucket ranks — and box scans read only the
+      // intersecting cells' directories. Required in-lane: the box
+      // scan was served from the projection and kept FEWER than all
+      // 256 cells; the oracle proves the box semantics bit-for-bit.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_zvals").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_zvals")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.events(s, dir).select($"event_id", $"user_id", $"value")
+        .createOrReplaceTempView("cat_zvals_src")
+      s.sql(s"""CREATE TABLE graft_cat_zvals USING graft
+        |OPTIONS (key 'event_id', partitions '8') LOCATION '$path'
+        |AS SELECT * FROM cat_zvals_src""".stripMargin)
+      s.sql("OPTIMIZE graft_cat_zvals ZORDER BY (user_id, value)")
+      def box = s.sql(
+        """SELECT event_id, user_id, value FROM graft_cat_zvals
+          |WHERE user_id BETWEEN 2 AND 6
+          |AND value BETWEEN 50 AND 150""".stripMargin)
+      val n = box.count()
+      require(n > 0, "empty box — the lane is not probing anything")
+      val (kind, kept) = graft.sql.GraftBenchBridge.h1ScanInfo(s, path)
+      require(kind == "full_zproj",
+        s"the box scan was served as '$kind', not from the z projection")
+      require(kept > 0 && kept < 256,
+        s"z projection kept $kept of 256 cells — no pruning")
+      box
     },
 
     "ir_sql_catalog_evolve2" -> { (s, dir) =>
@@ -2322,6 +2407,45 @@ object OperatorQueries {
         "pre-evolution read leaked a post-evolution value")
       reopened.sql(
         "SELECT c_custkey, nat, balance FROM graft_cat_evolve2")
+    },
+
+    "ir_sql_catalog_automerge" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // WRITE-TIME AUTO-EVOLUTION (Delta's mergeSchema): an append
+      // whose source carries a NEW column auto-commits an additive
+      // ADD COLUMNS schema delta before the write — gated behind the
+      // writer option / session conf; ungated, the unknown column
+      // aborts LOUDLY (never silently dropped). Required in-lane: the
+      // ungated append aborts with nothing committed; the gated one
+      // evolves + lands; the read happens REOPENED so evolution and
+      // values replay from the durable log.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_automerge").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_automerge")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.customer(s, dir).filter($"c_custkey" <= 100)
+        .select($"c_custkey", $"c_acctbal")
+        .createOrReplaceTempView("cat_automerge_src")
+      s.sql(s"""CREATE TABLE graft_cat_automerge USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_automerge_src""".stripMargin)
+      val extra = Tables.customer(s, dir)
+        .filter($"c_custkey".between(50, 150))
+        .select($"c_custkey", ($"c_acctbal" + 1000).as("c_acctbal"),
+          ($"c_custkey" % 5).as("segment"))
+      val refused =
+        try { extra.write.format("graft").mode("append").save(path); false }
+        catch { case scala.util.control.NonFatal(_) => true }
+      require(refused,
+        "an append with an unknown column must abort without mergeSchema")
+      require(s.newSession().table("graft_cat_automerge")
+        .columns.toSeq == Seq("c_custkey", "c_acctbal"),
+        "the refused append must leave the schema untouched")
+      extra.write.format("graft").mode("append")
+        .option("mergeSchema", "true").save(path)
+      s.newSession().sql(
+        "SELECT c_custkey, c_acctbal, segment FROM graft_cat_automerge")
     },
 
     "ir_sql_catalog_txn" -> { (s, dir) =>
@@ -2403,6 +2527,9 @@ object OperatorQueries {
           |SET c_acctbal = ${1000 * i} + c_custkey
           |WHERE c_custkey % 12 = ${i % 12} AND c_custkey <= 100""".stripMargin)
       }
+      // fold maintenance runs off the statement path — drain it before
+      // asserting on the sidecars it leaves
+      graft.sql.GraftBenchBridge.awaitFolds()
       val folds = Option(new java.io.File(path).list()).toSeq.flatten
         .filter(_.startsWith("_tfold_"))
       require(folds.nonEmpty,
@@ -4124,6 +4251,14 @@ object OperatorQueries {
         |SELECT user_id, day, n_events, sum_value FROM agg
         |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
 
+    // the value-column z-order box — identical semantics to a plain
+    // filter (the lane differs only in HOW it reads: zb-partition-
+    // pruned directories of the sort projection)
+    "ir_sql_catalog_zorder_values" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id BETWEEN 2 AND 6
+        |AND value BETWEEN 50 AND 150""".stripMargin,
+
     // the post-evolution state: renamed balance carries v1's +1 then
     // v3's zero, widened nat carries the bigint-only value, c_name is
     // projected away
@@ -4162,6 +4297,25 @@ object OperatorQueries {
         |UNION ALL SELECT 999, 0.0
         |UNION ALL SELECT 1000, 5.0
         |UNION ALL SELECT 1001, 3.0""".stripMargin,
+
+    // the auto-evolved table: keys 50-150 carry the appended values
+    // and their new segment; 1-49 keep the base values with segment
+    // NULL (the pre-evolution rows read NULL in the added column)
+    "ir_sql_catalog_automerge" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey BETWEEN 50 AND 150 THEN c_acctbal + 1000
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey BETWEEN 50 AND 150 THEN c_custkey % 5
+        |       END AS segment
+        |FROM customer WHERE c_custkey <= 150""".stripMargin,
+
+    // the timestamp-addressed tail: versions 4..6 only (the stamp of
+    // v4 floors the start), each one single-key upsert
+    "ir_stream_table_feed_ts" ->
+      """SELECT c_custkey, CAST(1000 + c_custkey AS DOUBLE) AS c_acctbal,
+        |  'upsert' AS _change_type,
+        |  CAST(c_custkey AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey BETWEEN 4 AND 6""".stripMargin,
 
     // rate-limited catch-up accumulates the identical feed: snapshot
     // inserts + one upsert per single-key statement

@@ -1,0 +1,50 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Bench-only access to [[GraftTables]] internals (the object is
+ * `private[sql]`; the benchmark main lives in `graft`):
+ *  - raw delta commits, so deep-log fixtures (the 1000-commit reopen
+ *    lane) build through the REAL claimed-delta protocol without
+ *    paying 1000 SQL statement rewrites;
+ *  - the reopen-cost observability counters behind the
+ *    checkpoint-manifest gauges.
+ */
+object GraftBenchBridge {
+
+  /** One upsert delta through the full optimistic-commit path
+    * (stage → claim → promote → apply → fold maintenance). */
+  def commitUpsert(sp: SparkSession, path: String, up: DataFrame): Unit =
+    GraftTables.commitChange(sp, path, truncate = false, None, Some(up))
+
+  /** The persisted commit stamp (epoch millis) of table version `v`
+    * (> the first readable version) — lane fixtures aim their
+    * `startingTimestamp` with it. */
+  def commitStamp(sp: SparkSession, path: String, v: Long): Long = {
+    val first = GraftTables.tableFirstVersion(sp, path)
+    GraftTables.deltaTimes(sp, path)((v - first - 1).toInt)
+  }
+
+  /** (lastScanKind, lastZoneKept) of the table's live SINGLE-KEY
+    * handle — how its most recent scan was served and how many
+    * partitions/z-cells it kept (the value-z-order pruning gauge). */
+  def h1ScanInfo(sp: SparkSession, path: String): (String, Int) = {
+    val h = GraftTables.current(sp, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.Handle[_]]
+    (h.lastScanKind, h.lastZoneKept)
+  }
+
+  /** Drain the background fold-maintenance queue — the determinism
+    * barrier before asserting on fold/manifest state right after a
+    * commit burst. */
+  def awaitFolds(): Boolean = GraftTables.awaitFolds()
+
+  /** Per-version `_meta` reads paid by the most recent replay-cover
+    * computation (a cold reopen's metadata cost). */
+  def coverMetaReads: Int = GraftTables.lastCoverMetaReads
+
+  /** Whether the most recent replay cover was served by the
+    * checkpointed `_tmanifest` (vs the full listing walk). */
+  def coverUsedManifest: Boolean = GraftTables.lastCoverUsedManifest
+}

@@ -53,6 +53,11 @@ object GraftCatalogSink {
     val sp = batch.sparkSession
     if (GraftTables.txnAlreadyCommitted(sp, path, txnId, batchId))
       return // restart redelivery of an already-committed batch
+    // the auto-evolution gate streams share with batch writers: under
+    // spark.graft.schema.autoMerge, a batch carrying new columns first
+    // commits an additive ADD COLUMNS schema delta
+    if (GraftTables.autoMergeEnabled(sp))
+      GraftTables.autoEvolveFor(sp, path, batch.schema)
     val schema = GraftTables.current(sp, path)._2.schema
     GraftTables.commitChange(sp, path, truncate = false, None,
       Some(GraftTables.alignTo(batch, schema)), txn = Some((txnId, batchId)))

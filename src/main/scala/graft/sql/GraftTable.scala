@@ -103,8 +103,21 @@ class GraftTableProvider extends RelationProvider
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append if exists =>
         // append IS an upsert delta (keyed-store put semantics), so a
-        // writer-API append leaves the same replayable log as SQL DML
+        // writer-API append leaves the same replayable log as SQL DML.
+        // With mergeSchema (option or session conf — Delta's
+        // auto-evolution gate), extra source columns first commit an
+        // additive ADD COLUMNS schema delta; without it, the unknown
+        // column aborts loudly via the metadata guard.
+        if (GraftTables.autoMergeEnabled(sp, parameters))
+          GraftTables.autoEvolveFor(sp, path, data.schema)
         val schema = GraftTables.current(sp, path)._2.schema
+        val unknown = data.columns
+          .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(unknown.isEmpty,
+          s"append carries column(s) ${unknown.mkString(", ")} the graft " +
+            s"table at $path does not have — pass option mergeSchema=true " +
+            "(or set spark.graft.schema.autoMerge) to auto-ADD them, or " +
+            "ALTER TABLE first; nothing was committed")
         GraftTables.commitChange(sp, path, truncate = false, None,
           Some(GraftTables.alignTo(data, schema)))
       case SaveMode.Overwrite if exists =>
@@ -125,6 +138,46 @@ class GraftTableProvider extends RelationProvider
   * from disk. */
 private[sql] object GraftTables {
   import IndexedFrame.{CompositeHandle, CompositeNHandle, Handle}
+
+  // ------------------------------------------- object-store semantics
+  //
+  // THE one place that states what each durability primitive assumes
+  // of the store, and what happens when the store is weaker:
+  //
+  //  * COMMIT POINTS ride atomic CREATE-IF-ABSENT ([[conditionalCreate]]
+  //    — claims, the txn coordinator) and small-file CREATE (`_meta`).
+  //    Object stores provide these as conditional PUT (S3
+  //    If-None-Match, GCS x-goog-if-generation-match); deployments
+  //    with weaker stores plug a lock service into
+  //    [[conditionalCreate]].
+  //  * ACCELERATORS ride RENAME (fold sidecars, `_tmanifest`, the
+  //    `_tver`/`_txnhint_` markers, `_meta` finalization). A store
+  //    whose rename fails or won't clobber DEGRADES them: no fold =
+  //    raw-delta replay; no manifest = the listing walk; no hint =
+  //    derive from the log. Never corruption — GraftFaultSpec injects
+  //    exactly these failures.
+  //  * DATA PROMOTES (stage dir -> version dir) ride rename and FAIL
+  //    LOUDLY when refused — the statement aborts with nothing
+  //    committed (the `_meta` commit point never lands). On stores
+  //    where rename is O(data) copy, the claim window is heartbeated
+  //    so slow promotes are never mistaken for dead writers.
+  //  * REBASE (OPTIMIZE/VACUUM) swaps a complete sibling dir and
+  //    recovers a torn swap on the next read ([[recoverIfNeeded]]).
+
+  /** The put-if-absent primitive the commit protocol rides: create
+    * `p` carrying `bytes`, failing (false) if it already exists.
+    * Hadoop's `create(overwrite = false)` is atomic on HDFS/local and
+    * maps to conditional PUT on modern object-store connectors;
+    * deployments whose store lacks it substitute an external
+    * lock/CAS service here. */
+  private[sql] var conditionalCreate
+      : (FileSystem, Path, Array[Byte]) => Boolean =
+    (fs, p, bytes) =>
+      try {
+        val out = fs.create(p, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
 
   // ----------------------------------------------------------- handles
 
@@ -329,6 +382,7 @@ private[sql] object GraftTables {
     clearDeltas(sp, path)
     writeVersion(sp, path, 0L)
     writeFirstVersion(sp, path, 0L)
+    writeManifest(sp, path, Manifest(0L, 0L, 0L, Nil, Map.empty))
     val (fs, p) = fsOf(sp, path)
     skewCap.foreach(c =>
       graft.MarkerFile.writeLong(fs, new Path(p, "_skewcap"), c))
@@ -426,7 +480,10 @@ private[sql] object GraftTables {
       .getOrElse(0L)
     val (memoThrough, memoFence) = fenceMemo.get(key) match {
       case Some((t, f)) if t <= cur => (t, f)
-      case _ => (0L, 0L) // unexamined, or the path was re-created
+      case _ => // unexamined (or the path was re-created): seed the
+        // scan floor from the checkpointed manifest so a cold process
+        // never walks the whole log for the fence
+        readManifest(sp, path).map(m => (m.cv, m.fence)).getOrElse((0L, 0L))
     }
     var latest = math.max(hint, memoFence)
     val from = math.max(math.max(memoThrough, latest),
@@ -550,6 +607,7 @@ private[sql] object GraftTables {
     clearDeltas(sp, dstPath)
     writeVersion(sp, dstPath, 0L)
     writeFirstVersion(sp, dstPath, 0L)
+    writeManifest(sp, dstPath, Manifest(0L, 0L, 0L, Nil, Map.empty))
     val (fs, srcP) = fsOf(sp, srcPath)
     val dstP = new Path(dstPath)
     Seq("_indexnames", "_constraints", "_skewcap").foreach { f =>
@@ -611,6 +669,70 @@ private[sql] object GraftTables {
   /** Fold cadence K (0 disables). Mutable for tests. */
   private[sql] var foldEvery: Int = 10
 
+  /** Run fold maintenance ASYNCHRONOUSLY (default): the committing
+    * statement returns as soon as its own delta is committed, and the
+    * fold pass (a delta-sized Spark job + renames) runs on the shared
+    * background worker — no single unlucky writer's statement absorbs
+    * it. Folds are advisory, so a process crash before a queued pass
+    * loses nothing but acceleration. Mutable for tests. */
+  private[sql] var foldAsync: Boolean = true
+
+  /** Spec hook: called at the START of every background fold pass —
+    * tests install a blocking/throwing body to prove a stuck or
+    * crashed folder never blocks commits. */
+  private[sql] var foldPassHook: () => Unit = () => ()
+
+  private lazy val foldExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-fold-maintenance")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Paths with a fold pass already queued — rapid-fire commits
+    * COALESCE into one pass that covers everything committed by the
+    * time it runs. */
+  private val foldQueued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Fold maintenance for the table at `path`, off the statement's
+    * critical path when [[foldAsync]]. Never throws (folds are
+    * advisory and the triggering statement already committed). */
+  private def scheduleFold(sp: SparkSession, path: String, v: Long): Unit =
+    if (!foldAsync) {
+      try maybeFold(sp, path, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    } else {
+      val key = canonical(sp, path)
+      if (foldQueued.add(key)) {
+        foldExec.submit(new Runnable {
+          override def run(): Unit = {
+            foldQueued.remove(key)
+            try {
+              foldPassHook()
+              maybeFold(sp, path, diskVersion(sp, path))
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+        })
+        ()
+      }
+    }
+
+  /** Block until every QUEUED fold pass has finished — the
+    * determinism barrier for specs, driver lanes, and bench fixtures
+    * that assert on fold/manifest state right after a commit burst.
+    * Returns false if the drain timed out (a test left a blocking
+    * [[foldPassHook]] installed). */
+  private[sql] def awaitFolds(timeoutMillis: Long = 120000L): Boolean =
+    try {
+      foldExec.submit(new Runnable { override def run(): Unit = () })
+        .get(timeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+      true
+    } catch {
+      case _: java.util.concurrent.TimeoutException => false
+      case scala.util.control.NonFatal(_) => true
+    }
+
   private def foldDir(path: String, lo: Long, hi: Long): String =
     f"$path%s/_tfold_$lo%06d_$hi%06d"
 
@@ -655,6 +777,122 @@ private[sql] object GraftTables {
     }.sortBy(_.lo)
   }
 
+  // -------------------------------------------- checkpointed log manifest
+  //
+  // BOUNDED LISTINGS: folds made reopen REPLAY O(K log_K n) segments,
+  // but discovering the log still cost one `fs.listStatus` over every
+  // `_tdelta_`/`_tfold_` dir ever committed plus one `_meta` read per
+  // uncovered version — O(n) entries per reopen, the object-store
+  // bottleneck at 100k commits. The fix is Delta's `_last_checkpoint`
+  // shape: every fold pass rewrites ONE root `_tmanifest` file
+  // enumerating the live cover (committed folds, per-version commit
+  // records with stamps and feed fences) up to its cover version.
+  // Reopen then reads the manifest plus ONLY the (at most K-deep) tail
+  // of newer commits — zero directory listings, O(K log_K n) small
+  // reads total.
+  //
+  // The manifest is pure ACCELERATION, never truth: it is written
+  // AFTER the versions it describes committed (their `_meta` files
+  // remain the commit points), a torn/absent/stale manifest degrades
+  // to the full listing + per-version meta walk, and every base
+  // rewrite (create/CLONE/OPTIMIZE/VACUUM) installs a fresh one. A
+  // fold committed by a rival between manifest refreshes is simply
+  // invisible until the next pass — folds are advisory, so replay
+  // stays correct (just un-accelerated) on the raw deltas.
+
+  /** One version's commit record as the manifest carries it (the
+    * `_meta` fields plus the commit stamp and the feed-fence flag). */
+  private case class VerMeta(truncate: Boolean, hasDel: Boolean,
+      hasUp: Boolean, hasSchema: Boolean, stamp: Long, fence: Boolean) {
+    def meta: DeltaMeta = DeltaMeta(truncate, hasDel, hasUp, hasSchema)
+  }
+
+  /** The checkpointed log state at cover version `cv`: every committed
+    * fold, every version's commit record in `(first, cv]`, and the
+    * latest feed-fencing evolution at or below `cv` (0 = none). */
+  private case class Manifest(cv: Long, first: Long, fence: Long,
+      folds: Seq[Fold], metas: Map[Long, VerMeta])
+
+  private def writeManifest(sp: SparkSession, path: String,
+      m: Manifest): Unit = {
+    val (fs, p) = fsOf(sp, path)
+    val target = new Path(p, "_tmanifest")
+    val tmp = new Path(p, s"._tmanifest_${java.util.UUID.randomUUID()}")
+    val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
+    try {
+      out.writeInt(1) // format version
+      out.writeLong(m.cv); out.writeLong(m.first); out.writeLong(m.fence)
+      out.writeInt(m.folds.size)
+      m.folds.foreach { f =>
+        out.writeLong(f.lo); out.writeLong(f.hi)
+        out.writeBoolean(f.hasDel); out.writeBoolean(f.hasUp)
+      }
+      out.writeInt(m.metas.size)
+      m.metas.toSeq.sortBy(_._1).foreach { case (v, vm) =>
+        out.writeLong(v)
+        out.writeBoolean(vm.truncate); out.writeBoolean(vm.hasDel)
+        out.writeBoolean(vm.hasUp); out.writeBoolean(vm.hasSchema)
+        out.writeLong(vm.stamp); out.writeBoolean(vm.fence)
+      }
+    } finally out.close()
+    if (!fs.rename(tmp, target)) {
+      // rename-no-clobber store: briefly ABSENT (never partial) — the
+      // reader falls back to the full walk for that instant
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); () }
+    }
+  }
+
+  /** The manifest, validated against the live log: a torn file, a
+    * cover version beyond the committed log, or a first-version
+    * mismatch (a manifest predating a compaction swap) all read as
+    * None — callers then pay the full walk, never a wrong answer. */
+  private def readManifest(sp: SparkSession,
+      path: String): Option[Manifest] = {
+    val (fs, p) = fsOf(sp, path)
+    val f = new Path(p, "_tmanifest")
+    val parsed = try {
+      if (!fs.exists(f)) None
+      else {
+        val in = new java.io.ObjectInputStream(fs.open(f))
+        try {
+          require(in.readInt() == 1)
+          val cv = in.readLong(); val first = in.readLong()
+          val fence = in.readLong()
+          val folds = Seq.fill(in.readInt())(Fold(in.readLong(),
+            in.readLong(), in.readBoolean(), in.readBoolean()))
+          val metas = Seq.fill(in.readInt())(
+            (in.readLong(), VerMeta(in.readBoolean(), in.readBoolean(),
+              in.readBoolean(), in.readBoolean(), in.readLong(),
+              in.readBoolean()))).toMap
+          Some(Manifest(cv, first, fence, folds, metas))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    parsed.filter(m => m.first == tableFirstVersion(sp, path) &&
+      m.cv <= diskVersion(sp, path))
+  }
+
+  /** Every committed fold, preferring the manifest's enumeration (no
+    * directory listing) and falling back to the full
+    * [[listFolds]] scan when no valid manifest exists. */
+  private def knownFolds(sp: SparkSession, path: String,
+      man: Option[Manifest]): Seq[Fold] =
+    man.map(_.folds.sortBy(_.lo)).getOrElse(listFolds(sp, path))
+
+  /** One version's commit record: from the manifest when covered
+    * (zero I/O), else one `_meta` read. */
+  private def metaVia(sp: SparkSession, path: String,
+      man: Option[Manifest], v: Long): DeltaMeta =
+    man.flatMap(_.metas.get(v)).map(_.meta)
+      .getOrElse { lastCoverMetaReads += 1; readMeta(sp, path, v) }
+
+  /** Observability for the reopen-cost gauges: per-version `_meta`
+    * reads and whether a manifest served the last [[coverVersions]]
+    * walk (set there; read by Bench). */
+  @volatile private[sql] var lastCoverMetaReads: Int = 0
+  @volatile private[sql] var lastCoverUsedManifest: Boolean = false
+
   /** One replay segment: a raw delta (`ord` = its version) or a fold
     * (`ord` = the LAST covered version — cross-segment last-op
     * resolution orders by it). */
@@ -662,12 +900,23 @@ private[sql] object GraftTables {
       hasUp: Boolean)
 
   /** Cover `(first, v]` with the widest committed folds, raw deltas
-    * filling the gaps — the reopen replay plan. Metas are read ONLY
-    * for uncovered versions, so a folded log's reopen pays
-    * O(segments) small reads, not O(statements). */
+    * filling the gaps — the reopen replay plan. Fold discovery and the
+    * metas of manifest-covered versions come from the checkpointed
+    * manifest (ONE read, no listing); only the post-manifest tail —
+    * at most one fold cadence deep — pays per-version `_meta` reads.
+    * Total reopen metadata cost: O(K log_K n) reads, O(0) listings. */
   private def coverVersions(sp: SparkSession, path: String, first: Long,
       v: Long): Seq[Either[(Long, DeltaMeta), Fold]] = {
-    val foldsByLo = listFolds(sp, path)
+    val man = readManifest(sp, path)
+    lastCoverUsedManifest = man.isDefined
+    coverVersionsWith(sp, path, first, v, knownFolds(sp, path, man), man)
+  }
+
+  private def coverVersionsWith(sp: SparkSession, path: String,
+      first: Long, v: Long, folds: Seq[Fold], man: Option[Manifest])
+      : Seq[Either[(Long, DeltaMeta), Fold]] = {
+    lastCoverMetaReads = 0
+    val foldsByLo = folds
       .filter(f => f.lo > first && f.hi <= v)
       .groupBy(_.lo).map { case (lo, fs) => lo -> fs.maxBy(_.hi) }
     val items = scala.collection.mutable.ArrayBuffer
@@ -676,7 +925,7 @@ private[sql] object GraftTables {
     while (i <= v) {
       foldsByLo.get(i) match {
         case Some(f) => items += Right(f); i = f.hi + 1
-        case None => items += Left((i, readMeta(sp, path, i))); i += 1
+        case None => items += Left((i, metaVia(sp, path, man, i))); i += 1
       }
     }
     items.toSeq
@@ -695,7 +944,9 @@ private[sql] object GraftTables {
     val k = foldEvery
     if (k <= 1) return
     val first = tableFirstVersion(sp, path)
-    val items = coverVersions(sp, path, first, v)
+    val man = readManifest(sp, path)
+    var known = knownFolds(sp, path, man)
+    val items = coverVersionsWith(sp, path, first, v, known, man)
     // the last fence among the items bounds every foldable range
     val lastFence = items.collect {
       case Left((i, m)) if !m.plain => i }.maxOption.getOrElse(first)
@@ -711,15 +962,22 @@ private[sql] object GraftTables {
     val (cv, h) = current(sp, path)
     if (cv > v && (v + 1 to cv).exists(i => readMeta(sp, path, i).hasSchema))
       return
+    // a created (or rival-discovered) fold joins the known set — the
+    // tiering cover and the trailing manifest refresh both ride it
+    def attempt(lo: Long, hi: Long, segs: Seq[Seg]): Boolean =
+      createFold(sp, path, lo, hi, segs, h.schema, h.keyCols) match {
+        case Some(f) if !known.exists(g => g.lo == f.lo && g.hi == f.hi) =>
+          known :+= f; true
+        case _ => false
+      }
     // level 0: chunk maximal raw-plain runs after the fence
     val run = scala.collection.mutable.ArrayBuffer.empty[(Long, DeltaMeta)]
     def flushRun(): Unit = {
       while (run.length >= k) {
         val chunk = run.take(k).toSeq
-        createFold(sp, path, chunk.head._1, chunk.last._1,
+        attempt(chunk.head._1, chunk.last._1,
           chunk.map { case (i, m) =>
-            Seg(i, deltaDir(path, i), m.hasDel, m.hasUp) },
-          h.schema, h.keyCols)
+            Seg(i, deltaDir(path, i), m.hasDel, m.hasUp) })
         run.remove(0, k)
       }
       run.clear()
@@ -736,7 +994,7 @@ private[sql] object GraftTables {
     var merged = true
     while (merged) {
       merged = false
-      val byLo = listFolds(sp, path)
+      val byLo = known
         .filter(f => f.lo > lastFence && f.hi <= v)
         .groupBy(_.lo).map { case (lo, fs) => lo -> fs.maxBy(_.hi) }
       val cover = scala.collection.mutable.ArrayBuffer.empty[Fold]
@@ -753,30 +1011,66 @@ private[sql] object GraftTables {
         else { runs.clear(); runs += f }
         if (runs.length == k) {
           val members = runs.toSeq
-          merged = createFold(sp, path, members.head.lo, members.last.hi,
+          merged = attempt(members.head.lo, members.last.hi,
             members.map(m =>
-              Seg(m.hi, foldDir(path, m.lo, m.hi), m.hasDel, m.hasUp)),
-            h.schema, h.keyCols)
+              Seg(m.hi, foldDir(path, m.lo, m.hi), m.hasDel, m.hasUp)))
           runs.clear()
         }
       }
     }
+    // checkpoint the log state this pass established — the next
+    // reopen/fold pass reads it instead of listing the directory
+    refreshManifest(sp, path, v, first, man, known)
+  }
+
+  /** Rewrite `_tmanifest` to cover version `v`: carry the prior
+    * manifest's per-version records, read ONLY the uncovered tail's
+    * metas (+ their feed-fence markers — at most one fold cadence
+    * deep, or the whole log once for a legacy table's migration), and
+    * enumerate the known folds. Skipped when a rival already
+    * checkpointed at or past `v` — never regress the cover. */
+  private def refreshManifest(sp: SparkSession, path: String, v: Long,
+      first: Long, prior: Option[Manifest], folds: Seq[Fold]): Unit = {
+    if (prior.exists(_.cv >= v)) return
+    val (fs, _) = fsOf(sp, path)
+    val base = prior.map(_.metas.filter { case (i, _) => i > first && i <= v })
+      .getOrElse(Map.empty[Long, VerMeta])
+    val from = math.max(prior.map(_.cv).getOrElse(first), first) + 1
+    val tail = (from to v).map { i =>
+      val dir = deltaDir(path, i)
+      val m = readMetaRec(fs, dir)
+      val fence = m.hasSchema && fs.exists(new Path(dir, "_feedfence"))
+      i -> VerMeta(m.truncate, m.hasDel, m.hasUp, m.hasSchema, m.stamp,
+        fence)
+    }.toMap
+    val metas = base ++ tail
+    val fence = math.max(prior.map(_.fence).getOrElse(0L),
+      tail.collect { case (i, vm) if vm.fence => i }
+        .maxOption.getOrElse(0L))
+    writeManifest(sp, path,
+      Manifest(v, first, fence, folds.filter(_.hi <= v).distinct, metas))
   }
 
   /** Write the pre-merged change sets of `segs` as fold `[lo, hi]`:
     * staged under a `_tfoldtmp_` sibling (complete with `_meta`),
     * then RENAMED into place — the fold appears atomically or not at
     * all, and a rename that loses to a rival folder just discards the
-    * duplicate work (fold content is deterministic). */
+    * duplicate work (fold content is deterministic). Returns the fold
+    * now committed at `[lo, hi]` — ours, or a rival's that already
+    * existed / won the rename (ADOPTED so the caller's manifest
+    * enumerates it) — or None when the range carries no change rows. */
   private def createFold(sp: SparkSession, path: String, lo: Long, hi: Long,
-      segs: Seq[Seg], schema: StructType, keyCols: Seq[String]): Boolean = {
+      segs: Seq[Seg], schema: StructType,
+      keyCols: Seq[String]): Option[Fold] = {
     val (fs, p) = fsOf(sp, path)
     val target = new Path(foldDir(path, lo, hi))
-    if (fs.exists(target)) return false
+    def committed: Option[Fold] =
+      readFoldMeta(fs, target).map { case (d, u) => Fold(lo, hi, d, u) }
+    if (fs.exists(target)) return committed
     val anyDel = segs.exists(_.hasDel)
     val anyUp = segs.exists(_.hasUp)
-    if (!anyDel && !anyUp) return false
-    lastOpFrame(sp, schema, keyCols, segs).exists { last =>
+    if (!anyDel && !anyUp) return None
+    lastOpFrame(sp, schema, keyCols, segs).flatMap { last =>
       val tmp = new Path(p, s"_tfoldtmp_${java.util.UUID.randomUUID()}")
       try {
         if (anyDel)
@@ -787,7 +1081,8 @@ private[sql] object GraftTables {
             .select(schema.fieldNames.map(col).toIndexedSeq: _*))
             .write.mode("overwrite").parquet(s"$tmp/up")
         writeFoldMeta(fs, tmp, anyDel, anyUp)
-        fs.rename(tmp, target) || { fs.delete(tmp, true); false }
+        if (fs.rename(tmp, target)) Some(Fold(lo, hi, anyDel, anyUp))
+        else { fs.delete(tmp, true); committed }
       } catch {
         case scala.util.control.NonFatal(e) =>
           try { fs.delete(tmp, true); () }
@@ -815,13 +1110,17 @@ private[sql] object GraftTables {
 
   /** Advance the `_tver` hint (atomic tmp+rename write; never moves it
     * backwards — a slow rival finishing an EARLIER version after this
-    * one must not regress the pointer). */
-  private def writeVersion(sp: SparkSession, path: String, v: Long): Unit = {
-    val (fs, p) = fsOf(sp, path)
-    val vf = new Path(p, "_tver")
-    if (graft.MarkerFile.readLong(fs, vf).forall(_ < v))
-      graft.MarkerFile.writeLong(fs, vf, v)
-  }
+    * one must not regress the pointer). Best-effort: the hint is pure
+    * acceleration (the [[diskVersion]] walk over commit metas is the
+    * truth), so a store refusing the marker rename must not fail a
+    * statement whose commit point already landed. */
+  private def writeVersion(sp: SparkSession, path: String, v: Long): Unit =
+    try {
+      val (fs, p) = fsOf(sp, path)
+      val vf = new Path(p, "_tver")
+      if (graft.MarkerFile.readLong(fs, vf).forall(_ < v))
+        graft.MarkerFile.writeLong(fs, vf, v)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Oldest READABLE version (Delta semantics: version numbers never
     * renumber — OPTIMIZE/VACUUM rebase the base save onto a later
@@ -858,7 +1157,8 @@ private[sql] object GraftTables {
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("_tdelta_") || n.startsWith("_tfold") ||
-          n.startsWith("_tstage_") || n.startsWith("_tgrave_"))
+          n.startsWith("_tstage_") || n.startsWith("_tgrave_") ||
+          n.startsWith("_tproj") || n == "_tmanifest")
         fs.delete(st.getPath, true)
     }
   }
@@ -881,7 +1181,7 @@ private[sql] object GraftTables {
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       val orphan = n.startsWith("_tstage_") || n.startsWith("_tfoldtmp_") ||
-        n.startsWith("_tgrave_")
+        n.startsWith("_tgrave_") || n.startsWith("_tprojtmp_")
       if (orphan && now - st.getModificationTime > orphanSweepAgeMillis) {
         try { fs.delete(st.getPath, true); () }
         catch { case scala.util.control.NonFatal(_) => () }
@@ -1193,6 +1493,14 @@ private[sql] object GraftTables {
       // re-derives the manifest's indexes so reopened tables keep
       // routing — historical versions read plain
       if (v == dv && v > first && !incremental) reapplyIndexes(sp, path, h)
+      // a persisted z-order sort projection re-attaches ONLY when it
+      // reflects exactly this (current) version — any DML since it was
+      // built leaves it stale and the read falls back to the primary
+      if (v == dv) readZProjMeta(sp, path).foreach { case (pv, info) =>
+        if (pv == v)
+          h.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
+            .attachZProjection(info)
+      }
       h
     })
   }
@@ -1235,14 +1543,27 @@ private[sql] object GraftTables {
       "_t(?:delta_|fold_[0-9]+_)0*([0-9]+)", 1).cast("long").as("__v")
     val upPaths = segs.filter(_.hasUp).map(s => s"${s.dir}/up")
     val delPaths = segs.filter(_.hasDel).map(s => s"${s.dir}/del")
+    // EXPLICIT read schemas (all-nullable), exactly as the change feed
+    // reads: a run's files can carry FEWER columns than the run's
+    // table schema — a statement STAGED before an additive evolution
+    // commits after it, and its file lacks the added column. An
+    // inferred multi-path schema would pick one file's shape and
+    // NULL-fill that column for EVERY file in the run; the explicit
+    // schema keeps it per-file-exact (absent columns read NULL, the
+    // pre-evolution writer contract).
+    val upReadSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    val delReadSchema =
+      StructType(keySchema.fields.map(_.copy(nullable = true)))
     val parts: Seq[DataFrame] =
       (if (delPaths.isEmpty) Nil
-       else Seq(alignTo(sp.read.parquet(delPaths: _*), keySchema)
+       else Seq(alignTo(
+         sp.read.schema(delReadSchema).parquet(delPaths: _*), keySchema)
          .select((keyCols.map(col) ++ nonKeys.map(c =>
            lit(null).cast(schema(c).dataType).as(c))) ++
            Seq(verCol, lit(true).as("__del")): _*))) ++
       (if (upPaths.isEmpty) Nil
-       else Seq(alignTo(sp.read.parquet(upPaths: _*), schema)
+       else Seq(alignTo(
+         sp.read.schema(upReadSchema).parquet(upPaths: _*), schema)
          .select(schema.fieldNames.map(col).toSeq ++
            Seq(verCol, lit(false).as("__del")): _*)))
     if (parts.isEmpty) return None
@@ -1508,16 +1829,17 @@ private[sql] object GraftTables {
     baseStamp +: dts
   }
 
-  /** Commit millis of each delta (version 1..current), from the delta
-    * metas; version 0 (the base) shares the first commit's stamp like
-    * the in-session chain seed. */
+  /** Commit millis of each delta (version 1..current), from the
+    * checkpointed manifest where covered (one read) with per-version
+    * `_meta` reads only for the post-manifest tail; version 0 (the
+    * base) shares the first commit's stamp like the in-session chain
+    * seed. */
   private[sql] def deltaTimes(sp: SparkSession, path: String): Seq[Long] = {
     val (fs, _) = fsOf(sp, path)
+    val man = readManifest(sp, path)
     (tableFirstVersion(sp, path) + 1 to diskVersion(sp, path)).map { v =>
-      val in = new java.io.ObjectInputStream(
-        fs.open(new Path(deltaDir(path, v), "_meta")))
-      try { in.readBoolean(); in.readBoolean(); in.readBoolean(); in.readLong() }
-      finally in.close()
+      man.flatMap(_.metas.get(v)).map(_.stamp)
+        .getOrElse(readMetaRec(fs, deltaDir(path, v)).stamp)
     }
   }
 
@@ -1550,15 +1872,11 @@ private[sql] object GraftTables {
     val (fs, _) = fsOf(sp, path)
     val dir = new Path(deltaDir(path, v))
     fs.mkdirs(dir)
-    try {
-      val out = fs.create(new Path(dir, "_claim"), false)
-      // content lands after the atomic create; a reader seeing the
-      // torn in-between state falls back to the file's mtime
-      try out.write(s"$writerId:${System.currentTimeMillis()}".getBytes(
+    // content lands with/after the atomic create; a reader seeing a
+    // torn in-between state falls back to the file's mtime
+    conditionalCreate(fs, new Path(dir, "_claim"),
+      s"$writerId:${System.currentTimeMillis()}".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
   }
 
   /** Spec convenience: claim under a fresh anonymous writer id. */
@@ -1698,13 +2016,9 @@ private[sql] object GraftTables {
     val stealId = "steal-" + java.util.UUID.randomUUID()
     try { fs.delete(new Path(dir, "_claim"), false); () }
     catch { case _: java.io.IOException => () }
-    val took = try {
-      val out = fs.create(new Path(dir, "_claim"), false)
-      try out.write(s"$stealId:${System.currentTimeMillis()}".getBytes(
+    val took = conditionalCreate(fs, new Path(dir, "_claim"),
+      s"$stealId:${System.currentTimeMillis()}".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
     if (!took || !claimInfo(fs, dir).exists(_._1 == stealId)) return false
     // one grace beat for an in-flight `_meta` write that passed its
     // pre-write ownership check before our claim takeover landed —
@@ -1961,11 +2275,13 @@ private[sql] object GraftTables {
           promoteStage(sp, path, writerId, stage, next, truncate,
             del.isDefined, up.isDefined, txn)
           // advance the scan-bound hint (value = the TABLE version of
-          // this app's commit); a crash before this line only widens
-          // the next lastTxnVersion scan, never loses the tag
+          // this app's commit); a crash — or a store refusing the
+          // marker rename — before/at this line only widens the next
+          // lastTxnVersion scan, never loses the tag
           txn.foreach { case (app, _) =>
-            graft.MarkerFile.writeLong(fs,
-              new Path(path, s"_txnhint_${safeApp(app)}"), next) }
+            try graft.MarkerFile.writeLong(fs,
+              new Path(path, s"_txnhint_${safeApp(app)}"), next)
+            catch { case scala.util.control.NonFatal(_) => () } }
           val h2 = applyDelta(sp, h, path, next)
           // DML maintains the manifest's indexes — incrementally: the
           // statement's own change sets apply to the previous
@@ -1976,11 +2292,11 @@ private[sql] object GraftTables {
           cacheOf(sp).put(canonical(sp, path), (next, h2))
           // opportunistic fold maintenance every K-th commit — the
           // amortized cost that keeps every later reopen bounded.
-          // Best-effort: folds are advisory and this statement has
-          // already committed, so a fold failure must not fail it.
+          // Best-effort AND (by default) asynchronous: folds are
+          // advisory, this statement has already committed, and the
+          // fold job must neither fail it nor stretch its latency.
           if (foldEvery > 1 && next % foldEvery == 0)
-            try maybeFold(sp, path, next)
-            catch { case scala.util.control.NonFatal(_) => () }
+            scheduleFold(sp, path, next)
           return
         }
         attempt += 1
@@ -2142,11 +2458,11 @@ private[sql] object GraftTables {
                     hasDel, hasUp)
                   cacheOf(sp).put(canonical(sp, path), (v, h2))
                   txn.foreach { case (app, _) =>
-                    graft.MarkerFile.writeLong(fs,
-                      new Path(path, s"_txnhint_${safeApp(app)}"), v) }
+                    try graft.MarkerFile.writeLong(fs,
+                      new Path(path, s"_txnhint_${safeApp(app)}"), v)
+                    catch { case scala.util.control.NonFatal(_) => () } }
                   if (foldEvery > 1 && v % foldEvery == 0)
-                    try maybeFold(sp, path, v)
-                    catch { case scala.util.control.NonFatal(_) => () }
+                    scheduleFold(sp, path, v)
               }
               // nothing references the coordinator once every meta is
               // final; if a finalize rename declined (no-clobber
@@ -2209,6 +2525,57 @@ private[sql] object GraftTables {
     }
     -1L // unreachable
   }
+
+  /** Is write-time additive schema evolution on — Delta's
+    * `mergeSchema` writer option / `autoMerge` session conf shape:
+    * the per-write option wins; otherwise the session conf
+    * `spark.graft.schema.autoMerge` (default false). */
+  private[sql] def autoMergeEnabled(sp: SparkSession,
+      parameters: Map[String, String] = Map.empty): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("mergeSchema") => v.toBoolean
+    }.getOrElse(
+      sp.conf.getOption("spark.graft.schema.autoMerge").exists(_.toBoolean))
+
+  /** Write-time AUTO-EVOLUTION (additive only): ADD COLUMNS for every
+    * nullable-addable source column the table lacks, as one ordinary
+    * schema delta under the claim protocol — so the write that follows
+    * aligns exactly and a racing rival sees a normal evolution commit.
+    * Renames, drops, and type changes stay explicit ALTERs (a name
+    * mismatch is indistinguishable from a typo — Delta draws the same
+    * line). No-op when the source carries no new columns. */
+  private[sql] def autoEvolveFor(sp: SparkSession, path: String,
+      src: StructType): Unit = {
+    val h = current(sp, path)._2
+    val have = h.schema.fieldNames.map(_.toLowerCase).toSet
+    val extra = src.fields.filterNot(f => have(f.name.toLowerCase))
+    if (extra.nonEmpty) {
+      addColumns(sp, path, extra.toSeq.map(f => f.name -> f.dataType))
+      syncCatalogSchema(sp, path)
+    }
+  }
+
+  /** After a writer-API/sink auto-evolution (which knows only the
+    * LOCATION): re-point any session-catalog table registered at this
+    * location at the evolved schema — resolution trusts the stored
+    * catalog schema, and a stale one fails the next lookup with a
+    * schema-mismatch analysis error. Best-effort: path-only tables
+    * have nothing to sync. */
+  private def syncCatalogSchema(sp: SparkSession, path: String): Unit =
+    try {
+      val cat = sp.sessionState.catalog
+      val key = canonical(sp, path)
+      cat.listTables(cat.getCurrentDatabase).foreach { ident =>
+        try {
+          val ct = cat.getTableMetadata(ident)
+          if (ct.provider.exists(_.equalsIgnoreCase("graft")) &&
+              canonical(sp, ct.location.toString) == key) {
+            cat.alterTable(ct.copy(schema = current(sp, path)._2.schema))
+            cat.refreshTable(ident)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** One `ALTER TABLE` evolution verb beyond additive ADD COLUMNS
     * (phase-2 evolution: each is a METADATA commit — a schema delta
@@ -2346,20 +2713,112 @@ private[sql] object GraftTables {
     if (v == firstBefore && zorder.isEmpty)
       return (0L, h.idxAny.count(), h.idxAny.partitions.length,
         depthBefore, depthBefore)
-    rebase(sp, path, v, zorderTransform(zorder))
-    // record the z-order zones in the index manifest so DML keeps
-    // maintaining them and a reopened session re-derives on demand
-    zorder.foreach { case (x, y) =>
+    // TWO z-order forms: exactly the 2-column composite KEY -> the
+    // Morton repartition of the primary (key routing preserved BY the
+    // layout — the partitioner stays a pure key function); any other
+    // column pair -> the value-column SORT PROJECTION (the primary is
+    // compacted unchanged; see [[ZProjection]]). Mixing one key and
+    // one value column is refused — neither form can serve it.
+    val projCols: Option[(String, String)] = zorder.flatMap { case (x, y) =>
+      if (h.keyCols.toSet == Set(x, y)) None
+      else {
+        require(x != y, s"ZORDER BY names the same column twice: $x")
+        Seq(x, y).foreach { c =>
+          require(h.schema.fieldNames.contains(c),
+            s"ZORDER BY: no column '$c' in " +
+              h.schema.fieldNames.mkString(", "))
+          require(!h.keyCols.contains(c),
+            s"ZORDER BY mixes key column '$c' with a value column — " +
+              "name exactly the composite key columns (Morton layout) " +
+              "or only value columns (sort projection)")
+          require(h.schema(c).dataType.isInstanceOf[
+            org.apache.spark.sql.types.NumericType],
+            s"ZORDER BY value column '$c' must be numeric (got " +
+              s"${h.schema(c).dataType.catalogString})")
+        }
+        Some((x, y))
+      }
+    }
+    val mortonZ = if (projCols.isEmpty) zorder else None
+    rebase(sp, path, v, zorderTransform(mortonZ))
+    // record the Morton z-order zones in the index manifest so DML
+    // keeps maintaining them and a reopened session re-derives
+    mortonZ.foreach { case (x, y) =>
       val entries = readIndexManifest(sp, path)
       if (!entries.exists(_._2 == "zonemap"))
         writeIndexManifest(sp, path,
           entries :+ (("zorder_zones", "zonemap", List(x, y))))
     }
     val reloaded = loadBase(sp, path)
+    // the value-column form: materialize the sort projection of the
+    // freshly compacted content and attach it to the live handle (a
+    // reopened session re-attaches from the persisted meta)
+    projCols.foreach { case (x, y) =>
+      val info = writeZProjection(sp, path, reloaded, x, y, v)
+      reloaded.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
+        .attachZProjection(info)
+    }
     cacheOf(sp).put(canonical(sp, path), (v, reloaded))
     (v - firstBefore, reloaded.idxAny.count(),
       reloaded.idxAny.partitions.length,
       depthBefore, reloaded.idxAny.lineageDepth)
+  }
+
+  private def zProjDir(path: String): String = s"$path/_tproj_zorder"
+
+  /** Materialize the z-order SORT PROJECTION of `h` (the content at
+    * version `v`): one corpus re-write parquet-partitioned by the
+    * Morton cell of the two columns' equal-depth bucket ranks, plus
+    * the `_tprojmeta` sidecar (version + bucket edges) the read path
+    * and reopens validate against. */
+  private def writeZProjection(sp: SparkSession, path: String,
+      h: TableHandle, x: String, y: String,
+      v: Long): ZProjection.ZProjInfo = {
+    val (fs, p) = fsOf(sp, path)
+    val df = h.toDF(sp)
+    val nb = ZProjection.BucketsPerDim
+    val qs = (1 until nb).map(_.toDouble / nb).toArray
+    def edges(c: String): Array[Double] =
+      df.select(col(c).cast("double").as("v")).na.drop()
+        .stat.approxQuantile("v", qs, 0.001).distinct.sorted
+    val (bA, bB) = (edges(x), edges(y))
+    val target = new Path(zProjDir(path))
+    val tmp = new Path(p, s"_tprojtmp_${java.util.UUID.randomUUID()}")
+    df.withColumn("zb", ZProjection.zbCol(col(x), bA, col(y), bB))
+      .write.partitionBy("zb").mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"z-projection promote rename failed for $path")
+    val out = new java.io.ObjectOutputStream(
+      fs.create(new Path(p, "_tprojmeta"), true))
+    try {
+      out.writeLong(v)
+      out.writeObject(x); out.writeObject(y)
+      out.writeObject(bA); out.writeObject(bB)
+    } finally out.close()
+    ZProjection.ZProjInfo(target.toString, x, y, bA, bB)
+  }
+
+  /** The persisted projection meta: (version it reflects, info).
+    * None when absent/torn/headless. */
+  private def readZProjMeta(sp: SparkSession,
+      path: String): Option[(Long, ZProjection.ZProjInfo)] = {
+    val (fs, p) = fsOf(sp, path)
+    val f = new Path(p, "_tprojmeta")
+    try {
+      if (!fs.exists(f) || !fs.exists(new Path(zProjDir(path)))) None
+      else {
+        val in = new java.io.ObjectInputStream(fs.open(f))
+        try {
+          val pv = in.readLong()
+          val x = in.readObject().asInstanceOf[String]
+          val y = in.readObject().asInstanceOf[String]
+          val bA = in.readObject().asInstanceOf[Array[Double]]
+          val bB = in.readObject().asInstanceOf[Array[Double]]
+          Some((pv, ZProjection.ZProjInfo(zProjDir(path), x, y, bA, bB)))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The base-rewrite transform behind `OPTIMIZE t ZORDER BY (x, y)`:
@@ -2565,7 +3024,9 @@ private[sql] object GraftTables {
     // committed fold sidecars covering only RETAINED versions ride the
     // swap too; folds that reach into the folded-away history drop
     // with it (replay over the retained tail re-creates them)
-    listFolds(sp, path).filter(f => f.lo > target && f.hi <= dv).foreach { f =>
+    val keptFolds = listFolds(sp, path)
+      .filter(f => f.lo > target && f.hi <= dv)
+    keptFolds.foreach { f =>
       val d = new Path(foldDir(path, f.lo, f.hi))
       if (fs.exists(d))
         org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
@@ -2573,6 +3034,21 @@ private[sql] object GraftTables {
     }
     writeVersion(sp, tmp.toString, dv)
     writeFirstVersion(sp, tmp.toString, target)
+    // a FRESH checkpoint manifest for the rebased log (the old one
+    // described dropped versions and must not ride the swap): retained
+    // versions' commit records read from the pre-swap log
+    val keptMetas = (target + 1 to dv).map { i =>
+      val dir = deltaDir(path, i)
+      val m = readMetaRec(fs, dir)
+      i -> VerMeta(m.truncate, m.hasDel, m.hasUp, m.hasSchema, m.stamp,
+        m.hasSchema && fs.exists(new Path(dir, "_feedfence")))
+    }.toMap
+    val keptFence = math.max(
+      latestFeedFence(sp, path).getOrElse(0L),
+      keptMetas.collect { case (i, vm) if vm.fence => i }
+        .maxOption.getOrElse(0L))
+    writeManifest(sp, tmp.toString,
+      Manifest(dv, target, keptFence, keptFolds, keptMetas))
     // the rebased version keeps its ORIGINAL commit stamp, so
     // TIMESTAMP AS OF times inside the folded history still floor to
     // it (the stamp is read pre-swap from the about-to-fold log)

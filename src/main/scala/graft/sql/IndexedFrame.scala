@@ -1867,6 +1867,18 @@ object IndexedFrame {
     @transient @volatile var lastZoneKept: Int = -1
     private[sql] def setZoneKept(n: Int): Unit = { lastZoneKept = n }
 
+    /** The z-order SORT PROJECTION valid for exactly this snapshot
+      * (see [[ZProjection]]) — attached by OPTIMIZE ... ZORDER BY on
+      * value columns and by the catalog load when the persisted
+      * projection's version matches; absent on every handle DML
+      * produces, so a stale projection can never serve. */
+    @transient @volatile private var zProjInfo
+        : Option[ZProjection.ZProjInfo] = None
+    private[sql] def attachZProjection(p: ZProjection.ZProjInfo): Unit = {
+      zProjInfo = Some(p)
+    }
+    private[sql] def zProjection: Option[ZProjection.ZProjInfo] = zProjInfo
+
     /** (enabled columns, their zone arrays) — the persistence snapshot
       * (zones are driver-side min/max pairs, a few bytes/partition). */
     private[sql] def zoneSnapshot: (Set[String], Map[String, Array[Zone]]) =
@@ -6442,18 +6454,42 @@ object IndexedFrame {
           sqlContext.sparkContext.parallelize(hit.toIndexedSeq, 1)
         } else {
           h.lastPointLookupKeys = -1
-          // no key predicate: zone maps may still skip partitions on a
-          // pushed VALUE comparison (Spark re-applies the filter above,
-          // so the kept set only needs to be a superset of matches)
-          h.zoneKeeps(filters) match {
-            case Some(keep) =>
-              h.lastScanKind = "full_zone"
-              h.lastZoneKept = keep.count(identity)
-              org.apache.spark.rdd.PartitionPruningRDD.create(
-                h.idx.map(_._2), keep(_))
-            case None =>
-              h.lastScanKind = "full"
-              h.idx.map(_._2)
+          // no key predicate. Preference order for the full lane:
+          // the z-order SORT PROJECTION when one is attached and the
+          // pushed filters box its columns (reads only the zb
+          // directories whose Morton cell intersects the box — the
+          // value-column ZORDER read path), then zone maps (partition
+          // skipping on the primary), then the plain scan. Spark
+          // re-applies every filter above, so each is a sound
+          // superset read.
+          val zserve = h.zProjection.flatMap(info =>
+            ZProjection.zbSetFor(filters, info).map(zbs => (info, zbs)))
+          zserve match {
+            case Some((info, zbs)) =>
+              h.lastScanKind = "full_zproj"
+              h.lastZoneKept = zbs.size
+              if (zbs.isEmpty)
+                sqlContext.sparkContext.emptyRDD[InternalRow]
+              else {
+                val base = sqlContext.sparkSession.read.parquet(info.dir)
+                  .where(org.apache.spark.sql.functions.col("zb")
+                    .isin(zbs.map(Int.box): _*))
+                val filtered = ZProjection.residualFilter(filters, info)
+                  .map(base.where).getOrElse(base)
+                filtered.select(h.schema.fieldNames.toIndexedSeq.map(
+                  org.apache.spark.sql.functions.col): _*)
+                  .queryExecution.toRdd
+              }
+            case None => h.zoneKeeps(filters) match {
+              case Some(keep) =>
+                h.lastScanKind = "full_zone"
+                h.lastZoneKept = keep.count(identity)
+                org.apache.spark.rdd.PartitionPruningRDD.create(
+                  h.idx.map(_._2), keep(_))
+              case None =>
+                h.lastScanKind = "full"
+                h.idx.map(_._2)
+            }
           }
         }
       // prune columns with one reused per-partition projection; rows are

@@ -1,0 +1,149 @@
+package graft.sql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright, when}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+
+/**
+ * Z-ORDER SORT PROJECTION — `OPTIMIZE t ZORDER BY (x, y)` on VALUE
+ * columns (C-Store/Vertica's sort projection; the effect of Delta's
+ * ZORDER). A keyed store CANNOT re-cluster its primary by non-key
+ * columns: partition assignment must stay a pure key function or
+ * point routing and one-sided COW shuffles break. So the value-column
+ * form materializes a READ PROJECTION instead: the same rows
+ * re-written as parquet directory-partitioned by `zb` — the Morton
+ * interleave of the two columns' EQUAL-DEPTH bucket ranks (16 buckets
+ * per dimension from approx-quantiles, 256 z cells). A full-lane scan
+ * whose pushed filters box x and/or y reads only the `zb=` directories
+ * whose cell intersects the box (Catalyst partition pruning does the
+ * file skipping, parquet row-group stats skip inside them); point
+ * lanes, joins, and DML keep the key-routed primary.
+ *
+ * Rank-space z-ordering (buckets from quantiles, not raw bit
+ * interleave of values) is what Delta does too: it makes the cells
+ * EQUAL-POPULATION, so skew in either dimension cannot collapse the
+ * curve into a handful of giant cells.
+ *
+ * The projection is valid for EXACTLY the table version it was built
+ * at: DML produces new handles without it (scans fall back to the
+ * primary — correct, just unpruned) and the next `OPTIMIZE ... ZORDER
+ * BY` rebuilds it. NULLs in either dimension sit in that dimension's
+ * bucket 0: a query constraining the OTHER dimension still reads
+ * them; a comparison on the null's own dimension can never match, so
+ * excluding them when that dimension's bucket range starts above 0 is
+ * exact.
+ */
+private[sql] object ZProjection {
+
+  /** Buckets per dimension (the interleave below is 4-bit). */
+  val BucketsPerDim = 16
+
+  /** One committed projection: its parquet dir and the per-dimension
+    * equal-depth bucket edges (at most [[BucketsPerDim]] - 1 each;
+    * fewer when the column has few distinct quantiles). */
+  final case class ZProjInfo(dir: String, colA: String, colB: String,
+      boundsA: Array[Double], boundsB: Array[Double])
+
+  /** Row-side bucket rank: #{edges e : v > e}, NULL -> 0. */
+  def bucketOf(v: Double, bounds: Array[Double]): Int = {
+    var b = 0
+    var i = 0
+    while (i < bounds.length) {
+      if (v > bounds(i)) b += 1
+      i += 1
+    }
+    b
+  }
+
+  /** The same rank as a codegen-friendly Column (a chain of at most
+    * 15 double comparisons — identical semantics to [[bucketOf]]). */
+  def bucketCol(c: Column, bounds: Array[Double]): Column =
+    bounds.foldLeft(lit(0))((acc, e) =>
+      acc + when(c.isNotNull && c.cast("double") > lit(e), 1).otherwise(0))
+
+  /** 4-bit Morton interleave (a in the odd bit positions). */
+  def interleave4(a: Int, b: Int): Int = {
+    var z = 0
+    var i = 0
+    while (i < 4) {
+      z |= ((a >> i) & 1) << (2 * i + 1)
+      z |= ((b >> i) & 1) << (2 * i)
+      i += 1
+    }
+    z
+  }
+
+  /** The projection's partition column: zb = interleave4 of the two
+    * bucket ranks, as a Column. */
+  def zbCol(a: Column, boundsA: Array[Double], b: Column,
+      boundsB: Array[Double]): Column = {
+    val ba = bucketCol(a, boundsA)
+    val bb = bucketCol(b, boundsB)
+    (0 until 4).map(i =>
+      shiftleft(shiftright(ba, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(bb, i).bitwiseAND(lit(1)), 2 * i))
+      .reduce(_ + _)
+  }
+
+  /** The `zb` values whose cell intersects the filters' (x, y) box —
+    * None when no pushed comparison constrains EITHER projected
+    * column (the projection buys nothing; the caller scans the
+    * primary); Some(Nil) when the box is provably empty. Only numeric
+    * literals participate (a non-numeric literal leaves its dimension
+    * unconstrained — sound, never wrong). */
+  def zbSetFor(filters: Array[Filter], info: ZProjInfo): Option[Seq[Int]] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def rangeFor(name: String,
+        bounds: Array[Double]): (Int, Int, Boolean) = {
+      var lo = 0
+      var hi = bounds.length // max bucket rank
+      var constrained = false
+      filters.foreach {
+        case EqualTo(c, v) if c == name => num(v).foreach { d =>
+          val b = bucketOf(d, bounds)
+          lo = math.max(lo, b); hi = math.min(hi, b); constrained = true
+        }
+        case GreaterThan(c, v) if c == name => num(v).foreach { d =>
+          lo = math.max(lo, bucketOf(d, bounds)); constrained = true
+        }
+        case GreaterThanOrEqual(c, v) if c == name => num(v).foreach { d =>
+          lo = math.max(lo, bucketOf(d, bounds)); constrained = true
+        }
+        case LessThan(c, v) if c == name => num(v).foreach { d =>
+          hi = math.min(hi, bucketOf(d, bounds)); constrained = true
+        }
+        case LessThanOrEqual(c, v) if c == name => num(v).foreach { d =>
+          hi = math.min(hi, bucketOf(d, bounds)); constrained = true
+        }
+        case _ => ()
+      }
+      (lo, hi, constrained)
+    }
+    val (alo, ahi, ac) = rangeFor(info.colA, info.boundsA)
+    val (blo, bhi, bc) = rangeFor(info.colB, info.boundsB)
+    if (!ac && !bc) None
+    else if (alo > ahi || blo > bhi) Some(Nil)
+    else Some((for (x <- alo to ahi; y <- blo to bhi)
+      yield interleave4(x, y)).distinct)
+  }
+
+  /** The pushed comparisons on the projected columns as one Column
+    * (row-group skipping inside kept partitions); None when none
+    * translate. Spark re-applies every filter above the scan, so this
+    * is pure acceleration. */
+  def residualFilter(filters: Array[Filter], info: ZProjInfo): Option[Column] = {
+    val own = Set(info.colA, info.colB)
+    val cs = filters.toSeq.collect {
+      case EqualTo(c, v) if own(c) => col(c) === lit(v)
+      case GreaterThan(c, v) if own(c) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) if own(c) => col(c) >= lit(v)
+      case LessThan(c, v) if own(c) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) if own(c) => col(c) <= lit(v)
+    }
+    cs.reduceOption(_ && _)
+  }
+}

@@ -213,6 +213,63 @@ class GraftEvolveSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS evspec_fc")
   }
 
+  test("mergeSchema auto-evolution: gated appends ADD new columns, " +
+      "ungated ones abort loudly, and auto-evolve races DML safely") {
+    val path = freshPath("automerge")
+    spark.sql("DROP TABLE IF EXISTS evspec_am")
+    (1L to 60L).map(k => (k, k * 1.0)).toDF("k", "bal")
+      .createOrReplaceTempView("evspec_amsrc")
+    spark.sql(s"""CREATE TABLE evspec_am USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM evspec_amsrc""".stripMargin)
+    // ungated: loud abort, schema untouched
+    intercept[Exception](Seq((1L, 2.0, "x")).toDF("k", "bal", "tag")
+      .write.format("graft").mode("append").save(path))
+    assert(spark.table("evspec_am").columns.toSeq === Seq("k", "bal"))
+    // the session conf gates it too (not just the writer option)
+    spark.conf.set("spark.graft.schema.autoMerge", "true")
+    try {
+      // RACE: an auto-evolving append (new column) vs rival plain DML
+      // — both commit under the claim protocol, cold replay exact
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tEvolve = new Thread(() => {
+        try {
+          val ss = spark.newSession()
+          ss.conf.set("spark.graft.schema.autoMerge", "true")
+          (41L to 50L).map(k => (k, -1.0, s"t$k")).toDF("k", "bal", "tag")
+            .write.format("graft").mode("append").save(path)
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+      val tDml = new Thread(() => {
+        try {
+          val ss = spark.newSession()
+          (1 to 5).foreach(i =>
+            ss.sql(s"UPDATE evspec_am SET bal = ${100 + i} WHERE k = $i"))
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+      tEvolve.start(); tDml.start()
+      tEvolve.join(300000); tDml.join(300000)
+      if (!errs.isEmpty) throw errs.peek()
+      val cold = spark.newSession()
+      assert(cold.table("evspec_am").columns.toSeq === Seq("k", "bal", "tag"))
+      val rows = cold.sql("SELECT k, bal, tag FROM evspec_am ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      (1L to 5L).foreach(k => assert(rows(k.toInt - 1) === ((k, 100.0 + k, null))))
+      (41L to 50L).foreach(k =>
+        assert(rows(k.toInt - 1) === ((k, -1.0, s"t$k"))))
+      assert(rows(10) === ((11L, 11.0, null))) // untouched row, NULL fill
+      // the streaming sink evolves under the same conf
+      graft.sql.GraftCatalogSink.upsertBatch(path, "am_stream")(
+        Seq((51L, 7.0, "s", 9L)).toDF("k", "bal", "tag", "gen"), 0L)
+      val cold2 = spark.newSession()
+      assert(cold2.table("evspec_am").columns.toSeq ===
+        Seq("k", "bal", "tag", "gen"))
+      assert(cold2.sql("SELECT gen FROM evspec_am WHERE k = 51")
+        .collect()(0).getLong(0) === 9L)
+    } finally spark.conf.unset("spark.graft.schema.autoMerge")
+    spark.sql("DROP TABLE IF EXISTS evspec_am")
+  }
+
   test("a RENAME racing concurrent DML: both commit under the claim " +
       "protocol, cold replay exact in either serialization") {
     val path = freshPath("race")

@@ -33,9 +33,61 @@ class GraftFoldSpec extends AnyFunSuite {
   }
 
   private def withFoldEvery[A](k: Int)(body: => A): A = {
-    val saved = GraftTables.foldEvery
+    // synchronous folds: these specs assert on fold/manifest state
+    // right after specific statements
+    val saved = (GraftTables.foldEvery, GraftTables.foldAsync)
     GraftTables.foldEvery = k
-    try body finally GraftTables.foldEvery = saved
+    GraftTables.foldAsync = false
+    try body finally {
+      GraftTables.foldEvery = saved._1
+      GraftTables.foldAsync = saved._2
+    }
+  }
+
+  test("ASYNC fold maintenance: a stuck folder never blocks commits, " +
+      "and the pass catches up once unstuck") {
+    val path = freshPath("async")
+    val savedK = GraftTables.foldEvery
+    val savedA = GraftTables.foldAsync
+    GraftTables.foldEvery = 3
+    GraftTables.foldAsync = true
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    GraftTables.foldPassHook = () => gate.await()
+    try {
+      spark.sql("DROP TABLE IF EXISTS foldspec_async")
+      (1L to 30L).map(k => (k, k * 1.0)).toDF("k", "bal")
+        .createOrReplaceTempView("foldspec_async_src")
+      spark.sql(s"""CREATE TABLE foldspec_async USING graft
+        |OPTIONS (key 'k') LOCATION '$path'
+        |AS SELECT * FROM foldspec_async_src""".stripMargin)
+      // 7 commits while the fold worker is STUCK on the hook: every
+      // statement must return promptly (the fold job is off the
+      // statement path) and no fold lands yet
+      (1 to 7).foreach(i =>
+        spark.sql(s"UPDATE foldspec_async SET bal = ${100 + i} WHERE k = $i"))
+      assert(foldDirs(path).isEmpty,
+        "a stuck fold worker must not have produced folds")
+      assert(spark.sql("SELECT bal FROM foldspec_async WHERE k = 3")
+        .collect()(0).getDouble(0) === 103.0)
+      // unstick: the queued (coalesced) pass folds the whole backlog
+      GraftTables.foldPassHook = () => ()
+      gate.countDown()
+      assert(GraftTables.awaitFolds(), "fold drain timed out")
+      assert(foldDirs(path).nonEmpty,
+        "the unstuck worker should have folded the backlog")
+      // cold replay through the late folds is exact
+      val cold = spark.newSession()
+        .sql("SELECT k, bal FROM foldspec_async ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      (1 to 7).foreach(i => assert(cold(i - 1) === ((i.toLong, 100.0 + i))))
+      assert(cold(9) === ((10L, 10.0)))
+    } finally {
+      GraftTables.foldPassHook = () => ()
+      gate.countDown()
+      GraftTables.foldEvery = savedK
+      GraftTables.foldAsync = savedA
+      spark.sql("DROP TABLE IF EXISTS foldspec_async")
+    }
   }
 
   test("tiered folds appear at the cadence and replay bit-for-bit") {

@@ -110,7 +110,7 @@ class GraftZOrderCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS zocat_cd")
   }
 
-  test("ZORDER BY rejects non-key columns and non-composite keys") {
+  test("ZORDER BY rejects mixed key/value column pairs") {
     val path = freshPath("rej")
     spark.sql("DROP TABLE IF EXISTS zocat_r")
     (1L to 10L).map(k => (k, k * 2, k * 1.0)).toDF("k", "w", "v")
@@ -120,7 +120,7 @@ class GraftZOrderCatalogSpec extends AnyFunSuite {
       |AS SELECT * FROM zocat_rsrc""".stripMargin)
     val e1 = intercept[Exception](
       spark.sql("OPTIMIZE zocat_r ZORDER BY (k, w)"))
-    assert(e1.getMessage.contains("two-column composite-key"))
+    assert(e1.getMessage.contains("mixes key column"))
     val path2 = freshPath("rej2")
     spark.sql("DROP TABLE IF EXISTS zocat_r2")
     (1L to 10L).map(k => (k, k * 2, k * 1.0)).toDF("a", "b", "v")
@@ -130,8 +130,57 @@ class GraftZOrderCatalogSpec extends AnyFunSuite {
       |AS SELECT * FROM zocat_r2src""".stripMargin)
     val e2 = intercept[Exception](
       spark.sql("OPTIMIZE zocat_r2 ZORDER BY (a, v)"))
-    assert(e2.getMessage.contains("composite key columns"))
+    assert(e2.getMessage.contains("mixes key column"))
     spark.sql("DROP TABLE IF EXISTS zocat_r")
     spark.sql("DROP TABLE IF EXISTS zocat_r2")
+  }
+
+  test("value-column ZORDER materializes a sort projection: box scans " +
+      "prune zb cells, DML invalidates it, reopen + re-OPTIMIZE " +
+      "re-attach it — content exact throughout") {
+    val path = freshPath("vals")
+    spark.sql("DROP TABLE IF EXISTS zocat_v")
+    // keys 1..400; two value dims correlated with nothing — the
+    // projection's equal-depth cells are what make the box selective
+    (1L to 400L).map(k => (k, (k * 37) % 100, ((k * 53) % 1000) * 1.0))
+      .toDF("k", "x", "y").createOrReplaceTempView("zocat_vsrc")
+    spark.sql(s"""CREATE TABLE zocat_v USING graft
+      |OPTIONS (key 'k', partitions '8') LOCATION '$path'
+      |AS SELECT * FROM zocat_vsrc""".stripMargin)
+    def box(s: org.apache.spark.sql.SparkSession) = s.sql(
+      """SELECT k, x, y FROM zocat_v
+        |WHERE x BETWEEN 10 AND 29 AND y BETWEEN 100 AND 399""".stripMargin)
+    val expect = box(spark).collect().map(_.toSeq).toSet
+    assert(expect.nonEmpty)
+    spark.sql("OPTIMIZE zocat_v ZORDER BY (x, y)")
+    assert(new java.io.File(path, "_tproj_zorder").isDirectory)
+    assert(box(spark).collect().map(_.toSeq).toSet === expect)
+    val (kind, kept) = GraftBenchBridge.h1ScanInfo(spark, path)
+    assert(kind === "full_zproj", s"box served as '$kind'")
+    assert(kept > 0 && kept < 256, s"kept $kept of 256 cells")
+    // a REOPENED session re-attaches the persisted projection
+    val s2 = spark.newSession()
+    assert(box(s2).collect().map(_.toSeq).toSet === expect)
+    assert(GraftBenchBridge.h1ScanInfo(s2, path)._1 === "full_zproj")
+    // single-dim constraint still serves (the other dim unpinned)
+    val oneDim = s2.sql("SELECT k FROM zocat_v WHERE x >= 90").collect()
+    assert(oneDim.length === (1L to 400L).count(k => (k * 37) % 100 >= 90))
+    assert(GraftBenchBridge.h1ScanInfo(s2, path)._1 === "full_zproj")
+    // DML invalidates: the new snapshot scans the primary (stale
+    // projection must never serve), values exact. k=3 sits in the box
+    // (x=11, y=159); moving its y out must drop it from the result.
+    spark.sql("UPDATE zocat_v SET y = 999 WHERE k = 3")
+    val expect2 = expect - Seq(3L, 11L, 159.0)
+    assert(box(spark).collect().map(_.toSeq).toSet === expect2)
+    assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 !== "full_zproj")
+    // a cold session agrees (the persisted meta's version is stale)
+    val s3 = spark.newSession()
+    assert(box(s3).collect().map(_.toSeq).toSet === expect2)
+    assert(GraftBenchBridge.h1ScanInfo(s3, path)._1 !== "full_zproj")
+    // re-OPTIMIZE rebuilds the projection over the new content
+    spark.sql("OPTIMIZE zocat_v ZORDER BY (x, y)")
+    assert(box(spark).collect().map(_.toSeq).toSet === expect2)
+    assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 === "full_zproj")
+    spark.sql("DROP TABLE IF EXISTS zocat_v")
   }
 }
