@@ -35,6 +35,13 @@ object GraftBenchBridge {
     (h.lastScanKind, h.lastZoneKept)
   }
 
+  /** The composite-key twin of [[h1ScanInfo]]. */
+  def compositeScanInfo(sp: SparkSession, path: String): (String, Int) = {
+    val h = GraftTables.current(sp, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.CompositeHandle[_, _]]
+    (h.lastScanKind, h.lastZoneKept)
+  }
+
   /** Drain the background fold-maintenance queue — the determinism
     * barrier before asserting on fold/manifest state right after a
     * commit burst. */

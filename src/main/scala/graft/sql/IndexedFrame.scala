@@ -1569,7 +1569,15 @@ object IndexedFrame {
           val dtA = aggDt
           val isFp = fp
           val codec = sCodec
-          val partMaps = idx.mapPartitions(it => {
+          // per-partition fold maps MERGE DISTRIBUTED (one reduceByKey
+          // on the secondary value) and only the final O(distinct) map
+          // ships to the driver. Collecting the raw per-partition maps
+          // instead is O(partitions x per-partition-distinct) driver
+          // transfer — the micro_scale100 tier blew the 1 GiB
+          // maxResultSize exactly that way (1280 partitions x ~12k
+          // local groups), while the true distinct count was well
+          // under the memo cap.
+          val merged = idx.mapPartitions(it => {
             val acc = new java.util.HashMap[Any, GroupFold]()
             it.foreach { case (_, row) =>
               if (!row.isNullAt(fiS)) {
@@ -1591,17 +1599,10 @@ object IndexedFrame {
                 }
               }
             }
-            Iterator.single(acc)
-          }).collect()
-          val merged = new java.util.HashMap[Any, GroupFold]()
-          partMaps.foreach { pm =>
-            pm.forEach { (k, f) =>
-              val cur = merged.get(k)
-              if (cur == null) merged.put(k, f) else cur.merge(f)
-            }
-          }
+            scala.jdk.CollectionConverters.MapHasAsScala(acc).asScala.iterator
+          }).reduceByKey { (a, b) => a.merge(b); a }.collect()
           val out = Map.newBuilder[Any, GroupAgg]
-          merged.forEach { (k, f) => out += (k -> f.result(isFp)) }
+          merged.foreach { case (k, f) => out += (k -> f.result(isFp)) }
           out.result()
         })
         Try(sCodec.fromLiteral(v)).toOption.flatMap(m.get)
@@ -2057,6 +2058,33 @@ object IndexedFrame {
       }
     }
   }
+
+  /** Serve a full-lane scan from an attached z-order SORT PROJECTION
+    * when the pushed filters box its columns: Some((kept zb cells,
+    * rows in `schema` field order)); None = no projection attached or
+    * no pushed comparison constrains either projected column (the
+    * primary serves). Shared by all three relation arities — the
+    * projection itself is handle-kind-agnostic. */
+  private[sql] def zProjServe(sqlContext: SQLContext,
+      zp: Option[ZProjection.ZProjInfo], schema: StructType,
+      filters: Array[Filter]): Option[(Int, RDD[InternalRow])] =
+    zp.flatMap { info =>
+      ZProjection.zbSetFor(filters, info).map { zbs =>
+        val rdd: RDD[InternalRow] =
+          if (zbs.isEmpty) sqlContext.sparkContext.emptyRDD[InternalRow]
+          else {
+            val base = sqlContext.sparkSession.read.parquet(info.dir)
+              .where(org.apache.spark.sql.functions.col("zb")
+                .isin(zbs.map(Int.box): _*))
+            val filtered = ZProjection.residualFilter(filters, info)
+              .map(base.where).getOrElse(base)
+            filtered.select(schema.fieldNames.toIndexedSeq.map(
+              org.apache.spark.sql.functions.col): _*)
+              .queryExecution.toRdd
+          }
+        (zbs.size, rdd)
+      }
+    }
 
   /** An indexed table handle: the versioned index plus its SQL schema.
     * `lastScanKind` records, for observability and tests, how the most
@@ -4906,17 +4934,26 @@ object IndexedFrame {
               h.probeMemoPut(sig, keys, hit, rangePreds.nonEmpty)
               sqlContext.sparkContext.parallelize(hit.toIndexedSeq, 1)
             case None =>
-              // zone maps prune the composite full lane exactly like
-              // the single-key one (Spark re-applies the filters above)
-              h.zoneKeeps(filters) match {
-                case Some(keep) =>
-                  h.lastScanKind = "full_zone"
-                  h.setZoneKept(keep.count(identity))
-                  org.apache.spark.rdd.PartitionPruningRDD.create(
-                    h.idx.map(_._2), keep(_))
-                case None =>
-                  h.lastScanKind = "full"
-                  h.idx.map(_._2)
+              // the z-order sort projection serves boxed full lanes on
+              // ANY key arity; zone maps prune the composite full lane
+              // exactly like the single-key one (Spark re-applies the
+              // filters above either way)
+              IndexedFrame.zProjServe(sqlContext, h.zProjection,
+                  h.schema, filters) match {
+                case Some((kept, rdd)) =>
+                  h.lastScanKind = "full_zproj"
+                  h.setZoneKept(kept)
+                  rdd
+                case None => h.zoneKeeps(filters) match {
+                  case Some(keep) =>
+                    h.lastScanKind = "full_zone"
+                    h.setZoneKept(keep.count(identity))
+                    org.apache.spark.rdd.PartitionPruningRDD.create(
+                      h.idx.map(_._2), keep(_))
+                  case None =>
+                    h.lastScanKind = "full"
+                    h.idx.map(_._2)
+                }
               }
           }
           }
@@ -5848,15 +5885,24 @@ object IndexedFrame {
                 h.probeMemoPut(sig, keys, hit, rangePreds.nonEmpty)
                 sqlContext.sparkContext.parallelize(hit.toIndexedSeq, 1)
               case None =>
-                h.zoneKeeps(filters) match {
-                  case Some(keep) =>
-                    h.lastScanKind = "full_zone"
-                    h.setZoneKept(keep.count(identity))
-                    org.apache.spark.rdd.PartitionPruningRDD.create(
-                      h.idx.map(_._2), keep(_))
-                  case None =>
-                    h.lastScanKind = "full"
-                    h.idx.map(_._2)
+                // projection-boxed full lanes, then zone maps, then
+                // the plain scan — same order as the other arities
+                IndexedFrame.zProjServe(sqlContext, h.zProjection,
+                    h.schema, filters) match {
+                  case Some((kept, rdd)) =>
+                    h.lastScanKind = "full_zproj"
+                    h.setZoneKept(kept)
+                    rdd
+                  case None => h.zoneKeeps(filters) match {
+                    case Some(keep) =>
+                      h.lastScanKind = "full_zone"
+                      h.setZoneKept(keep.count(identity))
+                      org.apache.spark.rdd.PartitionPruningRDD.create(
+                        h.idx.map(_._2), keep(_))
+                    case None =>
+                      h.lastScanKind = "full"
+                      h.idx.map(_._2)
+                  }
                 }
             }
           }
@@ -6462,24 +6508,12 @@ object IndexedFrame {
           // skipping on the primary), then the plain scan. Spark
           // re-applies every filter above, so each is a sound
           // superset read.
-          val zserve = h.zProjection.flatMap(info =>
-            ZProjection.zbSetFor(filters, info).map(zbs => (info, zbs)))
-          zserve match {
-            case Some((info, zbs)) =>
+          IndexedFrame.zProjServe(sqlContext, h.zProjection, h.schema,
+              filters) match {
+            case Some((kept, rdd)) =>
               h.lastScanKind = "full_zproj"
-              h.lastZoneKept = zbs.size
-              if (zbs.isEmpty)
-                sqlContext.sparkContext.emptyRDD[InternalRow]
-              else {
-                val base = sqlContext.sparkSession.read.parquet(info.dir)
-                  .where(org.apache.spark.sql.functions.col("zb")
-                    .isin(zbs.map(Int.box): _*))
-                val filtered = ZProjection.residualFilter(filters, info)
-                  .map(base.where).getOrElse(base)
-                filtered.select(h.schema.fieldNames.toIndexedSeq.map(
-                  org.apache.spark.sql.functions.col): _*)
-                  .queryExecution.toRdd
-              }
+              h.lastZoneKept = kept
+              rdd
             case None => h.zoneKeeps(filters) match {
               case Some(keep) =>
                 h.lastScanKind = "full_zone"

@@ -183,4 +183,29 @@ class GraftZOrderCatalogSpec extends AnyFunSuite {
     assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 === "full_zproj")
     spark.sql("DROP TABLE IF EXISTS zocat_v")
   }
+
+  test("value-column ZORDER serves COMPOSITE-key tables too — the " +
+      "projection is key-arity-agnostic") {
+    val path = freshPath("vals2")
+    spark.sql("DROP TABLE IF EXISTS zocat_v2")
+    (1L to 300L).map(k => (k % 20, k, (k * 37) % 100, ((k * 53) % 1000) * 1.0))
+      .toDF("a", "b", "x", "y").createOrReplaceTempView("zocat_v2src")
+    spark.sql(s"""CREATE TABLE zocat_v2 USING graft
+      |OPTIONS (key 'a,b', partitions '8') LOCATION '$path'
+      |AS SELECT * FROM zocat_v2src""".stripMargin)
+    def box(s: org.apache.spark.sql.SparkSession) = s.sql(
+      """SELECT a, b, x, y FROM zocat_v2
+        |WHERE x BETWEEN 10 AND 29 AND y BETWEEN 100 AND 399""".stripMargin)
+    val expect = box(spark).collect().map(_.toSeq).toSet
+    assert(expect.nonEmpty)
+    spark.sql("OPTIMIZE zocat_v2 ZORDER BY (x, y)")
+    assert(box(spark).collect().map(_.toSeq).toSet === expect)
+    val h = GraftBenchBridge.compositeScanInfo(spark, path)
+    assert(h._1 === "full_zproj", s"composite box served as '${h._1}'")
+    assert(h._2 > 0 && h._2 < 256)
+    // composite point routing is untouched by the projection
+    assert(spark.sql("SELECT y FROM zocat_v2 WHERE a = 5 AND b = 25")
+      .collect()(0).getDouble(0) === ((25L * 53) % 1000) * 1.0)
+    spark.sql("DROP TABLE IF EXISTS zocat_v2")
+  }
 }
