@@ -2363,7 +2363,19 @@ object OperatorQueries {
         s"the box scan was served as '$kind', not from the z projection")
       require(kept > 0 && kept < 256,
         s"z projection kept $kept of 256 cells — no pruning")
-      box
+      // DML after the OPTIMIZE: the STALE projection keeps serving via
+      // the delta overlay (anti join of touched keys + final-op
+      // upserts) — exact AND still pruned, required in-lane
+      s.sql("""UPDATE graft_cat_zvals SET value = value + 1000
+        |WHERE event_id % 97 = 0""".stripMargin)
+      s.sql("DELETE FROM graft_cat_zvals WHERE event_id % 89 = 0")
+      val out = box
+      out.count()
+      val (kind2, _) = graft.sql.GraftBenchBridge.h1ScanInfo(s, path)
+      require(kind2 == "full_zproj",
+        s"post-DML box served as '$kind2' — the stale projection + " +
+          "overlay should keep serving")
+      out
     },
 
     "ir_sql_catalog_evolve2" -> { (s, dir) =>
@@ -4251,11 +4263,16 @@ object OperatorQueries {
         |SELECT user_id, day, n_events, sum_value FROM agg
         |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
 
-    // the value-column z-order box — identical semantics to a plain
-    // filter (the lane differs only in HOW it reads: zb-partition-
-    // pruned directories of the sort projection)
+    // the value-column z-order box AFTER the post-OPTIMIZE DML —
+    // identical semantics to a plain filter over the mutated corpus
+    // (the lane differs only in HOW it reads: zb-pruned projection
+    // directories anti-joined with the delta overlay)
     "ir_sql_catalog_zorder_values" ->
-      """SELECT event_id, user_id, value FROM events
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 97 = 0 THEN value + 1000
+        |         ELSE value END AS value
+        |  FROM events WHERE event_id % 89 <> 0)
         |WHERE user_id BETWEEN 2 AND 6
         |AND value BETWEEN 50 AND 150""".stripMargin,
 

@@ -1493,14 +1493,9 @@ private[sql] object GraftTables {
       // re-derives the manifest's indexes so reopened tables keep
       // routing — historical versions read plain
       if (v == dv && v > first && !incremental) reapplyIndexes(sp, path, h)
-      // a persisted z-order sort projection re-attaches ONLY when it
-      // reflects exactly this (current) version — any DML since it was
-      // built leaves it stale and the read falls back to the primary
-      if (v == dv) readZProjMeta(sp, path).foreach { case (pv, info) =>
-        if (pv == v)
-          h.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
-            .attachZProjection(info)
-      }
+      // re-attach the persisted z-order sort projection (with a delta
+      // overlay when DML advanced past its build version)
+      if (v == dv) attachProjectionFor(sp, path, h, v)
       h
     })
   }
@@ -2289,6 +2284,9 @@ private[sql] object GraftTables {
           // O(corpus) rebuild
           maintainIndexes(sp, path, h, h2, next, truncate,
             del.isDefined, up.isDefined)
+          // the projection (if any) stays attached ACROSS the DML as a
+          // stale-plus-overlay serve — boxed scans keep pruning
+          attachProjectionFor(sp, path, h2, next)
           cacheOf(sp).put(canonical(sp, path), (next, h2))
           // opportunistic fold maintenance every K-th commit — the
           // amortized cost that keeps every later reopen bounded.
@@ -2456,6 +2454,7 @@ private[sql] object GraftTables {
                   val h2 = applyDelta(sp, h, path, v)
                   maintainIndexes(sp, path, h, h2, v, truncate = false,
                     hasDel, hasUp)
+                  attachProjectionFor(sp, path, h2, v)
                   cacheOf(sp).put(canonical(sp, path), (v, h2))
                   txn.foreach { case (app, _) =>
                     try graft.MarkerFile.writeLong(fs,
@@ -2763,6 +2762,45 @@ private[sql] object GraftTables {
       reloaded.idxAny.partitions.length,
       depthBefore, reloaded.idxAny.lineageDepth)
   }
+
+  /** Attach the persisted z projection to `h` for serving at version
+    * `v`. Exactly-current projections (built AT `v`) attach plain; a
+    * STALE one — `v` advanced past its build version by PLAIN deltas
+    * only — attaches with a lazy DELTA OVERLAY: the last-op-per-key
+    * frame of the versions in between, which the scan anti-joins /
+    * unions for an EXACT result (see [[IndexedFrame.zProjServe]]).
+    * Projection cost model at 100 TB: the anti side stays zb-pruned,
+    * the overlay is delta-sized, and the next OPTIMIZE re-absorbs it.
+    * A truncate or schema evolution in between fences the overlay off
+    * (the primary serves — correct, just unpruned). Best-effort:
+    * projections are acceleration, never truth. */
+  private def attachProjectionFor(sp: SparkSession, path: String,
+      h: TableHandle, v: Long): Unit =
+    try readZProjMeta(sp, path).foreach { case (pv, info) =>
+      def attach(i: ZProjection.ZProjInfo): Unit =
+        h.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
+          .attachZProjection(i)
+      if (pv == v) attach(info)
+      else if (pv < v) {
+        val items = coverVersions(sp, path, pv, v)
+        val plain = items.forall {
+          case Left((_, m)) => m.plain
+          case Right(_) => true
+        }
+        if (plain) {
+          val segs = items.map {
+            case Right(f) =>
+              Seg(f.hi, foldDir(path, f.lo, f.hi), f.hasDel, f.hasUp)
+            case Left((i, m)) =>
+              Seg(i, deltaDir(path, i), m.hasDel, m.hasUp)
+          }
+          val schema = h.schema
+          val keyCols = h.keyCols
+          attach(info.copy(overlay =
+            Some(() => lastOpFrame(sp, schema, keyCols, segs))))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def zProjDir(path: String): String = s"$path/_tproj_zorder"
 

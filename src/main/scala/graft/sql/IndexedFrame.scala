@@ -2067,20 +2067,45 @@ object IndexedFrame {
     * projection itself is handle-kind-agnostic. */
   private[sql] def zProjServe(sqlContext: SQLContext,
       zp: Option[ZProjection.ZProjInfo], schema: StructType,
+      keyCols: Seq[String],
       filters: Array[Filter]): Option[(Int, RDD[InternalRow])] =
     zp.flatMap { info =>
       ZProjection.zbSetFor(filters, info).map { zbs =>
+        import org.apache.spark.sql.functions.col
+        val overlay = info.overlay.flatMap(f => f())
         val rdd: RDD[InternalRow] =
-          if (zbs.isEmpty) sqlContext.sparkContext.emptyRDD[InternalRow]
+          if (zbs.isEmpty && overlay.isEmpty)
+            sqlContext.sparkContext.emptyRDD[InternalRow]
           else {
-            val base = sqlContext.sparkSession.read.parquet(info.dir)
-              .where(org.apache.spark.sql.functions.col("zb")
-                .isin(zbs.map(Int.box): _*))
-            val filtered = ZProjection.residualFilter(filters, info)
-              .map(base.where).getOrElse(base)
-            filtered.select(schema.fieldNames.toIndexedSeq.map(
-              org.apache.spark.sql.functions.col): _*)
-              .queryExecution.toRdd
+            val projRows =
+              if (zbs.isEmpty) None
+              else {
+                val base = sqlContext.sparkSession.read.parquet(info.dir)
+                  .where(col("zb").isin(zbs.map(Int.box): _*))
+                val filtered = ZProjection.residualFilter(filters, info)
+                  .map(base.where).getOrElse(base)
+                Some(filtered.select(
+                  schema.fieldNames.toIndexedSeq.map(col): _*))
+              }
+            val served = overlay match {
+              case None => projRows.get
+              case Some(last) =>
+                // the STALE-projection bridge: rows whose key the
+                // deltas touched leave the projection side (anti
+                // join — the touched set is delta-sized, so Catalyst
+                // broadcasts it); their CURRENT values (final-op
+                // upserts) union back in unpruned (Spark re-applies
+                // the filters above). Deletes simply never return.
+                val touched = last.select(keyCols.map(col): _*)
+                val alive = last.where(!col("__del"))
+                  .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+                projRows match {
+                  case Some(p) =>
+                    p.join(touched, keyCols, "left_anti").unionByName(alive)
+                  case None => alive
+                }
+            }
+            served.queryExecution.toRdd
           }
         (zbs.size, rdd)
       }
@@ -4939,7 +4964,7 @@ object IndexedFrame {
               // exactly like the single-key one (Spark re-applies the
               // filters above either way)
               IndexedFrame.zProjServe(sqlContext, h.zProjection,
-                  h.schema, filters) match {
+                  h.schema, h.joinKeyCols, filters) match {
                 case Some((kept, rdd)) =>
                   h.lastScanKind = "full_zproj"
                   h.setZoneKept(kept)
@@ -5888,7 +5913,7 @@ object IndexedFrame {
                 // projection-boxed full lanes, then zone maps, then
                 // the plain scan — same order as the other arities
                 IndexedFrame.zProjServe(sqlContext, h.zProjection,
-                    h.schema, filters) match {
+                    h.schema, h.keyCols, filters) match {
                   case Some((kept, rdd)) =>
                     h.lastScanKind = "full_zproj"
                     h.setZoneKept(kept)
@@ -6509,7 +6534,7 @@ object IndexedFrame {
           // re-applies every filter above, so each is a sound
           // superset read.
           IndexedFrame.zProjServe(sqlContext, h.zProjection, h.schema,
-              filters) match {
+              Seq(h.keyCol), filters) match {
             case Some((kept, rdd)) =>
               h.lastScanKind = "full_zproj"
               h.lastZoneKept = kept

@@ -41,9 +41,17 @@ private[sql] object ZProjection {
 
   /** One committed projection: its parquet dir and the per-dimension
     * equal-depth bucket edges (at most [[BucketsPerDim]] - 1 each;
-    * fewer when the column has few distinct quantiles). */
+    * fewer when the column has few distinct quantiles). `overlay` is
+    * the STALE-projection delta bridge: when the projection was built
+    * at an earlier version than the serving snapshot, the thunk lazily
+    * builds the last-op-per-key frame of the versions in between
+    * (table columns + `__del`); the scan then reads (projection
+    * ANTI-JOIN touched keys) UNION (surviving overlay rows) — exact,
+    * with the anti side still zb-pruned and the overlay delta-sized.
+    * None = the projection reflects the snapshot exactly. */
   final case class ZProjInfo(dir: String, colA: String, colB: String,
-      boundsA: Array[Double], boundsB: Array[Double])
+      boundsA: Array[Double], boundsB: Array[Double],
+      overlay: Option[() => Option[org.apache.spark.sql.DataFrame]] = None)
 
   /** Row-side bucket rank: #{edges e : v > e}, NULL -> 0. */
   def bucketOf(v: Double, bounds: Array[Double]): Int = {

@@ -166,20 +166,34 @@ class GraftZOrderCatalogSpec extends AnyFunSuite {
     val oneDim = s2.sql("SELECT k FROM zocat_v WHERE x >= 90").collect()
     assert(oneDim.length === (1L to 400L).count(k => (k * 37) % 100 >= 90))
     assert(GraftBenchBridge.h1ScanInfo(s2, path)._1 === "full_zproj")
-    // DML invalidates: the new snapshot scans the primary (stale
-    // projection must never serve), values exact. k=3 sits in the box
-    // (x=11, y=159); moving its y out must drop it from the result.
+    // DML keeps the projection serving via the DELTA OVERLAY: updated
+    // keys leave the pruned projection side (anti join) and their
+    // current values union back in — EXACT, still zb-pruned. k=3 sits
+    // in the box (x=11, y=159); moving its y out drops it; a fresh
+    // insert lands in the box; a delete (k=41: x=17, y=173) leaves it.
     spark.sql("UPDATE zocat_v SET y = 999 WHERE k = 3")
-    val expect2 = expect - Seq(3L, 11L, 159.0)
+    spark.sql("INSERT INTO zocat_v VALUES (500, 15, 200.0)")
+    spark.sql("DELETE FROM zocat_v WHERE k = 41")
+    val expect2 = expect - Seq(3L, 11L, 159.0) - Seq(41L, 17L, 173.0) +
+      Seq(500L, 15L, 200.0)
     assert(box(spark).collect().map(_.toSeq).toSet === expect2)
-    assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 !== "full_zproj")
-    // a cold session agrees (the persisted meta's version is stale)
+    assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 === "full_zproj",
+      "the stale projection + overlay should keep serving boxed scans")
+    // a cold session overlay-serves identically
     val s3 = spark.newSession()
     assert(box(s3).collect().map(_.toSeq).toSet === expect2)
-    assert(GraftBenchBridge.h1ScanInfo(s3, path)._1 !== "full_zproj")
-    // re-OPTIMIZE rebuilds the projection over the new content
+    assert(GraftBenchBridge.h1ScanInfo(s3, path)._1 === "full_zproj")
+    // a TRUNCATE-bearing statement fences the overlay off: the primary
+    // serves (correct, just unpruned) until the next OPTIMIZE
+    spark.sql("INSERT OVERWRITE zocat_v SELECT * FROM zocat_vsrc")
+    assert(box(spark).collect().map(_.toSeq).toSet === expect)
+    assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 !== "full_zproj")
+    val s4 = spark.newSession()
+    assert(box(s4).collect().map(_.toSeq).toSet === expect)
+    assert(GraftBenchBridge.h1ScanInfo(s4, path)._1 !== "full_zproj")
+    // re-OPTIMIZE rebuilds the projection over the current content
     spark.sql("OPTIMIZE zocat_v ZORDER BY (x, y)")
-    assert(box(spark).collect().map(_.toSeq).toSet === expect2)
+    assert(box(spark).collect().map(_.toSeq).toSet === expect)
     assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 === "full_zproj")
     spark.sql("DROP TABLE IF EXISTS zocat_v")
   }
