@@ -190,6 +190,7 @@ object Bench {
       family("maintenance")(microMaintenance(spark, sfDir)) ++
       family("skew")(microSkew(spark, sfDir)) ++
       family("zorder")(microZOrder(spark, sfDir)) ++
+      family("zproj")(microZProj(spark, sfDir)) ++
       family("catalogDml")(microCatalogDml(spark, sfDir))
   }
 
@@ -241,6 +242,65 @@ object Bench {
     Seq("micro_zorder_box_hash_20" -> tHash,
       "micro_zorder_box_z_20" -> tZ,
       "micro_zorder_rewrite_once" -> tRewrite)
+  }
+
+  /** VALUE-COLUMN ZORDER (sort projection) measured in the 100 TB
+    * shape: the same 2-D box over non-key columns of a single-key
+    * catalog table at 10x corpus rows — on the COLD (DISK_ONLY)
+    * key-hash primary, where value columns are uncorrelated with the
+    * key layout so zones cannot prune and every partition
+    * re-deserializes per query, vs the z-order SORT PROJECTION, which
+    * reads only the parquet cells whose Morton rank-box intersects
+    * the query box; then the STALE-projection overlay serve right
+    * after a DML statement (anti join + delta union — still pruned).
+    * An in-memory primary at bench SF would measure nothing: codegen
+    * scans the corpus in milliseconds, so cold storage is where the
+    * pruning asymmetry is visible (the same reasoning as every *_disk
+    * micro). Cells kept go to gauges. */
+  private[graft] def microZProj(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bench_zproj").toString
+    spark.sql("DROP TABLE IF EXISTS bench_zproj")
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val shift = 10000000L
+    (0 until 10).map(i =>
+      base.select((col("o_orderkey") + lit(i * shift)).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))).reduce(_ union _)
+      .createOrReplaceTempView("bench_zproj_src")
+    spark.sql(s"""CREATE TABLE bench_zproj USING graft
+      |OPTIONS (key 'o_orderkey', partitions '64') LOCATION '$path'
+      |AS SELECT * FROM bench_zproj_src""".stripMargin)
+    graft.sql.GraftBenchBridge.pinDiskOnly(spark, path)
+    def box() = spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM bench_zproj
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |AND o_totalprice BETWEEN 50000 AND 100000""".stripMargin).collect()
+    val tPrimary = timed3("micro_zproj_box_cold_primary_20")(
+      (0 until 20).foreach(_ => box()))
+    spark.sql("OPTIMIZE bench_zproj ZORDER BY (o_custkey, o_totalprice)")
+    val tProj = timed3("micro_zproj_box_proj_20")(
+      (0 until 20).foreach(_ => box()))
+    val (kind, kept) = graft.sql.GraftBenchBridge.h1ScanInfo(spark, path)
+    gauges("micro_zproj_box_kind_is_zproj") =
+      if (kind == "full_zproj") 1.0 else 0.0
+    gauges("micro_zproj_box_cells_kept") = kept.toDouble
+    gauges("micro_zproj_box_cells_all") = 256.0
+    // one delta, then the overlay-served boxed scan
+    spark.sql(
+      "UPDATE bench_zproj SET o_totalprice = o_totalprice + 1 WHERE o_orderkey <= 500")
+    val tOverlay = timed3("micro_zproj_box_overlay_20")(
+      (0 until 20).foreach(_ => box()))
+    gauges("micro_zproj_overlay_kind_is_zproj") =
+      if (graft.sql.GraftBenchBridge.h1ScanInfo(spark, path)._1 == "full_zproj")
+        1.0 else 0.0
+    spark.sql("DROP TABLE IF EXISTS bench_zproj")
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    Seq("micro_zproj_box_cold_primary_20" -> tPrimary,
+      "micro_zproj_box_proj_20" -> tProj,
+      "micro_zproj_box_overlay_20" -> tOverlay)
   }
 
   /** INCREMENTAL INDEX MAINTENANCE measured: the same fixed-size

@@ -35,6 +35,18 @@ object GraftBenchBridge {
     (h.lastScanKind, h.lastZoneKept)
   }
 
+  /** Re-pin the table's live index DISK_ONLY — bench fixtures use it
+    * to model the 100 TB cold-corpus shape (a real cluster cannot hold
+    * the fact table in memory), exactly like the direct-handle disk
+    * micros. */
+  def pinDiskOnly(sp: SparkSession, path: String): Unit = {
+    val idx = GraftTables.current(sp, path)._2.idxAny
+    idx.unpersist()
+    idx.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    idx.count()
+    ()
+  }
+
   /** The composite-key twin of [[h1ScanInfo]]. */
   def compositeScanInfo(sp: SparkSession, path: String): (String, Int) = {
     val h = GraftTables.current(sp, path)._2.handleAny

@@ -2796,8 +2796,14 @@ private[sql] object GraftTables {
           }
           val schema = h.schema
           val keyCols = h.keyCols
-          attach(info.copy(overlay =
-            Some(() => lastOpFrame(sp, schema, keyCols, segs))))
+          // memoized AND pinned: the overlay frame is delta-sized, so
+          // it persists on first use (exactly like the live handle's
+          // own caching) — repeated boxed queries pay one broadcast
+          // anti-join against it, not a re-run of the last-op window;
+          // the reference drops with the handle at the next DML
+          lazy val ovDF = lastOpFrame(sp, schema, keyCols, segs)
+            .map(_.persist())
+          attach(info.copy(overlay = Some(() => ovDF)))
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -2080,7 +2080,7 @@ object IndexedFrame {
             val projRows =
               if (zbs.isEmpty) None
               else {
-                val base = sqlContext.sparkSession.read.parquet(info.dir)
+                val base = info.base(sqlContext.sparkSession)
                   .where(col("zb").isin(zbs.map(Int.box): _*))
                 val filtered = ZProjection.residualFilter(filters, info)
                   .map(base.where).getOrElse(base)

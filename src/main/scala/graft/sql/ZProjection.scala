@@ -51,7 +51,20 @@ private[sql] object ZProjection {
     * None = the projection reflects the snapshot exactly. */
   final case class ZProjInfo(dir: String, colA: String, colB: String,
       boundsA: Array[Double], boundsB: Array[Double],
-      overlay: Option[() => Option[org.apache.spark.sql.DataFrame]] = None)
+      overlay: Option[() => Option[org.apache.spark.sql.DataFrame]] = None) {
+    // the parquet source memoizes per serving session: partition
+    // discovery (256 zb dirs) and footer schema inference happen ONCE
+    // per attached projection, not per boxed query — the repeated-
+    // dashboard shape would otherwise pay ~a second of re-listing per
+    // query at any SF
+    @transient private var baseDF: org.apache.spark.sql.DataFrame = null
+    private[sql] def base(sp: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = synchronized {
+      if (baseDF == null || (baseDF.sparkSession ne sp))
+        baseDF = sp.read.parquet(dir)
+      baseDF
+    }
+  }
 
   /** Row-side bucket rank: #{edges e : v > e}, NULL -> 0. */
   def bucketOf(v: Double, bounds: Array[Double]): Int = {

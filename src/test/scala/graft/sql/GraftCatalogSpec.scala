@@ -1049,6 +1049,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS catspec_fb_t")
   }
 
+  test("byte-budgeted + timestamp-started stream across a checkpointed " +
+      "restart: no re-emission, the rate cursor resyncs") {
+    val path = freshPath("feedbr")
+    spark.sql("DROP TABLE IF EXISTS catspec_br_t")
+    (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("catspec_br_src")
+    spark.sql(s"""CREATE TABLE catspec_br_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM catspec_br_src""".stripMargin)
+    spark.sql("UPDATE catspec_br_t SET v = 101 WHERE k = 1") // v1
+    Thread.sleep(60)
+    (2 to 4).foreach(i =>
+      spark.sql(s"UPDATE catspec_br_t SET v = ${100 + i} WHERE k = $i"))
+    val ts = GraftTables.deltaTimes(spark, path)(1) // v2's stamp
+    val ckpt = freshPath("feedbr_ckpt")
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    def start() = spark.readStream.format("graft").option("path", path)
+      .option("startingTimestamp", ts.toString)
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select("_commit_version").collect()
+          .map(_.getLong(0)).toSeq.distinct.sorted)
+        ()
+      }.start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    // at-or-after v2, one version per 1-byte batch
+    assert(batches.asScala.toSeq === Seq(Seq(2L), Seq(3L), Seq(4L)),
+      batches.asScala.toSeq)
+    // restart: nothing re-emits; a new commit flows rate-limited
+    batches.clear()
+    spark.sql("UPDATE catspec_br_t SET v = 105 WHERE k = 5")
+    spark.sql("UPDATE catspec_br_t SET v = 106 WHERE k = 6")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.asScala.toSeq === Seq(Seq(5L), Seq(6L)),
+      batches.asScala.toSeq)
+    spark.sql("DROP TABLE IF EXISTS catspec_br_t")
+  }
+
   test("historical reads never route through newer-version sidecars") {
     val path = freshPath("stale")
     spark.sql("DROP TABLE IF EXISTS catspec_stale")
