@@ -190,8 +190,111 @@ object Bench {
       family("maintenance")(microMaintenance(spark, sfDir)) ++
       family("skew")(microSkew(spark, sfDir)) ++
       family("zorder")(microZOrder(spark, sfDir)) ++
+      family("zorder3")(microZOrder3(spark, sfDir)) ++
       family("zproj")(microZProj(spark, sfDir)) ++
+      family("annCatalog")(microAnnCatalog(spark, sfDir)) ++
       family("catalogDml")(microCatalogDml(spark, sfDir))
+  }
+
+  /** RANK-SPACE N-DIM ZORDER payoff measured: the same 3-D box count
+    * over a (user_id, day, hr) N-ary composite handle, hash layout vs
+    * the rank-z-clustered rebuild ([[graft.sql.IndexedFrame
+    * .CompositeNHandle.zOrderedN]]) with zone maps on all three key
+    * columns — the 3-dim twin of micro_zorder_box_*. */
+  private[graft] def microZOrder3(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    implicit val sp: SparkSession = spark
+    import org.apache.spark.sql.functions.{col, count => fCount, hour,
+      lit => fLit, round => fRound, sum => fSum, to_date, unix_date}
+    val agg = graft.queries.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"),
+        hour(col("ts")).cast("long").as("hr"), col("value"))
+      .groupBy(col("user_id"), col("day"), col("hr"))
+      .agg(fCount(fLit(1)).as("n_events"),
+        fRound(fSum(col("value")), 2).as("sum_value"))
+    val dims = Seq("user_id", "day", "hr")
+    val hHash = graft.sql.IndexedFrame.indexCompositeN(
+      agg, dims, ordered = false, numPartitions = 16)
+    hHash.idx.cached; hHash.idx.count()
+    val builds = scala.collection.mutable.ArrayBuffer
+      .empty[graft.sql.IndexedFrame.CompositeNHandle]
+    val tRewrite = timed3("micro_zorder3_rewrite_once") {
+      builds.lastOption.foreach(_.idx.unpersist())
+      val h = hHash.zOrderedN(dims).analyzeZones(dims: _*)
+      h.idx.cached; h.idx.count()
+      builds += h
+      ()
+    }
+    val hZ = builds.last
+    def box(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("user_id").between(2, 11) &&
+          col("day").between(19728, 19737) && col("hr").between(0, 11))
+        .agg(fCount(fLit(1))).collect()
+    val tHash = timed3("micro_zorder3_box_hash_20")(
+      (0 until 20).foreach(_ => box(hHash.toDF)))
+    val tZ = timed3("micro_zorder3_box_z_20")(
+      (0 until 20).foreach(_ => box(hZ.toDF)))
+    gauges("micro_zorder3_box_parts_all") = 16.0
+    gauges("micro_zorder3_box_parts_kept") = hZ.lastZoneKept.toDouble
+    hHash.idx.unpersist(); hZ.idx.unpersist()
+    Seq("micro_zorder3_box_hash_20" -> tHash,
+      "micro_zorder3_box_z_20" -> tZ,
+      "micro_zorder3_rewrite_once" -> tRewrite)
+  }
+
+  /** DURABLE VECTOR INDEX payoff measured: top-20 cosine over a 50x
+    * embeddings corpus — brute force scans every vector per query; the
+    * catalog IVF index (CREATE INDEX ... USING IVF, probed through
+    * graft_ann) reads only nprobe/nlist of the list partitions. The
+    * one-off build cost is reported like every *_once lane; the probe
+    * keeps DML-maintained correctness (the 100 TB shape: assign once,
+    * probe directories, append deltas). */
+  private[graft] def microAnnCatalog(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bench_ann").toString
+    spark.sql("DROP TABLE IF EXISTS bench_ann")
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val shift = 10000000L
+    (0 until 50).map(i =>
+      emb.select((col("vec_id") + lit(i * shift)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+      .createOrReplaceTempView("bench_ann_src")
+    spark.sql(s"""CREATE TABLE bench_ann USING graft
+      |OPTIONS (key 'vec_id', partitions '32') LOCATION '$path'
+      |AS SELECT * FROM bench_ann_src""".stripMargin)
+    val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val tBuild = timed3("micro_ann_ivf_build_once") {
+      spark.sql("DROP INDEX IF EXISTS e ON bench_ann")
+      spark.sql("CREATE INDEX e ON bench_ann USING IVF (embedding)")
+      ()
+    }
+    graft.sql.GraftBenchBridge.pinDiskOnly(spark, path)
+    val tBrute = timed3("micro_ann_brute_5") {
+      (0 until 5).foreach { _ =>
+        graft.pipeline.Similarity.bruteTopK(
+          spark.sql("SELECT vec_id, embedding FROM bench_ann"),
+          "vec_id", "embedding", q, 20).collect()
+        ()
+      }
+    }
+    val lit20 = q.map(_.toString).mkString("array(", ", ", ")")
+    val tProbe = timed3("micro_ann_ivf_probe_5") {
+      (0 until 5).foreach { _ =>
+        spark.sql(s"SELECT * FROM graft_ann('bench_ann', 'e', $lit20, " +
+          "20, 4)").collect()
+        ()
+      }
+    }
+    gauges("micro_ann_lists_probed") = 4.0
+    gauges("micro_ann_lists_all") = 16.0
+    spark.sql("DROP TABLE IF EXISTS bench_ann")
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    Seq("micro_ann_ivf_build_once" -> tBuild,
+      "micro_ann_brute_5" -> tBrute,
+      "micro_ann_ivf_probe_5" -> tProbe)
   }
 
   /** OPTIMIZE ZORDER payoff measured: the same 2-D box count over a
@@ -296,11 +399,31 @@ object Bench {
     gauges("micro_zproj_overlay_kind_is_zproj") =
       if (graft.sql.GraftBenchBridge.h1ScanInfo(spark, path)._1 == "full_zproj")
         1.0 else 0.0
+    // AUTO-REBUILD under steady DML: with the background policy active
+    // (threshold 8 versions) a 30-statement stream must leave the
+    // overlay depth BOUNDED — the worker re-materializes the
+    // projection with zero OPTIMIZE calls — and the boxed scan returns
+    // to ~proj time. The depth gauge is the policy's proof.
+    val oldThresh = graft.sql.GraftBenchBridge.setZprojRebuildAfter(8)
+    (1 to 30).foreach(i => spark.sql(
+      s"UPDATE bench_zproj SET o_totalprice = o_totalprice + 1 " +
+        s"WHERE o_orderkey = ${600 + i}"))
+    graft.sql.GraftBenchBridge.awaitFolds()
+    graft.sql.GraftBenchBridge.setZprojRebuildAfter(oldThresh)
+    val depth = graft.sql.GraftBenchBridge.currentVersion(spark, path) -
+      graft.sql.GraftBenchBridge.zprojVersion(spark, path).getOrElse(0L)
+    gauges("micro_zproj_overlay_depth_after_stream") = depth.toDouble
+    val tRebuilt = timed3("micro_zproj_box_rebuilt_20")(
+      (0 until 20).foreach(_ => box()))
+    gauges("micro_zproj_rebuilt_kind_is_zproj") =
+      if (graft.sql.GraftBenchBridge.h1ScanInfo(spark, path)._1 == "full_zproj")
+        1.0 else 0.0
     spark.sql("DROP TABLE IF EXISTS bench_zproj")
     new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
     Seq("micro_zproj_box_cold_primary_20" -> tPrimary,
       "micro_zproj_box_proj_20" -> tProj,
-      "micro_zproj_box_overlay_20" -> tOverlay)
+      "micro_zproj_box_overlay_20" -> tOverlay,
+      "micro_zproj_box_rebuilt_20" -> tRebuilt)
   }
 
   /** INCREMENTAL INDEX MAINTENANCE measured: the same fixed-size
@@ -381,6 +504,10 @@ object Bench {
         graft.sql.GraftBenchBridge.coverMetaReads.toDouble
       gauges(s"micro_catalog_reopen_${tag}_manifest") =
         if (graft.sql.GraftBenchBridge.coverUsedManifest) 1.0 else 0.0
+      // retention proof: with fold-covered versions pruned the blob
+      // must stay ~flat across 30 -> 200 -> 1000 commits
+      gauges(s"micro_catalog_reopen_${tag}_manifest_bytes") =
+        graft.sql.GraftBenchBridge.manifestBytes(spark, path).toDouble
       // the A/B twin for the 200-statement log: strip the fold
       // sidecars AND the manifest (replay falls back to the listing
       // walk over every raw delta — exactly the pre-fold engine) and
@@ -437,6 +564,10 @@ object Bench {
         graft.sql.GraftBenchBridge.coverMetaReads.toDouble
       gauges(s"micro_catalog_reopen_${tag}_manifest") =
         if (graft.sql.GraftBenchBridge.coverUsedManifest) 1.0 else 0.0
+      // retention proof: with fold-covered versions pruned the blob
+      // must stay ~flat across 30 -> 200 -> 1000 commits
+      gauges(s"micro_catalog_reopen_${tag}_manifest_bytes") =
+        graft.sql.GraftBenchBridge.manifestBytes(spark, path).toDouble
       spark.sql(s"DROP TABLE IF EXISTS bench_reopen_$tag")
       new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
       Seq(s"micro_catalog_reopen_$tag" -> t)

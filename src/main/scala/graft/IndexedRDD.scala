@@ -1602,6 +1602,97 @@ object IndexedRDD {
       31 * java.util.Arrays.hashCode(bounds) + bits
   }
 
+  /** RANK-SPACE z-curve partitioner — the N-dimensional, any-ordered-
+    * component generalization of [[MortonPartitioner]] (which needs
+    * exactly two Long components). Each key component maps to its
+    * EQUAL-DEPTH bucket rank (binary search against per-dimension
+    * quantile edges frozen at OPTIMIZE time — Delta's rank-space
+    * z-ordering, same idea as [[graft.sql.ZProjection]]'s cells, so
+    * skew in any dimension cannot collapse the curve), the ranks
+    * interleave bitwise into one z value, and the z value binary-
+    * searches sampled bounds. Routing stays a PURE DETERMINISTIC
+    * function of the key (the edges are data-derived but FROZEN in the
+    * partitioner): point routing, one-sided COW shuffles, and IO
+    * round-trips (the partitioner serializes with the save) all work
+    * unchanged. Not a RangePartitioner — natural-order interval
+    * descents decline, and N-dim box queries prune through the
+    * per-partition zone maps the z-contiguous layout makes tight.
+    *
+    * `edges(d)` are z-DIMENSION `d`'s sorted bucket edges (component
+    * values, at most 255 — 256 buckets/dim at 8 bits); `ords(d)`
+    * orders that component (the key codec's ordering — serializable);
+    * `perm(d)` is the KEY-COMPONENT index z-dimension `d` reads
+    * (ZORDER BY may name the key columns in any order). Accepts
+    * Seq[Any] keys (N-ary composite) and (a, b) tuples (the two-column
+    * composite with non-Long components). */
+  class RankZPartitioner(val edges: Array[Array[Any]],
+      val ords: Array[Ordering[Any]], val perm: Array[Int],
+      val bounds: Array[Long])
+      extends org.apache.spark.Partitioner {
+    require(edges.length == ords.length && edges.length == perm.length &&
+      edges.length >= 1, "one edge array + ordering + index per dimension")
+    override def numPartitions: Int = bounds.length + 1
+    private def rankOf(v: Any, d: Int): Long = {
+      val es = edges(d)
+      val ord = ords(d)
+      var lo = 0
+      var hi = es.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (ord.lteq(es(m), v)) lo = m + 1 else hi = m
+      }
+      lo.toLong
+    }
+    private[graft] def zOf(key: Any): Long = {
+      val n = edges.length
+      def comp(key: IndexedSeq[Any]): Array[Long] =
+        Array.tabulate(n)(d => rankOf(key(perm(d)), d))
+      val ranks = key match {
+        case s: Seq[_] =>
+          require(s.length == n, s"key arity ${s.length} != $n dims")
+          comp(s.toIndexedSeq)
+        case (a, b) if n == 2 => comp(IndexedSeq(a, b))
+        case other => throw new IllegalArgumentException(
+          s"RankZPartitioner routes Seq[Any] / Tuple2 composite keys, " +
+            s"got ${if (other == null) "null" else other.getClass.getName}")
+      }
+      // 8 bits per dimension (<= 255 edges); dim 0 takes the HIGH
+      // lane of each bit group so ZORDER BY's first column leads
+      var z = 0L
+      var bit = 0
+      while (bit < 8) {
+        var d = 0
+        while (d < n) {
+          z |= ((ranks(d) >> bit) & 1L) << (bit * n + (n - 1 - d))
+          d += 1
+        }
+        bit += 1
+      }
+      z
+    }
+    override def getPartition(key: Any): Int = {
+      val z = zOf(key)
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (bounds(m) <= z) lo = m + 1 else hi = m
+      }
+      lo
+    }
+    override def equals(other: Any): Boolean = other match {
+      case r: RankZPartitioner =>
+        r.edges.length == edges.length &&
+          java.util.Arrays.equals(r.bounds, bounds) &&
+          java.util.Arrays.equals(r.perm, perm) &&
+          r.edges.indices.forall(d =>
+            r.edges(d).toSeq == edges(d).toSeq)
+      case _ => false
+    }
+    override def hashCode: Int =
+      31 * java.util.Arrays.hashCode(bounds) + edges.length
+  }
+
   class SplitPartitioner(val baseParts: Int, val splits: Array[Int])
       extends org.apache.spark.Partitioner {
     require(splits.length == baseParts)

@@ -25,30 +25,75 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  */
 private[graft] object MarkerFile {
 
-  /** Atomically (re)write `path` to hold the decimal text of `v`. */
-  def writeLong(fs: FileSystem, path: Path, v: Long): Unit = {
-    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+  /** Atomically (re)write `path`'s bytes via a staged sibling + rename
+    * — the shared kernel for every rewritable root sidecar (version
+    * markers, constraint/index-name manifests). A concurrent reader
+    * sees the OLD content, the NEW content, or (on rename-no-clobber
+    * stores, for an instant) NO file — never a truncated one. */
+  def writeAtomic(fs: FileSystem, path: Path)(
+      write: java.io.OutputStream => Unit): Unit = {
+    // tmp name is UNIQUE per write: rival writers to the same marker
+    // must never share a staging file, or one renames the other's tmp
+    // away mid-write (Hadoop's local rename then dies inside its copy
+    // fallback — found by MarkerFileRaceSpec's hammer)
+    val tmp = new Path(path.getParent,
+      s".${path.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, path)) {
-      // rename-no-clobber store: expose an absent (never partial)
-      // marker for the instant between delete and rename
-      fs.delete(path, false)
-      require(fs.rename(tmp, path), s"marker rename failed for $path")
-    }
+    try {
+      try write(out) finally out.close()
+      var attempts = 0
+      var done =
+        try fs.rename(tmp, path)
+        catch { case _: java.io.FileNotFoundException => false }
+      while (!done && attempts < 3) {
+        // rename-no-clobber store: expose an absent (never partial)
+        // marker for the instant between delete and rename; a rival
+        // landing inside that window makes the rename fail again —
+        // retry, and if the rival keeps winning simply yield (markers
+        // are advisory and last-writer-wins; the loser's value is
+        // superseded either way, and every reader tolerates staleness)
+        fs.delete(path, false)
+        done =
+          try fs.rename(tmp, path)
+          catch { case _: java.io.FileNotFoundException => false }
+        attempts += 1
+      }
+    } finally fs.delete(tmp, false)
   }
 
+  /** Atomically (re)write `path` to hold the decimal text of `v`. */
+  def writeLong(fs: FileSystem, path: Path, v: Long): Unit =
+    writeAtomic(fs, path)(_.write(
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   /** The marker's value, or None when the file is absent, empty, or
-    * not a number (a crashed writer's torn state). */
+    * not a number (a crashed writer's torn state).
+    *
+    * exists→open is deliberately NOT treated as atomic: a rival
+    * `writeLong` on a rename-no-clobber store deletes the marker for an
+    * instant before renaming the tmp in, so a reader can pass `exists`
+    * and still find the file gone at `open`. That window is exactly the
+    * "briefly ABSENT" state the write path documents — surface it as
+    * None (callers derive from the log) rather than crashing the query.
+    * Likewise a ChecksumFileSystem pairs the data file and its `.crc`
+    * sidecar non-atomically across a rival's rename (new data under the
+    * old checksum for an instant) and a mid-swap read can hit EOF —
+    * both are transient torn-marker states, not corruption.
+    */
   def readLong(fs: FileSystem, path: Path): Option[Long] = {
-    if (!fs.exists(path)) return None
-    val in = fs.open(path)
     val text =
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      finally in.close()
+      try {
+        if (!fs.exists(path)) return None
+        val in = fs.open(path)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: org.apache.hadoop.fs.ChecksumException => return None
+        case _: java.io.EOFException => return None
+      }
     try Some(text.toLong) catch { case _: NumberFormatException => None }
   }
 }

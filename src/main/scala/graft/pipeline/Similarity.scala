@@ -53,7 +53,7 @@ object Similarity {
     * and one row-norm, both fused native kernels over the raw (float)
     * column — the single scoring definition shared by the brute, LSH,
     * and IVF paths. */
-  private def cosineToQuery(vCol: Column, query: Array[Double]): Column =
+  private[graft] def cosineToQuery(vCol: Column, query: Array[Double]): Column =
     dotCols(vCol, queryLit(query)) / sqrt(dotCols(vCol, vCol))
 
   private def cosTo(df: DataFrame, idCol: String, vecCol: String,
@@ -387,7 +387,7 @@ object Similarity {
   /** Tiny deterministic Lloyd's k-means (driver-side, sample-sized).
     * Shared with [[Dedup.semanticPairs]] so the semantic-dedup clusters
     * replay the same arithmetic as the IVF coarse quantizer. */
-  private[pipeline] def kmeans(points: Array[Array[Double]], kk: Int, iters: Int): Array[Array[Double]] = {
+  private[graft] def kmeans(points: Array[Array[Double]], kk: Int, iters: Int): Array[Array[Double]] = {
     val dim = points.head.length
     var cents = points.take(kk).map(_.clone) // deterministic init
     for (_ <- 0 until iters) {

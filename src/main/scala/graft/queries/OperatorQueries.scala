@@ -2330,6 +2330,50 @@ object OperatorQueries {
       out
     },
 
+    "ir_sql_catalog_zorder3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // OPTIMIZE ... ZORDER BY over a THREE-column composite key — the
+      // rank-space generalization (RankZPartitioner): each component
+      // maps to its equal-depth bucket rank, the ranks interleave, and
+      // the primary re-clusters z-contiguously, so the 3-D box below
+      // prunes through zone maps on all THREE key columns. The ZORDER
+      // BY names the dims in NON-key order (day leads) to exercise the
+      // permutation. Required in-lane: the box scan kept fewer
+      // partitions than the hash CTAS layout's; the oracle proves the
+      // box semantics bit-for-bit.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_zorder3").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_zorder3")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.events(s, dir)
+        .select($"user_id", unix_date(to_date($"ts")).cast("long").as("day"),
+          hour($"ts").cast("long").as("hr"), $"value")
+        .groupBy($"user_id", $"day", $"hr")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("sum_value"))
+        .createOrReplaceTempView("cat_zorder3_src")
+      s.sql(s"""CREATE TABLE graft_cat_zorder3 USING graft
+        |OPTIONS (key 'user_id,day,hr', partitions '8') LOCATION '$path'
+        |AS SELECT * FROM cat_zorder3_src""".stripMargin)
+      def box = s.sql(
+        """SELECT user_id, day, hr, n_events, sum_value
+          |FROM graft_cat_zorder3
+          |WHERE user_id BETWEEN 2 AND 11
+          |AND day BETWEEN 19728 AND 19737 AND hr BETWEEN 0 AND 11""".stripMargin)
+      val preParts = box.rdd.getNumPartitions
+      s.sql("OPTIMIZE graft_cat_zorder3 ZORDER BY (day, user_id, hr)")
+      val out = box
+      val kept = out.rdd.getNumPartitions
+      require(kept < preParts,
+        s"rank-z zones kept $kept of $preParts partitions — no pruning")
+      // point routing through the rank-space partitioner stays exact
+      val one = s.sql("""SELECT n_events FROM graft_cat_zorder3
+        |WHERE user_id = 3 AND day = 19730 AND hr = 5""".stripMargin).collect()
+      require(one.length <= 1, "composite key lookup returned duplicates")
+      out
+    },
+
     "ir_sql_catalog_zorder_values" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -2987,10 +3031,15 @@ object OperatorQueries {
       val ev = Tables.events(s, dir).select($"ts", $"event_id", $"value")
       val h = graft.sql.IndexedFrame.indexCompositeRangePartitioned(
         ev, "ts", "event_id", 16)
+      // the grouped fold keys on CATALYST'S date_trunc (timestamp);
+      // the post-agg DATE cast only normalizes the output type, so the
+      // oracle compares identically across DuckDB versions (date_trunc
+      // returns TIMESTAMP before 0.10, DATE after)
       h.toDF.filter($"ts" >= lit("2024-01-05 00:00:00").cast("timestamp") &&
           $"ts" < lit("2024-01-25 00:00:00").cast("timestamp"))
         .groupBy(date_trunc("day", $"ts").as("d"))
         .agg(count(lit(1)).as("n"))
+        .select($"d".cast("date").as("d"), $"n")
     },
 
     "ir_sql_time_rollup_stats" -> { (s, dir) =>
@@ -3006,6 +3055,7 @@ object OperatorQueries {
       h.toDF.groupBy(date_trunc("day", $"ts").as("d"))
         .agg(count(lit(1)).as("n"), min($"ts").as("first_ts"),
           max($"ts").as("last_ts"))
+        .select($"d".cast("date").as("d"), $"n", $"first_ts", $"last_ts")
     },
 
     "ir_sql_expr_group" -> { (s, dir) =>
@@ -4263,6 +4313,21 @@ object OperatorQueries {
         |SELECT user_id, day, n_events, sum_value FROM agg
         |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737""".stripMargin,
 
+    // the rank-space 3-D box — identical semantics to the plain
+    // grouped filter (the lane differs only in HOW it reads:
+    // zone-pruned partitions of the rank-z-clustered base)
+    "ir_sql_catalog_zorder3" ->
+      """WITH agg AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, day, hr, n_events, sum_value FROM agg
+        |WHERE user_id BETWEEN 2 AND 11 AND day BETWEEN 19728 AND 19737
+        |AND hr BETWEEN 0 AND 11""".stripMargin,
+
     // the value-column z-order box AFTER the post-OPTIMIZE DML —
     // identical semantics to a plain filter over the mutated corpus
     // (the lane differs only in HOW it reads: zb-pruned projection
@@ -4450,14 +4515,14 @@ object OperatorQueries {
       "SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n FROM orders",
 
     "ir_sql_time_rollup" ->
-      """SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
         |GROUP BY 1""".stripMargin,
 
     "ir_sql_time_rollup_stats" ->
-      """SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n,
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
         |       min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY 1""".stripMargin,
 

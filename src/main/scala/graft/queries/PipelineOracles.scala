@@ -1119,6 +1119,27 @@ object PipelineOracles {
 
   /** Exact top-k by cosine (= IVF with nprobe = nlist): scoring folds
     * replicate VectorDot's order; ORDER BY the UNROUNDED cosine. */
+  /** The durable-vector-index lane's full probe over the MUTATED
+    * catalog table = exact brute-force cosine top-k over (corpus minus
+    * the deleted keys, plus the re-inserted +100000 twins). */
+  val annCatalogTopk: String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 97 <> 3),
+       |ins AS (
+       |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 8),
+       |vecs AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+       |qn AS (SELECT list_transform(v, x -> x / sqrt(${dot64("v", "v")})) AS q
+       |       FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+       |             FROM embeddings WHERE vec_id = 7)),
+       |scored AS (
+       |  SELECT vecs.id AS vec_id,
+       |    ${dot64("vecs.v", "qn.q")} / sqrt(${dot64("vecs.v", "vecs.v")}) AS cos
+       |  FROM vecs, qn)
+       |SELECT vec_id, cos FROM (
+       |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+
   val annIvfFull: String =
     s"""WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qn AS (SELECT list_transform(v, x -> x / sqrt(${dot64("v", "v")})) AS q
@@ -1370,6 +1391,7 @@ object PipelineOracles {
     // trains on the same first-512-ids sample, so it shares it too
     "ann_ivf_saved" -> annIvfTopk,
     "ann_ivf_appended" -> annIvfTopk,
+    "ann_catalog_topk" -> annCatalogTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "mm_resize_frames" -> mmResizeFrames,

@@ -233,6 +233,36 @@ object PipelineQueries {
         k = 20, nprobe = 6)
     },
 
+    "ann_catalog_topk" -> { (s, dir) =>
+      // the DURABLE vector index as first-class catalog DDL: CREATE
+      // INDEX ... USING IVF persists the list-partitioned layout
+      // beside the table's delta log, DML maintains it at DELTA cost
+      // (appends against the saved centroids; deletes resolve at probe
+      // time via the liveness join), and a REOPENED session probes
+      // through the graft_ann TVF reading only the probed lists — no
+      // rebuild, no corpus rescan. nprobe = nlist here, so the result
+      // must EQUAL exact brute-force top-k over the LIVE (mutated)
+      // content — which is what the oracle computes.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_ann").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_ann")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_ann_src")
+      s.sql(s"""CREATE TABLE graft_cat_ann USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_ann_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_ann USING IVF (embedding)")
+      s.sql("DELETE FROM graft_cat_ann WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_ann
+        |SELECT vec_id + 100000, embedding FROM cat_ann_src
+        |WHERE vec_id < 8""".stripMargin)
+      val lit = queryVec(s, dir).map(_.toString)
+        .mkString("array(", ", ", ")")
+      val s2 = s.newSession() // cold probe: the index must be durable
+      s2.sql(s"""SELECT vec_id, cos FROM
+        |graft_ann('graft_cat_ann', 'emb', $lit, 20, 16)""".stripMargin)
+    },
+
     "ann_pq_topk" -> { (s, dir) =>
       // product quantization: rows scored from m=8 one-byte codes via
       // an ADC lookup-table fold (32x less data scanned than raw

@@ -54,6 +54,47 @@ object GraftBenchBridge {
     (h.lastScanKind, h.lastZoneKept)
   }
 
+  /** The N-ary composite-key twin of [[h1ScanInfo]]. */
+  def compositeNScanInfo(sp: SparkSession, path: String): (String, Int) = {
+    val h = GraftTables.current(sp, path)._2.handleAny
+      .asInstanceOf[IndexedFrame.CompositeNHandle]
+    (h.lastScanKind, h.lastZoneKept)
+  }
+
+  /** The table version its persisted z sort projection was built at
+    * (None = no projection) — the auto-rebuild observability gauge:
+    * `currentVersion - zprojVersion` IS the overlay depth a boxed scan
+    * pays. */
+  def zprojVersion(sp: SparkSession, path: String): Option[Long] =
+    GraftTables.readZProjMeta(sp, path).map(_._1)
+
+  /** Current committed version of the table's on-disk log. */
+  def currentVersion(sp: SparkSession, path: String): Long =
+    GraftTables.diskVersion(sp, path)
+
+  /** Swap the z-projection auto-rebuild threshold (bench/spec dial);
+    * returns the previous value so callers restore it. */
+  def setZprojRebuildAfter(n: Int): Int = {
+    val old = GraftTables.zprojRebuildAfter
+    GraftTables.zprojRebuildAfter = n
+    old
+  }
+
+  /** Size of the checkpointed log manifest on disk (0 when absent) —
+    * the retention gauge: with fold-covered versions pruned the blob
+    * is O(K log_K n), so it must stay ~flat as the commit count grows
+    * (reopen_200 vs reopen_1000). */
+  def manifestBytes(sp: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, "_tmanifest")
+    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+  }
+
+  /** Per-version records the manifest still carries (uncovered tail
+    * only, post-retention). */
+  def manifestMetaCount(sp: SparkSession, path: String): Int =
+    GraftTables.readManifestPublic(sp, path).map(_._2).getOrElse(0)
+
   /** Drain the background fold-maintenance queue — the determinism
     * barrier before asserting on fold/manifest state right after a
     * commit burst. */

@@ -91,6 +91,14 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftSqlExtension].getName, "graft_history"),
       (args: Seq[Expression]) => GraftSqlExtension.historyPlan(args)))
+    // durable-vector-index probe: SELECT * FROM
+    // graft_ann('table', 'index', array(...), k[, nprobe]) — reads
+    // only the query's nprobe list partitions (see GraftVectorIndex)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ann"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_ann"),
+      (args: Seq[Expression]) => GraftSqlExtension.annPlan(args)))
     // table-maintenance verbs Spark's grammar lacks: OPTIMIZE
     // (compaction) and VACUUM (history retention); everything else
     // passes through to the delegate parser untouched
@@ -144,7 +152,7 @@ class GraftIndexDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case ci @ CreateIndex(u: UnresolvedTable, name, idxType, ignoreIfExists,
-        columns, _) =>
+        columns, props) =>
       (u.multipartIdentifier match {
         case Seq(view) =>
           val cols = columns.map(_._1.name)
@@ -153,7 +161,8 @@ class GraftIndexDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
             case (h, pathOpt) =>
               GraftIndexCommand("CREATE INDEX", view, name) { sp =>
                 GraftSqlExtension.createNamedIndex(sp, view, h, name,
-                  idxType, cols.map(_.head), ignoreIfExists)
+                  idxType, cols.map(_.head), ignoreIfExists, pathOpt,
+                  props)
                 // catalog tables persist the new sidecars in place —
                 // the reloaded table routes through them, no rebuild
                 pathOpt.foreach(
@@ -169,7 +178,7 @@ class GraftIndexDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
             case (h, pathOpt) =>
               GraftIndexCommand("DROP INDEX", view, name) { sp =>
                 GraftSqlExtension.dropNamedIndex(sp, view, h, name,
-                  ignoreIfNotExists)
+                  ignoreIfNotExists, pathOpt)
                 pathOpt.foreach(
                   GraftSqlExtension.persistSidecars(sp, view, h, _))
               }
@@ -383,6 +392,38 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A catalog-table adapter that reads the LIVE snapshot: the
+    * analyzed plan's LogicalRelation is whatever this session's
+    * relation cache resolved — possibly versions behind a rival
+    * session's commits — and change sets computed from a stale
+    * snapshot are lost updates waiting to commit (GraftStressSpec's
+    * N-writer increment race found exactly that). Every operation
+    * re-resolves the current handle at RUN time; the rewrite-time
+    * `bound` adapter only supplies schema/key metadata (schema drift
+    * between rewrite and run is guarded by the commit's own
+    * staged-compatibility check). */
+  private def liveAdapter(path: String, bound: Adapter): Adapter =
+    new Adapter {
+      private def live(sp: SparkSession): Adapter =
+        adapt(GraftTables.current(sp, path)._2.relation(sp))
+          .getOrElse(bound)
+      def keyCols: Seq[String] = bound.keyCols
+      def schema: StructType = bound.schema
+      def df(sp: SparkSession): DataFrame = live(sp).df(sp)
+      def upsert(sp: SparkSession, rows: DataFrame): DataFrame =
+        live(sp).upsert(sp, rows)
+      def delete(sp: SparkSession, keys: DataFrame): DataFrame =
+        live(sp).delete(sp, keys)
+      def merge(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+          spec: MergeSpec): DataFrame =
+        live(sp).merge(sp, src, srcKeys, spec)
+      def mergeSets(sp: SparkSession, src: DataFrame, srcKeys: Seq[String],
+          spec: MergeSpec): IndexedFrame.MergeSets =
+        live(sp).mergeSets(sp, src, srcKeys, spec)
+      def overwrite(sp: SparkSession, rows: DataFrame): DataFrame =
+        live(sp).overwrite(sp, rows)
+    }
+
   /** Where a DML statement's effect lands: a temp VIEW rebinds to the
     * new copy-on-write handle in-session; a CATALOG table (`CREATE
     * TABLE ... USING graft`) commits the change sets to the table's
@@ -414,7 +455,9 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           return adapt(lr.relation).flatMap { a =>
             lr.catalogTable match {
               case Some(ct) =>
-                Some((TableTarget(ct.identifier, ct.location.toString), a))
+                val path = ct.location.toString
+                Some((TableTarget(ct.identifier, path),
+                  liveAdapter(path, a)))
               case None =>
                 name.orElse(viewNameOf(lr.relation))
                   .map(n => (ViewTarget(n), a))
@@ -648,11 +691,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           }
         case TableTarget(ident, path) =>
           GraftTableDmlCommand("MERGE", ident, path) { sp =>
+            val rv = GraftTables.currentVersion(sp, path)
             val srcDF0 = ExpressionBridge.ofRows(sp, srcPlan)
             val (srcDF, names) = srcKeyCols(srcDF0)
             val ms = ad.mergeSets(sp, srcDF, names, spec)
             try GraftTables.commitChange(sp, path, truncate = false,
-              ms.del, ms.ups)
+              ms.del, ms.ups, readVersion = Some(rv))
             finally ms.release()
           }
       }
@@ -696,9 +740,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case ViewTarget(view) =>
             GraftDmlCommand("DELETE", view)(sp => ad.delete(sp, keysOf(sp)))
           case TableTarget(ident, path) =>
-            GraftTableDmlCommand("DELETE", ident, path)(sp =>
+            GraftTableDmlCommand("DELETE", ident, path) { sp =>
+              val rv = GraftTables.currentVersion(sp, path)
               GraftTables.commitChange(sp, path, truncate = false,
-                Some(keysOf(sp)), None))
+                Some(keysOf(sp)), None, readVersion = Some(rv))
+            }
         }
       d.condition match {
         // `DELETE FROM t WHERE <key cols> IN (SELECT ...)` — the CDC
@@ -756,9 +802,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case ViewTarget(view) =>
           GraftDmlCommand("UPDATE", view)(sp => ad.upsert(sp, upsOf(sp)))
         case TableTarget(ident, path) =>
-          GraftTableDmlCommand("UPDATE", ident, path)(sp =>
+          GraftTableDmlCommand("UPDATE", ident, path) { sp =>
+            val rv = GraftTables.currentVersion(sp, path)
             GraftTables.commitChange(sp, path, truncate = false,
-              None, Some(upsOf(sp))))
+              None, Some(upsOf(sp)), readVersion = Some(rv))
+          }
       }
     }
   }
@@ -818,9 +866,11 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             else ad.upsert(sp, alignedOf(sp))
           }
         case TableTarget(ident, path) =>
-          GraftTableDmlCommand(kind, ident, path)(sp =>
+          GraftTableDmlCommand(kind, ident, path) { sp =>
+            val rv = GraftTables.currentVersion(sp, path)
             GraftTables.commitChange(sp, path, truncate = i.overwrite,
-              None, Some(alignedOf(sp))))
+              None, Some(alignedOf(sp)), readVersion = Some(rv))
+          }
       }
     }
   }
@@ -889,6 +939,13 @@ case class GraftTableDmlCommand(kind: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     body(sparkSession)
     sparkSession.sessionState.catalog.refreshTable(ident)
+    // rival sessions' relation caches would keep serving the
+    // pre-commit snapshot — invalidate them too (their next query
+    // re-resolves; a session without this table ignores the refresh)
+    GraftTables.knownSessions.filter(_ ne sparkSession).foreach { s =>
+      try s.sessionState.catalog.refreshTable(ident)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     Nil
   }
   override def simpleString(maxFields: Int): String =
@@ -1071,15 +1128,10 @@ object GraftSqlExtension {
     graft.MarkerFile.writeLong(fs,
       new org.apache.hadoop.fs.Path(path, "_sidecarver"),
       GraftTables.currentVersion(sp, path))
-    val entries = indexesOn(sp, view)
-    val out = new java.io.ObjectOutputStream(fs.create(
-      new org.apache.hadoop.fs.Path(path, "_indexnames"), true))
-    try {
-      out.writeInt(entries.size)
-      entries.foreach { case (n, t, cs) =>
-        out.writeObject(n); out.writeObject(t); out.writeObject(cs.toList)
-      }
-    } finally out.close()
+    // atomic rewrite (staged sibling + rename) — a concurrent reader
+    // never sees a truncated manifest
+    GraftTables.writeIndexManifest(sp, path,
+      indexesOn(sp, view).map { case (n, t, cs) => (n, t, cs.toList) })
   }
 
   /** Reconcile this session's registry with a catalog table's
@@ -1116,7 +1168,8 @@ object GraftSqlExtension {
 
   private[sql] def createNamedIndex(sp: SparkSession, view: String,
       h: DdlHandle, name: String, idxType: String, cols: Seq[String],
-      ignoreIfExists: Boolean): Unit = {
+      ignoreIfExists: Boolean, pathOpt: Option[String] = None,
+      props: Map[String, String] = Map.empty): Unit = {
     val reg = indexRegOf(sp)
     if (reg.contains((view, name))) {
       if (!ignoreIfExists)
@@ -1128,11 +1181,26 @@ object GraftSqlExtension {
       case "" | "hash" => "hash"
       case "btree" | "ordered" => "btree"
       case "zonemap" => "zonemap"
+      case "ivf" => "ivf"
       case other => throw new IllegalArgumentException(
-        s"unsupported index type '$other' (USE: HASH, BTREE, ZONEMAP)")
+        s"unsupported index type '$other' (USE: HASH, BTREE, ZONEMAP, IVF)")
     }
     norm match {
       case "zonemap" => h.analyzeZones(cols: _*)
+      case "ivf" =>
+        require(cols.size == 1,
+          s"an IVF index takes exactly one vector column (got ${cols.size})")
+        val path = pathOpt.getOrElse(throw new IllegalArgumentException(
+          "IVF indexes persist beside the table's delta log — the " +
+            "target must be a durable graft CATALOG table, not a temp view"))
+        val (v, th) = GraftTables.current(sp, path)
+        require(th.schema(cols.head).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"IVF index column '${cols.head}' must be an array vector " +
+            s"(got ${th.schema(cols.head).dataType.catalogString})")
+        val nlist = props.getOrElse("nlist", "16").toInt
+        GraftVectorIndex.build(sp, path, name, th.toDF(sp), th.keyCols,
+          cols.head, nlist, v)
       case t =>
         require(cols.size == 1,
           s"a $t index takes exactly one column (got ${cols.size}); " +
@@ -1144,9 +1212,12 @@ object GraftSqlExtension {
   }
 
   private[sql] def dropNamedIndex(sp: SparkSession, view: String,
-      h: DdlHandle, name: String, ignoreIfNotExists: Boolean): Unit =
+      h: DdlHandle, name: String, ignoreIfNotExists: Boolean,
+      pathOpt: Option[String] = None): Unit =
     indexRegOf(sp).remove((view, name)) match {
       case Some(("zonemap", cols)) => h.dropZones(cols: _*); ()
+      case Some(("ivf", _)) =>
+        pathOpt.foreach(GraftVectorIndex.drop(sp, _, name))
       case Some((_, cols)) => h.dropSecondaryIndex(cols.head); ()
       case None =>
         if (!ignoreIfNotExists)
@@ -1269,6 +1340,62 @@ object GraftSqlExtension {
         inserted.unionByName(deleted).unionByName(pre).unionByName(post)
       }
     all.queryExecution.analyzed
+  }
+
+  /** `SELECT * FROM graft_ann('table', 'index', array(q...), k[,
+    * nprobe])` — probe a durable IVF vector index
+    * ([[GraftVectorIndex]]): the k nearest live rows by cosine, read
+    * from only the query's `nprobe` list partitions. `nprobe` defaults
+    * to 4; pass the index's nlist for EXACT brute-force-equal top-k. */
+  private[sql] def annPlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    require(args.size == 4 || args.size == 5,
+      "usage: graft_ann(table, index, query_vector, k[, nprobe])")
+    def evalArg(e: Expression): Any = {
+      require(e.foldable, "graft_ann arguments must be literals")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    def str(a: Any, what: String): String = a match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_ann: $what must be a string literal (got $other)")
+    }
+    def int(a: Any, what: String): Int = a match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_ann: $what must be an integer literal (got $other)")
+    }
+    val table = str(evalArg(args(0)), "table name")
+    val index = str(evalArg(args(1)), "index name")
+    val query: Array[Double] = (args(2).dataType, evalArg(args(2))) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+          a: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.DoubleType => a.toDoubleArray()
+        case org.apache.spark.sql.types.FloatType =>
+          a.toFloatArray().map(_.toDouble)
+        case org.apache.spark.sql.types.IntegerType =>
+          a.toIntArray().map(_.toDouble)
+        case org.apache.spark.sql.types.LongType =>
+          a.toLongArray().map(_.toDouble)
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          // a SQL array(0.12, ...) literal parses as exact decimals
+          a.toObjectArray(dt).map(
+            _.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+        case other => throw new IllegalArgumentException(
+          s"graft_ann: unsupported query element type $other")
+      }
+      case (dt, _) => throw new IllegalArgumentException(
+        s"graft_ann: the query must be a numeric array literal (got $dt)")
+    }
+    val k = int(evalArg(args(3)), "k")
+    val nprobe = if (args.size == 5) int(evalArg(args(4)), "nprobe") else 4
+    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_ann: '$table' is not a graft catalog table"))
+    val (_, h) = GraftTables.current(sp, path)
+    GraftVectorIndex.probe(sp, path, index, h.toDF(sp), h.keyCols,
+      query, k, nprobe).queryExecution.analyzed
   }
 
   /** `SELECT * FROM graft_history('view')`: one row per RETAINED

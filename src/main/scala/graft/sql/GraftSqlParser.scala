@@ -43,8 +43,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeZOrderRe(id, x, y) =>
-      GraftOptimizeCommand(unquote(id), Some((unquote(x), unquote(y))))
+    case OptimizeZOrderRe(id, colList) =>
+      GraftOptimizeCommand(unquote(id),
+        Some(colList.split(",").toSeq.map(c => unquote(c.trim))))
     case OptimizeRe(id) => GraftOptimizeCommand(unquote(id))
     case VacuumRe(id, n, unit) =>
       val hours = unit != null && unit.toUpperCase.startsWith("HOUR")
@@ -60,6 +61,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       delegate.parsePlan(s"SELECT * FROM graft_history('${unquote(id)}')")
     case DescribeDetailRe(id) =>
       GraftDescribeDetailCommand(unquote(id))
+    case ExportRe(id, dest) =>
+      GraftExportCommand(unquote(id), dest)
     case CloneRe(target, source, v, location) =>
       GraftCloneCommand(unquote(target), unquote(source),
         Option(v).map(_.toLong), location)
@@ -127,11 +130,13 @@ object GraftSqlParser {
   // not implement) falls through to Spark's parser and errors there
   private val Ident = "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
   private val OptimizeRe = s"(?is)\\s*OPTIMIZE\\s+$Ident\\s*;?\\s*".r
-  // Delta's `OPTIMIZE t ZORDER BY (a, b)` — two dimensions (the Morton
-  // interleave is pairwise; see operators/ZOrder.scala)
+  // Delta's `OPTIMIZE t ZORDER BY (a, b, ...)` — N >= 2 dimensions
+  // (composite-key tables re-cluster the primary along the rank-space
+  // z curve; a two-VALUE-column list materializes a sort projection)
+  private val IdentNC = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
   private val OptimizeZOrderRe =
     (s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*" +
-      s"\\(\\s*$Ident\\s*,\\s*$Ident\\s*\\)\\s*;?\\s*").r
+      s"\\(\\s*($IdentNC(?:\\s*,\\s*$IdentNC)+)\\s*\\)\\s*;?\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?))?\\s*;?\\s*".r
   // Delta's RESTORE grammar: `RESTORE [TABLE] t TO VERSION AS OF n`
@@ -160,6 +165,12 @@ object GraftSqlParser {
   // TVF as a statement) and DETAIL (one metadata row)
   private val DescribeHistoryRe =
     s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ident\\s*;?\\s*".r
+  // plain-Spark interop: materialize the CURRENT content as ordinary
+  // parquet any session can read without the graft extension (the
+  // "other team's notebook" path — Delta's analog is the stale-parquet
+  // degrade; an explicit verb beats silently-stale files)
+  private val ExportRe =
+    s"(?is)\\s*EXPORT\\s+(?:TABLE\\s+)?$Ident\\s+TO\\s+'([^']+)'\\s*;?\\s*".r
   private val DescribeDetailRe =
     s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ident\\s*;?\\s*".r
   // Delta's CLONE verb: materialize a snapshot (current or VERSION AS
@@ -216,7 +227,7 @@ object GraftSqlParser {
   * `lineage_depth_*` is the replay depth a cold read pays before/after
   * — the number OPTIMIZE exists to reset. */
 case class GraftOptimizeCommand(view: String,
-    zorder: Option[(String, String)] = None) extends LeafRunnableCommand {
+    zorder: Option[Seq[String]] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("view", StringType, nullable = false)(),
     AttributeReference("rows", LongType, nullable = false)(),
@@ -543,6 +554,33 @@ case class GraftConstraintCommand(table: String, name: String,
   * counts (O(partitions) off the index headers), the readable version
   * window, and the durable sidecar inventory (indexes, constraints,
   * skew cap). */
+/** `EXPORT [TABLE] t TO '<dir>'` — plain-Spark interop: write the
+  * table's CURRENT content as ordinary parquet at `<dir>`, readable by
+  * any session (spark.read.parquet / DuckDB / a notebook) with NO
+  * graft extension installed. A SNAPSHOT, not a live view: later DML
+  * does not touch the export (re-EXPORT for a fresh one) — explicit
+  * staleness beats Delta's silently-stale foreign-reader degrade. One
+  * distributed write, no driver collect; the exported layout keeps the
+  * table's partition count. */
+case class GraftExportCommand(table: String, dest: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"EXPORT: '$table' is not a graft catalog table"))
+    val (v, h) = GraftTables.current(sp, path)
+    val df = h.toDF(sp)
+    df.write.mode("overwrite").parquet(dest)
+    Seq(Row(table, dest, v, sp.read.parquet(dest).count()))
+  }
+}
+
 case class GraftDescribeDetailCommand(table: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -310,6 +310,20 @@ private[sql] object GraftTables {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, (Long, TableHandle)]]()
 
+  /** Every session that ever resolved a graft table in this JVM (weak
+    * — dead sessions drop out). The DML commands refresh THESE
+    * sessions' relation caches after a commit, so a long-lived rival
+    * session's next query re-resolves the fresh snapshot instead of
+    * reading a stale cached relation (Delta's per-query log check, by
+    * invalidation). Cross-PROCESS readers re-resolve on their own next
+    * reopen/refresh, as with any external-writer V1 source. */
+  private[sql] def knownSessions: Seq[SparkSession] =
+    caches.synchronized {
+      val out = Seq.newBuilder[SparkSession]
+      caches.keySet.forEach(s => if (s != null) out += s)
+      out.result()
+    }
+
   private def cacheOf(sp: SparkSession)
       : scala.collection.concurrent.TrieMap[String, (Long, TableHandle)] =
     caches.synchronized {
@@ -423,10 +437,16 @@ private[sql] object GraftTables {
   }
 
   /** Epoch millis of a `startingTimestamp` option value: a raw millis
-    * long, or a `java.sql.Timestamp` string (the same JVM-zone
-    * wall-clock form `TIMESTAMP AS OF` round-trips). */
+    * long (an optional sign then digits ONLY — a date-only string like
+    * `2026-08-15` also consists of digits and dashes but must parse as
+    * a DATE, as Delta accepts), a date-only string, or a
+    * `java.sql.Timestamp` string (the same JVM-zone wall-clock form
+    * `TIMESTAMP AS OF` round-trips). */
   private[sql] def parseTimestampMillis(s: String): Long =
-    if (s.nonEmpty && s.forall(c => c.isDigit || c == '-')) s.toLong
+    if (s.matches("-?\\d+")) s.toLong
+    else if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.sql.Timestamp.valueOf(java.time.LocalDate.parse(s)
+        .atStartOfDay()).getTime
     else java.sql.Timestamp.valueOf(s).getTime
 
   /** The change-feed start for `startingTimestamp = ms`: the version
@@ -616,6 +636,14 @@ private[sql] object GraftTables {
         org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, new Path(dstP, f),
           false, sp.sparkContext.hadoopConfiguration)
     }
+    // durable vector-index sidecars travel with the clone (copy, not
+    // rebuild — the clone must probe bit-identically to its source)
+    if (fs.exists(srcP)) fs.listStatus(srcP).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_tivf_"))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(dstP, n), false, sp.sparkContext.hadoopConfiguration)
+    }
     purgeAllSessions(sp, dstPath)
     // a HISTORICAL snapshot's handle carries no live sidecars (replay
     // strips them; only the current version re-derives) — the clone's
@@ -628,6 +656,7 @@ private[sql] object GraftTables {
         IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
       val missing = manifest.exists {
         case (_, "zonemap", cols) => !cols.forall(target.zoneSnapshot._1.contains)
+        case (_, "ivf", _) => false // cloned as a durable sidecar above
         case (_, _, cols) => !target.secondaryColSet.contains(cols.head)
       }
       if (missing) {
@@ -697,11 +726,15 @@ private[sql] object GraftTables {
 
   /** Fold maintenance for the table at `path`, off the statement's
     * critical path when [[foldAsync]]. Never throws (folds are
-    * advisory and the triggering statement already committed). */
+    * advisory and the triggering statement already committed). The
+    * same pass is the natural home for the other deferred-maintenance
+    * policy: [[maybeRebuildZProj]] re-materializes a z sort projection
+    * whose delta overlay has deepened past its usefulness. */
   private def scheduleFold(sp: SparkSession, path: String, v: Long): Unit =
     if (!foldAsync) {
       try maybeFold(sp, path, v)
       catch { case scala.util.control.NonFatal(_) => () }
+      maybeRebuildZProj(sp, path)
     } else {
       val key = canonical(sp, path)
       if (foldQueued.add(key)) {
@@ -712,11 +745,67 @@ private[sql] object GraftTables {
               foldPassHook()
               maybeFold(sp, path, diskVersion(sp, path))
             } catch { case scala.util.control.NonFatal(_) => () }
+            maybeRebuildZProj(sp, path)
           }
         })
         ()
       }
     }
+
+  /** Overlay version-depth past which the background worker rebuilds a
+    * stale z sort projection (0 disables). The overlay bridge is exact
+    * at any depth, but its anti-join + union cost grows with the delta
+    * span while the rebuilt projection's is O(pruned cells) — a table
+    * taking steady DML would otherwise degrade monotonically until an
+    * explicit OPTIMIZE. Delta re-clusters only on OPTIMIZE; auto-
+    * rebuild keeps the overlay shallower than its crossover with zero
+    * user calls (same spirit as tiered delta folding). Mutable for
+    * tests. */
+  private[sql] var zprojRebuildAfter: Int = 20
+
+  /** Rebuild the persisted z projection at the CURRENT version when
+    * its overlay span crossed [[zprojRebuildAfter]] — or when a fence
+    * (truncate / schema delta) landed since the build, which stops the
+    * overlay from serving at all. One corpus rewrite on the background
+    * worker, promoted atomically ([[writeZProjection]]); the freshly
+    * built projection attaches to the live handle overlay-free.
+    * Best-effort: projections are acceleration, never truth. */
+  private def maybeRebuildZProj(sp: SparkSession, path: String): Unit = {
+    val threshold = zprojRebuildAfter
+    if (threshold <= 0) return
+    try readZProjMeta(sp, path).foreach { case (pv, info) =>
+      val dv = diskVersion(sp, path)
+      if (dv > pv) {
+        val fenced = coverVersions(sp, path, pv, dv).exists {
+          case Left((_, m)) => !m.plain
+          case Right(_) => false
+        }
+        if (fenced || dv - pv >= threshold) {
+          val (cv, h) = current(sp, path)
+          // the projected columns must still be value-numeric under
+          // the CURRENT schema (an evolution may have dropped or
+          // retyped them — then only an explicit OPTIMIZE with new
+          // columns can revive the projection)
+          val ok = Seq(info.colA, info.colB).forall(c =>
+            h.schema.fieldNames.contains(c) &&
+              h.schema(c).dataType.isInstanceOf[
+                org.apache.spark.sql.types.NumericType] &&
+              !h.keyCols.contains(c))
+          if (ok) {
+            val ninfo = writeZProjection(sp, path, h, info.colA,
+              info.colB, cv)
+            swapOverlay(canonical(sp, path), None)
+            cacheOf(sp).get(canonical(sp, path)) match {
+              case Some((vv, hh)) if vv == cv =>
+                hh.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
+                  .attachZProjection(ninfo)
+              case _ => ()
+            }
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Block until every QUEUED fold pass has finished — the
     * determinism barrier for specs, driver lanes, and bench fixtures
@@ -741,14 +830,24 @@ private[sql] object GraftTables {
   private case class Fold(lo: Long, hi: Long, hasDel: Boolean,
       hasUp: Boolean)
 
+  /** Fold commit record. `stamps` carries the COVERED versions' commit
+    * millis (lo..hi inclusive, in order) — that is what lets
+    * [[refreshManifest]] drop fold-covered versions from the manifest
+    * entirely (O(K log_K n) manifest size instead of O(n)) while
+    * TIMESTAMP AS OF / graft_history stay exact: [[deltaTimes]] reads
+    * stamps per-FOLD, not per-version. Appended after the v1 fields,
+    * so pre-r18 folds read as (flags, no stamps) and degrade to
+    * per-version stamp reads. */
   private def writeFoldMeta(fs: FileSystem, dir: Path, hasDel: Boolean,
-      hasUp: Boolean): Unit = {
+      hasUp: Boolean, stamps: Array[Long]): Unit = {
     val out = new java.io.ObjectOutputStream(
       fs.create(new Path(dir, "_meta"), true))
     try {
       out.writeBoolean(hasDel)
       out.writeBoolean(hasUp)
       out.writeLong(System.currentTimeMillis())
+      out.writeInt(stamps.length)
+      stamps.foreach(out.writeLong)
     } finally out.close()
   }
 
@@ -757,6 +856,21 @@ private[sql] object GraftTables {
     try {
       val in = new java.io.ObjectInputStream(fs.open(new Path(dir, "_meta")))
       try Some((in.readBoolean(), in.readBoolean())) finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The covered versions' commit stamps of fold `[lo, hi]` — None for
+    * a pre-r18 fold (no trailing stamps) or a torn read; callers then
+    * pay per-version `_meta` reads for that range. */
+  private def readFoldStamps(fs: FileSystem, dir: Path,
+      expect: Int): Option[Array[Long]] =
+    try {
+      val in = new java.io.ObjectInputStream(fs.open(new Path(dir, "_meta")))
+      try {
+        in.readBoolean(); in.readBoolean(); in.readLong()
+        val n = in.readInt()
+        if (n != expect) None
+        else Some(Array.fill(n)(in.readLong()))
+      } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Every COMMITTED fold at `path` (torn ones — no readable `_meta`
@@ -873,6 +987,34 @@ private[sql] object GraftTables {
       m.cv <= diskVersion(sp, path))
   }
 
+  /** (any delete/truncate, any upsert) committed AFTER version `v` —
+    * walked over the fold cover (O(K log_K n) metadata reads, zero at
+    * the manifest fast path). The vector-index probe uses it to skip
+    * its per-key dedup and liveness join on a read-mostly table. */
+  private[sql] def changeFlagsSince(sp: SparkSession, path: String,
+      v: Long): (Boolean, Boolean) = {
+    val dv = diskVersion(sp, path)
+    if (dv <= v) (false, false)
+    else {
+      val items = coverVersions(sp, path, v, dv)
+      val del = items.exists {
+        case Left((_, m)) => m.truncate || m.hasDel
+        case Right(f) => f.hasDel
+      }
+      val up = items.exists {
+        case Left((_, m)) => m.hasUp
+        case Right(f) => f.hasUp
+      }
+      (del, up)
+    }
+  }
+
+  /** Observability twin of [[readManifest]] for gauges/specs: (cover
+    * version, per-version record count, fold count). */
+  private[sql] def readManifestPublic(sp: SparkSession,
+      path: String): Option[(Long, Int, Int)] =
+    readManifest(sp, path).map(m => (m.cv, m.metas.size, m.folds.size))
+
   /** Every committed fold, preferring the manifest's enumeration (no
     * directory listing) and falling back to the full
     * [[listFolds]] scan when no valid manifest exists. */
@@ -964,8 +1106,20 @@ private[sql] object GraftTables {
       return
     // a created (or rival-discovered) fold joins the known set — the
     // tiering cover and the trailing manifest refresh both ride it
-    def attempt(lo: Long, hi: Long, segs: Seq[Seg]): Boolean =
-      createFold(sp, path, lo, hi, segs, h.schema, h.keyCols) match {
+    val (fsm, _) = fsOf(sp, path)
+    def stampVia(i: Long): Long =
+      man.flatMap(_.metas.get(i)).map(_.stamp)
+        .getOrElse(readMetaRec(fsm, deltaDir(path, i)).stamp)
+    // a member fold's covered stamps: from its meta (one read), with
+    // per-version reads only for pre-r18 folds that carry none
+    def foldStamps(f: Fold): Array[Long] =
+      readFoldStamps(fsm, new Path(foldDir(path, f.lo, f.hi)),
+        (f.hi - f.lo + 1).toInt)
+        .getOrElse((f.lo to f.hi).map(stampVia).toArray)
+    def attempt(lo: Long, hi: Long, segs: Seq[Seg],
+        stamps: => Array[Long]): Boolean =
+      createFold(sp, path, lo, hi, segs, h.schema, h.keyCols,
+        stamps) match {
         case Some(f) if !known.exists(g => g.lo == f.lo && g.hi == f.hi) =>
           known :+= f; true
         case _ => false
@@ -977,7 +1131,8 @@ private[sql] object GraftTables {
         val chunk = run.take(k).toSeq
         attempt(chunk.head._1, chunk.last._1,
           chunk.map { case (i, m) =>
-            Seg(i, deltaDir(path, i), m.hasDel, m.hasUp) })
+            Seg(i, deltaDir(path, i), m.hasDel, m.hasUp) },
+          chunk.map(c => stampVia(c._1)).toArray)
         run.remove(0, k)
       }
       run.clear()
@@ -1013,7 +1168,8 @@ private[sql] object GraftTables {
           val members = runs.toSeq
           merged = attempt(members.head.lo, members.last.hi,
             members.map(m =>
-              Seg(m.hi, foldDir(path, m.lo, m.hi), m.hasDel, m.hasUp)))
+              Seg(m.hi, foldDir(path, m.lo, m.hi), m.hasDel, m.hasUp)),
+            members.toArray.flatMap(foldStamps))
           runs.clear()
         }
       }
@@ -1043,12 +1199,21 @@ private[sql] object GraftTables {
       i -> VerMeta(m.truncate, m.hasDel, m.hasUp, m.hasSchema, m.stamp,
         fence)
     }.toMap
-    val metas = base ++ tail
+    val live = folds.filter(_.hi <= v).distinct
+    // RETENTION: fold-covered versions leave the manifest — replay
+    // reads the fold, and their stamps live in the fold's own meta
+    // (readFoldStamps), so the rewritten blob is O(K log_K n) like the
+    // read path instead of O(n) per-version records forever. Versions
+    // no fold covers (the tail, fenced regions, no-change commits)
+    // keep their records. A mid-fold TIME TRAVEL target pays
+    // per-version meta reads — the pre-manifest cost, only on that
+    // rare path.
+    val covered = (i: Long) => live.exists(f => f.lo <= i && i <= f.hi)
+    val metas = (base ++ tail).filterNot { case (i, _) => covered(i) }
     val fence = math.max(prior.map(_.fence).getOrElse(0L),
       tail.collect { case (i, vm) if vm.fence => i }
         .maxOption.getOrElse(0L))
-    writeManifest(sp, path,
-      Manifest(v, first, fence, folds.filter(_.hi <= v).distinct, metas))
+    writeManifest(sp, path, Manifest(v, first, fence, live, metas))
   }
 
   /** Write the pre-merged change sets of `segs` as fold `[lo, hi]`:
@@ -1061,7 +1226,7 @@ private[sql] object GraftTables {
     * enumerates it) — or None when the range carries no change rows. */
   private def createFold(sp: SparkSession, path: String, lo: Long, hi: Long,
       segs: Seq[Seg], schema: StructType,
-      keyCols: Seq[String]): Option[Fold] = {
+      keyCols: Seq[String], stamps: => Array[Long]): Option[Fold] = {
     val (fs, p) = fsOf(sp, path)
     val target = new Path(foldDir(path, lo, hi))
     def committed: Option[Fold] =
@@ -1080,7 +1245,7 @@ private[sql] object GraftTables {
           writable(last.where(!col("__del"))
             .select(schema.fieldNames.map(col).toIndexedSeq: _*))
             .write.mode("overwrite").parquet(s"$tmp/up")
-        writeFoldMeta(fs, tmp, anyDel, anyUp)
+        writeFoldMeta(fs, tmp, anyDel, anyUp, stamps)
         if (fs.rename(tmp, target)) Some(Fold(lo, hi, anyDel, anyUp))
         else { fs.delete(tmp, true); committed }
       } catch {
@@ -1098,7 +1263,7 @@ private[sql] object GraftTables {
     * writer), or one a rival committer briefly regressed, self-heals —
     * the commit point of version v is its delta's `_meta`, exactly as
     * in Delta's log, and the walk trusts only that. */
-  private def diskVersion(sp: SparkSession, path: String): Long = {
+  private[sql] def diskVersion(sp: SparkSession, path: String): Long = {
     val (fs, p) = fsOf(sp, path)
     val first = tableFirstVersion(sp, path)
     var v = math.max(
@@ -1189,20 +1354,43 @@ private[sql] object GraftTables {
     }
   }
 
-  /** Exact-name, exact-type projection — the write AND replay sides of
-    * the delta log both pass through it, so what applies live is what
-    * a reopened session reads. Columns the frame lacks fill with NULL
-    * when the table schema allows it (Delta's additive-evolution
-    * semantics: a pre-evolution writer keeps working after ADD
-    * COLUMN); a missing NON-nullable column is still an error. */
+  /** Exact-type projection onto the table schema — the write AND
+    * replay sides of the delta log both pass through it, so what
+    * applies live is what a reopened session reads. Source columns
+    * resolve CASE-INSENSITIVELY (Spark's default resolution, and the
+    * same rule the append guard uses — a `VAL` source column must feed
+    * a `val` table column, not be silently NULL-filled away), exact
+    * match first. Columns the frame lacks fill with NULL when the
+    * table schema allows it (Delta's additive-evolution semantics: a
+    * pre-evolution writer keeps working after ADD COLUMN); a missing
+    * NON-nullable column is still an error. */
   private[sql] def alignTo(df: DataFrame, schema: StructType): DataFrame = {
-    val have = df.columns.toSet
+    val cols = df.columns
+    def resolve(name: String): Option[String] =
+      cols.find(_ == name).orElse {
+        val ci = cols.filter(_.equalsIgnoreCase(name))
+        require(ci.length <= 1, s"columns ${ci.mkString(", ")} are " +
+          s"ambiguous for table column '$name' (case-insensitive match)")
+        ci.headOption
+      }
     df.select(schema.fields.toIndexedSeq.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else {
-        require(f.nullable,
-          s"frame is missing non-nullable column '${f.name}'")
-        org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      resolve(f.name) match {
+        case Some(src) =>
+          // no-op casts are SKIPPED, not just cheap: Spark refuses an
+          // array<T> -> array<T> cast whose only difference is
+          // containsNull tightening, and element nullability is
+          // metadata the parquet round-trip loosens anyway
+          val srcType = df.schema(df.schema.fieldIndex(src)).dataType
+          // catalogString prints types WITHOUT nullability — equality
+          // on it is "same type modulo containsNull/valueContainsNull"
+          if (srcType == f.dataType ||
+              srcType.catalogString == f.dataType.catalogString)
+            col(src).as(f.name)
+          else col(src).cast(f.dataType).as(f.name)
+        case None =>
+          require(f.nullable,
+            s"frame is missing non-nullable column '${f.name}'")
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)
   }
@@ -1668,25 +1856,34 @@ private[sql] object GraftTables {
       path: String): Seq[(String, String)] = {
     val (fs, p) = fsOf(sp, path)
     val f = new Path(p, "_constraints")
-    if (!fs.exists(f)) Nil
-    else {
-      val in = new java.io.ObjectInputStream(fs.open(f))
-      try (0 until in.readInt()).map { _ =>
-        (in.readObject().asInstanceOf[String],
-          in.readObject().asInstanceOf[String])
-      } finally in.close()
+    try {
+      if (!fs.exists(f)) Nil
+      else {
+        val in = new java.io.ObjectInputStream(fs.open(f))
+        try (0 until in.readInt()).map { _ =>
+          (in.readObject().asInstanceOf[String],
+            in.readObject().asInstanceOf[String])
+        } finally in.close()
+      }
+    } catch {
+      // a rival's atomic rewrite (delete+rename window on no-clobber
+      // stores, data/crc pairing) — same torn-marker tolerance as
+      // MarkerFile.readLong
+      case _: java.io.FileNotFoundException => Nil
+      case _: org.apache.hadoop.fs.ChecksumException => Nil
+      case _: java.io.EOFException => Nil
     }
   }
 
   private[sql] def writeConstraints(sp: SparkSession, path: String,
       cs: Seq[(String, String)]): Unit = {
     val (fs, p) = fsOf(sp, path)
-    val out = new java.io.ObjectOutputStream(
-      fs.create(new Path(p, "_constraints"), true))
-    try {
+    graft.MarkerFile.writeAtomic(fs, new Path(p, "_constraints")) { raw =>
+      val out = new java.io.ObjectOutputStream(raw)
       out.writeInt(cs.size)
       cs.foreach { case (n, t) => out.writeObject(n); out.writeObject(t) }
-    } finally out.close()
+      out.flush()
+    }
   }
 
   /** SQL-standard CHECK semantics: a row violates only when the
@@ -1716,14 +1913,21 @@ private[sql] object GraftTables {
       path: String): Seq[(String, String, List[String])] = {
     val (fs, p) = fsOf(sp, path)
     val f = new Path(p, "_indexnames")
-    if (!fs.exists(f)) Nil
-    else {
-      val in = new java.io.ObjectInputStream(fs.open(f))
-      try (0 until in.readInt()).map { _ =>
-        (in.readObject().asInstanceOf[String],
-          in.readObject().asInstanceOf[String],
-          in.readObject().asInstanceOf[List[String]])
-      } finally in.close()
+    try {
+      if (!fs.exists(f)) Nil
+      else {
+        val in = new java.io.ObjectInputStream(fs.open(f))
+        try (0 until in.readInt()).map { _ =>
+          (in.readObject().asInstanceOf[String],
+            in.readObject().asInstanceOf[String],
+            in.readObject().asInstanceOf[List[String]])
+        } finally in.close()
+      }
+    } catch {
+      // rival's atomic rewrite window — tolerate as "no manifest yet"
+      case _: java.io.FileNotFoundException => Nil
+      case _: org.apache.hadoop.fs.ChecksumException => Nil
+      case _: java.io.EOFException => Nil
     }
   }
 
@@ -1744,6 +1948,7 @@ private[sql] object GraftTables {
       .asInstanceOf[IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
     entries.foreach {
       case (_, "zonemap", cols) => target.analyzeZones(cols: _*)
+      case (_, "ivf", _) => () // durable sidecar — nothing handle-side
       case (_, t, cols) =>
         target.addSecondaryIndex(cols.head, ordered = t == "btree")
     }
@@ -1763,8 +1968,21 @@ private[sql] object GraftTables {
       truncate: Boolean, hasDel: Boolean, hasUp: Boolean): Unit = {
     val entries = readIndexManifest(sp, path)
     if (entries.isEmpty) return
-    if (truncate) { reapplyIndexes(sp, path, hNew); return }
     val dir = deltaDir(path, v)
+    // durable vector indexes first: DELTA-COST append of the
+    // statement's upserts against the saved centroids (truncate-
+    // bearing statements too — superseded keys resolve dead at probe
+    // time). Best-effort: the data commit already happened, and a
+    // missed append costs partial-probe freshness, never wrong rows.
+    val ivfs = entries.filter(_._2 == "ivf")
+    if (ivfs.nonEmpty && hasUp) {
+      lazy val upAligned = alignTo(sp.read.parquet(s"$dir/up"), hNew.schema)
+      ivfs.foreach { case (n, _, _) =>
+        try GraftVectorIndex.append(sp, path, n, upAligned, hNew.keyCols, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    if (truncate) { reapplyIndexes(sp, path, hNew); return }
     val del = if (hasDel) Some(alignTo(sp.read.parquet(s"$dir/del"),
       keySchemaOf(hNew.schema, hNew.keyCols))) else None
     val up = if (hasUp) Some(alignTo(sp.read.parquet(s"$dir/up"),
@@ -1778,6 +1996,7 @@ private[sql] object GraftTables {
     entries.foreach {
       case (_, "zonemap", cols) if !cols.forall(haveZone.contains) =>
         target.analyzeZones(cols: _*)
+      case (_, "ivf", _) => () // appended above; nothing handle-side
       case (_, t, cols) if t != "zonemap" && !haveSec.contains(cols.head) =>
         target.addSecondaryIndex(cols.head, ordered = t == "btree")
       case _ => ()
@@ -1824,18 +2043,35 @@ private[sql] object GraftTables {
     baseStamp +: dts
   }
 
-  /** Commit millis of each delta (version 1..current), from the
-    * checkpointed manifest where covered (one read) with per-version
-    * `_meta` reads only for the post-manifest tail; version 0 (the
-    * base) shares the first commit's stamp like the in-session chain
-    * seed. */
+  /** Commit millis of each delta (version 1..current): fold-covered
+    * ranges read their stamps from the fold's meta (ONE read per fold
+    * — O(K log_K n) total), uncovered versions from the manifest's
+    * per-version records, and only the post-manifest tail (or a
+    * pre-r18 fold without stamps) pays per-version `_meta` reads.
+    * Version 0 (the base) shares the first commit's stamp like the
+    * in-session chain seed. */
   private[sql] def deltaTimes(sp: SparkSession, path: String): Seq[Long] = {
     val (fs, _) = fsOf(sp, path)
     val man = readManifest(sp, path)
-    (tableFirstVersion(sp, path) + 1 to diskVersion(sp, path)).map { v =>
+    val first = tableFirstVersion(sp, path)
+    val dv = diskVersion(sp, path)
+    val foldsByLo = knownFolds(sp, path, man)
+      .filter(f => f.lo > first && f.hi <= dv)
+      .groupBy(_.lo).map { case (lo, fs0) => lo -> fs0.maxBy(_.hi) }
+    def raw(v: Long): Long =
       man.flatMap(_.metas.get(v)).map(_.stamp)
         .getOrElse(readMetaRec(fs, deltaDir(path, v)).stamp)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = first + 1
+    while (i <= dv) foldsByLo.get(i) match {
+      case Some(f) =>
+        val n = (f.hi - f.lo + 1).toInt
+        out ++= readFoldStamps(fs, new Path(foldDir(path, f.lo, f.hi)), n)
+          .getOrElse((f.lo to f.hi).map(raw).toArray).toSeq
+        i = f.hi + 1
+      case None => out += raw(i); i += 1
     }
+    out.toSeq
   }
 
   private def loadBase(sp: SparkSession, path: String): TableHandle = {
@@ -2222,9 +2458,15 @@ private[sql] object GraftTables {
     * statements survive in the log and in the replayed state. */
   private[sql] def commitChange(sp: SparkSession, path: String,
       truncate: Boolean, del: Option[DataFrame],
-      up: Option[DataFrame], txn: Option[(String, Long)] = None): Unit = {
+      up: Option[DataFrame], txn: Option[(String, Long)] = None,
+      readVersion: Option[Long] = None): Unit = {
     val writerId = java.util.UUID.randomUUID().toString
-    val (_, h0) = current(sp, path)
+    val (ve, h0) = current(sp, path)
+    // the conflict-guard base: the version the change sets were
+    // COMPUTED against (the DML rewrite pins it before building its
+    // frames), never newer than what this entry observed — a rival
+    // landing between the pin and here is then visible to the guard
+    val v0 = readVersion.fold(ve)(r => math.min(r, ve))
     val stage = stageDir(path, writerId)
     val (fs, _) = fsOf(sp, path)
     try {
@@ -2258,6 +2500,19 @@ private[sql] object GraftTables {
         // LOUDLY before anything is claimed; additive ADD COLUMN and
         // in-place type widenings stay compatible and flow through.
         checkStagedCompatible(h0.schema, h.schema, path)
+        // DATA-CONFLICT guard (Delta's ConcurrentAppend/Delete
+        // exceptions): this statement's change sets were COMPUTED
+        // against the version-v0 snapshot. If a rival committed a
+        // change whose keys INTERSECT ours in between, committing the
+        // staged values would silently overwrite the rival's effect
+        // with stale reads (a lost update — found by GraftStressSpec's
+        // N-writer increment race). Abort LOUDLY; the caller re-runs
+        // the statement against the fresh snapshot. Disjoint-key
+        // rivals flow through (zero conflict), and the check costs
+        // nothing on the no-rival fast path (v == v0).
+        if (v > v0)
+          checkNoDataConflict(sp, path, v0, v, h, stage,
+            del.isDefined, up.isDefined, truncate)
         if (up.isDefined) {
           val cs = readConstraints(sp, path)
           if (cs.nonEmpty && cs != checked)
@@ -2303,6 +2558,47 @@ private[sql] object GraftTables {
         awaitCommitted(sp, path, next)
       }
     } finally { fs.delete(new Path(stage), true); () }
+  }
+
+  /** The data half of the commit-time conflict rules (the metadata
+    * half is [[checkStagedCompatible]]): a rival version in `(v0, v]`
+    * that TRUNCATED, or touched keys this statement's staged change
+    * sets also touch, invalidates values computed against the v0
+    * snapshot — committing them would be a lost update. Key overlap is
+    * two delta-sized semi-joins per rival version (and runs only when
+    * a rival actually committed); disjoint-key writers never conflict,
+    * Delta's WriteSerializable shape. Our own TRUNCATE passes — an
+    * overwrite's content does not read the prior state. */
+  private def checkNoDataConflict(sp: SparkSession, path: String,
+      v0: Long, v: Long, h: TableHandle, stage: String,
+      hasDel: Boolean, hasUp: Boolean, truncate: Boolean): Unit = {
+    if (truncate || (!hasDel && !hasUp)) return
+    val ks = keySchemaOf(h.schema, h.keyCols)
+    val mine = (
+      (if (hasDel) Seq(alignTo(sp.read.parquet(s"$stage/del"), ks)) else Nil) ++
+      (if (hasUp) Seq(alignTo(sp.read.parquet(s"$stage/up"), ks)) else Nil))
+      .reduce(_ unionByName _)
+    (v0 + 1 to v).foreach { i =>
+      val m = readMeta(sp, path, i)
+      if (m.truncate)
+        throw new java.util.ConcurrentModificationException(
+          s"a rival TRUNCATE/OVERWRITE committed version $i at $path " +
+            s"while this statement was staging (against version $v0) — " +
+            "re-run the statement")
+      val dir = deltaDir(path, i)
+      val rivalParts =
+        (if (m.hasDel) Seq(alignTo(sp.read.parquet(s"$dir/del"), ks)) else Nil) ++
+        (if (m.hasUp)
+          Seq(alignTo(sp.read.parquet(s"$dir/up"), ks)) else Nil)
+      if (rivalParts.nonEmpty) {
+        val rival = rivalParts.reduce(_ unionByName _)
+        if (!mine.join(rival, h.keyCols, "left_semi").isEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"a rival change to the same keys committed version $i at " +
+              s"$path while this statement was staging (against version " +
+              s"$v0) — re-run the statement")
+      }
+    }
   }
 
   /** Spec hook: called at each phase of a multi-table transaction
@@ -2703,7 +2999,7 @@ private[sql] object GraftTables {
     * oldest readable one; folded versions fail like "no longer
     * exists". */
   private[sql] def compact(sp: SparkSession, path: String,
-      zorder: Option[(String, String)] = None)
+      zorder: Option[Seq[String]] = None)
       : (Long, Long, Int, Int, Int) = {
     sweepOrphans(sp, path)
     val (v, h) = current(sp, path)
@@ -2712,17 +3008,23 @@ private[sql] object GraftTables {
     if (v == firstBefore && zorder.isEmpty)
       return (0L, h.idxAny.count(), h.idxAny.partitions.length,
         depthBefore, depthBefore)
-    // TWO z-order forms: exactly the 2-column composite KEY -> the
-    // Morton repartition of the primary (key routing preserved BY the
-    // layout — the partitioner stays a pure key function); any other
-    // column pair -> the value-column SORT PROJECTION (the primary is
-    // compacted unchanged; see [[ZProjection]]). Mixing one key and
-    // one value column is refused — neither form can serve it.
-    val projCols: Option[(String, String)] = zorder.flatMap { case (x, y) =>
-      if (h.keyCols.toSet == Set(x, y)) None
+    // TWO z-order forms: exactly the composite KEY columns (any arity
+    // >= 2, any order) -> the rank-space z repartition of the primary
+    // (key routing preserved BY the layout — the partitioner stays a
+    // pure key function); a pair of VALUE columns -> the sort
+    // PROJECTION (the primary is compacted unchanged; see
+    // [[ZProjection]]). Mixing key and value columns is refused —
+    // neither form can serve it.
+    val projCols: Option[(String, String)] = zorder.flatMap { dims =>
+      require(dims.distinct.size == dims.size,
+        s"ZORDER BY names a column twice: ${dims.mkString(", ")}")
+      if (h.keyCols.toSet == dims.toSet && h.keyCols.size == dims.size) None
       else {
-        require(x != y, s"ZORDER BY names the same column twice: $x")
-        Seq(x, y).foreach { c =>
+        require(dims.size == 2,
+          "ZORDER BY on VALUE columns (sort projection) takes exactly " +
+            s"two columns; ${dims.size} were named — name exactly the " +
+            "composite key columns to re-cluster the primary instead")
+        dims.foreach { c =>
           require(h.schema.fieldNames.contains(c),
             s"ZORDER BY: no column '$c' in " +
               h.schema.fieldNames.mkString(", "))
@@ -2735,18 +3037,18 @@ private[sql] object GraftTables {
             s"ZORDER BY value column '$c' must be numeric (got " +
               s"${h.schema(c).dataType.catalogString})")
         }
-        Some((x, y))
+        Some((dims.head, dims(1)))
       }
     }
     val mortonZ = if (projCols.isEmpty) zorder else None
     rebase(sp, path, v, zorderTransform(mortonZ))
-    // record the Morton z-order zones in the index manifest so DML
-    // keeps maintaining them and a reopened session re-derives
-    mortonZ.foreach { case (x, y) =>
+    // record the z-order zones in the index manifest so DML keeps
+    // maintaining them and a reopened session re-derives
+    mortonZ.foreach { dims =>
       val entries = readIndexManifest(sp, path)
       if (!entries.exists(_._2 == "zonemap"))
         writeIndexManifest(sp, path,
-          entries :+ (("zorder_zones", "zonemap", List(x, y))))
+          entries :+ (("zorder_zones", "zonemap", dims.toList)))
     }
     val reloaded = loadBase(sp, path)
     // the value-column form: materialize the sort projection of the
@@ -2754,6 +3056,7 @@ private[sql] object GraftTables {
     // reopened session re-attaches from the persisted meta)
     projCols.foreach { case (x, y) =>
       val info = writeZProjection(sp, path, reloaded, x, y, v)
+      swapOverlay(canonical(sp, path), None) // rebuild absorbs the deltas
       reloaded.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
         .attachZProjection(info)
     }
@@ -2761,6 +3064,28 @@ private[sql] object GraftTables {
     (v - firstBefore, reloaded.idxAny.count(),
       reloaded.idxAny.partitions.length,
       depthBefore, reloaded.idxAny.lineageDepth)
+  }
+
+  /** The one persisted overlay frame per table: each DML commit's
+    * attach builds a FRESH delta overlay for the new handle, and the
+    * superseded handle's cached frame would otherwise sit in the
+    * CacheManager forever (entries are not GC-reclaimed) — under the
+    * repeated-DML dashboard workload this feature targets that is an
+    * unbounded cache leak. Registered on first materialization;
+    * swapping in a successor (or a fresh projection with no overlay)
+    * unpersists the predecessor. */
+  private val overlayReg =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def swapOverlay(key: String, next: Option[DataFrame]): Unit = {
+    val prev = next match {
+      case Some(d) => overlayReg.put(key, d)
+      case None => overlayReg.remove(key)
+    }
+    prev.filterNot(p => next.exists(_ eq p)).foreach { p =>
+      try p.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Attach the persisted z projection to `h` for serving at version
@@ -2777,10 +3102,11 @@ private[sql] object GraftTables {
   private def attachProjectionFor(sp: SparkSession, path: String,
       h: TableHandle, v: Long): Unit =
     try readZProjMeta(sp, path).foreach { case (pv, info) =>
+      val ovKey = canonical(sp, path)
       def attach(i: ZProjection.ZProjInfo): Unit =
         h.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
           .attachZProjection(i)
-      if (pv == v) attach(info)
+      if (pv == v) { swapOverlay(ovKey, None); attach(info) }
       else if (pv < v) {
         val items = coverVersions(sp, path, pv, v)
         val plain = items.forall {
@@ -2800,9 +3126,12 @@ private[sql] object GraftTables {
           // it persists on first use (exactly like the live handle's
           // own caching) — repeated boxed queries pay one broadcast
           // anti-join against it, not a re-run of the last-op window;
-          // the reference drops with the handle at the next DML
-          lazy val ovDF = lastOpFrame(sp, schema, keyCols, segs)
-            .map(_.persist())
+          // registration evicts the SUPERSEDED handle's frame
+          lazy val ovDF = {
+            val d = lastOpFrame(sp, schema, keyCols, segs).map(_.persist())
+            swapOverlay(ovKey, d)
+            d
+          }
           attach(info.copy(overlay = Some(() => ovDF)))
         }
       }
@@ -2812,14 +3141,23 @@ private[sql] object GraftTables {
 
   /** Materialize the z-order SORT PROJECTION of `h` (the content at
     * version `v`): one corpus re-write parquet-partitioned by the
-    * Morton cell of the two columns' equal-depth bucket ranks, plus
-    * the `_tprojmeta` sidecar (version + bucket edges) the read path
-    * and reopens validate against. */
+    * Morton cell of the two columns' equal-depth bucket ranks. The
+    * `_zprojmeta` sidecar (version + bucket edges) is staged INSIDE
+    * the projection dir BEFORE the promote rename, so meta and data
+    * commit in the same atomic step — a crash (or a rival reader in
+    * another process) mid-OPTIMIZE can never observe OLD bounds
+    * describing NEW parquet, which would prune with mismatched edges
+    * and silently drop rows. Between the delete and the rename the
+    * projection is simply ABSENT (readers fall back to the primary —
+    * correct, just unpruned). */
   private def writeZProjection(sp: SparkSession, path: String,
       h: TableHandle, x: String, y: String,
       v: Long): ZProjection.ZProjInfo = {
     val (fs, p) = fsOf(sp, path)
     val df = h.toDF(sp)
+    val zbc = ZProjection.ZbCol
+    require(!h.schema.fieldNames.contains(zbc),
+      s"table has a column named '$zbc' (reserved for the z projection)")
     val nb = ZProjection.BucketsPerDim
     val qs = (1 until nb).map(_.toDouble / nb).toArray
     def edges(c: String): Array[Double] =
@@ -2828,29 +3166,34 @@ private[sql] object GraftTables {
     val (bA, bB) = (edges(x), edges(y))
     val target = new Path(zProjDir(path))
     val tmp = new Path(p, s"_tprojtmp_${java.util.UUID.randomUUID()}")
-    df.withColumn("zb", ZProjection.zbCol(col(x), bA, col(y), bB))
-      .write.partitionBy("zb").mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target),
-      s"z-projection promote rename failed for $path")
+    df.withColumn(zbc, ZProjection.zbCol(col(x), bA, col(y), bB))
+      .write.partitionBy(zbc).mode("overwrite").parquet(tmp.toString)
     val out = new java.io.ObjectOutputStream(
-      fs.create(new Path(p, "_tprojmeta"), true))
+      fs.create(new Path(tmp, "_zprojmeta"), true))
     try {
       out.writeLong(v)
       out.writeObject(x); out.writeObject(y)
       out.writeObject(bA); out.writeObject(bB)
     } finally out.close()
+    fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"z-projection promote rename failed for $path")
+    // legacy root sidecar (pre-r18 layout) — remove so a stale copy
+    // can never shadow the in-dir meta
+    fs.delete(new Path(p, "_tprojmeta"), false)
     ZProjection.ZProjInfo(target.toString, x, y, bA, bB)
   }
 
-  /** The persisted projection meta: (version it reflects, info).
-    * None when absent/torn/headless. */
-  private def readZProjMeta(sp: SparkSession,
+  /** The persisted projection meta: (version it reflects, info). Read
+    * from `_zprojmeta` INSIDE the projection dir (promoted atomically
+    * with the data — see [[writeZProjection]]). None when
+    * absent/torn/headless. */
+  private[sql] def readZProjMeta(sp: SparkSession,
       path: String): Option[(Long, ZProjection.ZProjInfo)] = {
-    val (fs, p) = fsOf(sp, path)
-    val f = new Path(p, "_tprojmeta")
+    val (fs, _) = fsOf(sp, path)
+    val f = new Path(zProjDir(path), "_zprojmeta")
     try {
-      if (!fs.exists(f) || !fs.exists(new Path(zProjDir(path)))) None
+      if (!fs.exists(f)) None
       else {
         val in = new java.io.ObjectInputStream(fs.open(f))
         try {
@@ -2876,20 +3219,30 @@ private[sql] object GraftTables {
     * keyed store cannot re-cluster by non-key columns; key the table
     * by the dimensions instead. */
   private def zorderTransform(
-      zorder: Option[(String, String)]): TableHandle => TableHandle =
+      zorder: Option[Seq[String]]): TableHandle => TableHandle =
     zorder match {
       case None => identity
-      case Some((x, y)) => {
+      case Some(dims) => {
         case H2(ch) =>
-          require(Set(x, y) == Set(ch.keyColA, ch.keyColB),
+          require(dims.toSet == Set(ch.keyColA, ch.keyColB),
             s"ZORDER BY must name exactly the table's composite key " +
               s"columns (${ch.keyColA}, ${ch.keyColB}); a keyed store " +
               "cannot re-cluster by non-key columns without losing key " +
               "routing — key the table by the z dimensions instead")
-          H2(ch.zOrdered(swapped = x == ch.keyColB).analyzeZones(x, y))
+          val swapped = dims.head == ch.keyColB
+          // raw-bit Morton fast path for 2xLong keys; rank-space for
+          // any other ordered component type (same layout guarantees)
+          val z =
+            if (ch.codecA.isInstanceOf[IndexedFrame.LongCodec] &&
+                ch.codecB.isInstanceOf[IndexedFrame.LongCodec])
+              ch.zOrdered(swapped)
+            else ch.zOrderedRank(swapped)
+          H2(z.analyzeZones(dims: _*))
+        case HN(ch) =>
+          HN(ch.zOrderedN(dims).analyzeZones(dims: _*))
         case other => throw new IllegalArgumentException(
-          "OPTIMIZE ... ZORDER BY needs a two-column composite-key " +
-            s"graft table (this table's key is ${other.keyCols.mkString(", ")})")
+          "OPTIMIZE ... ZORDER BY needs a composite-key graft table " +
+            s"(this table's key is ${other.keyCols.mkString(", ")})")
       }
     }
 
@@ -2900,14 +3253,14 @@ private[sql] object GraftTables {
   private[sql] def writeIndexManifest(sp: SparkSession, path: String,
       entries: Seq[(String, String, List[String])]): Unit = {
     val (fs, p) = fsOf(sp, path)
-    val out = new java.io.ObjectOutputStream(
-      fs.create(new Path(p, "_indexnames"), true))
-    try {
+    graft.MarkerFile.writeAtomic(fs, new Path(p, "_indexnames")) { raw =>
+      val out = new java.io.ObjectOutputStream(raw)
       out.writeInt(entries.size)
       entries.foreach { case (n, t, cs) =>
         out.writeObject(n); out.writeObject(t); out.writeObject(cs)
       }
-    } finally out.close()
+      out.flush()
+    }
   }
 
   /** `VACUUM <table> RETAIN n VERSIONS`: fold everything older than

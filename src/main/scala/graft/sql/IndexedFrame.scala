@@ -483,13 +483,40 @@ object IndexedFrame {
   private[sql] case object ZoneEmpty extends Zone
   private[sql] final case class ZoneLong(min: Long, max: Long) extends Zone
   private[sql] final case class ZoneDouble(min: Double, max: Double) extends Zone
+  /** String bounds, ordered by UTF-8 BINARY comparison (what Spark's
+    * string comparisons and [[graft.keys.KeySerializer.Utf8StringOrdering]]
+    * use — java.lang.String order differs on surrogates, so all zone
+    * string comparisons go through [[utf8Lt]]). */
+  private[sql] final case class ZoneString(min: String, max: String) extends Zone
+
+  private[sql] def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+  private def utf8Lte(a: String, b: String): Boolean = !utf8Lt(b, a)
+
+  /** A zone-prunable literal in its column's summary domain. */
+  private[sql] sealed trait ZoneLit extends Serializable
+  private[sql] final case class LitLong(v: Long) extends ZoneLit
+  private[sql] final case class LitDouble(v: Double) extends ZoneLit
+  private[sql] final case class LitString(v: String) extends ZoneLit
 
   /** Literal of a zone-prunable filter in the column's summary domain.
     * Conservative: an unconvertible literal disables pruning for its
     * conjunct (never wrongly drops a partition). Long literals against
     * fractional columns are refused — longValue→double can round, and
     * a rounded bound could prune a partition holding true matches. */
-  private[sql] def zoneLiteral(dt: DataType, v: Any): Option[Either[Long, Double]] =
+  private[sql] def zoneLiteral(dt: DataType, v: Any): Option[ZoneLit] =
+    zoneLiteralLD(dt, v).map {
+      case Left(l) => LitLong(l)
+      case Right(d) => LitDouble(d)
+    }.orElse((dt, v) match {
+      case (StringType, s: String) => Some(LitString(s))
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(LitString(u.toString))
+      case _ => None
+    })
+
+  private def zoneLiteralLD(dt: DataType, v: Any): Option[Either[Long, Double]] =
     (dt, v) match {
       case (TimestampType, t: java.sql.Timestamp) => Some(Left(
         org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
@@ -524,26 +551,36 @@ object IndexedFrame {
       ZoneLong(math.min(amn, bmn), math.max(amx, bmx))
     case (ZoneDouble(amn, amx), ZoneDouble(bmn, bmx)) =>
       ZoneDouble(math.min(amn, bmn), math.max(amx, bmx))
+    case (ZoneString(amn, amx), ZoneString(bmn, bmx)) =>
+      ZoneString(if (utf8Lt(amn, bmn)) amn else bmn,
+        if (utf8Lt(amx, bmx)) bmx else amx)
     case _ => throw new IllegalStateException(
       s"zone kind mismatch: $a vs $b")
   }
 
-  private[sql] def zoneMayMatch(z: Zone, cmp: Int, lit: Either[Long, Double]): Boolean =
+  private[sql] def zoneMayMatch(z: Zone, cmp: Int, lit: ZoneLit): Boolean =
     (z, lit) match {
       case (ZoneEmpty, _) => false // comparisons never match null
-      case (ZoneLong(mn, mx), Left(v)) => cmp match {
+      case (ZoneLong(mn, mx), LitLong(v)) => cmp match {
         case -2 => mn < v
         case -1 => mn <= v
         case 0 => mn <= v && v <= mx
         case 1 => mx >= v
         case 2 => mx > v
       }
-      case (ZoneDouble(mn, mx), Right(v)) => cmp match {
+      case (ZoneDouble(mn, mx), LitDouble(v)) => cmp match {
         case -2 => mn < v
         case -1 => mn <= v
         case 0 => mn <= v && v <= mx
         case 1 => mx >= v
         case 2 => mx > v
+      }
+      case (ZoneString(mn, mx), LitString(v)) => cmp match {
+        case -2 => utf8Lt(mn, v)
+        case -1 => utf8Lte(mn, v)
+        case 0 => utf8Lte(mn, v) && utf8Lte(v, mx)
+        case 1 => utf8Lte(v, mx)
+        case 2 => utf8Lt(v, mx)
       }
       case _ => true // summary/literal domain mismatch: never prune
     }
@@ -1922,6 +1959,8 @@ object IndexedFrame {
                     case DoubleType => val v = row.getDouble(fi); ZoneDouble(v, v)
                     case FloatType =>
                       val v = row.getFloat(fi).toDouble; ZoneDouble(v, v)
+                    case StringType =>
+                      val v = row.getUTF8String(fi).toString; ZoneString(v, v)
                     case LongType | TimestampType | TimestampNTZType =>
                       val v = row.getLong(fi); ZoneLong(v, v)
                     case IntegerType | DateType =>
@@ -1977,7 +2016,7 @@ object IndexedFrame {
       else schema(schema.fieldIndex(c)).dataType match {
         case t @ (LongType | IntegerType | ShortType | ByteType |
                   TimestampType | TimestampNTZType | DateType |
-                  DoubleType | FloatType) => Some(t)
+                  DoubleType | FloatType | StringType) => Some(t)
         case _ => None
       }
 
@@ -2001,6 +2040,20 @@ object IndexedFrame {
                 }
               }
               if (any) ZoneDouble(mn, mx) else ZoneEmpty
+            case StringType =>
+              // min/max in UTF-8 binary order (rows carry UTF8String,
+              // whose compareTo IS that order)
+              var mn: org.apache.spark.unsafe.types.UTF8String = null
+              var mx: org.apache.spark.unsafe.types.UTF8String = null
+              it.foreach { r =>
+                if (!r.isNullAt(fi)) {
+                  val v = r.getUTF8String(fi)
+                  if (mn == null || v.compareTo(mn) < 0) mn = v.clone()
+                  if (mx == null || v.compareTo(mx) > 0) mx = v.clone()
+                }
+              }
+              if (mn != null) ZoneString(mn.toString, mx.toString)
+              else ZoneEmpty
             case _ =>
               var any = false
               var mn = Long.MaxValue; var mx = Long.MinValue
@@ -2032,7 +2085,7 @@ object IndexedFrame {
     private[sql] def zoneKeeps(filters: Array[Filter]): Option[Array[Boolean]] = {
       def on(c: String): Option[DataType] =
         if (zoneEnabled.contains(c)) zoneType(c) else None
-      def pred(f: Filter): Option[(String, Int, Either[Long, Double])] = f match {
+      def pred(f: Filter): Option[(String, Int, ZoneLit)] = f match {
         case EqualTo(c, v) if v != null =>
           on(c).flatMap(dt => zoneLiteral(dt, v).map((c, 0, _)))
         case GreaterThan(c, v) if v != null =>
@@ -2081,7 +2134,7 @@ object IndexedFrame {
               if (zbs.isEmpty) None
               else {
                 val base = info.base(sqlContext.sparkSession)
-                  .where(col("zb").isin(zbs.map(Int.box): _*))
+                  .where(col(ZProjection.ZbCol).isin(zbs.map(Int.box): _*))
                 val filtered = ZProjection.residualFilter(filters, info)
                   .map(base.where).getOrElse(base)
                 Some(filtered.select(
@@ -2771,8 +2824,11 @@ object IndexedFrame {
       * update set resolve by partition iteration order — pre-aggregate
       * the delta if it can carry dups. */
     def upsertFrame(updates: DataFrame): Handle[K] = {
-      val got = updates.schema.map(f => (f.name, f.dataType))
-      val want = schema.map(f => (f.name, f.dataType))
+      // catalogString ignores nullability metadata (containsNull et
+      // al) — the InternalRow layout is identical either way, and an
+      // array-literal update frame legitimately differs there
+      val got = updates.schema.map(f => (f.name, f.dataType.catalogString))
+      val want = schema.map(f => (f.name, f.dataType.catalogString))
       require(got == want,
         s"update schema $got must match handle schema $want")
       new Handle(idx.multiputRDD(pairs(updates, keyCol, codec)),
@@ -3383,7 +3439,9 @@ object IndexedFrame {
       // min/max of both dims are tight 2-D boxes there, and the zone
       // path is what prunes box queries. COW ops preserve the
       // partitioner, so the permission survives DML.
-      if (idx.partitioner.exists(_.isInstanceOf[graft.IndexedRDD.MortonPartitioner]))
+      if (idx.partitioner.exists(p =>
+          p.isInstanceOf[graft.IndexedRDD.MortonPartitioner] ||
+            p.isInstanceOf[graft.IndexedRDD.RankZPartitioner]))
         Set.empty
       else Set(keyColA, keyColB)
 
@@ -3425,6 +3483,32 @@ object IndexedFrame {
       val mp = new graft.IndexedRDD.MortonPartitioner(bounds, bits, swapped)
       val redist = pairs.partitionBy(mp)
         .asInstanceOf[RDD[((A, B), InternalRow)]]
+      new CompositeHandle[A, B](IndexedRDD(redist).cached,
+        keyColA, keyColB, schema, ordered = false, codecA, codecB)
+    }
+
+    /** RANK-SPACE z-ordered rebuild — serves `OPTIMIZE ... ZORDER BY`
+      * when a key component is NOT Long-coded (strings, UUIDs,
+      * decimals), where the raw-bit [[zOrdered]] interleave cannot
+      * apply: each component maps to its equal-depth bucket rank
+      * first (see [[CompositeNHandle.zOrderedN]] — same kernel).
+      * `swapped` = `keyColB` leads the interleave. */
+    def zOrderedRank(swapped: Boolean = false): CompositeHandle[A, B] = {
+      val perm = if (swapped) Array(1, 0) else Array(0, 1)
+      val cods = Array[KeyCodec[_]](codecA, codecB)
+      val ords = perm.map(i => cods(i).ord.asInstanceOf[Ordering[Any]])
+      val parts = math.max(1, idx.partitions.length)
+      val sample = idx.keys
+        .takeSample(withReplacement = false,
+          num = math.max(1024, parts * 64))
+      def comp(k: Any, i: Int): Any = {
+        val t = k.asInstanceOf[(A, B)]
+        if (i == 0) t._1 else t._2
+      }
+      val mp = IndexedFrame.rankZFor(sample.asInstanceOf[Array[Any]],
+        comp, ords, perm, parts)
+      val redist = idx.asInstanceOf[RDD[((A, B), InternalRow)]]
+        .partitionBy(mp)
       new CompositeHandle[A, B](IndexedRDD(redist).cached,
         keyColA, keyColB, schema, ordered = false, codecA, codecB)
     }
@@ -4182,8 +4266,11 @@ object IndexedFrame {
       * pair partitioning; the corpus never moves. Columns must match
       * this handle's schema by name and type. */
     def upsertFrame(updates: DataFrame): CompositeHandle[A, B] = {
-      val got = updates.schema.map(f => (f.name, f.dataType))
-      val want = schema.map(f => (f.name, f.dataType))
+      // catalogString ignores nullability metadata (containsNull et
+      // al) — the InternalRow layout is identical either way, and an
+      // array-literal update frame legitimately differs there
+      val got = updates.schema.map(f => (f.name, f.dataType.catalogString))
+      val want = schema.map(f => (f.name, f.dataType.catalogString))
       require(got == want,
         s"update schema $got must match handle schema $want")
       new CompositeHandle[A, B](
@@ -5016,6 +5103,38 @@ object IndexedFrame {
     * re-applies every predicate above the routed read, so each lane is
     * sound by construction (the per-lane exactness claims the 2-column
     * handle makes are a pure optimization, addable per-lane later). */
+  /** Build a [[graft.IndexedRDD.RankZPartitioner]] from a bounded key
+    * sample: per-dimension equal-depth bucket edges (256 buckets/dim)
+    * plus sampled z bounds — O(parts + dims) driver bytes regardless
+    * of corpus size, the same cost class as [[CompositeHandle.zOrdered]]'s
+    * sampling. `comp(key, i)` extracts key component `i`; `perm(d)` is
+    * the component z-dimension `d` reads (ZORDER BY column order). */
+  private[sql] def rankZFor(sample: Array[_ <: Any], comp: (Any, Int) => Any,
+      ords: Array[Ordering[Any]], perm: Array[Int],
+      parts: Int): graft.IndexedRDD.RankZPartitioner = {
+    val nb = 256
+    val edges: Array[Array[Any]] = perm.indices.map { d =>
+      val vals = sample.map(k => comp(k, perm(d))).sortWith(ords(d).lt)
+      if (vals.isEmpty) Array.empty[Any]
+      else {
+        val step = vals.length.toDouble / nb
+        (1 until nb).map(i => vals(math.min(vals.length - 1, (i * step).toInt)))
+          .distinct.toArray[Any]
+      }
+    }.toArray
+    val probe = new graft.IndexedRDD.RankZPartitioner(edges, ords, perm,
+      Array.empty[Long])
+    val zs = sample.map(k => probe.zOf(k)).sorted
+    val bounds =
+      if (zs.isEmpty) Array.empty[Long]
+      else {
+        val step = zs.length.toDouble / parts
+        (1 until parts).map(i => zs(math.min(zs.length - 1, (i * step).toInt)))
+          .distinct.toArray
+      }
+    new graft.IndexedRDD.RankZPartitioner(edges, ords, perm, bounds)
+  }
+
   class CompositeNHandle private[sql] (
       val idx: IndexedRDD[Seq[Any], InternalRow],
       val keyCols: Seq[String], val schema: StructType, val ordered: Boolean,
@@ -5030,7 +5149,14 @@ object IndexedFrame {
     override private[sql] def filteredAggFor(secCol: String, aggCol: String)
         : Option[Any => Option[GroupAgg]] =
       secondaryFilteredAggFor(secCol, aggCol)
-    override private[sql] def zoneKeyCols: Set[String] = keyCols.toSet
+    override private[sql] def zoneKeyCols: Set[String] =
+      // under a z-curve layout the key lanes do NOT serve interval
+      // filters, so key columns zone-map like clustered value columns
+      // (see [[CompositeHandle.zoneKeyCols]]) — the zone path is what
+      // prunes N-dim box queries
+      if (idx.partitioner.exists(
+          _.isInstanceOf[graft.IndexedRDD.RankZPartitioner])) Set.empty
+      else keyCols.toSet
     private[sql] def codecs: IndexedSeq[KeyCodec[Any]] = specs.map(_.codec)
     private[sql] val tupleOrd: Ordering[Seq[Any]] =
       new graft.keys.KeySerializer.SeqLexOrdering(specs.map(_.codec.ord))
@@ -5062,8 +5188,11 @@ object IndexedFrame {
       * [[CompositeHandle.upsertFrame]] contract on the N-column key:
       * only the delta shuffles, the corpus never moves. */
     def upsertFrame(updates: DataFrame): CompositeNHandle = {
-      val got = updates.schema.map(f => (f.name, f.dataType))
-      val want = schema.map(f => (f.name, f.dataType))
+      // catalogString ignores nullability metadata (containsNull et
+      // al) — the InternalRow layout is identical either way, and an
+      // array-literal update frame legitimately differs there
+      val got = updates.schema.map(f => (f.name, f.dataType.catalogString))
+      val want = schema.map(f => (f.name, f.dataType.catalogString))
       require(got == want,
         s"update schema $got must match handle schema $want")
       new CompositeNHandle(idx.multiputRDD(keyedRows(updates)),
@@ -5073,6 +5202,39 @@ object IndexedFrame {
     /** Snapshot compaction — see [[Handle.compacted]]. */
     def compacted: CompositeNHandle =
       new CompositeNHandle(idx.compacted(), keyCols, schema, ordered, specs)
+
+    /** Z-ORDERED rebuild at arity N (the engine under `OPTIMIZE t
+      * ZORDER BY (a, b, c, ...)` naming all key columns): redistribute
+      * so each partition holds a z-CONTIGUOUS slice of RANK SPACE —
+      * every component maps to its equal-depth bucket rank (quantile
+      * edges frozen into the partitioner, so skew in any dimension
+      * cannot collapse the curve) and the ranks interleave. Works for
+      * ANY ordered component type (strings, UUIDs, decimals — not just
+      * the 2×Long [[CompositeHandle.zOrdered]] fast path). One corpus
+      * shuffle; key routing stays exact (pure key function);
+      * leading-range descents decline and N-dim box queries prune
+      * through zone maps on the key columns — call `analyzeZones` on
+      * the result (the catalog OPTIMIZE does). `dimOrder` = the ZORDER
+      * BY column order (a permutation of `keyCols`; the first column
+      * leads the interleave). */
+    def zOrderedN(dimOrder: Seq[String]): CompositeNHandle = {
+      require(dimOrder.toSet == keyCols.toSet &&
+        dimOrder.size == keyCols.size,
+        s"ZORDER BY must name exactly the composite key columns " +
+          s"(${keyCols.mkString(", ")}) once each")
+      val perm = dimOrder.map(keyCols.indexOf).toArray
+      val ords = perm.map(i => codecs(i).ord.asInstanceOf[Ordering[Any]])
+      val parts = math.max(1, idx.partitions.length)
+      val pairs = idx.asInstanceOf[RDD[(Seq[Any], InternalRow)]]
+      val sample = pairs.keys
+        .takeSample(withReplacement = false,
+          num = math.max(1024, parts * 64))
+      val mp = IndexedFrame.rankZFor(sample.asInstanceOf[Array[Any]],
+        (k, i) => k.asInstanceOf[Seq[Any]](i), ords, perm, parts)
+      val redist = pairs.partitionBy(mp)
+      new CompositeNHandle(IndexedRDD(redist).cached,
+        keyCols, schema, ordered = false, specs)
+    }
 
     /** Post-build re-skew — see [[Handle.reskewed]]. */
     private[sql] def reskewed(maxRowsPerPartition: Long): CompositeNHandle = {

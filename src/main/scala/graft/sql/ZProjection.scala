@@ -39,6 +39,11 @@ private[sql] object ZProjection {
   /** Buckets per dimension (the interleave below is 4-bit). */
   val BucketsPerDim = 16
 
+  /** The projection's partition-column name — reserved (double
+    * underscore) so it can never collide with and silently overwrite
+    * a user table column; the write path requires it absent anyway. */
+  val ZbCol = "__graft_zb"
+
   /** One committed projection: its parquet dir and the per-dimension
     * equal-depth bucket edges (at most [[BucketsPerDim]] - 1 each;
     * fewer when the column has few distinct quantiles). `overlay` is

@@ -68,9 +68,15 @@ class IndexedFrameSpec extends AnyFunSuite {
     // an impossible predicate keeps zero partitions
     assert(h.toDF.filter($"v" > 5000L).count() === 0)
     assert(h.lastScanKind === "full_zone" && h.lastZoneKept === 0)
-    // analyzing the key column or a string column is refused
+    // analyzing the key column is refused; STRING value columns are
+    // zone-mappable (UTF-8 binary min/max — the rank-space ZORDER path
+    // needs them) and prune equality probes on the clustered layout
     intercept[IllegalArgumentException](h.analyzeZones("k"))
-    intercept[IllegalArgumentException](h.analyzeZones("s"))
+    h.analyzeZones("s")
+    assert(h.toDF.filter($"s" === "s5").count() === 1)
+    assert(h.lastScanKind === "full_zone")
+    assert(h.lastZoneKept < total && h.lastZoneKept >= 1,
+      s"string zones kept ${h.lastZoneKept} of $total")
     // zone pruning never wrongly drops on an UNCORRELATED layout: the
     // hash-partitioned twin keeps everything but stays correct
     val hh = IndexedFrame.index(df, "k").analyzeZones("v")
