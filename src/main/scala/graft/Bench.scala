@@ -130,7 +130,7 @@ object Bench {
     * `gauges` JSON field, NEVER into the summed `queries` map — r13's
     * headline "total" summed two stage-count gauges as seconds and
     * read 75% heavier than real wall time. */
-  private val gauges =
+  private[graft] val gauges =
     scala.collection.mutable.LinkedHashMap[String, Double]()
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

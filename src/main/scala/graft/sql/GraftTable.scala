@@ -1199,21 +1199,31 @@ private[sql] object GraftTables {
       i -> VerMeta(m.truncate, m.hasDel, m.hasUp, m.hasSchema, m.stamp,
         fence)
     }.toMap
-    val live = folds.filter(_.hi <= v).distinct
-    // RETENTION: fold-covered versions leave the manifest — replay
-    // reads the fold, and their stamps live in the fold's own meta
-    // (readFoldStamps), so the rewritten blob is O(K log_K n) like the
-    // read path instead of O(n) per-version records forever. Versions
-    // no fold covers (the tail, fenced regions, no-change commits)
-    // keep their records. A mid-fold TIME TRAVEL target pays
-    // per-version meta reads — the pre-manifest cost, only on that
-    // rare path.
-    val covered = (i: Long) => live.exists(f => f.lo <= i && i <= f.hi)
-    val metas = (base ++ tail).filterNot { case (i, _) => covered(i) }
+    // RETENTION: the manifest enumerates only the GREEDY COVER —
+    // the widest committed fold at each position (tier-shadowed
+    // sub-folds stay on disk for mid-fold reads but add nothing to
+    // replay) — and per-version records only for versions no cover
+    // fold spans (the tail, fenced regions, no-change commits).
+    // Covered versions' stamps live in the fold's own meta
+    // (readFoldStamps), so the rewritten blob is O(n / K^levels),
+    // ~FLAT in the commit count, instead of O(n) per-version records
+    // plus O(n/K) fold records forever. A mid-fold TIME TRAVEL target
+    // pays per-version meta reads — the pre-manifest cost, only on
+    // that rare path.
+    val byLo = folds.filter(f => f.lo > first && f.hi <= v)
+      .groupBy(_.lo).map { case (lo, fs0) => lo -> fs0.maxBy(_.hi) }
+    val live = scala.collection.mutable.ArrayBuffer.empty[Fold]
+    var i = first + 1
+    while (i <= v) byLo.get(i) match {
+      case Some(f) => live += f; i = f.hi + 1
+      case None => i += 1
+    }
+    val covered = (j: Long) => live.exists(f => f.lo <= j && j <= f.hi)
+    val metas = (base ++ tail).filterNot { case (j, _) => covered(j) }
     val fence = math.max(prior.map(_.fence).getOrElse(0L),
       tail.collect { case (i, vm) if vm.fence => i }
         .maxOption.getOrElse(0L))
-    writeManifest(sp, path, Manifest(v, first, fence, live, metas))
+    writeManifest(sp, path, Manifest(v, first, fence, live.toSeq, metas))
   }
 
   /** Write the pre-merged change sets of `segs` as fold `[lo, hi]`:

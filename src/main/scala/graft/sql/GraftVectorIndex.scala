@@ -76,9 +76,43 @@ private[sql] object GraftVectorIndex {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def centroidsOf(sp: SparkSession, idxDir: String): Array[Array[Double]] =
-    sp.read.parquet(s"$idxDir/centroids").orderBy(col("list")).collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+  // repeated-probe (dashboard) serving cost: centroids are immutable
+  // per build (keyed by build version — a rebuild swaps them) and the
+  // lists source only gains files per COMMIT (keyed by table version),
+  // so neither pays parquet re-listing / re-collection per query —
+  // the same memoization the z projection's base source uses
+  private val centroidMemo = new scala.collection.concurrent.TrieMap[
+    String, (Long, Array[Array[Double]])]()
+  private val listsMemo = new scala.collection.concurrent.TrieMap[
+    String, (Long, DataFrame)]()
+
+  private[sql] def invalidate(idxDir: String): Unit = {
+    centroidMemo.remove(idxDir)
+    listsMemo.remove(idxDir)
+    ()
+  }
+
+  private def centroidsOf(sp: SparkSession, idxDir: String,
+      buildVersion: Long): Array[Array[Double]] =
+    centroidMemo.get(idxDir) match {
+      case Some((v, c)) if v == buildVersion => c
+      case _ =>
+        val c = sp.read.parquet(s"$idxDir/centroids")
+          .orderBy(col("list")).collect()
+          .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+        centroidMemo.put(idxDir, (buildVersion, c))
+        c
+    }
+
+  private def listsOf(sp: SparkSession, idxDir: String,
+      tableVersion: Long): DataFrame =
+    listsMemo.get(idxDir) match {
+      case Some((v, df)) if v == tableVersion && (df.sparkSession eq sp) => df
+      case _ =>
+        val df = sp.read.parquet(s"$idxDir/lists")
+        listsMemo.put(idxDir, (tableVersion, df))
+        df
+    }
 
   private def assigned(df: DataFrame, keyCols: Seq[String], vecCol: String,
       centroids: Array[Array[Double]], v: Long): DataFrame =
@@ -114,6 +148,7 @@ private[sql] object GraftVectorIndex {
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/centroids")
     writeMeta(sp, idxDir, IvfMeta(vecCol, nlist, v))
+    invalidate(idxDir) // a re-CREATE swaps the layout under the memos
   }
 
   /** Delta-cost maintenance on commit `v`: assign the statement's
@@ -127,7 +162,8 @@ private[sql] object GraftVectorIndex {
     readMeta(sp, path, name).foreach { m =>
       if (up.columns.contains(m.vecCol)) {
         val idxDir = dir(path, name)
-        assigned(up, keyCols, m.vecCol, centroidsOf(sp, idxDir), v)
+        assigned(up, keyCols, m.vecCol,
+          centroidsOf(sp, idxDir, m.buildVersion), v)
           .write.mode("append").partitionBy("__list")
           .parquet(s"$idxDir/lists")
       }
@@ -142,19 +178,19 @@ private[sql] object GraftVectorIndex {
       throw new IllegalArgumentException(
         s"no IVF index '$name' at $path — CREATE INDEX ... USING IVF first"))
     val idxDir = dir(path, name)
-    val centroids = centroidsOf(sp, idxDir)
+    val centroids = centroidsOf(sp, idxDir, m.buildVersion)
     val qd = centroids.map(c => c.zip(query).map { case (a, b) =>
       (a - b) * (a - b) }.sum)
     val probeLists = qd.zipWithIndex.sortBy(_._1)
       .take(math.min(nprobe, centroids.length))
       .map { case (_, i) => (i + 1).toLong }
-    val cands = sp.read.parquet(s"$idxDir/lists")
-      .filter(col("__list").isin(probeLists: _*))
     // the read-mostly fast path: when NO delete/upsert committed since
     // the build, entries are exact — skip the per-key dedup and the
     // liveness join entirely (one O(K log_K n) metadata walk decides)
     val (anyDel, anyUp) = GraftTables.changeFlagsSince(sp, path,
       m.buildVersion)
+    val cands = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path))
+      .filter(col("__list").isin(probeLists: _*))
     // newest entry per key: an UPDATE's re-appended vector supersedes
     // the stale assignment (within the probed subset)
     val latest =
@@ -182,6 +218,6 @@ private[sql] object GraftVectorIndex {
   def drop(sp: SparkSession, path: String, name: String): Unit = {
     val (fs, _) = fsOf(sp, path)
     fs.delete(new Path(dir(path, name)), true)
-    ()
+    invalidate(dir(path, name))
   }
 }
