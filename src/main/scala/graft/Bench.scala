@@ -290,11 +290,38 @@ object Bench {
     }
     gauges("micro_ann_lists_probed") = 4.0
     gauges("micro_ann_lists_all") = 16.0
+    // IVFPQ twin: same corpus, the lists hold m=8 one-byte codes
+    // instead of d=64 doubles — the probe scans ~9 bytes/row, then
+    // re-ranks a 16·k shortlist exactly against the live primary.
+    // The list-bytes gauges show the storage/bandwidth ratio directly.
+    val tPqBuild = timed3("micro_ann_ivfpq_build_once") {
+      spark.sql("DROP INDEX IF EXISTS epq ON bench_ann")
+      spark.sql("CREATE INDEX epq ON bench_ann USING IVFPQ (embedding)")
+      ()
+    }
+    val tPqProbe = timed3("micro_ann_ivfpq_probe_5") {
+      (0 until 5).foreach { _ =>
+        spark.sql(s"SELECT * FROM graft_ann('bench_ann', 'epq', $lit20, " +
+          "20, 4)").collect()
+        ()
+      }
+    }
+    def listBytes(name: String): Double = {
+      val d = new java.io.File(s"$path/_tivf_$name/lists")
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(d).toDouble
+    }
+    gauges("micro_ann_ivf_list_bytes") = listBytes("e")
+    gauges("micro_ann_ivfpq_list_bytes") = listBytes("epq")
     spark.sql("DROP TABLE IF EXISTS bench_ann")
     new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
     Seq("micro_ann_ivf_build_once" -> tBuild,
       "micro_ann_brute_5" -> tBrute,
-      "micro_ann_ivf_probe_5" -> tProbe)
+      "micro_ann_ivf_probe_5" -> tProbe,
+      "micro_ann_ivfpq_build_once" -> tPqBuild,
+      "micro_ann_ivfpq_probe_5" -> tPqProbe)
   }
 
   /** OPTIMIZE ZORDER payoff measured: the same 2-D box count over a

@@ -235,7 +235,7 @@ object Similarity {
       .select(col("__vn")).collect().map(_.getSeq[Double](0).toArray)
 
   /** Per-subspace PQ codebooks from the sample. */
-  private def pqCodebooks(sample: Array[Array[Double]], m: Int, sub: Int,
+  private[graft] def pqCodebooks(sample: Array[Array[Double]], m: Int, sub: Int,
       ks: Int, iters: Int): Array[Array[Array[Double]]] = {
     require(sample.length >= ks,
       s"PQ needs at least ks=$ks sample vectors, got ${sample.length}")
@@ -244,7 +244,7 @@ object Similarity {
   }
 
   /** Flattened m*ks ADC lookup table for a normalized query. */
-  private def pqLut(qn: Array[Double], books: Array[Array[Array[Double]]],
+  private[graft] def pqLut(qn: Array[Double], books: Array[Array[Array[Double]]],
       m: Int, sub: Int, ks: Int): Seq[Double] =
     (0 until m).flatMap { mm =>
       val qs = qn.slice(mm * sub, mm * sub + sub)
@@ -252,7 +252,7 @@ object Similarity {
     }
 
   /** m single-pass argmin code expressions over the vector subslices. */
-  private def pqCodesCol(books: Array[Array[Array[Double]]], m: Int, sub: Int,
+  private[graft] def pqCodesCol(books: Array[Array[Array[Double]]], m: Int, sub: Int,
       vecCol: String = "__vn"): Column =
     array((0 until m).map(mm =>
       graft.functions.NearestCentroid.nearestCentroid(
@@ -262,7 +262,7 @@ object Similarity {
     * arithmetic and fold order as [[graft.functions.NearestCentroid]],
     * so sample-side assignments match the row-side expression
     * bit-for-bit. */
-  private def assignIdx(p: Array[Double], cents: Array[Array[Double]]): Int = {
+  private[graft] def assignIdx(p: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       val cent = cents(c)
@@ -275,7 +275,7 @@ object Similarity {
     best
   }
 
-  private def unitQuery(query: Array[Double]): Array[Double] = {
+  private[graft] def unitQuery(query: Array[Double]): Array[Double] = {
     val n = math.sqrt(query.map(x => x * x).sum)
     query.map(_ / n)
   }

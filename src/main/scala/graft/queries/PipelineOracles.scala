@@ -570,6 +570,72 @@ object PipelineOracles {
   }
 
   /**
+   * Durable-IVFPQ replication over the MUTATED catalog table: the
+   * coarse quantizer and residual PQ codebooks train on the ORIGINAL
+   * corpus's first-512 sample (what CREATE INDEX saw); the live rows
+   * (corpus minus the deleted keys, plus the +100000 re-inserts)
+   * assign coarse lists and residual codes against those SAVED
+   * books — appended twins get the same codes as their originals by
+   * construction; nprobe = nlist probes every list; the ADC
+   * 320-shortlist re-ranks by EXACT cosine against the raw (live)
+   * vectors, mirroring the engine's re-rank join to the primary.
+   */
+  val annCatalogPqTopk: String = {
+    val coarse = (0 until 5)
+      .map(t => lloydIterN("sampv", s"cc$t", s"cc${t + 1}", 64)).mkString(",\n")
+    s"""WITH vecs0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vn0 AS MATERIALIZED (SELECT id, list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS vn FROM vecs0),
+       |samp AS MATERIALIZED (SELECT id, vn FROM vn0 ORDER BY id LIMIT 512),
+       |vn AS MATERIALIZED (
+       |  SELECT id, vn FROM vn0 WHERE id % 97 <> 3
+       |  UNION ALL SELECT id + 100000 AS id, vn FROM vn0 WHERE id < 8),
+       |raws AS MATERIALIZED (
+       |  SELECT id, v FROM vecs0 WHERE id % 97 <> 3
+       |  UNION ALL SELECT id + 100000 AS id, v FROM vecs0 WHERE id < 8),
+       |qn AS (SELECT vn AS q FROM vn0 WHERE id = 7),
+       |sampv AS (SELECT id, vn AS v FROM samp),
+       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
+       |  FROM (SELECT id, v FROM sampv ORDER BY id LIMIT 16) init),
+       |$coarse,
+       |bcoarse AS (SELECT cid, cent,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS cc
+       |  FROM cc5),
+       |asgc AS MATERIALIZED (SELECT id, cid FROM (
+       |  SELECT n.id, c.cid,
+       |    row_number() OVER (PARTITION BY n.id
+       |      ORDER BY c.cc - 2.0 * ${dotN("n.vn", "c.cent", 64)}, c.cid) AS rn
+       |  FROM vn n, bcoarse c) t WHERE rn = 1),
+       |rvn AS MATERIALIZED (
+       |  SELECT n.id, list_transform(range(1, 65), i -> n.vn[i] - c.cent[i]) AS vn
+       |  FROM vn n JOIN asgc ON asgc.id = n.id JOIN bcoarse c ON c.cid = asgc.cid),
+       |asgs AS (SELECT id, cid FROM (
+       |  SELECT s.id, c.cid,
+       |    row_number() OVER (PARTITION BY s.id
+       |      ORDER BY c.cc - 2.0 * ${dotN("s.v", "c.cent", 64)}, c.cid) AS rn
+       |  FROM sampv s, bcoarse c) t WHERE rn = 1),
+       |rsamp AS MATERIALIZED (
+       |  SELECT s.id, list_transform(range(1, 65), i -> s.v[i] - c.cent[i]) AS vn
+       |  FROM sampv s JOIN asgs ON asgs.id = s.id JOIN bcoarse c ON c.cid = asgs.cid),
+       |probe AS (SELECT cid FROM (
+       |  SELECT c.cid, ${sqN("c.cent", "qn.q", 64)} AS d FROM cc5 c, qn) t
+       |  ORDER BY d, cid LIMIT 16),
+       |qc AS (SELECT c.cid, ${dotN("c.cent", "qn.q", 64)} AS val FROM cc5 c, qn),
+       |${pqChainsSql(8, 8, 16, 3, sampTable = "rsamp", rowTable = "rvn")},
+       |adc AS (SELECT vn.id, qc.val + (${pqAdcSum(8)}) AS adc
+       |  FROM vn
+       |  JOIN asgc ON asgc.id = vn.id JOIN probe ON probe.cid = asgc.cid
+       |  JOIN qc ON qc.cid = asgc.cid
+       |  ${pqAdcJoins(8)}),
+       |short AS (SELECT id FROM adc ORDER BY adc DESC, id LIMIT 320)
+       |SELECT vec_id, cos FROM (
+       |  SELECT s.id AS vec_id,
+       |    ${dotN("r.v", "qn.q", 64)} / sqrt(${dotN("r.v", "r.v", 64)}) AS cos
+       |  FROM short s JOIN raws r ON r.id = s.id, qn
+       |  ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+  }
+
+  /**
    * Semantic-dedup replication: the coarse quantizer chain is the
    * IVF one verbatim (16 centroids, 5 Lloyd iterations over the
    * normalized sample, cc − 2·dot assignment with first-cid ties);
@@ -1392,6 +1458,7 @@ object PipelineOracles {
     "ann_ivf_saved" -> annIvfTopk,
     "ann_ivf_appended" -> annIvfTopk,
     "ann_catalog_topk" -> annCatalogTopk,
+    "ann_catalog_pq_topk" -> annCatalogPqTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "mm_resize_frames" -> mmResizeFrames,

@@ -263,6 +263,35 @@ object PipelineQueries {
         |graft_ann('graft_cat_ann', 'emb', $lit, 20, 16)""".stripMargin)
     },
 
+    "ann_catalog_pq_topk" -> { (s, dir) =>
+      // the durable IVFPQ index: CREATE INDEX ... USING IVFPQ stores
+      // m one-byte codes per row (no raw vectors) list-partitioned
+      // beside the delta log; DML appends codes against the SAVED
+      // codebooks; a reopened session probes by ADC over the codes and
+      // re-ranks the shortlist exactly against the LIVE primary. The
+      // oracle replays codebook training, residual code assignment,
+      // ADC scores, and the exact re-rank bit-for-bit over the mutated
+      // content (nprobe = nlist, shortlist 16·k = 320).
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annpq").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annpq")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annpq_src")
+      s.sql(s"""CREATE TABLE graft_cat_annpq USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_annpq_src""".stripMargin)
+      s.sql("CREATE INDEX epq ON graft_cat_annpq USING IVFPQ (embedding)")
+      s.sql("DELETE FROM graft_cat_annpq WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_annpq
+        |SELECT vec_id + 100000, embedding FROM cat_annpq_src
+        |WHERE vec_id < 8""".stripMargin)
+      val lit = queryVec(s, dir).map(_.toString)
+        .mkString("array(", ", ", ")")
+      val s2 = s.newSession() // cold probe: the index must be durable
+      s2.sql(s"""SELECT vec_id, cos FROM
+        |graft_ann('graft_cat_annpq', 'epq', $lit, 20, 16)""".stripMargin)
+    },
+
     "ann_pq_topk" -> { (s, dir) =>
       // product quantization: rows scored from m=8 one-byte codes via
       // an ADC lookup-table fold (32x less data scanned than raw

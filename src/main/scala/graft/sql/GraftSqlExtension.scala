@@ -134,6 +134,9 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
   *    (hash inverted index: pushed equality/IN route into point probes)
   *  - `CREATE INDEX name ON view USING BTREE (col)` → ordered secondary
   *    (pushed ranges route too); `USING HASH` = the default
+  *  - `CREATE INDEX name ON t USING IVF (vec)` / `USING IVFPQ (vec)` →
+  *    durable vector index beside a catalog table's delta log
+  *    ([[GraftVectorIndex]]; IVFPQ stores residual PQ codes)
   *  - `CREATE INDEX name ON view USING ZONEMAP (cols...)` →
   *    [[IndexedFrame.ZoneMapped.analyzeZones]] (per-partition min/max
   *    pruning on the named columns)
@@ -1182,25 +1185,31 @@ object GraftSqlExtension {
       case "btree" | "ordered" => "btree"
       case "zonemap" => "zonemap"
       case "ivf" => "ivf"
+      case "ivfpq" => "ivfpq"
       case other => throw new IllegalArgumentException(
-        s"unsupported index type '$other' (USE: HASH, BTREE, ZONEMAP, IVF)")
+        s"unsupported index type '$other' (USE: HASH, BTREE, ZONEMAP, IVF, IVFPQ)")
     }
     norm match {
       case "zonemap" => h.analyzeZones(cols: _*)
-      case "ivf" =>
+      case t @ ("ivf" | "ivfpq") =>
         require(cols.size == 1,
-          s"an IVF index takes exactly one vector column (got ${cols.size})")
+          s"an ${t.toUpperCase} index takes exactly one vector column (got ${cols.size})")
         val path = pathOpt.getOrElse(throw new IllegalArgumentException(
-          "IVF indexes persist beside the table's delta log — the " +
+          s"${t.toUpperCase} indexes persist beside the table's delta log — the " +
             "target must be a durable graft CATALOG table, not a temp view"))
         val (v, th) = GraftTables.current(sp, path)
         require(th.schema(cols.head).dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType],
-          s"IVF index column '${cols.head}' must be an array vector " +
+          s"${t.toUpperCase} index column '${cols.head}' must be an array vector " +
             s"(got ${th.schema(cols.head).dataType.catalogString})")
         val nlist = props.getOrElse("nlist", "16").toInt
-        GraftVectorIndex.build(sp, path, name, th.toDF(sp), th.keyCols,
-          cols.head, nlist, v)
+        if (t == "ivfpq")
+          GraftVectorIndex.buildPq(sp, path, name, th.toDF(sp), th.keyCols,
+            cols.head, nlist, props.getOrElse("m", "8").toInt,
+            props.getOrElse("ks", "16").toInt, v)
+        else
+          GraftVectorIndex.build(sp, path, name, th.toDF(sp), th.keyCols,
+            cols.head, nlist, v)
       case t =>
         require(cols.size == 1,
           s"a $t index takes exactly one column (got ${cols.size}); " +
@@ -1216,7 +1225,7 @@ object GraftSqlExtension {
       pathOpt: Option[String] = None): Unit =
     indexRegOf(sp).remove((view, name)) match {
       case Some(("zonemap", cols)) => h.dropZones(cols: _*); ()
-      case Some(("ivf", _)) =>
+      case Some(("ivf" | "ivfpq", _)) =>
         pathOpt.foreach(GraftVectorIndex.drop(sp, _, name))
       case Some((_, cols)) => h.dropSecondaryIndex(cols.head); ()
       case None =>
@@ -1343,10 +1352,13 @@ object GraftSqlExtension {
   }
 
   /** `SELECT * FROM graft_ann('table', 'index', array(q...), k[,
-    * nprobe])` — probe a durable IVF vector index
+    * nprobe])` — probe a durable IVF or IVFPQ vector index
     * ([[GraftVectorIndex]]): the k nearest live rows by cosine, read
-    * from only the query's `nprobe` list partitions. `nprobe` defaults
-    * to 4; pass the index's nlist for EXACT brute-force-equal top-k. */
+    * from only the query's `nprobe` list partitions (IVFPQ reads only
+    * PQ codes there and re-ranks its shortlist against the live
+    * primary). `nprobe` defaults to 4; pass the index's nlist for
+    * EXACT brute-force-equal top-k (IVF) / the full deterministic
+    * ADC+re-rank (IVFPQ). */
   private[sql] def annPlan(args: Seq[Expression]): LogicalPlan = {
     val sp = SparkSession.active
     require(args.size == 4 || args.size == 5,

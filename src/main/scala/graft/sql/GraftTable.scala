@@ -656,7 +656,7 @@ private[sql] object GraftTables {
         IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
       val missing = manifest.exists {
         case (_, "zonemap", cols) => !cols.forall(target.zoneSnapshot._1.contains)
-        case (_, "ivf", _) => false // cloned as a durable sidecar above
+        case (_, "ivf" | "ivfpq", _) => false // cloned as a durable sidecar above
         case (_, _, cols) => !target.secondaryColSet.contains(cols.head)
       }
       if (missing) {
@@ -995,6 +995,12 @@ private[sql] object GraftTables {
       v: Long): (Boolean, Boolean) = {
     val dv = diskVersion(sp, path)
     if (dv <= v) (false, false)
+    else if (v < tableFirstVersion(sp, path))
+      // `v` predates the oldest readable version — a VACUUM folded the
+      // history this walk would inspect into the base, which can hide
+      // any mix of operations. Answer conservatively: the caller takes
+      // its exact slow path (dedup + liveness join), never a crash.
+      (true, true)
     else {
       val items = coverVersions(sp, path, v, dv)
       val del = items.exists {
@@ -1958,7 +1964,7 @@ private[sql] object GraftTables {
       .asInstanceOf[IndexedFrame.SecondaryCapable[_] with IndexedFrame.ZoneMapped]
     entries.foreach {
       case (_, "zonemap", cols) => target.analyzeZones(cols: _*)
-      case (_, "ivf", _) => () // durable sidecar — nothing handle-side
+      case (_, "ivf" | "ivfpq", _) => () // durable sidecar — nothing handle-side
       case (_, t, cols) =>
         target.addSecondaryIndex(cols.head, ordered = t == "btree")
     }
@@ -1984,7 +1990,7 @@ private[sql] object GraftTables {
     // bearing statements too — superseded keys resolve dead at probe
     // time). Best-effort: the data commit already happened, and a
     // missed append costs partial-probe freshness, never wrong rows.
-    val ivfs = entries.filter(_._2 == "ivf")
+    val ivfs = entries.filter(e => e._2 == "ivf" || e._2 == "ivfpq")
     if (ivfs.nonEmpty && hasUp) {
       lazy val upAligned = alignTo(sp.read.parquet(s"$dir/up"), hNew.schema)
       ivfs.foreach { case (n, _, _) =>
@@ -2006,7 +2012,7 @@ private[sql] object GraftTables {
     entries.foreach {
       case (_, "zonemap", cols) if !cols.forall(haveZone.contains) =>
         target.analyzeZones(cols: _*)
-      case (_, "ivf", _) => () // appended above; nothing handle-side
+      case (_, "ivf" | "ivfpq", _) => () // appended above; nothing handle-side
       case (_, t, cols) if t != "zonemap" && !haveSec.contains(cols.head) =>
         target.addSecondaryIndex(cols.head, ordered = t == "btree")
       case _ => ()
@@ -3051,7 +3057,10 @@ private[sql] object GraftTables {
       }
     }
     val mortonZ = if (projCols.isEmpty) zorder else None
-    rebase(sp, path, v, zorderTransform(mortonZ))
+    // the value-column ZORDER form rewrites the projection itself just
+    // below — skip rebase's own carry/rebuild to avoid a double pass
+    rebase(sp, path, v, zorderTransform(mortonZ),
+      keepProjection = projCols.isEmpty)
     // record the z-order zones in the index manifest so DML keeps
     // maintaining them and a reopened session re-derives
     mortonZ.foreach { dims =>
@@ -3070,6 +3079,22 @@ private[sql] object GraftTables {
       reloaded.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
         .attachZProjection(info)
     }
+    // plain compact: the projection rebase carried (or rebuilt) is now
+    // AT version v — attach it so this session's handle serves pruned
+    // without waiting for a reopen
+    if (projCols.isEmpty) attachProjectionFor(sp, path, reloaded, v)
+    // vector indexes compact with the table: dead list entries
+    // (superseded versions, deleted keys) rewrite away and the probe's
+    // read-mostly fast path re-arms (buildVersion = v). Best-effort
+    // like all accelerator maintenance — the staged swap means a
+    // failure leaves the old, still-correct index in place.
+    readIndexManifest(sp, path)
+      .filter(e => e._2 == "ivf" || e._2 == "ivfpq")
+      .foreach { case (n, _, _) =>
+        try GraftVectorIndex.compactIndex(sp, path, n,
+          reloaded.toDF(sp), reloaded.keyCols, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     cacheOf(sp).put(canonical(sp, path), (v, reloaded))
     (v - firstBefore, reloaded.idxAny.count(),
       reloaded.idxAny.partitions.length,
@@ -3399,9 +3424,19 @@ private[sql] object GraftTables {
   /** Rewrite the base save as the CONTENT OF version `target` and drop
     * the folded deltas — numbering stays stable (`_tfirst` = target).
     * Sibling-dir swap: the old base stays readable until the new one
-    * is complete. */
+    * is complete. Durable ACCELERATOR sidecars survive the swap:
+    * `_tivf_*` vector indexes carry verbatim (their entries key on
+    * stable version numbers and liveness resolves at probe time, so a
+    * base rewrite never invalidates them); the z sort projection
+    * carries while its build version stays replayable from the
+    * retained delta dirs, and is otherwise REBUILT fresh against the
+    * post-swap content — the maintenance verbs keep accelerators
+    * alive, they never silently shed them. `keepProjection = false`
+    * skips both carry and rebuild for callers about to rewrite the
+    * projection themselves (`OPTIMIZE ... ZORDER BY (values)`). */
   private def rebase(sp: SparkSession, path: String, target: Long,
-      transform: TableHandle => TableHandle = identity): Unit = {
+      transform: TableHandle => TableHandle = identity,
+      keepProjection: Boolean = true): Unit = {
     val dv = diskVersion(sp, path)
     // derive (and self-heal into `_evolvever`) the latest feed fence
     // BEFORE the fold: the per-version `_feedfence` markers of the
@@ -3488,9 +3523,49 @@ private[sql] object GraftTables {
     }
     readSkewCap(sp, path).foreach(c =>
       graft.MarkerFile.writeLong(fs, new Path(tmp, "_skewcap"), c))
+    // durable vector-index sidecars ride the swap verbatim (losing one
+    // would hard-break every graft_ann caller and silently end the
+    // index's DML maintenance)
+    val ivfNames = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tivf_"))
+      .map(_.getPath.getName)
+    ivfNames.foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(p, n), fs,
+        new Path(tmp, n), false, sp.sparkContext.hadoopConfiguration)
+    }
+    // the z sort projection carries only while its overlay stays
+    // replayable (build version inside the retained window); a
+    // projection the fold strands is rebuilt fresh below
+    val projPre = if (keepProjection) readZProjMeta(sp, path) else None
+    val carryProj = projPre.exists(_._1 >= target)
+    if (carryProj) {
+      val d = new Path(zProjDir(path))
+      if (fs.exists(d))
+        org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
+          new Path(tmp, d.getName), false,
+          sp.sparkContext.hadoopConfiguration)
+    }
     fs.delete(p, true)
     require(fs.rename(tmp, p), s"compaction rename failed for $path")
     purgeAllSessions(sp, path)
+    // the copied index files are byte-identical but NEW inodes — drop
+    // the per-path memos so no cached listing outlives the swap
+    ivfNames.foreach(n => GraftVectorIndex.invalidate(s"$path/$n"))
+    if (!carryProj) projPre.foreach { case (_, info) =>
+      val (cv, hc) = current(sp, path)
+      // rebuild only if the projection columns still exist as numeric
+      // VALUE columns (schema evolution may have dropped or retyped
+      // them since the original OPTIMIZE ... ZORDER BY)
+      val ok = Seq(info.colA, info.colB).forall(c =>
+        hc.schema.fieldNames.contains(c) &&
+          hc.schema(c).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          !hc.keyCols.contains(c))
+      if (ok) {
+        writeZProjection(sp, path, hc, info.colA, info.colB, cv)
+        purgeAllSessions(sp, path)
+      }
+    }
     ()
   }
 

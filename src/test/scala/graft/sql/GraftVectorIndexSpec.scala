@@ -86,6 +86,177 @@ class GraftVectorIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS zvec_t")
   }
 
+  test("OPTIMIZE and VACUUM carry the durable vector index through " +
+      "the base-rewrite swap: probes stay brute-equal, DML maintenance " +
+      "keeps running") {
+    val path = freshPath("mv")
+    spark.sql("DROP TABLE IF EXISTS zvec_mv")
+    (1L to 300L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_mvsrc")
+    spark.sql(s"""CREATE TABLE zvec_mv USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_mvsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_mv USING IVF (emb)")
+    def ann(nprobe: Int) =
+      spark.sql(s"SELECT * FROM graft_ann('zvec_mv', 'e', $queryLit, " +
+        s"10, $nprobe)")
+    def brute = Similarity.bruteTopK(
+      spark.sql("SELECT id, emb FROM zvec_mv"), "id", "emb", query, 10)
+    // DML so OPTIMIZE has deltas to fold, then the base-rewrite swap
+    spark.sql("DELETE FROM zvec_mv WHERE id = 7")
+    spark.sql(s"INSERT INTO zvec_mv VALUES (9001, $queryLit)")
+    spark.sql("OPTIMIZE zvec_mv")
+    assert(new java.io.File(s"$path/_tivf_e/lists").isDirectory,
+      "OPTIMIZE dropped the vector-index sidecar")
+    // OPTIMIZE also COMPACTS the index: dead entries (the deleted key,
+    // superseded versions) rewrite away — the lists hold exactly the
+    // live content — and buildVersion advances to the compacted
+    // version, re-arming the probe's read-mostly zero-join fast path
+    val liveN = spark.sql("SELECT count(*) FROM zvec_mv")
+      .collect()(0).getLong(0)
+    assert(spark.read.parquet(s"$path/_tivf_e/lists").count() === liveN,
+      "OPTIMIZE left dead entries in the index lists")
+    assert(GraftVectorIndex.readMeta(spark, path, "e")
+      .map(_.buildVersion) === Some(GraftTables.diskVersion(spark, path)),
+      "index compaction did not advance buildVersion")
+    assert(ann(16).collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq)
+    // maintenance still runs after the swap: new vectors are probed
+    spark.sql(s"INSERT INTO zvec_mv VALUES (9002, $queryLit)")
+    assert(ann(16).collect().map(_.getLong(0)).contains(9002L),
+      "post-OPTIMIZE DML no longer maintains the index")
+    // VACUUM folds history — the index must ride that swap too
+    spark.sql(s"UPDATE zvec_mv SET emb = $queryLit WHERE id = 250")
+    spark.sql("VACUUM zvec_mv RETAIN 1 VERSIONS")
+    assert(new java.io.File(s"$path/_tivf_e/lists").isDirectory,
+      "VACUUM dropped the vector-index sidecar")
+    assert(ann(16).collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq)
+    // and a reopened session probes the carried index cold
+    val s2 = spark.newSession()
+    assert(s2.sql(s"SELECT * FROM graft_ann('zvec_mv', 'e', $queryLit, " +
+      "10, 16)").collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq)
+    spark.sql("DROP TABLE IF EXISTS zvec_mv")
+  }
+
+  test("CREATE INDEX USING IVFPQ: codes-only lists (no raw vectors), " +
+      "full probe + full re-rank equals brute force across DML and " +
+      "reopen, partial probe finds the home list") {
+    val path = freshPath("pq")
+    spark.sql("DROP TABLE IF EXISTS zvec_pq")
+    // 150 live rows with k=10: the ADC shortlist (16·k = 160) covers
+    // every row at nprobe = nlist, so the exact re-rank must equal
+    // brute-force top-k BIT-FOR-BIT — no recall slack in this spec
+    (1L to 150L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_pqsrc")
+    spark.sql(s"""CREATE TABLE zvec_pq USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_pqsrc""".stripMargin)
+    spark.sql("CREATE INDEX epq ON zvec_pq USING IVFPQ (emb)")
+    // the lists hold CODES and versions only — the raw vector column
+    // never lands in the index (the memory-bandwidth contract)
+    val lists = new java.io.File(s"$path/_tivf_epq/lists")
+    assert(lists.isDirectory)
+    assert(lists.listFiles().exists(_.getName.startsWith("__list=")))
+    val listCols = spark.read.parquet(s"$path/_tivf_epq/lists").columns.toSet
+    assert(listCols === Set("id", "__codes", "__ver", "__list"))
+    assert(new java.io.File(s"$path/_tivf_epq/books").isDirectory)
+    def ann(s: org.apache.spark.sql.SparkSession, nprobe: Int) =
+      s.sql(s"SELECT * FROM graft_ann('zvec_pq', 'epq', $queryLit, " +
+        s"10, $nprobe)")
+    def brute(s: org.apache.spark.sql.SparkSession) =
+      Similarity.bruteTopK(
+        s.sql("SELECT id, emb FROM zvec_pq"), "id", "emb", query, 10)
+    assert(ann(spark, 16).collect().map(_.toSeq).toSeq ===
+      brute(spark).collect().map(_.toSeq).toSeq)
+    // partial probe: the query's own vector dominates its home list
+    val partial = ann(spark, 4).collect()
+    assert(partial.nonEmpty && partial.head.getLong(0) === 7L)
+    // DML maintains the codes at delta cost (no rebuild): delete a
+    // true-top id, insert a near-query vector, update one in
+    val top = brute(spark).collect().map(_.getLong(0))
+    spark.sql(s"DELETE FROM zvec_pq WHERE id = ${top(1)}")
+    spark.sql(s"INSERT INTO zvec_pq VALUES (9001, $queryLit)")
+    spark.sql(s"UPDATE zvec_pq SET emb = $queryLit WHERE id = 120")
+    assert(ann(spark, 16).collect().map(_.toSeq).toSeq ===
+      brute(spark).collect().map(_.toSeq).toSeq)
+    val ids = ann(spark, 16).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(top(1)), "deleted id still probed")
+    assert(ids.contains(9001L), "inserted vector not probed")
+    assert(ids.contains(120L), "updated vector not probed")
+    // reopened session: cold durable probe, same answers
+    val s2 = spark.newSession()
+    assert(ann(s2, 16).collect().map(_.toSeq).toSeq ===
+      brute(s2).collect().map(_.toSeq).toSeq)
+    spark.sql("DROP INDEX epq ON zvec_pq")
+    assert(!new java.io.File(s"$path/_tivf_epq").exists())
+    spark.sql("DROP TABLE IF EXISTS zvec_pq")
+  }
+
+  test("IVFPQ OPTIONS (nlist, m, ks) are honored; m must divide dim") {
+    val path = freshPath("pqopt")
+    spark.sql("DROP TABLE IF EXISTS zvec_po")
+    (1L to 100L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_posrc")
+    spark.sql(s"""CREATE TABLE zvec_po USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_posrc""".stripMargin)
+    spark.sql("CREATE INDEX epo ON zvec_po USING IVFPQ (emb) " +
+      "OPTIONS (nlist '4', m '4', ks '8')")
+    val books = spark.read.parquet(s"$path/_tivf_epo/books")
+    assert(books.select("mm").distinct().count() === 4)   // m subspaces
+    assert(books.count() === 4 * 8)                       // m × ks codes
+    assert(spark.read.parquet(s"$path/_tivf_epo/centroids").count() === 4)
+    val r = spark.sql(s"SELECT * FROM graft_ann('zvec_po', 'epo', " +
+      s"$queryLit, 5, 4)").collect()
+    assert(r.length === 5 && r.head.getLong(0) === 7L)
+    // 8-dim vectors cannot split into 3 subspaces
+    val e = intercept[Exception](spark.sql(
+      "CREATE INDEX ebad ON zvec_po USING IVFPQ (emb) OPTIONS (m '3')"))
+    assert(e.getMessage.contains("divide"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS zvec_po")
+  }
+
+  test("a crash between compaction's delete and rename recovers: the " +
+      "staged sibling promotes on the next read; a stale sibling " +
+      "beside a healthy index is swept") {
+    val path = freshPath("rec")
+    spark.sql("DROP TABLE IF EXISTS zvec_rec")
+    (1L to 200L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_recsrc")
+    spark.sql(s"""CREATE TABLE zvec_rec USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_recsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_rec USING IVF (emb)")
+    def ann = spark.sql(
+      s"SELECT * FROM graft_ann('zvec_rec', 'e', $queryLit, 10, 16)")
+    val expect = ann.collect().map(_.toSeq).toSeq
+    // simulate the crash window: the full layout sits staged in the
+    // sibling, the index dir is gone (rename never ran)
+    val idx = new java.io.File(s"$path/_tivf_e")
+    val tmp = new java.io.File(s"$path/_tivftmp_e")
+    assert(idx.renameTo(tmp))
+    assert(!idx.exists() && tmp.exists())
+    assert(ann.collect().map(_.toSeq).toSeq === expect,
+      "probe did not recover the staged compaction")
+    assert(idx.exists() && !tmp.exists(), "recovery did not promote")
+    // the other crash shape: stage complete but the DELETE never ran —
+    // the healthy index wins, the stale stage is swept
+    val tmp2 = new java.io.File(s"$path/_tivftmp_e")
+    org.apache.hadoop.fs.FileUtil.copy(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(idx.toString),
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(tmp2.toString),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(ann.collect().map(_.toSeq).toSeq === expect)
+    assert(idx.exists() && !tmp2.exists(), "stale stage not swept")
+    spark.sql("DROP TABLE IF EXISTS zvec_rec")
+  }
+
   test("IVF on a temp view is refused (needs a durable table); " +
       "non-array columns are refused") {
     val path = freshPath("rej")

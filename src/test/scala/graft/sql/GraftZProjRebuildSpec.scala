@@ -97,6 +97,56 @@ class GraftZProjRebuildSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS zreb_t")
   }
 
+  test("plain OPTIMIZE re-absorbs a stale projection and VACUUM keeps " +
+      "it alive through the fold — boxed scans stay pruned with no " +
+      "ZORDER re-run") {
+    val path = freshPath("mnt")
+    spark.sql("DROP TABLE IF EXISTS zreb_m")
+    withPolicy(foldK = 100, rebuildAfter = 100) { // background path off
+      (1L to 300L).map(k => (k, (k * 37) % 100, ((k * 53) % 1000) * 1.0))
+        .toDF("k", "x", "y").createOrReplaceTempView("zreb_msrc")
+      spark.sql(s"""CREATE TABLE zreb_m USING graft
+        |OPTIONS (key 'k', partitions '8') LOCATION '$path'
+        |AS SELECT * FROM zreb_msrc""".stripMargin)
+      spark.sql("OPTIMIZE zreb_m ZORDER BY (x, y)")
+      def box = spark.sql(
+        """SELECT k, x, y FROM zreb_m
+          |WHERE x BETWEEN 10 AND 29 AND y BETWEEN 100 AND 399""".stripMargin)
+      val expect = box.collect().map(_.toSeq).toSet
+      // go stale: DML past the build version, then a PLAIN compact —
+      // the documented contract is "the next OPTIMIZE re-absorbs" the
+      // overlay, so post-OPTIMIZE the projection must exist AT the
+      // compacted version and serve without one
+      spark.sql("UPDATE zreb_m SET y = y + 1000 WHERE k = 1")
+      spark.sql("DELETE FROM zreb_m WHERE k = 2")
+      spark.sql("OPTIMIZE zreb_m")
+      val dv = GraftTables.diskVersion(spark, path)
+      assert(GraftBenchBridge.zprojVersion(spark, path) === Some(dv),
+        "plain OPTIMIZE did not re-absorb the stale projection")
+      assert(box.collect().map(_.toSeq).toSet === expect)
+      box.count()
+      val (kind, kept) = GraftBenchBridge.h1ScanInfo(spark, path)
+      assert(kind === "full_zproj", kind)
+      assert(kept > 0 && kept < 256)
+      // VACUUM folds history under the projection — it must survive
+      // the swap (carried when its build version is retained, rebuilt
+      // when the fold dropped it) and keep serving pruned
+      spark.sql("UPDATE zreb_m SET y = y + 1000 WHERE k = 4")
+      spark.sql("UPDATE zreb_m SET y = y + 1000 WHERE k = 5")
+      spark.sql("VACUUM zreb_m RETAIN 1 VERSIONS")
+      assert(GraftBenchBridge.zprojVersion(spark, path).nonEmpty,
+        "VACUUM dropped the projection")
+      assert(box.collect().map(_.toSeq).toSet === expect)
+      // a cold session attaches whatever survived and stays exact
+      val s2 = spark.newSession()
+      assert(s2.sql(
+        """SELECT k, x, y FROM zreb_m
+          |WHERE x BETWEEN 10 AND 29 AND y BETWEEN 100 AND 399""".stripMargin)
+        .collect().map(_.toSeq).toSet === expect)
+    }
+    spark.sql("DROP TABLE IF EXISTS zreb_m")
+  }
+
   test("a fence (truncate) triggers the rebuild even below the depth " +
       "threshold — the projection comes back without an OPTIMIZE") {
     val path = freshPath("fence")
