@@ -306,6 +306,18 @@ object Bench {
         ()
       }
     }
+    // honest approximation accounting: recall@20 of the partial probe
+    // (nprobe 4 of 16) against exact brute force, per index kind
+    val bruteIds = graft.pipeline.Similarity.bruteTopK(
+      spark.sql("SELECT vec_id, embedding FROM bench_ann"),
+      "vec_id", "embedding", q, 20).collect().map(_.getLong(0)).toSet
+    def recallOf(idx: String): Double = {
+      val ids = spark.sql(s"SELECT * FROM graft_ann('bench_ann', " +
+        s"'$idx', $lit20, 20, 4)").collect().map(_.getLong(0)).toSet
+      ids.intersect(bruteIds).size.toDouble / 20.0
+    }
+    gauges("micro_ann_ivf_recall_at20_np4") = recallOf("e")
+    gauges("micro_ann_ivfpq_recall_at20_np4") = recallOf("epq")
     def listBytes(name: String): Double = {
       val d = new java.io.File(s"$path/_tivf_$name/lists")
       def walk(f: java.io.File): Long =

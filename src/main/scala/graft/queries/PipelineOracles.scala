@@ -570,6 +570,33 @@ object PipelineOracles {
   }
 
   /**
+   * Filtered vector search over the mutated catalog table: exact
+   * brute-force cosine top-k restricted to rows matching the lane's
+   * predicate (`label % 3 = 0 AND vec_id <> 11`) — the k best AMONG
+   * matching live rows. Appended twins (+100000) carry their source
+   * row's label; deleted keys (`% 97 = 3`) drop out.
+   */
+  val annCatalogFilteredTopk: String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings WHERE vec_id % 97 <> 3),
+       |ins AS (
+       |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings WHERE vec_id < 8),
+       |vecs AS (
+       |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+       |  WHERE label % 3 = 0 AND id <> 11),
+       |qn AS (SELECT list_transform(v, x -> x / sqrt(${dot64("v", "v")})) AS q
+       |       FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+       |             FROM embeddings WHERE vec_id = 7)),
+       |scored AS (
+       |  SELECT vecs.id AS vec_id,
+       |    ${dot64("vecs.v", "qn.q")} / sqrt(${dot64("vecs.v", "vecs.v")}) AS cos
+       |  FROM vecs, qn)
+       |SELECT vec_id, cos FROM (
+       |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
+
+  /**
    * Durable-IVFPQ replication over the MUTATED catalog table: the
    * coarse quantizer and residual PQ codebooks train on the ORIGINAL
    * corpus's first-512 sample (what CREATE INDEX saw); the live rows
@@ -1458,6 +1485,8 @@ object PipelineOracles {
     "ann_ivf_saved" -> annIvfTopk,
     "ann_ivf_appended" -> annIvfTopk,
     "ann_catalog_topk" -> annCatalogTopk,
+    "ann_catalog_optimized_topk" -> annCatalogTopk,
+    "ann_catalog_filtered_topk" -> annCatalogFilteredTopk,
     "ann_catalog_pq_topk" -> annCatalogPqTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,

@@ -263,6 +263,67 @@ object PipelineQueries {
         |graft_ann('graft_cat_ann', 'emb', $lit, 20, 16)""".stripMargin)
     },
 
+    "ann_catalog_optimized_topk" -> { (s, dir) =>
+      // the maintenance-verb path under the oracle gate: after churn,
+      // OPTIMIZE both folds the TABLE's deltas and COMPACTS the vector
+      // index (dead entries rewrite away, buildVersion advances so the
+      // probe re-arms its zero-join fast path) — content is unchanged
+      // by definition, so the probe must still equal brute-force top-k
+      // over the live mutated content (the ann_catalog_topk oracle),
+      // now served from compacted lists in a reopened session.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_anno").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_anno")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_anno_src")
+      s.sql(s"""CREATE TABLE graft_cat_anno USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_anno_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_anno USING IVF (embedding)")
+      s.sql("DELETE FROM graft_cat_anno WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_anno
+        |SELECT vec_id + 100000, embedding FROM cat_anno_src
+        |WHERE vec_id < 8""".stripMargin)
+      s.sql("OPTIMIZE graft_cat_anno")
+      val lit = queryVec(s, dir).map(_.toString)
+        .mkString("array(", ", ", ")")
+      val s2 = s.newSession() // cold probe over the compacted index
+      s2.sql(s"""SELECT vec_id, cos FROM
+        |graft_ann('graft_cat_anno', 'emb', $lit, 20, 16)""".stripMargin)
+    },
+
+    "ann_catalog_filtered_topk" -> { (s, dir) =>
+      // FILTERED vector search: graft_ann's 6th arg is a SQL predicate
+      // over the table's columns, constraining the pool BEFORE top-k —
+      // the k best among matching rows (a post-filter on unconstrained
+      // top-k would return fewer). The predicate evaluates against the
+      // LIVE snapshot (any column works, indexed or not) and rides the
+      // same probe-bounded semi-join as the liveness check, so the
+      // probe still reads only nprobe lists. nprobe = nlist here ->
+      // must EQUAL brute-force top-k over the filtered live content,
+      // which is what the oracle computes (including the DML: deletes
+      // drop out, appended twins carry their label).
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annf").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annf")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annf_src")
+      s.sql(s"""CREATE TABLE graft_cat_annf USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding, label FROM cat_annf_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_annf USING IVF (embedding)")
+      s.sql("DELETE FROM graft_cat_annf WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_annf
+        |SELECT vec_id + 100000, embedding, label FROM cat_annf_src
+        |WHERE vec_id < 8""".stripMargin)
+      val lit = queryVec(s, dir).map(_.toString)
+        .mkString("array(", ", ", ")")
+      val s2 = s.newSession() // cold probe: the index must be durable
+      s2.sql(s"""SELECT vec_id, cos FROM
+        |graft_ann('graft_cat_annf', 'emb', $lit, 20, 16,
+        |  'label % 3 = 0 AND vec_id <> 11')""".stripMargin)
+    },
+
     "ann_catalog_pq_topk" -> { (s, dir) =>
       // the durable IVFPQ index: CREATE INDEX ... USING IVFPQ stores
       // m one-byte codes per row (no raw vectors) list-partitioned

@@ -1352,17 +1352,19 @@ object GraftSqlExtension {
   }
 
   /** `SELECT * FROM graft_ann('table', 'index', array(q...), k[,
-    * nprobe])` — probe a durable IVF or IVFPQ vector index
+    * nprobe[, filter]])` — probe a durable IVF or IVFPQ vector index
     * ([[GraftVectorIndex]]): the k nearest live rows by cosine, read
     * from only the query's `nprobe` list partitions (IVFPQ reads only
     * PQ codes there and re-ranks its shortlist against the live
     * primary). `nprobe` defaults to 4; pass the index's nlist for
     * EXACT brute-force-equal top-k (IVF) / the full deterministic
-    * ADC+re-rank (IVFPQ). */
+    * ADC+re-rank (IVFPQ). The optional `filter` string is a SQL
+    * predicate over the table's columns (filtered vector search): the
+    * k best among MATCHING rows, applied before top-k. */
   private[sql] def annPlan(args: Seq[Expression]): LogicalPlan = {
     val sp = SparkSession.active
-    require(args.size == 4 || args.size == 5,
-      "usage: graft_ann(table, index, query_vector, k[, nprobe])")
+    require(args.size >= 4 && args.size <= 6,
+      "usage: graft_ann(table, index, query_vector, k[, nprobe[, filter]])")
     def evalArg(e: Expression): Any = {
       require(e.foldable, "graft_ann arguments must be literals")
       e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
@@ -1401,13 +1403,18 @@ object GraftSqlExtension {
         s"graft_ann: the query must be a numeric array literal (got $dt)")
     }
     val k = int(evalArg(args(3)), "k")
-    val nprobe = if (args.size == 5) int(evalArg(args(4)), "nprobe") else 4
+    val nprobe = if (args.size >= 5) int(evalArg(args(4)), "nprobe") else 4
+    // 6th arg: FILTERED vector search — a SQL predicate over the
+    // table's columns constraining the pool BEFORE top-k (the k best
+    // among matching rows, evaluated against the live snapshot)
+    val pred = if (args.size == 6) Some(str(evalArg(args(5)), "filter"))
+      else None
     val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft_ann: '$table' is not a graft catalog table"))
     val (_, h) = GraftTables.current(sp, path)
     GraftVectorIndex.probe(sp, path, index, h.toDF(sp), h.keyCols,
-      query, k, nprobe).queryExecution.analyzed
+      query, k, nprobe, pred).queryExecution.analyzed
   }
 
   /** `SELECT * FROM graft_history('view')`: one row per RETAINED

@@ -353,10 +353,16 @@ private[sql] object GraftVectorIndex {
     }
 
   /** The `graft_ann` probe — see the object doc for semantics. Returns
-    * (key columns..., cos) ordered by cosine desc, keys. */
+    * (key columns..., cos) ordered by cosine desc, keys. `pred` is an
+    * optional SQL predicate over the TABLE's columns (filtered vector
+    * search): it constrains the candidate pool BEFORE top-k — the k
+    * best rows AMONG those matching, not matching rows among the k
+    * best — evaluated against the live snapshot (so it may name any
+    * column, not just indexed ones) and applied through the same
+    * probe-bounded semi-join the liveness check uses. */
   def probe(sp: SparkSession, path: String, name: String,
       live: DataFrame, keyCols: Seq[String], query: Array[Double],
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, pred: Option[String] = None): DataFrame = {
     val m = readMeta(sp, path, name).getOrElse(
       throw new IllegalArgumentException(
         s"no IVF index '$name' at $path — CREATE INDEX ... USING IVF first"))
@@ -390,16 +396,22 @@ private[sql] object GraftVectorIndex {
         cands.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1)
       }
-    // liveness: deleted/truncated keys drop out (the candidate side is
-    // probe-bounded, so Catalyst broadcasts it into the semi join).
-    // For ivfpq this must precede the shortlist or dead rows would
-    // crowd live ones out of the re-rank pool.
+    // liveness + filter: deleted/truncated keys drop out, and a
+    // filtered search's predicate constrains the pool here too. An
+    // INNER join on the keys projection, not a left-semi: table keys
+    // are unique (it is the primary), so the two are equivalent — but
+    // Spark can only broadcast the RIGHT side of a semi join (the
+    // corpus keys, exactly the side that grows with the table), while
+    // an inner join lets AQE broadcast the probe-bounded candidate
+    // side and keep the corpus shuffle-free at scale. For ivfpq this
+    // must precede the shortlist or dead/filtered-out rows would crowd
+    // real candidates out of the re-rank pool.
+    val liveF = pred.map(p => live.where(expr(p))).getOrElse(live)
     val alive =
-      if (!anyDel) latest
-      else latest.join(live.select(keyCols.map(col): _*),
-        keyCols, "left_semi")
+      if (!anyDel && pred.isEmpty) latest
+      else latest.join(liveF.select(keyCols.map(col): _*), keyCols)
     if (m.kind == "ivfpq")
-      probePq(sp, idxDir, m, centroids, alive, live, keyCols, query, k)
+      probePq(sp, idxDir, m, centroids, alive, liveF, keyCols, query, k)
     else alive
       .withColumn("cos",
         graft.pipeline.Similarity.cosineToQuery(col("__v"), query))

@@ -218,6 +218,50 @@ class GraftVectorIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS zvec_po")
   }
 
+  test("filtered vector search: the 6th graft_ann arg constrains the " +
+      "pool BEFORE top-k (k best among matching), equals filtered " +
+      "brute force for IVF and IVFPQ, stays correct across DML") {
+    val path = freshPath("flt")
+    spark.sql("DROP TABLE IF EXISTS zvec_flt")
+    (1L to 250L).map(k => (k, vec(k), k % 5)).toDF("id", "emb", "lab")
+      .createOrReplaceTempView("zvec_fltsrc")
+    spark.sql(s"""CREATE TABLE zvec_flt USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_fltsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_flt USING IVF (emb)")
+    spark.sql("CREATE INDEX epq ON zvec_flt USING IVFPQ (emb)")
+    def ann(idx: String) = spark.sql(
+      s"SELECT * FROM graft_ann('zvec_flt', '$idx', $queryLit, 10, 16, " +
+        "'lab = 2')")
+    def bruteF = Similarity.bruteTopK(
+      spark.sql("SELECT id, emb FROM zvec_flt WHERE lab = 2"),
+      "id", "emb", query, 10)
+    val r = ann("e").collect()
+    assert(r.map(_.toSeq).toSeq === bruteF.collect().map(_.toSeq).toSeq)
+    // before-top-k semantics: only 1/5 of rows carry lab = 2, so a
+    // post-filter on unconstrained top-10 could not fill k — the
+    // filtered search must still return a full k among matching rows
+    assert(r.length === 10)
+    assert(r.forall(_.getLong(0) % 5 === 2), "a non-matching row leaked")
+    assert(ann("epq").collect().map(_.toSeq).toSeq ===
+      bruteF.collect().map(_.toSeq).toSeq)
+    // DML: drop the filtered best, add a better matching vector — both
+    // visible through the filter on the next probe
+    val best = r.head.getLong(0)
+    spark.sql(s"DELETE FROM zvec_flt WHERE id = $best")
+    spark.sql(s"INSERT INTO zvec_flt VALUES (9002, $queryLit, 2)")
+    val r2 = ann("e").collect()
+    assert(r2.map(_.toSeq).toSeq === bruteF.collect().map(_.toSeq).toSeq)
+    assert(r2.head.getLong(0) === 9002L && !r2.map(_.getLong(0)).contains(best))
+    assert(ann("epq").collect().map(_.toSeq).toSeq ===
+      bruteF.collect().map(_.toSeq).toSeq)
+    // a predicate naming a non-existent column fails loudly
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann('zvec_flt', 'e', $queryLit, 10, 16, " +
+        "'no_such_col = 1')").collect())
+    spark.sql("DROP TABLE IF EXISTS zvec_flt")
+  }
+
   test("a crash between compaction's delete and rename recovers: the " +
       "staged sibling promotes on the next read; a stale sibling " +
       "beside a healthy index is swept") {
