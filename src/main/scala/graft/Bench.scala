@@ -193,7 +193,49 @@ object Bench {
       family("zorder3")(microZOrder3(spark, sfDir)) ++
       family("zproj")(microZProj(spark, sfDir)) ++
       family("annCatalog")(microAnnCatalog(spark, sfDir)) ++
+      family("annBatch")(microAnnBatch(spark, sfDir)) ++
       family("catalogDml")(microCatalogDml(spark, sfDir))
+  }
+
+  /** BATCH ANN payoff measured: top-5 neighbors for 30 query vectors
+    * over a 10x corpus — the naive shape loops the driver (one exact
+    * scan per query, N round-trips, the notebook anti-pattern); the
+    * batch shape runs ONE [[graft.pipeline.Similarity.ivfTopKJoin]]
+    * (corpus assigned once, queries explode into nprobe lists, one
+    * equi-join, per-query window). At cluster scale the loop costs
+    * N full scans; the join costs one assignment pass plus
+    * |Q|·(nprobe/nlist)·|C| pair work. */
+  private[graft] def microAnnBatch(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val shift = 10000000L
+    val corpus = (0 until 10).map(i =>
+      emb.select((col("vec_id") + lit(i * shift)).as("vec_id"),
+        col("embedding"))).reduce(_ union _).persist()
+    corpus.count()
+    val queries = emb.where(col("vec_id") % 101 === 7)
+      .limit(30).select(col("vec_id").as("qid"), col("embedding"))
+      .persist()
+    val qVecs = queries.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val tLoop = timed3("micro_ann_query_loop_30") {
+      qVecs.foreach { case (_, q) =>
+        graft.pipeline.Similarity.bruteTopK(
+          corpus, "vec_id", "embedding", q, 5).collect()
+        ()
+      }
+    }
+    val tBatch = timed3("micro_ann_batch_join_30") {
+      graft.pipeline.Similarity.ivfTopKJoin(corpus, "vec_id",
+        queries, "qid", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .collect()
+      ()
+    }
+    gauges("micro_ann_batch_queries") = qVecs.length.toDouble
+    corpus.unpersist(false)
+    queries.unpersist(false)
+    Seq("micro_ann_query_loop_30" -> tLoop,
+      "micro_ann_batch_join_30" -> tBatch)
   }
 
   /** RANK-SPACE N-DIM ZORDER payoff measured: the same 3-D box count
@@ -327,13 +369,50 @@ object Bench {
     }
     gauges("micro_ann_ivf_list_bytes") = listBytes("e")
     gauges("micro_ann_ivfpq_list_bytes") = listBytes("epq")
+    // index-bloat lifecycle: churn forces the probe off its zero-join
+    // fast path (dedup window + liveness join over appended entries);
+    // OPTIMIZE compacts the lists and re-arms it. The pair of probe
+    // timings is the payoff the compaction exists for. The PQ index is
+    // done with its micros — drop it so the DML statements and the
+    // timed compactions maintain ONE index, not two.
+    spark.sql("DROP INDEX epq ON bench_ann")
+    (1 to 5).foreach { i =>
+      spark.sql(s"DELETE FROM bench_ann WHERE vec_id % 1009 = $i")
+      spark.sql("INSERT INTO bench_ann SELECT vec_id + " +
+        s"${(100 + i) * shift}, embedding FROM bench_ann_src WHERE vec_id < 40")
+    }
+    val tChurned = timed3("micro_ann_ivf_probe_churned_5") {
+      (0 until 5).foreach { _ =>
+        spark.sql(s"SELECT * FROM graft_ann('bench_ann', 'e', $lit20, " +
+          "20, 4)").collect()
+        ()
+      }
+    }
+    val tCompact = timed3("micro_ann_optimize_compact_once") {
+      // advance a version first (3-row upsert): a no-delta OPTIMIZE
+      // early-returns, so best-of-3 would otherwise report the no-op,
+      // not the compaction
+      spark.sql("INSERT INTO bench_ann SELECT vec_id + " +
+        s"${999 * shift}, embedding FROM bench_ann_src WHERE vec_id < 3")
+      spark.sql("OPTIMIZE bench_ann"); ()
+    }
+    val tCompacted = timed3("micro_ann_ivf_probe_compacted_5") {
+      (0 until 5).foreach { _ =>
+        spark.sql(s"SELECT * FROM graft_ann('bench_ann', 'e', $lit20, " +
+          "20, 4)").collect()
+        ()
+      }
+    }
     spark.sql("DROP TABLE IF EXISTS bench_ann")
     new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
     Seq("micro_ann_ivf_build_once" -> tBuild,
       "micro_ann_brute_5" -> tBrute,
       "micro_ann_ivf_probe_5" -> tProbe,
       "micro_ann_ivfpq_build_once" -> tPqBuild,
-      "micro_ann_ivfpq_probe_5" -> tPqProbe)
+      "micro_ann_ivfpq_probe_5" -> tPqProbe,
+      "micro_ann_ivf_probe_churned_5" -> tChurned,
+      "micro_ann_optimize_compact_once" -> tCompact,
+      "micro_ann_ivf_probe_compacted_5" -> tCompacted)
   }
 
   /** OPTIMIZE ZORDER payoff measured: the same 2-D box count over a

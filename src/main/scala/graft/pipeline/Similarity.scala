@@ -147,6 +147,66 @@ object Similarity {
   }
 
   /**
+   * BATCH ANN join: the k nearest corpus rows by cosine for EVERY
+   * query row at once — the retrieval / decontamination shape (each
+   * eval prompt or blocklist entry gets its corpus neighbors in one
+   * job instead of one driver round-trip per query). One corpus
+   * assignment pass against a coarse quantizer trained exactly like
+   * [[ivfTopK]]; each query ranks the centroid table (a literal — one
+   * narrow expression, no join) and explodes into its `nprobe` list
+   * ids; the equi-join on list id bounds candidate pairs at
+   * |Q|·(nprobe/nlist)·|C| — the standard IVF batch bound, never
+   * all-pairs — and a per-query window takes the top k. Both sides
+   * cast to double up front so the scores replay bit-for-bit in a
+   * CAST-to-DOUBLE[] SQL oracle. `nprobe = nlist` is exact per query.
+   * Returns (queryId, corpusId, cos); the two id column names must
+   * differ.
+   */
+  def ivfTopKJoin(corpus: DataFrame, corpusId: String,
+      queries: DataFrame, queryId: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 512,
+      iters: Int = 5): DataFrame = {
+    require(queryId != corpusId,
+      s"ivfTopKJoin needs distinct id column names (both '$queryId')")
+    import org.apache.spark.sql.expressions.Window
+    val sample = corpus.select(col(corpusId), col(vecCol))
+      .orderBy(col(corpusId)).limit(sampleSize)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = kmeans(sample, nlist, iters)
+    val cv = corpus.select(col(corpusId).as("__cid"),
+        transform(col(vecCol), x => x.cast("double")).as("__cv"))
+      .withColumn("__list",
+        graft.functions.NearestCentroid.nearestCentroid(col("__cv"), centroids))
+    // per-query probe lists: rank ||q - c||^2 over the centroid
+    // literal (the q·q term is row-constant, so c·c - 2 q·c ranks
+    // identically), keep the nprobe best — array_sort on (dist, list)
+    // structs is deterministic on ties
+    val probeArr = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * dotCols(col("__qv"), typedLit(c.toSeq))).as("d"),
+        lit((i + 1).toLong).as("l"))
+    }: _*)
+    val qv = queries.select(col(queryId).as("__qid"),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .withColumn("__probe",
+        slice(array_sort(probeArr), 1, math.min(nprobe, nlist)))
+      .select(col("__qid"), col("__qv"),
+        explode(col("__probe").getField("l")).as("__list"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc, col("__cid"))
+    qv.join(cv, "__list")
+      .withColumn("cos", dotCols(col("__qv"), col("__cv")) /
+        (sqrt(dotCols(col("__qv"), col("__qv"))) *
+          sqrt(dotCols(col("__cv"), col("__cv")))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as(corpusId),
+        col("cos"))
+  }
+
+  /**
    * BUILD a persistent IVF index: the coarse quantizer trains exactly
    * like [[ivfTopK]] (deterministic sample, same k-means), rows are
    * assigned to their nearest-centroid list, and the assignments land

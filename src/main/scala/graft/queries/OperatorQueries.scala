@@ -2422,6 +2422,76 @@ object OperatorQueries {
       out
     },
 
+    "ir_sql_catalog_zorder_values3" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // the N-dim value form: ZORDER BY three VALUE columns builds the
+      // sort projection at 3 bits/dim (512 cells, rank-space Morton of
+      // three equal-depth bucket ranks). A box constraining all three
+      // dims prunes the cell cross-product; DML after the OPTIMIZE
+      // serves through the delta overlay exactly like the 2-dim form.
+      // Required in-lane: projection-served scan, fewer than all 512
+      // cells kept.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_zvals3").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_zvals3")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"value",
+          (($"event_id" % 1000).cast("double") / 10.0d).as("amount"))
+        .createOrReplaceTempView("cat_zvals3_src")
+      s.sql(s"""CREATE TABLE graft_cat_zvals3 USING graft
+        |OPTIONS (key 'event_id', partitions '8') LOCATION '$path'
+        |AS SELECT * FROM cat_zvals3_src""".stripMargin)
+      s.sql("OPTIMIZE graft_cat_zvals3 ZORDER BY (user_id, value, amount)")
+      def box = s.sql(
+        """SELECT event_id, user_id, value, amount FROM graft_cat_zvals3
+          |WHERE user_id BETWEEN 2 AND 6
+          |AND value BETWEEN 50 AND 150
+          |AND amount BETWEEN 5 AND 80""".stripMargin)
+      val n = box.count()
+      require(n > 0, "empty box — the lane is not probing anything")
+      val (kind, kept) = graft.sql.GraftBenchBridge.h1ScanInfo(s, path)
+      require(kind == "full_zproj",
+        s"the 3-dim box scan was served as '$kind', not from the z projection")
+      require(kept > 0 && kept < 512,
+        s"3-dim z projection kept $kept of 512 cells — no pruning")
+      // stale-projection overlay, same contract as the 2-dim lane
+      s.sql("""UPDATE graft_cat_zvals3 SET value = value + 1000
+        |WHERE event_id % 97 = 0""".stripMargin)
+      s.sql("DELETE FROM graft_cat_zvals3 WHERE event_id % 89 = 0")
+      val out = box
+      out.count()
+      val (kind2, _) = graft.sql.GraftBenchBridge.h1ScanInfo(s, path)
+      require(kind2 == "full_zproj",
+        s"post-DML 3-dim box served as '$kind2' — the stale projection " +
+          "+ overlay should keep serving")
+      out
+    },
+
+    "ir_sql_catalog_indexes" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // index observability: graft_indexes('t') lists (name, kind,
+      // columns) — from the durable index-name manifest for catalog
+      // tables, so a REOPENED session (which is what probes here) sees
+      // exactly the indexes its DML maintains.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_idxs").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_idxs")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.events(s, dir).select($"event_id", $"user_id", $"value")
+        .createOrReplaceTempView("cat_idxs_src")
+      s.sql(s"""CREATE TABLE graft_cat_idxs USING graft
+        |OPTIONS (key 'event_id', partitions '8') LOCATION '$path'
+        |AS SELECT * FROM cat_idxs_src""".stripMargin)
+      s.sql("CREATE INDEX by_user ON graft_cat_idxs USING BTREE (user_id)")
+      s.sql("CREATE INDEX zones ON graft_cat_idxs USING ZONEMAP (value)")
+      val s2 = s.newSession() // the manifest, not the session registry
+      s2.sql("""SELECT name, kind, columns
+        |FROM graft_indexes('graft_cat_idxs')""".stripMargin)
+    },
+
     "ir_sql_catalog_evolve2" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -4340,6 +4410,22 @@ object OperatorQueries {
         |  FROM events WHERE event_id % 89 <> 0)
         |WHERE user_id BETWEEN 2 AND 6
         |AND value BETWEEN 50 AND 150""".stripMargin,
+
+    "ir_sql_catalog_indexes" ->
+      """SELECT * FROM (VALUES
+        |  ('by_user', 'btree', 'user_id'),
+        |  ('zones', 'zonemap', 'value')) AS t(name, kind, columns)""".stripMargin,
+
+    "ir_sql_catalog_zorder_values3" ->
+      """SELECT event_id, user_id, value, amount FROM (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 97 = 0 THEN value + 1000
+        |         ELSE value END AS value,
+        |    CAST(event_id % 1000 AS DOUBLE) / 10.0 AS amount
+        |  FROM events WHERE event_id % 89 <> 0)
+        |WHERE user_id BETWEEN 2 AND 6
+        |AND value BETWEEN 50 AND 150
+        |AND amount BETWEEN 5 AND 80""".stripMargin,
 
     // the post-evolution state: renamed balance carries v1's +1 then
     // v3's zero, widened nat carries the bigint-only value, c_name is

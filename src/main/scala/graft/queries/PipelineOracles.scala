@@ -570,6 +570,29 @@ object PipelineOracles {
   }
 
   /**
+   * Batch-ANN replication: per-query exact cosine top-k via a cross
+   * join + window — what the engine's IVF batch join equals at
+   * nprobe = nlist. Same unrolled dot fold and DOUBLE[] casts as the
+   * engine, so scores match bit-for-bit.
+   */
+  val annBatchTopk: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qs AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q
+       |  FROM embeddings WHERE vec_id % 101 = 7),
+       |scored AS (
+       |  SELECT qs.qid, vecs.id AS vec_id,
+       |    ${dot64("qs.q", "vecs.v")} /
+       |      (sqrt(${dot64("qs.q", "qs.q")}) * sqrt(${dot64("vecs.v", "vecs.v")})) AS cos
+       |  FROM qs, vecs)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 5""".stripMargin
+
+  /**
    * Filtered vector search over the mutated catalog table: exact
    * brute-force cosine top-k restricted to rows matching the lane's
    * predicate (`label % 3 = 0 AND vec_id <> 11`) — the k best AMONG
@@ -1484,6 +1507,7 @@ object PipelineOracles {
     // trains on the same first-512-ids sample, so it shares it too
     "ann_ivf_saved" -> annIvfTopk,
     "ann_ivf_appended" -> annIvfTopk,
+    "ann_batch_topk" -> annBatchTopk,
     "ann_catalog_topk" -> annCatalogTopk,
     "ann_catalog_optimized_topk" -> annCatalogTopk,
     "ann_catalog_filtered_topk" -> annCatalogFilteredTopk,

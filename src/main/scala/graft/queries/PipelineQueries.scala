@@ -191,6 +191,21 @@ object PipelineQueries {
         queryVec(s, dir), 0.2)
     },
 
+    "ann_batch_topk" -> { (s, dir) =>
+      // BATCH ANN join: top-k corpus neighbors for EVERY query row in
+      // one job (retrieval / decontamination shape) — corpus assigned
+      // to IVF lists once, each query explodes into its nprobe lists,
+      // one equi-join on the list id bounds the pairs, a per-query
+      // window takes k. nprobe = nlist here, so every query's answer
+      // equals exact per-query brute force — the oracle's cross-join
+      // window computes exactly that.
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 101 === 7)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopKJoin(emb, "vec_id", queries, "qid", "embedding",
+        k = 5, nlist = 16, nprobe = 16)
+    },
+
     "ann_lsh_topk" -> { (s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVec(s, dir), k = 20, dim = 64)

@@ -91,6 +91,14 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftSqlExtension].getName, "graft_history"),
       (args: Seq[Expression]) => GraftSqlExtension.historyPlan(args)))
+    // index inspection: SELECT * FROM graft_indexes('view') — one row
+    // per index (session registry for temp views; the durable manifest
+    // for catalog tables, so a REOPENED session sees them too)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_indexes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_indexes"),
+      (args: Seq[Expression]) => GraftSqlExtension.indexesPlan(args)))
     // durable-vector-index probe: SELECT * FROM
     // graft_ann('table', 'index', array(...), k[, nprobe]) — reads
     // only the query's nprobe list partitions (see GraftVectorIndex)
@@ -1454,6 +1462,45 @@ object GraftSqlExtension {
     val rows = times.zipWithIndex.map { case (millis, i) =>
       org.apache.spark.sql.catalyst.InternalRow(
         first + i, millis * 1000L, i == times.length - 1)
+    }
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out, rows)
+  }
+
+  /** `SELECT * FROM graft_indexes('view')`: one row per index —
+    * (name, kind, columns) — name-sorted. Temp views list the
+    * session's index registry; graft CATALOG tables fall back to the
+    * durable index-name manifest, so a REOPENED session sees exactly
+    * the indexes its DML maintains (Delta's SHOW TBLPROPERTIES-ish
+    * observability, typed). */
+  private[sql] def indexesPlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    require(args.size == 1, "usage: graft_indexes(view)")
+    require(args.head.foldable, "graft_indexes: view name must be a literal")
+    val view = args.head.eval(
+        org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_indexes: view name must be a string literal (got $other)")
+    }
+    val reg = indexesOn(sp, view)
+    val entries: Seq[(String, String, Seq[String])] =
+      if (reg.nonEmpty) reg
+      else GraftTables.tableInfo(sp, view) match {
+        case Some((path, _)) => GraftTables.readIndexManifest(sp, path)
+          .map { case (n, t, cs) => (n, t, cs: Seq[String]) }
+          .sortBy(_._1)
+        case None => Seq.empty
+      }
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = Seq(
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("columns", StringType, nullable = false)())
+    val rows = entries.map { case (n, t, cs) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(n), UTF8String.fromString(t),
+        UTF8String.fromString(cs.mkString(",")))
     }
     org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out, rows)
   }

@@ -786,14 +786,14 @@ private[sql] object GraftTables {
           // the CURRENT schema (an evolution may have dropped or
           // retyped them — then only an explicit OPTIMIZE with new
           // columns can revive the projection)
-          val ok = Seq(info.colA, info.colB).forall(c =>
+          val ok = info.dims.map(_._1).forall(c =>
             h.schema.fieldNames.contains(c) &&
               h.schema(c).dataType.isInstanceOf[
                 org.apache.spark.sql.types.NumericType] &&
               !h.keyCols.contains(c))
           if (ok) {
-            val ninfo = writeZProjection(sp, path, h, info.colA,
-              info.colB, cv)
+            val ninfo = writeZProjection(sp, path, h,
+              info.dims.map(_._1), cv)
             swapOverlay(canonical(sp, path), None)
             cacheOf(sp).get(canonical(sp, path)) match {
               case Some((vv, hh)) if vv == cv =>
@@ -3031,15 +3031,16 @@ private[sql] object GraftTables {
     // PROJECTION (the primary is compacted unchanged; see
     // [[ZProjection]]). Mixing key and value columns is refused —
     // neither form can serve it.
-    val projCols: Option[(String, String)] = zorder.flatMap { dims =>
+    val projCols: Option[Seq[String]] = zorder.flatMap { dims =>
       require(dims.distinct.size == dims.size,
         s"ZORDER BY names a column twice: ${dims.mkString(", ")}")
       if (h.keyCols.toSet == dims.toSet && h.keyCols.size == dims.size) None
       else {
-        require(dims.size == 2,
-          "ZORDER BY on VALUE columns (sort projection) takes exactly " +
-            s"two columns; ${dims.size} were named — name exactly the " +
-            "composite key columns to re-cluster the primary instead")
+        require(dims.size >= 2 && dims.size <= ZProjection.MaxDims,
+          "ZORDER BY on VALUE columns (sort projection) takes 2.." +
+            s"${ZProjection.MaxDims} columns; ${dims.size} were named — " +
+            "name exactly the composite key columns to re-cluster the " +
+            "primary instead")
         dims.foreach { c =>
           require(h.schema.fieldNames.contains(c),
             s"ZORDER BY: no column '$c' in " +
@@ -3053,7 +3054,7 @@ private[sql] object GraftTables {
             s"ZORDER BY value column '$c' must be numeric (got " +
               s"${h.schema(c).dataType.catalogString})")
         }
-        Some((dims.head, dims(1)))
+        Some(dims)
       }
     }
     val mortonZ = if (projCols.isEmpty) zorder else None
@@ -3073,8 +3074,8 @@ private[sql] object GraftTables {
     // the value-column form: materialize the sort projection of the
     // freshly compacted content and attach it to the live handle (a
     // reopened session re-attaches from the persisted meta)
-    projCols.foreach { case (x, y) =>
-      val info = writeZProjection(sp, path, reloaded, x, y, v)
+    projCols.foreach { cols =>
+      val info = writeZProjection(sp, path, reloaded, cols, v)
       swapOverlay(canonical(sp, path), None) // rebuild absorbs the deltas
       reloaded.handleAny.asInstanceOf[IndexedFrame.ZoneMapped]
         .attachZProjection(info)
@@ -3091,9 +3092,28 @@ private[sql] object GraftTables {
     readIndexManifest(sp, path)
       .filter(e => e._2 == "ivf" || e._2 == "ivfpq")
       .foreach { case (n, _, _) =>
-        try GraftVectorIndex.compactIndex(sp, path, n,
-          reloaded.toDF(sp), reloaded.keyCols, v)
-        catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          GraftVectorIndex.compactIndex(sp, path, n,
+            reloaded.toDF(sp), reloaded.keyCols, v)
+          // a rival statement committing DURING the compaction may
+          // have appended into the OLD lists dir after our read —
+          // replay any versions past `v` into the compacted layout.
+          // Idempotent: a delta both compacted and replayed yields
+          // exact-duplicate entries the probe's newest-per-key window
+          // collapses.
+          val dvNow = diskVersion(sp, path)
+          if (dvNow > v) {
+            val (fs2, _) = fsOf(sp, path)
+            val hNow = current(sp, path)._2
+            (v + 1 to dvNow).foreach { vv =>
+              val upd = new Path(deltaDir(path, vv), "up")
+              if (fs2.exists(upd))
+                GraftVectorIndex.append(sp, path, n,
+                  alignTo(sp.read.parquet(upd.toString), hNow.schema),
+                  hNow.keyCols, vv)
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     cacheOf(sp).put(canonical(sp, path), (v, reloaded))
     (v - firstBefore, reloaded.idxAny.count(),
@@ -3186,29 +3206,30 @@ private[sql] object GraftTables {
     * projection is simply ABSENT (readers fall back to the primary —
     * correct, just unpruned). */
   private def writeZProjection(sp: SparkSession, path: String,
-      h: TableHandle, x: String, y: String,
+      h: TableHandle, cols: Seq[String],
       v: Long): ZProjection.ZProjInfo = {
     val (fs, p) = fsOf(sp, path)
     val df = h.toDF(sp)
     val zbc = ZProjection.ZbCol
     require(!h.schema.fieldNames.contains(zbc),
       s"table has a column named '$zbc' (reserved for the z projection)")
-    val nb = ZProjection.BucketsPerDim
+    val nb = 1 << ZProjection.bitsFor(cols.size)
     val qs = (1 until nb).map(_.toDouble / nb).toArray
     def edges(c: String): Array[Double] =
       df.select(col(c).cast("double").as("v")).na.drop()
         .stat.approxQuantile("v", qs, 0.001).distinct.sorted
-    val (bA, bB) = (edges(x), edges(y))
+    val dims = cols.map(c => (c, edges(c)))
     val target = new Path(zProjDir(path))
     val tmp = new Path(p, s"_tprojtmp_${java.util.UUID.randomUUID()}")
-    df.withColumn(zbc, ZProjection.zbCol(col(x), bA, col(y), bB))
+    df.withColumn(zbc,
+        ZProjection.zbCol(dims.map { case (c, b) => (col(c), b) }))
       .write.partitionBy(zbc).mode("overwrite").parquet(tmp.toString)
     val out = new java.io.ObjectOutputStream(
       fs.create(new Path(tmp, "_zprojmeta"), true))
     try {
       out.writeLong(v)
-      out.writeObject(x); out.writeObject(y)
-      out.writeObject(bA); out.writeObject(bB)
+      out.writeInt(dims.size)
+      dims.foreach { case (c, b) => out.writeObject(c); out.writeObject(b) }
     } finally out.close()
     fs.delete(target, true)
     require(fs.rename(tmp, target),
@@ -3216,7 +3237,7 @@ private[sql] object GraftTables {
     // legacy root sidecar (pre-r18 layout) — remove so a stale copy
     // can never shadow the in-dir meta
     fs.delete(new Path(p, "_tprojmeta"), false)
-    ZProjection.ZProjInfo(target.toString, x, y, bA, bB)
+    ZProjection.ZProjInfo(target.toString, dims)
   }
 
   /** The persisted projection meta: (version it reflects, info). Read
@@ -3233,11 +3254,10 @@ private[sql] object GraftTables {
         val in = new java.io.ObjectInputStream(fs.open(f))
         try {
           val pv = in.readLong()
-          val x = in.readObject().asInstanceOf[String]
-          val y = in.readObject().asInstanceOf[String]
-          val bA = in.readObject().asInstanceOf[Array[Double]]
-          val bB = in.readObject().asInstanceOf[Array[Double]]
-          Some((pv, ZProjection.ZProjInfo(zProjDir(path), x, y, bA, bB)))
+          val dims = Seq.fill(in.readInt())(
+            (in.readObject().asInstanceOf[String],
+              in.readObject().asInstanceOf[Array[Double]]))
+          Some((pv, ZProjection.ZProjInfo(zProjDir(path), dims)))
         } finally in.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -3556,13 +3576,13 @@ private[sql] object GraftTables {
       // rebuild only if the projection columns still exist as numeric
       // VALUE columns (schema evolution may have dropped or retyped
       // them since the original OPTIMIZE ... ZORDER BY)
-      val ok = Seq(info.colA, info.colB).forall(c =>
+      val ok = info.dims.map(_._1).forall(c =>
         hc.schema.fieldNames.contains(c) &&
           hc.schema(c).dataType
             .isInstanceOf[org.apache.spark.sql.types.NumericType] &&
           !hc.keyCols.contains(c))
       if (ok) {
-        writeZProjection(sp, path, hc, info.colA, info.colB, cv)
+        writeZProjection(sp, path, hc, info.dims.map(_._1), cv)
         purgeAllSessions(sp, path)
       }
     }

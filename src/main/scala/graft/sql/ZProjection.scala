@@ -6,19 +6,21 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 
 /**
- * Z-ORDER SORT PROJECTION — `OPTIMIZE t ZORDER BY (x, y)` on VALUE
- * columns (C-Store/Vertica's sort projection; the effect of Delta's
- * ZORDER). A keyed store CANNOT re-cluster its primary by non-key
- * columns: partition assignment must stay a pure key function or
- * point routing and one-sided COW shuffles break. So the value-column
- * form materializes a READ PROJECTION instead: the same rows
- * re-written as parquet directory-partitioned by `zb` — the Morton
- * interleave of the two columns' EQUAL-DEPTH bucket ranks (16 buckets
- * per dimension from approx-quantiles, 256 z cells). A full-lane scan
- * whose pushed filters box x and/or y reads only the `zb=` directories
- * whose cell intersects the box (Catalyst partition pruning does the
- * file skipping, parquet row-group stats skip inside them); point
- * lanes, joins, and DML keep the key-routed primary.
+ * Z-ORDER SORT PROJECTION — `OPTIMIZE t ZORDER BY (x, y, ...)` on
+ * VALUE columns (C-Store/Vertica's sort projection; the effect of
+ * Delta's ZORDER, at Delta's arity: any 2..8 columns). A keyed store
+ * CANNOT re-cluster its primary by non-key columns: partition
+ * assignment must stay a pure key function or point routing and
+ * one-sided COW shuffles break. So the value-column form materializes
+ * a READ PROJECTION instead: the same rows re-written as parquet
+ * directory-partitioned by `zb` — the Morton interleave of every
+ * column's EQUAL-DEPTH bucket rank ([[bitsFor]] bits per dimension
+ * from approx-quantiles; 256-512 z cells at any arity). A full-lane
+ * scan whose pushed filters box ANY subset of the dimensions reads
+ * only the `zb=` directories whose cell intersects the box (Catalyst
+ * partition pruning does the file skipping, parquet row-group stats
+ * skip inside them); point lanes, joins, and DML keep the key-routed
+ * primary.
  *
  * Rank-space z-ordering (buckets from quantiles, not raw bit
  * interleave of values) is what Delta does too: it makes the cells
@@ -36,27 +38,46 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
  */
 private[sql] object ZProjection {
 
-  /** Buckets per dimension (the interleave below is 4-bit). */
+  /** Buckets per dimension for the classic 2-dim layout (kept for the
+    * gauges/specs that reason about the 256-cell case). */
   val BucketsPerDim = 16
+
+  val MaxDims = 8
+
+  /** Morton bits per dimension by arity — chosen so the total cell
+    * count stays in the 64..512 range: enough cells that a selective
+    * box prunes hard, few enough that partition discovery stays O(1)
+    * metadata work. 2 dims -> 16 buckets each (256 cells, the classic
+    * layout); 3 -> 8 (512); 4 -> 4 (256); 5..8 -> 2 (32..256). */
+  def bitsFor(n: Int): Int = n match {
+    case 2 => 4
+    case 3 => 3
+    case 4 => 2
+    case d if d >= 5 && d <= MaxDims => 1
+    case d => throw new IllegalArgumentException(
+      s"a z sort projection takes 2..$MaxDims value columns (got $d)")
+  }
 
   /** The projection's partition-column name — reserved (double
     * underscore) so it can never collide with and silently overwrite
     * a user table column; the write path requires it absent anyway. */
   val ZbCol = "__graft_zb"
 
-  /** One committed projection: its parquet dir and the per-dimension
-    * equal-depth bucket edges (at most [[BucketsPerDim]] - 1 each;
-    * fewer when the column has few distinct quantiles). `overlay` is
-    * the STALE-projection delta bridge: when the projection was built
-    * at an earlier version than the serving snapshot, the thunk lazily
-    * builds the last-op-per-key frame of the versions in between
-    * (table columns + `__del`); the scan then reads (projection
-    * ANTI-JOIN touched keys) UNION (surviving overlay rows) — exact,
-    * with the anti side still zb-pruned and the overlay delta-sized.
-    * None = the projection reflects the snapshot exactly. */
-  final case class ZProjInfo(dir: String, colA: String, colB: String,
-      boundsA: Array[Double], boundsB: Array[Double],
+  /** One committed projection: its parquet dir and, per dimension,
+    * (column name, equal-depth bucket edges — at most buckets - 1
+    * each; fewer when the column has few distinct quantiles).
+    * `overlay` is the STALE-projection delta bridge: when the
+    * projection was built at an earlier version than the serving
+    * snapshot, the thunk lazily builds the last-op-per-key frame of
+    * the versions in between (table columns + `__del`); the scan then
+    * reads (projection ANTI-JOIN touched keys) UNION (surviving
+    * overlay rows) — exact, with the anti side still zb-pruned and
+    * the overlay delta-sized. None = the projection reflects the
+    * snapshot exactly. */
+  final case class ZProjInfo(dir: String, dims: Seq[(String, Array[Double])],
       overlay: Option[() => Option[org.apache.spark.sql.DataFrame]] = None) {
+    def bits: Int = bitsFor(dims.size)
+    def cells: Int = 1 << (bits * dims.size)
     // the parquet source memoizes per serving session: partition
     // discovery (256 zb dirs) and footer schema inference happen ONCE
     // per attached projection, not per boxed query — the repeated-
@@ -88,35 +109,45 @@ private[sql] object ZProjection {
     bounds.foldLeft(lit(0))((acc, e) =>
       acc + when(c.isNotNull && c.cast("double") > lit(e), 1).otherwise(0))
 
-  /** 4-bit Morton interleave (a in the odd bit positions). */
-  def interleave4(a: Int, b: Int): Int = {
+  /** N-way Morton interleave of `bits`-wide bucket ranks: bit `i` of
+    * dimension `j` lands at position `i*n + (n-1-j)` — dimension 0
+    * takes the most significant slot of each bit group, so for n = 2,
+    * bits = 4 this is exactly the classic interleave4(a, b) layout. */
+  def interleaveN(ranks: Seq[Int], bits: Int): Int = {
+    val n = ranks.length
     var z = 0
     var i = 0
-    while (i < 4) {
-      z |= ((a >> i) & 1) << (2 * i + 1)
-      z |= ((b >> i) & 1) << (2 * i)
+    while (i < bits) {
+      var j = 0
+      while (j < n) {
+        z |= ((ranks(j) >> i) & 1) << (i * n + (n - 1 - j))
+        j += 1
+      }
       i += 1
     }
     z
   }
 
-  /** The projection's partition column: zb = interleave4 of the two
-    * bucket ranks, as a Column. */
-  def zbCol(a: Column, boundsA: Array[Double], b: Column,
-      boundsB: Array[Double]): Column = {
-    val ba = bucketCol(a, boundsA)
-    val bb = bucketCol(b, boundsB)
-    (0 until 4).map(i =>
-      shiftleft(shiftright(ba, i).bitwiseAND(lit(1)), 2 * i + 1) +
-        shiftleft(shiftright(bb, i).bitwiseAND(lit(1)), 2 * i))
+  /** 4-bit 2-dim Morton interleave (a in the odd bit positions). */
+  def interleave4(a: Int, b: Int): Int = interleaveN(Seq(a, b), 4)
+
+  /** The projection's partition column: zb = [[interleaveN]] of every
+    * dimension's bucket rank, as a Column. */
+  def zbCol(dims: Seq[(Column, Array[Double])]): Column = {
+    val n = dims.size
+    val bits = bitsFor(n)
+    val ranked = dims.map { case (c, bounds) => bucketCol(c, bounds) }
+    (for (i <- 0 until bits; j <- 0 until n) yield
+      shiftleft(shiftright(ranked(j), i).bitwiseAND(lit(1)),
+        i * n + (n - 1 - j)))
       .reduce(_ + _)
   }
 
-  /** The `zb` values whose cell intersects the filters' (x, y) box —
-    * None when no pushed comparison constrains EITHER projected
-    * column (the projection buys nothing; the caller scans the
-    * primary); Some(Nil) when the box is provably empty. Only numeric
-    * literals participate (a non-numeric literal leaves its dimension
+  /** The `zb` values whose cell intersects the filters' box — None
+    * when no pushed comparison constrains ANY projected column (the
+    * projection buys nothing; the caller scans the primary);
+    * Some(Nil) when the box is provably empty. Only numeric literals
+    * participate (a non-numeric literal leaves its dimension
     * unconstrained — sound, never wrong). */
   def zbSetFor(filters: Array[Filter], info: ZProjInfo): Option[Seq[Int]] = {
     def num(v: Any): Option[Double] = v match {
@@ -149,12 +180,19 @@ private[sql] object ZProjection {
       }
       (lo, hi, constrained)
     }
-    val (alo, ahi, ac) = rangeFor(info.colA, info.boundsA)
-    val (blo, bhi, bc) = rangeFor(info.colB, info.boundsB)
-    if (!ac && !bc) None
-    else if (alo > ahi || blo > bhi) Some(Nil)
-    else Some((for (x <- alo to ahi; y <- blo to bhi)
-      yield interleave4(x, y)).distinct)
+    val ranges = info.dims.map { case (name, bounds) =>
+      rangeFor(name, bounds) }
+    if (!ranges.exists(_._3)) None
+    else if (ranges.exists(r => r._1 > r._2)) Some(Nil)
+    else {
+      val bits = info.bits
+      def cross(rs: List[(Int, Int, Boolean)]): Seq[List[Int]] = rs match {
+        case Nil => Seq(Nil)
+        case (lo, hi, _) :: tail =>
+          for (v <- lo to hi; rest <- cross(tail)) yield v :: rest
+      }
+      Some(cross(ranges.toList).map(interleaveN(_, bits)).distinct)
+    }
   }
 
   /** The pushed comparisons on the projected columns as one Column
@@ -162,7 +200,7 @@ private[sql] object ZProjection {
     * translate. Spark re-applies every filter above the scan, so this
     * is pure acceleration. */
   def residualFilter(filters: Array[Filter], info: ZProjInfo): Option[Column] = {
-    val own = Set(info.colA, info.colB)
+    val own = info.dims.map(_._1).toSet
     val cs = filters.toSeq.collect {
       case EqualTo(c, v) if own(c) => col(c) === lit(v)
       case GreaterThan(c, v) if own(c) => col(c) > lit(v)

@@ -322,6 +322,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"IVF recall $recall")
   }
 
+  test("batch ANN join: nprobe = nlist equals per-query brute force " +
+      "for every query; partial probe keeps useful recall") {
+    val em = Tables.embeddings(spark, dir)
+    val queries = em.where($"vec_id" % 50 === 7)
+      .select($"vec_id".as("qid"), $"embedding")
+    val qids = queries.select("qid").as[Long].collect().sorted
+    assert(qids.length >= 3, s"fixture gave only ${qids.length} queries")
+    val full = Similarity.ivfTopKJoin(em, "vec_id", queries, "qid",
+      "embedding", k = 5, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qids.foreach { q =>
+      val qv = em.where($"vec_id" === q).select($"embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      val brute = Similarity.bruteTopK(em, "vec_id", "embedding", qv, 5)
+        .select("vec_id").as[Long].collect().toSeq
+      val got = full(q).sortBy(t => (-t._3, t._2)).map(_._2).toSeq
+      assert(got === brute, s"query $q: batch join != brute")
+    }
+    // partial probe: every query still finds itself and most neighbors
+    val partial = Similarity.ivfTopKJoin(em, "vec_id", queries, "qid",
+      "embedding", k = 5, nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val selfHits = qids.count(q =>
+      partial.get(q).exists(_.exists(_._2 == q)))
+    assert(selfHits.toDouble / qids.length >= 0.9,
+      s"partial probe lost the query itself: $selfHits/${qids.length}")
+  }
+
   test("containment catches near-subsets that Jaccard under-scores") {
     val corpus = PipelineQueries.plantedCorpus(spark, dir)
     val cont = Dedup.containmentPairs(corpus, "doc_id", "text",

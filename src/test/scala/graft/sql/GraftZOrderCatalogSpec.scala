@@ -198,6 +198,71 @@ class GraftZOrderCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS zocat_v")
   }
 
+  test("N-dim value ZORDER: 3 and 4 columns build rank-space sort " +
+      "projections (512 / 256 cells), boxes on any dim subset prune, " +
+      "DML overlay-serves, reopen re-attaches — exact throughout") {
+    val path = freshPath("valsN")
+    spark.sql("DROP TABLE IF EXISTS zocat_n")
+    // three independent-ish dims from coprime multipliers
+    (1L to 600L).map(k =>
+      (k, (k * 37) % 100, ((k * 53) % 1000) * 1.0, ((k * 29) % 500) * 1.0))
+      .toDF("k", "x", "y", "w").createOrReplaceTempView("zocat_nsrc")
+    spark.sql(s"""CREATE TABLE zocat_n USING graft
+      |OPTIONS (key 'k', partitions '8') LOCATION '$path'
+      |AS SELECT * FROM zocat_nsrc""".stripMargin)
+    def box(s: org.apache.spark.sql.SparkSession) = s.sql(
+      """SELECT k, x, y, w FROM zocat_n
+        |WHERE x BETWEEN 10 AND 29 AND y BETWEEN 100 AND 399
+        |AND w BETWEEN 50 AND 300""".stripMargin)
+    val expect = box(spark).collect().map(_.toSeq).toSet
+    assert(expect.nonEmpty)
+    spark.sql("OPTIMIZE zocat_n ZORDER BY (x, y, w)")
+    assert(box(spark).collect().map(_.toSeq).toSet === expect)
+    val (kind, kept) = GraftBenchBridge.h1ScanInfo(spark, path)
+    assert(kind === "full_zproj", s"3-dim box served as '$kind'")
+    assert(kept > 0 && kept < 512, s"kept $kept of 512 cells")
+    // a box on a SUBSET of the dims still serves and still prunes
+    val partial = spark.sql(
+      "SELECT k FROM zocat_n WHERE x >= 90 AND w <= 100").collect()
+    assert(partial.length === (1L to 600L).count(k =>
+      (k * 37) % 100 >= 90 && ((k * 29) % 500) <= 100))
+    val (kindP, keptP) = GraftBenchBridge.h1ScanInfo(spark, path)
+    assert(kindP === "full_zproj")
+    assert(keptP > 0 && keptP < 512)
+    // reopen re-attaches the persisted 3-dim meta
+    val s2 = spark.newSession()
+    assert(box(s2).collect().map(_.toSeq).toSet === expect)
+    assert(GraftBenchBridge.h1ScanInfo(s2, path)._1 === "full_zproj")
+    // DML: the stale 3-dim projection overlay-serves exactly.
+    // k=6 sits in the box (x=22, y=318, w=174); moving y drops it.
+    spark.sql("UPDATE zocat_n SET y = 9999 WHERE k = 6")
+    spark.sql("INSERT INTO zocat_n VALUES (700, 15, 200.0, 100.0)")
+    val expect2 = expect - Seq[Any](6L, 22L, 318.0, 174.0) +
+      Seq[Any](700L, 15L, 200.0, 100.0)
+    assert(box(spark).collect().map(_.toSeq).toSet === expect2)
+    assert(GraftBenchBridge.h1ScanInfo(spark, path)._1 === "full_zproj",
+      "the stale 3-dim projection + overlay should keep serving")
+    // 4-dim: re-OPTIMIZE with another dim (2 bits/dim, 256 cells)
+    spark.sql("ALTER TABLE zocat_n ADD COLUMNS (v DOUBLE)")
+    spark.sql("UPDATE zocat_n SET v = CAST(k % 97 AS DOUBLE)")
+    spark.sql("OPTIMIZE zocat_n ZORDER BY (x, y, w, v)")
+    val four = spark.sql(
+      """SELECT k FROM zocat_n WHERE x BETWEEN 10 AND 29
+        |AND y BETWEEN 100 AND 399 AND w BETWEEN 50 AND 300
+        |AND v BETWEEN 10 AND 60""".stripMargin).collect()
+    val expect4 = (1L to 600L).filter { k =>
+      val x = (k * 37) % 100; val y = ((k * 53) % 1000) * 1.0
+      val w = ((k * 29) % 500) * 1.0; val v = (k % 97).toDouble
+      k != 6 && x >= 10 && x <= 29 && y >= 100 && y <= 399 &&
+        w >= 50 && w <= 300 && v >= 10 && v <= 60
+    }.toSet ++ (if (700 % 97 >= 10 && 700 % 97 <= 60) Set(700L) else Set.empty)
+    assert(four.map(_.getLong(0)).toSet === expect4)
+    val (kind4, kept4) = GraftBenchBridge.h1ScanInfo(spark, path)
+    assert(kind4 === "full_zproj", s"4-dim box served as '$kind4'")
+    assert(kept4 > 0 && kept4 < 256, s"kept $kept4 of 256 cells")
+    spark.sql("DROP TABLE IF EXISTS zocat_n")
+  }
+
   test("value-column ZORDER serves COMPOSITE-key tables too — the " +
       "projection is key-arity-agnostic") {
     val path = freshPath("vals2")
