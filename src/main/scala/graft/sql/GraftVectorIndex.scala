@@ -420,6 +420,75 @@ private[sql] object GraftVectorIndex {
       .select(keyCols.map(col) :+ col("cos"): _*)
   }
 
+  /** BATCH probe of a durable IVF index: the k nearest live rows for
+    * EVERY query row in ONE job — the decontamination-at-scale shape,
+    * reusing the SAVED assignment instead of retraining per call
+    * (contrast [[graft.pipeline.Similarity.ivfTopKJoin]], which
+    * trains inline for ad-hoc corpora). Each query ranks the centroid
+    * literal and explodes into its `nprobe` list ids; the equi-join on
+    * `__list` — a PARTITION column of the lists parquet — lets Spark's
+    * dynamic partition pruning skip unprobed list directories at run
+    * time, so the index scan stays `(distinct probed lists)/nlist` of
+    * the corpus even for query batches. Newest-entry-per-key dedup and
+    * the liveness join follow the single-query probe exactly (skipped
+    * on read-mostly tables via the same metadata walk). IVF only: the
+    * ivfpq ADC table is query-specific, so batch PQ callers loop
+    * [[probe]]. Returns (queryId, key columns..., cos). */
+  def probeBatch(sp: SparkSession, path: String, name: String,
+      live: DataFrame, keyCols: Seq[String], queries: DataFrame,
+      queryIdCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val m = readMeta(sp, path, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF index '$name' at $path — CREATE INDEX ... USING IVF first"))
+    require(m.kind == "ivf",
+      s"probeBatch serves IVF indexes; '$name' is ${m.kind} — its ADC " +
+        "table is query-specific, loop the single-query probe instead")
+    require(!keyCols.contains(queryIdCol),
+      s"query id column '$queryIdCol' collides with a table key column")
+    val idxDir = dir(path, name)
+    val centroids = centroidsOf(sp, idxDir, m.buildVersion)
+    val np = math.min(nprobe, centroids.length)
+    // per-query probe lists: rank ||q - c||^2 over the centroid
+    // literal (row-constant q·q dropped), keep the nprobe best
+    val probeArr = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * graft.pipeline.Dedup.dotCols(
+          col("__qv"), typedLit(c.toSeq))).as("d"),
+        lit((i + 1).toLong).as("l"))
+    }: _*)
+    val qv = queries.select(col(queryIdCol).as("__qid"),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .withColumn("__probe", slice(array_sort(probeArr), 1, np))
+      .select(col("__qid"), col("__qv"),
+        explode(col("__probe").getField("l")).as("__list"))
+    val (anyDel, anyUp) = GraftTables.changeFlagsSince(sp, path,
+      m.buildVersion)
+    val lists = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path))
+    val latest =
+      if (!anyUp) lists
+      else {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ver").desc)
+        lists.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+      }
+    val alive =
+      if (!anyDel) latest
+      else latest.join(live.select(keyCols.map(col): _*), keyCols)
+    val wq = Window.partitionBy(col("__qid"))
+      .orderBy(col("cos").desc +: keyCols.map(col): _*)
+    qv.join(alive, "__list")
+      .withColumn("cos", graft.pipeline.Dedup.dotCols(col("__qv"), col("__v")) /
+        (sqrt(graft.pipeline.Dedup.dotCols(col("__qv"), col("__qv"))) *
+          sqrt(graft.pipeline.Dedup.dotCols(col("__v"), col("__v")))))
+      .withColumn("__rnq", row_number().over(wq))
+      .where(col("__rnq") <= k)
+      .select(col("__qid").as(queryIdCol) +: keyCols.map(col) :+
+        col("cos"): _*)
+  }
+
   /** ADC re-rank pool multiplier (shortlist·k rows re-rank exactly) —
     * [[graft.pipeline.Similarity.ivfPqTopK]]'s default. */
   private val PqShortlist = 16

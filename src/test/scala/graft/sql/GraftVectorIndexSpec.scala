@@ -262,6 +262,43 @@ class GraftVectorIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS zvec_flt")
   }
 
+  test("probeBatch: one job answers every query from the durable IVF " +
+      "index — per-query results equal the single-query probe across " +
+      "DML; ivfpq refuses with a clear message") {
+    val path = freshPath("bat")
+    spark.sql("DROP TABLE IF EXISTS zvec_bat")
+    (1L to 300L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_batsrc")
+    spark.sql(s"""CREATE TABLE zvec_bat USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_batsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_bat USING IVF (emb)")
+    spark.sql("DELETE FROM zvec_bat WHERE id % 31 = 4")
+    spark.sql(s"INSERT INTO zvec_bat VALUES (9001, $queryLit)")
+    val qids = Seq(7L, 50L, 123L, 250L)
+    val queries = qids.map(q => (q, vec(q))).toDF("qid", "qv")
+    val (_, h) = GraftTables.current(spark, path)
+    val batch = GraftVectorIndex.probeBatch(spark, path, "e",
+      h.toDF(spark), h.keyCols, queries, "qid", "qv", k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).map(_._2).toSeq).toMap
+    qids.foreach { q =>
+      val lit = vec(q).map(_.toString).mkString("array(", ", ", ")")
+      val single = spark.sql(
+        s"SELECT * FROM graft_ann('zvec_bat', 'e', $lit, 5, 16)")
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(q) === single, s"query $q: batch != single probe")
+    }
+    // the ADC table is query-specific — batch PQ refuses loudly
+    spark.sql("CREATE INDEX epq ON zvec_bat USING IVFPQ (emb)")
+    val e = intercept[IllegalArgumentException](
+      GraftVectorIndex.probeBatch(spark, path, "epq", h.toDF(spark),
+        h.keyCols, queries, "qid", "qv", 5, 16))
+    assert(e.getMessage.contains("ivfpq"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS zvec_bat")
+  }
+
   test("a crash between compaction's delete and rename recovers: the " +
       "staged sibling promotes on the next read; a stale sibling " +
       "beside a healthy index is swept") {
