@@ -593,6 +593,33 @@ object PipelineOracles {
        |WHERE rn <= 5""".stripMargin
 
   /**
+   * Batch probe over the mutated catalog table: per-query exact
+   * cosine top-5 (cross join + window) over the live content — what
+   * graft_ann_batch at nprobe = nlist equals for every query.
+   */
+  val annCatalogBatchTopk: String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 97 <> 3),
+       |ins AS (
+       |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 8),
+       |vecs AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+       |qs AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q
+       |  FROM embeddings WHERE vec_id IN (7, 20, 33)),
+       |scored AS (
+       |  SELECT qs.qid, vecs.id AS vec_id,
+       |    ${dot64("qs.q", "vecs.v")} /
+       |      (sqrt(${dot64("qs.q", "qs.q")}) * sqrt(${dot64("vecs.v", "vecs.v")})) AS cos
+       |  FROM qs, vecs)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 5""".stripMargin
+
+  /**
    * Filtered vector search over the mutated catalog table: exact
    * brute-force cosine top-k restricted to rows matching the lane's
    * predicate (`label % 3 = 0 AND vec_id <> 11`) — the k best AMONG
@@ -1509,6 +1536,7 @@ object PipelineOracles {
     "ann_ivf_appended" -> annIvfTopk,
     "ann_batch_topk" -> annBatchTopk,
     "ann_catalog_topk" -> annCatalogTopk,
+    "ann_catalog_batch_topk" -> annCatalogBatchTopk,
     "ann_catalog_optimized_topk" -> annCatalogTopk,
     "ann_catalog_filtered_topk" -> annCatalogFilteredTopk,
     "ann_catalog_pq_topk" -> annCatalogPqTopk,

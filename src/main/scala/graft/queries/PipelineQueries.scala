@@ -278,6 +278,37 @@ object PipelineQueries {
         |graft_ann('graft_cat_ann', 'emb', $lit, 20, 16)""".stripMargin)
     },
 
+    "ann_catalog_batch_topk" -> { (s, dir) =>
+      // BATCH retrieval against the DURABLE index through SQL: one
+      // graft_ann_batch call answers every row of a queries view from
+      // the saved assignment (per-query probe lists -> one equi-join
+      // on the list partition column, DPP prunes unprobed dirs). A
+      // REOPENED session probes; nprobe = nlist, so each query's
+      // answer equals exact brute force over the live mutated content
+      // — the oracle's cross-join window per query.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annb").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annb")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annb_src")
+      s.sql(s"""CREATE TABLE graft_cat_annb USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_annb_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_annb USING IVF (embedding)")
+      s.sql("DELETE FROM graft_cat_annb WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_annb
+        |SELECT vec_id + 100000, embedding FROM cat_annb_src
+        |WHERE vec_id < 8""".stripMargin)
+      val s2 = s.newSession() // cold: the index must serve the batch
+      Tables.embeddings(s2, dir)
+        .where(col("vec_id").isin(7L, 20L, 33L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .createOrReplaceTempView("cat_annb_queries")
+      s2.sql("""SELECT qid, vec_id, cos FROM graft_ann_batch(
+        |'graft_cat_annb', 'emb', 'cat_annb_queries', 'qid', 'qv',
+        |5, 16)""".stripMargin)
+    },
+
     "ann_catalog_optimized_topk" -> { (s, dir) =>
       // the maintenance-verb path under the oracle gate: after churn,
       // OPTIMIZE both folds the TABLE's deltas and COMPACTS the vector

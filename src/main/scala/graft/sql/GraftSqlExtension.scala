@@ -91,6 +91,14 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftSqlExtension].getName, "graft_history"),
       (args: Seq[Expression]) => GraftSqlExtension.historyPlan(args)))
+    // batch probe: SELECT * FROM graft_ann_batch('table', 'index',
+    // 'queries_view', 'qid_col', 'vec_col', k[, nprobe]) — one job
+    // answers every row of the queries view from the durable IVF index
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ann_batch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_ann_batch"),
+      (args: Seq[Expression]) => GraftSqlExtension.annBatchPlan(args)))
     // index inspection: SELECT * FROM graft_indexes('view') — one row
     // per index (session registry for temp views; the durable manifest
     // for catalog tables, so a REOPENED session sees them too)
@@ -1464,6 +1472,50 @@ object GraftSqlExtension {
         first + i, millis * 1000L, i == times.length - 1)
     }
     org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out, rows)
+  }
+
+  /** `SELECT * FROM graft_ann_batch('table', 'index', 'queries_view',
+    * 'qid_col', 'vec_col', k[, nprobe])` — BATCH probe of a durable
+    * IVF index ([[GraftVectorIndex.probeBatch]]): the k nearest live
+    * rows for EVERY row of `queries_view` (any resolvable view/table
+    * with an id column and a numeric-array vector column), one job,
+    * reading only the union of the queries' probed list partitions
+    * (dynamic partition pruning). Returns (qid_col, key columns...,
+    * cos). `nprobe` defaults to 4; nlist is exact per query. */
+  private[sql] def annBatchPlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    require(args.size == 6 || args.size == 7,
+      "usage: graft_ann_batch(table, index, queries_view, query_id_col, " +
+        "vec_col, k[, nprobe])")
+    def evalArg(e: Expression): Any = {
+      require(e.foldable, "graft_ann_batch arguments must be literals")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    def str(a: Any, what: String): String = a match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_ann_batch: $what must be a string literal (got $other)")
+    }
+    def int(a: Any, what: String): Int = a match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_ann_batch: $what must be an integer literal (got $other)")
+    }
+    val table = str(evalArg(args(0)), "table name")
+    val index = str(evalArg(args(1)), "index name")
+    val queriesView = str(evalArg(args(2)), "queries view name")
+    val qidCol = str(evalArg(args(3)), "query id column")
+    val vecCol = str(evalArg(args(4)), "vector column")
+    val k = int(evalArg(args(5)), "k")
+    val nprobe = if (args.size == 7) int(evalArg(args(6)), "nprobe") else 4
+    val queries = sp.table(queriesView)
+    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_ann_batch: '$table' is not a graft catalog table"))
+    val (_, h) = GraftTables.current(sp, path)
+    GraftVectorIndex.probeBatch(sp, path, index, h.toDF(sp), h.keyCols,
+      queries, qidCol, vecCol, k, nprobe).queryExecution.analyzed
   }
 
   /** `SELECT * FROM graft_indexes('view')`: one row per index —
