@@ -714,8 +714,29 @@ object OperatorQueries {
       def writer(sql: String): Thread = {
         val ss = s.newSession()
         val t = new Thread(() => {
-          try { start.await(); ss.sql(sql); () }
-          catch { case e: Throwable => errs.add(e); () }
+          try {
+            start.await()
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try { ss.sql(sql); done = true }
+              catch {
+                // the documented concurrent-abort (claim stolen after a
+                // heartbeat stall, e.g. a long GC pause on a loaded
+                // box): the statement provably did NOT commit — the
+                // steal either found the commit point and backed off,
+                // or retired the attempt to a grave — so the app-level
+                // retry the error message prescribes is exactly-once
+                // safe. Real Delta applications retry their
+                // ConcurrentModificationExceptions the same way.
+                case e: Throwable if attempts < 3 &&
+                    String.valueOf(e.getMessage)
+                      .contains("no longer belongs") =>
+                  attempts += 1
+              }
+            }
+            ()
+          } catch { case e: Throwable => errs.add(e); () }
         })
         t.start(); t
       }
