@@ -188,7 +188,8 @@ object Similarity {
         (lit(cc) - lit(2.0) * dotCols(col("__qv"), typedLit(c.toSeq))).as("d"),
         lit((i + 1).toLong).as("l"))
     }: _*)
-    val qv = queries.select(col(queryId).as("__qid"),
+    val qv = queries.where(col(vecCol).isNotNull)
+      .select(col(queryId).as("__qid"),
         transform(col(vecCol), x => x.cast("double")).as("__qv"))
       .withColumn("__probe",
         slice(array_sort(probeArr), 1, math.min(nprobe, nlist)))

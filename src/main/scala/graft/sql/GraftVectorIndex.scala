@@ -458,7 +458,8 @@ private[sql] object GraftVectorIndex {
           col("__qv"), typedLit(c.toSeq))).as("d"),
         lit((i + 1).toLong).as("l"))
     }: _*)
-    val qv = queries.select(col(queryIdCol).as("__qid"),
+    val qv = queries.where(col(vecCol).isNotNull)
+      .select(col(queryIdCol).as("__qid"),
         transform(col(vecCol), x => x.cast("double")).as("__qv"))
       .withColumn("__probe", slice(array_sort(probeArr), 1, np))
       .select(col("__qid"), col("__qv"),
