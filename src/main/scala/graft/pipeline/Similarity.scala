@@ -169,12 +169,18 @@ object Similarity {
     require(queryId != corpusId,
       s"ivfTopKJoin needs distinct id column names (both '$queryId')")
     import org.apache.spark.sql.expressions.Window
+    // null embeddings drop from BOTH corpus sides: a null among the
+    // first sampleSize rows was a driver NPE in the training collect,
+    // and a null candidate vector scores as null cosine downstream
+    // (the query side already filters — keep the two in lockstep)
     val sample = corpus.select(col(corpusId), col(vecCol))
+      .where(col(vecCol).isNotNull)
       .orderBy(col(corpusId)).limit(sampleSize)
       .select(transform(col(vecCol), x => x.cast("double")))
       .collect().map(_.getSeq[Double](0).toArray)
     val centroids = kmeans(sample, nlist, iters)
-    val cv = corpus.select(col(corpusId).as("__cid"),
+    val cv = corpus.where(col(vecCol).isNotNull)
+      .select(col(corpusId).as("__cid"),
         transform(col(vecCol), x => x.cast("double")).as("__cv"))
       .withColumn("__list",
         graft.functions.NearestCentroid.nearestCentroid(col("__cv"), centroids))

@@ -441,8 +441,12 @@ object PipelineOracles {
   /** One Lloyd iteration `prev -> cur` over the CTE `$samp(id, v)` of
     * n-dim points — the generic twin of lloydIter (same assignment
     * tie-break, same sample-order element sums, empty clusters keep
-    * their centroid). */
-  private def lloydIterN(samp: String, prev: String, cur: String, n: Int): String =
+    * their centroid). `ord` is the SAMPLE ORDER the Scala array holds
+    * — the element-sum fold order, so it must match the engine's
+    * sample selection ordering (plain id for the library builds, the
+    * portable hash for the durable catalog index). */
+  private def lloydIterN(samp: String, prev: String, cur: String, n: Int,
+      ord: String = "id"): String =
     s"""a$cur AS (
        |  SELECT id, v, cid FROM (
        |    SELECT s.id, s.v, c.cid,
@@ -455,7 +459,7 @@ object PipelineOracles {
        |         ELSE list_transform(range(1, ${n + 1}), i -> g.total[i] / g.cnt) END AS cent
        |  FROM $prev p LEFT JOIN (
        |    SELECT cid, CAST(count(*) AS DOUBLE) AS cnt,
-       |      list_reduce(list_prepend(${zerosN(n)}, list(v ORDER BY id)),
+       |      list_reduce(list_prepend(${zerosN(n)}, list(v ORDER BY $ord)),
        |        (acc, pt) -> list_transform(range(1, ${n + 1}), i -> acc[i] + pt[i])) AS total
        |    FROM a$cur GROUP BY cid) g ON g.cid = p.cid)""".stripMargin
 
@@ -471,15 +475,19 @@ object PipelineOracles {
     * LUT), shared by the PQ and IVF-PQ oracles. Expects CTEs
     * vn(id, vn), samp(id, vn), qn(q). */
   private def pqChainsSql(M: Int, sub: Int, ks: Int, iters: Int,
-      sampTable: String = "samp", rowTable: String = "vn"): String =
+      sampTable: String = "samp", rowTable: String = "vn",
+      ord: String = "id", qTable: String = "qn",
+      perQuery: Boolean = false): String =
     (0 until M).map { mm =>
       val lo = mm * sub + 1; val hi = (mm + 1) * sub
       val it = (0 until iters)
-        .map(t => lloydIterN(s"s$mm", s"p${mm}c$t", s"p${mm}c${t + 1}", sub))
+        .map(t => lloydIterN(s"s$mm", s"p${mm}c$t", s"p${mm}c${t + 1}", sub,
+          ord))
         .mkString(",\n")
+      val qid = if (perQuery) "q.qid, " else ""
       s"""s$mm AS (SELECT id, list_slice(vn, $lo, $hi) AS v FROM $sampTable),
-         |p${mm}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
-         |  FROM (SELECT id, v FROM s$mm ORDER BY id LIMIT $ks) init),
+         |p${mm}c0 AS (SELECT CAST(row_number() OVER (ORDER BY $ord) AS BIGINT) AS cid, v AS cent
+         |  FROM (SELECT id, v FROM s$mm ORDER BY $ord LIMIT $ks) init),
          |$it,
          |b$mm AS (SELECT cid, cent,
          |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -490,13 +498,15 @@ object PipelineOracles {
          |    row_number() OVER (PARTITION BY n.id
          |      ORDER BY c.cc - 2.0 * ${dotN(s"list_slice(n.vn, $lo, $hi)", "c.cent", sub)}, c.cid) AS rn
          |  FROM $rowTable n, b$mm c) t WHERE rn = 1),
-         |lut$mm AS (SELECT b.cid, ${dotN(s"list_slice(qn.q, $lo, $hi)", "b.cent", sub)} AS val
-         |  FROM b$mm b, qn)""".stripMargin
+         |lut$mm AS (SELECT ${qid}b.cid, ${dotN(s"list_slice(q.q, $lo, $hi)", "b.cent", sub)} AS val
+         |  FROM b$mm b, $qTable q)""".stripMargin
     }.mkString(",\n")
 
-  private def pqAdcJoins(M: Int): String = (0 until M).map(mm =>
-    s"JOIN asg$mm ON asg$mm.id = vn.id JOIN lut$mm ON lut$mm.cid = asg$mm.cid")
-    .mkString("\n  ")
+  private def pqAdcJoins(M: Int, perQuery: Boolean = false): String =
+    (0 until M).map { mm =>
+      val qj = if (perQuery) s" AND lut$mm.qid = qs.qid" else ""
+      s"JOIN asg$mm ON asg$mm.id = vn.id JOIN lut$mm ON lut$mm.cid = asg$mm.cid$qj"
+    }.mkString("\n  ")
 
   private def pqAdcSum(M: Int): String =
     (0 until M).map(mm => s"lut$mm.val").mkString(" + ")
@@ -657,12 +667,22 @@ object PipelineOracles {
    * 320-shortlist re-ranks by EXACT cosine against the raw (live)
    * vectors, mirroring the engine's re-rank join to the primary.
    */
+  /** The engine's portable sample-selection hash over a BIGINT key
+    * ([[graft.sql.GraftVectorIndex.sampleOrder]]) — pure modular
+    * arithmetic, bit-identical in DuckDB (non-negative ids, no
+    * overflow), with the key itself as tie-break. This IS the order
+    * the engine's training-sample ARRAY holds, so every
+    * sample-order-sensitive fold below must use it. */
+  private val catSampOrd =
+    "((id % 999999937) * 2654435761) % 1000000007, id"
+
   val annCatalogPqTopk: String = {
     val coarse = (0 until 5)
-      .map(t => lloydIterN("sampv", s"cc$t", s"cc${t + 1}", 64)).mkString(",\n")
+      .map(t => lloydIterN("sampv", s"cc$t", s"cc${t + 1}", 64, catSampOrd))
+      .mkString(",\n")
     s"""WITH vecs0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |vn0 AS MATERIALIZED (SELECT id, list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS vn FROM vecs0),
-       |samp AS MATERIALIZED (SELECT id, vn FROM vn0 ORDER BY id LIMIT 512),
+       |samp AS MATERIALIZED (SELECT id, vn FROM vn0 ORDER BY $catSampOrd LIMIT 512),
        |vn AS MATERIALIZED (
        |  SELECT id, vn FROM vn0 WHERE id % 97 <> 3
        |  UNION ALL SELECT id + 100000 AS id, vn FROM vn0 WHERE id < 8),
@@ -671,8 +691,8 @@ object PipelineOracles {
        |  UNION ALL SELECT id + 100000 AS id, v FROM vecs0 WHERE id < 8),
        |qn AS (SELECT vn AS q FROM vn0 WHERE id = 7),
        |sampv AS (SELECT id, vn AS v FROM samp),
-       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS cid, v AS cent
-       |  FROM (SELECT id, v FROM sampv ORDER BY id LIMIT 16) init),
+       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY $catSampOrd) AS BIGINT) AS cid, v AS cent
+       |  FROM (SELECT id, v FROM sampv ORDER BY $catSampOrd LIMIT 16) init),
        |$coarse,
        |bcoarse AS (SELECT cid, cent,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -698,7 +718,8 @@ object PipelineOracles {
        |  SELECT c.cid, ${sqN("c.cent", "qn.q", 64)} AS d FROM cc5 c, qn) t
        |  ORDER BY d, cid LIMIT 16),
        |qc AS (SELECT c.cid, ${dotN("c.cent", "qn.q", 64)} AS val FROM cc5 c, qn),
-       |${pqChainsSql(8, 8, 16, 3, sampTable = "rsamp", rowTable = "rvn")},
+       |${pqChainsSql(8, 8, 16, 3, sampTable = "rsamp", rowTable = "rvn",
+          ord = catSampOrd)},
        |adc AS (SELECT vn.id, qc.val + (${pqAdcSum(8)}) AS adc
        |  FROM vn
        |  JOIN asgc ON asgc.id = vn.id JOIN probe ON probe.cid = asgc.cid
@@ -711,6 +732,110 @@ object PipelineOracles {
        |  FROM short s JOIN raws r ON r.id = s.id, qn
        |  ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
   }
+
+  /**
+   * Batch durable-IVFPQ replication over the MUTATED catalog table:
+   * the same trained-on-original-sample coarse/codebook chains as
+   * [[annCatalogPqTopk]] (hash-ordered sample — the engine's
+   * selection), then for EVERY query (ids 7/20/33) a per-query ADC
+   * LUT, per-query 16·k shortlist (nprobe = nlist probes every
+   * list), and per-query exact-cosine re-rank against the raw live
+   * vectors — what graft_ann_batch computes in one job.
+   */
+  val annCatalogBatchPqTopk: String = {
+    val coarse = (0 until 5)
+      .map(t => lloydIterN("sampv", s"cc$t", s"cc${t + 1}", 64, catSampOrd))
+      .mkString(",\n")
+    s"""WITH vecs0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vn0 AS MATERIALIZED (SELECT id, list_transform(v, x -> x / sqrt(${dotN("v", "v", 64)})) AS vn FROM vecs0),
+       |samp AS MATERIALIZED (SELECT id, vn FROM vn0 ORDER BY $catSampOrd LIMIT 512),
+       |vn AS MATERIALIZED (
+       |  SELECT id, vn FROM vn0 WHERE id % 97 <> 3
+       |  UNION ALL SELECT id + 100000 AS id, vn FROM vn0 WHERE id < 8),
+       |raws AS MATERIALIZED (
+       |  SELECT id, v FROM vecs0 WHERE id % 97 <> 3
+       |  UNION ALL SELECT id + 100000 AS id, v FROM vecs0 WHERE id < 8),
+       |qs AS (SELECT id AS qid, vn AS q FROM vn0 WHERE id IN (7, 20, 33)),
+       |qraw AS (SELECT id AS qid, v AS q FROM vecs0 WHERE id IN (7, 20, 33)),
+       |sampv AS (SELECT id, vn AS v FROM samp),
+       |cc0 AS (SELECT CAST(row_number() OVER (ORDER BY $catSampOrd) AS BIGINT) AS cid, v AS cent
+       |  FROM (SELECT id, v FROM sampv ORDER BY $catSampOrd LIMIT 16) init),
+       |$coarse,
+       |bcoarse AS (SELECT cid, cent,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS cc
+       |  FROM cc5),
+       |asgc AS MATERIALIZED (SELECT id, cid FROM (
+       |  SELECT n.id, c.cid,
+       |    row_number() OVER (PARTITION BY n.id
+       |      ORDER BY c.cc - 2.0 * ${dotN("n.vn", "c.cent", 64)}, c.cid) AS rn
+       |  FROM vn n, bcoarse c) t WHERE rn = 1),
+       |rvn AS MATERIALIZED (
+       |  SELECT n.id, list_transform(range(1, 65), i -> n.vn[i] - c.cent[i]) AS vn
+       |  FROM vn n JOIN asgc ON asgc.id = n.id JOIN bcoarse c ON c.cid = asgc.cid),
+       |asgs AS (SELECT id, cid FROM (
+       |  SELECT s.id, c.cid,
+       |    row_number() OVER (PARTITION BY s.id
+       |      ORDER BY c.cc - 2.0 * ${dotN("s.v", "c.cent", 64)}, c.cid) AS rn
+       |  FROM sampv s, bcoarse c) t WHERE rn = 1),
+       |rsamp AS MATERIALIZED (
+       |  SELECT s.id, list_transform(range(1, 65), i -> s.v[i] - c.cent[i]) AS vn
+       |  FROM sampv s JOIN asgs ON asgs.id = s.id JOIN bcoarse c ON c.cid = asgs.cid),
+       |qc AS (SELECT q.qid, c.cid, ${dotN("c.cent", "q.q", 64)} AS val FROM cc5 c, qs q),
+       |${pqChainsSql(8, 8, 16, 3, sampTable = "rsamp", rowTable = "rvn",
+          ord = catSampOrd, qTable = "qs", perQuery = true)},
+       |adc AS (SELECT qs.qid, vn.id, qc.val + (${pqAdcSum(8)}) AS adc
+       |  FROM vn
+       |  JOIN asgc ON asgc.id = vn.id
+       |  CROSS JOIN qs
+       |  JOIN qc ON qc.cid = asgc.cid AND qc.qid = qs.qid
+       |  ${pqAdcJoins(8, perQuery = true)}),
+       |short AS (SELECT qid, id FROM (
+       |  SELECT qid, id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, id) AS rn
+       |  FROM adc) t WHERE rn <= 80),
+       |scored AS (
+       |  SELECT s.qid, s.id AS vec_id,
+       |    ${dotN("qr.q", "r.v", 64)} /
+       |      (sqrt(${dotN("qr.q", "qr.q", 64)}) * sqrt(${dotN("r.v", "r.v", 64)})) AS cos
+       |  FROM short s JOIN raws r ON r.id = s.id JOIN qraw qr ON qr.qid = s.qid)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  /**
+   * Filtered BATCH vector search over the mutated catalog table:
+   * per-query exact cosine top-5 restricted to live rows matching the
+   * lane's predicate (`label % 3 = 0 AND vec_id <> 11`) — the k best
+   * AMONG matching rows per query, what graft_ann_batch's filter arg
+   * computes at nprobe = nlist.
+   */
+  val annCatalogBatchFilteredTopk: String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings WHERE vec_id % 97 <> 3),
+       |ins AS (
+       |  SELECT vec_id + 100000 AS id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM embeddings WHERE vec_id < 8),
+       |vecs AS (
+       |  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+       |  WHERE label % 3 = 0 AND id <> 11),
+       |qs AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS q
+       |  FROM embeddings WHERE vec_id IN (7, 20, 33)),
+       |scored AS (
+       |  SELECT qs.qid, vecs.id AS vec_id,
+       |    ${dot64("qs.q", "vecs.v")} /
+       |      (sqrt(${dot64("qs.q", "qs.q")}) * sqrt(${dot64("vecs.v", "vecs.v")})) AS cos
+       |  FROM qs, vecs)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 5""".stripMargin
 
   /**
    * Semantic-dedup replication: the coarse quantizer chain is the
@@ -1539,7 +1664,13 @@ object PipelineOracles {
     "ann_catalog_batch_topk" -> annCatalogBatchTopk,
     "ann_catalog_optimized_topk" -> annCatalogTopk,
     "ann_catalog_filtered_topk" -> annCatalogFilteredTopk,
+    "ann_catalog_batch_filtered_topk" -> annCatalogBatchFilteredTopk,
     "ann_catalog_pq_topk" -> annCatalogPqTopk,
+    "ann_catalog_batch_pq_topk" -> annCatalogBatchPqTopk,
+    // REINDEX retrains centroids but the lane probes nprobe = nlist,
+    // which is EXACT over the live content for any centroids — the
+    // plain catalog-probe oracle is the right truth
+    "ann_catalog_reindexed_topk" -> annCatalogTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "mm_resize_frames" -> mmResizeFrames,

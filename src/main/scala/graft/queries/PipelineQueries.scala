@@ -309,6 +309,94 @@ object PipelineQueries {
         |5, 16)""".stripMargin)
     },
 
+    "ann_catalog_batch_pq_topk" -> { (s, dir) =>
+      // BATCH retrieval against the durable IVFPQ index: each query
+      // row computes its own ADC lookup table as a codegen'd column
+      // over the broadcast codebooks (never collected), scores the
+      // probed codes, shortlists 16·k per query, and re-ranks exactly
+      // against the live primary — one job for the whole batch instead
+      // of one driver round-trip per query. nprobe = nlist and the
+      // oracle replays sample, codebooks, per-query ADC and re-rank
+      // bit-for-bit over the mutated content.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annbpq").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annbpq")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annbpq_src")
+      s.sql(s"""CREATE TABLE graft_cat_annbpq USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_annbpq_src""".stripMargin)
+      s.sql("CREATE INDEX epq ON graft_cat_annbpq USING IVFPQ (embedding)")
+      s.sql("DELETE FROM graft_cat_annbpq WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_annbpq
+        |SELECT vec_id + 100000, embedding FROM cat_annbpq_src
+        |WHERE vec_id < 8""".stripMargin)
+      val s2 = s.newSession() // cold: the index must serve the batch
+      Tables.embeddings(s2, dir)
+        .where(col("vec_id").isin(7L, 20L, 33L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .createOrReplaceTempView("cat_annbpq_queries")
+      s2.sql("""SELECT qid, vec_id, cos FROM graft_ann_batch(
+        |'graft_cat_annbpq', 'epq', 'cat_annbpq_queries', 'qid', 'qv',
+        |5, 16)""".stripMargin)
+    },
+
+    "ann_catalog_batch_filtered_topk" -> { (s, dir) =>
+      // FILTERED batch retrieval: graft_ann_batch's 8th arg is the
+      // same pool-before-top-k SQL predicate as graft_ann's — each
+      // query's k best AMONG live rows matching the filter, still one
+      // job and still reading only the batch's probed lists.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annbf").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annbf")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annbf_src")
+      s.sql(s"""CREATE TABLE graft_cat_annbf USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding, label FROM cat_annbf_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_annbf USING IVF (embedding)")
+      s.sql("DELETE FROM graft_cat_annbf WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_annbf
+        |SELECT vec_id + 100000, embedding, label FROM cat_annbf_src
+        |WHERE vec_id < 8""".stripMargin)
+      val s2 = s.newSession() // cold: the index must serve the batch
+      Tables.embeddings(s2, dir)
+        .where(col("vec_id").isin(7L, 20L, 33L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .createOrReplaceTempView("cat_annbf_queries")
+      s2.sql("""SELECT qid, vec_id, cos FROM graft_ann_batch(
+        |'graft_cat_annbf', 'emb', 'cat_annbf_queries', 'qid', 'qv',
+        |5, 16, 'label % 3 = 0 AND vec_id <> 11')""".stripMargin)
+    },
+
+    "ann_catalog_reindexed_topk" -> { (s, dir) =>
+      // the drift remedy under the oracle gate: OPTIMIZE ... REINDEX
+      // retrains centroids on a fresh sample of the LIVE content and
+      // re-assigns every row via the staged-sibling swap. Content is
+      // unchanged by definition, and nprobe = nlist is exact for ANY
+      // centroids — so the reopened-session probe must still equal
+      // brute-force top-k over the live mutated content.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annr").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annr")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annr_src")
+      s.sql(s"""CREATE TABLE graft_cat_annr USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_annr_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_annr USING IVF (embedding)")
+      s.sql("DELETE FROM graft_cat_annr WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_annr
+        |SELECT vec_id + 100000, embedding FROM cat_annr_src
+        |WHERE vec_id < 8""".stripMargin)
+      s.sql("OPTIMIZE graft_cat_annr REINDEX emb")
+      val lit = queryVec(s, dir).map(_.toString)
+        .mkString("array(", ", ", ")")
+      val s2 = s.newSession() // cold probe over the retrained layout
+      s2.sql(s"""SELECT vec_id, cos FROM
+        |graft_ann('graft_cat_annr', 'emb', $lit, 20, 16)""".stripMargin)
+    },
+
     "ann_catalog_optimized_topk" -> { (s, dir) =>
       // the maintenance-verb path under the oracle gate: after churn,
       // OPTIMIZE both folds the TABLE's deltas and COMPACTS the vector

@@ -1475,18 +1475,21 @@ object GraftSqlExtension {
   }
 
   /** `SELECT * FROM graft_ann_batch('table', 'index', 'queries_view',
-    * 'qid_col', 'vec_col', k[, nprobe])` — BATCH probe of a durable
-    * IVF index ([[GraftVectorIndex.probeBatch]]): the k nearest live
-    * rows for EVERY row of `queries_view` (any resolvable view/table
-    * with an id column and a numeric-array vector column), one job,
-    * reading only the union of the queries' probed list partitions
-    * (dynamic partition pruning). Returns (qid_col, key columns...,
-    * cos). `nprobe` defaults to 4; nlist is exact per query. */
+    * 'qid_col', 'vec_col', k[, nprobe[, 'filter']])` — BATCH probe of
+    * a durable IVF or IVFPQ index ([[GraftVectorIndex.probeBatch]]):
+    * the k nearest live rows for EVERY row of `queries_view` (any
+    * resolvable view/table with an id column and a numeric-array
+    * vector column), one job, the lists scan statically pruned to the
+    * union of the queries' probed list partitions. The optional
+    * `filter` is a SQL predicate over the TABLE's columns with
+    * graft_ann's pool-before-top-k semantics, applied per query.
+    * Returns (qid_col, key columns..., cos). `nprobe` defaults to 4;
+    * nlist is exact per query. */
   private[sql] def annBatchPlan(args: Seq[Expression]): LogicalPlan = {
     val sp = SparkSession.active
-    require(args.size == 6 || args.size == 7,
+    require(args.size >= 6 && args.size <= 8,
       "usage: graft_ann_batch(table, index, queries_view, query_id_col, " +
-        "vec_col, k[, nprobe])")
+        "vec_col, k[, nprobe[, filter]])")
     def evalArg(e: Expression): Any = {
       require(e.foldable, "graft_ann_batch arguments must be literals")
       e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
@@ -1508,14 +1511,16 @@ object GraftSqlExtension {
     val qidCol = str(evalArg(args(3)), "query id column")
     val vecCol = str(evalArg(args(4)), "vector column")
     val k = int(evalArg(args(5)), "k")
-    val nprobe = if (args.size == 7) int(evalArg(args(6)), "nprobe") else 4
+    val nprobe = if (args.size >= 7) int(evalArg(args(6)), "nprobe") else 4
+    val pred = if (args.size == 8)
+      Some(str(evalArg(args(7)), "filter predicate")) else None
     val queries = sp.table(queriesView)
     val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft_ann_batch: '$table' is not a graft catalog table"))
     val (_, h) = GraftTables.current(sp, path)
     GraftVectorIndex.probeBatch(sp, path, index, h.toDF(sp), h.keyCols,
-      queries, qidCol, vecCol, k, nprobe).queryExecution.analyzed
+      queries, qidCol, vecCol, k, nprobe, pred).queryExecution.analyzed
   }
 
   /** `SELECT * FROM graft_indexes('view')`: one row per index —

@@ -47,6 +47,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftOptimizeCommand(unquote(id),
         Some(colList.split(",").toSeq.map(c => unquote(c.trim))))
     case OptimizeRe(id) => GraftOptimizeCommand(unquote(id))
+    case OptimizeReindexRe(id, idx) =>
+      GraftReindexCommand(unquote(id), unquote(idx))
+    case GenerateManifestRe(id, dest) =>
+      GraftGenerateManifestCommand(unquote(id), dest)
     case VacuumRe(id, n, unit) =>
       val hours = unit != null && unit.toUpperCase.startsWith("HOUR")
       val retain = if (n == null) 1 else n.toInt
@@ -137,6 +141,17 @@ object GraftSqlParser {
   private val OptimizeZOrderRe =
     (s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*" +
       s"\\(\\s*($IdentNC(?:\\s*,\\s*$IdentNC)+)\\s*\\)\\s*;?\\s*").r
+  // `OPTIMIZE t REINDEX e` — retrain the named vector index on the
+  // live content (the distribution-drift remedy; plain OPTIMIZE
+  // compacts lists but never retrains)
+  private val OptimizeReindexRe =
+    s"(?is)\\s*OPTIMIZE\\s+$Ident\\s+REINDEX\\s+$Ident\\s*;?\\s*".r
+  // Delta's `GENERATE symlink_format_manifest FOR TABLE t` shape, with
+  // an explicit TO (the graft base layout is not parquet, so the
+  // manifest points at an incrementally-maintained parquet mirror)
+  private val GenerateManifestRe =
+    (s"(?is)\\s*GENERATE\\s+(?:SYMLINK_FORMAT_)?MANIFEST\\s+FOR\\s+" +
+      s"(?:TABLE\\s+)?$Ident\\s+TO\\s+'([^']+)'\\s*;?\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?))?\\s*;?\\s*".r
   // Delta's RESTORE grammar: `RESTORE [TABLE] t TO VERSION AS OF n`
@@ -579,6 +594,147 @@ case class GraftExportCommand(table: String, dest: String)
     df.write.mode("overwrite").parquet(dest)
     Seq(Row(table, dest, v, sp.read.parquet(dest).count()))
   }
+}
+
+/** `OPTIMIZE t REINDEX <index>` — vector-index retrain on the LIVE
+  * content ([[GraftTables.reindexVector]]): fresh hash-ordered
+  * training sample, full re-assignment, staged-sibling swap. The
+  * drift remedy — plain OPTIMIZE compacts lists against the FROZEN
+  * centroids, so recall at fixed nprobe decays as the distribution
+  * walks away from the CREATE-time sample. O(corpus) by definition. */
+case class GraftReindexCommand(table: String, index: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("index", StringType, nullable = false)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("build_version", LongType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE ... REINDEX: '$table' is not a graft catalog table"))
+    val (kind, bv) = GraftTables.reindexVector(sp, path, index)
+    Seq(Row(table, index, kind, bv))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftReindex $table $index"
+}
+
+/** `GENERATE MANIFEST FOR TABLE t TO '<dir>'` — zero-copy-ish foreign
+  * interop: maintain a plain-parquet MIRROR of the table at `<dir>`
+  * plus a `_graft_manifest/manifest` file listing its current leaf
+  * parquet files (the symlink-format-manifest idea adapted to a base
+  * layout that is not parquet). The first call writes the full
+  * mirror; a REPEAT call against the same dir rewrites ONLY the
+  * mirror partitions whose keys a delta touched since the last
+  * generated version (delta-cost change detection off the delta
+  * parquet, dynamic partition overwrite) — re-exporting a 100 TB
+  * table after a 1k-row MERGE rewrites kilobytes, not 100 TB (the
+  * plain EXPORT verb's cost). Foreign readers load the manifest's
+  * paths directly (spark.read.parquet(paths) / DuckDB read_parquet):
+  * leaf-file reads do no partition discovery, so the internal
+  * `__part=N` mirror dirs never surface as a column. The manifest is
+  * rewritten atomically AFTER the data — a reader that re-reads it
+  * always sees a complete snapshot; one holding a STALE manifest
+  * across a refresh may hit replaced files (Delta's symlink manifests
+  * degrade identically) — regenerate and re-read. */
+case class GraftGenerateManifestCommand(table: String, dest: String)
+    extends LeafRunnableCommand {
+  import org.apache.hadoop.fs.Path
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("partitions_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("mode", StringType, nullable = false)())
+
+  private val MetaMagic = 0x47454D46 // "GEMF"
+  private val MetaVersion = 1
+
+  private def readExportMeta(fs: org.apache.hadoop.fs.FileSystem,
+      f: Path): Option[(Long, Int, String)] =
+    try {
+      if (!fs.exists(f)) None
+      else {
+        val in = new java.io.ObjectInputStream(fs.open(f))
+        try {
+          if (in.readInt() != MetaMagic || in.readInt() != MetaVersion) None
+          else Some((in.readLong(), in.readInt(),
+            in.readObject().asInstanceOf[String]))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def leafParquets(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[String] = {
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        out += st.getPath.toString
+    }
+    out.result().sorted
+  }
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"GENERATE MANIFEST: '$table' is not a graft catalog table"))
+    val (v, h) = GraftTables.current(sp, path)
+    val destP = new Path(dest)
+    val fs = destP.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val metaF = new Path(destP, "_graft_export_meta")
+    val dataDir = new Path(destP, "data")
+    val meta = readExportMeta(fs, metaF).filter(_._3 == path)
+    val nParts = meta.map(_._2)
+      .getOrElse(math.max(1, h.idxAny.partitions.length))
+    val pidCol = pmod(xxhash64(h.keyCols.map(col): _*), lit(nParts))
+      .cast("int").as("__part")
+    val df = h.toDF(sp).withColumn("__part", pidCol)
+    val changed = meta.flatMap { case (lastV, _, _) =>
+      GraftTables.exportChangedParts(sp, path, lastV, v, h.keyCols, nParts)
+    }
+    val (mode, rewritten) = changed match {
+      case Some(Nil) => ("noop", 0)
+      case Some(pids) =>
+        val rewrite = df.filter(col("__part").isin(pids: _*))
+        rewrite.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__part").parquet(dataDir.toString)
+        // a mirror partition whose every key was deleted produces no
+        // rows, so the dynamic overwrite leaves its stale dir — drop
+        // those explicitly (bounded: |changed| dirs)
+        val present = rewrite.select(col("__part")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        pids.filterNot(present).foreach(pid =>
+          fs.delete(new Path(dataDir, s"__part=$pid"), true))
+        ("incremental", pids.size)
+      case None =>
+        df.write.mode("overwrite").partitionBy("__part")
+          .parquet(dataDir.toString)
+        ("full", nParts)
+    }
+    val files = leafParquets(fs, dataDir)
+    graft.MarkerFile.writeAtomic(fs,
+      new Path(destP, "_graft_manifest/manifest")) { raw =>
+      raw.write(files.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    graft.MarkerFile.writeAtomic(fs, metaF) { raw =>
+      val out = new java.io.ObjectOutputStream(raw)
+      out.writeInt(MetaMagic); out.writeInt(MetaVersion)
+      out.writeLong(v); out.writeInt(nParts); out.writeObject(path)
+      out.flush()
+    }
+    Seq(Row(table, dest, v, files.size, rewritten, mode))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftGenerateManifest $table"
 }
 
 case class GraftDescribeDetailCommand(table: String)

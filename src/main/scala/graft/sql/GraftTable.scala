@@ -3014,6 +3014,66 @@ private[sql] object GraftTables {
     * semantics): the current version keeps its number and becomes the
     * oldest readable one; folded versions fail like "no longer
     * exists". */
+  /** `OPTIMIZE t REINDEX <index>`: retrain the named vector index's
+    * centroids/codebooks on a fresh sample of the LIVE content and
+    * re-assign every row ([[GraftVectorIndex.reindex]] — the drift
+    * remedy; plain OPTIMIZE compacts lists but never retrains). A
+    * rival statement committing DURING the retrain may have appended
+    * into the OLD layout after our read — replay those versions into
+    * the new one, same as [[compact]]'s index maintenance (idempotent:
+    * duplicates collapse under the probe's newest-per-key window).
+    * Returns (kind, buildVersion stamped). */
+  private[sql] def reindexVector(sp: SparkSession, path: String,
+      name: String): (String, Long) = {
+    val (v, h) = current(sp, path)
+    val m = GraftVectorIndex.reindex(sp, path, name, h.toDF(sp),
+      h.keyCols, v).getOrElse(throw new IllegalArgumentException(
+        s"REINDEX: no vector index '$name' on the table at $path — " +
+          "CREATE INDEX ... USING IVF/IVFPQ first"))
+    val dvNow = diskVersion(sp, path)
+    if (dvNow > v) {
+      val (fs2, _) = fsOf(sp, path)
+      val hNow = current(sp, path)._2
+      (v + 1 to dvNow).foreach { vv =>
+        val upd = new Path(deltaDir(path, vv), "up")
+        if (fs2.exists(upd))
+          GraftVectorIndex.append(sp, path, name,
+            alignTo(sp.read.parquet(upd.toString), hNow.schema),
+            hNow.keyCols, vv)
+      }
+    }
+    (m.kind, m.buildVersion)
+  }
+
+  /** The export mirror's changed partition ids between exported
+    * version `lastV` and current `v`: the distinct export-hash pids of
+    * every key an upsert/delete touched in `(lastV, v]` — read from
+    * the delta parquet (delta-cost, never the corpus), bounded output
+    * (≤ nParts ints). None = the window cannot be answered delta-cost
+    * (history vacuumed past lastV, a TRUNCATE/schema evolution inside
+    * it, or unreadable delta files) → the caller full-rewrites. */
+  private[sql] def exportChangedParts(sp: SparkSession, path: String,
+      lastV: Long, v: Long, keyCols: Seq[String],
+      nParts: Int): Option[Seq[Int]] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    if (lastV >= v) return Some(Nil)
+    try {
+      if (lastV < tableFirstVersion(sp, path)) return None
+      val metas = (lastV + 1 to v).map(vv => (vv, readMeta(sp, path, vv)))
+      if (metas.exists { case (_, m) => m.truncate || m.hasSchema })
+        return None
+      val paths = metas.flatMap { case (vv, m) =>
+        (if (m.hasUp) Seq(s"${deltaDir(path, vv)}/up") else Nil) ++
+          (if (m.hasDel) Seq(s"${deltaDir(path, vv)}/del") else Nil)
+      }
+      if (paths.isEmpty) return Some(Nil)
+      val pid = pmod(xxhash64(keyCols.map(col): _*), lit(nParts))
+        .cast("int").as("__part")
+      Some(paths.map(p => sp.read.parquet(p).select(pid))
+        .reduce(_ union _).distinct().collect().map(_.getInt(0)).toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private[sql] def compact(sp: SparkSession, path: String,
       zorder: Option[Seq[String]] = None)
       : (Long, Long, Int, Int, Int) = {
@@ -3224,9 +3284,14 @@ private[sql] object GraftTables {
     df.withColumn(zbc,
         ZProjection.zbCol(dims.map { case (c, b) => (col(c), b) }))
       .write.partitionBy(zbc).mode("overwrite").parquet(tmp.toString)
+    // magic + format version lead the sidecar so a future layout
+    // change can tell old metas from torn ones and migrate instead of
+    // silently degrading to unpruned scans (the r18 ndims widening had
+    // no tag — pre-widening metas just read as absent)
     val out = new java.io.ObjectOutputStream(
       fs.create(new Path(tmp, "_zprojmeta"), true))
     try {
+      out.writeInt(ZProjMetaMagic); out.writeInt(ZProjMetaVersion)
       out.writeLong(v)
       out.writeInt(dims.size)
       dims.foreach { case (c, b) => out.writeObject(c); out.writeObject(b) }
@@ -3244,21 +3309,44 @@ private[sql] object GraftTables {
     * from `_zprojmeta` INSIDE the projection dir (promoted atomically
     * with the data — see [[writeZProjection]]). None when
     * absent/torn/headless. */
+  private[sql] val ZProjMetaMagic = 0x475A504D // "GZPM"
+  private[sql] val ZProjMetaVersion = 2
+
   private[sql] def readZProjMeta(sp: SparkSession,
       path: String): Option[(Long, ZProjection.ZProjInfo)] = {
     val (fs, _) = fsOf(sp, path)
     val f = new Path(zProjDir(path), "_zprojmeta")
+    def parse(in: java.io.ObjectInputStream) = {
+      val pv = in.readLong()
+      val dims = Seq.fill(in.readInt())(
+        (in.readObject().asInstanceOf[String],
+          in.readObject().asInstanceOf[Array[Double]]))
+      (pv, ZProjection.ZProjInfo(zProjDir(path), dims))
+    }
     try {
       if (!fs.exists(f)) None
       else {
-        val in = new java.io.ObjectInputStream(fs.open(f))
-        try {
-          val pv = in.readLong()
-          val dims = Seq.fill(in.readInt())(
-            (in.readObject().asInstanceOf[String],
-              in.readObject().asInstanceOf[Array[Double]]))
-          Some((pv, ZProjection.ZProjInfo(zProjDir(path), dims)))
-        } finally in.close()
+        // tagged layout leads with magic+version; a legacy r18 meta
+        // leads with the version LONG — its high word can never equal
+        // the magic, so one readInt disambiguates. An unknown FUTURE
+        // version degrades to None: the projection is pure
+        // acceleration, an unpruned primary scan stays correct.
+        val tagged =
+          try {
+            val in = new java.io.ObjectInputStream(fs.open(f))
+            try { if (in.readInt() == ZProjMetaMagic) Some(in.readInt()) else None }
+            finally in.close()
+          } catch { case _: java.io.IOException => None }
+        tagged match {
+          case Some(ZProjMetaVersion) =>
+            val in = new java.io.ObjectInputStream(fs.open(f))
+            try { in.readInt(); in.readInt(); Some(parse(in)) }
+            finally in.close()
+          case Some(_) => None // newer build's layout — serve unpruned
+          case None =>
+            val in = new java.io.ObjectInputStream(fs.open(f))
+            try Some(parse(in)) finally in.close()
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,11 +67,20 @@ private[sql] object GraftVectorIndex {
   final case class IvfMeta(kind: String, vecCol: String, nlist: Int,
       buildVersion: Long, m: Int, ks: Int)
 
+  // _meta leads with a magic + format version so a layout change can
+  // MIGRATE old sidecars instead of silently mis-parsing them (the
+  // r18 kind/m/ks widening made pre-widening metas read as absent —
+  // probes failed as "no index" and append() silently stopped
+  // maintaining the index). Unknown FUTURE versions fail loudly.
+  private val MetaMagic = 0x47564958 // "GVIX"
+  private val MetaVersion = 2
+
   private def writeMeta(sp: SparkSession, idxDir: String,
       m: IvfMeta): Unit = {
     val (fs, _) = fsOf(sp, idxDir)
     graft.MarkerFile.writeAtomic(fs, new Path(idxDir, "_meta")) { raw =>
       val out = new java.io.ObjectOutputStream(raw)
+      out.writeInt(MetaMagic); out.writeInt(MetaVersion)
       out.writeObject(m.kind); out.writeObject(m.vecCol)
       out.writeInt(m.nlist); out.writeLong(m.buildVersion)
       out.writeInt(m.m); out.writeInt(m.ks)
@@ -79,46 +88,126 @@ private[sql] object GraftVectorIndex {
     }
   }
 
-  private def tmpDir(path: String, name: String): String =
-    s"$path/_tivftmp_$name"
+  private def stagePrefix(name: String): String = s"_tivftmp_$name"
 
-  /** Crash recovery for [[compactIndex]]'s swap, mirroring the table's
-    * own [[GraftTables]] rebase recovery: a headless index dir beside
-    * a COMPLETE staged sibling promotes the sibling; a stale sibling
-    * beside a healthy index is swept. Cheap no-op in the common case
-    * (one exists check on a dir that is normally absent). */
+  /** Unique per-run staging dir for [[swapStage]]: compaction and
+    * REINDEX stage their whole rewrite here, so a rival statement's
+    * recovery sweep can never mistake an IN-FLIGHT stage for the one
+    * fixed crash-leftover name (the r18 scheme staged at
+    * `_tivftmp_<name>` — exactly what recovery swept whenever the
+    * index dir looked healthy, i.e. for the entire rewrite). */
+  private def newStageDir(path: String, name: String): String =
+    s"$path/${stagePrefix(name)}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** Age after which an orphaned stage is provably dead and safe to
+    * sweep. Compactions run minutes; anything this old beside a
+    * healthy index is a crash leftover. Mutable for tests. */
+  private[sql] var staleStageMs: Long = 60L * 60 * 1000
+
+  /** Crash recovery for [[swapStage]], mirroring the table's own
+    * [[GraftTables]] rebase recovery: a headless index dir beside a
+    * COMPLETE staged sibling promotes the newest such sibling (the
+    * interrupted swap's payload — no rival can be mid-rewrite against
+    * a headless index, readMeta gates every maintenance entry point);
+    * stages older than [[staleStageMs]] are swept as crash leftovers.
+    * A YOUNG stage beside a healthy index is left alone — it is a
+    * live rival's in-flight rewrite. Cheap no-op in the common case
+    * (one listing of names that are normally absent). */
   private def recoverIfNeeded(sp: SparkSession, path: String,
       name: String): Unit = {
     val (fs, _) = fsOf(sp, path)
-    val tmp = new Path(tmpDir(path, name))
     try {
-      if (fs.exists(tmp)) {
-        val idx = new Path(dir(path, name))
-        if (fs.exists(new Path(idx, "_meta"))) fs.delete(tmp, true)
-        else if (fs.exists(new Path(tmp, "_meta"))) {
-          fs.delete(idx, true)
-          if (fs.rename(tmp, idx)) invalidate(idx.toString)
-        }
-        ()
+      val parent = new Path(path)
+      val pre = stagePrefix(name)
+      val stages = fs.listStatus(parent).filter { st =>
+        val n = st.getPath.getName
+        n == pre || n.startsWith(pre + "_") // incl. pre-r19 fixed name
       }
+      if (stages.isEmpty) return
+      val idx = new Path(dir(path, name))
+      var remaining = stages
+      if (!fs.exists(new Path(idx, "_meta"))) {
+        val complete = stages.filter(st =>
+          fs.exists(new Path(st.getPath, "_meta")))
+        if (complete.nonEmpty) {
+          val winner = complete.maxBy(_.getModificationTime)
+          fs.delete(idx, true) // headless remnant, if any
+          // invalidate with the RAW dir string — the memo key; a
+          // Path round-trip normalizes file:/// to file:/ and misses
+          if (fs.rename(winner.getPath, idx)) invalidate(dir(path, name))
+          remaining = stages.filterNot(_.getPath == winner.getPath)
+        }
+      }
+      val cutoff = System.currentTimeMillis() - staleStageMs
+      remaining.filter(_.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+      ()
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   def readMeta(sp: SparkSession, path: String,
       name: String): Option[IvfMeta] = {
     recoverIfNeeded(sp, path, name)
-    val (fs, _) = fsOf(sp, path)
-    val f = new Path(dir(path, name), "_meta")
+    readMetaAt(sp, dir(path, name), migrate = true)
+  }
+
+  /** Parse `_meta` at `idxDir`. None ONLY when the file is absent
+    * (incl. the exists→open TOCTOU race); a file that EXISTS but
+    * parses as garbage throws — treating it as absent would silently
+    * stop DML maintenance while probes fail as "no index". Legacy
+    * (pre-version-tag) layouts parse via their shape and, with
+    * `migrate`, rewrite in the current format (best-effort; rivals
+    * racing the rewrite all write identical bytes atomically). */
+  private def readMetaAt(sp: SparkSession, idxDir: String,
+      migrate: Boolean = false): Option[IvfMeta] = {
+    val (fs, _) = fsOf(sp, idxDir)
+    val f = new Path(idxDir, "_meta")
+    def open() = new java.io.ObjectInputStream(fs.open(f))
     try {
-      if (!fs.exists(f)) None
-      else {
-        val in = new java.io.ObjectInputStream(fs.open(f))
-        try Some(IvfMeta(in.readObject().asInstanceOf[String],
-          in.readObject().asInstanceOf[String],
-          in.readInt(), in.readLong(), in.readInt(), in.readInt()))
-        finally in.close()
+      if (!fs.exists(f)) return None
+      val tagged =
+        try {
+          val in = open()
+          try { if (in.readInt() == MetaMagic) Some(in.readInt()) else None }
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      tagged match {
+        case Some(MetaVersion) =>
+          val in = open()
+          try {
+            in.readInt(); in.readInt()
+            Some(IvfMeta(in.readObject().asInstanceOf[String],
+              in.readObject().asInstanceOf[String],
+              in.readInt(), in.readLong(), in.readInt(), in.readInt()))
+          } finally in.close()
+        case Some(v) => throw new IllegalStateException(
+          s"vector-index meta $f has format version $v; this build " +
+            s"reads up to $MetaVersion — refusing to guess at its layout")
+        case None =>
+          // legacy untagged layouts: r18 leads with the kind string;
+          // r17 leads with the vector column (no kind/m/ks)
+          val in = open()
+          val parsed =
+            try {
+              val first = in.readObject().asInstanceOf[String]
+              if (first == "ivf" || first == "ivfpq")
+                IvfMeta(first, in.readObject().asInstanceOf[String],
+                  in.readInt(), in.readLong(), in.readInt(), in.readInt())
+              else IvfMeta("ivf", first, in.readInt(), in.readLong(), 0, 0)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalStateException(
+                  s"vector-index meta $f is unreadable (not the current " +
+                    "or any legacy layout) — DROP INDEX and re-CREATE", e)
+            } finally in.close()
+          if (migrate)
+            try writeMeta(sp, idxDir, parsed)
+            catch { case scala.util.control.NonFatal(_) => () }
+          Some(parsed)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   // repeated-probe (dashboard) serving cost: centroids are immutable
@@ -215,19 +304,40 @@ private[sql] object GraftVectorIndex {
         col("__list"): _*)
   }
 
-  /** Build at CREATE INDEX: train the quantizer on a deterministic
-    * sample of the current content, assign every row, write the
-    * list-partitioned layout. One corpus pass. */
-  def build(sp: SparkSession, path: String, name: String,
+  /** Seeded hash sample order: deterministic AND representative. The
+    * r18 sample was the corpus's FIRST 512 keys — at scale key order
+    * correlates with ingest time / tenant, so every centroid could
+    * train on one corner of the distribution and skew every list.
+    * Numeric keys hash with pure modular arithmetic so the SQL oracle
+    * replays the selection exactly
+    * (`((k % 999999937) * 2654435761) % 1000000007` — no overflow,
+    * identical in DuckDB); other key types fall back to xxhash64
+    * (equally deterministic, engine-side only). Keys tie-break. */
+  private[sql] def sampleOrder(df: DataFrame,
+      keyCols: Seq[String]): Seq[Column] = {
+    val hs = keyCols.map { c =>
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          pmod(pmod(col(c).cast("long"), lit(999999937L)) *
+            lit(2654435761L), lit(1000000007L))
+        case _ => pmod(xxhash64(col(c)), lit(1000000007L))
+      }
+    }
+    val h = if (hs.size == 1) hs.head
+      else pmod(hs.reduce(_ + _), lit(1000000007L))
+    h +: keyCols.map(col)
+  }
+
+  /** Train the coarse quantizer on the hash-ordered sample of `df`
+    * and write the raw-vector IVF layout (lists/centroids/_meta) at
+    * `outDir`. One corpus pass. */
+  private def writeIvfLayout(sp: SparkSession, outDir: String,
       df: DataFrame, keyCols: Seq[String], vecCol: String, nlist: Int,
       v: Long): Unit = {
     import sp.implicits._
-    val idxDir = dir(path, name)
-    val (fs, _) = fsOf(sp, idxDir)
-    fs.delete(new Path(idxDir), true)
-    val sample = df.select(keyCols.map(col) :+ col(vecCol): _*)
+    val nn = df.select(keyCols.map(col) :+ col(vecCol): _*)
       .where(col(vecCol).isNotNull)
-      .orderBy(keyCols.map(col): _*).limit(512)
+    val sample = nn.orderBy(sampleOrder(nn, keyCols): _*).limit(512)
       .select(transform(col(vecCol), x => x.cast("double")))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty,
@@ -235,31 +345,23 @@ private[sql] object GraftVectorIndex {
     val centroids = graft.pipeline.Similarity.kmeans(sample, nlist, 5)
     assigned(df, keyCols, vecCol, centroids, v)
       .write.mode("overwrite").partitionBy("__list")
-      .parquet(s"$idxDir/lists")
+      .parquet(s"$outDir/lists")
     centroids.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/centroids")
-    writeMeta(sp, idxDir, IvfMeta("ivf", vecCol, nlist, v, 0, 0))
-    invalidate(idxDir) // a re-CREATE swaps the layout under the memos
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    writeMeta(sp, outDir, IvfMeta("ivf", vecCol, nlist, v, 0, 0))
   }
 
-  /** Build at `CREATE INDEX ... USING IVFPQ`: train the coarse
-    * quantizer AND the per-subspace residual codebooks on one
-    * deterministic normalized sample (first 512 keys), then write the
-    * list-partitioned CODES — m small ints per row instead of the
-    * d-float vector, the memory-bandwidth scale path (a probe reads
-    * `nprobe/nlist` of ~9 bytes/row; raw vectors are touched only for
-    * the re-rank shortlist, fetched from the LIVE primary). */
-  def buildPq(sp: SparkSession, path: String, name: String,
+  /** Train coarse quantizer + residual codebooks on one hash-ordered
+    * normalized sample and write the IVFPQ layout
+    * (lists/centroids/books/_meta) at `outDir`. */
+  private def writePqLayout(sp: SparkSession, outDir: String,
       df: DataFrame, keyCols: Seq[String], vecCol: String, nlist: Int,
       m: Int, ks: Int, v: Long): Unit = {
     import sp.implicits._
-    val idxDir = dir(path, name)
-    val (fs, _) = fsOf(sp, idxDir)
-    fs.delete(new Path(idxDir), true)
     val vn = normalized(df, keyCols, vecCol)
-    val sample = vn.orderBy(keyCols.map(col): _*).limit(512)
+    val sample = vn.orderBy(sampleOrder(vn, keyCols): _*).limit(512)
       .select(col("__vn")).collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= math.max(nlist, ks),
       s"CREATE INDEX USING IVFPQ: needs at least ${math.max(nlist, ks)} " +
@@ -277,18 +379,68 @@ private[sql] object GraftVectorIndex {
     val books = graft.pipeline.Similarity.pqCodebooks(rsample, m, sub, ks, 3)
     encoded(vn, keyCols, coarse, books, m, sub, v)
       .write.mode("overwrite").partitionBy("__list")
-      .parquet(s"$idxDir/lists")
+      .parquet(s"$outDir/lists")
     coarse.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
     books.zipWithIndex.flatMap { case (book, mm) =>
       book.zipWithIndex.map { case (c, ci) => (mm, (ci + 1).toLong, c.toSeq) }
     }.toSeq.toDF("mm", "cid", "cent")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/books")
-    writeMeta(sp, idxDir, IvfMeta("ivfpq", vecCol, nlist, v, m, ks))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/books")
+    writeMeta(sp, outDir, IvfMeta("ivfpq", vecCol, nlist, v, m, ks))
+  }
+
+  /** Build at CREATE INDEX: train the quantizer on a deterministic
+    * hash-ordered sample of the current content, assign every row,
+    * write the list-partitioned layout. One corpus pass. */
+  def build(sp: SparkSession, path: String, name: String,
+      df: DataFrame, keyCols: Seq[String], vecCol: String, nlist: Int,
+      v: Long): Unit = {
+    val idxDir = dir(path, name)
+    val (fs, _) = fsOf(sp, idxDir)
+    fs.delete(new Path(idxDir), true)
+    writeIvfLayout(sp, idxDir, df, keyCols, vecCol, nlist, v)
+    invalidate(idxDir) // a re-CREATE swaps the layout under the memos
+  }
+
+  /** Build at `CREATE INDEX ... USING IVFPQ`: the list-partitioned
+    * CODES — m small ints per row instead of the d-float vector, the
+    * memory-bandwidth scale path (a probe reads `nprobe/nlist` of
+    * ~9 bytes/row; raw vectors are touched only for the re-rank
+    * shortlist, fetched from the LIVE primary). */
+  def buildPq(sp: SparkSession, path: String, name: String,
+      df: DataFrame, keyCols: Seq[String], vecCol: String, nlist: Int,
+      m: Int, ks: Int, v: Long): Unit = {
+    val idxDir = dir(path, name)
+    val (fs, _) = fsOf(sp, idxDir)
+    fs.delete(new Path(idxDir), true)
+    writePqLayout(sp, idxDir, df, keyCols, vecCol, nlist, m, ks, v)
     invalidate(idxDir)
   }
+
+  /** `OPTIMIZE t REINDEX <index>` — retrain under distribution drift:
+    * centroids (and PQ codebooks) are frozen at CREATE, so when the
+    * live distribution drifts away from the build-time sample the
+    * lists skew and recall at fixed nprobe decays with no remedy short
+    * of DROP + re-CREATE. REINDEX retrains on a fresh hash-ordered
+    * sample of the LIVE content, re-assigns every row, and swaps the
+    * new layout in via the same staged-sibling machinery as
+    * [[compactIndex]] — probes never observe a half-built index, and
+    * a crash leaves the old, still-correct layout in place.
+    * O(corpus) by definition (it IS a rebuild); nlist/m/ks carry. */
+  def reindex(sp: SparkSession, path: String, name: String,
+      live: DataFrame, keyCols: Seq[String], v: Long): Option[IvfMeta] =
+    readMeta(sp, path, name).map { m =>
+      val (fs, _) = fsOf(sp, path)
+      val tmp = newStageDir(path, name)
+      if (m.kind == "ivfpq")
+        writePqLayout(sp, tmp, live, keyCols, m.vecCol, m.nlist, m.m,
+          m.ks, v)
+      else writeIvfLayout(sp, tmp, live, keyCols, m.vecCol, m.nlist, v)
+      swapStage(sp, fs, path, name, new Path(tmp), v)
+      m.copy(buildVersion = v)
+    }
 
   /** Delta-cost maintenance on commit `v`: assign the statement's
     * upserts against the saved centroids and append into the list
@@ -330,8 +482,7 @@ private[sql] object GraftVectorIndex {
     readMeta(sp, path, name).foreach { m =>
       val idxDir = dir(path, name)
       val (fs, _) = fsOf(sp, idxDir)
-      val tmp = new Path(tmpDir(path, name))
-      fs.delete(tmp, true)
+      val tmp = new Path(newStageDir(path, name))
       val w = Window.partitionBy(keyCols.map(col): _*)
         .orderBy(col("__ver").desc)
       sp.read.parquet(s"$idxDir/lists")
@@ -346,11 +497,32 @@ private[sql] object GraftVectorIndex {
             new Path(tmp, d), false, sp.sparkContext.hadoopConfiguration)
       }
       writeMeta(sp, tmp.toString, m.copy(buildVersion = v))
-      fs.delete(new Path(idxDir), true)
-      require(fs.rename(tmp, new Path(idxDir)),
-        s"vector-index compaction rename failed for $idxDir")
-      invalidate(idxDir)
+      swapStage(sp, fs, path, name, tmp, v)
     }
+
+  /** Swap a COMPLETE stage in as the live index: verify the stage one
+    * last time (a mis-aged recovery sweep racing this statement must
+    * fail the swap, not promote a deleted dir), delete the old layout,
+    * rename. If the rename loses to a rival's recovery that promoted
+    * OUR stage during the headless window, that is success. */
+  private def swapStage(sp: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String, name: String,
+      tmp: Path, v: Long): Unit = {
+    val idx = new Path(dir(path, name))
+    require(fs.exists(new Path(tmp, "_meta")),
+      s"vector-index stage $tmp vanished before its swap (swept by a " +
+        "rival recovery?) — the live index is untouched; re-run")
+    fs.delete(idx, true)
+    if (!fs.rename(tmp, idx)) {
+      val promoted =
+        try readMetaAt(sp, dir(path, name)).exists(_.buildVersion == v)
+        catch { case scala.util.control.NonFatal(_) => false }
+      require(promoted,
+        s"vector-index stage swap rename failed for $idx")
+    }
+    // the RAW dir string is the memo key (Path normalizes file:///)
+    invalidate(dir(path, name))
+  }
 
   /** The `graft_ann` probe — see the object doc for semantics. Returns
     * (key columns..., cos) ordered by cosine desc, keys. `pred` is an
@@ -420,67 +592,158 @@ private[sql] object GraftVectorIndex {
       .select(keyCols.map(col) :+ col("cos"): _*)
   }
 
-  /** BATCH probe of a durable IVF index: the k nearest live rows for
-    * EVERY query row in ONE job — the decontamination-at-scale shape,
-    * reusing the SAVED assignment instead of retraining per call
-    * (contrast [[graft.pipeline.Similarity.ivfTopKJoin]], which
+  /** Distinct probed list ids of the last [[probeBatch]] call — a
+    * scale gauge for the bench (the lists scan is bounded to exactly
+    * this many of nlist partitions, churned table or not). */
+  @volatile private[graft] var lastBatchProbedLists: Int = -1
+
+  /** BATCH probe of a durable IVF/IVFPQ index: the k nearest live rows
+    * for EVERY query row in ONE job — the decontamination-at-scale
+    * shape, reusing the SAVED assignment instead of retraining per
+    * call (contrast [[graft.pipeline.Similarity.ivfTopKJoin]], which
     * trains inline for ad-hoc corpora). Each query ranks the centroid
-    * literal and explodes into its `nprobe` list ids; the equi-join on
-    * `__list` — a PARTITION column of the lists parquet — lets Spark's
-    * dynamic partition pruning skip unprobed list directories at run
-    * time, so the index scan stays `(distinct probed lists)/nlist` of
-    * the corpus even for query batches. Newest-entry-per-key dedup and
-    * the liveness join follow the single-query probe exactly (skipped
-    * on read-mostly tables via the same metadata walk). IVF only: the
-    * ivfpq ADC table is query-specific, so batch PQ callers loop
-    * [[probe]]. Returns (queryId, key columns..., cos). */
+    * literal and explodes into its `nprobe` list ids; the batch's
+    * DISTINCT probed ids (≤ nlist longs, one bounded driver
+    * round-trip) then filter the lists scan BEFORE anything else, so
+    * it is a STATIC partition prune — and the churned-table
+    * newest-entry-per-key window runs over the probed lists only
+    * (the single probe's documented within-probed-subset semantics;
+    * r18 windowed over the ENTIRE layout first, so one stray upsert
+    * made every batch probe O(index)). Liveness join as in [[probe]];
+    * both skipped on read-mostly tables via the same metadata walk.
+    *
+    * IVFPQ batches too: the per-query ADC LUT (m·ks doubles) is a
+    * codegen'd column over the broadcast codebook literal — computed
+    * once per query row, never collected — then the per-query ADC
+    * shortlist re-ranks exactly against the LIVE primary, exactly the
+    * single probe's tail per query.
+    *
+    * `pred` is an optional SQL predicate over the TABLE's columns,
+    * [[probe]]'s filtered-search semantics per query: it constrains
+    * the candidate pool BEFORE top-k, evaluated against the live
+    * snapshot. Returns (queryId, key columns..., cos). */
   def probeBatch(sp: SparkSession, path: String, name: String,
       live: DataFrame, keyCols: Seq[String], queries: DataFrame,
       queryIdCol: String, vecCol: String, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, pred: Option[String] = None): DataFrame = {
     val m = readMeta(sp, path, name).getOrElse(
       throw new IllegalArgumentException(
         s"no IVF index '$name' at $path — CREATE INDEX ... USING IVF first"))
-    require(m.kind == "ivf",
-      s"probeBatch serves IVF indexes; '$name' is ${m.kind} — its ADC " +
-        "table is query-specific, loop the single-query probe instead")
     require(!keyCols.contains(queryIdCol),
       s"query id column '$queryIdCol' collides with a table key column")
+    require(queryIdCol != "cos" && !queryIdCol.startsWith("__"),
+      s"query id column '$queryIdCol' collides with the probe's output " +
+        "('cos') or internal ('__'-prefixed) columns — alias it first")
     val idxDir = dir(path, name)
     val centroids = centroidsOf(sp, idxDir, m.buildVersion)
     val np = math.min(nprobe, centroids.length)
+    val pq = m.kind == "ivfpq"
+    // ivfpq centroids live in normalized space — rank lists (and feed
+    // the ADC LUT) with the normalized query, exactly like [[probe]]
+    val qBase = queries.where(col(vecCol).isNotNull)
+      .select(col(queryIdCol).as("__qid"),
+        transform(col(vecCol), x => x.cast("double")).as("__qv"))
+    val qNorm =
+      if (!pq) qBase
+      else qBase.withColumn("__qn", transform(col("__qv"),
+        x => x / sqrt(graft.pipeline.Dedup.dotCols(col("__qv"), col("__qv")))))
+    val rankCol = if (pq) col("__qn") else col("__qv")
     // per-query probe lists: rank ||q - c||^2 over the centroid
     // literal (row-constant q·q dropped), keep the nprobe best
     val probeArr = array(centroids.zipWithIndex.map { case (c, i) =>
       val cc = c.map(x => x * x).sum
       struct(
         (lit(cc) - lit(2.0) * graft.pipeline.Dedup.dotCols(
-          col("__qv"), typedLit(c.toSeq))).as("d"),
+          rankCol, typedLit(c.toSeq))).as("d"),
         lit((i + 1).toLong).as("l"))
     }: _*)
-    val qv = queries.where(col(vecCol).isNotNull)
-      .select(col(queryIdCol).as("__qid"),
-        transform(col(vecCol), x => x.cast("double")).as("__qv"))
-      .withColumn("__probe", slice(array_sort(probeArr), 1, np))
-      .select(col("__qid"), col("__qv"),
-        explode(col("__probe").getField("l")).as("__list"))
+    val qCarry = col("__qid") +: col("__qv") +:
+      (if (pq) Seq(col("__qn")) else Nil)
+    val qv = qNorm.withColumn("__probe", slice(array_sort(probeArr), 1, np))
+      .select(qCarry :+
+        explode(col("__probe").getField("l")).as("__list"): _*)
+    // the batch's distinct probed list ids: bounded by nlist (the
+    // centroid collect is already that size), and worth the extra
+    // queries-side job — the lists scan prunes STATICALLY to
+    // |probed|/nlist of the index
+    val probedIds = qv.select(col("__list")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    lastBatchProbedLists = probedIds.length
     val (anyDel, anyUp) = GraftTables.changeFlagsSince(sp, path,
       m.buildVersion)
-    val lists = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path))
+    val cands = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path))
+      .filter(col("__list").isin(probedIds: _*))
     val latest =
-      if (!anyUp) lists
+      if (!anyUp) cands
       else {
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__ver").desc)
-        lists.withColumn("__rn", row_number().over(w))
+        cands.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
       }
+    val liveF = pred.map(p => live.where(expr(p))).getOrElse(live)
     val alive =
-      if (!anyDel) latest
-      else latest.join(live.select(keyCols.map(col): _*), keyCols)
+      if (!anyDel && pred.isEmpty) latest
+      else latest.join(liveF.select(keyCols.map(col): _*), keyCols)
+    if (pq) probeBatchPq(sp, idxDir, m, centroids, alive, liveF, keyCols,
+      qv, queryIdCol, k)
+    else {
+      val wq = Window.partitionBy(col("__qid"))
+        .orderBy(col("cos").desc +: keyCols.map(col): _*)
+      qv.join(alive, "__list")
+        .withColumn("cos", graft.pipeline.Dedup.dotCols(col("__qv"), col("__v")) /
+          (sqrt(graft.pipeline.Dedup.dotCols(col("__qv"), col("__qv"))) *
+            sqrt(graft.pipeline.Dedup.dotCols(col("__v"), col("__v")))))
+        .withColumn("__rnq", row_number().over(wq))
+        .where(col("__rnq") <= k)
+        .select(col("__qid").as(queryIdCol) +: keyCols.map(col) :+
+          col("cos"): _*)
+    }
+  }
+
+  /** The batch ivfpq scoring tail: each query row computes its own
+    * ADC LUT (m·ks subspace dots against the broadcast codebook
+    * literal — a codegen'd nested transform, evaluated once per query
+    * row and projected away right after scoring), scores the probed
+    * live codes by the per-list constant + m LUT lookups, keeps a
+    * per-query 16·k shortlist, and re-ranks the shortlist by exact
+    * cosine against the LIVE primary — the single probe's tail, one
+    * job for the whole batch. */
+  private def probeBatchPq(sp: SparkSession, idxDir: String, m: IvfMeta,
+      coarse: Array[Array[Double]], alive: DataFrame, liveF: DataFrame,
+      keyCols: Seq[String], qv: DataFrame, queryIdCol: String,
+      k: Int): DataFrame = {
+    val books = booksOf(sp, idxDir, m.buildVersion)
+    val sub = coarse.head.length / m.m
+    val ksL = m.ks
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // lut[mm*ks + c] = qn_sub(mm) · books(mm)(c) — flattened to match
+    // the single probe's driver-side pqLut layout
+    val lutCol = flatten(transform(booksLit, (book, mm) =>
+      transform(book, cent => graft.pipeline.Dedup.dotCols(
+        cent, slice(col("__qn"), mm * lit(sub) + lit(1), lit(sub))))))
+    val codesSum = aggregate(
+      transform(col("__codes"),
+        (c, i) => element_at(col("__lut"), (i * ksL + c).cast("int"))),
+      lit(0.0d), (acc, x) => acc + x)
+    val qcCol = graft.pipeline.Dedup.dotCols(
+      element_at(coarseLit, col("__list").cast("int")), col("__qn"))
+    val wAdc = Window.partitionBy(col("__qid"))
+      .orderBy(col("__adc").desc +: keyCols.map(col): _*)
+    val shortlist = qv.withColumn("__lut", lutCol)
+      .join(alive, "__list")
+      .withColumn("__adc", qcCol + codesSum)
+      .select(col("__qid") +: col("__qv") +: col("__adc") +:
+        keyCols.map(col): _*)
+      .withColumn("__rns", row_number().over(wAdc))
+      .where(col("__rns") <= PqShortlist * k)
+      .select(col("__qid") +: col("__qv") +: keyCols.map(col): _*)
     val wq = Window.partitionBy(col("__qid"))
       .orderBy(col("cos").desc +: keyCols.map(col): _*)
-    qv.join(alive, "__list")
+    shortlist
+      .join(liveF.select(keyCols.map(col) :+
+        col(m.vecCol).as("__v"): _*), keyCols)
       .withColumn("cos", graft.pipeline.Dedup.dotCols(col("__qv"), col("__v")) /
         (sqrt(graft.pipeline.Dedup.dotCols(col("__qv"), col("__qv"))) *
           sqrt(graft.pipeline.Dedup.dotCols(col("__v"), col("__v")))))
@@ -534,6 +797,14 @@ private[sql] object GraftVectorIndex {
   def drop(sp: SparkSession, path: String, name: String): Unit = {
     val (fs, _) = fsOf(sp, path)
     fs.delete(new Path(dir(path, name)), true)
+    // sweep any staged rewrites with the index they were staged for
+    try {
+      val pre = stagePrefix(name)
+      fs.listStatus(new Path(path)).filter { st =>
+        val n = st.getPath.getName
+        n == pre || n.startsWith(pre + "_")
+      }.foreach(st => fs.delete(st.getPath, true))
+    } catch { case scala.util.control.NonFatal(_) => () }
     invalidate(dir(path, name))
   }
 }

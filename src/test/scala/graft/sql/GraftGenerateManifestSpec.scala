@@ -1,0 +1,114 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSessionFixture
+
+/**
+ * `GENERATE MANIFEST FOR TABLE t TO '<dir>'`
+ * ([[GraftGenerateManifestCommand]]): a plain-parquet MIRROR plus a
+ * `_graft_manifest/manifest` file listing its leaf parquet files —
+ * foreign readers load exactly those paths with no graft extension.
+ * The first call writes the full mirror; repeat calls against the
+ * same dir rewrite ONLY the mirror partitions whose keys a delta
+ * touched since the last generated version (the 100 TB point: a
+ * small MERGE refreshes kilobytes, where EXPORT rewrites the corpus).
+ */
+class GraftGenerateManifestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_manifest_$name").toString
+    new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+    p
+  }
+
+  private def manifestFiles(out: String): Seq[String] = {
+    val f = java.nio.file.Paths.get(out, "_graft_manifest", "manifest")
+    new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Read ONLY the manifest's listed paths — what a vanilla session
+    * or DuckDB does. Leaf-file reads do no partition discovery, so
+    * the mirror's internal __part dirs never surface as a column. */
+  private def readViaManifest(out: String) =
+    spark.read.parquet(manifestFiles(out): _*)
+
+  test("GENERATE MANIFEST: full mirror + manifest on first call; a " +
+      "small DML refreshes incrementally (few partitions, not the " +
+      "corpus); deletes empty their mirror partitions") {
+    val path = freshPath("t")
+    val out = freshPath("out")
+    spark.sql("DROP TABLE IF EXISTS man_t")
+    (1L to 500L).map(k => (k, s"name_$k", k * 1.5)).toDF("k", "name", "v")
+      .createOrReplaceTempView("man_src")
+    spark.sql(s"""CREATE TABLE man_t USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM man_src""".stripMargin)
+    def table = spark.sql("SELECT k, name, v FROM man_t")
+      .collect().map(_.toSeq).toSet
+
+    val r1 = spark.sql(s"GENERATE MANIFEST FOR TABLE man_t TO '$out'")
+      .collect().head
+    assert(r1.getString(5) === "full")
+    assert(r1.getInt(3) === manifestFiles(out).size)
+    val viaManifest1 = readViaManifest(out)
+    assert(viaManifest1.columns.sorted.toSeq === Seq("k", "name", "v"),
+      s"mirror internals leaked: ${viaManifest1.columns.mkString(",")}")
+    assert(viaManifest1.collect().map(_.toSeq).toSet === table)
+
+    // small DML -> incremental refresh: only the touched partitions
+    // rewrite, and the refreshed manifest read equals the new snapshot
+    spark.sql("UPDATE man_t SET v = -1 WHERE k = 7")
+    spark.sql("DELETE FROM man_t WHERE k = 13")
+    val r2 = spark.sql(s"GENERATE MANIFEST FOR TABLE man_t TO '$out'")
+      .collect().head
+    assert(r2.getString(5) === "incremental")
+    val total = r1.getInt(4) // full pass rewrote every mirror partition
+    assert(r2.getInt(4) <= 2 && r2.getInt(4) < total,
+      s"2-key DML rewrote ${r2.getInt(4)} of $total mirror partitions")
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
+
+    // no change -> noop, manifest still serves the snapshot
+    val r3 = spark.sql(s"GENERATE MANIFEST FOR TABLE man_t TO '$out'")
+      .collect().head
+    assert(r3.getString(5) === "noop" && r3.getInt(4) === 0)
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
+
+    // a delete that empties a whole mirror partition drops its dir
+    // (dynamic overwrite alone would leave the stale files behind)
+    spark.sql("DELETE FROM man_t WHERE pmod(xxhash64(k), " +
+      s"${r1.getInt(4)}) = 3")
+    spark.sql(s"GENERATE MANIFEST FOR TABLE man_t TO '$out'")
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
+    assert(!new java.io.File(s"$out/data/__part=3").exists(),
+      "emptied mirror partition left stale files")
+    spark.sql("DROP TABLE IF EXISTS man_t")
+  }
+
+  test("GENERATE MANIFEST falls back to a full rewrite when the " +
+      "delta window cannot be answered (schema evolution inside it)") {
+    val path = freshPath("f")
+    val out = freshPath("fout")
+    spark.sql("DROP TABLE IF EXISTS man_f")
+    (1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+      .createOrReplaceTempView("man_fsrc")
+    spark.sql(s"""CREATE TABLE man_f USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM man_fsrc""".stripMargin)
+    spark.sql(s"GENERATE MANIFEST FOR TABLE man_f TO '$out'")
+    spark.sql("ALTER TABLE man_f ADD COLUMN (w BIGINT)")
+    spark.sql("UPDATE man_f SET w = k + 1 WHERE k <= 10")
+    val r = spark.sql(s"GENERATE MANIFEST FOR TABLE man_f TO '$out'")
+      .collect().head
+    assert(r.getString(5) === "full")
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet ===
+      spark.sql("SELECT k, v, w FROM man_f").collect().map(_.toSeq).toSet)
+    spark.sql("DROP TABLE IF EXISTS man_f")
+  }
+}

@@ -264,7 +264,7 @@ class GraftVectorIndexSpec extends AnyFunSuite {
 
   test("probeBatch: one job answers every query from the durable IVF " +
       "index — per-query results equal the single-query probe across " +
-      "DML; ivfpq refuses with a clear message") {
+      "DML; ivfpq batches too (per-query ADC LUT columns)") {
     val path = freshPath("bat")
     spark.sql("DROP TABLE IF EXISTS zvec_bat")
     (1L to 300L).map(k => (k, vec(k))).toDF("id", "emb")
@@ -290,12 +290,28 @@ class GraftVectorIndexSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSeq
       assert(batch(q) === single, s"query $q: batch != single probe")
     }
-    // the ADC table is query-specific — batch PQ refuses loudly
+    // ivfpq batches too: each query row carries its own codegen'd ADC
+    // LUT — per-query results equal the looped single-query probe
+    // (same nprobe, same shortlist arithmetic)
     spark.sql("CREATE INDEX epq ON zvec_bat USING IVFPQ (emb)")
+    val batchPq = GraftVectorIndex.probeBatch(spark, path, "epq",
+      h.toDF(spark), h.keyCols, queries, "qid", "qv", k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).map(_._2).toSeq).toMap
+    qids.foreach { q =>
+      val lit = vec(q).map(_.toString).mkString("array(", ", ", ")")
+      val single = spark.sql(
+        s"SELECT * FROM graft_ann('zvec_bat', 'epq', $lit, 5, 16)")
+        .collect().map(_.getLong(0)).toSeq
+      assert(batchPq(q) === single, s"query $q: batch PQ != single probe")
+    }
+    // reserved output/internal column names are refused up front
     val e = intercept[IllegalArgumentException](
-      GraftVectorIndex.probeBatch(spark, path, "epq", h.toDF(spark),
-        h.keyCols, queries, "qid", "qv", 5, 16))
-    assert(e.getMessage.contains("ivfpq"), e.getMessage)
+      GraftVectorIndex.probeBatch(spark, path, "e", h.toDF(spark),
+        h.keyCols, queries.withColumnRenamed("qid", "cos"), "cos",
+        "qv", 5, 16))
+    assert(e.getMessage.contains("cos"), e.getMessage)
     spark.sql("DROP TABLE IF EXISTS zvec_bat")
   }
 
@@ -323,8 +339,11 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       "probe did not recover the staged compaction")
     assert(idx.exists() && !tmp.exists(), "recovery did not promote")
     // the other crash shape: stage complete but the DELETE never ran —
-    // the healthy index wins, the stale stage is swept
-    val tmp2 = new java.io.File(s"$path/_tivftmp_e")
+    // the healthy index wins. A YOUNG stage is a live rival's
+    // in-flight rewrite and must survive recovery (r18's unconditional
+    // sweep could delete an in-flight OPTIMIZE's stage); once it AGES
+    // past staleStageMs it is provably dead and sweeps.
+    val tmp2 = new java.io.File(s"$path/_tivftmp_e_deadbeef")
     org.apache.hadoop.fs.FileUtil.copy(
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration),
@@ -334,7 +353,12 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(tmp2.toString),
       false, spark.sparkContext.hadoopConfiguration)
     assert(ann.collect().map(_.toSeq).toSeq === expect)
-    assert(idx.exists() && !tmp2.exists(), "stale stage not swept")
+    assert(idx.exists() && tmp2.exists(),
+      "a young (possibly in-flight) stage must NOT be swept")
+    assert(tmp2.setLastModified(
+      System.currentTimeMillis() - 2 * GraftVectorIndex.staleStageMs))
+    assert(ann.collect().map(_.toSeq).toSeq === expect)
+    assert(idx.exists() && !tmp2.exists(), "aged dead stage not swept")
     spark.sql("DROP TABLE IF EXISTS zvec_rec")
   }
 
@@ -357,5 +381,186 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       spark.sql("CREATE INDEX bad2 ON zvec_view USING IVF (v)"))
     assert(e2.getMessage.contains("CATALOG table"), e2.getMessage)
     spark.sql("DROP TABLE IF EXISTS zvec_r")
+  }
+
+  test("legacy untagged _meta layouts parse and migrate to the " +
+      "tagged format; garbage _meta fails loudly, not as 'no index'") {
+    val path = freshPath("mig")
+    spark.sql("DROP TABLE IF EXISTS zvec_mig")
+    (1L to 100L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_migsrc")
+    spark.sql(s"""CREATE TABLE zvec_mig USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_migsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_mig USING IVF (emb)")
+    val expect = spark.sql(
+      s"SELECT * FROM graft_ann('zvec_mig', 'e', $queryLit, 5, 16)")
+      .collect().map(_.toSeq).toSeq
+    val m0 = GraftVectorIndex.readMeta(spark, path, "e").get
+    val metaF = new java.io.File(s"$path/_tivf_e/_meta")
+    def rewrite(write: java.io.ObjectOutputStream => Unit): Unit = {
+      val out = new java.io.ObjectOutputStream(
+        new java.io.FileOutputStream(metaF))
+      try { write(out); out.flush() } finally out.close()
+      // drop the checksum sidecar so the local ChecksumFileSystem
+      // accepts the hand-written legacy bytes
+      new java.io.File(s"$path/_tivf_e/._meta.crc").delete()
+      ()
+    }
+    // r17 layout: vecCol first, no kind/m/ks, no version tag
+    rewrite { out =>
+      out.writeObject(m0.vecCol); out.writeInt(m0.nlist)
+      out.writeLong(m0.buildVersion)
+    }
+    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0))
+    // ... and the read MIGRATED the sidecar to the tagged layout
+    val in = new java.io.ObjectInputStream(
+      new java.io.FileInputStream(metaF))
+    try assert(in.readInt() === 0x47564958, "meta not migrated")
+    finally in.close()
+    // r18 layout: kind first, still untagged
+    rewrite { out =>
+      out.writeObject(m0.kind); out.writeObject(m0.vecCol)
+      out.writeInt(m0.nlist); out.writeLong(m0.buildVersion)
+      out.writeInt(m0.m); out.writeInt(m0.ks)
+    }
+    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0))
+    assert(spark.sql(
+      s"SELECT * FROM graft_ann('zvec_mig', 'e', $queryLit, 5, 16)")
+      .collect().map(_.toSeq).toSeq === expect)
+    // garbage content in an EXISTING _meta throws — silently reading
+    // it as absent would stop DML maintenance while probes fail as
+    // "no index" (the r18 behavior this tag exists to prevent)
+    rewrite { out => out.writeInt(12345); out.writeInt(999) }
+    intercept[IllegalStateException](
+      GraftVectorIndex.readMeta(spark, path, "e"))
+    rewrite { out => // restore a valid legacy meta, then clean up
+      out.writeObject(m0.vecCol); out.writeInt(m0.nlist)
+      out.writeLong(m0.buildVersion)
+    }
+    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0))
+    spark.sql("DROP TABLE IF EXISTS zvec_mig")
+  }
+
+  test("hash-ordered training sample: key-clustered ingest (key order " +
+      "= cluster order) still trains balanced lists") {
+    val path = freshPath("skw")
+    spark.sql("DROP TABLE IF EXISTS zvec_skw")
+    // 2000 rows in 4 well-separated clusters with keys ordered BY
+    // cluster — the r18 first-512-keys sample saw ONLY cluster 0 and
+    // trained every centroid there, collapsing the other 1500 rows
+    // onto a handful of lists
+    def cvec(k: Long): Array[Double] = {
+      val c = ((k - 1) / 500).toInt
+      Array.tabulate(8)(j =>
+        (if (j == c * 2) 10.0 else 0.0) + 0.1 * math.sin(k * 0.7 + j))
+    }
+    (1L to 2000L).map(k => (k, cvec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_skwsrc")
+    spark.sql(s"""CREATE TABLE zvec_skw USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_skwsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_skw USING IVF (emb)")
+    val sizes = spark.read.parquet(s"$path/_tivf_e/lists")
+      .groupBy("__list").count().collect().map(_.getLong(1))
+    assert(sizes.max.toDouble / 2000 < 0.4,
+      s"largest list holds ${sizes.max} of 2000 rows — skewed training")
+    assert(sizes.length >= 8, s"only ${sizes.length} non-empty lists")
+    // and the full probe stays exact over this layout
+    val brute = Similarity.bruteTopK(
+      spark.sql("SELECT id, emb FROM zvec_skw"), "id", "emb", query, 10)
+    assert(spark.sql(s"SELECT * FROM graft_ann('zvec_skw', 'e', " +
+      s"$queryLit, 10, 16)").collect().map(_.toSeq).toSeq ===
+      brute.collect().map(_.toSeq).toSeq)
+    spark.sql("DROP TABLE IF EXISTS zvec_skw")
+  }
+
+  test("OPTIMIZE t REINDEX e retrains under drift: recall at fixed " +
+      "nprobe degrades after a shifted ingest, REINDEX restores it, " +
+      "and a reopened session probes the retrained layout") {
+    val path = freshPath("drf")
+    spark.sql("DROP TABLE IF EXISTS zvec_drf")
+    // phase 1: a radius-10 cloud — CREATE trains 16 centroids over it
+    // and they FREEZE
+    def aVec(k: Long): Array[Double] =
+      Array.tabulate(8)(j => 10.0 * math.sin(k * 0.37 + j * 1.13))
+    (1L to 300L).map(k => (k, aVec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_drfsrc")
+    spark.sql(s"""CREATE TABLE zvec_drf USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_drfsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_drf USING IVF (emb)")
+    // phase 2 ingest: a dense cloud centered on the MIDPOINT of two
+    // frozen centroids, wide enough to straddle several Voronoi cells
+    // — the drifted mass sits where the frozen quantizer has a
+    // boundary, so true neighbors split across lists and a 1-list
+    // probe structurally misses a chunk of them
+    val cents = spark.read.parquet(s"$path/_tivf_e/centroids")
+      .orderBy("list").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val (ca, cb) = (cents(0), cents(1))
+    val mid = ca.zip(cb).map { case (x, y) => (x + y) / 2 }
+    val span = math.sqrt(ca.zip(cb).map { case (x, y) =>
+      (x - y) * (x - y) }.sum)
+    def bVec(k: Long): Array[Double] =
+      Array.tabulate(8)(j => mid(j) + span * math.sin(k * 0.91 + j * 0.57))
+    (1000L to 1999L).map(k => (k, bVec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_drfins")
+    spark.sql("INSERT INTO zvec_drf SELECT * FROM zvec_drfins")
+    val q = mid
+    val qLit = q.map(_.toString).mkString("array(", ", ", ")")
+    def recall(s: org.apache.spark.sql.SparkSession, np: Int): Double = {
+      val got = s.sql(
+        s"SELECT * FROM graft_ann('zvec_drf', 'e', $qLit, 20, $np)")
+        .collect().map(_.getLong(0)).toSet
+      val want = Similarity.bruteTopK(
+        s.sql("SELECT id, emb FROM zvec_drf"), "id", "emb", q, 20)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(want).size / 20.0
+    }
+    val before = recall(spark, 1)
+    val r = spark.sql("OPTIMIZE zvec_drf REINDEX e").collect().head
+    assert(r.getString(1) === "e" && r.getString(2) === "ivf")
+    val after = recall(spark, 1)
+    assert(before < 0.9, s"drift did not degrade recall (before=$before)")
+    assert(after > before,
+      s"REINDEX did not improve drift recall ($before -> $after)")
+    // full probe stays exact over the retrained layout
+    assert(recall(spark, 16) === 1.0)
+    // a REOPENED session probes the retrained layout cold
+    assert(recall(spark.newSession(), 1) === after)
+    spark.sql("DROP TABLE IF EXISTS zvec_drf")
+  }
+
+  test("a churned table's batch probe stays bounded to the probed " +
+      "lists: static partition prune BELOW the dedup window") {
+    val path = freshPath("bnd")
+    spark.sql("DROP TABLE IF EXISTS zvec_bnd")
+    (1L to 300L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_bndsrc")
+    spark.sql(s"""CREATE TABLE zvec_bnd USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_bndsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_bnd USING IVF (emb)")
+    // one stray upsert: r18's batch path then windowed over the WHOLE
+    // lists layout before its join, defeating partition pruning
+    spark.sql(s"INSERT INTO zvec_bnd VALUES (9001, $queryLit)")
+    val queries = Seq(7L, 9L).map(q => (q, vec(q))).toDF("qid", "qv")
+    val (_, h) = GraftTables.current(spark, path)
+    val df = GraftVectorIndex.probeBatch(spark, path, "e",
+      h.toDF(spark), h.keyCols, queries, "qid", "qv", k = 5, nprobe = 2)
+    val rows = df.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // the scan is bounded by the batch's distinct probed ids, churn
+    // or not — at most |Q|·nprobe of the 16 lists
+    assert(GraftVectorIndex.lastBatchProbedLists > 0 &&
+      GraftVectorIndex.lastBatchProbedLists <= 4,
+      s"probed ${GraftVectorIndex.lastBatchProbedLists} lists")
+    // ... and it is a STATIC PartitionFilters entry on the lists scan,
+    // visible in the executed plan (not just runtime DPP)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__list"),
+      "lists scan lost its static partition filter")
+    spark.sql("DROP TABLE IF EXISTS zvec_bnd")
   }
 }
