@@ -194,6 +194,7 @@ object Bench {
       family("zproj")(microZProj(spark, sfDir)) ++
       family("annCatalog")(microAnnCatalog(spark, sfDir)) ++
       family("annBatch")(microAnnBatch(spark, sfDir)) ++
+      family("exportManifest")(microExportManifest(spark, sfDir)) ++
       family("catalogDml")(microCatalogDml(spark, sfDir))
   }
 
@@ -369,6 +370,29 @@ object Bench {
     }
     gauges("micro_ann_ivf_list_bytes") = listBytes("e")
     gauges("micro_ann_ivfpq_list_bytes") = listBytes("epq")
+    // BATCH PQ retrieval: 30 queries in ONE graft_ann_batch job (each
+    // query row computes its own codegen'd ADC LUT over the broadcast
+    // codebooks) vs the notebook loop of 30 single probes — the
+    // retrieval-pipeline shape; at cluster scale the loop pays 30
+    // scheduling round-trips and 30 shortlist re-rank joins
+    val qRows = emb.where(col("vec_id") % 101 === 7).limit(30)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    qRows.createOrReplaceTempView("bench_ann_queries")
+    val qVecs30 = qRows.collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val tPqLoop = timed3("micro_ann_pq_query_loop_30") {
+      qVecs30.foreach { qv =>
+        val l = qv.map(_.toString).mkString("array(", ", ", ")")
+        spark.sql(s"SELECT * FROM graft_ann('bench_ann', 'epq', $l, " +
+          "5, 4)").collect()
+        ()
+      }
+    }
+    val tPqBatch = timed3("micro_ann_pq_batch_30") {
+      spark.sql("SELECT * FROM graft_ann_batch('bench_ann', 'epq', " +
+        "'bench_ann_queries', 'qid', 'qv', 5, 4)").collect()
+      ()
+    }
     // index-bloat lifecycle: churn forces the probe off its zero-join
     // fast path (dedup window + liveness join over appended entries);
     // OPTIMIZE compacts the lists and re-arms it. The pair of probe
@@ -388,6 +412,17 @@ object Bench {
         ()
       }
     }
+    // churned-table BATCH probe: the dedup window is bounded to the
+    // batch's distinct probed lists (r18 windowed over the ENTIRE
+    // layout whenever any upsert had committed — O(index) per batch);
+    // the gauge records how many of the 16 lists the scan touched
+    val tBatchChurned = timed3("micro_ann_batch_churned_30") {
+      spark.sql("SELECT * FROM graft_ann_batch('bench_ann', 'e', " +
+        "'bench_ann_queries', 'qid', 'qv', 5, 4)").collect()
+      ()
+    }
+    gauges("micro_ann_batch_churned_lists_probed") =
+      graft.sql.GraftBenchBridge.lastBatchProbedLists.toDouble
     val tCompact = timed3("micro_ann_optimize_compact_once") {
       // advance a version first (3-row upsert): a no-delta OPTIMIZE
       // early-returns, so best-of-3 would otherwise report the no-op,
@@ -410,9 +445,72 @@ object Bench {
       "micro_ann_ivf_probe_5" -> tProbe,
       "micro_ann_ivfpq_build_once" -> tPqBuild,
       "micro_ann_ivfpq_probe_5" -> tPqProbe,
+      "micro_ann_pq_query_loop_30" -> tPqLoop,
+      "micro_ann_pq_batch_30" -> tPqBatch,
       "micro_ann_ivf_probe_churned_5" -> tChurned,
+      "micro_ann_batch_churned_30" -> tBatchChurned,
       "micro_ann_optimize_compact_once" -> tCompact,
       "micro_ann_ivf_probe_compacted_5" -> tCompacted)
+  }
+
+  /** INCREMENTAL-EXPORT payoff measured: GENERATE MANIFEST's first
+    * call writes the full plain-parquet mirror; after a small DML the
+    * refresh rewrites ONLY the touched mirror partitions (delta-cost
+    * change detection off the delta parquet) — vs plain EXPORT, which
+    * rewrites the whole corpus on every call. The
+    * partitions-rewritten gauge is the scale story: at 100 TB the
+    * refresh cost tracks the DML, not the table. */
+  private[graft] def microExportManifest(spark: SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "bench_manifest_tbl").toString
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "bench_manifest_out").toString
+    val outFull = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "bench_manifest_outf").toString
+    spark.sql("DROP TABLE IF EXISTS bench_man")
+    Seq(path, out, outFull).foreach(p => new scala.reflect.io.Directory(
+      new java.io.File(p)).deleteRecursively())
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val shift = 10000000L
+    (0 until 3).map(i =>
+      emb.select((col("vec_id") + lit(i * shift)).as("vec_id"),
+        col("embedding"))).reduce(_ union _)
+      .createOrReplaceTempView("bench_man_src")
+    spark.sql(s"""CREATE TABLE bench_man USING graft
+      |OPTIONS (key 'vec_id', partitions '32') LOCATION '$path'
+      |AS SELECT * FROM bench_man_src""".stripMargin)
+    // plain EXPORT: O(corpus) rewrite every call, by design
+    val tExport = timed3("micro_export_full_once") {
+      spark.sql(s"EXPORT TABLE bench_man TO '$outFull'"); ()
+    }
+    // GENERATE MANIFEST: full mirror once...
+    val tManFull = timed3("micro_export_manifest_full_once") {
+      new scala.reflect.io.Directory(new java.io.File(out))
+        .deleteRecursively()
+      spark.sql(s"GENERATE MANIFEST FOR TABLE bench_man TO '$out'"); ()
+    }
+    // ... then each refresh after a 3-row MERGE rewrites only the
+    // touched mirror partitions (the INSERT rides inside the timed
+    // body so every run has a fresh delta to answer)
+    var lastRewritten = 0
+    val tManIncr = timed3("micro_export_manifest_incr_once") {
+      spark.sql("INSERT INTO bench_man SELECT vec_id + " +
+        s"${999 * shift}, embedding FROM bench_man_src WHERE vec_id < 3")
+      lastRewritten = spark.sql(
+        s"GENERATE MANIFEST FOR TABLE bench_man TO '$out'")
+        .collect().head.getInt(4)
+      ()
+    }
+    gauges("micro_export_manifest_incr_parts") = lastRewritten.toDouble
+    gauges("micro_export_manifest_full_parts") = 32.0
+    spark.sql("DROP TABLE IF EXISTS bench_man")
+    Seq(path, out, outFull).foreach(p => new scala.reflect.io.Directory(
+      new java.io.File(p)).deleteRecursively())
+    Seq("micro_export_full_once" -> tExport,
+      "micro_export_manifest_full_once" -> tManFull,
+      "micro_export_manifest_incr_once" -> tManIncr)
   }
 
   /** OPTIMIZE ZORDER payoff measured: the same 2-D box count over a

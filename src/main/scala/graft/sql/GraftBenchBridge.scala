@@ -26,6 +26,10 @@ object GraftBenchBridge {
     GraftTables.deltaTimes(sp, path)((v - first - 1).toInt)
   }
 
+  /** Distinct probed list ids of the last vector-index batch probe —
+    * the bounded-scan gauge behind micro_ann_batch_churned_30. */
+  def lastBatchProbedLists: Int = GraftVectorIndex.lastBatchProbedLists
+
   /** (lastScanKind, lastZoneKept) of the table's live SINGLE-KEY
     * handle — how its most recent scan was served and how many
     * partitions/z-cells it kept (the value-z-order pruning gauge). */

@@ -702,17 +702,18 @@ case class GraftGenerateManifestCommand(table: String, dest: String)
     val (mode, rewritten) = changed match {
       case Some(Nil) => ("noop", 0)
       case Some(pids) =>
-        val rewrite = df.filter(col("__part").isin(pids: _*))
-        rewrite.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__part").parquet(dataDir.toString)
-        // a mirror partition whose every key was deleted produces no
-        // rows, so the dynamic overwrite leaves its stale dir — drop
-        // those explicitly (bounded: |changed| dirs)
-        val present = rewrite.select(col("__part")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        pids.filterNot(present).foreach(pid =>
+        // drop the changed dirs FIRST, then one map-only pass (filter
+        // + write, no shuffle) re-creates exactly those with rows — a
+        // mirror partition whose every key was deleted stays gone
+        // without a second detection scan. The window between delete
+        // and manifest rewrite is the same foreign-reader exposure a
+        // dynamic partition overwrite has; the manifest below is the
+        // atomic commit point.
+        pids.foreach(pid =>
           fs.delete(new Path(dataDir, s"__part=$pid"), true))
+        df.filter(col("__part").isin(pids: _*))
+          .write.mode("append")
+          .partitionBy("__part").parquet(dataDir.toString)
         ("incremental", pids.size)
       case None =>
         df.write.mode("overwrite").partitionBy("__part")

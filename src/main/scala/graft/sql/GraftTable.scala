@@ -1490,6 +1490,7 @@ private[sql] object GraftTables {
           "was stolen during the commit write — the statement is " +
           "aborted (the commit record may or may not have survived " +
           "the steal; re-read the table before retrying)")
+    awaitRebaseOutcome(sp, path, v, writerId) // rebase swap fence
     writeVersion(sp, path, v)
   }
 
@@ -2117,6 +2118,14 @@ private[sql] object GraftTables {
   private[sql] def claimDelta(sp: SparkSession, path: String, v: Long,
       writerId: String): Boolean = {
     val (fs, _) = fsOf(sp, path)
+    // fail fast while a LIVE rebase holds the swap fence: claiming into
+    // a dir that is about to be deleted+renamed wastes the promote and
+    // (between the delete and the rename) the claim's mkdirs could
+    // recreate the table path under the rename
+    if (rebaseLockAlive(fs, path))
+      throw new java.util.ConcurrentModificationException(
+        s"a concurrent OPTIMIZE/VACUUM is rebasing $path — retry the " +
+          "statement against the fresh snapshot")
     val dir = new Path(deltaDir(path, v))
     fs.mkdirs(dir)
     // content lands with/after the atomic create; a reader seeing a
@@ -2194,6 +2203,103 @@ private[sql] object GraftTables {
       v: Long): Heartbeat = {
     val (fs, _) = fsOf(sp, path)
     new Heartbeat(fs, new Path(deltaDir(path, v), "_claim_hb"))
+  }
+
+  // ------------------------------------------------- rebase swap fence
+  //
+  // OPTIMIZE/VACUUM rewrite the WHOLE table dir via stage + delete +
+  // rename ([[rebase]]). Without a fence, a rival's commit landing
+  // between the rebase's delta carry and the delete was ERASED after
+  // the rival had been told success — a lost update, found by
+  // GraftStressSpec's writers-vs-maintenance matrix. The fence:
+  //  - rebase takes the SIBLING lock `.<table>_rebaselock` (the same
+  //    create-if-absent primitive the claims ride, heartbeat kept
+  //    fresh) BEFORE its delta carry, so the carry reads every commit
+  //    record that will ever be acknowledged. SIBLING, not inside the
+  //    table dir: the swap deletes the table dir, and a lock living
+  //    inside it would vanish exactly when the fence matters most;
+  //  - a lock with no sign of life within [[claimTimeoutMillis]] is a
+  //    crashed rebase — stolen, so maintenance never wedges writers;
+  //  - [[claimDelta]] fails fast (ConcurrentModificationException)
+  //    while a LIVE lock exists — statements retry after the swap;
+  //  - the commit writers ([[promoteStage]], [[writeSchemaDelta]])
+  //    POST-CHECK the lock after their record lands: absent = any
+  //    rebase that could swap acquires later and its carry sees this
+  //    record; present = WAIT for the swap's outcome and acknowledge
+  //    only if the record survived into the promoted dir. Never undo:
+  //    the record may have been carried, and deleting the original
+  //    while the carried copy survives would double-commit.
+
+  private def rebaseLockPath(path: String) = {
+    val p = new Path(path)
+    new Path(p.getParent, s".${p.getName}_rebaselock")
+  }
+  private def rebaseHbPath(path: String) = {
+    val p = new Path(path)
+    new Path(p.getParent, s".${p.getName}_rebaselock_hb")
+  }
+
+  private def rebaseLockAlive(fs: FileSystem, path: String): Boolean = {
+    val st = try Some(fs.getFileStatus(rebaseLockPath(path)))
+      catch { case _: java.io.FileNotFoundException => None }
+    st.exists { s =>
+      val alive = math.max(
+        graft.MarkerFile.readLong(fs, rebaseHbPath(path)).getOrElse(0L),
+        s.getModificationTime)
+      System.currentTimeMillis() - alive < claimTimeoutMillis
+    }
+  }
+
+  /** Take the rebase lock, stealing a dead rival's. Throws
+    * ConcurrentModificationException when a LIVE rival holds it (two
+    * concurrent OPTIMIZEs — the loser retries). Returns the heartbeat
+    * keeping it alive; the caller stops it and removes the lock (or
+    * swaps the dir away, which removes both). */
+  private def acquireRebaseLock(fs: FileSystem, path: String): Heartbeat = {
+    val lp = rebaseLockPath(path)
+    val bytes = s"${java.util.UUID.randomUUID()}:${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var acquired = conditionalCreate(fs, lp, bytes)
+    if (!acquired && !rebaseLockAlive(fs, path)) {
+      fs.delete(lp, false); fs.delete(rebaseHbPath(path), false)
+      acquired = conditionalCreate(fs, lp, bytes)
+    }
+    if (!acquired) throw new java.util.ConcurrentModificationException(
+      s"a concurrent OPTIMIZE/VACUUM is rebasing $path — retry")
+    new Heartbeat(fs, rebaseHbPath(path))
+  }
+
+  private def releaseRebaseLock(fs: FileSystem, path: String,
+      hb: Heartbeat): Unit = {
+    hb.stop()
+    try { fs.delete(rebaseLockPath(path), false);
+      fs.delete(rebaseHbPath(path), false); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Post-commit fence against an in-flight rebase swap: returns only
+    * when this writer's commit record on version `v` is guaranteed
+    * visible in the table's (possibly just-swapped) log. Aborts with
+    * ConcurrentModificationException if the swap erased it — the
+    * statement was NOT acknowledged, so the caller's retry is safe. */
+  private def awaitRebaseOutcome(sp: SparkSession, path: String,
+      v: Long, writerId: String): Unit = {
+    val (fs, _) = fsOf(sp, path)
+    if (!fs.exists(rebaseLockPath(path))) return // fast common path
+    val deadline = System.currentTimeMillis() + 4 * claimTimeoutMillis
+    while (fs.exists(rebaseLockPath(path)) && rebaseLockAlive(fs, path) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    recoverIfNeeded(sp, path) // a swap that died mid-flight heals here
+    val dirP = new Path(deltaDir(path, v))
+    val survived =
+      try fs.exists(new Path(dirP, "_meta")) &&
+        claimInfo(fs, dirP).exists(_._1 == writerId)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!survived) throw new java.util.ConcurrentModificationException(
+      s"commit of version $v was superseded by a concurrent " +
+        s"OPTIMIZE/VACUUM rebase of $path before it became durable — " +
+        "the statement did not commit; retry against the fresh snapshot")
   }
 
   /** How long a rival waits with NO sign of life (claim stamp or
@@ -2440,6 +2546,9 @@ private[sql] object GraftTables {
             "aborted (the commit may or may not have survived the " +
             "steal; re-read the table before retrying)")
       }
+      // swap fence: never acknowledge a record an in-flight rebase
+      // might erase (see the fence notes above [[rebaseLockPath]])
+      awaitRebaseOutcome(sp, path, v, writerId)
       if (advance) writeVersion(sp, path, v)
     } finally hb.stop()
   }
@@ -2548,17 +2657,32 @@ private[sql] object GraftTables {
             try graft.MarkerFile.writeLong(fs,
               new Path(path, s"_txnhint_${safeApp(app)}"), next)
             catch { case scala.util.control.NonFatal(_) => () } }
-          val h2 = applyDelta(sp, h, path, next)
-          // DML maintains the manifest's indexes — incrementally: the
-          // statement's own change sets apply to the previous
-          // snapshot's postings/zones at delta cost, never an
-          // O(corpus) rebuild
-          maintainIndexes(sp, path, h, h2, next, truncate,
-            del.isDefined, up.isDefined)
-          // the projection (if any) stays attached ACROSS the DML as a
-          // stale-plus-overlay serve — boxed scans keep pruning
-          attachProjectionFor(sp, path, h2, next)
-          cacheOf(sp).put(canonical(sp, path), (next, h2))
+          // THE STATEMENT HAS COMMITTED (the record is durable and
+          // fence-verified). Everything below is cache/accelerator
+          // materialization of a commit that already happened — a
+          // failure here (e.g. a concurrent OPTIMIZE swapping files
+          // out from under the apply) must NOT propagate as statement
+          // failure: the caller would re-run an acknowledged-in-the-
+          // log statement and DOUBLE-APPLY it (found by the
+          // writers-vs-maintenance stress matrix). Drop the cached
+          // handle instead — the next read replays the truth from
+          // the log.
+          try {
+            val h2 = applyDelta(sp, h, path, next)
+            // DML maintains the manifest's indexes — incrementally:
+            // the statement's own change sets apply to the previous
+            // snapshot's postings/zones at delta cost, never an
+            // O(corpus) rebuild
+            maintainIndexes(sp, path, h, h2, next, truncate,
+              del.isDefined, up.isDefined)
+            // the projection (if any) stays attached ACROSS the DML as
+            // a stale-plus-overlay serve — boxed scans keep pruning
+            attachProjectionFor(sp, path, h2, next)
+            cacheOf(sp).put(canonical(sp, path), (next, h2))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              purgeAllSessions(sp, path)
+          }
           // opportunistic fold maintenance every K-th commit — the
           // amortized cost that keeps every later reopen bounded.
           // Best-effort AND (by default) asynchronous: folds are
@@ -3545,7 +3669,6 @@ private[sql] object GraftTables {
   private def rebase(sp: SparkSession, path: String, target: Long,
       transform: TableHandle => TableHandle = identity,
       keepProjection: Boolean = true): Unit = {
-    val dv = diskVersion(sp, path)
     // derive (and self-heal into `_evolvever`) the latest feed fence
     // BEFORE the fold: the per-version `_feedfence` markers of the
     // folded-away versions vanish with their dirs, and only the healed
@@ -3560,6 +3683,18 @@ private[sql] object GraftTables {
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
     fs.delete(tmp, true)
     h.saveTo(tmp.toString)
+    // SWAP FENCE (see the notes above [[rebaseLockPath]]): the slow
+    // O(corpus) stage write above runs unlocked; everything from here
+    // to the rename holds `_rebaselock`, so the delta carry below
+    // reads every commit record a writer will ever be acknowledged
+    // for — without it a rival landing between carry and delete was
+    // ERASED after being told success (a lost update, found by the
+    // writers-vs-maintenance stress matrix)
+    val lockHb = acquireRebaseLock(fs, path)
+    try {
+    // the committed tail AFTER the fence: the marker walk in
+    // [[diskVersion]] scans past the hint to every commit record
+    val dv = diskVersion(sp, path)
     // carry the RETAINED deltas (> target) into the new dir before the
     // swap so no window exists where they are missing, and write the
     // version/first markers INTO the staged dir — the promoted dir is
@@ -3653,8 +3788,13 @@ private[sql] object GraftTables {
           new Path(tmp, d.getName), false,
           sp.sparkContext.hadoopConfiguration)
     }
+    // bury-tolerant swap (see [[swapInStage]]): rivals recreating the
+    // path mid-window (heartbeats, fold worker, a claim that slipped
+    // past the fence pre-check) can neither brick the table nor get
+    // their skeleton acknowledged (the post-commit fence sees
+    // record-gone and the statement retries)
     fs.delete(p, true)
-    require(fs.rename(tmp, p), s"compaction rename failed for $path")
+    require(swapInStage(fs, tmp, p), s"compaction rename failed for $path")
     purgeAllSessions(sp, path)
     // the copied index files are byte-identical but NEW inodes — drop
     // the per-path memos so no cached listing outlives the swap
@@ -3674,21 +3814,69 @@ private[sql] object GraftTables {
         purgeAllSessions(sp, path)
       }
     }
+    } finally releaseRebaseLock(fs, path, lockHb)
     ()
   }
 
+  /** Move the COMPLETE staged dir `tmp` to `p` while rivals may
+    * recreate `p` concurrently (a pending claim's heartbeat, the
+    * async fold worker, or a marker write — `fs.create` makes parent
+    * dirs): Hadoop's rename moves the source INSIDE an existing
+    * destination dir, so a recreation landing in the delete→rename
+    * window silently BURIES the stage one level down and the table
+    * stays headless forever (found by the writers-vs-maintenance
+    * stress matrix). Detect the burial, pull the stage back out, and
+    * retry. True when `p` ends up healthy — by our rename or by a
+    * rival's recovery promoting the same stage. */
+  private def swapInStage(fs: FileSystem, tmp: Path, p: Path): Boolean = {
+    val frame = new Path(p, "_frame")
+    var attempts = 0
+    while (attempts < 10) {
+      if (fs.exists(frame)) return true // a rival promoted the stage
+      if (!fs.exists(tmp)) {
+        val buried = new Path(p, tmp.getName)
+        if (fs.exists(new Path(buried, "_frame"))) { fs.rename(buried, tmp); () }
+        else return fs.exists(frame)
+      } else {
+        fs.delete(p, true)
+        if (fs.rename(tmp, p) && fs.exists(frame)) return true
+      }
+      attempts += 1
+    }
+    fs.exists(frame)
+  }
+
   /** Crash recovery for [[rebase]]'s swap: if the table dir is gone
-    * (or headless) but the staged sibling is complete, promote it.
-    * Called by every read-side entry point before trusting the dir. */
+    * (or headless) but the staged sibling is complete (possibly
+    * BURIED inside a recreated dir — see [[swapInStage]]), promote
+    * it. Called by every read-side entry point before trusting the
+    * dir. Serialized under the rebase lock: concurrent recoverers
+    * running the delete→rename dance unserialized can delete each
+    * other's just-promoted dir while the stage is the ONLY surviving
+    * copy. While a LIVE owner holds the lock the swap is theirs —
+    * this returns and the caller's read fails transiently. */
   private def recoverIfNeeded(sp: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(sp, path)
     val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
+    def buriedComplete = {
+      val b = new Path(p, tmp.getName)
+      fs.exists(new Path(b, "_frame")) && fs.exists(new Path(b, "_tver"))
+    }
     if (!fs.exists(new Path(p, "_frame")) &&
-        fs.exists(new Path(tmp, "_frame")) &&
-        fs.exists(new Path(tmp, "_tver"))) {
-      fs.delete(p, true)
-      require(fs.rename(tmp, p), s"compaction recovery failed for $path")
-      purgeAllSessions(sp, path)
+        ((fs.exists(new Path(tmp, "_frame")) &&
+          fs.exists(new Path(tmp, "_tver"))) || buriedComplete)) {
+      if (rebaseLockAlive(fs, path)) return // live owner mid-swap
+      val hb =
+        try acquireRebaseLock(fs, path)
+        catch { case _: java.util.ConcurrentModificationException => return }
+      try {
+        // re-check under the lock — a rival recovery may have healed
+        if (!fs.exists(new Path(p, "_frame"))) {
+          require(swapInStage(fs, tmp, p),
+            s"compaction recovery failed for $path")
+          purgeAllSessions(sp, path)
+        }
+      } finally releaseRebaseLock(fs, path, hb)
     }
     ()
   }

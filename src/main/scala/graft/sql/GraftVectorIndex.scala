@@ -119,22 +119,28 @@ private[sql] object GraftVectorIndex {
     try {
       val parent = new Path(path)
       val pre = stagePrefix(name)
-      val stages = fs.listStatus(parent).filter { st =>
-        val n = st.getPath.getName
-        n == pre || n.startsWith(pre + "_") // incl. pre-r19 fixed name
-      }
-      if (stages.isEmpty) return
+      def stageName(n: String) = n == pre || n.startsWith(pre + "_")
       val idx = new Path(dir(path, name))
+      // an interrupted bury-tolerant swap can leave the stage INSIDE a
+      // headless recreated idx dir — pull it back beside the table so
+      // the normal listing below finds it
+      if (!fs.exists(new Path(idx, "_meta")) && fs.exists(idx))
+        fs.listStatus(idx).filter(st => stageName(st.getPath.getName))
+          .foreach(st => fs.rename(st.getPath,
+            new Path(parent, st.getPath.getName)))
+      val stages = fs.listStatus(parent)
+        .filter(st => stageName(st.getPath.getName)) // incl. pre-r19 name
+      if (stages.isEmpty) return
       var remaining = stages
       if (!fs.exists(new Path(idx, "_meta"))) {
         val complete = stages.filter(st =>
           fs.exists(new Path(st.getPath, "_meta")))
         if (complete.nonEmpty) {
           val winner = complete.maxBy(_.getModificationTime)
-          fs.delete(idx, true) // headless remnant, if any
           // invalidate with the RAW dir string — the memo key; a
           // Path round-trip normalizes file:/// to file:/ and misses
-          if (fs.rename(winner.getPath, idx)) invalidate(dir(path, name))
+          if (promoteStageDir(fs, winner.getPath, idx))
+            invalidate(dir(path, name))
           remaining = stages.filterNot(_.getPath == winner.getPath)
         }
       }
@@ -500,11 +506,40 @@ private[sql] object GraftVectorIndex {
       swapStage(sp, fs, path, name, tmp, v)
     }
 
+  /** Bury-tolerant promote of the stage `tmp` to `idx`: rivals can
+    * recreate `idx` mid-window (a DML append's parquet write makes
+    * parent dirs), and Hadoop's rename then moves the stage INSIDE the
+    * recreated dir — silently burying it where no recovery listing
+    * finds it (found by the writers-vs-maintenance stress matrix).
+    * Detect the burial, pull the stage back out, retry. Assumes the
+    * caller established that any `_meta` appearing at `idx` is this
+    * stage's (swap deletes the old layout first; recovery runs only
+    * headless). */
+  private def promoteStageDir(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, idx: Path): Boolean = {
+    val meta = new Path(idx, "_meta")
+    var attempts = 0
+    while (attempts < 10) {
+      if (fs.exists(meta)) return true // a rival promoted the stage
+      if (!fs.exists(tmp)) {
+        val buried = new Path(idx, tmp.getName)
+        if (fs.exists(new Path(buried, "_meta"))) { fs.rename(buried, tmp); () }
+        else return fs.exists(meta)
+      } else {
+        fs.delete(idx, true)
+        if (fs.rename(tmp, idx) && fs.exists(meta)) return true
+      }
+      attempts += 1
+    }
+    fs.exists(meta)
+  }
+
   /** Swap a COMPLETE stage in as the live index: verify the stage one
     * last time (a mis-aged recovery sweep racing this statement must
     * fail the swap, not promote a deleted dir), delete the old layout,
-    * rename. If the rename loses to a rival's recovery that promoted
-    * OUR stage during the headless window, that is success. */
+    * promote bury-tolerantly. If the promote loses to a rival's
+    * recovery that promoted OUR stage during the headless window,
+    * that is success. */
   private def swapStage(sp: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, name: String,
       tmp: Path, v: Long): Unit = {
@@ -513,13 +548,8 @@ private[sql] object GraftVectorIndex {
       s"vector-index stage $tmp vanished before its swap (swept by a " +
         "rival recovery?) — the live index is untouched; re-run")
     fs.delete(idx, true)
-    if (!fs.rename(tmp, idx)) {
-      val promoted =
-        try readMetaAt(sp, dir(path, name)).exists(_.buildVersion == v)
-        catch { case scala.util.control.NonFatal(_) => false }
-      require(promoted,
-        s"vector-index stage swap rename failed for $idx")
-    }
+    require(promoteStageDir(fs, tmp, idx),
+      s"vector-index stage swap rename failed for $idx")
     // the RAW dir string is the memo key (Path normalizes file:///)
     invalidate(dir(path, name))
   }

@@ -126,4 +126,147 @@ class GraftStressSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS stress_t")
     }
   }
+
+  test("writers x concurrent OPTIMIZE/REINDEX x probes under advisory-" +
+      "rename faults: no lost update, the vector index is never " +
+      "bricked, and the final full probe is exact") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.fault.impl", classOf[FaultInjectingFileSystem].getName)
+    val local = freshDir("mx")
+    val path = s"fault://$local"
+    val savedK = GraftTables.foldEvery
+    val savedA = GraftTables.foldAsync
+    GraftTables.foldEvery = 3
+    GraftTables.foldAsync = true
+    FaultInjectingFileSystem.reset()
+    spark.sql("DROP TABLE IF EXISTS stress_m")
+    try {
+      def vec(k: Long): Array[Double] =
+        Array.tabulate(8)(j => math.sin(k * 0.37 + j * 1.13))
+      (1L to 60L).map(k => (k, vec(k), 0.0)).toDF("k", "emb", "bal")
+        .createOrReplaceTempView("stress_msrc")
+      spark.sql(s"""CREATE TABLE stress_m USING graft
+        |OPTIONS (key 'k') LOCATION '$path'
+        |AS SELECT * FROM stress_msrc""".stripMargin)
+      spark.sql("CREATE INDEX e ON stress_m USING IVF (emb)")
+      val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+      FaultInjectingFileSystem.failRenameTo.set { n =>
+        val advisory = n == "_tver" || n == "_tmanifest" ||
+          n.startsWith("_tfold_") ||
+          (n.startsWith(".") && n.endsWith(".tmp"))
+        advisory && tick.incrementAndGet() % 3 == 0
+      }
+      def retriable(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12)
+          .exists { c =>
+            c.isInstanceOf[java.util.ConcurrentModificationException] ||
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+            // statements racing maintenance can observe a just-swapped
+            // layout's or just-compacted log's files vanish, or the
+            // index dir headless mid-swap — all transient by design
+            // (nothing committed; the retry replans against the fresh
+            // snapshot, the optimistic-concurrency client pattern)
+            c.getMessage != null && (
+              c.getMessage.contains("FAILED_READ_FILE") ||
+              c.getMessage.contains("does not exist") ||
+              c.getMessage.contains("no IVF index") ||
+              // an index/lists read in a swap's headless instant
+              c.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              c.getMessage.contains("stage swap rename") ||
+              c.getMessage.contains("vanished before its swap") ||
+              // a read in the rebase swap's headless instant (between
+              // delete and rename) — the next attempt sees the
+              // promoted dir
+              c.getMessage.contains("missing _frame sidecar") ||
+              // a statement's _tstage_ scratch wiped by the swap while
+              // staging (pre-claim, nothing committed — re-stage)
+              c.getMessage.contains("No such file or directory") ||
+              c.getMessage.contains("_tstage_"))
+          }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def loopThread(label: String)(body: => Unit): Thread =
+        new Thread(() => {
+          try body
+          catch { case e: Throwable =>
+            errs.add(new RuntimeException(label, e)); () }
+        })
+      def withRetry(label: String, max: Int)(body: => Unit): Unit = {
+        var done = false; var attempts = 0
+        var lastE: Throwable = null
+        while (!done)
+          try { body; done = true }
+          catch {
+            case e: Throwable if retriable(e) =>
+              attempts += 1; lastE = e
+              require(attempts <= max, s"$label starved out after $max" +
+                s" (last: ${Iterator.iterate(lastE)(_.getCause)
+                  .takeWhile(_ != null).take(12).toSeq.last.getMessage})")
+              Thread.sleep(100) // a swap window outlives a hot spin
+          }
+      }
+      val writers = (0 until 2).map { t =>
+        loopThread(s"writer$t") {
+          val ss = spark.newSession()
+          (1 to 6).foreach { i =>
+            withRetry(s"writer$t stmt $i", 200) {
+              ss.sql(s"UPDATE stress_m SET bal = bal + ${t * 100 + i} " +
+                "WHERE k <= 60")
+            }
+          }
+        }
+      }
+      val maintenance = loopThread("maintenance") {
+        val ss = spark.newSession()
+        (1 to 3).foreach { _ =>
+          withRetry("optimize", 50)(ss.sql("OPTIMIZE stress_m"))
+          withRetry("reindex", 50)(ss.sql("OPTIMIZE stress_m REINDEX e"))
+        }
+      }
+      val q = vec(7)
+      val qLit = q.map(_.toString).mkString("array(", ", ", ")")
+      val prober = loopThread("prober") {
+        val ss = spark.newSession()
+        (1 to 25).foreach { _ =>
+          withRetry("probe", 200) {
+            val n = ss.sql("SELECT * FROM graft_ann('stress_m', 'e', " +
+              s"$qLit, 10, 16)").collect().length
+            assert(n === 10, s"probe returned $n rows")
+          }
+        }
+      }
+      val threads = writers :+ maintenance :+ prober
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      if (!errs.isEmpty) throw errs.peek()
+      FaultInjectingFileSystem.reset()
+      GraftTables.awaitFolds()
+      // the index is alive (meta readable) and the final full probe is
+      // EXACT against brute force over the settled content
+      assert(GraftVectorIndex.readMeta(spark, path, "e").nonEmpty,
+        "vector index bricked by the maintenance race")
+      val want = graft.pipeline.Similarity.bruteTopK(
+        spark.sql("SELECT k, emb FROM stress_m"), "k", "emb", q, 10)
+        .collect().map(_.toSeq).toSeq
+      assert(spark.sql("SELECT * FROM graft_ann('stress_m', 'e', " +
+        s"$qLit, 10, 16)").collect().map(_.toSeq).toSeq === want)
+      // no lost update: every increment landed exactly once — checked
+      // against the COLD replay (the durable log is the truth) AND the
+      // live handle (cache coherence across the maintenance swaps)
+      val total = (0 until 2)
+        .flatMap(t => (1 to 6).map(i => t * 100 + i)).sum.toDouble
+      val cold = spark.newSession()
+        .sql("SELECT DISTINCT bal FROM stress_m").collect()
+        .map(_.getDouble(0)).toSeq
+      val live = spark.sql("SELECT DISTINCT bal FROM stress_m").collect()
+        .map(_.getDouble(0)).toSeq
+      assert(cold === Seq(total), s"LOG lost an update (cold=$cold)")
+      assert(live === Seq(total), s"live handle diverged (live=$live, " +
+        s"cold=$cold)")
+    } finally {
+      FaultInjectingFileSystem.reset()
+      GraftTables.foldEvery = savedK
+      GraftTables.foldAsync = savedA
+      spark.sql("DROP TABLE IF EXISTS stress_m")
+    }
+  }
 }
