@@ -421,6 +421,13 @@ object Bench {
         "'bench_ann_queries', 'qid', 'qv', 5, 4)").collect()
       ()
     }
+    // boundedness gauge on a NARROW batch (3 queries, nprobe 2): the
+    // 30-query batch legitimately probes every list, so it cannot
+    // show that the churned-table scan is bounded by the batch's
+    // probed ids — the narrow one can (≤ 6 of 16, window included)
+    qRows.limit(3).createOrReplaceTempView("bench_ann_queries_narrow")
+    spark.sql("SELECT * FROM graft_ann_batch('bench_ann', 'e', " +
+      "'bench_ann_queries_narrow', 'qid', 'qv', 5, 2)").collect()
     gauges("micro_ann_batch_churned_lists_probed") =
       graft.sql.GraftBenchBridge.lastBatchProbedLists.toDouble
     val tCompact = timed3("micro_ann_optimize_compact_once") {

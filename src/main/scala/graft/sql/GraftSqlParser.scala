@@ -668,37 +668,47 @@ case class GraftGenerateManifestCommand(table: String, dest: String)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // plain listStatus recursion — fs.listFiles(recursive) returns
+  // LocatedFileStatus and pays a per-file block-locations call, ~9s
+  // for a thousand local files
   private def leafParquets(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Seq[String] = {
-    val it = fs.listFiles(dir, true)
-    val out = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-        out += st.getPath.toString
-    }
-    out.result().sorted
+    def walk(d: Path): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
+          Seq(st.getPath.toString)
+        else Nil
+      }
+    walk(dir).sorted
   }
+
+  private def dbg[A](label: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_DEBUG_GEN")) body
+    else {
+      val t0 = System.nanoTime(); val r = body
+      println(f"GEN $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
 
   override def run(sp: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
       throw new IllegalArgumentException(
         s"GENERATE MANIFEST: '$table' is not a graft catalog table"))
-    val (v, h) = GraftTables.current(sp, path)
+    val (v, h) = dbg("current")(GraftTables.current(sp, path))
     val destP = new Path(dest)
     val fs = destP.getFileSystem(sp.sparkContext.hadoopConfiguration)
     val metaF = new Path(destP, "_graft_export_meta")
     val dataDir = new Path(destP, "data")
     val meta = readExportMeta(fs, metaF).filter(_._3 == path)
-    val nParts = meta.map(_._2)
-      .getOrElse(math.max(1, h.idxAny.partitions.length))
+    val nParts = dbg("nParts")(meta.map(_._2)
+      .getOrElse(math.max(1, h.idxAny.partitions.length)))
     val pidCol = pmod(xxhash64(h.keyCols.map(col): _*), lit(nParts))
       .cast("int").as("__part")
-    val df = h.toDF(sp).withColumn("__part", pidCol)
-    val changed = meta.flatMap { case (lastV, _, _) =>
+    val df = dbg("toDF")(h.toDF(sp).withColumn("__part", pidCol))
+    val changed = dbg("changedParts")(meta.flatMap { case (lastV, _, _) =>
       GraftTables.exportChangedParts(sp, path, lastV, v, h.keyCols, nParts)
-    }
+    })
     val (mode, rewritten) = changed match {
       case Some(Nil) => ("noop", 0)
       case Some(pids) =>
@@ -711,16 +721,23 @@ case class GraftGenerateManifestCommand(table: String, dest: String)
         // atomic commit point.
         pids.foreach(pid =>
           fs.delete(new Path(dataDir, s"__part=$pid"), true))
+        // repartition by the mirror pid first: ONE file per mirror
+        // partition instead of tasks × partitions tiny files — the
+        // foreign reader's open cost and the manifest's length both
+        // track the partition count, not the writer's parallelism
         df.filter(col("__part").isin(pids: _*))
+          .repartition(math.max(1, pids.size), col("__part"))
           .write.mode("append")
           .partitionBy("__part").parquet(dataDir.toString)
         ("incremental", pids.size)
       case None =>
-        df.write.mode("overwrite").partitionBy("__part")
+        df.repartition(nParts, col("__part"))
+          .write.mode("overwrite").partitionBy("__part")
           .parquet(dataDir.toString)
         ("full", nParts)
     }
-    val files = leafParquets(fs, dataDir)
+    val files = dbg("leafParquets")(leafParquets(fs, dataDir))
+    dbg("manifest+meta write") {
     graft.MarkerFile.writeAtomic(fs,
       new Path(destP, "_graft_manifest/manifest")) { raw =>
       raw.write(files.mkString("\n").getBytes(
@@ -731,6 +748,7 @@ case class GraftGenerateManifestCommand(table: String, dest: String)
       out.writeInt(MetaMagic); out.writeInt(MetaVersion)
       out.writeLong(v); out.writeInt(nParts); out.writeObject(path)
       out.flush()
+    }
     }
     Seq(Row(table, dest, v, files.size, rewritten, mode))
   }

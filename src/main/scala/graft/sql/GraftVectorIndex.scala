@@ -104,6 +104,15 @@ private[sql] object GraftVectorIndex {
     * healthy index is a crash leftover. Mutable for tests. */
   private[sql] var staleStageMs: Long = 60L * 60 * 1000
 
+  // recovery checks ride EVERY readMeta (every probe, every DML
+  // append) — a directory listing there is a measurable per-statement
+  // tax on indexed tables. Recovery only matters for CRASHED swaps, so
+  // a healthy index re-lists at most once per interval; a HEADLESS
+  // index always takes the full path. Mutable for tests.
+  private val recoveryCheckMemo =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+  private[sql] var recoveryCheckIntervalMs: Long = 10000L
+
   /** Crash recovery for [[swapStage]], mirroring the table's own
     * [[GraftTables]] rebase recovery: a headless index dir beside a
     * COMPLETE staged sibling promotes the newest such sibling (the
@@ -111,12 +120,18 @@ private[sql] object GraftVectorIndex {
     * a headless index, readMeta gates every maintenance entry point);
     * stages older than [[staleStageMs]] are swept as crash leftovers.
     * A YOUNG stage beside a healthy index is left alone — it is a
-    * live rival's in-flight rewrite. Cheap no-op in the common case
-    * (one listing of names that are normally absent). */
+    * live rival's in-flight rewrite. Cheap in the common case (one
+    * exists check between listings, see [[recoveryCheckMemo]]). */
   private def recoverIfNeeded(sp: SparkSession, path: String,
       name: String): Unit = {
     val (fs, _) = fsOf(sp, path)
     try {
+      val idxDir = dir(path, name)
+      val now = System.currentTimeMillis()
+      if (recoveryCheckMemo.get(idxDir)
+            .exists(now - _ < recoveryCheckIntervalMs) &&
+          fs.exists(new Path(idxDir, "_meta"))) return
+      recoveryCheckMemo.put(idxDir, now)
       val parent = new Path(path)
       val pre = stagePrefix(name)
       def stageName(n: String) = n == pre || n.startsWith(pre + "_")
@@ -171,25 +186,27 @@ private[sql] object GraftVectorIndex {
     def open() = new java.io.ObjectInputStream(fs.open(f))
     try {
       if (!fs.exists(f)) return None
+      // common path: ONE open — read the tag and, on match, the rest
+      // of the same stream (this runs per probe and per DML append)
       val tagged =
         try {
           val in = open()
-          try { if (in.readInt() == MetaMagic) Some(in.readInt()) else None }
-          finally in.close()
-        } catch { case _: java.io.IOException => None }
-      tagged match {
-        case Some(MetaVersion) =>
-          val in = open()
           try {
-            in.readInt(); in.readInt()
-            Some(IvfMeta(in.readObject().asInstanceOf[String],
-              in.readObject().asInstanceOf[String],
-              in.readInt(), in.readLong(), in.readInt(), in.readInt()))
+            if (in.readInt() != MetaMagic) Left(false)
+            else in.readInt() match {
+              case MetaVersion => Right(
+                IvfMeta(in.readObject().asInstanceOf[String],
+                  in.readObject().asInstanceOf[String],
+                  in.readInt(), in.readLong(), in.readInt(), in.readInt()))
+              case v => throw new IllegalStateException(
+                s"vector-index meta $f has format version $v; this " +
+                  s"build reads up to $MetaVersion — refusing to guess")
+            }
           } finally in.close()
-        case Some(v) => throw new IllegalStateException(
-          s"vector-index meta $f has format version $v; this build " +
-            s"reads up to $MetaVersion — refusing to guess at its layout")
-        case None =>
+        } catch { case _: java.io.IOException => Left(true) }
+      tagged match {
+        case Right(m) => Some(m)
+        case Left(_) =>
           // legacy untagged layouts: r18 leads with the kind string;
           // r17 leads with the vector column (no kind/m/ks)
           val in = open()

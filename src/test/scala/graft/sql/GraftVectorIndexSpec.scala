@@ -357,8 +357,14 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       "a young (possibly in-flight) stage must NOT be swept")
     assert(tmp2.setLastModified(
       System.currentTimeMillis() - 2 * GraftVectorIndex.staleStageMs))
-    assert(ann.collect().map(_.toSeq).toSeq === expect)
-    assert(idx.exists() && !tmp2.exists(), "aged dead stage not swept")
+    // recovery memoizes its listing on healthy indexes — force the
+    // next probe to re-list so the aged sweep is observable now
+    val savedInterval = GraftVectorIndex.recoveryCheckIntervalMs
+    GraftVectorIndex.recoveryCheckIntervalMs = 0
+    try {
+      assert(ann.collect().map(_.toSeq).toSeq === expect)
+      assert(idx.exists() && !tmp2.exists(), "aged dead stage not swept")
+    } finally GraftVectorIndex.recoveryCheckIntervalMs = savedInterval
     spark.sql("DROP TABLE IF EXISTS zvec_rec")
   }
 
