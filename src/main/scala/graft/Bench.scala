@@ -512,12 +512,19 @@ object Bench {
     }
     gauges("micro_export_manifest_incr_parts") = lastRewritten.toDouble
     gauges("micro_export_manifest_full_parts") = 32.0
+    // the pure verb overhead: no change since the last refresh — the
+    // incr lane's time is dominated by its in-body 3-row INSERT (a
+    // full DML commit); noop isolates what GENERATE itself costs
+    val tManNoop = timed3("micro_export_manifest_noop_once") {
+      spark.sql(s"GENERATE MANIFEST FOR TABLE bench_man TO '$out'"); ()
+    }
     spark.sql("DROP TABLE IF EXISTS bench_man")
     Seq(path, out, outFull).foreach(p => new scala.reflect.io.Directory(
       new java.io.File(p)).deleteRecursively())
     Seq("micro_export_full_once" -> tExport,
       "micro_export_manifest_full_once" -> tManFull,
-      "micro_export_manifest_incr_once" -> tManIncr)
+      "micro_export_manifest_incr_once" -> tManIncr,
+      "micro_export_manifest_noop_once" -> tManNoop)
   }
 
   /** OPTIMIZE ZORDER payoff measured: the same 2-D box count over a
