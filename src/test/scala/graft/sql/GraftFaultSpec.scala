@@ -119,4 +119,51 @@ class GraftFaultSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS faultspec_m")
     }
   }
+
+  test("a rebase swap's BURIED stage recovers: the staged dir moved " +
+      "INSIDE a recreated headless table dir is pulled out and " +
+      "promoted on the next read") {
+    // the crash shape: rebase deleted the table dir, a rival's
+    // fs.create recreated it (parent mkdirs), and the rename moved the
+    // complete stage one level DOWN instead of into place — without
+    // burial detection the table is headless forever while its only
+    // copy sits where no sibling listing finds it
+    val local = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_fault_bury").toString
+    new scala.reflect.io.Directory(new java.io.File(local)).deleteRecursively()
+    spark.sql("DROP TABLE IF EXISTS faultspec_b")
+    try {
+      (1L to 100L).map(k => (k, k * 3.0)).toDF("k", "v")
+        .createOrReplaceTempView("faultspec_bsrc")
+      spark.sql(s"""CREATE TABLE faultspec_b USING graft
+        |OPTIONS (key 'k') LOCATION '$local'
+        |AS SELECT * FROM faultspec_bsrc""".stripMargin)
+      spark.sql("UPDATE faultspec_b SET v = -1 WHERE k = 7")
+      val expect = spark.sql("SELECT k, v FROM faultspec_b")
+        .collect().map(_.toSeq).toSet
+      // fabricate the buried state: the table dir becomes a headless
+      // skeleton whose only content is the COMPLETE stage (a valid
+      // table dir IS a valid stage — same layout the rebase writes)
+      val p = new java.io.File(local)
+      val parent = p.getParentFile
+      val stageName = s".${p.getName}_compact_tmp"
+      val aside = new java.io.File(parent, s"${p.getName}_aside")
+      assert(p.renameTo(aside))
+      assert(p.mkdirs()) // the rival's recreated skeleton
+      assert(aside.renameTo(new java.io.File(p, stageName)))
+      assert(!new java.io.File(p, "_frame").exists())
+      // a COLD session's first read runs recovery: unbury + promote
+      val cold = spark.newSession()
+      assert(cold.sql("SELECT k, v FROM faultspec_b")
+        .collect().map(_.toSeq).toSet === expect)
+      assert(new java.io.File(p, "_frame").exists(), "stage not promoted")
+      assert(!new java.io.File(p, stageName).exists(), "burial left behind")
+      // and DML keeps working on the recovered table
+      spark.sql("UPDATE faultspec_b SET v = -2 WHERE k = 8")
+      assert(spark.sql("SELECT v FROM faultspec_b WHERE k = 8")
+        .collect()(0).getDouble(0) === -2.0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS faultspec_b")
+    }
+  }
 }
