@@ -10,9 +10,36 @@ import org.apache.spark.sql.SparkSession
   * noop is the honest "execute everything, write nothing" measurement.
   */
 object Bench {
+  // ----------------------------------------------------- sweep budget
+  // r19's driver sweep hit its harness timeout (rc 124): the
+  // SparkContext was killed mid-micros and the round shipped with ZERO
+  // parsed lanes — an unverifiable artifact is worse than a partial
+  // one. The sweep now carries a WALL-CLOCK budget: once exceeded,
+  // remaining micro FAMILIES are skipped (each skip named in the
+  // artifact — no silent caps) and the final JSON always ships. The
+  // registry lanes are never skipped (they are the per-operator perf
+  // gate); families checked at their boundary can overrun by at most
+  // one family, which the default leaves headroom for (r18's FULL
+  // sweep finished in 47 min inside the driver's window).
+  private val benchStart = System.nanoTime()
+  private val budgetSec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+  private def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+  private def overBudget: Boolean = elapsedSec > budgetSec
+  private val skippedFamilies =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // two bounded invocations beat one unbounded one: the driver (or a
+    // local iteration) can run `registry` and `micro` as separate
+    // processes, each inside its own timeout
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "all")
+    // isolation re-times: run ONLY the named registry lanes (comma
+    // list) — the protocol that closed mm_features_real in r19
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -39,9 +66,11 @@ object Bench {
     // keeps round-over-round comparisons from crying wolf
     var lanesSinceGc = 0
     val laneList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        mode != "micro" && only.forall(_.contains(name)) }
     val results = laneList.map { case (name, fn) =>
       val gc0 = gcMillis()
-      val runs = (0 until 3).map { _ =>
+      def oneRun(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -54,6 +83,7 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         sec
       }
+      val runs = adaptiveRuns(oneRun())(oneRun())
       diag(name) = (runs, gcMillis() - gc0)
       // r11 diag showed dedup_containment/[dedup_]ngram GROWING across
       // in-lane reps (1.6 -> 6.0 -> 4.9s, gc_ms 0). Investigated in
@@ -77,14 +107,18 @@ object Bench {
       lanesSinceGc += 1
       if (lanesSinceGc >= 16) { lanesSinceGc = 0; gcQuiesce() }
       name -> runs.min
-    } ++ microBench(spark, sfDir)
+    } ++ (if (mode == "registry") Seq.empty
+      else microBench(spark, sfDir, only))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    gauges("bench_budget_skipped_families") = skippedFamilies.length.toDouble
     val gj = gauges.map { case (k, v) => "\"" + k + f"\":$v%.1f" }
       .mkString("{", ",", "}")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""wall_sec":$elapsedSec%.1f,"budget_sec":$budgetSec%.0f,""" +
+        s""""skipped_families":"${skippedFamilies.mkString(",")}",""" +
         s""""gauges":$gj,"sf":"$sfDir"}"""
     // the COMPLETE per-lane record goes to files (committed to the
     // repo): bench_out.json = the full one-line artifact,
@@ -112,10 +146,13 @@ object Bench {
       k.startsWith("q") || k.startsWith("micro_scale") }
     val hq = headline.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val skipped = skippedFamilies.mkString(",")
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,""" +
         f""""registry_lanes":${registry.length},"registry_sec":${registry.map(_._2).sum}%.3f,""" +
         f""""micro_lanes":${micros.length},"micro_sec":${micros.map(_._2).sum}%.3f,""" +
+        f""""wall_sec":$elapsedSec%.1f,"budget_sec":$budgetSec%.0f,""" +
+        s""""skipped_families":"$skipped",""" +
         s""""gauges":$gj,"full":"bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
@@ -157,8 +194,19 @@ object Bench {
     * was lost entirely because ONE broken fixture loader (events) threw
     * during micro setup and killed the whole run. A failed family now
     * logs, emits nothing, and the artifact still ships. */
-  private def microBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
-    def family(label: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] =
+  private def microBench(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Seq[(String, Double)] = {
+    def family(label: String)(body: => Seq[(String, Double)]): Seq[(String, Double)] = {
+      // ONLY filter (micro families go by label); budget check at the
+      // family boundary — a family past the budget is SKIPPED BY NAME
+      // (recorded in the artifact), never silently truncated
+      if (!only.forall(_.contains(label))) return Seq.empty
+      if (overBudget) {
+        skippedFamilies += label
+        System.err.println(f"[bench] budget ($budgetSec%.0fs) exceeded at " +
+          f"$elapsedSec%.0fs — skipping micro family '$label'")
+        return Seq.empty
+      }
       try {
         gcQuiesce() // each family starts from a quiesced heap
         val gc0 = gcMillis()
@@ -174,6 +222,7 @@ object Bench {
           System.err.println(s"[bench] micro family '$label' failed, skipping: ${e.getMessage}")
           Seq.empty
       }
+    }
     family("core")(microCore(spark, sfDir)) ++
       family("sqlRange")(microSqlRange(spark, sfDir)) ++
       family("stats")(microStats(spark, sfDir)) ++
@@ -1167,17 +1216,41 @@ object Bench {
       "micro_sql_range_hashpart_10" -> tSqlRangeHash)
   }
 
-  /** Best-of-3 with the per-run seconds AND the lane's GC-time delta
-    * recorded in bench_diag.json — EVERY micro lane times through this
-    * (r16's diag had 84 single-run gc_ms:-1 lanes, exactly where the
-    * round's flatness claims lived), so a one-off GC/scheduler stall
-    * in the sweep is attributable instead of reading as a regression.
-    * Flatness comparisons quote per-lane minima. */
+  /** Adaptive rep count, the sweep-budget lever (r19's full-fat
+    * best-of-3 overran the driver's window): given the FIRST run's
+    * seconds, decide how many total runs the lane gets.
+    *  - sub-second lanes (< 1s): best-of-2 — historically stable, and
+    *    a GC burst inflating run 1 still gets its second chance;
+    *  - heavy lanes (> 5s): best-of-2 — their time is real work, not
+    *    burst noise, and a third rep of a 28s scan twin buys nothing
+    *    but wall clock;
+    *  - the 1-5s band keeps best-of-3: that is where one-off GC/cache
+    *    bursts historically masqueraded as regressions (r7/r10);
+    *  - past the budget: stop at the first run — partial beats a
+    *    killed sweep.
+    * Every run lands in the diag either way, so a stall stays
+    * attributable. */
+  private def adaptiveRuns(first: Double)(rerun: => Double): Seq[Double] = {
+    val more =
+      if (overBudget) 0
+      else if (first < 1.0 || first > 5.0) 1
+      else 2
+    first +: (0 until more).map(_ => rerun)
+  }
+
+  /** Best-of-N (N adaptive, see [[adaptiveRuns]]) with the per-run
+    * seconds AND the lane's GC-time delta recorded in bench_diag.json —
+    * EVERY micro lane times through this (r16's diag had 84 single-run
+    * gc_ms:-1 lanes, exactly where the round's flatness claims lived),
+    * so a one-off GC/scheduler stall in the sweep is attributable
+    * instead of reading as a regression. Flatness comparisons quote
+    * per-lane minima. */
   private def timed3(name: String)(body: => Unit): Double = {
     val gc0 = gcMillis()
-    val runs = (0 until 3).map { _ =>
+    def oneRun(): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    val runs = adaptiveRuns(oneRun())(oneRun())
     diag(name) = (runs, gcMillis() - gc0)
     runs.min
   }
