@@ -80,6 +80,31 @@ private[graft] object MarkerFile {
     * old checksum for an instant) and a mid-swap read can hit EOF —
     * both are transient torn-marker states, not corruption.
     */
+  /** The marker's trimmed text, or None when absent/empty/torn — the
+    * string twin of [[readLong]], same transient-state tolerances
+    * (used for identity markers like the vector-index `_stageid`). */
+  def readString(fs: FileSystem, path: Path): Option[String] = {
+    val text =
+      try {
+        if (!fs.exists(path)) return None
+        val in = fs.open(path)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: org.apache.hadoop.fs.ChecksumException => return None
+        case _: java.io.EOFException => return None
+      }
+    if (text.isEmpty) None else Some(text)
+  }
+
+  /** Atomically (re)write `path` to hold `text`. */
+  def writeString(fs: FileSystem, path: Path, text: String): Unit =
+    writeAtomic(fs, path)(_.write(
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   def readLong(fs: FileSystem, path: Path): Option[Long] = {
     val text =
       try {

@@ -2286,10 +2286,25 @@ private[sql] object GraftTables {
       v: Long, writerId: String): Unit = {
     val (fs, _) = fsOf(sp, path)
     if (!fs.exists(rebaseLockPath(path))) return // fast common path
-    val deadline = System.currentTimeMillis() + 4 * claimTimeoutMillis
-    while (fs.exists(rebaseLockPath(path)) && rebaseLockAlive(fs, path) &&
-        System.currentTimeMillis() < deadline)
+    // wait as long as the lock HEARTBEATS: a slow-but-live rebase can
+    // still erase this record, so acknowledging on a pre-swap survival
+    // check at some deadline re-opens exactly the lost-update window
+    // the fence closes (the old 4x cap did that). Only a DEAD lock
+    // ends the wait early — recovery below heals/steals it. The hard
+    // cap guards against a zombie that heartbeats forever without
+    // swapping; at that point the commit's outcome is UNKNOWABLE, so
+    // fail loudly WITHOUT the retry invitation a CME carries (a blind
+    // re-run could double-apply if the zombie's carry kept the record).
+    val hardDeadline = System.currentTimeMillis() + claimTimeoutMillis * 40
+    while (fs.exists(rebaseLockPath(path)) && rebaseLockAlive(fs, path)) {
+      if (System.currentTimeMillis() > hardDeadline)
+        throw new IllegalStateException(
+          s"graft commit: version $v of $path is fenced behind a rebase " +
+            "lock that has stayed live for 40x the claim timeout without " +
+            "completing its swap — the commit's outcome is unknowable " +
+            "until that rebase finishes; verify before re-running")
       Thread.sleep(50)
+    }
     recoverIfNeeded(sp, path) // a swap that died mid-flight heals here
     val dirP = new Path(deltaDir(path, v))
     val survived =

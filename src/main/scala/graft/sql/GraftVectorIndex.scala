@@ -99,6 +99,59 @@ private[sql] object GraftVectorIndex {
   private def newStageDir(path: String, name: String): String =
     s"$path/${stagePrefix(name)}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  /** Is dir entry `n` a stage of THIS index? Matches the legacy fixed
+    * name (`_tivftmp_<name>`) or prefix + "_" + exactly-32-hex-chars
+    * (the [[newStageDir]] shape). The hex requirement makes stage
+    * names UN-NESTABLE across sibling indexes whose names nest: for
+    * index `e`, a bare startsWith(pre + "_") also matched every stage
+    * of index `e_2` (`_tivftmp_e_2_<uuid>`), so recovery for a
+    * headless `e` could promote `e_2`'s layout as `e`'s (wrong
+    * vecCol/nlist — silently wrong probes) and DROP INDEX e swept
+    * `e_2`'s in-flight rewrite. */
+  private def isStageOf(name: String, n: String): Boolean = {
+    val pre = stagePrefix(name)
+    n == pre || (n.length == pre.length + 33 && n.startsWith(pre + "_") &&
+      n.substring(pre.length + 1).forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+  }
+
+  /** Freshest sign of life on a stage dir: its own mtime or the
+    * `_hb` heartbeat [[withStageHeartbeat]] keeps fresh during long
+    * rewrites — a multi-hour REINDEX writes deep inside `lists/` and
+    * never refreshes the ROOT mtime until `_meta` lands, so mtime
+    * alone would let a rival's stale sweep kill a LIVE stage. */
+  private def stageLastAlive(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    math.max(st.getModificationTime,
+      graft.MarkerFile.readLong(fs, new Path(st.getPath, "_hb"))
+        .getOrElse(0L))
+
+  /** Run `body` (a long stage rewrite) with a daemon keeping the
+    * stage's `_hb` marker fresh, so [[recoverIfNeeded]]'s stale sweep
+    * ages the stage only after real abandonment (crash kills the
+    * daemon with the JVM; the marker then goes stale honestly). */
+  private def withStageHeartbeat[A](fs: org.apache.hadoop.fs.FileSystem,
+      stage: Path)(body: => A): A = {
+    val hb = new Path(stage, "_hb")
+    try graft.MarkerFile.writeLong(fs, hb, System.currentTimeMillis())
+    catch { case scala.util.control.NonFatal(_) => () }
+    @volatile var running = true
+    val t = new Thread(() => {
+      while (running) {
+        val step = math.max(50L, staleStageMs / 4)
+        var slept = 0L
+        while (running && slept < step) { Thread.sleep(50); slept += 50 }
+        if (running) {
+          try graft.MarkerFile.writeLong(fs, hb, System.currentTimeMillis())
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }, s"graft-ivf-stage-heartbeat-${stage.getName}")
+    t.setDaemon(true)
+    t.start()
+    try body finally { running = false }
+  }
+
   /** Age after which an orphaned stage is provably dead and safe to
     * sweep. Compactions run minutes; anything this old beside a
     * healthy index is a crash leftover. Mutable for tests. */
@@ -133,18 +186,16 @@ private[sql] object GraftVectorIndex {
           fs.exists(new Path(idxDir, "_meta"))) return
       recoveryCheckMemo.put(idxDir, now)
       val parent = new Path(path)
-      val pre = stagePrefix(name)
-      def stageName(n: String) = n == pre || n.startsWith(pre + "_")
       val idx = new Path(dir(path, name))
       // an interrupted bury-tolerant swap can leave the stage INSIDE a
       // headless recreated idx dir — pull it back beside the table so
       // the normal listing below finds it
       if (!fs.exists(new Path(idx, "_meta")) && fs.exists(idx))
-        fs.listStatus(idx).filter(st => stageName(st.getPath.getName))
+        fs.listStatus(idx).filter(st => isStageOf(name, st.getPath.getName))
           .foreach(st => fs.rename(st.getPath,
             new Path(parent, st.getPath.getName)))
       val stages = fs.listStatus(parent)
-        .filter(st => stageName(st.getPath.getName)) // incl. pre-r19 name
+        .filter(st => isStageOf(name, st.getPath.getName)) // incl. pre-r19 name
       if (stages.isEmpty) return
       var remaining = stages
       if (!fs.exists(new Path(idx, "_meta"))) {
@@ -152,15 +203,24 @@ private[sql] object GraftVectorIndex {
           fs.exists(new Path(st.getPath, "_meta")))
         if (complete.nonEmpty) {
           val winner = complete.maxBy(_.getModificationTime)
+          // the identity marker must exist BEFORE the promote so a
+          // racing swap/recovery can tell whose layout won (a crash
+          // between stage completion and swapStage's own write)
+          if (!fs.exists(new Path(winner.getPath, "_stageid")))
+            graft.MarkerFile.writeString(fs,
+              new Path(winner.getPath, "_stageid"), winner.getPath.getName)
           // invalidate with the RAW dir string — the memo key; a
-          // Path round-trip normalizes file:/// to file:/ and misses
-          if (promoteStageDir(fs, winner.getPath, idx))
+          // Path round-trip normalizes file:/// to file:/ and misses.
+          // RivalOther is fine here: recovery's only job is a healthy
+          // index, and a rival promoting the OTHER complete stage
+          // achieved that — our candidate ages into the sweep below.
+          if (promoteStageDir(fs, winner.getPath, idx) != Promote.Failed)
             invalidate(dir(path, name))
           remaining = stages.filterNot(_.getPath == winner.getPath)
         }
       }
       val cutoff = System.currentTimeMillis() - staleStageMs
-      remaining.filter(_.getModificationTime < cutoff)
+      remaining.filter(st => stageLastAlive(fs, st) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -457,10 +517,15 @@ private[sql] object GraftVectorIndex {
     readMeta(sp, path, name).map { m =>
       val (fs, _) = fsOf(sp, path)
       val tmp = newStageDir(path, name)
-      if (m.kind == "ivfpq")
-        writePqLayout(sp, tmp, live, keyCols, m.vecCol, m.nlist, m.m,
-          m.ks, v)
-      else writeIvfLayout(sp, tmp, live, keyCols, m.vecCol, m.nlist, v)
+      // heartbeated: an O(corpus) retrain can outlive staleStageMs —
+      // without the beat a rival's recovery sweep would kill the LIVE
+      // stage (root mtime only moves when _meta lands)
+      withStageHeartbeat(fs, new Path(tmp)) {
+        if (m.kind == "ivfpq")
+          writePqLayout(sp, tmp, live, keyCols, m.vecCol, m.nlist, m.m,
+            m.ks, v)
+        else writeIvfLayout(sp, tmp, live, keyCols, m.vecCol, m.nlist, v)
+      }
       swapStage(sp, fs, path, name, new Path(tmp), v)
       m.copy(buildVersion = v)
     }
@@ -506,57 +571,84 @@ private[sql] object GraftVectorIndex {
       val idxDir = dir(path, name)
       val (fs, _) = fsOf(sp, idxDir)
       val tmp = new Path(newStageDir(path, name))
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col("__ver").desc)
-      sp.read.parquet(s"$idxDir/lists")
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
-        .join(live.select(keyCols.map(col): _*), keyCols, "left_semi")
-        .write.partitionBy("__list").parquet(s"$tmp/lists")
-      Seq("centroids", "books").foreach { d =>
-        val src = new Path(idxDir, d)
-        if (fs.exists(src))
-          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new Path(tmp, d), false, sp.sparkContext.hadoopConfiguration)
+      // heartbeated like REINDEX: the lists rewrite is O(index) and can
+      // outlive staleStageMs on a big table
+      withStageHeartbeat(fs, tmp) {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ver").desc)
+        sp.read.parquet(s"$idxDir/lists")
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+          .join(live.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .write.partitionBy("__list").parquet(s"$tmp/lists")
+        Seq("centroids", "books").foreach { d =>
+          val src = new Path(idxDir, d)
+          if (fs.exists(src))
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+              new Path(tmp, d), false, sp.sparkContext.hadoopConfiguration)
+        }
+        writeMeta(sp, tmp.toString, m.copy(buildVersion = v))
       }
-      writeMeta(sp, tmp.toString, m.copy(buildVersion = v))
       swapStage(sp, fs, path, name, tmp, v)
     }
+
+  /** [[promoteStageDir]] outcomes: the stage is live at idx (Done —
+    * whether we renamed it or a rival recovery promoted OUR stage),
+    * a rival promoted a DIFFERENT stage (RivalOther — idx is healthy
+    * but our rewrite did not apply), or the rename loop wore out. */
+  private object Promote extends Enumeration {
+    val Done, RivalOther, Failed = Value
+  }
 
   /** Bury-tolerant promote of the stage `tmp` to `idx`: rivals can
     * recreate `idx` mid-window (a DML append's parquet write makes
     * parent dirs), and Hadoop's rename then moves the stage INSIDE the
     * recreated dir — silently burying it where no recovery listing
     * finds it (found by the writers-vs-maintenance stress matrix).
-    * Detect the burial, pull the stage back out, retry. Assumes the
-    * caller established that any `_meta` appearing at `idx` is this
-    * stage's (swap deletes the old layout first; recovery runs only
-    * headless). */
+    * Detect the burial, pull the stage back out, retry.
+    *
+    * A `_meta` appearing at `idx` mid-loop means a rival recovery
+    * promoted A stage during our headless window — but with TWO
+    * maintenance ops staged concurrently (compact + REINDEX), not
+    * necessarily OURS: the `_stageid` identity marker (stage dir name,
+    * written before any promote) distinguishes "ours won" (Done) from
+    * "another complete layout won" (RivalOther) — returning success on
+    * the latter would acknowledge an OPTIMIZE/REINDEX that silently
+    * did not take effect. */
   private def promoteStageDir(fs: org.apache.hadoop.fs.FileSystem,
-      tmp: Path, idx: Path): Boolean = {
+      tmp: Path, idx: Path): Promote.Value = {
     val meta = new Path(idx, "_meta")
+    def rivalOutcome(): Promote.Value =
+      graft.MarkerFile.readString(fs, new Path(idx, "_stageid")) match {
+        case Some(id) if id != tmp.getName => Promote.RivalOther
+        // our id, or a pre-identity-marker legacy promote (only one
+        // stage can exist in that world — the r18 fixed-name scheme)
+        case _ => Promote.Done
+      }
     var attempts = 0
     while (attempts < 10) {
-      if (fs.exists(meta)) return true // a rival promoted the stage
+      if (fs.exists(meta)) return rivalOutcome()
       if (!fs.exists(tmp)) {
         val buried = new Path(idx, tmp.getName)
         if (fs.exists(new Path(buried, "_meta"))) { fs.rename(buried, tmp); () }
-        else return fs.exists(meta)
+        else return if (fs.exists(meta)) rivalOutcome() else Promote.Failed
       } else {
         fs.delete(idx, true)
-        if (fs.rename(tmp, idx) && fs.exists(meta)) return true
+        if (fs.rename(tmp, idx) && fs.exists(meta)) return rivalOutcome()
       }
       attempts += 1
     }
-    fs.exists(meta)
+    if (fs.exists(meta)) rivalOutcome() else Promote.Failed
   }
 
   /** Swap a COMPLETE stage in as the live index: verify the stage one
     * last time (a mis-aged recovery sweep racing this statement must
-    * fail the swap, not promote a deleted dir), delete the old layout,
-    * promote bury-tolerantly. If the promote loses to a rival's
-    * recovery that promoted OUR stage during the headless window,
-    * that is success. */
+    * fail the swap, not promote a deleted dir), stamp its identity,
+    * delete the old layout, promote bury-tolerantly. If the promote
+    * loses to a rival's recovery that promoted OUR stage during the
+    * headless window, that is success; a rival promoting a DIFFERENT
+    * stage aborts LOUDLY — this op's rewrite did not apply, and the
+    * caller's statement must not be acknowledged as done. */
   private def swapStage(sp: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String, name: String,
       tmp: Path, v: Long): Unit = {
@@ -564,9 +656,24 @@ private[sql] object GraftVectorIndex {
     require(fs.exists(new Path(tmp, "_meta")),
       s"vector-index stage $tmp vanished before its swap (swept by a " +
         "rival recovery?) — the live index is untouched; re-run")
+    graft.MarkerFile.writeString(fs, new Path(tmp, "_stageid"), tmp.getName)
     fs.delete(idx, true)
-    require(promoteStageDir(fs, tmp, idx),
-      s"vector-index stage swap rename failed for $idx")
+    promoteStageDir(fs, tmp, idx) match {
+      case Promote.Done => ()
+      case Promote.RivalOther =>
+        // the index is healthy (a rival's complete layout won) but OUR
+        // rewrite never applied: clean our orphan and fail loudly so
+        // the user re-runs instead of trusting a no-op OPTIMIZE/REINDEX
+        try { fs.delete(tmp, true); fs.delete(new Path(idx, tmp.getName), true) }
+        catch { case scala.util.control.NonFatal(_) => () }
+        invalidate(dir(path, name))
+        throw new java.util.ConcurrentModificationException(
+          s"a concurrent maintenance op promoted its own layout for " +
+            s"index at $idx during this swap — this OPTIMIZE/REINDEX did " +
+            "not take effect; re-run")
+      case Promote.Failed => throw new IllegalStateException(
+        s"vector-index stage swap rename failed for $idx")
+    }
     // the RAW dir string is the memo key (Path normalizes file:///)
     invalidate(dir(path, name))
   }
@@ -845,12 +952,12 @@ private[sql] object GraftVectorIndex {
     val (fs, _) = fsOf(sp, path)
     fs.delete(new Path(dir(path, name)), true)
     // sweep any staged rewrites with the index they were staged for
+    // ([[isStageOf]] keeps sibling indexes with nesting names — e.g.
+    // `e_2` while dropping `e` — out of the blast radius)
     try {
-      val pre = stagePrefix(name)
-      fs.listStatus(new Path(path)).filter { st =>
-        val n = st.getPath.getName
-        n == pre || n.startsWith(pre + "_")
-      }.foreach(st => fs.delete(st.getPath, true))
+      fs.listStatus(new Path(path))
+        .filter(st => isStageOf(name, st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
     } catch { case scala.util.control.NonFatal(_) => () }
     invalidate(dir(path, name))
   }

@@ -343,7 +343,10 @@ class GraftVectorIndexSpec extends AnyFunSuite {
     // in-flight rewrite and must survive recovery (r18's unconditional
     // sweep could delete an in-flight OPTIMIZE's stage); once it AGES
     // past staleStageMs it is provably dead and sweeps.
-    val tmp2 = new java.io.File(s"$path/_tivftmp_e_deadbeef")
+    // the r20 stage shape: prefix + "_" + exactly 32 hex chars (the
+    // un-nestable form isStageOf recognizes)
+    val hex32 = "deadbeef" * 4
+    val tmp2 = new java.io.File(s"$path/_tivftmp_e_$hex32")
     org.apache.hadoop.fs.FileUtil.copy(
       org.apache.hadoop.fs.FileSystem.getLocal(
         spark.sparkContext.hadoopConfiguration),
@@ -362,10 +365,79 @@ class GraftVectorIndexSpec extends AnyFunSuite {
     val savedInterval = GraftVectorIndex.recoveryCheckIntervalMs
     GraftVectorIndex.recoveryCheckIntervalMs = 0
     try {
+      // a LIVE heartbeat inside the stage keeps it safe even with an
+      // ancient root mtime — a long rewrite only touches deep files,
+      // so the root mtime alone would read as abandonment (ADVICE r19)
+      val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      graft.MarkerFile.writeLong(lfs,
+        new org.apache.hadoop.fs.Path(tmp2.toString, "_hb"),
+        System.currentTimeMillis())
+      assert(tmp2.setLastModified(
+        System.currentTimeMillis() - 2 * GraftVectorIndex.staleStageMs))
+      assert(ann.collect().map(_.toSeq).toSeq === expect)
+      assert(idx.exists() && tmp2.exists(),
+        "a heartbeat-live stage with an old root mtime was swept")
+      // heartbeat gone stale too -> provably dead, sweeps
+      graft.MarkerFile.writeLong(lfs,
+        new org.apache.hadoop.fs.Path(tmp2.toString, "_hb"),
+        System.currentTimeMillis() - 2 * GraftVectorIndex.staleStageMs)
+      assert(tmp2.setLastModified(
+        System.currentTimeMillis() - 2 * GraftVectorIndex.staleStageMs))
       assert(ann.collect().map(_.toSeq).toSeq === expect)
       assert(idx.exists() && !tmp2.exists(), "aged dead stage not swept")
     } finally GraftVectorIndex.recoveryCheckIntervalMs = savedInterval
     spark.sql("DROP TABLE IF EXISTS zvec_rec")
+  }
+
+  test("stage names are un-nestable across sibling indexes: a headless " +
+      "'e' never promotes a stage of 'e_2', and DROP INDEX e leaves " +
+      "e_2's in-flight stage alone") {
+    val path = freshPath("nest")
+    spark.sql("DROP TABLE IF EXISTS zvec_nest")
+    (1L to 200L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_nestsrc")
+    spark.sql(s"""CREATE TABLE zvec_nest USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_nestsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_nest USING IVF (emb)")
+    spark.sql("CREATE INDEX e_2 ON zvec_nest USING IVF (emb)")
+    def ann(name: String) = spark.sql(
+      s"SELECT * FROM graft_ann('zvec_nest', '$name', $queryLit, 10, 16)")
+    val expect2 = ann("e_2").collect().map(_.toSeq).toSeq
+    // a COMPLETE staged rewrite of e_2, as REINDEX/compaction leave it
+    // when crashed mid-swap
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val stage2 = s"$path/_tivftmp_e_2_${"0123456789abcdef" * 2}"
+    org.apache.hadoop.fs.FileUtil.copy(lfs,
+      new org.apache.hadoop.fs.Path(s"$path/_tivf_e_2"), lfs,
+      new org.apache.hadoop.fs.Path(stage2), false,
+      spark.sparkContext.hadoopConfiguration)
+    // e goes headless (crash wiped it); before the un-nestable match,
+    // e's recovery would promote e_2's stage as e — wrong layout,
+    // silently wrong probes
+    new scala.reflect.io.Directory(
+      new java.io.File(s"$path/_tivf_e")).deleteRecursively()
+    val savedInterval = GraftVectorIndex.recoveryCheckIntervalMs
+    GraftVectorIndex.recoveryCheckIntervalMs = 0
+    try {
+      val e1 = intercept[Exception](ann("e").collect())
+      assert(e1.getMessage.contains("no IVF index"), e1.getMessage)
+      assert(new java.io.File(stage2).exists(),
+        "headless e's recovery consumed e_2's stage")
+      // DROP INDEX e sweeps only e's OWN stages
+      spark.sql("DROP INDEX e ON zvec_nest")
+      assert(new java.io.File(stage2).exists(),
+        "DROP INDEX e swept e_2's in-flight stage")
+      // e_2's own recovery still promotes ITS stage when headless
+      new scala.reflect.io.Directory(
+        new java.io.File(s"$path/_tivf_e_2")).deleteRecursively()
+      assert(ann("e_2").collect().map(_.toSeq).toSeq === expect2,
+        "e_2's recovery did not promote its own staged layout")
+      assert(new java.io.File(s"$path/_tivf_e_2").exists())
+    } finally GraftVectorIndex.recoveryCheckIntervalMs = savedInterval
+    spark.sql("DROP TABLE IF EXISTS zvec_nest")
   }
 
   test("IVF on a temp view is refused (needs a durable table); " +
