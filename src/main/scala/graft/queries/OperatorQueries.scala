@@ -2513,6 +2513,47 @@ object OperatorQueries {
         |FROM graft_indexes('graft_cat_idxs')""".stripMargin)
     },
 
+    "ir_sql_manifest_stale" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      // the GENERATE MANIFEST staleness CONTRACT: the mirror records
+      // its source version, so graft_manifest_stale answers "is this
+      // mirror current" with ZERO data reads — DML leaves a
+      // point-in-time mirror detectably stale (lag 1), a refresh
+      // closes it (lag 0), and a WITH AUTO REFRESH registration keeps
+      // it fresh through later DML with no further GENERATE calls
+      // (the post-commit refresh hook, Delta's
+      // symlinkFormatManifest.enabled shape).
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_manstale").toString
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_manstale_out").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_manstale")
+      Seq(path, out).foreach(p => new scala.reflect.io.Directory(
+        new java.io.File(p)).deleteRecursively())
+      Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+        .createOrReplaceTempView("cat_manstale_src")
+      s.sql(s"""CREATE TABLE graft_cat_manstale USING graft
+        |OPTIONS (key 'c_custkey') LOCATION '$path'
+        |AS SELECT * FROM cat_manstale_src""".stripMargin)
+      s.sql(s"GENERATE MANIFEST FOR TABLE graft_cat_manstale TO '$out'")
+      s.sql("""UPDATE graft_cat_manstale SET c_acctbal = c_acctbal + 1
+        |WHERE c_custkey <= 5""".stripMargin)
+      def obs(phase: String) = s.sql(
+        s"""SELECT '$phase' AS phase, stale,
+           |table_version - exported_version AS lag
+           |FROM graft_manifest_stale('graft_cat_manstale', '$out')"""
+          .stripMargin)
+      val p1 = obs("p1_after_dml")
+      s.sql(s"GENERATE MANIFEST FOR TABLE graft_cat_manstale TO '$out' " +
+        "WITH AUTO REFRESH")
+      val p2 = obs("p2_after_refresh")
+      s.sql("""UPDATE graft_cat_manstale SET c_acctbal = c_acctbal + 1
+        |WHERE c_custkey <= 3""".stripMargin)
+      val p3 = obs("p3_after_auto_dml")
+      p1.unionByName(p2).unionByName(p3)
+    },
+
     "ir_sql_catalog_evolve2" -> { (s, dir) =>
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -4436,6 +4477,17 @@ object OperatorQueries {
       """SELECT * FROM (VALUES
         |  ('by_user', 'btree', 'user_id'),
         |  ('zones', 'zonemap', 'value')) AS t(name, kind, columns)""".stripMargin,
+
+    // the staleness contract's three observable phases: DML leaves the
+    // point-in-time mirror one version behind (stale), a refresh
+    // closes the lag, and the AUTO REFRESH registration keeps it
+    // closed through later DML with no further GENERATE calls
+    "ir_sql_manifest_stale" ->
+      """SELECT * FROM (VALUES
+        |  ('p1_after_dml', true, CAST(1 AS BIGINT)),
+        |  ('p2_after_refresh', false, CAST(0 AS BIGINT)),
+        |  ('p3_after_auto_dml', false, CAST(0 AS BIGINT)))
+        |AS t(phase, stale, lag)""".stripMargin,
 
     "ir_sql_catalog_zorder_values3" ->
       """SELECT event_id, user_id, value, amount FROM (

@@ -1408,6 +1408,15 @@ object PipelineOracles {
        |SELECT vec_id, cos FROM (
        |  SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 20) top""".stripMargin
 
+  /** graft_index_stats' oracle-stable identity columns on a fresh
+    * (un-churned) index: live entries = the corpus's non-null vector
+    * count; name/kind/column/nlist come from the CREATE statement. */
+  val annIndexStats: String =
+    """SELECT 'emb' AS name, 'ivf' AS kind, 'embedding' AS vector_column,
+      |  CAST(16 AS INTEGER) AS nlist,
+      |  (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL)
+      |    AS live_entries""".stripMargin
+
   val annIvfFull: String =
     s"""WITH vecs AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |qn AS (SELECT list_transform(v, x -> x / sqrt(${dot64("v", "v")})) AS q
@@ -1671,6 +1680,10 @@ object PipelineOracles {
     // which is EXACT over the live content for any centroids — the
     // plain catalog-probe oracle is the right truth
     "ann_catalog_reindexed_topk" -> annCatalogTopk,
+    // the historical probe serves the PRE-DML snapshot exactly, so its
+    // truth is brute force over the ORIGINAL (un-mutated) corpus
+    "ann_catalog_at_topk" -> annIvfFull,
+    "ann_index_stats" -> annIndexStats,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "mm_resize_frames" -> mmResizeFrames,

@@ -397,6 +397,60 @@ object PipelineQueries {
         |graft_ann('graft_cat_annr', 'emb', $lit, 20, 16)""".stripMargin)
     },
 
+    "ann_catalog_at_topk" -> { (s, dir) =>
+      // VECTOR-PROBE TIME TRAVEL: graft_ann_at probes a VERSION AS OF
+      // snapshot. The durable index tracks the LIVE table (an update's
+      // re-appended vector supersedes its old assignment at probe
+      // time), so a historical probe is served as an EXACT scan of the
+      // versioned snapshot by design — serving live lists to a
+      // time-travel reader would be silently wrong. Probing the
+      // PRE-DML version must therefore equal brute-force top-k over
+      // the ORIGINAL corpus, no matter what committed afterwards.
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annat").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annat")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annat_src")
+      s.sql(s"""CREATE TABLE graft_cat_annat USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_annat_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_annat USING IVF (embedding)")
+      val v0 = s.sql(
+        "SELECT max(version) FROM graft_history('graft_cat_annat')")
+        .collect()(0).getLong(0)
+      s.sql("DELETE FROM graft_cat_annat WHERE vec_id % 97 = 3")
+      s.sql("""INSERT INTO graft_cat_annat
+        |SELECT vec_id + 100000, embedding FROM cat_annat_src
+        |WHERE vec_id < 8""".stripMargin)
+      val lit = queryVec(s, dir).map(_.toString)
+        .mkString("array(", ", ", ")")
+      val s2 = s.newSession() // cold historical probe off the durable log
+      s2.sql(s"""SELECT vec_id, cos FROM
+        |graft_ann_at('graft_cat_annat', 'emb', $v0, $lit, 20)""".stripMargin)
+    },
+
+    "ann_index_stats" -> { (s, dir) =>
+      // drift OBSERVABILITY: graft_index_stats' oracle-stable identity
+      // columns — (name, kind, vector column, nlist) from the index
+      // meta plus the LIVE entry count, which on an un-churned table
+      // is exactly the corpus's non-null vector count. The skew/dead
+      // statistics are asserted by the drift spec
+      // (GraftVectorIndexSpec: skew rises under a shifted ingest,
+      // falls after REINDEX).
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_cat_lane_annst").toString
+      s.sql("DROP TABLE IF EXISTS graft_cat_annst")
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      Tables.embeddings(s, dir).createOrReplaceTempView("cat_annst_src")
+      s.sql(s"""CREATE TABLE graft_cat_annst USING graft
+        |OPTIONS (key 'vec_id') LOCATION '$path'
+        |AS SELECT vec_id, embedding FROM cat_annst_src""".stripMargin)
+      s.sql("CREATE INDEX emb ON graft_cat_annst USING IVF (embedding)")
+      val s2 = s.newSession() // the stats read the durable layout cold
+      s2.sql("""SELECT name, kind, vector_column, nlist, live_entries
+        |FROM graft_index_stats('graft_cat_annst')""".stripMargin)
+    },
+
     "ann_catalog_optimized_topk" -> { (s, dir) =>
       // the maintenance-verb path under the oracle gate: after churn,
       // OPTIMIZE both folds the TABLE's deltas and COMPACTS the vector

@@ -115,6 +115,32 @@ class GraftSqlExtension extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftSqlExtension].getName, "graft_ann"),
       (args: Seq[Expression]) => GraftSqlExtension.annPlan(args)))
+    // HISTORICAL vector probe: SELECT * FROM graft_ann_at('table',
+    // 'index', version, array(...), k) — exact top-k over the VERSION
+    // AS OF snapshot (the index tracks the live table; see annAtPlan)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ann_at"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_ann_at"),
+      (args: Seq[Expression]) => GraftSqlExtension.annAtPlan(args)))
+    // export-mirror staleness probe: SELECT * FROM
+    // graft_manifest_stale('table', '<dir>') — compares the mirror's
+    // recorded source version against the live table version WITHOUT
+    // reading any data (the GENERATE MANIFEST staleness contract)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_manifest_stale"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_manifest_stale"),
+      (args: Seq[Expression]) => GraftSqlExtension.manifestStalePlan(args)))
+    // vector-index drift observability: SELECT * FROM
+    // graft_index_stats('table') — one row per IVF/IVFPQ index with
+    // list-size skew, live/dead entry counts, and build-version age,
+    // the "is REINDEX worth O(corpus) yet" signals
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_index_stats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtension].getName, "graft_index_stats"),
+      (args: Seq[Expression]) => GraftSqlExtension.indexStatsPlan(args)))
     // table-maintenance verbs Spark's grammar lacks: OPTIMIZE
     // (compaction) and VACUUM (history retention); everything else
     // passes through to the delegate parser untouched
@@ -1558,6 +1584,158 @@ object GraftSqlExtension {
       org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(n), UTF8String.fromString(t),
         UTF8String.fromString(cs.mkString(",")))
+    }
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out, rows)
+  }
+
+  /** `SELECT * FROM graft_ann_at('table', 'index', version,
+    * array(q...), k)` — the HISTORICAL vector probe: exact cosine
+    * top-k over the `VERSION AS OF` snapshot's content. The durable
+    * index tracks the LIVE table (updated vectors replace their old
+    * assignments), so a historical probe cannot be served from the
+    * current lists without silently wrong results; instead this scans
+    * the versioned snapshot exactly — O(snapshot), the honest cost of
+    * reproducing a past retrieval run — while validating the index
+    * exists and reading the vector column from its meta. Output is
+    * [[annPlan]]'s (key columns..., cos). */
+  private[sql] def annAtPlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    require(args.size == 5,
+      "usage: graft_ann_at(table, index, version, query_vector, k)")
+    def evalArg(e: Expression): Any = {
+      require(e.foldable, "graft_ann_at arguments must be literals")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    def str(a: Any, what: String): String = a match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_ann_at: $what must be a string literal (got $other)")
+    }
+    def long(a: Any, what: String): Long = a match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"graft_ann_at: $what must be an integer literal (got $other)")
+    }
+    val table = str(evalArg(args(0)), "table name")
+    val index = str(evalArg(args(1)), "index name")
+    val version = long(evalArg(args(2)), "version")
+    val query: Array[Double] = (args(3).dataType, evalArg(args(3))) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+          a: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.DoubleType => a.toDoubleArray()
+        case org.apache.spark.sql.types.FloatType =>
+          a.toFloatArray().map(_.toDouble)
+        case org.apache.spark.sql.types.IntegerType =>
+          a.toIntArray().map(_.toDouble)
+        case org.apache.spark.sql.types.LongType =>
+          a.toLongArray().map(_.toDouble)
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          a.toObjectArray(dt).map(
+            _.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+        case other => throw new IllegalArgumentException(
+          s"graft_ann_at: unsupported query element type $other")
+      }
+      case (dt, _) => throw new IllegalArgumentException(
+        s"graft_ann_at: the query must be a numeric array literal (got $dt)")
+    }
+    val k = long(evalArg(args(4)), "k").toInt
+    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_ann_at: '$table' is not a graft catalog table"))
+    GraftVectorIndex.probeAt(sp, path, index, version, query, k)
+      .queryExecution.analyzed
+  }
+
+  /** `SELECT * FROM graft_manifest_stale('table', '<dir>')` — the
+    * GENERATE MANIFEST staleness contract: one row
+    * (table, location, exported_version, table_version, stale),
+    * answered from the mirror's recorded source version and the
+    * table's version marker — NO data reads. `exported_version` is -1
+    * when the dir holds no mirror of THIS table (also stale). */
+  private[sql] def manifestStalePlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    require(args.size == 2, "usage: graft_manifest_stale(table, dest_dir)")
+    def str(e: Expression, what: String): String = {
+      require(e.foldable, s"graft_manifest_stale: $what must be a literal")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_manifest_stale: $what must be a string literal (got $other)")
+      }
+    }
+    val table = str(args(0), "table name")
+    val dest = str(args(1), "dest dir")
+    val (path, cur) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_manifest_stale: '$table' is not a graft catalog table"))
+    val exported = GraftManifest.exportedVersion(sp, path, dest)
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("exported_version", LongType, nullable = false)(),
+      AttributeReference("table_version", LongType, nullable = false)(),
+      AttributeReference("stale", BooleanType, nullable = false)())
+    val rows = Seq(org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(table), UTF8String.fromString(dest),
+      exported.getOrElse(-1L), cur, !exported.contains(cur)))
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out, rows)
+  }
+
+  /** `SELECT * FROM graft_index_stats('table')` — drift observability
+    * for the durable vector indexes: one row per IVF/IVFPQ index with
+    * (name, kind, vector_column, nlist, build_version, table_version,
+    * commits_since_build, entries, live_entries, dead_entries,
+    * list_rows_max, list_rows_mean, list_skew). `list_skew`
+    * (max/mean over the LIVE per-list sizes) is the "when is REINDEX
+    * worth O(corpus)" signal: a drifted distribution piles new vectors
+    * into few lists, recall at fixed nprobe decays, and the skew rises
+    * ahead of it. O(index) by design — an observability scan, never on
+    * a query path. */
+  private[sql] def indexStatsPlan(args: Seq[Expression]): LogicalPlan = {
+    val sp = SparkSession.active
+    require(args.size == 1, "usage: graft_index_stats(table)")
+    require(args.head.foldable,
+      "graft_index_stats: table name must be a literal")
+    val table = args.head.eval(
+        org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_index_stats: table name must be a string literal (got $other)")
+    }
+    val (path, cur) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_index_stats: '$table' is not a graft catalog table"))
+    val (_, h) = GraftTables.current(sp, path)
+    val vecIdx = GraftTables.readIndexManifest(sp, path)
+      .filter(e => e._2 == "ivf" || e._2 == "ivfpq").map(_._1).sorted
+    val stats = vecIdx.flatMap(n =>
+      GraftVectorIndex.stats(sp, path, n, h.toDF(sp), h.keyCols))
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+      StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = Seq(
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("vector_column", StringType, nullable = false)(),
+      AttributeReference("nlist", IntegerType, nullable = false)(),
+      AttributeReference("build_version", LongType, nullable = false)(),
+      AttributeReference("table_version", LongType, nullable = false)(),
+      AttributeReference("commits_since_build", LongType, nullable = false)(),
+      AttributeReference("entries", LongType, nullable = false)(),
+      AttributeReference("live_entries", LongType, nullable = false)(),
+      AttributeReference("dead_entries", LongType, nullable = false)(),
+      AttributeReference("list_rows_max", LongType, nullable = false)(),
+      AttributeReference("list_rows_mean", DoubleType, nullable = false)(),
+      AttributeReference("list_skew", DoubleType, nullable = false)())
+    val rows = stats.map { s =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(s.name), UTF8String.fromString(s.kind),
+        UTF8String.fromString(s.vecCol), s.nlist, s.buildVersion, cur,
+        math.max(0L, cur - s.buildVersion), s.entries, s.liveEntries,
+        s.entries - s.liveEntries, s.listMax, s.listMean, s.listSkew)
     }
     org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out, rows)
   }

@@ -49,8 +49,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case OptimizeRe(id) => GraftOptimizeCommand(unquote(id))
     case OptimizeReindexRe(id, idx) =>
       GraftReindexCommand(unquote(id), unquote(idx))
-    case GenerateManifestRe(id, dest) =>
-      GraftGenerateManifestCommand(unquote(id), dest)
+    case GenerateManifestRe(id, dest, auto) =>
+      GraftGenerateManifestCommand(unquote(id), dest, auto != null)
     case VacuumRe(id, n, unit) =>
       val hours = unit != null && unit.toUpperCase.startsWith("HOUR")
       val retain = if (n == null) 1 else n.toInt
@@ -151,7 +151,8 @@ object GraftSqlParser {
   // manifest points at an incrementally-maintained parquet mirror)
   private val GenerateManifestRe =
     (s"(?is)\\s*GENERATE\\s+(?:SYMLINK_FORMAT_)?MANIFEST\\s+FOR\\s+" +
-      s"(?:TABLE\\s+)?$Ident\\s+TO\\s+'([^']+)'\\s*;?\\s*").r
+      s"(?:TABLE\\s+)?$Ident\\s+TO\\s+'([^']+)'" +
+      "(\\s+WITH\\s+AUTO\\s+REFRESH)?\\s*;?\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Ident(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?))?\\s*;?\\s*".r
   // Delta's RESTORE grammar: `RESTORE [TABLE] t TO VERSION AS OF n`
@@ -639,22 +640,22 @@ case class GraftReindexCommand(table: String, index: String)
   * always sees a complete snapshot; one holding a STALE manifest
   * across a refresh may hit replaced files (Delta's symlink manifests
   * degrade identically) — regenerate and re-read. */
-case class GraftGenerateManifestCommand(table: String, dest: String)
-    extends LeafRunnableCommand {
+/** The GENERATE MANIFEST engine, shared by the statement and the
+  * post-commit auto-refresh hook ([[GraftTables]] invokes [[refresh]]
+  * after every DML commit on tables with registered auto mirrors —
+  * Delta's `symlinkFormatManifest.enabled` shape). The staleness
+  * CONTRACT lives here too: the mirror records its source version, so
+  * a foreign reader (or the `graft_manifest_stale` TVF) can detect a
+  * stale mirror WITHOUT reading any data. */
+private[sql] object GraftManifest {
   import org.apache.hadoop.fs.Path
-
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("table", StringType, nullable = false)(),
-    AttributeReference("location", StringType, nullable = false)(),
-    AttributeReference("version", LongType, nullable = false)(),
-    AttributeReference("files", IntegerType, nullable = false)(),
-    AttributeReference("partitions_rewritten", IntegerType, nullable = false)(),
-    AttributeReference("mode", StringType, nullable = false)())
 
   private val MetaMagic = 0x47454D46 // "GEMF"
   private val MetaVersion = 1
 
-  private def readExportMeta(fs: org.apache.hadoop.fs.FileSystem,
+  /** (exported source version, mirror partition count, source path) —
+    * None when absent/foreign/unparsable (callers full-rewrite). */
+  private[sql] def readExportMeta(fs: org.apache.hadoop.fs.FileSystem,
       f: Path): Option[(Long, Int, String)] =
     try {
       if (!fs.exists(f)) None
@@ -667,6 +668,16 @@ case class GraftGenerateManifestCommand(table: String, dest: String)
         } finally in.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The mirror's recorded source version at `dest`, for THIS table —
+    * the staleness probe's data-free read. */
+  private[sql] def exportedVersion(sp: SparkSession, path: String,
+      dest: String): Option[Long] = {
+    val destP = new Path(dest)
+    val fs = destP.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    readExportMeta(fs, new Path(destP, "_graft_export_meta"))
+      .filter(_._3 == path).map(_._1)
+  }
 
   // plain listStatus recursion — fs.listFiles(recursive) returns
   // LocatedFileStatus and pays a per-file block-locations call, ~9s
@@ -690,11 +701,12 @@ case class GraftGenerateManifestCommand(table: String, dest: String)
       println(f"GEN $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-  override def run(sp: SparkSession): Seq[Row] = {
+  /** Generate/refresh the plain-parquet mirror of the table at `path`
+    * into `dest`. Returns (source version, leaf files, partitions
+    * rewritten, mode ∈ full|incremental|noop). */
+  private[sql] def refresh(sp: SparkSession, path: String,
+      dest: String): (Long, Int, Int, String) = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
-      throw new IllegalArgumentException(
-        s"GENERATE MANIFEST: '$table' is not a graft catalog table"))
     val (v, h) = dbg("current")(GraftTables.current(sp, path))
     val destP = new Path(dest)
     val fs = destP.getFileSystem(sp.sparkContext.hadoopConfiguration)
@@ -750,7 +762,59 @@ case class GraftGenerateManifestCommand(table: String, dest: String)
       out.flush()
     }
     }
-    Seq(Row(table, dest, v, files.size, rewritten, mode))
+    (v, files.size, rewritten, mode)
+  }
+
+  // --------------------------------------------- auto-refresh registry
+  // `WITH AUTO REFRESH` registers the mirror dir in a `_texport_auto`
+  // sidecar beside the table's delta log; [[GraftTables]]' post-commit
+  // tail re-runs the (delta-cost) refresh for every registered dir —
+  // failures there are post-commit-absorbed and gauged, never
+  // statement-fatal.
+
+  private def autoFile(path: String) = new Path(path, "_texport_auto")
+
+  private[sql] def autoDests(sp: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(
+      sp.sparkContext.hadoopConfiguration)
+    graft.MarkerFile.readString(fs, autoFile(path))
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  private[sql] def registerAuto(sp: SparkSession, path: String,
+      dest: String): Unit = {
+    val fs = new Path(path).getFileSystem(
+      sp.sparkContext.hadoopConfiguration)
+    val all = (autoDests(sp, path) :+ dest).distinct
+    graft.MarkerFile.writeString(fs, autoFile(path), all.mkString("\n"))
+  }
+
+  /** Post-commit hook: refresh every registered auto mirror (delta
+    * cost — the just-committed statement's touched partitions only).
+    * Called from inside the commit's absorb-and-gauge region. */
+  private[sql] def autoRefresh(sp: SparkSession, path: String): Unit =
+    autoDests(sp, path).foreach(dest => refresh(sp, path, dest))
+}
+
+case class GraftGenerateManifestCommand(table: String, dest: String,
+    auto: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files", IntegerType, nullable = false)(),
+    AttributeReference("partitions_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("mode", StringType, nullable = false)())
+
+  override def run(sp: SparkSession): Seq[Row] = {
+    val (path, _) = GraftTables.tableInfo(sp, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"GENERATE MANIFEST: '$table' is not a graft catalog table"))
+    val (v, files, rewritten, mode) = GraftManifest.refresh(sp, path, dest)
+    if (auto) GraftManifest.registerAuto(sp, path, dest)
+    Seq(Row(table, dest, v, files, rewritten, mode))
   }
   override def simpleString(maxFields: Int): String =
     s"GraftGenerateManifest $table"

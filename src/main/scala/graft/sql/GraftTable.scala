@@ -2255,9 +2255,11 @@ private[sql] object GraftTables {
     * concurrent OPTIMIZEs — the loser retries). Returns the heartbeat
     * keeping it alive; the caller stops it and removes the lock (or
     * swaps the dir away, which removes both). */
-  private def acquireRebaseLock(fs: FileSystem, path: String): Heartbeat = {
+  private def acquireRebaseLock(fs: FileSystem,
+      path: String): (Heartbeat, String) = {
     val lp = rebaseLockPath(path)
-    val bytes = s"${java.util.UUID.randomUUID()}:${System.currentTimeMillis()}"
+    val token = java.util.UUID.randomUUID().toString
+    val bytes = s"$token:${System.currentTimeMillis()}"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var acquired = conditionalCreate(fs, lp, bytes)
     if (!acquired && !rebaseLockAlive(fs, path)) {
@@ -2266,14 +2268,48 @@ private[sql] object GraftTables {
     }
     if (!acquired) throw new java.util.ConcurrentModificationException(
       s"a concurrent OPTIMIZE/VACUUM is rebasing $path — retry")
-    new Heartbeat(fs, rebaseHbPath(path))
+    (new Heartbeat(fs, rebaseHbPath(path)), token)
   }
 
+  /** Does the rebase lock still carry OUR token? False when stolen
+    * (a rival replaced it after we looked dead) or released. */
+  private def rebaseLockOwned(fs: FileSystem, path: String,
+      token: String): Boolean =
+    graft.MarkerFile.readString(fs, rebaseLockPath(path))
+      .exists(_.split(":", 2).head == token)
+
+  /** The steal-while-alive guard: a rebase owner that stalled past the
+    * steal age (GC pause, scheduler starvation) may wake AFTER a rival
+    * stole its lock and swapped — its staged dir is gone or rewritten,
+    * and proceeding would bury the rival's promoted dir or erase
+    * post-steal commits. Verify ownership before anything destructive;
+    * on theft, drop our (now meaningless) stage and abort loudly — the
+    * table was never touched by this op, so the caller's retry is
+    * safe (exactly-once preserved). */
+  private def requireRebaseOwnership(fs: FileSystem, path: String,
+      token: String, stage: Path): Unit =
+    if (!rebaseLockOwned(fs, path, token)) {
+      try { fs.delete(stage, true); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new java.util.ConcurrentModificationException(
+        s"the rebase lock for $path was stolen while this " +
+          "OPTIMIZE/VACUUM stalled (a rival reclaimed and swapped) — " +
+          "aborting without touching the table; re-run")
+    }
+
   private def releaseRebaseLock(fs: FileSystem, path: String,
-      hb: Heartbeat): Unit = {
+      hb: Heartbeat, token: String): Unit = {
     hb.stop()
-    try { fs.delete(rebaseLockPath(path), false);
-      fs.delete(rebaseHbPath(path), false); () }
+    // delete only a lock still bearing OUR token — a stolen-from owner
+    // unconditionally deleting here would remove the THIEF's live lock
+    // mid-swap and re-open the fence for a third writer
+    try {
+      if (rebaseLockOwned(fs, path, token)) {
+        fs.delete(rebaseLockPath(path), false)
+        fs.delete(rebaseHbPath(path), false)
+        ()
+      }
+    }
     catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -2683,6 +2719,7 @@ private[sql] object GraftTables {
           // handle instead — the next read replays the truth from
           // the log.
           try {
+            postCommitHook()
             val h2 = applyDelta(sp, h, path, next)
             // DML maintains the manifest's indexes — incrementally:
             // the statement's own change sets apply to the previous
@@ -2694,9 +2731,14 @@ private[sql] object GraftTables {
             // a stale-plus-overlay serve — boxed scans keep pruning
             attachProjectionFor(sp, path, h2, next)
             cacheOf(sp).put(canonical(sp, path), (next, h2))
+            // registered export mirrors refresh at delta cost (the
+            // symlinkFormatManifest.enabled shape) — same absorb
+            // region: a mirror refresh failure must not fail an
+            // acknowledged statement, but it IS gauged below
+            GraftManifest.autoRefresh(sp, path)
           } catch {
-            case scala.util.control.NonFatal(_) =>
-              purgeAllSessions(sp, path)
+            case scala.util.control.NonFatal(e) =>
+              notePostCommitFailure(sp, path, e)
           }
           // opportunistic fold maintenance every K-th commit — the
           // amortized cost that keeps every later reopen bounded.
@@ -2760,6 +2802,43 @@ private[sql] object GraftTables {
     * ("claimed" / "promoted" / "committed") — tests install a throwing
     * hook to simulate a crash at exactly that point. */
   private[sql] var txnCrashHook: String => Unit = _ => ()
+
+  /** Spec hook: runs at the TOP of the post-commit maintenance region
+    * (after the record is durable, before apply/index work) — tests
+    * install a throwing hook to simulate a maintenance failure. */
+  private[sql] var postCommitHook: () => Unit = () => ()
+
+  /** OBSERVABILITY for the succeed-after-commit contract: once the
+    * commit record is durable, apply/index/projection/mirror failures
+    * are absorbed (the log is truth; a propagated failure would make
+    * clients re-run an acknowledged statement and double-apply). But
+    * silently absorbing REPEATED failures lets an index rot — so each
+    * one counts here per table path and logs loudly; operators (and
+    * specs) read the counter via [[postCommitFailureCount]]. The next
+    * statement's replay heals the caches; a persistent cause keeps
+    * incrementing and is the signal to investigate. */
+  private val postCommitFailures = new scala.collection.concurrent
+    .TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  // the same table reaches the commit path as '/t', 'file:/t', or
+  // 'file:///t' depending on the entry point — one gauge key for all
+  private def gaugeKey(path: String): String = {
+    val p = path.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    if (p.startsWith("/")) p else s"/$p"
+  }
+
+  private[sql] def postCommitFailureCount(path: String): Long =
+    postCommitFailures.get(gaugeKey(path)).map(_.get()).getOrElse(0L)
+
+  private def notePostCommitFailure(sp: SparkSession, path: String,
+      e: Throwable): Unit = {
+    postCommitFailures.getOrElseUpdate(gaugeKey(path),
+      new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    System.err.println(s"[graft] WARN: post-commit maintenance failed " +
+      s"at $path (the commit IS durable; cached handles purged, the " +
+      s"next read replays the log): $e")
+    purgeAllSessions(sp, path)
+  }
 
   /** ATOMIC MULTI-TABLE WRITE — `BEGIN/COMMIT` across graft tables:
     * every listed table gets one new version holding its change sets,
@@ -3705,8 +3784,13 @@ private[sql] object GraftTables {
     // for — without it a rival landing between carry and delete was
     // ERASED after being told success (a lost update, found by the
     // writers-vs-maintenance stress matrix)
-    val lockHb = acquireRebaseLock(fs, path)
+    val (lockHb, lockToken) = acquireRebaseLock(fs, path)
     try {
+    rebaseStallHook(lockHb)
+    // a stall (GC pause, starvation) can outlive the steal age: if a
+    // rival reclaimed the lock while we slept, abort before reading
+    // anything — the carry below must never mix eras
+    requireRebaseOwnership(fs, path, lockToken, tmp)
     // the committed tail AFTER the fence: the marker walk in
     // [[diskVersion]] scans past the hint to every commit record
     val dv = diskVersion(sp, path)
@@ -3808,6 +3892,10 @@ private[sql] object GraftTables {
     // past the fence pre-check) can neither brick the table nor get
     // their skeleton acknowledged (the post-commit fence sees
     // record-gone and the statement retries)
+    // last ownership check before the point of no return: a theft
+    // landing after this is the advisory-lock residue every dir-swap
+    // protocol carries; swapInStage + the post-commit fence absorb it
+    requireRebaseOwnership(fs, path, lockToken, tmp)
     fs.delete(p, true)
     require(swapInStage(fs, tmp, p), s"compaction rename failed for $path")
     purgeAllSessions(sp, path)
@@ -3829,9 +3917,14 @@ private[sql] object GraftTables {
         purgeAllSessions(sp, path)
       }
     }
-    } finally releaseRebaseLock(fs, path, lockHb)
+    } finally releaseRebaseLock(fs, path, lockHb, lockToken)
     ()
   }
+
+  /** Spec hook: runs inside [[rebase]] right after the lock is taken —
+    * tests stall here (stopping the heartbeat) to exercise the
+    * steal-while-alive reclaim deterministically. */
+  private[sql] var rebaseStallHook: Heartbeat => Unit = _ => ()
 
   /** Move the COMPLETE staged dir `tmp` to `p` while rivals may
     * recreate `p` concurrently (a pending claim's heartbeat, the
@@ -3881,7 +3974,7 @@ private[sql] object GraftTables {
         ((fs.exists(new Path(tmp, "_frame")) &&
           fs.exists(new Path(tmp, "_tver"))) || buriedComplete)) {
       if (rebaseLockAlive(fs, path)) return // live owner mid-swap
-      val hb =
+      val (hb, token) =
         try acquireRebaseLock(fs, path)
         catch { case _: java.util.ConcurrentModificationException => return }
       try {
@@ -3891,7 +3984,7 @@ private[sql] object GraftTables {
             s"compaction recovery failed for $path")
           purgeAllSessions(sp, path)
         }
-      } finally releaseRebaseLock(fs, path, hb)
+      } finally releaseRebaseLock(fs, path, hb, token)
     }
     ()
   }

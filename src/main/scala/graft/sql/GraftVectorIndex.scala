@@ -948,6 +948,65 @@ private[sql] object GraftVectorIndex {
       .select(keyCols.map(col) :+ col("cos"): _*)
   }
 
+  /** Drift observability row for [[graft.sql.GraftSqlExtension
+    * .indexStatsPlan]] — per-list LIVE sizes (newest entry per key,
+    * liveness-joined against the current snapshot, exactly the probe's
+    * candidate semantics) plus raw entry counts. `listSkew` = max/mean
+    * over ALL nlist cells (empty lists count as zero rows — an
+    * assignment piling everything into few lists is exactly what the
+    * statistic must surface). O(index): an observability scan, not a
+    * probe path. */
+  final case class IndexStats(name: String, kind: String, vecCol: String,
+      nlist: Int, buildVersion: Long, entries: Long, liveEntries: Long,
+      listMax: Long, listMean: Double, listSkew: Double)
+
+  def stats(sp: SparkSession, path: String, name: String,
+      live: DataFrame, keyCols: Seq[String]): Option[IndexStats] =
+    readMeta(sp, path, name).map { m =>
+      val idxDir = dir(path, name)
+      val lists = sp.read.parquet(s"$idxDir/lists")
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__ver").desc)
+      val perList = lists
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+        .join(live.select(keyCols.map(col): _*), keyCols)
+        .groupBy(col("__list")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(1))
+      val entries = lists.count()
+      val liveEntries = perList.sum
+      val mean = liveEntries.toDouble / math.max(1, m.nlist)
+      val max = if (perList.isEmpty) 0L else perList.max
+      IndexStats(name, m.kind, m.vecCol, m.nlist, m.buildVersion,
+        entries, liveEntries, max,
+        mean, if (mean > 0) max / mean else 0.0)
+    }
+
+  /** HISTORICAL probe (`graft_ann_at`): exact cosine top-k over the
+    * `VERSION AS OF` snapshot. The index tracks the LIVE table — an
+    * update re-appends its vector and the old assignment is superseded
+    * IN PLACE at probe time, so current lists cannot reconstruct a
+    * past version's pool; serving live results to a time-travel reader
+    * would be silently wrong (r19 verdict). The honest semantics is an
+    * exact scan of the versioned snapshot — O(snapshot), the price of
+    * reproducing a past retrieval run — validated against the index's
+    * meta (same vector column, same output shape as [[probe]]). */
+  def probeAt(sp: SparkSession, path: String, name: String,
+      version: Long, query: Array[Double], k: Int): DataFrame = {
+    val m = readMeta(sp, path, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF index '$name' at $path — CREATE INDEX ... USING IVF first"))
+    val h = GraftTables.loadVersion(sp, path, version)
+    val keyCols = h.keyCols
+    h.toDF(sp)
+      .where(col(m.vecCol).isNotNull)
+      .withColumn("cos",
+        graft.pipeline.Similarity.cosineToQuery(col(m.vecCol), query))
+      .orderBy(col("cos").desc +: keyCols.map(col): _*)
+      .limit(k)
+      .select(keyCols.map(col) :+ col("cos"): _*)
+  }
+
   def drop(sp: SparkSession, path: String, name: String): Unit = {
     val (fs, _) = fsOf(sp, path)
     fs.delete(new Path(dir(path, name)), true)

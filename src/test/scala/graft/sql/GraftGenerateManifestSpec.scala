@@ -91,6 +91,56 @@ class GraftGenerateManifestSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS man_t")
   }
 
+  test("staleness contract: graft_manifest_stale detects DML with no " +
+      "data reads; WITH AUTO REFRESH keeps the mirror fresh through " +
+      "plain DML commits") {
+    val path = freshPath("s")
+    val out = freshPath("sout")
+    spark.sql("DROP TABLE IF EXISTS man_s")
+    (1L to 300L).map(k => (k, s"n_$k", k * 1.5)).toDF("k", "name", "v")
+      .createOrReplaceTempView("man_ssrc")
+    spark.sql(s"""CREATE TABLE man_s USING graft
+      |OPTIONS (key 'k') LOCATION '$path'
+      |AS SELECT * FROM man_ssrc""".stripMargin)
+    def table = spark.sql("SELECT k, name, v FROM man_s")
+      .collect().map(_.toSeq).toSet
+    def stale = spark.sql(
+      s"SELECT * FROM graft_manifest_stale('man_s', '$out')")
+      .collect().head
+    // no mirror yet: stale, exported_version = -1
+    assert(stale.getBoolean(4) && stale.getLong(2) === -1L)
+    spark.sql(s"GENERATE MANIFEST FOR TABLE man_s TO '$out'")
+    assert(!stale.getBoolean(4), "fresh mirror read as stale")
+    assert(stale.getLong(2) === stale.getLong(3))
+    // DML leaves a point-in-time mirror detectably stale
+    spark.sql("UPDATE man_s SET v = -1 WHERE k = 7")
+    val afterDml = stale
+    assert(afterDml.getBoolean(4), "stale mirror not detected after DML")
+    assert(afterDml.getLong(2) < afterDml.getLong(3))
+    // ... and refresh closes it; the foreign read equals the snapshot
+    spark.sql(s"GENERATE MANIFEST FOR TABLE man_s TO '$out'")
+    assert(!stale.getBoolean(4))
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
+
+    // AUTO REFRESH: registering the mirror makes every later DML
+    // commit refresh it (delta cost) with NO further GENERATE calls
+    spark.sql(
+      s"GENERATE MANIFEST FOR TABLE man_s TO '$out' WITH AUTO REFRESH")
+    spark.sql("UPDATE man_s SET v = -2 WHERE k = 11")
+    spark.sql("DELETE FROM man_s WHERE k = 13")
+    assert(!stale.getBoolean(4),
+      "auto-registered mirror stale after DML — post-commit refresh " +
+        "did not run")
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table,
+      "auto-refreshed mirror does not equal the snapshot")
+    // a REOPENED session's DML honors the durable registration too
+    val s2 = spark.newSession()
+    s2.sql("INSERT INTO man_s VALUES (9001, 'nine', 9.0)")
+    assert(!stale.getBoolean(4), "reopened-session DML left mirror stale")
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
+    spark.sql("DROP TABLE IF EXISTS man_s")
+  }
+
   test("GENERATE MANIFEST falls back to a full rewrite when the " +
       "delta window cannot be answered (schema evolution inside it)") {
     val path = freshPath("f")

@@ -269,4 +269,110 @@ class GraftStressSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS stress_m")
     }
   }
+
+  test("steal-while-alive: a rebase owner stalls past the steal age, " +
+      "a rival steals the lock and swaps, the woken owner aborts " +
+      "loudly — no burial, exactly-once preserved") {
+    val path = freshDir("steal")
+    val savedTimeout = GraftTables.claimTimeoutMillis
+    GraftTables.claimTimeoutMillis = 400
+    spark.sql("DROP TABLE IF EXISTS stress_s")
+    try {
+      (1L to 20L).map(k => (k, 0.0)).toDF("k", "bal")
+        .createOrReplaceTempView("stress_ssrc")
+      spark.sql(s"""CREATE TABLE stress_s USING graft
+        |OPTIONS (key 'k') LOCATION '$path'
+        |AS SELECT * FROM stress_ssrc""".stripMargin)
+      (1 to 3).foreach(i =>
+        spark.sql(s"UPDATE stress_s SET bal = bal + $i WHERE k <= 20"))
+      val stalled = new java.util.concurrent.CountDownLatch(1)
+      val wake = new java.util.concurrent.CountDownLatch(1)
+      // the owner's stall: heartbeat dies with the "paused process",
+      // the rival sees a dead lock and reclaims
+      GraftTables.rebaseStallHook = hb => {
+        GraftTables.rebaseStallHook = _ => () // the rival must not stall
+        hb.stop()
+        stalled.countDown()
+        wake.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      val ownerErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val owner = new Thread(() => {
+        try { spark.newSession().sql("OPTIMIZE stress_s"); () }
+        catch { case e: Throwable => ownerErr.set(e) }
+      })
+      owner.start()
+      assert(stalled.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(GraftTables.claimTimeoutMillis + 300) // owner looks dead
+      spark.sql("OPTIMIZE stress_s") // the rival steals and swaps
+      wake.countDown()
+      owner.join(120000)
+      // the woken owner must abort LOUDLY (its lock was stolen), never
+      // acknowledge an OPTIMIZE that did not swap
+      val e = ownerErr.get()
+      assert(e != null, "stalled owner acknowledged a stolen rebase")
+      assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"owner failed with the wrong class: $e")
+      // no burial, no lost state: the table is healthy, content exact,
+      // later DML lands, and a cold session replays the same state
+      val expect = (1 to 3).sum.toDouble
+      assert(spark.sql("SELECT DISTINCT bal FROM stress_s").collect()
+        .map(_.getDouble(0)).toSeq === Seq(expect))
+      spark.sql("UPDATE stress_s SET bal = bal + 100 WHERE k <= 20")
+      assert(spark.newSession()
+        .sql("SELECT DISTINCT bal FROM stress_s").collect()
+        .map(_.getDouble(0)).toSeq === Seq(expect + 100))
+      // the rival's lock must still have been respected: no leftover
+      // lock files (the owner's release must not delete a thief's)
+      val lockF = new java.io.File(
+        new java.io.File(path).getParent,
+        s".${new java.io.File(path).getName}_rebaselock")
+      assert(!lockF.exists(), "rebase lock leaked after the steal dance")
+    } finally {
+      GraftTables.rebaseStallHook = _ => ()
+      GraftTables.claimTimeoutMillis = savedTimeout
+      spark.sql("DROP TABLE IF EXISTS stress_s")
+    }
+  }
+
+  test("post-commit maintenance failure is absorbed, gauged, and " +
+      "loudly visible: the statement succeeds, the counter increments, " +
+      "the next statement heals") {
+    val path = freshDir("pc")
+    spark.sql("DROP TABLE IF EXISTS stress_pc")
+    try {
+      (1L to 30L).map(k => (k, 0.0)).toDF("k", "bal")
+        .createOrReplaceTempView("stress_pcsrc")
+      spark.sql(s"""CREATE TABLE stress_pc USING graft
+        |OPTIONS (key 'k') LOCATION '$path'
+        |AS SELECT * FROM stress_pcsrc""".stripMargin)
+      spark.sql("CREATE INDEX bal_ix ON stress_pc (bal)")
+      val before = GraftTables.postCommitFailureCount(path)
+      GraftTables.postCommitHook =
+        () => throw new RuntimeException("injected post-commit failure")
+      try {
+        // the record is durable before the hook fires: the statement
+        // must SUCCEED (propagating would double-apply on retry)
+        spark.sql("UPDATE stress_pc SET bal = bal + 7 WHERE k <= 30")
+      } finally GraftTables.postCommitHook = () => ()
+      val after = GraftTables.postCommitFailureCount(path)
+      assert(after === before + 1,
+        s"absorbed maintenance failure not gauged ($before -> $after)")
+      // the commit IS in the log and the next statement heals the
+      // caches and the secondary index maintenance
+      assert(spark.sql("SELECT DISTINCT bal FROM stress_pc").collect()
+        .map(_.getDouble(0)).toSeq === Seq(7.0))
+      spark.sql("UPDATE stress_pc SET bal = bal + 1 WHERE k <= 30")
+      assert(spark.sql(
+        "SELECT count(*) FROM stress_pc WHERE bal = 8.0")
+        .collect()(0).getLong(0) === 30L)
+      assert(GraftTables.postCommitFailureCount(path) === after,
+        "a healthy commit incremented the failure gauge")
+    } finally {
+      GraftTables.postCommitHook = () => ()
+      spark.sql("DROP TABLE IF EXISTS stress_pc")
+    }
+  }
 }

@@ -597,17 +597,82 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       got.intersect(want).size / 20.0
     }
     val before = recall(spark, 1)
+    // DRIFT OBSERVABILITY (the "when is REINDEX worth O(corpus)"
+    // signal): the shifted ingest piles its mass into the few lists
+    // near the frozen boundary, so graft_index_stats' live list-size
+    // skew must READ HIGH before the retrain — a user watches this
+    // TVF instead of benchmarking recall themselves
+    def statsRow = spark.sql(
+      "SELECT * FROM graft_index_stats('zvec_drf')").collect().head
+    val sBefore = statsRow
+    assert(sBefore.getString(0) === "e" && sBefore.getString(1) === "ivf")
+    assert(sBefore.getInt(3) === 16)
+    assert(sBefore.getLong(8) === 1300L, // 300 base + 1000 drifted, live
+      s"live_entries=${sBefore.getLong(8)}")
+    assert(sBefore.getLong(6) > 0, "commits_since_build should be > 0")
+    val skewBefore = sBefore.getDouble(12)
     val r = spark.sql("OPTIMIZE zvec_drf REINDEX e").collect().head
     assert(r.getString(1) === "e" && r.getString(2) === "ivf")
     val after = recall(spark, 1)
     assert(before < 0.9, s"drift did not degrade recall (before=$before)")
     assert(after > before,
       s"REINDEX did not improve drift recall ($before -> $after)")
+    // ... and the retrain rebalances the lists: skew falls, the
+    // build-version age resets
+    val sAfter = statsRow
+    val skewAfter = sAfter.getDouble(12)
+    assert(skewAfter < skewBefore,
+      s"REINDEX did not reduce list skew ($skewBefore -> $skewAfter)")
+    assert(sAfter.getLong(6) === 0L,
+      "commits_since_build should reset after REINDEX")
+    assert(sAfter.getLong(7) === sAfter.getLong(8),
+      "retrained lists should hold exactly the live entries")
     // full probe stays exact over the retrained layout
     assert(recall(spark, 16) === 1.0)
     // a REOPENED session probes the retrained layout cold
     assert(recall(spark.newSession(), 1) === after)
     spark.sql("DROP TABLE IF EXISTS zvec_drf")
+  }
+
+  test("graft_ann_at probes a historical version exactly: pre-DML " +
+      "results reproduce, live results differ, vacuumed versions " +
+      "refuse loudly") {
+    val path = freshPath("tt")
+    spark.sql("DROP TABLE IF EXISTS zvec_tt")
+    (1L to 300L).map(k => (k, vec(k))).toDF("id", "emb")
+      .createOrReplaceTempView("zvec_ttsrc")
+    spark.sql(s"""CREATE TABLE zvec_tt USING graft
+      |OPTIONS (key 'id') LOCATION '$path'
+      |AS SELECT * FROM zvec_ttsrc""".stripMargin)
+    spark.sql("CREATE INDEX e ON zvec_tt USING IVF (emb)")
+    val v0 = GraftTables.currentVersion(spark, path)
+    val expectAt = Similarity.bruteTopK(
+      spark.sql("SELECT id, emb FROM zvec_tt"), "id", "emb", query, 10)
+      .collect().map(_.toSeq).toSeq
+    // DML moves the live top-k: the historical probe must NOT see it
+    val top = expectAt.head.head.asInstanceOf[Long]
+    spark.sql(s"DELETE FROM zvec_tt WHERE id = $top")
+    spark.sql(s"INSERT INTO zvec_tt VALUES (9001, $queryLit)")
+    def annAt(v: Long) = spark.sql(
+      s"SELECT * FROM graft_ann_at('zvec_tt', 'e', $v, $queryLit, 10)")
+    assert(annAt(v0).collect().map(_.toSeq).toSeq === expectAt,
+      "historical probe does not reproduce the pre-DML result")
+    val live = spark.sql(
+      s"SELECT * FROM graft_ann('zvec_tt', 'e', $queryLit, 10, 16)")
+      .collect().map(_.toSeq).toSeq
+    assert(live !== expectAt)
+    assert(annAt(GraftTables.currentVersion(spark, path))
+      .collect().map(_.toSeq).toSeq === live,
+      "probe at the current version must equal the live full probe")
+    // an unknown index refuses with the usual no-index error
+    val e1 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_ann_at('zvec_tt', 'nope', $v0, $queryLit, 10)")
+      .collect())
+    assert(e1.getMessage.contains("no IVF index"), e1.getMessage)
+    // a vacuumed-away version refuses loudly, never serves live data
+    spark.sql("VACUUM zvec_tt RETAIN 1 VERSIONS")
+    intercept[Exception](annAt(v0).collect())
+    spark.sql("DROP TABLE IF EXISTS zvec_tt")
   }
 
   test("a churned table's batch probe stays bounded to the probed " +
