@@ -300,6 +300,17 @@ private[sql] object GraftTables {
   private[sql] def destroy(sp: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(sp, path)
     fs.delete(p, true)
+    // sibling residue goes with the table: staged rebases and the
+    // rebase lock/heartbeat files (a dropped table must not leave a
+    // lock that fences a later table created at the same path)
+    try {
+      fs.listStatus(p.getParent)
+        .filter(st => isRebaseStageOf(p, st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    try { fs.delete(rebaseLockPath(path), false);
+      fs.delete(rebaseHbPath(path), false); () }
+    catch { case scala.util.control.NonFatal(_) => () }
     purgeAllSessions(sp, path)
     ()
   }
@@ -1367,6 +1378,18 @@ private[sql] object GraftTables {
         try { fs.delete(st.getPath, true); () }
         catch { case scala.util.control.NonFatal(_) => () }
       }
+    }
+    // abandoned REBASE stages live BESIDE the table (unique-named
+    // siblings since r20); sweep aged ones only while the table is
+    // healthy — a headless table may need them for recovery
+    if (fs.exists(new Path(p, "_frame"))) {
+      try fs.listStatus(p.getParent).foreach { st =>
+        if (isRebaseStageOf(p, st.getPath.getName) &&
+            now - st.getModificationTime > orphanSweepAgeMillis) {
+          try { fs.delete(st.getPath, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -3774,8 +3797,17 @@ private[sql] object GraftTables {
     // no partition outgrows the persisted cap indefinitely
     val h = transform(readSkewCap(sp, path).map(h0.reskew).getOrElse(h0))
     val (fs, p) = fsOf(sp, path)
-    val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
+    // UNIQUE per-run stage (the r19 vector-index lesson applied to the
+    // table's own rebase): with the old FIXED `.{name}_compact_tmp`
+    // sibling, a rival OPTIMIZE's pre-lock `delete(tmp) + saveTo(tmp)`
+    // could interleave with an owner's locked carry/swap — the owner
+    // then promoted a half-written rival stage and LOST its carried
+    // commit records. Unique names make rival stages disjoint: the
+    // loser burns a staging pass and aborts on the live lock, nothing
+    // more. Recovery lists the prefix (legacy fixed name included).
+    val tmp = newRebaseStage(p)
     fs.delete(tmp, true)
+    try {
     h.saveTo(tmp.toString)
     // SWAP FENCE (see the notes above [[rebaseLockPath]]): the slow
     // O(corpus) stage write above runs unlocked; everything from here
@@ -3918,7 +3950,35 @@ private[sql] object GraftTables {
       }
     }
     } finally releaseRebaseLock(fs, path, lockHb, lockToken)
+    } catch {
+      case e: Throwable =>
+        // drop our own stage on failure — but ONLY while the table is
+        // healthy: mid-swap (between delete and rename) the stage can
+        // be the single surviving copy, and recovery needs it
+        try { if (fs.exists(new Path(p, "_frame"))) fs.delete(tmp, true) }
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     ()
+  }
+
+  private def rebaseStagePrefix(p: Path): String =
+    s".${p.getName}_compact_tmp"
+
+  /** Unique per-run rebase staging dir beside the table (see the note
+    * in [[rebase]] — the fixed name let rival OPTIMIZEs corrupt each
+    * other's stage pre-lock). */
+  private def newRebaseStage(p: Path): Path = new Path(p.getParent,
+    s"${rebaseStagePrefix(p)}_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+
+  /** Is dir entry `n` a rebase stage of the table at `p`? The legacy
+    * fixed name or prefix + "_" + exactly 32 hex chars — un-nestable,
+    * like the vector-index stage matcher. */
+  private def isRebaseStageOf(p: Path, n: String): Boolean = {
+    val pre = rebaseStagePrefix(p)
+    n == pre || (n.length == pre.length + 33 && n.startsWith(pre + "_") &&
+      n.substring(pre.length + 1).forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
   }
 
   /** Spec hook: runs inside [[rebase]] right after the lock is taken —
@@ -3965,27 +4025,52 @@ private[sql] object GraftTables {
     * this returns and the caller's read fails transiently. */
   private def recoverIfNeeded(sp: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(sp, path)
-    val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
-    def buriedComplete = {
-      val b = new Path(p, tmp.getName)
-      fs.exists(new Path(b, "_frame")) && fs.exists(new Path(b, "_tver"))
+    if (fs.exists(new Path(p, "_frame"))) return // healthy fast path
+    def complete(d: Path): Boolean =
+      fs.exists(new Path(d, "_frame")) && fs.exists(new Path(d, "_tver"))
+    // any candidate at all? (cheap pre-check before the lock dance —
+    // covers unique-named siblings, the legacy fixed name, and stages
+    // BURIED inside a recreated headless dir)
+    def listCands(): Seq[Path] = {
+      val siblings =
+        try fs.listStatus(p.getParent).toSeq
+          .filter(st => isRebaseStageOf(p, st.getPath.getName))
+          .map(_.getPath)
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val buried =
+        if (!fs.exists(p)) Seq.empty
+        else try fs.listStatus(p).toSeq
+          .filter(st => isRebaseStageOf(p, st.getPath.getName))
+          .map(_.getPath)
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      siblings ++ buried
     }
-    if (!fs.exists(new Path(p, "_frame")) &&
-        ((fs.exists(new Path(tmp, "_frame")) &&
-          fs.exists(new Path(tmp, "_tver"))) || buriedComplete)) {
-      if (rebaseLockAlive(fs, path)) return // live owner mid-swap
-      val (hb, token) =
-        try acquireRebaseLock(fs, path)
-        catch { case _: java.util.ConcurrentModificationException => return }
-      try {
-        // re-check under the lock — a rival recovery may have healed
-        if (!fs.exists(new Path(p, "_frame"))) {
-          require(swapInStage(fs, tmp, p),
+    if (!listCands().exists(complete)) return
+    if (rebaseLockAlive(fs, path)) return // live owner mid-swap
+    val (hb, token) =
+      try acquireRebaseLock(fs, path)
+      catch { case _: java.util.ConcurrentModificationException => return }
+    try {
+      // re-check under the lock — a rival recovery may have healed
+      if (!fs.exists(new Path(p, "_frame"))) {
+        // pull buried stages back beside the table so the promote sees
+        // them (serialized under the lock, so no rival pulls them too)
+        if (fs.exists(p))
+          try fs.listStatus(p)
+            .filter(st => isRebaseStageOf(p, st.getPath.getName))
+            .foreach(st => fs.rename(st.getPath,
+              new Path(p.getParent, st.getPath.getName)))
+          catch { case scala.util.control.NonFatal(_) => () }
+        val cands = listCands().filter(complete)
+        if (cands.nonEmpty) {
+          val winner = cands.map(c => (c, fs.getFileStatus(c)))
+            .maxBy(_._2.getModificationTime)._1
+          require(swapInStage(fs, winner, p),
             s"compaction recovery failed for $path")
           purgeAllSessions(sp, path)
         }
-      } finally releaseRebaseLock(fs, path, hb, token)
-    }
+      }
+    } finally releaseRebaseLock(fs, path, hb, token)
     ()
   }
 }

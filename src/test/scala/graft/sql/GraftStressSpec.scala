@@ -337,6 +337,69 @@ class GraftStressSpec extends AnyFunSuite {
     }
   }
 
+  test("rival OPTIMIZEs stage disjointly: the loser aborts on the live " +
+      "lock without corrupting the winner's stage or losing carried " +
+      "commits (the r20 unique-stage fix)") {
+    val path = freshDir("rival")
+    spark.sql("DROP TABLE IF EXISTS stress_rv")
+    try {
+      (1L to 20L).map(k => (k, 0.0)).toDF("k", "bal")
+        .createOrReplaceTempView("stress_rvsrc")
+      spark.sql(s"""CREATE TABLE stress_rv USING graft
+        |OPTIONS (key 'k') LOCATION '$path'
+        |AS SELECT * FROM stress_rvsrc""".stripMargin)
+      (1 to 3).foreach(i =>
+        spark.sql(s"UPDATE stress_rv SET bal = bal + $i WHERE k <= 20"))
+      val stalled = new java.util.concurrent.CountDownLatch(1)
+      val wake = new java.util.concurrent.CountDownLatch(1)
+      // the owner stalls INSIDE the locked window with its heartbeat
+      // ALIVE — exactly when the old fixed-name scheme let a rival's
+      // pre-lock `delete(tmp) + saveTo(tmp)` rewrite the stage the
+      // owner was about to promote
+      GraftTables.rebaseStallHook = hb => {
+        GraftTables.rebaseStallHook = _ => ()
+        stalled.countDown()
+        wake.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+      val ownerErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val owner = new Thread(() => {
+        try { spark.newSession().sql("OPTIMIZE stress_rv"); () }
+        catch { case e: Throwable => ownerErr.set(e) }
+      })
+      owner.start()
+      assert(stalled.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      // the rival stages its own (disjoint) dir, then aborts LOUDLY on
+      // the live lock — it must not be acknowledged, and it must not
+      // have touched the owner's stage
+      val e = intercept[Throwable](spark.sql("OPTIMIZE stress_rv"))
+      assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"rival failed with the wrong class: $e")
+      wake.countDown()
+      owner.join(120000)
+      assert(ownerErr.get() === null,
+        s"the stalled-but-live owner failed: ${ownerErr.get()}")
+      // the owner's swap carried everything: content exact, cold
+      // replay equal, and no stage siblings leak
+      val expect = (1 to 3).sum.toDouble
+      assert(spark.sql("SELECT DISTINCT bal FROM stress_rv").collect()
+        .map(_.getDouble(0)).toSeq === Seq(expect))
+      assert(spark.newSession()
+        .sql("SELECT DISTINCT bal FROM stress_rv").collect()
+        .map(_.getDouble(0)).toSeq === Seq(expect))
+      val parent = new java.io.File(path).getParentFile
+      val leaks = parent.listFiles().filter(_.getName.startsWith(
+        s".${new java.io.File(path).getName}_compact_tmp"))
+      assert(leaks.isEmpty,
+        s"rebase stages leaked: ${leaks.map(_.getName).mkString(",")}")
+    } finally {
+      GraftTables.rebaseStallHook = _ => ()
+      spark.sql("DROP TABLE IF EXISTS stress_rv")
+    }
+  }
+
   test("post-commit maintenance failure is absorbed, gauged, and " +
       "loudly visible: the statement succeeds, the counter increments, " +
       "the next statement heals") {
