@@ -105,20 +105,7 @@ private[graft] object MarkerFile {
     writeAtomic(fs, path)(_.write(
       text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
-  def readLong(fs: FileSystem, path: Path): Option[Long] = {
-    val text =
-      try {
-        if (!fs.exists(path)) return None
-        val in = fs.open(path)
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      } catch {
-        case _: java.io.FileNotFoundException => return None
-        case _: org.apache.hadoop.fs.ChecksumException => return None
-        case _: java.io.EOFException => return None
-      }
-    try Some(text.toLong) catch { case _: NumberFormatException => None }
-  }
+  def readLong(fs: FileSystem, path: Path): Option[Long] =
+    readString(fs, path).flatMap(t =>
+      try Some(t.toLong) catch { case _: NumberFormatException => None })
 }

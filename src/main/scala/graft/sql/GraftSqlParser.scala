@@ -653,6 +653,31 @@ private[sql] object GraftManifest {
   private val MetaMagic = 0x47454D46 // "GEMF"
   private val MetaVersion = 1
 
+  /** The same table reaches the refresh path as '/t', 'file:/t', or
+    * 'file:///t' depending on the entry point (tableInfo URIs vs raw
+    * commit paths) — a raw-string meta match would read an
+    * auto-refreshed mirror as FOREIGN and full-rewrite forever while
+    * the staleness probe reported -1. One normalized form for all. */
+  private def samePath(a: String, b: String): Boolean = {
+    def norm(s: String) = {
+      val p = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+      if (p.startsWith("/")) p else s"/$p"
+    }
+    norm(a) == norm(b)
+  }
+
+  // post-commit auto-refreshes from CONCURRENT committers must not
+  // interleave on one mirror (delete + append of the same __part dirs
+  // = duplicate/stale rows a fresh-reading manifest then lists).
+  // Commits themselves serialize, so an in-JVM per-dest monitor plus
+  // the version guard in [[refresh]] restores their order; ACROSS
+  // processes the mirror stays last-writer-wins (the statement form
+  // always was) — re-run GENERATE to heal, staleness stays detectable.
+  private val refreshLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]()
+  private def lockFor(dest: String): Object =
+    refreshLocks.getOrElseUpdate(dest, new Object)
+
   /** (exported source version, mirror partition count, source path) —
     * None when absent/foreign/unparsable (callers full-rewrite). */
   private[sql] def readExportMeta(fs: org.apache.hadoop.fs.FileSystem,
@@ -676,7 +701,7 @@ private[sql] object GraftManifest {
     val destP = new Path(dest)
     val fs = destP.getFileSystem(sp.sparkContext.hadoopConfiguration)
     readExportMeta(fs, new Path(destP, "_graft_export_meta"))
-      .filter(_._3 == path).map(_._1)
+      .filter(m => samePath(m._3, path)).map(_._1)
   }
 
   // plain listStatus recursion — fs.listFiles(recursive) returns
@@ -705,14 +730,22 @@ private[sql] object GraftManifest {
     * into `dest`. Returns (source version, leaf files, partitions
     * rewritten, mode ∈ full|incremental|noop). */
   private[sql] def refresh(sp: SparkSession, path: String,
-      dest: String): (Long, Int, Int, String) = {
+      dest: String): (Long, Int, Int, String) = lockFor(dest).synchronized {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val (v, h) = dbg("current")(GraftTables.current(sp, path))
     val destP = new Path(dest)
     val fs = destP.getFileSystem(sp.sparkContext.hadoopConfiguration)
     val metaF = new Path(destP, "_graft_export_meta")
     val dataDir = new Path(destP, "data")
-    val meta = readExportMeta(fs, metaF).filter(_._3 == path)
+    val meta = readExportMeta(fs, metaF).filter(m => samePath(m._3, path))
+    // version guard (with the monitor above): a rival committer's
+    // post-commit refresh that already mirrored PAST our snapshot must
+    // not be rolled back to it — the delete+append would resurrect
+    // rows its refresh superseded (equal versions flow through the
+    // normal noop path below, which re-verifies and lists files)
+    meta.filter(_._1 > v).foreach { m =>
+      return (m._1, -1, 0, "noop")
+    }
     val nParts = dbg("nParts")(meta.map(_._2)
       .getOrElse(math.max(1, h.idxAny.partitions.length)))
     val pidCol = pmod(xxhash64(h.keyCols.map(col): _*), lit(nParts))
@@ -783,7 +816,9 @@ private[sql] object GraftManifest {
   }
 
   private[sql] def registerAuto(sp: SparkSession, path: String,
-      dest: String): Unit = {
+      dest: String): Unit = lockFor(s"register:$path").synchronized {
+    // read-modify-write under a monitor so two concurrent WITH AUTO
+    // REFRESH registrations (different dests) cannot drop each other
     val fs = new Path(path).getFileSystem(
       sp.sparkContext.hadoopConfiguration)
     val all = (autoDests(sp, path) :+ dest).distinct

@@ -1381,11 +1381,17 @@ private[sql] object GraftTables {
     }
     // abandoned REBASE stages live BESIDE the table (unique-named
     // siblings since r20); sweep aged ones only while the table is
-    // healthy — a headless table may need them for recovery
+    // healthy — a headless table may need them for recovery. Staleness
+    // keys on max(root mtime, `_hb` heartbeat): a LIVE rebase's save
+    // writes only deep files and never moves the root mtime, so mtime
+    // alone would let this sweep kill a live stage mid-save.
     if (fs.exists(new Path(p, "_frame"))) {
       try fs.listStatus(p.getParent).foreach { st =>
+        lazy val alive = math.max(st.getModificationTime,
+          graft.MarkerFile.readLong(fs, new Path(st.getPath, "_hb"))
+            .getOrElse(0L))
         if (isRebaseStageOf(p, st.getPath.getName) &&
-            now - st.getModificationTime > orphanSweepAgeMillis) {
+            now - alive > orphanSweepAgeMillis) {
           try { fs.delete(st.getPath, true); () }
           catch { case scala.util.control.NonFatal(_) => () }
         }
@@ -2219,6 +2225,13 @@ private[sql] object GraftTables {
     t.setDaemon(true)
     t.start()
     def stop(): Unit = { running = false }
+    /** Stop AND wait for the beat thread: callers about to rename the
+      * heartbeat's parent dir away need the in-flight write (whose
+      * fs.create would recreate the dir as an empty orphan) finished. */
+    def stopJoin(): Unit = {
+      running = false
+      try t.join(5000) catch { case _: InterruptedException => () }
+    }
   }
 
   /** Spec hook: a live heartbeat on version `v`'s claim dir. */
@@ -3004,11 +3017,25 @@ private[sql] object GraftTables {
                   val (fs, _) = fsOf(sp, path)
                   committedAt(fs, path, v) // finalizes the meta in place
                   writeVersion(sp, path, v)
-                  val h2 = applyDelta(sp, h, path, v)
-                  maintainIndexes(sp, path, h, h2, v, truncate = false,
-                    hasDel, hasUp)
-                  attachProjectionFor(sp, path, h2, v)
-                  cacheOf(sp).put(canonical(sp, path), (v, h2))
+                  // cache/accelerator materialization of a transaction
+                  // that ALREADY committed (the coordinator is the
+                  // commit point) — same succeed-after-commit contract
+                  // as the single-table tail: absorb, gauge, purge;
+                  // propagating would re-run an acknowledged txn
+                  try {
+                    val h2 = applyDelta(sp, h, path, v)
+                    maintainIndexes(sp, path, h, h2, v, truncate = false,
+                      hasDel, hasUp)
+                    attachProjectionFor(sp, path, h2, v)
+                    cacheOf(sp).put(canonical(sp, path), (v, h2))
+                    // registered export mirrors refresh on the txn
+                    // path too — "every DML commit" includes
+                    // BEGIN/COMMIT members
+                    GraftManifest.autoRefresh(sp, path)
+                  } catch {
+                    case scala.util.control.NonFatal(e) =>
+                      notePostCommitFailure(sp, path, e)
+                  }
                   txn.foreach { case (app, _) =>
                     try graft.MarkerFile.writeLong(fs,
                       new Path(path, s"_txnhint_${safeApp(app)}"), v)
@@ -3806,7 +3833,13 @@ private[sql] object GraftTables {
     // loser burns a staging pass and aborts on the live lock, nothing
     // more. Recovery lists the prefix (legacy fixed name included).
     val tmp = newRebaseStage(p)
-    fs.delete(tmp, true)
+    // the whole staging window is heartbeated (`_hb` inside the stage):
+    // the unlocked O(corpus) save writes only DEEP files, so the stage
+    // root's mtime goes stale while the stage is very much alive — and
+    // a rival OPTIMIZE's sweepOrphans would otherwise delete the live
+    // stage mid-save (the same mtime-does-not-move failure the
+    // vector-index stages fixed with their heartbeat)
+    val stageHb = new Heartbeat(fs, new Path(tmp, "_hb"))
     try {
     h.saveTo(tmp.toString)
     // SWAP FENCE (see the notes above [[rebaseLockPath]]): the slow
@@ -3874,7 +3907,8 @@ private[sql] object GraftTables {
     // manifest (losing it would silently end index maintenance after
     // an OPTIMIZE), the CHECK constraints, the idempotent-writer
     // markers, and the skew cap
-    val rootSidecars = (Seq("_indexnames", "_constraints", "_evolvever") ++
+    val rootSidecars = (Seq("_indexnames", "_constraints", "_evolvever",
+      "_texport_auto") ++
       fs.listStatus(p).map(_.getPath.getName).filter(n =>
         n.startsWith("_txnhint_") || n.startsWith("_txnfold_") ||
           n.startsWith("_txn_") || n.startsWith("_txnc_"))).distinct
@@ -3924,6 +3958,10 @@ private[sql] object GraftTables {
     // past the fence pre-check) can neither brick the table nor get
     // their skeleton acknowledged (the post-commit fence sees
     // record-gone and the statement retries)
+    // the stage is fully written — stop (and JOIN) its heartbeat
+    // BEFORE the rename, or an in-flight `_hb` write's fs.create could
+    // recreate the just-renamed stage dir as an empty orphan
+    stageHb.stopJoin()
     // last ownership check before the point of no return: a theft
     // landing after this is the advisory-lock residue every dir-swap
     // protocol carries; swapInStage + the post-commit fence absorb it
@@ -3958,7 +3996,7 @@ private[sql] object GraftTables {
         try { if (fs.exists(new Path(p, "_frame"))) fs.delete(tmp, true) }
         catch { case scala.util.control.NonFatal(_) => () }
         throw e
-    }
+    } finally stageHb.stop()
     ()
   }
 

@@ -149,7 +149,13 @@ private[sql] object GraftVectorIndex {
     }, s"graft-ivf-stage-heartbeat-${stage.getName}")
     t.setDaemon(true)
     t.start()
-    try body finally { running = false }
+    // JOIN, not just flag: the caller swaps the stage dir right after
+    // this returns, and an in-flight `_hb` write's fs.create would
+    // recreate the renamed-away dir as an empty orphan
+    try body finally {
+      running = false
+      try t.join(5000) catch { case _: InterruptedException => () }
+    }
   }
 
   /** Age after which an orphaned stage is provably dead and safe to

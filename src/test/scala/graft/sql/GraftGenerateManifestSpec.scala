@@ -102,7 +102,10 @@ class GraftGenerateManifestSpec extends AnyFunSuite {
     spark.sql(s"""CREATE TABLE man_s USING graft
       |OPTIONS (key 'k') LOCATION '$path'
       |AS SELECT * FROM man_ssrc""".stripMargin)
-    def table = spark.sql("SELECT k, name, v FROM man_s")
+    // read the truth COLD: the direct commitTxnChange call below does
+    // not refresh this session's relation cache (the SQL DML commands
+    // do that part), and the mirror must be compared against the log
+    def table = spark.newSession().sql("SELECT k, name, v FROM man_s")
       .collect().map(_.toSeq).toSet
     def stale = spark.sql(
       s"SELECT * FROM graft_manifest_stale('man_s', '$out')")
@@ -137,6 +140,21 @@ class GraftGenerateManifestSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.sql("INSERT INTO man_s VALUES (9001, 'nine', 9.0)")
     assert(!stale.getBoolean(4), "reopened-session DML left mirror stale")
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
+    // the registration SURVIVES OPTIMIZE's whole-dir rebase swap
+    // (losing it would silently end mirror refresh — the same failure
+    // class the _indexnames carry guards against)
+    spark.sql("OPTIMIZE man_s")
+    spark.sql("UPDATE man_s SET v = -3 WHERE k = 17")
+    assert(!stale.getBoolean(4), "registration lost across OPTIMIZE")
+    assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
+    // ... and the atomic multi-table txn path refreshes too ("every
+    // DML commit" includes BEGIN/COMMIT members)
+    import spark.implicits._
+    GraftTables.commitTxnChange(spark, Seq(
+      (path, Some(Seq(Tuple1(19L)).toDF("k")),
+        Some(Seq((9002L, "txn", 2.0)).toDF("k", "name", "v")))))
+    assert(!stale.getBoolean(4), "txn commit left mirror stale")
     assert(readViaManifest(out).collect().map(_.toSeq).toSet === table)
     spark.sql("DROP TABLE IF EXISTS man_s")
   }
