@@ -567,13 +567,36 @@ object Bench {
     val tManNoop = timed3("micro_export_manifest_noop_once") {
       spark.sql(s"GENERATE MANIFEST FOR TABLE bench_man TO '$out'"); ()
     }
+    // the AUTO REFRESH tax in numbers: the same 3-row INSERT, plain vs
+    // with a registered mirror (the post-commit tail then refreshes the
+    // touched mirror partitions synchronously). The delta-cost claim is
+    // that the registered statement pays the noop-verb overhead plus a
+    // few-partition rewrite — never O(corpus) — so the pair should sit
+    // within a small constant of each other at any table size.
+    var tag = 0
+    val tDmlPlain = timed3("micro_catalog_dml_plain_once") {
+      tag += 1
+      spark.sql("INSERT INTO bench_man SELECT vec_id + " +
+        s"${(700 + tag) * shift}, embedding FROM bench_man_src WHERE vec_id < 3")
+      ()
+    }
+    spark.sql(
+      s"GENERATE MANIFEST FOR TABLE bench_man TO '$out' WITH AUTO REFRESH")
+    val tDmlAuto = timed3("micro_catalog_dml_automirror_once") {
+      tag += 1
+      spark.sql("INSERT INTO bench_man SELECT vec_id + " +
+        s"${(800 + tag) * shift}, embedding FROM bench_man_src WHERE vec_id < 3")
+      ()
+    }
     spark.sql("DROP TABLE IF EXISTS bench_man")
     Seq(path, out, outFull).foreach(p => new scala.reflect.io.Directory(
       new java.io.File(p)).deleteRecursively())
     Seq("micro_export_full_once" -> tExport,
       "micro_export_manifest_full_once" -> tManFull,
       "micro_export_manifest_incr_once" -> tManIncr,
-      "micro_export_manifest_noop_once" -> tManNoop)
+      "micro_export_manifest_noop_once" -> tManNoop,
+      "micro_catalog_dml_plain_once" -> tDmlPlain,
+      "micro_catalog_dml_automirror_once" -> tDmlAuto)
   }
 
   /** OPTIMIZE ZORDER payoff measured: the same 2-D box count over a
