@@ -349,18 +349,38 @@ private[sql] object GraftTables {
   /** (version, live handle) of the table at `path`, current with the
     * on-disk log: the cached handle serves as long as its version
     * matches `_tver`; anything else (first touch in this session, a
-    * log advanced elsewhere) reloads base + replay. */
+    * log advanced elsewhere) reloads base + replay.
+    *
+    * `diskVersion` and `loadVersion` are two reads of one
+    * atomically-swapped state: a rebase rename landing BETWEEN them
+    * gives a TORN pair (the headless instant derives version 0 while
+    * the promoted dir starts at the compacted first version —
+    * "no version 0 ... have 9..9", caught live by the stress matrix).
+    * The pair is re-derived on that signature, bounded; a persistent
+    * mismatch (a genuinely vacuumed version) still fails loudly. */
   private[sql] def current(sp: SparkSession, path: String): (Long, TableHandle) = {
     recoverIfNeeded(sp, path)
     val key = canonical(sp, path)
-    val dv = diskVersion(sp, path)
-    cacheOf(sp).get(key) match {
-      case Some((v, h)) if v == dv => (v, h)
-      case _ =>
-        val h = loadVersion(sp, path, dv)
-        cacheOf(sp).put(key, (dv, h))
-        (dv, h)
+    var attempts = 0
+    while (true) {
+      val dv = diskVersion(sp, path)
+      cacheOf(sp).get(key) match {
+        case Some((v, h)) if v == dv => return (v, h)
+        case _ =>
+          try {
+            val h = loadVersion(sp, path, dv)
+            cacheOf(sp).put(key, (dv, h))
+            return (dv, h)
+          } catch {
+            case e: IllegalArgumentException
+                if attempts < 5 && e.getMessage != null &&
+                  e.getMessage.contains("no version") =>
+              attempts += 1
+              Thread.sleep(50)
+          }
+      }
     }
+    sys.error("unreachable")
   }
 
   // -------------------------------------------------------- create path
