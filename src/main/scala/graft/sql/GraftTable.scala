@@ -1670,12 +1670,26 @@ private[sql] object GraftTables {
     if (truncate)
       cur = cur.delete(cur.toDF(sp).select(cur.keyCols.map(col): _*))
     if (hasDel)
-      cur = cur.delete(alignTo(sp.read.parquet(s"$dir/del"),
+      cur = cur.delete(alignTo(readBack(sp,
+        keySchemaOf(cur.schema, cur.keyCols), s"$dir/del"),
         keySchemaOf(cur.schema, cur.keyCols)))
     if (hasUp)
-      cur = cur.upsert(alignTo(sp.read.parquet(s"$dir/up"), cur.schema))
+      cur = cur.upsert(alignTo(readBack(sp, cur.schema, s"$dir/up"),
+        cur.schema))
     cur
   }
+
+  /** Read back OUR OWN staged/committed change-set parquet with an
+    * EXPLICIT all-nullable schema — the same per-file-exact contract
+    * [[lastOpFrame]] documents (a file staged before a rival's
+    * additive evolution carries fewer columns; they read NULL).
+    * Inference over these one-or-few-file dirs launched a footer job
+    * per readback — 2-4 extra driver round-trips on EVERY DML
+    * statement at any table size. */
+  private def readBack(sp: SparkSession, expected: StructType,
+      paths: String*): DataFrame =
+    sp.read.schema(StructType(expected.fields.map(_.copy(nullable = true))))
+      .parquet(paths: _*)
 
   /** The table as of version `v` (0 = the base save): base load —
     * secondary/zone sidecars reattach — plus a replay of the first `v`
@@ -1838,10 +1852,11 @@ private[sql] object GraftTables {
       // key-disjoint by construction; a raw plain delta's by the DML
       // contract) — no window needed
       val s = segs.head
-      val del = if (s.hasDel) Some(alignTo(sp.read.parquet(s"${s.dir}/del"),
+      val del = if (s.hasDel) Some(alignTo(readBack(sp,
+        keySchemaOf(h0.schema, h0.keyCols), s"${s.dir}/del"),
         keySchemaOf(h0.schema, h0.keyCols))) else None
-      val up = if (s.hasUp) Some(alignTo(sp.read.parquet(s"${s.dir}/up"),
-        h0.schema)) else None
+      val up = if (s.hasUp) Some(alignTo(readBack(sp, h0.schema,
+        s"${s.dir}/up"), h0.schema)) else None
       var h2 = h0
       del.foreach(d => h2 = h2.delete(d))
       up.foreach(u => h2 = h2.upsert(u))
@@ -2042,16 +2057,18 @@ private[sql] object GraftTables {
     // missed append costs partial-probe freshness, never wrong rows.
     val ivfs = entries.filter(e => e._2 == "ivf" || e._2 == "ivfpq")
     if (ivfs.nonEmpty && hasUp) {
-      lazy val upAligned = alignTo(sp.read.parquet(s"$dir/up"), hNew.schema)
+      lazy val upAligned = alignTo(readBack(sp, hNew.schema, s"$dir/up"),
+        hNew.schema)
       ivfs.foreach { case (n, _, _) =>
         try GraftVectorIndex.append(sp, path, n, upAligned, hNew.keyCols, v)
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     if (truncate) { reapplyIndexes(sp, path, hNew); return }
-    val del = if (hasDel) Some(alignTo(sp.read.parquet(s"$dir/del"),
+    val del = if (hasDel) Some(alignTo(readBack(sp,
+      keySchemaOf(hNew.schema, hNew.keyCols), s"$dir/del"),
       keySchemaOf(hNew.schema, hNew.keyCols))) else None
-    val up = if (hasUp) Some(alignTo(sp.read.parquet(s"$dir/up"),
+    val up = if (hasUp) Some(alignTo(readBack(sp, hNew.schema, s"$dir/up"),
       hNew.schema)) else None
     hNew.maintainSidecarsFrom(hOld, del, up)
     // manifest entries the transplant could not carry re-derive fresh
@@ -2749,7 +2766,7 @@ private[sql] object GraftTables {
           val cs = readConstraints(sp, path)
           if (cs.nonEmpty && cs != checked)
             enforceConstraintList(cs,
-              alignTo(sp.read.parquet(s"$stage/up"), h.schema))
+              alignTo(readBack(sp, h.schema, s"$stage/up"), h.schema))
           checked = cs
         }
         val next = v + 1
@@ -3563,14 +3580,32 @@ private[sql] object GraftTables {
       s"table has a column named '$zbc' (reserved for the z projection)")
     val nb = 1 << ZProjection.bitsFor(cols.size)
     val qs = (1 until nb).map(_.toDouble / nb).toArray
-    def edges(c: String): Array[Double] =
-      df.select(col(c).cast("double").as("v")).na.drop()
-        .stat.approxQuantile("v", qs, 0.001).distinct.sorted
-    val dims = cols.map(c => (c, edges(c)))
+    // ONE quantile job covering every dimension (multi-column
+    // approxQuantile shares a single aggregation pass; it ignores
+    // null/NaN per column, the same population the old per-column
+    // na.drop pass measured) — the previous shape paid one full corpus
+    // pass PER dimension before the rewrite even started
+    val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val allEdges = casted.stat.approxQuantile(cols.toArray, qs, 0.001)
+    val dims = cols.zip(allEdges.map(_.distinct.sorted))
     val target = new Path(zProjDir(path))
     val tmp = new Path(p, s"_tprojtmp_${java.util.UUID.randomUUID()}")
+    // cluster by cell BEFORE the partitioned write: without the
+    // repartition every input task opens a writer per cell it sees —
+    // O(tasks x cells) tiny parquet files per rebuild (at 8 tasks x
+    // 256/512 cells that is ~2-4k files whose create/commit/list costs
+    // dominated the rebuild AND every later scan's partition
+    // discovery). Hashing on the cell id lands each cell in exactly
+    // one task -> one file per cell; cells are equal-population by
+    // construction (rank-space buckets), so the shuffle cannot skew,
+    // and the partition count stays the scale-adaptive
+    // spark.sql.shuffle.partitions/AQE choice, not a constant. Rows
+    // sort by the projected dims inside each cell so parquet row-group
+    // min/max stats stay tight for the residual pushdown.
     df.withColumn(zbc,
         ZProjection.zbCol(dims.map { case (c, b) => (col(c), b) }))
+      .repartition(sp.sessionState.conf.numShufflePartitions, col(zbc))
+      .sortWithinPartitions(cols.map(col): _*)
       .write.partitionBy(zbc).mode("overwrite").parquet(tmp.toString)
     // magic + format version lead the sidecar so a future layout
     // change can tell old metas from torn ones and migrate instead of
@@ -3590,6 +3625,11 @@ private[sql] object GraftTables {
     // legacy root sidecar (pre-r18 layout) — remove so a stale copy
     // can never shadow the in-dir meta
     fs.delete(new Path(p, "_tprojmeta"), false)
+    // the shared base-source memo pins FILE PATHS from its listing —
+    // a rebuild into the same dir must drop it (both key spellings:
+    // Path.toString normalizes file:/// to file:/, raw strings don't)
+    ZProjection.invalidateBase(zProjDir(path))
+    ZProjection.invalidateBase(target.toString)
     ZProjection.ZProjInfo(target.toString, dims)
   }
 

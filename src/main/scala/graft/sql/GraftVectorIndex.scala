@@ -432,7 +432,13 @@ private[sql] object GraftVectorIndex {
     require(sample.nonEmpty,
       s"CREATE INDEX USING IVF: no non-null '$vecCol' vectors to train on")
     val centroids = graft.pipeline.Similarity.kmeans(sample, nlist, 5)
+    // cluster by list BEFORE the partitioned write: without it every
+    // input task opens a writer per list it sees — O(tasks x nlist)
+    // tiny files (32-partition tables wrote ~500 files for a 16-list
+    // index), paid again by every probe's partition discovery. The
+    // shuffle is one corpus pass at shuffle.partitions/AQE sizing.
     assigned(df, keyCols, vecCol, centroids, v)
+      .repartition(col("__list"))
       .write.mode("overwrite").partitionBy("__list")
       .parquet(s"$outDir/lists")
     centroids.zipWithIndex
@@ -467,6 +473,7 @@ private[sql] object GraftVectorIndex {
     }
     val books = graft.pipeline.Similarity.pqCodebooks(rsample, m, sub, ks, 3)
     encoded(vn, keyCols, coarse, books, m, sub, v)
+      .repartition(col("__list")) // one file per list, not tasks x lists
       .write.mode("overwrite").partitionBy("__list")
       .parquet(s"$outDir/lists")
     coarse.zipWithIndex
@@ -554,7 +561,13 @@ private[sql] object GraftVectorIndex {
               booksOf(sp, idxDir, m.buildVersion), m.m,
               coarse.head.length / m.m, v)
           else assigned(up, keyCols, m.vecCol, coarse, v)
-        rows.write.mode("append").partitionBy("__list")
+        // the delta often arrives on MANY tiny partitions (a filtered
+        // scan keeps the source's task count): shuffling it by list is
+        // delta-sized and caps the append at one file per touched list
+        // instead of tasks x lists — churned-table probes then list
+        // and open far fewer delta files
+        rows.repartition(col("__list"))
+          .write.mode("append").partitionBy("__list")
           .parquet(s"$idxDir/lists")
       }
     }
@@ -580,12 +593,19 @@ private[sql] object GraftVectorIndex {
       // heartbeated like REINDEX: the lists rewrite is O(index) and can
       // outlive staleStageMs on a big table
       withStageHeartbeat(fs, tmp) {
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("__ver").desc)
-        sp.read.parquet(s"$idxDir/lists")
-          .withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
+        // newest entry per key via max_by: a hash aggregate with
+        // map-side partial merge — the sort-window shape shuffled and
+        // SORTED every entry first (no partial aggregation). Ties are
+        // impossible (a key appears at most once per commit version).
+        val lists = sp.read.parquet(s"$idxDir/lists")
+        val payload = lists.columns.filterNot(keyCols.contains).toSeq
+        lists.groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(payload.map(col): _*), col("__ver"))
+            .as("__newest"))
+          .select(keyCols.map(col) ++
+            payload.map(c => col(s"__newest.$c").as(c)): _*)
           .join(live.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .repartition(col("__list")) // one file per list in the rewrite
           .write.partitionBy("__list").parquet(s"$tmp/lists")
         Seq("centroids", "books").foreach { d =>
           val src = new Path(idxDir, d)

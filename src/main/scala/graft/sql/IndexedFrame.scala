@@ -2133,7 +2133,7 @@ object IndexedFrame {
             val projRows =
               if (zbs.isEmpty) None
               else {
-                val base = info.base(sqlContext.sparkSession)
+                val base = info.base(sqlContext.sparkSession, schema)
                   .where(col(ZProjection.ZbCol).isin(zbs.map(Int.box): _*))
                 val filtered = ZProjection.residualFilter(filters, info)
                   .map(base.where).getOrElse(base)

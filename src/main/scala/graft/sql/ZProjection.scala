@@ -78,17 +78,55 @@ private[sql] object ZProjection {
       overlay: Option[() => Option[org.apache.spark.sql.DataFrame]] = None) {
     def bits: Int = bitsFor(dims.size)
     def cells: Int = 1 << (bits * dims.size)
-    // the parquet source memoizes per serving session: partition
-    // discovery (256 zb dirs) and footer schema inference happen ONCE
-    // per attached projection, not per boxed query — the repeated-
-    // dashboard shape would otherwise pay ~a second of re-listing per
-    // query at any SF
-    @transient private var baseDF: org.apache.spark.sql.DataFrame = null
-    private[sql] def base(sp: org.apache.spark.sql.SparkSession)
-        : org.apache.spark.sql.DataFrame = synchronized {
-      if (baseDF == null || (baseDF.sparkSession ne sp))
-        baseDF = sp.read.parquet(dir)
-      baseDF
+    // the parquet source memoizes per serving session — see
+    // [[ZProjection.baseFor]]; instance-level memoization was lost on
+    // every post-DML re-attach (attach copies this info), re-paying
+    // the 256-dir discovery job per statement
+    private[sql] def base(sp: org.apache.spark.sql.SparkSession,
+        dataSchema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.DataFrame = baseFor(sp, dir, dataSchema)
+  }
+
+  /** Shared parquet source per projection DIR: partition discovery
+    * (256 zb dirs → one distributed listing job) happens ONCE per
+    * committed projection per session, not per boxed query and not
+    * per DML re-attach. The read schema is EXPLICIT (the table schema
+    * being served, plus the int cell column) — schema inference over
+    * a 256/512-file source launched a one-task-per-file footer job on
+    * every cold attach. Files always carry exactly the table columns
+    * (the writer selects them), so the explicit schema is exact.
+    * [[invalidateBase]] drops the entry whenever a rebuild promotes
+    * new files into the same dir (stale listings would pin deleted
+    * paths); a session swap re-reads too. */
+  private val baseMemo = new scala.collection.concurrent.TrieMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  // the memo key NORMALIZES through Path: the same dir arrives as
+  // file:/tmp/x (catalog URI), file:///tmp/x (DML-time location) and
+  // /tmp/x depending on the entry point, and a spelling miss re-pays
+  // the 256-dir listing job per statement (the r19 memo-key trap)
+  private def baseKey(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir).toString
+
+  private[sql] def invalidateBase(dir: String): Unit = {
+    baseMemo.remove(baseKey(dir))
+    ()
+  }
+
+  private[sql] def baseFor(sp: org.apache.spark.sql.SparkSession,
+      dir: String, dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val readSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.map(_.copy(nullable = true)) :+
+        org.apache.spark.sql.types.StructField(ZbCol,
+          org.apache.spark.sql.types.IntegerType, nullable = true))
+    baseMemo.get(baseKey(dir)) match {
+      case Some(df) if (df.sparkSession eq sp) &&
+          df.schema.fieldNames.sameElements(readSchema.fieldNames) => df
+      case _ =>
+        val df = sp.read.schema(readSchema).parquet(dir)
+        baseMemo.put(baseKey(dir), df)
+        df
     }
   }
 
