@@ -47,6 +47,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer", sys.env.getOrElse(
+        "SPARK_GRAFT_SERIALIZER",
+        "org.apache.spark.serializer.KryoSerializer"))
+      .config("spark.kryoserializer.buffer.max", "256m")
       .config("spark.sql.extensions", "graft.sql.GraftSqlExtension")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

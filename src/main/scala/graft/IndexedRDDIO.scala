@@ -68,9 +68,34 @@ object IndexedRDDIO {
     val (n, p) =
       try (meta.readInt(), meta.readObject().asInstanceOf[Partitioner])
       finally meta.close()
+    healRangePartitioner[K](p)
     new IndexedRDD(new LoadedPartitionsRDD[K, V](
       sc, path, n, p, ConfBridge.broadcast(sc)))
   }
+
+  /** Spark's RangePartitioner has custom (de)serialization that, under
+    * a NON-Java `spark.serializer` (Kryo), restores every functional
+    * field but leaves its private `evidence$2` ClassTag null — it is
+    * only consumed by `writeObject`, so a LOADED partitioner routes
+    * keys fine but NPEs the moment it is serialized again (e.g. into
+    * a task closure of a downstream job). Executors never re-serialize
+    * a partitioner, so stock Spark never trips this; a driver-side
+    * save/load round-trip does. Restore the tag reflectively (the
+    * field is `evidence$2` in Spark 4.1.x; a rename makes this a
+    * no-op and the Java-serializer path never needs it). */
+  private def healRangePartitioner[K: ClassTag](p: Partitioner): Unit =
+    p match {
+      case rp: org.apache.spark.RangePartitioner[_, _] =>
+        try {
+          val f = rp.getClass.getDeclaredFields
+            .find(_.getName.endsWith("evidence$2"))
+          f.foreach { fl =>
+            fl.setAccessible(true)
+            if (fl.get(rp) == null) fl.set(rp, implicitly[ClassTag[K]])
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
+    }
 
   private class LoadedPartition(override val index: Int) extends Partition
 

@@ -17,6 +17,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same data serializer as the bench session (Kryo halves the
+      // deserialize cost of DISK_ONLY partition persists and RDD
+      // shuffles; the partition contract requires Kryo round-trip
+      // safety) — the oracle gate then runs under the serializer the
+      // bench actually measures
+      .config("spark.serializer", sys.env.getOrElse(
+        "SPARK_GRAFT_SERIALIZER",
+        "org.apache.spark.serializer.KryoSerializer"))
+      .config("spark.kryoserializer.buffer.max", "256m")
       .config("spark.sql.extensions", "graft.sql.GraftSqlExtension")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
