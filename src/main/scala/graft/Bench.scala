@@ -158,8 +158,15 @@ object Bench {
         f""""wall_sec":$elapsedSec%.1f,"budget_sec":$budgetSec%.0f,""" +
         s""""skipped_families":"$skipped",""" +
         s""""gauges":$gj,"full":"bench_out.json","sf":"$sfDir"}"""
-    println(compact)
+    // the compact line must be the UNCONDITIONAL last stdout line: r20's
+    // driver artifact lost it because it printed BEFORE spark.stop() and
+    // thousands of shutdown `BlockManager: Block rdd_* could not be
+    // removed` WARNs beheaded the captured tail (PERF_r21 then had no
+    // round-over-round table at all). Unpersist every live handle first
+    // (kills the WARN flood at its source), stop the session, THEN print.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.stop()
+    println(compact)
   }
 
   /** Per-lane diagnostics: (raw best-of-3 run seconds, GC ms during

@@ -83,7 +83,7 @@ object IndexedRDDIO {
     * save/load round-trip does. Restore the tag reflectively (the
     * field is `evidence$2` in Spark 4.1.x; a rename makes this a
     * no-op and the Java-serializer path never needs it). */
-  private def healRangePartitioner[K: ClassTag](p: Partitioner): Unit =
+  private[graft] def healRangePartitioner[K: ClassTag](p: Partitioner): Unit =
     p match {
       case rp: org.apache.spark.RangePartitioner[_, _] =>
         try {

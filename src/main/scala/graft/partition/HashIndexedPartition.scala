@@ -14,8 +14,60 @@ import scala.collection.immutable.HashMap
  * the already-built index, so there is no build phase at query time
  * (reference PARTPartition.scala:177-196).
  */
-class HashIndexedPartition[K, V](private[partition] val map: HashMap[K, V])
-    extends IndexedPartition[K, V] {
+class HashIndexedPartition[K, V](@transient private[partition] var map: HashMap[K, V])
+    extends IndexedPartition[K, V]
+    with com.esotericsoftware.kryo.KryoSerializable {
+
+  // Serialization (Java AND Kryo) is a flat (k, v) entry stream, not
+  // the default HAMT node-graph encoding: the graph form pays per-node
+  // object overhead (plus Kryo reference tracking) on every DISK_ONLY
+  // round-trip; the flat form writes exactly the entries and rebuilds
+  // the map with the builder on read. The field is a var solely so the
+  // read paths can assign it.
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.writeInt(map.size)
+    map.foreach { case (k, v) =>
+      out.writeObject(k.asInstanceOf[AnyRef])
+      out.writeObject(v.asInstanceOf[AnyRef])
+    }
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    val n = in.readInt()
+    val b = HashMap.newBuilder[K, V]
+    var i = 0
+    while (i < n) {
+      val k = in.readObject().asInstanceOf[K]
+      val v = in.readObject().asInstanceOf[V]
+      b += ((k, v))
+      i += 1
+    }
+    map = b.result()
+  }
+
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+      output: com.esotericsoftware.kryo.io.Output): Unit = {
+    output.writeVarInt(map.size, true)
+    map.foreach { case (k, v) =>
+      kryo.writeClassAndObject(output, k.asInstanceOf[AnyRef])
+      kryo.writeClassAndObject(output, v.asInstanceOf[AnyRef])
+    }
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+      input: com.esotericsoftware.kryo.io.Input): Unit = {
+    val n = input.readVarInt(true)
+    val b = HashMap.newBuilder[K, V]
+    var i = 0
+    while (i < n) {
+      val k = kryo.readClassAndObject(input).asInstanceOf[K]
+      val v = kryo.readClassAndObject(input).asInstanceOf[V]
+      b += ((k, v))
+      i += 1
+    }
+    map = b.result()
+  }
 
   override def size: Long = map.size.toLong
 

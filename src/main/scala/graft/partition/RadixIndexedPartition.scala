@@ -152,11 +152,97 @@ object RadixTree {
       }
   }
 
-  /** DFS in unsigned byte order → keys in serialized-byte order. */
+  /** DFS in unsigned byte order → keys in serialized-byte order.
+    * Explicit-stack traversal: the obvious `kids.iterator.flatMap`
+    * nests one iterator per branch level, so every `next()` re-walks
+    * the whole chain — full scans paid ~2x in iterator plumbing alone
+    * (the profiler's "handle full-scan path" cost). */
   def iterate[V](node: TNode[V]): Iterator[(Array[Byte], V)] = node match {
     case TEmpty => Iterator.empty
-    case TLeaf(k, v) => Iterator((k, v))
-    case TBranch(_, _, kids) => kids.iterator.flatMap(iterate)
+    case TLeaf(k, v) => Iterator.single((k, v))
+    case root => new scala.collection.AbstractIterator[(Array[Byte], V)] {
+      private[this] val stack = new java.util.ArrayDeque[TNode[V]]()
+      stack.push(root)
+      private[this] var nk: Array[Byte] = null
+      private[this] var nv: V = null.asInstanceOf[V]
+      private[this] var ready = false
+      private[this] def advance(): Unit =
+        while (!ready && !stack.isEmpty) {
+          stack.pop() match {
+            case TLeaf(k, v) => nk = k; nv = v; ready = true
+            case TBranch(_, _, kids) =>
+              var i = kids.length - 1
+              while (i >= 0) { stack.push(kids(i)); i -= 1 }
+            case TEmpty => ()
+          }
+        }
+      override def hasNext: Boolean = { advance(); ready }
+      override def next(): (Array[Byte], V) = {
+        advance()
+        if (!ready) throw new NoSuchElementException("empty radix iterator")
+        ready = false
+        val out = (nk, nv)
+        nk = null; nv = null.asInstanceOf[V]
+        out
+      }
+    }
+  }
+
+  /** Visit every leaf in DFS (sorted-byte) order with zero iterator or
+    * tuple allocation — the fold/serialization fast path. Recursion
+    * depth is bounded by the key length (every branch consumes ≥1
+    * byte), so the stack stays trivially shallow. */
+  def foreachLeaf[V](node: TNode[V])(f: (Array[Byte], V) => Unit): Unit =
+    node match {
+      case TEmpty => ()
+      case TLeaf(k, v) => f(k, v)
+      case TBranch(_, _, kids) =>
+        var i = 0
+        while (i < kids.length) { foreachLeaf(kids(i))(f); i += 1 }
+    }
+
+  /** Rebuild a tree from entries already in DFS (unsigned sorted byte)
+    * order — O(n·depth), allocating every node array exactly sized.
+    * This is the deserialization path: a compact (key, value) stream
+    * replaces the node-graph encoding, and the structure rebuilds
+    * here. Requires: keys strictly sorted unsigned, prefix-free (both
+    * invariants of [[iterate]] output over any valid tree). */
+  def fromSorted[V](keys: Array[Array[Byte]], vals: Array[AnyRef],
+      lo: Int, hi: Int, depth: Int): TNode[V] = {
+    if (hi <= lo) return TEmpty
+    if (hi - lo == 1) return TLeaf(keys(lo), vals(lo).asInstanceOf[V])
+    // shared prefix of a sorted slice == shared prefix of first & last
+    val a = keys(lo)
+    val b = keys(hi - 1)
+    var cl = 0
+    while (depth + cl < a.length && depth + cl < b.length &&
+        a(depth + cl) == b(depth + cl)) cl += 1
+    val prefix = Arrays.copyOfRange(a, depth, depth + cl)
+    val d = depth + cl
+    // count child groups by the (differing) byte at d, then fill
+    var groups = 0
+    var i = lo
+    while (i < hi) {
+      val b0 = keys(i)(d)
+      var j = i + 1
+      while (j < hi && keys(j)(d) == b0) j += 1
+      groups += 1
+      i = j
+    }
+    val bs = new Array[Int](groups)
+    val ks = new Array[TNode[V]](groups)
+    var g = 0
+    i = lo
+    while (i < hi) {
+      val b0 = keys(i)(d)
+      var j = i + 1
+      while (j < hi && keys(j)(d) == b0) j += 1
+      bs(g) = b0 & 0xff
+      ks(g) = fromSorted(keys, vals, i, j, d + 1)
+      g += 1
+      i = j
+    }
+    TBranch(prefix, bs, ks)
   }
 
   /** Leftmost leaf = smallest key in byte order: one O(depth) descent
@@ -258,13 +344,86 @@ object RadixTree {
  * byte-wise index with O(key-length) probes, copy-on-write updates, and
  * pruned [[range]] scans. Join kernels come from the contract defaults
  * (scan-and-probe over this index).
+ *
+ * Serialization (both Java and Kryo) is CUSTOM: a flat DFS stream of
+ * (key bytes, value) entries instead of the default node-graph
+ * encoding. The graph form pays per-node object/class overhead (and,
+ * under Kryo, reference tracking) on every DISK_ONLY partition
+ * round-trip — the dominant cost of cold scans over persisted indexes.
+ * The flat form writes exactly the leaves and rebuilds the structure
+ * with the sorted bulk-builder [[RadixTree.fromSorted]] on read;
+ * search/range/iteration semantics are invariant under the rebuild
+ * (maximal path compression is unique for a given key set). Fields are
+ * vars solely so the two read paths can assign them.
  */
 class RadixIndexedPartition[K, V](
-    private[partition] val root: RadixTree.TNode[V],
-    override val size: Long,
-    ser: KeySerializer[K]) extends IndexedPartition[K, V] {
+    @transient private[partition] var root: RadixTree.TNode[V],
+    @transient private var _size: Long,
+    @transient private var ser: KeySerializer[K])
+    extends IndexedPartition[K, V]
+    with com.esotericsoftware.kryo.KryoSerializable {
 
   import RadixTree._
+
+  override def size: Long = _size
+
+  private def writeEntries(writeInt: Int => Unit, writeKey: Array[Byte] => Unit,
+      writeValue: AnyRef => Unit): Unit = {
+    require(_size <= Int.MaxValue, s"partition too large to serialize: ${_size}")
+    writeInt(_size.toInt)
+    RadixTree.foreachLeaf(root) { (kb, v) =>
+      writeInt(kb.length)
+      writeKey(kb)
+      writeValue(v.asInstanceOf[AnyRef])
+    }
+  }
+
+  private def readEntries(n: Int, readKey: Int => Array[Byte],
+      readValue: () => AnyRef): Unit = {
+    val keys = new Array[Array[Byte]](n)
+    val vals = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = readKey(i)
+      vals(i) = readValue()
+      i += 1
+    }
+    root = RadixTree.fromSorted[V](keys, vals, 0, n, 0)
+    _size = n.toLong
+  }
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.writeObject(ser)
+    writeEntries(out.writeInt, out.write(_: Array[Byte]), out.writeObject)
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    ser = in.readObject().asInstanceOf[KeySerializer[K]]
+    val n = in.readInt()
+    readEntries(n, { _ =>
+      val kl = in.readInt()
+      val kb = new Array[Byte](kl)
+      in.readFully(kb)
+      kb
+    }, () => in.readObject())
+  }
+
+  override def write(kryo: com.esotericsoftware.kryo.Kryo,
+      output: com.esotericsoftware.kryo.io.Output): Unit = {
+    kryo.writeClassAndObject(output, ser)
+    writeEntries(output.writeVarInt(_, true), output.writeBytes,
+      kryo.writeClassAndObject(output, _))
+  }
+
+  override def read(kryo: com.esotericsoftware.kryo.Kryo,
+      input: com.esotericsoftware.kryo.io.Input): Unit = {
+    ser = kryo.readClassAndObject(input).asInstanceOf[KeySerializer[K]]
+    val n = input.readVarInt(true)
+    readEntries(n, { _ =>
+      val kl = input.readVarInt(true)
+      input.readBytes(kl)
+    }, () => kryo.readClassAndObject(input))
+  }
 
   override def apply(k: K): Option[V] = search(root, ser.toBytes(k), 0)
 

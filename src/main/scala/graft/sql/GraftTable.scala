@@ -3605,7 +3605,13 @@ private[sql] object GraftTables {
     df.withColumn(zbc,
         ZProjection.zbCol(dims.map { case (c, b) => (col(c), b) }))
       .repartition(sp.sessionState.conf.numShufflePartitions, col(zbc))
-      .sortWithinPartitions(cols.map(col): _*)
+      // zbc LEADS the sort: the file writer requires per-partition
+      // ordering on the partition column, so without it Spark inserts
+      // its OWN sort by zbc above this one and the dims order inside
+      // each cell survived only by sorter stability — with zbc first
+      // the required ordering is satisfied, no extra sort is inserted,
+      // and the within-cell dims order is guaranteed by contract
+      .sortWithinPartitions((col(zbc) +: cols.map(col)): _*)
       .write.partitionBy(zbc).mode("overwrite").parquet(tmp.toString)
     // magic + format version lead the sidecar so a future layout
     // change can tell old metas from torn ones and migrate instead of
@@ -3630,7 +3636,7 @@ private[sql] object GraftTables {
     // Path.toString normalizes file:/// to file:/, raw strings don't)
     ZProjection.invalidateBase(zProjDir(path))
     ZProjection.invalidateBase(target.toString)
-    ZProjection.ZProjInfo(target.toString, dims)
+    ZProjection.ZProjInfo(target.toString, dims, pv = v)
   }
 
   /** The persisted projection meta: (version it reflects, info). Read
@@ -3649,7 +3655,7 @@ private[sql] object GraftTables {
       val dims = Seq.fill(in.readInt())(
         (in.readObject().asInstanceOf[String],
           in.readObject().asInstanceOf[Array[Double]]))
-      (pv, ZProjection.ZProjInfo(zProjDir(path), dims))
+      (pv, ZProjection.ZProjInfo(zProjDir(path), dims, pv = pv))
     }
     try {
       if (!fs.exists(f)) None

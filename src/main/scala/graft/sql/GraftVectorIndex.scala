@@ -63,9 +63,13 @@ private[sql] object GraftVectorIndex {
 
   /** `kind` ∈ ivf (raw vectors in the lists — exact at nprobe=nlist) |
     * ivfpq (m×log2(ks)-bit PQ codes in the lists — ADC shortlist,
-    * exact re-rank against the LIVE primary). `m`/`ks` are 0 for ivf. */
+    * exact re-rank against the LIVE primary). `m`/`ks` are 0 for ivf.
+    * `listsSchemaJson` is the exact schema of the `lists/` parquet
+    * layout as written (JSON; "" for pre-v3 metas) — threading it to
+    * [[listsOf]] removes the footer schema-inference job a cold probe
+    * otherwise pays once per (session, table version). */
   final case class IvfMeta(kind: String, vecCol: String, nlist: Int,
-      buildVersion: Long, m: Int, ks: Int)
+      buildVersion: Long, m: Int, ks: Int, listsSchemaJson: String = "")
 
   // _meta leads with a magic + format version so a layout change can
   // MIGRATE old sidecars instead of silently mis-parsing them (the
@@ -73,7 +77,7 @@ private[sql] object GraftVectorIndex {
   // probes failed as "no index" and append() silently stopped
   // maintaining the index). Unknown FUTURE versions fail loudly.
   private val MetaMagic = 0x47564958 // "GVIX"
-  private val MetaVersion = 2
+  private val MetaVersion = 3 // v3 appends the lists schema JSON
 
   private def writeMeta(sp: SparkSession, idxDir: String,
       m: IvfMeta): Unit = {
@@ -84,6 +88,7 @@ private[sql] object GraftVectorIndex {
       out.writeObject(m.kind); out.writeObject(m.vecCol)
       out.writeInt(m.nlist); out.writeLong(m.buildVersion)
       out.writeInt(m.m); out.writeInt(m.ks)
+      out.writeObject(m.listsSchemaJson)
       out.flush()
     }
   }
@@ -263,6 +268,11 @@ private[sql] object GraftVectorIndex {
               case MetaVersion => Right(
                 IvfMeta(in.readObject().asInstanceOf[String],
                   in.readObject().asInstanceOf[String],
+                  in.readInt(), in.readLong(), in.readInt(), in.readInt(),
+                  in.readObject().asInstanceOf[String]))
+              case 2 => Right( // v2: no lists schema — infer on read
+                IvfMeta(in.readObject().asInstanceOf[String],
+                  in.readObject().asInstanceOf[String],
                   in.readInt(), in.readLong(), in.readInt(), in.readInt()))
               case v => throw new IllegalStateException(
                 s"vector-index meta $f has format version $v; this " +
@@ -345,11 +355,19 @@ private[sql] object GraftVectorIndex {
     }
 
   private def listsOf(sp: SparkSession, idxDir: String,
-      tableVersion: Long): DataFrame =
+      tableVersion: Long, m: IvfMeta): DataFrame =
     listsMemo.get(idxDir) match {
       case Some((v, df)) if v == tableVersion && (df.sparkSession eq sp) => df
       case _ =>
-        val df = sp.read.parquet(s"$idxDir/lists")
+        // the meta carries the exact written schema (v3+): passing it
+        // skips the one-task-per-file footer-inference job a cold probe
+        // pays; pre-v3 metas ("" schema) fall back to inference
+        val reader =
+          if (m.listsSchemaJson.isEmpty) sp.read
+          else sp.read.schema(org.apache.spark.sql.types.DataType
+            .fromJson(m.listsSchemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val df = reader.parquet(s"$idxDir/lists")
         listsMemo.put(idxDir, (tableVersion, df))
         df
     }
@@ -436,17 +454,30 @@ private[sql] object GraftVectorIndex {
     // input task opens a writer per list it sees — O(tasks x nlist)
     // tiny files (32-partition tables wrote ~500 files for a 16-list
     // index), paid again by every probe's partition discovery. The
-    // shuffle is one corpus pass at shuffle.partitions/AQE sizing.
-    assigned(df, keyCols, vecCol, centroids, v)
-      .repartition(col("__list"))
+    // partition count is EXPLICIT (the session's shuffle-partition
+    // setting — scale-adaptive config, not a constant): the no-N
+    // variant lets AQE coalesce this small shuffle to ONE task, which
+    // then opens every list writer serially (the zproj write's 7.1 s
+    // failure mode).
+    val rows = assigned(df, keyCols, vecCol, centroids, v)
+    rows.repartition(sp.sessionState.conf.numShufflePartitions,
+        col("__list"))
       .write.mode("overwrite").partitionBy("__list")
       .parquet(s"$outDir/lists")
     centroids.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
-    writeMeta(sp, outDir, IvfMeta("ivf", vecCol, nlist, v, 0, 0))
+    writeMeta(sp, outDir, IvfMeta("ivf", vecCol, nlist, v, 0, 0,
+      listsReadSchemaJson(rows)))
   }
+
+  /** The read-back schema of a `lists/` layout written from `rows`
+    * (last column `__list`, the partition column): all-nullable, JSON.
+    * Written into the meta so probes never pay footer inference. */
+  private def listsReadSchemaJson(rows: DataFrame): String =
+    org.apache.spark.sql.types.StructType(
+      rows.schema.fields.map(_.copy(nullable = true))).json
 
   /** Train coarse quantizer + residual codebooks on one hash-ordered
     * normalized sample and write the IVFPQ layout
@@ -472,8 +503,10 @@ private[sql] object GraftVectorIndex {
       Array.tabulate(dim)(i => p(i) - c(i))
     }
     val books = graft.pipeline.Similarity.pqCodebooks(rsample, m, sub, ks, 3)
-    encoded(vn, keyCols, coarse, books, m, sub, v)
-      .repartition(col("__list")) // one file per list, not tasks x lists
+    // explicit N for the same reason as the ivf layout write above
+    val rows = encoded(vn, keyCols, coarse, books, m, sub, v)
+    rows.repartition(sp.sessionState.conf.numShufflePartitions,
+        col("__list")) // one file per list, not tasks x lists
       .write.mode("overwrite").partitionBy("__list")
       .parquet(s"$outDir/lists")
     coarse.zipWithIndex
@@ -484,7 +517,8 @@ private[sql] object GraftVectorIndex {
       book.zipWithIndex.map { case (c, ci) => (mm, (ci + 1).toLong, c.toSeq) }
     }.toSeq.toDF("mm", "cid", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/books")
-    writeMeta(sp, outDir, IvfMeta("ivfpq", vecCol, nlist, v, m, ks))
+    writeMeta(sp, outDir, IvfMeta("ivfpq", vecCol, nlist, v, m, ks,
+      listsReadSchemaJson(rows)))
   }
 
   /** Build at CREATE INDEX: train the quantizer on a deterministic
@@ -565,8 +599,10 @@ private[sql] object GraftVectorIndex {
         // scan keeps the source's task count): shuffling it by list is
         // delta-sized and caps the append at one file per touched list
         // instead of tasks x lists — churned-table probes then list
-        // and open far fewer delta files
-        rows.repartition(col("__list"))
+        // and open far fewer delta files. N is explicit so AQE cannot
+        // coalesce the shuffle to one serial all-lists writer task.
+        rows.repartition(sp.sessionState.conf.numShufflePartitions,
+            col("__list"))
           .write.mode("append").partitionBy("__list")
           .parquet(s"$idxDir/lists")
       }
@@ -599,13 +635,19 @@ private[sql] object GraftVectorIndex {
         // impossible (a key appears at most once per commit version).
         val lists = sp.read.parquet(s"$idxDir/lists")
         val payload = lists.columns.filterNot(keyCols.contains).toSeq
+        // getField resolves the struct field by LITERAL name — the
+        // string form col("__newest.payload") parses a dotted user
+        // column name as a deeper nested path and fails analysis
         lists.groupBy(keyCols.map(col): _*)
           .agg(max_by(struct(payload.map(col): _*), col("__ver"))
             .as("__newest"))
           .select(keyCols.map(col) ++
-            payload.map(c => col(s"__newest.$c").as(c)): _*)
+            payload.map(c => col("__newest").getField(c).as(c)): _*)
           .join(live.select(keyCols.map(col): _*), keyCols, "left_semi")
-          .repartition(col("__list")) // one file per list in the rewrite
+          // one file per list in the rewrite; N explicit (AQE would
+          // coalesce the small shuffle to one serial all-writers task)
+          .repartition(sp.sessionState.conf.numShufflePartitions,
+            col("__list"))
           .write.partitionBy("__list").parquet(s"$tmp/lists")
         Seq("centroids", "books").foreach { d =>
           val src = new Path(idxDir, d)
@@ -613,7 +655,14 @@ private[sql] object GraftVectorIndex {
             org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
               new Path(tmp, d), false, sp.sparkContext.hadoopConfiguration)
         }
-        writeMeta(sp, tmp.toString, m.copy(buildVersion = v))
+        // the rewrite emits (keyCols ++ payload) with __list last — a
+        // pre-v3 meta ("" schema) gains the exact read schema here, so
+        // one OPTIMIZE upgrades old indexes to inference-free probes
+        val rewrittenSchema = org.apache.spark.sql.types.StructType(
+          (keyCols.map(c => lists.schema(c)) ++
+            payload.map(c => lists.schema(c))).map(_.copy(nullable = true)))
+        writeMeta(sp, tmp.toString,
+          m.copy(buildVersion = v, listsSchemaJson = rewrittenSchema.json))
       }
       swapStage(sp, fs, path, name, tmp, v)
     }
@@ -736,7 +785,7 @@ private[sql] object GraftVectorIndex {
     // liveness join entirely (one O(K log_K n) metadata walk decides)
     val (anyDel, anyUp) = GraftTables.changeFlagsSince(sp, path,
       m.buildVersion)
-    val cands = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path))
+    val cands = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path), m)
       .filter(col("__list").isin(probeLists: _*))
     // newest entry per key: an UPDATE's re-appended vector supersedes
     // the stale assignment (within the probed subset)
@@ -851,7 +900,7 @@ private[sql] object GraftVectorIndex {
     lastBatchProbedLists = probedIds.length
     val (anyDel, anyUp) = GraftTables.changeFlagsSince(sp, path,
       m.buildVersion)
-    val cands = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path))
+    val cands = listsOf(sp, idxDir, GraftTables.diskVersion(sp, path), m)
       .filter(col("__list").isin(probedIds: _*))
     val latest =
       if (!anyUp) cands

@@ -727,6 +727,16 @@ object IndexedFrame {
       }
       nonNull += 1
     }
+    /** Independent copy — the incremental carry mutates its own clone
+      * so folds shared with an ancestor handle stay frozen. */
+    def copyFold(): GroupFold = {
+      val c = new GroupFold
+      c.bd = bd; c.plain = plain; c.nonFinite = nonFinite
+      c.lsum = lsum; c.overflow = overflow
+      c.nonNull = nonNull; c.rows = rows
+      c.minD = minD; c.maxD = maxD; c.minL = minL; c.maxL = maxL
+      c
+    }
     def merge(o: GroupFold): GroupFold = {
       plain += o.plain
       nonFinite ||= o.nonFinite
@@ -1128,6 +1138,9 @@ object IndexedFrame {
           secondaries.put(c, e)
           old.secCountMemo.get(c).foreach(secCountMemo.put(c, _))
         }
+        // warm grouped folds carry too (zero delta — the carry's own
+        // type/gate checks still apply, e.g. an evolved column type)
+        carryGroupFoldsFrom(old, None, None)
         return
       }
       oldEntries.foreach { case (colName, (spec, oldSidx, rangeable)) =>
@@ -1175,6 +1188,10 @@ object IndexedFrame {
         // the memo and must never launch a job itself
         secCountMemo.put(colName, updated.count())
       }
+      // fold each commit's delta into the warm grouped-fold memos
+      // instead of refolding the corpus on the next probe (delta-sized;
+      // aborts to lazy refold whenever exactness cannot be guaranteed)
+      carryGroupFoldsFrom(old, delKeys, upKeys)
     }
 
     /** Build an inverted index on a non-key column now (one shuffle of
@@ -1565,9 +1582,19 @@ object IndexedFrame {
       * maps ship whole to the driver. */
     @transient private[sql] var FilteredAggDistinctCap = 1 << 16
 
-    @transient private lazy val secGroupAggMemo =
+    /** Per-partition row cap on the delta the incremental fold carry
+      * ([[carryGroupFoldsFrom]]) collects driver-side; past it the
+      * carry aborts and the next probe refolds (a corpus-sized "delta"
+      * is cheaper refolded than shipped). */
+    @transient private[sql] var FilteredAggCarryCap = 1 << 16
+
+    // values are the raw FOLD STATES (exact BigDecimal / checked-Long
+    // sums), not the rendered GroupAggs: the incremental carry
+    // ([[carryGroupFoldsFrom]]) retracts and re-adds delta rows against
+    // these states, which is only exact with the full-precision sums
+    @transient private[sql] lazy val secGroupAggMemo =
       new scala.collection.concurrent.TrieMap[(String, String),
-        Map[Any, GroupAgg]]()
+        Map[Any, GroupFold]]()
 
     /** `WHERE secCol = v` + `sum/avg/count(aggCol)` answered from a
       * per-secondary-value grouped fold: ONE job over the primary rows
@@ -1638,11 +1665,202 @@ object IndexedFrame {
             }
             scala.jdk.CollectionConverters.MapHasAsScala(acc).asScala.iterator
           }).reduceByKey { (a, b) => a.merge(b); a }.collect()
-          val out = Map.newBuilder[Any, GroupAgg]
-          merged.foreach { case (k, f) => out += (k -> f.result(isFp)) }
+          val out = Map.newBuilder[Any, GroupFold]
+          merged.foreach { case (k, f) => out += (k -> f) }
           out.result()
         })
-        Try(sCodec.fromLiteral(v)).toOption.flatMap(m.get)
+        Try(sCodec.fromLiteral(v)).toOption.flatMap(m.get).map(_.result(fp))
+      }
+    }
+
+    /** Carry `old`'s warm grouped-fold memos onto THIS post-statement
+      * handle at DELTA cost — fold each commit's delta into the
+      * memoized group map instead of refolding the corpus per snapshot
+      * (the postings-maintenance shape, applied to the filtered-agg
+      * memo). Per warm (secCol, aggCol) pair: retract the OLD row of
+      * every touched key (one delta-sized probe of the old primary),
+      * add the NEW row of every upserted key (same against this
+      * primary), both applied to CLONED fold states driver-side.
+      *
+      * Exactness rules — the carried map must be indistinguishable
+      * from a fresh fold, so the carry ABORTS (entry dropped; next
+      * probe refolds lazily) whenever that cannot be guaranteed:
+      *  - any carried-from or delta value is non-finite fp, or any
+      *    fold is in overflow (their results depend on fold order /
+      *    sticky markers that retraction cannot replay);
+      *  - a retraction hits the group's current min or max (the
+      *    multiplicity of the extremum is unknown) — unless the group
+      *    empties, which resets exactly;
+      *  - a retracted group is absent, or a count would go negative
+      *    (bookkeeping mismatch — never expected);
+      *  - the delta exceeds [[IndexedFrame.FilteredAggCarryCap]] per
+      *    partition (bounded driver traffic), or either column's type
+      *    changed, or the post-statement distinct count left the memo
+      *    gate.
+      * Sums are exact under retraction by construction: fp folds in
+      * BigDecimal (error-free, order-independent) and integral in
+      * checked Long. */
+    private[sql] def carryGroupFoldsFrom(old: SecondaryCapable[K],
+        delKeys: Option[RDD[K]], upKeys: Option[RDD[K]]): Unit = {
+      val oldEntries = old.secGroupAggMemo.readOnlySnapshot().toSeq
+      if (oldEntries.isEmpty) return
+      implicit val kt: ClassTag[K] = secTag
+      val cap = FilteredAggCarryCap
+      // one delta-sized (value-pair) collect per side, shared by every
+      // carried pair via grouping on (secCol, aggCol)? The pairs are
+      // few (warm dashboards); keep one probe per pair for simplicity.
+      oldEntries.foreach { case ((secCol, aggCol), oldMap) =>
+        def carry(): Option[Map[Any, GroupFold]] = {
+          if (!secondaries.contains(secCol) || secCol == aggCol) return None
+          if (!schema.fieldNames.contains(aggCol) ||
+              !old.schema.fieldNames.contains(aggCol)) return None
+          if (schema(secCol).dataType != old.schema(secCol).dataType ||
+              schema(aggCol).dataType != old.schema(aggCol).dataType)
+            return None
+          val aggDt = schema(aggCol).dataType
+          val fp = aggDt match {
+            case DoubleType | FloatType => true
+            case _ => false
+          }
+          val integral = aggDt match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }
+          if (!fp && !integral) return None
+          // post-statement gate: same condition secondaryFilteredAggFor
+          // plans with — a map the planner will never consult is not
+          // worth carrying
+          secCountMemo.get(secCol) match {
+            case Some(n) if n <= math.min(SecondaryRouteBudget,
+              FilteredAggDistinctCap) =>
+            case _ => return None
+          }
+          if (oldMap.valuesIterator.exists(f => f.overflow || f.nonFinite))
+            return None
+          val sCodec = secondaries(secCol)._1.codec
+          // (secVal, aggVal | null) of every touched key's OLD row and
+          // every upserted key's NEW row; null secVal rows never
+          // entered the fold and are skipped symmetrically
+          def pairsOf(src: SecondaryCapable[K], keys: RDD[K])
+              : Option[Array[(Any, Any)]] = {
+            val fiS = src.schema.fieldIndex(secCol)
+            val fiA = src.schema.fieldIndex(aggCol)
+            val dtA = aggDt
+            val codec = sCodec
+            val capL = cap
+            val perPart: Array[Either[Unit, Array[(Any, Any)]]] =
+              src.idx.lookupJoinStream(keys.distinct().map((_, ())))(
+                (_, row, _) =>
+                  if (row.isNullAt(fiS)) null
+                  else {
+                    val sv = codec.fromRow(row, fiS): Any
+                    val av: Any =
+                      if (row.isNullAt(fiA)) null
+                      else dtA match {
+                        case DoubleType => java.lang.Double.valueOf(row.getDouble(fiA))
+                        case FloatType => java.lang.Double.valueOf(row.getFloat(fiA).toDouble)
+                        case LongType => java.lang.Long.valueOf(row.getLong(fiA))
+                        case IntegerType => java.lang.Long.valueOf(row.getInt(fiA).toLong)
+                        case ShortType => java.lang.Long.valueOf(row.getShort(fiA).toLong)
+                        case _ => java.lang.Long.valueOf(row.getByte(fiA).toLong)
+                      }
+                    (sv, av)
+                  })
+                .mapPartitions { it =>
+                  val buf = new scala.collection.mutable.ArrayBuffer[(Any, Any)]()
+                  var over = false
+                  while (!over && it.hasNext) {
+                    val e = it.next()
+                    if (e != null) {
+                      buf += e
+                      if (buf.length > capL) over = true
+                    }
+                  }
+                  Iterator.single(
+                    if (over) Left(()): Either[Unit, Array[(Any, Any)]]
+                    else Right(buf.toArray))
+                }.collect()
+            if (perPart.exists(_.isLeft)) None
+            else Some(perPart.iterator
+              .collect { case Right(a) => a }.flatten.toArray)
+          }
+          val touched: Option[RDD[K]] = (delKeys, upKeys) match {
+            case (Some(d), Some(u)) => Some(d.union(u))
+            case (d, u) => d.orElse(u)
+          }
+          val rem = touched match {
+            case Some(t) => pairsOf(old, t).getOrElse(return None)
+            case None => Array.empty[(Any, Any)]
+          }
+          val add = upKeys match {
+            case Some(u) => pairsOf(this, u).getOrElse(return None)
+            case None => Array.empty[(Any, Any)]
+          }
+          // clone-then-mutate so the old handle's folds stay frozen
+          val m = new java.util.HashMap[Any, GroupFold](oldMap.size * 2)
+          oldMap.foreach { case (k, f) => m.put(k, f.copyFold()) }
+          var ok = true
+          rem.foreach { case (sv, av) =>
+            if (ok) {
+              val st = m.get(sv)
+              if (st == null || st.rows <= 0L) ok = false
+              else {
+                st.rows -= 1
+                if (av != null) {
+                  if (st.nonNull <= 0L) ok = false
+                  else if (fp) {
+                    val d = av.asInstanceOf[java.lang.Double].doubleValue
+                    if (!java.lang.Double.isFinite(d)) ok = false
+                    else {
+                      st.nonNull -= 1
+                      st.bd = st.bd.subtract(new java.math.BigDecimal(d))
+                      st.plain -= d
+                      if (st.nonNull == 0L) { st.minD = Double.NaN; st.maxD = Double.NaN }
+                      else if (java.lang.Double.compare(d, st.minD) == 0 ||
+                        java.lang.Double.compare(d, st.maxD) == 0) ok = false
+                    }
+                  } else {
+                    val l = av.asInstanceOf[java.lang.Long].longValue
+                    st.nonNull -= 1
+                    try st.lsum = Math.subtractExact(st.lsum, l)
+                    catch { case _: ArithmeticException => ok = false }
+                    if (st.nonNull == 0L) { st.minL = 0L; st.maxL = 0L }
+                    else if (l == st.minL || l == st.maxL) ok = false
+                  }
+                }
+                if (ok && st.rows == 0L) {
+                  if (st.nonNull != 0L) ok = false else m.remove(sv)
+                }
+              }
+            }
+          }
+          if (!ok) return None
+          add.foreach { case (sv, av) =>
+            if (ok) {
+              var st = m.get(sv)
+              if (st == null) { st = new GroupFold; m.put(sv, st) }
+              st.rows += 1
+              if (av != null) {
+                if (fp) {
+                  val d = av.asInstanceOf[java.lang.Double].doubleValue
+                  // a non-finite addition flips the fold to the
+                  // order-dependent IEEE shadow — refold instead
+                  if (!java.lang.Double.isFinite(d)) ok = false
+                  else st.addFp(d)
+                } else {
+                  st.addLong(av.asInstanceOf[java.lang.Long].longValue)
+                  if (st.overflow) ok = false
+                }
+              }
+            }
+          }
+          if (!ok) return None
+          val out = Map.newBuilder[Any, GroupFold]
+          scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+            .foreach { case (k, f) => out += (k -> f) }
+          Some(out.result())
+        }
+        carry().foreach(secGroupAggMemo.put((secCol, aggCol), _))
       }
     }
 

@@ -75,6 +75,7 @@ private[sql] object ZProjection {
     * the overlay delta-sized. None = the projection reflects the
     * snapshot exactly. */
   final case class ZProjInfo(dir: String, dims: Seq[(String, Array[Double])],
+      pv: Long = -1L,
       overlay: Option[() => Option[org.apache.spark.sql.DataFrame]] = None) {
     def bits: Int = bitsFor(dims.size)
     def cells: Int = 1 << (bits * dims.size)
@@ -84,7 +85,7 @@ private[sql] object ZProjection {
     // the 256-dir discovery job per statement
     private[sql] def base(sp: org.apache.spark.sql.SparkSession,
         dataSchema: org.apache.spark.sql.types.StructType)
-        : org.apache.spark.sql.DataFrame = baseFor(sp, dir, dataSchema)
+        : org.apache.spark.sql.DataFrame = baseFor(sp, dir, dataSchema, pv)
   }
 
   /** Shared parquet source per projection DIR: partition discovery
@@ -98,8 +99,13 @@ private[sql] object ZProjection {
     * [[invalidateBase]] drops the entry whenever a rebuild promotes
     * new files into the same dir (stale listings would pin deleted
     * paths); a session swap re-reads too. */
+  // entries carry the projection BUILD VERSION they were listed at: a
+  // rival process rebuilding the projection (delete+promote into the
+  // same dir) bumps pv, so this session's next attach MISSES the memo
+  // and re-lists instead of serving a listing that pins deleted files
+  // (invalidateBase only ever runs in the rebuilding JVM)
   private val baseMemo = new scala.collection.concurrent.TrieMap[
-    String, org.apache.spark.sql.DataFrame]()
+    String, (Long, org.apache.spark.sql.DataFrame)]()
 
   // the memo key NORMALIZES through Path: the same dir arrives as
   // file:/tmp/x (catalog URI), file:///tmp/x (DML-time location) and
@@ -114,18 +120,18 @@ private[sql] object ZProjection {
   }
 
   private[sql] def baseFor(sp: org.apache.spark.sql.SparkSession,
-      dir: String, dataSchema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.DataFrame = {
+      dir: String, dataSchema: org.apache.spark.sql.types.StructType,
+      pv: Long = -1L): org.apache.spark.sql.DataFrame = {
     val readSchema = org.apache.spark.sql.types.StructType(
       dataSchema.fields.map(_.copy(nullable = true)) :+
         org.apache.spark.sql.types.StructField(ZbCol,
           org.apache.spark.sql.types.IntegerType, nullable = true))
     baseMemo.get(baseKey(dir)) match {
-      case Some(df) if (df.sparkSession eq sp) &&
+      case Some((memoPv, df)) if memoPv == pv && (df.sparkSession eq sp) &&
           df.schema.fieldNames.sameElements(readSchema.fieldNames) => df
       case _ =>
         val df = sp.read.schema(readSchema).parquet(dir)
-        baseMemo.put(baseKey(dir), df)
+        baseMemo.put(baseKey(dir), (pv, df))
         df
     }
   }

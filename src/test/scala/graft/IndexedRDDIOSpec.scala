@@ -64,4 +64,39 @@ class IndexedRDDIOSpec extends AnyFunSuite {
     assert(loaded.range(100L, 200L).collect().toMap ===
       (100L until 200L).map(k => (k, k)).toMap)
   }
+
+  test("RangePartitioner heals after a Kryo round-trip (pins the evidence$2 reflection)") {
+    // Spark's RangePartitioner custom (de)serialization under a
+    // non-Java data serializer restores every functional field but
+    // leaves its private ClassTag null; a healed partitioner must
+    // Java-serialize again (the driver-side task-closure path that
+    // NPE'd in r21 before IndexedRDDIO.load healed it). This test pins
+    // the reflective field name against Spark upgrades: if Spark
+    // renames it, the find() below fails loudly instead of the heal
+    // silently becoming a no-op.
+    val idx = IndexedRDD.rangePartitioned(
+      sc.parallelize((1L to 1000L).map(k => (k, k)), 8), 8)
+    val p = idx.partitioner.get
+    assume(p.isInstanceOf[org.apache.spark.RangePartitioner[_, _]])
+    val f = p.getClass.getDeclaredFields
+      .find(_.getName.endsWith("evidence$2"))
+    assert(f.isDefined,
+      "Spark renamed RangePartitioner's ClassTag field — update " +
+        "IndexedRDDIO.healRangePartitioner to match")
+    f.get.setAccessible(true)
+    val kryo = new org.apache.spark.serializer.KryoSerializer(
+      new org.apache.spark.SparkConf).newInstance()
+    val rt = kryo.deserialize[org.apache.spark.Partitioner](
+      kryo.serialize(p))(scala.reflect.ClassTag(p.getClass))
+    IndexedRDDIO.healRangePartitioner[Long](rt)
+    assert(f.get.get(rt) != null,
+      "healRangePartitioner left the ClassTag null")
+    // the post-heal partitioner must survive Java serialization (what
+    // a downstream job's task closure does)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(rt)
+    oos.close()
+    assert(bos.size() > 0)
+  }
 }

@@ -485,12 +485,15 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       new java.io.File(s"$path/_tivf_e/._meta.crc").delete()
       ()
     }
-    // r17 layout: vecCol first, no kind/m/ks, no version tag
+    // r17 layout: vecCol first, no kind/m/ks, no version tag. A
+    // legacy meta cannot carry the v3 lists schema — it parses with
+    // "" (probes fall back to footer inference)
+    val m0Legacy = m0.copy(listsSchemaJson = "")
     rewrite { out =>
       out.writeObject(m0.vecCol); out.writeInt(m0.nlist)
       out.writeLong(m0.buildVersion)
     }
-    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0))
+    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0Legacy))
     // ... and the read MIGRATED the sidecar to the tagged layout
     val in = new java.io.ObjectInputStream(
       new java.io.FileInputStream(metaF))
@@ -502,7 +505,7 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       out.writeInt(m0.nlist); out.writeLong(m0.buildVersion)
       out.writeInt(m0.m); out.writeInt(m0.ks)
     }
-    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0))
+    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0Legacy))
     assert(spark.sql(
       s"SELECT * FROM graft_ann('zvec_mig', 'e', $queryLit, 5, 16)")
       .collect().map(_.toSeq).toSeq === expect)
@@ -516,7 +519,7 @@ class GraftVectorIndexSpec extends AnyFunSuite {
       out.writeObject(m0.vecCol); out.writeInt(m0.nlist)
       out.writeLong(m0.buildVersion)
     }
-    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0))
+    assert(GraftVectorIndex.readMeta(spark, path, "e").contains(m0Legacy))
     spark.sql("DROP TABLE IF EXISTS zvec_mig")
   }
 
