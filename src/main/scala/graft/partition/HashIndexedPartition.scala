@@ -77,6 +77,10 @@ class HashIndexedPartition[K, V](@transient private[partition] var map: HashMap[
 
   override def iterator: Iterator[(K, V)] = map.iterator
 
+  /** Tuple-free value walk (the HAMT's foreachEntry). */
+  override def foreachValue(f: V => Unit): Unit =
+    map.foreachEntry((_, v) => f(v))
+
   override def multiput[U](kvs: Iterator[(K, U)], z: (K, U) => V,
       f: (K, V, U) => V): IndexedPartition[K, V] = {
     var m = map

@@ -28,6 +28,11 @@ trait IndexedPartition[K, V] extends Serializable {
   /** Full scan. */
   def iterator: Iterator[(K, V)]
 
+  /** Visit every VALUE without per-entry tuple allocation (and, for
+    * layouts that store serialized keys, without key decoding) — the
+    * fast path for scan-shaped consumers that ignore the key. */
+  def foreachValue(f: V => Unit): Unit = iterator.foreach(kv => f(kv._2))
+
   /** Batch point lookup; emits only present keys. */
   def multiget(ks: Array[K]): Iterator[(K, V)] =
     ks.iterator.flatMap(k => apply(k).map(v => (k, v)))

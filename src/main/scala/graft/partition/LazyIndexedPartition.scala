@@ -38,6 +38,8 @@ class LazyIndexedPartition[K, V](
 
   override def iterator: Iterator[(K, V)] = forced.iterator
 
+  override def foreachValue(f: V => Unit): Unit = forced.foreachValue(f)
+
   override def multiget(ks: Array[K]): Iterator[(K, V)] =
     ks.iterator.flatMap(k => apply(k).map(v => (k, v)))
 

@@ -430,6 +430,10 @@ class RadixIndexedPartition[K, V](
   override def iterator: Iterator[(K, V)] =
     iterate(root).map { case (kb, v) => (ser.fromBytes(kb), v) }
 
+  /** Zero-allocation leaf walk: no tuples, no key decode. */
+  override def foreachValue(f: V => Unit): Unit =
+    RadixTree.foreachLeaf(root)((_, v) => f(v))
+
   /** Smallest key in byte order — one O(depth) leftmost descent, no
     * scan (== natural-order minimum for order-preserving serializers). */
   def firstKey: Option[K] =

@@ -689,9 +689,88 @@ object IndexedFrame {
     * ANSI-error / TRY-NULL semantics. Top-level (not trait-nested) so
     * executor closures never capture a handle. */
   private[sql] final class GroupFold extends Serializable {
-    var bd: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    // Exact fp sum as a NONOVERLAPPING EXPANSION (Shewchuk's
+    // grow-expansion with zero elimination, the fsum shape): the
+    // component multiset sums EXACTLY to the running total, per-row
+    // cost is a handful of flops with zero allocation — replacing the
+    // two BigDecimal allocations every row paid before (the dominant
+    // per-row cost of the corpus fold). Escalates ONCE to BigDecimal
+    // (`bd` non-null from then on) when a magnitude nears the double
+    // range or the expansion outgrows its cap; each double converts
+    // exactly, so the escalation — and the final rounding through
+    // [[fpSumBD]].doubleValue — is bit-identical to the previous
+    // always-BigDecimal fold.
+    var exp: Array[Double] = null
+    var expN: Int = 0
+    var bd: java.math.BigDecimal = null
     var plain: Double = 0.0
     var nonFinite = false
+
+    private def escalate(): Unit = {
+      if (bd == null) bd = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < expN) {
+        if (exp(i) != 0.0) bd = bd.add(new java.math.BigDecimal(exp(i)))
+        i += 1
+      }
+      exp = null
+      expN = 0
+    }
+
+    /** Exact accumulation of a FINITE d (callers gate non-finite). */
+    private[sql] def addFpExact(d: Double): Unit = {
+      if (bd != null) {
+        if (d != 0.0) bd = bd.add(new java.math.BigDecimal(d))
+        return
+      }
+      // pre-escalate when a two-sum could overflow: both operands
+      // bounded by 8.9e307 keeps every intermediate ≤ 1.78e308 < max
+      if (math.abs(d) > 8.9e307 ||
+          (expN > 0 && math.abs(exp(expN - 1)) > 8.9e307)) {
+        escalate()
+        if (d != 0.0) bd = bd.add(new java.math.BigDecimal(d))
+        return
+      }
+      if (exp == null) exp = new Array[Double](4)
+      var q = d
+      var k = 0
+      var j = 0
+      while (j < expN) {
+        val e = exp(j)
+        val s = q + e
+        val bv = s - q
+        val err = (q - (s - bv)) + (e - bv)
+        if (err != 0.0) { exp(k) = err; k += 1 }
+        q = s
+        j += 1
+      }
+      if (k == exp.length) {
+        if (exp.length >= 64) {
+          // exotic exponent spread: finish this add exactly in bd
+          expN = k
+          escalate()
+          if (q != 0.0) bd = bd.add(new java.math.BigDecimal(q))
+          return
+        }
+        exp = java.util.Arrays.copyOf(exp, exp.length * 2)
+      }
+      exp(k) = q
+      expN = k + 1
+    }
+
+    /** The exact sum as BigDecimal (components convert exactly). */
+    private[sql] def fpSumBD: java.math.BigDecimal = {
+      if (bd != null) bd
+      else {
+        var acc = java.math.BigDecimal.ZERO
+        var i = 0
+        while (i < expN) {
+          if (exp(i) != 0.0) acc = acc.add(new java.math.BigDecimal(exp(i)))
+          i += 1
+        }
+        acc
+      }
+    }
     var lsum = 0L
     var overflow = false
     var nonNull = 0L
@@ -705,7 +784,7 @@ object IndexedFrame {
     def addFp(d: Double): Unit = {
       plain += d
       if (!nonFinite) {
-        if (java.lang.Double.isFinite(d)) bd = bd.add(new java.math.BigDecimal(d))
+        if (java.lang.Double.isFinite(d)) addFpExact(d)
         else nonFinite = true
       }
       if (nonNull == 0) { minD = d; maxD = d }
@@ -731,6 +810,8 @@ object IndexedFrame {
       * so folds shared with an ancestor handle stay frozen. */
     def copyFold(): GroupFold = {
       val c = new GroupFold
+      c.exp = if (exp == null) null else exp.clone()
+      c.expN = expN
       c.bd = bd; c.plain = plain; c.nonFinite = nonFinite
       c.lsum = lsum; c.overflow = overflow
       c.nonNull = nonNull; c.rows = rows
@@ -740,7 +821,13 @@ object IndexedFrame {
     def merge(o: GroupFold): GroupFold = {
       plain += o.plain
       nonFinite ||= o.nonFinite
-      if (!nonFinite) bd = bd.add(o.bd)
+      if (!nonFinite) {
+        if (o.bd != null) { escalate(); bd = bd.add(o.bd) }
+        else {
+          var i = 0
+          while (i < o.expN) { addFpExact(o.exp(i)); i += 1 }
+        }
+      }
       if (!overflow && !o.overflow) {
         try lsum = Math.addExact(lsum, o.lsum)
         catch { case _: ArithmeticException => overflow = true }
@@ -762,7 +849,7 @@ object IndexedFrame {
       * the exact fold unless a special took over. */
     def result(fp: Boolean): GroupAgg = {
       val s: Any =
-        if (fp) java.lang.Double.valueOf(if (nonFinite) plain else bd.doubleValue)
+        if (fp) java.lang.Double.valueOf(if (nonFinite) plain else fpSumBD.doubleValue)
         else if (overflow) GroupFoldOverflow
         else java.lang.Long.valueOf(lsum)
       val (mn, mx): (Option[Any], Option[Any]) =
@@ -1641,30 +1728,73 @@ object IndexedFrame {
           // maxResultSize exactly that way (1280 partitions x ~12k
           // local groups), while the true distinct count was well
           // under the memo cap.
-          val merged = idx.mapPartitions(it => {
-            val acc = new java.util.HashMap[Any, GroupFold]()
-            it.foreach { case (_, row) =>
-              if (!row.isNullAt(fiS)) {
-                val sv = codec.fromRow(row, fiS)
-                var st = acc.get(sv)
-                if (st == null) { st = new GroupFold; acc.put(sv, st) }
+          // per-row work trimmed to the floor (guide §1.2 step 2): the
+          // partition's tuple-free foreachValue walk (no key decode, no
+          // per-entry tuple), the agg-type dispatch hoisted out of the
+          // loop, and — for the integral/temporal codecs, i.e. the
+          // common case — a primitive-keyed LongMap so the secondary
+          // value is boxed once per (partition, distinct), not per row
+          val aggKind = dtA match {
+            case DoubleType => 0
+            case FloatType => 1
+            case LongType => 2
+            case IntegerType => 3
+            case ShortType => 4
+            case _ => 5
+          }
+          val merged = idx.partitionsRDD.mapPartitions { pit =>
+            if (!pit.hasNext) Iterator.empty[(Any, GroupFold)]
+            else {
+              val part = pit.next()
+              def foldRow(st: GroupFold, row: InternalRow): Unit = {
                 st.rows += 1
                 if (!row.isNullAt(fiA)) {
-                  if (isFp) st.addFp(dtA match {
-                    case DoubleType => row.getDouble(fiA)
-                    case _ => row.getFloat(fiA).toDouble
-                  })
-                  else st.addLong(dtA match {
-                    case LongType => row.getLong(fiA)
-                    case IntegerType => row.getInt(fiA).toLong
-                    case ShortType => row.getShort(fiA).toLong
+                  if (isFp) st.addFp(
+                    if (aggKind == 0) row.getDouble(fiA)
+                    else row.getFloat(fiA).toDouble)
+                  else st.addLong(aggKind match {
+                    case 2 => row.getLong(fiA)
+                    case 3 => row.getInt(fiA).toLong
+                    case 4 => row.getShort(fiA).toLong
                     case _ => row.getByte(fiA).toLong
                   })
                 }
               }
+              if (codec.isInstanceOf[LongCodec]) {
+                  val lc = codec.asInstanceOf[LongCodec]
+                  val acc = new scala.collection.mutable.LongMap[GroupFold]()
+                  part.foreachValue { row =>
+                    if (!row.isNullAt(fiS)) {
+                      val sv = lc.fromRow(row, fiS)
+                      var st = acc.getOrNull(sv)
+                      if (st == null) { st = new GroupFold; acc.update(sv, st) }
+                      foldRow(st, row)
+                    }
+                  }
+                  acc.iterator.map { case (k, f) =>
+                    (java.lang.Long.valueOf(k): Any, f) }
+              } else {
+                  val acc = new java.util.HashMap[Any, GroupFold]()
+                  part.foreachValue { row =>
+                    if (!row.isNullAt(fiS)) {
+                      val sv = codec.fromRow(row, fiS)
+                      var st = acc.get(sv)
+                      if (st == null) { st = new GroupFold; acc.put(sv, st) }
+                      foldRow(st, row)
+                    }
+                  }
+                  scala.jdk.CollectionConverters.MapHasAsScala(acc)
+                    .asScala.iterator
+              }
             }
-            scala.jdk.CollectionConverters.MapHasAsScala(acc).asScala.iterator
-          }).reduceByKey { (a, b) => a.merge(b); a }.collect()
+          }.reduceByKey((a, b) => { a.merge(b); a },
+            // the map side already folded to O(distinct) per partition;
+            // inheriting the parent's partition count (1280 at the 100x
+            // tier) spends more on reduce-task scheduling + M×R block
+            // metadata than on the merge itself — cap at the session's
+            // parallelism (scale-adaptive, never a constant)
+            math.max(1, math.min(idx.getNumPartitions,
+              idx.context.defaultParallelism))).collect()
           val out = Map.newBuilder[Any, GroupFold]
           merged.foreach { case (k, f) => out += (k -> f) }
           out.result()
@@ -1813,7 +1943,7 @@ object IndexedFrame {
                     if (!java.lang.Double.isFinite(d)) ok = false
                     else {
                       st.nonNull -= 1
-                      st.bd = st.bd.subtract(new java.math.BigDecimal(d))
+                      st.addFpExact(-d)
                       st.plain -= d
                       if (st.nonNull == 0L) { st.minD = Double.NaN; st.maxD = Double.NaN }
                       else if (java.lang.Double.compare(d, st.minD) == 0 ||
