@@ -500,6 +500,27 @@ class RadixIndexedPartition[K, V](
 
   override def createUsingIndex[V2](elems: Iterator[(K, V2)]): IndexedPartition[K, V2] =
     RadixIndexedPartition(elems)(ser)
+
+  /** Compaction rebuild in O(n): the leaves already stream in sorted
+    * byte order, so the bulk-builder replaces the generic per-key
+    * insertion path (O(n·depth) with copy-on-write garbage). Leaf key
+    * bytes and value refs are shared — identical to what the generic
+    * rebuild kept — while the NODE structure (the thing compaction
+    * exists to un-share) is fresh. */
+  override def compacted: IndexedPartition[K, V] = {
+    require(_size <= Int.MaxValue, s"partition too large to compact: ${_size}")
+    val n = _size.toInt
+    val keys = new Array[Array[Byte]](n)
+    val vals = new Array[AnyRef](n)
+    var i = 0
+    RadixTree.foreachLeaf(root) { (kb, v) =>
+      keys(i) = kb
+      vals(i) = v.asInstanceOf[AnyRef]
+      i += 1
+    }
+    new RadixIndexedPartition(
+      RadixTree.fromSorted[V](keys, vals, 0, n, 0), _size, ser)
+  }
 }
 
 object RadixIndexedPartition {
